@@ -1,0 +1,27 @@
+"""automic_etl_spark — a PySpark-native analytics/ETL engine.
+
+A from-scratch, Spark-first implementation of the query and data-processing
+capabilities of the reference lakehouse ETL tool (pachecocarlos27/automic-etl):
+medallion (bronze/silver/gold) layers, SCD2, incremental extraction with
+watermarks, validation/profiling, redaction, dataset curation, plus
+large-scale training-data operators (dedup, similarity search, text
+analysis, multimodal columns).
+
+Everything is expressed through the DataFrame/SQL API so Catalyst handles
+predicate pushdown, column pruning, join strategy and AQE; Python UDFs are
+used only where built-in operators genuinely cannot express the semantics
+(and then always Arrow-vectorized).
+"""
+
+from automic_etl_spark.session import get_spark, stop_spark
+from automic_etl_spark.io import load_table, load_tables, TABLE_NAMES
+
+__all__ = [
+    "get_spark",
+    "stop_spark",
+    "load_table",
+    "load_tables",
+    "TABLE_NAMES",
+]
+
+__version__ = "0.1.0"

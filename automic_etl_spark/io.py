@@ -1,0 +1,58 @@
+"""Test-data and parquet table loading.
+
+The harness tables (`/root/testdata/sf*/`) are plain parquet; all reads go
+through ``spark.read.parquet`` so Catalyst gets pushdown/pruning for free.
+
+One real-world wrinkle handled here: ``events.parquet`` stores its ``ts``
+column as parquet ``TIMESTAMP(NANOS)``, which Spark's parquet reader
+rejects outright (PARQUET_TYPE_ILLEGAL). We read the physical INT64 as a
+``long`` (works against the vectorized reader) and convert to a
+microsecond TimestampType column JVM-side — fully distributed, no driver
+materialization, pushdown still applies to the other columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# events: parquet TIMESTAMP(NANOS) must be read as long (see module doc).
+_EVENTS_READ_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one harness table; returns a lazy DataFrame."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
+        # ns → µs truncation matches what any µs-precision engine sees.
+        # Integer division (not float) — ns epochs exceed double's 53-bit
+        # exact-integer range, so a float path would corrupt microseconds.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register every harness table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,38 @@
+"""Declared query suite: every operator family from SURVEY.md §2 gets at
+least one (spark_fn, oracle_sql) pair. The driver runs the Spark query and
+the DuckDB oracle side-by-side at sf0.01 and hash-compares values.
+
+Determinism contract (applies to every query here):
+
+- Money aggregates are summed as DECIMAL, not DOUBLE: double addition is
+  not associative, so a Spark partial-aggregation order vs DuckDB's scan
+  order would otherwise produce 1-ulp drift. DECIMAL sums are exact and
+  order-independent; the final value is cast back to DOUBLE (identical
+  correctly-rounded conversion in both engines).
+- Order-sensitive operators (FIRST/LAST/keep-last dedup/top-k) always
+  carry an explicit total ordering with a unique tiebreaker column.
+- Timestamps are compared at microsecond precision (events.ts is parquet
+  TIMESTAMP(NANOS); both engines truncate to µs — see automic_etl_spark.io).
+- Every computed column is aliased identically in the Spark plan and the
+  oracle SQL.
+"""
+
+from automic_etl_spark.queries.relational import QUERIES as _REL, ORACLE as _REL_SQL
+from automic_etl_spark.queries.analytic import QUERIES as _ANA, ORACLE as _ANA_SQL
+from automic_etl_spark.queries.text import QUERIES as _TXT, ORACLE as _TXT_SQL
+from automic_etl_spark.queries.dedup_sim import QUERIES as _DED, ORACLE as _DED_SQL
+from automic_etl_spark.queries.etl import QUERIES as _ETL, ORACLE as _ETL_SQL
+
+
+def all_queries():
+    out = {}
+    for d in (_REL, _ANA, _TXT, _DED, _ETL):
+        out.update(d)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for d in (_REL_SQL, _ANA_SQL, _TXT_SQL, _DED_SQL, _ETL_SQL):
+        out.update(d)
+    return out

@@ -1,0 +1,520 @@
+"""Analytic operators: window functions, pivot/rollup, statistics &
+profiling aggregates, sessionization, as-of join, scalar function families
+(string/date/json/regex/conditional) — SURVEY.md §2.5, §2.8, plus the
+beyond-reference event-analytics operators.
+
+The reference implements no window functions at all (SURVEY §2.5) but its
+SQL surface must accept them; these queries are the native Spark versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from automic_etl_spark.io import load_table
+
+_DEC = "decimal(28,10)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- §2.5: window functions ------------------------------------------------
+
+def q_window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer by price — deterministic rank with
+    orderkey tiebreaker. This is the canonical Spark form of the
+    reference's sort-then-head pattern done per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+ORACLE_W_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+"""
+
+
+def q_window_running_sum(spark, sf_dir):
+    """Running revenue per customer over order date (cumulative window).
+    Decimal accumulation so the running sum is exact at every step."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        o.withColumn(
+            "running_revenue",
+            F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("decimal(38,2)"),
+        )
+        .select("o_custkey", "o_orderkey", "running_revenue")
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+ORACLE_W_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_revenue
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def q_window_lag_delta(spark, sf_dir):
+    """lag(): per-user gap in seconds between consecutive events —
+    building block for sessionization. Events ts is µs-truncated
+    (see automic_etl_spark.io); epoch arithmetic is integer-exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "gap_s",
+            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).cast("long"),
+        )
+        .select("user_id", "event_id", "gap_s")
+        .orderBy("user_id", "event_id")
+    )
+
+
+ORACLE_W_LAG = """
+SELECT user_id, event_id,
+       CAST(date_diff('second',
+            lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+            CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_s
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+def q_dedup_keep_last(spark, sf_dir):
+    """Deterministic keep-last dedup — the reference's sort-by-ingestion-
+    time + unique(keep="last") (medallion/silver.py:200-223). Spark's
+    dropDuplicates is nondeterministic, so the contract form is a
+    row_number window with a total ordering (SURVEY §2.4 note)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+ORACLE_DEDUP_LAST = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+# --- pivot / rollup --------------------------------------------------------
+
+def q_pivot(spark, sf_dir):
+    """Pivot returnflag × linestatus → sum(qty). Explicit pivot values so
+    the plan is single-pass (no distinct-values pre-job at scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """ROLLUP subtotals (parity-plus over the reference — SURVEY §2.4
+    'grouping sets absent'). grouping_id distinguishes subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy(
+            F.col("gid").asc(),
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+# --- statistics / profiling (§2.4 stats rows) ------------------------------
+
+def q_column_stats(spark, sf_dir):
+    """Per-column profile aggregates (validation/quality.py:259-287):
+    mean/std/min/max + exact median via percentile(). Rounded to 6dp —
+    stddev/percentile interpolation are float-path in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_median"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("price_p75"),
+    )
+
+
+ORACLE_STATS = """
+SELECT round(avg(l_quantity), 6) AS qty_mean,
+       round(stddev_samp(l_quantity), 6) AS qty_std,
+       min(l_quantity) AS qty_min,
+       max(l_quantity) AS qty_max,
+       round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75
+FROM lineitem
+"""
+
+
+def q_outliers_3sigma(spark, sf_dir):
+    """±3σ outlier count (validation/quality.py:281-287): two-pass — a
+    1-row stats aggregate broadcast-joined back onto the scan (never a
+    driver-side collect)."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+    )
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .filter(
+            (F.col("o_totalprice") < F.col("mu") - 3 * F.col("sigma"))
+            | (F.col("o_totalprice") > F.col("mu") + 3 * F.col("sigma"))
+        )
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+
+
+ORACLE_OUTLIERS = """
+SELECT count(*) AS n_outliers
+FROM orders, (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma FROM orders)
+WHERE o_totalprice < mu - 3 * sigma OR o_totalprice > mu + 3 * sigma
+"""
+
+
+def q_null_metrics(spark, sf_dir):
+    """Null-count / completeness metrics batched into ONE aggregate pass
+    (validation/quality.py:198-229 does a pass per column; Spark batches
+    them). Nulls here arise from the left join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    j = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_orderkey"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_totalprice"),
+        F.round(
+            F.sum(F.when(F.col("o_orderkey").isNull(), 0.0).otherwise(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("completeness"),
+    )
+
+
+ORACLE_NULLS = """
+SELECT count(*) AS n_rows,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+       round(sum(CASE WHEN o_orderkey IS NULL THEN 0.0 ELSE 1.0 END) / count(*), 6) AS completeness
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+"""
+
+
+# --- sessionization & as-of join (beyond-reference event analytics) --------
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: 30-minute-gap sessions per user via lag + running
+    conditional sum — the scalable batch form (single shuffle by user)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess_id = F.sum(new_sess).over(
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("session_id", sess_id)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM sess
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join (SURVEY §2.3: absent in reference, mandated Spark-first):
+    for each event, the latest order by that customer placed on or before
+    the event — max_by over a range-predicate join. At 100 TB this is the
+    bucketed-range-join pattern; at bench scale the range join + per-key
+    reduction is a single shuffle pair."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    j = ev.join(
+        o,
+        (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),
+        "left",
+    )
+    return (
+        j.groupBy("event_id", "user_id")
+        .agg(F.expr("max_by(o_orderkey, struct(o_orderdate, o_orderkey))").alias("asof_orderkey"))
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF = """
+SELECT event_id, user_id, asof_orderkey FROM (
+  SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+  FROM events
+  LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= CAST(ts AS TIMESTAMP)
+)
+WHERE rn = 1
+ORDER BY event_id
+"""
+
+
+# --- scalar families (§2.8) ------------------------------------------------
+
+def q_string_functions(spark, sf_dir):
+    """String family: trim/lower/length/concat_ws/substring — the silver
+    standard-cleaning kernel (medallion/silver.py:164-186)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            F.col("c_custkey"),
+            F.lower(F.trim(F.col("c_name"))).alias("name_norm"),
+            F.length(F.col("c_name")).alias("name_len"),
+            F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
+            F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_STRING = """
+SELECT c_custkey,
+       lower(trim(c_name)) AS name_norm,
+       length(c_name) AS name_len,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       substring(c_name, 1, 8) AS name_prefix
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def q_conditional_bucket(spark, sf_dir):
+    """when/then/otherwise conditional (medallion/silver.py:180-185) +
+    null-sentinel normalization (the reference's null_if list)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "negative")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("bal_bucket"),
+            F.when(F.col("c_mktsegment").isin("N/A", "null", ""), None)
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment_clean"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_CONDITIONAL = """
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_bucket,
+       CASE WHEN c_mktsegment IN ('N/A', 'null', '') THEN NULL
+            ELSE c_mktsegment END AS segment_clean
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """JSON path navigation (json_connector.py:117-153, _raw_json at
+    bronze.py:210-221): pull props.k out of the events payload."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        )
+        .filter(F.col("prop_k") > 90)
+        .orderBy("event_id")
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+ORDER BY event_id
+"""
+
+
+def q_regex_extract(spark, sf_dir):
+    """Regex family (validation/rules.py:237,286; redaction service):
+    rlike filter + regexp_extract of the part size class from p_type."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_type").rlike("^(STANDARD|LARGE)"))
+        .select(
+            "p_partkey",
+            F.regexp_extract(F.col("p_type"), "^(\\w+)", 1).alias("type_class"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+ORACLE_REGEX = """
+SELECT p_partkey, regexp_extract(p_type, '^(\\w+)', 1) AS type_class
+FROM part
+WHERE regexp_matches(p_type, '^(STANDARD|LARGE)')
+ORDER BY p_partkey
+"""
+
+
+def q_date_functions(spark, sf_dir):
+    """Date family (§2.8): date_trunc/year/month/dayofweek + interval
+    arithmetic on order dates."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        )
+        .filter(F.col("yr") >= 1995)
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_DATE = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(o_orderdate AS DATE) + 30 AS due_date
+FROM orders
+WHERE year(o_orderdate) >= 1995
+ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "window_lag_delta": q_window_lag_delta,
+    "dedup_keep_last": q_dedup_keep_last,
+    "pivot_linestatus": q_pivot,
+    "rollup_subtotals": q_rollup,
+    "column_stats": q_column_stats,
+    "outliers_3sigma": q_outliers_3sigma,
+    "null_metrics": q_null_metrics,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "string_functions": q_string_functions,
+    "conditional_bucket": q_conditional_bucket,
+    "json_extract": q_json_extract,
+    "regex_extract": q_regex_extract,
+    "date_functions": q_date_functions,
+}
+
+ORACLE = {
+    "window_topk_per_group": ORACLE_W_TOPK,
+    "window_running_sum": ORACLE_W_RUNNING,
+    "window_lag_delta": ORACLE_W_LAG,
+    "dedup_keep_last": ORACLE_DEDUP_LAST,
+    "pivot_linestatus": ORACLE_PIVOT,
+    "rollup_subtotals": ORACLE_ROLLUP,
+    "column_stats": ORACLE_STATS,
+    "outliers_3sigma": ORACLE_OUTLIERS,
+    "null_metrics": ORACLE_NULLS,
+    "sessionize": ORACLE_SESSIONIZE,
+    "asof_join": ORACLE_ASOF,
+    "string_functions": ORACLE_STRING,
+    "conditional_bucket": ORACLE_CONDITIONAL,
+    "json_extract": ORACLE_JSON,
+    "regex_extract": ORACLE_REGEX,
+    "date_functions": ORACLE_DATE,
+}

@@ -1,0 +1,6 @@
+"""Deduplication + similarity-search operators (beyond-reference,
+mandated): exact dedup, MinHash-LSH, SimHash, n-gram Jaccard, embedding
+cosine top-k / near-dup. Filled incrementally."""
+
+QUERIES = {}
+ORACLE = {}

@@ -1,0 +1,6 @@
+"""ETL macro-operator queries: medallion ingest→silver→gold, SCD2,
+incremental/CDC, validation, profiling, curation (SURVEY §2.10). Filled
+incrementally."""
+
+QUERIES = {}
+ORACLE = {}

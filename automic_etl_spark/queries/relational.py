@@ -1,0 +1,488 @@
+"""Relational core: scans, projections, filters, joins, aggregations,
+sorts/limits, set ops — SURVEY.md §2.1-§2.4, §2.6, §2.7.
+
+Each query is a (spark_fn, oracle_sql) pair; see package docstring for the
+determinism contract. Reference behaviours cited per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from automic_etl_spark.io import load_table
+
+# Money sums: exact decimal accumulation, order-independent.
+_DEC = "decimal(28,10)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- §2.1/§2.2: scan + projection + filter + limit -------------------------
+
+def q_scan_project_filter(spark, sf_dir):
+    """Column projection + row filter + sort + limit on a parquet scan.
+
+    Reference: columns=/filter_expr/limit on every layer read
+    (storage/iceberg/tables.py:349-390). Catalyst pushes the filter and
+    projection into the parquet scan (the reference applies them post-scan).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_extendedprice") > 50000))
+        .orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
+    )
+
+
+ORACLE_SCAN = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_quantity > 45 AND l_extendedprice > 50000
+ORDER BY l_orderkey, l_linenumber
+LIMIT 100
+"""
+
+
+def q_derived_column(spark, sf_dir):
+    """Derived (feature) column: quantity * price net of discount.
+
+    Reference: FeatureDefinition.compute → with_columns(expr.alias(name))
+    (medallion/gold.py:413-436); example derived total_amount
+    (examples/basic_pipeline.py:62-66).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "net_amount",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+        )
+        .select("l_orderkey", "l_linenumber", "net_amount")
+        .filter(F.col("net_amount") > 90000)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+ORACLE_DERIVED = """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_amount
+FROM lineitem
+WHERE round(l_extendedprice * (1 - l_discount), 4) > 90000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- §2.4: aggregations ----------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: groupBy 2 keys, 8 aggregates.
+
+    Reference: aggregate_to_gold with the AggregationType enum
+    (medallion/gold.py:20-30,281-313). Decimal sums per the determinism
+    contract; avg computed from the exact sums.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc.cast(_DEC)).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum((disc * (1 + F.col("l_tax"))).cast(_DEC)).cast("decimal(38,6)").alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            # avg of money: exact integer cents, then identical double math
+            # post-agg (decimal division semantics differ across engines).
+            (
+                (F.sum(F.col("l_extendedprice").cast(_DEC)) * 100).cast("long").cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+            (
+                (F.sum(F.col("l_discount").cast(_DEC)) * 100).cast("long").cast("double")
+                / 100.0
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(38,6)) AS sum_charge,
+       avg(l_quantity) AS avg_qty,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+       CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_global_agg(spark, sf_dir):
+    """Global (no-group) aggregate — reference computes metrics without
+    dimensions via df.select(exprs) (medallion/gold.py:270-273)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total_revenue"),
+        F.min("o_orderdate").cast("date").alias("first_order"),
+        F.max("o_orderdate").cast("date").alias("last_order"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+ORACLE_GLOBAL = """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_revenue,
+       CAST(min(o_orderdate) AS DATE) AS first_order,
+       CAST(max(o_orderdate) AS DATE) AS last_order,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+"""
+
+
+def q_agg_having(spark, sf_dir):
+    """Group-by + HAVING post-aggregation filter (medallion/gold.py:105-106)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .where(F.col("total_qty") > 250)
+        .orderBy("l_partkey")
+    )
+
+
+ORACLE_HAVING = """
+SELECT l_partkey, sum(l_quantity) AS total_qty, count(*) AS n_lines
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(l_quantity) > 250
+ORDER BY l_partkey
+"""
+
+
+def q_time_bucket_agg(spark, sf_dir):
+    """Time-bucketed aggregation: dt.truncate → _time_period group key
+    (medallion/gold.py:255-279,315-330) → F.date_trunc in Spark."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_month", F.date_trunc("month", "o_orderdate").cast("date"))
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("revenue"),
+        )
+        .orderBy("order_month")
+    )
+
+
+ORACLE_TIME_BUCKET = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def q_value_counts_topk(spark, sf_dir):
+    """Top-K value counts (validation/quality.py:298-305): top-5 event
+    types by count, with event_type tiebreak so order is total."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+        .limit(5)
+    )
+
+
+ORACLE_VALUE_COUNTS = """
+SELECT event_type, count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, event_type
+LIMIT 5
+"""
+
+
+def q_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT) per group (validation/quality.py:246,
+    api/routes/queries.py:328)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- §2.3: joins -----------------------------------------------------------
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    """Multi-way chained equi-joins (medallion/gold.py:199-213) over 5
+    tables; dimension sides are broadcast (they are tiny at any SF —
+    nation/region are fixed-size)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(disc.cast(_DEC)).cast("decimal(38,4)").alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+ORACLE_JOIN_NATION = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q_join_left(spark, sf_dir):
+    """Left join preserving unmatched keys (JoinDefinition default how=left,
+    medallion/gold.py:439-452): order counts per customer incl. zero."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_LEFT = """
+SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+ORDER BY c_custkey
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    """Anti join — the reference's workhorse for new-row detection
+    (medallion/scd.py:192-196, extraction/incremental.py:366-379):
+    customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_JOIN_ANTI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+ORDER BY c_custkey
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    """Semi join (matched-rows detection, medallion/scd.py:199-203):
+    suppliers that shipped at least one > 49-qty line."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+ORACLE_JOIN_SEMI = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+ORDER BY s_suppkey
+"""
+
+
+def q_join_outer_features(spark, sf_dir):
+    """Full-outer entity join (feature tables, medallion/gold.py:148-157):
+    per-customer order revenue vs. account balance, either side may be
+    missing."""
+    o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("revenue")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_acctbal")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "outer")
+        .select(
+            F.coalesce("c_custkey", "o_custkey").alias("entity_id"),
+            F.col("c_acctbal"),
+            F.col("revenue"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+ORACLE_JOIN_OUTER = """
+SELECT coalesce(c_custkey, o_custkey) AS entity_id, c_acctbal, revenue
+FROM (SELECT c_custkey, c_acctbal FROM customer) c
+FULL OUTER JOIN (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS revenue
+  FROM orders GROUP BY o_custkey
+) o ON c_custkey = o_custkey
+ORDER BY entity_id
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """TPC-H Q3-style: selective join + group + top-10 by revenue
+    (top-K: sort desc + head, validation/quality.py:299-303)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey")
+        .agg(F.sum(disc.cast(_DEC)).cast("decimal(38,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# --- §2.7: set operations --------------------------------------------------
+
+def q_union_distinct(spark, sf_dir):
+    """Name-aware union + distinct (pl.concat → unionByName,
+    extraction/batch.py:133): high-balance ∪ AUTOMOBILE customers."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_name")
+    return a.unionByName(b).distinct().orderBy("c_custkey")
+
+
+ORACLE_UNION = """
+SELECT DISTINCT c_custkey, c_name FROM (
+  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+  UNION ALL
+  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+ORDER BY c_custkey
+"""
+
+
+def q_intersect(spark, sf_dir):
+    """Keyed intersection via inner-join-on-keys (medallion/scd.py:199-203):
+    customers present in both BUILDING segment and >5 orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    many = (
+        o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 5)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+        .intersect(many)
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_INTERSECT = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 5
+ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "scan_project_filter": q_scan_project_filter,
+    "derived_column": q_derived_column,
+    "pricing_summary": q_pricing_summary,
+    "global_agg": q_global_agg,
+    "agg_having": q_agg_having,
+    "time_bucket_agg": q_time_bucket_agg,
+    "value_counts_topk": q_value_counts_topk,
+    "count_distinct": q_count_distinct,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "join_left": q_join_left,
+    "join_anti": q_join_anti,
+    "join_semi": q_join_semi,
+    "join_outer_features": q_join_outer_features,
+    "top_orders": q_top_orders,
+    "union_distinct": q_union_distinct,
+    "intersect_keys": q_intersect,
+}
+
+ORACLE = {
+    "scan_project_filter": ORACLE_SCAN,
+    "derived_column": ORACLE_DERIVED,
+    "pricing_summary": ORACLE_PRICING,
+    "global_agg": ORACLE_GLOBAL,
+    "agg_having": ORACLE_HAVING,
+    "time_bucket_agg": ORACLE_TIME_BUCKET,
+    "value_counts_topk": ORACLE_VALUE_COUNTS,
+    "count_distinct": ORACLE_COUNT_DISTINCT,
+    "join_revenue_by_nation": ORACLE_JOIN_NATION,
+    "join_left": ORACLE_JOIN_LEFT,
+    "join_anti": ORACLE_JOIN_ANTI,
+    "join_semi": ORACLE_JOIN_SEMI,
+    "join_outer_features": ORACLE_JOIN_OUTER,
+    "top_orders": ORACLE_TOP_ORDERS,
+    "union_distinct": ORACLE_UNION,
+    "intersect_keys": ORACLE_INTERSECT,
+}

@@ -1,0 +1,6 @@
+"""Text-analysis operators over the documents table (beyond-reference,
+mandated): token counting, quality scoring, language-ID heuristic,
+fingerprinting. Filled incrementally."""
+
+QUERIES = {}
+ORACLE = {}

@@ -1,0 +1,83 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-driver of the
+final, already-reduced result). A warmup query first touches every input
+file so JVM/codegen startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from automic_etl_spark.session import get_spark
+from automic_etl_spark.io import load_table, TABLE_NAMES
+from automic_etl_spark.queries import all_queries
+
+# Headline set: the heavy relational core + the scale-critical
+# beyond-reference operators. Keep to ~12 so the bench signal is readable.
+HEADLINE = [
+    "pricing_summary",
+    "join_revenue_by_nation",
+    "top_orders",
+    "agg_having",
+    "window_topk_per_group",
+    "window_running_sum",
+    "dedup_keep_last",
+    "sessionize",
+    "asof_join",
+    "count_distinct",
+    "minhash_lsh_candidates",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    # Warmup: force one action over each table (file listing, footer reads,
+    # codegen of a trivial plan) outside the timed region.
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
+
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        _ = len(df.collect())  # single full execution of the reduced result
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

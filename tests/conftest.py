@@ -1,0 +1,69 @@
+"""Shared fixtures. One session-scoped SparkSession (JVM startup is ~15s);
+small local[4] mode with few shuffle partitions keeps tests fast.
+
+The 5-row users fixtures mirror the reference's test corpus
+(/root/reference/tests/conftest.py:22-80): base, nulls variant,
+duplicates variant.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def users_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Alice", "alice@example.com", 25, 50000.0),
+            (2, "Bob", "bob@example.com", 30, 60000.0),
+            (3, "Charlie", "charlie@example.com", 35, 70000.0),
+            (4, "David", "david@example.com", 40, 85000.0),
+            (5, "Eve", "eve@example.com", 45, 95000.0),
+        ],
+        "id long, name string, email string, age long, salary double",
+    )
+
+
+@pytest.fixture()
+def users_nulls_df(spark):
+    return spark.createDataFrame(
+        [
+            (None, "Alice", "alice@example.com", 25, 50000.0),
+            (2, None, "bob@example.com", 30, 60000.0),
+            (3, "Charlie", None, 35, 70000.0),
+            (4, "David", "david@example.com", None, 85000.0),
+            (5, "Eve", "eve@example.com", 45, None),
+        ],
+        "id long, name string, email string, age long, salary double",
+    )
+
+
+@pytest.fixture()
+def users_dupes_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "Alice", "alice@example.com", 25, 50000.0),
+            (1, "Alice", "alice@example.com", 25, 50000.0),
+            (2, "Bob", "bob@example.com", 30, 60000.0),
+            (2, "Bob B", "bob2@example.com", 31, 61000.0),
+            (3, "Charlie", "charlie@example.com", 35, 70000.0),
+        ],
+        "id long, name string, email string, age long, salary double",
+    )

@@ -1,0 +1,38 @@
+"""Smoke tests: every declared query runs at sf0.001 and returns a
+DataFrame with stable, oracle-matching column names. (Full value-level
+correctness is covered by tools/check_oracle.py against DuckDB at sf0.01.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.queries import all_oracles, all_queries
+from tests.conftest import SF_SMALL
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_SMALL)
+    rows = df.limit(10_000).collect()
+    assert df.columns, name
+    assert rows is not None
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    missing = [n for n in QUERIES if n not in ORACLES]
+    # non-SQL-expressible ops may omit the oracle, but must be rare and
+    # deliberate — keep the list pinned so additions are conscious.
+    assert set(missing) <= set(), f"queries without oracle: {missing}"
+
+
+def test_entry_contract(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    q, o = e.queries(), e.oracle_sql()
+    assert set(o) <= set(q)
