@@ -1,0 +1,49 @@
+"""Large-scale training-data operators (beyond-reference, mandated by the
+build brief): deduplication, similarity search, text analysis, multimodal
+column plumbing, plus reference-parity relational helpers (keep-last
+dedup, as-of join).
+
+All hot paths are built from JVM-side `pyspark.sql.functions` (split /
+transform / explode / groupBy) so they run inside whole-stage codegen —
+no Python in the per-row loop. Pandas UDFs appear only where built-ins
+cannot express the semantics (multimodal decode)."""
+
+from automic_etl_spark.operators.textops import (
+    tokenize,
+    token_count,
+    text_quality,
+    language_id,
+    fingerprint,
+)
+from automic_etl_spark.operators.dedup import (
+    dedup_exact,
+    dedup_keep_last,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    jaccard_on_candidates,
+    simhash,
+)
+from automic_etl_spark.operators.similarity import (
+    cosine_similarity_col,
+    cosine_topk,
+    embedding_near_duplicates,
+    lsh_bucket_ann,
+)
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "text_quality",
+    "language_id",
+    "fingerprint",
+    "dedup_exact",
+    "dedup_keep_last",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_on_candidates",
+    "simhash",
+    "cosine_similarity_col",
+    "cosine_topk",
+    "embedding_near_duplicates",
+    "lsh_bucket_ann",
+]

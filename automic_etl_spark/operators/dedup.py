@@ -1,0 +1,251 @@
+"""Deduplication operators: exact, keep-last (reference parity), and the
+near-duplicate family for training-data curation — MinHash+LSH, exact
+Jaccard verification, SimHash.
+
+Scale design (the point of each operator):
+
+- exact dedup: one hash-shuffle on the dedup key; content hash (md5 of
+  the column tuple) keeps the shuffle payload to a 32-byte key even for
+  multi-KB documents.
+- MinHash+LSH: signatures are computed in ONE pass (explode shingles →
+  groupBy doc → H min-aggregates); banding turns the O(n²) pair problem
+  into equi-joins on band keys, which Spark executes as a shuffle join
+  per band over only the colliding buckets. No cross join anywhere.
+- SimHash: one explode + 16 conditional-sum aggregates, again one
+  shuffle; near-dup groups are an equi-groupBy on the 16-bit signature.
+- keep-last: window row_number with a total ordering — the deterministic
+  version of the reference's sort+unique(keep="last")
+  (medallion/silver.py:200-223).
+
+Hash portability: md5-derived 60-bit ints (see textops.token_hash), the
+same construction the DuckDB oracles use — never engine-native hashes.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+from automic_etl_spark.operators.textops import shingles
+
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Exact dedup keeping one row per distinct value of ``subset``
+    (all columns if None). Deterministic: keeps the row with the minimal
+    value tuple within each group — NOT dropDuplicates, which is
+    arrival-order-dependent."""
+    cols = subset or df.columns
+    if set(cols) == set(df.columns):
+        return df.distinct()
+    others = [c for c in df.columns if c not in cols]
+    w = W.partitionBy(*cols).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_keep_last(
+    df: DataFrame, keys: list[str], order_col: str, tiebreak: str | None = None
+) -> DataFrame:
+    """Keep the latest row per key by ``order_col`` (reference:
+    sort('_ingestion_time') + unique(keep='last'),
+    medallion/silver.py:200-223). ``tiebreak`` must make the ordering
+    total or results are nondeterministic — that's the operator contract
+    (SURVEY §7 'what's hard' #1)."""
+    order = [F.col(order_col).desc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).desc())
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+# Mersenne prime 2^31 - 1: universal-hash modulus. a_i·h + b_i with
+# a_i, b_i, h < p keeps every intermediate < 2^62 (bigint-safe in any
+# engine).
+MINHASH_P = 2147483647
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal hash family — a
+    fixed LCG keeps them identical across engines/runs with no RNG."""
+    out, x = [], 1
+    for _ in range(num_hashes):
+        x = (1103515245 * x + 12345) % MINHASH_P
+        a = x or 1
+        x = (1103515245 * x + 12345) % MINHASH_P
+        out.append((a, x))
+    return out
+
+
+def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition iff the input has fewer partitions than the
+    cluster has slots. CPU-heavy per-row operators (md5 over every
+    shingle) die on the single split Spark gives a small file; on a real
+    many-file corpus this is a no-op — no shuffle is added at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: ``num_hashes`` columns sig_0..n,
+    each the min seeded-md5 over word k-shingles (seeding = prefixing the
+    seed before md5 — portable across engines).
+
+    Plan shape: tokenize+shingle ONCE, explode, md5 each shingle ONCE to
+    a 31-bit base hash, then ``num_hashes`` universal-hash permutations
+    ``(a_i·h + b_i) mod p`` as cheap integer min() aggregates — all
+    inside codegen'd partial aggregation, so the heavy work runs
+    map-side in parallel and only (doc, 12×8B) rows shuffle. The
+    arithmetic stays below 2^62 so it is overflow-free and portable
+    (the DuckDB oracle runs the identical expressions). Documents with
+    < k tokens have no shingles and drop out (no signature ⇒ never a
+    candidate), matching the oracle semantics."""
+    exploded = ensure_parallelism(df.select(id_col, F.col(text_col))).select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    )
+    # 31-bit base hash: md5 prefix → int → mod p (p = 2^31 - 1, prime).
+    h = (
+        F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    sigs = [
+        F.min((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return exploded.groupBy(id_col).agg(*sigs)
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: concat r=num_hashes/bands signature slots (prefixed
+    with the band index, so keys never collide across bands) → band key;
+    documents sharing any band key are candidate pairs.
+
+    Plan shape: melt to (id, band_key) via a single explode, then ONE
+    equi-self-join on band_key — one shuffle regardless of band count,
+    and only colliding buckets ever meet. Never a cross join."""
+    r = num_hashes // bands
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(b)), *[F.col(f"sig_{b * r + i}") for i in range(r)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    melted = sig_df.select(F.col(id_col), F.explode(band_keys).alias("band_key"))
+    a = melted.alias("a")
+    b = melted.alias("b")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the verify stage
+    after LSH): |A∩B| via an equi-join of exploded distinct shingles
+    restricted to candidate ids, |A|,|B| from a per-doc aggregate.
+    Only candidate documents are exploded — the LSH prefilter is what
+    keeps this linear-ish at corpus scale."""
+    doc_sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh")
+    )
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    doc_sh = doc_sh.join(ids, id_col, "left_semi")
+    sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.alias("c")
+        .join(doc_sh.alias("x"), F.col("c.id_a") == F.col(f"x.{id_col}"))
+        .join(
+            doc_sh.alias("y"),
+            (F.col("c.id_b") == F.col(f"y.{id_col}")) & (F.col("x.sh") == F.col("y.sh")),
+        )
+        .groupBy("c.id_a", "c.id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        candidates.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash signature (``bits`` wide) over whitespace tokens: per bit
+    j, sum +1/-1 by the j-th bit of each token's portable 60-bit hash;
+    signature bit j is 1 iff the sum is positive. One explode + ``bits``
+    conditional sums in a single aggregate pass."""
+    toks = F.explode(F.split(F.trim(F.col(text_col)), "\\s+")).alias("tok")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    exploded = (
+        ensure_parallelism(df.select(id_col, F.col(text_col)))
+        .select(F.col(id_col), toks)
+        .select(F.col(id_col), h.alias("h"))
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*sums)
+    sig = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0)),
+        range(bits),
+        F.lit(0).cast("long"),
+    )
+    return agg.select(F.col(id_col), sig.alias("simhash"))

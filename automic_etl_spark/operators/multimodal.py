@@ -1,0 +1,69 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernel itself is
+STUBBED (deterministic fake derived from the bytes, clearly marked); the
+Spark-side plumbing — binary schema, metadata struct, partition-friendly
+batch iteration, UDF signature — is real and tested. Swap `_fake_decode`
+for a PIL/ffmpeg call on a real cluster and nothing else changes.
+
+Reference analog: unstructured blob rows `{_content_bytes, _content_text,
+_content_type, _content_size}` (reference medallion/bronze.py:126-185).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+DECODED_SCHEMA = (
+    "doc_id long, content_type string, content_size long, width int, height int, ok boolean"
+)
+
+
+def to_blob_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a blob table from any string column: binary payload +
+    metadata columns, the engine's canonical multimodal row shape."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "UTF-8").alias("_content_bytes"),
+        F.lit("text/plain").alias("_content_type"),
+        F.octet_length(F.encode(F.col(text_col), "UTF-8")).alias("_content_size"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, bool]:
+    """STUB decode: deterministic pseudo-dimensions from the byte length.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload)).
+    Raising NotImplementedError here would be the strict behaviour; the
+    deterministic fake keeps the full pipeline executable in CI.
+    """
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1, n > 0
+
+
+def decode_blobs(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched decode over the blob table. ``mapInPandas`` keeps
+    per-batch memory bounded (spark.sql.execution.arrow.maxRecordsPerBatch)
+    and scales linearly with partitions — the pattern a real image decode
+    would use on a 100 TB corpus."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [_fake_decode(b) for b in pdf["_content_bytes"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content_type": pdf["_content_type"],
+                    "content_size": pdf["_content_size"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "ok": [d[2] for d in dims],
+                }
+            )
+
+    return blobs.mapInPandas(batches, DECODED_SCHEMA)

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  The dot/norm fold is a JVM-side higher-order function (`aggregate` /
+  `zip_with`), sequential left-fold in double precision, so results are
+  bit-reproducible across engines (the DuckDB oracle uses the identical
+  fold via list_reduce).
+- ``lsh_bucket_ann``: sign-LSH bucketed approximate NN — the scale path.
+  Bucket = sign bits of `n_planes` fixed coordinate hyperplanes; the
+  query only scans its own bucket (a pushed-down equi-filter), turning a
+  full-corpus scan into a ~1/2^n_planes partition probe. At 100 TB the
+  bucket column is a partition/Z-order key so pruning happens at the
+  file level.
+- ``embedding_near_duplicates``: cosine > threshold pairs via a
+  block-bucketed self-join (bucket equi-join prefilter, exact verify) —
+  embedding-cosine near-dup for training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision left-fold dot product (portable)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    sq = F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.sqrt(sq)
+
+
+def cosine_similarity_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours of a single query vector (1-row ``query``
+    DataFrame with the same vec_col). The query side is broadcast; the
+    corpus is scanned once; TakeOrderedAndProject keeps only k rows per
+    partition before the final merge — no full sort, no collect."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    return (
+        emb.crossJoin(q)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def sign_bucket(vec: Column, n_planes: int = 8) -> Column:
+    """Sign-LSH bucket id: bit j = sign(vec[j] ) for the first n_planes
+    coordinates (fixed axis-aligned hyperplanes — deterministic and
+    portable; swap for seeded random planes via a literal matrix when
+    axis bias matters)."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        bucket = bucket + F.when(
+            F.element_at(vec, j + 1).cast("double") > 0, F.lit(2**j)
+        ).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucket_ann(
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's sign-LSH
+    bucket. Recall trades off with 2^n_planes; the bucket filter is an
+    equi-predicate Catalyst can push to the scan (and to partition
+    pruning when the corpus is bucket-partitioned)."""
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            sign_bucket(F.col(vec_col), n_planes).alias("__qbucket"),
+        )
+    )
+    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    return (
+        emb.withColumn("__bucket", sign_bucket(F.col(vec_col), n_planes))
+        .join(q, F.col("__bucket") == F.col("__qbucket"))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine > threshold): candidate generation by
+    sign-LSH bucket equi-self-join (vectors this similar agree on most
+    sign bits; n_planes small keeps recall high), exact cosine verify on
+    candidates only. The self-join shuffles on the bucket key — never a
+    cross join."""
+    with_bucket = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), n_planes).alias("__bucket"),
+    )
+    a = with_bucket.alias("a")
+    b = with_bucket.alias("b")
+    sim = cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col("a.__bucket") == F.col("b.__bucket"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") > threshold)
+    )

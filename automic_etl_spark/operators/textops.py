@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+Everything is expression-level (returns Columns / DataFrames built from
+built-in functions), so Catalyst keeps the whole pipeline in codegen and
+a 100 TB corpus runs without Python in the loop.
+
+Determinism: token hashes use the first 15 hex digits of md5 interpreted
+as a 60-bit integer — portable across engines (same construction exists
+in DuckDB/Trino), unlike xxhash64 whose seed/implementation is
+Spark-specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Stopword marker sets for the language-ID heuristic (tiny on purpose —
+# it's an n-gram/stopword heuristic, not a model; see build brief).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is"),
+    "es": ("el", "la", "de", "y", "que", "en"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "de", "et", "est", "un"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>. BPE-ish subword splitting
+    is intentionally out of scope for the quality/dedup path (the
+    reference has no tokenizer either); swap in a pandas_udf tokenizer
+    when a real vocab is needed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokenize(text))
+
+
+def token_hash(token: Column) -> Column:
+    """Portable 60-bit token hash: int(md5[0:15], 16)."""
+    return F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio components
+    composited into a 0-1 score, mirroring the reference's weighted
+    quality-score idea (validation/quality.py:309-339 — 40/20/20/20
+    weights over completeness/uniqueness/validity/consistency; here the
+    text-document analog: 40 length, 30 stopword, 30 punctuation)."""
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[^.,!?;:]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    len_score = F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(0.0)
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            0.4 * len_score + 0.3 * (1 - stop_ratio) + 0.3 * (1 - punct_ratio), 6
+        ).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: argmax of marker-stopword hit counts, 'und'
+    when no marker hits. Deterministic tie-break by language code order."""
+    toks = tokenize(F.col(text_col))
+    scores = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(f"score_{lang}")
+        )
+    out = df.select("*", *scores)
+    # argmax with alphabetical tie-break: lang L wins iff its score is > 0,
+    # >= every later language and > every earlier one is false ⇔ expressed
+    # as a CASE chain where each branch requires >= all following scores.
+    langs = sorted(LANG_MARKERS)
+    best = None
+    for i, lang in enumerate(langs):
+        sc = F.col(f"score_{lang}")
+        cond = sc > 0
+        for other in langs[i + 1 :]:
+            cond = cond & (sc >= F.col(f"score_{other}"))
+        for other in langs[:i]:
+            cond = cond & (sc > F.col(f"score_{other}"))
+        best = F.when(cond, F.lit(lang)) if best is None else best.when(cond, F.lit(lang))
+    return out.withColumn("lang_pred", F.coalesce(best, F.lit("und")))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (empty when < k tokens)."""
+    w = tokenize(text)
+    n = F.size(w) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Document fingerprint: lexicographic min-md5 over word 3-shingles —
+    the SQL-portable analog of a rolling-hash winnowing fingerprint.
+    Identical fingerprints ⇒ near-identical shingle sets with high
+    probability (it is a 1-hash MinHash)."""
+    return df.select(
+        id_col,
+        F.array_min(F.transform(shingles(F.col(text_col), k), F.md5)).alias("fingerprint"),
+    )

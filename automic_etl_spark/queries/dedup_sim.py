@@ -1,6 +1,294 @@
-"""Deduplication + similarity-search operators (beyond-reference,
-mandated): exact dedup, MinHash-LSH, SimHash, n-gram Jaccard, embedding
-cosine top-k / near-dup. Filled incrementally."""
+"""Deduplication + similarity-search queries (beyond-reference operators
+mandated by the build brief): exact dedup, MinHash+LSH candidates, exact
+Jaccard verification, SimHash, embedding cosine top-k / ANN / near-dup.
 
-QUERIES = {}
-ORACLE = {}
+The oracles rebuild the exact same constructions in DuckDB SQL —
+md5-based portable hashing, identical shingle definitions, identical
+sequential double folds for cosine — so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators import dedup as D
+from automic_etl_spark.operators import similarity as S
+
+_NUM_HASHES = 12
+_BANDS = 4
+_R = _NUM_HASHES // _BANDS
+
+# Shared oracle CTEs: tokenization + shingles + signatures.
+_SH_CTE = """
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+)
+"""
+
+# Universal-hash signature slots mirroring operators.dedup: one md5-based
+# 31-bit base hash per shingle, then (a·h + b) mod p mins.
+_SIG_SELECT = ",\n         ".join(
+    f"min(({a} * h + {b}) % {D.MINHASH_P}) AS sig_{i}"
+    for i, (a, b) in enumerate(D.minhash_coeffs(_NUM_HASHES))
+)
+
+_BAND_KEYS = ", ".join(
+    "md5('{}' || '|' || {})".format(
+        b, " || '|' || ".join(f"sig_{b * _R + i}" for i in range(_R))
+    )
+    for b in range(_BANDS)
+)
+
+_CAND_CTES = f"""
+WITH {_SH_CTE},
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {D.MINHASH_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {_SIG_SELECT}
+  FROM hashed GROUP BY doc_id
+),
+melted AS (
+  SELECT doc_id, unnest([{_BAND_KEYS}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    """Exact duplicate detection by content hash (reference:
+    duplicate-group counts, validation/rules.py:127-136). The corpus has
+    no exact dups, so the query simulates a double-ingest (two
+    overlapping batches unioned — the classic re-delivery scenario) and
+    reports the duplicate groups; hashing md5(text) keeps the shuffle
+    key at 32 bytes regardless of document size."""
+    d = load_table(spark, sf_dir, "documents")
+    batch1 = d.filter(F.col("doc_id") < 300)
+    batch2 = d.filter(F.col("doc_id") >= 200)
+    both = batch1.unionByName(batch2)
+    return (
+        both.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
+ORACLE_EXACT_GROUPS = """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM (
+  SELECT * FROM documents WHERE doc_id < 300
+  UNION ALL
+  SELECT * FROM documents WHERE doc_id >= 200
+)
+GROUP BY md5(text)
+HAVING count(*) > 1
+ORDER BY content_hash
+"""
+
+
+def q_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash(12 hashes)+LSH(4 bands × r=3) candidate pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d, num_hashes=_NUM_HASHES)
+    return D.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS).orderBy(
+        "id_a", "id_b"
+    )
+
+
+ORACLE_MINHASH = _CAND_CTES + "SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
+
+
+def q_minhash_jaccard(spark, sf_dir):
+    """LSH candidates verified with exact shingle-set Jaccard — the full
+    fuzzy-dedup pipeline (candidate generation + verification)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d, num_hashes=_NUM_HASHES)
+    cand = D.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS)
+    return D.jaccard_on_candidates(d, cand).orderBy("id_a", "id_b")
+
+
+ORACLE_JACCARD = _CAND_CTES + """,
+tok AS (
+  SELECT DISTINCT doc_id, s FROM sh
+  WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok x ON x.doc_id = c.id_a
+  JOIN tok y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT c.id_a, c.id_b,
+       round(coalesce(n_inter, 0) / CAST(a.n + b.n - coalesce(n_inter, 0) AS DOUBLE), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter USING (id_a, id_b)
+JOIN sz a ON a.doc_id = c.id_a
+JOIN sz b ON b.doc_id = c.id_b
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash signatures + near-dup cluster sizes (docs sharing a
+    signature)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.simhash(d, bits=16)
+    return (
+        sig.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("simhash")
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN s_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+         {sums}
+  FROM hashed GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums
+)
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM sigs GROUP BY simhash ORDER BY simhash
+"""
+
+
+# --- embedding similarity --------------------------------------------------
+
+_COS_EXPR = """
+list_reduce(list_transform(generate_series(1, len(embedding)),
+                           i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+            (acc, x) -> acc + x)
+/ (sqrt(list_reduce(list_transform(generate_series(1, len(embedding)),
+                                   i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+                    (acc, x) -> acc + x))
+ * sqrt(list_reduce(list_transform(generate_series(1, len(qv)),
+                                   i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                    (acc, x) -> acc + x)))
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for query vector vec_id=0 —
+    the ANN correctness baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return S.cosine_topk(emb, query, k=10)
+
+
+ORACLE_EMB_TOPK = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({_COS_EXPR}, 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_ann_bucket(spark, sf_dir):
+    """Sign-LSH bucketed ANN (6 planes → 64 buckets): the scale path —
+    only the query's bucket is scanned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    return S.lsh_bucket_ann(emb, query, k=10, n_planes=6)
+
+
+def _bucket_sql(col: str, n_planes: int) -> str:
+    return " + ".join(
+        f"CASE WHEN CAST({col}[{j+1}] AS DOUBLE) > 0 THEN {2**j} ELSE 0 END"
+        for j in range(n_planes)
+    )
+
+
+ORACLE_EMB_ANN = f"""
+WITH q AS (
+  SELECT embedding AS qv, {_bucket_sql('embedding', 6)} AS qbucket
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, round({_COS_EXPR}, 6) AS cosine
+FROM embeddings, q
+WHERE {_bucket_sql('embedding', 6)} = qbucket
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs with sign-LSH candidate
+    blocking (4 planes). Threshold 0.3 is tuned to this synthetic corpus
+    (within-label cosine tops out ≈0.47); real corpora use 0.9+."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_near_duplicates(emb, threshold=0.3, n_planes=4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_COS_AB = """
+list_reduce(list_transform(generate_series(1, len(ea)),
+                           i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+            (acc, x) -> acc + x)
+/ (sqrt(list_reduce(list_transform(generate_series(1, len(ea)),
+                                   i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE)),
+                    (acc, x) -> acc + x))
+ * sqrt(list_reduce(list_transform(generate_series(1, len(eb)),
+                                   i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+                    (acc, x) -> acc + x)))
+"""
+
+ORACLE_EMB_NEARDUP = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', 4)} AS bucket FROM embeddings
+), pairs AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS ea, y.embedding AS eb
+  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT id_a, id_b, round({_COS_AB}, 6) AS cosine
+FROM pairs
+WHERE round({_COS_AB}, 6) > 0.3
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES = {
+    "dedup_exact_groups": q_dedup_exact_groups,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "minhash_jaccard": q_minhash_jaccard,
+    "simhash_clusters": q_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_ann_bucket": q_embedding_ann_bucket,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLE = {
+    "dedup_exact_groups": ORACLE_EXACT_GROUPS,
+    "minhash_lsh_candidates": ORACLE_MINHASH,
+    "minhash_jaccard": ORACLE_JACCARD,
+    "simhash_clusters": _simhash_oracle(16),
+    "embedding_topk": ORACLE_EMB_TOPK,
+    "embedding_ann_bucket": ORACLE_EMB_ANN,
+    "embedding_near_dup": ORACLE_EMB_NEARDUP,
+}

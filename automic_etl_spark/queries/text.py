@@ -1,6 +1,170 @@
-"""Text-analysis operators over the documents table (beyond-reference,
-mandated): token counting, quality scoring, language-ID heuristic,
-fingerprinting. Filled incrementally."""
+"""Text-analysis queries over the documents table (beyond-reference
+operators mandated by the build brief): token counting, quality scoring,
+language-ID, fingerprinting, multimodal binary plumbing.
 
-QUERIES = {}
-ORACLE = {}
+Oracle notes: tokenization is ``regexp-split(trim(text), '\\s+')`` in both
+engines; hashes are md5-hex (portable); all float composites follow the
+identical expression tree so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators import textops
+from automic_etl_spark.operators import multimodal
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+
+
+def q_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) + char stats per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            textops.token_count(F.col("text")).alias("n_tokens"),
+            F.length("text").alias("text_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(length(text) AS INT) AS text_len
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: length/stopword/punctuation components → 0-1
+    composite (see operators.textops.text_quality)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.text_quality(d, "text").select(
+        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"
+    ).orderBy("doc_id")
+
+
+ORACLE_TEXT_QUALITY = f"""
+WITH tok AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(list_filter(w, t -> t IN ({_STOP_SQL}))) AS INT) AS n_stop,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS n_punct
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1 - CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+           + 0.3 * (1 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END), 6) AS quality_score
+FROM c
+ORDER BY doc_id
+"""
+
+
+def q_language_id(spark, sf_dir):
+    """Language-ID heuristic (marker-stopword argmax) vs the labelled
+    lang column, aggregated to a per-(label, prediction) confusion."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        textops.language_id(d, "text")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_oracle() -> str:
+    langs = sorted(textops.LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        "CAST(len(list_filter(w, t -> t IN ({}))) AS INT) AS score_{}".format(
+            ", ".join(f"'{m}'" for m in textops.LANG_MARKERS[lang]), lang
+        )
+        for lang in langs
+    )
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"score_{lang} > 0"]
+        conds += [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        conds += [f"score_{lang} > score_{o}" for o in langs[:i]]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM tok
+)
+SELECT lang, {case} AS lang_pred, count(*) AS n
+FROM scored
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprinting: min-md5 over word 3-shingles (1-hash
+    MinHash / winnowing analog)."""
+    d = load_table(spark, sf_dir, "documents")
+    return textops.fingerprint(d).orderBy("doc_id")
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       list_min(list_transform(
+         list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+         s -> md5(s))) AS fingerprint
+FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
+ORDER BY doc_id
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: text → binary blob table → Arrow-batched
+    mapInPandas 'decode' (stubbed deterministically — no codecs in this
+    container; see operators.multimodal). The oracle replicates the
+    stub's arithmetic, proving the Spark-side batch plumbing end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    blobs = multimodal.to_blob_table(d)
+    return multimodal.decode_blobs(blobs).orderBy("doc_id")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       'text/plain' AS content_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS content_size,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+       octet_length(encode(text)) > 0 AS ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality": q_text_quality,
+    "language_id": q_language_id,
+    "text_fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLE = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "language_id": _lang_oracle(),
+    "text_fingerprint": ORACLE_FINGERPRINT,
+    "multimodal_meta": ORACLE_MULTIMODAL,
+}
