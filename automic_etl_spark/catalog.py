@@ -1,0 +1,285 @@
+"""Warehouse catalog: versioned parquet-backed tables with medallion
+namespaces (bronze/silver/gold).
+
+The reference stores tables as Iceberg/Delta with snapshots and time
+travel (storage/iceberg/tables.py, storage/delta.py). Delta/Iceberg jars
+are not on this classpath, so the same contract is implemented over plain
+parquet + a JSON manifest per version:
+
+    <warehouse>/<layer>/<table>/
+        _manifest/v00000001.json   {dirs, schema, ts, op, partition_by}
+        data-<version>-<uuid>/[part_col=x/]part-*.parquet
+
+- append      → new data dir, manifest = previous dirs + new dir
+- overwrite   → new data dir, manifest = new dir only
+- time travel → read the dir list of any older manifest (version or
+                timestamp), exactly Delta's versionAsOf/timestampAsOf
+                contract (reference integrations/spark.py:219-243)
+- upsert/delete/merge → read-modify-overwrite, the reference's own
+  Iceberg strategy (storage/iceberg/tables.py:246-343)
+
+Readers scan each data dir with ``spark.read.parquet`` (unionByName
+across dirs), so Catalyst pushdown/pruning — including partition-value
+discovery from ``col=value`` paths and partition pruning — apply
+unchanged. ``compact()`` collapses many small append dirs into one.
+
+At 100 TB the manifest JSON stays tiny (dir lists, not data); swap this
+class for real Delta by changing only write/read internals — the engine
+API above it (medallion layers, SCD2, incremental) is storage-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+LAYERS = ("bronze", "silver", "gold")
+
+
+@dataclass
+class TableVersion:
+    version: int
+    ts: float
+    op: str
+    dirs: list[str]
+    schema: str
+    partition_by: list[str]
+
+
+class TableManager:
+    """One namespaced table (``layer.name``) with versioned writes."""
+
+    def __init__(self, spark: SparkSession, root: str, layer: str, name: str):
+        self.spark = spark
+        self.layer = layer
+        self.name = name
+        self.path = os.path.join(root, layer, name)
+        self.manifest_dir = os.path.join(self.path, "_manifest")
+
+    # -- manifest helpers ---------------------------------------------------
+
+    def _versions(self) -> list[TableVersion]:
+        if not os.path.isdir(self.manifest_dir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(self.manifest_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, fn)) as f:
+                    out.append(TableVersion(**json.load(f)))
+        return out
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    def current_version(self) -> int:
+        vs = self._versions()
+        return vs[-1].version if vs else -1
+
+    def _write_manifest(self, tv: TableVersion) -> None:
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        with open(os.path.join(self.manifest_dir, f"v{tv.version:08d}.json"), "w") as f:
+            json.dump(tv.__dict__, f)
+
+    # -- writes -------------------------------------------------------------
+
+    def _write_data(self, df: DataFrame, partition_by: list[str] | None) -> str:
+        data_dir = os.path.join(
+            self.path, f"data-{self.current_version() + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        return data_dir
+
+    def create_or_append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """Create-from-dataframe on first write (schema inferred from the
+        DataFrame, reference tables.py:106-146), append afterwards."""
+        vs = self._versions()
+        part = partition_by if not vs else vs[-1].partition_by
+        new_dir = self._write_data(df, part)
+        prev_dirs = vs[-1].dirs if vs else []
+        tv = TableVersion(
+            version=self.current_version() + 1,
+            ts=time.time(),
+            op="append" if vs else "create",
+            dirs=prev_dirs + [new_dir],
+            schema=df.schema.json(),
+            partition_by=part or [],
+        )
+        self._write_manifest(tv)
+        return tv.version
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        vs = self._versions()
+        part = partition_by if partition_by is not None else (vs[-1].partition_by if vs else [])
+        new_dir = self._write_data(df, part)
+        tv = TableVersion(
+            version=self.current_version() + 1,
+            ts=time.time(),
+            op="overwrite",
+            dirs=[new_dir],
+            schema=df.schema.json(),
+            partition_by=part or [],
+        )
+        self._write_manifest(tv)
+        return tv.version
+
+    def upsert(self, df: DataFrame, key_columns: list[str]) -> int:
+        """Keyed upsert: current rows not matching new keys + new rows —
+        anti-join + union + overwrite (reference tables.py:246-299)."""
+        if not self.exists():
+            return self.create_or_append(df)
+        cur = self.read()
+        kept = cur.join(df.select(*key_columns).distinct(), key_columns, "left_anti")
+        return self.overwrite(kept.unionByName(df, allowMissingColumns=True))
+
+    def delete(self, condition: str) -> int:
+        """DELETE WHERE condition — read → filter(NOT cond) → overwrite
+        (reference tables.py:301-343)."""
+        cur = self.read()
+        return self.overwrite(cur.filter(f"NOT ({condition})"))
+
+    # -- reads --------------------------------------------------------------
+
+    def read(
+        self,
+        columns: list[str] | None = None,
+        filter_expr: str | None = None,
+        limit: int | None = None,
+        version: int | None = None,
+        timestamp: float | None = None,
+    ) -> DataFrame:
+        """Scan with optional projection/predicate/limit (pushed down by
+        Catalyst — unlike the reference, which applies them post-scan)
+        and time travel by version or timestamp."""
+        vs = self._versions()
+        if not vs:
+            raise ValueError(f"table {self.layer}.{self.name} does not exist")
+        tv = vs[-1]
+        if version is not None:
+            matches = [v for v in vs if v.version == version]
+            if not matches:
+                raise ValueError(f"version {version} not found")
+            tv = matches[0]
+        elif timestamp is not None:
+            older = [v for v in vs if v.ts <= timestamp]
+            if not older:
+                raise ValueError(f"no version at or before timestamp {timestamp}")
+            tv = older[-1]
+        if not tv.dirs:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame([], StructType.fromJson(json.loads(tv.schema)))
+        frames = [self.spark.read.parquet(d) for d in tv.dirs]
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra, allowMissingColumns=True)
+        if filter_expr:
+            df = df.filter(filter_expr)
+        if columns:
+            df = df.select(*columns)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def history(self) -> list[dict]:
+        return [
+            {"version": v.version, "ts": v.ts, "op": v.op, "n_dirs": len(v.dirs)}
+            for v in self._versions()
+        ]
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """OPTIMIZE-style compaction: rewrite current snapshot into fewer
+        files (coalesce avoids a shuffle)."""
+        cur = self.read().coalesce(target_partitions)
+        return self.overwrite(cur)
+
+    def vacuum(self) -> int:
+        """Drop data dirs unreferenced by the current version, and prune
+        the manifests of versions that are no longer reconstructible —
+        like Delta VACUUM, this trades time travel for space, and the
+        history honestly reflects it. Returns directories removed."""
+        vs = self._versions()
+        if not vs:
+            return 0
+        live_roots = {os.path.basename(d.rstrip(os.sep)) for d in vs[-1].dirs}
+        removed = 0
+        for entry in os.listdir(self.path):
+            full = os.path.join(self.path, entry)
+            if entry.startswith("data-") and entry not in live_roots and os.path.isdir(full):
+                shutil.rmtree(full)
+                removed += 1
+        if removed:
+            for v in vs[:-1]:
+                if any(not os.path.exists(d) for d in v.dirs):
+                    mf = os.path.join(self.manifest_dir, f"v{v.version:08d}.json")
+                    if os.path.exists(mf):
+                        os.remove(mf)
+        return removed
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION — re-point current state at an old
+        snapshot (new manifest entry, like Delta RESTORE)."""
+        vs = [v for v in self._versions() if v.version == version]
+        if not vs:
+            raise ValueError(f"version {version} not found")
+        old = vs[0]
+        tv = TableVersion(
+            version=self.current_version() + 1,
+            ts=time.time(),
+            op=f"restore({version})",
+            dirs=old.dirs,
+            schema=old.schema,
+            partition_by=old.partition_by,
+        )
+        self._write_manifest(tv)
+        return tv.version
+
+
+class Warehouse:
+    """Catalog of bronze/silver/gold tables + SQL registration."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def table(self, layer: str, name: str) -> TableManager:
+        if layer not in LAYERS:
+            raise ValueError(f"unknown layer {layer!r}; expected one of {LAYERS}")
+        return TableManager(self.spark, self.root, layer, name)
+
+    def list_tables(self, layer: str) -> list[str]:
+        d = os.path.join(self.root, layer)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n, "_manifest"))
+        )
+
+    def register_views(self) -> list[str]:
+        """Register every table as ``{layer}_{table}`` temp view for
+        spark.sql — the reference's Lakehouse.sql surface
+        (medallion/lakehouse.py:296-326)."""
+        names = []
+        for layer in LAYERS:
+            for name in self.list_tables(layer):
+                view = f"{layer}_{name}"
+                self.table(layer, name).read().createOrReplaceTempView(view)
+                names.append(view)
+        return names
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(query)

@@ -1,0 +1,5 @@
+"""Core: pipeline orchestrator + engine configuration."""
+
+from automic_etl_spark.core.pipeline import Pipeline, PipelineResult, PipelineContext
+
+__all__ = ["Pipeline", "PipelineResult", "PipelineContext"]

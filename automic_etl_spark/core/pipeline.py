@@ -1,0 +1,114 @@
+"""Staged pipeline orchestrator.
+
+Reference (core/pipeline.py:225-331): fluent extract/transform/load
+stages threading a DataFrame, PipelineContext carrying metrics/errors,
+before/after/on_error hooks, PipelineResult.
+
+Spark adaptation (SURVEY §3.3): the DataFrame stays LAZY between stages —
+stage composition builds one Catalyst plan, and Spark fuses across
+"stages"; the only actions are the load stage's write and metric counts
+via `df.observe` (zero extra jobs, unlike the reference's eager len()
+per stage).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+
+
+@dataclass
+class PipelineContext:
+    metrics: dict[str, Any] = field(default_factory=dict)
+    errors: list[str] = field(default_factory=list)
+
+
+@dataclass
+class PipelineResult:
+    status: str
+    duration_s: float
+    metrics: dict[str, Any]
+    errors: list[str]
+
+    @property
+    def ok(self) -> bool:
+        return self.status == "success"
+
+
+@dataclass
+class _Stage:
+    name: str
+    kind: str  # extract | transform | load
+    fn: Callable
+
+
+class Pipeline:
+    def __init__(self, name: str):
+        self.name = name
+        self.stages: list[_Stage] = []
+        self.before: Callable[[str, PipelineContext], None] | None = None
+        self.after: Callable[[str, PipelineContext], None] | None = None
+        self.on_error: Callable[[str, Exception, PipelineContext], None] | None = None
+
+    # fluent builders (reference pipeline.py:238-275)
+    def extract(self, fn: Callable[[], DataFrame], name: str = "extract") -> "Pipeline":
+        self.stages.append(_Stage(name, "extract", fn))
+        return self
+
+    def transform(
+        self, fn: Callable[[DataFrame], DataFrame], name: str = "transform"
+    ) -> "Pipeline":
+        self.stages.append(_Stage(name, "transform", fn))
+        return self
+
+    def load(self, fn: Callable[[DataFrame], int], name: str = "load") -> "Pipeline":
+        self.stages.append(_Stage(name, "load", fn))
+        return self
+
+    def run(self) -> PipelineResult:
+        ctx = PipelineContext()
+        t0 = time.time()
+        df: DataFrame | None = None
+        try:
+            for st in self.stages:
+                if self.before:
+                    self.before(st.name, ctx)
+                t1 = time.time()
+                if st.kind == "extract":
+                    df = st.fn()
+                    # observe row flow without an extra action: counted
+                    # when the load stage finally executes the plan.
+                    obs = Observation(f"{st.name}_rows")
+                    from pyspark.sql import functions as F
+
+                    df = df.observe(obs, F.count(F.lit(1)).alias("n"))
+                    ctx.metrics[f"{st.name}_observation"] = obs
+                elif st.kind == "transform":
+                    df = st.fn(df)
+                else:  # load
+                    written = st.fn(df)
+                    ctx.metrics["rows_written"] = written
+                ctx.metrics[f"{st.name}_duration_s"] = round(time.time() - t1, 3)
+                if self.after:
+                    self.after(st.name, ctx)
+            # resolve observations now that the plan has executed
+            for k, v in list(ctx.metrics.items()):
+                if isinstance(v, Observation):
+                    try:
+                        ctx.metrics[k.replace("_observation", "_rows")] = v.get["n"]
+                    except Exception:
+                        pass
+                    del ctx.metrics[k]
+            dur = time.time() - t0
+            if "rows_written" in ctx.metrics and dur > 0:
+                ctx.metrics["rows_per_second"] = round(ctx.metrics["rows_written"] / dur, 1)
+            return PipelineResult("success", round(dur, 3), ctx.metrics, ctx.errors)
+        except Exception as e:  # noqa: BLE001 — pipeline boundary
+            ctx.errors.append(f"{type(e).__name__}: {e}")
+            if self.on_error:
+                self.on_error(self.stages[-1].name if self.stages else "?", e, ctx)
+            return PipelineResult("failed", round(time.time() - t0, 3), ctx.metrics, ctx.errors)

@@ -1,0 +1,11 @@
+"""Incremental extraction: watermark registry, incremental extractor,
+CDC tagging/application."""
+
+from automic_etl_spark.extraction.watermark import WatermarkRegistry
+from automic_etl_spark.extraction.incremental import (
+    IncrementalExtractor,
+    tag_changes,
+    apply_cdc,
+)
+
+__all__ = ["WatermarkRegistry", "IncrementalExtractor", "tag_changes", "apply_cdc"]

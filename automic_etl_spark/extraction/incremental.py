@@ -1,0 +1,88 @@
+"""Incremental extraction + CDC.
+
+Reference control flow (extraction/incremental.py:58-150):
+watermark lookup → lookback subtraction (late-data tolerance, default
+1 hour) → filtered extract (`WHERE wm_col > watermark - lookback`) →
+max-column watermark update with monotonic guard.
+
+The filter is a plain Catalyst predicate, so against parquet/JDBC it
+becomes pushdown — the reference fetches then filters in memory.
+
+CDC (incremental.py:281-385): `_change_type` tagged from `deleted_at`
+nullity; application = DELETE keys anti-join, UPSERT keys anti-join +
+union — expressed here as keyed joins over the versioned table.
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from pyspark.sql import DataFrame, functions as F
+
+from automic_etl_spark.catalog import TableManager
+from automic_etl_spark.extraction.watermark import WatermarkRegistry
+
+DEFAULT_LOOKBACK = timedelta(hours=1)
+
+
+class IncrementalExtractor:
+    def __init__(self, registry: WatermarkRegistry, lookback: timedelta = DEFAULT_LOOKBACK):
+        self.registry = registry
+        self.lookback = lookback
+
+    def extract(
+        self,
+        df: DataFrame,
+        source_name: str,
+        watermark_column: str = "updated_at",
+    ) -> DataFrame:
+        """Rows newer than (watermark - lookback). The overlap re-reads
+        late rows; downstream keep-last dedup makes the pipeline
+        idempotent (the reference pairs these the same way)."""
+        wm = self.registry.get(source_name)
+        if wm is None:
+            return df
+        cutoff = F.lit(wm).cast("timestamp") - F.expr(
+            f"INTERVAL {int(self.lookback.total_seconds())} SECOND"
+        )
+        return df.filter(F.col(watermark_column) > cutoff)
+
+    def commit(self, df: DataFrame, source_name: str, watermark_column: str = "updated_at") -> bool:
+        """Advance the watermark to max(watermark_column) of the batch."""
+        mx = df.agg(F.max(watermark_column)).first()[0]
+        if mx is None:
+            return False
+        return self.registry.update(source_name, watermark_column, mx)
+
+
+def tag_changes(df: DataFrame, deleted_at_col: str = "deleted_at") -> DataFrame:
+    """`_change_type` ∈ {UPSERT, DELETE} by deleted_at nullity
+    (reference incremental.py:315-335)."""
+    return df.withColumn(
+        "_change_type",
+        F.when(F.col(deleted_at_col).isNotNull(), F.lit("DELETE")).otherwise(
+            F.lit("UPSERT")
+        ),
+    )
+
+
+def apply_cdc(
+    table: TableManager,
+    changes: DataFrame,
+    key_columns: list[str],
+) -> DataFrame:
+    """Apply a tagged change batch: delete DELETE keys, upsert UPSERT rows
+    (anti-join + union + overwrite — reference incremental.py:336-385).
+    Returns the resulting table state."""
+    deletes = changes.filter(F.col("_change_type") == "DELETE").select(*key_columns).distinct()
+    upserts = changes.filter(F.col("_change_type") == "UPSERT").drop("_change_type")
+
+    if not table.exists():
+        table.overwrite(upserts)
+        return table.read()
+
+    cur = table.read()
+    touched = deletes.unionByName(upserts.select(*key_columns).distinct()).distinct()
+    kept = cur.join(touched, key_columns, "left_anti")
+    table.overwrite(kept.unionByName(upserts, allowMissingColumns=True))
+    return table.read()

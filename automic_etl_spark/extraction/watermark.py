@@ -1,0 +1,66 @@
+"""Watermark registry: per-source incremental-extraction state.
+
+Reference: `Watermark {source_name, column, value, updated_at}` persisted
+to a JSON file (extraction/watermark.py:20-131). Same contract here — a
+JSON file is exactly right for this state (KBs, driver-side, atomic
+rename); this is batch bookkeeping, distinct from Spark Structured
+Streaming's `withWatermark`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from typing import Any
+
+
+class WatermarkRegistry:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def _load(self) -> dict[str, dict]:
+        if not os.path.exists(self.path):
+            return {}
+        with open(self.path) as f:
+            return json.load(f)
+
+    def _save(self, data: dict[str, dict]) -> None:
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.path) or ".")
+        with os.fdopen(fd, "w") as f:
+            json.dump(data, f, default=str)
+        os.replace(tmp, self.path)  # atomic — no torn state on crash
+
+    def get(self, source: str) -> Any | None:
+        entry = self._load().get(source)
+        return entry["value"] if entry else None
+
+    def column(self, source: str) -> str | None:
+        entry = self._load().get(source)
+        return entry["column"] if entry else None
+
+    def update(self, source: str, column: str, value: Any) -> bool:
+        """Monotonic update guard (reference watermark.py:189-217): only
+        advance, never regress. Returns True if the watermark moved."""
+        data = self._load()
+        cur = data.get(source)
+        if cur is not None and str(value) <= str(cur["value"]):
+            return False
+        data[source] = {
+            "source_name": source,
+            "column": column,
+            "value": str(value),
+            "updated_at": time.time(),
+        }
+        self._save(data)
+        return True
+
+    def reset(self, source: str) -> None:
+        data = self._load()
+        data.pop(source, None)
+        self._save(data)
+
+    def list_all(self) -> dict[str, dict]:
+        return self._load()

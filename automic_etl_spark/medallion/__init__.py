@@ -1,0 +1,6 @@
+"""Medallion architecture: bronze (raw + ingestion metadata), silver
+(cleaned/deduped/validated), gold (aggregated business tables)."""
+
+from automic_etl_spark.medallion.lakehouse import Lakehouse
+
+__all__ = ["Lakehouse"]

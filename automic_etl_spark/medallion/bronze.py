@@ -1,0 +1,121 @@
+"""Bronze layer: raw ingestion with engine metadata columns.
+
+Reference semantics (medallion/bronze.py:36-42,49-124,297-312):
+- metadata columns `_ingestion_time, _source, _source_file, _batch_id,
+  _ingestion_date` added to every batch
+- create-if-missing partitioned by `_ingestion_date`, then append
+- structured (DataFrame), semi-structured (JSON rows + `_raw_json`
+  preservation), unstructured (single blob row) dispatch
+
+``fixed_time`` lets deterministic pipelines (tests, oracle replays) pin
+the ingestion timestamp; production passes None → current_timestamp()
+evaluated JVM-side.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from automic_etl_spark.catalog import TableManager, Warehouse
+
+BRONZE_META_COLS = [
+    "_ingestion_time",
+    "_source",
+    "_source_file",
+    "_batch_id",
+    "_ingestion_date",
+]
+
+
+class BronzeLayer:
+    NAMESPACE = "bronze"
+
+    def __init__(self, warehouse: Warehouse):
+        self.warehouse = warehouse
+        self.spark = warehouse.spark
+
+    def _table(self, name: str) -> TableManager:
+        return self.warehouse.table(self.NAMESPACE, name)
+
+    def _add_metadata(
+        self,
+        df: DataFrame,
+        source: str,
+        source_file: str | None,
+        batch_id: str,
+        fixed_time: datetime | None,
+    ) -> DataFrame:
+        ts = F.lit(fixed_time).cast("timestamp") if fixed_time else F.current_timestamp()
+        return (
+            df.withColumn("_ingestion_time", ts)
+            .withColumn("_source", F.lit(source))
+            .withColumn("_source_file", F.lit(source_file))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .withColumn("_ingestion_date", F.to_date(ts))
+        )
+
+    def ingest(
+        self,
+        name: str,
+        df: DataFrame,
+        source: str,
+        source_file: str | None = None,
+        batch_id: str | None = None,
+        fixed_time: datetime | None = None,
+    ) -> str:
+        """Structured ingest → bronze.{name}; returns the batch id."""
+        batch_id = batch_id or uuid.uuid4().hex
+        out = self._add_metadata(df, source, source_file, batch_id, fixed_time)
+        self._table(name).create_or_append(out, partition_by=["_ingestion_date"])
+        return batch_id
+
+    def ingest_semi_structured(
+        self,
+        name: str,
+        records: list[dict],
+        source: str,
+        fixed_time: datetime | None = None,
+    ) -> str:
+        """Semi-structured ingest: JSON objects → rows, with the original
+        serialization preserved in `_raw_json` (reference bronze.py:187-229)."""
+        raw = [json.dumps(r, sort_keys=True) for r in records]
+        df = self.spark.read.json(self.spark.sparkContext.parallelize(raw))
+        df = df.withColumn("_raw_json", F.to_json(F.struct("*")))
+        return self.ingest(name, df, source, fixed_time=fixed_time)
+
+    def ingest_unstructured(
+        self,
+        name: str,
+        content: bytes | str,
+        content_type: str,
+        source: str,
+        fixed_time: datetime | None = None,
+    ) -> str:
+        """Unstructured blob → one-row table {_content_bytes, _content_text,
+        _content_type, _content_size} (reference bronze.py:126-185)."""
+        is_text = isinstance(content, str)
+        data = content.encode() if is_text else content
+        df = self.spark.createDataFrame(
+            [(bytearray(data), content if is_text else None, content_type, len(data))],
+            "_content_bytes binary, _content_text string, _content_type string, _content_size long",
+        )
+        return self.ingest(name, df, source, fixed_time=fixed_time)
+
+    def read(self, name: str, **kwargs) -> DataFrame:
+        return self._table(name).read(**kwargs)
+
+    def read_new_since(self, name: str, watermark) -> DataFrame:
+        """Rows ingested after the watermark (reference bronze.py:258-270)."""
+        df = self._table(name).read()
+        if watermark is None:
+            return df
+        return df.filter(F.col("_ingestion_time") > F.lit(watermark).cast("timestamp"))
+
+    def max_ingestion_time(self, name: str):
+        if not self._table(name).exists():
+            return None
+        return self._table(name).read().agg(F.max("_ingestion_time")).first()[0]

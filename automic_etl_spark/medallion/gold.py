@@ -1,0 +1,214 @@
+"""Gold layer: aggregated business tables, feature tables, denormalized
+views, metrics — the reference's query macro-operators
+(medallion/gold.py:62-279).
+
+AggregationType enum mirrors gold.py:20-30 with Spark determinism fixes:
+- COUNT counts non-null of the named column (Polars semantics), count(1)
+  only for '*'
+- FIRST/LAST require an order column (order-sensitive in any distributed
+  engine; reference relies on single-threaded frame order, SURVEY §7 #1)
+  → implemented as min_by/max_by on the order column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+from enum import Enum
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from automic_etl_spark.catalog import TableManager, Warehouse
+from automic_etl_spark.medallion.silver import SilverLayer
+
+GOLD_META_COLS = ["_computed_time", "_source_tables"]
+
+
+class AggregationType(str, Enum):
+    SUM = "sum"
+    COUNT = "count"
+    AVG = "avg"
+    MIN = "min"
+    MAX = "max"
+    FIRST = "first"
+    LAST = "last"
+    COLLECT = "collect"
+
+
+def _agg_expr(
+    source_col: str, agg: AggregationType, order_col: str | None = None
+) -> Column:
+    c = F.col(source_col)
+    if agg == AggregationType.SUM:
+        return F.sum(c)
+    if agg == AggregationType.COUNT:
+        return F.count(F.lit(1)) if source_col == "*" else F.count(c)
+    if agg == AggregationType.AVG:
+        return F.avg(c)
+    if agg == AggregationType.MIN:
+        return F.min(c)
+    if agg == AggregationType.MAX:
+        return F.max(c)
+    if agg == AggregationType.FIRST:
+        if not order_col:
+            raise ValueError("FIRST requires order_col for determinism")
+        return F.min_by(c, F.col(order_col))
+    if agg == AggregationType.LAST:
+        if not order_col:
+            raise ValueError("LAST requires order_col for determinism")
+        return F.max_by(c, F.col(order_col))
+    if agg == AggregationType.COLLECT:
+        return F.sort_array(F.collect_list(c))  # sorted ⇒ deterministic
+    raise ValueError(f"unknown aggregation {agg}")
+
+
+GRANULARITY = {
+    "hour": "hour",
+    "day": "day",
+    "week": "week",
+    "month": "month",
+    "year": "year",
+}
+
+
+@dataclass
+class MetricDefinition:
+    """expression OR column+agg (reference gold.py:455-491)."""
+
+    name: str
+    expression: str | None = None
+    column: str | None = None
+    agg: AggregationType = AggregationType.SUM
+
+    def to_expr(self) -> Column:
+        if self.expression:
+            return F.expr(self.expression).alias(self.name)
+        return _agg_expr(self.column, self.agg).alias(self.name)
+
+
+@dataclass
+class JoinDefinition:
+    table: str
+    on: list[str]
+    how: str = "left"
+
+
+class GoldLayer:
+    NAMESPACE = "gold"
+
+    def __init__(self, warehouse: Warehouse, silver: SilverLayer):
+        self.warehouse = warehouse
+        self.silver = silver
+        self.spark = warehouse.spark
+
+    def _table(self, name: str) -> TableManager:
+        return self.warehouse.table(self.NAMESPACE, name)
+
+    def _add_metadata(
+        self, df: DataFrame, sources: list[str], fixed_time: datetime | None
+    ) -> DataFrame:
+        ts = F.lit(fixed_time).cast("timestamp") if fixed_time else F.current_timestamp()
+        return df.withColumn("_computed_time", ts).withColumn(
+            "_source_tables", F.lit(",".join(sources))
+        )
+
+    def aggregate(
+        self,
+        silver_table: str,
+        gold_table: str,
+        group_by: list[str],
+        aggregations: dict[str, tuple[str, AggregationType]],
+        filter_expr: str | None = None,
+        having_expr: str | None = None,
+        order_col: str | None = None,
+        mode: str = "overwrite",
+        fixed_time: datetime | None = None,
+    ) -> DataFrame:
+        """filter → groupBy/agg → having → metadata → write
+        (reference gold.py:62-113). Aggregation spec:
+        {output_col: (source_col, AggregationType)}."""
+        df = self.silver.read(silver_table)
+        if filter_expr:
+            df = df.filter(filter_expr)
+        exprs = [
+            _agg_expr(src, agg, order_col).alias(out)
+            for out, (src, agg) in aggregations.items()
+        ]
+        out = df.groupBy(*group_by).agg(*exprs) if group_by else df.agg(*exprs)
+        if having_expr:
+            out = out.where(having_expr)
+        out = self._add_metadata(out, [silver_table], fixed_time)
+        t = self._table(gold_table)
+        (t.overwrite if mode == "overwrite" else t.create_or_append)(out)
+        return t.read()
+
+    def create_feature_table(
+        self,
+        source_tables: list[str],
+        gold_table: str,
+        entity_column: str,
+        features: dict[str, str],
+        fixed_time: datetime | None = None,
+    ) -> DataFrame:
+        """Outer-join N silver tables on the entity column, compute
+        feature expressions, project entity + features
+        (reference gold.py:115-174)."""
+        frames = [self.silver.read(t) for t in source_tables]
+        joined = reduce(
+            lambda a, b: a.join(b, entity_column, "outer"), frames
+        )
+        cols = [F.col(entity_column)] + [
+            F.expr(expr).alias(name) for name, expr in features.items()
+        ]
+        out = self._add_metadata(joined.select(*cols), source_tables, fixed_time)
+        self._table(gold_table).overwrite(out)
+        return self._table(gold_table).read()
+
+    def create_denormalized_view(
+        self,
+        base_table: str,
+        gold_table: str,
+        joins: list[JoinDefinition],
+        select_columns: list[str] | None = None,
+        fixed_time: datetime | None = None,
+    ) -> DataFrame:
+        """Base table + folded joins + projection (reference
+        gold.py:176-223). Key-collision columns on the right side get a
+        `_{table}` suffix (Spark has no suffix arg — renamed pre-join)."""
+        df = self.silver.read(base_table)
+        for j in joins:
+            right = self.silver.read(j.table)
+            clash = (set(df.columns) & set(right.columns)) - set(j.on)
+            right = right.withColumnsRenamed({c: f"{c}_{j.table}" for c in clash})
+            df = df.join(right, j.on, j.how)
+        if select_columns:
+            df = df.select(*select_columns)
+        out = self._add_metadata(df, [base_table] + [j.table for j in joins], fixed_time)
+        self._table(gold_table).overwrite(out)
+        return self._table(gold_table).read()
+
+    def compute_metrics(
+        self,
+        silver_table: str,
+        metrics: list[MetricDefinition],
+        dimensions: list[str] | None = None,
+        time_column: str | None = None,
+        granularity: str = "day",
+    ) -> DataFrame:
+        """Optional time bucketing (`_time_period` via date_trunc,
+        reference gold.py:225-279,315-330) + groupBy-or-global metric
+        aggregation. Returns the result (no table write — metrics are a
+        query surface)."""
+        df = self.silver.read(silver_table)
+        keys = list(dimensions or [])
+        if time_column:
+            df = df.withColumn(
+                "_time_period", F.date_trunc(GRANULARITY[granularity], F.col(time_column))
+            )
+            keys.append("_time_period")
+        exprs = [m.to_expr() for m in metrics]
+        return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+
+    def read(self, name: str, **kwargs) -> DataFrame:
+        return self._table(name).read(**kwargs)

@@ -1,0 +1,79 @@
+"""Lakehouse facade: the engine's primary programmatic API, mirroring the
+reference's `Lakehouse` (medallion/lakehouse.py): ingest →
+process_to_silver → aggregate_to_gold, plus query/sql surfaces.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automic_etl_spark.catalog import Warehouse
+from automic_etl_spark.medallion.bronze import BronzeLayer
+from automic_etl_spark.medallion.silver import SilverLayer
+from automic_etl_spark.medallion.gold import AggregationType, GoldLayer
+from automic_etl_spark.medallion.scd import SCD2Manager
+from automic_etl_spark.plans.sqlgate import assert_read_only
+
+
+class Lakehouse:
+    def __init__(self, spark: SparkSession, warehouse_path: str):
+        self.spark = spark
+        self.warehouse = Warehouse(spark, warehouse_path)
+        self.bronze = BronzeLayer(self.warehouse)
+        self.silver = SilverLayer(self.warehouse, self.bronze)
+        self.gold = GoldLayer(self.warehouse, self.silver)
+        self.scd = SCD2Manager(self.warehouse)
+
+    # -- the three macro-operators -----------------------------------------
+
+    def ingest(self, table: str, df: DataFrame, source: str, **kwargs) -> str:
+        return self.bronze.ingest(table, df, source, **kwargs)
+
+    def process_to_silver(self, bronze_table: str, silver_table: str, **kwargs) -> int:
+        return self.silver.process(bronze_table, silver_table, **kwargs)
+
+    def aggregate_to_gold(
+        self,
+        silver_table: str,
+        gold_table: str,
+        group_by: list[str],
+        aggregations: dict[str, tuple[str, AggregationType]],
+        **kwargs,
+    ) -> DataFrame:
+        return self.gold.aggregate(silver_table, gold_table, group_by, aggregations, **kwargs)
+
+    def apply_scd2(
+        self,
+        source: DataFrame,
+        table: str,
+        business_keys: list[str],
+        tracked_columns: list[str],
+        effective_time: datetime | None = None,
+    ) -> dict[str, int]:
+        return self.scd.apply(source, table, business_keys, tracked_columns, effective_time)
+
+    # -- query surface ------------------------------------------------------
+
+    def query(
+        self,
+        table: str,
+        layer: str = "silver",
+        columns: list[str] | None = None,
+        filter_expr: str | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Projection/filter/limit read (reference lakehouse.py:259-294);
+        pushdown handled by Catalyst."""
+        return self.warehouse.table(layer, table).read(
+            columns=columns, filter_expr=filter_expr, limit=limit
+        )
+
+    def sql(self, query: str, read_only: bool = True) -> DataFrame:
+        """SQL over every registered {layer}_{table} view (reference
+        lakehouse.py:296-326) with a parsed-plan read-only gate replacing
+        the reference's regex blocklist (api/routes/queries.py:398-423)."""
+        if read_only:
+            assert_read_only(self.spark, query)
+        return self.warehouse.sql(query)

@@ -1,0 +1,173 @@
+"""SCD Type 2: slowly-changing dimensions with full history.
+
+Reference semantics (medallion/scd.py:53-319):
+- `_scd_hash` = hash of tracked columns (change detection)
+- initial load: version=1, is_current=true, effective_to=END_OF_TIME
+- subsequent loads:
+    inserts  = source anti-join table on business keys
+    updates  = inner join where hash differs → close old row
+               (effective_to=now, is_current=false) + insert new row
+               (version=old+1)
+    unchanged kept as-is
+- table rebuilt by union + overwrite (the reference's concat+overwrite,
+  scd.py:301-307 — the right strategy without a MERGE-capable format)
+- `merge_scd2` additionally soft-closes keys absent from the source
+  (scd.py:397-503)
+
+Hash: md5 over '|'-joined tracked columns with a NUL sentinel for NULLs —
+deterministic and portable (the reference's Polars 64-bit hash is
+engine-internal; hashes are never compared across engines, SURVEY §7 #3,
+but a portable hash makes the whole table oracle-checkable).
+
+Scale: every step is a keyed join on the business keys — one shuffle
+each, AQE-broadcastable when the delta batch is small. Point-in-time
+reads are a filter, not a scan of history versions.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from automic_etl_spark.catalog import TableManager, Warehouse
+
+END_OF_TIME = "9999-12-31 23:59:59"
+
+SCD_COLS = [
+    "_scd_effective_from",
+    "_scd_effective_to",
+    "_scd_is_current",
+    "_scd_version",
+    "_scd_hash",
+]
+
+
+def scd_hash(tracked_columns: list[str]) -> Column:
+    """Portable change-detection hash over tracked columns. NULL → NUL
+    sentinel so (NULL, 'x') hashes differently from ('x', NULL)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in tracked_columns]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+class SCD2Manager:
+    NAMESPACE = "silver"
+
+    def __init__(self, warehouse: Warehouse):
+        self.warehouse = warehouse
+        self.spark = warehouse.spark
+
+    def _table(self, name: str) -> TableManager:
+        return self.warehouse.table(self.NAMESPACE, name)
+
+    def apply(
+        self,
+        source: DataFrame,
+        table: str,
+        business_keys: list[str],
+        tracked_columns: list[str],
+        effective_time: datetime | None = None,
+        close_missing: bool = False,
+    ) -> dict[str, int]:
+        """Apply one SCD2 load; returns {inserted, updated, closed}.
+
+        ``close_missing=True`` is merge_scd2 soft-delete semantics:
+        current rows whose keys vanished from the source are closed.
+        """
+        now = (
+            F.lit(effective_time).cast("timestamp")
+            if effective_time
+            else F.current_timestamp()
+        )
+        eot = F.lit(END_OF_TIME).cast("timestamp")
+        src = source.withColumn("_scd_hash", scd_hash(tracked_columns))
+
+        t = self._table(table)
+        if not t.exists():
+            initial = (
+                src.withColumn("_scd_effective_from", now)
+                .withColumn("_scd_effective_to", eot)
+                .withColumn("_scd_is_current", F.lit(True))
+                .withColumn("_scd_version", F.lit(1))
+            )
+            t.overwrite(initial)
+            return {"inserted": initial.count(), "updated": 0, "closed": 0}
+
+        cur = t.read()
+        current = cur.filter(F.col("_scd_is_current"))
+        historical = cur.filter(~F.col("_scd_is_current"))
+
+        keys = business_keys
+        cur_key_hash = current.select(
+            *keys,
+            F.col("_scd_hash").alias("_cur_hash"),
+            F.col("_scd_version").alias("_cur_version"),
+        )
+
+        # new keys → version 1 inserts
+        inserts = src.join(current, keys, "left_anti")
+
+        # changed rows: key matches, hash differs
+        changed = (
+            src.join(cur_key_hash, keys)
+            .filter(F.col("_scd_hash") != F.col("_cur_hash"))
+        )
+        changed_keys = changed.select(*keys).distinct()
+        new_versions = (
+            changed.withColumn("_scd_version", F.col("_cur_version") + 1)
+            .drop("_cur_hash", "_cur_version")
+        )
+
+        # keys to close: changed, plus (optionally) keys missing from src
+        to_close = changed_keys
+        if close_missing:
+            missing = current.select(*keys).join(src.select(*keys).distinct(), keys, "left_anti")
+            to_close = to_close.unionByName(missing).distinct()
+
+        closed_rows = (
+            current.join(to_close, keys, "left_semi")
+            .withColumn("_scd_effective_to", now)
+            .withColumn("_scd_is_current", F.lit(False))
+        )
+        untouched = current.join(to_close, keys, "left_anti")
+
+        def finalize(df: DataFrame, version_col: bool) -> DataFrame:
+            out = (
+                df.withColumn("_scd_effective_from", now)
+                .withColumn("_scd_effective_to", eot)
+                .withColumn("_scd_is_current", F.lit(True))
+            )
+            if version_col:
+                out = out.withColumn("_scd_version", F.lit(1))
+            return out
+
+        inserts_f = finalize(inserts, version_col=True)
+        new_versions_f = finalize(new_versions, version_col=False)
+
+        rebuilt = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True),
+            [historical, untouched, closed_rows, new_versions_f, inserts_f],
+        )
+        n_ins, n_upd, n_cls = inserts_f.count(), new_versions_f.count(), closed_rows.count()
+        t.overwrite(rebuilt.select(*cur.columns))
+        return {"inserted": n_ins, "updated": n_upd, "closed": n_cls}
+
+    # -- reads -------------------------------------------------------------
+
+    def current(self, table: str) -> DataFrame:
+        return self._table(table).read().filter(F.col("_scd_is_current"))
+
+    def history(self, table: str, business_key_values: dict) -> DataFrame:
+        df = self._table(table).read()
+        for k, v in business_key_values.items():
+            df = df.filter(F.col(k) == F.lit(v))
+        return df.orderBy("_scd_version")
+
+    def at_time(self, table: str, ts) -> DataFrame:
+        """Point-in-time read (reference get_record_at_time,
+        scd.py:335-369): rows whose validity interval covers ts."""
+        c = F.lit(ts).cast("timestamp")
+        return self._table(table).read().filter(
+            (F.col("_scd_effective_from") <= c) & (c < F.col("_scd_effective_to"))
+        )

@@ -1,0 +1,168 @@
+"""Silver layer: standard cleaning → user transformations → deterministic
+keep-last dedup → quality checks → processing metadata.
+
+Reference pipeline order (medallion/silver.py:121-157): schema mapping →
+standard cleaning → user transforms → dedup → quality checks → metadata.
+Standard cleaning (silver.py:159-223):
+- trim whitespace on all string columns
+- null-sentinel normalization with the settings list
+  ["", "null", "NULL", "None", "N/A", "NA", "n/a"]
+  (reference config/settings.yaml:162 — note the reference reads
+  `settings.transformation` which its own config never defines; our
+  config actually defines it, fixing that drift bug, SURVEY §7 phase 2)
+- snake_case column normalization
+- dedup keep-last by `_ingestion_time` (row_number window — the
+  deterministic form of Polars sort+unique(keep='last'))
+
+Transformations are `Callable[[DataFrame], DataFrame]` — zero-serde
+logical-plan composition, the engine's primary UDF surface
+(reference silver.py:55,137-146).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, functions as F
+
+from automic_etl_spark.catalog import TableManager, Warehouse
+from automic_etl_spark.medallion.bronze import BronzeLayer
+from automic_etl_spark.operators.dedup import dedup_keep_last
+
+NULL_SENTINELS = ["", "null", "NULL", "None", "N/A", "NA", "n/a"]
+
+SILVER_META_COLS = [
+    "_processing_time",
+    "_bronze_table",
+    "_bronze_batch_id",
+    "_processing_date",
+]
+
+Transformation = Callable[[DataFrame], DataFrame]
+
+
+def snake_case(name: str) -> str:
+    s = re.sub(r"[^0-9a-zA-Z]+", "_", name)
+    s = re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", s)
+    return re.sub(r"_+", "_", s).strip("_").lower()
+
+
+def standard_clean(df: DataFrame, null_sentinels: list[str] | None = None) -> DataFrame:
+    """Trim all string columns and normalize null sentinels, in one
+    projection (single codegen stage, no per-column passes)."""
+    sentinels = NULL_SENTINELS if null_sentinels is None else null_sentinels
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "string":
+            c = F.trim(F.col(f.name))
+            c = F.when(c.isin(sentinels), None).otherwise(c)
+            cols.append(c.alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def normalize_column_names(df: DataFrame) -> DataFrame:
+    return df.toDF(*[snake_case(c) for c in df.columns])
+
+
+class SilverLayer:
+    NAMESPACE = "silver"
+
+    def __init__(self, warehouse: Warehouse, bronze: BronzeLayer):
+        self.warehouse = warehouse
+        self.bronze = bronze
+        self.spark = warehouse.spark
+
+    def _table(self, name: str) -> TableManager:
+        return self.warehouse.table(self.NAMESPACE, name)
+
+    def last_processed_ingestion_time(self, name: str):
+        """Watermark = max bronze `_ingestion_time` already processed
+        (reference silver.py:306-314 keeps it as max(_bronze ingestion)
+        carried into the silver table)."""
+        t = self._table(name)
+        if not t.exists():
+            return None
+        return t.read().agg(F.max("_source_ingestion_time")).first()[0]
+
+    def process(
+        self,
+        bronze_table: str,
+        silver_table: str,
+        transformations: list[Transformation] | None = None,
+        schema_mapping: dict[str, str] | None = None,
+        dedup_columns: list[str] | None = None,
+        quality_checks: list[Transformation] | None = None,
+        incremental: bool = True,
+        clean: bool = True,
+        fixed_time: datetime | None = None,
+    ) -> int:
+        """Bronze → silver. Returns rows written (one count — the single
+        action the write itself needs; the reference's eager len() per
+        stage would be one Spark job per stage, SURVEY §7 #4)."""
+        wm = self.last_processed_ingestion_time(silver_table) if incremental else None
+        df = self.bronze.read_new_since(bronze_table, wm)
+
+        src_ingestion = F.col("_ingestion_time")
+        batch = F.col("_batch_id")
+        data_cols = [c for c in df.columns if not c.startswith("_")]
+        df = df.select(
+            *data_cols,
+            src_ingestion.alias("_source_ingestion_time"),
+            batch.alias("_bronze_batch_id_src"),
+        )
+
+        if schema_mapping:
+            df = df.withColumnsRenamed(schema_mapping)
+        if clean:
+            df = standard_clean(df)
+        for t in transformations or []:
+            df = t(df)
+        if dedup_columns:
+            # tiebreak for duplicates INSIDE one batch (same ingestion
+            # time): content hash — arbitrary but total and deterministic,
+            # where the reference silently depends on frame order.
+            df = df.withColumn(
+                "_row_tiebreak", F.xxhash64(*[F.col(c) for c in df.columns])
+            )
+            df = dedup_keep_last(
+                df, dedup_columns, "_source_ingestion_time", tiebreak="_row_tiebreak"
+            ).drop("_row_tiebreak")
+        for check in quality_checks or []:
+            df = check(df)
+
+        ts = F.lit(fixed_time).cast("timestamp") if fixed_time else F.current_timestamp()
+        out = (
+            df.withColumn("_processing_time", ts)
+            .withColumn("_bronze_table", F.lit(bronze_table))
+            .withColumn("_bronze_batch_id", F.col("_bronze_batch_id_src"))
+            .drop("_bronze_batch_id_src")
+            .withColumn("_processing_date", F.to_date(ts))
+        )
+        self._table(silver_table).create_or_append(out, partition_by=["_processing_date"])
+        return self._table(silver_table).read().count()
+
+    def read(self, name: str, **kwargs) -> DataFrame:
+        return self._table(name).read(**kwargs)
+
+    # convenience cleaners mirroring the reference's transform helpers
+    @staticmethod
+    def filter_invalid_rows(required: list[str]) -> Transformation:
+        return lambda df: df.na.drop(subset=required)
+
+    @staticmethod
+    def fill_nulls(values: dict) -> Transformation:
+        return lambda df: df.na.fill(values)
+
+    @staticmethod
+    def cast_timestamps(cols: list[str], fmt: str | None = None) -> Transformation:
+        def t(df: DataFrame) -> DataFrame:
+            for c in cols:
+                df = df.withColumn(c, F.to_timestamp(F.col(c), fmt) if fmt else F.to_timestamp(F.col(c)))
+            return df
+
+        return t

@@ -1,0 +1,1 @@
+"""Plan-level services: read-only SQL gating, explain helpers."""

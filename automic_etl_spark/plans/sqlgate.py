@@ -1,0 +1,73 @@
+"""Read-only SQL gate at the parsed-plan level.
+
+The reference guards its SQL endpoint with keyword blocklists and
+injection regexes (api/routes/queries.py:398-423, ui/query_studio.py:40-87,
+llm/sql_assistant.py:548-589) — string matching that both over-blocks
+(a column named `update_count`) and under-blocks (comments, casing
+tricks). Parsing to a logical plan and rejecting command nodes is strictly
+stronger (SURVEY §4 candidate (c)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class ReadOnlyViolation(Exception):
+    pass
+
+
+# Logical-plan classes that mutate state. Matched by class simple name
+# against the parsed (unresolved) plan tree.
+_COMMAND_MARKERS = (
+    "Command",        # covers *Command: CreateTable, Drop, Alter, SetCatalog…
+    "InsertInto",
+    "DeleteFrom",
+    "UpdateTable",
+    "MergeInto",
+    "WriteTo",
+    "CacheTable",
+)
+
+
+def parse_plan(spark: SparkSession, sql: str):
+    """Parse without executing: sessionState.sqlParser.parsePlan (py4j)."""
+    return spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+
+
+def is_read_only(spark: SparkSession, sql: str) -> bool:
+    if ";" in sql.strip().rstrip(";"):
+        return False  # multi-statement (reference also bans this)
+    plan = parse_plan(spark, sql)
+    # Catalyst marks every mutating statement by the Command trait (or a
+    # *Statement node pre-resolution); walk the tree and reject both.
+    jvm = spark._jvm
+    command_trait = jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.catalyst.plans.logical.Command"
+    )
+    nodes = [plan]
+    while nodes:
+        node = nodes.pop()
+        cls = node.getClass().getSimpleName()
+        if command_trait.isInstance(node):
+            return False
+        if any(marker in cls for marker in _COMMAND_MARKERS) or cls.endswith("Statement"):
+            return False
+        for i in range(node.children().size()):
+            nodes.append(node.children().apply(i))
+    return True
+
+
+def assert_read_only(spark: SparkSession, sql: str) -> None:
+    if not is_read_only(spark, sql):
+        raise ReadOnlyViolation(
+            "only SELECT-style queries are allowed on this surface"
+        )
+
+
+def explain_formatted(spark: SparkSession, df) -> str:
+    """Real EXPLAIN (replacing the reference's canned-plan stub,
+    api/routes/queries.py:1029-1044)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )

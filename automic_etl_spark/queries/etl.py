@@ -1,6 +1,498 @@
-"""ETL macro-operator queries: medallion ingest→silver→gold, SCD2,
-incremental/CDC, validation, profiling, curation (SURVEY §2.10). Filled
-incrementally."""
+"""ETL macro-operator queries (SURVEY §2.10): each runs a REAL engine
+pipeline (bronze→silver→gold writes, SCD2 rebuilds, watermarked
+incremental loads, CDC application, validation, curation, a Structured
+Streaming window aggregation) in a temp warehouse, then returns the
+resulting state for the oracle to check against closed-form SQL over the
+input tables.
 
-QUERIES = {}
-ORACLE = {}
+Determinism: every layer write takes a pinned `fixed_time`; outputs
+project business columns (+ SCD audit columns, which are themselves
+deterministic under pinned times).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.medallion import Lakehouse
+from automic_etl_spark.medallion.gold import AggregationType
+from automic_etl_spark.catalog import Warehouse
+from automic_etl_spark.extraction import (
+    IncrementalExtractor,
+    WatermarkRegistry,
+    apply_cdc,
+    tag_changes,
+)
+from automic_etl_spark.operators.dedup import dedup_keep_last
+from automic_etl_spark.services import DatasetCurator, RedactionService
+from automic_etl_spark.validation import (
+    AllowedValuesRule,
+    NotNullRule,
+    RangeRule,
+    RegexRule,
+    ReferentialIntegrityRule,
+    UniqueRule,
+    Validator,
+)
+
+T1 = datetime(2024, 1, 1, 10, 0, 0)
+T2 = datetime(2024, 1, 2, 10, 0, 0)
+
+_DEC = "decimal(28,10)"
+
+
+def _tmp() -> str:
+    return tempfile.mkdtemp(prefix="automic_wh_")
+
+
+# --- full medallion pass ---------------------------------------------------
+
+def q_medallion_gold(spark, sf_dir):
+    """ingest → process_to_silver → aggregate_to_gold on customer
+    (reference lakehouse.py:46-205): the flagship macro-operator chain,
+    executed against a real temp warehouse with pinned timestamps."""
+    wh = _tmp()
+    try:
+        lh = Lakehouse(spark, wh)
+        cust = load_table(spark, sf_dir, "customer")
+        lh.ingest("customer", cust, source="parquet", fixed_time=T1)
+        lh.process_to_silver("customer", "customer", fixed_time=T1)
+        gold = lh.aggregate_to_gold(
+            "customer",
+            "customer_summary",
+            group_by=["c_mktsegment"],
+            aggregations={
+                "n_customers": ("*", AggregationType.COUNT),
+                "total_bal": ("c_acctbal", AggregationType.SUM),
+                "max_bal": ("c_acctbal", AggregationType.MAX),
+            },
+            fixed_time=T1,
+        )
+        out = (
+            gold.select(
+                "c_mktsegment",
+                "n_customers",
+                F.col("total_bal").cast(_DEC).cast("decimal(38,2)").alias("total_bal"),
+                "max_bal",
+            )
+            .orderBy("c_mktsegment")
+        )
+        # materialize before the temp warehouse disappears (the returned
+        # DataFrame would otherwise lazily re-read deleted files)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_MEDALLION = """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_bal,
+       max(c_acctbal) AS max_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- SCD2 ------------------------------------------------------------------
+
+def q_scd2_history(spark, sf_dir):
+    """Two SCD2 loads (reference scd.py:53-319): batch 2 changes the
+    segment of every custkey % 10 == 0 and adds new keys (custkey +
+    1000000). Returns the full history table — versions, currency flags,
+    validity intervals, and the portable change hash."""
+    wh = _tmp()
+    try:
+        lh = Lakehouse(spark, wh)
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_mktsegment"
+        )
+        lh.apply_scd2(cust, "dim_customer", ["c_custkey"], ["c_name", "c_mktsegment"], T1)
+        changed = cust.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        new_keys = cust.limit(0).unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 1).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.col("c_name"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+        lh.apply_scd2(
+            changed.unionByName(new_keys),
+            "dim_customer",
+            ["c_custkey"],
+            ["c_name", "c_mktsegment"],
+            T2,
+        )
+        out = (
+            lh.scd._table("dim_customer")
+            .read()
+            .select(
+                "c_custkey",
+                "c_mktsegment",
+                "_scd_version",
+                "_scd_is_current",
+                "_scd_effective_from",
+                "_scd_effective_to",
+                "_scd_hash",
+            )
+            .orderBy("c_custkey", "_scd_version")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_SCD2 = """
+WITH h AS (
+  SELECT c_custkey, c_name, c_mktsegment FROM customer
+)
+-- unchanged keys: version 1, still current
+SELECT c_custkey, c_mktsegment, 1 AS _scd_version, true AS _scd_is_current,
+       TIMESTAMP '2024-01-01 10:00:00' AS _scd_effective_from,
+       TIMESTAMP '9999-12-31 23:59:59' AS _scd_effective_to,
+       md5(coalesce(c_name, chr(0)) || '|' || coalesce(c_mktsegment, chr(0))) AS _scd_hash
+FROM h WHERE c_custkey % 10 != 0
+UNION ALL
+-- changed keys: closed version 1
+SELECT c_custkey, c_mktsegment, 1, false,
+       TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-02 10:00:00',
+       md5(coalesce(c_name, chr(0)) || '|' || coalesce(c_mktsegment, chr(0)))
+FROM h WHERE c_custkey % 10 = 0
+UNION ALL
+-- changed keys: new current version 2
+SELECT c_custkey, 'CHANGED', 2, true,
+       TIMESTAMP '2024-01-02 10:00:00', TIMESTAMP '9999-12-31 23:59:59',
+       md5(coalesce(c_name, chr(0)) || '|' || 'CHANGED')
+FROM h WHERE c_custkey % 10 = 0
+UNION ALL
+-- brand-new keys: version 1 current from T2
+SELECT c_custkey + 1000000, 'NEWSEG', 1, true,
+       TIMESTAMP '2024-01-02 10:00:00', TIMESTAMP '9999-12-31 23:59:59',
+       md5(coalesce(c_name, chr(0)) || '|' || 'NEWSEG')
+FROM h WHERE c_custkey % 100 = 1
+ORDER BY c_custkey, _scd_version
+"""
+
+
+# --- incremental + CDC -----------------------------------------------------
+
+def q_incremental_load(spark, sf_dir):
+    """Watermarked two-batch incremental load with 1h lookback overlap +
+    keep-last dedup (reference extraction/incremental.py:58-150): batch 1
+    is orders up to the median date, batch 2 re-extracts everything past
+    watermark − lookback. The union is deduped on the key — the
+    idempotency contract. Result must equal plain orders."""
+    wh = _tmp()
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        split_ts = "1998-01-01"
+        reg = WatermarkRegistry(f"{wh}/wm.json")
+        ex = IncrementalExtractor(reg, lookback=timedelta(hours=1))
+
+        batch1 = ex.extract(orders, "orders", "o_orderdate").filter(
+            F.col("o_orderdate") <= F.lit(split_ts).cast("timestamp")
+        )
+        ex.commit(batch1, "orders", "o_orderdate")
+        batch2 = ex.extract(orders, "orders", "o_orderdate")  # wm - 1h overlap
+
+        combined = dedup_keep_last(
+            batch1.unionByName(batch2),
+            keys=["o_orderkey"],
+            order_col="o_orderdate",
+            tiebreak="o_orderkey",
+        )
+        return combined.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total"),
+        ).orderBy("o_orderstatus")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_INCREMENTAL = """
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_cdc_apply(spark, sf_dir):
+    """CDC tagging + application (reference incremental.py:281-385):
+    base = orderkeys % 3 != 0; change batch upserts %3==1 rows with
+    +10.0 totalprice and deletes %5==0 rows. Returns final table state
+    aggregated."""
+    wh = _tmp()
+    try:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+        )
+        t = Warehouse(spark, wh).table("silver", "orders_cdc")
+        base = orders.filter(F.col("o_orderkey") % 3 != 0)
+        t.overwrite(base)
+
+        upserts = (
+            orders.filter(F.col("o_orderkey") % 3 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+            .withColumn("deleted_at", F.lit(None).cast("timestamp"))
+        )
+        deletes = (
+            orders.filter(F.col("o_orderkey") % 5 == 0)
+            .withColumn("deleted_at", F.lit("2024-01-01").cast("timestamp"))
+        )
+        changes = tag_changes(upserts.unionByName(deletes)).drop("deleted_at")
+        final = apply_cdc(t, changes, ["o_orderkey"])
+        out = final.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total"),
+        ).orderBy("o_orderstatus")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_CDC = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
+), ups AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 1
+), del AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 5 = 0
+), final AS (
+  -- kept: base rows neither deleted nor upserted
+  SELECT * FROM base
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del)
+    AND o_orderkey NOT IN (SELECT o_orderkey FROM ups)
+  UNION ALL
+  -- upserts win over deletes in the same batch (re-insert semantics)
+  SELECT * FROM ups
+)
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total
+FROM final
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- validation ------------------------------------------------------------
+
+def q_validation_report(spark, sf_dir):
+    """Rule suite over orders in ONE aggregate pass + set-level rules
+    (reference validation/validator.py:136-256, rules.py:60-492)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    v = Validator(
+        [
+            NotNullRule("custkey_not_null", column="o_custkey"),
+            RangeRule("price_range", column="o_totalprice", min_value=0, max_value=400000),
+            AllowedValuesRule("status_allowed", column="o_orderstatus", allowed=["O", "F", "P"]),
+            RegexRule("priority_format", column="o_orderpriority", pattern=r"^[1-5]-"),
+            UniqueRule("orderkey_unique", column="o_orderkey", columns=["o_orderkey"]),
+            ReferentialIntegrityRule(
+                "custkey_fk", column="o_custkey", ref_df=cust, ref_column="c_custkey"
+            ),
+        ]
+    )
+    return v.report_df(orders).orderBy("rule")
+
+
+ORACLE_VALIDATION = """
+WITH n AS (SELECT count(*) AS total FROM orders)
+SELECT * FROM (
+  SELECT 'custkey_not_null' AS rule, 'o_custkey' AS "column",
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
+         round(1.0 - sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6) AS pass_rate
+  FROM orders, n GROUP BY total
+  UNION ALL
+  SELECT 'price_range', 'o_totalprice',
+         sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END) = 0,
+         sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END),
+         round(1.0 - sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6)
+  FROM orders, n GROUP BY total
+  UNION ALL
+  SELECT 'status_allowed', 'o_orderstatus',
+         sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0,
+         sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END),
+         round(1.0 - sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6)
+  FROM orders, n GROUP BY total
+  UNION ALL
+  SELECT 'priority_format', 'o_orderpriority',
+         sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) = 0,
+         sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END),
+         round(1.0 - sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6)
+  FROM orders, n GROUP BY total
+  UNION ALL
+  SELECT 'orderkey_unique', 'o_orderkey',
+         coalesce(sum(cnt - 1), 0) = 0, coalesce(sum(cnt - 1), 0),
+         round(1.0 - coalesce(sum(cnt - 1), 0) / CAST(max(total) AS DOUBLE), 6)
+  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey), n
+  UNION ALL
+  SELECT 'custkey_fk', 'o_custkey',
+         count(*) FILTER (WHERE c IS NULL AND o_custkey IS NOT NULL) = 0,
+         count(*) FILTER (WHERE c IS NULL AND o_custkey IS NOT NULL),
+         round(1.0 - count(*) FILTER (WHERE c IS NULL AND o_custkey IS NOT NULL) / CAST(max(total) AS DOUBLE), 6)
+  FROM (SELECT o_custkey, c_custkey AS c FROM orders LEFT JOIN customer ON o_custkey = c_custkey), n
+)
+ORDER BY rule
+"""
+
+
+# --- curation + redaction --------------------------------------------------
+
+def q_curator_splits(spark, sf_dir):
+    """Hash-based deterministic train/val/test split (append-stable —
+    reference curator.py:87-180 uses a seeded shuffle; hash assignment is
+    the scale-correct variant, split_by_seed provides the exact
+    reference behaviour)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = DatasetCurator({"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        cur.split_by_hash(docs, "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+        .orderBy("split")
+    )
+
+
+ORACLE_CURATOR = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n, min(doc_id) AS min_doc
+FROM b
+GROUP BY 1
+ORDER BY split
+"""
+
+
+def q_redaction(spark, sf_dir):
+    """Regex PII redaction (reference services/redaction.py:308-457):
+    synthesize PII-bearing text from customer rows, redact with the TAG
+    strategy, return redacted text. Pure regexp_replace chain — no UDF."""
+    cust = load_table(spark, sf_dir, "customer")
+    with_pii = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("contact "),
+            F.lower(F.regexp_replace("c_name", "[^A-Za-z0-9]", "")),
+            F.lit("@example.com or (555) 123-4567 on 2024-01-15"),
+        ).alias("note"),
+    )
+    svc = RedactionService(strategy="tag")
+    return (
+        svc.redact(with_pii, ["note"])
+        .select("c_custkey", "note_redacted")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_REDACTION = """
+SELECT c_custkey,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 'contact ' || lower(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g')) || '@example.com or (555) 123-4567 on 2024-01-15',
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),
+             '\\(\\d{3}\\)\\s*\\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PHONE]', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'),
+         '\\b\\d{4}-\\d{2}-\\d{2}\\b', '[DATE]', 'g') AS note_redacted
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# --- structured streaming --------------------------------------------------
+
+def q_streaming_window(spark, sf_dir):
+    """Structured Streaming tumbling-window aggregation (SURVEY §2.11 —
+    parity-plus, the reference has no engine-level streaming): events
+    parquet replayed as a stream, 5-minute event-time windows with a
+    10-minute watermark, counts + value sums per (window, event_type),
+    memory sink drained synchronously."""
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)").alias("total_value"),
+        )
+    )
+    qname = f"win_{abs(hash(sf_dir)) % 10**8}"
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        f"SELECT w.start AS window_start, event_type, n, total_value FROM {qname}"
+    ).orderBy("window_start", "event_type")
+
+
+ORACLE_STREAMING = """
+WITH e AS (
+  SELECT make_timestamp((epoch_us(ts) // 1000000 // 300) * 300 * 1000000) AS window_start,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_value
+FROM e
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
+QUERIES = {
+    "medallion_gold": q_medallion_gold,
+    "scd2_history": q_scd2_history,
+    "incremental_load": q_incremental_load,
+    "cdc_apply": q_cdc_apply,
+    "validation_report": q_validation_report,
+    "curator_splits": q_curator_splits,
+    "redaction": q_redaction,
+    "streaming_window": q_streaming_window,
+}
+
+ORACLE = {
+    "medallion_gold": ORACLE_MEDALLION,
+    "scd2_history": ORACLE_SCD2,
+    "incremental_load": ORACLE_INCREMENTAL,
+    "cdc_apply": ORACLE_CDC,
+    "validation_report": ORACLE_VALIDATION,
+    "curator_splits": ORACLE_CURATOR,
+    "redaction": ORACLE_REDACTION,
+    "streaming_window": ORACLE_STREAMING,
+}

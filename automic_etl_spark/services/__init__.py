@@ -1,0 +1,15 @@
+"""Driver-facing services: redaction, dataset curation, QA comparison,
+lineage tracking."""
+
+from automic_etl_spark.services.redaction import RedactionService, EntityPattern
+from automic_etl_spark.services.curator import DatasetCurator
+from automic_etl_spark.services.qa import qa_compare
+from automic_etl_spark.services.lineage import LineageTracker
+
+__all__ = [
+    "RedactionService",
+    "EntityPattern",
+    "DatasetCurator",
+    "qa_compare",
+    "LineageTracker",
+]

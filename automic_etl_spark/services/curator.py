@@ -1,0 +1,85 @@
+"""Dataset curation: deterministic train/val/test splits + manifests.
+
+Reference (services/dataset_curator.py:87-180): seeded shuffle →
+normalized ratios → slice → per-split write + manifest.
+
+Two split modes:
+- `split_by_hash` (default): assignment by md5(id) — deterministic,
+  engine-portable, STABLE UNDER APPEND (a row keeps its split when the
+  corpus grows — the property a training pipeline actually needs; a
+  seeded shuffle reshuffles everything on every new batch).
+- `split_by_seed`: orderBy(rand(seed)) + row_number slices — exact ratio
+  counts, matching the reference's behaviour.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+class DatasetCurator:
+    def __init__(self, ratios: dict[str, float] | None = None):
+        ratios = ratios or {"train": 0.8, "val": 0.1, "test": 0.1}
+        total = sum(ratios.values())
+        self.ratios = {k: v / total for k, v in ratios.items()}
+
+    def split_by_hash(self, df: DataFrame, id_col: str) -> DataFrame:
+        """Adds a `split` column by bucketing md5(id) mod 1000 against the
+        cumulative ratio edges."""
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            % 1000
+        )
+        edges, acc = [], 0.0
+        names = list(self.ratios)
+        for name in names[:-1]:
+            acc += self.ratios[name]
+            edges.append((name, int(round(acc * 1000))))
+        expr = None
+        prev = 0
+        for name, edge in edges:
+            cond = bucket < edge
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+            prev = edge
+        expr = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+        return df.withColumn("split", expr)
+
+    def split_by_seed(self, df: DataFrame, seed: int = 42) -> DataFrame:
+        """Reference-style seeded shuffle with exact floor+remainder
+        counts (curator.py:153-180): row_number over rand(seed) order,
+        sliced at exact boundaries."""
+        n = df.count()
+        names = list(self.ratios)
+        counts = {k: int(n * v) for k, v in self.ratios.items()}
+        counts[names[0]] += n - sum(counts.values())  # remainder → first split
+        w = W.orderBy(F.rand(seed), *[F.col(c) for c in df.columns[:1]])
+        ranked = df.withColumn("__rn", F.row_number().over(w))
+        expr, edge = None, 0
+        for name in names:
+            edge += counts[name]
+            cond = F.col("__rn") <= edge
+            expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        return ranked.withColumn("split", expr).drop("__rn")
+
+    def write_splits(
+        self, df: DataFrame, out_dir: str, id_col: str, fmt: str = "parquet"
+    ) -> dict:
+        """Split + write each subset + manifest JSON; returns manifest."""
+        split_df = self.split_by_hash(df, id_col)
+        manifest = {"ratios": self.ratios, "splits": {}}
+        for name in self.ratios:
+            sub = split_df.filter(F.col("split") == name).drop("split")
+            path = os.path.join(out_dir, name)
+            getattr(sub.write.mode("overwrite"), fmt)(path)
+            manifest["splits"][name] = {
+                "path": path,
+                "rows": sub.count(),
+            }
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+        return manifest

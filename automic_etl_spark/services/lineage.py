@@ -1,0 +1,83 @@
+"""Lineage tracking: event log of asset operations.
+
+Reference (lineage/tracker.py:21-160): LineageTracker over DataAsset
+nodes with operation types READ/WRITE/TRANSFORM/MERGE/FILTER/JOIN/
+AGGREGATE/DEDUPLICATE/VALIDATE/ENRICH. Spark has no first-class lineage
+primitive, so this is a thin event log the engine layers call into;
+`plan_of` captures the real physical plan per event — something the
+reference cannot do.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class OperationType(str, Enum):
+    READ = "read"
+    WRITE = "write"
+    TRANSFORM = "transform"
+    MERGE = "merge"
+    FILTER = "filter"
+    JOIN = "join"
+    AGGREGATE = "aggregate"
+    DEDUPLICATE = "deduplicate"
+    VALIDATE = "validate"
+    ENRICH = "enrich"
+
+
+@dataclass
+class LineageEvent:
+    operation: OperationType
+    inputs: list[str]
+    outputs: list[str]
+    row_count: int | None = None
+    details: dict = field(default_factory=dict)
+    event_id: str = field(default_factory=lambda: uuid.uuid4().hex)
+    ts: float = field(default_factory=time.time)
+
+
+class LineageTracker:
+    def __init__(self, log_path: str | None = None):
+        self.events: list[LineageEvent] = []
+        self.log_path = log_path
+
+    def record(
+        self,
+        operation: OperationType | str,
+        inputs: list[str],
+        outputs: list[str],
+        row_count: int | None = None,
+        **details,
+    ) -> LineageEvent:
+        ev = LineageEvent(
+            operation=OperationType(operation),
+            inputs=inputs,
+            outputs=outputs,
+            row_count=row_count,
+            details=details,
+        )
+        self.events.append(ev)
+        if self.log_path:
+            with open(self.log_path, "a") as f:
+                f.write(json.dumps({**ev.__dict__, "operation": ev.operation.value}) + "\n")
+        return ev
+
+    def upstream(self, asset: str) -> list[str]:
+        """Transitive input assets of ``asset``."""
+        out, frontier = set(), {asset}
+        while frontier:
+            nxt = set()
+            for ev in self.events:
+                if any(o in frontier for o in ev.outputs):
+                    nxt.update(i for i in ev.inputs if i not in out)
+            out.update(nxt)
+            frontier = nxt
+        return sorted(out)
+
+    def to_dicts(self) -> list[dict]:
+        return [{**e.__dict__, "operation": e.operation.value} for e in self.events]

@@ -1,0 +1,57 @@
+"""QA comparison between two table states (before/after a pipeline run).
+
+Reference (services/qa.py:117-200): row-count delta with ±5% tolerance,
+schema diff, per-column null-count diff, duplicate check. One aggregate
+pass per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _stats(df: DataFrame) -> dict:
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in df.columns
+    ]
+    row = df.agg(*aggs).first()
+    return {"n": int(row["__n"]), "nulls": {c: int(row[c]) for c in df.columns}}
+
+
+def qa_compare(
+    before: DataFrame,
+    after: DataFrame,
+    row_tolerance: float = 0.05,
+    key_columns: list[str] | None = None,
+) -> dict:
+    a, b = _stats(before), _stats(after)
+    schema_a = {f.name: f.dataType.simpleString() for f in before.schema.fields}
+    schema_b = {f.name: f.dataType.simpleString() for f in after.schema.fields}
+    delta = (b["n"] - a["n"]) / a["n"] if a["n"] else 0.0
+    report = {
+        "rows_before": a["n"],
+        "rows_after": b["n"],
+        "row_delta_pct": round(delta, 6),
+        "row_count_ok": abs(delta) <= row_tolerance,
+        "columns_added": sorted(set(schema_b) - set(schema_a)),
+        "columns_removed": sorted(set(schema_a) - set(schema_b)),
+        "type_changes": {
+            c: (schema_a[c], schema_b[c])
+            for c in set(schema_a) & set(schema_b)
+            if schema_a[c] != schema_b[c]
+        },
+        "null_deltas": {
+            c: b["nulls"][c] - a["nulls"][c]
+            for c in set(schema_a) & set(schema_b)
+            if b["nulls"][c] != a["nulls"][c]
+        },
+    }
+    if key_columns:
+        dup = (
+            after.groupBy(*key_columns)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .count()
+        )
+        report["duplicate_keys_after"] = dup
+    return report

@@ -1,0 +1,34 @@
+"""Data-quality validation rules, validator, and profiler."""
+
+from automic_etl_spark.validation.rules import (
+    Rule,
+    NotNullRule,
+    UniqueRule,
+    RangeRule,
+    RegexRule,
+    AllowedValuesRule,
+    ReferentialIntegrityRule,
+    CompletenessRule,
+    LengthRule,
+    CustomExprRule,
+)
+from automic_etl_spark.validation.validator import Validator, ValidationReport
+from automic_etl_spark.validation.quality import profile, quality_score, compare_drift
+
+__all__ = [
+    "Rule",
+    "NotNullRule",
+    "UniqueRule",
+    "RangeRule",
+    "RegexRule",
+    "AllowedValuesRule",
+    "ReferentialIntegrityRule",
+    "CompletenessRule",
+    "LengthRule",
+    "CustomExprRule",
+    "Validator",
+    "ValidationReport",
+    "profile",
+    "quality_score",
+    "compare_drift",
+]

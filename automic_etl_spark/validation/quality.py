@@ -1,0 +1,147 @@
+"""Profiling + quality scoring + drift comparison.
+
+Reference: validation/quality.py:146-438 — per-column ColumnProfile
+(nulls, distinct, min/max/mean/std, top values, string length stats),
+dataset metrics, 40/20/20/20 composite quality score (quality.py:309-339),
+drift comparison between two profiles.
+
+Scale shape: ONE wide aggregate computes every per-column statistic
+(2 + 6·C expressions) — a single scan regardless of column count; top-K
+values are one groupBy per requested column (only computed on demand).
+The reference loops per column, one pass each.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in NUMERIC_TYPES
+
+
+def profile(df: DataFrame, top_k: int = 0) -> DataFrame:
+    """Long-format per-column profile:
+    (column, dtype, n_rows, n_nulls, n_distinct, min_str, max_str, mean,
+    std) — one wide agg, then unpivoted driver-side (C rows, tiny)."""
+    fields = df.schema.fields
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        aggs += [
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{f.name}__nulls"),
+            F.countDistinct(c).alias(f"{f.name}__distinct"),
+            F.min(c).cast("string").alias(f"{f.name}__min"),
+            F.max(c).cast("string").alias(f"{f.name}__max"),
+        ]
+        if _is_numeric(f.dataType.simpleString()):
+            aggs += [
+                F.avg(c).alias(f"{f.name}__mean"),
+                F.stddev_samp(c).alias(f"{f.name}__std"),
+            ]
+    row = df.agg(*aggs).first()
+    n = int(row["__n"])
+    out = []
+    for f in fields:
+        mean = row[f"{f.name}__mean"] if f"{f.name}__mean" in row.__fields__ else None
+        std = row[f"{f.name}__std"] if f"{f.name}__std" in row.__fields__ else None
+        out.append(
+            (
+                f.name,
+                f.dataType.simpleString(),
+                n,
+                int(row[f"{f.name}__nulls"]),
+                int(row[f"{f.name}__distinct"]),
+                row[f"{f.name}__min"],
+                row[f"{f.name}__max"],
+                round(float(mean), 6) if mean is not None else None,
+                round(float(std), 6) if std is not None else None,
+            )
+        )
+    prof = df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n_rows long, n_nulls long, n_distinct long, "
+        "min_str string, max_str string, mean double, std double",
+    )
+    return prof
+
+
+def top_values(df: DataFrame, column: str, k: int = 5) -> DataFrame:
+    """Top-K value counts for one column (reference quality.py:298-305)."""
+    return (
+        df.groupBy(column)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(column).asc())
+        .limit(k)
+    )
+
+
+def quality_score(df: DataFrame, key_columns: list[str] | None = None) -> dict:
+    """Composite quality score, reference formula verbatim
+    (quality.py:309-339): 40% completeness + 20% uniqueness +
+    20% validity + 20% consistency.
+
+    - completeness: 1 - null_cells/total_cells
+    - uniqueness:   1 - duplicate_rows/total_rows (on key_columns or all)
+    - validity:     here, fraction of numeric cells that are non-NaN
+    - consistency:  1.0 placeholder parity (reference returns a schema-
+                    consistency heuristic that is 1.0 for a single frame)
+    """
+    cols = df.columns
+    n_cols = len(cols)
+    null_aggs = [F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(c) for c in cols]
+    nan_cols = [f.name for f in df.schema.fields if f.dataType.simpleString() in ("float", "double")]
+    nan_aggs = [F.sum(F.when(F.isnan(F.col(c)), 1).otherwise(0)).alias(f"__nan_{c}") for c in nan_cols]
+    row = df.agg(F.count(F.lit(1)).alias("__n"), *null_aggs, *nan_aggs).first()
+    n = int(row["__n"])
+    total_cells = n * n_cols or 1
+    null_cells = sum(int(row[c]) for c in cols)
+    completeness = 1 - null_cells / total_cells
+
+    keys = key_columns or cols
+    distinct_n = df.select(*keys).distinct().count()
+    uniqueness = distinct_n / n if n else 1.0
+
+    numeric_cells = n * len(nan_cols)
+    nan_cells = sum(int(row[f"__nan_{c}"]) for c in nan_cols)
+    validity = 1 - (nan_cells / numeric_cells) if numeric_cells else 1.0
+    consistency = 1.0
+
+    score = 0.4 * completeness + 0.2 * uniqueness + 0.2 * validity + 0.2 * consistency
+    return {
+        "completeness": round(completeness, 6),
+        "uniqueness": round(uniqueness, 6),
+        "validity": round(validity, 6),
+        "consistency": consistency,
+        "quality_score": round(score, 6),
+        "n_rows": n,
+    }
+
+
+def compare_drift(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
+    """Column-level drift between two profiles (reference
+    quality.py:341-438): mean shift, null-rate shift, distinct-count
+    ratio."""
+    a = profile_a.select(
+        "column",
+        F.col("mean").alias("mean_a"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_a"),
+        F.col("n_distinct").alias("distinct_a"),
+    )
+    b = profile_b.select(
+        "column",
+        F.col("mean").alias("mean_b"),
+        (F.col("n_nulls") / F.col("n_rows")).alias("null_rate_b"),
+        F.col("n_distinct").alias("distinct_b"),
+    )
+    return a.join(b, "column").select(
+        "column",
+        F.round(F.col("mean_b") - F.col("mean_a"), 6).alias("mean_shift"),
+        F.round(F.col("null_rate_b") - F.col("null_rate_a"), 6).alias("null_rate_shift"),
+        F.round(
+            F.col("distinct_b") / F.when(F.col("distinct_a") == 0, None).otherwise(F.col("distinct_a")),
+            6,
+        ).alias("distinct_ratio"),
+    )

@@ -1,0 +1,150 @@
+"""Validation rules (reference validation/rules.py:60-492), re-expressed
+so that EVERY row-level rule compiles to a violation-predicate Column.
+
+That single design choice is the scale story: the validator batches all
+rules into ONE aggregate pass over the data (each rule = one
+`sum(case when violation then 1)`), where the reference runs one
+filter-and-count per rule — N full scans vs one.
+
+Set-level rules (uniqueness, referential integrity) can't be a row
+predicate; they contribute a dedicated aggregate plan instead, still one
+job per rule but join/agg-shaped for scale (broadcast semi-join for FK
+checks — reference rules.py:328-348 materializes the reference column
+into a Python list).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass
+class Rule:
+    name: str
+    column: str | None = None
+    severity: str = "error"
+
+    def violation(self) -> Column | None:
+        """Row-level violation predicate (None for set-level rules)."""
+        return None
+
+    def count_violations(self, df: DataFrame) -> int:
+        """Set-level fallback: subclasses override when violation() is None."""
+        raise NotImplementedError
+
+
+@dataclass
+class NotNullRule(Rule):
+    def __post_init__(self):
+        self.name = self.name or f"not_null_{self.column}"
+
+    def violation(self) -> Column:
+        return F.col(self.column).isNull()
+
+
+@dataclass
+class RangeRule(Rule):
+    min_value: float | None = None
+    max_value: float | None = None
+
+    def violation(self) -> Column:
+        c = F.col(self.column)
+        conds = []
+        if self.min_value is not None:
+            conds.append(c < self.min_value)
+        if self.max_value is not None:
+            conds.append(c > self.max_value)
+        v = conds[0]
+        for extra in conds[1:]:
+            v = v | extra
+        return c.isNotNull() & v
+
+
+@dataclass
+class RegexRule(Rule):
+    pattern: str = ".*"
+
+    def violation(self) -> Column:
+        return F.col(self.column).isNotNull() & ~F.col(self.column).rlike(self.pattern)
+
+
+@dataclass
+class AllowedValuesRule(Rule):
+    allowed: list = field(default_factory=list)
+
+    def violation(self) -> Column:
+        c = F.col(self.column)
+        return c.isNotNull() & ~c.isin(self.allowed)
+
+
+@dataclass
+class LengthRule(Rule):
+    min_len: int = 0
+    max_len: int = 10**9
+
+    def violation(self) -> Column:
+        ln = F.length(F.col(self.column))
+        return F.col(self.column).isNotNull() & ((ln < self.min_len) | (ln > self.max_len))
+
+
+@dataclass
+class CustomExprRule(Rule):
+    """Arbitrary SQL boolean expression that must hold per row
+    (reference CustomFunctionRule, rules.py:449-492 — expression form
+    keeps it JVM-side)."""
+
+    expr: str = "true"
+
+    def violation(self) -> Column:
+        return ~F.expr(self.expr)
+
+
+@dataclass
+class UniqueRule(Rule):
+    """Duplicate detection on a key (reference rules.py:127-136):
+    violations = rows beyond the first of each duplicate group."""
+
+    columns: list[str] = field(default_factory=list)
+
+    def count_violations(self, df: DataFrame) -> int:
+        cols = self.columns or [self.column]
+        row = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).alias("dups"),
+            )
+            .first()
+        )
+        return int(row["dups"])
+
+
+@dataclass
+class ReferentialIntegrityRule(Rule):
+    """FK containment: values must exist in the reference column — a
+    broadcast anti-join count, never a collected value list."""
+
+    ref_df: DataFrame | None = None
+    ref_column: str = ""
+
+    def count_violations(self, df: DataFrame) -> int:
+        ref = self.ref_df.select(F.col(self.ref_column).alias(self.column)).distinct()
+        return (
+            df.filter(F.col(self.column).isNotNull())
+            .join(F.broadcast(ref), self.column, "left_anti")
+            .count()
+        )
+
+
+@dataclass
+class CompletenessRule(Rule):
+    """Column completeness ≥ threshold (reference quality.py:198-229)."""
+
+    threshold: float = 0.95
+
+    def violation(self) -> Column:
+        # handled as a row predicate (null row = incomplete); the
+        # threshold test happens in the validator on the aggregate.
+        return F.col(self.column).isNull()

@@ -1,0 +1,115 @@
+"""Validator: run a rule list in (at most) one aggregate pass + one job
+per set-level rule; produce a report and quarantine split.
+
+Reference: validation/validator.py:136-256 (per-rule ValidationResult
+with passed/failing_rows/pass_rate, fail-fast option, threshold) and the
+quarantine flow (core/config.py:240-253).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from automic_etl_spark.validation.rules import CompletenessRule, Rule
+
+
+@dataclass
+class RuleResult:
+    rule: str
+    column: str | None
+    passed: bool
+    n_violations: int
+    pass_rate: float
+    severity: str
+
+
+@dataclass
+class ValidationReport:
+    total_rows: int
+    results: list[RuleResult]
+
+    @property
+    def passed(self) -> bool:
+        return all(r.passed for r in self.results if r.severity == "error")
+
+    @property
+    def pass_rate(self) -> float:
+        if not self.results:
+            return 1.0
+        return sum(1 for r in self.results if r.passed) / len(self.results)
+
+
+class Validator:
+    def __init__(self, rules: list[Rule]):
+        self.rules = rules
+
+    def validate(self, df: DataFrame) -> ValidationReport:
+        row_rules = [r for r in self.rules if r.violation() is not None]
+        set_rules = [r for r in self.rules if r.violation() is None]
+
+        # ONE aggregate pass for every row-level rule + the total count.
+        aggs = [F.count(F.lit(1)).alias("__total")]
+        for i, r in enumerate(row_rules):
+            aggs.append(
+                F.sum(F.when(r.violation(), 1).otherwise(0)).alias(f"__v{i}")
+            )
+        row = df.agg(*aggs).first()
+        total = int(row["__total"])
+
+        results = []
+        for i, r in enumerate(row_rules):
+            n = int(row[f"__v{i}"] or 0)
+            if isinstance(r, CompletenessRule):
+                completeness = 1.0 - (n / total if total else 0.0)
+                ok = completeness >= r.threshold
+            else:
+                ok = n == 0
+            results.append(
+                RuleResult(
+                    rule=r.name,
+                    column=r.column,
+                    passed=ok,
+                    n_violations=n,
+                    pass_rate=1.0 - (n / total if total else 0.0),
+                    severity=r.severity,
+                )
+            )
+        for r in set_rules:
+            n = r.count_violations(df)
+            results.append(
+                RuleResult(
+                    rule=r.name,
+                    column=r.column,
+                    passed=n == 0,
+                    n_violations=n,
+                    pass_rate=1.0 - (n / total if total else 0.0),
+                    severity=r.severity,
+                )
+            )
+        return ValidationReport(total_rows=total, results=results)
+
+    def split_quarantine(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(valid, quarantined) by the OR of all row-level violations —
+        the reference's validate_and_filter (validator.py:236-256, which
+        it stubs; real here)."""
+        row_rules = [r for r in self.rules if r.violation() is not None]
+        if not row_rules:
+            return df, df.limit(0)
+        bad = row_rules[0].violation()
+        for r in row_rules[1:]:
+            bad = bad | r.violation()
+        return df.filter(~bad), df.filter(bad)
+
+    def report_df(self, df: DataFrame) -> DataFrame:
+        """Report as a DataFrame (for gold-layer persistence/oracles)."""
+        rep = self.validate(df)
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [
+                (r.rule, r.column, r.passed, r.n_violations, round(r.pass_rate, 6))
+                for r in rep.results
+            ],
+            "rule string, column string, passed boolean, n_violations long, pass_rate double",
+        )

@@ -1,0 +1,82 @@
+"""TableManager: versioned writes, time travel, upsert/delete,
+maintenance (compact/vacuum/restore)."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.catalog import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "warehouse"))
+
+
+def test_create_append_overwrite_versions(wh, users_df):
+    t = wh.table("bronze", "users")
+    assert not t.exists()
+    t.create_or_append(users_df)
+    assert t.read().count() == 5
+    t.create_or_append(users_df)
+    assert t.read().count() == 10
+    t.overwrite(users_df.limit(2))
+    assert t.read().count() == 2
+    assert [h["op"] for h in t.history()] == ["create", "append", "overwrite"]
+
+
+def test_time_travel_by_version(wh, users_df):
+    t = wh.table("silver", "users")
+    t.create_or_append(users_df)          # v0: 5 rows
+    t.create_or_append(users_df.limit(1)) # v1: 6 rows
+    assert t.read(version=0).count() == 5
+    assert t.read(version=1).count() == 6
+    assert t.read().count() == 6
+
+
+def test_projection_filter_pushdown(wh, users_df):
+    t = wh.table("silver", "users")
+    t.create_or_append(users_df)
+    df = t.read(columns=["id", "age"], filter_expr="age > 30", limit=2)
+    assert df.columns == ["id", "age"]
+    assert df.count() == 2
+
+
+def test_upsert_and_delete(wh, spark, users_df):
+    t = wh.table("silver", "users")
+    t.create_or_append(users_df)
+    updates = spark.createDataFrame(
+        [(1, "Alice2", "alice2@example.com", 26, 51000.0),
+         (9, "Zed", "zed@example.com", 50, 99000.0)],
+        users_df.schema,
+    )
+    t.upsert(updates, ["id"])
+    rows = {r["id"]: r["name"] for r in t.read().collect()}
+    assert rows[1] == "Alice2" and rows[9] == "Zed" and len(rows) == 6
+    t.delete("age >= 45")
+    assert t.read().filter("age >= 45").count() == 0
+
+
+def test_compact_vacuum_restore(wh, users_df):
+    t = wh.table("gold", "users")
+    t.create_or_append(users_df)
+    t.overwrite(users_df.limit(3))
+    v_small = t.current_version()
+    t.compact()
+    assert t.read().count() == 3
+    # restore works while old snapshots are retained
+    t.restore(v_small)
+    assert t.read().count() == 3
+    assert t.vacuum() > 0  # unreferenced data dirs dropped
+    # vacuumed versions are no longer restorable — and say so
+    with pytest.raises(ValueError, match="not found"):
+        t.restore(0)
+    assert t.read().count() == 3
+
+
+def test_partitioned_write(wh, users_df):
+    t = wh.table("bronze", "users_p")
+    t.create_or_append(users_df.withColumn("bucket", users_df.id % 2), partition_by=["bucket"])
+    assert t.read().count() == 5
+    # partition column survives the round trip
+    assert "bucket" in t.read().columns

@@ -1,0 +1,143 @@
+"""Medallion e2e: ingest → silver (clean/dedup) → gold (aggregate),
+metadata columns, SCD2 lifecycle — mirroring the reference's examples
+(basic_pipeline.py, scd2_pipeline.py) as integration tests."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.medallion import Lakehouse
+from automic_etl_spark.medallion.bronze import BRONZE_META_COLS
+from automic_etl_spark.medallion.gold import AggregationType
+from automic_etl_spark.medallion.scd import SCD_COLS
+
+T1 = datetime(2024, 1, 1, 10, 0, 0)
+T2 = datetime(2024, 1, 2, 10, 0, 0)
+
+
+@pytest.fixture()
+def lh(spark, tmp_path):
+    return Lakehouse(spark, str(tmp_path / "wh"))
+
+
+def test_bronze_metadata_columns(lh, users_df):
+    lh.ingest("users", users_df, source="unit", fixed_time=T1)
+    out = lh.bronze.read("users")
+    for c in BRONZE_META_COLS:
+        assert c in out.columns
+    row = out.first()
+    assert row["_source"] == "unit"
+    assert str(row["_ingestion_date"]) == "2024-01-01"
+
+
+def test_silver_clean_and_dedup(lh, spark):
+    raw = spark.createDataFrame(
+        [
+            (1, "  Alice  ", "N/A"),
+            (1, "Alice", "ok"),     # same id, later batch wins
+            (2, "Bob", "null"),
+        ],
+        "id long, name string, status string",
+    )
+    lh.ingest("t", raw, source="unit", fixed_time=T1)
+    lh.process_to_silver("t", "t", dedup_columns=["id"], fixed_time=T1)
+    out = lh.silver.read("t")
+    rows = {r["id"]: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[1]["name"] == "Alice"           # trimmed
+    assert rows[2]["status"] is None            # null sentinel
+    assert "_processing_time" in out.columns
+
+
+def test_silver_incremental_watermark(lh, users_df):
+    lh.ingest("u", users_df, source="b1", fixed_time=T1)
+    lh.process_to_silver("u", "u", fixed_time=T1)
+    assert lh.silver.read("u").count() == 5
+    # second batch: only new rows processed
+    lh.ingest("u", users_df.limit(2), source="b2", fixed_time=T2)
+    lh.process_to_silver("u", "u", fixed_time=T2)
+    assert lh.silver.read("u").count() == 7
+
+
+def test_gold_aggregate_with_having(lh, users_df):
+    lh.ingest("u", users_df, source="x", fixed_time=T1)
+    lh.process_to_silver("u", "u", fixed_time=T1)
+    out = lh.aggregate_to_gold(
+        "u",
+        "u_summary",
+        group_by=["age"],
+        aggregations={
+            "total_salary": ("salary", AggregationType.SUM),
+            "n": ("*", AggregationType.COUNT),
+        },
+        filter_expr="age >= 30",
+        fixed_time=T1,
+    )
+    assert set(out.columns) >= {"age", "total_salary", "n", "_computed_time"}
+    assert out.count() == 4
+
+
+def test_gold_first_last_require_order(lh, users_df):
+    lh.ingest("u2", users_df, source="x", fixed_time=T1)
+    lh.process_to_silver("u2", "u2", fixed_time=T1)
+    with pytest.raises(ValueError, match="FIRST requires order_col"):
+        lh.aggregate_to_gold(
+            "u2", "g", group_by=[], aggregations={"f": ("name", AggregationType.FIRST)}
+        )
+    out = lh.aggregate_to_gold(
+        "u2",
+        "g",
+        group_by=[],
+        aggregations={"f": ("name", AggregationType.FIRST)},
+        order_col="id",
+        fixed_time=T1,
+    )
+    assert out.first()["f"] == "Alice"
+
+
+def test_scd2_lifecycle(lh, spark):
+    batch1 = spark.createDataFrame(
+        [("C001", "Acme", "Gold"), ("C002", "Beta", "Silver"), ("C003", "Gamma", "Bronze")],
+        "customer_id string, customer_name string, tier string",
+    )
+    r1 = lh.apply_scd2(batch1, "customers", ["customer_id"], ["customer_name", "tier"], T1)
+    assert r1 == {"inserted": 3, "updated": 0, "closed": 0}
+
+    batch2 = spark.createDataFrame(
+        [
+            ("C001", "Acme", "Platinum"),   # tier change
+            ("C002", "Beta", "Silver"),     # unchanged
+            ("C004", "Delta", "Gold"),      # new key
+        ],
+        "customer_id string, customer_name string, tier string",
+    )
+    r2 = lh.apply_scd2(batch2, "customers", ["customer_id"], ["customer_name", "tier"], T2)
+    assert r2 == {"inserted": 1, "updated": 1, "closed": 1}
+
+    cur = lh.scd.current("customers")
+    assert cur.count() == 4
+    c1 = lh.scd.history("customers", {"customer_id": "C001"}).collect()
+    assert [r["_scd_version"] for r in c1] == [1, 2]
+    assert [r["_scd_is_current"] for r in c1] == [False, True]
+    # point-in-time: before T2, C001 was Gold
+    at = lh.scd.at_time("customers", datetime(2024, 1, 1, 12, 0)).filter(
+        F.col("customer_id") == "C001"
+    )
+    assert at.first()["tier"] == "Gold"
+    for c in SCD_COLS:
+        assert c in cur.columns
+
+
+def test_sql_surface_and_gate(lh, users_df):
+    from automic_etl_spark.plans.sqlgate import ReadOnlyViolation
+
+    lh.ingest("u3", users_df, source="x", fixed_time=T1)
+    out = lh.sql("SELECT count(*) AS n FROM bronze_u3")
+    assert out.first()["n"] == 5
+    with pytest.raises(ReadOnlyViolation):
+        lh.sql("DROP TABLE bronze_u3")
+    with pytest.raises(ReadOnlyViolation):
+        lh.sql("SELECT 1; SELECT 2")

@@ -1,0 +1,166 @@
+"""Validation rules/validator, profiling, redaction, curator, QA,
+incremental/CDC, pipeline orchestrator."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.catalog import Warehouse
+from automic_etl_spark.extraction import (
+    IncrementalExtractor,
+    WatermarkRegistry,
+    apply_cdc,
+    tag_changes,
+)
+from automic_etl_spark.services import DatasetCurator, RedactionService, qa_compare
+from automic_etl_spark.services.lineage import LineageTracker
+from automic_etl_spark.core import Pipeline
+from automic_etl_spark.validation import (
+    AllowedValuesRule,
+    CompletenessRule,
+    NotNullRule,
+    RangeRule,
+    RegexRule,
+    ReferentialIntegrityRule,
+    UniqueRule,
+    Validator,
+)
+from automic_etl_spark.validation.quality import profile, quality_score, compare_drift
+
+
+def test_validator_single_pass(users_nulls_df):
+    rules = [
+        NotNullRule("id_not_null", column="id"),
+        NotNullRule("name_not_null", column="name"),
+        RangeRule("age_range", column="age", min_value=18, max_value=99),
+        RegexRule("email_regex", column="email", pattern=r"^[^@]+@[^@]+$"),
+        CompletenessRule("salary_complete", column="salary", threshold=0.9),
+    ]
+    rep = Validator(rules).validate(users_nulls_df)
+    by_name = {r.rule: r for r in rep.results}
+    assert rep.total_rows == 5
+    assert not by_name["id_not_null"].passed
+    assert by_name["age_range"].n_violations == 0
+    assert not by_name["salary_complete"].passed  # 1/5 null > 10%
+
+
+def test_unique_and_fk_rules(users_dupes_df, users_df):
+    dup = UniqueRule("unique_id", columns=["id"])
+    assert dup.count_violations(users_dupes_df) == 2
+    fk = ReferentialIntegrityRule(
+        "fk", column="id", ref_df=users_df.filter("id <= 3"), ref_column="id"
+    )
+    assert fk.count_violations(users_dupes_df) == 0
+    assert fk.count_violations(users_df) == 2  # ids 4,5 missing
+
+
+def test_quarantine_split(users_nulls_df):
+    v = Validator([NotNullRule("id", column="id"), NotNullRule("name", column="name")])
+    good, bad = v.split_quarantine(users_nulls_df)
+    assert good.count() == 3 and bad.count() == 2
+
+
+def test_profile_and_quality(users_nulls_df):
+    prof = {r["column"]: r for r in profile(users_nulls_df).collect()}
+    assert prof["id"]["n_nulls"] == 1
+    assert prof["age"]["mean"] is not None
+    qs = quality_score(users_nulls_df)
+    assert 0 < qs["quality_score"] < 1
+    assert qs["completeness"] == 1 - 5 / 25
+
+
+def test_drift(users_df, users_nulls_df):
+    d = compare_drift(profile(users_df), profile(users_nulls_df))
+    shifts = {r["column"]: r for r in d.collect()}
+    assert shifts["id"]["null_rate_shift"] == pytest.approx(0.2)
+
+
+def test_redaction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com phone (555) 123-4567 ssn 123-45-6789")], "id long, t string"
+    )
+    out = RedactionService(strategy="tag").redact(df, ["t"]).first()["t_redacted"]
+    assert "[EMAIL]" in out and "[PHONE]" in out and "[SSN]" in out
+    assert "a@b.com" not in out
+    masked = RedactionService(strategy="mask").redact(df, ["t"]).first()["t_redacted"]
+    assert "***" in masked
+
+
+def test_curator_hash_split_stable(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    cur = DatasetCurator({"train": 0.8, "val": 0.1, "test": 0.1})
+    s1 = cur.split_by_hash(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert 700 < counts["train"] < 900
+    # append stability: same doc keeps its split in a larger corpus
+    bigger = cur.split_by_hash(spark.range(2000).withColumnRenamed("id", "doc_id"), "doc_id")
+    j = s1.select("doc_id", F.col("split").alias("s1")).join(bigger, "doc_id")
+    assert j.filter("s1 != split").count() == 0
+
+
+def test_qa_compare(users_df, users_nulls_df):
+    rep = qa_compare(users_df, users_nulls_df, key_columns=["id"])
+    assert rep["row_count_ok"]
+    assert rep["null_deltas"]["salary"] == 1
+
+
+def test_incremental_and_cdc(spark, tmp_path):
+    reg = WatermarkRegistry(str(tmp_path / "wm.json"))
+    ex = IncrementalExtractor(reg, lookback=timedelta(seconds=0))
+    t0 = datetime(2024, 1, 1)
+    rows = [(i, f"p{i}", t0 + timedelta(hours=i), None) for i in range(5)]
+    df = spark.createDataFrame(rows, "id long, payload string, updated_at timestamp, deleted_at timestamp")
+    b1 = ex.extract(df, "src")
+    assert b1.count() == 5
+    ex.commit(b1, "src")
+    assert reg.get("src") == "2024-01-01 04:00:00"
+    b2 = ex.extract(df, "src")
+    assert b2.count() == 0  # nothing new
+    # monotonic guard
+    assert not reg.update("src", "updated_at", "2023-01-01")
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    t = wh.table("silver", "cdc")
+    changes1 = tag_changes(df)
+    apply_cdc(t, changes1, ["id"])
+    assert t.read().count() == 5
+    changes2 = tag_changes(
+        spark.createDataFrame(
+            [(1, "p1x", t0, None), (2, "p2", t0, t0)],  # update id1, delete id2
+            df.schema,
+        )
+    )
+    final = apply_cdc(t, changes2, ["id"])
+    ids = {r["id"]: r["payload"] for r in final.collect()}
+    assert ids[1] == "p1x" and 2 not in ids and len(ids) == 4
+
+
+def test_pipeline_orchestrator(spark, users_df, tmp_path):
+    out_dir = str(tmp_path / "out")
+
+    result = (
+        Pipeline("demo")
+        .extract(lambda: users_df)
+        .transform(lambda df: df.filter("age >= 30"))
+        .load(lambda df: (df.write.mode("overwrite").parquet(out_dir), df.count())[1])
+        .run()
+    )
+    assert result.ok
+    assert result.metrics["rows_written"] == 4
+    assert result.metrics["extract_rows"] == 5  # rows read at the extract point
+
+    failing = Pipeline("boom").extract(lambda: users_df).transform(
+        lambda df: df.select("nope")
+    ).load(lambda df: df.count()).run()
+    assert not failing.ok and failing.errors
+
+
+def test_lineage():
+    lt = LineageTracker()
+    lt.record("read", ["src.orders"], ["bronze.orders"], row_count=10)
+    lt.record("transform", ["bronze.orders"], ["silver.orders"])
+    lt.record("aggregate", ["silver.orders"], ["gold.summary"])
+    assert lt.upstream("gold.summary") == ["bronze.orders", "silver.orders", "src.orders"]
