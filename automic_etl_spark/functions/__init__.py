@@ -1,0 +1,65 @@
+"""Scalar function library (SURVEY §2.8): the reference's expression
+helpers as reusable Column functions. Everything is built-in-function
+composition — JVM-side, codegen-friendly, no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from automic_etl_spark.medallion.silver import NULL_SENTINELS
+
+
+def null_if_sentinel(col: Column | str, sentinels: list[str] | None = None) -> Column:
+    """String sentinels → NULL (reference silver.py:173-186)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isin(sentinels or NULL_SENTINELS), None).otherwise(c)
+
+
+def hash_columns(*cols: str, algorithm: str = "xxhash64") -> Column:
+    """Row hash over columns (reference scd.py:130-142 uses Polars'
+    64-bit hash). xxhash64 for speed inside one engine; md5 when the
+    value must be portable across engines. NULL-safe via NUL sentinel."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    joined = F.concat_ws("|", *parts)
+    if algorithm == "xxhash64":
+        return F.xxhash64(joined)
+    if algorithm == "md5":
+        return F.md5(joined)
+    if algorithm == "sha256":
+        return F.sha2(joined, 256)
+    raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def to_raw_json(df: DataFrame, column_name: str = "_raw_json") -> DataFrame:
+    """Preserve the full row as JSON (reference bronze.py:210-221)."""
+    return df.withColumn(column_name, F.to_json(F.struct(*df.columns)))
+
+
+def time_bucket(col: Column | str, granularity: str = "day") -> Column:
+    """dt.truncate equivalent (reference gold.py:315-330)."""
+    grain = {"hour": "hour", "day": "day", "week": "week", "month": "month", "year": "year"}[
+        granularity
+    ]
+    return F.date_trunc(grain, F.col(col) if isinstance(col, str) else col)
+
+
+def end_of_time() -> Column:
+    """SCD2 open-interval sentinel (reference scd.py:46)."""
+    return F.lit("9999-12-31 23:59:59").cast("timestamp")
+
+
+def safe_cast(col: Column | str, dtype: str) -> Column:
+    """Cast that yields NULL (never an error) on bad input — try_cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast(dtype)
+
+
+def json_path(col: Column | str, path: str) -> Column:
+    """Dotted/JSONPath extraction from a JSON string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.get_json_object(c, path if path.startswith("$") else f"$.{path}")
+
+
+def clamp(col: Column | str, lo: float, hi: float) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.least(F.greatest(c, F.lit(lo)), F.lit(hi))

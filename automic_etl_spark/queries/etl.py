@@ -475,8 +475,53 @@ ORDER BY window_start, event_type
 """
 
 
+def q_csv_connector(spark, sf_dir):
+    """CSV connector round trip (reference csv_connector.py:73-146):
+    customer written to CSV with an explicit null sentinel, read back
+    through the connector (header/delimiter/null-value options + explicit
+    schema — no inference pass), aggregated. Proves option handling and
+    type fidelity through the text format."""
+    wh = _tmp()
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        path = f"{wh}/customer_csv"
+        cust.write.option("header", True).option("nullValue", "N/A").mode(
+            "overwrite"
+        ).csv(path)
+        from automic_etl_spark.sources import CSVConnector
+
+        df = CSVConnector(
+            spark,
+            path,
+            null_values=["N/A"],
+            schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+            infer_schema=False,
+        ).extract()
+        out = (
+            df.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)").alias("total_bal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_CSV = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_bal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "medallion_gold": q_medallion_gold,
+    "csv_connector_roundtrip": q_csv_connector,
     "scd2_history": q_scd2_history,
     "incremental_load": q_incremental_load,
     "cdc_apply": q_cdc_apply,
@@ -488,6 +533,7 @@ QUERIES = {
 
 ORACLE = {
     "medallion_gold": ORACLE_MEDALLION,
+    "csv_connector_roundtrip": ORACLE_CSV,
     "scd2_history": ORACLE_SCD2,
     "incremental_load": ORACLE_INCREMENTAL,
     "cdc_apply": ORACLE_CDC,

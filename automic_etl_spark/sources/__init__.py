@@ -1,0 +1,20 @@
+"""Sources: file connectors (CSV/JSON/Parquet), JDBC, REST APIs,
+Hugging Face datasets, object-storage config. All thin, declarative
+wrappers over ``spark.read`` so Catalyst keeps pushdown; connectors whose
+client libraries aren't installed are import-gated and raise a clear
+error at use, not import."""
+
+from automic_etl_spark.sources.files import CSVConnector, JSONConnector, ParquetConnector
+from automic_etl_spark.sources.jdbc import JDBCConnector
+from automic_etl_spark.sources.rest import RESTConnector
+from automic_etl_spark.sources.object_store import storage_conf, storage_path
+
+__all__ = [
+    "CSVConnector",
+    "JSONConnector",
+    "ParquetConnector",
+    "JDBCConnector",
+    "RESTConnector",
+    "storage_conf",
+    "storage_path",
+]

@@ -1,0 +1,58 @@
+"""Hugging Face datasets source (reference
+connectors/datasets/huggingface.py:154-429): load a dataset (optionally
+streaming / sampled) into a Spark DataFrame via Arrow.
+
+The `datasets` package isn't in this image — import-gated; the
+Arrow-batch → DataFrame conversion path is exercised in tests with an
+injected iterable."""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class HuggingFaceConnector:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def extract(
+        self,
+        dataset_name: str,
+        split: str = "train",
+        sample_size: int | None = None,
+        streaming: bool = False,
+        **load_kwargs,
+    ) -> DataFrame:
+        try:
+            from datasets import load_dataset  # gated
+        except ImportError as e:
+            raise RuntimeError(
+                "HuggingFace connector requires the 'datasets' package"
+            ) from e
+        ds = load_dataset(dataset_name, split=split, streaming=streaming, **load_kwargs)
+        if streaming:
+            rows = []
+            for i, r in enumerate(ds):
+                if sample_size is not None and i >= sample_size:
+                    break
+                rows.append(r)
+            return self.rows_to_df(rows)
+        if sample_size is not None:
+            ds = ds.select(range(min(sample_size, len(ds))))
+        # Arrow-native handoff: no per-row Python conversion.
+        return self.spark.createDataFrame(ds.to_pandas())
+
+    def rows_to_df(self, rows: Iterable[dict], schema: str | None = None) -> DataFrame:
+        """dict rows → DataFrame via JSON lines (nested-safe)."""
+        import json
+
+        payload = [json.dumps(r, sort_keys=True, default=str) for r in rows]
+        if not payload:
+            return self.spark.createDataFrame([], schema or "dummy string").limit(0)
+        rdd = self.spark.sparkContext.parallelize(payload)
+        reader = self.spark.read
+        if schema:
+            reader = reader.schema(schema)
+        return reader.json(rdd)

@@ -1,0 +1,126 @@
+"""JDBC sources: Postgres/MySQL/Snowflake-style databases through Spark's
+JDBC datasource.
+
+The reference implements ~1800 LoC of per-database connectors building
+`SELECT … WHERE … LIMIT … OFFSET` strings and paging through offsets
+(connectors/base.py:169-191, connectors/databases/*). In Spark all of
+that collapses into the JDBC datasource with real parallelism:
+
+- `partition_column/num_partitions/bounds` → N concurrent range queries
+  (the reference's ThreadPoolExecutor paging, but executor-side and
+  pushdown-planned; the reference's own Spark integration does exactly
+  this, integrations/spark.py:374-411)
+- filters/projections push into the remote database via Catalyst
+
+No JDBC drivers ship in this container, so `extract*` raises a clear
+error if the driver class is missing; `reader()`/`options` are fully
+testable without one.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+URL_TEMPLATES = {
+    "postgresql": "jdbc:postgresql://{host}:{port}/{database}",
+    "mysql": "jdbc:mysql://{host}:{port}/{database}",
+    "sqlserver": "jdbc:sqlserver://{host}:{port};databaseName={database}",
+    "oracle": "jdbc:oracle:thin:@{host}:{port}/{database}",
+    "snowflake": "jdbc:snowflake://{host}/?db={database}",
+}
+
+DEFAULT_PORTS = {"postgresql": 5432, "mysql": 3306, "sqlserver": 1433, "oracle": 1521}
+
+
+@dataclass
+class JDBCConnector:
+    spark: SparkSession
+    flavor: str
+    host: str
+    database: str
+    user: str = ""
+    password: str = ""
+    port: int | None = None
+    fetch_size: int = 10_000
+    extra: dict[str, str] = field(default_factory=dict)
+
+    def url(self) -> str:
+        port = self.port or DEFAULT_PORTS.get(self.flavor, 0)
+        return URL_TEMPLATES[self.flavor].format(
+            host=self.host, port=port, database=self.database
+        )
+
+    def options(
+        self,
+        table: str | None = None,
+        query: str | None = None,
+        partition_column: str | None = None,
+        num_partitions: int | None = None,
+        lower_bound=None,
+        upper_bound=None,
+    ) -> dict[str, str]:
+        if (table is None) == (query is None):
+            raise ValueError("exactly one of table/query required")
+        opts = {
+            "url": self.url(),
+            "user": self.user,
+            "password": self.password,
+            "fetchsize": str(self.fetch_size),
+            **self.extra,
+        }
+        if table:
+            opts["dbtable"] = table
+        else:
+            opts["query"] = query
+        if partition_column:
+            if num_partitions is None or lower_bound is None or upper_bound is None:
+                raise ValueError(
+                    "partition_column requires num_partitions + lower/upper bounds"
+                )
+            opts.update(
+                partitionColumn=partition_column,
+                numPartitions=str(num_partitions),
+                lowerBound=str(lower_bound),
+                upperBound=str(upper_bound),
+            )
+        return opts
+
+    def reader(self, **kwargs):
+        return self.spark.read.format("jdbc").options(**self.options(**kwargs))
+
+    def extract_table(
+        self,
+        table: str,
+        columns: list[str] | None = None,
+        filter_expr: str | None = None,
+        limit: int | None = None,
+        **partition_kwargs,
+    ) -> DataFrame:
+        """Projection/filter/limit are expressed on the DataFrame —
+        Catalyst pushes them into the remote SQL (the reference builds
+        the SQL string by hand and pages with OFFSET, base.py:169-191)."""
+        df = self.reader(table=table, **partition_kwargs).load()
+        if filter_expr:
+            df = df.filter(filter_expr)
+        if columns:
+            df = df.select(*columns)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def extract_query(self, query: str, **partition_kwargs) -> DataFrame:
+        return self.reader(query=query, **partition_kwargs).load()
+
+    def extract_incremental(
+        self, table: str, watermark_column: str, watermark_value, **partition_kwargs
+    ) -> DataFrame:
+        """Incremental pull: WHERE wm_col > value, pushed to the source
+        (reference templates `{watermark}` into query strings,
+        extraction/incremental.py:105-121)."""
+        return self.extract_table(
+            table,
+            filter_expr=f"{watermark_column} > '{watermark_value}'",
+            **partition_kwargs,
+        )

@@ -1,0 +1,45 @@
+"""Object storage: S3/GCS/Azure are Hadoop filesystem config, not code
+(reference implements ~900 LoC of boto3/gcsfs/azure clients —
+storage/aws_s3.py etc.; Spark needs only the scheme + credentials conf).
+"""
+
+from __future__ import annotations
+
+SCHEMES = {"s3": "s3a", "gcs": "gs", "azure": "abfss"}
+
+
+def storage_path(provider: str, bucket: str, key: str = "", container: str | None = None, account: str | None = None) -> str:
+    if provider == "s3":
+        return f"s3a://{bucket}/{key}"
+    if provider == "gcs":
+        return f"gs://{bucket}/{key}"
+    if provider == "azure":
+        return f"abfss://{container or bucket}@{account}.dfs.core.windows.net/{key}"
+    raise ValueError(f"unknown provider {provider!r}")
+
+
+def storage_conf(provider: str, **creds) -> dict[str, str]:
+    """Spark conf entries enabling the filesystem; pass to
+    get_spark(extra_conf=...). Requires the matching hadoop-cloud jars on
+    the classpath in a real deployment."""
+    if provider == "s3":
+        out = {"spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem"}
+        if "access_key" in creds:
+            out["spark.hadoop.fs.s3a.access.key"] = creds["access_key"]
+            out["spark.hadoop.fs.s3a.secret.key"] = creds["secret_key"]
+        if "endpoint" in creds:
+            out["spark.hadoop.fs.s3a.endpoint"] = creds["endpoint"]
+        return out
+    if provider == "gcs":
+        out = {
+            "spark.hadoop.fs.gs.impl": "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+        }
+        if "keyfile" in creds:
+            out["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] = creds["keyfile"]
+        return out
+    if provider == "azure":
+        out = {}
+        if "account" in creds and "key" in creds:
+            out[f"spark.hadoop.fs.azure.account.key.{creds['account']}.dfs.core.windows.net"] = creds["key"]
+        return out
+    raise ValueError(f"unknown provider {provider!r}")

@@ -1,0 +1,13 @@
+"""Structured Streaming: Kafka source/sink wrappers, stream→bronze
+ingestion, event-time windowed aggregation helpers."""
+
+from automic_etl_spark.streaming.kafka import KafkaSource, KafkaSink
+from automic_etl_spark.streaming.ingest import file_stream, stream_to_bronze, windowed_aggregate
+
+__all__ = [
+    "KafkaSource",
+    "KafkaSink",
+    "file_stream",
+    "stream_to_bronze",
+    "windowed_aggregate",
+]

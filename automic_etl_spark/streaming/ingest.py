@@ -1,0 +1,63 @@
+"""Stream → bronze ingestion and event-time aggregation.
+
+Reference pattern (README.md:132-151 + SURVEY §2.11): connector yields
+micro-batches → `lakehouse.ingest()` per batch. Spark-native form:
+`readStream → foreachBatch(bronze.ingest)` — identical semantics with
+engine-managed offsets/retries. Event-time windows + watermarks are the
+parity-plus upgrade the reference lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from automic_etl_spark.medallion.bronze import BronzeLayer
+
+
+def file_stream(spark: SparkSession, path: str, schema, fmt: str = "parquet", **options) -> DataFrame:
+    """File-drop streaming source (works with no extra jars — also the
+    local test harness for streaming semantics). ``schema`` is a DDL
+    string or StructType (streams never infer — inference would race the
+    arriving files)."""
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return getattr(reader, fmt)(path)
+
+
+def stream_to_bronze(
+    stream: DataFrame,
+    bronze: BronzeLayer,
+    table: str,
+    source: str,
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """foreachBatch → BronzeLayer.ingest per micro-batch; the batch id
+    becomes `_batch_id`, giving exactly-once-per-batch bookkeeping on
+    top of the checkpointed source offsets."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        bronze.ingest(table, batch_df, source=source, batch_id=f"epoch-{epoch_id}")
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_aggregate(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+    group_cols: list[str] | None = None,
+    aggs: list | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data watermark."""
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("window"), *(group_cols or []))
+        .agg(*aggs)
+    )

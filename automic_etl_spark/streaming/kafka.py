@@ -1,0 +1,101 @@
+"""Kafka source/sink over Structured Streaming.
+
+Reference (connectors/streaming/kafka.py:197-382): consumer-group poll
+loop yielding dict batches with the record envelope {key, value, topic,
+partition, offset, timestamp, headers}, JSON/string deserialization, and
+a producer sink with key_field/headers.
+
+Spark's Kafka source exposes the IDENTICAL envelope as columns, so the
+wrapper is a projection; the poll loop disappears — micro-batches are
+the engine's job. (The spark-sql-kafka jar isn't in this image; option
+construction and envelope projection are testable without it, and
+`load()` raises the standard missing-datasource error if absent.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+ENVELOPE_COLS = ["key", "value", "topic", "partition", "offset", "timestamp", "headers"]
+
+
+class KafkaSource:
+    def __init__(
+        self,
+        spark: SparkSession,
+        bootstrap_servers: str,
+        topic: str,
+        starting_offsets: str = "latest",
+        value_format: str = "json",   # json | string | bytes
+        value_schema: str | None = None,
+        extra_options: dict[str, str] | None = None,
+    ):
+        self.spark = spark
+        self.topic = topic
+        self.value_format = value_format
+        self.value_schema = value_schema
+        self.options = {
+            "kafka.bootstrap.servers": bootstrap_servers,
+            "subscribe": topic,
+            "startingOffsets": starting_offsets,
+            "includeHeaders": "true",
+            **(extra_options or {}),
+        }
+
+    def reader(self, streaming: bool = True):
+        base = self.spark.readStream if streaming else self.spark.read
+        return base.format("kafka").options(**self.options)
+
+    def envelope(self, raw: DataFrame) -> DataFrame:
+        """Project the reference's record shape (kafka.py:285-293):
+        decoded key/value + topic/partition/offset/timestamp/headers."""
+        out = raw.select(
+            F.col("key").cast("string").alias("key"),
+            F.col("value"),
+            "topic",
+            "partition",
+            "offset",
+            "timestamp",
+            "headers",
+        )
+        if self.value_format == "string":
+            out = out.withColumn("value", F.col("value").cast("string"))
+        elif self.value_format == "json":
+            if self.value_schema:
+                out = out.withColumn(
+                    "value", F.from_json(F.col("value").cast("string"), self.value_schema)
+                )
+            else:
+                out = out.withColumn("value", F.col("value").cast("string"))
+        return out
+
+    def load(self, streaming: bool = True) -> DataFrame:
+        return self.envelope(self.reader(streaming).load())
+
+
+class KafkaSink:
+    """Produce a DataFrame to Kafka (reference kafka.py:306-382): message
+    value = JSON of all non-key columns, key from `key_field`."""
+
+    def __init__(self, bootstrap_servers: str, topic: str):
+        self.options = {"kafka.bootstrap.servers": bootstrap_servers, "topic": topic}
+
+    def prepare(self, df: DataFrame, key_field: str | None = None) -> DataFrame:
+        payload_cols = [c for c in df.columns if c != key_field]
+        out = df.select(
+            *( [F.col(key_field).cast("string").alias("key")] if key_field else [] ),
+            F.to_json(F.struct(*payload_cols)).alias("value"),
+        )
+        return out
+
+    def write_batch(self, df: DataFrame, key_field: str | None = None) -> None:
+        self.prepare(df, key_field).write.format("kafka").options(**self.options).save()
+
+    def write_stream(self, df: DataFrame, checkpoint: str, key_field: str | None = None):
+        return (
+            self.prepare(df, key_field)
+            .writeStream.format("kafka")
+            .options(**self.options)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )

@@ -1,0 +1,119 @@
+"""File/JDBC/REST connectors, Kafka option/envelope construction,
+file-stream → bronze ingestion, scalar function library."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.functions import hash_columns, null_if_sentinel, safe_cast, to_raw_json
+from automic_etl_spark.medallion import Lakehouse
+from automic_etl_spark.sources import (
+    CSVConnector,
+    JDBCConnector,
+    JSONConnector,
+    ParquetConnector,
+    RESTConnector,
+    storage_conf,
+    storage_path,
+)
+from automic_etl_spark.streaming import KafkaSink, KafkaSource, file_stream, stream_to_bronze
+
+
+def test_csv_roundtrip_with_options(spark, users_df, tmp_path):
+    p = str(tmp_path / "u.csv")
+    users_df.withColumn("status", F.lit("N/A")).write.option("header", True).mode(
+        "overwrite"
+    ).csv(p)
+    df = CSVConnector(
+        spark, p, null_values=["N/A", "null"], schema=None, infer_schema=True
+    ).extract()
+    assert df.count() == 5
+    assert df.filter(F.col("status").isNull()).count() == 5  # sentinel nulled
+
+
+def test_json_nested_path(spark, tmp_path):
+    p = str(tmp_path / "d.json")
+    doc = {"meta": {"source": "api"}, "data": {"user": {"id": 1, "name": "A"}}}
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    df = JSONConnector(spark, p).read_nested("data.user")
+    row = df.first()
+    assert row["id"] == 1 and row["name"] == "A"
+
+
+def test_parquet_metadata(spark, tmp_path):
+    c = ParquetConnector(spark, "/root/testdata/sf0.001/customer.parquet")
+    meta = c.get_metadata()
+    assert meta["num_rows"] == 150
+    assert "c_custkey" in c.get_schema()
+
+
+def test_jdbc_option_building(spark):
+    j = JDBCConnector(spark, "postgresql", "db.example.com", "analytics", "u", "p")
+    assert j.url() == "jdbc:postgresql://db.example.com:5432/analytics"
+    opts = j.options(
+        table="public.orders",
+        partition_column="id",
+        num_partitions=8,
+        lower_bound=0,
+        upper_bound=1000,
+    )
+    assert opts["numPartitions"] == "8" and opts["partitionColumn"] == "id"
+    with pytest.raises(ValueError, match="exactly one"):
+        j.options()
+    with pytest.raises(ValueError, match="bounds"):
+        j.options(table="t", partition_column="id")
+
+
+def test_rest_paginated_fake_transport(spark):
+    pages = {1: [{"id": 1, "v": {"x": 1}}, {"id": 2, "v": {"x": 2}}], 2: [{"id": 3, "v": {"x": 3}}]}
+
+    def fake(url, params):
+        return {"data": pages.get(params["page"], [])}
+
+    c = RESTConnector(spark, "https://api.example.com", transport=fake, data_key="data", page_size=2)
+    df = c.extract("items")
+    assert df.count() == 3
+    assert df.select("v.x").agg(F.sum("x")).first()[0] == 6
+
+
+def test_kafka_option_and_sink_shape(spark):
+    src = KafkaSource(spark, "broker:9092", "events", value_format="json", value_schema="k int")
+    assert src.options["subscribe"] == "events"
+    sink = KafkaSink("broker:9092", "out")
+    prepared = sink.prepare(
+        spark.createDataFrame([(1, "a")], "id long, name string"), key_field="id"
+    )
+    assert prepared.columns == ["key", "value"]
+    assert json.loads(prepared.first()["value"]) == {"name": "a"}
+
+
+def test_file_stream_to_bronze(spark, tmp_path, users_df):
+    src_dir = str(tmp_path / "drop")
+    users_df.write.mode("overwrite").parquet(src_dir)
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    stream = file_stream(spark, src_dir, schema=users_df.schema)
+    q = stream_to_bronze(stream, lh.bronze, "users_stream", "filedrop", str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    out = lh.bronze.read("users_stream")
+    assert out.count() == 5
+    assert out.first()["_batch_id"].startswith("epoch-")
+
+
+def test_storage_helpers():
+    assert storage_path("s3", "bkt", "a/b.parquet") == "s3a://bkt/a/b.parquet"
+    assert "spark.hadoop.fs.s3a.access.key" in storage_conf("s3", access_key="k", secret_key="s")
+
+
+def test_scalar_functions(spark, users_df):
+    df = users_df.withColumn("s", F.lit("N/A"))
+    assert df.select(null_if_sentinel("s").alias("x")).first()["x"] is None
+    h1 = users_df.select(hash_columns("id", "name").alias("h")).collect()
+    h2 = users_df.select(hash_columns("id", "name").alias("h")).collect()
+    assert h1 == h2  # deterministic
+    assert users_df.select(safe_cast(F.lit("abc"), "int").alias("x")).first()["x"] is None
+    rj = to_raw_json(users_df).first()["_raw_json"]
+    assert json.loads(rj)["name"] == "Alice"
