@@ -27,7 +27,7 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
-from automic_etl_spark.operators.textops import shingles
+from automic_etl_spark.operators.textops import shingles_of_tokens, tokenize
 
 
 def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -117,8 +117,10 @@ def minhash_signatures(
     (the DuckDB oracle runs the identical expressions). Documents with
     < k tokens have no shingles and drop out (no signature ⇒ never a
     candidate), matching the oracle semantics."""
-    exploded = ensure_parallelism(df.select(id_col, F.col(text_col))).select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("s")
+    exploded = (
+        ensure_parallelism(df.select(id_col, F.col(text_col)))
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(shingles_of_tokens(F.col("__toks"), k)).alias("s"))
     )
     # 31-bit base hash: md5 prefix → int → mod p (p = 2^31 - 1, prime).
     h = (
@@ -180,7 +182,10 @@ def jaccard_on_candidates(
     Only candidate documents are exploded — the LSH prefilter is what
     keeps this linear-ish at corpus scale."""
     doc_sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias("sh")
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_of_tokens(F.col("__toks"), k))).alias("sh"),
     )
     ids = (
         candidates.select(F.col("id_a").alias(id_col))

@@ -98,12 +98,25 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", F.coalesce(best, F.lit("und")))
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-shingles as an array<string> (empty when < k tokens)."""
-    w = tokenize(text)
-    n = F.size(w) - (k - 1)
+def shingles_of_tokens(tokens: Column, k: int = 3) -> Column:
+    """Word k-shingles from a PRE-MATERIALIZED token array column.
+
+    ``tokens`` must be a bound column (not an inline split(...) expr):
+    expressions inside higher-order-function lambdas are re-evaluated per
+    element access, so an inline regex split would run k× per shingle —
+    the difference between one split per row and hundreds."""
+    n = F.size(tokens) - (k - 1)
     idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)]))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(k)])
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (empty when < k tokens).
+    Prefer materializing tokens + shingles_of_tokens in hot paths (see
+    that function's note on HOF re-evaluation)."""
+    return shingles_of_tokens(tokenize(text), k)
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
@@ -112,6 +125,10 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k
     Identical fingerprints ⇒ near-identical shingle sets with high
     probability (it is a 1-hash MinHash)."""
     return df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    ).select(
         id_col,
-        F.array_min(F.transform(shingles(F.col(text_col), k), F.md5)).alias("fingerprint"),
+        F.array_min(F.transform(shingles_of_tokens(F.col("__toks"), k), F.md5)).alias(
+            "fingerprint"
+        ),
     )
