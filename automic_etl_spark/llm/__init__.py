@@ -1,0 +1,29 @@
+"""LLM-assisted layer (reference llm/*): NL→SQL assistant, schema
+inference, entity extraction, data classification, auto-clean.
+
+Every service runs against the `LLMBackend` protocol. The default
+`OfflineBackend` is fully deterministic (pattern rules — the same
+strategy as the reference's own API-layer mock, api/routes/queries.py:
+205-390); real providers are injectable and import-gated, so nothing
+here needs network or keys. Engine access is always through df.limit(k)
+samples — LLM calls never touch the distributed hot path (scale-out
+variants use mapInPandas batching)."""
+
+from automic_etl_spark.llm.client import LLMClient, OfflineBackend
+from automic_etl_spark.llm.sql_assistant import SQLAssistant, TableSchema
+from automic_etl_spark.llm.schema_generator import infer_schema_suggestions
+from automic_etl_spark.llm.data_classifier import classify_columns
+from automic_etl_spark.llm.entity_extractor import extract_entities
+from automic_etl_spark.llm.augmented_etl import auto_clean, run_generated_snippet
+
+__all__ = [
+    "LLMClient",
+    "OfflineBackend",
+    "SQLAssistant",
+    "TableSchema",
+    "infer_schema_suggestions",
+    "classify_columns",
+    "extract_entities",
+    "auto_clean",
+    "run_generated_snippet",
+]

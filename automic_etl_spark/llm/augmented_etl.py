@@ -1,0 +1,70 @@
+"""LLM-augmented ETL: auto-clean + sandboxed generated-snippet runner.
+
+Reference (llm/augmented_etl.py):
+- auto-clean fills numeric nulls with the column median and string nulls
+  with "" (:439-457) — implemented for real here (percentile-based,
+  one stats pass), no model needed;
+- LLM-generated transformation code executed via blocklist-sandboxed
+  exec (:229-244,613-628) — here the snippet is AST-validated (imports,
+  dunder access, exec/eval/open banned) and run in a namespace exposing
+  only {df, F}; the result must be a DataFrame.
+"""
+
+from __future__ import annotations
+
+import ast
+
+from pyspark.sql import DataFrame, functions as F
+
+NUMERIC_TYPES = {"int", "bigint", "smallint", "tinyint", "float", "double"}
+
+
+def auto_clean(df: DataFrame) -> DataFrame:
+    """Median-fill numeric nulls, empty-string-fill string nulls
+    (reference augmented_etl.py:439-457) — medians computed in ONE
+    aggregate pass via percentile, then a single na.fill."""
+    num_cols = [c for c, t in df.dtypes if t in NUMERIC_TYPES]
+    str_cols = [c for c, t in df.dtypes if t == "string"]
+    fills: dict = {c: "" for c in str_cols}
+    if num_cols:
+        med = df.agg(
+            *[F.expr(f"percentile({c}, 0.5)").alias(c) for c in num_cols]
+        ).first()
+        for c, t in df.dtypes:
+            if c in num_cols and med[c] is not None:
+                fills[c] = int(med[c]) if t in ("int", "bigint", "smallint", "tinyint") else float(med[c])
+    return df.na.fill(fills) if fills else df
+
+
+class UnsafeSnippet(Exception):
+    pass
+
+
+_BANNED_CALLS = {"exec", "eval", "open", "compile", "__import__", "input", "globals", "locals"}
+
+
+def _validate(tree: ast.AST) -> None:
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            raise UnsafeSnippet("imports are not allowed in generated snippets")
+        if isinstance(node, ast.Attribute) and node.attr.startswith("__"):
+            raise UnsafeSnippet("dunder attribute access is not allowed")
+        if isinstance(node, ast.Name) and node.id in _BANNED_CALLS:
+            raise UnsafeSnippet(f"call to {node.id!r} is not allowed")
+
+
+def run_generated_snippet(df: DataFrame, code: str) -> DataFrame:
+    """Execute a generated PySpark snippet against ``df``. The snippet
+    must assign its output to ``result`` (or be a single expression).
+    AST-validated; namespace exposes only {df, F}."""
+    tree = ast.parse(code)
+    _validate(tree)
+    ns = {"df": df, "F": F, "__builtins__": {}}
+    if len(tree.body) == 1 and isinstance(tree.body[0], ast.Expr):
+        result = eval(compile(ast.Expression(tree.body[0].value), "<snippet>", "eval"), ns)  # noqa: S307 — AST-sandboxed
+    else:
+        exec(compile(tree, "<snippet>", "exec"), ns)  # noqa: S102 — AST-sandboxed
+        result = ns.get("result")
+    if not isinstance(result, DataFrame):
+        raise UnsafeSnippet("snippet must produce a DataFrame (assign to `result`)")
+    return result

@@ -1,0 +1,104 @@
+"""LLM client: provider-agnostic completion with retry + rate limiting.
+
+Reference (llm/client.py:451-563): provider dispatch, retries with
+backoff, per-minute rate limiting, `complete_json` with JSON extraction.
+Providers here are injectable backends; the offline backend makes the
+whole layer deterministic and testable with no network.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+from collections import deque
+from collections.abc import Callable
+
+Backend = Callable[[str], str]
+
+
+class OfflineBackend:
+    """Deterministic rule-based 'model': responds from a pattern table.
+    This is the same strategy the reference uses for its own API-layer
+    mock; it keeps every LLM-adjacent feature runnable offline."""
+
+    def __init__(self, rules: list[tuple[str, str]] | None = None):
+        self.rules = rules or []
+
+    def __call__(self, prompt: str) -> str:
+        for pattern, response in self.rules:
+            if re.search(pattern, prompt, re.IGNORECASE | re.DOTALL):
+                return response
+        return "{}"
+
+
+def anthropic_backend(model: str = "claude-sonnet-4-5", **kwargs) -> Backend:
+    """Real-provider backend, import-gated (no SDK in this image)."""
+    try:
+        import anthropic  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError("anthropic SDK not installed; use OfflineBackend") from e
+
+    client = anthropic.Anthropic(**kwargs)
+
+    def call(prompt: str) -> str:
+        msg = client.messages.create(
+            model=model, max_tokens=2048, messages=[{"role": "user", "content": prompt}]
+        )
+        return msg.content[0].text
+
+    return call
+
+
+class RateLimitExceeded(Exception):
+    pass
+
+
+class LLMClient:
+    def __init__(
+        self,
+        backend: Backend | None = None,
+        max_retries: int = 3,
+        backoff_s: float = 0.5,
+        requests_per_minute: int = 100,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        self.backend = backend or OfflineBackend()
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self.rpm = requests_per_minute
+        self._calls: deque[float] = deque()
+        self._sleep = sleep
+
+    def _check_rate(self) -> None:
+        now = time.monotonic()
+        while self._calls and now - self._calls[0] > 60:
+            self._calls.popleft()
+        if len(self._calls) >= self.rpm:
+            raise RateLimitExceeded(f"over {self.rpm} requests/min")
+        self._calls.append(now)
+
+    def complete(self, prompt: str) -> str:
+        self._check_rate()
+        err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                return self.backend(prompt)
+            except RateLimitExceeded:
+                raise
+            except Exception as e:  # noqa: BLE001 — provider boundary
+                err = e
+                self._sleep(self.backoff_s * 2**attempt)
+        raise RuntimeError(f"LLM backend failed after {self.max_retries} tries") from err
+
+    def complete_json(self, prompt: str) -> dict:
+        """Completion parsed as JSON, tolerating fenced/embedded objects
+        (reference client.py:563 json extraction)."""
+        text = self.complete(prompt)
+        try:
+            return json.loads(text)
+        except json.JSONDecodeError:
+            m = re.search(r"\{.*\}", text, re.DOTALL)
+            if m:
+                return json.loads(m.group(0))
+            raise

@@ -1,0 +1,52 @@
+"""Column sensitivity / PII classification.
+
+Reference (llm/data_classifier.py:65-289): samples values and asks a
+model to classify columns. Deterministic core: name heuristics + value
+regexes over a driver-side sample; the result shape matches the
+reference's {column, classification, sensitivity, confidence}.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_NAME_HINTS = [
+    (re.compile(r"email", re.I), "email", "pii"),
+    (re.compile(r"phone|mobile", re.I), "phone", "pii"),
+    (re.compile(r"ssn|social", re.I), "national_id", "pii"),
+    (re.compile(r"name$|_name|firstname|lastname", re.I), "person_name", "pii"),
+    (re.compile(r"address|street|city|zip|postal", re.I), "address", "pii"),
+    (re.compile(r"ip_?addr", re.I), "ip_address", "pii"),
+    (re.compile(r"salary|income|balance|price|amount|bal$", re.I), "financial", "confidential"),
+    (re.compile(r"dob|birth", re.I), "date_of_birth", "pii"),
+]
+
+_VALUE_PATTERNS = [
+    (re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$"), "email", "pii"),
+    (re.compile(r"^\d{3}-\d{2}-\d{4}$"), "national_id", "pii"),
+    (re.compile(r"^\(\d{3}\)\s*\d{3}-\d{4}$"), "phone", "pii"),
+    (re.compile(r"^\d{1,3}(\.\d{1,3}){3}$"), "ip_address", "pii"),
+]
+
+
+def classify_columns(df: DataFrame, sample_size: int = 50) -> list[dict]:
+    rows = df.limit(sample_size).collect()
+    out = []
+    for name, dtype in df.dtypes:
+        cls, sens, conf = "general", "public", 0.5
+        for rx, c, s in _NAME_HINTS:
+            if rx.search(name):
+                cls, sens, conf = c, s, 0.8
+                break
+        if cls == "general" and dtype == "string":
+            values = [str(r[name]) for r in rows if r[name] is not None][:20]
+            for rx, c, s in _VALUE_PATTERNS:
+                if values and all(rx.match(v) for v in values):
+                    cls, sens, conf = c, s, 0.9
+                    break
+        out.append(
+            {"column": name, "classification": cls, "sensitivity": sens, "confidence": conf}
+        )
+    return out

@@ -1,0 +1,43 @@
+"""Entity extraction over text columns.
+
+Reference (llm/entity_extractor.py:63-302): model-prompted extraction of
+typed entities from sampled rows. Deterministic core: the redaction
+pattern set applied via regexp_extract_all — JVM-side, so the scale-out
+variant is just 'run it on the whole column' instead of a sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from automic_etl_spark.services.redaction import DEFAULT_PATTERNS, EntityPattern
+
+
+def extract_entities(
+    df: DataFrame,
+    column: str,
+    patterns: list[EntityPattern] | None = None,
+    explode: bool = False,
+) -> DataFrame:
+    """Adds `entities_{name}` array columns (or long-format rows when
+    ``explode``): every regex match of each entity pattern."""
+    pats = patterns or DEFAULT_PATTERNS
+    out = df
+    for p in pats:
+        # lit() pattern — embedding in an expr() SQL string would eat the
+        # regex backslashes via SQL-literal escape processing.
+        out = out.withColumn(
+            f"entities_{p.name.lower()}",
+            F.regexp_extract_all(F.col(column), F.lit(p.pattern), F.lit(0)),
+        )
+    if explode:
+        stacked = None
+        for p in pats:
+            part = out.select(
+                column,
+                F.lit(p.name).alias("entity_type"),
+                F.explode(f"entities_{p.name.lower()}").alias("entity"),
+            )
+            stacked = part if stacked is None else stacked.unionByName(part)
+        return stacked
+    return out

@@ -1,0 +1,47 @@
+"""Schema inference / suggestion over sampled rows.
+
+Reference (llm/schema_generator.py:33-215): prompts a model with 5-10
+sample rows to propose types. The deterministic core here inspects a
+driver-side sample (df.limit(k) — same sampling strategy) and suggests
+tightened types and semantic tags; an LLMClient can be layered on for
+naming/description polish, but the heuristics stand alone.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_TS_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}")
+_EMAIL_RE = re.compile(r"^[^@\s]+@[^@\s]+\.[^@\s]+$")
+_INT_RE = re.compile(r"^-?\d+$")
+_FLOAT_RE = re.compile(r"^-?\d+\.\d+$")
+
+
+def infer_schema_suggestions(df: DataFrame, sample_size: int = 100) -> list[dict]:
+    """Per-column suggestions: tightened dtype for string columns whose
+    sampled values all parse as date/timestamp/int/float, plus semantic
+    tags (email, enum-like low cardinality)."""
+    rows = df.limit(sample_size).collect()
+    out = []
+    for name, dtype in df.dtypes:
+        values = [r[name] for r in rows if r[name] is not None]
+        sugg: dict = {"column": name, "current_type": dtype, "suggested_type": dtype, "tags": []}
+        if dtype == "string" and values:
+            svals = [str(v) for v in values]
+            if all(_DATE_RE.match(v) for v in svals):
+                sugg["suggested_type"] = "date"
+            elif all(_TS_RE.match(v) for v in svals):
+                sugg["suggested_type"] = "timestamp"
+            elif all(_INT_RE.match(v) for v in svals):
+                sugg["suggested_type"] = "bigint"
+            elif all(_FLOAT_RE.match(v) or _INT_RE.match(v) for v in svals):
+                sugg["suggested_type"] = "double"
+            if all(_EMAIL_RE.match(v) for v in svals):
+                sugg["tags"].append("email")
+        if values and len(set(map(str, values))) <= max(3, len(values) // 10):
+            sugg["tags"].append("enum_like")
+        out.append(sugg)
+    return out

@@ -1,0 +1,145 @@
+"""NL→SQL assistant.
+
+Reference (llm/sql_assistant.py:134-438 + the API mock queries.py:205-390):
+registered TableSchemas → prompt → {sql, explanation, intent, confidence,
+tables_used}; regex/tier security analysis; md5 result cache.
+
+Here the produced SQL is validated by the PARSED-PLAN read-only gate
+(plans/sqlgate) before execution — strictly stronger than the reference's
+regex blocklist — and the offline backend ships pattern rules equivalent
+to the reference's canned NL patterns, retargeted at the harness tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automic_etl_spark.llm.client import LLMClient, OfflineBackend
+from automic_etl_spark.plans.sqlgate import assert_read_only
+
+
+@dataclass
+class TableSchema:
+    name: str
+    columns: dict[str, str]
+    description: str = ""
+    tier: str = "general"  # general | restricted
+
+
+# Offline NL→SQL rules — the reference API's canned patterns
+# (api/routes/queries.py:229-364: "revenue by month", "top customers",
+# "recent orders", …) mapped onto the harness star schema.
+DEFAULT_RULES = [
+    (
+        r"revenue by month|monthly revenue",
+        json.dumps(
+            {
+                "sql": "SELECT date_trunc('month', o_orderdate) AS month, sum(o_totalprice) AS revenue FROM orders GROUP BY 1 ORDER BY 1",
+                "explanation": "Monthly revenue from orders.",
+                "intent": "aggregation",
+                "confidence": 0.9,
+                "tables_used": ["orders"],
+            }
+        ),
+    ),
+    (
+        r"top (\d+ )?customers",
+        json.dumps(
+            {
+                "sql": "SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey ORDER BY total DESC LIMIT 10",
+                "explanation": "Top customers by total order value.",
+                "intent": "ranking",
+                "confidence": 0.9,
+                "tables_used": ["orders"],
+            }
+        ),
+    ),
+    (
+        r"orders? per (status|orderstatus)|count.*status",
+        json.dumps(
+            {
+                "sql": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY n DESC",
+                "explanation": "Order counts per status.",
+                "intent": "aggregation",
+                "confidence": 0.85,
+                "tables_used": ["orders"],
+            }
+        ),
+    ),
+    (
+        r"customers? (in|by) segment|segment breakdown",
+        json.dumps(
+            {
+                "sql": "SELECT c_mktsegment, count(*) AS n FROM customer GROUP BY c_mktsegment ORDER BY n DESC",
+                "explanation": "Customer counts per market segment.",
+                "intent": "aggregation",
+                "confidence": 0.85,
+                "tables_used": ["customer"],
+            }
+        ),
+    ),
+]
+
+
+class SQLAssistant:
+    def __init__(self, spark: SparkSession, client: LLMClient | None = None):
+        self.spark = spark
+        self.client = client or LLMClient(OfflineBackend(DEFAULT_RULES))
+        self.schemas: dict[str, TableSchema] = {}
+        self._cache: dict[str, dict] = {}
+
+    def register_table(self, schema: TableSchema) -> None:
+        self.schemas[schema.name] = schema
+
+    def register_dataframe(self, name: str, df: DataFrame, **kwargs) -> None:
+        self.register_table(TableSchema(name, dict(df.dtypes), **kwargs))
+        df.createOrReplaceTempView(name)
+
+    def _prompt(self, question: str, context: list[str] | None = None) -> str:
+        schema_txt = "\n".join(
+            f"TABLE {t.name} ({', '.join(f'{c} {d}' for c, d in t.columns.items())}) -- {t.description}"
+            for t in self.schemas.values()
+        )
+        ctx = "\n".join(context or [])
+        return (
+            "Translate the question to ANSI SQL over these tables. "
+            'Reply as JSON {"sql", "explanation", "intent", "confidence", "tables_used"}.\n'
+            f"{schema_txt}\n{ctx}\nQuestion: {question}"
+        )
+
+    def natural_language_to_sql(
+        self,
+        question: str,
+        context: list[str] | None = None,
+        allowed_tiers: tuple[str, ...] = ("general",),
+    ) -> dict:
+        """NL → {sql, explanation, intent, confidence, tables_used};
+        cached by md5(question + registered tables) (reference
+        sql_assistant.py:369-372,591-602)."""
+        key = hashlib.md5(
+            (question + "|" + ",".join(sorted(self.schemas))).encode()
+        ).hexdigest()
+        if key in self._cache:
+            return self._cache[key]
+        result = self.client.complete_json(self._prompt(question, context))
+        if not result.get("sql"):
+            return {"sql": None, "explanation": "could not translate", "confidence": 0.0}
+        # tier ACL over tables_used (reference queries.py:366-375)
+        for t in result.get("tables_used", []):
+            tier = self.schemas.get(t, TableSchema(t, {})).tier
+            if tier not in allowed_tiers:
+                raise PermissionError(f"table {t!r} is tier {tier!r}, not allowed")
+        # parsed-plan read-only validation — replaces regex guards
+        assert_read_only(self.spark, result["sql"])
+        self._cache[key] = result
+        return result
+
+    def execute(self, question: str, **kwargs) -> tuple[DataFrame, dict]:
+        meta = self.natural_language_to_sql(question, **kwargs)
+        if not meta.get("sql"):
+            raise ValueError("no SQL produced for question")
+        return self.spark.sql(meta["sql"]), meta

@@ -449,6 +449,189 @@ ORDER BY c_custkey
 """
 
 
+
+
+# --- storage ops / coverage extras -----------------------------------------
+
+def q_upsert_state(spark, sf_dir):
+    """Keyed upsert (reference tables.py:246-299 / Delta MERGE): update
+    BUILDING customers' balance (+1000) and insert synthetic new keys,
+    then aggregate the resulting table state."""
+    import shutil
+    import tempfile
+
+    from automic_etl_spark.catalog import Warehouse
+
+    wh = tempfile.mkdtemp(prefix="automic_wh_")
+    try:
+        cust = _t(spark, sf_dir, "customer")
+        t = Warehouse(spark, wh).table("silver", "cust")
+        t.overwrite(cust)
+        updates = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
+            "c_acctbal", F.col("c_acctbal") + 1000.0
+        )
+        inserts = cust.filter(F.col("c_custkey") % 50 == 0).select(
+            (F.col("c_custkey") + 900000).alias("c_custkey"),
+            F.col("c_name"),
+            F.col("c_nationkey"),
+            F.col("c_acctbal"),
+            F.lit("SYNTH").alias("c_mktsegment"),
+        )
+        t.upsert(updates.unionByName(inserts), ["c_custkey"])
+        out = (
+            t.read()
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)").alias("total_bal"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_UPSERT = """
+WITH final AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 900000, 'SYNTH', c_acctbal FROM customer WHERE c_custkey % 50 = 0
+)
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_bal
+FROM final
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def q_time_travel(spark, sf_dir):
+    """Version time travel (reference storage tables 392-441 /
+    integrations/spark.py:219-243): v0 = pre-1998 orders, v1 appends the
+    rest; read both versions of the SAME table and compare counts."""
+    import shutil
+    import tempfile
+
+    from automic_etl_spark.catalog import Warehouse
+
+    wh = tempfile.mkdtemp(prefix="automic_wh_")
+    try:
+        orders = _t(spark, sf_dir, "orders")
+        t = Warehouse(spark, wh).table("silver", "orders_tt")
+        cutoff = F.lit("1998-01-01").cast("timestamp")
+        t.create_or_append(orders.filter(F.col("o_orderdate") < cutoff))
+        t.create_or_append(orders.filter(F.col("o_orderdate") >= cutoff))
+        v0 = t.read(version=0).agg(F.count(F.lit(1)).alias("n")).first()["n"]
+        v1 = t.read(version=1).agg(F.count(F.lit(1)).alias("n")).first()["n"]
+        return spark.createDataFrame([(v0, v1)], "v0_rows long, v1_rows long")
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_TIME_TRAVEL = """
+SELECT (SELECT count(*) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01') AS v0_rows,
+       (SELECT count(*) FROM orders) AS v1_rows
+"""
+
+
+def q_collect_agg(spark, sf_dir):
+    """COLLECT aggregation (reference gold.py:306-307 implode) —
+    deterministic via sort_array(collect_set); distinct segments bought
+    per nation."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_COLLECT = """
+SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def q_range_join(spark, sf_dir):
+    """Theta/range join (SURVEY §2.3 — absent in reference, Spark-native
+    here): repeat-purchase detection — order pairs by the same customer
+    within 30 days. The equi key (custkey) carries the shuffle; the range
+    predicate filters within matched groups (never a cross join)."""
+    o1 = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k1"),
+        F.col("o_orderdate").alias("first_date"),
+    )
+    o2 = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k2"),
+        F.col("o_orderdate").alias("next_date"),
+    )
+    j = o1.join(
+        o2,
+        (F.col("k1") == F.col("k2"))
+        & (F.col("next_date") > F.col("first_date"))
+        & (F.col("next_date") <= F.col("first_date") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("k1").alias("n_repeat_customers"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT count(*) AS n_pairs, count(DISTINCT a.o_custkey) AS n_repeat_customers
+FROM orders a
+JOIN orders b ON a.o_custkey = b.o_custkey
+             AND b.o_orderdate > a.o_orderdate
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+def q_offset_paging(spark, sf_dir):
+    """LIMIT/OFFSET paging via row_number (reference API pagination,
+    queries.py:999-1011; Spark has no OFFSET pushdown — the window form
+    is the distributed equivalent): page 3 of 50 ordered by orderkey."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_OFFSET = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_orderkey
+LIMIT 50 OFFSET 100
+"""
+
+
+def q_sample_split_seed(spark, sf_dir):
+    """Seeded-shuffle exact-ratio split (reference curator.py:153-180:
+    seed=42, floor+remainder). Spark rand(seed) is engine-specific, so
+    this entry has NO oracle (rows-only check) — the engine-portable
+    hash split is covered by curator_splits."""
+    from automic_etl_spark.services import DatasetCurator
+
+    docs = _t(spark, sf_dir, "documents")
+    cur = DatasetCurator({"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        cur.split_by_seed(docs, seed=42)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
 QUERIES = {
     "scan_project_filter": q_scan_project_filter,
     "derived_column": q_derived_column,
@@ -466,6 +649,12 @@ QUERIES = {
     "top_orders": q_top_orders,
     "union_distinct": q_union_distinct,
     "intersect_keys": q_intersect,
+    "upsert_state": q_upsert_state,
+    "time_travel": q_time_travel,
+    "collect_agg": q_collect_agg,
+    "range_join": q_range_join,
+    "offset_paging": q_offset_paging,
+    "sample_split_seed": q_sample_split_seed,
 }
 
 ORACLE = {
@@ -485,4 +674,9 @@ ORACLE = {
     "top_orders": ORACLE_TOP_ORDERS,
     "union_distinct": ORACLE_UNION,
     "intersect_keys": ORACLE_INTERSECT,
+    "upsert_state": ORACLE_UPSERT,
+    "time_travel": ORACLE_TIME_TRAVEL,
+    "collect_agg": ORACLE_COLLECT,
+    "range_join": ORACLE_RANGE_JOIN,
+    "offset_paging": ORACLE_OFFSET,
 }

@@ -1,0 +1,114 @@
+"""LLM layer: client retry/rate-limit, NL→SQL assistant (offline rules +
+tier ACL + read-only validation), schema inference, classification,
+entity extraction, auto-clean, sandboxed snippets."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.llm import (
+    LLMClient,
+    OfflineBackend,
+    SQLAssistant,
+    TableSchema,
+    auto_clean,
+    classify_columns,
+    extract_entities,
+    infer_schema_suggestions,
+    run_generated_snippet,
+)
+from automic_etl_spark.llm.augmented_etl import UnsafeSnippet
+from automic_etl_spark.llm.client import RateLimitExceeded
+
+
+def test_client_retry_and_json():
+    calls = {"n": 0}
+
+    def flaky(prompt):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return 'text before {"a": 1} after'
+
+    c = LLMClient(flaky, max_retries=3, sleep=lambda s: None)
+    assert c.complete_json("x") == {"a": 1}
+    assert calls["n"] == 3
+
+
+def test_client_rate_limit():
+    c = LLMClient(OfflineBackend(), requests_per_minute=2)
+    c.complete("a")
+    c.complete("b")
+    with pytest.raises(RateLimitExceeded):
+        c.complete("c")
+
+
+def test_sql_assistant_offline(spark):
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    a = SQLAssistant(spark)
+    a.register_dataframe("orders", orders, description="orders fact table")
+    df, meta = a.execute("show me revenue by month")
+    assert meta["tables_used"] == ["orders"]
+    assert df.count() > 0
+    # cache hit returns the same object
+    again = a.natural_language_to_sql("show me revenue by month")
+    assert again is meta
+
+
+def test_sql_assistant_tier_acl(spark):
+    a = SQLAssistant(spark)
+    a.register_table(TableSchema("orders", {"o_orderkey": "bigint"}, tier="restricted"))
+    with pytest.raises(PermissionError, match="restricted"):
+        a.natural_language_to_sql("top customers")
+
+
+def test_schema_suggestions(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01", "42", "a@b.com", "x"), ("2024-02-03", "7", "c@d.org", "x")],
+        "d string, n string, mail string, const string",
+    )
+    sugg = {s["column"]: s for s in infer_schema_suggestions(df)}
+    assert sugg["d"]["suggested_type"] == "date"
+    assert sugg["n"]["suggested_type"] == "bigint"
+    assert "email" in sugg["mail"]["tags"]
+    assert "enum_like" in sugg["const"]["tags"]
+
+
+def test_classifier(users_df):
+    cls = {c["column"]: c for c in classify_columns(users_df)}
+    assert cls["email"]["classification"] == "email" and cls["email"]["sensitivity"] == "pii"
+    assert cls["salary"]["classification"] == "financial"
+
+
+def test_entity_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and ssn 123-45-6789")], "id long, t string"
+    )
+    wide = extract_entities(df, "t").first()
+    assert wide["entities_email"] == ["a@b.com"]
+    assert wide["entities_ssn"] == ["123-45-6789"]
+    long = extract_entities(df, "t", explode=True)
+    assert long.count() == 2
+
+
+def test_auto_clean(users_nulls_df):
+    out = auto_clean(users_nulls_df)
+    assert out.filter(F.col("salary").isNull()).count() == 0
+    assert out.filter(F.col("name") == "").count() == 1
+    # median fill: salary median of non-nulls
+    filled = out.filter(F.col("id") == 5).first()["salary"]
+    assert filled == pytest.approx(65000.0)
+
+
+def test_snippet_sandbox(users_df):
+    out = run_generated_snippet(users_df, "result = df.filter(F.col('age') > 30)")
+    assert out.count() == 3
+    with pytest.raises(UnsafeSnippet, match="imports"):
+        run_generated_snippet(users_df, "import os\nresult = df")
+    with pytest.raises(UnsafeSnippet, match="dunder"):
+        run_generated_snippet(users_df, "result = df.__class__")
+    with pytest.raises(UnsafeSnippet, match="open"):
+        run_generated_snippet(users_df, "result = open('/etc/passwd')")
+    with pytest.raises(UnsafeSnippet, match="DataFrame"):
+        run_generated_snippet(users_df, "result = 42")

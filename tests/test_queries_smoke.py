@@ -26,7 +26,9 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = [n for n in QUERIES if n not in ORACLES]
     # non-SQL-expressible ops may omit the oracle, but must be rare and
     # deliberate — keep the list pinned so additions are conscious.
-    assert set(missing) <= set(), f"queries without oracle: {missing}"
+    # sample_split_seed: Spark rand(seed) is engine-specific (the
+    # portable hash split is oracle-checked as curator_splits).
+    assert set(missing) <= {"sample_split_seed"}, f"queries without oracle: {missing}"
 
 
 def test_entry_contract(spark):
