@@ -24,13 +24,29 @@ from automic_etl_spark.queries import all_oracles, all_queries  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    from automic_etl_spark.io import ensure_utc
     from automic_etl_spark.queries.relational import q_pricing_summary
 
+    ensure_utc(spark)
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return all_queries()
+    """Each callable pins the session timezone to UTC first — timestamp
+    results are only oracle-comparable under a fixed zone, and the
+    hosting session's config is not ours."""
+    from automic_etl_spark.io import ensure_utc
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_utc(spark)
+            return fn(spark, sf_dir)
+
+        run.__name__ = getattr(fn, "__name__", "query")
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {name: wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

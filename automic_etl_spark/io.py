@@ -36,8 +36,19 @@ _EVENTS_READ_SCHEMA = (
 )
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC. TimestampType values are
+    session-tz-rendered at collect time; an engine comparison (or any
+    cross-system exchange) is only well-defined under a fixed zone. Safe
+    to call repeatedly; matters when the hosting session was built
+    without our session factory."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one harness table; returns a lazy DataFrame."""
+    ensure_utc(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
