@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from automic_etl_spark.io import load_table
+from automic_etl_spark.queries._money import money_avg, money_avg_sql, money_sum, money_sum_sql
 
 # Money sums: exact decimal accumulation, order-independent.
 _DEC = "decimal(28,10)"
@@ -90,22 +91,12 @@ def q_pricing_summary(spark, sf_dir):
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc.cast(_DEC)).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum((disc * (1 + F.col("l_tax"))).cast(_DEC)).cast("decimal(38,6)").alias("sum_charge"),
+            money_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            money_sum(disc, 4).alias("sum_disc_price"),
+            money_sum(disc * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            # avg of money: exact integer cents, then identical double math
-            # post-agg (decimal division semantics differ across engines).
-            (
-                (F.sum(F.col("l_extendedprice").cast(_DEC)) * 100).cast("long").cast("double")
-                / 100.0
-                / F.count(F.lit(1))
-            ).alias("avg_price"),
-            (
-                (F.sum(F.col("l_discount").cast(_DEC)) * 100).cast("long").cast("double")
-                / 100.0
-                / F.count(F.lit(1))
-            ).alias("avg_disc"),
+            money_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
+            money_avg(F.col("l_discount"), 2).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -115,12 +106,12 @@ def q_pricing_summary(spark, sf_dir):
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,10))) AS DECIMAL(38,6)) AS sum_charge,
+       CAST(CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS sum_disc_price,
+       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS DECIMAL(38,6)) AS sum_charge,
        avg(l_quantity) AS avg_qty,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_price,
-       CAST(CAST(sum(CAST(l_discount AS DECIMAL(28,10))) * 100 AS BIGINT) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+       CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_price,
+       CAST(sum(CAST(round((l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -135,7 +126,7 @@ def q_global_agg(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total_revenue"),
+        money_sum(F.col("o_totalprice"), 2).alias("total_revenue"),
         F.min("o_orderdate").cast("date").alias("first_order"),
         F.max("o_orderdate").cast("date").alias("last_order"),
         F.countDistinct("o_custkey").alias("n_customers"),
@@ -144,7 +135,7 @@ def q_global_agg(spark, sf_dir):
 
 ORACLE_GLOBAL = """
 SELECT count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_revenue,
+       CAST(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS total_revenue,
        CAST(min(o_orderdate) AS DATE) AS first_order,
        CAST(max(o_orderdate) AS DATE) AS last_order,
        count(DISTINCT o_custkey) AS n_customers
@@ -184,7 +175,7 @@ def q_time_bucket_agg(spark, sf_dir):
         .groupBy("order_month")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("revenue"),
+            money_sum(F.col("o_totalprice"), 2).alias("revenue"),
         )
         .orderBy("order_month")
     )
@@ -193,7 +184,7 @@ def q_time_bucket_agg(spark, sf_dir):
 ORACLE_TIME_BUCKET = """
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS revenue
+       CAST(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS revenue
 FROM orders
 GROUP BY 1
 ORDER BY 1
@@ -261,14 +252,14 @@ def q_join_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(F.sum(disc.cast(_DEC)).cast("decimal(38,4)").alias("revenue"))
+        .agg(money_sum(disc, 4).alias("revenue"))
         .orderBy("r_name", "n_name")
     )
 
 
 ORACLE_JOIN_NATION = """
 SELECT r_name, n_name,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -346,7 +337,7 @@ def q_join_outer_features(spark, sf_dir):
     per-customer order revenue vs. account balance, either side may be
     missing."""
     o = _t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("revenue")
+        money_sum(F.col("o_totalprice"), 2).alias("revenue")
     )
     c = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_acctbal")
@@ -366,7 +357,7 @@ ORACLE_JOIN_OUTER = """
 SELECT coalesce(c_custkey, o_custkey) AS entity_id, c_acctbal, revenue
 FROM (SELECT c_custkey, c_acctbal FROM customer) c
 FULL OUTER JOIN (
-  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS revenue
+  SELECT o_custkey, CAST(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS revenue
   FROM orders GROUP BY o_custkey
 ) o ON c_custkey = o_custkey
 ORDER BY entity_id
@@ -384,7 +375,7 @@ def q_top_orders(spark, sf_dir):
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey")
-        .agg(F.sum(disc.cast(_DEC)).cast("decimal(38,4)").alias("revenue"))
+        .agg(money_sum(disc, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -392,7 +383,7 @@ def q_top_orders(spark, sf_dir):
 
 ORACLE_TOP_ORDERS = """
 SELECT l_orderkey,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS revenue
+       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')

@@ -45,13 +45,28 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
-    # Warmup: force one action over each table (file listing, footer reads,
-    # codegen of a trivial plan) outside the timed region.
+    # Warmup: force one action over each table (file listing, footer reads)
+    # plus one representative agg+join+window so whole-stage-codegen and
+    # shuffle machinery are compiled outside the timed region.
+    from pyspark.sql import Window as W, functions as F
+
     for t in TABLE_NAMES:
         try:
             load_table(spark, sf_dir, t).limit(1).count()
         except Exception:
             pass
+    try:
+        o = load_table(spark, sf_dir, "orders").limit(1000)
+        c = load_table(spark, sf_dir, "customer").limit(1000)
+        (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")))
+            .withColumn("rn", F.row_number().over(W.orderBy("c_mktsegment")))
+            .collect()
+        )
+    except Exception:
+        pass
 
     queries = all_queries()
     timings: dict[str, float] = {}
