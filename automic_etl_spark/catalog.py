@@ -197,6 +197,48 @@ class TableManager:
             for v in self._versions()
         ]
 
+    # -- schema evolution ---------------------------------------------------
+    # Reference: explicit add/drop/rename on Iceberg
+    # (storage/iceberg/tables.py:447-525) and Delta add_columns
+    # (storage/delta.py:452-479). Parquet has no metadata-only ALTER, so
+    # each op rewrites the snapshot — correct, versioned (old data is one
+    # time travel away), and the swap-in-Delta path makes them metadata-only.
+
+    def add_column(self, name: str, dtype: str, default=None) -> int:
+        from pyspark.sql import functions as F
+
+        cur = self.read()
+        if name in cur.columns:
+            raise ValueError(f"column {name!r} already exists")
+        return self.overwrite(cur.withColumn(name, F.lit(default).cast(dtype)))
+
+    def drop_column(self, name: str) -> int:
+        cur = self.read()
+        if name not in cur.columns:
+            raise ValueError(f"column {name!r} does not exist")
+        return self.overwrite(cur.drop(name))
+
+    def rename_column(self, old: str, new: str) -> int:
+        cur = self.read()
+        if old not in cur.columns:
+            raise ValueError(f"column {old!r} does not exist")
+        return self.overwrite(cur.withColumnRenamed(old, new))
+
+    def append_with_evolution(self, df: DataFrame) -> int:
+        """mergeSchema-style append: union of both schemas, missing
+        columns NULL on either side (Delta mergeSchema / reference
+        merge_schemas, storage/iceberg/schemas.py:409-433)."""
+        if not self.exists():
+            return self.create_or_append(df)
+        cur_cols = set(self.read().columns)
+        new_cols = set(df.columns)
+        if new_cols - cur_cols:
+            # rewrite once so the manifest schema covers the union; the
+            # per-dir reader then fills missing columns with NULLs.
+            merged = self.read().unionByName(df, allowMissingColumns=True)
+            return self.overwrite(merged)
+        return self.create_or_append(df)
+
     # -- maintenance --------------------------------------------------------
 
     def compact(self, target_partitions: int = 1) -> int:

@@ -1,0 +1,85 @@
+"""CLI: query / ingest / process / aggregate / tables (reference
+cli.py:81-371 uses Typer; argparse here — stdlib-only)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="automic-spark", description="PySpark lakehouse engine CLI")
+    p.add_argument("--warehouse", default="warehouse", help="warehouse root path")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    q = sub.add_parser("query", help="run SQL over {layer}_{table} views")
+    q.add_argument("sql")
+    q.add_argument("--limit", type=int, default=100)
+    q.add_argument("--format", choices=["table", "json", "csv"], default="table")
+
+    i = sub.add_parser("ingest", help="ingest a file into bronze")
+    i.add_argument("table")
+    i.add_argument("path")
+    i.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+    i.add_argument("--source", default="cli")
+
+    pr = sub.add_parser("process", help="bronze → silver")
+    pr.add_argument("bronze_table")
+    pr.add_argument("silver_table")
+    pr.add_argument("--dedup-columns", default=None, help="comma-separated keys")
+
+    sub.add_parser("tables", help="list tables per layer")
+
+    e = sub.add_parser("explain", help="show the physical plan of a SQL query")
+    e.add_argument("sql")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    from automic_etl_spark.session import get_spark
+    from automic_etl_spark.medallion import Lakehouse
+
+    spark = get_spark("automic-cli")
+    lh = Lakehouse(spark, args.warehouse)
+
+    if args.command == "query":
+        df = lh.sql(args.sql).limit(args.limit)
+        rows = df.collect()
+        if args.format == "json":
+            print(json.dumps([r.asDict() for r in rows], default=str))
+        elif args.format == "csv":
+            print(",".join(df.columns))
+            for r in rows:
+                print(",".join(str(v) for v in r))
+        else:
+            df.show(args.limit, truncate=False)
+    elif args.command == "ingest":
+        reader = {
+            "parquet": spark.read.parquet,
+            "csv": lambda p: spark.read.option("header", True).csv(p),
+            "json": spark.read.json,
+        }[args.format]
+        batch = lh.ingest(args.table, reader(args.path), source=args.source)
+        print(f"ingested batch {batch} into bronze.{args.table}")
+    elif args.command == "process":
+        dedup = args.dedup_columns.split(",") if args.dedup_columns else None
+        n = lh.process_to_silver(args.bronze_table, args.silver_table, dedup_columns=dedup)
+        print(f"silver.{args.silver_table}: {n} rows")
+    elif args.command == "tables":
+        for layer in ("bronze", "silver", "gold"):
+            for name in lh.warehouse.list_tables(layer):
+                print(f"{layer}.{name}")
+    elif args.command == "explain":
+        from automic_etl_spark.plans.sqlgate import explain_formatted
+
+        lh.warehouse.register_views()
+        print(explain_formatted(spark, spark.sql(args.sql)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,125 @@
+"""Engine configuration.
+
+Reference (core/config.py + config/settings.yaml): nested settings for
+medallion partitioning, table defaults, extraction batching/lookback,
+validation quarantine, transformation cleaning. Notably the reference
+reads `settings.transformation` at medallion/silver.py:161-173 but never
+DEFINES that section in its config model (config drift bug — SURVEY §7
+phase 2); it exists here.
+
+Plain dataclasses + YAML/env loading — no pydantic dependency. Env
+overrides use AUTOMIC__SECTION__FIELD=value.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields, is_dataclass
+
+import yaml
+
+
+@dataclass
+class MedallionConfig:
+    bronze_partition_by: list[str] = field(default_factory=lambda: ["_ingestion_date"])
+    silver_partition_by: list[str] = field(default_factory=lambda: ["_processing_date"])
+    gold_partition_by: list[str] = field(default_factory=list)
+
+
+@dataclass
+class TableDefaults:
+    target_file_size_bytes: int = 536870912  # 512 MB (reference default)
+    compression: str = "zstd"
+    compression_level: int = 3
+
+
+@dataclass
+class ExtractionConfig:
+    batch_size: int = 100_000
+    parallel_workers: int = 4          # → JDBC numPartitions in Spark
+    lookback_window_s: int = 3600      # 1 hour late-data tolerance
+    watermark_column: str = "updated_at"
+
+
+@dataclass
+class TransformationConfig:
+    """The section the reference references but never defines."""
+
+    null_values: list[str] = field(
+        default_factory=lambda: ["", "null", "NULL", "None", "N/A", "NA", "n/a"]
+    )
+    trim_strings: bool = True
+    normalize_column_names: bool = True
+
+
+@dataclass
+class ValidationConfig:
+    fail_fast: bool = False
+    quarantine_enabled: bool = True
+    quarantine_path: str = "_quarantine"
+    pass_threshold: float = 0.95
+
+
+@dataclass
+class Settings:
+    warehouse_path: str = "warehouse"
+    medallion: MedallionConfig = field(default_factory=MedallionConfig)
+    tables: TableDefaults = field(default_factory=TableDefaults)
+    extraction: ExtractionConfig = field(default_factory=ExtractionConfig)
+    transformation: TransformationConfig = field(default_factory=TransformationConfig)
+    validation: ValidationConfig = field(default_factory=ValidationConfig)
+
+    def spark_conf(self) -> dict[str, str]:
+        return {
+            "spark.sql.parquet.compression.codec": self.tables.compression,
+            "spark.sql.files.maxPartitionBytes": str(
+                min(self.tables.target_file_size_bytes, 134217728)
+            ),
+        }
+
+
+def _apply(dc, data: dict):
+    for f in fields(dc):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        cur = getattr(dc, f.name)
+        if is_dataclass(cur) and isinstance(v, dict):
+            _apply(cur, v)
+        else:
+            setattr(dc, f.name, v)
+
+
+def load_settings(path: str | None = None, env: dict | None = None) -> Settings:
+    """YAML file (optional) then AUTOMIC__SECTION__FIELD env overrides."""
+    s = Settings()
+    if path and os.path.exists(path):
+        with open(path) as f:
+            _apply(s, yaml.safe_load(f) or {})
+    environ = env if env is not None else os.environ
+    for key, raw in environ.items():
+        if not key.startswith("AUTOMIC__"):
+            continue
+        parts = key.split("__")[1:]
+        target = s
+        for p in parts[:-1]:
+            target = getattr(target, p.lower(), None)
+            if target is None:
+                break
+        if target is None:
+            continue
+        name = parts[-1].lower()
+        if hasattr(target, name):
+            cur = getattr(target, name)
+            if isinstance(cur, bool):
+                val = raw.lower() in ("1", "true", "yes")
+            elif isinstance(cur, int):
+                val = int(raw)
+            elif isinstance(cur, float):
+                val = float(raw)
+            elif isinstance(cur, list):
+                val = [x.strip() for x in raw.split(",")]
+            else:
+                val = raw
+            setattr(target, name, val)
+    return s

@@ -1,0 +1,85 @@
+"""Skew-resilient join patterns for hot keys.
+
+AQE's skew-join split (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in the session factory) handles most skew at runtime. Explicit
+salting remains necessary when one side must be an aggregation over the
+hot key (AQE cannot split a skewed aggregation) — the classic
+training-data case: millions of documents sharing one near-dup bucket or
+one source domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed keys: salt the big side with a
+    random bucket, replicate the small side across all buckets, join on
+    (key, salt). The hot key's rows spread over ``salt_buckets`` tasks
+    instead of one straggler. ``small`` is replicated ×buckets — use for
+    dimension-sized right sides only."""
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("__salt")
+    replicated_small = small.select("*", salts)
+    out = salted_big.join(replicated_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial aggregate on
+    (keys + salt), then final aggregate on keys. Only decomposable
+    aggregates (sum/count/min/max) — exactly the ones whose partial form
+    Spark already computes map-side; the salt forces the REDUCE side to
+    also split the hot key.
+
+    aggs: {out_col: (source_col, 'sum'|'count'|'min'|'max')}
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial_exprs, final_exprs = [], []
+    for out, (src, kind) in aggs.items():
+        p = f"__p_{out}"
+        if kind == "count":
+            partial_exprs.append(F.count(F.lit(1)).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif kind == "sum":
+            partial_exprs.append(F.sum(src).alias(p))
+            final_exprs.append(F.sum(p).alias(out))
+        elif kind == "min":
+            partial_exprs.append(F.min(src).alias(p))
+            final_exprs.append(F.min(p).alias(out))
+        elif kind == "max":
+            partial_exprs.append(F.max(src).alias(p))
+            final_exprs.append(F.max(p).alias(out))
+        else:
+            raise ValueError(f"non-decomposable aggregate {kind!r}")
+    partial = salted.groupBy(*keys, "__salt").agg(*partial_exprs)
+    return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def key_distribution(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Skew diagnosis: per-key row counts + share of total, descending —
+    run before choosing a strategy."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(key, "n", F.round(F.col("n") / F.col("t"), 6).alias("share"))
+        .orderBy(F.col("n").desc(), F.col(key).asc())
+        .limit(top_n)
+    )

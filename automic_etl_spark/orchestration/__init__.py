@@ -1,0 +1,5 @@
+"""Orchestration: job scheduling + Airflow DAG-spec factory."""
+
+from automic_etl_spark.orchestration.scheduler import Scheduler, Job, Schedule
+
+__all__ = ["Scheduler", "Job", "Schedule"]

@@ -1,0 +1,141 @@
+"""Job scheduler: cron/interval/once schedules driving pipeline callables.
+
+Reference (orchestration/scheduler.py:33-407): schedule types CRON /
+INTERVAL / ONCE, job registry, run history, enable/disable. The clock is
+injectable so due-time logic is fully testable without sleeping; the
+run loop itself is a thin poll.
+
+Cron support: standard 5-field expressions with */N, ranges, lists
+(minute hour dom month dow) — evaluated, not translated to a dependency.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from enum import Enum
+
+
+class ScheduleType(str, Enum):
+    CRON = "cron"
+    INTERVAL = "interval"
+    ONCE = "once"
+
+
+def _match_field(expr: str, value: int, lo: int, hi: int) -> bool:
+    for part in expr.split(","):
+        if part == "*":
+            return True
+        if part.startswith("*/"):
+            if value % int(part[2:]) == 0:
+                return True
+        elif "-" in part:
+            a, b = part.split("-")
+            if int(a) <= value <= int(b):
+                return True
+        elif part.isdigit() and int(part) == value:
+            return True
+    return False
+
+
+def cron_matches(expr: str, dt: datetime) -> bool:
+    minute, hour, dom, month, dow = expr.split()
+    return (
+        _match_field(minute, dt.minute, 0, 59)
+        and _match_field(hour, dt.hour, 0, 23)
+        and _match_field(dom, dt.day, 1, 31)
+        and _match_field(month, dt.month, 1, 12)
+        and _match_field(dow, dt.weekday(), 0, 6)
+    )
+
+
+@dataclass
+class Schedule:
+    type: ScheduleType
+    cron: str | None = None               # for CRON
+    interval_s: float | None = None       # for INTERVAL
+    at: datetime | None = None            # for ONCE
+
+    def next_due(self, last_run: datetime | None, now: datetime) -> datetime | None:
+        if self.type == ScheduleType.ONCE:
+            return None if last_run else self.at
+        if self.type == ScheduleType.INTERVAL:
+            if last_run is None:
+                return now
+            return last_run + timedelta(seconds=self.interval_s)
+        # CRON: next minute boundary ≥ now that matches, scanning ≤ 1 year
+        probe = now.replace(second=0, microsecond=0)
+        if last_run and probe <= last_run:
+            probe = last_run.replace(second=0, microsecond=0) + timedelta(minutes=1)
+        for _ in range(366 * 24 * 60):
+            if cron_matches(self.cron, probe):
+                return probe
+            probe += timedelta(minutes=1)
+        return None
+
+
+@dataclass
+class JobRun:
+    started_at: datetime
+    duration_s: float
+    status: str
+    error: str | None = None
+
+
+@dataclass
+class Job:
+    name: str
+    fn: Callable[[], object]
+    schedule: Schedule
+    enabled: bool = True
+    last_run: datetime | None = None
+    runs: list[JobRun] = field(default_factory=list)
+
+
+class Scheduler:
+    def __init__(self, clock: Callable[[], datetime] = datetime.now):
+        self.jobs: dict[str, Job] = {}
+        self.clock = clock
+
+    def add_job(self, name: str, fn: Callable[[], object], schedule: Schedule) -> Job:
+        job = Job(name, fn, schedule)
+        self.jobs[name] = job
+        return job
+
+    def enable(self, name: str, enabled: bool = True) -> None:
+        self.jobs[name].enabled = enabled
+
+    def due_jobs(self) -> list[Job]:
+        now = self.clock()
+        out = []
+        for job in self.jobs.values():
+            if not job.enabled:
+                continue
+            due = job.schedule.next_due(job.last_run, now)
+            if due is not None and due <= now:
+                out.append(job)
+        return out
+
+    def run_pending(self) -> list[JobRun]:
+        """Execute everything due; one failure never blocks other jobs."""
+        results = []
+        for job in self.due_jobs():
+            started = self.clock()
+            t0 = time.monotonic()
+            try:
+                job.fn()
+                run = JobRun(started, round(time.monotonic() - t0, 3), "success")
+            except Exception as e:  # noqa: BLE001 — job boundary
+                run = JobRun(started, round(time.monotonic() - t0, 3), "failed", str(e))
+            job.last_run = started
+            job.runs.append(run)
+            results.append(run)
+        return results
+
+    def run_loop(self, poll_s: float = 1.0, stop_after: float | None = None) -> None:
+        t0 = time.monotonic()
+        while stop_after is None or time.monotonic() - t0 < stop_after:
+            self.run_pending()
+            time.sleep(poll_s)

@@ -1,0 +1,90 @@
+"""Query service: SQL execution with result cache, history, and real
+EXPLAIN.
+
+Reference (api/routes/queries.py): per-company dict cache keyed by query
+hash (:912-925,954-959), query history (:599-613), and a STUB explain
+endpoint returning a canned plan (:1029-1044). Here: cache keyed by
+md5(sql) with TTL, history with timings, and the actual Catalyst
+formatted plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automic_etl_spark.plans.sqlgate import assert_read_only, explain_formatted
+
+
+@dataclass
+class QueryRecord:
+    sql: str
+    started_at: float
+    duration_s: float
+    n_rows: int
+    cached: bool
+    error: str | None = None
+
+
+@dataclass
+class QueryService:
+    spark: SparkSession
+    cache_ttl_s: float = 300.0
+    max_history: int = 1000
+    read_only: bool = True
+    _cache: dict[str, tuple[float, list]] = field(default_factory=dict)
+    history: list[QueryRecord] = field(default_factory=list)
+
+    def _key(self, sql: str) -> str:
+        return hashlib.md5(sql.strip().encode()).hexdigest()
+
+    def execute(self, sql: str, limit: int = 10_000) -> dict:
+        """Run SQL → {rows, columns, n_rows, duration_s, cached}. Results
+        are capped at ``limit`` rows driver-side (this is a serving
+        surface, not an export path)."""
+        key = self._key(sql)
+        t0 = time.time()
+        hit = self._cache.get(key)
+        if hit and time.time() - hit[0] < self.cache_ttl_s:
+            cols, rows = hit[1]
+            rec = QueryRecord(sql, t0, 0.0, len(rows), cached=True)
+            self._record(rec)
+            return {"columns": cols, "rows": rows, "n_rows": len(rows),
+                    "duration_s": 0.0, "cached": True}
+        try:
+            if self.read_only:
+                assert_read_only(self.spark, sql)
+            df = self.spark.sql(sql)
+            rows = [tuple(r) for r in df.limit(limit).collect()]
+            cols = df.columns
+        except Exception as e:
+            self._record(QueryRecord(sql, t0, time.time() - t0, 0, False, error=str(e)))
+            raise
+        dur = round(time.time() - t0, 3)
+        self._cache[key] = (time.time(), (cols, rows))
+        self._record(QueryRecord(sql, t0, dur, len(rows), cached=False))
+        return {"columns": cols, "rows": rows, "n_rows": len(rows),
+                "duration_s": dur, "cached": False}
+
+    def explain(self, sql: str) -> str:
+        """The real formatted physical plan (not the reference's stub)."""
+        if self.read_only:
+            assert_read_only(self.spark, sql)
+        return explain_formatted(self.spark, self.spark.sql(sql))
+
+    def invalidate(self) -> None:
+        self._cache.clear()
+
+    def _record(self, rec: QueryRecord) -> None:
+        self.history.append(rec)
+        if len(self.history) > self.max_history:
+            del self.history[: len(self.history) - self.max_history]
+
+
+def cache_dataframe(df: DataFrame) -> DataFrame:
+    """Engine-level caching for reused intermediates (distinct from the
+    result cache): Spark storage-level persist."""
+    return df.persist()

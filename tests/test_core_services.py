@@ -1,0 +1,125 @@
+"""Config, schema evolution, query service, scheduler, skew helpers, CLI."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.catalog import Warehouse
+from automic_etl_spark.core.config import Settings, load_settings
+from automic_etl_spark.operators.skew import key_distribution, salted_aggregate, salted_join
+from automic_etl_spark.orchestration import Schedule, Scheduler
+from automic_etl_spark.orchestration.scheduler import ScheduleType, cron_matches
+from automic_etl_spark.services.query_service import QueryService
+
+
+def test_settings_yaml_and_env(tmp_path):
+    y = tmp_path / "settings.yaml"
+    y.write_text(
+        "warehouse_path: /data/wh\n"
+        "extraction:\n  batch_size: 5000\n"
+        "transformation:\n  null_values: ['', 'nil']\n"
+    )
+    s = load_settings(str(y), env={"AUTOMIC__EXTRACTION__PARALLEL_WORKERS": "8"})
+    assert s.warehouse_path == "/data/wh"
+    assert s.extraction.batch_size == 5000
+    assert s.extraction.parallel_workers == 8
+    assert s.transformation.null_values == ["", "nil"]
+    # the section the reference forgot to define exists with defaults
+    assert Settings().transformation.trim_strings is True
+    assert "spark.sql.parquet.compression.codec" in Settings().spark_conf()
+
+
+def test_schema_evolution(spark, tmp_path, users_df):
+    t = Warehouse(spark, str(tmp_path / "wh")).table("silver", "u")
+    t.create_or_append(users_df)
+    t.add_column("active", "boolean", default=True)
+    assert t.read().filter("active").count() == 5
+    t.rename_column("active", "is_active")
+    assert "is_active" in t.read().columns
+    t.drop_column("is_active")
+    assert "is_active" not in t.read().columns
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("name", "string")
+    # mergeSchema-style append
+    wider = users_df.withColumn("tier", F.lit("gold"))
+    t.append_with_evolution(wider)
+    out = t.read()
+    assert out.count() == 10
+    assert out.filter(F.col("tier").isNull()).count() == 5
+
+
+def test_query_service_cache_and_history(spark):
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet").createOrReplaceTempView(
+        "qsvc_orders"
+    )
+    qs = QueryService(spark)
+    r1 = qs.execute("SELECT count(*) AS n FROM qsvc_orders")
+    r2 = qs.execute("SELECT count(*) AS n FROM qsvc_orders")
+    assert r1["rows"] == r2["rows"] and not r1["cached"] and r2["cached"]
+    assert len(qs.history) == 2
+    plan = qs.explain("SELECT o_orderkey FROM qsvc_orders WHERE o_custkey = 7")
+    assert "PushedFilters" in plan and "o_custkey" in plan
+    with pytest.raises(Exception):
+        qs.execute("DROP TABLE qsvc_orders")
+    assert qs.history[-1].error
+
+
+def test_cron_and_scheduler():
+    assert cron_matches("*/5 * * * *", datetime(2024, 1, 1, 10, 25))
+    assert not cron_matches("*/5 * * * *", datetime(2024, 1, 1, 10, 26))
+    assert cron_matches("0 9-17 * * 0-4", datetime(2024, 1, 1, 9, 0))  # Monday
+
+    now = {"t": datetime(2024, 1, 1, 10, 0)}
+    sched = Scheduler(clock=lambda: now["t"])
+    ran = []
+    sched.add_job("tick", lambda: ran.append("x"), Schedule(ScheduleType.INTERVAL, interval_s=60))
+    sched.add_job("boom", lambda: 1 / 0, Schedule(ScheduleType.INTERVAL, interval_s=60))
+    sched.add_job("once", lambda: ran.append("once"), Schedule(ScheduleType.ONCE, at=now["t"]))
+    runs = sched.run_pending()
+    assert len(runs) == 3 and ran == ["x", "once"]
+    assert any(r.status == "failed" for r in runs)  # boom isolated
+    # nothing due until the interval elapses; ONCE never re-fires
+    assert sched.run_pending() == []
+    now["t"] = datetime(2024, 1, 1, 10, 1)
+    assert len(sched.run_pending()) == 2  # tick + boom, not once
+
+
+def test_salted_join_and_aggregate(spark):
+    big = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c")], "k long, label string")
+    j = salted_join(big, small, "k", salt_buckets=8)
+    assert j.count() == 10_000
+    assert j.filter("label IS NULL").count() == 0
+
+    agg = salted_aggregate(
+        big, ["k"], {"total": ("v", "sum"), "n": ("v", "count")}, salt_buckets=8
+    )
+    plain = big.groupBy("k").agg(F.sum("v").alias("total"), F.count("v").alias("n"))
+    assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+
+    dist = key_distribution(big, "k").collect()
+    assert abs(dist[0]["share"] - 1 / 3) < 0.01
+
+
+def test_cli_parser_and_tables(spark, tmp_path, users_df, capsys, monkeypatch):
+    from automic_etl_spark import cli
+    from automic_etl_spark.medallion import Lakehouse
+
+    wh = str(tmp_path / "wh")
+    Lakehouse(spark, wh).ingest("u", users_df, source="t")
+    # reuse the test session instead of building a local[32] one
+    monkeypatch.setattr(
+        "automic_etl_spark.session.get_spark", lambda *a, **k: spark
+    )
+    assert cli.main(["--warehouse", wh, "tables"]) == 0
+    assert "bronze.u" in capsys.readouterr().out
+    assert (
+        cli.main(["--warehouse", wh, "query", "SELECT count(*) AS n FROM bronze_u", "--format", "json"])
+        == 0
+    )
+    assert '"n": 5' in capsys.readouterr().out
