@@ -1,0 +1,5 @@
+"""REST surface: framework-free handlers + optional FastAPI wiring."""
+
+from automic_etl_spark.api.handlers import ApiHandlers
+
+__all__ = ["ApiHandlers"]

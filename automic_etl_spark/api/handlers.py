@@ -1,0 +1,108 @@
+"""API handlers: the engine's REST contract as plain functions returning
+JSON-able dicts.
+
+Reference (api/routes/*.py): FastAPI routes for SQL queries, NL→SQL,
+table listing/data, EXPLAIN — but its execution layer is a mock
+returning zero rows (db/data_service.py:122-166). Here the handlers run
+the real engine; the web framework is an optional shell (`create_app`
+wires FastAPI if installed), so the contract is testable without one —
+and unlike the reference, /query and /explain return real results/plans.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from automic_etl_spark.medallion import Lakehouse
+from automic_etl_spark.llm.sql_assistant import SQLAssistant
+from automic_etl_spark.plans.sqlgate import ReadOnlyViolation
+from automic_etl_spark.services.query_service import QueryService
+
+
+class ApiHandlers:
+    def __init__(self, lakehouse: Lakehouse):
+        self.lh = lakehouse
+        self.qs = QueryService(lakehouse.spark)
+        self.assistant = SQLAssistant(lakehouse.spark)
+
+    # -- tables -------------------------------------------------------------
+
+    def list_tables(self) -> dict[str, Any]:
+        return {
+            layer: self.lh.warehouse.list_tables(layer)
+            for layer in ("bronze", "silver", "gold")
+        }
+
+    def table_data(
+        self, layer: str, table: str, limit: int = 100, filter_expr: str | None = None
+    ) -> dict[str, Any]:
+        df = self.lh.query(table, layer=layer, filter_expr=filter_expr, limit=limit)
+        rows = [r.asDict() for r in df.collect()]
+        return {"layer": layer, "table": table, "n_rows": len(rows), "rows": rows}
+
+    def table_schema(self, layer: str, table: str) -> dict[str, Any]:
+        df = self.lh.warehouse.table(layer, table).read()
+        return {"columns": [{"name": c, "type": t} for c, t in df.dtypes]}
+
+    def table_history(self, layer: str, table: str) -> dict[str, Any]:
+        return {"history": self.lh.warehouse.table(layer, table).history()}
+
+    # -- queries ------------------------------------------------------------
+
+    def query(self, sql: str, limit: int = 1000) -> dict[str, Any]:
+        self.lh.warehouse.register_views()
+        try:
+            result = self.qs.execute(sql, limit=limit)
+        except ReadOnlyViolation as e:
+            return {"error": str(e), "status": 403}
+        return {
+            "columns": result["columns"],
+            "rows": [list(r) for r in result["rows"]],
+            "n_rows": result["n_rows"],
+            "execution_time_ms": int(result["duration_s"] * 1000),
+            "cached": result["cached"],
+            "status": 200,
+        }
+
+    def natural_query(self, question: str) -> dict[str, Any]:
+        self.lh.warehouse.register_views()
+        for layer in ("bronze", "silver", "gold"):
+            for t in self.lh.warehouse.list_tables(layer):
+                name = f"{layer}_{t}"
+                if name not in self.assistant.schemas:
+                    df = self.lh.warehouse.table(layer, t).read()
+                    self.assistant.register_dataframe(name, df)
+        meta = self.assistant.natural_language_to_sql(question)
+        if not meta.get("sql"):
+            return {"error": "could not translate question", "status": 422}
+        result = self.query(meta["sql"])
+        result["sql"] = meta["sql"]
+        result["explanation"] = meta.get("explanation")
+        result["confidence"] = meta.get("confidence")
+        return result
+
+    def explain(self, sql: str) -> dict[str, Any]:
+        self.lh.warehouse.register_views()
+        try:
+            return {"plan": self.qs.explain(sql), "status": 200}
+        except ReadOnlyViolation as e:
+            return {"error": str(e), "status": 403}
+
+
+def create_app(lakehouse: Lakehouse):
+    """Optional FastAPI wiring (gated — fastapi isn't a dependency)."""
+    try:
+        from fastapi import FastAPI
+    except ImportError as e:
+        raise RuntimeError("fastapi is not installed; use ApiHandlers directly") from e
+
+    handlers = ApiHandlers(lakehouse)
+    app = FastAPI(title="automic-etl-spark")
+    app.get("/api/v1/tables")(handlers.list_tables)
+    app.get("/api/v1/tables/{layer}/{table}/data")(handlers.table_data)
+    app.get("/api/v1/tables/{layer}/{table}/schema")(handlers.table_schema)
+    app.get("/api/v1/tables/{layer}/{table}/history")(handlers.table_history)
+    app.post("/api/v1/queries/sql")(handlers.query)
+    app.post("/api/v1/queries/natural")(handlers.natural_query)
+    app.post("/api/v1/queries/explain")(handlers.explain)
+    return app

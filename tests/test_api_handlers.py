@@ -1,0 +1,63 @@
+"""API handler contract: real results where the reference's API layer
+returned mock zero-row payloads."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from automic_etl_spark.api import ApiHandlers
+from automic_etl_spark.medallion import Lakehouse
+
+
+@pytest.fixture()
+def handlers(spark, tmp_path, users_df):
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    lh.ingest("users", users_df, source="api", fixed_time=datetime(2024, 1, 1))
+    return ApiHandlers(lh)
+
+
+def test_tables_and_schema(handlers):
+    assert handlers.list_tables()["bronze"] == ["users"]
+    schema = handlers.table_schema("bronze", "users")
+    assert {"name": "name", "type": "string"} in schema["columns"]
+    hist = handlers.table_history("bronze", "users")["history"]
+    assert hist[0]["op"] == "create"
+
+
+def test_table_data_with_filter(handlers):
+    out = handlers.table_data("bronze", "users", filter_expr="age > 30")
+    assert out["n_rows"] == 3
+
+
+def test_query_real_results_and_gate(handlers):
+    ok = handlers.query("SELECT count(*) AS n FROM bronze_users")
+    assert ok["status"] == 200 and ok["rows"] == [[5]]
+    assert ok["execution_time_ms"] >= 0
+    denied = handlers.query("DROP TABLE bronze_users")
+    assert denied["status"] == 403
+
+
+def test_natural_query(handlers, spark):
+    import __spark_entry__  # noqa: F401 — ensures repo root on sys.path
+
+    from automic_etl_spark.io import load_table
+
+    handlers.lh.ingest(
+        "orders",
+        load_table(spark, "/root/testdata/sf0.001", "orders"),
+        source="api",
+        fixed_time=datetime(2024, 1, 1),
+    )
+    # the offline rules target a view named `orders`
+    handlers.lh.warehouse.table("bronze", "orders").read().createOrReplaceTempView("orders")
+    out = handlers.natural_query("show orders per status")
+    assert out["status"] == 200 and out["n_rows"] == 3
+    assert "GROUP BY" in out["sql"].upper()
+
+
+def test_explain_real_plan(handlers):
+    out = handlers.explain("SELECT name FROM bronze_users WHERE age > 30")
+    assert out["status"] == 200
+    assert "PushedFilters" in out["plan"]
