@@ -2,10 +2,12 @@
 
 Money columns are doubles carrying exact k-decimal values. Summing
 doubles directly is order-dependent (1-ulp drift between engines);
-summing DECIMAL is exact but ~3× slower in Tungsten. The fast exact
+summing DECIMAL is exact but ~3× slower in Tungsten — and decimal OUTPUT
+columns canonicalize differently across clients (pandas turns DuckDB
+decimals into float64 but Spark's into Decimal objects). The fast exact
 path: scale to integer units per row (`round(x·10^k)` — the true value
 is within 1e-9 of an integer, so both engines round identically), SUM as
-LONG (exact, associative), and convert once per group.
+LONG (exact, associative), and emit one bit-identical DOUBLE per group.
 
 Validity bound: the final long→double conversion is exact while
 |group sum| < 2^53 scaled units (≈ $90×10¹² at cents) — beyond any real
@@ -17,17 +19,21 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
-def money_sum(col: Column, scale: int = 2, out_scale: int | None = None) -> Column:
+def money_sum(col: Column, scale: int = 2) -> Column:
+    """Output is DOUBLE, not DECIMAL: both engines derive it from the
+    identical exact integer, so the float64 bits match everywhere — and
+    a double survives any downstream canonicalization (pandas/Arrow
+    convert decimals inconsistently across engines)."""
     unit = 10**scale
     s = F.sum(F.round(col * unit).cast("long"))
-    return (s.cast("double") / F.lit(unit)).cast(f"decimal(38,{out_scale or scale})")
+    return s.cast("double") / F.lit(unit)
 
 
-def money_sum_sql(expr: str, scale: int = 2, out_scale: int | None = None) -> str:
+def money_sum_sql(expr: str, scale: int = 2) -> str:
     unit = 10**scale
     return (
-        f"CAST(CAST(sum(CAST(round(({expr}) * {unit}) AS BIGINT)) AS DOUBLE)"
-        f" / {unit} AS DECIMAL(38,{out_scale or scale}))"
+        f"CAST(sum(CAST(round(({expr}) * {unit}) AS BIGINT)) AS DOUBLE)"
+        f" / {unit}"
     )
 
 

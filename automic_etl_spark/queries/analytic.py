@@ -61,10 +61,8 @@ def q_window_running_sum(spark, sf_dir):
             "running_revenue",
             # integer-cents accumulation (exact + order-independent, and
             # ~3x cheaper than a decimal window sum — see queries._money)
-            (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).cast("double")
-                / 100
-            ).cast("decimal(38,2)"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).cast("double")
+            / 100,
         )
         .select("o_custkey", "o_orderkey", "running_revenue")
         .orderBy("o_custkey", "o_orderkey")
@@ -73,9 +71,9 @@ def q_window_running_sum(spark, sf_dir):
 
 ORACLE_W_RUNNING = """
 SELECT o_custkey, o_orderkey,
-       CAST(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS running_revenue
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_revenue
 FROM orders
 ORDER BY o_custkey, o_orderkey
 """

@@ -29,6 +29,7 @@ from automic_etl_spark.extraction import (
     tag_changes,
 )
 from automic_etl_spark.operators.dedup import dedup_keep_last
+from automic_etl_spark.queries._money import money_sum, money_sum_sql
 from automic_etl_spark.services import DatasetCurator, RedactionService
 from automic_etl_spark.validation import (
     AllowedValuesRule,
@@ -77,7 +78,7 @@ def q_medallion_gold(spark, sf_dir):
             gold.select(
                 "c_mktsegment",
                 "n_customers",
-                F.col("total_bal").cast(_DEC).cast("decimal(38,2)").alias("total_bal"),
+                (F.round(F.col("total_bal") * 100).cast("long").cast("double") / 100).alias("total_bal"),
                 "max_bal",
             )
             .orderBy("c_mktsegment")
@@ -92,7 +93,7 @@ def q_medallion_gold(spark, sf_dir):
 ORACLE_MEDALLION = """
 SELECT c_mktsegment,
        count(*) AS n_customers,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_bal,
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal,
        max(c_acctbal) AS max_bal
 FROM customer
 GROUP BY c_mktsegment
@@ -214,7 +215,7 @@ def q_incremental_load(spark, sf_dir):
         )
         return combined.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total"),
+            money_sum(F.col("o_totalprice"), 2).alias("total"),
         ).orderBy("o_orderstatus")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -222,7 +223,7 @@ def q_incremental_load(spark, sf_dir):
 
 ORACLE_INCREMENTAL = """
 SELECT o_orderstatus, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -256,7 +257,7 @@ def q_cdc_apply(spark, sf_dir):
         final = apply_cdc(t, changes, ["o_orderkey"])
         out = final.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("o_totalprice").cast(_DEC)).cast("decimal(38,2)").alias("total"),
+            money_sum(F.col("o_totalprice"), 2).alias("total"),
         ).orderBy("o_orderstatus")
         return out.localCheckpoint(eager=True)
     finally:
@@ -281,7 +282,7 @@ WITH base AS (
   SELECT * FROM ups
 )
 SELECT o_orderstatus, count(*) AS n,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
 FROM final
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -442,7 +443,7 @@ def q_streaming_window(spark, sf_dir):
         .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast(_DEC)).cast("decimal(38,2)").alias("total_value"),
+            money_sum(F.col("value"), 2).alias("total_value"),
         )
     )
     qname = f"win_{abs(hash(sf_dir)) % 10**8}"
@@ -468,7 +469,7 @@ WITH e AS (
   FROM events
 )
 SELECT window_start, event_type, count(*) AS n,
-       CAST(sum(CAST(value AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_value
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
 FROM e
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
@@ -501,7 +502,7 @@ def q_csv_connector(spark, sf_dir):
             df.groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)").alias("total_bal"),
+                money_sum(F.col("c_acctbal"), 2).alias("total_bal"),
             )
             .orderBy("c_mktsegment")
         )
@@ -512,7 +513,7 @@ def q_csv_connector(spark, sf_dir):
 
 ORACLE_CSV = """
 SELECT c_mktsegment, count(*) AS n,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_bal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment

@@ -106,9 +106,9 @@ def q_pricing_summary(spark, sf_dir):
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       CAST(CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS sum_base_price,
-       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS sum_disc_price,
-       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS DECIMAL(38,6)) AS sum_charge,
+       CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS sum_disc_price,
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS sum_charge,
        avg(l_quantity) AS avg_qty,
        CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_price,
        CAST(sum(CAST(round((l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100 / count(*) AS avg_disc,
@@ -135,7 +135,7 @@ def q_global_agg(spark, sf_dir):
 
 ORACLE_GLOBAL = """
 SELECT count(*) AS n_orders,
-       CAST(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS total_revenue,
+       CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_revenue,
        CAST(min(o_orderdate) AS DATE) AS first_order,
        CAST(max(o_orderdate) AS DATE) AS last_order,
        count(DISTINCT o_custkey) AS n_customers
@@ -184,7 +184,7 @@ def q_time_bucket_agg(spark, sf_dir):
 ORACLE_TIME_BUCKET = """
 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
        count(*) AS n_orders,
-       CAST(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS revenue
+       CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
 FROM orders
 GROUP BY 1
 ORDER BY 1
@@ -259,7 +259,7 @@ def q_join_revenue_by_nation(spark, sf_dir):
 
 ORACLE_JOIN_NATION = """
 SELECT r_name, n_name,
-       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS revenue
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -357,7 +357,7 @@ ORACLE_JOIN_OUTER = """
 SELECT coalesce(c_custkey, o_custkey) AS entity_id, c_acctbal, revenue
 FROM (SELECT c_custkey, c_acctbal FROM customer) c
 FULL OUTER JOIN (
-  SELECT o_custkey, CAST(CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS revenue
+  SELECT o_custkey, CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
   FROM orders GROUP BY o_custkey
 ) o ON c_custkey = o_custkey
 ORDER BY entity_id
@@ -383,7 +383,7 @@ def q_top_orders(spark, sf_dir):
 
 ORACLE_TOP_ORDERS = """
 SELECT l_orderkey,
-       CAST(CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS revenue
+       CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
@@ -474,7 +474,7 @@ def q_upsert_state(spark, sf_dir):
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("c_acctbal").cast(_DEC)).cast("decimal(38,2)").alias("total_bal"),
+                money_sum(F.col("c_acctbal"), 2).alias("total_bal"),
             )
             .orderBy("c_mktsegment")
         )
@@ -492,7 +492,7 @@ WITH final AS (
   SELECT c_custkey + 900000, 'SYNTH', c_acctbal FROM customer WHERE c_custkey % 50 = 0
 )
 SELECT c_mktsegment, count(*) AS n,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(28,10))) AS DECIMAL(38,2)) AS total_bal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
 FROM final
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
