@@ -1,0 +1,94 @@
+"""As-of join: for each left row, the latest right row at-or-before its
+timestamp, per key.
+
+Two strategies:
+
+- ``asof_join`` (default, the scale path): UNION-MERGE. Tag both sides,
+  union, window `last_value(ignorenulls)` over (key) ordered by
+  (ts, side, tiebreak). ONE shuffle + sort-within-partitions; cost is
+  O((|L|+|R|) log) per key — linear in input. This is the form that
+  survives 100 TB.
+- ``asof_join_by_join`` (reference-shaped baseline): range join + max_by
+  reduction. Simple, but the intermediate pairing is O(|L_k|·|R_k|) per
+  key — quadratic on dense keys; kept for small/sparse sides and as the
+  differential-testing twin.
+
+Tie semantics (both forms): right rows AT the left timestamp match
+(at-or-before is inclusive); among right ties on ts, the largest
+tiebreak value wins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """Union-merge as-of join. Returns ``left`` columns + ``out_col``
+    (NULL when no right row precedes)."""
+    lcols = left.columns
+    l_tagged = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__is_right"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("__val"),
+        F.struct(*lcols).alias("__row"),
+    )
+    r_tagged = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__is_right"),
+        F.col(value_col).alias("__val"),
+        F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    # right rows sort BEFORE left rows at equal ts (inclusive at-or-before);
+    # among right ties on ts the largest __val wins (last in order).
+    w = (
+        W.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_right").desc(), F.col("__val").asc_nulls_first())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        merged.withColumn("__asof", F.last("__val", ignorenulls=True).over(w))
+        .filter(F.col("__is_right") == 0)
+        .select(*[F.col(f"__row.{c}").alias(c) for c in lcols], F.col("__asof").alias(out_col))
+    )
+    return out
+
+
+def asof_join_by_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """Range-join + max_by baseline (quadratic per key — small sides only)."""
+    lcols = left.columns
+    # prefix the right side so identical column names never collide
+    right_p = right.select(
+        F.col(right_key).alias("__r_key"),
+        F.col(right_ts).alias("__r_ts"),
+        F.col(value_col).alias("__r_val"),
+    )
+    j = left.join(
+        right_p,
+        (F.col(left_key) == F.col("__r_key")) & (F.col("__r_ts") <= F.col(left_ts)),
+        "left",
+    )
+    return j.groupBy(*[F.col(c) for c in lcols]).agg(
+        F.expr("max_by(__r_val, struct(__r_ts, __r_val))").alias(out_col)
+    )

@@ -321,19 +321,21 @@ ORDER BY user_id, session_id
 def q_asof_join(spark, sf_dir):
     """As-of join (SURVEY §2.3: absent in reference, mandated Spark-first):
     for each event, the latest order by that customer placed on or before
-    the event — max_by over a range-predicate join. At 100 TB this is the
-    bucketed-range-join pattern; at bench scale the range join + per-key
-    reduction is a single shuffle pair."""
+    the event — union-merge implementation (operators/asof.py): one
+    shuffle + window, linear in |events|+|orders| per key, vs. the
+    quadratic-per-key range-join baseline it replaces."""
+    from automic_etl_spark.operators.asof import asof_join
+
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
-    j = ev.join(
-        o,
-        (F.col("user_id") == F.col("o_custkey")) & (F.col("o_orderdate") <= F.col("ts")),
-        "left",
-    )
     return (
-        j.groupBy("event_id", "user_id")
-        .agg(F.expr("max_by(o_orderkey, struct(o_orderdate, o_orderkey))").alias("asof_orderkey"))
+        asof_join(
+            ev, o,
+            left_key="user_id", right_key="o_custkey",
+            left_ts="ts", right_ts="o_orderdate",
+            value_col="o_orderkey", out_col="asof_orderkey",
+        )
+        .select("event_id", "user_id", "asof_orderkey")
         .orderBy("event_id")
     )
 

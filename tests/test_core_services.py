@@ -123,3 +123,24 @@ def test_cli_parser_and_tables(spark, tmp_path, users_df, capsys, monkeypatch):
         == 0
     )
     assert '"n": 5' in capsys.readouterr().out
+
+
+def test_asof_union_merge_equals_join_baseline(spark):
+    from automic_etl_spark.operators.asof import asof_join, asof_join_by_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "e1"), (1, 20, "e2"), (2, 5, "e3"), (3, 99, "e4")],
+        "k long, ts long, eid string",
+    )
+    right = spark.createDataFrame(
+        # key 1: two rows, incl. a tie AT ts=20 (inclusive + largest-value
+        # tiebreak); key 2: only later rows (no match); key 3: absent.
+        [(1, 10, 100), (1, 20, 200), (1, 20, 201), (2, 50, 300)],
+        "k long, ts long, v long",
+    )
+    kw = dict(left_key="k", right_key="k", left_ts="ts", right_ts="ts", value_col="v")
+    a = asof_join(left, right, **kw).orderBy("eid").collect()
+    b = asof_join_by_join(left, right, **kw).orderBy("eid").collect()
+    got = [(r["eid"], r["asof_value"]) for r in a]
+    assert got == [("e1", 100), ("e2", 201), ("e3", None), ("e4", None)]
+    assert got == [(r["eid"], r["asof_value"]) for r in b]

@@ -1,0 +1,121 @@
+"""Scale stress: inflate the sf0.1 tables N× (key-shifted copies) into a
+temp dir, run the heavy queries at both scales, and report wall-clock
+scaling factors. A healthy distributed plan scales ~linearly (factor ≈ N
+per N× data on fixed cores, minus fixed overhead); a super-linear factor
+exposes an operator that would not survive a 100 TB deployment.
+
+Usage: python tools/scale_stress.py [N] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+KEYED = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": [],
+    "region": [],
+}
+SHIFT = 10_000_000
+
+QUERIES = [
+    "pricing_summary",
+    "join_revenue_by_nation",
+    "window_topk_per_group",
+    "dedup_keep_last",
+    "sessionize",
+    "minhash_lsh_candidates",
+    "embedding_topk",
+    "count_distinct",
+]
+
+
+def inflate(spark, n: int, out_dir: str) -> None:
+    from automic_etl_spark.io import load_table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for table, keys in KEYED.items():
+        src = load_table(spark, SRC, table)
+        if keys and n > 1:
+            copies = []
+            for i in range(n):
+                c = src
+                for k in keys:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionByName(c)
+        else:
+            out = src
+        # events ts must be written back as long (the loader re-derives
+        # the timestamp); convert timestamp -> epoch ns
+        if table == "events":
+            out = out.withColumn(
+                "ts", (F.unix_micros("ts") * 1000).cast("long")
+            )
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
+
+
+def run_suite(spark, sf_dir: str) -> dict[str, float]:
+    from automic_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    out = {}
+    for name in QUERIES:
+        t0 = time.time()
+        n = len(qs[name](spark, sf_dir).collect())
+        out[name] = round(time.time() - t0, 2)
+        print(f"  {name}: {out[name]}s ({n} rows)", flush=True)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_stress.json"
+    scaled_dir = f"/tmp/scale{n}x"
+
+    from automic_etl_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+    print(f"inflating {n}x into {scaled_dir} ...", flush=True)
+    t0 = time.time()
+    inflate(spark, n, scaled_dir)
+    print(f"inflation took {time.time()-t0:.0f}s", flush=True)
+
+    print("baseline (sf0.1):", flush=True)
+    base = run_suite(spark, SRC)
+    print(f"scaled ({n}x):", flush=True)
+    big = run_suite(spark, scaled_dir)
+
+    report = {
+        "scale_factor": n,
+        "baseline_s": base,
+        "scaled_s": big,
+        "wall_ratio": {
+            k: round(big[k] / base[k], 2) if base[k] > 0 else None for k in base
+        },
+    }
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report["wall_ratio"], indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
