@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) for operator invariants — the test
+class the reference lacks entirely (SURVEY §5 'notably absent').
+
+Each property runs one Spark job per example, so examples are capped low;
+the point is randomized structure (duplicates, ties, nulls, sign mixes),
+not volume.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators.dedup import dedup_keep_last
+from automic_etl_spark.queries._money import money_sum
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 4),                      # key (few → guaranteed dup groups)
+        st.integers(0, 3),                      # ts (ties likely)
+        st.integers(-(10**6), 10**6),           # payload / tiebreak
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_dedup_keep_last_matches_sequential_semantics(spark, rows):
+    """dedup_keep_last == 'sort by (ts, tiebreak), take last per key'
+    computed sequentially, for ANY input with duplicates and ties."""
+    df = spark.createDataFrame(rows, "k int, ts int, v long")
+    got = {
+        (r["k"], r["ts"], r["v"])
+        for r in dedup_keep_last(df, ["k"], "ts", tiebreak="v").collect()
+    }
+    best: dict[int, tuple] = {}
+    for k, ts, v in rows:
+        if k not in best or (ts, v) > (best[k][1], best[k][2]):
+            best[k] = (k, ts, v)
+    assert got == set(best.values())
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_dedup_keep_last_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ts int, v long")
+    once = dedup_keep_last(df, ["k"], "ts", tiebreak="v")
+    twice = dedup_keep_last(once, ["k"], "ts", tiebreak="v")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(
+    vals=st.lists(
+        # exact 2-decimal money values as cents
+        st.integers(-(10**9), 10**9).map(lambda c: c / 100),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_money_sum_equals_exact_decimal_sum(spark, vals):
+    """money_sum == exact Decimal arithmetic for any 2-decimal inputs
+    (incl. signs) — the order-independence/portability contract."""
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(money_sum(F.col("x"), 2).alias("s")).first()["s"]
+    want = float(sum(Decimal(str(v)) for v in vals))
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+@given(
+    changes=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C"])),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    changes2=st.lists(
+        st.tuples(st.integers(0, 5), st.sampled_from(["A", "B", "C", "D"])),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_scd2_invariants(spark, tmp_path_factory, changes, changes2):
+    """After any two loads: exactly one current row per live key; versions
+    are 1..n contiguous; validity intervals don't overlap per key."""
+    from datetime import datetime
+
+    from automic_etl_spark.medallion import Lakehouse
+
+    lh = Lakehouse(spark, str(tmp_path_factory.mktemp("scdprop")))
+    b1 = spark.createDataFrame(changes, "k int, attr string")
+    b2 = spark.createDataFrame(changes2, "k int, attr string")
+    lh.apply_scd2(b1, "d", ["k"], ["attr"], datetime(2024, 1, 1))
+    lh.apply_scd2(b2, "d", ["k"], ["attr"], datetime(2024, 1, 2))
+    rows = lh.scd._table("d").read().collect()
+
+    per_key = defaultdict(list)
+    for r in rows:
+        per_key[r["k"]].append(r)
+    for k, rs in per_key.items():
+        assert sum(1 for r in rs if r["_scd_is_current"]) == 1, f"key {k}"
+        versions = sorted(r["_scd_version"] for r in rs)
+        assert versions == list(range(1, len(rs) + 1)), f"key {k}"
+        intervals = sorted(
+            (r["_scd_effective_from"], r["_scd_effective_to"]) for r in rs
+        )
+        for (a1, a2), (b1_, _b2) in zip(intervals, intervals[1:]):
+            assert a2 <= b1_, f"overlapping intervals for key {k}"
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40), min_size=1, max_size=12
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_minhash_identical_docs_always_collide(spark, texts):
+    """Exact-duplicate documents always share full signatures ⇒ always
+    become LSH candidates (probability-1 case of the LSH guarantee)."""
+    from automic_etl_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    # duplicate every doc: ids i and i+1000 share text
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (i + 1000, t) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(df, num_hashes=12)
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sig, num_hashes=12, bands=4).collect()
+    }
+    for i, t in enumerate(texts):
+        if len(t.split()) >= 3:  # needs at least one 3-shingle to have a signature
+            assert (i, i + 1000) in cand
