@@ -4,12 +4,13 @@ wrappers over ``spark.read`` so Catalyst keeps pushdown; connectors whose
 client libraries aren't installed are import-gated and raise a clear
 error at use, not import."""
 
-from automic_etl_spark.sources.files import CSVConnector, JSONConnector, ParquetConnector
+from automic_etl_spark.sources.files import BinaryFileConnector, CSVConnector, JSONConnector, ParquetConnector
 from automic_etl_spark.sources.jdbc import JDBCConnector
 from automic_etl_spark.sources.rest import RESTConnector
 from automic_etl_spark.sources.object_store import storage_conf, storage_path
 
 __all__ = [
+    "BinaryFileConnector",
     "CSVConnector",
     "JSONConnector",
     "ParquetConnector",

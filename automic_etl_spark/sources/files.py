@@ -149,3 +149,34 @@ class ParquetConnector:
             rows += md.num_rows
             size += os.path.getsize(f)
         return {"num_files": len(files), "num_rows": rows, "total_bytes": size}
+
+
+class BinaryFileConnector:
+    """Opaque-file ingestion via Spark's binaryFile source: path, length,
+    modificationTime, content — the scan side of the reference's
+    unstructured blob rows (bronze.py:126-185) and the multimodal
+    pipeline's input format. ``pathGlobFilter`` selects extensions."""
+
+    def __init__(self, spark: SparkSession, path: str, glob: str | None = None):
+        self.spark = spark
+        self.path = path
+        self.glob = glob
+
+    def extract(self) -> DataFrame:
+        reader = self.spark.read.format("binaryFile")
+        if self.glob:
+            reader = reader.option("pathGlobFilter", self.glob)
+        return reader.load(self.path)
+
+    scan = extract
+
+    def to_blob_rows(self) -> DataFrame:
+        """Engine blob-row shape: {_content_bytes, _content_type,
+        _content_size} + source path."""
+        df = self.extract()
+        return df.select(
+            F.col("content").alias("_content_bytes"),
+            F.lit("application/octet-stream").alias("_content_type"),
+            F.col("length").alias("_content_size"),
+            F.col("path").alias("_source_file"),
+        )

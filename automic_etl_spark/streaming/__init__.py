@@ -3,6 +3,7 @@ ingestion, event-time windowed aggregation helpers."""
 
 from automic_etl_spark.streaming.kafka import KafkaSource, KafkaSink
 from automic_etl_spark.streaming.ingest import file_stream, stream_to_bronze, windowed_aggregate
+from automic_etl_spark.streaming.stateful import streaming_sessionize
 
 __all__ = [
     "KafkaSource",
@@ -10,4 +11,5 @@ __all__ = [
     "file_stream",
     "stream_to_bronze",
     "windowed_aggregate",
+    "streaming_sessionize",
 ]

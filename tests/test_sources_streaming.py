@@ -117,3 +117,54 @@ def test_scalar_functions(spark, users_df):
     assert users_df.select(safe_cast(F.lit("abc"), "int").alias("x")).first()["x"] is None
     rj = to_raw_json(users_df).first()["_raw_json"]
     assert json.loads(rj)["name"] == "Alice"
+
+
+def test_binary_file_connector(spark, tmp_path):
+    from automic_etl_spark.sources import BinaryFileConnector
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.txt").write_bytes(b"hello")
+    rows = BinaryFileConnector(spark, str(tmp_path), glob="*.bin").to_blob_rows().collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["_content_bytes"]) == b"\x00\x01payload"
+    assert rows[0]["_content_size"] == 9
+
+
+def test_streaming_sessionize_stateful(spark, tmp_path):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from automic_etl_spark.streaming import file_stream, streaming_sessionize
+
+    # two sessions for user 1 (gap > 30 min), one open session for user 2
+    base = 1_700_000_000
+    rows = [
+        (1, base), (1, base + 60), (1, base + 5000),  # gap closes session 1
+        (2, base),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, epoch long").withColumn(
+        "ts", F.timestamp_seconds("epoch")
+    ).drop("epoch").write.mode("overwrite").parquet(src)
+
+    stream = file_stream(spark, src, schema="user_id long, ts timestamp")
+    out = streaming_sessionize(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        # availableNow: drain the input then finish — processAllAvailable
+        # never settles under ProcessingTimeTimeout (timeouts keep
+        # scheduling batches).
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    closed = spark.sql("SELECT * FROM sessions_out").collect()
+    # only user 1's first session closed (2 events, 60s span)
+    assert len(closed) == 1
+    r = closed[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_end"] - r["session_start"] == 60
