@@ -42,6 +42,24 @@ from pyspark.sql import DataFrame, SparkSession
 LAYERS = ("bronze", "silver", "gold")
 
 
+def partition_transform_for(column: str) -> str | None:
+    """Column-name → time-partition granularity heuristic (reference
+    storage/iceberg/tables.py:581-619: *_date→day, *_month→month, …).
+    Returns the date_trunc granularity, or None for identity
+    partitioning. Callers derive the physical partition column with
+    F.date_trunc(granularity, col)."""
+    name = column.lower()
+    if name.endswith(("_month", "month")):
+        return "month"
+    if name.endswith(("_year", "year")):
+        return "year"
+    if name.endswith(("_hour", "hour")):
+        return "hour"
+    if name.endswith(("_date", "_day", "date", "_time", "_at", "_ts", "timestamp")):
+        return "day"
+    return None
+
+
 @dataclass
 class TableVersion:
     version: int

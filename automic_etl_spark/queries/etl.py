@@ -520,8 +520,114 @@ ORDER BY c_mktsegment
 """
 
 
+
+
+def q_feature_table(spark, sf_dir):
+    """Gold feature table (reference gold.py:115-174): outer-join silver
+    tables on the entity column, compute feature expressions. Entities =
+    customers; features from orders + customer attributes."""
+    wh = _tmp()
+    try:
+        lh = Lakehouse(spark, wh)
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("entity_id"), "c_acctbal", "c_mktsegment"
+        )
+        orders = (
+            load_table(spark, sf_dir, "orders")
+            .groupBy(F.col("o_custkey").alias("entity_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                money_sum(F.col("o_totalprice"), 2).alias("ltv"),
+            )
+        )
+        lh.ingest("cust_attrs", cust, source="t", fixed_time=T1)
+        lh.process_to_silver("cust_attrs", "cust_attrs", fixed_time=T1)
+        lh.ingest("cust_orders", orders, source="t", fixed_time=T1)
+        lh.process_to_silver("cust_orders", "cust_orders", fixed_time=T1)
+        feat = lh.gold.create_feature_table(
+            ["cust_attrs", "cust_orders"],
+            "cust_features",
+            entity_column="entity_id",
+            features={
+                "ltv": "coalesce(ltv, 0.0)",
+                "n_orders": "coalesce(n_orders, 0)",
+                "is_building": "CAST(c_mktsegment = 'BUILDING' AS INT)",
+                "bal_per_order": "round(c_acctbal / greatest(n_orders, 1), 6)",
+            },
+            fixed_time=T1,
+        )
+        out = feat.select(
+            "entity_id", "ltv", "n_orders", "is_building", "bal_per_order"
+        ).orderBy("entity_id")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_FEATURES = f"""
+WITH o AS (
+  SELECT o_custkey AS entity_id, count(*) AS n_orders,
+         {money_sum_sql("o_totalprice", 2)} AS ltv
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey AS entity_id,
+       coalesce(ltv, 0.0) AS ltv,
+       CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(c_mktsegment = 'BUILDING' AS INT) AS is_building,
+       round(c_acctbal / greatest(n_orders, 1), 6) AS bal_per_order
+FROM customer FULL OUTER JOIN o ON c_custkey = entity_id
+ORDER BY entity_id
+"""
+
+
+def q_denormalized_view(spark, sf_dir):
+    """Gold denormalized view (reference gold.py:176-223): base table +
+    folded left joins + projection, with right-side collision suffixes."""
+    wh = _tmp()
+    try:
+        from automic_etl_spark.medallion.gold import JoinDefinition
+
+        lh = Lakehouse(spark, wh)
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name", "c_nationkey", "c_mktsegment"
+        )
+        nation = load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nationkey"), "n_name"
+        )
+        for name, df in [("orders", orders), ("cust", cust), ("nation", nation)]:
+            lh.ingest(name, df, source="t", fixed_time=T1)
+            lh.process_to_silver(name, name, fixed_time=T1)
+        view = lh.gold.create_denormalized_view(
+            "orders",
+            "orders_denorm",
+            joins=[
+                JoinDefinition("cust", ["o_custkey"], "left"),
+                JoinDefinition("nation", ["c_nationkey"], "left"),
+            ],
+            select_columns=["o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "n_name"],
+            fixed_time=T1,
+        )
+        out = view.select(
+            "o_orderkey", "o_totalprice", "c_name", "c_mktsegment", "n_name"
+        ).orderBy("o_orderkey")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_DENORM = """
+SELECT o_orderkey, o_totalprice, c_name, c_mktsegment, n_name
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+ORDER BY o_orderkey
+"""
+
 QUERIES = {
     "medallion_gold": q_medallion_gold,
+    "feature_table": q_feature_table,
+    "denormalized_view": q_denormalized_view,
     "csv_connector_roundtrip": q_csv_connector,
     "scd2_history": q_scd2_history,
     "incremental_load": q_incremental_load,
@@ -534,6 +640,8 @@ QUERIES = {
 
 ORACLE = {
     "medallion_gold": ORACLE_MEDALLION,
+    "feature_table": ORACLE_FEATURES,
+    "denormalized_view": ORACLE_DENORM,
     "csv_connector_roundtrip": ORACLE_CSV,
     "scd2_history": ORACLE_SCD2,
     "incremental_load": ORACLE_INCREMENTAL,

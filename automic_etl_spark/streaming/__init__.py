@@ -4,6 +4,7 @@ ingestion, event-time windowed aggregation helpers."""
 from automic_etl_spark.streaming.kafka import KafkaSource, KafkaSink
 from automic_etl_spark.streaming.ingest import file_stream, stream_to_bronze, windowed_aggregate
 from automic_etl_spark.streaming.stateful import streaming_sessionize
+from automic_etl_spark.streaming.bridge import PullSourceBridge
 
 __all__ = [
     "KafkaSource",
@@ -12,4 +13,5 @@ __all__ = [
     "stream_to_bronze",
     "windowed_aggregate",
     "streaming_sessionize",
+    "PullSourceBridge",
 ]

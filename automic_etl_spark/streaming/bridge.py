@@ -1,0 +1,86 @@
+"""Pull-source → Structured Streaming bridge.
+
+Kinesis/PubSub (and any poll-style source without a Spark connector) fit
+one pattern: a driver-side thread pulls batches from the client SDK and
+spools them as files; a Spark file stream consumes the spool dir with
+checkpointed exactly-once-per-file semantics downstream. This module is
+that bridge, SDK-agnostic: inject any `puller() -> list[dict] | None`.
+
+Reference analog: the Kinesis GetRecords / PubSub pull loops
+(connectors/streaming/kinesis.py:171-280, pubsub.py:142-316) — there the
+loop feeds lakehouse.ingest directly; here it feeds the engine's
+streaming machinery, so windows/watermarks/state all apply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+Puller = Callable[[], list[dict] | None]
+
+
+class PullSourceBridge:
+    def __init__(
+        self,
+        spark: SparkSession,
+        puller: Puller,
+        spool_dir: str,
+        schema: str,
+        poll_interval_s: float = 1.0,
+    ):
+        self.spark = spark
+        self.puller = puller
+        self.spool_dir = spool_dir
+        self.schema = schema
+        self.poll_interval_s = poll_interval_s
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+        os.makedirs(spool_dir, exist_ok=True)
+
+    def _pump(self) -> None:
+        while not self._stop.is_set():
+            batch = self.puller()
+            if batch:
+                # atomic spool: write tmp then rename, so the file stream
+                # never reads a half-written file
+                name = f"batch-{int(time.time()*1000)}-{uuid.uuid4().hex[:6]}.json"
+                tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+                with open(tmp, "w") as f:
+                    for rec in batch:
+                        f.write(json.dumps(rec, default=str) + "\n")
+                os.replace(tmp, os.path.join(self.spool_dir, name))
+            else:
+                self._stop.wait(self.poll_interval_s)
+
+    def start(self) -> "PullSourceBridge":
+        self._thread = threading.Thread(target=self._pump, daemon=True, name="pull-bridge")
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def stream(self, **options) -> DataFrame:
+        """The Spark side: a JSON file stream over the spool dir."""
+        reader = self.spark.readStream.schema(self.schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.json(self.spool_dir)
+
+    def drain(self, max_wait_s: float = 10.0) -> None:
+        """Test/batch helper: wait until the puller reports exhaustion
+        (one empty poll after the last non-empty one)."""
+        deadline = time.time() + max_wait_s
+        while time.time() < deadline:
+            if self._stop.is_set():
+                return
+            time.sleep(0.1)

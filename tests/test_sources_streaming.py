@@ -168,3 +168,43 @@ def test_streaming_sessionize_stateful(spark, tmp_path):
     r = closed[0]
     assert r["user_id"] == 1 and r["n_events"] == 2
     assert r["session_end"] - r["session_start"] == 60
+
+
+def test_pull_source_bridge(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from automic_etl_spark.streaming.bridge import PullSourceBridge
+
+    batches = [[{"id": 1, "v": 10}, {"id": 2, "v": 20}], [{"id": 3, "v": 30}]]
+
+    def puller():
+        return batches.pop(0) if batches else None
+
+    bridge = PullSourceBridge(
+        spark, puller, str(tmp_path / "spool"), schema="id long, v long", poll_interval_s=0.1
+    ).start()
+    import time
+
+    time.sleep(2)  # let the pump spool both batches
+    bridge.stop()
+    out = bridge.stream()
+    q = (
+        out.groupBy().agg(F.sum("v").alias("total"), F.count("*").alias("n"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bridge_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(60)
+    row = spark.sql("SELECT * FROM bridge_out").first()
+    assert row["total"] == 60 and row["n"] == 3
+
+
+def test_partition_transform_heuristic():
+    from automic_etl_spark.catalog import partition_transform_for
+
+    assert partition_transform_for("_ingestion_date") == "day"
+    assert partition_transform_for("billing_month") == "month"
+    assert partition_transform_for("event_year") == "year"
+    assert partition_transform_for("updated_at") == "day"
+    assert partition_transform_for("customer_id") is None
