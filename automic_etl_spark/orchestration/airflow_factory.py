@@ -1,0 +1,124 @@
+"""Airflow DAG factory.
+
+Reference (integrations tested by tests/test_airflow_integration.py —
+its largest test file): generate Airflow DAGs whose tasks run pipeline
+stages. Airflow isn't a dependency here, so the factory produces a
+framework-neutral DagSpec (dicts + callables, fully testable), and
+`to_airflow()` converts to a real DAG when airflow is importable.
+
+The task graph mirrors the medallion flow: per-source ingest tasks →
+silver processing → gold aggregations, with validation gates between
+layers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TaskSpec:
+    task_id: str
+    fn: Callable[[], object]
+    upstream: list[str] = field(default_factory=list)
+
+
+@dataclass
+class DagSpec:
+    dag_id: str
+    schedule: str | None
+    tasks: dict[str, TaskSpec] = field(default_factory=dict)
+
+    def add_task(self, task_id: str, fn: Callable[[], object], upstream: list[str] | None = None) -> "DagSpec":
+        self.tasks[task_id] = TaskSpec(task_id, fn, list(upstream or []))
+        return self
+
+    def topological_order(self) -> list[str]:
+        order, seen, visiting = [], set(), set()
+
+        def visit(tid: str) -> None:
+            if tid in seen:
+                return
+            if tid in visiting:
+                raise ValueError(f"cycle at task {tid!r}")
+            visiting.add(tid)
+            for up in self.tasks[tid].upstream:
+                visit(up)
+            visiting.discard(tid)
+            seen.add(tid)
+            order.append(tid)
+
+        for tid in self.tasks:
+            visit(tid)
+        return order
+
+    def run_local(self) -> dict[str, str]:
+        """Execute the graph in-process, topologically; downstream tasks
+        of a failure are skipped (Airflow default trigger rule)."""
+        status: dict[str, str] = {}
+        for tid in self.topological_order():
+            task = self.tasks[tid]
+            if any(status.get(u) != "success" for u in task.upstream):
+                status[tid] = "upstream_failed"
+                continue
+            try:
+                task.fn()
+                status[tid] = "success"
+            except Exception:  # noqa: BLE001 — task boundary
+                status[tid] = "failed"
+        return status
+
+    def to_airflow(self, **dag_kwargs):
+        """Real Airflow DAG (gated import)."""
+        try:
+            from airflow import DAG
+            from airflow.operators.python import PythonOperator
+        except ImportError as e:
+            raise RuntimeError("airflow is not installed; use run_local()") from e
+        dag = DAG(dag_id=self.dag_id, schedule=self.schedule, **dag_kwargs)
+        ops = {
+            tid: PythonOperator(task_id=tid, python_callable=t.fn, dag=dag)
+            for tid, t in self.tasks.items()
+        }
+        for tid, t in self.tasks.items():
+            for up in t.upstream:
+                ops[up] >> ops[tid]
+        return dag
+
+
+def medallion_dag(
+    dag_id: str,
+    lakehouse,
+    sources: dict[str, Callable[[], object]],
+    silver_tables: dict[str, dict],
+    gold_jobs: dict[str, Callable[[], object]],
+    schedule: str | None = "0 2 * * *",
+) -> DagSpec:
+    """Standard medallion DAG: ingest_<src> → process_<silver> → <gold>.
+
+    sources: {bronze_table: fn() -> DataFrame}
+    silver_tables: {silver_table: kwargs for process_to_silver (must
+                    include 'bronze_table')}
+    gold_jobs: {task_id: fn()}
+    """
+    spec = DagSpec(dag_id, schedule)
+    for table, fetch in sources.items():
+        spec.add_task(
+            f"ingest_{table}",
+            (lambda t=table, f=fetch: lakehouse.ingest(t, f(), source="airflow")),
+        )
+    for silver, kwargs in silver_tables.items():
+        bronze_table = kwargs["bronze_table"]
+        spec.add_task(
+            f"process_{silver}",
+            (lambda s=silver, kw=dict(kwargs): lakehouse.process_to_silver(
+                kw.pop("bronze_table"), s, **kw
+            )),
+            upstream=[f"ingest_{bronze_table}"],
+        )
+    for task_id, fn in gold_jobs.items():
+        spec.add_task(
+            task_id, fn, upstream=[f"process_{s}" for s in silver_tables]
+        )
+    return spec

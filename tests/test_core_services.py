@@ -144,3 +144,47 @@ def test_asof_union_merge_equals_join_baseline(spark):
     got = [(r["eid"], r["asof_value"]) for r in a]
     assert got == [("e1", 100), ("e2", 201), ("e3", None), ("e4", None)]
     assert got == [(r["eid"], r["asof_value"]) for r in b]
+
+
+def test_airflow_dag_factory(spark, tmp_path, users_df):
+    from automic_etl_spark.medallion import Lakehouse
+    from automic_etl_spark.medallion.gold import AggregationType
+    from automic_etl_spark.orchestration.airflow_factory import DagSpec, medallion_dag
+
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    spec = medallion_dag(
+        "nightly",
+        lh,
+        sources={"users": lambda: users_df},
+        silver_tables={"users": {"bronze_table": "users", "dedup_columns": ["id"]}},
+        gold_jobs={
+            "gold_summary": lambda: lh.aggregate_to_gold(
+                "users", "summary", ["age"], {"n": ("*", AggregationType.COUNT)}
+            )
+        },
+    )
+    assert spec.topological_order() == ["ingest_users", "process_users", "gold_summary"]
+    status = spec.run_local()
+    assert status == {
+        "ingest_users": "success",
+        "process_users": "success",
+        "gold_summary": "success",
+    }
+    assert lh.gold.read("summary").count() == 5
+
+    # failure propagation: downstream of a failing task is skipped
+    bad = DagSpec("bad", None)
+    bad.add_task("a", lambda: 1 / 0)
+    bad.add_task("b", lambda: None, upstream=["a"])
+    bad.add_task("c", lambda: None)
+    st = bad.run_local()
+    assert st == {"a": "failed", "b": "upstream_failed", "c": "success"}
+
+    # cycles are rejected
+    cyc = DagSpec("cyc", None)
+    cyc.add_task("x", lambda: None, upstream=["y"])
+    cyc.add_task("y", lambda: None, upstream=["x"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        cyc.topological_order()
