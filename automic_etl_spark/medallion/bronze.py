@@ -18,7 +18,7 @@ import json
 import uuid
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from automic_etl_spark.catalog import TableManager, Warehouse
 

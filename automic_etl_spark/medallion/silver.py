@@ -22,7 +22,6 @@ logical-plan composition, the engine's primary UDF surface
 from __future__ import annotations
 
 import re
-import uuid
 from collections.abc import Callable
 from datetime import datetime
 

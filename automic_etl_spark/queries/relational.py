@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from automic_etl_spark.io import load_table
-from automic_etl_spark.queries._money import money_avg, money_avg_sql, money_sum, money_sum_sql
+from automic_etl_spark.queries._money import money_avg, money_sum
 
 # Money sums: exact decimal accumulation, order-independent.
 _DEC = "decimal(28,10)"
