@@ -1,0 +1,52 @@
+"""Bucketed tables: co-located, shuffle-free joins and aggregations.
+
+At 100 TB the dominant cost of a fact-fact join is the shuffle. Bucketing
+both tables by the join key at WRITE time (`bucketBy` + sorted) lets
+Spark's sort-merge join run with NO Exchange on either side — the join
+cost collapses to a per-bucket merge. The same applies to groupBy on the
+bucket key (no shuffle before partial aggregation... final agg is local).
+
+This is the Spark-native equivalent of the co-partitioning the reference
+cannot express at all (single-node Polars). Bucketed tables live in the
+session catalog (saveAsTable) rather than the versioned parquet
+TableManager — bucketing metadata only exists for catalog tables; use
+them for the stable, join-heavy core tables and the TableManager for
+versioned mutable state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 32,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) catalog table. Sorting
+    within buckets makes the subsequent sort-merge join skip its sort."""
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_by)
+    )
+    writer = writer.sortBy(*(sort_by or bucket_by))
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read; bucketing metadata flows into the plan automatically
+    (spark.sql.sources.bucketing.enabled, on by default)."""
+    return spark.table(table)
+
+
+def bucketed_join_plan_is_shuffle_free(spark: SparkSession, left: str, right: str, on: str) -> bool:
+    """Diagnostic: True iff joining the two bucketed tables on ``on``
+    produces a physical plan with no Exchange (shuffle) operator."""
+    df = spark.table(left).join(spark.table(right), on)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    return "Exchange" not in plan

@@ -26,6 +26,7 @@ from automic_etl_spark.operators.dedup import (
 from automic_etl_spark.operators.similarity import (
     cosine_similarity_col,
     cosine_topk,
+    knn_join,
     embedding_near_duplicates,
     lsh_bucket_ann,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "simhash",
     "cosine_similarity_col",
     "cosine_topk",
+    "knn_join",
     "embedding_near_duplicates",
     "lsh_bucket_ann",
 ]

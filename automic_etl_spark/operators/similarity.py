@@ -102,6 +102,43 @@ def lsh_bucket_ann(
     )
 
 
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_planes: int | None = None,
+) -> DataFrame:
+    """k-nearest-neighbours for EVERY vector (similarity self-join):
+    returns (id, neighbor_id, cosine, rank) rows, rank 1..k by cosine
+    desc (neighbor id tiebreak), self-pairs excluded.
+
+    ``block_planes=None`` → exact brute force: the self-join is a single
+    shuffle producing n²-n scored pairs, then a per-id top-k window —
+    correct baseline, quadratic. With ``block_planes=b`` the join is
+    restricted to sign-LSH bucket equals (approximate; candidates shrink
+    ~2^b-fold) — the corpus-scale path, where the bucket also becomes
+    the partition key."""
+    a = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    if block_planes:
+        a = a.withColumn("__bucket", sign_bucket(F.col("va"), block_planes))
+        b = b.withColumn("__bucket", sign_bucket(F.col("vb"), block_planes))
+        pairs = a.join(b, "__bucket")
+    else:
+        pairs = a.crossJoin(b)
+    pairs = pairs.filter(F.col("id") != F.col("neighbor_id"))
+    sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+    scored = pairs.select("id", "neighbor_id", F.round(sim, 6).alias("cosine"))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     emb: DataFrame,
     threshold: float = 0.9,

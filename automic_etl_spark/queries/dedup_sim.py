@@ -273,8 +273,48 @@ ORDER BY id_a, id_b
 """
 
 
+def q_knn_join(spark, sf_dir):
+    """Similarity self-join: exact 3-NN for the first 200 vectors (the
+    brute-force baseline; operators.similarity.knn_join block_planes
+    engages LSH blocking at corpus scale)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return S.knn_join(emb, k=3).orderBy("id", "rank")
+
+
+_COS_AB_KNN = """
+list_reduce(list_transform(generate_series(1, len(va)),
+                           i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)),
+            (acc, x) -> acc + x)
+/ (sqrt(list_reduce(list_transform(generate_series(1, len(va)),
+                                   i -> CAST(va[i] AS DOUBLE) * CAST(va[i] AS DOUBLE)),
+                    (acc, x) -> acc + x))
+ * sqrt(list_reduce(list_transform(generate_series(1, len(vb)),
+                                   i -> CAST(vb[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE)),
+                    (acc, x) -> acc + x)))
+"""
+
+ORACLE_KNN = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+scored AS (
+  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+         round({_COS_AB_KNN}, 6) AS cosine
+  FROM (SELECT vec_id, embedding AS va FROM e) a
+  CROSS JOIN (SELECT vec_id, embedding AS vb FROM e) b
+  WHERE a.vec_id != b.vec_id
+), ranked AS (
+  SELECT id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+ORDER BY id, rank
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
+    "knn_join": q_knn_join,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "minhash_jaccard": q_minhash_jaccard,
     "simhash_clusters": q_simhash,
@@ -285,6 +325,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact_groups": ORACLE_EXACT_GROUPS,
+    "knn_join": ORACLE_KNN,
     "minhash_lsh_candidates": ORACLE_MINHASH,
     "minhash_jaccard": ORACLE_JACCARD,
     "simhash_clusters": _simhash_oracle(16),

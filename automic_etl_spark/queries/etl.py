@@ -624,8 +624,94 @@ LEFT JOIN nation ON c_nationkey = n_nationkey
 ORDER BY o_orderkey
 """
 
+
+
+def q_compute_metrics(spark, sf_dir):
+    """gold.compute_metrics (reference gold.py:225-279): MetricDefinition
+    mix (raw expression + column/agg), dimension + time granularity."""
+    wh = _tmp()
+    try:
+        from automic_etl_spark.medallion.gold import AggregationType, MetricDefinition
+
+        lh = Lakehouse(spark, wh)
+        lh.ingest("orders", load_table(spark, sf_dir, "orders"), source="t", fixed_time=T1)
+        lh.process_to_silver("orders", "orders", fixed_time=T1)
+        out = lh.gold.compute_metrics(
+            "orders",
+            metrics=[
+                MetricDefinition("n_orders", column="o_orderkey", agg=AggregationType.COUNT),
+                MetricDefinition(
+                    "revenue",
+                    expression="CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100",
+                ),
+                MetricDefinition("max_price", column="o_totalprice", agg=AggregationType.MAX),
+            ],
+            dimensions=["o_orderstatus"],
+            time_column="o_orderdate",
+            granularity="year",
+        )
+        out = out.select(
+            "o_orderstatus",
+            F.col("_time_period").cast("date").alias("period"),
+            "n_orders",
+            "revenue",
+            "max_price",
+        ).orderBy("o_orderstatus", "period")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_METRICS = """
+SELECT o_orderstatus,
+       CAST(date_trunc('year', o_orderdate) AS DATE) AS period,
+       count(o_orderkey) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+       max(o_totalprice) AS max_price
+FROM orders
+GROUP BY o_orderstatus, period
+ORDER BY o_orderstatus, period
+"""
+
+
+def q_sql_surface(spark, sf_dir):
+    """Lakehouse.sql surface (reference lakehouse.py:296-326): registered
+    {layer}_{table} views + read-only-gated spark.sql, exercised with a
+    join + window query over warehouse tables."""
+    wh = _tmp()
+    try:
+        lh = Lakehouse(spark, wh)
+        lh.ingest("orders", load_table(spark, sf_dir, "orders"), source="t", fixed_time=T1)
+        lh.process_to_silver("orders", "orders", fixed_time=T1)
+        lh.ingest("customer", load_table(spark, sf_dir, "customer"), source="t", fixed_time=T1)
+        lh.process_to_silver("customer", "customer", fixed_time=T1)
+        out = lh.sql(
+            """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+            FROM silver_orders JOIN silver_customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+            """
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+ORACLE_SQL_SURFACE = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
 QUERIES = {
     "medallion_gold": q_medallion_gold,
+    "compute_metrics": q_compute_metrics,
+    "sql_surface": q_sql_surface,
     "feature_table": q_feature_table,
     "denormalized_view": q_denormalized_view,
     "csv_connector_roundtrip": q_csv_connector,
@@ -640,6 +726,8 @@ QUERIES = {
 
 ORACLE = {
     "medallion_gold": ORACLE_MEDALLION,
+    "compute_metrics": ORACLE_METRICS,
+    "sql_surface": ORACLE_SQL_SURFACE,
     "feature_table": ORACLE_FEATURES,
     "denormalized_view": ORACLE_DENORM,
     "csv_connector_roundtrip": ORACLE_CSV,

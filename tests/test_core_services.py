@@ -188,3 +188,32 @@ def test_airflow_dag_factory(spark, tmp_path, users_df):
 
     with _pytest.raises(ValueError, match="cycle"):
         cyc.topological_order()
+
+
+def test_bucketed_join_no_shuffle(spark, users_df, tmp_path):
+    from automic_etl_spark.bucketed import (
+        bucketed_join_plan_is_shuffle_free,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = spark.createDataFrame(
+        [(i % 5 + 1, i, 10.0 * i) for i in range(100)], "id long, order_id long, amt double"
+    )
+    # broadcast would hide the shuffle question — disable for the check
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(users_df, "b_users", ["id"], num_buckets=4)
+        write_bucketed(orders, "b_orders", ["id"], num_buckets=4)
+        assert bucketed_join_plan_is_shuffle_free(spark, "b_users", "b_orders", "id")
+        joined = read_bucketed(spark, "b_users").join(read_bucketed(spark, "b_orders"), "id")
+        assert joined.count() == 100
+        # contrast: the same join on raw (non-bucketed) frames shuffles
+        raw = users_df.join(orders, "id")
+        plan = raw._sc._jvm.PythonSQLUtils.explainString(raw._jdf.queryExecution(), "simple")
+        assert "Exchange" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_users")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
