@@ -1,0 +1,103 @@
+"""Schema building + external type mapping.
+
+Reference (storage/iceberg/schemas.py): POLARS_TO_ICEBERG mapping (:30-49),
+recursive converter (:52-97), fluent SchemaBuilder incl. add_map
+(:374-402), merge_schemas union (:409-433). Spark equivalents per
+SURVEY §1.2, with the documented deviations:
+
+- unsigned ints widen to the next signed size (the reference silently
+  widens too)
+- Time (time-of-day) has no Spark type → LongType nanos-since-midnight
+- Duration → DayTimeIntervalType
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# External-name → Spark type mapping (the Polars/Arrow names the
+# reference's converter accepts, SURVEY §1.2 table).
+EXTERNAL_TO_SPARK: dict[str, T.DataType] = {
+    "int8": T.IntegerType(),
+    "int16": T.IntegerType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "uint8": T.IntegerType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),     # widen: uint32 range exceeds int32
+    "uint64": T.LongType(),     # widen (reference does the same)
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "bool": T.BooleanType(),
+    "string": T.StringType(),
+    "utf8": T.StringType(),
+    "binary": T.BinaryType(),
+    "date": T.DateType(),
+    "time": T.LongType(),       # deviation: nanos since midnight
+    "datetime": T.TimestampType(),
+    "datetime_ntz": T.TimestampNTZType(),
+    "duration": T.DayTimeIntervalType(),
+}
+
+
+def to_spark_type(name: str) -> T.DataType:
+    """Resolve an external type name (case-insensitive; decimal(p,s),
+    list<inner>, recursive) to a Spark type. Unknown → StringType
+    (the reference's fallback policy, schemas.py:96-97)."""
+    n = name.strip().lower()
+    if n in EXTERNAL_TO_SPARK:
+        return EXTERNAL_TO_SPARK[n]
+    if n.startswith("decimal"):
+        inner = n[n.index("(") + 1 : n.rindex(")")]
+        p, s = (int(x) for x in inner.split(","))
+        if p > 38:
+            raise ValueError(f"decimal precision {p} exceeds Spark's max 38")
+        return T.DecimalType(p, s)
+    if n.startswith("list<") and n.endswith(">"):
+        return T.ArrayType(to_spark_type(n[5:-1]))
+    return T.StringType()
+
+
+class SchemaBuilder:
+    """Fluent schema builder (reference SchemaBuilder, schemas.py:300-402)."""
+
+    def __init__(self):
+        self.fields: list[T.StructField] = []
+
+    def add(self, name: str, dtype: str | T.DataType, nullable: bool = True) -> "SchemaBuilder":
+        t = to_spark_type(dtype) if isinstance(dtype, str) else dtype
+        self.fields.append(T.StructField(name, t, nullable))
+        return self
+
+    def add_list(self, name: str, inner: str | T.DataType, nullable: bool = True) -> "SchemaBuilder":
+        t = to_spark_type(inner) if isinstance(inner, str) else inner
+        return self.add(name, T.ArrayType(t), nullable)
+
+    def add_map(self, name: str, key: str | T.DataType, value: str | T.DataType, nullable: bool = True) -> "SchemaBuilder":
+        k = to_spark_type(key) if isinstance(key, str) else key
+        v = to_spark_type(value) if isinstance(value, str) else value
+        return self.add(name, T.MapType(k, v), nullable)
+
+    def add_struct(self, name: str, builder: "SchemaBuilder", nullable: bool = True) -> "SchemaBuilder":
+        return self.add(name, builder.build(), nullable)
+
+    def build(self) -> T.StructType:
+        return T.StructType(self.fields)
+
+
+def merge_schemas(a: T.StructType, b: T.StructType) -> T.StructType:
+    """Field-name union (reference merge_schemas, schemas.py:409-433):
+    fields present in both must agree on type; new fields append."""
+    by_name = {f.name: f for f in a.fields}
+    out = list(a.fields)
+    for f in b.fields:
+        if f.name in by_name:
+            if by_name[f.name].dataType != f.dataType:
+                raise ValueError(
+                    f"type conflict for {f.name!r}: "
+                    f"{by_name[f.name].dataType.simpleString()} vs {f.dataType.simpleString()}"
+                )
+        else:
+            out.append(f)
+    return T.StructType(out)

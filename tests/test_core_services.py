@@ -217,3 +217,38 @@ def test_bucketed_join_no_shuffle(spark, users_df, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_users")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_schema_builder_and_merge(spark):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+    from automic_etl_spark.core.schema import SchemaBuilder, merge_schemas, to_spark_type
+
+    schema = (
+        SchemaBuilder()
+        .add("id", "int64", nullable=False)
+        .add("price", "decimal(18,2)")
+        .add_list("tags", "string")
+        .add_map("props", "string", "float64")
+        .add_struct("nested", SchemaBuilder().add("a", "int32"))
+        .build()
+    )
+    df = spark.createDataFrame([], schema)
+    assert dict(df.dtypes)["props"] == "map<string,double>"
+    assert dict(df.dtypes)["price"] == "decimal(18,2)"
+    # widening + fallback policies
+    assert to_spark_type("uint64").simpleString() == "bigint"
+    assert to_spark_type("mystery_type").simpleString() == "string"
+    with _pytest.raises(ValueError, match="exceeds"):
+        to_spark_type("decimal(40,2)")
+
+    m = merge_schemas(
+        T.StructType([T.StructField("a", T.LongType())]),
+        T.StructType([T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]),
+    )
+    assert [f.name for f in m.fields] == ["a", "b"]
+    with _pytest.raises(ValueError, match="conflict"):
+        merge_schemas(
+            T.StructType([T.StructField("a", T.LongType())]),
+            T.StructType([T.StructField("a", T.StringType())]),
+        )
