@@ -486,6 +486,162 @@ ORDER BY o_orderkey
 """
 
 
+
+
+# --- SQL-surface extras: subquery shapes + quality score + sliding window --
+
+def q_scalar_subquery(spark, sf_dir):
+    """Scalar + correlated subqueries (the shapes LLM-generated SQL
+    produces — SURVEY §2.9; Catalyst decorrelates them): customers whose
+    total spend exceeds 2× the average customer spend."""
+    spark.sql("SET spark.sql.legacy.allowUntypedScalaUDF=false")  # no-op guard
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("q_sub_orders")
+    return spark.sql(
+        """
+        WITH spend AS (
+          SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+          FROM q_sub_orders GROUP BY o_custkey
+        )
+        SELECT o_custkey, total
+        FROM spend
+        WHERE total > 2 * (SELECT avg(total) FROM spend)
+        ORDER BY o_custkey
+        """
+    )
+
+
+ORACLE_SCALAR_SUB = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, total
+FROM spend
+WHERE total > 2 * (SELECT avg(total) FROM spend)
+ORDER BY o_custkey
+"""
+
+
+def q_exists_subquery(spark, sf_dir):
+    """EXISTS / NOT EXISTS correlated subqueries via spark.sql: parts
+    never shipped with quantity > 40."""
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q_sub_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_sub_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM q_sub_part
+        WHERE NOT EXISTS (
+          SELECT 1 FROM q_sub_lineitem
+          WHERE l_partkey = p_partkey AND l_quantity > 40
+        )
+        ORDER BY p_partkey
+        """
+    )
+
+
+ORACLE_EXISTS_SUB = """
+SELECT p_partkey, p_name
+FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40
+)
+ORDER BY p_partkey
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """The reference's 40/20/20/20 composite quality score
+    (validation/quality.py:309-339) computed engine-side in two
+    aggregate jobs — over a frame with injected nulls so every component
+    is non-trivial."""
+    c = _t(spark, sf_dir, "customer")
+    dirty = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        (F.col("c_custkey") % 100).alias("dup_key"),
+    )
+    n_cols = 4
+    agg = dirty.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("name").isNull(), 1).otherwise(0)).alias("null_name"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0)).alias("null_bal"),
+        F.countDistinct("dup_key").alias("distinct_keys"),
+    )
+    return agg.select(
+        F.round(1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols), 6).alias(
+            "completeness"
+        ),
+        F.round(F.col("distinct_keys") / F.col("n"), 6).alias("uniqueness"),
+        F.lit(1.0).alias("validity"),
+        F.lit(1.0).alias("consistency"),
+        F.round(
+            0.4 * (1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols))
+            + 0.2 * (F.col("distinct_keys") / F.col("n"))
+            + 0.2 * 1.0
+            + 0.2 * 1.0,
+            6,
+        ).alias("quality_score"),
+    )
+
+
+ORACLE_QUALITY = """
+WITH dirty AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal,
+         c_custkey % 100 AS dup_key
+  FROM customer
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS null_name,
+         sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS null_bal,
+         count(DISTINCT dup_key) AS distinct_keys
+  FROM dirty
+)
+SELECT round(1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE), 6) AS completeness,
+       round(distinct_keys / CAST(n AS DOUBLE), 6) AS uniqueness,
+       1.0 AS validity,
+       1.0 AS consistency,
+       round(0.4 * (1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE))
+           + 0.2 * (distinct_keys / CAST(n AS DOUBLE))
+           + 0.2 * 1.0 + 0.2 * 1.0, 6) AS quality_score
+FROM agg
+"""
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (10-minute window, 5-minute slide):
+    each event lands in 2 windows. Batch form of the streaming
+    sliding-window aggregation (F.window with slideDuration)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+        .orderBy("window_start")
+    )
+
+
+ORACLE_SLIDING = """
+WITH e AS (
+  SELECT epoch_us(ts) // 1000000 AS sec FROM events
+), expanded AS (
+  -- each event belongs to the two 10-min windows whose starts are the
+  -- two 5-min slide boundaries at or before it
+  SELECT make_timestamp(((sec // 300) * 300) * 1000000) AS window_start FROM e
+  UNION ALL
+  SELECT make_timestamp(((sec // 300) - 1) * 300 * 1000000) FROM e
+)
+SELECT window_start, count(*) AS n
+FROM expanded
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
 QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_sum": q_window_running_sum,
@@ -503,6 +659,10 @@ QUERIES = {
     "json_extract": q_json_extract,
     "regex_extract": q_regex_extract,
     "date_functions": q_date_functions,
+    "scalar_subquery": q_scalar_subquery,
+    "exists_subquery": q_exists_subquery,
+    "quality_score_formula": q_quality_score,
+    "sliding_window": q_sliding_window,
 }
 
 ORACLE = {
@@ -522,4 +682,8 @@ ORACLE = {
     "json_extract": ORACLE_JSON,
     "regex_extract": ORACLE_REGEX,
     "date_functions": ORACLE_DATE,
+    "scalar_subquery": ORACLE_SCALAR_SUB,
+    "exists_subquery": ORACLE_EXISTS_SUB,
+    "quality_score_formula": ORACLE_QUALITY,
+    "sliding_window": ORACLE_SLIDING,
 }
