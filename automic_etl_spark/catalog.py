@@ -265,6 +265,24 @@ class TableManager:
         cur = self.read().coalesce(target_partitions)
         return self.overwrite(cur)
 
+    def optimize_zorder(self, columns: list[str], target_partitions: int = 8) -> int:
+        """OPTIMIZE ZORDER-style clustering (reference Delta z_order,
+        storage/delta.py:370-431): range-partition on the leading column
+        and sort within files by all cluster columns. Each output file
+        then covers a narrow min/max range → parquet row-group and file
+        skipping prune most data for predicates on those columns.
+        (True multi-column Z-interleaving needs a bit-interleave expr;
+        range+sort gives the same skipping for the leading column and
+        good locality for the rest — the Delta OPTIMIZE contract.)"""
+        from pyspark.sql import functions as F
+
+        cur = (
+            self.read()
+            .repartitionByRange(target_partitions, *[F.col(c) for c in columns])
+            .sortWithinPartitions(*columns)
+        )
+        return self.overwrite(cur)
+
     def vacuum(self) -> int:
         """Drop data dirs unreferenced by the current version, and prune
         the manifests of versions that are no longer reconstructible —

@@ -80,3 +80,36 @@ def test_partitioned_write(wh, users_df):
     assert t.read().count() == 5
     # partition column survives the round trip
     assert "bucket" in t.read().columns
+
+
+def test_optimize_zorder_clusters_files(wh, spark):
+    import pyarrow.parquet as pq
+
+    from automic_etl_spark.io import load_table
+
+    t = wh.table("silver", "orders_z")
+    t.create_or_append(load_table(spark, "/root/testdata/sf0.001", "orders"))
+    t.optimize_zorder(["o_custkey"], target_partitions=4)
+
+    # every data file must cover a narrow, near-disjoint o_custkey range
+    cur = t._versions()[-1]
+    ranges = []
+    for d in cur.dirs:
+        import glob
+        import os
+
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index("o_custkey")
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2
+    ranges.sort()
+    overlaps = sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if c < b)
+    assert overlaps == 0, f"file ranges overlap: {ranges}"
+    # data intact
+    assert t.read().count() == 1500
