@@ -642,6 +642,62 @@ ORDER BY window_start
 """
 
 
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Funnel analysis (beyond-reference event analytics): per-user
+    signup → purchase conversion, with time-to-convert buckets. Two
+    filtered aggregates + one join on user — no window needed."""
+    ev = _t(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    # range predicate lives in the JOIN condition: a user whose only
+    # purchases precede signup must survive as unconverted (a post-join
+    # filter would silently drop them)
+    first_purchase = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("signup_ts")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return first_purchase.agg(
+        F.count(F.lit(1)).alias("n_signup_users"),
+        F.sum(F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)).alias("n_converted"),
+        F.sum(
+            F.when(
+                F.col("purchase_ts")
+                <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS"),
+                1,
+            ).otherwise(0)
+        ).alias("n_converted_24h"),
+    )
+
+
+ORACLE_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), fp AS (
+  SELECT s.user_id, s.signup_ts, min(p.ts) AS purchase_ts
+  FROM s LEFT JOIN events p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
+  GROUP BY s.user_id, s.signup_ts
+)
+SELECT count(*) AS n_signup_users,
+       sum(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
+       sum(CASE WHEN purchase_ts <= signup_ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS n_converted_24h
+FROM fp
+"""
+
+
 QUERIES = {
     "window_topk_per_group": q_window_topk_per_group,
     "window_running_sum": q_window_running_sum,
@@ -663,6 +719,7 @@ QUERIES = {
     "exists_subquery": q_exists_subquery,
     "quality_score_formula": q_quality_score,
     "sliding_window": q_sliding_window,
+    "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLE = {
@@ -686,4 +743,5 @@ ORACLE = {
     "exists_subquery": ORACLE_EXISTS_SUB,
     "quality_score_formula": ORACLE_QUALITY,
     "sliding_window": ORACLE_SLIDING,
+    "funnel_conversion": ORACLE_FUNNEL,
 }

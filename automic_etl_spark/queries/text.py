@@ -153,8 +153,99 @@ ORDER BY doc_id
 """
 
 
+
+
+def q_bigram_topk(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams — the n-gram statistics pass of a
+    training-data pipeline (vocabulary/contamination analysis). One
+    explode of pre-materialized 2-shingles + one groupBy."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
+    from automic_etl_spark.operators.textops import shingles_of_tokens, tokenize
+
+    d = load_table(spark, sf_dir, "documents")
+    bigrams = (
+        ensure_parallelism(d.select("doc_id", "text"))
+        .select(tokenize(F.col("text")).alias("__toks"))
+        .select(F.explode(shingles_of_tokens(F.col("__toks"), 2)).alias("bigram"))
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+ORACLE_BIGRAMS = """
+WITH w AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), b AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM w
+)
+SELECT bigram, count(*) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+def q_source_quality_rollup(spark, sf_dir):
+    """Per-source corpus statistics (the curation dashboard query): doc
+    counts, mean quality score, token totals by source."""
+    from automic_etl_spark.operators.textops import text_quality
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = text_quality(d, "text")
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            # integer micro-unit accumulation: per-row scores are exact
+            # 6-decimal values, so the LONG sum (and thus the mean) is
+            # order-independent and engine-exact
+            (
+                F.sum(F.round(F.col("quality_score") * 1000000).cast("long")).cast("double")
+                / 1000000
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SOURCE_ROLLUP = f"""
+WITH tok AS (
+  SELECT source, text, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), c AS (
+  SELECT source,
+         CAST(len(w) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(list_filter(w, t -> t IN ({_STOP_SQL}))) AS INT) AS n_stop,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS n_punct
+  FROM tok
+), scored AS (
+  SELECT source, n_tokens,
+         round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1 - CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+             + 0.3 * (1 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END), 6) AS quality_score
+  FROM c
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(round(quality_score * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 / count(*) AS mean_quality
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "bigram_topk": q_bigram_topk,
+    "source_quality_rollup": q_source_quality_rollup,
     "text_quality": q_text_quality,
     "language_id": q_language_id,
     "text_fingerprint": q_fingerprint,
@@ -163,6 +254,8 @@ QUERIES = {
 
 ORACLE = {
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "bigram_topk": ORACLE_BIGRAMS,
+    "source_quality_rollup": ORACLE_SOURCE_ROLLUP,
     "text_quality": ORACLE_TEXT_QUALITY,
     "language_id": _lang_oracle(),
     "text_fingerprint": ORACLE_FINGERPRINT,
