@@ -623,6 +623,44 @@ def q_sample_split_seed(spark, sf_dir):
     )
 
 
+
+
+def q_unpivot_long(spark, sf_dir):
+    """Unpivot / melt via stack() (SURVEY guide 'pivot/unpivot'):
+    lineitem measure columns to long format, aggregated per measure."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_orderkey",
+        "stack(3, 'quantity', l_quantity, 'price', l_extendedprice, 'discount', l_discount) AS (measure, value)",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 10000).cast("long")).cast("double") / 10000
+            ).alias("total"),
+        )
+        .orderBy("measure")
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH long AS (
+  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT 'discount', l_discount FROM lineitem
+)
+SELECT measure, count(*) AS n,
+       CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS total
+FROM long
+GROUP BY measure
+ORDER BY measure
+"""
+
+
 QUERIES = {
     "scan_project_filter": q_scan_project_filter,
     "derived_column": q_derived_column,
@@ -646,6 +684,7 @@ QUERIES = {
     "range_join": q_range_join,
     "offset_paging": q_offset_paging,
     "sample_split_seed": q_sample_split_seed,
+    "unpivot_long": q_unpivot_long,
 }
 
 ORACLE = {
@@ -670,4 +709,5 @@ ORACLE = {
     "collect_agg": ORACLE_COLLECT,
     "range_join": ORACLE_RANGE_JOIN,
     "offset_paging": ORACLE_OFFSET,
+    "unpivot_long": ORACLE_UNPIVOT,
 }
