@@ -1,0 +1,77 @@
+"""Plan audit: verify that headline queries produce the physical plans
+the engine is designed for — filters pushed into parquet scans, tight
+column pruning, broadcast joins for dimensions, no stray cartesian
+products. Backs the claims in PERFORMANCE.md; exits non-zero if a
+structural expectation regresses.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query, expectations): substrings that MUST appear / MUST NOT appear
+EXPECTATIONS: dict[str, dict[str, list[str]]] = {
+    "pricing_summary": {
+        "must": ["PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"],
+        "must_not": ["CartesianProduct"],
+    },
+    "join_revenue_by_nation": {
+        "must": ["BroadcastHashJoin"],
+        "must_not": ["CartesianProduct"],
+    },
+    "top_orders": {
+        "must": ["EqualTo(c_mktsegment,BUILDING)"],
+        "must_not": ["CartesianProduct"],
+    },
+    "embedding_topk": {
+        "must": ["EqualTo(vec_id,0)", "TakeOrderedAndProject"],
+        "must_not": [],
+    },
+    "scan_project_filter": {
+        # projection pruning: the scan must read only the 4 selected cols
+        "must": ["ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"],
+        "must_not": [],
+    },
+    "minhash_lsh_candidates": {
+        "must": [],
+        "must_not": ["CartesianProduct"],
+    },
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from automic_etl_spark.session import get_spark
+    from automic_etl_spark.queries import all_queries
+    from automic_etl_spark.plans.sqlgate import explain_formatted
+
+    spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
+    qs = all_queries()
+    failures = []
+    for name, exp in EXPECTATIONS.items():
+        df = qs[name](spark, sf_dir)
+        plan = explain_formatted(spark, df)
+        plan_flat = re.sub(r"\s+", " ", plan)
+        for frag in exp["must"]:
+            if re.sub(r"\s+", " ", frag) not in plan_flat:
+                failures.append(f"{name}: missing expected plan fragment {frag!r}")
+        for frag in exp["must_not"]:
+            if frag in plan_flat:
+                failures.append(f"{name}: forbidden plan fragment {frag!r} present")
+        print(f"{'FAIL' if any(f.startswith(name) for f in failures) else 'PASS'} {name}")
+    spark.stop()
+    if failures:
+        print("\n".join(failures))
+        sys.exit(1)
+    print("plan audit clean")
+
+
+if __name__ == "__main__":
+    main()
