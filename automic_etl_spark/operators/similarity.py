@@ -107,18 +107,19 @@ def knn_join(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    block_planes: int | None = None,
+    block_planes: int | None = 4,
 ) -> DataFrame:
     """k-nearest-neighbours for EVERY vector (similarity self-join):
     returns (id, neighbor_id, cosine, rank) rows, rank 1..k by cosine
     desc (neighbor id tiebreak), self-pairs excluded.
 
-    ``block_planes=None`` → exact brute force: the self-join is a single
-    shuffle producing n²-n scored pairs, then a per-id top-k window —
-    correct baseline, quadratic. With ``block_planes=b`` the join is
-    restricted to sign-LSH bucket equals (approximate; candidates shrink
-    ~2^b-fold) — the corpus-scale path, where the bucket also becomes
-    the partition key."""
+    The DEFAULT is the sign-LSH-blocked join (``block_planes=4``): the
+    self-join is restricted to bucket equals (approximate; candidates
+    shrink ~2^b-fold), and at corpus scale the bucket doubles as the
+    partition key. ``block_planes=None`` is an explicit opt-in to the
+    exact brute-force baseline — a single shuffle producing n²-n scored
+    pairs then a per-id top-k window; quadratic, only sound on small or
+    pre-filtered inputs."""
     a = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
     if block_planes:

@@ -23,16 +23,26 @@ from automic_etl_spark.queries.text import QUERIES as _TXT, ORACLE as _TXT_SQL
 from automic_etl_spark.queries.dedup_sim import QUERIES as _DED, ORACLE as _DED_SQL
 from automic_etl_spark.queries.etl import QUERIES as _ETL, ORACLE as _ETL_SQL
 
+# Registry order: the driver's correctness gate reads entries in
+# declaration order (observed cap: 50 rows), so the irreplaceable
+# families come first — dedup/similarity and the ETL macro-operators have
+# no other hard-signal coverage, while the relational micro-operators are
+# also exercised transitively by everything above them. Round 2
+# consolidated the registry to ≤50 entries (composed gate queries — see
+# each module's registry note) so EVERY declared query gets a driver row.
+_FAMILIES = (_DED, _ETL, _TXT, _ANA, _REL)
+_FAMILIES_SQL = (_DED_SQL, _ETL_SQL, _TXT_SQL, _ANA_SQL, _REL_SQL)
+
 
 def all_queries():
     out = {}
-    for d in (_REL, _ANA, _TXT, _DED, _ETL):
+    for d in _FAMILIES:
         out.update(d)
     return out
 
 
 def all_oracles():
     out = {}
-    for d in (_REL_SQL, _ANA_SQL, _TXT_SQL, _DED_SQL, _ETL_SQL):
+    for d in _FAMILIES_SQL:
         out.update(d)
     return out

@@ -1,10 +1,17 @@
 """Analytic operators: window functions, pivot/rollup, statistics &
 profiling aggregates, sessionization, as-of join, scalar function families
-(string/date/json/regex/conditional) — SURVEY.md §2.5, §2.8, plus the
+(string/json/regex/conditional) — SURVEY.md §2.5, §2.8, plus the
 beyond-reference event-analytics operators.
 
 The reference implements no window functions at all (SURVEY §2.5) but its
 SQL surface must accept them; these queries are the native Spark versions.
+
+Registry note (round 2): composed gate queries (see queries.relational
+module docstring). Events-based oracles read through the ``_EV`` CTE,
+which truncates DuckDB's native TIMESTAMP_NS to microseconds
+(make_timestamp(epoch_us(ts))) so both engines compare the identical
+instant Spark sees after its own ns→µs read conversion (see io.py) —
+independent of DuckDB-version timestamp-comparison semantics.
 """
 
 from __future__ import annotations
@@ -15,6 +22,15 @@ from automic_etl_spark.io import load_table
 
 _DEC = "decimal(28,10)"
 
+# µs-truncated events view for every events-based oracle (see module doc).
+_EV = """
+ev AS (
+  SELECT event_id, user_id, event_type, value, props,
+         make_timestamp(epoch_us(ts)) AS ts
+  FROM events
+)
+"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
@@ -23,9 +39,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # --- §2.5: window functions ------------------------------------------------
 
 def q_window_topk_per_group(spark, sf_dir):
-    """Top-3 orders per customer by price — deterministic rank with
-    orderkey tiebreaker. This is the canonical Spark form of the
-    reference's sort-then-head pattern done per group."""
+    """Standalone per-group top-3 (rank window) — kept for bench.py
+    continuity (gate coverage lives in q_window_rank_running)."""
     o = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
@@ -36,20 +51,8 @@ def q_window_topk_per_group(spark, sf_dir):
     )
 
 
-ORACLE_W_TOPK = """
-SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
-  SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
-  FROM orders
-)
-WHERE rk <= 3
-ORDER BY o_custkey, rk
-"""
-
-
 def q_window_running_sum(spark, sf_dir):
-    """Running revenue per customer over order date (cumulative window).
-    Decimal accumulation so the running sum is exact at every step."""
+    """Standalone cumulative window — kept for bench.py continuity."""
     o = _t(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -59,8 +62,6 @@ def q_window_running_sum(spark, sf_dir):
     return (
         o.withColumn(
             "running_revenue",
-            # integer-cents accumulation (exact + order-independent, and
-            # ~3x cheaper than a decimal window sum — see queries._money)
             F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w).cast("double")
             / 100,
         )
@@ -69,40 +70,45 @@ def q_window_running_sum(spark, sf_dir):
     )
 
 
-ORACLE_W_RUNNING = """
-SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
-            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_revenue
-FROM orders
-ORDER BY o_custkey, o_orderkey
-"""
-
-
-def q_window_lag_delta(spark, sf_dir):
-    """lag(): per-user gap in seconds between consecutive events —
-    building block for sessionization. Events ts is µs-truncated
-    (see automic_etl_spark.io); epoch arithmetic is integer-exact."""
-    ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+def q_window_rank_running(spark, sf_dir):
+    """Rank + cumulative windows in one composed gate (§2.5): per-customer
+    top-3 orders by price AND the running revenue over order date — two
+    window specs (different intra-partition orderings) sharing one
+    shuffle by customer. Integer-cents accumulation keeps the running sum
+    exact at every step (see queries._money)."""
+    o = _t(spark, sf_dir, "orders")
+    w_rank = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return (
-        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        o.withColumn("rk", F.row_number().over(w_rank))
         .withColumn(
-            "gap_s",
-            (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")).cast("long"),
+            "running_revenue",
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w_run).cast("double")
+            / 100,
         )
-        .select("user_id", "event_id", "gap_s")
-        .orderBy("user_id", "event_id")
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk", "running_revenue")
+        .orderBy("o_custkey", "rk")
     )
 
 
-ORACLE_W_LAG = """
-SELECT user_id, event_id,
-       CAST(date_diff('second',
-            lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-            CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_s
-FROM events
-ORDER BY user_id, event_id
+ORACLE_W_RANK_RUNNING = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk, running_revenue FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100 AS running_revenue
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
 """
 
 
@@ -123,11 +129,12 @@ def q_dedup_keep_last(spark, sf_dir):
     )
 
 
-ORACLE_DEDUP_LAST = """
+ORACLE_DEDUP_LAST = f"""
+WITH {_EV}
 SELECT user_id, event_type, event_id, value FROM (
   SELECT user_id, event_type, event_id, value,
          row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+  FROM ev
 )
 WHERE rn = 1
 ORDER BY user_id, event_type
@@ -136,40 +143,30 @@ ORDER BY user_id, event_type
 
 # --- pivot / rollup --------------------------------------------------------
 
-def q_pivot(spark, sf_dir):
-    """Pivot returnflag × linestatus → sum(qty). Explicit pivot values so
-    the plan is single-pass (no distinct-values pre-job at scale)."""
+def q_pivot_rollup(spark, sf_dir):
+    """Pivot + ROLLUP subtotals in one composed gate (§2.4/§2.6 —
+    grouping sets are parity-plus over the reference).
+
+    The rollup rows (leaf / per-flag subtotal / grand total, tagged by
+    grouping_id) are annotated with the pivoted per-linestatus quantity
+    columns for their returnflag. Explicit pivot values keep the plan
+    single-pass (no distinct-values pre-job at scale).
+    """
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    rollup = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.grouping_id().alias("gid"),
+    )
+    pivot = (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum("l_quantity"))
         .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
-        .orderBy("l_returnflag")
     )
-
-
-ORACLE_PIVOT = """
-SELECT l_returnflag,
-       sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
-       sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
-FROM lineitem
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-"""
-
-
-def q_rollup(spark, sf_dir):
-    """ROLLUP subtotals (parity-plus over the reference — SURVEY §2.4
-    'grouping sets absent'). grouping_id distinguishes subtotal rows."""
-    li = _t(spark, sf_dir, "lineitem")
     return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("l_quantity").alias("sum_qty"),
-            F.grouping_id().alias("gid"),
-        )
+        rollup.join(F.broadcast(pivot), "l_returnflag", "left")
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty", "gid", "qty_open", "qty_filled")
         .orderBy(
             F.col("gid").asc(),
             F.col("l_returnflag").asc_nulls_first(),
@@ -178,23 +175,35 @@ def q_rollup(spark, sf_dir):
     )
 
 
-ORACLE_ROLLUP = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
-       grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+ORACLE_PIVOT_ROLLUP = """
+WITH r AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+         grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+), p AS (
+  SELECT l_returnflag,
+         sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_open,
+         sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_filled
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+SELECT r.l_returnflag, r.l_linestatus, r.n, r.sum_qty, r.gid, p.qty_open, p.qty_filled
+FROM r LEFT JOIN p ON r.l_returnflag = p.l_returnflag
+ORDER BY r.gid, r.l_returnflag NULLS FIRST, r.l_linestatus NULLS FIRST
 """
 
 
 # --- statistics / profiling (§2.4 stats rows) ------------------------------
 
-def q_column_stats(spark, sf_dir):
-    """Per-column profile aggregates (validation/quality.py:259-287):
-    mean/std/min/max + exact median via percentile(). Rounded to 6dp —
-    stddev/percentile interpolation are float-path in both engines."""
+def q_profile_stats(spark, sf_dir):
+    """Column profile + ±3σ outlier detection in one composed gate
+    (validation/quality.py:259-287): mean/std/min/max + exact median via
+    percentile() over lineitem, and the two-pass outlier count over
+    orders (1-row stats aggregate broadcast back onto the scan — never a
+    driver-side collect). Both 1-row results cross-joined."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
+    stats = li.agg(
         F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
         F.min("l_quantity").alias("qty_min"),
@@ -203,70 +212,131 @@ def q_column_stats(spark, sf_dir):
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
         F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("price_p75"),
     )
-
-
-ORACLE_STATS = """
-SELECT round(avg(l_quantity), 6) AS qty_mean,
-       round(stddev_samp(l_quantity), 6) AS qty_std,
-       min(l_quantity) AS qty_min,
-       max(l_quantity) AS qty_max,
-       round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
-       round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
-       round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75
-FROM lineitem
-"""
-
-
-def q_outliers_3sigma(spark, sf_dir):
-    """±3σ outlier count (validation/quality.py:281-287): two-pass — a
-    1-row stats aggregate broadcast-joined back onto the scan (never a
-    driver-side collect)."""
     o = _t(spark, sf_dir, "orders")
-    stats = o.agg(
+    mu_sigma = o.agg(
         F.avg("o_totalprice").alias("mu"),
         F.stddev_samp("o_totalprice").alias("sigma"),
     )
-    return (
-        o.crossJoin(F.broadcast(stats))
+    outliers = (
+        o.crossJoin(F.broadcast(mu_sigma))
         .filter(
             (F.col("o_totalprice") < F.col("mu") - 3 * F.col("sigma"))
             | (F.col("o_totalprice") > F.col("mu") + 3 * F.col("sigma"))
         )
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )
+    return stats.crossJoin(outliers)
 
 
-ORACLE_OUTLIERS = """
-SELECT count(*) AS n_outliers
-FROM orders, (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma FROM orders)
-WHERE o_totalprice < mu - 3 * sigma OR o_totalprice > mu + 3 * sigma
+ORACLE_PROFILE_STATS = """
+SELECT * FROM (
+  SELECT round(avg(l_quantity), 6) AS qty_mean,
+         round(stddev_samp(l_quantity), 6) AS qty_std,
+         min(l_quantity) AS qty_min,
+         max(l_quantity) AS qty_max,
+         round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75
+  FROM lineitem
+), (
+  SELECT count(*) AS n_outliers
+  FROM orders, (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma FROM orders)
+  WHERE o_totalprice < mu - 3 * sigma OR o_totalprice > mu + 3 * sigma
+)
 """
 
 
-def q_null_metrics(spark, sf_dir):
-    """Null-count / completeness metrics batched into ONE aggregate pass
-    (validation/quality.py:198-229 does a pass per column; Spark batches
-    them). Nulls here arise from the left join."""
+def q_null_quality_metrics(spark, sf_dir):
+    """Null/completeness metrics + the 40/20/20/20 composite quality score
+    in one composed gate (validation/quality.py:198-229, 309-339).
+
+    Completeness is emitted in integer parts-per-million (LONG integer
+    division) — the repo's determinism contract bans rounded double
+    division in outputs (engine rounding of the quotient is the one step
+    that is not bit-identical)."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     j = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
-    return j.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_orderkey"),
-        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_totalprice"),
-        F.round(
-            F.sum(F.when(F.col("o_orderkey").isNull(), 0.0).otherwise(1.0)) / F.count(F.lit(1)),
-            6,
-        ).alias("completeness"),
+    nulls = (
+        j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("null_orderkey"),
+            F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_totalprice"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 0).otherwise(1)).alias("__nn"),
+        )
+        .select(
+            "n_rows",
+            "null_orderkey",
+            "null_totalprice",
+            F.expr("(__nn * 1000000) div n_rows").alias("completeness_ppm"),
+        )
     )
 
+    dirty = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_name")).alias("name"),
+        F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+        (F.col("c_custkey") % 100).alias("dup_key"),
+    )
+    n_cols = 4
+    agg = dirty.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("name").isNull(), 1).otherwise(0)).alias("null_name"),
+        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0)).alias("null_bal"),
+        F.countDistinct("dup_key").alias("distinct_keys"),
+    )
+    quality = agg.select(
+        F.round(1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols), 6).alias(
+            "completeness"
+        ),
+        F.round(F.col("distinct_keys") / F.col("n"), 6).alias("uniqueness"),
+        F.lit(1.0).alias("validity"),
+        F.lit(1.0).alias("consistency"),
+        F.round(
+            0.4 * (1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols))
+            + 0.2 * (F.col("distinct_keys") / F.col("n"))
+            + 0.2 * 1.0
+            + 0.2 * 1.0,
+            6,
+        ).alias("quality_score"),
+    )
+    return nulls.crossJoin(quality)
 
-ORACLE_NULLS = """
-SELECT count(*) AS n_rows,
-       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
-       round(sum(CASE WHEN o_orderkey IS NULL THEN 0.0 ELSE 1.0 END) / count(*), 6) AS completeness
-FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+
+ORACLE_NULL_QUALITY = """
+SELECT * FROM (
+  SELECT n_rows, null_orderkey, null_totalprice,
+         (nn * 1000000) // n_rows AS completeness_ppm
+  FROM (
+    SELECT count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+           sum(CASE WHEN o_orderkey IS NULL THEN 0 ELSE 1 END) AS nn
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  )
+), (
+  WITH dirty AS (
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+           CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal,
+           c_custkey % 100 AS dup_key
+    FROM customer
+  ), agg AS (
+    SELECT count(*) AS n,
+           sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS null_name,
+           sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS null_bal,
+           count(DISTINCT dup_key) AS distinct_keys
+    FROM dirty
+  )
+  SELECT round(1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE), 6) AS completeness,
+         round(distinct_keys / CAST(n AS DOUBLE), 6) AS uniqueness,
+         1.0 AS validity,
+         1.0 AS consistency,
+         round(0.4 * (1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE))
+             + 0.2 * (distinct_keys / CAST(n AS DOUBLE))
+             + 0.2 * 1.0 + 0.2 * 1.0, 6) AS quality_score
+  FROM agg
+)
 """
 
 
@@ -274,12 +344,19 @@ FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 
 def q_sessionize(spark, sf_dir):
     """Sessionization: 30-minute-gap sessions per user via lag + running
-    conditional sum — the scalable batch form (single shuffle by user)."""
+    conditional sum — the scalable batch form (single shuffle by user).
+    ``max_gap_s`` (largest intra-session gap) keeps the lag arithmetic
+    itself value-checked (absorbs the former window_lag_delta gate)."""
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess_id = F.sum(new_sess).over(
+    ev = ev.withColumn(
+        "gap_s",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("long"),
+    ).withColumn(
+        "new_sess",
+        F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0),
+    )
+    sess_id = F.sum("new_sess").over(
         W.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -291,27 +368,31 @@ def q_sessionize(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.min("event_id").alias("first_event"),
             F.max("event_id").alias("last_event"),
+            F.max(F.when(F.col("new_sess") == 0, F.col("gap_s"))).alias("max_gap_s"),
         )
         .orderBy("user_id", "session_id")
     )
 
 
-ORACLE_SESSIONIZE = """
-WITH flagged AS (
+ORACLE_SESSIONIZE = f"""
+WITH {_EV},
+flagged AS (
   SELECT user_id, event_id, ts,
+         date_diff('second', lag(ts) OVER w, ts) AS gap_s,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(CAST(ts AS TIMESTAMP)) OVER w, CAST(ts AS TIMESTAMP)) > 1800
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM ev
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), sess AS (
-  SELECT user_id, event_id,
+  SELECT user_id, event_id, gap_s, new_sess,
          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       min(event_id) AS first_event, max(event_id) AS last_event
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       max(CASE WHEN new_sess = 0 THEN gap_s END) AS max_gap_s
 FROM sess
 GROUP BY user_id, session_id
 ORDER BY user_id, session_id
@@ -340,13 +421,14 @@ def q_asof_join(spark, sf_dir):
     )
 
 
-ORACLE_ASOF = """
+ORACLE_ASOF = f"""
+WITH {_EV}
 SELECT event_id, user_id, asof_orderkey FROM (
   SELECT event_id, user_id, o_orderkey AS asof_orderkey,
          row_number() OVER (PARTITION BY event_id
                             ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
-  FROM events
-  LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= CAST(ts AS TIMESTAMP)
+  FROM ev
+  LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= ts
 )
 WHERE rn = 1
 ORDER BY event_id
@@ -355,9 +437,12 @@ ORDER BY event_id
 
 # --- scalar families (§2.8) ------------------------------------------------
 
-def q_string_functions(spark, sf_dir):
-    """String family: trim/lower/length/concat_ws/substring — the silver
-    standard-cleaning kernel (medallion/silver.py:164-186)."""
+def q_string_conditional(spark, sf_dir):
+    """String family + conditional family in one composed gate (§2.8):
+    trim/lower/length/concat_ws/substring (the silver standard-cleaning
+    kernel, medallion/silver.py:164-186) plus when/then/otherwise
+    bucketing and null-sentinel normalization (the reference's null_if
+    list) — all in a single projection over customer."""
     c = _t(spark, sf_dir, "customer")
     return (
         c.select(
@@ -366,29 +451,6 @@ def q_string_functions(spark, sf_dir):
             F.length(F.col("c_name")).alias("name_len"),
             F.concat_ws("|", F.col("c_mktsegment"), F.col("c_name")).alias("seg_name"),
             F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
-        )
-        .orderBy("c_custkey")
-    )
-
-
-ORACLE_STRING = """
-SELECT c_custkey,
-       lower(trim(c_name)) AS name_norm,
-       length(c_name) AS name_len,
-       concat_ws('|', c_mktsegment, c_name) AS seg_name,
-       substring(c_name, 1, 8) AS name_prefix
-FROM customer
-ORDER BY c_custkey
-"""
-
-
-def q_conditional_bucket(spark, sf_dir):
-    """when/then/otherwise conditional (medallion/silver.py:180-185) +
-    null-sentinel normalization (the reference's null_if list)."""
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.select(
-            "c_custkey",
             F.when(F.col("c_acctbal") < 0, "negative")
             .when(F.col("c_acctbal") < 5000, "low")
             .otherwise("high")
@@ -401,8 +463,12 @@ def q_conditional_bucket(spark, sf_dir):
     )
 
 
-ORACLE_CONDITIONAL = """
+ORACLE_STRING_CONDITIONAL = """
 SELECT c_custkey,
+       lower(trim(c_name)) AS name_norm,
+       length(c_name) AS name_len,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       substring(c_name, 1, 8) AS name_prefix,
        CASE WHEN c_acctbal < 0 THEN 'negative'
             WHEN c_acctbal < 5000 THEN 'low'
             ELSE 'high' END AS bal_bucket,
@@ -413,202 +479,102 @@ ORDER BY c_custkey
 """
 
 
-def q_json_extract(spark, sf_dir):
-    """JSON path navigation (json_connector.py:117-153, _raw_json at
-    bronze.py:210-221): pull props.k out of the events payload."""
+def q_extract_json_regex(spark, sf_dir):
+    """JSON path navigation + regex extraction in one composed gate
+    (§2.8): get_json_object over the events payload
+    (json_connector.py:117-153, _raw_json at bronze.py:210-221) and
+    rlike + regexp_extract over part types (validation/rules.py:237,286).
+    Both result sets on a common (src, rec_id, extracted) shape."""
     ev = _t(spark, sf_dir, "events")
-    return (
+    p = _t(spark, sf_dir, "part")
+    j = (
         ev.select(
             "event_id",
             F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
         )
         .filter(F.col("prop_k") > 90)
-        .orderBy("event_id")
+        .select(
+            F.lit("json").alias("src"),
+            F.col("event_id").alias("rec_id"),
+            F.col("prop_k").cast("string").alias("extracted"),
+        )
     )
-
-
-ORACLE_JSON = """
-SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
-FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
-ORDER BY event_id
-"""
-
-
-def q_regex_extract(spark, sf_dir):
-    """Regex family (validation/rules.py:237,286; redaction service):
-    rlike filter + regexp_extract of the part size class from p_type."""
-    p = _t(spark, sf_dir, "part")
-    return (
+    r = (
         p.filter(F.col("p_type").rlike("^(STANDARD|LARGE)"))
         .select(
-            "p_partkey",
-            F.regexp_extract(F.col("p_type"), "^(\\w+)", 1).alias("type_class"),
+            F.lit("regex").alias("src"),
+            F.col("p_partkey").alias("rec_id"),
+            F.regexp_extract(F.col("p_type"), "^(\\w+)", 1).alias("extracted"),
         )
-        .orderBy("p_partkey")
     )
+    return j.unionByName(r).orderBy("src", "rec_id")
 
 
-ORACLE_REGEX = """
-SELECT p_partkey, regexp_extract(p_type, '^(\\w+)', 1) AS type_class
-FROM part
-WHERE regexp_matches(p_type, '^(STANDARD|LARGE)')
-ORDER BY p_partkey
+ORACLE_EXTRACT_JSON_REGEX = """
+SELECT * FROM (
+  SELECT 'json' AS src, event_id AS rec_id,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) AS extracted
+  FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+  UNION ALL
+  SELECT 'regex', p_partkey, regexp_extract(p_type, '^(\\w+)', 1)
+  FROM part
+  WHERE regexp_matches(p_type, '^(STANDARD|LARGE)')
+)
+ORDER BY src, rec_id
 """
 
 
-def q_date_functions(spark, sf_dir):
-    """Date family (§2.8): date_trunc/year/month/dayofweek + interval
-    arithmetic on order dates."""
-    o = _t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            "o_orderkey",
-            F.year("o_orderdate").alias("yr"),
-            F.month("o_orderdate").alias("mo"),
-            F.to_date("o_orderdate").alias("order_date"),
-            F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
-        )
-        .filter(F.col("yr") >= 1995)
-        .orderBy("o_orderkey")
-    )
+# --- SQL-surface extras: subquery shapes + sliding window ------------------
 
-
-ORACLE_DATE = """
-SELECT o_orderkey,
-       CAST(year(o_orderdate) AS INT) AS yr,
-       CAST(month(o_orderdate) AS INT) AS mo,
-       CAST(o_orderdate AS DATE) AS order_date,
-       CAST(o_orderdate AS DATE) + 30 AS due_date
-FROM orders
-WHERE year(o_orderdate) >= 1995
-ORDER BY o_orderkey
-"""
-
-
-
-
-# --- SQL-surface extras: subquery shapes + quality score + sliding window --
-
-def q_scalar_subquery(spark, sf_dir):
-    """Scalar + correlated subqueries (the shapes LLM-generated SQL
-    produces — SURVEY §2.9; Catalyst decorrelates them): customers whose
-    total spend exceeds 2× the average customer spend."""
-    spark.sql("SET spark.sql.legacy.allowUntypedScalaUDF=false")  # no-op guard
-    o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("q_sub_orders")
+def q_subqueries(spark, sf_dir):
+    """Scalar + correlated EXISTS subqueries in one composed gate (the
+    shapes LLM-generated SQL produces — SURVEY §2.9; Catalyst
+    decorrelates both): customers whose spend exceeds 2× the average
+    customer spend, and parts never shipped with quantity > 40."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("q_sub_orders")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("q_sub_part")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_sub_lineitem")
     return spark.sql(
         """
         WITH spend AS (
           SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
           FROM q_sub_orders GROUP BY o_custkey
         )
-        SELECT o_custkey, total
-        FROM spend
-        WHERE total > 2 * (SELECT avg(total) FROM spend)
-        ORDER BY o_custkey
+        SELECT * FROM (
+          SELECT 'spend' AS src, o_custkey AS key, total
+          FROM spend
+          WHERE total > 2 * (SELECT avg(total) FROM spend)
+          UNION ALL
+          SELECT 'never_heavy', p_partkey, CAST(NULL AS DOUBLE)
+          FROM q_sub_part
+          WHERE NOT EXISTS (
+            SELECT 1 FROM q_sub_lineitem
+            WHERE l_partkey = p_partkey AND l_quantity > 40
+          )
+        )
+        ORDER BY src, key
         """
     )
 
 
-ORACLE_SCALAR_SUB = """
+ORACLE_SUBQUERIES = """
 WITH spend AS (
   SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
   FROM orders GROUP BY o_custkey
 )
-SELECT o_custkey, total
-FROM spend
-WHERE total > 2 * (SELECT avg(total) FROM spend)
-ORDER BY o_custkey
-"""
-
-
-def q_exists_subquery(spark, sf_dir):
-    """EXISTS / NOT EXISTS correlated subqueries via spark.sql: parts
-    never shipped with quantity > 40."""
-    _t(spark, sf_dir, "part").createOrReplaceTempView("q_sub_part")
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q_sub_lineitem")
-    return spark.sql(
-        """
-        SELECT p_partkey, p_name
-        FROM q_sub_part
-        WHERE NOT EXISTS (
-          SELECT 1 FROM q_sub_lineitem
-          WHERE l_partkey = p_partkey AND l_quantity > 40
-        )
-        ORDER BY p_partkey
-        """
-    )
-
-
-ORACLE_EXISTS_SUB = """
-SELECT p_partkey, p_name
-FROM part
-WHERE NOT EXISTS (
-  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40
+SELECT * FROM (
+  SELECT 'spend' AS src, o_custkey AS key, total
+  FROM spend
+  WHERE total > 2 * (SELECT avg(total) FROM spend)
+  UNION ALL
+  SELECT 'never_heavy', p_partkey, CAST(NULL AS DOUBLE)
+  FROM part
+  WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 40
+  )
 )
-ORDER BY p_partkey
-"""
-
-
-def q_quality_score(spark, sf_dir):
-    """The reference's 40/20/20/20 composite quality score
-    (validation/quality.py:309-339) computed engine-side in two
-    aggregate jobs — over a frame with injected nulls so every component
-    is non-trivial."""
-    c = _t(spark, sf_dir, "customer")
-    dirty = c.select(
-        "c_custkey",
-        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_name")).alias("name"),
-        F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
-        (F.col("c_custkey") % 100).alias("dup_key"),
-    )
-    n_cols = 4
-    agg = dirty.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(F.col("name").isNull(), 1).otherwise(0)).alias("null_name"),
-        F.sum(F.when(F.col("bal").isNull(), 1).otherwise(0)).alias("null_bal"),
-        F.countDistinct("dup_key").alias("distinct_keys"),
-    )
-    return agg.select(
-        F.round(1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols), 6).alias(
-            "completeness"
-        ),
-        F.round(F.col("distinct_keys") / F.col("n"), 6).alias("uniqueness"),
-        F.lit(1.0).alias("validity"),
-        F.lit(1.0).alias("consistency"),
-        F.round(
-            0.4 * (1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols))
-            + 0.2 * (F.col("distinct_keys") / F.col("n"))
-            + 0.2 * 1.0
-            + 0.2 * 1.0,
-            6,
-        ).alias("quality_score"),
-    )
-
-
-ORACLE_QUALITY = """
-WITH dirty AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
-         CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_acctbal END AS bal,
-         c_custkey % 100 AS dup_key
-  FROM customer
-), agg AS (
-  SELECT count(*) AS n,
-         sum(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS null_name,
-         sum(CASE WHEN bal IS NULL THEN 1 ELSE 0 END) AS null_bal,
-         count(DISTINCT dup_key) AS distinct_keys
-  FROM dirty
-)
-SELECT round(1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE), 6) AS completeness,
-       round(distinct_keys / CAST(n AS DOUBLE), 6) AS uniqueness,
-       1.0 AS validity,
-       1.0 AS consistency,
-       round(0.4 * (1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE))
-           + 0.2 * (distinct_keys / CAST(n AS DOUBLE))
-           + 0.2 * 1.0 + 0.2 * 1.0, 6) AS quality_score
-FROM agg
+ORDER BY src, key
 """
 
 
@@ -640,8 +606,6 @@ FROM expanded
 GROUP BY window_start
 ORDER BY window_start
 """
-
-
 
 
 def q_funnel_conversion(spark, sf_dir):
@@ -682,12 +646,13 @@ def q_funnel_conversion(spark, sf_dir):
     )
 
 
-ORACLE_FUNNEL = """
-WITH s AS (
-  SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+ORACLE_FUNNEL = f"""
+WITH {_EV},
+s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM ev WHERE event_type = 'signup' GROUP BY user_id
 ), fp AS (
   SELECT s.user_id, s.signup_ts, min(p.ts) AS purchase_ts
-  FROM s LEFT JOIN events p
+  FROM s LEFT JOIN ev p
     ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
   GROUP BY s.user_id, s.signup_ts
 )
@@ -699,49 +664,31 @@ FROM fp
 
 
 QUERIES = {
-    "window_topk_per_group": q_window_topk_per_group,
-    "window_running_sum": q_window_running_sum,
-    "window_lag_delta": q_window_lag_delta,
+    "window_rank_running": q_window_rank_running,
     "dedup_keep_last": q_dedup_keep_last,
-    "pivot_linestatus": q_pivot,
-    "rollup_subtotals": q_rollup,
-    "column_stats": q_column_stats,
-    "outliers_3sigma": q_outliers_3sigma,
-    "null_metrics": q_null_metrics,
+    "pivot_rollup": q_pivot_rollup,
+    "profile_stats": q_profile_stats,
+    "null_quality_metrics": q_null_quality_metrics,
     "sessionize": q_sessionize,
     "asof_join": q_asof_join,
-    "string_functions": q_string_functions,
-    "conditional_bucket": q_conditional_bucket,
-    "json_extract": q_json_extract,
-    "regex_extract": q_regex_extract,
-    "date_functions": q_date_functions,
-    "scalar_subquery": q_scalar_subquery,
-    "exists_subquery": q_exists_subquery,
-    "quality_score_formula": q_quality_score,
+    "string_conditional": q_string_conditional,
+    "extract_json_regex": q_extract_json_regex,
+    "subqueries": q_subqueries,
     "sliding_window": q_sliding_window,
     "funnel_conversion": q_funnel_conversion,
 }
 
 ORACLE = {
-    "window_topk_per_group": ORACLE_W_TOPK,
-    "window_running_sum": ORACLE_W_RUNNING,
-    "window_lag_delta": ORACLE_W_LAG,
+    "window_rank_running": ORACLE_W_RANK_RUNNING,
     "dedup_keep_last": ORACLE_DEDUP_LAST,
-    "pivot_linestatus": ORACLE_PIVOT,
-    "rollup_subtotals": ORACLE_ROLLUP,
-    "column_stats": ORACLE_STATS,
-    "outliers_3sigma": ORACLE_OUTLIERS,
-    "null_metrics": ORACLE_NULLS,
+    "pivot_rollup": ORACLE_PIVOT_ROLLUP,
+    "profile_stats": ORACLE_PROFILE_STATS,
+    "null_quality_metrics": ORACLE_NULL_QUALITY,
     "sessionize": ORACLE_SESSIONIZE,
     "asof_join": ORACLE_ASOF,
-    "string_functions": ORACLE_STRING,
-    "conditional_bucket": ORACLE_CONDITIONAL,
-    "json_extract": ORACLE_JSON,
-    "regex_extract": ORACLE_REGEX,
-    "date_functions": ORACLE_DATE,
-    "scalar_subquery": ORACLE_SCALAR_SUB,
-    "exists_subquery": ORACLE_EXISTS_SUB,
-    "quality_score_formula": ORACLE_QUALITY,
+    "string_conditional": ORACLE_STRING_CONDITIONAL,
+    "extract_json_regex": ORACLE_EXTRACT_JSON_REGEX,
+    "subqueries": ORACLE_SUBQUERIES,
     "sliding_window": ORACLE_SLIDING,
     "funnel_conversion": ORACLE_FUNNEL,
 }

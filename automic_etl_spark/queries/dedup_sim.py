@@ -99,7 +99,9 @@ ORDER BY content_hash
 
 
 def q_minhash_lsh_candidates(spark, sf_dir):
-    """MinHash(12 hashes)+LSH(4 bands × r=3) candidate pairs."""
+    """MinHash(12 hashes)+LSH(4 bands × r=3) candidate pairs (kept
+    standalone for bench.py continuity; gate coverage lives in
+    q_minhash_jaccard, which runs this same pipeline + verification)."""
     d = load_table(spark, sf_dir, "documents")
     sig = D.minhash_signatures(d, num_hashes=_NUM_HASHES)
     return D.lsh_candidate_pairs(sig, num_hashes=_NUM_HASHES, bands=_BANDS).orderBy(
@@ -194,7 +196,8 @@ list_reduce(list_transform(generate_series(1, len(embedding)),
 
 def q_embedding_topk(spark, sf_dir):
     """Brute-force exact cosine top-10 for query vector vec_id=0 —
-    the ANN correctness baseline."""
+    the ANN correctness baseline (kept standalone for bench.py
+    continuity; gate coverage lives in q_embedding_search)."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     return S.cosine_topk(emb, query, k=10)
@@ -237,6 +240,33 @@ LIMIT 10
 """
 
 
+def q_embedding_search(spark, sf_dir):
+    """Exact top-k + sign-LSH bucketed ANN in one composed gate: the same
+    query vector answered by both paths (method-tagged), so the driver
+    value-checks the exact baseline AND the scale path side by side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = S.cosine_topk(emb, query, k=10).select(
+        F.lit("exact").alias("method"), "vec_id", "cosine"
+    )
+    ann = S.lsh_bucket_ann(emb, query, k=10, n_planes=6).select(
+        F.lit("ann").alias("method"), "vec_id", "cosine"
+    )
+    return exact.unionByName(ann).orderBy(
+        "method", F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+
+
+ORACLE_EMB_SEARCH = f"""
+SELECT * FROM (
+  SELECT 'exact' AS method, vec_id, cosine FROM ({ORACLE_EMB_TOPK})
+  UNION ALL
+  SELECT 'ann', vec_id, cosine FROM ({ORACLE_EMB_ANN})
+)
+ORDER BY method, cosine DESC, vec_id
+"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs with sign-LSH candidate
     blocking (4 planes). Threshold 0.3 is tuned to this synthetic corpus
@@ -274,11 +304,12 @@ ORDER BY id_a, id_b
 
 
 def q_knn_join(spark, sf_dir):
-    """Similarity self-join: exact 3-NN for the first 200 vectors (the
-    brute-force baseline; operators.similarity.knn_join block_planes
-    engages LSH blocking at corpus scale)."""
+    """Similarity self-join: exact 3-NN for the first 200 vectors.
+    ``block_planes=None`` is an EXPLICIT opt-in to the n² brute-force
+    baseline (sound here because the input is capped at 200 vectors);
+    the operator's default is LSH-blocked — the corpus-scale path."""
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return S.knn_join(emb, k=3).orderBy("id", "rank")
+    return S.knn_join(emb, k=3, block_planes=None).orderBy("id", "rank")
 
 
 _COS_AB_KNN = """
@@ -312,24 +343,24 @@ ORDER BY id, rank
 """
 
 
+# Registry note (round 2): minhash_jaccard runs candidate generation AND
+# exact-Jaccard verification (it strictly supersedes the former standalone
+# minhash_lsh_candidates entry, whose function remains for bench.py);
+# embedding_search covers exact top-k + bucketed ANN in one gate.
 QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "knn_join": q_knn_join,
-    "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "minhash_jaccard": q_minhash_jaccard,
     "simhash_clusters": q_simhash,
-    "embedding_topk": q_embedding_topk,
-    "embedding_ann_bucket": q_embedding_ann_bucket,
+    "embedding_search": q_embedding_search,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
 ORACLE = {
     "dedup_exact_groups": ORACLE_EXACT_GROUPS,
     "knn_join": ORACLE_KNN,
-    "minhash_lsh_candidates": ORACLE_MINHASH,
     "minhash_jaccard": ORACLE_JACCARD,
     "simhash_clusters": _simhash_oracle(16),
-    "embedding_topk": ORACLE_EMB_TOPK,
-    "embedding_ann_bucket": ORACLE_EMB_ANN,
+    "embedding_search": ORACLE_EMB_SEARCH,
     "embedding_near_dup": ORACLE_EMB_NEARDUP,
 }

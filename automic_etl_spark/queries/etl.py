@@ -188,12 +188,20 @@ ORDER BY c_custkey, _scd_version
 
 # --- incremental + CDC -----------------------------------------------------
 
-def q_incremental_load(spark, sf_dir):
-    """Watermarked two-batch incremental load with 1h lookback overlap +
-    keep-last dedup (reference extraction/incremental.py:58-150): batch 1
-    is orders up to the median date, batch 2 re-extracts everything past
-    watermark − lookback. The union is deduped on the key — the
-    idempotency contract. Result must equal plain orders."""
+def q_incremental_cdc(spark, sf_dir):
+    """Watermarked incremental load + CDC tag/apply in one composed gate
+    (§2.10) — two full pipelines, outputs stage-tagged.
+
+    Incremental (reference extraction/incremental.py:58-150): batch 1 is
+    orders up to the median date, committed to the watermark registry;
+    batch 2 re-extracts everything past watermark − 1h lookback; the
+    union is deduped keep-last on the key — the idempotency contract, so
+    the result must equal plain orders.
+
+    CDC (reference incremental.py:281-385): base = orderkeys % 3 != 0;
+    the change batch upserts %3==1 rows with +10.0 totalprice and
+    deletes %5==0 rows; final table state aggregated.
+    """
     wh = _tmp()
     try:
         orders = load_table(spark, sf_dir, "orders")
@@ -213,58 +221,38 @@ def q_incremental_load(spark, sf_dir):
             order_col="o_orderdate",
             tiebreak="o_orderkey",
         )
-        return combined.groupBy("o_orderstatus").agg(
+        inc = combined.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n"),
             money_sum(F.col("o_totalprice"), 2).alias("total"),
-        ).orderBy("o_orderstatus")
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
+        ).select(F.lit("incremental").alias("stage"), "o_orderstatus", "n", "total")
 
-
-ORACLE_INCREMENTAL = """
-SELECT o_orderstatus, count(*) AS n,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
-FROM orders
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus
-"""
-
-
-def q_cdc_apply(spark, sf_dir):
-    """CDC tagging + application (reference incremental.py:281-385):
-    base = orderkeys % 3 != 0; change batch upserts %3==1 rows with
-    +10.0 totalprice and deletes %5==0 rows. Returns final table state
-    aggregated."""
-    wh = _tmp()
-    try:
-        orders = load_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
-        )
+        slim = orders.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
         t = Warehouse(spark, wh).table("silver", "orders_cdc")
-        base = orders.filter(F.col("o_orderkey") % 3 != 0)
+        base = slim.filter(F.col("o_orderkey") % 3 != 0)
         t.overwrite(base)
-
         upserts = (
-            orders.filter(F.col("o_orderkey") % 3 == 1)
+            slim.filter(F.col("o_orderkey") % 3 == 1)
             .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
             .withColumn("deleted_at", F.lit(None).cast("timestamp"))
         )
         deletes = (
-            orders.filter(F.col("o_orderkey") % 5 == 0)
+            slim.filter(F.col("o_orderkey") % 5 == 0)
             .withColumn("deleted_at", F.lit("2024-01-01").cast("timestamp"))
         )
         changes = tag_changes(upserts.unionByName(deletes)).drop("deleted_at")
         final = apply_cdc(t, changes, ["o_orderkey"])
-        out = final.groupBy("o_orderstatus").agg(
+        cdc = final.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n"),
             money_sum(F.col("o_totalprice"), 2).alias("total"),
-        ).orderBy("o_orderstatus")
+        ).select(F.lit("cdc").alias("stage"), "o_orderstatus", "n", "total")
+
+        out = inc.unionByName(cdc).orderBy("stage", "o_orderstatus")
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-ORACLE_CDC = """
+ORACLE_INCREMENTAL_CDC = """
 WITH base AS (
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 != 0
 ), ups AS (
@@ -281,11 +269,20 @@ WITH base AS (
   -- upserts win over deletes in the same batch (re-insert semantics)
   SELECT * FROM ups
 )
-SELECT o_orderstatus, count(*) AS n,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
-FROM final
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus
+SELECT * FROM (
+  -- incremental stage: lookback-overlap + keep-last dedup must reproduce
+  -- the plain source table exactly (idempotency contract)
+  SELECT 'incremental' AS stage, o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+  FROM orders
+  GROUP BY o_orderstatus
+  UNION ALL
+  SELECT 'cdc', o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS total
+  FROM final
+  GROUP BY o_orderstatus
+)
+ORDER BY stage, o_orderstatus
 """
 
 
@@ -476,12 +473,18 @@ ORDER BY window_start, event_type
 """
 
 
-def q_csv_connector(spark, sf_dir):
-    """CSV connector round trip (reference csv_connector.py:73-146):
-    customer written to CSV with an explicit null sentinel, read back
-    through the connector (header/delimiter/null-value options + explicit
-    schema — no inference pass), aggregated. Proves option handling and
-    type fidelity through the text format."""
+def q_csv_sql_roundtrip(spark, sf_dir):
+    """CSV connector round trip + lakehouse SQL surface in one composed
+    gate (§2.1/§2.9).
+
+    Customer is written to CSV with an explicit null sentinel and read
+    back through the connector (header/delimiter/null-value options +
+    explicit schema — no inference pass; reference csv_connector.py:
+    73-146), then ingested into a temp lakehouse alongside orders; the
+    read-only-gated ``Lakehouse.sql`` surface (reference lakehouse.py:
+    296-326, {layer}_{table} views) answers a join+aggregate over both.
+    A value-hash match proves type fidelity through the text format AND
+    the SQL surface end to end."""
     wh = _tmp()
     try:
         cust = load_table(spark, sf_dir, "customer")
@@ -491,30 +494,38 @@ def q_csv_connector(spark, sf_dir):
         ).csv(path)
         from automic_etl_spark.sources import CSVConnector
 
-        df = CSVConnector(
+        csv_cust = CSVConnector(
             spark,
             path,
             null_values=["N/A"],
             schema="c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
             infer_schema=False,
         ).extract()
-        out = (
-            df.groupBy("c_mktsegment")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                money_sum(F.col("c_acctbal"), 2).alias("total_bal"),
-            )
-            .orderBy("c_mktsegment")
+
+        lh = Lakehouse(spark, wh)
+        lh.ingest("customer", csv_cust, source="csv", fixed_time=T1)
+        lh.process_to_silver("customer", "customer", fixed_time=T1)
+        lh.ingest("orders", load_table(spark, sf_dir, "orders"), source="t", fixed_time=T1)
+        lh.process_to_silver("orders", "orders", fixed_time=T1)
+        out = lh.sql(
+            """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+            FROM silver_orders JOIN silver_customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+            """
         )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-ORACLE_CSV = """
+ORACLE_CSV_SQL = """
 SELECT c_mktsegment, count(*) AS n,
-       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
-FROM customer
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
@@ -674,50 +685,14 @@ ORDER BY o_orderstatus, period
 """
 
 
-def q_sql_surface(spark, sf_dir):
-    """Lakehouse.sql surface (reference lakehouse.py:296-326): registered
-    {layer}_{table} views + read-only-gated spark.sql, exercised with a
-    join + window query over warehouse tables."""
-    wh = _tmp()
-    try:
-        lh = Lakehouse(spark, wh)
-        lh.ingest("orders", load_table(spark, sf_dir, "orders"), source="t", fixed_time=T1)
-        lh.process_to_silver("orders", "orders", fixed_time=T1)
-        lh.ingest("customer", load_table(spark, sf_dir, "customer"), source="t", fixed_time=T1)
-        lh.process_to_silver("customer", "customer", fixed_time=T1)
-        out = lh.sql(
-            """
-            SELECT c_mktsegment,
-                   count(*) AS n,
-                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
-            FROM silver_orders JOIN silver_customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment
-            ORDER BY c_mktsegment
-            """
-        )
-        return out.localCheckpoint(eager=True)
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
-
-
-ORACLE_SQL_SURFACE = """
-SELECT c_mktsegment, count(*) AS n,
-       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment
-ORDER BY c_mktsegment
-"""
-
 QUERIES = {
     "medallion_gold": q_medallion_gold,
     "compute_metrics": q_compute_metrics,
-    "sql_surface": q_sql_surface,
+    "csv_sql_roundtrip": q_csv_sql_roundtrip,
     "feature_table": q_feature_table,
     "denormalized_view": q_denormalized_view,
-    "csv_connector_roundtrip": q_csv_connector,
     "scd2_history": q_scd2_history,
-    "incremental_load": q_incremental_load,
-    "cdc_apply": q_cdc_apply,
+    "incremental_cdc": q_incremental_cdc,
     "validation_report": q_validation_report,
     "curator_splits": q_curator_splits,
     "redaction": q_redaction,
@@ -727,13 +702,11 @@ QUERIES = {
 ORACLE = {
     "medallion_gold": ORACLE_MEDALLION,
     "compute_metrics": ORACLE_METRICS,
-    "sql_surface": ORACLE_SQL_SURFACE,
+    "csv_sql_roundtrip": ORACLE_CSV_SQL,
     "feature_table": ORACLE_FEATURES,
     "denormalized_view": ORACLE_DENORM,
-    "csv_connector_roundtrip": ORACLE_CSV,
     "scd2_history": ORACLE_SCD2,
-    "incremental_load": ORACLE_INCREMENTAL,
-    "cdc_apply": ORACLE_CDC,
+    "incremental_cdc": ORACLE_INCREMENTAL_CDC,
     "validation_report": ORACLE_VALIDATION,
     "curator_splits": ORACLE_CURATOR,
     "redaction": ORACLE_REDACTION,

@@ -3,11 +3,18 @@ sorts/limits, set ops — SURVEY.md §2.1-§2.4, §2.6, §2.7.
 
 Each query is a (spark_fn, oracle_sql) pair; see package docstring for the
 determinism contract. Reference behaviours cited per query.
+
+Registry note (round 2): the driver's correctness gate scores at most 50
+entries, so related operators are exercised in COMPOSED gate queries (one
+query per row below may cover 2-3 survey operators — each still executed
+through its own code path, with its values checked). Standalone forms of
+the heavier workloads (``q_top_orders``, ``q_count_distinct``, ...) remain
+as module functions for bench.py continuity.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from automic_etl_spark.io import load_table
 from automic_etl_spark.queries._money import money_avg, money_sum
@@ -20,39 +27,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# --- §2.1/§2.2: scan + projection + filter + limit -------------------------
+# --- §2.1/§2.2: scan + projection + filter + limit + derived column --------
 
-def q_scan_project_filter(spark, sf_dir):
-    """Column projection + row filter + sort + limit on a parquet scan.
+def q_scan_derived_filter(spark, sf_dir):
+    """Column projection + derived column + row filter + sort + limit on a
+    parquet scan (composed gate: scan/project/filter/limit + derived).
 
     Reference: columns=/filter_expr/limit on every layer read
-    (storage/iceberg/tables.py:349-390). Catalyst pushes the filter and
-    projection into the parquet scan (the reference applies them post-scan).
-    """
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-        .filter((F.col("l_quantity") > 45) & (F.col("l_extendedprice") > 50000))
-        .orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
-        .limit(100)
-    )
-
-
-ORACLE_SCAN = """
-SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
-FROM lineitem
-WHERE l_quantity > 45 AND l_extendedprice > 50000
-ORDER BY l_orderkey, l_linenumber
-LIMIT 100
-"""
-
-
-def q_derived_column(spark, sf_dir):
-    """Derived (feature) column: quantity * price net of discount.
-
-    Reference: FeatureDefinition.compute → with_columns(expr.alias(name))
-    (medallion/gold.py:413-436); example derived total_amount
-    (examples/basic_pipeline.py:62-66).
+    (storage/iceberg/tables.py:349-390); FeatureDefinition.compute derived
+    columns (medallion/gold.py:413-436). Catalyst pushes the filters and
+    the 5-column projection into the parquet scan.
     """
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -60,18 +44,20 @@ def q_derived_column(spark, sf_dir):
             "net_amount",
             F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
         )
-        .select("l_orderkey", "l_linenumber", "net_amount")
-        .filter(F.col("net_amount") > 90000)
-        .orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "net_amount")
+        .filter((F.col("l_quantity") > 45) & (F.col("l_extendedprice") > 50000))
+        .orderBy(F.col("l_orderkey").asc(), F.col("l_linenumber").asc())
+        .limit(100)
     )
 
 
-ORACLE_DERIVED = """
-SELECT l_orderkey, l_linenumber,
+ORACLE_SCAN_DERIVED = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
        round(l_extendedprice * (1 - l_discount), 4) AS net_amount
 FROM lineitem
-WHERE round(l_extendedprice * (1 - l_discount), 4) > 90000
+WHERE l_quantity > 45 AND l_extendedprice > 50000
 ORDER BY l_orderkey, l_linenumber
+LIMIT 100
 """
 
 
@@ -120,29 +106,6 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def q_global_agg(spark, sf_dir):
-    """Global (no-group) aggregate — reference computes metrics without
-    dimensions via df.select(exprs) (medallion/gold.py:270-273)."""
-    o = _t(spark, sf_dir, "orders")
-    return o.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        money_sum(F.col("o_totalprice"), 2).alias("total_revenue"),
-        F.min("o_orderdate").cast("date").alias("first_order"),
-        F.max("o_orderdate").cast("date").alias("last_order"),
-        F.countDistinct("o_custkey").alias("n_customers"),
-    )
-
-
-ORACLE_GLOBAL = """
-SELECT count(*) AS n_orders,
-       CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_revenue,
-       CAST(min(o_orderdate) AS DATE) AS first_order,
-       CAST(max(o_orderdate) AS DATE) AS last_order,
-       count(DISTINCT o_custkey) AS n_customers
-FROM orders
-"""
-
-
 def q_agg_having(spark, sf_dir):
     """Group-by + HAVING post-aggregation filter (medallion/gold.py:105-106)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -166,9 +129,14 @@ ORDER BY l_partkey
 """
 
 
-def q_time_bucket_agg(spark, sf_dir):
-    """Time-bucketed aggregation: dt.truncate → _time_period group key
-    (medallion/gold.py:255-279,315-330) → F.date_trunc in Spark."""
+def q_date_time_bucket(spark, sf_dir):
+    """Time-bucketed aggregation + date scalar family (composed gate:
+    §2.4 time bucket + §2.8 date functions).
+
+    Reference: dt.truncate → _time_period group key (medallion/
+    gold.py:255-279,315-330) → F.date_trunc; year/month/date_add over the
+    bucket exercise the date scalar family on the same pass.
+    """
     o = _t(spark, sf_dir, "orders")
     return (
         o.withColumn("order_month", F.date_trunc("month", "o_orderdate").cast("date"))
@@ -177,17 +145,33 @@ def q_time_bucket_agg(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             money_sum(F.col("o_totalprice"), 2).alias("revenue"),
         )
+        .select(
+            "order_month",
+            F.year("order_month").alias("yr"),
+            F.month("order_month").alias("mo"),
+            F.date_add("order_month", 30).alias("month_plus_30"),
+            "n_orders",
+            "revenue",
+        )
         .orderBy("order_month")
     )
 
 
-ORACLE_TIME_BUCKET = """
-SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
-       count(*) AS n_orders,
-       CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
-FROM orders
-GROUP BY 1
-ORDER BY 1
+ORACLE_DATE_TIME_BUCKET = """
+WITH m AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+         count(*) AS n_orders,
+         CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS revenue
+  FROM orders
+  GROUP BY 1
+)
+SELECT order_month,
+       CAST(year(order_month) AS INT) AS yr,
+       CAST(month(order_month) AS INT) AS mo,
+       order_month + 30 AS month_plus_30,
+       n_orders, revenue
+FROM m
+ORDER BY order_month
 """
 
 
@@ -212,9 +196,45 @@ LIMIT 5
 """
 
 
+def q_agg_global_distinct(spark, sf_dir):
+    """Global aggregate + per-group COUNT(DISTINCT) in one rollup pass
+    (composed gate: §2.4 global agg + count distinct).
+
+    Reference: metrics without dimensions via df.select(exprs)
+    (medallion/gold.py:270-273) and n_unique profiling
+    (validation/quality.py:246). The rollup's NULL-group row IS the
+    global aggregate; the leaf rows are the per-status aggregates.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            money_sum(F.col("o_totalprice"), 2).alias("total_revenue"),
+            F.min("o_orderdate").cast("date").alias("first_order"),
+            F.max("o_orderdate").cast("date").alias("last_order"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy(F.col("o_orderstatus").asc_nulls_first())
+    )
+
+
+ORACLE_AGG_GLOBAL_DISTINCT = """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_revenue,
+       CAST(min(o_orderdate) AS DATE) AS first_order,
+       CAST(max(o_orderdate) AS DATE) AS last_order,
+       count(DISTINCT o_custkey) AS n_customers
+FROM orders
+GROUP BY ROLLUP (o_orderstatus)
+ORDER BY o_orderstatus NULLS FIRST
+"""
+
+
 def q_count_distinct(spark, sf_dir):
-    """Exact COUNT(DISTINCT) per group (validation/quality.py:246,
-    api/routes/queries.py:328)."""
+    """Standalone grouped COUNT(DISTINCT) — kept for bench.py continuity
+    (gate coverage lives in q_agg_global_distinct)."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderstatus")
@@ -224,14 +244,6 @@ def q_count_distinct(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
-
-
-ORACLE_COUNT_DISTINCT = """
-SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
-FROM orders
-GROUP BY o_orderstatus
-ORDER BY o_orderstatus
-"""
 
 
 # --- §2.3: joins -----------------------------------------------------------
@@ -291,44 +303,49 @@ ORDER BY c_custkey
 """
 
 
-def q_join_anti(spark, sf_dir):
-    """Anti join — the reference's workhorse for new-row detection
-    (medallion/scd.py:192-196, extraction/incremental.py:366-379):
-    customers with no orders."""
+def q_join_semi_anti(spark, sf_dir):
+    """Anti join + semi join in one composed gate (§2.3).
+
+    Reference: anti = new-row detection (medallion/scd.py:192-196,
+    extraction/incremental.py:366-379); semi = matched-rows detection
+    (medallion/scd.py:199-203). Two independent plans (left_anti on
+    customer/orders, left_semi on supplier/lineitem) union'd on a common
+    (op, key, name) shape so both value sets are hash-checked.
+    """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name", "c_mktsegment")
-        .orderBy("c_custkey")
-    )
-
-
-ORACLE_JOIN_ANTI = """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-ORDER BY c_custkey
-"""
-
-
-def q_join_semi(spark, sf_dir):
-    """Semi join (matched-rows detection, medallion/scd.py:199-203):
-    suppliers that shipped at least one > 49-qty line."""
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
-    return (
-        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .select("s_suppkey", "s_name")
-        .orderBy("s_suppkey")
+    anti = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select(
+            F.lit("anti_customer").alias("op"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+        )
     )
+    semi = (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select(
+            F.lit("semi_supplier").alias("op"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+        )
+    )
+    return anti.unionByName(semi).orderBy("op", "key")
 
 
-ORACLE_JOIN_SEMI = """
-SELECT s_suppkey, s_name
-FROM supplier
-WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)
-ORDER BY s_suppkey
+ORACLE_JOIN_SEMI_ANTI = """
+SELECT * FROM (
+  SELECT 'anti_customer' AS op, c_custkey AS key, c_name AS name
+  FROM customer
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+  UNION ALL
+  SELECT 'semi_supplier', s_suppkey, s_name
+  FROM supplier
+  WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity > 49)
+)
+ORDER BY op, key
 """
 
 
@@ -364,9 +381,9 @@ ORDER BY entity_id
 """
 
 
-def q_top_orders(spark, sf_dir):
-    """TPC-H Q3-style: selective join + group + top-10 by revenue
-    (top-K: sort desc + head, validation/quality.py:299-303)."""
+def _building_revenue(spark, sf_dir):
+    """Shared core of the TPC-H Q3-style workload: selective semi-join +
+    revenue aggregation per order for BUILDING-segment customers."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -376,12 +393,38 @@ def q_top_orders(spark, sf_dir):
         .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .groupBy("l_orderkey")
         .agg(money_sum(disc, 4).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
-        .limit(10)
     )
 
 
-ORACLE_TOP_ORDERS = """
+def q_top_orders(spark, sf_dir):
+    """Standalone TPC-H Q3-style top-10 — kept for bench.py continuity
+    (gate coverage lives in q_top_orders_page)."""
+    return _building_revenue(spark, sf_dir).orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+def q_top_orders_page(spark, sf_dir):
+    """Top-K + LIMIT/OFFSET paging in one composed gate (§2.6).
+
+    Page 2 (rows 11-20) of the revenue ranking: TakeOrderedAndProject
+    keeps 20 rows (scale-safe — never a global single-partition window
+    over the full set; reference API pagination queries.py:999-1011),
+    then a trivial 20-row window drops the first page.
+    """
+    top20 = _building_revenue(spark, sf_dir).orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(20)
+    w = W.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    return (
+        top20.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 10)
+        .select("l_orderkey", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+    )
+
+
+ORACLE_TOP_ORDERS_PAGE = """
 SELECT l_orderkey,
        CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT)) AS DOUBLE) / 10000 AS revenue
 FROM lineitem
@@ -389,65 +432,73 @@ JOIN orders ON l_orderkey = o_orderkey
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY l_orderkey
 ORDER BY revenue DESC, l_orderkey
-LIMIT 10
+LIMIT 10 OFFSET 10
 """
 
 
 # --- §2.7: set operations --------------------------------------------------
 
-def q_union_distinct(spark, sf_dir):
-    """Name-aware union + distinct (pl.concat → unionByName,
-    extraction/batch.py:133): high-balance ∪ AUTOMOBILE customers."""
-    c = _t(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
-    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_name")
-    return a.unionByName(b).distinct().orderBy("c_custkey")
+def q_set_ops(spark, sf_dir):
+    """Union-distinct + intersect in one composed gate (§2.7).
 
-
-ORACLE_UNION = """
-SELECT DISTINCT c_custkey, c_name FROM (
-  SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
-  UNION ALL
-  SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
-)
-ORDER BY c_custkey
-"""
-
-
-def q_intersect(spark, sf_dir):
-    """Keyed intersection via inner-join-on-keys (medallion/scd.py:199-203):
-    customers present in both BUILDING segment and >5 orders."""
+    Reference: pl.concat → unionByName (extraction/batch.py:133); keyed
+    intersection (medallion/scd.py:199-203). Both result sets are emitted
+    under an (op, c_custkey, c_name) shape.
+    """
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_acctbal") > 9000).select("c_custkey", "c_name")
+    b = c.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey", "c_name")
+    uni = a.unionByName(b).distinct().select(
+        F.lit("union").alias("op"), "c_custkey", "c_name"
+    )
     many = (
         o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 5)
         .select(F.col("o_custkey").alias("c_custkey"))
     )
-    return (
+    inter = (
         c.filter(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
         .intersect(many)
-        .orderBy("c_custkey")
+        .select(
+            F.lit("intersect").alias("op"),
+            "c_custkey",
+            F.lit(None).cast("string").alias("c_name"),
+        )
     )
+    return uni.unionByName(inter).orderBy("op", "c_custkey")
 
 
-ORACLE_INTERSECT = """
-SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-INTERSECT
-SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 5
-ORDER BY c_custkey
+ORACLE_SET_OPS = """
+SELECT * FROM (
+  SELECT DISTINCT 'union' AS op, c_custkey, c_name FROM (
+    SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000
+    UNION ALL
+    SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+  )
+  UNION ALL
+  SELECT 'intersect', c_custkey, CAST(NULL AS VARCHAR) FROM (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 5
+  )
+)
+ORDER BY op, c_custkey
 """
-
-
 
 
 # --- storage ops / coverage extras -----------------------------------------
 
-def q_upsert_state(spark, sf_dir):
-    """Keyed upsert (reference tables.py:246-299 / Delta MERGE): update
-    BUILDING customers' balance (+1000) and insert synthetic new keys,
-    then aggregate the resulting table state."""
+def q_upsert_time_travel(spark, sf_dir):
+    """Keyed upsert + version time travel in one composed gate (§2.1/§2.10).
+
+    Reference: tables.py:246-299 (MERGE/upsert), 392-441 (version reads).
+    One temp warehouse hosts both: (a) customer upsert (update BUILDING
+    balances +1000, insert synthetic keys) then aggregate the table
+    state; (b) orders written as two versioned appends, v0/v1 row counts
+    read back via time travel and cross-joined onto every output row.
+    """
     import shutil
     import tempfile
 
@@ -456,7 +507,8 @@ def q_upsert_state(spark, sf_dir):
     wh = tempfile.mkdtemp(prefix="automic_wh_")
     try:
         cust = _t(spark, sf_dir, "customer")
-        t = Warehouse(spark, wh).table("silver", "cust")
+        w = Warehouse(spark, wh)
+        t = w.table("silver", "cust")
         t.overwrite(cust)
         updates = cust.filter(F.col("c_mktsegment") == "BUILDING").withColumn(
             "c_acctbal", F.col("c_acctbal") + 1000.0
@@ -469,21 +521,31 @@ def q_upsert_state(spark, sf_dir):
             F.lit("SYNTH").alias("c_mktsegment"),
         )
         t.upsert(updates.unionByName(inserts), ["c_custkey"])
-        out = (
+        upserted = (
             t.read()
             .groupBy("c_mktsegment")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 money_sum(F.col("c_acctbal"), 2).alias("total_bal"),
             )
-            .orderBy("c_mktsegment")
         )
+
+        orders = _t(spark, sf_dir, "orders")
+        tt = w.table("silver", "orders_tt")
+        cutoff = F.lit("1998-01-01").cast("timestamp")
+        tt.create_or_append(orders.filter(F.col("o_orderdate") < cutoff))
+        tt.create_or_append(orders.filter(F.col("o_orderdate") >= cutoff))
+        v0 = tt.read(version=0).agg(F.count(F.lit(1)).alias("n")).first()["n"]
+        v1 = tt.read(version=1).agg(F.count(F.lit(1)).alias("n")).first()["n"]
+        versions = spark.createDataFrame([(v0, v1)], "v0_rows long, v1_rows long")
+
+        out = upserted.crossJoin(F.broadcast(versions)).orderBy("c_mktsegment")
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(wh, ignore_errors=True)
 
 
-ORACLE_UPSERT = """
+ORACLE_UPSERT_TT = """
 WITH final AS (
   SELECT c_custkey, c_mktsegment,
          CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal
@@ -492,56 +554,35 @@ WITH final AS (
   SELECT c_custkey + 900000, 'SYNTH', c_acctbal FROM customer WHERE c_custkey % 50 = 0
 )
 SELECT c_mktsegment, count(*) AS n,
-       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal
+       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_bal,
+       (SELECT count(*) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01') AS v0_rows,
+       (SELECT count(*) FROM orders) AS v1_rows
 FROM final
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
 
 
-def q_time_travel(spark, sf_dir):
-    """Version time travel (reference storage tables 392-441 /
-    integrations/spark.py:219-243): v0 = pre-1998 orders, v1 appends the
-    rest; read both versions of the SAME table and compare counts."""
-    import shutil
-    import tempfile
-
-    from automic_etl_spark.catalog import Warehouse
-
-    wh = tempfile.mkdtemp(prefix="automic_wh_")
-    try:
-        orders = _t(spark, sf_dir, "orders")
-        t = Warehouse(spark, wh).table("silver", "orders_tt")
-        cutoff = F.lit("1998-01-01").cast("timestamp")
-        t.create_or_append(orders.filter(F.col("o_orderdate") < cutoff))
-        t.create_or_append(orders.filter(F.col("o_orderdate") >= cutoff))
-        v0 = t.read(version=0).agg(F.count(F.lit(1)).alias("n")).first()["n"]
-        v1 = t.read(version=1).agg(F.count(F.lit(1)).alias("n")).first()["n"]
-        return spark.createDataFrame([(v0, v1)], "v0_rows long, v1_rows long")
-    finally:
-        shutil.rmtree(wh, ignore_errors=True)
-
-
-ORACLE_TIME_TRAVEL = """
-SELECT (SELECT count(*) FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01') AS v0_rows,
-       (SELECT count(*) FROM orders) AS v1_rows
-"""
-
-
 def q_collect_agg(spark, sf_dir):
     """COLLECT aggregation (reference gold.py:306-307 implode) —
-    deterministic via sort_array(collect_set); distinct segments bought
-    per nation."""
+    deterministic via array_sort(collect_set), emitted as a joined string
+    (driver canonicalizers choke on array cells; the CSV form carries the
+    identical information)."""
     c = _t(spark, sf_dir, "customer")
     return (
         c.groupBy("c_nationkey")
-        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
         .orderBy("c_nationkey")
     )
 
 
 ORACLE_COLLECT = """
-SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments
 FROM customer
 GROUP BY c_nationkey
 ORDER BY c_nationkey
@@ -582,35 +623,13 @@ JOIN orders b ON a.o_custkey = b.o_custkey
 """
 
 
-def q_offset_paging(spark, sf_dir):
-    """LIMIT/OFFSET paging via row_number (reference API pagination,
-    queries.py:999-1011; Spark has no OFFSET pushdown — the window form
-    is the distributed equivalent): page 3 of 50 ordered by orderkey."""
-    from pyspark.sql import Window as W
-
-    o = _t(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_orderkey").asc())
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > 100) & (F.col("rn") <= 150))
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey")
-    )
-
-
-ORACLE_OFFSET = """
-SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders
-ORDER BY o_orderkey
-LIMIT 50 OFFSET 100
-"""
-
-
 def q_sample_split_seed(spark, sf_dir):
     """Seeded-shuffle exact-ratio split (reference curator.py:153-180:
-    seed=42, floor+remainder). Spark rand(seed) is engine-specific, so
-    this entry has NO oracle (rows-only check) — the engine-portable
-    hash split is covered by curator_splits."""
+    seed=42, floor+remainder). The per-row assignment is Spark-rand
+    specific, but the SPLIT SIZES are closed-form (floor of normalized
+    ratios + remainder to the first split), so the oracle checks the
+    exact counts. Engine-portable per-row assignment is covered by
+    curator_splits."""
     from automic_etl_spark.services import DatasetCurator
 
     docs = _t(spark, sf_dir, "documents")
@@ -623,6 +642,30 @@ def q_sample_split_seed(spark, sf_dir):
     )
 
 
+# Mirrors DatasetCurator: ratios normalized by their (left-assoc) float
+# sum, counts = trunc(n * ratio), remainder added to the FIRST declared
+# split (train). All arithmetic is IEEE double in both engines.
+ORACLE_SAMPLE_SPLIT = """
+WITH n AS (SELECT count(*) AS c FROM documents),
+r AS (
+  SELECT CAST(0.8 AS DOUBLE) + CAST(0.1 AS DOUBLE) + CAST(0.1 AS DOUBLE) AS total FROM n
+),
+cnt AS (
+  SELECT c,
+         CAST(trunc(c * (CAST(0.8 AS DOUBLE) / total)) AS BIGINT) AS n_train0,
+         CAST(trunc(c * (CAST(0.1 AS DOUBLE) / total)) AS BIGINT) AS n_val,
+         CAST(trunc(c * (CAST(0.1 AS DOUBLE) / total)) AS BIGINT) AS n_test
+  FROM n, r
+)
+SELECT * FROM (
+  SELECT 'test' AS split, n_test AS n FROM cnt
+  UNION ALL
+  SELECT 'train', n_train0 + (c - n_train0 - n_val - n_test) FROM cnt
+  UNION ALL
+  SELECT 'val', n_val FROM cnt
+)
+ORDER BY split
+"""
 
 
 def q_unpivot_long(spark, sf_dir):
@@ -662,52 +705,41 @@ ORDER BY measure
 
 
 QUERIES = {
-    "scan_project_filter": q_scan_project_filter,
-    "derived_column": q_derived_column,
+    "scan_derived_filter": q_scan_derived_filter,
     "pricing_summary": q_pricing_summary,
-    "global_agg": q_global_agg,
     "agg_having": q_agg_having,
-    "time_bucket_agg": q_time_bucket_agg,
+    "date_time_bucket": q_date_time_bucket,
     "value_counts_topk": q_value_counts_topk,
-    "count_distinct": q_count_distinct,
+    "agg_global_distinct": q_agg_global_distinct,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "join_left": q_join_left,
-    "join_anti": q_join_anti,
-    "join_semi": q_join_semi,
+    "join_semi_anti": q_join_semi_anti,
     "join_outer_features": q_join_outer_features,
-    "top_orders": q_top_orders,
-    "union_distinct": q_union_distinct,
-    "intersect_keys": q_intersect,
-    "upsert_state": q_upsert_state,
-    "time_travel": q_time_travel,
+    "top_orders_page": q_top_orders_page,
+    "set_ops": q_set_ops,
+    "upsert_time_travel": q_upsert_time_travel,
     "collect_agg": q_collect_agg,
     "range_join": q_range_join,
-    "offset_paging": q_offset_paging,
     "sample_split_seed": q_sample_split_seed,
     "unpivot_long": q_unpivot_long,
 }
 
 ORACLE = {
-    "scan_project_filter": ORACLE_SCAN,
-    "derived_column": ORACLE_DERIVED,
+    "scan_derived_filter": ORACLE_SCAN_DERIVED,
     "pricing_summary": ORACLE_PRICING,
-    "global_agg": ORACLE_GLOBAL,
     "agg_having": ORACLE_HAVING,
-    "time_bucket_agg": ORACLE_TIME_BUCKET,
+    "date_time_bucket": ORACLE_DATE_TIME_BUCKET,
     "value_counts_topk": ORACLE_VALUE_COUNTS,
-    "count_distinct": ORACLE_COUNT_DISTINCT,
+    "agg_global_distinct": ORACLE_AGG_GLOBAL_DISTINCT,
     "join_revenue_by_nation": ORACLE_JOIN_NATION,
     "join_left": ORACLE_JOIN_LEFT,
-    "join_anti": ORACLE_JOIN_ANTI,
-    "join_semi": ORACLE_JOIN_SEMI,
+    "join_semi_anti": ORACLE_JOIN_SEMI_ANTI,
     "join_outer_features": ORACLE_JOIN_OUTER,
-    "top_orders": ORACLE_TOP_ORDERS,
-    "union_distinct": ORACLE_UNION,
-    "intersect_keys": ORACLE_INTERSECT,
-    "upsert_state": ORACLE_UPSERT,
-    "time_travel": ORACLE_TIME_TRAVEL,
+    "top_orders_page": ORACLE_TOP_ORDERS_PAGE,
+    "set_ops": ORACLE_SET_OPS,
+    "upsert_time_travel": ORACLE_UPSERT_TT,
     "collect_agg": ORACLE_COLLECT,
     "range_join": ORACLE_RANGE_JOIN,
-    "offset_paging": ORACLE_OFFSET,
+    "sample_split_seed": ORACLE_SAMPLE_SPLIT,
     "unpivot_long": ORACLE_UNPIVOT,
 }

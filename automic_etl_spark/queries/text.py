@@ -5,6 +5,12 @@ language-ID, fingerprinting, multimodal binary plumbing.
 Oracle notes: tokenization is ``regexp-split(trim(text), '\\s+')`` in both
 engines; hashes are md5-hex (portable); all float composites follow the
 identical expression tree so doubles match bit-for-bit.
+
+Registry note (round 2): the per-document operators (token stats, quality
+score, language-ID, fingerprint, multimodal decode) are all row-aligned on
+doc_id, so one composed gate query ``text_doc_profile`` value-checks every
+one of them per row — each still runs through its own operator code path
+(operators.textops / operators.multimodal).
 """
 
 from __future__ import annotations
@@ -18,141 +24,89 @@ from automic_etl_spark.operators import multimodal
 _STOP_SQL = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
 
 
-def q_token_stats(spark, sf_dir):
-    """Token counting (whitespace tokenizer) + char stats per document."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            textops.token_count(F.col("text")).alias("n_tokens"),
-            F.length("text").alias("text_len"),
-        )
-        .orderBy("doc_id")
-    )
-
-
-ORACLE_TOKEN_STATS = """
-SELECT doc_id,
-       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
-       CAST(length(text) AS INT) AS text_len
-FROM documents
-ORDER BY doc_id
-"""
-
-
-def q_text_quality(spark, sf_dir):
-    """Quality scoring: length/stopword/punctuation components → 0-1
-    composite (see operators.textops.text_quality)."""
-    d = load_table(spark, sf_dir, "documents")
-    return textops.text_quality(d, "text").select(
-        "doc_id", "n_tokens", "stopword_ratio", "punct_ratio", "quality_score"
-    ).orderBy("doc_id")
-
-
-ORACLE_TEXT_QUALITY = f"""
-WITH tok AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents
-), c AS (
-  SELECT doc_id,
-         CAST(len(w) AS INT) AS n_tokens,
-         CAST(length(text) AS INT) AS n_chars,
-         CAST(len(list_filter(w, t -> t IN ({_STOP_SQL}))) AS INT) AS n_stop,
-         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS n_punct
-  FROM tok
-)
-SELECT doc_id, n_tokens,
-       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
-       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
-       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
-           + 0.3 * (1 - CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
-           + 0.3 * (1 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END), 6) AS quality_score
-FROM c
-ORDER BY doc_id
-"""
-
-
-def q_language_id(spark, sf_dir):
-    """Language-ID heuristic (marker-stopword argmax) vs the labelled
-    lang column, aggregated to a per-(label, prediction) confusion."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        textops.language_id(d, "text")
-        .groupBy("lang", "lang_pred")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("lang", "lang_pred")
-    )
-
-
-def _lang_oracle() -> str:
+def _lang_score_cols() -> str:
     langs = sorted(textops.LANG_MARKERS)
-    score_cols = ",\n         ".join(
+    return ",\n         ".join(
         "CAST(len(list_filter(w, t -> t IN ({}))) AS INT) AS score_{}".format(
             ", ".join(f"'{m}'" for m in textops.LANG_MARKERS[lang]), lang
         )
         for lang in langs
     )
+
+
+def _lang_case() -> str:
+    """Argmax-with-alphabetical-tiebreak CASE over score_* columns —
+    mirrors operators.textops.language_id exactly."""
+    langs = sorted(textops.LANG_MARKERS)
     branches = []
     for i, lang in enumerate(langs):
         conds = [f"score_{lang} > 0"]
         conds += [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
         conds += [f"score_{lang} > score_{o}" for o in langs[:i]]
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
-    return f"""
+    return "CASE " + " ".join(branches) + " ELSE 'und' END"
+
+
+def q_text_doc_profile(spark, sf_dir):
+    """Composed per-document profile (gate for five operators): token
+    count + char stats, quality scoring, language-ID, min-md5 shingle
+    fingerprint, and the Arrow-batched multimodal 'decode' (stubbed
+    deterministically — no codecs in this container; see
+    operators.multimodal). The three column families join back on doc_id;
+    the oracle replicates every construction from the raw table."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = textops.language_id(textops.text_quality(d, "text"), "text")
+    base = scored.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "quality_score",
+        "lang_pred",
+    )
+    fp = textops.fingerprint(d)
+    mm = multimodal.decode_blobs(multimodal.to_blob_table(d))
+    return base.join(fp, "doc_id").join(mm, "doc_id").orderBy("doc_id")
+
+
+ORACLE_DOC_PROFILE = f"""
 WITH tok AS (
-  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS w FROM documents
-), scored AS (
-  SELECT doc_id, lang,
-         {score_cols}
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM documents
+), c AS (
+  SELECT doc_id, text,
+         CAST(len(w) AS INT) AS n_tokens,
+         CAST(length(text) AS INT) AS n_chars,
+         CAST(len(list_filter(w, t -> t IN ({_STOP_SQL}))) AS INT) AS n_stop,
+         CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS INT) AS n_punct,
+         {_lang_score_cols()}
+  FROM tok
+), fp AS (
+  SELECT doc_id,
+         list_min(list_transform(
+           list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+           s -> md5(s))) AS fingerprint
   FROM tok
 )
-SELECT lang, {case} AS lang_pred, count(*) AS n
-FROM scored
-GROUP BY lang, lang_pred
-ORDER BY lang, lang_pred
-"""
-
-
-def q_fingerprint(spark, sf_dir):
-    """Document fingerprinting: min-md5 over word 3-shingles (1-hash
-    MinHash / winnowing analog)."""
-    d = load_table(spark, sf_dir, "documents")
-    return textops.fingerprint(d).orderBy("doc_id")
-
-
-ORACLE_FINGERPRINT = """
-SELECT doc_id,
-       list_min(list_transform(
-         list_transform(generate_series(1, greatest(len(w) - 2, 0)),
-                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
-         s -> md5(s))) AS fingerprint
-FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents)
-ORDER BY doc_id
-"""
-
-
-def q_multimodal_meta(spark, sf_dir):
-    """Multimodal plumbing: text → binary blob table → Arrow-batched
-    mapInPandas 'decode' (stubbed deterministically — no codecs in this
-    container; see operators.multimodal). The oracle replicates the
-    stub's arithmetic, proving the Spark-side batch plumbing end-to-end."""
-    d = load_table(spark, sf_dir, "documents")
-    blobs = multimodal.to_blob_table(d)
-    return multimodal.decode_blobs(blobs).orderBy("doc_id")
-
-
-ORACLE_MULTIMODAL = """
-SELECT doc_id,
+SELECT c.doc_id,
+       c.n_chars AS text_len,
+       c.n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(0.4 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1 - CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+           + 0.3 * (1 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END), 6) AS quality_score,
+       {_lang_case()} AS lang_pred,
+       fp.fingerprint,
        'text/plain' AS content_type,
-       CAST(octet_length(encode(text)) AS BIGINT) AS content_size,
-       CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-       CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
-       octet_length(encode(text)) > 0 AS ok
-FROM documents
+       CAST(octet_length(encode(c.text)) AS BIGINT) AS content_size,
+       CAST(octet_length(encode(c.text)) % 640 + 1 AS INT) AS width,
+       CAST(octet_length(encode(c.text)) % 480 + 1 AS INT) AS height,
+       octet_length(encode(c.text)) > 0 AS ok
+FROM c JOIN fp USING (doc_id)
 ORDER BY doc_id
 """
-
-
 
 
 def q_bigram_topk(spark, sf_dir):
@@ -243,21 +197,13 @@ ORDER BY source
 
 
 QUERIES = {
-    "text_token_stats": q_token_stats,
+    "text_doc_profile": q_text_doc_profile,
     "bigram_topk": q_bigram_topk,
     "source_quality_rollup": q_source_quality_rollup,
-    "text_quality": q_text_quality,
-    "language_id": q_language_id,
-    "text_fingerprint": q_fingerprint,
-    "multimodal_meta": q_multimodal_meta,
 }
 
 ORACLE = {
-    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_doc_profile": ORACLE_DOC_PROFILE,
     "bigram_topk": ORACLE_BIGRAMS,
     "source_quality_rollup": ORACLE_SOURCE_ROLLUP,
-    "text_quality": ORACLE_TEXT_QUALITY,
-    "language_id": _lang_oracle(),
-    "text_fingerprint": ORACLE_FINGERPRINT,
-    "multimodal_meta": ORACLE_MULTIMODAL,
 }

@@ -20,24 +20,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from automic_etl_spark.session import get_spark
 from automic_etl_spark.io import load_table, TABLE_NAMES
-from automic_etl_spark.queries import all_queries
 
 # Headline set: the heavy relational core + the scale-critical
 # beyond-reference operators. Keep to ~12 so the bench signal is readable.
-HEADLINE = [
-    "pricing_summary",
-    "join_revenue_by_nation",
-    "top_orders",
-    "agg_having",
-    "window_topk_per_group",
-    "window_running_sum",
-    "dedup_keep_last",
-    "sessionize",
-    "asof_join",
-    "count_distinct",
-    "minhash_lsh_candidates",
-    "embedding_topk",
-]
+# Bound DIRECTLY to the workload functions (not registry names) so the
+# benchmarked work stays identical round over round even when the
+# correctness-gate registry reshapes queries (round 2 composed several
+# gate entries; the standalone forms below are kept precisely for this).
+from automic_etl_spark.queries.relational import (  # noqa: E402
+    q_agg_having,
+    q_count_distinct,
+    q_join_revenue_by_nation,
+    q_pricing_summary,
+    q_top_orders,
+)
+from automic_etl_spark.queries.analytic import (  # noqa: E402
+    q_asof_join,
+    q_dedup_keep_last,
+    q_sessionize,
+    q_window_running_sum,
+    q_window_topk_per_group,
+)
+from automic_etl_spark.queries.dedup_sim import (  # noqa: E402
+    q_embedding_topk,
+    q_minhash_lsh_candidates,
+)
+
+HEADLINE = {
+    "pricing_summary": q_pricing_summary,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "top_orders": q_top_orders,
+    "agg_having": q_agg_having,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "dedup_keep_last": q_dedup_keep_last,
+    "sessionize": q_sessionize,
+    "asof_join": q_asof_join,
+    "count_distinct": q_count_distinct,
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "embedding_topk": q_embedding_topk,
+}
 
 
 def main() -> None:
@@ -68,12 +90,8 @@ def main() -> None:
     except Exception:
         pass
 
-    queries = all_queries()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
+    for name, fn in HEADLINE.items():
         # min of 2 executions: the second run reuses compiled codegen and
         # OS page cache, so it reflects steady-state engine cost rather
         # than scheduler noise.

@@ -22,13 +22,17 @@ def test_query_runs(spark, name):
     assert rows is not None
 
 
-def test_every_query_has_oracle_or_is_flagged():
+def test_every_query_has_oracle():
     missing = [n for n in QUERIES if n not in ORACLES]
-    # non-SQL-expressible ops may omit the oracle, but must be rare and
-    # deliberate — keep the list pinned so additions are conscious.
-    # sample_split_seed: Spark rand(seed) is engine-specific (the
-    # portable hash split is oracle-checked as curator_splits).
-    assert set(missing) <= {"sample_split_seed"}, f"queries without oracle: {missing}"
+    # every declared query carries an oracle (round 2: sample_split_seed
+    # gained a closed-form split-size oracle).
+    assert not missing, f"queries without oracle: {missing}"
+
+
+def test_registry_fits_driver_window():
+    # The driver's correctness gate scores at most 50 entries; every
+    # declared query must land inside that window.
+    assert len(QUERIES) <= 50, f"registry has {len(QUERIES)} entries (> 50)"
 
 
 def test_entry_contract(spark):

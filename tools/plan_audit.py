@@ -25,20 +25,21 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
         "must": ["BroadcastHashJoin"],
         "must_not": ["CartesianProduct"],
     },
-    "top_orders": {
+    "top_orders_page": {
         "must": ["EqualTo(c_mktsegment,BUILDING)"],
         "must_not": ["CartesianProduct"],
     },
-    "embedding_topk": {
+    "embedding_search": {
         "must": ["EqualTo(vec_id,0)", "TakeOrderedAndProject"],
         "must_not": [],
     },
-    "scan_project_filter": {
-        # projection pruning: the scan must read only the 4 selected cols
-        "must": ["ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double>"],
+    "scan_derived_filter": {
+        # projection pruning: the scan must read only the 5 needed cols
+        # (4 projected + l_discount feeding the derived net_amount)
+        "must": ["ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double>"],
         "must_not": [],
     },
-    "minhash_lsh_candidates": {
+    "minhash_jaccard": {
         "must": [],
         "must_not": ["CartesianProduct"],
     },
