@@ -36,7 +36,34 @@ def _norm(a: Column) -> Column:
     return F.sqrt(sq)
 
 
+def _dot_and_sq(a: Column, b: Column) -> Column:
+    """ONE HOF pass computing struct(dot(a,b), sum(a²)): pyspark HOF
+    lambdas are the engine's per-row hot loop, so fusing the dot and the
+    left-side norm fold halves the lambda evaluations per row vs separate
+    _dot + _norm calls. Both fields accumulate in the same sequential
+    left-fold order as the separate folds, so the resulting doubles are
+    bit-identical (oracle parity preserved)."""
+    prods = F.zip_with(
+        a,
+        b,
+        lambda x, y: F.struct(
+            (x.cast("double") * y.cast("double")).alias("p"),
+            (x.cast("double") * x.cast("double")).alias("aa"),
+        ),
+    )
+    return F.aggregate(
+        prods,
+        F.struct(F.lit(0.0).alias("p"), F.lit(0.0).alias("aa")),
+        lambda acc, v: F.struct(
+            (acc["p"] + v["p"]).alias("p"), (acc["aa"] + v["aa"]).alias("aa")
+        ),
+    )
+
+
 def cosine_similarity_col(a: Column, b: Column) -> Column:
+    """Generic pairwise cosine (3 folds). Hot paths below avoid it:
+    they pre-compute per-side norms once (join inputs) or fuse the
+    row-side folds via _dot_and_sq (single-query scan)."""
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -50,12 +77,32 @@ def cosine_topk(
     """Exact top-k neighbours of a single query vector (1-row ``query``
     DataFrame with the same vec_col). The query side is broadcast; the
     corpus is scanned once; TakeOrderedAndProject keeps only k rows per
-    partition before the final merge — no full sort, no collect."""
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
-    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
+    partition before the final merge — no full sort, no collect.
+
+    Per-row cost is ONE fused fold (_dot_and_sq): the query norm is
+    computed once on the broadcast side, never per corpus row. The __acc
+    struct is projected before field access so the fold is evaluated once
+    (CollapseProject keeps non-cheap multiply-referenced projections
+    separate)."""
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qnorm"),
+        )
+    )
     return (
         emb.crossJoin(q)
-        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .select(
+            F.col(id_col),
+            _dot_and_sq(F.col(vec_col), F.col("__qvec")).alias("__acc"),
+            F.col("__qnorm"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("__acc")["p"] / (F.sqrt(F.col("__acc")["aa"]) * F.col("__qnorm")), 6
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -85,18 +132,29 @@ def lsh_bucket_ann(
     """Approximate top-k: score only vectors in the query's sign-LSH
     bucket. Recall trades off with 2^n_planes; the bucket filter is an
     equi-predicate Catalyst can push to the scan (and to partition
-    pruning when the corpus is bucket-partitioned)."""
+    pruning when the corpus is bucket-partitioned). Scoring is the same
+    fused single-fold cosine as cosine_topk."""
     q = F.broadcast(
         query.select(
             F.col(vec_col).alias("__qvec"),
             sign_bucket(F.col(vec_col), n_planes).alias("__qbucket"),
+            _norm(F.col(vec_col)).alias("__qnorm"),
         )
     )
-    sim = cosine_similarity_col(F.col(vec_col), F.col("__qvec"))
     return (
         emb.withColumn("__bucket", sign_bucket(F.col(vec_col), n_planes))
         .join(q, F.col("__bucket") == F.col("__qbucket"))
-        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .select(
+            F.col(id_col),
+            _dot_and_sq(F.col(vec_col), F.col("__qvec")).alias("__acc"),
+            F.col("__qnorm"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("__acc")["p"] / (F.sqrt(F.col("__acc")["aa"]) * F.col("__qnorm")), 6
+            ).alias("cosine"),
+        )
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
@@ -120,8 +178,18 @@ def knn_join(
     exact brute-force baseline — a single shuffle producing n²-n scored
     pairs then a per-id top-k window; quadratic, only sound on small or
     pre-filtered inputs."""
-    a = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    # per-side norms are computed ONCE per vector before the join (n folds),
+    # not per pair (n² folds) — identical float tree, so values are unchanged
+    a = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     if block_planes:
         a = a.withColumn("__bucket", sign_bucket(F.col("va"), block_planes))
         b = b.withColumn("__bucket", sign_bucket(F.col("vb"), block_planes))
@@ -129,7 +197,7 @@ def knn_join(
     else:
         pairs = a.crossJoin(b)
     pairs = pairs.filter(F.col("id") != F.col("neighbor_id"))
-    sim = cosine_similarity_col(F.col("va"), F.col("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (F.col("__na") * F.col("__nb"))
     scored = pairs.select("id", "neighbor_id", F.round(sim, 6).alias("cosine"))
     from pyspark.sql import Window as W
 
@@ -152,14 +220,18 @@ def embedding_near_duplicates(
     sign bits; n_planes small keeps recall high), exact cosine verify on
     candidates only. The self-join shuffles on the bucket key — never a
     cross join."""
+    # bucket AND norm computed once per vector (not per candidate pair)
     with_bucket = emb.select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), n_planes).alias("__bucket"),
+        _norm(F.col(vec_col)).alias("__norm"),
     )
     a = with_bucket.alias("a")
     b = with_bucket.alias("b")
-    sim = cosine_similarity_col(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    sim = _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.__norm") * F.col("b.__norm")
+    )
     return (
         a.join(b, F.col("a.__bucket") == F.col("b.__bucket"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
