@@ -15,8 +15,13 @@ parquet + a JSON manifest per version:
 - time travel → read the dir list of any older manifest (version or
                 timestamp), exactly Delta's versionAsOf/timestampAsOf
                 contract (reference integrations/spark.py:219-243)
-- upsert/delete/merge → read-modify-overwrite, the reference's own
-  Iceberg strategy (storage/iceberg/tables.py:246-343)
+- upsert/delete/merge → PARTITION-SCOPED on partitioned tables: only
+  partitions containing affected keys are rewritten; untouched dirs stay
+  byte-identical and are masked via a partition-column predicate in the
+  manifest (pruned at read). Unpartitioned tables fall back to
+  read-modify-overwrite — the reference's own Iceberg strategy
+  (storage/iceberg/tables.py:246-343), which at 100 TB would rewrite the
+  snapshot per operation; the scoped path is why it doesn't here.
 
 Readers scan each data dir with ``spark.read.parquet`` (unionByName
 across dirs), so Catalyst pushdown/pruning — including partition-value
@@ -68,6 +73,11 @@ class TableVersion:
     dirs: list[str]
     schema: str
     partition_by: list[str]
+    # per-dir row mask (SQL predicate) applied at read time: lets a
+    # partition-scoped upsert/delete supersede partitions inside older
+    # dirs WITHOUT rewriting them (the mask is on partition columns, so
+    # Catalyst turns it into partition pruning — no data files read).
+    dir_filters: dict | None = None
 
 
 class TableManager:
@@ -151,20 +161,115 @@ class TableManager:
         self._write_manifest(tv)
         return tv.version
 
+    # partition-scoped rewrites are capped at this many distinct affected
+    # partition tuples; beyond it the predicate would be unwieldy and a
+    # full rewrite is likely cheaper anyway.
+    _MAX_SCOPED_PARTITIONS = 256
+
+    @staticmethod
+    def _sql_literal(v) -> str | None:
+        import datetime
+
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, datetime.datetime):
+            return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+        if isinstance(v, datetime.date):
+            return f"DATE '{v.isoformat()}'"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        raise ValueError(f"unsupported partition value type: {type(v).__name__}")
+
+    @classmethod
+    def _partition_pred(cls, rows, part_cols: list[str]) -> str:
+        """OR-of-conjunctions predicate matching the given partition
+        tuples (NULL partition values become IS NULL)."""
+        disjuncts = []
+        for r in rows:
+            conj = []
+            for c in part_cols:
+                lit = cls._sql_literal(r[c])
+                conj.append(f"{c} IS NULL" if lit is None else f"{c} = {lit}")
+            disjuncts.append("(" + " AND ".join(conj) + ")")
+        return " OR ".join(disjuncts)
+
+    def _scoped_rewrite(self, tv: TableVersion, rewritten: DataFrame, pred: str, op: str) -> int:
+        """Commit a new version whose data dir holds ONLY the affected
+        partitions; prior dirs are kept byte-identical and masked with
+        NOT(pred) at read time (partition pruning, no data read)."""
+        new_dir = self._write_data(rewritten, tv.partition_by)
+        not_pred = f"NOT coalesce(({pred}), false)"
+        dir_filters = dict(tv.dir_filters or {})
+        for d in tv.dirs:
+            prev = dir_filters.get(d)
+            dir_filters[d] = f"({prev}) AND {not_pred}" if prev else not_pred
+        out = TableVersion(
+            version=self.current_version() + 1,
+            ts=time.time(),
+            op=op,
+            dirs=tv.dirs + [new_dir],
+            schema=rewritten.schema.json(),
+            partition_by=tv.partition_by,
+            dir_filters=dir_filters,
+        )
+        self._write_manifest(out)
+        return out.version
+
     def upsert(self, df: DataFrame, key_columns: list[str]) -> int:
-        """Keyed upsert: current rows not matching new keys + new rows —
-        anti-join + union + overwrite (reference tables.py:246-299)."""
+        """Keyed upsert (reference tables.py:246-299). On a partitioned
+        table only partitions containing incoming keys are rewritten —
+        a 1-partition upsert against a 100 TB table touches one
+        partition, not the snapshot; unpartitioned tables fall back to
+        the read-modify-overwrite path."""
         if not self.exists():
             return self.create_or_append(df)
+        tv = self._versions()[-1]
+        part = tv.partition_by
+        if part and set(part) <= set(df.columns):
+            vals = df.select(*part).distinct().limit(self._MAX_SCOPED_PARTITIONS + 1).collect()
+            if not vals:
+                return tv.version  # empty batch: nothing to change
+            if len(vals) <= self._MAX_SCOPED_PARTITIONS:
+                pred = self._partition_pred(vals, part)
+                affected = self.read().filter(pred)
+                kept = affected.join(
+                    df.select(*key_columns).distinct(), key_columns, "left_anti"
+                )
+                rewritten = kept.unionByName(df, allowMissingColumns=True)
+                return self._scoped_rewrite(tv, rewritten, pred, "upsert")
         cur = self.read()
         kept = cur.join(df.select(*key_columns).distinct(), key_columns, "left_anti")
         return self.overwrite(kept.unionByName(df, allowMissingColumns=True))
 
     def delete(self, condition: str) -> int:
-        """DELETE WHERE condition — read → filter(NOT cond) → overwrite
-        (reference tables.py:301-343)."""
+        """DELETE WHERE condition (reference tables.py:301-343). SQL/Delta
+        semantics: ONLY rows where the predicate is TRUE are removed —
+        rows where it evaluates to NULL survive (coalesce guard). On a
+        partitioned table only partitions containing matching rows are
+        rewritten."""
+        cond_true = f"coalesce(({condition}), false)"
         cur = self.read()
-        return self.overwrite(cur.filter(f"NOT ({condition})"))
+        tv = self._versions()[-1]
+        part = tv.partition_by
+        if part:
+            vals = (
+                cur.filter(cond_true)
+                .select(*part)
+                .distinct()
+                .limit(self._MAX_SCOPED_PARTITIONS + 1)
+                .collect()
+            )
+            if not vals:
+                return tv.version  # predicate matches nothing: no-op
+            if len(vals) <= self._MAX_SCOPED_PARTITIONS:
+                pred = self._partition_pred(vals, part)
+                kept = cur.filter(pred).filter(f"NOT {cond_true}")
+                return self._scoped_rewrite(tv, kept, pred, "delete")
+        return self.overwrite(cur.filter(f"NOT {cond_true}"))
 
     # -- reads --------------------------------------------------------------
 
@@ -197,7 +302,16 @@ class TableManager:
             from pyspark.sql.types import StructType
 
             return self.spark.createDataFrame([], StructType.fromJson(json.loads(tv.schema)))
-        frames = [self.spark.read.parquet(d) for d in tv.dirs]
+        frames = []
+        for d in tv.dirs:
+            fdf = self.spark.read.parquet(d)
+            mask = (tv.dir_filters or {}).get(d)
+            if mask:
+                # partition-column mask from a scoped upsert/delete —
+                # Catalyst resolves it to partition pruning on the
+                # col=value dir structure, so masked dirs cost no IO.
+                fdf = fdf.filter(mask)
+            frames.append(fdf)
         df = frames[0]
         for extra in frames[1:]:
             df = df.unionByName(extra, allowMissingColumns=True)
@@ -320,6 +434,7 @@ class TableManager:
             dirs=old.dirs,
             schema=old.schema,
             partition_by=old.partition_by,
+            dir_filters=old.dir_filters,
         )
         self._write_manifest(tv)
         return tv.version

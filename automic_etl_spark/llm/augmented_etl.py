@@ -47,10 +47,16 @@ def _validate(tree: ast.AST) -> None:
     for node in ast.walk(tree):
         if isinstance(node, (ast.Import, ast.ImportFrom)):
             raise UnsafeSnippet("imports are not allowed in generated snippets")
-        if isinstance(node, ast.Attribute) and node.attr.startswith("__"):
-            raise UnsafeSnippet("dunder attribute access is not allowed")
-        if isinstance(node, ast.Name) and node.id in _BANNED_CALLS:
-            raise UnsafeSnippet(f"call to {node.id!r} is not allowed")
+        # ANY underscore-prefixed attribute is banned, not just dunders:
+        # single-underscore internals reach the JVM gateway in one hop
+        # (df.sparkSession._jvm → arbitrary driver-side execution), so the
+        # public DataFrame/functions surface is the only allowed one.
+        if isinstance(node, ast.Attribute) and node.attr.startswith("_"):
+            raise UnsafeSnippet("underscore-prefixed attribute access is not allowed")
+        if isinstance(node, ast.Name) and (
+            node.id in _BANNED_CALLS or node.id.startswith("_")
+        ):
+            raise UnsafeSnippet(f"name {node.id!r} is not allowed")
 
 
 def run_generated_snippet(df: DataFrame, code: str) -> DataFrame:

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from automic_etl_spark.llm.client import LLMClient, OfflineBackend
-from automic_etl_spark.plans.sqlgate import assert_read_only
+from automic_etl_spark.plans.sqlgate import assert_read_only, referenced_tables
 
 
 @dataclass
@@ -128,9 +128,13 @@ class SQLAssistant:
         result = self.client.complete_json(self._prompt(question, context))
         if not result.get("sql"):
             return {"sql": None, "explanation": "could not translate", "confidence": 0.0}
-        # tier ACL over tables_used (reference queries.py:366-375)
-        for t in result.get("tables_used", []):
-            tier = self.schemas.get(t, TableSchema(t, {})).tier
+        # tier ACL (reference queries.py:366-375) — enforced on the table
+        # set derived from the PARSED PLAN, not the model's self-reported
+        # tables_used (generated SQL could read a restricted table while
+        # listing only general ones); unknown tables are restricted-by-
+        # default unless registered.
+        for t in sorted(referenced_tables(self.spark, result["sql"])):
+            tier = self.schemas.get(t, TableSchema(t, {}, tier="restricted")).tier
             if tier not in allowed_tiers:
                 raise PermissionError(f"table {t!r} is tier {tier!r}, not allowed")
         # parsed-plan read-only validation — replaces regex guards

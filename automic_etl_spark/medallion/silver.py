@@ -142,8 +142,13 @@ class SilverLayer:
             .drop("_bronze_batch_id_src")
             .withColumn("_processing_date", F.to_date(ts))
         )
-        self._table(silver_table).create_or_append(out, partition_by=["_processing_date"])
-        return self._table(silver_table).read().count()
+        tbl = self._table(silver_table)
+        before = tbl.read().count() if tbl.exists() else 0
+        tbl.create_or_append(out, partition_by=["_processing_date"])
+        # rows written THIS batch (post-append minus pre-append counts —
+        # two metadata-light jobs; counting `out` directly would execute
+        # the whole transform chain a second time on top of the write)
+        return tbl.read().count() - before
 
     def read(self, name: str, **kwargs) -> DataFrame:
         return self._table(name).read(**kwargs)

@@ -58,6 +58,55 @@ def is_read_only(spark: SparkSession, sql: str) -> bool:
     return True
 
 
+def referenced_tables(spark: SparkSession, sql: str) -> set[str]:
+    """Table names a query actually reads, derived from the PARSED plan
+    (UnresolvedRelation nodes), minus names the query itself defines as
+    CTEs. Walks plan children, CTE definition plans, AND subquery
+    expressions (scalar/EXISTS subqueries reference relations inside
+    expression trees, not plan children) — so a reference hidden in a
+    WHERE clause is still seen. This is the authoritative input for
+    access control: self-reported table lists from an LLM are not."""
+    plan = parse_plan(spark, sql)
+    tables: set[str] = set()
+    ctes: set[str] = set()
+    plans = [plan]
+    while plans:
+        node = plans.pop()
+        cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedRelation":
+            parts = node.multipartIdentifier()
+            tables.add(str(parts.apply(parts.size() - 1)).lower())
+        if cls in ("UnresolvedWith", "With"):
+            try:
+                rels = node.cteRelations()
+                for i in range(rels.size()):
+                    pair = rels.apply(i)
+                    ctes.add(str(pair._1()).lower())
+                    plans.append(pair._2())
+            except Exception:
+                pass
+        for i in range(node.children().size()):
+            plans.append(node.children().apply(i))
+        # expression-tree subqueries: walk every expression, descending
+        # into any SubqueryExpression's inner plan
+        try:
+            exprs = [node.expressions().apply(i) for i in range(node.expressions().size())]
+        except Exception:
+            exprs = []
+        while exprs:
+            e = exprs.pop()
+            try:
+                plans.append(e.plan())  # SubqueryExpression
+            except Exception:
+                pass
+            try:
+                for i in range(e.children().size()):
+                    exprs.append(e.children().apply(i))
+            except Exception:
+                pass
+    return tables - ctes
+
+
 def assert_read_only(spark: SparkSession, sql: str) -> None:
     if not is_read_only(spark, sql):
         raise ReadOnlyViolation(

@@ -118,9 +118,11 @@ class JDBCConnector:
     ) -> DataFrame:
         """Incremental pull: WHERE wm_col > value, pushed to the source
         (reference templates `{watermark}` into query strings,
-        extraction/incremental.py:105-121)."""
-        return self.extract_table(
-            table,
-            filter_expr=f"{watermark_column} > '{watermark_value}'",
-            **partition_kwargs,
-        )
+        extraction/incremental.py:105-121). The predicate is a Column
+        expression, not an f-string: Spark handles literal typing and
+        escaping before JDBC pushdown, so quote-bearing or non-string
+        watermark values are safe."""
+        from pyspark.sql import functions as F
+
+        df = self.reader(table=table, **partition_kwargs).load()
+        return df.filter(F.col(watermark_column) > F.lit(watermark_value))

@@ -50,8 +50,12 @@ def test_natural_query(handlers, spark):
         source="api",
         fixed_time=datetime(2024, 1, 1),
     )
-    # the offline rules target a view named `orders`
-    handlers.lh.warehouse.table("bronze", "orders").read().createOrReplaceTempView("orders")
+    # the offline rules target a view named `orders`; registering with the
+    # assistant both creates the view and grants it a tier — unregistered
+    # tables are restricted-by-default under the parsed-plan ACL
+    handlers.assistant.register_dataframe(
+        "orders", handlers.lh.warehouse.table("bronze", "orders").read()
+    )
     out = handlers.natural_query("show orders per status")
     assert out["status"] == 200 and out["n_rows"] == 3
     assert "GROUP BY" in out["sql"].upper()

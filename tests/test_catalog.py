@@ -57,6 +57,62 @@ def test_upsert_and_delete(wh, spark, users_df):
     assert t.read().filter("age >= 45").count() == 0
 
 
+def test_delete_null_predicate_keeps_null_rows(wh, spark):
+    """SQL/Delta DELETE semantics: only rows where the predicate is TRUE
+    go; rows where it evaluates to NULL survive."""
+    t = wh.table("silver", "prices")
+    df = spark.createDataFrame(
+        [(1, 50.0), (2, 150.0), (3, None)], "id long, price double"
+    )
+    t.create_or_append(df)
+    t.delete("price > 100")
+    ids = sorted(r["id"] for r in t.read().collect())
+    assert ids == [1, 3]  # NULL-price row must NOT be deleted
+
+
+def _data_file_state(path):
+    """(relative file path → (size, mtime)) for every parquet data file."""
+    import os
+
+    state = {}
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet") and "_manifest" not in root:
+                full = os.path.join(root, fn)
+                st = os.stat(full)
+                state[os.path.relpath(full, path)] = (st.st_size, st.st_mtime_ns)
+    return state
+
+
+def test_partition_scoped_upsert_leaves_other_partitions_untouched(wh, spark):
+    t = wh.table("silver", "events_p")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, v double",
+    )
+    t.create_or_append(df, partition_by=["part"])
+    before = _data_file_state(t.path)
+
+    updates = spark.createDataFrame([(2, "a", 99.0), (5, "a", 55.0)], df.schema)
+    t.upsert(updates, ["id"])
+
+    # correctness: partition a rewritten, b/c untouched
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: 10.0, 2: 99.0, 3: 30.0, 4: 40.0, 5: 55.0}
+    # every pre-existing data file survives byte-identical (same size +
+    # mtime): the scoped upsert only ADDED a new dir for partition a
+    after = _data_file_state(t.path)
+    assert set(before) <= set(after)
+    for f, sig in before.items():
+        assert after[f] == sig, f"pre-existing file rewritten: {f}"
+    # scoped delete: only partition c contains matches
+    t.delete("v >= 40.0")
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: 10.0, 3: 30.0}  # 2/5 (99.0, 55.0) and 4 deleted
+    # time travel still reconstructs the pre-upsert snapshot
+    assert {r["id"] for r in t.read(version=0).collect()} == {1, 2, 3, 4}
+
+
 def test_compact_vacuum_restore(wh, users_df):
     t = wh.table("gold", "users")
     t.create_or_append(users_df)

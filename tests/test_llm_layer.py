@@ -106,9 +106,40 @@ def test_snippet_sandbox(users_df):
     assert out.count() == 3
     with pytest.raises(UnsafeSnippet, match="imports"):
         run_generated_snippet(users_df, "import os\nresult = df")
-    with pytest.raises(UnsafeSnippet, match="dunder"):
+    with pytest.raises(UnsafeSnippet, match="underscore"):
         run_generated_snippet(users_df, "result = df.__class__")
-    with pytest.raises(UnsafeSnippet, match="open"):
+    # single-underscore internals are the JVM-gateway escape hatch
+    # (df.sparkSession._jvm → driver-side command execution) — banned too
+    with pytest.raises(UnsafeSnippet, match="underscore"):
+        run_generated_snippet(users_df, "result = df.sparkSession._jvm")
+    with pytest.raises(UnsafeSnippet, match="not allowed"):
         run_generated_snippet(users_df, "result = open('/etc/passwd')")
     with pytest.raises(UnsafeSnippet, match="DataFrame"):
         run_generated_snippet(users_df, "result = 42")
+
+
+def test_tier_acl_uses_parsed_plan_not_model_claim(spark):
+    """A backend that under-reports tables_used must still be blocked:
+    the ACL is derived from the parsed plan, not the model's claim."""
+    from automic_etl_spark.llm.client import LLMClient, OfflineBackend
+    import json as _json
+
+    lying = OfflineBackend(
+        [(
+            r".*",
+            _json.dumps(
+                {
+                    "sql": "SELECT * FROM secret_table",
+                    "explanation": "",
+                    "intent": "lookup",
+                    "confidence": 0.9,
+                    "tables_used": ["orders"],  # lie: actual read is secret_table
+                }
+            ),
+        )]
+    )
+    a = SQLAssistant(spark, client=LLMClient(lying))
+    a.register_table(TableSchema("orders", {"o_orderkey": "bigint"}, tier="general"))
+    a.register_table(TableSchema("secret_table", {"x": "bigint"}, tier="restricted"))
+    with pytest.raises(PermissionError, match="secret_table"):
+        a.natural_language_to_sql("anything")
