@@ -1,0 +1,172 @@
+"""Pure-python PDF text extraction over binary columns.
+
+Reference: connectors/unstructured/pdf.py:100-190 extracts text via the
+`unstructured`/`pypdf` libraries with a basic fallback. Neither library
+ships in this image, so this module implements the basic path directly
+from the public PDF spec — no dependency beyond stdlib zlib:
+
+- locate `<<dict>> stream … endstream` objects,
+- inflate FlateDecode streams (zlib),
+- tokenize content streams and collect text-showing operators
+  (`Tj`, `'`, `"`, `TJ` arrays) with literal-string escapes and hex
+  strings; `Td/TD/T*` line moves become newlines.
+
+Scope: simple-encoded (Latin-ish) text layers. Embedded CID font cmaps,
+OCR, and table structure are out of scope (the reference's rich path
+delegates those to `unstructured` too). Distribution: `pdf_blobs_to_text`
+runs the extractor as an Arrow-batched mapInPandas over a blob table —
+the same plumbing as operators.multimodal, so a 100 TB corpus of PDFs
+parallelizes per partition with bounded batch memory.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+_STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+
+_ESCAPES = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
+    ord("f"): "\f", ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def _parse_literal(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting AFTER the opening '('.
+    Returns (text, index after closing ')'). Handles nesting, backslash
+    escapes, and octal codes."""
+    out: list[str] = []
+    depth = 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            if 0x30 <= e <= 0x37:  # octal: up to 3 digits
+                code = 0
+                for _ in range(3):
+                    if i < n and 0x30 <= data[i] <= 0x37:
+                        code = code * 8 + (data[i] - 0x30)
+                        i += 1
+                    else:
+                        break
+                out.append(chr(code))
+                continue
+            out.append(_ESCAPES.get(e, chr(e)))
+            i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append("(")
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return "".join(out), i + 1
+            out.append(")")
+            i += 1
+        else:
+            out.append(chr(c))
+            i += 1
+    return "".join(out), i
+
+
+def _parse_hex(data: bytes, i: int) -> tuple[str, int]:
+    """Parse a hex string starting AFTER '<'; returns (text, index after '>')."""
+    end = data.find(b">", i)
+    if end < 0:
+        return "", len(data)
+    hx = re.sub(rb"\s", b"", data[i:end])
+    if len(hx) % 2:
+        hx += b"0"
+    try:
+        raw = bytes.fromhex(hx.decode("ascii"))
+        return raw.decode("latin-1"), end + 1
+    except ValueError:
+        return "", end + 1
+
+
+def _content_text(content: bytes) -> str:
+    """Tokenize one content stream, emitting shown text in order."""
+    out: list[str] = []
+    pending: list[str] = []  # strings seen since last operator
+    i, n = 0, len(content)
+    while i < n:
+        c = content[i]
+        if c == 0x28:  # (
+            s, i = _parse_literal(content, i + 1)
+            pending.append(s)
+        elif c == 0x3C:  # <
+            if i + 1 < n and content[i + 1] == 0x3C:  # << dict inside stream
+                i += 2
+            else:
+                s, i = _parse_hex(content, i + 1)
+                pending.append(s)
+        elif (0x41 <= c <= 0x5A) or (0x61 <= c <= 0x7A) or c in (0x27, 0x22):  # op
+            m = re.match(rb"[A-Za-z'\"*]+", content[i:])
+            op = m.group(0)
+            i += len(op)
+            if op in (b"Tj", b"'", b'"', b"TJ"):
+                out.extend(pending)
+                pending.clear()
+            elif op in (b"Td", b"TD", b"T*"):
+                pending.clear()
+                if out and not out[-1].endswith("\n"):
+                    out.append("\n")
+            elif op in (b"BT", b"ET"):
+                pending.clear()
+        else:
+            i += 1
+    return "".join(out)
+
+
+def extract_pdf_text(data: bytes) -> str:
+    """Text layer of a PDF byte payload ('' when none found)."""
+    if not isinstance(data, (bytes, bytearray)) or b"%PDF" not in data[:1024]:
+        return ""
+    parts: list[str] = []
+    for m in _STREAM_RE.finditer(data):
+        d, raw = m.group(1), m.group(2)
+        if b"FlateDecode" in d:
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                continue
+        elif re.search(rb"/(?:DCT|JPX|CCITTFax|RunLength|LZW)Decode", d):
+            continue  # image/other codecs: not text
+        if b"BT" in raw and (b"Tj" in raw or b"TJ" in raw or b"'" in raw):
+            txt = _content_text(raw).strip()
+            if txt:
+                parts.append(txt)
+    return "\n\n".join(parts)
+
+
+PDF_TEXT_SCHEMA = "doc_id long, text string, n_chars int, ok boolean"
+
+
+def pdf_blobs_to_text(
+    blobs: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """Arrow-batched distributed extraction over a blob table (the shape
+    produced by operators.multimodal.to_blob_table)."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            texts = [extract_pdf_text(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "text": texts,
+                    "n_chars": [len(t) for t in texts],
+                    "ok": [bool(t) for t in texts],
+                }
+            )
+
+    return blobs.mapInPandas(batches, PDF_TEXT_SCHEMA)

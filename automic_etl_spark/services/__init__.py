@@ -3,6 +3,7 @@ lineage tracking."""
 
 from automic_etl_spark.services.redaction import RedactionService, EntityPattern
 from automic_etl_spark.services.curator import DatasetCurator
+from automic_etl_spark.services.export import export_result
 from automic_etl_spark.services.qa import qa_compare
 from automic_etl_spark.services.lineage import LineageTracker
 
@@ -10,6 +11,7 @@ __all__ = [
     "RedactionService",
     "EntityPattern",
     "DatasetCurator",
+    "export_result",
     "qa_compare",
     "LineageTracker",
 ]

@@ -1,0 +1,76 @@
+"""Result export sinks: csv / json / parquet / excel / sql-inserts.
+
+Reference: ui/export.py:40-110 renders a (small, already-aggregated)
+result frame to a downloadable payload. Distributed formats write
+through the DataFrame writers (scales to any size); excel and
+sql-inserts are driver-side by nature, so they REQUIRE an explicit
+row cap — refusing to silently collect an unbounded frame is the
+scale-correct contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+DRIVER_SIDE_DEFAULT_CAP = 100_000
+
+
+def export_result(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    max_rows: int | None = None,
+) -> str:
+    """Write ``df`` to ``path`` in the requested format; returns path."""
+    fmt = fmt.lower()
+    if fmt in ("csv", "json", "parquet"):
+        writer = df.write.mode("overwrite")
+        if fmt == "csv":
+            writer = writer.option("header", True)
+        getattr(writer, fmt)(path)
+        return path
+    if fmt in ("excel", "xlsx"):
+        return _export_excel(df, path, max_rows or DRIVER_SIDE_DEFAULT_CAP)
+    if fmt == "sql":
+        return _export_sql_inserts(df, path, max_rows or DRIVER_SIDE_DEFAULT_CAP)
+    raise ValueError(f"unsupported export format: {fmt!r}")
+
+
+def _export_excel(df: DataFrame, path: str, max_rows: int) -> str:
+    """Excel is a driver-side artifact (reference ui/export.py:67-69:
+    to_excel via openpyxl). Gated: raises a clear error if no xlsx
+    engine is installed rather than failing deep inside pandas."""
+    try:
+        import openpyxl  # noqa: F401 — gated: not guaranteed in the image
+    except ImportError as e:
+        raise RuntimeError(
+            "excel export needs the 'openpyxl' package; install it or use csv/parquet"
+        ) from e
+    pdf = df.limit(max_rows).toPandas()
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    pdf.to_excel(path, index=False, engine="openpyxl")
+    return path
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _export_sql_inserts(df: DataFrame, path: str, max_rows: int) -> str:
+    """INSERT-statement export (reference ui/export.py:75-95)."""
+    cols = ", ".join(df.columns)
+    table = os.path.splitext(os.path.basename(path))[0] or "exported"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        for r in df.limit(max_rows).collect():
+            vals = ", ".join(_sql_literal(v) for v in r)
+            f.write(f"INSERT INTO {table} ({cols}) VALUES ({vals});\n")
+    return path

@@ -7,6 +7,16 @@ error at use, not import."""
 from automic_etl_spark.sources.files import BinaryFileConnector, CSVConnector, JSONConnector, ParquetConnector
 from automic_etl_spark.sources.jdbc import JDBCConnector
 from automic_etl_spark.sources.rest import RESTConnector
+from automic_etl_spark.sources.saas import HubSpotConnector, SalesforceConnector, StripeConnector
+from automic_etl_spark.sources.vendors import (
+    JDBC_PRESETS,
+    bigquery_options,
+    mongodb_options,
+    quote_ident,
+    read_bigquery,
+    read_mongodb,
+    vendor_connector,
+)
 from automic_etl_spark.sources.object_store import storage_conf, storage_path
 
 __all__ = [
@@ -16,6 +26,16 @@ __all__ = [
     "ParquetConnector",
     "JDBCConnector",
     "RESTConnector",
+    "SalesforceConnector",
+    "HubSpotConnector",
+    "StripeConnector",
+    "JDBC_PRESETS",
+    "vendor_connector",
+    "quote_ident",
+    "bigquery_options",
+    "read_bigquery",
+    "mongodb_options",
+    "read_mongodb",
     "storage_conf",
     "storage_path",
 ]

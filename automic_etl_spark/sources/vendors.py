@@ -1,0 +1,151 @@
+"""Vendor database presets over the generic JDBC/DSv2 readers.
+
+The reference ships ~1800 LoC of per-vendor connector classes
+(connectors/databases/postgresql.py:40-242, mysql.py, snowflake.py:16-520,
+bigquery.py:17-580, mongodb.py:34-235) that hand-build SQL strings and
+page with OFFSET. On Spark each vendor reduces to a PRESET — url scheme,
+JDBC driver class, identifier quoting, extra datasource options — over
+the one `JDBCConnector` (range-partitioned parallel reads, Catalyst
+pushdown). BigQuery and MongoDB are not JDBC: they use their Spark
+datasource formats, so those presets build `spark.read.format(...)`
+option dicts instead.
+
+None of the driver jars ship in this container; preset construction and
+option dicts are fully testable offline, and `.load()` raises Spark's
+clear ClassNotFound error if the jar is absent.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automic_etl_spark.sources.jdbc import JDBCConnector
+
+
+@dataclass(frozen=True)
+class VendorPreset:
+    flavor: str
+    driver_class: str
+    quote_char: str = '"'
+    default_port: int | None = None
+    # extra JDBC options every connection to this vendor wants
+    extra_options: dict = field(default_factory=dict)
+
+
+# Driver classes / quoting per vendor (reference: _get_connection_string
+# in postgresql.py:48-55, mysql.py; snowflake.py:29-111 connect params).
+JDBC_PRESETS: dict[str, VendorPreset] = {
+    "postgresql": VendorPreset(
+        "postgresql", "org.postgresql.Driver", '"', 5432,
+        # reference postgresql.py sets sslmode per config; prepareThreshold=0
+        # avoids server-side prepares breaking through connection pools
+        {"prepareThreshold": "0"},
+    ),
+    "mysql": VendorPreset(
+        "mysql", "com.mysql.cj.jdbc.Driver", "`", 3306,
+        # sane text handling defaults (reference mysql.py uses utf8mb4)
+        {"characterEncoding": "utf-8", "zeroDateTimeBehavior": "convertToNull"},
+    ),
+    "sqlserver": VendorPreset(
+        "sqlserver", "com.microsoft.sqlserver.jdbc.SQLServerDriver", "[", 1433
+    ),
+    "oracle": VendorPreset("oracle", "oracle.jdbc.OracleDriver", '"', 1521),
+    "snowflake": VendorPreset(
+        "snowflake", "net.snowflake.client.jdbc.SnowflakeDriver", '"', 443
+    ),
+}
+
+
+def quote_ident(flavor: str, name: str) -> str:
+    """Vendor-correct identifier quoting (mysql backticks, sqlserver
+    brackets, ANSI double quotes elsewhere)."""
+    q = JDBC_PRESETS[flavor].quote_char
+    if q == "[":
+        return f"[{name.replace(']', ']]')}]"
+    return f"{q}{name.replace(q, q * 2)}{q}"
+
+
+def vendor_connector(
+    spark: SparkSession,
+    flavor: str,
+    host: str,
+    database: str,
+    user: str = "",
+    password: str = "",
+    port: int | None = None,
+    warehouse: str | None = None,
+    role: str | None = None,
+    schema: str | None = None,
+    **extra: str,
+) -> JDBCConnector:
+    """Preset-configured JDBCConnector. Snowflake's warehouse/role/schema
+    session parameters (reference snowflake.py:95-100) become url-level
+    options; everything else rides the generic reader (partitioned
+    parallel extraction, incremental watermark pull, pushdown)."""
+    preset = JDBC_PRESETS[flavor]
+    opts = {"driver": preset.driver_class, **preset.extra_options, **extra}
+    if flavor == "snowflake":
+        for k, v in (("warehouse", warehouse), ("role", role), ("schema", schema)):
+            if v:
+                opts[k] = v
+    return JDBCConnector(
+        spark=spark,
+        flavor=flavor,
+        host=host,
+        database=database,
+        user=user,
+        password=password,
+        port=port or preset.default_port,
+        extra=opts,
+    )
+
+
+# -- non-JDBC vendors: Spark datasource formats ------------------------------
+
+def bigquery_options(
+    project: str,
+    dataset: str,
+    table: str,
+    *,
+    materialization_dataset: str | None = None,
+    credentials_file: str | None = None,
+) -> dict[str, str]:
+    """Option dict for the spark-bigquery datasource (format "bigquery").
+    Covers the reference BigQueryConnector read surface (bigquery.py:
+    121-162 fetch_dataframe / batched): the datasource reads via the
+    Storage Read API — already partitioned and Arrow-encoded, which is
+    the 'batched' path the reference hand-rolls."""
+    opts = {"parentProject": project, "table": f"{project}.{dataset}.{table}"}
+    if materialization_dataset:
+        opts["materializationDataset"] = materialization_dataset
+    if credentials_file:
+        opts["credentialsFile"] = credentials_file
+    return opts
+
+
+def read_bigquery(spark: SparkSession, **kwargs) -> DataFrame:
+    return spark.read.format("bigquery").options(**bigquery_options(**kwargs)).load()
+
+
+def mongodb_options(
+    uri: str, database: str, collection: str, *, pipeline: str | None = None
+) -> dict[str, str]:
+    """Option dict for the mongo-spark datasource (format "mongodb").
+    Covers the reference MongoDBConnector read surface (mongodb.py:84-176
+    extract/extract_incremental/aggregate): filters push down as
+    aggregation-pipeline stages; an explicit `pipeline` JSON string maps
+    the reference's aggregate()."""
+    opts = {
+        "connection.uri": uri,
+        "database": database,
+        "collection": collection,
+    }
+    if pipeline:
+        opts["aggregation.pipeline"] = pipeline
+    return opts
+
+
+def read_mongodb(spark: SparkSession, **kwargs) -> DataFrame:
+    return spark.read.format("mongodb").options(**mongodb_options(**kwargs)).load()

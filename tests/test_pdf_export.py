@@ -1,0 +1,95 @@
+"""Pure-python PDF text extraction + export sinks."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from automic_etl_spark.operators.pdftext import extract_pdf_text, pdf_blobs_to_text
+from automic_etl_spark.services.export import export_result
+
+
+def _mini_pdf(content: bytes, compress: bool = False) -> bytes:
+    """Hand-assembled single-page PDF wrapping the given content stream."""
+    if compress:
+        body = zlib.compress(content)
+        filt = b"/Filter /FlateDecode "
+    else:
+        body, filt = content, b""
+    return (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n"
+        b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+        b"4 0 obj << " + filt + b"/Length " + str(len(body)).encode() + b" >>\n"
+        b"stream\n" + body + b"\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+
+
+CONTENT = (
+    b"BT /F1 12 Tf 72 720 Td (Hello \\(PDF\\) world) Tj "
+    b"0 -14 Td [(Sec) -20 (ond)] TJ "
+    b"0 -14 Td <48657821> Tj ET"
+)
+
+
+def test_extract_plain_and_flate():
+    for compress in (False, True):
+        txt = extract_pdf_text(_mini_pdf(CONTENT, compress))
+        assert "Hello (PDF) world" in txt      # literal escapes
+        assert "Second" in txt                  # TJ array concatenation
+        assert "Hex!" in txt                    # hex string
+        assert txt.count("\n") >= 2             # Td line moves → newlines
+
+
+def test_extract_rejects_non_pdf():
+    assert extract_pdf_text(b"not a pdf at all") == ""
+    assert extract_pdf_text(b"") == ""
+
+
+def test_octal_escape_and_nested_parens():
+    content = b"BT (A\\101 (nested) \\051end) Tj ET"
+    txt = extract_pdf_text(_mini_pdf(content))
+    assert "AA (nested) )end" in txt
+
+
+def test_pdf_blobs_to_text_distributed(spark):
+    import pandas as pd
+
+    rows = [(1, bytearray(_mini_pdf(CONTENT))), (2, bytearray(b"junk"))]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    out = {r["doc_id"]: r for r in pdf_blobs_to_text(blobs).collect()}
+    assert out[1]["ok"] and "Hello (PDF) world" in out[1]["text"]
+    assert not out[2]["ok"] and out[2]["text"] == ""
+
+
+def test_export_csv_parquet_sql(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a'b"), (2, None)], "id long, note string")
+    assert export_result(df, str(tmp_path / "out_parquet"), "parquet")
+    assert export_result(df, str(tmp_path / "out_csv"), "csv")
+    back = spark.read.parquet(str(tmp_path / "out_parquet"))
+    assert back.count() == 2
+
+    sql_path = export_result(df.orderBy("id"), str(tmp_path / "notes.sql"), "sql")
+    stmts = open(sql_path).read()
+    assert "INSERT INTO notes (id, note) VALUES (1, 'a''b');" in stmts
+    assert "VALUES (2, NULL);" in stmts
+
+
+def test_export_excel_gated(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id long")
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="openpyxl"):
+            export_result(df, str(tmp_path / "x.xlsx"), "excel")
+    else:  # pragma: no cover — image has no openpyxl
+        assert export_result(df, str(tmp_path / "x.xlsx"), "excel")
+
+
+def test_export_unknown_format(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="unsupported"):
+        export_result(df, str(tmp_path / "x"), "avro2")

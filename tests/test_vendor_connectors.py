@@ -1,0 +1,137 @@
+"""Vendor DB presets + SaaS API pagination shapes (fake transports —
+no jars/SDKs in the image; the option dicts and pagination loops are the
+behavior under test, matching the reference connector semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.sources import (
+    HubSpotConnector,
+    SalesforceConnector,
+    StripeConnector,
+    bigquery_options,
+    mongodb_options,
+    quote_ident,
+    vendor_connector,
+)
+
+
+# -- JDBC presets ------------------------------------------------------------
+
+def test_postgres_preset_options(spark):
+    c = vendor_connector(spark, "postgresql", "db.example.com", "sales", user="u", password="p")
+    opts = c.options(table="public.orders")
+    assert opts["url"] == "jdbc:postgresql://db.example.com:5432/sales"
+    assert opts["driver"] == "org.postgresql.Driver"
+    assert opts["dbtable"] == "public.orders"
+    assert opts["prepareThreshold"] == "0"
+
+
+def test_mysql_and_sqlserver_quoting(spark):
+    assert quote_ident("mysql", "weird`name") == "`weird``name`"
+    assert quote_ident("sqlserver", "odd]name") == "[odd]]name]"
+    assert quote_ident("postgresql", 'q"uote') == '"q""uote"'
+    c = vendor_connector(spark, "mysql", "h", "db")
+    assert c.options(table="t")["url"] == "jdbc:mysql://h:3306/db"
+    assert c.options(table="t")["driver"] == "com.mysql.cj.jdbc.Driver"
+
+
+def test_snowflake_session_params(spark):
+    c = vendor_connector(
+        spark, "snowflake", "acct.snowflakecomputing.com", "ANALYTICS",
+        warehouse="WH_XL", role="ETL_ROLE", schema="PUBLIC",
+    )
+    opts = c.options(table="ORDERS")
+    assert opts["warehouse"] == "WH_XL"
+    assert opts["role"] == "ETL_ROLE"
+    assert opts["schema"] == "PUBLIC"
+    assert opts["driver"] == "net.snowflake.client.jdbc.SnowflakeDriver"
+
+
+def test_partitioned_read_options(spark):
+    c = vendor_connector(spark, "postgresql", "h", "db")
+    opts = c.options(
+        table="t", partition_column="id", num_partitions=8,
+        lower_bound=0, upper_bound=1000,
+    )
+    assert opts["partitionColumn"] == "id" and opts["numPartitions"] == "8"
+    with pytest.raises(ValueError, match="bounds"):
+        c.options(table="t", partition_column="id")
+
+
+def test_bigquery_and_mongo_options():
+    bq = bigquery_options("proj", "ds", "tbl", materialization_dataset="scratch")
+    assert bq["table"] == "proj.ds.tbl" and bq["materializationDataset"] == "scratch"
+    mg = mongodb_options("mongodb://h:27017", "appdb", "events", pipeline='[{"$match": {}}]')
+    assert mg["collection"] == "events" and "aggregation.pipeline" in mg
+
+
+# -- SaaS pagination shapes --------------------------------------------------
+
+def test_salesforce_nextrecords_pagination_and_attribute_strip(spark):
+    calls = []
+
+    def transport(url, params):
+        calls.append((url, dict(params)))
+        if url.endswith("/query"):
+            return {
+                "records": [
+                    {"attributes": {"type": "Account"}, "Id": "1", "Name": "a"},
+                    {"attributes": {"type": "Account"}, "Id": "2", "Name": "b"},
+                ],
+                "done": False,
+                "nextRecordsUrl": "/services/data/v59.0/query/next-2000",
+            }
+        return {
+            "records": [{"attributes": {"type": "Account"}, "Id": "3", "Name": "c"}],
+            "done": True,
+        }
+
+    sf = SalesforceConnector(spark, "https://acme.my.salesforce.com", transport)
+    df = sf.query("SELECT Id, Name FROM Account")
+    rows = sorted(r["Id"] for r in df.collect())
+    assert rows == ["1", "2", "3"]
+    assert "attributes" not in df.columns
+    assert calls[0][1] == {"q": "SELECT Id, Name FROM Account"}
+    assert calls[1][0].endswith("/query/next-2000")  # followed nextRecordsUrl
+
+
+def test_hubspot_after_cursor_and_property_flattening(spark):
+    pages = {
+        None: {
+            "results": [{"id": "1", "properties": {"email": "a@x.com"}}],
+            "paging": {"next": {"after": "cursor-A"}},
+        },
+        "cursor-A": {
+            "results": [{"id": "2", "properties": {"email": "b@x.com"}}],
+            # no paging key → last page
+        },
+    }
+    seen = []
+
+    def transport(url, params):
+        after = params.get("after")
+        seen.append(after)
+        return pages[after]
+
+    hs = HubSpotConnector(spark, transport)
+    df = hs.get_contacts(properties=["email"])
+    assert sorted(r["email"] for r in df.collect()) == ["a@x.com", "b@x.com"]
+    assert seen == [None, "cursor-A"]  # cursor threaded through
+
+
+def test_stripe_has_more_starting_after(spark):
+    seen = []
+
+    def transport(url, params):
+        seen.append(params.get("starting_after"))
+        if params.get("starting_after") is None:
+            return {"data": [{"id": "cus_1"}, {"id": "cus_2"}], "has_more": True}
+        return {"data": [{"id": "cus_3"}], "has_more": False}
+
+    st = StripeConnector(spark, transport)
+    df = st.get_customers()
+    assert sorted(r["id"] for r in df.collect()) == ["cus_1", "cus_2", "cus_3"]
+    # second call must resume after the LAST id of the previous page
+    assert seen == [None, "cus_2"]
