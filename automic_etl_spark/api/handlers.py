@@ -20,10 +20,21 @@ from automic_etl_spark.services.query_service import QueryService
 
 
 class ApiHandlers:
-    def __init__(self, lakehouse: Lakehouse):
+    def __init__(self, lakehouse: Lakehouse, rbac=None, principal=None):
+        """``rbac``/``principal`` (automic_etl_spark.auth) are optional:
+        when both are set, table reads require table:read on
+        "layer.table" and query surfaces require sql:execute — the
+        engine-level enforcement the reference does in route decorators
+        (reference auth/rbac.py:295-321)."""
         self.lh = lakehouse
         self.qs = QueryService(lakehouse.spark)
         self.assistant = SQLAssistant(lakehouse.spark)
+        self.rbac = rbac
+        self.principal = principal
+
+    def _authorize(self, permission: str, resource: str = "*") -> None:
+        if self.rbac is not None and self.principal is not None:
+            self.rbac.require(self.principal, permission, resource)
 
     # -- tables -------------------------------------------------------------
 
@@ -36,6 +47,7 @@ class ApiHandlers:
     def table_data(
         self, layer: str, table: str, limit: int = 100, filter_expr: str | None = None
     ) -> dict[str, Any]:
+        self._authorize("table:read", f"{layer}.{table}")
         df = self.lh.query(table, layer=layer, filter_expr=filter_expr, limit=limit)
         rows = [r.asDict() for r in df.collect()]
         return {"layer": layer, "table": table, "n_rows": len(rows), "rows": rows}
@@ -50,6 +62,7 @@ class ApiHandlers:
     # -- queries ------------------------------------------------------------
 
     def query(self, sql: str, limit: int = 1000) -> dict[str, Any]:
+        self._authorize("sql:execute")
         self.lh.warehouse.register_views()
         try:
             result = self.qs.execute(sql, limit=limit)
@@ -65,6 +78,7 @@ class ApiHandlers:
         }
 
     def natural_query(self, question: str) -> dict[str, Any]:
+        self._authorize("sql:execute")
         self.lh.warehouse.register_views()
         for layer in ("bronze", "silver", "gold"):
             for t in self.lh.warehouse.list_tables(layer):

@@ -1,0 +1,28 @@
+"""Engine-level access control + multi-tenancy.
+
+The reference ships a full application auth stack (auth/rbac.py:28-360,
+auth/tenant.py:215-340: users, invitations, trials, company tiers).
+Session/identity management belongs to the hosting service; what an
+ENGINE must provide is the enforcement layer — principals with
+role-derived permissions, resource-scoped grants on tables, and
+per-tenant warehouse isolation with quotas. That layer lives here.
+"""
+
+from automic_etl_spark.auth.rbac import (
+    AccessDeniedError,
+    Principal,
+    RBACManager,
+    Role,
+    require_permission,
+)
+from automic_etl_spark.auth.tenant import TenantCatalog, TenantLimits
+
+__all__ = [
+    "AccessDeniedError",
+    "Principal",
+    "RBACManager",
+    "Role",
+    "require_permission",
+    "TenantCatalog",
+    "TenantLimits",
+]

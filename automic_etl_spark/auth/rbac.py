@@ -1,0 +1,120 @@
+"""Role-based access control for engine surfaces.
+
+Reference: auth/rbac.py:28-360 (RBACManager with roles → permission sets,
+check_permission / require_permission decorator, superadmin override).
+This implementation adds RESOURCE-scoped grants — a permission applies to
+a fnmatch pattern over ``layer.table`` — because an engine's objects are
+tables, not routes.
+
+Permissions are plain strings; the engine surfaces use:
+  table:read, table:write, sql:execute, pipeline:run, admin
+"""
+
+from __future__ import annotations
+
+import fnmatch
+from dataclasses import dataclass, field
+from functools import wraps
+
+
+class AccessDeniedError(Exception):
+    pass
+
+
+@dataclass(frozen=True)
+class Grant:
+    permission: str
+    resource: str = "*"  # fnmatch pattern over "layer.table" (or "*")
+
+
+@dataclass
+class Role:
+    name: str
+    grants: tuple[Grant, ...] = ()
+
+
+@dataclass
+class Principal:
+    name: str
+    roles: tuple[str, ...] = ()
+    is_admin: bool = False
+    tenant: str | None = None
+
+
+# Default roles mirroring the reference's viewer/analyst/engineer/admin
+# split (auth/rbac.py:48-58 _init_defaults).
+DEFAULT_ROLES = {
+    "viewer": Role("viewer", (Grant("table:read"),)),
+    "analyst": Role("analyst", (Grant("table:read"), Grant("sql:execute"))),
+    "engineer": Role(
+        "engineer",
+        (Grant("table:read"), Grant("table:write"), Grant("sql:execute"), Grant("pipeline:run")),
+    ),
+    "admin": Role("admin", (Grant("admin"),)),
+}
+
+
+@dataclass
+class RBACManager:
+    roles: dict[str, Role] = field(default_factory=lambda: dict(DEFAULT_ROLES))
+
+    def create_role(self, name: str, grants: list[tuple[str, str]] | list[str]) -> Role:
+        """grants: ["table:read", ...] or [("table:read", "silver.*"), ...]."""
+        gs = tuple(
+            Grant(g) if isinstance(g, str) else Grant(g[0], g[1]) for g in grants
+        )
+        role = Role(name, gs)
+        self.roles[name] = role
+        return role
+
+    def delete_role(self, name: str) -> bool:
+        return self.roles.pop(name, None) is not None
+
+    def permissions_of(self, principal: Principal) -> set[Grant]:
+        out: set[Grant] = set()
+        for rname in principal.roles:
+            role = self.roles.get(rname)
+            if role:
+                out.update(role.grants)
+        return out
+
+    def check(self, principal: Principal, permission: str, resource: str = "*") -> bool:
+        """True iff the principal holds ``permission`` on ``resource``
+        (admin flag or an `admin` grant passes everything — reference
+        superadmin override, rbac.py:188-190)."""
+        if principal.is_admin:
+            return True
+        for g in self.permissions_of(principal):
+            if g.permission == "admin":
+                return True
+            if g.permission == permission and fnmatch.fnmatch(resource, g.resource):
+                return True
+        return False
+
+    def require(self, principal: Principal, permission: str, resource: str = "*") -> None:
+        if not self.check(principal, permission, resource):
+            raise AccessDeniedError(
+                f"{principal.name!r} lacks {permission!r} on {resource!r}"
+            )
+
+    def accessible_resources(
+        self, principal: Principal, permission: str, resources: list[str]
+    ) -> list[str]:
+        """Filter a resource list to those the principal may touch
+        (reference get_accessible_resources, rbac.py:232-262)."""
+        return [r for r in resources if self.check(principal, permission, r)]
+
+
+def require_permission(rbac: RBACManager, permission: str, resource: str = "*"):
+    """Decorator guard (reference rbac.py:295-321): the wrapped callable
+    takes ``principal`` as its first argument."""
+
+    def decorator(fn):
+        @wraps(fn)
+        def wrapper(principal: Principal, *args, **kwargs):
+            rbac.require(principal, permission, resource)
+            return fn(principal, *args, **kwargs)
+
+        return wrapper
+
+    return decorator

@@ -1,0 +1,86 @@
+"""Multi-tenant warehouse isolation + quotas.
+
+Reference: auth/tenant.py:39-340 (Company with tier-derived limits,
+is_within_limits checks, usage tracking). The engine-level core of that:
+each tenant gets an ISOLATED warehouse root (no cross-tenant path can
+even be expressed through the catalog API), and resource quotas are
+enforced at the catalog boundary.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+from automic_etl_spark.catalog import LAYERS, Warehouse
+
+
+@dataclass(frozen=True)
+class TenantLimits:
+    max_tables: int = 100
+    max_columns_per_table: int = 500
+
+    # tier presets mirroring the reference CompanyLimits.for_tier
+    # (auth/tenant.py:55-117) — engine-relevant axes only
+    @classmethod
+    def for_tier(cls, tier: str) -> "TenantLimits":
+        return {
+            "free": cls(max_tables=10, max_columns_per_table=100),
+            "pro": cls(max_tables=100, max_columns_per_table=500),
+            "enterprise": cls(max_tables=10_000, max_columns_per_table=2_000),
+        }[tier]
+
+
+class QuotaExceededError(Exception):
+    pass
+
+
+_TENANT_ID = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]{0,63}$")
+
+
+class TenantCatalog:
+    """Per-tenant warehouses under one root: ``<root>/<tenant>/<layer>/…``.
+
+    Tenant ids are validated against a strict charset so a tenant name
+    can never traverse outside its directory; quota checks run before
+    any write-side table handle is handed out."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _validate(self, tenant: str) -> str:
+        if not _TENANT_ID.match(tenant):
+            raise ValueError(f"invalid tenant id: {tenant!r}")
+        return tenant
+
+    def warehouse(self, tenant: str) -> Warehouse:
+        return Warehouse(self.spark, os.path.join(self.root, self._validate(tenant)))
+
+    def table_count(self, tenant: str) -> int:
+        wh = self.warehouse(tenant)
+        return sum(len(wh.list_tables(layer)) for layer in LAYERS)
+
+    def table(self, tenant: str, layer: str, name: str, limits: TenantLimits | None = None):
+        """Table handle with quota enforcement: creating a NEW table past
+        max_tables raises (existing tables always remain accessible —
+        reference is_within_limits, tenant.py:282-297)."""
+        wh = self.warehouse(tenant)
+        t = wh.table(layer, name)
+        if limits is not None and not t.exists():
+            if self.table_count(tenant) >= limits.max_tables:
+                raise QuotaExceededError(
+                    f"tenant {tenant!r} is at its table quota ({limits.max_tables})"
+                )
+        return t
+
+    def tenants(self) -> list[str]:
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)) and _TENANT_ID.match(d)
+        )

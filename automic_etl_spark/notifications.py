@@ -1,0 +1,133 @@
+"""Alert rules + dispatch over engine metrics.
+
+Reference: notifications/alerts.py:50-430 (AlertRule condition factories,
+Alert lifecycle, AlertManager with notifier + cooldown). The engine-side
+subset: rules evaluate CONTEXT DICTS (the outputs the engine already
+produces — validation reports, profiling metrics, pipeline results);
+delivery is an injectable sink callable (log/file/webhook-transport), so
+nothing here needs an email/Slack SDK.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+SEVERITIES = ("info", "warning", "critical")
+
+Condition = Callable[[dict], bool]
+Sink = Callable[["Alert"], None]
+
+
+@dataclass
+class AlertRule:
+    name: str
+    condition: Condition
+    severity: str = "warning"
+    message: str = ""
+    cooldown_s: float = 0.0  # suppress refires within this window
+
+    # -- condition factories (reference alerts.py:76-226) -------------------
+
+    @classmethod
+    def threshold(cls, name: str, metric: str, *, above=None, below=None,
+                  severity: str = "warning", cooldown_s: float = 0.0) -> "AlertRule":
+        def cond(ctx: dict) -> bool:
+            v = ctx.get(metric)
+            if v is None:
+                return False
+            return (above is not None and v > above) or (below is not None and v < below)
+
+        return cls(name, cond, severity, f"{metric} outside threshold", cooldown_s)
+
+    @classmethod
+    def quality_degradation(cls, name: str, *, min_score: float = 0.8,
+                            severity: str = "warning") -> "AlertRule":
+        return cls.threshold(name, "quality_score", below=min_score, severity=severity)
+
+    @classmethod
+    def missing_data(cls, name: str, *, min_rows: int = 1,
+                     severity: str = "critical") -> "AlertRule":
+        return cls.threshold(name, "row_count", below=min_rows, severity=severity)
+
+    @classmethod
+    def validation_failure(cls, name: str, severity: str = "critical") -> "AlertRule":
+        """Fires when any validation rule in the report failed — feed it
+        Validator.report_df rows collected to dicts."""
+        def cond(ctx: dict) -> bool:
+            return any(not r.get("passed", True) for r in ctx.get("validation", []))
+
+        return cls(name, cond, severity, "validation rules failed")
+
+    @classmethod
+    def schema_drift(cls, name: str, severity: str = "warning") -> "AlertRule":
+        def cond(ctx: dict) -> bool:
+            return bool(set(ctx.get("expected_columns", [])) ^ set(ctx.get("columns", [])))
+
+        return cls(name, cond, severity, "schema drift detected")
+
+    @classmethod
+    def pipeline_failure(cls, name: str, severity: str = "critical") -> "AlertRule":
+        return cls(name, lambda ctx: ctx.get("status") == "failed", severity,
+                   "pipeline failed")
+
+
+@dataclass
+class Alert:
+    rule: str
+    severity: str
+    message: str
+    context: dict
+    id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    fired_at: float = field(default_factory=time.time)
+    status: str = "active"  # active | acknowledged | resolved
+
+    def acknowledge(self) -> None:
+        self.status = "acknowledged"
+
+    def resolve(self) -> None:
+        self.status = "resolved"
+
+
+def log_sink(alert: Alert) -> None:  # pragma: no cover — default side effect
+    print(f"[ALERT:{alert.severity}] {alert.rule}: {alert.message}")
+
+
+class AlertManager:
+    """Evaluate rules against a context; fire + dispatch with per-rule
+    cooldown (reference AlertManager, alerts.py:293-430)."""
+
+    def __init__(self, sinks: list[Sink] | None = None):
+        self.rules: dict[str, AlertRule] = {}
+        self.sinks = sinks if sinks is not None else [log_sink]
+        self.alerts: list[Alert] = []
+        self._last_fired: dict[str, float] = {}
+
+    def add_rule(self, rule: AlertRule) -> None:
+        self.rules[rule.name] = rule
+
+    def remove_rule(self, name: str) -> bool:
+        return self.rules.pop(name, None) is not None
+
+    def evaluate(self, context: dict, now: float | None = None) -> list[Alert]:
+        """Run every rule; returns alerts fired THIS evaluation."""
+        now = time.time() if now is None else now
+        fired: list[Alert] = []
+        for rule in self.rules.values():
+            if not rule.condition(context):
+                continue
+            last = self._last_fired.get(rule.name)
+            if last is not None and rule.cooldown_s and now - last < rule.cooldown_s:
+                continue
+            alert = Alert(rule.name, rule.severity, rule.message or rule.name, context)
+            self._last_fired[rule.name] = now
+            self.alerts.append(alert)
+            fired.append(alert)
+            for sink in self.sinks:
+                sink(alert)
+        return fired
+
+    def active(self) -> list[Alert]:
+        return [a for a in self.alerts if a.status == "active"]

@@ -1,0 +1,142 @@
+"""Engine-level RBAC, tenant isolation/quotas, alert rules."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.auth import (
+    AccessDeniedError,
+    Principal,
+    RBACManager,
+    TenantCatalog,
+    TenantLimits,
+    require_permission,
+)
+from automic_etl_spark.auth.tenant import QuotaExceededError
+from automic_etl_spark.notifications import AlertManager, AlertRule
+
+
+# -- RBAC --------------------------------------------------------------------
+
+def test_default_roles_and_resource_scoping():
+    rbac = RBACManager()
+    viewer = Principal("v", roles=("viewer",))
+    analyst = Principal("a", roles=("analyst",))
+    admin = Principal("root", is_admin=True)
+
+    assert rbac.check(viewer, "table:read", "silver.orders")
+    assert not rbac.check(viewer, "sql:execute")
+    assert rbac.check(analyst, "sql:execute")
+    assert not rbac.check(analyst, "table:write", "gold.kpis")
+    assert rbac.check(admin, "table:write", "gold.kpis")  # superadmin override
+
+    rbac.create_role("silver_writer", [("table:write", "silver.*")])
+    scoped = Principal("s", roles=("silver_writer",))
+    assert rbac.check(scoped, "table:write", "silver.orders")
+    assert not rbac.check(scoped, "table:write", "gold.orders")
+
+    assert rbac.accessible_resources(
+        scoped, "table:write", ["silver.a", "gold.b", "silver.c"]
+    ) == ["silver.a", "silver.c"]
+
+    with pytest.raises(AccessDeniedError, match="lacks"):
+        rbac.require(viewer, "pipeline:run")
+
+
+def test_require_permission_decorator():
+    rbac = RBACManager()
+
+    @require_permission(rbac, "pipeline:run")
+    def run_pipeline(principal, name):
+        return f"ran {name}"
+
+    eng = Principal("e", roles=("engineer",))
+    assert run_pipeline(eng, "daily") == "ran daily"
+    with pytest.raises(AccessDeniedError):
+        run_pipeline(Principal("v", roles=("viewer",)), "daily")
+
+
+def test_api_handlers_enforce_rbac(spark, tmp_path, users_df):
+    from datetime import datetime
+
+    from automic_etl_spark.api import ApiHandlers
+    from automic_etl_spark.medallion import Lakehouse
+
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    lh.ingest("users", users_df, source="t", fixed_time=datetime(2024, 1, 1))
+    rbac = RBACManager()
+    viewer = ApiHandlers(lh, rbac=rbac, principal=Principal("v", roles=("viewer",)))
+    assert viewer.table_data("bronze", "users")["n_rows"] == 5
+    with pytest.raises(AccessDeniedError):
+        viewer.query("SELECT 1 AS x")
+    analyst = ApiHandlers(lh, rbac=rbac, principal=Principal("a", roles=("analyst",)))
+    assert analyst.query("SELECT 1 AS x")["status"] == 200
+
+
+# -- tenancy -----------------------------------------------------------------
+
+def test_tenant_isolation_and_quota(spark, tmp_path, users_df):
+    cat = TenantCatalog(spark, str(tmp_path / "tenants"))
+    t1 = cat.table("acme", "bronze", "users")
+    t1.create_or_append(users_df)
+    assert cat.tenants() == ["acme"]
+    # isolated: other tenant sees nothing (its warehouse dir is created
+    # on first touch, but holds no tables)
+    assert cat.warehouse("globex").list_tables("bronze") == []
+    assert cat.warehouse("acme").list_tables("bronze") == ["users"]
+    assert cat.tenants() == ["acme", "globex"]
+
+    with pytest.raises(ValueError, match="invalid tenant"):
+        cat.warehouse("../escape")
+
+    limits = TenantLimits(max_tables=1)
+    # existing table: still accessible at quota
+    assert cat.table("acme", "bronze", "users", limits).exists()
+    with pytest.raises(QuotaExceededError, match="quota"):
+        cat.table("acme", "bronze", "users2", limits)
+    assert TenantLimits.for_tier("free").max_tables == 10
+
+
+# -- alerts ------------------------------------------------------------------
+
+def test_alert_rules_and_cooldown():
+    fired = []
+    mgr = AlertManager(sinks=[fired.append])
+    mgr.add_rule(AlertRule.threshold("slow", "duration_s", above=60, cooldown_s=100))
+    mgr.add_rule(AlertRule.missing_data("empty"))
+    mgr.add_rule(AlertRule.quality_degradation("lowq", min_score=0.8))
+    mgr.add_rule(AlertRule.validation_failure("rules"))
+    mgr.add_rule(AlertRule.schema_drift("drift"))
+    mgr.add_rule(AlertRule.pipeline_failure("failed"))
+
+    ctx = {
+        "duration_s": 90,
+        "row_count": 0,
+        "quality_score": 0.5,
+        "validation": [{"rule": "r1", "passed": False}],
+        "columns": ["a", "b"],
+        "expected_columns": ["a"],
+        "status": "failed",
+    }
+    alerts = mgr.evaluate(ctx, now=1000.0)
+    assert sorted(a.rule for a in alerts) == [
+        "drift", "empty", "failed", "lowq", "rules", "slow"
+    ]
+    assert len(fired) == 6 and len(mgr.active()) == 6
+
+    # cooldown suppresses `slow` on refire; the others fire again
+    again = mgr.evaluate(ctx, now=1050.0)
+    assert "slow" not in {a.rule for a in again} and len(again) == 5
+    # past the cooldown window it fires anew
+    later = mgr.evaluate({"duration_s": 90}, now=1200.0)
+    assert [a.rule for a in later] == ["slow"]
+
+    alerts[0].acknowledge()
+    assert len(mgr.active()) == 6 + 5 + 1 - 1
+
+
+def test_healthy_context_fires_nothing():
+    mgr = AlertManager(sinks=[])
+    mgr.add_rule(AlertRule.missing_data("empty"))
+    mgr.add_rule(AlertRule.pipeline_failure("failed"))
+    assert mgr.evaluate({"row_count": 10, "status": "ok"}) == []
