@@ -375,7 +375,11 @@ class TableManager:
 
     def compact(self, target_partitions: int = 1) -> int:
         """OPTIMIZE-style compaction: rewrite current snapshot into fewer
-        files (coalesce avoids a shuffle)."""
+        files (coalesce avoids a shuffle). Also the reclamation path for
+        partition-scoped upsert/delete: reading applies the dir masks, so
+        the rewrite drops superseded partition data and resets
+        dir_filters — compact + vacuum returns the table to a single
+        clean snapshot."""
         cur = self.read().coalesce(target_partitions)
         return self.overwrite(cur)
 

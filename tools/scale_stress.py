@@ -33,16 +33,34 @@ KEYED = {
 }
 SHIFT = 10_000_000
 
-QUERIES = [
-    "pricing_summary",
-    "join_revenue_by_nation",
-    "window_topk_per_group",
-    "dedup_keep_last",
-    "sessionize",
-    "minhash_lsh_candidates",
-    "embedding_topk",
-    "count_distinct",
-]
+# bound directly to the standalone workload functions (like bench.py)
+# so the stress suite stays stable across gate-registry reshapes
+def _workloads():
+    from automic_etl_spark.queries.analytic import (
+        q_dedup_keep_last,
+        q_sessionize,
+        q_window_topk_per_group,
+    )
+    from automic_etl_spark.queries.dedup_sim import (
+        q_embedding_topk,
+        q_minhash_lsh_candidates,
+    )
+    from automic_etl_spark.queries.relational import (
+        q_count_distinct,
+        q_join_revenue_by_nation,
+        q_pricing_summary,
+    )
+
+    return {
+        "pricing_summary": q_pricing_summary,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "window_topk_per_group": q_window_topk_per_group,
+        "dedup_keep_last": q_dedup_keep_last,
+        "sessionize": q_sessionize,
+        "minhash_lsh_candidates": q_minhash_lsh_candidates,
+        "embedding_topk": q_embedding_topk,
+        "count_distinct": q_count_distinct,
+    }
 
 
 def inflate(spark, n: int, out_dir: str) -> None:
@@ -73,14 +91,18 @@ def inflate(spark, n: int, out_dir: str) -> None:
 
 
 def run_suite(spark, sf_dir: str) -> dict[str, float]:
-    from automic_etl_spark.queries import all_queries
-
-    qs = all_queries()
+    qs = _workloads()
     out = {}
-    for name in QUERIES:
-        t0 = time.time()
-        n = len(qs[name](spark, sf_dir).collect())
-        out[name] = round(time.time() - t0, 2)
+    for name, fn in qs.items():
+        # min-of-2: single-shot walls at these sizes are scheduler-noise
+        # bound; the second run reflects steady-state engine cost
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            n = len(fn(spark, sf_dir).collect())
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 2)
         print(f"  {name}: {out[name]}s ({n} rows)", flush=True)
     return out
 
@@ -93,10 +115,13 @@ def main() -> None:
     from automic_etl_spark.session import get_spark
 
     spark = get_spark("scale_stress")
-    print(f"inflating {n}x into {scaled_dir} ...", flush=True)
-    t0 = time.time()
-    inflate(spark, n, scaled_dir)
-    print(f"inflation took {time.time()-t0:.0f}s", flush=True)
+    if os.path.isdir(os.path.join(scaled_dir, "lineitem.parquet")):
+        print(f"reusing existing {scaled_dir}", flush=True)
+    else:
+        print(f"inflating {n}x into {scaled_dir} ...", flush=True)
+        t0 = time.time()
+        inflate(spark, n, scaled_dir)
+        print(f"inflation took {time.time()-t0:.0f}s", flush=True)
 
     print("baseline (sf0.1):", flush=True)
     base = run_suite(spark, SRC)
