@@ -254,3 +254,60 @@ def simhash(
         F.lit(0).cast("long"),
     )
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+# --- duplicate clusters (connected components) ------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over candidate
+    pairs — the step that turns pairwise near-dup evidence (LSH bands,
+    verified Jaccard, embedding cosine) into per-document cluster ids so
+    a curation pipeline can keep one canonical doc per cluster.
+
+    Algorithm: iterative min-label propagation (each vertex repeatedly
+    takes the minimum label among itself and its neighbors), the
+    DataFrame-native form of the classic MapReduce connected-components
+    loop. Each round is one equi-join + one groupBy (shuffles on the
+    vertex id); convergence needs O(graph diameter) rounds — near-dup
+    graphs are clusters of near-identical docs, so diameters are tiny.
+    Lineage is truncated per round (localCheckpoint) to keep plans flat.
+
+    Returns (doc_id, cluster_id) for every id appearing in ``pairs``;
+    cluster_id is the minimum doc id of the component (deterministic).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("u").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor = edges.join(
+            labels.withColumnRenamed("id", "v"), "v"
+        ).select(F.col("u").alias("id"), "label")
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "__old"), "id"
+            )
+            .filter(F.col("label") != F.col("__old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

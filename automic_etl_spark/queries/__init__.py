@@ -30,8 +30,13 @@ from automic_etl_spark.queries.etl import QUERIES as _ETL, ORACLE as _ETL_SQL
 # also exercised transitively by everything above them. Round 2
 # consolidated the registry to ≤50 entries (composed gate queries — see
 # each module's registry note) so EVERY declared query gets a driver row.
-_FAMILIES = (_DED, _ETL, _TXT, _ANA, _REL)
-_FAMILIES_SQL = (_DED_SQL, _ETL_SQL, _TXT_SQL, _ANA_SQL, _REL_SQL)
+from automic_etl_spark.queries.dedup_sim import (  # noqa: E402
+    QUERIES_TAIL as _TAIL,
+    ORACLE_TAIL as _TAIL_SQL,
+)
+
+_FAMILIES = (_DED, _ETL, _TXT, _ANA, _REL, _TAIL)
+_FAMILIES_SQL = (_DED_SQL, _ETL_SQL, _TXT_SQL, _ANA_SQL, _REL_SQL, _TAIL_SQL)
 
 
 def all_queries():

@@ -252,3 +252,27 @@ def test_schema_builder_and_merge(spark):
             T.StructType([T.StructField("a", T.LongType())]),
             T.StructType([T.StructField("a", T.StringType())]),
         )
+
+
+def test_connected_components_clusters(spark):
+    from automic_etl_spark.operators.dedup import connected_components
+
+    # two components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,7} isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 9), (5, 7)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 7: 5}
+
+
+def test_connected_components_chain_diameter(spark):
+    from automic_etl_spark.operators.dedup import connected_components
+
+    # a path graph stresses multi-round propagation (diameter = n-1)
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert len(out) == n + 1
+    assert {r["cluster_id"] for r in out} == {0}
