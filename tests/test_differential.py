@@ -1,0 +1,81 @@
+"""Differential evidence: independent implementations of the same
+semantics must agree — Spark's native session_window vs the lag-based
+batch sessionizer, and a python union-find vs the distributed
+connected-components loop (property-based)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators.dedup import connected_components
+from tests.conftest import SF_SMALL
+
+
+def test_session_window_agrees_with_lag_sessionize(spark):
+    """F.session_window (Spark's built-in gap-session operator, also the
+    streaming form) must produce the same number of sessions with the
+    same event counts as the lag+running-sum batch sessionizer the gate
+    query uses."""
+    from automic_etl_spark.queries.analytic import q_sessionize
+
+    ev = load_table(spark, SF_SMALL, "events")
+    native = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+    custom = q_sessionize(spark, SF_SMALL)
+
+    assert native.count() == custom.count()
+    # session-size histogram per user must match exactly
+    h1 = sorted(
+        (r["user_id"], r["n_events"])
+        for r in native.collect()
+    )
+    h2 = sorted(
+        (r["user_id"], r["n_events"])
+        for r in custom.collect()
+    )
+    assert h1 == h2
+
+
+def _union_find(edges, nodes):
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in nodes}
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    nodes = {v for e in edges for v in e}
+    # canonical label: component minimum — same in both implementations
+    want = _union_find([tuple(e) for e in edges], nodes)
+    want = {v: min(w for w, r in want.items() if r == want[v]) for v in nodes}
+    assert got == want
