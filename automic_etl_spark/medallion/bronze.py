@@ -50,10 +50,14 @@ class BronzeLayer:
         fixed_time: datetime | None,
     ) -> DataFrame:
         ts = F.lit(fixed_time).cast("timestamp") if fixed_time else F.current_timestamp()
+        # a per-row _source_file (e.g. from a binaryFile scan) wins over
+        # the batch-level scalar; only stamp the scalar when the frame
+        # doesn't already carry one
+        if source_file is not None or "_source_file" not in df.columns:
+            df = df.withColumn("_source_file", F.lit(source_file))
         return (
             df.withColumn("_ingestion_time", ts)
             .withColumn("_source", F.lit(source))
-            .withColumn("_source_file", F.lit(source_file))
             .withColumn("_batch_id", F.lit(batch_id))
             .withColumn("_ingestion_date", F.to_date(ts))
         )
@@ -104,6 +108,63 @@ class BronzeLayer:
             "_content_bytes binary, _content_text string, _content_type string, _content_size long",
         )
         return self.ingest(name, df, source, fixed_time=fixed_time)
+
+    def ingest_documents(
+        self,
+        name: str,
+        blobs: DataFrame,
+        source: str,
+        fixed_time: datetime | None = None,
+    ) -> str:
+        """Batch unstructured ingest, fully distributed: a blob table
+        (``BinaryFileConnector.to_blob_rows`` shape) becomes text rows.
+        PDF payloads go through the pure-python extractor
+        (operators.pdftext) inside Arrow-batched mapInPandas; UTF-8
+        payloads decode as text; undecodable payloads keep NULL text but
+        land with their metadata. This is the scan-parallel form of the
+        reference's per-file extract loop (reference bronze.py:126-185 +
+        connectors/unstructured/pdf.py:149-190)."""
+        import pandas as pd
+
+        from automic_etl_spark.operators.pdftext import extract_pdf_text
+
+        schema = (
+            "_source_file string, _content_type string, _content_size long,"
+            " _content_text string"
+        )
+
+        def batches(it):
+            for pdf in it:
+                texts, types, sizes = [], [], []
+                for b in pdf["_content_bytes"]:
+                    data = bytes(b)
+                    sizes.append(len(data))
+                    if b"%PDF" in data[:1024]:
+                        texts.append(extract_pdf_text(data))
+                        types.append("application/pdf")
+                    else:
+                        try:
+                            texts.append(data.decode("utf-8"))
+                            types.append("text/plain")
+                        except UnicodeDecodeError:
+                            texts.append(None)
+                            types.append("application/octet-stream")
+                src = (
+                    pdf["_source_file"].tolist()
+                    if "_source_file" in pdf.columns
+                    else [None] * len(pdf)
+                )
+                yield pd.DataFrame(
+                    {
+                        "_source_file": src,
+                        "_content_type": types,
+                        "_content_size": sizes,
+                        "_content_text": texts,
+                    }
+                )
+
+        rows = blobs.mapInPandas(batches, schema)
+        return self.ingest(name, rows, source, fixed_time=fixed_time)
 
     def read(self, name: str, **kwargs) -> DataFrame:
         return self._table(name).read(**kwargs)

@@ -93,3 +93,33 @@ def test_export_unknown_format(spark, tmp_path):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unsupported"):
         export_result(df, str(tmp_path / "x"), "avro2")
+
+
+def test_bronze_ingest_documents_end_to_end(spark, tmp_path):
+    """Files on disk → binaryFile scan → distributed PDF/text extraction
+    → bronze table with metadata columns."""
+    from datetime import datetime
+
+    from automic_etl_spark.medallion import Lakehouse
+    from automic_etl_spark.sources import BinaryFileConnector
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    (docs / "report.pdf").write_bytes(_mini_pdf(CONTENT))
+    (docs / "notes.txt").write_text("plain text payload")
+    (docs / "image.bin").write_bytes(b"\xff\xd8\xff\xe0 not utf8 \x80\x81")
+
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    blobs = BinaryFileConnector(spark, str(docs)).to_blob_rows()
+    lh.bronze.ingest_documents("docs", blobs, source="fs", fixed_time=datetime(2024, 1, 1))
+
+    rows = {
+        r["_source_file"].rsplit("/", 1)[-1]: r
+        for r in lh.bronze.read("docs").collect()
+    }
+    assert rows["report.pdf"]["_content_type"] == "application/pdf"
+    assert "Hello (PDF) world" in rows["report.pdf"]["_content_text"]
+    assert rows["notes.txt"]["_content_text"] == "plain text payload"
+    assert rows["image.bin"]["_content_text"] is None
+    assert rows["image.bin"]["_content_type"] == "application/octet-stream"
+    assert all(r["_ingestion_time"] is not None for r in rows.values())
