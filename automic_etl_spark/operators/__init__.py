@@ -16,12 +16,20 @@ from automic_etl_spark.operators.textops import (
     fingerprint,
 )
 from automic_etl_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
     dedup_keep_last,
     minhash_signatures,
     lsh_candidate_pairs,
     jaccard_on_candidates,
     simhash,
+)
+from automic_etl_spark.operators.pdftext import extract_pdf_text, pdf_blobs_to_text
+from automic_etl_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    distinct_rollup,
+    frequent_items,
 )
 from automic_etl_spark.operators.similarity import (
     cosine_similarity_col,
@@ -37,12 +45,19 @@ __all__ = [
     "text_quality",
     "language_id",
     "fingerprint",
+    "connected_components",
     "dedup_exact",
     "dedup_keep_last",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "jaccard_on_candidates",
     "simhash",
+    "extract_pdf_text",
+    "pdf_blobs_to_text",
+    "approx_distinct",
+    "approx_quantiles",
+    "distinct_rollup",
+    "frequent_items",
     "cosine_similarity_col",
     "cosine_topk",
     "knn_join",

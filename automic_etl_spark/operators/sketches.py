@@ -1,0 +1,90 @@
+"""Approximate aggregation sketches — the cardinality/quantile path for
+100 TB profiling where exact answers cost a full shuffle.
+
+Spark ships the sketch kernels (HyperLogLog++ behind
+``approx_count_distinct``, Greenwald-Khanna behind
+``approx_percentile``); this module packages them as the engine's
+profiling operators with explicit error contracts, plus a mergeable
+HLL-style GROUPED distinct over time buckets (the "count distinct users
+per day, roll up to month without recount" pattern — what a naive exact
+count cannot do without re-shuffling raw data).
+
+No oracle entries: approximation is engine-specific by nature, so these
+are bounded-relative-error tested against the exact answers (pytest)
+rather than hash-compared with DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def approx_distinct(
+    df: DataFrame,
+    col: str,
+    group_by: list[str] | None = None,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """HyperLogLog++ distinct count, global or per group. ``rsd`` is the
+    guaranteed relative standard deviation (2% default ≈ 1.5 KB of state
+    per group — constant regardless of cardinality)."""
+    agg = F.approx_count_distinct(col, rsd).alias(f"approx_distinct_{col}")
+    if group_by:
+        return df.groupBy(*group_by).agg(agg)
+    return df.agg(agg)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    col: str,
+    probabilities: list[float] = (0.25, 0.5, 0.75, 0.95, 0.99),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles as ONE aggregate row:
+    rank error ≤ 1/accuracy. The exact percentile() used by the
+    profiling gate queries sorts per group — this is the fixed-memory
+    form for corpus-scale columns."""
+    probs = F.array(*[F.lit(p) for p in probabilities])
+    return df.agg(
+        F.expr(
+            f"approx_percentile({col}, array({', '.join(str(p) for p in probabilities)}), {accuracy})"
+        ).alias(f"approx_quantiles_{col}")
+    )
+
+
+def distinct_rollup(
+    df: DataFrame,
+    col: str,
+    time_col: str,
+    granularity: str = "day",
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-bucket distinct counts PLUS a mergeable total: buckets carry
+    `hll_sketch_agg` binary sketches, and the total row unions them with
+    `hll_union_agg` — counting month-distinct from day-sketches without
+    touching raw rows again. This is the reusable-aggregate property
+    exact COUNT(DISTINCT) fundamentally lacks."""
+    bucket = F.date_trunc(granularity, F.col(time_col)).cast("date").alias("bucket")
+    sketches = df.groupBy(bucket).agg(
+        F.expr(f"hll_sketch_agg({col})").alias("__sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    per_bucket = sketches.select(
+        "bucket",
+        F.expr("hll_sketch_estimate(__sketch)").alias("approx_distinct"),
+        "n_rows",
+    )
+    total = sketches.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(__sketch))").alias("approx_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    ).select(F.lit(None).cast("date").alias("bucket"), "approx_distinct", "n_rows")
+    return per_bucket.unionByName(total).orderBy(F.col("bucket").asc_nulls_last())
+
+
+def frequent_items(
+    df: DataFrame, col: str, support: float = 0.01
+) -> DataFrame:
+    """Heavy hitters via Spark's freqItems (Karp et al. lossy counting):
+    single pass, no sort, items with frequency ≥ support guaranteed
+    present (with possible false positives — the standard contract)."""
+    return df.stat.freqItems([col], support)

@@ -2,7 +2,12 @@
 ingestion, event-time windowed aggregation helpers."""
 
 from automic_etl_spark.streaming.kafka import KafkaSource, KafkaSink
-from automic_etl_spark.streaming.ingest import file_stream, stream_to_bronze, windowed_aggregate
+from automic_etl_spark.streaming.ingest import (
+    file_stream,
+    stream_to_bronze,
+    stream_upsert,
+    windowed_aggregate,
+)
 from automic_etl_spark.streaming.stateful import streaming_sessionize
 from automic_etl_spark.streaming.bridge import PullSourceBridge
 
@@ -11,6 +16,7 @@ __all__ = [
     "KafkaSink",
     "file_stream",
     "stream_to_bronze",
+    "stream_upsert",
     "windowed_aggregate",
     "streaming_sessionize",
     "PullSourceBridge",

@@ -61,3 +61,31 @@ def windowed_aggregate(
         .groupBy(F.window(ts_col, window).alias("window"), *(group_cols or []))
         .agg(*aggs)
     )
+
+
+def stream_upsert(
+    stream: DataFrame,
+    table,
+    key_columns: list[str],
+    checkpoint: str,
+    trigger_once: bool = True,
+):
+    """Streaming MERGE: foreachBatch → ``TableManager.upsert`` per
+    micro-batch — the Delta `foreachBatch + MERGE INTO` pattern over the
+    versioned parquet catalog. Combined with partition-scoped upsert
+    (catalog.py), each micro-batch rewrites only the partitions its keys
+    touch, so a trickle of CDC events does NOT rewrite the table.
+    Dedup the batch on its keys first if a micro-batch can contain
+    multiple versions of one key (last-writer-wins needs an order
+    column; upstream CDC feeds usually provide one).
+    """
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.upsert(batch_df, key_columns)
+
+    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

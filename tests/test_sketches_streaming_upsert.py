@@ -1,0 +1,81 @@
+"""Approximate sketches (bounded-error vs exact) + streaming MERGE."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators import sketches as S
+
+
+def _synth(spark, n=20_000, card=1_500):
+    return spark.range(0, n).selectExpr(
+        "id",
+        f"CAST(id % {card} AS STRING) AS u",
+        "CAST(id % 97 AS DOUBLE) AS v",
+        "timestamp_micros(CAST(1700000000000000 + id * 3600000000 AS LONG)) AS ts",
+    )
+
+
+def test_approx_distinct_within_rsd(spark):
+    df = _synth(spark)
+    got = S.approx_distinct(df, "u", rsd=0.02).first()[0]
+    assert abs(got - 1_500) / 1_500 < 0.10  # 5σ headroom on 2% rsd
+    per_day = S.approx_distinct(df, "u", group_by=["v"], rsd=0.05)
+    assert per_day.count() == 97
+
+
+def test_approx_quantiles_rank_error(spark):
+    df = _synth(spark)
+    qs = S.approx_quantiles(df, "id", [0.5], accuracy=10_000).first()[0]
+    assert abs(qs[0] - 10_000) <= 20_000 / 1_000  # rank error ≤ n/accuracy
+
+
+def test_distinct_rollup_merges_buckets(spark):
+    df = _synth(spark, n=5_000, card=400)
+    out = S.distinct_rollup(df, "u", "ts", "day").collect()
+    total_row = [r for r in out if r["bucket"] is None]
+    assert len(total_row) == 1
+    exact_total = df.select("u").distinct().count()
+    assert abs(total_row[0]["approx_distinct"] - exact_total) / exact_total < 0.10
+    # per-bucket rows sum their n_rows to the corpus size
+    assert sum(r["n_rows"] for r in out if r["bucket"] is not None) == 5_000
+    # union-of-sketches must NOT be the sum of bucket distincts (users
+    # recur across days) — it must track the true distinct total
+    naive_sum = sum(r["approx_distinct"] for r in out if r["bucket"] is not None)
+    assert naive_sum > total_row[0]["approx_distinct"]
+
+
+def test_frequent_items_contains_heavy_hitter(spark):
+    df = spark.range(0, 1_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 'hot' ELSE CAST(id AS STRING) END AS c"
+    )
+    items = S.frequent_items(df, "c", support=0.4).first()[0]
+    assert "hot" in items
+
+
+def test_stream_upsert_merges_microbatches(spark, tmp_path):
+    """File stream → foreachBatch upsert: second drop of overlapping keys
+    updates in place (streaming MERGE over the versioned catalog)."""
+    import time
+
+    from automic_etl_spark.catalog import Warehouse
+    from automic_etl_spark.streaming import file_stream, stream_upsert
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    t = Warehouse(spark, str(tmp_path / "wh")).table("silver", "state")
+
+    # seed the table directly; the stream dir carries only the CDC batch
+    batch1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    t.create_or_append(batch1)
+
+    batch2 = spark.createDataFrame([(2, "B2"), (3, "c")], "id long, val string")
+    batch2.coalesce(1).write.mode("overwrite").parquet(str(src / "cdc"))
+
+    stream = file_stream(spark, str(src / "cdc"), "id long, val string")
+    q = stream_upsert(stream, t, ["id"], str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows[2] == "B2" and rows[3] == "c" and rows[1] == "a"
