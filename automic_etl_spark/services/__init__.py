@@ -2,6 +2,7 @@
 lineage tracking."""
 
 from automic_etl_spark.services.redaction import RedactionService, EntityPattern
+from automic_etl_spark.services.corpus import CorpusCurator
 from automic_etl_spark.services.curator import DatasetCurator
 from automic_etl_spark.services.export import export_result
 from automic_etl_spark.services.qa import qa_compare
@@ -10,6 +11,7 @@ from automic_etl_spark.services.lineage import LineageTracker
 __all__ = [
     "RedactionService",
     "EntityPattern",
+    "CorpusCurator",
     "DatasetCurator",
     "export_result",
     "qa_compare",

@@ -276,3 +276,33 @@ def test_connected_components_chain_diameter(spark):
     out = connected_components(pairs).collect()
     assert len(out) == n + 1
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_corpus_curator_end_to_end(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find a quiet place for sleeping"
+    )
+    near = base + " indeed"  # one appended word → shingle Jaccard ≈ 0.87
+    rows = [
+        (1, base, "a"),
+        (2, base, "a"),              # exact duplicate of 1
+        (3, near, "a"),              # near-duplicate of 1
+        (4, "!!! ??? !!! ,,, ...", "b"),   # punctuation garbage → low quality
+        (5, "completely different text about engines and data pipelines "
+            "running large scale spark jobs across many machines", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cur = CorpusCurator(min_quality=0.4, jaccard_threshold=0.5)
+    out, report = cur.curate(docs)
+
+    kept = {r["doc_id"] for r in out.collect()}
+    assert report["input_docs"] == 5
+    assert report["exact_dups_removed"] == 1          # doc 2
+    assert report["near_dups_removed"] == 1           # doc 3 (cluster min = 1)
+    assert report["low_quality_removed"] == 1         # doc 4
+    assert report["final_docs"] == 2 and kept == {1, 5}
+    assert sum(report["splits"].values()) == 2
+    assert {"quality_score", "split"} <= set(out.columns)
