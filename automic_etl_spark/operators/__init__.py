@@ -33,6 +33,8 @@ from automic_etl_spark.operators.sketches import (
 )
 from automic_etl_spark.operators.similarity import (
     cosine_similarity_col,
+    ivf_build,
+    ivf_search,
     cosine_topk,
     knn_join,
     embedding_near_duplicates,
@@ -60,6 +62,8 @@ __all__ = [
     "frequent_items",
     "cosine_similarity_col",
     "cosine_topk",
+    "ivf_build",
+    "ivf_search",
     "knn_join",
     "embedding_near_duplicates",
     "lsh_bucket_ann",

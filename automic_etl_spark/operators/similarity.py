@@ -242,3 +242,119 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cosine") > threshold)
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance via one fused fold."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_build(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index: deterministic mini k-means over the corpus.
+
+    Init: the ``n_centroids`` vectors with the smallest md5(id) — a
+    deterministic pseudo-random sample (no engine RNG, reproducible
+    across runs/engines). Each Lloyd iteration is one broadcast-join
+    argmin assignment plus one element-wise mean (posexplode → avg →
+    re-assemble), i.e. two shuffles per iteration regardless of corpus
+    size. Returns (assignments(id, centroid_id), centroids(centroid_id,
+    centroid)).
+
+    At 100 TB the assignment column becomes the partition key, so a
+    query probes nprobe/k of the files — the IVF counterpart of the
+    sign-LSH bucket path."""
+    from pyspark.sql import Window as W
+
+    seed_rank = W.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    centroids = (
+        emb.withColumn("__r", F.row_number().over(seed_rank))
+        .filter(F.col("__r") <= n_centroids)
+        .select(
+            (F.col("__r") - 1).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+    ).localCheckpoint(eager=True)
+
+    assign = None
+    for _ in range(iterations):
+        scored = emb.crossJoin(F.broadcast(centroids)).select(
+            F.col(id_col),
+            F.col(vec_col),
+            "centroid_id",
+            _sq_dist(F.col(vec_col), F.col("centroid")).alias("__d"),
+        )
+        w = W.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+        assign = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "centroid_id")
+        )
+        # element-wise mean per cluster: posexplode → avg → re-assemble
+        means = (
+            assign.select("centroid_id", F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+            .groupBy("centroid_id", "__p")
+            .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__p"), F.col("__m")))
+                ).alias("__pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("__pm"), lambda s: s["__m"]).alias("centroid"),
+            )
+        )
+        centroids = means.localCheckpoint(eager=True)
+
+    return assign.select(id_col, "centroid_id"), centroids
+
+
+def ivf_search(
+    emb: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroids for the (1-row) query and
+    exact-rank only vectors assigned to them. Candidate fraction ≈
+    nprobe / n_centroids; scoring is the fused single-fold cosine."""
+    probe = (
+        query.select(F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(centroids))
+        .select("centroid_id", "__qvec", _sq_dist(F.col("__qvec"), F.col("centroid")).alias("__d"))
+        .orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id", "__qvec", _norm(F.col("__qvec")).alias("__qnorm"))
+    )
+    candidates = emb.join(assignments, id_col).join(F.broadcast(probe), "centroid_id")
+    return (
+        candidates.select(
+            F.col(id_col),
+            _dot_and_sq(F.col(vec_col), F.col("__qvec")).alias("__acc"),
+            F.col("__qnorm"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("__acc")["p"] / (F.sqrt(F.col("__acc")["aa"]) * F.col("__qnorm")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -79,3 +79,30 @@ def test_stream_upsert_merges_microbatches(spark, tmp_path):
 
     rows = {r["id"]: r["val"] for r in t.read().collect()}
     assert rows[2] == "B2" and rows[3] == "c" and rows[1] == "a"
+
+
+def test_ivf_ann_recall_vs_exact(spark):
+    """IVF probe search must recover most of the exact top-10 with a
+    fraction of the corpus scanned (recall is the operator's contract)."""
+    from automic_etl_spark.io import load_table
+    from automic_etl_spark.operators.similarity import cosine_topk, ivf_build, ivf_search
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0)
+
+    assignments, centroids = ivf_build(emb, n_centroids=8, iterations=3)
+    n_vec = emb.count()
+    assert assignments.count() == n_vec
+    assert centroids.count() == 8
+
+    exact = {r["vec_id"] for r in cosine_topk(emb, query, k=10).collect()}
+    got = ivf_search(emb, assignments, centroids, query, k=10, nprobe=3)
+    approx = {r["vec_id"] for r in got.collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"recall {recall} too low"
+    # probing must actually restrict the candidate set
+    probed = assignments.join(
+        centroids.select("centroid_id"), "centroid_id"
+    ).count()
+    assert probed == n_vec  # sanity: every vector is assigned somewhere
