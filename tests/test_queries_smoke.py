@@ -14,12 +14,28 @@ QUERIES = all_queries()
 ORACLES = all_oracles()
 
 
+# Cell types a pandas-based driver canonicalizer can sort/factorize.
+# Arrays/maps/structs/bytes are NOT in this set: round 1's collect_agg
+# crashed the driver on a list cell, so gate outputs must stay scalar.
+_DRIVER_SCALAR = (str, int, float, bool, type(None))
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs(spark, name):
+    import datetime
+    import decimal
+
     df = QUERIES[name](spark, SF_SMALL)
     rows = df.limit(10_000).collect()
     assert df.columns, name
     assert rows is not None
+    ok_types = _DRIVER_SCALAR + (datetime.date, datetime.datetime, decimal.Decimal)
+    for r in rows[:50]:
+        for c, v in zip(df.columns, r):
+            assert isinstance(v, ok_types), (
+                f"{name}.{c} yields non-scalar cell type {type(v).__name__} "
+                "(driver canonicalizers crash on container cells)"
+            )
 
 
 def test_every_query_has_oracle():
