@@ -169,3 +169,49 @@ def test_optimize_zorder_clusters_files(wh, spark):
     assert overlaps == 0, f"file ranges overlap: {ranges}"
     # data intact
     assert t.read().count() == 1500
+
+
+def test_zorder_interleave_narrows_both_dimensions(wh, spark):
+    """True Z-interleaving must narrow per-file ranges in BOTH clustered
+    columns; a lead-column-only sort leaves the second column's per-file
+    range at ~full width."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id"),
+        # two independent uniform dimensions (decorrelated by hashing)
+        (F.abs(F.xxhash64("id")) % 10_000).cast("double").alias("x"),
+        (F.abs(F.xxhash64(F.col("id") + 1_000_000)) % 10_000).cast("double").alias("y"),
+    )
+    t = wh.table("silver", "points_z")
+    t.create_or_append(df)
+    t.optimize_zorder(["x", "y"], target_partitions=8, bits=8)
+
+    def file_ranges(col):
+        out = []
+        for d in t._versions()[-1].dirs:
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                md = pq.read_metadata(f)
+                idx = md.schema.names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(idx).statistics
+                    mins.append(s.min)
+                    maxs.append(s.max)
+                out.append(max(maxs) - min(mins))
+        return out
+
+    x_ranges, y_ranges = file_ranges("x"), file_ranges("y")
+    assert len(x_ranges) >= 4
+    # both dimensions narrowed: average per-file width well under the
+    # 10k global width (lead-column-only clustering leaves y at ~10k)
+    assert sum(x_ranges) / len(x_ranges) < 7_000
+    assert sum(y_ranges) / len(y_ranges) < 7_000
+    # data intact
+    assert t.read().count() == n
