@@ -1,5 +1,7 @@
-"""Orchestration: job scheduling + Airflow DAG-spec factory."""
+"""Orchestration: job scheduling, workflow DAG engine, Airflow DAG-spec
+factory."""
 
 from automic_etl_spark.orchestration.scheduler import Scheduler, Job, Schedule
+from automic_etl_spark.orchestration.workflow import Workflow, WorkflowRunner, WorkflowResult
 
-__all__ = ["Scheduler", "Job", "Schedule"]
+__all__ = ["Scheduler", "Job", "Schedule", "Workflow", "WorkflowRunner", "WorkflowResult"]

@@ -1,0 +1,174 @@
+"""Workflow DAG engine: dependency-ordered step execution with retries,
+conditional skips, parallel fan-out, loops, and subworkflows.
+
+Reference: orchestration/workflow.py:29-446 (WorkflowStep/StepResult/
+WorkflowRunner with task, parallel, conditional, loop and subworkflow
+step types). This engine orchestrates DRIVER-side control flow — each
+step's body typically submits Spark jobs, so parallel steps give
+concurrent Spark scheduling within one application (FAIR-pool friendly),
+while the data plane itself stays distributed.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from collections.abc import Callable, Iterable
+
+
+@dataclass
+class Step:
+    name: str
+    fn: Callable  # fn(context) -> output
+    depends_on: tuple[str, ...] = ()
+    retries: int = 0
+    retry_delay_s: float = 0.0
+    condition: Callable[[dict], bool] | None = None  # False → skipped
+
+
+@dataclass
+class StepResult:
+    name: str
+    status: str  # succeeded | failed | skipped | upstream_failed
+    output: object = None
+    error: str | None = None
+    attempts: int = 0
+    duration_s: float = 0.0
+
+
+@dataclass
+class WorkflowResult:
+    workflow: str
+    steps: dict[str, StepResult] = field(default_factory=dict)
+    duration_s: float = 0.0
+
+    @property
+    def success(self) -> bool:
+        return all(s.status in ("succeeded", "skipped") for s in self.steps.values())
+
+
+class Workflow:
+    """DAG of named steps. ``add_task`` wires dependencies explicitly;
+    cycles are rejected at run time by the scheduler (no ready steps
+    while work remains)."""
+
+    def __init__(self, name: str, max_parallel: int = 4):
+        self.name = name
+        self.max_parallel = max_parallel
+        self.steps: dict[str, Step] = {}
+
+    def add_task(
+        self,
+        name: str,
+        fn: Callable,
+        depends_on: Iterable[str] = (),
+        retries: int = 0,
+        retry_delay_s: float = 0.0,
+        condition: Callable[[dict], bool] | None = None,
+    ) -> "Workflow":
+        if name in self.steps:
+            raise ValueError(f"duplicate step {name!r}")
+        for d in depends_on:
+            if d not in self.steps:
+                raise ValueError(f"step {name!r} depends on unknown step {d!r}")
+        self.steps[name] = Step(name, fn, tuple(depends_on), retries, retry_delay_s, condition)
+        return self
+
+    def add_loop(
+        self,
+        name: str,
+        items_fn: Callable[[dict], Iterable],
+        body: Callable,
+        **kwargs,
+    ) -> "Workflow":
+        """Loop step: ``body(context, item)`` per item of
+        ``items_fn(context)``; output is the list of per-item outputs
+        (reference add_loop_step, workflow.py:204-224)."""
+
+        def run(ctx: dict):
+            return [body(ctx, item) for item in items_fn(ctx)]
+
+        return self.add_task(name, run, **kwargs)
+
+    def add_subworkflow(self, name: str, sub: "Workflow", **kwargs) -> "Workflow":
+        """Nested workflow as one step; its WorkflowResult is the output
+        and a failed subworkflow fails the step (workflow.py:226-246)."""
+
+        def run(ctx: dict):
+            res = WorkflowRunner().run(sub, dict(ctx))
+            if not res.success:
+                failed = [s.name for s in res.steps.values() if s.status == "failed"]
+                raise RuntimeError(f"subworkflow {sub.name!r} failed: {failed}")
+            return res
+
+        return self.add_task(name, run, **kwargs)
+
+
+class WorkflowRunner:
+    """Executes ready steps concurrently (dependency-ordered waves);
+    failures mark all transitive dependents ``upstream_failed`` rather
+    than aborting unrelated branches."""
+
+    def run(self, wf: Workflow, context: dict | None = None) -> WorkflowResult:
+        ctx = dict(context or {})
+        ctx.setdefault("outputs", {})
+        result = WorkflowResult(wf.name)
+        t0 = time.time()
+        done: set[str] = set()
+        with ThreadPoolExecutor(max_workers=wf.max_parallel) as pool:
+            while len(done) < len(wf.steps):
+                ready = [
+                    s
+                    for n, s in wf.steps.items()
+                    if n not in done and all(d in done for d in s.depends_on)
+                ]
+                if not ready:
+                    remaining = sorted(set(wf.steps) - done)
+                    raise ValueError(f"dependency cycle among steps: {remaining}")
+                runnable: list[Step] = []
+                for s in ready:
+                    bad = [
+                        d
+                        for d in s.depends_on
+                        if result.steps[d].status in ("failed", "upstream_failed")
+                    ]
+                    if bad:
+                        result.steps[s.name] = StepResult(s.name, "upstream_failed")
+                        done.add(s.name)
+                    elif s.condition is not None and not s.condition(ctx):
+                        result.steps[s.name] = StepResult(s.name, "skipped")
+                        done.add(s.name)
+                    else:
+                        runnable.append(s)
+                futures = {
+                    pool.submit(self._run_step, s, ctx): s for s in runnable
+                }
+                for fut, s in futures.items():
+                    sr = fut.result()
+                    result.steps[s.name] = sr
+                    if sr.status == "succeeded":
+                        ctx["outputs"][s.name] = sr.output
+                    done.add(s.name)
+        result.duration_s = round(time.time() - t0, 3)
+        return result
+
+    @staticmethod
+    def _run_step(step: Step, ctx: dict) -> StepResult:
+        t0 = time.time()
+        attempts = 0
+        while True:
+            attempts += 1
+            try:
+                out = step.fn(ctx)
+                return StepResult(
+                    step.name, "succeeded", out, None, attempts, round(time.time() - t0, 3)
+                )
+            except Exception as e:  # noqa: BLE001 — step isolation is the contract
+                if attempts > step.retries:
+                    return StepResult(
+                        step.name, "failed", None, f"{type(e).__name__}: {e}",
+                        attempts, round(time.time() - t0, 3),
+                    )
+                if step.retry_delay_s:
+                    time.sleep(step.retry_delay_s)

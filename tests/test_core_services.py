@@ -306,3 +306,84 @@ def test_corpus_curator_end_to_end(spark):
     assert report["final_docs"] == 2 and kept == {1, 5}
     assert sum(report["splits"].values()) == 2
     assert {"quality_score", "split"} <= set(out.columns)
+
+
+def test_workflow_dag_retries_and_failure_propagation():
+    from automic_etl_spark.orchestration import Workflow, WorkflowRunner
+
+    calls = {"flaky": 0, "order": []}
+
+    def extract(ctx):
+        calls["order"].append("extract")
+        return [1, 2, 3]
+
+    def flaky(ctx):
+        calls["flaky"] += 1
+        if calls["flaky"] < 3:
+            raise RuntimeError("transient")
+        return sum(ctx["outputs"]["extract"])
+
+    def boom(ctx):
+        raise ValueError("hard failure")
+
+    wf = (
+        Workflow("nightly")
+        .add_task("extract", extract)
+        .add_task("transform", flaky, depends_on=["extract"], retries=3)
+        .add_task("bad", boom, depends_on=["extract"])
+        .add_task("load", lambda ctx: ctx["outputs"]["transform"] * 10, depends_on=["transform"])
+        .add_task("report", lambda ctx: "r", depends_on=["bad"])  # upstream fails
+        .add_task("audit", lambda ctx: "a", depends_on=["load"], condition=lambda c: False)
+    )
+    res = WorkflowRunner().run(wf)
+
+    assert res.steps["extract"].status == "succeeded"
+    assert res.steps["transform"].status == "succeeded" and res.steps["transform"].attempts == 3
+    assert res.steps["load"].output == 60
+    assert res.steps["bad"].status == "failed"
+    assert res.steps["report"].status == "upstream_failed"
+    assert res.steps["audit"].status == "skipped"
+    assert not res.success  # one branch failed
+
+
+def test_workflow_parallel_loop_and_subworkflow():
+    import threading
+    import time as _t
+
+    from automic_etl_spark.orchestration import Workflow, WorkflowRunner
+
+    seen = []
+
+    def slow(tag):
+        def run(ctx):
+            seen.append((tag, threading.get_ident()))
+            _t.sleep(0.2)
+            return tag
+
+        return run
+
+    sub = Workflow("sub").add_task("inner", lambda ctx: ctx["x"] + 1)
+
+    wf = (
+        Workflow("fanout", max_parallel=3)
+        .add_task("a", slow("a"))
+        .add_task("b", slow("b"))
+        .add_task("c", slow("c"))
+        .add_loop(
+            "per_item",
+            items_fn=lambda ctx: [ctx["outputs"]["a"], ctx["outputs"]["b"]],
+            body=lambda ctx, item: item.upper(),
+            depends_on=["a", "b"],
+        )
+        .add_subworkflow("nested", sub, depends_on=["c"])
+    )
+    t0 = _t.time()
+    res = WorkflowRunner().run(wf, {"x": 41})
+    wall = _t.time() - t0
+
+    assert res.success
+    assert res.steps["per_item"].output == ["A", "B"]
+    assert res.steps["nested"].output.steps["inner"].output == 42
+    # a/b/c ran concurrently: wall well under 3 × 0.2s serial time
+    assert wall < 0.55, wall
+    assert len({t for _tag, t in seen}) > 1  # multiple worker threads
