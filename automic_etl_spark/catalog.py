@@ -142,6 +142,9 @@ class TableManager:
             dirs=prev_dirs + [new_dir],
             schema=df.schema.json(),
             partition_by=part or [],
+            # carry forward partition masks from scoped upsert/delete —
+            # dropping them would resurrect superseded rows on append
+            dir_filters=(vs[-1].dir_filters if vs else None),
         )
         self._write_manifest(tv)
         return tv.version

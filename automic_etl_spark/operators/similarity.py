@@ -287,7 +287,7 @@ def ivf_build(
     ).localCheckpoint(eager=True)
 
     assign = None
-    for _ in range(iterations):
+    for _ in range(max(1, iterations)):  # at least one assignment pass
         scored = emb.crossJoin(F.broadcast(centroids)).select(
             F.col(id_col),
             F.col(vec_col),

@@ -215,3 +215,19 @@ def test_zorder_interleave_narrows_both_dimensions(wh, spark):
     assert sum(y_ranges) / len(y_ranges) < 7_000
     # data intact
     assert t.read().count() == n
+
+
+def test_append_after_scoped_upsert_keeps_masks(wh, spark):
+    """An append following a partition-scoped upsert must carry the
+    manifest masks forward — otherwise superseded rows resurrect."""
+    t = wh.table("silver", "events_masked")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, part string, v double"
+    )
+    t.create_or_append(df, partition_by=["part"])
+    t.upsert(spark.createDataFrame([(1, "a", 99.0)], df.schema), ["id"])
+    assert {r["v"] for r in t.read().collect()} == {99.0, 20.0}
+    # plain append of a new partition
+    t.create_or_append(spark.createDataFrame([(3, "c", 30.0)], df.schema))
+    vals = sorted(r["v"] for r in t.read().collect())
+    assert vals == [20.0, 30.0, 99.0]  # 10.0 must NOT resurrect
