@@ -12,6 +12,7 @@ from automic_etl_spark.validation.rules import (
     LengthRule,
     CustomExprRule,
 )
+from automic_etl_spark.validation.ge_compat import rules_from_suite, suite_from_rules
 from automic_etl_spark.validation.validator import Validator, ValidationReport
 from automic_etl_spark.validation.quality import profile, quality_score, compare_drift
 
@@ -27,6 +28,8 @@ __all__ = [
     "LengthRule",
     "CustomExprRule",
     "Validator",
+    "rules_from_suite",
+    "suite_from_rules",
     "ValidationReport",
     "profile",
     "quality_score",

@@ -1,0 +1,106 @@
+"""Great Expectations suite compatibility.
+
+Reference: integrations/great_expectations.py bridges its rule suite to
+GE. The GE library is not in this image, but a GE EXPECTATION SUITE is
+just JSON with public, stable expectation type names — so the engine
+converts suites to its native rules (and back) without the library:
+
+    suite = {"expectation_suite_name": ..., "expectations": [
+      {"expectation_type": "expect_column_values_to_not_be_null",
+       "kwargs": {"column": "o_custkey"}}, ...]}
+
+Supported expectation types map 1:1 onto the one-pass rule suite;
+unsupported types raise (explicitly, never silently dropped) unless
+``skip_unsupported`` is set.
+"""
+
+from __future__ import annotations
+
+from automic_etl_spark.validation.rules import (
+    AllowedValuesRule,
+    LengthRule,
+    NotNullRule,
+    RangeRule,
+    RegexRule,
+    Rule,
+    UniqueRule,
+)
+
+
+class UnsupportedExpectation(Exception):
+    pass
+
+
+def rules_from_suite(suite: dict, skip_unsupported: bool = False) -> list[Rule]:
+    """GE expectation suite (dict) → engine rules."""
+    out: list[Rule] = []
+    for exp in suite.get("expectations", []):
+        etype = exp.get("expectation_type", "")
+        kw = exp.get("kwargs", {})
+        col = kw.get("column")
+        name = f"ge_{etype}_{col}" if col else f"ge_{etype}"
+        if etype == "expect_column_values_to_not_be_null":
+            out.append(NotNullRule(name, column=col))
+        elif etype == "expect_column_values_to_be_between":
+            out.append(
+                RangeRule(
+                    name, column=col,
+                    min_value=kw.get("min_value"), max_value=kw.get("max_value"),
+                )
+            )
+        elif etype == "expect_column_values_to_be_in_set":
+            out.append(AllowedValuesRule(name, column=col, allowed=list(kw.get("value_set", []))))
+        elif etype == "expect_column_values_to_match_regex":
+            out.append(RegexRule(name, column=col, pattern=kw.get("regex", ".*")))
+        elif etype == "expect_column_value_lengths_to_be_between":
+            out.append(
+                LengthRule(
+                    name, column=col,
+                    min_len=kw.get("min_value", 0), max_len=kw.get("max_value", 10**9),
+                )
+            )
+        elif etype == "expect_column_values_to_be_unique":
+            out.append(UniqueRule(name, column=col, columns=[col]))
+        elif etype == "expect_compound_columns_to_be_unique":
+            cols = list(kw.get("column_list", []))
+            out.append(UniqueRule(name, column=",".join(cols), columns=cols))
+        elif skip_unsupported:
+            continue
+        else:
+            raise UnsupportedExpectation(etype or "<missing expectation_type>")
+    return out
+
+
+_RULE_TO_GE = {
+    "NotNullRule": "expect_column_values_to_not_be_null",
+    "RangeRule": "expect_column_values_to_be_between",
+    "AllowedValuesRule": "expect_column_values_to_be_in_set",
+    "RegexRule": "expect_column_values_to_match_regex",
+    "LengthRule": "expect_column_value_lengths_to_be_between",
+    "UniqueRule": "expect_column_values_to_be_unique",
+}
+
+
+def suite_from_rules(rules: list[Rule], name: str = "engine_suite") -> dict:
+    """Engine rules → GE expectation suite dict (round-trippable for the
+    supported rule classes; other rule types raise)."""
+    expectations = []
+    for r in rules:
+        cls = type(r).__name__
+        etype = _RULE_TO_GE.get(cls)
+        if etype is None:
+            raise UnsupportedExpectation(f"no GE mapping for rule class {cls}")
+        kw: dict = {"column": r.column}
+        if cls == "RangeRule":
+            kw.update(min_value=r.min_value, max_value=r.max_value)
+        elif cls == "AllowedValuesRule":
+            kw.update(value_set=list(r.allowed))
+        elif cls == "RegexRule":
+            kw.update(regex=r.pattern)
+        elif cls == "LengthRule":
+            kw.update(min_value=r.min_len, max_value=r.max_len)
+        elif cls == "UniqueRule" and len(r.columns) > 1:
+            etype = "expect_compound_columns_to_be_unique"
+            kw = {"column_list": list(r.columns)}
+        expectations.append({"expectation_type": etype, "kwargs": kw})
+    return {"expectation_suite_name": name, "expectations": expectations}

@@ -164,3 +164,56 @@ def test_lineage():
     lt.record("transform", ["bronze.orders"], ["silver.orders"])
     lt.record("aggregate", ["silver.orders"], ["gold.summary"])
     assert lt.upstream("gold.summary") == ["bronze.orders", "silver.orders", "src.orders"]
+
+
+def test_ge_suite_roundtrip_and_validation(spark):
+    """GE expectation-suite JSON converts to engine rules, runs through
+    the one-pass validator, and round-trips back to a suite."""
+    import pytest as _pytest
+
+    from automic_etl_spark.validation import Validator
+    from automic_etl_spark.validation.ge_compat import (
+        UnsupportedExpectation,
+        rules_from_suite,
+        suite_from_rules,
+    )
+
+    suite = {
+        "expectation_suite_name": "orders_suite",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "k"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "v", "min_value": 0, "max_value": 100}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "s", "value_set": ["a", "b"]}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "k"}},
+        ],
+    }
+    rules = rules_from_suite(suite)
+    df = spark.createDataFrame(
+        [(1, 50.0, "a"), (2, 150.0, "b"), (2, 70.0, "zzz"), (None, 10.0, "a")],
+        "k long, v double, s string",
+    )
+    report = {r["rule"]: r for r in Validator(rules).report_df(df).collect()}
+    assert report["ge_expect_column_values_to_not_be_null_k"]["n_violations"] == 1
+    assert report["ge_expect_column_values_to_be_between_v"]["n_violations"] == 1
+    assert report["ge_expect_column_values_to_be_in_set_s"]["n_violations"] == 1
+    assert report["ge_expect_column_values_to_be_unique_k"]["n_violations"] == 1
+
+    back = suite_from_rules(rules, name="roundtrip")
+    types = [e["expectation_type"] for e in back["expectations"]]
+    assert types == [e["expectation_type"] for e in suite["expectations"]]
+
+    with _pytest.raises(UnsupportedExpectation, match="expect_table_row_count"):
+        rules_from_suite(
+            {"expectations": [{"expectation_type": "expect_table_row_count_to_equal",
+                               "kwargs": {"value": 5}}]}
+        )
+    # explicit opt-out skips instead
+    assert rules_from_suite(
+        {"expectations": [{"expectation_type": "expect_table_row_count_to_equal",
+                           "kwargs": {"value": 5}}]},
+        skip_unsupported=True,
+    ) == []
