@@ -81,3 +81,49 @@ class LineageTracker:
 
     def to_dicts(self) -> list[dict]:
         return [{**e.__dict__, "operation": e.operation.value} for e in self.events]
+
+    def to_openlineage(
+        self,
+        namespace: str = "automic_etl_spark",
+        producer: str = "https://github.com/spark-lakehouse-engine",
+    ) -> list[dict]:
+        """Events as OpenLineage RunEvents (the public lineage exchange
+        format — what an OpenMetadata/Marquez deployment ingests; the
+        reference's openmetadata integration pushes the same shape).
+        One COMPLETE RunEvent per engine event; row counts become the
+        standard outputStatistics facet."""
+        import datetime
+
+        out = []
+        for ev in self.events:
+            event_time = datetime.datetime.fromtimestamp(
+                ev.ts, tz=datetime.timezone.utc
+            ).isoformat()
+            outputs = [
+                {
+                    "namespace": namespace,
+                    "name": o,
+                    **(
+                        {
+                            "outputFacets": {
+                                "outputStatistics": {"rowCount": ev.row_count}
+                            }
+                        }
+                        if ev.row_count is not None
+                        else {}
+                    ),
+                }
+                for o in ev.outputs
+            ]
+            out.append(
+                {
+                    "eventType": "COMPLETE",
+                    "eventTime": event_time,
+                    "producer": producer,
+                    "run": {"runId": ev.event_id},
+                    "job": {"namespace": namespace, "name": ev.operation.value},
+                    "inputs": [{"namespace": namespace, "name": i} for i in ev.inputs],
+                    "outputs": outputs,
+                }
+            )
+        return out

@@ -217,3 +217,21 @@ def test_ge_suite_roundtrip_and_validation(spark):
                            "kwargs": {"value": 5}}]},
         skip_unsupported=True,
     ) == []
+
+
+def test_lineage_openlineage_export():
+    from automic_etl_spark.services import LineageTracker
+
+    t = LineageTracker()
+    t.record("read", [], ["bronze.orders"], row_count=100)
+    t.record("aggregate", ["bronze.orders"], ["gold.summary"], row_count=5)
+
+    events = t.to_openlineage()
+    assert len(events) == 2
+    ev = events[1]
+    assert ev["eventType"] == "COMPLETE"
+    assert ev["job"]["name"] == "aggregate"
+    assert ev["inputs"] == [{"namespace": "automic_etl_spark", "name": "bronze.orders"}]
+    assert ev["outputs"][0]["name"] == "gold.summary"
+    assert ev["outputs"][0]["outputFacets"]["outputStatistics"]["rowCount"] == 5
+    assert ev["eventTime"].endswith("+00:00")
