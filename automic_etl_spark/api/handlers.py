@@ -31,6 +31,11 @@ class ApiHandlers:
         self.assistant = SQLAssistant(lakehouse.spark)
         self.rbac = rbac
         self.principal = principal
+        from automic_etl_spark.orchestration import Scheduler
+        from automic_etl_spark.services import LineageTracker
+
+        self.lineage = LineageTracker()
+        self.scheduler = Scheduler()
 
     def _authorize(self, permission: str, resource: str = "*") -> None:
         if self.rbac is not None and self.principal is not None:
@@ -102,6 +107,81 @@ class ApiHandlers:
         except ReadOnlyViolation as e:
             return {"error": str(e), "status": 403}
 
+    # -- health / metrics (reference api/routes/health.py:18-105) -----------
+
+    def health(self) -> dict[str, Any]:
+        checks = {}
+        try:
+            self.lh.spark.sql("SELECT 1").collect()
+            checks["spark"] = "ok"
+        except Exception as e:  # pragma: no cover — session death is environmental
+            checks["spark"] = f"error: {e}"
+        try:
+            self.list_tables()
+            checks["warehouse"] = "ok"
+        except Exception as e:
+            checks["warehouse"] = f"error: {e}"
+        healthy = all(v == "ok" for v in checks.values())
+        return {"status": "healthy" if healthy else "degraded", "checks": checks}
+
+    def metrics(self) -> dict[str, Any]:
+        """Per-layer table/version counts (manifest-only — no data scans,
+        so this stays O(tables) at any corpus size)."""
+        layers = {}
+        for layer in ("bronze", "silver", "gold"):
+            tables = {}
+            for t in self.lh.warehouse.list_tables(layer):
+                tm = self.lh.warehouse.table(layer, t)
+                tables[t] = {"versions": tm.current_version() + 1}
+            layers[layer] = {"n_tables": len(tables), "tables": tables}
+        return {"layers": layers, "status": 200}
+
+    # -- lineage (reference api/routes/lineage.py:136-372) ------------------
+
+    def lineage_events(self) -> dict[str, Any]:
+        return {"events": self.lineage.to_dicts(), "status": 200}
+
+    def lineage_upstream(self, asset: str) -> dict[str, Any]:
+        return {"asset": asset, "upstream": self.lineage.upstream(asset), "status": 200}
+
+    # -- validation (reference api/routes + validation_service) -------------
+
+    def run_validation(self, layer: str, table: str, suite: dict) -> dict[str, Any]:
+        """Run a Great-Expectations-style suite (JSON dict) against a
+        warehouse table; returns the rule report rows."""
+        from automic_etl_spark.validation import Validator, rules_from_suite
+
+        self._authorize("table:read", f"{layer}.{table}")
+        df = self.lh.warehouse.table(layer, table).read()
+        rules = rules_from_suite(suite, skip_unsupported=True)
+        rows = [r.asDict() for r in Validator(rules).report_df(df).collect()]
+        return {
+            "layer": layer,
+            "table": table,
+            "rules": rows,
+            "passed": all(r["passed"] for r in rows),
+            "status": 200,
+        }
+
+    # -- jobs (reference api/routes/jobs.py:64-431, scheduler-backed) -------
+
+    def list_jobs(self) -> dict[str, Any]:
+        return {
+            "jobs": [
+                {"name": j.name, "enabled": j.enabled, "n_runs": len(j.runs)}
+                for j in self.scheduler.jobs.values()
+            ],
+            "status": 200,
+        }
+
+    def trigger_job(self, name: str) -> dict[str, Any]:
+        self._authorize("pipeline:run", name)
+        job = self.scheduler.jobs.get(name)
+        if job is None:
+            return {"error": f"unknown job {name!r}", "status": 404}
+        run = self.scheduler.run_job(job)
+        return {"name": name, "run_status": run.status, "error": run.error, "status": 200}
+
 
 def create_app(lakehouse: Lakehouse):
     """Optional FastAPI wiring (gated — fastapi isn't a dependency)."""
@@ -119,4 +199,11 @@ def create_app(lakehouse: Lakehouse):
     app.post("/api/v1/queries/sql")(handlers.query)
     app.post("/api/v1/queries/natural")(handlers.natural_query)
     app.post("/api/v1/queries/explain")(handlers.explain)
+    app.get("/api/v1/health")(handlers.health)
+    app.get("/api/v1/metrics")(handlers.metrics)
+    app.get("/api/v1/lineage")(handlers.lineage_events)
+    app.get("/api/v1/lineage/upstream/{asset}")(handlers.lineage_upstream)
+    app.post("/api/v1/tables/{layer}/{table}/validate")(handlers.run_validation)
+    app.get("/api/v1/jobs")(handlers.list_jobs)
+    app.post("/api/v1/jobs/{name}/trigger")(handlers.trigger_job)
     return app

@@ -118,21 +118,22 @@ class Scheduler:
                 out.append(job)
         return out
 
+    def run_job(self, job: Job) -> JobRun:
+        """Execute one job now (manual trigger or due run)."""
+        started = self.clock()
+        t0 = time.monotonic()
+        try:
+            job.fn()
+            run = JobRun(started, round(time.monotonic() - t0, 3), "success")
+        except Exception as e:  # noqa: BLE001 — job boundary
+            run = JobRun(started, round(time.monotonic() - t0, 3), "failed", str(e))
+        job.last_run = started
+        job.runs.append(run)
+        return run
+
     def run_pending(self) -> list[JobRun]:
         """Execute everything due; one failure never blocks other jobs."""
-        results = []
-        for job in self.due_jobs():
-            started = self.clock()
-            t0 = time.monotonic()
-            try:
-                job.fn()
-                run = JobRun(started, round(time.monotonic() - t0, 3), "success")
-            except Exception as e:  # noqa: BLE001 — job boundary
-                run = JobRun(started, round(time.monotonic() - t0, 3), "failed", str(e))
-            job.last_run = started
-            job.runs.append(run)
-            results.append(run)
-        return results
+        return [self.run_job(job) for job in self.due_jobs()]
 
     def run_loop(self, poll_s: float = 1.0, stop_after: float | None = None) -> None:
         t0 = time.monotonic()

@@ -65,3 +65,46 @@ def test_explain_real_plan(handlers):
     out = handlers.explain("SELECT name FROM bronze_users WHERE age > 30")
     assert out["status"] == 200
     assert "PushedFilters" in out["plan"]
+
+
+def test_health_metrics_lineage_jobs(handlers):
+    h = handlers.health()
+    assert h["status"] == "healthy" and h["checks"]["spark"] == "ok"
+
+    m = handlers.metrics()
+    assert m["layers"]["bronze"]["n_tables"] == 1
+    assert m["layers"]["bronze"]["tables"]["users"]["versions"] == 1
+
+    handlers.lineage.record("read", [], ["bronze.users"], row_count=5)
+    handlers.lineage.record("aggregate", ["bronze.users"], ["gold.s"])
+    up = handlers.lineage_upstream("gold.s")
+    assert up["upstream"] == ["bronze.users"]
+    assert len(handlers.lineage_events()["events"]) == 2
+
+    from automic_etl_spark.orchestration.scheduler import Schedule, ScheduleType
+
+    ran = []
+    handlers.scheduler.add_job(
+        "refresh", lambda: ran.append(1), Schedule(ScheduleType.INTERVAL, interval_s=3600)
+    )
+    assert handlers.list_jobs()["jobs"][0]["name"] == "refresh"
+    out = handlers.trigger_job("refresh")
+    assert out["run_status"] == "success" and ran == [1]
+    assert handlers.trigger_job("nope")["status"] == 404
+
+
+def test_validation_endpoint_runs_ge_suite(handlers):
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "name"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "age", "min_value": 0, "max_value": 120}},
+        ]
+    }
+    out = handlers.run_validation("bronze", "users", suite)
+    assert out["status"] == 200 and out["passed"]
+    assert {r["rule"] for r in out["rules"]} == {
+        "ge_expect_column_values_to_not_be_null_name",
+        "ge_expect_column_values_to_be_between_age",
+    }
