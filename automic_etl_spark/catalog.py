@@ -238,12 +238,24 @@ class TableManager:
                 return tv.version  # empty batch: nothing to change
             if len(vals) <= self._MAX_SCOPED_PARTITIONS:
                 pred = self._partition_pred(vals, part)
-                affected = self.read().filter(pred)
-                kept = affected.join(
-                    df.select(*key_columns).distinct(), key_columns, "left_anti"
+                keys = df.select(*key_columns).distinct()
+                # partition-migration guard: an incoming key whose OLD row
+                # lives outside the affected partitions would survive a
+                # scoped rewrite as a duplicate. Probe is a key-column-
+                # pruned scan of the unaffected remainder; only a hit
+                # forces the (correct) full rewrite.
+                migrated = (
+                    self.read()
+                    .filter(f"NOT coalesce(({pred}), false)")
+                    .join(keys, key_columns, "left_semi")
+                    .limit(1)
+                    .count()
                 )
-                rewritten = kept.unionByName(df, allowMissingColumns=True)
-                return self._scoped_rewrite(tv, rewritten, pred, "upsert")
+                if migrated == 0:
+                    affected = self.read().filter(pred)
+                    kept = affected.join(keys, key_columns, "left_anti")
+                    rewritten = kept.unionByName(df, allowMissingColumns=True)
+                    return self._scoped_rewrite(tv, rewritten, pred, "upsert")
         cur = self.read()
         kept = cur.join(df.select(*key_columns).distinct(), key_columns, "left_anti")
         return self.overwrite(kept.unionByName(df, allowMissingColumns=True))

@@ -231,3 +231,18 @@ def test_append_after_scoped_upsert_keeps_masks(wh, spark):
     t.create_or_append(spark.createDataFrame([(3, "c", 30.0)], df.schema))
     vals = sorted(r["v"] for r in t.read().collect())
     assert vals == [20.0, 30.0, 99.0]  # 10.0 must NOT resurrect
+
+
+def test_upsert_key_migrating_partitions_does_not_duplicate(wh, spark):
+    """If an incoming row moves a key to a DIFFERENT partition, the old
+    row must die too — the scoped path detects the migration and falls
+    back to a full rewrite instead of leaving a cross-partition dup."""
+    t = wh.table("silver", "events_mig")
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, part string, v double"
+    )
+    t.create_or_append(df, partition_by=["part"])
+    # key 1 moves from partition a → partition c
+    t.upsert(spark.createDataFrame([(1, "c", 99.0)], df.schema), ["id"])
+    rows = sorted((r["id"], r["part"], r["v"]) for r in t.read().collect())
+    assert rows == [(1, "c", 99.0), (2, "b", 20.0)]
