@@ -59,6 +59,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as the raw INT64 nanosecond epoch — no timestamp
+    conversion at all. Gate queries whose semantics reduce to integer
+    time arithmetic (sessionize gaps, funnel ordering) use this so both
+    engines compare the very same BIGINTs (oracle side: ``epoch_ns(ts)``)
+    and no engine timestamp-conversion semantics are in play."""
+    ensure_utc(spark)
+    path = os.path.join(sf_dir, "events.parquet")
+    return spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 

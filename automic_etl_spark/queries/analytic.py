@@ -278,7 +278,10 @@ def q_null_quality_metrics(spark, sf_dir):
         F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
         (F.col("c_custkey") % 100).alias("dup_key"),
     )
-    n_cols = 4
+    # All quality metrics in integer parts-per-million (floor division):
+    # the determinism contract bans rounded double divisions in outputs,
+    # and every integer must stay LONG/BIGINT on both engines (a bare
+    # DuckDB sum() is HUGEINT → float64 under pandas, breaking the hash).
     agg = dirty.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("name").isNull(), 1).otherwise(0)).alias("null_name"),
@@ -286,27 +289,27 @@ def q_null_quality_metrics(spark, sf_dir):
         F.countDistinct("dup_key").alias("distinct_keys"),
     )
     quality = agg.select(
-        F.round(1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols), 6).alias(
-            "completeness"
-        ),
-        F.round(F.col("distinct_keys") / F.col("n"), 6).alias("uniqueness"),
-        F.lit(1.0).alias("validity"),
-        F.lit(1.0).alias("consistency"),
-        F.round(
-            0.4 * (1 - (F.col("null_name") + F.col("null_bal")) / (F.col("n") * n_cols))
-            + 0.2 * (F.col("distinct_keys") / F.col("n"))
-            + 0.2 * 1.0
-            + 0.2 * 1.0,
-            6,
-        ).alias("quality_score"),
+        F.expr(
+            "((n * 4 - null_name - null_bal) * 1000000) div (n * 4)"
+        ).alias("dirty_completeness_ppm"),
+        F.expr("(distinct_keys * 1000000) div n").alias("uniqueness_ppm"),
+        F.lit(1000000).cast("long").alias("validity_ppm"),
+        F.lit(1000000).cast("long").alias("consistency_ppm"),
+        # 40/20/20/20 blend (quality.py:81-121), floor-div per term
+        (
+            F.expr("(400000 * (n * 4 - null_name - null_bal)) div (n * 4)")
+            + F.expr("(200000 * distinct_keys) div n")
+            + F.lit(400000).cast("long")
+        ).alias("quality_score_ppm"),
     )
     return nulls.crossJoin(quality)
 
 
 ORACLE_NULL_QUALITY = """
 SELECT * FROM (
-  SELECT n_rows, null_orderkey, null_totalprice,
-         (nn * 1000000) // n_rows AS completeness_ppm
+  SELECT n_rows, CAST(null_orderkey AS BIGINT) AS null_orderkey,
+         CAST(null_totalprice AS BIGINT) AS null_totalprice,
+         CAST((nn * 1000000) // n_rows AS BIGINT) AS completeness_ppm
   FROM (
     SELECT count(*) AS n_rows,
            sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_orderkey,
@@ -328,13 +331,13 @@ SELECT * FROM (
            count(DISTINCT dup_key) AS distinct_keys
     FROM dirty
   )
-  SELECT round(1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE), 6) AS completeness,
-         round(distinct_keys / CAST(n AS DOUBLE), 6) AS uniqueness,
-         1.0 AS validity,
-         1.0 AS consistency,
-         round(0.4 * (1 - (null_name + null_bal) / CAST(n * 4 AS DOUBLE))
-             + 0.2 * (distinct_keys / CAST(n AS DOUBLE))
-             + 0.2 * 1.0 + 0.2 * 1.0, 6) AS quality_score
+  SELECT CAST(((n * 4 - null_name - null_bal) * 1000000) // (n * 4) AS BIGINT) AS dirty_completeness_ppm,
+         CAST((distinct_keys * 1000000) // n AS BIGINT) AS uniqueness_ppm,
+         CAST(1000000 AS BIGINT) AS validity_ppm,
+         CAST(1000000 AS BIGINT) AS consistency_ppm,
+         CAST((400000 * (n * 4 - null_name - null_bal)) // (n * 4)
+              + (200000 * distinct_keys) // n
+              + 400000 AS BIGINT) AS quality_score_ppm
   FROM agg
 )
 """
@@ -346,12 +349,20 @@ def q_sessionize(spark, sf_dir):
     """Sessionization: 30-minute-gap sessions per user via lag + running
     conditional sum — the scalable batch form (single shuffle by user).
     ``max_gap_s`` (largest intra-session gap) keeps the lag arithmetic
-    itself value-checked (absorbs the former window_lag_delta gate)."""
-    ev = _t(spark, sf_dir, "events")
+    itself value-checked (absorbs the former window_lag_delta gate).
+
+    Time arithmetic is PURE INTEGER on the raw int64 nanosecond epoch
+    (``io.load_events_ns``; oracle side derives the identical BIGINT via
+    ``epoch_ns``) — no engine timestamp semantics are compared, and no
+    timestamp columns are emitted."""
+    from automic_etl_spark.io import load_events_ns
+
+    ev = load_events_ns(spark, sf_dir).withColumn(
+        "ts_s", F.expr("ts div 1000000000")
+    )
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     ev = ev.withColumn(
-        "gap_s",
-        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))).cast("long"),
+        "gap_s", (F.col("ts_s") - F.lag("ts_s").over(w)).cast("long")
     ).withColumn(
         "new_sess",
         F.when(F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1).otherwise(0),
@@ -374,23 +385,28 @@ def q_sessionize(spark, sf_dir):
     )
 
 
-ORACLE_SESSIONIZE = f"""
-WITH {_EV},
-flagged AS (
-  SELECT user_id, event_id, ts,
-         date_diff('second', lag(ts) OVER w, ts) AS gap_s,
-         CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+# session_id CAST to BIGINT: bare DuckDB sum() is HUGEINT → float64 under
+# the driver's pandas canonicalizer vs Spark's int64 (the r2 red).
+ORACLE_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+         epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_ns,
+         ts_s - lag(ts_s) OVER w AS gap_s,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                OR ts_s - lag(ts_s) OVER w > 1800
               THEN 1 ELSE 0 END AS new_sess
-  FROM ev
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
 ), sess AS (
   SELECT user_id, event_id, gap_s, new_sess,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM flagged
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event,
        max(CASE WHEN new_sess = 0 THEN gap_s END) AS max_gap_s
 FROM sess
@@ -611,15 +627,21 @@ ORDER BY window_start
 def q_funnel_conversion(spark, sf_dir):
     """Funnel analysis (beyond-reference event analytics): per-user
     signup → purchase conversion, with time-to-convert buckets. Two
-    filtered aggregates + one join on user — no window needed."""
-    ev = _t(spark, sf_dir, "events")
+    filtered aggregates + one join on user — no window needed.
+
+    All time comparisons are PURE INTEGER on the raw int64 nanosecond
+    epoch (``io.load_events_ns`` / oracle ``epoch_ns``): the ``>=`` and
+    24-hour predicates compare the same BIGINTs on both engines."""
+    from automic_etl_spark.io import load_events_ns
+
+    ev = load_events_ns(spark, sf_dir)
     signups = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+        .agg(F.min("ts").alias("signup_ns"))
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ns")
     )
     # range predicate lives in the JOIN condition: a user whose only
     # purchases precede signup must survive as unconverted (a post-join
@@ -627,38 +649,41 @@ def q_funnel_conversion(spark, sf_dir):
     first_purchase = (
         signups.join(
             purchases,
-            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") >= F.col("signup_ts")),
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ns") >= F.col("signup_ns")),
             "left",
         )
-        .groupBy("user_id", "signup_ts")
-        .agg(F.min("p_ts").alias("purchase_ts"))
+        .groupBy("user_id", "signup_ns")
+        .agg(F.min("p_ns").alias("purchase_ns"))
     )
+    day_ns = 24 * 3600 * 1_000_000_000
     return first_purchase.agg(
         F.count(F.lit(1)).alias("n_signup_users"),
-        F.sum(F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0)).alias("n_converted"),
+        F.sum(F.when(F.col("purchase_ns").isNotNull(), 1).otherwise(0)).alias("n_converted"),
         F.sum(
             F.when(
-                F.col("purchase_ts")
-                <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS"),
+                F.col("purchase_ns") <= F.col("signup_ns") + F.lit(day_ns),
                 1,
             ).otherwise(0)
         ).alias("n_converted_24h"),
     )
 
 
-ORACLE_FUNNEL = f"""
-WITH {_EV},
-s AS (
-  SELECT user_id, min(ts) AS signup_ts FROM ev WHERE event_type = 'signup' GROUP BY user_id
+# counts CAST to BIGINT (bare DuckDB sum() is HUGEINT → float64 under
+# pandas, hash-mismatching Spark's int64 — the r2 red).
+ORACLE_FUNNEL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+), s AS (
+  SELECT user_id, min(ts_ns) AS signup_ns FROM e WHERE event_type = 'signup' GROUP BY user_id
 ), fp AS (
-  SELECT s.user_id, s.signup_ts, min(p.ts) AS purchase_ts
-  FROM s LEFT JOIN ev p
-    ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts >= s.signup_ts
-  GROUP BY s.user_id, s.signup_ts
+  SELECT s.user_id, s.signup_ns, min(p.ts_ns) AS purchase_ns
+  FROM s LEFT JOIN e p
+    ON p.user_id = s.user_id AND p.event_type = 'purchase' AND p.ts_ns >= s.signup_ns
+  GROUP BY s.user_id, s.signup_ns
 )
 SELECT count(*) AS n_signup_users,
-       sum(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS n_converted,
-       sum(CASE WHEN purchase_ts <= signup_ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END) AS n_converted_24h
+       CAST(sum(CASE WHEN purchase_ns IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(sum(CASE WHEN purchase_ns <= signup_ns + 86400000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted_24h
 FROM fp
 """
 

@@ -143,8 +143,17 @@ def q_scd2_history(spark, sf_dir):
                 "c_mktsegment",
                 "_scd_version",
                 "_scd_is_current",
-                "_scd_effective_from",
-                "_scd_effective_to",
+                # Validity interval as STRINGS: the END_OF_TIME sentinel
+                # (9999-12-31) overflows pandas datetime64[ns] in the
+                # driver canonicalizer — raw TimestampType output here
+                # crashes the whole gate (determinism contract: no
+                # timestamp output that can exceed the pandas ns range).
+                F.date_format("_scd_effective_from", "yyyy-MM-dd HH:mm:ss").alias(
+                    "_scd_effective_from"
+                ),
+                F.date_format("_scd_effective_to", "yyyy-MM-dd HH:mm:ss").alias(
+                    "_scd_effective_to"
+                ),
                 "_scd_hash",
             )
             .orderBy("c_custkey", "_scd_version")
@@ -158,28 +167,29 @@ ORACLE_SCD2 = """
 WITH h AS (
   SELECT c_custkey, c_name, c_mktsegment FROM customer
 )
+-- validity interval as plain strings (pandas-ns-safe; see gate query)
 -- unchanged keys: version 1, still current
 SELECT c_custkey, c_mktsegment, 1 AS _scd_version, true AS _scd_is_current,
-       TIMESTAMP '2024-01-01 10:00:00' AS _scd_effective_from,
-       TIMESTAMP '9999-12-31 23:59:59' AS _scd_effective_to,
+       '2024-01-01 10:00:00' AS _scd_effective_from,
+       '9999-12-31 23:59:59' AS _scd_effective_to,
        md5(coalesce(c_name, chr(0)) || '|' || coalesce(c_mktsegment, chr(0))) AS _scd_hash
 FROM h WHERE c_custkey % 10 != 0
 UNION ALL
 -- changed keys: closed version 1
 SELECT c_custkey, c_mktsegment, 1, false,
-       TIMESTAMP '2024-01-01 10:00:00', TIMESTAMP '2024-01-02 10:00:00',
+       '2024-01-01 10:00:00', '2024-01-02 10:00:00',
        md5(coalesce(c_name, chr(0)) || '|' || coalesce(c_mktsegment, chr(0)))
 FROM h WHERE c_custkey % 10 = 0
 UNION ALL
 -- changed keys: new current version 2
 SELECT c_custkey, 'CHANGED', 2, true,
-       TIMESTAMP '2024-01-02 10:00:00', TIMESTAMP '9999-12-31 23:59:59',
+       '2024-01-02 10:00:00', '9999-12-31 23:59:59',
        md5(coalesce(c_name, chr(0)) || '|' || 'CHANGED')
 FROM h WHERE c_custkey % 10 = 0
 UNION ALL
 -- brand-new keys: version 1 current from T2
 SELECT c_custkey + 1000000, 'NEWSEG', 1, true,
-       TIMESTAMP '2024-01-02 10:00:00', TIMESTAMP '9999-12-31 23:59:59',
+       '2024-01-02 10:00:00', '9999-12-31 23:59:59',
        md5(coalesce(c_name, chr(0)) || '|' || 'NEWSEG')
 FROM h WHERE c_custkey % 100 = 1
 ORDER BY c_custkey, _scd_version
@@ -308,44 +318,39 @@ def q_validation_report(spark, sf_dir):
     return v.report_df(orders).orderBy("rule")
 
 
+# pass_rate_ppm: integer parts-per-million via floor division — never a
+# rounded double division (engine round() ties differ); n_violations CAST
+# to BIGINT (bare DuckDB sum() is HUGEINT → float64 in the driver's
+# pandas canonicalizer, hash-mismatching Spark's int64).
 ORACLE_VALIDATION = """
-WITH n AS (SELECT count(*) AS total FROM orders)
-SELECT * FROM (
+WITH n AS (SELECT count(*) AS total FROM orders),
+r AS (
   SELECT 'custkey_not_null' AS rule, 'o_custkey' AS "column",
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed,
-         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_violations,
-         round(1.0 - sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6) AS pass_rate
-  FROM orders, n GROUP BY total
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v
+  FROM orders
   UNION ALL
   SELECT 'price_range', 'o_totalprice',
-         sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END) = 0,
-         sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END),
-         round(1.0 - sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6)
-  FROM orders, n GROUP BY total
+         sum(CASE WHEN o_totalprice IS NOT NULL AND (o_totalprice < 0 OR o_totalprice > 400000) THEN 1 ELSE 0 END)
+  FROM orders
   UNION ALL
   SELECT 'status_allowed', 'o_orderstatus',
-         sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0,
-         sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END),
-         round(1.0 - sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6)
-  FROM orders, n GROUP BY total
+         sum(CASE WHEN o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+  FROM orders
   UNION ALL
   SELECT 'priority_format', 'o_orderpriority',
-         sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) = 0,
-         sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END),
-         round(1.0 - sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) / CAST(total AS DOUBLE), 6)
-  FROM orders, n GROUP BY total
+         sum(CASE WHEN o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END)
+  FROM orders
   UNION ALL
-  SELECT 'orderkey_unique', 'o_orderkey',
-         coalesce(sum(cnt - 1), 0) = 0, coalesce(sum(cnt - 1), 0),
-         round(1.0 - coalesce(sum(cnt - 1), 0) / CAST(max(total) AS DOUBLE), 6)
-  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey), n
+  SELECT 'orderkey_unique', 'o_orderkey', coalesce(sum(cnt - 1), 0)
+  FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey)
   UNION ALL
   SELECT 'custkey_fk', 'o_custkey',
-         count(*) FILTER (WHERE c IS NULL AND o_custkey IS NOT NULL) = 0,
-         count(*) FILTER (WHERE c IS NULL AND o_custkey IS NOT NULL),
-         round(1.0 - count(*) FILTER (WHERE c IS NULL AND o_custkey IS NOT NULL) / CAST(max(total) AS DOUBLE), 6)
-  FROM (SELECT o_custkey, c_custkey AS c FROM orders LEFT JOIN customer ON o_custkey = c_custkey), n
+         count(*) FILTER (WHERE c IS NULL AND o_custkey IS NOT NULL)
+  FROM (SELECT o_custkey, c_custkey AS c FROM orders LEFT JOIN customer ON o_custkey = c_custkey)
 )
+SELECT rule, "column", v = 0 AS passed, CAST(v AS BIGINT) AS n_violations,
+       CAST(((total - v) * 1000000) // total AS BIGINT) AS pass_rate_ppm
+FROM r, n
 ORDER BY rule
 """
 

@@ -103,13 +103,27 @@ class Validator:
         return df.filter(~bad), df.filter(bad)
 
     def report_df(self, df: DataFrame) -> DataFrame:
-        """Report as a DataFrame (for gold-layer persistence/oracles)."""
+        """Report as a DataFrame (for gold-layer persistence/oracles).
+
+        ``pass_rate_ppm`` is integer parts-per-million (floor division) —
+        the repo's determinism contract bans rounded double divisions in
+        gate outputs (engine ``round()`` tie behavior differs between
+        Spark and DuckDB; integer arithmetic is bit-identical)."""
         rep = self.validate(df)
+        total = rep.total_rows
         spark = df.sparkSession
         return spark.createDataFrame(
             [
-                (r.rule, r.column, r.passed, r.n_violations, round(r.pass_rate, 6))
+                (
+                    r.rule,
+                    r.column,
+                    r.passed,
+                    r.n_violations,
+                    ((total - r.n_violations) * 1_000_000) // total
+                    if total
+                    else 1_000_000,
+                )
                 for r in rep.results
             ],
-            "rule string, column string, passed boolean, n_violations long, pass_rate double",
+            "rule string, column string, passed boolean, n_violations long, pass_rate_ppm long",
         )

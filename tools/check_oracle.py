@@ -1,4 +1,4 @@
-"""Local replica of the driver's correctness gate.
+"""Local replica of the driver's correctness gate — STRICTER than the driver.
 
 Runs every declared query through Spark AND its DuckDB oracle on the same
 parquet tables, then compares: row count, column names (sorted), and an
@@ -7,11 +7,31 @@ order-insensitive value hash. Usage:
     python tools/check_oracle.py [sf_dir] [query ...]
 
 Exits non-zero if any query mismatches.
+
+Canonicalization contract (round 3): BOTH result sets are forced through
+pandas before hashing, because that is what the driver does — and pandas
+is where the portability traps live:
+
+- DuckDB's ``.df()`` converts integer ``sum()`` (HUGEINT) to float64,
+  while Spark emits int64 → ``5.0`` vs ``5`` hash mismatch. The r2 driver
+  reds (sessionize/funnel/validation/null_quality) were ALL this. Oracles
+  must ``CAST(sum(...) AS BIGINT)`` every integer aggregate output.
+- pandas ``datetime64[ns]`` overflows on timestamps past 2262-04-11 →
+  the driver *crashes* on SCD2's 9999-12-31 sentinel. Gate outputs must
+  stringify any timestamp that can exceed the ns range.
+- Nullable integer columns become float64 (NaN) on both sides — safe, but
+  only because both sides degrade identically; NaN canonicalizes to NULL.
+
+The old replica fetched DuckDB results natively (HUGEINT → Python int)
+and canonicalized Spark rows directly — more lenient than the driver on
+exactly the failing constructions. Never loosen this again.
 """
 
 from __future__ import annotations
 
+import datetime
 import hashlib
+import math
 import os
 import sys
 import time
@@ -26,37 +46,78 @@ TABLES = [
 ]
 
 
-def _canon(v):
-    """Canonicalize a cell to a stable string (mirrors a sane driver)."""
-    import datetime
-    import math
+def spark_rows_to_pandas(rows, cols):
+    """Mirror the driver: build a pandas DataFrame from collected Spark
+    rows. pandas infers datetime64[ns] for datetime columns — so an
+    out-of-ns-range timestamp raises OutOfBoundsDatetime here exactly as
+    it does in the driver (that is the point: fail locally, not there)."""
+    import pandas as pd
 
-    if v is None:
+    df = pd.DataFrame([list(r) for r in rows], columns=list(cols))
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = [v for v in df[c] if v is not None]
+            if vals and all(
+                isinstance(v, (datetime.datetime, datetime.date)) for v in vals
+            ):
+                # raises pandas OutOfBoundsDatetime on e.g. 9999-12-31
+                df[c] = pd.to_datetime(df[c])
+    return df
+
+
+def _canon(v):
+    """Canonicalize one pandas-land cell to a stable string."""
+    import pandas as pd
+
+    if v is None or (not isinstance(v, (list, tuple, str)) and pd.isna(v)):
         return "NULL"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # repr of a double is exact round-trip; both engines produce the
-        # same double by construction of our queries.
-        return repr(v)
+        return repr(float(v))
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     if isinstance(v, datetime.datetime):
         return v.isoformat()
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_canon(x) for x in v) + "]"
+        # normalize pure dates to midnight timestamps: DuckDB DATE columns
+        # come back from .df() as datetime64 while Spark yields date objects
+        return datetime.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, bytes):
         return v.hex()
-    if isinstance(v, bool):
-        return str(int(v))
     return str(v)
 
 
-def value_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "|".join(_canon(r[i]) for i in order) for r in rows
-    )
+def _canon_pd(df):
+    """Canonical per-row strings from a pandas DataFrame, with numpy
+    scalars reduced to python types first (numpy repr differs)."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted(range(len(df.columns)), key=lambda i: df.columns[i])
+    out = []
+    for row in df.itertuples(index=False, name=None):
+        cells = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, np.bool_):
+                v = bool(v)
+            elif isinstance(v, np.integer):
+                v = int(v)
+            elif isinstance(v, np.floating):
+                v = float(v)
+            elif isinstance(v, np.datetime64):
+                v = pd.Timestamp(v)
+            cells.append(_canon(v))
+        out.append("|".join(cells))
+    return sorted(out)
+
+
+def value_hash_lines(lines):
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -89,8 +150,9 @@ def main():
             sdf = fn(spark, sf_dir)
             srows = [tuple(r) for r in sdf.collect()]
             scols = sdf.columns
+            spdf = spark_rows_to_pandas(srows, scols)
         except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
+            print(f"FAIL {name}: spark/canon error: {type(e).__name__}: {e}")
             failures.append(name)
             continue
         sql = oracles.get(name)
@@ -98,27 +160,24 @@ def main():
             print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # .df() — the pandas path, same as the driver (NOT fetchall:
+            # native fetch hides the HUGEINT→float64 conversion).
+            opdf = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+            )
         if not problems:
-            sh, oh = value_hash(srows, scols), value_hash(orows, ocols)
-            if sh != oh:
+            sl, ol = _canon_pd(spdf), _canon_pd(opdf)
+            if value_hash_lines(sl) != value_hash_lines(ol):
                 problems.append("value-hash mismatch")
-                # show first differing canonical line
-                so = sorted(range(len(scols)), key=lambda i: scols[i])
-                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                sl = sorted("|".join(_canon(r[i]) for i in so) for r in srows)
-                ol = sorted("|".join(_canon(r[i]) for i in oo) for r in orows)
                 for a, b in zip(sl, ol):
                     if a != b:
                         problems.append(f"  spark : {a[:200]}")
