@@ -276,14 +276,31 @@ def ivf_build(
     sign-LSH bucket path."""
     from pyspark.sql import Window as W
 
-    seed_rank = W.orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-    centroids = (
-        emb.withColumn("__r", F.row_number().over(seed_rank))
-        .filter(F.col("__r") <= n_centroids)
-        .select(
-            (F.col("__r") - 1).alias("centroid_id"),
+    # Seed selection is a distributed TakeOrderedAndProject (orderBy +
+    # limit): each partition keeps its n_centroids smallest md5 keys and
+    # only those reach the final merge. (A global row_number window here
+    # would funnel the ENTIRE corpus through one partition — the
+    # r2-flagged scale-killer.) Ranking the surviving ≤n_centroids rows
+    # into centroid ids needs no window either: pack them into one
+    # sorted array (bounded by n_centroids) and posexplode, so the
+    # position IS the rank.
+    seeds = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("__seed"),
+            F.col(id_col).alias("__sid"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
+        .orderBy(F.col("__seed").asc(), F.col("__sid").asc())
+        .limit(n_centroids)
+    )
+    centroids = (
+        seeds.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__seed", "__sid", "centroid"))
+            ).alias("__a")
+        )
+        .select(F.posexplode("__a").alias("centroid_id", "__s"))
+        .select("centroid_id", F.col("__s.centroid").alias("centroid"))
     ).localCheckpoint(eager=True)
 
     assign = None
@@ -300,11 +317,30 @@ def ivf_build(
             .filter(F.col("__rn") == 1)
             .select(id_col, vec_col, "centroid_id")
         )
-        # element-wise mean per cluster: posexplode → avg → re-assemble
+        # element-wise mean per cluster: posexplode → quantized mean →
+        # re-assemble. The mean is computed as an INTEGER sum of 1e-6-unit
+        # components followed by one double division — never a double
+        # F.avg, whose partial-sum merge order is engine/partitioning
+        # dependent. This makes every Lloyd iteration bit-reproducible
+        # across runs AND engines (the DuckDB gate oracle replays the
+        # identical arithmetic); the 1e-6 centroid quantization is
+        # negligible for an ANN index.
         means = (
             assign.select("centroid_id", F.posexplode(F.col(vec_col)).alias("__p", "__v"))
             .groupBy("centroid_id", "__p")
-            .agg(F.avg(F.col("__v").cast("double")).alias("__m"))
+            .agg(
+                F.sum(
+                    F.round(F.col("__v").cast("double") * 1000000).cast("long")
+                ).alias("__s"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                "centroid_id",
+                "__p",
+                (
+                    F.col("__s").cast("double") / F.col("__n") / F.lit(1000000.0)
+                ).alias("__m"),
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(

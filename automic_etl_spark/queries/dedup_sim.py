@@ -240,10 +240,70 @@ LIMIT 10
 """
 
 
+# --- IVF oracle: the deterministic mini k-means unrolled in DuckDB SQL.
+# Portable by construction (operators/similarity.py ivf_build): md5 seed
+# selection, squared-distance argmin with centroid_id tiebreak, and
+# INTEGER-QUANTIZED element-wise means (1e-6-unit integer sum + one double
+# division — never a double avg, whose merge order is engine-dependent),
+# so every Lloyd iteration produces bit-identical centroids/assignments
+# on both engines.
+_IVF_N, _IVF_ITERS, _IVF_NPROBE = 4, 2, 2
+
+
+def _sqdist_sql(vec: str, cen: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({vec})), "
+        f"i -> (CAST({vec}[i] AS DOUBLE) - {cen}[i]) * (CAST({vec}[i] AS DOUBLE) - {cen}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _ivf_oracle_ctes(n: int = _IVF_N, iters: int = _IVF_ITERS) -> str:
+    parts = [
+        f"""seeds AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n}
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS centroid_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM seeds
+)"""
+    ]
+    for it in range(iters):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sqdist_sql('e.embedding', 'c.centroid')} ASC,
+                                       c.centroid_id ASC) AS rn
+    FROM embeddings e CROSS JOIN c{it} c
+  ) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""c{it + 1} AS (
+  SELECT centroid_id, list(m ORDER BY p) AS centroid FROM (
+    SELECT centroid_id, p, CAST(CAST(s AS BIGINT) AS DOUBLE) / n / 1000000.0 AS m
+    FROM (
+      SELECT a.centroid_id, t.i AS p,
+             sum(CAST(round(CAST(a.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM a{it} a CROSS JOIN UNNEST(generate_series(1, len(a.embedding))) AS t(i)
+      GROUP BY a.centroid_id, t.i
+    )
+  ) GROUP BY centroid_id
+)"""
+        )
+    return ",\n".join(parts)
+
+
 def q_embedding_search(spark, sf_dir):
-    """Exact top-k + sign-LSH bucketed ANN in one composed gate: the same
-    query vector answered by both paths (method-tagged), so the driver
-    value-checks the exact baseline AND the scale path side by side."""
+    """Exact top-k + sign-LSH bucketed ANN + IVF probe search in one
+    composed gate: the same query vector answered by all three paths
+    (method-tagged), so the driver value-checks the exact baseline AND
+    both scale paths side by side."""
     emb = load_table(spark, sf_dir, "embeddings")
     query = emb.filter(F.col("vec_id") == 0)
     exact = S.cosine_topk(emb, query, k=10).select(
@@ -252,16 +312,40 @@ def q_embedding_search(spark, sf_dir):
     ann = S.lsh_bucket_ann(emb, query, k=10, n_planes=6).select(
         F.lit("ann").alias("method"), "vec_id", "cosine"
     )
-    return exact.unionByName(ann).orderBy(
-        "method", F.col("cosine").desc(), F.col("vec_id").asc()
+    assignments, centroids = S.ivf_build(
+        emb, n_centroids=_IVF_N, iterations=_IVF_ITERS
+    )
+    ivf = S.ivf_search(
+        emb, assignments, centroids, query, k=10, nprobe=_IVF_NPROBE
+    ).select(F.lit("ivf").alias("method"), "vec_id", "cosine")
+    return (
+        exact.unionByName(ann)
+        .unionByName(ivf)
+        .orderBy("method", F.col("cosine").desc(), F.col("vec_id").asc())
     )
 
+
+ORACLE_EMB_IVF = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+{_ivf_oracle_ctes()},
+probe AS (
+  SELECT c.centroid_id FROM c{_IVF_ITERS} c, q
+  ORDER BY {_sqdist_sql('q.qv', 'c.centroid')} ASC, c.centroid_id ASC
+  LIMIT {_IVF_NPROBE}
+)
+SELECT vec_id, round({_COS_EXPR}, 6) AS cosine
+FROM a{_IVF_ITERS - 1} a JOIN probe p ON a.centroid_id = p.centroid_id CROSS JOIN q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
 
 ORACLE_EMB_SEARCH = f"""
 SELECT * FROM (
   SELECT 'exact' AS method, vec_id, cosine FROM ({ORACLE_EMB_TOPK})
   UNION ALL
   SELECT 'ann', vec_id, cosine FROM ({ORACLE_EMB_ANN})
+  UNION ALL
+  SELECT 'ivf', vec_id, cosine FROM ({ORACLE_EMB_IVF})
 )
 ORDER BY method, cosine DESC, vec_id
 """
