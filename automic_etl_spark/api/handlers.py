@@ -41,6 +41,24 @@ class ApiHandlers:
         if self.rbac is not None and self.principal is not None:
             self.rbac.require(self.principal, permission, resource)
 
+    def _authorize_sql_tables(self, sql: str) -> None:
+        """Require table:read on every warehouse table the SQL actually
+        references (parsed-plan derivation — sqlgate.referenced_tables),
+        so a principal with sql:execute plus a scoped table:read grant
+        cannot read other layers' tables through the SQL surface."""
+        if self.rbac is None or self.principal is None:
+            return
+        from automic_etl_spark.plans.sqlgate import referenced_tables
+
+        try:
+            refs = referenced_tables(self.lh.spark, sql)
+        except Exception:
+            return  # unparseable SQL: execution will raise the real error
+        for layer in ("bronze", "silver", "gold"):
+            for t in self.lh.warehouse.list_tables(layer):
+                if f"{layer}_{t}".lower() in refs:
+                    self._authorize("table:read", f"{layer}.{t}")
+
     # -- tables -------------------------------------------------------------
 
     def list_tables(self) -> dict[str, Any]:
@@ -68,6 +86,7 @@ class ApiHandlers:
 
     def query(self, sql: str, limit: int = 1000) -> dict[str, Any]:
         self._authorize("sql:execute")
+        self._authorize_sql_tables(sql)
         self.lh.warehouse.register_views()
         try:
             result = self.qs.execute(sql, limit=limit)
@@ -150,16 +169,22 @@ class ApiHandlers:
         """Run a Great-Expectations-style suite (JSON dict) against a
         warehouse table; returns the rule report rows."""
         from automic_etl_spark.validation import Validator, rules_from_suite
+        from automic_etl_spark.validation.ge_compat import unsupported_expectations
 
         self._authorize("table:read", f"{layer}.{table}")
         df = self.lh.warehouse.table(layer, table).read()
         rules = rules_from_suite(suite, skip_unsupported=True)
+        skipped = unsupported_expectations(suite)
         rows = [r.asDict() for r in Validator(rules).report_df(df).collect()]
+        # a suite with unevaluated expectations can NOT be reported as
+        # passed — the table was never fully checked against it
         return {
             "layer": layer,
             "table": table,
             "rules": rows,
-            "passed": all(r["passed"] for r in rows),
+            "skipped": skipped,
+            "passed": all(r["passed"] for r in rows) and not skipped,
+            "fully_evaluated": not skipped,
             "status": 200,
         }
 

@@ -178,7 +178,11 @@ class TableManager:
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # backslash FIRST: Spark SQL string literals treat \ as an
+            # escape character, so an unescaped backslash in a partition
+            # value would persist a dir_filters mask that fails to parse
+            # (or matches the wrong value) on every subsequent read
+            return "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         if isinstance(v, datetime.datetime):
             return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
         if isinstance(v, datetime.date):
@@ -196,7 +200,8 @@ class TableManager:
             conj = []
             for c in part_cols:
                 lit = cls._sql_literal(r[c])
-                conj.append(f"{c} IS NULL" if lit is None else f"{c} = {lit}")
+                col = f"`{c}`"  # backtick-quote: column names with spaces/keywords
+                conj.append(f"{col} IS NULL" if lit is None else f"{col} = {lit}")
             disjuncts.append("(" + " AND ".join(conj) + ")")
         return " OR ".join(disjuncts)
 
@@ -313,13 +318,19 @@ class TableManager:
             if not older:
                 raise ValueError(f"no version at or before timestamp {timestamp}")
             tv = older[-1]
-        if not tv.dirs:
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            return self.spark.createDataFrame([], StructType.fromJson(json.loads(tv.schema)))
+        schema = StructType.fromJson(json.loads(tv.schema))
+        if not tv.dirs:
+            return self.spark.createDataFrame([], schema)
         frames = []
         for d in tv.dirs:
-            fdf = self.spark.read.parquet(d)
+            # read against the MANIFEST schema, not per-dir inference:
+            # a scoped rewrite that empties every affected partition
+            # leaves a data dir with no parquet files (inference would
+            # fail), and dirs written before a schema evolution simply
+            # yield NULLs for columns they lack.
+            fdf = self.spark.read.schema(schema).parquet(d)
             mask = (tv.dir_filters or {}).get(d)
             if mask:
                 # partition-column mask from a scoped upsert/delete —
@@ -417,6 +428,11 @@ class TableManager:
         numeric = {"int", "bigint", "smallint", "tinyint", "float", "double"}
         dtypes = dict(cur.dtypes)
         if len(columns) >= 2 and all(dtypes.get(c) in numeric for c in columns):
+            # the interleaved weight is 2**(j*len+ci): clamp bits so the
+            # top bit position stays inside a signed 64-bit long (8 cols
+            # at the default bits=8 would otherwise reach 2**63 and
+            # overflow/mis-cluster)
+            bits = max(1, min(bits, 63 // len(columns)))
             bounds = cur.agg(
                 *[F.min(c).cast("double").alias(f"__min_{c}") for c in columns],
                 *[F.max(c).cast("double").alias(f"__max_{c}") for c in columns],
@@ -425,15 +441,21 @@ class TableManager:
             n_buckets = 2**bits
             zval = F.lit(0).cast("long")
             for ci, c in enumerate(columns):
-                bucket = (
-                    F.width_bucket(
-                        F.col(c).cast("double"),
-                        F.col(f"__min_{c}"),
-                        F.col(f"__max_{c}") + F.lit(1e-9),
-                        F.lit(n_buckets),
-                    )
-                    - 1
-                ).cast("long")
+                # NULLs would make the whole z-value NULL (all NULL rows
+                # silently co-located wherever the range partitioner puts
+                # them) — bucket them explicitly to 0 instead
+                bucket = F.coalesce(
+                    (
+                        F.width_bucket(
+                            F.col(c).cast("double"),
+                            F.col(f"__min_{c}"),
+                            F.col(f"__max_{c}") + F.lit(1e-9),
+                            F.lit(n_buckets),
+                        )
+                        - 1
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                )
                 for j in range(bits):
                     zval = zval + (
                         F.shiftright(bucket, j).bitwiseAND(F.lit(1)).cast("long")

@@ -2,17 +2,34 @@
 least one (spark_fn, oracle_sql) pair. The driver runs the Spark query and
 the DuckDB oracle side-by-side at sf0.01 and hash-compares values.
 
-Determinism contract (applies to every query here):
+Determinism contract (applies to every query here; the driver
+canonicalizes BOTH result sets through pandas — tools/check_oracle.py
+replicates that exactly and must stay at least as strict):
 
-- Money aggregates are summed as DECIMAL, not DOUBLE: double addition is
-  not associative, so a Spark partial-aggregation order vs DuckDB's scan
-  order would otherwise produce 1-ulp drift. DECIMAL sums are exact and
-  order-independent; the final value is cast back to DOUBLE (identical
-  correctly-rounded conversion in both engines).
+- Money aggregates are summed as integer units (LONG of round(x*10^k) —
+  queries/_money.py), never as DOUBLE (addition order differs between
+  engines) and never as DECIMAL in the OUTPUT (pandas renders DuckDB
+  decimals as float64 but Spark's as Decimal objects). The final value is
+  CAST(sum AS DOUBLE)/10^k — bit-identical both engines.
+- Every INTEGER aggregate in oracle SQL is CAST(... AS BIGINT): a bare
+  DuckDB sum()/sum() OVER is HUGEINT, which pandas renders float64 while
+  Spark emits int64 ('5.0' vs '5' under the driver's value hash).
+- No rounded double division in outputs: ratio metrics are integer
+  parts-per-million LONGs (floor division on both engines).
+- No TIMESTAMP output whose values can exceed the pandas datetime64[ns]
+  range (the 9999-12-31 SCD2 sentinel crashes the driver canonicalizer) —
+  stringify such intervals with date_format/strftime.
+- Event-time queries whose semantics are integer arithmetic (session
+  gaps, funnel ordering) compute on the raw int64 nanosecond epoch on
+  both engines (io.load_events_ns / DuckDB epoch_ns) and emit no
+  timestamp columns; remaining events oracles read through the µs
+  truncation CTE matching Spark's ns→µs read conversion (see io.py).
+- No array/list columns in outputs (pandas canonicalizer can't hash
+  them) — array_join/array_to_string first.
 - Order-sensitive operators (FIRST/LAST/keep-last dedup/top-k) always
   carry an explicit total ordering with a unique tiebreaker column.
-- Timestamps are compared at microsecond precision (events.ts is parquet
-  TIMESTAMP(NANOS); both engines truncate to µs — see automic_etl_spark.io).
+- Cross-engine hashes use the portable md5-based 60-bit construction
+  (functions.portable_hash64), never xxhash64.
 - Every computed column is aliased identically in the Spark plan and the
   oracle SQL.
 """

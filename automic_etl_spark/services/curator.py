@@ -48,11 +48,32 @@ class DatasetCurator:
         expr = expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
         return df.withColumn("split", expr)
 
-    def split_by_seed(self, df: DataFrame, seed: int = 42) -> DataFrame:
+    # split_by_seed ranks over a GLOBAL window (one partition holds every
+    # row) — exact-count semantics demand it. Sound only on bounded
+    # inputs; above this cap the call refuses and points at the
+    # append-stable, fully distributed split_by_hash.
+    MAX_SEED_SPLIT_ROWS = 10_000_000
+
+    def split_by_seed(
+        self, df: DataFrame, seed: int = 42, max_rows: int | None = None
+    ) -> DataFrame:
         """Reference-style seeded shuffle with exact floor+remainder
         counts (curator.py:153-180): row_number over rand(seed) order,
-        sliced at exact boundaries."""
+        sliced at exact boundaries.
+
+        Raises ValueError beyond ``max_rows`` (default
+        MAX_SEED_SPLIT_ROWS): the global row_number window funnels the
+        whole input through one partition, which is fine for the
+        reference-parity serving path but a scale-killer on a corpus —
+        use ``split_by_hash`` there."""
         n = df.count()
+        cap = max_rows if max_rows is not None else self.MAX_SEED_SPLIT_ROWS
+        if n > cap:
+            raise ValueError(
+                f"split_by_seed is a single-partition global sort, refused at "
+                f"{n} rows (cap {cap}); use split_by_hash for corpus-scale "
+                f"splits (append-stable, fully distributed)"
+            )
         names = list(self.ratios)
         counts = {k: int(n * v) for k, v in self.ratios.items()}
         counts[names[0]] += n - sum(counts.values())  # remainder → first split

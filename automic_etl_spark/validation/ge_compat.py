@@ -71,6 +71,18 @@ def rules_from_suite(suite: dict, skip_unsupported: bool = False) -> list[Rule]:
     return out
 
 
+def unsupported_expectations(suite: dict) -> list[str]:
+    """Expectation types in the suite that rules_from_suite(skip_unsupported
+    =True) would drop — callers that skip MUST surface these (the GE-compat
+    contract: unsupported expectations are never *silently* dropped)."""
+    supported = set(_RULE_TO_GE.values()) | {"expect_compound_columns_to_be_unique"}
+    return [
+        exp.get("expectation_type", "<missing expectation_type>")
+        for exp in suite.get("expectations", [])
+        if exp.get("expectation_type", "") not in supported
+    ]
+
+
 _RULE_TO_GE = {
     "NotNullRule": "expect_column_values_to_not_be_null",
     "RangeRule": "expect_column_values_to_be_between",

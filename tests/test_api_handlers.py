@@ -108,3 +108,52 @@ def test_validation_endpoint_runs_ge_suite(handlers):
         "ge_expect_column_values_to_not_be_null_name",
         "ge_expect_column_values_to_be_between_age",
     }
+
+
+def test_validation_endpoint_surfaces_skipped_expectations(handlers):
+    """An unsupported expectation type must be surfaced, and a suite with
+    unevaluated expectations must not be reported as passed (ge_compat's
+    'never silently dropped' contract)."""
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "name"}},
+            {"expectation_type": "expect_table_row_count_to_equal",
+             "kwargs": {"value": 5}},
+        ]
+    }
+    out = handlers.run_validation("bronze", "users", suite)
+    assert out["skipped"] == ["expect_table_row_count_to_equal"]
+    assert out["fully_evaluated"] is False
+    assert out["passed"] is False  # not fully checked => cannot pass
+    assert [r["passed"] for r in out["rules"]] == [True]
+
+
+def test_sql_surface_enforces_table_scoped_reads(spark, tmp_path, users_df):
+    """sql:execute plus table:read on silver.* must NOT read bronze
+    tables through raw SQL — query() authorizes every table the parsed
+    plan references (the r2-flagged RBAC bypass)."""
+    from datetime import datetime
+
+    from automic_etl_spark.auth import AccessDeniedError, Principal, RBACManager
+
+    lh = Lakehouse(spark, str(tmp_path / "wh_rbac"))
+    lh.ingest("users", users_df, source="api", fixed_time=datetime(2024, 1, 1))
+    lh.process_to_silver("users", "users", fixed_time=datetime(2024, 1, 1))
+
+    rbac = RBACManager()
+    rbac.create_role(
+        "silver_analyst", [("sql:execute", "*"), ("table:read", "silver.*")]
+    )
+    h = ApiHandlers(lh, rbac=rbac, principal=Principal("ana", roles=("silver_analyst",)))
+
+    ok = h.query("SELECT count(*) AS n FROM silver_users")
+    assert ok["status"] == 200
+
+    with pytest.raises(AccessDeniedError):
+        h.query("SELECT count(*) AS n FROM bronze_users")
+    # a reference hidden in a subquery is also caught
+    with pytest.raises(AccessDeniedError):
+        h.query(
+            "SELECT * FROM silver_users WHERE id IN (SELECT id FROM bronze_users)"
+        )

@@ -246,3 +246,48 @@ def test_upsert_key_migrating_partitions_does_not_duplicate(wh, spark):
     t.upsert(spark.createDataFrame([(1, "c", 99.0)], df.schema), ["id"])
     rows = sorted((r["id"], r["part"], r["v"]) for r in t.read().collect())
     assert rows == [(1, "c", 99.0), (2, "b", 20.0)]
+
+
+def test_partition_values_with_backslashes_and_quotes(wh, spark):
+    """String partition values containing backslashes/quotes must survive
+    the scoped-upsert dir_filters round trip (the predicate is persisted
+    as a SQL string — r2-flagged escaping bug)."""
+    df = spark.createDataFrame(
+        [(1, "a\\b", "x"), (2, "it's", "y"), (3, "plain", "z")],
+        "id long, part string, val string",
+    )
+    t = wh.table("silver", "esc_parts")
+    t.create_or_append(df, partition_by=["part"])
+
+    up = spark.createDataFrame([(1, "a\\b", "X2")], "id long, part string, val string")
+    t.upsert(up, ["id"])
+
+    rows = {r["id"]: (r["part"], r["val"]) for r in t.read().collect()}
+    assert rows == {1: ("a\\b", "X2"), 2: ("it's", "y"), 3: ("plain", "z")}
+
+    # delete within the backslash partition; other partitions untouched
+    t.delete("id = 1")
+    rows = {r["id"]: r["part"] for r in t.read().collect()}
+    assert rows == {2: "it's", 3: "plain"}
+
+
+def test_zorder_bits_clamped_and_nulls_bucketed(wh, spark):
+    """bits*len(columns) > 63 must not overflow the interleave weight, and
+    NULL cluster-column values must survive clustering (r2-flagged)."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        *[
+            F.when(F.col("id") % 97 == j, None)
+            .otherwise((F.col("id") * (j + 3)) % 1000)
+            .cast("double")
+            .alias(f"c{j}")
+            for j in range(8)
+        ],
+    )
+    t = wh.table("silver", "z_overflow")
+    t.create_or_append(df)
+    # 8 numeric columns at default bits=8 would hit 2**63 unclamped
+    t.optimize_zorder([f"c{j}" for j in range(8)], target_partitions=4, bits=8)
+    assert t.read().count() == 2000  # every row (incl. NULL rows) survives

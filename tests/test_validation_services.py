@@ -235,3 +235,18 @@ def test_lineage_openlineage_export():
     assert ev["outputs"][0]["name"] == "gold.summary"
     assert ev["outputs"][0]["outputFacets"]["outputStatistics"]["rowCount"] == 5
     assert ev["eventTime"].endswith("+00:00")
+
+
+def test_split_by_seed_refuses_unbounded_input(spark):
+    """split_by_seed is a single-partition global sort — above the row cap
+    it must refuse and point at split_by_hash (the scale path)."""
+    import pytest
+
+    cur = DatasetCurator({"train": 0.5, "test": 0.5})
+    df = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="split_by_hash"):
+        cur.split_by_seed(df, max_rows=50)
+    # under the cap: exact counts as before
+    out = cur.split_by_seed(df, max_rows=1000)
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert counts == {"train": 50, "test": 50}
