@@ -1,0 +1,120 @@
+"""Audio blob operators: real WAV decode (stdlib wave + numpy), metadata
+rows, segment mute/bleep, and the distributed mapInPandas surfaces."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.audio import (
+    audio_blobs_metadata,
+    bleep_segments_wav,
+    mute_segments_wav,
+    redact_audio_blobs,
+    sniff_format,
+    synth_wav,
+    wav_metadata,
+)
+
+
+def _samples(data: bytes) -> np.ndarray:
+    with wave.open(io.BytesIO(data)) as w:
+        return np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+
+
+def test_sniff_format():
+    assert sniff_format(synth_wav()) == "audio/wav"
+    assert sniff_format(b"fLaC....") == "audio/flac"
+    assert sniff_format(b"OggS....") == "audio/ogg"
+    assert sniff_format(b"ID3\x04...") == "audio/mpeg"
+    assert sniff_format(b"garbage") == "application/octet-stream"
+
+
+def test_wav_metadata_real_decode():
+    wav = synth_wav(duration_ms=500, rate=8000, channels=2)
+    m = wav_metadata(wav)
+    assert m["ok"] is True
+    assert m["format"] == "audio/wav"
+    assert m["duration_ms"] == 500
+    assert m["sample_rate"] == 8000
+    assert m["channels"] == 2
+    assert m["bit_depth"] == 16
+    assert m["n_frames"] == 4000
+    assert m["file_size_bytes"] == len(wav)
+
+
+def test_wav_metadata_bad_blob_never_raises():
+    m = wav_metadata(b"RIFFxxxxnot-a-wav".ljust(64, b"\x00"))
+    assert m["ok"] is False and m["format"] == "audio/wav"
+    m2 = wav_metadata(b"ID3 pretend mp3")
+    assert m2["ok"] is False and m2["format"] == "audio/mpeg"
+
+
+def test_mute_segments_zeroes_region_preserves_rest():
+    wav = synth_wav(duration_ms=300, rate=8000)
+    out = mute_segments_wav(wav, [(100, 200)], fade_ms=0)
+    orig, muted = _samples(wav), _samples(out)
+    assert len(orig) == len(muted)
+    assert not muted[800:1600].any()            # 100-200 ms silenced
+    assert np.array_equal(muted[:800], orig[:800])
+    assert np.array_equal(muted[1600:], orig[1600:])
+
+
+def test_mute_fade_ramps_down():
+    wav = synth_wav(duration_ms=300, rate=8000)
+    out = mute_segments_wav(wav, [(100, 200)], fade_ms=10)
+    muted = _samples(out)
+    fade = np.abs(muted[800:880]).max()
+    assert fade <= np.abs(_samples(wav)[800:880]).max()
+    assert not muted[880:1520].any()            # interior fully silent
+
+
+def test_bleep_replaces_with_tone():
+    wav = synth_wav(duration_ms=300, rate=8000, freq=440)
+    out = bleep_segments_wav(wav, [(0, 300)], bleep_freq=1000, bleep_volume_db=-20)
+    bleeped = _samples(out).astype(np.float64)
+    # dominant frequency of the bleeped signal is ~1000 Hz, not 440
+    spec = np.abs(np.fft.rfft(bleeped))
+    peak_hz = np.argmax(spec) * 8000 / len(bleeped)
+    assert abs(peak_hz - 1000) < 30
+    # -20 dB of full scale ≈ 3277 peak amplitude
+    assert 2500 < np.abs(bleeped).max() < 4100
+
+
+def test_non_wav_segment_edit_is_codec_gated():
+    with pytest.raises(NotImplementedError, match="soundfile or pydub"):
+        mute_segments_wav(b"ID3 pretend mp3 payload", [(0, 100)])
+
+
+def test_audio_blobs_metadata_distributed(spark):
+    rows = [
+        (1, synth_wav(duration_ms=250, rate=8000)),
+        (2, synth_wav(duration_ms=1000, rate=16000, channels=2)),
+        (3, b"ID3 not decodable here"),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    got = {r["doc_id"]: r.asDict() for r in audio_blobs_metadata(blobs).collect()}
+    assert got[1]["duration_ms"] == 250 and got[1]["ok"]
+    assert got[2]["sample_rate"] == 16000 and got[2]["channels"] == 2
+    assert got[3]["ok"] is False and got[3]["format"] == "audio/mpeg"
+    assert got[3]["file_size_bytes"] == len(rows[2][1])
+
+
+def test_redact_audio_blobs_distributed(spark):
+    wav = synth_wav(duration_ms=300, rate=8000)
+    blobs = spark.createDataFrame(
+        [(1, wav), (2, wav), (3, b"ID3 undecodable")],
+        "doc_id long, _content_bytes binary",
+    )
+    out = redact_audio_blobs(blobs, {1: [(100, 200)], 3: [(0, 50)]}, mode="mute")
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert got[1]["n_muted"] == 1 and got[1]["ok"]
+    assert not _samples(bytes(got[1]["_content_bytes"]))[880:1520].any()
+    # doc 2: no worklist entry → byte-identical passthrough
+    assert bytes(got[2]["_content_bytes"]) == wav and got[2]["n_muted"] == 0
+    # doc 3: codec-gated blob survives untouched, flagged not-ok
+    assert got[3]["ok"] is False
+    assert bytes(got[3]["_content_bytes"]) == b"ID3 undecodable"
