@@ -1,0 +1,28 @@
+"""Ecosystem integrations: dbt project/manifest exchange and
+MLflow-compatible run tracking (reference integrations/dbt.py,
+integrations/mlflow.py). OpenLineage export lives in
+services/lineage.py; Airflow DAG factory in orchestration/."""
+
+from automic_etl_spark.integrations.dbt import (
+    DbtModel,
+    DbtProjectExporter,
+    DbtRunner,
+    build_manifest,
+    get_lineage,
+    get_models,
+    get_sources,
+    get_tests,
+)
+from automic_etl_spark.integrations.mlflow_runs import RunTracker
+
+__all__ = [
+    "DbtModel",
+    "DbtProjectExporter",
+    "DbtRunner",
+    "RunTracker",
+    "build_manifest",
+    "get_lineage",
+    "get_models",
+    "get_sources",
+    "get_tests",
+]

@@ -1,0 +1,375 @@
+"""dbt project exchange: export warehouse models as a runnable dbt
+project, build/parse manifest-shaped metadata, and (gated) drive the dbt
+CLI.
+
+Reference analog: integrations/dbt.py — setup_profile (dbt.py:102-128),
+run/test/build CLI wrappers (dbt.py:297-362), manifest/catalog parsing
+and model/source/test/lineage listings (dbt.py:455-602), create_model
+(dbt.py:604-676).
+
+Spark-first inversion: the reference shells out to dbt and *reads back*
+its manifest; dbt is not in this image, so the durable value here is the
+exchange format itself — emit a complete dbt project (dbt_project.yml,
+profiles.yml with a Spark target, model .sql files with config blocks,
+schema.yml carrying sources + column tests mapped from this engine's
+validation Rules) and a manifest.json-shaped graph computed from
+``ref()``/``source()`` references, so a real dbt deployment can adopt
+the warehouse unchanged. The CLI wrapper stays, gated on dbt being on
+PATH.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+import subprocess
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import yaml
+
+_REF_RE = re.compile(r"\{\{\s*ref\(\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}")
+_SOURCE_RE = re.compile(
+    r"\{\{\s*source\(\s*['\"]([^'\"]+)['\"]\s*,\s*['\"]([^'\"]+)['\"]\s*\)\s*\}\}"
+)
+
+
+@dataclass
+class DbtModel:
+    """One model: SQL (may contain ``{{ ref(...) }}`` / ``{{ source(...)
+    }}``) plus the metadata the reference's create_model accepts."""
+
+    name: str
+    sql: str
+    materialized: str = "view"
+    schema: str = "gold"
+    description: str = ""
+    tags: list[str] = field(default_factory=list)
+    # column -> list of dbt test names (e.g. ["not_null", "unique"])
+    column_tests: dict[str, list[str]] = field(default_factory=dict)
+
+
+def _rule_to_dbt_tests(rule) -> tuple[str | None, list]:
+    """Map one engine validation Rule to (column, [dbt test specs]) —
+    the inverse of ge_compat's GE mapping, aimed at dbt's built-in
+    generic tests. Unsupported rule types yield (None, [])."""
+    kind = type(rule).__name__
+    col = getattr(rule, "column", None)
+    if kind == "NotNullRule":
+        return col, ["not_null"]
+    if kind == "UniqueRule":
+        return col, ["unique"]
+    if kind == "RangeRule":
+        spec = {}
+        if getattr(rule, "min_value", None) is not None:
+            spec["min_value"] = rule.min_value
+        if getattr(rule, "max_value", None) is not None:
+            spec["max_value"] = rule.max_value
+        return col, ([{"dbt_utils.accepted_range": spec}] if spec else [])
+    if kind == "AllowedValuesRule":
+        vals = sorted(getattr(rule, "allowed", []) or [])
+        return col, [{"accepted_values": {"values": vals}}]
+    if kind == "RegexRule":
+        return col, [
+            {
+                "dbt_expectations.expect_column_values_to_match_regex": {
+                    "regex": getattr(rule, "pattern", "")
+                }
+            }
+        ]
+    return None, []
+
+
+class DbtProjectExporter:
+    """Materialize a dbt project directory from engine models.
+
+    ``profiles.yml`` targets Spark Thrift by default (the deployment
+    shape for this engine); pass ``target="duckdb"`` for the in-image
+    oracle engine instead.
+    """
+
+    def __init__(
+        self,
+        project_dir: str,
+        project_name: str = "automic_etl_spark",
+        target: str = "spark",
+        schema: str = "gold",
+    ) -> None:
+        self.project_dir = Path(project_dir)
+        self.project_name = project_name
+        self.target = target
+        self.schema = schema
+
+    def _target_config(self) -> dict:
+        # reference _build_target_config (dbt.py:138-210), Spark/DuckDB arms
+        if self.target == "spark":
+            return {
+                "type": "spark",
+                "method": "thrift",
+                "host": "localhost",
+                "port": 10000,
+                "schema": self.schema,
+            }
+        if self.target == "duckdb":
+            return {"type": "duckdb", "path": str(self.project_dir / "dev.duckdb")}
+        raise ValueError(f"unsupported dbt target: {self.target}")
+
+    def export(
+        self,
+        models: list[DbtModel],
+        sources: dict[str, list[str]] | None = None,
+    ) -> Path:
+        """Write the full project; returns the project dir.
+
+        ``sources``: source_name -> [table, ...] — referenced in model
+        SQL as ``{{ source('name', 'table') }}``.
+        """
+        models_dir = self.project_dir / "models"
+        models_dir.mkdir(parents=True, exist_ok=True)
+
+        (self.project_dir / "dbt_project.yml").write_text(
+            yaml.safe_dump(
+                {
+                    "name": self.project_name,
+                    "version": "1.0.0",
+                    "config-version": 2,
+                    "profile": self.project_name,
+                    "model-paths": ["models"],
+                    "models": {
+                        self.project_name: {"+materialized": "view"},
+                    },
+                },
+                sort_keys=False,
+            )
+        )
+        (self.project_dir / "profiles.yml").write_text(
+            yaml.safe_dump(
+                {
+                    self.project_name: {
+                        "target": self.target,
+                        "outputs": {self.target: self._target_config()},
+                    }
+                },
+                sort_keys=False,
+            )
+        )
+
+        schema_doc: dict = {"version": 2, "models": []}
+        if sources:
+            schema_doc["sources"] = [
+                {
+                    "name": sname,
+                    "schema": self.schema,
+                    "tables": [{"name": t} for t in tables],
+                }
+                for sname, tables in sorted(sources.items())
+            ]
+        for m in models:
+            config_parts = [f"materialized='{m.materialized}'"]
+            if m.tags:
+                config_parts.append(f"tags={m.tags!r}")
+            (models_dir / f"{m.name}.sql").write_text(
+                "{{ config(" + ", ".join(config_parts) + ") }}\n\n" + m.sql.strip() + "\n"
+            )
+            entry: dict = {"name": m.name}
+            if m.description:
+                entry["description"] = m.description
+            if m.column_tests:
+                entry["columns"] = [
+                    {"name": c, "tests": tests}
+                    for c, tests in sorted(m.column_tests.items())
+                ]
+            schema_doc["models"].append(entry)
+        (models_dir / "schema.yml").write_text(
+            yaml.safe_dump(schema_doc, sort_keys=False)
+        )
+        return self.project_dir
+
+    @staticmethod
+    def model_from_rules(name: str, sql: str, rules: list, **kw) -> DbtModel:
+        """Build a DbtModel whose schema tests come from engine
+        validation Rules (the suite a Validator would run)."""
+        tests: dict[str, list] = {}
+        for r in rules:
+            col, specs = _rule_to_dbt_tests(r)
+            if col and specs:
+                tests.setdefault(col, []).extend(specs)
+        return DbtModel(name=name, sql=sql, column_tests=tests, **kw)
+
+
+# -- manifest graph ------------------------------------------------------
+
+
+def build_manifest(
+    models: list[DbtModel],
+    sources: dict[str, list[str]] | None = None,
+    project_name: str = "automic_etl_spark",
+) -> dict:
+    """manifest.json-shaped graph (nodes/sources with depends_on) from
+    model SQL — what the reference reads back from ``dbt compile``
+    (dbt.py:455-472), computed directly here: refs and sources are
+    extracted with the same ``{{ ref() }}`` / ``{{ source() }}``
+    resolution dbt performs."""
+    manifest: dict = {"nodes": {}, "sources": {}, "metadata": {"project_name": project_name}}
+    for sname, tables in sorted((sources or {}).items()):
+        for t in tables:
+            sid = f"source.{project_name}.{sname}.{t}"
+            manifest["sources"][sid] = {
+                "unique_id": sid,
+                "name": t,
+                "source_name": sname,
+                "schema": sname,
+                "resource_type": "source",
+            }
+    by_name = {m.name: f"model.{project_name}.{m.name}" for m in models}
+    for m in models:
+        deps: list[str] = []
+        for ref in _REF_RE.findall(m.sql):
+            deps.append(by_name.get(ref, f"model.{project_name}.{ref}"))
+        for sname, t in _SOURCE_RE.findall(m.sql):
+            deps.append(f"source.{project_name}.{sname}.{t}")
+        nid = by_name[m.name]
+        manifest["nodes"][nid] = {
+            "unique_id": nid,
+            "name": m.name,
+            "resource_type": "model",
+            "schema": m.schema,
+            "description": m.description,
+            "tags": list(m.tags),
+            "config": {"materialized": m.materialized},
+            "depends_on": {"nodes": sorted(set(deps))},
+        }
+        for col, tests in sorted(m.column_tests.items()):
+            for t in tests:
+                tname = t if isinstance(t, str) else next(iter(t))
+                tid = f"test.{project_name}.{tname}_{m.name}_{col}"
+                manifest["nodes"][tid] = {
+                    "unique_id": tid,
+                    "name": f"{tname}_{m.name}_{col}",
+                    "resource_type": "test",
+                    "test_metadata": {"name": tname, "kwargs": {"column_name": col}},
+                    "depends_on": {"nodes": [nid]},
+                }
+    return manifest
+
+
+def get_models(manifest: dict) -> list[dict]:
+    """Model listing, reference row shape (dbt.py:494-517)."""
+    out = []
+    for node_id, node in manifest.get("nodes", {}).items():
+        if node.get("resource_type") == "model":
+            out.append(
+                {
+                    "unique_id": node_id,
+                    "name": node["name"],
+                    "schema": node.get("schema"),
+                    "database": node.get("database"),
+                    "materialization": node.get("config", {}).get("materialized"),
+                    "description": node.get("description"),
+                    "tags": node.get("tags", []),
+                    "depends_on": node.get("depends_on", {}).get("nodes", []),
+                }
+            )
+    return out
+
+
+def get_sources(manifest: dict) -> list[dict]:
+    """Source listing (dbt.py:519-541)."""
+    return [
+        {
+            "unique_id": sid,
+            "name": s["name"],
+            "source_name": s["source_name"],
+            "schema": s.get("schema"),
+            "database": s.get("database"),
+            "description": s.get("description"),
+            "loaded_at_field": s.get("loaded_at_field"),
+            "freshness": s.get("freshness"),
+        }
+        for sid, s in manifest.get("sources", {}).items()
+    ]
+
+
+def get_tests(manifest: dict) -> list[dict]:
+    """Test listing (dbt.py:543-562)."""
+    return [
+        {
+            "unique_id": nid,
+            "name": n["name"],
+            "test_metadata": n.get("test_metadata"),
+            "depends_on": n.get("depends_on", {}).get("nodes", []),
+        }
+        for nid, n in manifest.get("nodes", {}).items()
+        if n.get("resource_type") == "test"
+    ]
+
+
+def get_lineage(manifest: dict, model_name: str) -> dict:
+    """Upstream/downstream of one model (dbt.py:564-602)."""
+    model_id = None
+    for nid, n in manifest.get("nodes", {}).items():
+        if n.get("resource_type") == "model" and n["name"] == model_name:
+            model_id = nid
+            break
+    if not model_id:
+        return {"error": f"Model '{model_name}' not found"}
+    upstream = manifest["nodes"][model_id].get("depends_on", {}).get("nodes", [])
+    downstream = [
+        nid
+        for nid, n in manifest["nodes"].items()
+        if model_id in n.get("depends_on", {}).get("nodes", [])
+    ]
+    return {
+        "model": model_name,
+        "model_id": model_id,
+        "upstream": upstream,
+        "downstream": downstream,
+    }
+
+
+class DbtRunner:
+    """CLI wrapper (reference dbt.py:212-412), gated on dbt being
+    installed — every command raises a clear error otherwise."""
+
+    def __init__(self, project_dir: str, profiles_dir: str | None = None) -> None:
+        self.project_dir = Path(project_dir)
+        self.profiles_dir = Path(profiles_dir) if profiles_dir else self.project_dir
+
+    def _run(self, *args: str) -> dict:
+        if shutil.which("dbt") is None:
+            raise NotImplementedError(
+                "dbt CLI not installed in this image; use DbtProjectExporter/"
+                "build_manifest for the exchange formats"
+            )
+        proc = subprocess.run(
+            ["dbt", *args, "--project-dir", str(self.project_dir),
+             "--profiles-dir", str(self.profiles_dir)],
+            capture_output=True,
+            text=True,
+        )
+        return {
+            "command": list(args),
+            "returncode": proc.returncode,
+            "success": proc.returncode == 0,
+            "stdout": proc.stdout,
+            "stderr": proc.stderr,
+        }
+
+    def run(self, models: list[str] | None = None) -> dict:
+        return self._run(*(["run", "--select", *models] if models else ["run"]))
+
+    def test(self, models: list[str] | None = None) -> dict:
+        return self._run(*(["test", "--select", *models] if models else ["test"]))
+
+    def build(self) -> dict:
+        return self._run("build")
+
+    def compile(self) -> dict:
+        return self._run("compile")
+
+    def read_manifest(self) -> dict:
+        """Parse target/manifest.json from a real dbt compile
+        (dbt.py:455-472); falls back to {} when absent."""
+        p = self.project_dir / "target" / "manifest.json"
+        return json.loads(p.read_text()) if p.exists() else {}

@@ -1,0 +1,277 @@
+"""MLflow-compatible run tracking for pipeline observability.
+
+Reference analog: integrations/mlflow.py — start_run/log_param/
+log_metric/log_artifact/set_tag (mlflow.py:136-321), log_pipeline_run
+(mlflow.py:477-533), track_data_quality (mlflow.py:534-574),
+compare_runs (mlflow.py:575-632), search_runs (mlflow.py:434-464).
+
+mlflow is not in this image, so ``RunTracker`` writes MLflow's public
+*file-store* layout directly (``mlruns/<experiment_id>/<run_id>/`` with
+``meta.yaml``, ``params/<key>``, ``metrics/<key>`` lines of
+``"<timestamp_ms> <value> <step>"``, ``tags/<key>``, ``artifacts/``) —
+a real MLflow UI pointed at the directory reads these runs natively,
+and code written against RunTracker needs no mlflow import at all.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+class _Run:
+    def __init__(self, tracker: "RunTracker", run_id: str) -> None:
+        self._tracker = tracker
+        self.run_id = run_id
+
+    def __enter__(self) -> "_Run":
+        return self
+
+    def __exit__(self, exc_type, *_exc) -> None:
+        self._tracker.end_run("FAILED" if exc_type else "FINISHED")
+
+
+class RunTracker:
+    """File-store-compatible experiment/run tracker."""
+
+    def __init__(
+        self,
+        tracking_dir: str,
+        experiment_name: str = "automic_etl_spark",
+    ) -> None:
+        self.root = Path(tracking_dir)
+        self.experiment_name = experiment_name
+        self._active: str | None = None
+        self._exp_id = self._ensure_experiment()
+
+    # -- store layout ---------------------------------------------------
+
+    def _ensure_experiment(self) -> str:
+        for meta in self.root.glob("*/meta.yaml"):
+            doc = yaml.safe_load(meta.read_text()) or {}
+            if doc.get("name") == self.experiment_name:
+                return str(doc["experiment_id"])
+        exp_id = str(len(list(self.root.glob("*/meta.yaml"))) + 1)
+        d = self.root / exp_id
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "meta.yaml").write_text(
+            yaml.safe_dump(
+                {
+                    "experiment_id": exp_id,
+                    "name": self.experiment_name,
+                    "artifact_location": str(d),
+                    "lifecycle_stage": "active",
+                },
+                sort_keys=False,
+            )
+        )
+        return exp_id
+
+    def _run_dir(self, run_id: str) -> Path:
+        return self.root / self._exp_id / run_id
+
+    # -- run lifecycle ---------------------------------------------------
+
+    def start_run(self, run_name: str = "run") -> _Run:
+        run_id = uuid.uuid4().hex
+        d = self._run_dir(run_id)
+        for sub in ("params", "metrics", "tags", "artifacts"):
+            (d / sub).mkdir(parents=True, exist_ok=True)
+        (d / "meta.yaml").write_text(
+            yaml.safe_dump(
+                {
+                    "run_id": run_id,
+                    "run_uuid": run_id,
+                    "run_name": run_name,
+                    "experiment_id": self._exp_id,
+                    "status": "RUNNING",
+                    "start_time": int(time.time() * 1000),
+                    "end_time": None,
+                    "artifact_uri": str(d / "artifacts"),
+                    "lifecycle_stage": "active",
+                },
+                sort_keys=False,
+            )
+        )
+        (d / "tags" / "mlflow.runName").write_text(run_name)
+        self._active = run_id
+        return _Run(self, run_id)
+
+    def end_run(self, status: str = "FINISHED") -> None:
+        if not self._active:
+            return
+        meta_path = self._run_dir(self._active) / "meta.yaml"
+        doc = yaml.safe_load(meta_path.read_text())
+        doc.update(status=status, end_time=int(time.time() * 1000))
+        meta_path.write_text(yaml.safe_dump(doc, sort_keys=False))
+        self._active = None
+
+    def _require_active(self) -> Path:
+        if not self._active:
+            raise RuntimeError("no active run — call start_run() first")
+        return self._run_dir(self._active)
+
+    # -- logging ---------------------------------------------------------
+
+    def log_param(self, key: str, value: Any) -> None:
+        (self._require_active() / "params" / key).write_text(str(value))
+
+    def log_params(self, params: dict[str, Any]) -> None:
+        for k, v in params.items():
+            self.log_param(k, v)
+
+    def log_metric(self, key: str, value: float, step: int = 0) -> None:
+        line = f"{int(time.time() * 1000)} {float(value)} {step}\n"
+        with open(self._require_active() / "metrics" / key, "a") as f:
+            f.write(line)
+
+    def log_metrics(self, metrics: dict[str, float], step: int = 0) -> None:
+        for k, v in metrics.items():
+            self.log_metric(k, v, step)
+
+    def set_tag(self, key: str, value: str) -> None:
+        (self._require_active() / "tags" / key).write_text(str(value))
+
+    def set_tags(self, tags: dict[str, str]) -> None:
+        for k, v in tags.items():
+            self.set_tag(k, v)
+
+    def log_dict(self, dictionary: dict, artifact_file: str) -> None:
+        p = self._require_active() / "artifacts" / artifact_file
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(dictionary, indent=2, default=str))
+
+    def log_text(self, text: str, artifact_file: str) -> None:
+        p = self._require_active() / "artifacts" / artifact_file
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(text)
+
+    def log_artifact(self, local_path: str, artifact_path: str | None = None) -> None:
+        import shutil
+
+        src = Path(local_path)
+        dst_dir = self._require_active() / "artifacts" / (artifact_path or "")
+        dst_dir.mkdir(parents=True, exist_ok=True)
+        shutil.copy2(src, dst_dir / src.name)
+
+    # -- retrieval --------------------------------------------------------
+
+    def get_run(self, run_id: str) -> dict:
+        d = self._run_dir(run_id)
+        if not (d / "meta.yaml").exists():
+            raise KeyError(f"run not found: {run_id}")
+        meta = yaml.safe_load((d / "meta.yaml").read_text())
+        params = {p.name: p.read_text() for p in sorted((d / "params").glob("*"))}
+        metrics = {}
+        for m in sorted((d / "metrics").glob("*")):
+            last = m.read_text().strip().splitlines()[-1]
+            metrics[m.name] = float(last.split()[1])
+        tags = {t.name: t.read_text() for t in sorted((d / "tags").glob("*"))}
+        return {**meta, "params": params, "metrics": metrics, "tags": tags}
+
+    def search_runs(
+        self,
+        filter_tags: dict[str, str] | None = None,
+        status: str | None = None,
+    ) -> list[dict]:
+        """All runs in the experiment, newest first, optionally filtered
+        by tag equality and status (reference mlflow.py:434-464)."""
+        runs = []
+        for meta in (self.root / self._exp_id).glob("*/meta.yaml"):
+            run = self.get_run(meta.parent.name)
+            if status and run.get("status") != status:
+                continue
+            if filter_tags and any(run["tags"].get(k) != v for k, v in filter_tags.items()):
+                continue
+            runs.append(run)
+        return sorted(runs, key=lambda r: r.get("start_time") or 0, reverse=True)
+
+    # -- engine-level composites ------------------------------------------
+
+    def log_pipeline_run(
+        self,
+        pipeline_name: str,
+        config: dict[str, Any],
+        metrics: dict[str, float],
+        output_sample: list[dict] | None = None,
+        artifacts: dict[str, str] | None = None,
+    ) -> str:
+        """One tracked run per pipeline execution (mlflow.py:477-533)."""
+        with self.start_run(run_name=pipeline_name) as run:
+            self.log_params(
+                {"pipeline_name": pipeline_name, **{f"config.{k}": v for k, v in config.items()}}
+            )
+            self.log_metrics(metrics)
+            self.set_tags(
+                {"pipeline_type": "automic_etl", "pipeline_name": pipeline_name}
+            )
+            if output_sample is not None:
+                self.log_dict({"sample": output_sample[:100]}, "output_sample.json")
+            for name, path in (artifacts or {}).items():
+                self.log_artifact(path, name)
+            return run.run_id
+
+    def track_data_quality(
+        self, quality_results: dict[str, Any], run_name: str = "data_quality_check"
+    ) -> str:
+        """Log a validation/profile report as a tracked run
+        (mlflow.py:534-574). Accepts the engine's Validator report shape:
+        {"score"|"quality_score_ppm", "metrics", "failed_checks", "passed"}.
+        """
+        with self.start_run(run_name=run_name) as run:
+            score = quality_results.get("score", quality_results.get("quality_score_ppm"))
+            if score is not None:
+                self.log_metric("quality_score", float(score))
+            for k, v in (quality_results.get("metrics") or {}).items():
+                if isinstance(v, (int, float)):
+                    self.log_metric(f"quality.{k}", float(v))
+            if quality_results.get("failed_checks"):
+                self.log_dict(
+                    {"failed_checks": quality_results["failed_checks"]},
+                    "failed_checks.json",
+                )
+            self.set_tags(
+                {
+                    "check_type": "data_quality",
+                    "passed": str(quality_results.get("passed", False)),
+                }
+            )
+            return run.run_id
+
+    def compare_runs(
+        self, run_ids: list[str], metrics: list[str] | None = None
+    ) -> dict:
+        """Side-by-side params/metrics + best run per metric
+        (mlflow.py:575-632)."""
+        comparison: dict = {"runs": {}}
+        for rid in run_ids:
+            r = self.get_run(rid)
+            ms = r["metrics"]
+            if metrics:
+                ms = {k: v for k, v in ms.items() if k in metrics}
+            comparison["runs"][rid] = {
+                "run_id": rid,
+                "run_name": r.get("run_name"),
+                "status": r.get("status"),
+                "start_time": r.get("start_time"),
+                "end_time": r.get("end_time"),
+                "params": r["params"],
+                "metrics": ms,
+            }
+        all_metrics = {m for d in comparison["runs"].values() for m in d["metrics"]}
+        comparison["best_by_metric"] = {}
+        for m in sorted(all_metrics):
+            vals = [
+                (rid, d["metrics"][m])
+                for rid, d in comparison["runs"].items()
+                if m in d["metrics"]
+            ]
+            if vals:
+                best = max(vals, key=lambda x: x[1])
+                comparison["best_by_metric"][m] = {"run_id": best[0], "value": best[1]}
+        return comparison

@@ -1,0 +1,188 @@
+"""dbt project/manifest exchange + MLflow file-store run tracking."""
+
+from __future__ import annotations
+
+import pytest
+import yaml
+
+from automic_etl_spark.integrations import (
+    DbtModel,
+    DbtProjectExporter,
+    DbtRunner,
+    RunTracker,
+    build_manifest,
+    get_lineage,
+    get_models,
+    get_sources,
+    get_tests,
+)
+from automic_etl_spark.validation.rules import (
+    AllowedValuesRule,
+    NotNullRule,
+    RangeRule,
+    UniqueRule,
+)
+
+MODELS = [
+    DbtModel(
+        name="stg_orders",
+        sql="select * from {{ source('tpch', 'orders') }}",
+        materialized="view",
+        tags=["staging"],
+    ),
+    DbtModel(
+        name="fct_revenue",
+        sql=(
+            "select o_custkey, sum(o_totalprice) as revenue\n"
+            "from {{ ref('stg_orders') }} group by 1"
+        ),
+        materialized="table",
+        description="revenue per customer",
+        column_tests={"o_custkey": ["not_null", "unique"]},
+    ),
+]
+SOURCES = {"tpch": ["orders", "customer"]}
+
+
+def test_export_writes_complete_project(tmp_path):
+    proj = DbtProjectExporter(str(tmp_path / "proj"), target="duckdb")
+    out = proj.export(MODELS, sources=SOURCES)
+
+    project = yaml.safe_load((out / "dbt_project.yml").read_text())
+    assert project["name"] == "automic_etl_spark" and project["config-version"] == 2
+    profiles = yaml.safe_load((out / "profiles.yml").read_text())
+    assert profiles["automic_etl_spark"]["outputs"]["duckdb"]["type"] == "duckdb"
+
+    sql = (out / "models" / "fct_revenue.sql").read_text()
+    assert sql.startswith("{{ config(materialized='table') }}")
+    assert "{{ ref('stg_orders') }}" in sql
+
+    schema = yaml.safe_load((out / "models" / "schema.yml").read_text())
+    assert schema["sources"][0]["tables"] == [{"name": "orders"}, {"name": "customer"}]
+    fct = next(m for m in schema["models"] if m["name"] == "fct_revenue")
+    assert fct["columns"] == [{"name": "o_custkey", "tests": ["not_null", "unique"]}]
+
+
+def test_model_from_rules_maps_validation_suite():
+    rules = [
+        NotNullRule("", column="o_orderkey"),
+        UniqueRule("", column="o_orderkey"),
+        RangeRule("", column="o_totalprice", min_value=0),
+        AllowedValuesRule("", column="o_orderstatus", allowed=["O", "F", "P"]),
+    ]
+    m = DbtProjectExporter.model_from_rules("orders_clean", "select 1", rules)
+    assert m.column_tests["o_orderkey"] == ["not_null", "unique"]
+    assert m.column_tests["o_totalprice"] == [
+        {"dbt_utils.accepted_range": {"min_value": 0}}
+    ]
+    assert m.column_tests["o_orderstatus"] == [
+        {"accepted_values": {"values": ["F", "O", "P"]}}
+    ]
+
+
+def test_manifest_graph_and_listings():
+    manifest = build_manifest(MODELS, sources=SOURCES)
+    models = {m["name"]: m for m in get_models(manifest)}
+    assert models["stg_orders"]["depends_on"] == [
+        "source.automic_etl_spark.tpch.orders"
+    ]
+    assert models["fct_revenue"]["depends_on"] == [
+        "model.automic_etl_spark.stg_orders"
+    ]
+    assert models["fct_revenue"]["materialization"] == "table"
+
+    srcs = {s["name"] for s in get_sources(manifest)}
+    assert srcs == {"orders", "customer"}
+
+    tests = get_tests(manifest)
+    assert {t["test_metadata"]["name"] for t in tests} == {"not_null", "unique"}
+    assert all(
+        t["depends_on"] == ["model.automic_etl_spark.fct_revenue"] for t in tests
+    )
+
+
+def test_manifest_lineage_up_and_downstream():
+    manifest = build_manifest(MODELS, sources=SOURCES)
+    lin = get_lineage(manifest, "stg_orders")
+    assert lin["upstream"] == ["source.automic_etl_spark.tpch.orders"]
+    assert lin["downstream"] == ["model.automic_etl_spark.fct_revenue"]
+    assert "error" in get_lineage(manifest, "nope")
+
+
+def test_dbt_runner_gated_without_cli(tmp_path):
+    r = DbtRunner(str(tmp_path))
+    with pytest.raises(NotImplementedError, match="dbt CLI not installed"):
+        r.run()
+    assert r.read_manifest() == {}
+
+
+# -- mlflow file store ---------------------------------------------------
+
+
+def test_run_tracker_file_store_layout(tmp_path):
+    t = RunTracker(str(tmp_path / "mlruns"), experiment_name="exp1")
+    with t.start_run("train") as run:
+        t.log_param("lr", 0.1)
+        t.log_metric("loss", 2.0, step=0)
+        t.log_metric("loss", 1.0, step=1)
+        t.set_tag("stage", "dev")
+        t.log_dict({"a": 1}, "cfg.json")
+
+    d = tmp_path / "mlruns" / "1" / run.run_id
+    assert (d / "params" / "lr").read_text() == "0.1"
+    lines = (d / "metrics" / "loss").read_text().strip().splitlines()
+    assert len(lines) == 2 and lines[1].split()[1:] == ["1.0", "1"]
+    assert (d / "tags" / "mlflow.runName").read_text() == "train"
+
+    r = t.get_run(run.run_id)
+    assert r["status"] == "FINISHED" and r["end_time"] is not None
+    assert r["metrics"]["loss"] == 1.0          # last value wins
+    assert r["params"] == {"lr": "0.1"}
+    assert r["tags"]["stage"] == "dev"
+
+
+def test_experiment_reattach_and_search(tmp_path):
+    root = str(tmp_path / "mlruns")
+    t1 = RunTracker(root, experiment_name="exp1")
+    with t1.start_run("a") as ra:
+        t1.set_tag("kind", "x")
+    # second tracker on the same dir reattaches to the same experiment id
+    t2 = RunTracker(root, experiment_name="exp1")
+    with t2.start_run("b") as rb:
+        t2.set_tag("kind", "y")
+    assert t1._exp_id == t2._exp_id
+    runs = t2.search_runs()
+    assert {r["run_id"] for r in runs} == {ra.run_id, rb.run_id}
+    assert [r["run_id"] for r in t2.search_runs(filter_tags={"kind": "y"})] == [rb.run_id]
+
+
+def test_failed_run_status(tmp_path):
+    t = RunTracker(str(tmp_path / "mlruns"))
+    with pytest.raises(ValueError):
+        with t.start_run("boom") as run:
+            raise ValueError("x")
+    assert t.get_run(run.run_id)["status"] == "FAILED"
+
+
+def test_pipeline_run_and_quality_and_compare(tmp_path):
+    t = RunTracker(str(tmp_path / "mlruns"))
+    r1 = t.log_pipeline_run(
+        "silver_orders",
+        config={"watermark": "2024-01-01"},
+        metrics={"rows_out": 100.0, "duration_sec": 2.5},
+        output_sample=[{"k": 1}],
+    )
+    r2 = t.log_pipeline_run(
+        "silver_orders", config={"watermark": "2024-01-02"}, metrics={"rows_out": 120.0}
+    )
+    q = t.track_data_quality(
+        {"quality_score_ppm": 987000, "metrics": {"null_rate": 0.01}, "passed": True}
+    )
+    run1 = t.get_run(r1)
+    assert run1["params"]["config.watermark"] == "2024-01-01"
+    assert run1["tags"]["pipeline_type"] == "automic_etl"
+    assert t.get_run(q)["metrics"]["quality_score"] == 987000.0
+
+    cmp = t.compare_runs([r1, r2], metrics=["rows_out"])
+    assert cmp["best_by_metric"]["rows_out"]["run_id"] == r2
+    assert "duration_sec" not in cmp["runs"][r1]["metrics"]
