@@ -1,6 +1,7 @@
-"""Ecosystem integrations: dbt project/manifest exchange and
-MLflow-compatible run tracking (reference integrations/dbt.py,
-integrations/mlflow.py). OpenLineage export lives in
+"""Ecosystem integrations: dbt project/manifest exchange,
+MLflow-compatible run tracking, and OpenMetadata catalog/governance
+publishing (reference integrations/dbt.py, integrations/mlflow.py,
+integrations/openmetadata.py). OpenLineage export lives in
 services/lineage.py; Airflow DAG factory in orchestration/."""
 
 from automic_etl_spark.integrations.dbt import (
@@ -14,12 +15,20 @@ from automic_etl_spark.integrations.dbt import (
     get_tests,
 )
 from automic_etl_spark.integrations.mlflow_runs import RunTracker
+from automic_etl_spark.integrations.openmetadata import (
+    OpenMetadataClient,
+    OpenMetadataConfig,
+    columns_from_schema,
+)
 
 __all__ = [
     "DbtModel",
     "DbtProjectExporter",
     "DbtRunner",
+    "OpenMetadataClient",
+    "OpenMetadataConfig",
     "RunTracker",
+    "columns_from_schema",
     "build_manifest",
     "get_lineage",
     "get_models",

@@ -1,0 +1,162 @@
+"""OpenMetadata integration: payload shapes via a recording fake
+transport (reference integrations/openmetadata.py:34-803)."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.integrations.openmetadata import (
+    OpenMetadataClient,
+    OpenMetadataConfig,
+    columns_from_schema,
+    om_type,
+)
+from automic_etl_spark.services.lineage import LineageTracker
+from automic_etl_spark.validation.validator import RuleResult, ValidationReport
+
+
+class FakeTransport:
+    """Records every call; resolves GET */name/<fqn> to a stable id."""
+
+    def __init__(self):
+        self.calls = []
+
+    def __call__(self, method, url, body, params):
+        self.calls.append((method, url, body, params))
+        if method == "GET" and "/name/" in url:
+            return {"id": "id-" + url.rsplit("/name/", 1)[1]}
+        return {"created": True}
+
+    def bodies(self, fragment):
+        return [b for (m, u, b, p) in self.calls if fragment in u and b is not None]
+
+
+@pytest.fixture()
+def om():
+    t = FakeTransport()
+    client = OpenMetadataClient(
+        OpenMetadataConfig(service_name="svc", database_name="db", schema_name="sch"),
+        transport=t,
+        clock=lambda: 1700000000.0,
+    )
+    return client, t
+
+
+def test_columns_from_spark_schema(spark):
+    df = spark.createDataFrame(
+        [(1, "a", [1.0], {"x": 2})],
+        "id long, name string, vec array<double>, meta struct<x:long>",
+    )
+    cols = columns_from_schema(df.schema)
+    by_name = {c["name"]: c for c in cols}
+    assert by_name["id"]["dataType"] == "BIGINT"
+    assert by_name["name"]["dataType"] == "STRING"
+    assert by_name["vec"]["dataType"] == "ARRAY"
+    assert by_name["vec"]["arrayDataType"] == "DOUBLE"
+    assert by_name["meta"]["dataType"] == "STRUCT"
+    assert by_name["meta"]["children"][0]["name"] == "x"
+    from pyspark.sql import types as T
+
+    assert om_type(T.DecimalType(12, 2)) == "DECIMAL"
+    assert om_type(T.BinaryType()) == "BYTES"
+
+
+def test_register_dataframe_builds_table_payload(spark, om):
+    client, t = om
+    df = spark.range(3).withColumnRenamed("id", "k")
+    client.register_dataframe("orders", df, tags=["tier.gold"])
+    [body] = t.bodies("/tables")
+    assert body["name"] == "orders"
+    assert body["databaseSchema"] == "svc.db.sch"
+    assert body["columns"][0] == {"name": "k", "dataType": "BIGINT", "description": "", "constraint": "NOT_NULL"}
+    assert body["tags"] == [{"tagFQN": "tier.gold"}]
+
+
+def test_lineage_edge_resolves_entity_ids(om):
+    client, t = om
+    client.add_lineage("db.bronze_orders", "db.silver_orders", pipeline="nightly")
+    put = [c for c in t.calls if c[0] == "PUT"][0]
+    edge = put[2]["edge"]
+    assert edge["fromEntity"] == {"id": "id-db.bronze_orders", "type": "table"}
+    assert edge["toEntity"] == {"id": "id-db.silver_orders", "type": "table"}
+    assert edge["pipeline"]["id"] == "id-nightly"
+
+
+def test_publish_lineage_dedups_pairs(om):
+    client, t = om
+    tr = LineageTracker()
+    tr.record("transform", ["a"], ["b"])
+    tr.record("write", ["a"], ["b"])  # same edge again -> dedup
+    tr.record("join", ["a", "c"], ["d"])
+    out = client.publish_lineage(tr)
+    assert len(out) == 3  # a->b, a->d, c->d
+    puts = [c for c in t.calls if c[0] == "PUT"]
+    assert len(puts) == 3
+
+
+def test_publish_validation_maps_report(om):
+    client, t = om
+    report = ValidationReport(
+        total_rows=100,
+        results=[
+            RuleResult("not_null", "email", True, 0, 1.0, "error"),
+            RuleResult("range", "age", False, 7, 0.93, "error"),
+        ],
+    )
+    client.publish_validation(report, "svc.db.sch.users", suite_name="s1")
+    [suite] = t.bodies("testSuites")
+    assert suite["name"] == "s1"
+    cases = t.bodies("dataQuality/testCases")
+    results = [b for b in cases if "testCaseResult" in b]
+    defs = [b for b in cases if "testDefinition" in b]
+    assert [d["name"] for d in defs] == ["not_null_email", "range_age"]
+    statuses = [r["testCaseResult"]["testCaseStatus"] for r in results]
+    assert statuses == ["Success", "Failed"]
+    assert results[1]["testCaseResult"]["result"] == "7 violations in 100 rows"
+    assert results[0]["testCaseResult"]["timestamp"] == 1700000000000
+
+
+def test_publish_profile_from_live_df(spark, om):
+    client, t = om
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "c", None)], "id long, name string, v double"
+    )
+    client.publish_profile(df, "svc.db.sch.t")
+    [tbl] = t.bodies("tableProfile")
+    assert tbl["tableProfile"]["rowCount"] == 3
+    assert tbl["tableProfile"]["columnCount"] == 3
+    cols = {b["columnProfile"]["name"]: b["columnProfile"] for b in t.bodies("columnProfile")}
+    assert cols["name"]["nullCount"] == 1
+    assert cols["name"]["valuesCount"] == 2
+    assert cols["v"]["mean"] == 15.0
+    assert "mean" not in cols["name"]
+
+
+def test_register_catalog_walks_warehouse(spark, om, tmp_path):
+    from automic_etl_spark.catalog import Warehouse
+
+    client, t = om
+    wh = Warehouse(spark, str(tmp_path))
+    wh.table("silver", "users").create_or_append(spark.range(2).withColumnRenamed("id", "uid"))
+    out = client.register_catalog(wh)
+    assert len(out) == 1
+    [body] = t.bodies("/tables")
+    assert body["name"] == "users"
+    assert body["databaseSchema"] == "svc.db.silver"
+
+
+def test_misc_endpoints_payloads(om):
+    client, t = om
+    client.create_database_service("svc")
+    client.create_glossary("biz")
+    client.create_glossary_term("biz", "churn", synonyms=["attrition"])
+    client.create_classification("tier")
+    client.create_tag("tier", "gold")
+    client.update_pipeline_status("svc.nightly", "Successful")
+    client.search("orders", index="table")
+    [status] = t.bodies("pipelines/name/svc.nightly/status")
+    assert status == {"timestamp": 1700000000000, "executionStatus": "Successful"}
+    search = [c for c in t.calls if "search/query" in c[1]][0]
+    assert search[3]["q"] == "orders"
+    [term] = t.bodies("glossaryTerms")
+    assert term["synonyms"] == ["attrition"]
