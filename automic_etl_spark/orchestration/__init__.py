@@ -1,7 +1,26 @@
 """Orchestration: job scheduling, workflow DAG engine, Airflow DAG-spec
-factory."""
+factory, run-history pipeline optimizer."""
 
+from automic_etl_spark.orchestration.optimizer import (
+    ContinuousOptimizer,
+    OptimizationPlan,
+    OptimizationRecommendation,
+    PerformanceMetrics,
+    PipelineOptimizer,
+)
 from automic_etl_spark.orchestration.scheduler import Scheduler, Job, Schedule
 from automic_etl_spark.orchestration.workflow import Workflow, WorkflowRunner, WorkflowResult
 
-__all__ = ["Scheduler", "Job", "Schedule", "Workflow", "WorkflowRunner", "WorkflowResult"]
+__all__ = [
+    "ContinuousOptimizer",
+    "Job",
+    "OptimizationPlan",
+    "OptimizationRecommendation",
+    "PerformanceMetrics",
+    "PipelineOptimizer",
+    "Schedule",
+    "Scheduler",
+    "Workflow",
+    "WorkflowResult",
+    "WorkflowRunner",
+]

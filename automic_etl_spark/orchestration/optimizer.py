@@ -1,0 +1,504 @@
+"""Pipeline optimizer: statistical run-history analysis → prioritized,
+risk-graded recommendations.
+
+Reference (integrations/airflow_optimizer.py:30-858 and
+airflow_agentic.py): an LLM-prompted optimizer over Airflow REST
+metrics, with health scoring, recommendation prioritization, and a
+continuous background loop that auto-applies low-risk changes.
+
+Spark-first differences:
+
+- The core analysis is **deterministic rules over run statistics** —
+  success rate, duration p95/variability, per-step bottleneck share,
+  retry efficacy, schedule overlap — not an LLM call. Everything the
+  reference's health score and apply-change paths compute is preserved
+  (same 100-point deduction formula, same change-dict shapes); the LLM
+  is reduced to an optional injectable ``advisor`` callable whose JSON
+  reply is merged as extra recommendations (``extract_json`` ports the
+  reference's fence/brace parser, airflow_optimizer.py:734-760).
+- Metrics ingest from three places: reference-shaped Airflow run dicts
+  (``from_runs``), the engine's own ``WorkflowResult`` step records
+  (durations, attempts, statuses — richer than the reference, which
+  leaves task counts/retries as TODO zeros), and ``Scheduler`` jobs.
+- Run history is driver-tiny (one row per run), so this is plain
+  Python; no Spark job is launched for analysis.
+"""
+
+from __future__ import annotations
+
+import re
+import statistics
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class OptimizationType(str, Enum):
+    SCHEDULE = "schedule"
+    RETRY_POLICY = "retry_policy"
+    PARALLELISM = "parallelism"
+    RESOURCE = "resource"
+    BOTTLENECK = "bottleneck"
+    RELIABILITY = "reliability"
+
+
+class RiskLevel(str, Enum):
+    LOW = "low"
+    MEDIUM = "medium"
+    HIGH = "high"
+
+
+@dataclass
+class PerformanceMetrics:
+    """Run-history statistics (reference airflow_optimizer.py:52-134)."""
+
+    dag_id: str
+    total_runs: int
+    success_rate: float
+    avg_duration_seconds: float
+    p95_duration_seconds: float
+    max_duration_seconds: float
+    min_duration_seconds: float
+    avg_task_count: int = 0
+    failed_tasks_rate: float = 0.0
+    retry_rate: float = 0.0
+    # per-step mean durations (engine WorkflowResult ingest only) —
+    # enables bottleneck detection the reference stubs out.
+    step_avg_s: dict[str, float] = field(default_factory=dict)
+
+    @staticmethod
+    def _summarize(dag_id: str, durations: list[float], n_runs: int, successes: int,
+                   failures: int, retry_rate: float = 0.0, step_avg: dict | None = None,
+                   task_count: int = 0) -> "PerformanceMetrics":
+        if durations:
+            s = sorted(durations)
+            p95 = s[min(int(len(s) * 0.95), len(s) - 1)]
+        else:
+            p95 = 0.0
+        return PerformanceMetrics(
+            dag_id=dag_id,
+            total_runs=n_runs,
+            success_rate=successes / n_runs if n_runs else 0.0,
+            avg_duration_seconds=statistics.mean(durations) if durations else 0.0,
+            p95_duration_seconds=p95,
+            max_duration_seconds=max(durations) if durations else 0.0,
+            min_duration_seconds=min(durations) if durations else 0.0,
+            avg_task_count=task_count,
+            failed_tasks_rate=failures / n_runs if n_runs else 0.0,
+            retry_rate=retry_rate,
+            step_avg_s=step_avg or {},
+        )
+
+    @classmethod
+    def from_runs(cls, dag_id: str, runs: list[dict]) -> "PerformanceMetrics":
+        """Reference-shaped run dicts: {state, start_date, end_date}
+        (airflow_optimizer.py:67-119)."""
+        from datetime import datetime
+
+        durations, successes, failures = [], 0, 0
+        for run in runs:
+            st = run.get("state")
+            successes += st == "success"
+            failures += st == "failed"
+            if run.get("start_date") and run.get("end_date"):
+                try:
+                    a = datetime.fromisoformat(str(run["start_date"]).replace("Z", "+00:00"))
+                    b = datetime.fromisoformat(str(run["end_date"]).replace("Z", "+00:00"))
+                    durations.append((b - a).total_seconds())
+                except (ValueError, TypeError):
+                    pass
+        return cls._summarize(dag_id, durations, len(runs), successes, failures)
+
+    @classmethod
+    def from_workflow_results(cls, results: list) -> "PerformanceMetrics":
+        """Engine bridge: list[WorkflowResult] → metrics incl. per-step
+        averages and a real retry rate (attempts > 1)."""
+        if not results:
+            return cls._summarize("workflow", [], 0, 0, 0)
+        durations = [r.duration_s for r in results]
+        successes = sum(1 for r in results if r.success)
+        step_durs: dict[str, list[float]] = {}
+        attempts = total_steps = failed_steps = 0
+        for r in results:
+            for sr in r.steps.values():
+                step_durs.setdefault(sr.name, []).append(sr.duration_s)
+                total_steps += 1
+                attempts += max(0, sr.attempts - 1)
+                failed_steps += sr.status in ("failed", "upstream_failed")
+        return cls._summarize(
+            results[0].workflow, durations, len(results), successes,
+            len(results) - successes,
+            retry_rate=attempts / total_steps if total_steps else 0.0,
+            step_avg={k: statistics.mean(v) for k, v in step_durs.items()},
+            task_count=round(total_steps / len(results)),
+        )
+
+    @classmethod
+    def from_job(cls, job) -> "PerformanceMetrics":
+        """Engine bridge: a Scheduler Job's recorded runs."""
+        runs = job.runs
+        durations = [r.duration_s for r in runs]
+        successes = sum(1 for r in runs if r.status == "succeeded")
+        return cls._summarize(job.name, durations, len(runs), successes, len(runs) - successes)
+
+    def to_dict(self) -> dict:
+        return {
+            "dag_id": self.dag_id,
+            "total_runs": self.total_runs,
+            "success_rate": f"{self.success_rate * 100:.1f}%",
+            "avg_duration_seconds": round(self.avg_duration_seconds, 2),
+            "p95_duration_seconds": round(self.p95_duration_seconds, 2),
+            "max_duration_seconds": round(self.max_duration_seconds, 2),
+            "min_duration_seconds": round(self.min_duration_seconds, 2),
+            "failed_tasks_rate": f"{self.failed_tasks_rate * 100:.1f}%",
+        }
+
+
+@dataclass
+class OptimizationRecommendation:
+    """(reference airflow_optimizer.py:136-167)"""
+
+    optimization_type: OptimizationType
+    title: str
+    description: str
+    current_value: str
+    recommended_value: str
+    expected_improvement: str
+    reasoning: str
+    risk_level: RiskLevel = RiskLevel.LOW
+    implementation_steps: list[str] = field(default_factory=list)
+    auto_applicable: bool = False
+    estimated_impact: dict = field(default_factory=dict)
+
+    def to_dict(self) -> dict:
+        d = self.__dict__.copy()
+        d["optimization_type"] = self.optimization_type.value
+        d["risk_level"] = self.risk_level.value
+        return d
+
+
+@dataclass
+class OptimizationPlan:
+    dag_id: str
+    metrics: PerformanceMetrics
+    recommendations: list[OptimizationRecommendation]
+    overall_health_score: int
+    priority_actions: list[str]
+    estimated_total_improvement: str
+
+    def to_dict(self) -> dict:
+        return {
+            "dag_id": self.dag_id,
+            "metrics": self.metrics.to_dict(),
+            "recommendations": [r.to_dict() for r in self.recommendations],
+            "overall_health_score": self.overall_health_score,
+            "priority_actions": self.priority_actions,
+            "estimated_total_improvement": self.estimated_total_improvement,
+        }
+
+
+def extract_json(content: str) -> str:
+    """Fenced-block / balanced-brace JSON extraction (reference
+    airflow_optimizer.py:734-760)."""
+    content = content.strip()
+    m = re.search(r"```json\s*(.*?)\s*```", content, re.DOTALL) or re.search(
+        r"```\s*(.*?)\s*```", content, re.DOTALL
+    )
+    if m:
+        return m.group(1)
+    if "{" in content:
+        start = content.index("{")
+        depth = 0
+        for i, ch in enumerate(content[start:], start):
+            depth += ch == "{"
+            depth -= ch == "}"
+            if ch == "}" and depth == 0:
+                return content[start : i + 1]
+    return content
+
+
+class PipelineOptimizer:
+    """Deterministic rule analysis; ``advisor`` (prompt → text) is the
+    optional LLM seam — its JSON reply is merged as one extra
+    MEDIUM-risk, never auto-applicable recommendation."""
+
+    # Rule thresholds (all overridable per-instance).
+    SUCCESS_FLOOR = 0.95
+    VARIABILITY_CEIL = 3.0  # p95 / avg
+    BOTTLENECK_SHARE = 0.5  # one step > 50% of wall time
+    RETRY_CEIL = 0.1  # >10% of step executions are retries
+
+    def __init__(self, advisor: Callable[[str], str] | None = None):
+        self.advisor = advisor
+
+    def analyze(
+        self,
+        metrics: PerformanceMetrics,
+        dag_config: dict | None = None,
+        focus: str = "all",
+    ) -> OptimizationPlan:
+        cfg = dag_config or {}
+        recs: list[OptimizationRecommendation] = []
+        if focus in ("reliability", "all"):
+            recs += self._reliability_rules(metrics, cfg)
+        if focus in ("performance", "all"):
+            recs += self._performance_rules(metrics, cfg)
+        if focus in ("cost", "all"):
+            recs += self._schedule_rules(metrics, cfg)
+        if self.advisor is not None:
+            recs += self._advisor_rec(metrics, cfg)
+        return OptimizationPlan(
+            dag_id=metrics.dag_id,
+            metrics=metrics,
+            recommendations=recs,
+            overall_health_score=self._calculate_health_score(metrics),
+            priority_actions=self._prioritize(recs),
+            estimated_total_improvement=self._estimate_total(recs),
+        )
+
+    # -- rules ----------------------------------------------------------
+
+    def _reliability_rules(self, m: PerformanceMetrics, cfg: dict) -> list[OptimizationRecommendation]:
+        out = []
+        retries = int(cfg.get("retries", 0))
+        if m.success_rate < self.SUCCESS_FLOOR and m.total_runs >= 3:
+            # Retries help when retried steps eventually succeed (high
+            # retry rate but decent success) — else they just burn time.
+            transient = m.retry_rate > 0 and m.success_rate > 0.5
+            out.append(
+                OptimizationRecommendation(
+                    OptimizationType.RETRY_POLICY,
+                    "Increase retry budget with backoff" if transient else "Investigate systematic failures",
+                    f"Success rate {m.success_rate:.0%} over {m.total_runs} runs"
+                    + (" with retries already succeeding on re-attempt" if transient else ""),
+                    current_value=f"retries={retries}",
+                    recommended_value=f"retries={max(retries + 1, 2)}, exponential backoff" if transient else f"retries={retries} (unchanged)",
+                    expected_improvement="fewer failed runs" if transient else "root-cause visibility",
+                    reasoning="failures recover on retry → transient"
+                    if transient
+                    else "failures do not recover on retry → retrying more would not help",
+                    risk_level=RiskLevel.LOW if transient else RiskLevel.MEDIUM,
+                    implementation_steps=["set Step.retries", "set Step.retry_delay_s"],
+                    auto_applicable=transient,
+                    estimated_impact={"reliability_improvement_percent": round((self.SUCCESS_FLOOR - m.success_rate) * 100)} if transient else {},
+                )
+            )
+        if m.retry_rate > self.RETRY_CEIL:
+            out.append(
+                OptimizationRecommendation(
+                    OptimizationType.RELIABILITY,
+                    "Reduce retry pressure",
+                    f"{m.retry_rate:.0%} of step executions are re-attempts",
+                    current_value=f"retry_rate={m.retry_rate:.2f}",
+                    recommended_value="stabilize flaky step inputs / add idempotent checkpoints",
+                    expected_improvement="less wasted compute",
+                    reasoning="sustained retry pressure indicates flaky dependencies, not load",
+                    risk_level=RiskLevel.MEDIUM,
+                    implementation_steps=["identify steps with attempts > 1", "checkpoint their inputs"],
+                )
+            )
+        return out
+
+    def _performance_rules(self, m: PerformanceMetrics, cfg: dict) -> list[OptimizationRecommendation]:
+        out = []
+        if m.avg_duration_seconds > 0 and m.p95_duration_seconds / m.avg_duration_seconds > self.VARIABILITY_CEIL:
+            out.append(
+                OptimizationRecommendation(
+                    OptimizationType.RESOURCE,
+                    "Stabilize run duration",
+                    f"p95 {m.p95_duration_seconds:.0f}s is {m.p95_duration_seconds / m.avg_duration_seconds:.1f}x the mean — input-size or contention spikes",
+                    current_value=f"p95/avg={m.p95_duration_seconds / m.avg_duration_seconds:.1f}",
+                    recommended_value="incremental extraction (watermark) or AQE skew handling",
+                    expected_improvement="predictable wall time",
+                    reasoning="high tail variance usually means unbounded input growth or skewed partitions",
+                    risk_level=RiskLevel.MEDIUM,
+                    implementation_steps=["enable watermark-driven incremental extract", "check skew diagnostics (operators/skew.py)"],
+                    estimated_impact={"duration_reduction_percent": 10},
+                )
+            )
+        if m.step_avg_s:
+            total = sum(m.step_avg_s.values())
+            name, avg = max(m.step_avg_s.items(), key=lambda kv: kv[1])
+            if total > 0 and avg / total > self.BOTTLENECK_SHARE and len(m.step_avg_s) > 1:
+                out.append(
+                    OptimizationRecommendation(
+                        OptimizationType.BOTTLENECK,
+                        f"Split bottleneck step '{name}'",
+                        f"'{name}' is {avg / total:.0%} of pipeline step time ({avg:.1f}s of {total:.1f}s)",
+                        current_value=f"{name}={avg:.1f}s",
+                        recommended_value="partition the step or raise its parallelism; run independent steps concurrently",
+                        expected_improvement=f"up to {avg / total - self.BOTTLENECK_SHARE:.0%} wall-time reduction",
+                        reasoning="critical path is one step; the DAG's parallel waves are idle around it",
+                        risk_level=RiskLevel.MEDIUM,
+                        implementation_steps=[f"profile '{name}'", "increase Workflow.max_parallel", "split into keyed sub-steps"],
+                        estimated_impact={"duration_reduction_percent": round((avg / total) * 50)},
+                    )
+                )
+        return out
+
+    def _schedule_rules(self, m: PerformanceMetrics, cfg: dict) -> list[OptimizationRecommendation]:
+        out = []
+        interval = cfg.get("schedule_interval_seconds")
+        if interval and m.p95_duration_seconds > float(interval):
+            out.append(
+                OptimizationRecommendation(
+                    OptimizationType.SCHEDULE,
+                    "Schedule interval shorter than run duration",
+                    f"p95 run of {m.p95_duration_seconds:.0f}s overlaps a {interval}s interval — runs will queue or overlap",
+                    current_value=f"interval={interval}s",
+                    recommended_value=f"interval>={int(m.p95_duration_seconds * 1.5)}s or enable catchup=False",
+                    expected_improvement="no overlapping runs",
+                    reasoning="back-to-back overlap compounds load and hides real duration growth",
+                    risk_level=RiskLevel.LOW,
+                    implementation_steps=["widen the schedule", "or gate on previous-run completion"],
+                    auto_applicable=True,
+                    estimated_impact={"reliability_improvement_percent": 5},
+                )
+            )
+        return out
+
+    def _advisor_rec(self, m: PerformanceMetrics, cfg: dict) -> list[OptimizationRecommendation]:
+        import json as _json
+
+        prompt = (
+            "Optimize this pipeline. Metrics: "
+            + _json.dumps(m.to_dict(), sort_keys=True)
+            + " Config: "
+            + _json.dumps(cfg, sort_keys=True)
+            + ' Reply JSON {"title","description","current_value","recommended_value",'
+            '"expected_improvement","reasoning","risk_level","implementation_steps"}'
+        )
+        try:
+            raw = _json.loads(extract_json(self.advisor(prompt)))
+        except (ValueError, TypeError):
+            return []
+        if not isinstance(raw, dict) or "title" not in raw:
+            return []
+        return [
+            OptimizationRecommendation(
+                OptimizationType.RELIABILITY,
+                str(raw["title"]),
+                str(raw.get("description", "")),
+                current_value=str(raw.get("current_value", "")),
+                recommended_value=str(raw.get("recommended_value", "")),
+                expected_improvement=str(raw.get("expected_improvement", "")),
+                reasoning=str(raw.get("reasoning", "")),
+                # advisor output is untrusted text: never low-risk, never auto-applied
+                risk_level=RiskLevel.MEDIUM if raw.get("risk_level") in ("low", "medium") else RiskLevel.HIGH,
+                implementation_steps=[str(s) for s in raw.get("implementation_steps", [])],
+                auto_applicable=False,
+            )
+        ]
+
+    # -- scoring / prioritization (reference airflow_optimizer.py:624-680)
+
+    @staticmethod
+    def _calculate_health_score(m: PerformanceMetrics) -> int:
+        score = 100
+        if m.success_rate < 0.99:
+            score -= int((1 - m.success_rate) * 50)
+        if m.max_duration_seconds > 0 and m.min_duration_seconds > 0:
+            variability = m.max_duration_seconds / m.min_duration_seconds
+            if variability > 2:
+                score -= min(20, int((variability - 2) * 5))
+        if m.failed_tasks_rate > 0.01:
+            score -= min(30, int(m.failed_tasks_rate * 100))
+        return max(0, min(100, score))
+
+    @staticmethod
+    def _prioritize(recs: list[OptimizationRecommendation]) -> list[str]:
+        order = {"low": 0, "medium": 1, "high": 2}
+        return [
+            r.title
+            for r in sorted(recs, key=lambda r: (order[r.risk_level.value], not r.auto_applicable))
+        ][:3]
+
+    @staticmethod
+    def _estimate_total(recs: list[OptimizationRecommendation]) -> str:
+        dur = sum(r.estimated_impact.get("duration_reduction_percent", 0) for r in recs)
+        rel = sum(r.estimated_impact.get("reliability_improvement_percent", 0) for r in recs)
+        parts = []
+        if dur:
+            parts.append(f"{dur:.0f}% faster execution")
+        if rel:
+            parts.append(f"{rel:.0f}% more reliable")
+        return ", ".join(parts) or "Improvements vary based on implementation"
+
+    def apply_optimization(self, rec: OptimizationRecommendation, dag_id: str, dry_run: bool = True) -> dict:
+        """Change-dict shape of the reference's apply path
+        (airflow_optimizer.py:682-733); actual DAG edits stay a human
+        step."""
+        return {
+            "status": "dry_run" if dry_run else "requires_dag_file_modification",
+            "dag_id": dag_id,
+            "change": {
+                "type": rec.optimization_type.value,
+                "from": rec.current_value,
+                "to": rec.recommended_value,
+            },
+            "instructions": rec.implementation_steps,
+        }
+
+
+class ContinuousOptimizer:
+    """Monitor pipelines, detect degradation vs their own trailing
+    baseline, auto-apply low-risk recommendations
+    (reference airflow_optimizer.py:763-858 — sync here; callers own the
+    loop/cadence)."""
+
+    def __init__(
+        self,
+        optimizer: PipelineOptimizer | None = None,
+        auto_apply_low_risk: bool = True,
+        degradation_ratio: float = 1.5,
+        clock: Callable[[], float] = time.time,
+    ):
+        self.optimizer = optimizer or PipelineOptimizer()
+        self.auto_apply_low_risk = auto_apply_low_risk
+        self.degradation_ratio = degradation_ratio
+        self.clock = clock
+        self._monitored: dict[str, dict] = {}  # dag_id -> {fetch, config, baseline_avg}
+        self.history: list[dict] = []
+
+    def add_pipeline(self, dag_id: str, fetch_metrics: Callable[[], PerformanceMetrics], config: dict | None = None):
+        self._monitored[dag_id] = {"fetch": fetch_metrics, "config": config or {}, "baseline_avg": None}
+
+    def remove_pipeline(self, dag_id: str):
+        self._monitored.pop(dag_id, None)
+
+    def run_cycle(self) -> list[dict]:
+        results = []
+        for dag_id, st in self._monitored.items():
+            metrics = st["fetch"]()
+            plan = self.optimizer.analyze(metrics, st["config"])
+            degraded = (
+                st["baseline_avg"] is not None
+                and st["baseline_avg"] > 0
+                and metrics.avg_duration_seconds > st["baseline_avg"] * self.degradation_ratio
+            )
+            applied = []
+            if self.auto_apply_low_risk:
+                for rec in plan.recommendations:
+                    if rec.risk_level == RiskLevel.LOW and rec.auto_applicable:
+                        applied.append(self.optimizer.apply_optimization(rec, dag_id, dry_run=False))
+                        self.history.append(
+                            {"ts": self.clock(), "dag_id": dag_id, "optimization": rec.title}
+                        )
+            st["baseline_avg"] = metrics.avg_duration_seconds
+            results.append(
+                {
+                    "dag_id": dag_id,
+                    "health_score": plan.overall_health_score,
+                    "degraded": degraded,
+                    "recommendations": len(plan.recommendations),
+                    "applied": applied,
+                }
+            )
+        return results
+
+    def get_status(self) -> dict:
+        return {
+            "monitored": sorted(self._monitored),
+            "optimizations_applied": len(self.history),
+        }

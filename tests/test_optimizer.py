@@ -1,0 +1,139 @@
+"""Pipeline optimizer: metrics ingest, rule recommendations, health
+score, continuous cycle (reference integrations/airflow_optimizer.py)."""
+
+from __future__ import annotations
+
+from automic_etl_spark.orchestration.optimizer import (
+    ContinuousOptimizer,
+    OptimizationType,
+    PerformanceMetrics,
+    PipelineOptimizer,
+    RiskLevel,
+    extract_json,
+)
+from automic_etl_spark.orchestration.workflow import Workflow, WorkflowRunner
+
+
+def _runs(n_ok, n_fail, dur_s=60):
+    runs = []
+    for i in range(n_ok + n_fail):
+        runs.append(
+            {
+                "state": "success" if i < n_ok else "failed",
+                "start_date": "2026-01-01T00:00:00Z",
+                "end_date": f"2026-01-01T00:{dur_s // 60:02d}:{dur_s % 60:02d}Z",
+            }
+        )
+    return runs
+
+
+def test_metrics_from_reference_shaped_runs():
+    m = PerformanceMetrics.from_runs("nightly", _runs(9, 1, dur_s=120))
+    assert m.total_runs == 10
+    assert m.success_rate == 0.9
+    assert m.avg_duration_seconds == 120.0
+    assert m.p95_duration_seconds == 120.0
+    assert m.failed_tasks_rate == 0.1
+
+
+def test_metrics_from_workflow_results_capture_steps_and_retries():
+    wf = Workflow("wf")
+    calls = {"n": 0}
+
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return 1
+
+    wf.add_task("a", lambda ctx: 1)
+    wf.add_task("b", flaky, depends_on=("a",), retries=2)
+    res = WorkflowRunner().run(wf)
+    m = PerformanceMetrics.from_workflow_results([res])
+    assert m.dag_id == "wf"
+    assert m.success_rate == 1.0
+    assert set(m.step_avg_s) == {"a", "b"}
+    assert m.retry_rate == 0.5  # 1 extra attempt over 2 steps
+    assert m.avg_task_count == 2
+
+
+def test_health_score_formula_parity():
+    perfect = PerformanceMetrics("d", 10, 1.0, 60, 60, 60, 60)
+    assert PipelineOptimizer._calculate_health_score(perfect) == 100
+    flaky = PerformanceMetrics("d", 10, 0.8, 60, 60, 60, 60, failed_tasks_rate=0.2)
+    # -int((1-0.8)*50)=9 (float truncation, reference-identical), -min(30, 20)=20
+    assert PipelineOptimizer._calculate_health_score(flaky) == 71
+    variable = PerformanceMetrics("d", 10, 1.0, 60, 110, 120, 20)
+    # max/min=6 -> -min(20, int(4*5))=20
+    assert PipelineOptimizer._calculate_health_score(variable) == 80
+
+
+def test_retry_rule_distinguishes_transient_from_systematic():
+    opt = PipelineOptimizer()
+    transient = PerformanceMetrics("d", 10, 0.9, 60, 60, 60, 60, retry_rate=0.2)
+    plan = opt.analyze(transient, {"retries": 1})
+    rec = next(r for r in plan.recommendations if r.optimization_type == OptimizationType.RETRY_POLICY)
+    assert rec.auto_applicable and rec.risk_level == RiskLevel.LOW
+    assert "retries=2" in rec.recommended_value
+
+    systematic = PerformanceMetrics("d", 10, 0.4, 60, 60, 60, 60, retry_rate=0.0)
+    plan2 = opt.analyze(systematic, {"retries": 1})
+    rec2 = next(r for r in plan2.recommendations if r.optimization_type == OptimizationType.RETRY_POLICY)
+    assert not rec2.auto_applicable
+    assert "unchanged" in rec2.recommended_value
+
+
+def test_bottleneck_rule_flags_dominant_step():
+    m = PerformanceMetrics(
+        "d", 5, 1.0, 100, 100, 100, 100, step_avg_s={"extract": 5.0, "transform": 80.0, "load": 5.0}
+    )
+    plan = PipelineOptimizer().analyze(m)
+    rec = next(r for r in plan.recommendations if r.optimization_type == OptimizationType.BOTTLENECK)
+    assert "'transform'" in rec.title
+    assert rec.estimated_impact["duration_reduction_percent"] > 0
+
+
+def test_schedule_overlap_rule_auto_applicable():
+    m = PerformanceMetrics("d", 5, 1.0, 400, 500, 500, 300)
+    plan = PipelineOptimizer().analyze(m, {"schedule_interval_seconds": 300})
+    rec = next(r for r in plan.recommendations if r.optimization_type == OptimizationType.SCHEDULE)
+    assert rec.auto_applicable
+    assert plan.priority_actions[0] == rec.title  # low-risk + auto first
+
+
+def test_advisor_json_merged_but_never_auto_applied():
+    def advisor(prompt):
+        assert "Metrics:" in prompt
+        return 'Here you go:\n```json\n{"title": "Tune X", "risk_level": "low", "implementation_steps": ["a"]}\n```'
+
+    m = PerformanceMetrics("d", 5, 1.0, 60, 60, 60, 60)
+    plan = PipelineOptimizer(advisor=advisor).analyze(m)
+    rec = next(r for r in plan.recommendations if r.title == "Tune X")
+    assert rec.risk_level == RiskLevel.MEDIUM  # advisor output never low-risk
+    assert not rec.auto_applicable
+
+
+def test_extract_json_fenced_and_braced():
+    assert extract_json('```json\n{"a": 1}\n```') == '{"a": 1}'
+    assert extract_json('noise {"a": {"b": 2}} trailing') == '{"a": {"b": 2}}'
+
+
+def test_continuous_cycle_applies_low_risk_and_detects_degradation():
+    seq = [
+        PerformanceMetrics("d", 5, 1.0, 100, 400, 400, 90),
+        PerformanceMetrics("d", 5, 1.0, 300, 400, 400, 90),  # 3x slower than baseline
+    ]
+    it = iter(seq)
+    cont = ContinuousOptimizer(clock=lambda: 1000.0)
+    cont.add_pipeline("d", lambda: next(it), config={"schedule_interval_seconds": 60})
+    first = cont.run_cycle()
+    assert first[0]["degraded"] is False
+    assert len(first[0]["applied"]) == 1  # schedule-overlap rec is low-risk auto
+    assert cont.history[0] == {
+        "ts": 1000.0,
+        "dag_id": "d",
+        "optimization": "Schedule interval shorter than run duration",
+    }
+    second = cont.run_cycle()
+    assert second[0]["degraded"] is True
+    assert cont.get_status()["monitored"] == ["d"]
