@@ -1,0 +1,43 @@
+"""Alerting + notification delivery.
+
+``alerts``: engine-metric alert rules and lifecycle (reference
+notifications/alerts.py). ``channels``: delivery channels
+(Console/Slack/Teams/Webhook/Email) and the level-filtered Notifier
+router (reference notifications/notifier.py, channels.py);
+``notifier_sink`` bridges AlertManager into the router."""
+
+from automic_etl_spark.notifications.alerts import (
+    Alert,
+    AlertManager,
+    AlertRule,
+    log_sink,
+)
+from automic_etl_spark.notifications.channels import (
+    ConsoleNotifier,
+    EmailNotifier,
+    Notification,
+    NotificationChannel,
+    NotificationLevel,
+    Notifier,
+    SlackNotifier,
+    TeamsNotifier,
+    WebhookNotifier,
+    notifier_sink,
+)
+
+__all__ = [
+    "Alert",
+    "AlertManager",
+    "AlertRule",
+    "ConsoleNotifier",
+    "EmailNotifier",
+    "Notification",
+    "NotificationChannel",
+    "NotificationLevel",
+    "Notifier",
+    "SlackNotifier",
+    "TeamsNotifier",
+    "WebhookNotifier",
+    "log_sink",
+    "notifier_sink",
+]

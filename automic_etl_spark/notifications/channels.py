@@ -1,0 +1,416 @@
+"""Notification channels + central router.
+
+Reference (notifications/notifier.py:17-220, channels.py:22-430):
+level-graded notifications fanned out to Email/Slack/Teams/Webhook/
+Console channels through a Notifier with min-level filtering, rate
+limiting, and history.
+
+Differences here: HTTP delivery goes through one injectable
+``post_json`` callable (stdlib urllib default — the image has no
+httpx/requests), SMTP through an injectable client factory (stdlib
+smtplib default), and timestamps through an injectable clock so tests
+pin payloads exactly. Payload shapes — Slack attachment fields/colors/
+emojis, Teams MessageCard facts, webhook dict — follow the reference so
+a receiver configured for it accepts these unchanged."""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.request
+from abc import ABC, abstractmethod
+from collections.abc import Callable
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from enum import Enum
+
+# (url, payload, headers) -> HTTP status code
+PostJson = Callable[[str, dict, dict], int]
+
+
+def _urllib_post(url: str, payload: dict, headers: dict) -> int:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", **headers},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:  # noqa: S310 (caller-configured webhook)
+        return resp.status
+
+
+class NotificationLevel(Enum):
+    DEBUG = "debug"
+    INFO = "info"
+    WARNING = "warning"
+    ERROR = "error"
+    CRITICAL = "critical"
+
+
+_LEVEL_ORDER = list(NotificationLevel)
+
+
+@dataclass
+class Notification:
+    title: str
+    message: str
+    level: NotificationLevel = NotificationLevel.INFO
+    source: str | None = None
+    timestamp: datetime = field(
+        default_factory=lambda: datetime.now(tz=timezone.utc).replace(tzinfo=None)
+    )
+    metadata: dict = field(default_factory=dict)
+    tags: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {
+            "title": self.title,
+            "message": self.message,
+            "level": self.level.value,
+            "source": self.source,
+            "timestamp": self.timestamp.isoformat(),
+            "metadata": self.metadata,
+            "tags": self.tags,
+        }
+
+
+class NotificationChannel(ABC):
+    @abstractmethod
+    def send(self, notification: Notification) -> bool: ...
+
+    @abstractmethod
+    def test_connection(self) -> bool: ...
+
+
+class ConsoleNotifier(NotificationChannel):
+    """Dev channel: plain formatted print (reference channels.py:395-430,
+    minus emoji glyphs — log files shouldn't need a unicode terminal)."""
+
+    def __init__(self, printer: Callable[[str], None] = print):
+        self.printer = printer
+
+    def send(self, notification: Notification) -> bool:
+        lines = [
+            f"[{notification.level.value.upper()}] {notification.title}",
+            "-" * 50,
+            notification.message,
+            f"Time: {notification.timestamp.isoformat()}",
+        ]
+        if notification.metadata:
+            lines.append(f"Metadata: {notification.metadata}")
+        self.printer("\n".join(lines))
+        return True
+
+    def test_connection(self) -> bool:
+        return True
+
+
+class SlackNotifier(NotificationChannel):
+    """Incoming-webhook attachment payload (reference channels.py:144-246)."""
+
+    LEVEL_COLORS = {
+        NotificationLevel.DEBUG: "#808080",
+        NotificationLevel.INFO: "#2196F3",
+        NotificationLevel.WARNING: "#FF9800",
+        NotificationLevel.ERROR: "#F44336",
+        NotificationLevel.CRITICAL: "#9C27B0",
+    }
+    LEVEL_EMOJIS = {
+        NotificationLevel.DEBUG: ":mag:",
+        NotificationLevel.INFO: ":information_source:",
+        NotificationLevel.WARNING: ":warning:",
+        NotificationLevel.ERROR: ":x:",
+        NotificationLevel.CRITICAL: ":rotating_light:",
+    }
+
+    def __init__(
+        self,
+        webhook_url: str,
+        channel: str | None = None,
+        username: str = "automic_etl_spark",
+        icon_emoji: str = ":robot_face:",
+        post_json: PostJson = _urllib_post,
+    ):
+        self.webhook_url = webhook_url
+        self.channel = channel
+        self.username = username
+        self.icon_emoji = icon_emoji
+        self.post_json = post_json
+
+    def build_payload(self, n: Notification) -> dict:
+        emoji = self.LEVEL_EMOJIS.get(n.level, ":bell:")
+        fields = [
+            {"title": "Level", "value": n.level.value, "short": True},
+            {"title": "Time", "value": n.timestamp.strftime("%Y-%m-%d %H:%M:%S"), "short": True},
+        ] + [
+            {"title": k, "value": str(v)[:100], "short": True}
+            for k, v in list(n.metadata.items())[:5]
+        ]
+        payload = {
+            "username": self.username,
+            "icon_emoji": self.icon_emoji,
+            "attachments": [
+                {
+                    "color": self.LEVEL_COLORS.get(n.level, "#808080"),
+                    "title": f"{emoji} {n.title}",
+                    "text": n.message,
+                    "fields": fields,
+                    "footer": f"Source: {n.source or 'automic_etl_spark'}",
+                    "ts": int(n.timestamp.replace(tzinfo=timezone.utc).timestamp()),
+                }
+            ],
+        }
+        if self.channel:
+            payload["channel"] = self.channel
+        return payload
+
+    def send(self, notification: Notification) -> bool:
+        try:
+            return self.post_json(self.webhook_url, self.build_payload(notification), {}) < 300
+        except Exception:
+            return False
+
+    def test_connection(self) -> bool:
+        try:
+            return self.post_json(self.webhook_url, {"text": "Test message"}, {}) == 200
+        except Exception:
+            return False
+
+
+class TeamsNotifier(NotificationChannel):
+    """MessageCard payload (reference channels.py:313-392)."""
+
+    LEVEL_COLORS = {
+        NotificationLevel.DEBUG: "808080",
+        NotificationLevel.INFO: "0078D7",
+        NotificationLevel.WARNING: "FFC107",
+        NotificationLevel.ERROR: "DC3545",
+        NotificationLevel.CRITICAL: "6F42C1",
+    }
+
+    def __init__(self, webhook_url: str, post_json: PostJson = _urllib_post):
+        self.webhook_url = webhook_url
+        self.post_json = post_json
+
+    def build_payload(self, n: Notification) -> dict:
+        facts = [
+            {"name": "Time", "value": n.timestamp.isoformat()},
+            {"name": "Source", "value": n.source or "automic_etl_spark"},
+        ] + [{"name": k, "value": str(v)[:100]} for k, v in list(n.metadata.items())[:5]]
+        return {
+            "@type": "MessageCard",
+            "@context": "http://schema.org/extensions",
+            "themeColor": self.LEVEL_COLORS.get(n.level, "808080"),
+            "summary": n.title,
+            "sections": [
+                {
+                    "activityTitle": n.title,
+                    "activitySubtitle": f"Level: {n.level.value}",
+                    "facts": facts,
+                    "text": n.message,
+                }
+            ],
+        }
+
+    def send(self, notification: Notification) -> bool:
+        try:
+            return self.post_json(self.webhook_url, self.build_payload(notification), {}) < 300
+        except Exception:
+            return False
+
+    def test_connection(self) -> bool:
+        try:
+            return (
+                self.post_json(
+                    self.webhook_url, {"@type": "MessageCard", "summary": "Test", "text": "Test"}, {}
+                )
+                == 200
+            )
+        except Exception:
+            return False
+
+
+class WebhookNotifier(NotificationChannel):
+    """Generic webhook: raw notification dict (reference channels.py:250-310)."""
+
+    def __init__(self, url: str, headers: dict | None = None, post_json: PostJson = _urllib_post):
+        self.url = url
+        self.headers = headers or {}
+        self.post_json = post_json
+
+    def send(self, notification: Notification) -> bool:
+        try:
+            return self.post_json(self.url, notification.to_dict(), self.headers) < 300
+        except Exception:
+            return False
+
+    def test_connection(self) -> bool:
+        try:
+            return self.post_json(self.url, {}, self.headers) < 500
+        except Exception:
+            return False
+
+
+class EmailNotifier(NotificationChannel):
+    """SMTP via stdlib (reference channels.py:22-141, which uses
+    smtplib too). ``smtp_factory`` returns a connected client exposing
+    send_message/quit — tests inject a recorder; production uses
+    smtplib.SMTP(_SSL)."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        from_addr: str,
+        to_addrs: list[str],
+        username: str | None = None,
+        password: str | None = None,
+        use_tls: bool = True,
+        smtp_factory: Callable | None = None,
+    ):
+        self.host, self.port = host, port
+        self.from_addr, self.to_addrs = from_addr, to_addrs
+        self.username, self.password = username, password
+        self.use_tls = use_tls
+        self.smtp_factory = smtp_factory or self._default_factory
+
+    def _default_factory(self):
+        import smtplib
+
+        client = smtplib.SMTP(self.host, self.port, timeout=10)
+        if self.use_tls:
+            client.starttls()
+        if self.username:
+            client.login(self.username, self.password or "")
+        return client
+
+    def build_message(self, n: Notification):
+        from email.mime.multipart import MIMEMultipart
+        from email.mime.text import MIMEText
+
+        msg = MIMEMultipart("alternative")
+        msg["Subject"] = f"[{n.level.value.upper()}] {n.title}"
+        msg["From"] = self.from_addr
+        msg["To"] = ", ".join(self.to_addrs)
+        meta = "".join(f"<li><b>{k}</b>: {v}</li>" for k, v in n.metadata.items())
+        html = (
+            f"<h2>{n.title}</h2><p>{n.message}</p>"
+            f"<p>Level: {n.level.value} | Time: {n.timestamp.isoformat()}</p>"
+            + (f"<ul>{meta}</ul>" if meta else "")
+        )
+        msg.attach(MIMEText(n.message, "plain"))
+        msg.attach(MIMEText(html, "html"))
+        return msg
+
+    def send(self, notification: Notification) -> bool:
+        try:
+            client = self.smtp_factory()
+            try:
+                client.send_message(self.build_message(notification))
+            finally:
+                client.quit()
+            return True
+        except Exception:
+            return False
+
+    def test_connection(self) -> bool:
+        try:
+            self.smtp_factory().quit()
+            return True
+        except Exception:
+            return False
+
+
+class Notifier:
+    """Central router (reference notifier.py:63-220): min-level filter,
+    per-minute rate limit, named-channel targeting, history."""
+
+    def __init__(
+        self,
+        min_level: NotificationLevel = NotificationLevel.INFO,
+        rate_limit_per_minute: int | None = None,
+        clock: Callable[[], float] = time.time,
+    ):
+        self.min_level = min_level
+        self.rate_limit = rate_limit_per_minute
+        self.clock = clock
+        self.channels: dict[str, NotificationChannel] = {}
+        self.history: list[Notification] = []
+        self._sent_count = 0
+        self._last_reset = clock()
+
+    def add_channel(self, name: str, channel: NotificationChannel) -> None:
+        self.channels[name] = channel
+
+    def remove_channel(self, name: str) -> bool:
+        return self.channels.pop(name, None) is not None
+
+    def _check_rate_limit(self) -> bool:
+        if not self.rate_limit:
+            return True
+        now = self.clock()
+        if now - self._last_reset >= 60:
+            self._sent_count = 0
+            self._last_reset = now
+        return self._sent_count < self.rate_limit
+
+    def _should_send(self, n: Notification) -> bool:
+        return _LEVEL_ORDER.index(n.level) >= _LEVEL_ORDER.index(self.min_level)
+
+    def send(
+        self,
+        title: str,
+        message: str,
+        level: NotificationLevel = NotificationLevel.INFO,
+        channels: list[str] | None = None,
+        **metadata,
+    ) -> bool:
+        return self.send_notification(
+            Notification(title=title, message=message, level=level, metadata=metadata), channels
+        )
+
+    def send_notification(self, n: Notification, channels: list[str] | None = None) -> bool:
+        if not self._should_send(n) or not self._check_rate_limit():
+            return False
+        self.history.append(n)
+        success = False
+        for name in channels or list(self.channels):
+            ch = self.channels.get(name)
+            if ch is None:
+                continue
+            try:
+                if ch.send(n):
+                    success = True
+                    self._sent_count += 1
+            except Exception:
+                continue  # one broken channel must not block the others
+        return success
+
+    def test_all_channels(self) -> dict[str, bool]:
+        return {name: ch.test_connection() for name, ch in self.channels.items()}
+
+
+_SEVERITY_LEVEL = {
+    "info": NotificationLevel.INFO,
+    "warning": NotificationLevel.WARNING,
+    "critical": NotificationLevel.CRITICAL,
+}
+
+
+def notifier_sink(notifier: Notifier, source: str = "alerts") -> Callable:
+    """Adapter: AlertManager sink -> Notifier broadcast, mapping alert
+    severity onto notification levels, so engine alert rules fan out to
+    every configured channel."""
+
+    def sink(alert) -> None:
+        notifier.send_notification(
+            Notification(
+                title=alert.rule,
+                message=alert.message,
+                level=_SEVERITY_LEVEL.get(alert.severity, NotificationLevel.WARNING),
+                source=source,
+                metadata={"alert_id": alert.id, "fired_at": alert.fired_at},
+            )
+        )
+
+    return sink

@@ -1,0 +1,132 @@
+"""Notification channels + router (reference notifications/notifier.py,
+channels.py): payload shapes via injectable transports."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from automic_etl_spark.notifications import (
+    AlertManager,
+    AlertRule,
+    ConsoleNotifier,
+    EmailNotifier,
+    Notification,
+    NotificationLevel,
+    Notifier,
+    SlackNotifier,
+    TeamsNotifier,
+    WebhookNotifier,
+    notifier_sink,
+)
+
+TS = datetime(2026, 3, 1, 12, 0, 0)
+
+
+def _note(level=NotificationLevel.ERROR, **meta):
+    return Notification(
+        title="Load failed", message="stage 3 died", level=level, source="nightly",
+        timestamp=TS, metadata=meta,
+    )
+
+
+class PostRecorder:
+    def __init__(self, status=200):
+        self.status = status
+        self.calls = []
+
+    def __call__(self, url, payload, headers):
+        self.calls.append((url, payload, headers))
+        return self.status
+
+
+def test_slack_payload_shape():
+    rec = PostRecorder()
+    ch = SlackNotifier("http://hook", channel="#etl", post_json=rec)
+    assert ch.send(_note(table="orders"))
+    url, payload, _ = rec.calls[0]
+    att = payload["attachments"][0]
+    assert att["color"] == "#F44336"
+    assert att["title"] == ":x: Load failed"
+    assert {"title": "Level", "value": "error", "short": True} in att["fields"]
+    assert {"title": "table", "value": "orders", "short": True} in att["fields"]
+    assert payload["channel"] == "#etl"
+    assert att["footer"] == "Source: nightly"
+
+
+def test_teams_message_card():
+    rec = PostRecorder()
+    ch = TeamsNotifier("http://hook", post_json=rec)
+    assert ch.send(_note(level=NotificationLevel.CRITICAL))
+    payload = rec.calls[0][1]
+    assert payload["@type"] == "MessageCard"
+    assert payload["themeColor"] == "6F42C1"
+    facts = payload["sections"][0]["facts"]
+    assert {"name": "Source", "value": "nightly"} in facts
+
+
+def test_webhook_sends_raw_dict_and_failure_is_false():
+    rec = PostRecorder()
+    ch = WebhookNotifier("http://sink", headers={"X-K": "1"}, post_json=rec)
+    assert ch.send(_note())
+    url, payload, headers = rec.calls[0]
+    assert payload["level"] == "error" and payload["timestamp"] == TS.isoformat()
+    assert headers == {"X-K": "1"}
+    assert not WebhookNotifier("http://sink", post_json=PostRecorder(500)).send(_note())
+
+
+def test_email_builds_multipart_message():
+    sent = []
+
+    class FakeSMTP:
+        def send_message(self, msg):
+            sent.append(msg)
+
+        def quit(self):
+            pass
+
+    ch = EmailNotifier("h", 25, "etl@x.com", ["ops@x.com"], smtp_factory=FakeSMTP)
+    assert ch.send(_note())
+    msg = sent[0]
+    assert msg["Subject"] == "[ERROR] Load failed"
+    assert msg["To"] == "ops@x.com"
+    parts = [p.get_content_type() for p in msg.get_payload()]
+    assert parts == ["text/plain", "text/html"]
+    assert ch.test_connection()
+
+
+def test_console_channel_prints(capsys=None):
+    lines = []
+    ch = ConsoleNotifier(printer=lines.append)
+    assert ch.send(_note())
+    assert "[ERROR] Load failed" in lines[0]
+
+
+def test_notifier_level_filter_rate_limit_and_targeting():
+    rec = PostRecorder()
+    t = {"now": 0.0}
+    n = Notifier(min_level=NotificationLevel.WARNING, rate_limit_per_minute=2, clock=lambda: t["now"])
+    n.add_channel("slack", SlackNotifier("http://hook", post_json=rec))
+    n.add_channel("wh", WebhookNotifier("http://sink", post_json=rec))
+
+    assert not n.send("d", "m", level=NotificationLevel.DEBUG)  # filtered
+    assert n.send("w", "m", level=NotificationLevel.WARNING)  # both channels -> 2 sends
+    assert not n.send("e", "m", level=NotificationLevel.ERROR)  # rate limited
+    t["now"] = 61.0
+    assert n.send("e2", "m", level=NotificationLevel.ERROR, channels=["wh"])
+    assert len(n.history) == 2  # filtered + limited are not recorded
+    assert len(rec.calls) == 3  # 2 broadcast + 1 targeted
+    assert n.test_all_channels() == {"slack": True, "wh": True}
+    assert n.remove_channel("wh") and not n.remove_channel("wh")
+
+
+def test_alert_manager_bridges_to_channels():
+    rec = PostRecorder()
+    notifier = Notifier()
+    notifier.add_channel("slack", SlackNotifier("http://hook", post_json=rec))
+    mgr = AlertManager(sinks=[notifier_sink(notifier)])
+    mgr.add_rule(AlertRule.missing_data("no_rows", min_rows=10))
+    fired = mgr.evaluate({"row_count": 0})
+    assert len(fired) == 1
+    payload = rec.calls[0][1]
+    assert payload["attachments"][0]["title"].endswith("no_rows")
+    assert notifier.history[0].metadata["alert_id"] == fired[0].id
