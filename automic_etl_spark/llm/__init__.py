@@ -11,12 +11,15 @@ variants use mapInPandas batching)."""
 
 from automic_etl_spark.llm.client import LLMClient, OfflineBackend
 from automic_etl_spark.llm.sql_assistant import SQLAssistant, TableSchema
+from automic_etl_spark.llm.query_builder import QueryBuilder, QueryResult
 from automic_etl_spark.llm.schema_generator import infer_schema_suggestions
 from automic_etl_spark.llm.data_classifier import classify_columns
 from automic_etl_spark.llm.entity_extractor import extract_entities
 from automic_etl_spark.llm.augmented_etl import auto_clean, run_generated_snippet
 
 __all__ = [
+    "QueryBuilder",
+    "QueryResult",
     "LLMClient",
     "OfflineBackend",
     "SQLAssistant",

@@ -1,0 +1,328 @@
+"""NL→SQL query building + plan-derived query advice.
+
+Reference (llm/query_builder.py:31-354): QueryBuilder registers table
+schemas, prompts an LLM for NL→SQL, and asks the LLM again for query
+explanation, optimization suggestions, sort-order/index suggestions,
+validation, and test-query generation.
+
+Spark-first inversion: everything except the NL→SQL hop is computable
+**exactly** from Catalyst, so here only ``build_query`` touches the
+(injectable, offline-by-default) LLM seam. The rest analyze the real
+parsed/analyzed/optimized plans:
+
+- ``validate_query``: real ParseException/AnalysisException capture plus
+  read-only-gate + plan-shape performance checks — not an LLM guessing
+  at syntax.
+- ``optimize_query``: anti-patterns read off the optimized plan
+  (cartesian/nested-loop joins, global sort without limit, SELECT *),
+  with a sound broadcast-hint rewrite when the caller declares small
+  tables.
+- ``suggest_sort_orders``: partition/sort/Z-order candidates extracted
+  from the query's own equality/range predicates and join keys.
+- ``generate_test_queries``: deterministic from the registered schema,
+  each emitted query parse-checked before it's returned.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from automic_etl_spark.llm.sql_assistant import SQLAssistant, TableSchema
+from automic_etl_spark.plans import sqlgate
+
+_NUMERIC = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint", "long")
+_TEMPORAL = ("date", "timestamp")
+
+
+@dataclass
+class QueryResult:
+    """(reference llm/query_builder.py:19-28)"""
+
+    sql: str
+    explanation: str = ""
+    tables_used: list[str] = field(default_factory=list)
+    complexity: str = "unknown"
+    warnings: list[str] = field(default_factory=list)
+    is_valid: bool = False
+    metadata: dict = field(default_factory=dict)
+
+
+def _walk(root):
+    """Iterate a Catalyst plan tree (py4j TreeNode)."""
+    out = [root]
+    i = 0
+    while i < len(out):
+        node = out[i]
+        i += 1
+        for j in range(node.children().size()):
+            out.append(node.children().apply(j))
+    return out
+
+
+def _expr_walk(expr):
+    out = [expr]
+    i = 0
+    while i < len(out):
+        e = out[i]
+        i += 1
+        try:
+            for j in range(e.children().size()):
+                out.append(e.children().apply(j))
+        except Exception:
+            pass
+    return out
+
+
+def _attr_names(expr) -> list[str]:
+    return [
+        str(e.name())
+        for e in _expr_walk(expr)
+        if e.getClass().getSimpleName() == "AttributeReference"
+    ]
+
+
+class QueryBuilder:
+    def __init__(self, spark: SparkSession, assistant: SQLAssistant | None = None):
+        self.spark = spark
+        self.assistant = assistant or SQLAssistant(spark)
+
+    # -- registration (delegates to the shared assistant registry) ------
+
+    def register_table(self, name: str, schema: dict[str, str], description: str = "") -> None:
+        self.assistant.register_table(TableSchema(name, schema, description))
+
+    def register_dataframe(self, name: str, df: DataFrame, description: str = "") -> None:
+        self.assistant.register_dataframe(name, df, description=description)
+
+    # -- NL -> SQL (the one genuinely-LLM hop) --------------------------
+
+    def build_query(self, natural_query: str, context: list[str] | None = None) -> QueryResult:
+        """NL→SQL via the assistant; validity, complexity, tables, and
+        warnings come from the real plan, never the model's self-report
+        (reference llm/query_builder.py:84-141 trusts the LLM for all
+        four)."""
+        try:
+            raw = self.assistant.natural_language_to_sql(natural_query, context)
+        except PermissionError as e:
+            # generated SQL touched an unregistered/restricted table —
+            # report, don't raise: callers get a structured result
+            return QueryResult(sql="", warnings=[str(e)], metadata={"error": str(e)})
+        sql = raw.get("sql", "")
+        if not sql:
+            return QueryResult(sql="", metadata=raw)
+        check = self.validate_query(sql)
+        return QueryResult(
+            sql=sql,
+            explanation=raw.get("explanation", ""),
+            tables_used=sorted(sqlgate.referenced_tables(self.spark, sql)) if check["is_valid"] else [],
+            complexity=self.estimate_complexity(sql) if check["is_valid"] else "unknown",
+            warnings=check["performance_issues"],
+            is_valid=check["is_valid"],
+            metadata=raw,
+        )
+
+    # -- plan-derived analysis ------------------------------------------
+
+    def estimate_complexity(self, sql: str) -> str:
+        """Joins+aggregates+windows counted from the parsed plan. Inline
+        OVER clauses live in expression trees pre-analysis, so count
+        Window* expression classes too, once per hosting node."""
+        heavy = 0
+        for n in _walk(sqlgate.parse_plan(self.spark, sql)):
+            if n.getClass().getSimpleName() in ("Join", "Aggregate", "Window", "UnresolvedWith"):
+                heavy += 1
+            try:
+                exprs = [n.expressions().apply(i) for i in range(n.expressions().size())]
+            except Exception:
+                exprs = []
+            if any(
+                "Window" in e.getClass().getSimpleName()
+                for root in exprs
+                for e in _expr_walk(root)
+            ):
+                heavy += 1
+        return "low" if heavy == 0 else ("medium" if heavy <= 2 else "high")
+
+    def explain_query(self, sql: str) -> str:
+        """Real formatted EXPLAIN (reference prompts an LLM teacher,
+        llm/query_builder.py:150-178; the engine's own plan is the
+        ground truth)."""
+        sqlgate.assert_read_only(self.spark, sql)
+        return sqlgate.explain_formatted(self.spark, self.spark.sql(sql))
+
+    def validate_query(self, sql: str) -> dict:
+        """Same result contract as the reference's LLM validation
+        (llm/query_builder.py:268-307) with engine-true findings."""
+        from pyspark.errors import AnalysisException, ParseException
+
+        out = {
+            "is_valid": True,
+            "syntax_issues": [],
+            "semantic_issues": [],
+            "performance_issues": [],
+            "security_issues": [],
+            "suggestions": [],
+        }
+        stripped = sql.strip().rstrip(";")
+        if ";" in stripped:
+            out["security_issues"].append("multi-statement input is not allowed")
+            out["is_valid"] = False
+            return out
+        try:
+            if not sqlgate.is_read_only(self.spark, sql):
+                out["security_issues"].append("statement mutates state; this surface is read-only")
+                out["is_valid"] = False
+                return out
+        except Exception as e:
+            out["syntax_issues"].append(str(e).splitlines()[0])
+            out["is_valid"] = False
+            return out
+        try:
+            df = self.spark.sql(sql)
+        except ParseException as e:
+            out["syntax_issues"].append(str(e).splitlines()[0])
+            out["is_valid"] = False
+            return out
+        except AnalysisException as e:
+            out["semantic_issues"].append(str(e).splitlines()[0])
+            out["is_valid"] = False
+            return out
+        out["performance_issues"] = self._plan_issues(df, sql)
+        if out["performance_issues"]:
+            out["suggestions"].append("see performance_issues; the plan itself is the evidence")
+        return out
+
+    def _plan_issues(self, df: DataFrame, sql: str) -> list[str]:
+        issues = []
+        plan = df._jdf.queryExecution().optimizedPlan()
+        classes = [n.getClass().getSimpleName() for n in _walk(plan)]
+        joins = [n for n in _walk(plan) if n.getClass().getSimpleName() == "Join"]
+        for j in joins:
+            if "Cross" in str(j.joinType().toString()) or not j.condition().isDefined():
+                issues.append("cartesian/cross join: every row pairs with every row — add an equi-join condition")
+        has_limit = any(c in ("GlobalLimit", "LocalLimit") for c in classes)
+        for n in _walk(plan):
+            if n.getClass().getSimpleName() == "Sort":
+                try:
+                    is_global = getattr(n, "global")()
+                except Exception:
+                    is_global = True
+                if is_global and not has_limit:
+                    issues.append("global ORDER BY without LIMIT: full-data sort; add LIMIT or drop the sort")
+                    break
+        if re.search(r"select\s+\*", sql, re.IGNORECASE):
+            issues.append("SELECT *: blocks column pruning; project only needed columns")
+        return issues
+
+    def optimize_query(self, sql: str, small_tables: list[str] | None = None) -> dict:
+        """Plan-derived suggestions + the one rewrite that is sound
+        without table statistics: broadcast hints for caller-declared
+        small tables (reference llm/query_builder.py:179-222 asks an
+        LLM to rewrite the SQL wholesale)."""
+        check = self.validate_query(sql)
+        if not check["is_valid"]:
+            return {
+                "optimized_sql": sql,
+                "changes_made": [],
+                "expected_improvement": "none — query invalid",
+                "warnings": check["syntax_issues"] + check["semantic_issues"] + check["security_issues"],
+            }
+        changes, optimized = list(check["performance_issues"]), sql
+        if small_tables:
+            present = sorted(
+                set(t.lower() for t in small_tables)
+                & sqlgate.referenced_tables(self.spark, sql)
+            )
+            if present:
+                hint = f"/*+ BROADCAST({', '.join(present)}) */"
+                optimized = re.sub(r"(?i)\bselect\b", f"SELECT {hint}", sql, count=1)
+                changes.append(f"broadcast hint for small tables: {', '.join(present)}")
+        return {
+            "optimized_sql": optimized,
+            "changes_made": changes,
+            "expected_improvement": "shuffle avoided on broadcast joins" if optimized != sql else (
+                "apply the listed changes manually" if changes else "plan is already clean"
+            ),
+            "warnings": [],
+        }
+
+    def suggest_sort_orders(self, sql: str) -> dict:
+        """Partition/sort/Z-order candidates from the query's own
+        predicates (reference llm/query_builder.py:224-266 asks an LLM):
+        equality-filter columns partition-prune, range-filter columns
+        sort-prune (2+ → Z-order), join keys want co-location."""
+        df = self.spark.sql(sql)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        eq_cols, range_cols, join_cols = [], [], []
+        for n in _walk(plan):
+            cls = n.getClass().getSimpleName()
+            if cls == "Filter":
+                for e in _expr_walk(n.condition()):
+                    ecls = e.getClass().getSimpleName()
+                    names = _attr_names(e)
+                    if ecls in ("EqualTo", "EqualNullSafe", "In", "InSet") and names:
+                        eq_cols += names
+                    elif ecls in ("GreaterThan", "GreaterThanOrEqual", "LessThan", "LessThanOrEqual") and names:
+                        range_cols += names
+            elif cls == "Join" and n.condition().isDefined():
+                join_cols += _attr_names(n.condition().get())
+        dedup = lambda xs: sorted(set(xs))  # noqa: E731
+        z = dedup(range_cols) if len(set(range_cols)) >= 2 else []
+        return {
+            "partition_columns": dedup(eq_cols),
+            "sort_columns": dedup(range_cols) or dedup(join_cols),
+            "z_order_columns": z,
+            "reasoning": (
+                "equality predicates prune partitions; range predicates prune sorted/Z-ordered "
+                "files (Z-order when 2+ dimensions); join keys benefit from co-located sort"
+            ),
+        }
+
+    def generate_test_queries(self, table: str, num_queries: int = 5) -> list[str]:
+        """Deterministic schema-derived probes, parse-checked
+        (reference llm/query_builder.py:309-354 asks an LLM)."""
+        schema = self.assistant.schemas.get(table)
+        if schema is None:
+            raise ValueError(f"table {table!r} not registered")
+        cols = list(schema.columns.items())
+        num_col = next((c for c, d in cols if d.startswith(_NUMERIC)), None)
+        str_col = next((c for c, d in cols if d == "string"), None)
+        time_col = next((c for c, d in cols if d.startswith(_TEMPORAL)), None)
+        first = cols[0][0]
+        candidates = [f"SELECT * FROM {table} LIMIT 10"]
+        if num_col:
+            candidates.append(
+                f"SELECT count(*) AS n, avg({num_col}) AS avg_{num_col} FROM {table}"
+            )
+        if str_col and num_col:
+            candidates.append(
+                f"SELECT {str_col}, sum({num_col}) AS total FROM {table} "
+                f"GROUP BY {str_col} ORDER BY total DESC LIMIT 20"
+            )
+        if str_col:
+            candidates.append(
+                f"SELECT {first}, row_number() OVER (PARTITION BY {str_col} ORDER BY {first}) AS rn "
+                f"FROM {table}"
+            )
+        if num_col:
+            candidates.append(
+                f"SELECT * FROM {table} WHERE {num_col} > (SELECT avg({num_col}) FROM {table}) LIMIT 10"
+            )
+        if time_col:
+            candidates.append(
+                f"SELECT date_trunc('month', {time_col}) AS month, count(*) AS n "
+                f"FROM {table} GROUP BY 1 ORDER BY 1"
+            )
+        out = []
+        for q in candidates:
+            try:
+                sqlgate.parse_plan(self.spark, q)
+                out.append(q)
+            except Exception:
+                continue
+            if len(out) >= num_queries:
+                break
+        return out

@@ -1,0 +1,111 @@
+"""QueryBuilder: plan-derived validation/optimization/sort-order advice
+(reference llm/query_builder.py — LLM-prompted there, Catalyst-true here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.llm import QueryBuilder
+
+
+@pytest.fixture()
+def qb(spark):
+    b = QueryBuilder(spark)
+    b.register_dataframe(
+        "sales",
+        spark.createDataFrame(
+            [(1, "eu", "2026-01-05", 10.0, 3), (2, "us", "2026-02-07", 20.0, 1)],
+            "sale_id long, region string, sale_date string, amount double, qty long",
+        ).selectExpr("sale_id", "region", "cast(sale_date as date) sale_date", "amount", "qty"),
+    )
+    b.register_dataframe(
+        "regions",
+        spark.createDataFrame([("eu", "Europe"), ("us", "США")], "region string, region_name string"),
+    )
+    return b
+
+
+def test_validate_good_query(qb):
+    out = qb.validate_query("SELECT region, sum(amount) AS total FROM sales GROUP BY region")
+    assert out["is_valid"]
+    assert out["syntax_issues"] == out["semantic_issues"] == out["security_issues"] == []
+
+
+def test_validate_syntax_semantic_security(qb):
+    assert qb.validate_query("SELEC broken FROM")["syntax_issues"]
+    sem = qb.validate_query("SELECT no_such_col FROM sales")
+    assert not sem["is_valid"] and sem["semantic_issues"]
+    sec = qb.validate_query("DROP TABLE sales")
+    assert not sec["is_valid"] and sec["security_issues"]
+    multi = qb.validate_query("SELECT 1; DROP TABLE sales")
+    assert "multi-statement" in multi["security_issues"][0]
+
+
+def test_validate_flags_plan_antipatterns(qb):
+    cross = qb.validate_query("SELECT * FROM sales, regions")
+    assert any("cartesian" in i for i in cross["performance_issues"])
+    assert any("SELECT *" in i for i in cross["performance_issues"])
+    sort = qb.validate_query("SELECT sale_id FROM sales ORDER BY amount")
+    assert any("without LIMIT" in i for i in sort["performance_issues"])
+    ok = qb.validate_query("SELECT sale_id FROM sales ORDER BY amount LIMIT 5")
+    assert ok["performance_issues"] == []
+
+
+def test_optimize_injects_broadcast_hint_only_for_referenced(qb):
+    sql = "SELECT s.region, sum(s.amount) AS t FROM sales s JOIN regions r ON s.region = r.region GROUP BY s.region"
+    out = qb.optimize_query(sql, small_tables=["regions", "unrelated"])
+    assert out["optimized_sql"].startswith("SELECT /*+ BROADCAST(regions) */")
+    assert qb.validate_query(out["optimized_sql"])["is_valid"]
+    noop = qb.optimize_query(sql)
+    assert noop["optimized_sql"] == sql and noop["changes_made"] == []
+
+
+def test_suggest_sort_orders_from_predicates(qb):
+    sql = (
+        "SELECT s.sale_id FROM sales s JOIN regions r ON s.region = r.region "
+        "WHERE s.region = 'eu' AND s.sale_date >= date'2026-01-01' AND s.amount > 5"
+    )
+    out = qb.suggest_sort_orders(sql)
+    assert "region" in out["partition_columns"]
+    assert {"amount", "sale_date"} <= set(out["sort_columns"])
+    assert set(out["z_order_columns"]) == {"amount", "sale_date"}
+
+
+def test_explain_is_real_plan(qb):
+    txt = qb.explain_query("SELECT region, count(*) AS n FROM sales GROUP BY region")
+    assert "Physical Plan" in txt and "HashAggregate" in txt
+
+
+def test_estimate_complexity_buckets(qb):
+    assert qb.estimate_complexity("SELECT sale_id FROM sales") == "low"
+    assert qb.estimate_complexity("SELECT region, count(*) FROM sales GROUP BY region") == "medium"
+    assert (
+        qb.estimate_complexity(
+            "SELECT s.region, count(*), row_number() OVER (ORDER BY count(*)) "
+            "FROM sales s JOIN regions r ON s.region = r.region GROUP BY s.region"
+        )
+        == "high"
+    )
+
+
+def test_generate_test_queries_all_parse_and_run(qb, spark):
+    qs = qb.generate_test_queries("sales", num_queries=6)
+    assert len(qs) >= 5
+    for q in qs:
+        spark.sql(q).collect()  # every generated query actually executes
+    assert any("date_trunc" in q for q in qs)
+
+
+def test_build_query_uses_plan_not_self_report(qb):
+    res = qb.build_query("show me the top customers")
+    # offline rule produces an orders query; 'orders' is not registered →
+    # restricted-by-default ACL failure must surface as invalid, not raise
+    assert not res.is_valid and res.warnings and "restricted" in res.warnings[0]
+
+    qb.assistant.register_dataframe(
+        "orders",
+        qb.spark.createDataFrame([(1, 5.0)], "o_custkey long, o_totalprice double"),
+    )
+    res2 = qb.build_query("show me the top customers")
+    assert res2.is_valid and res2.tables_used == ["orders"]
+    assert res2.complexity in ("medium", "high")
