@@ -1,0 +1,504 @@
+"""Operational metastore: durable registries + run history on sqlite3.
+
+Reference (db/models.py:27-360 and db/*_service.py): SQLAlchemy models
+and services persisting pipelines/runs, job schedules/runs, validation
+rules/results, connector configs, alert rules/history, the table
+registry, and an audit log (engine.py initializes SQLite by default).
+
+Spark-first differences: stdlib ``sqlite3`` (no SQLAlchemy in the
+image) with the same service semantics; engine state that already has a
+durable home stays there (table data/versions live in the manifest
+``Warehouse``; this registry stores *descriptions* of tables, not
+truth). Bridges persist live engine objects — a ``ValidationReport``, a
+``WorkflowResult``, an ``AlertManager`` firing — so operational history
+survives process restarts, which the engine's in-memory
+scheduler/alert/workflow layers deliberately do not.
+
+Concurrency model: a single connection guarded by an RLock. This is an
+operational metadata store (rows per run, not per record); contention
+is driver-side and tiny. Nothing here ever touches the distributed
+data path.
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+import threading
+import time
+import uuid
+from collections.abc import Callable
+
+_DDL = """
+CREATE TABLE IF NOT EXISTS pipelines (
+  id TEXT PRIMARY KEY, name TEXT UNIQUE NOT NULL, description TEXT,
+  config TEXT, enabled INTEGER DEFAULT 1, created_at REAL, updated_at REAL);
+CREATE TABLE IF NOT EXISTS pipeline_runs (
+  id TEXT PRIMARY KEY, pipeline_id TEXT NOT NULL, status TEXT NOT NULL,
+  started_at REAL, finished_at REAL, rows_processed INTEGER,
+  error TEXT, detail TEXT);
+CREATE TABLE IF NOT EXISTS job_schedules (
+  id TEXT PRIMARY KEY, name TEXT UNIQUE NOT NULL, pipeline_id TEXT,
+  interval_seconds REAL, enabled INTEGER DEFAULT 1,
+  last_run_at REAL, created_at REAL);
+CREATE TABLE IF NOT EXISTS job_runs (
+  id TEXT PRIMARY KEY, schedule_id TEXT NOT NULL, status TEXT NOT NULL,
+  started_at REAL, finished_at REAL, error TEXT);
+CREATE TABLE IF NOT EXISTS validation_rules (
+  id TEXT PRIMARY KEY, name TEXT NOT NULL, table_name TEXT NOT NULL,
+  rule_type TEXT NOT NULL, config TEXT, severity TEXT DEFAULT 'error',
+  enabled INTEGER DEFAULT 1, created_at REAL);
+CREATE TABLE IF NOT EXISTS validation_results (
+  id TEXT PRIMARY KEY, rule_name TEXT NOT NULL, table_name TEXT NOT NULL,
+  passed INTEGER NOT NULL, n_violations INTEGER, total_rows INTEGER,
+  run_at REAL);
+CREATE TABLE IF NOT EXISTS connectors (
+  id TEXT PRIMARY KEY, name TEXT UNIQUE NOT NULL, connector_type TEXT NOT NULL,
+  config TEXT, enabled INTEGER DEFAULT 1, last_used_at REAL, created_at REAL);
+CREATE TABLE IF NOT EXISTS alert_history (
+  id TEXT PRIMARY KEY, rule TEXT NOT NULL, severity TEXT, message TEXT,
+  status TEXT DEFAULT 'active', fired_at REAL, resolved_at REAL);
+CREATE TABLE IF NOT EXISTS table_registry (
+  id TEXT PRIMARY KEY, name TEXT NOT NULL, layer TEXT NOT NULL,
+  description TEXT, schema_json TEXT, tags TEXT, row_count INTEGER,
+  updated_at REAL, UNIQUE(name, layer));
+CREATE TABLE IF NOT EXISTS audit_log (
+  id TEXT PRIMARY KEY, principal TEXT, action TEXT NOT NULL,
+  resource TEXT, detail TEXT, at REAL);
+"""
+
+
+def _ident() -> str:
+    return uuid.uuid4().hex[:16]
+
+
+class Metastore:
+    def __init__(self, path: str = ":memory:", clock: Callable[[], float] = time.time):
+        self._conn = sqlite3.connect(path, check_same_thread=False)
+        self._conn.row_factory = sqlite3.Row
+        self._lock = threading.RLock()
+        self.clock = clock
+        with self._lock:
+            self._conn.executescript(_DDL)
+            self._conn.commit()
+        self.pipelines = PipelineService(self)
+        self.jobs = JobService(self)
+        self.validations = ValidationService(self)
+        self.connectors = ConnectorService(self)
+        self.alerts = AlertService(self)
+        self.tables = TableService(self)
+
+    def execute(self, sql: str, params: tuple = ()) -> list[dict]:
+        with self._lock:
+            cur = self._conn.execute(sql, params)
+            rows = [dict(r) for r in cur.fetchall()]
+            self._conn.commit()
+            return rows
+
+    def audit(self, action: str, principal: str | None = None, resource: str | None = None, **detail) -> None:
+        """(reference db/models.py:178-193 AuditLogModel)"""
+        self.execute(
+            "INSERT INTO audit_log VALUES (?,?,?,?,?,?)",
+            (_ident(), principal, action, resource, json.dumps(detail, sort_keys=True), self.clock()),
+        )
+
+    def audit_trail(self, resource: str | None = None, limit: int = 100) -> list[dict]:
+        if resource:
+            return self.execute(
+                "SELECT * FROM audit_log WHERE resource=? ORDER BY at DESC LIMIT ?", (resource, limit)
+            )
+        return self.execute("SELECT * FROM audit_log ORDER BY at DESC LIMIT ?", (limit,))
+
+    def close(self) -> None:
+        with self._lock:
+            self._conn.close()
+
+
+class _Service:
+    def __init__(self, store: Metastore):
+        self.store = store
+
+    @property
+    def _now(self) -> float:
+        return self.store.clock()
+
+
+class PipelineService(_Service):
+    """(reference db/pipeline_service.py:13-215)"""
+
+    def create_pipeline(self, name: str, description: str = "", config: dict | None = None) -> dict:
+        pid = _ident()
+        self.store.execute(
+            "INSERT INTO pipelines VALUES (?,?,?,?,1,?,?)",
+            (pid, name, description, json.dumps(config or {}, sort_keys=True), self._now, self._now),
+        )
+        self.store.audit("pipeline.create", resource=name)
+        return self.get_pipeline(pid)
+
+    def get_pipeline(self, pipeline_id: str) -> dict | None:
+        rows = self.store.execute("SELECT * FROM pipelines WHERE id=?", (pipeline_id,))
+        return rows[0] if rows else None
+
+    def get_pipeline_by_name(self, name: str) -> dict | None:
+        rows = self.store.execute("SELECT * FROM pipelines WHERE name=?", (name,))
+        return rows[0] if rows else None
+
+    def list_pipelines(self, enabled_only: bool = False) -> list[dict]:
+        q = "SELECT * FROM pipelines" + (" WHERE enabled=1" if enabled_only else "") + " ORDER BY name"
+        return self.store.execute(q)
+
+    def update_pipeline(self, pipeline_id: str, **fields) -> dict | None:
+        allowed = {"description", "enabled"}
+        sets, params = [], []
+        for k in sorted(set(fields) & allowed):
+            sets.append(f"{k}=?")
+            params.append(fields[k])
+        if "config" in fields:
+            sets.append("config=?")
+            params.append(json.dumps(fields["config"], sort_keys=True))
+        if not sets:
+            return self.get_pipeline(pipeline_id)
+        self.store.execute(
+            f"UPDATE pipelines SET {', '.join(sets)}, updated_at=? WHERE id=?",
+            (*params, self._now, pipeline_id),
+        )
+        return self.get_pipeline(pipeline_id)
+
+    def delete_pipeline(self, pipeline_id: str) -> bool:
+        before = self.get_pipeline(pipeline_id)
+        self.store.execute("DELETE FROM pipelines WHERE id=?", (pipeline_id,))
+        return before is not None
+
+    def start_run(self, pipeline_id: str) -> dict:
+        rid = _ident()
+        self.store.execute(
+            "INSERT INTO pipeline_runs VALUES (?,?, 'running', ?, NULL, NULL, NULL, NULL)",
+            (rid, pipeline_id, self._now),
+        )
+        return {"id": rid, "pipeline_id": pipeline_id, "status": "running"}
+
+    def complete_run(
+        self, run_id: str, status: str, rows_processed: int | None = None,
+        error: str | None = None, detail: dict | None = None,
+    ) -> None:
+        self.store.execute(
+            "UPDATE pipeline_runs SET status=?, finished_at=?, rows_processed=?, error=?, detail=? WHERE id=?",
+            (status, self._now, rows_processed, error, json.dumps(detail or {}, sort_keys=True), run_id),
+        )
+
+    def get_runs(self, pipeline_id: str, limit: int = 50) -> list[dict]:
+        return self.store.execute(
+            "SELECT * FROM pipeline_runs WHERE pipeline_id=? ORDER BY started_at DESC LIMIT ?",
+            (pipeline_id, limit),
+        )
+
+    def record_workflow_result(self, pipeline_id: str, result) -> dict:
+        """Engine bridge: persist a WorkflowResult as one completed run
+        with per-step detail."""
+        run = self.start_run(pipeline_id)
+        steps = {
+            name: {"status": sr.status, "attempts": sr.attempts, "duration_s": sr.duration_s}
+            for name, sr in result.steps.items()
+        }
+        failed = [n for n, s in steps.items() if s["status"] == "failed"]
+        self.complete_run(
+            run["id"],
+            status="success" if result.success else "failed",
+            error=f"failed steps: {', '.join(failed)}" if failed else None,
+            detail={"workflow": result.workflow, "duration_s": result.duration_s, "steps": steps},
+        )
+        return self.get_runs(pipeline_id, limit=1)[0]
+
+
+class JobService(_Service):
+    """(reference db/job_service.py:16-282; interval schedules —
+    cron-expression parsing stays in orchestration.Schedule)"""
+
+    def create_schedule(self, name: str, interval_seconds: float, pipeline_id: str | None = None) -> dict:
+        sid = _ident()
+        self.store.execute(
+            "INSERT INTO job_schedules VALUES (?,?,?,?,1,NULL,?)",
+            (sid, name, pipeline_id, interval_seconds, self._now),
+        )
+        return self.get_schedule(sid)
+
+    def get_schedule(self, schedule_id: str) -> dict | None:
+        rows = self.store.execute("SELECT * FROM job_schedules WHERE id=?", (schedule_id,))
+        return rows[0] if rows else None
+
+    def get_schedule_by_name(self, name: str) -> dict | None:
+        rows = self.store.execute("SELECT * FROM job_schedules WHERE name=?", (name,))
+        return rows[0] if rows else None
+
+    def list_schedules(self, enabled_only: bool = False) -> list[dict]:
+        q = "SELECT * FROM job_schedules" + (" WHERE enabled=1" if enabled_only else "") + " ORDER BY name"
+        return self.store.execute(q)
+
+    def get_due_schedules(self) -> list[dict]:
+        """Enabled schedules whose interval has elapsed (never-run counts
+        as due) — the restart-surviving complement of the in-memory
+        Scheduler."""
+        return self.store.execute(
+            "SELECT * FROM job_schedules WHERE enabled=1 AND "
+            "(last_run_at IS NULL OR last_run_at + interval_seconds <= ?)",
+            (self._now,),
+        )
+
+    def update_schedule(self, schedule_id: str, **fields) -> dict | None:
+        allowed = {"interval_seconds", "enabled", "pipeline_id"}
+        sets = [f"{k}=?" for k in sorted(set(fields) & allowed)]
+        params = [fields[k] for k in sorted(set(fields) & allowed)]
+        if sets:
+            self.store.execute(
+                f"UPDATE job_schedules SET {', '.join(sets)} WHERE id=?", (*params, schedule_id)
+            )
+        return self.get_schedule(schedule_id)
+
+    def delete_schedule(self, schedule_id: str) -> bool:
+        before = self.get_schedule(schedule_id)
+        self.store.execute("DELETE FROM job_schedules WHERE id=?", (schedule_id,))
+        return before is not None
+
+    def mark_schedule_run(self, schedule_id: str) -> None:
+        self.store.execute(
+            "UPDATE job_schedules SET last_run_at=? WHERE id=?", (self._now, schedule_id)
+        )
+
+    def create_run(self, schedule_id: str) -> dict:
+        rid = _ident()
+        self.store.execute(
+            "INSERT INTO job_runs VALUES (?,?, 'running', ?, NULL, NULL)", (rid, schedule_id, self._now)
+        )
+        return {"id": rid, "schedule_id": schedule_id, "status": "running"}
+
+    def update_run(self, run_id: str, status: str, error: str | None = None) -> None:
+        self.store.execute(
+            "UPDATE job_runs SET status=?, finished_at=?, error=? WHERE id=?",
+            (status, self._now, error, run_id),
+        )
+
+    def get_runs(self, schedule_id: str, limit: int = 50) -> list[dict]:
+        return self.store.execute(
+            "SELECT * FROM job_runs WHERE schedule_id=? ORDER BY started_at DESC LIMIT ?",
+            (schedule_id, limit),
+        )
+
+    def run_due(self, executor: Callable[[dict], object]) -> list[dict]:
+        """Engine bridge: execute every due schedule through ``executor``
+        (e.g. a WorkflowRunner closure), recording run rows + marking
+        last_run — the persistent analogue of Scheduler.run_pending."""
+        out = []
+        for sched in self.get_due_schedules():
+            run = self.create_run(sched["id"])
+            try:
+                executor(sched)
+                self.update_run(run["id"], "succeeded")
+            except Exception as e:  # noqa: BLE001 — job boundary
+                self.update_run(run["id"], "failed", error=str(e))
+            self.mark_schedule_run(sched["id"])
+            out.append(self.store.execute("SELECT * FROM job_runs WHERE id=?", (run["id"],))[0])
+        return out
+
+
+class ValidationService(_Service):
+    """(reference db/validation_service.py:18-270)"""
+
+    def create_rule(self, name: str, table_name: str, rule_type: str, config: dict | None = None,
+                    severity: str = "error") -> dict:
+        rid = _ident()
+        self.store.execute(
+            "INSERT INTO validation_rules VALUES (?,?,?,?,?,?,1,?)",
+            (rid, name, table_name, rule_type, json.dumps(config or {}, sort_keys=True), severity, self._now),
+        )
+        return self.store.execute("SELECT * FROM validation_rules WHERE id=?", (rid,))[0]
+
+    def get_rules_for_table(self, table_name: str) -> list[dict]:
+        return self.store.execute(
+            "SELECT * FROM validation_rules WHERE table_name=? AND enabled=1 ORDER BY name", (table_name,)
+        )
+
+    def record_result(self, rule_name: str, table_name: str, passed: bool,
+                      n_violations: int = 0, total_rows: int = 0) -> dict:
+        rid = _ident()
+        self.store.execute(
+            "INSERT INTO validation_results VALUES (?,?,?,?,?,?,?)",
+            (rid, rule_name, table_name, int(passed), n_violations, total_rows, self._now),
+        )
+        return self.store.execute("SELECT * FROM validation_results WHERE id=?", (rid,))[0]
+
+    def record_report(self, table_name: str, report) -> list[dict]:
+        """Engine bridge: persist every RuleResult of a ValidationReport."""
+        return [
+            self.record_result(
+                rule_name=r.rule if r.column is None else f"{r.rule}:{r.column}",
+                table_name=table_name,
+                passed=r.passed,
+                n_violations=r.n_violations,
+                total_rows=report.total_rows,
+            )
+            for r in report.results
+        ]
+
+    def get_results(self, table_name: str, limit: int = 100) -> list[dict]:
+        return self.store.execute(
+            "SELECT * FROM validation_results WHERE table_name=? ORDER BY run_at DESC LIMIT ?",
+            (table_name, limit),
+        )
+
+    def get_quality_summary(self) -> dict:
+        """(reference db/validation_service.py:257-270) — one SQL pass."""
+        rows = self.store.execute(
+            "SELECT table_name, count(*) AS n, sum(passed) AS n_passed "
+            "FROM validation_results GROUP BY table_name ORDER BY table_name"
+        )
+        return {
+            r["table_name"]: {"checks": r["n"], "passed": r["n_passed"], "pass_rate": r["n_passed"] / r["n"]}
+            for r in rows
+        }
+
+
+class ConnectorService(_Service):
+    """(reference db/connector_service.py; config stored as JSON,
+    secrets are the caller's problem — store references, not values)"""
+
+    def create_connector(self, name: str, connector_type: str, config: dict | None = None) -> dict:
+        cid = _ident()
+        self.store.execute(
+            "INSERT INTO connectors VALUES (?,?,?,?,1,NULL,?)",
+            (cid, name, connector_type, json.dumps(config or {}, sort_keys=True), self._now),
+        )
+        return self.get_connector(cid)
+
+    def get_connector(self, connector_id: str) -> dict | None:
+        rows = self.store.execute("SELECT * FROM connectors WHERE id=?", (connector_id,))
+        return rows[0] if rows else None
+
+    def get_connector_by_name(self, name: str) -> dict | None:
+        rows = self.store.execute("SELECT * FROM connectors WHERE name=?", (name,))
+        return rows[0] if rows else None
+
+    def list_connectors(self, connector_type: str | None = None) -> list[dict]:
+        if connector_type:
+            return self.store.execute(
+                "SELECT * FROM connectors WHERE connector_type=? ORDER BY name", (connector_type,)
+            )
+        return self.store.execute("SELECT * FROM connectors ORDER BY name")
+
+    def mark_used(self, connector_id: str) -> None:
+        self.store.execute("UPDATE connectors SET last_used_at=? WHERE id=?", (self._now, connector_id))
+
+    def delete_connector(self, connector_id: str) -> bool:
+        before = self.get_connector(connector_id)
+        self.store.execute("DELETE FROM connectors WHERE id=?", (connector_id,))
+        return before is not None
+
+
+class AlertService(_Service):
+    """(reference db/alert_service.py:286-440 — the history half; rule
+    definitions live in notifications.AlertManager, which this service
+    persists firings from)"""
+
+    def create_alert(self, rule: str, severity: str, message: str, fired_at: float | None = None) -> dict:
+        aid = _ident()
+        self.store.execute(
+            "INSERT INTO alert_history VALUES (?,?,?,?, 'active', ?, NULL)",
+            (aid, rule, severity, message, fired_at if fired_at is not None else self._now),
+        )
+        return self.store.execute("SELECT * FROM alert_history WHERE id=?", (aid,))[0]
+
+    def list_alerts(self, status: str | None = None, limit: int = 100) -> list[dict]:
+        if status:
+            return self.store.execute(
+                "SELECT * FROM alert_history WHERE status=? ORDER BY fired_at DESC LIMIT ?", (status, limit)
+            )
+        return self.store.execute("SELECT * FROM alert_history ORDER BY fired_at DESC LIMIT ?", (limit,))
+
+    def get_active_alerts(self) -> list[dict]:
+        return self.list_alerts(status="active")
+
+    def acknowledge_alert(self, alert_id: str) -> None:
+        self.store.execute("UPDATE alert_history SET status='acknowledged' WHERE id=?", (alert_id,))
+
+    def resolve_alert(self, alert_id: str) -> None:
+        self.store.execute(
+            "UPDATE alert_history SET status='resolved', resolved_at=? WHERE id=?", (self._now, alert_id)
+        )
+
+    def get_alert_summary(self) -> dict:
+        rows = self.store.execute(
+            "SELECT severity, status, count(*) AS n FROM alert_history GROUP BY severity, status"
+        )
+        out: dict = {"total": 0, "by_severity": {}, "by_status": {}}
+        for r in rows:
+            out["total"] += r["n"]
+            out["by_severity"][r["severity"]] = out["by_severity"].get(r["severity"], 0) + r["n"]
+            out["by_status"][r["status"]] = out["by_status"].get(r["status"], 0) + r["n"]
+        return out
+
+    def persistent_sink(self) -> Callable:
+        """Engine bridge: an AlertManager sink that records every firing
+        here, so alert history survives restarts."""
+
+        def sink(alert) -> None:
+            self.create_alert(alert.rule, alert.severity, alert.message, fired_at=alert.fired_at)
+
+        return sink
+
+
+class TableService(_Service):
+    """(reference db/table_service.py:16-170) — registry of table
+    *descriptions*; data truth stays in the manifest Warehouse."""
+
+    def register_table(self, name: str, layer: str, description: str = "",
+                       schema_json: str | None = None, tags: list[str] | None = None,
+                       row_count: int | None = None) -> dict:
+        existing = self.get_table(name, layer)
+        if existing:
+            self.store.execute(
+                "UPDATE table_registry SET description=?, schema_json=?, tags=?, row_count=?, updated_at=? "
+                "WHERE name=? AND layer=?",
+                (description or existing["description"], schema_json, json.dumps(sorted(tags or [])),
+                 row_count, self._now, name, layer),
+            )
+        else:
+            self.store.execute(
+                "INSERT INTO table_registry VALUES (?,?,?,?,?,?,?,?)",
+                (_ident(), name, layer, description, schema_json, json.dumps(sorted(tags or [])),
+                 row_count, self._now),
+            )
+        return self.get_table(name, layer)
+
+    def get_table(self, name: str, layer: str) -> dict | None:
+        rows = self.store.execute(
+            "SELECT * FROM table_registry WHERE name=? AND layer=?", (name, layer)
+        )
+        return rows[0] if rows else None
+
+    def list_tables(self, layer: str | None = None) -> list[dict]:
+        if layer:
+            return self.store.execute(
+                "SELECT * FROM table_registry WHERE layer=? ORDER BY name", (layer,)
+            )
+        return self.store.execute("SELECT * FROM table_registry ORDER BY layer, name")
+
+    def add_tags(self, name: str, layer: str, tags: list[str]) -> dict | None:
+        row = self.get_table(name, layer)
+        if row is None:
+            return None
+        merged = sorted(set(json.loads(row["tags"] or "[]")) | set(tags))
+        self.store.execute(
+            "UPDATE table_registry SET tags=?, updated_at=? WHERE name=? AND layer=?",
+            (json.dumps(merged), self._now, name, layer),
+        )
+        return self.get_table(name, layer)
+
+    def sync_from_warehouse(self, warehouse, layers: tuple[str, ...] = ("bronze", "silver", "gold")) -> int:
+        """Engine bridge: register every manifest table with its live
+        schema (lazy — schema only, no data scan)."""
+        n = 0
+        for layer in layers:
+            for tname in warehouse.list_tables(layer):
+                df = warehouse.table(layer, tname).read()
+                self.register_table(tname, layer, schema_json=df.schema.json())
+                n += 1
+        return n

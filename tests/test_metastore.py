@@ -1,0 +1,136 @@
+"""sqlite3 metastore: service CRUD + engine bridges (reference db/)."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.metastore import Metastore
+from automic_etl_spark.notifications import AlertManager, AlertRule
+from automic_etl_spark.orchestration.workflow import Workflow, WorkflowRunner
+from automic_etl_spark.validation.validator import RuleResult, ValidationReport
+
+
+@pytest.fixture()
+def store():
+    t = {"now": 1000.0}
+    ms = Metastore(":memory:", clock=lambda: t["now"])
+    ms._t = t
+    yield ms
+    ms.close()
+
+
+def test_pipeline_crud_and_runs(store):
+    p = store.pipelines.create_pipeline("nightly", "daily load", {"sf": 0.1})
+    assert store.pipelines.get_pipeline_by_name("nightly")["id"] == p["id"]
+    store.pipelines.update_pipeline(p["id"], enabled=0, description="off")
+    assert store.pipelines.list_pipelines(enabled_only=True) == []
+    run = store.pipelines.start_run(p["id"])
+    store.pipelines.complete_run(run["id"], "success", rows_processed=42)
+    [r] = store.pipelines.get_runs(p["id"])
+    assert r["status"] == "success" and r["rows_processed"] == 42
+    assert store.pipelines.delete_pipeline(p["id"]) and not store.pipelines.delete_pipeline(p["id"])
+    # audit trail recorded the create
+    assert any(a["action"] == "pipeline.create" for a in store.audit_trail("nightly"))
+
+
+def test_workflow_result_bridge(store):
+    wf = Workflow("wf")
+    wf.add_task("a", lambda ctx: 1)
+    wf.add_task("b", lambda ctx: 1 / 0, depends_on=("a",))
+    res = WorkflowRunner().run(wf)
+    p = store.pipelines.create_pipeline("wf")
+    run = store.pipelines.record_workflow_result(p["id"], res)
+    assert run["status"] == "failed"
+    assert "b" in run["error"]
+    import json
+
+    detail = json.loads(run["detail"])
+    assert detail["steps"]["a"]["status"] == "succeeded"
+
+
+def test_job_schedules_due_and_run_due(store):
+    s = store.jobs.create_schedule("hourly", interval_seconds=3600)
+    assert [d["id"] for d in store.jobs.get_due_schedules()] == [s["id"]]  # never run -> due
+    executed = []
+    runs = store.jobs.run_due(lambda sched: executed.append(sched["name"]))
+    assert executed == ["hourly"] and runs[0]["status"] == "succeeded"
+    assert store.jobs.get_due_schedules() == []  # just ran
+    store._t["now"] += 3601
+    assert len(store.jobs.get_due_schedules()) == 1  # interval elapsed
+
+    # failing executor records a failed run but still marks the schedule
+    runs2 = store.jobs.run_due(lambda sched: 1 / 0)
+    assert runs2[0]["status"] == "failed" and "division" in runs2[0]["error"]
+    assert store.jobs.get_due_schedules() == []
+    assert len(store.jobs.get_runs(s["id"])) == 2
+
+
+def test_validation_report_bridge_and_summary(store):
+    report = ValidationReport(
+        total_rows=100,
+        results=[
+            RuleResult("not_null", "email", True, 0, 1.0, "error"),
+            RuleResult("unique", "id", False, 3, 0.97, "error"),
+        ],
+    )
+    store.validations.record_report("users", report)
+    store.validations.record_result("not_null:email", "orders", True, total_rows=10)
+    res = store.validations.get_results("users")
+    assert {r["rule_name"] for r in res} == {"not_null:email", "unique:id"}
+    summary = store.validations.get_quality_summary()
+    assert summary["users"] == {"checks": 2, "passed": 1, "pass_rate": 0.5}
+    assert summary["orders"]["pass_rate"] == 1.0
+
+
+def test_alert_sink_persists_firings(store):
+    mgr = AlertManager(sinks=[store.alerts.persistent_sink()])
+    mgr.add_rule(AlertRule.missing_data("no_rows", min_rows=5))
+    mgr.evaluate({"row_count": 0})
+    [a] = store.alerts.get_active_alerts()
+    assert a["rule"] == "no_rows"
+    store.alerts.acknowledge_alert(a["id"])
+    store.alerts.resolve_alert(a["id"])
+    assert store.alerts.get_active_alerts() == []
+    assert store.alerts.get_alert_summary()["by_status"] == {"resolved": 1}
+
+
+def test_connector_registry(store):
+    c = store.connectors.create_connector("pg_prod", "postgres", {"host": "db", "port": 5432})
+    assert store.connectors.get_connector_by_name("pg_prod")["connector_type"] == "postgres"
+    store.connectors.mark_used(c["id"])
+    assert store.connectors.get_connector(c["id"])["last_used_at"] == 1000.0
+    assert store.connectors.list_connectors("postgres") and not store.connectors.list_connectors("mysql")
+    assert store.connectors.delete_connector(c["id"])
+
+
+def test_table_registry_upsert_and_tags(store):
+    store.tables.register_table("orders", "silver", description="clean orders")
+    store.tables.register_table("orders", "silver", row_count=100)  # upsert, keeps description
+    row = store.tables.get_table("orders", "silver")
+    assert row["description"] == "clean orders" and row["row_count"] == 100
+    store.tables.add_tags("orders", "silver", ["pii"])
+    store.tables.add_tags("orders", "silver", ["gold-source", "pii"])
+    import json
+
+    assert json.loads(store.tables.get_table("orders", "silver")["tags"]) == ["gold-source", "pii"]
+    assert [t["name"] for t in store.tables.list_tables("silver")] == ["orders"]
+
+
+def test_warehouse_sync_bridge(store, spark, tmp_path):
+    from automic_etl_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path))
+    wh.table("gold", "metrics").create_or_append(spark.range(3))
+    assert store.tables.sync_from_warehouse(wh) == 1
+    row = store.tables.get_table("metrics", "gold")
+    assert '"id"' in row["schema_json"]
+
+
+def test_persistence_across_connections(tmp_path):
+    path = str(tmp_path / "meta.db")
+    ms = Metastore(path)
+    ms.pipelines.create_pipeline("p1")
+    ms.close()
+    ms2 = Metastore(path)
+    assert ms2.pipelines.get_pipeline_by_name("p1") is not None
+    ms2.close()
