@@ -20,17 +20,22 @@ from automic_etl_spark.services.query_service import QueryService
 
 
 class ApiHandlers:
-    def __init__(self, lakehouse: Lakehouse, rbac=None, principal=None):
+    def __init__(self, lakehouse: Lakehouse, rbac=None, principal=None, metastore=None):
         """``rbac``/``principal`` (automic_etl_spark.auth) are optional:
         when both are set, table reads require table:read on
         "layer.table" and query surfaces require sql:execute — the
         engine-level enforcement the reference does in route decorators
-        (reference auth/rbac.py:295-321)."""
+        (reference auth/rbac.py:295-321). ``metastore``
+        (automic_etl_spark.metastore.Metastore) is optional: when set,
+        pipeline/alert/audit endpoints serve durable state and
+        run_validation persists its report (the reference's api+db
+        split, api/routes/* over db/*_service.py)."""
         self.lh = lakehouse
         self.qs = QueryService(lakehouse.spark)
         self.assistant = SQLAssistant(lakehouse.spark)
         self.rbac = rbac
         self.principal = principal
+        self.metastore = metastore
         from automic_etl_spark.orchestration import Scheduler
         from automic_etl_spark.services import LineageTracker
 
@@ -176,6 +181,16 @@ class ApiHandlers:
         rules = rules_from_suite(suite, skip_unsupported=True)
         skipped = unsupported_expectations(suite)
         rows = [r.asDict() for r in Validator(rules).report_df(df).collect()]
+        if self.metastore is not None:
+            total = df.count()
+            for r in rows:
+                self.metastore.validations.record_result(
+                    rule_name=r["rule"] if r["column"] is None else f"{r['rule']}:{r['column']}",
+                    table_name=f"{layer}.{table}",
+                    passed=bool(r["passed"]),
+                    n_violations=int(r["n_violations"]),
+                    total_rows=total,
+                )
         # a suite with unevaluated expectations can NOT be reported as
         # passed — the table was never fully checked against it
         return {
@@ -207,6 +222,50 @@ class ApiHandlers:
         run = self.scheduler.run_job(job)
         return {"name": name, "run_status": run.status, "error": run.error, "status": 200}
 
+    # -- durable state (metastore-backed; reference api/routes over
+    # db/pipeline_service + alert_service + AuditLogModel) ------------------
+
+    def _require_metastore(self) -> dict[str, Any] | None:
+        if self.metastore is None:
+            return {"error": "no metastore configured on this deployment", "status": 503}
+        return None
+
+    def pipelines(self) -> dict[str, Any]:
+        if err := self._require_metastore():
+            return err
+        return {"pipelines": self.metastore.pipelines.list_pipelines(), "status": 200}
+
+    def create_pipeline(self, name: str, description: str = "", config: dict | None = None) -> dict[str, Any]:
+        if err := self._require_metastore():
+            return err
+        self._authorize("pipeline:create", name)
+        if self.metastore.pipelines.get_pipeline_by_name(name):
+            return {"error": f"pipeline {name!r} already exists", "status": 409}
+        return {"pipeline": self.metastore.pipelines.create_pipeline(name, description, config), "status": 201}
+
+    def pipeline_runs(self, name: str, limit: int = 50) -> dict[str, Any]:
+        if err := self._require_metastore():
+            return err
+        p = self.metastore.pipelines.get_pipeline_by_name(name)
+        if p is None:
+            return {"error": f"unknown pipeline {name!r}", "status": 404}
+        return {"pipeline": name, "runs": self.metastore.pipelines.get_runs(p["id"], limit), "status": 200}
+
+    def alert_history(self, status: str | None = None) -> dict[str, Any]:
+        if err := self._require_metastore():
+            return err
+        return {
+            "alerts": self.metastore.alerts.list_alerts(status=status),
+            "summary": self.metastore.alerts.get_alert_summary(),
+            "status": 200,
+        }
+
+    def audit_trail(self, resource: str | None = None, limit: int = 100) -> dict[str, Any]:
+        if err := self._require_metastore():
+            return err
+        self._authorize("audit:read")
+        return {"events": self.metastore.audit_trail(resource, limit), "status": 200}
+
 
 def create_app(lakehouse: Lakehouse):
     """Optional FastAPI wiring (gated — fastapi isn't a dependency)."""
@@ -231,4 +290,9 @@ def create_app(lakehouse: Lakehouse):
     app.post("/api/v1/tables/{layer}/{table}/validate")(handlers.run_validation)
     app.get("/api/v1/jobs")(handlers.list_jobs)
     app.post("/api/v1/jobs/{name}/trigger")(handlers.trigger_job)
+    app.get("/api/v1/pipelines")(handlers.pipelines)
+    app.post("/api/v1/pipelines")(handlers.create_pipeline)
+    app.get("/api/v1/pipelines/{name}/runs")(handlers.pipeline_runs)
+    app.get("/api/v1/alerts")(handlers.alert_history)
+    app.get("/api/v1/audit")(handlers.audit_trail)
     return app

@@ -157,3 +157,57 @@ def test_sql_surface_enforces_table_scoped_reads(spark, tmp_path, users_df):
         h.query(
             "SELECT * FROM silver_users WHERE id IN (SELECT id FROM bronze_users)"
         )
+
+
+def test_metastore_endpoints_absent_without_store(handlers):
+    assert handlers.pipelines()["status"] == 503
+    assert handlers.alert_history()["status"] == 503
+
+
+def test_metastore_backed_pipeline_alert_audit_endpoints(spark, tmp_path, users_df):
+    from automic_etl_spark.metastore import Metastore
+
+    lh = Lakehouse(spark, str(tmp_path / "wh2"))
+    lh.ingest("users", users_df, source="api", fixed_time=datetime(2024, 1, 1))
+    ms = Metastore(":memory:")
+    h = ApiHandlers(lh, metastore=ms)
+
+    created = h.create_pipeline("nightly", "daily refresh")
+    assert created["status"] == 201
+    assert h.create_pipeline("nightly")["status"] == 409
+    assert [p["name"] for p in h.pipelines()["pipelines"]] == ["nightly"]
+
+    pid = created["pipeline"]["id"]
+    run = ms.pipelines.start_run(pid)
+    ms.pipelines.complete_run(run["id"], "success", rows_processed=5)
+    out = h.pipeline_runs("nightly")
+    assert out["runs"][0]["status"] == "success"
+    assert h.pipeline_runs("ghost")["status"] == 404
+
+    ms.alerts.create_alert("no_rows", "critical", "empty table")
+    alerts = h.alert_history(status="active")
+    assert alerts["summary"]["total"] == 1 and alerts["alerts"][0]["rule"] == "no_rows"
+
+    audit = h.audit_trail(resource="nightly")
+    assert any(e["action"] == "pipeline.create" for e in audit["events"])
+    ms.close()
+
+
+def test_validation_endpoint_persists_report_when_metastore(spark, tmp_path, users_df):
+    from automic_etl_spark.metastore import Metastore
+
+    lh = Lakehouse(spark, str(tmp_path / "wh3"))
+    lh.ingest("users", users_df, source="api", fixed_time=datetime(2024, 1, 1))
+    ms = Metastore(":memory:")
+    h = ApiHandlers(lh, metastore=ms)
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_not_be_null", "kwargs": {"column": "email"}}
+        ]
+    }
+    out = h.run_validation("bronze", "users", suite)
+    assert out["passed"]
+    persisted = ms.validations.get_results("bronze.users")
+    assert len(persisted) == 1 and persisted[0]["passed"] == 1
+    assert persisted[0]["total_rows"] == 5
+    ms.close()
