@@ -1,5 +1,30 @@
-"""Core: pipeline orchestrator + engine configuration."""
+"""Core: pipeline orchestrator, engine configuration, resilience
+utilities (retry/backoff, resource pools)."""
 
 from automic_etl_spark.core.pipeline import Pipeline, PipelineResult, PipelineContext
+from automic_etl_spark.core.resources import (
+    ResourcePool,
+    pooled_connection,
+    safe_resource,
+    temporary_settings,
+)
+from automic_etl_spark.core.retry import (
+    RetryConfig,
+    RetryExhaustedError,
+    retry_with_backoff,
+    retryable,
+)
 
-__all__ = ["Pipeline", "PipelineResult", "PipelineContext"]
+__all__ = [
+    "Pipeline",
+    "PipelineContext",
+    "PipelineResult",
+    "ResourcePool",
+    "RetryConfig",
+    "RetryExhaustedError",
+    "pooled_connection",
+    "retry_with_backoff",
+    "retryable",
+    "safe_resource",
+    "temporary_settings",
+]

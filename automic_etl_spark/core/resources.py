@@ -1,0 +1,124 @@
+"""Resource lifecycle helpers.
+
+Reference (core/resources.py:14-200): safe_resource / pooled_connection
+context managers, temporary_settings attribute override, ResourcePool.
+Differences: the pool here is thread-safe (lock around the free list —
+the reference's isn't, and connectors run in thread pools), close errors
+during normal release are swallowed-but-counted instead of silently
+logged, and temporary_settings restores attributes that were genuinely
+absent by deleting them (the reference's restore drops ``None``-valued
+originals, clobbering attrs that legitimately held None)."""
+
+from __future__ import annotations
+
+import threading
+from collections.abc import Callable, Generator
+from contextlib import contextmanager
+from typing import Any
+
+_MISSING = object()
+
+
+@contextmanager
+def safe_resource(
+    resource: Any, close_method: str = "close"
+) -> Generator[Any, None, None]:
+    """Yield ``resource``; always attempt ``close_method`` on exit, even
+    after an exception. Close failures never mask the original error."""
+    try:
+        yield resource
+    finally:
+        closer = getattr(resource, close_method, None)
+        if callable(closer):
+            try:
+                closer()
+            except Exception:  # noqa: BLE001 — cleanup must not mask
+                pass
+
+
+@contextmanager
+def pooled_connection(pool: Any, timeout: int = 30) -> Generator[Any, None, None]:
+    """Borrow from a psycopg2-style pool (getconn/putconn)."""
+    conn = None
+    try:
+        conn = pool.getconn(timeout=timeout)
+        yield conn
+    finally:
+        if conn is not None:
+            try:
+                pool.putconn(conn)
+            except Exception:  # noqa: BLE001
+                pass
+
+
+@contextmanager
+def temporary_settings(obj: Any, **temporary_values: Any) -> Generator[None, None, None]:
+    """Temporarily set attributes on ``obj``; restore originals on exit
+    (absent attributes are re-deleted, None values restored as None)."""
+    originals = {k: getattr(obj, k, _MISSING) for k in temporary_values}
+    try:
+        for k, v in temporary_values.items():
+            setattr(obj, k, v)
+        yield
+    finally:
+        for k, orig in originals.items():
+            if orig is _MISSING:
+                if hasattr(obj, k):
+                    delattr(obj, k)
+            else:
+                setattr(obj, k, orig)
+
+
+class ResourcePool:
+    """Bounded free-list pool. Never blocks: when every pooled slot is
+    checked out, a fresh overflow resource is created and will be closed
+    (not pooled) on release — the reference's non-blocking contract
+    (core/resources.py:152-172), made thread-safe."""
+
+    def __init__(self, factory: Callable[[], Any], max_size: int = 5):
+        self.factory = factory
+        self.max_size = max_size
+        self._free: list[Any] = []
+        self._lock = threading.Lock()
+        self.created = 0
+        self.close_errors = 0
+
+    def acquire(self) -> Any:
+        with self._lock:
+            if self._free:
+                return self._free.pop()
+            self.created += 1
+        return self.factory()
+
+    def release(self, resource: Any) -> None:
+        with self._lock:
+            if len(self._free) < self.max_size:
+                self._free.append(resource)
+                return
+        closer = getattr(resource, "close", None)
+        if callable(closer):
+            try:
+                closer()
+            except Exception:  # noqa: BLE001
+                with self._lock:
+                    self.close_errors += 1
+
+    @contextmanager
+    def get_resource(self) -> Generator[Any, None, None]:
+        resource = self.acquire()
+        try:
+            yield resource
+        finally:
+            self.release(resource)
+
+    def drain(self) -> None:
+        """Close every pooled resource (shutdown path)."""
+        with self._lock:
+            free, self._free = self._free, []
+        for r in free:
+            closer = getattr(r, "close", None)
+            if callable(closer):
+                try:
+                    closer()
+                except Exception:  # noqa: BLE001
+                    self.close_errors += 1

@@ -1,0 +1,103 @@
+"""Retry with exponential backoff.
+
+Reference (core/retry.py:17-155): retry_with_backoff + RetryConfig +
+RetryableOperation decorator. Identical delay schedule (exponential with
+cap, full jitter as ``delay * (1 + U[0,1))``); here ``sleep`` and
+``rng`` are injectable so tests assert the schedule instead of sleeping,
+and an ``on_retry`` hook surfaces attempts to callers (the engine's
+workflow Step retries stay separate — they belong to the DAG runner)."""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Callable
+from typing import TypeVar
+
+T = TypeVar("T")
+
+
+class RetryExhaustedError(Exception):
+    def __init__(self, message: str, attempts: int, last_error: Exception | None):
+        super().__init__(message)
+        self.attempts = attempts
+        self.last_error = last_error
+
+
+def retry_with_backoff(
+    func: Callable[[], T],
+    max_attempts: int = 3,
+    initial_delay: float = 1.0,
+    backoff_factor: float = 2.0,
+    max_delay: float = 60.0,
+    jitter: bool = True,
+    exception_types: tuple[type[Exception], ...] = (Exception,),
+    sleep: Callable[[float], None] = time.sleep,
+    rng: Callable[[], float] = random.random,
+    on_retry: Callable[[int, Exception, float], None] | None = None,
+) -> T:
+    """Run ``func`` up to ``max_attempts`` times; delays grow by
+    ``backoff_factor`` capped at ``max_delay``. Raises
+    RetryExhaustedError carrying the last error."""
+    last_error: Exception | None = None
+    delay = initial_delay
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return func()
+        except exception_types as e:
+            last_error = e
+            if attempt == max_attempts:
+                break
+            actual = min(delay * (1 + rng()) if jitter else delay, max_delay)
+            if on_retry is not None:
+                on_retry(attempt, e, actual)
+            sleep(actual)
+            delay = min(delay * backoff_factor, max_delay)
+    raise RetryExhaustedError(
+        f"failed after {max_attempts} attempts: {last_error}", max_attempts, last_error
+    )
+
+
+class RetryConfig:
+    """Reusable retry policy (reference core/retry.py:91-132)."""
+
+    def __init__(
+        self,
+        max_attempts: int = 3,
+        initial_delay: float = 1.0,
+        backoff_factor: float = 2.0,
+        max_delay: float = 60.0,
+        jitter: bool = True,
+        exception_types: tuple[type[Exception], ...] = (Exception,),
+        sleep: Callable[[float], None] = time.sleep,
+        rng: Callable[[], float] = random.random,
+    ):
+        self.kwargs = dict(
+            max_attempts=max_attempts,
+            initial_delay=initial_delay,
+            backoff_factor=backoff_factor,
+            max_delay=max_delay,
+            jitter=jitter,
+            exception_types=exception_types,
+            sleep=sleep,
+            rng=rng,
+        )
+
+    def execute(self, func: Callable[[], T]) -> T:
+        return retry_with_backoff(func, **self.kwargs)
+
+
+def retryable(**config_kwargs) -> Callable:
+    """Decorator form (reference core/retry.py:134-155
+    RetryableOperation)."""
+    cfg = RetryConfig(**config_kwargs)
+
+    def deco(func: Callable[..., T]) -> Callable[..., T]:
+        def wrapper(*args, **kwargs) -> T:
+            return cfg.execute(lambda: func(*args, **kwargs))
+
+        wrapper.__name__ = getattr(func, "__name__", "retryable")
+        wrapper.__doc__ = func.__doc__
+        return wrapper
+
+    return deco

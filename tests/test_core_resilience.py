@@ -1,0 +1,148 @@
+"""core retry/resources utilities (reference core/retry.py,
+core/resources.py) — deterministic via injected sleep/rng."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.core import (
+    ResourcePool,
+    RetryConfig,
+    RetryExhaustedError,
+    retry_with_backoff,
+    retryable,
+    safe_resource,
+    temporary_settings,
+)
+
+
+def test_retry_succeeds_after_transient_failures():
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise OSError("transient")
+        return "ok"
+
+    out = retry_with_backoff(
+        flaky, max_attempts=5, initial_delay=1.0, jitter=False, sleep=sleeps.append
+    )
+    assert out == "ok"
+    assert sleeps == [1.0, 2.0]  # exponential, no jitter
+
+
+def test_retry_exhaustion_carries_last_error_and_caps_delay():
+    sleeps = []
+    with pytest.raises(RetryExhaustedError) as exc:
+        retry_with_backoff(
+            lambda: 1 / 0,
+            max_attempts=4,
+            initial_delay=10.0,
+            backoff_factor=3.0,
+            max_delay=25.0,
+            jitter=False,
+            sleep=sleeps.append,
+        )
+    assert isinstance(exc.value.last_error, ZeroDivisionError)
+    assert exc.value.attempts == 4
+    assert sleeps == [10.0, 25.0, 25.0]  # capped at max_delay
+
+
+def test_retry_jitter_uses_injected_rng_and_on_retry_hook():
+    sleeps, retries = [], []
+    with pytest.raises(RetryExhaustedError):
+        retry_with_backoff(
+            lambda: 1 / 0,
+            max_attempts=3,
+            initial_delay=2.0,
+            jitter=True,
+            rng=lambda: 0.5,
+            sleep=sleeps.append,
+            on_retry=lambda attempt, err, delay: retries.append((attempt, delay)),
+        )
+    assert sleeps == [3.0, 6.0]  # delay * (1 + 0.5)
+    assert retries == [(1, 3.0), (2, 6.0)]
+
+
+def test_retry_only_catches_listed_exceptions():
+    with pytest.raises(ValueError):  # not retried: propagates immediately
+        retry_with_backoff(
+            lambda: (_ for _ in ()).throw(ValueError("no")),
+            exception_types=(OSError,),
+            sleep=lambda s: None,
+        )
+
+
+def test_retryable_decorator_and_config():
+    calls = {"n": 0}
+
+    @retryable(max_attempts=2, jitter=False, sleep=lambda s: None)
+    def sometimes():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise OSError("once")
+        return calls["n"]
+
+    assert sometimes() == 2
+    assert RetryConfig(max_attempts=1).execute(lambda: 7) == 7
+
+
+class Closeable:
+    def __init__(self, fail_close=False):
+        self.closed = 0
+        self.fail_close = fail_close
+
+    def close(self):
+        self.closed += 1
+        if self.fail_close:
+            raise OSError("close failed")
+
+
+def test_safe_resource_closes_on_success_and_error():
+    r = Closeable()
+    with safe_resource(r):
+        pass
+    assert r.closed == 1
+    r2 = Closeable()
+    with pytest.raises(RuntimeError):
+        with safe_resource(r2):
+            raise RuntimeError("boom")
+    assert r2.closed == 1
+    # a failing close must not mask the real error
+    r3 = Closeable(fail_close=True)
+    with pytest.raises(RuntimeError):
+        with safe_resource(r3):
+            raise RuntimeError("real")
+
+
+def test_temporary_settings_restores_none_and_missing():
+    class Obj:
+        pass
+
+    o = Obj()
+    o.kept = None
+    with temporary_settings(o, kept="tmp", added=1):
+        assert o.kept == "tmp" and o.added == 1
+    assert o.kept is None  # None-valued original restored, not deleted
+    assert not hasattr(o, "added")  # absent original re-deleted
+
+
+def test_resource_pool_reuse_overflow_and_drain():
+    pool = ResourcePool(Closeable, max_size=2)
+    a = pool.acquire()
+    pool.release(a)
+    assert pool.acquire() is a  # reused
+    assert pool.created == 1
+    b, c, d = pool.acquire(), pool.acquire(), pool.acquire()
+    assert pool.created == 4
+    pool.release(a)
+    pool.release(b)
+    pool.release(c)  # pool full (max 2) -> closed, not pooled
+    assert c.closed == 1 and b.closed == 0
+    with pool.get_resource() as r:
+        assert r in (a, b)
+    pool.drain()
+    assert a.closed + b.closed >= 2 and pool._free == []
+    del d
