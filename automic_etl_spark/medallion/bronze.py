@@ -118,15 +118,18 @@ class BronzeLayer:
     ) -> str:
         """Batch unstructured ingest, fully distributed: a blob table
         (``BinaryFileConnector.to_blob_rows`` shape) becomes text rows.
-        PDF payloads go through the pure-python extractor
-        (operators.pdftext) inside Arrow-batched mapInPandas; UTF-8
-        payloads decode as text; undecodable payloads keep NULL text but
-        land with their metadata. This is the scan-parallel form of the
-        reference's per-file extract loop (reference bronze.py:126-185 +
-        connectors/unstructured/pdf.py:149-190)."""
+        PDF and Office (docx/pptx/xlsx) payloads go through the
+        pure-python extractors (operators.pdftext / operators.doctext)
+        inside Arrow-batched mapInPandas — dispatched on the source
+        filename when present, content-sniffed otherwise; HTML is
+        tag-stripped; UTF-8 payloads decode as text; undecodable
+        payloads keep NULL text but land with their metadata. This is
+        the scan-parallel form of the reference's per-file extract loop
+        (reference bronze.py:126-185 + connectors/unstructured/
+        documents.py:107-248, pdf.py:149-190)."""
         import pandas as pd
 
-        from automic_etl_spark.operators.pdftext import extract_pdf_text
+        from automic_etl_spark.operators.doctext import sniff_and_extract
 
         schema = (
             "_source_file string, _content_type string, _content_size long,"
@@ -135,25 +138,18 @@ class BronzeLayer:
 
         def batches(it):
             for pdf in it:
-                texts, types, sizes = [], [], []
-                for b in pdf["_content_bytes"]:
-                    data = bytes(b)
-                    sizes.append(len(data))
-                    if b"%PDF" in data[:1024]:
-                        texts.append(extract_pdf_text(data))
-                        types.append("application/pdf")
-                    else:
-                        try:
-                            texts.append(data.decode("utf-8"))
-                            types.append("text/plain")
-                        except UnicodeDecodeError:
-                            texts.append(None)
-                            types.append("application/octet-stream")
                 src = (
                     pdf["_source_file"].tolist()
                     if "_source_file" in pdf.columns
                     else [None] * len(pdf)
                 )
+                texts, types, sizes = [], [], []
+                for b, name in zip(pdf["_content_bytes"], src):
+                    data = bytes(b)
+                    sizes.append(len(data))
+                    mime, text = sniff_and_extract(data, str(name) if name else "")
+                    types.append(mime)
+                    texts.append(text)
                 yield pd.DataFrame(
                     {
                         "_source_file": src,

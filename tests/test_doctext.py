@@ -1,0 +1,148 @@
+"""Pure-stdlib Office/HTML document extraction (reference
+connectors/unstructured/documents.py — SDK-gated there, real here)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from automic_etl_spark.operators.doctext import (
+    doc_blobs_to_text,
+    extract_docx_text,
+    extract_document,
+    extract_html_text,
+    extract_plain_text,
+    extract_pptx_text,
+    extract_xlsx_text,
+)
+
+W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+A = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+S = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+
+
+def _zip(entries: dict[str, str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, content in entries.items():
+            z.writestr(name, content)
+    return buf.getvalue()
+
+
+def make_docx() -> bytes:
+    doc = (
+        f'<w:document {W}><w:body>'
+        "<w:p><w:r><w:t>Hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>   </w:t></w:r></w:p>"  # whitespace-only: dropped
+        "<w:p><w:r><w:t>Second paragraph</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    return _zip({"word/document.xml": doc})
+
+
+def make_pptx() -> bytes:
+    def slide(*texts):
+        runs = "".join(f"<a:r><a:t>{t}</a:t></a:r>" for t in texts)
+        return f'<p:sld xmlns:p="x" {A}><p:txBody>{runs}</p:txBody></p:sld>'
+
+    return _zip(
+        {
+            "ppt/slides/slide2.xml": slide("Slide two"),
+            "ppt/slides/slide1.xml": slide("Title", "Bullet"),
+            "ppt/slides/slide10.xml": slide("Slide ten"),
+        }
+    )
+
+
+def make_xlsx() -> bytes:
+    shared = (
+        f"<sst {S}><si><t>name</t></si><si><t>alice</t></si></sst>"
+    )
+    sheet = (
+        f"<worksheet {S}><sheetData>"
+        '<row><c t="s"><v>0</v></c><c><v>42</v></c></row>'
+        '<row><c t="s"><v>1</v></c><c><v>3.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    workbook = f'<workbook {S}><sheets><sheet name="People" sheetId="1"/></sheets></workbook>'
+    return _zip(
+        {
+            "xl/sharedStrings.xml": shared,
+            "xl/worksheets/sheet1.xml": sheet,
+            "xl/workbook.xml": workbook,
+        }
+    )
+
+
+def test_docx_paragraphs():
+    assert extract_docx_text(make_docx()) == "Hello world\n\nSecond paragraph"
+    assert extract_docx_text(b"not a zip") == ""
+
+
+def test_pptx_slides_numeric_order():
+    out = extract_pptx_text(make_pptx())
+    assert out.split("\n\n---\n\n") == ["Title\nBullet", "Slide two", "Slide ten"]
+
+
+def test_xlsx_shared_strings_and_sheet_name():
+    out = extract_xlsx_text(make_xlsx())
+    assert out.splitlines()[0] == "Sheet: People"
+    assert "name\t42" in out and "alice\t3.5" in out
+
+
+def test_html_strips_script_and_captures_body():
+    html = (
+        b"<html><head><title>T</title><script>var x=1;</script>"
+        b"<style>p{}</style></head><body><p>Para &amp; more</p></body></html>"
+    )
+    out = extract_html_text(html)
+    assert "Para & more" in out
+    assert "var x" not in out and "p{}" not in out and "T" not in out.split("\n")
+
+
+def test_plain_text_latin1_fallback():
+    assert extract_plain_text("héllo".encode("latin-1")) == "héllo"
+
+
+def test_dispatch_by_extension():
+    assert extract_document(make_docx(), "report.DOCX") == ("word", "Hello world\n\nSecond paragraph")
+    assert extract_document(b"plain", "notes.txt") == ("text", "plain")
+    assert extract_document(b"# md", "a.md") == ("markdown", "# md")
+    kind, text = extract_document(b"\x00\x01", "blob.bin")
+    assert kind == "unknown" and text == ""
+
+
+def test_distributed_extraction_mixed_types(spark):
+    rows = [
+        (1, make_docx(), "a.docx"),
+        (2, make_pptx(), "b.pptx"),
+        (3, make_xlsx(), "c.xlsx"),
+        (4, b"<p>hi</p>", "d.html"),
+        (5, b"\xff\xfe", "e.bin"),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary, filename string")
+    out = {r["doc_id"]: r for r in doc_blobs_to_text(blobs.repartition(2)).collect()}
+    assert out[1]["doc_type"] == "word" and out[1]["ok"]
+    assert out[2]["text"].count("---") == 2
+    assert out[3]["doc_type"] == "excel" and "People" in out[3]["text"]
+    assert out[4]["text"] == "hi"
+    assert out[5]["doc_type"] == "unknown" and not out[5]["ok"]
+    assert out[1]["n_chars"] == len(out[1]["text"])
+
+
+def test_sniff_without_filename():
+    from automic_etl_spark.operators.doctext import sniff_and_extract
+
+    mime, text = sniff_and_extract(make_docx())
+    assert mime.endswith("wordprocessingml.document") and "Hello world" in text
+    mime, text = sniff_and_extract(b"<!DOCTYPE html><html><body>hi</body></html>")
+    assert mime == "text/html" and text == "hi"
+    mime, text = sniff_and_extract(b"just text")
+    assert mime == "text/plain" and text == "just text"
+    mime, text = sniff_and_extract(b"\xff\xfe\x00")
+    assert mime == "application/octet-stream" and text is None
+    # filename wins over sniffing
+    mime, _ = sniff_and_extract(b"col1,col2", "data.txt")
+    assert mime == "text/plain"
