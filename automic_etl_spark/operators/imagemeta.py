@@ -1,0 +1,119 @@
+"""Image metadata from raw headers — pure stdlib, no codec.
+
+The container ships no PIL/ffmpeg, but an image's FORMAT and DIMENSIONS
+don't need a decoder: PNG stores them in the IHDR chunk, JPEG in its
+SOF frame header, GIF in the logical screen descriptor, BMP in
+BITMAPINFOHEADER, and WebP in the VP8/VP8L/VP8X chunk. Parsing those
+headers is enough for the curation decisions a 100 TB multimodal
+pipeline makes *before* ever decoding pixels — resolution/aspect-ratio
+filters, format routing, corrupt-blob quarantine — so this operator is
+REAL where the pixel decode (operators.multimodal._fake_decode) stays a
+stub.
+
+Reference analog: the media connector family (connectors/media/*)
+produces typed metadata rows per blob; the distributed form here is one
+Arrow-batched ``mapInPandas`` over the canonical blob-table shape.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def probe_image(data: bytes) -> tuple[str | None, int, int]:
+    """(format, width, height) from header bytes; (None, 0, 0) when the
+    payload is not a recognized image. Never raises on garbage."""
+    data = bytes(data)
+    try:
+        if data[:8] == b"\x89PNG\r\n\x1a\n" and data[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", data[16:24])
+            return "png", w, h
+        if data[:3] == b"GIF" and data[3:6] in (b"87a", b"89a"):
+            w, h = struct.unpack("<HH", data[6:10])
+            return "gif", w, h
+        if data[:2] == b"BM" and len(data) >= 26:
+            w, h = struct.unpack("<ii", data[18:26])
+            return "bmp", w, abs(h)  # negative height = top-down DIB
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            chunk = data[12:16]
+            if chunk == b"VP8X" and len(data) >= 30:
+                w = int.from_bytes(data[24:27], "little") + 1
+                h = int.from_bytes(data[27:30], "little") + 1
+                return "webp", w, h
+            if chunk == b"VP8L" and len(data) >= 25:
+                bits = int.from_bytes(data[21:25], "little")
+                return "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1
+            if chunk == b"VP8 " and len(data) >= 30:
+                w, h = struct.unpack("<HH", data[26:30])
+                return "webp", w & 0x3FFF, h & 0x3FFF
+            return "webp", 0, 0
+        if data[:2] == b"\xff\xd8":  # JPEG: scan markers for a SOF frame
+            i = 2
+            while i + 9 < len(data):
+                if data[i] != 0xFF:
+                    break
+                marker = data[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+                # SOF0-15 except DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return "jpeg", w, h
+                i += 2 + seg_len
+            return "jpeg", 0, 0
+    except (struct.error, IndexError):
+        pass
+    return None, 0, 0
+
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, format string, width int, height int, content_size long, ok boolean"
+)
+
+
+def image_blobs_to_meta(
+    blobs: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """Arrow-batched header probe over a blob table. ``ok`` = recognized
+    format with non-zero dimensions; everything else is quarantinable."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            probed = [probe_image(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [p[0] for p in probed],
+                    "width": [p[1] for p in probed],
+                    "height": [p[2] for p in probed],
+                    "content_size": [len(bytes(b)) for b in pdf[content_col]],
+                    "ok": [p[0] is not None and p[1] > 0 and p[2] > 0 for p in probed],
+                }
+            )
+
+    return blobs.mapInPandas(batches, IMAGE_META_SCHEMA)
+
+
+def resolution_filter(
+    min_width: int = 0,
+    min_height: int = 0,
+    max_aspect_ratio: float | None = None,
+    formats: tuple[str, ...] | None = None,
+) -> Column:
+    """Curation predicate over the IMAGE_META_SCHEMA columns — pushed
+    into the scan as ordinary Catalyst filters (the pre-decode culling
+    step of a multimodal training pipeline)."""
+    cond = F.col("ok") & (F.col("width") >= min_width) & (F.col("height") >= min_height)
+    if max_aspect_ratio is not None:
+        big = F.greatest(F.col("width"), F.col("height")).cast("double")
+        small = F.least(F.col("width"), F.col("height")).cast("double")
+        cond = cond & (big / small <= F.lit(max_aspect_ratio))
+    if formats is not None:
+        cond = cond & F.col("format").isin(*formats)
+    return cond

@@ -1,0 +1,71 @@
+"""Header-level image metadata probing (pure stdlib, no codec)."""
+
+from __future__ import annotations
+
+import struct
+
+from automic_etl_spark.operators.imagemeta import (
+    image_blobs_to_meta,
+    probe_image,
+    resolution_filter,
+)
+
+
+def png(w, h):
+    return b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+
+
+def gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def bmp(w, h):
+    return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h) + b"\x00" * 4
+
+
+def jpeg(w, h):
+    # SOI + APP0 stub + SOF0 with dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x03\x00\x00\x00"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def webp_vp8l(w, h):
+    bits = (w - 1) | ((h - 1) << 14)
+    return b"RIFF" + b"\x00" * 4 + b"WEBP" + b"VP8L" + b"\x00" * 4 + b"\x2f" + struct.pack("<I", bits)
+
+
+def test_probe_each_format():
+    assert probe_image(png(640, 480)) == ("png", 640, 480)
+    assert probe_image(gif(12, 34)) == ("gif", 12, 34)
+    assert probe_image(bmp(100, 200)) == ("bmp", 100, 200)
+    assert probe_image(bmp(100, -200)) == ("bmp", 100, 200)  # top-down DIB
+    assert probe_image(jpeg(1920, 1080)) == ("jpeg", 1920, 1080)
+    assert probe_image(webp_vp8l(33, 44)) == ("webp", 33, 44)
+
+
+def test_probe_garbage_and_truncated():
+    assert probe_image(b"") == (None, 0, 0)
+    assert probe_image(b"plain text here") == (None, 0, 0)
+    assert probe_image(png(9, 9)[:10]) == (None, 0, 0)  # truncated header
+    assert probe_image(b"\xff\xd8\xff") == ("jpeg", 0, 0)  # JPEG SOI, no SOF
+
+
+def test_distributed_probe_and_resolution_filter(spark):
+    rows = [
+        (1, png(2000, 1000)),
+        (2, gif(10, 10)),
+        (3, jpeg(512, 4096)),  # extreme aspect ratio
+        (4, b"not an image"),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    meta = image_blobs_to_meta(blobs.repartition(2))
+    got = {r["doc_id"]: r for r in meta.collect()}
+    assert got[1]["format"] == "png" and got[1]["ok"]
+    assert got[4]["format"] is None and not got[4]["ok"]
+    assert got[2]["content_size"] == len(gif(10, 10))
+
+    kept = meta.filter(
+        resolution_filter(min_width=256, min_height=256, max_aspect_ratio=4.0, formats=("png", "jpeg"))
+    )
+    assert [r["doc_id"] for r in kept.collect()] == [1]  # gif too small+wrong fmt, jpeg 8:1 aspect
