@@ -1,0 +1,174 @@
+"""Video container metadata from raw headers — pure stdlib, no codec.
+
+Same principle as operators.imagemeta: the curation decisions a 100 TB
+multimodal pipeline makes before decoding (duration caps, resolution
+floors, format routing, frame-sampling schedules) need only container
+metadata, which parses without ffmpeg: MP4/MOV store timescale/duration
+in the ``mvhd`` box and track dimensions in ``tkhd``; AVI stores
+dimensions in the ``avih`` chunk; Matroska/WebM is detected by its EBML
+magic (its variable-length element tree isn't worth hand-parsing —
+honestly reported as format-only).
+
+The pixel/frame decode itself stays a clearly-marked stub
+(``sample_frames``), mirroring operators.multimodal: the SAMPLING
+SCHEDULE — which timestamps to pull per video, derived from real
+duration metadata — is computed for real; only the frame-bytes kernel
+is fake. Swap it for an ffmpeg call on a real cluster and the plan,
+schema, and batch shape stay identical.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for MP4 boxes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i : i + 4], "big")
+        btype = data[i + 4 : i + 8]
+        header = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            header = 16
+        elif size == 0:  # box extends to end of file
+            size = end - i
+        if size < header or i + size > end:
+            return
+        yield btype, i + header, i + size
+        i += size
+
+
+def probe_video(data: bytes) -> tuple[str | None, int, int, int]:
+    """(format, duration_ms, width, height) from container headers;
+    (None, 0, 0, 0) for unrecognized payloads. Never raises."""
+    data = bytes(data)
+    try:
+        if len(data) >= 12 and data[4:8] == b"ftyp":  # MP4 / MOV family
+            fmt = "mov" if data[8:12] == b"qt  " else "mp4"
+            duration_ms = width = height = 0
+            for btype, s, e in _iter_boxes(data, 0, len(data)):
+                if btype != b"moov":
+                    continue
+                for ityp, is_, ie in _iter_boxes(data, s, e):
+                    if ityp == b"mvhd" and ie - is_ >= 20:
+                        version = data[is_]
+                        if version == 1 and ie - is_ >= 28:
+                            timescale = int.from_bytes(data[is_ + 20 : is_ + 24], "big")
+                            duration = int.from_bytes(data[is_ + 24 : is_ + 32], "big")
+                        else:
+                            timescale = int.from_bytes(data[is_ + 12 : is_ + 16], "big")
+                            duration = int.from_bytes(data[is_ + 16 : is_ + 20], "big")
+                        if timescale:
+                            duration_ms = duration * 1000 // timescale
+                    elif ityp == b"trak":
+                        for ttyp, ts, te in _iter_boxes(data, is_, ie):
+                            # tkhd ends with width/height as 16.16 fixed-point
+                            if ttyp == b"tkhd" and te - ts >= 8:
+                                w = int.from_bytes(data[te - 8 : te - 4], "big") >> 16
+                                h = int.from_bytes(data[te - 4 : te], "big") >> 16
+                                if w and h:  # audio tracks carry 0x0
+                                    width, height = w, h
+            return fmt, duration_ms, width, height
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            idx = data.find(b"avih")
+            if idx != -1 and idx + 48 <= len(data):
+                us_per_frame = int.from_bytes(data[idx + 8 : idx + 12], "little")
+                total_frames = int.from_bytes(data[idx + 24 : idx + 28], "little")
+                w = int.from_bytes(data[idx + 40 : idx + 44], "little")
+                h = int.from_bytes(data[idx + 44 : idx + 48], "little")
+                return "avi", us_per_frame * total_frames // 1000, w, h
+            return "avi", 0, 0, 0
+        if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML magic: Matroska/WebM
+            return "webm", 0, 0, 0
+    except (struct.error, IndexError):
+        pass
+    return None, 0, 0, 0
+
+
+VIDEO_META_SCHEMA = (
+    "doc_id long, format string, duration_ms long, width int, height int, "
+    "content_size long, ok boolean"
+)
+
+
+def video_blobs_to_meta(
+    blobs: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """Arrow-batched container probe over a blob table."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            probed = [probe_video(b) for b in pdf[content_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": [p[0] for p in probed],
+                    "duration_ms": [p[1] for p in probed],
+                    "width": [p[2] for p in probed],
+                    "height": [p[3] for p in probed],
+                    "content_size": [len(bytes(b)) for b in pdf[content_col]],
+                    "ok": [p[0] is not None for p in probed],
+                }
+            )
+
+    return blobs.mapInPandas(batches, VIDEO_META_SCHEMA)
+
+
+def frame_sample_schedule(meta: DataFrame, every_ms: int = 1000, max_frames: int = 64) -> DataFrame:
+    """One row per (video, sample timestamp): the REAL half of frame
+    sampling, derived from probed durations entirely inside Catalyst
+    (sequence + explode — no UDF, no decode). Capped at ``max_frames``
+    per video so a 10-hour outlier can't explode a partition."""
+    n = F.least(
+        (F.col("duration_ms") / F.lit(every_ms)).cast("int") + 1, F.lit(max_frames)
+    )
+    return (
+        meta.filter(F.col("ok") & (F.col("duration_ms") > 0))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(f"sequence(0, {max_frames - 1})")).alias("frame_idx", "_i"),
+            n.alias("_n"),
+        )
+        .filter(F.col("frame_idx") < F.col("_n"))
+        .select(
+            "doc_id",
+            "frame_idx",
+            (F.col("frame_idx") * F.lit(every_ms)).alias("ts_ms"),
+        )
+    )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_bytes binary, ok boolean"
+
+
+def sample_frames(blobs_with_schedule: DataFrame) -> DataFrame:
+    """STUB frame extraction (the codec half): deterministic fake bytes
+    derived from (doc_id, ts_ms). A real deployment replaces the kernel
+    with ffmpeg seek+decode; schema, join shape, and batching are what
+    that implementation would use."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            frames = [
+                f"FAKEFRAME:{d}:{t}".encode() for d, t in zip(pdf["doc_id"], pdf["ts_ms"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "frame_bytes": frames,
+                    "ok": [True] * len(frames),
+                }
+            )
+
+    return blobs_with_schedule.mapInPandas(batches, FRAME_SCHEMA)

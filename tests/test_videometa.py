@@ -1,0 +1,88 @@
+"""Video container metadata + frame-sampling schedule (stdlib parse,
+stub decode)."""
+
+from __future__ import annotations
+
+import struct
+
+
+from automic_etl_spark.operators.videometa import (
+    frame_sample_schedule,
+    probe_video,
+    sample_frames,
+    video_blobs_to_meta,
+)
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_mp4(duration_s=10, timescale=600, w=1280, h=720, version=0) -> bytes:
+    if version == 0:
+        mvhd = bytes([0]) + b"\x00" * 11 + struct.pack(">II", timescale, duration_s * timescale)
+    else:
+        mvhd = bytes([1]) + b"\x00" * 19 + struct.pack(">IQ", timescale, duration_s * timescale)
+    tkhd = b"\x00" * 76 + struct.pack(">II", w << 16, h << 16)
+    audio_tkhd = b"\x00" * 76 + struct.pack(">II", 0, 0)
+    moov = _box(
+        b"moov",
+        _box(b"mvhd", mvhd) + _box(b"trak", _box(b"tkhd", audio_tkhd)) + _box(b"trak", _box(b"tkhd", tkhd)),
+    )
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+
+
+def make_avi(us_per_frame=40000, frames=250, w=640, h=480) -> bytes:
+    avih = (
+        b"avih"
+        + struct.pack("<I", 56)
+        + struct.pack("<I", us_per_frame)
+        + b"\x00" * 12
+        + struct.pack("<I", frames)
+        + b"\x00" * 12
+        + struct.pack("<II", w, h)
+    )
+    return b"RIFF" + struct.pack("<I", 200) + b"AVI LIST" + avih
+
+
+def test_probe_mp4_both_mvhd_versions():
+    assert probe_video(make_mp4()) == ("mp4", 10000, 1280, 720)
+    assert probe_video(make_mp4(duration_s=7, version=1)) == ("mp4", 7000, 1280, 720)
+
+
+def test_probe_avi_webm_garbage():
+    assert probe_video(make_avi()) == ("avi", 10000, 640, 480)  # 250 * 40ms
+    assert probe_video(b"\x1a\x45\xdf\xa3rest") == ("webm", 0, 0, 0)
+    assert probe_video(b"nonsense") == (None, 0, 0, 0)
+    assert probe_video(make_mp4()[:20]) == ("mp4", 0, 0, 0)  # truncated: no moov
+
+
+def test_distributed_meta_and_schedule(spark):
+    blobs = spark.createDataFrame(
+        [(1, make_mp4(duration_s=3)), (2, make_avi()), (3, b"junk")],
+        "doc_id long, _content_bytes binary",
+    )
+    meta = video_blobs_to_meta(blobs)
+    got = {r["doc_id"]: r for r in meta.collect()}
+    assert got[1]["duration_ms"] == 3000 and got[1]["width"] == 1280
+    assert not got[3]["ok"]
+
+    sched = frame_sample_schedule(meta, every_ms=1000, max_frames=64)
+    rows = sched.filter("doc_id = 1").orderBy("frame_idx").collect()
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [(0, 0), (1, 1000), (2, 2000), (3, 3000)]
+    # junk video contributes no schedule rows
+    assert sched.filter("doc_id = 3").count() == 0
+
+
+def test_schedule_caps_max_frames(spark):
+    blobs = spark.createDataFrame([(9, make_mp4(duration_s=9999))], "doc_id long, _content_bytes binary")
+    sched = frame_sample_schedule(video_blobs_to_meta(blobs), every_ms=1000, max_frames=16)
+    assert sched.count() == 16
+
+
+def test_sample_frames_stub_shape(spark):
+    blobs = spark.createDataFrame([(1, make_mp4(duration_s=2))], "doc_id long, _content_bytes binary")
+    sched = frame_sample_schedule(video_blobs_to_meta(blobs))
+    frames = sample_frames(sched).collect()
+    assert len(frames) == 3
+    assert bytes(frames[0]["frame_bytes"]).startswith(b"FAKEFRAME:1:")
