@@ -251,6 +251,36 @@ class ApiHandlers:
             return {"error": f"unknown pipeline {name!r}", "status": 404}
         return {"pipeline": name, "runs": self.metastore.pipelines.get_runs(p["id"], limit), "status": 200}
 
+    def connectors(self, connector_type: str | None = None) -> dict[str, Any]:
+        if err := self._require_metastore():
+            return err
+        return {"connectors": self.metastore.connectors.list_connectors(connector_type), "status": 200}
+
+    def create_connector(self, name: str, connector_type: str, config: dict | None = None) -> dict[str, Any]:
+        """Register a connector config (reference api/routes/connectors.py:
+        144-182). Config stores option dicts/references, never secrets."""
+        if err := self._require_metastore():
+            return err
+        self._authorize("connector:create", name)
+        if self.metastore.connectors.get_connector_by_name(name):
+            return {"error": f"connector {name!r} already exists", "status": 409}
+        known = {"postgres", "mysql", "sqlserver", "oracle", "snowflake", "bigquery", "mongodb",
+                 "csv", "json", "parquet", "jdbc", "rest", "kafka"}
+        if connector_type not in known:
+            return {"error": f"unknown connector type {connector_type!r}", "status": 422}
+        c = self.metastore.connectors.create_connector(name, connector_type, config)
+        return {"connector": c, "status": 201}
+
+    def delete_connector(self, name: str) -> dict[str, Any]:
+        if err := self._require_metastore():
+            return err
+        self._authorize("connector:delete", name)
+        c = self.metastore.connectors.get_connector_by_name(name)
+        if c is None:
+            return {"error": f"unknown connector {name!r}", "status": 404}
+        self.metastore.connectors.delete_connector(c["id"])
+        return {"deleted": name, "status": 200}
+
     def alert_history(self, status: str | None = None) -> dict[str, Any]:
         if err := self._require_metastore():
             return err
@@ -295,4 +325,7 @@ def create_app(lakehouse: Lakehouse):
     app.get("/api/v1/pipelines/{name}/runs")(handlers.pipeline_runs)
     app.get("/api/v1/alerts")(handlers.alert_history)
     app.get("/api/v1/audit")(handlers.audit_trail)
+    app.get("/api/v1/connectors")(handlers.connectors)
+    app.post("/api/v1/connectors")(handlers.create_connector)
+    app.delete("/api/v1/connectors/{name}")(handlers.delete_connector)
     return app

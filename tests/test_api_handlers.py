@@ -211,3 +211,21 @@ def test_validation_endpoint_persists_report_when_metastore(spark, tmp_path, use
     assert len(persisted) == 1 and persisted[0]["passed"] == 1
     assert persisted[0]["total_rows"] == 5
     ms.close()
+
+
+def test_connector_endpoints(spark, tmp_path, users_df):
+    from automic_etl_spark.metastore import Metastore
+
+    lh = Lakehouse(spark, str(tmp_path / "wh4"))
+    lh.ingest("users", users_df, source="api", fixed_time=datetime(2024, 1, 1))
+    ms = Metastore(":memory:")
+    h = ApiHandlers(lh, metastore=ms)
+    assert h.create_connector("pg", "postgres", {"host": "db"})["status"] == 201
+    assert h.create_connector("pg", "postgres")["status"] == 409
+    assert h.create_connector("bad", "carrier-pigeon")["status"] == 422
+    assert [c["name"] for c in h.connectors()["connectors"]] == ["pg"]
+    assert h.connectors("mysql")["connectors"] == []
+    assert h.delete_connector("ghost")["status"] == 404
+    assert h.delete_connector("pg")["status"] == 200
+    assert h.connectors()["connectors"] == []
+    ms.close()
