@@ -1,0 +1,69 @@
+"""Property tests: every blob extractor must be total — arbitrary bytes
+return a value, never raise. These functions run inside mapInPandas
+batches where one uncaught exception fails the whole Spark task (and
+with it, at scale, the job); totality on garbage is a production
+property, not a nicety."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from automic_etl_spark.operators.audio import wav_metadata
+from automic_etl_spark.operators.doctext import extract_document, sniff_and_extract
+from automic_etl_spark.operators.imagemeta import probe_image
+from automic_etl_spark.operators.pdftext import extract_pdf_text
+from automic_etl_spark.operators.videometa import probe_video
+
+BLOBS = st.binary(min_size=0, max_size=512)
+
+# adversarial prefixes: every magic number the sniffers dispatch on,
+# followed by garbage — exercises the "right magic, wrong body" paths
+MAGICS = [
+    b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8\xff", b"RIFF",
+    b"PK\x03\x04", b"%PDF-1.7", b"\x1a\x45\xdf\xa3",
+    b"\x00\x00\x00\x18ftypmp42", b"<html>", b"<!DOCTYPE html>",
+]
+PREFIXED = st.sampled_from(MAGICS).flatmap(
+    lambda m: st.binary(min_size=0, max_size=256).map(lambda b: m + b)
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_image_probe_total(data):
+    fmt, w, h = probe_image(data)
+    assert (fmt is None) or isinstance(fmt, str)
+    assert w >= 0 and h >= 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_video_probe_total(data):
+    fmt, dur, w, h = probe_video(data)
+    assert dur >= 0 and w >= 0 and h >= 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_wav_probe_total(data):
+    out = wav_metadata(data)
+    assert isinstance(out["format"], str) and isinstance(out["ok"], bool)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_pdf_extract_total(data):
+    assert isinstance(extract_pdf_text(data), str)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.one_of(BLOBS, PREFIXED),
+    st.sampled_from(["a.docx", "a.pptx", "a.xlsx", "a.html", "a.txt", "a.pdf", "a.bin", "noext"]),
+)
+def test_document_dispatch_total(data, name):
+    kind, text = extract_document(data, name)
+    assert isinstance(kind, str) and isinstance(text, str)
+    mime, text2 = sniff_and_extract(data, name)
+    assert isinstance(mime, str)
+    assert text2 is None or isinstance(text2, str)
