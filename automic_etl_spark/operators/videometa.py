@@ -59,7 +59,7 @@ def probe_video(data: bytes) -> tuple[str | None, int, int, int]:
                 for ityp, is_, ie in _iter_boxes(data, s, e):
                     if ityp == b"mvhd" and ie - is_ >= 20:
                         version = data[is_]
-                        if version == 1 and ie - is_ >= 28:
+                        if version == 1 and ie - is_ >= 32:
                             timescale = int.from_bytes(data[is_ + 20 : is_ + 24], "big")
                             duration = int.from_bytes(data[is_ + 24 : is_ + 32], "big")
                         else:
