@@ -238,8 +238,17 @@ class QueryBuilder:
             )
             if present:
                 hint = f"/*+ BROADCAST({', '.join(present)}) */"
-                optimized = re.sub(r"(?i)\bselect\b", f"SELECT {hint}", sql, count=1)
-                changes.append(f"broadcast hint for small tables: {', '.join(present)}")
+                # rewrite only when the statement's first token is the
+                # outer SELECT — in a WITH query the first textual
+                # `select` belongs to a CTE body and the hint would land
+                # in the wrong scope
+                if re.match(r"(?is)\s*select\b", sql):
+                    optimized = re.sub(r"(?i)\bselect\b", f"SELECT {hint}", sql, count=1)
+                    changes.append(f"broadcast hint for small tables: {', '.join(present)}")
+                else:
+                    changes.append(
+                        f"add {hint} to the outer SELECT (not auto-applied: statement starts with a CTE)"
+                    )
         return {
             "optimized_sql": optimized,
             "changes_made": changes,

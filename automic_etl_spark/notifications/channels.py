@@ -287,14 +287,20 @@ class EmailNotifier(NotificationChannel):
     def build_message(self, n: Notification):
         from email.mime.multipart import MIMEMultipart
         from email.mime.text import MIMEText
+        from html import escape
 
         msg = MIMEMultipart("alternative")
         msg["Subject"] = f"[{n.level.value.upper()}] {n.title}"
         msg["From"] = self.from_addr
         msg["To"] = ", ".join(self.to_addrs)
-        meta = "".join(f"<li><b>{k}</b>: {v}</li>" for k, v in n.metadata.items())
+        # escape everything interpolated into markup: titles/messages/
+        # metadata often carry user-controlled strings (table names,
+        # error text) and must not become live HTML in a mail client
+        meta = "".join(
+            f"<li><b>{escape(str(k))}</b>: {escape(str(v))}</li>" for k, v in n.metadata.items()
+        )
         html = (
-            f"<h2>{n.title}</h2><p>{n.message}</p>"
+            f"<h2>{escape(n.title)}</h2><p>{escape(n.message)}</p>"
             f"<p>Level: {n.level.value} | Time: {n.timestamp.isoformat()}</p>"
             + (f"<ul>{meta}</ul>" if meta else "")
         )

@@ -31,10 +31,26 @@ _A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
 _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 
 
+# Per-member decompressed-size cap. OOXML text parts are a few MB at
+# most; a member claiming more is a zip bomb aimed at executor memory —
+# skip it rather than decompress it.
+_MAX_MEMBER_BYTES = 64 * 1024 * 1024
+
+
+def _safe_read(z: zipfile.ZipFile, name: str) -> bytes | None:
+    try:
+        info = z.getinfo(name)
+    except KeyError:
+        return None
+    if info.file_size > _MAX_MEMBER_BYTES:
+        return None
+    return z.read(name)
+
+
 def _zip_read(data: bytes, name: str) -> bytes | None:
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as z:
-            return z.read(name)
+            return _safe_read(z, name)
     except (zipfile.BadZipFile, KeyError, OSError):
         return None
 
@@ -69,8 +85,11 @@ def extract_pptx_text(data: bytes) -> str:
             )
             slides = []
             for name in slide_names:
+                payload = _safe_read(z, name)
+                if payload is None:
+                    continue
                 try:
-                    root = ElementTree.fromstring(z.read(name))
+                    root = ElementTree.fromstring(payload)
                 except ElementTree.ParseError:
                     continue
                 texts = [t.text or "" for t in root.iter(f"{_A}t")]
@@ -88,9 +107,9 @@ def extract_xlsx_text(data: bytes) -> str:
         with zipfile.ZipFile(io.BytesIO(data)) as z:
             names = z.namelist()
             shared: list[str] = []
-            if "xl/sharedStrings.xml" in names:
+            if "xl/sharedStrings.xml" in names and (_ss := _safe_read(z, "xl/sharedStrings.xml")) is not None:
                 try:
-                    sroot = ElementTree.fromstring(z.read("xl/sharedStrings.xml"))
+                    sroot = ElementTree.fromstring(_ss)
                     shared = [
                         "".join(t.text or "" for t in si.iter(f"{_S}t"))
                         for si in sroot.iter(f"{_S}si")
@@ -98,9 +117,9 @@ def extract_xlsx_text(data: bytes) -> str:
                 except ElementTree.ParseError:
                     shared = []
             sheet_titles: list[str] = []
-            if "xl/workbook.xml" in names:
+            if "xl/workbook.xml" in names and (_wb := _safe_read(z, "xl/workbook.xml")) is not None:
                 try:
-                    wroot = ElementTree.fromstring(z.read("xl/workbook.xml"))
+                    wroot = ElementTree.fromstring(_wb)
                     sheet_titles = [s.get("name", "") for s in wroot.iter(f"{_S}sheet")]
                 except ElementTree.ParseError:
                     pass
@@ -110,8 +129,11 @@ def extract_xlsx_text(data: bytes) -> str:
             )
             out = []
             for i, fname in enumerate(sheet_files):
+                payload = _safe_read(z, fname)
+                if payload is None:
+                    continue
                 try:
-                    root = ElementTree.fromstring(z.read(fname))
+                    root = ElementTree.fromstring(payload)
                 except ElementTree.ParseError:
                     continue
                 rows = []

@@ -130,3 +130,24 @@ def test_alert_manager_bridges_to_channels():
     payload = rec.calls[0][1]
     assert payload["attachments"][0]["title"].endswith("no_rows")
     assert notifier.history[0].metadata["alert_id"] == fired[0].id
+
+
+def test_email_escapes_html_in_user_content():
+    sent = []
+
+    class FakeSMTP:
+        def send_message(self, msg):
+            sent.append(msg)
+
+        def quit(self):
+            pass
+
+    ch = EmailNotifier("h", 25, "a@x", ["b@x"], smtp_factory=FakeSMTP)
+    n = Notification(
+        title="<script>bad</script>", message="x < y & z", timestamp=TS,
+        metadata={"err<b>": "<img src=x>"},
+    )
+    assert ch.send(n)
+    html = sent[0].get_payload()[1].get_payload()
+    assert "<script>" not in html and "&lt;script&gt;" in html
+    assert "&lt;img src=x&gt;" in html and "x &lt; y &amp; z" in html

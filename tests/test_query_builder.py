@@ -109,3 +109,13 @@ def test_build_query_uses_plan_not_self_report(qb):
     res2 = qb.build_query("show me the top customers")
     assert res2.is_valid and res2.tables_used == ["orders"]
     assert res2.complexity in ("medium", "high")
+
+
+def test_optimize_does_not_inject_hint_into_cte(qb):
+    sql = (
+        "WITH r AS (SELECT region FROM regions) "
+        "SELECT s.sale_id FROM sales s JOIN r ON s.region = r.region"
+    )
+    out = qb.optimize_query(sql, small_tables=["regions"])
+    assert out["optimized_sql"] == sql  # unchanged: first select is a CTE body
+    assert any("not auto-applied" in c for c in out["changes_made"])
