@@ -3,12 +3,20 @@
 The harness tables (`/root/testdata/sf*/`) are plain parquet; all reads go
 through ``spark.read.parquet`` so Catalyst gets pushdown/pruning for free.
 
-One real-world wrinkle handled here: ``events.parquet`` stores its ``ts``
-column as parquet ``TIMESTAMP(NANOS)``, which Spark's parquet reader
-rejects outright (PARQUET_TYPE_ILLEGAL). We read the physical INT64 as a
-``long`` (works against the vectorized reader) and convert to a
-microsecond TimestampType column JVM-side — fully distributed, no driver
-materialization, pushdown still applies to the other columns.
+One real-world wrinkle handled here: ``events.parquet`` has shipped with
+two different physical encodings of ``ts`` across harness generations:
+
+- parquet ``TIMESTAMP(NANOS)``, which Spark's parquet reader rejects
+  outright (PARQUET_TYPE_ILLEGAL). We read the physical INT64 as a
+  ``long`` (works against the vectorized reader) and convert to a
+  microsecond TimestampType column JVM-side — fully distributed, no
+  driver materialization, pushdown still applies to the other columns.
+- native ``timestamp[us]``, which Spark reads directly.
+
+A one-time driver-side footer probe (`pyarrow` metadata read — a few KB,
+independent of data size, so scale-safe) picks the path per file. Never
+assume one encoding: a wrong guess silently compresses or inflates every
+event time by 1000×.
 """
 
 from __future__ import annotations
@@ -35,6 +43,43 @@ _EVENTS_READ_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
 
+# events when ``ts`` is a Spark-readable timestamp (µs/ms/s precision).
+EVENTS_NATIVE_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+)
+
+_TS_NATIVE_CACHE: dict[str, bool] = {}
+
+
+def events_ts_is_native(path: str) -> bool:
+    """True when the events parquet stores ``ts`` as a timestamp Spark can
+    read directly (µs/ms/s unit); False for the INT64-nanos encoding that
+    needs the legacy long-read + ``div 1000`` conversion. Driver-side
+    footer probe only (parquet metadata, not data); memoized per path."""
+    if path in _TS_NATIVE_CACHE:
+        return _TS_NATIVE_CACHE[path]
+    native = False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(probe):
+            parts = sorted(
+                f for f in os.listdir(probe) if f.endswith(".parquet")
+            )
+            if parts:
+                probe = os.path.join(probe, parts[0])
+        t = pq.ParquetFile(probe).schema_arrow.field("ts").type
+        native = pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us")
+    except Exception:
+        # Unreadable footer (remote FS, odd layout): assume the legacy
+        # nanos encoding, which at worst fails loudly at read time rather
+        # than silently mis-scaling.
+        native = False
+    _TS_NATIVE_CACHE[path] = native
+    return native
+
 
 def ensure_utc(spark: SparkSession) -> None:
     """Pin the session timezone to UTC. TimestampType values are
@@ -51,6 +96,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_utc(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        if events_ts_is_native(path):
+            return spark.read.schema(EVENTS_NATIVE_SCHEMA).parquet(path)
         raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
         # ns → µs truncation matches what any µs-precision engine sees.
         # Integer division (not float) — ns epochs exceed double's 53-bit
@@ -60,13 +107,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as the raw INT64 nanosecond epoch — no timestamp
-    conversion at all. Gate queries whose semantics reduce to integer
+    """events with ``ts`` as the INT64 nanosecond epoch — no timestamp
+    values cross engines. Gate queries whose semantics reduce to integer
     time arithmetic (sessionize gaps, funnel ordering) use this so both
-    engines compare the very same BIGINTs (oracle side: ``epoch_ns(ts)``)
-    and no engine timestamp-conversion semantics are in play."""
+    engines compare the very same BIGINTs (oracle side: ``epoch_ns(ts)``,
+    which is exact for any ≤µs-precision source) and no engine
+    timestamp-conversion semantics are in play.
+
+    Under the native ``timestamp[us]`` encoding the ns epoch is derived
+    JVM-side as ``unix_micros(ts) * 1000`` — exact long arithmetic (µs
+    epochs ×1000 stay far below 2^63)."""
     ensure_utc(spark)
     path = os.path.join(sf_dir, "events.parquet")
+    if events_ts_is_native(path):
+        df = spark.read.schema(EVENTS_NATIVE_SCHEMA).parquet(path)
+        return df.withColumn(
+            "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
+        )
     return spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
 
 

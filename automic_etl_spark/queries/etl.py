@@ -433,15 +433,31 @@ def q_streaming_window(spark, sf_dir):
     parquet replayed as a stream, 5-minute event-time windows with a
     10-minute watermark, counts + value sums per (window, event_type),
     memory sink drained synchronously."""
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, value double, props string"
+    from automic_etl_spark.io import (
+        EVENTS_NATIVE_SCHEMA,
+        _EVENTS_READ_SCHEMA,
+        events_ts_is_native,
     )
+    import os as _os
+
+    # readStream needs an explicit schema; branch on the footer probe the
+    # batch loader uses (ts has shipped both as INT64-nanos and as native
+    # timestamp[us] — see io.py module doc).
+    if events_ts_is_native(_os.path.join(sf_dir, "events.parquet")):
+        raw = (
+            spark.readStream.schema(EVENTS_NATIVE_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    else:
+        raw = (
+            spark.readStream.schema(_EVENTS_READ_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "10 minutes")
+        raw.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
