@@ -39,45 +39,68 @@ TABLE_NAMES = [
 ]
 
 # events: parquet TIMESTAMP(NANOS) must be read as long (see module doc).
-_EVENTS_READ_SCHEMA = (
+# Public — streaming readers need the same explicit schema (readStream has
+# no inference) and must not couple to a private name.
+EVENTS_NS_READ_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
+# Backwards-compat alias (pre-r4 name); prefer EVENTS_NS_READ_SCHEMA.
+_EVENTS_READ_SCHEMA = EVENTS_NS_READ_SCHEMA
 
 # events when ``ts`` is a Spark-readable timestamp (µs/ms/s precision).
 EVENTS_NATIVE_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 )
 
-_TS_NATIVE_CACHE: dict[str, bool] = {}
+_TS_NATIVE_CACHE: dict[tuple[str, float], bool] = {}
+
+
+def clear_probe_cache() -> None:
+    """Drop memoized footer-probe results (for harnesses that regenerate
+    test data in-process under the same path)."""
+    _TS_NATIVE_CACHE.clear()
 
 
 def events_ts_is_native(path: str) -> bool:
     """True when the events parquet stores ``ts`` as a timestamp Spark can
     read directly (µs/ms/s unit); False for the INT64-nanos encoding that
     needs the legacy long-read + ``div 1000`` conversion. Driver-side
-    footer probe only (parquet metadata, not data); memoized per path."""
-    if path in _TS_NATIVE_CACHE:
-        return _TS_NATIVE_CACHE[path]
-    native = False
+    footer probe only (parquet metadata, not data); memoized per
+    (probe file, mtime) so a regenerated file is re-probed.
+
+    Raises ``RuntimeError`` when the footer cannot be probed: Spark will
+    happily read a native TIMESTAMP(MICROS) column as raw long under the
+    nanos schema (no error — just values 1000× too small after the
+    ``div 1000``), so guessing on probe failure risks a *silent* 1000×
+    time-compression. Failing loudly is the only safe fallback. Probe
+    failures are never cached — a transient error (file not yet
+    materialized) must not poison later reads."""
+    probe = path
+    if os.path.isdir(probe):
+        parts = sorted(f for f in os.listdir(probe) if f.endswith(".parquet"))
+        if parts:
+            probe = os.path.join(probe, parts[0])
+    try:
+        mtime = os.stat(probe).st_mtime
+    except OSError:
+        mtime = -1.0
+    key = (probe, mtime)
+    if key in _TS_NATIVE_CACHE:
+        return _TS_NATIVE_CACHE[key]
     try:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        probe = path
-        if os.path.isdir(probe):
-            parts = sorted(
-                f for f in os.listdir(probe) if f.endswith(".parquet")
-            )
-            if parts:
-                probe = os.path.join(probe, parts[0])
         t = pq.ParquetFile(probe).schema_arrow.field("ts").type
         native = pa.types.is_timestamp(t) and t.unit in ("s", "ms", "us")
-    except Exception:
-        # Unreadable footer (remote FS, odd layout): assume the legacy
-        # nanos encoding, which at worst fails loudly at read time rather
-        # than silently mis-scaling.
-        native = False
-    _TS_NATIVE_CACHE[path] = native
+    except Exception as exc:
+        raise RuntimeError(
+            f"cannot probe parquet ts encoding for {probe!r}: {exc}. "
+            "Refusing to guess — a wrong guess silently mis-scales every "
+            "event timestamp by 1000x. Ensure the file exists and pyarrow "
+            "can read its footer."
+        ) from exc
+    _TS_NATIVE_CACHE[key] = native
     return native
 
 
@@ -98,7 +121,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         if events_ts_is_native(path):
             return spark.read.schema(EVENTS_NATIVE_SCHEMA).parquet(path)
-        raw = spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
+        raw = spark.read.schema(EVENTS_NS_READ_SCHEMA).parquet(path)
         # ns → µs truncation matches what any µs-precision engine sees.
         # Integer division (not float) — ns epochs exceed double's 53-bit
         # exact-integer range, so a float path would corrupt microseconds.
@@ -124,7 +147,7 @@ def load_events_ns(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.withColumn(
             "ts", (F.unix_micros(F.col("ts")) * F.lit(1000)).cast("long")
         )
-    return spark.read.schema(_EVENTS_READ_SCHEMA).parquet(path)
+    return spark.read.schema(EVENTS_NS_READ_SCHEMA).parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:

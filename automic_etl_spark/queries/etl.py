@@ -435,7 +435,7 @@ def q_streaming_window(spark, sf_dir):
     memory sink drained synchronously."""
     from automic_etl_spark.io import (
         EVENTS_NATIVE_SCHEMA,
-        _EVENTS_READ_SCHEMA,
+        EVENTS_NS_READ_SCHEMA,
         events_ts_is_native,
     )
     import os as _os
@@ -451,7 +451,7 @@ def q_streaming_window(spark, sf_dir):
         )
     else:
         raw = (
-            spark.readStream.schema(_EVENTS_READ_SCHEMA)
+            spark.readStream.schema(EVENTS_NS_READ_SCHEMA)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
             .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

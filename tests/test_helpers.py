@@ -86,3 +86,58 @@ def test_multimodal_blob_roundtrip(spark):
     assert row["_content_size"] == 11
     decoded = decode_blobs(blobs).first()
     assert decoded["ok"] and decoded["width"] == 12  # 11 % 640 + 1
+
+
+def test_events_probe_raises_on_unreadable_footer(tmp_path):
+    """Probe failure must raise, not silently fall back to the div-1000
+    path (a native-µs file read under the nanos schema mis-scales every
+    timestamp 1000x with no error)."""
+    import pytest as _pytest
+
+    from automic_etl_spark.io import events_ts_is_native
+
+    bad = tmp_path / "events.parquet"
+    bad.write_bytes(b"not a parquet file")
+    with _pytest.raises(RuntimeError, match="probe"):
+        events_ts_is_native(str(bad))
+
+
+def test_events_probe_not_cached_across_regeneration(spark, tmp_path):
+    """A transient probe failure must not poison the cache, and a file
+    regenerated with a different encoding must be re-probed."""
+    import time
+
+    import pytest as _pytest
+
+    from automic_etl_spark.io import clear_probe_cache, events_ts_is_native
+
+    p = tmp_path / "events.parquet"
+    # 1. failure first: nothing cached
+    with _pytest.raises(RuntimeError):
+        events_ts_is_native(str(p))
+    # 2. materialize a native-µs file: probe now succeeds
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us")),
+            }
+        ),
+        str(p),
+    )
+    assert events_ts_is_native(str(p)) is True
+    # 3. regenerate in-place with a long ts (mtime-keyed cache must re-probe)
+    time.sleep(0.05)
+    import pandas as pd
+
+    pd.DataFrame({"event_id": [1], "ts": pd.array([123], dtype="int64")}).to_parquet(
+        str(p)
+    )
+    import os
+
+    os.utime(str(p), (time.time() + 10, time.time() + 10))
+    assert events_ts_is_native(str(p)) is False
+    clear_probe_cache()
