@@ -1,0 +1,47 @@
+"""The driver's correctness gate, run INSIDE pytest so a regression in any
+of the 50 declared queries turns the suite red at HEAD instead of at the
+next driver round (VERDICT r3 insurance item #1).
+
+Reuses tools/check_oracle.py's comparison verbatim — the replica proved
+out as a faithful (strictly stricter) predictor of the driver across
+rounds 2-3; this test just parametrizes it per query so failures are
+granular.
+
+Default scale factor is sf0.001 (~2 min wall on local[4] including the
+oracle side); override with SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.01
+for the exact driver scale.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from check_oracle import compare_one, oracle_connection  # noqa: E402
+
+from automic_etl_spark.queries import all_oracles, all_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.001")
+
+_QUERIES = all_queries()
+_ORACLES = all_oracles()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = oracle_connection(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_oracle_gate(spark, oracle_con, name):
+    problems = compare_one(
+        spark, oracle_con, SF_DIR, name, _QUERIES[name], _ORACLES.get(name)
+    )
+    assert not problems, f"{name}: " + "; ".join(problems)

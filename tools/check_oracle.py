@@ -125,6 +125,56 @@ def value_hash_lines(lines):
     return h.hexdigest()
 
 
+def oracle_connection(sf_dir):
+    """DuckDB connection with every harness table registered as a view —
+    the same registration the driver performs."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def compare_one(spark, con, sf_dir, name, fn, sql):
+    """Run one query through Spark and its DuckDB oracle; return a list of
+    problem strings (empty == PASS). ``sql=None`` means rows-only check
+    (query must run and collect; no hash compare — mirrors the driver's
+    weaker check for non-SQL-expressible ops)."""
+    try:
+        sdf = fn(spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        spdf = spark_rows_to_pandas(srows, scols)
+    except Exception as e:
+        return [f"spark/canon error: {type(e).__name__}: {e}"]
+    if sql is None:
+        return []
+    try:
+        # .df() — the pandas path, same as the driver (NOT fetchall:
+        # native fetch hides the HUGEINT→float64 conversion).
+        opdf = con.execute(sql).df()
+    except Exception as e:
+        return [f"duckdb error: {e}"]
+    problems = []
+    if len(spdf) != len(opdf):
+        problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+    if sorted(spdf.columns) != sorted(opdf.columns):
+        problems.append(
+            f"cols spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
+        )
+    if not problems:
+        sl, ol = _canon_pd(spdf), _canon_pd(opdf)
+        if value_hash_lines(sl) != value_hash_lines(ol):
+            problems.append("value-hash mismatch")
+            for a, b in zip(sl, ol):
+                if a != b:
+                    problems.append(f"  spark : {a[:200]}")
+                    problems.append(f"  oracle: {b[:200]}")
+                    break
+    return problems
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -133,12 +183,7 @@ def main():
     from automic_etl_spark.queries import all_queries, all_oracles
 
     spark = get_spark("check_oracle", master="local[8]", shuffle_partitions=8)
-
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = oracle_connection(sf_dir)
 
     queries, oracles = all_queries(), all_oracles()
     failures = []
@@ -146,51 +191,18 @@ def main():
         if only and name not in only:
             continue
         t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            srows = [tuple(r) for r in sdf.collect()]
-            scols = sdf.columns
-            spdf = spark_rows_to_pandas(srows, scols)
-        except Exception as e:
-            print(f"FAIL {name}: spark/canon error: {type(e).__name__}: {e}")
-            failures.append(name)
-            continue
         sql = oracles.get(name)
-        if sql is None:
-            print(f"ok?  {name}: rows={len(srows)} (no oracle — rows-only check)")
-            continue
-        try:
-            # .df() — the pandas path, same as the driver (NOT fetchall:
-            # native fetch hides the HUGEINT→float64 conversion).
-            opdf = con.execute(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures.append(name)
-            continue
-        problems = []
-        if len(spdf) != len(opdf):
-            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
-        if sorted(spdf.columns) != sorted(opdf.columns):
-            problems.append(
-                f"cols spark={sorted(spdf.columns)} oracle={sorted(opdf.columns)}"
-            )
-        if not problems:
-            sl, ol = _canon_pd(spdf), _canon_pd(opdf)
-            if value_hash_lines(sl) != value_hash_lines(ol):
-                problems.append("value-hash mismatch")
-                for a, b in zip(sl, ol):
-                    if a != b:
-                        problems.append(f"  spark : {a[:200]}")
-                        problems.append(f"  oracle: {b[:200]}")
-                        break
+        problems = compare_one(spark, con, sf_dir, name, fn, sql)
         dt = time.time() - t0
         if problems:
             print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems[:1]))
             for p in problems[1:]:
                 print("      " + p)
             failures.append(name)
+        elif sql is None:
+            print(f"ok?  {name} ({dt:.1f}s) (no oracle — rows-only check)")
         else:
-            print(f"PASS {name} ({dt:.1f}s, rows={len(srows)})")
+            print(f"PASS {name} ({dt:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
