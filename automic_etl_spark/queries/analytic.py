@@ -420,16 +420,31 @@ def q_asof_join(spark, sf_dir):
     for each event, the latest order by that customer placed on or before
     the event — union-merge implementation (operators/asof.py): one
     shuffle + window, linear in |events|+|orders| per key, vs. the
-    quadratic-per-key range-join baseline it replaces."""
+    quadratic-per-key range-join baseline it replaces.
+
+    The at-or-before comparison is PURE INTEGER on int64 nanosecond
+    epochs on both engines (``io.load_events_ns`` / oracle ``epoch_ns``;
+    dates become midnight-UTC ns via exact long arithmetic) — no engine
+    timestamp semantics in play, same construction as sessionize/funnel."""
+    from automic_etl_spark.io import load_events_ns
     from automic_etl_spark.operators.asof import asof_join
 
-    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    _DAY_NS = 86400 * 1_000_000_000
+    ev = load_events_ns(spark, sf_dir).select("event_id", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        # cast to date first: the column has shipped as both DATE and
+        # TIMESTAMP_NTZ; either way the day count is exact long arithmetic
+        (F.unix_date(F.col("o_orderdate").cast("date")).cast("long") * F.lit(_DAY_NS)).alias(
+            "o_date_ns"
+        ),
+    )
     return (
         asof_join(
             ev, o,
             left_key="user_id", right_key="o_custkey",
-            left_ts="ts", right_ts="o_orderdate",
+            left_ts="ts", right_ts="o_date_ns",
             value_col="o_orderkey", out_col="asof_orderkey",
         )
         .select("event_id", "user_id", "asof_orderkey")
@@ -437,14 +452,20 @@ def q_asof_join(spark, sf_dir):
     )
 
 
-ORACLE_ASOF = f"""
-WITH {_EV}
+ORACLE_ASOF = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns FROM events
+), o AS (
+  SELECT o_custkey, o_orderkey,
+         epoch_ns(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS o_date_ns
+  FROM orders
+)
 SELECT event_id, user_id, asof_orderkey FROM (
   SELECT event_id, user_id, o_orderkey AS asof_orderkey,
          row_number() OVER (PARTITION BY event_id
-                            ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
-  FROM ev
-  LEFT JOIN orders ON user_id = o_custkey AND o_orderdate <= ts
+                            ORDER BY o_date_ns DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rn
+  FROM e
+  LEFT JOIN o ON user_id = o_custkey AND o_date_ns <= ts_ns
 )
 WHERE rn = 1
 ORDER BY event_id
@@ -597,30 +618,39 @@ ORDER BY src, key
 def q_sliding_window(spark, sf_dir):
     """Sliding event-time windows (10-minute window, 5-minute slide):
     each event lands in 2 windows. Batch form of the streaming
-    sliding-window aggregation (F.window with slideDuration)."""
+    sliding-window aggregation (F.window with slideDuration).
+
+    The gate OUTPUT is the window start as an integer epoch-second LONG
+    (``unix_timestamp(w.start)``) so no timestamp values cross engines;
+    the oracle derives the identical BIGINT boundaries from ``epoch_ns``
+    by pure integer floor arithmetic (window starts are whole 300-second
+    multiples, so µs-vs-ns read precision cannot move an assignment)."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("w.start").alias("window_start"), "n")
-        .orderBy("window_start")
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("window_start_s"),
+            "n",
+        )
+        .orderBy("window_start_s")
     )
 
 
 ORACLE_SLIDING = """
 WITH e AS (
-  SELECT epoch_us(ts) // 1000000 AS sec FROM events
+  SELECT epoch_ns(ts) // 1000000000 AS sec FROM events
 ), expanded AS (
   -- each event belongs to the two 10-min windows whose starts are the
   -- two 5-min slide boundaries at or before it
-  SELECT make_timestamp(((sec // 300) * 300) * 1000000) AS window_start FROM e
+  SELECT (sec // 300) * 300 AS window_start_s FROM e
   UNION ALL
-  SELECT make_timestamp(((sec // 300) - 1) * 300 * 1000000) FROM e
+  SELECT ((sec // 300) - 1) * 300 FROM e
 )
-SELECT window_start, count(*) AS n
+SELECT CAST(window_start_s AS BIGINT) AS window_start_s, count(*) AS n
 FROM expanded
-GROUP BY window_start
-ORDER BY window_start
+GROUP BY window_start_s
+ORDER BY window_start_s
 """
 
 

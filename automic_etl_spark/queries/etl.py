@@ -475,22 +475,26 @@ def q_streaming_window(spark, sf_dir):
         q.processAllAvailable()
     finally:
         q.stop()
+    # window start as integer epoch seconds: no timestamp values cross
+    # engines (oracle derives the same BIGINT from epoch_ns — window
+    # starts are whole 300 s multiples, so read precision cannot move one)
     return spark.sql(
-        f"SELECT w.start AS window_start, event_type, n, total_value FROM {qname}"
-    ).orderBy("window_start", "event_type")
+        f"SELECT CAST(unix_timestamp(w.start) AS LONG) AS window_start_s, "
+        f"event_type, n, total_value FROM {qname}"
+    ).orderBy("window_start_s", "event_type")
 
 
 ORACLE_STREAMING = """
 WITH e AS (
-  SELECT make_timestamp((epoch_us(ts) // 1000000 // 300) * 300 * 1000000) AS window_start,
+  SELECT (epoch_ns(ts) // 1000000000 // 300) * 300 AS window_start_s,
          event_type, value
   FROM events
 )
-SELECT window_start, event_type, count(*) AS n,
+SELECT CAST(window_start_s AS BIGINT) AS window_start_s, event_type, count(*) AS n,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
 FROM e
-GROUP BY window_start, event_type
-ORDER BY window_start, event_type
+GROUP BY window_start_s, event_type
+ORDER BY window_start_s, event_type
 """
 
 
