@@ -201,16 +201,45 @@ def q_profile_stats(spark, sf_dir):
     (validation/quality.py:259-287): mean/std/min/max + exact median via
     percentile() over lineitem, and the two-pass outlier count over
     orders (1-row stats aggregate broadcast back onto the scan — never a
-    driver-side collect). Both 1-row results cross-joined."""
+    driver-side collect). Both 1-row results cross-joined.
+
+    Output contract (queries/__init__.py): no rounded double division.
+    Every statistic is an integer-unit LONG derived from exact
+    integer-cents sums (the money contract):
+
+    - mean_e6: pure BIGINT floor division of exact sums — bit-free.
+    - std_e6: floor(sqrt(...)*scale) over exact decimal sums. The inputs
+      to the double pipeline are identical integers on both engines and
+      every step (int→double, /, sqrt, *, floor) is a correctly-rounded
+      IEEE-754 op on an identical expression tree → identical bits.
+    - median/p25/p75_e4/e6: quartile interpolation over integer cents is
+      exact in double (fractions 0/.25/.5/.75 scale by powers of two,
+      results < 2^53), so floor lands on the same integer both engines."""
     li = _t(spark, sf_dir, "lineitem")
-    stats = li.agg(
-        F.round(F.avg("l_quantity"), 6).alias("qty_mean"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_std"),
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty_c).alias("s"),
+        F.sum((qty_c.cast("decimal(38,0)") * qty_c)).alias("ss"),
         F.min("l_quantity").alias("qty_min"),
         F.max("l_quantity").alias("qty_max"),
-        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("qty_median"),
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("price_p75"),
+        F.expr("percentile(cast(round(l_quantity * 100) as long), 0.5)").alias("med_c"),
+        F.expr("percentile(cast(round(l_extendedprice * 100) as long), 0.25)").alias("p25_c"),
+        F.expr("percentile(cast(round(l_extendedprice * 100) as long), 0.75)").alias("p75_c"),
+    )
+    stats = sums.select(
+        # mean in e-6 units of the original quantity: sum_cents*1e4 // n
+        F.expr("s * 10000 div n").alias("qty_mean_e6"),
+        F.expr(
+            "cast(floor(sqrt((cast(n as double) * cast(ss as double)"
+            " - cast(s as double) * cast(s as double))"
+            " / (cast(n as double) * cast(n - 1 as double))) * 10000) as long)"
+        ).alias("qty_std_e6"),
+        "qty_min",
+        "qty_max",
+        F.expr("cast(floor(med_c * 10000) as long)").alias("qty_median_e6"),
+        F.expr("cast(floor(p25_c * 100) as long)").alias("price_p25_e4"),
+        F.expr("cast(floor(p75_c * 100) as long)").alias("price_p75_e4"),
     )
     o = _t(spark, sf_dir, "orders")
     mu_sigma = o.agg(
@@ -230,14 +259,26 @@ def q_profile_stats(spark, sf_dir):
 
 ORACLE_PROFILE_STATS = """
 SELECT * FROM (
-  SELECT round(avg(l_quantity), 6) AS qty_mean,
-         round(stddev_samp(l_quantity), 6) AS qty_std,
-         min(l_quantity) AS qty_min,
-         max(l_quantity) AS qty_max,
-         round(quantile_cont(l_quantity, 0.5), 6) AS qty_median,
-         round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
-         round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75
-  FROM lineitem
+  WITH s AS (
+    SELECT count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS s,
+           sum(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) AS ss,
+           min(l_quantity) AS qty_min,
+           max(l_quantity) AS qty_max,
+           quantile_cont(CAST(round(l_quantity * 100) AS BIGINT), 0.5) AS med_c,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_c,
+           quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_c
+    FROM lineitem
+  )
+  SELECT CAST(s * 10000 // n AS BIGINT) AS qty_mean_e6,
+         CAST(floor(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) * 10000) AS BIGINT) AS qty_std_e6,
+         qty_min, qty_max,
+         CAST(floor(med_c * 10000) AS BIGINT) AS qty_median_e6,
+         CAST(floor(p25_c * 100) AS BIGINT) AS price_p25_e4,
+         CAST(floor(p75_c * 100) AS BIGINT) AS price_p75_e4
+  FROM s
 ), (
   SELECT count(*) AS n_outliers
   FROM orders, (SELECT avg(o_totalprice) AS mu, stddev_samp(o_totalprice) AS sigma FROM orders)
