@@ -9,12 +9,15 @@ dimensions in the ``avih`` chunk; Matroska/WebM is detected by its EBML
 magic (its variable-length element tree isn't worth hand-parsing —
 honestly reported as format-only).
 
-The pixel/frame decode itself stays a clearly-marked stub
-(``sample_frames``), mirroring operators.multimodal: the SAMPLING
-SCHEDULE — which timestamps to pull per video, derived from real
-duration metadata — is computed for real; only the frame-bytes kernel
-is fake. Swap it for an ffmpeg call on a real cluster and the plan,
-schema, and batch shape stay identical.
+Frame sampling is real up to (but not including) pixel decode: the
+SAMPLING SCHEDULE is derived from probed durations inside Catalyst, and
+``sample_frames`` seeks each scheduled timestamp to its governing
+keyframe through the ISO sample tables (stts/stsc/stsz/stco/stss) and
+slices the keyframe's true coded byte range out of the blob — the exact
+bytes an ffmpeg/GPU decode stage would consume. Only the codec itself is
+out of scope (no decode libs in this image); swap the slice for a decode
+call on a real cluster and the plan, schema, and batch shape stay
+identical.
 """
 
 from __future__ import annotations
@@ -146,28 +149,238 @@ def frame_sample_schedule(meta: DataFrame, every_ms: int = 1000, max_frames: int
     )
 
 
+# --- sample tables: real keyframe byte ranges, no codec --------------------
+
+# forged box counts must not drive allocation: a 100-byte payload claiming
+# 4 billion stts entries reads as floor(payload/entry) entries instead
+_MAX_TABLE_ENTRIES = 1 << 20
+
+
+def _full_box_entries(data: bytes, s: int, e: int, header: int, entry: int) -> int:
+    """Entry count of an ISO full box, clamped to what the payload holds."""
+    if e - s < header:
+        return 0
+    declared = int.from_bytes(data[s + header - 4 : s + header], "big")
+    capacity = (e - s - header) // entry
+    return max(0, min(declared, capacity, _MAX_TABLE_ENTRIES))
+
+
+def _parse_stbl(data: bytes, s: int, e: int, timescale: int):
+    """Decode one track's sample tables into a keyframe index:
+    ``[(sample_no, ts_ms, offset, size)]`` (1-based sample numbers,
+    absolute file byte ranges). Returns [] when any required table is
+    missing/empty. Pure integer arithmetic off stts (decode timestamps),
+    stsc (sample→chunk), stsz (sizes), stco/co64 (chunk offsets), stss
+    (sync samples; absent ⇒ every sample is a keyframe) — the standard
+    ISO 14496-12 seek path, which needs no codec."""
+    stts = stsc = stsz = stco = stss = None
+    co64 = False
+    for btype, bs, be in _iter_boxes(data, s, e):
+        if btype == b"stts":
+            stts = (bs, be)
+        elif btype == b"stsc":
+            stsc = (bs, be)
+        elif btype == b"stsz":
+            stsz = (bs, be)
+        elif btype == b"stco":
+            stco = (bs, be)
+        elif btype == b"co64":
+            stco, co64 = (bs, be), True
+        elif btype == b"stss":
+            stss = (bs, be)
+    if not (stts and stsc and stsz and stco):
+        return []
+
+    # stts → per-sample decode timestamp (ms)
+    ts_ms: list[int] = []
+    bs, be = stts
+    n = _full_box_entries(data, bs, be, 8, 8)
+    t = 0
+    for i in range(n):
+        off = bs + 8 + i * 8
+        cnt = int.from_bytes(data[off : off + 4], "big")
+        delta = int.from_bytes(data[off + 4 : off + 8], "big")
+        for _ in range(min(cnt, _MAX_TABLE_ENTRIES - len(ts_ms))):
+            ts_ms.append(t * 1000 // timescale if timescale else 0)
+            t += delta
+        if len(ts_ms) >= _MAX_TABLE_ENTRIES:
+            break
+    n_samples = len(ts_ms)
+    if not n_samples:
+        return []
+
+    # stsz → per-sample byte size
+    bs, be = stsz
+    if be - bs < 12:
+        return []
+    fixed = int.from_bytes(data[bs + 4 : bs + 8], "big")
+    if fixed:
+        sizes = [fixed] * n_samples
+    else:
+        cap = (be - bs - 12) // 4
+        cnt = min(
+            int.from_bytes(data[bs + 8 : bs + 12], "big"), cap, n_samples
+        )
+        sizes = [
+            int.from_bytes(data[bs + 12 + 4 * i : bs + 16 + 4 * i], "big")
+            for i in range(cnt)
+        ]
+        n_samples = len(sizes)
+        ts_ms = ts_ms[:n_samples]
+    if not n_samples:
+        return []
+
+    # stco/co64 → chunk offsets
+    bs, be = stco
+    width = 8 if co64 else 4
+    n_chunks = _full_box_entries(data, bs, be, 8, width)
+    chunk_off = [
+        int.from_bytes(data[bs + 8 + width * i : bs + 8 + width * (i + 1)], "big")
+        for i in range(n_chunks)
+    ]
+    if not chunk_off:
+        return []
+
+    # stsc → samples per chunk (run-length over chunk index)
+    bs, be = stsc
+    n = _full_box_entries(data, bs, be, 8, 12)
+    runs = []
+    for i in range(n):
+        off = bs + 8 + i * 12
+        first = int.from_bytes(data[off : off + 4], "big")
+        per = int.from_bytes(data[off + 4 : off + 8], "big")
+        runs.append((first, per))
+    if not runs:
+        return []
+
+    # walk chunks in order, laying samples at cumulative offsets
+    offsets: list[int] = [0] * n_samples
+    sample = 0
+    run_i = 0
+    for chunk_no in range(1, len(chunk_off) + 1):
+        while run_i + 1 < len(runs) and runs[run_i + 1][0] <= chunk_no:
+            run_i += 1
+        per = runs[run_i][1]
+        pos = chunk_off[chunk_no - 1]
+        for _ in range(per):
+            if sample >= n_samples:
+                break
+            offsets[sample] = pos
+            pos += sizes[sample]
+            sample += 1
+        if sample >= n_samples:
+            break
+
+    # stss → keyframe sample numbers (1-based); absent ⇒ all sync
+    if stss is not None:
+        bs, be = stss
+        n = _full_box_entries(data, bs, be, 8, 4)
+        keyframes = [
+            int.from_bytes(data[bs + 8 + 4 * i : bs + 12 + 4 * i], "big")
+            for i in range(n)
+        ]
+        keyframes = [k for k in keyframes if 1 <= k <= n_samples]
+    else:
+        keyframes = list(range(1, n_samples + 1))
+
+    return [(k, ts_ms[k - 1], offsets[k - 1], sizes[k - 1]) for k in keyframes]
+
+
+def keyframe_index(data: bytes) -> list[tuple[int, int, int, int]]:
+    """Keyframe seek index ``[(sample_no, ts_ms, offset, size)]`` for the
+    (first complete) video track of an MP4/MOV payload — byte ranges a
+    decode-free pipeline can slice, ship, or hand to a downstream codec.
+    [] for anything unparseable. Never raises."""
+    data = bytes(data)
+    try:
+        if len(data) < 12 or data[4:8] != b"ftyp":
+            return []
+        best: list[tuple[int, int, int, int]] = []
+        for btype, s, e in _iter_boxes(data, 0, len(data)):
+            if btype != b"moov":
+                continue
+            for ityp, is_, ie in _iter_boxes(data, s, e):
+                if ityp != b"trak":
+                    continue
+                has_dims = False
+                index: list[tuple[int, int, int, int]] = []
+                for ttyp, ts, te in _iter_boxes(data, is_, ie):
+                    if ttyp == b"tkhd" and te - ts >= 8:
+                        w = int.from_bytes(data[te - 8 : te - 4], "big") >> 16
+                        h = int.from_bytes(data[te - 4 : te], "big") >> 16
+                        has_dims = bool(w and h)
+                    elif ttyp == b"mdia":
+                        timescale = 0
+                        for mtyp, ms, me in _iter_boxes(data, ts, te):
+                            if mtyp == b"mdhd" and me - ms >= 16:
+                                if data[ms] == 1 and me - ms >= 24:
+                                    timescale = int.from_bytes(data[ms + 20 : ms + 24], "big")
+                                else:
+                                    timescale = int.from_bytes(data[ms + 12 : ms + 16], "big")
+                            elif mtyp == b"minf":
+                                for ntyp, ns, ne in _iter_boxes(data, ms, me):
+                                    if ntyp == b"stbl":
+                                        index = _parse_stbl(data, ns, ne, timescale)
+                if index and has_dims:
+                    return index  # a video track with a complete table wins
+                if index and not best:
+                    best = index
+        return best
+    except (struct.error, IndexError, OverflowError):
+        return []
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame_bytes binary, ok boolean"
 
 
-def sample_frames(blobs_with_schedule: DataFrame) -> DataFrame:
-    """STUB frame extraction (the codec half): deterministic fake bytes
-    derived from (doc_id, ts_ms). A real deployment replaces the kernel
-    with ffmpeg seek+decode; schema, join shape, and batching are what
-    that implementation would use."""
+def sample_frames(
+    blobs_with_schedule: DataFrame, content_col: str = "_content_bytes"
+) -> DataFrame:
+    """Frame extraction WITHOUT a codec: for each scheduled timestamp,
+    seek the latest keyframe at-or-before it in the container's sample
+    tables (``keyframe_index``) and slice that sample's true byte range
+    out of the blob — the coded keyframe bytes a downstream decoder (or
+    remote GPU fleet) would consume. Pixel DECODE stays out of scope (no
+    codec libs in this image); the seek, byte ranges, schema, and Arrow
+    batch shape are real.
+
+    Input: schedule rows (doc_id, frame_idx, ts_ms) joined with the blob
+    ``content_col``. Rows whose container has no parseable sample table
+    come back ok=false with NULL bytes."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            frames = [
-                f"FAKEFRAME:{d}:{t}".encode() for d, t in zip(pdf["doc_id"], pdf["ts_ms"])
-            ]
+            idx_cache: dict[int, list[tuple[int, int, int, int]]] = {}
+            blob_cache: dict[int, bytes] = {}
+            frames: list[bytes | None] = []
+            oks: list[bool] = []
+            for doc, ts, blob in zip(pdf["doc_id"], pdf["ts_ms"], pdf[content_col]):
+                if doc not in idx_cache:
+                    blob_cache[doc] = bytes(blob)
+                    idx_cache[doc] = keyframe_index(blob_cache[doc])
+                index, data = idx_cache[doc], blob_cache[doc]
+                chosen = None
+                for k in index:  # ascending ts; latest at-or-before wins
+                    if k[1] <= ts:
+                        chosen = k
+                    else:
+                        break
+                if chosen is None and index:
+                    chosen = index[0]
+                if chosen is not None and chosen[2] + chosen[3] <= len(data):
+                    frames.append(data[chosen[2] : chosen[2] + chosen[3]])
+                    oks.append(True)
+                else:
+                    frames.append(None)
+                    oks.append(False)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "frame_idx": pdf["frame_idx"],
                     "ts_ms": pdf["ts_ms"],
                     "frame_bytes": frames,
-                    "ok": [True] * len(frames),
+                    "ok": oks,
                 }
             )
 

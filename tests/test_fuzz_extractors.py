@@ -67,3 +67,12 @@ def test_document_dispatch_total(data, name):
     mime, text2 = sniff_and_extract(data, name)
     assert isinstance(mime, str)
     assert text2 is None or isinstance(text2, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_keyframe_index_total(data):
+    from automic_etl_spark.operators.videometa import keyframe_index
+
+    for sample_no, ts_ms, offset, size in keyframe_index(data):
+        assert sample_no >= 1 and ts_ms >= 0 and offset >= 0 and size >= 0

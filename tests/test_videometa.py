@@ -1,5 +1,5 @@
-"""Video container metadata + frame-sampling schedule (stdlib parse,
-stub decode)."""
+"""Video container metadata + frame-sampling schedule + stbl keyframe
+byte-range extraction (stdlib parse; only pixel decode is out of scope)."""
 
 from __future__ import annotations
 
@@ -8,6 +8,7 @@ import struct
 
 from automic_etl_spark.operators.videometa import (
     frame_sample_schedule,
+    keyframe_index,
     probe_video,
     sample_frames,
     video_blobs_to_meta,
@@ -80,9 +81,77 @@ def test_schedule_caps_max_frames(spark):
     assert sched.count() == 16
 
 
-def test_sample_frames_stub_shape(spark):
-    blobs = spark.createDataFrame([(1, make_mp4(duration_s=2))], "doc_id long, _content_bytes binary")
-    sched = frame_sample_schedule(video_blobs_to_meta(blobs))
-    frames = sample_frames(sched).collect()
-    assert len(frames) == 3
-    assert bytes(frames[0]["frame_bytes"]).startswith(b"FAKEFRAME:1:")
+def _full_box(btype: bytes, body: bytes) -> bytes:
+    # version(0) + flags(0) prefix for ISO "full boxes"
+    return _box(btype, b"\x00\x00\x00\x00" + body)
+
+
+def make_mp4_with_stbl(duration_s=3, timescale=10):
+    """Playable-shaped MP4: 6 samples (1 per tick at 10 ticks/s scaled to
+    2 samples/s), sizes 10..60, laid out in 2 chunks of 3 inside an mdat.
+    Keyframes at samples 1 and 4. Returns (bytes, expected) where
+    expected = [(sample_no, ts_ms, offset, size)] for the keyframes."""
+    sizes = [10, 20, 30, 40, 50, 60]
+    samples = [bytes([0xA0 + i]) * sz for i, sz in enumerate(sizes)]
+    mdat_payload = b"".join(samples)
+
+    # mdat follows ftyp; moov follows mdat. Compute offsets up front.
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isom")
+    mdat = _box(b"mdat", mdat_payload)
+    chunk1_off = len(ftyp) + 8
+    chunk2_off = chunk1_off + sum(sizes[:3])
+
+    stts = _full_box(b"stts", struct.pack(">I", 1) + struct.pack(">II", 6, 5))  # 6 samples, 5 ticks apart
+    stsc = _full_box(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 3, 1))
+    stsz = _full_box(b"stsz", struct.pack(">II", 0, 6) + b"".join(struct.pack(">I", s) for s in sizes))
+    stco = _full_box(b"stco", struct.pack(">I", 2) + struct.pack(">II", chunk1_off, chunk2_off))
+    stss = _full_box(b"stss", struct.pack(">I", 2) + struct.pack(">II", 1, 4))
+    stbl = _box(b"stbl", stts + stsc + stsz + stco + stss)
+    mdhd = _box(b"mdhd", b"\x00" * 12 + struct.pack(">II", timescale, duration_s * timescale) + b"\x00" * 4)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + minf)
+    tkhd = _box(b"tkhd", b"\x00" * 76 + struct.pack(">II", 640 << 16, 360 << 16))
+    mvhd = _box(b"mvhd", bytes([0]) + b"\x00" * 11 + struct.pack(">II", timescale, duration_s * timescale))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+
+    offs = [chunk1_off, chunk1_off + 10, chunk1_off + 30, chunk2_off, chunk2_off + 40, chunk2_off + 90]
+    ts = [i * 5 * 1000 // timescale for i in range(6)]  # 0,500,1000,...
+    expected = [(1, ts[0], offs[0], sizes[0]), (4, ts[3], offs[3], sizes[3])]
+    return ftyp + mdat + moov, expected
+
+
+def test_keyframe_index_known_offsets():
+    data, expected = make_mp4_with_stbl()
+    assert keyframe_index(data) == expected
+    # the byte ranges slice the actual sample payloads out of mdat
+    k1, k4 = expected
+    assert data[k1[2] : k1[2] + k1[3]] == bytes([0xA0]) * 10
+    assert data[k4[2] : k4[2] + k4[3]] == bytes([0xA3]) * 40
+    # totality on junk / metadata-only MP4s
+    assert keyframe_index(b"junk") == []
+    assert keyframe_index(make_mp4()) == []
+
+
+def test_sample_frames_extracts_keyframe_bytes(spark):
+    data, expected = make_mp4_with_stbl(duration_s=3)
+    blobs = spark.createDataFrame(
+        [(1, data), (2, b"junkjunkjunk")], "doc_id long, _content_bytes binary"
+    )
+    sched = frame_sample_schedule(video_blobs_to_meta(blobs), every_ms=1000)
+    frames = sample_frames(sched.join(blobs, "doc_id")).orderBy("frame_idx").collect()
+    # doc 2 is unparseable -> no schedule rows; doc 1: ts 0,1000,2000,3000
+    assert [r["ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    # ts=0 -> keyframe 1; ts>=1500ms? keyframe 4 at ts 1500 governs 2000+;
+    # ts 1000 is still governed by keyframe 1 (next sync is at 1500)
+    k1_bytes = bytes([0xA0]) * 10
+    k4_bytes = bytes([0xA3]) * 40
+    got = [bytes(r["frame_bytes"]) for r in frames]
+    assert got == [k1_bytes, k1_bytes, k4_bytes, k4_bytes]
+    assert all(r["ok"] for r in frames)
+
+
+def test_sample_frames_unparseable_blob_is_null_not_crash(spark):
+    rows = [(7, 0, 0, b"RIFF\x00\x00\x00\x00AVI junk")]
+    df = spark.createDataFrame(rows, "doc_id long, frame_idx int, ts_ms long, _content_bytes binary")
+    out = sample_frames(df).collect()
+    assert len(out) == 1 and not out[0]["ok"] and out[0]["frame_bytes"] is None
