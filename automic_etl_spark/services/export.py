@@ -40,17 +40,14 @@ def export_result(
 
 def _export_excel(df: DataFrame, path: str, max_rows: int) -> str:
     """Excel is a driver-side artifact (reference ui/export.py:67-69:
-    to_excel via openpyxl). Gated: raises a clear error if no xlsx
-    engine is installed rather than failing deep inside pandas."""
-    try:
-        import openpyxl  # noqa: F401 — gated: not guaranteed in the image
-    except ImportError as e:
-        raise RuntimeError(
-            "excel export needs the 'openpyxl' package; install it or use csv/parquet"
-        ) from e
-    pdf = df.limit(max_rows).toPandas()
+    to_excel via openpyxl). Written by the stdlib zip+SpreadsheetML
+    serializer (services.xlsx) — no xlsx engine dependency."""
+    from automic_etl_spark.services.xlsx import write_xlsx_bytes
+
+    rows = [tuple(r) for r in df.limit(max_rows).collect()]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pdf.to_excel(path, index=False, engine="openpyxl")
+    with open(path, "wb") as f:
+        f.write(write_xlsx_bytes(df.columns, rows))
     return path
 
 

@@ -1,0 +1,129 @@
+"""Minimal stdlib .xlsx writer — zip + SpreadsheetML, no openpyxl.
+
+The structural inverse of ``operators.doctext.extract_xlsx_text``: emits
+the same parts that reader consumes (workbook.xml sheet titles,
+sharedStrings.xml string table, worksheets/sheetN.xml cell rows), so a
+written workbook round-trips through the repo's own extractor — and
+through Excel/LibreOffice, which accept this minimal package.
+
+Reference parity: ui/export.py:67-69 shells result frames out through
+pandas ``to_excel`` (openpyxl). Implemented independently here because
+the image ships no xlsx engine; the writer is driver-side by design
+(export of small, already-aggregated results — see services.export's
+row-cap contract).
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+from collections.abc import Iterable, Sequence
+from xml.sax.saxutils import escape
+
+_XMLDECL = '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+_NS_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_NS_REL_DOC = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+_NS_PKG_REL = "http://schemas.openxmlformats.org/package/2006/relationships"
+_NS_CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index → A, B, …, Z, AA, AB, …"""
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _sheet_xml(columns: Sequence[str], rows: Iterable[Sequence], shared: dict[str, int]) -> str:
+    """One worksheet part; strings are interned into ``shared``."""
+
+    def intern(s: str) -> int:
+        if s not in shared:
+            shared[s] = len(shared)
+        return shared[s]
+
+    def cell(ref: str, v) -> str:
+        if v is None:
+            # empty cell element (not omission) so column positions survive
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+                return f'<c r="{ref}" t="s"><v>{intern(repr(v))}</v></c>'
+            return f'<c r="{ref}"><v>{v!r}</v></c>'
+        return f'<c r="{ref}" t="s"><v>{intern(str(v))}</v></c>'
+
+    body = []
+    for r, values in enumerate([list(columns)] + [list(x) for x in rows], start=1):
+        cells = "".join(
+            cell(f"{_col_letter(c)}{r}", v) for c, v in enumerate(values)
+        )
+        body.append(f'<row r="{r}">{cells}</row>')
+    return (
+        _XMLDECL
+        + f'<worksheet xmlns="{_NS_MAIN}"><sheetData>'
+        + "".join(body)
+        + "</sheetData></worksheet>"
+    )
+
+
+def write_xlsx_bytes(
+    columns: Sequence[str],
+    rows: Iterable[Sequence],
+    sheet_name: str = "Sheet1",
+) -> bytes:
+    """Serialize a header + row tuples to a complete .xlsx package."""
+    shared: dict[str, int] = {}
+    sheet = _sheet_xml(columns, rows, shared)
+
+    sst = (
+        _XMLDECL
+        + f'<sst xmlns="{_NS_MAIN}" count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(
+            f'<si><t xml:space="preserve">{escape(s)}</t></si>' for s in shared
+        )
+        + "</sst>"
+    )
+    workbook = (
+        _XMLDECL
+        + f'<workbook xmlns="{_NS_MAIN}" xmlns:r="{_NS_REL_DOC}"><sheets>'
+        + f'<sheet name="{escape(sheet_name, {chr(34): "&quot;"})}" sheetId="1" r:id="rId1"/>'
+        + "</sheets></workbook>"
+    )
+    wb_rels = (
+        _XMLDECL
+        + f'<Relationships xmlns="{_NS_PKG_REL}">'
+        + f'<Relationship Id="rId1" Type="{_NS_REL_DOC}/worksheet" Target="worksheets/sheet1.xml"/>'
+        + f'<Relationship Id="rId2" Type="{_NS_REL_DOC}/sharedStrings" Target="sharedStrings.xml"/>'
+        + "</Relationships>"
+    )
+    pkg_rels = (
+        _XMLDECL
+        + f'<Relationships xmlns="{_NS_PKG_REL}">'
+        + f'<Relationship Id="rId1" Type="{_NS_REL_DOC}/officeDocument" Target="xl/workbook.xml"/>'
+        + "</Relationships>"
+    )
+    content_types = (
+        _XMLDECL
+        + f'<Types xmlns="{_NS_CT}">'
+        + '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        + '<Default Extension="xml" ContentType="application/xml"/>'
+        + '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        + '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        + '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        + "</Types>"
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", content_types)
+        z.writestr("_rels/.rels", pkg_rels)
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+        z.writestr("xl/sharedStrings.xml", sst)
+    return buf.getvalue()
