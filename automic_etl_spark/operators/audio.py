@@ -13,10 +13,12 @@ a per-row function applied inside an Arrow-batched ``mapInPandas`` — the
 same plumbing that scales the PDF extractor to a 100 TB corpus.
 
 WAV (RIFF PCM) is decoded for real with the stdlib ``wave`` module +
-numpy — no codec library needed. Compressed formats (mp3/flac/ogg/m4a)
-require soundfile or pydub, neither of which is in this image; those
-payloads produce ``ok=false`` metadata rows (size/format still filled)
-and the segment kernels raise a clear gated error, mirroring the
+numpy — no codec library needed. Compressed formats (mp3/flac/ogg) get
+real HEADER-probed metadata (sample rate / channels / duration where the
+container carries it: FLAC STREAMINFO, MPEG frame header + CBR estimate,
+Ogg ident header + last-page granule) — but PCM decode of them requires
+soundfile or pydub, neither of which is in this image, so the segment
+kernels raise a clear gated error for those formats, mirroring the
 reference's behaviour when its codec libraries are absent.
 """
 
@@ -110,6 +112,156 @@ def wav_metadata(data: bytes) -> dict:
     return row
 
 
+# -- compressed-format HEADER probes (metadata only; decode stays gated) --
+
+# MPEG audio frame-header tables: [version][layer] → kbps list / Hz list
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+_MP3_KBPS = {
+    (3, 1): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (3, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (3, 3): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (2, 3): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (2, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (2, 1): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_KBPS[(0, 1)] = _MP3_KBPS[(2, 1)]
+_MP3_KBPS[(0, 2)] = _MP3_KBPS[(2, 2)]
+_MP3_KBPS[(0, 3)] = _MP3_KBPS[(2, 3)]
+
+
+def _probe_flac(data: bytes) -> dict | None:
+    """STREAMINFO fields of a fLaC stream (RFC 9639 §8.2): exact sample
+    rate / channels / bit depth / total samples from the first metadata
+    block — no decode."""
+    if data[:4] != b"fLaC" or len(data) < 8:
+        return None
+    i = 4
+    while i + 4 <= len(data):
+        header = data[i]
+        btype, last = header & 0x7F, bool(header & 0x80)
+        length = int.from_bytes(data[i + 1 : i + 4], "big")
+        p = i + 4
+        if btype == 0 and length >= 34 and p + 34 <= len(data):
+            packed = int.from_bytes(data[p + 10 : p + 18], "big")
+            rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            if not rate:
+                return None
+            return {
+                "duration_ms": (total * 1000) // rate if total else None,
+                "sample_rate": rate,
+                "channels": channels,
+                "bit_depth": bits,
+                "n_frames": total or None,
+            }
+        if last or length == 0:
+            break
+        i = p + length
+    return None
+
+
+def _probe_mp3(data: bytes) -> dict | None:
+    """First MPEG audio frame header after any ID3v2 tag: sample rate /
+    channels exact; duration is the CBR estimate (stream bytes × 8 /
+    frame bitrate), the standard tag-less approximation."""
+    start = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:  # syncsafe 28-bit
+            size = (size << 7) | (b & 0x7F)
+        start = 10 + size
+    end = min(len(data) - 3, start + 65536)  # bounded sync scan
+    for i in range(start, end):
+        if data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
+            continue
+        version = (data[i + 1] >> 3) & 0x3  # 3=MPEG1 2=MPEG2 0=MPEG2.5
+        layer = (data[i + 1] >> 1) & 0x3  # 3=I 2=II 1=III
+        if version == 1 or layer == 0:
+            continue
+        kbps_i = (data[i + 2] >> 4) & 0xF
+        rate_i = (data[i + 2] >> 2) & 0x3
+        if kbps_i in (0, 15) or rate_i == 3:
+            continue
+        kbps = _MP3_KBPS[(version, layer)][kbps_i]
+        rate = _MP3_RATES[version][rate_i]
+        channels = 1 if (data[i + 3] >> 6) == 3 else 2
+        stream_bytes = len(data) - i
+        return {
+            "duration_ms": (stream_bytes * 8) // kbps if kbps else None,
+            "sample_rate": rate,
+            "channels": channels,
+            "bit_depth": None,  # lossy: no PCM width in the container
+            "n_frames": None,
+        }
+    return None
+
+
+def _probe_ogg(data: bytes) -> dict | None:
+    """Vorbis/Opus identification header on the first Ogg page; duration
+    from the LAST page's granule position (PCM sample count for Vorbis,
+    48 kHz units minus pre-skip for Opus) — the codec-free seek path."""
+    if data[:4] != b"OggS" or len(data) < 28:
+        return None
+    nsegs = data[26]
+    payload = 27 + nsegs
+    ident = data[payload : payload + 64]
+    rate = channels = None
+    granule_rate = None  # units of the granule position
+    pre_skip = 0
+    if ident[:7] == b"\x01vorbis" and len(ident) >= 16:
+        channels = ident[11]
+        rate = int.from_bytes(ident[12:16], "little")
+        granule_rate = rate
+    elif ident[:8] == b"OpusHead" and len(ident) >= 16:
+        channels = ident[9]
+        pre_skip = int.from_bytes(ident[10:12], "little")
+        rate = int.from_bytes(ident[12:16], "little") or 48000
+        granule_rate = 48000  # Opus granules are always 48 kHz
+    else:
+        return None
+    if not (rate and channels):
+        return None
+    duration_ms = None
+    last = data.rfind(b"OggS")
+    if last > 0 and last + 14 <= len(data):
+        granule = int.from_bytes(data[last + 6 : last + 14], "little")
+        if granule not in (0, (1 << 64) - 1):
+            duration_ms = max(0, granule - pre_skip) * 1000 // granule_rate
+    return {
+        "duration_ms": duration_ms,
+        "sample_rate": rate,
+        "channels": channels,
+        "bit_depth": None,
+        "n_frames": None,
+    }
+
+
+def audio_metadata(data: bytes) -> dict:
+    """Metadata row for any supported audio payload: full WAV decode
+    metadata, or header-probed fields for flac/mp3/ogg (reference
+    connectors/media/audio.py:133-159 row shape). ``ok`` means the
+    metadata parse succeeded; DECODE of compressed formats remains gated
+    (``_codec_gate``). Never raises on arbitrary bytes."""
+    row = wav_metadata(data)
+    if row["ok"] or row["format"] == "audio/wav":
+        return row
+    probe = {
+        "audio/flac": _probe_flac,
+        "audio/mpeg": _probe_mp3,
+        "audio/ogg": _probe_ogg,
+    }.get(row["format"])
+    if probe is not None:
+        try:
+            fields = probe(bytes(data))
+        except (IndexError, ValueError, OverflowError):
+            fields = None
+        if fields:
+            row.update(fields, ok=True)
+    return row
+
+
 AUDIO_META_SCHEMA = (
     "doc_id long, format string, file_size_bytes long, duration_ms long, "
     "sample_rate int, channels int, bit_depth int, n_frames long, ok boolean"
@@ -126,7 +278,7 @@ def audio_blobs_metadata(
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            rows = [wav_metadata(b) for b in pdf[content_col]]
+            rows = [audio_metadata(b) for b in pdf[content_col]]
             out = pd.DataFrame(rows)
             out.insert(0, "doc_id", pdf[id_col].values)
             yield out

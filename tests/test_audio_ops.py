@@ -118,3 +118,92 @@ def test_redact_audio_blobs_distributed(spark):
     # doc 3: codec-gated blob survives untouched, flagged not-ok
     assert got[3]["ok"] is False
     assert bytes(got[3]["_content_bytes"]) == b"ID3 undecodable"
+
+
+# --- compressed-format header probes (metadata only; decode stays gated) ---
+
+
+def make_flac(rate=44100, channels=2, bits=16, total=44100 * 3) -> bytes:
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total
+    streaminfo = b"\x00" * 10 + packed.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def make_mp3(with_id3=True, n_frames=100) -> bytes:
+    # MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo
+    header = bytes([0xFF, 0xFB, 0x90, 0x00])
+    frame = header + b"\x00" * 413  # 417-byte frame at 128kbps/44.1k
+    tag = b""
+    if with_id3:
+        body = b"\x00" * 100
+        tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 100]) + body
+    return tag + frame * n_frames
+
+
+def make_ogg_vorbis(rate=48000, channels=2, granule=48000 * 2) -> bytes:
+    ident = b"\x01vorbis" + b"\x00\x00\x00\x00" + bytes([channels]) + rate.to_bytes(4, "little") + b"\x00" * 16
+    page0 = b"OggS\x00\x02" + b"\x00" * 8 + b"\x00" * 12 + bytes([1, len(ident)]) + ident
+    lastpage = b"OggS\x00\x04" + granule.to_bytes(8, "little") + b"\x00" * 12 + bytes([1, 1]) + b"\x00"
+    return page0 + lastpage
+
+
+def make_ogg_opus(channels=1, pre_skip=312, granule=48000 + 312) -> bytes:
+    ident = (
+        b"OpusHead\x01" + bytes([channels]) + pre_skip.to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + b"\x00" * 3
+    )
+    page0 = b"OggS\x00\x02" + b"\x00" * 8 + b"\x00" * 12 + bytes([1, len(ident)]) + ident
+    lastpage = b"OggS\x00\x04" + granule.to_bytes(8, "little") + b"\x00" * 12 + bytes([1, 1]) + b"\x00"
+    return page0 + lastpage
+
+
+def test_flac_header_probe():
+    from automic_etl_spark.operators.audio import audio_metadata
+
+    m = audio_metadata(make_flac(rate=44100, channels=2, bits=24, total=44100 * 3))
+    assert m["ok"] and m["format"] == "audio/flac"
+    assert m["sample_rate"] == 44100 and m["channels"] == 2 and m["bit_depth"] == 24
+    assert m["duration_ms"] == 3000 and m["n_frames"] == 44100 * 3
+
+
+def test_mp3_header_probe_skips_id3():
+    from automic_etl_spark.operators.audio import audio_metadata
+
+    m = audio_metadata(make_mp3(with_id3=True, n_frames=100))
+    assert m["ok"] and m["format"] == "audio/mpeg"
+    assert m["sample_rate"] == 44100 and m["channels"] == 2 and m["bit_depth"] is None
+    # CBR estimate: 100 frames * 417 B * 8 bits / 128 kbps ≈ 2606 ms
+    assert abs(m["duration_ms"] - 2606) <= 5
+    assert audio_metadata(make_mp3(with_id3=False))["ok"]
+
+
+def test_ogg_header_probes():
+    from automic_etl_spark.operators.audio import audio_metadata
+
+    v = audio_metadata(make_ogg_vorbis(rate=48000, channels=2, granule=96000))
+    assert v["ok"] and v["sample_rate"] == 48000 and v["channels"] == 2
+    assert v["duration_ms"] == 2000
+
+    o = audio_metadata(make_ogg_opus(channels=1, pre_skip=312, granule=48000 + 312))
+    assert o["ok"] and o["sample_rate"] == 48000 and o["channels"] == 1
+    assert o["duration_ms"] == 1000
+
+
+def test_compressed_probe_failures_stay_not_ok():
+    from automic_etl_spark.operators.audio import audio_metadata
+
+    for junk in (b"fLaC", b"ID3 pretend mp3", b"OggS but short", b"garbage"):
+        m = audio_metadata(junk)
+        assert m["ok"] is False and m["sample_rate"] is None
+
+
+def test_distributed_metadata_covers_compressed(spark):
+    blobs = spark.createDataFrame(
+        [(1, make_flac()), (2, make_mp3()), (3, make_ogg_vorbis()), (4, b"junk")],
+        "doc_id long, _content_bytes binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in audio_blobs_metadata(blobs).collect()}
+    assert got[1]["ok"] and got[1]["format"] == "audio/flac"
+    assert got[2]["ok"] and got[2]["format"] == "audio/mpeg"
+    assert got[3]["ok"] and got[3]["format"] == "audio/ogg"
+    assert not got[4]["ok"]

@@ -21,6 +21,7 @@ BLOBS = st.binary(min_size=0, max_size=512)
 MAGICS = [
     b"\x89PNG\r\n\x1a\n", b"GIF89a", b"BM", b"\xff\xd8\xff", b"RIFF",
     b"PK\x03\x04", b"%PDF-1.7", b"\x1a\x45\xdf\xa3",
+    b"fLaC", b"OggS", b"ID3\x04\x00\x00", b"\xff\xfb",
     b"\x00\x00\x00\x18ftypmp42", b"<html>", b"<!DOCTYPE html>",
 ]
 PREFIXED = st.sampled_from(MAGICS).flatmap(
@@ -76,3 +77,12 @@ def test_keyframe_index_total(data):
 
     for sample_no, ts_ms, offset, size in keyframe_index(data):
         assert sample_no >= 1 and ts_ms >= 0 and offset >= 0 and size >= 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_audio_metadata_total(data):
+    from automic_etl_spark.operators.audio import audio_metadata
+
+    m = audio_metadata(data)
+    assert isinstance(m["ok"], bool) and isinstance(m["format"], str)
