@@ -12,6 +12,10 @@ from automic_etl_spark.notifications.alerts import (
     AlertRule,
     log_sink,
 )
+from automic_etl_spark.notifications.event_service import (
+    EventRule,
+    EventService,
+)
 from automic_etl_spark.notifications.channels import (
     ConsoleNotifier,
     EmailNotifier,
@@ -31,6 +35,8 @@ __all__ = [
     "AlertRule",
     "ConsoleNotifier",
     "EmailNotifier",
+    "EventRule",
+    "EventService",
     "Notification",
     "NotificationChannel",
     "NotificationLevel",

@@ -1,0 +1,291 @@
+"""Standing alert-evaluation service: periodic rule evaluation over
+registered context providers, event-driven emits, per-(rule, source)
+dedup windows, metastore history, channel fan-out.
+
+Reference: notifications/event_service.py:44-434 (NotificationEventService
+— event-type→rule matching with dict conditions, alert-history rows per
+firing, channel dispatch per rule) and notifications/notifier.py's
+history/rate-limit daemon. This implementation hosts the same semantics
+on the engine's existing parts instead of a FastAPI/DB stack:
+
+- rule definitions:  notifications.alerts.AlertRule (condition callables)
+- delivery:          notifications.channels.Notifier (injectable transports)
+- history:           metastore.AlertService (sqlite3) — optional
+- the LOOP:          orchestration.scheduler.Scheduler via ``install()``
+  (interval job calling ``tick()``), or any external runner
+
+Everything takes an injectable clock so tests drive fire → dedup-window
+suppression → re-arm deterministically.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from automic_etl_spark.notifications.alerts import Alert, AlertManager
+from automic_etl_spark.notifications.channels import (
+    Notification,
+    NotificationLevel,
+    Notifier,
+)
+
+_SEVERITY_LEVEL = {
+    "info": NotificationLevel.INFO,
+    "warning": NotificationLevel.WARNING,
+    "critical": NotificationLevel.CRITICAL,
+}
+
+#: event types the typed emit helpers use (reference EventType enum)
+EVENT_TYPES = (
+    "pipeline_started",
+    "pipeline_completed",
+    "pipeline_failed",
+    "job_started",
+    "job_completed",
+    "job_failed",
+    "validation_failed",
+    "data_quality",
+    "system_error",
+)
+
+
+def _match_condition(condition: dict | None, details: dict) -> bool:
+    """Reference condition dialect (event_service.py:240-264): per-key
+    ``equals`` / ``contains`` / ``greater_than`` / ``less_than`` checks
+    (bare value == equals); keys absent from details don't veto."""
+    if not condition:
+        return True
+    for key, check in condition.items():
+        if key not in details:
+            continue
+        value = details[key]
+        if isinstance(check, dict):
+            if "equals" in check and value != check["equals"]:
+                return False
+            if "contains" in check and check["contains"] not in str(value):
+                return False
+            if "greater_than" in check and not value > check["greater_than"]:
+                return False
+            if "less_than" in check and not value < check["less_than"]:
+                return False
+        elif value != check:
+            return False
+    return True
+
+
+@dataclass
+class EventRule:
+    """Event-triggered rule: fires when an emitted event matches its
+    type and condition; delivery targets named channels (None = all)."""
+
+    name: str
+    event_type: str
+    condition: dict | None = None
+    severity: str = "warning"
+    channels: list[str] | None = None
+    enabled: bool = True
+    triggered_count: int = 0
+    last_triggered: float | None = None
+
+
+@dataclass
+class _Source:
+    name: str
+    provider: Callable[[], dict]
+    enabled: bool = True
+    last_context: dict = field(default_factory=dict)
+
+
+class EventService:
+    """Evaluate-and-fire loop + event bus with dedup windows.
+
+    ``manager`` holds the metric rules (AlertRule conditions) evaluated
+    against each registered source's context every ``tick()``; the
+    service owns dispatch/persistence, so construct the manager with
+    ``sinks=[]`` (extra manager sinks would double-deliver).
+    """
+
+    def __init__(
+        self,
+        manager: AlertManager | None = None,
+        notifier: Notifier | None = None,
+        history=None,  # metastore.AlertService (optional)
+        dedup_window_s: float = 300.0,
+        clock: Callable[[], float] = time.time,
+    ):
+        self.manager = manager if manager is not None else AlertManager(sinks=[])
+        self.notifier = notifier
+        self.history = history
+        self.dedup_window_s = dedup_window_s
+        self.clock = clock
+        self.event_rules: dict[str, EventRule] = {}
+        self.sources: dict[str, _Source] = {}
+        self._last_fire: dict[tuple[str, str], float] = {}
+        self.suppressed_count = 0
+
+    # -- registration -------------------------------------------------------
+
+    def attach_source(self, name: str, provider: Callable[[], dict]) -> None:
+        """Register a context provider polled on every tick — e.g. a
+        callable returning the latest validation report / profile
+        metrics / pipeline status dict."""
+        self.sources[name] = _Source(name, provider)
+
+    def detach_source(self, name: str) -> bool:
+        return self.sources.pop(name, None) is not None
+
+    def add_event_rule(self, rule: EventRule) -> None:
+        self.event_rules[rule.name] = rule
+
+    # -- the firing path (shared by tick and emit) --------------------------
+
+    def _dedup_ok(self, rule_name: str, source: str, now: float) -> bool:
+        last = self._last_fire.get((rule_name, source))
+        if last is not None and now - last < self.dedup_window_s:
+            self.suppressed_count += 1
+            return False
+        return True
+
+    def _fire(
+        self,
+        rule_name: str,
+        severity: str,
+        message: str,
+        context: dict,
+        source: str,
+        channels: list[str] | None,
+        now: float,
+    ) -> Alert:
+        alert = Alert(rule_name, severity, message, context, fired_at=now)
+        self._last_fire[(rule_name, source)] = now
+        self.manager.alerts.append(alert)  # active() view stays coherent
+        if self.history is not None:
+            self.history.create_alert(rule_name, severity, message, fired_at=now)
+        if self.notifier is not None:
+            self.notifier.send_notification(
+                Notification(
+                    title=rule_name,
+                    message=message,
+                    level=_SEVERITY_LEVEL.get(severity, NotificationLevel.WARNING),
+                    source=source,
+                    metadata={"alert_id": alert.id, "fired_at": now},
+                ),
+                channels=channels,
+            )
+        return alert
+
+    # -- periodic evaluation ------------------------------------------------
+
+    def tick(self) -> list[Alert]:
+        """One evaluation pass: every enabled source's fresh context
+        through every metric rule; dedup per (rule, source)."""
+        now = self.clock()
+        fired: list[Alert] = []
+        for src in self.sources.values():
+            if not src.enabled:
+                continue
+            try:
+                context = dict(src.provider())
+            except Exception:  # noqa: BLE001 — a broken provider must not stop the loop
+                continue
+            src.last_context = context
+            for rule in self.manager.rules.values():
+                try:
+                    hit = rule.condition(context)
+                except Exception:  # noqa: BLE001 — rule bugs are not outages
+                    continue
+                if not hit or not self._dedup_ok(rule.name, src.name, now):
+                    continue
+                fired.append(
+                    self._fire(
+                        rule.name, rule.severity, rule.message or rule.name,
+                        context, src.name, None, now,
+                    )
+                )
+        return fired
+
+    def install(self, scheduler, every_s: float = 60.0, name: str = "alert-evaluation"):
+        """Host the loop on the engine Scheduler as an interval job."""
+        from automic_etl_spark.orchestration.scheduler import Schedule, ScheduleType
+
+        return scheduler.add_job(
+            name, self.tick, Schedule(ScheduleType.INTERVAL, interval_s=every_s)
+        )
+
+    # -- event-driven path --------------------------------------------------
+
+    def emit(
+        self,
+        event_type: str,
+        title: str,
+        message: str,
+        severity: str = "info",
+        source: str = "engine",
+        details: dict | None = None,
+    ) -> bool:
+        """Route one event through the matching event rules (reference
+        emit_event, event_service.py:155-238). Returns True when at
+        least one rule fired (post-dedup)."""
+        now = self.clock()
+        details = details or {}
+        fired_any = False
+        for rule in self.event_rules.values():
+            if not rule.enabled or rule.event_type != event_type:
+                continue
+            if not _match_condition(rule.condition, details):
+                continue
+            if not self._dedup_ok(rule.name, source, now):
+                continue
+            rule.triggered_count += 1
+            rule.last_triggered = now
+            self._fire(
+                rule.name, severity or rule.severity, f"{title}: {message}",
+                details, source, rule.channels, now,
+            )
+            fired_any = True
+        return fired_any
+
+    # -- typed emit helpers (reference event_service.py:266-434) ------------
+
+    def pipeline_started(self, name: str) -> bool:
+        return self.emit("pipeline_started", "Pipeline started", name, "info", name)
+
+    def pipeline_completed(self, name: str, *, rows: int = 0, duration_s: float = 0.0) -> bool:
+        return self.emit(
+            "pipeline_completed", "Pipeline completed", name, "info", name,
+            {"rows": rows, "duration_s": duration_s},
+        )
+
+    def pipeline_failed(self, name: str, error: str) -> bool:
+        return self.emit(
+            "pipeline_failed", "Pipeline failed", f"{name}: {error}", "critical",
+            name, {"error": error},
+        )
+
+    def job_failed(self, name: str, error: str) -> bool:
+        return self.emit(
+            "job_failed", "Job failed", f"{name}: {error}", "critical",
+            name, {"error": error},
+        )
+
+    def validation_failed(self, table: str, *, failed_rules: int, total_rules: int) -> bool:
+        return self.emit(
+            "validation_failed", "Validation failed",
+            f"{table}: {failed_rules}/{total_rules} rules failed", "critical",
+            table, {"failed_rules": failed_rules, "total_rules": total_rules},
+        )
+
+    def data_quality_alert(self, table: str, *, score: float, threshold: float) -> bool:
+        return self.emit(
+            "data_quality", "Data quality degraded",
+            f"{table}: score {score} below {threshold}", "warning",
+            table, {"score": score, "threshold": threshold},
+        )
+
+    def system_error(self, component: str, error: str) -> bool:
+        return self.emit(
+            "system_error", "System error", f"{component}: {error}", "critical",
+            component, {"error": error},
+        )

@@ -1,0 +1,152 @@
+"""Standing alert-evaluation loop: periodic rule evaluation over context
+providers, dedup window fire/suppress/re-arm, metastore history, channel
+fan-out, and the event-driven emit path — all on fake clocks."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from automic_etl_spark.metastore import AlertService, Metastore
+from automic_etl_spark.notifications import (
+    AlertManager,
+    AlertRule,
+    EventRule,
+    EventService,
+    Notifier,
+)
+from automic_etl_spark.notifications.channels import ConsoleNotifier
+from automic_etl_spark.orchestration.scheduler import Scheduler
+
+
+class FakeClock:
+    def __init__(self, t=1000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+def _service(dedup=300.0, with_history=False, with_notifier=False):
+    clock = FakeClock()
+    mgr = AlertManager(sinks=[])
+    mgr.add_rule(AlertRule.quality_degradation("low-quality", min_score=0.8))
+    mgr.add_rule(AlertRule.missing_data("no-rows", min_rows=1))
+    history = notifier = None
+    lines = []
+    if with_history:
+        history = AlertService(Metastore(clock=clock))
+    if with_notifier:
+        notifier = Notifier(clock=clock)
+        notifier.add_channel("console", ConsoleNotifier(printer=lines.append))
+    svc = EventService(
+        mgr, notifier=notifier, history=history, dedup_window_s=dedup, clock=clock
+    )
+    return svc, clock, lines
+
+
+def test_tick_fires_then_dedups_then_rearms():
+    svc, clock, _ = _service(dedup=300.0)
+    metrics = {"quality_score": 0.5, "row_count": 10}
+    svc.attach_source("orders", lambda: metrics)
+
+    fired = svc.tick()
+    assert [a.rule for a in fired] == ["low-quality"]
+
+    # within the window: suppressed, even though the condition still holds
+    clock.t += 100
+    assert svc.tick() == []
+    assert svc.suppressed_count == 1
+
+    # after the window: re-armed
+    clock.t += 300
+    assert [a.rule for a in svc.tick()] == ["low-quality"]
+
+    # recovery then regression inside the window is still suppressed
+    # (dedup is time-keyed, not state-keyed — matches reference cooldown)
+    metrics["quality_score"] = 0.95
+    clock.t += 50
+    assert svc.tick() == []
+
+
+def test_dedup_is_per_rule_and_source():
+    svc, clock, _ = _service()
+    svc.attach_source("a", lambda: {"quality_score": 0.1})
+    svc.attach_source("b", lambda: {"quality_score": 0.2})
+    fired = svc.tick()
+    assert {(a.rule, a.context["quality_score"]) for a in fired} == {
+        ("low-quality", 0.1),
+        ("low-quality", 0.2),
+    }
+    # same rule, different source: both deduped independently
+    clock.t += 10
+    assert svc.tick() == []
+
+
+def test_broken_provider_and_rule_do_not_stop_loop():
+    svc, clock, _ = _service()
+
+    def boom():
+        raise RuntimeError("provider down")
+
+    svc.manager.add_rule(
+        AlertRule("bad-rule", lambda ctx: 1 / 0, "warning", "never fires")
+    )
+    svc.attach_source("broken", boom)
+    svc.attach_source("ok", lambda: {"row_count": 0})
+    assert [a.rule for a in svc.tick()] == ["no-rows"]
+
+
+def test_history_persists_to_metastore():
+    svc, clock, _ = _service(with_history=True)
+    svc.attach_source("t", lambda: {"row_count": 0})
+    svc.tick()
+    clock.t += 400
+    svc.tick()
+    rows = svc.history.list_alerts()
+    assert len(rows) == 2
+    assert all(r["rule"] == "no-rows" and r["status"] == "active" for r in rows)
+    assert {r["fired_at"] for r in rows} == {1000.0, 1400.0}
+
+
+def test_notifier_fanout_and_event_channels():
+    svc, clock, lines = _service(with_notifier=True)
+    svc.add_event_rule(
+        EventRule("pipeline-red", "pipeline_failed", severity="critical",
+                  channels=["console"])
+    )
+    assert svc.pipeline_failed("nightly", "OOM") is True
+    assert len(lines) == 1 and "Pipeline failed" in lines[0]
+    # dedup applies to the event path too
+    assert svc.pipeline_failed("nightly", "OOM again") is False
+    assert len(lines) == 1
+    # a different source re-fires immediately
+    assert svc.pipeline_failed("hourly", "disk full") is True
+
+
+def test_event_condition_dialect():
+    svc, clock, _ = _service()
+    svc.add_event_rule(
+        EventRule(
+            "big-failures-only", "validation_failed",
+            condition={"failed_rules": {"greater_than": 3}},
+        )
+    )
+    assert svc.validation_failed("orders", failed_rules=1, total_rules=10) is False
+    assert svc.validation_failed("orders", failed_rules=7, total_rules=10) is True
+    assert svc.event_rules["big-failures-only"].triggered_count == 1
+
+
+def test_install_on_scheduler_runs_tick_on_interval():
+    now = {"dt": datetime(2026, 8, 13, 12, 0, 0)}
+    svc, clock, _ = _service(dedup=0.0)
+    svc.attach_source("t", lambda: {"row_count": 0})
+    sched = Scheduler(clock=lambda: now["dt"])
+    svc.install(sched, every_s=60.0)
+
+    assert len(sched.run_pending()) == 1  # due immediately
+    assert len(svc.manager.alerts) == 1
+    assert sched.run_pending() == []  # not due again yet
+    now["dt"] += timedelta(seconds=61)
+    clock.t += 61
+    assert len(sched.run_pending()) == 1
+    assert len(svc.manager.alerts) == 2
