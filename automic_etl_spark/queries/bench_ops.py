@@ -1,0 +1,90 @@
+"""Standalone bench workloads for the round-3 operator surface: document
+extraction, audio metadata, and the IVF ANN index. These are BENCH
+functions, not correctness gates (the gates for these operators live in
+the pytest suites): each synthesizes its blob corpus EXECUTOR-SIDE from
+the harness tables (one mapInPandas — the driver never materializes a
+corpus), runs the operator under test, and reduces to a small aggregate
+so collect() cost is nil.
+
+Bound by bench.py/scale_stress.py directly (like the other standalone
+q_* workloads) so the benchmarked work stays identical across rounds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from automic_etl_spark.io import load_table
+
+
+def q_doctext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → synthesized .docx blobs → distributed zip+XML
+    extraction back to text → corpus profile. Exercises the full Arrow
+    round trip (pandas batch → stdlib zip/XML parse per blob) that a
+    100 TB document-lake ingest pays per file."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.doctext import doc_blobs_to_text, synth_docx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "_content_bytes": [synth_docx(t or "") for t in pdf["text"]],
+                    "filename": ["doc.docx"] * len(pdf),
+                }
+            )
+
+    blobs = docs.mapInPandas(
+        to_blobs, "doc_id long, _content_bytes binary, filename string"
+    )
+    return doc_blobs_to_text(blobs).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized WAV corpus (duration keyed off doc_id) → distributed
+    header/decode metadata → aggregate. Measures the audio metadata
+    kernel at corpus scale."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.audio import audio_blobs_metadata, synth_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "_content_bytes": [
+                        synth_wav(duration_ms=100 + int(d) % 400) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    return audio_blobs_metadata(blobs).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum("duration_ms").alias("total_duration_ms"),
+    )
+
+
+def q_ivf_build_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build (3 Lloyd iterations, broadcast-centroid argmin)
+    plus a probed top-10 search — the ANN scale path end to end."""
+    from automic_etl_spark.operators.similarity import ivf_build, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, centroids = ivf_build(emb, n_centroids=16, iterations=3)
+    query = emb.orderBy("vec_id").limit(1)
+    return ivf_search(emb, assignments, centroids, query, k=10, nprobe=2)

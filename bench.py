@@ -45,6 +45,11 @@ from automic_etl_spark.queries.dedup_sim import (  # noqa: E402
     q_embedding_topk,
     q_minhash_lsh_candidates,
 )
+from automic_etl_spark.queries.bench_ops import (  # noqa: E402
+    q_audio_meta,
+    q_doctext_extract,
+    q_ivf_build_search,
+)
 
 HEADLINE = {
     "pricing_summary": q_pricing_summary,
@@ -59,6 +64,10 @@ HEADLINE = {
     "count_distinct": q_count_distinct,
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "embedding_topk": q_embedding_topk,
+    # round-3 surface: blob kernels + the IVF ANN path
+    "doctext_extract": q_doctext_extract,
+    "audio_meta": q_audio_meta,
+    "ivf_build_search": q_ivf_build_search,
 }
 
 

@@ -1,0 +1,38 @@
+"""Bench workloads for the blob/ANN surface return correct aggregates at
+the smallest SF (they must be real workloads, not timers over no-ops)."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.queries.bench_ops import (
+    q_audio_meta,
+    q_doctext_extract,
+    q_ivf_build_search,
+)
+
+
+def test_doctext_extract_roundtrip_counts(spark):
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    row = q_doctext_extract(spark, SF_SMALL).first()
+    assert row["n_docs"] == n_docs
+    assert row["n_ok"] == n_docs  # every synthesized docx extracts
+    assert row["total_chars"] > 0
+
+
+def test_audio_meta_counts(spark):
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    row = q_audio_meta(spark, SF_SMALL).first()
+    assert row["n_blobs"] == n_docs and row["n_ok"] == n_docs
+    # durations are 100..499 ms per blob by construction
+    assert 100 * n_docs <= row["total_duration_ms"] < 500 * n_docs
+
+
+def test_ivf_build_search_topk(spark):
+    rows = q_ivf_build_search(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= 10
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    # the query vector itself lives in a probed cell -> exact self-match
+    assert cosines[0] == 1.0

@@ -45,6 +45,10 @@ def _workloads():
         q_embedding_topk,
         q_minhash_lsh_candidates,
     )
+    from automic_etl_spark.queries.bench_ops import (
+        q_doctext_extract,
+        q_ivf_build_search,
+    )
     from automic_etl_spark.queries.relational import (
         q_count_distinct,
         q_join_revenue_by_nation,
@@ -52,6 +56,8 @@ def _workloads():
     )
 
     return {
+        "doctext_extract": q_doctext_extract,
+        "ivf_build_search": q_ivf_build_search,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
