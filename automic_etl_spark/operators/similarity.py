@@ -254,6 +254,44 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def ivf_seed_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic initial centroids: the ``n_centroids`` vectors with
+    the smallest md5(id).
+
+    Seed selection is a distributed TakeOrderedAndProject (orderBy +
+    limit): each partition keeps its n_centroids smallest md5 keys and
+    only those reach the final merge. (A global row_number window here
+    would funnel the ENTIRE corpus through one partition — the
+    r2-flagged scale-killer.) Ranking the surviving ≤n_centroids rows
+    into centroid ids needs no window either: pack them into one sorted
+    array (bounded by n_centroids) and posexplode, so the position IS
+    the rank. Exposed standalone so tools/plan_audit.py can assert the
+    physical plan shape (TakeOrderedAndProject, zero Window nodes)."""
+    seeds = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("__seed"),
+            F.col(id_col).alias("__sid"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+        .orderBy(F.col("__seed").asc(), F.col("__sid").asc())
+        .limit(n_centroids)
+    )
+    return (
+        seeds.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__seed", "__sid", "centroid"))
+            ).alias("__a")
+        )
+        .select(F.posexplode("__a").alias("centroid_id", "__s"))
+        .select("centroid_id", F.col("__s.centroid").alias("centroid"))
+    )
+
+
 def ivf_build(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -276,32 +314,9 @@ def ivf_build(
     sign-LSH bucket path."""
     from pyspark.sql import Window as W
 
-    # Seed selection is a distributed TakeOrderedAndProject (orderBy +
-    # limit): each partition keeps its n_centroids smallest md5 keys and
-    # only those reach the final merge. (A global row_number window here
-    # would funnel the ENTIRE corpus through one partition — the
-    # r2-flagged scale-killer.) Ranking the surviving ≤n_centroids rows
-    # into centroid ids needs no window either: pack them into one
-    # sorted array (bounded by n_centroids) and posexplode, so the
-    # position IS the rank.
-    seeds = (
-        emb.select(
-            F.md5(F.col(id_col).cast("string")).alias("__seed"),
-            F.col(id_col).alias("__sid"),
-            F.col(vec_col).cast("array<double>").alias("centroid"),
-        )
-        .orderBy(F.col("__seed").asc(), F.col("__sid").asc())
-        .limit(n_centroids)
+    centroids = ivf_seed_centroids(emb, n_centroids, id_col, vec_col).localCheckpoint(
+        eager=True
     )
-    centroids = (
-        seeds.agg(
-            F.array_sort(
-                F.collect_list(F.struct("__seed", "__sid", "centroid"))
-            ).alias("__a")
-        )
-        .select(F.posexplode("__a").alias("centroid_id", "__s"))
-        .select("centroid_id", F.col("__s.centroid").alias("centroid"))
-    ).localCheckpoint(eager=True)
 
     assign = None
     for _ in range(max(1, iterations)):  # at least one assignment pass

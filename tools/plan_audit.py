@@ -46,6 +46,37 @@ EXPECTATIONS: dict[str, dict[str, list[str]]] = {
 }
 
 
+def _ivf_seed_plan(spark, sf_dir):
+    """IVF seed selection must be a distributed TakeOrderedAndProject
+    with ZERO window nodes — the r2 scale-killer regression guard."""
+    from automic_etl_spark.io import load_table
+    from automic_etl_spark.operators.similarity import ivf_seed_centroids
+
+    return ivf_seed_centroids(load_table(spark, sf_dir, "embeddings"), 16)
+
+
+def _asof_plan(spark, sf_dir):
+    """Union-merge as-of join: its window must be key-partitioned (never
+    a global 'No Partition Defined' sort) and the merge is one union —
+    no range join blowup."""
+    from automic_etl_spark.queries.analytic import q_asof_join
+
+    return q_asof_join(spark, sf_dir)
+
+
+# audits over plans all_queries() can't expose (operator internals)
+CUSTOM: dict[str, tuple] = {
+    "ivf_seed_centroids": (
+        _ivf_seed_plan,
+        {"must": ["TakeOrderedAndProject"], "must_not": ["Window", "row_number"]},
+    ),
+    "asof_join_window": (
+        _asof_plan,
+        {"must": ["windowspecdefinition(__k"], "must_not": ["CartesianProduct"]},
+    ),
+}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -56,8 +87,10 @@ def main() -> None:
     spark = get_spark("plan_audit", master="local[8]", shuffle_partitions=8)
     qs = all_queries()
     failures = []
-    for name, exp in EXPECTATIONS.items():
-        df = qs[name](spark, sf_dir)
+    audits = [(name, lambda s, d, n=name: qs[n](s, d), exp) for name, exp in EXPECTATIONS.items()]
+    audits += [(name, fn, exp) for name, (fn, exp) in CUSTOM.items()]
+    for name, build, exp in audits:
+        df = build(spark, sf_dir)
         plan = explain_formatted(spark, df)
         plan_flat = re.sub(r"\s+", " ", plan)
         for frag in exp["must"]:
