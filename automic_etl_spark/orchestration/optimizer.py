@@ -135,6 +135,38 @@ class PerformanceMetrics:
         )
 
     @classmethod
+    def from_metastore_runs(cls, dag_id: str, rows: list[dict]) -> "PerformanceMetrics":
+        """Engine bridge: metastore ``pipeline_runs`` rows (epoch-float
+        started_at/finished_at, status, JSON detail with per-step
+        duration/attempts from record_workflow_result) → metrics. The
+        sqlite history is what survives restarts, so this is the feed
+        the standing loop uses."""
+        import json as _json
+
+        durations, successes, failures = [], 0, 0
+        step_durs: dict[str, list[float]] = {}
+        attempts = total_steps = 0
+        for r in rows:
+            successes += r.get("status") == "success"
+            failures += r.get("status") == "failed"
+            if r.get("started_at") is not None and r.get("finished_at") is not None:
+                durations.append(float(r["finished_at"]) - float(r["started_at"]))
+            try:
+                detail = _json.loads(r.get("detail") or "{}")
+            except (TypeError, ValueError):
+                detail = {}
+            for name, s in (detail.get("steps") or {}).items():
+                step_durs.setdefault(name, []).append(float(s.get("duration_s", 0.0)))
+                total_steps += 1
+                attempts += max(0, int(s.get("attempts", 1)) - 1)
+        return cls._summarize(
+            dag_id, durations, len(rows), successes, failures,
+            retry_rate=attempts / total_steps if total_steps else 0.0,
+            step_avg={k: statistics.mean(v) for k, v in step_durs.items()},
+            task_count=round(total_steps / len(rows)) if rows else 0,
+        )
+
+    @classmethod
     def from_job(cls, job) -> "PerformanceMetrics":
         """Engine bridge: a Scheduler Job's recorded runs."""
         runs = job.runs
@@ -443,9 +475,12 @@ class PipelineOptimizer:
 
 class ContinuousOptimizer:
     """Monitor pipelines, detect degradation vs their own trailing
-    baseline, auto-apply low-risk recommendations
-    (reference airflow_optimizer.py:763-858 — sync here; callers own the
-    loop/cadence)."""
+    baseline, auto-apply low-risk recommendations (reference
+    airflow_optimizer.py:763-858). ``run_cycle`` is one synchronous
+    pass; ``install()`` hosts it on the engine Scheduler as the standing
+    background loop, ``watch_metastore`` feeds it from persisted run
+    history, and an optional ``metastore`` records every auto-applied
+    change in the audit log (with an optional EventService emit)."""
 
     def __init__(
         self,
@@ -453,19 +488,45 @@ class ContinuousOptimizer:
         auto_apply_low_risk: bool = True,
         degradation_ratio: float = 1.5,
         clock: Callable[[], float] = time.time,
+        metastore=None,  # metastore.Metastore: audit trail for applied changes
+        events=None,  # notifications.EventService: degradation/apply emits
     ):
         self.optimizer = optimizer or PipelineOptimizer()
         self.auto_apply_low_risk = auto_apply_low_risk
         self.degradation_ratio = degradation_ratio
         self.clock = clock
+        self.metastore = metastore
+        self.events = events
         self._monitored: dict[str, dict] = {}  # dag_id -> {fetch, config, baseline_avg}
         self.history: list[dict] = []
 
     def add_pipeline(self, dag_id: str, fetch_metrics: Callable[[], PerformanceMetrics], config: dict | None = None):
         self._monitored[dag_id] = {"fetch": fetch_metrics, "config": config or {}, "baseline_avg": None}
 
+    def watch_metastore(self, pipelines, pipeline_id: str, dag_id: str | None = None,
+                        config: dict | None = None, limit: int = 50):
+        """Monitor a pipeline straight off its persisted run history
+        (``pipelines`` = metastore.PipelineService)."""
+        name = dag_id or pipeline_id
+
+        def fetch() -> PerformanceMetrics:
+            return PerformanceMetrics.from_metastore_runs(
+                name, pipelines.get_runs(pipeline_id, limit=limit)
+            )
+
+        self.add_pipeline(name, fetch, config)
+
     def remove_pipeline(self, dag_id: str):
         self._monitored.pop(dag_id, None)
+
+    def install(self, scheduler, every_s: float = 3600.0, name: str = "continuous-optimizer"):
+        """Host the monitor loop on the engine Scheduler (the reference's
+        background daemon, minus the thread: the Scheduler owns cadence)."""
+        from automic_etl_spark.orchestration.scheduler import Schedule, ScheduleType
+
+        return scheduler.add_job(
+            name, self.run_cycle, Schedule(ScheduleType.INTERVAL, interval_s=every_s)
+        )
 
     def run_cycle(self) -> list[dict]:
         results = []
@@ -481,10 +542,29 @@ class ContinuousOptimizer:
             if self.auto_apply_low_risk:
                 for rec in plan.recommendations:
                     if rec.risk_level == RiskLevel.LOW and rec.auto_applicable:
-                        applied.append(self.optimizer.apply_optimization(rec, dag_id, dry_run=False))
+                        change = self.optimizer.apply_optimization(rec, dag_id, dry_run=False)
+                        applied.append(change)
                         self.history.append(
                             {"ts": self.clock(), "dag_id": dag_id, "optimization": rec.title}
                         )
+                        if self.metastore is not None:
+                            self.metastore.audit(
+                                "optimizer_apply", principal="continuous-optimizer",
+                                resource=dag_id, change=change["change"], title=rec.title,
+                            )
+                        if self.events is not None:
+                            self.events.emit(
+                                "optimizer_applied", "Optimization applied",
+                                f"{dag_id}: {rec.title}", "info", dag_id,
+                                {"change": change["change"]},
+                            )
+            if degraded and self.events is not None:
+                self.events.emit(
+                    "pipeline_degraded", "Pipeline degraded",
+                    f"{dag_id}: avg {metrics.avg_duration_seconds:.1f}s vs baseline "
+                    f"{st['baseline_avg']:.1f}s", "warning", dag_id,
+                    {"avg_s": metrics.avg_duration_seconds, "baseline_s": st["baseline_avg"]},
+                )
             st["baseline_avg"] = metrics.avg_duration_seconds
             results.append(
                 {

@@ -137,3 +137,71 @@ def test_continuous_cycle_applies_low_risk_and_detects_degradation():
     second = cont.run_cycle()
     assert second[0]["degraded"] is True
     assert cont.get_status()["monitored"] == ["d"]
+
+
+def test_standing_loop_from_metastore_history():
+    """The full standing loop: persisted run history -> metrics ->
+    low-risk auto-apply -> audit trail + event emit, hosted on the
+    Scheduler with fake clocks."""
+    from datetime import datetime, timedelta
+
+    from automic_etl_spark.metastore import Metastore, PipelineService
+    from automic_etl_spark.notifications import EventRule, EventService
+    from automic_etl_spark.orchestration.optimizer import ContinuousOptimizer
+    from automic_etl_spark.orchestration.scheduler import Scheduler
+
+    t = {"now": 1000.0}
+    store = Metastore(clock=lambda: t["now"])
+    pipelines = PipelineService(store)
+    p = pipelines.create_pipeline("nightly")
+    # 4 runs of ~100 s against a 10 s schedule interval -> overlap rule
+    # (LOW risk, auto-applicable)
+    for _ in range(4):
+        run = pipelines.start_run(p["id"])
+        t["now"] += 100.0
+        pipelines.complete_run(run["id"], "success", rows_processed=5)
+
+    events = EventService(dedup_window_s=0.0, clock=lambda: t["now"])
+    events.add_event_rule(EventRule("opt-applied", "optimizer_applied"))
+    mon = ContinuousOptimizer(
+        clock=lambda: t["now"], metastore=store, events=events
+    )
+    mon.watch_metastore(pipelines, p["id"], dag_id="nightly",
+                        config={"schedule_interval_seconds": 10})
+
+    now = {"dt": datetime(2026, 8, 13, 6, 0, 0)}
+    sched = Scheduler(clock=lambda: now["dt"])
+    mon.install(sched, every_s=3600.0)
+
+    runs = sched.run_pending()  # due immediately
+    assert len(runs) == 1 and runs[0].status == "success"
+    assert len(mon.history) == 1
+    assert mon.history[0]["optimization"].startswith("Schedule interval")
+
+    # the applied change landed in the audit log and fired the event rule
+    trail = store.audit_trail(resource="nightly")
+    assert any(r["action"] == "optimizer_apply" for r in trail)
+    assert events.event_rules["opt-applied"].triggered_count == 1
+
+    # not due again until the hour passes
+    assert sched.run_pending() == []
+    now["dt"] += timedelta(seconds=3601)
+    assert len(sched.run_pending()) == 1
+
+
+def test_metrics_from_metastore_runs_parses_detail_steps():
+    from automic_etl_spark.orchestration.optimizer import PerformanceMetrics
+
+    rows = [
+        {
+            "status": "success", "started_at": 0.0, "finished_at": 60.0,
+            "detail": '{"steps": {"extract": {"duration_s": 50.0, "attempts": 2},'
+                      ' "load": {"duration_s": 10.0, "attempts": 1}}}',
+        },
+        {"status": "failed", "started_at": 100.0, "finished_at": 130.0, "detail": None},
+    ]
+    m = PerformanceMetrics.from_metastore_runs("p", rows)
+    assert m.total_runs == 2 and m.success_rate == 0.5
+    assert m.avg_duration_seconds == 45.0
+    assert m.step_avg_s == {"extract": 50.0, "load": 10.0}
+    assert m.retry_rate == 0.5  # one re-attempt over two step executions
