@@ -19,11 +19,11 @@ replicates that exactly and must stay at least as strict):
 - No TIMESTAMP output whose values can exceed the pandas datetime64[ns]
   range (the 9999-12-31 SCD2 sentinel crashes the driver canonicalizer) —
   stringify such intervals with date_format/strftime.
-- Event-time queries whose semantics are integer arithmetic (session
-  gaps, funnel ordering) compute on the raw int64 nanosecond epoch on
-  both engines (io.load_events_ns / DuckDB epoch_ns) and emit no
-  timestamp columns; remaining events oracles read through the µs
-  truncation CTE matching Spark's ns→µs read conversion (see io.py).
+- EVERY event-time comparison computes on the raw int64 nanosecond
+  epoch on both engines (io.load_events_ns / DuckDB epoch_ns) and emits
+  no timestamp-typed columns (window starts become integer epoch
+  seconds): as of round 4 no gate output depends on engine timestamp
+  conversion, truncation, or rendering semantics at all.
 - No array/list columns in outputs (pandas canonicalizer can't hash
   them) — array_join/array_to_string first.
 - Order-sensitive operators (FIRST/LAST/keep-last dedup/top-k) always

@@ -7,11 +7,11 @@ The reference implements no window functions at all (SURVEY §2.5) but its
 SQL surface must accept them; these queries are the native Spark versions.
 
 Registry note (round 2): composed gate queries (see queries.relational
-module docstring). Events-based oracles read through the ``_EV`` CTE,
-which truncates DuckDB's native TIMESTAMP_NS to microseconds
-(make_timestamp(epoch_us(ts))) so both engines compare the identical
-instant Spark sees after its own ns→µs read conversion (see io.py) —
-independent of DuckDB-version timestamp-comparison semantics.
+module docstring). As of round 4, every events-based oracle computes
+its time logic on the raw int64 nanosecond epoch (``io.load_events_ns``
+on the Spark side, ``epoch_ns(ts)`` on the DuckDB side) and emits no
+timestamp-typed columns — no engine timestamp conversion or truncation
+semantics appear anywhere in a gate comparison.
 """
 
 from __future__ import annotations
@@ -21,15 +21,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from automic_etl_spark.io import load_table
 
 _DEC = "decimal(28,10)"
-
-# µs-truncated events view for every events-based oracle (see module doc).
-_EV = """
-ev AS (
-  SELECT event_id, user_id, event_type, value, props,
-         make_timestamp(epoch_us(ts)) AS ts
-  FROM events
-)
-"""
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -116,8 +107,15 @@ def q_dedup_keep_last(spark, sf_dir):
     """Deterministic keep-last dedup — the reference's sort-by-ingestion-
     time + unique(keep="last") (medallion/silver.py:200-223). Spark's
     dropDuplicates is nondeterministic, so the contract form is a
-    row_number window with a total ordering (SURVEY §2.4 note)."""
-    ev = _t(spark, sf_dir, "events")
+    row_number window with a total ordering (SURVEY §2.4 note).
+
+    Recency ordering runs on the raw int64 nanosecond epoch on both
+    engines (``io.load_events_ns`` / oracle ``epoch_ns``) so sub-µs
+    timestamp differences order identically — no read-precision
+    truncation anywhere in any gate comparison."""
+    from automic_etl_spark.io import load_events_ns
+
+    ev = load_events_ns(spark, sf_dir)
     w = W.partitionBy("user_id", "event_type").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
@@ -129,12 +127,12 @@ def q_dedup_keep_last(spark, sf_dir):
     )
 
 
-ORACLE_DEDUP_LAST = f"""
-WITH {_EV}
+ORACLE_DEDUP_LAST = """
 SELECT user_id, event_type, event_id, value FROM (
   SELECT user_id, event_type, event_id, value,
-         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-  FROM ev
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+  FROM events
 )
 WHERE rn = 1
 ORDER BY user_id, event_type
