@@ -51,10 +51,13 @@ def sniff_format(data: bytes) -> str:
     when unrecognized) — the blob-table analog of the reference's
     extension-based format column."""
     if isinstance(data, (bytes, bytearray)):
-        head = bytes(data[:8])
+        head = bytes(data[:12])
         for magic, mime in _MAGIC:
             if head.startswith(magic):
                 return mime
+        # ISO-BMFF audio: ftyp at offset 4 with an audio brand
+        if head[4:8] == b"ftyp" and head[8:12] in (b"M4A ", b"M4B ", b"M4P "):
+            return "audio/mp4"
     return "application/octet-stream"
 
 
@@ -238,6 +241,39 @@ def _probe_ogg(data: bytes) -> dict | None:
     }
 
 
+def _probe_m4a(data: bytes) -> dict | None:
+    """ISO-BMFF audio (M4A/AAC): movie duration from ``mvhd`` (shared
+    with the video prober) and channels / sample size / sample rate from
+    the ``mp4a`` audio sample entry in ``stsd``."""
+    from automic_etl_spark.operators.videometa import _iter_boxes, probe_video
+
+    _, duration_ms, _, _ = probe_video(data)
+    rate = channels = bits = None
+
+    def walk(s: int, e: int) -> None:
+        nonlocal rate, channels, bits
+        for btype, bs, be in _iter_boxes(data, s, e):
+            if btype in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+                walk(bs, be)
+            elif btype == b"stsd" and be - bs >= 8:
+                for styp, ss, se in _iter_boxes(data, bs + 8, be):
+                    if styp == b"mp4a" and se - ss >= 28:
+                        channels = int.from_bytes(data[ss + 16 : ss + 18], "big")
+                        bits = int.from_bytes(data[ss + 18 : ss + 20], "big") or None
+                        rate = int.from_bytes(data[ss + 24 : ss + 26], "big")
+
+    walk(0, len(data))
+    if not (rate and channels):
+        return None
+    return {
+        "duration_ms": duration_ms or None,
+        "sample_rate": rate,
+        "channels": channels,
+        "bit_depth": bits,
+        "n_frames": None,
+    }
+
+
 def audio_metadata(data: bytes) -> dict:
     """Metadata row for any supported audio payload: full WAV decode
     metadata, or header-probed fields for flac/mp3/ogg (reference
@@ -251,6 +287,7 @@ def audio_metadata(data: bytes) -> dict:
         "audio/flac": _probe_flac,
         "audio/mpeg": _probe_mp3,
         "audio/ogg": _probe_ogg,
+        "audio/mp4": _probe_m4a,
     }.get(row["format"])
     if probe is not None:
         try:

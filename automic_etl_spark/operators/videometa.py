@@ -5,9 +5,9 @@ multimodal pipeline makes before decoding (duration caps, resolution
 floors, format routing, frame-sampling schedules) need only container
 metadata, which parses without ffmpeg: MP4/MOV store timescale/duration
 in the ``mvhd`` box and track dimensions in ``tkhd``; AVI stores
-dimensions in the ``avih`` chunk; Matroska/WebM is detected by its EBML
-magic (its variable-length element tree isn't worth hand-parsing —
-honestly reported as format-only).
+dimensions in the ``avih`` chunk; Matroska/WebM duration and pixel
+dimensions come from a bounded EBML element walk (Segment > Info
+{TimestampScale, Duration}, Tracks > TrackEntry > Video).
 
 Frame sampling is real up to (but not including) pixel decode: the
 SAMPLING SCHEDULE is derived from probed durations inside Catalyst, and
@@ -46,6 +46,82 @@ def _iter_boxes(data: bytes, start: int, end: int):
             return
         yield btype, i + header, i + size
         i += size
+
+
+# --- Matroska/WebM: minimal EBML walk (duration + dimensions) --------------
+
+# element IDs (with length marker, as they appear on the wire)
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACK_ENTRY = 0xAE
+_EBML_VIDEO = 0xE0
+_EBML_TS_SCALE = 0x2AD7B1
+_EBML_DURATION = 0x4489
+_EBML_PIXEL_W = 0xB0
+_EBML_PIXEL_H = 0xBA
+_EBML_RECURSE = {_EBML_SEGMENT, _EBML_INFO, _EBML_TRACKS, _EBML_TRACK_ENTRY, _EBML_VIDEO}
+_MAX_EBML_ELEMENTS = 4096
+
+
+def _ebml_vint(data: bytes, i: int, keep_marker: bool) -> tuple[int, int] | None:
+    """Read one EBML variable-length integer at ``i``; returns
+    (value, next_index). IDs keep their length-marker bit (that is how
+    they are specified); sizes mask it off."""
+    if i >= len(data):
+        return None
+    first = data[i]
+    if first == 0:
+        return None
+    length = 8 - first.bit_length() + 1
+    if i + length > len(data):
+        return None
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for b in data[i + 1 : i + length]:
+        v = (v << 8) | b
+    return v, i + length
+
+
+def _ebml_walk(data: bytes, start: int, end: int, found: dict, budget: list[int]) -> None:
+    i = start
+    while i < end and budget[0] > 0:
+        budget[0] -= 1
+        r = _ebml_vint(data, i, keep_marker=True)
+        if r is None:
+            return
+        eid, i = r
+        r = _ebml_vint(data, i, keep_marker=False)
+        if r is None:
+            return
+        size, i = r
+        unknown = size == (1 << (7 * ((size.bit_length() + 6) // 7))) - 1 and size > 0x7F
+        payload_end = end if unknown or i + size > end else i + size
+        if eid in _EBML_RECURSE:
+            _ebml_walk(data, i, payload_end, found, budget)
+        elif eid == _EBML_TS_SCALE:
+            found["scale"] = int.from_bytes(data[i:payload_end], "big")
+        elif eid == _EBML_DURATION and payload_end - i in (4, 8):
+            fmt = ">f" if payload_end - i == 4 else ">d"
+            found["duration"] = struct.unpack(fmt, data[i:payload_end])[0]
+        elif eid == _EBML_PIXEL_W:
+            found.setdefault("w", int.from_bytes(data[i:payload_end], "big"))
+        elif eid == _EBML_PIXEL_H:
+            found.setdefault("h", int.from_bytes(data[i:payload_end], "big"))
+        i = payload_end
+
+
+def _probe_ebml(data: bytes) -> tuple[int, int, int]:
+    """(duration_ms, width, height) from a Matroska/WebM stream —
+    Segment > Info {TimestampScale, Duration} and Segment > Tracks >
+    TrackEntry > Video {PixelWidth, PixelHeight}. Element-count budget
+    bounds the walk on adversarial input."""
+    found: dict = {}
+    _ebml_walk(data, 0, len(data), found, [_MAX_EBML_ELEMENTS])
+    scale = found.get("scale", 1_000_000)  # spec default: 1 ms in ns
+    duration_ms = 0
+    if found.get("duration", 0) > 0 and scale > 0:
+        duration_ms = int(found["duration"] * scale / 1_000_000)
+    return duration_ms, found.get("w", 0), found.get("h", 0)
 
 
 def probe_video(data: bytes) -> tuple[str | None, int, int, int]:
@@ -89,7 +165,8 @@ def probe_video(data: bytes) -> tuple[str | None, int, int, int]:
                 return "avi", us_per_frame * total_frames // 1000, w, h
             return "avi", 0, 0, 0
         if data[:4] == b"\x1a\x45\xdf\xa3":  # EBML magic: Matroska/WebM
-            return "webm", 0, 0, 0
+            duration_ms, w, h = _probe_ebml(data)
+            return "webm", duration_ms, w, h
     except (struct.error, IndexError):
         pass
     return None, 0, 0, 0

@@ -207,3 +207,41 @@ def test_distributed_metadata_covers_compressed(spark):
     assert got[2]["ok"] and got[2]["format"] == "audio/mpeg"
     assert got[3]["ok"] and got[3]["format"] == "audio/ogg"
     assert not got[4]["ok"]
+
+
+def _mp4_box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def make_m4a(duration_s=7, timescale=1000, rate=44100, channels=2) -> bytes:
+    import struct
+
+    mvhd = _mp4_box(
+        b"mvhd", bytes([0]) + b"\x00" * 11 + struct.pack(">II", timescale, duration_s * timescale)
+    )
+    mp4a = _mp4_box(
+        b"mp4a",
+        b"\x00" * 16 + struct.pack(">HH", channels, 16) + b"\x00" * 4
+        + struct.pack(">HH", rate, 0),
+    )
+    stsd = _mp4_box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + mp4a)
+    stbl = _mp4_box(b"stbl", stsd)
+    mdia = _mp4_box(b"mdia", _mp4_box(b"minf", stbl))
+    moov = _mp4_box(b"moov", mvhd + _mp4_box(b"trak", mdia))
+    return _mp4_box(b"ftyp", b"M4A \x00\x00\x00\x00M4A mp42") + moov
+
+
+def test_m4a_header_probe():
+    from automic_etl_spark.operators.audio import audio_metadata
+
+    assert sniff_format(make_m4a()) == "audio/mp4"
+    m = audio_metadata(make_m4a(duration_s=7, rate=44100, channels=2))
+    assert m["ok"] and m["format"] == "audio/mp4"
+    assert m["duration_ms"] == 7000 and m["sample_rate"] == 44100
+    assert m["channels"] == 2 and m["bit_depth"] == 16
+    # truncated container: format recognized, metadata not ok
+    junk = make_m4a()[:20]
+    mj = audio_metadata(junk)
+    assert mj["format"] == "audio/mp4" and mj["ok"] is False

@@ -155,3 +155,45 @@ def test_sample_frames_unparseable_blob_is_null_not_crash(spark):
     df = spark.createDataFrame(rows, "doc_id long, frame_idx int, ts_ms long, _content_bytes binary")
     out = sample_frames(df).collect()
     assert len(out) == 1 and not out[0]["ok"] and out[0]["frame_bytes"] is None
+
+
+def _ebml(eid: bytes, payload: bytes) -> bytes:
+    n = len(payload)
+    size = bytes([0x80 | n]) if n < 127 else bytes([0x40 | (n >> 8), n & 0xFF])
+    return eid + size + payload
+
+
+def make_webm(duration_ms=4500, scale_ns=1_000_000, w=1920, h=1080) -> bytes:
+    header = _ebml(b"\x1a\x45\xdf\xa3", b"\x00" * 8)
+    info = _ebml(
+        b"\x15\x49\xa9\x66",
+        _ebml(b"\x2a\xd7\xb1", scale_ns.to_bytes(3, "big"))
+        + _ebml(b"\x44\x89", struct.pack(">d", float(duration_ms))),
+    )
+    video = _ebml(
+        b"\xe0",
+        _ebml(b"\xb0", w.to_bytes(2, "big")) + _ebml(b"\xba", h.to_bytes(2, "big")),
+    )
+    tracks = _ebml(b"\x16\x54\xae\x6b", _ebml(b"\xae", video))
+    segment = _ebml(b"\x18\x53\x80\x67", info + tracks)
+    return header + segment
+
+
+def test_probe_webm_metadata():
+    assert probe_video(make_webm()) == ("webm", 4500, 1920, 1080)
+    # non-default timestamp scale: duration units scale accordingly
+    assert probe_video(make_webm(duration_ms=3000, scale_ns=500_000))[1] == 1500
+    # bare magic stays total (format-only)
+    assert probe_video(b"\x1a\x45\xdf\xa3rest") == ("webm", 0, 0, 0)
+
+
+def test_probe_webm_unknown_size_segment():
+    # streamed matroska: Segment declares the unknown-size vint
+    body = _ebml(
+        b"\x15\x49\xa9\x66", _ebml(b"\x44\x89", struct.pack(">f", 2000.0))
+    )
+    data = (
+        _ebml(b"\x1a\x45\xdf\xa3", b"")
+        + b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + body
+    )
+    assert probe_video(data) == ("webm", 2000, 0, 0)
