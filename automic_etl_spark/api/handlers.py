@@ -296,6 +296,98 @@ class ApiHandlers:
         self._authorize("audit:read")
         return {"events": self.metastore.audit_trail(resource, limit), "status": 200}
 
+    # -- companies / platform admin (reference api/routes/companies.py,
+    #    admin.py) — backed by auth.companies, RBAC-gated -------------------
+
+    def _require_companies(self) -> dict[str, Any] | None:
+        if getattr(self, "companies_mgr", None) is None:
+            return {"error": "no company manager configured", "status": 503}
+        return None
+
+    def attach_companies(self, manager, maintenance=None) -> None:
+        """Wire a CompanyManager (+ optional MaintenanceMode) into the
+        API surface."""
+        self.companies_mgr = manager
+        self.maintenance = maintenance
+
+    def _guard_maintenance(self) -> dict[str, Any] | None:
+        mm = getattr(self, "maintenance", None)
+        if mm is not None and mm.enabled:
+            return {"error": f"maintenance mode: {mm.message}", "status": 503}
+        return None
+
+    def list_companies(self, status: str | None = None, tier: str | None = None,
+                       offset: int = 0, limit: int = 50) -> dict[str, Any]:
+        if err := self._require_companies():
+            return err
+        self._authorize("company:read")
+        items = self.companies_mgr.list(status=status, tier=tier, offset=offset, limit=limit)
+        return {"companies": [c.to_dict() for c in items], "status": 200}
+
+    def create_company(self, name: str, slug: str | None = None, tier: str = "free",
+                       owner: str | None = None) -> dict[str, Any]:
+        from automic_etl_spark.auth.companies import CompanyError
+
+        if err := self._require_companies() or self._guard_maintenance():
+            return err
+        self._authorize("company:create", name)
+        try:
+            c = self.companies_mgr.create(name, slug=slug, tier=tier, owner=owner)
+        except CompanyError as e:
+            return {"error": str(e), "status": 422}
+        return {"company": c.to_dict(), "status": 201}
+
+    def company(self, id_or_slug: str) -> dict[str, Any]:
+        if err := self._require_companies():
+            return err
+        self._authorize("company:read", id_or_slug)
+        c = self.companies_mgr.get(id_or_slug) or self.companies_mgr.get_by_slug(id_or_slug)
+        if c is None:
+            return {"error": f"unknown company {id_or_slug!r}", "status": 404}
+        return {"company": c.to_dict(), "members": [m.to_dict() for m in self.companies_mgr.members(c.id)], "status": 200}
+
+    def company_action(self, company_id: str, action: str, **kwargs) -> dict[str, Any]:
+        """suspend / activate / update_tier / transfer_ownership /
+        add_member / remove_member — one RBAC-gated mutation entry."""
+        from automic_etl_spark.auth.companies import CompanyError
+
+        if err := self._require_companies() or self._guard_maintenance():
+            return err
+        self._authorize("company:admin", company_id)
+        allowed = {
+            "suspend": self.companies_mgr.suspend,
+            "activate": self.companies_mgr.activate,
+            "update_tier": self.companies_mgr.update_tier,
+            "transfer_ownership": self.companies_mgr.transfer_ownership,
+            "add_member": self.companies_mgr.add_member,
+            "update_member": self.companies_mgr.update_member,
+            "remove_member": self.companies_mgr.remove_member,
+        }
+        fn = allowed.get(action)
+        if fn is None:
+            return {"error": f"unknown action {action!r}", "status": 422}
+        try:
+            out = fn(company_id, **kwargs)
+        except CompanyError as e:
+            return {"error": str(e), "status": 422}
+        result = out.to_dict() if hasattr(out, "to_dict") else {"ok": True}
+        return {"result": result, "status": 200}
+
+    def platform_stats(self) -> dict[str, Any]:
+        if err := self._require_companies():
+            return err
+        self._authorize("admin:read")
+        return {"stats": self.companies_mgr.platform_stats(), "status": 200}
+
+    def maintenance_mode(self, enable: bool | None = None, message: str = "") -> dict[str, Any]:
+        mm = getattr(self, "maintenance", None)
+        if mm is None:
+            return {"error": "no maintenance controller configured", "status": 503}
+        if enable is None:
+            return {"maintenance": mm.status(), "status": 200}
+        self._authorize("admin:write")
+        return {"maintenance": mm.enable(message) if enable else mm.disable(), "status": 200}
+
 
 def create_app(lakehouse: Lakehouse):
     """Optional FastAPI wiring (gated — fastapi isn't a dependency)."""

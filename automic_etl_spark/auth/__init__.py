@@ -8,6 +8,13 @@ role-derived permissions, resource-scoped grants on tables, and
 per-tenant warehouse isolation with quotas. That layer lives here.
 """
 
+from automic_etl_spark.auth.companies import (
+    Company,
+    CompanyError,
+    CompanyManager,
+    MaintenanceMode,
+    Membership,
+)
 from automic_etl_spark.auth.rbac import (
     AccessDeniedError,
     Principal,
@@ -19,6 +26,11 @@ from automic_etl_spark.auth.tenant import TenantCatalog, TenantLimits
 
 __all__ = [
     "AccessDeniedError",
+    "Company",
+    "CompanyError",
+    "CompanyManager",
+    "MaintenanceMode",
+    "Membership",
     "Principal",
     "RBACManager",
     "Role",

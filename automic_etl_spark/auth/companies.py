@@ -1,0 +1,309 @@
+"""Company (tenant organization) lifecycle + membership management.
+
+Reference: api/routes/companies.py:131-470 and api/routes/admin.py:
+112-320 (company CRUD with slug lookup, tier changes wired to quota
+limits, suspend/activate with reasons, member roles with a single-owner
+invariant and ownership transfer, platform stats, maintenance mode).
+
+Engine-side differences: plain dataclasses + injectable clock instead of
+pydantic/FastAPI models (the HTTP layer stays the thin gated ``api``
+surface); tiers resolve through the SAME ``TenantLimits.for_tier`` table
+the storage quotas use, so an API tier change immediately changes what
+the tenant's warehouse will admit; every mutating call can audit to the
+metastore.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+import uuid
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from automic_etl_spark.auth.tenant import TenantLimits
+
+TIERS = ("free", "starter", "professional", "enterprise", "trial")
+MEMBER_ROLES = ("owner", "admin", "member", "viewer")
+
+_SLUG_RE = re.compile(r"^[a-z0-9-]{2,50}$")
+
+
+class CompanyError(Exception):
+    """Invalid company operation (unknown id, duplicate slug, bad role…)."""
+
+
+def _slugify(name: str) -> str:
+    s = re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+    return s[:50] or "company"
+
+
+@dataclass
+class Company:
+    name: str
+    slug: str
+    tier: str = "free"
+    status: str = "active"  # active | suspended | pending
+    settings: dict = field(default_factory=dict)
+    suspension_reason: str | None = None
+    id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    created_at: float = 0.0
+    updated_at: float = 0.0
+
+    @property
+    def limits(self) -> TenantLimits:
+        return TenantLimits.for_tier(self.tier)
+
+    def to_dict(self) -> dict:
+        return {
+            "id": self.id,
+            "name": self.name,
+            "slug": self.slug,
+            "tier": self.tier,
+            "status": self.status,
+            "settings": dict(self.settings),
+            "suspension_reason": self.suspension_reason,
+            "created_at": self.created_at,
+            "updated_at": self.updated_at,
+        }
+
+
+@dataclass
+class Membership:
+    company_id: str
+    user_id: str
+    role: str = "member"
+    added_at: float = 0.0
+
+    def to_dict(self) -> dict:
+        return {
+            "company_id": self.company_id,
+            "user_id": self.user_id,
+            "role": self.role,
+            "added_at": self.added_at,
+        }
+
+
+class CompanyManager:
+    """In-process registry with the reference's invariants: unique slug,
+    valid tier, exactly one owner per company, suspension requires a
+    reason, deletion requires the company be empty or ``force``."""
+
+    def __init__(self, clock: Callable[[], float] = time.time, metastore=None):
+        self.clock = clock
+        self.metastore = metastore
+        self._companies: dict[str, Company] = {}
+        self._members: dict[str, dict[str, Membership]] = {}  # company -> user -> m
+
+    # -- internals ----------------------------------------------------------
+
+    def _audit(self, action: str, resource: str, **detail) -> None:
+        if self.metastore is not None:
+            self.metastore.audit(action, principal="company-manager",
+                                 resource=resource, **detail)
+
+    def _get(self, company_id: str) -> Company:
+        c = self._companies.get(company_id)
+        if c is None:
+            raise CompanyError(f"unknown company: {company_id}")
+        return c
+
+    # -- company lifecycle --------------------------------------------------
+
+    def create(self, name: str, slug: str | None = None, tier: str = "free",
+               owner: str | None = None, settings: dict | None = None) -> Company:
+        if not (2 <= len(name) <= 100):
+            raise CompanyError("company name must be 2-100 characters")
+        if tier not in TIERS:
+            raise CompanyError(f"unknown tier {tier!r}; valid: {TIERS}")
+        slug = slug or _slugify(name)
+        if not _SLUG_RE.fullmatch(slug):
+            raise CompanyError(f"invalid slug {slug!r} (lowercase a-z, 0-9, '-')")
+        if self.get_by_slug(slug) is not None:
+            raise CompanyError(f"slug already in use: {slug}")
+        now = self.clock()
+        c = Company(name=name, slug=slug, tier=tier, settings=settings or {},
+                    created_at=now, updated_at=now)
+        self._companies[c.id] = c
+        self._members[c.id] = {}
+        if owner:
+            self._members[c.id][owner] = Membership(c.id, owner, "owner", now)
+        self._audit("company_create", c.id, name=name, slug=slug, tier=tier)
+        return c
+
+    def get(self, company_id: str) -> Company | None:
+        return self._companies.get(company_id)
+
+    def get_by_slug(self, slug: str) -> Company | None:
+        return next((c for c in self._companies.values() if c.slug == slug), None)
+
+    def list(self, status: str | None = None, tier: str | None = None,
+             offset: int = 0, limit: int = 50) -> list[Company]:
+        out = [
+            c for c in self._companies.values()
+            if (status is None or c.status == status)
+            and (tier is None or c.tier == tier)
+        ]
+        out.sort(key=lambda c: (c.created_at, c.id))
+        return out[offset : offset + limit]
+
+    def update(self, company_id: str, *, name: str | None = None) -> Company:
+        c = self._get(company_id)
+        if name is not None:
+            if not (2 <= len(name) <= 100):
+                raise CompanyError("company name must be 2-100 characters")
+            c.name = name
+        c.updated_at = self.clock()
+        self._audit("company_update", c.id, name=c.name)
+        return c
+
+    def update_settings(self, company_id: str, **settings) -> Company:
+        c = self._get(company_id)
+        c.settings.update({k: v for k, v in settings.items() if v is not None})
+        c.updated_at = self.clock()
+        self._audit("company_settings", c.id, keys=sorted(settings))
+        return c
+
+    def update_tier(self, company_id: str, tier: str) -> Company:
+        if tier not in TIERS:
+            raise CompanyError(f"unknown tier {tier!r}; valid: {TIERS}")
+        c = self._get(company_id)
+        old = c.tier
+        c.tier = tier
+        c.updated_at = self.clock()
+        self._audit("company_tier", c.id, from_tier=old, to_tier=tier)
+        return c
+
+    def suspend(self, company_id: str, reason: str) -> Company:
+        if len(reason.strip()) < 5:
+            raise CompanyError("suspension requires a reason (min 5 characters)")
+        c = self._get(company_id)
+        c.status = "suspended"
+        c.suspension_reason = reason.strip()
+        c.updated_at = self.clock()
+        self._audit("company_suspend", c.id, reason=c.suspension_reason)
+        return c
+
+    def activate(self, company_id: str) -> Company:
+        c = self._get(company_id)
+        c.status = "active"
+        c.suspension_reason = None
+        c.updated_at = self.clock()
+        self._audit("company_activate", c.id)
+        return c
+
+    def delete(self, company_id: str, force: bool = False) -> None:
+        c = self._get(company_id)
+        members = self._members.get(company_id, {})
+        non_owner = [m for m in members.values() if m.role != "owner"]
+        if non_owner and not force:
+            raise CompanyError(
+                f"company has {len(non_owner)} non-owner members; pass force=True"
+            )
+        del self._companies[company_id]
+        self._members.pop(company_id, None)
+        self._audit("company_delete", c.id, forced=force)
+
+    # -- membership ---------------------------------------------------------
+
+    def members(self, company_id: str, role: str | None = None) -> list[Membership]:
+        self._get(company_id)
+        out = [
+            m for m in self._members[company_id].values()
+            if role is None or m.role == role
+        ]
+        out.sort(key=lambda m: (m.added_at, m.user_id))
+        return out
+
+    def add_member(self, company_id: str, user_id: str, role: str = "member") -> Membership:
+        if role not in MEMBER_ROLES:
+            raise CompanyError(f"unknown role {role!r}; valid: {MEMBER_ROLES}")
+        self._get(company_id)
+        if user_id in self._members[company_id]:
+            raise CompanyError(f"{user_id} is already a member")
+        if role == "owner" and any(
+            m.role == "owner" for m in self._members[company_id].values()
+        ):
+            raise CompanyError("company already has an owner; use transfer_ownership")
+        m = Membership(company_id, user_id, role, self.clock())
+        self._members[company_id][user_id] = m
+        self._audit("member_add", company_id, user=user_id, role=role)
+        return m
+
+    def update_member(self, company_id: str, user_id: str, role: str) -> Membership:
+        if role not in MEMBER_ROLES:
+            raise CompanyError(f"unknown role {role!r}; valid: {MEMBER_ROLES}")
+        self._get(company_id)
+        m = self._members[company_id].get(user_id)
+        if m is None:
+            raise CompanyError(f"{user_id} is not a member")
+        if m.role == "owner":
+            raise CompanyError("demote the owner via transfer_ownership")
+        if role == "owner":
+            raise CompanyError("promote to owner via transfer_ownership")
+        m.role = role
+        self._audit("member_update", company_id, user=user_id, role=role)
+        return m
+
+    def remove_member(self, company_id: str, user_id: str) -> None:
+        self._get(company_id)
+        m = self._members[company_id].get(user_id)
+        if m is None:
+            raise CompanyError(f"{user_id} is not a member")
+        if m.role == "owner":
+            raise CompanyError("cannot remove the owner; transfer ownership first")
+        del self._members[company_id][user_id]
+        self._audit("member_remove", company_id, user=user_id)
+
+    def transfer_ownership(self, company_id: str, to_user: str) -> None:
+        self._get(company_id)
+        members = self._members[company_id]
+        new_owner = members.get(to_user)
+        if new_owner is None:
+            raise CompanyError(f"{to_user} is not a member")
+        for m in members.values():
+            if m.role == "owner":
+                m.role = "admin"
+        new_owner.role = "owner"
+        self._audit("ownership_transfer", company_id, to_user=to_user)
+
+    # -- platform admin (reference admin.py) --------------------------------
+
+    def platform_stats(self) -> dict:
+        by_tier: dict[str, int] = {}
+        by_status: dict[str, int] = {}
+        for c in self._companies.values():
+            by_tier[c.tier] = by_tier.get(c.tier, 0) + 1
+            by_status[c.status] = by_status.get(c.status, 0) + 1
+        return {
+            "total_companies": len(self._companies),
+            "total_members": sum(len(m) for m in self._members.values()),
+            "by_tier": by_tier,
+            "by_status": by_status,
+        }
+
+
+class MaintenanceMode:
+    """Global maintenance flag (reference admin.py:162-196): mutating
+    API surfaces check ``guard()`` and refuse while enabled."""
+
+    def __init__(self, clock: Callable[[], float] = time.time):
+        self.clock = clock
+        self.enabled = False
+        self.message = ""
+        self.since: float | None = None
+
+    def enable(self, message: str = "scheduled maintenance") -> dict:
+        self.enabled, self.message, self.since = True, message, self.clock()
+        return self.status()
+
+    def disable(self) -> dict:
+        self.enabled, self.message, self.since = False, "", None
+        return self.status()
+
+    def status(self) -> dict:
+        return {"enabled": self.enabled, "message": self.message, "since": self.since}
+
+    def guard(self) -> None:
+        if self.enabled:
+            raise CompanyError(f"maintenance mode: {self.message or 'unavailable'}")

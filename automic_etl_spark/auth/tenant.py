@@ -27,9 +27,14 @@ class TenantLimits:
     # (auth/tenant.py:55-117) — engine-relevant axes only
     @classmethod
     def for_tier(cls, tier: str) -> "TenantLimits":
+        # reference tier ladder (api/routes/companies.py:23: free|starter|
+        # professional|enterprise|trial) + the engine's legacy "pro" alias
         return {
             "free": cls(max_tables=10, max_columns_per_table=100),
+            "trial": cls(max_tables=10, max_columns_per_table=100),
+            "starter": cls(max_tables=50, max_columns_per_table=300),
             "pro": cls(max_tables=100, max_columns_per_table=500),
+            "professional": cls(max_tables=100, max_columns_per_table=500),
             "enterprise": cls(max_tables=10_000, max_columns_per_table=2_000),
         }[tier]
 

@@ -1,0 +1,139 @@
+"""Company lifecycle + membership invariants + platform admin surfaces
+(reference api/routes/companies.py, admin.py semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.auth.companies import (
+    CompanyError,
+    CompanyManager,
+    MaintenanceMode,
+)
+from automic_etl_spark.auth.tenant import TenantLimits
+
+
+class FakeClock:
+    def __init__(self):
+        self.t = 1000.0
+
+    def __call__(self):
+        self.t += 1
+        return self.t
+
+
+@pytest.fixture()
+def mgr():
+    return CompanyManager(clock=FakeClock())
+
+
+def test_create_slug_tier_and_limits(mgr):
+    c = mgr.create("Acme Corp!", tier="professional", owner="u1")
+    assert c.slug == "acme-corp"
+    assert mgr.get_by_slug("acme-corp") is c and mgr.get(c.id) is c
+    assert c.limits == TenantLimits.for_tier("professional")
+    # tier change immediately changes what the warehouse would admit
+    mgr.update_tier(c.id, "free")
+    assert c.limits == TenantLimits.for_tier("free")
+
+    with pytest.raises(CompanyError, match="slug already in use"):
+        mgr.create("Acme Corp")
+    with pytest.raises(CompanyError, match="unknown tier"):
+        mgr.create("Other", tier="platinum")
+    with pytest.raises(CompanyError, match="2-100"):
+        mgr.create("x")
+
+
+def test_suspend_requires_reason_activate_clears(mgr):
+    c = mgr.create("Beta")
+    with pytest.raises(CompanyError, match="reason"):
+        mgr.suspend(c.id, "no")
+    mgr.suspend(c.id, "payment overdue")
+    assert c.status == "suspended" and c.suspension_reason == "payment overdue"
+    assert mgr.list(status="suspended") == [c]
+    mgr.activate(c.id)
+    assert c.status == "active" and c.suspension_reason is None
+
+
+def test_single_owner_invariant_and_transfer(mgr):
+    c = mgr.create("Gamma", owner="alice")
+    mgr.add_member(c.id, "bob", "admin")
+    mgr.add_member(c.id, "carol")
+
+    with pytest.raises(CompanyError, match="already has an owner"):
+        mgr.add_member(c.id, "dave", "owner")
+    with pytest.raises(CompanyError, match="transfer_ownership"):
+        mgr.update_member(c.id, "bob", "owner")
+    with pytest.raises(CompanyError, match="cannot remove the owner"):
+        mgr.remove_member(c.id, "alice")
+
+    mgr.transfer_ownership(c.id, "bob")
+    roles = {m.user_id: m.role for m in mgr.members(c.id)}
+    assert roles == {"alice": "admin", "bob": "owner", "carol": "member"}
+    assert [m.user_id for m in mgr.members(c.id, role="owner")] == ["bob"]
+
+
+def test_delete_guard_and_pagination(mgr):
+    c = mgr.create("Delta", owner="o")
+    mgr.add_member(c.id, "m1")
+    with pytest.raises(CompanyError, match="force"):
+        mgr.delete(c.id)
+    mgr.delete(c.id, force=True)
+    assert mgr.get(c.id) is None
+
+    for i in range(5):
+        mgr.create(f"Co {i}")
+    assert [c.name for c in mgr.list(offset=1, limit=2)] == ["Co 1", "Co 2"]
+    stats = mgr.platform_stats()
+    assert stats["total_companies"] == 5 and stats["by_tier"] == {"free": 5}
+
+
+def test_audit_rows_written():
+    from automic_etl_spark.metastore import Metastore
+
+    store = Metastore()
+    mgr = CompanyManager(clock=FakeClock(), metastore=store)
+    c = mgr.create("Audited", owner="u")
+    mgr.suspend(c.id, "fraud review")
+    actions = [r["action"] for r in store.audit_trail(resource=c.id)]
+    assert "company_create" in actions and "company_suspend" in actions
+
+
+def test_maintenance_mode_guard():
+    mm = MaintenanceMode(clock=lambda: 5.0)
+    assert mm.status()["enabled"] is False
+    mm.enable("upgrading")
+    with pytest.raises(CompanyError, match="upgrading"):
+        mm.guard()
+    mm.disable()
+    mm.guard()  # no-op when disabled
+
+
+def test_api_surface_companies(spark, tmp_path, users_df):
+    from automic_etl_spark.api.handlers import ApiHandlers
+    from automic_etl_spark.medallion import Lakehouse
+
+    lh = Lakehouse(spark, str(tmp_path / "wh"))
+    h = ApiHandlers(lh)
+    assert h.list_companies()["status"] == 503  # not configured
+
+    mm = MaintenanceMode()
+    h.attach_companies(CompanyManager(clock=FakeClock()), maintenance=mm)
+    r = h.create_company("Acme", tier="starter", owner="root")
+    assert r["status"] == 201
+    cid = r["company"]["id"]
+    assert h.company("acme")["company"]["id"] == cid
+    assert h.create_company("Acme")["status"] == 422  # duplicate slug
+
+    r = h.company_action(cid, "add_member", user_id="bob", role="viewer")
+    assert r["status"] == 200 and r["result"]["role"] == "viewer"
+    assert h.company_action(cid, "explode")["status"] == 422
+
+    assert h.platform_stats()["stats"]["total_companies"] == 1
+
+    # maintenance halts mutations but not reads
+    assert h.maintenance_mode(enable=True, message="migration")["maintenance"]["enabled"]
+    assert h.create_company("Blocked")["status"] == 503
+    assert h.list_companies()["status"] == 200
+    h.maintenance_mode(enable=False)
+    assert h.create_company("Unblocked")["status"] == 201
