@@ -1,0 +1,125 @@
+"""Benchmark decontamination: flag training documents that contain
+n-grams from an evaluation/benchmark set.
+
+Beyond-reference training-data operator (build-brief mandate; the
+standard pre-training hygiene step — e.g. the n-gram overlap protocol
+popularized by GPT-3/PaLM data cards): a document is CONTAMINATED when
+it shares ≥ ``min_hits`` distinct word n-grams with any benchmark item.
+
+Spark-first scale shape:
+
+- benchmark n-grams are DISTINCT-ed and hashed to 64-bit ints before the
+  join — the join key is a long, never a string n-gram;
+- corpus side explodes distinct n-gram hashes per doc (same
+  tokenize→shingle kernel the MinHash path uses, so the two stay
+  consistent) and inner-joins the benchmark set: ONE equi-join whose
+  right side is tiny relative to the corpus (benchmarks are, by
+  definition, small) — broadcast by hint;
+- per-doc hit counts aggregate map-side; the final verdict is a
+  threshold filter. No all-pairs comparison anywhere: cost is
+  O(corpus n-grams + benchmark n-grams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from automic_etl_spark.operators.textops import shingles_of_tokens, token_hash, tokenize
+
+
+def _ngram_hashes(df: DataFrame, keep: list[str], text_col: str, n: int) -> DataFrame:
+    """Distinct word-n-gram 64-bit hashes per row, exploded as ``__ng``
+    (portable md5-based hash — same family as MinHash). Tokens are
+    materialized in their own projection first: an inline tokenize()
+    inside the shingle HOF would re-split per element access (see
+    textops.shingles_of_tokens)."""
+    return (
+        df.select(*keep, tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            *keep,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        shingles_of_tokens(F.col("__toks"), n),
+                        lambda s: token_hash(s),
+                    )
+                )
+            ).alias("__ng"),
+        )
+    )
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination: ``(id_col, ngram_hits, contaminated)``
+    for every corpus document with ≥1 overlapping n-gram; join against
+    the corpus (left) to keep clean docs too — or use ``decontaminate``.
+
+    ``n`` trades recall vs false positives: 8-13 word n-grams are the
+    conventional range (short n catches boilerplate, long n misses
+    near-verbatim leaks)."""
+    bench_ngrams = _ngram_hashes(benchmark, [], bench_text_col, n).distinct()
+    corpus_ngrams = _ngram_hashes(corpus, [id_col], text_col, n)
+    hits = (
+        corpus_ngrams.join(F.broadcast(bench_ngrams), "__ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("ngram_hits"))
+    )
+    return hits.select(
+        id_col,
+        "ngram_hits",
+        (F.col("ngram_hits") >= F.lit(min_hits)).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """The corpus minus contaminated documents (broadcast anti-join on
+    the flagged id set — the flagged side is small, the corpus streams)."""
+    flagged = contamination_report(
+        corpus, benchmark, n, min_hits, id_col, text_col, bench_text_col
+    ).filter(F.col("contaminated"))
+    return corpus.join(
+        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quota sampling: at most ``k`` rows per group (per source, per
+    language, per domain…) — the curation step that balances a corpus.
+    Deterministic: rows rank by ``order_col`` (default: portable hash of
+    the id, i.e. a seeded uniform draw) within a partitioned window —
+    per-group sort only, never a global window."""
+    from pyspark.sql import Window as W
+
+    order = (
+        F.col(order_col)
+        if order_col is not None
+        else token_hash(F.col(id_col).cast("string"))
+    )
+    w = W.partitionBy(*group_cols).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,123 @@
+"""Benchmark decontamination (n-gram overlap) + per-group quota sampling
+— including a DuckDB differential oracle (the driver registry is capped
+at 50 green entries, so this operator carries its own oracle here)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from tests.conftest import SF_SMALL
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators.decontam import (
+    contamination_report,
+    decontaminate,
+    sample_per_group,
+)
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (2, "completely unrelated text about spark physical plans and shuffles"),
+            (3, "answer: the quick brown fox jumps over the lazy dog indeed"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _benchmark(spark):
+    return spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "qid long, text string",
+    )
+
+
+def test_contamination_flags_verbatim_overlap(spark):
+    rep = {
+        r["doc_id"]: r
+        for r in contamination_report(
+            _corpus(spark), _benchmark(spark), n=8, min_hits=1
+        ).collect()
+    }
+    # docs 1 and 3 contain the full 9-token benchmark phrase -> 8-gram hits
+    assert set(rep) == {1, 3}
+    assert all(r["contaminated"] for r in rep.values())
+    # doc 1 contains both 8-grams of the 9-token phrase; doc 3 contains both too
+    assert rep[1]["ngram_hits"] == 2 and rep[3]["ngram_hits"] == 2
+
+
+def test_decontaminate_removes_only_flagged(spark):
+    clean = decontaminate(_corpus(spark), _benchmark(spark), n=8)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+    # a longer n than any shared span keeps everything
+    assert decontaminate(_corpus(spark), _benchmark(spark), n=12).count() == 4
+
+
+def test_contamination_differential_oracle_on_harness_docs(spark):
+    """Differential check at sf0.001: Spark's hash-join overlap count vs
+    a direct DuckDB string n-gram intersection over the same documents
+    (first 200 docs as corpus, 5 docs' texts as the 'benchmark')."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = docs.filter("doc_id % 7 != 0").limit(200).cache()
+    bench = docs.filter("doc_id % 7 = 0").limit(5).select("text")
+
+    got = {
+        r["doc_id"]: r["ngram_hits"]
+        for r in contamination_report(corpus, bench, n=5).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    corpus_ids = [r["doc_id"] for r in corpus.select("doc_id").collect()]
+    oracle = con.execute(
+        """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\W+') AS t
+          FROM docs WHERE doc_id IN (SELECT unnest(?::BIGINT[]))
+        ), grams AS (
+          SELECT doc_id, list_distinct([
+            array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)
+          ]) AS g FROM tok
+        ), bench_tok AS (
+          SELECT string_split_regex(lower(trim(text)), '\\W+') AS t
+          FROM docs WHERE doc_id % 7 = 0 AND doc_id IN (
+            SELECT doc_id FROM docs WHERE doc_id % 7 = 0 ORDER BY doc_id LIMIT 5)
+        ), bench AS (
+          SELECT DISTINCT unnest([
+            array_to_string(t[i:i+4], ' ') FOR i IN range(1, len(t) - 3)
+          ]) AS ng FROM bench_tok
+        )
+        SELECT doc_id, count(*) AS hits FROM (
+          SELECT doc_id, unnest(g) AS ng FROM grams
+        ) JOIN bench USING (ng) GROUP BY doc_id
+        """,
+        [corpus_ids],
+    ).fetchall()
+    # DuckDB's tokenizer here is an approximation of textops.tokenize;
+    # compare on the shared semantics: same flagged docs, same counts
+    oracle_map = dict(oracle)
+    assert got == oracle_map
+
+
+def test_sample_per_group_cap_and_determinism(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "lang", "source")
+    capped = sample_per_group(docs, ["lang"], k=10)
+    sizes = {
+        r["lang"]: r["n"]
+        for r in capped.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()
+    }
+    for lang, n in sizes.items():
+        assert n == min(10, full[lang])
+    # deterministic across invocations
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in sample_per_group(docs, ["lang"], k=10).collect())
+    assert a == b
