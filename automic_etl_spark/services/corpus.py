@@ -6,6 +6,9 @@ dataset actually runs, composed from the engine's operators.
       → near-dup removal   (MinHash → LSH candidates → Jaccard verify →
                             connected components → keep cluster minimum)
       → quality filter     (length/stopword/punctuation composite)
+      → decontamination    (optional: drop docs sharing n-grams with a
+                            benchmark set — operators/decontam)
+      → per-group caps     (optional: quota sampling by source/language)
       → split assignment   (hash-based, append-stable)
 
 Each stage is a DataFrame transformation (no driver loops); the report
@@ -33,12 +36,17 @@ class CorpusCurator:
     num_hashes: int = 12
     bands: int = 4
     ratios: dict = field(default_factory=lambda: {"train": 0.8, "val": 0.1, "test": 0.1})
+    decontam_ngram: int = 8
+    decontam_min_hits: int = 1
+    group_cap: int | None = None
+    group_cols: tuple = ("source",)
 
     def curate(
         self,
         docs: DataFrame,
         id_col: str = "doc_id",
         text_col: str = "text",
+        benchmark: DataFrame | None = None,
     ) -> tuple[DataFrame, dict]:
         """Returns (curated DataFrame with quality + split columns,
         per-stage report). Deterministic: every removal keeps the
@@ -84,13 +92,43 @@ class CorpusCurator:
             - kept.count()
         )
 
-        # 4. append-stable split assignment
+        # 4. optional benchmark decontamination (pre-training hygiene)
+        if benchmark is not None:
+            from automic_etl_spark.operators.decontam import decontaminate
+
+            before = report["input_docs"] - report["exact_dups_removed"] \
+                - report["near_dups_removed"] - report["low_quality_removed"]
+            kept = decontaminate(
+                kept, benchmark, n=self.decontam_ngram,
+                min_hits=self.decontam_min_hits, id_col=id_col, text_col=text_col,
+            )
+            report["contaminated_removed"] = before - kept.count()
+        else:
+            report["contaminated_removed"] = 0
+
+        # 5. optional per-group quota caps (source/language balancing)
+        if self.group_cap is not None:
+            from automic_etl_spark.operators.decontam import sample_per_group
+
+            before = report["input_docs"] - report["exact_dups_removed"] \
+                - report["near_dups_removed"] - report["low_quality_removed"] \
+                - report["contaminated_removed"]
+            kept = sample_per_group(
+                kept, list(self.group_cols), self.group_cap, id_col=id_col
+            )
+            report["group_cap_removed"] = before - kept.count()
+        else:
+            report["group_cap_removed"] = 0
+
+        # 6. append-stable split assignment
         out = DatasetCurator(self.ratios).split_by_hash(kept, id_col)
         report["final_docs"] = (
             report["input_docs"]
             - report["exact_dups_removed"]
             - report["near_dups_removed"]
             - report["low_quality_removed"]
+            - report["contaminated_removed"]
+            - report["group_cap_removed"]
         )
         report["splits"] = {
             r["split"]: r["n"]

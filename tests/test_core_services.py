@@ -387,3 +387,32 @@ def test_workflow_parallel_loop_and_subworkflow():
     # a/b/c ran concurrently: wall well under 3 × 0.2s serial time
     assert wall < 0.55, wall
     assert len({t for _tag, t in seen}) > 1  # multiple worker threads
+
+
+def test_corpus_curator_decontam_and_group_caps(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    filler = ("document number {i} with plenty of ordinary natural language "
+              "words describing data pipelines and machine learning corpora "
+              "in sentence {i} of the synthetic training set")
+    rows = [(i, filler.format(i=i), "web" if i % 2 else "books") for i in range(1, 11)]
+    rows.append((99, "the secret benchmark question about fox jumping "
+                     "over dogs appears verbatim in this training document "
+                     "which should be removed by decontamination", "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark question about fox jumping over dogs")],
+        "qid long, text string",
+    )
+    cur = CorpusCurator(min_quality=0.0, decontam_ngram=6, group_cap=3,
+                        group_cols=("source",))
+    out, report = cur.curate(docs, benchmark=bench)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 99 not in kept
+    assert report["contaminated_removed"] == 1
+    # per-source quota: at most 3 per source after all removals
+    per_src = {r["source"]: r["n"] for r in
+               out.groupBy("source").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    assert all(n <= 3 for n in per_src.values())
+    assert report["final_docs"] == len(kept)
+    assert report["group_cap_removed"] == 10 - sum(per_src.values())
