@@ -222,6 +222,31 @@ class ApiHandlers:
         run = self.scheduler.run_job(job)
         return {"name": name, "run_status": run.status, "error": run.error, "status": 200}
 
+    def pause_job(self, name: str, paused: bool = True) -> dict[str, Any]:
+        """Pause/unpause a scheduled job (reference api/routes/airflow.py:
+        260-299 — the engine Scheduler is the DAG host here)."""
+        self._authorize("pipeline:run", name)
+        if name not in self.scheduler.jobs:
+            return {"error": f"unknown job {name!r}", "status": 404}
+        self.scheduler.enable(name, enabled=not paused)
+        return {"name": name, "paused": paused, "status": 200}
+
+    def job_runs(self, name: str, limit: int = 50) -> dict[str, Any]:
+        """Run history of one scheduled job (reference airflow.py:300-336)."""
+        job = self.scheduler.jobs.get(name)
+        if job is None:
+            return {"error": f"unknown job {name!r}", "status": 404}
+        runs = [
+            {
+                "started_at": str(r.started_at),
+                "duration_s": r.duration_s,
+                "status": r.status,
+                "error": r.error,
+            }
+            for r in job.runs[-limit:]
+        ]
+        return {"name": name, "runs": runs, "status": 200}
+
     # -- durable state (metastore-backed; reference api/routes over
     # db/pipeline_service + alert_service + AuditLogModel) ------------------
 

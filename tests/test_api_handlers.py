@@ -229,3 +229,24 @@ def test_connector_endpoints(spark, tmp_path, users_df):
     assert h.delete_connector("pg")["status"] == 200
     assert h.connectors()["connectors"] == []
     ms.close()
+
+
+def test_job_pause_and_run_history(handlers):
+    from automic_etl_spark.orchestration.scheduler import Schedule, ScheduleType
+
+    calls = []
+    handlers.scheduler.add_job(
+        "nightly", lambda: calls.append(1),
+        Schedule(ScheduleType.INTERVAL, interval_s=3600),
+    )
+    assert handlers.trigger_job("nightly")["run_status"] == "success"
+    r = handlers.job_runs("nightly")
+    assert r["status"] == 200 and len(r["runs"]) == 1
+    assert r["runs"][0]["status"] == "success"
+
+    assert handlers.pause_job("nightly")["paused"] is True
+    assert handlers.scheduler.jobs["nightly"].enabled is False
+    assert handlers.pause_job("nightly", paused=False)["paused"] is False
+    assert handlers.scheduler.jobs["nightly"].enabled is True
+    assert handlers.pause_job("ghost")["status"] == 404
+    assert handlers.job_runs("ghost")["status"] == 404
