@@ -1,0 +1,118 @@
+"""URL normalization / domain extraction / blocklist filtering — the
+web-corpus curation steps that run before any text is even fetched or
+kept (beyond-reference training-data operator, build-brief mandate).
+
+All pure Catalyst expressions (regexp_extract / lower / split): a URL
+column normalizes, keys, and filters without a UDF anywhere, so these
+compose into scans at 100 TB with whole-stage codegen intact.
+
+Semantics notes:
+
+- ``normalize_url`` canonicalizes scheme/host case, strips fragments,
+  default ports, trailing slashes, and common tracking parameters
+  (utm_*/fbclid/gclid) — the conventional pre-dedup canonical form.
+- ``url_domain`` returns the registrable domain by suffix heuristic
+  (last two labels, or last three for two-level public suffixes like
+  co.uk / com.au). A full Public Suffix List would need a data file;
+  the heuristic covers the overwhelming majority of web-corpus traffic
+  and is deterministic — documented, not hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# two-level public suffixes the registrable-domain heuristic recognizes
+_TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tw", "com.sg", "co.za", "com.ar", "com.tr",
+)
+
+_TRACKING_PARAMS = r"(utm_[a-z]+|fbclid|gclid|msclkid|mc_cid|mc_eid|ref_src)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host (no port, no userinfo) of a URL column."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1)
+    return F.lower(host)
+
+
+def normalize_url(url: Column | str) -> Column:
+    """Canonical URL: lowercase scheme+host, strip fragment, default
+    ports (:80/:443), tracking params, empty query remnants ('?', '&'
+    tails), and the trailing slash of a bare path."""
+    c = F.col(url) if isinstance(url, str) else url
+    # lowercase scheme and host only (path/query are case-sensitive)
+    u = F.concat(
+        F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+)", 1)),
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+(.*)$", 1),
+    )
+    u = F.regexp_replace(u, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, r":(80|443)(/|$)", r"$2")  # default ports
+    u = F.regexp_replace(u, _TRACKING_PARAMS + r"=[^&#]*&?", "")  # trackers
+    u = F.regexp_replace(u, r"[?&]+$", "")  # empty query tails
+    u = F.regexp_replace(u, r"(://[^/?#]+)/$", r"$1")  # bare trailing slash
+    return u
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable domain of a URL column (suffix heuristic — see module
+    doc). IP-address hosts pass through unchanged."""
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    two_level = F.lit(False)
+    for suf in _TWO_LEVEL_SUFFIXES:
+        two_level = two_level | (last2 == F.lit(suf))
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when(two_level & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def filter_domains(
+    df: DataFrame,
+    url_col: str = "url",
+    blocklist: DataFrame | list[str] | None = None,
+    allowlist: DataFrame | list[str] | None = None,
+) -> DataFrame:
+    """Drop rows whose registrable domain is blocklisted (or keep only
+    allowlisted ones). List inputs become broadcast anti/semi joins —
+    NEVER a giant `isin` literal, which would blow up the plan at a
+    million-domain blocklist."""
+    spark = df.sparkSession
+    out = df.withColumn("__dom", url_domain(F.col(url_col)))
+
+    def as_df(x):
+        if isinstance(x, DataFrame):
+            return x.select(F.lower(F.col(x.columns[0])).alias("__dom")).distinct()
+        return spark.createDataFrame([(d.lower(),) for d in x], "__dom string").distinct()
+
+    if blocklist is not None:
+        out = out.join(F.broadcast(as_df(blocklist)), "__dom", "left_anti")
+    if allowlist is not None:
+        out = out.join(F.broadcast(as_df(allowlist)), "__dom", "left_semi")
+    return out.drop("__dom")
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per canonical URL (minimum id wins — deterministic):
+    a single hash-shuffle on the normalized URL."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(normalize_url(F.col(url_col))).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -1,0 +1,79 @@
+"""URL normalization / registrable-domain extraction / blocklist
+filtering / canonical-URL dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators.urls import (
+    dedup_by_url,
+    filter_domains,
+    normalize_url,
+    url_domain,
+    url_host,
+)
+
+
+def _one(spark, url, col):
+    return spark.createDataFrame([(url,)], "url string").select(col("url").alias("v")).first()["v"]
+
+
+def test_normalize_url_canonical_form(spark):
+    cases = {
+        "HTTPS://Example.COM:443/Path/?utm_source=x&q=1#frag": "https://example.com/Path/?q=1",
+        "http://example.com:80/": "http://example.com",
+        "http://example.com/a/?fbclid=abc": "http://example.com/a/",
+        "https://example.com/CaseSensitive/Path": "https://example.com/CaseSensitive/Path",
+        "https://user:pw@example.com/x?gclid=1&keep=2": "https://user:pw@example.com/x?keep=2",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, normalize_url) == want, raw
+
+
+def test_url_host_and_domain(spark):
+    assert _one(spark, "https://Sub.News.Example.CO.UK/x", url_host) == "sub.news.example.co.uk"
+    cases = {
+        "https://sub.news.example.co.uk/x": "example.co.uk",
+        "https://www.example.com/about": "example.com",
+        "https://example.com/": "example.com",
+        "http://192.168.10.1:8080/admin": "192.168.10.1",
+        "https://deep.a.b.site.com.au/": "site.com.au",
+        "https://localhost/x": "localhost",
+    }
+    for raw, want in cases.items():
+        assert _one(spark, raw, url_domain) == want, raw
+
+
+def test_filter_domains_block_and_allow(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.example.com/a"),
+            (2, "https://news.co.uk/b"),
+            (3, "https://keep.org/c"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = filter_domains(df, blocklist=["example.com"])
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [2, 3]
+    allowed = filter_domains(df, allowlist=spark.createDataFrame([("keep.org",)], "d string"))
+    assert [r["doc_id"] for r in allowed.collect()] == [3]
+    # plan: broadcast joins, no giant isin literal
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filter_domains(df, blocklist=["example.com"]).explain()
+    assert "Broadcast" in buf.getvalue()
+
+
+def test_dedup_by_url_canonical_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "https://Example.com/a?utm_source=x"),
+            (2, "https://example.com/a"),
+            (9, "https://example.com/b"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
+    assert kept == [2, 9]  # 5 collapses onto 2's canonical form; min id wins
