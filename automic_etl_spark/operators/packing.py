@@ -1,0 +1,108 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences (beyond-reference training-data operator, build-brief mandate
+— the step between a curated corpus and a pretraining dataloader).
+
+Exact greedy first-fit packing is inherently sequential (bin state
+depends on every earlier document), which cannot distribute. The
+standard scalable relaxation — used here — is PARTITIONED GREEDY
+packing:
+
+1. documents hash into ``num_shards`` independent shards (a determinstic
+   uniform split, like every curator split in this repo);
+2. within a shard, documents order deterministically and a running
+   token-count window assigns each to ``bin = cum_tokens div budget``;
+3. the global sequence id is (shard, bin) — unique, stable, append-
+   reproducible.
+
+Step 2's window is per-shard (``partitionBy(shard)``), so parallelism =
+num_shards and no global window exists anywhere. Fragmentation vs exact
+first-fit is bounded: a document is split across two bins only
+notionally — ``pack_sequences`` reports the offset so the loader can
+truncate or roll over, matching the common "document spans sequence
+boundary" convention of GPT-style pretraining.
+
+Oversized documents (longer than the budget) are flagged, not dropped —
+the loader decides whether to chunk them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from automic_etl_spark.operators.textops import token_count, token_hash
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int = 2048,
+    num_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Returns the input plus:
+
+    - ``n_tokens``      document token count (whitespace tokenizer, or
+                        a precomputed ``count_col``)
+    - ``shard``         deterministic hash shard in [0, num_shards)
+    - ``seq_id``        global sequence id string "shard-bin"
+    - ``seq_offset``    token offset of this document inside its sequence
+    - ``oversize``      true when the document alone exceeds the budget
+
+    Cost: one hash shuffle by shard + one per-shard window sort. At
+    100 TB, ``num_shards`` scales the parallelism (each shard's window
+    sorts |corpus|/num_shards rows).
+    """
+    n_tok = (
+        F.col(count_col)
+        if count_col is not None
+        else token_count(F.col(text_col))
+    ).cast("long")
+    shard = F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(num_shards)).cast("int")
+    df = docs.withColumn("n_tokens", n_tok).withColumn("shard", shard)
+
+    w = (
+        W.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    # bin of the document's FIRST token: (cum - n_tokens) div budget
+    bin_ = ((cum - F.col("n_tokens")) / F.lit(seq_tokens)).cast("long")
+    offset = (cum - F.col("n_tokens")) - bin_ * F.lit(seq_tokens)
+    return (
+        df.withColumn("__cum", cum)
+        .withColumn("seq_bin", bin_)
+        .withColumn("seq_id", F.concat_ws("-", F.col("shard"), F.col("seq_bin")))
+        .withColumn("seq_offset", offset.cast("long"))
+        .withColumn("oversize", F.col("n_tokens") > F.lit(seq_tokens))
+        .drop("__cum", "seq_bin")
+    )
+
+
+def packing_stats(packed: DataFrame, seq_tokens: int = 2048) -> DataFrame:
+    """One-row packing efficiency report: sequences, mean fill ratio in
+    integer parts-per-million (full sequences only — the trailing
+    partial sequence of each shard is excluded, as is conventional),
+    oversize document count."""
+    per_seq = packed.groupBy("shard", "seq_id").agg(
+        F.sum("n_tokens").alias("toks"),
+        F.max(F.col("seq_offset") + F.col("n_tokens")).alias("end"),
+    )
+    # a sequence is "full" when documents run past its budget boundary
+    full = per_seq.filter(F.col("end") >= F.lit(seq_tokens))
+    return full.agg(
+        F.count(F.lit(1)).alias("n_full_sequences"),
+        (
+            F.sum(F.least(F.col("toks"), F.lit(seq_tokens)) * F.lit(1_000_000))
+            .cast("long")
+            / F.greatest(F.count(F.lit(1)) * F.lit(seq_tokens), F.lit(1))
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+    ).crossJoin(
+        packed.agg(
+            F.sum(F.when(F.col("oversize"), 1).otherwise(0)).alias("n_oversize"),
+            F.countDistinct("seq_id").alias("n_sequences"),
+        )
+    )

@@ -1,0 +1,73 @@
+"""Sequence packing: partitioned-greedy bin assignment with a DuckDB
+differential oracle (window cumulative sums are SQL-expressible, so the
+whole operator cross-checks engine-to-engine)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from tests.conftest import SF_SMALL
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators.packing import pack_sequences, packing_stats
+
+
+def test_pack_small_known_layout(spark):
+    # one shard so the layout is fully predictable
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in [(1, 10), (2, 10), (3, 10), (4, 50), (5, 5)]],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_sequences(docs, seq_tokens=25, num_shards=1).collect()
+    }
+    # cum: 10,20,30,80,85 → first-token offsets 0,10,20,30,80
+    assert [out[i]["seq_id"] for i in (1, 2, 3)] == ["0-0", "0-0", "0-0"]
+    assert out[3]["seq_offset"] == 20  # spans the 25-token boundary
+    assert out[4]["seq_id"] == "0-1" and out[4]["oversize"] is True
+    assert out[5]["seq_id"] == "0-3" and out[5]["seq_offset"] == 5
+    assert all(not out[i]["oversize"] for i in (1, 2, 3, 5))
+
+
+def test_pack_differential_oracle_on_harness_docs(spark):
+    """Same shard/bin assignment from DuckDB's window cumsum over the
+    same deterministic ordering (token counts fed to both engines)."""
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    packed = pack_sequences(docs, seq_tokens=512, num_shards=8)
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["seq_offset"])
+        for r in packed.collect()
+    }
+
+    con = duckdb.connect()
+    counts = [(r["doc_id"], r["shard"], r["n_tokens"]) for r in packed.collect()]
+    con.execute("CREATE TABLE t (doc_id BIGINT, shard INT, n BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?,?)", counts)
+    oracle = con.execute(
+        """
+        SELECT doc_id, shard,
+               shard || '-' || CAST((cum - n) // 512 AS VARCHAR) AS seq_id,
+               (cum - n) - ((cum - n) // 512) * 512 AS off
+        FROM (
+          SELECT doc_id, shard, n,
+                 sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t
+        )
+        """
+    ).fetchall()
+    assert got == {d: (s, sid, off) for d, s, sid, off in oracle}
+
+
+def test_packing_stats_fill_ratio(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(1, 20)], "doc_id long, text string"
+    )
+    packed = pack_sequences(docs, seq_tokens=50, num_shards=1)
+    row = packing_stats(packed, seq_tokens=50).first()
+    # 190 tokens in 50-token bins -> bins 0-2 full, trailing bin 3 (40) partial
+    assert row["n_sequences"] == 4
+    assert row["n_full_sequences"] == 3
+    assert row["n_oversize"] == 0
+    assert row["fill_ppm"] == 1_000_000  # 10-token docs tile 50 exactly
