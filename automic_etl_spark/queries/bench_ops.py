@@ -88,3 +88,23 @@ def q_ivf_build_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments, centroids = ivf_build(emb, n_centroids=16, iterations=3)
     query = emb.orderBy("vec_id").limit(1)
     return ivf_search(emb, assignments, centroids, query, k=10, nprobe=2)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the documents table → packing-efficiency
+    report (1 row). One shard shuffle + per-shard window."""
+    from automic_etl_spark.operators.packing import pack_sequences, packing_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return packing_stats(pack_sequences(docs, seq_tokens=2048, num_shards=64), 2048)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table (every 97th
+    doc plays the benchmark set) → surviving-corpus count."""
+    from automic_etl_spark.operators.decontam import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 97 = 0").select("text")
+    clean = decontaminate(docs.filter("doc_id % 97 != 0"), bench, n=8)
+    return clean.agg(F.count(F.lit(1)).alias("n_clean"))

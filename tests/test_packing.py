@@ -71,3 +71,34 @@ def test_packing_stats_fill_ratio(spark):
     assert row["n_full_sequences"] == 3
     assert row["n_oversize"] == 0
     assert row["fill_ppm"] == 1_000_000  # 10-token docs tile 50 exactly
+
+
+def test_pack_invariants_property(spark):
+    """Property check over randomized token counts: every doc lands in
+    exactly one sequence, offsets are within budget, oversize flags are
+    exact, and the assignment matches a driver-side reference
+    implementation of partitioned greedy packing."""
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, "tok " * rng.randint(1, 120)) for i in range(1, 301)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget, shards = 100, 4
+    out = pack_sequences(docs, seq_tokens=budget, num_shards=shards).collect()
+
+    assert len(out) == 300
+    by_shard: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["shard"] < shards
+        assert 0 <= r["seq_offset"] < budget
+        assert r["oversize"] == (r["n_tokens"] > budget)
+        by_shard.setdefault(r["shard"], []).append(r)
+
+    # driver-side reference: same order, same cumsum rule
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in members:
+            assert r["seq_id"] == f"{shard}-{cum // budget}"
+            assert r["seq_offset"] == cum - (cum // budget) * budget
+            cum += r["n_tokens"]

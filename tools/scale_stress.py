@@ -46,8 +46,10 @@ def _workloads():
         q_minhash_lsh_candidates,
     )
     from automic_etl_spark.queries.bench_ops import (
+        q_decontaminate,
         q_doctext_extract,
         q_ivf_build_search,
+        q_pack_sequences,
     )
     from automic_etl_spark.queries.relational import (
         q_count_distinct,
@@ -58,6 +60,8 @@ def _workloads():
     return {
         "doctext_extract": q_doctext_extract,
         "ivf_build_search": q_ivf_build_search,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
