@@ -311,3 +311,95 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def _band_keys_col(num_hashes: int, bands: int):
+    r = num_hashes // bands
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit(str(b)), *[F.col(f"sig_{b * r + i}") for i in range(r)]
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def signature_agreement(num_hashes: int = 12):
+    """Column expr: fraction of agreeing signature slots between two
+    prefixed signature sets ``n_sig_i`` / ``x_sig_i`` — the standard
+    MinHash Jaccard estimator (E[agreement] = J), in integer ppm."""
+    agree = sum(
+        F.when(F.col(f"n_sig_{i}") == F.col(f"x_sig_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (agree * F.lit(1_000_000) / F.lit(num_hashes)).cast("long")
+
+
+def incremental_near_dup(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame | None,
+    id_col: str = "doc_id",
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_agreement_ppm: int = 700_000,
+) -> DataFrame:
+    """Continuous-ingestion near-dup detection: flag NEW documents whose
+    MinHash signature collides (LSH band) and agrees (signature-level
+    Jaccard estimate) with the EXISTING corpus index — or with an
+    earlier new document in the same batch.
+
+    This is the streaming/append companion of the batch LSH pipeline:
+    the corpus is represented ONLY by its persisted signature table
+    (12×8 B per document — ~1 GB per 10 M docs), so checking a batch
+    never re-reads corpus text. Verification uses the signature
+    agreement estimator instead of exact shingle Jaccard (E[agreement]
+    = J, ±1/√num_hashes) — the standard at-scale trade.
+
+    Returns (new ``id_col``, dup_of, agreement_ppm), one row per flagged
+    new doc (its best match). Plan: band-key equi-joins only — new×index
+    and new×new — candidates verified by integer slot comparison; the
+    corpus index side streams, the (small) new batch broadcasts."""
+    sig_cols = [f"sig_{i}" for i in range(num_hashes)]
+    keys = _band_keys_col(num_hashes, bands)
+
+    def melt(df, prefix, is_index):
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            *[F.col(c).alias(f"{prefix}_{c}") for c in sig_cols],
+            F.lit(is_index).alias(f"{prefix}_is_index"),
+            F.explode(keys).alias("band_key"),
+        )
+
+    new_melted = melt(new_sigs, "n", False).drop("n_is_index")
+    against = melt(new_sigs, "x", False)
+    if index_sigs is not None:
+        against = against.unionByName(melt(index_sigs, "x", True))
+    pairs = (
+        F.broadcast(new_melted)
+        .join(against, "band_key")
+        # a new doc matches the index, or an EARLIER doc of its own batch
+        # (earlier-only within the batch: exactly one of a mutual pair is
+        # flagged, so the batch keeps one representative — index matches
+        # are directionless and always count)
+        .filter(F.col("x_is_index") | (F.col("x_id") < F.col("n_id")))
+        .drop("band_key", "x_is_index")
+        .distinct()
+    )
+    scored = pairs.select(
+        F.col("n_id").alias(id_col),
+        F.col("x_id").alias("dup_of"),
+        signature_agreement(num_hashes).alias("agreement_ppm"),
+    ).filter(F.col("agreement_ppm") >= F.lit(min_agreement_ppm))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(
+        F.col("agreement_ppm").desc(), F.col("dup_of").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -121,3 +121,44 @@ def test_sample_per_group_cap_and_determinism(spark):
     a = sorted(r["doc_id"] for r in capped.collect())
     b = sorted(r["doc_id"] for r in sample_per_group(docs, ["lang"], k=10).collect())
     assert a == b
+
+
+def test_incremental_near_dup_against_index(spark):
+    from automic_etl_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest to find a quiet place for sleeping")
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different document about spark shuffles and "
+                        "partition pruning strategies in modern engines")],
+        "doc_id long, text string",
+    )
+    index = minhash_signatures(corpus)
+
+    new = spark.createDataFrame(
+        [
+            (10, base + " indeed"),          # near-dup of indexed doc 1
+            (11, "fresh unrelated content discussing audio codecs and "
+                 "container metadata probes for webm and mp4 files"),
+            (12, "fresh unrelated content discussing audio codecs and "
+                 "container metadata probes for webm and mp4 files too"),  # near-dup of 11 (same batch)
+        ],
+        "doc_id long, text string",
+    )
+    new_sigs = minhash_signatures(new)
+
+    flagged = {r["doc_id"]: r for r in
+               incremental_near_dup(new_sigs, index, min_agreement_ppm=500_000).collect()}
+    assert 10 in flagged and flagged[10]["dup_of"] == 1
+    # within-batch: only the LATER doc of the pair is flagged
+    assert 12 in flagged and flagged[12]["dup_of"] == 11
+    assert 11 not in flagged
+    assert all(r["agreement_ppm"] >= 500_000 for r in flagged.values())
+
+    # without an index: only within-batch flags
+    batch_only = {r["doc_id"] for r in
+                  incremental_near_dup(new_sigs, None, min_agreement_ppm=500_000).collect()}
+    assert batch_only == {12}
