@@ -1,0 +1,163 @@
+"""Streaming dedup-on-ingest: each micro-batch of documents is checked
+against the corpus's persisted MinHash signature index before landing —
+duplicates divert to a quarantine table, survivors append together with
+their signatures, so the index grows with the corpus and no batch ever
+re-reads corpus text.
+
+Composition of existing oracle-verified parts (SURVEY §2.11 parity-plus
+upgraded with the beyond-reference dedup mandate):
+
+  file/kafka stream → foreachBatch:
+      minhash_signatures(batch)                    (operators.dedup)
+      incremental_near_dup(batch_sigs, index)      (operators.dedup)
+      exact dup check (content md5 vs index)       (1 broadcast anti-join)
+      survivors → docs table; sigs → index table; dups → quarantine
+
+State is two parquet tables (documents + signature index), both
+append-only under the streaming checkpoint's exactly-once-per-batch
+contract: a replayed batch re-derives the same ids and its appends are
+idempotent downstream (dedup by batch id in the consumer, or a MERGE
+sink when the catalog hosts the tables).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from automic_etl_spark.operators.dedup import incremental_near_dup, minhash_signatures
+
+
+class StreamingDeduper:
+    """Micro-batch dedup state over two parquet table paths."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs_path: str,
+        index_path: str,
+        quarantine_path: str | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 12,
+        bands: int = 4,
+        min_agreement_ppm: int = 700_000,
+    ):
+        self.spark = spark
+        self.docs_path = docs_path
+        self.index_path = index_path
+        self.quarantine_path = quarantine_path
+        self.id_col, self.text_col = id_col, text_col
+        self.num_hashes, self.bands = num_hashes, bands
+        self.min_agreement_ppm = min_agreement_ppm
+
+    # -- state tables -------------------------------------------------------
+
+    def _index(self) -> DataFrame | None:
+        if not os.path.isdir(self.index_path):
+            return None
+        return self.spark.read.parquet(self.index_path)
+
+    # -- the per-batch kernel (also usable as a plain batch operator) -------
+
+    def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> dict:
+        """Dedup one batch against the index + itself; append survivors
+        and their signatures; return counts (the only driver-side
+        values — everything else stays distributed)."""
+        batch = batch.select(self.id_col, self.text_col).cache()
+        n_in = batch.count()
+        if n_in == 0:
+            return {"in": 0, "kept": 0, "exact_dups": 0, "near_dups": 0}
+
+        index = self._index()
+
+        # 1. exact dups: content-hash anti-join against the index (and
+        # keep-min within the batch) — cheaper than MinHash, runs first
+        hashed = batch.withColumn("__h", F.md5(F.col(self.text_col)))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("__h").orderBy(F.col(self.id_col).asc())
+        batch_first = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if index is not None and "content_md5" in index.columns:
+            batch_first = batch_first.join(
+                F.broadcast(index.select(F.col("content_md5").alias("__h")).distinct()),
+                "__h",
+                "left_anti",
+            )
+        exact_survivors = batch_first.drop("__h").cache()
+        n_exact = exact_survivors.count()
+
+        # 2. near dups vs index + earlier-in-batch
+        sigs = minhash_signatures(
+            exact_survivors, id_col=self.id_col, text_col=self.text_col,
+            num_hashes=self.num_hashes,
+        ).cache()
+        flagged = incremental_near_dup(
+            sigs,
+            index.drop("content_md5") if index is not None else None,
+            id_col=self.id_col,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            min_agreement_ppm=self.min_agreement_ppm,
+        ).cache()
+        survivors = exact_survivors.join(
+            F.broadcast(flagged.select(self.id_col)), self.id_col, "left_anti"
+        )
+        # Materialize every derived set BEFORE any append: the index/docs
+        # reads in these lineages list parquet files at EXECUTION time, so
+        # a plan executed after the appends below would see this batch's
+        # own rows and anti-join them away (checkpoint() cuts lineage;
+        # cache() alone does not guarantee no recompute).
+        survivors = survivors.localCheckpoint(eager=True)
+        n_kept = survivors.count()
+        quarantined = None
+        if self.quarantine_path is not None:
+            quarantined = batch.join(
+                F.broadcast(survivors.select(self.id_col)), self.id_col, "left_anti"
+            ).localCheckpoint(eager=True)
+        index_rows = (
+            sigs.join(F.broadcast(flagged.select(self.id_col)), self.id_col, "left_anti")
+            .join(
+                survivors.select(
+                    self.id_col, F.md5(F.col(self.text_col)).alias("content_md5")
+                ),
+                self.id_col,
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        # 3. append survivors + their (signature, content-hash) index rows
+        survivors.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(self.docs_path)
+        index_rows.write.mode("append").parquet(self.index_path)
+        if quarantined is not None and not quarantined.isEmpty():
+            quarantined.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(self.quarantine_path)
+        return {
+            "in": n_in,
+            "kept": n_kept,
+            "exact_dups": n_in - n_exact,
+            "near_dups": n_exact - n_kept,
+        }
+
+    # -- streaming host -----------------------------------------------------
+
+    def attach(self, stream: DataFrame, checkpoint: str, trigger_once: bool = True):
+        """Host the kernel under Structured Streaming's foreachBatch."""
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        writer = stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

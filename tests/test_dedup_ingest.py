@@ -1,0 +1,73 @@
+"""Streaming dedup-on-ingest: exact + near dups divert, survivors and
+their signature index grow batch over batch, end-to-end under a real
+file stream."""
+
+from __future__ import annotations
+
+from automic_etl_spark.streaming.dedup_ingest import StreamingDeduper
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find a quiet place for sleeping")
+OTHER = ("totally different document about spark shuffles and partition "
+         "pruning strategies in modern distributed engines at scale")
+THIRD = ("a third unique document describing audio codec probes and "
+         "container metadata extraction for large multimodal corpora")
+
+
+def _dedup(spark, tmp_path, **kw):
+    return StreamingDeduper(
+        spark,
+        docs_path=str(tmp_path / "docs"),
+        index_path=str(tmp_path / "index"),
+        quarantine_path=str(tmp_path / "quarantine"),
+        min_agreement_ppm=500_000,
+        **kw,
+    )
+
+
+def test_batches_dedup_against_growing_index(spark, tmp_path):
+    d = _dedup(spark, tmp_path)
+
+    b1 = spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, OTHER)], "doc_id long, text string"
+    )
+    r1 = d.process_batch(b1, epoch_id=0)
+    assert r1 == {"in": 3, "kept": 2, "exact_dups": 1, "near_dups": 0}
+
+    b2 = spark.createDataFrame(
+        [
+            (10, BASE),             # exact dup of indexed doc 1
+            (11, BASE + " indeed"),  # near dup of indexed doc 1
+            (12, THIRD),            # genuinely new
+        ],
+        "doc_id long, text string",
+    )
+    r2 = d.process_batch(b2, epoch_id=1)
+    assert r2 == {"in": 3, "kept": 1, "exact_dups": 1, "near_dups": 1}
+
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "docs")).collect()}
+    assert kept == {1, 3, 12}
+    quarantined = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "quarantine")).collect()
+    }
+    assert quarantined == {2, 10, 11}
+    index = spark.read.parquet(str(tmp_path / "index"))
+    assert index.count() == 3 and "content_md5" in index.columns
+
+
+def test_streaming_host_end_to_end(spark, tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, OTHER)], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(src / "drop1.parquet"))
+
+    d = _dedup(spark, tmp_path)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    q = d.attach(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "docs")).collect()}
+    assert kept == {1, 3}
