@@ -132,3 +132,66 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k
             "fingerprint"
         ),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_sizes: tuple = (2, 3),
+    top_fraction_ns: tuple = (2, 3, 4),
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (the published
+    repetition filters of the Gopher/MassiveText data card — public
+    methodology): for each ``n`` in ``ngram_sizes``, the fraction of the
+    document's n-gram OCCURRENCES that are repeats of an earlier
+    occurrence (``dup_{n}gram_ppm``); for each ``n`` in
+    ``top_fraction_ns``, the fraction of occurrences claimed by the
+    single most frequent n-gram (``top_{n}gram_ppm``). Integer ppm
+    outputs (the repo-wide no-rounded-division contract).
+
+    Plan shape: ONE explode per requested n over pre-materialized
+    tokens, counted map-side by (doc, gram) then reduced per doc — no
+    window, no self-join; cost is linear in corpus tokens. Documents
+    with fewer than n tokens report 0 for that n."""
+    out = df
+    for n in sorted(set(ngram_sizes) | set(top_fraction_ns)):
+        grams = (
+            df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+            .select(
+                F.col(id_col),
+                F.explode(shingles_of_tokens(F.col("__toks"), n)).alias("__g"),
+            )
+            .groupBy(id_col, "__g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .groupBy(id_col)
+            .agg(
+                F.sum("__c").alias("__total"),
+                F.count(F.lit(1)).alias("__distinct"),
+                F.max("__c").alias("__top"),
+            )
+        )
+        cols = [F.col(id_col)]
+        if n in ngram_sizes:
+            cols.append(
+                (
+                    (F.col("__total") - F.col("__distinct")) * F.lit(1_000_000)
+                    / F.col("__total")
+                )
+                .cast("long")
+                .alias(f"dup_{n}gram_ppm")
+            )
+        if n in top_fraction_ns:
+            cols.append(
+                (F.col("__top") * F.lit(1_000_000) / F.col("__total"))
+                .cast("long")
+                .alias(f"top_{n}gram_ppm")
+            )
+        out = out.join(grams.select(*cols), id_col, "left")
+    # < n tokens ⇒ no grams ⇒ NULL from the left join ⇒ report 0
+    fill = {
+        c: 0
+        for c in out.columns
+        if c.endswith("gram_ppm")
+    }
+    return out.fillna(fill)

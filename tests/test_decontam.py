@@ -162,3 +162,61 @@ def test_incremental_near_dup_against_index(spark):
     batch_only = {r["doc_id"] for r in
                   incremental_near_dup(new_sigs, None, min_agreement_ppm=500_000).collect()}
     assert batch_only == {12}
+
+
+def test_repetition_stats_gopher_signals(spark):
+    from automic_etl_spark.operators.textops import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # "spam spam spam spam": 3 bigram occurrences, 1 distinct -> dup 2/3
+            (1, "spam spam spam spam"),
+            # all-distinct bigrams
+            (2, "one two three four five"),
+            (3, "x"),  # shorter than any n -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert got[1]["dup_2gram_ppm"] == 666_666  # (3-1)/3
+    assert got[1]["top_2gram_ppm"] == 1_000_000
+    assert got[1]["dup_3gram_ppm"] == 500_000  # 2 occurrences, 1 distinct
+    assert got[2]["dup_2gram_ppm"] == 0 and got[2]["top_2gram_ppm"] == 250_000
+    assert got[3]["dup_2gram_ppm"] == 0 and got[3]["top_4gram_ppm"] == 0
+
+
+def test_repetition_differential_oracle(spark):
+    """DuckDB cross-check of dup_2gram_ppm on harness docs."""
+    import duckdb as _duck
+
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text").limit(100)
+    from automic_etl_spark.operators.textops import repetition_stats
+
+    got = {
+        r["doc_id"]: r["dup_2gram_ppm"]
+        for r in repetition_stats(docs, ngram_sizes=(2,), top_fraction_ns=()).collect()
+    }
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW docs AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    ids = list(got)
+    oracle = dict(con.execute(
+        """
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\W+') AS t
+          FROM docs WHERE doc_id IN (SELECT unnest(?::BIGINT[]))
+        ), grams AS (
+          SELECT doc_id, unnest([
+            array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))
+          ]) AS g FROM tok WHERE len(t) >= 2
+        ), per AS (
+          SELECT doc_id, count(*) AS total, count(DISTINCT g) AS dist
+          FROM grams GROUP BY doc_id
+        )
+        SELECT doc_id, CAST((total - dist) * 1000000 // total AS BIGINT) FROM per
+        """,
+        [ids],
+    ).fetchall())
+    for d in got:
+        assert got[d] == oracle.get(d, 0), d
