@@ -40,6 +40,9 @@ class CorpusCurator:
     decontam_min_hits: int = 1
     group_cap: int | None = None
     group_cols: tuple = ("source",)
+    # Gopher-style repetition cap: drop docs whose duplicate-bigram
+    # occurrence fraction exceeds this (ppm); None disables the stage
+    max_dup_2gram_ppm: int | None = None
 
     def curate(
         self,
@@ -91,6 +94,23 @@ class CorpusCurator:
             - report["near_dups_removed"]
             - kept.count()
         )
+
+        # 3b. optional repetition cap (Gopher-style filter)
+        if self.max_dup_2gram_ppm is not None:
+            from automic_etl_spark.operators.textops import repetition_stats
+
+            before = kept.count()
+            rep = repetition_stats(
+                kept.select(id_col, text_col), text_col=text_col, id_col=id_col,
+                ngram_sizes=(2,), top_fraction_ns=(),
+            ).filter(F.col("dup_2gram_ppm") > self.max_dup_2gram_ppm)
+            kept = kept.join(
+                F.broadcast(rep.select(id_col)), id_col, "left_anti"
+            )
+            report["repetitive_removed"] = before - kept.count()
+            # counted within the quality stage so downstream arithmetic
+            # (contamination/cap "before" baselines, final_docs) holds
+            report["low_quality_removed"] += report["repetitive_removed"]
 
         # 4. optional benchmark decontamination (pre-training hygiene)
         if benchmark is not None:

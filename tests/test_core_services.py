@@ -416,3 +416,19 @@ def test_corpus_curator_decontam_and_group_caps(spark):
     assert all(n <= 3 for n in per_src.values())
     assert report["final_docs"] == len(kept)
     assert report["group_cap_removed"] == 10 - sum(per_src.values())
+
+
+def test_corpus_curator_repetition_cap(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    rows = [
+        (1, "spam " * 40, "web"),  # pathological repetition
+        (2, "a perfectly ordinary document with mostly distinct bigrams "
+            "describing the data pipeline in plain sentences", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cur = CorpusCurator(min_quality=0.0, max_dup_2gram_ppm=500_000)
+    out, report = cur.curate(docs)
+    assert {r["doc_id"] for r in out.collect()} == {2}
+    assert report["repetitive_removed"] == 1
+    assert report["final_docs"] == 1
