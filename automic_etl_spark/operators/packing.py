@@ -93,13 +93,14 @@ def packing_stats(packed: DataFrame, seq_tokens: int = 2048) -> DataFrame:
     full = per_seq.filter(F.col("end") >= F.lit(seq_tokens))
     return full.agg(
         F.count(F.lit(1)).alias("n_full_sequences"),
-        (
-            F.sum(F.least(F.col("toks"), F.lit(seq_tokens)) * F.lit(1_000_000))
-            .cast("long")
-            / F.greatest(F.count(F.lit(1)) * F.lit(seq_tokens), F.lit(1))
-        )
-        .cast("long")
-        .alias("fill_ppm"),
+        F.coalesce(
+            (
+                F.sum(F.least(F.col("toks"), F.lit(seq_tokens)) * F.lit(1_000_000))
+                .cast("long")
+                / F.greatest(F.count(F.lit(1)) * F.lit(seq_tokens), F.lit(1))
+            ).cast("long"),
+            F.lit(0).cast("long"),  # no full sequences yet → 0, not NULL
+        ).alias("fill_ppm"),
     ).crossJoin(
         packed.agg(
             F.sum(F.when(F.col("oversize"), 1).otherwise(0)).alias("n_oversize"),
