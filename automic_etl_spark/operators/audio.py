@@ -327,7 +327,9 @@ def audio_blobs_metadata(
 
 
 def _decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
-    """(samples[frames, channels] int32 workspace, rate, sampwidth)."""
+    """(samples[frames, channels] int64 workspace, rate, sampwidth).
+    8/16/24/32-bit integer PCM (8-bit is unsigned per the WAV spec;
+    24-bit is packed 3-byte little-endian two's complement)."""
     fmt = sniff_format(data)
     if fmt != "audio/wav":
         _codec_gate(fmt)
@@ -335,17 +337,35 @@ def _decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
         rate, width, channels = w.getframerate(), w.getsampwidth(), w.getnchannels()
         raw = w.readframes(w.getnframes())
     if width == 2:
-        arr = np.frombuffer(raw, dtype="<i2").astype(np.int32)
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     elif width == 1:  # 8-bit WAV is unsigned
-        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int32) - 128
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+    elif width == 3:  # packed 24-bit: widen to int32 then sign-correct
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        arr = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        arr = arr - ((arr & 0x800000) << 1)
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype="<i4").astype(np.int64)
     else:
-        raise NotImplementedError(f"{width * 8}-bit PCM not supported (8/16-bit only)")
+        raise NotImplementedError(
+            f"{width * 8}-bit PCM not supported (8/16/24/32-bit only)"
+        )
     return arr.reshape(-1, channels), rate, width
 
 
 def _encode_pcm(samples: np.ndarray, rate: int, width: int) -> bytes:
     if width == 2:
         raw = np.clip(samples, -32768, 32767).astype("<i2").tobytes()
+    elif width == 3:
+        v = np.clip(samples.reshape(-1), -(1 << 23), (1 << 23) - 1).astype(np.int64)
+        v = np.where(v < 0, v + (1 << 24), v)
+        packed = np.empty((v.size, 3), dtype=np.uint8)
+        packed[:, 0] = v & 0xFF
+        packed[:, 1] = (v >> 8) & 0xFF
+        packed[:, 2] = (v >> 16) & 0xFF
+        raw = packed.tobytes()
+    elif width == 4:
+        raw = np.clip(samples, -(1 << 31), (1 << 31) - 1).astype("<i4").tobytes()
     else:
         raw = (np.clip(samples, -128, 127) + 128).astype(np.uint8).tobytes()
     buf = io.BytesIO()

@@ -245,3 +245,31 @@ def test_m4a_header_probe():
     junk = make_m4a()[:20]
     mj = audio_metadata(junk)
     assert mj["format"] == "audio/mp4" and mj["ok"] is False
+
+
+def test_24_and_32_bit_pcm_roundtrip_and_mute():
+    import struct
+
+    from automic_etl_spark.operators.audio import _decode_pcm, _encode_pcm
+
+    # hand-build a 24-bit mono WAV: values incl. negatives round-trip
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -123_456]
+    samples = np.array(vals, dtype=np.int64).reshape(-1, 1)
+    wav24 = _encode_pcm(samples, 8000, 3)
+    back, rate, width = _decode_pcm(wav24)
+    assert rate == 8000 and width == 3
+    assert back.reshape(-1).tolist() == vals
+
+    # 32-bit
+    vals32 = [0, 2**31 - 1, -(2**31), 42]
+    wav32 = _encode_pcm(np.array(vals32, dtype=np.int64).reshape(-1, 1), 8000, 4)
+    back32, _, w32 = _decode_pcm(wav32)
+    assert w32 == 4 and back32.reshape(-1).tolist() == vals32
+
+    # segment mute works on 24-bit input
+    tone = np.tile(np.array([100_000, -100_000], dtype=np.int64), 4000).reshape(-1, 1)
+    wav = _encode_pcm(tone, 8000, 3)  # 1 s
+    out = mute_segments_wav(wav, [(250, 500)], fade_ms=0)
+    muted, _, _ = _decode_pcm(out)
+    assert np.all(muted[2100:3900] == 0)  # inside the muted span
+    assert np.any(muted[:1900] != 0) and np.any(muted[4100:] != 0)
