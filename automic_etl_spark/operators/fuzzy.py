@@ -1,0 +1,119 @@
+"""Fuzzy string matching: blocked edit-distance joins and keep-min
+fuzzy dedup for name-like columns (entity resolution).
+
+Beyond-reference training-data/silver-cleaning operator. Everything is
+built-in Catalyst (``levenshtein`` is JVM-side): the only design
+question at scale is the BLOCKING strategy, because an unblocked fuzzy
+join is a cartesian product.
+
+Blocking strategies (``block=``):
+
+- ``"prefix"`` (default): candidates share a lowercase character prefix
+  AND a length band of width ``max_distance``. High recall on real-world
+  names/titles (typos cluster mid-string), linear cost — but NOT sound:
+  an edit inside the prefix escapes the block. Documented trade, same
+  as every production blocking scheme.
+- ``"sorted_tokens"``: candidates share the alphabetically-first token
+  of the normalized string — robust to word reorderings ("doe, john" vs
+  "john doe") after normalization.
+- ``None``: exact — no blocking (cross join). Guarded by a row-count
+  cap; only for small dimension-table cleanup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_UNBLOCKED_CAP = 100_000  # |L|*|R| above this refuses to cross-join
+
+
+def _norm(c):
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def _block_key(c, block: str, prefix_len: int, max_distance: int):
+    if block == "prefix":
+        # prefix only — a length BAND here would split pairs straddling a
+        # band boundary (lengths 29 vs 31 with d=2 land in different
+        # bands); the exact |len(l)-len(r)| <= d filter runs post-join
+        return F.substring(_norm(c), 1, prefix_len)
+    if block == "sorted_tokens":
+        return F.element_at(F.array_sort(F.split(_norm(c), r"\s+")), 1)
+    raise ValueError(f"unknown blocking strategy {block!r}")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_distance: int = 2,
+    block: str | None = "prefix",
+    prefix_len: int = 2,
+) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein(norm(l), norm(r)) <=
+    max_distance``, candidate-limited by the blocking strategy. Output:
+    left columns + right columns + ``edit_distance``. Column-name
+    collisions on the right get a ``_r`` suffix."""
+    lnorm = _norm(F.col(left_col)).alias("__ln")
+    rnorm = _norm(F.col(right_col)).alias("__rn")
+    rcols = [
+        F.col(c).alias(c if c not in left.columns else f"{c}_r") for c in right.columns
+    ]
+    l = left.select("*", lnorm)
+    r = right.select(*rcols, rnorm)
+    if block is None:
+        nl, nr = left.count(), right.count()
+        if nl * nr > _UNBLOCKED_CAP:
+            raise ValueError(
+                f"unblocked fuzzy join would compare {nl}x{nr} rows; "
+                "pass block='prefix' or 'sorted_tokens'"
+            )
+        joined = l.crossJoin(r)
+    else:
+        l = l.withColumn(
+            "__bk", _block_key(F.col(left_col), block, prefix_len, max_distance)
+        )
+        r = r.withColumn(
+            "__bk",
+            _block_key(
+                F.col(f"{right_col}_r" if right_col in left.columns else right_col),
+                block, prefix_len, max_distance,
+            ),
+        )
+        joined = l.join(r, "__bk").drop("__bk")
+    # cheap length pre-filter before the quadratic-in-length levenshtein
+    return (
+        joined.filter(
+            F.abs(F.length("__ln") - F.length("__rn")) <= F.lit(max_distance)
+        )
+        .withColumn("edit_distance", F.levenshtein("__ln", "__rn"))
+        .filter(F.col("edit_distance") <= F.lit(max_distance))
+        .drop("__ln", "__rn")
+    )
+
+
+def dedup_fuzzy(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_distance: int = 2,
+    block: str = "prefix",
+) -> DataFrame:
+    """Collapse near-identical values of ``col`` (typos, spacing, case):
+    every row whose value sits within ``max_distance`` edits of a row
+    with a smaller id is dropped — the same keep-min-id convention as
+    the exact/minhash dedup operators. Single blocked self-join."""
+    pairs = (
+        fuzzy_join(
+            df.select(id_col, col),
+            df.select(F.col(id_col).alias("__rid"), F.col(col).alias("__rval")),
+            col, "__rval", max_distance=max_distance, block=block,
+        )
+        .filter(F.col("__rid") < F.col(id_col))
+        .select(F.col(id_col).alias("__loser"))
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(pairs), df[id_col] == pairs["__loser"], "left_anti"
+    )

@@ -1,0 +1,60 @@
+"""Blocked fuzzy joins + fuzzy dedup (entity resolution)."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.operators.fuzzy import dedup_fuzzy, fuzzy_join
+
+
+def test_fuzzy_join_prefix_block(spark):
+    left = spark.createDataFrame(
+        [(1, "Jonathan Smith"), (2, "Acme Corp"), (3, "Zebra Ltd")],
+        "lid long, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "jonathan smyth"), (11, "ACME  Corp"), (12, "Umbrella Inc")],
+        "rid long, name string",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["edit_distance"]
+        for r in fuzzy_join(left, right, "name", "name", max_distance=2).collect()
+    }
+    assert got == {(1, 10): 1, (2, 11): 0}  # smyth~smith; spacing+case normalized
+
+
+def test_fuzzy_join_sorted_tokens_handles_reordering(spark):
+    left = spark.createDataFrame([(1, "john doe")], "lid long, name string")
+    right = spark.createDataFrame([(9, "doe john")], "rid long, name string")
+    # prefix blocking misses the reordering; sorted-token blocking pairs
+    # them, but at distance 6 they only match with a loose threshold
+    rows = fuzzy_join(
+        left, right, "name", "name", max_distance=8, block="sorted_tokens"
+    ).collect()
+    assert [(r["lid"], r["rid"]) for r in rows] == [(1, 9)]
+
+
+def test_unblocked_guard_and_exactness(spark):
+    small_l = spark.createDataFrame([(1, "abc")], "lid long, v string")
+    small_r = spark.createDataFrame([(2, "abd")], "rid long, v string")
+    rows = fuzzy_join(small_l, small_r, "v", "v", max_distance=1, block=None).collect()
+    assert rows[0]["edit_distance"] == 1
+
+    big_l = spark.range(0, 500).selectExpr("id AS lid", "CAST(id AS STRING) AS v")
+    big_r = spark.range(0, 500).selectExpr("id AS rid", "CAST(id AS STRING) AS v")
+    with pytest.raises(ValueError, match="unblocked"):
+        fuzzy_join(big_l, big_r, "v", "v", block=None)
+
+
+def test_dedup_fuzzy_keep_min_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "International Business Machines"),
+            (2, "Internation Business Machines"),  # 2-edit typo of 1
+            (3, "A Different Company"),
+            (4, "a  different company"),  # normalization dup of 3
+        ],
+        "id long, name string",
+    )
+    kept = sorted(r["id"] for r in dedup_fuzzy(df, "name", "id", max_distance=2).collect())
+    assert kept == [1, 3]
