@@ -195,3 +195,77 @@ def repetition_stats(
         if c.endswith("gram_ppm")
     }
     return out.fillna(fill)
+
+
+def gopher_quality_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The document-shape half of the published Gopher/MassiveText
+    quality rules (the repetition half lives in ``repetition_stats``):
+    word count, mean word length, symbol-to-word ratio (# and ellipsis),
+    fraction of words containing an alphabetic character, fraction of
+    lines starting with a bullet / ending with an ellipsis — all pure
+    Catalyst expressions, ratios as integer ppm.
+
+    ``gopher_pass`` applies the published default thresholds
+    (50–100k words, mean word length 3–10, symbol ratio ≤ 0.1,
+    ≥ 80 % alpha words, ≤ 90 % bullet lines, ≤ 30 % ellipsis lines)."""
+    toks = tokenize(F.col(text_col))
+    n_words = F.size(toks)
+    mean_wl_e2 = F.when(
+        n_words > 0,
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            * F.lit(100)
+            / n_words
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    n_symbols = (
+        F.length(F.regexp_replace(F.col(text_col), "[^#]", ""))
+        + F.size(F.split(F.col(text_col), r"\.\.\.|…")) - 1
+    )
+    symbol_ppm = F.when(
+        n_words > 0, (n_symbols * F.lit(1_000_000) / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    alpha_word_ppm = F.when(
+        n_words > 0, (n_alpha_words * F.lit(1_000_000) / n_words).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    lines = F.split(F.col(text_col), r"\n")
+    n_lines = F.size(lines)
+    bullet_ppm = F.when(
+        n_lines > 0,
+        (
+            F.size(F.filter(lines, lambda ln: F.trim(ln).rlike(r"^([-*•])")))
+            * F.lit(1_000_000)
+            / n_lines
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    ellipsis_ppm = F.when(
+        n_lines > 0,
+        (
+            F.size(F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"(\.\.\.|…)$")))
+            * F.lit(1_000_000)
+            / n_lines
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = df.select(
+        "*",
+        n_words.alias("n_words"),
+        mean_wl_e2.alias("mean_word_len_e2"),
+        symbol_ppm.alias("symbol_word_ppm"),
+        alpha_word_ppm.alias("alpha_word_ppm"),
+        bullet_ppm.alias("bullet_line_ppm"),
+        ellipsis_ppm.alias("ellipsis_line_ppm"),
+    )
+    return out.withColumn(
+        "gopher_pass",
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len_e2") >= 300)
+        & (F.col("mean_word_len_e2") <= 1000)
+        & (F.col("symbol_word_ppm") <= 100_000)
+        & (F.col("alpha_word_ppm") >= 800_000)
+        & (F.col("bullet_line_ppm") <= 900_000)
+        & (F.col("ellipsis_line_ppm") <= 300_000),
+    )

@@ -220,3 +220,27 @@ def test_repetition_differential_oracle(spark):
     ).fetchall())
     for d in got:
         assert got[d] == oracle.get(d, 0), d
+
+
+def test_gopher_quality_signals(spark):
+    from automic_etl_spark.operators.textops import gopher_quality_signals
+
+    good = " ".join(f"word{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),
+            (3, " ".join(["####"] * 60)),            # symbol-heavy, no alpha... wait #### has no alpha
+            (4, "- a\n- b\n- c\n- d"),               # all bullet lines (and short)
+            (5, good + "\n" + "so it goes...\n" * 9),  # ellipsis-heavy lines but still passes line cap? 9/10 > 30%
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_signals(docs).collect()}
+    assert got[1]["gopher_pass"] is True
+    assert got[1]["alpha_word_ppm"] == 1_000_000
+    assert got[2]["gopher_pass"] is False          # < 50 words
+    assert got[3]["gopher_pass"] is False          # no alpha words
+    assert got[3]["alpha_word_ppm"] == 0
+    assert got[4]["bullet_line_ppm"] == 1_000_000 and got[4]["gopher_pass"] is False
+    assert got[5]["ellipsis_line_ppm"] > 300_000 and got[5]["gopher_pass"] is False
