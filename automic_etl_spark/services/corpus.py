@@ -43,6 +43,8 @@ class CorpusCurator:
     # Gopher-style repetition cap: drop docs whose duplicate-bigram
     # occurrence fraction exceeds this (ppm); None disables the stage
     max_dup_2gram_ppm: int | None = None
+    # require the composite Gopher document-shape pass (textops)
+    require_gopher: bool = False
 
     def curate(
         self,
@@ -94,6 +96,23 @@ class CorpusCurator:
             - report["near_dups_removed"]
             - kept.count()
         )
+
+        # 3a. optional Gopher document-shape gate
+        if self.require_gopher:
+            from automic_etl_spark.operators.textops import gopher_quality_signals
+
+            before = kept.count()
+            kept = (
+                gopher_quality_signals(kept, text_col)
+                .filter(F.col("gopher_pass"))
+                .drop(
+                    "n_words", "mean_word_len_e2", "symbol_word_ppm",
+                    "alpha_word_ppm", "bullet_line_ppm", "ellipsis_line_ppm",
+                    "gopher_pass",
+                )
+            )
+            report["gopher_removed"] = before - kept.count()
+            report["low_quality_removed"] += report["gopher_removed"]
 
         # 3b. optional repetition cap (Gopher-style filter)
         if self.max_dup_2gram_ppm is not None:

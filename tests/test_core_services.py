@@ -432,3 +432,14 @@ def test_corpus_curator_repetition_cap(spark):
     assert {r["doc_id"] for r in out.collect()} == {2}
     assert report["repetitive_removed"] == 1
     assert report["final_docs"] == 1
+
+
+def test_corpus_curator_gopher_gate(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    long_ok = " ".join(f"word{i}" for i in range(80))
+    rows = [(1, long_ok, "web"), (2, "way too short", "web")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, report = CorpusCurator(min_quality=0.0, require_gopher=True).curate(docs)
+    assert {r["doc_id"] for r in out.collect()} == {1}
+    assert report["gopher_removed"] == 1 and report["final_docs"] == 1
