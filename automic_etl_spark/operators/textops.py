@@ -269,3 +269,57 @@ def gopher_quality_signals(
         & (F.col("bullet_line_ppm") <= 900_000)
         & (F.col("ellipsis_line_ppm") <= 300_000),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    RAG-ingest / context-window prep companion of ``packing``: one row
+    per (document, chunk) with the chunk text rebuilt from the token
+    slice. Whitespace tokenization (the repo's standard tokenizer);
+    stride = chunk_tokens - overlap; documents with zero tokens yield
+    zero chunks.
+
+    Pure Catalyst: tokens materialize once per doc, chunk starts derive
+    from ``sequence`` and explode, slices rebuild with ``array_join`` —
+    no UDF, embarrassingly parallel, output rows ∝ corpus tokens /
+    stride."""
+    if not (0 <= overlap < chunk_tokens):
+        raise ValueError("require 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    # array_remove: tokenize("") yields [""] (split semantics); an empty
+    # document must produce zero chunks, not one empty chunk
+    toks = df.select(
+        "*", F.array_remove(tokenize(F.col(text_col)), "").alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.when(
+        F.col("__n") > 0,
+        F.sequence(
+            F.lit(0),
+            # last start: the largest stride multiple strictly below n
+            ((F.col("__n") - 1) / F.lit(stride)).cast("int") * F.lit(stride),
+            F.lit(stride),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        toks.select("*", F.posexplode(starts).alias("chunk_idx", "__start"))
+        .withColumn(
+            "chunk_text",
+            F.array_join(F.slice("__toks", F.col("__start") + 1, chunk_tokens), " "),
+        )
+        .withColumn(
+            "chunk_n_tokens",
+            F.least(F.col("__n") - F.col("__start"), F.lit(chunk_tokens)),
+        )
+        .select(
+            *[c for c in df.columns if c != text_col],
+            "chunk_idx",
+            "chunk_text",
+            "chunk_n_tokens",
+        )
+    )

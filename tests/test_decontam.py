@@ -244,3 +244,33 @@ def test_gopher_quality_signals(spark):
     assert got[3]["alpha_word_ppm"] == 0
     assert got[4]["bullet_line_ppm"] == 1_000_000 and got[4]["gopher_pass"] is False
     assert got[5]["ellipsis_line_ppm"] > 300_000 and got[5]["gopher_pass"] is False
+
+
+def test_chunk_documents_overlap_windows(spark):
+    from automic_etl_spark.operators.textops import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2).orderBy(
+        "doc_id", "chunk_idx"
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,2,4,6,8 -> 5 chunks, last is a 2-token tail
+    chunks = [r["chunk_text"] for r in by_doc[1]]
+    assert chunks[0] == "t0 t1 t2 t3" and chunks[1] == "t2 t3 t4 t5"
+    assert chunks[-1] == "t8 t9"
+    assert [r["chunk_n_tokens"] for r in by_doc[1]] == [4, 4, 4, 4, 2]
+    # overlap invariant: consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.split()[2:] == b.split()[:2][: len(a.split()[2:])]
+    assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
+    assert 3 not in by_doc  # empty doc -> zero chunks
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
