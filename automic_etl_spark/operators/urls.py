@@ -42,19 +42,32 @@ def url_host(url: Column | str) -> Column:
 def normalize_url(url: Column | str) -> Column:
     """Canonical URL: lowercase scheme+host, strip fragment, default
     ports (:80/:443), tracking params, empty query remnants ('?', '&'
-    tails), and the trailing slash of a bare path."""
+    tails), and the trailing slash of a bare path. Total and idempotent:
+    strings that don't parse as ``scheme://host...`` pass through
+    unchanged (normalization is only defined for real URLs)."""
     c = F.col(url) if isinstance(url, str) else url
+    # host must contain at least one non-port character — otherwise a
+    # degenerate "https://:443" would normalize to "https://", which no
+    # longer parses and would then normalize differently (idempotence)
+    head_re = r"^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#][^/?#]*)"
+    head = F.regexp_extract(c, head_re, 1)
     # lowercase scheme and host only (path/query are case-sensitive)
     u = F.concat(
-        F.lower(F.regexp_extract(c, r"^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+)", 1)),
-        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/?#]+(.*)$", 1),
+        F.lower(head),
+        F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#][^/?#]*(.*)$", 1),
     )
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
-    u = F.regexp_replace(u, r":(80|443)(/|$)", r"$2")  # default ports
+    # default ports: anchored to the authority (host contains no ':'), so
+    # a malformed "host:80:80" is left alone rather than half-stripped
+    u = F.regexp_replace(
+        u,
+        r"^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+):(?:80|443)(?=[/?#]|$)",
+        r"$1",
+    )
     u = F.regexp_replace(u, _TRACKING_PARAMS + r"=[^&#]*&?", "")  # trackers
     u = F.regexp_replace(u, r"[?&]+$", "")  # empty query tails
     u = F.regexp_replace(u, r"(://[^/?#]+)/$", r"$1")  # bare trailing slash
-    return u
+    return F.when(head == "", c).otherwise(u)
 
 
 def url_domain(url: Column | str) -> Column:

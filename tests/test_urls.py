@@ -77,3 +77,25 @@ def test_dedup_by_url_canonical_min_id(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     assert kept == [2, 9]  # 5 collapses onto 2's canonical form; min id wins
+
+
+def test_normalize_url_total_and_idempotent(spark):
+    """Adversarial batch: no exception on any input, and normalization
+    is idempotent (normalizing a normalized URL is a no-op)."""
+    weird = [
+        "", "   ", "not a url", "http://", "https://:443", "ftp://x/y#z?",
+        "HTTP://A.B:80:80/p", "https://example.com/??&&#x#y",
+        "https://user@:pw@host/p", "https://example.com/a?utm_source=&q",
+        "https://[::1]:8080/path", "http://example.com/%2e%2e/",
+        "https://example.com/a?gclid=1#frag#frag2", "a://b.c:443/",
+        "https://" + "x" * 500 + ".com/" + "y" * 500,
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(weird)], "i long, url string")
+    once = df.select("i", normalize_url("url").alias("u1"))
+    twice = once.select("i", normalize_url(F.col("u1")).alias("u2"))
+    joined = once.join(twice, "i").collect()
+    assert len(joined) == len(weird)
+    for r in joined:
+        assert r["u2"] == r["u1"], r
+    # domain extraction total on the same batch
+    assert df.select(url_domain("url")).count() == len(weird)
