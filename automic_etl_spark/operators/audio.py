@@ -479,3 +479,94 @@ def synth_wav(
     t = np.arange(n, dtype=np.float64) / rate
     tone = (32767 * amplitude * np.sin(2 * math.pi * freq * t)).astype(np.int32)
     return _encode_pcm(np.repeat(tone[:, None], channels, axis=1), rate, 2)
+
+
+# -- embedded tag text (corpus metadata; no codec) -----------------------
+
+_ID3_TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist", "TALB": "album",
+                    "TDRC": "date", "TYER": "date", "TCON": "genre"}
+_VORBIS_FIELDS = {"title", "artist", "album", "date", "genre"}
+
+
+def _decode_id3_text(payload: bytes) -> str:
+    """ID3v2 text frame: leading encoding byte then the string."""
+    if not payload:
+        return ""
+    enc = payload[0]
+    body = payload[1:]
+    try:
+        if enc == 0:
+            return body.decode("latin-1", "replace").strip("\x00").strip()
+        if enc == 1:
+            return body.decode("utf-16", "replace").strip("\x00").strip()
+        if enc == 2:
+            return body.decode("utf-16-be", "replace").strip("\x00").strip()
+        return body.decode("utf-8", "replace").strip("\x00").strip()
+    except Exception:  # noqa: BLE001 — tags are untrusted bytes
+        return ""
+
+
+def audio_tags(data: bytes) -> dict:
+    """Embedded tag text for mp3 (ID3v2 text frames) and ogg (Vorbis
+    comments): ``{title, artist, album, date, genre}`` with None for
+    absent fields. Never raises; unknown formats return all-None."""
+    out = {v: None for v in ("title", "artist", "album", "date", "genre")}
+    try:
+        data = bytes(data)
+        if data[:3] == b"ID3" and len(data) >= 10:
+            version = data[3]
+            size = 0
+            for b in data[6:10]:
+                size = (size << 7) | (b & 0x7F)
+            end = min(len(data), 10 + size)
+            i = 10
+            while i + 10 <= end:
+                fid = data[i : i + 4]
+                if not fid.strip(b"\x00"):
+                    break
+                if version >= 4:  # v2.4: syncsafe frame sizes
+                    fsize = 0
+                    for b in data[i + 4 : i + 8]:
+                        fsize = (fsize << 7) | (b & 0x7F)
+                else:
+                    fsize = int.from_bytes(data[i + 4 : i + 8], "big")
+                if fsize <= 0 or i + 10 + fsize > end:
+                    break
+                name = _ID3_TEXT_FRAMES.get(fid.decode("latin-1", "replace"))
+                if name and out.get(name) is None:
+                    out[name] = _decode_id3_text(data[i + 10 : i + 10 + fsize]) or None
+                i += 10 + fsize
+        elif data[:4] == b"OggS":
+            # Vorbis comment header lives on an early page: find the
+            # "\x03vorbis" (or OpusTags) marker and walk length-prefixed
+            # UTF-8 "KEY=value" entries
+            for marker, skip in ((b"\x03vorbis", 7), (b"OpusTags", 8)):
+                pos = data.find(marker)
+                if pos < 0:
+                    continue
+                i = pos + skip
+                if i + 4 > len(data):
+                    break
+                vlen = int.from_bytes(data[i : i + 4], "little")
+                i += 4 + min(vlen, len(data))  # vendor string
+                if i + 4 > len(data):
+                    break
+                n = int.from_bytes(data[i : i + 4], "little")
+                i += 4
+                for _ in range(min(n, 256)):
+                    if i + 4 > len(data):
+                        break
+                    ln = int.from_bytes(data[i : i + 4], "little")
+                    i += 4
+                    if ln < 0 or i + ln > len(data):
+                        break
+                    entry = data[i : i + ln].decode("utf-8", "replace")
+                    i += ln
+                    k, _, v = entry.partition("=")
+                    k = k.lower()
+                    if k in _VORBIS_FIELDS and out.get(k) is None and v:
+                        out[k] = v.strip() or None
+                break
+    except Exception:  # noqa: BLE001 — tags are untrusted bytes
+        pass
+    return out

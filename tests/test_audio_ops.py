@@ -273,3 +273,44 @@ def test_24_and_32_bit_pcm_roundtrip_and_mute():
     muted, _, _ = _decode_pcm(out)
     assert np.all(muted[2100:3900] == 0)  # inside the muted span
     assert np.any(muted[:1900] != 0) and np.any(muted[4100:] != 0)
+
+
+def make_id3_mp3(title="My Song", artist="The Band") -> bytes:
+    def frame(fid, text):
+        payload = b"\x00" + text.encode("latin-1")
+        return fid + len(payload).to_bytes(4, "big") + b"\x00\x00" + payload
+
+    body = frame(b"TIT2", title) + frame(b"TPE1", artist)
+    size = len(body)
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F])
+    return b"ID3\x03\x00\x00" + ss + body + make_mp3(with_id3=False, n_frames=3)
+
+
+def make_ogg_with_comments(**fields) -> bytes:
+    vendor = b"test"
+    entries = [f"{k.upper()}={v}".encode() for k, v in fields.items()]
+    comment = (
+        b"\x03vorbis"
+        + len(vendor).to_bytes(4, "little") + vendor
+        + len(entries).to_bytes(4, "little")
+        + b"".join(len(e).to_bytes(4, "little") + e for e in entries)
+    )
+    page0 = make_ogg_vorbis()[: len(make_ogg_vorbis()) ]  # ident + last page
+    # splice the comment blob between pages (tag scan is marker-based)
+    return make_ogg_vorbis()[:60] + comment + make_ogg_vorbis()[60:]
+
+
+def test_audio_tags_id3_and_vorbis():
+    from automic_etl_spark.operators.audio import audio_tags
+
+    t = audio_tags(make_id3_mp3(title="Hello", artist="World"))
+    assert t["title"] == "Hello" and t["artist"] == "World"
+    assert t["album"] is None
+
+    v = audio_tags(make_ogg_with_comments(title="Opus 1", artist="Composer"))
+    assert v["title"] == "Opus 1" and v["artist"] == "Composer"
+
+    # totality on junk and tagless formats
+    assert audio_tags(b"garbage")["title"] is None
+    assert audio_tags(make_flac())["title"] is None
+    assert audio_tags(make_mp3(with_id3=True))["title"] is None  # empty tag body

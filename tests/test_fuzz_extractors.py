@@ -86,3 +86,13 @@ def test_audio_metadata_total(data):
 
     m = audio_metadata(data)
     assert isinstance(m["ok"], bool) and isinstance(m["format"], str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_audio_tags_total(data):
+    from automic_etl_spark.operators.audio import audio_tags
+
+    t = audio_tags(data)
+    assert set(t) == {"title", "artist", "album", "date", "genre"}
+    assert all(v is None or isinstance(v, str) for v in t.values())
