@@ -117,3 +117,54 @@ def resolution_filter(
     if formats is not None:
         cond = cond & F.col("format").isin(*formats)
     return cond
+
+
+def exif_orientation(data: bytes) -> int:
+    """EXIF orientation (1-8; 0 = absent/unparseable) from a JPEG's APP1
+    segment — the pre-decode signal a resize/augment stage needs to
+    plan rotation without touching pixels. Walks JPEG markers to APP1,
+    then the TIFF IFD0 for tag 0x0112; byte order honors the header's
+    II/MM. Entry counts clamp to the segment, so forged headers cannot
+    drive the scan. Never raises."""
+    data = bytes(data)
+    try:
+        if data[:3] != b"\xff\xd8\xff":
+            return 0
+        i = 2
+        while i + 4 <= len(data):
+            if data[i] != 0xFF:
+                return 0
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return 0
+            if marker == 0xE1 and data[i + 4 : i + 10] == b"Exif\x00\x00":
+                t = i + 10  # TIFF header start
+                end = min(len(data), i + 2 + seg_len)
+                if t + 8 > end:
+                    return 0
+                bo = data[t : t + 2]
+                order = "little" if bo == b"II" else "big" if bo == b"MM" else None
+                if order is None:
+                    return 0
+                ifd0 = t + int.from_bytes(data[t + 4 : t + 8], order)
+                if ifd0 + 2 > end:
+                    return 0
+                n = int.from_bytes(data[ifd0 : ifd0 + 2], order)
+                n = min(n, max(0, (end - ifd0 - 2) // 12))
+                for k in range(n):
+                    e = ifd0 + 2 + k * 12
+                    tag = int.from_bytes(data[e : e + 2], order)
+                    if tag == 0x0112:
+                        val = int.from_bytes(data[e + 8 : e + 10], order)
+                        return val if 1 <= val <= 8 else 0
+                return 0
+            if marker == 0xDA:  # start of scan: no APP1 before pixels
+                return 0
+            i += 2 + seg_len
+        return 0
+    except (IndexError, ValueError):
+        return 0

@@ -96,3 +96,11 @@ def test_audio_tags_total(data):
     t = audio_tags(data)
     assert set(t) == {"title", "artist", "album", "date", "genre"}
     assert all(v is None or isinstance(v, str) for v in t.values())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(BLOBS, PREFIXED))
+def test_exif_orientation_total(data):
+    from automic_etl_spark.operators.imagemeta import exif_orientation
+
+    assert 0 <= exif_orientation(data) <= 8

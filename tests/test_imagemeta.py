@@ -69,3 +69,29 @@ def test_distributed_probe_and_resolution_filter(spark):
         resolution_filter(min_width=256, min_height=256, max_aspect_ratio=4.0, formats=("png", "jpeg"))
     )
     assert [r["doc_id"] for r in kept.collect()] == [1]  # gif too small+wrong fmt, jpeg 8:1 aspect
+
+
+def _jpeg_with_exif(orientation, order="MM"):
+    import struct as _s
+
+    bo = b"MM" if order == "MM" else b"II"
+    e = "big" if order == "MM" else "little"
+    entry = (
+        (0x0112).to_bytes(2, e) + (3).to_bytes(2, e)
+        + (1).to_bytes(4, e) + orientation.to_bytes(2, e) + b"\x00\x00"
+    )
+    tiff = bo + (42).to_bytes(2, e) + (8).to_bytes(4, e) \
+        + (1).to_bytes(2, e) + entry + (0).to_bytes(4, e)
+    app1_body = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(app1_body) + 2).to_bytes(2, "big") + app1_body
+    return b"\xff\xd8" + app1 + b"\xff\xd9"
+
+
+def test_exif_orientation_both_byte_orders():
+    from automic_etl_spark.operators.imagemeta import exif_orientation
+
+    assert exif_orientation(_jpeg_with_exif(6, "MM")) == 6
+    assert exif_orientation(_jpeg_with_exif(3, "II")) == 3
+    assert exif_orientation(_jpeg_with_exif(9, "MM")) == 0  # out of range
+    assert exif_orientation(b"\xff\xd8\xff\xd9") == 0       # no APP1
+    assert exif_orientation(b"not a jpeg") == 0
