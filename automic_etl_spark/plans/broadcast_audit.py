@@ -1,0 +1,84 @@
+"""Executable broadcast-direction guards over physical plans.
+
+At 100 TB the one unrecoverable plan mistake is broadcasting a side
+whose size is O(corpus): every executor materializes the whole thing
+and OOMs. The dedup-on-ingest paths (streaming/dedup_ingest.py,
+operators/dedup.py:incremental_near_dup) are designed so the persisted
+signature index always STREAMS — it may sit on the streamed side of a
+BroadcastHashJoin (whose build side is the small batch), but must never
+itself be the child subtree of a BroadcastExchange.
+
+`first_broadcast_ancestor` makes that property executable: walk up the
+physical-plan tree from every node matching a needle (e.g. the index's
+parquet location) and report what kind of broadcast ancestor is hit
+first. "join" = the subtree participates in a broadcast join from the
+streamed side (fine); "exchange" = the subtree is being broadcast
+(the O(corpus) OOM); None = no broadcast anywhere above (also fine).
+Used by tools/plan_audit.py and tests/test_dedup_ingest.py.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+# Tree-drawing prefix of a plan line: spaces, ':', '+', '-', then an
+# optional whole-stage-codegen marker like '*(3) '.
+_PREFIX = re.compile(r"^[\s:+\-]*(?:\*\(\d+\)\s*)?")
+
+_BROADCAST_JOINS = ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+
+
+def physical_plan(df: DataFrame) -> str:
+    """The physical plan tree as text (initial plan under AQE — broadcast
+    hints are applied at this stage, which is what the guards check)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _indent(line: str) -> int:
+    return _PREFIX.match(line).end()
+
+
+def first_broadcast_ancestor(plan: str, needle: str) -> list[str | None]:
+    """For every plan line containing ``needle``, walk ancestors (lines
+    above with strictly smaller tree indent) and return the first
+    broadcast-related one: "exchange" (BroadcastExchange — the subtree
+    IS broadcast), "join" (a Broadcast*Join above — subtree streams),
+    or None (no broadcast ancestor)."""
+    lines = plan.splitlines()
+    results: list[str | None] = []
+    for i, line in enumerate(lines):
+        if needle not in line:
+            continue
+        depth = _indent(line)
+        found: str | None = None
+        for j in range(i - 1, -1, -1):
+            d = _indent(lines[j])
+            if d >= depth or not lines[j].strip():
+                continue
+            depth = d
+            if "BroadcastExchange" in lines[j]:
+                found = "exchange"
+                break
+            if any(bj in lines[j] for bj in _BROADCAST_JOINS):
+                found = "join"
+                break
+        results.append(found)
+    return results
+
+
+def assert_never_broadcast(df: DataFrame, needle: str) -> None:
+    """Raise AssertionError if any plan node matching ``needle`` sits
+    under a BroadcastExchange (closest-ancestor rule above)."""
+    plan = physical_plan(df)
+    ancestors = first_broadcast_ancestor(plan, needle)
+    if not ancestors:
+        raise AssertionError(
+            f"needle {needle!r} not found in physical plan — guard is vacuous:\n{plan}"
+        )
+    if any(a == "exchange" for a in ancestors):
+        raise AssertionError(
+            f"subtree matching {needle!r} is broadcast (BroadcastExchange "
+            f"ancestor) — O(corpus) side must stream:\n{plan}"
+        )

@@ -10,7 +10,7 @@ upgraded with the beyond-reference dedup mandate):
   file/kafka stream → foreachBatch:
       minhash_signatures(batch)                    (operators.dedup)
       incremental_near_dup(batch_sigs, index)      (operators.dedup)
-      exact dup check (content md5 vs index)       (1 broadcast anti-join)
+      exact dup check (content md5 vs index)       (batch broadcasts, index streams)
       survivors → docs table; sigs → index table; dups → quarantine
 
 State is two parquet tables (documents + signature index), both
@@ -59,6 +59,27 @@ class StreamingDeduper:
             return None
         return self.spark.read.parquet(self.index_path)
 
+    def _drop_exact_index_dups(
+        self, batch_first: DataFrame, index: DataFrame | None
+    ) -> DataFrame:
+        """Remove batch rows whose content hash ``__h`` already exists in
+        the persisted index.
+
+        Broadcast direction matters at scale: the index is O(corpus) and
+        only grows (one row per kept document), the batch is O(micro-batch).
+        So the BATCH hash set broadcasts and the index STREAMS through a
+        semi-join that reduces it to at most |batch| colliding hashes;
+        those few hashes then broadcast into the anti-join. The index is
+        never itself the child of a BroadcastExchange — asserted by an
+        executable guard in tools/plan_audit.py and tests/test_dedup_ingest.py
+        (mirrors incremental_near_dup's direction, operators/dedup.py)."""
+        if index is None or "content_md5" not in index.columns:
+            return batch_first
+        dup_hashes = index.select(F.col("content_md5").alias("__h")).join(
+            F.broadcast(batch_first.select("__h")), "__h", "left_semi"
+        )
+        return batch_first.join(F.broadcast(dup_hashes), "__h", "left_anti")
+
     # -- the per-batch kernel (also usable as a plain batch operator) -------
 
     def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> dict:
@@ -66,13 +87,12 @@ class StreamingDeduper:
         and their signatures; return counts (the only driver-side
         values — everything else stays distributed)."""
         batch = batch.select(self.id_col, self.text_col).cache()
-        n_in = batch.count()
-        if n_in == 0:
+        if batch.isEmpty():
             return {"in": 0, "kept": 0, "exact_dups": 0, "near_dups": 0}
 
         index = self._index()
 
-        # 1. exact dups: content-hash anti-join against the index (and
+        # 1. exact dups: content-hash check against the index (and
         # keep-min within the batch) — cheaper than MinHash, runs first
         hashed = batch.withColumn("__h", F.md5(F.col(self.text_col)))
         from pyspark.sql import Window as W
@@ -83,14 +103,8 @@ class StreamingDeduper:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if index is not None and "content_md5" in index.columns:
-            batch_first = batch_first.join(
-                F.broadcast(index.select(F.col("content_md5").alias("__h")).distinct()),
-                "__h",
-                "left_anti",
-            )
+        batch_first = self._drop_exact_index_dups(batch_first, index)
         exact_survivors = batch_first.drop("__h").cache()
-        n_exact = exact_survivors.count()
 
         # 2. near dups vs index + earlier-in-batch
         sigs = minhash_signatures(
@@ -114,7 +128,6 @@ class StreamingDeduper:
         # own rows and anti-join them away (checkpoint() cuts lineage;
         # cache() alone does not guarantee no recompute).
         survivors = survivors.localCheckpoint(eager=True)
-        n_kept = survivors.count()
         quarantined = None
         if self.quarantine_path is not None:
             quarantined = batch.join(
@@ -130,6 +143,25 @@ class StreamingDeduper:
             )
             .localCheckpoint(eager=True)
         )
+
+        # One driver-side counts action for the whole batch (instead of a
+        # count() per stage): tag each set with a literal and aggregate.
+        # Runs BEFORE the appends so any recompute of the cached
+        # exact-survivor lineage still reads the PRE-append index.
+        tallies = {
+            r["__k"]: r["c"]
+            for r in (
+                batch.select(F.lit("in").alias("__k"))
+                .unionAll(exact_survivors.select(F.lit("exact_kept").alias("__k")))
+                .unionAll(survivors.select(F.lit("kept").alias("__k")))
+                .groupBy("__k")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        }
+        n_in = int(tallies.get("in", 0))
+        n_exact = int(tallies.get("exact_kept", 0))
+        n_kept = int(tallies.get("kept", 0))
 
         # 3. append survivors + their (signature, content-hash) index rows
         survivors.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(

@@ -55,6 +55,53 @@ def test_batches_dedup_against_growing_index(spark, tmp_path):
     assert index.count() == 3 and "content_md5" in index.columns
 
 
+def test_index_side_never_broadcast(spark, tmp_path):
+    """Scale guard: the persisted signature index is O(corpus); in both
+    dedup joins it must stream (batch side broadcasts). Explicit-hint
+    driven, so it must hold even with auto-broadcast disabled."""
+    from pyspark.sql import functions as F
+
+    from automic_etl_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures,
+    )
+    from automic_etl_spark.plans.broadcast_audit import (
+        assert_never_broadcast,
+        first_broadcast_ancestor,
+        physical_plan,
+    )
+
+    d = _dedup(spark, tmp_path)
+    seed = spark.createDataFrame(
+        [(i, f"seed corpus document number {i}") for i in range(32)],
+        "doc_id long, text string",
+    )
+    d.process_batch(seed, epoch_id=0)
+
+    batch = spark.createDataFrame(
+        [(100 + i, f"fresh incoming document {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    hashed = batch.withColumn("__h", F.md5(F.col("text")))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        exact = d._drop_exact_index_dups(hashed, d._index())
+        near = incremental_near_dup(
+            minhash_signatures(batch), d._index().drop("content_md5")
+        )
+        for df in (exact, near):
+            assert_never_broadcast(df, str(tmp_path / "index"))
+        # the index DOES stream through a broadcast join (build side =
+        # batch), so the guard is exercising a real broadcast plan, not
+        # passing vacuously on a broadcast-free plan
+        assert "join" in first_broadcast_ancestor(
+            physical_plan(exact), str(tmp_path / "index")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_streaming_host_end_to_end(spark, tmp_path):
     src = tmp_path / "incoming"
     src.mkdir()

@@ -77,6 +77,59 @@ CUSTOM: dict[str, tuple] = {
 }
 
 
+def _dedup_ingest_direction(spark) -> list[str]:
+    """The persisted signature index is the one O(corpus) input in the
+    repo's dedup paths; assert NEITHER dedup-on-ingest join puts it under
+    a BroadcastExchange (the batch side broadcasts, the index streams).
+    Runs against a throwaway seeded index so the guard exercises the
+    real physical plans."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from automic_etl_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signatures,
+    )
+    from automic_etl_spark.plans.broadcast_audit import assert_never_broadcast
+    from automic_etl_spark.streaming.dedup_ingest import StreamingDeduper
+
+    tmp = tempfile.mkdtemp(prefix="dedup_plan_audit_")
+    failures: list[str] = []
+    try:
+        seed = spark.createDataFrame(
+            [(i, f"seed document number {i} in the audit corpus index") for i in range(64)],
+            "doc_id long, text string",
+        )
+        minhash_signatures(seed).join(
+            seed.select("doc_id", F.md5(F.col("text")).alias("content_md5")), "doc_id"
+        ).write.mode("overwrite").parquet(tmp + "/index")
+
+        d = StreamingDeduper(spark, docs_path=tmp + "/docs", index_path=tmp + "/index")
+        batch = spark.createDataFrame(
+            [(1000 + i, f"incoming micro-batch document {i}") for i in range(8)],
+            "doc_id long, text string",
+        )
+        hashed = batch.withColumn("__h", F.md5(F.col("text")))
+        for label, df in (
+            ("exact_dup_filter", d._drop_exact_index_dups(hashed, d._index())),
+            (
+                "incremental_near_dup",
+                incremental_near_dup(
+                    minhash_signatures(batch), d._index().drop("content_md5")
+                ),
+            ),
+        ):
+            try:
+                assert_never_broadcast(df, tmp + "/index")
+            except AssertionError as exc:
+                failures.append(f"dedup_ingest_direction/{label}: {exc}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return failures
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -100,6 +153,9 @@ def main() -> None:
             if frag in plan_flat:
                 failures.append(f"{name}: forbidden plan fragment {frag!r} present")
         print(f"{'FAIL' if any(f.startswith(name) for f in failures) else 'PASS'} {name}")
+    direction_failures = _dedup_ingest_direction(spark)
+    failures += direction_failures
+    print(f"{'FAIL' if direction_failures else 'PASS'} dedup_ingest_direction")
     spark.stop()
     if failures:
         print("\n".join(failures))
