@@ -63,7 +63,11 @@ def fuzzy_join(
     l = left.select("*", lnorm)
     r = right.select(*rcols, rnorm)
     if block is None:
-        nl, nr = left.count(), right.count()
+        # cache before the guard counts so each input is scanned once:
+        # the counts materialize the cache and the cross join below reads
+        # it back instead of recomputing both inputs
+        l, r = l.cache(), r.cache()
+        nl, nr = l.count(), r.count()
         if nl * nr > _UNBLOCKED_CAP:
             raise ValueError(
                 f"unblocked fuzzy join would compare {nl}x{nr} rows; "

@@ -312,8 +312,6 @@ def ivf_build(
     At 100 TB the assignment column becomes the partition key, so a
     query probes nprobe/k of the files — the IVF counterpart of the
     sign-LSH bucket path."""
-    from pyspark.sql import Window as W
-
     centroids = ivf_seed_centroids(emb, n_centroids, id_col, vec_col).localCheckpoint(
         eager=True
     )
@@ -326,11 +324,15 @@ def ivf_build(
             "centroid_id",
             _sq_dist(F.col(vec_col), F.col("centroid")).alias("__d"),
         )
-        w = W.partitionBy(id_col).orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
-        assign = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, vec_col, "centroid_id")
+        # argmin via min_by partial agg (map-side combine), not a window:
+        # a row_number window sorts every (id, centroid) pair per
+        # partition; min_by folds the n_centroids candidates per vector
+        # into one row before the shuffle. Struct ordering breaks __d
+        # ties by centroid_id, keeping the assignment deterministic.
+        assign = scored.groupBy(id_col, vec_col).agg(
+            F.min_by(
+                F.col("centroid_id"), F.struct(F.col("__d"), F.col("centroid_id"))
+            ).alias("centroid_id")
         )
         # element-wise mean per cluster: posexplode → quantized mean →
         # re-assemble. The mean is computed as an INTEGER sum of 1e-6-unit
