@@ -13,12 +13,20 @@ Semantics notes:
   (utm_*/fbclid/gclid) — the conventional pre-dedup canonical form.
 - ``url_domain`` returns the registrable domain by suffix heuristic
   (last two labels, or last three for two-level public suffixes like
-  co.uk / com.au). A full Public Suffix List would need a data file;
-  the heuristic covers the overwhelming majority of web-corpus traffic
-  and is deterministic — documented, not hidden.
+  co.uk / com.au) — a zero-data-dependency Column expression.
+- ``with_registrable_domain`` is the real Public Suffix List path: the
+  vendored PSL (``automic_etl_spark/data/public_suffix_list.dat``, a
+  curated subset of the Mozilla-maintained public list — drop the full
+  upstream file in place to upgrade) parses into a tiny broadcast
+  suffix table; candidate suffixes of the last <=4 host labels join
+  against it and the longest match (wildcard and exception rules
+  included, per the published PSL algorithm) wins. Broadcast hash joins
+  only — no UDF, no explode, scale-safe at any corpus size.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -64,7 +72,12 @@ def normalize_url(url: Column | str) -> Column:
         r"^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+):(?:80|443)(?=[/?#]|$)",
         r"$1",
     )
-    u = F.regexp_replace(u, _TRACKING_PARAMS + r"=[^&#]*&?", "")  # trackers
+    # trackers: anchored to a preceding '?' or '&' param boundary, so a
+    # path segment (/utm_campaign=x) or a longer param name
+    # (?xutm_source=1) is never touched; the kept delimiter may leave
+    # runs ("?&&") which the next pass collapses — idempotent overall
+    u = F.regexp_replace(u, r"([?&])" + _TRACKING_PARAMS + r"=[^&#]*", r"$1")
+    u = F.regexp_replace(u, r"([?&])&+", r"$1")  # collapse delimiter runs
     u = F.regexp_replace(u, r"[?&]+$", "")  # empty query tails
     u = F.regexp_replace(u, r"(://[^/?#]+)/$", r"$1")  # bare trailing slash
     return F.when(head == "", c).otherwise(u)
@@ -91,18 +104,142 @@ def url_domain(url: Column | str) -> Column:
     )
 
 
+_PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data",
+                         "public_suffix_list.dat")
+_PSL_DEPTH = 4  # deepest suffix-table key we probe (PSL rules are <=4 labels)
+
+
+def load_public_suffixes(spark, path: str | None = None) -> DataFrame | None:
+    """Parse a PSL-format file into a (key, is_exact, is_wildcard,
+    is_exception) suffix table, or None if the file is absent.
+
+    Storage convention: a wildcard rule ``*.ck`` is stored under key
+    ``ck`` with is_wildcard=true (the key is the non-wildcard tail —
+    matching it at depth k implies a public suffix of depth k+1), an
+    exception rule ``!www.ck`` under key ``www.ck`` with
+    is_exception=true (matching at depth k caps the suffix at k-1).
+    The table is a few KB — always broadcast."""
+    path = path or _PSL_PATH
+    if not os.path.isfile(path):
+        return None
+    rules: dict[str, list[bool]] = {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip().lower()
+            if not line or line.startswith("//"):
+                continue
+            line = line.split()[0]  # upstream file: rule ends at whitespace
+            if line.startswith("!"):
+                key, slot = line[1:], 2
+            elif line.startswith("*."):
+                key, slot = line[2:], 1
+            else:
+                key, slot = line, 0
+            if key and len(key.split(".")) <= _PSL_DEPTH:
+                rules.setdefault(key, [False, False, False])[slot] = True
+    return spark.createDataFrame(
+        [(k, e, w, x) for k, (e, w, x) in sorted(rules.items())],
+        "key string, is_exact boolean, is_wildcard boolean, is_exception boolean",
+    )
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain",
+    suffixes: DataFrame | None = None,
+) -> DataFrame:
+    """Add the PSL registrable domain of ``url_col`` as ``out_col``.
+
+    Longest-match over the broadcast suffix table via one left
+    broadcast-hash-join per candidate depth (the last 1..4 host labels)
+    — never an explode or row id, so the plan is four streaming
+    broadcast joins that survive any corpus size. Published PSL
+    algorithm: exception rules win (suffix = rule depth - 1), else the
+    longest exact/wildcard rule, else the default rule '*' (suffix =
+    last label). Hosts that ARE a public suffix, IP hosts, and
+    unparseable URLs pass through unchanged. Falls back to the
+    ``url_domain`` heuristic when no PSL file is vendored."""
+    if suffixes is None:
+        suffixes = load_public_suffixes(df.sparkSession)
+    if suffixes is None:
+        return df.withColumn(out_col, url_domain(F.col(url_col)))
+
+    host = url_host(F.col(url_col))
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    out = df.withColumn("__psl_host", host).withColumn(
+        "__psl_n", n
+    )
+    # candidate keys: last k labels (slice is total — [] when n < k)
+    for k in range(1, _PSL_DEPTH + 1):
+        out = out.withColumn(
+            f"__cand{k}",
+            F.concat_ws(".", F.slice(F.split(F.col("__psl_host"), r"\."), -k, k)),
+        )
+        t = suffixes.select(
+            F.col("key").alias(f"__cand{k}"),
+            F.col("is_exact").alias(f"__e{k}"),
+            F.col("is_wildcard").alias(f"__w{k}"),
+            F.col("is_exception").alias(f"__x{k}"),
+        )
+        out = out.join(F.broadcast(t), f"__cand{k}", "left")
+
+    def flag(name):
+        return F.coalesce(F.col(name), F.lit(False))
+
+    n = F.col("__psl_n")
+    host = F.col("__psl_host")
+    # exception rules prevail: matched at depth k -> suffix depth k-1
+    exc = F.when(flag(f"__x{_PSL_DEPTH}"), F.lit(_PSL_DEPTH - 1))
+    for k in range(_PSL_DEPTH - 1, 0, -1):
+        exc = exc.when(flag(f"__x{k}"), F.lit(k - 1))
+    # else: longest exact (depth k) or wildcard (tail at k -> depth k+1,
+    # valid only when the host actually has a label under the tail)
+    depth_candidates = [F.lit(1)]
+    for k in range(1, _PSL_DEPTH + 1):
+        depth_candidates.append(F.when(flag(f"__e{k}"), F.lit(k)).otherwise(F.lit(1)))
+        depth_candidates.append(
+            F.when(flag(f"__w{k}") & (n > F.lit(k)), F.lit(k + 1)).otherwise(F.lit(1))
+        )
+    ps = F.greatest(exc.otherwise(F.greatest(*depth_candidates)), F.lit(1))
+
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    registrable = F.when(
+        (host == "") | is_ip | (n <= ps), host
+    ).otherwise(
+        F.concat_ws(
+            ".", F.slice(F.split(host, r"\."), -(ps + F.lit(1)), ps + F.lit(1))
+        )
+    )
+    out = out.withColumn(
+        out_col, F.when(F.col("__psl_host") == "", F.col(url_col)).otherwise(registrable)
+    )
+    drop = ["__psl_host", "__psl_n"] + [
+        f"__{p}{k}" for k in range(1, _PSL_DEPTH + 1) for p in ("cand", "e", "w", "x")
+    ]
+    return out.drop(*drop)
+
+
 def filter_domains(
     df: DataFrame,
     url_col: str = "url",
     blocklist: DataFrame | list[str] | None = None,
     allowlist: DataFrame | list[str] | None = None,
+    suffixes: DataFrame | None = None,
 ) -> DataFrame:
     """Drop rows whose registrable domain is blocklisted (or keep only
     allowlisted ones). List inputs become broadcast anti/semi joins —
     NEVER a giant `isin` literal, which would blow up the plan at a
-    million-domain blocklist."""
+    million-domain blocklist. Domains come from the PSL path when the
+    vendored list is present (so ``foo.github.io`` blocks independently
+    of ``bar.github.io``), else the heuristic."""
     spark = df.sparkSession
-    out = df.withColumn("__dom", url_domain(F.col(url_col)))
+    psl = suffixes if suffixes is not None else load_public_suffixes(spark)
+    if psl is not None:
+        out = with_registrable_domain(df, url_col, "__dom", psl)
+    else:
+        out = df.withColumn("__dom", url_domain(F.col(url_col)))
 
     def as_df(x):
         if isinstance(x, DataFrame):

@@ -8,9 +8,11 @@ from pyspark.sql import functions as F
 from automic_etl_spark.operators.urls import (
     dedup_by_url,
     filter_domains,
+    load_public_suffixes,
     normalize_url,
     url_domain,
     url_host,
+    with_registrable_domain,
 )
 
 
@@ -77,6 +79,79 @@ def test_dedup_by_url_canonical_min_id(spark):
     )
     kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     assert kept == [2, 9]  # 5 collapses onto 2's canonical form; min id wins
+
+
+def test_tracking_strip_is_param_anchored(spark):
+    """ADVICE r4: tracker removal must only fire at a ?/& param
+    boundary — path segments and longer param names survive."""
+    cases = {
+        # path segment that LOOKS like a tracker is untouched
+        "https://ex.com/utm_campaign=x": "https://ex.com/utm_campaign=x",
+        # suffix of a longer param name is untouched
+        "https://ex.com/p?xutm_source=1": "https://ex.com/p?xutm_source=1",
+        # real trackers at ? and & boundaries still strip, mid-query
+        "https://ex.com/p?a=1&utm_x=2&b=3": "https://ex.com/p?a=1&b=3",
+        "https://ex.com/p?utm_a=1&utm_b=2": "https://ex.com/p",
+        "https://ex.com/p?utm_a=1&keep=2": "https://ex.com/p?keep=2",
+    }
+    for raw, want in cases.items():
+        got = _one(spark, raw, normalize_url)
+        assert got == want, (raw, got)
+        assert _one(spark, got, normalize_url) == got  # idempotent
+
+
+def _psl_domain(spark, url):
+    df = spark.createDataFrame([(url,)], "url string")
+    return with_registrable_domain(df, "url", "d").first()["d"]
+
+
+def test_registrable_domain_psl(spark):
+    """Real-PSL path: private-section suffixes, multi-level ccTLDs,
+    wildcard and exception rules — the cases the heuristic gets wrong."""
+    cases = {
+        "https://alice.github.io/project": "alice.github.io",  # private section
+        "https://x.y.example.com.pl/": "example.com.pl",       # com.pl ccTLD
+        "https://deep.school.k12.ca.us/": "school.k12.ca.us",  # 3-label suffix
+        "https://www.example.co.uk/": "example.co.uk",
+        "https://a.b.example.ck/": "b.example.ck",             # wildcard *.ck
+        "https://www.ck/": "www.ck",                           # exception !www.ck
+        "https://sub.city.kawasaki.jp/": "city.kawasaki.jp",   # !city.kawasaki.jp
+        "https://foo.bar.kawasaki.jp/": "foo.bar.kawasaki.jp", # *.kawasaki.jp
+        "https://www.example.com/": "example.com",
+        "https://unknown.tld.zzz/": "tld.zzz",                 # default rule '*'
+        "http://192.168.10.1/admin": "192.168.10.1",           # IP passthrough
+        "https://github.io/": "github.io",                     # host IS a suffix
+        "https://localhost/": "localhost",
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases.items())], "i long, url string"
+    )
+    got = {
+        r["url"]: r["d"]
+        for r in with_registrable_domain(df, "url", "d").collect()
+    }
+    for url, want in cases.items():
+        assert got[url] == want, (url, got[url])
+
+
+def test_psl_filter_domains_uses_registrable(spark):
+    """github.io sites are distinct registrable domains under the PSL —
+    blocking one must not block its sibling."""
+    df = spark.createDataFrame(
+        [(1, "https://alice.github.io/a"), (2, "https://bob.github.io/b")],
+        "doc_id long, url string",
+    )
+    out = filter_domains(df, blocklist=["alice.github.io"])
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_psl_loader_parses_rule_kinds(spark):
+    t = load_public_suffixes(spark)
+    rows = {r["key"]: r for r in t.collect()}
+    assert rows["co.uk"]["is_exact"]
+    assert rows["ck"]["is_wildcard"] and not rows["ck"]["is_exact"]
+    assert rows["www.ck"]["is_exception"]
+    assert "github.io" in rows
 
 
 def test_normalize_url_total_and_idempotent(spark):
