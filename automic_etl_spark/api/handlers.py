@@ -206,6 +206,7 @@ class ApiHandlers:
     # -- jobs (reference api/routes/jobs.py:64-431, scheduler-backed) -------
 
     def list_jobs(self) -> dict[str, Any]:
+        self._authorize("pipeline:run")
         return {
             "jobs": [
                 {"name": j.name, "enabled": j.enabled, "n_runs": len(j.runs)}
@@ -232,7 +233,11 @@ class ApiHandlers:
         return {"name": name, "paused": paused, "status": 200}
 
     def job_runs(self, name: str, limit: int = 50) -> dict[str, Any]:
-        """Run history of one scheduled job (reference airflow.py:300-336)."""
+        """Run history of one scheduled job (reference airflow.py:300-336).
+        Gated like the other operational-history reads: per-run error
+        strings leak pipeline internals to unprivileged principals
+        (ADVICE r4) — same permission as trigger/pause."""
+        self._authorize("pipeline:run", name)
         job = self.scheduler.jobs.get(name)
         if job is None:
             return {"error": f"unknown job {name!r}", "status": 404}

@@ -221,13 +221,16 @@ class EventService:
         event_type: str,
         title: str,
         message: str,
-        severity: str = "info",
+        severity: str | None = None,
         source: str = "engine",
         details: dict | None = None,
     ) -> bool:
         """Route one event through the matching event rules (reference
         emit_event, event_service.py:155-238). Returns True when at
-        least one rule fired (post-dedup)."""
+        least one rule fired (post-dedup). ``severity`` None defers to
+        each rule's configured severity (a rule set to "critical" must
+        fire as critical for callers that don't specify one — ADVICE
+        r4); an explicit severity overrides the rule."""
         now = self.clock()
         details = details or {}
         fired_any = False

@@ -227,7 +227,10 @@ def gopher_quality_signals(
     symbol_ppm = F.when(
         n_words > 0, (n_symbols * F.lit(1_000_000) / n_words).cast("long")
     ).otherwise(F.lit(0).cast("long"))
-    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    # \p{L}: any Unicode letter — the published rule is "contains at
+    # least one alphabetic character", which must count ALL-CAPS and
+    # non-ASCII words (ADVICE r4)
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike(r"\p{L}")))
     alpha_word_ppm = F.when(
         n_words > 0, (n_alpha_words * F.lit(1_000_000) / n_words).cast("long")
     ).otherwise(F.lit(0).cast("long"))
@@ -297,14 +300,19 @@ def chunk_documents(
     toks = df.select(
         "*", F.array_remove(tokenize(F.col(text_col)), "").alias("__toks")
     ).withColumn("__n", F.size("__toks"))
+    # last start: the SMALLEST stride multiple m with m + chunk_tokens
+    # >= n — a later start would emit a chunk fully contained in the
+    # previous one (duplicated text in RAG/training output, ADVICE r4)
+    last_start = F.when(
+        F.col("__n") > chunk_tokens,
+        (
+            (F.col("__n") - F.lit(chunk_tokens) + F.lit(stride) - 1) / F.lit(stride)
+        ).cast("int")
+        * F.lit(stride),
+    ).otherwise(F.lit(0))
     starts = F.when(
         F.col("__n") > 0,
-        F.sequence(
-            F.lit(0),
-            # last start: the largest stride multiple strictly below n
-            ((F.col("__n") - 1) / F.lit(stride)).cast("int") * F.lit(stride),
-            F.lit(stride),
-        ),
+        F.sequence(F.lit(0), last_start, F.lit(stride)),
     ).otherwise(F.array().cast("array<int>"))
     return (
         toks.select("*", F.posexplode(starts).alias("chunk_idx", "__start"))

@@ -159,6 +159,35 @@ def test_sql_surface_enforces_table_scoped_reads(spark, tmp_path, users_df):
         )
 
 
+def test_job_history_requires_pipeline_permission(spark, tmp_path, users_df):
+    """ADVICE r4: job_runs / list_jobs expose run errors and timing —
+    gated like trigger/pause with pipeline:run."""
+    from automic_etl_spark.auth import AccessDeniedError, Principal, RBACManager
+    from automic_etl_spark.orchestration.scheduler import Schedule, ScheduleType
+
+    lh = Lakehouse(spark, str(tmp_path / "wh_jobs"))
+    lh.ingest("users", users_df, source="api", fixed_time=datetime(2024, 1, 1))
+    rbac = RBACManager()
+    rbac.create_role("reader", [("table:read", "*")])
+    rbac.create_role("operator", [("pipeline:run", "*")])
+
+    h = ApiHandlers(lh, rbac=rbac, principal=Principal("ro", roles=("reader",)))
+    h.scheduler.add_job(
+        "nightly", lambda: None, Schedule(ScheduleType.INTERVAL, interval_s=3600)
+    )
+    with pytest.raises(AccessDeniedError):
+        h.job_runs("nightly")
+    with pytest.raises(AccessDeniedError):
+        h.list_jobs()
+
+    op = ApiHandlers(lh, rbac=rbac, principal=Principal("op", roles=("operator",)))
+    op.scheduler.add_job(
+        "nightly", lambda: None, Schedule(ScheduleType.INTERVAL, interval_s=3600)
+    )
+    assert op.job_runs("nightly")["status"] == 200
+    assert op.list_jobs()["status"] == 200
+
+
 def test_metastore_endpoints_absent_without_store(handlers):
     assert handlers.pipelines()["status"] == 503
     assert handlers.alert_history()["status"] == 503

@@ -246,6 +246,24 @@ def test_gopher_quality_signals(spark):
     assert got[5]["ellipsis_line_ppm"] > 300_000 and got[5]["gopher_pass"] is False
 
 
+def test_gopher_alpha_counts_caps_and_unicode(spark):
+    """ADVICE r4: 'contains an alphabetic character' must count
+    ALL-CAPS and non-ASCII-letter words — caps-heavy or non-English
+    docs must not be dropped as alpha-free."""
+    from automic_etl_spark.operators.textops import gopher_quality_signals
+
+    caps = " ".join(f"WORD{i}" for i in range(60))
+    accented = " ".join(["café" if i % 2 else "naïve" for i in range(60)])
+    cyrillic = " ".join(["слово" if i % 2 else "текст" for i in range(60)])
+    docs = spark.createDataFrame(
+        [(1, caps), (2, accented), (3, cyrillic)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_signals(docs).collect()}
+    for d in (1, 2, 3):
+        assert got[d]["alpha_word_ppm"] == 1_000_000, d
+        assert got[d]["gopher_pass"] is True, d
+
+
 def test_chunk_documents_overlap_windows(spark):
     from automic_etl_spark.operators.textops import chunk_documents
 
@@ -259,16 +277,26 @@ def test_chunk_documents_overlap_windows(spark):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # doc 1: starts 0,2,4,6,8 -> 5 chunks, last is a 2-token tail
+    # doc 1 (10 tokens): starts 0,2,4,6 — start 8 would yield "t8 t9",
+    # fully contained in the 6-start chunk (ADVICE r4: no contained tail)
     chunks = [r["chunk_text"] for r in by_doc[1]]
     assert chunks[0] == "t0 t1 t2 t3" and chunks[1] == "t2 t3 t4 t5"
-    assert chunks[-1] == "t8 t9"
-    assert [r["chunk_n_tokens"] for r in by_doc[1]] == [4, 4, 4, 4, 2]
+    assert chunks[-1] == "t6 t7 t8 t9"
+    assert [r["chunk_n_tokens"] for r in by_doc[1]] == [4, 4, 4, 4]
     # overlap invariant: consecutive chunks share exactly `overlap` tokens
     for a, b in zip(chunks, chunks[1:]):
         assert a.split()[2:] == b.split()[:2][: len(a.split()[2:])]
+    # every doc-1 token appears in some chunk (coverage survives the cap)
+    assert set(" ".join(chunks).split()) == {f"t{i}" for i in range(10)}
     assert [r["chunk_text"] for r in by_doc[2]] == ["a b"]
     assert 3 not in by_doc  # empty doc -> zero chunks
+
+    # tail already covered by the previous chunk: one chunk only
+    tail_doc = spark.createDataFrame(
+        [(9, " ".join(f"w{i}" for i in range(3)))], "doc_id long, text string"
+    )
+    tail_out = chunk_documents(tail_doc, chunk_tokens=4, overlap=2).collect()
+    assert [r["chunk_text"] for r in tail_out] == ["w0 w1 w2"]
 
     import pytest as _pytest
 

@@ -123,6 +123,20 @@ def test_notifier_fanout_and_event_channels():
     assert svc.pipeline_failed("hourly", "disk full") is True
 
 
+def test_emit_default_severity_defers_to_rule():
+    """ADVICE r4: a rule configured severity='critical' must fire as
+    critical when the caller leaves emit()'s severity unset; an explicit
+    severity still overrides the rule's."""
+    svc, clock, _ = _service(dedup=0.0)
+    svc.add_event_rule(
+        EventRule("crit-rule", "custom_event", severity="critical")
+    )
+    assert svc.emit("custom_event", "T", "m1") is True
+    assert svc.manager.alerts[-1].severity == "critical"
+    assert svc.emit("custom_event", "T", "m2", severity="info") is True
+    assert svc.manager.alerts[-1].severity == "info"
+
+
 def test_event_condition_dialect():
     svc, clock, _ = _service()
     svc.add_event_rule(
