@@ -39,6 +39,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     count_col: str | None = None,
+    group_cols: tuple = (),
 ) -> DataFrame:
     """Returns the input plus:
 
@@ -52,6 +53,12 @@ def pack_sequences(
     Cost: one hash shuffle by shard + one per-shard window sort. At
     100 TB, ``num_shards`` scales the parallelism (each shard's window
     sorts |corpus|/num_shards rows).
+
+    ``group_cols`` keeps packing WITHIN each group: the window partitions
+    by (groups..., shard) and the group values prefix ``seq_id``, so a
+    sequence never mixes documents across groups — e.g. pass
+    ``("split",)`` so no training sequence straddles train/val, or
+    ``("language",)`` for language-pure sequences.
     """
     n_tok = (
         F.col(count_col)
@@ -61,8 +68,9 @@ def pack_sequences(
     shard = F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(num_shards)).cast("int")
     df = docs.withColumn("n_tokens", n_tok).withColumn("shard", shard)
 
+    groups = [F.col(g) for g in group_cols]
     w = (
-        W.partitionBy("shard")
+        W.partitionBy(*groups, "shard")
         .orderBy(F.col(id_col).asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -73,7 +81,9 @@ def pack_sequences(
     return (
         df.withColumn("__cum", cum)
         .withColumn("seq_bin", bin_)
-        .withColumn("seq_id", F.concat_ws("-", F.col("shard"), F.col("seq_bin")))
+        .withColumn(
+            "seq_id", F.concat_ws("-", *groups, F.col("shard"), F.col("seq_bin"))
+        )
         .withColumn("seq_offset", offset.cast("long"))
         .withColumn("oversize", F.col("n_tokens") > F.lit(seq_tokens))
         .drop("__cum", "seq_bin")

@@ -5,11 +5,15 @@ dataset actually runs, composed from the engine's operators.
       → exact dedup        (md5 content hash, keep min id)
       → near-dup removal   (MinHash → LSH candidates → Jaccard verify →
                             connected components → keep cluster minimum)
+      → fuzzy dedup        (optional: blocked edit-distance collapse of a
+                            name-like column — operators/fuzzy)
       → quality filter     (length/stopword/punctuation composite)
       → decontamination    (optional: drop docs sharing n-grams with a
                             benchmark set — operators/decontam)
       → per-group caps     (optional: quota sampling by source/language)
       → split assignment   (hash-based, append-stable)
+      → sequence packing   (optional terminal stage: token-budget bins
+                            per split — operators/packing)
 
 Each stage is a DataFrame transformation (no driver loops); the report
 counts cost one action per stage boundary. The reference has the pieces
@@ -45,6 +49,16 @@ class CorpusCurator:
     max_dup_2gram_ppm: int | None = None
     # require the composite Gopher document-shape pass (textops)
     require_gopher: bool = False
+    # fuzzy dedup: collapse near-identical values of this column (e.g. a
+    # title) by blocked edit distance; None disables the stage
+    fuzzy_col: str | None = None
+    fuzzy_max_distance: int = 2
+    fuzzy_block: str = "prefix"
+    # terminal sequence packing: token budget per training sequence
+    # (packed within each split so no sequence straddles train/val);
+    # None disables the stage
+    pack_tokens: int | None = None
+    pack_shards: int = 1024
 
     def curate(
         self,
@@ -87,6 +101,22 @@ class CorpusCurator:
             report["input_docs"] - report["exact_dups_removed"] - near_keep.count()
         )
 
+        # 2b. optional fuzzy dedup on a name-like column
+        report["fuzzy_dups_removed"] = 0
+        if self.fuzzy_col is not None:
+            from automic_etl_spark.operators.fuzzy import dedup_fuzzy
+
+            before = (
+                report["input_docs"]
+                - report["exact_dups_removed"]
+                - report["near_dups_removed"]
+            )
+            near_keep = dedup_fuzzy(
+                near_keep, self.fuzzy_col, id_col,
+                max_distance=self.fuzzy_max_distance, block=self.fuzzy_block,
+            )
+            report["fuzzy_dups_removed"] = before - near_keep.count()
+
         # 3. quality filter
         scored = text_quality(near_keep, text_col)
         kept = scored.filter(F.col("quality_score") >= self.min_quality)
@@ -94,6 +124,7 @@ class CorpusCurator:
             report["input_docs"]
             - report["exact_dups_removed"]
             - report["near_dups_removed"]
+            - report["fuzzy_dups_removed"]
             - kept.count()
         )
 
@@ -136,7 +167,8 @@ class CorpusCurator:
             from automic_etl_spark.operators.decontam import decontaminate
 
             before = report["input_docs"] - report["exact_dups_removed"] \
-                - report["near_dups_removed"] - report["low_quality_removed"]
+                - report["near_dups_removed"] - report["fuzzy_dups_removed"] \
+                - report["low_quality_removed"]
             kept = decontaminate(
                 kept, benchmark, n=self.decontam_ngram,
                 min_hits=self.decontam_min_hits, id_col=id_col, text_col=text_col,
@@ -150,8 +182,8 @@ class CorpusCurator:
             from automic_etl_spark.operators.decontam import sample_per_group
 
             before = report["input_docs"] - report["exact_dups_removed"] \
-                - report["near_dups_removed"] - report["low_quality_removed"] \
-                - report["contaminated_removed"]
+                - report["near_dups_removed"] - report["fuzzy_dups_removed"] \
+                - report["low_quality_removed"] - report["contaminated_removed"]
             kept = sample_per_group(
                 kept, list(self.group_cols), self.group_cap, id_col=id_col
             )
@@ -165,6 +197,7 @@ class CorpusCurator:
             report["input_docs"]
             - report["exact_dups_removed"]
             - report["near_dups_removed"]
+            - report["fuzzy_dups_removed"]
             - report["low_quality_removed"]
             - report["contaminated_removed"]
             - report["group_cap_removed"]
@@ -173,4 +206,19 @@ class CorpusCurator:
             r["split"]: r["n"]
             for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
         }
+
+        # 7. optional terminal sequence packing (split-pure sequences)
+        if self.pack_tokens is not None:
+            from automic_etl_spark.operators.packing import pack_sequences
+
+            out = pack_sequences(
+                out, seq_tokens=self.pack_tokens, num_shards=self.pack_shards,
+                id_col=id_col, text_col=text_col, group_cols=("split",),
+            )
+            pk = out.agg(
+                F.countDistinct("seq_id").alias("n_seq"),
+                F.sum(F.when(F.col("oversize"), 1).otherwise(0)).alias("n_over"),
+            ).first()
+            report["packed_sequences"] = int(pk["n_seq"])
+            report["oversize_docs"] = int(pk["n_over"] or 0)
         return out, report

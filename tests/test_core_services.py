@@ -308,6 +308,42 @@ def test_corpus_curator_end_to_end(spark):
     assert {"quality_score", "split"} <= set(out.columns)
 
 
+def test_corpus_curator_fuzzy_and_packing_stages(spark):
+    """r4 verdict item 6: fuzzy dedup and terminal sequence packing run
+    as CorpusCurator stages — the composed pipeline is the single entry
+    point for the full curation story."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    body = (
+        "a long enough document about spark pipelines and data curation "
+        "with plenty of ordinary words to clear the quality gate easily"
+    )
+    rows = [
+        (1, body + " one", "Data Pipelines Weekly"),
+        (2, body + " two", "data pipelines weekly"),   # fuzzy-dup title of 1
+        (3, body + " three", "Completely Other Name"),
+        (4, body + " four", "Unrelated Journal Title"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, title string")
+    cur = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=0.99,
+        fuzzy_col="title", fuzzy_max_distance=2,
+        pack_tokens=16, pack_shards=2,
+    )
+    out, report = cur.curate(docs)
+
+    assert report["fuzzy_dups_removed"] == 1          # doc 2 (title ~ doc 1)
+    assert report["final_docs"] == 3
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 3, 4}
+    # packing columns present; report counts sequences; split-pure seq_ids
+    assert {"seq_id", "seq_offset", "n_tokens", "oversize"} <= set(out.columns)
+    assert report["packed_sequences"] >= 1
+    assert report["oversize_docs"] == 3               # 22-word docs > 16-token budget
+    for r in out.collect():
+        assert r["seq_id"].startswith(r["split"] + "-")
+
+
 def test_workflow_dag_retries_and_failure_propagation():
     from automic_etl_spark.orchestration import Workflow, WorkflowRunner
 
