@@ -44,9 +44,6 @@ TABLE_NAMES = [
 EVENTS_NS_READ_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, value double, props string"
 )
-# Backwards-compat alias (pre-r4 name); prefer EVENTS_NS_READ_SCHEMA.
-_EVENTS_READ_SCHEMA = EVENTS_NS_READ_SCHEMA
-
 # events when ``ts`` is a Spark-readable timestamp (µs/ms/s precision).
 EVENTS_NATIVE_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, value double, props string"

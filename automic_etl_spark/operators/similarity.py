@@ -318,21 +318,39 @@ def ivf_build(
 
     assign = None
     for _ in range(max(1, iterations)):  # at least one assignment pass
-        scored = emb.crossJoin(F.broadcast(centroids)).select(
-            F.col(id_col),
-            F.col(vec_col),
-            "centroid_id",
-            _sq_dist(F.col(vec_col), F.col("centroid")).alias("__d"),
+        # Assignment with NO shuffle and NO row blow-up: the (tiny)
+        # centroid set folds into one array<struct> column via a 1-row
+        # broadcast crossJoin, and each vector computes its nearest
+        # centroid INLINE with a transform + aggregate fold. The
+        # previous shape (16x crossJoin explode + per-id argmin
+        # window/agg) shuffled every embedding row per iteration; this
+        # is a pure map, so the only shuffle per Lloyd iteration is the
+        # means aggregation below. array_sort orders candidates by
+        # centroid_id, and strict < keeps the first (= lowest id) on
+        # distance ties — same tie-break as the explode argmin.
+        packed = centroids.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("centroid_id").alias("cid"), F.col("centroid"))
+                )
+            ).alias("__cents")
         )
-        # argmin via min_by partial agg (map-side combine), not a window:
-        # a row_number window sorts every (id, centroid) pair per
-        # partition; min_by folds the n_centroids candidates per vector
-        # into one row before the shuffle. Struct ordering breaks __d
-        # ties by centroid_id, keeping the assignment deterministic.
-        assign = scored.groupBy(id_col, vec_col).agg(
-            F.min_by(
-                F.col("centroid_id"), F.struct(F.col("__d"), F.col("centroid_id"))
-            ).alias("centroid_id")
+        dists = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                _sq_dist(F.col(vec_col), c["centroid"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        best = F.aggregate(
+            dists,
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).alias("cid")
+            ),
+            lambda acc, s: F.when(s["d"] < acc["d"], s).otherwise(acc),
+        )
+        assign = emb.crossJoin(F.broadcast(packed)).select(
+            F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
         )
         # element-wise mean per cluster: posexplode → quantized mean →
         # re-assemble. The mean is computed as an INTEGER sum of 1e-6-unit

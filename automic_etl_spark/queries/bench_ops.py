@@ -99,6 +99,51 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing_stats(pack_sequences(docs, seq_tokens=2048, num_shards=64), 2048)
 
 
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup-on-ingest kernel: seed the signature index with
+    half the documents table, then process three micro-batches against
+    the growing index — new docs, exact replays of indexed docs, and
+    near-dup variants. Measures the scale-critical path (batch
+    broadcasts, index streams) end to end including the index appends;
+    returns the per-batch counts as a 4-row DataFrame (seed + 3
+    batches). Fresh state per invocation so min-of-2 bench runs time
+    identical work."""
+    import shutil
+    import tempfile
+
+    from automic_etl_spark.streaming.dedup_ingest import StreamingDeduper
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bench_dedup_ingest_")
+    try:
+        d = StreamingDeduper(
+            spark,
+            docs_path=f"{tmp}/docs",
+            index_path=f"{tmp}/index",
+            quarantine_path=f"{tmp}/quarantine",
+        )
+        results = [dict(d.process_batch(docs.filter("doc_id % 2 = 0"), 0), batch=0)]
+        # batch 1: genuinely new docs + exact replays of indexed ones
+        b1 = docs.filter("doc_id % 4 = 1").unionByName(
+            docs.filter("doc_id % 8 = 0")
+        )
+        results.append(dict(d.process_batch(b1, 1), batch=1))
+        # batch 2: near-dup variants of indexed docs (suffix append,
+        # shifted ids) + the remaining new quarter
+        near = docs.filter("doc_id % 8 = 2").select(
+            (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" trailing near dup token")).alias("text"),
+        )
+        b2 = docs.filter("doc_id % 4 = 3").unionByName(near)
+        results.append(dict(d.process_batch(b2, 2), batch=2))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["batch"], r["in"], r["kept"], r["exact_dups"], r["near_dups"]) for r in results],
+        "batch int, n_in long, kept long, exact_dups long, near_dups long",
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the documents table (every 97th
     doc plays the benchmark set) → surviving-corpus count."""

@@ -47,8 +47,11 @@ from automic_etl_spark.queries.dedup_sim import (  # noqa: E402
 )
 from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_audio_meta,
+    q_decontaminate,
+    q_dedup_ingest,
     q_doctext_extract,
     q_ivf_build_search,
+    q_pack_sequences,
 )
 
 HEADLINE = {
@@ -68,6 +71,11 @@ HEADLINE = {
     "doctext_extract": q_doctext_extract,
     "audio_meta": q_audio_meta,
     "ivf_build_search": q_ivf_build_search,
+    # round-5 surface: curation operators promoted from scale-stress,
+    # plus the streaming dedup-on-ingest kernel (previously unmeasured)
+    "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "dedup_ingest": q_dedup_ingest,
 }
 
 

@@ -8,6 +8,7 @@ from tests.conftest import SF_SMALL
 from automic_etl_spark.io import load_table
 from automic_etl_spark.queries.bench_ops import (
     q_audio_meta,
+    q_dedup_ingest,
     q_doctext_extract,
     q_ivf_build_search,
 )
@@ -27,6 +28,28 @@ def test_audio_meta_counts(spark):
     assert row["n_blobs"] == n_docs and row["n_ok"] == n_docs
     # durations are 100..499 ms per blob by construction
     assert 100 * n_docs <= row["total_duration_ms"] < 500 * n_docs
+
+
+def test_dedup_ingest_bench_counts(spark):
+    """The bench kernel's per-batch accounting must reflect the
+    constructed workload: batch 1 replays indexed docs (all exact
+    dups), batch 2 mixes new docs with near-dup variants."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    n = docs.count()
+    n_seed = docs.filter("doc_id % 2 = 0").count()
+    rows = {r["batch"]: r for r in q_dedup_ingest(spark, SF_SMALL).collect()}
+    assert rows[0]["n_in"] == n_seed
+    # replays of seeded docs divert as exact dups — except the few whose
+    # seed copy was itself quarantined as a near-dup (its text never
+    # reached the index), which re-flag as near or (in a quarantine
+    # chain) pass; the bulk must still be exact
+    n_replay = docs.filter("doc_id % 8 = 0").count()
+    assert rows[1]["exact_dups"] >= int(0.8 * n_replay)
+    # batch 1's % 4 = 1 docs are new: every non-dup row is kept
+    assert rows[1]["kept"] + rows[1]["exact_dups"] + rows[1]["near_dups"] == rows[1]["n_in"]
+    # batch 2 contains constructed near dups; at least some are flagged
+    assert rows[2]["near_dups"] > 0
+    assert sum(r["n_in"] for r in rows.values()) > n  # replays inflate input
 
 
 def test_ivf_build_search_topk(spark):

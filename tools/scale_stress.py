@@ -47,6 +47,7 @@ def _workloads():
     )
     from automic_etl_spark.queries.bench_ops import (
         q_decontaminate,
+        q_dedup_ingest,
         q_doctext_extract,
         q_ivf_build_search,
         q_pack_sequences,
@@ -62,6 +63,7 @@ def _workloads():
         "ivf_build_search": q_ivf_build_search,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "dedup_ingest": q_dedup_ingest,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
