@@ -46,6 +46,76 @@ def _fake_decode(payload: bytes) -> tuple[int, int, bool]:
     return (n % 640) + 1, (n % 480) + 1, n > 0
 
 
+VIDEO_FRAME_IMAGE_SCHEMA = (
+    "doc_id long, frame_idx int, ts_ms long, format string, "
+    "width int, height int, frame_size long, ok boolean"
+)
+
+
+def video_keyframes_to_image_meta(
+    blobs: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 64,
+    content_col: str = "_content_bytes",
+) -> DataFrame:
+    """Video → per-keyframe image metadata, end-to-end, with zero codecs:
+    probe the container (videometa.probe_video), derive the frame
+    schedule inside Catalyst, slice each scheduled keyframe's true coded
+    byte range out of the blob via the ISO sample tables
+    (videometa.sample_frames), then run the image header probe
+    (imagemeta.probe_image) over the extracted payloads.
+
+    For containers whose keyframes are self-contained images (MJPEG or
+    PNG-sample tracks, thumbnail tracks) the rows carry real per-frame
+    format/width/height; codec-coded keyframes (h264/vp9/av1) come back
+    format=NULL / ok=false — the honest boundary where a pixel decoder
+    would plug in, with every byte range already correct.
+
+    Scale shape: the schedule is ≤ ``max_frames`` rows per video, the
+    only shuffle is the schedule⋈blob equi-join on doc_id, and both
+    probes read headers only — no stage materializes decoded pixels, so
+    the plan survives a 100 TB corpus unchanged.
+    """
+    from automic_etl_spark.operators.imagemeta import probe_image
+    from automic_etl_spark.operators.videometa import (
+        frame_sample_schedule,
+        sample_frames,
+        video_blobs_to_meta,
+    )
+
+    meta = video_blobs_to_meta(blobs, content_col=content_col)
+    sched = frame_sample_schedule(meta, every_ms=every_ms, max_frames=max_frames)
+    frames = sample_frames(
+        sched.join(blobs.select("doc_id", content_col), "doc_id"),
+        content_col=content_col,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            probed = [
+                probe_image(b) if b is not None else (None, 0, 0)
+                for b in pdf["frame_bytes"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "ts_ms": pdf["ts_ms"],
+                    "format": [p[0] for p in probed],
+                    "width": [p[1] for p in probed],
+                    "height": [p[2] for p in probed],
+                    "frame_size": [
+                        len(bytes(b)) if b is not None else 0 for b in pdf["frame_bytes"]
+                    ],
+                    "ok": [
+                        p[0] is not None and p[1] > 0 and p[2] > 0 for p in probed
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(batches, VIDEO_FRAME_IMAGE_SCHEMA)
+
+
 def decode_blobs(blobs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Arrow-batched decode over the blob table. ``mapInPandas`` keeps
     per-batch memory bounded (spark.sql.execution.arrow.maxRecordsPerBatch)

@@ -86,13 +86,19 @@ def _full_box(btype: bytes, body: bytes) -> bytes:
     return _box(btype, b"\x00\x00\x00\x00" + body)
 
 
-def make_mp4_with_stbl(duration_s=3, timescale=10):
+def make_mp4_with_stbl(duration_s=3, timescale=10, samples=None):
     """Playable-shaped MP4: 6 samples (1 per tick at 10 ticks/s scaled to
-    2 samples/s), sizes 10..60, laid out in 2 chunks of 3 inside an mdat.
-    Keyframes at samples 1 and 4. Returns (bytes, expected) where
-    expected = [(sample_no, ts_ms, offset, size)] for the keyframes."""
-    sizes = [10, 20, 30, 40, 50, 60]
-    samples = [bytes([0xA0 + i]) * sz for i, sz in enumerate(sizes)]
+    2 samples/s), laid out in 2 chunks of 3 inside an mdat. Keyframes at
+    samples 1 and 4. Pass ``samples`` (6 byte strings) to control the
+    coded payloads — e.g. real PNG bytes for an image-sample track.
+    Returns (bytes, expected) where expected = [(sample_no, ts_ms,
+    offset, size)] for the keyframes."""
+    if samples is None:
+        sizes = [10, 20, 30, 40, 50, 60]
+        samples = [bytes([0xA0 + i]) * sz for i, sz in enumerate(sizes)]
+    else:
+        assert len(samples) == 6
+        sizes = [len(s) for s in samples]
     mdat_payload = b"".join(samples)
 
     # mdat follows ftyp; moov follows mdat. Compute offsets up front.
@@ -114,7 +120,9 @@ def make_mp4_with_stbl(duration_s=3, timescale=10):
     mvhd = _box(b"mvhd", bytes([0]) + b"\x00" * 11 + struct.pack(">II", timescale, duration_s * timescale))
     moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
 
-    offs = [chunk1_off, chunk1_off + 10, chunk1_off + 30, chunk2_off, chunk2_off + 40, chunk2_off + 90]
+    offs = [chunk1_off + sum(sizes[:i]) for i in range(3)] + [
+        chunk2_off + sum(sizes[3 : 3 + i]) for i in range(3)
+    ]
     ts = [i * 5 * 1000 // timescale for i in range(6)]  # 0,500,1000,...
     expected = [(1, ts[0], offs[0], sizes[0]), (4, ts[3], offs[3], sizes[3])]
     return ftyp + mdat + moov, expected
@@ -197,3 +205,46 @@ def test_probe_webm_unknown_size_segment():
         + b"\x18\x53\x80\x67" + b"\x01" + b"\xff" * 7 + body
     )
     assert probe_video(data) == ("webm", 2000, 0, 0)
+
+
+def _png(w: int, h: int) -> bytes:
+    # signature + IHDR length/type/width/height: all probe_image reads
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00" * 3  # depth/color/etc + padding
+    )
+
+
+def test_video_keyframes_to_image_meta_end_to_end(spark):
+    """Verdict r4 item 9: video→image composition with zero codecs — an
+    MP4 whose samples are real PNG payloads (an image-sample track) flows
+    container probe → schedule → stbl byte-range slice → image header
+    probe, yielding per-keyframe format/dimensions."""
+    from automic_etl_spark.operators.multimodal import video_keyframes_to_image_meta
+
+    pngs = [_png(100 + i, 50 + i) for i in range(6)]
+    data, _ = make_mp4_with_stbl(duration_s=3, samples=pngs)
+    coded, _ = make_mp4_with_stbl(duration_s=3)  # non-image coded samples
+    blobs = spark.createDataFrame(
+        [(1, data), (2, coded), (3, b"junk")], "doc_id long, _content_bytes binary"
+    )
+    out = video_keyframes_to_image_meta(blobs, every_ms=1000)
+    rows = out.filter("doc_id = 1").orderBy("frame_idx").collect()
+    # ts 0,1000 -> keyframe sample 1 (PNG 100x50); ts 2000,3000 -> sample 4
+    assert [(r["format"], r["width"], r["height"]) for r in rows] == [
+        ("png", 100, 50),
+        ("png", 100, 50),
+        ("png", 103, 53),
+        ("png", 103, 53),
+    ]
+    assert all(r["ok"] for r in rows)
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000, 3000]
+    # coded (non-image) keyframes: byte ranges real, image probe says no
+    coded_rows = out.filter("doc_id = 2").collect()
+    assert len(coded_rows) == 4
+    assert all(r["format"] is None and not r["ok"] for r in coded_rows)
+    # unparseable container contributes no schedule rows at all
+    assert out.filter("doc_id = 3").count() == 0
