@@ -429,3 +429,110 @@ def ivf_search(
         .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- SemDeDup: semantic deduplication over embedding clusters ---------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 16,
+    iterations: int = 3,
+    min_cosine_ppm: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster treat any pair with cosine >= threshold as semantic
+    duplicates and keep, per the paper's rule, the member LEAST similar
+    to its centroid (the "outlier" carries the most extra information;
+    the prototypical copies are the redundant ones).
+
+    Exact semantics (deterministic, closed-form — so the DuckDB
+    differential oracle can replay it bit-for-bit): a vector is DROPPED
+    iff some same-cluster vector with cosine >= min_cosine_ppm/1e6
+    outranks it, where rank = (centroid_sim_ppm ASC, id ASC). Unlike the
+    paper's sequential greedy sweep this dominance rule is a single
+    self-join, at the cost of dropping the tail of a similarity chain
+    a~b~c even when a!~c (documented recall/aggressiveness trade; for
+    training-data curation over-dropping borderline near-dups is the
+    safe direction).
+
+    Vectors are L2-NORMALIZED before clustering (as in the paper): the
+    dedup criterion is cosine, and on the unit sphere the k-means
+    euclidean objective agrees with it — without this, scaled copies of
+    the same direction land in different clusters and escape the prune.
+    Zero vectors are passed through unnormalized (their cosine to
+    anything is undefined; they are never dropped).
+
+    Scale shape: clustering is ivf_build (broadcast-centroid Lloyd, no
+    rows² term); the pair generation is an equi-self-join partitioned on
+    centroid_id, so per-cluster work is (rows/n_clusters)² — size
+    n_clusters so the expected cluster fits a partition (the paper uses
+    50k clusters for 5B embeddings; rule of thumb n_clusters ≈
+    rows/10k). All similarity arithmetic is integer-ppm quantized, so
+    results are bit-reproducible across runs, partitionings, and
+    engines.
+
+    Returns (id_col, centroid_id, centroid_sim_ppm, kept) — every input
+    row, flagged; filter kept for the surviving corpus.
+    """
+    emb = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
+        )
+        .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .alias(vec_col),
+    )
+    assignments, centroids = ivf_build(
+        emb, n_centroids=n_clusters, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    scored = (
+        emb.join(assignments, id_col)
+        .join(F.broadcast(centroids), "centroid_id")
+        .select(
+            F.col(id_col),
+            F.col("centroid_id"),
+            F.col(vec_col),
+            F.round(
+                cosine_similarity_col(F.col(vec_col), F.col("centroid")) * 1000000
+            )
+            .cast("long")
+            .alias("centroid_sim_ppm"),
+            _norm(F.col(vec_col)).alias("__norm"),
+        )
+        .localCheckpoint(eager=False)  # scored feeds 3 plan arms; never rebuild kmeans
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pair_cos_ppm = F.round(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a.__norm") * F.col("b.__norm"))
+        * 1000000
+    ).cast("long")
+    a_outranks_b = (
+        F.col("a.centroid_sim_ppm") < F.col("b.centroid_sim_ppm")
+    ) | (
+        (F.col("a.centroid_sim_ppm") == F.col("b.centroid_sim_ppm"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    dropped = (
+        a.join(b, F.col("a.centroid_id") == F.col("b.centroid_id"))
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .filter(a_outranks_b)
+        .filter(pair_cos_ppm >= F.lit(min_cosine_ppm))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return scored.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "centroid_id",
+        "centroid_sim_ppm",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )

@@ -153,3 +153,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter("doc_id % 97 = 0").select("text")
     clean = decontaminate(docs.filter("doc_id % 97 != 0"), bench, n=8)
     return clean.agg(F.count(F.lit(1)).alias("n_clean"))
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over an executor-side inflated embedding corpus: each
+    harness vector plus 4 deterministically-jittered replicas (genuine
+    semantic near-dups, cos ≈ 1), clustered with 32-way k-means and
+    pruned in-cluster. The replicas should collapse onto one survivor
+    per family; the reduce is the kept/dropped tally. Jitter is a pure
+    Catalyst transform (sin of id × component index) — no UDF, no
+    driver-side corpus."""
+    from automic_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    replicas = [
+        emb.select(
+            (F.col("vec_id") + F.lit(r * 1_000_000)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + F.sin(F.col("vec_id") * F.lit(r) + i.cast("double")) * F.lit(0.001),
+            ).alias("embedding"),
+        )
+        for r in range(1, 5)
+    ]
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    for rep in replicas:
+        corpus = corpus.unionByName(rep)
+    flagged = semantic_dedup(
+        corpus, n_clusters=32, iterations=2, min_cosine_ppm=990_000
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+    )

@@ -52,6 +52,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_doctext_extract,
     q_ivf_build_search,
     q_pack_sequences,
+    q_semantic_dedup,
 )
 
 HEADLINE = {
@@ -76,6 +77,7 @@ HEADLINE = {
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "dedup_ingest": q_dedup_ingest,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 

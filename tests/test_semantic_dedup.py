@@ -1,0 +1,149 @@
+"""SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+invariants on planted duplicate families plus a full DuckDB differential
+oracle — the deterministic k-means replay (shared with the driver's IVF
+gate) extended with the in-cluster dominance prune, value-compared row
+by row."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators.similarity import semantic_dedup
+from tests.conftest import SF_SMALL
+
+
+def test_planted_duplicate_families_keep_one(spark):
+    """Four identical copies per direction: exactly the lowest id of each
+    family survives (equal centroid similarity → id tie-break), and
+    dissimilar directions never suppress each other."""
+    dirs = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+    ]
+    rows = [
+        (d * 10 + c, [x * (1.0 + c) for x in vec])  # scaled copies: cos = 1
+        for d, vec in enumerate(dirs)
+        for c in range(4)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        emb, n_clusters=3, iterations=2, min_cosine_ppm=999_000
+    ).collect()
+    kept = sorted(r["vec_id"] for r in out if r["kept"])
+    assert kept == [0, 10, 20]
+    assert len(out) == 12  # every input row comes back flagged
+
+
+def test_orthogonal_vectors_all_kept(spark):
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        emb, n_clusters=2, iterations=2, min_cosine_ppm=500_000
+    ).collect()
+    assert all(r["kept"] for r in out) and len(out) == 8
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """DuckDB cosine with the exact fold order of operators.similarity:
+    sequential left-fold dot and per-side norms, sqrt(x)·sqrt(y) (never
+    sqrt(x·y)) — bit-identical doubles on both engines."""
+    def fold(expr: str) -> str:
+        return f"list_reduce({expr}, (acc, v) -> acc + v)"
+
+    dot = fold(
+        f"list_transform(generate_series(1, len({x})), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))"
+    )
+    nx = fold(
+        f"list_transform(generate_series(1, len({x})), "
+        f"i -> CAST({x}[i] AS DOUBLE) * CAST({x}[i] AS DOUBLE))"
+    )
+    ny = fold(
+        f"list_transform(generate_series(1, len({y})), "
+        f"i -> CAST({y}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE))"
+    )
+    return f"({dot} / (sqrt({nx}) * sqrt({ny})))"
+
+
+def test_semantic_dedup_differential_oracle(spark):
+    """Full engine-vs-engine replay on the harness embeddings: DuckDB
+    reruns the identical quantized k-means (queries.dedup_sim's IVF CTEs)
+    and the identical integer-ppm dominance rule; every (vec_id,
+    centroid_id, centroid_sim_ppm, kept) row must match."""
+    from automic_etl_spark.queries.dedup_sim import _ivf_oracle_ctes
+
+    n_clusters, iters, thr = 4, 2, 350_000
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["centroid_sim_ppm"], r["kept"])
+        for r in semantic_dedup(
+            emb, n_clusters=n_clusters, iterations=iters, min_cosine_ppm=thr
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    # replicate the operator's L2 pre-normalization with the identical
+    # fold order, so the k-means CTEs below see the same unit vectors
+    con.execute(
+        f"""
+        CREATE VIEW embeddings AS
+        SELECT vec_id,
+               CASE WHEN n > 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / n)
+                    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+                 AS embedding
+        FROM (
+          SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, v) -> acc + v)) AS n
+          FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+        )
+        """
+    )
+    oracle = con.execute(
+        f"""
+        WITH {_ivf_oracle_ctes(n_clusters, iters)},
+        scored AS (
+          SELECT a.vec_id, a.centroid_id, a.embedding,
+                 CAST(round({_cos_sql('a.embedding', 'c.centroid')} * 1000000) AS BIGINT)
+                   AS centroid_sim_ppm
+          FROM a{iters - 1} a JOIN c{iters} c USING (centroid_id)
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM scored a JOIN scored b USING (centroid_id)
+          WHERE a.vec_id <> b.vec_id
+            AND (a.centroid_sim_ppm < b.centroid_sim_ppm
+                 OR (a.centroid_sim_ppm = b.centroid_sim_ppm AND a.vec_id < b.vec_id))
+            AND CAST(round({_cos_sql('a.embedding', 'b.embedding')} * 1000000) AS BIGINT)
+                  >= {thr}
+        )
+        SELECT s.vec_id, s.centroid_id, s.centroid_sim_ppm,
+               d.vec_id IS NULL AS kept
+        FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+        """
+    ).fetchall()
+    want = {v: (c, s, k) for v, c, s, k in oracle}
+    assert got == want
+    # the threshold actually bites on this corpus (non-vacuous prune)
+    assert any(not k for _, _, k in want.values())
+    assert any(k for _, _, k in want.values())
+
+
+def test_bench_workload_collapses_replica_families(spark):
+    """q_semantic_dedup's jittered replicas are genuine semantic dups:
+    the kept count lands near one survivor per original vector."""
+    from automic_etl_spark.queries.bench_ops import q_semantic_dedup
+
+    row = q_semantic_dedup(spark, SF_SMALL).first()
+    assert row["n_vectors"] == 2500  # 500 originals x (1 + 4 replicas)
+    # each 5-member family should collapse to ~1 survivor; allow slack
+    # for families split across cluster boundaries
+    assert row["n_kept"] <= 900
+    assert row["n_kept"] >= 500  # never drops below one per family
