@@ -1,0 +1,146 @@
+"""Model-based document quality filtering — the classifier gate modern
+pretraining pipelines run after heuristic filters (FineWeb-Edu, Penedo
+et al. 2024; DCLM, Li et al. 2024): train a linear classifier on a small
+labeled seed set, score every document, keep those above a probability
+threshold.
+
+Spark-first shape:
+
+  RegexTokenizer → HashingTF → (optional IDF) → LogisticRegression
+
+- Feature hashing (Weinberger et al. 2009) means there is NO vocabulary
+  to build, persist, or broadcast — the property that lets fastText-style
+  linear text classifiers (Joulin et al. 2016) run at web scale. The
+  only model state is one coefficient vector (2^18 features ≈ 2 MB).
+- Training is JVM-side L-BFGS over treeAggregate partials: driver memory
+  is O(num_features), executor traffic is one gradient vector per pass —
+  a labeled seed set of millions of rows is cheap.
+- Scoring is a map-only stage (coefficients broadcast, no shuffle): at
+  100 TB the cost is one pass over the corpus, embarrassingly parallel.
+- The optional IDF stage adds one global aggregate at fit time and a
+  broadcast vector at score time; off by default (binary term presence,
+  the fastText default, is usually enough for a quality gate).
+
+No reference counterpart (beyond-reference training-data mandate); the
+heuristic quality gate it complements is operators/textops.text_quality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class QualityClassifier:
+    """Train / apply a document-quality classifier.
+
+    ``fit`` expects a labeled DataFrame with ``text_col`` (string) and
+    ``label_col`` (1.0 = keep-worthy, 0.0 = junk). ``score`` appends
+    ``quality_prob`` (double, P(label=1)); ``keep`` filters by it.
+    """
+
+    def __init__(
+        self,
+        num_features: int = 1 << 18,
+        max_iter: int = 50,
+        reg_param: float = 0.01,
+        use_idf: bool = False,
+    ):
+        # reg_param defaults nonzero: seed sets are usually separable, and
+        # unregularized L-BFGS then drives weights to +-inf — every
+        # held-out doc collapses to its seen-word extremes instead of a
+        # calibrated probability.
+        self.num_features = num_features
+        self.max_iter = max_iter
+        self.reg_param = reg_param
+        self.use_idf = use_idf
+        self.model = None  # fitted pyspark.ml.PipelineModel
+
+    # -- pipeline construction ---------------------------------------------
+
+    def _pipeline(self, text_col: str, label_col: str):
+        from pyspark.ml import Pipeline
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import IDF, HashingTF, RegexTokenizer
+
+        stages = [
+            RegexTokenizer(
+                inputCol=text_col,
+                outputCol="__words",
+                pattern="\\W+",
+                toLowercase=True,
+            ),
+            HashingTF(
+                inputCol="__words",
+                outputCol="__tf",
+                numFeatures=self.num_features,
+                binary=not self.use_idf,
+            ),
+        ]
+        feat = "__tf"
+        if self.use_idf:
+            stages.append(IDF(inputCol="__tf", outputCol="__tfidf"))
+            feat = "__tfidf"
+        stages.append(
+            LogisticRegression(
+                featuresCol=feat,
+                labelCol=label_col,
+                maxIter=self.max_iter,
+                regParam=self.reg_param,
+            )
+        )
+        return Pipeline(stages=stages)
+
+    # -- train / apply ------------------------------------------------------
+
+    def fit(
+        self, labeled: DataFrame, text_col: str = "text", label_col: str = "label"
+    ) -> "QualityClassifier":
+        clean = labeled.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        self.model = self._pipeline(text_col, label_col).fit(clean)
+        return self
+
+    def score(self, docs: DataFrame, text_col: str = "text") -> DataFrame:
+        """All original columns + ``quality_prob``. Null text scores as
+        the empty document (the model's bias term), never errors."""
+        if self.model is None:
+            raise ValueError("QualityClassifier.score called before fit/load")
+        from pyspark.ml.functions import vector_to_array
+
+        scored = self.model.transform(
+            docs.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        )
+        keep_cols = [c for c in docs.columns]
+        return scored.select(
+            *keep_cols,
+            F.round(vector_to_array(F.col("probability"))[1], 6).alias(
+                "quality_prob"
+            ),
+        )
+
+    def keep(
+        self, docs: DataFrame, min_prob: float = 0.5, text_col: str = "text"
+    ) -> DataFrame:
+        """Documents scoring >= min_prob, original schema + quality_prob."""
+        return self.score(docs, text_col).filter(F.col("quality_prob") >= min_prob)
+
+    # -- persistence (Spark ML native format: metadata + parquet) -----------
+
+    def save(self, path: str) -> None:
+        if self.model is None:
+            raise ValueError("QualityClassifier.save called before fit")
+        self.model.write().overwrite().save(path)
+
+    @classmethod
+    def load(cls, path: str) -> "QualityClassifier":
+        from pyspark.ml import PipelineModel
+
+        out = cls()
+        out.model = PipelineModel.load(path)
+        # restore structural params from the loaded stages
+        for stage in out.model.stages:
+            name = type(stage).__name__
+            if name == "HashingTF":
+                out.num_features = stage.getNumFeatures()
+            elif name == "IDFModel":
+                out.use_idf = True
+        return out

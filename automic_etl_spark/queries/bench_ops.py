@@ -187,3 +187,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
     )
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate end to end: label a seed slice of the
+    documents table with the heuristic quality score (the bootstrap
+    pattern when no human labels exist), fit the hashing-trick logistic
+    model on it, score the full corpus, reduce to the keep/drop tally.
+    Measures fit (treeAggregate L-BFGS) + map-only scoring at corpus
+    scale."""
+    from automic_etl_spark.operators.qualityml import QualityClassifier
+    from automic_etl_spark.operators.textops import text_quality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored_seed = text_quality(docs.filter("doc_id % 10 = 0"), "text")
+    # median split keeps the seed labels balanced whatever the corpus's
+    # absolute quality level (a fixed cut can degenerate to one class)
+    med = scored_seed.agg(
+        F.expr("percentile_approx(quality_score, 0.5)").alias("m")
+    ).first()["m"]
+    seed = scored_seed.select(
+        "doc_id",
+        "text",
+        F.when(F.col("quality_score") >= F.lit(med), 1.0).otherwise(0.0).alias("label"),
+    )
+    clf = QualityClassifier(num_features=1 << 16, max_iter=20).fit(seed)
+    scored = clf.score(docs)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("quality_prob") >= 0.5, 1).otherwise(0)).alias("n_keep"),
+    )

@@ -54,6 +54,12 @@ class CorpusCurator:
     fuzzy_col: str | None = None
     fuzzy_max_distance: int = 2
     fuzzy_block: str = "prefix"
+    # model-based quality gate: a FITTED operators.qualityml
+    # .QualityClassifier applied after the heuristic filters (the
+    # FineWeb-Edu/DCLM stage order: cheap rules first, model last);
+    # None disables the stage
+    quality_model: object | None = None
+    quality_model_min_prob: float = 0.5
     # terminal sequence packing: token budget per training sequence
     # (packed within each split so no sequence straddles train/val);
     # None disables the stage
@@ -161,6 +167,15 @@ class CorpusCurator:
             # counted within the quality stage so downstream arithmetic
             # (contamination/cap "before" baselines, final_docs) holds
             report["low_quality_removed"] += report["repetitive_removed"]
+
+        # 3c. optional model-based quality gate (classifier probability)
+        if self.quality_model is not None:
+            before = kept.count()
+            kept = self.quality_model.keep(
+                kept, min_prob=self.quality_model_min_prob, text_col=text_col
+            ).drop("quality_prob")
+            report["model_quality_removed"] = before - kept.count()
+            report["low_quality_removed"] += report["model_quality_removed"]
 
         # 4. optional benchmark decontamination (pre-training hygiene)
         if benchmark is not None:

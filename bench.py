@@ -52,6 +52,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_doctext_extract,
     q_ivf_build_search,
     q_pack_sequences,
+    q_quality_classifier,
     q_semantic_dedup,
 )
 
@@ -78,6 +79,7 @@ HEADLINE = {
     "decontaminate": q_decontaminate,
     "dedup_ingest": q_dedup_ingest,
     "semantic_dedup": q_semantic_dedup,
+    "quality_classifier": q_quality_classifier,
 }
 
 

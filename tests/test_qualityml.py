@@ -1,0 +1,106 @@
+"""Model-based quality gate (operators/qualityml.QualityClassifier):
+separable-seed training, scoring schema, threshold filter, Spark ML
+persistence round-trip, and the CorpusCurator stage."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators.qualityml import QualityClassifier
+
+
+def _seed(spark):
+    good = [
+        "the experiment measured the speed of light with a rotating mirror",
+        "photosynthesis converts carbon dioxide and water into glucose",
+        "the theorem states that every integer factors uniquely into primes",
+        "the treaty was signed after a decade of careful negotiation",
+        "enzymes lower the activation energy of biochemical reactions",
+        "the telescope resolved the binary star into two distinct points",
+    ]
+    junk = [
+        "click click buy buy cheap cheap deal deal now now",
+        "win win win free free free prize prize prize claim claim",
+        "zzz qqq xxx zzz qqq xxx spam spam spam spam",
+        "buy cheap now click here free prize win big money fast",
+        "deal deal deal sale sale sale buy buy buy now now now",
+        "free money free money free money click click click",
+    ]
+    rows = [(i, t, 1.0) for i, t in enumerate(good)] + [
+        (100 + i, t, 0.0) for i, t in enumerate(junk)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, label double")
+
+
+@pytest.fixture(scope="module")
+def clf(spark):
+    return QualityClassifier(num_features=1 << 12, max_iter=30).fit(_seed(spark))
+
+
+def test_separable_seed_classifies_held_out(spark, clf):
+    held_out = spark.createDataFrame(
+        [
+            (1, "enzymes lower the activation energy of every reaction measured"),
+            (2, "the treaty was signed after careful negotiation and study"),
+            (3, "free free free win win win buy buy buy click click"),
+            (4, "cheap deal now now now spam spam prize prize claim"),
+            (5, None),  # null text must score, not crash
+        ],
+        "doc_id long, text string",
+    )
+    scored = {r["doc_id"]: r["quality_prob"] for r in clf.score(held_out).collect()}
+    assert scored[1] > 0.5 and scored[2] > 0.5
+    assert scored[3] < 0.5 and scored[4] < 0.5
+    assert scored[5] is not None  # bias-only score for the empty doc
+
+    kept = clf.keep(held_out, min_prob=0.5).collect()
+    assert sorted(r["doc_id"] for r in kept if r["doc_id"] <= 4) == [1, 2]
+    # original columns preserved + the probability column
+    assert set(kept[0].asDict()) == {"doc_id", "text", "quality_prob"}
+
+
+def test_save_load_roundtrip_scores_identically(spark, clf, tmp_path):
+    docs = spark.createDataFrame(
+        [(i, f"sample number {i} with enzyme words") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "quality_model")
+    clf.save(path)
+    loaded = QualityClassifier.load(path)
+    assert loaded.num_features == 1 << 12 and loaded.use_idf is False
+    a = {r["doc_id"]: r["quality_prob"] for r in clf.score(docs).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in loaded.score(docs).collect()}
+    assert a == b  # same coefficients -> bit-identical rounded probs
+
+
+def test_idf_variant_fits_and_scores(spark):
+    clf = QualityClassifier(num_features=1 << 10, max_iter=10, use_idf=True).fit(
+        _seed(spark)
+    )
+    out = clf.score(_seed(spark).drop("label")).collect()
+    assert all(r["quality_prob"] is not None for r in out)
+
+
+def test_corpus_curator_model_stage(spark, clf):
+    """The classifier slots in as CorpusCurator stage 3c and its removals
+    are accounted in the report arithmetic."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the theorem states that every integer factors uniquely into primes"),
+            (2, "the telescope resolved the binary star into two distinct points"),
+            (3, "buy buy buy cheap cheap free free win win click click now"),
+        ],
+        "doc_id long, text string",
+    )
+    curator = CorpusCurator(
+        min_quality=0.0, quality_model=clf, quality_model_min_prob=0.5
+    )
+    out, report = curator.curate(docs)
+    assert report["model_quality_removed"] == 1
+    assert report["final_docs"] == 2
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 2]
+    assert out.filter(F.col("split").isNull()).count() == 0

@@ -51,6 +51,7 @@ def _workloads():
         q_doctext_extract,
         q_ivf_build_search,
         q_pack_sequences,
+        q_quality_classifier,
         q_semantic_dedup,
     )
     from automic_etl_spark.queries.relational import (
@@ -66,6 +67,7 @@ def _workloads():
         "decontaminate": q_decontaminate,
         "dedup_ingest": q_dedup_ingest,
         "semantic_dedup": q_semantic_dedup,
+        "quality_classifier": q_quality_classifier,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
