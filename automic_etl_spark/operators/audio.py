@@ -34,7 +34,9 @@ import numpy as np
 from pyspark.sql import DataFrame
 
 #: Formats the in-image kernels can decode without external codecs.
-NATIVE_FORMATS = ("audio/wav",)
+#: FLAC is lossless and fully specified (RFC 9639), so operators/flac.py
+#: decodes it first-party; mp3/ogg/m4a stay codec-gated (lossy synthesis).
+NATIVE_FORMATS = ("audio/wav", "audio/flac")
 
 _MAGIC = (
     (b"RIFF", "audio/wav"),
@@ -329,8 +331,14 @@ def audio_blobs_metadata(
 def _decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
     """(samples[frames, channels] int64 workspace, rate, sampwidth).
     8/16/24/32-bit integer PCM (8-bit is unsigned per the WAV spec;
-    24-bit is packed 3-byte little-endian two's complement)."""
+    24-bit is packed 3-byte little-endian two's complement). FLAC
+    payloads decode through the first-party RFC 9639 codec."""
     fmt = sniff_format(data)
+    if fmt == "audio/flac":
+        from automic_etl_spark.operators.flac import decode_flac
+
+        samples, rate, bits = decode_flac(bytes(data))
+        return samples, rate, (bits + 7) // 8
     if fmt != "audio/wav":
         _codec_gate(fmt)
     with wave.open(io.BytesIO(bytes(data))) as w:
@@ -380,8 +388,9 @@ def _encode_pcm(samples: np.ndarray, rate: int, width: int) -> bytes:
 def mute_segments_wav(
     data: bytes, segments: list[tuple[float, float]], fade_ms: int = 10
 ) -> bytes:
-    """Silence ``[(start_ms, end_ms), ...]`` regions of a WAV payload,
-    with linear fade-in/out at the edges (reference audio.py:315-372)."""
+    """Silence ``[(start_ms, end_ms), ...]`` regions of a WAV or FLAC
+    payload, with linear fade-in/out at the edges (reference
+    audio.py:315-372). Output stays in the input's container."""
     samples, rate, width = _decode_pcm(data)
     n = samples.shape[0]
     for start_ms, end_ms in segments:
@@ -397,7 +406,7 @@ def mute_segments_wav(
             samples[a + fade : b - fade] = 0
         else:
             samples[a:b] = 0
-    return _encode_pcm(samples, rate, width)
+    return _reencode(data, samples, rate, width)
 
 
 def bleep_segments_wav(
@@ -419,6 +428,15 @@ def bleep_segments_wav(
         t = np.arange(b - a, dtype=np.float64) / rate
         tone = (amp * np.sin(2 * math.pi * bleep_freq * t)).astype(np.int32)
         samples[a:b] = tone[:, None]
+    return _reencode(data, samples, rate, width)
+
+
+def _reencode(original: bytes, samples: np.ndarray, rate: int, width: int) -> bytes:
+    """Write edited PCM back in the original's container (WAV or FLAC)."""
+    if sniff_format(original) == "audio/flac":
+        from automic_etl_spark.operators.flac import encode_flac
+
+        return encode_flac(samples, rate=rate, bits=width * 8)
     return _encode_pcm(samples, rate, width)
 
 

@@ -1,0 +1,514 @@
+"""Pure-stdlib/numpy FLAC codec (RFC 9639): a real PCM decoder for the
+full bitstream — constant / verbatim / fixed / LPC subframes, both Rice
+residual methods with escape partitions, wasted bits, and all four
+stereo decorrelation modes — plus a correct subset ENCODER (fixed
+blocking, independent channels, constant/verbatim/fixed subframes,
+Rice partitions, proper CRC-8/CRC-16) used to synthesize test corpora.
+
+FLAC is lossless, so decode(encode(pcm)) == pcm exactly — the round-trip
+property the test suite leans on — and every decode path the encoder
+cannot emit (LPC, mid/side, escape partitions) is covered by hand-built
+bitstreams with hand-computed expected samples.
+
+This closes the engine's compressed-audio gap natively: mp3/ogg/m4a
+remain honestly codec-gated (lossy transforms need DCT/MDCT synthesis),
+but FLAC blobs now decode in-image, so mute/bleep redaction and PCM
+feature extraraction run on them without external libraries.
+
+Reference analog: connectors/media/audio.py delegates all compressed
+formats to soundfile/pydub; here the container *and* codec layers are
+first-party. Public provenance: RFC 9639 (IETF), format docs at
+xiph.org/flac/format.html.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# bit-level IO
+
+
+class BitReader:
+    """MSB-first bit reader over a bytes object."""
+
+    __slots__ = ("data", "pos")  # pos in BITS
+
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read(self, n: int) -> int:
+        """n-bit unsigned big-endian value."""
+        if n == 0:
+            return 0
+        end = self.pos + n
+        first, last = self.pos >> 3, (end + 7) >> 3
+        if last > len(self.data):
+            raise EOFError("FLAC bitstream truncated")
+        chunk = int.from_bytes(self.data[first:last], "big")
+        val = (chunk >> ((last << 3) - end)) & ((1 << n) - 1)
+        self.pos = end
+        return val
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if n and (v >> (n - 1)) else v
+
+    def read_unary(self) -> int:
+        """Count of 0 bits before the next 1 bit (the 1 is consumed)."""
+        data, pos = self.data, self.pos
+        count = 0
+        # skip whole zero bytes fast
+        byte_i, bit_i = pos >> 3, pos & 7
+        if byte_i >= len(data):
+            raise EOFError("FLAC bitstream truncated in unary code")
+        cur = data[byte_i] & (0xFF >> bit_i)
+        while cur == 0:
+            count += 8 - bit_i
+            byte_i += 1
+            bit_i = 0
+            if byte_i >= len(data):
+                raise EOFError("FLAC bitstream truncated in unary code")
+            cur = data[byte_i]
+        # position of highest set bit in cur
+        top = cur.bit_length() - 1  # bit index from LSB
+        zeros_here = (7 - top) - bit_i
+        count += zeros_here
+        self.pos = (byte_i << 3) + (7 - top) + 1
+        return count
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+class BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        if n == 0:
+            return
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------------------
+# CRCs (RFC 9639 §9.2/9.3: CRC-8 poly 0x07, CRC-16 poly 0x8005, init 0)
+
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+
+
+def crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TABLE[c ^ b]
+    return c
+
+
+def crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16_TABLE[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# shared tables
+
+_FIXED_COEFFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+# frame-header block size codes (value -> samples; 6/7 mean get-from-end)
+_BLOCKSIZE_CODES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608}
+_BLOCKSIZE_CODES.update({n: 256 << (n - 8) for n in range(8, 16)})
+
+_SAMPLE_RATE_CODES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+_SAMPLE_SIZE_CODES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+
+
+def _utf8_coded_number(br: BitReader) -> int:
+    """RFC 9639 §9.1.5 coded number (UTF-8-style, up to 36 bits)."""
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n_extra = 0
+    mask = 0x40
+    while first & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra < 1 or n_extra > 6:
+        raise ValueError("invalid FLAC coded number")
+    val = first & (mask - 1)
+    for _ in range(n_extra):
+        b = br.read(8)
+        if (b >> 6) != 0b10:
+            raise ValueError("invalid FLAC coded number continuation")
+        val = (val << 6) | (b & 0x3F)
+    return val
+
+
+def _write_utf8_coded_number(bw: BitWriter, val: int) -> None:
+    if val < 0x80:
+        bw.write(val, 8)
+        return
+    # minimal-length encoding
+    for n_extra in range(1, 7):
+        payload_bits = 6 - n_extra + 6 * n_extra  # bits in lead + continuations
+        if val < (1 << payload_bits):
+            break
+    lead_bits = 6 - n_extra
+    lead_prefix = (0xFF << (lead_bits + 1)) & 0xFF  # n_extra+1 ones, then 0
+    bw.write(lead_prefix | ((val >> (6 * n_extra)) & ((1 << lead_bits) - 1)), 8)
+    for k in range(n_extra - 1, -1, -1):
+        bw.write(0x80 | ((val >> (6 * k)) & 0x3F), 8)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def _read_residual(br: BitReader, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("reserved FLAC residual method")
+    param_bits = 4 + method
+    escape = (1 << param_bits) - 1
+    part_order = br.read(4)
+    n_parts = 1 << part_order
+    if blocksize % n_parts:
+        raise ValueError("FLAC block size not divisible by partition count")
+    out: list[int] = []
+    for p in range(n_parts):
+        n = (blocksize >> part_order) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("invalid FLAC partition layout")
+        param = br.read(param_bits)
+        if param == escape:
+            raw_bits = br.read(5)
+            if raw_bits:
+                out.extend(br.read_signed(raw_bits) for _ in range(n))
+            else:
+                out.extend([0] * n)
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                v = (q << param) | br.read(param)
+                out.append((v >> 1) ^ -(v & 1))
+    return out
+
+
+def _decode_subframe(br: BitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise ValueError("invalid FLAC subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    bps -= wasted
+
+    if stype == 0:  # CONSTANT
+        samples = [br.read_signed(bps)] * blocksize
+    elif stype == 1:  # VERBATIM
+        samples = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # FIXED, order 0-4
+        order = stype & 0x7
+        samples = [br.read_signed(bps) for _ in range(order)]
+        residual = _read_residual(br, blocksize, order)
+        coeffs = _FIXED_COEFFS[order]
+        for r in residual:
+            pred = sum(c * samples[-j - 1] for j, c in enumerate(coeffs))
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = (stype & 0x1F) + 1
+        samples = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        if precision == 16:
+            raise ValueError("invalid FLAC LPC precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coeffs = [br.read_signed(precision) for _ in range(order)]
+        residual = _read_residual(br, blocksize, order)
+        for r in residual:
+            acc = sum(c * samples[-j - 1] for j, c in enumerate(coeffs))
+            samples.append(r + (acc >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype}")
+
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _skip_metadata(data: bytes) -> tuple[int, dict]:
+    """Returns (offset of first frame, STREAMINFO dict)."""
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    i = 4
+    info: dict = {}
+    while i + 4 <= len(data):
+        header = data[i]
+        btype, last = header & 0x7F, bool(header & 0x80)
+        length = int.from_bytes(data[i + 1 : i + 4], "big")
+        p = i + 4
+        if btype == 0 and length >= 34:
+            packed = int.from_bytes(data[p + 10 : p + 18], "big")
+            info = {
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+            }
+        i = p + length
+        if last:
+            break
+    if not info:
+        raise ValueError("FLAC stream has no STREAMINFO")
+    return i, info
+
+
+def decode_flac(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream to (samples[frames, channels] int64, rate,
+    bits_per_sample). Raises ValueError on malformed streams."""
+    data = bytes(data)
+    offset, info = _skip_metadata(data)
+    br = BitReader(data, offset << 3)
+    n_channels = info["channels"]
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    total = info["total_samples"]
+
+    while (br.pos >> 3) < len(data):
+        if total and len(chans[0]) >= total:
+            break
+        # frame sync: 14 bits 0b11111111111110
+        if br.read(14) != 0x3FFE:
+            raise ValueError("lost FLAC frame sync")
+        br.read(1)  # reserved
+        br.read(1)  # blocking strategy (both handled via coded number)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        chan_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise ValueError("invalid FLAC frame header reserved bit")
+        _utf8_coded_number(br)
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZE_CODES[bs_code]
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        br.read(8)  # header CRC-8 (layout already validated structurally)
+        bps = _SAMPLE_SIZE_CODES.get(ss_code, info["bits"]) if ss_code else info["bits"]
+
+        if chan_code < 8:
+            if chan_code + 1 != n_channels:
+                raise ValueError("FLAC frame channel count mismatch")
+            sub = [_decode_subframe(br, blocksize, bps) for _ in range(n_channels)]
+        elif chan_code in (8, 9, 10):
+            if n_channels != 2:
+                raise ValueError("stereo decorrelation in non-stereo stream")
+            left_extra = 1 if chan_code in (9,) else 0
+            right_extra = 1 if chan_code in (8, 10) else 0
+            c0 = _decode_subframe(br, blocksize, bps + left_extra)
+            c1 = _decode_subframe(br, blocksize, bps + right_extra)
+            if chan_code == 8:  # left/side
+                sub = [c0, [left - side for left, side in zip(c0, c1)]]
+            elif chan_code == 9:  # side/right
+                sub = [[side + right for side, right in zip(c0, c1)], c1]
+            else:  # mid/side
+                left = []
+                right = []
+                for mid, side in zip(c0, c1):
+                    m = (mid << 1) | (side & 1)
+                    left.append((m + side) >> 1)
+                    right.append((m - side) >> 1)
+                sub = [left, right]
+        else:
+            raise ValueError("reserved FLAC channel assignment")
+
+        br.align()
+        br.read(16)  # frame CRC-16
+        for ch, s in zip(chans, sub):
+            ch.extend(s)
+
+    # clamp to decoded length: a forged STREAMINFO total (36 bits) must
+    # not drive a multi-TB allocation before the mismatch is detected
+    n = min(total, len(chans[0])) if total else len(chans[0])
+    out = np.empty((n, n_channels), dtype=np.int64)
+    for c, ch in enumerate(chans):
+        out[:, c] = ch[:n]
+    return out, info["sample_rate"], info["bits"]
+
+
+# ---------------------------------------------------------------------------
+# subset encoder (fixed blocking, independent channels, fixed/verbatim/
+# constant subframes, Rice partitions of order 0) — enough to synthesize
+# valid streams for any PCM input; always lossless.
+
+
+def _best_rice_param(residual: list[int], max_param: int = 14) -> int:
+    if not residual:
+        return 0
+    mean = sum((r << 1) ^ (r >> 63) if r < 0 else (r << 1) for r in residual) / len(
+        residual
+    )
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < max_param:
+        k += 1
+    return k
+
+
+def _encode_subframe(bw: BitWriter, samples: list[int], bps: int) -> None:
+    if all(s == samples[0] for s in samples):
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(0, 1)
+        bw.write(samples[0], bps)
+        return
+    # pick the fixed order (0-2) with the smallest residual magnitude
+    best_order, best_res, best_cost = 0, samples, None
+    for order in range(0, 3):
+        if len(samples) <= order:
+            break
+        coeffs = _FIXED_COEFFS[order]
+        res = [
+            samples[i] - sum(c * samples[i - j - 1] for j, c in enumerate(coeffs))
+            for i in range(order, len(samples))
+        ]
+        cost = sum(abs(r) for r in res)
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    param = _best_rice_param(best_res)
+    rice_bits = sum(
+        (((r << 1) ^ (r >> 63) if r < 0 else (r << 1)) >> param) + 1 + param
+        for r in best_res
+    )
+    if rice_bits >= len(samples) * bps:  # pathological residuals: verbatim
+        bw.write(0, 1)
+        bw.write(1, 6)  # VERBATIM
+        bw.write(0, 1)
+        for s in samples:
+            bw.write(s, bps)
+        return
+    bw.write(0, 1)
+    bw.write(8 | best_order, 6)  # FIXED
+    bw.write(0, 1)  # no wasted bits
+    for s in samples[:best_order]:
+        bw.write(s, bps)
+    bw.write(0, 2)  # residual method 0 (4-bit Rice)
+    bw.write(0, 4)  # partition order 0
+    bw.write(param, 4)
+    for r in best_res:
+        z = (r << 1) ^ (r >> 63) if r < 0 else (r << 1)
+        bw.write_unary(z >> param)
+        bw.write(z, param)
+
+
+def encode_flac(
+    samples: np.ndarray, rate: int = 16000, bits: int = 16, block_size: int = 4096
+) -> bytes:
+    """Encode PCM (frames or frames×channels int array, ≤2 channels here)
+    to a valid FLAC stream: fLaC magic + STREAMINFO + fixed-blocking
+    frames with correct CRC-8/CRC-16. Lossless by construction."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, n_channels = arr.shape
+    if not 1 <= n_channels <= 8:
+        raise ValueError("1-8 channels")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if arr.min() < lo or arr.max() > hi:
+        raise ValueError(f"samples exceed {bits}-bit range")
+
+    # STREAMINFO (34 bytes)
+    packed = (rate << 44) | ((n_channels - 1) << 41) | ((bits - 1) << 36) | n
+    streaminfo = (
+        block_size.to_bytes(2, "big") * 2
+        + (0).to_bytes(3, "big")
+        + (0).to_bytes(3, "big")
+        + packed.to_bytes(8, "big")
+        + b"\x00" * 16  # MD5 unset (permitted: all-zero = unknown)
+    )
+    out = bytearray(b"fLaC")
+    out.append(0x80)  # last-metadata-block, type 0
+    out += len(streaminfo).to_bytes(3, "big")
+    out += streaminfo
+
+    for frame_i, start in enumerate(range(0, n, block_size)):
+        block = arr[start : start + block_size]
+        bs = len(block)
+        hdr = BitWriter()
+        hdr.write(0x3FFE, 14)
+        hdr.write(0, 1)  # reserved
+        hdr.write(0, 1)  # fixed blocking
+        hdr.write(7, 4)  # block size: 16-bit at end
+        hdr.write(0, 4)  # sample rate: from STREAMINFO (covers any rate)
+        hdr.write(n_channels - 1, 4)  # independent channels
+        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits]
+        hdr.write(ss_code, 3)
+        hdr.write(0, 1)
+        _write_utf8_coded_number(hdr, frame_i)
+        hdr.write(bs - 1, 16)
+        hdr.align()
+        hdr_bytes = hdr.bytes()
+        body = BitWriter()
+        for c in range(n_channels):
+            _encode_subframe(body, [int(v) for v in block[:, c]], bits)
+        body.align()
+        frame = hdr_bytes + bytes([crc8(hdr_bytes)]) + body.bytes()
+        out += frame + crc16(frame).to_bytes(2, "big")
+
+    return bytes(out)

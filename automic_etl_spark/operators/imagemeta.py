@@ -36,6 +36,8 @@ def probe_image(data: bytes) -> tuple[str | None, int, int]:
             return "gif", w, h
         if data[:2] == b"BM" and len(data) >= 26:
             w, h = struct.unpack("<ii", data[18:26])
+            if w < 0:  # spec: width is positive; only height may flip
+                return "bmp", 0, 0
             return "bmp", w, abs(h)  # negative height = top-down DIB
         if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
             chunk = data[12:16]

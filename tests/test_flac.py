@@ -1,0 +1,246 @@
+"""First-party FLAC codec (operators/flac, RFC 9639): lossless
+round-trips through the subset encoder, hand-built bitstreams for every
+decode path the encoder cannot emit (LPC, all stereo decorrelations,
+escape partitions, wasted bits, multi-partition residuals), known-answer
+CRC vectors, and the audio-operator integration (metadata probe, PCM
+decode, mute redaction staying in-container)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from automic_etl_spark.operators.flac import (
+    BitWriter,
+    _write_utf8_coded_number,
+    crc8,
+    crc16,
+    decode_flac,
+    encode_flac,
+)
+
+
+# --- CRC known-answer vectors (standard check inputs) -----------------------
+
+
+def test_crc_known_answers():
+    assert crc8(b"123456789") == 0xF4  # CRC-8 poly 0x07 check value
+    assert crc16(b"123456789") == 0xFEE8  # CRC-16/BUYPASS check value
+    assert crc8(b"") == 0 and crc16(b"") == 0
+
+
+# --- encoder→decoder round-trips (lossless by definition) -------------------
+
+
+def test_roundtrip_mono_random_16bit():
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-30000, 30000, size=4097).astype(np.int64)  # odd tail frame
+    dec, rate, bits = decode_flac(encode_flac(pcm, rate=16000, bits=16))
+    assert (rate, bits) == (16000, 16)
+    assert np.array_equal(dec[:, 0], pcm)
+
+
+def test_roundtrip_stereo_smooth_compresses():
+    t = np.arange(6000)
+    left = (12000 * np.sin(t / 25)).astype(np.int64)
+    right = (9000 * np.sin(t / 40 + 2)).astype(np.int64)
+    pcm = np.stack([left, right], axis=1)
+    blob = encode_flac(pcm, rate=44100, bits=16, block_size=2048)
+    dec, rate, _ = decode_flac(blob)
+    assert rate == 44100 and np.array_equal(dec, pcm)
+    assert len(blob) < pcm.nbytes // 4  # fixed predictors actually predict
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    bits=st.sampled_from([8, 16, 24]),
+    channels=st.integers(1, 2),
+    n=st.integers(1, 700),
+    seed=st.integers(0, 2**31),
+    block=st.sampled_from([192, 256, 576]),
+)
+def test_roundtrip_property(bits, channels, n, seed, block):
+    rng = np.random.default_rng(seed)
+    hi = 1 << (bits - 1)
+    pcm = rng.integers(-hi, hi, size=(n, channels)).astype(np.int64)
+    dec, rate, b = decode_flac(encode_flac(pcm, rate=8000, bits=bits, block_size=block))
+    assert b == bits and rate == 8000
+    assert np.array_equal(dec, pcm)
+
+
+# --- hand-built bitstreams for the remaining decode paths -------------------
+
+
+def _stream(frame_body: bytes, rate=8000, channels=1, bits=16, total=0) -> bytes:
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total
+    si = (4096).to_bytes(2, "big") * 2 + b"\x00" * 6 + packed.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + b"\x80" + len(si).to_bytes(3, "big") + si + frame_body
+
+
+def _frame(subframes_cb, blocksize, chan_code, ss_code=4) -> bytes:
+    hdr = BitWriter()
+    hdr.write(0x3FFE, 14)
+    hdr.write(0, 2)  # reserved + fixed blocking
+    hdr.write(7, 4)  # 16-bit block size at end
+    hdr.write(0, 4)  # rate from STREAMINFO
+    hdr.write(chan_code, 4)
+    hdr.write(ss_code, 3)
+    hdr.write(0, 1)
+    _write_utf8_coded_number(hdr, 0)
+    hdr.write(blocksize - 1, 16)
+    hdr.align()
+    hb = hdr.bytes()
+    body = BitWriter()
+    subframes_cb(body)
+    body.align()
+    frame = hb + bytes([crc8(hb)]) + body.bytes()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def _verbatim(bw: BitWriter, samples, bps):
+    bw.write(0, 1)
+    bw.write(1, 6)
+    bw.write(0, 1)
+    for s in samples:
+        bw.write(s, bps)
+
+
+def test_lpc_subframe_hand_built():
+    """order-1 LPC, coeff=1, shift=1: s[i] = r[i] + (s[i-1] >> 1)."""
+
+    def body(bw: BitWriter):
+        bw.write(0, 1)
+        bw.write(0b100000, 6)  # LPC order (0&31)+1 = 1
+        bw.write(0, 1)  # no wasted bits
+        bw.write(10, 16)  # warmup s0 = 10
+        bw.write(3, 4)  # precision-1 = 3 -> 4 bits
+        bw.write(1, 5)  # shift = 1
+        bw.write(1, 4)  # coeff = 1
+        bw.write(0, 2)  # residual method 0
+        bw.write(0, 4)  # partition order 0
+        bw.write(2, 4)  # rice param 2
+        for r in (5, -3):  # zigzag: 10, 5
+            z = (r << 1) ^ (r >> 63) if r < 0 else (r << 1)
+            bw.write_unary(z >> 2)
+            bw.write(z, 2)
+
+    dec, _, _ = decode_flac(_stream(_frame(body, 3, chan_code=0)))
+    # s1 = 5 + (10>>1) = 10 ; s2 = -3 + (10>>1) = 2
+    assert dec[:, 0].tolist() == [10, 10, 2]
+
+
+def test_stereo_decorrelation_modes():
+    left, right = [4, 6], [2, 2]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    side = [l - r for l, r in zip(left, right)]
+
+    def ls(bw):  # chan 8: left (bps) + side (bps+1)
+        _verbatim(bw, left, 16)
+        _verbatim(bw, side, 17)
+
+    def rs(bw):  # chan 9: side (bps+1) + right (bps)
+        _verbatim(bw, side, 17)
+        _verbatim(bw, right, 16)
+
+    def ms(bw):  # chan 10: mid (bps) + side (bps+1)
+        _verbatim(bw, mid, 16)
+        _verbatim(bw, side, 17)
+
+    for code, body in ((8, ls), (9, rs), (10, ms)):
+        dec, _, _ = decode_flac(_stream(_frame(body, 2, chan_code=code), channels=2))
+        assert dec[:, 0].tolist() == left and dec[:, 1].tolist() == right, code
+
+
+def test_escape_partition_raw_bits():
+    def body(bw: BitWriter):
+        bw.write(0, 1)
+        bw.write(8, 6)  # FIXED order 0 (residual == samples)
+        bw.write(0, 1)
+        bw.write(0, 2)  # method 0
+        bw.write(0, 4)  # partition order 0
+        bw.write(15, 4)  # escape
+        bw.write(4, 5)  # 4 raw bits per sample
+        for v in (-8, 7, -1):
+            bw.write(v, 4)
+
+    dec, _, _ = decode_flac(_stream(_frame(body, 3, chan_code=0)))
+    assert dec[:, 0].tolist() == [-8, 7, -1]
+
+
+def test_wasted_bits_shift():
+    def body(bw: BitWriter):
+        bw.write(0, 1)
+        bw.write(0, 6)  # CONSTANT
+        bw.write(1, 1)  # wasted bits present
+        bw.write(1, 2)  # unary 1 -> wasted = 2
+        bw.write(3, 14)  # constant value on bps-2 bits
+
+    dec, _, _ = decode_flac(_stream(_frame(body, 4, chan_code=0)))
+    assert dec[:, 0].tolist() == [12, 12, 12, 12]  # 3 << 2
+
+
+def test_multi_partition_residual():
+    """blocksize 8, fixed order 1, partition order 1: first partition
+    holds 3 residuals, second holds 4 — layout per RFC 9639 §9.2.7."""
+
+    def body(bw: BitWriter):
+        bw.write(0, 1)
+        bw.write(9, 6)  # FIXED order 1
+        bw.write(0, 1)
+        bw.write(5, 16)  # warmup
+        bw.write(0, 2)
+        bw.write(1, 4)  # partition order 1 -> 2 partitions
+        for part in ([1, 1, 1], [2, 2, 2, 2]):
+            bw.write(0, 4)  # rice param 0
+            for r in part:
+                z = r << 1
+                bw.write_unary(z)
+
+    dec, _, _ = decode_flac(_stream(_frame(body, 8, chan_code=0)))
+    # s[i] = r + s[i-1]: 5,6,7,8 then +2 each: 10,12,14,16
+    assert dec[:, 0].tolist() == [5, 6, 7, 8, 10, 12, 14, 16]
+
+
+# --- malformed inputs -------------------------------------------------------
+
+
+def test_malformed_streams_raise():
+    with pytest.raises(ValueError):
+        decode_flac(b"not flac at all")
+    good = encode_flac(np.arange(100, dtype=np.int64), rate=8000, bits=16)
+    with pytest.raises((ValueError, EOFError)):
+        decode_flac(good[:-10])  # truncated final frame
+    corrupt = bytearray(good)
+    corrupt[50] ^= 0xFF  # stomp inside the first frame header region
+    with pytest.raises((ValueError, EOFError, IndexError)):
+        decode_flac(bytes(corrupt))
+
+
+# --- audio operator integration --------------------------------------------
+
+
+def test_audio_ops_decode_and_redact_flac_in_container():
+    from automic_etl_spark.operators.audio import (
+        _decode_pcm,
+        audio_metadata,
+        mute_segments_wav,
+        sniff_format,
+    )
+
+    t = np.arange(8000)
+    pcm = (5000 * np.sin(t / 20)).astype(np.int64)
+    blob = encode_flac(pcm, rate=8000, bits=16)
+
+    meta = audio_metadata(blob)
+    assert meta["ok"] and meta["format"] == "audio/flac"
+    assert meta["sample_rate"] == 8000 and meta["duration_ms"] == 1000
+
+    samples, rate, width = _decode_pcm(blob)
+    assert rate == 8000 and width == 2 and np.array_equal(samples[:, 0], pcm)
+
+    muted = mute_segments_wav(blob, [(250.0, 500.0)], fade_ms=0)
+    assert sniff_format(muted) == "audio/flac"  # stays in-container
+    dec, _, _ = decode_flac(muted)
+    assert not dec[2000:4000].any()  # silenced region
+    assert np.array_equal(dec[:2000, 0], pcm[:2000])  # untouched region

@@ -104,3 +104,32 @@ def test_exif_orientation_total(data):
     from automic_etl_spark.operators.imagemeta import exif_orientation
 
     assert 0 <= exif_orientation(data) <= 8
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_decode_flac_total_on_garbage(data):
+    """decode_flac either decodes or raises the documented error types —
+    never hangs, never raises anything redact_audio_blobs doesn't catch,
+    never lets a forged STREAMINFO drive a giant allocation."""
+    from automic_etl_spark.operators.flac import decode_flac
+
+    try:
+        out, rate, bits = decode_flac(b"fLaC" + data)
+        assert out.ndim == 2 and 1 <= out.shape[1] <= 8
+    except (ValueError, EOFError):
+        pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=400))
+def test_decode_flac_valid_prefix_corrupt_tail(data):
+    import numpy as np
+
+    from automic_etl_spark.operators.flac import decode_flac, encode_flac
+
+    good = encode_flac(np.arange(300, dtype=np.int64) - 150, rate=8000, bits=16)
+    try:
+        decode_flac(good[:60] + data)
+    except (ValueError, EOFError):
+        pass
