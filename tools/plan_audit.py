@@ -64,8 +64,24 @@ def _asof_plan(spark, sf_dir):
     return q_asof_join(spark, sf_dir)
 
 
+def _semantic_dedup_plan(spark, sf_dir):
+    """SemDeDup's pair stage must stay an equi-join partitioned on
+    centroid_id: the lazy checkpoint on the scored set truncates the
+    k-means lineage, so no cartesian/nested-loop join may survive into
+    the pair plan."""
+    from automic_etl_spark.io import load_table
+    from automic_etl_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup(emb, n_clusters=4, iterations=2)
+
+
 # audits over plans all_queries() can't expose (operator internals)
 CUSTOM: dict[str, tuple] = {
+    "semantic_dedup_pairs": (
+        _semantic_dedup_plan,
+        {"must": [], "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    ),
     "ivf_seed_centroids": (
         _ivf_seed_plan,
         {"must": ["TakeOrderedAndProject"], "must_not": ["Window", "row_number"]},
