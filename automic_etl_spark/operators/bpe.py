@@ -1,0 +1,190 @@
+"""Byte-pair-encoding subword tokenizer (Sennrich et al. 2016,
+arXiv:1508.07909): TRAIN on a bounded corpus sample driver-side — the
+standard practice; production tokenizers are fit on a sample, never the
+full corpus — then APPLY distributed as an Arrow-batched ``mapInPandas``
+with the (small) merge table closure-broadcast.
+
+This upgrades the engine's token accounting from the whitespace
+approximation (textops.token_count) to real subword counts: sequence
+packing takes them via its ``count_col`` hook, so training-sequence
+budgets line up with what an actual model's tokenizer would produce.
+
+Determinism contract: merge selection is (max pair frequency, then
+lexicographically smallest pair), so the same sample always yields the
+same merge table on any machine; encoding is the standard lowest-rank
+greedy merge loop with an end-of-word marker.
+
+Scale shape: training cost is O(sample); application is a map-only
+stage (per-word LRU-less dict cache inside each Arrow batch), no
+shuffle, linear over a 100 TB corpus. No reference counterpart
+(beyond-reference training-data mandate).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterable, Iterator
+
+from pyspark.sql import DataFrame
+
+EOW = "</w>"
+
+
+def train_bpe(
+    texts: Iterable[str],
+    num_merges: int = 200,
+    min_frequency: int = 2,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Learn up to ``num_merges`` merges from an in-memory sample.
+    Stops early when no pair reaches ``min_frequency``."""
+    words: Counter = Counter()
+    for t in texts:
+        if not t:
+            continue
+        if lowercase:
+            t = t.lower()
+        words.update(t.split())
+
+    seqs = {w: tuple(w) + (EOW,) for w in words}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += cnt
+        if not pairs:
+            break
+        max_count = max(pairs.values())
+        if max_count < min_frequency:
+            break
+        best = min(p for p, c in pairs.items() if c == max_count)
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        for w, s in seqs.items():
+            if a not in s:  # cheap reject before the rebuild
+                continue
+            out = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+    return merges
+
+
+def train_bpe_from_df(
+    docs: DataFrame,
+    text_col: str = "text",
+    sample_rows: int = 10_000,
+    num_merges: int = 200,
+    min_frequency: int = 2,
+    lowercase: bool = True,
+) -> list[tuple[str, str]]:
+    """Fit the merge table on a BOUNDED sample of the corpus (limit +
+    collect — the one deliberate driver materialization, capped by
+    ``sample_rows``)."""
+    rows = docs.select(text_col).limit(sample_rows).collect()
+    return train_bpe(
+        (r[0] or "" for r in rows),
+        num_merges=num_merges,
+        min_frequency=min_frequency,
+        lowercase=lowercase,
+    )
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy lowest-rank merging of one word's symbols (standard BPE
+    apply loop)."""
+    symbols = list(word) + [EOW]
+    while len(symbols) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        merged = symbols[best_i] + symbols[best_i + 1]
+        a, b = symbols[best_i], symbols[best_i + 1]
+        # merge every occurrence of the chosen pair in one sweep
+        out = []
+        i = 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def encode_text(
+    text: str, merges: list[tuple[str, str]], lowercase: bool = True
+) -> list[str]:
+    ranks = {p: i for i, p in enumerate(merges)}
+    if lowercase:
+        text = text.lower()
+    out: list[str] = []
+    cache: dict[str, list[str]] = {}
+    for w in text.split():
+        if w not in cache:
+            cache[w] = encode_word(w, ranks)
+        out.extend(cache[w])
+    return out
+
+
+BPE_SCHEMA = "doc_id long, n_bpe_tokens long, n_bpe_unique long"
+
+
+def bpe_token_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens, n_bpe_unique) via one Arrow-batched pass.
+    Feed ``n_bpe_tokens`` to pack_sequences(count_col=...) for
+    real-tokenizer sequence budgets. The merge table rides the closure
+    (a few KB for typical vocab sizes — never corpus-sized state)."""
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            n_tok, n_uniq = [], []
+            for t in pdf[text_col]:
+                t = (t or "") if isinstance(t, str) or t is None else str(t)
+                if lowercase:
+                    t = t.lower()
+                total = 0
+                uniq: set[str] = set()
+                for w in t.split():
+                    if w not in cache:
+                        cache[w] = encode_word(w, ranks)
+                    toks = cache[w]
+                    total += len(toks)
+                    uniq.update(toks)
+                n_tok.append(total)
+                n_uniq.append(len(uniq))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bpe_tokens": n_tok,
+                    "n_bpe_unique": n_uniq,
+                }
+            )
+
+    return docs.mapInPandas(batches, BPE_SCHEMA)

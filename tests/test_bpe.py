@@ -1,0 +1,99 @@
+"""BPE tokenizer (operators/bpe): the published worked example pins the
+merge order, encoding matches a driver-side reference everywhere, and
+the token counts feed sequence packing through count_col."""
+
+from __future__ import annotations
+
+from automic_etl_spark.operators.bpe import (
+    encode_text,
+    encode_word,
+    train_bpe,
+    train_bpe_from_df,
+    bpe_token_stats,
+)
+
+
+def _classic_corpus() -> list[str]:
+    # Sennrich et al. 2016's worked example: low x5, lower x2,
+    # newest x6, widest x3
+    return ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+
+
+def test_classic_merge_order_is_the_published_one():
+    merges = train_bpe(_classic_corpus(), num_merges=5)
+    assert merges == [
+        ("e", "s"),  # freq 9, lexicographic winner of the 9-way tie
+        ("es", "t"),  # 9
+        ("est", "</w>"),  # 9
+        ("l", "o"),  # 7
+        ("lo", "w"),  # 7
+    ]
+
+
+def test_encode_uses_learned_subwords():
+    merges = train_bpe(_classic_corpus(), num_merges=5)
+    # "lowest" never appeared, but its pieces did: l+o->lo, lo+w->low,
+    # e+s->es, es+t->est, est+</w> — two learned subwords cover it
+    assert encode_text("lowest", merges) == ["low", "est</w>"]
+    assert encode_text("low lowest", merges) == ["low", "</w>", "low", "est</w>"]
+    # unknown characters survive as single symbols
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert encode_word("xyz", ranks) == ["x", "y", "z", "</w>"]
+
+
+def test_min_frequency_stops_training():
+    merges = train_bpe(["ab"], num_merges=50, min_frequency=2)
+    assert merges == []  # every pair occurs once
+    merges = train_bpe(["ab", "ab"], num_merges=50, min_frequency=2)
+    assert ("a", "b") in merges
+
+
+def test_distributed_stats_match_driver_reference(spark):
+    texts = [
+        (1, "the lowest slower low low"),
+        (2, "newest widest lowest"),
+        (3, ""),
+        (4, None),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    merges = train_bpe(_classic_corpus() + ["the", "the", "slower", "slower"], 30)
+    got = {
+        r["doc_id"]: (r["n_bpe_tokens"], r["n_bpe_unique"])
+        for r in bpe_token_stats(docs, merges).collect()
+    }
+    for doc_id, text in texts:
+        toks = encode_text(text or "", merges)
+        assert got[doc_id] == (len(toks), len(set(toks))), doc_id
+
+
+def test_counts_feed_sequence_packing(spark):
+    from pyspark.sql import functions as F
+
+    from automic_etl_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "low lower newest widest " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(_classic_corpus(), 10)
+    counted = docs.join(
+        bpe_token_stats(docs, merges).select("doc_id", "n_bpe_tokens"), "doc_id"
+    )
+    packed = pack_sequences(
+        counted, seq_tokens=64, num_shards=1, count_col="n_bpe_tokens"
+    )
+    rows = packed.collect()
+    # n_tokens column now carries the REAL subword counts
+    by_id = {r["doc_id"]: r for r in rows}
+    base = len(encode_text("low lower newest widest", merges))
+    for i in range(6):
+        assert by_id[i]["n_tokens"] == base * (i + 1)
+    assert packed.filter(F.col("seq_id").isNull()).count() == 0
+
+
+def test_train_from_df_bounded_sample(spark):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_classic_corpus())], "doc_id long, text string"
+    )
+    merges = train_bpe_from_df(docs, sample_rows=1000, num_merges=5)
+    assert merges == train_bpe(_classic_corpus(), num_merges=5)
