@@ -7,7 +7,10 @@ dataset actually runs, composed from the engine's operators.
                             connected components → keep cluster minimum)
       → fuzzy dedup        (optional: blocked edit-distance collapse of a
                             name-like column — operators/fuzzy)
-      → quality filter     (length/stopword/punctuation composite)
+      → semantic dedup     (optional: SemDeDup over doc embeddings —
+                            operators/similarity.semantic_dedup)
+      → quality filter     (length/stopword/punctuation composite,
+                            then an optional trained classifier gate)
       → decontamination    (optional: drop docs sharing n-grams with a
                             benchmark set — operators/decontam)
       → per-group caps     (optional: quota sampling by source/language)
@@ -54,6 +57,11 @@ class CorpusCurator:
     fuzzy_col: str | None = None
     fuzzy_max_distance: int = 2
     fuzzy_block: str = "prefix"
+    # semantic dedup (SemDeDup): needs a per-doc embedding DataFrame
+    # passed to curate(embeddings=...); n_clusters None disables the stage
+    semantic_clusters: int | None = None
+    semantic_min_cosine_ppm: int = 950_000
+    semantic_iterations: int = 3
     # model-based quality gate: a FITTED operators.qualityml
     # .QualityClassifier applied after the heuristic filters (the
     # FineWeb-Edu/DCLM stage order: cheap rules first, model last);
@@ -72,6 +80,7 @@ class CorpusCurator:
         id_col: str = "doc_id",
         text_col: str = "text",
         benchmark: DataFrame | None = None,
+        embeddings: DataFrame | None = None,
     ) -> tuple[DataFrame, dict]:
         """Returns (curated DataFrame with quality + split columns,
         per-stage report). Deterministic: every removal keeps the
@@ -123,6 +132,29 @@ class CorpusCurator:
             )
             report["fuzzy_dups_removed"] = before - near_keep.count()
 
+        # 2c. optional semantic dedup over document embeddings
+        report["semantic_dups_removed"] = 0
+        if embeddings is not None and self.semantic_clusters:
+            from automic_etl_spark.operators.similarity import semantic_dedup
+
+            before = (
+                report["input_docs"]
+                - report["exact_dups_removed"]
+                - report["near_dups_removed"]
+                - report["fuzzy_dups_removed"]
+            )
+            emb = embeddings.join(near_keep.select(id_col), id_col, "left_semi")
+            dropped = semantic_dedup(
+                emb,
+                n_clusters=self.semantic_clusters,
+                iterations=self.semantic_iterations,
+                min_cosine_ppm=self.semantic_min_cosine_ppm,
+                id_col=id_col,
+                vec_col="embedding",
+            ).filter(~F.col("kept")).select(id_col)
+            near_keep = near_keep.join(dropped, id_col, "left_anti")
+            report["semantic_dups_removed"] = before - near_keep.count()
+
         # 3. quality filter
         scored = text_quality(near_keep, text_col)
         kept = scored.filter(F.col("quality_score") >= self.min_quality)
@@ -131,6 +163,7 @@ class CorpusCurator:
             - report["exact_dups_removed"]
             - report["near_dups_removed"]
             - report["fuzzy_dups_removed"]
+            - report["semantic_dups_removed"]
             - kept.count()
         )
 
@@ -183,7 +216,7 @@ class CorpusCurator:
 
             before = report["input_docs"] - report["exact_dups_removed"] \
                 - report["near_dups_removed"] - report["fuzzy_dups_removed"] \
-                - report["low_quality_removed"]
+                - report["semantic_dups_removed"] - report["low_quality_removed"]
             kept = decontaminate(
                 kept, benchmark, n=self.decontam_ngram,
                 min_hits=self.decontam_min_hits, id_col=id_col, text_col=text_col,
@@ -198,7 +231,8 @@ class CorpusCurator:
 
             before = report["input_docs"] - report["exact_dups_removed"] \
                 - report["near_dups_removed"] - report["fuzzy_dups_removed"] \
-                - report["low_quality_removed"] - report["contaminated_removed"]
+                - report["semantic_dups_removed"] - report["low_quality_removed"] \
+                - report["contaminated_removed"]
             kept = sample_per_group(
                 kept, list(self.group_cols), self.group_cap, id_col=id_col
             )
@@ -213,6 +247,7 @@ class CorpusCurator:
             - report["exact_dups_removed"]
             - report["near_dups_removed"]
             - report["fuzzy_dups_removed"]
+            - report["semantic_dups_removed"]
             - report["low_quality_removed"]
             - report["contaminated_removed"]
             - report["group_cap_removed"]

@@ -147,3 +147,33 @@ def test_bench_workload_collapses_replica_families(spark):
     # for families split across cluster boundaries
     assert row["n_kept"] <= 900
     assert row["n_kept"] >= 500  # never drops below one per family
+
+
+def test_corpus_curator_semantic_stage(spark):
+    """SemDeDup slots in as CorpusCurator stage 2c: embedding-duplicate
+    docs collapse to one survivor and the report arithmetic holds."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with distinct content body {i}") for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    dirs = {
+        1: [1.0, 0.0, 0.0, 0.0],
+        2: [2.0, 0.0, 0.0, 0.0],  # same direction as 1: semantic dup
+        3: [0.0, 1.0, 0.0, 0.0],
+        4: [0.0, 0.0, 1.0, 0.0],
+        5: [0.0, 0.0, 0.0, 1.0],
+        6: [0.0, 1.0, 1.0, 0.0],
+    }
+    emb = spark.createDataFrame(
+        [(k, v) for k, v in dirs.items()], "doc_id long, embedding array<double>"
+    )
+    curator = CorpusCurator(
+        min_quality=0.0, semantic_clusters=2, semantic_min_cosine_ppm=999_000
+    )
+    out, report = curator.curate(docs, embeddings=emb)
+    assert report["semantic_dups_removed"] == 1
+    kept_ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 2 not in kept_ids and 1 in kept_ids  # tie-break keeps min id
+    assert report["final_docs"] == 5 == len(kept_ids)
