@@ -52,6 +52,8 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_doctext_extract,
     q_ivf_build_search,
     q_pack_sequences,
+    q_bpe_tokenize,
+    q_flac_decode,
     q_quality_classifier,
     q_semantic_dedup,
 )
@@ -80,6 +82,8 @@ HEADLINE = {
     "dedup_ingest": q_dedup_ingest,
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,
+    "flac_decode": q_flac_decode,
+    "bpe_tokenize": q_bpe_tokenize,
 }
 
 

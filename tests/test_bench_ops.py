@@ -59,3 +59,33 @@ def test_ivf_build_search_topk(spark):
     assert cosines == sorted(cosines, reverse=True)
     # the query vector itself lives in a probed cell -> exact self-match
     assert cosines[0] == 1.0
+
+
+def test_flac_decode_bench_checksum(spark):
+    """Every synthesized FLAC blob decodes to its full PCM length, and
+    the checksum is reproducible (deterministic synthesis + lossless
+    codec)."""
+    from automic_etl_spark.queries.bench_ops import q_flac_decode
+
+    a = q_flac_decode(spark, SF_SMALL).first()
+    assert a["n_blobs"] == 500
+    assert a["total_frames"] == 500 * 4000
+    b = q_flac_decode(spark, SF_SMALL).first()
+    assert a["checksum"] == b["checksum"]
+
+
+def test_bpe_tokenize_bench_totals(spark):
+    from automic_etl_spark.queries.bench_ops import q_bpe_tokenize
+
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    row = q_bpe_tokenize(spark, SF_SMALL).first()
+    assert row["n_docs"] == n_docs
+    # subword counts are at least the whitespace word counts
+    from pyspark.sql import functions as F
+
+    n_words = (
+        load_table(spark, SF_SMALL, "documents")
+        .agg(F.sum(F.size(F.split(F.trim("text"), "\\s+"))).alias("w"))
+        .first()["w"]
+    )
+    assert row["total_tokens"] >= n_words
