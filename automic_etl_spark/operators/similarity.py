@@ -536,3 +536,182 @@ def semantic_dedup(
         "centroid_sim_ppm",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def incremental_embedding_near_dup(
+    new_emb: DataFrame,
+    index_emb: DataFrame | None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    min_cosine_ppm: int = 950_000,
+) -> DataFrame:
+    """Continuous-ingestion SEMANTIC near-dup detection — the embedding
+    twin of operators.dedup.incremental_near_dup: flag NEW vectors whose
+    cosine reaches the threshold against the persisted embedding index,
+    or against an EARLIER vector of the same batch (earlier-only within
+    the batch, so exactly one of a mutual pair is flagged and the batch
+    keeps one representative).
+
+    Candidates come from a sign-LSH bucket equi-join (vectors this
+    similar agree on most sign bits; small n_planes keeps recall high),
+    verified with the exact fused cosine on candidates only. Broadcast
+    direction is the scale-critical part: the index is O(corpus) and only
+    grows, so the (small) NEW batch broadcasts and the index STREAMS —
+    the index is never the child of a BroadcastExchange.
+
+    Returns (id_col, dup_of, cosine_ppm): one row per flagged new vector
+    with its best match (highest cosine, then lowest dup_of id).
+    """
+    def pre(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            _norm(F.col(vec_col)).alias(f"{prefix}_norm"),
+            sign_bucket(F.col(vec_col), n_planes).alias("bucket"),
+        )
+
+    new_side = pre(new_emb, "n")
+    against = pre(new_emb, "x").withColumn("x_is_index", F.lit(False))
+    if index_emb is not None:
+        against = against.unionByName(
+            pre(index_emb, "x").withColumn("x_is_index", F.lit(True))
+        )
+    cos_ppm = (
+        F.round(
+            _dot(F.col("n_vec"), F.col("x_vec"))
+            / (F.col("n_norm") * F.col("x_norm"))
+            * 1000000
+        ).cast("long")
+    )
+    scored = (
+        F.broadcast(new_side)
+        .join(against, "bucket")
+        .filter(F.col("x_is_index") | (F.col("x_id") < F.col("n_id")))
+        .select(
+            F.col("n_id").alias(id_col),
+            F.col("x_id").alias("dup_of"),
+            cos_ppm.alias("cosine_ppm"),
+        )
+        .filter(F.col("cosine_ppm") >= F.lit(min_cosine_ppm))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(
+        F.col("cosine_ppm").desc(), F.col("dup_of").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def semantic_dedup_lsh(
+    emb: DataFrame,
+    n_planes: int = 8,
+    min_cosine_ppm: int = 950_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup's 100 TB form: identical dedup semantics to
+    ``semantic_dedup`` but with sign-LSH buckets as the clusters and the
+    quantized bucket MEAN as each cluster's centroid, so every stage is
+    LINEAR in the corpus.
+
+    Why this variant exists (round-5 scale finding): flat k-means
+    assignment costs O(rows × clusters) per Lloyd iteration. Keeping the
+    expected cluster size constant — which the in-cluster pairwise prune
+    requires — means clusters ∝ rows, so assignment is O(rows²/size):
+    the 10× stress measured the k-means variant at 6× wall for 10× data
+    and the term only grows. Sign-LSH bucketing assigns in O(rows ×
+    n_planes), bucket means cost one aggregation, and bucket count
+    scales as 2^n_planes — pick ``n_planes ≈ log2(rows / target_size)``
+    and the whole operator is one shuffle by bucket plus the bounded
+    pairwise verify. Recall trade: near-dup pairs split across
+    hamming-adjacent buckets escape the prune (small n_planes keeps this
+    rare for cosine ≥ 0.95 pairs) — same trade as
+    ``embedding_near_duplicates``; the k-means variant remains the
+    quality path for bounded corpora.
+
+    Rank/prune rule, quantization, and return shape match
+    ``semantic_dedup`` exactly: (id_col, bucket, centroid_sim_ppm,
+    kept), dominance = (centroid_sim_ppm ASC, id ASC), integer-ppm
+    arithmetic throughout, DuckDB-replayable bit for bit."""
+    emb = emb.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__n")
+    ).select(
+        F.col(id_col),
+        F.when(
+            F.col("__n") > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__n")),
+        )
+        .otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double")))
+        .alias(vec_col),
+    )
+    bucketed = emb.withColumn("bucket", sign_bucket(F.col(vec_col), n_planes))
+    # quantized bucket centroid — the exact integer-mean construction of
+    # ivf_build, so the oracle replays it with the same SQL shape
+    cents = (
+        bucketed.select("bucket", F.posexplode(F.col(vec_col)).alias("__p", "__v"))
+        .groupBy("bucket", "__p")
+        .agg(
+            F.sum(F.round(F.col("__v") * 1000000).cast("long")).alias("__s"),
+            F.count(F.lit(1)).alias("__c"),
+        )
+        .select(
+            "bucket",
+            "__p",
+            (F.col("__s").cast("double") / F.col("__c") / F.lit(1000000.0)).alias("__m"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__p", "__m"))).alias("__pm")
+        )
+        .select(
+            "bucket", F.transform(F.col("__pm"), lambda s: s["__m"]).alias("centroid")
+        )
+    )
+    scored = (
+        bucketed.join(cents, "bucket")
+        .select(
+            F.col(id_col),
+            F.col("bucket"),
+            F.col(vec_col),
+            F.round(
+                cosine_similarity_col(F.col(vec_col), F.col("centroid")) * 1000000
+            )
+            .cast("long")
+            .alias("centroid_sim_ppm"),
+            _norm(F.col(vec_col)).alias("__norm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pair_cos_ppm = F.round(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a.__norm") * F.col("b.__norm"))
+        * 1000000
+    ).cast("long")
+    a_outranks_b = (
+        F.col("a.centroid_sim_ppm") < F.col("b.centroid_sim_ppm")
+    ) | (
+        (F.col("a.centroid_sim_ppm") == F.col("b.centroid_sim_ppm"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    dropped = (
+        a.join(b, F.col("a.bucket") == F.col("b.bucket"))
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .filter(a_outranks_b)
+        .filter(pair_cos_ppm >= F.lit(min_cosine_ppm))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return scored.join(
+        dropped.withColumn("__dropped", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "bucket",
+        "centroid_sim_ppm",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )

@@ -162,12 +162,20 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over an executor-side inflated embedding corpus: each
     harness vector plus 4 deterministically-jittered replicas (genuine
-    semantic near-dups, cos ≈ 1), clustered with 32-way k-means and
-    pruned in-cluster. The replicas should collapse onto one survivor
-    per family; the reduce is the kept/dropped tally. Jitter is a pure
-    Catalyst transform (sin of id × component index) — no UDF, no
-    driver-side corpus."""
-    from automic_etl_spark.operators.similarity import semantic_dedup
+    semantic near-dups, cos ≈ 1), bucketed and pruned with the
+    LINEAR-scale LSH variant. The replicas should collapse onto one
+    survivor per family; the reduce is the kept/dropped tally. Jitter is
+    a pure Catalyst transform (sin of id × component index) — no UDF, no
+    driver-side corpus.
+
+    This workload benches semantic_dedup_lsh, the 100 TB path: the
+    k-means variant's assignment stage is O(rows × clusters), which the
+    round-5 stress measured at 6.2× wall for 10× data once clusters
+    scale with the corpus (see PERFORMANCE.md); the k-means core itself
+    stays benched via ivf_build_search."""
+    import math
+
+    from automic_etl_spark.operators.similarity import semantic_dedup_lsh
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     replicas = [
@@ -184,17 +192,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     for rep in replicas:
         corpus = corpus.unionByName(rep)
-    # n_clusters scales with the corpus (the operator's documented
-    # contract: expected cluster size stays ~constant, so the in-cluster
-    # pairwise work grows LINEARLY with rows — with a fixed cluster
-    # count it would grow quadratically and the 10x stress would
-    # correctly flag it)
+    # n_planes scales with the corpus so the expected bucket size stays
+    # ~constant: bucket count 2^planes ∝ rows keeps the in-bucket
+    # pairwise verify linear, and LSH assignment is O(rows × planes)
     n_vectors = corpus.count()
-    flagged = semantic_dedup(
-        corpus,
-        n_clusters=max(32, n_vectors // 300),
-        iterations=2,
-        min_cosine_ppm=990_000,
+    planes = max(5, math.ceil(math.log2(max(2, n_vectors // 300))))
+    flagged = semantic_dedup_lsh(
+        corpus, n_planes=planes, min_cosine_ppm=990_000
     )
     return flagged.agg(
         F.count(F.lit(1)).alias("n_vectors"),

@@ -193,3 +193,99 @@ class StreamingDeduper:
         if trigger_once:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class EmbeddingDeduper:
+    """Micro-batch SEMANTIC dedup-on-ingest — the embedding twin of
+    ``StreamingDeduper``: each batch of (id, embedding) rows is checked
+    against the persisted embedding index with
+    ``operators.similarity.incremental_embedding_near_dup`` (sign-LSH
+    bucket candidates, exact cosine verify; batch broadcasts, the
+    O(corpus) index STREAMS), survivors append to the index, flagged
+    near-dups divert to quarantine. The index doubles as the corpus
+    table here — one row per kept vector, append-only under the
+    streaming checkpoint's exactly-once-per-batch contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_path: str,
+        quarantine_path: str | None = None,
+        id_col: str = "doc_id",
+        vec_col: str = "embedding",
+        n_planes: int = 4,
+        min_cosine_ppm: int = 950_000,
+    ):
+        self.spark = spark
+        self.index_path = index_path
+        self.quarantine_path = quarantine_path
+        self.id_col, self.vec_col = id_col, vec_col
+        self.n_planes = n_planes
+        self.min_cosine_ppm = min_cosine_ppm
+
+    def _index(self) -> DataFrame | None:
+        if not os.path.isdir(self.index_path):
+            return None
+        return self.spark.read.parquet(self.index_path).select(
+            self.id_col, self.vec_col
+        )
+
+    def process_batch(self, batch: DataFrame, epoch_id: int = 0) -> dict:
+        from automic_etl_spark.operators.similarity import (
+            incremental_embedding_near_dup,
+        )
+
+        batch = batch.select(self.id_col, self.vec_col).cache()
+        if batch.isEmpty():
+            return {"in": 0, "kept": 0, "near_dups": 0}
+
+        flagged = incremental_embedding_near_dup(
+            batch,
+            self._index(),
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            n_planes=self.n_planes,
+            min_cosine_ppm=self.min_cosine_ppm,
+        ).cache()
+        survivors = batch.join(
+            F.broadcast(flagged.select(self.id_col)), self.id_col, "left_anti"
+        )
+        # materialize BEFORE the append: the index read in this lineage
+        # lists parquet files at execution time (same read-after-append
+        # hazard as StreamingDeduper; checkpoint cuts the lineage)
+        survivors = survivors.localCheckpoint(eager=True)
+        quarantined = None
+        if self.quarantine_path is not None:
+            quarantined = flagged.localCheckpoint(eager=True)
+
+        tallies = {
+            r["__k"]: r["c"]
+            for r in (
+                batch.select(F.lit("in").alias("__k"))
+                .unionAll(survivors.select(F.lit("kept").alias("__k")))
+                .groupBy("__k")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+        }
+        n_in, n_kept = int(tallies.get("in", 0)), int(tallies.get("kept", 0))
+
+        survivors.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(self.index_path)
+        if quarantined is not None and not quarantined.isEmpty():
+            quarantined.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+                "append"
+            ).parquet(self.quarantine_path)
+        return {"in": n_in, "kept": n_kept, "near_dups": n_in - n_kept}
+
+    def attach(self, stream: DataFrame, checkpoint: str, trigger_once: bool = True):
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.process_batch(batch_df, epoch_id)
+
+        writer = stream.writeStream.foreachBatch(sink).option(
+            "checkpointLocation", checkpoint
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()

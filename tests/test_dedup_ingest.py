@@ -118,3 +118,92 @@ def test_streaming_host_end_to_end(spark, tmp_path):
 
     kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "docs")).collect()}
     assert kept == {1, 3}
+
+
+# --- semantic (embedding) dedup-on-ingest ----------------------------------
+
+
+def _vec(*coords):
+    return [float(c) for c in coords]
+
+
+def test_embedding_deduper_batches_and_index_growth(spark, tmp_path):
+    from automic_etl_spark.streaming.dedup_ingest import EmbeddingDeduper
+
+    d = EmbeddingDeduper(
+        spark,
+        index_path=str(tmp_path / "emb_index"),
+        quarantine_path=str(tmp_path / "emb_quarantine"),
+        min_cosine_ppm=990_000,
+    )
+    # batch 0: four orthogonal directions + an in-batch duplicate of id 1
+    b0 = spark.createDataFrame(
+        [
+            (1, _vec(1, 0, 0, 0)),
+            (2, _vec(0, 1, 0, 0)),
+            (3, _vec(0, 0, 1, 0)),
+            (4, _vec(0, 0, 0, 1)),
+            (5, _vec(2, 0, 0, 0)),  # same direction as 1 -> in-batch dup
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    r0 = d.process_batch(b0, 0)
+    assert r0 == {"in": 5, "kept": 4, "near_dups": 1}
+
+    # batch 1: replay of an indexed direction + one genuinely new one
+    b1 = spark.createDataFrame(
+        [
+            (10, _vec(0, 3, 0, 0)),  # dup of indexed id 2
+            (11, _vec(-1, 0, 0, 0)),  # opposite direction: cosine -1, new
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    r1 = d.process_batch(b1, 1)
+    assert r1 == {"in": 2, "kept": 1, "near_dups": 1}
+
+    index = spark.read.parquet(str(tmp_path / "emb_index"))
+    assert {r["doc_id"] for r in index.collect()} == {1, 2, 3, 4, 11}
+    q = spark.read.parquet(str(tmp_path / "emb_quarantine"))
+    flags = {r["doc_id"]: r["dup_of"] for r in q.collect()}
+    assert flags == {5: 1, 10: 2}
+
+
+def test_embedding_index_side_never_broadcasts(spark, tmp_path):
+    """Same direction guard as the MinHash path: the O(corpus) embedding
+    index must stream; only the micro-batch side broadcasts."""
+    from automic_etl_spark.operators.similarity import (
+        incremental_embedding_near_dup,
+    )
+    from automic_etl_spark.plans.broadcast_audit import (
+        assert_never_broadcast,
+        first_broadcast_ancestor,
+        physical_plan,
+    )
+    from automic_etl_spark.streaming.dedup_ingest import EmbeddingDeduper
+
+    d = EmbeddingDeduper(spark, index_path=str(tmp_path / "emb_index"))
+    seed = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(64)],
+        "doc_id long, embedding array<double>",
+    )
+    d.process_batch(seed, 0)
+    batch = spark.createDataFrame(
+        [(100 + i, [float(i), 1.0, 2.0, 3.0]) for i in range(8)],
+        "doc_id long, embedding array<double>",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024 * 1024))
+    try:
+        flagged = incremental_embedding_near_dup(
+            batch, d._index(), id_col="doc_id"
+        )
+        # the plan renderer truncates long paths, so match on the tmp dir
+        # (the index scan is the only file source in this plan)
+        assert_never_broadcast(flagged, str(tmp_path))
+        # non-vacuous: the BATCH side is broadcast somewhere in this plan
+        plan = physical_plan(flagged)
+        assert "BroadcastExchange" in plan
+        # and the index participates from the streamed side of that join
+        assert "join" in first_broadcast_ancestor(plan, str(tmp_path))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

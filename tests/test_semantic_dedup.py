@@ -177,3 +177,96 @@ def test_corpus_curator_semantic_stage(spark):
     kept_ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
     assert 2 not in kept_ids and 1 in kept_ids  # tie-break keeps min id
     assert report["final_docs"] == 5 == len(kept_ids)
+
+
+def test_lsh_variant_differential_oracle(spark):
+    """The linear-scale LSH variant replayed end-to-end in DuckDB:
+    sign-bucket assignment, quantized bucket-mean centroids, and the
+    identical dominance prune — row-for-row equality."""
+    from automic_etl_spark.operators.similarity import semantic_dedup_lsh
+    from automic_etl_spark.queries.dedup_sim import _bucket_sql
+
+    n_planes, thr = 5, 350_000
+
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    got = {
+        r["vec_id"]: (r["bucket"], r["centroid_sim_ppm"], r["kept"])
+        for r in semantic_dedup_lsh(
+            emb, n_planes=n_planes, min_cosine_ppm=thr
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW embeddings AS
+        SELECT vec_id,
+               CASE WHEN n > 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / n)
+                    ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END
+                 AS embedding
+        FROM (
+          SELECT vec_id, embedding,
+                 sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (acc, v) -> acc + v)) AS n
+          FROM read_parquet('{SF_SMALL}/embeddings.parquet')
+        )
+        """
+    )
+    oracle = con.execute(
+        f"""
+        WITH b AS (
+          SELECT vec_id, embedding, {_bucket_sql('embedding', n_planes)} AS bucket
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT bucket, list(m ORDER BY p) AS centroid FROM (
+            SELECT bucket, p, CAST(CAST(s AS BIGINT) AS DOUBLE) / c / 1000000.0 AS m
+            FROM (
+              SELECT b.bucket, t.i AS p,
+                     sum(CAST(round(b.embedding[t.i] * 1000000) AS BIGINT)) AS s,
+                     count(*) AS c
+              FROM b CROSS JOIN UNNEST(generate_series(1, len(b.embedding))) AS t(i)
+              GROUP BY b.bucket, t.i
+            )
+          ) GROUP BY bucket
+        ),
+        scored AS (
+          SELECT b.vec_id, b.bucket, b.embedding,
+                 CAST(round({_cos_sql('b.embedding', 'c.centroid')} * 1000000) AS BIGINT)
+                   AS centroid_sim_ppm
+          FROM b JOIN cent c USING (bucket)
+        ),
+        dropped AS (
+          SELECT DISTINCT y.vec_id
+          FROM scored x JOIN scored y USING (bucket)
+          WHERE x.vec_id <> y.vec_id
+            AND (x.centroid_sim_ppm < y.centroid_sim_ppm
+                 OR (x.centroid_sim_ppm = y.centroid_sim_ppm AND x.vec_id < y.vec_id))
+            AND CAST(round({_cos_sql('x.embedding', 'y.embedding')} * 1000000) AS BIGINT)
+                  >= {thr}
+        )
+        SELECT s.vec_id, s.bucket, s.centroid_sim_ppm, d.vec_id IS NULL AS kept
+        FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+        """
+    ).fetchall()
+    want = {v: (bk, s, k) for v, bk, s, k in oracle}
+    assert got == want
+    assert any(not k for _, _, k in want.values())
+
+
+def test_lsh_variant_planted_families(spark):
+    """Scaled copies share a bucket after normalization; one survivor
+    per family, orthogonal directions untouched."""
+    from automic_etl_spark.operators.similarity import semantic_dedup_lsh
+
+    rows = [
+        (c, [1.0 * (c + 1), 0.0, 0.0, 0.0]) for c in range(3)
+    ] + [
+        (10 + c, [0.0, 2.0 * (c + 1), 0.0, 0.0]) for c in range(3)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_lsh(emb, n_planes=4, min_cosine_ppm=999_000).collect()
+    kept = sorted(r["vec_id"] for r in out if r["kept"])
+    assert kept == [0, 10]
