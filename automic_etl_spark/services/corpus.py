@@ -58,10 +58,14 @@ class CorpusCurator:
     fuzzy_max_distance: int = 2
     fuzzy_block: str = "prefix"
     # semantic dedup (SemDeDup): needs a per-doc embedding DataFrame
-    # passed to curate(embeddings=...); n_clusters None disables the stage
+    # passed to curate(embeddings=...); n_clusters None disables the stage.
+    # method "kmeans" = quality path for bounded corpora; "lsh" = the
+    # linear 100 TB path (semantic_clusters then sets the TARGET bucket
+    # count: n_planes = ceil(log2(clusters)))
     semantic_clusters: int | None = None
     semantic_min_cosine_ppm: int = 950_000
     semantic_iterations: int = 3
+    semantic_method: str = "kmeans"
     # model-based quality gate: a FITTED operators.qualityml
     # .QualityClassifier applied after the heuristic filters (the
     # FineWeb-Edu/DCLM stage order: cheap rules first, model last);
@@ -135,7 +139,12 @@ class CorpusCurator:
         # 2c. optional semantic dedup over document embeddings
         report["semantic_dups_removed"] = 0
         if embeddings is not None and self.semantic_clusters:
-            from automic_etl_spark.operators.similarity import semantic_dedup
+            import math
+
+            from automic_etl_spark.operators.similarity import (
+                semantic_dedup,
+                semantic_dedup_lsh,
+            )
 
             before = (
                 report["input_docs"]
@@ -144,14 +153,24 @@ class CorpusCurator:
                 - report["fuzzy_dups_removed"]
             )
             emb = embeddings.join(near_keep.select(id_col), id_col, "left_semi")
-            dropped = semantic_dedup(
-                emb,
-                n_clusters=self.semantic_clusters,
-                iterations=self.semantic_iterations,
-                min_cosine_ppm=self.semantic_min_cosine_ppm,
-                id_col=id_col,
-                vec_col="embedding",
-            ).filter(~F.col("kept")).select(id_col)
+            if self.semantic_method == "lsh":
+                flagged = semantic_dedup_lsh(
+                    emb,
+                    n_planes=max(1, math.ceil(math.log2(self.semantic_clusters))),
+                    min_cosine_ppm=self.semantic_min_cosine_ppm,
+                    id_col=id_col,
+                    vec_col="embedding",
+                )
+            else:
+                flagged = semantic_dedup(
+                    emb,
+                    n_clusters=self.semantic_clusters,
+                    iterations=self.semantic_iterations,
+                    min_cosine_ppm=self.semantic_min_cosine_ppm,
+                    id_col=id_col,
+                    vec_col="embedding",
+                )
+            dropped = flagged.filter(~F.col("kept")).select(id_col)
             near_keep = near_keep.join(dropped, id_col, "left_anti")
             report["semantic_dups_removed"] = before - near_keep.count()
 

@@ -270,3 +270,30 @@ def test_lsh_variant_planted_families(spark):
     out = semantic_dedup_lsh(emb, n_planes=4, min_cosine_ppm=999_000).collect()
     kept = sorted(r["vec_id"] for r in out if r["kept"])
     assert kept == [0, 10]
+
+
+def test_corpus_curator_semantic_lsh_method(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body {i}") for i in range(1, 5)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [3.0, 0.0, 0.0, 0.0]),  # dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    curator = CorpusCurator(
+        min_quality=0.0,
+        semantic_clusters=16,
+        semantic_min_cosine_ppm=999_000,
+        semantic_method="lsh",
+    )
+    out, report = curator.curate(docs, embeddings=emb)
+    assert report["semantic_dups_removed"] == 1
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 3, 4]
