@@ -247,7 +247,11 @@ def q_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from automic_etl_spark.operators.flac import decode_flac, encode_flac
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(500)
+    # repartition after the limit: limit() collapses to one partition,
+    # which would serialize the whole codec workload onto a single core
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id").limit(500).repartition(32)
+    )
 
     def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
