@@ -1,0 +1,147 @@
+"""Exact-substring duplication signals — the distributed approximation
+of suffix-array substring dedup (Lee et al. 2021, arXiv:2107.06499:
+remove exact duplicate spans of >= ~50 tokens; the RefinedWeb/FineWeb
+pipelines apply the same idea with hashed rolling windows).
+
+Construction: every ``window``-token window of every document is hashed;
+a window key occurring more than once corpus-wide marks an exactly
+repeated span. Per document the operator reports how much of it is
+covered by repeated spans — the curation signal used either to drop
+boilerplate-heavy documents or to locate the spans for surgical removal.
+
+Scale shape: one explode (tokens x 1/stride rows), one hash-shuffle on
+the window key to count occurrences, one semi-join back, and a per-doc
+interval-union window for the coverage fraction — no pairwise document
+comparison anywhere, so cost is linear in corpus token count. The
+window hash is md5 over the joined token slice (O(window) per position,
+oracle-portable); swapping in a polynomial rolling hash drops the
+constant but not the shape.
+
+No reference counterpart (beyond-reference training-data mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+
+def repeated_window_signals(
+    docs: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """Per-document exact-substring duplication report:
+
+    - ``n_tokens``        whitespace token count
+    - ``n_windows``       number of hashed windows in the document
+    - ``dup_window_ppm``  fraction of windows whose exact token span
+                          occurs >= min_occurrences times corpus-wide
+    - ``dup_token_ppm``   fraction of TOKENS covered by at least one
+                          repeated window (interval union of the flagged
+                          [start, start+window) spans)
+
+    Documents shorter than ``window`` tokens report zero windows and
+    zero duplication (nothing to match exactly at this span length).
+    Integer-ppm outputs keep the operator oracle-comparable bit for bit.
+    """
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("n_tokens"),
+    )
+    # window start positions 0, stride, 2*stride, ... <= n_tokens-window
+    starts = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - window, F.lit(0))),
+            lambda i: i,
+        ),
+        lambda i: (i % stride == 0) & (i + window <= F.col("n_tokens")),
+    )
+    exploded = (
+        base.filter(F.col("n_tokens") >= window)
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.explode(starts).alias("__start"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.col("__start"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__toks"), F.col("__start") + 1, window), " "
+                )
+            ).alias("__wkey"),
+        )
+    )
+    # corpus-wide occurrence counts; only repeated keys survive
+    dup_keys = (
+        exploded.groupBy("__wkey")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_occurrences)
+        .select("__wkey")
+    )
+    flagged = exploded.join(dup_keys, "__wkey", "left_semi")
+
+    # interval union per doc: tokens covered by >=1 flagged window
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy(F.col("__start").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    covered = (
+        flagged.withColumn(
+            "__prev_end", F.max(F.col("__start") + window).over(w_prev)
+        )
+        .withColumn(
+            "__new",
+            F.greatest(
+                F.lit(0),
+                (F.col("__start") + window)
+                - F.greatest(F.coalesce(F.col("__prev_end"), F.lit(0)), F.col("__start")),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_dup_windows"),
+            F.sum("__new").alias("__covered_tokens"),
+        )
+    )
+    totals = exploded.groupBy(id_col, "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_windows")
+    )
+    out = (
+        base.select(id_col, "n_tokens")
+        .join(totals.drop("n_tokens"), id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce(F.col("n_windows"), F.lit(0)).alias("n_windows"),
+            F.when(
+                F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+                F.coalesce(F.col("__n_dup_windows"), F.lit(0))
+                * F.lit(1000000)
+                / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_window_ppm"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce(F.col("__covered_tokens"), F.lit(0))
+                * F.lit(1000000)
+                / F.col("n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_token_ppm"),
+        )
+    )
+    return out

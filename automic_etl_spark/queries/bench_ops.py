@@ -300,3 +300,22 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bpe_tokens").alias("total_tokens"),
         F.sum("n_bpe_unique").alias("total_unique"),
     )
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signals over a double-ingested slice
+    of the documents table (so repeated spans genuinely exist): one
+    explode + one window-key shuffle + per-doc interval union, reduced
+    to corpus totals."""
+    from automic_etl_spark.operators.substrdup import repeated_window_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.unionByName(
+        docs.filter("doc_id % 3 = 0").selectExpr("doc_id + 10000000 AS doc_id", "text")
+    )
+    sig = repeated_window_signals(both, window=20)
+    return sig.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_windows").alias("total_windows"),
+        F.sum(F.when(F.col("dup_token_ppm") > 0, 1).otherwise(0)).alias("n_docs_with_dups"),
+    )

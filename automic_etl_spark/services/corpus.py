@@ -50,6 +50,11 @@ class CorpusCurator:
     # Gopher-style repetition cap: drop docs whose duplicate-bigram
     # occurrence fraction exceeds this (ppm); None disables the stage
     max_dup_2gram_ppm: int | None = None
+    # exact-substring cap (Lee et al. 2021): drop docs where repeated
+    # >=substr_window-token spans cover more than this fraction (ppm);
+    # None disables the stage
+    max_dup_token_ppm: int | None = None
+    substr_window: int = 50
     # require the composite Gopher document-shape pass (textops)
     require_gopher: bool = False
     # fuzzy dedup: collapse near-identical values of this column (e.g. a
@@ -228,6 +233,23 @@ class CorpusCurator:
             ).drop("quality_prob")
             report["model_quality_removed"] = before - kept.count()
             report["low_quality_removed"] += report["model_quality_removed"]
+
+        # 3d. optional exact-substring duplication cap (cross-doc spans)
+        if self.max_dup_token_ppm is not None:
+            from automic_etl_spark.operators.substrdup import (
+                repeated_window_signals,
+            )
+
+            before = kept.count()
+            heavy = repeated_window_signals(
+                kept.select(id_col, text_col),
+                window=self.substr_window,
+                id_col=id_col,
+                text_col=text_col,
+            ).filter(F.col("dup_token_ppm") > self.max_dup_token_ppm)
+            kept = kept.join(F.broadcast(heavy.select(id_col)), id_col, "left_anti")
+            report["substring_dup_removed"] = before - kept.count()
+            report["low_quality_removed"] += report["substring_dup_removed"]
 
         # 4. optional benchmark decontamination (pre-training hygiene)
         if benchmark is not None:

@@ -56,6 +56,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_flac_decode,
     q_quality_classifier,
     q_semantic_dedup,
+    q_substring_dedup,
 )
 
 HEADLINE = {
@@ -84,6 +85,7 @@ HEADLINE = {
     "quality_classifier": q_quality_classifier,
     "flac_decode": q_flac_decode,
     "bpe_tokenize": q_bpe_tokenize,
+    "substring_dedup": q_substring_dedup,
 }
 
 

@@ -1,0 +1,147 @@
+"""Exact-substring duplication signals (operators/substrdup): hand-built
+corpora with hand-computed coverage, interval-union edge cases, and a
+full driver-side reference differential over the harness documents."""
+
+from __future__ import annotations
+
+import hashlib
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators.substrdup import repeated_window_signals
+from tests.conftest import SF_SMALL
+
+
+def _rows(df):
+    return {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_windows"],
+            r["dup_window_ppm"],
+            r["dup_token_ppm"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_shared_span_between_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x x a b c d q"),
+            (3, "a b"),  # shorter than the window: no windows
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(repeated_window_signals(docs, window=4))
+    # doc 1: windows [abcd][bcde][cdef], "a b c d" repeats in doc 2
+    assert got[1] == (6, 3, 333333, 666666)  # 1/3 windows, 4/6 tokens
+    assert got[2] == (7, 4, 250000, 571428)  # 1/4 windows, 4/7 tokens
+    assert got[3] == (2, 0, 0, 0)
+
+
+def test_internal_repetition_fully_covered(spark):
+    docs = spark.createDataFrame(
+        [(9, "p q r s " * 3)], "doc_id long, text string"
+    )
+    got = _rows(repeated_window_signals(docs, window=4))
+    # every cyclic 4-window occurs >= 2 times inside the doc itself
+    assert got[9] == (12, 9, 1000000, 1000000)
+
+
+def test_overlapping_spans_union_not_double_counted(spark):
+    # two docs sharing two OVERLAPPING windows: coverage is the union
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e z z"),
+            (2, "q a b c d e q"),
+        ],
+        "doc_id long, text string",
+    )
+    got = _rows(repeated_window_signals(docs, window=4))
+    # shared spans: [a b c d] and [b c d e] -> union covers tokens 0..4 (5)
+    assert got[1][3] == 5 * 1000000 // 7
+    assert got[2][3] == 5 * 1000000 // 7
+
+
+def _reference(texts, window, min_occ=2):
+    """Driver-side reference implementation (dict + interval sweep)."""
+    toks = {i: (t or "").split() for i, t in texts}
+    occ: dict[str, int] = {}
+    for i, ts in toks.items():
+        for s in range(0, max(len(ts) - window + 1, 0)):
+            k = hashlib.md5(" ".join(ts[s : s + window]).encode()).hexdigest()
+            occ[k] = occ.get(k, 0) + 1
+    out = {}
+    for i, ts in toks.items():
+        n = len(ts)
+        wins = [
+            s
+            for s in range(0, max(n - window + 1, 0))
+            if occ[
+                hashlib.md5(" ".join(ts[s : s + window]).encode()).hexdigest()
+            ]
+            >= min_occ
+        ]
+        n_windows = max(n - window + 1, 0) if n >= window else 0
+        covered = 0
+        prev_end = 0
+        for s in wins:
+            covered += max(0, (s + window) - max(prev_end, s))
+            prev_end = max(prev_end, s + window)
+        out[i] = (
+            n,
+            n_windows,
+            int(len(wins) * 1000000 / n_windows) if n_windows else 0,
+            int(covered * 1000000 / n) if n else 0,
+        )
+    return out
+
+
+def test_differential_vs_reference_on_harness_docs(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    # double-ingest slice so the corpus genuinely contains repeats
+    both = docs.filter("doc_id < 200").unionByName(
+        docs.filter("doc_id >= 150 AND doc_id < 250").selectExpr(
+            "doc_id + 100000 AS doc_id", "text"
+        )
+    )
+    got = _rows(repeated_window_signals(both, window=12))
+    want = _reference(
+        [(r["doc_id"], r["text"]) for r in both.collect()], window=12
+    )
+    assert got == want
+    # the double-ingest makes the signal non-vacuous
+    assert any(v[2] > 0 for v in want.values())
+
+
+def test_corpus_curator_substring_cap(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    boiler = "terms of service apply to all users of this site every day"
+    docs = spark.createDataFrame(
+        [
+            (1, "completely original content about a specific topic here now"),
+            (2, boiler + " extra a"),
+            (3, boiler + " extra b"),
+        ],
+        "doc_id long, text string",
+    )
+    curator = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=0.99,
+        max_dup_token_ppm=500_000, substr_window=8,
+    )
+    out, report = curator.curate(docs)
+    # docs 2+3 share an 11-token boilerplate prefix: > 50% covered
+    assert report["substring_dup_removed"] == 2
+    assert [r["doc_id"] for r in out.select("doc_id").collect()] == [1]
+
+
+def test_bench_workload_counts(spark):
+    from automic_etl_spark.queries.bench_ops import q_substring_dedup
+
+    row = q_substring_dedup(spark, SF_SMALL).first()
+    # 500 + every-3rd replica
+    assert row["n_docs"] == 500 + 167
+    # replicas + their originals, minus docs shorter than the window
+    # (they carry zero windows and cannot register exact spans)
+    assert row["n_docs_with_dups"] >= 300

@@ -76,10 +76,23 @@ def _semantic_dedup_plan(spark, sf_dir):
     return semantic_dedup(emb, n_clusters=4, iterations=2)
 
 
+def _semantic_dedup_lsh_plan(spark, sf_dir):
+    """The linear-scale LSH variant must keep the same equi-join shape."""
+    from automic_etl_spark.io import load_table
+    from automic_etl_spark.operators.similarity import semantic_dedup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup_lsh(emb, n_planes=5)
+
+
 # audits over plans all_queries() can't expose (operator internals)
 CUSTOM: dict[str, tuple] = {
     "semantic_dedup_pairs": (
         _semantic_dedup_plan,
+        {"must": [], "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
+    ),
+    "semantic_dedup_lsh_pairs": (
+        _semantic_dedup_lsh_plan,
         {"must": [], "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},
     ),
     "ivf_seed_centroids": (
