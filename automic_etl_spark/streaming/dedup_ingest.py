@@ -168,7 +168,9 @@ class StreamingDeduper:
             "append"
         ).parquet(self.docs_path)
         index_rows.write.mode("append").parquet(self.index_path)
-        if quarantined is not None and not quarantined.isEmpty():
+        # dup count derives from the tallies (quarantined = batch minus
+        # survivors by construction) — no extra isEmpty job per batch
+        if quarantined is not None and n_in - n_kept > 0:
             quarantined.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
                 "append"
             ).parquet(self.quarantine_path)
@@ -273,7 +275,8 @@ class EmbeddingDeduper:
         survivors.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
             "append"
         ).parquet(self.index_path)
-        if quarantined is not None and not quarantined.isEmpty():
+        # flagged count = in - kept by construction; no isEmpty job
+        if quarantined is not None and n_in - n_kept > 0:
             quarantined.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
                 "append"
             ).parquet(self.quarantine_path)
