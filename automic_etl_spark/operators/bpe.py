@@ -188,3 +188,130 @@ def bpe_token_stats(
             )
 
     return docs.mapInPandas(batches, BPE_SCHEMA)
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic closed vocabulary for a merge table: <unk>=0, then
+    every symbol the merges can produce or consume (operands and their
+    concatenations), sorted. Apply-time symbols outside it (unseen
+    characters) map to <unk>."""
+    symbols: set[str] = {EOW}
+    for a, b in merges:
+        symbols.update((a, b, a + b))
+    return {"<unk>": 0, **{s: i for i, s in enumerate(sorted(symbols), start=1)}}
+
+
+IDS_SCHEMA = "doc_id long, input_ids array<int>, n_bpe_tokens long"
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(doc_id, input_ids, n_bpe_tokens): the integer-id form of the
+    corpus under ``bpe_vocab(merges)`` — one Arrow-batched map-only
+    pass, merge table + vocab riding the closure."""
+    import pandas as pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[int]] = {}
+        for pdf in it:
+            ids_col, counts = [], []
+            for t in pdf[text_col]:
+                t = t or ""
+                if lowercase:
+                    t = t.lower()
+                ids: list[int] = []
+                for w in t.split():
+                    if w not in cache:
+                        cache[w] = [
+                            vocab.get(s, 0) for s in encode_word(w, ranks)
+                        ]
+                    ids.extend(cache[w])
+                ids_col.append(ids)
+                counts.append(len(ids))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "input_ids": ids_col,
+                    "n_bpe_tokens": counts,
+                }
+            )
+
+    return docs.mapInPandas(batches, IDS_SCHEMA)
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    seq_tokens: int = 2048,
+    num_shards: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    truncate: bool = False,
+) -> DataFrame:
+    """The terminal emission step of the training-data pipeline: encode
+    every document to BPE ids, pack documents into token-budget
+    sequences (operators.packing semantics: greedy in id order per
+    shard, REAL subword counts via count_col), and concatenate each
+    sequence's documents in packing order into one ``input_ids`` array.
+
+    Returns (seq_id, input_ids, n_tokens, n_docs). Packing never splits
+    a document, so a sequence can overflow its budget by up to one
+    document's tail; ``truncate=True`` clips each sequence to exactly
+    ``seq_tokens`` ids (the standard fixed-length training layout —
+    tokens beyond the clip are the packing fill cost).
+
+    Scale shape: encode is map-only; packing is one shard shuffle + a
+    per-shard window; the concatenation is a groupBy(seq_id) whose state
+    per group is bounded by ~seq_tokens ids (plus the last doc's tail).
+    """
+    from pyspark.sql import functions as F
+
+    from automic_etl_spark.operators.packing import pack_sequences
+
+    # one encode pass produces both the ids and the packing counts; with
+    # count_col set, pack_sequences never touches a text column
+    encoded = bpe_encode_ids(docs, merges, id_col=id_col, text_col=text_col)
+    packed = pack_sequences(
+        encoded,
+        seq_tokens=seq_tokens,
+        num_shards=num_shards,
+        id_col=id_col,
+        count_col="n_bpe_tokens",
+    )
+    seqs = (
+        packed.groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("seq_offset", F.col(id_col), "input_ids"))
+                    ),
+                    lambda s: s["input_ids"],
+                )
+            ).alias("input_ids"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "seq_id",
+            (
+                F.slice(F.col("input_ids"), 1, seq_tokens)
+                if truncate
+                else F.col("input_ids")
+            ).alias("input_ids"),
+            F.size(
+                F.slice(F.col("input_ids"), 1, seq_tokens)
+                if truncate
+                else F.col("input_ids")
+            ).alias("n_tokens"),
+            "n_docs",
+        )
+    )
+    return seqs

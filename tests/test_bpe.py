@@ -97,3 +97,66 @@ def test_train_from_df_bounded_sample(spark):
     )
     merges = train_bpe_from_df(docs, sample_rows=1000, num_merges=5)
     assert merges == train_bpe(_classic_corpus(), num_merges=5)
+
+
+def test_vocab_ids_roundtrip_strings(spark):
+    from automic_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+
+    merges = train_bpe(_classic_corpus(), 10)
+    vocab = bpe_vocab(merges)
+    inv = {v: k for k, v in vocab.items()}
+    docs = spark.createDataFrame(
+        [(1, "low lowest"), (2, "zebra")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["input_ids"] for r in bpe_encode_ids(docs, merges).collect()}
+    # id sequence decodes back to the subword sequence
+    assert [inv[i] for i in got[1]] == encode_text("low lowest", merges)
+    # characters outside the training alphabet map to <unk>=0
+    assert 0 in got[2]
+
+
+def test_materialize_sequences_concatenation_order(spark):
+    from automic_etl_spark.operators.bpe import (
+        bpe_vocab,
+        encode_text,
+        materialize_sequences,
+        train_bpe,
+    )
+
+    merges = train_bpe(_classic_corpus(), 10)
+    vocab = bpe_vocab(merges)
+    docs = spark.createDataFrame(
+        [(i, "low lower newest") for i in range(1, 5)], "doc_id long, text string"
+    )
+    per_doc = [vocab.get(s, 0) for s in encode_text("low lower newest", merges)]
+    n = len(per_doc)
+    # budget fits exactly two docs per sequence
+    seqs = {
+        r["seq_id"]: r
+        for r in materialize_sequences(
+            docs, merges, seq_tokens=2 * n, num_shards=1
+        ).collect()
+    }
+    assert len(seqs) == 2
+    for r in seqs.values():
+        assert r["n_docs"] == 2
+        assert r["input_ids"] == per_doc + per_doc  # doc order preserved
+        assert r["n_tokens"] == 2 * n
+
+
+def test_materialize_truncate_clips_overflow(spark):
+    from automic_etl_spark.operators.bpe import materialize_sequences, train_bpe
+
+    merges = train_bpe(_classic_corpus(), 10)
+    docs = spark.createDataFrame(
+        [(1, "low " * 30), (2, "newest " * 30)], "doc_id long, text string"
+    )
+    out = materialize_sequences(
+        docs, merges, seq_tokens=50, num_shards=1, truncate=True
+    ).collect()
+    assert all(r["n_tokens"] <= 50 for r in out)
+    assert all(len(r["input_ids"]) == r["n_tokens"] for r in out)
