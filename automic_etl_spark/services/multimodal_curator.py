@@ -1,0 +1,171 @@
+"""Multimodal curation pipeline: the image/audio/video counterpart of
+services.corpus.CorpusCurator, composed from the header-level media
+kernels — every decision is made from container metadata BEFORE any
+pixel/PCM decode, which is exactly the culling order a 100 TB
+multimodal ingest needs (decode only what survives).
+
+    blob table (doc_id, _content_bytes)
+      → exact dedup        (md5 of the payload, keep min id)
+      → probe              (imagemeta / audio / videometa header parse)
+      → corrupt quarantine (ok=false rows)
+      → shape gates        (resolution/aspect/format; duration bounds;
+                            dimension bounds)
+
+Each stage is a DataFrame transformation; the report costs one count
+per stage boundary. Reference analog: the per-media connectors
+(connectors/media/*) validate files one at a time driver-side; here the
+same decisions run as Arrow-batched distributed passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _exact_dedup(blobs: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    w = Window.partitionBy(F.md5(F.col(content_col)))
+    return (
+        blobs.withColumn("__keep", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+@dataclass
+class MultimodalCurator:
+    # image gates
+    min_width: int = 64
+    min_height: int = 64
+    max_aspect_ratio: float | None = 4.0
+    image_formats: tuple[str, ...] | None = None
+    # audio gates (ms)
+    min_audio_ms: int = 200
+    max_audio_ms: int | None = None
+    # video gates
+    min_video_ms: int = 500
+    max_video_ms: int | None = None
+    min_video_width: int = 64
+    min_video_height: int = 64
+
+    def curate_images(
+        self,
+        blobs: DataFrame,
+        id_col: str = "doc_id",
+        content_col: str = "_content_bytes",
+    ) -> tuple[DataFrame, dict]:
+        """Returns (surviving blob rows joined with their probed
+        metadata, per-stage report)."""
+        from automic_etl_spark.operators.imagemeta import (
+            image_blobs_to_meta,
+            resolution_filter,
+        )
+
+        report = {"input_blobs": blobs.count()}
+        deduped = _exact_dedup(blobs, id_col, content_col)
+        report["exact_dups_removed"] = report["input_blobs"] - deduped.count()
+
+        meta = image_blobs_to_meta(deduped, id_col=id_col, content_col=content_col)
+        probed = deduped.join(meta.drop("content_size"), id_col)
+        ok = probed.filter(F.col("ok"))
+        report["corrupt_removed"] = (
+            report["input_blobs"] - report["exact_dups_removed"] - ok.count()
+        )
+        kept = ok.filter(
+            resolution_filter(
+                min_width=self.min_width,
+                min_height=self.min_height,
+                max_aspect_ratio=self.max_aspect_ratio,
+                formats=self.image_formats,
+            )
+        )
+        report["shape_removed"] = (
+            report["input_blobs"]
+            - report["exact_dups_removed"]
+            - report["corrupt_removed"]
+            - kept.count()
+        )
+        report["final_blobs"] = (
+            report["input_blobs"]
+            - report["exact_dups_removed"]
+            - report["corrupt_removed"]
+            - report["shape_removed"]
+        )
+        return kept, report
+
+    def curate_audio(
+        self,
+        blobs: DataFrame,
+        id_col: str = "doc_id",
+        content_col: str = "_content_bytes",
+    ) -> tuple[DataFrame, dict]:
+        from automic_etl_spark.operators.audio import audio_blobs_metadata
+
+        report = {"input_blobs": blobs.count()}
+        deduped = _exact_dedup(blobs, id_col, content_col)
+        report["exact_dups_removed"] = report["input_blobs"] - deduped.count()
+
+        meta = audio_blobs_metadata(deduped, id_col=id_col, content_col=content_col)
+        probed = deduped.join(meta.drop("file_size_bytes"), id_col)
+        ok = probed.filter(F.col("ok"))
+        report["corrupt_removed"] = (
+            report["input_blobs"] - report["exact_dups_removed"] - ok.count()
+        )
+        cond = F.col("duration_ms") >= self.min_audio_ms
+        if self.max_audio_ms is not None:
+            cond = cond & (F.col("duration_ms") <= self.max_audio_ms)
+        kept = ok.filter(cond)
+        report["shape_removed"] = (
+            report["input_blobs"]
+            - report["exact_dups_removed"]
+            - report["corrupt_removed"]
+            - kept.count()
+        )
+        report["final_blobs"] = (
+            report["input_blobs"]
+            - report["exact_dups_removed"]
+            - report["corrupt_removed"]
+            - report["shape_removed"]
+        )
+        return kept, report
+
+    def curate_video(
+        self,
+        blobs: DataFrame,
+        id_col: str = "doc_id",
+        content_col: str = "_content_bytes",
+    ) -> tuple[DataFrame, dict]:
+        from automic_etl_spark.operators.videometa import video_blobs_to_meta
+
+        report = {"input_blobs": blobs.count()}
+        deduped = _exact_dedup(blobs, id_col, content_col)
+        report["exact_dups_removed"] = report["input_blobs"] - deduped.count()
+
+        meta = video_blobs_to_meta(deduped, id_col=id_col, content_col=content_col)
+        probed = deduped.join(meta.drop("content_size"), id_col)
+        ok = probed.filter(F.col("ok"))
+        report["corrupt_removed"] = (
+            report["input_blobs"] - report["exact_dups_removed"] - ok.count()
+        )
+        cond = (
+            (F.col("duration_ms") >= self.min_video_ms)
+            & (F.col("width") >= self.min_video_width)
+            & (F.col("height") >= self.min_video_height)
+        )
+        if self.max_video_ms is not None:
+            cond = cond & (F.col("duration_ms") <= self.max_video_ms)
+        kept = ok.filter(cond)
+        report["shape_removed"] = (
+            report["input_blobs"]
+            - report["exact_dups_removed"]
+            - report["corrupt_removed"]
+            - kept.count()
+        )
+        report["final_blobs"] = (
+            report["input_blobs"]
+            - report["exact_dups_removed"]
+            - report["corrupt_removed"]
+            - report["shape_removed"]
+        )
+        return kept, report

@@ -1,0 +1,108 @@
+"""MultimodalCurator: header-only curation pipelines over image / audio
+/ video blob tables — dedup, corrupt quarantine, and shape gates with
+exact report arithmetic on synthetic blobs."""
+
+from __future__ import annotations
+
+import struct
+
+from automic_etl_spark.services.multimodal_curator import MultimodalCurator
+
+
+def _png(w: int, h: int, salt: bytes = b"") -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00" * 4
+        + salt
+    )
+
+
+def test_curate_images_stages(spark):
+    rows = [
+        (1, _png(640, 480)),
+        (2, _png(640, 480)),  # exact dup of 1
+        (3, _png(640, 480, b"x")),  # distinct bytes, same shape: kept
+        (4, _png(16, 16)),  # below min resolution
+        (5, _png(2000, 100)),  # extreme aspect ratio
+        (6, b"not an image"),  # corrupt
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(
+        min_width=64, min_height=64, max_aspect_ratio=4.0
+    ).curate_images(blobs)
+    assert report == {
+        "input_blobs": 6,
+        "exact_dups_removed": 1,
+        "corrupt_removed": 1,
+        "shape_removed": 2,
+        "final_blobs": 2,
+    }
+    got = {r["doc_id"]: r for r in kept.collect()}
+    assert sorted(got) == [1, 3]
+    assert got[1]["format"] == "png" and got[1]["width"] == 640
+
+
+def test_curate_audio_stages(spark):
+    from automic_etl_spark.operators.audio import synth_wav
+
+    rows = [
+        (1, synth_wav(duration_ms=500)),
+        (2, synth_wav(duration_ms=500)),  # exact dup
+        (3, synth_wav(duration_ms=50)),  # too short
+        (4, b"garbage audio"),  # corrupt
+        (5, synth_wav(duration_ms=900, freq=660)),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(min_audio_ms=200).curate_audio(blobs)
+    assert report == {
+        "input_blobs": 5,
+        "exact_dups_removed": 1,
+        "corrupt_removed": 1,
+        "shape_removed": 1,
+        "final_blobs": 2,
+    }
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 5]
+
+
+def test_curate_audio_accepts_flac(spark):
+    """FLAC blobs probe + gate alongside WAV (round-5 codec)."""
+    import numpy as np
+
+    from automic_etl_spark.operators.flac import encode_flac
+
+    pcm = (1000 * np.sin(np.arange(8000) / 20)).astype(np.int64)
+    rows = [
+        (1, encode_flac(pcm, rate=8000, bits=16)),  # 1000 ms
+        (2, encode_flac(pcm[:800], rate=8000, bits=16)),  # 100 ms: short
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(min_audio_ms=200).curate_audio(blobs)
+    assert report["final_blobs"] == 1
+    row = kept.first()
+    assert row["doc_id"] == 1 and row["format"] == "audio/flac"
+
+
+def test_curate_video_stages(spark):
+    from tests.test_videometa import make_mp4
+
+    rows = [
+        (1, make_mp4(duration_s=10)),
+        (2, make_mp4(duration_s=10)),  # exact dup
+        (3, make_mp4(duration_s=10, w=32, h=32)),  # tiny dims
+        (4, b"junk video"),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(
+        min_video_ms=500, min_video_width=64, min_video_height=64
+    ).curate_video(blobs)
+    assert report == {
+        "input_blobs": 4,
+        "exact_dups_removed": 1,
+        "corrupt_removed": 1,
+        "shape_removed": 1,
+        "final_blobs": 1,
+    }
+    assert kept.first()["doc_id"] == 1
