@@ -144,3 +144,51 @@ class QualityClassifier:
             elif name == "IDFModel":
                 out.use_idf = True
         return out
+
+
+def threshold_report(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "quality_prob",
+    thresholds: tuple[float, ...] = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """Precision/recall/keep-rate per candidate threshold in ONE
+    aggregation pass — the curve a pipeline owner reads to pick the
+    classifier gate's operating point. All confusion counts for every
+    threshold are computed as conditional sums inside a single global
+    agg (no per-threshold scan), then reshaped to one row per threshold.
+
+    Integer-ppm metrics (floor), so the report is engine-portable:
+    precision_ppm = TP/(TP+FP), recall_ppm = TP/(TP+FN),
+    keep_ppm = kept/total. NULL precision when nothing is kept."""
+    aggs = []
+    for i, t in enumerate(thresholds):
+        keep = F.col(prob_col) >= F.lit(float(t))
+        pos = F.col(label_col) >= F.lit(0.5)
+        aggs += [
+            F.sum(F.when(keep & pos, 1).otherwise(0)).alias(f"tp_{i}"),
+            F.sum(F.when(keep & ~pos, 1).otherwise(0)).alias(f"fp_{i}"),
+            F.sum(F.when(~keep & pos, 1).otherwise(0)).alias(f"fn_{i}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("total"))
+    row = scored.agg(*aggs).first()
+
+    spark = scored.sparkSession
+    out = []
+    for i, t in enumerate(thresholds):
+        tp, fp, fn = int(row[f"tp_{i}"]), int(row[f"fp_{i}"]), int(row[f"fn_{i}"])
+        kept = tp + fp
+        out.append(
+            (
+                float(t),
+                kept,
+                (tp * 1_000_000) // kept if kept else None,
+                (tp * 1_000_000) // (tp + fn) if tp + fn else None,
+                (kept * 1_000_000) // int(row["total"]) if row["total"] else 0,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "threshold double, n_kept long, precision_ppm long, "
+        "recall_ppm long, keep_ppm long",
+    )

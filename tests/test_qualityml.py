@@ -104,3 +104,38 @@ def test_corpus_curator_model_stage(spark, clf):
     assert report["final_docs"] == 2
     assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 2]
     assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_threshold_report_exact_counts(spark):
+    from automic_etl_spark.operators.qualityml import threshold_report
+
+    scored = spark.createDataFrame(
+        [
+            (1.0, 0.9),  # pos, kept at <=0.9
+            (1.0, 0.6),
+            (0.0, 0.55),  # neg slipping through at <=0.55
+            (0.0, 0.1),
+            (1.0, 0.2),  # pos lost above 0.2
+        ],
+        "label double, quality_prob double",
+    )
+    rep = {r["threshold"]: r for r in threshold_report(scored, thresholds=(0.5, 0.8)).collect()}
+    at_half = rep[0.5]
+    assert at_half["n_kept"] == 3  # 0.9, 0.6, 0.55
+    assert at_half["precision_ppm"] == 2 * 1_000_000 // 3
+    assert at_half["recall_ppm"] == 2 * 1_000_000 // 3  # 2 of 3 positives
+    assert at_half["keep_ppm"] == 3 * 1_000_000 // 5
+    at_eight = rep[0.8]
+    assert at_eight["n_kept"] == 1 and at_eight["precision_ppm"] == 1_000_000
+    assert at_eight["recall_ppm"] == 1_000_000 // 3
+
+
+def test_threshold_report_on_trained_model(spark, clf):
+    from automic_etl_spark.operators.qualityml import threshold_report
+
+    scored = clf.score(_seed(spark)).withColumnRenamed("label", "label")
+    rep = threshold_report(scored).collect()
+    assert len(rep) == 9
+    # the seed is separable: at 0.5 the model keeps exactly the positives
+    mid = [r for r in rep if abs(r["threshold"] - 0.5) < 1e-9][0]
+    assert mid["precision_ppm"] == 1_000_000 and mid["recall_ppm"] == 1_000_000
