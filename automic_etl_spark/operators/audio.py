@@ -418,7 +418,7 @@ def bleep_segments_wav(
     """Replace segments with a sine bleep tone (reference audio.py:374-432)."""
     samples, rate, width = _decode_pcm(data)
     n = samples.shape[0]
-    full_scale = 32767 if width == 2 else 127
+    full_scale = (1 << (_true_bit_depth(data, width) - 1)) - 1
     amp = full_scale * (10.0 ** (bleep_volume_db / 20.0))
     for start_ms, end_ms in segments:
         a = max(0, int(start_ms * rate / 1000))
@@ -431,12 +431,27 @@ def bleep_segments_wav(
     return _reencode(data, samples, rate, width)
 
 
+def _true_bit_depth(data: bytes, width: int) -> int:
+    """The payload's real sample bit depth: FLAC streams carry depths
+    that are not byte multiples (12/20-bit), which the byte-width
+    workspace loses — re-probe the header so redaction re-encodes at the
+    ORIGINAL depth and tone amplitudes scale to the original full scale
+    (a bleep scaled to 16-bit full scale is ~4.9x too loud in a 12-bit
+    stream)."""
+    if sniff_format(data) == "audio/flac":
+        meta = _probe_flac(bytes(data))
+        if meta and meta.get("bit_depth"):
+            return int(meta["bit_depth"])
+    return width * 8
+
+
 def _reencode(original: bytes, samples: np.ndarray, rate: int, width: int) -> bytes:
-    """Write edited PCM back in the original's container (WAV or FLAC)."""
+    """Write edited PCM back in the original's container (WAV or FLAC),
+    preserving the original bit depth."""
     if sniff_format(original) == "audio/flac":
         from automic_etl_spark.operators.flac import encode_flac
 
-        return encode_flac(samples, rate=rate, bits=width * 8)
+        return encode_flac(samples, rate=rate, bits=_true_bit_depth(original, width))
     return _encode_pcm(samples, rate, width)
 
 

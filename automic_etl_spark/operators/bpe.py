@@ -190,14 +190,30 @@ def bpe_token_stats(
     return docs.mapInPandas(batches, BPE_SCHEMA)
 
 
-def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+#: Default base alphabet included in every vocabulary: characters that
+#: occur in a corpus but never become a merge operand (digits, rare
+#: letters, punctuation) must still get DISTINCT ids — without them,
+#: '2024' and '3.14' would both collapse to identical <unk> runs in the
+#: emitted training sequences (irreversible loss). Unicode characters
+#: outside this alphabet and the merge table still map to <unk>.
+DEFAULT_ALPHABET = (
+    "abcdefghijklmnopqrstuvwxyz0123456789"
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+)
+
+
+def bpe_vocab(
+    merges: list[tuple[str, str]], alphabet: str = DEFAULT_ALPHABET
+) -> dict[str, int]:
     """Deterministic closed vocabulary for a merge table: <unk>=0, then
-    every symbol the merges can produce or consume (operands and their
-    concatenations), sorted. Apply-time symbols outside it (unseen
-    characters) map to <unk>."""
+    (sorted) every merge operand/product, the base ``alphabet``
+    characters, and each alphabet character's end-of-word form — the
+    standard full-base-alphabet BPE vocabulary shape."""
     symbols: set[str] = {EOW}
     for a, b in merges:
         symbols.update((a, b, a + b))
+    for c in alphabet:
+        symbols.update((c, c + EOW))
     return {"<unk>": 0, **{s: i for i, s in enumerate(sorted(symbols), start=1)}}
 
 

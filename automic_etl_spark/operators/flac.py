@@ -311,6 +311,11 @@ def _skip_metadata(data: bytes) -> tuple[int, dict]:
                 "total_samples": packed & ((1 << 36) - 1),
             }
         i = p + length
+        if i > len(data):
+            # a declared block length past end-of-data must fail loud:
+            # silently returning an offset past EOF would make decode
+            # yield an empty-but-ok-looking result for a corrupt blob
+            raise ValueError("truncated FLAC metadata block")
         if last:
             break
     if not info:
@@ -504,7 +509,9 @@ def encode_flac(
         hdr.write(7, 4)  # block size: 16-bit at end
         hdr.write(0, 4)  # sample rate: from STREAMINFO (covers any rate)
         hdr.write(n_channels - 1, 4)  # independent channels
-        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits]
+        # depths without a dedicated header code (e.g. 17-bit, legal in
+        # FLAC) use code 0 = take the depth from STREAMINFO
+        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bits, 0)
         hdr.write(ss_code, 3)
         hdr.write(0, 1)
         _write_utf8_coded_number(hdr, frame_i)

@@ -69,6 +69,11 @@ def fuzzy_join(
         l, r = l.cache(), r.cache()
         nl, nr = l.count(), r.count()
         if nl * nr > _UNBLOCKED_CAP:
+            # release the guard caches on the rejection path — a
+            # long-lived service retrying with blocking would otherwise
+            # accumulate pinned storage for inputs never joined
+            l.unpersist()
+            r.unpersist()
             raise ValueError(
                 f"unblocked fuzzy join would compare {nl}x{nr} rows; "
                 "pass block='prefix' or 'sorted_tokens'"

@@ -176,7 +176,10 @@ def threshold_report(
     spark = scored.sparkSession
     out = []
     for i, t in enumerate(thresholds):
-        tp, fp, fn = int(row[f"tp_{i}"]), int(row[f"fp_{i}"]), int(row[f"fn_{i}"])
+        # SUM over an empty frame is NULL, not 0
+        tp = int(row[f"tp_{i}"] or 0)
+        fp = int(row[f"fp_{i}"] or 0)
+        fn = int(row[f"fn_{i}"] or 0)
         kept = tp + fp
         out.append(
             (

@@ -48,17 +48,19 @@ def repeated_window_signals(
     Integer-ppm outputs keep the operator oracle-comparable bit for bit.
     """
     toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    # split('') yields [''] (size 1) and split(NULL) yields NULL — both
+    # must report ZERO tokens, matching str.split() semantics
+    n_tok = F.when(
+        F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
     base = docs.select(
         F.col(id_col),
         toks.alias("__toks"),
-        F.size(toks).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
     )
     # window start positions 0, stride, 2*stride, ... <= n_tokens-window
     starts = F.filter(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - window, F.lit(0))),
-            lambda i: i,
-        ),
+        F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - window, F.lit(0))),
         lambda i: (i % stride == 0) & (i + window <= F.col("n_tokens")),
     )
     exploded = (

@@ -228,29 +228,59 @@ def filter_domains(
     allowlist: DataFrame | list[str] | None = None,
     suffixes: DataFrame | None = None,
 ) -> DataFrame:
-    """Drop rows whose registrable domain is blocklisted (or keep only
-    allowlisted ones). List inputs become broadcast anti/semi joins —
-    NEVER a giant `isin` literal, which would blow up the plan at a
-    million-domain blocklist. Domains come from the PSL path when the
-    vendored list is present (so ``foo.github.io`` blocks independently
-    of ``bar.github.io``), else the heuristic."""
+    """Drop rows whose URL host matches a blocklist entry (or keep only
+    allowlist matches). An entry matches ITSELF AND ALL SUBDOMAINS —
+    ``blogspot.com`` blocks ``spam.blogspot.com`` while
+    ``alice.github.io`` leaves ``bob.github.io`` alone — the standard
+    blocklist semantics, implemented by matching the list against the
+    host's full ancestor-domain chain (so it is independent of whether a
+    parent is a PSL private suffix; the ``suffixes`` parameter is kept
+    for signature compatibility and unused).
+
+    Plan shape: the ≤#labels ancestor array explodes, the (broadcast)
+    list semi-joins it, and the hit set — keyed by the packed original
+    row, never broadcast — anti/semi-joins back. List inputs become
+    broadcast joins, NEVER a giant `isin` literal."""
     spark = df.sparkSession
-    psl = suffixes if suffixes is not None else load_public_suffixes(spark)
-    if psl is not None:
-        out = with_registrable_domain(df, url_col, "__dom", psl)
-    else:
-        out = df.withColumn("__dom", url_domain(F.col(url_col)))
+    del suffixes  # matching is PSL-independent by design (see docstring)
+
+    host = url_host(F.col(url_col))
+    labels = F.split(host, r"\.")
+    ancestors = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(labels), F.lit(1))),
+        lambda k: F.concat_ws(".", F.slice(labels, -k, k)),
+    )
 
     def as_df(x):
         if isinstance(x, DataFrame):
             return x.select(F.lower(F.col(x.columns[0])).alias("__dom")).distinct()
         return spark.createDataFrame([(d.lower(),) for d in x], "__dom string").distinct()
 
+    def hit_rows(entries):
+        packed = df.select(F.struct(*df.columns).alias("__row"), ancestors.alias("__anc"))
+        return (
+            packed.select("__row", F.explode("__anc").alias("__dom"))
+            .join(F.broadcast(as_df(entries)), "__dom", "left_semi")
+            .select("__row")
+            .distinct()
+        )
+
+    out = df
     if blocklist is not None:
-        out = out.join(F.broadcast(as_df(blocklist)), "__dom", "left_anti")
+        hits = hit_rows(blocklist)
+        out = (
+            out.select(F.struct(*df.columns).alias("__row"))
+            .join(hits, "__row", "left_anti")
+            .select("__row.*")
+        )
     if allowlist is not None:
-        out = out.join(F.broadcast(as_df(allowlist)), "__dom", "left_semi")
-    return out.drop("__dom")
+        hits = hit_rows(allowlist)
+        out = (
+            out.select(F.struct(*df.columns).alias("__row"))
+            .join(hits, "__row", "left_semi")
+            .select("__row.*")
+        )
+    return out
 
 
 def dedup_by_url(

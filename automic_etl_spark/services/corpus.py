@@ -157,6 +157,12 @@ class CorpusCurator:
                 - report["near_dups_removed"]
                 - report["fuzzy_dups_removed"]
             )
+            if self.semantic_method not in ("kmeans", "lsh"):
+                raise ValueError(
+                    f"semantic_method must be 'kmeans' or 'lsh', got "
+                    f"{self.semantic_method!r} — a typo here would silently "
+                    f"select the quadratic k-means path at scale"
+                )
             emb = embeddings.join(near_keep.select(id_col), id_col, "left_semi")
             if self.semantic_method == "lsh":
                 flagged = semantic_dedup_lsh(
@@ -247,7 +253,10 @@ class CorpusCurator:
                 id_col=id_col,
                 text_col=text_col,
             ).filter(F.col("dup_token_ppm") > self.max_dup_token_ppm)
-            kept = kept.join(F.broadcast(heavy.select(id_col)), id_col, "left_anti")
+            # NO broadcast hint: on a boilerplate-heavy corpus the flagged
+            # set is O(corpus) — let AQE pick the strategy (the repo's
+            # never-broadcast-the-corpus-side invariant)
+            kept = kept.join(heavy.select(id_col), id_col, "left_anti")
             report["substring_dup_removed"] = before - kept.count()
             report["low_quality_removed"] += report["substring_dup_removed"]
 

@@ -110,13 +110,14 @@ def test_vocab_ids_roundtrip_strings(spark):
     vocab = bpe_vocab(merges)
     inv = {v: k for k, v in vocab.items()}
     docs = spark.createDataFrame(
-        [(1, "low lowest"), (2, "zebra")], "doc_id long, text string"
+        [(1, "low lowest"), (2, "caf\u00e9")], "doc_id long, text string"
     )
     got = {r["doc_id"]: r["input_ids"] for r in bpe_encode_ids(docs, merges).collect()}
     # id sequence decodes back to the subword sequence
     assert [inv[i] for i in got[1]] == encode_text("low lowest", merges)
-    # characters outside the training alphabet map to <unk>=0
-    assert 0 in got[2]
+    # characters outside the base alphabet + merges map to <unk>=0
+    assert 0 in got[2]  # the accented e
+    assert any(i != 0 for i in got[2])  # c/a/f still get real ids
 
 
 def test_materialize_sequences_concatenation_order(spark):
@@ -160,3 +161,19 @@ def test_materialize_truncate_clips_overflow(spark):
     ).collect()
     assert all(r["n_tokens"] <= 50 for r in out)
     assert all(len(r["input_ids"]) == r["n_tokens"] for r in out)
+
+
+def test_vocab_gives_distinct_ids_to_unmerged_base_chars(spark):
+    """Digits/punctuation that never became merge operands must still
+    get distinct ids (r5 review finding: '2024' and '3.14' collapsed to
+    identical <unk> runs in the emitted training sequences)."""
+    from automic_etl_spark.operators.bpe import bpe_encode_ids, train_bpe
+
+    merges = train_bpe(_classic_corpus(), 10)  # letters only
+    docs = spark.createDataFrame(
+        [(1, "2024"), (2, "3.14"), (3, "?!")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["input_ids"] for r in bpe_encode_ids(docs, merges).collect()}
+    # distinct digit/punct sequences -> distinct id sequences, no <unk>
+    assert got[1] != got[2] != got[3]
+    assert all(0 not in ids for ids in got.values())

@@ -244,3 +244,33 @@ def test_audio_ops_decode_and_redact_flac_in_container():
     dec, _, _ = decode_flac(muted)
     assert not dec[2000:4000].any()  # silenced region
     assert np.array_equal(dec[:2000, 0], pcm[:2000])  # untouched region
+
+
+def test_truncated_metadata_block_raises_not_empty():
+    good = encode_flac(np.arange(100, dtype=np.int64) - 50, rate=8000, bits=16)
+    # append a non-last PADDING block header that declares 1000 bytes but
+    # truncate the stream right after it
+    hdr_end = 4 + 4 + 34  # magic + streaminfo header + body
+    doctored = (
+        good[:4]
+        + bytes([0x00])  # STREAMINFO no longer last
+        + good[5:hdr_end]
+        + bytes([0x81])  # last-block PADDING, type 1
+        + (1000).to_bytes(3, "big")
+        + b"\x00" * 10  # 10 of the declared 1000 bytes
+    )
+    with pytest.raises(ValueError):
+        decode_flac(doctored)
+
+
+def test_redaction_preserves_non_byte_bit_depth():
+    """12-bit FLAC redacts back to 12-bit, not 16 (r5 review finding)."""
+    from automic_etl_spark.operators.audio import mute_segments_wav
+
+    pcm = (np.arange(4000) % 1000 - 500).astype(np.int64)  # within ±2047
+    blob = encode_flac(pcm, rate=8000, bits=12)
+    muted = mute_segments_wav(blob, [(100.0, 200.0)], fade_ms=0)
+    dec, rate, bits = decode_flac(muted)
+    assert bits == 12 and rate == 8000
+    assert not dec[800:1600].any()
+    assert np.array_equal(dec[:800, 0], pcm[:800])

@@ -139,3 +139,14 @@ def test_threshold_report_on_trained_model(spark, clf):
     # the seed is separable: at 0.5 the model keeps exactly the positives
     mid = [r for r in rep if abs(r["threshold"] - 0.5) < 1e-9][0]
     assert mid["precision_ppm"] == 1_000_000 and mid["recall_ppm"] == 1_000_000
+
+
+def test_threshold_report_empty_input(spark):
+    from automic_etl_spark.operators.qualityml import threshold_report
+
+    empty = spark.createDataFrame([], "label double, quality_prob double")
+    rep = threshold_report(empty, thresholds=(0.5,)).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_kept"] == 0 and r["keep_ppm"] == 0
+    assert r["precision_ppm"] is None and r["recall_ppm"] is None

@@ -145,3 +145,15 @@ def test_bench_workload_counts(spark):
     # replicas + their originals, minus docs shorter than the window
     # (they carry zero windows and cannot register exact spans)
     assert row["n_docs_with_dups"] >= 300
+
+
+def test_empty_and_null_text_report_zero_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "   "), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    got = _rows(repeated_window_signals(docs, window=2))
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (0, 0, 0, 0)
+    assert got[4][0] == 3

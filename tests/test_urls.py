@@ -174,3 +174,21 @@ def test_normalize_url_total_and_idempotent(spark):
         assert r["u2"] == r["u1"], r
     # domain extraction total on the same batch
     assert df.select(url_domain("url")).count() == len(weird)
+
+
+def test_filter_domains_entry_matches_subdomains(spark):
+    """Blocklist semantics: an entry blocks itself and every subdomain,
+    independent of PSL private-suffix status (code-review r5 finding:
+    the registrable-domain equi-join silently unmatched parent-suffix
+    entries like blogspot.com once the PSL shipped)."""
+    df = spark.createDataFrame(
+        [
+            (1, "https://spam.blogspot.com/x"),
+            (2, "https://blogspot.com/"),
+            (3, "https://notblogspot.com/y"),  # no label boundary: kept
+            (4, "https://deep.a.spam.blogspot.com/z"),
+        ],
+        "doc_id long, url string",
+    )
+    out = filter_domains(df, blocklist=["blogspot.com"])
+    assert sorted(r["doc_id"] for r in out.collect()) == [3]
