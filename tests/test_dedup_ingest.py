@@ -207,3 +207,30 @@ def test_embedding_index_side_never_broadcasts(spark, tmp_path):
         assert "join" in first_broadcast_ancestor(plan, str(tmp_path))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_embedding_streaming_host_end_to_end(spark, tmp_path):
+    from automic_etl_spark.streaming.dedup_ingest import EmbeddingDeduper
+
+    src = tmp_path / "emb_incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            (1, _vec(1, 0, 0, 0)),
+            (2, _vec(2, 0, 0, 0)),  # dup of 1
+            (3, _vec(0, 1, 0, 0)),
+        ],
+        "doc_id long, embedding array<double>",
+    ).write.mode("overwrite").parquet(str(src / "drop1.parquet"))
+
+    d = EmbeddingDeduper(
+        spark, index_path=str(tmp_path / "emb_idx"), min_cosine_ppm=990_000
+    )
+    stream = spark.readStream.schema("doc_id long, embedding array<double>").parquet(
+        str(src) + "/*.parquet"
+    )
+    q = d.attach(stream, checkpoint=str(tmp_path / "emb_ckpt"))
+    q.awaitTermination(120)
+
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "emb_idx")).collect()}
+    assert kept == {1, 3}
