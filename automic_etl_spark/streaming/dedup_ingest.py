@@ -130,9 +130,13 @@ class StreamingDeduper:
         survivors = survivors.localCheckpoint(eager=True)
         quarantined = None
         if self.quarantine_path is not None:
+            # no checkpoint needed here: this lineage reads only the
+            # incoming batch and the already-checkpointed survivors —
+            # neither lists the index/docs parquet files, so the appends
+            # below cannot change its result
             quarantined = batch.join(
                 F.broadcast(survivors.select(self.id_col)), self.id_col, "left_anti"
-            ).localCheckpoint(eager=True)
+            )
         index_rows = (
             sigs.join(F.broadcast(flagged.select(self.id_col)), self.id_col, "left_anti")
             .join(
