@@ -1,0 +1,91 @@
+"""Data-mixture sampling: hit per-source TOKEN budgets (the Pile /
+DoReMi-style mixture weights, Gao et al. 2020 / Xie et al. 2023) with a
+deterministic per-document hash threshold.
+
+Given a token budget per group, each group's keep probability is
+p = min(1, budget / group_total_tokens); a document survives iff
+``portable_hash(doc_id) mod 1e6 < floor(p · 1e6)``. The decision is a
+pure function of the document id, so the sample is reproducible across
+runs/engines, append-stable (new documents don't flip old decisions),
+and needs no RNG state.
+
+Plan shape: one aggregation for the per-group totals (collected — one
+row per group, never per document), a broadcast join of the tiny
+(group, threshold) table, and a map-side filter. Linear at any corpus
+size. Differential-oracle friendly: the whole construction is integer
+md5 arithmetic DuckDB replays bit for bit.
+
+No reference counterpart (beyond-reference training-data mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from automic_etl_spark.operators.textops import token_count, token_hash
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    default_budget: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (sampled docs, per-group report).
+
+    ``budgets`` maps group value → target token count. Groups absent
+    from the dict get ``default_budget`` (None = keep everything — the
+    explicit budgets only downsample the named groups).
+
+    Report columns (one row per group): n_docs_in, tokens_in, p_ppm,
+    n_docs_kept, tokens_kept — tokens_kept converges to the budget as
+    group size grows (hash thresholding is proportional sampling, not an
+    exact cut; the variance is the standard trade for determinism and
+    append-stability)."""
+    n_tok = (
+        F.col(count_col) if count_col is not None else token_count(F.col(text_col))
+    ).cast("long")
+    base = docs.withColumn("__n_tok", n_tok)
+
+    totals = {
+        r["__g"]: int(r["__t"])
+        for r in base.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum("__n_tok").alias("__t"))
+        .collect()
+    }
+    rows = []
+    for g, total in totals.items():
+        budget = budgets.get(g, default_budget)
+        if budget is None:
+            p_ppm = 1_000_000
+        elif total <= 0:
+            p_ppm = 0
+        else:
+            p_ppm = min(1_000_000, (int(budget) * 1_000_000) // total)
+        rows.append((g, p_ppm))
+    spark = docs.sparkSession
+    thresholds = spark.createDataFrame(rows, f"{group_col} string, __p_ppm int")
+
+    keyed = base.join(F.broadcast(thresholds), group_col, "left").withColumn(
+        "__keep",
+        F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(1_000_000))
+        < F.coalesce(F.col("__p_ppm"), F.lit(1_000_000)),
+    )
+    report = (
+        keyed.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum("__n_tok").alias("tokens_in"),
+            F.max("__p_ppm").alias("p_ppm"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0)).alias("n_docs_kept"),
+            F.sum(F.when(F.col("__keep"), F.col("__n_tok")).otherwise(0)).alias(
+                "tokens_kept"
+            ),
+        )
+        .orderBy(group_col)
+    )
+    sampled = keyed.filter(F.col("__keep")).drop("__n_tok", "__p_ppm", "__keep")
+    return sampled, report

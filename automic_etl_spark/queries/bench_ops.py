@@ -319,3 +319,15 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_windows").alias("total_windows"),
         F.sum(F.when(F.col("dup_token_ppm") > 0, 1).otherwise(0)).alias("n_docs_with_dups"),
     )
+
+
+def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling over the documents table: cap two
+    sources at ~half their sf0.1 token mass, keep the rest — returns the
+    per-group mixture report (one aggregation + broadcast threshold join
+    + map-side filter)."""
+    from automic_etl_spark.operators.mixing import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    _, report = token_budget_sample(docs, {"src0": 7_000, "src1": 7_000})
+    return report

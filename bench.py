@@ -57,6 +57,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_quality_classifier,
     q_semantic_dedup,
     q_substring_dedup,
+    q_token_mixture,
 )
 
 HEADLINE = {
@@ -86,6 +87,7 @@ HEADLINE = {
     "flac_decode": q_flac_decode,
     "bpe_tokenize": q_bpe_tokenize,
     "substring_dedup": q_substring_dedup,
+    "token_mixture": q_token_mixture,
 }
 
 

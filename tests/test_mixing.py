@@ -1,0 +1,92 @@
+"""Token-budget mixture sampling (operators/mixing): budget semantics,
+determinism/append-stability, and a full DuckDB replay differential."""
+
+from __future__ import annotations
+
+import duckdb
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators.mixing import token_budget_sample
+from tests.conftest import SF_SMALL
+
+
+def test_budget_semantics_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, "keepall" if i < 10 else "halve" if i < 110 else "dropall")
+         for i in range(210)],
+        "doc_id long, text string, source string",
+    )
+    budgets = {"keepall": 10_000, "halve": 500, "dropall": 0}
+    sampled, report = token_budget_sample(docs, budgets)
+    rep = {r["source"]: r for r in report.collect()}
+
+    assert rep["keepall"]["p_ppm"] == 1_000_000
+    assert rep["keepall"]["n_docs_kept"] == 10
+    assert rep["dropall"]["p_ppm"] == 0 and rep["dropall"]["n_docs_kept"] == 0
+    # halve: 100 docs x 10 tokens, budget 500 -> p = 0.5
+    assert rep["halve"]["p_ppm"] == 500_000
+    assert 30 <= rep["halve"]["n_docs_kept"] <= 70  # proportional, not exact
+
+    # deterministic: the same call keeps the same ids
+    a = sorted(r["doc_id"] for r in sampled.collect())
+    b = sorted(r["doc_id"] for r in token_budget_sample(docs, budgets)[0].collect())
+    assert a == b
+
+    # append-stability: adding new docs never flips old decisions
+    more = docs.unionByName(
+        spark.createDataFrame(
+            [(1000 + i, "w " * 10, "halve") for i in range(50)],
+            "doc_id long, text string, source string",
+        )
+    )
+    budgets2 = {"keepall": 10_000, "halve": 750, "dropall": 0}  # same p = 0.5
+    c = {r["doc_id"] for r in token_budget_sample(more, budgets2)[0].collect()}
+    assert set(a) <= c | {i for i in a if i >= 1000} or set(a) <= c
+
+
+def test_unlisted_group_defaults(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e f", "y")], "doc_id long, text string, source string"
+    )
+    sampled, _ = token_budget_sample(docs, {"x": 0})
+    assert [r["source"] for r in sampled.collect()] == ["y"]  # default keeps
+    sampled2, _ = token_budget_sample(docs, {"x": 0}, default_budget=0)
+    assert sampled2.count() == 0
+
+
+def test_differential_vs_duckdb_replay(spark):
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text", "source")
+    budgets = {"src0": 700, "src1": 400, "src2": 100_000}
+    sampled, report = token_budget_sample(docs, budgets)
+    got_ids = sorted(r["doc_id"] for r in sampled.collect())
+    rep = {r["source"]: (r["p_ppm"], r["n_docs_kept"]) for r in report.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT doc_id, text, source "
+        f"FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    totals = dict(
+        con.execute(
+            """SELECT source, sum(len(string_split_regex(trim(text), '\\s+')))
+               FROM documents GROUP BY source"""
+        ).fetchall()
+    )
+    p_ppm = {
+        g: min(1_000_000, budgets[g] * 1_000_000 // int(t)) if g in budgets else 1_000_000
+        for g, t in totals.items()
+    }
+    for g, p in p_ppm.items():
+        assert rep[g][0] == p, g
+    want = con.execute(
+        """SELECT doc_id, source FROM documents
+           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1000000
+                 < CASE source {cases} ELSE 1000000 END
+           ORDER BY doc_id""".format(
+            cases=" ".join(f"WHEN '{g}' THEN {p}" for g, p in p_ppm.items())
+        )
+    ).fetchall()
+    assert got_ids == [w[0] for w in want]
+    # the budgets actually bite (non-vacuous downsampling)
+    assert any(p < 1_000_000 for p in p_ppm.values())
