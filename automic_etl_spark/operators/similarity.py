@@ -715,3 +715,57 @@ def semantic_dedup_lsh(
         "centroid_sim_ppm",
         F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
     )
+
+
+def ann_join(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int | None = 4,
+) -> DataFrame:
+    """Batched retrieval: top-k corpus neighbours for EVERY row of a
+    query table (the RAG retrieval shape — cosine_topk answers one
+    query, this answers millions in one plan). Returns (query_id_col,
+    id_col, cosine, rank), rank 1..k.
+
+    Default path blocks on the sign-LSH bucket (queries only meet
+    corpus vectors agreeing on the first ``n_planes`` sign bits —
+    approximate, candidates shrink ~2^planes-fold, and at corpus scale
+    the bucket is the partition key so each query probes one partition).
+    ``n_planes=None`` opts into the exact cross product — quadratic,
+    only sound for small query batches. Per-side norms are computed once
+    per row, never per pair; the per-query top-k window partitions on
+    the query id (bounded partitions, no global sort)."""
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        _norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
+    if n_planes:
+        q = q.withColumn("__bucket", sign_bucket(F.col("__qv"), n_planes))
+        c = c.withColumn("__bucket", sign_bucket(F.col("__cv"), n_planes))
+        pairs = q.join(c, "__bucket")
+    else:
+        pairs = q.crossJoin(c)
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    scored = pairs.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        F.round(sim, 6).alias("cosine"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -331,3 +331,20 @@ def q_token_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     _, report = token_budget_sample(docs, {"src0": 7_000, "src1": 7_000})
     return report
+
+
+def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN retrieval: top-10 bucket-blocked neighbours for a
+    256-query batch against the embeddings corpus → result tally."""
+    from automic_etl_spark.operators.similarity import ann_join
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter("vec_id % 8 = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    hits = ann_join(emb, queries, k=10, n_planes=4)
+    return hits.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_hits"),
+        F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias("n_rank1"),
+    )

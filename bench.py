@@ -58,6 +58,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_semantic_dedup,
     q_substring_dedup,
     q_token_mixture,
+    q_ann_join,
 )
 
 HEADLINE = {
@@ -88,6 +89,7 @@ HEADLINE = {
     "bpe_tokenize": q_bpe_tokenize,
     "substring_dedup": q_substring_dedup,
     "token_mixture": q_token_mixture,
+    "ann_join": q_ann_join,
 }
 
 

@@ -1,0 +1,90 @@
+"""Batched multi-query ANN retrieval (operators/similarity.ann_join):
+exact-path equivalence with cosine_topk, bucket-path recall behavior,
+and a DuckDB window-function replay differential."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators.similarity import ann_join, cosine_topk
+from tests.conftest import SF_SMALL
+
+
+def test_exact_path_matches_cosine_topk_per_query(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    queries = (
+        emb.filter(F.col("vec_id").isin(0, 7, 42))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ann_join(emb, queries, k=5, n_planes=None)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["cosine"]))
+    for qid in (0, 7, 42):
+        single = cosine_topk(
+            emb, emb.filter(F.col("vec_id") == qid), k=5
+        ).collect()
+        want = [(i + 1, r["vec_id"], r["cosine"]) for i, r in enumerate(single)]
+        assert sorted(by_q[qid]) == want, qid
+
+
+def test_bucket_path_self_hit_and_k_cap(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = ann_join(emb, queries, k=3, n_planes=4)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        assert len(rs) <= 3
+        # a query always finds itself (same bucket, cosine 1.0) at rank 1
+        top = min(rs, key=lambda r: r["rank"])
+        assert top["vec_id"] == qid and top["cosine"] == 1.0
+
+
+def test_differential_vs_duckdb_window_replay(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    queries = (
+        emb.filter("vec_id < 5")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in ann_join(emb, queries, k=4, n_planes=None).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT vec_id, embedding "
+        f"FROM read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    cos = """
+      list_reduce(list_transform(generate_series(1, len(c.embedding)),
+                  i -> CAST(c.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+                  (acc, v) -> acc + v)
+      / (sqrt(list_reduce(list_transform(generate_series(1, len(q.embedding)),
+              i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)),
+              (acc, v) -> acc + v))
+       * sqrt(list_reduce(list_transform(generate_series(1, len(c.embedding)),
+              i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+              (acc, v) -> acc + v)))
+    """
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT query_id, rank, vec_id, cosine FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     round({cos}, 6) AS cosine,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY round({cos}, 6) DESC, c.vec_id)
+                       AS rank
+              FROM embeddings q JOIN embeddings c ON q.vec_id < 5
+            ) WHERE rank <= 4
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -133,3 +133,17 @@ def test_decode_flac_valid_prefix_corrupt_tail(data):
         decode_flac(good[:60] + data)
     except (ValueError, EOFError):
         pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=40), st.integers(0, 20))
+def test_bpe_encode_total_on_arbitrary_text(text, n_merges):
+    """encode_text never crashes on arbitrary unicode and always
+    round-trips token COUNT consistency: joining the symbols (minus EOW
+    markers) reproduces the lowercased input's non-space characters."""
+    from automic_etl_spark.operators.bpe import EOW, encode_text, train_bpe
+
+    merges = train_bpe(["low lower lowest"] * 3, num_merges=n_merges)
+    toks = encode_text(text, merges)
+    rebuilt = "".join(t[: -len(EOW)] if t.endswith(EOW) else t for t in toks)
+    assert rebuilt == "".join(text.lower().split())
