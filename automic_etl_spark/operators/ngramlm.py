@@ -1,0 +1,353 @@
+"""N-gram language-model perplexity filtering — the CCNet quality stage
+(Wenzek et al. 2020: documents bucketed head/middle/tail by LM
+perplexity; the tail is dropped or downweighted before pretraining).
+
+CCNet uses a KenLM 5-gram; the distributed-at-scale formulation is
+*stupid backoff* (Brants et al. 2007, "Large Language Models in Machine
+Translation" — designed precisely for MapReduce-style engines): the
+score of a token given its context is the raw relative frequency at the
+highest order with a nonzero count, multiplied by a fixed backoff
+penalty alpha = 0.4 per level skipped:
+
+    S(w_i | w_{i-2} w_{i-1}) = c(tri)/c(bi_ctx)            if c(tri) > 0
+                               alpha * S(w_i | w_{i-1})     otherwise
+    S(w_i | w_{i-1})         = c(bi)/c(uni_ctx)            if c(bi) > 0
+                               alpha * S(w_i)               otherwise
+    S(w_i)                   = (c(uni) + 1) / (N + V)
+
+(the unigram floor is add-one so out-of-vocabulary tokens score a
+positive probability — the one divergence from the paper, which assumes
+a closed vocabulary; documented and covered by tests).
+
+Everything is distributed and linear:
+
+- **fit**: one explode + hash-groupBy per order — the canonical
+  distributed n-gram count; min_count pruning is self-consistent
+  (a context count always >= the n-gram count it serves, so a surviving
+  n-gram's denominator always survives too).
+- **score**: each document explodes to one row per token carrying its
+  (tri, bi, bi_ctx, uni, uni_ctx) keys, then LEFT-joins the count
+  tables. The LM tables are shuffle-joined (never broadcast by us — a
+  web-scale LM table is O(corpus vocabulary); AQE broadcasts them when
+  a pruned table is genuinely small), so the plan survives any corpus
+  and any LM size.
+- **buckets**: two quantile probes on the per-doc score -> literal
+  thresholds -> head/middle/tail labels, exactly CCNet's split.
+
+Determinism: per-doc output is `logscore_e6` — round(avg(log10 S) * 1e6)
+as a LONG — so results are engine-portable integers (same convention as
+profile_stats / the ppm quality metrics). Reference repo has no LM
+filtering at all (beyond-reference training-data mandate).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from automic_etl_spark.operators.textops import shingles_of_tokens, tokenize
+
+ALPHA = 0.4  # Brants et al. 2007 backoff penalty
+
+
+def _norm_tokens(text_col: str, lowercase: bool) -> "F.Column":
+    # drop the empty-string token split() emits for blank input so an
+    # empty/whitespace doc has zero tokens, not one "" token
+    c = F.col(text_col)
+    t = tokenize(F.lower(c) if lowercase else c)
+    return F.filter(t, lambda x: x != "")
+
+
+@dataclass
+class NGramLM:
+    """Fitted stupid-backoff LM: per-order count tables + scalar totals.
+
+    ``counts[k]`` is a DataFrame (gram string, cnt long) for order k;
+    ``total_tokens`` is N, ``vocab_size`` is V (distinct unigrams BEFORE
+    pruning, so the add-one floor is stable under min_count)."""
+
+    order: int = 3
+    min_count: int = 1
+    lowercase: bool = True
+    counts: dict = field(default_factory=dict)
+    total_tokens: int = 0
+    vocab_size: int = 0
+
+    # -- persistence --------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        for k, df in self.counts.items():
+            df.write.mode("overwrite").parquet(os.path.join(path, f"order{k}"))
+        meta = {
+            "order": self.order,
+            "min_count": self.min_count,
+            "lowercase": self.lowercase,
+            "total_tokens": self.total_tokens,
+            "vocab_size": self.vocab_size,
+        }
+        with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "NGramLM":
+        with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+            meta = json.load(fh)
+        lm = cls(
+            order=meta["order"],
+            min_count=meta["min_count"],
+            lowercase=meta["lowercase"],
+            total_tokens=meta["total_tokens"],
+            vocab_size=meta["vocab_size"],
+        )
+        lm.counts = {
+            k: spark.read.parquet(os.path.join(path, f"order{k}"))
+            for k in range(1, lm.order + 1)
+        }
+        return lm
+
+
+def fit_ngram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    order: int = 3,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> NGramLM:
+    """Count 1..order-grams over the corpus (one explode + one
+    hash-groupBy per order — map-side partial aggregation keeps the
+    shuffle at distinct-gram cardinality, not token cardinality)."""
+    if order < 1:
+        raise ValueError("order must be >= 1")
+    toks = docs.select(_norm_tokens(text_col, lowercase).alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    counts: dict[int, DataFrame] = {}
+    raw_uni = None
+    for k in range(1, order + 1):
+        grams = toks.select(
+            F.explode(
+                shingles_of_tokens(F.col("__toks"), k) if k > 1 else F.col("__toks")
+            ).alias("gram")
+        )
+        c = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).cache()
+        if k == 1:
+            raw_uni = c  # kept unpruned for the N/V totals below
+        if min_count > 1:
+            c = c.filter(F.col("cnt") >= min_count)
+        counts[k] = c
+
+    # N and V in ONE action over the cached unpruned unigram table (sum
+    # of counts = corpus tokens; rows = vocabulary) — vocab is counted
+    # pre-pruning so the OOV floor doesn't shift when min_count changes.
+    totals = raw_uni.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    lm = NGramLM(order=order, min_count=min_count, lowercase=lowercase)
+    lm.counts = counts
+    lm.total_tokens = int(totals["n"] or 0)
+    lm.vocab_size = int(totals["v"] or 0)
+    return lm
+
+
+def score_documents(
+    docs: DataFrame,
+    lm: NGramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document stupid-backoff score: (id_col, n_tokens,
+    logscore_e6) where logscore_e6 = round(avg_i log10 S(w_i|ctx) * 1e6)
+    — higher (closer to 0) = more LM-predictable = lower perplexity.
+
+    Plan shape: one explode to token rows carrying all candidate keys,
+    then one LEFT join per (order, role) count lookup — 5 joins for a
+    trigram LM, each a plain equi-join on a string key that AQE turns
+    into a broadcast when the pruned table is small. Empty/whitespace
+    docs have no tokens to judge and are absent from the output."""
+    if lm.total_tokens <= 0:
+        raise ValueError("score_documents called with an empty/unfitted LM")
+    use = min(lm.order, 3)
+
+    toks = _norm_tokens(text_col, lm.lowercase)
+    base = docs.select(F.col(id_col), toks.alias("__toks")).select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        F.posexplode_outer(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("__toks"), F.lit(1))),
+                lambda i: F.struct(
+                    F.try_element_at(F.col("__toks"), i).alias("uni"),
+                    F.when(
+                        i >= 2,
+                        F.concat_ws(
+                            " ",
+                            F.try_element_at(F.col("__toks"), i - 1),
+                            F.try_element_at(F.col("__toks"), i),
+                        ),
+                    ).alias("bi"),
+                    F.when(i >= 2, F.try_element_at(F.col("__toks"), i - 1)).alias(
+                        "uni_ctx"
+                    ),
+                    F.when(
+                        i >= 3,
+                        F.concat_ws(
+                            " ",
+                            F.try_element_at(F.col("__toks"), i - 2),
+                            F.try_element_at(F.col("__toks"), i - 1),
+                            F.try_element_at(F.col("__toks"), i),
+                        ),
+                    ).alias("tri"),
+                    F.when(
+                        i >= 3,
+                        F.concat_ws(
+                            " ",
+                            F.try_element_at(F.col("__toks"), i - 2),
+                            F.try_element_at(F.col("__toks"), i - 1),
+                        ),
+                    ).alias("bi_ctx"),
+                ),
+            )
+        ).alias("__i", "__g"),
+    ).filter(F.col("__g").isNotNull() & F.col("__g.uni").isNotNull())
+
+    def lookup(df: DataFrame, key: str, order_k: int, out: str) -> DataFrame:
+        if order_k > use:
+            return df.withColumn(out, F.lit(None).cast("long"))
+        t = lm.counts[order_k].select(
+            F.col("gram").alias(f"__k_{out}"), F.col("cnt").alias(out)
+        )
+        return df.join(t, df[f"__g.{key}"] == t[f"__k_{out}"], "left").drop(
+            f"__k_{out}"
+        )
+
+    j = lookup(base, "uni", 1, "c_uni")
+    j = lookup(j, "uni_ctx", 1, "c_unictx")
+    if use >= 2:
+        j = lookup(j, "bi", 2, "c_bi")
+    else:
+        j = j.withColumn("c_bi", F.lit(None).cast("long"))
+    if use >= 3:
+        j = lookup(j, "tri", 3, "c_tri")
+        j = lookup(j, "bi_ctx", 2, "c_bictx")
+    else:
+        j = j.withColumn("c_tri", F.lit(None).cast("long")).withColumn(
+            "c_bictx", F.lit(None).cast("long")
+        )
+
+    n_v = float(lm.total_tokens + lm.vocab_size)
+    s1 = (F.coalesce(F.col("c_uni"), F.lit(0)) + 1).cast("double") / F.lit(n_v)
+    s2 = F.when(
+        F.col("c_bi").isNotNull() & F.col("c_unictx").isNotNull(),
+        F.col("c_bi").cast("double") / F.col("c_unictx"),
+    ).otherwise(F.lit(ALPHA) * s1)
+    s3 = F.when(
+        F.col("c_tri").isNotNull() & F.col("c_bictx").isNotNull(),
+        F.col("c_tri").cast("double") / F.col("c_bictx"),
+    ).otherwise(F.lit(ALPHA) * s2)
+    # position 0 has no context -> unigram; position 1 -> bigram level
+    deep = s3 if use >= 3 else (s2 if use >= 2 else s1)
+    score = (
+        F.when(F.col("__i") >= 2, deep)
+        .when(F.col("__i") == 1, s2 if use >= 2 else s1)
+        .otherwise(s1)
+    )
+
+    return (
+        j.withColumn("__ls", F.log10(score))
+        .groupBy(id_col)
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.round(F.avg("__ls") * 1e6).cast("long").alias("logscore_e6"),
+        )
+    )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    head_frac: float = 0.3,
+    middle_frac: float = 0.3,
+    score_col: str = "logscore_e6",
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: the best-scoring head_frac of
+    documents label 'head', the next middle_frac 'middle', the rest
+    'tail'. Two driver-side quantile probes (Greenwald-Khanna sketch —
+    set relative_error=0.0 for the exact quantile when determinism
+    matters more than the sketch's single pass) become literal
+    thresholds, so the labeling pass itself is one codegen'd projection
+    — no global sort, no window."""
+    if not 0 < head_frac < 1 or not 0 <= middle_frac < 1 or head_frac + middle_frac >= 1:
+        raise ValueError("head_frac/middle_frac must partition (0, 1)")
+    q_head, q_mid = scored.approxQuantile(
+        score_col, [1.0 - head_frac, 1.0 - head_frac - middle_frac], relative_error
+    )
+    return scored.withColumn(
+        "ppl_bucket",
+        F.when(F.col(score_col) >= F.lit(q_head), "head")
+        .when(F.col(score_col) >= F.lit(q_mid), "middle")
+        .otherwise("tail"),
+    )
+
+
+def reference_score(
+    corpus_docs: list[str],
+    doc: str,
+    order: int = 3,
+    min_count: int = 1,
+    lowercase: bool = True,
+) -> float:
+    """Driver-side pure-Python reference implementation (differential
+    oracle for the tests): returns avg log10 stupid-backoff score for
+    ``doc`` under the LM fitted on ``corpus_docs``. Mirrors the exact
+    semantics of fit_ngram_lm + score_documents."""
+    import re
+
+    def tk(s: str) -> list[str]:
+        s = s.lower() if lowercase else s
+        return [t for t in re.split(r"\s+", s.strip()) if t]
+
+    counts: dict[int, dict[str, int]] = {k: {} for k in range(1, order + 1)}
+    n_total, vocab = 0, set()
+    for d in corpus_docs:
+        ts = tk(d)
+        n_total += len(ts)
+        vocab.update(ts)
+        for k in range(1, order + 1):
+            for i in range(len(ts) - k + 1):
+                g = " ".join(ts[i : i + k])
+                counts[k][g] = counts[k].get(g, 0) + 1
+    for k in range(1, order + 1):
+        counts[k] = {g: c for g, c in counts[k].items() if c >= min_count}
+
+    use = min(order, 3)
+    ts = tk(doc)
+    if not ts:
+        return float("nan")
+    n_v = float(n_total + len(vocab))
+    logs = []
+    for i, w in enumerate(ts):
+        s1 = (counts[1].get(w, 0) + 1) / n_v
+        s2 = s1
+        if use >= 2 and i >= 1:
+            bi = f"{ts[i - 1]} {w}"
+            ctx = counts[1].get(ts[i - 1])
+            s2 = (
+                counts[2][bi] / ctx
+                if bi in counts[2] and ctx
+                else ALPHA * s1
+            )
+        s3 = s2
+        if use >= 3 and i >= 2:
+            tri = f"{ts[i - 2]} {ts[i - 1]} {w}"
+            ctx2 = counts[2].get(f"{ts[i - 2]} {ts[i - 1]}")
+            s3 = (
+                counts[3][tri] / ctx2
+                if tri in counts[3] and ctx2
+                else ALPHA * s2
+            )
+        logs.append(math.log10(s3 if i >= 2 else (s2 if i == 1 else s1)))
+    return sum(logs) / len(logs)

@@ -348,3 +348,33 @@ def q_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_hits"),
         F.sum(F.when(F.col("rank") == 1, 1).otherwise(0)).alias("n_rank1"),
     )
+
+
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity filtering end-to-end: fit a trigram stupid-backoff
+    LM on the documents corpus (3 explode+groupBy count passes), score
+    every document (5 count-table joins over token rows), bucket
+    head/middle/tail — returns per-bucket doc/token tallies (3 rows)."""
+    from automic_etl_spark.operators.ngramlm import (
+        fit_ngram_lm,
+        perplexity_buckets,
+        score_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = fit_ngram_lm(docs, min_count=2)
+    scored = score_documents(docs, lm)
+    out = (
+        perplexity_buckets(scored)
+        .groupBy("ppl_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("logscore_e6").alias("min_ls"),
+            F.max("logscore_e6").alias("max_ls"),
+        )
+        .orderBy("ppl_bucket")
+    )
+    for c in lm.counts.values():
+        c.unpersist()
+    return out

@@ -10,7 +10,9 @@ dataset actually runs, composed from the engine's operators.
       → semantic dedup     (optional: SemDeDup over doc embeddings —
                             operators/similarity.semantic_dedup)
       → quality filter     (length/stopword/punctuation composite,
-                            then an optional trained classifier gate)
+                            then an optional trained classifier gate,
+                            then an optional CCNet n-gram-LM perplexity
+                            bucket gate — operators/ngramlm)
       → decontamination    (optional: drop docs sharing n-grams with a
                             benchmark set — operators/decontam)
       → per-group caps     (optional: quota sampling by source/language)
@@ -77,6 +79,15 @@ class CorpusCurator:
     # None disables the stage
     quality_model: object | None = None
     quality_model_min_prob: float = 0.5
+    # perplexity gate (CCNet): a FITTED operators.ngramlm.NGramLM; docs
+    # bucket head/middle/tail by stupid-backoff LM score and only
+    # perplexity_keep buckets survive (CCNet drops/downweights the
+    # tail). Docs with no tokens score nothing and are dropped here.
+    # None disables the stage.
+    perplexity_lm: object | None = None
+    perplexity_keep: tuple = ("head", "middle")
+    perplexity_head_frac: float = 0.3
+    perplexity_middle_frac: float = 0.3
     # terminal sequence packing: token budget per training sequence
     # (packed within each split so no sequence straddles train/val);
     # None disables the stage
@@ -239,6 +250,29 @@ class CorpusCurator:
             ).drop("quality_prob")
             report["model_quality_removed"] = before - kept.count()
             report["low_quality_removed"] += report["model_quality_removed"]
+
+        # 3c2. optional CCNet perplexity gate (n-gram LM buckets)
+        if self.perplexity_lm is not None:
+            from automic_etl_spark.operators.ngramlm import (
+                perplexity_buckets,
+                score_documents,
+            )
+
+            before = kept.count()
+            scored = score_documents(
+                kept.select(id_col, text_col), self.perplexity_lm,
+                id_col=id_col, text_col=text_col,
+            )
+            labeled = perplexity_buckets(
+                scored, self.perplexity_head_frac, self.perplexity_middle_frac
+            )
+            keep_ids = labeled.filter(
+                F.col("ppl_bucket").isin(*self.perplexity_keep)
+            ).select(id_col)
+            # the kept fraction is O(corpus) — semi-join, never broadcast
+            kept = kept.join(keep_ids, id_col, "left_semi")
+            report["perplexity_removed"] = before - kept.count()
+            report["low_quality_removed"] += report["perplexity_removed"]
 
         # 3d. optional exact-substring duplication cap (cross-doc spans)
         if self.max_dup_token_ppm is not None:

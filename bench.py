@@ -59,6 +59,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_substring_dedup,
     q_token_mixture,
     q_ann_join,
+    q_ngram_perplexity,
 )
 
 HEADLINE = {
@@ -90,6 +91,7 @@ HEADLINE = {
     "substring_dedup": q_substring_dedup,
     "token_mixture": q_token_mixture,
     "ann_join": q_ann_join,
+    "ngram_perplexity": q_ngram_perplexity,
 }
 
 

@@ -1,0 +1,222 @@
+"""N-gram LM perplexity filtering (operators/ngramlm): the Spark
+implementation is differentially tested against the pure-Python
+reference scorer in the same module (exact stupid-backoff semantics),
+plus bucket/persistence/edge-case coverage."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators.ngramlm import (
+    NGramLM,
+    fit_ngram_lm,
+    perplexity_buckets,
+    reference_score,
+    score_documents,
+)
+
+CORPUS = [
+    "the cat sat on the mat",
+    "the dog sat on the rug",
+    "the cat ate the fish",
+    "a dog chased the cat",
+    "the quick brown fox jumps over the lazy dog",
+]
+
+PROBES = [
+    "the cat sat on the mat",          # in-corpus: best score
+    "the dog ate the fish",            # recombination: mid
+    "zz qq xx yy",                     # pure OOV: worst
+    "the the the the",                 # repetitive but known unigram
+    "a",                               # single token
+]
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.fixture(scope="module")
+def lm3(spark):
+    return fit_ngram_lm(_docs(spark, CORPUS), order=3)
+
+
+def test_fit_totals_and_counts(spark, lm3):
+    n_ref = sum(len(t.split()) for t in CORPUS)
+    v_ref = len({w for t in CORPUS for w in t.split()})
+    assert lm3.total_tokens == n_ref
+    assert lm3.vocab_size == v_ref
+    uni = {r["gram"]: r["cnt"] for r in lm3.counts[1].collect()}
+    assert uni["the"] == sum(t.split().count("the") for t in CORPUS)
+    tri = {r["gram"]: r["cnt"] for r in lm3.counts[3].collect()}
+    assert tri["the cat sat"] == 1
+    assert "sat on the" in tri
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_scores_match_python_reference(spark, order):
+    lm = fit_ngram_lm(_docs(spark, CORPUS), order=order)
+    got = {
+        r["doc_id"]: r["logscore_e6"]
+        for r in score_documents(_docs(spark, PROBES), lm).collect()
+    }
+    for i, probe in enumerate(PROBES):
+        want = round(reference_score(CORPUS, probe, order=order) * 1e6)
+        assert abs(got[i] - want) <= 1, (order, probe, got[i], want)
+
+
+def test_min_count_pruning_matches_reference(spark):
+    lm = fit_ngram_lm(_docs(spark, CORPUS), order=3, min_count=2)
+    # pruning keeps denominators consistent: every surviving n-gram's
+    # context survives too (context count >= n-gram count)
+    bi = {r["gram"] for r in lm.counts[2].collect()}
+    uni = {r["gram"] for r in lm.counts[1].collect()}
+    for g in bi:
+        assert g.split()[0] in uni
+    got = {
+        r["doc_id"]: r["logscore_e6"]
+        for r in score_documents(_docs(spark, PROBES), lm).collect()
+    }
+    for i, probe in enumerate(PROBES):
+        want = round(reference_score(CORPUS, probe, order=3, min_count=2) * 1e6)
+        assert abs(got[i] - want) <= 1, (probe, got[i], want)
+
+
+def test_ranking_is_sane(spark, lm3):
+    got = {
+        r["doc_id"]: r["logscore_e6"]
+        for r in score_documents(_docs(spark, PROBES), lm3).collect()
+    }
+    assert got[0] > got[1] > got[2]  # in-corpus > recombined > OOV
+
+
+def test_empty_and_whitespace_docs_absent(spark, lm3):
+    out = score_documents(_docs(spark, ["", "   ", "the cat"]), lm3).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {2}
+    assert all(r["logscore_e6"] is not None for r in out)
+
+
+def test_lowercase_normalization(spark, lm3):
+    got = {
+        r["doc_id"]: r["logscore_e6"]
+        for r in score_documents(
+            _docs(spark, ["THE CAT SAT ON THE MAT", "the cat sat on the mat"]), lm3
+        ).collect()
+    }
+    assert got[0] == got[1]
+
+
+def test_buckets_cover_fractions(spark, lm3):
+    texts = CORPUS + ["the dog ate the fish"] * 3 + ["zz qq xx yy"] * 4
+    scored = score_documents(_docs(spark, texts), lm3)
+    out = perplexity_buckets(
+        scored, head_frac=0.3, middle_frac=0.3, relative_error=0.0
+    )
+    counts = {
+        r["ppl_bucket"]: r["n"]
+        for r in out.groupBy("ppl_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = len(texts)
+    assert set(counts) == {"head", "middle", "tail"}
+    assert sum(counts.values()) == n
+    # head holds the BEST scores: every head score >= every tail score
+    rows = out.select("logscore_e6", "ppl_bucket").collect()
+    head_min = min(r[0] for r in rows if r[1] == "head")
+    tail_max = max(r[0] for r in rows if r[1] == "tail")
+    assert head_min >= tail_max
+    assert counts["tail"] >= 4  # the OOV clones land in the tail
+
+
+def test_bucket_fraction_validation(spark, lm3):
+    scored = score_documents(_docs(spark, PROBES), lm3)
+    with pytest.raises(ValueError):
+        perplexity_buckets(scored, head_frac=0.7, middle_frac=0.5)
+
+
+def test_save_load_roundtrip(spark, lm3, tmp_path):
+    path = str(tmp_path / "lm")
+    lm3.save(path)
+    lm2 = NGramLM.load(spark, path)
+    assert (lm2.order, lm2.total_tokens, lm2.vocab_size) == (
+        lm3.order,
+        lm3.total_tokens,
+        lm3.vocab_size,
+    )
+    a = {
+        r["doc_id"]: r["logscore_e6"]
+        for r in score_documents(_docs(spark, PROBES), lm3).collect()
+    }
+    b = {
+        r["doc_id"]: r["logscore_e6"]
+        for r in score_documents(_docs(spark, PROBES), lm2).collect()
+    }
+    assert a == b
+
+
+def test_unfitted_lm_raises(spark):
+    with pytest.raises(ValueError):
+        score_documents(_docs(spark, ["x"]), NGramLM())
+
+
+def test_reference_scorer_self_checks():
+    # in-corpus trigram path: first doc scores the max possible for its
+    # opening bigram ("the cat" appears twice)
+    s = reference_score(CORPUS, "the cat sat on the mat", order=3)
+    assert s > reference_score(CORPUS, "zz qq xx yy", order=3)
+    assert math.isnan(reference_score(CORPUS, "   ", order=3))
+
+
+def test_corpus_curator_perplexity_stage(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    corpus = _docs(spark, CORPUS)
+    lm = fit_ngram_lm(corpus, order=3)
+    texts = (
+        [f"the cat sat on the mat {i}" for i in range(6)]
+        + ["the dog ate the fish again today"] * 2
+        + ["zz qq xx yy vv ww uu tt"] * 2
+    )
+    docs = spark.createDataFrame(
+        [(i, t, "web") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    cur = CorpusCurator(
+        min_quality=0.0,
+        perplexity_lm=lm,
+        perplexity_keep=("head", "middle"),
+        perplexity_head_frac=0.4,
+        perplexity_middle_frac=0.3,
+    )
+    out, report = cur.curate(docs)
+    assert report["perplexity_removed"] > 0
+    assert report["final_docs"] == out.count()
+    # the OOV docs are the tail: none survive
+    surviving = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert not any(t.startswith("zz qq") for i, t in enumerate(texts) if i in surviving)
+    # report arithmetic holds end to end
+    assert (
+        report["input_docs"]
+        - report["exact_dups_removed"]
+        - report["near_dups_removed"]
+        - report["fuzzy_dups_removed"]
+        - report["semantic_dups_removed"]
+        - report["low_quality_removed"]
+        - report["contaminated_removed"]
+        - report["group_cap_removed"]
+        == report["final_docs"]
+    )
+
+
+def test_bench_workload_runs(spark):
+    from automic_etl_spark.queries.bench_ops import q_ngram_perplexity
+
+    out = q_ngram_perplexity(spark, "/root/testdata/sf0.001").collect()
+    buckets = {r["ppl_bucket"] for r in out}
+    assert buckets <= {"head", "middle", "tail"} and "head" in buckets
+    assert sum(r["n_docs"] for r in out) > 0
