@@ -1,0 +1,446 @@
+"""Perceptual image hashing + Hamming near-dup — image-corpus
+deduplication for multimodal training data (beyond-reference mandate;
+the reference's media connectors stop at metadata,
+``connectors/media/image.py``, and lean on external decode libs).
+
+This module gives the engine REAL pixel paths with zero dependencies
+beyond the stdlib and numpy:
+
+- **decoders**: PNG (zlib IDAT + full filter reconstruction, bit depth
+  8, color types 0/2/3/4/6, non-interlaced), BMP (uncompressed BI_RGB
+  24/32-bit, bottom-up and top-down), PPM (P6). Anything else — JPEG,
+  interlaced PNG, 16-bit — returns ok=False (honest codec gate, same
+  policy as operators/audio for mp3/ogg).
+- **perceptual hashes**: 64-bit dHash (9x8 box-downsampled grayscale,
+  adjacent-column gradient signs — robust to brightness/contrast/scale
+  changes) and aHash (8x8 mean threshold), the standard near-dup
+  fingerprints for image corpora.
+- **near-dup join**: pigeonhole-banded self-join — a 64-bit hash splits
+  into (max_hamming + 1) bit-bands, so any pair within the Hamming
+  radius MUST agree on at least one band (if d bits differ across b > d
+  bands, some band has zero differing bits). Candidates come from
+  per-band equi-joins (bucketed, never all-pairs — the same LSH-banding
+  shape as MinHash dedup), then one exact ``bit_count(a ^ b)`` verify.
+  Exact recall at the stated radius, linear in corpus size.
+
+Plan shape at 100 TB: decode+hash is one Arrow-batched mapInPandas over
+the binary column (per-partition parallel, batch-bounded memory); the
+join shuffles only (id, 8-byte hash) rows on band keys.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+    import pandas as pd
+
+
+# --------------------------------------------------------------------------
+# pixel decoders (pure stdlib + numpy)
+# --------------------------------------------------------------------------
+
+def decode_png(data: bytes):
+    """Decode an 8-bit non-interlaced PNG to an (H, W, C) uint8 array
+    (C=1 gray, 3 RGB, 4 RGBA; palette expands to RGB). Returns None for
+    anything unsupported or malformed — total on arbitrary bytes."""
+    import numpy as np
+
+    try:
+        if data[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, ihdr, idat, plte, trns = 8, None, [], None, None
+        while pos + 8 <= len(data):
+            (ln,) = struct.unpack(">I", data[pos : pos + 4])
+            typ = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                return None
+            if typ == b"IHDR":
+                ihdr = body
+            elif typ == b"IDAT":
+                idat.append(body)
+            elif typ == b"PLTE":
+                plte = body
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr[:13]
+        )
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+        if channels is None or w == 0 or h == 0 or w * h > 64_000_000:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+
+        # filter reconstruction (spec §9): per-row filter byte then bytes
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        bpp = channels  # bytes per pixel at depth 8
+        for y in range(h):
+            off = y * (stride + 1)
+            ftype = raw[off]
+            row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
+            if ftype == 0:
+                cur = row.copy()
+            elif ftype == 2:  # Up
+                cur = row + prev
+            elif ftype in (1, 3, 4):
+                cur = np.empty(stride, dtype=np.uint8)
+                rowi = row.astype(np.int32)
+                previ = prev.astype(np.int32)
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(previ[x])
+                    if ftype == 1:  # Sub
+                        val = rowi[x] + a
+                    elif ftype == 3:  # Average
+                        val = rowi[x] + ((a + b) >> 1)
+                    else:  # Paeth
+                        c = int(previ[x - bpp]) if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        val = rowi[x] + pred
+                    cur[x] = val & 0xFF
+            else:
+                return None
+            out[y] = cur
+            prev = cur
+        img = out.reshape(h, w, channels)
+        if ctype == 3:  # palette -> RGB
+            if plte is None or len(plte) % 3:
+                return None
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            idx = img[:, :, 0]
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None
+            img = pal[idx]
+        elif ctype == 4:  # gray+alpha -> gray
+            img = img[:, :, :1]
+        return img
+    except Exception:
+        return None
+
+
+def decode_bmp(data: bytes):
+    """Decode an uncompressed (BI_RGB) 24/32-bit BMP to (H, W, 3) uint8
+    (BGR storage converted to RGB; bottom-up and top-down DIBs)."""
+    import numpy as np
+
+    try:
+        if data[:2] != b"BM" or len(data) < 54:
+            return None
+        (pix_off,) = struct.unpack("<I", data[10:14])
+        (hdr_sz,) = struct.unpack("<I", data[14:18])
+        if hdr_sz < 40:
+            return None
+        w, h = struct.unpack("<ii", data[18:26])
+        planes, bpp = struct.unpack("<HH", data[26:30])
+        (compression,) = struct.unpack("<I", data[30:34])
+        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None
+        top_down = h < 0
+        h = abs(h)
+        if w * h > 64_000_000:
+            return None
+        nb = bpp // 8
+        row_sz = (w * nb + 3) & ~3  # rows pad to 4 bytes
+        need = pix_off + row_sz * h
+        if len(data) < need:
+            return None
+        buf = np.frombuffer(data, dtype=np.uint8, count=row_sz * h, offset=pix_off)
+        rows = buf.reshape(h, row_sz)[:, : w * nb].reshape(h, w, nb)
+        if not top_down:
+            rows = rows[::-1]
+        return rows[:, :, 2::-1].copy()  # BGR(A) -> RGB
+    except Exception:
+        return None
+
+
+def decode_ppm(data: bytes):
+    """Decode a binary P6 PPM (maxval 255) to (H, W, 3) uint8."""
+    import numpy as np
+
+    try:
+        if data[:2] != b"P6":
+            return None
+        # header: P6 <w> <h> <maxval> then a single whitespace byte
+        fields, pos = [], 2
+        while len(fields) < 3 and pos < len(data):
+            while pos < len(data) and data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":  # comment to EOL
+                while pos < len(data) and data[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(data[start:pos]))
+        pos += 1  # the single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255 or w <= 0 or h <= 0 or w * h > 64_000_000:
+            return None
+        need = w * h * 3
+        if len(data) - pos < need:
+            return None
+        return (
+            np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+            .reshape(h, w, 3)
+            .copy()
+        )
+    except Exception:
+        return None
+
+
+def decode_image(data: bytes):
+    """Dispatch on magic bytes -> (format, pixels) or (format, None)
+    when the format is recognized but not decodable (JPEG etc.)."""
+    from automic_etl_spark.operators.imagemeta import probe_image
+
+    fmt, _, _ = probe_image(data if data is not None else b"")
+    if data is None:
+        return fmt, None
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png", decode_png(data)
+    if data[:2] == b"BM":
+        return "bmp", decode_bmp(data)
+    if data[:2] == b"P6":
+        return "ppm", decode_ppm(data)
+    return fmt, None
+
+
+# --------------------------------------------------------------------------
+# perceptual hashes
+# --------------------------------------------------------------------------
+
+def _to_gray(img) -> "np.ndarray":
+    """uint8 (H,W,C) -> float64 (H,W) luma (ITU-R BT.601)."""
+    if img.shape[2] == 1:
+        return img[:, :, 0].astype("float64")
+    rgb = img[:, :, :3].astype("float64")
+    return 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+
+
+def _box_resize(gray, out_h: int, out_w: int) -> "np.ndarray":
+    """Mean-pool resize to (out_h, out_w): each output cell averages its
+    (possibly fractionally-bounded) source block — deterministic and
+    dependency-free; plenty for 8x8-scale fingerprints."""
+    import numpy as np
+
+    h, w = gray.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w), dtype=np.float64)
+    for i in range(out_h):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(out_w):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            out[i, j] = gray[y0:y1, x0:x1].mean()
+    return out
+
+
+def _bits_to_i64(bits) -> int:
+    """64 bools (MSB first) -> signed int64 (two's complement) so the
+    value round-trips through a Spark LongType column."""
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash64(img) -> int:
+    """Difference hash: 9x8 luma, bit = left pixel > right neighbor."""
+    small = _box_resize(_to_gray(img), 8, 9)
+    return _bits_to_i64((small[:, :-1] > small[:, 1:]).flatten())
+
+
+def ahash64(img) -> int:
+    """Average hash: 8x8 luma, bit = pixel > global mean."""
+    small = _box_resize(_to_gray(img), 8, 8)
+    return _bits_to_i64((small > small.mean()).flatten())
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing
+# --------------------------------------------------------------------------
+
+PHASH_SCHEMA = (
+    "doc_id long, ok boolean, format string, width int, height int, "
+    "dhash long, ahash long"
+)
+
+
+def image_blobs_phash(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """(id, binary) -> per-image decode + perceptual hashes, one
+    Arrow-batched mapInPandas (PHASH_SCHEMA). ok=False rows (undecodable
+    bytes / gated codecs) carry NULL hashes."""
+    import pandas as pd
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                fmt, img = decode_image(bytes(blob) if blob is not None else b"")
+                if img is None:
+                    rows.append((rid, False, fmt, None, None, None, None))
+                else:
+                    rows.append(
+                        (
+                            rid,
+                            True,
+                            fmt,
+                            img.shape[1],
+                            img.shape[0],
+                            dhash64(img),
+                            ahash64(img),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ok", "format", "width", "height", "dhash", "ahash",
+                ],
+            ).rename(columns={"doc_id": id_col})
+
+    schema = PHASH_SCHEMA.replace("doc_id ", f"{id_col} ", 1)
+    return df.mapInPandas(kernel, schema)
+
+
+def _band_cols(hash_col: str, n_bands: int) -> list:
+    """Split a 64-bit hash column into n_bands contiguous bit-band keys
+    (widths differ by at most 1 bit)."""
+    cols, start = [], 0
+    base, extra = divmod(64, n_bands)
+    for b in range(n_bands):
+        width = base + (1 if b < extra else 0)
+        mask = (1 << width) - 1
+        cols.append(
+            F.shiftrightunsigned(F.col(hash_col), start).bitwiseAND(F.lit(mask))
+        )
+        start += width
+    return cols
+
+
+def phash_near_dup(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """All pairs (id_a < id_b, hamming) within the Hamming radius.
+
+    Exact at the stated radius by the pigeonhole principle: the hash
+    splits into max_hamming+1 bands, a qualifying pair agrees on >= 1
+    band, so per-band equi-self-joins (bucketed — never all-pairs)
+    produce a candidate superset; ``bit_count(a ^ b)`` verifies. Only
+    (id, hash, band-key) rows ever shuffle."""
+    if not 0 <= max_hamming <= 63:
+        raise ValueError("max_hamming must be in [0, 63]")
+    n_bands = min(max_hamming + 1, 16)
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+    bands = h.select(
+        id_col,
+        hash_col,
+        F.posexplode(F.array(*_band_cols(hash_col, n_bands))).alias("__b", "__k"),
+    )
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "__b", "__k"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "__b", "__k"
+    )
+    pairs = (
+        left.join(right, ["__b", "__k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def dedup_by_phash(
+    df: DataFrame,
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Keep one image per near-dup cluster (minimum id wins): banded
+    pairs -> connected components (operators.dedup) -> anti-join losers.
+    Undecodable images (no hash) are kept — quarantine them upstream
+    with MultimodalCurator if that's not wanted."""
+    from automic_etl_spark.operators.dedup import connected_components
+
+    pairs = phash_near_dup(
+        hashes, max_hamming=max_hamming, id_col=id_col, hash_col=hash_col
+    )
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# encoders for tests/bench (synthesize real files executor-side)
+# --------------------------------------------------------------------------
+
+def synth_png(img) -> bytes:
+    """Encode an (H, W, C) uint8 array (C in 1/3/4) as a real PNG
+    (filter 0 rows, one zlib IDAT) — the test/bench twin of decode_png."""
+    h, w, c = img.shape
+    ctype = {1: 0, 3: 2, 4: 6}[c]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_bmp(img) -> bytes:
+    """Encode an (H, W, 3) uint8 array as an uncompressed 24-bit
+    bottom-up BMP."""
+    h, w, _ = img.shape
+    row_sz = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        pix += row + b"\x00" * (row_sz - len(row))
+    header = b"BM" + struct.pack(
+        "<IHHI", 54 + len(pix), 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + bytes(pix)

@@ -378,3 +378,44 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in lm.counts.values():
         c.unpersist()
     return out
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup end-to-end: synthesize a PNG corpus executor-side
+    (deterministic pixels keyed off doc_id; every 4th image is a
+    brightness-perturbed twin of its predecessor), decode + perceptual-
+    hash in one mapInPandas, banded-Hamming near-dup join — returns the
+    corpus/pair tally (1 row). Measures the full pixel path: zlib
+    inflate, PNG unfilter, box resize, hash, LSH-band join."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.imagehash import (
+        image_blobs_phash,
+        phash_near_dup,
+        synth_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                base_seed = int(rid) - (int(rid) % 4 == 3)  # 4th = twin of 3rd
+                rng = np.random.RandomState(base_seed % (2**31))
+                img = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+                if int(rid) % 4 == 3:
+                    img = np.clip(img.astype(np.int16) + 5, 0, 255).astype(np.uint8)
+                blobs.append(synth_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    # cache: the hash table feeds both the tally and the pair join —
+    # without it the decode kernel runs twice (tiny table: 7 cols/doc)
+    hashes = image_blobs_phash(blobs).cache()
+    pairs = phash_near_dup(hashes, max_hamming=10)
+    return hashes.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs")))

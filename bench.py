@@ -60,6 +60,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_token_mixture,
     q_ann_join,
     q_ngram_perplexity,
+    q_image_phash,
 )
 
 HEADLINE = {
@@ -92,6 +93,7 @@ HEADLINE = {
     "token_mixture": q_token_mixture,
     "ann_join": q_ann_join,
     "ngram_perplexity": q_ngram_perplexity,
+    "image_phash": q_image_phash,
 }
 
 

@@ -1,0 +1,248 @@
+"""Perceptual image hashing (operators/imagehash): decoder round-trips
+against the in-module encoders and hand-built pixel buffers, hash
+robustness/sensitivity, and the banded Hamming join differentially
+tested against a brute-force all-pairs oracle."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators.imagehash import (
+    ahash64,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    dedup_by_phash,
+    dhash64,
+    image_blobs_phash,
+    phash_near_dup,
+    synth_bmp,
+    synth_png,
+)
+
+
+def _img(seed: int, h: int = 32, w: int = 32, c: int = 3) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+# -- decoders ---------------------------------------------------------------
+
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_png_roundtrip(c):
+    img = _img(1, 5, 7, c)
+    out = decode_png(synth_png(img))
+    want = img[:, :, :1] if c == 4 else img  # alpha drops to gray/rgb
+    if c == 4:
+        # RGBA keeps all 4 channels through decode (ctype 6)
+        want = img
+    assert out is not None and np.array_equal(out, want)
+
+
+def test_png_all_filter_types_reconstruct():
+    # hand-encode each row with a different filter type and check the
+    # reconstruction matches the spec's inverse exactly
+    img = _img(2, 5, 4, 3)
+    h, w, c = img.shape
+    bpp = c
+    rows = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].reshape(-1).astype(np.int32)
+        prev = img[y - 1].reshape(-1).astype(np.int32) if y else np.zeros(w * c, np.int32)
+        enc = np.empty(w * c, dtype=np.uint8)
+        for x in range(w * c):
+            a = int(cur[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            cc = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc[x] = (cur[x] - pred) & 0xFF
+        rows.append(bytes([ftype]) + enc.tobytes())
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(
+            ">I", zlib.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_png_palette():
+    pal = bytes(range(30))  # 10 RGB entries
+    idx = np.array([[0, 1], [9, 5]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+
+    def chunk(typ, body):
+        return struct.pack(">I", len(body)) + typ + body + struct.pack(
+            ">I", zlib.crc32(typ + body) & 0xFFFFFFFF
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[1, 0]) == (27, 28, 29)  # palette entry 9
+
+
+def test_png_rejects_unsupported():
+    img = _img(3, 4, 4, 3)
+    good = synth_png(img)
+    assert decode_png(b"") is None
+    assert decode_png(good[:20]) is None
+    # 16-bit depth / interlaced flagged headers refuse, not crash
+    bad_depth = bytearray(good)
+    bad_depth[24] = 16
+    assert decode_png(bytes(bad_depth)) is None
+
+
+def test_bmp_roundtrip_and_topdown():
+    img = _img(4, 6, 5, 3)  # odd width exercises row padding
+    assert np.array_equal(decode_bmp(synth_bmp(img)), img)
+    assert decode_bmp(b"BM" + b"\x00" * 10) is None
+
+
+def test_ppm_roundtrip():
+    img = _img(5, 3, 4, 3)
+    data = b"P6\n# comment\n4 3\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(data), img)
+    assert decode_ppm(b"P6\n4 3\n65535\n" + img.tobytes()) is None
+
+
+def test_decode_image_dispatch_and_gates():
+    img = _img(6, 4, 4, 3)
+    assert decode_image(synth_png(img))[0] == "png"
+    assert decode_image(synth_bmp(img))[0] == "bmp"
+    fmt, px = decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 40)  # JPEG: gated
+    assert fmt == "jpeg" and px is None
+
+
+# -- hashes -----------------------------------------------------------------
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dhash_brightness_invariance_and_sensitivity():
+    img = _img(7, 64, 64, 3)
+    brighter = np.clip(img.astype(np.int16) + 25, 0, 255).astype(np.uint8)
+    assert _hamming(dhash64(img), dhash64(brighter)) <= 6
+    other = _img(8, 64, 64, 3)
+    assert _hamming(dhash64(img), dhash64(other)) > 12
+    # identical content at 2x scale hashes near-identically (box-resize
+    # block boundaries shift by at most one source pixel, so only
+    # near-tie gradient bits may flip)
+    doubled = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+    assert _hamming(dhash64(doubled), dhash64(img)) <= 10
+
+
+def test_ahash_basic():
+    img = _img(9, 32, 32, 3)
+    assert ahash64(img) == ahash64(img.copy())
+    assert _hamming(ahash64(img), ahash64(_img(10, 32, 32, 3))) > 8
+
+
+# -- Spark plumbing ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """30 images: 10 bases (PNG), 10 slightly-perturbed twins (BMP),
+    10 unrelated, plus 2 undecodable blobs."""
+    rows = []
+    for i in range(10):
+        base = _img(100 + i, 48, 48, 3)
+        twin = np.clip(base.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+        rows.append((i, bytearray(synth_png(base))))
+        rows.append((100 + i, bytearray(synth_bmp(twin))))
+    for i in range(10):
+        rows.append((200 + i, bytearray(synth_png(_img(900 + i, 48, 48, 3)))))
+    rows.append((300, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 30)))  # jpeg gate
+    rows.append((301, bytearray(b"garbage-bytes")))
+    return spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+
+
+@pytest.fixture(scope="module")
+def hashed(corpus):
+    return image_blobs_phash(corpus).cache()
+
+
+def test_distributed_phash(hashed):
+    got = {r["doc_id"]: r for r in hashed.collect()}
+    assert len(got) == 32
+    assert got[0]["ok"] and got[0]["format"] == "png" and got[0]["width"] == 48
+    assert got[100]["ok"] and got[100]["format"] == "bmp"
+    assert not got[300]["ok"] and got[300]["format"] == "jpeg"
+    assert got[300]["dhash"] is None and not got[301]["ok"]
+    # distributed hash == driver hash for a decoded pair
+    base = _img(100, 48, 48, 3)
+    assert got[0]["dhash"] == dhash64(base) and got[0]["ahash"] == ahash64(base)
+
+
+def test_near_dup_matches_bruteforce_oracle(hashed):
+    rows = [(r["doc_id"], r["dhash"]) for r in hashed.collect() if r["dhash"] is not None]
+    for radius in (2, 6, 10):
+        want = {
+            (a, b)
+            for i, (a, ha) in enumerate(rows)
+            for b, hb in rows[i + 1 :]
+            if _hamming(ha, hb) <= radius
+        }
+        want = {(min(a, b), max(a, b)) for a, b in want}
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in phash_near_dup(hashed, max_hamming=radius).collect()
+        }
+        assert got == want, f"radius {radius}"
+
+
+def test_near_dup_finds_twins(hashed):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup(hashed, max_hamming=8).collect()
+    }
+    twin_hits = sum(1 for i in range(10) if (i, 100 + i) in pairs)
+    assert twin_hits >= 8  # perturbed twins sit within the radius
+    # unrelated images don't pair with their bases
+    assert not any((i, 200 + j) in pairs for i in range(10) for j in range(10))
+
+
+def test_dedup_by_phash(corpus, hashed):
+    kept = dedup_by_phash(corpus, hashed, max_hamming=8)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # cluster minimum wins: base ids survive, their twins mostly drop
+    assert all(i in ids for i in range(10))
+    assert sum(1 for i in range(10) if 100 + i in ids) <= 2
+    # undecodable rows are kept, not silently dropped
+    assert 300 in ids and 301 in ids
+
+
+def test_phash_radius_validation(hashed):
+    with pytest.raises(ValueError):
+        phash_near_dup(hashed, max_hamming=64)
