@@ -1,0 +1,303 @@
+"""Acoustic fingerprinting + near-dup matching — the audio twin of the
+perceptual image hash (beyond-reference multimodal-dedup mandate; the
+reference's audio connector stops at metadata and external-lib decode,
+``connectors/media/audio.py``).
+
+Fingerprint: the Haitsma-Kalker (Philips, 2002) robust hash — the
+classic content-ID fingerprint behind broadcast monitoring systems:
+
+  1. mono mixdown -> overlapping frames -> FFT magnitude (numpy rfft)
+  2. energies in n_bands+1 log-spaced bands over ~[300, min(3000, fs/2)] Hz
+  3. bit m of frame n = sign of the band-energy difference *delta*:
+       (E[n,m] - E[n,m+1]) - (E[n-1,m] - E[n-1,m+1]) > 0
+  -> one 32-bit *subfingerprint* per frame; a clip is an array<int>.
+
+The double difference cancels global gain exactly (scaling all samples
+by c scales every energy by c², leaving every sign unchanged) and is
+empirically robust to noise/transcode — tested here against the decode
+paths the engine actually owns (WAV via stdlib, FLAC via the
+first-party RFC 9639 codec).
+
+The HK subfingerprint is bit-exact under gain change but individual
+bits flip under additive noise, so exact equality joins on it only find
+exact/gain duplicates. NEAR-dup matching therefore uses the other
+classic: Shazam-style PEAK-PAIR LANDMARKS (Wang 2003) — per frame take
+the top spectral peak bins, pair each anchor peak with peaks a few
+frames ahead, and hash (quantized_bin1, quantized_bin2, dt) into one
+~2^18-value key. Peak POSITIONS survive noise/transcode far better
+than sign bits, and the wide key space keeps the inverted index sparse:
+the match join explodes (doc, time, landmark-hash), equi-joins on the
+hash, then OFFSET-VOTES — group by (id_a, id_b, t_a - t_b) and count;
+a true match concentrates hits at one offset, chance collisions
+scatter. Expected bucket size per hash key is total_landmarks / 2^18,
+so the self-join stays near-linear in corpus size (the same
+bucketed-LSH argument as MinHash banding); a per-(doc, hash) occurrence
+cap bounds the worst case on degenerate stationary audio.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+    import pandas as pd
+
+
+def audio_fingerprint(
+    data: bytes,
+    frame_len: int = 1024,
+    hop: int = 256,
+    n_bands: int = 32,
+) -> list[int] | None:
+    """Decode a WAV/FLAC blob and return its subfingerprint sequence
+    (one int32 per frame, two's-complement), or None when the payload
+    is undecodable / a gated codec / too short for a single frame."""
+    import numpy as np
+
+    from automic_etl_spark.operators.audio import _decode_pcm
+
+    try:
+        samples, rate, _width = _decode_pcm(data)
+    except Exception:
+        return None
+    mono = samples.astype(np.float64).mean(axis=1)
+    if mono.shape[0] < frame_len + hop:
+        return None
+
+    n_frames = 1 + (mono.shape[0] - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(frame_len)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))  # (n_frames, frame_len/2+1)
+
+    # log-spaced band edges over [300, min(3000, 0.45*rate)] Hz
+    f_lo, f_hi = 300.0, min(3000.0, 0.45 * rate)
+    if f_hi <= f_lo:
+        f_lo, f_hi = 0.05 * rate, 0.45 * rate
+    edges = np.exp(np.linspace(math.log(f_lo), math.log(f_hi), n_bands + 2))
+    bins = np.clip(
+        (edges * frame_len / rate).astype(np.int64), 1, mag.shape[1] - 1
+    )
+    energy = np.empty((n_frames, n_bands + 1), dtype=np.float64)
+    for m in range(n_bands + 1):
+        lo, hi = bins[m], max(bins[m + 1], bins[m] + 1)
+        energy[:, m] = (mag[:, lo:hi] ** 2).sum(axis=1)
+
+    diff = energy[:, :-1] - energy[:, 1:]           # (n_frames, n_bands)
+    delta = diff[1:] - diff[:-1]                    # frame-to-frame
+    bits = delta > 0
+    weights = (1 << np.arange(n_bands - 1, -1, -1, dtype=np.int64))[None, :]
+    vals = (bits.astype(np.int64) * weights).sum(axis=1)
+    vals = np.where(vals >= (1 << 31), vals - (1 << 32), vals)  # int32 2's-c
+    return [int(v) for v in vals]
+
+
+def audio_landmarks(
+    data: bytes,
+    frame_len: int = 1024,
+    hop: int = 256,
+    peaks_per_frame: int = 3,
+    max_dt: int = 8,
+    bin_quant: int = 2,
+) -> tuple[list[int], list[int]] | None:
+    """Shazam-style peak-pair landmarks: (hashes, anchor_frame_times).
+
+    Per frame the top ``peaks_per_frame`` FFT bins (within the analysis
+    band, magnitude order — gain-invariant) form the constellation;
+    each anchor peak pairs with every peak 1..max_dt frames ahead and
+    hashes as (q1 << 14) | (q2 << 4) | dt with q = bin // bin_quant.
+    Returns None for undecodable/gated/too-short payloads."""
+    import numpy as np
+
+    from automic_etl_spark.operators.audio import _decode_pcm
+
+    try:
+        samples, rate, _width = _decode_pcm(data)
+    except Exception:
+        return None
+    mono = samples.astype(np.float64).mean(axis=1)
+    if mono.shape[0] < frame_len + hop:
+        return None
+
+    n_frames = 1 + (mono.shape[0] - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = mono[idx] * np.hanning(frame_len)[None, :]
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    lo = max(1, int(300.0 * frame_len / rate))
+    hi = max(lo + peaks_per_frame, int(0.45 * rate * frame_len / rate))
+    band = mag[:, lo : hi + 1]
+    # silence guard: frames with ~zero energy contribute no peaks
+    active = band.sum(axis=1) > 1e-6
+    order = np.argsort(band, axis=1)[:, ::-1][:, :peaks_per_frame] + lo
+    peaks = [
+        sorted(int(b) // bin_quant for b in order[n]) if active[n] else []
+        for n in range(n_frames)
+    ]
+    hashes, times = [], []
+    for n in range(n_frames):
+        for q1 in peaks[n]:
+            for dt in range(1, max_dt + 1):
+                if n + dt >= n_frames:
+                    break
+                for q2 in peaks[n + dt]:
+                    hashes.append((q1 << 14) | (q2 << 4) | dt)
+                    times.append(n)
+    return (hashes, times) if hashes else None
+
+
+FP_SCHEMA = (
+    "doc_id long, ok boolean, n_frames int, subfps array<int>, "
+    "lm_hashes array<int>, lm_times array<int>"
+)
+
+
+def audio_blobs_fingerprint(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """(id, binary) -> HK subfingerprints + peak landmarks (FP_SCHEMA)
+    in one Arrow-batched mapInPandas (one decode feeds both);
+    undecodable blobs keep ok=False with NULL arrays."""
+    import pandas as pd
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(blob) if blob is not None else b""
+                fp = audio_fingerprint(raw)
+                lm = audio_landmarks(raw)
+                rows.append(
+                    (
+                        rid,
+                        fp is not None,
+                        len(fp) if fp else None,
+                        fp,
+                        lm[0] if lm else None,
+                        lm[1] if lm else None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "ok", "n_frames", "subfps", "lm_hashes", "lm_times",
+                ],
+            ).rename(columns={"doc_id": id_col})
+
+    return df.mapInPandas(kernel, FP_SCHEMA.replace("doc_id ", f"{id_col} ", 1))
+
+
+def fingerprint_match_join(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_hits: int = 20,
+    per_value_cap: int = 4,
+) -> DataFrame:
+    """(id_a < id_b, offset, hits) for clip pairs sharing >= min_hits
+    landmark hashes at one frame offset (offset voting — chance
+    collisions don't align). per_value_cap bounds occurrences of one
+    hash value within a doc so degenerate stationary audio can't go
+    quadratic (documented recall trade, same policy as fuzzy_join)."""
+    ex = fps.filter(F.col("lm_hashes").isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.arrays_zip("lm_times", "lm_hashes")).alias("__z"),
+    ).select(
+        "__id",
+        F.col("__z.lm_times").alias("__t"),
+        F.col("__z.lm_hashes").alias("__h"),
+    )
+    w = Window.partitionBy("__id", "__h").orderBy("__t")
+    ex = (
+        ex.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_value_cap)
+        .drop("__rn")
+    )
+    a = ex.select(F.col("__id").alias("id_a"), F.col("__t").alias("ta"), "__h")
+    b = ex.select(F.col("__id").alias("id_b"), F.col("__t").alias("tb"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
+
+
+def audio_near_dup(
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_hits: int = 20,
+) -> DataFrame:
+    """Best-offset match per pair: (id_a, id_b, offset, hits) keeping
+    only each pair's strongest alignment (max_by hits, min-offset
+    tie-break via the (hits, -|offset|) struct ordering)."""
+    m = fingerprint_match_join(fps, id_col=id_col, min_hits=min_hits)
+    best = F.max(
+        F.struct(F.col("hits"), (-F.abs(F.col("offset"))).alias("no"), "offset")
+    )
+    return (
+        m.groupBy("id_a", "id_b")
+        .agg(best.alias("__b"))
+        .select("id_a", "id_b", F.col("__b.offset").alias("offset"), F.col("__b.hits").alias("hits"))
+    )
+
+
+def dedup_by_audiofp(
+    df: DataFrame,
+    fps: DataFrame,
+    id_col: str = "doc_id",
+    min_hits: int = 20,
+) -> DataFrame:
+    """Keep one clip per acoustic near-dup cluster (minimum id wins);
+    clips without a fingerprint are kept."""
+    from automic_etl_spark.operators.dedup import connected_components
+
+    pairs = audio_near_dup(fps, id_col=id_col, min_hits=min_hits)
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def synth_clip(
+    seed: int = 0,
+    duration_ms: int = 1000,
+    rate: int = 8000,
+    amplitude: float = 0.5,
+    noise: float = 0.0,
+    lead_silence_ms: int = 0,
+    n_partials: int = 40,
+) -> bytes:
+    """Deterministic BROADBAND test clip: n_partials seeded random-
+    frequency sinusoids spread over [300, 2800] Hz, each with its own
+    slow amplitude modulation — every analysis band carries signal and
+    the spectrum moves frame to frame, the conditions Haitsma-Kalker
+    assumes (a narrowband chirp or pure tone leaves most bands at
+    noise-floor energy, turning their bits into coin flips). Optional
+    additive noise (seeded independently) and leading silence for
+    offset-alignment tests."""
+    import numpy as np
+
+    from automic_etl_spark.operators.audio import _encode_pcm
+
+    rng = np.random.RandomState(seed)
+    n = (duration_ms * rate) // 1000
+    t = np.arange(n, dtype=np.float64) / rate
+    tone = np.zeros(n, dtype=np.float64)
+    for _ in range(n_partials):
+        f = rng.uniform(300.0, 2800.0)
+        phase = rng.uniform(0, 2 * math.pi)
+        g = rng.uniform(0.5, 6.0)  # AM rate in Hz
+        psi = rng.uniform(0, 2 * math.pi)
+        env = 0.5 * (1.0 + np.sin(2 * math.pi * g * t + psi))
+        tone += env * np.sin(2 * math.pi * f * t + phase)
+    tone *= amplitude / max(1e-9, np.abs(tone).max())
+    if noise > 0:
+        tone = tone + noise * np.random.RandomState(seed + 10_000).standard_normal(n)
+    lead = np.zeros((lead_silence_ms * rate) // 1000, dtype=np.float64)
+    full = np.clip(np.concatenate([lead, tone]), -1.0, 1.0)
+    return _encode_pcm((32767 * full).astype(np.int64)[:, None], rate, 2)

@@ -419,3 +419,46 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
     ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs")))
+
+
+def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup end-to-end: synthesize a broadband-clip corpus
+    executor-side (every 4th clip a gain+noise twin of its predecessor),
+    decode + HK-subfingerprint + peak-landmark in one mapInPandas,
+    landmark match join with offset voting — returns the corpus/match
+    tally (1 row). Measures FFT framing, landmark extraction, and the
+    inverted-index join at corpus scale."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.audiofp import (
+        audio_blobs_fingerprint,
+        audio_near_dup,
+        synth_clip,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                base_seed = int(rid) - (int(rid) % 4 == 3)
+                twin = int(rid) % 4 == 3
+                blobs.append(
+                    synth_clip(
+                        seed=base_seed % (2**31),
+                        duration_ms=500,
+                        amplitude=0.2 if twin else 0.5,
+                        noise=0.01 if twin else 0.0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    # cache: the fingerprint table feeds both the tally and the match join
+    fps = audio_blobs_fingerprint(blobs).cache()
+    matches = audio_near_dup(fps, min_hits=50)
+    return fps.agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
+    ).crossJoin(matches.agg(F.count(F.lit(1)).alias("n_matches")))

@@ -61,6 +61,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_ann_join,
     q_ngram_perplexity,
     q_image_phash,
+    q_audio_fingerprint,
 )
 
 HEADLINE = {
@@ -94,6 +95,7 @@ HEADLINE = {
     "ann_join": q_ann_join,
     "ngram_perplexity": q_ngram_perplexity,
     "image_phash": q_image_phash,
+    "audio_fingerprint": q_audio_fingerprint,
 }
 
 

@@ -1,0 +1,176 @@
+"""Acoustic fingerprinting (operators/audiofp): HK subfingerprint
+invariances (gain-EXACT, noise-robust, content-sensitive), peak-pair
+landmark matching with offset voting, the WAV and first-party FLAC
+decode paths producing identical fingerprints, and the distributed
+match/dedup joins."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.audiofp import (
+    audio_blobs_fingerprint,
+    audio_fingerprint,
+    audio_landmarks,
+    audio_near_dup,
+    dedup_by_audiofp,
+    fingerprint_match_join,
+    synth_clip,
+)
+
+
+def _agreement(a: list[int], b: list[int]) -> float:
+    n = min(len(a), len(b))
+    same_bits = sum(
+        32 - bin((x ^ y) & 0xFFFFFFFF).count("1") for x, y in zip(a[:n], b[:n])
+    )
+    return same_bits / (32 * n)
+
+
+# -- HK subfingerprint kernel ----------------------------------------------
+
+def test_subfp_gain_invariance_exact():
+    a = audio_fingerprint(synth_clip(seed=1, amplitude=0.8))
+    b = audio_fingerprint(synth_clip(seed=1, amplitude=0.2))
+    assert a is not None and len(a) > 10
+    assert a == b  # double-difference cancels gain exactly
+
+
+def test_subfp_noise_robustness_and_sensitivity():
+    clean = audio_fingerprint(synth_clip(seed=2))
+    noisy = audio_fingerprint(synth_clip(seed=2, noise=0.02))
+    other = audio_fingerprint(synth_clip(seed=3))
+    assert _agreement(clean, noisy) > 0.8
+    assert _agreement(clean, other) < 0.65
+    assert _agreement(clean, noisy) - _agreement(clean, other) > 0.15
+
+
+def test_wav_and_flac_paths_agree():
+    from automic_etl_spark.operators.audio import _decode_pcm
+    from automic_etl_spark.operators.flac import encode_flac
+
+    wav = synth_clip(seed=5)
+    samples, rate, _ = _decode_pcm(wav)
+    flac = encode_flac(samples, rate=rate, bits=16)
+    assert audio_fingerprint(wav) == audio_fingerprint(flac)
+    assert audio_landmarks(wav) == audio_landmarks(flac)
+
+
+def test_kernels_gate_and_short_input():
+    for fn in (audio_fingerprint, audio_landmarks):
+        assert fn(b"not audio at all") is None
+        assert fn(synth_clip(duration_ms=50)) is None  # < 1 frame+hop
+        mp3ish = b"\xff\xfb\x90\x00" + b"\x00" * 200
+        assert fn(mp3ish) is None  # gated codec -> None, no raise
+
+
+# -- landmark kernel --------------------------------------------------------
+
+def _vote(lmA, lmB, cap=4):
+    from collections import Counter
+
+    ha, ta = lmA
+    hb, tb = lmB
+    ib: dict = {}
+    for h, t in zip(hb, tb):
+        ib.setdefault(h, []).append(t)
+    votes: Counter = Counter()
+    for h, t in zip(ha, ta):
+        for t2 in ib.get(h, [])[:cap]:
+            votes[t - t2] += 1
+    return votes
+
+
+def test_landmarks_gain_invariant_and_discriminative():
+    base = audio_landmarks(synth_clip(seed=10))
+    gain = audio_landmarks(synth_clip(seed=10, amplitude=0.1))
+    assert base == gain  # peak ORDER is gain-invariant
+    twin = audio_landmarks(synth_clip(seed=10, amplitude=0.15, noise=0.01))
+    other = audio_landmarks(synth_clip(seed=12))
+    twin_votes = _vote(base, twin)
+    other_votes = _vote(base, other)
+    assert twin_votes.most_common(1)[0][0] == 0  # aligned at offset 0
+    assert twin_votes.most_common(1)[0][1] > 200
+    assert max(other_votes.values(), default=0) < 20
+
+
+def test_landmarks_offset_alignment():
+    base = audio_landmarks(synth_clip(seed=10))
+    # 256 ms lead at 8 kHz / hop 256 = 8 frames
+    shifted = audio_landmarks(synth_clip(seed=10, lead_silence_ms=256))
+    votes = _vote(base, shifted)
+    assert votes.most_common(1)[0][0] == -8
+
+
+# -- Spark plumbing ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """8 clips: 2 bases with gain/noise twins, one offset copy of the
+    first base, two unrelated, one undecodable."""
+    rows = [
+        (0, bytearray(synth_clip(seed=10))),
+        (1, bytearray(synth_clip(seed=10, amplitude=0.15, noise=0.01))),  # twin of 0
+        (2, bytearray(synth_clip(seed=11))),
+        (3, bytearray(synth_clip(seed=11, noise=0.015))),  # twin of 2
+        (4, bytearray(synth_clip(seed=10, lead_silence_ms=256))),  # shifted copy of 0
+        (5, bytearray(synth_clip(seed=12))),  # unrelated
+        (6, bytearray(b"garbage")),
+        (7, bytearray(synth_clip(seed=13))),  # unrelated
+    ]
+    return spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+
+
+@pytest.fixture(scope="module")
+def fps(corpus):
+    return audio_blobs_fingerprint(corpus).cache()
+
+
+def test_distributed_fingerprint_matches_driver(fps):
+    got = {r["doc_id"]: r for r in fps.collect()}
+    assert len(got) == 8
+    assert not got[6]["ok"] and got[6]["subfps"] is None and got[6]["lm_hashes"] is None
+    want_fp = audio_fingerprint(synth_clip(seed=10))
+    want_lm = audio_landmarks(synth_clip(seed=10))
+    assert got[0]["ok"] and list(got[0]["subfps"]) == want_fp
+    assert list(got[0]["lm_hashes"]) == want_lm[0]
+    assert list(got[0]["lm_times"]) == want_lm[1]
+    assert got[0]["n_frames"] == len(want_fp)
+
+
+def test_match_join_finds_twins_with_offset_voting(fps):
+    matches = {
+        (r["id_a"], r["id_b"]): r for r in audio_near_dup(fps, min_hits=50).collect()
+    }
+    assert (0, 1) in matches and matches[(0, 1)]["offset"] == 0
+    assert (2, 3) in matches and matches[(2, 3)]["offset"] == 0
+    # the silence-led copy aligns at a NEGATIVE offset for (0, 4):
+    # frame time in 4 runs ahead by lead_silence/hop = 8 frames
+    assert (0, 4) in matches and matches[(0, 4)]["offset"] == -8
+    # unrelated clips never pair with anything
+    assert not any(5 in p or 7 in p for p in matches)
+
+
+def test_match_join_min_hits_threshold(fps):
+    assert fingerprint_match_join(fps, min_hits=1_000_000).collect() == []
+
+
+def test_dedup_by_audiofp(corpus, fps):
+    kept = dedup_by_audiofp(corpus, fps, min_hits=50)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert {0, 2, 5, 6, 7} <= ids  # cluster minima + unrelated + undecodable
+    assert 1 not in ids and 3 not in ids and 4 not in ids
+
+
+def test_silence_produces_no_landmarks(spark):
+    from automic_etl_spark.operators.audio import _encode_pcm
+
+    silent = _encode_pcm(np.zeros((4000, 1), dtype=np.int64), 8000, 2)
+    assert audio_landmarks(silent) is None  # no active frames -> no anchors
+    df = spark.createDataFrame(
+        [(0, bytearray(silent)), (1, bytearray(silent))],
+        "doc_id long, _content_bytes binary",
+    )
+    fps = audio_blobs_fingerprint(df)
+    assert fingerprint_match_join(fps, min_hits=1).collect() == []

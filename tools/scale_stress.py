@@ -53,6 +53,7 @@ def _workloads():
         q_pack_sequences,
         q_quality_classifier,
         q_semantic_dedup,
+        q_audio_fingerprint,
         q_image_phash,
         q_ngram_perplexity,
         q_substring_dedup,
@@ -74,6 +75,7 @@ def _workloads():
         "substring_dedup": q_substring_dedup,
         "ngram_perplexity": q_ngram_perplexity,
         "image_phash": q_image_phash,
+        "audio_fingerprint": q_audio_fingerprint,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
