@@ -8,7 +8,8 @@ dataset actually runs, composed from the engine's operators.
       → fuzzy dedup        (optional: blocked edit-distance collapse of a
                             name-like column — operators/fuzzy)
       → semantic dedup     (optional: SemDeDup over doc embeddings —
-                            operators/similarity.semantic_dedup)
+                            linear sign-LSH by default; k-means is the
+                            explicit quality opt-in — operators/similarity)
       → quality filter     (length/stopword/punctuation composite,
                             then an optional trained classifier gate,
                             then an optional CCNet n-gram-LM perplexity
@@ -66,13 +67,17 @@ class CorpusCurator:
     fuzzy_block: str = "prefix"
     # semantic dedup (SemDeDup): needs a per-doc embedding DataFrame
     # passed to curate(embeddings=...); n_clusters None disables the stage.
-    # method "kmeans" = quality path for bounded corpora; "lsh" = the
-    # linear 100 TB path (semantic_clusters then sets the TARGET bucket
-    # count: n_planes = ceil(log2(clusters)))
+    # DEFAULT "lsh": linear sign-LSH assignment (semantic_clusters sets
+    # the TARGET bucket count: n_planes = ceil(log2(clusters))) — the
+    # 100 TB path. "kmeans" is the explicit quality OPT-IN for bounded
+    # corpora: with clusters ∝ rows its Lloyd assignment is
+    # O(rows × clusters) = O(rows²/cluster_size) — measured 6.2× wall at
+    # 10× data (PERFORMANCE.md, round 5) — so it must never be the path
+    # a user gets by default.
     semantic_clusters: int | None = None
     semantic_min_cosine_ppm: int = 950_000
     semantic_iterations: int = 3
-    semantic_method: str = "kmeans"
+    semantic_method: str = "lsh"
     # model-based quality gate: a FITTED operators.qualityml
     # .QualityClassifier applied after the heuristic filters (the
     # FineWeb-Edu/DCLM stage order: cheap rules first, model last);

@@ -272,6 +272,51 @@ def test_lsh_variant_planted_families(spark):
     assert kept == [0, 10]
 
 
+def test_corpus_curator_default_is_linear_lsh(spark, monkeypatch):
+    """Scale-default guard (round-6 fix): the default-config curator must
+    take the linear sign-LSH semantic path, never the measured-quadratic
+    k-means Lloyd assignment (6.2× wall at 10× data, PERFORMANCE.md).
+    The k-means entry point is poisoned; a default curate() with
+    embeddings must still succeed — proving no Lloyd iteration runs."""
+    import automic_etl_spark.operators.similarity as sim
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    assert CorpusCurator().semantic_method == "lsh"
+
+    def _poisoned(*a, **k):
+        raise AssertionError(
+            "quadratic k-means semantic_dedup reached from default config"
+        )
+
+    monkeypatch.setattr(sim, "semantic_dedup", _poisoned)
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body {i}") for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [2.0, 0.0, 0.0, 0.0]),  # dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "doc_id long, embedding array<double>",
+    )
+    out, report = CorpusCurator(
+        min_quality=0.0, semantic_clusters=4, semantic_min_cosine_ppm=999_000
+    ).curate(docs, embeddings=emb)
+    assert report["semantic_dups_removed"] == 1
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [1, 3]
+    # opting in still works (and still hits the poisoned symbol)
+    try:
+        CorpusCurator(
+            min_quality=0.0, semantic_clusters=2, semantic_method="kmeans"
+        ).curate(docs, embeddings=emb)
+    except AssertionError as e:
+        assert "quadratic" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("kmeans opt-in did not reach semantic_dedup")
+
+
 def test_corpus_curator_semantic_lsh_method(spark):
     from automic_etl_spark.services.corpus import CorpusCurator
 
