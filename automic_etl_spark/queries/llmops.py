@@ -1,0 +1,532 @@
+"""Driver gates for the round-5 LLM-data-pipeline operator families
+(rotated into the 50-entry registry in round 6 — VERDICT r5 'Next round'
+item 2): SemDeDup sign-LSH, exact-substring duplication signals,
+perceptual image dedup, batched ANN retrieval, token-budget mixture
+sampling, and CCNet n-gram-LM perplexity scoring.
+
+Each oracle rebuilds the full construction in DuckDB SQL — integer-ppm
+quantization, md5 portable hashing, identical sequential double folds —
+so value hashes match bit for bit (same contract as queries/dedup_sim).
+
+The image gate deserves a note on exactness: images are synthesized as
+32x36 grayscale PNGs whose pixels are CONSTANT on the 4x4 blocks of the
+dHash downsample grid (32/8 = 36/9 = 4), so every box-resize mean is an
+integer and every dHash bit is an integer comparison — the oracle
+replays the hash with pure integer arithmetic while the Spark side runs
+the real codec path (zlib IDAT, PNG unfilter, box resize). No float
+mean ordering can ever diverge.
+
+No reference counterpart for any of these (beyond-reference
+training-data mandate; see each operator module's docstring for the
+paper citations)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.io import load_table
+from automic_etl_spark.operators import similarity as S
+from automic_etl_spark.queries.dedup_sim import _bucket_sql
+
+# --------------------------------------------------------------------------
+# SemDeDup sign-LSH (operators/similarity.semantic_dedup_lsh)
+# --------------------------------------------------------------------------
+
+_SD_PLANES, _SD_THR = 5, 350_000
+
+_COS_XY = """
+(list_reduce(list_transform(generate_series(1, len({x})),
+                            i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)),
+             (acc, v) -> acc + v)
+ / (sqrt(list_reduce(list_transform(generate_series(1, len({x})),
+                                    i -> CAST({x}[i] AS DOUBLE) * CAST({x}[i] AS DOUBLE)),
+                     (acc, v) -> acc + v))
+  * sqrt(list_reduce(list_transform(generate_series(1, len({y})),
+                                    i -> CAST({y}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)),
+                     (acc, v) -> acc + v))))
+"""
+
+
+def q_semantic_dedup_lsh(spark, sf_dir):
+    """SemDeDup's linear 100 TB form (Abbas et al. 2023 semantics,
+    sign-LSH buckets as clusters): per-vector (bucket, centroid_sim_ppm,
+    kept) under the dominance prune. The CorpusCurator default semantic
+    path as of round 6."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return S.semantic_dedup_lsh(
+        emb, n_planes=_SD_PLANES, min_cosine_ppm=_SD_THR
+    ).orderBy("vec_id")
+
+
+ORACLE_SEMANTIC_LSH = f"""
+WITH ne AS (
+  SELECT vec_id,
+         CASE WHEN n > 0
+              THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / n)
+              ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS embedding
+  FROM (
+    SELECT vec_id, embedding,
+           sqrt(list_reduce(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                (acc, v) -> acc + v)) AS n
+    FROM embeddings
+  )
+),
+b AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding', _SD_PLANES)} AS bucket
+  FROM ne
+),
+cent AS (
+  SELECT bucket, list(m ORDER BY p) AS centroid FROM (
+    SELECT bucket, p, CAST(CAST(s AS BIGINT) AS DOUBLE) / c / 1000000.0 AS m
+    FROM (
+      SELECT b.bucket, t.i AS p,
+             sum(CAST(round(b.embedding[t.i] * 1000000) AS BIGINT)) AS s,
+             count(*) AS c
+      FROM b CROSS JOIN UNNEST(generate_series(1, len(b.embedding))) AS t(i)
+      GROUP BY b.bucket, t.i
+    )
+  ) GROUP BY bucket
+),
+scored AS (
+  SELECT b.vec_id, b.bucket, b.embedding,
+         CAST(round({_COS_XY.format(x='b.embedding', y='c.centroid')} * 1000000) AS BIGINT)
+           AS centroid_sim_ppm
+  FROM b JOIN cent c USING (bucket)
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM scored x JOIN scored y USING (bucket)
+  WHERE x.vec_id <> y.vec_id
+    AND (x.centroid_sim_ppm < y.centroid_sim_ppm
+         OR (x.centroid_sim_ppm = y.centroid_sim_ppm AND x.vec_id < y.vec_id))
+    AND CAST(round({_COS_XY.format(x='x.embedding', y='y.embedding')} * 1000000) AS BIGINT)
+          >= {_SD_THR}
+)
+SELECT s.vec_id, s.bucket, s.centroid_sim_ppm, d.vec_id IS NULL AS kept
+FROM scored s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+ORDER BY s.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication signals (operators/substrdup)
+# --------------------------------------------------------------------------
+
+_SUB_W = 12
+
+
+def q_substring_dedup_signals(spark, sf_dir):
+    """Lee et al. 2021 repeated-span signals over a double-ingested
+    slice (doc_id<200 plus a 150..250 re-delivery shifted by 100000, so
+    exactly repeated windows genuinely exist): per-doc token/window
+    counts and integer-ppm duplication coverage."""
+    from automic_etl_spark.operators.substrdup import repeated_window_signals
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.filter("doc_id < 200").unionByName(
+        docs.filter("doc_id >= 150 AND doc_id < 250").selectExpr(
+            "doc_id + 100000 AS doc_id", "text"
+        )
+    )
+    return repeated_window_signals(both, window=_SUB_W).orderBy("doc_id")
+
+
+ORACLE_SUBSTRING = f"""
+WITH ingested AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id >= 150 AND doc_id < 250
+),
+tk AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM ingested
+),
+win AS (
+  SELECT doc_id, n_tokens, t.s AS s,
+         md5(array_to_string(w[t.s + 1 : t.s + {_SUB_W}], ' ')) AS wkey
+  FROM tk CROSS JOIN UNNEST(generate_series(0, n_tokens - {_SUB_W})) AS t(s)
+  WHERE n_tokens >= {_SUB_W}
+),
+dupkeys AS (
+  SELECT wkey FROM win GROUP BY wkey HAVING count(*) >= 2
+),
+flagged AS (
+  SELECT doc_id, s FROM win WHERE wkey IN (SELECT wkey FROM dupkeys)
+),
+cov AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_windows,
+         CAST(sum(greatest(0, (s + {_SUB_W})
+                  - greatest(coalesce(prev_end, 0), s))) AS BIGINT) AS covered
+  FROM (
+    SELECT doc_id, s,
+           max(s + {_SUB_W}) OVER (
+             PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM flagged
+  ) GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM win GROUP BY doc_id
+)
+SELECT tk.doc_id, tk.n_tokens,
+       coalesce(tot.n_windows, 0) AS n_windows,
+       CASE WHEN coalesce(tot.n_windows, 0) > 0
+            THEN coalesce(cov.n_dup_windows, 0) * 1000000 // tot.n_windows
+            ELSE 0 END AS dup_window_ppm,
+       CASE WHEN tk.n_tokens > 0
+            THEN coalesce(cov.covered, 0) * 1000000 // tk.n_tokens
+            ELSE 0 END AS dup_token_ppm
+FROM tk
+LEFT JOIN tot USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+ORDER BY tk.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Perceptual image dedup (operators/imagehash)
+# --------------------------------------------------------------------------
+
+_IMG_N, _IMG_FAM, _IMG_HAM = 240, 80, 6
+
+
+def _phash_block(d: int, i: int, j: int) -> int:
+    """Deterministic 8x9 block matrix for doc d: docs 80..239 are twins
+    of (d % 80) with exactly one block perturbed — a planted near-dup
+    within <= 2 dHash bits of its original."""
+    v = (d % _IMG_FAM) * 2654435761 + i * 40503 + j * 65599
+    if d >= _IMG_FAM and ((d % _IMG_FAM) + d // _IMG_FAM) % 72 == i * 9 + j:
+        v += 96
+    return v % 256
+
+
+def q_image_phash_gate(spark, sf_dir):
+    """Full image pixel path under the driver's hash check: synthesize
+    block-constant 32x36 grayscale PNGs executor-side, run the REAL
+    codec path (zlib inflate -> PNG unfilter -> luma -> box resize ->
+    dHash), then the pigeonhole-banded Hamming near-dup join. Output:
+    (doc_id, dhash, n_near_dups) — every hash bit and every banded pair
+    is value-checked against the oracle's integer replay."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.imagehash import (
+        image_blobs_phash,
+        phash_near_dup,
+        synth_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _IMG_N
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                bmat = np.array(
+                    [[_phash_block(d, i, j) for j in range(9)] for i in range(8)],
+                    dtype=np.uint8,
+                )
+                img = np.repeat(np.repeat(bmat, 4, axis=0), 4, axis=1)[:, :, None]
+                blobs.append(synth_png(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    hashes = image_blobs_phash(blobs).select("doc_id", "dhash")
+    pairs = phash_near_dup(hashes, max_hamming=_IMG_HAM)
+    counts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        hashes.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dhash",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _phash_b_sql(j_expr: str) -> str:
+    return (
+        f"(((doc_id % {_IMG_FAM}) * 2654435761 + (k // 8) * 40503 + ({j_expr}) * 65599"
+        f" + CASE WHEN doc_id >= {_IMG_FAM}"
+        f" AND ((doc_id % {_IMG_FAM}) + doc_id // {_IMG_FAM}) % 72 = (k // 8) * 9 + ({j_expr})"
+        f" THEN 96 ELSE 0 END) % 256)"
+    )
+
+
+ORACLE_IMAGE_PHASH = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_IMG_N}),
+bits AS (
+  SELECT doc_id, t.k AS k,
+         CASE WHEN {_phash_b_sql('k % 8')} > {_phash_b_sql('k % 8 + 1')}
+              THEN 1 ELSE 0 END AS bit
+  FROM ids CROSS JOIN UNNEST(generate_series(0, 63)) AS t(k)
+),
+parts AS (
+  SELECT doc_id,
+         sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS hi,
+         sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS lo
+  FROM bits GROUP BY doc_id
+),
+h AS (
+  SELECT doc_id,
+         CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN v - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE v END AS BIGINT) AS dhash
+  FROM (
+    SELECT doc_id, CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT) AS v
+    FROM parts
+  )
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {_IMG_HAM}
+),
+pc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT id_b AS doc_id FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT h.doc_id, h.dhash, coalesce(pc.n, 0) AS n_near_dups
+FROM h LEFT JOIN pc USING (doc_id)
+ORDER BY h.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Batched ANN retrieval (operators/similarity.ann_join)
+# --------------------------------------------------------------------------
+
+def q_ann_join_gate(spark, sf_dir):
+    """Batched multi-query retrieval, both arms method-tagged in one
+    gate: the exact cross-product baseline (3 queries, k=5) and the
+    sign-LSH bucket-blocked scale path (20 queries, k=3, 4 planes)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qe = emb.filter(F.col("vec_id").isin(0, 7, 42)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = S.ann_join(emb, qe, k=5, n_planes=None).select(
+        F.lit("exact").alias("method"), "query_id", "rank", "vec_id", "cosine"
+    )
+    qb = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bucket = S.ann_join(emb, qb, k=3, n_planes=4).select(
+        F.lit("bucket").alias("method"), "query_id", "rank", "vec_id", "cosine"
+    )
+    return exact.unionByName(bucket).orderBy("method", "query_id", "rank")
+
+
+_COS_QC = _COS_XY.format(x="q.embedding", y="c.embedding")
+
+ORACLE_ANN_JOIN = f"""
+SELECT * FROM (
+  SELECT 'exact' AS method, query_id, rank, vec_id, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           round({_COS_QC}, 6) AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_COS_QC}, 6) DESC, c.vec_id) AS rank
+    FROM embeddings q CROSS JOIN embeddings c
+    WHERE q.vec_id IN (0, 7, 42)
+  ) WHERE rank <= 5
+  UNION ALL
+  SELECT 'bucket', query_id, rank, vec_id, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+           round({_COS_QC}, 6) AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round({_COS_QC}, 6) DESC, c.vec_id) AS rank
+    FROM embeddings q JOIN embeddings c
+      ON {_bucket_sql('q.embedding', 4)} = {_bucket_sql('c.embedding', 4)}
+    WHERE q.vec_id < 20
+  ) WHERE rank <= 3
+)
+ORDER BY method, query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# Token-budget mixture sampling (operators/mixing)
+# --------------------------------------------------------------------------
+
+_MIX_BUDGETS = {"src0": 700, "src1": 400}
+
+
+def q_token_mixture_report(spark, sf_dir):
+    """Pile/DoReMi-style mixture sampling: cap src0/src1 token mass,
+    keep the rest — the per-group report (n_docs_in, tokens_in, p_ppm,
+    n_docs_kept, tokens_kept) value-checks every deterministic
+    md5-threshold keep decision in aggregate."""
+    from automic_etl_spark.operators.mixing import token_budget_sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    _, report = token_budget_sample(docs, dict(_MIX_BUDGETS))
+    return report
+
+
+_MIX_P_CASES = " ".join(
+    f"WHEN source = '{g}' THEN CASE WHEN t <= 0 THEN 0"
+    f" ELSE least(1000000, {b} * 1000000 // t) END"
+    for g, b in _MIX_BUDGETS.items()
+)
+
+ORACLE_TOKEN_MIXTURE = f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+tot AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t FROM tk GROUP BY source
+),
+p AS (
+  SELECT source,
+         CAST(CASE {_MIX_P_CASES} ELSE 1000000 END AS INT) AS p_ppm
+  FROM tot
+),
+k AS (
+  SELECT tk.source, tk.n_tok, p.p_ppm,
+         (CAST(('0x' || substr(md5(CAST(tk.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000) < p.p_ppm AS keep
+  FROM tk JOIN p USING (source)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_in,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_in,
+       max(p_ppm) AS p_ppm,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM k GROUP BY source ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# CCNet n-gram LM perplexity (operators/ngramlm)
+# --------------------------------------------------------------------------
+
+def q_ngram_perplexity_scores(spark, sf_dir):
+    """Stupid-backoff trigram LM (Brants et al. 2007) fit on the full
+    documents corpus (min_count=2 pruning), scoring docs < 400: per-doc
+    (n_tokens, logscore_e6). The oracle refits the identical LM and
+    replays the 5-way backoff lookup in SQL; logscore_e6 quantization
+    (round(avg(log10 S) * 1e6)) keeps the comparison integer-exact —
+    the worst-case cross-engine log10/summation wobble (~1e-9 of the
+    e6 value) is orders of magnitude inside the quantization step."""
+    from automic_etl_spark.operators.ngramlm import fit_ngram_lm, score_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = fit_ngram_lm(docs, min_count=2)
+    return score_documents(docs.filter("doc_id < 400"), lm).orderBy("doc_id")
+
+
+ORACLE_NGRAM_PPL = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, w, len(w) AS n FROM tk WHERE len(w) > 0),
+uni_raw AS (
+  SELECT u AS gram, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(w) AS u FROM tok) GROUP BY u
+),
+tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_total, CAST(count(*) AS BIGINT) AS v
+  FROM uni_raw
+),
+uni AS (SELECT gram, cnt FROM uni_raw WHERE cnt >= 2),
+bi AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT w[t.i] || ' ' || w[t.i + 1] AS gram
+    FROM tok CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+  ) GROUP BY gram HAVING count(*) >= 2
+),
+tri AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT w[t.i] || ' ' || w[t.i + 1] || ' ' || w[t.i + 2] AS gram
+    FROM tok CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+  ) GROUP BY gram HAVING count(*) >= 2
+),
+pos AS (
+  SELECT doc_id, n, t.i AS i, w[t.i] AS g_uni,
+         CASE WHEN t.i >= 2 THEN w[t.i - 1] END AS g_unictx,
+         CASE WHEN t.i >= 2 THEN w[t.i - 1] || ' ' || w[t.i] END AS g_bi,
+         CASE WHEN t.i >= 3
+              THEN w[t.i - 2] || ' ' || w[t.i - 1] || ' ' || w[t.i] END AS g_tri,
+         CASE WHEN t.i >= 3 THEN w[t.i - 2] || ' ' || w[t.i - 1] END AS g_bictx
+  FROM tok CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
+  WHERE doc_id < 400
+),
+lk AS (
+  SELECT p.doc_id, p.n, p.i,
+         u1.cnt AS c_uni, u2.cnt AS c_unictx,
+         b1.cnt AS c_bi, t1.cnt AS c_tri, b2.cnt AS c_bictx
+  FROM pos p
+  LEFT JOIN uni u1 ON p.g_uni = u1.gram
+  LEFT JOIN uni u2 ON p.g_unictx = u2.gram
+  LEFT JOIN bi b1 ON p.g_bi = b1.gram
+  LEFT JOIN tri t1 ON p.g_tri = t1.gram
+  LEFT JOIN bi b2 ON p.g_bictx = b2.gram
+),
+sc AS (
+  SELECT doc_id, n, i,
+         CASE WHEN i >= 3 THEN s3 WHEN i = 2 THEN s2 ELSE s1 END AS s
+  FROM (
+    SELECT doc_id, n, i, s1, s2,
+           CASE WHEN c_tri IS NOT NULL AND c_bictx IS NOT NULL
+                THEN CAST(c_tri AS DOUBLE) / c_bictx
+                ELSE 0.4 * s2 END AS s3
+    FROM (
+      SELECT x.*,
+             CASE WHEN c_bi IS NOT NULL AND c_unictx IS NOT NULL
+                  THEN CAST(c_bi AS DOUBLE) / c_unictx
+                  ELSE 0.4 * s1 END AS s2
+      FROM (
+        SELECT lk.*,
+               CAST(coalesce(c_uni, 0) + 1 AS DOUBLE) / (tot.n_total + tot.v) AS s1
+        FROM lk CROSS JOIN tot
+      ) x
+    )
+  )
+)
+SELECT doc_id, max(n) AS n_tokens,
+       CAST(round(avg(log10(s)) * 1000000) AS BIGINT) AS logscore_e6
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "semantic_dedup_lsh": q_semantic_dedup_lsh,
+    "substring_dedup": q_substring_dedup_signals,
+    "image_phash": q_image_phash_gate,
+    "ann_join": q_ann_join_gate,
+    "token_mixture": q_token_mixture_report,
+    "ngram_perplexity": q_ngram_perplexity_scores,
+}
+
+ORACLE = {
+    "semantic_dedup_lsh": ORACLE_SEMANTIC_LSH,
+    "substring_dedup": ORACLE_SUBSTRING,
+    "image_phash": ORACLE_IMAGE_PHASH,
+    "ann_join": ORACLE_ANN_JOIN,
+    "token_mixture": ORACLE_TOKEN_MIXTURE,
+    "ngram_perplexity": ORACLE_NGRAM_PPL,
+}
