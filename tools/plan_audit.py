@@ -85,6 +85,26 @@ def _semantic_dedup_lsh_plan(spark, sf_dir):
     return semantic_dedup_lsh(emb, n_planes=5)
 
 
+def _audiofp_match_plan(spark, sf_dir):
+    """The landmark match join must carry NO window node: the
+    per-(doc, hash) occurrence cap is applied inside the landmark arrays
+    before the explode (round 6), so the exploded landmark table — the
+    plan's largest intermediate — shuffles exactly once, on the hash
+    equi-join key."""
+    from pyspark.sql import functions as F
+
+    from automic_etl_spark.operators.audiofp import fingerprint_match_join
+
+    fps = spark.createDataFrame(
+        [
+            (1, [3, 3, 3, 7, 9], [0, 1, 2, 3, 4]),
+            (2, [3, 7, 9, 9, 9], [0, 1, 2, 3, 4]),
+        ],
+        "doc_id long, lm_hashes array<int>, lm_times array<int>",
+    ).select("doc_id", F.lit(True).alias("ok"), "lm_hashes", "lm_times")
+    return fingerprint_match_join(fps, min_hits=1)
+
+
 # audits over plans all_queries() can't expose (operator internals)
 CUSTOM: dict[str, tuple] = {
     "semantic_dedup_pairs": (
@@ -98,6 +118,10 @@ CUSTOM: dict[str, tuple] = {
     "ivf_seed_centroids": (
         _ivf_seed_plan,
         {"must": ["TakeOrderedAndProject"], "must_not": ["Window", "row_number"]},
+    ),
+    "audiofp_match_join": (
+        _audiofp_match_plan,
+        {"must": [], "must_not": ["Window", "row_number", "CartesianProduct"]},
     ),
     "asof_join_window": (
         _asof_plan,
