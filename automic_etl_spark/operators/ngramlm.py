@@ -25,11 +25,13 @@ Everything is distributed and linear:
   distributed n-gram count; min_count pruning is self-consistent
   (a context count always >= the n-gram count it serves, so a surviving
   n-gram's denominator always survives too).
-- **score**: each document explodes to one row per token carrying its
-  (tri, bi, bi_ctx, uni, uni_ctx) keys, then LEFT-joins the count
-  tables. The LM tables are shuffle-joined (never broadcast by us — a
-  web-scale LM table is O(corpus vocabulary); AQE broadcasts them when
-  a pruned table is genuinely small), so the plan survives any corpus
+- **score**: each document explodes to (role, gram) candidate rows —
+  (tri, bi, bi_ctx, uni, uni_ctx) per token — and LEFT-joins the
+  UNIONED count table ONCE (grams of different orders never collide:
+  their space counts differ), then one per-token regroup pivots the
+  counts back. The LM table is shuffle-joined (never broadcast by us —
+  a web-scale LM table is O(corpus vocabulary); AQE broadcasts it when
+  pruning leaves it genuinely small), so the plan survives any corpus
   and any LM size.
 - **buckets**: two quantile probes on the per-doc score -> literal
   thresholds -> head/middle/tail labels, exactly CCNet's split.
@@ -76,10 +78,26 @@ class NGramLM:
     counts: dict = field(default_factory=dict)
     total_tokens: int = 0
     vocab_size: int = 0
+    # the frames fit_ngram_lm actually cached (pruned tables + the raw
+    # unigram parent when min_count > 1) — unpersist() releases exactly
+    # these, so callers never hit the r5 trap of unpersisting an
+    # uncached filter child while its cached parent leaks
+    _cached: list = field(default_factory=list, repr=False)
+
+    def unpersist(self) -> None:
+        """Release every frame fit_ngram_lm cached for this LM."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached = []
 
     # -- persistence --------------------------------------------------------
 
     def save(self, path: str) -> None:
+        """Persist through Spark writers only, so the LM round-trips on
+        any Hadoop-visible filesystem (hdfs://, s3a://, ...) — meta goes
+        through a 1-row JSON DataFrame for the same reason (the r5
+        driver-local ``open()`` silently broke non-local paths)."""
+        spark = next(iter(self.counts.values())).sparkSession
         for k, df in self.counts.items():
             df.write.mode("overwrite").parquet(os.path.join(path, f"order{k}"))
         meta = {
@@ -89,13 +107,21 @@ class NGramLM:
             "total_tokens": self.total_tokens,
             "vocab_size": self.vocab_size,
         }
-        with open(os.path.join(path, "meta.json"), "w", encoding="utf-8") as fh:
-            json.dump(meta, fh)
+        spark.createDataFrame(
+            [(json.dumps(meta),)], "meta_json string"
+        ).coalesce(1).write.mode("overwrite").json(os.path.join(path, "meta"))
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "NGramLM":
-        with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
-            meta = json.load(fh)
+        meta_dir = os.path.join(path, "meta")
+        try:
+            meta = json.loads(
+                spark.read.json(meta_dir).first()["meta_json"]
+            )
+        except Exception:
+            # pre-r6 layout: driver-local meta.json (local paths only)
+            with open(os.path.join(path, "meta.json"), encoding="utf-8") as fh:
+                meta = json.load(fh)
         lm = cls(
             order=meta["order"],
             min_count=meta["min_count"],
@@ -126,6 +152,7 @@ def fit_ngram_lm(
         F.size("__toks") > 0
     )
     counts: dict[int, DataFrame] = {}
+    cached: list[DataFrame] = []
     raw_uni = None
     for k in range(1, order + 1):
         grams = toks.select(
@@ -133,11 +160,24 @@ def fit_ngram_lm(
                 shingles_of_tokens(F.col("__toks"), k) if k > 1 else F.col("__toks")
             ).alias("gram")
         )
-        c = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt")).cache()
+        c = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
         if k == 1:
-            raw_uni = c  # kept unpruned for the N/V totals below
+            # kept unpruned for the N/V totals below; cached because it
+            # feeds both the totals action and (possibly) the pruned
+            # counts[1]
+            raw_uni = c.cache()
+            cached.append(raw_uni)
+            c = raw_uni
         if min_count > 1:
-            c = c.filter(F.col("cnt") >= min_count)
+            # cache AFTER the pruning filter (r5 ADVICE fix): counts[k]
+            # is what score_documents joins repeatedly, so the cached
+            # frame must be the pruned one — not a filter child of a
+            # cached parent that unpersist() could never release
+            c = c.filter(F.col("cnt") >= min_count).cache()
+            cached.append(c)
+        elif k > 1:
+            c = c.cache()
+            cached.append(c)
         counts[k] = c
 
     # N and V in ONE action over the cached unpruned unigram table (sum
@@ -150,6 +190,7 @@ def fit_ngram_lm(
     lm.counts = counts
     lm.total_tokens = int(totals["n"] or 0)
     lm.vocab_size = int(totals["v"] or 0)
+    lm._cached = cached
     return lm
 
 
@@ -163,11 +204,12 @@ def score_documents(
     logscore_e6) where logscore_e6 = round(avg_i log10 S(w_i|ctx) * 1e6)
     — higher (closer to 0) = more LM-predictable = lower perplexity.
 
-    Plan shape: one explode to token rows carrying all candidate keys,
-    then one LEFT join per (order, role) count lookup — 5 joins for a
-    trigram LM, each a plain equi-join on a string key that AQE turns
-    into a broadcast when the pruned table is small. Empty/whitespace
-    docs have no tokens to judge and are absent from the output."""
+    Plan shape (round 6): one explode to (role, gram) candidate rows,
+    ONE left equi-join against the unioned 1..use-gram count table
+    (orders never collide — space counts differ; AQE broadcasts the LM
+    table when pruning leaves it small), one per-token regroup — vs the
+    old plan's five sequential shuffle joins. Empty/whitespace docs have
+    no tokens to judge and are absent from the output."""
     if lm.total_tokens <= 0:
         raise ValueError("score_documents called with an empty/unfitted LM")
     use = min(lm.order, 3)
@@ -214,29 +256,59 @@ def score_documents(
         ).alias("__i", "__g"),
     ).filter(F.col("__g").isNotNull() & F.col("__g.uni").isNotNull())
 
-    def lookup(df: DataFrame, key: str, order_k: int, out: str) -> DataFrame:
-        if order_k > use:
-            return df.withColumn(out, F.lit(None).cast("long"))
-        t = lm.counts[order_k].select(
-            F.col("gram").alias(f"__k_{out}"), F.col("cnt").alias(out)
-        )
-        return df.join(t, df[f"__g.{key}"] == t[f"__k_{out}"], "left").drop(
-            f"__k_{out}"
-        )
-
-    j = lookup(base, "uni", 1, "c_uni")
-    j = lookup(j, "uni_ctx", 1, "c_unictx")
+    # ONE lookup join (round-6 fix of the old 5-join plan): each token's
+    # candidate keys melt to (role, gram) rows, join the UNIONED count
+    # table once — grams of different orders can never collide because
+    # their space counts differ — then pivot back per token with one
+    # grouped aggregation. Plan: 1 equi-join on the gram key (AQE
+    # broadcasts the LM table when pruning leaves it small; we never
+    # force it — O(corpus vocabulary)) + 1 per-token regroup, replacing
+    # five sequential shuffle joins.
+    roles = [("uni", "uni"), ("unictx", "uni_ctx")]
     if use >= 2:
-        j = lookup(j, "bi", 2, "c_bi")
-    else:
-        j = j.withColumn("c_bi", F.lit(None).cast("long"))
+        roles.append(("bi", "bi"))
     if use >= 3:
-        j = lookup(j, "tri", 3, "c_tri")
-        j = lookup(j, "bi_ctx", 2, "c_bictx")
-    else:
-        j = j.withColumn("c_tri", F.lit(None).cast("long")).withColumn(
-            "c_bictx", F.lit(None).cast("long")
-        )
+        roles += [("tri", "tri"), ("bictx", "bi_ctx")]
+    cand = F.array(
+        *[
+            F.struct(
+                F.lit(role).alias("role"), F.col(f"__g.{key}").alias("gram")
+            )
+            for role, key in roles
+        ]
+    )
+    melted = base.select(
+        id_col,
+        "n_tokens",
+        "__i",
+        F.explode(F.filter(cand, lambda s: s["gram"].isNotNull())).alias("__rg"),
+    ).select(
+        id_col,
+        "n_tokens",
+        "__i",
+        F.col("__rg.role").alias("__role"),
+        F.col("__rg.gram").alias("__gram"),
+    )
+    counts_all = None
+    for k in sorted({1} | ({2} if use >= 2 else set()) | ({3} if use >= 3 else set())):
+        t = lm.counts[k].select("gram", "cnt")
+        counts_all = t if counts_all is None else counts_all.unionByName(t)
+    looked = melted.join(
+        counts_all.select(F.col("gram").alias("__gram"), F.col("cnt").alias("__cnt")),
+        "__gram",
+        "left",
+    )
+
+    def role_col(role: str) -> "F.Column":
+        return F.max(F.when(F.col("__role") == role, F.col("__cnt")))
+
+    j = looked.groupBy(id_col, "n_tokens", "__i").agg(
+        role_col("uni").alias("c_uni"),
+        role_col("unictx").alias("c_unictx"),
+        role_col("bi").alias("c_bi"),
+        role_col("tri").alias("c_tri"),
+        role_col("bictx").alias("c_bictx"),
+    )
 
     n_v = float(lm.total_tokens + lm.vocab_size)
     s1 = (F.coalesce(F.col("c_uni"), F.lit(0)) + 1).cast("double") / F.lit(n_v)

@@ -375,8 +375,7 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ppl_bucket")
     )
-    for c in lm.counts.values():
-        c.unpersist()
+    lm.unpersist()
     return out
 
 
