@@ -1,6 +1,6 @@
 """Multimodal curation pipeline: the image/audio/video counterpart of
 services.corpus.CorpusCurator, composed from the header-level media
-kernels — every decision is made from container metadata BEFORE any
+kernels — every gate decision is made from container metadata BEFORE any
 pixel/PCM decode, which is exactly the culling order a 100 TB
 multimodal ingest needs (decode only what survives).
 
@@ -10,11 +10,22 @@ multimodal ingest needs (decode only what survives).
       → corrupt quarantine (ok=false rows)
       → shape gates        (resolution/aspect/format; duration bounds;
                             dimension bounds)
+      → near-dup removal   (optional, round 6 — the one decode-paying
+                            stage, run LAST so only shape survivors are
+                            decoded: perceptual dHash + banded Hamming
+                            clusters for images, landmark fingerprints +
+                            offset voting for audio)
 
-Each stage is a DataFrame transformation; the report costs one count
-per stage boundary. Reference analog: the per-media connectors
-(connectors/media/*) validate files one at a time driver-side; here the
-same decisions run as Arrow-batched distributed passes.
+Each stage is a DataFrame transformation. Round 6: the per-stage report
+costs ONE tagged union-aggregate action per curate call (the probed
+frame is cached across the tally, so the probe kernel runs once) — the
+r5 shape ran count() four times over an uncached lineage, re-executing
+the blob scan + decode probe per stage (same fix the StreamingDeduper
+batch kernel received in r5, streaming/dedup_ingest.py).
+
+Reference analog: the per-media connectors (connectors/media/*) validate
+files one at a time driver-side; here the same decisions run as
+Arrow-batched distributed passes.
 """
 
 from __future__ import annotations
@@ -33,6 +44,21 @@ def _exact_dedup(blobs: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def _tally(members: dict[str, DataFrame]) -> dict[str, int]:
+    """One driver action for every stage count: tag each stage frame
+    with a literal, union, group-count. Stage frames share a cached
+    ancestor, so the expensive probe kernel materializes exactly once."""
+    tagged = None
+    for key, df in members.items():
+        part = df.select(F.lit(key).alias("__k"))
+        tagged = part if tagged is None else tagged.unionAll(part)
+    counts = {
+        r["__k"]: int(r["c"])
+        for r in tagged.groupBy("__k").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    return {k: counts.get(k, 0) for k in members}
+
+
 @dataclass
 class MultimodalCurator:
     # image gates
@@ -48,6 +74,48 @@ class MultimodalCurator:
     max_video_ms: int | None = None
     min_video_width: int = 64
     min_video_height: int = 64
+    # optional near-dup stages (round 6): decode-paying, so they run
+    # LAST, on shape survivors only. Images: dHash + pigeonhole-banded
+    # Hamming clusters (operators/imagehash.dedup_by_phash). Audio:
+    # landmark fingerprint match + offset voting
+    # (operators/audiofp.dedup_by_audiofp). Keep-min-id per cluster;
+    # undecodable survivors are kept (they already passed the header
+    # probe; the near-dup kernels simply can't hash them).
+    image_near_dup: bool = False
+    image_near_dup_max_hamming: int = 6
+    audio_near_dup: bool = False
+    audio_near_dup_min_hits: int = 20
+
+    def _finish(
+        self,
+        blobs: DataFrame,
+        probed: DataFrame,
+        ok: DataFrame,
+        kept: DataFrame,
+        final: DataFrame | None,
+    ) -> tuple[DataFrame, dict]:
+        members = {
+            "in": blobs,
+            "dedup": probed,
+            "ok": ok,
+            "kept": kept,
+        }
+        if final is not None:
+            members["near"] = final
+        t = _tally(members)
+        report = {
+            "input_blobs": t["in"],
+            "exact_dups_removed": t["in"] - t["dedup"],
+            "corrupt_removed": t["dedup"] - t["ok"],
+            "shape_removed": t["ok"] - t["kept"],
+        }
+        if final is not None:
+            report["near_dups_removed"] = t["kept"] - t["near"]
+            report["final_blobs"] = t["near"]
+        else:
+            report["final_blobs"] = t["kept"]
+        probed.unpersist()
+        return (final if final is not None else kept), report
 
     def curate_images(
         self,
@@ -62,16 +130,10 @@ class MultimodalCurator:
             resolution_filter,
         )
 
-        report = {"input_blobs": blobs.count()}
         deduped = _exact_dedup(blobs, id_col, content_col)
-        report["exact_dups_removed"] = report["input_blobs"] - deduped.count()
-
         meta = image_blobs_to_meta(deduped, id_col=id_col, content_col=content_col)
-        probed = deduped.join(meta.drop("content_size"), id_col)
+        probed = deduped.join(meta.drop("content_size"), id_col).cache()
         ok = probed.filter(F.col("ok"))
-        report["corrupt_removed"] = (
-            report["input_blobs"] - report["exact_dups_removed"] - ok.count()
-        )
         kept = ok.filter(
             resolution_filter(
                 min_width=self.min_width,
@@ -80,19 +142,25 @@ class MultimodalCurator:
                 formats=self.image_formats,
             )
         )
-        report["shape_removed"] = (
-            report["input_blobs"]
-            - report["exact_dups_removed"]
-            - report["corrupt_removed"]
-            - kept.count()
-        )
-        report["final_blobs"] = (
-            report["input_blobs"]
-            - report["exact_dups_removed"]
-            - report["corrupt_removed"]
-            - report["shape_removed"]
-        )
-        return kept, report
+        final = None
+        if self.image_near_dup:
+            from automic_etl_spark.operators.imagehash import (
+                dedup_by_phash,
+                image_blobs_phash,
+            )
+
+            hashes = image_blobs_phash(
+                kept.select(id_col, content_col),
+                id_col=id_col,
+                content_col=content_col,
+            )
+            final = dedup_by_phash(
+                kept,
+                hashes,
+                max_hamming=self.image_near_dup_max_hamming,
+                id_col=id_col,
+            )
+        return self._finish(blobs, probed, ok, kept, final)
 
     def curate_audio(
         self,
@@ -102,33 +170,30 @@ class MultimodalCurator:
     ) -> tuple[DataFrame, dict]:
         from automic_etl_spark.operators.audio import audio_blobs_metadata
 
-        report = {"input_blobs": blobs.count()}
         deduped = _exact_dedup(blobs, id_col, content_col)
-        report["exact_dups_removed"] = report["input_blobs"] - deduped.count()
-
         meta = audio_blobs_metadata(deduped, id_col=id_col, content_col=content_col)
-        probed = deduped.join(meta.drop("file_size_bytes"), id_col)
+        probed = deduped.join(meta.drop("file_size_bytes"), id_col).cache()
         ok = probed.filter(F.col("ok"))
-        report["corrupt_removed"] = (
-            report["input_blobs"] - report["exact_dups_removed"] - ok.count()
-        )
         cond = F.col("duration_ms") >= self.min_audio_ms
         if self.max_audio_ms is not None:
             cond = cond & (F.col("duration_ms") <= self.max_audio_ms)
         kept = ok.filter(cond)
-        report["shape_removed"] = (
-            report["input_blobs"]
-            - report["exact_dups_removed"]
-            - report["corrupt_removed"]
-            - kept.count()
-        )
-        report["final_blobs"] = (
-            report["input_blobs"]
-            - report["exact_dups_removed"]
-            - report["corrupt_removed"]
-            - report["shape_removed"]
-        )
-        return kept, report
+        final = None
+        if self.audio_near_dup:
+            from automic_etl_spark.operators.audiofp import (
+                audio_blobs_fingerprint,
+                dedup_by_audiofp,
+            )
+
+            fps = audio_blobs_fingerprint(
+                kept.select(id_col, content_col),
+                id_col=id_col,
+                content_col=content_col,
+            )
+            final = dedup_by_audiofp(
+                kept, fps, id_col=id_col, min_hits=self.audio_near_dup_min_hits
+            )
+        return self._finish(blobs, probed, ok, kept, final)
 
     def curate_video(
         self,
@@ -138,16 +203,10 @@ class MultimodalCurator:
     ) -> tuple[DataFrame, dict]:
         from automic_etl_spark.operators.videometa import video_blobs_to_meta
 
-        report = {"input_blobs": blobs.count()}
         deduped = _exact_dedup(blobs, id_col, content_col)
-        report["exact_dups_removed"] = report["input_blobs"] - deduped.count()
-
         meta = video_blobs_to_meta(deduped, id_col=id_col, content_col=content_col)
-        probed = deduped.join(meta.drop("content_size"), id_col)
+        probed = deduped.join(meta.drop("content_size"), id_col).cache()
         ok = probed.filter(F.col("ok"))
-        report["corrupt_removed"] = (
-            report["input_blobs"] - report["exact_dups_removed"] - ok.count()
-        )
         cond = (
             (F.col("duration_ms") >= self.min_video_ms)
             & (F.col("width") >= self.min_video_width)
@@ -156,16 +215,4 @@ class MultimodalCurator:
         if self.max_video_ms is not None:
             cond = cond & (F.col("duration_ms") <= self.max_video_ms)
         kept = ok.filter(cond)
-        report["shape_removed"] = (
-            report["input_blobs"]
-            - report["exact_dups_removed"]
-            - report["corrupt_removed"]
-            - kept.count()
-        )
-        report["final_blobs"] = (
-            report["input_blobs"]
-            - report["exact_dups_removed"]
-            - report["corrupt_removed"]
-            - report["shape_removed"]
-        )
-        return kept, report
+        return self._finish(blobs, probed, ok, kept, None)

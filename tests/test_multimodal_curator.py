@@ -85,6 +85,73 @@ def test_curate_audio_accepts_flac(spark):
     assert row["doc_id"] == 1 and row["format"] == "audio/flac"
 
 
+def test_curate_images_near_dup_stage(spark):
+    """Round-6 composition: perceptual near-dup (dHash + banded Hamming
+    clusters) as the terminal image stage — planted twins collapse to
+    the minimum id, distinct images survive, report arithmetic holds."""
+    import numpy as np
+
+    from automic_etl_spark.operators.imagehash import synth_png
+
+    def img(base: int, perturb: int | None = None) -> bytes:
+        bmat = np.array(
+            [[(base * 97 + i * 13 + j * 29) % 256 for j in range(9)] for i in range(8)],
+            dtype=np.int64,
+        )
+        if perturb is not None:
+            bmat[perturb // 9][perturb % 9] = (bmat[perturb // 9][perturb % 9] + 96) % 256
+        px = np.repeat(np.repeat(bmat.astype(np.uint8), 8, axis=0), 8, axis=1)
+        return synth_png(px[:, :, None])
+
+    rows = [
+        (1, img(1)),
+        (2, img(1, perturb=30)),  # near-dup of 1 (<= 2 dHash bits)
+        (3, img(2)),              # distinct content
+        (4, img(3)),              # distinct content
+        (5, b"not an image"),     # corrupt
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(
+        min_width=64, min_height=64, image_near_dup=True,
+        image_near_dup_max_hamming=6,
+    ).curate_images(blobs)
+    assert report == {
+        "input_blobs": 5,
+        "exact_dups_removed": 0,
+        "corrupt_removed": 1,
+        "shape_removed": 0,
+        "near_dups_removed": 1,
+        "final_blobs": 3,
+    }
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_curate_audio_near_dup_stage(spark):
+    """Acoustic near-dup terminal stage: a gain-changed twin collapses
+    (HK landmarks are gain-invariant), independent clips survive."""
+    from automic_etl_spark.operators.audiofp import synth_clip
+
+    rows = [
+        (1, synth_clip(seed=11, duration_ms=500, amplitude=0.5)),
+        (2, synth_clip(seed=11, duration_ms=500, amplitude=0.2)),  # gain twin
+        (3, synth_clip(seed=22, duration_ms=500)),
+        (4, synth_clip(seed=33, duration_ms=50)),  # too short: shape gate
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(
+        min_audio_ms=200, audio_near_dup=True, audio_near_dup_min_hits=20
+    ).curate_audio(blobs)
+    assert report == {
+        "input_blobs": 4,
+        "exact_dups_removed": 0,
+        "corrupt_removed": 0,
+        "shape_removed": 1,
+        "near_dups_removed": 1,
+        "final_blobs": 2,
+    }
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
 def test_curate_video_stages(spark):
     from tests.test_videometa import make_mp4
 
