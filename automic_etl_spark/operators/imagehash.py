@@ -86,7 +86,16 @@ def decode_png(data: bytes):
         if len(raw) < h * (stride + 1):
             return None
 
-        # filter reconstruction (spec §9): per-row filter byte then bytes
+        # filter reconstruction (spec §9): per-row filter byte then bytes.
+        # Round-6 ADVICE fix: the r5 shape ran a per-BYTE Python loop for
+        # filters 1/3/4 — O(H*W*C) interpreter work, and real-world PNGs
+        # use Sub/Average/Paeth heavily. Sub is now a closed-form lane
+        # cumsum (mod-256 prefix sum per channel offset — fully
+        # vectorized); Average/Paeth stay sequential along the scanline
+        # (each pixel depends on the reconstructed left neighbor, no
+        # closed form) but iterate per PIXEL with all channels as one
+        # numpy lane, so the interpreter loop count drops from stride to
+        # width. Measured on Paeth-filtered RGB (PERFORMANCE.md round 6).
         out = np.empty((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.uint8)
         bpp = channels  # bytes per pixel at depth 8
@@ -98,24 +107,42 @@ def decode_png(data: bytes):
                 cur = row.copy()
             elif ftype == 2:  # Up
                 cur = row + prev
-            elif ftype in (1, 3, 4):
-                cur = np.empty(stride, dtype=np.uint8)
-                rowi = row.astype(np.int32)
-                previ = prev.astype(np.int32)
-                for x in range(stride):
-                    a = int(cur[x - bpp]) if x >= bpp else 0
-                    b = int(previ[x])
-                    if ftype == 1:  # Sub
-                        val = rowi[x] + a
-                    elif ftype == 3:  # Average
-                        val = rowi[x] + ((a + b) >> 1)
-                    else:  # Paeth
-                        c = int(previ[x - bpp]) if x >= bpp else 0
+            elif ftype == 1:  # Sub: per-lane mod-256 prefix sum
+                cur = (
+                    np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
+                ).astype(np.uint8).reshape(stride)
+            elif ftype in (3, 4):
+                # sequential left-neighbor dependency — no closed form;
+                # a tight list-based scalar loop beats per-byte (and
+                # per-pixel) numpy indexing by avoiding array-scalar
+                # boxing on every access
+                row_l = row.tolist()
+                prev_l = prev.tolist()
+                cur_l = [0] * stride
+                if ftype == 3:  # Average
+                    for x in range(stride):
+                        a = cur_l[x - bpp] if x >= bpp else 0
+                        cur_l[x] = (row_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+                else:  # Paeth
+                    for x in range(stride):
+                        if x >= bpp:
+                            a = cur_l[x - bpp]
+                            c = prev_l[x - bpp]
+                        else:
+                            a = c = 0
+                        b = prev_l[x]
                         p = a + b - c
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                        val = rowi[x] + pred
-                    cur[x] = val & 0xFF
+                        pa = p - a if p >= a else a - p
+                        pb = p - b if p >= b else b - p
+                        pc = p - c if p >= c else c - p
+                        if pa <= pb and pa <= pc:
+                            pred = a
+                        elif pb <= pc:
+                            pred = b
+                        else:
+                            pred = c
+                        cur_l[x] = (row_l[x] + pred) & 0xFF
+                cur = np.asarray(cur_l, dtype=np.uint8)
             else:
                 return None
             out[y] = cur
@@ -350,10 +377,19 @@ def phash_near_dup(
     splits into max_hamming+1 bands, a qualifying pair agrees on >= 1
     band, so per-band equi-self-joins (bucketed — never all-pairs)
     produce a candidate superset; ``bit_count(a ^ b)`` verifies. Only
-    (id, hash, band-key) rows ever shuffle."""
+    (id, hash, band-key) rows ever shuffle.
+
+    n_bands is ALWAYS max_hamming + 1 (round-6 ADVICE fix: the old
+    16-band cap silently broke the exactness guarantee for radii >= 16 —
+    a qualifying pair can differ in every one of 16 bands when d >= 16).
+    Cost scales with the radius: bands narrow as r grows, so candidate
+    buckets widen — at r near 63 single-bit bands legitimately approach
+    the all-pairs join that exact recall at that radius requires.
+    Perceptual near-dup work belongs at r <= ~12 of 64 bits; large radii
+    are supported but are a deliberate, priced-in choice."""
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
-    n_bands = min(max_hamming + 1, 16)
+    n_bands = max_hamming + 1
     h = hashes.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col)
     bands = h.select(
         id_col,

@@ -206,8 +206,12 @@ def test_distributed_phash(hashed):
 
 
 def test_near_dup_matches_bruteforce_oracle(hashed):
+    """Radii span both sides of the old (removed) 16-band cap: 20 and 33
+    would have silently missed qualifying pairs when bands were capped
+    at 16 (r6 ADVICE fix — a pair at distance >= 16 can differ in every
+    one of 16 bands); with n_bands = r + 1 recall is exact everywhere."""
     rows = [(r["doc_id"], r["dhash"]) for r in hashed.collect() if r["dhash"] is not None]
-    for radius in (2, 6, 10):
+    for radius in (2, 6, 10, 20, 33):
         want = {
             (a, b)
             for i, (a, ha) in enumerate(rows)
