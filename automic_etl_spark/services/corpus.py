@@ -98,6 +98,14 @@ class CorpusCurator:
     # None disables the stage
     pack_tokens: int | None = None
     pack_shards: int = 1024
+    # emit per-document model signals as OUTPUT COLUMNS (round 6):
+    # quality_prob (when quality_model is set) and logscore_e6 +
+    # ppl_bucket (when perplexity_lm is set) survive into the curated
+    # frame instead of being dropped after their gates, and the report
+    # gains ppl_bucket_counts — the inputs downstream mixture weighting
+    # (operators/mixing.token_budget_sample per-group budgets) and
+    # curriculum sampling consume
+    emit_signals: bool = False
 
     def curate(
         self,
@@ -252,7 +260,9 @@ class CorpusCurator:
             before = kept.count()
             kept = self.quality_model.keep(
                 kept, min_prob=self.quality_model_min_prob, text_col=text_col
-            ).drop("quality_prob")
+            )
+            if not self.emit_signals:
+                kept = kept.drop("quality_prob")
             report["model_quality_removed"] = before - kept.count()
             report["low_quality_removed"] += report["model_quality_removed"]
 
@@ -271,11 +281,26 @@ class CorpusCurator:
             labeled = perplexity_buckets(
                 scored, self.perplexity_head_frac, self.perplexity_middle_frac
             )
-            keep_ids = labeled.filter(
-                F.col("ppl_bucket").isin(*self.perplexity_keep)
-            ).select(id_col)
-            # the kept fraction is O(corpus) — semi-join, never broadcast
-            kept = kept.join(keep_ids, id_col, "left_semi")
+            if self.emit_signals:
+                # carry the per-doc score + bucket forward as columns;
+                # same O(corpus)-side discipline — plain equi-join (docs
+                # with no tokens score nothing: inner join drops them,
+                # exactly the semi-join gate's semantics)
+                kept = kept.join(
+                    labeled.select(id_col, "logscore_e6", "ppl_bucket"), id_col
+                ).filter(F.col("ppl_bucket").isin(*self.perplexity_keep))
+                report["ppl_bucket_counts"] = {
+                    r["ppl_bucket"]: r["n"]
+                    for r in labeled.groupBy("ppl_bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            else:
+                keep_ids = labeled.filter(
+                    F.col("ppl_bucket").isin(*self.perplexity_keep)
+                ).select(id_col)
+                # the kept fraction is O(corpus) — semi-join, never broadcast
+                kept = kept.join(keep_ids, id_col, "left_semi")
             report["perplexity_removed"] = before - kept.count()
             report["low_quality_removed"] += report["perplexity_removed"]
 

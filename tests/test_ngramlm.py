@@ -213,6 +213,67 @@ def test_corpus_curator_perplexity_stage(spark):
     )
 
 
+def test_corpus_curator_emit_signals(spark):
+    """Round-6 parity-plus: emit_signals=True carries quality_prob /
+    logscore_e6 / ppl_bucket through as OUTPUT columns and reports
+    per-bucket counts — the per-doc inputs downstream mixture weighting
+    consumes."""
+    from automic_etl_spark.operators.qualityml import QualityClassifier
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    corpus = _docs(spark, CORPUS)
+    lm = fit_ngram_lm(corpus, order=3)
+    texts = (
+        [f"the cat sat on the mat number {i} today" for i in range(6)]
+        + ["zz qq xx yy vv ww uu tt"] * 2
+    )
+    docs = spark.createDataFrame(
+        [(i, t, "web") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    seed = spark.createDataFrame(
+        [(i, t, 1.0) for i, t in enumerate(CORPUS)]
+        + [(100 + i, "spam spam buy buy click click now now", 0.0) for i in range(3)],
+        "doc_id long, text string, label double",
+    )
+    clf = QualityClassifier(num_features=1 << 10, max_iter=10).fit(seed)
+    cur = CorpusCurator(
+        min_quality=0.0,
+        quality_model=clf,
+        quality_model_min_prob=0.0,  # gate is vacuous; signal emission is the point
+        perplexity_lm=lm,
+        perplexity_keep=("head", "middle"),
+        perplexity_head_frac=0.4,
+        perplexity_middle_frac=0.3,
+        emit_signals=True,
+    )
+    out, report = cur.curate(docs)
+    assert {"quality_prob", "logscore_e6", "ppl_bucket"} <= set(out.columns)
+    rows = out.collect()
+    assert report["final_docs"] == len(rows)
+    assert all(r["ppl_bucket"] in ("head", "middle") for r in rows)
+    assert all(r["quality_prob"] is not None for r in rows)
+    assert all(r["logscore_e6"] is not None for r in rows)
+    # bucket counts cover every doc that reached (and scored in) the
+    # perplexity stage; the tail clones were dropped by the gate
+    counts = report["ppl_bucket_counts"]
+    assert set(counts) <= {"head", "middle", "tail"}
+    assert sum(counts.values()) >= len(rows)
+    assert report["perplexity_removed"] > 0 and counts.get("tail", 0) > 0
+    # default path is unchanged: signals absent, same gate semantics
+    out2, report2 = CorpusCurator(
+        min_quality=0.0,
+        perplexity_lm=lm,
+        perplexity_keep=("head", "middle"),
+        perplexity_head_frac=0.4,
+        perplexity_middle_frac=0.3,
+    ).curate(docs)
+    assert "ppl_bucket" not in out2.columns and "ppl_bucket_counts" not in report2
+    assert sorted(r["doc_id"] for r in out2.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+
+
 def test_bench_workload_runs(spark):
     from automic_etl_spark.queries.bench_ops import q_ngram_perplexity
 

@@ -46,17 +46,21 @@ def _workloads():
         q_minhash_lsh_candidates,
     )
     from automic_etl_spark.queries.bench_ops import (
+        q_ann_join,
+        q_audio_fingerprint,
+        q_bpe_tokenize,
         q_decontaminate,
         q_dedup_ingest,
         q_doctext_extract,
+        q_flac_decode,
+        q_image_phash,
         q_ivf_build_search,
+        q_ngram_perplexity,
         q_pack_sequences,
         q_quality_classifier,
         q_semantic_dedup,
-        q_audio_fingerprint,
-        q_image_phash,
-        q_ngram_perplexity,
         q_substring_dedup,
+        q_token_mixture,
     )
     from automic_etl_spark.queries.relational import (
         q_count_distinct,
@@ -76,6 +80,10 @@ def _workloads():
         "ngram_perplexity": q_ngram_perplexity,
         "image_phash": q_image_phash,
         "audio_fingerprint": q_audio_fingerprint,
+        "ann_join": q_ann_join,
+        "token_mixture": q_token_mixture,
+        "flac_decode": q_flac_decode,
+        "bpe_tokenize": q_bpe_tokenize,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
