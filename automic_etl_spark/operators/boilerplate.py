@@ -1,0 +1,249 @@
+"""Main-content extraction / boilerplate removal for HTML corpora.
+
+Beyond-reference operator: the reference's document connector flattens
+HTML to text with a tag-strip (reference:
+src/automic_etl/connectors/files/ — same shape as our
+``doctext.extract_html_text``), which keeps navigation menus, cookie
+banners, footers and link farms in the training text. Web-corpus
+pipelines (C4, RefinedWeb, FineWeb) instead classify block-level
+segments and keep only the article body; this module implements that as
+a jusText-style heuristic (Pomikálek 2011 — public thesis) in pure
+stdlib.
+
+Algorithm
+---------
+1. Parse HTML into block-level segments (``html.parser``), tracking per
+   block: visible text, characters inside ``<a>``, and whether the block
+   sits under a structural-chrome ancestor (nav/header/footer/aside/
+   form/menu). script/style/noscript/template/svg subtrees emit nothing.
+2. Context-free classify each block: BAD when link-dense or chrome;
+   GOOD when long enough with prose-like stopword density; else SHORT/
+   NEAR-GOOD.
+3. Context smoothing: SHORT/NEAR-GOOD blocks between GOOD neighbors are
+   promoted (keeps headlines and single-sentence paragraphs inside the
+   article); isolated ones demote to boilerplate.
+
+Scale design: per-document CPU with zero shuffle — a scalar Arrow
+pandas_udf, so the operator is map-only and scales with cores exactly
+like the other decode paths. The parser is single-pass O(html bytes).
+"""
+
+# NOTE: no `from __future__ import annotations` here — it stringifies the
+# pandas_udf type hints, which PySpark resolves at decoration time.
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+# A compact prose-marker list (function words). jusText ships per-language
+# lists of ~100s of words; this subset is enough to separate prose from
+# menu/link text in English-dominant corpora, and `stopwords=` overrides
+# it per language.
+STOPWORDS = frozenset(
+    """a an and are as at be but by for from has have he her his i if in is
+    it its not of on or she that the their them they this to was we were
+    what when which who will with would you your""".split()
+)
+
+_SKIP_TAGS = frozenset(("script", "style", "noscript", "template", "svg", "head"))
+_CHROME_TAGS = frozenset(("nav", "header", "footer", "aside", "form", "menu"))
+_BLOCK_TAGS = frozenset(
+    "p div section article main h1 h2 h3 h4 h5 h6 li td th blockquote pre "
+    "dl dt dd figure figcaption table tr ul ol br hr".split()
+)
+
+GOOD, NEAR_GOOD, SHORT, BAD = "good", "near_good", "short", "bad"
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        # (text, link_chars, chrome, heading)
+        self.blocks: list[tuple[str, int, bool, bool]] = []
+        self.title = ""
+        self._parts: list[str] = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._chrome_depth = 0
+        self._link_depth = 0
+        self._in_title = False
+        self._cur_tag = ""
+
+    def _flush(self):
+        text = re.sub(r"\s+", " ", "".join(self._parts)).strip()
+        if text:
+            self.blocks.append(
+                (
+                    text,
+                    self._link_chars,
+                    self._chrome_depth > 0,
+                    self._cur_tag in ("h1", "h2", "h3", "h4", "h5", "h6"),
+                )
+            )
+        self._parts, self._link_chars = [], 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP_TAGS:
+            self._skip_depth += 1
+        elif tag == "title":
+            self._in_title = True
+        elif tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome_depth += 1
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = tag
+        elif tag == "a":
+            self._link_depth += 1
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP_TAGS:
+            self._skip_depth = max(0, self._skip_depth - 1)
+        elif tag == "title":
+            self._in_title = False
+        elif tag in _CHROME_TAGS:
+            self._flush()
+            self._chrome_depth = max(0, self._chrome_depth - 1)
+        elif tag in _BLOCK_TAGS:
+            self._flush()
+            self._cur_tag = ""
+        elif tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+
+    def handle_data(self, data):
+        if self._in_title:
+            self.title += data
+            return
+        if self._skip_depth:
+            return
+        self._parts.append(data)
+        if self._link_depth:
+            self._link_chars += len(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def _classify(
+    text: str,
+    link_chars: int,
+    chrome: bool,
+    stopwords: frozenset[str],
+    length_low: int,
+    length_high: int,
+    stop_low: float,
+    max_link_density: float,
+) -> str:
+    n = len(text)
+    link_density = link_chars / n if n else 1.0
+    if chrome or link_density > max_link_density:
+        return BAD
+    words = re.findall(r"[a-zA-Z']+", text.lower())
+    stop_density = (
+        sum(1 for w in words if w in stopwords) / len(words) if words else 0.0
+    )
+    if n < length_low:
+        return SHORT
+    if stop_density >= stop_low:
+        return GOOD if n >= length_high else NEAR_GOOD
+    return BAD if n < length_high else NEAR_GOOD
+
+
+def _smooth(labels: list[str], headings: list[bool]) -> list[str]:
+    """Promote SHORT/NEAR_GOOD sandwiched by GOOD (single sentences inside
+    the article body); NEAR_GOOD adjacent to a GOOD also promotes, as does
+    a SHORT *heading* that introduces a GOOD block (jusText's header
+    rule). Everything else demotes to BAD."""
+    out = list(labels)
+    n = len(out)
+
+    def neighbor(i: int, step: int) -> str:
+        j = i + step
+        while 0 <= j < n and out[j] in (SHORT, NEAR_GOOD):
+            j += step
+        return out[j] if 0 <= j < n else BAD
+
+    for i, lab in enumerate(labels):
+        if lab in (SHORT, NEAR_GOOD):
+            prev_g = neighbor(i, -1) == GOOD
+            next_g = neighbor(i, 1) == GOOD
+            if (
+                (prev_g and next_g)
+                or (lab == NEAR_GOOD and (prev_g or next_g))
+                or (headings[i] and next_g)
+            ):
+                out[i] = GOOD
+            else:
+                out[i] = BAD
+    return out
+
+
+def extract_main_text(
+    html: str,
+    stopwords: frozenset[str] = STOPWORDS,
+    length_low: int = 60,
+    length_high: int = 140,
+    stop_low: float = 0.22,
+    max_link_density: float = 0.33,
+) -> tuple[str, str, float]:
+    """Return (main_text, title, boilerplate_ratio). boilerplate_ratio is
+    the fraction of visible characters classified away (1.0 for a page
+    with no retained content)."""
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        return "", p.title.strip(), 1.0
+    if not p.blocks:
+        return "", p.title.strip(), 1.0
+    labels = _smooth(
+        [
+            _classify(t, lc, ch, stopwords, length_low, length_high,
+                      stop_low, max_link_density)
+            for t, lc, ch, _ in p.blocks
+        ],
+        [h for _, _, _, h in p.blocks],
+    )
+    kept = [t for (t, _, _, _), lab in zip(p.blocks, labels) if lab == GOOD]
+    total = sum(len(t) for t, _, _, _ in p.blocks)
+    kept_chars = sum(len(t) for t in kept)
+    ratio = 1.0 - (kept_chars / total) if total else 1.0
+    return "\n\n".join(kept), p.title.strip(), round(ratio, 6)
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    text_col: str = "main_text",
+    title_col: str = "page_title",
+    ratio_col: str = "boilerplate_ratio",
+    **params,
+) -> DataFrame:
+    """Add main_text / page_title / boilerplate_ratio columns from an
+    HTML string column. Map-only (Arrow-batched pandas_udf): no shuffle,
+    scales with cores. Compose after `sources.warc.read_warc` (decode
+    the payload first) and before CorpusCurator."""
+
+    @pandas_udf("main_text string, page_title string, boilerplate_ratio double")
+    def _extract(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            extract_main_text(h, **params) if isinstance(h, str) else ("", "", 1.0)
+            for h in s
+        ]
+        return pd.DataFrame(
+            rows, columns=["main_text", "page_title", "boilerplate_ratio"]
+        )
+
+    packed = _extract(F.col(html_col))
+    return (
+        df.withColumn("__bp", packed)
+        .withColumn(text_col, F.col("__bp.main_text"))
+        .withColumn(title_col, F.col("__bp.page_title"))
+        .withColumn(ratio_col, F.col("__bp.boilerplate_ratio"))
+        .drop("__bp")
+    )

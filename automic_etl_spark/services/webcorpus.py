@@ -1,0 +1,109 @@
+"""Web-corpus assembly: Common Crawl-style WARC/WET segments → curated
+training text, end to end.
+
+The missing top of the funnel: `CorpusCurator` starts from a documents
+table, but a 100 TB pretraining corpus starts from crawl archives. This
+service composes the r6 sources/operators into that first mile:
+
+    WARC segments
+      → read_warc            (streamed gzip records, HTTP split)
+      → response gate        (status 200, text/html content type)
+      → charset decode       (header charset, utf-8/latin-1 fallback)
+      → boilerplate removal  (jusText-style main-content extraction)
+      → page gates           (min text length, max boilerplate ratio)
+      → documents frame      (doc_id/url/source/text — CorpusCurator's
+                              input contract; doc_id = xxhash64(url))
+    [WET segments skip decode/boilerplate: text is pre-extracted]
+
+Every stage is a narrow transformation over the per-file record stream —
+zero shuffles until the curator's own dedup stages, so the extraction
+front-end scales embarrassingly (one task per segment file).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from automic_etl_spark.operators.boilerplate import extract_main_content
+from automic_etl_spark.sources.warc import read_warc, read_wet
+
+
+@dataclass
+class WebCorpusExtractor:
+    """Turn WARC/WET archives into a CorpusCurator-ready documents frame."""
+
+    min_text_chars: int = 200
+    max_boilerplate_ratio: float = 0.98
+    max_payload: int = 8 << 20
+
+    def html_pages(self, spark: SparkSession, path) -> DataFrame:
+        """200-status text/html responses with a decoded `html` column."""
+        df = read_warc(
+            spark, path, record_types=("response",), max_payload=self.max_payload
+        )
+        is_html = F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
+            "text/html"
+        )
+        # Charset: honor an explicit latin-1-family header; default UTF-8.
+        # JVM decode() substitutes malformed bytes (U+FFFD) rather than
+        # throwing, so both arms are total over arbitrary payloads.
+        charset = F.upper(
+            F.regexp_extract(F.coalesce("http_content_type", F.lit("")),
+                             r"(?i)charset=([A-Za-z0-9_\-]+)", 1)
+        )
+        decoded = F.when(
+            charset.isin("ISO-8859-1", "LATIN-1", "WINDOWS-1252"),
+            F.decode("payload", "ISO-8859-1"),
+        ).otherwise(F.decode("payload", "UTF-8"))
+        return (
+            df.filter((F.col("http_status") == 200) & is_html)
+            .withColumn("html", decoded)
+            .drop("payload")
+        )
+
+    def documents_from_warc(self, spark: SparkSession, path) -> DataFrame:
+        """WARC → (doc_id, url, source, title, text, boilerplate_ratio)."""
+        pages = extract_main_content(self.html_pages(spark, path), "html")
+        return (
+            pages.filter(
+                (F.length("main_text") >= self.min_text_chars)
+                & (F.col("boilerplate_ratio") <= self.max_boilerplate_ratio)
+            )
+            .select(
+                F.xxhash64("target_uri").alias("doc_id"),
+                F.col("target_uri").alias("url"),
+                F.col("warc_file").alias("source"),
+                F.col("page_title").alias("title"),
+                F.col("main_text").alias("text"),
+                "boilerplate_ratio",
+            )
+        )
+
+    def documents_from_wet(self, spark: SparkSession, path) -> DataFrame:
+        """WET → same shape (text pre-extracted by the crawler; no
+        boilerplate stage, ratio null)."""
+        return (
+            read_wet(spark, path, max_payload=self.max_payload)
+            .filter(F.length("text") >= self.min_text_chars)
+            .select(
+                F.xxhash64("url").alias("doc_id"),
+                "url",
+                F.col("warc_file").alias("source"),
+                F.lit(None).cast("string").alias("title"),
+                "text",
+                F.lit(None).cast("double").alias("boilerplate_ratio"),
+            )
+        )
+
+    def curate_from_warc(
+        self, spark: SparkSession, path, curator=None, **curate_kwargs
+    ):
+        """WARC → documents → CorpusCurator.curate(). Returns the
+        curator's (splits, report)."""
+        from automic_etl_spark.services.corpus import CorpusCurator
+
+        docs = self.documents_from_warc(spark, path)
+        curator = curator or CorpusCurator()
+        return curator.curate(docs, **curate_kwargs)

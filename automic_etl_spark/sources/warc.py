@@ -1,0 +1,327 @@
+"""WARC / WET web-archive ingestion (ISO 28500 — the Common Crawl format).
+
+Beyond-reference source: the reference ingests unstructured corpora
+through per-format document connectors (reference:
+src/automic_etl/connectors/files/) but has no web-archive reader; a
+100 TB training-data pipeline's first stage is almost always "read
+Common Crawl WARC/WET segments", so this module makes that a
+first-class source.
+
+Scale design
+------------
+A crawl corpus is a directory of ~1 GB gzip'd segment files (Common
+Crawl publishes ~80k per monthly crawl). The reader distributes the
+*file list* (one task per segment, `repartition(len(files))`-bounded)
+and each task **streams** its file — one gzip member / WARC record at a
+time through a bounded read-ahead — so task memory is O(max_payload),
+never O(file). Emission is Arrow-batched via ``mapInPandas`` with a
+records-per-batch cap. Nothing about the plan changes between 10 files
+and 100k files; at 100 TB the only knob is cluster width.
+
+Payloads above ``max_payload`` bytes are truncated (flag column set) —
+the same guardrail the blob connectors apply — because a single
+pathological 4 GB record must not OOM an executor.
+
+Pure stdlib (``gzip``/``zlib``); no warcio dependency. Paths are opened
+with Python file IO, so in-container they must be locally mounted —
+same contract as the PDF/audio blob readers (`operators/pdftext.py`);
+on a real cluster the open() shim is the one seam to swap for an
+HDFS/S3 streaming client.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+import uuid
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "warc_file string, record_index long, warc_type string, "
+    "record_id string, target_uri string, warc_date string, "
+    "content_type string, content_length long, truncated boolean, "
+    "http_status int, http_content_type string, payload binary"
+)
+
+#: WARC record types that carry a payload users typically want.
+DEFAULT_RECORD_TYPES = ("response", "conversion", "resource")
+
+_CRLF = b"\r\n"
+
+
+class WarcFormatError(ValueError):
+    """Raised when a stream does not parse as WARC."""
+
+
+# --- record-level parsing ----------------------------------------------------
+
+def _read_headers(stream) -> dict[str, str] | None:
+    """Read one WARC header block (version line + headers up to the blank
+    line). Returns None at clean EOF; raises WarcFormatError mid-record."""
+    # Skip inter-record CRLFs.
+    line = stream.readline()
+    while line in (_CRLF, b"\n"):
+        line = stream.readline()
+    if not line:
+        return None
+    if not line.startswith(b"WARC/"):
+        raise WarcFormatError(f"expected WARC version line, got {line[:40]!r}")
+    headers: dict[str, str] = {"__version__": line.decode("ascii", "replace").strip()}
+    while True:
+        line = stream.readline()
+        if not line:
+            raise WarcFormatError("EOF inside WARC header block")
+        if line in (_CRLF, b"\n"):
+            return headers
+        # Continuation lines (obs-fold) append to the previous header.
+        text = line.decode("utf-8", "replace")
+        if text[0] in " \t" and headers.get("__last__"):
+            headers[headers["__last__"]] += " " + text.strip()
+            continue
+        key, _, value = text.partition(":")
+        key = key.strip().lower()
+        headers[key] = value.strip()
+        headers["__last__"] = key
+
+
+def _read_payload(stream, length: int, max_payload: int) -> tuple[bytes, bool]:
+    """Read exactly `length` content bytes, keeping at most `max_payload`.
+    The overflow is consumed in chunks (never held) so memory stays
+    O(max_payload) even for multi-GB records."""
+    keep = min(length, max_payload)
+    payload = stream.read(keep)
+    if len(payload) != keep:
+        raise WarcFormatError("EOF inside WARC content block")
+    remaining = length - keep
+    while remaining > 0:
+        chunk = stream.read(min(remaining, 1 << 20))
+        if not chunk:
+            raise WarcFormatError("EOF inside WARC content block")
+        remaining -= len(chunk)
+    return payload, length > max_payload
+
+
+def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """Split an HTTP response payload into (status, content_type, body).
+    Non-HTTP payloads come back unchanged with null status."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    if not sep:
+        head, sep, body = payload.partition(b"\n\n")
+        if not sep:
+            return None, None, payload
+    lines = head.split(b"\n")
+    status_parts = lines[0].split()
+    try:
+        status = int(status_parts[1])
+    except (IndexError, ValueError):
+        return None, None, payload
+    ctype = None
+    for ln in lines[1:]:
+        k, _, v = ln.decode("latin-1", "replace").partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+            break
+    return status, ctype, body
+
+
+def iter_warc_records(
+    stream,
+    max_payload: int = 8 << 20,
+) -> Iterator[tuple[dict[str, str], bytes, bool]]:
+    """Yield (headers, payload, truncated) from a decompressed WARC
+    stream. Sequential, constant-memory."""
+    while True:
+        headers = _read_headers(stream)
+        if headers is None:
+            return
+        length = int(headers.get("content-length", "0"))
+        payload, truncated = _read_payload(stream, length, max_payload)
+        yield headers, payload, truncated
+
+
+def open_warc(path: str):
+    """Open a WARC file for streaming, transparently ungzipping (gzip
+    magic sniffed, not extension-guessed). Python's gzip reader walks
+    multi-member files — the Common Crawl layout of one member per
+    record — as one continuous stream."""
+    raw = open(path, "rb")
+    magic = raw.read(2)
+    raw.seek(0)
+    if magic == b"\x1f\x8b":
+        return io.BufferedReader(gzip.GzipFile(fileobj=raw), 1 << 20)
+    return io.BufferedReader(raw, 1 << 20)
+
+
+# --- DataFrame source --------------------------------------------------------
+
+def _list_warc_files(path_or_paths) -> list[str]:
+    if isinstance(path_or_paths, (list, tuple)):
+        return [str(p) for p in path_or_paths]
+    p = str(path_or_paths)
+    if os.path.isdir(p):
+        out = [
+            os.path.join(p, f)
+            for f in sorted(os.listdir(p))
+            if f.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".arc.gz"))
+        ]
+        if not out:
+            raise FileNotFoundError(f"no WARC/WET files under {p}")
+        return out
+    return [p]
+
+
+def read_warc(
+    spark: SparkSession,
+    path,
+    record_types: Iterable[str] | None = DEFAULT_RECORD_TYPES,
+    max_payload: int = 8 << 20,
+    parse_http: bool = True,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """Read WARC segment file(s) into a DataFrame of records.
+
+    Columns: warc_file, record_index, warc_type, record_id, target_uri,
+    warc_date (ISO-8601 string; cast downstream), content_type,
+    content_length (the ORIGINAL length, pre-truncation), truncated,
+    http_status / http_content_type (parsed when `parse_http` and the
+    payload is an HTTP response; else null), payload (binary — the HTTP
+    body when parsed, the raw content block otherwise).
+
+    `record_types=None` keeps every record (warcinfo/request/metadata
+    included). The type filter runs inside the reader so unwanted
+    payloads are skipped at parse time, not materialized then filtered.
+    """
+    files = _list_warc_files(path)
+    wanted = {t.lower() for t in record_types} if record_types else None
+
+    def gen(iterator):
+        for pdf in iterator:
+            for fpath in pdf["path"]:
+                rows, idx = [], -1
+                with open_warc(fpath) as stream:
+                    for headers, payload, truncated in iter_warc_records(
+                        stream, max_payload
+                    ):
+                        idx += 1
+                        wtype = headers.get("warc-type", "").lower()
+                        if wanted is not None and wtype not in wanted:
+                            continue
+                        status, http_ct, body = (
+                            _split_http(payload)
+                            if parse_http and wtype == "response"
+                            else (None, None, payload)
+                        )
+                        rows.append(
+                            (
+                                fpath,
+                                idx,
+                                wtype,
+                                headers.get("warc-record-id"),
+                                headers.get("warc-target-uri"),
+                                headers.get("warc-date"),
+                                headers.get("content-type"),
+                                int(headers.get("content-length", "0")),
+                                truncated,
+                                status,
+                                http_ct,
+                                body,
+                            )
+                        )
+                        if len(rows) >= batch_rows:
+                            yield _batch(rows)
+                            rows = []
+                if rows:
+                    yield _batch(rows)
+
+    def _batch(rows):
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "warc_file", "record_index", "warc_type", "record_id",
+                "target_uri", "warc_date", "content_type", "content_length",
+                "truncated", "http_status", "http_content_type", "payload",
+            ],
+        )
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    # One task per segment file: a WARC stream is sequential by nature,
+    # so per-file is the parallelism unit (Common Crawl ships ~80k/crawl).
+    paths_df = paths_df.repartition(len(files))
+    return paths_df.mapInPandas(gen, schema=WARC_SCHEMA)
+
+
+def read_wet(
+    spark: SparkSession,
+    path,
+    max_payload: int = 8 << 20,
+) -> DataFrame:
+    """Read WET (extracted-text) segments into (warc_file, record_index,
+    record_id, url, warc_date, text). WET 'conversion' records carry
+    UTF-8 plain text — the standard entry point for text-pipeline
+    curation (feed straight into CorpusCurator)."""
+    from pyspark.sql import functions as F
+
+    df = read_warc(
+        spark,
+        path,
+        record_types=("conversion",),
+        max_payload=max_payload,
+        parse_http=False,
+    )
+    return df.select(
+        "warc_file",
+        "record_index",
+        "record_id",
+        F.col("target_uri").alias("url"),
+        "warc_date",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
+# --- writer (sink + test fixture) -------------------------------------------
+
+def write_warc_record(
+    out,
+    warc_type: str,
+    payload: bytes,
+    target_uri: str | None = None,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    content_type: str = "application/octet-stream",
+    record_id: str | None = None,
+) -> None:
+    """Serialize one WARC/1.0 record to a binary stream."""
+    rid = record_id or f"<urn:uuid:{uuid.uuid4()}>"
+    head = [f"WARC/1.0", f"WARC-Type: {warc_type}", f"WARC-Record-ID: {rid}",
+            f"WARC-Date: {warc_date}", f"Content-Type: {content_type}",
+            f"Content-Length: {len(payload)}"]
+    if target_uri:
+        head.insert(2, f"WARC-Target-URI: {target_uri}")
+    out.write("\r\n".join(head).encode("utf-8") + b"\r\n\r\n")
+    out.write(payload)
+    out.write(b"\r\n\r\n")
+
+
+def write_warc_file(path: str, records, member_per_record: bool = True) -> None:
+    """Write records ((warc_type, payload, target_uri) tuples) as a WARC
+    file. `.gz` paths gzip — one member per record when
+    `member_per_record` (the Common Crawl layout), else one stream."""
+    is_gz = path.endswith(".gz")
+    with open(path, "wb") as raw:
+        if is_gz and member_per_record:
+            for rec in records:
+                buf = io.BytesIO()
+                write_warc_record(buf, rec[0], rec[1], *(rec[2:]))
+                raw.write(gzip.compress(buf.getvalue()))
+        elif is_gz:
+            with gzip.GzipFile(fileobj=raw, mode="wb") as gz:
+                for rec in records:
+                    write_warc_record(gz, rec[0], rec[1], *(rec[2:]))
+        else:
+            for rec in records:
+                write_warc_record(raw, rec[0], rec[1], *(rec[2:]))

@@ -1,0 +1,286 @@
+"""WARC/WET source + HTML boilerplate removal.
+
+Differential strategy: the WARC writer and reader in `sources/warc.py`
+are independent implementations of ISO 28500's grammar (writer emits,
+reader parses); round-trips cover the record framing, and hand-built
+byte fixtures cover gzip-member layout, truncation, and HTTP splitting.
+Boilerplate extraction is checked on structured pages with known
+chrome/article segmentation.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+
+import pytest
+
+from automic_etl_spark.operators.boilerplate import (
+    extract_main_content,
+    extract_main_text,
+)
+from automic_etl_spark.sources.warc import (
+    WarcFormatError,
+    iter_warc_records,
+    read_warc,
+    read_wet,
+    write_warc_file,
+    write_warc_record,
+)
+
+HTTP_PAYLOAD = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    b"X-Other: 1\r\n\r\n<html><body>hello</body></html>"
+)
+
+
+def _sample_records():
+    return [
+        ("warcinfo", b"software: test\r\n", None),
+        ("request", b"GET / HTTP/1.1\r\n", "http://a.example/"),
+        ("response", HTTP_PAYLOAD, "http://a.example/"),
+        ("response", b"HTTP/1.1 404 Not Found\r\n\r\nmissing", "http://b.example/x"),
+        ("resource", b"\x89PNG\r\n\x1a\n", "http://a.example/logo.png"),
+    ]
+
+
+# --- record-level parser -----------------------------------------------------
+
+class TestWarcRecords:
+    def test_roundtrip_plain_stream(self):
+        buf = io.BytesIO()
+        for rec in _sample_records():
+            write_warc_record(buf, rec[0], rec[1], rec[2])
+        buf.seek(0)
+        recs = list(iter_warc_records(io.BufferedReader(buf)))
+        assert [h["warc-type"] for h, _, _ in recs] == [
+            "warcinfo", "request", "response", "response", "resource"
+        ]
+        assert recs[2][1] == HTTP_PAYLOAD
+        assert recs[4][1] == b"\x89PNG\r\n\x1a\n"
+        assert all(not trunc for _, _, trunc in recs)
+        assert recs[2][0]["warc-target-uri"] == "http://a.example/"
+
+    def test_truncation_keeps_prefix_and_flags(self):
+        buf = io.BytesIO()
+        write_warc_record(buf, "response", b"A" * 1000 + b"B" * 1000)
+        write_warc_record(buf, "response", b"tail-record")
+        buf.seek(0)
+        recs = list(iter_warc_records(io.BufferedReader(buf), max_payload=100))
+        assert recs[0][1] == b"A" * 100 and recs[0][2] is True
+        # stream stays aligned after a truncated record
+        assert recs[1][1] == b"tail-record" and recs[1][2] is False
+
+    def test_garbage_raises(self):
+        stream = io.BufferedReader(io.BytesIO(b"not a warc at all\r\n"))
+        with pytest.raises(WarcFormatError):
+            list(iter_warc_records(stream))
+
+
+# --- Spark source ------------------------------------------------------------
+
+class TestWarcSource:
+    @pytest.fixture()
+    def warc_dir(self, tmp_path):
+        d = tmp_path / "crawl"
+        d.mkdir()
+        write_warc_file(str(d / "seg-0.warc.gz"), _sample_records())
+        write_warc_file(
+            str(d / "seg-1.warc.gz"),
+            _sample_records(),
+            member_per_record=False,
+        )
+        write_warc_file(str(d / "seg-2.warc"), _sample_records())
+        return str(d)
+
+    def test_read_warc_default_filters_and_http_split(self, spark, warc_dir):
+        rows = read_warc(spark, warc_dir).orderBy("warc_file", "record_index").collect()
+        # 3 files x (2 responses + 1 resource); warcinfo/request filtered
+        assert len(rows) == 9
+        by_type = {r.warc_type for r in rows}
+        assert by_type == {"response", "resource"}
+        ok = [r for r in rows if r.http_status == 200]
+        assert len(ok) == 3
+        assert ok[0].payload == b"<html><body>hello</body></html>"
+        assert ok[0].http_content_type == "text/html; charset=utf-8"
+        assert ok[0].target_uri == "http://a.example/"
+        nf = [r for r in rows if r.http_status == 404]
+        assert len(nf) == 3 and nf[0].payload == b"missing"
+        png = [r for r in rows if r.warc_type == "resource"]
+        assert png[0].http_status is None
+        assert png[0].payload.startswith(b"\x89PNG")
+        # content_length is the original payload length (pre-HTTP-split)
+        assert ok[0].content_length == len(HTTP_PAYLOAD)
+
+    def test_read_warc_all_types(self, spark, warc_dir):
+        df = read_warc(spark, warc_dir, record_types=None, parse_http=False)
+        assert df.count() == 15
+        one = df.filter("warc_type = 'response' and record_index = 2").first()
+        assert one.payload.startswith(b"HTTP/1.1 200")  # raw when parse_http off
+
+    def test_read_wet(self, spark, tmp_path):
+        f = str(tmp_path / "seg.wet.gz")
+        write_warc_file(
+            f,
+            [
+                ("warcinfo", b"x", None),
+                ("conversion", "Bonjour le monde é".encode(), "http://fr.example/"),
+                ("conversion", b"Second doc text", "http://en.example/"),
+            ],
+        )
+        rows = read_wet(spark, f).orderBy("record_index").collect()
+        assert [r.url for r in rows] == ["http://fr.example/", "http://en.example/"]
+        assert rows[0].text == "Bonjour le monde é"
+
+    def test_explicit_file_list(self, spark, warc_dir):
+        files = [os.path.join(warc_dir, "seg-0.warc.gz")]
+        assert read_warc(spark, files).count() == 3
+
+
+# --- boilerplate removal -----------------------------------------------------
+
+ARTICLE = """<html><head><title>Widget Review</title>
+<script>var x = "the the the of and to in is it for on menu";</script>
+<style>.nav { color: red }</style></head><body>
+<nav><a href="/">Home</a> <a href="/news">News</a> <a href="/sports">Sports</a></nav>
+<div id="content">
+<h2>The widget is excellent</h2>
+<p>This is the first paragraph of the article and it talks at length about
+the widget, what it does, and why you would want to use it in your own
+projects when the time is right for all of us.</p>
+<p>The second paragraph continues the discussion of the widget with more
+of the detail that a reader would expect from an article of this kind,
+and it is also long enough to be prose on its own.</p>
+</div>
+<div class="related"><a href="/a">One weird trick</a> <a href="/b">More links</a>
+<a href="/c">Even more</a> <a href="/d">Clickbait</a></div>
+<footer>Copyright 2026 Example Corp. All rights reserved.</footer>
+</body></html>"""
+
+
+class TestBoilerplate:
+    def test_article_kept_chrome_dropped(self):
+        text, title, ratio = extract_main_text(ARTICLE)
+        assert title == "Widget Review"
+        assert "first paragraph of the article" in text
+        assert "second paragraph" in text
+        # headline between good paragraphs is promoted by context smoothing
+        assert "The widget is excellent" in text
+        assert "Home" not in text and "Sports" not in text  # nav
+        assert "weird trick" not in text  # link farm
+        assert "Copyright" not in text  # footer
+        assert "var x" not in text  # script
+        assert 0.0 < ratio < 1.0
+
+    def test_link_farm_page_fully_boilerplate(self):
+        html = "<html><body>" + "".join(
+            f'<p><a href="/{i}">Link number {i} in the directory</a></p>'
+            for i in range(20)
+        ) + "</body></html>"
+        text, _, ratio = extract_main_text(html)
+        assert text == "" and ratio == 1.0
+
+    def test_empty_and_broken_html_total(self):
+        assert extract_main_text("")[0] == ""
+        assert extract_main_text("<p><b>no close")[2] == 1.0
+        text, _, _ = extract_main_text("<p>" + "the widget works well and " * 10)
+        assert "widget works" in text  # unclosed but parseable
+
+    def test_dataframe_wrapper(self, spark):
+        df = spark.createDataFrame(
+            [(1, ARTICLE), (2, None), (3, "<p>tiny</p>")], "id long, html string"
+        )
+        out = extract_main_content(df).orderBy("id").collect()
+        assert "first paragraph" in out[0].main_text
+        assert out[0].page_title == "Widget Review"
+        assert out[1].main_text == "" and out[1].boilerplate_ratio == 1.0
+        assert out[2].main_text == ""
+
+    def test_warc_to_curated_text_pipeline(self, spark, tmp_path):
+        """End-to-end: WARC -> HTML responses -> main text."""
+        from pyspark.sql import functions as F
+
+        f = str(tmp_path / "seg.warc.gz")
+        page = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + ARTICLE).encode()
+        write_warc_file(f, [("response", page, "http://a.example/review")])
+        df = read_warc(spark, f).filter(F.col("http_status") == 200)
+        df = df.withColumn("html", F.decode("payload", "UTF-8"))
+        row = extract_main_content(df).first()
+        assert "first paragraph of the article" in row.main_text
+
+
+# --- web-corpus assembly -----------------------------------------------------
+
+class TestWebCorpus:
+    @pytest.fixture()
+    def crawl_dir(self, tmp_path):
+        from tests.test_warc_boilerplate import ARTICLE  # self-import safe
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+
+        def http(body: bytes, ctype=b"text/html; charset=utf-8", status=b"200 OK"):
+            return (b"HTTP/1.1 " + status + b"\r\nContent-Type: " + ctype
+                    + b"\r\n\r\n" + body)
+
+        latin = ("<html><body><p>" + "café the widget and the review of it "
+                 * 8 + "</p></body></html>").encode("latin-1")
+        write_warc_file(
+            str(d / "seg-0.warc.gz"),
+            [
+                ("response", http(ARTICLE.encode()), "http://a.example/review"),
+                ("response", http(latin, b"text/html; charset=ISO-8859-1"),
+                 "http://b.example/latin"),
+                ("response", http(b"{}", b"application/json"), "http://c.example/api"),
+                ("response", http(b"gone", status=b"404 Not Found"),
+                 "http://d.example/404"),
+                ("response", http(b"<html><body><p>tiny</p></body></html>"),
+                 "http://e.example/tiny"),
+            ],
+        )
+        return str(d)
+
+    def test_documents_from_warc(self, spark, crawl_dir):
+        from automic_etl_spark.services.webcorpus import WebCorpusExtractor
+
+        docs = WebCorpusExtractor(min_text_chars=100).documents_from_warc(
+            spark, crawl_dir
+        )
+        rows = {r.url: r for r in docs.collect()}
+        # json, 404 and too-short pages gated out
+        assert set(rows) == {"http://a.example/review", "http://b.example/latin"}
+        a = rows["http://a.example/review"]
+        assert a.title == "Widget Review" and "first paragraph" in a.text
+        assert a.source.endswith("seg-0.warc.gz")
+        assert isinstance(a.doc_id, int)
+        # latin-1 charset honored
+        assert "café" in rows["http://b.example/latin"].text
+
+    def test_curate_from_warc_end_to_end(self, spark, crawl_dir):
+        from automic_etl_spark.services.corpus import CorpusCurator
+        from automic_etl_spark.services.webcorpus import WebCorpusExtractor
+
+        ex = WebCorpusExtractor(min_text_chars=100)
+        curated, report = ex.curate_from_warc(
+            spark, crawl_dir, curator=CorpusCurator(min_quality=0.0)
+        )
+        assert report["input_docs"] == 2
+        out = curated.collect()
+        assert len(out) == 2 and {"split"} <= set(curated.columns)
+
+    def test_documents_from_wet(self, spark, tmp_path):
+        from automic_etl_spark.services.webcorpus import WebCorpusExtractor
+
+        f = str(tmp_path / "seg.wet.gz")
+        write_warc_file(
+            f,
+            [("conversion", b"word " * 60, "http://a.example/"),
+             ("conversion", b"short", "http://b.example/")],
+        )
+        rows = WebCorpusExtractor(min_text_chars=100).documents_from_wet(
+            spark, f
+        ).collect()
+        assert len(rows) == 1 and rows[0].url == "http://a.example/"
+        assert rows[0].boilerplate_ratio is None
