@@ -1,0 +1,162 @@
+"""Corpus-wide line/paragraph deduplication (the C4 / CCNet pass).
+
+Beyond-reference operator: web corpora repeat whole lines across
+documents — cookie banners, share buttons, license footers, quote
+chains — and C4 (Raffel et al. 2020) and CCNet (Wenzek et al. 2020)
+both remove them *corpus-wide* before any document-level dedup. The
+document-level operators (`dedup.py`) can't express this: a line
+repeated across a million distinct pages survives every document-level
+gate.
+
+Semantics
+---------
+Split each document into lines (`sep`, default "\\n"), normalize a
+match key (lowercase + whitespace-collapse, so cosmetic variants
+collide), count DISTINCT documents per key across the corpus, and for
+keys at or above ``min_doc_frequency``:
+
+- mode="drop_all"   — remove every occurrence (CCNet's paragraph rule);
+- mode="keep_first" — keep only the single occurrence with the minimum
+  (doc_id, line_no), remove the rest (C4's three-sentence-span rule
+  collapsed to line granularity).
+
+Lines then reassemble in original order per document. Blank-only lines
+never count as duplicates (they'd glue unrelated documents together).
+
+Scale design
+------------
+One explode (rows = corpus lines), one hash-shuffle groupBy on the line
+key for document frequencies, one equi-join of lines against the
+filtered duplicate-key table (AQE broadcasts it when the duplicate set
+is small — usually, since keys at df >= N are the distribution's head),
+one per-document regroup to reassemble. No window over the whole
+corpus, no driver state; every stage is key-partitioned and linear.
+keep_first adds min-struct selection *inside* the same counting
+aggregate (min of (doc_id, line_no) structs — associative, map-side
+combinable), not a second pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _line_key(col):
+    """Normalized match key: casefold + collapse internal whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def duplicate_line_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_doc_frequency: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated-line table: (line_key, n_docs, n_occurrences,
+    first_doc, first_line_no) for every normalized non-blank line
+    appearing in >= min_doc_frequency distinct documents. Diagnostic
+    twin of `dedup_lines` (same key, same counting)."""
+    if min_doc_frequency < 2:
+        raise ValueError("min_doc_frequency must be >= 2")
+    lines = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+        )
+        .withColumn("__key", _line_key("__line"))
+        .filter(F.col("__key") != "")
+    )
+    return (
+        lines.groupBy("__key")
+        .agg(
+            F.countDistinct("__doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.struct("__doc", "__ln")).alias("__first"),
+        )
+        .filter(F.col("n_docs") >= min_doc_frequency)
+        .select(
+            F.col("__key").alias("line_key"),
+            "n_docs",
+            "n_occurrences",
+            F.col("__first.__doc").alias("first_doc"),
+            F.col("__first.__ln").alias("first_line_no"),
+        )
+    )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_doc_frequency: int = 2,
+    mode: str = "drop_all",
+) -> DataFrame:
+    """Remove corpus-duplicated lines from every document.
+
+    Returns the input columns with `text_col` rewritten plus
+    ``lines_kept``, ``lines_removed`` (per-document tallies). Documents
+    whose every line was removed survive with empty text — dropping
+    empty husks is the caller's policy decision (CorpusCurator's quality
+    gate removes them anyway).
+    """
+    if mode not in ("drop_all", "keep_first"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if min_doc_frequency < 2:
+        raise ValueError("min_doc_frequency must be >= 2")
+
+    lines = docs.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+    ).withColumn("__key", _line_key("__line"))
+
+    # Blank lines are never duplicate candidates; give them a key no
+    # normalized text can produce (normalized keys have no leading space).
+    counted = (
+        lines.filter(F.col("__key") != "")
+        .groupBy("__key")
+        .agg(
+            F.countDistinct("__doc").alias("__ndocs"),
+            F.min(F.struct("__doc", "__ln")).alias("__first"),
+        )
+        .filter(F.col("__ndocs") >= min_doc_frequency)
+        .select("__key", "__first")
+    )
+
+    joined = lines.join(counted, "__key", "left")
+    if mode == "drop_all":
+        keep = F.col("__first").isNull()
+    else:  # keep_first
+        keep = F.col("__first").isNull() | (
+            (F.col("__first.__doc") == F.col("__doc"))
+            & (F.col("__first.__ln") == F.col("__ln"))
+        )
+    tagged = joined.withColumn("__keep", keep)
+
+    rebuilt = tagged.groupBy("__doc").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"), F.struct("__ln", F.col("__line"))
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__new_text"),
+        F.sum(F.col("__keep").cast("int")).alias("lines_kept"),
+        F.sum((~F.col("__keep")).cast("int")).alias("lines_removed"),
+    )
+
+    return (
+        docs.join(rebuilt, docs[id_col] == rebuilt["__doc"], "left")
+        .drop("__doc")
+        .withColumn(text_col, F.coalesce("__new_text", F.col(text_col)))
+        .drop("__new_text")
+        .withColumn("lines_kept", F.coalesce("lines_kept", F.lit(0)))
+        .withColumn("lines_removed", F.coalesce("lines_removed", F.lit(0)))
+    )

@@ -331,3 +331,57 @@ def chunk_documents(
             "chunk_n_tokens",
         )
     )
+
+
+def blocklist_stats(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style blocklist screening signals (Raffel et al. 2020 drop any
+    page containing a listed word; RefinedWeb soft-scores instead). Adds
+    `blocklist_hits` (count of listed-word token occurrences, case-
+    insensitive, word-boundary exact — "grass" never hits "ass") and
+    `blocklist_fraction` (hits / tokens, 6dp). The list is the caller's
+    (policy lists are jurisdiction/product-specific; we ship none).
+
+    Plan: pure Catalyst — tokens array vs an array literal via
+    `F.filter`/`array_contains`, no UDF, no shuffle. The list lives in
+    the plan as a literal: fine to ~10k words; beyond that, switch to a
+    broadcast join on exploded tokens.
+    """
+    if not words:
+        raise ValueError("blocklist_stats needs a non-empty word list")
+    toks = F.transform(
+        tokenize(F.col(text_col)),
+        lambda t: F.lower(F.regexp_replace(t, r"^\W+|\W+$", "")),
+    )
+    listed = F.array(*[F.lit(w.lower()) for w in words])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(listed, t)))
+    n_tok = F.size(toks)
+    return df.select(
+        "*",
+        hits.alias("blocklist_hits"),
+        F.round(
+            F.when(n_tok > 0, hits.cast("double") / n_tok).otherwise(0.0), 6
+        ).alias("blocklist_fraction"),
+    )
+
+
+def filter_blocklist(
+    df: DataFrame,
+    words: list[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+    max_fraction: float | None = None,
+) -> DataFrame:
+    """Keep documents within the blocklist budget: at most `max_hits`
+    listed-word occurrences (0 = C4's any-hit drop) and, when set, at
+    most `max_fraction` of tokens listed. Signal columns are dropped on
+    the way out — use `blocklist_stats` directly to keep them."""
+    out = blocklist_stats(df, words, text_col=text_col).filter(
+        F.col("blocklist_hits") <= max_hits
+    )
+    if max_fraction is not None:
+        out = out.filter(F.col("blocklist_fraction") <= max_fraction)
+    return out.drop("blocklist_hits", "blocklist_fraction")

@@ -2,6 +2,9 @@
 dataset actually runs, composed from the engine's operators.
 
     raw docs
+      → line dedup         (optional: corpus-wide duplicated-line
+                            removal, the C4/CCNet boilerplate pass —
+                            operators/linededup)
       → exact dedup        (md5 content hash, keep min id)
       → near-dup removal   (MinHash → LSH candidates → Jaccard verify →
                             connected components → keep cluster minimum)
@@ -98,6 +101,11 @@ class CorpusCurator:
     # None disables the stage
     pack_tokens: int | None = None
     pack_shards: int = 1024
+    # corpus-wide line dedup (C4/CCNet boilerplate-line removal, r6):
+    # drop lines appearing in >= this many distinct docs before any
+    # document-level stage; None disables. Mode per operators/linededup.
+    line_dedup_min_df: int | None = None
+    line_dedup_mode: str = "drop_all"
     # emit per-document model signals as OUTPUT COLUMNS (round 6):
     # quality_prob (when quality_model is set) and logscore_e6 +
     # ppl_bucket (when perplexity_lm is set) survive into the curated
@@ -119,6 +127,27 @@ class CorpusCurator:
         per-stage report). Deterministic: every removal keeps the
         minimum document id of its duplicate group/cluster."""
         report: dict = {"input_docs": docs.count()}
+
+        # 0. optional corpus-wide line dedup (C4/CCNet): strip lines
+        # repeated across >= line_dedup_min_df distinct docs BEFORE any
+        # document-level stage — removing shared boilerplate lines can
+        # make documents exactly identical, which stage 1 then collapses
+        if self.line_dedup_min_df is not None:
+            from automic_etl_spark.operators.linededup import dedup_lines
+
+            docs = dedup_lines(
+                docs,
+                id_col=id_col,
+                text_col=text_col,
+                min_doc_frequency=self.line_dedup_min_df,
+                mode=self.line_dedup_mode,
+            )
+            tallies = docs.agg(
+                F.sum("lines_removed").alias("r"), F.sum("lines_kept").alias("k")
+            ).first()
+            report["dup_lines_removed"] = int(tallies["r"] or 0)
+            report["lines_kept"] = int(tallies["k"] or 0)
+            docs = docs.drop("lines_kept", "lines_removed")
 
         # 1. exact dedup: hash-groupBy on md5(text) — 32-byte shuffle key
         w_min = F.min(id_col).over

@@ -62,6 +62,8 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_ngram_perplexity,
     q_image_phash,
     q_audio_fingerprint,
+    q_line_dedup,
+    q_warc_extract,
 )
 
 HEADLINE = {
@@ -95,6 +97,9 @@ HEADLINE = {
     "ann_join": q_ann_join,
     "ngram_perplexity": q_ngram_perplexity,
     "image_phash": q_image_phash,
+    # round-6 surface: web-corpus front end + corpus-wide line dedup
+    "line_dedup": q_line_dedup,
+    "warc_extract": q_warc_extract,
     "audio_fingerprint": q_audio_fingerprint,
 }
 

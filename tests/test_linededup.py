@@ -1,0 +1,219 @@
+"""Corpus-wide line dedup (C4/CCNet pass) — differential-tested against
+an independent pure-Python reference implementation on randomized
+corpora, plus hand-built cases for the mode/normalization semantics."""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+from automic_etl_spark.operators.linededup import (
+    dedup_lines,
+    duplicate_line_stats,
+)
+
+
+def _key(line: str) -> str:
+    return re.sub(r"\s+", " ", line.strip().lower())
+
+
+def _reference(docs, min_df, mode):
+    """Independent reimplementation: dict-based counting over
+    (doc_id, text) tuples. Returns {doc_id: (text, kept, removed)}."""
+    from collections import defaultdict
+
+    occurrences = defaultdict(set)
+    firsts = {}
+    for doc_id, text in docs:
+        for ln, line in enumerate(text.split("\n")):
+            k = _key(line)
+            if not k:
+                continue
+            occurrences[k].add(doc_id)
+            if k not in firsts or (doc_id, ln) < firsts[k]:
+                firsts[k] = (doc_id, ln)
+    dup = {k for k, s in occurrences.items() if len(s) >= min_df}
+    out = {}
+    for doc_id, text in docs:
+        kept_lines, removed = [], 0
+        for ln, line in enumerate(text.split("\n")):
+            k = _key(line)
+            is_dup = k in dup
+            keep = (not is_dup) or (
+                mode == "keep_first" and firsts[k] == (doc_id, ln)
+            )
+            if keep:
+                kept_lines.append(line)
+            else:
+                removed += 1
+        out[doc_id] = ("\n".join(kept_lines), len(kept_lines), removed)
+    return out
+
+
+BANNER = "Accept cookies to continue"
+FOOTER = "© 2026 Example Corp"
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (1, f"{BANNER}\nFirst article body line one.\nSecond body line.\n{FOOTER}"),
+        (2, f"{BANNER}\nA different article entirely.\n{FOOTER}"),
+        (3, "accept   COOKIES to continue\nUnique text in doc three."),
+        (4, "No shared lines here.\n\nAfter a blank line."),
+        (5, "No shared lines here."),  # line shared with doc 4
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDedupLines:
+    def test_drop_all(self, spark, corpus):
+        rows, df = corpus
+        got = {r.doc_id: r for r in dedup_lines(df, min_doc_frequency=2).collect()}
+        ref = _reference(rows, 2, "drop_all")
+        for doc_id, (text, kept, removed) in ref.items():
+            assert got[doc_id].text == text, doc_id
+            assert got[doc_id].lines_kept == kept
+            assert got[doc_id].lines_removed == removed
+        # the normalized variant in doc 3 was removed too
+        assert "COOKIES" not in got[3].text
+        # blank line in doc 4 survives; shared line removed in both 4 and 5
+        assert got[4].text == "\nAfter a blank line."
+        assert got[5].text == ""
+
+    def test_keep_first(self, spark, corpus):
+        rows, df = corpus
+        got = {
+            r.doc_id: r
+            for r in dedup_lines(df, min_doc_frequency=2, mode="keep_first").collect()
+        }
+        ref = _reference(rows, 2, "keep_first")
+        for doc_id, (text, kept, removed) in ref.items():
+            assert got[doc_id].text == text, doc_id
+        # doc 1 (min id) keeps the banner; doc 2 and 3 lose it
+        assert BANNER in got[1].text and BANNER not in got[2].text
+
+    def test_min_df_threshold(self, spark, corpus):
+        _, df = corpus
+        # banner appears in 3 docs, footer in 2: at min_df=3 only banner goes
+        got = {r.doc_id: r for r in dedup_lines(df, min_doc_frequency=3).collect()}
+        assert FOOTER in got[1].text and BANNER not in got[1].text
+
+    def test_repeated_within_one_doc_not_corpus_dup(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same line\nsame line\nsame line"), (2, "other text")],
+            "doc_id long, text string",
+        )
+        got = dedup_lines(df, min_doc_frequency=2).orderBy("doc_id").collect()
+        # document frequency is 1 -> untouched (intra-doc repetition is
+        # the Gopher/repetition operator's job, not this one's)
+        assert got[0].text == "same line\nsame line\nsame line"
+
+    def test_null_text_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "a\nb")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in dedup_lines(df).collect()}
+        assert got[1].text is None and got[1].lines_removed == 0
+        with pytest.raises(ValueError):
+            dedup_lines(df, min_doc_frequency=1)
+        with pytest.raises(ValueError):
+            dedup_lines(df, mode="nope")
+
+    def test_randomized_differential(self, spark):
+        rng = random.Random(406)
+        pool = [f"shared line number {i}" for i in range(12)]
+        rows = []
+        for doc_id in range(40):
+            n = rng.randint(1, 8)
+            lines = [
+                rng.choice(pool)
+                if rng.random() < 0.4
+                else f"unique {doc_id} {j} {rng.random():.6f}"
+                for j in range(n)
+            ]
+            rows.append((doc_id, "\n".join(lines)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for mode in ("drop_all", "keep_first"):
+            for min_df in (2, 4):
+                got = {
+                    r.doc_id: (r.text, r.lines_kept, r.lines_removed)
+                    for r in dedup_lines(
+                        df, min_doc_frequency=min_df, mode=mode
+                    ).collect()
+                }
+                assert got == _reference(rows, min_df, mode), (mode, min_df)
+
+
+class TestDuplicateLineStats:
+    def test_stats(self, spark, corpus):
+        _, df = corpus
+        stats = {
+            r.line_key: r for r in duplicate_line_stats(df).collect()
+        }
+        assert stats[_key(BANNER)].n_docs == 3
+        assert stats[_key(BANNER)].n_occurrences == 3
+        assert stats[_key(BANNER)].first_doc == 1
+        assert stats[_key(FOOTER)].n_docs == 2
+        assert _key("Unique text in doc three.") not in stats
+
+
+class TestCuratorStage:
+    def test_line_dedup_stage_in_curator(self, spark):
+        from automic_etl_spark.services.corpus import CorpusCurator
+
+        rows = [
+            (i, f"{BANNER}\nReal content of document {i} " + "word " * 30)
+            for i in range(6)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "source", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("web")
+        )
+        curated, report = CorpusCurator(
+            min_quality=0.0, line_dedup_min_df=2
+        ).curate(df)
+        assert report["dup_lines_removed"] == 6
+        out = curated.collect()
+        assert all(BANNER not in r.text for r in out)
+
+
+class TestBlocklist:
+    def test_stats_and_filter(self, spark):
+        from automic_etl_spark.operators.textops import (
+            blocklist_stats,
+            filter_blocklist,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "perfectly clean document text here"),
+                (2, "contains BADWORD once in the middle"),
+                (3, "badword, badword! and Badword?"),   # punctuation-adjacent
+                (4, "grassy knoll"),                      # substring must NOT hit
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        stats = {
+            r.doc_id: r for r in blocklist_stats(df, ["badword", "ass"]).collect()
+        }
+        assert stats[1].blocklist_hits == 0
+        assert stats[2].blocklist_hits == 1
+        assert stats[3].blocklist_hits == 3
+        assert stats[4].blocklist_hits == 0  # word-boundary exactness
+        assert stats[5].blocklist_fraction == 0.0
+        assert stats[3].blocklist_fraction == pytest.approx(3 / 4, abs=1e-6)
+
+        kept = {r.doc_id for r in filter_blocklist(df, ["badword"]).collect()}
+        assert kept == {1, 4, 5}
+        lenient = {
+            r.doc_id
+            for r in filter_blocklist(df, ["badword"], max_hits=1).collect()
+        }
+        assert lenient == {1, 2, 4, 5}
+        with pytest.raises(ValueError):
+            blocklist_stats(df, [])
+        # filtered output drops the signal columns
+        assert "blocklist_hits" not in filter_blocklist(df, ["x"]).columns

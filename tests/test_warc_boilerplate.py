@@ -284,3 +284,66 @@ class TestWebCorpus:
         ).collect()
         assert len(rows) == 1 and rows[0].url == "http://a.example/"
         assert rows[0].boilerplate_ratio is None
+
+
+# --- property fuzz (no Spark) ------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_REC = st.tuples(
+    st.sampled_from(["response", "conversion", "resource", "metadata"]),
+    st.binary(max_size=400),
+    st.one_of(st.none(), st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=40
+    )),
+)
+
+
+class TestWarcProperties:
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(_REC, max_size=6))
+    def test_roundtrip_identity(self, recs):
+        buf = io.BytesIO()
+        for t, payload, uri in recs:
+            write_warc_record(buf, t, payload, uri)
+        buf.seek(0)
+        got = list(iter_warc_records(io.BufferedReader(buf)))
+        assert len(got) == len(recs)
+        for (t, payload, uri), (h, p, trunc) in zip(recs, got):
+            assert h["warc-type"] == t
+            assert p == payload and not trunc
+            assert h.get("warc-target-uri") == (uri if uri else None)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=600))
+    def test_parser_total_on_garbage(self, blob):
+        """Arbitrary bytes either parse or raise WarcFormatError — never
+        hang, never raise anything else."""
+        stream = io.BufferedReader(io.BytesIO(blob))
+        try:
+            out = list(iter_warc_records(stream, max_payload=1 << 16))
+            assert isinstance(out, list)
+        except WarcFormatError:
+            pass
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(max_size=300), st.integers(min_value=1, max_value=64))
+    def test_truncation_alignment_property(self, payload, cap):
+        """Truncation at any cap preserves framing for later records."""
+        buf = io.BytesIO()
+        write_warc_record(buf, "response", payload)
+        write_warc_record(buf, "metadata", b"sentinel")
+        buf.seek(0)
+        recs = list(iter_warc_records(io.BufferedReader(buf), max_payload=cap))
+        assert recs[0][1] == payload[:cap]
+        assert recs[0][2] is (len(payload) > cap)
+        # the cap applies to record 2 as well; framing must still hold
+        assert recs[1][0]["warc-type"] == "metadata"
+        assert recs[1][1] == b"sentinel"[:cap]
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=800))
+    def test_boilerplate_total_on_arbitrary_text(self, html):
+        text, title, ratio = extract_main_text(html)
+        assert isinstance(text, str) and isinstance(title, str)
+        assert 0.0 <= ratio <= 1.0

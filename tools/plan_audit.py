@@ -105,8 +105,24 @@ def _audiofp_match_plan(spark, sf_dir):
     return fingerprint_match_join(fps, min_hits=1)
 
 
+def _line_dedup_plan(spark, sf_dir):
+    """Corpus-wide line dedup must stay window-free and product-free:
+    explode -> line-key groupBy -> equi-join -> per-doc regroup. A
+    Window or CartesianProduct here means the reassembly regressed to a
+    global sort or the dup join lost its key."""
+    from automic_etl_spark.io import load_table
+    from automic_etl_spark.operators.linededup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_lines(docs, min_doc_frequency=2)
+
+
 # audits over plans all_queries() can't expose (operator internals)
 CUSTOM: dict[str, tuple] = {
+    "line_dedup": (
+        _line_dedup_plan,
+        {"must": [], "must_not": ["Window", "row_number", "CartesianProduct"]},
+    ),
     "semantic_dedup_pairs": (
         _semantic_dedup_plan,
         {"must": [], "must_not": ["CartesianProduct", "BroadcastNestedLoopJoin"]},

@@ -4,7 +4,11 @@ scaling factors. A healthy distributed plan scales ~linearly (factor ≈ N
 per N× data on fixed cores, minus fixed overhead); a super-linear factor
 exposes an operator that would not survive a 100 TB deployment.
 
-Usage: python tools/scale_stress.py [N] [out_json]
+Usage: python tools/scale_stress.py [N] [out_json] [workload ...]
+
+Naming workloads runs only those and MERGES their entries into an
+existing out_json (for adding new operators to an already-measured
+round without re-running the whole suite on a matched idle box).
 """
 
 from __future__ import annotations
@@ -55,12 +59,14 @@ def _workloads():
         q_flac_decode,
         q_image_phash,
         q_ivf_build_search,
+        q_line_dedup,
         q_ngram_perplexity,
         q_pack_sequences,
         q_quality_classifier,
         q_semantic_dedup,
         q_substring_dedup,
         q_token_mixture,
+        q_warc_extract,
     )
     from automic_etl_spark.queries.relational import (
         q_count_distinct,
@@ -84,6 +90,8 @@ def _workloads():
         "token_mixture": q_token_mixture,
         "flac_decode": q_flac_decode,
         "bpe_tokenize": q_bpe_tokenize,
+        "line_dedup": q_line_dedup,
+        "warc_extract": q_warc_extract,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
@@ -122,8 +130,13 @@ def inflate(spark, n: int, out_dir: str) -> None:
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{table}.parquet"))
 
 
-def run_suite(spark, sf_dir: str) -> dict[str, float]:
+def run_suite(spark, sf_dir: str, only: list[str] | None = None) -> dict[str, float]:
     qs = _workloads()
+    if only:
+        unknown = set(only) - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown workloads: {sorted(unknown)}")
+        qs = {k: qs[k] for k in only}
     out = {}
     for name, fn in qs.items():
         # min-of-2: single-shot walls at these sizes are scheduler-noise
@@ -142,6 +155,7 @@ def run_suite(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_json = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_stress.json"
+    only = sys.argv[3:] or None
     scaled_dir = f"/tmp/scale{n}x"
 
     from automic_etl_spark.session import get_spark
@@ -156,9 +170,9 @@ def main() -> None:
         print(f"inflation took {time.time()-t0:.0f}s", flush=True)
 
     print("baseline (sf0.1):", flush=True)
-    base = run_suite(spark, SRC)
+    base = run_suite(spark, SRC, only)
     print(f"scaled ({n}x):", flush=True)
-    big = run_suite(spark, scaled_dir)
+    big = run_suite(spark, scaled_dir, only)
 
     report = {
         "scale_factor": n,
@@ -168,6 +182,13 @@ def main() -> None:
             k: round(big[k] / base[k], 2) if base[k] > 0 else None for k in base
         },
     }
+    if only and os.path.exists(out_json):
+        with open(out_json) as f:
+            prev = json.load(f)
+        if prev.get("scale_factor") == n:
+            for sec in ("baseline_s", "scaled_s", "wall_ratio"):
+                prev.setdefault(sec, {}).update(report[sec])
+            report = prev
     with open(out_json, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report["wall_ratio"], indent=2))
