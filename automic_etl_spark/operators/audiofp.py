@@ -221,12 +221,28 @@ def fingerprint_match_join(
     id_col: str = "doc_id",
     min_hits: int = 20,
     per_value_cap: int = 4,
+    link: str = "all",
 ) -> DataFrame:
     """(id_a < id_b, offset, hits) for clip pairs sharing >= min_hits
     landmark hashes at one frame offset (offset voting — chance
     collisions don't align). per_value_cap bounds occurrences of one
     hash value within a doc so degenerate stationary audio can't go
-    quadratic (documented recall trade, same policy as fuzzy_join)."""
+    quadratic (documented recall trade, same policy as fuzzy_join).
+
+    link="all" emits every in-bucket pair — exact, but a hash shared by
+    m docs emits O(m²) pairs, so a corpus where every clip is an m-way
+    duplicate does m× the work per row (measured: 10× inflation made
+    every clip a ~10-way cluster and wall went 50× — quadratic in
+    duplicate multiplicity, the audio analogue of the flat-k-means
+    SemDeDup finding). link="bucket_min" joins each doc only against
+    its bucket's minimum-id doc: O(m) pairs per bucket, and for
+    identical-copy clusters (which share every bucket, so every bucket
+    min IS the cluster min) the connected-components keep-set is
+    unchanged — the scale path for dedup; pair-finding between two
+    non-min docs only forms in buckets where one of them is the min,
+    so use "all" when exhaustive pair output itself is the product."""
+    if link not in ("all", "bucket_min"):
+        raise ValueError(f"unknown link mode {link!r}")
     # The cap is applied BEFORE the landmark table ever shuffles
     # (round-6 fix): one Arrow-batched kernel explodes the landmark
     # arrays and keeps only the first per_value_cap occurrences of each
@@ -260,7 +276,20 @@ def fingerprint_match_join(
     ex = fps.filter(F.col("lm_hashes").isNotNull()).select(
         F.col(id_col).alias("__id"), "lm_times", "lm_hashes"
     ).mapInPandas(cap_kernel, "__id long, __t int, __h int")
-    a = ex.select(F.col("__id").alias("id_a"), F.col("__t").alias("ta"), "__h")
+    if link == "bucket_min":
+        # a-side = only each bucket's minimum-id doc's occurrences:
+        # per-hash min is a constant-state aggregate, and the a⋈b join
+        # per bucket is |bucket| × (min doc's ≤per_value_cap rows) —
+        # linear in bucket size. All three ops key on __h, so the
+        # exchanges line up.
+        mins = ex.groupBy("__h").agg(F.min("__id").alias("__mid"))
+        a = (
+            ex.join(mins, "__h")
+            .filter(F.col("__id") == F.col("__mid"))
+            .select(F.col("__id").alias("id_a"), F.col("__t").alias("ta"), "__h")
+        )
+    else:
+        a = ex.select(F.col("__id").alias("id_a"), F.col("__t").alias("ta"), "__h")
     b = ex.select(F.col("__id").alias("id_b"), F.col("__t").alias("tb"), "__h")
     return (
         a.join(b, "__h")
@@ -275,11 +304,13 @@ def audio_near_dup(
     fps: DataFrame,
     id_col: str = "doc_id",
     min_hits: int = 20,
+    link: str = "all",
 ) -> DataFrame:
     """Best-offset match per pair: (id_a, id_b, offset, hits) keeping
     only each pair's strongest alignment (max_by hits, min-offset
-    tie-break via the (hits, -|offset|) struct ordering)."""
-    m = fingerprint_match_join(fps, id_col=id_col, min_hits=min_hits)
+    tie-break via the (hits, -|offset|) struct ordering). `link` as in
+    fingerprint_match_join ("bucket_min" = the linear dedup path)."""
+    m = fingerprint_match_join(fps, id_col=id_col, min_hits=min_hits, link=link)
     best = F.max(
         F.struct(F.col("hits"), (-F.abs(F.col("offset"))).alias("no"), "offset")
     )
@@ -295,12 +326,16 @@ def dedup_by_audiofp(
     fps: DataFrame,
     id_col: str = "doc_id",
     min_hits: int = 20,
+    link: str = "bucket_min",
 ) -> DataFrame:
     """Keep one clip per acoustic near-dup cluster (minimum id wins);
-    clips without a fingerprint are kept."""
+    clips without a fingerprint are kept. Defaults to bucket_min
+    linking — linear in duplicate-cluster size with the same keep-set
+    for identical-copy clusters (see fingerprint_match_join); pass
+    link="all" for exhaustive pair evidence at quadratic cost."""
     from automic_etl_spark.operators.dedup import connected_components
 
-    pairs = audio_near_dup(fps, id_col=id_col, min_hits=min_hits)
+    pairs = audio_near_dup(fps, id_col=id_col, min_hits=min_hits, link=link)
     clusters = connected_components(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)

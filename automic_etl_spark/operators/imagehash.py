@@ -357,10 +357,13 @@ def _band_cols(hash_col: str, n_bands: int) -> list:
     base, extra = divmod(64, n_bands)
     for b in range(n_bands):
         width = base + (1 if b < extra else 0)
-        mask = (1 << width) - 1
-        cols.append(
-            F.shiftrightunsigned(F.col(hash_col), start).bitwiseAND(F.lit(mask))
-        )
+        if width == 64:  # radius 0: one full-hash band; (1<<64)-1
+            cols.append(F.col(hash_col))  # overflows the JVM long literal
+        else:
+            mask = (1 << width) - 1
+            cols.append(
+                F.shiftrightunsigned(F.col(hash_col), start).bitwiseAND(F.lit(mask))
+            )
         start += width
     return cols
 
@@ -370,6 +373,7 @@ def phash_near_dup(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     hash_col: str = "dhash",
+    link: str = "all",
 ) -> DataFrame:
     """All pairs (id_a < id_b, hamming) within the Hamming radius.
 
@@ -386,7 +390,21 @@ def phash_near_dup(
     buckets widen — at r near 63 single-bit bands legitimately approach
     the all-pairs join that exact recall at that radius requires.
     Perceptual near-dup work belongs at r <= ~12 of 64 bits; large radii
-    are supported but are a deliberate, priced-in choice."""
+    are supported but are a deliberate, priced-in choice.
+
+    link="all" (default) keeps the exact-pairs guarantee above — but a
+    band bucket holding m copies of one image emits O(m²) pairs, so a
+    corpus of m-way duplicate clusters does m× the work per row
+    (measured: replication-style 10× inflation pushed the banded join
+    to a 10.2× wall ratio — quadratic in duplicate multiplicity, the
+    image analogue of the audiofp finding). link="bucket_min" joins
+    each id only against its band-bucket's minimum id: O(m) pairs per
+    bucket, identical connected-components keep-set for exact-duplicate
+    clusters (every band's bucket min IS the cluster min), a documented
+    recall trade for near-dup pairs whose one agreeing band contains a
+    smaller-id chance collider."""
+    if link not in ("all", "bucket_min"):
+        raise ValueError(f"unknown link mode {link!r}")
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
     n_bands = max_hamming + 1
@@ -396,9 +414,22 @@ def phash_near_dup(
         hash_col,
         F.posexplode(F.array(*_band_cols(hash_col, n_bands))).alias("__b", "__k"),
     )
-    left = bands.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "__b", "__k"
-    )
+    if link == "bucket_min":
+        # per-(band, key) min id is a constant-state aggregate; keeping
+        # only the min's rows on the left makes each bucket's join
+        # output linear in bucket size. All three ops key on (__b, __k).
+        mins = bands.groupBy("__b", "__k").agg(F.min(id_col).alias("__mid"))
+        left = (
+            bands.join(mins, ["__b", "__k"])
+            .filter(F.col(id_col) == F.col("__mid"))
+            .select(
+                F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "__b", "__k"
+            )
+        )
+    else:
+        left = bands.select(
+            F.col(id_col).alias("id_a"), F.col(hash_col).alias("h_a"), "__b", "__k"
+        )
     right = bands.select(
         F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "__b", "__k"
     )
@@ -422,15 +453,19 @@ def dedup_by_phash(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     hash_col: str = "dhash",
+    link: str = "bucket_min",
 ) -> DataFrame:
     """Keep one image per near-dup cluster (minimum id wins): banded
     pairs -> connected components (operators.dedup) -> anti-join losers.
     Undecodable images (no hash) are kept — quarantine them upstream
-    with MultimodalCurator if that's not wanted."""
+    with MultimodalCurator if that's not wanted. Defaults to bucket_min
+    linking (linear in duplicate-cluster size, same keep-set for
+    exact-dup clusters — see phash_near_dup); pass link="all" for the
+    exhaustive-pairs construction."""
     from automic_etl_spark.operators.dedup import connected_components
 
     pairs = phash_near_dup(
-        hashes, max_hamming=max_hamming, id_col=id_col, hash_col=hash_col
+        hashes, max_hamming=max_hamming, id_col=id_col, hash_col=hash_col, link=link
     )
     clusters = connected_components(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(

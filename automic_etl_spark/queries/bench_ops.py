@@ -379,21 +379,14 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image near-dup end-to-end: synthesize a PNG corpus executor-side
-    (deterministic pixels keyed off doc_id; every 4th image is a
-    brightness-perturbed twin of its predecessor), decode + perceptual-
-    hash in one mapInPandas, banded-Hamming near-dup join — returns the
-    corpus/pair tally (1 row). Measures the full pixel path: zlib
-    inflate, PNG unfilter, box resize, hash, LSH-band join."""
+def _image_blob_frame(spark: SparkSession, sf_dir: str):
+    """Deterministic PNG corpus keyed off doc_id (every 4th image a
+    brightness-perturbed twin of its predecessor), synthesized
+    executor-side."""
     import numpy as np
     import pandas as pd
 
-    from automic_etl_spark.operators.imagehash import (
-        image_blobs_phash,
-        phash_near_dup,
-        synth_png,
-    )
+    from automic_etl_spark.operators.imagehash import synth_png
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -409,7 +402,23 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(synth_png(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
 
-    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    return docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+
+
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup end-to-end: synthesize a PNG corpus executor-side
+    (see _image_blob_frame), decode + perceptual-hash in one
+    mapInPandas, banded-Hamming near-dup join (exact link="all" pairs —
+    output grows quadratically in duplicate multiplicity by design;
+    q_image_phash_dedup measures the linear dedup path) — returns the
+    corpus/pair tally (1 row). Measures the full pixel path: zlib
+    inflate, PNG unfilter, box resize, hash, LSH-band join."""
+    from automic_etl_spark.operators.imagehash import (
+        image_blobs_phash,
+        phash_near_dup,
+    )
+
+    blobs = _image_blob_frame(spark, sf_dir)
     # cache: the hash table feeds both the tally and the pair join —
     # without it the decode kernel runs twice (tiny table: 7 cols/doc)
     hashes = image_blobs_phash(blobs).cache()
@@ -418,6 +427,25 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
     ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs")))
+
+
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image DEDUP scale path over the same corpus: bucket_min
+    banded linking (linear in duplicate-cluster size, r6) + connected
+    components + anti-join — returns (n_images, n_kept). The contrast
+    with q_image_phash isolates what exhaustive pair emission costs on
+    duplicate-heavy corpora."""
+    from automic_etl_spark.operators.imagehash import (
+        dedup_by_phash,
+        image_blobs_phash,
+    )
+
+    blobs = _image_blob_frame(spark, sf_dir)
+    hashes = image_blobs_phash(blobs).cache()
+    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    return hashes.agg(F.count(F.lit(1)).alias("n_images")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_kept"))
+    )
 
 
 # Synthesize-once cache for the audio-fingerprint corpus: sf_dir ->
@@ -482,7 +510,11 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = _audio_blob_corpus(spark, sf_dir)
     # cache: the fingerprint table feeds both the tally and the match join
     fps = audio_blobs_fingerprint(blobs).cache()
-    matches = audio_near_dup(fps, min_hits=50)
+    # bucket_min = the dedup scale path (linear in duplicate-cluster
+    # size; r6 — link="all" measured 50× wall at 10× data because
+    # replication-style inflation makes every clip a ~10-way identical
+    # cluster and exhaustive pair emission is quadratic in multiplicity)
+    matches = audio_near_dup(fps, min_hits=50, link="bucket_min")
     return fps.agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),

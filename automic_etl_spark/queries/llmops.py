@@ -513,6 +513,79 @@ FROM sc GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# Corpus-wide line dedup (operators/linededup.dedup_lines, r6)
+# --------------------------------------------------------------------------
+
+
+def q_line_dedup_gate(spark, sf_dir):
+    """C4/CCNet corpus-wide duplicated-line removal over documents with
+    deterministic boilerplate planted in-plan (one of 7 banner and one
+    of 5 footer lines keyed by doc_id, so every banner/footer is
+    corpus-duplicated while body lines are not): drop_all at df>=2,
+    per-doc rewritten text + tallies. Oracle replays the whole
+    construction (split/normalize/df-count/filter/ordered reassembly)
+    in DuckDB."""
+    from automic_etl_spark.operators.linededup import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n",
+            F.concat(
+                F.lit("shared banner line "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.col("text"),
+            F.concat(
+                F.lit("shared footer line "),
+                (F.col("doc_id") % 5).cast("string"),
+            ),
+        ),
+    )
+    return (
+        dedup_lines(planted, min_doc_frequency=2)
+        .select("doc_id", "text", "lines_kept", "lines_removed")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LINE_DEDUP = r"""
+WITH planted AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   'shared banner line ' || CAST(doc_id % 7 AS VARCHAR),
+                   text,
+                   'shared footer line ' || CAST(doc_id % 5 AS VARCHAR)) AS text
+  FROM documents
+),
+split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+lines AS (
+  SELECT doc_id, unnest(range(len(ls))) AS ln, unnest(ls) AS line FROM split
+),
+keyed AS (
+  SELECT doc_id, ln, line,
+         regexp_replace(lower(trim(line)), '\s+', ' ', 'g') AS key
+  FROM lines
+),
+dup AS (
+  SELECT key FROM keyed WHERE key <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+),
+tagged AS (
+  SELECT k.doc_id, k.ln, k.line, (d.key IS NOT NULL) AS is_dup
+  FROM keyed k LEFT JOIN dup d ON k.key = d.key
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY ln)
+                FILTER (WHERE NOT is_dup), '') AS text,
+       CAST(count(*) FILTER (WHERE NOT is_dup) AS BIGINT) AS lines_kept,
+       CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS lines_removed
+FROM tagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "substring_dedup": q_substring_dedup_signals,
@@ -520,6 +593,7 @@ QUERIES = {
     "ann_join": q_ann_join_gate,
     "token_mixture": q_token_mixture_report,
     "ngram_perplexity": q_ngram_perplexity_scores,
+    "line_dedup": q_line_dedup_gate,
 }
 
 ORACLE = {
@@ -529,4 +603,5 @@ ORACLE = {
     "ann_join": ORACLE_ANN_JOIN,
     "token_mixture": ORACLE_TOKEN_MIXTURE,
     "ngram_perplexity": ORACLE_NGRAM_PPL,
+    "line_dedup": ORACLE_LINE_DEDUP,
 }

@@ -61,6 +61,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_ann_join,
     q_ngram_perplexity,
     q_image_phash,
+    q_image_phash_dedup,
     q_audio_fingerprint,
     q_line_dedup,
     q_warc_extract,
@@ -97,6 +98,7 @@ HEADLINE = {
     "ann_join": q_ann_join,
     "ngram_perplexity": q_ngram_perplexity,
     "image_phash": q_image_phash,
+    "image_phash_dedup": q_image_phash_dedup,
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,

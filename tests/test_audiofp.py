@@ -174,3 +174,51 @@ def test_silence_produces_no_landmarks(spark):
     )
     fps = audio_blobs_fingerprint(df)
     assert fingerprint_match_join(fps, min_hits=1).collect() == []
+
+
+# -- bucket_min linking (r6 scale path) -------------------------------------
+
+def test_bucket_min_matches_are_min_anchored(fps):
+    pairs = fingerprint_match_join(fps, min_hits=50, link="bucket_min").collect()
+    # every emitted pair anchors at the smaller id, and the known twins
+    # of clip 0 / clip 2 are all found from their cluster minimum
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 1), (0, 4), (2, 3)} <= found
+    assert all(a < b for a, b in found)
+
+
+def test_bucket_min_dedup_keepset_equals_all(corpus, fps):
+    kept_all = {
+        r["doc_id"]
+        for r in dedup_by_audiofp(corpus, fps, min_hits=50, link="all").collect()
+    }
+    kept_min = {
+        r["doc_id"]
+        for r in dedup_by_audiofp(corpus, fps, min_hits=50).collect()  # default
+    }
+    assert kept_min == kept_all == {0, 2, 5, 6, 7}
+
+
+def test_bucket_min_collapses_wide_identical_cluster(spark):
+    """A 6-way identical cluster (the replication shape that made
+    link='all' quadratic) must still collapse to its minimum id, and
+    bucket_min must emit O(m) pairs (all min-anchored), not O(m²)."""
+    clip = synth_clip(seed=21)
+    rows = [(i, bytearray(clip)) for i in range(10, 16)] + [
+        (16, bytearray(synth_clip(seed=22)))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    fps6 = audio_blobs_fingerprint(df).cache()
+    pairs = fingerprint_match_join(fps6, min_hits=50, link="bucket_min").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (10, b) for b in range(11, 16)
+    }  # star on the cluster min; 5 pairs, not C(6,2)=15
+    kept = {
+        r["doc_id"] for r in dedup_by_audiofp(df, fps6, min_hits=50).collect()
+    }
+    assert kept == {10, 16}
+    fps6.unpersist()
+
+def test_match_join_rejects_unknown_link(fps):
+    with pytest.raises(ValueError):
+        fingerprint_match_join(fps, link="nope")

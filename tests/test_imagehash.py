@@ -211,7 +211,9 @@ def test_near_dup_matches_bruteforce_oracle(hashed):
     at 16 (r6 ADVICE fix — a pair at distance >= 16 can differ in every
     one of 16 bands); with n_bands = r + 1 recall is exact everywhere."""
     rows = [(r["doc_id"], r["dhash"]) for r in hashed.collect() if r["dhash"] is not None]
-    for radius in (2, 6, 10, 20, 33):
+    # 0 covers the full-width band edge case (a 64-bit mask literal
+    # overflows the JVM long — fixed r6); 20/33 cover the removed band cap
+    for radius in (0, 2, 6, 10, 20, 33):
         want = {
             (a, b)
             for i, (a, ha) in enumerate(rows)
@@ -250,3 +252,58 @@ def test_dedup_by_phash(corpus, hashed):
 def test_phash_radius_validation(hashed):
     with pytest.raises(ValueError):
         phash_near_dup(hashed, max_hamming=64)
+
+
+# -- bucket_min linking (r6 scale path) -------------------------------------
+
+def test_bucket_min_pairs_min_anchored_and_subset(hashed):
+    """bucket_min pairs are a min-anchored subset of the exact pairs at
+    the same radius, and identical-hash groups still star on their min."""
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup(hashed, max_hamming=8).collect()
+    }
+    linked = {
+        (r["id_a"], r["id_b"])
+        for r in phash_near_dup(hashed, max_hamming=8, link="bucket_min").collect()
+    }
+    assert linked <= exact
+    assert all(a < b for a, b in linked)
+
+
+def test_bucket_min_dedup_keepset_matches_all(corpus, hashed):
+    kept_all = {
+        r["doc_id"]
+        for r in dedup_by_phash(corpus, hashed, max_hamming=8, link="all").collect()
+    }
+    kept_min = {
+        r["doc_id"]
+        for r in dedup_by_phash(corpus, hashed, max_hamming=8).collect()  # default
+    }
+    assert kept_min == kept_all
+
+
+def test_bucket_min_collapses_identical_cluster(spark):
+    """An m-way EXACT duplicate cluster (the replication shape that made
+    link='all' quadratic at 10x) emits exactly the m-1 min-anchored
+    pairs and keeps only the minimum id."""
+    img = _img(7, 48, 48, 3)
+    rows = [(i, bytearray(synth_png(img))) for i in range(20, 26)] + [
+        (26, bytearray(synth_png(_img(8, 48, 48, 3))))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    hs = image_blobs_phash(df).cache()
+    pairs = phash_near_dup(hs, max_hamming=0, link="bucket_min").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (20, b) for b in range(21, 26)
+    }
+    kept = {r["doc_id"] for r in dedup_by_phash(df, hs, max_hamming=0).collect()}
+    assert kept == {20, 26}
+    hs.unpersist()
+
+
+def test_phash_rejects_unknown_link(hashed):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phash_near_dup(hashed, link="nope")

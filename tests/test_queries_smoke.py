@@ -57,14 +57,18 @@ def test_registry_driver_window_prefix():
     for n in (
         "semantic_dedup_lsh", "substring_dedup", "image_phash",
         "ann_join", "token_mixture", "ngram_perplexity",
+        "line_dedup",  # r6 family, rotated in late round 6
     ):
-        assert n in scored, f"r5 family {n} fell out of the scored window"
+        assert n in scored, f"LLM-pipeline family {n} fell out of the scored window"
     assert set(overflow) == {
+        "minhash_dedup_clusters",  # rotated out for line_dedup: the
+        # minhash family keeps a scored row via minhash_jaccard, and the
+        # cluster arm keeps its in-suite oracle here
         "value_counts_topk", "join_left", "set_ops",
         "collect_agg", "sample_split_seed", "unpivot_long",
     }, f"unexpected overflow block: {overflow}"
     # the last SCORED entry stays the designated drop-out candidate
-    assert scored[-1] == "minhash_dedup_clusters"
+    assert scored[-1] == "range_join"
 
 
 def test_entry_contract(spark):

@@ -105,6 +105,23 @@ def _audiofp_match_plan(spark, sf_dir):
     return fingerprint_match_join(fps, min_hits=1)
 
 
+def _audiofp_bucket_min_plan(spark, sf_dir):
+    """bucket_min linking (the dedup scale path) adds one per-hash min
+    aggregate + equi-join — still no Window and no product node."""
+    from pyspark.sql import functions as F
+
+    from automic_etl_spark.operators.audiofp import fingerprint_match_join
+
+    fps = spark.createDataFrame(
+        [
+            (1, [3, 3, 3, 7, 9], [0, 1, 2, 3, 4]),
+            (2, [3, 7, 9, 9, 9], [0, 1, 2, 3, 4]),
+        ],
+        "doc_id long, lm_hashes array<int>, lm_times array<int>",
+    ).select("doc_id", F.lit(True).alias("ok"), "lm_hashes", "lm_times")
+    return fingerprint_match_join(fps, min_hits=1, link="bucket_min")
+
+
 def _line_dedup_plan(spark, sf_dir):
     """Corpus-wide line dedup must stay window-free and product-free:
     explode -> line-key groupBy -> equi-join -> per-doc regroup. A
@@ -137,6 +154,10 @@ CUSTOM: dict[str, tuple] = {
     ),
     "audiofp_match_join": (
         _audiofp_match_plan,
+        {"must": [], "must_not": ["Window", "row_number", "CartesianProduct"]},
+    ),
+    "audiofp_bucket_min": (
+        _audiofp_bucket_min_plan,
         {"must": [], "must_not": ["Window", "row_number", "CartesianProduct"]},
     ),
     "asof_join_window": (

@@ -41,8 +41,10 @@ SHIFT = 10_000_000
 # so the stress suite stays stable across gate-registry reshapes
 def _workloads():
     from automic_etl_spark.queries.analytic import (
+        q_asof_join,
         q_dedup_keep_last,
         q_sessionize,
+        q_window_running_sum,
         q_window_topk_per_group,
     )
     from automic_etl_spark.queries.dedup_sim import (
@@ -52,12 +54,14 @@ def _workloads():
     from automic_etl_spark.queries.bench_ops import (
         q_ann_join,
         q_audio_fingerprint,
+        q_audio_meta,
         q_bpe_tokenize,
         q_decontaminate,
         q_dedup_ingest,
         q_doctext_extract,
         q_flac_decode,
         q_image_phash,
+        q_image_phash_dedup,
         q_ivf_build_search,
         q_line_dedup,
         q_ngram_perplexity,
@@ -69,9 +73,11 @@ def _workloads():
         q_warc_extract,
     )
     from automic_etl_spark.queries.relational import (
+        q_agg_having,
         q_count_distinct,
         q_join_revenue_by_nation,
         q_pricing_summary,
+        q_top_orders,
     )
 
     return {
@@ -90,6 +96,7 @@ def _workloads():
         "token_mixture": q_token_mixture,
         "flac_decode": q_flac_decode,
         "bpe_tokenize": q_bpe_tokenize,
+        "image_phash_dedup": q_image_phash_dedup,
         "line_dedup": q_line_dedup,
         "warc_extract": q_warc_extract,
         "pricing_summary": q_pricing_summary,
@@ -100,6 +107,13 @@ def _workloads():
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "embedding_topk": q_embedding_topk,
         "count_distinct": q_count_distinct,
+        # micro-workloads (bench parity — every bench.py headline has a
+        # stress row)
+        "agg_having": q_agg_having,
+        "top_orders": q_top_orders,
+        "window_running_sum": q_window_running_sum,
+        "asof_join": q_asof_join,
+        "audio_meta": q_audio_meta,
     }
 
 
