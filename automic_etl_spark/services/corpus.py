@@ -14,6 +14,9 @@ dataset actually runs, composed from the engine's operators.
                             linear sign-LSH by default; k-means is the
                             explicit quality opt-in — operators/similarity)
       → quality filter     (length/stopword/punctuation composite,
+                            optional Gopher shape + repetition gates,
+                            optional C4 blocklist screen (caller's
+                            word list — operators/textops),
                             then an optional trained classifier gate,
                             then an optional CCNet n-gram-LM perplexity
                             bucket gate — operators/ngramlm)
@@ -106,6 +109,13 @@ class CorpusCurator:
     # document-level stage; None disables. Mode per operators/linededup.
     line_dedup_min_df: int | None = None
     line_dedup_mode: str = "drop_all"
+    # blocklist screen (C4 Raffel et al. 2020 / RefinedWeb soft budget,
+    # r6): drop docs with more than blocklist_max_hits listed-word
+    # occurrences (0 = C4's any-hit drop) or above the optional token
+    # fraction. The word list is the CALLER'S; empty/None disables.
+    blocklist_words: tuple | None = None
+    blocklist_max_hits: int = 0
+    blocklist_max_fraction: float | None = None
     # emit per-document model signals as OUTPUT COLUMNS (round 6):
     # quality_prob (when quality_model is set) and logscore_e6 +
     # ppl_bucket (when perplexity_lm is set) survive into the curated
@@ -266,6 +276,23 @@ class CorpusCurator:
             )
             report["gopher_removed"] = before - kept.count()
             report["low_quality_removed"] += report["gopher_removed"]
+
+        # 3a'. optional blocklist screen (C4 any-hit / fraction budget;
+        # the word list is the caller's — policy lists are
+        # jurisdiction/product-specific and we ship none)
+        if self.blocklist_words:
+            from automic_etl_spark.operators.textops import filter_blocklist
+
+            before = kept.count()
+            kept = filter_blocklist(
+                kept,
+                list(self.blocklist_words),
+                text_col=text_col,
+                max_hits=self.blocklist_max_hits,
+                max_fraction=self.blocklist_max_fraction,
+            )
+            report["blocklist_removed"] = before - kept.count()
+            report["low_quality_removed"] += report["blocklist_removed"]
 
         # 3b. optional repetition cap (Gopher-style filter)
         if self.max_dup_2gram_ppm is not None:

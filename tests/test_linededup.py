@@ -217,3 +217,24 @@ class TestBlocklist:
             blocklist_stats(df, [])
         # filtered output drops the signal columns
         assert "blocklist_hits" not in filter_blocklist(df, ["x"]).columns
+
+
+class TestBlocklistCuratorStage:
+    def test_blocklist_stage_in_curator(self, spark):
+        from pyspark.sql import functions as F
+
+        from automic_etl_spark.services.corpus import CorpusCurator
+
+        rows = [
+            (i, f"Perfectly ordinary document {i} " + "word " * 30)
+            for i in range(5)
+        ] + [(5, "this document says badword " + "word " * 30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+            "source", F.lit("web")
+        )
+        curated, report = CorpusCurator(
+            min_quality=0.0, blocklist_words=("badword",)
+        ).curate(df)
+        assert report["blocklist_removed"] == 1
+        ids = {r.doc_id for r in curated.select("doc_id").collect()}
+        assert 5 not in ids and ids == {0, 1, 2, 3, 4}
