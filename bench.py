@@ -65,6 +65,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_audio_fingerprint,
     q_line_dedup,
     q_warc_extract,
+    q_corpus_curate,
 )
 
 HEADLINE = {
@@ -103,6 +104,9 @@ HEADLINE = {
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,
     "audio_fingerprint": q_audio_fingerprint,
+    # round-7 surface: the flagship curate() funnel end-to-end (the
+    # orchestration cost no per-stage bench can see)
+    "corpus_curate": q_corpus_curate,
 }
 
 

@@ -56,6 +56,7 @@ def _workloads():
         q_audio_fingerprint,
         q_audio_meta,
         q_bpe_tokenize,
+        q_corpus_curate,
         q_decontaminate,
         q_dedup_ingest,
         q_doctext_extract,
@@ -99,6 +100,7 @@ def _workloads():
         "image_phash_dedup": q_image_phash_dedup,
         "line_dedup": q_line_dedup,
         "warc_extract": q_warc_extract,
+        "corpus_curate": q_corpus_curate,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
