@@ -46,6 +46,14 @@ def _line_key(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+def _sep_pattern(sep: str) -> str:
+    """`sep` is a LITERAL separator, but F.split takes a Java regex —
+    quote it (\\Q...\\E) so callers passing "." or "||" don't get
+    silently wrong splitting (ADVICE r6). An embedded \\E ends the
+    quote, so it is stitched back in escaped."""
+    return "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def duplicate_line_stats(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -62,7 +70,7 @@ def duplicate_line_stats(
     lines = (
         docs.select(
             F.col(id_col).alias("__doc"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+            F.posexplode(F.split(F.col(text_col), _sep_pattern(sep))).alias("__ln", "__line"),
         )
         .withColumn("__key", _line_key("__line"))
         .filter(F.col("__key") != "")
@@ -108,7 +116,7 @@ def dedup_lines(
 
     lines = docs.select(
         F.col(id_col).alias("__doc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__ln", "__line"),
+        F.posexplode(F.split(F.col(text_col), _sep_pattern(sep))).alias("__ln", "__line"),
     ).withColumn("__key", _line_key("__line"))
 
     # Blank lines are never duplicate candidates; give them a key no

@@ -179,6 +179,28 @@ class TestCuratorStage:
         assert all(BANNER not in r.text for r in out)
 
 
+class TestLiteralSeparator:
+    def test_regex_metachar_sep_is_literal(self, spark):
+        """`sep` is documented as a literal separator; a regex
+        metacharacter like '.' must not split on every character
+        (ADVICE r6: F.split takes a Java regex, so it is \\Q-quoted)."""
+        from automic_etl_spark.operators.linededup import dedup_lines
+
+        df = spark.createDataFrame(
+            [
+                (1, "shared sentence.unique one"),
+                (2, "shared sentence.unique two"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in dedup_lines(df, sep=".", min_doc_frequency=2).collect()
+        }
+        assert out[1].text == "unique one" and out[2].text == "unique two"
+        assert out[1].lines_removed == 1 and out[1].lines_kept == 1
+
+
 class TestBlocklist:
     def test_stats_and_filter(self, spark):
         from automic_etl_spark.operators.textops import (
@@ -217,6 +239,61 @@ class TestBlocklist:
             blocklist_stats(df, [])
         # filtered output drops the signal columns
         assert "blocklist_hits" not in filter_blocklist(df, ["x"]).columns
+
+    def test_multiword_phrases(self, spark):
+        """C4's real list contains multi-word phrases; they must match
+        across whitespace runs (the r6 single-token form silently never
+        matched them — ADVICE r6)."""
+        from automic_etl_spark.operators.textops import blocklist_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "a perfectly bad  phrase with double space"),
+                (2, "bad phraseology is fine"),  # boundary: no hit
+                (3, "Bad Phrase at start, bad phrase again"),
+                (4, "unrelated text"),
+            ],
+            "doc_id long, text string",
+        )
+        stats = {
+            r.doc_id: r.blocklist_hits
+            for r in blocklist_stats(df, ["bad phrase"]).collect()
+        }
+        assert stats == {1: 1, 2: 0, 3: 2, 4: 0}
+
+    def test_punctuation_edge_entries_rejected(self, spark):
+        """\\b is undefined against punctuation edges — such entries
+        raise instead of silently never matching."""
+        from automic_etl_spark.operators.textops import blocklist_stats
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        for bad in ["$$$", "-hyphen", "trailing!", "  "]:
+            with pytest.raises(ValueError):
+                blocklist_stats(df, [bad])
+        # regex metacharacters INSIDE an entry are literal, not syntax
+        out = blocklist_stats(
+            spark.createDataFrame(
+                [(1, "call a.b now"), (2, "call axb now")],
+                "doc_id long, text string",
+            ),
+            ["a.b"],
+        ).collect()
+        assert {r.doc_id: r.blocklist_hits for r in out} == {1: 1, 2: 0}
+
+    def test_chunked_large_list(self, spark):
+        """Lists beyond one chunk sum hits across compiled patterns."""
+        from automic_etl_spark.operators import textops
+
+        words = [f"w{i}x" for i in range(2500)]
+        df = spark.createDataFrame(
+            [(1, "w0x and w1234x and w2499x"), (2, "none here")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.blocklist_hits
+            for r in textops.blocklist_stats(df, words).collect()
+        }
+        assert out == {1: 3, 2: 0}
 
 
 class TestBlocklistCuratorStage:
