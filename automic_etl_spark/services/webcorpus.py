@@ -12,7 +12,15 @@ service composes the r6 sources/operators into that first mile:
       → boilerplate removal  (jusText-style main-content extraction)
       → page gates           (min text length, max boilerplate ratio)
       → documents frame      (doc_id/url/source/text — CorpusCurator's
-                              input contract; doc_id = xxhash64(url))
+                              input contract; doc_id =
+                              xxhash64(url, warc_file, record_index) —
+                              the (segment, position) pair makes ids
+                              unique even though crawls revisit the
+                              same URL across records/segments and some
+                              records carry a null target URI, either
+                              of which would collide an url-only hash
+                              and break the curator's unique-id
+                              contract; ADVICE r6)
     [WET segments skip decode/boilerplate: text is pre-extracted]
 
 Every stage is a narrow transformation over the per-file record stream —
@@ -37,11 +45,15 @@ class WebCorpusExtractor:
     min_text_chars: int = 200
     max_boilerplate_ratio: float = 0.98
     max_payload: int = 8 << 20
+    # remote-storage seam (sources/warc.open_warc): path -> binary
+    # stream, shipped in the task closure; None = local open
+    opener: object | None = None
 
     def html_pages(self, spark: SparkSession, path) -> DataFrame:
         """200-status text/html responses with a decoded `html` column."""
         df = read_warc(
-            spark, path, record_types=("response",), max_payload=self.max_payload
+            spark, path, record_types=("response",),
+            max_payload=self.max_payload, opener=self.opener,
         )
         is_html = F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
             "text/html"
@@ -72,7 +84,11 @@ class WebCorpusExtractor:
                 & (F.col("boilerplate_ratio") <= self.max_boilerplate_ratio)
             )
             .select(
-                F.xxhash64("target_uri").alias("doc_id"),
+                # (url, segment, position): unique even across crawl
+                # revisits of one URL and records with a null target URI
+                F.xxhash64("target_uri", "warc_file", "record_index").alias(
+                    "doc_id"
+                ),
                 F.col("target_uri").alias("url"),
                 F.col("warc_file").alias("source"),
                 F.col("page_title").alias("title"),
@@ -85,10 +101,12 @@ class WebCorpusExtractor:
         """WET → same shape (text pre-extracted by the crawler; no
         boilerplate stage, ratio null)."""
         return (
-            read_wet(spark, path, max_payload=self.max_payload)
+            read_wet(
+                spark, path, max_payload=self.max_payload, opener=self.opener
+            )
             .filter(F.length("text") >= self.min_text_chars)
             .select(
-                F.xxhash64("url").alias("doc_id"),
+                F.xxhash64("url", "warc_file", "record_index").alias("doc_id"),
                 "url",
                 F.col("warc_file").alias("source"),
                 F.lit(None).cast("string").alias("title"),

@@ -22,11 +22,14 @@ Payloads above ``max_payload`` bytes are truncated (flag column set) —
 the same guardrail the blob connectors apply — because a single
 pathological 4 GB record must not OOM an executor.
 
-Pure stdlib (``gzip``/``zlib``); no warcio dependency. Paths are opened
-with Python file IO, so in-container they must be locally mounted —
-same contract as the PDF/audio blob readers (`operators/pdftext.py`);
-on a real cluster the open() shim is the one seam to swap for an
-HDFS/S3 streaming client.
+Pure stdlib (``gzip``/``zlib``); no warcio dependency. Remote storage
+plugs in through the ``opener`` parameter — any ``path -> binary
+stream`` callable (an s3/HTTPS/HDFS client's open; it is shipped inside
+the task closure, so it must be picklable and is invoked executor-side,
+one stream per segment). The default is local ``open``, the same
+contract as the PDF/audio blob readers (`operators/pdftext.py`).
+Non-seekable streams are fine: gzip sniffing uses a buffered peek, not
+a seek.
 """
 
 from __future__ import annotations
@@ -35,7 +38,7 @@ import gzip
 import io
 import os
 import uuid
-from typing import Iterable, Iterator
+from typing import BinaryIO, Callable, Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -145,17 +148,40 @@ def iter_warc_records(
         yield headers, payload, truncated
 
 
-def open_warc(path: str):
+class _GzipThenRaw(io.BufferedReader):
+    """Buffered reader over a GzipFile that, on close, also closes the
+    stream UNDER the gzip layer — ``GzipFile(fileobj=...)`` deliberately
+    does not close its fileobj, which would otherwise leak one fd per
+    segment until refcount GC (fragile across 80k-segment runs and on
+    non-CPython runtimes; ADVICE r6)."""
+
+    def __init__(self, gz: gzip.GzipFile, under: BinaryIO):
+        super().__init__(gz, 1 << 20)
+        self._under = under
+
+    def close(self) -> None:
+        try:
+            super().close()  # closes the GzipFile
+        finally:
+            self._under.close()
+
+
+def open_warc(path: str, opener: Callable[[str], BinaryIO] | None = None):
     """Open a WARC file for streaming, transparently ungzipping (gzip
-    magic sniffed, not extension-guessed). Python's gzip reader walks
-    multi-member files — the Common Crawl layout of one member per
-    record — as one continuous stream."""
-    raw = open(path, "rb")
-    magic = raw.read(2)
-    raw.seek(0)
+    magic sniffed via a buffered peek, not extension-guessed — and not a
+    seek, so non-seekable remote streams work). Python's gzip reader
+    walks multi-member files — the Common Crawl layout of one member per
+    record — as one continuous stream.
+
+    ``opener`` maps a path to a binary stream (default: local ``open``);
+    pass an S3/HTTPS/HDFS client's open to read remote archives. Closing
+    the returned reader closes the opener's stream, gzip'd or not."""
+    raw = opener(path) if opener is not None else open(path, "rb")
+    buf = io.BufferedReader(raw, 1 << 20)
+    magic = buf.peek(2)[:2]
     if magic == b"\x1f\x8b":
-        return io.BufferedReader(gzip.GzipFile(fileobj=raw), 1 << 20)
-    return io.BufferedReader(raw, 1 << 20)
+        return _GzipThenRaw(gzip.GzipFile(fileobj=buf), buf)
+    return buf
 
 
 # --- DataFrame source --------------------------------------------------------
@@ -183,6 +209,7 @@ def read_warc(
     max_payload: int = 8 << 20,
     parse_http: bool = True,
     batch_rows: int = 64,
+    opener: Callable[[str], BinaryIO] | None = None,
 ) -> DataFrame:
     """Read WARC segment file(s) into a DataFrame of records.
 
@@ -194,17 +221,25 @@ def read_warc(
     body when parsed, the raw content block otherwise).
 
     `record_types=None` keeps every record (warcinfo/request/metadata
-    included). The type filter runs inside the reader so unwanted
-    payloads are skipped at parse time, not materialized then filtered.
+    included); an EMPTY iterable keeps none — only None is the keep-all
+    sentinel (a falsy () silently meaning "everything" read as the
+    opposite of its text; ADVICE r6). The type filter runs inside the
+    reader so unwanted payloads are skipped at parse time, not
+    materialized then filtered.
+
+    `opener` (path -> binary stream, default local ``open``) is the
+    remote-storage seam: it rides the task closure to the executors, so
+    Common Crawl over s3/HTTPS needs only a picklable client callable —
+    no code edits, no pre-mounted filesystem.
     """
     files = _list_warc_files(path)
-    wanted = {t.lower() for t in record_types} if record_types else None
+    wanted = {t.lower() for t in record_types} if record_types is not None else None
 
     def gen(iterator):
         for pdf in iterator:
             for fpath in pdf["path"]:
                 rows, idx = [], -1
-                with open_warc(fpath) as stream:
+                with open_warc(fpath, opener) as stream:
                     for headers, payload, truncated in iter_warc_records(
                         stream, max_payload
                     ):
@@ -260,6 +295,7 @@ def read_wet(
     spark: SparkSession,
     path,
     max_payload: int = 8 << 20,
+    opener: Callable[[str], BinaryIO] | None = None,
 ) -> DataFrame:
     """Read WET (extracted-text) segments into (warc_file, record_index,
     record_id, url, warc_date, text). WET 'conversion' records carry
@@ -273,6 +309,7 @@ def read_wet(
         record_types=("conversion",),
         max_payload=max_payload,
         parse_http=False,
+        opener=opener,
     )
     return df.select(
         "warc_file",
