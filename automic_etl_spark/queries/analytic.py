@@ -768,7 +768,6 @@ QUERIES = {
     "string_conditional": q_string_conditional,
     "extract_json_regex": q_extract_json_regex,
     "subqueries": q_subqueries,
-    "sliding_window": q_sliding_window,
     "funnel_conversion": q_funnel_conversion,
 }
 
@@ -783,6 +782,11 @@ ORACLE = {
     "string_conditional": ORACLE_STRING_CONDITIONAL,
     "extract_json_regex": ORACLE_EXTRACT_JSON_REGEX,
     "subqueries": ORACLE_SUBQUERIES,
-    "sliding_window": ORACLE_SLIDING,
     "funnel_conversion": ORACLE_FUNNEL,
 }
+
+# r7 rotation: sliding_window displaced past the 50-row window (the
+# event-time window family keeps streaming_window + window_rank_running
+# scored; sliding_window stays in-suite checked + benched)
+QUERIES_TAIL = {"sliding_window": q_sliding_window}
+ORACLE_TAIL = {"sliding_window": ORACLE_SLIDING}

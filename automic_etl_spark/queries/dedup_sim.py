@@ -467,7 +467,6 @@ QUERIES = {
     "dedup_exact_groups": q_dedup_exact_groups,
     "knn_join": q_knn_join,
     "minhash_jaccard": q_minhash_jaccard,
-    "simhash_clusters": q_simhash,
     "embedding_search": q_embedding_search,
     "embedding_near_dup": q_embedding_near_dup,
 }
@@ -476,10 +475,18 @@ ORACLE = {
     "dedup_exact_groups": ORACLE_EXACT_GROUPS,
     "knn_join": ORACLE_KNN,
     "minhash_jaccard": ORACLE_JACCARD,
-    "simhash_clusters": _simhash_oracle(16),
     "embedding_search": ORACLE_EMB_SEARCH,
     "embedding_near_dup": ORACLE_EMB_NEARDUP,
 }
 
-QUERIES_TAIL = {"minhash_dedup_clusters": q_minhash_dedup_clusters}
-ORACLE_TAIL = {"minhash_dedup_clusters": ORACLE_DEDUP_CLUSTERS}
+# r7 rotation: simhash_clusters displaced past the 50-row window (the
+# minhash family keeps minhash_jaccard scored; simhash stays in-suite
+# checked via tools/check_oracle + tests/test_oracle_gate)
+QUERIES_TAIL = {
+    "minhash_dedup_clusters": q_minhash_dedup_clusters,
+    "simhash_clusters": q_simhash,
+}
+ORACLE_TAIL = {
+    "minhash_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "simhash_clusters": _simhash_oracle(16),
+}

@@ -586,6 +586,294 @@ FROM tagged GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# BPE tokenization (operators/bpe) — rotated into the driver window r7
+# --------------------------------------------------------------------------
+
+#: Fixed merge table for the gate: learned once (dev-time) with
+#: operators.bpe.train_bpe on the sf0.01 documents slice, then frozen as
+#: literals so the DuckDB oracle can replay the encoding. train_bpe's
+#: learned lists always rank a pair before any pair consuming its merged
+#: symbol, which is exactly the invariant making "apply merges globally
+#: in rank order" (the oracle's recursive form) equivalent to
+#: encode_word's greedy lowest-rank loop.
+_BPE_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("er", "</w>"), ("n", "</w>"),
+    ("s", "t"), ("o", "r"), ("o", "w"), ("ow", "</w>"),
+    ("h", "</w>"), ("a", "t"), ("l", "u"), ("y", "</w>"),
+]
+_BPE_N = 200
+
+
+def q_bpe_tokenize_gate(spark, sf_dir):
+    """The REAL Arrow-batched BPE apply kernel (operators/bpe
+    .bpe_token_stats: per-word greedy merge loop with an in-batch word
+    cache) under the driver's hash check, on a frozen merge table:
+    (doc_id, n_bpe_tokens, n_bpe_unique) per document. The oracle
+    re-derives every merge decision in SQL (recursive CTE applying the
+    merge table in rank order over per-word symbol lists), so every
+    token boundary is value-checked. Training itself (train_bpe) is
+    driver-side and differentially tested in tests/test_bpe.py."""
+    from automic_etl_spark.operators.bpe import bpe_token_stats
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < _BPE_N
+    )
+    return bpe_token_stats(docs, _BPE_MERGES).orderBy("doc_id")
+
+
+_BPE_VALS = ", ".join(
+    f"({i}, '{a}', '{b}')" for i, (a, b) in enumerate(_BPE_MERGES)
+)
+
+ORACLE_BPE = f"""
+WITH RECURSIVE
+m(r, a, b) AS (VALUES {_BPE_VALS}),
+docs0 AS (
+  SELECT doc_id, lower(coalesce(text, '')) AS t
+  FROM documents WHERE doc_id < {_BPE_N}
+),
+tk AS (SELECT doc_id, string_split_regex(trim(t), '\\s+') AS ws FROM docs0),
+words AS (
+  SELECT doc_id, u.i AS wid, ws[u.i] AS word
+  FROM tk CROSS JOIN UNNEST(generate_series(1, len(ws))) AS u(i)
+  WHERE ws[u.i] <> ''
+),
+uw AS (SELECT DISTINCT word FROM words),
+enc AS (
+  SELECT word, list_append(string_split(word, ''), '</w>') AS toks, 0 AS r
+  FROM uw
+  UNION ALL
+  SELECT e.word,
+         list_reduce(
+           list_transform(e.toks, x -> [x]),
+           (acc, x) -> CASE
+             WHEN len(acc) > 0 AND acc[len(acc)] = m.a AND x[1] = m.b
+             THEN list_append(acc[1:len(acc)-1], m.a || m.b)
+             ELSE list_concat(acc, x) END
+         ) AS toks,
+         e.r + 1
+  FROM enc e JOIN m ON m.r = e.r
+),
+final AS (SELECT word, toks FROM enc WHERE r = {len(_BPE_MERGES)}),
+per_word AS (
+  SELECT w.doc_id, w.wid, f.toks, len(f.toks) AS n
+  FROM words w JOIN final f USING (word)
+),
+tok_exploded AS (
+  SELECT doc_id, toks[u.i] AS tok
+  FROM per_word CROSS JOIN UNNEST(generate_series(1, len(toks))) AS u(i)
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe_tokens
+  FROM per_word GROUP BY doc_id
+),
+uniq AS (
+  SELECT doc_id, CAST(count(DISTINCT tok) AS BIGINT) AS n_bpe_unique
+  FROM tok_exploded GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_bpe_tokens, 0) AS n_bpe_tokens,
+       coalesce(u.n_bpe_unique, 0) AS n_bpe_unique
+FROM docs0 d LEFT JOIN per_doc p USING (doc_id) LEFT JOIN uniq u USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Acoustic fingerprint matching (operators/audiofp) — rotated in r7
+# --------------------------------------------------------------------------
+
+_AFP_N, _AFP_FAM, _AFP_L, _AFP_MOD, _AFP_HITS = 180, 60, 30, 8191, 20
+
+
+def q_audio_fingerprint_gate(spark, sf_dir):
+    """The landmark match path under the driver's hash check, both link
+    arms method-tagged (the ann_join gate's pattern): docs 60..179 are
+    copies of (d % 60) with a constant per-copy time shift (offset
+    voting must recover it) and ~2 of 30 hashes perturbed (copies>0) so
+    matches are inexact. link='all' emits every aligned pair;
+    'bucket_min' (audio_near_dup best-offset form, the linear dedup
+    path) must link copies only through each hash bucket's minimum doc.
+    Landmark arrays are synthesized IN-PLAN from doc_id (hashes distinct
+    within a doc: 40503 is coprime to the prime modulus 8191, so the
+    per-(doc,hash) cap kernel is an exact no-op and the oracle can
+    replay the whole join relationally); the FFT front-end
+    (audio_landmarks) stays covered by tests/test_audiofp.py's
+    differential oracles."""
+    from automic_etl_spark.operators.audiofp import (
+        audio_near_dup,
+        fingerprint_match_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _AFP_N
+    )
+    fam = F.col("doc_id") % _AFP_FAM
+    cpy = F.floor(F.col("doc_id") / _AFP_FAM).cast("long")
+    seq = F.sequence(F.lit(0), F.lit(_AFP_L - 1))
+    fps = docs.select(
+        "doc_id",
+        F.transform(
+            seq,
+            lambda i: (
+                (fam * F.lit(2654435761) + i * F.lit(40503)) % _AFP_MOD
+                + F.when((cpy > 0) & (((i + fam) % 15) == 0), 1).otherwise(0)
+            ).cast("int"),
+        ).alias("lm_hashes"),
+        F.transform(seq, lambda i: (i * 3 + cpy * 7).cast("int")).alias(
+            "lm_times"
+        ),
+    )
+    allp = fingerprint_match_join(fps, min_hits=_AFP_HITS, link="all").select(
+        F.lit("all").alias("method"), "id_a", "id_b", "offset", "hits"
+    )
+    bm = audio_near_dup(fps, min_hits=_AFP_HITS, link="bucket_min").select(
+        F.lit("bucket_min").alias("method"), "id_a", "id_b", "offset", "hits"
+    )
+    return allp.unionByName(bm).orderBy("method", "id_a", "id_b", "offset")
+
+
+ORACLE_AUDIOFP = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_AFP_N}),
+lm AS (
+  SELECT doc_id,
+         CAST(((doc_id % {_AFP_FAM}) * 2654435761 + t.i * 40503) % {_AFP_MOD}
+              + CASE WHEN doc_id // {_AFP_FAM} > 0
+                      AND (t.i + doc_id % {_AFP_FAM}) % 15 = 0
+                     THEN 1 ELSE 0 END AS INTEGER) AS h,
+         CAST(t.i * 3 + (doc_id // {_AFP_FAM}) * 7 AS INTEGER) AS tt
+  FROM ids CROSS JOIN UNNEST(generate_series(0, {_AFP_L - 1})) AS t(i)
+),
+pairs_all AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.tt - b.tt AS "offset", CAST(count(*) AS BIGINT) AS hits
+  FROM lm a JOIN lm b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3 HAVING count(*) >= {_AFP_HITS}
+),
+mins AS (SELECT h, min(doc_id) AS mid FROM lm GROUP BY h),
+a_min AS (
+  SELECT lm.doc_id, lm.h, lm.tt
+  FROM lm JOIN mins ON lm.h = mins.h AND lm.doc_id = mins.mid
+),
+pairs_bm AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.tt - b.tt AS "offset", CAST(count(*) AS BIGINT) AS hits
+  FROM a_min a JOIN lm b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3 HAVING count(*) >= {_AFP_HITS}
+),
+best_bm AS (
+  SELECT id_a, id_b, "offset", hits FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id_a, id_b
+      ORDER BY hits DESC, abs("offset") ASC, "offset" DESC
+    ) AS rn
+    FROM pairs_bm
+  ) WHERE rn = 1
+)
+SELECT * FROM (
+  SELECT 'all' AS method, id_a, id_b, CAST("offset" AS INTEGER) AS "offset", hits
+  FROM pairs_all
+  UNION ALL
+  SELECT 'bucket_min', id_a, id_b, CAST("offset" AS INTEGER), hits
+  FROM best_bm
+)
+ORDER BY method, id_a, id_b, "offset"
+"""
+
+
+# --------------------------------------------------------------------------
+# WARC -> boilerplate removal -> doc stats (sources/warc + operators/
+# boilerplate) — the r6 web front end's first hard-signal row (r7)
+# --------------------------------------------------------------------------
+
+_WEB_N = 200
+
+
+def q_web_extract_gate(spark, sf_dir):
+    """The web-corpus front end under the driver's hash check: each
+    document's text is wrapped (driver-side, html-escaped) in an HTML
+    page with nav/footer chrome, serialized as gzip'd WARC response
+    records across 4 in-memory segments, and read back through the REAL
+    pipeline — read_warc via the remote-opener seam (the segment bytes
+    ride the task closure, exercising exactly the s3/HTTPS path), HTTP
+    split, UTF-8 decode, jusText-style block classification. Classifier
+    thresholds are pinned (stop_low=0, length_low=length_high=1) so the
+    decision is structural — chrome blocks drop, the body block
+    survives — and the oracle can replay the kept text as a whitespace
+    normalization of the source document. Output: (doc_id, page_title,
+    main_text, n_chars); every extracted character is value-checked.
+    The statistical classifier thresholds keep their fixture coverage in
+    tests/test_warc_boilerplate.py."""
+    import gzip as _gzip
+    import html as _html
+    import io as _io
+
+    from automic_etl_spark.operators.boilerplate import extract_main_content
+    from automic_etl_spark.sources.warc import read_warc, write_warc_record
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < _WEB_N)
+        .collect()
+    )
+    seg_bufs = {s: _io.BytesIO() for s in range(4)}
+    for r in rows:
+        html = (
+            f"<html><head><title>Doc {r['doc_id']}</title></head><body>"
+            '<nav><a href="/">Home</a> <a href="/news">News</a></nav>'
+            f"<p>{_html.escape(r['text'] or '')}</p>"
+            "<footer>Copyright 2026 Example Site</footer></body></html>"
+        )
+        payload = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+            + html.encode("utf-8")
+        )
+        rec = _io.BytesIO()
+        write_warc_record(
+            rec, "response", payload,
+            target_uri=f"http://corpus.example/doc/{r['doc_id']}",
+            content_type="application/http; msgtype=response",
+        )
+        seg_bufs[r["doc_id"] % 4].write(_gzip.compress(rec.getvalue()))
+    segments = {
+        f"mem://crawl/seg-{s}.warc.gz": b.getvalue() for s, b in seg_bufs.items()
+    }
+
+    recs = read_warc(
+        spark,
+        sorted(segments),
+        record_types=("response",),
+        opener=lambda p, _s=segments: _io.BytesIO(_s[p]),
+    )
+    pages = recs.filter(F.col("http_status") == 200).withColumn(
+        "html", F.decode("payload", "UTF-8")
+    )
+    out = extract_main_content(
+        pages, "html", stop_low=0.0, length_low=1, length_high=1
+    )
+    return out.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "page_title",
+        "main_text",
+        F.length("main_text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+ORACLE_WEB_EXTRACT = f"""
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS page_title,
+       trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')) AS main_text,
+       CAST(length(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g')))
+            AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < {_WEB_N}
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "substring_dedup": q_substring_dedup_signals,
@@ -594,6 +882,11 @@ QUERIES = {
     "token_mixture": q_token_mixture_report,
     "ngram_perplexity": q_ngram_perplexity_scores,
     "line_dedup": q_line_dedup_gate,
+    # round-7 rotations: BPE apply kernel, acoustic landmark matching
+    # (both link arms), and the WARC->boilerplate web front end
+    "bpe_tokenize": q_bpe_tokenize_gate,
+    "audio_fingerprint": q_audio_fingerprint_gate,
+    "web_extract": q_web_extract_gate,
 }
 
 ORACLE = {
@@ -604,4 +897,7 @@ ORACLE = {
     "token_mixture": ORACLE_TOKEN_MIXTURE,
     "ngram_perplexity": ORACLE_NGRAM_PPL,
     "line_dedup": ORACLE_LINE_DEDUP,
+    "bpe_tokenize": ORACLE_BPE,
+    "audio_fingerprint": ORACLE_AUDIOFP,
+    "web_extract": ORACLE_WEB_EXTRACT,
 }

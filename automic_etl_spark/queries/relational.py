@@ -719,7 +719,6 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "agg_having": q_agg_having,
     "date_time_bucket": q_date_time_bucket,
-    "agg_global_distinct": q_agg_global_distinct,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "join_semi_anti": q_join_semi_anti,
     "join_outer_features": q_join_outer_features,
@@ -733,7 +732,6 @@ ORACLE = {
     "pricing_summary": ORACLE_PRICING,
     "agg_having": ORACLE_HAVING,
     "date_time_bucket": ORACLE_DATE_TIME_BUCKET,
-    "agg_global_distinct": ORACLE_AGG_GLOBAL_DISTINCT,
     "join_revenue_by_nation": ORACLE_JOIN_NATION,
     "join_semi_anti": ORACLE_JOIN_SEMI_ANTI,
     "join_outer_features": ORACLE_JOIN_OUTER,
@@ -742,7 +740,10 @@ ORACLE = {
     "range_join": ORACLE_RANGE_JOIN,
 }
 
+# r7: agg_global_distinct displaced (count-distinct also rides the
+# count_distinct bench workload and the scored agg gates)
 QUERIES_OVERFLOW = {
+    "agg_global_distinct": q_agg_global_distinct,
     "value_counts_topk": q_value_counts_topk,
     "join_left": q_join_left,
     "set_ops": q_set_ops,
@@ -752,6 +753,7 @@ QUERIES_OVERFLOW = {
 }
 
 ORACLE_OVERFLOW = {
+    "agg_global_distinct": ORACLE_AGG_GLOBAL_DISTINCT,
     "value_counts_topk": ORACLE_VALUE_COUNTS,
     "join_left": ORACLE_JOIN_LEFT,
     "set_ops": ORACLE_SET_OPS,
