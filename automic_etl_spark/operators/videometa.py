@@ -462,3 +462,131 @@ def sample_frames(
             )
 
     return blobs_with_schedule.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# --- keyframe perceptual hashing + near-dup (round 7) -----------------------
+
+VIDEO_PHASH_SCHEMA = "doc_id long, pos int, ok boolean, dhash long"
+
+#: sampled roles: 0 = first keyframe, 1 = middle, 2 = last. Role labels
+#: (not raw indices) are the near-dup join key so clips of equal content
+#: but different keyframe cadence still compare like-for-like.
+_KEYFRAME_ROLES = 3
+
+
+def video_blobs_keyframe_phash(
+    blobs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "_content_bytes",
+) -> DataFrame:
+    """Per-video perceptual hashes of the first/middle/last keyframes:
+    seek each role's keyframe byte range through the container's sample
+    tables (``keyframe_index`` — no codec), slice the coded sample out
+    of the blob, and run the imagehash decode + dHash kernel over it.
+
+    The decode arm is REAL for containers whose video samples are
+    stored images (PNG/BMP/PPM sample payloads — the MJPEG-style
+    layout); compressed-codec samples (H.264 NALs etc.) come back
+    ok=false with a NULL hash, and the curator keeps those clips — the
+    same undecodable-survivors-are-kept policy as the image and audio
+    paths. One Arrow-batched mapInPandas, map-only, no shuffle; at most
+    3 decodes per clip regardless of duration.
+
+    Output: (id, pos 0..2, ok, dhash). A clip with no parseable sample
+    table emits a single (pos=-1, ok=false) row so every input id
+    appears in the output."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.imagehash import decode_image, dhash64
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                data = bytes(blob) if blob is not None else b""
+                index = keyframe_index(data)
+                if not index:
+                    rows.append((rid, -1, False, None))
+                    continue
+                picks = (0, len(index) // 2, len(index) - 1)
+                for pos in range(_KEYFRAME_ROLES):
+                    _, _, off, size = index[picks[pos]]
+                    frame = data[off : off + size] if off + size <= len(data) else b""
+                    _, img = decode_image(frame)
+                    if img is None:
+                        rows.append((rid, pos, False, None))
+                    else:
+                        rows.append((rid, pos, True, dhash64(img)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "pos", "ok", "dhash"]
+            ).rename(columns={"doc_id": id_col})
+
+    schema = VIDEO_PHASH_SCHEMA.replace("doc_id ", f"{id_col} ", 1)
+    return blobs.mapInPandas(kernel, schema)
+
+
+def video_near_dup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    min_role_matches: int = 2,
+    link: str = "bucket_min",
+) -> DataFrame:
+    """(id_a < id_b, n_role_matches) for clip pairs whose dHashes agree
+    within ``max_hamming`` bits on at least ``min_role_matches`` of the
+    3 sampled keyframe roles (2-of-3 default: a retitled first frame or
+    a trailing credits card alone doesn't link two different videos).
+
+    Each role runs the pigeonhole-banded Hamming join from
+    operators/imagehash (``phash_near_dup`` — exact at any radius, never
+    all-pairs; ``link`` as there, bucket_min = the linear dedup path);
+    role pair sets then union and a count filter applies the 2-of-3
+    rule. Role frames are 3 rows per clip, so the per-role joins stay
+    tiny relative to the corpus."""
+    from automic_etl_spark.operators.imagehash import phash_near_dup
+
+    pairs = None
+    for pos in range(_KEYFRAME_ROLES):
+        p = phash_near_dup(
+            hashes.filter(F.col("ok") & (F.col("pos") == pos)).select(
+                F.col(id_col), F.col("dhash")
+            ),
+            max_hamming=max_hamming,
+            id_col=id_col,
+            link=link,
+        ).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_role_matches"))
+        .filter(F.col("n_role_matches") >= min_role_matches)
+    )
+
+
+def dedup_by_video_phash(
+    df: DataFrame,
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    min_role_matches: int = 2,
+    link: str = "bucket_min",
+) -> DataFrame:
+    """Keep one clip per keyframe-near-dup cluster (minimum id wins);
+    clips without decodable keyframes are kept. Mirrors
+    imagehash.dedup_by_phash / audiofp.dedup_by_audiofp — bucket_min
+    linking by default (linear in duplicate-cluster size, same keep-set
+    for identical-copy clusters)."""
+    from automic_etl_spark.operators.dedup import connected_components
+
+    pairs = video_near_dup_pairs(
+        hashes,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        min_role_matches=min_role_matches,
+        link=link,
+    )
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -10,11 +10,13 @@ multimodal ingest needs (decode only what survives).
       → corrupt quarantine (ok=false rows)
       → shape gates        (resolution/aspect/format; duration bounds;
                             dimension bounds)
-      → near-dup removal   (optional, round 6 — the one decode-paying
-                            stage, run LAST so only shape survivors are
-                            decoded: perceptual dHash + banded Hamming
-                            clusters for images, landmark fingerprints +
-                            offset voting for audio)
+      → near-dup removal   (optional — the one decode-paying stage, run
+                            LAST so only shape survivors are decoded:
+                            perceptual dHash + banded Hamming clusters
+                            for images (r6), landmark fingerprints +
+                            offset voting for audio (r6), and
+                            first/middle/last keyframe dHash with
+                            2-of-3 role agreement for video (r7))
 
 Each stage is a DataFrame transformation. Round 6: the per-stage report
 costs ONE tagged union-aggregate action per curate call (the probed
@@ -85,6 +87,12 @@ class MultimodalCurator:
     image_near_dup_max_hamming: int = 6
     audio_near_dup: bool = False
     audio_near_dup_min_hits: int = 20
+    # round 7: video near-dup via first/middle/last keyframe dHash
+    # (2-of-3 role agreement, bucket_min linking) — closes the one
+    # modality without a terminal near-dup stage (VERDICT r6 item 7)
+    video_near_dup: bool = False
+    video_near_dup_max_hamming: int = 6
+    video_near_dup_min_roles: int = 2
 
     def _finish(
         self,
@@ -215,4 +223,23 @@ class MultimodalCurator:
         if self.max_video_ms is not None:
             cond = cond & (F.col("duration_ms") <= self.max_video_ms)
         kept = ok.filter(cond)
-        return self._finish(blobs, probed, ok, kept, None)
+        final = None
+        if self.video_near_dup:
+            from automic_etl_spark.operators.videometa import (
+                dedup_by_video_phash,
+                video_blobs_keyframe_phash,
+            )
+
+            hashes = video_blobs_keyframe_phash(
+                kept.select(id_col, content_col),
+                id_col=id_col,
+                content_col=content_col,
+            )
+            final = dedup_by_video_phash(
+                kept,
+                hashes,
+                max_hamming=self.video_near_dup_max_hamming,
+                id_col=id_col,
+                min_role_matches=self.video_near_dup_min_roles,
+            )
+        return self._finish(blobs, probed, ok, kept, final)

@@ -173,3 +173,97 @@ def test_curate_video_stages(spark):
         "final_blobs": 1,
     }
     assert kept.first()["doc_id"] == 1
+
+
+# --- video keyframe near-dup (round 7) --------------------------------------
+
+def _block_img(seed: int, perturb: int | None = None):
+    """32x36 grayscale image constant on the dHash downsample grid
+    (same construction as the image gate): 8x9 blocks keyed by seed;
+    `perturb` bumps one block by 96 — a planted near-dup within <= 2
+    dHash bits."""
+    import numpy as np
+
+    bmat = np.array(
+        [
+            [(seed * 2654435761 + i * 40503 + j * 65599) % 256 for j in range(9)]
+            for i in range(8)
+        ],
+        dtype=np.int64,
+    )
+    if perturb is not None:
+        bmat[perturb // 9][perturb % 9] = (bmat[perturb // 9][perturb % 9] + 96) % 256
+    return np.repeat(np.repeat(bmat.astype(np.uint8), 4, axis=0), 4, axis=1)[:, :, None]
+
+
+def _mp4_png_samples(img_a, img_b):
+    """MP4 whose two keyframe samples (1 and 4) are real PNGs — the
+    MJPEG-style stored-image layout the keyframe decode arm supports."""
+    from automic_etl_spark.operators.imagehash import synth_png
+
+    from tests.test_videometa import make_mp4_with_stbl
+
+    samples = [
+        synth_png(img_a), b"x" * 20, b"y" * 30,
+        synth_png(img_b), b"z" * 50, b"w" * 60,
+    ]
+    data, _ = make_mp4_with_stbl(samples=samples)
+    return data
+
+
+def test_video_keyframe_phash_roles(spark):
+    from automic_etl_spark.operators.videometa import video_blobs_keyframe_phash
+
+    blobs = spark.createDataFrame(
+        [
+            (1, _mp4_png_samples(_block_img(1), _block_img(2))),
+            (2, b"not a video"),
+        ],
+        "doc_id long, _content_bytes binary",
+    )
+    rows = video_blobs_keyframe_phash(blobs).collect()
+    by = {(r.doc_id, r.pos): r for r in rows}
+    # 2 keyframes -> roles first=kf1, middle=last=kf4; all decode
+    assert by[(1, 0)].ok and by[(1, 1)].ok and by[(1, 2)].ok
+    assert by[(1, 1)].dhash == by[(1, 2)].dhash
+    assert by[(1, 0)].dhash != by[(1, 1)].dhash
+    # unparseable container still emits a row (kept downstream)
+    assert not by[(2, -1)].ok and by[(2, -1)].dhash is None
+
+
+def test_curate_video_near_dup(spark):
+    rows = [
+        (1, _mp4_png_samples(_block_img(1), _block_img(2))),
+        # near-dup of 1: first keyframe perturbed one block (<=2 bits),
+        # second identical -> 2-3 role matches, linked
+        (2, _mp4_png_samples(_block_img(1, perturb=13), _block_img(2))),
+        # shares ONLY the first keyframe with 1: 1 role match < 2, kept
+        (3, _mp4_png_samples(_block_img(1), _block_img(7))),
+        # unrelated video, kept
+        (4, _mp4_png_samples(_block_img(5), _block_img(6))),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(
+        min_video_ms=500, min_video_width=64, min_video_height=64,
+        video_near_dup=True,
+    ).curate_video(blobs)
+    assert report["near_dups_removed"] == 1
+    assert report["final_blobs"] == 3
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_curate_video_near_dup_exact_copies_bucket_min(spark):
+    """Identical-copy cluster: bucket_min linking keeps exactly the
+    minimum id (the linear path's keep-set equality guarantee)."""
+    vid = _mp4_png_samples(_block_img(3), _block_img(4))
+    # exact byte copies collapse at stage 1; a trailing appended byte
+    # (ignored by the box walk) keeps the copies distinct until the
+    # near-dup stage
+    rows = [(i, vid + bytes([i])) for i in (10, 11, 12)]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    kept, report = MultimodalCurator(
+        min_video_ms=500, min_video_width=64, min_video_height=64,
+        video_near_dup=True,
+    ).curate_video(blobs)
+    assert report["near_dups_removed"] == 2
+    assert [r["doc_id"] for r in kept.collect()] == [10]
