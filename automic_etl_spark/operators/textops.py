@@ -333,17 +333,17 @@ def chunk_documents(
     )
 
 
-#: entries per compiled alternation; above this the pattern splits into
-#: several regexp_count terms (Java Pattern alternation is backtracking,
-#: so a bounded pattern size keeps per-position work predictable)
+#: phrase entries per compiled alternation (Java Pattern alternation is
+#: backtracking, so a bounded pattern size keeps per-position work
+#: predictable; real blocklists carry few phrases)
 _BLOCKLIST_CHUNK = 1000
 
 
 def _blocklist_pattern(entries: list[str]) -> str:
-    """One compiled word-boundary alternation for a chunk of entries —
-    the construction of C4's published badwords filter
-    (tensorflow_datasets c4_utils: ``re.compile(r"(?i)\\b({})\\b")``).
-    Multi-word phrases match across any whitespace run."""
+    """Compiled word-boundary alternation for phrase entries — the
+    construction of C4's published badwords filter (tensorflow_datasets
+    c4_utils: ``re.compile(r"(?i)\\b({})\\b")``). Internal whitespace
+    matches any whitespace run."""
     import re as _re
 
     alts = [
@@ -362,33 +362,39 @@ def blocklist_stats(
     `blocklist_hits` (count of listed-entry occurrences, case-
     insensitive, word-boundary exact — "grass" never hits "ass") and
     `blocklist_fraction` (hits / whitespace tokens, 6dp). Entries may be
-    multi-word phrases ("bad phrase" — internal whitespace matches any
-    whitespace run), exactly like C4's real list. The list is the
-    caller's (policy lists are jurisdiction/product-specific; we ship
-    none).
+    multi-word phrases ("bad phrase" — matched across any whitespace
+    run), like C4's real list; the r6 form silently never matched them.
+    The list is the caller's (policy lists are jurisdiction/product-
+    specific; we ship none).
 
-    Plan: ONE compiled `(?i)\\b(?:...)\\b` alternation per ~1000 entries
-    scanned with `regexp_count` — the same construction as C4's
-    published filter (tensorflow_datasets c4_utils) — so the stage is a
-    single codegen'd projection, no UDF, no shuffle, no per-token
-    interpreted loop (the r6 HOF form cost O(tokens × entries) per row;
-    VERDICT r6 What's-wrong #2, before/after in PERFORMANCE.md). Above
-    one chunk the hit counts sum across patterns; entries of different
-    chunks that overlap in the text may then each count an occurrence
-    the single-pattern leftmost-first rule would fold into one — an
-    edge only >1000-entry lists with textually-overlapping entries see.
+    Plan — both arms map-only, no UDF, no shuffle, picked by
+    MEASUREMENT (PERFORMANCE.md r7: 400-entry list, 10× token volume):
+
+    - single words: normalized-token `isin` — Catalyst's OptimizeIn
+      rewrites the literal list to an InSet HASH lookup, O(1) per token
+      (4.97 s vs 12.2 s for the r6 `array_contains` linear scan; a
+      compiled 400-word regex alternation measured *worse* than the
+      HOF, 14.4 s — Java Pattern backtracks every alternative at every
+      word boundary).
+    - phrases: one compiled ``(?i)\\b(?:...)\\b`` `regexp_count` per
+      ≤1000 phrase entries (C4's published construction; token equality
+      cannot express cross-token matches). Word semantics stay
+      token-exact: "foo" does not hit inside "foo-bar".
+
+    (An explode + broadcast-join form measured fastest of all, 3.05 s,
+    but needs a unique row key and a shuffle; documented as the path if
+    lists ever reach 100k+ entries.)
 
     Entries must start and end with a word character (letter, digit or
     underscore): `\\b` is undefined against leading/trailing
-    punctuation, so such entries raise rather than silently never match
-    (the r6 single-token form silently ignored phrase entries — same
-    failure class, now rejected loudly).
+    punctuation, so such entries raise rather than silently never match.
     """
     import re as _re
 
     if not words:
         raise ValueError("blocklist_stats needs a non-empty word list")
-    entries = []
+    singles: list[str] = []
+    phrases: list[str] = []
     for w in words:
         e = " ".join(str(w).split())
         if not e:
@@ -399,13 +405,20 @@ def blocklist_stats(
                 "character — \\b word-boundary matching is undefined "
                 "against punctuation edges"
             )
-        entries.append(e)
+        (phrases if " " in e else singles).append(e)
 
+    toks = F.transform(
+        tokenize(F.col(text_col)),
+        lambda t: F.lower(F.regexp_replace(t, r"^\W+|\W+$", "")),
+    )
     hits = None
-    for i in range(0, len(entries), _BLOCKLIST_CHUNK):
+    if singles:
+        listed = sorted({s.lower() for s in singles})
+        hits = F.size(F.filter(toks, lambda t: t.isin(*listed)))
+    for i in range(0, len(phrases), _BLOCKLIST_CHUNK):
         term = F.regexp_count(
             F.col(text_col),
-            F.lit(_blocklist_pattern(entries[i : i + _BLOCKLIST_CHUNK])),
+            F.lit(_blocklist_pattern(phrases[i : i + _BLOCKLIST_CHUNK])),
         )
         hits = term if hits is None else hits + term
     hits = F.coalesce(hits, F.lit(0))

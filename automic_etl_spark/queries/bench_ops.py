@@ -374,7 +374,10 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     lm = fit_ngram_lm(docs, min_count=2)
-    scored = score_documents(docs, lm)
+    # cache the per-doc scores across the two passes that need them —
+    # the quantile probe materializes the cache, the bucket tally reads
+    # it back (the same pattern CorpusCurator's perplexity gate uses)
+    scored = score_documents(docs, lm).persist()
     rows = (
         perplexity_buckets(scored)
         .groupBy("ppl_bucket")
@@ -387,6 +390,7 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ppl_bucket")
         .collect()
     )
+    scored.unpersist()
     lm.unpersist()
     return spark.createDataFrame(
         rows, "ppl_bucket string, n_docs long, n_tokens long, "

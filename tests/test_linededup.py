@@ -280,8 +280,9 @@ class TestBlocklist:
         ).collect()
         assert {r.doc_id: r.blocklist_hits for r in out} == {1: 1, 2: 0}
 
-    def test_chunked_large_list(self, spark):
-        """Lists beyond one chunk sum hits across compiled patterns."""
+    def test_large_single_word_list(self, spark):
+        """Big single-word lists ride the InSet hash arm — no chunking,
+        O(1) per token regardless of list size."""
         from automic_etl_spark.operators import textops
 
         words = [f"w{i}x" for i in range(2500)]
@@ -294,6 +295,33 @@ class TestBlocklist:
             for r in textops.blocklist_stats(df, words).collect()
         }
         assert out == {1: 3, 2: 0}
+
+    def test_phrase_chunking(self, spark, monkeypatch):
+        """Phrase lists beyond one chunk sum hits across compiled
+        patterns (chunk size shrunk to force the split)."""
+        from automic_etl_spark.operators import textops
+
+        monkeypatch.setattr(textops, "_BLOCKLIST_CHUNK", 2)
+        phrases = [f"bad phrase {i}" for i in range(5)]
+        df = spark.createDataFrame(
+            [(1, "bad phrase 0 then bad phrase 4 end"), (2, "clean")],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.blocklist_hits
+            for r in textops.blocklist_stats(df, phrases).collect()
+        }
+        assert out == {1: 2, 2: 0}
+
+    def test_mixed_words_and_phrases(self, spark):
+        from automic_etl_spark.operators.textops import blocklist_stats
+
+        df = spark.createDataFrame(
+            [(1, "solo badword and a bad phrase together")],
+            "doc_id long, text string",
+        )
+        row = blocklist_stats(df, ["badword", "bad phrase"]).first()
+        assert row.blocklist_hits == 2
 
 
 class TestBlocklistCuratorStage:
