@@ -30,17 +30,21 @@ dataset actually runs, composed from the engine's operators.
 Each stage is a DataFrame transformation (no driver loops). Round 7:
 the per-stage report costs ONE tagged union-aggregate action per
 curate() call (the MultimodalCurator pattern, multimodal_curator.py) —
-every stage-boundary survivor frame is persisted and the counts/sums
-for every stage, the split histogram, the perplexity-bucket histogram
-and the packing tallies all ride a single (key, value) union that
-groupBy-sums once. The r6 shape ran ~15 sequential uncached ``count()``
-actions, each re-executing the doc scan + exact-dedup window +
-text-scoring chain from the top — O(stages) full-corpus recomputation,
-the one scale-killer reachable from a flagship entry point (VERDICT r6).
-The only other driver actions are inherent to their algorithms: the
+every stage-boundary survivor frame is lazily localCheckpoint'ed and
+the counts/sums for every stage, the split histogram, the
+perplexity-bucket histogram and the packing tallies all ride a single
+(key, value) union that groupBy-sums once. The r6 shape ran ~15
+sequential uncached ``count()`` actions, each re-executing the doc
+scan + exact-dedup window + text-scoring chain from the top —
+O(stages) full-corpus recomputation, the one scale-killer reachable
+from a flagship entry point (VERDICT r6). Checkpointing (rather than
+persist) also TRUNCATES each stage's logical plan — with every stage
+enabled, the stacked lineage sent Catalyst analysis superlinear
+(minutes of driver CPU on a 64-doc corpus; PERFORMANCE.md r7). The
+only other driver actions are inherent to their algorithms: the
 connected-components iteration checkpoints internally, and the
-perplexity gate's quantile probe is one sketch pass over the (cached)
-scored frame.
+perplexity gate's quantile probe is one sketch pass over the
+checkpointed scored frame.
 
 The reference has the pieces (dedup in silver, quality scores, curator
 splits) but no composed pipeline — this is the beyond-reference
@@ -153,24 +157,33 @@ class CorpusCurator:
         minimum document id of its duplicate group/cluster.
 
         Driver-action discipline: every report number comes from ONE
-        terminal tagged union-aggregate over the persisted stage
-        frames; enabling more stages adds transformations, never
-        actions. The returned frame's intermediate caches are released
-        before returning — ``.cache()`` it yourself before running
-        several downstream actions."""
-        cached: list[DataFrame] = []
-
+        terminal tagged union-aggregate over the lazily-checkpointed
+        stage frames; enabling more stages adds transformations, never
+        actions. The returned frame reads from the final stage's
+        checkpoint blocks (already materialized by the tally), so the
+        caller's terminal write doesn't re-run the funnel; intermediate
+        blocks are reclaimed by Spark's ContextCleaner once the
+        returned frame is dropped."""
         def hold(df: DataFrame) -> DataFrame:
-            # persist each stage-boundary survivor so the terminal
-            # tallies union costs each stage its own increment, not a
-            # from-the-top recompute (MEMORY_AND_DISK: spills, never
-            # OOMs). A frame the CALLER already persisted is left alone —
-            # its cache is theirs to release.
-            if df.storageLevel.useMemory or df.storageLevel.useDisk:
-                return df
-            df = df.persist()
-            cached.append(df)
-            return df
+            # Lazy localCheckpoint at every stage boundary, for two
+            # reasons at once. (1) Storage: the terminal tallies union
+            # costs each stage its own increment, not a from-the-top
+            # recompute (MEMORY_AND_DISK blocks: spills, never OOMs).
+            # (2) LINEAGE TRUNCATION — the load-bearing part: persist()
+            # keeps the full logical plan, so with k stages the tallies
+            # union carries O(k) copies of ever-deeper trees and
+            # Catalyst analysis goes superlinear — the all-stages-on
+            # config measured MINUTES of pure driver planning on a
+            # 64-doc corpus before this (r7, PERFORMANCE.md); each
+            # checkpointed stage instead re-enters the plan as a flat
+            # scan-existing-RDD leaf. Lazy (eager=False) keeps the
+            # driver-action count at one: materialization happens
+            # inside the first action that touches the frame — the CC
+            # iteration, the quantile probe, or the tallies collect
+            # itself. Blocks are freed by the ContextCleaner once the
+            # returned frame (and its checkpoint chain) goes out of
+            # scope; same mechanism connected_components relies on.
+            return df.localCheckpoint(eager=False)
 
         # tally members: (__k string, __v long) frames, one union-agg at the end
         members: list[DataFrame] = []
@@ -525,6 +538,4 @@ class CorpusCurator:
             report["packed_sequences"] = t.get("packed_seq", 0)
             report["oversize_docs"] = t.get("oversize", 0)
 
-        for df in cached:
-            df.unpersist()
         return out, report

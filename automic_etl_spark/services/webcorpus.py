@@ -125,3 +125,62 @@ class WebCorpusExtractor:
         docs = self.documents_from_warc(spark, path)
         curator = curator or CorpusCurator()
         return curator.curate(docs, **curate_kwargs)
+
+
+def web_corpus_to_training_set(
+    spark: SparkSession,
+    path,
+    out_dir: str | None = None,
+    archive: str = "wet",
+    extractor: WebCorpusExtractor | None = None,
+    curator=None,
+) -> tuple[DataFrame, dict]:
+    """The whole 100 TB story in one call: crawl archives in, packed
+    training sequences + manifest out.
+
+        WET/WARC segments
+          → WebCorpusExtractor   (streamed records, HTTP split,
+                                  boilerplate removal for WARC)
+          → CorpusCurator        (line dedup → exact/near dedup →
+                                  quality gates → split → packing; the
+                                  r7 one-tallies-action orchestration)
+          → parquet sink         (optional: sequences partitioned by
+                                  split + a 1-row JSON manifest, both
+                                  through Spark writers so any
+                                  Hadoop-visible filesystem works)
+
+    `archive` is "wet" (text pre-extracted — the standard entry) or
+    "warc" (raw HTML, boilerplate-removed). The default curator runs
+    corpus-wide line dedup and packs 2048-token sequences; pass your
+    own CorpusCurator to change policy. Returns (sequences DataFrame,
+    report dict); the report gains "out_dir" when written.
+    """
+    if archive not in ("wet", "warc"):
+        raise ValueError(f"archive must be 'wet' or 'warc', got {archive!r}")
+    extractor = extractor or WebCorpusExtractor()
+    docs = (
+        extractor.documents_from_wet(spark, path)
+        if archive == "wet"
+        else extractor.documents_from_warc(spark, path)
+    )
+    if curator is None:
+        from automic_etl_spark.services.corpus import CorpusCurator
+
+        curator = CorpusCurator(line_dedup_min_df=2, pack_tokens=2048)
+    out, report = curator.curate(docs)
+    if out_dir is not None:
+        import json
+        import os
+
+        (
+            out.write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(os.path.join(out_dir, "sequences"))
+        )
+        spark.createDataFrame(
+            [(json.dumps(report, sort_keys=True),)], "manifest_json string"
+        ).coalesce(1).write.mode("overwrite").json(
+            os.path.join(out_dir, "manifest")
+        )
+        report = dict(report, out_dir=out_dir)
+    return out, report

@@ -345,6 +345,63 @@ class TestWebCorpus:
         assert len(rows) == 1 and rows[0].url == "http://a.example/"
         assert rows[0].boilerplate_ratio is None
 
+    def test_web_corpus_to_training_set_end_to_end(self, spark, tmp_path):
+        """The one-call story: WET dir in → packed sequences + manifest
+        out, through the r7 one-tallies-action curate()."""
+        from automic_etl_spark.services.corpus import CorpusCurator
+        from automic_etl_spark.services.webcorpus import (
+            WebCorpusExtractor,
+            web_corpus_to_training_set,
+        )
+
+        d = tmp_path / "crawl"
+        d.mkdir()
+        banner = "COOKIE BANNER accept all cookies now"
+        bodies = [
+            f"unique document body {i} "
+            + " ".join(f"word{i}w{j}" for j in range(40))
+            for i in range(6)
+        ]
+        recs = [
+            ("conversion", f"{banner}\n{b}".encode(), f"http://ex{i}.com/")
+            for i, b in enumerate(bodies)
+        ]
+        # an exact re-crawl of doc 0 under another URL (same banner+body)
+        recs.append(("conversion", recs[0][1], "http://mirror.example/"))
+        write_warc_file(str(d / "seg-0.wet.gz"), recs[:4])
+        write_warc_file(str(d / "seg-1.wet.gz"), recs[4:])
+
+        out_dir = str(tmp_path / "training")
+        seqs, report = web_corpus_to_training_set(
+            spark,
+            str(d),
+            out_dir=out_dir,
+            extractor=WebCorpusExtractor(min_text_chars=50),
+            curator=CorpusCurator(
+                min_quality=0.0, line_dedup_min_df=2, pack_tokens=64,
+                pack_shards=4,
+            ),
+        )
+        assert report["input_docs"] == 7
+        # the banner in all 7 docs + body 0's line in doc 0 AND its
+        # mirror (drop_all removes both occurrences)
+        assert report["dup_lines_removed"] == 9
+        # line dedup empties doc 0 and the mirror identically -> exact dup
+        assert report["exact_dups_removed"] == 1
+        assert report["final_docs"] == 6
+        assert report["out_dir"] == out_dir
+        assert report["packed_sequences"] >= 1
+
+        written = spark.read.parquet(f"{out_dir}/sequences")
+        assert written.count() == 6
+        assert "split" in written.columns and "seq_id" in written.columns
+        import json
+
+        manifest = json.loads(
+            spark.read.json(f"{out_dir}/manifest").first()["manifest_json"]
+        )
+        assert manifest["final_docs"] == 6 and "out_dir" not in manifest
+
 
 # --- property fuzz (no Spark) ------------------------------------------------
 
