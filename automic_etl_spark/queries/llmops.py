@@ -874,6 +874,115 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# CorpusCurator.curate() — the flagship composition under the hash gate (r7)
+# --------------------------------------------------------------------------
+
+_CUR_N, _CUR_SHIFT = 300, 1_000_000
+
+from automic_etl_spark.operators.textops import STOPWORDS as _CUR_STOPWORDS
+
+_CUR_STOPS = ", ".join(f"'{s}'" for s in sorted(_CUR_STOPWORDS))
+
+
+def q_corpus_curate_gate(spark, sf_dir):
+    """THE flagship entry point (services/corpus.CorpusCurator.curate)
+    value-checked end to end: documents gain a corpus-shared banner line
+    (line-dedup work) and a 10% exact re-delivery (exact-dedup work),
+    then run the real curate() — corpus-wide line dedup, md5 exact
+    dedup, the MinHash near-dup machinery (jaccard_threshold > 1 prunes
+    every candidate, so the stage is a verified no-op here; the
+    operators themselves are hash-gated by minhash_jaccard), the
+    text-quality gate, and hash split assignment, all through the r7
+    one-tallies-action orchestration. The oracle replays every stage in
+    SQL: the duplicated-line drop, the keep-min-id md5 collapse, the
+    40/30/30 quality score, and the md5-bucket split."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    ).filter(F.col("doc_id") < _CUR_N)
+    banner = F.concat(F.lit("shared banner line "), F.col("doc_id") % 7)
+    planted = docs.withColumn(
+        "text", F.concat_ws("\n", banner, F.col("text"))
+    )
+    redelivered = planted.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _CUR_SHIFT).alias("doc_id"), "text"
+    )
+    corpus = planted.unionByName(redelivered)
+    out, _report = CorpusCurator(
+        min_quality=0.3, line_dedup_min_df=2, jaccard_threshold=1.01
+    ).curate(corpus)
+    return out.select(
+        "doc_id", "n_tokens", "quality_score", "split"
+    ).orderBy("doc_id")
+
+
+ORACLE_CORPUS_CURATE = f"""
+WITH base AS (
+  SELECT doc_id,
+         'shared banner line ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+           || coalesce(text, '') AS text
+  FROM documents WHERE doc_id < {_CUR_N}
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + {_CUR_SHIFT}, text FROM base WHERE doc_id % 10 = 0
+),
+lines AS (
+  SELECT doc_id, u.i AS ln, parts[u.i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus)
+  CROSS JOIN UNNEST(generate_series(1, len(parts))) AS u(i)
+),
+keyed AS (
+  SELECT doc_id, ln, line,
+         regexp_replace(lower(trim(line)), '\\s+', ' ', 'g') AS key
+  FROM lines
+),
+dup AS (
+  SELECT key FROM keyed WHERE key <> ''
+  GROUP BY key HAVING count(DISTINCT doc_id) >= 2
+),
+rebuilt AS (
+  SELECT k.doc_id,
+         coalesce(string_agg(k.line, chr(10) ORDER BY k.ln)
+                  FILTER (WHERE d.key IS NULL), '') AS text
+  FROM keyed k LEFT JOIN dup d ON k.key = d.key
+  GROUP BY k.doc_id
+),
+exact AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM rebuilt
+  ) WHERE doc_id = keep
+),
+q AS (
+  SELECT doc_id,
+         CAST(len(w) AS INT) AS n_tokens,
+         round(0.4 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * (1 - CASE WHEN len(w) > 0
+                               THEN CAST(len(list_filter(w, t -> t IN ({_CUR_STOPS}))) AS DOUBLE) / len(w)
+                               ELSE 0.0 END)
+             + 0.3 * (1 - CASE WHEN length(text) > 0
+                               THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                               ELSE 0.0 END), 6) AS quality_score
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM exact)
+),
+kept AS (SELECT * FROM q WHERE quality_score >= 0.3)
+SELECT doc_id, n_tokens, quality_score,
+       CASE WHEN bucket < 800 THEN 'train'
+            WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT *,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS bucket
+  FROM kept
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "semantic_dedup_lsh": q_semantic_dedup_lsh,
     "substring_dedup": q_substring_dedup_signals,
@@ -887,6 +996,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize_gate,
     "audio_fingerprint": q_audio_fingerprint_gate,
     "web_extract": q_web_extract_gate,
+    "corpus_curate": q_corpus_curate_gate,
 }
 
 ORACLE = {
@@ -900,4 +1010,5 @@ ORACLE = {
     "bpe_tokenize": ORACLE_BPE,
     "audio_fingerprint": ORACLE_AUDIOFP,
     "web_extract": ORACLE_WEB_EXTRACT,
+    "corpus_curate": ORACLE_CORPUS_CURATE,
 }

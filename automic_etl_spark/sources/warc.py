@@ -184,6 +184,30 @@ def open_warc(path: str, opener: Callable[[str], BinaryIO] | None = None):
     return buf
 
 
+def http_opener(
+    timeout: float = 60.0, user_agent: str = "automic-etl-spark/warc"
+) -> Callable[[str], BinaryIO]:
+    """Ready-made ``opener`` for http(s):// segment URLs — pure stdlib
+    (urllib), streams the response body (no full-file buffering; the
+    returned object is the socket-backed http response, which read()s
+    in chunks and closes the connection on close()). Suitable for
+    Common Crawl's https endpoints:
+
+        read_wet(spark, urls, opener=http_opener())
+
+    The callable is a module-level factory product (picklable closure
+    over plain config), so it ships in the task closure like any other
+    opener. For s3:// URLs pass your S3 client's open instead."""
+
+    def _open(path: str) -> BinaryIO:
+        import urllib.request
+
+        req = urllib.request.Request(path, headers={"User-Agent": user_agent})
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    return _open
+
+
 # --- DataFrame source --------------------------------------------------------
 
 def _list_warc_files(path_or_paths) -> list[str]:

@@ -61,6 +61,7 @@ def test_registry_driver_window_prefix():
         "ann_join", "token_mixture", "ngram_perplexity",
         "line_dedup",  # r6 family, rotated in late round 6
         "bpe_tokenize", "audio_fingerprint", "web_extract",  # r7
+        "corpus_curate",  # r7: the flagship curate() composition itself
     ):
         assert n in scored, f"LLM-pipeline family {n} fell out of the scored window"
     assert set(overflow) == {
@@ -70,6 +71,8 @@ def test_registry_driver_window_prefix():
         "simhash_clusters",   # r7: minhash family keeps minhash_jaccard
         "sliding_window",     # r7: window family keeps streaming_window
         "agg_global_distinct",  # r7: agg family keeps agg_having etc.
+        "join_outer_features",  # r7: outer joins keep feature_table /
+        # denormalized_view scored; displaced for corpus_curate
         "value_counts_topk", "join_left", "set_ops",
         "collect_agg", "sample_split_seed", "unpivot_long",
     }, f"unexpected overflow block: {overflow}"

@@ -178,6 +178,29 @@ class TestWarcSource:
         ).collect()
         assert len(rows) == 1 and rows[0].text == "remote wet text body"
 
+    def test_http_opener_real_server(self, spark, warc_dir):
+        """The stdlib http(s) opener streams segments from a real HTTP
+        server (the Common Crawl endpoint shape) — no local mount."""
+        import functools
+        import http.server
+        import threading
+
+        from automic_etl_spark.sources.warc import http_opener
+
+        handler = functools.partial(
+            http.server.SimpleHTTPRequestHandler, directory=warc_dir
+        )
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            port = srv.server_address[1]
+            urls = [f"http://127.0.0.1:{port}/seg-0.warc.gz"]
+            rows = read_warc(spark, urls, opener=http_opener()).collect()
+            assert len(rows) == 3
+            assert {r.warc_type for r in rows} == {"response", "resource"}
+        finally:
+            srv.shutdown()
+
     def test_open_warc_closes_underlying_stream(self, warc_dir):
         """Closing the reader must close the opener's stream even on the
         gzip path — GzipFile(fileobj=...) doesn't (ADVICE r6)."""
