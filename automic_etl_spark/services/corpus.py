@@ -13,6 +13,9 @@ dataset actually runs, composed from the engine's operators.
       → semantic dedup     (optional: SemDeDup over doc embeddings —
                             linear sign-LSH by default; k-means is the
                             explicit quality opt-in — operators/similarity)
+      → language gate      (optional: marker-stopword language ID,
+                            CCNet's dedup-then-language order —
+                            operators/textops.language_id)
       → quality filter     (length/stopword/punctuation composite,
                             optional Gopher shape + repetition gates,
                             optional C4 blocklist screen (caller's
@@ -23,6 +26,8 @@ dataset actually runs, composed from the engine's operators.
       → decontamination    (optional: drop docs sharing n-grams with a
                             benchmark set — operators/decontam)
       → per-group caps     (optional: quota sampling by source/language)
+      → mixture sampling   (optional: per-group token budgets,
+                            Pile/DoReMi — operators/mixing)
       → split assignment   (hash-based, append-stable)
       → sequence packing   (optional terminal stage: token-budget bins
                             per split — operators/packing)
@@ -135,6 +140,20 @@ class CorpusCurator:
     blocklist_words: tuple | None = None
     blocklist_max_hits: int = 0
     blocklist_max_fraction: float | None = None
+    # language gate (r7, the CCNet order: dedup first, then language):
+    # keep docs whose marker-stopword language prediction
+    # (operators/textops.language_id) is in this tuple; None disables.
+    # 'und' (no marker hits) is kept only if listed.
+    keep_langs: tuple | None = None
+    # token-budget mixture stage (r7, Pile/DoReMi): per-group token
+    # budgets applied AFTER quality/decontam/caps and BEFORE the split —
+    # operators/mixing.token_budget_sample semantics (deterministic
+    # hash thresholds, append-stable). None disables; groups absent
+    # from the dict keep everything. NOTE: computing the per-group
+    # thresholds is one inherent collect (group totals — one row per
+    # group), the same class of exception as the perplexity quantile.
+    token_budgets: dict | None = None
+    mixing_group_col: str = "source"
     # emit per-document model signals as OUTPUT COLUMNS (round 6):
     # quality_prob (when quality_model is set) and logscore_e6 +
     # ppl_bucket (when perplexity_lm is set) survive into the curated
@@ -323,6 +342,20 @@ class CorpusCurator:
                 "semantic", near_keep.join(dropped, id_col, "left_anti")
             )
 
+        # 2d. optional language gate (CCNet order: dedup, THEN language)
+        if self.keep_langs is not None:
+            from automic_etl_spark.operators.textops import language_id
+
+            labeled = language_id(near_keep, text_col)
+            gated = labeled.filter(F.col("lang_pred").isin(*self.keep_langs))
+            drop_cols = [
+                c for c in gated.columns
+                if c.startswith("score_") or (
+                    c == "lang_pred" and not self.emit_signals
+                )
+            ]
+            near_keep = stage("language", gated.drop(*drop_cols))
+
         # 3. quality filter
         scored = text_quality(near_keep, text_col)
         kept = stage(
@@ -462,6 +495,20 @@ class CorpusCurator:
                 ),
             )
 
+        # 5b. optional token-budget mixture sampling (Pile/DoReMi): the
+        # per-group thresholds cost one inherent collect of group totals
+        if self.token_budgets is not None:
+            from automic_etl_spark.operators.mixing import token_budget_sample
+
+            sampled, _mix = token_budget_sample(
+                kept,
+                dict(self.token_budgets),
+                group_col=self.mixing_group_col,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            kept = stage("mixture", sampled)
+
         # 6. append-stable split assignment
         out = hold(DatasetCurator(self.ratios).split_by_hash(kept, id_col))
         hist_member("split:", out, "split")
@@ -509,6 +556,8 @@ class CorpusCurator:
         report["near_dups_removed"] = removed("near")
         report["fuzzy_dups_removed"] = removed("fuzzy")
         report["semantic_dups_removed"] = removed("semantic")
+        if "language" in chain:
+            report["language_removed"] = removed("language")
         report["low_quality_removed"] = (
             removed("quality") + removed("gopher") + removed("blocklist")
             + removed("repetition") + removed("model") + removed("perplexity")
@@ -530,6 +579,8 @@ class CorpusCurator:
             }
         report["contaminated_removed"] = removed("decontam")
         report["group_cap_removed"] = removed("cap")
+        if "mixture" in chain:
+            report["mixture_removed"] = removed("mixture")
         report["final_docs"] = n[chain[-1]]
         report["splits"] = {
             k[len("split:"):]: v for k, v in t.items() if k.startswith("split:")

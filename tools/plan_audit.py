@@ -278,6 +278,7 @@ def _curate_action_count(spark) -> list[str]:
         lambda: CorpusCurator(
             min_quality=0.0,
             line_dedup_min_df=2,
+            keep_langs=("en", "und"),
             max_dup_2gram_ppm=990_000,
             max_dup_token_ppm=990_000,
             substr_window=8,
@@ -293,10 +294,10 @@ def _curate_action_count(spark) -> list[str]:
             f"curate_action_count: base config ran {base} driver actions "
             "(expected <= 5: CC iteration counts + ONE tallies collect)"
         )
-    # 7 extra stages may not add driver actions (± one CC iteration)
+    # 8 extra stages may not add driver actions (± one CC iteration)
     if rich - base > 1:
         failures.append(
-            f"curate_action_count: enabling 7 extra stages moved driver "
+            f"curate_action_count: enabling 8 extra stages moved driver "
             f"actions {base} -> {rich}; the report must stay one tallies "
             "action regardless of stage count"
         )
