@@ -323,6 +323,48 @@ class TestBlocklist:
         row = blocklist_stats(df, ["badword", "bad phrase"]).first()
         assert row.blocklist_hits == 2
 
+    def test_randomized_differential_vs_python_re(self, spark):
+        """Randomized differential: the InSet-word + phrase-regex split
+        must count exactly what an independent pure-Python model counts
+        (token equality for words, \\b-regex for phrases)."""
+        import random
+        import re
+
+        rng = random.Random(20260814)
+        vocab = [f"w{i}" for i in range(12)] + ["bad", "worse", "grass"]
+        words = ["bad", "w3", "w7"]
+        phrases = ["bad w1", "w2 w2"]
+
+        def ref_hits(text: str) -> int:
+            toks = [
+                re.sub(r"^\W+|\W+$", "", t).lower()
+                for t in re.split(r"\s+", text.strip())
+            ]
+            h = sum(1 for t in toks if t in {w.lower() for w in words})
+            for p in phrases:
+                pat = r"(?i)\b" + r"\s+".join(map(re.escape, p.split())) + r"\b"
+                h += len(re.findall(pat, text))
+            return h
+
+        rows = []
+        for i in range(60):
+            n = rng.randint(0, 25)
+            toks = [rng.choice(vocab) for _ in range(n)]
+            # sprinkle punctuation adjacency
+            text = " ".join(
+                t + rng.choice(["", ",", "!", ""]) for t in toks
+            )
+            rows.append((i, text))
+        from automic_etl_spark.operators.textops import blocklist_stats
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: r.blocklist_hits
+            for r in blocklist_stats(df, words + phrases).collect()
+        }
+        want = {i: ref_hits(t) for i, t in rows}
+        assert got == want
+
 
 class TestBlocklistCuratorStage:
     def test_blocklist_stage_in_curator(self, spark):
