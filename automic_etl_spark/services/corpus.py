@@ -28,6 +28,9 @@ dataset actually runs, composed from the engine's operators.
       → per-group caps     (optional: quota sampling by source/language)
       → mixture sampling   (optional: per-group token budgets,
                             Pile/DoReMi — operators/mixing)
+      → PII scrubbing      (optional: regex entity redaction, text
+                            rewritten before token budgets are
+                            measured — services/redaction)
       → split assignment   (hash-based, append-stable)
       → sequence packing   (optional terminal stage: token-budget bins
                             per split — operators/packing)
@@ -154,6 +157,14 @@ class CorpusCurator:
     # group), the same class of exception as the perplexity quantile.
     token_budgets: dict | None = None
     mixing_group_col: str = "source"
+    # PII scrubbing (r7): rewrite text through services/redaction's
+    # regex patterns (email/phone/ssn/...) after every content gate and
+    # BEFORE split/packing, so packed token budgets count the text that
+    # actually ships. Row-preserving; the report gains
+    # pii_redacted_docs. Strategy per RedactionService
+    # (tag/mask/hash/remove).
+    redact_pii: bool = False
+    redaction_strategy: str = "tag"
     # emit per-document model signals as OUTPUT COLUMNS (round 6):
     # quality_prob (when quality_model is set) and logscore_e6 +
     # ppl_bucket (when perplexity_lm is set) survive into the curated
@@ -509,6 +520,24 @@ class CorpusCurator:
             )
             kept = stage("mixture", sampled)
 
+        # 5c. optional PII scrubbing (row-preserving text rewrite)
+        if self.redact_pii:
+            from automic_etl_spark.services.redaction import RedactionService
+
+            svc = RedactionService(strategy=self.redaction_strategy)
+            red = hold(
+                kept.withColumn("__red", svc.redact_column(F.col(text_col)))
+            )
+            members.append(
+                red.select(
+                    F.lit("pii_docs").alias("__k"),
+                    (F.col(text_col) != F.col("__red"))
+                    .cast("long")
+                    .alias("__v"),
+                )
+            )
+            kept = red.withColumn(text_col, F.col("__red")).drop("__red")
+
         # 6. append-stable split assignment
         out = hold(DatasetCurator(self.ratios).split_by_hash(kept, id_col))
         hist_member("split:", out, "split")
@@ -581,6 +610,8 @@ class CorpusCurator:
         report["group_cap_removed"] = removed("cap")
         if "mixture" in chain:
             report["mixture_removed"] = removed("mixture")
+        if self.redact_pii:
+            report["pii_redacted_docs"] = t.get("pii_docs", 0)
         report["final_docs"] = n[chain[-1]]
         report["splits"] = {
             k[len("split:"):]: v for k, v in t.items() if k.startswith("split:")

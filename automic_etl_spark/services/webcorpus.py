@@ -48,6 +48,20 @@ class WebCorpusExtractor:
     # remote-storage seam (sources/warc.open_warc): path -> binary
     # stream, shipped in the task closure; None = local open
     opener: object | None = None
+    # URL-domain blocklist (r7, the C4 order: filter URLs BEFORE paying
+    # for decode/boilerplate): entries match themselves and all
+    # subdomains (operators/urls.filter_domains semantics); None/empty
+    # disables
+    block_domains: tuple | None = None
+
+    def _domain_gate(self, df: DataFrame, url_col: str) -> DataFrame:
+        if not self.block_domains:
+            return df
+        from automic_etl_spark.operators.urls import filter_domains
+
+        return filter_domains(
+            df, url_col=url_col, blocklist=list(self.block_domains)
+        )
 
     def html_pages(self, spark: SparkSession, path) -> DataFrame:
         """200-status text/html responses with a decoded `html` column."""
@@ -76,8 +90,11 @@ class WebCorpusExtractor:
         )
 
     def documents_from_warc(self, spark: SparkSession, path) -> DataFrame:
-        """WARC → (doc_id, url, source, title, text, boilerplate_ratio)."""
-        pages = extract_main_content(self.html_pages(spark, path), "html")
+        """WARC → (doc_id, url, source, title, text, boilerplate_ratio).
+        The domain blocklist gates BEFORE boilerplate extraction — the
+        expensive per-page stage never runs for blocked hosts."""
+        gated = self._domain_gate(self.html_pages(spark, path), "target_uri")
+        pages = extract_main_content(gated, "html")
         return (
             pages.filter(
                 (F.length("main_text") >= self.min_text_chars)
@@ -101,8 +118,12 @@ class WebCorpusExtractor:
         """WET → same shape (text pre-extracted by the crawler; no
         boilerplate stage, ratio null)."""
         return (
-            read_wet(
-                spark, path, max_payload=self.max_payload, opener=self.opener
+            self._domain_gate(
+                read_wet(
+                    spark, path, max_payload=self.max_payload,
+                    opener=self.opener,
+                ),
+                "url",
             )
             .filter(F.length("text") >= self.min_text_chars)
             .select(

@@ -530,3 +530,29 @@ def test_corpus_curator_language_and_mixture_stages(spark):
     assert kept_by_src.get("books", 0) == 10  # unbudgeted group intact
     assert kept_by_src.get("web", 0) < 11     # budgeted group downsampled
     assert report3["mixture_removed"] == 21 - report3["final_docs"]
+
+
+def test_corpus_curator_pii_redaction_stage(spark):
+    """r7: PII scrubbing rewrites text before split/packing and reports
+    how many documents were touched."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    body = (
+        "a perfectly ordinary document with plenty of words to clear "
+        "the quality gate and some more filler text for good measure"
+    )
+    rows = [
+        (1, body + " reach me at alice@example.com for details", "web"),
+        (2, body + " nothing sensitive here at all", "web"),
+        (3, body + " call 555-123-4567 tomorrow morning", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, report = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01, redact_pii=True
+    ).curate(docs)
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert report["pii_redacted_docs"] == 2
+    assert report["final_docs"] == 3
+    assert "alice@example.com" not in texts[1] and "[EMAIL]" in texts[1]
+    assert texts[2].endswith("nothing sensitive here at all")
+    assert "555-123-4567" not in texts[3]

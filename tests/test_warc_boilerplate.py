@@ -487,3 +487,25 @@ class TestWarcProperties:
         text, title, ratio = extract_main_text(html)
         assert isinstance(text, str) and isinstance(title, str)
         assert 0.0 <= ratio <= 1.0
+
+
+class TestDomainGate:
+    def test_wet_block_domains(self, spark, tmp_path):
+        """r7: the URL-domain blocklist gates records before any
+        downstream work — subdomains included."""
+        from automic_etl_spark.services.webcorpus import WebCorpusExtractor
+
+        f = str(tmp_path / "seg.wet.gz")
+        body = b"perfectly ordinary text " * 10
+        write_warc_file(
+            f,
+            [
+                ("conversion", body, "http://good.example.com/page"),
+                ("conversion", body, "http://spam.blogspot.com/x"),
+                ("conversion", body, "http://blogspot.com/y"),
+            ],
+        )
+        rows = WebCorpusExtractor(
+            min_text_chars=10, block_domains=("blogspot.com",)
+        ).documents_from_wet(spark, f).collect()
+        assert [r.url for r in rows] == ["http://good.example.com/page"]
