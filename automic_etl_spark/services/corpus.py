@@ -213,6 +213,11 @@ class CorpusCurator:
             # itself. Blocks are freed by the ContextCleaner once the
             # returned frame (and its checkpoint chain) goes out of
             # scope; same mechanism connected_components relies on.
+            # Cluster caveat (the trade CC already makes): local
+            # checkpoint blocks live on executors and are NOT
+            # recomputable after executor loss — on a preemption-heavy
+            # cluster set a reliable spark.checkpoint.dir and swap this
+            # for df.checkpoint(eager=False).
             return df.localCheckpoint(eager=False)
 
         # tally members: (__k string, __v long) frames, one union-agg at the end
