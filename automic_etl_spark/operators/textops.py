@@ -343,13 +343,20 @@ def _blocklist_pattern(entries: list[str]) -> str:
     """Compiled word-boundary alternation for phrase entries — the
     construction of C4's published badwords filter (tensorflow_datasets
     c4_utils: ``re.compile(r"(?i)\\b({})\\b")``). Internal whitespace
-    matches any whitespace run."""
+    matches any whitespace run.
+
+    Flags are ``(?iU)``: Java's ``\\b``/``\\w`` are ASCII-only by
+    default, so an entry like "été chaud" — which passes the Python
+    (unicode ``\\w``) validation in blocklist_stats — would silently
+    never match; UNICODE_CHARACTER_CLASS makes the Java boundary agree
+    with the validator, and it implies UNICODE_CASE so ``(?i)``
+    case-folds non-ASCII letters too (plain ``(?i)`` is ASCII-only)."""
     import re as _re
 
     alts = [
         r"\s+".join(_re.escape(part) for part in e.split()) for e in entries
     ]
-    return r"(?i)\b(?:" + "|".join(alts) + r")\b"
+    return r"(?iU)\b(?:" + "|".join(alts) + r")\b"
 
 
 def blocklist_stats(
@@ -407,9 +414,15 @@ def blocklist_stats(
             )
         (phrases if " " in e else singles).append(e)
 
+    # NULL text counts as 0 hits on BOTH arms: size(NULL array) is -1
+    # (legacy sizeOfNull) and regexp_count(NULL) is NULL, which made
+    # blocklist_hits depend on the list's word/phrase mix for NULL rows.
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    # (?U): strip with unicode \W so "café," → "café", matching both
+    # F.lower's unicode case-folding and the validator's unicode \w.
     toks = F.transform(
-        tokenize(F.col(text_col)),
-        lambda t: F.lower(F.regexp_replace(t, r"^\W+|\W+$", "")),
+        tokenize(txt),
+        lambda t: F.lower(F.regexp_replace(t, r"(?U)^\W+|\W+$", "")),
     )
     hits = None
     if singles:
@@ -417,12 +430,12 @@ def blocklist_stats(
         hits = F.size(F.filter(toks, lambda t: t.isin(*listed)))
     for i in range(0, len(phrases), _BLOCKLIST_CHUNK):
         term = F.regexp_count(
-            F.col(text_col),
+            txt,
             F.lit(_blocklist_pattern(phrases[i : i + _BLOCKLIST_CHUNK])),
         )
         hits = term if hits is None else hits + term
     hits = F.coalesce(hits, F.lit(0))
-    n_tok = F.size(tokenize(F.col(text_col)))
+    n_tok = F.size(F.filter(tokenize(txt), lambda t: t != ""))
     return df.select(
         "*",
         hits.cast("int").alias("blocklist_hits"),

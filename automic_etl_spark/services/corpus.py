@@ -360,16 +360,19 @@ class CorpusCurator:
 
         # 2d. optional language gate (CCNet order: dedup, THEN language)
         if self.keep_langs is not None:
-            from automic_etl_spark.operators.textops import language_id
+            from automic_etl_spark.operators.textops import (
+                LANG_MARKERS,
+                language_id,
+            )
 
             labeled = language_id(near_keep, text_col)
             gated = labeled.filter(F.col("lang_pred").isin(*self.keep_langs))
-            drop_cols = [
-                c for c in gated.columns
-                if c.startswith("score_") or (
-                    c == "lang_pred" and not self.emit_signals
-                )
-            ]
+            # drop ONLY language_id's own outputs — a caller-supplied
+            # column that happens to start with "score_" must survive
+            # curate() untouched (ADVICE r7)
+            drop_cols = [f"score_{lang}" for lang in LANG_MARKERS]
+            if not self.emit_signals:
+                drop_cols.append("lang_pred")
             near_keep = stage("language", gated.drop(*drop_cols))
 
         # 3. quality filter
