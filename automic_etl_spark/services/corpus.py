@@ -165,6 +165,16 @@ class CorpusCurator:
     # (tag/mask/hash/remove).
     redact_pii: bool = False
     redaction_strategy: str = "tag"
+    # stage-boundary checkpoint mode (r9). None (default) = lazy
+    # localCheckpoint: blocks live on executors, fastest, but NOT
+    # recomputable after executor loss — fine on a stable cluster or
+    # local mode. A path (HDFS/S3/local dir) = reliable
+    # df.checkpoint(eager=False) against that directory, the posture
+    # for preemption-heavy / spot fleets where losing one executor
+    # mid-funnel must not invalidate the run. Both arms are lazy, so
+    # the driver-action count is identical (curate_action_count guard
+    # covers both).
+    checkpoint_dir: str | None = None
     # emit per-document model signals as OUTPUT COLUMNS (round 6):
     # quality_prob (when quality_model is set) and logscore_e6 +
     # ppl_bucket (when perplexity_lm is set) survive into the curated
@@ -215,10 +225,18 @@ class CorpusCurator:
             # scope; same mechanism connected_components relies on.
             # Cluster caveat (the trade CC already makes): local
             # checkpoint blocks live on executors and are NOT
-            # recomputable after executor loss — on a preemption-heavy
-            # cluster set a reliable spark.checkpoint.dir and swap this
-            # for df.checkpoint(eager=False).
+            # recomputable after executor loss — construct the curator
+            # with checkpoint_dir=<reliable path> on a preemption-heavy
+            # cluster and this becomes a reliable (still lazy)
+            # df.checkpoint instead.
+            if self.checkpoint_dir is not None:
+                return df.checkpoint(eager=False)
             return df.localCheckpoint(eager=False)
+
+        if self.checkpoint_dir is not None:
+            docs.sparkSession.sparkContext.setCheckpointDir(
+                self.checkpoint_dir
+            )
 
         # tally members: (__k string, __v long) frames, one union-agg at the end
         members: list[DataFrame] = []

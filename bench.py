@@ -139,18 +139,25 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    attempts: dict[str, list[float]] = {}
     for name, fn in HEADLINE.items():
         # min of 2 executions: the second run reuses compiled codegen and
         # OS page cache, so it reflects steady-state engine cost rather
-        # than scheduler noise.
+        # than scheduler noise.  Both attempt times are recorded under
+        # "attempts" so a reviewer can separate contention noise (wide
+        # attempt spread / first-run-only cost) from a real regression
+        # without re-running the board.
         best = None
+        per_attempt: list[float] = []
         for _attempt in range(2):
             t0 = time.time()
             df = fn(spark, sf_dir)
             _ = len(df.collect())
             dt = time.time() - t0
+            per_attempt.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        attempts[name] = per_attempt
 
     total = round(sum(timings.values()), 3)
     print(
@@ -160,6 +167,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "attempts": attempts,
                 "sf": sf,
             }
         )

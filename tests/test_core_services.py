@@ -308,6 +308,42 @@ def test_corpus_curator_end_to_end(spark):
     assert {"quality_score", "split"} <= set(out.columns)
 
 
+def test_corpus_curator_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir=<path> swaps every stage-boundary hold() from
+    localCheckpoint to a reliable df.checkpoint against that directory
+    (the spot-fleet posture: blocks survive executor loss) with
+    identical results to the default arm."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find a quiet place for sleeping"
+    )
+    rows = [
+        (1, base, "a"),
+        (2, base, "a"),
+        (3, base + " indeed", "a"),
+        (4, "!!! ??? !!! ,,, ...", "b"),
+        (5, "completely different text about engines and data pipelines "
+            "running large scale spark jobs across many machines", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    ckpt = str(tmp_path / "ckpt")
+    local_out, local_rep = CorpusCurator(
+        min_quality=0.4, jaccard_threshold=0.5
+    ).curate(docs)
+    rel_out, rel_rep = CorpusCurator(
+        min_quality=0.4, jaccard_threshold=0.5, checkpoint_dir=ckpt
+    ).curate(docs)
+
+    assert {r["doc_id"] for r in rel_out.collect()} == {1, 5}
+    assert rel_rep == local_rep
+    # reliable blocks actually landed under the configured directory
+    import os
+
+    assert any(files for _, _, files in os.walk(ckpt))
+
+
 def test_corpus_curator_fuzzy_and_packing_stages(spark):
     """r4 verdict item 6: fuzzy dedup and terminal sequence packing run
     as CorpusCurator stages — the composed pipeline is the single entry

@@ -326,16 +326,24 @@ class TestBlocklist:
     def test_randomized_differential_vs_python_re(self, spark):
         """Randomized differential: the InSet-word + phrase-regex split
         must count exactly what an independent pure-Python model counts
-        (token equality for words, \\b-regex for phrases)."""
+        (token equality for words, \\b-regex for phrases). The vocab
+        includes accented tokens and the word/phrase lists include
+        non-ASCII entries, so the Java ``(?iU)`` pattern and unicode
+        token-strip are pinned against the (always-unicode) Python
+        ``re`` model; NULL-text rows are injected and must count 0."""
         import random
         import re
 
         rng = random.Random(20260814)
-        vocab = [f"w{i}" for i in range(12)] + ["bad", "worse", "grass"]
-        words = ["bad", "w3", "w7"]
-        phrases = ["bad w1", "w2 w2"]
+        vocab = [f"w{i}" for i in range(12)] + [
+            "bad", "worse", "grass", "été", "CHAUD", "café", "Ünïté",
+        ]
+        words = ["bad", "w3", "w7", "ünïté"]
+        phrases = ["bad w1", "w2 w2", "été chaud"]
 
-        def ref_hits(text: str) -> int:
+        def ref_hits(text: str | None) -> int:
+            if text is None:
+                return 0
             toks = [
                 re.sub(r"^\W+|\W+$", "", t).lower()
                 for t in re.split(r"\s+", text.strip())
@@ -346,8 +354,11 @@ class TestBlocklist:
                 h += len(re.findall(pat, text))
             return h
 
-        rows = []
-        for i in range(60):
+        rows: list[tuple[int, str | None]] = []
+        for i in range(80):
+            if i % 20 == 7:
+                rows.append((i, None))
+                continue
             n = rng.randint(0, 25)
             toks = [rng.choice(vocab) for _ in range(n)]
             # sprinkle punctuation adjacency
@@ -364,6 +375,45 @@ class TestBlocklist:
         }
         want = {i: ref_hits(t) for i, t in rows}
         assert got == want
+
+    def test_unicode_phrase_casefold_and_boundary(self, spark):
+        """An accented phrase entry must match across whitespace runs
+        with non-ASCII case folding ("été chaud" vs "ÉTÉ  CHAUD") —
+        the exact failure the (?iU) flags exist to fix: Java's default
+        \\b/\\w are ASCII-only and plain (?i) does not case-fold É."""
+        from automic_etl_spark.operators.textops import blocklist_stats
+
+        df = spark.createDataFrame(
+            [
+                (1, "un ÉTÉ  CHAUD ici"),
+                (2, "l'été chaud!"),
+                (3, "étés chauds"),  # \b-exact: no substring hit
+                (4, "ete chaud"),  # unaccented is a different word
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r.blocklist_hits
+            for r in blocklist_stats(df, ["été chaud"]).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 0, 4: 0}
+
+    def test_null_text_counts_zero_on_both_arms(self, spark):
+        """NULL text is 0 hits / 0.0 fraction whether the list compiles
+        to the InSet word arm, the phrase-regex arm, or both (pre-r8,
+        size(NULL)=-1 and regexp_count(NULL)=NULL made the answer
+        depend on the list's word/phrase mix)."""
+        from automic_etl_spark.operators.textops import blocklist_stats
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "badword here")], "doc_id long, text string"
+        )
+        for entries in (["badword"], ["bad phrase"], ["badword", "bad phrase"]):
+            row = {
+                r.doc_id: (r.blocklist_hits, r.blocklist_fraction)
+                for r in blocklist_stats(df, entries).collect()
+            }
+            assert row[1] == (0, 0.0), entries
 
 
 class TestBlocklistCuratorStage:

@@ -274,6 +274,14 @@ def _curate_action_count(spark) -> list[str]:
         "doc_id long, text string, source string",
     )
     base = count_actions(lambda: CorpusCurator(min_quality=0.0).curate(docs))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        reliable = count_actions(
+            lambda: CorpusCurator(
+                min_quality=0.0, checkpoint_dir=ckpt
+            ).curate(docs)
+        )
     rich = count_actions(
         lambda: CorpusCurator(
             min_quality=0.0,
@@ -293,6 +301,13 @@ def _curate_action_count(spark) -> list[str]:
         failures.append(
             f"curate_action_count: base config ran {base} driver actions "
             "(expected <= 5: CC iteration counts + ONE tallies collect)"
+        )
+    # the reliable-checkpoint arm must not change the action count
+    if reliable != base:
+        failures.append(
+            f"curate_action_count: checkpoint_dir arm ran {reliable} driver "
+            f"actions vs {base} for localCheckpoint; both holds are lazy so "
+            "the counts must match"
         )
     # 8 extra stages may not add driver actions (± one CC iteration)
     if rich - base > 1:
