@@ -73,7 +73,25 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Language-ID heuristic: argmax of marker-stopword hit counts, 'und'
-    when no marker hits. Deterministic tie-break by language code order."""
+    when no marker hits. Deterministic tie-break by language code order.
+
+    CONTRACT — supported languages are exactly ``sorted(LANG_MARKERS)``
+    (en/es/de/fr today): any text with zero marker hits — every other
+    language, plus short or stopword-free text in a supported one —
+    predicts 'und'. A fastText-class model (e.g. CCNet's lid.176) slots
+    in by replacing this function; the curate() gate only consumes
+    ``lang_pred``. Output columns: one ``score_{lang}`` per supported
+    language plus ``lang_pred``; input columns with those names would
+    make the argmax ambiguous, so they are rejected."""
+    clash = set(df.columns) & (
+        {f"score_{lang}" for lang in LANG_MARKERS} | {"lang_pred"}
+    )
+    if clash:
+        raise ValueError(
+            f"language_id output column(s) {sorted(clash)} already exist "
+            "in the input — rename them first (the argmax over "
+            "score_{lang} would hit an ambiguous reference)"
+        )
     toks = tokenize(F.col(text_col))
     scores = []
     for lang, markers in sorted(LANG_MARKERS.items()):

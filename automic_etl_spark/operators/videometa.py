@@ -492,9 +492,12 @@ def video_blobs_keyframe_phash(
     paths. One Arrow-batched mapInPandas, map-only, no shuffle; at most
     3 decodes per clip regardless of duration.
 
-    Output: (id, pos 0..2, ok, dhash). A clip with no parseable sample
-    table emits a single (pos=-1, ok=false) row so every input id
-    appears in the output."""
+    Output: (id, pos 0..2, ok, dhash) — one row per DISTINCT sampled
+    keyframe, so a 1-keyframe clip emits a single pos=0 row (and can
+    therefore never satisfy a >=2-role match on one frame's evidence)
+    and a 2-keyframe clip emits pos 0 and 1. A clip with no parseable
+    sample table emits a single (pos=-1, ok=false) row so every input
+    id appears in the output."""
     import pandas as pd
 
     from automic_etl_spark.operators.imagehash import decode_image, dhash64
@@ -509,7 +512,16 @@ def video_blobs_keyframe_phash(
                     rows.append((rid, -1, False, None))
                     continue
                 picks = (0, len(index) // 2, len(index) - 1)
+                # only DISTINCT keyframe indices become roles: a 1- or
+                # 2-keyframe clip must not emit the same frame under
+                # several role labels, or two such clips sharing one
+                # similar frame would count multiple "role matches" and
+                # clear the 2-of-3 rule on single-frame evidence
+                seen_picks: set[int] = set()
                 for pos in range(_KEYFRAME_ROLES):
+                    if picks[pos] in seen_picks:
+                        continue
+                    seen_picks.add(picks[pos])
                     _, _, off, size = index[picks[pos]]
                     frame = data[off : off + size] if off + size <= len(data) else b""
                     _, img = decode_image(frame)

@@ -146,7 +146,12 @@ class CorpusCurator:
     # language gate (r7, the CCNet order: dedup first, then language):
     # keep docs whose marker-stopword language prediction
     # (operators/textops.language_id) is in this tuple; None disables.
-    # 'und' (no marker hits) is kept only if listed.
+    # 'und' (no marker hits) is kept only if listed. CONTRACT: the
+    # predictor supports exactly textops.LANG_MARKERS's languages
+    # (en/es/de/fr today) — every OTHER language predicts 'und', so a
+    # keep_langs without 'und' drops all of them; input columns named
+    # score_en/score_es/score_de/score_fr or lang_pred are rejected by
+    # language_id (ambiguous argmax) — rename before curate().
     keep_langs: tuple | None = None
     # token-budget mixture stage (r7, Pile/DoReMi): per-group token
     # budgets applied AFTER quality/decontam/caps and BEFORE the split —

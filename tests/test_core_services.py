@@ -556,6 +556,25 @@ def test_corpus_curator_language_and_mixture_stages(spark):
     preds = {r["doc_id"]: r["lang_pred"] for r in out2.collect()}
     assert preds[200] == "fr" and preds[1] == "en"
 
+    # contract: an UNSUPPORTED language (outside LANG_MARKERS) predicts
+    # 'und' — dropped unless 'und' is listed in keep_langs
+    it = (
+        "questo gatto dorme sempre sulla sedia rossa vicino alla "
+        "finestra mentre guarda gli uccelli nel giardino fiorito"
+    )
+    docs_it = docs.union(
+        spark.createDataFrame([(300, it, "web")], docs.schema)
+    )
+    out_nd, rep_nd = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01, keep_langs=("en",)
+    ).curate(docs_it)
+    assert rep_nd["language_removed"] == 2  # the fr doc AND the it→und doc
+    assert 300 not in {r["doc_id"] for r in out_nd.collect()}
+    out_u, _ = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01, keep_langs=("en", "und")
+    ).curate(docs_it)
+    assert 300 in {r["doc_id"] for r in out_u.collect()}
+
     # mixture stage: squeeze the web group, leave books whole
     out3, report3 = CorpusCurator(
         min_quality=0.0, jaccard_threshold=1.01, token_budgets={"web": 60}

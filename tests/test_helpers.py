@@ -59,6 +59,30 @@ def test_language_id_argmax_and_und(spark):
     assert out == again
 
 
+def test_language_id_unsupported_is_und_and_collisions_rejected(spark):
+    """Contract: supported languages are exactly LANG_MARKERS (en/es/
+    de/fr) — text in any OTHER language has zero marker hits and
+    predicts 'und'; input columns colliding with language_id's outputs
+    raise instead of hitting an ambiguous argmax reference."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, "questo gatto dorme sempre sulla sedia rossa"),   # it
+            (2, "essa casa fica perto da praia bonita"),          # pt
+            (3, "dit huis staat naast het grote bos"),            # nl
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(df).collect()}
+    assert out == {1: "und", 2: "und", 3: "und"}
+
+    for bad in ("score_en", "lang_pred"):
+        clashing = df.withColumn(bad, df.doc_id)
+        with pytest.raises(ValueError, match=bad):
+            language_id(clashing)
+
+
 def test_gold_denormalized_suffixes(spark, tmp_path, users_df):
     from automic_etl_spark.medallion import Lakehouse
     from automic_etl_spark.medallion.gold import JoinDefinition

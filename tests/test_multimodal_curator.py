@@ -223,12 +223,44 @@ def test_video_keyframe_phash_roles(spark):
     )
     rows = video_blobs_keyframe_phash(blobs).collect()
     by = {(r.doc_id, r.pos): r for r in rows}
-    # 2 keyframes -> roles first=kf1, middle=last=kf4; all decode
-    assert by[(1, 0)].ok and by[(1, 1)].ok and by[(1, 2)].ok
-    assert by[(1, 1)].dhash == by[(1, 2)].dhash
+    # 2 keyframes -> DISTINCT roles only: first=kf1, middle=kf4; the
+    # last role would repeat kf4 and is not emitted (no duplicate-role
+    # evidence inflation)
+    assert by[(1, 0)].ok and by[(1, 1)].ok
+    assert (1, 2) not in by
     assert by[(1, 0)].dhash != by[(1, 1)].dhash
     # unparseable container still emits a row (kept downstream)
     assert not by[(2, -1)].ok and by[(2, -1)].dhash is None
+
+
+def test_video_single_keyframe_no_role_inflation(spark):
+    """A 1-keyframe clip emits ONE role row, so two such clips sharing
+    that single similar frame accrue 1 role match and do NOT link under
+    the 2-of-3 rule — single-frame evidence must not masquerade as
+    multi-role agreement (r8 ADVICE)."""
+    from automic_etl_spark.operators.imagehash import synth_png
+
+    from automic_etl_spark.operators.videometa import (
+        video_blobs_keyframe_phash,
+        video_near_dup_pairs,
+    )
+    from tests.test_videometa import make_mp4_with_stbl
+
+    def one_kf(img):
+        samples = [
+            synth_png(img), b"x" * 20, b"y" * 30, b"q" * 40, b"z" * 50, b"w" * 60,
+        ]
+        data, _ = make_mp4_with_stbl(samples=samples, sync_samples=(1,))
+        return data
+
+    blobs = spark.createDataFrame(
+        [(1, one_kf(_block_img(9))), (2, one_kf(_block_img(9, perturb=5)))],
+        "doc_id long, _content_bytes binary",
+    )
+    hashes = video_blobs_keyframe_phash(blobs)
+    rows = hashes.collect()
+    assert {(r.doc_id, r.pos) for r in rows} == {(1, 0), (2, 0)}
+    assert video_near_dup_pairs(hashes).count() == 0
 
 
 def test_curate_video_near_dup(spark):

@@ -86,7 +86,7 @@ def _full_box(btype: bytes, body: bytes) -> bytes:
     return _box(btype, b"\x00\x00\x00\x00" + body)
 
 
-def make_mp4_with_stbl(duration_s=3, timescale=10, samples=None):
+def make_mp4_with_stbl(duration_s=3, timescale=10, samples=None, sync_samples=(1, 4)):
     """Playable-shaped MP4: 6 samples (1 per tick at 10 ticks/s scaled to
     2 samples/s), laid out in 2 chunks of 3 inside an mdat. Keyframes at
     samples 1 and 4. Pass ``samples`` (6 byte strings) to control the
@@ -111,7 +111,11 @@ def make_mp4_with_stbl(duration_s=3, timescale=10, samples=None):
     stsc = _full_box(b"stsc", struct.pack(">I", 1) + struct.pack(">III", 1, 3, 1))
     stsz = _full_box(b"stsz", struct.pack(">II", 0, 6) + b"".join(struct.pack(">I", s) for s in sizes))
     stco = _full_box(b"stco", struct.pack(">I", 2) + struct.pack(">II", chunk1_off, chunk2_off))
-    stss = _full_box(b"stss", struct.pack(">I", 2) + struct.pack(">II", 1, 4))
+    stss = _full_box(
+        b"stss",
+        struct.pack(">I", len(sync_samples))
+        + b"".join(struct.pack(">I", n) for n in sync_samples),
+    )
     stbl = _box(b"stbl", stts + stsc + stsz + stco + stss)
     mdhd = _box(b"mdhd", b"\x00" * 12 + struct.pack(">II", timescale, duration_s * timescale) + b"\x00" * 4)
     minf = _box(b"minf", stbl)
@@ -124,7 +128,9 @@ def make_mp4_with_stbl(duration_s=3, timescale=10, samples=None):
         chunk2_off + sum(sizes[3 : 3 + i]) for i in range(3)
     ]
     ts = [i * 5 * 1000 // timescale for i in range(6)]  # 0,500,1000,...
-    expected = [(1, ts[0], offs[0], sizes[0]), (4, ts[3], offs[3], sizes[3])]
+    expected = [
+        (n, ts[n - 1], offs[n - 1], sizes[n - 1]) for n in sync_samples
+    ]
     return ftyp + mdat + moov, expected
 
 
