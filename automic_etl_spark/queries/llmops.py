@@ -879,6 +879,9 @@ ORDER BY doc_id
 # --------------------------------------------------------------------------
 
 _CUR_N, _CUR_SHIFT = 300, 1_000_000
+_CUR_NEAR_SHIFT = 2_000_000
+_CUR_JACCARD = 0.6
+_CUR_EDIT = " minhash near dup probe"
 
 from automic_etl_spark.operators.textops import STOPWORDS as _CUR_STOPWORDS
 
@@ -888,15 +891,19 @@ _CUR_STOPS = ", ".join(f"'{s}'" for s in sorted(_CUR_STOPWORDS))
 def q_corpus_curate_gate(spark, sf_dir):
     """THE flagship entry point (services/corpus.CorpusCurator.curate)
     value-checked end to end: documents gain a corpus-shared banner line
-    (line-dedup work) and a 10% exact re-delivery (exact-dedup work),
-    then run the real curate() — corpus-wide line dedup, md5 exact
-    dedup, the MinHash near-dup machinery (jaccard_threshold > 1 prunes
-    every candidate, so the stage is a verified no-op here; the
-    operators themselves are hash-gated by minhash_jaccard), the
-    text-quality gate, and hash split assignment, all through the r7
-    one-tallies-action orchestration. The oracle replays every stage in
-    SQL: the duplicated-line drop, the keep-min-id md5 collapse, the
-    40/30/30 quality score, and the md5-bucket split."""
+    (line-dedup work), a 10% exact re-delivery (exact-dedup work), and
+    a 10% NEAR-dup re-delivery (each doc_id%10==5 doc re-appears with a
+    few appended words — high shingle-Jaccard, not byte-identical), then
+    run the real curate() — corpus-wide line dedup, md5 exact dedup, the
+    LIVE MinHash→LSH→Jaccard-verify→connected-components near-dup stage
+    at jaccard_threshold=0.6 (r9: previously threshold>1 made this arm a
+    verified no-op), the text-quality gate, and hash split assignment,
+    all through the r7 one-tallies-action orchestration. The oracle
+    replays every stage in SQL — the duplicated-line drop, the
+    keep-min-id md5 collapse, the SAME 12-hash/4-band MinHash banding +
+    exact-Jaccard verify (so probabilistic banding misses agree on both
+    sides), connected components as a recursive transitive closure with
+    min-id keep, the 40/30/30 quality score, and the md5-bucket split."""
     from automic_etl_spark.services.corpus import CorpusCurator
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -909,17 +916,27 @@ def q_corpus_curate_gate(spark, sf_dir):
     redelivered = planted.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + _CUR_SHIFT).alias("doc_id"), "text"
     )
-    corpus = planted.unionByName(redelivered)
+    near_redelivered = planted.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + _CUR_NEAR_SHIFT).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_CUR_EDIT)).alias("text"),
+    )
+    corpus = planted.unionByName(redelivered).unionByName(near_redelivered)
     out, _report = CorpusCurator(
-        min_quality=0.3, line_dedup_min_df=2, jaccard_threshold=1.01
+        min_quality=0.3, line_dedup_min_df=2, jaccard_threshold=_CUR_JACCARD
     ).curate(corpus)
     return out.select(
         "doc_id", "n_tokens", "quality_score", "split"
     ).orderBy("doc_id")
 
 
+from automic_etl_spark.operators.dedup import MINHASH_P as _CUR_P
+from automic_etl_spark.queries.dedup_sim import (
+    _BAND_KEYS as _CUR_BAND_KEYS,
+    _SIG_SELECT as _CUR_SIG_SELECT,
+)
+
 ORACLE_CORPUS_CURATE = f"""
-WITH base AS (
+WITH RECURSIVE base AS (
   SELECT doc_id,
          'shared banner line ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
            || coalesce(text, '') AS text
@@ -929,6 +946,9 @@ corpus AS (
   SELECT doc_id, text FROM base
   UNION ALL
   SELECT doc_id + {_CUR_SHIFT}, text FROM base WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {_CUR_NEAR_SHIFT}, text || '{_CUR_EDIT}'
+  FROM base WHERE doc_id % 10 = 5
 ),
 lines AS (
   SELECT doc_id, u.i AS ln, parts[u.i] AS line
@@ -958,6 +978,70 @@ exact AS (
     FROM rebuilt
   ) WHERE doc_id = keep
 ),
+-- near-dup replay: identical MinHash(12)+LSH(4 bands) banding as
+-- operators/dedup (same md5-based universal hashes), exact-Jaccard
+-- verify on candidates, then connected components by recursive
+-- transitive closure with min-id keep
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM exact)
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_CUR_P} AS h
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {_CUR_SIG_SELECT}
+  FROM hashed GROUP BY doc_id
+),
+melted AS (
+  SELECT doc_id, unnest([{_CUR_BAND_KEYS}]) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melted a JOIN melted b USING (band_key)
+  WHERE a.doc_id < b.doc_id
+),
+tok AS (
+  SELECT DISTINCT doc_id, s FROM sh
+  WHERE doc_id IN (SELECT id_a FROM cand UNION SELECT id_b FROM cand)
+),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN tok x ON x.doc_id = c.id_a
+  JOIN tok y ON y.doc_id = c.id_b AND y.s = x.s
+  GROUP BY c.id_a, c.id_b
+),
+verified AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter USING (id_a, id_b)
+  JOIN sz a ON a.doc_id = c.id_a
+  JOIN sz b ON b.doc_id = c.id_b
+  WHERE round(coalesce(n_inter, 0)
+              / CAST(a.n + b.n - coalesce(n_inter, 0) AS DOUBLE), 6)
+        >= {_CUR_JACCARD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM verified
+  UNION
+  SELECT id_b, id_a FROM verified
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+near AS (
+  SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+),
 q AS (
   SELECT doc_id,
          CAST(len(w) AS INT) AS n_tokens,
@@ -968,7 +1052,7 @@ q AS (
              + 0.3 * (1 - CASE WHEN length(text) > 0
                                THEN CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
                                ELSE 0.0 END), 6) AS quality_score
-  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM exact)
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w FROM near)
 ),
 kept AS (SELECT * FROM q WHERE quality_score >= 0.3)
 SELECT doc_id, n_tokens, quality_score,
