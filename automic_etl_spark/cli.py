@@ -33,6 +33,27 @@ def build_parser() -> argparse.ArgumentParser:
 
     e = sub.add_parser("explain", help="show the physical plan of a SQL query")
     e.add_argument("sql")
+
+    cw = sub.add_parser(
+        "curate-web",
+        help="crawl archives -> curated, packed training sequences "
+        "(WET/WARC in, parquet + manifest out)",
+    )
+    cw.add_argument("paths", nargs="+", help="WET/WARC segment files, dirs or URLs")
+    cw.add_argument("--out", required=True, help="output directory (parquet + manifest)")
+    cw.add_argument("--archive", choices=["wet", "warc"], default="wet")
+    cw.add_argument("--pack-tokens", type=int, default=2048)
+    cw.add_argument(
+        "--min-text-chars", type=int, default=200,
+        help="extractor gate: minimum extracted text length per page",
+    )
+    cw.add_argument("--line-dedup-min-df", type=int, default=2)
+    cw.add_argument("--min-quality", type=float, default=0.3)
+    cw.add_argument(
+        "--checkpoint-dir", default=None,
+        help="reliable checkpoint dir for stage boundaries (spot fleets); "
+        "default keeps executor-local checkpoints",
+    )
     return p
 
 
@@ -44,6 +65,29 @@ def main(argv: list[str] | None = None) -> int:
     from automic_etl_spark.medallion import Lakehouse
 
     spark = get_spark("automic-cli")
+
+    if args.command == "curate-web":
+        from automic_etl_spark.services.corpus import CorpusCurator
+        from automic_etl_spark.services.webcorpus import (
+            WebCorpusExtractor,
+            web_corpus_to_training_set,
+        )
+
+        extractor = WebCorpusExtractor(min_text_chars=args.min_text_chars)
+        curator = CorpusCurator(
+            min_quality=args.min_quality,
+            line_dedup_min_df=args.line_dedup_min_df,
+            pack_tokens=args.pack_tokens,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        paths = args.paths[0] if len(args.paths) == 1 else args.paths
+        _seq, report = web_corpus_to_training_set(
+            spark, paths, out_dir=args.out, archive=args.archive,
+            extractor=extractor, curator=curator,
+        )
+        print(json.dumps(report, default=str))
+        return 0
+
     lh = Lakehouse(spark, args.warehouse)
 
     if args.command == "query":

@@ -208,6 +208,101 @@ def http_opener(
     return _open
 
 
+class _ReadOnlyRaw(io.RawIOBase):
+    """RawIOBase adapter over any object exposing ``read(n)``/``close()``
+    (e.g. botocore's StreamingBody, which predates-io-compatible across
+    versions) so ``open_warc``'s BufferedReader can wrap it uniformly."""
+
+    def __init__(self, body):
+        self._body = body
+
+    def readable(self) -> bool:
+        return True
+
+    def readinto(self, b) -> int:
+        chunk = self._body.read(len(b))
+        if not chunk:
+            return 0
+        n = len(chunk)
+        b[:n] = chunk
+        return n
+
+    def close(self) -> None:
+        try:
+            self._body.close()
+        finally:
+            super().close()
+
+
+#: per-process S3 client cache, keyed by opener config — one client per
+#: executor process, not one per segment
+_S3_CLIENTS: dict = {}
+
+
+def s3_opener(
+    region_name: str | None = None,
+    endpoint_url: str | None = None,
+    anonymous: bool = False,
+    client_factory: Callable[[], object] | None = None,
+) -> Callable[[str], BinaryIO]:
+    """Ready-made ``opener`` for s3:// segment URLs — the Common Crawl
+    bucket layout (``s3://commoncrawl/crawl-data/...warc.gz``):
+
+        read_wet(spark, s3_urls, opener=s3_opener(anonymous=True))
+
+    boto3 is imported lazily INSIDE the returned callable, so the
+    factory itself is importable (and the closure picklable — it
+    captures only plain config) without boto3 installed; executors that
+    actually open a segment need it on their image. ``anonymous=True``
+    signs nothing (public buckets). The S3 client is built once per
+    executor process and cached (module cache keyed by config), then
+    each open streams the object body — GetObject's StreamingBody reads
+    in chunks; no full-object buffering.
+
+    ``client_factory`` injects a ready-made client (anything with
+    ``get_object(Bucket=, Key=)`` returning ``{"Body": readable}``) —
+    the testing seam, and an escape hatch for pre-configured
+    sessions/credentials."""
+
+    def _open(path: str) -> BinaryIO:
+        if not path.startswith("s3://"):
+            raise ValueError(f"s3_opener got a non-s3 URL: {path!r}")
+        bucket, _, key = path[5:].partition("/")
+        if not bucket or not key:
+            raise ValueError(f"s3 URL must be s3://bucket/key, got {path!r}")
+        if client_factory is not None:
+            client = client_factory()
+        else:
+            cache_key = (region_name, endpoint_url, anonymous)
+            client = _S3_CLIENTS.get(cache_key)
+            if client is None:
+                try:
+                    import boto3
+                except ImportError as e:  # pragma: no cover - env-gated
+                    raise ImportError(
+                        "s3_opener needs boto3 on the executors (pass "
+                        "client_factory= to supply your own client, or "
+                        "use http_opener() against the bucket's https "
+                        "endpoint)"
+                    ) from e
+                kwargs: dict = {}
+                if region_name:
+                    kwargs["region_name"] = region_name
+                if endpoint_url:
+                    kwargs["endpoint_url"] = endpoint_url
+                if anonymous:
+                    from botocore import UNSIGNED
+                    from botocore.config import Config
+
+                    kwargs["config"] = Config(signature_version=UNSIGNED)
+                client = boto3.client("s3", **kwargs)
+                _S3_CLIENTS[cache_key] = client
+        body = client.get_object(Bucket=bucket, Key=key)["Body"]
+        return _ReadOnlyRaw(body)
+
+    return _open
+
+
 # --- DataFrame source --------------------------------------------------------
 
 def _list_warc_files(path_or_paths) -> list[str]:

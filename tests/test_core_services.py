@@ -125,6 +125,49 @@ def test_cli_parser_and_tables(spark, tmp_path, users_df, capsys, monkeypatch):
     assert '"n": 5' in capsys.readouterr().out
 
 
+def test_cli_curate_web(spark, tmp_path, capsys, monkeypatch):
+    """`automic-spark curate-web --out ...` runs the one-call WET →
+    curated-packed-sequences story from the command line (r8 VERDICT
+    item 10): segments in, parquet + JSON manifest out, report JSON on
+    stdout."""
+    import json as _json
+    import os
+
+    from automic_etl_spark import cli
+    from automic_etl_spark.sources.warc import write_warc_file
+
+    seg = str(tmp_path / "seg-0.wet.gz")
+    body = (
+        "plain extracted text about spark pipelines and web corpora "
+        "with enough ordinary words to be a document"
+    )
+    write_warc_file(
+        seg,
+        [
+            ("conversion", body.encode(), "http://a.example/1"),
+            ("conversion", body.encode(), "http://a.example/2"),  # exact dup
+            ("conversion", (body + " tail").encode(), "http://b.example/1"),
+        ],
+    )
+    monkeypatch.setattr(
+        "automic_etl_spark.session.get_spark", lambda *a, **k: spark
+    )
+    out_dir = str(tmp_path / "out")
+    rc = cli.main(
+        [
+            "curate-web", seg, "--out", out_dir,
+            "--min-quality", "0.0", "--pack-tokens", "8",
+            "--line-dedup-min-df", "99", "--min-text-chars", "10",
+        ]
+    )
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["input_docs"] == 3
+    assert report["exact_dups_removed"] == 1
+    assert report["out_dir"] == out_dir
+    assert os.path.isdir(out_dir)
+
+
 def test_asof_union_merge_equals_join_baseline(spark):
     from automic_etl_spark.operators.asof import asof_join, asof_join_by_join
 

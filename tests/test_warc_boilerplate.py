@@ -178,6 +178,57 @@ class TestWarcSource:
         ).collect()
         assert len(rows) == 1 and rows[0].text == "remote wet text body"
 
+    def test_s3_opener_fake_client(self, spark, warc_dir):
+        """s3_opener streams segments through a boto3-shaped client
+        (get_object(Bucket=, Key=) -> {"Body": readable}) injected via
+        client_factory — the Common Crawl s3:// story, tested without
+        boto3 installed. Bodies are read()-only chunked streams (the
+        StreamingBody shape), exercising the RawIOBase adapter."""
+        from automic_etl_spark.sources.warc import s3_opener
+
+        blobs = {}
+        for name in ("seg-0.warc.gz", "seg-2.warc"):
+            with open(os.path.join(warc_dir, name), "rb") as fh:
+                blobs[f"crawl/{name}"] = fh.read()
+
+        class FakeBody:
+            def __init__(self, data):
+                self._buf = io.BytesIO(data)
+                self.closed = False
+
+            def read(self, n=-1):
+                # chunk-capped reads like botocore's StreamingBody
+                return self._buf.read(min(n, 7) if n and n > 0 else n)
+
+            def close(self):
+                self.closed = True
+
+        class FakeS3Client:
+            def __init__(self, _blobs):
+                self.blobs = _blobs
+                self.calls = []
+
+            def get_object(self, Bucket, Key):
+                self.calls.append((Bucket, Key))
+                return {"Body": FakeBody(self.blobs[Key])}
+
+        client = FakeS3Client(blobs)
+        opener = s3_opener(client_factory=lambda: client)
+        urls = sorted(f"s3://cc-fake/{k}" for k in blobs)
+        rows = read_warc(spark, urls, opener=opener).orderBy(
+            "warc_file", "record_index"
+        ).collect()
+        assert len(rows) == 6  # 2 segments x (2 responses + 1 resource)
+        assert {r.warc_file for r in rows} == set(urls)
+        ok = [r for r in rows if r.http_status == 200]
+        assert ok and ok[0].payload == b"<html><body>hello</body></html>"
+
+        # bad URLs fail loudly, not as a mis-parsed bucket/key
+        with pytest.raises(ValueError):
+            opener("https://not-s3/x")
+        with pytest.raises(ValueError):
+            opener("s3://bucket-only")
+
     def test_http_opener_real_server(self, spark, warc_dir):
         """The stdlib http(s) opener streams segments from a real HTTP
         server (the Common Crawl endpoint shape) — no local mount."""
