@@ -8,9 +8,11 @@ beyond the stdlib and numpy:
 
 - **decoders**: PNG (zlib IDAT + full filter reconstruction, bit depth
   8, color types 0/2/3/4/6, non-interlaced), BMP (uncompressed BI_RGB
-  24/32-bit, bottom-up and top-down), PPM (P6). Anything else — JPEG,
-  interlaced PNG, 16-bit — returns ok=False (honest codec gate, same
-  policy as operators/audio for mp3/ogg).
+  24/32-bit, bottom-up and top-down), PPM (P6), and baseline JPEG
+  (operators/jpeg.py, ITU-T T.81: Huffman, 1/3 components, generic
+  subsampling, restart intervals — r9). Anything else — progressive
+  JPEG, interlaced PNG, 16-bit — returns ok=False (honest codec gate,
+  same policy as operators/audio for mp3/ogg).
 - **perceptual hashes**: 64-bit dHash (9x8 box-downsampled grayscale,
   adjacent-column gradient signs — robust to brightness/contrast/scale
   changes) and aHash (8x8 mean threshold), the standard near-dup
@@ -236,7 +238,10 @@ def decode_ppm(data: bytes):
 
 def decode_image(data: bytes):
     """Dispatch on magic bytes -> (format, pixels) or (format, None)
-    when the format is recognized but not decodable (JPEG etc.)."""
+    when the format is recognized but not decodable (progressive JPEG,
+    16-bit PNG etc.). Baseline JPEG decodes for real since r9
+    (operators/jpeg.py, ITU-T T.81) — the dominant web-corpus format no
+    longer no-ops the perceptual dedup paths."""
     from automic_etl_spark.operators.imagemeta import probe_image
 
     fmt, _, _ = probe_image(data if data is not None else b"")
@@ -248,6 +253,10 @@ def decode_image(data: bytes):
         return "bmp", decode_bmp(data)
     if data[:2] == b"P6":
         return "ppm", decode_ppm(data)
+    if data[:2] == b"\xff\xd8":
+        from automic_etl_spark.operators.jpeg import decode_jpeg
+
+        return "jpeg", decode_jpeg(data)
     return fmt, None
 
 
@@ -397,18 +406,50 @@ def phash_near_dup(
     corpus of m-way duplicate clusters does m× the work per row
     (measured: replication-style 10× inflation pushed the banded join
     to a 10.2× wall ratio — quadratic in duplicate multiplicity, the
-    image analogue of the audiofp finding). link="bucket_min" joins
-    each id only against its band-bucket's minimum id: O(m) pairs per
-    bucket, identical connected-components keep-set for exact-duplicate
-    clusters (every band's bucket min IS the cluster min), a documented
-    recall trade for near-dup pairs whose one agreeing band contains a
-    smaller-id chance collider."""
-    if link not in ("all", "bucket_min"):
+    image analogue of the audiofp finding).
+
+    link="rep" (r9 — the dedup default) collapses identical hashes to
+    their minimum-id REPRESENTATIVE first (an O(m) star of hamming-0
+    edges per distinct hash), then runs the exact banded all-pairs join
+    over ONE row per distinct hash. Connected components over the
+    union equal link="all"'s components exactly — duplicate-cluster
+    members reach each other through their representative, and every
+    cross-hash pair survives as its representatives' pair — while the
+    duplicate-multiplicity blowup disappears (replicated copies share
+    one hash row). Pair output is NOT the exhaustive pair list (use
+    "all" when pairs themselves are the product).
+
+    link="bucket_min" joins each id only against its band-bucket's
+    minimum id: O(m) pairs per bucket. CAUTION (r9 measurement): its
+    keep-set only matches "all" while band buckets are cluster-pure.
+    Bands at radius r are 64/(r+1) bits wide, so on a dense corpus
+    buckets fill with chance colliders, the bucket min is usually an
+    unrelated id, the verify kills the (min, member) pair, and members
+    never link to each other — at sf0.1 (5000 images, radius 10 ⇒
+    5-bit bands) recall collapsed to 84 of 1251 planted twins. Kept
+    for the sparse-corpus/streaming cases that measured it; "rep" is
+    strictly better for batch dedup."""
+    if link not in ("all", "bucket_min", "rep"):
         raise ValueError(f"unknown link mode {link!r}")
     if not 0 <= max_hamming <= 63:
         raise ValueError("max_hamming must be in [0, 63]")
     n_bands = max_hamming + 1
     h = hashes.filter(F.col(hash_col).isNotNull()).select(id_col, hash_col)
+    exact_edges = None
+    if link == "rep":
+        reps = h.groupBy(hash_col).agg(F.min(id_col).alias("__rid"))
+        exact_edges = (
+            h.join(reps, hash_col)
+            .filter(F.col(id_col) != F.col("__rid"))
+            .select(
+                F.col("__rid").alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        # the banded join below now sees one row per DISTINCT hash
+        h = reps.select(F.col("__rid").alias(id_col), hash_col)
+        link = "all"
     bands = h.select(
         id_col,
         hash_col,
@@ -440,11 +481,14 @@ def phash_near_dup(
         .distinct()
     )
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    out = (
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+    if exact_edges is not None:
+        out = out.unionByName(exact_edges)
+    return out
 
 
 def dedup_by_phash(
@@ -453,15 +497,15 @@ def dedup_by_phash(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     hash_col: str = "dhash",
-    link: str = "bucket_min",
+    link: str = "rep",
 ) -> DataFrame:
     """Keep one image per near-dup cluster (minimum id wins): banded
     pairs -> connected components (operators.dedup) -> anti-join losers.
     Undecodable images (no hash) are kept — quarantine them upstream
-    with MultimodalCurator if that's not wanted. Defaults to bucket_min
-    linking (linear in duplicate-cluster size, same keep-set for
-    exact-dup clusters — see phash_near_dup); pass link="all" for the
-    exhaustive-pairs construction."""
+    with MultimodalCurator if that's not wanted. Defaults to "rep"
+    linking (r9): linear in duplicate-cluster size AND provably the
+    same connected components as link="all" — see phash_near_dup for
+    why the r6 bucket_min default lost recall on dense corpora."""
     from automic_etl_spark.operators.dedup import connected_components
 
     pairs = phash_near_dup(

@@ -401,10 +401,15 @@ def blocklist_stats(
       compiled 400-word regex alternation measured *worse* than the
       HOF, 14.4 s — Java Pattern backtracks every alternative at every
       word boundary).
-    - phrases: one compiled ``(?i)\\b(?:...)\\b`` `regexp_count` per
+    - phrases: one compiled ``(?iU)\\b(?:...)\\b`` `regexp_count` per
       ≤1000 phrase entries (C4's published construction; token equality
       cannot express cross-token matches). Word semantics stay
-      token-exact: "foo" does not hit inside "foo-bar".
+      token-exact: "foo" does not hit inside "foo-bar". NOTE: the
+      recorded measurements above were taken with plain ``(?i)``; the
+      r8 ``(?iU)`` flags add UNICODE_CASE/UNICODE_CHARACTER_CLASS,
+      which slows Java Pattern matching somewhat on hot phrase paths —
+      the 14.4 s regex-alternation comparison is a floor, not an exact
+      figure, under the current flags.
 
     (An explode + broadcast-join form measured fastest of all, 3.05 s,
     but needs a unique row key and a shuffle; documented as the path if
@@ -452,6 +457,9 @@ def blocklist_stats(
             F.lit(_blocklist_pattern(phrases[i : i + _BLOCKLIST_CHUNK])),
         )
         hits = term if hits is None else hits + term
+    # NOT a NULL-text guard (txt is already coalesced to '' above) —
+    # this covers only the unreachable-by-validation no-entries case
+    # where both arms are empty and hits is still None
     hits = F.coalesce(hits, F.lit(0))
     n_tok = F.size(F.filter(tokenize(txt), lambda t: t != ""))
     return df.select(

@@ -542,7 +542,7 @@ def video_near_dup_pairs(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     min_role_matches: int = 2,
-    link: str = "bucket_min",
+    link: str = "rep",
 ) -> DataFrame:
     """(id_a < id_b, n_role_matches) for clip pairs whose dHashes agree
     within ``max_hamming`` bits on at least ``min_role_matches`` of the
@@ -551,7 +551,8 @@ def video_near_dup_pairs(
 
     Each role runs the pigeonhole-banded Hamming join from
     operators/imagehash (``phash_near_dup`` — exact at any radius, never
-    all-pairs; ``link`` as there, bucket_min = the linear dedup path);
+    all-pairs; ``link`` as there, "rep" default since r9: linear in
+    duplicate multiplicity with link="all"'s exact components);
     role pair sets then union and a count filter applies the 2-of-3
     rule. Role frames are 3 rows per clip, so the per-role joins stay
     tiny relative to the corpus."""
@@ -581,13 +582,12 @@ def dedup_by_video_phash(
     max_hamming: int = 6,
     id_col: str = "doc_id",
     min_role_matches: int = 2,
-    link: str = "bucket_min",
+    link: str = "rep",
 ) -> DataFrame:
     """Keep one clip per keyframe-near-dup cluster (minimum id wins);
     clips without decodable keyframes are kept. Mirrors
-    imagehash.dedup_by_phash / audiofp.dedup_by_audiofp — bucket_min
-    linking by default (linear in duplicate-cluster size, same keep-set
-    for identical-copy clusters)."""
+    imagehash.dedup_by_phash — "rep" linking by default since r9
+    (linear in duplicate-cluster size, exact link="all" keep-set)."""
     from automic_etl_spark.operators.dedup import connected_components
 
     pairs = video_near_dup_pairs(

@@ -448,6 +448,76 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_near_dup_pairs")))
 
 
+def _jpeg_blob_frame(spark: SparkSession, sf_dir: str):
+    """Deterministic baseline-JPEG corpus keyed off doc_id (every 4th
+    image a brightness-perturbed twin of its predecessor, mixed 4:4:4 /
+    4:2:0 and quality levels), synthesized executor-side — the JPEG
+    sibling of _image_blob_frame, measuring the r9 T.81 decode path at
+    corpus scale."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.dedup import ensure_parallelism
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+
+    # the JPEG entropy codec is per-image Python (unlike the numpy-lane
+    # PNG path), so the one-split parquet scan must fan out before the
+    # synthesize/decode kernels — a no-op on a real many-file corpus
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                base_seed = d - (d % 4 == 3)  # 4th = twin of 3rd
+                rng = np.random.RandomState(base_seed % (2**31))
+                # same corpus construction as _image_blob_frame; twins
+                # additionally RE-ENCODE at a different quality and
+                # subsampling than their base (the real-world near-dup
+                # case) — measured dHash distance stays <= 3 vs >= 22
+                # for unrelated images, so radius 10 links every twin
+                img = rng.randint(0, 256, size=(64, 64, 3), dtype=np.uint8)
+                if d % 4 == 3:
+                    img = np.clip(img.astype(np.int16) + 5, 0, 255).astype(
+                        np.uint8
+                    )
+                blobs.append(
+                    synth_jpeg(
+                        img,
+                        quality=80 + (d % 3) * 7,  # 80 / 87 / 94
+                        subsampling="420" if d % 2 else "444",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    return docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+
+
+def q_image_jpeg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG near-dup dedup end-to-end (r9): synthesize a mixed-quality
+    mixed-subsampling baseline-JPEG corpus executor-side, run the full
+    T.81 decode (marker parse, Huffman bit-walk, batched IDCT, chroma
+    upsample, YCbCr->RGB) + dHash in one mapInPandas, then the linear
+    bucket_min banded dedup. The JPEG sibling of q_image_phash_dedup —
+    what perceptual image dedup costs on the format a real crawl
+    actually contains."""
+    from automic_etl_spark.operators.imagehash import (
+        dedup_by_phash,
+        image_blobs_phash,
+    )
+
+    blobs = _jpeg_blob_frame(spark, sf_dir)
+    hashes = image_blobs_phash(blobs).cache()
+    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    return hashes.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
+    ).crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+
+
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The image DEDUP scale path over the same corpus: bucket_min
     banded linking (linear in duplicate-cluster size, r6) + connected

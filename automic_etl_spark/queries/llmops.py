@@ -312,6 +312,154 @@ ORDER BY h.doc_id
 
 
 # --------------------------------------------------------------------------
+# Baseline JPEG decode under the hash gate (operators/jpeg, r9)
+# --------------------------------------------------------------------------
+
+_JIMG_N, _JIMG_FAM, _JIMG_HAM = 192, 64, 6
+
+
+def _jimg_m(d: int, i: int, j: int) -> int:
+    """3-level block chain for the JPEG gate: m(i, j+1) differs from
+    m(i, j) by 1 + step mod 3 (never equal), so adjacent dHash-grid
+    columns always differ by >= 88 gray levels — every comparison has
+    margin far beyond JPEG quantization error, making the 64 hash bits
+    analytically computable DESPITE lossy coding. Docs >= FAM are twins
+    of d % FAM with the FINAL step of one row flipped: at most 1 bit of
+    hash distance, guaranteed to link at radius 6."""
+    base = d % _JIMG_FAM
+    m0 = (base * 40503 + i * 65599) % 251 % 3
+    tot = m0 + j
+    flip_row = (base + d // _JIMG_FAM) % 8
+    for k in range(j):
+        step = (base * 2654435761 + i * 40503 + k * 65599) % 251 % 2
+        if d >= _JIMG_FAM and i == flip_row and k == 7:
+            step ^= 1
+        tot += step
+    return tot % 3
+
+
+def q_image_phash_jpeg_gate(spark, sf_dir):
+    """The baseline JPEG pixel path under the driver's hash check:
+    synthesize 64x72 grayscale images of 8x8-aligned constant blocks
+    (DC-only JPEG blocks: decode error <= 1 gray level against >= 88
+    margins), ENCODE them with the first-party baseline encoder, run
+    the REAL decode path (marker parse -> Huffman -> dequant -> IDCT ->
+    luma -> box resize -> dHash), then the banded Hamming near-dup
+    join. Every hash bit and every pair is value-checked against the
+    oracle's integer replay of the block chain — a full-pipeline
+    correctness gate for the r9 JPEG codec."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.imagehash import (
+        image_blobs_phash,
+        phash_near_dup,
+    )
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _JIMG_N
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                bmat = np.array(
+                    [
+                        [40 + 88 * _jimg_m(d, i, j) for j in range(9)]
+                        for i in range(8)
+                    ],
+                    dtype=np.uint8,
+                )
+                img = np.repeat(np.repeat(bmat, 8, axis=0), 8, axis=1)[:, :, None]
+                blobs.append(synth_jpeg(img, quality=93))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    hashes = image_blobs_phash(blobs).select("doc_id", "format", "dhash")
+    pairs = phash_near_dup(hashes, max_hamming=_JIMG_HAM)
+    counts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        hashes.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "format",
+            "dhash",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _jimg_m_sql(j_expr: str) -> str:
+    """DuckDB replay of _jimg_m at column ``j_expr`` (0..8) for row i:
+    m = (m0 + j + sum of (possibly twin-flipped) steps k < j) mod 3."""
+    base = f"(doc_id % {_JIMG_FAM})"
+    step = (
+        f"(({base} * 2654435761 + i * 40503 + s.k2 * 65599) % 251 % 2"
+        f" + CASE WHEN doc_id >= {_JIMG_FAM}"
+        f" AND i = ({base} + doc_id // {_JIMG_FAM}) % 8"
+        f" AND s.k2 = 7 THEN 1 ELSE 0 END) % 2"
+    )
+    return (
+        f"(({base} * 40503 + i * 65599) % 251 % 3 + ({j_expr})"
+        f" + coalesce((SELECT sum({step})"
+        f" FROM UNNEST(generate_series(0, ({j_expr}) - 1)) AS s(k2)), 0)) % 3"
+    )
+
+
+ORACLE_IMAGE_PHASH_JPEG = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_JIMG_N}),
+bits AS (
+  SELECT doc_id, i * 8 + kj AS k,
+         CASE WHEN {_jimg_m_sql('kj')} > {_jimg_m_sql('kj + 1')}
+              THEN 1 ELSE 0 END AS bit
+  FROM (SELECT doc_id, u.i AS i, t0.kj AS kj FROM ids
+        CROSS JOIN UNNEST(generate_series(0, 7)) AS u(i)
+        CROSS JOIN UNNEST(generate_series(0, 7)) AS t0(kj))
+),
+parts AS (
+  SELECT doc_id,
+         sum(CASE WHEN k < 32 THEN bit * (CAST(1 AS BIGINT) << (31 - k)) ELSE 0 END) AS hi,
+         sum(CASE WHEN k >= 32 THEN bit * (CAST(1 AS BIGINT) << (63 - k)) ELSE 0 END) AS lo
+  FROM bits GROUP BY doc_id
+),
+h AS (
+  SELECT doc_id,
+         CAST(CASE WHEN v >= CAST('9223372036854775808' AS HUGEINT)
+                   THEN v - CAST('18446744073709551616' AS HUGEINT)
+                   ELSE v END AS BIGINT) AS dhash
+  FROM (
+    SELECT doc_id, CAST(hi AS HUGEINT) * 4294967296 + CAST(lo AS HUGEINT) AS v
+    FROM parts
+  )
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= {_JIMG_HAM}
+),
+pc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT id_b AS doc_id FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT h.doc_id, 'jpeg' AS format, h.dhash, coalesce(pc.n, 0) AS n_near_dups
+FROM h LEFT JOIN pc USING (doc_id)
+ORDER BY h.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Batched ANN retrieval (operators/similarity.ann_join)
 # --------------------------------------------------------------------------
 
@@ -1081,6 +1229,8 @@ QUERIES = {
     "audio_fingerprint": q_audio_fingerprint_gate,
     "web_extract": q_web_extract_gate,
     "corpus_curate": q_corpus_curate_gate,
+    # round-9: baseline JPEG decode end-to-end (operators/jpeg)
+    "image_phash_jpeg": q_image_phash_jpeg_gate,
 }
 
 ORACLE = {
@@ -1095,4 +1245,5 @@ ORACLE = {
     "audio_fingerprint": ORACLE_AUDIOFP,
     "web_extract": ORACLE_WEB_EXTRACT,
     "corpus_curate": ORACLE_CORPUS_CURATE,
+    "image_phash_jpeg": ORACLE_IMAGE_PHASH_JPEG,
 }

@@ -60,6 +60,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_token_mixture,
     q_ann_join,
     q_ngram_perplexity,
+    q_image_jpeg_dedup,
     q_image_phash,
     q_image_phash_dedup,
     q_audio_fingerprint,
@@ -100,6 +101,7 @@ HEADLINE = {
     "ngram_perplexity": q_ngram_perplexity,
     "image_phash": q_image_phash,
     "image_phash_dedup": q_image_phash_dedup,
+    "image_jpeg_dedup": q_image_jpeg_dedup,
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,

@@ -307,3 +307,60 @@ def test_phash_rejects_unknown_link(hashed):
 
     with _pytest.raises(ValueError):
         phash_near_dup(hashed, link="nope")
+
+
+# -- rep linking (r9 dedup default) ------------------------------------------
+
+def test_rep_components_match_all_on_dense_corpus(spark):
+    """THE r9 regression: on a dense corpus, wide-radius band keys are
+    only a few bits, every bucket holds smaller-id chance colliders,
+    and bucket_min's (min, member) pairs fail verification — at sf0.1
+    it removed 84 of 1251 planted twins. rep linking (collapse
+    identical hashes to a min-id representative, banded all-pairs over
+    DISTINCT hashes) must reproduce link='all' components exactly.
+    Built directly over a hash table (no images) so the density is
+    controllable: 400 random 64-bit hashes + 100 planted twin pairs at
+    radius 10 (11 bands x ~5 bits)."""
+    import random
+
+    from automic_etl_spark.operators.dedup import connected_components
+
+    rng = random.Random(2026)
+    rows = []
+    for d in range(400):
+        h = rng.getrandbits(64) - (1 << 63)
+        rows.append((d, h))
+    # 100 planted twins: identical hash (the replication shape) plus
+    # 2-bit-flip near twins
+    for t in range(50):
+        base_id, base_h = rows[3 * t]
+        rows.append((1000 + t, base_h))  # exact copy
+        rows.append((2000 + t, base_h ^ (1 << (t % 30)) ^ (1 << (30 + t % 7))))
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+
+    def keepset(link):
+        pairs = phash_near_dup(df, max_hamming=10, link=link)
+        cl = connected_components(pairs)
+        losers = {r["doc_id"] for r in cl.filter("doc_id != cluster_id").collect()}
+        return {d for d, _ in rows} - losers
+
+    kept_all = keepset("all")
+    kept_rep = keepset("rep")
+    assert kept_rep == kept_all
+    # every planted twin collapsed (planted ids never survive)
+    assert not (kept_rep & set(range(1000, 1050)))
+    assert not (kept_rep & set(range(2000, 2050)))
+    # and the failure this guards against is real: bucket_min loses
+    # clusters here (if this ever starts passing, the trade documented
+    # in phash_near_dup no longer holds and bucket_min can come back)
+    kept_min = keepset("bucket_min")
+    assert len(kept_min) > len(kept_all)
+
+
+def test_rep_pair_output_shape(hashed):
+    """rep pairs: hamming-0 star edges to each distinct hash's min id,
+    plus exact banded pairs between representatives; ordering id_a <
+    id_b holds throughout."""
+    pairs = phash_near_dup(hashed, max_hamming=8, link="rep").collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+    assert all(0 <= r["hamming"] <= 8 for r in pairs)

@@ -1,0 +1,228 @@
+"""Baseline JPEG codec (operators/jpeg.py, ITU-T T.81): hand-built
+spec fixtures, encode->decode round-trips with quantization-error
+bounds, honest gates for unsupported processes, and the perceptual
+near-dup integration that motivated the decoder."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.jpeg import (
+    ZIGZAG,
+    _AC_CHROMA,
+    _AC_LUMA,
+    _DC_CHROMA,
+    _DC_LUMA,
+    _build_decode_table,
+    decode_jpeg,
+    synth_jpeg,
+)
+
+
+# --- hand-built spec fixture (independent of the encoder) --------------------
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+
+def _minimal_gray_jpeg(dc_value: int = 3, q0: int = 16) -> bytes:
+    """One 8x8 grayscale block built by hand from T.81: canonical DC
+    table with four length-2 codes (symbols 0..3), AC table with two
+    length-2 codes (EOB, 0x01). Scan encodes DC category 2 / value
+    ``dc_value`` then EOB, so every pixel must decode to exactly
+    round(dc_value * q0 / 8) + 128 — a bit-level convention check
+    (canonical code assignment, EXTEND, dequantization, IDCT DC path)
+    that synth_jpeg cannot compensate for."""
+    assert dc_value == 3 and q0 == 16  # the scan bits below encode this
+    qtab = bytes([0]) + bytes([q0] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0))
+    dc_counts = bytes([0, 4] + [0] * 14)  # 4 codes of length 2: 00 01 10 11
+    dht_dc = bytes([0x00]) + dc_counts + bytes([0, 1, 2, 3])
+    ac_counts = bytes([0, 2] + [0] * 14)  # 2 codes of length 2: 00 01
+    dht_ac = bytes([0x10]) + ac_counts + bytes([0x00, 0x01])
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    # bits: DC symbol 2 -> code '10'; category-2 value 3 -> bits '11';
+    # EOB -> code '00'; pad to a byte with 1s => 10 11 00 11 = 0xB3
+    scan = bytes([0xB3])
+    return (
+        b"\xff\xd8"
+        + _seg(0xDB, qtab)
+        + _seg(0xC0, sof)
+        + _seg(0xC4, dht_dc)
+        + _seg(0xC4, dht_ac)
+        + _seg(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+class TestSpecFixture:
+    def test_minimal_dc_only_block(self):
+        out = decode_jpeg(_minimal_gray_jpeg())
+        assert out is not None and out.shape == (8, 8, 1)
+        # DC=3, q=16 -> coefficient 48 -> pixel 48/8 + 128 = 134 exactly
+        assert (out == 134).all()
+
+    def test_annex_k_tables_are_wellformed(self):
+        for counts, vals in (_DC_LUMA, _DC_CHROMA, _AC_LUMA, _AC_CHROMA):
+            assert sum(counts) == len(vals)
+            _build_decode_table(counts, vals)  # raises if over-subscribed
+
+
+# --- encode -> decode round-trips --------------------------------------------
+
+def _smooth_rgb(h=32, w=40):
+    return np.stack(
+        [
+            np.linspace(0, 200, w)[None, :].repeat(h, 0),
+            np.linspace(50, 180, h)[:, None].repeat(w, 1),
+            np.full((h, w), 90.0),
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+class TestRoundTrip:
+    def test_flat_gray_exact(self):
+        img = np.full((16, 24, 1), 130, np.uint8)
+        out = decode_jpeg(synth_jpeg(img, quality=90))
+        assert out.shape == (16, 24, 1)
+        assert (out == img).all()  # DC-only blocks survive exactly
+
+    def test_block_constant_gray_exact_high_quality(self):
+        # 8x8-aligned constant blocks are DC-only: error <= q_dc/16 < 1
+        rng = np.random.RandomState(3)
+        bmat = rng.randint(30, 226, size=(4, 5), dtype=np.uint8)
+        img = np.repeat(np.repeat(bmat, 8, 0), 8, 1)[:, :, None]
+        out = decode_jpeg(synth_jpeg(img, quality=95))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+    @pytest.mark.parametrize("quality,max_err", [(75, 8), (90, 5), (95, 4)])
+    def test_smooth_rgb_444(self, quality, max_err):
+        img = _smooth_rgb()
+        out = decode_jpeg(synth_jpeg(img, quality=quality))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= max_err
+
+    def test_420_odd_dimensions(self):
+        img = _smooth_rgb()[:31, :37]
+        out = decode_jpeg(synth_jpeg(img, quality=90, subsampling="420"))
+        assert out.shape == (31, 37, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 10
+
+    def test_restart_intervals(self):
+        img = _smooth_rgb()
+        plain = decode_jpeg(synth_jpeg(img, quality=90))
+        rst = decode_jpeg(synth_jpeg(img, quality=90, restart_interval=2))
+        assert rst is not None and (rst == plain).all()
+
+    def test_noise_psnr_reasonable(self):
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (24, 24, 3), np.uint8)
+        out = decode_jpeg(synth_jpeg(img, quality=95))
+        err = out.astype(float) - img.astype(float)
+        assert np.sqrt((err**2).mean()) < 8.0  # ~30 dB PSNR on pure noise
+
+    def test_multi_mcu_order(self):
+        # image larger than one MCU in both axes, 420: exercises the
+        # Y1 Y2 Y3 Y4 Cb Cr interleave across a 3x2 MCU grid
+        rng = np.random.RandomState(5)
+        bmat = rng.randint(40, 216, size=(4, 6), dtype=np.uint8)
+        img = np.repeat(np.repeat(bmat, 8, 0), 8, 1)
+        img = np.stack([img, img // 2 + 60, 255 - img], axis=2)
+        out = decode_jpeg(synth_jpeg(img, quality=95, subsampling="420"))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
+
+
+# --- honest gates / totality --------------------------------------------------
+
+class TestGates:
+    def test_garbage_and_truncation(self):
+        assert decode_jpeg(b"") is None
+        assert decode_jpeg(b"not a jpeg at all") is None
+        data = synth_jpeg(_smooth_rgb(), quality=90)
+        for cut in (2, 4, 20, 100, len(data) // 2):
+            assert decode_jpeg(data[:cut]) is None or True  # never raises
+
+    def test_progressive_rejected(self):
+        data = bytearray(synth_jpeg(_smooth_rgb(), quality=90))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        assert decode_jpeg(bytes(data)) is None
+
+    def test_arithmetic_and_12bit_rejected(self):
+        data = bytearray(synth_jpeg(_smooth_rgb(), quality=90))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = 0xC9  # arithmetic sequential
+        assert decode_jpeg(bytes(data)) is None
+        data = bytearray(synth_jpeg(_smooth_rgb(), quality=90))
+        i = data.find(b"\xff\xc0")
+        data[i + 4] = 12  # precision byte
+        assert decode_jpeg(bytes(data)) is None
+
+    def test_random_corruption_never_raises(self):
+        rng = np.random.RandomState(17)
+        data = bytearray(synth_jpeg(_smooth_rgb(), quality=90))
+        for _ in range(60):
+            d = bytearray(data)
+            for _ in range(rng.randint(1, 6)):
+                d[rng.randint(0, len(d))] = rng.randint(0, 256)
+            decode_jpeg(bytes(d))  # None or pixels, never an exception
+
+
+# --- perceptual-dedup integration (the reason this codec exists) -------------
+
+class TestPerceptualIntegration:
+    def test_decode_image_dispatch(self):
+        from automic_etl_spark.operators.imagehash import decode_image
+
+        img = _smooth_rgb()
+        fmt, px = decode_image(synth_jpeg(img, quality=90))
+        assert fmt == "jpeg" and px is not None and px.shape == img.shape
+
+    def test_jpeg_twin_dhash_matches_png(self):
+        """A block-constant image hashes IDENTICALLY through the JPEG
+        and PNG paths: 8x8 blocks are DC-only (decode error <= 1) and
+        the dHash grid compares block means with >= 30-level margins."""
+        from automic_etl_spark.operators.imagehash import (
+            decode_image,
+            dhash64,
+            synth_png,
+        )
+
+        rng = np.random.RandomState(9)
+        # adjacent-column margins >= 30: draw levels then space them
+        bmat = (rng.randint(0, 6, size=(8, 9)) * 40 + 15).astype(np.uint8)
+        img = np.repeat(np.repeat(bmat, 8, 0), 8, 1)[:, :, None]
+        _, from_png = decode_image(synth_png(img))
+        _, from_jpeg = decode_image(synth_jpeg(img, quality=95))
+        assert dhash64(from_png) == dhash64(from_jpeg)
+
+    def test_near_dup_links_jpeg_twins(self, spark):
+        """image_blobs_phash + banded Hamming near-dup over JPEG blobs:
+        a brightness-perturbed JPEG twin links to its original — the
+        end-to-end keep-everything regression the decoder closes."""
+        from automic_etl_spark.operators.imagehash import (
+            dedup_by_phash,
+            image_blobs_phash,
+        )
+
+        rng = np.random.RandomState(21)
+        bmat = (rng.randint(0, 6, size=(8, 9)) * 40 + 15).astype(np.uint8)
+        base = np.repeat(np.repeat(bmat, 8, 0), 8, 1)
+        rgb = np.stack([base, base, base], axis=2)
+        twin = np.clip(rgb.astype(np.int16) + 6, 0, 255).astype(np.uint8)
+        other = np.roll(rgb, 3, axis=1)  # shifted -> different hash
+        rows = [
+            (1, synth_jpeg(rgb, quality=92)),
+            (2, synth_jpeg(twin, quality=88, subsampling="420")),
+            (3, synth_jpeg(other, quality=92)),
+        ]
+        blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+        hashes = image_blobs_phash(blobs)
+        got = {r.doc_id: r for r in hashes.collect()}
+        assert all(got[i].ok and got[i].format == "jpeg" for i in (1, 2, 3))
+        kept = dedup_by_phash(blobs, hashes, max_hamming=6)
+        assert sorted(r.doc_id for r in kept.collect()) == [1, 3]

@@ -233,6 +233,51 @@ def test_video_keyframe_phash_roles(spark):
     assert not by[(2, -1)].ok and by[(2, -1)].dhash is None
 
 
+def test_video_keyframe_phash_mjpeg_samples(spark):
+    """Keyframe dHash over MJPEG-layout video: the r9 baseline JPEG
+    decoder makes compressed-photo keyframes REAL for the video
+    near-dup path (previously only stored-PNG samples decoded; JPEG
+    samples came back ok=false)."""
+    import numpy as np
+
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+    from automic_etl_spark.operators.videometa import (
+        video_blobs_keyframe_phash,
+        video_near_dup_pairs,
+    )
+    from tests.test_videometa import make_mp4_with_stbl
+
+    def mjpeg_clip(seed, perturb=None):
+        rng = np.random.RandomState(seed)
+        bmat = (rng.randint(0, 6, size=(8, 9)) * 40 + 15).astype(np.uint8)
+        img_a = np.repeat(np.repeat(bmat, 8, 0), 8, 1)[:, :, None]
+        if perturb is not None:
+            img_a = np.clip(img_a.astype(np.int16) + 6, 0, 255).astype(
+                np.uint8
+            )
+        img_b = np.roll(img_a, 3, axis=1)
+        samples = [
+            synth_jpeg(img_a, quality=92), b"x" * 20, b"y" * 30,
+            synth_jpeg(img_b, quality=92), b"z" * 50, b"w" * 60,
+        ]
+        data, _ = make_mp4_with_stbl(samples=samples)
+        return data
+
+    blobs = spark.createDataFrame(
+        [
+            (1, mjpeg_clip(31)),
+            (2, mjpeg_clip(31, perturb=True)),  # brightness twin of 1
+            (3, mjpeg_clip(77)),                # unrelated
+        ],
+        "doc_id long, _content_bytes binary",
+    )
+    hashes = video_blobs_keyframe_phash(blobs)
+    rows = hashes.collect()
+    assert all(r.ok for r in rows)  # JPEG keyframes decode for real now
+    pairs = video_near_dup_pairs(hashes, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
 def test_video_single_keyframe_no_role_inflation(spark):
     """A 1-keyframe clip emits ONE role row, so two such clips sharing
     that single similar frame accrue 1 role match and do NOT link under

@@ -53,7 +53,7 @@ def test_registry_driver_window_prefix():
     agg_global_distinct (each family keeps another scored row) —
     declared order is therefore load-bearing and pinned here. Overflow
     entries still run in this suite (the parametrized
-    test_query_runs/test_oracle_gate iterate all 60)."""
+    test_query_runs/test_oracle_gate iterate all 61)."""
     names = list(QUERIES)
     scored, overflow = names[:50], names[50:]
     for n in (
@@ -62,9 +62,13 @@ def test_registry_driver_window_prefix():
         "line_dedup",  # r6 family, rotated in late round 6
         "bpe_tokenize", "audio_fingerprint", "web_extract",  # r7
         "corpus_curate",  # r7: the flagship curate() composition itself
+        "image_phash_jpeg",  # r9: the baseline JPEG codec end-to-end
     ):
         assert n in scored, f"LLM-pipeline family {n} fell out of the scored window"
     assert set(overflow) == {
+        "range_join",  # r9: displaced for image_phash_jpeg — it was the
+        # designated drop-out candidate (asof_join keeps the
+        # range/temporal-join family scored); its oracle stays in-suite
         "minhash_dedup_clusters",  # rotated out for line_dedup: the
         # minhash family keeps a scored row via minhash_jaccard, and the
         # cluster arm keeps its in-suite oracle here
@@ -76,8 +80,10 @@ def test_registry_driver_window_prefix():
         "value_counts_topk", "join_left", "set_ops",
         "collect_agg", "sample_split_seed", "unpivot_long",
     }, f"unexpected overflow block: {overflow}"
-    # the last SCORED entry stays the designated drop-out candidate
-    assert scored[-1] == "range_join"
+    # the new last SCORED entry is the next designated drop-out
+    # candidate (partition-scoped upsert keeps incremental_cdc +
+    # medallion coverage elsewhere if a future rotation displaces it)
+    assert scored[-1] == "upsert_time_travel"
 
 
 def test_entry_contract(spark):

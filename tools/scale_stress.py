@@ -61,6 +61,7 @@ def _workloads():
         q_dedup_ingest,
         q_doctext_extract,
         q_flac_decode,
+        q_image_jpeg_dedup,
         q_image_phash,
         q_image_phash_dedup,
         q_ivf_build_search,
@@ -92,6 +93,7 @@ def _workloads():
         "substring_dedup": q_substring_dedup,
         "ngram_perplexity": q_ngram_perplexity,
         "image_phash": q_image_phash,
+        "image_jpeg_dedup": q_image_jpeg_dedup,
         "audio_fingerprint": q_audio_fingerprint,
         "ann_join": q_ann_join,
         "token_mixture": q_token_mixture,
