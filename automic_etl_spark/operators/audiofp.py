@@ -235,13 +235,24 @@ def fingerprint_match_join(
     every clip a ~10-way cluster and wall went 50× — quadratic in
     duplicate multiplicity, the audio analogue of the flat-k-means
     SemDeDup finding). link="bucket_min" joins each doc only against
-    its bucket's minimum-id doc: O(m) pairs per bucket, and for
-    identical-copy clusters (which share every bucket, so every bucket
-    min IS the cluster min) the connected-components keep-set is
-    unchanged — the scale path for dedup; pair-finding between two
-    non-min docs only forms in buckets where one of them is the min,
-    so use "all" when exhaustive pair output itself is the product."""
-    if link not in ("all", "bucket_min"):
+    its bucket's minimum-id doc: O(m) pairs per bucket. CAUTION (r9
+    measurement, same finding as imagehash): landmark-hash buckets on
+    a dense corpus contain smaller-id docs from OTHER clusters, whose
+    offsets don't align — the (min, member) evidence dies under offset
+    voting and members never link to each other. At sf0.1 (5000 clips)
+    bucket_min found 439 of the 2159 link="all" matches.
+
+    link="rep" (r9 — the dedup default) collapses docs with an
+    IDENTICAL landmark fingerprint to their minimum-id representative
+    (an O(m) star of full-strength edges per distinct fingerprint —
+    exactly the replication shape that made link="all" quadratic),
+    then runs the exact all-pairs match join over representatives
+    only. Connected components over the union equal link="all"'s
+    components: an exact copy reaches anything its representative
+    reaches, and every cross-fingerprint pair survives as its
+    representatives' pair (identical fingerprints produce identical
+    match evidence)."""
+    if link not in ("all", "bucket_min", "rep"):
         raise ValueError(f"unknown link mode {link!r}")
     # The cap is applied BEFORE the landmark table ever shuffles
     # (round-6 fix): one Arrow-batched kernel explodes the landmark
@@ -273,9 +284,49 @@ def fingerprint_match_join(
             occ = flat.groupby(["__id", "__h"], sort=False).cumcount()
             yield flat[occ < per_value_cap]
 
-    ex = fps.filter(F.col("lm_hashes").isNotNull()).select(
+    fp_rows = fps.filter(F.col("lm_hashes").isNotNull()).select(
         F.col(id_col).alias("__id"), "lm_times", "lm_hashes"
-    ).mapInPandas(cap_kernel, "__id long, __t int, __h int")
+    )
+    exact_edges = None
+    if link == "rep":
+        # digest of the landmark fingerprint (times + hashes, in their
+        # deterministic emission order) — identical clips collapse
+        digest = F.md5(
+            F.concat_ws(
+                "|",
+                F.concat_ws(",", F.col("lm_times").cast("array<string>")),
+                F.concat_ws(",", F.col("lm_hashes").cast("array<string>")),
+            )
+        )
+        keyed = fp_rows.withColumn("__d", digest)
+        reps = keyed.groupBy("__d").agg(F.min("__id").alias("__rid"))
+        exact_edges = (
+            keyed.join(reps, "__d")
+            .filter(F.col("__id") != F.col("__rid"))
+            .select(
+                F.col("__rid").alias("id_a"), F.col("__id").alias("id_b")
+            )
+        )
+        fp_rows = (
+            keyed.join(reps, "__d")
+            .filter(F.col("__id") == F.col("__rid"))
+            .select("__id", "lm_times", "lm_hashes")
+        )
+        link = "all"
+    ex = fp_rows.mapInPandas(cap_kernel, "__id long, __t int, __h int")
+    if exact_edges is not None:
+        # an identical pair's offset-0 evidence is the rep's CAPPED
+        # occurrence count (every capped occurrence matches itself) —
+        # gate exact edges on the same min_hits bar as real matches
+        cnts = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        exact_edges = (
+            exact_edges.join(cnts, exact_edges.id_a == cnts.__id)
+            .filter(F.col("__n") >= min_hits)
+            .select(
+                "id_a", "id_b", F.lit(0).alias("offset"),
+                F.col("__n").alias("hits"),
+            )
+        )
     if link == "bucket_min":
         # a-side = only each bucket's minimum-id doc's occurrences:
         # per-hash min is a constant-state aggregate, and the a⋈b join
@@ -291,13 +342,16 @@ def fingerprint_match_join(
     else:
         a = ex.select(F.col("__id").alias("id_a"), F.col("__t").alias("ta"), "__h")
     b = ex.select(F.col("__id").alias("id_b"), F.col("__t").alias("tb"), "__h")
-    return (
+    out = (
         a.join(b, "__h")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", (F.col("ta") - F.col("tb")).alias("offset"))
         .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") >= min_hits)
     )
+    if exact_edges is not None:
+        out = out.unionByName(exact_edges)
+    return out
 
 
 def audio_near_dup(
@@ -326,13 +380,13 @@ def dedup_by_audiofp(
     fps: DataFrame,
     id_col: str = "doc_id",
     min_hits: int = 20,
-    link: str = "bucket_min",
+    link: str = "rep",
 ) -> DataFrame:
     """Keep one clip per acoustic near-dup cluster (minimum id wins);
-    clips without a fingerprint are kept. Defaults to bucket_min
-    linking — linear in duplicate-cluster size with the same keep-set
-    for identical-copy clusters (see fingerprint_match_join); pass
-    link="all" for exhaustive pair evidence at quadratic cost."""
+    clips without a fingerprint are kept. Defaults to "rep" linking
+    (r9) — linear in duplicate multiplicity with link="all"'s exact
+    connected components; see fingerprint_match_join for why the r6
+    bucket_min default lost recall on dense corpora."""
     from automic_etl_spark.operators.dedup import connected_components
 
     pairs = audio_near_dup(fps, id_col=id_col, min_hits=min_hits, link=link)

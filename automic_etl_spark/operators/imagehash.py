@@ -377,6 +377,59 @@ def _band_cols(hash_col: str, n_bands: int) -> list:
     return cols
 
 
+def _mih_masks(width: int, t: int) -> list[int]:
+    """All XOR masks of Hamming weight <= t within ``width`` bits."""
+    from itertools import combinations
+
+    masks = [0]
+    for d in range(1, t + 1):
+        for combo in combinations(range(width), d):
+            masks.append(sum(1 << b for b in combo))
+    return masks
+
+
+def _mih_pairs(
+    h: DataFrame, max_hamming: int, id_col: str, hash_col: str
+) -> DataFrame:
+    """Exact Hamming pairs via Multi-Index Hashing: 4 substrings of 16
+    bits, probe side expanded by all <= (max_hamming // 4)-bit masks,
+    equi-join on (substring index, exact 16-bit key), bit_count verify.
+    Returns (id_a < id_b, hamming)."""
+    t = max_hamming // 4
+    masks = _mih_masks(16, t)
+    subs = [
+        F.shiftrightunsigned(F.col(hash_col), 16 * b).bitwiseAND(F.lit(0xFFFF))
+        for b in range(4)
+    ]
+    melted = h.select(
+        id_col, hash_col, F.posexplode(F.array(*subs)).alias("__b", "__k")
+    )
+    mask_arr = F.array(*[F.lit(m) for m in masks])
+    probe = melted.select(
+        F.col(id_col).alias("id_a"),
+        F.col(hash_col).alias("h_a"),
+        "__b",
+        F.explode(
+            F.transform(mask_arr, lambda m: F.col("__k").bitwiseXOR(m))
+        ).alias("__k"),
+    )
+    stored = melted.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("h_b"), "__b", "__k"
+    )
+    pairs = (
+        probe.join(stored, ["__b", "__k"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def phash_near_dup(
     hashes: DataFrame,
     max_hamming: int = 6,
@@ -450,6 +503,22 @@ def phash_near_dup(
         # the banded join below now sees one row per DISTINCT hash
         h = reps.select(F.col("__rid").alias(id_col), hash_col)
         link = "all"
+    if link == "all" and 8 <= max_hamming <= 15:
+        # Wide radii make the (r+1)-band scheme quadratic: bands are
+        # 64/(r+1) <= 7 bits, buckets hold n/2^bits rows, and the
+        # per-bucket self-join dominated the 10x stress (PERFORMANCE.md
+        # r9: radius 10 = 5-bit keys, join 4.4s -> 99s at 10x). Switch
+        # to Multi-Index Hashing (Norouzi et al. 2012): 4 substrings of
+        # 16 bits; a pair within Hamming r must agree within
+        # t = r // 4 bits on SOME substring (if every substring
+        # differed by >= t+1 bits the total would be >= 4t+4 > r), so
+        # the probe side expands each 16-bit key by all <= t-bit XOR
+        # masks (r<=11: 137 masks; r<=15: 697) and equi-joins the exact
+        # keys — 2^16 buckets instead of 2^5..2^7, same exact recall.
+        out = _mih_pairs(h, max_hamming, id_col, hash_col)
+        if exact_edges is not None:
+            out = out.unionByName(exact_edges)
+        return out
     bands = h.select(
         id_col,
         hash_col,

@@ -501,7 +501,7 @@ def q_image_jpeg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed-subsampling baseline-JPEG corpus executor-side, run the full
     T.81 decode (marker parse, Huffman bit-walk, batched IDCT, chroma
     upsample, YCbCr->RGB) + dHash in one mapInPandas, then the linear
-    bucket_min banded dedup. The JPEG sibling of q_image_phash_dedup —
+    rep-linked banded dedup. The JPEG sibling of q_image_phash_dedup —
     what perceptual image dedup costs on the format a real crawl
     actually contains."""
     from automic_etl_spark.operators.imagehash import (
@@ -519,8 +519,9 @@ def q_image_jpeg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The image DEDUP scale path over the same corpus: bucket_min
-    banded linking (linear in duplicate-cluster size, r6) + connected
+    """The image DEDUP scale path over the same corpus: rep linking
+    (linear in duplicate multiplicity with exact link="all" components,
+    r9 — the r6 bucket_min default lost recall at this density) + connected
     components + anti-join — returns (n_images, n_kept). The contrast
     with q_image_phash isolates what exhaustive pair emission costs on
     duplicate-heavy corpora."""
@@ -599,11 +600,14 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = _audio_blob_corpus(spark, sf_dir)
     # cache: the fingerprint table feeds both the tally and the match join
     fps = audio_blobs_fingerprint(blobs).cache()
-    # bucket_min = the dedup scale path (linear in duplicate-cluster
-    # size; r6 — link="all" measured 50× wall at 10× data because
-    # replication-style inflation makes every clip a ~10-way identical
-    # cluster and exhaustive pair emission is quadratic in multiplicity)
-    matches = audio_near_dup(fps, min_hits=50, link="bucket_min")
+    # rep = the dedup scale path since r9: identical fingerprints
+    # collapse to a min-id representative (linear in duplicate
+    # multiplicity — the replication shape that made link="all" 50× at
+    # 10×), then exact all-pairs matching over representatives. The r6
+    # bucket_min row this replaces was measuring a recall-broken path
+    # (439 of 2159 matches at this corpus density — PERFORMANCE.md r9),
+    # so the r9 bench row is a STEP CHANGE, not a regression.
+    matches = audio_near_dup(fps, min_hits=50, link="rep")
     return fps.agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),

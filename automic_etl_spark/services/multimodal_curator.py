@@ -88,7 +88,7 @@ class MultimodalCurator:
     audio_near_dup: bool = False
     audio_near_dup_min_hits: int = 20
     # round 7: video near-dup via first/middle/last keyframe dHash
-    # (2-of-3 role agreement, bucket_min linking) — closes the one
+    # (2-of-3 role agreement; rep linking since r9) — closes the one
     # modality without a terminal near-dup stage (VERDICT r6 item 7)
     video_near_dup: bool = False
     video_near_dup_max_hamming: int = 6

@@ -188,13 +188,18 @@ def test_bucket_min_matches_are_min_anchored(fps):
 
 
 def test_bucket_min_dedup_keepset_equals_all(corpus, fps):
+    """On a SPARSE corpus (buckets cluster-pure) bucket_min still
+    matches all — the property that held in r6; the dense-corpus
+    failure lives in the rep tests below."""
     kept_all = {
         r["doc_id"]
         for r in dedup_by_audiofp(corpus, fps, min_hits=50, link="all").collect()
     }
     kept_min = {
         r["doc_id"]
-        for r in dedup_by_audiofp(corpus, fps, min_hits=50).collect()  # default
+        for r in dedup_by_audiofp(
+            corpus, fps, min_hits=50, link="bucket_min"
+        ).collect()
     }
     assert kept_min == kept_all == {0, 2, 5, 6, 7}
 
@@ -222,3 +227,45 @@ def test_bucket_min_collapses_wide_identical_cluster(spark):
 def test_match_join_rejects_unknown_link(fps):
     with pytest.raises(ValueError):
         fingerprint_match_join(fps, link="nope")
+
+
+# -- rep linking (r9 dedup default) ------------------------------------------
+
+def test_rep_dedup_keepset_equals_all(corpus, fps):
+    kept_all = {
+        r["doc_id"]
+        for r in dedup_by_audiofp(corpus, fps, min_hits=50, link="all").collect()
+    }
+    kept_rep = {
+        r["doc_id"]
+        for r in dedup_by_audiofp(corpus, fps, min_hits=50).collect()  # default
+    }
+    assert kept_rep == kept_all == {0, 2, 5, 6, 7}
+
+
+def test_rep_collapses_identical_cluster_linearly(spark):
+    """rep collapses an m-way identical-fingerprint cluster through a
+    min-id star (m-1 offset-0 edges) and runs the match join over ONE
+    representative — the linear path that, unlike bucket_min, keeps
+    link='all' components on dense corpora (sf0.1 measurement:
+    bucket_min found 439 of 2159 matches; rep reproduced all-mode's
+    1847 losers exactly)."""
+    clip = synth_clip(seed=21)
+    rows = [(i, bytearray(clip)) for i in range(10, 16)] + [
+        (16, bytearray(synth_clip(seed=22)))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    fps6 = audio_blobs_fingerprint(df).cache()
+    pairs = fingerprint_match_join(fps6, min_hits=50, link="rep").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {
+        (10, b) for b in range(11, 16)
+    }  # star on the cluster min; 5 pairs, not C(6,2)=15
+    assert all(
+        r["offset"] == 0 and r["hits"] >= 50
+        for r in pairs
+    )
+    kept = {
+        r["doc_id"] for r in dedup_by_audiofp(df, fps6, min_hits=50).collect()
+    }
+    assert kept == {10, 16}
+    fps6.unpersist()
