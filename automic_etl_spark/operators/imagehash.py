@@ -8,11 +8,12 @@ beyond the stdlib and numpy:
 
 - **decoders**: PNG (zlib IDAT + full filter reconstruction, bit depth
   8, color types 0/2/3/4/6, non-interlaced), BMP (uncompressed BI_RGB
-  24/32-bit, bottom-up and top-down), PPM (P6), and baseline JPEG
-  (operators/jpeg.py, ITU-T T.81: Huffman, 1/3 components, generic
-  subsampling, restart intervals — r9). Anything else — progressive
-  JPEG, interlaced PNG, 16-bit — returns ok=False (honest codec gate,
-  same policy as operators/audio for mp3/ogg).
+  24/32-bit, bottom-up and top-down), PPM (P6), and JPEG — baseline
+  AND progressive (operators/jpeg.py, ITU-T T.81 + Annex G: Huffman,
+  1/3 components, generic subsampling, restart intervals, spectral
+  selection + successive approximation — r9). Anything else —
+  interlaced PNG, 16-bit, arithmetic JPEG — returns ok=False (honest
+  codec gate, same policy as operators/audio for mp3/ogg).
 - **perceptual hashes**: 64-bit dHash (9x8 box-downsampled grayscale,
   adjacent-column gradient signs — robust to brightness/contrast/scale
   changes) and aHash (8x8 mean threshold), the standard near-dup
@@ -238,10 +239,11 @@ def decode_ppm(data: bytes):
 
 def decode_image(data: bytes):
     """Dispatch on magic bytes -> (format, pixels) or (format, None)
-    when the format is recognized but not decodable (progressive JPEG,
-    16-bit PNG etc.). Baseline JPEG decodes for real since r9
-    (operators/jpeg.py, ITU-T T.81) — the dominant web-corpus format no
-    longer no-ops the perceptual dedup paths."""
+    when the format is recognized but not decodable (16-bit PNG,
+    arithmetic-coded JPEG etc.). Baseline AND progressive JPEG decode
+    for real since r9 (operators/jpeg.py, ITU-T T.81 + Annex G) — the
+    dominant web-corpus format no longer no-ops the perceptual dedup
+    paths."""
     from automic_etl_spark.operators.imagemeta import probe_image
 
     fmt, _, _ = probe_image(data if data is not None else b"")

@@ -10,18 +10,21 @@ r6-r8 What's-missing #1). The reference has no image decode at all —
 its media connectors stop at metadata (``connectors/media/image.py``)
 and lean on external libs; this is a beyond-reference mandate item.
 
-Supported (the baseline process, T.81 §8 + Annex F):
-- SOF0 baseline / SOF1 extended sequential, 8-bit precision
-- Huffman entropy coding (DHT canonical tables, any valid table)
-- 1 (grayscale) or 3 (YCbCr) components, interleaved single scan
-- sampling factors 1/2/4 per axis (4:4:4, 4:2:0, 4:2:2, ... — any
-  combination where max_factor % factor == 0; replication upsampling)
-- restart intervals (DRI + RSTn), byte stuffing, fill bytes
+Supported:
+- SOF0 baseline / SOF1 extended sequential (T.81 §8 + Annex F):
+  Huffman, 8-bit, 1/3 components, interleaved single scan
+- SOF2 PROGRESSIVE (T.81 Annex G): spectral selection + successive
+  approximation, interleaved DC scans + single-component AC scans
+  (the libjpeg emission shape), EOB runs, refinement scans
+- any valid DHT canonical tables; sampling factors 1/2/4 per axis
+  (4:4:4, 4:2:0, 4:2:2, ... — max_factor % factor == 0; replication
+  upsampling); restart intervals (DRI + RSTn), byte stuffing, fill
+  bytes
 
 Honestly gated (returns None, the undecodable-survivors-are-kept
 policy shared with mp3/ogg in operators/audio):
-- progressive (SOF2) and all other SOF processes, arithmetic coding,
-  12-bit precision, 4-component (Adobe CMYK), multi-scan baseline
+- lossless/hierarchical SOF processes, arithmetic coding, 12-bit
+  precision, 4-component (Adobe CMYK), multi-scan sequential
 
 Decode plan shape: marker parse and Huffman bit-walk are per-image
 Python (flat 16-bit lookup tables, ~2 int ops per symbol), while the
@@ -32,11 +35,14 @@ kernels as the other decoders (operators/imagehash.image_blobs_phash),
 so at 100 TB it is embarrassingly parallel per partition with
 batch-bounded memory.
 
-``synth_jpeg`` is the test/bench twin (same role as synth_png): a real
-baseline encoder (FDCT, Annex-K quantization scaled by quality,
-Annex-K Huffman tables, 4:4:4 or 4:2:0, optional restart intervals) so
-fixtures and bench corpora exercise the decoder against independently
-constructed streams.
+``synth_jpeg`` / ``synth_jpeg_progressive`` are the test/bench twins
+(same role as synth_png): real encoders (FDCT, Annex-K quantization
+scaled by quality, 4:4:4 or 4:2:0; baseline restart intervals;
+progressive spectral-selection + successive-approximation scan
+scripts) so fixtures and bench corpora exercise the decoder against
+independently constructed streams — both encoders quantize
+identically, so progressive round-trips must decode to EXACTLY the
+baseline round-trip's pixels.
 """
 
 from __future__ import annotations
@@ -370,9 +376,11 @@ def decode_jpeg(data: bytes):
                 return _decode_scan(
                     data, pos + seglen, body, frame, qt, huff, ri
                 )
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker == 0xC2:  # SOF2: progressive (r9, Annex G)
+                return _decode_progressive(data)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF, 0xCC):
-                return None  # progressive/lossless/arithmetic processes
+                return None  # lossless/hierarchical/arithmetic processes
             pos += seglen
         return None
     except Exception:
@@ -498,9 +506,21 @@ def _decode_scan(data, scan_pos, sos_body, frame, qt, huff, ri):
             preds[ci] = pred
 
     # batched IDCT + assembly per component
+    return _idct_assemble(
+        [(ch, cv, coefs) for ch, cv, _q, _d, _a, coefs in plan],
+        hmax, vmax, h_img, w_img,
+    )
+
+
+def _idct_assemble(comp_blocks, hmax, vmax, h_img, w_img):
+    """Per-component DEQUANTIZED coefficient blocks (by_t, bx_t, 64) ->
+    final (H, W, C) uint8 image: batched einsum IDCT, plane assembly,
+    replication upsampling, YCbCr->RGB for 3 components."""
+    import numpy as np
+
     a = _dct_a()
     planes = []
-    for ch, cv, _q, _d, _a, coefs in plan:
+    for ch, cv, coefs in comp_blocks:
         by_t, bx_t, _ = coefs.shape
         s = coefs.reshape(by_t * bx_t, 8, 8)
         f = np.einsum("ux,nuv,vy->nxy", a, s, a) + 128.0
@@ -530,6 +550,307 @@ def _decode_scan(data, scan_pos, sos_body, frame, qt, huff, ri):
         axis=2,
     )
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive decoder (T.81 Annex G — r9)
+# --------------------------------------------------------------------------
+
+def _decode_sym(bits: _Bits, sym, ln) -> int:
+    p = bits.peek16()
+    length = ln[p]
+    if length == 0:
+        raise ValueError("invalid huffman code")
+    bits.skip(length)
+    return sym[p]
+
+
+def _decode_progressive(data: bytes):
+    """Decode a progressive JPEG (SOF2: spectral selection + successive
+    approximation, Huffman). Coefficients accumulate across scans in
+    per-component arrays; one dequantize + batched IDCT at the end.
+    Scan shapes supported: interleaved DC scans over all components,
+    and single-component scans (the libjpeg emission shape). Returns
+    None on anything malformed — total on arbitrary bytes."""
+    import numpy as np
+
+    try:
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], tuple] = {}
+        frame = None
+        geom = None  # (hmax, vmax, mcus_x, mcus_y)
+        coefs: list = []  # per comp: int32 (by_t, bx_t, 64) QUANTIZED
+        ri = 0
+        pos = 2
+        n = len(data)
+        if data[:2] != b"\xff\xd8":
+            return None
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            pos += 2
+            while marker == 0xFF:
+                marker = data[pos]
+                pos += 1
+            if marker == 0xD8:
+                continue
+            if marker == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            body = data[pos + 2 : pos + seglen]
+            if len(body) != seglen - 2:
+                return None
+            if marker == 0xDB:
+                o = 0
+                while o < len(body):
+                    pq, tq = body[o] >> 4, body[o] & 0xF
+                    o += 1
+                    if pq == 0:
+                        tab = np.frombuffer(
+                            body[o : o + 64], dtype=np.uint8
+                        ).astype(np.int32)
+                        o += 64
+                    elif pq == 1:
+                        tab = np.frombuffer(
+                            body[o : o + 128], dtype=">u2"
+                        ).astype(np.int32)
+                        o += 128
+                    else:
+                        return None
+                    if len(tab) != 64:
+                        return None
+                    qt[tq] = tab
+            elif marker == 0xC2:
+                prec, h_img, w_img, ncomp = struct.unpack(">BHHB", body[:6])
+                if prec != 8 or ncomp not in (1, 3):
+                    return None
+                if w_img == 0 or h_img == 0 or w_img * h_img > 64_000_000:
+                    return None
+                comps = []
+                for ci in range(ncomp):
+                    cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                    ch, cv = hv >> 4, hv & 0xF
+                    if ch not in (1, 2, 4) or cv not in (1, 2, 4):
+                        return None
+                    comps.append((cid, ch, cv, tq))
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                if any(hmax % c[1] or vmax % c[2] for c in comps):
+                    return None
+                mcus_x = -(-w_img // (8 * hmax))
+                mcus_y = -(-h_img // (8 * vmax))
+                frame = (w_img, h_img, comps)
+                geom = (hmax, vmax, mcus_x, mcus_y)
+                coefs = [
+                    np.zeros((mcus_y * cv, mcus_x * ch, 64), dtype=np.int64)
+                    for _cid, ch, cv, _tq in comps
+                ]
+            elif marker == 0xC4:
+                o = 0
+                while o + 17 <= len(body):
+                    tc, th = body[o] >> 4, body[o] & 0xF
+                    counts = list(body[o + 1 : o + 17])
+                    nsym = sum(counts)
+                    symbols = list(body[o + 17 : o + 17 + nsym])
+                    if len(symbols) != nsym or tc > 1:
+                        return None
+                    huff[(tc, th)] = _decode_table_cached(
+                        bytes(body[o : o + 17 + nsym]), counts, symbols
+                    )
+                    o += 17 + nsym
+            elif marker == 0xDD:
+                (ri,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:
+                if frame is None:
+                    return None
+                end = _prog_scan(
+                    data, pos + seglen, body, frame, geom, coefs, huff, ri
+                )
+                if end is None:
+                    return None
+                pos = end
+                continue  # pos already at the next marker
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF, 0xCC):
+                return None
+            pos += seglen
+        if frame is None:
+            return None
+        w_img, h_img, comps = frame
+        hmax, vmax, _mx, _my = geom
+        blocks = []
+        for (cid, ch, cv, tq), cf in zip(comps, coefs):
+            if tq not in qt:
+                return None
+            q = np.empty(64, dtype=np.float64)
+            q[list(ZIGZAG)] = qt[tq]  # zigzag table -> natural order
+            blocks.append((ch, cv, cf.astype(np.float64) * q[None, None, :]))
+        return _idct_assemble(blocks, hmax, vmax, h_img, w_img)
+    except Exception:
+        return None
+
+
+def _prog_scan(data, scan_pos, sos_body, frame, geom, coefs, huff, ri):
+    """Decode ONE progressive scan into the coefficient arrays; returns
+    the stream position after the entropy data (at the next marker) or
+    None on corruption."""
+    w_img, h_img, comps = frame
+    hmax, vmax, mcus_x, mcus_y = geom
+    ns = sos_body[0]
+    ss, se = sos_body[1 + 2 * ns], sos_body[2 + 2 * ns]
+    ah, al = sos_body[3 + 2 * ns] >> 4, sos_body[3 + 2 * ns] & 0xF
+    scan_comps = []  # (comp_index, dc_table, ac_table)
+    cid_to_idx = {c[0]: i for i, c in enumerate(comps)}
+    for si in range(ns):
+        cid, tt = sos_body[1 + 2 * si : 3 + 2 * si]
+        if cid not in cid_to_idx:
+            return None
+        scan_comps.append((cid_to_idx[cid], tt >> 4, tt & 0xF))
+    segs, end = _split_entropy(data, scan_pos)
+    zz = ZIGZAG
+
+    if ss == 0:  # DC scan (interleaved over the scan's components)
+        if se != 0:
+            return None
+        tables = []
+        for ci, td, _ta in scan_comps:
+            if ah == 0 and (0, td) not in huff:
+                return None
+            tables.append(huff.get((0, td)))
+        if ns == len(comps):
+            units_x, units_y = mcus_x, mcus_y
+        elif ns == 1:
+            ci0 = scan_comps[0][0]
+            _cid, ch, cv, _tq = comps[ci0]
+            units_x = (-(-w_img * ch // hmax) + 7) // 8
+            units_y = (-(-h_img * cv // vmax) + 7) // 8
+        else:
+            return None
+        seg_idx = 0
+        bits = _Bits(segs[0])
+        preds = [0] * ns
+        n_units = units_x * units_y
+        for m in range(n_units):
+            if ri and m and m % ri == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    return None
+                bits = _Bits(segs[seg_idx])
+                preds = [0] * ns
+            uy, ux = divmod(m, units_x)
+            for si, (ci, _td, _ta) in enumerate(scan_comps):
+                _cid, ch, cv, _tq = comps[ci]
+                if ns == 1:
+                    targets = [(uy, ux)]
+                else:
+                    targets = [
+                        (uy * cv + by, ux * ch + bx)
+                        for by in range(cv)
+                        for bx in range(ch)
+                    ]
+                for by, bx in targets:
+                    blk = coefs[ci][by, bx]
+                    if ah == 0:  # DC first
+                        sym, ln = tables[si]
+                        s = _decode_sym(bits, sym, ln)
+                        if s:
+                            preds[si] += _extend(bits.get(s), s)
+                        blk[0] = preds[si] << al
+                    else:  # DC refinement: one appended bit
+                        if bits.get(1):
+                            blk[0] = int(blk[0]) | (1 << al)
+        return end
+
+    # AC scan: single component, non-interleaved (the libjpeg shape)
+    if ns != 1 or ss < 1 or se > 63 or ss > se:
+        return None
+    ci, _td, ta = scan_comps[0]
+    if (1, ta) not in huff:
+        return None
+    sym, ln = huff[(1, ta)]
+    _cid, ch, cv, _tq = comps[ci]
+    units_x = (-(-w_img * ch // hmax) + 7) // 8
+    units_y = (-(-h_img * cv // vmax) + 7) // 8
+    seg_idx = 0
+    bits = _Bits(segs[0])
+    eobrun = 0
+    n_units = units_x * units_y
+    p1 = 1 << al
+    m1 = (-1) << al
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                return None
+            bits = _Bits(segs[seg_idx])
+            eobrun = 0
+        uy, ux = divmod(m, units_x)
+        blk = coefs[ci][uy, ux]
+        if ah == 0:  # AC first scan (T.81 G.1.2.2)
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _decode_sym(bits, sym, ln)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += bits.get(r)
+                        break
+                    k += 16
+                    continue
+                k += r
+                if k > se:
+                    return None
+                blk[zz[k]] = _extend(bits.get(s), s) << al
+                k += 1
+        else:  # AC refinement scan (the jdphuff.c control flow)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _decode_sym(bits, sym, ln)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s:
+                        if s != 1:
+                            return None
+                        val = p1 if bits.get(1) else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += bits.get(r)
+                            break
+                    while k <= se:
+                        z = zz[k]
+                        c = int(blk[z])
+                        if c != 0:
+                            if bits.get(1) and (c & p1) == 0:
+                                blk[z] = c + (p1 if c >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            return None
+                        blk[zz[k]] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    z = zz[k]
+                    c = int(blk[z])
+                    if c != 0:
+                        if bits.get(1) and (c & p1) == 0:
+                            blk[z] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return end
 
 
 # --------------------------------------------------------------------------
@@ -779,5 +1100,294 @@ def synth_jpeg(
     sos += b"\x00\x3f\x00"
     out += seg(0xDA, sos)
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# progressive encoder (r9) — fixture/bench twin for the SOF2 decoder
+# --------------------------------------------------------------------------
+
+def _ac_prog_table():
+    """AC Huffman table for progressive scans: the Annex-K baseline AC
+    tables have no EOBn symbols (0x10..0xE0 — progressive-only), so the
+    progressive encoder ships its own flat table: every symbol it can
+    emit (EOB0..EOB14, ZRL, all (run, size) with size 1..10) at code
+    length 9 (176 symbols < 2^9, Kraft-valid canonical table). Flat =
+    zero compression tuning, but the fixture twin optimizes for
+    correctness coverage, not ratio."""
+    symbols = [r << 4 for r in range(15)] + [0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    counts = [0] * 16
+    counts[8] = len(symbols)  # all codes 9 bits long
+    return tuple(counts), tuple(symbols)
+
+
+_AC_PROG = _ac_prog_table()
+
+
+def _emit_mag(w: _BitWriter, codes, r: int, mag: int, negative: bool) -> None:
+    """Huffman symbol (r<<4)|s plus the s magnitude bits (one's
+    complement for negative values — the T.81 encoding)."""
+    s = mag.bit_length()
+    c, ln = codes[(r << 4) | s]
+    w.put(c, ln)
+    w.put(mag if not negative else (1 << s) - 1 - mag, s)
+
+
+class _EobState:
+    """EOB-run + buffered-correction-bit state shared across blocks of
+    one progressive AC scan (the jcphuff BE/BR machinery)."""
+
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self, w: _BitWriter, codes) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            c, ln = codes[r << 4]
+            w.put(c, ln)
+            if r:
+                w.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.bits:
+            w.put(b, 1)
+        self.bits = []
+
+
+def _enc_ac_first(w, codes, st: _EobState, blk, ss, se, al) -> None:
+    zz = ZIGZAG
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[zz[k]])
+        t = (-v if v < 0 else v) >> al
+        if t == 0:
+            r += 1
+            continue
+        st.flush(w, codes)
+        while r > 15:
+            c, ln = codes[0xF0]
+            w.put(c, ln)
+            r -= 16
+        _emit_mag(w, codes, r, t, v < 0)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.flush(w, codes)
+
+
+def _enc_ac_refine(w, codes, st: _EobState, blk, ss, se, al) -> None:
+    """jcphuff encode_mcu_AC_refine: newly-significant coefficients are
+    coded as (run, 1)+sign, already-significant ones contribute one
+    buffered correction bit, zero runs past the last new coefficient
+    fold into the EOB run."""
+    zz = ZIGZAG
+    absv = {}
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        t = (abs(int(blk[zz[k]]))) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.flush(w, codes)
+            c, ln = codes[0xF0]
+            w.put(c, ln)
+            r -= 16
+            for b in br:
+                w.put(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush(w, codes)
+        c, ln = codes[(r << 4) | 1]
+        w.put(c, ln)
+        w.put(0 if int(blk[zz[k]]) < 0 else 1, 1)
+        for b in br:
+            w.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.bits.extend(br)
+        if st.eobrun == 0x7FFF:
+            st.flush(w, codes)
+
+
+def synth_jpeg_progressive(
+    img,
+    quality: int = 90,
+    subsampling: str = "444",
+    dc_al: int = 1,
+    ac_al: int = 1,
+    ac_bands: tuple = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode a PROGRESSIVE (SOF2) JPEG with spectral selection AND
+    successive approximation: interleaved DC first scan at Al=dc_al +
+    DC refinement scans down to 0, then per-component AC first scans
+    per band at Al=ac_al + AC refinement scans down to 0 (the libjpeg
+    scan-script shape). Quantized coefficients are identical to
+    synth_jpeg's at the same quality, so a progressive round-trip must
+    decode to the exact pixels of the baseline round-trip — the
+    equality the tests assert."""
+    import numpy as np
+
+    h_img, w_img, nch = img.shape
+    if nch not in (1, 3):
+        raise ValueError("synth_jpeg_progressive wants (H,W,1) or (H,W,3)")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    gray = nch == 1
+    q_l = _quality_scale(_QT_LUMA, quality)
+    q_c = _quality_scale(_QT_CHROMA, quality)
+
+    if gray:
+        planes = [img[:, :, 0].astype(np.float64)]
+        samp = [(1, 1)]
+        qsel = [0]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(
+                axis=(1, 3)
+            )
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+        qsel = [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    q_nats = [q_l, q_c]
+    blocks = []
+    for plane, (ch, cv), qi in zip(planes, samp, qsel):
+        need_h, need_w = mcus_y * cv * 8, mcus_x * ch * 8
+        padded = np.pad(
+            plane,
+            ((0, need_h - plane.shape[0]), (0, need_w - plane.shape[1])),
+            mode="edge",
+        )
+        blocks.append(_plane_blocks(padded, q_nats[qi].astype(np.float64)))
+
+    dc_codes = [_build_encode_table(*_DC_LUMA)] + [
+        _build_encode_table(*_DC_CHROMA)
+    ] * (len(planes) - 1)
+    # one shared progressive AC table (id 0) — see _ac_prog_table
+    ac_prog = _build_encode_table(*_AC_PROG)
+    ac_codes = [ac_prog] * len(planes)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    def sos_header(comps_in_scan, ss, se, ah, al) -> bytes:
+        body = bytes([len(comps_in_scan)])
+        for ci, td, ta in comps_in_scan:
+            body += bytes((ci + 1, (td << 4) | ta))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, body)
+
+    scans = bytearray()
+
+    # DC scans: first at Al=dc_al (interleaved), then refinements to 0
+    for al in range(dc_al, -1, -1):
+        first = al == dc_al
+        w = _BitWriter()
+        preds = [0] * len(planes)
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, (ch, cv) in enumerate(samp):
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(blocks[ci][my * cv + by, mx * ch + bx][0])
+                        if first:
+                            v = dc >> al
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            if diff == 0:
+                                c, ln = dc_codes[ci][0]
+                                w.put(c, ln)
+                            else:
+                                _emit_mag(
+                                    w, dc_codes[ci], 0,
+                                    -diff if diff < 0 else diff, diff < 0,
+                                )
+                        else:
+                            w.put((dc >> al) & 1, 1)
+        w.flush()
+        scans += sos_header(
+            [(ci, 0 if ci == 0 else 1, 0) for ci in range(len(planes))],
+            0, 0, 0 if first else al + 1, al,
+        )
+        scans += w.out
+
+    # AC scans: per component, per band — first at Al=ac_al, refine to 0
+    for ci, (ch, cv) in enumerate(samp):
+        units_x = (-(-w_img * ch // hmax) + 7) // 8
+        units_y = (-(-h_img * cv // vmax) + 7) // 8
+        for ss, se in ac_bands:
+            for al in range(ac_al, -1, -1):
+                first = al == ac_al
+                w = _BitWriter()
+                st = _EobState()
+                codes = ac_codes[ci]
+                for m in range(units_x * units_y):
+                    uy, ux = divmod(m, units_x)
+                    blk = blocks[ci][uy, ux]
+                    if first:
+                        _enc_ac_first(w, codes, st, blk, ss, se, al)
+                    else:
+                        _enc_ac_refine(w, codes, st, blk, ss, se, al)
+                st.flush(w, codes)
+                w.flush()
+                scans += sos_header(
+                    [(ci, 0, 0)],  # shared progressive AC table id 0
+                    ss, se, 0 if first else al + 1, al,
+                )
+                scans += w.out
+
+    zz = ZIGZAG
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(int(q_l[zz[k]]) for k in range(64)))
+    if not gray:
+        out += seg(
+            0xDB, bytes([0x01]) + bytes(int(q_c[zz[k]]) for k in range(64))
+        )
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h_img, w_img, ncomp)
+    for ci, (ch, cv) in enumerate(samp):
+        sof += bytes((ci + 1, (ch << 4) | cv, qsel[ci]))
+    out += seg(0xC2, sof)
+    for tc, th, (counts, vals) in (
+        (0, 0, _DC_LUMA),
+        (1, 0, _AC_PROG),
+    ) + (((0, 1, _DC_CHROMA),) if not gray else ()):
+        out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(counts) + bytes(vals))
+    out += scans
     out += b"\xff\xd9"
     return bytes(out)

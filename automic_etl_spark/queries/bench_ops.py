@@ -449,16 +449,20 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _jpeg_blob_frame(spark: SparkSession, sf_dir: str):
-    """Deterministic baseline-JPEG corpus keyed off doc_id (every 4th
-    image a brightness-perturbed twin of its predecessor, mixed 4:4:4 /
-    4:2:0 and quality levels), synthesized executor-side — the JPEG
-    sibling of _image_blob_frame, measuring the r9 T.81 decode path at
-    corpus scale."""
+    """Deterministic JPEG corpus keyed off doc_id (every 4th image a
+    brightness-perturbed twin of its predecessor; mixed 4:4:4 / 4:2:0,
+    quality levels, and ~20% progressive SOF2 streams), synthesized
+    executor-side — the JPEG sibling of _image_blob_frame, measuring
+    the r9 T.81 baseline + Annex G progressive decode paths at corpus
+    scale."""
     import numpy as np
     import pandas as pd
 
     from automic_etl_spark.operators.dedup import ensure_parallelism
-    from automic_etl_spark.operators.jpeg import synth_jpeg
+    from automic_etl_spark.operators.jpeg import (
+        synth_jpeg,
+        synth_jpeg_progressive,
+    )
 
     # the JPEG entropy codec is per-image Python (unlike the numpy-lane
     # PNG path), so the one-split parquet scan must fan out before the
@@ -484,8 +488,13 @@ def _jpeg_blob_frame(spark: SparkSession, sf_dir: str):
                     img = np.clip(img.astype(np.int16) + 5, 0, 255).astype(
                         np.uint8
                     )
+                # ~1 in 5 blobs encode PROGRESSIVE (the real-web mix:
+                # libjpeg-progressive is a visible fraction of any
+                # crawl), exercising the Annex G multi-scan decode path
+                # at corpus scale alongside baseline
+                enc = synth_jpeg_progressive if d % 5 == 2 else synth_jpeg
                 blobs.append(
-                    synth_jpeg(
+                    enc(
                         img,
                         quality=80 + (d % 3) * 7,  # 80 / 87 / 94
                         subsampling="420" if d % 2 else "444",

@@ -136,6 +136,78 @@ class TestRoundTrip:
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 12
 
 
+# --- progressive (SOF2, Annex G) ----------------------------------------------
+
+class TestProgressive:
+    """synth_jpeg_progressive quantizes identically to synth_jpeg, so a
+    progressive round-trip must decode to EXACTLY the baseline
+    round-trip's pixels — spectral selection, EOB runs, DC and AC
+    successive-approximation refinement all have to be bit-correct for
+    equality to hold."""
+
+    def _pair(self, img, **kw):
+        from automic_etl_spark.operators.jpeg import synth_jpeg_progressive
+
+        sub = kw.pop("subsampling", "444")
+        base = decode_jpeg(synth_jpeg(img, quality=90, subsampling=sub))
+        prog = decode_jpeg(
+            synth_jpeg_progressive(img, quality=90, subsampling=sub, **kw)
+        )
+        return base, prog
+
+    def test_rgb_444_equals_baseline(self):
+        base, prog = self._pair(_smooth_rgb())
+        assert prog is not None and (base == prog).all()
+
+    def test_420_odd_dims_equals_baseline(self):
+        base, prog = self._pair(_smooth_rgb()[:31, :37], subsampling="420")
+        assert prog is not None and prog.shape == (31, 37, 3)
+        assert (base == prog).all()
+
+    def test_noise_and_gray(self):
+        rng = np.random.RandomState(13)
+        for img in (
+            rng.randint(0, 256, (24, 24, 3), np.uint8),
+            _smooth_rgb()[:, :, :1].copy(),
+        ):
+            base, prog = self._pair(img)
+            assert prog is not None and (base == prog).all()
+
+    @pytest.mark.parametrize("dc_al,ac_al", [(0, 0), (1, 1), (2, 2), (0, 2)])
+    def test_successive_approximation_depths(self, dc_al, ac_al):
+        # al=0 exercises pure spectral selection (no refinement scans);
+        # deeper Al chains exercise DC/AC refinement multiple times
+        base, prog = self._pair(_smooth_rgb(), dc_al=dc_al, ac_al=ac_al)
+        assert prog is not None and (base == prog).all()
+
+    def test_eob_runs_across_blocks(self):
+        # flat image: every AC band is zero in every block, so the AC
+        # scans are one maximal EOB run each — the EOBn path end-to-end
+        img = np.full((40, 48, 3), 130, np.uint8)
+        base, prog = self._pair(img)
+        assert prog is not None and (base == prog).all()
+
+    def test_progressive_corruption_never_raises(self):
+        from automic_etl_spark.operators.jpeg import synth_jpeg_progressive
+
+        rng = np.random.RandomState(23)
+        data = bytearray(synth_jpeg_progressive(_smooth_rgb(), quality=90))
+        for _ in range(40):
+            d = bytearray(data)
+            for _ in range(rng.randint(1, 6)):
+                d[rng.randint(0, len(d))] = rng.randint(0, 256)
+            decode_jpeg(bytes(d))  # None or pixels, never an exception
+        for cut in (30, 200, len(data) // 2):
+            decode_jpeg(bytes(data[:cut]))
+
+    def test_decode_image_dispatch_progressive(self):
+        from automic_etl_spark.operators.imagehash import decode_image
+        from automic_etl_spark.operators.jpeg import synth_jpeg_progressive
+
+        fmt, px = decode_image(synth_jpeg_progressive(_smooth_rgb()))
+        assert fmt == "jpeg" and px is not None and px.shape == (32, 40, 3)
+
+
 # --- honest gates / totality --------------------------------------------------
 
 class TestGates:
@@ -146,7 +218,10 @@ class TestGates:
         for cut in (2, 4, 20, 100, len(data) // 2):
             assert decode_jpeg(data[:cut]) is None or True  # never raises
 
-    def test_progressive_rejected(self):
+    def test_malformed_progressive_scan_rejected(self):
+        # a baseline stream relabeled SOF2 carries an Ss=0/Se=63 scan,
+        # which Annex G forbids (DC and AC may not share a scan) — the
+        # progressive decoder must fail it cleanly, not misparse it
         data = bytearray(synth_jpeg(_smooth_rgb(), quality=90))
         i = data.find(b"\xff\xc0")
         data[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
