@@ -222,6 +222,7 @@ def fingerprint_match_join(
     min_hits: int = 20,
     per_value_cap: int = 4,
     link: str = "all",
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """(id_a < id_b, offset, hits) for clip pairs sharing >= min_hits
     landmark hashes at one frame offset (offset voting — chance
@@ -314,6 +315,25 @@ def fingerprint_match_join(
         )
         link = "all"
     ex = fp_rows.mapInPandas(cap_kernel, "__id long, __t int, __h int")
+    if max_bucket_docs is not None:
+        # frequency-capped inverted index (the Shazam-practice "stop
+        # word" drop; r9): a landmark hash occurring in more than
+        # max_bucket_docs documents carries no discriminative value but
+        # dominates the self-join — its bucket alone contributes
+        # O(bucket^2) candidate rows, and at 10x data the uncapped rep
+        # join spilled the disk (PERFORMANCE.md r9). Dropping hot
+        # hashes bounds per-bucket work to O(cap^2) => total candidates
+        # O(n_hashes x cap^2), LINEAR in corpus size. Recall trade:
+        # true matches need >= min_hits ALIGNED hashes, which rare
+        # hashes supply; keep-set equality vs the uncapped join is
+        # asserted at sf0.1 in tests.
+        hot = (
+            ex.groupBy("__h")
+            .agg(F.countDistinct("__id").alias("__nd"))
+            .filter(F.col("__nd") > max_bucket_docs)
+            .select("__h")
+        )
+        ex = ex.join(hot, "__h", "left_anti")
     if exact_edges is not None:
         # an identical pair's offset-0 evidence is the rep's CAPPED
         # occurrence count (every capped occurrence matches itself) —
@@ -359,12 +379,16 @@ def audio_near_dup(
     id_col: str = "doc_id",
     min_hits: int = 20,
     link: str = "all",
+    max_bucket_docs: int | None = None,
 ) -> DataFrame:
     """Best-offset match per pair: (id_a, id_b, offset, hits) keeping
     only each pair's strongest alignment (max_by hits, min-offset
     tie-break via the (hits, -|offset|) struct ordering). `link` as in
     fingerprint_match_join ("bucket_min" = the linear dedup path)."""
-    m = fingerprint_match_join(fps, id_col=id_col, min_hits=min_hits, link=link)
+    m = fingerprint_match_join(
+        fps, id_col=id_col, min_hits=min_hits, link=link,
+        max_bucket_docs=max_bucket_docs,
+    )
     best = F.max(
         F.struct(F.col("hits"), (-F.abs(F.col("offset"))).alias("no"), "offset")
     )
@@ -381,15 +405,22 @@ def dedup_by_audiofp(
     id_col: str = "doc_id",
     min_hits: int = 20,
     link: str = "rep",
+    max_bucket_docs: int | None = 512,
 ) -> DataFrame:
     """Keep one clip per acoustic near-dup cluster (minimum id wins);
     clips without a fingerprint are kept. Defaults to "rep" linking
     (r9) — linear in duplicate multiplicity with link="all"'s exact
-    connected components; see fingerprint_match_join for why the r6
-    bucket_min default lost recall on dense corpora."""
+    connected components (see fingerprint_match_join for why the r6
+    bucket_min default lost recall on dense corpora) — plus a
+    512-document frequency cap on the landmark inverted index (hot
+    hashes are non-discriminative but quadratic; max_bucket_docs=None
+    restores the exact uncapped join)."""
     from automic_etl_spark.operators.dedup import connected_components
 
-    pairs = audio_near_dup(fps, id_col=id_col, min_hits=min_hits, link=link)
+    pairs = audio_near_dup(
+        fps, id_col=id_col, min_hits=min_hits, link=link,
+        max_bucket_docs=max_bucket_docs,
+    )
     clusters = connected_components(pairs)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)

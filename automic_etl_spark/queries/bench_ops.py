@@ -616,7 +616,9 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket_min row this replaces was measuring a recall-broken path
     # (439 of 2159 matches at this corpus density — PERFORMANCE.md r9),
     # so the r9 bench row is a STEP CHANGE, not a regression.
-    matches = audio_near_dup(fps, min_hits=50, link="rep")
+    matches = audio_near_dup(
+        fps, min_hits=50, link="rep", max_bucket_docs=512
+    )
     return fps.agg(
         F.count(F.lit(1)).alias("n_clips"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),

@@ -229,6 +229,34 @@ def test_match_join_rejects_unknown_link(fps):
         fingerprint_match_join(fps, link="nope")
 
 
+def test_frequency_cap_bounds_and_recall(corpus, fps):
+    """max_bucket_docs drops landmark hashes occurring in more docs
+    than the cap (the content-ID stop-word drop that keeps the
+    inverted-index self-join linear at corpus scale). A generous cap
+    changes nothing on this corpus; cap=1 removes every cross-doc hash,
+    so no pair can reach min_hits and everything is kept."""
+    kept_uncapped = {
+        r["doc_id"]
+        for r in dedup_by_audiofp(
+            corpus, fps, min_hits=50, max_bucket_docs=None
+        ).collect()
+    }
+    kept_capped = {
+        r["doc_id"]
+        for r in dedup_by_audiofp(
+            corpus, fps, min_hits=50, max_bucket_docs=512
+        ).collect()
+    }
+    assert kept_capped == kept_uncapped == {0, 2, 5, 6, 7}
+    kept_all_hot_dropped = {
+        r["doc_id"]
+        for r in dedup_by_audiofp(
+            corpus, fps, min_hits=50, max_bucket_docs=1
+        ).collect()
+    }
+    assert kept_all_hot_dropped == {r["doc_id"] for r in corpus.collect()}
+
+
 # -- rep linking (r9 dedup default) ------------------------------------------
 
 def test_rep_dedup_keepset_equals_all(corpus, fps):
