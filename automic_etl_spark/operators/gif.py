@@ -1,0 +1,487 @@
+"""GIF codec (GIF87a/GIF89a + LZW), pure stdlib + numpy.
+
+Like the first-party JPEG (operators/jpeg.py, ITU-T T.81), FLAC
+(operators/flac.py, RFC 9639) and PNG/BMP/PPM decoders, this exists so
+the perceptual-dedup operators see REAL pixels with zero image-library
+dependencies. GIF is the one remaining common web-corpus raster format
+that kept keep-everything no-op'ing the image near-dup path; unlike
+JPEG/MPEG it needs NO in-spec constant tables — every codebook is built
+on the fly from the stream — so the decode is exact, not approximate.
+The reference has no image decode at all (its media connectors stop at
+metadata); beyond-reference mandate item, same adjudication as JPEG.
+
+Supported (the whole GIF 89a spec as published by CompuServe, 1990):
+- 87a and 89a, global + local color tables, interlaced images
+  (4-pass row shuffle), LZW with dynamic code width up to 12 bits and
+  mid-stream Clear codes, including the deferred-clear case where the
+  table fills and the encoder keeps emitting 12-bit codes
+- 89a extensions: Graphic Control (transparency index, delay,
+  disposal methods 0-3 incl. restore-to-background and
+  restore-to-previous), Netscape looping, comment/plain-text/app
+  blocks (skipped structurally)
+- multi-frame animations: ``decode_gif_frames`` composites each frame
+  onto the logical-screen canvas with correct disposal between frames
+  — animated GIFs are the web's no-container micro-videos, and the
+  video near-dup path samples them like any other clip
+
+Decoders are TOTAL: any malformed/truncated payload returns None (the
+undecodable-survivors-are-kept policy shared by every codec here).
+Truncated-but-well-formed-prefix streams decode the frames that are
+complete, matching browser behavior.
+
+``synth_gif`` is the encoder twin (same role as synth_png/synth_jpeg):
+a real LZW compressor with table reset at 4096 codes, optional
+interlace, per-frame delays/disposal/transparency and local palettes,
+so fixtures exercise the decoder against independently constructed
+streams and round-trips are exact (GIF is lossless given a palette).
+
+Scale shape: runs inside the same Arrow-batched mapInPandas kernels as
+the other decoders (imagehash.image_blobs_phash, videometa keyframe
+phash) — embarrassingly parallel per partition, batch-bounded memory.
+The LZW inner loop is per-code Python (like the JPEG Huffman walk);
+palette application and compositing are vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+
+#: logical-screen pixel budget — same DoS guard as decode_bmp/decode_ppm
+_MAX_PIXELS = 64_000_000
+
+#: frames composited per animation before we stop reading (a hostile
+#: blob can declare thousands of 1px frames; dedup only ever samples 3)
+_MAX_FRAMES = 256
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+
+def _concat_subblocks(data: bytes, pos: int) -> tuple[bytes, int, bool]:
+    """Join a GIF sub-block chain starting at ``pos``; returns
+    (payload, position after the chain, complete). A chain cut off by
+    end-of-data yields the de-blocked bytes collected so far with
+    complete=False — real files (e.g. Tk's earth.gif) do end without
+    the 0x00 terminator."""
+    parts = []
+    while True:
+        if pos >= len(data):
+            return b"".join(parts), pos, False
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(parts), pos, True
+        take = data[pos : pos + n]
+        parts.append(take)
+        pos += n
+        if len(take) < n:
+            return b"".join(parts), pos, False
+
+
+def _lzw_decode(min_code_size: int, payload: bytes, expected: int) -> bytearray | None:
+    """GIF-variant LZW: LSB-first bit packing, dynamic code width from
+    ``min_code_size + 1`` up to 12 bits, Clear resets the table, End
+    stops. Decodes at most ``expected`` indices (trailing codes beyond
+    the image area are ignored, as real encoders sometimes pad)."""
+    if not 2 <= min_code_size <= 8:  # indices are palette bytes
+        return None
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    # table entries are bytes objects; roots re-created on every Clear
+    roots = [bytes((i,)) for i in range(clear)]
+
+    table = roots + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(payload):
+                return out  # truncated: keep what decoded (browser behavior)
+            acc |= payload[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = roots + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+        else:
+            return None
+        out += entry
+        prev = entry
+    return out
+
+
+_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _deinterlace(idx: "np.ndarray") -> "np.ndarray":
+    """Undo the GIF 4-pass interlace row order on an (H, W) index array."""
+    import numpy as np
+
+    h = idx.shape[0]
+    out = np.empty_like(idx)
+    src = 0
+    for start, step in _INTERLACE_PASSES:
+        n = len(range(start, h, step))
+        out[start::step] = idx[src : src + n]
+        src += n
+    return out
+
+
+def _parse_gif(data: bytes):
+    """Structural walk shared by the single-frame and animation decoders.
+    Yields per-frame dicts; raises ValueError on malformed structure
+    (callers wrap). Stops cleanly at the trailer or end-of-data."""
+    if data[:3] != b"GIF" or data[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF")
+    if len(data) < 13:
+        raise ValueError("truncated header")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed, bg_idx = data[10], data[11]
+    if sw <= 0 or sh <= 0 or sw * sh > _MAX_PIXELS:
+        raise ValueError("bad logical screen")
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated GCT")
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+
+    frames = []
+    # pending graphic-control state (applies to the NEXT image)
+    transparent, delay_cs, disposal = None, 0, 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-block chain
+            if pos >= len(data):
+                break
+            label = data[pos]
+            pos += 1
+            body, pos, complete = _concat_subblocks(data, pos)
+            if not complete:
+                break
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control
+                flags = body[0]
+                delay_cs = struct.unpack("<H", body[1:3])[0]
+                transparent = body[3] if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
+            continue
+        if block != 0x2C:  # unknown block type: unrecoverable
+            raise ValueError(f"unknown block 0x{block:02x}")
+        if pos + 9 > len(data):
+            break
+        left, top, w, h = struct.unpack("<HHHH", data[pos : pos + 8])
+        ipacked = data[pos + 8]
+        pos += 9
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            raise ValueError("bad image descriptor")
+        lct = None
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            if pos + 3 * n > len(data):
+                break
+            lct = data[pos : pos + 3 * n]
+            pos += 3 * n
+        if pos >= len(data):
+            break
+        mcs = data[pos]
+        pos += 1
+        payload, pos, complete = _concat_subblocks(data, pos)
+        frames.append(
+            dict(left=left, top=top, w=w, h=h, mcs=mcs, payload=payload,
+                 interlaced=bool(ipacked & 0x40), lct=lct,
+                 transparent=transparent, delay_cs=delay_cs,
+                 disposal=disposal)
+        )
+        if not complete:  # truncated entropy data: keep what decoded
+            break
+        transparent, delay_cs, disposal = None, 0, 0
+        if len(frames) >= _MAX_FRAMES:
+            break
+    return sw, sh, bg_idx, gct, frames
+
+
+def _palette_rgb(table: bytes | None) -> "np.ndarray | None":
+    import numpy as np
+
+    if table is None:
+        return None
+    return np.frombuffer(table, dtype=np.uint8).reshape(-1, 3)
+
+
+def decode_gif_frames(data: bytes, max_frames: int = _MAX_FRAMES):
+    """Decode a (possibly animated) GIF to
+    ``[(ts_ms, (H, W, 3) uint8 canvas), ...]`` — one entry per frame,
+    ``ts_ms`` the cumulative display time at which the frame APPEARS
+    (frame 0 at 0). Frames composite onto the logical screen with the
+    89a disposal rules: 0/1 leave the region, 2 restores it to the
+    background color, 3 restores the previous canvas. Transparent
+    pixels leave the underlying canvas untouched. Returns None when the
+    payload is not a decodable GIF; a truncated animation returns the
+    frames that are complete."""
+    import numpy as np
+
+    try:
+        sw, sh, bg_idx, gct, frames = _parse_gif(bytes(data))
+        if not frames:
+            return None
+        gpal = _palette_rgb(gct)
+        # the canvas starts as the background color (bg index into the
+        # GCT when present — browsers show transparent; dedup needs a
+        # deterministic opaque canvas, and bg is the spec's own choice)
+        if gpal is not None and bg_idx < gpal.shape[0]:
+            bg_rgb = gpal[bg_idx]
+        else:
+            bg_rgb = np.zeros(3, dtype=np.uint8)
+        canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).copy()
+
+        out = []
+        ts = 0
+        for fr in frames[:max_frames]:
+            pal = _palette_rgb(fr["lct"])
+            if pal is None:
+                pal = gpal
+            if pal is None:
+                return None  # no palette anywhere: indices are undefined
+            w, h = fr["w"], fr["h"]
+            idx = _lzw_decode(fr["mcs"], fr["payload"], w * h)
+            if idx is None:
+                break
+            if len(idx) < w * h:
+                # decode only the complete rows of a truncated frame
+                rows = len(idx) // w
+                if rows == 0:
+                    break
+                arr = np.frombuffer(bytes(idx[: rows * w]), dtype=np.uint8)
+                arr = np.vstack(
+                    [arr.reshape(rows, w),
+                     np.zeros((h - rows, w), dtype=np.uint8)]
+                )
+            else:
+                arr = np.frombuffer(bytes(idx[: w * h]), dtype=np.uint8).reshape(h, w)
+            if fr["interlaced"]:
+                arr = _deinterlace(arr)
+            if int(arr.max(initial=0)) >= pal.shape[0]:
+                break
+            # clip the frame rect to the logical screen (spec allows
+            # frames that overhang; browsers clip)
+            top, left = fr["top"], fr["left"]
+            vh = min(h, sh - top)
+            vw = min(w, sw - left)
+            if vh <= 0 or vw <= 0:
+                out.append((ts, canvas.copy()))
+                ts += max(fr["delay_cs"], 0) * 10
+                continue
+            prev_region = canvas[top : top + vh, left : left + vw].copy()
+            patch = pal[arr[:vh, :vw]]
+            if fr["transparent"] is not None:
+                mask = arr[:vh, :vw] != fr["transparent"]
+                region = canvas[top : top + vh, left : left + vw]
+                region[mask] = patch[mask]
+            else:
+                canvas[top : top + vh, left : left + vw] = patch
+            out.append((ts, canvas.copy()))
+            ts += max(fr["delay_cs"], 0) * 10
+            if fr["disposal"] == 2:
+                canvas[top : top + vh, left : left + vw] = bg_rgb
+            elif fr["disposal"] == 3:
+                canvas[top : top + vh, left : left + vw] = prev_region
+        return out or None
+    except Exception:
+        return None
+
+
+def decode_gif(data: bytes):
+    """Decode the first frame of a GIF to (H, W, 3) uint8 on the
+    logical-screen canvas (the still-image view of an animation).
+    Returns None for anything unsupported or malformed — total on
+    arbitrary bytes, like decode_png/decode_bmp/decode_jpeg."""
+    frames = decode_gif_frames(data, max_frames=1)
+    if not frames:
+        return None
+    return frames[0][1]
+
+
+# --------------------------------------------------------------------------
+# encode (test/bench twin)
+# --------------------------------------------------------------------------
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """GIF-variant LZW compressor: starts with a Clear, resets the table
+    at 4096 entries, ends with End — the exact stream shape the decoder
+    and every real GIF reader expect."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    put(clear, width)
+    run = b""
+    for b in indices:
+        cand = run + bytes((b,))
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # GIF is NOT TIFF's "early change": widen only when the code
+            # just assigned equals 2^width (the decoder mirrors with
+            # len(table) == 1<<width after its append, one entry behind).
+            # Pinned against real-world streams: every Tcl/Tk demo GIF
+            # decodes fully under this pairing and desyncs under the
+            # one-earlier rule.
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            put(clear, width)
+            table = {bytes((i,)): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        run = bytes((b,))
+    if run:
+        put(table[run], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _subblocks(payload: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def synth_gif(
+    frames,
+    palette,
+    delays_cs=None,
+    transparent_idx: int | None = None,
+    disposals=None,
+    interlace: bool = False,
+    loop: bool = True,
+    bg_idx: int = 0,
+) -> bytes:
+    """Encode index frames into a real GIF89a stream (the encoder twin).
+
+    ``frames``: one (H, W) uint8 index array or a list of them (all the
+    same shape — full-canvas frames; the decoder handles partial rects
+    from real files, the twin keeps fixtures simple). ``palette``:
+    (N<=256, 3) uint8. Delays are centiseconds per frame; ``disposals``
+    per-frame 89a disposal codes. Round-trips are exact: decode_gif of
+    the result equals ``palette[frames[0]]`` composited per the
+    transparency rules."""
+    import numpy as np
+
+    if not isinstance(frames, (list, tuple)):
+        frames = [frames]
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if not 1 <= pal.shape[0] <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    h, w = frames[0].shape
+    if any(f.shape != (h, w) for f in frames):
+        raise ValueError("all synth_gif frames must share one shape")
+    if int(max(int(f.max(initial=0)) for f in frames)) >= pal.shape[0]:
+        raise ValueError("frame index out of palette range")
+    delays = list(delays_cs or [0] * len(frames))
+    disps = list(disposals or [0] * len(frames))
+
+    # GCT size: smallest power of two >= palette size, min 2
+    bits = 1
+    while (2 << (bits - 1)) < pal.shape[0]:
+        bits += 1
+    n_gct = 2 << (bits - 1)
+    gct = np.zeros((n_gct, 3), dtype=np.uint8)
+    gct[: pal.shape[0]] = pal
+
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | ((bits - 1) & 0x07) << 4 | ((bits - 1) & 0x07))
+    out.append(bg_idx)
+    out.append(0)  # aspect
+    out += gct.tobytes()
+    if loop and len(frames) > 1:
+        # app extension: one 3-byte sub-block (0x01 + loop-count 0) + 0x00
+        out += b"\x21\xff\x0bNETSCAPE2.0" + _subblocks(b"\x01\x00\x00")
+    mcs = max(2, bits)
+    for fi, frame in enumerate(frames):
+        gce_flags = (disps[fi] & 0x07) << 2
+        t_idx = 0
+        if transparent_idx is not None:
+            gce_flags |= 0x01
+            t_idx = transparent_idx
+        out += b"\x21\xf9\x04"
+        out.append(gce_flags)
+        out += struct.pack("<H", delays[fi])
+        out.append(t_idx)
+        out += b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+        out.append(0x40 if interlace else 0x00)
+        rows = frame
+        if interlace:
+            parts = [frame[start::step] for start, step in _INTERLACE_PASSES]
+            rows = np.vstack(parts)
+        out.append(mcs)
+        out += _subblocks(_lzw_encode(mcs, rows.tobytes()))
+    out.append(0x3B)
+    return bytes(out)

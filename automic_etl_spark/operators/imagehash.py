@@ -243,7 +243,8 @@ def decode_image(data: bytes):
     arithmetic-coded JPEG etc.). Baseline AND progressive JPEG decode
     for real since r9 (operators/jpeg.py, ITU-T T.81 + Annex G) — the
     dominant web-corpus format no longer no-ops the perceptual dedup
-    paths."""
+    paths — and GIF87a/89a incl. interlace + animation first frame
+    (operators/gif.py, LZW)."""
     from automic_etl_spark.operators.imagemeta import probe_image
 
     fmt, _, _ = probe_image(data if data is not None else b"")
@@ -259,6 +260,10 @@ def decode_image(data: bytes):
         from automic_etl_spark.operators.jpeg import decode_jpeg
 
         return "jpeg", decode_jpeg(data)
+    if data[:3] == b"GIF":
+        from automic_etl_spark.operators.gif import decode_gif
+
+        return "gif", decode_gif(data)
     return fmt, None
 
 

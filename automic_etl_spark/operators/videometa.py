@@ -363,13 +363,66 @@ def _parse_stbl(data: bytes, s: int, e: int, timescale: int):
     return [(k, ts_ms[k - 1], offsets[k - 1], sizes[k - 1]) for k in keyframes]
 
 
+def _avi_keyframe_index(data: bytes) -> list[tuple[int, int, int, int]]:
+    """AVI arm of ``keyframe_index``: walk the top-level RIFF chunks for
+    the ``movi`` LIST base and the ``idx1`` index (AVIIF_KEYFRAME =
+    0x10), resolving each entry's offset under both real-world
+    conventions (relative to the ``movi`` fourcc — the common one — or
+    absolute; the chunk id at the target adjudicates). Frame timing
+    comes from ``avih``'s microseconds-per-frame. For an MJPEG AVI the
+    returned ranges are whole JPEG images the first-party codec
+    decodes — the classic stored-image video layout."""
+    movi_base = -1
+    idx1: tuple[int, int] | None = None
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        if fourcc == b"LIST" and data[pos + 8 : pos + 12] == b"movi":
+            movi_base = pos + 8  # offsets are relative to the fourcc
+        elif fourcc == b"idx1":
+            idx1 = (pos + 8, min(size, len(data) - pos - 8))
+        pos += 8 + size + (size & 1)
+    if movi_base < 0 or idx1 is None:
+        return []
+    us_per_frame = 0
+    ahdr = data.find(b"avih")
+    if ahdr != -1 and ahdr + 12 <= len(data):
+        us_per_frame = int.from_bytes(data[ahdr + 8 : ahdr + 12], "little")
+    out: list[tuple[int, int, int, int]] = []
+    frame_no = 0
+    s, n = idx1
+    for e in range(s, s + n - 15, 16):
+        ckid = data[e : e + 4]
+        if ckid[2:4] not in (b"db", b"dc"):  # video stream chunks only
+            continue
+        flags = int.from_bytes(data[e + 4 : e + 8], "little")
+        off = int.from_bytes(data[e + 8 : e + 12], "little")
+        sz = int.from_bytes(data[e + 12 : e + 16], "little")
+        my_no = frame_no
+        frame_no += 1
+        if not flags & 0x10:  # AVIIF_KEYFRAME
+            continue
+        if data[movi_base + off : movi_base + off + 4] == ckid:
+            payload = movi_base + off + 8
+        elif data[off : off + 4] == ckid:  # absolute-offset writers
+            payload = off + 8
+        else:
+            continue
+        out.append((my_no, my_no * us_per_frame // 1000, payload, sz))
+    return out
+
+
 def keyframe_index(data: bytes) -> list[tuple[int, int, int, int]]:
     """Keyframe seek index ``[(sample_no, ts_ms, offset, size)]`` for the
-    (first complete) video track of an MP4/MOV payload — byte ranges a
-    decode-free pipeline can slice, ship, or hand to a downstream codec.
-    [] for anything unparseable. Never raises."""
+    (first complete) video track of an MP4/MOV payload, or the idx1
+    keyframes of an AVI — byte ranges a decode-free pipeline can slice,
+    ship, or hand to a downstream codec. [] for anything unparseable.
+    Never raises."""
     data = bytes(data)
     try:
+        if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+            return _avi_keyframe_index(data)
         if len(data) < 12 or data[4:8] != b"ftyp":
             return []
         best: list[tuple[int, int, int, int]] = []
@@ -485,10 +538,14 @@ def video_blobs_keyframe_phash(
     of the blob, and run the imagehash decode + dHash kernel over it.
 
     The decode arm is REAL for containers whose video samples are
-    stored images (PNG/BMP/PPM sample payloads — the MJPEG-style
-    layout); compressed-codec samples (H.264 NALs etc.) come back
-    ok=false with a NULL hash, and the curator keeps those clips — the
-    same undecodable-survivors-are-kept policy as the image and audio
+    stored images — MJPEG in MP4 or AVI (idx1 keyframes + the
+    first-party T.81 codec), PNG/BMP/PPM sample payloads — and for
+    animated GIFs (the web's no-container micro-videos: frames decode
+    through operators/gif.py with full disposal compositing, so roles
+    hash the COMPOSITED canvas, not partial-rect patches).
+    Compressed-codec samples (H.264 NALs etc.) come back ok=false with
+    a NULL hash, and the curator keeps those clips — the same
+    undecodable-survivors-are-kept policy as the image and audio
     paths. One Arrow-batched mapInPandas, map-only, no shuffle; at most
     3 decodes per clip regardless of duration.
 
@@ -507,6 +564,25 @@ def video_blobs_keyframe_phash(
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[content_col]):
                 data = bytes(blob) if blob is not None else b""
+                if data[:3] == b"GIF":
+                    from automic_etl_spark.operators.gif import (
+                        decode_gif_frames,
+                    )
+
+                    frames = decode_gif_frames(data)
+                    if not frames:
+                        rows.append((rid, -1, False, None))
+                        continue
+                    picks = (0, len(frames) // 2, len(frames) - 1)
+                    seen: set[int] = set()
+                    for pos in range(_KEYFRAME_ROLES):
+                        if picks[pos] in seen:
+                            continue
+                        seen.add(picks[pos])
+                        rows.append(
+                            (rid, pos, True, dhash64(frames[picks[pos]][1]))
+                        )
+                    continue
                 index = keyframe_index(data)
                 if not index:
                     rows.append((rid, -1, False, None))
@@ -602,3 +678,66 @@ def dedup_by_video_phash(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# --- encoder twin -----------------------------------------------------------
+
+def synth_avi(
+    frame_payloads: list[bytes],
+    width: int,
+    height: int,
+    us_per_frame: int = 40_000,
+    fourcc: bytes = b"00dc",
+    handler: bytes = b"MJPG",
+    keyframe_every: int = 1,
+) -> bytes:
+    """Encode stored-frame payloads into a real RIFF AVI (avih + strl
+    headers, movi LIST, idx1 with AVIIF_KEYFRAME flags) — the test/
+    bench twin of ``_avi_keyframe_index``, same role as synth_jpeg /
+    synth_gif. With JPEG payloads from ``synth_jpeg`` this produces a
+    genuine MJPEG AVI the keyframe-phash path decodes end-to-end;
+    ``keyframe_every`` > 1 leaves intermediate frames unflagged the way
+    real encoders mark delta frames."""
+    n = len(frame_payloads)
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    avih = struct.pack(
+        "<14I", us_per_frame, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + handler
+        + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, us_per_frame, 1_000_000, 0, n, 0, 10_000, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, handler, width * height * 3, 0, 0, 0, 0
+    )
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"strh", strh)) + len(chunk(b"strf", strf))
+    ) + b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl_body = b"hdrl" + chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+
+    movi_chunks = []
+    offsets = []  # offset of each chunk header relative to the movi fourcc
+    off = 4  # past the 'movi' type fourcc
+    for payload in frame_payloads:
+        c = chunk(fourcc, payload)
+        offsets.append(off)
+        movi_chunks.append(c)
+        off += len(c)
+    movi_body = b"movi" + b"".join(movi_chunks)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+
+    idx_entries = []
+    for i, payload in enumerate(frame_payloads):
+        flags = 0x10 if i % keyframe_every == 0 else 0
+        idx_entries.append(
+            fourcc + struct.pack("<III", flags, offsets[i], len(payload))
+        )
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

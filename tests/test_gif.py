@@ -1,0 +1,257 @@
+"""GIF codec (operators/gif.py): hand-built bit-level spec fixtures
+(independent of the encoder twin, pinning the LZW width-bump convention
+real-world streams use), lossless encode->decode round-trips, 89a
+animation semantics (delays, disposal, transparency), totality on
+corrupt bytes, and the perceptual-dedup integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.gif import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    decode_gif_frames,
+    synth_gif,
+)
+
+
+def _hand_gif(w, h, n_colors_bits, payload_mcs, payload, palette):
+    """Assemble a GIF89a container around a hand-packed LZW payload."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (n_colors_bits - 1))
+    out += b"\x00\x00"
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(payload_mcs)
+    out.append(len(payload))
+    out += payload
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+PAL4 = np.array(
+    [[10, 20, 30], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8
+)
+
+
+class TestSpecFixture:
+    def test_hand_packed_stream(self):
+        """2x2 image, indices [1,0,0,2]: codes (clear,1,0,0) at 3 bits
+        then (2,end) at 4 — the third data code's table append grows the
+        decoder table to 8 entries, bumping the width — pack LSB-first
+        to exactly 0C 20 05. Checks code assignment order, LSB-first
+        packing, clear/end handling and the bump position against bytes
+        computed from the spec by hand."""
+        blob = _hand_gif(2, 2, 2, 2, bytes([0x0C, 0x20, 0x05]), PAL4)
+        img = decode_gif(blob)
+        assert img is not None
+        idx = np.array([[1, 0], [0, 2]])
+        assert np.array_equal(img, PAL4[idx])
+
+    def test_width_bump_and_kwkwk(self):
+        """5x1 image, indices [1,0,0,0,1]: the stream is (clear,1,0,7)
+        at 3 bits then (1,end) at 4 bits — code 7 is the KwKwK case
+        (one past the decoder's table) AND its append grows the table
+        to 8 entries, forcing the width bump. Hand-packed: 0C 1E 05.
+        This is the exact convention every real-world GIF uses (GIF has
+        no TIFF-style early change); a decoder that bumps one code
+        early desyncs here."""
+        blob = _hand_gif(5, 1, 2, 2, bytes([0x0C, 0x1E, 0x05]), PAL4)
+        img = decode_gif(blob)
+        assert img is not None
+        assert np.array_equal(img, PAL4[np.array([[1, 0, 0, 0, 1]])])
+
+    def test_87a_header_accepted(self):
+        blob = _hand_gif(2, 2, 2, 2, bytes([0x0C, 0x20, 0x05]), PAL4)
+        blob = b"GIF87a" + blob[6:]
+        assert decode_gif(blob) is not None
+
+
+class TestLZW:
+    @pytest.mark.parametrize("mcs", [2, 3, 5, 8])
+    def test_random_round_trip(self, mcs):
+        rng = np.random.default_rng(mcs)
+        for n in (0, 1, 7, 256, 5000, 40000):
+            idx = rng.integers(0, 1 << mcs, size=n).astype(np.uint8).tobytes()
+            assert bytes(_lzw_decode(mcs, _lzw_encode(mcs, idx), n)) == idx
+
+    @pytest.mark.parametrize("mcs", [2, 8])
+    def test_table_reset_round_trip(self, mcs):
+        # low-entropy long input drives the table to 4096 and through
+        # the encoder's Clear/reset path
+        idx = (np.arange(300_000) // 997 % (1 << mcs)).astype(np.uint8).tobytes()
+        assert bytes(_lzw_decode(mcs, _lzw_encode(mcs, idx), len(idx))) == idx
+
+    def test_bad_min_code_size(self):
+        assert _lzw_decode(1, b"\x00", 4) is None
+        assert _lzw_decode(9, b"\x00", 4) is None
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("interlace", [False, True])
+    def test_lossless(self, interlace):
+        rng = np.random.default_rng(11)
+        pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+        frame = rng.integers(0, 256, size=(37, 61)).astype(np.uint8)
+        img = decode_gif(synth_gif(frame, pal, interlace=interlace))
+        assert np.array_equal(img, pal[frame])
+
+    def test_small_palette(self):
+        frame = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+        pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        assert np.array_equal(decode_gif(synth_gif(frame, pal)), pal[frame])
+
+    def test_palette_overflow_raises(self):
+        with pytest.raises(ValueError):
+            synth_gif(np.full((2, 2), 4, dtype=np.uint8), PAL4)
+
+
+class TestAnimation:
+    def test_frames_and_timestamps(self):
+        f0 = np.zeros((20, 30), dtype=np.uint8)
+        f1 = np.full((20, 30), 1, dtype=np.uint8)
+        f2 = (np.arange(600).reshape(20, 30) % 4).astype(np.uint8)
+        blob = synth_gif([f0, f1, f2], PAL4, delays_cs=[10, 20, 30])
+        frames = decode_gif_frames(blob)
+        assert [t for t, _ in frames] == [0, 100, 300]
+        for f, (_, canvas) in zip((f0, f1, f2), frames):
+            assert np.array_equal(canvas, PAL4[f])
+
+    def test_transparency_composites_over_previous(self):
+        f1 = np.full((8, 8), 1, dtype=np.uint8)
+        f2 = (np.arange(64).reshape(8, 8) % 4).astype(np.uint8)
+        frames = decode_gif_frames(synth_gif([f1, f2], PAL4, transparent_idx=0))
+        expect = PAL4[f1].copy()
+        m = f2 != 0
+        expect[m] = PAL4[f2][m]
+        assert np.array_equal(frames[1][1], expect)
+
+    def test_disposal_restore_background(self):
+        # frame 0 disposes to background (index 0 color): frame 1 is
+        # fully transparent, so its canvas must be the background
+        f0 = np.full((6, 6), 2, dtype=np.uint8)
+        f1 = np.full((6, 6), 3, dtype=np.uint8)
+        blob = synth_gif(
+            [f0, f1], PAL4, disposals=[2, 0], transparent_idx=3, bg_idx=0
+        )
+        frames = decode_gif_frames(blob)
+        assert np.array_equal(frames[0][1], PAL4[f0])
+        assert np.array_equal(
+            frames[1][1], np.broadcast_to(PAL4[0], (6, 6, 3))
+        )
+
+    def test_disposal_restore_previous(self):
+        f0 = np.full((6, 6), 1, dtype=np.uint8)
+        f1 = np.full((6, 6), 2, dtype=np.uint8)
+        f2 = np.full((6, 6), 3, dtype=np.uint8)  # transparent: shows canvas
+        blob = synth_gif(
+            [f0, f1, f2], PAL4, disposals=[0, 3, 0], transparent_idx=3
+        )
+        frames = decode_gif_frames(blob)
+        # frame 1 painted solid 2, then disposal 3 restores frame 0's
+        # pixels; frame 2 is all-transparent so it shows the restored
+        # canvas = frame 0
+        assert np.array_equal(frames[1][1], PAL4[f1])
+        assert np.array_equal(frames[2][1], PAL4[f0])
+
+    def test_first_frame_is_still_view(self):
+        f0 = np.full((4, 4), 1, dtype=np.uint8)
+        f1 = np.full((4, 4), 2, dtype=np.uint8)
+        blob = synth_gif([f0, f1], PAL4)
+        assert np.array_equal(decode_gif(blob), PAL4[f0])
+
+
+class TestTotality:
+    def test_garbage(self):
+        for blob in (b"", b"nope", b"GIF89a", b"GIF89a" + b"\x00" * 20):
+            assert decode_gif(blob) is None
+
+    def test_truncations_never_raise(self):
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, size=(64, 3)).astype(np.uint8)
+        frame = rng.integers(0, 64, size=(24, 24)).astype(np.uint8)
+        blob = synth_gif([frame, frame], pal, delays_cs=[5, 5])
+        for cut in range(0, len(blob), 7):
+            decode_gif(blob[:cut])
+            decode_gif_frames(blob[:cut])
+
+    def test_byte_flips_never_raise(self):
+        rng = np.random.default_rng(6)
+        pal = rng.integers(0, 256, size=(16, 3)).astype(np.uint8)
+        frame = rng.integers(0, 16, size=(16, 16)).astype(np.uint8)
+        blob = bytearray(synth_gif(frame, pal))
+        for _ in range(300):
+            i = int(rng.integers(0, len(blob)))
+            mut = bytes(blob[:i]) + bytes([int(rng.integers(0, 256))]) + bytes(blob[i + 1 :])
+            decode_gif(mut)  # any outcome but an exception
+
+    def test_truncated_subblock_chain_decodes_prefix(self):
+        # real-world shape (Tk's earth.gif): entropy data ends without
+        # the 0x00 terminator — complete rows must still decode
+        rng = np.random.default_rng(8)
+        pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+        frame = rng.integers(0, 256, size=(40, 40)).astype(np.uint8)
+        blob = synth_gif(frame, pal)
+        img = decode_gif(blob[: len(blob) - 2])  # drop terminator+trailer
+        assert img is not None
+        assert np.array_equal(img, pal[frame])
+
+
+class TestDedupIntegration:
+    def test_decode_image_dispatch(self):
+        from automic_etl_spark.operators.imagehash import decode_image
+
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+        frame = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+        fmt, img = decode_image(synth_gif(frame, pal))
+        assert fmt == "gif" and np.array_equal(img, pal[frame])
+
+    def test_png_gif_same_pixels_same_dhash(self):
+        from automic_etl_spark.operators.imagehash import (
+            dhash64,
+            decode_image,
+            synth_png,
+        )
+
+        rng = np.random.default_rng(10)
+        pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+        frame = rng.integers(0, 256, size=(48, 64)).astype(np.uint8)
+        rgb = pal[frame]
+        _, from_png = decode_image(synth_png(rgb))
+        _, from_gif = decode_image(synth_gif(frame, pal))
+        assert dhash64(from_png) == dhash64(from_gif)
+
+    def test_spark_phash_and_near_dup(self, spark):
+        """GIF blobs flow through image_blobs_phash like every other
+        format, and a GIF/PNG pair of the same pixels links as an
+        exact-hash near-dup."""
+        from automic_etl_spark.operators.imagehash import (
+            image_blobs_phash,
+            phash_near_dup,
+            synth_png,
+        )
+
+        rng = np.random.default_rng(12)
+        pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+        rows = []
+        for i in range(6):
+            frame = rng.integers(0, 256, size=(32, 32)).astype(np.uint8)
+            rows.append((2 * i, bytearray(synth_gif(frame, pal))))
+            if i == 0:  # its PNG twin
+                rows.append((99, bytearray(synth_png(pal[frame]))))
+        rows.append((98, bytearray(b"not an image")))
+        df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+        hashed = image_blobs_phash(df)
+        got = {r["doc_id"]: r for r in hashed.collect()}
+        assert got[98]["ok"] is False
+        assert all(got[2 * i]["ok"] for i in range(6))
+        assert got[0]["format"] == "gif" and got[99]["format"] == "png"
+        assert got[0]["dhash"] == got[99]["dhash"]
+        pairs = phash_near_dup(hashed.filter("ok"), max_hamming=0)
+        linked = {(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()}
+        assert (0, 99) in linked

@@ -344,3 +344,104 @@ def test_curate_video_near_dup_exact_copies_bucket_min(spark):
     ).curate_video(blobs)
     assert report["near_dups_removed"] == 2
     assert [r["doc_id"] for r in kept.collect()] == [10]
+
+
+def test_video_keyframe_phash_mjpeg_avi(spark):
+    """MJPEG-in-AVI (r9): idx1 keyframe seek + first-party T.81 decode
+    make the classic stored-JPEG AVI layout a REAL near-dup path — an
+    AVI clip and an MP4 clip of the same frames link cross-container."""
+    import numpy as np
+
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+    from automic_etl_spark.operators.videometa import (
+        synth_avi,
+        video_blobs_keyframe_phash,
+        video_near_dup_pairs,
+    )
+    from tests.test_videometa import make_mp4_with_stbl
+
+    def jpeg_pair(seed, perturb=None):
+        img_a = _block_img(seed, perturb=perturb)  # (H, W, 1) grayscale
+        img_b = np.roll(img_a, 4, axis=1)
+        return synth_jpeg(img_a, quality=92), synth_jpeg(img_b, quality=92)
+
+    a1, b1 = jpeg_pair(21)
+    a1p, b1p = jpeg_pair(21, perturb=13)  # near-dup twin of clip 1
+    a2, b2 = jpeg_pair(55)                # unrelated
+    mp4_twin, _ = make_mp4_with_stbl(
+        samples=[a1p, b"x" * 20, b"y" * 30, b1p, b"z" * 50, b"w" * 60]
+    )
+    blobs = spark.createDataFrame(
+        [
+            (1, synth_avi([a1, b1], 36, 32)),
+            (2, mp4_twin),                    # same content, MP4 container
+            (3, synth_avi([a2, b2], 36, 32)),
+        ],
+        "doc_id long, _content_bytes binary",
+    )
+    hashes = video_blobs_keyframe_phash(blobs)
+    assert all(r.ok for r in hashes.collect())
+    pairs = video_near_dup_pairs(hashes, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_video_keyframe_phash_animated_gif(spark):
+    """Animated GIFs flow through the video near-dup path (r9): frames
+    decode with full disposal compositing, roles sample first/middle/
+    last DISTINCT frames, and a one-block-perturbed animation links
+    while an unrelated one does not."""
+    import numpy as np
+
+    from automic_etl_spark.operators.gif import synth_gif
+    from automic_etl_spark.operators.videometa import (
+        video_blobs_keyframe_phash,
+        video_near_dup_pairs,
+    )
+
+    gray = np.arange(256, dtype=np.uint8)
+    pal = np.stack([gray, gray, gray], axis=1)
+
+    def clip(seed, perturb=None):
+        f0 = _block_img(seed, perturb=perturb)[:, :, 0]  # 2-D index frame
+        f1 = np.roll(f0, 4, axis=1)
+        f2 = np.roll(f0, 8, axis=1)
+        return synth_gif([f0, f1, f2], pal, delays_cs=[10, 10, 10])
+
+    blobs = spark.createDataFrame(
+        [
+            (1, clip(91)),
+            (2, clip(91, perturb=13)),  # planted near-dup
+            (3, clip(44)),              # unrelated
+            (4, b"GIF89a\x00"),         # truncated: kept, not crashed
+        ],
+        "doc_id long, _content_bytes binary",
+    )
+    hashes = video_blobs_keyframe_phash(blobs)
+    by = {(r.doc_id, r.pos) for r in hashes.collect()}
+    assert {(1, 0), (1, 1), (1, 2), (4, -1)} <= by
+    pairs = video_near_dup_pairs(hashes, max_hamming=6).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+def test_single_frame_gif_no_role_inflation(spark):
+    """A 1-frame GIF emits ONE role row — same anti-inflation rule as
+    1-keyframe MP4 clips."""
+    from automic_etl_spark.operators.gif import synth_gif
+    from automic_etl_spark.operators.videometa import (
+        video_blobs_keyframe_phash,
+        video_near_dup_pairs,
+    )
+    import numpy as np
+
+    gray = np.arange(256, dtype=np.uint8)
+    pal = np.stack([gray, gray, gray], axis=1)
+    blobs = spark.createDataFrame(
+        [
+            (1, synth_gif(_block_img(9)[:, :, 0], pal)),
+            (2, synth_gif(_block_img(9, perturb=5)[:, :, 0], pal)),
+        ],
+        "doc_id long, _content_bytes binary",
+    )
+    hashes = video_blobs_keyframe_phash(blobs)
+    assert {(r.doc_id, r.pos) for r in hashes.collect()} == {(1, 0), (2, 0)}
+    assert video_near_dup_pairs(hashes).count() == 0

@@ -254,3 +254,79 @@ def test_video_keyframes_to_image_meta_end_to_end(spark):
     assert all(r["format"] is None and not r["ok"] for r in coded_rows)
     # unparseable container contributes no schedule rows at all
     assert out.filter("doc_id = 3").count() == 0
+
+
+# --- AVI keyframe index (r9) ------------------------------------------------
+
+def _jpeg_frames(n, seed=1, h=32, w=48):
+    import numpy as np
+
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+
+    rng = np.random.default_rng(seed)
+    return [
+        synth_jpeg(rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8), quality=90)
+        for _ in range(n)
+    ]
+
+
+def test_avi_keyframe_index_known_offsets():
+    from automic_etl_spark.operators.videometa import synth_avi
+
+    frames = _jpeg_frames(5)
+    avi = synth_avi(frames, 48, 32, us_per_frame=40_000)
+    idx = keyframe_index(avi)
+    assert [(n, t) for n, t, _, _ in idx] == [
+        (0, 0), (1, 40), (2, 80), (3, 120), (4, 160),
+    ]
+    # each byte range is exactly the stored JPEG payload
+    for (n, _, off, sz), payload in zip(idx, frames):
+        assert avi[off : off + sz] == payload
+
+
+def test_avi_keyframe_flags_respected():
+    from automic_etl_spark.operators.videometa import synth_avi
+
+    frames = _jpeg_frames(6, seed=2)
+    avi = synth_avi(frames, 48, 32, keyframe_every=3)
+    # delta frames (no AVIIF_KEYFRAME) are skipped but keep numbering
+    assert [n for n, _, _, _ in keyframe_index(avi)] == [0, 3]
+
+
+def test_avi_absolute_offset_convention():
+    """Some writers store idx1 offsets as absolute file positions; the
+    chunk id at the target adjudicates the convention."""
+    import struct as _s
+
+    from automic_etl_spark.operators.videometa import synth_avi
+
+    frames = _jpeg_frames(3, seed=3)
+    avi = bytearray(synth_avi(frames, 48, 32))
+    # locate movi base and idx1 entries, rewrite offsets to absolute
+    pos, movi_base, idx1 = 12, -1, None
+    while pos + 8 <= len(avi):
+        fourcc = bytes(avi[pos : pos + 4])
+        size = int.from_bytes(avi[pos + 4 : pos + 8], "little")
+        if fourcc == b"LIST" and avi[pos + 8 : pos + 12] == b"movi":
+            movi_base = pos + 8
+        elif fourcc == b"idx1":
+            idx1 = (pos + 8, size)
+        pos += 8 + size + (size & 1)
+    s, n = idx1
+    for e in range(s, s + n, 16):
+        rel = int.from_bytes(avi[e + 8 : e + 12], "little")
+        avi[e + 8 : e + 12] = _s.pack("<I", movi_base + rel)
+    idx = keyframe_index(bytes(avi))
+    assert [(n_, t) for n_, t, _, _ in idx] == [(0, 0), (1, 40), (2, 80)]
+    for (n_, _, off, sz), payload in zip(idx, frames):
+        assert bytes(avi[off : off + sz]) == payload
+
+
+def test_avi_keyframe_index_garbage_total():
+    from automic_etl_spark.operators.videometa import synth_avi
+
+    assert keyframe_index(make_avi()) == []  # no movi/idx1
+    avi = synth_avi(_jpeg_frames(2, seed=4), 48, 32)
+    for cut in range(0, len(avi), 101):
+        keyframe_index(avi[:cut])  # never raises
+    assert keyframe_index(b"RIFF\x00\x00\x00\x00AVI ") == []
