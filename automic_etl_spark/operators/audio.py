@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import io
 import math
+import struct
 import wave
 from collections.abc import Iterator
 
@@ -35,7 +36,9 @@ from pyspark.sql import DataFrame
 
 #: Formats the in-image kernels can decode without external codecs.
 #: FLAC is lossless and fully specified (RFC 9639), so operators/flac.py
-#: decodes it first-party; mp3/ogg/m4a stay codec-gated (lossy synthesis).
+#: decodes it first-party; WAV covers PCM plus the telephony codecs
+#: G.711 mu-law/A-law and IMA ADPCM (operators/g711.py, r9); mp3/ogg/m4a
+#: stay codec-gated (lossy synthesis needing unverifiable spec tables).
 NATIVE_FORMATS = ("audio/wav", "audio/flac")
 
 _MAGIC = (
@@ -113,7 +116,42 @@ def wav_metadata(data: bytes) -> dict:
                 ok=True,
             )
     except (wave.Error, EOFError, ValueError):
-        pass
+        # non-PCM WAV: report the telephony-codec metadata (coded bit
+        # depth — 8 for G.711, 4 for IMA ADPCM — like ffprobe does)
+        try:
+            from automic_etl_spark.operators.g711 import (
+                COMPRESSED_TAGS,
+                WAVE_FORMAT_IMA_ADPCM,
+                ima_samples_per_block,
+                parse_wav_chunks,
+            )
+
+            info = parse_wav_chunks(bytes(data))
+            tag, ch = info["format_tag"], max(1, info["channels"])
+            rate = info["sample_rate"]
+            if tag in COMPRESSED_TAGS and rate:
+                if tag == WAVE_FORMAT_IMA_ADPCM:
+                    align = info.get("block_align") or 0
+                    spb = info.get("samples_per_block") or (
+                        ima_samples_per_block(align, ch) if align else 0
+                    )
+                    frames = info.get(
+                        "fact_samples", (len(info["data"]) // align) * spb if align else 0
+                    )
+                    depth = 4
+                else:
+                    frames = info.get("fact_samples", len(info["data"]) // ch)
+                    depth = 8
+                row.update(
+                    duration_ms=(frames * 1000) // rate,
+                    sample_rate=rate,
+                    channels=ch,
+                    bit_depth=depth,
+                    n_frames=frames,
+                    ok=True,
+                )
+        except (ValueError, KeyError, struct.error):
+            pass
     return row
 
 
@@ -332,7 +370,10 @@ def _decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
     """(samples[frames, channels] int64 workspace, rate, sampwidth).
     8/16/24/32-bit integer PCM (8-bit is unsigned per the WAV spec;
     24-bit is packed 3-byte little-endian two's complement). FLAC
-    payloads decode through the first-party RFC 9639 codec."""
+    payloads decode through the first-party RFC 9639 codec; G.711
+    mu-law/A-law and IMA ADPCM WAVs (fmt tags 6/7/0x11 — the telephony
+    corpus formats) through operators/g711.py, yielding a 16-bit-scale
+    workspace."""
     fmt = sniff_format(data)
     if fmt == "audio/flac":
         from automic_etl_spark.operators.flac import decode_flac
@@ -341,9 +382,16 @@ def _decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
         return samples, rate, (bits + 7) // 8
     if fmt != "audio/wav":
         _codec_gate(fmt)
-    with wave.open(io.BytesIO(bytes(data))) as w:
-        rate, width, channels = w.getframerate(), w.getsampwidth(), w.getnchannels()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(bytes(data))) as w:
+            rate, width, channels = w.getframerate(), w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(w.getnframes())
+    except wave.Error:
+        # non-PCM WAV: the wave module only reads PCM — G.711/ADPCM
+        # route through the first-party telephony codecs
+        from automic_etl_spark.operators.g711 import decode_wav_compressed
+
+        return decode_wav_compressed(bytes(data))
     if width == 2:
         arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
     elif width == 1:  # 8-bit WAV is unsigned
@@ -446,12 +494,34 @@ def _true_bit_depth(data: bytes, width: int) -> int:
 
 
 def _reencode(original: bytes, samples: np.ndarray, rate: int, width: int) -> bytes:
-    """Write edited PCM back in the original's container (WAV or FLAC),
-    preserving the original bit depth."""
+    """Write edited PCM back in the original's container and CODEC
+    (WAV-PCM, FLAC, G.711, IMA ADPCM), preserving the original bit
+    depth — a redacted mu-law call recording stays a mu-law WAV."""
     if sniff_format(original) == "audio/flac":
         from automic_etl_spark.operators.flac import encode_flac
 
         return encode_flac(samples, rate=rate, bits=_true_bit_depth(original, width))
+    try:
+        from automic_etl_spark.operators.g711 import (
+            WAVE_FORMAT_ALAW,
+            WAVE_FORMAT_IMA_ADPCM,
+            WAVE_FORMAT_MULAW,
+            parse_wav_chunks,
+            synth_wav_g711,
+            synth_wav_ima,
+        )
+
+        info = parse_wav_chunks(bytes(original))
+        tag, ch = info["format_tag"], max(1, info["channels"])
+        x16 = np.clip(samples, -32768, 32767).astype(np.int16)
+        if tag in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
+            law = "ulaw" if tag == WAVE_FORMAT_MULAW else "alaw"
+            return synth_wav_g711(x16, rate, law=law, channels=ch)
+        if tag == WAVE_FORMAT_IMA_ADPCM:
+            spb = info.get("samples_per_block") or 505
+            return synth_wav_ima(x16, rate, channels=ch, samples_per_block=spb)
+    except (ValueError, KeyError):
+        pass
     return _encode_pcm(samples, rate, width)
 
 

@@ -1,0 +1,264 @@
+"""Telephony WAV codecs (operators/g711.py): exhaustive G.711 code
+involutions against hand-checked spec anchors, a pure-Python reference
+differential for IMA ADPCM, container round-trips, and the audio
+pipeline integration (metadata, fingerprint decode, redaction that
+preserves the codec)."""
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.g711 import (
+    COMPRESSED_TAGS,
+    IMA_INDEX_ADJUST,
+    IMA_STEPS,
+    WAVE_FORMAT_ALAW,
+    WAVE_FORMAT_IMA_ADPCM,
+    WAVE_FORMAT_MULAW,
+    alaw_decode,
+    alaw_encode,
+    decode_wav_compressed,
+    ima_decode_block,
+    ima_encode,
+    ima_samples_per_block,
+    parse_wav_chunks,
+    synth_wav_g711,
+    synth_wav_ima,
+    ulaw_decode,
+    ulaw_encode,
+)
+
+ALL_CODES = np.arange(256, dtype=np.uint8)
+
+
+def _sine(n=4000, freq=440.0, rate=8000, amp=12000):
+    t = np.arange(n)
+    return (amp * np.sin(2 * np.pi * freq * t / rate)).astype(np.int16)
+
+
+class TestG711:
+    def test_spec_anchors(self):
+        """Hand-checked G.711 table values: mu-law full scale is
+        +-32124 (codes 0x80/0x00), both zero codes decode to 0; A-law
+        full scale is +-32256 and has no zero output level."""
+        ud = ulaw_decode(ALL_CODES)
+        assert ud[0x00] == -32124 and ud[0x80] == 32124
+        assert ud[0xFF] == 0 and ud[0x7F] == 0
+        ad = alaw_decode(ALL_CODES)
+        assert ad.max() == 32256 and ad.min() == -32256
+        assert 0 not in ad
+        assert ad[0x55] == -8 and ad[0xD5] == 8  # smallest magnitudes
+
+    def test_ulaw_involution_exhaustive(self):
+        """encode(decode(c)) == c for every code except the documented
+        double zero (0xFF and 0x7F both decode to 0; encode(0) picks
+        0x7F) — and the exception still decodes identically."""
+        ud = ulaw_decode(ALL_CODES)
+        back = ulaw_encode(ud)
+        exceptions = [(c, int(back[c])) for c in range(256) if back[c] != c]
+        assert exceptions == [(0xFF, 0x7F)]
+        assert ulaw_decode(np.array([0x7F])) == ulaw_decode(np.array([0xFF]))
+
+    def test_alaw_involution_exhaustive(self):
+        ad = alaw_decode(ALL_CODES)
+        assert (alaw_encode(ad) == ALL_CODES).all()
+
+    @pytest.mark.parametrize(
+        "enc,dec", [(ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)]
+    )
+    def test_nearest_level_quantization(self, enc, dec):
+        """decode(encode(x)) is the NEAREST decodable level for every
+        16-bit input (checked against a brute-force nearest search on a
+        dense sweep) — the defining property of the LUT-inverse encoder."""
+        x = np.arange(-32768, 32768, 7, dtype=np.int32)
+        y = dec(enc(x)).astype(np.int64)
+        levels = np.unique(dec(ALL_CODES).astype(np.int64))
+        near = levels[np.argmin(np.abs(levels[None, :] - x[:, None]), axis=1)]
+        assert (np.abs(y - x) <= np.abs(near - x)).all()
+
+    def test_wav_round_trip_both_laws(self):
+        sine = _sine()
+        for law in ("ulaw", "alaw"):
+            blob = synth_wav_g711(sine, 8000, law=law)
+            out, rate, width = decode_wav_compressed(blob)
+            assert (rate, width) == (8000, 2) and out.shape == (4000, 1)
+            snr = 10 * np.log10(
+                (sine.astype(float) ** 2).mean()
+                / (((out[:, 0] - sine) ** 2).mean() + 1e-9)
+            )
+            assert snr > 30, (law, snr)
+
+
+class TestIMA:
+    def test_step_table_shape(self):
+        assert len(IMA_STEPS) == 89 and len(IMA_INDEX_ADJUST) == 8
+        assert IMA_STEPS[0] == 7 and IMA_STEPS[-1] == 32767
+        assert all(a < b for a, b in zip(IMA_STEPS, IMA_STEPS[1:]))
+
+    def test_differential_vs_pure_python_reference(self):
+        """Module decode vs an independently written scalar reference
+        over random nibble streams (multi-channel, multi-block)."""
+
+        def ref_decode(block, channels):
+            import struct as s
+
+            states = []
+            for c in range(channels):
+                pred, idx, _ = s.unpack_from("<hBB", block, 4 * c)
+                states.append([pred, min(88, idx), [pred]])
+            pos = 4 * channels
+            while pos + 4 * channels <= len(block):
+                for c in range(channels):
+                    pred, idx, acc = states[c]
+                    for b in block[pos : pos + 4]:
+                        for nib in (b & 0xF, b >> 4):
+                            step = IMA_STEPS[idx]
+                            d = step >> 3
+                            if nib & 1:
+                                d += step >> 2
+                            if nib & 2:
+                                d += step >> 1
+                            if nib & 4:
+                                d += step
+                            pred = pred - d if nib & 8 else pred + d
+                            pred = max(-32768, min(32767, pred))
+                            idx = max(0, min(88, idx + IMA_INDEX_ADJUST[nib & 7]))
+                            acc.append(pred)
+                    states[c][0], states[c][1] = pred, idx
+                    pos += 4
+            n = min(len(st[2]) for st in states)
+            return np.array([st[2][:n] for st in states], dtype=np.int16).T
+
+        rng = np.random.default_rng(17)
+        for channels in (1, 2):
+            align = 4 * channels + 16 * channels  # 33 samples/block
+            block = bytes(rng.integers(0, 256, size=align).astype(np.uint8))
+            # sane headers: predictor int16 arbitrary, index clamped
+            got = ima_decode_block(block, channels)
+            want = ref_decode(block, channels)
+            assert np.array_equal(got, want), channels
+
+    def test_sine_snr(self):
+        sine = _sine()
+        blob = synth_wav_ima(sine, 8000)
+        out, rate, width = decode_wav_compressed(blob)
+        assert (rate, width) == (8000, 2) and out.shape == (4000, 1)
+        snr = 10 * np.log10(
+            (sine.astype(float) ** 2).mean() / ((out[:, 0] - sine) ** 2).mean()
+        )
+        assert snr > 20
+
+    def test_stereo_and_fact_trim(self):
+        sine = _sine(3777)  # not a whole number of blocks: fact trims
+        st = np.stack([sine, np.roll(sine, 50)], axis=1)
+        blob = synth_wav_ima(st, 16000, channels=2)
+        out, rate, _ = decode_wav_compressed(blob)
+        assert out.shape == (3777, 2) and rate == 16000
+
+    def test_samples_per_block_identity(self):
+        _, align = ima_encode(_sine(1000), 1, samples_per_block=505)
+        assert ima_samples_per_block(align, 1) == 505
+
+
+class TestContainer:
+    def test_parse_rejects_non_wav(self):
+        with pytest.raises(ValueError):
+            parse_wav_chunks(b"fLaC....")
+        with pytest.raises(ValueError):
+            parse_wav_chunks(b"RIFF\x00\x00\x00\x00AVI ")
+
+    def test_unknown_tag_gates_honestly(self):
+        import struct as s
+
+        fmt = s.pack("<HHIIHH", 0x0055, 1, 8000, 8000, 1, 0)  # MP3-in-WAV
+        blob = (
+            b"RIFF" + s.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+            + b"fmt " + s.pack("<I", len(fmt)) + fmt
+            + b"data" + s.pack("<I", 0)
+        )
+        with pytest.raises(NotImplementedError):
+            decode_wav_compressed(blob)
+
+    def test_extensible_wrapper_resolves(self):
+        """WAVE_FORMAT_EXTENSIBLE wrapping mu-law resolves to tag 7."""
+        import struct as s
+
+        codes = ulaw_encode(_sine(100))
+        guid = s.pack("<H", WAVE_FORMAT_MULAW) + b"\x00\x00" + b"\x00" * 12
+        fmt = (
+            s.pack("<HHIIHHH", 0xFFFE, 1, 8000, 8000, 1, 8, 22)
+            + s.pack("<HI", 8, 0)  # wValidBitsPerSample, dwChannelMask
+            + guid
+        )
+        blob = (
+            b"RIFF" + s.pack("<I", 0) + b"WAVE"
+            + b"fmt " + s.pack("<I", len(fmt)) + fmt
+            + b"data" + s.pack("<I", len(codes)) + codes.tobytes()
+        )
+        info = parse_wav_chunks(blob)
+        assert info["format_tag"] == WAVE_FORMAT_MULAW
+        out, rate, _ = decode_wav_compressed(blob)
+        assert out.shape == (100, 1)
+
+
+class TestPipelineIntegration:
+    def test_wav_metadata_reports_compressed(self):
+        from automic_etl_spark.operators.audio import wav_metadata
+
+        sine = _sine()
+        for blob, depth in (
+            (synth_wav_g711(sine, 8000, law="ulaw"), 8),
+            (synth_wav_g711(sine, 8000, law="alaw"), 8),
+            (synth_wav_ima(sine, 8000), 4),
+        ):
+            row = wav_metadata(blob)
+            assert row["ok"] and row["format"] == "audio/wav"
+            assert row["sample_rate"] == 8000 and row["channels"] == 1
+            assert row["bit_depth"] == depth
+            assert row["n_frames"] == 4000 and row["duration_ms"] == 500
+
+    def test_decode_pcm_dispatch(self):
+        from automic_etl_spark.operators.audio import _decode_pcm
+
+        sine = _sine()
+        for blob in (
+            synth_wav_g711(sine, 8000, law="ulaw"),
+            synth_wav_g711(sine, 8000, law="alaw"),
+            synth_wav_ima(sine, 8000),
+        ):
+            out, rate, width = _decode_pcm(blob)
+            assert (rate, width) == (8000, 2) and out.shape == (4000, 1)
+
+    def test_mute_preserves_codec(self):
+        """Muting a mu-law call recording yields a mu-law WAV (not a
+        silent PCM upconvert), with the segment actually silenced."""
+        from automic_etl_spark.operators.audio import (
+            _decode_pcm,
+            mute_segments_wav,
+        )
+
+        sine = _sine()
+        blob = synth_wav_g711(sine, 8000, law="ulaw")
+        muted = mute_segments_wav(blob, [(100.0, 200.0)])
+        info = parse_wav_chunks(muted)
+        assert info["format_tag"] == WAVE_FORMAT_MULAW
+        out, rate, _ = _decode_pcm(muted)
+        assert rate == 8000
+        # interior of 100..200 ms at 8 kHz (10 ms fade ramps at edges)
+        assert np.abs(out[880:1520, 0]).max() == 0
+        assert np.abs(out[2400:, 0]).max() > 1000  # rest untouched
+
+    def test_audiofp_decodes_telephony(self):
+        """The acoustic fingerprint front-end consumes G.711 blobs
+        through the same _decode_pcm dispatch — a mu-law twin of a PCM
+        clip lands within a few subfingerprint bits."""
+        from automic_etl_spark.operators.audio import _decode_pcm, _encode_pcm
+
+        sine = _sine(8000, freq=880.0)
+        pcm_blob = _encode_pcm(sine.astype(np.int64)[:, None], 8000, 2)
+        g711_blob = synth_wav_g711(sine, 8000, law="ulaw")
+        a, _, _ = _decode_pcm(pcm_blob)
+        b, _, _ = _decode_pcm(g711_blob)
+        # same length/scale, close waveform (G.711 SNR ~38 dB)
+        assert a.shape == b.shape
+        err = np.abs(a - b).max()
+        assert err < 700  # max mu-law quantization error is 644
