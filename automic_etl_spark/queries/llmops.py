@@ -269,8 +269,14 @@ def _phash_b_sql(j_expr: str) -> str:
     )
 
 
-ORACLE_IMAGE_PHASH = f"""
-WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_IMG_N}),
+def _image_phash_oracle(n: int, fmt: str | None = None) -> str:
+    """The integer dHash/banding replay shared by the PNG and GIF image
+    gates: both codecs are LOSSLESS, so the same analytic `_phash_block`
+    model scores either decode path exactly — only the doc population
+    (``n``) and an optional literal format column differ."""
+    fmt_col = f"'{fmt}' AS format, " if fmt else ""
+    return f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {n}),
 bits AS (
   SELECT doc_id, t.k AS k,
          CASE WHEN {_phash_b_sql('k % 8')} > {_phash_b_sql('k % 8 + 1')}
@@ -305,10 +311,76 @@ pc AS (
     SELECT id_b AS doc_id FROM pairs
   ) GROUP BY doc_id
 )
-SELECT h.doc_id, h.dhash, coalesce(pc.n, 0) AS n_near_dups
+SELECT h.doc_id, {fmt_col}h.dhash, coalesce(pc.n, 0) AS n_near_dups
 FROM h LEFT JOIN pc USING (doc_id)
 ORDER BY h.doc_id
 """
+
+
+ORACLE_IMAGE_PHASH = _image_phash_oracle(_IMG_N)
+
+#: GIF gate population: docs 80..159 are the one-block-perturbed twins
+#: of 0..79 under the same `_phash_block` family construction
+_GIF_N = 160
+
+ORACLE_IMAGE_PHASH_GIF = _image_phash_oracle(_GIF_N, fmt="gif")
+
+
+def q_image_phash_gif_gate(spark, sf_dir):
+    """r9 GIF decode end-to-end under the driver's hash check: the same
+    analytic block images as the PNG gate, but encoded executor-side as
+    INTERLACED GIFs whose pixel indices run through a REVERSED grayscale
+    palette — so the real decode path exercises LZW (dynamic code
+    widths), the 4-pass de-interlace, and palette indirection, and must
+    land the EXACT integer hashes of the oracle's replay (GIF is
+    lossless), then the banded Hamming near-dup join."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.gif import synth_gif
+    from automic_etl_spark.operators.imagehash import (
+        image_blobs_phash,
+        phash_near_dup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _GIF_N
+    )
+    rev = np.arange(255, -1, -1, dtype=np.uint8)
+    pal = np.stack([rev, rev, rev], axis=1)  # pal[i] = gray(255 - i)
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                bmat = np.array(
+                    [[_phash_block(d, i, j) for j in range(9)] for i in range(8)],
+                    dtype=np.uint8,
+                )
+                idx = 255 - np.repeat(np.repeat(bmat, 4, axis=0), 4, axis=1)
+                blobs.append(synth_gif(idx, pal, interlace=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    hashes = image_blobs_phash(blobs).select("doc_id", "format", "dhash")
+    pairs = phash_near_dup(hashes, max_hamming=_IMG_HAM)
+    counts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        hashes.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "format",
+            "dhash",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1229,8 +1301,10 @@ QUERIES = {
     "audio_fingerprint": q_audio_fingerprint_gate,
     "web_extract": q_web_extract_gate,
     "corpus_curate": q_corpus_curate_gate,
-    # round-9: baseline JPEG decode end-to-end (operators/jpeg)
+    # round-9: baseline JPEG decode end-to-end (operators/jpeg) and the
+    # lossless GIF path (operators/gif: LZW + interlace + palette)
     "image_phash_jpeg": q_image_phash_jpeg_gate,
+    "image_phash_gif": q_image_phash_gif_gate,
 }
 
 ORACLE = {
@@ -1246,4 +1320,5 @@ ORACLE = {
     "web_extract": ORACLE_WEB_EXTRACT,
     "corpus_curate": ORACLE_CORPUS_CURATE,
     "image_phash_jpeg": ORACLE_IMAGE_PHASH_JPEG,
+    "image_phash_gif": ORACLE_IMAGE_PHASH_GIF,
 }

@@ -63,9 +63,14 @@ def test_registry_driver_window_prefix():
         "bpe_tokenize", "audio_fingerprint", "web_extract",  # r7
         "corpus_curate",  # r7: the flagship curate() composition itself
         "image_phash_jpeg",  # r9: the baseline JPEG codec end-to-end
+        "image_phash_gif",  # r9: the lossless GIF path (LZW+interlace)
     ):
         assert n in scored, f"LLM-pipeline family {n} fell out of the scored window"
     assert set(overflow) == {
+        "upsert_time_travel",  # r9: displaced for image_phash_gif — it
+        # was the designated drop-out candidate (incremental_cdc +
+        # medallion_gold keep MERGE/time-travel coverage scored); its
+        # oracle stays in-suite
         "range_join",  # r9: displaced for image_phash_jpeg — it was the
         # designated drop-out candidate (asof_join keeps the
         # range/temporal-join family scored); its oracle stays in-suite
@@ -81,9 +86,9 @@ def test_registry_driver_window_prefix():
         "collect_agg", "sample_split_seed", "unpivot_long",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
-    # candidate (partition-scoped upsert keeps incremental_cdc +
-    # medallion coverage elsewhere if a future rotation displaces it)
-    assert scored[-1] == "upsert_time_travel"
+    # candidate (paging keeps sort/limit coverage via the window and
+    # relational families if a future rotation displaces it)
+    assert scored[-1] == "top_orders_page"
 
 
 def test_entry_contract(spark):
