@@ -813,3 +813,107 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low_quality_removed long, contaminated_removed long, "
         "group_cap_removed long, final_docs long, packed_sequences long",
     )
+
+
+def q_image_gif_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF near-dup dedup end-to-end (r9): synthesize a mixed
+    plain/interlaced GIF corpus executor-side (every 4th image a
+    brightness-perturbed twin via the shared grayscale palette), run
+    the full LZW decode + palette expansion + dHash in one mapInPandas,
+    then the linear rep-linked banded dedup — the GIF sibling of
+    q_image_jpeg_dedup."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.dedup import ensure_parallelism
+    from automic_etl_spark.operators.gif import synth_gif
+    from automic_etl_spark.operators.imagehash import (
+        dedup_by_phash,
+        image_blobs_phash,
+    )
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    gray = np.arange(256, dtype=np.uint8)
+    pal = np.stack([gray, gray, gray], axis=1)
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                base_seed = d - (d % 4 == 3)  # 4th = twin of 3rd
+                rng = np.random.RandomState(base_seed % (2**31))
+                idx = rng.randint(0, 256, size=(64, 64), dtype=np.uint8)
+                if d % 4 == 3:  # brightness twin through the palette
+                    idx = np.clip(idx.astype(np.int16) + 5, 0, 255).astype(
+                        np.uint8
+                    )
+                blobs.append(synth_gif(idx, pal, interlace=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    hashes = image_blobs_phash(blobs).cache()
+    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    return hashes.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
+    ).crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+def q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telephony corpus decode (r9): synthesize G.711 mu-law / A-law /
+    IMA-ADPCM WAV blobs executor-side (tone + deterministic noise keyed
+    off doc_id, codec cycling by doc_id % 3, encoded by the first-party
+    twins), decode every blob back to 16-bit PCM through the
+    audio._decode_pcm dispatch, reduce to a sample checksum — the
+    telephony sibling of q_flac_decode."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.audio import _decode_pcm
+    from automic_etl_spark.operators.g711 import synth_wav_g711, synth_wav_ima
+
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id").limit(500).repartition(32)
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for d in pdf["doc_id"]:
+                rng = np.random.default_rng(int(d))
+                t = np.arange(4000)
+                pcm = (
+                    3000 * np.sin(t / (10 + int(d) % 20))
+                    + rng.integers(-100, 100, size=t.size)
+                ).astype(np.int16)
+                k = int(d) % 3
+                if k == 0:
+                    blobs.append(synth_wav_g711(pcm, 8000, law="ulaw"))
+                elif k == 1:
+                    blobs.append(synth_wav_g711(pcm, 8000, law="alaw"))
+                else:
+                    blobs.append(synth_wav_ima(pcm, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+
+    def decode(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            sums, frames = [], []
+            for b in pdf["_content_bytes"]:
+                pcm, _, _ = _decode_pcm(bytes(b))
+                sums.append(int(pcm.sum()))
+                frames.append(int(pcm.shape[0]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "pcm_sum": sums, "n_frames": frames}
+            )
+
+    out = blobs.mapInPandas(decode, "doc_id long, pcm_sum long, n_frames long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("pcm_sum").alias("checksum"),
+    )

@@ -61,6 +61,8 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_ann_join,
     q_ngram_perplexity,
     q_image_jpeg_dedup,
+    q_image_gif_dedup,
+    q_g711_decode,
     q_image_phash,
     q_image_phash_dedup,
     q_audio_fingerprint,
@@ -102,6 +104,9 @@ HEADLINE = {
     "image_phash": q_image_phash,
     "image_phash_dedup": q_image_phash_dedup,
     "image_jpeg_dedup": q_image_jpeg_dedup,
+    # round-9 surface: GIF decode+dedup and telephony-WAV decode
+    "image_gif_dedup": q_image_gif_dedup,
+    "g711_decode": q_g711_decode,
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,

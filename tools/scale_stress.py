@@ -61,6 +61,8 @@ def _workloads():
         q_dedup_ingest,
         q_doctext_extract,
         q_flac_decode,
+        q_g711_decode,
+        q_image_gif_dedup,
         q_image_jpeg_dedup,
         q_image_phash,
         q_image_phash_dedup,
@@ -94,6 +96,8 @@ def _workloads():
         "ngram_perplexity": q_ngram_perplexity,
         "image_phash": q_image_phash,
         "image_jpeg_dedup": q_image_jpeg_dedup,
+        "image_gif_dedup": q_image_gif_dedup,
+        "g711_decode": q_g711_decode,
         "audio_fingerprint": q_audio_fingerprint,
         "ann_join": q_ann_join,
         "token_mixture": q_token_mixture,
