@@ -264,6 +264,10 @@ def decode_image(data: bytes):
         from automic_etl_spark.operators.gif import decode_gif
 
         return "gif", decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from automic_etl_spark.operators.tiff import decode_tiff
+
+        return "tiff", decode_tiff(data)
     return fmt, None
 
 

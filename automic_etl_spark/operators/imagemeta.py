@@ -68,6 +68,12 @@ def probe_image(data: bytes) -> tuple[str | None, int, int]:
                     return "jpeg", w, h
                 i += 2 + seg_len
             return "jpeg", 0, 0
+        if data[:4] in (b"II*\x00", b"MM\x00*"):  # TIFF: first IFD dims
+            from automic_etl_spark.operators.tiff import _read_ifd
+
+            bo = "<" if data[:2] == b"II" else ">"
+            tags = _read_ifd(data, bo)
+            return "tiff", tags.get(256, [0])[0], tags.get(257, [0])[0]
     except (struct.error, IndexError):
         pass
     return None, 0, 0

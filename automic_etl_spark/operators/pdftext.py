@@ -138,8 +138,19 @@ def extract_pdf_text(data: bytes) -> str:
                 raw = zlib.decompress(raw)
             except zlib.error:
                 continue
-        elif re.search(rb"/(?:DCT|JPX|CCITTFax|RunLength|LZW)Decode", d):
-            continue  # image/other codecs: not text
+        elif b"LZWDecode" in d:
+            # ISO 32000 LZWDecode is TIFF's LZW (MSB-first, early
+            # change at codes 511/1023/2047) — decoded first-party
+            # since r9 via the TIFF codec; pre-Acrobat-5-era PDFs and
+            # some scanners still emit it
+            from automic_etl_spark.operators.tiff import _lzw_decode_tiff
+
+            dec = _lzw_decode_tiff(raw, 1 << 24)
+            if dec is None:
+                continue
+            raw = dec
+        elif re.search(rb"/(?:DCT|JPX|CCITTFax|RunLength)Decode", d):
+            continue  # image codecs: not text
         if b"BT" in raw and (b"Tj" in raw or b"TJ" in raw or b"'" in raw):
             txt = _content_text(raw).strip()
             if txt:

@@ -1,0 +1,433 @@
+"""Baseline TIFF 6.0 codec, pure stdlib + numpy — the scanned-document
+raster format.
+
+Same mandate as operators/jpeg.py and operators/gif.py: perceptual
+image dedup needs REAL pixels with zero image-library dependencies,
+and document/scan corpora (digitized archives, fax stores, print
+pipelines) ship as TIFF. The reference has no image decode at all;
+beyond-reference item, same adjudication as JPEG/GIF.
+
+Supported (TIFF 6.0 baseline + the two baseline codecs):
+- both byte orders (II little / MM big), first IFD (page 1)
+- 8-bit grayscale (PhotometricInterpretation 0 WhiteIsZero — inverted
+  — and 1 BlackIsZero), 8-bit RGB / RGBA (extra samples kept as
+  alpha), palette-color (ColorMap 16-bit entries, high byte)
+- strips (RowsPerStrip + StripOffsets/StripByteCounts, any strip
+  count), PlanarConfiguration 1 (chunky)
+- Compression 1 (none), 32773 (PackBits RLE), 5 (LZW — MSB-first bit
+  packing with the TIFF/PDF "early change": the code width bumps when
+  table entry 511/1023/2047 is ADDED, one code earlier than GIF's LZW;
+  that constant set is normative in both TIFF 6.0 §13 and ISO 32000
+  LZWDecode), with Predictor 2 (horizontal differencing) undone per
+  sample channel
+- honestly gated (None, undecodable-survivors-are-kept): 1/4/16-bit
+  samples, planar config 2, tiles, CCITT G3/G4 fax coding, JPEG-in-
+  TIFF, deflate-in-TIFF
+
+Decoders are TOTAL on arbitrary bytes. ``synth_tiff`` is the encoder
+twin (uncompressed / PackBits / real LZW compressor with early change,
+optional predictor, either byte order, configurable strip height) so
+fixtures exercise the decoder against independently constructed
+streams; round-trips are exact (all three codecs are lossless). A
+real-world interop fixture (CPython's test python.tiff, RGBA
+uncompressed) pins the container walk against an external writer.
+
+Scale shape: same Arrow-batched mapInPandas kernels as PNG/JPEG/GIF
+via ``decode_image`` — map-only, batch-bounded, embarrassingly
+parallel per partition.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+
+_MAX_PIXELS = 64_000_000
+
+# tag ids
+_W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
+_STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PLANAR, _PREDICTOR, _COLORMAP = 284, 317, 320
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(data: bytes, bo: str) -> dict[int, list[int]]:
+    """First-IFD tag table: {tag: [values...]} for integer types."""
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    n = struct.unpack(bo + "H", data[off : off + 2])[0]
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", data[e : e + 8])
+        size = _TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            voff = struct.unpack(bo + "I", data[e + 8 : e + 12])[0]
+            raw = data[voff : voff + size]
+            if len(raw) < size:
+                continue
+        if typ == 3:
+            tags[tag] = list(struct.unpack(bo + "H" * cnt, raw))
+        elif typ == 4:
+            tags[tag] = list(struct.unpack(bo + "I" * cnt, raw))
+        elif typ == 1:
+            tags[tag] = list(raw)
+    return tags
+
+
+def _packbits_decode(src: bytes, expected: int) -> bytes | None:
+    out = bytearray()
+    i = 0
+    while i < len(src) and len(out) < expected:
+        n = src[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += src[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(src):
+                break
+            out += src[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected]) if len(out) >= expected else None
+
+
+def _lzw_decode_tiff(payload: bytes, expected: int) -> bytes | None:
+    """TIFF/PDF-variant LZW: MSB-first packing, Clear=256/EOI=257,
+    9->12-bit codes with EARLY change (width bumps when table entry
+    2^w - 1 is added — codes 511/1023/2047 already arrive wide)."""
+    CLEAR, EOI = 256, 257
+    roots = [bytes((i,)) for i in range(256)]
+    table = roots + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = pos = 0
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(payload):
+                return bytes(out) if out else None
+            acc = (acc << 8) | payload[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            table = roots + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+        elif code == len(table):
+            entry = prev + prev[:1]
+            if len(table) < 4096:
+                table.append(entry)
+                if len(table) == (1 << width) - 1 and width < 12:
+                    width += 1
+        else:
+            return None
+        out += entry
+        prev = entry
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(src: bytes) -> bytes:
+    """The early-change encoder twin; resets at table entry 4094 the
+    way libtiff does (leaving room so 12-bit codes never overflow)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(CLEAR, width)
+    run = b""
+    for b in src:
+        cand = run + bytes((b,))
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        # early change: entry 2^w - 1 is added at width w, but the NEXT
+        # emitted code is already w+1 bits (decoder mirrors on append)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        next_code += 1
+        if next_code >= 4094:
+            put(CLEAR, width)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code = 258
+            width = 9
+        run = bytes((b,))
+    if run:
+        put(table[run], width)
+    put(EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def decode_tiff(data: bytes):
+    """Decode a baseline TIFF to (H, W, C) uint8 (C = 1 gray / 3 RGB /
+    4 RGBA; palette expands to RGB). None for anything unsupported or
+    malformed — total on arbitrary bytes, like the other decoders."""
+    import numpy as np
+
+    try:
+        if data[:4] == b"II*\x00":
+            bo = "<"
+        elif data[:4] == b"MM\x00*":
+            bo = ">"
+        else:
+            return None
+        t = _read_ifd(bytes(data), bo)
+        w = t.get(_W, [0])[0]
+        h = t.get(_H, [0])[0]
+        if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+            return None
+        spp = t.get(_SPP, [1])[0]
+        bits = t.get(_BITS, [8] * spp)
+        if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+            return None
+        if t.get(_PLANAR, [1])[0] != 1:
+            return None
+        comp = t.get(_COMP, [1])[0]
+        photo = t.get(_PHOTO, [1])[0]
+        offsets = t.get(_STRIP_OFF)
+        counts = t.get(_STRIP_CNT)
+        if not offsets or not counts or len(offsets) != len(counts):
+            return None
+        rows_per_strip = t.get(_ROWS_PER_STRIP, [h])[0] or h
+        row_bytes = w * spp
+        chunks = []
+        remaining = h
+        for k, (off, cnt) in enumerate(zip(offsets, counts)):
+            raw = data[off : off + cnt]
+            if len(raw) < cnt:
+                return None
+            n_rows = min(rows_per_strip, remaining)
+            remaining -= n_rows
+            need = n_rows * row_bytes
+            if comp == 1:
+                if len(raw) < need:
+                    return None
+                strip = raw[:need]
+            elif comp == 32773:
+                strip = _packbits_decode(raw, need)
+            elif comp == 5:
+                strip = _lzw_decode_tiff(raw, need)
+            else:
+                return None  # CCITT fax / JPEG / deflate: gated
+            if strip is None or len(strip) < need:
+                return None
+            chunks.append(strip)
+        img = np.frombuffer(b"".join(chunks), dtype=np.uint8)
+        if img.size != h * row_bytes:
+            return None
+        img = img.reshape(h, w, spp)
+        if comp == 5 and t.get(_PREDICTOR, [1])[0] == 2:
+            img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
+        if photo == 3:  # palette
+            cmap = t.get(_COLORMAP)
+            if spp != 1 or not cmap or len(cmap) < 3 * 256:
+                return None
+            pal = (np.array(cmap[: 3 * 256], dtype=np.uint16)
+                   .reshape(3, 256).T >> 8).astype(np.uint8)
+            return pal[img[:, :, 0]]
+        if photo == 0 and spp == 1:  # WhiteIsZero
+            return (255 - img).copy()
+        if photo in (0, 1) and spp == 1:
+            return img.copy()
+        if photo == 2 and spp in (3, 4):
+            return img.copy()
+        return None
+    except Exception:
+        return None
+
+
+def synth_tiff(
+    img,
+    compression: int = 1,
+    predictor: int = 1,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    colormap: "np.ndarray | None" = None,
+) -> bytes:
+    """Encode (H, W, C) uint8 (C in 1/3/4; or (H, W) palette indices
+    with ``colormap`` (256, 3)) as a real TIFF — the test/bench twin.
+    compression in {1, 5, 32773}; predictor 2 valid with LZW only."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    pal_mode = colormap is not None
+    if pal_mode:
+        if img.ndim != 2:
+            raise ValueError("palette mode takes (H, W) index arrays")
+        h, w = img.shape
+        spp = 1
+        photo = 3
+    else:
+        if img.ndim != 3 or img.shape[2] not in (1, 3, 4):
+            raise ValueError("img must be (H, W, C) with C in 1/3/4")
+        h, w, spp = img.shape
+        photo = photometric if photometric is not None else (1 if spp == 1 else 2)
+        if photo == 0 and spp == 1:
+            img = 255 - img
+    bo = "<" if byte_order == "II" else ">"
+    rps = rows_per_strip or h
+    flat = img.reshape(h, w * spp) if pal_mode is False else img
+
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = flat[y0 : y0 + rps]
+        if compression == 5 and predictor == 2:
+            d = raw.reshape(-1, w, spp) if not pal_mode else raw[:, :, None]
+            diff = np.empty_like(d)
+            diff[:, 0] = d[:, 0]
+            diff[:, 1:] = (d[:, 1:].astype(np.int16) - d[:, :-1]).astype(np.uint8)
+            raw = diff.reshape(raw.shape)
+        body = raw.tobytes()
+        if compression == 1:
+            strips.append(body)
+        elif compression == 32773:
+            strips.append(_packbits_encode(body))
+        elif compression == 5:
+            strips.append(_lzw_encode_tiff(body))
+        else:
+            raise ValueError(f"unsupported compression {compression}")
+
+    entries: list[tuple[int, int, list[int]]] = [
+        (_W, 3, [w]), (_H, 3, [h]),
+        (_BITS, 3, [8] * spp),
+        (_COMP, 3, [compression]),
+        (_PHOTO, 3, [photo]),
+        (_SPP, 3, [spp]),
+        (_ROWS_PER_STRIP, 3, [rps]),
+    ]
+    if compression == 5 and predictor == 2:
+        entries.append((_PREDICTOR, 3, [2]))
+    if pal_mode:
+        cm = np.asarray(colormap, dtype=np.uint16)
+        cm16 = (cm.astype(np.uint16) << 8) | cm
+        entries.append((_COLORMAP, 3, list(cm16.T.reshape(-1))))
+
+    # layout: header(8) + IFD + overflow values + strip data
+    n_entries = len(entries) + 2  # + StripOffsets / StripByteCounts
+    ifd_off = 8
+    ifd_size = 2 + 12 * n_entries + 4
+    tail = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def value_field(typ: int, vals: list[int]) -> bytes:
+        nonlocal overflow
+        fmt = {3: "H", 4: "I"}[typ]
+        size = _TYPE_SIZE[typ] * len(vals)
+        packed = struct.pack(bo + fmt * len(vals), *vals)
+        if size <= 4:
+            return packed + b"\x00" * (4 - size)
+        off = tail + len(overflow)
+        overflow += packed + (b"\x00" if size & 1 else b"")
+        return struct.pack(bo + "I", off)
+
+    # reserve strip tag values last (need data offsets): compute the
+    # overflow for the fixed entries first, then strips go after it
+    packed_entries = []
+    for tag, typ, vals in sorted(entries):
+        packed_entries.append((tag, typ, len(vals), value_field(typ, vals)))
+    counts = [len(s) for s in strips]
+    # strip byte counts (LONG)
+    sbc_field = value_field(4, counts)
+    data_start = tail + len(overflow) + (
+        0 if len(strips) <= 1 else 4 * len(strips)
+    )
+    if len(strips) > 1:
+        data_start = tail + len(overflow) + 4 * len(strips)
+        offs = []
+        acc2 = data_start
+        for c in counts:
+            offs.append(acc2)
+            acc2 += c + (c & 1)
+        so_field = struct.pack(bo + "I", tail + len(overflow))
+        overflow += struct.pack(bo + "I" * len(offs), *offs)
+    else:
+        data_start = tail + len(overflow)
+        so_field = struct.pack(bo + "I", data_start)
+    packed_entries.append((_STRIP_OFF, 4, len(strips), so_field))
+    packed_entries.append((_STRIP_CNT, 4, len(strips), sbc_field))
+    packed_entries.sort()
+
+    out = bytearray()
+    out += (b"II*\x00" if bo == "<" else b"MM\x00*")
+    out += struct.pack(bo + "I", ifd_off)
+    out += struct.pack(bo + "H", n_entries)
+    for tag, typ, cnt, field in packed_entries:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + field
+    out += struct.pack(bo + "I", 0)  # next IFD
+    out += overflow
+    for s in strips:
+        out += s + (b"\x00" if len(s) & 1 else b"")
+    return bytes(out)
+
+
+def _packbits_encode(src: bytes) -> bytes:
+    """Simple PackBits: repeat runs >= 3 as RLE, rest literal."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        # find run length at i
+        j = i
+        while j + 1 < n and src[j + 1] == src[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(src[i])
+            i = j + 1
+            continue
+        # literal: until next run of >= 3 or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            j = i
+            while j + 1 < n and src[j + 1] == src[i] and j - i < 127:
+                j += 1
+            if j - i + 1 >= 3:
+                break
+            i = j + 1
+        if i - lit_start > 128:
+            i = lit_start + 128
+        out.append(i - lit_start - 1)
+        out += src[lit_start:i]
+    return bytes(out)

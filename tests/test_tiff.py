@@ -1,0 +1,232 @@
+"""TIFF codec (operators/tiff.py): lossless round-trips across the
+three baseline codecs / byte orders / strip layouts, the TIFF-LZW
+early-change convention, a real-world external-writer fixture, honest
+gates, totality on corrupt bytes, dedup integration, and the PDF
+LZWDecode unlock that rides the same LZW."""
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.tiff import (
+    _lzw_decode_tiff,
+    _lzw_encode_tiff,
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    synth_tiff,
+)
+
+REAL_TIFF = (
+    "/root/.pyenv/versions/3.12.1/lib/python3.12/test/imghdrdata/python.tiff"
+)
+
+
+class TestLZW:
+    def test_round_trips(self):
+        rng = np.random.default_rng(3)
+        for n in (0, 1, 7, 300, 5000, 120_000):
+            src = bytes(rng.integers(0, 256, size=n).astype(np.uint8))
+            assert _lzw_decode_tiff(_lzw_encode_tiff(src), n) == src, n
+
+    def test_table_reset(self):
+        low = bytes((np.arange(150_000) // 991 % 256).astype(np.uint8))
+        assert _lzw_decode_tiff(_lzw_encode_tiff(low), len(low)) == low
+
+    def test_early_change_convention(self):
+        """TIFF/PDF LZW bumps the code width when table entry 511 is
+        ADDED (early change; ISO 32000 names 511/1023/2047 as the
+        switch codes) — one code earlier than GIF. Byte-level pin: 254
+        distinct literals append entries 258..511 — but 511 only lands
+        on the FINAL flush, so all 256 stream codes (clear + 254
+        literals + EOI) are still 9 bits = exactly 288 bytes; 255
+        literals push the last literal and EOI to 10 bits = 290 bytes.
+        A late-change (GIF-style) codec would emit 288/289."""
+        src = bytes(range(254))
+        enc = _lzw_encode_tiff(src)
+        assert len(enc) == (256 * 9) // 8 == 288
+        assert _lzw_decode_tiff(enc, 254) == src
+        src = bytes(i % 256 for i in range(255))
+        enc = _lzw_encode_tiff(src)
+        assert len(enc) == -(-(255 * 9 + 2 * 10) // 8) == 290
+        assert _lzw_decode_tiff(enc, 255) == src
+
+    def test_msb_first_packing(self):
+        """One literal: codes (256, 0x41, 257) at 9 bits MSB-first pack
+        to exactly 80 10 60 20 — hand-computed from the bit stream
+        100000000 001000001 100000001 + zero pad."""
+        assert _lzw_encode_tiff(b"\x41") == bytes([0x80, 0x10, 0x60, 0x20])
+
+
+class TestPackBits:
+    def test_round_trips(self):
+        rng = np.random.default_rng(5)
+        for n in (0, 1, 10, 1000, 50_000):
+            src = bytes((rng.integers(0, 4, size=n) * 80).astype(np.uint8))
+            assert _packbits_decode(_packbits_encode(src), n) == src, n
+
+    def test_known_spec_example(self):
+        """The TIFF 6.0 spec's own PackBits worked example."""
+        enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+        want = bytes.fromhex(
+            "AAAAAA80002AAAAAAAAA80002A22AAAAAAAAAAAAAAAAAAAA"
+        )
+        assert _packbits_decode(enc, len(want)) == want
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("comp", [1, 5, 32773])
+    @pytest.mark.parametrize("border", ["II", "MM"])
+    def test_lossless_all_depths(self, comp, border):
+        rng = np.random.default_rng(11)
+        for c in (1, 3, 4):
+            img = rng.integers(0, 256, size=(37, 53, c)).astype(np.uint8)
+            blob = synth_tiff(img, compression=comp, byte_order=border)
+            assert np.array_equal(decode_tiff(blob), img)
+
+    def test_strips(self):
+        rng = np.random.default_rng(12)
+        img = rng.integers(0, 256, size=(37, 53, 3)).astype(np.uint8)
+        for rps in (1, 8, 37, 64):
+            blob = synth_tiff(img, compression=32773, rows_per_strip=rps)
+            assert np.array_equal(decode_tiff(blob), img), rps
+
+    def test_lzw_predictor2(self):
+        rng = np.random.default_rng(13)
+        img = rng.integers(0, 256, size=(30, 41, 3)).astype(np.uint8)
+        blob = synth_tiff(img, compression=5, predictor=2, rows_per_strip=7)
+        assert np.array_equal(decode_tiff(blob), img)
+        # predictor actually helps on smooth content (sanity that the
+        # encoder really differenced: compressed smaller than plain LZW)
+        smooth = np.repeat(
+            np.arange(0, 250, 2, dtype=np.uint8).reshape(1, -1, 1), 60, axis=0
+        ).repeat(3, axis=2)
+        plain = synth_tiff(smooth, compression=5)
+        pred = synth_tiff(smooth, compression=5, predictor=2)
+        assert len(pred) < len(plain)
+
+    def test_white_is_zero(self):
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 256, size=(9, 9, 1)).astype(np.uint8)
+        assert np.array_equal(decode_tiff(synth_tiff(img, photometric=0)), img)
+
+    def test_palette(self):
+        rng = np.random.default_rng(15)
+        pal = rng.integers(0, 256, size=(256, 3)).astype(np.uint8)
+        idx = rng.integers(0, 256, size=(20, 30)).astype(np.uint8)
+        blob = synth_tiff(idx, colormap=pal, compression=5)
+        assert np.array_equal(decode_tiff(blob), pal[idx])
+
+
+class TestRealWorld:
+    def test_cpython_fixture_decodes(self):
+        """python.tiff (CPython test data; external writer, RGBA
+        uncompressed, overflow IFD values) — pins the container walk."""
+        import os
+
+        if not os.path.exists(REAL_TIFF):  # pragma: no cover
+            pytest.skip("CPython test fixture not present")
+        out = decode_tiff(open(REAL_TIFF, "rb").read())
+        assert out is not None and out.shape == (16, 16, 4)
+
+
+class TestTotality:
+    def test_garbage(self):
+        for blob in (b"", b"II*\x00", b"MM\x00*", b"not a tiff" * 3):
+            assert decode_tiff(blob) is None
+
+    def test_truncation_and_flips_never_raise(self):
+        rng = np.random.default_rng(16)
+        img = rng.integers(0, 256, size=(24, 24, 3)).astype(np.uint8)
+        blob = synth_tiff(img, compression=5)
+        for cut in range(0, len(blob), 13):
+            decode_tiff(blob[:cut])
+        b = bytearray(blob)
+        for _ in range(200):
+            i = int(rng.integers(0, len(b)))
+            mut = bytes(b[:i]) + bytes([int(rng.integers(0, 256))]) + bytes(b[i + 1 :])
+            decode_tiff(mut)
+
+    def test_gated_features_return_none(self):
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        blob = bytearray(synth_tiff(img, compression=1))
+        # rewrite the Compression entry value to CCITT G4 (4)
+        import struct
+
+        n = struct.unpack("<H", blob[8:10])[0]
+        for i in range(n):
+            e = 10 + 12 * i
+            tag = struct.unpack("<H", blob[e : e + 2])[0]
+            if tag == 259:
+                blob[e + 8 : e + 10] = struct.pack("<H", 4)
+        assert decode_tiff(bytes(blob)) is None
+
+
+class TestDedupIntegration:
+    def test_decode_image_and_probe(self):
+        from automic_etl_spark.operators.imagehash import decode_image
+        from automic_etl_spark.operators.imagemeta import probe_image
+
+        rng = np.random.default_rng(18)
+        img = rng.integers(0, 256, size=(32, 48, 3)).astype(np.uint8)
+        blob = synth_tiff(img, compression=5)
+        fmt, out = decode_image(blob)
+        assert fmt == "tiff" and np.array_equal(out, img)
+        assert probe_image(blob) == ("tiff", 48, 32)
+
+    def test_cross_format_dhash_equality(self):
+        from automic_etl_spark.operators.imagehash import (
+            decode_image,
+            dhash64,
+            synth_png,
+        )
+
+        rng = np.random.default_rng(19)
+        img = rng.integers(0, 256, size=(48, 64, 3)).astype(np.uint8)
+        _, a = decode_image(synth_png(img))
+        _, b = decode_image(synth_tiff(img, compression=32773))
+        assert dhash64(a) == dhash64(b)
+
+    def test_spark_phash_links_tiff_png_twin(self, spark):
+        from automic_etl_spark.operators.imagehash import (
+            image_blobs_phash,
+            phash_near_dup,
+            synth_png,
+        )
+
+        rng = np.random.default_rng(20)
+        rows = []
+        for i in range(5):
+            img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+            rows.append((2 * i, bytearray(synth_tiff(img, compression=5))))
+            if i == 0:
+                rows.append((99, bytearray(synth_png(img))))
+        df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+        hashed = image_blobs_phash(df)
+        got = {r["doc_id"]: r for r in hashed.collect()}
+        assert got[0]["format"] == "tiff" and got[0]["ok"]
+        assert got[0]["dhash"] == got[99]["dhash"]
+        pairs = phash_near_dup(hashed.filter("ok"), max_hamming=0)
+        assert (0, 99) in {
+            (r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()
+        }
+
+
+class TestPdfLzwUnlock:
+    def test_pdf_lzwdecode_stream_extracts(self):
+        """PDF LZWDecode rides the TIFF LZW (same ISO 32000 algorithm):
+        an LZW-compressed content stream now yields its text layer."""
+        from automic_etl_spark.operators.pdftext import extract_pdf_text
+
+        content = (
+            b"BT /F1 12 Tf 72 720 Td (LZW encoded text layer) Tj ET"
+        )
+        body = _lzw_encode_tiff(content)
+        pdf = (
+            b"%PDF-1.2\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"4 0 obj << /Filter /LZWDecode /Length "
+            + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert "LZW encoded text layer" in extract_pdf_text(pdf)
