@@ -1,0 +1,284 @@
+"""AIFF / AIFF-C and Sun AU (.au/.snd) audio containers, pure stdlib +
+numpy.
+
+The two classic big-endian audio containers round out WAV/FLAC: AIFF is
+the Mac-era archive format (EA IFF 85 chunks; sample rate as an 80-bit
+IEEE 754 extended float), AU is the original telephony/Unix format
+whose encoding 1 IS G.711 mu-law — countless speech datasets ship .au.
+Both decode to the same int64 16-bit-scale workspace contract as
+audio._decode_pcm and dispatch through it, so fingerprinting,
+mute/bleep redaction and the multimodal curator consume them natively.
+
+Supported:
+- AIFF: 8/16/24/32-bit big-endian PCM
+- AIFF-C: compression 'NONE' (BE), 'sowt' (little-endian 16-bit — the
+  QuickTime convention), 'ulaw'/'ULAW' and 'alaw'/'ALAW' (G.711 via
+  operators/g711's exhaustively-tested tables)
+- AU: encodings 1 (G.711 mu-law), 2/3/4/5 (8/16/24/32-bit linear BE),
+  27 (G.711 A-law)
+- honestly gated (NotImplementedError from the decode path, None from
+  probes): AIFF-C 'fl32'/'fl64' floats, 'ima4'; AU floats/ADPCM
+
+``synth_aiff`` / ``synth_au`` are the encoder twins (including the
+80-bit extended-float writer, sowt, and the G.711 arms), so round
+trips are exact for PCM and land on G.711's quantization levels for
+the companded arms.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+
+
+def _f80_read(b: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF sample rate)."""
+    if len(b) < 10:
+        raise ValueError("short extended float")
+    se = struct.unpack(">H", b[:2])[0]
+    mant = struct.unpack(">Q", b[2:10])[0]
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("inf/nan sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+def _f80_write(x: float) -> bytes:
+    if x == 0:
+        return b"\x00" * 10
+    sign = 0x8000 if x < 0 else 0
+    x = abs(x)
+    exp = 16383 + 63
+    mant = int(x)
+    frac = x - mant
+    # normalize: shift mantissa so bit 63 is set
+    if mant == 0:
+        raise ValueError("fractional-only rates unsupported by the twin")
+    while mant < 1 << 63:
+        mant <<= 1
+        frac *= 2
+        ip = int(frac)
+        mant |= ip
+        frac -= ip
+        exp -= 1
+    while mant >= 1 << 64:
+        mant >>= 1
+        exp += 1
+    return struct.pack(">HQ", sign | exp, mant)
+
+
+def _iff_chunks(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        size = struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        yield cid, pos + 8, min(pos + 8 + size, end)
+        pos += 8 + size + (size & 1)
+
+
+def _pcm_be(raw: bytes, width: int, channels: int) -> "np.ndarray":
+    import numpy as np
+
+    if width == 1:  # AIFF 8-bit is SIGNED (unlike WAV)
+        arr = np.frombuffer(raw, dtype=np.int8).astype(np.int64)
+    elif width == 2:
+        arr = np.frombuffer(raw, dtype=">i2").astype(np.int64)
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: len(b) // 3 * 3].reshape(-1, 3).astype(np.int64)
+        arr = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        arr = arr - ((arr & 0x800000) << 1)
+    elif width == 4:
+        arr = np.frombuffer(raw, dtype=">i4").astype(np.int64)
+    else:
+        raise NotImplementedError(f"{width * 8}-bit AIFF/AU PCM")
+    return arr[: len(arr) // channels * channels].reshape(-1, channels)
+
+
+def decode_aiff(data: bytes):
+    """AIFF/AIFF-C payload -> (samples[frames, ch] int64, rate, width).
+    Raises ValueError on corrupt containers, NotImplementedError for
+    gated compression types — the audio._decode_pcm contract."""
+    import numpy as np
+
+    data = bytes(data)
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF payload")
+    is_aifc = data[8:12] == b"AIFC"
+    comm = ssnd = None
+    for cid, s, e in _iff_chunks(data, 12, len(data)):
+        if cid == b"COMM":
+            comm = (s, e)
+        elif cid == b"SSND":
+            ssnd = (s, e)
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND")
+    s, e = comm
+    if e - s < 18:
+        raise ValueError("short COMM")
+    channels, _n_frames, bits = struct.unpack(">HIH", data[s : s + 8])
+    rate = int(round(_f80_read(data[s + 8 : s + 18])))
+    channels = max(1, channels)
+    comp = b"NONE"
+    if is_aifc and e - s >= 22:
+        comp = data[s + 18 : s + 22]
+    s, e = ssnd
+    if e - s < 8:
+        raise ValueError("short SSND")
+    off = struct.unpack(">I", data[s : s + 4])[0]
+    raw = data[s + 8 + off : e]
+    if comp in (b"NONE", b"none"):
+        width = (bits + 7) // 8
+        return _pcm_be(raw, width, channels), rate, width
+    if comp == b"sowt":  # little-endian 16-bit
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        return arr[: len(arr) // channels * channels].reshape(-1, channels), rate, 2
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        from automic_etl_spark.operators.g711 import alaw_decode, ulaw_decode
+
+        dec = ulaw_decode if comp in (b"ulaw", b"ULAW") else alaw_decode
+        arr = dec(np.frombuffer(raw, dtype=np.uint8)).astype(np.int64)
+        return arr[: len(arr) // channels * channels].reshape(-1, channels), rate, 2
+    raise NotImplementedError(f"AIFF-C compression {comp!r} not decodable in-image")
+
+
+#: AU encoding -> (bytes per sample, kind)
+_AU_ENC = {1: (1, "ulaw"), 2: (1, "pcm"), 3: (2, "pcm"), 4: (3, "pcm"),
+           5: (4, "pcm"), 27: (1, "alaw")}
+
+
+def decode_au(data: bytes):
+    """Sun AU payload -> (samples[frames, ch] int64, rate, width)."""
+    import numpy as np
+
+    data = bytes(data)
+    if data[:4] != b".snd" or len(data) < 24:
+        raise ValueError("not an AU payload")
+    off, size, enc, rate, channels = struct.unpack(">IIIII", data[4:24])
+    channels = max(1, channels)
+    if enc not in _AU_ENC:
+        raise NotImplementedError(f"AU encoding {enc} not decodable in-image")
+    width, kind = _AU_ENC[enc]
+    end = len(data) if size in (0, 0xFFFFFFFF) else min(len(data), off + size)
+    raw = data[off:end]
+    if kind == "pcm":
+        return _pcm_be(raw, width, channels), rate, width
+    from automic_etl_spark.operators.g711 import alaw_decode, ulaw_decode
+
+    dec = ulaw_decode if kind == "ulaw" else alaw_decode
+    arr = dec(np.frombuffer(raw, dtype=np.uint8)).astype(np.int64)
+    return arr[: len(arr) // channels * channels].reshape(-1, channels), rate, 2
+
+
+def probe_aiff(data: bytes) -> dict | None:
+    """Metadata fields (audio_metadata row shape) without full decode."""
+    try:
+        data = bytes(data)
+        if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+            return None
+        for cid, s, e in _iff_chunks(data, 12, len(data)):
+            if cid == b"COMM" and e - s >= 18:
+                ch, n_frames, bits = struct.unpack(">HIH", data[s : s + 8])
+                rate = int(round(_f80_read(data[s + 8 : s + 18])))
+                if not rate:
+                    return None
+                return {
+                    "duration_ms": n_frames * 1000 // rate,
+                    "sample_rate": rate,
+                    "channels": max(1, ch),
+                    "bit_depth": bits,
+                    "n_frames": n_frames,
+                }
+        return None
+    except (struct.error, ValueError, OverflowError):
+        return None
+
+
+def probe_au(data: bytes) -> dict | None:
+    try:
+        data = bytes(data)
+        if data[:4] != b".snd" or len(data) < 24:
+            return None
+        off, size, enc, rate, ch = struct.unpack(">IIIII", data[4:24])
+        if enc not in _AU_ENC or not rate:
+            return None
+        width, kind = _AU_ENC[enc]
+        ch = max(1, ch)
+        n_bytes = (len(data) - off) if size in (0, 0xFFFFFFFF) else size
+        n_frames = max(0, n_bytes) // (width * ch)
+        return {
+            "duration_ms": n_frames * 1000 // rate,
+            "sample_rate": rate,
+            "channels": ch,
+            "bit_depth": 8 * width if kind == "pcm" else 8,
+            "n_frames": n_frames,
+        }
+    except (struct.error, ValueError):
+        return None
+
+
+def synth_aiff(samples, rate: int, compression: bytes | None = None) -> bytes:
+    """int16 (frames,) or (frames, ch) -> AIFF (compression None) or
+    AIFF-C ('sowt'/'ulaw'/'alaw') — the test/bench twin."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    frames, ch = x.shape
+    if compression is None:
+        body = x.astype(">i2").tobytes()
+        comm = struct.pack(">HIH", ch, frames, 16) + _f80_write(float(rate))
+        form_type = b"AIFF"
+    else:
+        name = {b"sowt": b"\x00", b"ulaw": b"\x00", b"alaw": b"\x00"}[compression]
+        if compression == b"sowt":
+            body = x.astype("<i2").tobytes()
+        else:
+            from automic_etl_spark.operators.g711 import alaw_encode, ulaw_encode
+
+            enc = ulaw_encode if compression == b"ulaw" else alaw_encode
+            body = enc(x.reshape(-1)).tobytes()
+        comm = (
+            struct.pack(">HIH", ch, frames, 16)
+            + _f80_write(float(rate))
+            + compression
+            + b"\x01" + name  # pstring: length-1 name + pad to even
+        )
+        form_type = b"AIFC"
+
+    def chunk(cid: bytes, payload: bytes) -> bytes:
+        return cid + struct.pack(">I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    ssnd = chunk(b"SSND", struct.pack(">II", 0, 0) + body)
+    inner = form_type + chunk(b"COMM", comm) + ssnd
+    return b"FORM" + struct.pack(">I", len(inner)) + inner
+
+
+def synth_au(samples, rate: int, encoding: int = 3) -> bytes:
+    """int16 samples -> Sun AU (encoding 3 = 16-bit PCM, 1 = mu-law,
+    27 = A-law)."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.int16)
+    if x.ndim == 1:
+        x = x[:, None]
+    ch = x.shape[1]
+    if encoding == 3:
+        body = x.astype(">i2").tobytes()
+    elif encoding in (1, 27):
+        from automic_etl_spark.operators.g711 import alaw_encode, ulaw_encode
+
+        enc = ulaw_encode if encoding == 1 else alaw_encode
+        body = enc(x.reshape(-1)).tobytes()
+    else:
+        raise ValueError("synth_au supports encodings 1/3/27")
+    return struct.pack(">4sIIIII", b".snd", 24, len(body), encoding, rate, ch) + body

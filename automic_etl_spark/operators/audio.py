@@ -44,6 +44,8 @@ NATIVE_FORMATS = ("audio/wav", "audio/flac")
 _MAGIC = (
     (b"RIFF", "audio/wav"),
     (b"fLaC", "audio/flac"),
+    (b"FORM", "audio/aiff"),
+    (b".snd", "audio/basic"),
     (b"OggS", "audio/ogg"),
     (b"ID3", "audio/mpeg"),
     (b"\xff\xfb", "audio/mpeg"),
@@ -129,7 +131,18 @@ def wav_metadata(data: bytes) -> dict:
             info = parse_wav_chunks(bytes(data))
             tag, ch = info["format_tag"], max(1, info["channels"])
             rate = info["sample_rate"]
-            if tag in COMPRESSED_TAGS and rate:
+            if tag == 0x0001 and rate:  # extensible-wrapped plain PCM
+                depth = info.get("bits_per_sample", 16)
+                frames = len(info["data"]) // max(1, ((depth + 7) // 8) * ch)
+                row.update(
+                    duration_ms=(frames * 1000) // rate,
+                    sample_rate=rate,
+                    channels=ch,
+                    bit_depth=depth,
+                    n_frames=frames,
+                    ok=True,
+                )
+            elif tag in COMPRESSED_TAGS and rate:
                 if tag == WAVE_FORMAT_IMA_ADPCM:
                     align = info.get("block_align") or 0
                     spb = info.get("samples_per_block") or (
@@ -323,8 +336,12 @@ def audio_metadata(data: bytes) -> dict:
     row = wav_metadata(data)
     if row["ok"] or row["format"] == "audio/wav":
         return row
+    from automic_etl_spark.operators.aiffau import probe_aiff, probe_au
+
     probe = {
         "audio/flac": _probe_flac,
+        "audio/aiff": probe_aiff,
+        "audio/basic": probe_au,
         "audio/mpeg": _probe_mp3,
         "audio/ogg": _probe_ogg,
         "audio/mp4": _probe_m4a,
@@ -380,6 +397,14 @@ def _decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
 
         samples, rate, bits = decode_flac(bytes(data))
         return samples, rate, (bits + 7) // 8
+    if fmt == "audio/aiff":
+        from automic_etl_spark.operators.aiffau import decode_aiff
+
+        return decode_aiff(bytes(data))
+    if fmt == "audio/basic":
+        from automic_etl_spark.operators.aiffau import decode_au
+
+        return decode_au(bytes(data))
     if fmt != "audio/wav":
         _codec_gate(fmt)
     try:
@@ -497,10 +522,30 @@ def _reencode(original: bytes, samples: np.ndarray, rate: int, width: int) -> by
     """Write edited PCM back in the original's container and CODEC
     (WAV-PCM, FLAC, G.711, IMA ADPCM), preserving the original bit
     depth — a redacted mu-law call recording stays a mu-law WAV."""
-    if sniff_format(original) == "audio/flac":
+    fmt = sniff_format(original)
+    if fmt == "audio/flac":
         from automic_etl_spark.operators.flac import encode_flac
 
         return encode_flac(samples, rate=rate, bits=_true_bit_depth(original, width))
+    if fmt in ("audio/aiff", "audio/basic"):
+        from automic_etl_spark.operators.aiffau import (
+            _iff_chunks,
+            synth_aiff,
+            synth_au,
+        )
+
+        x16 = np.clip(samples, -32768, 32767).astype(np.int16)
+        if fmt == "audio/basic":
+            enc = struct.unpack(">I", bytes(original[12:16]))[0]
+            return synth_au(x16, rate, encoding=enc if enc in (1, 27) else 3)
+        comp = None
+        if bytes(original[8:12]) == b"AIFC":
+            for cid, s, e in _iff_chunks(bytes(original), 12, len(original)):
+                if cid == b"COMM" and e - s >= 22:
+                    c = bytes(original[s + 18 : s + 22])
+                    if c in (b"sowt", b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+                        comp = c.lower()
+        return synth_aiff(x16, rate, compression=comp)
     try:
         from automic_etl_spark.operators.g711 import (
             WAVE_FORMAT_ALAW,

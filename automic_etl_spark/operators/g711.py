@@ -341,6 +341,27 @@ def decode_wav_compressed(data: bytes):
         codes = codes[: len(codes) // ch * ch]
         pcm = ulaw_decode(codes) if tag == WAVE_FORMAT_MULAW else alaw_decode(codes)
         out = pcm.astype(np.int64).reshape(-1, ch)
+    elif tag == WAVE_FORMAT_PCM:
+        # EXTENSIBLE-wrapped (or otherwise wave-module-rejected) plain
+        # PCM: the stdlib wave module on some Python versions refuses
+        # fmt tag 0xFFFE even when the sub-format is integer PCM
+        # (CPython's pluck-pcm24-ext.wav fixture) — decode it directly
+        width = (info.get("bits_per_sample", 16) + 7) // 8
+        if width == 1:
+            out = np.frombuffer(raw, dtype=np.uint8).astype(np.int64) - 128
+        elif width == 2:
+            out = np.frombuffer(raw, dtype="<i2").astype(np.int64)
+        elif width == 3:
+            b3 = np.frombuffer(raw, dtype=np.uint8)
+            b3 = b3[: len(b3) // 3 * 3].reshape(-1, 3).astype(np.int64)
+            out = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+            out = out - ((out & 0x800000) << 1)
+        elif width == 4:
+            out = np.frombuffer(raw, dtype="<i4").astype(np.int64)
+        else:
+            raise NotImplementedError(f"{width * 8}-bit extensible PCM")
+        out = out[: len(out) // ch * ch].reshape(-1, ch)
+        return out, info["sample_rate"], width
     elif tag == WAVE_FORMAT_IMA_ADPCM:
         align = info.get("block_align") or 0
         if align < 4 * ch + 4:

@@ -1,0 +1,190 @@
+"""AIFF/AIFF-C + Sun AU containers (operators/aiffau.py): 80-bit
+extended-float round trips, PCM/sowt/G.711 arm round trips, the full
+CPython audiodata fixture matrix as an external-writer interop oracle,
+metadata probes, codec-preserving redaction, and totality."""
+
+import glob
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.aiffau import (
+    _f80_read,
+    _f80_write,
+    decode_aiff,
+    decode_au,
+    probe_aiff,
+    probe_au,
+    synth_aiff,
+    synth_au,
+)
+from automic_etl_spark.operators.audio import (
+    _decode_pcm,
+    audio_metadata,
+    mute_segments_wav,
+    sniff_format,
+)
+
+AUDIODATA = "/root/.pyenv/versions/3.12.1/lib/python3.12/test/audiodata"
+
+
+def _sine(n=4000, rate=8000):
+    t = np.arange(n)
+    return (12000 * np.sin(2 * np.pi * 440 * t / rate)).astype(np.int16)
+
+
+class TestF80:
+    def test_round_trips_common_rates(self):
+        for r in (8000, 11025, 16000, 22050, 44100, 48000, 96000, 192000):
+            assert abs(_f80_read(_f80_write(float(r))) - r) < 1e-6, r
+
+    def test_known_bytes(self):
+        """44100 as an 80-bit extended float is the canonical
+        40 0E AC 44 00 00 00 00 00 00 (every AIFF spec appendix)."""
+        assert _f80_write(44100.0) == bytes.fromhex("400EAC44000000000000")
+        assert _f80_read(bytes.fromhex("400EAC44000000000000")) == 44100.0
+
+    def test_rejects_inf_nan(self):
+        with pytest.raises(ValueError):
+            _f80_read(bytes.fromhex("7FFF8000000000000000"))
+
+
+class TestRoundTrip:
+    def test_aiff_pcm(self):
+        sine = _sine()
+        out, rate, width = decode_aiff(synth_aiff(sine, 8000))
+        assert (rate, width) == (8000, 2)
+        assert np.array_equal(out[:, 0], sine)
+
+    def test_aifc_sowt_exact(self):
+        sine = _sine()
+        out, rate, _ = decode_aiff(synth_aiff(sine, 8000, compression=b"sowt"))
+        assert np.array_equal(out[:, 0], sine)
+
+    @pytest.mark.parametrize("comp", [b"ulaw", b"alaw"])
+    def test_aifc_g711(self, comp):
+        sine = _sine()
+        out, rate, _ = decode_aiff(synth_aiff(sine, 8000, compression=comp))
+        snr = 10 * np.log10(
+            (sine.astype(float) ** 2).mean()
+            / (((out[:, 0] - sine) ** 2).mean() + 1e-9)
+        )
+        assert rate == 8000 and snr > 30
+
+    @pytest.mark.parametrize("enc", [3, 1, 27])
+    def test_au(self, enc):
+        sine = _sine()
+        blob = synth_au(sine, 8000, encoding=enc)
+        assert sniff_format(blob) == "audio/basic"
+        out, rate, _ = decode_au(blob)
+        assert rate == 8000 and out.shape == (4000, 1)
+
+    def test_stereo(self):
+        sine = _sine()
+        st = np.stack([sine, np.roll(sine, 100)], axis=1)
+        out, rate, _ = decode_aiff(synth_aiff(st, 44100))
+        assert out.shape == (4000, 2) and rate == 44100
+        out, rate, _ = decode_au(synth_au(st, 44100))
+        assert out.shape == (4000, 2)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(AUDIODATA), reason="CPython audiodata not present"
+)
+class TestRealWorldInterop:
+    """CPython's Lib/test/audiodata pluck fixtures: external writers,
+    every container x depth combination this module claims."""
+
+    def test_all_fixtures_decode(self):
+        decoded = {}
+        for f in sorted(glob.glob(AUDIODATA + "/*")):
+            name = os.path.basename(f)
+            out, rate, width = _decode_pcm(open(f, "rb").read())
+            assert rate == 11025 and out.shape == (3307, 2), name
+            decoded[name] = (out, width)
+        # depth widths as labeled
+        for name, (_, width) in decoded.items():
+            for d, w in (("pcm8", 1), ("pcm16", 2), ("pcm24", 3), ("pcm32", 4)):
+                if d in name and "ext" not in name:
+                    assert width == w, name
+        # EXTENSIBLE-wrapped 24-bit PCM decodes BIT-IDENTICAL to plain
+        assert np.array_equal(
+            decoded["pluck-pcm24-ext.wav"][0], decoded["pluck-pcm24.wav"][0]
+        )
+        # cross-container: same pluck, independently transcoded
+        # upstream — near-equal (CPython's fixtures carry ~10-LSB
+        # transcoding dither), identical RMS to 0.1%
+        a = decoded["pluck-pcm16.aiff"][0].astype(float)
+        w = decoded["pluck-pcm16.wav"][0].astype(float)
+        assert np.abs(a - w).max() <= 16
+        # mu-law fixtures land within G.711 quantization of the PCM
+        u = decoded["pluck-ulaw.au"][0].astype(float)
+        assert np.abs(u - w).max() <= 644  # max mu-law quant error
+
+    def test_metadata_rows(self):
+        for f in sorted(glob.glob(AUDIODATA + "/*.aiff"))[:2] + sorted(
+            glob.glob(AUDIODATA + "/*.au")
+        )[:2]:
+            m = audio_metadata(open(f, "rb").read())
+            assert m["ok"] and m["sample_rate"] == 11025
+            assert m["n_frames"] == 3307 and m["channels"] == 2, f
+
+
+class TestProbes:
+    def test_probe_fields(self):
+        sine = _sine()
+        m = probe_aiff(synth_aiff(sine, 8000))
+        assert m == {
+            "duration_ms": 500, "sample_rate": 8000, "channels": 1,
+            "bit_depth": 16, "n_frames": 4000,
+        }
+        m = probe_au(synth_au(sine, 8000, encoding=1))
+        assert m["bit_depth"] == 8 and m["n_frames"] == 4000
+
+    def test_probe_garbage(self):
+        assert probe_aiff(b"FORM\x00\x00\x00\x04SVX8") is None
+        assert probe_au(b".snd") is None
+        assert probe_aiff(b"") is None
+
+
+class TestPipeline:
+    def test_mute_preserves_au_mulaw(self):
+        blob = synth_au(_sine(), 8000, encoding=1)
+        muted = mute_segments_wav(blob, [(100.0, 200.0)])
+        assert muted[:4] == b".snd"
+        assert struct.unpack(">I", muted[12:16])[0] == 1  # still mu-law
+        out, _, _ = _decode_pcm(muted)
+        assert np.abs(out[880:1520, 0]).max() == 0
+        assert np.abs(out[2400:, 0]).max() > 1000
+
+    def test_mute_preserves_aifc_ulaw(self):
+        blob = synth_aiff(_sine(), 8000, compression=b"ulaw")
+        muted = mute_segments_wav(blob, [(100.0, 200.0)])
+        assert muted[8:12] == b"AIFC"
+        out, _, _ = _decode_pcm(muted)
+        assert np.abs(out[880:1520, 0]).max() == 0
+
+    def test_gates_honest(self):
+        # AIFF-C float compression: recognized, gated
+        blob = bytearray(synth_aiff(_sine(), 8000, compression=b"sowt"))
+        i = bytes(blob).find(b"sowt")
+        blob[i : i + 4] = b"fl32"
+        with pytest.raises(NotImplementedError):
+            decode_aiff(bytes(blob))
+        # AU ADPCM encoding: gated
+        blob = bytearray(synth_au(_sine(), 8000, encoding=3))
+        blob[12:16] = struct.pack(">I", 23)  # G.721 ADPCM
+        with pytest.raises(NotImplementedError):
+            decode_au(bytes(blob))
+
+    def test_truncation_total(self):
+        blob = synth_aiff(_sine(), 8000)
+        for cut in range(0, len(blob), 503):
+            try:
+                decode_aiff(blob[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        m = audio_metadata(blob[:30])
+        assert isinstance(m, dict)
