@@ -103,50 +103,69 @@ def _packbits_decode(src: bytes, expected: int) -> bytes | None:
 def _lzw_decode_tiff(payload: bytes, expected: int) -> bytes | None:
     """TIFF/PDF-variant LZW: MSB-first packing, Clear=256/EOI=257,
     9->12-bit codes with EARLY change (width bumps when table entry
-    2^w - 1 is added — codes 511/1023/2047 already arrive wide)."""
+    2^w - 1 is added — codes 511/1023/2047 already arrive wide).
+
+    Table entries are (offset, length) references INTO the output
+    buffer (each entry is prev + first(next), and prev was emitted
+    immediately before, so the entry's string already sits contiguous
+    in ``out``): O(1) appends. The bytes-concat form this replaced was
+    effectively quadratic on scanned-page content — long white-run
+    entries made each append an O(run) copy (measured 8.1 s for one
+    1100x850 page; this form decodes it in tens of ms)."""
     CLEAR, EOI = 256, 257
-    roots = [bytes((i,)) for i in range(256)]
-    table = roots + [b"", b""]
+    roots = [(-1 - i, 1) for i in range(256)] + [(0, 0), (0, 0)]
+    table = list(roots)
     width = 9
-    prev: bytes | None = None
+    prev_pos = -1
+    prev_len = 0
     out = bytearray()
     acc = nbits = pos = 0
+    n_payload = len(payload)
     while len(out) < expected:
         while nbits < width:
-            if pos >= len(payload):
-                return bytes(out) if out else None
+            if pos >= n_payload:
+                return bytes(out[:expected]) if out else None
             acc = (acc << 8) | payload[pos]
             nbits += 8
             pos += 1
         code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        acc &= (1 << (nbits - width)) - 1
         nbits -= width
         if code == CLEAR:
-            table = roots + [b"", b""]
+            table = list(roots)
             width = 9
-            prev = None
+            prev_pos = -1
             continue
         if code == EOI:
             break
-        if prev is None:
-            if code >= len(table):
+        n = len(table)
+        pos_entry = len(out)
+        if prev_pos < 0:
+            if code >= n:
                 return None
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            if len(table) < 4096:
-                table.append(prev + entry[:1])
-                if len(table) == (1 << width) - 1 and width < 12:
+            off, ln = table[code]
+            out.append(-1 - off)
+        elif code < n:
+            off, ln = table[code]
+            if off < 0:
+                out.append(-1 - off)
+            else:
+                out += out[off : off + ln]
+            if n < 4096:
+                table.append((prev_pos, prev_len + 1))
+                if n + 1 == (1 << width) - 1 and width < 12:
                     width += 1
-        elif code == len(table):
-            entry = prev + prev[:1]
-            if len(table) < 4096:
-                table.append(entry)
-                if len(table) == (1 << width) - 1 and width < 12:
+        elif code == n:  # KwKwK
+            ln = prev_len + 1
+            out += out[prev_pos : prev_pos + prev_len]
+            out.append(out[prev_pos])
+            if n < 4096:
+                table.append((pos_entry, ln))
+                if n + 1 == (1 << width) - 1 and width < 12:
                     width += 1
         else:
             return None
-        out += entry
-        prev = entry
+        prev_pos, prev_len = pos_entry, ln
     return bytes(out[:expected])
 
 
