@@ -49,10 +49,110 @@ if TYPE_CHECKING:  # pragma: no cover
 # pixel decoders (pure stdlib + numpy)
 # --------------------------------------------------------------------------
 
+def _png_defilter(raw, h: int, row_bytes: int, bpp: int, off0: int):
+    """Filter reconstruction (spec §9) for one (sub-)image of ``h``
+    filtered rows of ``row_bytes`` bytes starting at ``off0``; returns
+    (h, row_bytes) uint8 or None on an invalid filter byte.
+
+    Round-6 ADVICE fix: the r5 shape ran a per-BYTE Python loop for
+    filters 1/3/4 — O(H*W*C) interpreter work, and real-world PNGs use
+    Sub/Average/Paeth heavily. Sub is a closed-form lane cumsum
+    (mod-256 prefix sum per channel offset — fully vectorized);
+    Average/Paeth stay sequential along the scanline (each pixel
+    depends on the reconstructed left neighbor, no closed form) but
+    iterate with tight scalar lists. Measured on Paeth-filtered RGB
+    (PERFORMANCE.md round 6)."""
+    import numpy as np
+
+    out = np.empty((h, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    for y in range(h):
+        off = off0 + y * (row_bytes + 1)
+        ftype = raw[off]
+        row = np.frombuffer(raw, dtype=np.uint8, count=row_bytes, offset=off + 1)
+        if ftype == 0:
+            cur = row.copy()
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype == 1:  # Sub: per-lane mod-256 prefix sum
+            pad = (-row_bytes) % bpp
+            lanes = np.concatenate([row, np.zeros(pad, dtype=np.uint8)])
+            cur = (
+                np.cumsum(lanes.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).astype(np.uint8).reshape(-1)[:row_bytes]
+        elif ftype in (3, 4):
+            row_l = row.tolist()
+            prev_l = prev.tolist()
+            cur_l = [0] * row_bytes
+            if ftype == 3:  # Average
+                for x in range(row_bytes):
+                    a = cur_l[x - bpp] if x >= bpp else 0
+                    cur_l[x] = (row_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(row_bytes):
+                    if x >= bpp:
+                        a = cur_l[x - bpp]
+                        c = prev_l[x - bpp]
+                    else:
+                        a = c = 0
+                    b = prev_l[x]
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    cur_l[x] = (row_l[x] + pred) & 0xFF
+            cur = np.asarray(cur_l, dtype=np.uint8)
+        else:
+            return None
+        out[y] = cur
+        prev = cur
+    return out
+
+
+def _png_rows_to_samples(rows, w: int, depth: int, channels: int):
+    """(h, row_bytes) filtered-byte rows -> (h, w, channels) uint8
+    samples: 16-bit takes the high byte, sub-byte depths unpack bits
+    (gray scaled to 8-bit full range; palette indices verbatim —
+    the caller distinguishes by color type)."""
+    import numpy as np
+
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * channels].reshape(h, w, channels)
+    if depth == 16:
+        return rows[:, : w * channels * 2].reshape(h, w, channels, 2)[..., 0]
+    bits = np.unpackbits(rows, axis=1)
+    if depth == 1:
+        s = bits[:, :w]
+    elif depth == 2:
+        s = (bits[:, 0::2] * 2 + bits[:, 1::2])[:, :w]
+    else:  # 4
+        s = (
+            bits[:, 0::4] * 8 + bits[:, 1::4] * 4 + bits[:, 2::4] * 2 + bits[:, 3::4]
+        )[:, :w]
+    return s.astype(np.uint8)[:, :, None]
+
+
+#: Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(data: bytes):
-    """Decode an 8-bit non-interlaced PNG to an (H, W, C) uint8 array
-    (C=1 gray, 3 RGB, 4 RGBA; palette expands to RGB). Returns None for
-    anything unsupported or malformed — total on arbitrary bytes."""
+    """Decode a PNG to an (H, W, C) uint8 array (C=1 gray, 3 RGB,
+    4 RGBA; palette expands to RGB). Full baseline coverage since r9:
+    bit depths 1/2/4/8/16 (16-bit takes the high byte; sub-byte gray
+    scales to full range) and Adam7 interlacing, all five filters.
+    Returns None for anything unsupported or malformed — total on
+    arbitrary bytes."""
     import numpy as np
 
     try:
@@ -79,78 +179,51 @@ def decode_png(data: bytes):
         w, h, depth, ctype, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", ihdr[:13]
         )
-        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        if comp != 0 or filt != 0 or interlace not in (0, 1):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
         if channels is None or w == 0 or h == 0 or w * h > 64_000_000:
             return None
-        raw = zlib.decompress(b"".join(idat))
-        stride = w * channels
-        if len(raw) < h * (stride + 1):
+        # legal depth/type combos (spec §11.2.2)
+        if depth not in (1, 2, 4, 8, 16):
             return None
+        if ctype in (2, 4, 6) and depth < 8:
+            return None
+        if ctype == 3 and depth == 16:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        bytes_per_px = max(1, channels * depth // 8)
 
-        # filter reconstruction (spec §9): per-row filter byte then bytes.
-        # Round-6 ADVICE fix: the r5 shape ran a per-BYTE Python loop for
-        # filters 1/3/4 — O(H*W*C) interpreter work, and real-world PNGs
-        # use Sub/Average/Paeth heavily. Sub is now a closed-form lane
-        # cumsum (mod-256 prefix sum per channel offset — fully
-        # vectorized); Average/Paeth stay sequential along the scanline
-        # (each pixel depends on the reconstructed left neighbor, no
-        # closed form) but iterate per PIXEL with all channels as one
-        # numpy lane, so the interpreter loop count drops from stride to
-        # width. Measured on Paeth-filtered RGB (PERFORMANCE.md round 6).
-        out = np.empty((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.uint8)
-        bpp = channels  # bytes per pixel at depth 8
-        for y in range(h):
-            off = y * (stride + 1)
-            ftype = raw[off]
-            row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off + 1)
-            if ftype == 0:
-                cur = row.copy()
-            elif ftype == 2:  # Up
-                cur = row + prev
-            elif ftype == 1:  # Sub: per-lane mod-256 prefix sum
-                cur = (
-                    np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
-                ).astype(np.uint8).reshape(stride)
-            elif ftype in (3, 4):
-                # sequential left-neighbor dependency — no closed form;
-                # a tight list-based scalar loop beats per-byte (and
-                # per-pixel) numpy indexing by avoiding array-scalar
-                # boxing on every access
-                row_l = row.tolist()
-                prev_l = prev.tolist()
-                cur_l = [0] * stride
-                if ftype == 3:  # Average
-                    for x in range(stride):
-                        a = cur_l[x - bpp] if x >= bpp else 0
-                        cur_l[x] = (row_l[x] + ((a + prev_l[x]) >> 1)) & 0xFF
-                else:  # Paeth
-                    for x in range(stride):
-                        if x >= bpp:
-                            a = cur_l[x - bpp]
-                            c = prev_l[x - bpp]
-                        else:
-                            a = c = 0
-                        b = prev_l[x]
-                        p = a + b - c
-                        pa = p - a if p >= a else a - p
-                        pb = p - b if p >= b else b - p
-                        pc = p - c if p >= c else c - p
-                        if pa <= pb and pa <= pc:
-                            pred = a
-                        elif pb <= pc:
-                            pred = b
-                        else:
-                            pred = c
-                        cur_l[x] = (row_l[x] + pred) & 0xFF
-                cur = np.asarray(cur_l, dtype=np.uint8)
-            else:
+        def row_bytes(width: int) -> int:
+            return (width * channels * depth + 7) // 8
+
+        if interlace == 0:
+            if len(raw) < h * (row_bytes(w) + 1):
                 return None
-            out[y] = cur
-            prev = cur
-        img = out.reshape(h, w, channels)
+            rows = _png_defilter(raw, h, row_bytes(w), bytes_per_px, 0)
+            if rows is None:
+                return None
+            img = _png_rows_to_samples(rows, w, depth, channels)
+        else:  # Adam7: seven independently-filtered sub-images
+            img = np.zeros((h, w, channels), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                rb = row_bytes(pw)
+                if len(raw) < off + ph * (rb + 1):
+                    return None
+                rows = _png_defilter(raw, ph, rb, bytes_per_px, off)
+                if rows is None:
+                    return None
+                off += ph * (rb + 1)
+                img[y0::dy, x0::dx] = _png_rows_to_samples(
+                    rows, pw, depth, channels
+                )
+        if ctype == 0 and depth in (1, 2, 4):  # scale gray to 8-bit
+            img = (img * {1: 255, 2: 85, 4: 17}[depth]).astype(np.uint8)
         if ctype == 3:  # palette -> RGB
             if plte is None or len(plte) % 3:
                 return None

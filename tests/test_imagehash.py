@@ -364,3 +364,109 @@ def test_rep_pair_output_shape(hashed):
     pairs = phash_near_dup(hashed, max_hamming=8, link="rep").collect()
     assert all(r["id_a"] < r["id_b"] for r in pairs)
     assert all(0 <= r["hamming"] <= 8 for r in pairs)
+
+
+# --- full-baseline PNG: Adam7 interlace, 16-bit, sub-byte depths (r9) -------
+
+import struct as _s
+import zlib as _z
+
+
+def _png_chunk(typ, body):
+    return _s.pack(">I", len(body)) + typ + body + _s.pack(
+        ">I", _z.crc32(typ + body)
+    )
+
+
+def _raw_png(w, h, depth, ctype, interlace, idat, plte=None):
+    ihdr = _s.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", _z.compress(idat)) + _png_chunk(b"IEND", b"")
+
+
+class TestPngFullBaseline:
+    def test_adam7_hand_built_placement(self):
+        """3x3 gray Adam7 assembled by hand, pass by pass, from the
+        spec's pass grid — pins the scatter geometry independent of any
+        encoder: passes 1,4,5,6,7 contribute (0,0),(2,0),
+        {(0,2),(2,2)},{(1,0),(1,2)},{(0,1),(1,1),(2,1)}."""
+        import numpy as np
+
+        target = np.array([[0, 1, 2], [16, 17, 18], [32, 33, 34]], dtype=np.uint8)
+        idat = (
+            b"\x00" + bytes([0])          # pass 1
+            + b"\x00" + bytes([2])        # pass 4
+            + b"\x00" + bytes([32, 34])   # pass 5
+            + b"\x00" + bytes([1]) + b"\x00" + bytes([33])  # pass 6 (2 rows)
+            + b"\x00" + bytes([16, 17, 18])  # pass 7
+        )
+        img = decode_png(_raw_png(3, 3, 8, 0, 1, idat))
+        assert img is not None
+        assert np.array_equal(img[:, :, 0], target)
+
+    def test_adam7_rgb_roundtrip_vs_noninterlaced(self):
+        """Interlaced and plain encodings of the same pixels decode
+        identically (the interlaced stream is built from the same
+        Adam7 grid the decoder uses, filters 0)."""
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        img = rng.integers(0, 256, size=(13, 11, 3)).astype(np.uint8)
+        grid = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        idat = b""
+        for x0, y0, dx, dy in grid:
+            sub = img[y0::dy, x0::dx]
+            for y in range(sub.shape[0]):
+                if sub.shape[1]:
+                    idat += b"\x00" + sub[y].tobytes()
+        out = decode_png(_raw_png(11, 13, 8, 2, 1, idat))
+        assert np.array_equal(out, img)
+        assert np.array_equal(decode_png(synth_png(img)), img)
+
+    def test_16bit_high_byte(self):
+        import numpy as np
+
+        rng = np.random.default_rng(22)
+        v = rng.integers(0, 65536, size=(3, 5, 3), dtype=np.uint16)
+        idat = b"".join(b"\x00" + v[y].astype(">u2").tobytes() for y in range(3))
+        out = decode_png(_raw_png(5, 3, 16, 2, 0, idat))
+        assert np.array_equal(out, (v >> 8).astype(np.uint8))
+
+    def test_1bit_gray_full_range(self):
+        import numpy as np
+
+        bits = np.array(
+            [[1, 0, 1, 0, 1, 0, 1, 0, 1, 1], [0, 0, 0, 0, 1, 1, 1, 1, 0, 1]],
+            dtype=np.uint8,
+        )
+        idat = b"".join(
+            b"\x00" + np.packbits(bits[y]).tobytes() for y in range(2)
+        )
+        out = decode_png(_raw_png(10, 2, 1, 0, 0, idat))
+        assert np.array_equal(out[:, :, 0], bits * 255)
+
+    def test_4bit_palette(self):
+        import numpy as np
+
+        pal = bytes(range(48))
+        idx = np.array([[0, 1, 2, 3, 4], [15, 14, 13, 12, 11]], dtype=np.uint8)
+        idat = b""
+        for y in range(2):
+            packed = bytearray()
+            for i in range(0, 5, 2):
+                hi = idx[y][i]
+                lo = idx[y][i + 1] if i + 1 < 5 else 0
+                packed.append((hi << 4) | lo)
+            idat += b"\x00" + bytes(packed)
+        out = decode_png(_raw_png(5, 2, 4, 3, 0, idat, plte=pal))
+        assert np.array_equal(
+            out, np.frombuffer(pal, dtype=np.uint8).reshape(-1, 3)[idx]
+        )
+
+    def test_illegal_combos_rejected(self):
+        # 16-bit palette and sub-byte RGB are illegal per spec §11.2.2
+        assert decode_png(_raw_png(2, 2, 16, 3, 0, b"\x00" * 12, plte=bytes(48))) is None
+        assert decode_png(_raw_png(2, 2, 4, 2, 0, b"\x00" * 12)) is None
