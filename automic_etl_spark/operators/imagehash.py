@@ -239,9 +239,62 @@ def decode_png(data: bytes):
         return None
 
 
+def _bmp_rle_decode(src: bytes, w: int, h: int, four_bit: bool):
+    """BI_RLE8 / BI_RLE4 to an (h, w) index array (bottom-up rows, as
+    stored). Escapes: 00 00 end-of-line, 00 01 end-of-bitmap, 00 02
+    delta, 00 n absolute run (word-aligned)."""
+    import numpy as np
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(src)
+    while i + 1 < n and y < h:
+        c, v = src[i], src[i + 1]
+        i += 2
+        if c > 0:  # encoded run
+            if four_bit:
+                pair = ((v >> 4), (v & 0x0F))
+                run = [pair[k & 1] for k in range(c)]
+            else:
+                run = [v] * c
+            end = min(x + c, w)
+            out[y, x:end] = run[: end - x]
+            x = end
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= n:
+                break
+            x = min(w, x + src[i])
+            y += src[i + 1]
+            i += 2
+        else:  # absolute mode: v literal indices
+            if four_bit:
+                nbytes = (v + 1) // 2
+                lit = []
+                for k in range(nbytes):
+                    if i + k < n:
+                        lit.append(src[i + k] >> 4)
+                        lit.append(src[i + k] & 0x0F)
+                lit = lit[:v]
+                i += nbytes + (nbytes & 1)  # pad to word
+            else:
+                lit = list(src[i : i + v])
+                i += v + (v & 1)
+            end = min(x + len(lit), w)
+            out[y, x:end] = lit[: end - x]
+            x = end
+    return out
+
+
 def decode_bmp(data: bytes):
-    """Decode an uncompressed (BI_RGB) 24/32-bit BMP to (H, W, 3) uint8
-    (BGR storage converted to RGB; bottom-up and top-down DIBs)."""
+    """Decode a BMP to (H, W, 3) uint8: uncompressed (BI_RGB) 24/32-bit
+    truecolor, 1/4/8-bit palettized, and RLE8/RLE4 compressed
+    palettized (the legacy screenshot/scan encodings). BGR storage
+    converts to RGB; bottom-up and top-down DIBs."""
     import numpy as np
 
     try:
@@ -253,23 +306,69 @@ def decode_bmp(data: bytes):
             return None
         w, h = struct.unpack("<ii", data[18:26])
         planes, bpp = struct.unpack("<HH", data[26:30])
-        (compression,) = struct.unpack("<I", data[30:34])
-        if compression != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+        compression, _isz, _xp, _yp, clr_used = struct.unpack(
+            "<IIiiI", data[30:50]
+        )
+        if w <= 0 or h == 0:
             return None
         top_down = h < 0
         h = abs(h)
         if w * h > 64_000_000:
             return None
-        nb = bpp // 8
-        row_sz = (w * nb + 3) & ~3  # rows pad to 4 bytes
-        need = pix_off + row_sz * h
-        if len(data) < need:
-            return None
-        buf = np.frombuffer(data, dtype=np.uint8, count=row_sz * h, offset=pix_off)
-        rows = buf.reshape(h, row_sz)[:, : w * nb].reshape(h, w, nb)
-        if not top_down:
-            rows = rows[::-1]
-        return rows[:, :, 2::-1].copy()  # BGR(A) -> RGB
+
+        def palette():
+            n_pal = clr_used or (1 << bpp)
+            poff = 14 + hdr_sz
+            raw = np.frombuffer(
+                data, dtype=np.uint8, count=4 * n_pal, offset=poff
+            ).reshape(-1, 4)
+            return raw[:, 2::-1].copy()  # BGRA -> RGB
+
+        if compression == 0 and bpp in (24, 32):
+            nb = bpp // 8
+            row_sz = (w * nb + 3) & ~3  # rows pad to 4 bytes
+            if len(data) < pix_off + row_sz * h:
+                return None
+            buf = np.frombuffer(data, dtype=np.uint8, count=row_sz * h, offset=pix_off)
+            rows = buf.reshape(h, row_sz)[:, : w * nb].reshape(h, w, nb)
+            if not top_down:
+                rows = rows[::-1]
+            return rows[:, :, 2::-1].copy()  # BGR(A) -> RGB
+        if compression == 0 and bpp in (1, 4, 8):
+            row_sz = ((w * bpp + 7) // 8 + 3) & ~3
+            if len(data) < pix_off + row_sz * h:
+                return None
+            buf = np.frombuffer(
+                data, dtype=np.uint8, count=row_sz * h, offset=pix_off
+            ).reshape(h, row_sz)
+            if bpp == 8:
+                idx = buf[:, :w]
+            else:
+                bits = np.unpackbits(buf, axis=1)
+                if bpp == 1:
+                    idx = bits[:, :w]
+                else:  # 4
+                    idx = (
+                        bits[:, 0::4] * 8 + bits[:, 1::4] * 4
+                        + bits[:, 2::4] * 2 + bits[:, 3::4]
+                    )[:, :w]
+            if not top_down:
+                idx = idx[::-1]
+            pal = palette()
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None
+            return pal[idx]
+        if compression in (1, 2) and bpp in (8, 4) and not top_down:
+            # BI_RLE8 / BI_RLE4 (RLE is bottom-up only per spec)
+            if (compression == 1) != (bpp == 8):
+                return None
+            idx = _bmp_rle_decode(data[pix_off:], w, h, four_bit=bpp == 4)
+            idx = idx[::-1]
+            pal = palette()
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None
+            return pal[idx]
+        return None
     except Exception:
         return None
 

@@ -470,3 +470,91 @@ class TestPngFullBaseline:
         # 16-bit palette and sub-byte RGB are illegal per spec §11.2.2
         assert decode_png(_raw_png(2, 2, 16, 3, 0, b"\x00" * 12, plte=bytes(48))) is None
         assert decode_png(_raw_png(2, 2, 4, 2, 0, b"\x00" * 12)) is None
+
+
+# --- BMP palette + RLE coverage (r9) ----------------------------------------
+
+def _bmp_container(w, h, bpp, compression, pal_rgb, pixel_data):
+    n_pal = len(pal_rgb)
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in pal_rgb)
+    pix_off = 14 + 40 + len(pal)
+    info = _s.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+                   len(pixel_data), 0, 0, n_pal, 0)
+    hdr = b"BM" + _s.pack("<IHHI", pix_off + len(pixel_data), 0, 0, pix_off)
+    return hdr + info + pal + pixel_data
+
+
+class TestBmpPaletteRle:
+    def _pal(self):
+        import numpy as np
+
+        rng = np.random.default_rng(31)
+        pal = [tuple(int(v) for v in rng.integers(0, 256, 3)) for _ in range(256)]
+        return pal, np.array(pal, dtype=np.uint8)
+
+    def test_8bit_palettized(self):
+        import numpy as np
+
+        pal, pal_arr = self._pal()
+        rng = np.random.default_rng(32)
+        w, h = 7, 5
+        idx = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        row_sz = (w + 3) & ~3
+        pix = b"".join(
+            idx[y].tobytes() + b"\x00" * (row_sz - w)
+            for y in range(h - 1, -1, -1)
+        )
+        img = decode_bmp(_bmp_container(w, h, 8, 0, pal, pix))
+        assert np.array_equal(img, pal_arr[idx])
+
+    def test_1bit_bilevel(self):
+        import numpy as np
+
+        rng = np.random.default_rng(33)
+        w, h = 11, 4
+        bits = rng.integers(0, 2, size=(h, w)).astype(np.uint8)
+        pal2 = [(0, 0, 0), (255, 255, 255)]
+        rb = (w + 7) // 8
+        row_sz = (rb + 3) & ~3
+        pix = b"".join(
+            np.packbits(bits[y]).tobytes() + b"\x00" * (row_sz - rb)
+            for y in range(h - 1, -1, -1)
+        )
+        img = decode_bmp(_bmp_container(w, h, 1, 0, pal2, pix))
+        assert np.array_equal(img, np.array(pal2, dtype=np.uint8)[bits])
+
+    def test_rle8_all_opcodes(self):
+        """Encoded runs, absolute mode (with word pad), end-of-line
+        (implicit zero fill) and end-of-bitmap — rows stored bottom-up,
+        hand-assembled from the spec's opcode table."""
+        import numpy as np
+
+        pal, pal_arr = self._pal()
+        rle = bytes([4, 7, 2, 9, 0, 0,          # run 4x7, run 2x9, EOL
+                     0, 3, 1, 2, 3, 0,          # absolute [1,2,3] + pad
+                     3, 5, 0, 0,                # run 3x5, EOL
+                     2, 8, 0, 1])               # run 2x8, EOF
+        img = decode_bmp(_bmp_container(6, 3, 8, 1, pal, rle))
+        want = pal_arr[np.array(
+            [[8, 8, 0, 0, 0, 0], [1, 2, 3, 5, 5, 5], [7, 7, 7, 7, 9, 9]]
+        )]
+        assert np.array_equal(img, want)
+
+    def test_rle4_alternating_nibbles(self):
+        import numpy as np
+
+        pal, pal_arr = self._pal()
+        rle4 = bytes([5, 0x12, 0, 0, 3, 0x34, 0, 1])
+        img = decode_bmp(_bmp_container(5, 2, 4, 2, pal[:16], rle4))
+        want = pal_arr[np.array([[3, 4, 3, 0, 0], [1, 2, 1, 2, 1]])]
+        assert np.array_equal(img, want)
+
+    def test_rle_mismatch_and_truncation(self):
+        pal, _ = self._pal()
+        rle = bytes([4, 7, 0, 1])
+        # RLE8 flag with 4-bit depth (and vice versa) is rejected
+        assert decode_bmp(_bmp_container(6, 3, 4, 1, pal[:16], rle)) is None
+        assert decode_bmp(_bmp_container(6, 3, 8, 2, pal, rle)) is None
+        blob = _bmp_container(6, 3, 8, 1, pal, rle)
+        for cut in range(0, len(blob), 17):
+            decode_bmp(blob[:cut])  # never raises
