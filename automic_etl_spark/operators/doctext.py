@@ -209,10 +209,173 @@ def extract_plain_text(data: bytes) -> str:
         return data.decode("latin-1")
 
 
+_ODF_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+
+
+def extract_odt_text(data: bytes) -> str:
+    """Paragraph + heading text of an OpenDocument .odt payload,
+    blank-line-joined (content.xml text:p / text:h nodes; itertext
+    picks up text:span children)."""
+    doc = _zip_read(data, "content.xml")
+    if doc is None:
+        return ""
+    try:
+        root = ElementTree.fromstring(doc)
+    except ElementTree.ParseError:
+        return ""
+    paragraphs = []
+    for node in root.iter():
+        if node.tag in (f"{_ODF_TEXT}p", f"{_ODF_TEXT}h"):
+            text = "".join(node.itertext()).strip()
+            if text:
+                paragraphs.append(text)
+    return "\n\n".join(paragraphs)
+
+
+def extract_epub_text(data: bytes) -> str:
+    """Chapter text of an EPUB payload in SPINE order: walk
+    META-INF/container.xml -> OPF manifest + spine for the reading
+    order (falling back to alphabetical (x)html member order when the
+    package metadata is missing/corrupt), html-extract each chapter,
+    join with blank lines."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(bytes(data))) as z:
+            names = z.namelist()
+            chapters: list[str] = []
+            container = _safe_read(z, "META-INF/container.xml")
+            opf_path = None
+            if container is not None:
+                m = re.search(rb'full-path="([^"]+)"', container)
+                if m:
+                    opf_path = m.group(1).decode("utf-8", "replace")
+            ordered: list[str] = []
+            if opf_path and opf_path in names:
+                opf = _safe_read(z, opf_path)
+                if opf is not None:
+                    base = opf_path.rsplit("/", 1)[0] + "/" if "/" in opf_path else ""
+                    try:
+                        root = ElementTree.fromstring(opf)
+                        ns = "{http://www.idpf.org/2007/opf}"
+                        items = {
+                            it.get("id"): it.get("href")
+                            for it in root.iter(f"{ns}item")
+                        }
+                        for ref in root.iter(f"{ns}itemref"):
+                            href = items.get(ref.get("idref"))
+                            if href:
+                                ordered.append(base + href)
+                    except ElementTree.ParseError:
+                        ordered = []
+            if not ordered:
+                ordered = sorted(
+                    n for n in names
+                    if n.lower().endswith((".xhtml", ".html", ".htm"))
+                )
+            for name in ordered:
+                if name not in names:
+                    continue
+                payload = _safe_read(z, name)
+                if payload is None:
+                    continue
+                text = extract_html_text(payload).strip()
+                if text:
+                    chapters.append(text)
+            return "\n\n".join(chapters)
+    except (zipfile.BadZipFile, OSError):
+        return ""
+
+
+#: RTF destinations whose content is metadata/binary, not document text
+_RTF_SKIP = {
+    b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict", b"object",
+    b"header", b"footer", b"footnote", b"annotation", b"xmlnstbl",
+    b"themedata", b"latentstyles", b"datastore", b"generator",
+}
+
+
+def extract_rtf_text(data: bytes) -> str:
+    """Plain text of an RTF payload: brace-group walk skipping
+    non-text destinations, \\par/\\line -> newline, \\tab -> tab,
+    \\'hh codepage escapes (cp1252), \\uN unicode escapes with the
+    following fallback character consumed per \\ucN."""
+    if not data.startswith(b"{\\rtf"):
+        return ""
+    out: list[str] = []
+    i = 0
+    n = len(data)
+    # stack of (skipping, uc) per group
+    stack: list[tuple[bool, int]] = []
+    skipping = False
+    uc = 1
+    while i < n:
+        c = data[i]
+        if c == 0x7B:  # {
+            stack.append((skipping, uc))
+            i += 1
+        elif c == 0x7D:  # }
+            if stack:
+                skipping, uc = stack.pop()
+            i += 1
+        elif c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            c2 = data[i]
+            if c2 == 0x27:  # \'hh
+                if not skipping:
+                    try:
+                        out.append(bytes([int(data[i + 1 : i + 3], 16)]).decode("cp1252"))
+                    except (ValueError, UnicodeDecodeError):
+                        pass
+                i += 3
+            elif chr(c2).isalpha():
+                j = i
+                while j < n and chr(data[j]).isalpha():
+                    j += 1
+                word = data[i:j]
+                # optional numeric parameter
+                k = j
+                if k < n and (data[k : k + 1] == b"-" or data[k : k + 1].isdigit()):
+                    k += 1
+                    while k < n and data[k : k + 1].isdigit():
+                        k += 1
+                param = data[j:k]
+                if k < n and data[k] == 0x20:  # delimiter space is eaten
+                    k += 1
+                i = k
+                if word in _RTF_SKIP:
+                    skipping = True
+                elif word == b"uc" and param:
+                    uc = int(param)
+                elif word == b"u" and param and not skipping:
+                    cp = int(param)
+                    out.append(chr(cp + 65536 if cp < 0 else cp))
+                    i += uc  # consume the fallback character(s)
+                elif not skipping and word in (b"par", b"line"):
+                    out.append("\n")
+                elif not skipping and word == b"tab":
+                    out.append("\t")
+            else:  # \\, \{, \}, \~ etc.
+                if not skipping:
+                    out.append({0x7E: " "}.get(c2, chr(c2)))
+                i += 1
+        elif c in (0x0D, 0x0A):
+            i += 1
+        else:
+            if not skipping:
+                out.append(chr(c) if c < 128 else bytes([c]).decode("cp1252"))
+            i += 1
+    text = "".join(out)
+    return re.sub(r"\n{3,}", "\n\n", text).strip()
+
+
 _DISPATCH = {
     "docx": ("word", extract_docx_text),
     "pptx": ("powerpoint", extract_pptx_text),
     "xlsx": ("excel", extract_xlsx_text),
+    "odt": ("opendocument", extract_odt_text),
+    "epub": ("epub", extract_epub_text),
+    "rtf": ("rtf", extract_rtf_text),
     "html": ("html", extract_html_text),
     "htm": ("html", extract_html_text),
     "txt": ("text", extract_plain_text),
@@ -240,6 +403,9 @@ _MIME = {
     "word": "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
     "powerpoint": "application/vnd.openxmlformats-officedocument.presentationml.presentation",
     "excel": "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "opendocument": "application/vnd.oasis.opendocument.text",
+    "epub": "application/epub+zip",
+    "rtf": "application/rtf",
     "html": "text/html",
     "text": "text/plain",
     "markdown": "text/markdown",
@@ -272,6 +438,14 @@ def sniff_and_extract(data: bytes, filename: str = "") -> tuple[str, str | None]
             return _MIME["powerpoint"], extract_pptx_text(data)
         if any(n.startswith("xl/") for n in names):
             return _MIME["excel"], extract_xlsx_text(data)
+        if "META-INF/container.xml" in names or any(
+            n.lower().endswith(".opf") for n in names
+        ):
+            return _MIME["epub"], extract_epub_text(data)
+        if "content.xml" in names:  # OpenDocument
+            return _MIME["opendocument"], extract_odt_text(data)
+    if data[:5] == b"{\\rtf":
+        return _MIME["rtf"], extract_rtf_text(data)
     try:
         text = data.decode("utf-8")
     except UnicodeDecodeError:
@@ -351,3 +525,94 @@ def synth_docx(text: str) -> bytes:
         z.writestr("_rels/.rels", rels)
         z.writestr("word/document.xml", document)
     return buf.getvalue()
+
+
+def synth_odt(text: str) -> bytes:
+    """Deterministic minimal .odt from plain text — one text:p per
+    line, extractable by extract_odt_text and by LibreOffice."""
+    from xml.sax.saxutils import escape
+
+    ns = _ODF_TEXT[1:-1]
+    office = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    paras = "".join(
+        f"<text:p>{escape(line)}</text:p>"
+        for line in text.splitlines() or [""]
+    )
+    content = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{office}" xmlns:text="{ns}">'
+        f"<office:body><office:text>{paras}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def synth_epub(chapters: list[str], titles: list[str] | None = None) -> bytes:
+    """Deterministic minimal EPUB: container.xml -> OPF with manifest +
+    spine (reading order = the given chapter order), one XHTML file per
+    chapter. The spine deliberately lists chapters in the given order
+    even though member names would sort differently, so extraction
+    order provably follows the spine."""
+    from xml.sax.saxutils import escape
+
+    titles = titles or [f"Chapter {i + 1}" for i in range(len(chapters))]
+    container = (
+        '<?xml version="1.0"?>'
+        '<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    # reverse-alphabetical file names prove spine order wins
+    files = [f"zz_{len(chapters) - i:03d}.xhtml" for i in range(len(chapters))]
+    manifest = "".join(
+        f'<item id="c{i}" href="{files[i]}" media-type="application/xhtml+xml"/>'
+        for i in range(len(chapters))
+    )
+    spine = "".join(f'<itemref idref="c{i}"/>' for i in range(len(chapters)))
+    opf = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="id">'
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("META-INF/container.xml", container)
+        z.writestr("OEBPS/content.opf", opf)
+        for i, (t, body) in enumerate(zip(titles, chapters)):
+            z.writestr(
+                f"OEBPS/{files[i]}",
+                "<html><head><title>%s</title></head><body><h1>%s</h1>"
+                "%s</body></html>"
+                % (
+                    escape(t),
+                    escape(t),
+                    "".join(f"<p>{escape(p)}</p>" for p in body.splitlines()),
+                ),
+            )
+    return buf.getvalue()
+
+
+def synth_rtf(text: str) -> bytes:
+    """Deterministic minimal RTF: cp1252-escaped paragraphs with a
+    font table (which extraction must skip)."""
+    parts = [r"{\rtf1\ansi\deff0{\fonttbl{\f0 Times New Roman;}}\uc1 "]
+    for line in text.splitlines() or [""]:
+        esc = []
+        for ch in line:
+            o = ord(ch)
+            if ch in "\\{}":
+                esc.append("\\" + ch)
+            elif o < 128:
+                esc.append(ch)
+            elif o < 256:
+                esc.append(f"\\'{o:02x}")
+            else:
+                esc.append(f"\\u{o if o < 32768 else o - 65536}?")
+        parts.append("".join(esc) + r"\par ")
+    parts.append("}")
+    return "".join(parts).encode("latin-1", "replace")

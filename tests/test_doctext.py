@@ -146,3 +146,112 @@ def test_sniff_without_filename():
     # filename wins over sniffing
     mime, _ = sniff_and_extract(b"col1,col2", "data.txt")
     assert mime == "text/plain"
+
+
+# --- EPUB / ODT / RTF (r9) --------------------------------------------------
+
+class TestOdtEpubRtf:
+    def test_odt_round_trip(self):
+        from automic_etl_spark.operators.doctext import (
+            extract_odt_text,
+            synth_odt,
+        )
+
+        out = extract_odt_text(synth_odt("First\nSecond é accents\nThird"))
+        assert out == "First\n\nSecond é accents\n\nThird"
+
+    def test_epub_spine_order_beats_filename_order(self):
+        """synth_epub names chapter files in REVERSE alphabetical order
+        on purpose — extraction must follow the OPF spine."""
+        from automic_etl_spark.operators.doctext import (
+            extract_epub_text,
+            synth_epub,
+        )
+
+        chapters = ["Alpha body text.", "Beta body text.", "Gamma body text."]
+        out = extract_epub_text(synth_epub(chapters))
+        pos = [out.find(c.split()[0]) for c in chapters]
+        assert all(p >= 0 for p in pos) and pos == sorted(pos)
+
+    def test_epub_fallback_without_opf(self):
+        import io as _io
+        import zipfile as _zf
+
+        from automic_etl_spark.operators.doctext import extract_epub_text
+
+        buf = _io.BytesIO()
+        with _zf.ZipFile(buf, "w") as z:
+            z.writestr("mimetype", "application/epub+zip")
+            z.writestr("a.xhtml", "<html><body><p>First part</p></body></html>")
+            z.writestr("b.xhtml", "<html><body><p>Second part</p></body></html>")
+        out = extract_epub_text(buf.getvalue())
+        assert "First part" in out and "Second part" in out
+
+    def test_rtf_escapes_unicode_and_skipped_destinations(self):
+        from automic_etl_spark.operators.doctext import (
+            extract_rtf_text,
+            synth_rtf,
+        )
+
+        txt = "Hello {braces} & backslash \\ done\ncafé naïveté\nЮникод line"
+        out = extract_rtf_text(synth_rtf(txt))
+        assert "Hello {braces} & backslash \\ done" in out
+        assert "café naïveté" in out and "Юникод line" in out
+        assert "Times New Roman" not in out  # fonttbl skipped
+
+    def test_rtf_hand_written_fixture(self):
+        """A hand-written RTF with nested groups, \\uc fallback chars
+        and a literal \\'e9 escape — independent of synth_rtf."""
+        from automic_etl_spark.operators.doctext import extract_rtf_text
+
+        rtf = (
+            rb"{\rtf1\ansi{\fonttbl{\f0 Arial;}}"
+            rb"\uc1 caf\'e9 {\b bold} \u1071?-text\par done}"
+        )
+        out = extract_rtf_text(rtf)
+        assert "café" in out and "bold" in out and "done" in out
+        assert "Я-text" in out  # U+042F with the '?' fallback eaten
+        assert "Arial" not in out
+
+    def test_rtf_rejects_non_rtf(self):
+        from automic_etl_spark.operators.doctext import extract_rtf_text
+
+        assert extract_rtf_text(b"plain text") == ""
+
+    def test_sniff_and_dispatch(self):
+        from automic_etl_spark.operators.doctext import (
+            extract_document,
+            sniff_and_extract,
+            synth_epub,
+            synth_odt,
+            synth_rtf,
+        )
+
+        mime, text = sniff_and_extract(synth_epub(["Hi there."]))
+        assert mime == "application/epub+zip" and "Hi there." in text
+        mime, text = sniff_and_extract(synth_odt("odt sniff"))
+        assert mime.endswith("opendocument.text") and "odt sniff" in text
+        mime, text = sniff_and_extract(synth_rtf("rtf sniff"))
+        assert mime == "application/rtf" and "rtf sniff" in text
+        for ext, blob in (
+            ("odt", synth_odt("x")), ("epub", synth_epub(["x"])),
+            ("rtf", synth_rtf("x")),
+        ):
+            kind, text = extract_document(blob, f"doc.{ext}")
+            assert kind != "unknown" and "x" in text, ext
+
+    def test_totality_on_garbage(self):
+        from automic_etl_spark.operators.doctext import (
+            extract_epub_text,
+            extract_odt_text,
+            extract_rtf_text,
+            synth_rtf,
+        )
+
+        for b in (b"", b"PK\x03\x04junk", b"{\\rtf1", b"\xff\xfe\x00"):
+            extract_epub_text(b)
+            extract_odt_text(b)
+            extract_rtf_text(b)
+        blob = synth_rtf("abc def")
+        for cut in range(0, len(blob), 11):
+            extract_rtf_text(blob[:cut])
