@@ -68,11 +68,15 @@ from automic_etl_spark.queries.analytic import (  # noqa: E402
     QUERIES_TAIL as _ANA_TAIL,
     ORACLE_TAIL as _ANA_TAIL_SQL,
 )
+from automic_etl_spark.queries.llmops import (  # noqa: E402
+    QUERIES_TAIL as _LLM_TAIL,
+    ORACLE_TAIL as _LLM_TAIL_SQL,
+)
 
-_FAMILIES = (_DED, _LLM, _ETL, _TXT, _ANA, _REL, _TAIL, _ANA_TAIL, _OVF)
+_FAMILIES = (_DED, _LLM, _ETL, _TXT, _ANA, _REL, _TAIL, _ANA_TAIL, _OVF, _LLM_TAIL)
 _FAMILIES_SQL = (
     _DED_SQL, _LLM_SQL, _ETL_SQL, _TXT_SQL, _ANA_SQL, _REL_SQL,
-    _TAIL_SQL, _ANA_TAIL_SQL, _OVF_SQL,
+    _TAIL_SQL, _ANA_TAIL_SQL, _OVF_SQL, _LLM_TAIL_SQL,
 )
 
 

@@ -1322,3 +1322,102 @@ ORACLE = {
     "image_phash_jpeg": ORACLE_IMAGE_PHASH_JPEG,
     "image_phash_gif": ORACLE_IMAGE_PHASH_GIF,
 }
+
+
+# --------------------------------------------------------------------------
+# Office/ebook extraction round-trip gate (operators/doctext, r9) —
+# declared in the overflow TAIL (in-suite oracle; the scored window's
+# §2.6 rows keep their driver coverage)
+# --------------------------------------------------------------------------
+
+_DOCX_N = 120
+
+
+def q_doc_extract_gate(spark, sf_dir):
+    """Document-extraction round trip under the hash gate: sanitize
+    each document's text to a single ASCII line with IDENTICAL regex
+    semantics on both engines, synthesize a real docx / odt / rtf /
+    epub blob from it executor-side (the same encoder twins Word /
+    LibreOffice-compatible fixtures use), run the REAL extraction path
+    (zip+XML walk, RTF group walk with escapes, EPUB spine order), and
+    emit (doc_id, format, text_out, n_chars). The oracle replays the
+    sanitize + each format's known join shape — any drift in escaping,
+    paragraph joining, spine walking or strip semantics hash-fails."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.doctext import (
+        extract_docx_text,
+        extract_epub_text,
+        extract_odt_text,
+        extract_rtf_text,
+        synth_docx,
+        synth_epub,
+        synth_odt,
+        synth_rtf,
+    )
+
+    body = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+                "[^A-Za-z0-9 .,;:!?'()-]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DOCX_N)
+        .select("doc_id", body.alias("body"))
+    )
+
+    arms = (
+        ("docx", lambda b: extract_docx_text(synth_docx(b))),
+        ("epub", lambda b: extract_epub_text(synth_epub([b]))),
+        ("odt", lambda b: extract_odt_text(synth_odt(b))),
+        ("rtf", lambda b: extract_rtf_text(synth_rtf(b))),
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, b in zip(pdf["doc_id"], pdf["body"]):
+                for fmt, run in arms:
+                    text_out = run(b)
+                    rows.append((rid, fmt, text_out, len(text_out)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "format", "text_out", "n_chars"]
+            )
+
+    out = docs.mapInPandas(
+        kernel, "doc_id long, format string, text_out string, n_chars int"
+    )
+    return out.orderBy("doc_id", "format")
+
+
+ORACLE_DOC_EXTRACT = f"""
+WITH body AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+              substr(coalesce(text, ''), 1, 200),
+              '[^A-Za-z0-9 .,;:!?''()-]', ' ', 'g'), ' +', ' ', 'g')) AS b
+  FROM documents WHERE doc_id < {_DOCX_N}
+),
+rows_out AS (
+  SELECT doc_id, f.format,
+         CASE WHEN f.format = 'epub' THEN
+           CASE WHEN b = '' THEN 'Chapter 1'
+                ELSE 'Chapter 1' || chr(10) || b END
+         ELSE b END AS text_out
+  FROM body CROSS JOIN (VALUES ('docx'), ('epub'), ('odt'), ('rtf')) f(format)
+)
+SELECT doc_id, format, text_out, CAST(length(text_out) AS INT) AS n_chars
+FROM rows_out
+ORDER BY doc_id, format
+"""
+
+#: overflow block — merged AFTER the 50-row scored window
+QUERIES_TAIL = {"doc_extract": q_doc_extract_gate}
+ORACLE_TAIL = {"doc_extract": ORACLE_DOC_EXTRACT}

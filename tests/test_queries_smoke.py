@@ -84,6 +84,9 @@ def test_registry_driver_window_prefix():
         # denormalized_view scored; displaced for corpus_curate
         "value_counts_topk", "join_left", "set_ops",
         "collect_agg", "sample_split_seed", "unpivot_long",
+        "doc_extract",  # r9: office/ebook round-trip gate, declared
+        # directly in the overflow tail (the scored window's §2.6 rows
+        # keep their driver coverage); oracle in-suite
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and
