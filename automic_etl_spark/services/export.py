@@ -25,7 +25,7 @@ def export_result(
 ) -> str:
     """Write ``df`` to ``path`` in the requested format; returns path."""
     fmt = fmt.lower()
-    if fmt in ("csv", "json", "parquet"):
+    if fmt in ("csv", "json", "parquet", "orc"):
         writer = df.write.mode("overwrite")
         if fmt == "csv":
             writer = writer.option("header", True)

@@ -151,6 +151,30 @@ class ParquetConnector:
         return {"num_files": len(files), "num_rows": rows, "total_bytes": size}
 
 
+class OrcConnector:
+    """ORC reads with projection/filter pushdown — same contract as
+    ParquetConnector (Spark's ORC reader is built in; the columnar
+    warehouse sibling format). Parity-plus: the reference stops at
+    parquet."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def extract(self, columns: list[str] | None = None, filter_expr: str | None = None) -> DataFrame:
+        df = self.spark.read.orc(self.path)
+        if filter_expr:
+            df = df.filter(filter_expr)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    scan = extract
+
+    def get_schema(self) -> dict[str, str]:
+        return dict(self.spark.read.orc(self.path).dtypes)
+
+
 class BinaryFileConnector:
     """Opaque-file ingestion via Spark's binaryFile source: path, length,
     modificationTime, content — the scan side of the reference's

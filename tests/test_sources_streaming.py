@@ -208,3 +208,20 @@ def test_partition_transform_heuristic():
     assert partition_transform_for("event_year") == "year"
     assert partition_transform_for("updated_at") == "day"
     assert partition_transform_for("customer_id") is None
+
+
+def test_orc_connector_round_trip(spark, tmp_path):
+    """ORC write (export sink) -> OrcConnector scan with projection +
+    filter pushdown, row-identical to the parquet source."""
+    from automic_etl_spark.services.export import export_result
+    from automic_etl_spark.sources.files import OrcConnector, ParquetConnector
+
+    src = ParquetConnector(spark, "/root/testdata/sf0.001/customer.parquet").extract()
+    path = str(tmp_path / "customers_orc")
+    export_result(src, path, fmt="orc")
+    got = OrcConnector(spark, path).extract(
+        columns=["c_custkey", "c_mktsegment"], filter_expr="c_custkey < 50"
+    )
+    want = src.select("c_custkey", "c_mktsegment").filter("c_custkey < 50")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert "c_custkey" in OrcConnector(spark, path).get_schema()
