@@ -409,6 +409,94 @@ def decode_ppm(data: bytes):
         return None
 
 
+def decode_ico(data: bytes):
+    """Decode a Windows ICO/CUR (the web's favicon format): pick the
+    largest image entry; PNG-compressed entries route through
+    decode_png, classic entries are headerless DIBs (BITMAPINFOHEADER
+    with DOUBLED height covering the XOR image + the 1-bit AND
+    transparency mask) at 1/4/8/24/32 bpp. Classic entries return
+    (H, W, 3) uint8 with AND-masked pixels black; PNG entries return
+    the PNG decode (3 or 4 channels). None for anything malformed."""
+    import numpy as np
+
+    try:
+        if len(data) < 6 or data[:4] not in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+            return None
+        n = struct.unpack("<H", data[4:6])[0]
+        if not 1 <= n <= 64:
+            return None
+        best = None  # (area, offset, size)
+        for i in range(n):
+            e = 6 + 16 * i
+            if e + 16 > len(data):
+                return None
+            w, h = data[e] or 256, data[e + 1] or 256
+            size, off = struct.unpack("<II", data[e + 8 : e + 16])
+            if best is None or w * h > best[0]:
+                best = (w * h, off, size)
+        _, off, size = best
+        blob = data[off : off + size]
+        if blob[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_png(blob)
+        # headerless DIB: BITMAPINFOHEADER with doubled height
+        if len(blob) < 40:
+            return None
+        hdr_sz, w, h2 = struct.unpack("<Iii", blob[:12])
+        bpp = struct.unpack("<H", blob[14:16])[0]
+        (compression,) = struct.unpack("<I", blob[16:20])
+        clr_used = struct.unpack("<I", blob[32:36])[0]
+        h = abs(h2) // 2
+        if hdr_sz < 40 or compression != 0 or w <= 0 or h <= 0 or w * h > 4_000_000:
+            return None
+        if bpp not in (1, 4, 8, 24, 32):
+            return None
+        pos = hdr_sz
+        if bpp <= 8:
+            n_pal = clr_used or (1 << bpp)
+            pal = np.frombuffer(
+                blob, dtype=np.uint8, count=4 * n_pal, offset=pos
+            ).reshape(-1, 4)[:, 2::-1].copy()
+            pos += 4 * n_pal
+        row_sz = ((w * bpp + 31) // 32) * 4
+        need = row_sz * h
+        if len(blob) < pos + need:
+            return None
+        rows = np.frombuffer(blob, dtype=np.uint8, count=need, offset=pos).reshape(h, row_sz)
+        if bpp == 24:
+            img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        elif bpp == 32:
+            img = rows[:, : w * 4].reshape(h, w, 4)[:, :, 2::-1]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 1:
+                idx = bits[:, :w]
+            elif bpp == 4:
+                idx = (
+                    bits[:, 0::4] * 8 + bits[:, 1::4] * 4
+                    + bits[:, 2::4] * 2 + bits[:, 3::4]
+                )[:, :w]
+            else:
+                idx = rows[:, :w]
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None
+            img = pal[idx]
+        img = img[::-1].copy()  # bottom-up
+        # AND mask (1-bit, same row padding): set masked pixels black so
+        # transparency affects the perceptual hash deterministically
+        mask_row = ((w + 31) // 32) * 4
+        mpos = pos + need
+        if len(blob) >= mpos + mask_row * h:
+            mrows = np.frombuffer(
+                blob, dtype=np.uint8, count=mask_row * h, offset=mpos
+            ).reshape(h, mask_row)
+            mask = np.unpackbits(mrows, axis=1)[:, :w][::-1].astype(bool)
+            img = img.copy()
+            img[mask] = 0
+        return np.ascontiguousarray(img[:, :, :3])
+    except Exception:
+        return None
+
+
 def decode_image(data: bytes):
     """Dispatch on magic bytes -> (format, pixels) or (format, None)
     when the format is recognized but not decodable (16-bit PNG,
@@ -440,6 +528,10 @@ def decode_image(data: bytes):
         from automic_etl_spark.operators.tiff import decode_tiff
 
         return "tiff", decode_tiff(data)
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        img = decode_ico(data)
+        if img is not None:
+            return "ico", img
     return fmt, None
 
 

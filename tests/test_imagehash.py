@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from automic_etl_spark.operators.imagehash import (
     ahash64,
     decode_bmp,
+    decode_ico,
     decode_image,
     decode_png,
     decode_ppm,
@@ -558,3 +559,86 @@ class TestBmpPaletteRle:
         blob = _bmp_container(6, 3, 8, 1, pal, rle)
         for cut in range(0, len(blob), 17):
             decode_bmp(blob[:cut])  # never raises
+
+
+# --- ICO / favicon decode (r9) ----------------------------------------------
+
+class TestIco:
+    def _classic_ico(self, xor_rgba, mask=None):
+        import numpy as np
+
+        h, w, _ = xor_rgba.shape
+        rows = b"".join(
+            xor_rgba[y][:, [2, 1, 0, 3]].tobytes()
+            for y in range(h - 1, -1, -1)
+        )
+        mask_row = ((w + 31) // 32) * 4
+        if mask is None:
+            mask = np.zeros((h, w), dtype=np.uint8)
+        mrows = b"".join(
+            (np.packbits(mask[y]).tobytes() + b"\x00" * mask_row)[:mask_row]
+            for y in range(h - 1, -1, -1)
+        )
+        dib = _s.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0, 0, 0, 0, 0, 0) + rows + mrows
+        return (
+            b"\x00\x00\x01\x00\x01\x00"
+            + bytes([w % 256, h % 256, 0, 0, 1, 0, 32, 0])
+            + _s.pack("<II", len(dib), 22)
+            + dib
+        )
+
+    def test_classic_dib_with_and_mask(self):
+        import numpy as np
+
+        rng = np.random.default_rng(41)
+        xor = rng.integers(0, 256, size=(8, 8, 4)).astype(np.uint8)
+        mask = np.zeros((8, 8), dtype=np.uint8)
+        mask[0, 0] = mask[3, 5] = 1
+        out = decode_ico(self._classic_ico(xor, mask))
+        exp = xor[:, :, :3].copy()
+        exp[0, 0] = exp[3, 5] = 0
+        assert np.array_equal(out, exp)
+
+    def test_png_entry_routes_through_decode_png(self):
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+        png = synth_png(img)
+        ico = (
+            b"\x00\x00\x01\x00\x01\x00"
+            + bytes([32, 32, 0, 0, 1, 0, 32, 0])
+            + _s.pack("<II", len(png), 22)
+            + png
+        )
+        assert np.array_equal(decode_ico(ico), img)
+        fmt, out = decode_image(ico)
+        assert fmt == "ico" and out is not None
+
+    def test_real_idle_icons(self):
+        """CPython's idle.ico files (multi-entry, PNG + DIB mixed) —
+        external-writer interop."""
+        import glob
+        import os
+
+        files = sorted(
+            glob.glob("/root/.pyenv/versions/*/lib/python*/idlelib/Icons/idle.ico")
+        )
+        if not files:  # pragma: no cover
+            import pytest
+
+            pytest.skip("no idle.ico fixtures present")
+        for f in files:
+            out = decode_ico(open(f, "rb").read())
+            assert out is not None and out.shape[0] >= 16, os.path.basename(f)
+
+    def test_totality(self):
+        import numpy as np
+
+        rng = np.random.default_rng(43)
+        xor = rng.integers(0, 256, size=(8, 8, 4)).astype(np.uint8)
+        blob = self._classic_ico(xor)
+        for cut in range(0, len(blob), 11):
+            decode_ico(blob[:cut])
+        assert decode_ico(b"") is None
+        assert decode_ico(b"\x00\x00\x03\x00\x01\x00" + b"\x00" * 20) is None
