@@ -1,0 +1,139 @@
+"""Archive expansion + compressed-blob inflation (operators/archives)."""
+
+import bz2
+import gzip
+import io
+import lzma
+import tarfile
+import zipfile
+
+import pytest
+
+from automic_etl_spark.operators.archives import (
+    expand_archive_blobs,
+    inflate_blobs,
+    sniff_compression,
+)
+
+
+def _zip_blob(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        for name, payload in members.items():
+            z.writestr(name, payload)
+    return buf.getvalue()
+
+
+def _tar_blob(members: dict[str, bytes], mode: str = "w") -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode) as t:
+        for name, payload in members.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            t.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+class TestSniff:
+    def test_magics(self):
+        assert sniff_compression(gzip.compress(b"x")) == "gzip"
+        assert sniff_compression(bz2.compress(b"x")) == "bzip2"
+        assert sniff_compression(lzma.compress(b"x")) == "xz"
+        assert sniff_compression(b"\x28\xb5\x2f\xfdzzz") == "zstd"
+        assert sniff_compression(b"plain") is None
+        assert sniff_compression(b"") is None
+
+
+class TestInflate(object):
+    def test_all_codecs_and_passthrough(self, spark):
+        body = b"the corpus line\n" * 100
+        rows = [
+            (1, bytearray(gzip.compress(body))),
+            (2, bytearray(bz2.compress(body))),
+            (3, bytearray(lzma.compress(body))),
+            (4, bytearray(b"already plain")),
+            (5, bytearray(b"\x1f\x8bcorrupt-gzip")),
+            (6, bytearray(b"\x28\xb5\x2f\xfd zstd-unsupported")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+        got = {r.doc_id: r for r in inflate_blobs(df).collect()}
+        for d in (1, 2, 3):
+            assert got[d].ok and bytes(got[d]._content_bytes) == body
+            assert got[d].inflated_size == len(body)
+        assert got[4].ok and got[4].compression is None
+        assert bytes(got[4]._content_bytes) == b"already plain"
+        # corrupt + unsupported keep ORIGINAL bytes, flagged
+        assert not got[5].ok and got[5].compression == "gzip"
+        assert not got[6].ok and got[6].compression == "zstd"
+
+    def test_cap_guard(self, spark):
+        bomb = gzip.compress(b"\x00" * 100_000)
+        df = spark.createDataFrame(
+            [(1, bytearray(bomb))], "doc_id long, _content_bytes binary"
+        )
+        row = inflate_blobs(df, max_bytes=10_000).collect()[0]
+        assert not row.ok and bytes(row._content_bytes) == bomb
+
+
+class TestExpand:
+    def test_zip_and_tar_members(self, spark):
+        zmembers = {"a.txt": b"alpha", "dir/b.txt": b"beta", "c.bin": b"\x00\x01"}
+        tmembers = {"x/one.md": b"# one", "two.csv": b"a,b\n1,2\n"}
+        rows = [
+            (1, bytearray(_zip_blob(zmembers))),
+            (2, bytearray(_tar_blob(tmembers, "w:gz"))),
+            (3, bytearray(_tar_blob(tmembers, "w:xz"))),
+            (4, bytearray(b"not an archive")),
+            (5, bytearray(b"PK\x03\x04corrupt")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+        out = expand_archive_blobs(df).collect()
+        by_doc: dict[int, list] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        got1 = {r.member_path: bytes(r._content_bytes) for r in by_doc[1]}
+        assert got1 == zmembers
+        assert all(r.archive_format == "zip" and r.ok for r in by_doc[1])
+        for d in (2, 3):
+            gott = {r.member_path: bytes(r._content_bytes) for r in by_doc[d]}
+            assert gott == tmembers, d
+            assert all(r.archive_format == "tar" for r in by_doc[d])
+        # passthrough keeps the id with its own bytes
+        (p,) = by_doc[4]
+        assert p.member_index == -1 and bytes(p._content_bytes) == b"not an archive"
+        assert p.ok and p.archive_format is None
+        # corrupt zip: flagged, original bytes kept
+        (c,) = by_doc[5]
+        assert not c.ok and c.archive_format == "zip"
+
+    def test_oversized_member_metadata_row(self, spark):
+        blob = _zip_blob({"big.bin": b"\x00" * 50_000, "small.txt": b"ok"})
+        df = spark.createDataFrame(
+            [(1, bytearray(blob))], "doc_id long, _content_bytes binary"
+        )
+        rows = {r.member_path: r for r in
+                expand_archive_blobs(df, max_member_bytes=10_000).collect()}
+        assert not rows["big.bin"].ok and rows["big.bin"]._content_bytes is None
+        assert rows["big.bin"].member_size == 50_000
+        assert rows["small.txt"].ok
+
+    def test_composition_with_doc_extraction(self, spark):
+        """The intended pipeline: zip bundle -> members -> document
+        extraction, one id surviving end-to-end."""
+        from automic_etl_spark.operators.doctext import synth_docx
+        from pyspark.sql import functions as F
+
+        blob = _zip_blob({"r.docx": synth_docx("bundled text"), "n.txt": b"plain"})
+        df = spark.createDataFrame(
+            [(7, bytearray(blob))], "doc_id long, _content_bytes binary"
+        )
+        members = expand_archive_blobs(df).filter(F.col("member_path").endswith(".docx"))
+        from automic_etl_spark.operators.doctext import doc_blobs_to_text
+
+        texts = doc_blobs_to_text(
+            members.select(
+                "doc_id", "_content_bytes",
+                F.col("member_path").alias("filename"),
+            ),
+        ).collect()
+        assert len(texts) == 1 and "bundled text" in texts[0].text
