@@ -126,6 +126,85 @@ def _content_text(content: bytes) -> str:
     return "".join(out)
 
 
+#: filter names in dictionary order matter: ISO 32000 applies the
+#: /Filter array left to right
+_FILTER_NAME_RE = re.compile(
+    rb"/(ASCIIHexDecode|AHx|ASCII85Decode|A85|FlateDecode|Fl|"
+    rb"LZWDecode|LZW|RunLengthDecode|RL|DCTDecode|DCT|JPXDecode|"
+    rb"CCITTFaxDecode|CCF|JBIG2Decode|Crypt)"
+)
+
+
+def _runlength_decode(src: bytes) -> bytes | None:
+    """ISO 32000 RunLengthDecode (the PackBits shape): length byte
+    0-127 = literal run of length+1; 129-255 = repeat next byte
+    257-length times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(src):
+        n = src[i]
+        i += 1
+        if n == 128:
+            break
+        if n < 128:
+            out += src[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(src):
+                return None
+            out += src[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out)
+
+
+def _apply_filters(stream_dict: bytes, raw: bytes) -> bytes | None:
+    """Apply the stream's /Filter chain in order. Text-compatible
+    filters (ASCIIHex, ASCII85, Flate, LZW — via the first-party TIFF
+    codec — and RunLength) decode for real; image/crypto codecs
+    (DCT/JPX/CCITT/JBIG2/Crypt) return None so the stream is skipped."""
+    import base64
+    import binascii
+
+    names = _FILTER_NAME_RE.findall(stream_dict)
+    for name in names:
+        if name in (b"ASCIIHexDecode", b"AHx"):
+            try:
+                hexpart = re.sub(rb"[\s>]", b"", raw.split(b">")[0])
+                if len(hexpart) % 2:
+                    hexpart += b"0"
+                raw = binascii.unhexlify(hexpart)
+            except binascii.Error:
+                return None
+        elif name in (b"ASCII85Decode", b"A85"):
+            try:
+                body = raw.split(b"~>")[0]
+                raw = base64.a85decode(re.sub(rb"\s", b"", body))
+            except ValueError:
+                return None
+        elif name in (b"FlateDecode", b"Fl"):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error:
+                return None
+        elif name in (b"LZWDecode", b"LZW"):
+            # ISO 32000 LZWDecode is TIFF's LZW (MSB-first, early
+            # change at codes 511/1023/2047) — first-party since r9
+            from automic_etl_spark.operators.tiff import _lzw_decode_tiff
+
+            dec = _lzw_decode_tiff(raw, 1 << 24)
+            if dec is None:
+                return None
+            raw = dec
+        elif name in (b"RunLengthDecode", b"RL"):
+            dec = _runlength_decode(raw)
+            if dec is None:
+                return None
+            raw = dec
+        else:  # image / crypto codecs: not text
+            return None
+    return raw
+
+
 def extract_pdf_text(data: bytes) -> str:
     """Text layer of a PDF byte payload ('' when none found)."""
     if not isinstance(data, (bytes, bytearray)) or b"%PDF" not in data[:1024]:
@@ -133,24 +212,9 @@ def extract_pdf_text(data: bytes) -> str:
     parts: list[str] = []
     for m in _STREAM_RE.finditer(data):
         d, raw = m.group(1), m.group(2)
-        if b"FlateDecode" in d:
-            try:
-                raw = zlib.decompress(raw)
-            except zlib.error:
-                continue
-        elif b"LZWDecode" in d:
-            # ISO 32000 LZWDecode is TIFF's LZW (MSB-first, early
-            # change at codes 511/1023/2047) — decoded first-party
-            # since r9 via the TIFF codec; pre-Acrobat-5-era PDFs and
-            # some scanners still emit it
-            from automic_etl_spark.operators.tiff import _lzw_decode_tiff
-
-            dec = _lzw_decode_tiff(raw, 1 << 24)
-            if dec is None:
-                continue
-            raw = dec
-        elif re.search(rb"/(?:DCT|JPX|CCITTFax|RunLength)Decode", d):
-            continue  # image codecs: not text
+        raw = _apply_filters(d, raw)
+        if raw is None:
+            continue
         if b"BT" in raw and (b"Tj" in raw or b"TJ" in raw or b"'" in raw):
             txt = _content_text(raw).strip()
             if txt:

@@ -14,15 +14,15 @@ Supported (TIFF 6.0 baseline + the two baseline codecs):
   alpha), palette-color (ColorMap 16-bit entries, high byte)
 - strips (RowsPerStrip + StripOffsets/StripByteCounts, any strip
   count), PlanarConfiguration 1 (chunky)
-- Compression 1 (none), 32773 (PackBits RLE), 5 (LZW — MSB-first bit
+- Compression 1 (none), 32773 (PackBits RLE), 8/32946 (deflate via
+  zlib), 5 (LZW — MSB-first bit
   packing with the TIFF/PDF "early change": the code width bumps when
   table entry 511/1023/2047 is ADDED, one code earlier than GIF's LZW;
   that constant set is normative in both TIFF 6.0 §13 and ISO 32000
   LZWDecode), with Predictor 2 (horizontal differencing) undone per
   sample channel
 - honestly gated (None, undecodable-survivors-are-kept): 1/4/16-bit
-  samples, planar config 2, tiles, CCITT G3/G4 fax coding, JPEG-in-
-  TIFF, deflate-in-TIFF
+  samples, planar config 2, tiles, CCITT G3/G4 fax coding, JPEG-in-TIFF
 
 Decoders are TOTAL on arbitrary bytes. ``synth_tiff`` is the encoder
 twin (uncompressed / PackBits / real LZW compressor with early change,
@@ -40,6 +40,7 @@ parallel per partition.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -266,8 +267,13 @@ def decode_tiff(data: bytes):
                 strip = _packbits_decode(raw, need)
             elif comp == 5:
                 strip = _lzw_decode_tiff(raw, need)
+            elif comp in (8, 32946):  # deflate (new + old tag)
+                try:
+                    strip = zlib.decompress(raw)[:need]
+                except zlib.error:
+                    return None
             else:
-                return None  # CCITT fax / JPEG / deflate: gated
+                return None  # CCITT fax / JPEG: gated
             if strip is None or len(strip) < need:
                 return None
             chunks.append(strip)
@@ -275,7 +281,7 @@ def decode_tiff(data: bytes):
         if img.size != h * row_bytes:
             return None
         img = img.reshape(h, w, spp)
-        if comp == 5 and t.get(_PREDICTOR, [1])[0] == 2:
+        if comp in (5, 8, 32946) and t.get(_PREDICTOR, [1])[0] == 2:
             img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
         if photo == 3:  # palette
             cmap = t.get(_COLORMAP)
@@ -306,7 +312,7 @@ def synth_tiff(
 ) -> bytes:
     """Encode (H, W, C) uint8 (C in 1/3/4; or (H, W) palette indices
     with ``colormap`` (256, 3)) as a real TIFF — the test/bench twin.
-    compression in {1, 5, 32773}; predictor 2 valid with LZW only."""
+    compression in {1, 5, 8, 32773}; predictor 2 valid with LZW/deflate."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
@@ -331,7 +337,7 @@ def synth_tiff(
     strips = []
     for y0 in range(0, h, rps):
         raw = flat[y0 : y0 + rps]
-        if compression == 5 and predictor == 2:
+        if compression in (5, 8) and predictor == 2:
             d = raw.reshape(-1, w, spp) if not pal_mode else raw[:, :, None]
             diff = np.empty_like(d)
             diff[:, 0] = d[:, 0]
@@ -344,6 +350,8 @@ def synth_tiff(
             strips.append(_packbits_encode(body))
         elif compression == 5:
             strips.append(_lzw_encode_tiff(body))
+        elif compression == 8:
+            strips.append(zlib.compress(body))
         else:
             raise ValueError(f"unsupported compression {compression}")
 
@@ -355,7 +363,7 @@ def synth_tiff(
         (_SPP, 3, [spp]),
         (_ROWS_PER_STRIP, 3, [rps]),
     ]
-    if compression == 5 and predictor == 2:
+    if compression in (5, 8) and predictor == 2:
         entries.append((_PREDICTOR, 3, [2]))
     if pal_mode:
         cm = np.asarray(colormap, dtype=np.uint16)

@@ -143,3 +143,54 @@ def test_bronze_ingest_documents_end_to_end(spark, tmp_path):
     assert rows["image.bin"]["_content_text"] is None
     assert rows["image.bin"]["_content_type"] == "application/octet-stream"
     assert all(r["_ingestion_time"] is not None for r in rows.values())
+
+
+class TestFilterChains:
+    """ISO 32000 non-image filter set (r9): ASCIIHex / ASCII85 /
+    RunLength decode for real, including CHAINED filters applied
+    left-to-right."""
+
+    def _wrap(self, filt: bytes, body: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n4 0 obj << " + filt + b" /Length "
+            + str(len(body)).encode() + b" >>\nstream\n" + body
+            + b"\nendstream\nendobj\n%%EOF\n"
+        )
+
+    def test_asciihex(self):
+        import binascii
+
+        body = binascii.hexlify(CONTENT).upper() + b">"
+        txt = extract_pdf_text(self._wrap(b"/Filter /ASCIIHexDecode", body))
+        assert "Hello (PDF) world" in txt
+
+    def test_ascii85(self):
+        import base64
+
+        body = base64.a85encode(CONTENT) + b"~>"
+        txt = extract_pdf_text(self._wrap(b"/Filter /ASCII85Decode", body))
+        assert "Hello (PDF) world" in txt
+
+    def test_runlength(self):
+        # literal-only RunLength stream + EOD
+        out = bytearray()
+        for i in range(0, len(CONTENT), 100):
+            chunk = CONTENT[i : i + 100]
+            out.append(len(chunk) - 1)
+            out += chunk
+        out.append(128)
+        txt = extract_pdf_text(self._wrap(b"/Filter /RunLengthDecode", bytes(out)))
+        assert "Hello (PDF) world" in txt
+
+    def test_chained_a85_flate(self):
+        import base64
+
+        body = base64.a85encode(zlib.compress(CONTENT)) + b"~>"
+        txt = extract_pdf_text(
+            self._wrap(b"/Filter [/ASCII85Decode /FlateDecode]", body)
+        )
+        assert "Hello (PDF) world" in txt
+
+    def test_image_codecs_skipped(self):
+        txt = extract_pdf_text(self._wrap(b"/Filter /DCTDecode", b"\xff\xd8junk"))
+        assert txt == ""

@@ -230,3 +230,25 @@ class TestPdfLzwUnlock:
             + b" >>\nstream\n" + body + b"\nendstream\nendobj\n%%EOF\n"
         )
         assert "LZW encoded text layer" in extract_pdf_text(pdf)
+
+
+class TestDeflate:
+    @pytest.mark.parametrize("pred", [1, 2])
+    def test_deflate_round_trip(self, pred):
+        rng = np.random.default_rng(23)
+        img = rng.integers(0, 256, size=(30, 41, 3)).astype(np.uint8)
+        blob = synth_tiff(img, compression=8, predictor=pred, rows_per_strip=9)
+        assert np.array_equal(decode_tiff(blob), img)
+
+    def test_old_style_tag_32946(self):
+        import struct as s
+
+        rng = np.random.default_rng(24)
+        img = rng.integers(0, 256, size=(8, 8, 3)).astype(np.uint8)
+        blob = bytearray(synth_tiff(img, compression=8))
+        n = s.unpack("<H", blob[8:10])[0]
+        for i in range(n):
+            e = 10 + 12 * i
+            if s.unpack("<H", blob[e : e + 2])[0] == 259:
+                blob[e + 8 : e + 10] = s.pack("<H", 32946 & 0xFFFF)
+        assert np.array_equal(decode_tiff(bytes(blob)), img)
