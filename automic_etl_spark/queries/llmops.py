@@ -1421,3 +1421,85 @@ ORDER BY doc_id, format
 #: overflow block — merged AFTER the 50-row scored window
 QUERIES_TAIL = {"doc_extract": q_doc_extract_gate}
 ORACLE_TAIL = {"doc_extract": ORACLE_DOC_EXTRACT}
+
+
+_ARC_N = 100
+
+
+def q_archive_extract_gate(spark, sf_dir):
+    """Archive-expansion round trip under the hash gate: build a zip
+    executor-side per document holding three members derived from the
+    sanitized text (identity / reversed / uppercased — transforms both
+    engines express exactly), explode through expand_archive_blobs,
+    decode members back to text. Any drift in member ordering, path
+    handling, payload bytes or size accounting hash-fails."""
+    import io as _io
+    import zipfile as _zf
+
+    import pandas as pd
+
+    from automic_etl_spark.operators.archives import expand_archive_blobs
+
+    body = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+                "[^A-Za-z0-9 .,;:!?'()-]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _ARC_N)
+        .select("doc_id", body.alias("body"))
+    )
+
+    def to_zip(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for b in pdf["body"]:
+                buf = _io.BytesIO()
+                with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as z:
+                    z.writestr("a.txt", b)
+                    z.writestr("sub/b.txt", b[::-1])
+                    z.writestr("c.txt", b.upper())
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_zip, "doc_id long, _content_bytes binary")
+    members = expand_archive_blobs(blobs)
+    return (
+        members.select(
+            "doc_id",
+            "member_path",
+            "member_index",
+            F.col("_content_bytes").cast("string").alias("text_out"),
+            "member_size",
+        )
+        .orderBy("doc_id", "member_index")
+    )
+
+
+ORACLE_ARCHIVE_EXTRACT = f"""
+WITH body AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+              substr(coalesce(text, ''), 1, 200),
+              '[^A-Za-z0-9 .,;:!?''()-]', ' ', 'g'), ' +', ' ', 'g')) AS b
+  FROM documents WHERE doc_id < {_ARC_N}
+)
+SELECT doc_id, m.member_path, m.member_index,
+       CASE m.member_index WHEN 0 THEN b WHEN 1 THEN reverse(b)
+            ELSE upper(b) END AS text_out,
+       CAST(length(CASE m.member_index WHEN 0 THEN b WHEN 1 THEN reverse(b)
+            ELSE upper(b) END) AS BIGINT) AS member_size
+FROM body CROSS JOIN (VALUES ('a.txt', 0), ('sub/b.txt', 1), ('c.txt', 2))
+     m(member_path, member_index)
+ORDER BY doc_id, member_index
+"""
+
+QUERIES_TAIL["archive_extract"] = q_archive_extract_gate
+ORACLE_TAIL["archive_extract"] = ORACLE_ARCHIVE_EXTRACT

@@ -87,6 +87,7 @@ def test_registry_driver_window_prefix():
         "doc_extract",  # r9: office/ebook round-trip gate, declared
         # directly in the overflow tail (the scored window's §2.6 rows
         # keep their driver coverage); oracle in-suite
+        "archive_extract",  # r9: zip-member expansion gate, same tail
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and
