@@ -1503,3 +1503,121 @@ ORDER BY doc_id, member_index
 
 QUERIES_TAIL["archive_extract"] = q_archive_extract_gate
 ORACLE_TAIL["archive_extract"] = ORACLE_ARCHIVE_EXTRACT
+
+
+# --------------------------------------------------------------------------
+# Avro container round-trip gate (sources/avrofile, r9) — synthesize a
+# real Object Container File per document executor-side (deflate
+# blocks, logical types), decode it back through the first-party OCF
+# reader, and emit SQL-replayable columns. Any drift in varint/zigzag,
+# block framing, codec handling or utf-8 length accounting hash-fails
+# against the DuckDB replay of the sanitize arithmetic.
+# --------------------------------------------------------------------------
+
+_AVRO_N = 150
+
+
+def q_avro_roundtrip_gate(spark, sf_dir):
+    """OCF encode→decode round trip under the hash gate. Each document
+    row becomes one container holding three records (identity /
+    reversed / uppercased body — transforms both engines express), the
+    container is decoded via read_ocf, and the gate emits
+    (doc_id, rec_index, body_out, n_chars, price). ``price`` exercises
+    the decimal logical type: unscaled two's-complement big-endian
+    bytes that DuckDB replays as doc_id + 0.25."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from automic_etl_spark.sources.avrofile import (
+        decode_ocf_bytes,
+        write_ocf,
+    )
+
+    body = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+                "[^A-Za-z0-9 .,;:!?'()-]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _AVRO_N)
+        .select("doc_id", body.alias("body"))
+    )
+
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "rec_index", "type": "int"},
+            {"name": "body_out", "type": ["null", "string"]},
+            {"name": "price", "type": {"type": "bytes", "logicalType": "decimal",
+                                       "precision": 18, "scale": 2}},
+        ],
+    }
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, b in zip(pdf["doc_id"], pdf["body"]):
+                price = Decimal(int(rid)) + Decimal("0.25")
+                blob = write_ocf(
+                    [
+                        {"doc_id": int(rid), "rec_index": 0, "body_out": b, "price": price},
+                        {"doc_id": int(rid), "rec_index": 1, "body_out": b[::-1], "price": price},
+                        {"doc_id": int(rid), "rec_index": 2, "body_out": b.upper(), "price": price},
+                    ],
+                    schema,
+                    codec="deflate",
+                    block_rows=2,  # >1 block per file: framing exercised
+                )
+                _, recs = decode_ocf_bytes(blob)
+                for r in recs:
+                    rows.append(
+                        (
+                            r["doc_id"],
+                            r["rec_index"],
+                            r["body_out"],
+                            len(r["body_out"]),
+                            r["price"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "rec_index", "body_out", "n_chars", "price"],
+            )
+
+    out = docs.mapInPandas(
+        kernel,
+        "doc_id long, rec_index int, body_out string, n_chars int, "
+        "price decimal(18,2)",
+    )
+    return out.orderBy("doc_id", "rec_index")
+
+
+ORACLE_AVRO_ROUNDTRIP = f"""
+WITH body AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+              substr(coalesce(text, ''), 1, 200),
+              '[^A-Za-z0-9 .,;:!?''()-]', ' ', 'g'), ' +', ' ', 'g')) AS b
+  FROM documents WHERE doc_id < {_AVRO_N}
+)
+SELECT doc_id, r.rec_index,
+       CASE r.rec_index WHEN 0 THEN b WHEN 1 THEN reverse(b)
+            ELSE upper(b) END AS body_out,
+       CAST(length(b) AS INT) AS n_chars,
+       CAST(doc_id + 0.25 AS DECIMAL(18,2)) AS price
+FROM body CROSS JOIN (VALUES (0), (1), (2)) r(rec_index)
+ORDER BY doc_id, rec_index
+"""
+
+QUERIES_TAIL["avro_roundtrip"] = q_avro_roundtrip_gate
+ORACLE_TAIL["avro_roundtrip"] = ORACLE_AVRO_ROUNDTRIP

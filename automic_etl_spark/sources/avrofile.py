@@ -1,0 +1,930 @@
+"""First-party Apache Avro codec + Spark source/sink (no avro jar, no
+fastavro in the image — same first-party-codec posture as the FLAC
+(RFC 9639) and JPEG (ITU T.81) decoders).
+
+Scope — the public Avro 1.11 specification
+(https://avro.apache.org/docs/1.11.1/specification/):
+
+- binary encoding for every Avro type: null, boolean, int, long
+  (zig-zag varint), float, double (IEEE-754 LE), bytes, string,
+  record, enum, array, map (block-encoded, negative-count blocks
+  carry a byte size), union (varint branch index), fixed;
+- logical types decimal (bytes/fixed two's-complement big-endian
+  unscaled), date, time-millis/micros, timestamp-millis/micros, uuid;
+- Object Container Files (magic ``Obj\\x01``, file-metadata map,
+  16-byte sync marker, counted blocks) with codecs ``null``,
+  ``deflate`` (raw zlib), ``bzip2`` and ``xz`` — the stdlib set.
+  ``snappy`` and ``zstandard`` blocks raise: neither codec is in the
+  image and a hand-rolled implementation could not be verified against
+  real frames here (same honesty gate as mp3/ogg in operators/audio).
+- the Confluent Schema Registry wire format (magic 0x00 + big-endian
+  4-byte schema id + Avro body) for Kafka value payloads — the shape
+  the reference's Kafka consumer deserializes
+  (reference connectors/streaming/kafka.py:197-304: JSON/string/Avro
+  with Schema-Registry lookup).
+
+Reading is writer-schema-only (no reader-schema resolution /
+promotion); recursive schemas are rejected (they have no DataFrame
+shape); non-nullable multi-branch unions are rejected rather than
+silently stringified — each is a documented ValueError, not a wrong
+answer.
+
+Scale: ``read_avro`` is one Spark task per container file (an OCF
+stream is sequential: blocks are delimited by the file's sync marker,
+so intra-file splits would need a sync scan per split — per-file is
+the parallelism unit, as with WARC segments). Decoding is pure Python
+per record but Arrow-batched out via mapInPandas; for 100 TB-scale
+hot paths convert to parquet once with ``write_avro``'s inverse and
+let the native columnar reader take over.
+"""
+
+from __future__ import annotations
+
+import bz2
+import io
+import json
+import lzma
+import struct
+import zlib
+from datetime import date, datetime, timedelta, timezone
+from decimal import Decimal
+from typing import Any, BinaryIO, Callable, Iterable, Iterator
+
+__all__ = [
+    "parse_schema",
+    "encode_value",
+    "decode_value",
+    "write_ocf",
+    "read_ocf",
+    "decode_ocf_bytes",
+    "avro_to_spark_ddl",
+    "spark_to_avro_schema",
+    "read_avro",
+    "write_avro",
+    "confluent_wrap",
+    "confluent_unwrap",
+    "kafka_avro_decoder",
+]
+
+_MAGIC = b"Obj\x01"
+_PRIMITIVES = {
+    "null", "boolean", "int", "long", "float", "double", "bytes", "string",
+}
+_EPOCH = date(1970, 1, 1)
+_EPOCH_DT = datetime(1970, 1, 1, tzinfo=timezone.utc)
+
+
+# --------------------------------------------------------------------------
+# schema parsing
+# --------------------------------------------------------------------------
+
+def _fullname(name: str, namespace: str | None) -> str:
+    if "." in name or not namespace:
+        return name
+    return f"{namespace}.{name}"
+
+
+def parse_schema(schema, _names: dict | None = None, _namespace: str | None = None):
+    """Normalize an Avro schema (JSON string or loaded object) into a
+    plain dict tree: every node is ``{"type": ...}`` with named types
+    registered so later references resolve. Raises ValueError on
+    unknown types or malformed named-type definitions."""
+    if isinstance(schema, str) and (schema.lstrip()[:1] in "{[\""):
+        schema = json.loads(schema)
+    names = _names if _names is not None else {}
+
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return {"type": schema}
+        ref = _fullname(schema, _namespace)
+        if ref in names:
+            return names[ref]
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"unknown Avro type reference {schema!r}")
+
+    if isinstance(schema, list):  # union
+        return {
+            "type": "union",
+            "branches": [parse_schema(b, names, _namespace) for b in schema],
+        }
+
+    if not isinstance(schema, dict):
+        raise ValueError(f"malformed Avro schema node: {schema!r}")
+
+    t = schema.get("type")
+    if t == "union" and "branches" in schema:  # already normalized — idempotent
+        return {
+            "type": "union",
+            "branches": [parse_schema(b, names, _namespace) for b in schema["branches"]],
+        }
+    if t in _PRIMITIVES:
+        node = {"type": t}
+        lt = schema.get("logicalType")
+        if lt:
+            node["logicalType"] = lt
+            if lt == "decimal":
+                node["precision"] = int(schema.get("precision", 0))
+                node["scale"] = int(schema.get("scale", 0))
+        return node
+
+    if t == "record":
+        name = schema.get("name")
+        if not name:
+            raise ValueError("record schema needs a name")
+        ns = schema.get("namespace", _namespace)
+        full = _fullname(name, ns)
+        node = {"type": "record", "name": full, "fields": []}
+        names[full] = node  # register BEFORE fields: recursion detection
+        for f in schema.get("fields", []):
+            ftype = parse_schema(f["type"], names, ns)
+            if _contains(ftype, full):
+                raise ValueError(
+                    f"recursive schema via record {full!r} — recursive "
+                    "Avro types have no DataFrame shape"
+                )
+            node["fields"].append({"name": f["name"], "type": ftype})
+        return node
+
+    if t == "enum":
+        full = _fullname(schema["name"], schema.get("namespace", _namespace))
+        node = {"type": "enum", "name": full, "symbols": list(schema["symbols"])}
+        names[full] = node
+        return node
+
+    if t == "fixed":
+        full = _fullname(schema["name"], schema.get("namespace", _namespace))
+        node = {"type": "fixed", "name": full, "size": int(schema["size"])}
+        lt = schema.get("logicalType")
+        if lt:
+            node["logicalType"] = lt
+            if lt == "decimal":
+                node["precision"] = int(schema.get("precision", 0))
+                node["scale"] = int(schema.get("scale", 0))
+        names[full] = node
+        return node
+
+    if t == "array":
+        return {"type": "array", "items": parse_schema(schema["items"], names, _namespace)}
+
+    if t == "map":
+        return {"type": "map", "values": parse_schema(schema["values"], names, _namespace)}
+
+    if t == "union" or isinstance(t, list):
+        return parse_schema(t, names, _namespace)
+
+    if isinstance(t, dict):  # {"type": {"type": "array", ...}} nesting
+        return parse_schema(t, names, _namespace)
+
+    raise ValueError(f"unknown Avro type {t!r}")
+
+
+def _contains(node, fullname: str) -> bool:
+    if node.get("name") == fullname:
+        return True
+    for f in node.get("fields", []):
+        if _contains(f["type"], fullname):
+            return True
+    for k in ("items", "values"):
+        if k in node and _contains(node[k], fullname):
+            return True
+    return any(_contains(b, fullname) for b in node.get("branches", []))
+
+
+# --------------------------------------------------------------------------
+# binary encoding — spec §"Binary Encoding"
+# --------------------------------------------------------------------------
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    z = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: memoryview, pos: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+        if shift > 70:
+            raise ValueError("varint longer than 10 bytes")
+
+
+def encode_value(value, schema, out: bytearray | None = None) -> bytes:
+    """Binary-encode one value under a parsed schema; returns the bytes
+    (appends to ``out`` when given)."""
+    buf = out if out is not None else bytearray()
+    _encode(buf, value, schema)
+    return bytes(buf)
+
+
+def _encode(out: bytearray, v, s) -> None:
+    t = s["type"]
+    if t == "null":
+        if v is not None:
+            raise ValueError(f"non-null {v!r} for null schema")
+        return
+    if t == "boolean":
+        out.append(1 if v else 0)
+        return
+    if t in ("int", "long"):
+        lt = s.get("logicalType")
+        if lt == "date" and isinstance(v, date) and not isinstance(v, datetime):
+            v = (v - _EPOCH).days
+        elif lt == "timestamp-millis" and isinstance(v, datetime):
+            v = round(_to_utc(v).timestamp() * 1000)
+        elif lt == "timestamp-micros" and isinstance(v, datetime):
+            v = round(_to_utc(v).timestamp() * 1_000_000)
+        _write_long(out, int(v))
+        return
+    if t == "float":
+        out += struct.pack("<f", float(v))
+        return
+    if t == "double":
+        out += struct.pack("<d", float(v))
+        return
+    if t in ("bytes", "string"):
+        if s.get("logicalType") == "decimal" and isinstance(v, Decimal):
+            v = _decimal_bytes(v, s["scale"])
+        b = v.encode("utf-8") if t == "string" else bytes(v)
+        _write_long(out, len(b))
+        out += b
+        return
+    if t == "fixed":
+        if s.get("logicalType") == "decimal" and isinstance(v, Decimal):
+            raw = _decimal_bytes(v, s["scale"])
+            pad = b"\xff" if raw[:1] >= b"\x80" else b"\x00"
+            v = pad * (s["size"] - len(raw)) + raw
+        b = bytes(v)
+        if len(b) != s["size"]:
+            raise ValueError(f"fixed size {s['size']} != {len(b)}")
+        out += b
+        return
+    if t == "record":
+        for f in s["fields"]:
+            _encode(out, v[f["name"]], f["type"])
+        return
+    if t == "enum":
+        out_idx = s["symbols"].index(v)
+        _write_long(out, out_idx)
+        return
+    if t == "array":
+        items = list(v)
+        if items:
+            _write_long(out, len(items))
+            for it in items:
+                _encode(out, it, s["items"])
+        out.append(0)
+        return
+    if t == "map":
+        pairs = list(v.items()) if isinstance(v, dict) else list(v)
+        if pairs:
+            _write_long(out, len(pairs))
+            for k, val in pairs:
+                _write_long(out, len(k.encode("utf-8")))
+                out += k.encode("utf-8")
+                _encode(out, val, s["values"])
+        out.append(0)
+        return
+    if t == "union":
+        idx = _union_branch(v, s["branches"])
+        _write_long(out, idx)
+        _encode(out, v, s["branches"][idx])
+        return
+    raise ValueError(f"cannot encode type {t!r}")
+
+
+def _to_utc(dt: datetime) -> datetime:
+    return dt.replace(tzinfo=timezone.utc) if dt.tzinfo is None else dt
+
+
+def _decimal_bytes(v: Decimal, scale: int) -> bytes:
+    unscaled = int((v * (Decimal(10) ** scale)).to_integral_value())
+    length = max(1, (unscaled.bit_length() + 8) // 8)
+    return unscaled.to_bytes(length, "big", signed=True)
+
+
+def _union_branch(v, branches) -> int:
+    """Pick the union branch for a Python value — exact-ish dispatch on
+    type, good for the nullable-union and disjoint-primitive cases this
+    module writes."""
+    for i, b in enumerate(branches):
+        t = b["type"]
+        if v is None and t == "null":
+            return i
+        if isinstance(v, bool):
+            if t == "boolean":
+                return i
+            continue
+        if isinstance(v, int) and t in ("int", "long"):
+            return i
+        if isinstance(v, float) and t in ("float", "double"):
+            return i
+        if isinstance(v, str) and t in ("string", "enum"):
+            return i
+        if isinstance(v, (bytes, bytearray)) and t in ("bytes", "fixed"):
+            return i
+        if isinstance(v, dict) and t in ("record", "map"):
+            return i
+        if isinstance(v, (list, tuple)) and t == "array":
+            return i
+        if isinstance(v, Decimal) and b.get("logicalType") == "decimal":
+            return i
+        if isinstance(v, datetime) and b.get("logicalType", "").startswith("timestamp"):
+            return i
+        if isinstance(v, date) and b.get("logicalType") == "date":
+            return i
+    raise ValueError(f"no union branch for {type(v).__name__}")
+
+
+# --------------------------------------------------------------------------
+# binary decoding
+# --------------------------------------------------------------------------
+
+def decode_value(data: bytes, schema) -> Any:
+    """Decode one binary-encoded value; raises on trailing bytes."""
+    v, pos = _decode(memoryview(data), 0, schema)
+    if pos != len(data):
+        raise ValueError(f"{len(data) - pos} trailing bytes after value")
+    return v
+
+
+def _decode(buf: memoryview, pos: int, s) -> tuple[Any, int]:
+    t = s["type"]
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        return buf[pos] != 0, pos + 1
+    if t in ("int", "long"):
+        n, pos = _read_long(buf, pos)
+        lt = s.get("logicalType")
+        if lt == "date":
+            return _EPOCH + timedelta(days=n), pos
+        if lt == "timestamp-millis":
+            return _EPOCH_DT + timedelta(milliseconds=n), pos
+        if lt == "timestamp-micros":
+            return _EPOCH_DT + timedelta(microseconds=n), pos
+        return n, pos
+    if t == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if t == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if t in ("bytes", "string"):
+        n, pos = _read_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("bytes/string length out of range")
+        raw = bytes(buf[pos : pos + n])
+        pos += n
+        if s.get("logicalType") == "decimal":
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return Decimal(unscaled).scaleb(-s["scale"]), pos
+        return (raw.decode("utf-8") if t == "string" else raw), pos
+    if t == "fixed":
+        raw = bytes(buf[pos : pos + s["size"]])
+        if len(raw) != s["size"]:
+            raise ValueError("truncated fixed")
+        pos += s["size"]
+        if s.get("logicalType") == "decimal":
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return Decimal(unscaled).scaleb(-s["scale"]), pos
+        return raw, pos
+    if t == "record":
+        rec = {}
+        for f in s["fields"]:
+            rec[f["name"]], pos = _decode(buf, pos, f["type"])
+        return rec, pos
+    if t == "enum":
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(s["symbols"]):
+            raise ValueError(f"enum index {idx} out of range")
+        return s["symbols"][idx], pos
+    if t == "array":
+        out = []
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:  # block with byte-size prefix (skippable form)
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                v, pos = _decode(buf, pos, s["items"])
+                out.append(v)
+    if t == "map":
+        out = {}
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                n, pos = _read_long(buf, pos)
+                key = bytes(buf[pos : pos + n]).decode("utf-8")
+                pos += n
+                out[key], pos = _decode(buf, pos, s["values"])
+    if t == "union":
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(s["branches"]):
+            raise ValueError(f"union branch {idx} out of range")
+        return _decode(buf, pos, s["branches"][idx])
+    raise ValueError(f"cannot decode type {t!r}")
+
+
+# --------------------------------------------------------------------------
+# Object Container Files — spec §"Object Container Files"
+# --------------------------------------------------------------------------
+
+_CODECS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]]] = {
+    "null": (lambda b: b, lambda b: b),
+    "deflate": (
+        lambda b: zlib.compress(b, 6)[2:-4],  # raw: strip zlib hdr+adler
+        lambda b: zlib.decompress(b, -15),
+    ),
+    "bzip2": (bz2.compress, bz2.decompress),
+    "xz": (lzma.compress, lzma.decompress),
+}
+
+
+def _sync_marker(schema_json: str) -> bytes:
+    import hashlib
+
+    # deterministic per schema: reproducible files hash-gate cleanly;
+    # sync markers need uniqueness within a file's split scan, not
+    # cryptographic randomness
+    return hashlib.md5(b"automic-avro:" + schema_json.encode()).digest()
+
+
+def write_ocf(
+    records: Iterable[dict],
+    schema,
+    codec: str = "deflate",
+    block_rows: int = 1000,
+) -> bytes:
+    """Serialize records into one Avro Object Container File (bytes)."""
+    if codec in ("snappy", "zstandard"):
+        raise NotImplementedError(
+            f"{codec} is not in the image and an unverifiable hand "
+            "implementation would risk silent corruption — use "
+            "null/deflate/bzip2/xz"
+        )
+    comp = _CODECS[codec][0]
+    schema_json = schema if isinstance(schema, str) else json.dumps(schema)
+    parsed = parse_schema(schema_json)
+    sync = _sync_marker(schema_json)
+
+    out = bytearray(_MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        _write_long(out, len(k.encode()))
+        out += k.encode()
+        _write_long(out, len(v))
+        out += v
+    out.append(0)
+    out += sync
+
+    block: bytearray = bytearray()
+    n = 0
+    for rec in records:
+        _encode(block, rec, parsed)
+        n += 1
+        if n >= block_rows:
+            _flush_block(out, block, n, comp, sync)
+            block, n = bytearray(), 0
+    if n:
+        _flush_block(out, block, n, comp, sync)
+    return bytes(out)
+
+
+def _flush_block(out, block, n, comp, sync):
+    data = comp(bytes(block))
+    _write_long(out, n)
+    _write_long(out, len(data))
+    out += data
+    out += sync
+
+
+class _StreamReader:
+    """Exact-count reads with a one-chunk pushback over any binary
+    stream — the container grammar needs varints (byte-at-a-time) and
+    an EOF probe between blocks, neither of which raw sockets/files
+    offer directly."""
+
+    def __init__(self, stream: BinaryIO):
+        self._s = stream
+        self._pend = b""
+
+    def _pull(self, n: int) -> bytes:
+        out = bytearray(self._pend[:n])
+        self._pend = self._pend[n:]
+        while len(out) < n:
+            chunk = self._s.read(n - len(out))
+            if not chunk:
+                break
+            out += chunk
+        return bytes(out)
+
+    def read_exact(self, n: int) -> bytes:
+        b = self._pull(n)
+        if len(b) != n:
+            raise ValueError("truncated Avro container")
+        return b
+
+    def eof(self) -> bool:
+        if self._pend:
+            return False
+        chunk = self._s.read(1)
+        if not chunk:
+            return True
+        self._pend = chunk
+        return False
+
+    def long(self) -> int:
+        shift = 0
+        acc = 0
+        while True:
+            b = self.read_exact(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return _unzigzag(acc)
+            shift += 7
+            if shift > 70:
+                raise ValueError("varint longer than 10 bytes")
+
+
+def read_ocf(stream: BinaryIO) -> tuple[dict, str, Iterator[dict]]:
+    """Parse an OCF stream → (parsed_schema, schema_json, record iter).
+    Sequential, one block in memory at a time; validates the sync
+    marker after every block."""
+    r = _StreamReader(stream)
+    if r.read_exact(4) != _MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:  # metadata map: block-encoded like any Avro map
+        count = r.long()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            r.long()  # block byte size — unused when reading linearly
+        for _ in range(count):
+            key = r.read_exact(r.long()).decode()
+            meta[key] = r.read_exact(r.long())
+    sync = r.read_exact(16)
+
+    schema_json = meta["avro.schema"].decode()
+    parsed = parse_schema(schema_json)
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec in ("snappy", "zstandard"):
+        raise NotImplementedError(
+            f"container uses {codec}; only null/deflate/bzip2/xz are "
+            "decodable here (codec libraries absent from the image)"
+        )
+    decomp = _CODECS[codec][1]
+
+    def _records() -> Iterator[dict]:
+        while not r.eof():
+            count = r.long()
+            size = r.long()
+            body = r.read_exact(size)
+            if r.read_exact(16) != sync:
+                raise ValueError("sync marker mismatch — corrupt container")
+            data = memoryview(decomp(body))
+            dpos = 0
+            for _ in range(count):
+                rec, dpos = _decode(data, dpos, parsed)
+                yield rec
+            if dpos != len(data):
+                raise ValueError("block decoded short of its byte size")
+
+    return parsed, schema_json, _records()
+
+
+def decode_ocf_bytes(data: bytes) -> tuple[str, list[dict]]:
+    """Convenience: full decode of an in-memory container."""
+    parsed, schema_json, it = read_ocf(io.BytesIO(data))
+    return schema_json, list(it)
+
+
+# --------------------------------------------------------------------------
+# Avro schema <-> Spark types
+# --------------------------------------------------------------------------
+
+def avro_to_spark_ddl(schema) -> str:
+    """Spark DDL string for a parsed (or JSON) Avro schema. Top level
+    must be a record — its fields become columns."""
+    s = parse_schema(schema)
+    if s["type"] != "record":
+        raise ValueError("top-level Avro schema must be a record")
+    cols = ", ".join(
+        f"`{f['name']}` {_spark_type(f['type'])}" for f in s["fields"]
+    )
+    return cols
+
+
+def _spark_type(s) -> str:
+    t = s["type"]
+    lt = s.get("logicalType")
+    if t == "union":
+        non_null = [b for b in s["branches"] if b["type"] != "null"]
+        if len(non_null) != 1:
+            raise ValueError(
+                "only nullable unions map to a DataFrame column — "
+                f"got {len(non_null)} non-null branches"
+            )
+        return _spark_type(non_null[0])
+    if lt == "decimal":
+        return f"decimal({s['precision']},{s['scale']})"
+    if lt == "date":
+        return "date"
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        return "timestamp"
+    if lt == "time-millis":
+        return "int"
+    if lt == "time-micros":
+        return "long"
+    if t == "null":
+        return "string"  # all-null column
+    if t in ("boolean", "int", "long", "float", "double", "string"):
+        return {"boolean": "boolean", "int": "int", "long": "long",
+                "float": "float", "double": "double", "string": "string"}[t]
+    if t in ("bytes", "fixed"):
+        return "binary"
+    if t == "enum":
+        return "string"
+    if t == "array":
+        return f"array<{_spark_type(s['items'])}>"
+    if t == "map":
+        return f"map<string,{_spark_type(s['values'])}>"
+    if t == "record":
+        inner = ", ".join(
+            f"`{f['name']}`: {_spark_type(f['type'])}" for f in s["fields"]
+        )
+        return f"struct<{inner}>"
+    raise ValueError(f"no Spark mapping for {t!r}")
+
+
+def spark_to_avro_schema(spark_schema, name: str = "row") -> dict:
+    """Avro record schema (JSON-able dict) for a Spark StructType —
+    the sink-side inverse. Nullable fields become ``["null", T]``."""
+    from pyspark.sql import types as T
+
+    def conv(dt, nullable: bool, path: str):
+        if isinstance(dt, T.StructType):
+            node: Any = {
+                "type": "record",
+                "name": path.replace(".", "_") or name,
+                "fields": [
+                    {"name": f.name, "type": conv(f.dataType, f.nullable, f"{path}_{f.name}")}
+                    for f in dt.fields
+                ],
+            }
+        elif isinstance(dt, T.ArrayType):
+            node = {"type": "array", "items": conv(dt.elementType, dt.containsNull, path + "_item")}
+        elif isinstance(dt, T.MapType):
+            if not isinstance(dt.keyType, T.StringType):
+                raise ValueError("Avro maps need string keys")
+            node = {"type": "map", "values": conv(dt.valueType, dt.valueContainsNull, path + "_val")}
+        elif isinstance(dt, T.DecimalType):
+            node = {"type": "bytes", "logicalType": "decimal",
+                    "precision": dt.precision, "scale": dt.scale}
+        elif isinstance(dt, T.DateType):
+            node = {"type": "int", "logicalType": "date"}
+        elif isinstance(dt, T.TimestampType):
+            node = {"type": "long", "logicalType": "timestamp-micros"}
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType)):
+            node = "int"
+        elif isinstance(dt, T.LongType):
+            node = "long"
+        elif isinstance(dt, T.FloatType):
+            node = "float"
+        elif isinstance(dt, T.DoubleType):
+            node = "double"
+        elif isinstance(dt, T.BooleanType):
+            node = "boolean"
+        elif isinstance(dt, T.StringType):
+            node = "string"
+        elif isinstance(dt, T.BinaryType):
+            node = "bytes"
+        else:
+            raise ValueError(f"no Avro mapping for Spark type {dt}")
+        return ["null", node] if nullable else node
+
+    top = conv(spark_schema, False, name)
+    return top
+
+
+# --------------------------------------------------------------------------
+# Spark source / sink
+# --------------------------------------------------------------------------
+
+def _list_avro_files(path) -> list[str]:
+    import glob as _glob
+    import os
+
+    if isinstance(path, (list, tuple)):
+        return list(path)
+    if os.path.isdir(path):
+        return sorted(
+            _glob.glob(os.path.join(path, "**", "*.avro"), recursive=True)
+        )
+    return sorted(_glob.glob(path)) or [path]
+
+
+def read_avro(
+    spark,
+    path,
+    opener: Callable[[str], BinaryIO] | None = None,
+    batch_rows: int = 2048,
+):
+    """Avro container file(s) → DataFrame. One task per file (an OCF is
+    a sequential block stream); ``opener`` is the same remote-storage
+    seam as sources/warc (path → binary stream).
+
+    The schema is read from the FIRST file on the driver (one cheap
+    header read), and every file must match it — mismatched files
+    raise executor-side rather than silently union-casting."""
+    import pandas as pd
+
+    files = _list_avro_files(path)
+    if not files:
+        raise ValueError(f"no .avro files under {path!r}")
+    with (opener(files[0]) if opener else open(files[0], "rb")) as f0:
+        parsed, schema_json, _ = read_ocf(f0)
+    ddl = avro_to_spark_ddl(parsed)
+    cols = [f["name"] for f in parsed["fields"]]
+    converters = [_to_pandas_cell(f["type"]) for f in parsed["fields"]]
+
+    def gen(iterator):
+        for pdf in iterator:
+            for fpath in pdf["path"]:
+                stream = opener(fpath) if opener else open(fpath, "rb")
+                try:
+                    fparsed, fjson, records = read_ocf(stream)
+                    if [f["name"] for f in fparsed["fields"]] != cols:
+                        raise ValueError(
+                            f"{fpath}: field names differ from {files[0]}"
+                        )
+                    rows = []
+                    for rec in records:
+                        rows.append(
+                            tuple(cv(rec.get(c)) for c, cv in zip(cols, converters))
+                        )
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                    if rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                finally:
+                    stream.close()
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    paths_df = paths_df.repartition(len(files))
+    return paths_df.mapInPandas(gen, schema=ddl)
+
+
+def _to_pandas_cell(s) -> Callable:
+    """Arrow-friendly cell conversion for one decoded Avro value."""
+    t = s["type"]
+    if t == "union":
+        non_null = [b for b in s["branches"] if b["type"] != "null"]
+        inner = _to_pandas_cell(non_null[0])
+        return lambda v: None if v is None else inner(v)
+    if t == "map":
+        # pyspark's Arrow map conversion calls .items() — hand it a dict
+        inner = _to_pandas_cell(s["values"])
+        return lambda v: None if v is None else {k: inner(x) for k, x in v.items()}
+    if t == "array":
+        inner = _to_pandas_cell(s["items"])
+        return lambda v: None if v is None else [inner(x) for x in v]
+    if t == "record":
+        convs = {f["name"]: _to_pandas_cell(f["type"]) for f in s["fields"]}
+        return lambda v: None if v is None else {k: cv(v.get(k)) for k, cv in convs.items()}
+    return lambda v: v
+
+
+def write_avro(
+    df,
+    directory: str,
+    codec: str = "deflate",
+    block_rows: int = 1000,
+) -> "object":
+    """Distributed Avro sink: each partition writes
+    ``part-{pid:05d}.avro`` under ``directory`` (shared-filesystem
+    contract, like any Spark file sink). Returns a DataFrame of
+    (path, n_rows) — one row per written file; empty partitions write
+    nothing. An action (e.g. ``.collect()``) triggers the write."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    avro_schema = json.dumps(spark_to_avro_schema(df.schema))
+    field_types = {f["name"]: f["type"] for f in parse_schema(avro_schema)["fields"]}
+    os.makedirs(directory, exist_ok=True)
+    with_pid = df.withColumn("__pid", F.spark_partition_id())
+
+    def sink(iterator):
+        rows_by_pid: dict[int, list] = {}
+        cols = None
+        for pdf in iterator:
+            cols = [c for c in pdf.columns if c != "__pid"]
+            for rec in pdf.to_dict("records"):
+                pid = rec.pop("__pid")
+                rows_by_pid.setdefault(pid, []).append(
+                    {k: _from_pandas_cell(v, field_types[k]) for k, v in rec.items()}
+                )
+        for pid, rows in rows_by_pid.items():
+            out = os.path.join(directory, f"part-{pid:05d}.avro")
+            with open(out, "wb") as f:
+                f.write(write_ocf(rows, avro_schema, codec=codec, block_rows=block_rows))
+            yield pd.DataFrame({"path": [out], "n_rows": [len(rows)]})
+
+    return with_pid.mapInPandas(sink, "path string, n_rows long")
+
+
+def _from_pandas_cell(v, s):
+    """pandas cell → encodable Python value (NaN/NaT → None, numpy
+    scalars → Python, list-of-pairs maps → dict)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or (isinstance(v, float) and v != v):
+        return None
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    t = s["type"]
+    if t == "union":
+        non_null = [b for b in s["branches"] if b["type"] != "null"]
+        return _from_pandas_cell(v, non_null[0])
+    if t == "map":
+        pairs = v.items() if isinstance(v, dict) else v
+        return {k: _from_pandas_cell(x, s["values"]) for k, x in pairs}
+    if t == "array":
+        return [_from_pandas_cell(x, s["items"]) for x in v]
+    if t == "record":
+        d = v if isinstance(v, dict) else v.asDict()
+        return {
+            f["name"]: _from_pandas_cell(d.get(f["name"]), f["type"])
+            for f in s["fields"]
+        }
+    return v
+
+
+# --------------------------------------------------------------------------
+# Confluent Schema-Registry wire format (Kafka value payloads)
+# --------------------------------------------------------------------------
+
+def confluent_wrap(schema_id: int, body: bytes) -> bytes:
+    """magic 0x00 + big-endian int32 schema id + Avro binary body."""
+    return b"\x00" + struct.pack(">I", schema_id) + body
+
+
+def confluent_unwrap(payload: bytes) -> tuple[int, bytes]:
+    if not payload or payload[0] != 0:
+        raise ValueError("not Confluent Avro wire format (magic != 0)")
+    if len(payload) < 5:
+        raise ValueError("truncated Confluent header")
+    return struct.unpack_from(">I", payload, 1)[0], payload[5:]
+
+
+def kafka_avro_decoder(schemas_by_id: dict[int, Any]) -> Callable[[bytes], dict]:
+    """Value deserializer for the Kafka envelope: maps a Confluent-framed
+    payload to the decoded record using a schema-id → schema dict (the
+    offline stand-in for a registry client; plug a real client's cache
+    in the same shape). Parity: reference kafka consumer's Avro+Schema
+    Registry mode."""
+    parsed = {k: parse_schema(v) for k, v in schemas_by_id.items()}
+
+    def _decode_payload(payload: bytes) -> dict:
+        sid, body = confluent_unwrap(payload)
+        if sid not in parsed:
+            raise KeyError(f"schema id {sid} not in local registry cache")
+        return decode_value(body, parsed[sid])
+
+    return _decode_payload
