@@ -1,0 +1,452 @@
+"""EXIF metadata: parse, strip (image-PII scrub), and encoder twin.
+
+Why this exists in a training-data engine: camera phones stamp every
+photo with GPS coordinates, capture timestamps and device identifiers
+inside the JPEG's APP1 Exif segment — PII that survives every
+pixel-level transformation because it lives OUTSIDE the entropy-coded
+stream. A multimodal corpus pipeline therefore needs (a) the metadata
+as queryable columns (dedup by camera, time-window curation,
+geo-screening) and (b) a lossless scrub that removes the segments
+without re-encoding pixels. The reference engine has redaction for
+text (services/redaction parity, reference transformations) but no
+image machinery at all — beyond-reference mandate item, same
+adjudication as JPEG/GIF/TIFF decode.
+
+Format facts used (all public):
+- EXIF 2.3 / TIFF 6.0: APP1 payload is ``Exif\\x00\\x00`` + a TIFF
+  structure (II/MM byte order, IFD0 with tag 0x8769 pointing at the
+  Exif IFD and 0x8825 at the GPS IFD).
+- GPS latitude/longitude are unsigned RATIONAL[3] (deg, min, sec)
+  plus an ASCII hemisphere ref (N/S/E/W).
+- JPEG metadata segments (APP1 Exif, APP1 XMP, APP13 IPTC/Photoshop,
+  COM comments) sit between SOI and SOS; everything from SOS on is
+  entropy-coded pixel data and is copied verbatim by the scrub.
+
+All parsers are TOTAL on arbitrary bytes (forged counts clamp to the
+segment; never raises). DataFrame ops are map-only Arrow-batched
+kernels — no shuffle, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+__all__ = [
+    "parse_exif",
+    "strip_jpeg_metadata",
+    "build_exif_app1",
+    "insert_app1",
+    "exif_metadata",
+    "strip_image_metadata",
+    "orient_pixels",
+]
+
+# IFD0 / Exif IFD tags
+_TAG_MAKE = 0x010F
+_TAG_MODEL = 0x0110
+_TAG_ORIENTATION = 0x0112
+_TAG_SOFTWARE = 0x0131
+_TAG_DATETIME = 0x0132
+_TAG_ARTIST = 0x013B
+_TAG_EXIF_IFD = 0x8769
+_TAG_GPS_IFD = 0x8825
+_TAG_DT_ORIGINAL = 0x9003
+# GPS IFD tags
+_GPS_LAT_REF, _GPS_LAT = 0x0001, 0x0002
+_GPS_LON_REF, _GPS_LON = 0x0003, 0x0004
+_GPS_ALT_REF, _GPS_ALT = 0x0005, 0x0006
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+#: JPEG markers whose segments carry metadata, not decode state.
+#: APP1 (Exif + XMP), APP13 (Photoshop/IPTC), COM. APP0/JFIF stays
+#: (density info some decoders want); APP2/ICC stays (color fidelity
+#: is not PII). APP14 (Adobe transform) stays — it CHANGES pixel
+#: interpretation, stripping it would corrupt colors.
+_META_MARKERS = {0xE1, 0xED, 0xFE}
+
+
+def _read_ifd_typed(data: bytes, bo: str, off: int) -> dict[int, tuple[int, list]]:
+    """One IFD at ``off`` → {tag: (type, values)}; rationals decode to
+    (num, den) tuples, ASCII to str. Counts clamp to the buffer."""
+    out: dict[int, tuple[int, list]] = {}
+    if off < 0 or off + 2 > len(data):
+        return out
+    n = struct.unpack_from(bo + "H", data, off)[0]
+    n = min(n, max(0, (len(data) - off - 2) // 12))
+    for i in range(n):
+        e = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, e)
+        size = _TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0 or cnt > 1 << 20:
+            continue
+        if size <= 4:
+            voff = e + 8
+        else:
+            voff = struct.unpack_from(bo + "I", data, e + 8)[0]
+        raw = data[voff : voff + size]
+        if len(raw) < size:
+            continue
+        if typ == 2:  # ASCII, NUL-terminated
+            out[tag] = (typ, [raw.split(b"\x00")[0].decode("ascii", "replace")])
+        elif typ in (1, 6, 7):
+            out[tag] = (typ, list(raw))
+        elif typ in (3, 8):
+            out[tag] = (typ, list(struct.unpack(bo + ("H" if typ == 3 else "h") * cnt, raw)))
+        elif typ in (4, 9):
+            out[tag] = (typ, list(struct.unpack(bo + ("I" if typ == 4 else "i") * cnt, raw)))
+        elif typ in (5, 10):
+            fmt = "II" if typ == 5 else "ii"
+            flat = struct.unpack(bo + fmt * cnt, raw)
+            out[tag] = (typ, [(flat[2 * k], flat[2 * k + 1]) for k in range(cnt)])
+    return out
+
+
+def _iter_jpeg_segments(data: bytes):
+    """Yield (marker, start, total_len) for each segment between SOI
+    and SOS; stops at SOS (entropy data follows)."""
+    i = 2
+    n = len(data)
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            return
+        marker = data[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return
+        yield marker, i, 2 + seg_len
+        if marker == 0xDA:
+            return
+        i += 2 + seg_len
+
+
+def _dms_to_degrees(vals, ref: str) -> float | None:
+    try:
+        deg = sum(
+            (num / den) / scale
+            for (num, den), scale in zip(vals, (1, 60, 3600))
+            if den
+        )
+    except (TypeError, ZeroDivisionError):
+        return None
+    if ref in ("S", "W"):
+        deg = -deg
+    return deg
+
+
+def parse_exif(data: bytes) -> dict:
+    """EXIF fields from a JPEG (APP1 walk) or a bare TIFF stream.
+    Returns a dict with ``present`` plus orientation / make / model /
+    software / artist / datetime / datetime_original / gps_lat /
+    gps_lon / gps_alt (floats, signed by hemisphere ref; None when
+    absent). Total — malformed input returns ``{"present": False}``."""
+    out = {
+        "present": False, "orientation": 0, "make": None, "model": None,
+        "software": None, "artist": None, "datetime": None,
+        "datetime_original": None, "gps_lat": None, "gps_lon": None,
+        "gps_alt": None,
+    }
+    data = bytes(data) if data is not None else b""
+    try:
+        tiff = None
+        if data[:4] in (b"II*\x00", b"MM\x00*"):
+            tiff = data
+        elif data[:3] == b"\xff\xd8\xff":
+            for marker, start, total in _iter_jpeg_segments(data):
+                if marker == 0xE1 and data[start + 4 : start + 10] == b"Exif\x00\x00":
+                    tiff = data[start + 10 : start + total]
+                    break
+        if tiff is None or len(tiff) < 8:
+            return out
+        bo = "<" if tiff[:2] == b"II" else ">" if tiff[:2] == b"MM" else None
+        if bo is None:
+            return out
+        ifd0_off = struct.unpack_from(bo + "I", tiff, 4)[0]
+        ifd0 = _read_ifd_typed(tiff, bo, ifd0_off)
+        if not ifd0:
+            return out
+        out["present"] = True
+
+        def first(ifd, tag):
+            v = ifd.get(tag)
+            return v[1][0] if v and v[1] else None
+
+        o = first(ifd0, _TAG_ORIENTATION)
+        out["orientation"] = o if isinstance(o, int) and 1 <= o <= 8 else 0
+        out["make"] = first(ifd0, _TAG_MAKE)
+        out["model"] = first(ifd0, _TAG_MODEL)
+        out["software"] = first(ifd0, _TAG_SOFTWARE)
+        out["artist"] = first(ifd0, _TAG_ARTIST)
+        out["datetime"] = first(ifd0, _TAG_DATETIME)
+
+        exif_ptr = first(ifd0, _TAG_EXIF_IFD)
+        if isinstance(exif_ptr, int):
+            exif_ifd = _read_ifd_typed(tiff, bo, exif_ptr)
+            out["datetime_original"] = first(exif_ifd, _TAG_DT_ORIGINAL)
+
+        gps_ptr = first(ifd0, _TAG_GPS_IFD)
+        if isinstance(gps_ptr, int):
+            gps = _read_ifd_typed(tiff, bo, gps_ptr)
+            lat_v, lon_v = gps.get(_GPS_LAT), gps.get(_GPS_LON)
+            lat_r, lon_r = first(gps, _GPS_LAT_REF), first(gps, _GPS_LON_REF)
+            if lat_v and len(lat_v[1]) == 3 and lat_r in ("N", "S"):
+                out["gps_lat"] = _dms_to_degrees(lat_v[1], lat_r)
+            if lon_v and len(lon_v[1]) == 3 and lon_r in ("E", "W"):
+                out["gps_lon"] = _dms_to_degrees(lon_v[1], lon_r)
+            alt = gps.get(_GPS_ALT)
+            if alt and alt[1] and alt[1][0][1]:
+                sign = -1.0 if first(gps, _GPS_ALT_REF) == 1 else 1.0
+                out["gps_alt"] = sign * alt[1][0][0] / alt[1][0][1]
+        return out
+    except Exception:
+        return out
+
+
+def strip_jpeg_metadata(data: bytes) -> tuple[bytes, int]:
+    """Remove metadata segments (APP1 Exif/XMP, APP13 IPTC, COM) from
+    a JPEG WITHOUT touching the entropy-coded stream → (clean_bytes,
+    bytes_removed). Non-JPEG or malformed input passes through
+    unchanged with 0 removed — the scrub is safe to run over a mixed
+    blob column."""
+    data = bytes(data) if data is not None else b""
+    if data[:3] != b"\xff\xd8\xff":
+        return data, 0
+    drop: list[tuple[int, int]] = []
+    for marker, start, total in _iter_jpeg_segments(data):
+        if marker in _META_MARKERS:
+            drop.append((start, total))
+    if not drop:
+        return data, 0
+    out = bytearray()
+    pos = 0
+    for start, total in drop:
+        out += data[pos:start]
+        pos = start + total
+    out += data[pos:]
+    return bytes(out), len(data) - len(out)
+
+
+# --------------------------------------------------------------------------
+# encoder twin — fixtures need real APP1 bytes built independently
+# --------------------------------------------------------------------------
+
+def _deg_to_dms(deg: float) -> list[tuple[int, int]]:
+    """Signed degrees → unsigned (deg,1),(min,1),(sec*10000,10000)."""
+    deg = abs(deg)
+    d = int(deg)
+    m = int((deg - d) * 60)
+    s = round(((deg - d) * 60 - m) * 60 * 10000)
+    return [(d, 1), (m, 1), (s, 10000)]
+
+
+def build_exif_app1(
+    orientation: int = 1,
+    make: str | None = None,
+    model: str | None = None,
+    datetime_str: str | None = None,
+    gps_lat: float | None = None,
+    gps_lon: float | None = None,
+    byte_order: str = "<",
+) -> bytes:
+    """A complete APP1 Exif segment (marker + length + payload) with
+    IFD0 (orientation/make/model/datetime + GPS pointer) and a GPS IFD
+    (lat/lon as rational DMS + hemisphere refs). Either byte order —
+    tests pin the parser against both."""
+    bo = byte_order
+    entries: list[tuple[int, int, int, bytes]] = []  # tag, type, count, value
+    overflow = bytearray()
+
+    def add(tag: int, typ: int, values) -> None:
+        if typ == 2:
+            raw = values.encode("ascii") + b"\x00"
+            cnt = len(raw)
+        elif typ == 3:
+            raw = b"".join(struct.pack(bo + "H", v) for v in values)
+            cnt = len(values)
+        elif typ == 4:
+            raw = b"".join(struct.pack(bo + "I", v) for v in values)
+            cnt = len(values)
+        elif typ == 5:
+            raw = b"".join(struct.pack(bo + "II", n, d) for n, d in values)
+            cnt = len(values)
+        else:
+            raise ValueError(typ)
+        entries.append((tag, typ, cnt, raw))
+
+    add(_TAG_ORIENTATION, 3, [orientation])
+    if make:
+        add(_TAG_MAKE, 2, make)
+    if model:
+        add(_TAG_MODEL, 2, model)
+    if datetime_str:
+        add(_TAG_DATETIME, 2, datetime_str)
+
+    gps_entries: list[tuple[int, int, int, bytes]] = []
+    if gps_lat is not None and gps_lon is not None:
+        def gadd(tag, typ, values):
+            if typ == 2:
+                raw = values.encode("ascii") + b"\x00"
+                cnt = len(raw)
+            else:
+                raw = b"".join(struct.pack(bo + "II", n, d) for n, d in values)
+                cnt = len(values)
+            gps_entries.append((tag, typ, cnt, raw))
+
+        gadd(_GPS_LAT_REF, 2, "N" if gps_lat >= 0 else "S")
+        gadd(_GPS_LAT, 5, _deg_to_dms(gps_lat))
+        gadd(_GPS_LON_REF, 2, "E" if gps_lon >= 0 else "W")
+        gadd(_GPS_LON, 5, _deg_to_dms(gps_lon))
+
+    def render_ifd(ents, base: int) -> bytes:
+        """base = offset of this IFD within the TIFF structure."""
+        head = 2 + 12 * len(ents) + 4  # count + entries + next-ptr
+        body = bytearray()
+        table = bytearray(struct.pack(bo + "H", len(ents)))
+        for tag, typ, cnt, raw in sorted(ents):
+            table += struct.pack(bo + "HHI", tag, typ, cnt)
+            if len(raw) <= 4:
+                table += raw + b"\x00" * (4 - len(raw))
+            else:
+                table += struct.pack(bo + "I", base + head + len(body))
+                body += raw
+        table += struct.pack(bo + "I", 0)  # no next IFD
+        return bytes(table + body)
+
+    # layout: header(8) | IFD0 | IFD0 values | [GPS IFD | GPS values]
+    if gps_entries:
+        # GPS pointer needs IFD0's rendered size first: render with a
+        # placeholder, then patch — sizes are layout-stable
+        probe = render_ifd(entries + [(_TAG_GPS_IFD, 4, 1, b"\x00\x00\x00\x00")], 8)
+        gps_off = 8 + len(probe)
+        entries.append((_TAG_GPS_IFD, 4, 1, struct.pack(bo + "I", gps_off)))
+        ifd0 = render_ifd(entries, 8)
+        assert len(ifd0) == len(probe)
+        gps = render_ifd(gps_entries, gps_off)
+        tiff_body = ifd0 + gps
+    else:
+        tiff_body = render_ifd(entries, 8)
+
+    order_mark = b"II" if bo == "<" else b"MM"
+    tiff = order_mark + struct.pack(bo + "H", 42) + struct.pack(bo + "I", 8) + tiff_body
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment straight after SOI — where cameras put
+    it. Raises on non-JPEG input (fixtures should fail loudly)."""
+    if jpeg[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]
+
+
+# --------------------------------------------------------------------------
+# orientation normalization (shared with the perceptual-hash path)
+# --------------------------------------------------------------------------
+
+def orient_pixels(img, orientation: int):
+    """Apply the EXIF orientation transform (1-8) so pixels are in
+    display orientation — rotated/mirrored camera uploads then hash
+    identically to their upright twins. 0/1/unknown = identity."""
+    import numpy as np
+
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1, :]
+    if orientation == 5:
+        return np.transpose(img, (1, 0, 2)) if img.ndim == 3 else img.T
+    if orientation == 6:
+        return np.rot90(img, -1)
+    if orientation == 7:
+        flipped = img[::-1, ::-1]
+        return np.transpose(flipped, (1, 0, 2)) if img.ndim == 3 else flipped.T
+    if orientation == 8:
+        return np.rot90(img, 1)
+    return img
+
+
+# --------------------------------------------------------------------------
+# DataFrame ops — map-only kernels
+# --------------------------------------------------------------------------
+
+EXIF_SCHEMA = (
+    "doc_id long, exif_present boolean, orientation int, make string, "
+    "model string, software string, artist string, datetime string, "
+    "datetime_original string, gps_lat_e6 long, gps_lon_e6 long, has_gps boolean"
+)
+
+
+def exif_metadata(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """(id, binary) → EXIF columns. GPS emits micro-degree integers
+    (``gps_lat_e6``; round(deg*1e6)) so downstream joins and the
+    DuckDB oracle compare exactly — no float hashing."""
+    import pandas as pd
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                m = parse_exif(blob)
+                lat = m["gps_lat"]
+                lon = m["gps_lon"]
+                rows.append(
+                    (
+                        rid, m["present"], m["orientation"], m["make"],
+                        m["model"], m["software"], m["artist"], m["datetime"],
+                        m["datetime_original"],
+                        None if lat is None else round(lat * 1_000_000),
+                        None if lon is None else round(lon * 1_000_000),
+                        lat is not None and lon is not None,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "exif_present", "orientation", "make", "model",
+                    "software", "artist", "datetime", "datetime_original",
+                    "gps_lat_e6", "gps_lon_e6", "has_gps",
+                ],
+            )
+
+    schema = EXIF_SCHEMA.replace("doc_id ", f"{id_col} ", 1)
+    return df.mapInPandas(kernel, schema)
+
+
+def strip_image_metadata(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """Image-PII scrub: returns (id, scrubbed blob, bytes_removed).
+    JPEG metadata segments are excised losslessly; non-JPEG blobs pass
+    through untouched (bytes_removed = 0) so the op composes over a
+    mixed-modality column."""
+    import pandas as pd
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            ids, blobs, removed = [], [], []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                clean, n = strip_jpeg_metadata(blob)
+                ids.append(rid)
+                blobs.append(clean)
+                removed.append(n)
+            yield pd.DataFrame(
+                {id_col: ids, content_col: blobs, "meta_bytes_removed": removed}
+            )
+
+    return df.mapInPandas(
+        kernel, f"{id_col} long, {content_col} binary, meta_bytes_removed int"
+    )

@@ -597,18 +597,35 @@ PHASH_SCHEMA = (
 
 
 def image_blobs_phash(
-    df: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "_content_bytes",
+    normalize_orientation: bool = True,
 ) -> DataFrame:
     """(id, binary) -> per-image decode + perceptual hashes, one
     Arrow-batched mapInPandas (PHASH_SCHEMA). ok=False rows (undecodable
-    bytes / gated codecs) carry NULL hashes."""
+    bytes / gated codecs) carry NULL hashes.
+
+    ``normalize_orientation`` (default on) applies the EXIF orientation
+    transform before hashing, so a camera upload stored rotated links
+    to its upright twin — without it, a 90° EXIF rotation flips ~half
+    the dHash bits and the pair silently never buckets together. Images
+    without EXIF (every non-JPEG fixture) are untouched: identity
+    transform, identical hashes to the pre-r9 behavior."""
     import pandas as pd
+
+    from automic_etl_spark.operators.exif import orient_pixels, parse_exif
 
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[content_col]):
-                fmt, img = decode_image(bytes(blob) if blob is not None else b"")
+                raw = bytes(blob) if blob is not None else b""
+                fmt, img = decode_image(raw)
+                if img is not None and normalize_orientation and raw[:2] == b"\xff\xd8":
+                    o = parse_exif(raw)["orientation"]
+                    if o > 1:
+                        img = orient_pixels(img, o)
                 if img is None:
                     rows.append((rid, False, fmt, None, None, None, None))
                 else:

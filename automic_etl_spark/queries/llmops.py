@@ -1621,3 +1621,114 @@ ORDER BY doc_id, rec_index
 
 QUERIES_TAIL["avro_roundtrip"] = q_avro_roundtrip_gate
 ORACLE_TAIL["avro_roundtrip"] = ORACLE_AVRO_ROUNDTRIP
+
+
+# --------------------------------------------------------------------------
+# EXIF extraction + PII-scrub gate (operators/exif, r9). Deterministic
+# camera metadata per doc_id (orientation cycle, integer-exact DMS GPS,
+# alternating byte orders) is embedded into a real synth_jpeg stream
+# executor-side, parsed back through the real APP1/IFD walker, then
+# scrubbed — the gate emits both the extracted values (which DuckDB
+# replays arithmetically) and the post-scrub reparse (which must be
+# absent with bytes actually removed).
+# --------------------------------------------------------------------------
+
+_EXIF_N = 120
+
+
+def q_exif_meta_gate(spark, sf_dir):
+    """doc_id → synth JPEG + build_exif_app1 (GPS minutes chosen as
+    multiples of 3 so degrees*1e6 is integer-exact; latitude north,
+    longitude hemisphere alternates by parity) → parse_exif →
+    strip_jpeg_metadata → reparse. Columns: doc_id, orientation, make,
+    gps_lat_e6, gps_lon_e6, has_gps, scrub_removed (bytes>0),
+    scrubbed_present (must be false)."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.exif import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+        strip_jpeg_metadata,
+    )
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _EXIF_N)
+        .select("doc_id")
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        base = synth_jpeg(
+            np.full((16, 16, 1), 128, dtype=np.uint8), quality=90
+        )
+        rows = []
+        for pdf in it:
+            for rid in pdf["doc_id"]:
+                rid = int(rid)
+                lat = (rid % 89) + 0.05 * (rid % 20)
+                lon = ((rid % 179) + 0.05 * ((rid + 7) % 20)) * (
+                    1 if rid % 2 else -1
+                )
+                blob = insert_app1(
+                    base,
+                    build_exif_app1(
+                        orientation=1 + rid % 8,
+                        make=f"cam-{rid % 5}",
+                        gps_lat=lat,
+                        gps_lon=lon,
+                        byte_order="<" if rid % 2 else ">",
+                    ),
+                )
+                m = parse_exif(blob)
+                clean, removed = strip_jpeg_metadata(blob)
+                m2 = parse_exif(clean)
+                rows.append(
+                    (
+                        rid,
+                        m["orientation"],
+                        m["make"],
+                        round(m["gps_lat"] * 1_000_000),
+                        round(m["gps_lon"] * 1_000_000),
+                        m["gps_lat"] is not None and m["gps_lon"] is not None,
+                        removed > 0,
+                        m2["present"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "orientation", "make", "gps_lat_e6",
+                    "gps_lon_e6", "has_gps", "scrub_removed",
+                    "scrubbed_present",
+                ],
+            )
+            rows = []
+
+    out = docs.mapInPandas(
+        kernel,
+        "doc_id long, orientation int, make string, gps_lat_e6 long, "
+        "gps_lon_e6 long, has_gps boolean, scrub_removed boolean, "
+        "scrubbed_present boolean",
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_EXIF_META = f"""
+SELECT doc_id,
+       CAST(1 + doc_id % 8 AS INT) AS orientation,
+       'cam-' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       (doc_id % 89) * 1000000 + (doc_id % 20) * 50000 AS gps_lat_e6,
+       ((doc_id % 179) * 1000000 + ((doc_id + 7) % 20) * 50000)
+         * (CASE WHEN doc_id % 2 = 1 THEN 1 ELSE -1 END) AS gps_lon_e6,
+       TRUE AS has_gps,
+       TRUE AS scrub_removed,
+       FALSE AS scrubbed_present
+FROM documents WHERE doc_id < {_EXIF_N}
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["exif_meta"] = q_exif_meta_gate
+ORACLE_TAIL["exif_meta"] = ORACLE_EXIF_META

@@ -1,0 +1,201 @@
+"""EXIF parse / strip / orientation tests.
+
+Fixtures are built by the in-repo encoder twin (build_exif_app1 — both
+byte orders) injected into real synth_jpeg streams, plus the
+orientation table pinned against hand-built 2x3 pixel arrays where
+every EXIF value 1-8 has a distinct, spec-derived expected layout.
+"""
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.exif import (
+    build_exif_app1,
+    exif_metadata,
+    insert_app1,
+    orient_pixels,
+    parse_exif,
+    strip_image_metadata,
+    strip_jpeg_metadata,
+)
+from automic_etl_spark.operators.jpeg import decode_jpeg, synth_jpeg
+
+
+def _jpeg_with_exif(**kw) -> bytes:
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    return insert_app1(synth_jpeg(img, quality=90), build_exif_app1(**kw))
+
+
+# --------------------------------------------------------------------------
+# parse
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_parse_roundtrip_both_byte_orders(bo):
+    blob = _jpeg_with_exif(
+        orientation=6, make="TestCam", model="X100",
+        datetime_str="2024:05:04 03:02:01",
+        gps_lat=37.774929, gps_lon=-122.419416, byte_order=bo,
+    )
+    m = parse_exif(blob)
+    assert m["present"] and m["orientation"] == 6
+    assert m["make"] == "TestCam" and m["model"] == "X100"
+    assert m["datetime"] == "2024:05:04 03:02:01"
+    # DMS rationals with 1/10000-second precision: ~3e-6 degrees
+    assert abs(m["gps_lat"] - 37.774929) < 1e-5
+    assert abs(m["gps_lon"] + 122.419416) < 1e-5
+
+
+def test_parse_hemisphere_signs():
+    m = parse_exif(_jpeg_with_exif(gps_lat=-33.8688, gps_lon=151.2093))
+    assert m["gps_lat"] < 0 and m["gps_lon"] > 0
+
+
+def test_parse_absent_and_garbage_total():
+    assert parse_exif(b"") == {**parse_exif(b""), "present": False}
+    assert not parse_exif(b"\xff\xd8\xff\xdb\x00\x04aa")["present"]
+    assert not parse_exif(bytes(1000))["present"]
+    # JPEG without EXIF
+    img = np.full((8, 8, 1), 128, dtype=np.uint8)
+    assert not parse_exif(synth_jpeg(img))["present"]
+    # truncated APP1: must not raise
+    blob = _jpeg_with_exif(orientation=3)
+    assert isinstance(parse_exif(blob[:40]), dict)
+
+
+def test_parse_bare_tiff_stream():
+    """EXIF payload is a TIFF structure; a bare TIFF with IFD0 tags
+    parses through the same walker."""
+    app1 = build_exif_app1(orientation=8, make="Scanner")
+    tiff = app1[4 + 6:]  # strip marker+len+Exif\0\0
+    m = parse_exif(tiff)
+    assert m["present"] and m["orientation"] == 8 and m["make"] == "Scanner"
+
+
+# --------------------------------------------------------------------------
+# strip
+# --------------------------------------------------------------------------
+
+def test_strip_removes_exif_preserves_pixels():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    plain = synth_jpeg(img, quality=85)
+    tagged = insert_app1(plain, build_exif_app1(
+        orientation=1, gps_lat=51.5, gps_lon=-0.12, make="Leaky"))
+    clean, removed = strip_jpeg_metadata(tagged)
+    assert removed == len(tagged) - len(plain)
+    assert not parse_exif(clean)["present"]
+    # pixels byte-identical: the scrub never re-encodes
+    assert np.array_equal(decode_jpeg(clean), decode_jpeg(plain))
+    assert clean == plain
+
+
+def test_strip_removes_com_and_keeps_app0():
+    img = np.full((8, 8, 1), 77, dtype=np.uint8)
+    plain = synth_jpeg(img)
+    com = b"\xff\xfe" + (5).to_bytes(2, "big") + b"sec"
+    tagged = plain[:2] + com + plain[2:]
+    clean, removed = strip_jpeg_metadata(tagged)
+    assert removed == len(com) and clean == plain
+    assert b"\xff\xe0" in clean[:32]  # JFIF APP0 survives
+
+
+def test_strip_passthrough_non_jpeg():
+    for blob in (b"", b"\x89PNG\r\n\x1a\nrest", bytes(64)):
+        out, n = strip_jpeg_metadata(blob)
+        assert out == blob and n == 0
+
+
+# --------------------------------------------------------------------------
+# orientation
+# --------------------------------------------------------------------------
+
+def test_orient_pixels_table():
+    # 2x3 distinct-valued array; expectations derived by hand from the
+    # EXIF orientation definitions (row0 of stored = X side of scene)
+    a = np.arange(6, dtype=np.uint8).reshape(2, 3, 1)
+    # [[0,1,2],
+    #  [3,4,5]]
+    assert np.array_equal(orient_pixels(a, 1), a)
+    assert orient_pixels(a, 2)[0, 0, 0] == 2  # mirror L-R
+    assert orient_pixels(a, 3)[0, 0, 0] == 5  # 180
+    assert orient_pixels(a, 4)[0, 0, 0] == 3  # mirror T-B
+    t5 = orient_pixels(a, 5)
+    assert t5.shape[:2] == (3, 2) and t5[0, 0, 0] == 0 and t5[0, 1, 0] == 3
+    t6 = orient_pixels(a, 6)  # 90 CW: first row becomes right column
+    assert t6.shape[:2] == (3, 2) and t6[0, 0, 0] == 3 and t6[0, 1, 0] == 0
+    t7 = orient_pixels(a, 7)
+    assert t7.shape[:2] == (3, 2) and t7[0, 0, 0] == 5
+    t8 = orient_pixels(a, 8)  # 90 CCW
+    assert t8.shape[:2] == (3, 2) and t8[0, 0, 0] == 2 and t8[0, 1, 0] == 5
+    # inverses: 6 then 8 = identity; every transform is a bijection
+    assert np.array_equal(orient_pixels(orient_pixels(a, 6), 8), a)
+    assert np.array_equal(orient_pixels(orient_pixels(a, 3), 3), a)
+
+
+def test_orientation_normalized_hash_links_rotated_twin(spark):
+    """A stored-rotated camera upload (pixels rotated 90 CCW on disk,
+    EXIF orientation=6 instructing a 90 CW display rotation) must hash
+    like its upright twin once normalization is on — and must NOT
+    without it."""
+    from automic_etl_spark.operators.imagehash import image_blobs_phash
+
+    rng = np.random.default_rng(11)
+    up = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    stored = np.rot90(up, 1).copy()  # what a sensor writes unrotated
+    upright_jpeg = synth_jpeg(up, quality=95)
+    rotated_jpeg = insert_app1(
+        synth_jpeg(stored, quality=95), build_exif_app1(orientation=6))
+
+    df = spark.createDataFrame(
+        [(1, bytearray(upright_jpeg)), (2, bytearray(rotated_jpeg))],
+        "doc_id long, _content_bytes binary",
+    )
+    on = {r.doc_id: r for r in image_blobs_phash(df).collect()}
+    off = {r.doc_id: r for r in
+           image_blobs_phash(df, normalize_orientation=False).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    # normalized: near-identical (JPEG quantization costs a few bits)
+    assert ham(on[1].dhash, on[2].dhash) <= 6
+    # unnormalized: a 90-degree rotation scrambles the hash
+    assert ham(off[1].dhash, off[2].dhash) > 16
+    # display dimensions after normalization match the upright twin
+    assert (on[2].width, on[2].height) == (on[1].width, on[1].height)
+
+
+# --------------------------------------------------------------------------
+# DataFrame ops
+# --------------------------------------------------------------------------
+
+def test_exif_metadata_columns(spark):
+    blob = _jpeg_with_exif(orientation=6, make="Cam", gps_lat=48.8566,
+                           gps_lon=2.3522)
+    plain = synth_jpeg(np.full((8, 8, 1), 5, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(plain)), (3, None)],
+        "doc_id long, _content_bytes binary",
+    )
+    rows = {r.doc_id: r for r in exif_metadata(df).collect()}
+    assert rows[1].exif_present and rows[1].has_gps
+    assert rows[1].orientation == 6 and rows[1].make == "Cam"
+    assert abs(rows[1].gps_lat_e6 - 48_856_600) <= 5
+    assert abs(rows[1].gps_lon_e6 - 2_352_200) <= 5
+    assert not rows[2].exif_present and rows[2].gps_lat_e6 is None
+    assert not rows[3].exif_present
+
+
+def test_strip_image_metadata_df(spark):
+    tagged = _jpeg_with_exif(gps_lat=1.0, gps_lon=2.0)
+    png = b"\x89PNG\r\n\x1a\n" + bytes(16)
+    df = spark.createDataFrame(
+        [(1, bytearray(tagged)), (2, bytearray(png))],
+        "doc_id long, _content_bytes binary",
+    )
+    out = {r.doc_id: r for r in strip_image_metadata(df).collect()}
+    assert out[1].meta_bytes_removed > 0
+    assert not parse_exif(bytes(out[1]._content_bytes))["present"]
+    assert bytes(out[2]._content_bytes) == png and out[2].meta_bytes_removed == 0
