@@ -427,26 +427,27 @@ def exif_metadata(
 
 
 def strip_image_metadata(
-    df: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+    df: DataFrame, content_col: str = "_content_bytes"
 ) -> DataFrame:
-    """Image-PII scrub: returns (id, scrubbed blob, bytes_removed).
-    JPEG metadata segments are excised losslessly; non-JPEG blobs pass
-    through untouched (bytes_removed = 0) so the op composes over a
-    mixed-modality column."""
-    import pandas as pd
+    """Image-PII scrub: replaces ``content_col`` with the scrubbed blob
+    IN PLACE (all other columns pass through — the op composes into a
+    curation pipeline without a re-join) and appends
+    ``meta_bytes_removed``. JPEG metadata segments are excised
+    losslessly; non-JPEG blobs pass through untouched (0 removed) so
+    the op is safe over a mixed-modality column."""
+    from pyspark.sql import types as T
 
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            ids, blobs, removed = [], [], []
-            for rid, blob in zip(pdf[id_col], pdf[content_col]):
-                clean, n = strip_jpeg_metadata(blob)
-                ids.append(rid)
-                blobs.append(clean)
-                removed.append(n)
-            yield pd.DataFrame(
-                {id_col: ids, content_col: blobs, "meta_bytes_removed": removed}
-            )
+            scrubbed = pdf[content_col].map(strip_jpeg_metadata)
+            pdf = pdf.assign(**{
+                content_col: scrubbed.map(lambda t: t[0]),
+                "meta_bytes_removed": scrubbed.map(lambda t: t[1]),
+            })
+            yield pdf
 
-    return df.mapInPandas(
-        kernel, f"{id_col} long, {content_col} binary, meta_bytes_removed int"
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("meta_bytes_removed", T.IntegerType())]
     )
+    return df.mapInPandas(kernel, out_schema)

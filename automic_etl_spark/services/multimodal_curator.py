@@ -93,6 +93,11 @@ class MultimodalCurator:
     video_near_dup: bool = False
     video_near_dup_max_hamming: int = 6
     video_near_dup_min_roles: int = 2
+    # round 9: image-PII scrub (operators/exif.strip_image_metadata) —
+    # applied to the SURVIVORS as the terminal transformation (gates and
+    # near-dup hash the original bytes; camera GPS/device tags are
+    # excised from what leaves the pipeline). Map-only; adds no action.
+    strip_image_pii: bool = False
 
     def _finish(
         self,
@@ -168,7 +173,12 @@ class MultimodalCurator:
                 max_hamming=self.image_near_dup_max_hamming,
                 id_col=id_col,
             )
-        return self._finish(blobs, probed, ok, kept, final)
+        out, report = self._finish(blobs, probed, ok, kept, final)
+        if self.strip_image_pii:
+            from automic_etl_spark.operators.exif import strip_image_metadata
+
+            out = strip_image_metadata(out, content_col=content_col)
+        return out, report
 
     def curate_audio(
         self,

@@ -188,14 +188,38 @@ def test_exif_metadata_columns(spark):
     assert not rows[3].exif_present
 
 
-def test_strip_image_metadata_df(spark):
+def test_strip_image_metadata_df_preserves_columns(spark):
     tagged = _jpeg_with_exif(gps_lat=1.0, gps_lon=2.0)
     png = b"\x89PNG\r\n\x1a\n" + bytes(16)
     df = spark.createDataFrame(
-        [(1, bytearray(tagged)), (2, bytearray(png))],
-        "doc_id long, _content_bytes binary",
+        [(1, bytearray(tagged), "a"), (2, bytearray(png), "b")],
+        "doc_id long, _content_bytes binary, label string",
     )
     out = {r.doc_id: r for r in strip_image_metadata(df).collect()}
-    assert out[1].meta_bytes_removed > 0
+    assert out[1].meta_bytes_removed > 0 and out[1].label == "a"
     assert not parse_exif(bytes(out[1]._content_bytes))["present"]
     assert bytes(out[2]._content_bytes) == png and out[2].meta_bytes_removed == 0
+    assert out[2].label == "b"
+
+
+def test_curator_strip_image_pii_stage(spark):
+    """MultimodalCurator(strip_image_pii=True): survivors come out
+    scrubbed; the gate stages still see the original blobs."""
+    from automic_etl_spark.services.multimodal_curator import MultimodalCurator
+
+    rng = np.random.default_rng(5)
+    big = rng.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+    keepable = insert_app1(
+        synth_jpeg(big, quality=90),
+        build_exif_app1(orientation=1, gps_lat=10.0, gps_lon=20.0))
+    tiny = synth_jpeg(np.full((8, 8, 1), 1, dtype=np.uint8))  # shape-gated
+    blobs = spark.createDataFrame(
+        [(1, bytearray(keepable)), (2, bytearray(tiny))],
+        "doc_id long, _content_bytes binary",
+    )
+    cur = MultimodalCurator(min_width=64, min_height=64, strip_image_pii=True)
+    kept, report = cur.curate_images(blobs)
+    rows = kept.collect()
+    assert [r.doc_id for r in rows] == [1] and report["final_blobs"] == 1
+    assert rows[0].meta_bytes_removed > 0
+    assert not parse_exif(bytes(rows[0]._content_bytes))["present"]
