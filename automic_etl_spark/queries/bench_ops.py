@@ -917,3 +917,129 @@ def q_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_frames").alias("total_frames"),
         F.sum("pcm_sum").alias("checksum"),
     )
+
+
+def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro codec throughput (r9): batch documents text into Object
+    Container Files executor-side (deflate blocks, nullable fields,
+    ~200 records per container — the small-file shape of a Kafka
+    archive dump), then decode every container back through the
+    first-party OCF reader and reduce to checksums. Encode+decode in
+    one kernel, same protocol as q_g711_decode: the row measures codec
+    cost, not disk."""
+    import pandas as pd
+
+    from automic_etl_spark.sources.avrofile import decode_ocf_bytes, write_ocf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .limit(20000)
+        .repartition(32)
+    )
+
+    schema = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": ["null", "string"]},
+            {"name": "n_chars", "type": "int"},
+        ],
+    }
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            recs = [
+                {
+                    "doc_id": int(d),
+                    "text": t if isinstance(t, str) else None,
+                    "n_chars": len(t) if isinstance(t, str) else 0,
+                }
+                for d, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            n_rows, n_bytes, checksum = 0, 0, 0
+            for i in range(0, len(recs), 200):
+                blob = write_ocf(
+                    recs[i : i + 200], schema, codec="deflate", block_rows=64
+                )
+                n_bytes += len(blob)
+                _, back = decode_ocf_bytes(blob)
+                n_rows += len(back)
+                checksum += sum(r["n_chars"] for r in back)
+            yield pd.DataFrame(
+                {"n_rows": [n_rows], "n_bytes": [n_bytes], "checksum": [checksum]}
+            )
+
+    out = docs.mapInPandas(kernel, "n_rows long, n_bytes long, checksum long")
+    return out.agg(
+        F.sum("n_rows").alias("records"),
+        F.sum("n_bytes").alias("container_bytes"),
+        F.sum("checksum").alias("checksum"),
+    )
+
+
+def q_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF pipeline throughput (r9): synthesize camera-tagged JPEGs
+    (32x32, deterministic pixels + GPS/orientation APP1 by doc_id),
+    parse the metadata, scrub it, and verify absence — the full
+    image-PII pass a multimodal ingest pays per blob."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.exif import (
+        build_exif_app1,
+        insert_app1,
+        parse_exif,
+        strip_jpeg_metadata,
+    )
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .limit(1500)
+        .repartition(32)
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                rid = int(d)
+                rng = np.random.default_rng(rid)
+                img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+                blob = insert_app1(
+                    synth_jpeg(img, quality=85),
+                    build_exif_app1(
+                        orientation=1 + rid % 8,
+                        make=f"cam-{rid % 7}",
+                        gps_lat=float(rid % 89),
+                        gps_lon=float(rid % 179) - 89.0,
+                        byte_order="<" if rid % 2 else ">",
+                    ),
+                )
+                meta = parse_exif(blob)
+                clean, removed = strip_jpeg_metadata(blob)
+                rows.append(
+                    (
+                        rid,
+                        meta["orientation"],
+                        removed,
+                        parse_exif(clean)["present"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "orientation", "removed", "still_present"],
+            )
+
+    out = docs.mapInPandas(
+        kernel, "doc_id long, orientation int, removed int, still_present boolean"
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("removed").alias("bytes_scrubbed"),
+        F.sum(F.col("still_present").cast("int")).alias("leaks"),
+        F.sum("orientation").alias("orient_sum"),
+    )

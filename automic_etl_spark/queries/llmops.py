@@ -1732,3 +1732,107 @@ ORDER BY doc_id
 
 QUERIES_TAIL["exif_meta"] = q_exif_meta_gate
 ORACLE_TAIL["exif_meta"] = ORACLE_EXIF_META
+
+
+# --------------------------------------------------------------------------
+# XML row-tag extraction gate (sources/xmlfile, r9): build a real XML
+# document per doc executor-side with the encoder twin (attributes,
+# repeated elements, nesting), stream it back through the iterparse
+# reader, and emit SQL-replayable columns — escaping, attribute
+# handling, repeat-collection and dotted-path flattening all hash-gate
+# against the DuckDB replay.
+# --------------------------------------------------------------------------
+
+_XML_N = 150
+
+
+def q_xml_extract_gate(spark, sf_dir):
+    import io as _io
+
+    import pandas as pd
+
+    from automic_etl_spark.sources.xmlfile import synth_xml, xml_rows
+
+    body = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200),
+                "[^A-Za-z0-9 .,;:!?'()-]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _XML_N)
+        .select("doc_id", body.alias("body"))
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, b in zip(pdf["doc_id"], pdf["body"]):
+                rid = int(rid)
+                blob = synth_xml(
+                    [
+                        {
+                            "@id": rid,
+                            "body": b,
+                            "word": b.split()[:3] or [""],
+                            "meta.upper": b.upper(),
+                        }
+                    ],
+                    row_tag="doc",
+                    root="corpus",
+                )
+                for row in xml_rows(_io.BytesIO(blob), "doc"):
+                    words = row.get("word", "")
+                    words = words if isinstance(words, list) else [words]
+                    rows.append(
+                        (
+                            int(row["@id"]),
+                            row.get("body", ""),
+                            row.get("meta.upper", ""),
+                            len(words),
+                            " ".join(words),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "body_out", "upper_out", "n_words3", "head3"],
+            )
+
+    out = docs.mapInPandas(
+        kernel,
+        "doc_id long, body_out string, upper_out string, n_words3 int, "
+        "head3 string",
+    )
+    return out.orderBy("doc_id")
+
+
+ORACLE_XML_EXTRACT = f"""
+WITH body AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+              substr(coalesce(text, ''), 1, 200),
+              '[^A-Za-z0-9 .,;:!?''()-]', ' ', 'g'), ' +', ' ', 'g')) AS b
+  FROM documents WHERE doc_id < {_XML_N}
+),
+words AS (
+  SELECT doc_id, b,
+         CASE WHEN b = '' THEN [''] ELSE string_split(b, ' ')[1:3] END AS w3
+  FROM body
+)
+SELECT doc_id,
+       b AS body_out,
+       upper(b) AS upper_out,
+       CAST(length(w3) AS INT) AS n_words3,
+       array_to_string(w3, ' ') AS head3
+FROM words
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["xml_extract"] = q_xml_extract_gate
+ORACLE_TAIL["xml_extract"] = ORACLE_XML_EXTRACT

@@ -69,6 +69,8 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_line_dedup,
     q_warc_extract,
     q_corpus_curate,
+    q_avro_scan,
+    q_exif_scrub,
 )
 
 HEADLINE = {
@@ -111,6 +113,9 @@ HEADLINE = {
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,
     "audio_fingerprint": q_audio_fingerprint,
+    # round-9 session-3 surface: first-party Avro codec + EXIF PII scrub
+    "avro_scan": q_avro_scan,
+    "exif_scrub": q_exif_scrub,
     # round-7 surface: the flagship curate() funnel end-to-end (the
     # orchestration cost no per-stage bench can see)
     "corpus_curate": q_corpus_curate,

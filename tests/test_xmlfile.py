@@ -1,0 +1,93 @@
+"""XML source tests — reader pinned against the synth_xml encoder twin
+AND hand-written documents (namespaces, CDATA, entities, attributes)."""
+
+import io
+
+import pytest
+
+from automic_etl_spark.sources.xmlfile import read_xml, synth_xml, xml_rows
+
+
+def test_row_extraction_attributes_repeats_nesting():
+    blob = synth_xml(
+        [
+            {"@id": 1, "name": "alice", "tag": ["a", "b"],
+             "addr.city": "rome", "addr.zip": "00100"},
+            {"@id": 2, "name": "bob", "tag": "c"},
+        ],
+        row_tag="user", root="users",
+    )
+    rows = list(xml_rows(io.BytesIO(blob), "user"))
+    assert rows[0]["@id"] == "1" and rows[0]["tag"] == ["a", "b"]
+    assert rows[0]["addr.city"] == "rome" and rows[0]["addr.zip"] == "00100"
+    assert rows[1] == {"@id": "2", "name": "bob", "tag": "c"}
+
+
+def test_handwritten_namespaces_cdata_entities():
+    doc = b"""<?xml version="1.0"?>
+    <f:feed xmlns:f="http://example.com/feed" xmlns:d="http://example.com/data">
+      <f:item d:key="k1">
+        <f:title>a &amp; b</f:title>
+        <d:body><![CDATA[<raw> text]]></d:body>
+      </f:item>
+      <f:item d:key="k2"><f:title>second</f:title></f:item>
+    </f:feed>"""
+    rows = list(xml_rows(io.BytesIO(doc), "item"))
+    # namespace URIs reduce to local names
+    assert rows[0]["@key"] == "k1"
+    assert rows[0]["title"] == "a & b"       # entity decoded
+    assert rows[0]["body"] == "<raw> text"   # CDATA verbatim
+    assert rows[1]["title"] == "second"
+
+
+def test_depth_cap_concatenates_subtree():
+    doc = b"<r><row><a><b><c><d><e>deep</e></d></c></b></a></row></r>"
+    row = next(iter(xml_rows(io.BytesIO(doc), "row", max_depth=2)))
+    assert row == {"a.b": "deep"}
+    row = next(iter(xml_rows(io.BytesIO(doc), "row", max_depth=10)))
+    assert row == {"a.b.c.d.e": "deep"}
+
+
+def test_nested_attributes_flattened():
+    doc = b'<r><row><addr kind="home"><city>oslo</city></addr></row></r>'
+    row = next(iter(xml_rows(io.BytesIO(doc), "row")))
+    assert row == {"addr.@kind": "home", "addr.city": "oslo"}
+
+
+def test_read_xml_dataframe(spark, tmp_path):
+    (tmp_path / "a.xml").write_bytes(synth_xml(
+        [{"@id": i, "name": f"n{i}", "tag": [f"t{i}", "x"]} for i in range(50)],
+        row_tag="rec"))
+    (tmp_path / "b.xml").write_bytes(synth_xml(
+        [{"@id": 99, "name": "solo", "tag": "only"}], row_tag="rec"))
+    df = read_xml(spark, str(tmp_path), "rec")
+    assert dict(df.dtypes)["tag"] == "array<string>"
+    rows = {int(r["@id"]): r for r in df.collect() if r._corrupt is None}
+    assert len(rows) == 51
+    assert rows[7].name == "n7" and rows[7].tag == ["t7", "x"]
+    assert rows[99].tag == ["only"]  # single value rides as 1-elem array
+
+
+def test_read_xml_corrupt_file_permissive(spark, tmp_path):
+    (tmp_path / "good.xml").write_bytes(synth_xml(
+        [{"@id": 1, "name": "a"}], row_tag="rec"))
+    (tmp_path / "bad.xml").write_bytes(b"<r><rec><name>unclosed")
+    out = read_xml(spark, str(tmp_path), "rec").collect()
+    corrupt = [r for r in out if r._corrupt is not None]
+    assert len(corrupt) == 1 and "bad.xml" in corrupt[0]._corrupt
+    assert len(out) == 2
+
+
+def test_read_xml_no_rows_raises(spark, tmp_path):
+    (tmp_path / "x.xml").write_bytes(b"<root><other/></root>")
+    with pytest.raises(ValueError, match="no <rec> elements"):
+        read_xml(spark, str(tmp_path), "rec")
+
+
+def test_xxe_not_resolved(tmp_path):
+    """External entities must not be fetched/expanded (ElementTree
+    raises on undefined entities — the scan records, never leaks)."""
+    evil = (b"<?xml version='1.0'?><!DOCTYPE r [<!ENTITY x SYSTEM "
+            b"'file:///etc/hostname'>]><r><rec><name>&x;</name></rec></r>")
+    with pytest.raises(Exception):
+        list(xml_rows(io.BytesIO(evil), "rec"))
