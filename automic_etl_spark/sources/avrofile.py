@@ -23,11 +23,15 @@ Scope — the public Avro 1.11 specification
   (reference connectors/streaming/kafka.py:197-304: JSON/string/Avro
   with Schema-Registry lookup).
 
-Reading is writer-schema-only (no reader-schema resolution /
-promotion); recursive schemas are rejected (they have no DataFrame
-shape); non-nullable multi-branch unions are rejected rather than
-silently stringified — each is a documented ValueError, not a wrong
-answer.
+Reader-schema resolution (spec §"Schema Resolution") is supported:
+record fields match by name (writer-only fields are decoded and
+discarded, reader-only fields take their declared default), enum
+symbols fall back to the reader's declared default when unknown, and
+the numeric/string promotions (int→long/float/double, long→float/
+double, float→double, string↔bytes) apply. Recursive schemas are
+rejected (they have no DataFrame shape); non-nullable multi-branch
+unions are rejected rather than silently stringified — each is a
+documented ValueError, not a wrong answer.
 
 Scale: ``read_avro`` is one Spark task per container file (an OCF
 stream is sequential: blocks are delimited by the file's sync marker,
@@ -143,12 +147,17 @@ def parse_schema(schema, _names: dict | None = None, _namespace: str | None = No
                     f"recursive schema via record {full!r} — recursive "
                     "Avro types have no DataFrame shape"
                 )
-            node["fields"].append({"name": f["name"], "type": ftype})
+            field = {"name": f["name"], "type": ftype}
+            if "default" in f:  # kept for reader-schema resolution
+                field["default"] = f["default"]
+            node["fields"].append(field)
         return node
 
     if t == "enum":
         full = _fullname(schema["name"], schema.get("namespace", _namespace))
         node = {"type": "enum", "name": full, "symbols": list(schema["symbols"])}
+        if "default" in schema:
+            node["default"] = schema["default"]
         names[full] = node
         return node
 
@@ -360,15 +369,167 @@ def _union_branch(v, branches) -> int:
 # binary decoding
 # --------------------------------------------------------------------------
 
-def decode_value(data: bytes, schema) -> Any:
-    """Decode one binary-encoded value; raises on trailing bytes."""
+def decode_value(data: bytes, schema, reader_schema=None) -> Any:
+    """Decode one binary-encoded value (written under ``schema``);
+    raises on trailing bytes. ``reader_schema`` applies the spec's
+    schema-resolution rules (field matching by name, defaults,
+    promotions) — the evolution path for long-lived topic archives."""
+    if reader_schema is not None:
+        schema = resolve_schemas(schema, reader_schema)
     v, pos = _decode(memoryview(data), 0, schema)
     if pos != len(data):
         raise ValueError(f"{len(data) - pos} trailing bytes after value")
     return v
 
 
+# --------------------------------------------------------------------------
+# schema resolution — spec §"Schema Resolution"
+# --------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _default_value(node, default):
+    """JSON default → decoded-value space (spec: bytes/fixed defaults
+    are JSON strings of codepoints 0-255; union defaults conform to the
+    FIRST branch)."""
+    t = node["type"]
+    if t == "union":
+        return _default_value(node["branches"][0], default)
+    if t in ("bytes", "fixed") and isinstance(default, str):
+        return default.encode("latin-1")
+    if t == "record":
+        out = {}
+        for f in node["fields"]:
+            if isinstance(default, dict) and f["name"] in default:
+                out[f["name"]] = _default_value(f["type"], default[f["name"]])
+            elif "default" in f:
+                out[f["name"]] = _default_value(f["type"], f["default"])
+            else:
+                raise ValueError(f"record default missing field {f['name']!r}")
+        return out
+    if node.get("logicalType") == "date" and isinstance(default, int):
+        return _EPOCH + timedelta(days=default)
+    if node.get("logicalType") == "timestamp-millis" and isinstance(default, int):
+        return _EPOCH_DT + timedelta(milliseconds=default)
+    if node.get("logicalType") == "timestamp-micros" and isinstance(default, int):
+        return _EPOCH_DT + timedelta(microseconds=default)
+    return default
+
+
+def resolve_schemas(writer, reader):
+    """A decode plan: a normalized schema tree that READS the writer's
+    bytes but PRODUCES the reader's shape. Raises ValueError when the
+    schemas cannot resolve (incompatible types, reader field with no
+    writer field and no default)."""
+    w = parse_schema(writer)
+    r = parse_schema(reader)
+    return _resolve(w, r)
+
+
+def _resolve(w, r):
+    wt, rt = w["type"], r["type"]
+    if rt == "union":
+        if wt == "union":
+            # each writer branch must resolve against some reader branch
+            return {
+                "type": "union",
+                "branches": [_resolve_first(b, r["branches"]) for b in w["branches"]],
+            }
+        # writer non-union read as union: resolve against first match
+        return _resolve_first(w, r["branches"])
+    if wt == "union":
+        # reader non-union: every branch must resolve to the reader type
+        return {
+            "type": "union",
+            "branches": [_resolve(b, r) for b in w["branches"]],
+        }
+    if wt == rt and wt in _PRIMITIVES:
+        return dict(r)
+    if wt in _PROMOTIONS and rt in _PROMOTIONS.get(wt, ()):  # promotion
+        node = dict(w)  # decode with WRITER's wire type...
+        node["promote"] = rt  # ...then convert
+        # carry reader logical metadata only when wire-compatible
+        return node
+    if wt == rt == "array":
+        return {"type": "array", "items": _resolve(w["items"], r["items"])}
+    if wt == rt == "map":
+        return {"type": "map", "values": _resolve(w["values"], r["values"])}
+    if wt == rt == "fixed":
+        if w["size"] != r["size"]:
+            raise ValueError(f"fixed size mismatch {w['size']} != {r['size']}")
+        return dict(r)
+    if wt == rt == "enum":
+        missing = set(w["symbols"]) - set(r["symbols"])
+        node = dict(r)
+        node["symbols_writer"] = w["symbols"]
+        if missing and "default" not in r:
+            raise ValueError(
+                f"writer enum symbols {sorted(missing)} absent from reader "
+                "and no enum default declared"
+            )
+        return node
+    if wt == rt == "record":
+        rnames = {f["name"]: f for f in r["fields"]}
+        wire: list[tuple] = []  # writer order: ("keep", name, plan) | ("skip", plan)
+        resolved_types: dict[str, dict] = {}
+        for wf in w["fields"]:
+            rf = rnames.get(wf["name"])
+            if rf is None:
+                wire.append(("skip", wf["type"]))
+            else:
+                plan = _resolve(wf["type"], rf["type"])
+                resolved_types[rf["name"]] = plan
+                wire.append(("keep", rf["name"], plan))
+        defaults: dict[str, Any] = {}
+        rfields = []
+        for rf in r["fields"]:
+            if rf["name"] in resolved_types:
+                rfields.append({"name": rf["name"], "type": resolved_types[rf["name"]]})
+            elif "default" in rf:
+                defaults[rf["name"]] = _default_value(rf["type"], rf["default"])
+                rfields.append({"name": rf["name"], "type": rf["type"]})
+            else:
+                raise ValueError(
+                    f"reader field {rf['name']!r} has no writer field and "
+                    "no default"
+                )
+        return {
+            "type": "record", "name": r["name"], "fields": rfields,
+            "wire": wire, "defaults": defaults,
+        }
+    raise ValueError(f"cannot resolve writer {wt!r} against reader {rt!r}")
+
+
+def _resolve_first(w, branches):
+    last_err = None
+    for b in branches:
+        try:
+            return _resolve(w, b)
+        except ValueError as exc:
+            last_err = exc
+    raise ValueError(f"no reader union branch matches writer: {last_err}")
+
+
 def _decode(buf: memoryview, pos: int, s) -> tuple[Any, int]:
+    if "promote" in s:  # resolution plan: writer wire type, reader value
+        v, pos = _decode(buf, pos, {k: x for k, x in s.items() if k != "promote"})
+        p = s["promote"]
+        if p in ("float", "double"):
+            return float(v), pos
+        if p == "long":
+            return int(v), pos
+        if p == "bytes":
+            return (v.encode("utf-8") if isinstance(v, str) else v), pos
+        if p == "string":
+            return (v.decode("utf-8") if isinstance(v, (bytes, bytearray)) else v), pos
+        return v, pos
     t = s["type"]
     if t == "null":
         return None, pos
@@ -409,14 +570,27 @@ def _decode(buf: memoryview, pos: int, s) -> tuple[Any, int]:
         return raw, pos
     if t == "record":
         rec = {}
+        if "wire" in s:  # resolved plan: walk the WRITER's field order
+            for step in s["wire"]:
+                if step[0] == "skip":
+                    _, pos = _decode(buf, pos, step[1])
+                else:
+                    rec[step[1]], pos = _decode(buf, pos, step[2])
+            for k, v in s.get("defaults", {}).items():
+                rec[k] = v
+            return rec, pos
         for f in s["fields"]:
             rec[f["name"]], pos = _decode(buf, pos, f["type"])
         return rec, pos
     if t == "enum":
         idx, pos = _read_long(buf, pos)
-        if not 0 <= idx < len(s["symbols"]):
+        symbols = s.get("symbols_writer", s["symbols"])
+        if not 0 <= idx < len(symbols):
             raise ValueError(f"enum index {idx} out of range")
-        return s["symbols"][idx], pos
+        sym = symbols[idx]
+        if "symbols_writer" in s and sym not in s["symbols"]:
+            return s["default"], pos  # resolution guaranteed it exists
+        return sym, pos
     if t == "array":
         out = []
         while True:
@@ -573,10 +747,13 @@ class _StreamReader:
                 raise ValueError("varint longer than 10 bytes")
 
 
-def read_ocf(stream: BinaryIO) -> tuple[dict, str, Iterator[dict]]:
+def read_ocf(
+    stream: BinaryIO, reader_schema=None
+) -> tuple[dict, str, Iterator[dict]]:
     """Parse an OCF stream → (parsed_schema, schema_json, record iter).
     Sequential, one block in memory at a time; validates the sync
-    marker after every block."""
+    marker after every block. ``reader_schema`` (raw or parsed) decodes
+    through a resolution plan against the file's writer schema."""
     r = _StreamReader(stream)
     if r.read_exact(4) != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -595,6 +772,10 @@ def read_ocf(stream: BinaryIO) -> tuple[dict, str, Iterator[dict]]:
 
     schema_json = meta["avro.schema"].decode()
     parsed = parse_schema(schema_json)
+    decode_plan = parsed
+    if reader_schema is not None:
+        # parse_schema is idempotent on already-normalized trees
+        decode_plan = _resolve(parsed, parse_schema(reader_schema))
     codec = meta.get("avro.codec", b"null").decode()
     if codec in ("snappy", "zstandard"):
         raise NotImplementedError(
@@ -613,7 +794,7 @@ def read_ocf(stream: BinaryIO) -> tuple[dict, str, Iterator[dict]]:
             data = memoryview(decomp(body))
             dpos = 0
             for _ in range(count):
-                rec, dpos = _decode(data, dpos, parsed)
+                rec, dpos = _decode(data, dpos, decode_plan)
                 yield rec
             if dpos != len(data):
                 raise ValueError("block decoded short of its byte size")
@@ -644,7 +825,7 @@ def avro_to_spark_ddl(schema) -> str:
 
 
 def _spark_type(s) -> str:
-    t = s["type"]
+    t = s.get("promote", s["type"])
     lt = s.get("logicalType")
     if t == "union":
         non_null = [b for b in s["branches"] if b["type"] != "null"]
@@ -757,21 +938,32 @@ def read_avro(
     path,
     opener: Callable[[str], BinaryIO] | None = None,
     batch_rows: int = 2048,
+    reader_schema=None,
 ):
     """Avro container file(s) → DataFrame. One task per file (an OCF is
     a sequential block stream); ``opener`` is the same remote-storage
     seam as sources/warc (path → binary stream).
 
-    The schema is read from the FIRST file on the driver (one cheap
-    header read), and every file must match it — mismatched files
-    raise executor-side rather than silently union-casting."""
+    Without ``reader_schema``, the schema is read from the FIRST file
+    on the driver (one cheap header read) and every file must match it
+    — mismatched files raise executor-side rather than silently
+    union-casting. WITH ``reader_schema``, each file's writer schema is
+    RESOLVED against it (spec schema-resolution: defaults, skipped
+    fields, promotions), so a directory spanning schema versions reads
+    as one uniform DataFrame — the evolution story a long-lived topic
+    archive needs."""
     import pandas as pd
 
     files = _list_avro_files(path)
     if not files:
         raise ValueError(f"no .avro files under {path!r}")
-    with (opener(files[0]) if opener else open(files[0], "rb")) as f0:
-        parsed, schema_json, _ = read_ocf(f0)
+    if reader_schema is not None:
+        parsed = parse_schema(
+            reader_schema if isinstance(reader_schema, str) else json.dumps(reader_schema)
+        )
+    else:
+        with (opener(files[0]) if opener else open(files[0], "rb")) as f0:
+            parsed, schema_json, _ = read_ocf(f0)
     ddl = avro_to_spark_ddl(parsed)
     cols = [f["name"] for f in parsed["fields"]]
     converters = [_to_pandas_cell(f["type"]) for f in parsed["fields"]]
@@ -781,8 +973,10 @@ def read_avro(
             for fpath in pdf["path"]:
                 stream = opener(fpath) if opener else open(fpath, "rb")
                 try:
-                    fparsed, fjson, records = read_ocf(stream)
-                    if [f["name"] for f in fparsed["fields"]] != cols:
+                    fparsed, fjson, records = read_ocf(
+                        stream, reader_schema=parsed if reader_schema is not None else None
+                    )
+                    if reader_schema is None and [f["name"] for f in fparsed["fields"]] != cols:
                         raise ValueError(
                             f"{fpath}: field names differ from {files[0]}"
                         )

@@ -334,3 +334,81 @@ def test_read_avro_opener_seam(spark, tmp_path):
     out = read_avro(spark, str(path), opener=opener)
     assert sorted(r.x for r in out.collect()) == [0, 1, 2, 3, 4]
     assert calls  # driver header read at minimum went through the seam
+
+
+# --------------------------------------------------------------------------
+# schema resolution (spec §Schema Resolution)
+# --------------------------------------------------------------------------
+
+V1 = {"type": "record", "name": "evt", "fields": [
+    {"name": "id", "type": "int"},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "legacy", "type": "string"},
+]}
+V2 = {"type": "record", "name": "evt", "fields": [
+    {"name": "id", "type": "long"},                      # int -> long promotion
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "score", "type": "double", "default": 1.5},  # new, defaulted
+    {"name": "note", "type": ["null", "string"], "default": None},
+    # "legacy" dropped: skipped on the wire
+]}
+
+
+def test_resolution_defaults_skips_promotions():
+    body = encode_value(
+        {"id": 7, "tags": ["a"], "legacy": "old"}, parse_schema(V1))
+    out = decode_value(body, parse_schema(V1), reader_schema=V2)
+    assert out == {"id": 7, "tags": ["a"], "score": 1.5, "note": None}
+    assert isinstance(out["id"], int)
+
+
+def test_resolution_numeric_and_string_promotions():
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "int"}, {"name": "b", "type": "string"},
+        {"name": "c", "type": "float"}]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "double"}, {"name": "b", "type": "bytes"},
+        {"name": "c", "type": "double"}]}
+    body = encode_value({"a": 3, "b": "hi", "c": 0.5}, parse_schema(w))
+    out = decode_value(body, parse_schema(w), reader_schema=r)
+    assert out["a"] == 3.0 and isinstance(out["a"], float)
+    assert out["b"] == b"hi"
+    assert abs(out["c"] - 0.5) < 1e-9
+
+
+def test_resolution_enum_default_for_unknown_symbol():
+    w = {"type": "enum", "name": "E", "symbols": ["A", "B", "NEW"]}
+    r = {"type": "enum", "name": "E", "symbols": ["A", "B"], "default": "A"}
+    body = encode_value("NEW", parse_schema(w))
+    assert decode_value(body, parse_schema(w), reader_schema=r) == "A"
+    r_nodefault = {"type": "enum", "name": "E", "symbols": ["A", "B"]}
+    with pytest.raises(ValueError, match="no enum default"):
+        decode_value(body, parse_schema(w), reader_schema=r_nodefault)
+
+
+def test_resolution_missing_field_no_default_rejected():
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "int"}]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "int"}, {"name": "y", "type": "string"}]}
+    with pytest.raises(ValueError, match="no writer field and no default"):
+        decode_value(encode_value({"x": 1}, parse_schema(w)),
+                     parse_schema(w), reader_schema=r)
+
+
+def test_read_avro_unifies_schema_versions(spark, tmp_path):
+    """A directory mixing v1 and v2 files reads as ONE reader-shaped
+    DataFrame — the long-lived-topic-archive case."""
+    (tmp_path / "v1.avro").write_bytes(write_ocf(
+        [{"id": i, "tags": [f"t{i}"], "legacy": "x"} for i in range(3)], V1))
+    (tmp_path / "v2.avro").write_bytes(write_ocf(
+        [{"id": 100 + i, "tags": [], "score": 9.0, "note": "n"}
+         for i in range(2)], V2))
+    df = read_avro(spark, str(tmp_path), reader_schema=V2)
+    assert dict(df.dtypes) == {
+        "id": "bigint", "tags": "array<string>", "score": "double",
+        "note": "string"}
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 5
+    assert rows[1].score == 1.5 and rows[1].note is None  # defaulted
+    assert rows[101].score == 9.0 and rows[101].note == "n"
