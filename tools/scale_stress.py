@@ -55,6 +55,7 @@ def _workloads():
         q_ann_join,
         q_audio_fingerprint,
         q_audio_meta,
+        q_avro_scan,
         q_bpe_tokenize,
         q_corpus_curate,
         q_decontaminate,
@@ -75,6 +76,7 @@ def _workloads():
         q_substring_dedup,
         q_token_mixture,
         q_warc_extract,
+        q_exif_scrub,
     )
     from automic_etl_spark.queries.relational import (
         q_agg_having,
@@ -122,6 +124,8 @@ def _workloads():
         "window_running_sum": q_window_running_sum,
         "asof_join": q_asof_join,
         "audio_meta": q_audio_meta,
+        "avro_scan": q_avro_scan,
+        "exif_scrub": q_exif_scrub,
     }
 
 
