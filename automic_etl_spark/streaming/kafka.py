@@ -14,6 +14,7 @@ construction and envelope projection are testable without it, and
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 ENVELOPE_COLS = ["key", "value", "topic", "partition", "offset", "timestamp", "headers"]
@@ -26,14 +27,27 @@ class KafkaSource:
         bootstrap_servers: str,
         topic: str,
         starting_offsets: str = "latest",
-        value_format: str = "json",   # json | string | bytes
+        value_format: str = "json",   # json | string | bytes | avro
         value_schema: str | None = None,
+        schema_registry: dict[int, object] | None = None,
         extra_options: dict[str, str] | None = None,
     ):
+        """``value_format="avro"`` decodes Confluent-framed values
+        (magic 0x00 + schema id + Avro binary — the reference's
+        Avro+Schema-Registry consumer mode, kafka.py:197-304) through
+        the first-party codec: ``value_schema`` is the READER schema
+        (Avro JSON) that shapes the output struct; ``schema_registry``
+        is a schema-id → writer-schema dict (a registry client's cache
+        in offline form) — ids found there decode with full
+        schema-resolution against the reader, unknown ids fall back to
+        the reader schema itself (uniform-topic case)."""
         self.spark = spark
         self.topic = topic
         self.value_format = value_format
         self.value_schema = value_schema
+        self.schema_registry = schema_registry
+        if value_format == "avro" and not value_schema:
+            raise ValueError("value_format='avro' needs value_schema (reader schema)")
         self.options = {
             "kafka.bootstrap.servers": bootstrap_servers,
             "subscribe": topic,
@@ -60,6 +74,13 @@ class KafkaSource:
         )
         if self.value_format == "string":
             out = out.withColumn("value", F.col("value").cast("string"))
+        elif self.value_format == "avro":
+            out = out.withColumn(
+                "value",
+                avro_value_decoder(self.value_schema, self.schema_registry)(
+                    F.col("value")
+                ),
+            )
         elif self.value_format == "json":
             if self.value_schema:
                 out = out.withColumn(
@@ -99,3 +120,68 @@ class KafkaSink:
             .option("checkpointLocation", checkpoint)
             .start()
         )
+
+
+def avro_value_decoder(reader_schema, schema_registry=None):
+    """Arrow-batched pandas_udf: Confluent-framed (or bare) Avro value
+    bytes → struct column shaped by the READER schema. Framed payloads
+    whose schema id appears in ``schema_registry`` decode under that
+    WRITER schema with spec schema-resolution against the reader
+    (defaults / skipped fields / promotions — evolving topics read
+    uniformly); unknown ids and unframed payloads decode with the
+    reader schema directly. Spark's own `from_avro` needs the external
+    spark-avro jar; this is the jarless equivalent, first-party codec
+    underneath."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    from automic_etl_spark.sources.avrofile import (
+        avro_to_spark_ddl,
+        parse_schema,
+        resolve_schemas,
+        _decode,
+    )
+
+    reader_json = (
+        reader_schema if isinstance(reader_schema, str) else _json.dumps(reader_schema)
+    )
+    parsed_reader = parse_schema(reader_json)
+    ddl = f"struct<{avro_to_spark_ddl(parsed_reader).replace('`', '')}>"
+    field_names = [f["name"] for f in parsed_reader["fields"]]
+    registry_json = {
+        k: (v if isinstance(v, str) else _json.dumps(v))
+        for k, v in (schema_registry or {}).items()
+    }
+
+    @pandas_udf(ddl)
+    def decode(col: pd.Series) -> pd.DataFrame:
+        plans: dict[int, dict] = {}
+
+        def plan_for(sid: int) -> dict:
+            if sid not in plans:
+                if sid in registry_json:
+                    plans[sid] = resolve_schemas(registry_json[sid], parsed_reader)
+                else:
+                    plans[sid] = parsed_reader
+            return plans[sid]
+
+        rows = []
+        for payload in col:
+            if payload is None:
+                rows.append(None)
+                continue
+            b = bytes(payload)
+            if len(b) >= 5 and b[0] == 0:  # Confluent framing
+                sid = int.from_bytes(b[1:5], "big")
+                body, plan = b[5:], plan_for(sid)
+            else:
+                body, plan = b, parsed_reader
+            rec, _pos = _decode(memoryview(body), 0, plan)
+            rows.append({k: rec.get(k) for k in field_names})
+        return pd.DataFrame(
+            [r if r is not None else {k: None for k in field_names} for r in rows],
+            columns=field_names,
+        )
+
+    return decode

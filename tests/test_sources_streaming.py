@@ -225,3 +225,67 @@ def test_orc_connector_round_trip(spark, tmp_path):
     want = src.select("c_custkey", "c_mktsegment").filter("c_custkey < 50")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert "c_custkey" in OrcConnector(spark, path).get_schema()
+
+
+def test_kafka_avro_value_decoding_with_registry(spark):
+    """value_format='avro': Confluent-framed payloads decode through
+    the first-party codec; registry-known writer schemas resolve
+    against the reader (defaults applied, skipped fields dropped,
+    int->long promoted); bare (unframed) payloads decode directly."""
+    from automic_etl_spark.sources.avrofile import (
+        confluent_wrap,
+        encode_value,
+        parse_schema,
+    )
+    from automic_etl_spark.streaming.kafka import avro_value_decoder
+
+    from pyspark.sql import functions as F
+
+    v1 = {"type": "record", "name": "e", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "legacy", "type": "string"}]}
+    v2 = {"type": "record", "name": "e", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "score", "type": "double", "default": 2.5}]}
+    payloads = [
+        (1, confluent_wrap(1, encode_value({"id": 7, "legacy": "x"}, parse_schema(v1)))),
+        (2, confluent_wrap(2, encode_value({"id": 9, "score": 4.0}, parse_schema(v2)))),
+        (3, encode_value({"id": 3, "score": 1.0}, parse_schema(v2))),
+    ]
+    df = spark.createDataFrame(
+        [(k, bytearray(p)) for k, p in payloads], "k long, value binary")
+    out = df.withColumn(
+        "value", avro_value_decoder(v2, {1: v1, 2: v2})(F.col("value")))
+    assert dict(out.dtypes)["value"] == "struct<id:bigint,score:double>"
+    rows = {r.k: r.value for r in out.collect()}
+    assert rows[1].id == 7 and rows[1].score == 2.5   # v1 resolved
+    assert rows[2].id == 9 and rows[2].score == 4.0
+    assert rows[3].id == 3 and rows[3].score == 1.0   # bare framing
+
+
+def test_kafka_source_avro_requires_reader_schema(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs value_schema"):
+        KafkaSource(spark, "b:9092", "t", value_format="avro")
+
+
+def test_kafka_source_avro_envelope_projection(spark):
+    """envelope() over a kafka-shaped frame decodes the value column
+    to the reader struct — no jar needed for the projection path."""
+    from automic_etl_spark.sources.avrofile import encode_value, parse_schema
+
+    v = {"type": "record", "name": "e", "fields": [
+        {"name": "id", "type": "long"}]}
+    src = KafkaSource(
+        spark, "b:9092", "t", value_format="avro",
+        value_schema=__import__("json").dumps(v))
+    raw = spark.createDataFrame(
+        [("k1", bytearray(encode_value({"id": 42}, parse_schema(v))),
+          "t", 0, 0, None, None)],
+        "key string, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, "
+        "headers array<struct<key:string,value:binary>>",
+    )
+    out = src.envelope(raw).collect()
+    assert out[0].value.id == 42 and out[0].key == "k1"
