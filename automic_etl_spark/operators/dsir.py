@@ -1,0 +1,213 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+distribution looks like a small TARGET corpus (the published method
+behind "give me web documents that look like Wikipedia/books").
+
+Method (as published):
+1. featurize every document as hashed n-gram counts (unigrams+bigrams
+   hashed into B buckets — the paper uses B=10,000);
+2. fit bag-of-buckets models p_target and p_raw (add-one smoothing);
+3. per raw document, importance log-weight = Σ_ngrams log
+   p_target(bucket) / p_raw(bucket);
+4. sample without replacement via Gumbel top-k over the log-weights.
+
+Spark-first shape — every stage is the scale-safe form:
+- featurize/fit: one explode + groupBy(bucket) per corpus (B-bounded
+  state; the bucket-count table is ≤ B rows, broadcastable by AQE);
+- weights: explode + broadcast join on the ≤ 2B-row log-ratio table +
+  one groupBy(doc) integer SUM — no driver loop, no all-pairs;
+- select: Gumbel key + ONE top-k window (rank over a single ordering).
+
+Determinism / oracle-replayability (the repo's proven ngramlm recipe,
+llmops.py logscore_e6): bucket ids use the portable md5-15-hex BIGINT
+convention; per-bucket log10-ratios quantize to INTEGER micro-units
+(lr_e6) BEFORE the per-doc sum, so document weights are exact integer
+sums — no float fold-order dependence between engines; the Gumbel key
+is also e6-quantized from a hash-derived uniform, making the top-k
+ordering integer-deterministic (ties broken by doc id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "hashed_ngram_buckets",
+    "fit_bucket_counts",
+    "bucket_log_ratios",
+    "dsir_weights",
+    "dsir_select",
+]
+
+DEFAULT_BUCKETS = 10_000
+
+
+def _portable_bucket(ngram: Column, buckets: int) -> Column:
+    """md5 first-15-hex → BIGINT → % buckets — replayable in any engine
+    with md5 (the repo-wide portable-hash convention)."""
+    return (
+        F.conv(F.substring(F.md5(ngram), 1, 15), 16, 10).cast("long")
+        % F.lit(buckets)
+    )
+
+
+def hashed_ngram_buckets(
+    text: Column | str, buckets: int = DEFAULT_BUCKETS
+) -> Column:
+    """array<long> of hashed unigram+bigram buckets for a text column
+    (the paper's feature map). Empty/NULL text → empty array."""
+    from automic_etl_spark.operators.textops import tokenize
+
+    c = F.col(text) if isinstance(text, str) else text
+    toks = F.when(
+        F.length(F.trim(F.coalesce(c, F.lit("")))) > 0,
+        tokenize(F.coalesce(c, F.lit(""))),
+    ).otherwise(F.array().cast("array<string>"))
+    unis = toks
+    bis = F.when(F.size(toks) >= 2, F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(unis, bis)
+    return F.transform(grams, lambda g: _portable_bucket(g, buckets))
+
+
+def fit_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Bag-of-buckets counts for a corpus: (bucket long, cnt long).
+    ≤ ``buckets`` rows out — one explode + one groupBy; the result is
+    tiny regardless of corpus size (B-bounded state, like a sketch)."""
+    return (
+        df.select(
+            F.explode(hashed_ngram_buckets(text_col, buckets)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bucket_log_ratios(
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-bucket importance log-ratio table: (bucket, lr_e6) where
+    lr_e6 = round((log10 p_target(b) - log10 p_raw(b)) * 1e6) with
+    add-one smoothing — INTEGER per-bucket quantization makes every
+    downstream document weight an exact integer sum (oracle-stable).
+    Buckets unseen in BOTH corpora have ratio p_t/p_r = smoothing/
+    smoothing ≠ 0 in general (totals differ), so the full B-row table
+    is materialized via a sequence, not just observed buckets."""
+    # ONE driver action for both totals (tagged union-agg — the same
+    # O(1)-actions discipline as the curate()/multimodal tallies)
+    tagged = target_counts.select(F.lit("t").alias("__k"), "cnt").unionAll(
+        raw_counts.select(F.lit("r").alias("__k"), "cnt")
+    )
+    totals = {
+        r["__k"]: int(r["s"])
+        for r in tagged.groupBy("__k").agg(F.sum("cnt").alias("s")).collect()
+    }
+    t_total = totals.get("t", 0)
+    r_total = totals.get("r", 0)
+    spark = target_counts.sparkSession
+    all_b = spark.range(buckets).select(F.col("id").alias("bucket"))
+    joined = (
+        all_b.join(target_counts.withColumnRenamed("cnt", "t_cnt"), "bucket", "left")
+        .join(raw_counts.withColumnRenamed("cnt", "r_cnt"), "bucket", "left")
+        .fillna(0, ["t_cnt", "r_cnt"])
+    )
+    lr = (
+        F.log10(F.col("t_cnt") + 1)
+        - F.log10(F.lit(float(t_total + buckets)))
+        - F.log10(F.col("r_cnt") + 1)
+        + F.log10(F.lit(float(r_total + buckets)))
+    )
+    return joined.select(
+        "bucket", F.round(lr * 1e6).cast("long").alias("lr_e6")
+    )
+
+
+def dsir_weights(
+    raw_df: DataFrame,
+    ratios: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Per-document importance weight: (id, weight_e6, n_grams).
+    Explode → broadcast join on the B-row ratio table → integer SUM
+    per document. Documents with zero n-grams weight 0."""
+    grams = raw_df.select(
+        F.col(id_col),
+        F.explode_outer(hashed_ngram_buckets(text_col, buckets)).alias("bucket"),
+    )
+    return (
+        grams.join(F.broadcast(ratios), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.sum("lr_e6"), F.lit(0)).alias("weight_e6"),
+            F.count("bucket").alias("n_grams"),
+        )
+    )
+
+
+#: ln(10) — converts log10-e6 weights to natural-log micro-units, the
+#: scale Gumbel noise lives on (both engines evaluate the same double)
+_LN10 = 2.302585092994046
+
+
+def dsir_select(
+    raw_df: DataFrame,
+    weights: DataFrame,
+    keep_n: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    length_normalize: bool = True,
+    gumbel_scale: float = 1.0,
+) -> DataFrame:
+    """Gumbel top-k selection (the paper's sampling-without-replacement):
+    key = importance log-weight (natural-log micro-units) + Gumbel
+    noise, keep the ``keep_n`` largest.
+
+    ``length_normalize`` floors the weight by the gram count first
+    (floor in e6 space, floor on BOTH engines) — the stand-in for the
+    paper's fixed-length chunking step: without it, document LENGTH
+    dominates the total log-ratio and selection degenerates to
+    shortest-doc-wins on off-target corpora. ``gumbel_scale`` is the
+    sampling temperature: 1.0 = faithful Gumbel top-k over per-gram
+    average log-ratios (high variance on short documents, where one
+    Gumbel draw outweighs the per-gram signal), → 0 = deterministic
+    top-k by weight. The Gumbel uniform is hash-derived from
+    (id, seed) via the portable md5 convention, so selection is
+    deterministic and engine-replayable; ranking ties break by id.
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    each partition keeps a local top-k heap, the driver merges k rows
+    (ids only) — no global single-partition window. keep_n in the
+    millions costs the driver ~8 MB/M ids; beyond that, pre-filter
+    with a weight threshold before selecting."""
+    u = (
+        (F.conv(F.substring(F.md5(F.concat_ws("|", F.col(id_col).cast("string"),
+                                               F.lit(str(seed)))), 1, 15), 16, 10)
+         .cast("long") % F.lit(1_000_000)).cast("double") + 0.5
+    ) / 1e6
+    gumbel_e6 = F.round(-F.log(-F.log(u)) * (1e6 * gumbel_scale)).cast("long")
+    log10_e6 = (
+        F.floor(F.col("weight_e6") / F.greatest(F.col("n_grams"), F.lit(1)))
+        .cast("long")
+        if length_normalize
+        else F.col("weight_e6")
+    )
+    base = F.round(log10_e6 * F.lit(_LN10)).cast("long")
+    keyed = weights.select(
+        id_col, (base + gumbel_e6).alias("__key_e6")
+    )
+    picked = (
+        keyed.orderBy(F.col("__key_e6").desc(), F.col(id_col))
+        .limit(keep_n)
+        .select(id_col)
+    )
+    return raw_df.join(picked, id_col, "left_semi")  # AQE broadcasts small keep-sets

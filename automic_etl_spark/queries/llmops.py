@@ -1836,3 +1836,125 @@ ORDER BY doc_id
 
 QUERIES_TAIL["xml_extract"] = q_xml_extract_gate
 ORACLE_TAIL["xml_extract"] = ORACLE_XML_EXTRACT
+
+
+# --------------------------------------------------------------------------
+# DSIR importance-resampling gate (operators/dsir, r9; Xie et al. 2023)
+# — the target corpus is documents with doc_id % 7 == 0, the raw pool
+# is the rest; the oracle replays the ENTIRE method in SQL: hashed
+# unigram+bigram buckets (portable md5), add-one-smoothed log10
+# ratios quantized to integer micro-units, exact integer per-doc
+# weights, and the hash-seeded Gumbel top-k. Any drift in hashing,
+# smoothing, quantization order or the selection key hash-fails.
+# --------------------------------------------------------------------------
+
+_DSIR_N = 150
+_DSIR_B = 512
+_DSIR_KEEP = 40
+
+
+def q_dsir_select_gate(spark, sf_dir):
+    from automic_etl_spark.operators.dsir import (
+        bucket_log_ratios,
+        dsir_select,
+        dsir_weights,
+        fit_bucket_counts,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _DSIR_N)
+        .select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text"))
+    )
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    ratios = bucket_log_ratios(
+        fit_bucket_counts(target, buckets=_DSIR_B),
+        fit_bucket_counts(raw, buckets=_DSIR_B),
+        buckets=_DSIR_B,
+    )
+    weights = dsir_weights(raw, ratios, buckets=_DSIR_B)
+    kept = dsir_select(raw, weights, keep_n=_DSIR_KEEP, seed=3)
+    return (
+        kept.join(weights, "doc_id")
+        .select("doc_id", "weight_e6", "n_grams")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DSIR = f"""
+WITH docs AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM documents WHERE doc_id < {_DSIR_N}
+),
+toks AS (
+  SELECT doc_id, doc_id % 7 = 0 AS is_target,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(text), '\\s+') END AS w
+  FROM docs
+),
+grams AS (
+  SELECT doc_id, is_target,
+         CAST(('0x' || substr(md5(g.g), 1, 15)) AS BIGINT) % {_DSIR_B} AS bucket
+  FROM toks,
+       UNNEST(list_concat(
+         w,
+         list_transform(
+           CASE WHEN len(w) >= 2
+                THEN generate_series(1, len(w) - 1) ELSE [] END,
+           i -> w[i] || ' ' || w[i + 1])
+       )) AS g(g)
+),
+t_counts AS (
+  SELECT bucket, count(*) AS t_cnt FROM grams WHERE is_target GROUP BY bucket
+),
+r_counts AS (
+  SELECT bucket, count(*) AS r_cnt FROM grams WHERE NOT is_target GROUP BY bucket
+),
+totals AS (
+  SELECT (SELECT coalesce(sum(t_cnt), 0) FROM t_counts) AS t_total,
+         (SELECT coalesce(sum(r_cnt), 0) FROM r_counts) AS r_total
+),
+ratios AS (
+  SELECT b.range AS bucket,
+         CAST(round((((log10(coalesce(t.t_cnt, 0) + 1)
+                        - log10(CAST(tt.t_total + {_DSIR_B} AS DOUBLE)))
+                       - log10(coalesce(r.r_cnt, 0) + 1))
+                      + log10(CAST(tt.r_total + {_DSIR_B} AS DOUBLE))) * 1e6)
+              AS BIGINT) AS lr_e6
+  FROM range({_DSIR_B}) b
+  LEFT JOIN t_counts t ON t.bucket = b.range
+  LEFT JOIN r_counts r ON r.bucket = b.range
+  CROSS JOIN totals tt
+),
+weights AS (
+  SELECT g.doc_id,
+         coalesce(sum(rt.lr_e6), 0) AS weight_e6,
+         count(g.bucket) AS n_grams
+  FROM grams g JOIN ratios rt ON rt.bucket = g.bucket
+  WHERE NOT g.is_target
+  GROUP BY g.doc_id
+),
+all_raw AS (  -- zero-gram raw docs still carry weight 0
+  SELECT t.doc_id,
+         CAST(coalesce(w.weight_e6, 0) AS BIGINT) AS weight_e6,
+         CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams
+  FROM toks t LEFT JOIN weights w ON w.doc_id = t.doc_id
+  WHERE NOT t.is_target
+),
+keyed AS (
+  SELECT doc_id, weight_e6, n_grams,
+         CAST(round(floor(weight_e6 / greatest(n_grams, 1))
+                    * 2.302585092994046) AS BIGINT)
+         + CAST(round(-ln(-ln((CAST(('0x' || substr(
+               md5(CAST(doc_id AS VARCHAR) || '|3'), 1, 15)) AS BIGINT)
+               % 1000000 + 0.5) / 1e6)) * 1e6) AS BIGINT) AS key_e6
+  FROM all_raw
+)
+SELECT doc_id, weight_e6, n_grams
+FROM (SELECT * FROM keyed ORDER BY key_e6 DESC, doc_id LIMIT {_DSIR_KEEP})
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["dsir_select"] = q_dsir_select_gate
+ORACLE_TAIL["dsir_select"] = ORACLE_DSIR

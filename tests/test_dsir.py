@@ -1,0 +1,174 @@
+"""DSIR importance-resampling tests: a pure-Python model (same md5
+bucket convention, same e6 quantization) replays the entire pipeline
+and must agree EXACTLY — weights, gumbel keys, and the selected set."""
+
+import hashlib
+import math
+
+import pytest
+
+from automic_etl_spark.operators.dsir import (
+    DEFAULT_BUCKETS,
+    bucket_log_ratios,
+    dsir_select,
+    dsir_weights,
+    fit_bucket_counts,
+    hashed_ngram_buckets,
+)
+
+B = 128  # small bucket space: collisions exercised
+
+
+def _bucket(ngram: str) -> int:
+    return int(hashlib.md5(ngram.encode()).hexdigest()[:15], 16) % B
+
+
+def _grams(text: str) -> list[int]:
+    toks = text.split()
+    if not toks or not text.strip():
+        return []
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [_bucket(g) for g in grams]
+
+
+LN10 = 2.302585092994046
+
+
+def _model(target_texts, raw_docs, keep_n, seed=0, gumbel_scale=1.0):
+    """Pure-Python DSIR replay → (weights_e6 dict, kept id list)."""
+    t_counts: dict[int, int] = {}
+    r_counts: dict[int, int] = {}
+    for t in target_texts:
+        for b in _grams(t):
+            t_counts[b] = t_counts.get(b, 0) + 1
+    for _, t in raw_docs:
+        for b in _grams(t):
+            r_counts[b] = r_counts.get(b, 0) + 1
+    t_total, r_total = sum(t_counts.values()), sum(r_counts.values())
+    lr = {
+        b: round(
+            (math.log10(t_counts.get(b, 0) + 1) - math.log10(t_total + B)
+             - math.log10(r_counts.get(b, 0) + 1) + math.log10(r_total + B))
+            * 1e6
+        )
+        for b in range(B)
+    }
+    weights = {}
+    grams_n = {}
+    for rid, t in raw_docs:
+        g = _grams(t)
+        weights[rid] = sum(lr[b] for b in g)
+        grams_n[rid] = len(g)
+    keys = {}
+    for rid in weights:
+        u = (int(hashlib.md5(f"{rid}|{seed}".encode()).hexdigest()[:15], 16)
+             % 1_000_000 + 0.5) / 1e6
+        gum = round(-math.log(-math.log(u)) * (1e6 * gumbel_scale))
+        base = round(math.floor(weights[rid] / max(grams_n[rid], 1)) * LN10)
+        keys[rid] = base + gum
+    kept = sorted(keys, key=lambda r: (-keys[r], r))[:keep_n]
+    return weights, sorted(kept)
+
+
+TARGET = [
+    "the quick brown fox jumps over the lazy dog",
+    "the brown dog sleeps near the quick fox",
+    "foxes and dogs are quick brown animals",
+]
+RAW = [
+    (1, "the quick brown fox likes the lazy dog"),       # target-like
+    (2, "stock market prices rose sharply on tuesday"),
+    (3, "brown fox quick dog lazy the the the"),         # target-like
+    (4, "quarterly earnings beat analyst expectations"),
+    (5, ""),                                             # empty: 0 grams
+    (6, "the dog and the fox are brown and quick"),      # target-like
+    (7, "central bank raises interest rates again"),
+    (8, "a quick brown animal near a lazy animal"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    target = spark.createDataFrame([(t,) for t in TARGET], "text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    return target, raw
+
+
+def test_hashed_buckets_match_model(spark, frames):
+    _, raw = frames
+    from pyspark.sql import functions as F
+
+    got = {
+        r.doc_id: list(r.b)
+        for r in raw.select(
+            "doc_id", hashed_ngram_buckets("text", B).alias("b")
+        ).collect()
+    }
+    for rid, text in RAW:
+        assert got[rid] == _grams(text), rid
+
+
+def test_weights_match_model_exactly(spark, frames):
+    target, raw = frames
+    t_counts = fit_bucket_counts(target, buckets=B)
+    r_counts = fit_bucket_counts(raw, buckets=B)
+    ratios = bucket_log_ratios(t_counts, r_counts, buckets=B)
+    w = dsir_weights(raw, ratios, buckets=B)
+    got = {r.doc_id: (r.weight_e6, r.n_grams) for r in w.collect()}
+    model_w, _ = _model(TARGET, RAW, keep_n=4)
+    for rid, text in RAW:
+        assert got[rid][0] == model_w[rid], rid
+        assert got[rid][1] == len(_grams(text))
+    assert got[5] == (0, 0)  # empty doc
+
+
+def test_selection_matches_model_and_prefers_target_like(spark, frames):
+    target, raw = frames
+    ratios = bucket_log_ratios(
+        fit_bucket_counts(target, buckets=B),
+        fit_bucket_counts(raw, buckets=B),
+        buckets=B,
+    )
+    w = dsir_weights(raw, ratios, buckets=B)
+    kept = sorted(
+        r.doc_id for r in dsir_select(raw, w, keep_n=4).select("doc_id").collect()
+    )
+    _, model_kept = _model(TARGET, RAW, keep_n=4)
+    assert kept == model_kept
+    # distribution sanity at low temperature (per-gram signal dominates
+    # the Gumbel draw): picks are exactly the target-like docs
+    cold = sorted(
+        r.doc_id
+        for r in dsir_select(raw, w, keep_n=4, gumbel_scale=0.01).collect()
+    )
+    _, model_cold = _model(TARGET, RAW, keep_n=4, gumbel_scale=0.01)
+    assert cold == model_cold
+    assert len(set(cold) & {1, 3, 6, 8}) >= 3
+
+
+def test_selection_deterministic_across_seeds_and_sensitive_to_seed(spark, frames):
+    target, raw = frames
+    ratios = bucket_log_ratios(
+        fit_bucket_counts(target, buckets=B),
+        fit_bucket_counts(raw, buckets=B),
+        buckets=B,
+    )
+    w = dsir_weights(raw, ratios, buckets=B)
+    a = sorted(r.doc_id for r in dsir_select(raw, w, keep_n=4, seed=1).collect())
+    b = sorted(r.doc_id for r in dsir_select(raw, w, keep_n=4, seed=1).collect())
+    assert a == b
+    seeds = {
+        tuple(sorted(r.doc_id for r in dsir_select(raw, w, keep_n=4, seed=s).collect()))
+        for s in range(6)
+    }
+    assert len(seeds) > 1  # gumbel noise actually varies by seed
+
+
+def test_ratio_table_is_full_and_bounded(spark, frames):
+    target, raw = frames
+    ratios = bucket_log_ratios(
+        fit_bucket_counts(target, buckets=B),
+        fit_bucket_counts(raw, buckets=B),
+        buckets=B,
+    )
+    assert ratios.count() == B  # unseen buckets included (nonzero ratio)
