@@ -162,6 +162,18 @@ class CorpusCurator:
     # group), the same class of exception as the perplexity quantile.
     token_budgets: dict | None = None
     mixing_group_col: str = "source"
+    # DSIR importance resampling (r9, Xie et al. 2023): keep the
+    # dsir_keep_n documents whose hashed-n-gram distribution best
+    # matches the ``dsir_target`` corpus passed to curate() — applied
+    # AFTER quality gates / caps (select among survivors) and BEFORE
+    # the token-budget mixture. None disables. Costs ONE inherent
+    # collect (the fit totals — tagged union-agg, same class as the
+    # mixture group-totals collect). gumbel_scale is the sampling
+    # temperature (1.0 faithful Gumbel top-k, →0 deterministic top-k).
+    dsir_keep_n: int | None = None
+    dsir_buckets: int = 10_000
+    dsir_seed: int = 0
+    dsir_gumbel_scale: float = 1.0
     # PII scrubbing (r7): rewrite text through services/redaction's
     # regex patterns (email/phone/ssn/...) after every content gate and
     # BEFORE split/packing, so packed token budgets count the text that
@@ -196,6 +208,7 @@ class CorpusCurator:
         text_col: str = "text",
         benchmark: DataFrame | None = None,
         embeddings: DataFrame | None = None,
+        dsir_target: DataFrame | None = None,
     ) -> tuple[DataFrame, dict]:
         """Returns (curated DataFrame with quality + split columns,
         per-stage report). Deterministic: every removal keeps the
@@ -537,6 +550,41 @@ class CorpusCurator:
                 ),
             )
 
+        # 5a. optional DSIR importance resampling toward a target corpus
+        # (select target-like survivors before budgeting); requires the
+        # dsir_target frame — keep_n set without a target is a config
+        # error, not a silent no-op
+        if self.dsir_keep_n is not None:
+            if dsir_target is None:
+                raise ValueError(
+                    "dsir_keep_n is set but curate() got no dsir_target "
+                    "corpus — pass dsir_target=<DataFrame with text_col>"
+                )
+            from automic_etl_spark.operators.dsir import (
+                bucket_log_ratios,
+                dsir_select,
+                dsir_weights,
+                fit_bucket_counts,
+            )
+
+            ratios = bucket_log_ratios(
+                fit_bucket_counts(dsir_target, text_col, self.dsir_buckets),
+                fit_bucket_counts(kept, text_col, self.dsir_buckets),
+                buckets=self.dsir_buckets,
+            )
+            dw = dsir_weights(
+                kept, ratios, id_col=id_col, text_col=text_col,
+                buckets=self.dsir_buckets,
+            )
+            kept = stage(
+                "dsir",
+                dsir_select(
+                    kept, dw, keep_n=self.dsir_keep_n, id_col=id_col,
+                    seed=self.dsir_seed,
+                    gumbel_scale=self.dsir_gumbel_scale,
+                ),
+            )
+
         # 5b. optional token-budget mixture sampling (Pile/DoReMi): the
         # per-group thresholds cost one inherent collect of group totals
         if self.token_budgets is not None:
@@ -639,6 +687,8 @@ class CorpusCurator:
             }
         report["contaminated_removed"] = removed("decontam")
         report["group_cap_removed"] = removed("cap")
+        if "dsir" in chain:
+            report["dsir_removed"] = removed("dsir")
         if "mixture" in chain:
             report["mixture_removed"] = removed("mixture")
         if self.redact_pii:

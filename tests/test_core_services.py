@@ -654,3 +654,42 @@ def test_corpus_curator_pii_redaction_stage(spark):
     assert "alice@example.com" not in texts[1] and "[EMAIL]" in texts[1]
     assert texts[2].endswith("nothing sensitive here at all")
     assert "555-123-4567" not in texts[3]
+
+
+def test_corpus_curator_dsir_stage(spark):
+    """r9: DSIR importance resampling composes into curate() — with a
+    target corpus of fox/dog prose, the finance documents lose the
+    selection at low temperature; keep_n without a target raises."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    foxy = (
+        "the quick brown fox jumps over the lazy dog while the brown "
+        "dog watches the quick fox run across the quiet green field "
+    )
+    fin = (
+        "quarterly earnings and interest rates moved the stock market "
+        "sharply as analysts revised price targets for major banks "
+    )
+    docs = spark.createDataFrame(
+        [(i, foxy + f"variant number {i}", "web") for i in range(6)]
+        + [(100 + i, fin + f"bulletin number {i}", "web") for i in range(6)],
+        "doc_id long, text string, source string",
+    )
+    target = spark.createDataFrame(
+        [("the brown fox and the lazy dog sleep near the green field",),
+         ("a quick fox runs while the brown dog watches the field",)],
+        "text string",
+    )
+    cur = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01,
+        dsir_keep_n=6, dsir_buckets=256, dsir_gumbel_scale=0.01,
+    )
+    out, report = cur.curate(docs, dsir_target=target)
+    kept = {r.doc_id for r in out.collect()}
+    assert report["dsir_removed"] == 6 and report["final_docs"] == 6
+    assert kept == {0, 1, 2, 3, 4, 5}  # the target-like half wins
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no dsir_target"):
+        cur.curate(docs)
