@@ -26,6 +26,8 @@ dataset actually runs, composed from the engine's operators.
       → decontamination    (optional: drop docs sharing n-grams with a
                             benchmark set — operators/decontam)
       → per-group caps     (optional: quota sampling by source/language)
+      → DSIR selection     (optional: importance resampling toward a
+                            target corpus — operators/dsir)
       → mixture sampling   (optional: per-group token budgets,
                             Pile/DoReMi — operators/mixing)
       → PII scrubbing      (optional: regex entity redaction, text

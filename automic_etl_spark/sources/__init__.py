@@ -4,7 +4,7 @@ wrappers over ``spark.read`` so Catalyst keeps pushdown; connectors whose
 client libraries aren't installed are import-gated and raise a clear
 error at use, not import."""
 
-from automic_etl_spark.sources.files import BinaryFileConnector, CSVConnector, JSONConnector, OrcConnector, ParquetConnector
+from automic_etl_spark.sources.files import AvroConnector, BinaryFileConnector, CSVConnector, JSONConnector, OrcConnector, ParquetConnector, XmlConnector
 from automic_etl_spark.sources.jdbc import JDBCConnector
 from automic_etl_spark.sources.rest import RESTConnector
 from automic_etl_spark.sources.saas import HubSpotConnector, SalesforceConnector, StripeConnector
@@ -20,11 +20,13 @@ from automic_etl_spark.sources.vendors import (
 from automic_etl_spark.sources.object_store import storage_conf, storage_path
 
 __all__ = [
+    "AvroConnector",
     "BinaryFileConnector",
     "CSVConnector",
     "JSONConnector",
     "OrcConnector",
     "ParquetConnector",
+    "XmlConnector",
     "JDBCConnector",
     "RESTConnector",
     "SalesforceConnector",

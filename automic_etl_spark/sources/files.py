@@ -204,3 +204,57 @@ class BinaryFileConnector:
             F.col("length").alias("_content_size"),
             F.col("path").alias("_source_file"),
         )
+
+
+class AvroConnector:
+    """Avro container reads through the first-party codec
+    (sources/avrofile — no spark-avro jar in the image) — same
+    extract/scan/get_schema contract as ParquetConnector/OrcConnector.
+    ``reader_schema`` turns on spec schema-resolution, so a directory
+    spanning schema versions scans uniformly."""
+
+    def __init__(self, spark: SparkSession, path: str, reader_schema=None):
+        self.spark = spark
+        self.path = path
+        self.reader_schema = reader_schema
+
+    def extract(self, columns: list[str] | None = None, filter_expr: str | None = None) -> DataFrame:
+        from automic_etl_spark.sources.avrofile import read_avro
+
+        df = read_avro(self.spark, self.path, reader_schema=self.reader_schema)
+        if filter_expr:
+            df = df.filter(filter_expr)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    scan = extract
+
+    def get_schema(self) -> dict[str, str]:
+        return dict(self.extract().dtypes)
+
+
+class XmlConnector:
+    """Row-tag XML reads (sources/xmlfile, stdlib iterparse) — the
+    spark-xml-shaped sibling of the file connectors above."""
+
+    def __init__(self, spark: SparkSession, path: str, row_tag: str, **options):
+        self.spark = spark
+        self.path = path
+        self.row_tag = row_tag
+        self.options = options
+
+    def extract(self, columns: list[str] | None = None, filter_expr: str | None = None) -> DataFrame:
+        from automic_etl_spark.sources.xmlfile import read_xml
+
+        df = read_xml(self.spark, self.path, self.row_tag, **self.options)
+        if filter_expr:
+            df = df.filter(filter_expr)
+        if columns:
+            df = df.select(*columns)
+        return df
+
+    scan = extract
+
+    def get_schema(self) -> dict[str, str]:
+        return dict(self.extract().dtypes)

@@ -91,3 +91,24 @@ def test_xxe_not_resolved(tmp_path):
             b"'file:///etc/hostname'>]><r><rec><name>&x;</name></rec></r>")
     with pytest.raises(Exception):
         list(xml_rows(io.BytesIO(evil), "rec"))
+
+
+def test_connector_classes(spark, tmp_path):
+    """AvroConnector/XmlConnector carry the Parquet/Orc connector
+    contract (extract/scan/get_schema + projection/filter)."""
+    from automic_etl_spark.sources import AvroConnector, XmlConnector
+    from automic_etl_spark.sources.avrofile import write_ocf
+
+    (tmp_path / "t.avro").write_bytes(write_ocf(
+        [{"id": i, "name": f"n{i}"} for i in range(10)],
+        {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"}, {"name": "name", "type": "string"}]}))
+    ac = AvroConnector(spark, str(tmp_path))
+    assert ac.get_schema() == {"id": "bigint", "name": "string"}
+    assert ac.extract(columns=["name"], filter_expr="id >= 8").count() == 2
+
+    (tmp_path / "t.xml").write_bytes(synth_xml(
+        [{"@id": i, "name": f"x{i}"} for i in range(5)], row_tag="rec"))
+    xc = XmlConnector(spark, str(tmp_path / "t.xml"), "rec")
+    assert xc.get_schema()["name"] == "string"
+    assert xc.scan(columns=["name"]).count() == 5
