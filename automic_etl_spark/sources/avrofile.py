@@ -33,13 +33,19 @@ rejected (they have no DataFrame shape); non-nullable multi-branch
 unions are rejected rather than silently stringified — each is a
 documented ValueError, not a wrong answer.
 
-Scale: ``read_avro`` is one Spark task per container file (an OCF
-stream is sequential: blocks are delimited by the file's sync marker,
-so intra-file splits would need a sync scan per split — per-file is
-the parallelism unit, as with WARC segments). Decoding is pure Python
-per record but Arrow-batched out via mapInPandas; for 100 TB-scale
-hot paths convert to parquet once with ``write_avro``'s inverse and
-let the native columnar reader take over.
+Scale: ``read_avro`` parallelizes BOTH across files and WITHIN a
+file — ``split_size`` byte-range splits are realigned to block
+boundaries by scanning for the container's 16-byte sync marker (the
+Hadoop AvroInputFormat strategy: a split owns every block that STARTS
+inside it, so a 100 GB container fans out instead of pinning one
+task). Candidate sync hits are validated by parsing the following
+block header, so payload bytes that happen to contain the marker
+cannot desynchronize the scan. Splitting needs seekable input and is
+applied for local paths; ``opener``-mediated remote streams fall back
+to one task per file. Decoding is pure Python per record but
+Arrow-batched out via mapInPandas; for 100 TB-scale hot paths convert
+to parquet once with ``write_avro``'s inverse and let the native
+columnar reader take over.
 """
 
 from __future__ import annotations
@@ -708,6 +714,7 @@ class _StreamReader:
     def __init__(self, stream: BinaryIO):
         self._s = stream
         self._pend = b""
+        self.consumed = 0  # bytes delivered — header length for splits
 
     def _pull(self, n: int) -> bytes:
         out = bytearray(self._pend[:n])
@@ -717,6 +724,7 @@ class _StreamReader:
             if not chunk:
                 break
             out += chunk
+        self.consumed += len(out)
         return bytes(out)
 
     def read_exact(self, n: int) -> bytes:
@@ -747,14 +755,9 @@ class _StreamReader:
                 raise ValueError("varint longer than 10 bytes")
 
 
-def read_ocf(
-    stream: BinaryIO, reader_schema=None
-) -> tuple[dict, str, Iterator[dict]]:
-    """Parse an OCF stream → (parsed_schema, schema_json, record iter).
-    Sequential, one block in memory at a time; validates the sync
-    marker after every block. ``reader_schema`` (raw or parsed) decodes
-    through a resolution plan against the file's writer schema."""
-    r = _StreamReader(stream)
+def _parse_ocf_header(r: _StreamReader) -> tuple[dict[str, bytes], bytes]:
+    """Magic + metadata map + sync; ``r.consumed`` afterwards is the
+    first block's offset."""
     if r.read_exact(4) != _MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
     meta: dict[str, bytes] = {}
@@ -769,6 +772,18 @@ def read_ocf(
             key = r.read_exact(r.long()).decode()
             meta[key] = r.read_exact(r.long())
     sync = r.read_exact(16)
+    return meta, sync
+
+
+def read_ocf(
+    stream: BinaryIO, reader_schema=None
+) -> tuple[dict, str, Iterator[dict]]:
+    """Parse an OCF stream → (parsed_schema, schema_json, record iter).
+    Sequential, one block in memory at a time; validates the sync
+    marker after every block. ``reader_schema`` (raw or parsed) decodes
+    through a resolution plan against the file's writer schema."""
+    r = _StreamReader(stream)
+    meta, sync = _parse_ocf_header(r)
 
     schema_json = meta["avro.schema"].decode()
     parsed = parse_schema(schema_json)
@@ -920,6 +935,117 @@ def spark_to_avro_schema(spark_schema, name: str = "row") -> dict:
 # Spark source / sink
 # --------------------------------------------------------------------------
 
+def _varint_at(buf: bytes, pos: int) -> tuple[int, int] | None:
+    """(value, next_pos) or None if truncated/overlong — used by the
+    sync-scan validator, which must never raise on payload bytes."""
+    shift = acc = 0
+    for _ in range(10):
+        if pos >= len(buf):
+            return None
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc), pos
+        shift += 7
+    return None
+
+
+def _next_block_start(f: BinaryIO, sync: bytes, start: int, file_size: int) -> int | None:
+    """First VALIDATED block boundary at byte >= ``start``: scan for the
+    sync marker (a block starting at exactly ``start`` has its sync in
+    [start-16, start)), then require that the candidate parses as a
+    block header (count > 0, sane size) whose body is followed by the
+    sync again — payload bytes that merely contain the marker fail the
+    look-ahead and the scan continues."""
+    next_read = max(0, start - 16)
+    chunk_sz = 1 << 20
+    carry = b""
+    while next_read < file_size:
+        f.seek(next_read)  # re-seek every pass: the validator moves f
+        data = f.read(chunk_sz)
+        if not data:
+            return None
+        chunk = carry + data
+        base = next_read - len(carry)
+        idx = 0
+        while True:
+            hit = chunk.find(sync, idx)
+            if hit < 0:
+                break
+            cand = base + hit + 16  # block header right after the sync
+            if start <= cand < file_size and _validate_block(f, sync, cand, file_size):
+                return cand
+            idx = hit + 1
+        carry = chunk[-15:]
+        next_read += len(data)
+    return None
+
+
+def _validate_block(f: BinaryIO, sync: bytes, pos: int, file_size: int) -> bool:
+    f.seek(pos)
+    head = f.read(20)
+    v = _varint_at(head, 0)
+    if v is None or v[0] <= 0:
+        return False
+    s = _varint_at(head, v[1])
+    if s is None or s[0] < 0:
+        return False
+    body_end = pos + s[1] + s[0]
+    if body_end + 16 > file_size:
+        return False
+    f.seek(body_end)
+    return f.read(16) == sync
+
+
+def _iter_blocks_range(
+    path: str, start: int, end: int, reader_schema=None,
+    expect_fields: list[str] | None = None,
+) -> Iterator[dict]:
+    """Decode the blocks that START in [max(start, first_block), end)
+    of a local container file — each split owns the blocks beginning
+    inside it (a block straddling ``end`` is decoded in full by this
+    split and skipped by the next, which realigns past it)."""
+    import os
+
+    file_size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        r = _StreamReader(f)
+        meta, sync = _parse_ocf_header(r)
+        first_block = r.consumed
+        schema_json = meta["avro.schema"].decode()
+        parsed = parse_schema(schema_json)
+        if expect_fields is not None and [
+            f["name"] for f in parsed["fields"]
+        ] != expect_fields:
+            raise ValueError(f"{path}: field names differ from the first file")
+        if reader_schema is not None:
+            parsed = _resolve(parsed, parse_schema(reader_schema))
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec in ("snappy", "zstandard"):
+            raise NotImplementedError(f"container uses {codec}")
+        decomp = _CODECS[codec][1]
+
+        pos = first_block if start <= first_block else _next_block_start(
+            f, sync, start, file_size
+        )
+        while pos is not None and pos < min(end, file_size):
+            f.seek(pos)
+            head = f.read(20)
+            count, p1 = _varint_at(head, 0)
+            size, p2 = _varint_at(head, p1)
+            f.seek(pos + p2)
+            body = f.read(size)
+            if len(body) != size or f.read(16) != sync:
+                raise ValueError(f"{path}: corrupt block at {pos}")
+            data = memoryview(decomp(body))
+            dpos = 0
+            for _ in range(count):
+                rec, dpos = _decode(data, dpos, parsed)
+                yield rec
+            pos = pos + p2 + size + 16
+
+
 def _list_avro_files(path) -> list[str]:
     import glob as _glob
     import os
@@ -939,6 +1065,7 @@ def read_avro(
     opener: Callable[[str], BinaryIO] | None = None,
     batch_rows: int = 2048,
     reader_schema=None,
+    split_size: int = 128 << 20,
 ):
     """Avro container file(s) → DataFrame. One task per file (an OCF is
     a sequential block stream); ``opener`` is the same remote-storage
@@ -968,33 +1095,58 @@ def read_avro(
     cols = [f["name"] for f in parsed["fields"]]
     converters = [_to_pandas_cell(f["type"]) for f in parsed["fields"]]
 
+    # splits: byte ranges realigned to block boundaries executor-side.
+    # opener-mediated (remote) streams are not assumed seekable — one
+    # whole-file split each.
+    import os
+
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        if opener is None and split_size:
+            size = os.path.getsize(f)
+            n = max(1, (size + split_size - 1) // split_size)
+            splits += [
+                (f, k * split_size, min((k + 1) * split_size, size))
+                for k in range(n)
+            ]
+        else:
+            splits.append((f, 0, -1))
+
+    def _records_for(fpath: str, start: int, end: int):
+        if end >= 0:
+            yield from _iter_blocks_range(
+                fpath, start, end,
+                reader_schema=parsed if reader_schema is not None else None,
+                expect_fields=cols if reader_schema is None else None,
+            )
+            return
+        stream = opener(fpath) if opener else open(fpath, "rb")
+        try:
+            fparsed, fjson, records = read_ocf(
+                stream, reader_schema=parsed if reader_schema is not None else None
+            )
+            if reader_schema is None and [f["name"] for f in fparsed["fields"]] != cols:
+                raise ValueError(f"{fpath}: field names differ from {files[0]}")
+            yield from records
+        finally:
+            stream.close()
+
     def gen(iterator):
         for pdf in iterator:
-            for fpath in pdf["path"]:
-                stream = opener(fpath) if opener else open(fpath, "rb")
-                try:
-                    fparsed, fjson, records = read_ocf(
-                        stream, reader_schema=parsed if reader_schema is not None else None
+            for fpath, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                rows = []
+                for rec in _records_for(fpath, int(start), int(end)):
+                    rows.append(
+                        tuple(cv(rec.get(c)) for c, cv in zip(cols, converters))
                     )
-                    if reader_schema is None and [f["name"] for f in fparsed["fields"]] != cols:
-                        raise ValueError(
-                            f"{fpath}: field names differ from {files[0]}"
-                        )
-                    rows = []
-                    for rec in records:
-                        rows.append(
-                            tuple(cv(rec.get(c)) for c, cv in zip(cols, converters))
-                        )
-                        if len(rows) >= batch_rows:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
-                    if rows:
+                    if len(rows) >= batch_rows:
                         yield pd.DataFrame(rows, columns=cols)
-                finally:
-                    stream.close()
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
-    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
-    paths_df = paths_df.repartition(len(files))
+    paths_df = spark.createDataFrame(splits, "path string, start long, end long")
+    paths_df = paths_df.repartition(len(splits))
     return paths_df.mapInPandas(gen, schema=ddl)
 
 

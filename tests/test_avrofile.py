@@ -412,3 +412,83 @@ def test_read_avro_unifies_schema_versions(spark, tmp_path):
     assert len(rows) == 5
     assert rows[1].score == 1.5 and rows[1].note is None  # defaulted
     assert rows[101].score == 9.0 and rows[101].note == "n"
+
+
+# --------------------------------------------------------------------------
+# intra-file splits (the 100 GB-container scale path)
+# --------------------------------------------------------------------------
+
+def test_split_ranges_exactly_once():
+    """Blocks are owned by the split their first byte falls in —
+    any split size recovers every record exactly once."""
+    import os
+    import tempfile
+
+    from automic_etl_spark.sources.avrofile import _iter_blocks_range
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "t", "type": "string"}]}
+    recs = [{"id": i, "t": f"text-{i} " * (1 + i % 7)} for i in range(3000)]
+    blob = write_ocf(recs, schema, codec="deflate", block_rows=37)
+    p = os.path.join(tempfile.mkdtemp(), "big.avro")
+    open(p, "wb").write(blob)
+    size = len(blob)
+    for split_size in (997, 4096, size):
+        got = []
+        for k in range((size + split_size - 1) // split_size):
+            got += [r["id"] for r in _iter_blocks_range(
+                p, k * split_size, min((k + 1) * split_size, size))]
+        assert sorted(got) == list(range(3000)), split_size
+
+
+def test_split_scan_rejects_sync_bytes_in_payload():
+    """The null codec stores payload verbatim, so a text field holding
+    the literal 16-byte sync marker plants false boundaries — the
+    block-header look-ahead validation must skip them."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from automic_etl_spark.sources.avrofile import _iter_blocks_range
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "t", "type": "string"}]}
+    sync = hashlib.md5(
+        b"automic-avro:" + _json.dumps(schema).encode()).digest()
+    recs = [{"id": i, "t": (sync * 3).decode("latin-1")} for i in range(200)]
+    blob = write_ocf(recs, schema, codec="null", block_rows=10)
+    p = os.path.join(tempfile.mkdtemp(), "evil.avro")
+    open(p, "wb").write(blob)
+    size = len(blob)
+    got = []
+    for k in range((size + 511) // 512):
+        got += [r["id"] for r in _iter_blocks_range(
+            p, k * 512, min((k + 1) * 512, size))]
+    assert sorted(got) == list(range(200))
+
+
+def test_read_avro_split_parallelism_matches_whole_file(spark, tmp_path):
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "payload", "type": "string"}]}
+    (tmp_path / "one.avro").write_bytes(write_ocf(
+        [{"id": i, "payload": f"p{i}" * 20} for i in range(2000)],
+        schema, block_rows=50))
+    split = read_avro(spark, str(tmp_path), split_size=4096)
+    whole = read_avro(spark, str(tmp_path), split_size=0)
+    assert split.rdd.getNumPartitions() > 1  # one file, several tasks
+    assert whole.rdd.getNumPartitions() == 1
+    a = sorted(r.id for r in split.collect())
+    b = sorted(r.id for r in whole.collect())
+    assert a == b == list(range(2000))
+
+
+def test_read_avro_splits_with_reader_schema(spark, tmp_path):
+    (tmp_path / "v1.avro").write_bytes(write_ocf(
+        [{"id": i, "tags": [f"t{i}"], "legacy": "x"} for i in range(300)],
+        V1, block_rows=13))
+    df = read_avro(spark, str(tmp_path), reader_schema=V2, split_size=2048)
+    rows = df.collect()
+    assert len(rows) == 300
+    assert all(r.score == 1.5 for r in rows)  # default applied per split

@@ -88,6 +88,10 @@ def test_registry_driver_window_prefix():
         # directly in the overflow tail (the scored window's §2.6 rows
         # keep their driver coverage); oracle in-suite
         "archive_extract",  # r9: zip-member expansion gate, same tail
+        "avro_roundtrip",  # r9: first-party Avro OCF codec gate
+        "exif_meta",  # r9: EXIF extraction + PII-scrub gate
+        "xml_extract",  # r9: XML row-tag extraction gate
+        "dsir_select",  # r9: DSIR importance-resampling gate
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and
