@@ -31,6 +31,11 @@ def export_result(
             writer = writer.option("header", True)
         getattr(writer, fmt)(path)
         return path
+    if fmt == "avro":
+        from automic_etl_spark.sources.avrofile import write_avro
+
+        write_avro(df, path).collect()  # the sink is lazy; one action
+        return path
     if fmt in ("excel", "xlsx"):
         return _export_excel(df, path, max_rows or DRIVER_SIDE_DEFAULT_CAP)
     if fmt == "sql":

@@ -217,3 +217,141 @@ def synth_xml(rows: list[dict], row_tag: str = "row", root: str = "root") -> byt
     buf = io.BytesIO()
     ET.ElementTree(doc).write(buf, encoding="utf-8", xml_declaration=True)
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# web-corpus discovery readers: RSS/Atom feeds and XML sitemaps — the
+# URL-frontier inputs a crawl-based corpus pipeline starts from
+# (compose with operators/urls curation and the WARC front end)
+# --------------------------------------------------------------------------
+
+FEED_SCHEMA = (
+    "feed_file string, feed_kind string, title string, link string, "
+    "published string, guid string, summary string"
+)
+
+
+def read_feeds(
+    spark: SparkSession,
+    path,
+    opener: Callable[[str], BinaryIO] | None = None,
+) -> DataFrame:
+    """RSS 2.0 ``<item>`` and Atom ``<entry>`` records → one uniform
+    DataFrame (FEED_SCHEMA). Atom's ``<link href=…/>`` attribute and
+    RSS's text link both land in ``link``; ``published`` carries
+    pubDate/published/updated as-written (parse downstream). One task
+    per feed file; malformed feeds yield zero rows (discovery inputs
+    are wild — a broken feed must not kill the scan)."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "**", "*.xml"), recursive=True)
+        )
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+
+    def one(row: dict, kind: str) -> tuple:
+        first = lambda *keys: next(
+            (row[k] if not isinstance(row[k], list) else row[k][0]
+             for k in keys if k in row and row[k]),
+            None,
+        )
+        return (
+            kind,
+            first("title"),
+            first("link", "link.@href"),
+            first("pubDate", "published", "updated"),
+            first("guid", "id"),
+            first("description", "summary", "content"),
+        )
+
+    def gen(iterator):
+        for pdf in iterator:
+            for fpath in pdf["path"]:
+                rows = []
+                for kind, tag in (("rss", "item"), ("atom", "entry")):
+                    stream = opener(fpath) if opener else open(fpath, "rb")
+                    try:
+                        for row in xml_rows(stream, tag):
+                            rows.append((fpath,) + one(row, kind))
+                    except Exception:
+                        pass
+                    finally:
+                        stream.close()
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["feed_file", "feed_kind", "title", "link",
+                                 "published", "guid", "summary"],
+                    )
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    return paths_df.repartition(len(files)).mapInPandas(gen, FEED_SCHEMA)
+
+
+SITEMAP_SCHEMA = (
+    "sitemap_file string, loc string, lastmod string, changefreq string, "
+    "priority string, is_index boolean"
+)
+
+
+def read_sitemaps(
+    spark: SparkSession,
+    path,
+    opener: Callable[[str], BinaryIO] | None = None,
+) -> DataFrame:
+    """XML sitemaps (sitemaps.org protocol): ``<urlset><url>`` rows and
+    ``<sitemapindex><sitemap>`` rows (``is_index=true`` — feed those
+    locs back in to walk the index). gzip members are the caller's
+    opener concern (same seam as WARC)."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif os.path.isdir(path):
+        files = sorted(
+            _glob.glob(os.path.join(path, "**", "*.xml"), recursive=True)
+        )
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+
+    def gen(iterator):
+        for pdf in iterator:
+            for fpath in pdf["path"]:
+                rows = []
+                for tag, is_index in (("url", False), ("sitemap", True)):
+                    stream = opener(fpath) if opener else open(fpath, "rb")
+                    try:
+                        for row in xml_rows(stream, tag):
+                            if "loc" not in row:
+                                continue
+                            rows.append((
+                                fpath,
+                                row["loc"] if not isinstance(row["loc"], list) else row["loc"][0],
+                                row.get("lastmod"),
+                                row.get("changefreq"),
+                                row.get("priority"),
+                                is_index,
+                            ))
+                    except Exception:
+                        pass
+                    finally:
+                        stream.close()
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["sitemap_file", "loc", "lastmod",
+                                 "changefreq", "priority", "is_index"],
+                    )
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string")
+    return paths_df.repartition(len(files)).mapInPandas(gen, SITEMAP_SCHEMA)

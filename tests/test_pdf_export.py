@@ -194,3 +194,14 @@ class TestFilterChains:
     def test_image_codecs_skipped(self):
         txt = extract_pdf_text(self._wrap(b"/Filter /DCTDecode", b"\xff\xd8junk"))
         assert txt == ""
+
+
+def test_export_avro_roundtrip(spark, tmp_path):
+    from automic_etl_spark.sources.avrofile import read_avro
+
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(25)], "id long, name string")
+    out = str(tmp_path / "out_avro")
+    assert export_result(df, out, "avro") == out
+    back = read_avro(spark, out)
+    assert sorted(r.id for r in back.collect()) == list(range(25))

@@ -112,3 +112,49 @@ def test_connector_classes(spark, tmp_path):
     xc = XmlConnector(spark, str(tmp_path / "t.xml"), "rec")
     assert xc.get_schema()["name"] == "string"
     assert xc.scan(columns=["name"]).count() == 5
+
+
+def test_read_feeds_rss_and_atom(spark, tmp_path):
+    from automic_etl_spark.sources.xmlfile import read_feeds
+
+    (tmp_path / "r.xml").write_bytes(b"""<?xml version="1.0"?>
+    <rss version="2.0"><channel><title>chan</title>
+      <item><title>A</title><link>http://x/a</link>
+        <pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>
+        <guid>g1</guid><description>first</description></item>
+      <item><title>B</title><link>http://x/b</link></item>
+    </channel></rss>""")
+    (tmp_path / "a.xml").write_bytes(b"""<?xml version="1.0"?>
+    <feed xmlns="http://www.w3.org/2005/Atom"><title>f</title>
+      <entry><title>C</title><link href="http://y/c"/>
+        <updated>2024-02-03T04:05:06Z</updated><id>i3</id>
+        <summary>third</summary></entry>
+    </feed>""")
+    (tmp_path / "broken.xml").write_bytes(b"<rss><channel><item>")
+    rows = {r.title: r for r in read_feeds(spark, str(tmp_path)).collect()}
+    assert rows["A"].link == "http://x/a" and rows["A"].guid == "g1"
+    assert rows["A"].feed_kind == "rss" and rows["A"].summary == "first"
+    assert rows["C"].link == "http://y/c" and rows["C"].feed_kind == "atom"
+    assert rows["C"].published == "2024-02-03T04:05:06Z"
+    assert len(rows) == 3  # broken feed contributes nothing
+
+
+def test_read_sitemaps_urlset_and_index(spark, tmp_path):
+    from automic_etl_spark.sources.xmlfile import read_sitemaps
+
+    (tmp_path / "s.xml").write_bytes(b"""<?xml version="1.0"?>
+    <urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <url><loc>http://x/p1</loc><lastmod>2024-01-01</lastmod>
+           <priority>0.8</priority></url>
+      <url><loc>http://x/p2</loc></url>
+    </urlset>""")
+    (tmp_path / "i.xml").write_bytes(b"""<?xml version="1.0"?>
+    <sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      <sitemap><loc>http://x/sub.xml</loc></sitemap>
+    </sitemapindex>""")
+    out = read_sitemaps(spark, str(tmp_path)).collect()
+    by_loc = {r.loc: r for r in out}
+    assert by_loc["http://x/p1"].priority == "0.8"
+    assert not by_loc["http://x/p1"].is_index
+    assert by_loc["http://x/sub.xml"].is_index
+    assert len(out) == 3
