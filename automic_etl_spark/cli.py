@@ -54,6 +54,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="reliable checkpoint dir for stage boundaries (spot fleets); "
         "default keeps executor-local checkpoints",
     )
+
+    cv = sub.add_parser(
+        "convert",
+        help="one-shot format conversion (e.g. an Avro topic archive -> "
+        "parquet, after which the native columnar reader owns the hot path)",
+    )
+    cv.add_argument("path", help="input file, dir or glob")
+    cv.add_argument("--out", required=True, help="output directory")
+    cv.add_argument("--from", dest="src_fmt", required=True,
+                    choices=["avro", "xml", "csv", "json", "orc", "parquet"])
+    cv.add_argument("--to", dest="dst_fmt", default="parquet",
+                    choices=["parquet", "orc", "csv", "json", "avro"])
+    cv.add_argument("--row-tag", default=None, help="xml: the row element")
+    cv.add_argument("--reader-schema", default=None,
+                    help="avro: reader schema JSON (file path or inline) — "
+                    "resolves mixed writer versions to one frame")
     return p
 
 
@@ -86,6 +102,37 @@ def main(argv: list[str] | None = None) -> int:
             extractor=extractor, curator=curator,
         )
         print(json.dumps(report, default=str))
+        return 0
+
+    if args.command == "convert":
+        import os
+
+        from automic_etl_spark.services.export import export_result
+
+        if args.src_fmt == "avro":
+            from automic_etl_spark.sources.avrofile import read_avro
+
+            rs = args.reader_schema
+            if rs and os.path.exists(rs):
+                rs = open(rs).read()
+            df = read_avro(spark, args.path, reader_schema=rs)
+        elif args.src_fmt == "xml":
+            if not args.row_tag:
+                parser.error("--from xml needs --row-tag")
+            from automic_etl_spark.sources.xmlfile import read_xml
+
+            df = read_xml(spark, args.path, args.row_tag)
+        elif args.src_fmt == "csv":
+            df = spark.read.option("header", True).csv(args.path)
+        elif args.src_fmt == "json":
+            df = spark.read.json(args.path)
+        elif args.src_fmt == "orc":
+            df = spark.read.orc(args.path)
+        else:
+            df = spark.read.parquet(args.path)
+        export_result(df, args.out, fmt=args.dst_fmt)
+        print(json.dumps({"out": args.out, "format": args.dst_fmt,
+                          "columns": df.columns}))
         return 0
 
     lh = Lakehouse(spark, args.warehouse)

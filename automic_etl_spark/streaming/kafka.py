@@ -109,6 +109,36 @@ class KafkaSink:
         )
         return out
 
+    def prepare_avro(
+        self,
+        df: DataFrame,
+        value_schema=None,
+        schema_id: int = 0,
+        key_field: str | None = None,
+    ) -> DataFrame:
+        """Producer twin of ``value_format="avro"``: message value =
+        Confluent-framed Avro binary of all non-key columns.
+        ``value_schema`` defaults to the frame's own schema mapped
+        through spark_to_avro_schema; pass the registry's schema (and
+        its ``schema_id``) to frame against a real registry."""
+        import json as _json
+
+        from automic_etl_spark.sources.avrofile import spark_to_avro_schema
+
+        payload_cols = [c for c in df.columns if c != key_field]
+        if value_schema is None:
+            value_schema = spark_to_avro_schema(
+                df.select(*payload_cols).schema, name="value"
+            )
+        schema_json = (
+            value_schema if isinstance(value_schema, str) else _json.dumps(value_schema)
+        )
+        enc = avro_value_encoder(schema_json, schema_id)
+        return df.select(
+            *([F.col(key_field).cast("string").alias("key")] if key_field else []),
+            enc(F.struct(*payload_cols)).alias("value"),
+        )
+
     def write_batch(self, df: DataFrame, key_field: str | None = None) -> None:
         self.prepare(df, key_field).write.format("kafka").options(**self.options).save()
 
@@ -185,3 +215,28 @@ def avro_value_decoder(reader_schema, schema_registry=None):
         )
 
     return decode
+
+
+def avro_value_encoder(schema_json: str, schema_id: int = 0):
+    """Arrow-batched pandas_udf: struct column → Confluent-framed Avro
+    binary (the producer twin of avro_value_decoder)."""
+    from automic_etl_spark.sources.avrofile import (
+        confluent_wrap,
+        encode_value,
+        parse_schema,
+    )
+    from automic_etl_spark.sources.avrofile import _from_pandas_cell
+    from pyspark.sql.functions import pandas_udf
+
+    parsed = parse_schema(schema_json)
+    ftypes = {f["name"]: f["type"] for f in parsed["fields"]}
+
+    @pandas_udf("binary")
+    def encode(v: pd.DataFrame) -> pd.Series:
+        out = []
+        for rec in v.to_dict("records"):
+            cooked = {k: _from_pandas_cell(x, ftypes[k]) for k, x in rec.items()}
+            out.append(confluent_wrap(schema_id, encode_value(cooked, parsed)))
+        return pd.Series(out)
+
+    return encode

@@ -289,3 +289,28 @@ def test_kafka_source_avro_envelope_projection(spark):
     )
     out = src.envelope(raw).collect()
     assert out[0].value.id == 42 and out[0].key == "k1"
+
+
+def test_kafka_avro_produce_consume_roundtrip(spark):
+    """prepare_avro (producer) framing decodes back through
+    avro_value_decoder (consumer) — the full first-party Kafka Avro
+    round trip, registry id included."""
+    import json as _json
+
+    from automic_etl_spark.sources.avrofile import spark_to_avro_schema
+    from automic_etl_spark.streaming.kafka import avro_value_decoder
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5, [1, 2]), (2, "b", 3.5, [])],
+        "k long, name string, score double, xs array<int>")
+    framed = KafkaSink("b:9092", "t").prepare_avro(df, schema_id=42, key_field="k")
+    assert framed.columns == ["key", "value"]
+    avsc = spark_to_avro_schema(df.select("name", "score", "xs").schema, name="value")
+    out = framed.withColumn(
+        "value",
+        avro_value_decoder(_json.dumps(avsc), {42: avsc})(F.col("value")))
+    rows = {r.key: r.value for r in out.collect()}
+    assert rows["1"].name == "a" and rows["1"].score == 2.5
+    assert rows["1"].xs == [1, 2] and rows["2"].xs == []

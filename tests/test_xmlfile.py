@@ -158,3 +158,20 @@ def test_read_sitemaps_urlset_and_index(spark, tmp_path):
     assert not by_loc["http://x/p1"].is_index
     assert by_loc["http://x/sub.xml"].is_index
     assert len(out) == 3
+
+
+def test_cli_convert_avro_to_parquet(spark, tmp_path, monkeypatch):
+    from automic_etl_spark import cli
+    from automic_etl_spark.sources.avrofile import write_ocf
+
+    (tmp_path / "in.avro").write_bytes(write_ocf(
+        [{"id": i, "t": f"v{i}"} for i in range(30)],
+        {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"}, {"name": "t", "type": "string"}]}))
+    monkeypatch.setattr(
+        "automic_etl_spark.session.get_spark", lambda *a, **k: spark)
+    out = str(tmp_path / "out")
+    rc = cli.main(["convert", str(tmp_path / "in.avro"),
+                   "--from", "avro", "--out", out])
+    assert rc == 0
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(30))
