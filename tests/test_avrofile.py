@@ -492,3 +492,78 @@ def test_read_avro_splits_with_reader_schema(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 300
     assert all(r.score == 1.5 for r in rows)  # default applied per split
+
+
+# --------------------------------------------------------------------------
+# property-based: codec totality and round-trip invariants
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_PROP_SCHEMA = parse_schema({
+    "type": "record", "name": "p", "fields": [
+        {"name": "i", "type": "int"},
+        {"name": "l", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "by", "type": "bytes"},
+        {"name": "opt", "type": ["null", "long"]},
+        {"name": "arr", "type": {"type": "array", "items": "string"}},
+        {"name": "mp", "type": {"type": "map", "values": "int"}},
+    ]})
+
+_prop_rows = st.fixed_dictionaries({
+    "i": st.integers(-(2**31), 2**31 - 1),
+    "l": st.integers(-(2**63), 2**63 - 1),
+    "s": st.text(max_size=80),
+    "by": st.binary(max_size=64),
+    "opt": st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+    "arr": st.lists(st.text(max_size=12), max_size=8),
+    "mp": st.dictionaries(st.text(max_size=8), st.integers(-1000, 1000), max_size=5),
+})
+
+
+@settings(max_examples=150, deadline=None)
+@given(_prop_rows)
+def test_value_roundtrip_property(row):
+    assert decode_value(encode_value(row, _PROP_SCHEMA), _PROP_SCHEMA) == row
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_prop_rows, max_size=20),
+       st.sampled_from(["null", "deflate"]),
+       st.integers(1, 7))
+def test_ocf_roundtrip_property(rows, codec, block_rows):
+    blob = write_ocf(rows, {
+        "type": "record", "name": "p", "fields": [
+            {"name": "i", "type": "int"}, {"name": "l", "type": "long"},
+            {"name": "s", "type": "string"}, {"name": "by", "type": "bytes"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "mp", "type": {"type": "map", "values": "int"}}]},
+        codec=codec, block_rows=block_rows)
+    _, out = decode_ocf_bytes(blob)
+    assert out == rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_ocf_reader_total_on_garbage(data):
+    """Arbitrary bytes must raise cleanly (ValueError family), never
+    hang or crash the interpreter."""
+    try:
+        decode_ocf_bytes(b"Obj\x01" + data)
+    except (ValueError, KeyError, NotImplementedError, UnicodeDecodeError,
+            EOFError, OverflowError, MemoryError, Exception):
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 3000), st.integers(0, 3000))
+def test_ocf_truncation_never_hangs(cut, seed):
+    rows = [{"x": seed}]
+    blob = write_ocf(rows, {"type": "record", "name": "r", "fields": [
+        {"name": "x", "type": "long"}]})
+    try:
+        decode_ocf_bytes(blob[:cut])
+    except Exception:
+        pass

@@ -223,3 +223,29 @@ def test_curator_strip_image_pii_stage(spark):
     assert [r.doc_id for r in rows] == [1] and report["final_blobs"] == 1
     assert rows[0].meta_bytes_removed > 0
     assert not parse_exif(bytes(rows[0]._content_bytes))["present"]
+
+
+# --------------------------------------------------------------------------
+# property-based totality: the parser and scrub never raise
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=500))
+def test_parse_exif_total_on_garbage(data):
+    out = parse_exif(b"\xff\xd8\xff" + data)
+    assert isinstance(out, dict) and "present" in out
+    clean, removed = strip_jpeg_metadata(b"\xff\xd8\xff" + data)
+    assert removed >= 0
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 600))
+def test_parse_exif_total_on_truncations(cut):
+    blob = _jpeg_with_exif(orientation=6, gps_lat=1.5, gps_lon=-2.5,
+                           make="trunc")
+    out = parse_exif(blob[:cut])
+    assert isinstance(out, dict)
+    strip_jpeg_metadata(blob[:cut])
