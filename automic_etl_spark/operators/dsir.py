@@ -101,6 +101,12 @@ def bucket_log_ratios(
     Buckets unseen in BOTH corpora have ratio p_t/p_r = smoothing/
     smoothing ≠ 0 in general (totals differ), so the full B-row table
     is materialized via a sequence, not just observed buckets."""
+    # The count tables are ≤ B rows but their lineage holds a full
+    # corpus explode each — cache them so the fits run ONCE (the totals
+    # collect below materializes both) instead of once per downstream
+    # action. B-bounded state: the cache is a sketch, not data.
+    target_counts = target_counts.cache()
+    raw_counts = raw_counts.cache()
     # ONE driver action for both totals (tagged union-agg — the same
     # O(1)-actions discipline as the curate()/multimodal tallies)
     tagged = target_counts.select(F.lit("t").alias("__k"), "cnt").unionAll(

@@ -1043,3 +1043,34 @@ def q_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("still_present").cast("int")).alias("leaks"),
         F.sum("orientation").alias("orient_sum"),
     )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data-selection throughput (r9): target = every 7th
+    document, raw = the rest; fit both hashed-ngram models, compute
+    importance weights, Gumbel-select half the raw pool, reduce to a
+    checksum. Exercises the two B-bounded fits + the broadcast ratio
+    join + TakeOrderedAndProject end-to-end."""
+    from automic_etl_spark.operators.dsir import (
+        bucket_log_ratios,
+        dsir_select,
+        dsir_weights,
+        fit_bucket_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    raw = docs.filter(F.col("doc_id") % 7 != 0)
+    ratios = bucket_log_ratios(
+        fit_bucket_counts(target, buckets=4096),
+        fit_bucket_counts(raw, buckets=4096),
+        buckets=4096,
+    )
+    w = dsir_weights(raw, ratios, buckets=4096)
+    kept = dsir_select(raw, w, keep_n=2000)
+    return kept.agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

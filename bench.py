@@ -71,6 +71,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_corpus_curate,
     q_avro_scan,
     q_exif_scrub,
+    q_dsir_select,
 )
 
 HEADLINE = {
@@ -116,6 +117,7 @@ HEADLINE = {
     # round-9 session-3 surface: first-party Avro codec + EXIF PII scrub
     "avro_scan": q_avro_scan,
     "exif_scrub": q_exif_scrub,
+    "dsir_select": q_dsir_select,
     # round-7 surface: the flagship curate() funnel end-to-end (the
     # orchestration cost no per-stage bench can see)
     "corpus_curate": q_corpus_curate,

@@ -77,6 +77,7 @@ def _workloads():
         q_token_mixture,
         q_warc_extract,
         q_exif_scrub,
+        q_dsir_select,
     )
     from automic_etl_spark.queries.relational import (
         q_agg_having,
@@ -126,6 +127,7 @@ def _workloads():
         "audio_meta": q_audio_meta,
         "avro_scan": q_avro_scan,
         "exif_scrub": q_exif_scrub,
+        "dsir_select": q_dsir_select,
     }
 
 
