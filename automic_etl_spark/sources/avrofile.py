@@ -156,6 +156,8 @@ def parse_schema(schema, _names: dict | None = None, _namespace: str | None = No
             field = {"name": f["name"], "type": ftype}
             if "default" in f:  # kept for reader-schema resolution
                 field["default"] = f["default"]
+            if f.get("aliases"):  # reader-side rename resolution
+                field["aliases"] = list(f["aliases"])
             node["fields"].append(field)
         return node
 
@@ -483,11 +485,14 @@ def _resolve(w, r):
         return node
     if wt == rt == "record":
         rnames = {f["name"]: f for f in r["fields"]}
+        for f in r["fields"]:  # spec: reader field aliases match writer names
+            for alias in f.get("aliases", ()):
+                rnames.setdefault(alias, f)
         wire: list[tuple] = []  # writer order: ("keep", name, plan) | ("skip", plan)
         resolved_types: dict[str, dict] = {}
         for wf in w["fields"]:
             rf = rnames.get(wf["name"])
-            if rf is None:
+            if rf is None or rf["name"] in resolved_types:
                 wire.append(("skip", wf["type"]))
             else:
                 plan = _resolve(wf["type"], rf["type"])

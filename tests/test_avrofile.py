@@ -567,3 +567,17 @@ def test_ocf_truncation_never_hangs(cut, seed):
         decode_ocf_bytes(blob[:cut])
     except Exception:
         pass
+
+
+def test_resolution_field_aliases():
+    """Reader field aliases match renamed writer fields (spec: aliases
+    resolve writer names); a direct name match wins over an alias."""
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "old_id", "type": "long"},
+        {"name": "txt", "type": "string"}]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long", "aliases": ["old_id", "legacy_id"]},
+        {"name": "txt", "type": "string"}]}
+    body = encode_value({"old_id": 9, "txt": "x"}, parse_schema(w))
+    out = decode_value(body, parse_schema(w), reader_schema=r)
+    assert out == {"id": 9, "txt": "x"}
