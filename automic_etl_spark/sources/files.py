@@ -258,3 +258,39 @@ class XmlConnector:
 
     def get_schema(self) -> dict[str, str]:
         return dict(self.extract().dtypes)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: dict[str, tuple[int, int]],
+    trim: bool = True,
+    skip_header_lines: int = 0,
+) -> DataFrame:
+    """Fixed-width text files (mainframe/COBOL-style extracts) →
+    DataFrame of string columns. ``colspecs`` maps column name →
+    (start, end) in 0-based half-open character offsets — the pandas
+    read_fwf convention. Pure JVM substring expressions over
+    ``spark.read.text``: no UDF, whole-stage codegen, column pruning
+    drops unreferenced slices. Cast downstream (safe_cast) like any
+    text ingest."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.read.text(path)
+    if skip_header_lines:
+        # monotonically_increasing_id is partition-ordered; text files
+        # read in order within a file, and header skip is per-FILE via
+        # the input_file_name partition
+        w = Window.partitionBy(F.input_file_name()).orderBy(
+            F.monotonically_increasing_id()
+        )
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > skip_header_lines)
+            .drop("__rn")
+        )
+    cols = []
+    for name, (start, end) in colspecs.items():
+        c = F.substring(F.col("value"), start + 1, end - start)
+        cols.append((F.trim(c) if trim else c).alias(name))
+    return df.select(*cols)

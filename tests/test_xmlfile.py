@@ -175,3 +175,26 @@ def test_cli_convert_avro_to_parquet(spark, tmp_path, monkeypatch):
                    "--from", "avro", "--out", out])
     assert rc == 0
     assert sorted(r.id for r in spark.read.parquet(out).collect()) == list(range(30))
+
+
+def test_read_fixed_width(spark, tmp_path):
+    from automic_etl_spark.sources.files import read_fixed_width
+
+    (tmp_path / "a.txt").write_text(
+        "ID   NAME      AMT \n"
+        "001  alice     12.5\n"
+        "002  bob        3.0\n"
+    )
+    df = read_fixed_width(
+        spark, str(tmp_path / "a.txt"),
+        {"id": (0, 5), "name": (5, 15), "amt": (15, 19)},
+        skip_header_lines=1,
+    )
+    rows = {r.id: r for r in df.collect()}
+    assert rows["001"].name == "alice" and rows["001"].amt == "12.5"
+    assert rows["002"].amt == "3.0"
+    # untrimmed variant keeps padding
+    raw = read_fixed_width(
+        spark, str(tmp_path / "a.txt"),
+        {"name": (5, 15)}, trim=False, skip_header_lines=1).collect()
+    assert raw[0].name == "alice     "
