@@ -578,14 +578,16 @@ class CorpusCurator:
                 kept, ratios, id_col=id_col, text_col=text_col,
                 buckets=self.dsir_buckets,
             )
-            kept = stage(
-                "dsir",
-                dsir_select(
-                    kept, dw, keep_n=self.dsir_keep_n, id_col=id_col,
-                    seed=self.dsir_seed,
-                    gumbel_scale=self.dsir_gumbel_scale,
-                ),
+            selected = dsir_select(
+                kept, dw, keep_n=self.dsir_keep_n, id_col=id_col,
+                seed=self.dsir_seed,
+                gumbel_scale=self.dsir_gumbel_scale,
             )
+            if self.emit_signals:  # carry the importance weight forward
+                selected = selected.join(
+                    dw.select(id_col, "weight_e6"), id_col, "left"
+                )
+            kept = stage("dsir", selected)
 
         # 5b. optional token-budget mixture sampling (Pile/DoReMi): the
         # per-group thresholds cost one inherent collect of group totals

@@ -693,3 +693,13 @@ def test_corpus_curator_dsir_stage(spark):
 
     with _pytest.raises(ValueError, match="no dsir_target"):
         cur.curate(docs)
+
+    # emit_signals carries the importance weight into the output
+    cur2 = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01,
+        dsir_keep_n=6, dsir_buckets=256, dsir_gumbel_scale=0.01,
+        emit_signals=True,
+    )
+    out2, _ = cur2.curate(docs, dsir_target=target)
+    w = {r.doc_id: r.weight_e6 for r in out2.collect()}
+    assert len(w) == 6 and all(v is not None for v in w.values())
