@@ -769,3 +769,191 @@ def ann_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+# --- Product Quantization: the IVF+PQ memory-bound ANN path -----------------
+#
+# Jégou et al. 2011 ("Product Quantization for Nearest Neighbor
+# Search"): split each d-dim vector into m subvectors, k-means each
+# subspace to k_sub centroids, store each vector as m small codes
+# (m bytes at k_sub=256 — a 64-dim float32 vector compresses 32×), and
+# answer queries with Asymmetric Distance Computation: one (m × k_sub)
+# lookup table per query, then a per-row table-gather sum. At 100 TB
+# the codes table is the only thing scanned — the raw vectors are
+# touched just for the final exact re-rank of a few hundred candidates.
+# Training is sample-fit on the driver (deterministic smallest-md5
+# sample, the BPE/IVF-seed convention): the model is m*k_sub*(d/m)
+# floats regardless of corpus size.
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    iterations: int = 10,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Codebooks: ``m`` lists of ``k_sub`` centroids of d/m floats.
+    Deterministic: the sample is the ``sample`` smallest-md5(id) rows
+    (TakeOrderedAndProject — no window), numpy Lloyd init is the first
+    k_sub sample rows in md5 order, ties/empty clusters keep the old
+    centroid. Raises if d % m != 0."""
+    import numpy as np
+
+    rows = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("__s"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy(F.col("__s").asc())
+        .limit(sample)
+        .collect()
+    )
+    x = np.asarray([r.v for r in rows], dtype=np.float64)
+    n, d = x.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    if n < k_sub:
+        raise ValueError(f"sample ({n}) smaller than k_sub ({k_sub})")
+    sub = d // m
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cents = xs[:k_sub].copy()
+        for _ in range(max(1, iterations)):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_sub):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vector) → (id, codes array<int>) — map-only numpy argmin
+    per subspace, Arrow-batched; the codes frame is what a 100 TB
+    deployment persists (and partitions by IVF cell)."""
+    import numpy as np
+    import pandas as pd
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def kernel(it):
+        for pdf in it:
+            x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if x.size == 0:
+                continue
+            codes = np.empty((x.shape[0], m), dtype=np.int64)
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "codes": list(codes)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        kernel, f"{id_col} long, codes array<int>"
+    )
+
+
+def _adc_table(codebooks: list, qvec) -> "object":
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    q = np.asarray(qvec, dtype=np.float64)
+    sub = books[0].shape[1]
+    return np.stack(
+        [((books[s] - q[s * sub : (s + 1) * sub]) ** 2).sum(axis=1)
+         for s in range(len(books))]
+    )  # (m, k_sub) squared-distance contributions
+
+
+def pq_search(
+    codes: DataFrame,
+    codebooks: list,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over a codes frame: per-query lookup table built once
+    driver-side (m × k_sub floats), per-row distance = one numpy
+    gather-sum, global top-k via orderBy+limit (TakeOrderedAndProject).
+    Returns (id, adc_dist) ascending — approximate squared L2."""
+    import numpy as np
+    import pandas as pd
+
+    table = _adc_table(codebooks, query_vec)
+    m = table.shape[0]
+
+    def kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            c = np.asarray([list(v) for v in pdf["codes"]], dtype=np.int64)
+            dist = table[np.arange(m)[None, :], c].sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "adc_dist": dist})
+
+    scored = codes.mapInPandas(kernel, f"{id_col} long, adc_dist double")
+    return scored.orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def ivf_pq_search(
+    emb: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    codes: DataFrame,
+    codebooks: list,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF+PQ recipe: probe the ``nprobe`` nearest cells, ADC-
+    scan only their codes, take ``rerank * k`` ADC candidates, then
+    exact-rank those few against the RAW vectors (squared L2) — the
+    standard accuracy-restoring re-rank, touching O(rerank*k) raw rows
+    instead of the corpus. Returns (id, l2_sq) ascending, k rows."""
+    qrow = query.select(F.col(vec_col).cast("array<double>").alias("q")).collect()[0]
+    qvec = list(qrow.q)
+
+    probe = (
+        query.select(F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "centroid_id",
+            _sq_dist(F.col("__qvec"), F.col("centroid")).alias("__d"),
+        )
+        .orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    cell_codes = codes.join(assignments, id_col).join(
+        F.broadcast(probe), "centroid_id"
+    )
+    cand = pq_search(cell_codes, codebooks, qvec, k=max(k, rerank * k), id_col=id_col)
+    exact = (
+        emb.join(cand.select(id_col), id_col, "left_semi")
+        .select(
+            F.col(id_col),
+            _sq_dist(
+                F.col(vec_col).cast("array<double>"),
+                F.array(*[F.lit(float(v)) for v in qvec]),
+            ).alias("l2_sq"),
+        )
+        .orderBy(F.col("l2_sq").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return exact

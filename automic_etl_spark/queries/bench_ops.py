@@ -1074,3 +1074,35 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("kept"),
         F.sum("doc_id").alias("id_checksum"),
     )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ ANN throughput (r9): sample-fit the codebooks, encode the
+    corpus to m=16 codes, ADC-scan with exact re-rank for 3 probes —
+    the memory-bound ANN recipe (codes are 16x smaller than the raw
+    vectors; only ~rerank*k raw rows are touched per query)."""
+    from automic_etl_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_search,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(emb, m=16, k_sub=64, iterations=6, sample=2000)
+    assignments, centroids = ivf_build(emb, n_centroids=16, iterations=3)
+    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    acc = None
+    for qid in (3, 231, 901):
+        query = emb.filter(F.col("vec_id") == qid).select("embedding")
+        top = ivf_pq_search(
+            emb, assignments, centroids, codes, books, query,
+            k=10, nprobe=4, rerank=5,
+        ).agg(
+            F.sum("vec_id").alias("ids"),
+            F.sum(F.round(F.col("l2_sq") * 1e6).cast("long")).alias("d"),
+        )
+        acc = top if acc is None else acc.unionAll(top)
+    return acc.agg(
+        F.sum("ids").alias("id_checksum"), F.sum("d").alias("dist_checksum")
+    )

@@ -72,6 +72,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_avro_scan,
     q_exif_scrub,
     q_dsir_select,
+    q_pq_search,
 )
 
 HEADLINE = {
@@ -118,6 +119,7 @@ HEADLINE = {
     "avro_scan": q_avro_scan,
     "exif_scrub": q_exif_scrub,
     "dsir_select": q_dsir_select,
+    "pq_search": q_pq_search,
     # round-7 surface: the flagship curate() funnel end-to-end (the
     # orchestration cost no per-stage bench can see)
     "corpus_curate": q_corpus_curate,

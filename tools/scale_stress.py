@@ -78,6 +78,7 @@ def _workloads():
         q_warc_extract,
         q_exif_scrub,
         q_dsir_select,
+        q_pq_search,
     )
     from automic_etl_spark.queries.relational import (
         q_agg_having,
@@ -128,6 +129,7 @@ def _workloads():
         "avro_scan": q_avro_scan,
         "exif_scrub": q_exif_scrub,
         "dsir_select": q_dsir_select,
+        "pq_search": q_pq_search,
     }
 
 
