@@ -581,3 +581,30 @@ def test_resolution_field_aliases():
     body = encode_value({"old_id": 9, "txt": "x"}, parse_schema(w))
     out = decode_value(body, parse_schema(w), reader_schema=r)
     assert out == {"id": 9, "txt": "x"}
+
+
+def test_avro_archive_feeds_curate_end_to_end(spark, tmp_path):
+    """The intended 100 TB shape: an Avro topic archive lands via
+    read_avro, flows straight into CorpusCurator.curate() — exact
+    dups collapse and the survivors come out split and scored."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    schema = {"type": "record", "name": "msg", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "source", "type": "string"}]}
+    body = ("the quick brown fox jumps over the lazy dog while the "
+            "brown dog watches the quick fox run across the field ")
+    rows = [{"doc_id": i, "text": body + f"variant {i}", "source": "topic"}
+            for i in range(8)]
+    rows += [{"doc_id": 100 + i, "text": body + "variant 3",
+              "source": "topic"} for i in range(3)]  # exact dups of #3
+    (tmp_path / "archive.avro").write_bytes(write_ocf(rows, schema))
+
+    docs = read_avro(spark, str(tmp_path))
+    curated, report = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01
+    ).curate(docs)
+    assert report["exact_dups_removed"] == 3
+    assert report["final_docs"] == 8
+    assert {r.doc_id for r in curated.collect()} == set(range(8))
