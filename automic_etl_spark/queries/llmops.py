@@ -1958,3 +1958,91 @@ ORDER BY doc_id
 
 QUERIES_TAIL["dsir_select"] = q_dsir_select_gate
 ORACLE_TAIL["dsir_select"] = ORACLE_DSIR
+
+
+# --------------------------------------------------------------------------
+# Image-tensorize gate (operators/imagehash.image_tensorize, r9): the
+# decode→resize→scale training stage under the hash gate. Pixels are a
+# deterministic function of doc_id, carried through a LOSSLESS synth
+# PNG so the decoded bytes are exactly the constructed ones; the 2x2
+# box-mean tensor is then plain integer arithmetic DuckDB replays.
+# --------------------------------------------------------------------------
+
+_TENS_N = 120
+
+
+def q_image_tensorize_gate(spark, sf_dir):
+    """Each doc becomes a 4x4 grayscale PNG with pixel(y,x) =
+    (doc_id*16 + y*4 + x) % 251; image_tensorize to (2,2) gray with
+    scale=1 yields the four quadrant means, emitted as micro-unit
+    integers (round(mean*1e6) — float-exact: means of 4 uint8s are
+    quarter-integers)."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.imagehash import (
+        image_tensorize,
+        synth_png,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _TENS_N)
+        .select("doc_id")
+    )
+
+    def to_png(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                rid = int(rid)
+                px = (rid * 16 + np.arange(16).reshape(4, 4)) % 251
+                blobs.append(synth_png(px.astype(np.uint8)[:, :, None]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "_content_bytes": blobs}
+            )
+
+    blobs = docs.mapInPandas(to_png, "doc_id long, _content_bytes binary")
+    tens = image_tensorize(
+        blobs, size=(2, 2), channels="gray", layout="hwc", crop=None,
+        scale=1.0,
+    )
+    return (
+        tens.select(
+            "doc_id",
+            "ok",
+            "height",
+            "width",
+            F.round(F.element_at("tensor", 1) * 1e6).cast("long").alias("m00"),
+            F.round(F.element_at("tensor", 2) * 1e6).cast("long").alias("m01"),
+            F.round(F.element_at("tensor", 3) * 1e6).cast("long").alias("m10"),
+            F.round(F.element_at("tensor", 4) * 1e6).cast("long").alias("m11"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_IMAGE_TENSORIZE = f"""
+WITH px AS (
+  SELECT d.doc_id, y.y, x.x,
+         (d.doc_id * 16 + y.y * 4 + x.x) % 251 AS v
+  FROM (SELECT doc_id FROM documents WHERE doc_id < {_TENS_N}) d
+  CROSS JOIN (VALUES (0),(1),(2),(3)) y(y)
+  CROSS JOIN (VALUES (0),(1),(2),(3)) x(x)
+),
+quads AS (
+  SELECT doc_id, y // 2 AS qy, x // 2 AS qx,
+         CAST(round(avg(v) * 1000000) AS BIGINT) AS m
+  FROM px GROUP BY doc_id, y // 2, x // 2
+)
+SELECT doc_id, TRUE AS ok, CAST(4 AS INT) AS height, CAST(4 AS INT) AS width,
+       max(CASE WHEN qy = 0 AND qx = 0 THEN m END) AS m00,
+       max(CASE WHEN qy = 0 AND qx = 1 THEN m END) AS m01,
+       max(CASE WHEN qy = 1 AND qx = 0 THEN m END) AS m10,
+       max(CASE WHEN qy = 1 AND qx = 1 THEN m END) AS m11
+FROM quads GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["image_tensorize"] = q_image_tensorize_gate
+ORACLE_TAIL["image_tensorize"] = ORACLE_IMAGE_TENSORIZE

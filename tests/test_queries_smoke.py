@@ -92,6 +92,7 @@ def test_registry_driver_window_prefix():
         "exif_meta",  # r9: EXIF extraction + PII-scrub gate
         "xml_extract",  # r9: XML row-tag extraction gate
         "dsir_select",  # r9: DSIR importance-resampling gate
+        "image_tensorize",  # r9: decode->resize->scale training stage
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and

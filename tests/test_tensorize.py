@@ -1,0 +1,105 @@
+"""image_tensorize: the decode→orient→crop→resize→normalize training
+stage. resize_pixels is pinned by hand-computed box means and nearest
+gathers; the Spark op by end-to-end JPEG/PNG fixtures."""
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.exif import build_exif_app1, insert_app1
+from automic_etl_spark.operators.imagehash import image_tensorize, resize_pixels
+from automic_etl_spark.operators.jpeg import synth_jpeg
+
+
+def test_resize_downscale_box_means():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = resize_pixels(img, 2, 2)
+    # each 2x2 block mean: [[2.5, 4.5], [10.5, 12.5]]
+    assert out.shape == (2, 2, 1)
+    assert np.allclose(out[:, :, 0], [[2.5, 4.5], [10.5, 12.5]])
+
+
+def test_resize_upscale_nearest():
+    img = np.array([[1, 2], [3, 4]], dtype=np.uint8)[:, :, None]
+    out = resize_pixels(img, 4, 4)
+    assert out.shape == (4, 4, 1)
+    assert np.array_equal(
+        out[:, :, 0],
+        [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]],
+    )
+
+
+def test_resize_mixed_axes_and_channels():
+    img = np.random.default_rng(0).integers(0, 255, (6, 2, 3), dtype=np.uint8)
+    out = resize_pixels(img, 3, 4)  # down rows, up cols
+    assert out.shape == (3, 4, 3)
+    # row blocks of 2 averaged, columns nearest-duplicated
+    assert np.allclose(out[0, 0], img[0:2, 0].mean(axis=0))
+    assert np.allclose(out[0, 1], out[0, 0])
+
+
+def _blob_df(spark, *blobs):
+    return spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(blobs)],
+        "doc_id long, _content_bytes binary",
+    )
+
+
+def test_tensorize_end_to_end(spark):
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+    df = _blob_df(spark, synth_jpeg(img, quality=95), b"not an image")
+    out = {r.doc_id: r for r in image_tensorize(
+        df, size=(8, 8), channels="rgb", layout="hwc").collect()}
+    good = out[0]
+    assert good.ok and good.format == "jpeg"
+    assert (good.height, good.width) == (40, 60)  # pre-resize dims
+    t = np.asarray(good.tensor, dtype=np.float32)
+    assert t.shape == (8 * 8 * 3,)
+    assert 0.0 <= t.min() and t.max() <= 1.0
+    assert not out[1].ok and out[1].tensor is None
+
+
+def test_tensorize_layout_and_gray_and_norm(spark):
+    img = np.random.default_rng(3).integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    df = _blob_df(spark, synth_jpeg(img, quality=95))
+    hwc = np.asarray(image_tensorize(
+        df, size=(4, 4), layout="hwc").collect()[0].tensor).reshape(4, 4, 3)
+    chw = np.asarray(image_tensorize(
+        df, size=(4, 4), layout="chw").collect()[0].tensor).reshape(3, 4, 4)
+    assert np.allclose(hwc.transpose(2, 0, 1), chw, atol=1e-6)
+    g = np.asarray(image_tensorize(
+        df, size=(4, 4), channels="gray").collect()[0].tensor)
+    assert g.shape == (16,)
+    normed = np.asarray(image_tensorize(
+        df, size=(4, 4), mean=(0.5, 0.5, 0.5), std=(0.25, 0.25, 0.25)
+    ).collect()[0].tensor).reshape(4, 4, 3)
+    assert np.allclose((hwc - 0.5) / 0.25, normed, atol=1e-5)
+
+
+def test_tensorize_center_crop_and_orientation(spark):
+    """A rotated camera upload (EXIF 6) tensorizes like its upright
+    twin — orientation runs before crop/resize."""
+    rng = np.random.default_rng(4)
+    up = rng.integers(0, 255, (32, 48, 3), dtype=np.uint8)
+    stored = np.rot90(up, 1).copy()
+    df = _blob_df(
+        spark,
+        synth_jpeg(up, quality=97),
+        insert_app1(synth_jpeg(stored, quality=97),
+                    build_exif_app1(orientation=6)),
+    )
+    out = {r.doc_id: np.asarray(r.tensor) for r in image_tensorize(
+        df, size=(8, 8), crop="center").collect()}
+    # JPEG requantization of the rotated copy costs a little; the
+    # tensors must still be close elementwise
+    assert np.abs(out[0] - out[1]).mean() < 0.02
+
+
+def test_tensorize_rejections(spark):
+    df = _blob_df(spark, b"")
+    with pytest.raises(ValueError, match="channels"):
+        image_tensorize(df, channels="bgr")
+    with pytest.raises(ValueError, match="layout"):
+        image_tensorize(df, layout="whc")
+    with pytest.raises(ValueError, match="mean needs"):
+        image_tensorize(df, mean=(0.5,))
