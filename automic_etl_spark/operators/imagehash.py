@@ -947,12 +947,6 @@ def resize_pixels(img, out_h: int, out_w: int):
     return one_axis(one_axis(x, out_h, 0), out_w, 1)
 
 
-TENSOR_SCHEMA = (
-    "doc_id long, ok boolean, format string, height int, width int, "
-    "tensor array<float>"
-)
-
-
 def image_tensorize(
     df: DataFrame,
     size: tuple = (64, 64),
@@ -963,7 +957,6 @@ def image_tensorize(
     mean: tuple | None = None,
     std: tuple | None = None,
     normalize_orientation: bool = True,
-    id_col: str = "doc_id",
     content_col: str = "_content_bytes",
 ) -> DataFrame:
     """Blobs → training-ready tensors: decode (all first-party codecs
@@ -971,11 +964,14 @@ def image_tensorize(
     deterministic resize, scale to [0,1], optional per-channel
     mean/std normalization, flatten in ``hwc`` or ``chw`` order —
     the brief's decode/resize multimodal stage as one map-only
-    Arrow-batched kernel. Undecodable blobs emit ok=false with a NULL
+    Arrow-batched kernel. COLUMN-PRESERVING: every input column except
+    ``content_col`` passes through (so per-frame video rows keep their
+    (doc_id, frame_idx, ts_ms) identity) and ok/format/height/width/
+    tensor are appended. Undecodable blobs emit ok=false with a NULL
     tensor (keep or quarantine downstream); height/width are the
     PRE-resize decoded dims (the resize target is the caller's
     ``size``)."""
-    import pandas as pd
+    from pyspark.sql import types as T
 
     from automic_etl_spark.operators.exif import orient_pixels, parse_exif
 
@@ -992,51 +988,57 @@ def image_tensorize(
     if std is not None and len(std) != n_ch:
         raise ValueError(f"std needs {n_ch} values")
 
-    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def one(raw) -> tuple:
         import numpy as np
 
-        mean_a = np.asarray(mean, dtype=np.float64) if mean is not None else None
-        std_a = np.asarray(std, dtype=np.float64) if std is not None else None
-        for pdf in it:
-            rows = []
-            for rid, blob in zip(pdf[id_col], pdf[content_col]):
-                raw = bytes(blob) if blob is not None else b""
-                fmt, img = decode_image(raw)
-                if img is None:
-                    rows.append((rid, False, fmt, None, None, None))
-                    continue
-                if img.ndim == 2:
-                    img = img[:, :, None]
-                if normalize_orientation and raw[:2] == b"\xff\xd8":
-                    o = parse_exif(raw)["orientation"]
-                    if o > 1:
-                        img = orient_pixels(img, o)
-                h, w = img.shape[:2]
-                if img.shape[2] == 1 and channels == "rgb":
-                    img = np.repeat(img, 3, axis=2)
-                elif img.shape[2] >= 3 and channels == "rgb":
-                    img = img[:, :, :3]  # drop alpha
-                elif channels == "gray":
-                    img = _to_gray(img)[:, :, None]
-                if crop == "center" and h != w:
-                    side = min(h, w)
-                    y0 = (h - side) // 2
-                    x0 = (w - side) // 2
-                    img = img[y0 : y0 + side, x0 : x0 + side]
-                t = resize_pixels(img, out_h, out_w) * scale
-                if mean_a is not None:
-                    t = t - mean_a
-                if std_a is not None:
-                    t = t / std_a
-                if layout == "chw":
-                    t = np.transpose(t, (2, 0, 1))
-                rows.append(
-                    (rid, True, fmt, h, w, t.astype(np.float32).ravel())
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[id_col, "ok", "format", "height", "width", "tensor"],
-            )
+        raw = bytes(raw) if raw is not None else b""
+        fmt, img = decode_image(raw)
+        if img is None:
+            return (False, fmt, None, None, None)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if normalize_orientation and raw[:2] == b"\xff\xd8":
+            o = parse_exif(raw)["orientation"]
+            if o > 1:
+                img = orient_pixels(img, o)
+        h, w = img.shape[:2]
+        if img.shape[2] == 1 and channels == "rgb":
+            img = np.repeat(img, 3, axis=2)
+        elif img.shape[2] >= 3 and channels == "rgb":
+            img = img[:, :, :3]  # drop alpha
+        elif channels == "gray":
+            img = _to_gray(img)[:, :, None]
+        if crop == "center" and h != w:
+            side = min(h, w)
+            y0 = (h - side) // 2
+            x0 = (w - side) // 2
+            img = img[y0 : y0 + side, x0 : x0 + side]
+        t = resize_pixels(img, out_h, out_w) * scale
+        if mean is not None:
+            t = t - np.asarray(mean, dtype=np.float64)
+        if std is not None:
+            t = t / np.asarray(std, dtype=np.float64)
+        if layout == "chw":
+            t = np.transpose(t, (2, 0, 1))
+        return (True, fmt, h, w, t.astype(np.float32).ravel())
 
-    schema = TENSOR_SCHEMA.replace("doc_id ", f"{id_col} ", 1)
-    return df.mapInPandas(kernel, schema)
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            cells = [one(b) for b in pdf[content_col]]
+            out = pdf.drop(columns=[content_col])
+            for j, name in enumerate(("ok", "format", "height", "width", "tensor")):
+                out[name] = [c[j] for c in cells]
+            yield out
+
+    keep = [f for f in df.schema.fields if f.name != content_col]
+    out_schema = T.StructType(
+        keep
+        + [
+            T.StructField("ok", T.BooleanType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("tensor", T.ArrayType(T.FloatType())),
+        ]
+    )
+    return df.mapInPandas(kernel, out_schema)

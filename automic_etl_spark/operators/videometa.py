@@ -741,3 +741,38 @@ def synth_avi(
 
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def video_frames_tensorize(
+    blobs: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 16,
+    size: tuple = (64, 64),
+    id_col: str = "doc_id",
+    content_col: str = "_content_bytes",
+    **tensorize_kwargs,
+) -> DataFrame:
+    """The brief's frame-sample + decode/resize stage end-to-end:
+    schedule timestamps from container metadata (Catalyst sequence —
+    no UDF), seek each to its governing keyframe's true byte range
+    (``sample_frames``), and tensorize the coded frames through every
+    first-party image codec (MJPEG/PNG/BMP/GIF frames decode for
+    real; compressed codecs come back ok=false, the standard honest
+    gate). Output keeps per-frame identity: (id, frame_idx, ts_ms,
+    ok, format, height, width, tensor)."""
+    from automic_etl_spark.operators.imagehash import image_tensorize
+
+    meta = video_blobs_to_meta(blobs, id_col=id_col, content_col=content_col)
+    schedule = frame_sample_schedule(
+        meta.filter(F.col("ok")), every_ms=every_ms, max_frames=max_frames
+    )
+    frames = sample_frames(
+        schedule.join(blobs.select(id_col, content_col), id_col),
+        content_col=content_col,
+    )
+    return image_tensorize(
+        frames.filter(F.col("ok")).drop("ok"),
+        size=size,
+        content_col="frame_bytes",
+        **tensorize_kwargs,
+    )

@@ -103,3 +103,35 @@ def test_tensorize_rejections(spark):
         image_tensorize(df, layout="whc")
     with pytest.raises(ValueError, match="mean needs"):
         image_tensorize(df, mean=(0.5,))
+
+
+def test_video_frames_tensorize_mjpeg_avi(spark):
+    """Frame-sample + tensorize over a real MJPEG AVI: scheduled
+    timestamps seek to keyframe byte ranges, frames decode through the
+    first-party JPEG codec, and each sampled frame comes out as a
+    tensor with its (doc_id, frame_idx, ts_ms) identity."""
+    from automic_etl_spark.operators.videometa import (
+        synth_avi,
+        video_frames_tensorize,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [
+        synth_jpeg(rng.integers(0, 255, (32, 48, 3), dtype=np.uint8), quality=92)
+        for _ in range(12)
+    ]
+    # 12 frames at 500 ms each = 6 s clip
+    avi = synth_avi(frames, 48, 32, us_per_frame=500_000)
+    blobs = spark.createDataFrame(
+        [(1, bytearray(avi))], "doc_id long, _content_bytes binary")
+    out = video_frames_tensorize(
+        blobs, every_ms=1000, max_frames=8, size=(8, 8)).collect()
+    assert len(out) >= 4
+    for r in out:
+        assert r.doc_id == 1 and r.ok and r.format == "jpeg"
+        assert (r.height, r.width) == (32, 48)
+        assert len(r.tensor) == 8 * 8 * 3
+    # distinct schedule points hit distinct keyframes -> tensors differ
+    t0 = np.asarray(out[0].tensor)
+    tl = np.asarray(out[-1].tensor)
+    assert not np.allclose(t0, tl)
