@@ -1,0 +1,154 @@
+"""Log-mel spectrogram features — the audio counterpart of
+operators/imagehash.image_tensorize for training-data prep (the
+brief's audio feature-extract stage).
+
+Everything is the public, textbook pipeline (HTK mel scale, Davis &
+Mermelstein 1980 filterbank construction; the same shapes
+librosa/kaldi document):
+
+    PCM → pre-emphasis → Hann-windowed frames → |rFFT|² power
+        → triangular mel filterbank (HTK: mel = 2595·log10(1 + f/700))
+        → log10(power + eps), float32 (T, n_mels)
+
+Decode rides the repo's first-party codecs (operators/audio._decode_pcm:
+PCM/extensible WAV, FLAC, G.711 µ/A-law, IMA ADPCM, AIFF/AU); mp3/ogg
+stay honest-gated there, so such blobs emit ok=false rows. One
+Arrow-batched mapInPandas, map-only, no shuffle — embarrassingly
+parallel at any corpus size; ``max_frames`` caps per-row output so
+Arrow batches stay bounded on hour-long inputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import numpy as np
+    import pandas as pd
+
+__all__ = ["mel_filterbank", "log_mel", "audio_blobs_logmel"]
+
+_EPS = 1e-10
+
+
+def _hz_to_mel(f):
+    import numpy as np
+
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def _mel_to_hz(m):
+    import numpy as np
+
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(
+    n_mels: int, n_fft: int, sr: int, fmin: float = 0.0, fmax: float | None = None
+):
+    """(n_mels, n_fft//2 + 1) triangular filters on mel-spaced centers
+    (HTK convention): filter i rises from edge i to i+1 and falls to
+    i+2; edges are n_mels+2 points equally spaced in mel between fmin
+    and fmax (default Nyquist)."""
+    import numpy as np
+
+    fmax = sr / 2.0 if fmax is None else fmax
+    edges_hz = _mel_to_hz(
+        np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
+    )
+    bins_hz = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+    fb = np.zeros((n_mels, bins_hz.size), dtype=np.float64)
+    for i in range(n_mels):
+        lo, mid, hi = edges_hz[i], edges_hz[i + 1], edges_hz[i + 2]
+        up = (bins_hz - lo) / max(mid - lo, 1e-12)
+        down = (hi - bins_hz) / max(hi - mid, 1e-12)
+        fb[i] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def log_mel(
+    pcm,
+    sr: int,
+    frame_len: int = 400,
+    hop: int = 160,
+    n_mels: int = 40,
+    preemphasis: float = 0.97,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+):
+    """Mono PCM (any integer/float 1-D array) → float32 (T, n_mels)
+    log10 mel power. Frames shorter than ``frame_len`` at the tail are
+    dropped (no padding — deterministic frame count
+    T = 1 + (N - frame_len) // hop, 0 when N < frame_len)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim != 1:
+        raise ValueError("log_mel wants mono 1-D PCM — mix down first")
+    if preemphasis:
+        x = np.concatenate([x[:1], x[1:] - preemphasis * x[:-1]])
+    n = x.size
+    if n < frame_len:
+        return np.zeros((0, n_mels), dtype=np.float32)
+    t = 1 + (n - frame_len) // hop
+    idx = np.arange(frame_len)[None, :] + hop * np.arange(t)[:, None]
+    frames = x[idx] * np.hanning(frame_len)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    fb = mel_filterbank(n_mels, frame_len, sr, fmin, fmax)
+    return np.log10(power @ fb.T + _EPS).astype(np.float32)
+
+
+LOGMEL_SCHEMA = (
+    "doc_id long, ok boolean, sample_rate int, n_frames int, n_mels int, "
+    "features array<float>"
+)
+
+
+def audio_blobs_logmel(
+    df: DataFrame,
+    frame_len: int = 400,
+    hop: int = 160,
+    n_mels: int = 40,
+    max_frames: int = 3000,
+    id_col: str = "doc_id",
+    content_col: str = "_content_bytes",
+) -> DataFrame:
+    """(id, audio blob) → (id, ok, sample_rate, n_frames, n_mels,
+    features) with features the row-major flattened (min(T, max_frames),
+    n_mels) log-mel matrix. Multi-channel inputs mix down to mono
+    (mean). Undecodable/compressed-gated blobs emit ok=false with NULL
+    features — same honest-survivor policy as every media kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.audio import _decode_pcm
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    samples, rate, _w = _decode_pcm(
+                        bytes(blob) if blob is not None else b""
+                    )
+                    mono = samples.mean(axis=1)
+                    feats = log_mel(
+                        mono, rate, frame_len=frame_len, hop=hop, n_mels=n_mels
+                    )[:max_frames]
+                    rows.append(
+                        (rid, True, rate, feats.shape[0], n_mels, feats.ravel())
+                    )
+                except Exception:
+                    rows.append((rid, False, None, None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "ok", "sample_rate", "n_frames", "n_mels", "features",
+                ],
+            )
+
+    schema = LOGMEL_SCHEMA.replace("doc_id ", f"{id_col} ", 1)
+    return df.mapInPandas(kernel, schema)

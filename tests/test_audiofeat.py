@@ -1,0 +1,90 @@
+"""Log-mel feature tests: the filterbank pinned by construction
+properties and hand-checked band placement, log_mel by a pure-tone
+energy-concentration check, and the blob kernel end-to-end over
+first-party WAV/FLAC/G.711 decodes."""
+
+import numpy as np
+import pytest
+
+from automic_etl_spark.operators.audiofeat import (
+    audio_blobs_logmel,
+    log_mel,
+    mel_filterbank,
+)
+
+
+def test_filterbank_shape_and_coverage():
+    fb = mel_filterbank(n_mels=40, n_fft=400, sr=16000)
+    assert fb.shape == (40, 201)
+    assert (fb >= 0).all()
+    # every filter has mass, and interior bins are covered by >= 1 filter
+    assert (fb.sum(axis=1) > 0).all()
+    covered = fb.sum(axis=0)
+    assert (covered[5:-5] > 0).all()
+    # centers ascend in frequency: argmax bin is non-decreasing
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+
+
+def test_filterbank_band_limits():
+    fb = mel_filterbank(n_mels=10, n_fft=400, sr=16000, fmin=1000, fmax=4000)
+    bins_hz = np.arange(201) * (16000 / 400)
+    outside = (bins_hz < 950) | (bins_hz > 4050)
+    assert np.allclose(fb[:, outside], 0.0)
+
+
+def test_log_mel_tone_concentrates_energy():
+    """A pure 1 kHz tone at 16 kHz: the strongest mel bin must be the
+    one whose filter peaks nearest 1 kHz, in every frame."""
+    sr = 16000
+    t = np.arange(sr)  # 1 second
+    tone = (10000 * np.sin(2 * np.pi * 1000 * t / sr)).astype(np.int16)
+    feats = log_mel(tone, sr, frame_len=400, hop=160, n_mels=40)
+    assert feats.shape == (1 + (sr - 400) // 160, 40)
+    fb = mel_filterbank(40, 400, sr)
+    bin_hz = np.arange(201) * (sr / 400)
+    expected_mel = int(np.argmax(fb[:, np.argmin(np.abs(bin_hz - 1000))]))
+    got = np.bincount(feats.argmax(axis=1), minlength=40).argmax()
+    assert abs(int(got) - expected_mel) <= 1
+
+
+def test_log_mel_edges():
+    assert log_mel(np.zeros(10), 16000, frame_len=400).shape == (0, 40)
+    with pytest.raises(ValueError, match="mono"):
+        log_mel(np.zeros((10, 2)), 16000)
+    # deterministic frame count
+    feats = log_mel(np.zeros(400 + 160 * 5), 16000, frame_len=400, hop=160)
+    assert feats.shape[0] == 6
+
+
+def test_audio_blobs_logmel_end_to_end(spark):
+    from automic_etl_spark.operators.audio import synth_wav
+    from automic_etl_spark.operators.g711 import synth_wav_g711
+
+    pcm = (3000 * np.sin(np.arange(8000) / 10.0)).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(synth_wav(duration_ms=500))),
+            (2, bytearray(synth_wav_g711(pcm, 8000, law="ulaw"))),
+            (3, bytearray(b"not audio at all")),
+        ],
+        "doc_id long, _content_bytes binary",
+    )
+    out = {r.doc_id: r for r in audio_blobs_logmel(
+        df, frame_len=256, hop=128, n_mels=20, max_frames=50).collect()}
+    assert out[1].ok and out[1].n_mels == 20
+    assert out[1].n_frames > 0
+    assert len(out[1].features) == out[1].n_frames * 20
+    assert out[2].ok and out[2].sample_rate == 8000
+    assert not out[3].ok and out[3].features is None
+
+
+def test_max_frames_caps_output(spark):
+    from automic_etl_spark.operators.audio import synth_wav
+
+    df = spark.createDataFrame(
+        [(1, bytearray(synth_wav(duration_ms=2000)))],
+        "doc_id long, _content_bytes binary",
+    )
+    r = audio_blobs_logmel(df, max_frames=7).collect()[0]
+    assert r.n_frames == 7 and len(r.features) == 7 * 40
