@@ -98,6 +98,14 @@ class MultimodalCurator:
     # near-dup hash the original bytes; camera GPS/device tags are
     # excised from what leaves the pipeline). Map-only; adds no action.
     strip_image_pii: bool = False
+    # round 9: training-prep emission — survivors leave the pipeline
+    # as model-ready features (image tensors / audio log-mels) instead
+    # of raw blobs the trainer would re-decode. Map-only terminal
+    # transformations; gates and near-dup still see the original bytes.
+    emit_image_tensors: tuple | None = None   # (h, w) resize target
+    emit_audio_logmel: bool = False
+    logmel_n_mels: int = 40
+    logmel_max_frames: int = 3000
 
     def _finish(
         self,
@@ -178,6 +186,16 @@ class MultimodalCurator:
             from automic_etl_spark.operators.exif import strip_image_metadata
 
             out = strip_image_metadata(out, content_col=content_col)
+        if self.emit_image_tensors is not None:
+            from automic_etl_spark.operators.imagehash import image_tensorize
+
+            # drop the probe's ok/format first: the tensorize kernel
+            # re-emits both (its decode is the authoritative one here)
+            out = image_tensorize(
+                out.drop("ok", "format", "width", "height"),
+                size=tuple(self.emit_image_tensors),
+                content_col=content_col,
+            )
         return out, report
 
     def curate_audio(
@@ -211,7 +229,26 @@ class MultimodalCurator:
             final = dedup_by_audiofp(
                 kept, fps, id_col=id_col, min_hits=self.audio_near_dup_min_hits
             )
-        return self._finish(blobs, probed, ok, kept, final)
+        out, report = self._finish(blobs, probed, ok, kept, final)
+        if self.emit_audio_logmel:
+            from automic_etl_spark.operators.audiofeat import audio_blobs_logmel
+
+            feats = audio_blobs_logmel(
+                out.select(id_col, content_col),
+                n_mels=self.logmel_n_mels,
+                max_frames=self.logmel_max_frames,
+                id_col=id_col,
+                content_col=content_col,
+            ).select(
+                # probe metadata already carries ok/sample_rate/n_frames
+                # (PCM frames) — keep the feature columns unambiguous
+                id_col,
+                F.col("n_frames").alias("logmel_frames"),
+                F.col("n_mels").alias("logmel_mels"),
+                F.col("features").alias("logmel"),
+            )
+            out = out.drop(content_col).join(feats, id_col)
+        return out, report
 
     def curate_video(
         self,

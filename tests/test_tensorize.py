@@ -135,3 +135,39 @@ def test_video_frames_tensorize_mjpeg_avi(spark):
     t0 = np.asarray(out[0].tensor)
     tl = np.asarray(out[-1].tensor)
     assert not np.allclose(t0, tl)
+
+
+def test_curator_emit_image_tensors(spark):
+    from automic_etl_spark.services.multimodal_curator import MultimodalCurator
+
+    rng = np.random.default_rng(6)
+    big = synth_jpeg(rng.integers(0, 255, (80, 80, 3), dtype=np.uint8))
+    tiny = synth_jpeg(np.full((8, 8, 1), 1, dtype=np.uint8))
+    blobs = spark.createDataFrame(
+        [(1, bytearray(big)), (2, bytearray(tiny))],
+        "doc_id long, _content_bytes binary")
+    cur = MultimodalCurator(min_width=64, min_height=64,
+                            emit_image_tensors=(8, 8))
+    kept, report = cur.curate_images(blobs)
+    rows = kept.collect()
+    assert report["final_blobs"] == 1 and len(rows) == 1
+    assert rows[0].ok and len(rows[0].tensor) == 8 * 8 * 3
+    assert "_content_bytes" not in kept.columns
+
+
+def test_curator_emit_audio_logmel(spark):
+    from automic_etl_spark.operators.audio import synth_wav
+    from automic_etl_spark.services.multimodal_curator import MultimodalCurator
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(synth_wav(duration_ms=500))),
+         (2, bytearray(synth_wav(duration_ms=50)))],  # duration-gated
+        "doc_id long, _content_bytes binary")
+    cur = MultimodalCurator(min_audio_ms=200, emit_audio_logmel=True,
+                            logmel_n_mels=20, logmel_max_frames=30)
+    kept, report = cur.curate_audio(blobs)
+    rows = kept.collect()
+    assert report["final_blobs"] == 1 and len(rows) == 1
+    assert rows[0].logmel_mels == 20 and rows[0].logmel_frames <= 30
+    assert len(rows[0].logmel) == rows[0].logmel_frames * 20
+    assert rows[0].duration_ms == 500  # probe metadata survives
