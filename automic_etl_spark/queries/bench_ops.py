@@ -1106,3 +1106,60 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return acc.agg(
         F.sum("ids").alias("id_checksum"), F.sum("d").alias("dist_checksum")
     )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-prep feature extraction (r9): synthesize 400 JPEGs and
+    400 WAVs executor-side (deterministic per doc_id), run the
+    image-tensorize and audio log-mel kernels, reduce to checksums —
+    the per-blob cost a multimodal training pipeline pays after
+    curation."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.audiofeat import audio_blobs_logmel
+    from automic_etl_spark.operators.imagehash import image_tensorize
+    from automic_etl_spark.operators.jpeg import synth_jpeg
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .limit(400)
+        .repartition(32)
+    )
+
+    def to_jpeg(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = [
+                synth_jpeg(
+                    np.random.default_rng(int(d)).integers(
+                        0, 255, (48, 64, 3), dtype=np.uint8
+                    ),
+                    quality=85,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    def to_wav(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from automic_etl_spark.operators.audio import synth_wav
+
+        for pdf in it:
+            blobs = [
+                synth_wav(duration_ms=200 + int(d) % 300) for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    imgs = docs.mapInPandas(to_jpeg, "doc_id long, _content_bytes binary")
+    tens = image_tensorize(imgs, size=(32, 32)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.element_at("tensor", 1) * 1e4).cast("long")).alias("t0"),
+    )
+    wavs = docs.mapInPandas(to_wav, "doc_id long, _content_bytes binary")
+    mels = audio_blobs_logmel(wavs, max_frames=100).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_frames").cast("long").alias("t0"),
+    )
+    return tens.unionAll(mels).agg(
+        F.sum("n").alias("n_blobs"), F.sum("t0").alias("checksum")
+    )

@@ -73,6 +73,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_exif_scrub,
     q_dsir_select,
     q_pq_search,
+    q_media_features,
 )
 
 HEADLINE = {
@@ -120,6 +121,7 @@ HEADLINE = {
     "exif_scrub": q_exif_scrub,
     "dsir_select": q_dsir_select,
     "pq_search": q_pq_search,
+    "media_features": q_media_features,
     # round-7 surface: the flagship curate() funnel end-to-end (the
     # orchestration cost no per-stage bench can see)
     "corpus_curate": q_corpus_curate,

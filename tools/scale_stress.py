@@ -79,6 +79,7 @@ def _workloads():
         q_exif_scrub,
         q_dsir_select,
         q_pq_search,
+        q_media_features,
     )
     from automic_etl_spark.queries.relational import (
         q_agg_having,
@@ -130,6 +131,7 @@ def _workloads():
         "exif_scrub": q_exif_scrub,
         "dsir_select": q_dsir_select,
         "pq_search": q_pq_search,
+        "media_features": q_media_features,
     }
 
 
