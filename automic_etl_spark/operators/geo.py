@@ -1,0 +1,97 @@
+"""Geohash bucketing — the spatial key for GPS-bearing corpora.
+
+Public algorithm (Niemeyer 2008): interleave longitude/latitude
+bisection bits, emit base-32 digits (alphabet
+``0123456789bcdefghjkmnpqrstuvwxyz``). Prefix length = spatial
+resolution (5 chars ≈ 4.9 km cell, 7 ≈ 153 m), and PREFIX EQUALITY is
+a pure string operation — so geo-dedup, region quotas and
+privacy screens over EXIF GPS become ordinary groupBy/join keys, no
+geo library and no haversine joins.
+
+Composes with operators/exif: ``exif_metadata`` emits micro-degree
+integers; ``geohash_buckets`` turns them into bucket keys in one
+map-only Arrow pass.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+__all__ = ["geohash", "geohash_buckets"]
+
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat: float, lon: float, precision: int = 7) -> str | None:
+    """Standard geohash string; None for out-of-range coordinates
+    (corrupt EXIF happens — a total function keeps the scan total)."""
+    if lat is None or lon is None:
+        return None
+    if not (-90.0 <= lat <= 90.0 and -180.0 <= lon <= 180.0):
+        return None
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    out = []
+    bit = 0
+    ch = 0
+    even = True  # longitude first
+    while len(out) < precision:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lon_lo = mid
+            else:
+                ch <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lat_lo = mid
+            else:
+                ch <<= 1
+                lat_hi = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_BASE32[ch])
+            bit = 0
+            ch = 0
+    return "".join(out)
+
+
+def geohash_buckets(
+    df: DataFrame,
+    lat_col: str = "gps_lat_e6",
+    lon_col: str = "gps_lon_e6",
+    precision: int = 7,
+    out_col: str = "geohash",
+) -> DataFrame:
+    """Append a geohash bucket column from micro-degree integer
+    coordinates (the exif_metadata convention); rows without
+    coordinates get NULL. Column-preserving map-only kernel."""
+    from pyspark.sql import types as T
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            pdf = pdf.assign(**{out_col: [
+                geohash(
+                    la / 1e6 if la is not None and la == la else None,
+                    lo / 1e6 if lo is not None and lo == lo else None,
+                    precision,
+                )
+                for la, lo in zip(pdf[lat_col], pdf[lon_col])
+            ]})
+            yield pdf
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+    return df.mapInPandas(kernel, out_schema)

@@ -249,3 +249,51 @@ def test_parse_exif_total_on_truncations(cut):
     out = parse_exif(blob[:cut])
     assert isinstance(out, dict)
     strip_jpeg_metadata(blob[:cut])
+
+
+# --------------------------------------------------------------------------
+# geohash bucketing over EXIF GPS (operators/geo)
+# --------------------------------------------------------------------------
+
+def test_geohash_known_vectors():
+    """Public test vectors: the canonical Jutland point and ones whose
+    prefixes every geohash implementation agrees on."""
+    from automic_etl_spark.operators.geo import geohash
+
+    assert geohash(57.64911, 10.40744, 11) == "u4pruydqqvj"
+    assert geohash(42.6, -5.6, 5) == "ezs42"
+    assert geohash(0.0, 0.0, 4) == "s000"
+    assert geohash(None, 1.0) is None
+    assert geohash(91.0, 0.0) is None  # out of range -> None, not junk
+
+
+def test_geohash_prefix_locality():
+    from automic_etl_spark.operators.geo import geohash
+
+    a = geohash(48.85661, 2.35222, 9)   # ~meters apart
+    b = geohash(48.85662, 2.35224, 9)
+    far = geohash(-33.86880, 151.20930, 9)
+    assert a[:7] == b[:7]
+    assert a[:2] != far[:2]
+
+
+def test_exif_gps_to_geohash_pipeline(spark):
+    """EXIF extraction -> geohash buckets: two photos from the same
+    spot share a bucket; a different city does not."""
+    from automic_etl_spark.operators.geo import geohash_buckets
+
+    paris1 = _jpeg_with_exif(gps_lat=48.8566, gps_lon=2.3522)
+    paris2 = _jpeg_with_exif(gps_lat=48.8567, gps_lon=2.3523, orientation=3)
+    sydney = _jpeg_with_exif(gps_lat=-33.8688, gps_lon=151.2093)
+    plain = synth_jpeg(np.full((8, 8, 1), 9, dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(paris1)), (2, bytearray(paris2)),
+         (3, bytearray(sydney)), (4, bytearray(plain))],
+        "doc_id long, _content_bytes binary",
+    )
+    out = {r.doc_id: r for r in geohash_buckets(
+        exif_metadata(df), precision=5).collect()}
+    assert out[1].geohash == out[2].geohash  # same 4.9 km cell
+    assert out[1].geohash != out[3].geohash
+    assert out[4].geohash is None  # no GPS -> NULL bucket
+    assert out[1].geohash.startswith("u09")  # Paris cell prefix
