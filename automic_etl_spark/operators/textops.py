@@ -488,3 +488,60 @@ def filter_blocklist(
     if max_fraction is not None:
         out = out.filter(F.col("blocklist_fraction") <= max_fraction)
     return out.drop("blocklist_hits", "blocklist_fraction")
+
+
+# --------------------------------------------------------------------------
+# Unicode-script profiling (r9) — the honest multilingual widening of
+# language_id: the marker-stopword predictor covers exactly
+# LANG_MARKERS's languages (en/es/de/fr) and answers 'und' for
+# everything else; script detection needs NO language model — a
+# codepoint's script is a table lookup — so Cyrillic/Greek/Arabic/
+# Hebrew/Devanagari/CJK/Hangul/Kana/Thai text becomes routable
+# (per-script quotas, script-specific pipelines, mixed-script spam
+# flags) even though its LANGUAGE stays und. Pure JVM regex counting
+# (map-only, no UDF); BMP ranges only (astral CJK extensions land in
+# 'other', documented).
+# --------------------------------------------------------------------------
+
+#: script -> character-class of BMP codepoint ranges
+SCRIPT_RANGES = {
+    "latin": "A-Za-zÀ-ɏ",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
+    "cjk": "一-鿿㐀-䶿",
+    "hangul": "가-힯ᄀ-ᇿ",
+    "kana": "぀-ヿ",
+    "thai": "฀-๿",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document script signals: one ``script_{name}`` count column
+    per SCRIPT_RANGES entry (number of characters in that script —
+    ``length(text) - length(regexp_replace(text, '[ranges]', ''))``,
+    an expression every regex engine replays identically) plus
+    ``script`` = the dominant script ('und' when no script chars at
+    all; ties break alphabetically, same CASE-chain convention as
+    language_id's argmax)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    out_cols = []
+    for name, ranges in sorted(SCRIPT_RANGES.items()):
+        kept_out = F.length(txt) - F.length(
+            F.regexp_replace(txt, f"[{ranges}]", "")
+        )
+        out_cols.append(kept_out.alias(f"script_{name}"))
+    out = df.select("*", *out_cols)
+    names = sorted(SCRIPT_RANGES)
+    best = None
+    for i, name in enumerate(names):
+        c = F.col(f"script_{name}")
+        cond = c > 0
+        for other in names[i + 1:]:
+            cond = cond & (c >= F.col(f"script_{other}"))
+        for other in names[:i]:
+            cond = cond & (c > F.col(f"script_{other}"))
+        best = F.when(cond, F.lit(name)) if best is None else best.when(cond, F.lit(name))
+    return out.withColumn("script", F.coalesce(best, F.lit("und")))

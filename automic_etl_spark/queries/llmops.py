@@ -2046,3 +2046,104 @@ ORDER BY doc_id
 
 QUERIES_TAIL["image_tensorize"] = q_image_tensorize_gate
 ORACLE_TAIL["image_tensorize"] = ORACLE_IMAGE_TENSORIZE
+
+
+# --------------------------------------------------------------------------
+# Unicode-script profiling gate (operators/textops.script_profile, r9):
+# multilingual text built from PURE Catalyst expressions (phrase by
+# doc_id % 5, repetition by doc_id % 3), profiled by the JVM-regex
+# script counters; DuckDB replays both the construction and the
+# regexp_replace counting — a regex-engine disagreement on any Unicode
+# range hash-fails.
+# --------------------------------------------------------------------------
+
+_SCRIPT_N = 200
+_SCRIPT_PHRASES = (
+    "the quick brown fox",   # latin
+    "Привет мир кириллица",  # cyrillic
+    "مرحبا بالعالم",          # arabic
+    "こんにちは世界です",        # kana (+cjk minority)
+    "안녕하세요 세계",          # hangul
+)
+
+
+def q_script_profile_gate(spark, sf_dir):
+    from automic_etl_spark.operators.textops import script_profile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _SCRIPT_N)
+        .select("doc_id")
+    )
+    phrase = None
+    for i, p in enumerate(_SCRIPT_PHRASES):
+        cond = F.col("doc_id") % 5 == i
+        phrase = F.when(cond, F.lit(p)) if phrase is None else phrase.when(cond, F.lit(p))
+    text = F.concat(
+        F.repeat(F.concat(phrase, F.lit(" ")), (F.col("doc_id") % 3 + 1).cast("int")),
+        F.lit("tail42 "),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("Привет mixed")).otherwise(F.lit("")),
+    )
+    out = script_profile(docs.withColumn("text", text))
+    return out.select(
+        "doc_id", "script", "script_latin", "script_cyrillic",
+        "script_arabic", "script_kana", "script_hangul", "script_cjk",
+    ).orderBy("doc_id")
+
+
+ORACLE_SCRIPT_PROFILE = f"""
+WITH built AS (
+  SELECT doc_id,
+         repeat(CASE doc_id % 5
+                  WHEN 0 THEN '{_SCRIPT_PHRASES[0]} '
+                  WHEN 1 THEN '{_SCRIPT_PHRASES[1]} '
+                  WHEN 2 THEN '{_SCRIPT_PHRASES[2]} '
+                  WHEN 3 THEN '{_SCRIPT_PHRASES[3]} '
+                  ELSE '{_SCRIPT_PHRASES[4]} ' END,
+                CAST(doc_id % 3 + 1 AS INT))
+         || 'tail42 '
+         || CASE WHEN doc_id % 7 = 0 THEN 'Привет mixed' ELSE '' END AS text
+  FROM documents WHERE doc_id < {_SCRIPT_N}
+),
+counts AS (
+  SELECT doc_id,
+    CAST(length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')) AS BIGINT) AS script_latin,
+    CAST(length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS script_cyrillic,
+    CAST(length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS BIGINT) AS script_arabic,
+    CAST(length(text) - length(regexp_replace(text, '[぀-ヿ]', '', 'g')) AS BIGINT) AS script_kana,
+    CAST(length(text) - length(regexp_replace(text, '[가-힯ᄀ-ᇿ]', '', 'g')) AS BIGINT) AS script_hangul,
+    CAST(length(text) - length(regexp_replace(text, '[一-鿿㐀-䶿]', '', 'g')) AS BIGINT) AS script_cjk
+  FROM built
+)
+SELECT doc_id,
+       CASE
+         WHEN script_arabic > 0 AND script_arabic >= script_cyrillic
+              AND script_arabic > script_latin AND script_arabic >= script_cjk
+              AND script_arabic >= script_hangul AND script_arabic >= script_kana
+           THEN 'arabic'
+         WHEN script_cjk > 0 AND script_cjk >= script_cyrillic
+              AND script_cjk > script_latin AND script_cjk > script_arabic
+              AND script_cjk >= script_hangul AND script_cjk >= script_kana
+           THEN 'cjk'
+         WHEN script_cyrillic > 0 AND script_cyrillic > script_latin
+              AND script_cyrillic > script_arabic AND script_cyrillic > script_cjk
+              AND script_cyrillic >= script_hangul AND script_cyrillic >= script_kana
+           THEN 'cyrillic'
+         WHEN script_hangul > 0 AND script_hangul > script_latin
+              AND script_hangul > script_arabic AND script_hangul > script_cjk
+              AND script_hangul > script_cyrillic AND script_hangul >= script_kana
+           THEN 'hangul'
+         WHEN script_kana > 0 AND script_kana > script_latin
+              AND script_kana > script_arabic AND script_kana > script_cjk
+              AND script_kana > script_cyrillic AND script_kana > script_hangul
+           THEN 'kana'
+         WHEN script_latin > 0 THEN 'latin'
+         ELSE 'und' END AS script,
+       script_latin, script_cyrillic, script_arabic, script_kana,
+       script_hangul, script_cjk
+FROM counts
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["script_profile"] = q_script_profile_gate
+ORACLE_TAIL["script_profile"] = ORACLE_SCRIPT_PROFILE

@@ -93,6 +93,7 @@ def test_registry_driver_window_prefix():
         "xml_extract",  # r9: XML row-tag extraction gate
         "dsir_select",  # r9: DSIR importance-resampling gate
         "image_tensorize",  # r9: decode->resize->scale training stage
+        "script_profile",  # r9: Unicode-script routing signals
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and

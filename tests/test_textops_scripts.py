@@ -1,0 +1,43 @@
+"""Unicode-script profiling tests."""
+
+import pytest
+
+from automic_etl_spark.operators.textops import SCRIPT_RANGES, script_profile
+
+
+def test_script_profile_dominant_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello entirely latin text"),
+            (2, "Привет мир это кириллица полностью"),
+            (3, "مرحبا بالعالم"),
+            (4, "こんにちは世界"),
+            (5, "안녕하세요 세계"),
+            (6, "สวัสดีครับ"),
+            (7, "नमस्ते दुनिया"),
+            (8, "Γειά σου Κόσμε"),
+            (9, "שלום עולם"),
+            (10, "1234 --- !!!"),
+            (11, None),
+            (12, "mixed Привет hello мир кир"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in script_profile(df).collect()}
+    expect = {1: "latin", 2: "cyrillic", 3: "arabic", 4: "kana",
+              5: "hangul", 6: "thai", 7: "devanagari", 8: "greek",
+              9: "hebrew", 10: "und", 11: "und", 12: "cyrillic"}
+    for rid, script in expect.items():
+        assert rows[rid].script == script, (rid, rows[rid].script)
+    assert rows[1].script_latin == len("hello entirely latin text".replace(" ", ""))
+    assert rows[10].script_latin == 0
+    # every declared script produced a count column
+    for name in SCRIPT_RANGES:
+        assert hasattr(rows[1], f"script_{name}")
+
+
+def test_script_profile_accents_count_as_latin(spark):
+    df = spark.createDataFrame([(1, "café naïve àéîöü")], "doc_id long, text string")
+    r = script_profile(df).collect()[0]
+    assert r.script == "latin"
+    assert r.script_latin == len("café naïve àéîöü".replace(" ", ""))
