@@ -155,6 +155,12 @@ class CorpusCurator:
     # score_en/score_es/score_de/score_fr or lang_pred are rejected by
     # language_id (ambiguous argmax) — rename before curate().
     keep_langs: tuple | None = None
+    # Unicode-script gate (r9): keep docs whose DOMINANT SCRIPT is
+    # listed (textops.SCRIPT_RANGES names + 'und'). Model-free — runs
+    # BEFORE the language gate (script is the coarser router: a
+    # Cyrillic doc can never pass keep_langs=('en',) anyway, and
+    # script-routed pipelines split here). None disables.
+    keep_scripts: tuple | None = None
     # token-budget mixture stage (r7, Pile/DoReMi): per-group token
     # budgets applied AFTER quality/decontam/caps and BEFORE the split —
     # operators/mixing.token_budget_sample semantics (deterministic
@@ -395,6 +401,21 @@ class CorpusCurator:
             near_keep = stage(
                 "semantic", near_keep.join(dropped, id_col, "left_anti")
             )
+
+        # 2c2. optional Unicode-script gate (model-free router — runs
+        # before the language gate; see keep_scripts)
+        if self.keep_scripts is not None:
+            from automic_etl_spark.operators.textops import (
+                SCRIPT_RANGES,
+                script_profile,
+            )
+
+            labeled = script_profile(near_keep, text_col)
+            gated = labeled.filter(F.col("script").isin(*self.keep_scripts))
+            drop_cols = [f"script_{name}" for name in SCRIPT_RANGES]
+            if not self.emit_signals:
+                drop_cols.append("script")
+            near_keep = stage("script", gated.drop(*drop_cols))
 
         # 2d. optional language gate (CCNet order: dedup, THEN language)
         if self.keep_langs is not None:
@@ -691,6 +712,8 @@ class CorpusCurator:
             }
         report["contaminated_removed"] = removed("decontam")
         report["group_cap_removed"] = removed("cap")
+        if "script" in chain:
+            report["script_removed"] = removed("script")
         if "dsir" in chain:
             report["dsir_removed"] = removed("dsir")
         if "mixture" in chain:

@@ -41,3 +41,32 @@ def test_script_profile_accents_count_as_latin(spark):
     r = script_profile(df).collect()[0]
     assert r.script == "latin"
     assert r.script_latin == len("café naïve àéîöü".replace(" ", ""))
+
+
+def test_curator_script_gate(spark):
+    """keep_scripts routes by dominant script before the language
+    gate; emit_signals carries the script label forward."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    en = ("the quick brown fox jumps over the lazy dog near the river "
+          "and the field where the light is warm and the air is soft")
+    ru = ("быстрая коричневая лиса прыгает через ленивую собаку возле "
+          "реки и поля где свет тёплый и воздух мягкий весь день")
+    docs = spark.createDataFrame(
+        [(i, en + f" variant {i}", "web") for i in range(5)]
+        + [(100 + i, ru + f" вариант {i}", "web") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    out, report = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01, keep_scripts=("latin",)
+    ).curate(docs)
+    assert report["script_removed"] == 3 and report["final_docs"] == 5
+    assert all(r.doc_id < 100 for r in out.collect())
+    assert "script" not in out.columns
+
+    out2, _ = CorpusCurator(
+        min_quality=0.0, jaccard_threshold=1.01,
+        keep_scripts=("latin", "cyrillic"), emit_signals=True,
+    ).curate(docs)
+    labels = {r.doc_id: r.script for r in out2.collect()}
+    assert labels[0] == "latin" and labels[100] == "cyrillic"
