@@ -21,7 +21,7 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("ingest", help="ingest a file into bronze")
     i.add_argument("table")
     i.add_argument("path")
-    i.add_argument("--format", choices=["parquet", "csv", "json"], default="parquet")
+    i.add_argument("--format", choices=["parquet", "csv", "json", "avro", "orc"], default="parquet")
     i.add_argument("--source", default="cli")
 
     pr = sub.add_parser("process", help="bronze → silver")
@@ -153,6 +153,10 @@ def main(argv: list[str] | None = None) -> int:
             "parquet": spark.read.parquet,
             "csv": lambda p: spark.read.option("header", True).csv(p),
             "json": spark.read.json,
+            "orc": spark.read.orc,
+            "avro": lambda p: __import__(
+                "automic_etl_spark.sources.avrofile", fromlist=["read_avro"]
+            ).read_avro(spark, p),
         }[args.format]
         batch = lh.ingest(args.table, reader(args.path), source=args.source)
         print(f"ingested batch {batch} into bronze.{args.table}")

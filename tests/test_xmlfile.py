@@ -198,3 +198,22 @@ def test_read_fixed_width(spark, tmp_path):
         spark, str(tmp_path / "a.txt"),
         {"name": (5, 15)}, trim=False, skip_header_lines=1).collect()
     assert raw[0].name == "alice     "
+
+
+def test_cli_ingest_avro(spark, tmp_path, monkeypatch):
+    from automic_etl_spark import cli
+    from automic_etl_spark.sources.avrofile import write_ocf
+
+    (tmp_path / "in.avro").write_bytes(write_ocf(
+        [{"id": i, "v": f"x{i}"} for i in range(12)],
+        {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"}, {"name": "v", "type": "string"}]}))
+    monkeypatch.setattr(
+        "automic_etl_spark.session.get_spark", lambda *a, **k: spark)
+    wh = str(tmp_path / "wh")
+    rc = cli.main(["--warehouse", wh, "ingest", "events_avro",
+                   str(tmp_path / "in.avro"), "--format", "avro"])
+    assert rc in (0, None)
+    from automic_etl_spark.medallion import Lakehouse
+    lh = Lakehouse(spark, wh)
+    assert lh.sql("SELECT count(*) AS n FROM bronze_events_avro").collect()[0].n == 12
