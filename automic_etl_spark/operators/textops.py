@@ -525,7 +525,20 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     an expression every regex engine replays identically) plus
     ``script`` = the dominant script ('und' when no script chars at
     all; ties break alphabetically, same CASE-chain convention as
-    language_id's argmax)."""
+    language_id's argmax).
+
+    Same output-collision contract as ``language_id``: input columns
+    named ``script`` or ``script_{name}`` would make the dominant-script
+    argmax reference ambiguous, so they are rejected up front."""
+    clash = set(df.columns) & (
+        {f"script_{name}" for name in SCRIPT_RANGES} | {"script"}
+    )
+    if clash:
+        raise ValueError(
+            f"script_profile output column(s) {sorted(clash)} already "
+            "exist in the input — rename them first (the dominant-script "
+            "argmax over script_{name} would hit an ambiguous reference)"
+        )
     txt = F.coalesce(F.col(text_col), F.lit(""))
     out_cols = []
     for name, ranges in sorted(SCRIPT_RANGES.items()):

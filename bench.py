@@ -178,6 +178,13 @@ def main() -> None:
         attempts[name] = per_attempt
 
     total = round(sum(timings.values()), 3)
+    # Two lines, attempts FIRST: r9's single combined line (queries +
+    # 40 two-element attempt arrays) outgrew the driver's tail-capture
+    # window and recorded as parsed:null.  The final line is the
+    # compact required schema and stays well inside any tail window;
+    # the per-attempt spread lives on its own preceding line for
+    # reviewers separating contention noise from real regressions.
+    print(json.dumps({"metric": "headline_attempts", "attempts": attempts}))
     print(
         json.dumps(
             {
@@ -185,7 +192,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "attempts": attempts,
                 "sf": sf,
             }
         )

@@ -43,6 +43,17 @@ def test_script_profile_accents_count_as_latin(spark):
     assert r.script_latin == len("café naïve àéîöü".replace(" ", ""))
 
 
+def test_script_profile_collisions_rejected(spark):
+    """Input columns colliding with script_profile's outputs raise
+    instead of hitting an ambiguous argmax reference (same contract as
+    language_id)."""
+    df = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    for bad in ("script", "script_latin"):
+        clashing = df.withColumn(bad, df.doc_id)
+        with pytest.raises(ValueError, match=bad):
+            script_profile(clashing)
+
+
 def test_curator_script_gate(spark):
     """keep_scripts routes by dominant script before the language
     gate; emit_signals carries the script label forward."""
