@@ -98,13 +98,27 @@ def audio_fingerprint(
 
 def audio_landmarks(
     data: bytes,
-    frame_len: int = 1024,
+    frame_len: int = 2048,
     hop: int = 256,
     peaks_per_frame: int = 3,
     max_dt: int = 8,
     bin_quant: int = 2,
 ) -> tuple[list[int], list[int]] | None:
     """Shazam-style peak-pair landmarks: (hashes, anchor_frame_times).
+
+    frame_len default is 2048 (r10; was 1024): doubling the FFT length
+    doubles the frequency resolution, so at bin_quant=2 the quantized
+    peak-bin range widens ~2x per field and the usable landmark key
+    space grows ~4x (~2^18.4 -> ~2^20.4 at 8 kHz) — expected inverted-
+    index bucket occupancy drops 4x and self-join candidate pairs ~16x,
+    which is what took the 10x scale-stress ratio from 15.7x super-
+    linear back to near-linear (SCALE_STRESS r10). Hop stays 256, so
+    frame-time offsets (and offset voting) are unchanged; the Hz width
+    of a quantized bucket is also unchanged (bin_quant=2 at 2048 ==
+    1 bin at 1024), so noise robustness of the quantization is
+    preserved while the longer window stabilizes the peak estimates.
+    Clips shorter than frame_len + hop (~288 ms at 8 kHz) return None —
+    pass frame_len=1024 explicitly for very short clips.
 
     Per frame the top ``peaks_per_frame`` FFT bins (within the analysis
     band, magnitude order — gain-invariant) form the constellation;

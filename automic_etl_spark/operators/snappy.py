@@ -1,0 +1,244 @@
+"""First-party Snappy raw-format codec (pure Python, numpy-free).
+
+Snappy is the de-facto default block compression of production
+Kafka/Avro pipelines, so ``read_avro`` hitting a real topic archive
+meets it immediately — the same argument that earned FLAC (RFC 9639)
+and JPEG (ITU T.81) first-party codecs. Neither python-snappy nor
+cramjam is in the image, so this implements the published format
+description (google/snappy ``format_description.txt``) directly:
+
+  stream  = uvarint(uncompressed_length) element*
+  element = tag byte + payload
+    tag & 3 == 0: LITERAL — upper 6 bits hold len-1 when < 60, else
+                  60/61/62/63 mean 1/2/3/4 little-endian extra length
+                  bytes (value = len-1), then the literal bytes
+    tag & 3 == 1: COPY, 1-byte offset — len = 4 + ((tag>>2) & 7)
+                  (4..11), offset = ((tag>>5) << 8) | next_byte
+                  (11 bits, 0..2047)
+    tag & 3 == 2: COPY, 2-byte LE offset — len = 1 + (tag>>2) (1..64)
+    tag & 3 == 3: COPY, 4-byte LE offset — same length coding
+  Copies may self-overlap (offset < length = run/pattern fill, the
+  LZ77 convention), so overlapping copies materialize byte-ranges in
+  chunks of ``offset`` bytes rather than one slice.
+
+The compressor is the reference implementation's shape: greedy LZ77
+over independent 64 KiB fragments (so 2-byte offsets always suffice),
+a 4-byte hash table for match discovery, matches ≥ 4 bytes, long
+matches split into ≤ 64-byte copy elements with the tail kept ≥ 4.
+Emitting only literals is also a legal stream — the fallback for
+incompressible fragments costs len/2^32 overhead.
+
+Reference parity is pinned two ways (no snappy library exists in the
+image to differentially test against): byte-exact decode of
+hand-assembled spec streams covering every tag type + overlap
+semantics, and hypothesis round-trip/totality over adversarial
+inputs (tests/test_snappy.py).
+
+Used by: Avro OCF ``snappy`` codec (sources/avrofile.py), which per
+the Avro spec appends a 4-byte big-endian CRC32 of the UNCOMPRESSED
+block after the compressed bytes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+
+class SnappyError(ValueError):
+    """Malformed snappy stream (bad tag/length/offset/truncation)."""
+
+
+# --------------------------------------------------------------------------
+# varint
+# --------------------------------------------------------------------------
+
+def _write_uvarint(out: bytearray, v: int) -> None:
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        if pos >= len(data):
+            raise SnappyError("truncated varint")
+        b = data[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+        if shift > 35:  # uncompressed length is a uint32
+            raise SnappyError("varint overflows uint32")
+
+
+# --------------------------------------------------------------------------
+# decompress
+# --------------------------------------------------------------------------
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Decode one snappy raw-format stream. Raises SnappyError on any
+    malformed input (never over-reads, never returns a wrong-length
+    result)."""
+    expected, pos = _read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                extra = ln - 59  # 1..4 length bytes
+                if pos + extra > n:
+                    raise SnappyError("truncated literal length")
+                ln = int.from_bytes(data[pos : pos + extra], "little")
+                pos += extra
+            ln += 1
+            if pos + ln > n:
+                raise SnappyError("truncated literal body")
+            out += data[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:
+            if pos >= n:
+                raise SnappyError("truncated copy-1 offset")
+            length = 4 + ((tag >> 2) & 0x7)
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:
+            if pos + 2 > n:
+                raise SnappyError("truncated copy-2 offset")
+            length = 1 + (tag >> 2)
+            offset = data[pos] | (data[pos + 1] << 8)
+            pos += 2
+        else:
+            if pos + 4 > n:
+                raise SnappyError("truncated copy-4 offset")
+            length = 1 + (tag >> 2)
+            offset = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise SnappyError(
+                f"copy offset {offset} outside window of {len(out)} bytes"
+            )
+        if offset >= length:  # disjoint: one slice
+            start = len(out) - offset
+            out += out[start : start + length]
+        else:  # self-overlapping run: materialize in offset-sized chunks
+            start = len(out) - offset
+            remaining = length
+            while remaining > 0:
+                chunk = out[start : start + min(offset, remaining)]
+                out += chunk
+                start += len(chunk)
+                remaining -= len(chunk)
+    if len(out) != expected:
+        raise SnappyError(
+            f"declared uncompressed length {expected} != decoded {len(out)}"
+        )
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# compress
+# --------------------------------------------------------------------------
+
+_FRAGMENT = 1 << 16  # reference block size: offsets stay < 65536
+
+
+def _emit_literal(out: bytearray, data: bytes, start: int, end: int) -> None:
+    ln = end - start - 1
+    if ln < 60:
+        out.append(ln << 2)
+    elif ln < 1 << 8:
+        out.append(60 << 2)
+        out.append(ln)
+    elif ln < 1 << 16:
+        out.append(61 << 2)
+        out += struct.pack("<H", ln)
+    elif ln < 1 << 24:
+        out.append(62 << 2)
+        out += struct.pack("<I", ln)[:3]
+    else:
+        out.append(63 << 2)
+        out += struct.pack("<I", ln)
+    out += data[start:end]
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    # split > 64 into ≤ 64-byte elements; keep the tail ≥ 4 so every
+    # element is encodable (copy-1 needs len ≥ 4; copy-2 allows 1..64
+    # but the reference never emits < 4 and neither do we)
+    while length >= 68:
+        _emit_one_copy(out, offset, 64)
+        length -= 64
+    if length > 64:
+        _emit_one_copy(out, offset, 60)
+        length -= 60
+    _emit_one_copy(out, offset, length)
+
+
+def _emit_one_copy(out: bytearray, offset: int, length: int) -> None:
+    if 4 <= length <= 11 and offset < 2048:
+        out.append(1 | ((length - 4) << 2) | ((offset >> 8) << 5))
+        out.append(offset & 0xFF)
+    else:
+        out.append(2 | ((length - 1) << 2))
+        out += struct.pack("<H", offset)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Encode bytes as one snappy raw-format stream (greedy LZ77 over
+    64 KiB fragments, reference-format compatible)."""
+    out = bytearray()
+    _write_uvarint(out, len(data))
+    for frag_start in range(0, len(data), _FRAGMENT):
+        _compress_fragment(
+            out, data, frag_start, min(frag_start + _FRAGMENT, len(data))
+        )
+    if not data:
+        pass  # stream is just uvarint(0)
+    return bytes(out)
+
+
+def _compress_fragment(
+    out: bytearray, data: bytes, base: int, end: int
+) -> None:
+    n = end - base
+    if n < 4:
+        if n:
+            _emit_literal(out, data, base, end)
+        return
+    table: dict[bytes, int] = {}
+    i = base
+    lit_start = base
+    limit = end - 3  # last position where a 4-byte hash fits
+    while i < limit:
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None:
+            i += 1
+            continue
+        # extend the match forward
+        length = 4
+        while i + length < end and data[cand + length] == data[i + length]:
+            length += 1
+        if lit_start < i:
+            _emit_literal(out, data, lit_start, i)
+        _emit_copy(out, i - cand, length)
+        # seed the table sparsely inside the match (reference skips
+        # ahead too; per-byte insertion would be O(length) dict churn)
+        j = i + 1
+        step = 1 if length <= 16 else length // 8
+        while j < i + length and j < limit:
+            table[data[j : j + 4]] = j
+            j += step
+        i += length
+        lit_start = i
+    if lit_start < end:
+        _emit_literal(out, data, lit_start, end)

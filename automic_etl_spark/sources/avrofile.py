@@ -13,10 +13,13 @@ Scope — the public Avro 1.11 specification
   unscaled), date, time-millis/micros, timestamp-millis/micros, uuid;
 - Object Container Files (magic ``Obj\\x01``, file-metadata map,
   16-byte sync marker, counted blocks) with codecs ``null``,
-  ``deflate`` (raw zlib), ``bzip2`` and ``xz`` — the stdlib set.
-  ``snappy`` and ``zstandard`` blocks raise: neither codec is in the
-  image and a hand-rolled implementation could not be verified against
-  real frames here (same honesty gate as mp3/ogg in operators/audio).
+  ``deflate`` (raw zlib), ``bzip2``, ``xz`` (the stdlib set) and
+  ``snappy`` (first-party raw-format codec, operators/snappy.py, with
+  the spec's 4-byte big-endian CRC32-of-uncompressed trailer — r10;
+  snappy is the de-facto default of production Kafka/Avro pipelines).
+  ``zstandard`` blocks raise: the codec is not in the image and a
+  hand-rolled implementation could not be verified against real
+  frames here (same honesty gate as mp3/ogg in operators/audio).
 - the Confluent Schema Registry wire format (magic 0x00 + big-endian
   4-byte schema id + Avro body) for Kafka value payloads — the shape
   the reference's Kafka consumer deserializes
@@ -640,6 +643,26 @@ def _decode(buf: memoryview, pos: int, s) -> tuple[Any, int]:
 # Object Container Files — spec §"Object Container Files"
 # --------------------------------------------------------------------------
 
+def _snappy_block_compress(b: bytes) -> bytes:
+    # Avro spec: snappy blocks carry a 4-byte BIG-ENDIAN CRC32 of the
+    # UNCOMPRESSED data after the compressed bytes
+    from automic_etl_spark.operators.snappy import snappy_compress
+
+    return snappy_compress(b) + struct.pack(">I", zlib.crc32(b) & 0xFFFFFFFF)
+
+
+def _snappy_block_decompress(b: bytes) -> bytes:
+    from automic_etl_spark.operators.snappy import snappy_decompress
+
+    if len(b) < 4:
+        raise ValueError("snappy block too short for its CRC32 trailer")
+    raw = snappy_decompress(b[:-4])
+    crc = struct.unpack(">I", b[-4:])[0]
+    if zlib.crc32(raw) & 0xFFFFFFFF != crc:
+        raise ValueError("snappy block CRC32 mismatch — corrupt container")
+    return raw
+
+
 _CODECS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]]] = {
     "null": (lambda b: b, lambda b: b),
     "deflate": (
@@ -648,6 +671,9 @@ _CODECS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]]] = 
     ),
     "bzip2": (bz2.compress, bz2.decompress),
     "xz": (lzma.compress, lzma.decompress),
+    # first-party raw-format codec (operators/snappy.py, r10) — the
+    # de-facto default of production Kafka/Avro pipelines
+    "snappy": (_snappy_block_compress, _snappy_block_decompress),
 }
 
 
@@ -667,11 +693,11 @@ def write_ocf(
     block_rows: int = 1000,
 ) -> bytes:
     """Serialize records into one Avro Object Container File (bytes)."""
-    if codec in ("snappy", "zstandard"):
+    if codec == "zstandard":
         raise NotImplementedError(
-            f"{codec} is not in the image and an unverifiable hand "
+            "zstandard is not in the image and an unverifiable hand "
             "implementation would risk silent corruption — use "
-            "null/deflate/bzip2/xz"
+            "null/deflate/bzip2/xz/snappy"
         )
     comp = _CODECS[codec][0]
     schema_json = schema if isinstance(schema, str) else json.dumps(schema)
@@ -797,10 +823,10 @@ def read_ocf(
         # parse_schema is idempotent on already-normalized trees
         decode_plan = _resolve(parsed, parse_schema(reader_schema))
     codec = meta.get("avro.codec", b"null").decode()
-    if codec in ("snappy", "zstandard"):
+    if codec == "zstandard":
         raise NotImplementedError(
-            f"container uses {codec}; only null/deflate/bzip2/xz are "
-            "decodable here (codec libraries absent from the image)"
+            "container uses zstandard; only null/deflate/bzip2/xz/snappy "
+            "are decodable here (zstd library absent from the image)"
         )
     decomp = _CODECS[codec][1]
 
@@ -1027,8 +1053,8 @@ def _iter_blocks_range(
         if reader_schema is not None:
             parsed = _resolve(parsed, parse_schema(reader_schema))
         codec = meta.get("avro.codec", b"null").decode()
-        if codec in ("snappy", "zstandard"):
-            raise NotImplementedError(f"container uses {codec}")
+        if codec == "zstandard":
+            raise NotImplementedError("container uses zstandard")
         decomp = _CODECS[codec][1]
 
         pos = first_block if start <= first_block else _next_block_start(

@@ -148,7 +148,7 @@ def test_value_roundtrip_full_matrix():
         assert out == row
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz", "snappy"])
 def test_ocf_roundtrip_codecs(codec):
     rows = [_full_row(i) for i in range(137)]
     blob = write_ocf(rows, FULL_SCHEMA, codec=codec, block_rows=50)
@@ -177,9 +177,51 @@ def test_ocf_rejects_corruption_and_unknown_codec():
     blob[-1] ^= 0xFF  # flip a sync byte
     with pytest.raises(ValueError, match="sync"):
         decode_ocf_bytes(bytes(blob))
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="zstandard"):
         write_ocf([], {"type": "record", "name": "r", "fields": []},
-                  codec="snappy")
+                  codec="zstandard")
+
+
+def test_ocf_snappy_crc_and_compression():
+    """snappy blocks carry the Avro-spec 4-byte big-endian CRC32 of the
+    uncompressed data — a flipped payload byte is caught either by the
+    snappy framing or by the CRC trailer, never silently decoded; and
+    repetitive data actually compresses."""
+    rows = [{"t": "the same line of text " * 10} for _ in range(500)]
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "t", "type": "string"}]}
+    packed = write_ocf(rows, schema, codec="snappy", block_rows=100)
+    plain = write_ocf(rows, schema, codec="null", block_rows=100)
+    assert len(packed) < len(plain) / 5
+    _, out = decode_ocf_bytes(packed)
+    assert out == rows
+    corrupted = bytearray(packed)
+    corrupted[len(packed) // 2] ^= 0xFF  # inside some block's body
+    with pytest.raises(ValueError):
+        decode_ocf_bytes(bytes(corrupted))
+
+
+def test_split_ranges_exactly_once_snappy():
+    """The intra-file split scan decodes snappy blocks identically to
+    the whole-file reader (same ownership rule, first-party codec)."""
+    import os
+    import tempfile
+
+    from automic_etl_spark.sources.avrofile import _iter_blocks_range
+
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "t", "type": "string"}]}
+    recs = [{"id": i, "t": f"text-{i} " * (1 + i % 7)} for i in range(1000)]
+    blob = write_ocf(recs, schema, codec="snappy", block_rows=37)
+    p = os.path.join(tempfile.mkdtemp(), "snap.avro")
+    open(p, "wb").write(blob)
+    size = len(blob)
+    for split_size in (997, size):
+        got = []
+        for k in range((size + split_size - 1) // split_size):
+            got += [r["id"] for r in _iter_blocks_range(
+                p, k * split_size, min((k + 1) * split_size, size))]
+        assert sorted(got) == list(range(1000)), split_size
 
 
 def test_schema_rejections():
@@ -530,7 +572,7 @@ def test_value_roundtrip_property(row):
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(_prop_rows, max_size=20),
-       st.sampled_from(["null", "deflate"]),
+       st.sampled_from(["null", "deflate", "snappy"]),
        st.integers(1, 7))
 def test_ocf_roundtrip_property(rows, codec, block_rows):
     blob = write_ocf(rows, {
