@@ -925,16 +925,27 @@ def ivf_pq_search(
     scan only their codes, take ``rerank * k`` ADC candidates, then
     exact-rank those few against the RAW vectors (squared L2) — the
     standard accuracy-restoring re-rank, touching O(rerank*k) raw rows
-    instead of the corpus. Returns (id, l2_sq) ascending, k rows."""
-    qrow = query.select(F.col(vec_col).cast("array<double>").alias("q")).collect()[0]
-    qvec = list(qrow.q)
+    instead of the corpus. Returns (id, l2_sq) ascending, k rows.
 
+    ``query`` is a 1-row DataFrame holding ``vec_col`` OR a plain
+    sequence of floats (r10). Passing the vector directly skips the
+    per-query collect job — batch callers (the bench row runs three
+    searches) should gather their query vectors in ONE collect and
+    pass them through here, so each search plan contributes zero extra
+    driver jobs (the r9 many-small-jobs session-pressure finding)."""
+    if isinstance(query, DataFrame):
+        qrow = query.select(
+            F.col(vec_col).cast("array<double>").alias("q")
+        ).collect()[0]
+        qvec = list(qrow.q)
+    else:
+        qvec = [float(v) for v in query]
+
+    qlit = F.array(*[F.lit(float(v)) for v in qvec])
     probe = (
-        query.select(F.col(vec_col).alias("__qvec"))
-        .crossJoin(F.broadcast(centroids))
-        .select(
+        centroids.select(
             "centroid_id",
-            _sq_dist(F.col("__qvec"), F.col("centroid")).alias("__d"),
+            _sq_dist(qlit, F.col("centroid")).alias("__d"),
         )
         .orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
         .limit(nprobe)
@@ -948,10 +959,7 @@ def ivf_pq_search(
         emb.join(cand.select(id_col), id_col, "left_semi")
         .select(
             F.col(id_col),
-            _sq_dist(
-                F.col(vec_col).cast("array<double>"),
-                F.array(*[F.lit(float(v)) for v in qvec]),
-            ).alias("l2_sq"),
+            _sq_dist(F.col(vec_col).cast("array<double>"), qlit).alias("l2_sq"),
         )
         .orderBy(F.col("l2_sq").asc(), F.col(id_col).asc())
         .limit(k)

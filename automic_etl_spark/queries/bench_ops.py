@@ -1091,12 +1091,22 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = pq_train(emb, m=16, k_sub=64, iterations=6, sample=2000)
     assignments, centroids = ivf_build(emb, n_centroids=16, iterations=3)
-    codes = pq_encode(emb, books).localCheckpoint(eager=True)
+    # lazy checkpoint (r10): the single final agg job materializes the
+    # codes once and the other search branches reuse them — the r9
+    # eager checkpoint added a standalone job whose overhead grew with
+    # accumulated session state (PERFORMANCE.md board-accounting note)
+    codes = pq_encode(emb, books).localCheckpoint(eager=False)
+    # ONE collect gathers every query vector (r10; was one collect per
+    # query inside ivf_pq_search) — qids that exceed a small corpus are
+    # simply absent, so the row stays runnable at any SF
+    qvecs = {
+        r.vec_id: list(r.embedding)
+        for r in emb.filter(F.col("vec_id").isin(3, 231, 901)).collect()
+    }
     acc = None
-    for qid in (3, 231, 901):
-        query = emb.filter(F.col("vec_id") == qid).select("embedding")
+    for qid in sorted(qvecs):
         top = ivf_pq_search(
-            emb, assignments, centroids, codes, books, query,
+            emb, assignments, centroids, codes, books, qvecs[qid],
             k=10, nprobe=4, rerank=5,
         ).agg(
             F.sum("vec_id").alias("ids"),
