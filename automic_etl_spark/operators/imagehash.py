@@ -532,6 +532,15 @@ def decode_image(data: bytes):
         img = decode_ico(data)
         if img is not None:
             return "ico", img
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # VP8L lossless decodes for real (operators/webp.py, r10);
+        # lossy VP8 stays (fmt, None) — honest gate
+        from automic_etl_spark.operators.webp import WebpError, decode_webp
+
+        try:
+            return "webp", decode_webp(data)
+        except (NotImplementedError, WebpError):
+            return "webp", None  # lossy VP8 / corrupt: recognized, no pixels
     return fmt, None
 
 

@@ -1,0 +1,263 @@
+"""VP8L WebP-lossless codec: encoder-twin exact round-trips, the real
+libwebp-produced ALPH alpha stream (interop fixture), hand-assembled
+LZ77/simple-code vectors, the generated short-distance map pinned
+against the spec's published prefix, and totality."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from automic_etl_spark.operators.webp import (
+    _DIST_MAP,
+    _BitWriter,
+    WebpError,
+    decode_vp8l,
+    decode_webp,
+    decode_webp_alpha,
+    encode_vp8l,
+    webp_info,
+)
+
+REAL_WEBP = "/root/.pyenv/versions/3.10.13/lib/python3.10/test/imghdrdata/python.webp"
+
+
+# -- twin round trips -------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 5), (16, 16), (3, 33), (40, 2)])
+@pytest.mark.parametrize("subg", [False, True])
+def test_twin_roundtrip_exact(shape, subg):
+    rng = np.random.RandomState(shape[0] * 100 + shape[1] + subg)
+    img = rng.randint(0, 256, shape + (4,), dtype=np.uint8)
+    blob = encode_vp8l(img, subtract_green=subg)
+    info = webp_info(blob)
+    assert (info["width"], info["height"]) == (shape[1], shape[0])
+    assert info["format"] == "lossless"
+    assert np.array_equal(decode_webp(blob), img)
+
+
+def test_twin_opaque_and_alpha_hint():
+    img = np.full((4, 4, 4), 200, dtype=np.uint8)
+    img[:, :, 3] = 255
+    assert webp_info(encode_vp8l(img))["has_alpha"] is False
+    img[1, 2, 3] = 3
+    assert webp_info(encode_vp8l(img))["has_alpha"] is True
+
+
+# -- real libwebp stream ----------------------------------------------------
+
+@pytest.mark.skipif(not os.path.exists(REAL_WEBP), reason="fixture absent")
+def test_real_alpha_stream_decodes():
+    """python.webp's ALPH chunk (compression method 1) is a headerless
+    VP8L bitstream produced by libwebp — decoding it exercises the
+    canonical-prefix-code reader, code-length codes, LZ77 and the
+    distance map against a REAL encoder's output. The decoded plane is
+    the Python-logo silhouette; pinned by digest."""
+    data = open(REAL_WEBP, "rb").read()
+    info = webp_info(data)
+    assert info["chunks"] == ["VP8X", "ALPH", "VP8 "]
+    assert (info["width"], info["height"]) == (16, 16) and info["has_alpha"]
+    plane = decode_webp_alpha(data)
+    assert plane.shape == (16, 16)
+    # the silhouette: fully-opaque core, transparent corners
+    assert plane[0, 0] == 0 and plane[0, 6] > 200
+    assert (plane > 128).sum() > 100
+    assert hashlib.md5(plane.tobytes()).hexdigest() == (
+        "fa1667e19ae1b259be670911674006a6"
+    )
+    assert int(plane.sum()) == 38971
+    # lossy main image stays honestly gated
+    with pytest.raises(NotImplementedError, match="VP8L"):
+        decode_webp(data)
+
+
+# -- distance map -----------------------------------------------------------
+
+def test_distance_map_matches_spec_prefix():
+    """The 120-entry map is GENERATED from its ordering rule; the spec
+    publishes it as a literal table — its first 36 entries, transcribed
+    here, pin the generation rule (distance-squared order, larger dy
+    first, +dx before -dx)."""
+    spec_prefix = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4),
+    ]
+    assert _DIST_MAP[: len(spec_prefix)] == spec_prefix
+    assert len(_DIST_MAP) == 120
+    assert len(set(_DIST_MAP)) == 120
+
+
+# -- hand-assembled vectors -------------------------------------------------
+
+def _header(bw: _BitWriter, w: int, h: int) -> None:
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta image
+
+
+def _simple1(bw: _BitWriter, sym: int) -> None:
+    bw.write(1, 1)
+    bw.write(0, 1)
+    if sym >= 2:
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    else:
+        bw.write(0, 1)
+        bw.write(sym, 1)
+
+
+def _sparse_green(bw: _BitWriter, lit: int) -> None:
+    """Normal green code with lengths {lit: 1, 257: 1} — one literal
+    and the length-2 copy symbol, hand-emitted through the
+    code-length code (CL lengths {1: '0', 18: '1'})."""
+    assert 12 <= lit <= 200
+    bw.write(0, 1)  # not simple
+    bw.write(0, 4)  # num_code_lengths = 4 -> order 17, 18, 0, 1
+    for ln in (0, 1, 0, 1):  # 17->0, 18->1, 0->0, 1->1
+        bw.write(ln, 3)
+    bw.write(0, 1)  # no max_symbol cap
+
+    def cl(sym):  # canonical: 1 -> '0', 18 -> '1'
+        bw.write(0 if sym == 1 else 1, 1)
+
+    def zeros(n):
+        while n:
+            rep = min(138, n)
+            if n - rep in range(1, 11):
+                rep = n - 11
+            cl(18)
+            bw.write(rep - 11, 7)
+            n -= rep
+
+    zeros(lit)
+    cl(1)  # lengths[lit] = 1
+    zeros(257 - lit - 1)
+    cl(1)  # lengths[257] = 1
+    zeros(280 - 258)
+
+
+def test_hand_assembled_lz77_copy():
+    """5x1 image: literal pixel then a length-2 distance-1 copy (short
+    distance code 2 = offset (1, 0)), then length-2 copy again — pins
+    the length/distance prefix-value scheme and the neighborhood map."""
+    bw = _BitWriter()
+    _header(bw, 5, 1)
+    _sparse_green(bw, 65)  # green: '0'->literal 65, '1'->sym 257 (len 2)
+    _simple1(bw, 10)   # red
+    _simple1(bw, 20)   # blue
+    _simple1(bw, 255)  # alpha
+    _simple1(bw, 1)    # distance code 1 -> value 2 -> map[1] = (1,0) -> dist 1
+    # literal: green bit '0'; copies: green bit '1' (no extra bits at
+    # length code 1 / distance code 1)
+    bw.write(0, 1)  # literal 65 (canonical code '0')
+    bw.write(1, 1)  # copy len 2 dist 1 (sym 257, code '1')
+    bw.write(1, 1)  # copy len 2 dist 1
+    out = decode_vp8l(bw.finish())
+    assert out.shape == (1, 5, 4)
+    assert (out == np.array([10, 65, 20, 255], dtype=np.uint8)).all()
+
+
+def test_hand_assembled_color_cache():
+    """2x1 image with a 1-bit color cache: literal then a cache hit on
+    symbol 280 — pins the cache hash (0x1e35a7bd multiplier) and the
+    insert-on-literal rule."""
+    px = (255 << 24) | (10 << 16) | (65 << 8) | 20
+    idx = (0x1E35A7BD * px & 0xFFFFFFFF) >> 31
+    # cache symbols (280+) exceed 8 bits, so simple codes can't carry
+    # them — assemble a normal green code with lengths {65:1, 280+idx:1}
+    cache_sym = 280 + idx
+    bw2 = _BitWriter()
+    bw2.write(0x2F, 8)
+    bw2.write(1, 14)
+    bw2.write(0, 14)
+    bw2.write(0, 1)
+    bw2.write(0, 3)
+    bw2.write(0, 1)
+    bw2.write(1, 1)
+    bw2.write(1, 4)
+    bw2.write(0, 1)
+    bw2.write(0, 1)  # green: not simple
+    bw2.write(0, 4)
+    for ln in (0, 1, 0, 1):
+        bw2.write(ln, 3)
+    bw2.write(0, 1)
+
+    def cl(sym):
+        bw2.write(0 if sym == 1 else 1, 1)
+
+    def zeros(n):
+        while n:
+            rep = min(138, n)
+            if n - rep in range(1, 11):
+                rep = n - 11
+            cl(18)
+            bw2.write(rep - 11, 7)
+            n -= rep
+
+    zeros(65)
+    cl(1)
+    zeros(cache_sym - 66)
+    cl(1)
+    left = 282 - cache_sym - 1
+    if left:
+        zeros(left)
+    _simple1(bw2, 10)
+    _simple1(bw2, 20)
+    _simple1(bw2, 255)
+    _simple1(bw2, 0)  # distance, unused
+    bw2.write(0, 1)  # literal 65 -> inserts px into cache[idx]
+    bw2.write(1, 1)  # cache hit -> same pixel
+    out = decode_vp8l(bw2.finish())
+    assert out.shape == (1, 2, 4)
+    assert (out[0, 0] == out[0, 1]).all()
+    assert tuple(out[0, 0]) == (10, 65, 20, 255)
+
+
+# -- totality ---------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=300))
+def test_vp8l_totality(blob):
+    try:
+        decode_vp8l(b"\x2f" + blob)
+    except (WebpError, NotImplementedError):
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=200))
+def test_container_totality(blob):
+    from automic_etl_spark.operators.imagehash import decode_image
+
+    fmt, img = decode_image(b"RIFF" + blob[:4] + b"WEBP" + blob)
+    # recognized (when long enough for the probe); decodes or returns
+    # None — never raises
+    assert fmt == "webp" or (fmt is None and len(blob) < 4)
+
+
+# -- dispatch integration ---------------------------------------------------
+
+def test_decode_image_dispatch_webp():
+    from automic_etl_spark.operators.imagehash import decode_image
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (9, 11, 4), dtype=np.uint8)
+    fmt, out = decode_image(encode_vp8l(img, subtract_green=True))
+    assert fmt == "webp"
+    assert np.array_equal(out, img)
+    if os.path.exists(REAL_WEBP):
+        fmt, out = decode_image(open(REAL_WEBP, "rb").read())
+        assert fmt == "webp" and out is None  # lossy VP8: honest gate
