@@ -2147,3 +2147,251 @@ ORDER BY doc_id
 
 QUERIES_TAIL["script_profile"] = q_script_profile_gate
 ORACLE_TAIL["script_profile"] = ORACLE_SCRIPT_PROFILE
+
+
+# --------------------------------------------------------------------------
+# WebP VP8L decode gate (operators/webp, r10) — the lossless image-hash
+# family pattern (PNG r6 / GIF r9): same analytic `_phash_block` model,
+# blobs encoded executor-side by the VP8L encoder twin THROUGH the
+# SUBTRACT_GREEN transform, so the gate covers the canonical-prefix-code
+# reader, the transform inverse, and the RIFF container walk end-to-end
+# --------------------------------------------------------------------------
+
+_WEBP_N = 160
+
+ORACLE_IMAGE_PHASH_WEBP = _image_phash_oracle(_WEBP_N, fmt="webp")
+
+
+def q_image_phash_webp_gate(spark, sf_dir):
+    """r10 WebP-lossless decode end-to-end under the driver's hash
+    check: the `_phash_block` images encoded as real VP8L container
+    files (flat-literal codes + SUBTRACT_GREEN), decoded by the real
+    codec path (canonical prefix codes -> inverse transform -> luma ->
+    dHash — VP8L is lossless, so hashes land the oracle's integers
+    exactly), then the banded Hamming near-dup join."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.imagehash import (
+        image_blobs_phash,
+        phash_near_dup,
+    )
+    from automic_etl_spark.operators.webp import encode_vp8l
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _WEBP_N
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                bmat = np.array(
+                    [[_phash_block(d, i, j) for j in range(9)] for i in range(8)],
+                    dtype=np.uint8,
+                )
+                g = np.repeat(np.repeat(bmat, 4, axis=0), 4, axis=1)
+                rgba = np.stack([g, g, g, np.full_like(g, 255)], axis=2)
+                blobs.append(encode_vp8l(rgba, subtract_green=True))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    hashes = image_blobs_phash(blobs).select("doc_id", "format", "dhash")
+    pairs = phash_near_dup(hashes, max_hamming=_IMG_HAM)
+    counts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        hashes.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "format",
+            "dhash",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES_TAIL["image_phash_webp"] = q_image_phash_webp_gate
+ORACLE_TAIL["image_phash_webp"] = ORACLE_IMAGE_PHASH_WEBP
+
+
+# --------------------------------------------------------------------------
+# TIFF decode gate (operators/tiff, r9 codec; gate r10 per VERDICT #9:
+# every decoder family gets an oracle row) — LZW compression WITH the
+# horizontal-differencing predictor, the format's hardest honest path
+# --------------------------------------------------------------------------
+
+_TIFF_N = 160
+
+ORACLE_IMAGE_PHASH_TIFF = _image_phash_oracle(_TIFF_N, fmt="tiff")
+
+
+def q_image_phash_tiff_gate(spark, sf_dir):
+    """TIFF decode end-to-end under the driver's hash check: the
+    `_phash_block` images as real LZW-compressed, predictor-2
+    (horizontal differencing) grayscale TIFFs via the synth_tiff twin,
+    decoded by the real strip/LZW/predictor path — lossless, so the
+    dHash integers and banded pairs land the oracle replay exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.imagehash import (
+        image_blobs_phash,
+        phash_near_dup,
+    )
+    from automic_etl_spark.operators.tiff import synth_tiff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _TIFF_N
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                bmat = np.array(
+                    [[_phash_block(d, i, j) for j in range(9)] for i in range(8)],
+                    dtype=np.uint8,
+                )
+                img = np.repeat(np.repeat(bmat, 4, axis=0), 4, axis=1)[:, :, None]
+                blobs.append(
+                    synth_tiff(img, compression=5, predictor=2, rows_per_strip=8)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    hashes = image_blobs_phash(blobs).select("doc_id", "format", "dhash")
+    pairs = phash_near_dup(hashes, max_hamming=_IMG_HAM)
+    counts = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        hashes.join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "format",
+            "dhash",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_near_dups"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES_TAIL["image_phash_tiff"] = q_image_phash_tiff_gate
+ORACLE_TAIL["image_phash_tiff"] = ORACLE_IMAGE_PHASH_TIFF
+
+
+# --------------------------------------------------------------------------
+# G.711 decode gate (operators/g711, r9 codec; gate r10 per VERDICT #9)
+# — the ITU-T expansion formulas are integer-exact and SQL-expressible,
+# so the WHOLE decode replays relationally: deterministic CODE bytes
+# (not encoder output — both zero codes and every segment value appear)
+# wrapped in real mu-law/A-law WAV containers executor-side, decoded by
+# the engine's actual WAV dispatch, reduced to integer sample stats
+# --------------------------------------------------------------------------
+
+_G711_N, _G711_LEN = 120, 211
+
+
+def q_g711_meta_gate(spark, sf_dir):
+    """G.711 decode under the driver's hash check. Per doc: 211 code
+    bytes b(i) = (doc_id*37 + i*11) % 256 (211 coprime cycling covers
+    all byte values across docs), even docs mu-law / odd docs A-law,
+    packed as a real fmt-tag-7/6 WAV (fact chunk, 8-bit mono 8 kHz) by
+    the codec's own container writer, decoded via audio._decode_pcm,
+    reduced to (n_samples, sum, min, max) — integers the oracle
+    recomputes from the ITU-T G.711 expansion formulas directly."""
+    import pandas as pd
+    import struct as _struct
+
+    from automic_etl_spark.operators.audio import _decode_pcm
+    from automic_etl_spark.operators.g711 import (
+        WAVE_FORMAT_ALAW,
+        WAVE_FORMAT_MULAW,
+        _wav_container,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _G711_N
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                codes = bytes((d * 37 + i * 11) % 256 for i in range(_G711_LEN))
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                tag = WAVE_FORMAT_MULAW if law == "ulaw" else WAVE_FORMAT_ALAW
+                fmt_body = _struct.pack("<HHIIHHH", tag, 1, 8000, 8000, 1, 8, 0)
+                blob = _wav_container(fmt_body, codes, len(codes))
+                samples, rate, _w = _decode_pcm(blob)
+                s = samples.reshape(-1).astype("int64")
+                rows.append(
+                    (d, law, rate, int(s.size), int(s.sum()),
+                     int(s.min()), int(s.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "law", "rate", "n_samples", "sum_s",
+                         "min_s", "max_s"],
+            )
+
+    out_schema = (
+        "doc_id long, law string, rate int, n_samples long, sum_s long, "
+        "min_s long, max_s long"
+    )
+    return docs.mapInPandas(kernel, out_schema).orderBy("doc_id")
+
+
+ORACLE_G711 = f"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < {_G711_N}),
+codes AS (
+  SELECT doc_id, (doc_id * 37 + t.i * 11) % 256 AS c
+  FROM ids CROSS JOIN UNNEST(generate_series(0, {_G711_LEN - 1})) AS t(i)
+),
+dec AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           -- mu-law: u = ~c; t = (((u & 15) << 3) + 132) << ((u >> 4) & 7)
+           CASE WHEN (255 - c) < 128
+                THEN ((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8))) - 132
+                ELSE 132 - ((((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8)))
+           END
+         ELSE
+           -- A-law: a = c XOR 0x55; seg 0: t+8, seg 1: t+264,
+           -- else (t+264) << (seg-1); bit 7 set = positive
+           CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+           CASE ((xor(c, 85) // 16) % 8)
+             WHEN 0 THEN (xor(c, 85) % 16) * 16 + 8
+             WHEN 1 THEN (xor(c, 85) % 16) * 16 + 264
+             ELSE ((xor(c, 85) % 16) * 16 + 264)
+                  * (1 << (((xor(c, 85) // 16) % 8) - 1))
+           END
+         END AS v
+  FROM codes
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law,
+       CAST(8000 AS INTEGER) AS rate,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(v) AS BIGINT) AS sum_s,
+       CAST(min(v) AS BIGINT) AS min_s,
+       CAST(max(v) AS BIGINT) AS max_s
+FROM dec
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["g711_meta"] = q_g711_meta_gate
+ORACLE_TAIL["g711_meta"] = ORACLE_G711

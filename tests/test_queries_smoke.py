@@ -94,6 +94,9 @@ def test_registry_driver_window_prefix():
         "dsir_select",  # r9: DSIR importance-resampling gate
         "image_tensorize",  # r9: decode->resize->scale training stage
         "script_profile",  # r9: Unicode-script routing signals
+        "image_phash_webp",  # r10: VP8L decode + SUBTRACT_GREEN gate
+        "image_phash_tiff",  # r10: TIFF LZW+predictor decode gate
+        "g711_meta",  # r10: ITU-T G.711 expansion, full SQL replay
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and
