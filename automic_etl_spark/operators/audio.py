@@ -218,38 +218,244 @@ def _probe_flac(data: bytes) -> dict | None:
     return None
 
 
-def _probe_mp3(data: bytes) -> dict | None:
-    """First MPEG audio frame header after any ID3v2 tag: sample rate /
-    channels exact; duration is the CBR estimate (stream bytes × 8 /
-    frame bitrate), the standard tag-less approximation."""
+def mp3_frames(data: bytes, max_frames: int = 200_000) -> dict | None:
+    """Full MPEG-audio frame walk (r10): ID3v2 skip, per-frame header
+    validation, exact frame-length arithmetic for every version/layer
+    combination, and Xing/Info/VBRI VBR-header parse from the first
+    frame. Returns exact stream stats (frame count, sample count,
+    duration, min/max/mean bitrate, CBR/VBR, mode, CRC presence) or
+    None when no coherent frame sequence exists — everything a
+    curation pipeline needs for sampling/quota decisions, all
+    verifiable against the walk itself (no decode).
+
+    Frame-level SAMPLE decode stays honestly gated (see ``_decode_pcm``
+    and PERFORMANCE.md r10): Layer III's normative Huffman tables
+    (~2000 codeword entries across 17 distinct tables) and the 512-tap
+    synthesis window exist only as literal spec tables — unlike JPEG,
+    whose Huffman/quant tables ship inside each FILE, there is nothing
+    in-stream to derive them from, this image carries no reference
+    implementation to transcribe them from, and its one real mp3
+    fixture is digital silence (every granule's part2_3_length is 0),
+    so a hand-recalled table set could not be validated against any
+    ground truth. A decoder whose tables cannot be pinned would
+    CLAIM success while hashing garbage — worse for dedup recall than
+    the honest gate."""
     start = 0
     if data[:3] == b"ID3" and len(data) >= 10:
         size = 0
         for b in data[6:10]:  # syncsafe 28-bit
             size = (size << 7) | (b & 0x7F)
         start = 10 + size
-    end = min(len(data) - 3, start + 65536)  # bounded sync scan
-    for i in range(start, end):
-        if data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
-            continue
-        version = (data[i + 1] >> 3) & 0x3  # 3=MPEG1 2=MPEG2 0=MPEG2.5
-        layer = (data[i + 1] >> 1) & 0x3  # 3=I 2=II 1=III
-        if version == 1 or layer == 0:
-            continue
-        kbps_i = (data[i + 2] >> 4) & 0xF
-        rate_i = (data[i + 2] >> 2) & 0x3
-        if kbps_i in (0, 15) or rate_i == 3:
-            continue
-        kbps = _MP3_KBPS[(version, layer)][kbps_i]
-        rate = _MP3_RATES[version][rate_i]
-        channels = 1 if (data[i + 3] >> 6) == 3 else 2
-        stream_bytes = len(data) - i
+    # find the first valid header with a bounded scan
+    first = None
+    end = min(len(data) - 3, start + 65536)
+    i = start
+    while i < end:
+        h = _mp3_header(data, i)
+        if h is not None:
+            first = i
+            break
+        i += 1
+    if first is None:
+        return None
+    n_frames = 0
+    n_samples = 0
+    kbps_min = kbps_max = None
+    kbps_sum = 0
+    vbr_frames = None
+    vbr_kind = None
+    i = first
+    ref = None
+    while i + 4 <= len(data) and n_frames < max_frames:
+        h = _mp3_header(data, i)
+        if h is None:
+            break
+        version, layer, kbps, rate, pad, channels, crc = h
+        if ref is None:
+            ref = (version, layer, rate)
+            # Xing/Info (after the Layer III side info) or VBRI (fixed
+            # +32) in the first frame — frame-exact VBR duration
+            if layer == 1:
+                side = (
+                    (17 if channels == 1 else 32)
+                    if version == 3
+                    else (9 if channels == 1 else 17)
+                )
+                p = i + 4 + (2 if crc else 0) + side
+                tag = data[p : p + 4]
+                if tag in (b"Xing", b"Info") and p + 12 <= len(data):
+                    vbr_kind = "cbr-info" if tag == b"Info" else "vbr-xing"
+                    flags = int.from_bytes(data[p + 4 : p + 8], "big")
+                    if flags & 1:
+                        vbr_frames = int.from_bytes(data[p + 8 : p + 12], "big")
+                vp = i + 4 + 32
+                if data[vp : vp + 4] == b"VBRI" and vp + 18 <= len(data):
+                    vbr_kind = "vbr-vbri"
+                    vbr_frames = int.from_bytes(data[vp + 14 : vp + 18], "big")
+        elif (version, layer, rate) != ref:
+            break  # stream property change: stop at the coherent prefix
+        if layer == 3:  # Layer I
+            flen = (12 * kbps * 1000 // rate + pad) * 4
+            spf = 384
+        elif layer == 2:  # Layer II
+            flen = 144 * kbps * 1000 // rate + pad
+            spf = 1152
+        else:  # Layer III
+            flen = (144 if version == 3 else 72) * kbps * 1000 // rate + pad
+            spf = 1152 if version == 3 else 576
+        n_frames += 1
+        n_samples += spf
+        kbps_sum += kbps
+        kbps_min = kbps if kbps_min is None else min(kbps_min, kbps)
+        kbps_max = kbps if kbps_max is None else max(kbps_max, kbps)
+        i += flen
+    if not n_frames:
+        return None
+    version, layer, rate = ref
+    return {
+        "n_frames": n_frames,
+        "n_samples": n_samples,
+        "sample_rate": rate,
+        "channels": channels,
+        "layer": {3: 1, 2: 2, 1: 3}[layer],
+        "mpeg_version": {3: 1, 2: 2, 0: 25}[version],
+        "duration_ms": n_samples * 1000 // rate,
+        "kbps_min": kbps_min,
+        "kbps_max": kbps_max,
+        "kbps_mean": kbps_sum // n_frames,
+        "is_cbr": kbps_min == kbps_max,
+        "vbr_header": vbr_kind,
+        "vbr_header_frames": vbr_frames,
+        "has_crc": crc,
+    }
+
+
+def _mp3_header(data: bytes, i: int):
+    """Validate one MPEG audio frame header; returns (version, layer,
+    kbps, rate, pad, channels, crc) or None."""
+    if i + 4 > len(data) or data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
+        return None
+    version = (data[i + 1] >> 3) & 0x3  # 3=MPEG1 2=MPEG2 0=MPEG2.5
+    layer = (data[i + 1] >> 1) & 0x3  # 3=I 2=II 1=III
+    if version == 1 or layer == 0:
+        return None
+    kbps_i = (data[i + 2] >> 4) & 0xF
+    rate_i = (data[i + 2] >> 2) & 0x3
+    if kbps_i in (0, 15) or rate_i == 3:
+        return None
+    kbps = _MP3_KBPS[(version, layer)][kbps_i]
+    rate = _MP3_RATES[version][rate_i]  # [0] holds the MPEG-2.5 rates
+    pad = (data[i + 2] >> 1) & 1
+    channels = 1 if (data[i + 3] >> 6) == 3 else 2
+    crc = not (data[i + 1] & 1)
+    return version, layer, kbps, rate, pad, channels, crc
+
+
+def synth_mp3(
+    version: int = 1,
+    layer: int = 3,
+    rate_idx: int = 0,
+    kbps_indices: tuple[int, ...] = (9,),
+    n_frames: int = 50,
+    channels: int = 2,
+    pad_parity: bool = False,
+    xing: bool = False,
+) -> bytes:
+    """Deterministic MPEG-audio stream twin for ``mp3_frames``: emits
+    ``n_frames`` coherent frames with per-frame bitrate cycling through
+    ``kbps_indices`` (len > 1 or a changing index = VBR), optional
+    padding-bit alternation, and an optional Xing header in the first
+    Layer-III frame. Frame lengths follow the same ISO 11172-3 / 13818-3
+    arithmetic the walk validates, so any drift between the two shows as
+    a broken walk, and the real-file fixture (a LAME-encoded MPEG-2
+    stream) pins the shared bitrate/rate tables against an external
+    encoder."""
+    vcode = {1: 3, 2: 2, 25: 0}[version]
+    lcode = {1: 3, 2: 2, 3: 1}[layer]
+    rate = _MP3_RATES[vcode][rate_idx]
+    out = bytearray()
+    for f in range(n_frames):
+        ki = kbps_indices[f % len(kbps_indices)]
+        kbps = _MP3_KBPS[(vcode, lcode)][ki]
+        pad = (f & 1) if pad_parity else 0
+        if layer == 1:
+            flen = (12 * kbps * 1000 // rate + pad) * 4
+        elif layer == 2:
+            flen = 144 * kbps * 1000 // rate + pad
+        else:
+            flen = (144 if vcode == 3 else 72) * kbps * 1000 // rate + pad
+        frame = bytearray(flen)
+        frame[0] = 0xFF
+        frame[1] = 0xE0 | (vcode << 3) | (lcode << 1) | 1  # no CRC
+        frame[2] = (ki << 4) | (rate_idx << 2) | (pad << 1)
+        frame[3] = 0xC0 if channels == 1 else 0x00
+        if xing and f == 0 and layer == 3:
+            side = (
+                (17 if channels == 1 else 32)
+                if vcode == 3
+                else (9 if channels == 1 else 17)
+            )
+            p = 4 + side
+            frame[p : p + 4] = b"Xing"
+            frame[p + 4 : p + 8] = (1).to_bytes(4, "big")
+            frame[p + 8 : p + 12] = n_frames.to_bytes(4, "big")
+        out += frame
+    return bytes(out)
+
+
+MP3_STATS_SCHEMA = (
+    "doc_id long, ok boolean, n_frames long, n_samples long, "
+    "sample_rate int, channels int, layer int, mpeg_version int, "
+    "duration_ms long, kbps_min int, kbps_max int, kbps_mean int, "
+    "is_cbr boolean, vbr_header string, vbr_header_frames long, "
+    "has_crc boolean"
+)
+
+
+def mp3_stream_stats(
+    blobs: DataFrame, id_col: str = "doc_id", content_col: str = "_content_bytes"
+) -> DataFrame:
+    """Distributed ``mp3_frames`` walk over an MPEG-audio blob table —
+    frame-exact duration/bitrate/CBR stats for curation sampling and
+    quota decisions, one Arrow batch per partition (the
+    ``audio_blobs_metadata`` shape). Rows whose bytes contain no
+    coherent frame sequence come back ``ok=false`` with NULL stats, not
+    task failures."""
+    import pandas as pd
+
+    cols = [c.split()[0] for c in MP3_STATS_SCHEMA.split(", ")][1:]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for b in pdf[content_col]:
+                try:
+                    w = mp3_frames(bytes(b)) if b is not None else None
+                except (IndexError, ValueError, OverflowError):
+                    w = None
+                if w is None:
+                    rows.append({c: None for c in cols} | {"ok": False})
+                else:
+                    rows.append({"ok": True, **w})
+            out = pd.DataFrame(rows, columns=cols)
+            out.insert(0, "doc_id", pdf[id_col].values)
+            yield out
+
+    return blobs.mapInPandas(batches, MP3_STATS_SCHEMA)
+
+
+def _probe_mp3(data: bytes) -> dict | None:
+    """MPEG audio metadata via the exact frame walk (frame-counted
+    duration — r10; the walk counts a frame whenever its header parses,
+    so it strictly subsumes the old first-header CBR byte estimate)."""
+    walk = mp3_frames(data)
+    if walk is not None:
         return {
-            "duration_ms": (stream_bytes * 8) // kbps if kbps else None,
-            "sample_rate": rate,
-            "channels": channels,
+            "duration_ms": walk["duration_ms"],
+            "sample_rate": walk["sample_rate"],
+            "channels": walk["channels"],
             "bit_depth": None,  # lossy: no PCM width in the container
-            "n_frames": None,
+            "n_frames": walk["n_frames"],
         }
     return None
 

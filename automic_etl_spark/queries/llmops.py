@@ -2395,3 +2395,133 @@ ORDER BY doc_id
 
 QUERIES_TAIL["g711_meta"] = q_g711_meta_gate
 ORACLE_TAIL["g711_meta"] = ORACLE_G711
+
+
+# --------------------------------------------------------------------------
+# MPEG-audio frame-walk gate (operators/audio.mp3_frames, r10) — the whole
+# ISO 11172-3 / 13818-3 frame arithmetic (version/layer sample-per-frame
+# counts, bitrate-table lookups, frame-exact duration, alternating-bitrate
+# VBR means, padding-bit frame lengths) replayed in DuckDB SQL. Streams are
+# synthesized executor-side by the synth_mp3 twin from doc_id-derived
+# parameters; the kbps/rate VALUES tables below are emitted from the same
+# spec constants the walk reads, whose correctness is pinned externally by
+# the real LAME-encoded fixture (tests/test_audio_ops.py
+# test_mp3_frame_walk_real_fixture). SAMPLE decode stays honestly gated —
+# see the mp3_frames docstring for why (spec-literal Huffman/window tables
+# with no in-image ground truth to validate a recalled copy against).
+# --------------------------------------------------------------------------
+
+_MP3_N = 240
+
+
+def q_mp3_meta_gate(spark, sf_dir):
+    """Frame-walk stats for 240 synthetic MPEG streams sweeping
+    version x layer x rate x CBR/VBR x padding x mono/stereo, through
+    the distributed mp3_stream_stats operator (one Arrow batch per
+    partition, map-only — the 100 TB shape is a linear scan)."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.audio import mp3_stream_stats, synth_mp3
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _MP3_N
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                k1 = 2 + d % 8
+                blobs.append(
+                    synth_mp3(
+                        version=1 + d % 2,
+                        layer=1 + (d // 2) % 3,
+                        rate_idx=(d // 6) % 3,
+                        kbps_indices=(k1, k1 + (d // 7) % 2),
+                        n_frames=20 + d % 17,
+                        channels=1 + (d // 5) % 2,
+                        pad_parity=d % 4 == 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    stats = mp3_stream_stats(blobs)
+    return stats.select(
+        "doc_id",
+        "mpeg_version",
+        "layer",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "n_samples",
+        "duration_ms",
+        "kbps_min",
+        "kbps_max",
+        "kbps_mean",
+        "is_cbr",
+    ).orderBy("doc_id")
+
+
+def _mp3_oracle() -> str:
+    from automic_etl_spark.operators.audio import _MP3_KBPS, _MP3_RATES
+
+    kbps_rows = ", ".join(
+        f"({v}, {l}, {i}, {k})"
+        for (vc, lc), table in sorted(_MP3_KBPS.items())
+        if vc in (3, 2)
+        for v, l in [({3: 1, 2: 2}[vc], {3: 1, 2: 2, 1: 3}[lc])]
+        for i, k in enumerate(table)
+        if 2 <= i <= 10
+    )
+    rate_rows = ", ".join(
+        f"({ {3: 1, 2: 2}[vc] }, {i}, {r})"
+        for vc in (3, 2)
+        for i, r in enumerate(_MP3_RATES[vc])
+    )
+    return f"""
+WITH params AS (
+  SELECT doc_id,
+         1 + (doc_id % 2) AS mpeg_version,
+         1 + ((doc_id // 2) % 3) AS layer,
+         (doc_id // 6) % 3 AS rate_idx,
+         2 + (doc_id % 8) AS k1_idx,
+         2 + (doc_id % 8) + ((doc_id // 7) % 2) AS k2_idx,
+         20 + (doc_id % 17) AS n_frames,
+         1 + ((doc_id // 5) % 2) AS channels
+  FROM documents WHERE doc_id < {_MP3_N}
+),
+kbps(v, l, idx, kbps) AS (VALUES {kbps_rows}),
+rates(v, ridx, rate) AS (VALUES {rate_rows}),
+j AS (
+  SELECT p.*, r.rate, ka.kbps AS k1, kb.kbps AS k2,
+         CASE WHEN p.layer = 1 THEN 384
+              WHEN p.layer = 2 THEN 1152
+              WHEN p.mpeg_version = 1 THEN 1152 ELSE 576 END AS spf
+  FROM params p
+  JOIN rates r ON r.v = p.mpeg_version AND r.ridx = p.rate_idx
+  JOIN kbps ka ON ka.v = p.mpeg_version AND ka.l = p.layer AND ka.idx = p.k1_idx
+  JOIN kbps kb ON kb.v = p.mpeg_version AND kb.l = p.layer AND kb.idx = p.k2_idx
+)
+SELECT doc_id,
+       CAST(mpeg_version AS INTEGER) AS mpeg_version,
+       CAST(layer AS INTEGER) AS layer,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * spf AS BIGINT) AS n_samples,
+       CAST(n_frames * spf * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(LEAST(k1, k2) AS INTEGER) AS kbps_min,
+       CAST(GREATEST(k1, k2) AS INTEGER) AS kbps_max,
+       CAST((((n_frames + 1) // 2) * k1 + (n_frames // 2) * k2) // n_frames
+            AS INTEGER) AS kbps_mean,
+       k1 = k2 AS is_cbr
+FROM j ORDER BY doc_id
+"""
+
+
+ORACLE_MP3_META = _mp3_oracle()
+
+QUERIES_TAIL["mp3_meta"] = q_mp3_meta_gate
+ORACLE_TAIL["mp3_meta"] = ORACLE_MP3_META

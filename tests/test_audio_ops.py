@@ -172,9 +172,109 @@ def test_mp3_header_probe_skips_id3():
     m = audio_metadata(make_mp3(with_id3=True, n_frames=100))
     assert m["ok"] and m["format"] == "audio/mpeg"
     assert m["sample_rate"] == 44100 and m["channels"] == 2 and m["bit_depth"] is None
-    # CBR estimate: 100 frames * 417 B * 8 bits / 128 kbps ≈ 2606 ms
-    assert abs(m["duration_ms"] - 2606) <= 5
+    # exact frame walk (r10): 100 frames x 1152 samples / 44100 Hz
+    assert m["duration_ms"] == 100 * 1152 * 1000 // 44100
+    assert m["n_frames"] == 100
     assert audio_metadata(make_mp3(with_id3=False))["ok"]
+
+
+def test_mp3_frame_walk_stats_and_vbr_header():
+    from automic_etl_spark.operators.audio import mp3_frames
+
+    w = mp3_frames(make_mp3(with_id3=True, n_frames=50))
+    assert w["n_frames"] == 50 and w["n_samples"] == 50 * 1152
+    assert w["is_cbr"] and w["kbps_mean"] == 128 and w["mpeg_version"] == 1
+    assert w["layer"] == 3 and not w["has_crc"] and w["vbr_header"] is None
+
+    # Xing header in the first frame: MPEG1 stereo side info = 32 bytes
+    frames = bytearray(make_mp3(with_id3=False, n_frames=10))
+    p = 4 + 32
+    frames[p : p + 4] = b"Xing"
+    frames[p + 4 : p + 8] = (1).to_bytes(4, "big")  # flags: frames
+    frames[p + 8 : p + 12] = (999).to_bytes(4, "big")
+    w = mp3_frames(bytes(frames))
+    assert w["vbr_header"] == "vbr-xing" and w["vbr_header_frames"] == 999
+
+    # totality + coherent-prefix stop on a mid-stream property change
+    assert mp3_frames(b"") is None and mp3_frames(b"\xff\xfb") is None
+    mixed = make_mp3(with_id3=False, n_frames=3) + bytes(
+        [0xFF, 0xF3, 0x80, 0xC4]
+    ) + b"\x00" * 204
+    assert mp3_frames(mixed)["n_frames"] == 3
+
+
+REAL_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+
+
+def test_mp3_frame_walk_real_fixture():
+    """The one real mp3 in the image (LAME, MPEG-2 Layer III mono
+    22050 Hz, 45 CBR frames of digital silence): the walk must land
+    frame-exact counts and duration. Note for future rounds: every
+    granule's part2_3_length is 0 — this fixture can NOT validate a
+    sample decoder's Huffman tables or synthesis window, which is why
+    full mp3 decode stays honestly gated (see mp3_frames docstring)."""
+    import os
+
+    import pytest
+
+    if not os.path.exists(REAL_MP3):
+        pytest.skip("fixture absent")
+    from automic_etl_spark.operators.audio import mp3_frames
+
+    w = mp3_frames(open(REAL_MP3, "rb").read())
+    assert w["n_frames"] == 45 and w["n_samples"] == 45 * 576
+    assert w["sample_rate"] == 22050 and w["channels"] == 1
+    assert w["mpeg_version"] == 2 and w["layer"] == 3
+    assert w["duration_ms"] == 1175 and w["is_cbr"] and w["kbps_mean"] == 64
+
+
+def test_synth_mp3_walk_differential():
+    """The synth twin and the walk implement the same ISO frame-length
+    arithmetic independently enough that a drift in either shows as a
+    broken walk: sweep version x layer x rate x VBR x padding and check
+    exact closed-form stats."""
+    from automic_etl_spark.operators.audio import mp3_frames, synth_mp3
+
+    for version in (1, 2):
+        for layer in (1, 2, 3):
+            for rate_idx in (0, 1, 2):
+                n = 9 + layer
+                w = mp3_frames(
+                    synth_mp3(
+                        version=version,
+                        layer=layer,
+                        rate_idx=rate_idx,
+                        kbps_indices=(4, 6),
+                        n_frames=n,
+                        channels=1 + (rate_idx % 2),
+                        pad_parity=True,
+                    )
+                )
+                spf = {1: 384, 2: 1152}[layer] if layer != 3 else (
+                    1152 if version == 1 else 576
+                )
+                assert w["n_frames"] == n and w["n_samples"] == n * spf
+                assert w["mpeg_version"] == version and w["layer"] == layer
+                assert not w["is_cbr"] and w["kbps_min"] < w["kbps_max"]
+                assert w["duration_ms"] == n * spf * 1000 // w["sample_rate"]
+
+
+def test_mp3_stream_stats_spark(spark):
+    from automic_etl_spark.operators.audio import mp3_stream_stats, synth_mp3
+
+    rows = [
+        (0, synth_mp3(n_frames=25)),
+        (1, synth_mp3(version=2, layer=2, kbps_indices=(3, 7), n_frames=11)),
+        (2, b"not audio at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    out = {r["doc_id"]: r.asDict() for r in mp3_stream_stats(df).collect()}
+    assert out[0]["ok"] and out[0]["n_frames"] == 25 and out[0]["is_cbr"]
+    assert out[1]["ok"] and out[1]["layer"] == 2 and not out[1]["is_cbr"]
+    assert out[1]["n_samples"] == 11 * 1152
+    assert not out[2]["ok"] and out[2]["n_frames"] is None
+    assert not out[3]["ok"]
 
 
 def test_ogg_header_probes():
