@@ -1173,3 +1173,94 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tens.unionAll(mels).agg(
         F.sum("n").alias("n_blobs"), F.sum("t0").alias("checksum")
     )
+
+
+def q_image_webp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-lossless near-dup dedup end-to-end (r10): synthesize a VP8L
+    corpus executor-side (every 4th image a brightness-perturbed twin,
+    half through the SUBTRACT_GREEN transform so the inverse runs), run
+    the full canonical-prefix-code decode + dHash in one mapInPandas,
+    then the linear rep-linked banded dedup — the WebP sibling of
+    q_image_jpeg_dedup/q_image_gif_dedup."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.dedup import ensure_parallelism
+    from automic_etl_spark.operators.imagehash import (
+        dedup_by_phash,
+        image_blobs_phash,
+    )
+    from automic_etl_spark.operators.webp import encode_vp8l
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                base_seed = d - (d % 4 == 3)  # 4th = twin of 3rd
+                rng = np.random.RandomState(base_seed % (2**31))
+                g = rng.randint(0, 256, size=(64, 64), dtype=np.uint8)
+                if d % 4 == 3:
+                    g = np.clip(g.astype(np.int16) + 5, 0, 255).astype(np.uint8)
+                rgba = np.stack([g, g, g, np.full_like(g, 255)], axis=2)
+                blobs.append(encode_vp8l(rgba, subtract_green=bool(d % 2)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    hashes = image_blobs_phash(blobs).cache()
+    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    return hashes.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
+    ).crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+def q_mp3_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio frame-walk throughput (r10): synthesize ~2000-frame
+    VBR streams executor-side (version/layer/rate cycling by doc_id,
+    alternating bitrates, padding parity), run the distributed
+    mp3_stream_stats walk, reduce to corpus totals — prices the
+    map-only metadata pass a real audio-crawl curation run does before
+    sampling (the walk, not sample decode, which stays gated)."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.audio import mp3_stream_stats, synth_mp3
+    from automic_etl_spark.operators.dedup import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                k1 = 2 + d % 8
+                blobs.append(
+                    synth_mp3(
+                        version=1 + d % 2,
+                        layer=1 + (d // 2) % 3,
+                        rate_idx=(d // 6) % 3,
+                        kbps_indices=(k1, k1 + (d // 7) % 2),
+                        n_frames=1800 + d % 400,
+                        channels=1 + (d // 5) % 2,
+                        pad_parity=d % 4 == 1,
+                        xing=d % 8 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    stats = mp3_stream_stats(blobs)
+    return stats.agg(
+        F.count(F.lit(1)).alias("n_streams"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_walked"),
+        F.sum("n_frames").alias("total_frames"),
+        F.sum("duration_ms").alias("total_ms"),
+        F.sum(F.when(F.col("is_cbr"), 1).otherwise(0)).alias("n_cbr"),
+    )

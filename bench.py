@@ -62,7 +62,9 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_ngram_perplexity,
     q_image_jpeg_dedup,
     q_image_gif_dedup,
+    q_image_webp_dedup,
     q_g711_decode,
+    q_mp3_walk,
     q_image_phash,
     q_image_phash_dedup,
     q_audio_fingerprint,
@@ -112,6 +114,9 @@ HEADLINE = {
     # round-9 surface: GIF decode+dedup and telephony-WAV decode
     "image_gif_dedup": q_image_gif_dedup,
     "g711_decode": q_g711_decode,
+    # round-10 surface: WebP VP8L decode+dedup and the MPEG frame walk
+    "image_webp_dedup": q_image_webp_dedup,
+    "mp3_walk": q_mp3_walk,
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,
