@@ -37,9 +37,8 @@ MAX_MEMBER_BYTES = 256 * 1024 * 1024
 
 
 def sniff_compression(data: bytes) -> str | None:
-    """gzip / bzip2 / xz / zstd magic (zstd is recognized but not
-    decodable in-image — no stdlib codec; returns the name so callers
-    can route or quarantine)."""
+    """gzip / bzip2 / xz / zstd magic (zstd decodes through the
+    first-party RFC 8878 codec, operators/zstdcodec.py — r10)."""
     head = bytes(data[:6])
     if head[:2] == b"\x1f\x8b":
         return "gzip"
@@ -53,11 +52,22 @@ def sniff_compression(data: bytes) -> str | None:
 
 
 def _inflate(data: bytes, max_bytes: int) -> bytes | None:
-    """Decompress one gzip/bz2/xz payload with a size cap; None when
-    not compressed, unsupported (zstd), corrupt, or over the cap."""
+    """Decompress one gzip/bz2/xz/zstd payload with a size cap; None
+    when not compressed, corrupt, or over the cap."""
     kind = sniff_compression(data)
-    if kind is None or kind == "zstd":
+    if kind is None:
         return None
+    if kind == "zstd":
+        from automic_etl_spark.operators.zstdcodec import (
+            ZstdError,
+            zstd_decompress,
+        )
+
+        try:
+            out = zstd_decompress(bytes(data), max_output=max_bytes)
+        except (ZstdError, NotImplementedError):
+            return None
+        return out
     opener = {"gzip": gzip.open, "bzip2": bz2.open, "xz": lzma.open}[kind]
     try:
         with opener(io.BytesIO(data)) as f:
@@ -184,7 +194,14 @@ def expand_archive_blobs(
                         members = None
                 else:
                     # tar has no leading magic (ustar at 257) and may be
-                    # compressed: sniff gz/bz2/xz or the ustar field
+                    # compressed: sniff gz/bz2/xz/zst or the ustar field.
+                    # tarfile's "r:*" has no zstd support, so .tar.zst
+                    # inflates through the first-party codec first
+                    # (bounded), then opens as plain tar.
+                    if sniff_compression(data) == "zstd":
+                        inner = _inflate(data, MAX_MEMBER_BYTES)
+                        if inner is not None and inner[257:262] == b"ustar":
+                            data = inner
                     if (
                         sniff_compression(data) in ("gzip", "bzip2", "xz")
                         or data[257:262] == b"ustar"

@@ -1,0 +1,889 @@
+"""First-party Zstandard codec (RFC 8878, pure Python, numpy-free).
+
+zstd is the modern default block compression across the data-eng stack
+(Kafka topics, Avro OCF ``zstandard`` containers, .zst web-archive
+dumps), so ``read_avro`` pointed at a production archive meets it right
+after snappy — the same argument that earned FLAC (RFC 9639), JPEG
+(ITU T.81) and Snappy first-party codecs. Neither the ``zstandard``
+package nor a py-binding exists in the image; this implements RFC 8878
+directly:
+
+- DECODER: full frame format — skippable frames, all block types
+  (raw / RLE / compressed), the complete literals section (raw / RLE /
+  Huffman-compressed single- and four-stream / treeless repeat), FSE
+  table descriptions (normalized counts with the threshold coding,
+  "less than 1" probabilities, zero-repeat flags), FSE-compressed
+  Huffman weight streams (two interleaved states) and direct 4-bit
+  weights, the sequences section in all four symbol-compression modes
+  (predefined / RLE / FSE / repeat), the three-slot repeat-offset
+  history with the literals_length==0 shift, backward bitstreams, and
+  XXH64 content-checksum verification. Dictionaries are the one
+  honest gate (``dictionary_id != 0`` raises — dict-trained frames
+  can't be decoded without the dictionary by definition).
+- ENCODER: real LZ77 compression — greedy 4-byte hash-chain matching,
+  raw-literals section, sequences encoded with the spec's PREDEFINED
+  FSE distributions (encode transitions are derived from this module's
+  own decode tables, so the two directions cannot drift apart), RLE
+  blocks for constant runs, raw-block fallback for incompressible
+  data, XXH64 checksum. Huffman literal compression is not emitted
+  (raw literals are always legal) — the decoder still handles it
+  because real-world frames use it.
+
+Reference parity is pinned against the REAL ``zstd`` CLI binary present
+in the image (tests/test_zstd.py, skip-if-absent): the decoder must
+byte-exactly reproduce CLI-compressed frames across levels/contents
+(which exercise Huffman 4-stream, FSE-described tables, treeless and
+repeat modes), and CLI ``zstd -d`` must accept and round-trip frames
+THIS encoder produces — external conformance in both directions, the
+validation story that keeps this codec honest. In-image fallbacks:
+hand-assembled spec vectors and hypothesis round-trip/totality.
+
+Used by: Avro OCF ``zstandard`` codec (sources/avrofile.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZSTD_MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+
+MAX_BLOCK = 128 * 1024
+
+
+class ZstdError(ValueError):
+    """Malformed zstd frame (bad magic/header/bitstream/checksum)."""
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (frame content checksums store its low 32 bits)
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            lane = struct.unpack_from("<4Q", data, i)
+            v1 = (_rotl((v1 + lane[0] * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + lane[1] * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + lane[2] * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + lane[3] * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ (_rotl((v * _P2) & _M64, 31) * _P1) & _M64) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = ((_rotl(h ^ (_rotl((k * _P2) & _M64, 31) * _P1) & _M64, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = ((_rotl(h ^ (k * _P1) & _M64, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ (data[i] * _P5) & _M64, 11)) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Bit readers. FSE *table descriptions* read forward (LSB-first);
+# Huffman/FSE *data* streams read BACKWARD from a 1-bit sentinel in the
+# last byte (RFC 8878 §3.1.1.3.1.1).
+# ---------------------------------------------------------------------------
+
+
+class _BackBits:
+    __slots__ = ("data", "bitpos")
+
+    def __init__(self, data: bytes):
+        if not data or data[-1] == 0:
+            raise ZstdError("backward bitstream missing its sentinel bit")
+        self.data = data
+        self.bitpos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        p = self.bitpos - n
+        self.bitpos = p
+        if p < 0:
+            raise ZstdError("backward bitstream over-read")
+        chunk = int.from_bytes(self.data[p >> 3 : (p + n + 7) >> 3], "little")
+        return (chunk >> (p & 7)) & ((1 << n) - 1)
+
+    def peek_pad(self, n: int) -> int:
+        """Top ``n`` remaining bits, zero-padded low when fewer remain
+        (the Huffman tail convention)."""
+        p = self.bitpos - n
+        if p >= 0:
+            chunk = int.from_bytes(self.data[p >> 3 : (p + n + 7) >> 3], "little")
+            return (chunk >> (p & 7)) & ((1 << n) - 1)
+        have = self.bitpos
+        if have <= 0:
+            return 0
+        chunk = int.from_bytes(self.data[0 : (have + 7) >> 3], "little")
+        return (chunk & ((1 << have) - 1)) << (n - have)
+
+    def consume_pad(self, n: int) -> None:
+        self.bitpos -= n  # may go negative at a Huffman tail; checked by caller
+
+    def read_pad(self, n: int) -> int:
+        """Read allowing zero-filled overrun past the stream start;
+        callers track ``bitpos < 0`` as the exhaustion signal (the FSE
+        interleaved-weights convention)."""
+        v = self.peek_pad(n)
+        self.bitpos -= n
+        return v
+
+
+# ---------------------------------------------------------------------------
+# FSE: normalized-count table descriptions and decode tables
+# ---------------------------------------------------------------------------
+
+
+def _fse_read_ncount(data: bytes, pos: int, max_symbol: int) -> tuple[int, list[int], int]:
+    """RFC 8878 §4.1.1: (accuracy_log, probabilities, new_pos). The
+    description is a forward LSB-first bitstream, byte-aligned at the
+    end; -1 encodes the 'less than 1' probability."""
+    if pos >= len(data):
+        raise ZstdError("truncated FSE table description")
+    bits = int.from_bytes(data[pos : pos + 512], "little")
+    bp = 0
+    acc_log = (bits & 0xF) + 5
+    bp = 4
+    if acc_log > 9:
+        raise ZstdError(f"FSE accuracy_log {acc_log} exceeds the format bound")
+    remaining = (1 << acc_log) + 1
+    threshold = 1 << acc_log
+    nb = acc_log + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) > max_symbol:
+            raise ZstdError("FSE table description exceeds symbol alphabet")
+        maxv = (2 * threshold - 1) - remaining
+        v = (bits >> bp) & (threshold - 1)
+        if v < maxv:
+            bp += nb - 1
+            count = v
+        else:
+            v = (bits >> bp) & (2 * threshold - 1)
+            bp += nb
+            count = v - maxv if v >= threshold else v
+        count -= 1  # shift: stored value 0 means probability -1
+        remaining -= -count if count < 0 else count
+        probs.append(count)
+        if count == 0:
+            while True:
+                rep = (bits >> bp) & 3
+                bp += 2
+                probs.extend([0] * rep)
+                if rep != 3:
+                    break
+        while remaining > 1 and remaining < threshold:
+            nb -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ZstdError("FSE normalized counts do not sum to the table size")
+    return acc_log, probs, pos + (bp + 7) // 8
+
+
+def _fse_build_dtable(probs: list[int], acc_log: int):
+    """Decode table: state -> (symbol, nbits, baseline). The spread
+    (§4.1.2) places 'less than 1' symbols at the table top."""
+    size = 1 << acc_log
+    symbols = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            symbols[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    pos = 0
+    for s, p in enumerate(probs):
+        for _ in range(max(p, 0)):
+            symbols[pos] = s
+            pos = (pos + step) & (size - 1)
+            while pos > high:
+                pos = (pos + step) & (size - 1)
+    if pos != 0:
+        raise ZstdError("FSE symbol spread did not close")
+    counter = [max(p, 0) if p != -1 else 1 for p in probs]
+    # -1 symbols were placed at the top; their single state uses the
+    # full table refill (nbits = acc_log, baseline 0) via counter 1
+    table = [None] * size
+    for st in range(size):
+        s = symbols[st]
+        nxt = counter[s]
+        counter[s] += 1
+        nbits = acc_log - (nxt.bit_length() - 1)
+        table[st] = (s, nbits, (nxt << nbits) - size)
+    return table
+
+
+def _fse_rle_table(symbol: int):
+    return [(symbol, 0, 0)]
+
+
+# ---------------------------------------------------------------------------
+# Huffman literals
+# ---------------------------------------------------------------------------
+
+
+def _huf_read_weights(data: bytes, pos: int) -> tuple[list[int], int]:
+    """§4.2.1: direct 4-bit weights or an FSE-compressed weight stream
+    (two interleaved states); the last weight is implied."""
+    if pos >= len(data):
+        raise ZstdError("truncated Huffman tree description")
+    hb = data[pos]
+    pos += 1
+    if hb >= 128:
+        n = hb - 127
+        need = (n + 1) // 2
+        raw = data[pos : pos + need]
+        if len(raw) < need:
+            raise ZstdError("truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            b = raw[i >> 1]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, pos + need
+    comp = data[pos : pos + hb]
+    if len(comp) < hb:
+        raise ZstdError("truncated FSE-compressed Huffman weights")
+    acc_log, probs, p2 = _fse_read_ncount(comp, 0, 255)
+    if acc_log > 6:
+        raise ZstdError("Huffman weight FSE accuracy_log exceeds 6")
+    table = _fse_build_dtable(probs, acc_log)
+    bb = _BackBits(comp[p2:])
+    s1 = bb.read(acc_log)
+    s2 = bb.read(acc_log)
+    weights = []
+    while True:
+        sym, nb, base = table[s1]
+        weights.append(sym)
+        s1 = base + bb.read_pad(nb)
+        if bb.bitpos < 0:
+            weights.append(table[s2][0])
+            break
+        sym, nb, base = table[s2]
+        weights.append(sym)
+        s2 = base + bb.read_pad(nb)
+        if bb.bitpos < 0:
+            weights.append(table[s1][0])
+            break
+        if len(weights) > 255:
+            raise ZstdError("Huffman weight stream ran away")
+    return weights, pos + hb
+
+
+def _huf_build(weights: list[int]):
+    """Canonical Huffman decode LUT from explicit weights + the implied
+    last one: (max_bits, lut) where lut[peek] = (symbol, length)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ZstdError("Huffman weights are all zero")
+    # the implied last weight completes total to the next power of two
+    # STRICTLY above it (the implied weight must be >= 1)
+    max_bits = total.bit_length()
+    rest = (1 << max_bits) - total
+    if rest & (rest - 1):
+        raise ZstdError("Huffman weights do not complete a power of two")
+    weights = weights + [rest.bit_length()]  # rest == 2^(w-1)
+    nsyms = len(weights)
+    if nsyms > 256:
+        raise ZstdError("too many Huffman symbols")
+    max_w = max(weights)
+    max_len = max_bits
+    lut = [None] * (1 << max_len)
+    code = 0
+    for w in range(1, max_w + 1):
+        length = max_bits + 1 - w
+        for s in range(nsyms):
+            if weights[s] != w:
+                continue
+            pad = max_len - length
+            base = code << pad
+            for x in range(1 << pad):
+                lut[base | x] = (s, length)
+            code += 1
+        code >>= 1
+    return max_len, lut
+
+
+def _huf_decode_stream(stream: bytes, rs: int, max_len: int, lut) -> bytearray:
+    out = bytearray(rs)
+    bb = _BackBits(stream)
+    for i in range(rs):
+        hit = lut[bb.peek_pad(max_len)]
+        if hit is None:
+            raise ZstdError("invalid Huffman code in literal stream")
+        s, ln = hit
+        bb.consume_pad(ln)
+        out[i] = s
+    if bb.bitpos != 0:
+        raise ZstdError("Huffman literal stream not fully consumed")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Predefined sequence code tables (§3.1.1.3.2.1/2)
+# ---------------------------------------------------------------------------
+
+LL_BASE = (
+    list(range(16))
+    + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+       2048, 4096, 8192, 16384, 32768, 65536]
+)
+LL_EXTRA = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+ML_BASE = (
+    [x + 3 for x in range(32)]
+    + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+       2051, 4099, 8195, 16387, 32771, 65539]
+)
+ML_EXTRA = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+_LL_DEFAULT = [
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+    2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1,
+]
+_ML_DEFAULT = [
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1, -1, -1,
+]
+_OF_DEFAULT = [
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, -1, -1, -1, -1, -1,
+]
+
+_LL_AL, _ML_AL, _OF_AL = 6, 6, 5
+_PREDEF = {
+    "ll": (_fse_build_dtable(_LL_DEFAULT, _LL_AL), _LL_AL),
+    "ml": (_fse_build_dtable(_ML_DEFAULT, _ML_AL), _ML_AL),
+    "of": (_fse_build_dtable(_OF_DEFAULT, _OF_AL), _OF_AL),
+}
+_MAX_SYM = {"ll": 35, "ml": 52, "of": 31}
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def _decode_literals(block: bytes, pos: int, frame_state: dict) -> tuple[bytes, int]:
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf & 1 == 0:
+            rs = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            rs = (int.from_bytes(block[pos : pos + 2], "little")) >> 4
+            pos += 2
+        else:
+            rs = (int.from_bytes(block[pos : pos + 3], "little")) >> 4
+            pos += 3
+        if ltype == 0:
+            lit = block[pos : pos + rs]
+            if len(lit) < rs:
+                raise ZstdError("truncated raw literals")
+            return bytes(lit), pos + rs
+        if pos >= len(block):
+            raise ZstdError("truncated RLE literal byte")
+        return block[pos : pos + 1] * rs, pos + 1
+    # compressed / treeless
+    if sf == 0:
+        v = int.from_bytes(block[pos : pos + 3], "little")
+        rs, cs = (v >> 4) & 0x3FF, (v >> 14) & 0x3FF
+        streams, pos = 1, pos + 3
+    elif sf == 1:
+        v = int.from_bytes(block[pos : pos + 3], "little")
+        rs, cs = (v >> 4) & 0x3FF, (v >> 14) & 0x3FF
+        streams, pos = 4, pos + 3
+    elif sf == 2:
+        v = int.from_bytes(block[pos : pos + 4], "little")
+        rs, cs = (v >> 4) & 0x3FFF, (v >> 18) & 0x3FFF
+        streams, pos = 4, pos + 4
+    else:
+        v = int.from_bytes(block[pos : pos + 5], "little")
+        rs, cs = (v >> 4) & 0x3FFFF, (v >> 22) & 0x3FFFF
+        streams, pos = 4, pos + 5
+    body = block[pos : pos + cs]
+    if len(body) < cs:
+        raise ZstdError("truncated compressed literals")
+    bpos = 0
+    if ltype == 2:
+        weights, bpos = _huf_read_weights(body, 0)
+        frame_state["huf"] = _huf_build(weights)
+    elif frame_state.get("huf") is None:
+        raise ZstdError("treeless literals with no previous Huffman table")
+    max_len, lut = frame_state["huf"]
+    if streams == 1:
+        lit = _huf_decode_stream(body[bpos:], rs, max_len, lut)
+    else:
+        if cs - bpos < 6:
+            raise ZstdError("four-stream literals missing the jump table")
+        s1, s2, s3 = struct.unpack_from("<3H", body, bpos)
+        bpos += 6
+        rest = body[bpos:]
+        if s1 + s2 + s3 > len(rest):
+            raise ZstdError("literal stream sizes exceed the section")
+        part = (rs + 3) // 4
+        lit = bytearray()
+        offs = [0, s1, s1 + s2, s1 + s2 + s3, len(rest)]
+        for k in range(4):
+            want = part if k < 3 else rs - 3 * part
+            if want < 0:
+                raise ZstdError("four-stream regenerated size underflow")
+            lit += _huf_decode_stream(rest[offs[k] : offs[k + 1]], want, max_len, lut)
+    return bytes(lit), pos + cs
+
+
+def _read_seq_table(block: bytes, pos: int, mode: int, which: str, frame_state: dict):
+    if mode == 0:
+        table, al = _PREDEF[which]
+    elif mode == 1:
+        if pos >= len(block):
+            raise ZstdError("truncated RLE sequence symbol")
+        table, al = _fse_rle_table(block[pos]), 0
+        pos += 1
+    elif mode == 2:
+        acc_log, probs, pos = _fse_read_ncount(block, pos, _MAX_SYM[which])
+        limit = {"ll": 9, "ml": 9, "of": 8}[which]
+        if acc_log > limit:
+            raise ZstdError(f"{which} accuracy_log {acc_log} over bound {limit}")
+        table, al = _fse_build_dtable(probs, acc_log), acc_log
+    else:
+        prev = frame_state.get(which)
+        if prev is None:
+            raise ZstdError("repeat sequence mode with no previous table")
+        table, al = prev
+        return table, al, pos
+    frame_state[which] = (table, al)
+    return table, al, pos
+
+
+def _decode_block(block: bytes, out: bytearray, frame_state: dict) -> None:
+    literals, pos = _decode_literals(block, 0, frame_state)
+    if pos >= len(block):
+        raise ZstdError("missing sequences section")
+    b0 = block[pos]
+    if b0 < 128:
+        nbseq, pos = b0, pos + 1
+    elif b0 < 255:
+        nbseq, pos = ((b0 - 128) << 8) | block[pos + 1], pos + 2
+    else:
+        nbseq = int.from_bytes(block[pos + 1 : pos + 3], "little") + 0x7F00
+        pos = pos + 3
+    if nbseq == 0:
+        if pos != len(block):
+            raise ZstdError("trailing bytes after an empty sequences section")
+        out += literals
+        return
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ZstdError("reserved sequence-mode bits set")
+    ll_t, ll_al, pos = _read_seq_table(block, pos, (modes >> 6) & 3, "ll", frame_state)
+    of_t, of_al, pos = _read_seq_table(block, pos, (modes >> 4) & 3, "of", frame_state)
+    ml_t, ml_al, pos = _read_seq_table(block, pos, (modes >> 2) & 3, "ml", frame_state)
+    bb = _BackBits(block[pos:])
+    ll_s = bb.read(ll_al)
+    of_s = bb.read(of_al)
+    ml_s = bb.read(ml_al)
+    reps = frame_state["reps"]
+    lpos = 0
+    for i in range(nbseq):
+        of_code = of_t[of_s][0]
+        if of_code > 31:
+            raise ZstdError("offset code out of range")
+        ofv = (1 << of_code) + bb.read(of_code)
+        ml_code = ml_t[ml_s][0]
+        ml = ML_BASE[ml_code] + bb.read(ML_EXTRA[ml_code])
+        ll_code = ll_t[ll_s][0]
+        ll = LL_BASE[ll_code] + bb.read(LL_EXTRA[ll_code])
+        if ofv > 3:
+            offset = ofv - 3
+            reps[:] = [offset, reps[0], reps[1]]
+        else:
+            idx = ofv - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = reps[0]
+            elif idx < 3:
+                offset = reps[idx]
+                if idx == 1:
+                    reps[:] = [offset, reps[0], reps[2]]
+                else:
+                    reps[:] = [offset, reps[0], reps[1]]
+            else:
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ZstdError("repeat offset underflow")
+                reps[:] = [offset, reps[0], reps[1]]
+        if i + 1 < nbseq:
+            ll_s = ll_t[ll_s][2] + bb.read(ll_t[ll_s][1])
+            ml_s = ml_t[ml_s][2] + bb.read(ml_t[ml_s][1])
+            of_s = of_t[of_s][2] + bb.read(of_t[of_s][1])
+        # execute
+        if lpos + ll > len(literals):
+            raise ZstdError("sequence literal run exceeds the literals section")
+        out += literals[lpos : lpos + ll]
+        lpos += ll
+        if offset > len(out):
+            raise ZstdError("match offset reaches before the frame start")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start : start + ml]
+        else:
+            start = len(out) - offset
+            pattern = out[start:]
+            reps_n, tail = divmod(ml, offset)
+            out += pattern * reps_n + pattern[:tail]
+    if bb.bitpos != 0:
+        raise ZstdError("sequence bitstream not fully consumed")
+    out += literals[lpos:]
+
+
+def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
+    """Decode one or more concatenated zstd frames (RFC 8878).
+    Total on arbitrary bytes: malformed input raises ZstdError (or
+    NotImplementedError for dictionary frames), never an internal
+    IndexError/struct.error. ``max_output`` bounds the decompressed
+    size as blocks accrete (decompression-bomb guard for hostile
+    archive members — a few-hundred-byte frame of RLE blocks can
+    otherwise expand without limit)."""
+    try:
+        return _decompress(data, max_output)
+    except (IndexError, struct.error) as e:
+        raise ZstdError(f"truncated or malformed frame: {e}") from e
+
+
+def _decompress(data: bytes, max_output: int | None = None) -> bytes:
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    saw_frame = False
+    while pos < n:
+        if n - pos < 4:
+            raise ZstdError("truncated frame magic")
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+            if n - pos < 4:
+                raise ZstdError("truncated skippable frame size")
+            sz = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4 + sz
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ZstdError(f"bad zstd magic 0x{magic:08x}")
+        saw_frame = True
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        if fhd & 0x08:
+            raise ZstdError("reserved frame-header bit set")
+        checksum = (fhd >> 2) & 1
+        did_size = (0, 1, 2, 4)[fhd & 3]
+        if not single:
+            pos += 1  # window descriptor (whole frame is held in memory)
+        if did_size:
+            if int.from_bytes(data[pos : pos + did_size], "little") != 0:
+                raise NotImplementedError(
+                    "dictionary-trained zstd frame: dictionaries are not "
+                    "supported (the frame is undecodable without the dict)"
+                )
+            pos += did_size
+        fcs = None
+        fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if fcs_bytes:
+            fcs = int.from_bytes(data[pos : pos + fcs_bytes], "little")
+            if fcs_bytes == 2:
+                fcs += 256
+            pos += fcs_bytes
+        frame_state = {"reps": [1, 4, 8], "huf": None}
+        frame_start = len(out)
+        while True:
+            if n - pos < 3:
+                raise ZstdError("truncated block header")
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 0:
+                out += data[pos : pos + bsize]
+                pos += bsize
+            elif btype == 1:
+                out += data[pos : pos + 1] * bsize
+                pos += 1
+            elif btype == 2:
+                block = data[pos : pos + bsize]
+                if len(block) < bsize:
+                    raise ZstdError("truncated compressed block")
+                _decode_block(block, out, frame_state)
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            if max_output is not None and len(out) > max_output:
+                raise ZstdError("decompressed size exceeds max_output")
+            if last:
+                break
+        if fcs is not None and len(out) - frame_start != fcs:
+            raise ZstdError("frame content size mismatch")
+        if checksum:
+            want = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ZstdError("content checksum mismatch")
+    if not saw_frame:
+        raise ZstdError("no zstd frame present")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Encoder: greedy LZ77 + predefined-FSE sequences, raw literals
+# ---------------------------------------------------------------------------
+
+# encode transitions derived from the decode tables: for symbol s and
+# desired NEXT state x, _enc[which][s][x] = (prev_state, nbits)
+def _build_enc(table, size):
+    enc: dict[int, list] = {}
+    for st, (s, nb, base) in enumerate(table):
+        lane = enc.setdefault(s, [None] * size)
+        for x in range(base, base + (1 << nb)):
+            lane[x] = (st, nb)
+    return enc
+
+_ENC = {
+    "ll": _build_enc(_PREDEF["ll"][0], 1 << _LL_AL),
+    "ml": _build_enc(_PREDEF["ml"][0], 1 << _ML_AL),
+    "of": _build_enc(_PREDEF["of"][0], 1 << _OF_AL),
+}
+
+
+def _any_state(which: str, sym: int) -> int:
+    table = _PREDEF[which][0]
+    for st, (s, _nb, _b) in enumerate(table):
+        if s == sym:
+            return st
+    raise ZstdError(f"symbol {sym} absent from the predefined {which} table")
+
+
+def _code_of(value: int, base: list[int]) -> int:
+    """Largest code whose baseline <= value (binary search)."""
+    lo, hi = 0, len(base) - 1
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if base[mid] <= value:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
+    """Greedy 4-byte-hash LZ77 within the block: [(ll, ml, offset)]."""
+    n = len(block)
+    seqs = []
+    table: dict[bytes, int] = {}
+    anchor = 0
+    i = 0
+    while i + 4 <= n:
+        key = block[i : i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None:
+            ml = 4
+            while i + ml < n and block[j + ml] == block[i + ml]:
+                ml += 1
+            seqs.append((i - anchor, ml, i - j))
+            i += ml
+            anchor = i
+            continue
+        i += 1
+    return seqs
+
+
+class _FwdWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def finish_backward(self) -> bytes:
+        self.write(1, 1)  # sentinel: decoder's backward entry point
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences section: predefined modes + the backward bitstream.
+    Decoder-read order is assembled forward, then emitted reversed."""
+    nbseq = len(seqs)
+    hdr = bytearray()
+    if nbseq < 128:
+        hdr.append(nbseq)
+    elif nbseq < 0x7F00:
+        hdr.append((nbseq >> 8) + 128)
+        hdr.append(nbseq & 0xFF)
+    else:
+        hdr.append(255)
+        hdr += (nbseq - 0x7F00).to_bytes(2, "little")
+    hdr.append(0)  # all three fields: predefined mode
+    # per-sequence codes and extra values
+    codes = []
+    for ll, ml, offset in seqs:
+        llc = _code_of(ll, LL_BASE)
+        mlc = _code_of(ml, ML_BASE)
+        ofv = offset + 3
+        ofc = ofv.bit_length() - 1
+        codes.append(
+            (
+                (llc, ll - LL_BASE[llc], LL_EXTRA[llc]),
+                (mlc, ml - ML_BASE[mlc], ML_EXTRA[mlc]),
+                (ofc, ofv - (1 << ofc), ofc),
+            )
+        )
+    # states, chosen backward from a free final state
+    ll_states = [0] * nbseq
+    ml_states = [0] * nbseq
+    of_states = [0] * nbseq
+    upd = [None] * (nbseq - 1) if nbseq > 1 else []
+    ll_states[-1] = _any_state("ll", codes[-1][0][0])
+    ml_states[-1] = _any_state("ml", codes[-1][1][0])
+    of_states[-1] = _any_state("of", codes[-1][2][0])
+    for i in range(nbseq - 2, -1, -1):
+        nxt = (ll_states[i + 1], ml_states[i + 1], of_states[i + 1])
+        a = _ENC["ll"][codes[i][0][0]][nxt[0]]
+        b = _ENC["ml"][codes[i][1][0]][nxt[1]]
+        c = _ENC["of"][codes[i][2][0]][nxt[2]]
+        ll_states[i], ml_states[i], of_states[i] = a[0], b[0], c[0]
+        ll_base = _PREDEF["ll"][0][a[0]][2]
+        ml_base = _PREDEF["ml"][0][b[0]][2]
+        of_base = _PREDEF["of"][0][c[0]][2]
+        upd[i] = (
+            (nxt[0] - ll_base, a[1]),
+            (nxt[1] - ml_base, b[1]),
+            (nxt[2] - of_base, c[1]),
+        )
+    reads: list[tuple[int, int]] = [
+        (ll_states[0], _LL_AL),
+        (of_states[0], _OF_AL),
+        (ml_states[0], _ML_AL),
+    ]
+    for i in range(nbseq):
+        (llc, llv, llb), (mlc, mlv, mlb), (ofc, ofv_, ofb) = codes[i]
+        reads.append((ofv_, ofb))
+        reads.append((mlv, mlb))
+        reads.append((llv, llb))
+        if i + 1 < nbseq:
+            reads.append(upd[i][0])
+            reads.append(upd[i][1])
+            reads.append(upd[i][2])
+    w = _FwdWriter()
+    for v, nb in reversed(reads):
+        w.write(v, nb)
+    return bytes(hdr) + w.finish_backward()
+
+
+def _raw_literals_section(lit: bytes) -> bytes:
+    rs = len(lit)
+    if rs < 32:
+        return bytes([(rs << 3)]) + lit
+    if rs < 4096:
+        return ((1 << 2) | (rs << 4)).to_bytes(2, "little") + lit
+    return ((3 << 2) | (rs << 4)).to_bytes(3, "little") + lit
+
+
+def _compress_block(block: bytes) -> tuple[int, bytes]:
+    """(block_type, payload) choosing compressed < RLE < raw."""
+    n = len(block)
+    if n and block.count(block[0]) == n:
+        return 1, block[:1]
+    seqs = _find_sequences(block)
+    if seqs:
+        lit = bytearray()
+        pos = 0
+        for ll, ml, _off in seqs:
+            lit += block[pos : pos + ll]
+            pos += ll + ml
+        lit += block[pos:]
+        payload = _raw_literals_section(bytes(lit)) + _encode_sequences(seqs)
+        if len(payload) < n:
+            return 2, payload
+    return 0, block
+
+
+def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+    """One single-segment frame: greedy-matched compressed blocks with
+    predefined-FSE sequences, RLE/raw fallbacks, optional XXH64."""
+    n = len(data)
+    out = bytearray()
+    if n < 256:
+        fcs_flag, fcs = 0, n.to_bytes(1, "little")
+    elif n < 65536 + 256:
+        fcs_flag, fcs = 1, (n - 256).to_bytes(2, "little")
+    elif n < (1 << 32):
+        fcs_flag, fcs = 2, n.to_bytes(4, "little")
+    else:
+        fcs_flag, fcs = 3, n.to_bytes(8, "little")
+    fhd = (fcs_flag << 6) | 0x20 | (0x04 if checksum else 0)
+    out += ZSTD_MAGIC.to_bytes(4, "little")
+    out.append(fhd)
+    out += fcs
+    if n == 0:
+        out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
+    pos = 0
+    while pos < n:
+        chunk = data[pos : pos + MAX_BLOCK]
+        pos += len(chunk)
+        btype, payload = _compress_block(chunk)
+        # RLE blocks carry the REGENERATED size in the header; raw and
+        # compressed blocks carry the payload size
+        bsize = len(chunk) if btype == 1 else len(payload)
+        bh = (1 if pos >= n else 0) | (btype << 1) | (bsize << 3)
+        out += bh.to_bytes(3, "little")
+        out += payload
+    if checksum:
+        out += (xxh64(bytes(data)) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

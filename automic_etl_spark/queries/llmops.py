@@ -1568,6 +1568,12 @@ def q_avro_roundtrip_gate(spark, sf_dir):
             rows = []
             for rid, b in zip(pdf["doc_id"], pdf["body"]):
                 price = Decimal(int(rid)) + Decimal("0.25")
+                # cycle every codec incl. the first-party snappy (r10)
+                # and zstandard (r10, RFC 8878) — the round trip is
+                # lossless so the oracle is codec-invariant, but each
+                # codec's encode+decode rides the driver-scored path
+                codec = ("deflate", "snappy", "zstandard", "null",
+                         "bzip2", "xz")[int(rid) % 6]
                 blob = write_ocf(
                     [
                         {"doc_id": int(rid), "rec_index": 0, "body_out": b, "price": price},
@@ -1575,7 +1581,7 @@ def q_avro_roundtrip_gate(spark, sf_dir):
                         {"doc_id": int(rid), "rec_index": 2, "body_out": b.upper(), "price": price},
                     ],
                     schema,
-                    codec="deflate",
+                    codec=codec,
                     block_rows=2,  # >1 block per file: framing exercised
                 )
                 _, recs = decode_ocf_bytes(blob)

@@ -16,10 +16,10 @@ Scope — the public Avro 1.11 specification
   ``deflate`` (raw zlib), ``bzip2``, ``xz`` (the stdlib set) and
   ``snappy`` (first-party raw-format codec, operators/snappy.py, with
   the spec's 4-byte big-endian CRC32-of-uncompressed trailer — r10;
-  snappy is the de-facto default of production Kafka/Avro pipelines).
-  ``zstandard`` blocks raise: the codec is not in the image and a
-  hand-rolled implementation could not be verified against real
-  frames here (same honesty gate as mp3/ogg in operators/audio).
+  snappy is the de-facto default of production Kafka/Avro pipelines)
+  and ``zstandard`` (first-party RFC 8878 codec, operators/zstdcodec.py
+  — r10, decoder differentially pinned against the real zstd CLI in
+  the image; blocks are bare frames, no extra CRC).
 - the Confluent Schema Registry wire format (magic 0x00 + big-endian
   4-byte schema id + Avro body) for Kafka value payloads — the shape
   the reference's Kafka consumer deserializes
@@ -677,6 +677,24 @@ _CODECS: dict[str, tuple[Callable[[bytes], bytes], Callable[[bytes], bytes]]] = 
 }
 
 
+def _zstd_block_compress(b: bytes) -> bytes:
+    from automic_etl_spark.operators.zstdcodec import zstd_compress
+
+    return zstd_compress(b)
+
+
+def _zstd_block_decompress(b: bytes) -> bytes:
+    from automic_etl_spark.operators.zstdcodec import zstd_decompress
+
+    return zstd_decompress(b)
+
+
+# first-party RFC 8878 codec (operators/zstdcodec.py, r10), decoder
+# CLI-differentially pinned; Avro zstandard blocks are bare frames (no
+# extra CRC — the frame's own XXH64 covers content)
+_CODECS["zstandard"] = (_zstd_block_compress, _zstd_block_decompress)
+
+
 def _sync_marker(schema_json: str) -> bytes:
     import hashlib
 
@@ -693,11 +711,9 @@ def write_ocf(
     block_rows: int = 1000,
 ) -> bytes:
     """Serialize records into one Avro Object Container File (bytes)."""
-    if codec == "zstandard":
-        raise NotImplementedError(
-            "zstandard is not in the image and an unverifiable hand "
-            "implementation would risk silent corruption — use "
-            "null/deflate/bzip2/xz/snappy"
+    if codec not in _CODECS:
+        raise ValueError(
+            f"unknown avro codec {codec!r}; supported: {sorted(_CODECS)}"
         )
     comp = _CODECS[codec][0]
     schema_json = schema if isinstance(schema, str) else json.dumps(schema)
@@ -823,11 +839,8 @@ def read_ocf(
         # parse_schema is idempotent on already-normalized trees
         decode_plan = _resolve(parsed, parse_schema(reader_schema))
     codec = meta.get("avro.codec", b"null").decode()
-    if codec == "zstandard":
-        raise NotImplementedError(
-            "container uses zstandard; only null/deflate/bzip2/xz/snappy "
-            "are decodable here (zstd library absent from the image)"
-        )
+    if codec not in _CODECS:
+        raise NotImplementedError(f"unsupported avro codec {codec!r}")
     decomp = _CODECS[codec][1]
 
     def _records() -> Iterator[dict]:
@@ -1053,8 +1066,8 @@ def _iter_blocks_range(
         if reader_schema is not None:
             parsed = _resolve(parsed, parse_schema(reader_schema))
         codec = meta.get("avro.codec", b"null").decode()
-        if codec == "zstandard":
-            raise NotImplementedError("container uses zstandard")
+        if codec not in _CODECS:
+            raise NotImplementedError(f"unsupported avro codec {codec!r}")
         decomp = _CODECS[codec][1]
 
         pos = first_block if start <= first_block else _next_block_start(

@@ -16,6 +16,12 @@ from automic_etl_spark.operators.archives import (
 )
 
 
+def _zstd(data: bytes) -> bytes:
+    from automic_etl_spark.operators.zstdcodec import zstd_compress
+
+    return zstd_compress(data)
+
+
 def _zip_blob(members: dict[str, bytes]) -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
@@ -53,7 +59,8 @@ class TestInflate(object):
             (3, bytearray(lzma.compress(body))),
             (4, bytearray(b"already plain")),
             (5, bytearray(b"\x1f\x8bcorrupt-gzip")),
-            (6, bytearray(b"\x28\xb5\x2f\xfd zstd-unsupported")),
+            (6, bytearray(b"\x28\xb5\x2f\xfd zstd-corrupt")),
+            (7, bytearray(_zstd(body))),
         ]
         df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
         got = {r.doc_id: r for r in inflate_blobs(df).collect()}
@@ -62,9 +69,12 @@ class TestInflate(object):
             assert got[d].inflated_size == len(body)
         assert got[4].ok and got[4].compression is None
         assert bytes(got[4]._content_bytes) == b"already plain"
-        # corrupt + unsupported keep ORIGINAL bytes, flagged
+        # corrupt members keep ORIGINAL bytes, flagged
         assert not got[5].ok and got[5].compression == "gzip"
         assert not got[6].ok and got[6].compression == "zstd"
+        # real zstd decodes through the first-party RFC 8878 codec (r10)
+        assert got[7].ok and bytes(got[7]._content_bytes) == body
+        assert got[7].compression == "zstd"
 
     def test_cap_guard(self, spark):
         bomb = gzip.compress(b"\x00" * 100_000)
@@ -85,6 +95,7 @@ class TestExpand:
             (3, bytearray(_tar_blob(tmembers, "w:xz"))),
             (4, bytearray(b"not an archive")),
             (5, bytearray(b"PK\x03\x04corrupt")),
+            (6, bytearray(_zstd(_tar_blob(tmembers, "w")))),  # .tar.zst
         ]
         df = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
         out = expand_archive_blobs(df).collect()
@@ -94,7 +105,8 @@ class TestExpand:
         got1 = {r.member_path: bytes(r._content_bytes) for r in by_doc[1]}
         assert got1 == zmembers
         assert all(r.archive_format == "zip" and r.ok for r in by_doc[1])
-        for d in (2, 3):
+        # .tar.zst routes through the first-party RFC 8878 codec (r10)
+        for d in (2, 3, 6):
             gott = {r.member_path: bytes(r._content_bytes) for r in by_doc[d]}
             assert gott == tmembers, d
             assert all(r.archive_format == "tar" for r in by_doc[d])

@@ -148,7 +148,9 @@ def test_value_roundtrip_full_matrix():
         assert out == row
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "bzip2", "xz", "snappy"])
+@pytest.mark.parametrize(
+    "codec", ["null", "deflate", "bzip2", "xz", "snappy", "zstandard"]
+)
 def test_ocf_roundtrip_codecs(codec):
     rows = [_full_row(i) for i in range(137)]
     blob = write_ocf(rows, FULL_SCHEMA, codec=codec, block_rows=50)
@@ -177,9 +179,9 @@ def test_ocf_rejects_corruption_and_unknown_codec():
     blob[-1] ^= 0xFF  # flip a sync byte
     with pytest.raises(ValueError, match="sync"):
         decode_ocf_bytes(bytes(blob))
-    with pytest.raises(NotImplementedError, match="zstandard"):
+    with pytest.raises(ValueError, match="unknown avro codec"):
         write_ocf([], {"type": "record", "name": "r", "fields": []},
-                  codec="zstandard")
+                  codec="lz4")
 
 
 def test_ocf_snappy_crc_and_compression():

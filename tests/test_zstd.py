@@ -1,0 +1,211 @@
+"""First-party Zstandard codec (RFC 8878) — operators/zstdcodec.py.
+
+The strongest oracle here is the REAL ``zstd`` CLI binary shipped in
+the image: the decoder must byte-exactly reproduce CLI-compressed
+frames across levels and content shapes (Huffman 1/4-stream literals,
+FSE-described and treeless/repeat tables, multi-block frames, repeat
+offsets), and the CLI must accept and round-trip frames OUR encoder
+produces (external conformance incl. XXH64 checksums). CLI tests skip
+if the binary is absent; the in-image fallbacks (hand-built spec
+vectors, self round-trips, hypothesis totality) always run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import subprocess
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from automic_etl_spark.operators.zstdcodec import (
+    MAX_BLOCK,
+    ZSTD_MAGIC,
+    ZstdError,
+    xxh64,
+    zstd_compress,
+    zstd_decompress,
+)
+
+ZSTD_BIN = shutil.which("zstd")
+needs_cli = pytest.mark.skipif(ZSTD_BIN is None, reason="zstd CLI absent")
+
+
+def cli_compress(data: bytes, *args: str) -> bytes:
+    p = subprocess.run([ZSTD_BIN, "-c", *args], input=data, capture_output=True)
+    assert p.returncode == 0, p.stderr.decode()[:400]
+    return p.stdout
+
+
+def cli_decompress(frame: bytes) -> bytes:
+    p = subprocess.run([ZSTD_BIN, "-d", "-c"], input=frame, capture_output=True)
+    assert p.returncode == 0, p.stderr.decode()[:400]
+    return p.stdout
+
+
+def _texty(n: int) -> bytes:
+    # compressible, structured, non-periodic
+    return b"".join(
+        b"line %d: the quick brown fox %d\n" % (i, i * i % 977) for i in range(n)
+    )
+
+
+# -- in-image spec vectors (no CLI needed) ---------------------------------
+
+
+def test_raw_and_rle_block_vectors():
+    # hand-assembled frame: magic + FHD(single_segment, FCS 1B) + blocks
+    content = b"abcXXXXXX"
+    frame = bytearray()
+    frame += ZSTD_MAGIC.to_bytes(4, "little")
+    frame.append(0x20)  # single_segment, no checksum, fcs_flag 0 -> 1 byte
+    frame.append(len(content))
+    frame += ((0 << 0) | (0 << 1) | (3 << 3)).to_bytes(3, "little") + b"abc"
+    frame += ((1 << 0) | (1 << 1) | (6 << 3)).to_bytes(3, "little") + b"X"
+    assert zstd_decompress(bytes(frame)) == content
+
+
+def test_skippable_frame_and_concat():
+    a = zstd_compress(b"first")
+    sk = (0x184D2A53).to_bytes(4, "little") + (5).to_bytes(4, "little") + b"12345"
+    b = zstd_compress(b"second")
+    assert zstd_decompress(a + sk + b) == b"firstsecond"
+
+
+def test_error_totality():
+    with pytest.raises(ZstdError):
+        zstd_decompress(b"")
+    with pytest.raises(ZstdError):
+        zstd_decompress(b"\x00\x01\x02\x03" + b"x" * 20)
+    good = zstd_compress(b"payload " * 50)
+    # flip the stored checksum
+    bad = good[:-4] + bytes(x ^ 0xFF for x in good[-4:])
+    with pytest.raises(ZstdError):
+        zstd_decompress(bad)
+    # truncations must raise, never return wrong bytes silently
+    for cut in (4, 5, 9, len(good) // 2, len(good) - 1):
+        try:
+            out = zstd_decompress(good[:cut])
+        except (ZstdError, NotImplementedError):
+            continue
+        assert out != b"payload " * 50
+
+
+def test_dictionary_frames_are_honestly_gated():
+    # frame header with Dictionary_ID_flag = 1 and a nonzero dict id
+    frame = ZSTD_MAGIC.to_bytes(4, "little") + bytes([0x21, 0x07, 0x00])
+    with pytest.raises(NotImplementedError):
+        zstd_decompress(frame)
+
+
+def test_self_roundtrip_shapes():
+    cases = [
+        b"",
+        b"a",
+        b"ab" * 3,
+        _texty(300),
+        bytes(range(256)) * 40,
+        os.urandom(4096),
+        b"\x00" * 100000,
+        _texty(9000),  # multi-block (> 128 KiB)
+    ]
+    for data in cases:
+        frame = zstd_compress(data)
+        assert zstd_decompress(frame) == data
+        # frames must honour the declared block bound
+        assert zstd_decompress(zstd_compress(data, checksum=False)) == data
+
+
+def test_compression_actually_compresses():
+    data = _texty(2000)
+    assert len(zstd_compress(data)) < len(data) // 2
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(max_size=2048))
+def test_roundtrip_property(data):
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=1, max_size=512))
+def test_decoder_totality_on_garbage(data):
+    """Arbitrary bytes (with a forced-valid magic half the time) must
+    raise ZstdError/NotImplementedError or decode — never crash with an
+    unexpected exception type."""
+    for blob in (data, ZSTD_MAGIC.to_bytes(4, "little") + data):
+        try:
+            zstd_decompress(blob)
+        except (ZstdError, NotImplementedError):
+            pass
+
+
+# -- CLI differential -------------------------------------------------------
+
+
+@needs_cli
+@pytest.mark.parametrize("level", ["-1", "-3", "-9", "-19"])
+def test_cli_frames_decode_exactly(level):
+    for data in (
+        _texty(4000),
+        os.urandom(3000),
+        bytes(50000),
+        b"".join(struct.pack("<IH", i % 97, i % 251) for i in range(30000)),
+        _texty(12000),  # multi-block
+    ):
+        assert zstd_decompress(cli_compress(data, level)) == data
+
+
+@needs_cli
+def test_cli_special_modes_decode_exactly():
+    data = _texty(8000)
+    for args in (["--no-check", "-3"], ["--long=27", "-5"], ["--ultra", "-22"], ["-T4", "-5"]):
+        assert zstd_decompress(cli_compress(data, *args)) == data
+    for n in range(0, 33):  # tiny inputs sweep every header shape
+        d = os.urandom(n)
+        assert zstd_decompress(cli_compress(d, "-5")) == d
+
+
+@needs_cli
+def test_cli_accepts_our_frames():
+    """External conformance of the ENCODER: the reference implementation
+    must accept our frame structure, FSE sequence streams and XXH64
+    checksums, and reproduce the exact input."""
+    for data in (
+        b"",
+        b"a",
+        _texty(3000),
+        os.urandom(2000),
+        b"\x00" * 300000,  # RLE blocks, multi-block
+        _texty(10000),
+    ):
+        assert cli_decompress(zstd_compress(data)) == data
+
+
+@needs_cli
+def test_xxh64_against_cli_acceptance():
+    """zstd -d verifies content checksums; a wrong xxh64 would be
+    rejected — so CLI acceptance above pins the hash. Also pin a few
+    fixed digests so a regression is locally diagnosable."""
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    data = os.urandom(1000)
+    assert cli_decompress(zstd_compress(data)) == data
+
+
+def test_max_output_bomb_guard():
+    bomb = zstd_compress(b"\x00" * 5_000_000)
+    assert len(bomb) < 5000
+    with pytest.raises(ZstdError, match="max_output"):
+        zstd_decompress(bomb, max_output=100_000)
+    assert zstd_decompress(bomb, max_output=5_000_000) == b"\x00" * 5_000_000
+
+
+def test_max_block_bound_respected():
+    data = os.urandom(MAX_BLOCK * 2 + 17)  # incompressible -> raw blocks
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame) == data
