@@ -1,0 +1,140 @@
+"""BM25 ranked retrieval over a document corpus (Robertson/Zaragoza;
+the Lucene practical-scoring variant).
+
+Gives the engine a keyword-search surface the embedding ANN operators
+don't cover: exact-term relevance ranking for corpus exploration,
+query-based curation (pull the top-k docs for audit probes), and
+contamination hunting by benchmark phrases. The reference has no
+search operator; this is a beyond-reference training-data-pipeline
+capability like dedup/ANN/DSIR.
+
+Scoring (k1, b are the standard free parameters):
+
+    idf(t)        = ln(1 + (N - df + 0.5) / (df + 0.5))
+                  = ln(2(N+1) / (2 df + 1))
+    score(q, d)   = sum over distinct query terms t of
+                    idf(t) * tf * (k1+1) / (tf + k1 (1 - b + b dl/avgdl))
+
+Plan shape (the 100 TB story): one explode + groupBy builds the
+postings list (term, doc, tf) — the inverted index; document length
+falls out of the same postings (sum tf), so the corpus is scanned
+once. Query terms are a broadcast table, so scoring touches only the
+postings of queried terms (a semi-join prune before the df join).
+Corpus totals ride a single-row cross join. For a build-once /
+search-many deployment persist the postings DataFrame partitioned by
+term — the same artifact pattern as the IVF/PQ index
+(operators/similarity.py).
+
+``quantize_e6=True`` switches to the integer-exact fixed-point form
+used by the driver gate (``bm25_search`` in queries/llmops.py): idf is
+e6-quantized BEFORE summation (the ngramlm/dsir pattern — no
+float fold-order sensitivity) and the tf factor is evaluated as exact
+integer arithmetic with k1=1.2, b=0.75 multiplied through:
+
+    tf * (k1+1) / (tf + k1(1-b) + k1 b dl N / L)
+      = 22 tf L  DIV  (10 tf L + 3 L + 9 dl N)        (x10, integers)
+
+so every engine lands the identical BIGINT score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    tok = F.explode(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), _TOKEN_SPLIT)
+    ).alias("term")
+    return df.select(F.col(id_col), tok).filter(F.col("term") != "")
+
+
+def bm25_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The inverted index: (id, term, tf) — one explode + one shuffle.
+    Persist partitioned-by-term for build-once/search-many."""
+    return (
+        _tokens(docs, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def bm25_rank(
+    docs: DataFrame,
+    queries: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    quantize_e6: bool = False,
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``top_n`` documents per query: (query_id, doc_id, score|
+    score_e6, rank). ``queries`` index = query_id. Ties break on
+    ascending doc id (deterministic). Pass a persisted ``postings``
+    DataFrame to skip the index build."""
+    spark = docs.sparkSession
+    if postings is None:
+        postings = bm25_postings(docs, text_col, id_col)
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qrows = [
+        (qid, t)
+        for qid, q in enumerate(queries)
+        for t in sorted({w for w in _split_query(q) if w})
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    hits = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(docfreq.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    if quantize_e6:
+        idf_e6 = F.round(
+            F.log(2.0 * (F.col("n_docs") + 1) / (2 * F.col("df") + 1)) * 1e6
+        ).cast("long")
+        term_score = F.expr(
+            "(idf_e6 * 22 * tf * total_len) DIV "
+            "(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"
+        )
+        scored = (
+            hits.withColumn("idf_e6", idf_e6)
+            .groupBy("query_id", id_col)
+            .agg(F.sum(term_score).alias("score_e6"))
+        )
+        order = [F.col("score_e6").desc(), F.col(id_col).asc()]
+    else:
+        idf = F.log(2.0 * (F.col("n_docs") + 1) / (2 * F.col("df") + 1))
+        denom = (
+            F.col("tf")
+            + k1 * (1 - b)
+            + k1 * b * F.col("dl") * F.col("n_docs") / F.col("total_len")
+        )
+        scored = hits.groupBy("query_id", id_col).agg(
+            F.sum(idf * F.col("tf") * (k1 + 1) / denom).alias("score")
+        )
+        order = [F.col("score").desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _split_query(q: str) -> list[str]:
+    import re
+
+    return re.split("[^a-z0-9]+", q.lower())

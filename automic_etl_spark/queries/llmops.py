@@ -2531,3 +2531,99 @@ ORACLE_MP3_META = _mp3_oracle()
 
 QUERIES_TAIL["mp3_meta"] = q_mp3_meta_gate
 ORACLE_TAIL["mp3_meta"] = ORACLE_MP3_META
+
+
+# --------------------------------------------------------------------------
+# BM25 ranked-retrieval gate (operators/bm25, r10) — the whole retrieval
+# pipeline replays in DuckDB SQL: tokenize -> postings -> document
+# lengths -> corpus totals -> e6-quantized idf -> exact-integer tf
+# factor (k1=1.2, b=0.75 multiplied through: 22 tf L DIV (10 tf L + 3 L
+# + 9 dl N)) -> per-query top-10 with deterministic doc_id tie-breaks.
+# idf quantizes BEFORE summation (the proven ngramlm/dsir pattern), so
+# scores are BIGINT-identical across engines.
+# --------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    "hash join",
+    "window agg scan",
+    "spark stream",
+    "slow query filter",
+    "customer order line",
+    "vector group batch",
+]
+
+
+def q_bm25_search_gate(spark, sf_dir):
+    """Integer-exact BM25 top-10 per query over the documents table."""
+    from automic_etl_spark.operators.bm25 import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_rank(docs, _BM25_QUERIES, top_n=10, quantize_e6=True).select(
+        F.col("query_id").cast("int"),
+        F.col("doc_id").cast("long"),
+        F.col("score_e6").cast("long"),
+        F.col("rank").cast("int"),
+    )
+
+
+def _bm25_oracle() -> str:
+    import re
+
+    qrows = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, q in enumerate(_BM25_QUERIES)
+        for t in sorted({w for w in re.split("[^a-z0-9]+", q.lower()) if w})
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, t.tok AS term
+  FROM documents,
+       UNNEST(regexp_split_to_array(lower(coalesce(text, '')),
+                                    '[^a-z0-9]+')) AS t(tok)
+  WHERE t.tok <> ''
+),
+postings AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS total_len
+  FROM dl
+),
+docfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
+),
+qterms(query_id, term) AS (VALUES {qrows}),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(sum(
+           (CAST(round(ln(2.0 * (c.n_docs + 1) / (2 * f.df + 1)) * 1000000)
+                 AS BIGINT) * 22 * p.tf * c.total_len)
+           // (10 * p.tf * c.total_len + 3 * c.total_len + 9 * d.dl * c.n_docs)
+         ) AS BIGINT) AS score_e6
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN docfreq f USING (term)
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_e6 DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score_e6, rank
+FROM ranked WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+ORACLE_BM25_SEARCH = _bm25_oracle()
+
+QUERIES_TAIL["bm25_search"] = q_bm25_search_gate
+ORACLE_TAIL["bm25_search"] = ORACLE_BM25_SEARCH

@@ -1,0 +1,69 @@
+"""BM25 ranked retrieval (operators/bm25)."""
+
+import math
+
+import pytest
+
+from automic_etl_spark.operators.bm25 import bm25_postings, bm25_rank
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (0, "spark shuffle join broadcast join join"),
+        (1, "window frame spark order"),
+        (2, "join order customer"),
+        (3, "the the the the the the the the the the join"),
+        (4, "unrelated words entirely different"),
+        (5, None),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_ranking_prefers_tf_and_penalizes_length(corpus):
+    out = bm25_rank(corpus, ["join"], top_n=4).collect()
+    ids = [r.doc_id for r in out]
+    # doc 0 has tf=3; docs 2 and 3 have tf=1 but doc 3 is much longer
+    assert ids[0] == 0
+    assert ids.index(2) < ids.index(3)
+    assert 4 not in ids and 5 not in ids and 6 not in ids
+
+
+def test_scores_match_reference_formula(corpus):
+    (row,) = [r for r in bm25_rank(corpus, ["customer"], top_n=3).collect()]
+    # hand-computed: N=5 docs with tokens (6+4+3+11+4 = 28 tokens),
+    # df=1, tf=1, dl=3, avgdl=28/5
+    n, df, tf, dl, avgdl = 5, 1, 1, 3, 28 / 5
+    idf = math.log(2 * (n + 1) / (2 * df + 1))
+    expect = idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert row.doc_id == 2 and abs(row.score - expect) < 1e-12
+
+
+def test_quantized_mode_is_integer_and_agrees_on_ranking(corpus):
+    qs = ["join order", "spark window"]
+    f = {(r.query_id, r.rank): r.doc_id for r in bm25_rank(corpus, qs).collect()}
+    q = {
+        (r.query_id, r.rank): (r.doc_id, r.score_e6)
+        for r in bm25_rank(corpus, qs, quantize_e6=True).collect()
+    }
+    assert set(f) == {k for k in q}
+    for k, doc in f.items():
+        assert q[k][0] == doc
+        assert isinstance(q[k][1], int)
+
+
+def test_postings_reuse_and_query_edgecases(corpus):
+    postings = bm25_postings(corpus).cache()
+    out = bm25_rank(corpus, ["JOIN!!", "nosuchterm"], postings=postings)
+    rows = out.collect()
+    # case/punct-normalized query matches; unknown term yields no rows
+    assert {r.query_id for r in rows} == {0}
+    assert rows[0].doc_id == 0
+
+
+def test_tie_break_is_deterministic(spark):
+    rows = [(i, "alpha beta") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(df, ["alpha"], top_n=6).collect()
+    assert [r.doc_id for r in out] == list(range(6))
