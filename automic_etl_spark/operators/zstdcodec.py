@@ -20,14 +20,19 @@ directly:
   XXH64 content-checksum verification. Dictionaries are the one
   honest gate (``dictionary_id != 0`` raises — dict-trained frames
   can't be decoded without the dictionary by definition).
-- ENCODER: real LZ77 compression — greedy 4-byte hash-chain matching,
-  raw-literals section, sequences encoded with the spec's PREDEFINED
-  FSE distributions (encode transitions are derived from this module's
-  own decode tables, so the two directions cannot drift apart), RLE
-  blocks for constant runs, raw-block fallback for incompressible
-  data, XXH64 checksum. Huffman literal compression is not emitted
-  (raw literals are always legal) — the decoder still handles it
-  because real-world frames use it.
+- ENCODER: real LZ77 compression — greedy 4-byte hash matching,
+  sequences encoded with the spec's PREDEFINED FSE distributions
+  (encode transitions are derived from this module's own decode
+  tables, so the two directions cannot drift apart), Huffman-
+  compressed literals (length-limited canonical codes from the same
+  `_huf_build` the decoder uses, direct 4-bit weight serialization,
+  single- and four-stream sections, Huffman-only nbseq=0 blocks for
+  matchless content), RLE blocks for constant runs, and raw fallbacks
+  everywhere a packed form would not be smaller. One documented
+  encoder limitation: direct weight lists cap at 128 entries, so
+  literal alphabets whose last present byte is > 127 (non-ASCII text,
+  binary) fall back to raw literals — FSE-compressed weights are a
+  decoder-only path here. XXH64 checksum emitted.
 
 Reference parity is pinned against the REAL ``zstd`` CLI binary present
 in the image (tests/test_zstd.py, skip-if-absent): the decoder must
@@ -826,6 +831,147 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
     return bytes(hdr) + w.finish_backward()
 
 
+def _huf_lengths(hist: list[int], max_len: int = 11) -> list[int] | None:
+    """Huffman code lengths (deterministic heap), length-limited to the
+    format's 11-bit literal bound by the classic overflow adjustment.
+    None when fewer than two distinct symbols (RLE/raw handle those)."""
+    import heapq
+
+    alive = [(c, s) for s, c in enumerate(hist) if c]
+    if len(alive) < 2:
+        return None
+    heap = [(c, s, ("leaf", s)) for c, s in alive]
+    heapq.heapify(heap)
+    tick = 256
+    while len(heap) > 1:
+        c1, _t1, n1 = heapq.heappop(heap)
+        c2, _t2, n2 = heapq.heappop(heap)
+        heapq.heappush(heap, (c1 + c2, tick, ("node", n1, n2)))
+        tick += 1
+    lengths = [0] * len(hist)
+
+    stack = [(heap[0][2], 0)]
+    while stack:
+        node, depth = stack.pop()
+        if node[0] == "leaf":
+            lengths[node[1]] = max(depth, 1)
+        else:
+            stack.append((node[1], depth + 1))
+            stack.append((node[2], depth + 1))
+    # enforce the 11-bit cap, then repair Kraft equality by deepening
+    # the shallowest capped-out codes
+    for s, ln in enumerate(lengths):
+        if ln > max_len:
+            lengths[s] = max_len
+    kraft = sum(1 << (max_len - ln) for ln in lengths if ln)
+    full = 1 << max_len
+    if kraft > full:
+        order = sorted(
+            (s for s, ln in enumerate(lengths) if lengths[s]),
+            key=lambda s: (lengths[s], -hist[s], s),
+        )
+        i = 0
+        while kraft > full:
+            s = order[i % len(order)]
+            if lengths[s] < max_len:
+                kraft -= 1 << (max_len - lengths[s] - 1)
+                lengths[s] += 1
+            i += 1
+    while kraft < full:
+        # deepest-first shortening is unsafe; instead give the spare
+        # space to the most frequent symbol by shortening it
+        best = min(
+            (s for s, ln in enumerate(lengths) if ln > 1),
+            key=lambda s: (-hist[s], s),
+        )
+        spare = full - kraft
+        gain = 1 << (max_len - lengths[best])
+        if gain > spare:
+            return None  # cannot close Kraft exactly; caller falls back
+        kraft += gain
+        lengths[best] -= 1
+    return lengths
+
+
+def _huf_encode_literals(lit: bytes) -> bytes | None:
+    """A complete Huffman-compressed literals section, or None when raw
+    is at least as small (or the format can't express the alphabet with
+    direct 4-bit weights — last present symbol > 127)."""
+    rs = len(lit)
+    if rs < 32:
+        return None
+    hist = [0] * 256
+    for b in lit:
+        hist[b] += 1
+    lengths = _huf_lengths(hist)
+    if lengths is None:
+        return None
+    present = [s for s, ln in enumerate(lengths) if ln]
+    last = present[-1]
+    if last > 127:
+        return None  # direct weight list caps at 128 entries
+    max_bits = max(lengths[s] for s in present)
+    weights = [0] * (last + 1)
+    for s in present:
+        weights[s] = max_bits + 1 - lengths[s]
+    # the LAST present symbol's weight is implied; emit the rest
+    emit = weights[:last]
+    tree = bytearray([127 + len(emit)])
+    for i in range(0, len(emit), 2):
+        hi = emit[i] << 4
+        lo = emit[i + 1] if i + 1 < len(emit) else 0
+        tree.append(hi | lo)
+    # canonical code assignment must mirror _huf_build exactly
+    max_len_t, lut = _huf_build(emit)
+    codes: dict[int, tuple[int, int]] = {}
+    seen = set()
+    for peek in range(1 << max_len_t):
+        hit = lut[peek]
+        if hit is None or hit[0] in seen:
+            continue
+        seen.add(hit[0])
+        codes[hit[0]] = (peek >> (max_len_t - hit[1]), hit[1])
+    # encode; split into 4 streams when the single-stream 10-bit size
+    # fields cannot express RS/CS
+    def enc(chunk: bytes) -> bytes:
+        w = _FwdWriter()
+        for b in reversed(chunk):
+            c, ln = codes[b]
+            w.write(c, ln)
+        return w.finish_backward()
+
+    part = (rs + 3) // 4
+    single = enc(lit)
+    if rs <= 1023 and len(tree) + len(single) <= 1023:
+        cs = len(tree) + len(single)
+        hdr = (2 | (0 << 2) | (rs << 4) | (cs << 14)).to_bytes(3, "little")
+        section = hdr + bytes(tree) + single
+    else:
+        chunks = [lit[i * part : (i + 1) * part] for i in range(3)]
+        chunks.append(lit[3 * part :])
+        streams = [enc(c) for c in chunks]
+        if any(len(s) > 0xFFFF for s in streams[:3]):
+            return None
+        body = struct.pack("<3H", *(len(s) for s in streams[:3])) + b"".join(
+            streams
+        )
+        cs = len(tree) + len(body)
+        if rs <= 0x3FFF and cs <= 0x3FFF:
+            hdr = (2 | (2 << 2) | (rs << 4) | (cs << 18)).to_bytes(4, "little")
+        elif rs <= 0x3FFFF and cs <= 0x3FFFF:
+            hdr = (2 | (3 << 2) | (rs << 4) | (cs << 22)).to_bytes(5, "little")
+        else:
+            return None
+        section = hdr + bytes(tree) + body
+    raw = _raw_literals_section(lit)
+    return section if len(section) < len(raw) else None
+
+
+def _literals_section(lit: bytes) -> bytes:
+    packed = _huf_encode_literals(lit)
+    return packed if packed is not None else _raw_literals_section(lit)
+
+
 def _raw_literals_section(lit: bytes) -> bytes:
     rs = len(lit)
     if rs < 32:
@@ -848,9 +994,15 @@ def _compress_block(block: bytes) -> tuple[int, bytes]:
             lit += block[pos : pos + ll]
             pos += ll + ml
         lit += block[pos:]
-        payload = _raw_literals_section(bytes(lit)) + _encode_sequences(seqs)
+        payload = _literals_section(bytes(lit)) + _encode_sequences(seqs)
         if len(payload) < n:
             return 2, payload
+    else:
+        # no matches: a sequences-free compressed block can still win
+        # via Huffman literals (nbseq=0 header is a single zero byte)
+        packed = _huf_encode_literals(block)
+        if packed is not None and len(packed) + 1 < n:
+            return 2, packed + b"\x00"
     return 0, block
 
 

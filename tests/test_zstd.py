@@ -197,6 +197,33 @@ def test_xxh64_against_cli_acceptance():
     assert cli_decompress(zstd_compress(data)) == data
 
 
+@needs_cli
+def test_huffman_literal_sections_accepted_by_cli():
+    """The encoder's Huffman literal path (direct weights, 1- and
+    4-stream, nbseq=0 Huffman-only blocks) must round-trip through the
+    reference implementation."""
+    import random
+
+    random.seed(7)
+    matchless = " ".join(
+        f"w{random.randrange(10**6)}" for _ in range(30000)
+    ).encode()
+    small = b"banana band bandana " * 4
+    withmatches = b"SELECT doc_id, count(*) FROM t3 GROUP BY 1; " * 4000
+    for data in (matchless, small, withmatches):
+        frame = zstd_compress(data)
+        assert zstd_decompress(frame) == data
+        assert cli_decompress(frame) == data
+    # entropy coding is real: matchless ascii still compresses
+    assert len(zstd_compress(matchless)) < 0.8 * len(matchless)
+
+
+def test_non_ascii_alphabet_falls_back_to_raw_literals():
+    data = ("München × 100 µs — " * 2000).encode()
+    frame = zstd_compress(data)
+    assert zstd_decompress(frame) == data
+
+
 def test_max_output_bomb_guard():
     bomb = zstd_compress(b"\x00" * 5_000_000)
     assert len(bomb) < 5000
