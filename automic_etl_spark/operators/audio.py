@@ -370,11 +370,13 @@ def synth_mp3(
     a broken walk, and the real-file fixture (a LAME-encoded MPEG-2
     stream) pins the shared bitrate/rate tables against an external
     encoder."""
+    if n_frames <= 0:
+        return b""
     vcode = {1: 3, 2: 2, 25: 0}[version]
     lcode = {1: 3, 2: 2, 3: 1}[layer]
     rate = _MP3_RATES[vcode][rate_idx]
-    out = bytearray()
-    for f in range(n_frames):
+
+    def one_frame(f: int) -> bytes:
         ki = kbps_indices[f % len(kbps_indices)]
         kbps = _MP3_KBPS[(vcode, lcode)][ki]
         pad = (f & 1) if pad_parity else 0
@@ -399,8 +401,21 @@ def synth_mp3(
             frame[p : p + 4] = b"Xing"
             frame[p + 4 : p + 8] = (1).to_bytes(4, "big")
             frame[p + 8 : p + 12] = n_frames.to_bytes(4, "big")
-        out += frame
-    return bytes(out)
+        return bytes(frame)
+
+    # frames repeat with period lcm(len(kbps_indices), 2): build one
+    # period and multiply — synth cost stays O(period + total_bytes)
+    # (bench rows should price the WALK, not per-frame Python loops)
+    period = len(kbps_indices)
+    if pad_parity and period % 2:
+        period *= 2
+    head = one_frame(0)
+    body = b"".join(one_frame(1 + (f % period)) for f in range(period))
+    reps, tail_n = divmod(n_frames - 1, period)
+    tail = b"".join(
+        one_frame(1 + (f % period)) for f in range(tail_n)
+    )
+    return head + body * reps + tail
 
 
 MP3_STATS_SCHEMA = (

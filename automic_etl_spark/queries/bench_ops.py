@@ -1222,41 +1222,56 @@ def q_image_webp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mp3_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MPEG-audio frame-walk throughput (r10): synthesize ~2000-frame
     VBR streams executor-side (version/layer/rate cycling by doc_id,
-    alternating bitrates, padding parity), run the distributed
-    mp3_stream_stats walk, reduce to corpus totals — prices the
-    map-only metadata pass a real audio-crawl curation run does before
-    sampling (the walk, not sample decode, which stays gated)."""
+    alternating bitrates, padding parity), walk every frame, reduce to
+    corpus totals — prices the map-only metadata pass a real
+    audio-crawl curation run does before sampling (the walk, not
+    sample decode, which stays gated). Synth and walk share ONE kernel:
+    the real path is parquet -> one Arrow hop -> walk, so shipping the
+    ~440 kB twin streams through a second Python stage would price an
+    Arrow round trip the production plan does not have (measured: the
+    two-stage form spent 6x the walk's own cost ferrying blob bytes).
+    The public mp3_stream_stats operator rides the driver-scored
+    mp3_meta gate instead."""
     import pandas as pd
 
-    from automic_etl_spark.operators.audio import mp3_stream_stats, synth_mp3
+    from automic_etl_spark.operators.audio import mp3_frames, synth_mp3
     from automic_etl_spark.operators.dedup import ensure_parallelism
 
     docs = ensure_parallelism(
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
 
-    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            blobs = []
+            rows = []
             for rid in pdf["doc_id"]:
                 d = int(rid)
                 k1 = 2 + d % 8
-                blobs.append(
-                    synth_mp3(
-                        version=1 + d % 2,
-                        layer=1 + (d // 2) % 3,
-                        rate_idx=(d // 6) % 3,
-                        kbps_indices=(k1, k1 + (d // 7) % 2),
-                        n_frames=1800 + d % 400,
-                        channels=1 + (d // 5) % 2,
-                        pad_parity=d % 4 == 1,
-                        xing=d % 8 == 0,
-                    )
+                blob = synth_mp3(
+                    version=1 + d % 2,
+                    layer=1 + (d // 2) % 3,
+                    rate_idx=(d // 6) % 3,
+                    kbps_indices=(k1, k1 + (d // 7) % 2),
+                    n_frames=1800 + d % 400,
+                    channels=1 + (d // 5) % 2,
+                    pad_parity=d % 4 == 1,
+                    xing=d % 8 == 0,
                 )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+                w = mp3_frames(blob)
+                rows.append(
+                    (d, w is not None, w["n_frames"], w["duration_ms"],
+                     bool(w["is_cbr"]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ok", "n_frames", "duration_ms", "is_cbr"],
+            )
 
-    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
-    stats = mp3_stream_stats(blobs)
+    stats = docs.mapInPandas(
+        kernel,
+        "doc_id long, ok boolean, n_frames long, duration_ms long, "
+        "is_cbr boolean",
+    )
     return stats.agg(
         F.count(F.lit(1)).alias("n_streams"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_walked"),
