@@ -1279,3 +1279,64 @@ def q_mp3_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("duration_ms").alias("total_ms"),
         F.sum(F.when(F.col("is_cbr"), 1).otherwise(0)).alias("n_cbr"),
     )
+
+
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup end-to-end (r10): synthesize
+    ~100 kB binary blobs executor-side (every 4th an insertion-edited
+    twin of the 3rd — the case fixed-offset chunking cannot link), gear-
+    hash chunk in the SAME kernel (synth bytes never cross Arrow twice,
+    the mp3_walk lesson), then the capped chunk-hash pair join and
+    min-id component collapse."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.cdc import cdc_boundaries, cdc_near_dup_pairs
+    from automic_etl_spark.operators.dedup import (
+        connected_components,
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                base_seed = d - (d % 4 == 3)  # 4th = edited twin of 3rd
+                rng = np.random.RandomState(base_seed % (2**31))
+                data = rng.bytes(100_000)
+                if d % 4 == 3:
+                    cut = 10_000 + (d % 50_000)
+                    data = data[:cut] + b"EDIT%d" % d + data[cut:]
+                start = 0
+                for idx, end in enumerate(
+                    cdc_boundaries(data, min_size=1024, avg_bits=11,
+                                   max_size=16384)
+                ):
+                    rows.append(
+                        (d, idx, end - start,
+                         hashlib.md5(data[start:end]).hexdigest()[:16])
+                    )
+                    start = end
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "chunk_index", "chunk_size", "chunk_hash"],
+            )
+
+    chunks = docs.mapInPandas(
+        kernel,
+        "doc_id long, chunk_index int, chunk_size int, chunk_hash string",
+    ).cache()
+    pairs = cdc_near_dup_pairs(chunks, min_shared_frac=0.5)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("doc_id") != F.col("cluster_id"))
+    return chunks.agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_blobs"),
+    ).crossJoin(losers.agg(F.count(F.lit(1)).alias("n_removed")))

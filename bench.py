@@ -65,6 +65,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_image_webp_dedup,
     q_g711_decode,
     q_mp3_walk,
+    q_cdc_dedup,
     q_image_phash,
     q_image_phash_dedup,
     q_audio_fingerprint,
@@ -114,9 +115,11 @@ HEADLINE = {
     # round-9 surface: GIF decode+dedup and telephony-WAV decode
     "image_gif_dedup": q_image_gif_dedup,
     "g711_decode": q_g711_decode,
-    # round-10 surface: WebP VP8L decode+dedup and the MPEG frame walk
+    # round-10 surface: WebP VP8L decode+dedup, the MPEG frame walk,
+    # and content-defined-chunking dedup
     "image_webp_dedup": q_image_webp_dedup,
     "mp3_walk": q_mp3_walk,
+    "cdc_dedup": q_cdc_dedup,
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,

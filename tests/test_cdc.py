@@ -1,0 +1,104 @@
+"""Content-defined chunking dedup (operators/cdc)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators.cdc import (
+    cdc_boundaries,
+    cdc_chunk_blobs,
+    cdc_near_dup_pairs,
+    dedup_by_cdc,
+    gear_hashes,
+    gear_hashes_naive,
+)
+
+
+def test_gear_vectorized_matches_naive():
+    from automic_etl_spark.operators.cdc import _gear_low
+
+    rng = np.random.RandomState(3)
+    for n in (0, 1, 5, 63, 64, 65, 1000):
+        data = rng.bytes(n)
+        full = gear_hashes(data)
+        assert np.array_equal(full, gear_hashes_naive(data)), n
+        for bits in (1, 8, 13, 16):
+            assert np.array_equal(
+                _gear_low(data, bits),
+                (full & np.uint64((1 << bits) - 1)).astype(np.uint32),
+            ), (n, bits)
+
+
+def test_boundaries_cover_exactly_and_respect_clamps():
+    rng = np.random.RandomState(7)
+    data = rng.bytes(300_000)
+    cuts = cdc_boundaries(data, min_size=2048, avg_bits=11, max_size=16384)
+    assert cuts[-1] == len(data)
+    start = 0
+    for c in cuts[:-1]:  # last chunk may be short (end of blob)
+        assert 2048 <= c - start <= 16384
+        start = c
+    assert cdc_boundaries(b"") == []
+    # incompressible-mask data: max_size clamp drives the cuts
+    z = bytes(100_000)
+    zc = cdc_boundaries(z, min_size=2048, avg_bits=11, max_size=16384)
+    assert zc[-1] == len(z)
+
+
+def test_boundaries_resynchronize_after_edit():
+    """The CDC property fixed-size chunking lacks: a one-byte insertion
+    early in the blob leaves all later cut points identical (shifted by
+    one) — so edited twins still share most chunk hashes."""
+    rng = np.random.RandomState(11)
+    data = rng.bytes(200_000)
+    edited = data[:50] + b"X" + data[50:]
+    a = cdc_boundaries(data, min_size=1024, avg_bits=10, max_size=8192)
+    b = cdc_boundaries(edited, min_size=1024, avg_bits=10, max_size=8192)
+    shared = set(np.array(a) + 1) & set(b)
+    assert len(shared) >= len(a) - 3  # everything past the edit realigns
+
+
+def test_chunk_dedup_end_to_end(spark):
+    rng = np.random.RandomState(5)
+    base = rng.bytes(150_000)
+    edited = base[:70_000] + b"PATCH" + base[70_000:]
+    unrelated = rng.bytes(150_000)
+    rows = [
+        (0, bytearray(base)),
+        (1, bytearray(edited)),
+        (2, bytearray(unrelated)),
+        (3, None),
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    chunks = cdc_chunk_blobs(blobs, min_size=1024, avg_bits=10, max_size=8192)
+    chunks.cache()
+    per_doc = {
+        r.doc_id: r.n
+        for r in chunks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert 3 not in per_doc and per_doc[0] > 20
+    pairs = cdc_near_dup_pairs(chunks, min_shared_frac=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(0, 1)]
+    assert pairs[0].frac > 0.8
+    kept = sorted(r.doc_id for r in dedup_by_cdc(
+        blobs, min_shared_frac=0.5, min_size=1024, avg_bits=10, max_size=8192
+    ).collect())
+    assert kept == [0, 2, 3]
+
+
+def test_frequency_cap_drops_ubiquitous_chunks(spark):
+    # every doc shares one zero page; cap excludes it from pair evidence
+    rng = np.random.RandomState(9)
+    zero_page = bytes(20_000)
+    rows = [
+        (i, bytearray(zero_page + rng.bytes(100_000))) for i in range(8)
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    chunks = cdc_chunk_blobs(blobs, min_size=1024, avg_bits=10, max_size=8192)
+    chunks.cache()
+    capped = cdc_near_dup_pairs(chunks, min_shared_frac=0.3, max_bucket_docs=4)
+    assert capped.count() == 0

@@ -67,6 +67,7 @@ def _workloads():
         q_image_jpeg_dedup,
         q_image_webp_dedup,
         q_mp3_walk,
+        q_cdc_dedup,
         q_image_phash,
         q_image_phash_dedup,
         q_ivf_build_search,
@@ -106,6 +107,7 @@ def _workloads():
         "image_gif_dedup": q_image_gif_dedup,
         "image_webp_dedup": q_image_webp_dedup,
         "mp3_walk": q_mp3_walk,
+        "cdc_dedup": q_cdc_dedup,
         "g711_decode": q_g711_decode,
         "audio_fingerprint": q_audio_fingerprint,
         "ann_join": q_ann_join,
