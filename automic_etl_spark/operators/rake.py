@@ -1,0 +1,106 @@
+"""RAKE keyword extraction (Rapid Automatic Keyword Extraction,
+Rose et al. 2010) — per-document keyphrases with zero Python in the
+hot path.
+
+Corpus exploration and tagging need a cheap "what is this document
+about" signal long before embeddings enter the picture; RAKE is the
+classic unsupervised answer: candidate phrases are the maximal runs of
+non-stopword tokens, each word scores degree/freq computed within the
+document (degree = sum of the lengths of the phrases it appears in,
+freq = its occurrence count), and a phrase scores the sum of its word
+scores — multi-word technical phrases outrank ubiquitous singletons.
+
+Everything is Catalyst expressions: tokenize via split+posexplode,
+phrase runs via the gaps-and-islands trick (pos minus the row_number
+among a document's non-stopword tokens is constant within a run), word
+stats and phrase scores via two narrow self-joins, top-k per document
+via one window. No UDFs, no collect — the 100 TB plan is three
+shuffles keyed on doc_id(+word) and the per-document window.
+
+``quantize_e6=True`` scores each word as ``(degree * 1e6) DIV freq``
+(exact BIGINT arithmetic — degree/freq are small per-document
+integers), so the driver gate replays the whole method in DuckDB SQL
+bit-for-bit (see ``rake_keywords`` in queries/llmops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: compact english function-word list; the gate shares it verbatim
+STOPWORDS = (
+    "a an the and or of to in is are on for with as at by it this that "
+    "be from was were has have had not no but if then than so such"
+).split()
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 5,
+    min_phrase_tokens: int = 1,
+    quantize_e6: bool = False,
+) -> DataFrame:
+    """Top-``top_n`` keyphrases per document: (id, phrase, n_tokens,
+    score|score_e6, rank). Ties break on ascending phrase text."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(
+                    F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                    "[^a-z0-9]+",
+                )
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+        .filter(~F.col("word").isin(STOPWORDS))
+    )
+    rn = Window.partitionBy(id_col).orderBy("pos")
+    runs = toks.withColumn("grp", F.col("pos") - F.row_number().over(rn))
+    phrase_words = runs.select(id_col, "grp", "pos", "word")
+    lens = phrase_words.groupBy(id_col, "grp").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    occ = phrase_words.join(lens, [id_col, "grp"])
+    stats = occ.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree")
+    )
+    if quantize_e6:
+        wscore = F.expr("(degree * 1000000) DIV freq")
+        score_col, alias = F.sum(wscore).cast("long"), "score_e6"
+    else:
+        wscore = F.col("degree") / F.col("freq")
+        score_col, alias = F.sum(wscore), "score"
+    phrases = (
+        occ.join(stats, [id_col, "word"])
+        .groupBy(id_col, "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            score_col.alias(alias),
+        )
+        .filter(F.col("n_tokens") >= min_phrase_tokens)
+        # a phrase repeated in one document is one CANDIDATE (same
+        # words -> same stats -> same score); keeping duplicates would
+        # make the rank tie-break engine-dependent
+        .dropDuplicates([id_col, "phrase"])
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(alias).desc(), F.col("phrase").asc()
+    )
+    return (
+        phrases.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(id_col, "phrase", "n_tokens", alias, "rank")
+        .orderBy(id_col, "rank")
+    )

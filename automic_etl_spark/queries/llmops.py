@@ -2627,3 +2627,90 @@ ORACLE_BM25_SEARCH = _bm25_oracle()
 
 QUERIES_TAIL["bm25_search"] = q_bm25_search_gate
 ORACLE_TAIL["bm25_search"] = ORACLE_BM25_SEARCH
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword-extraction gate (operators/rake, r10) — the whole method
+# replays in DuckDB SQL: tokenize, stopword gaps-and-islands phrase runs,
+# per-document word degree/freq, exact-integer (degree*1e6) DIV freq word
+# scores summed per phrase, dedup of repeated candidates, per-doc top-5
+# with phrase-text tie-breaks.
+# --------------------------------------------------------------------------
+
+_RAKE_N = 300
+
+
+def q_rake_keywords_gate(spark, sf_dir):
+    from automic_etl_spark.operators.rake import rake_keywords
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _RAKE_N)
+        .select("doc_id", "text")
+    )
+    return rake_keywords(docs, top_n=5, quantize_e6=True)
+
+
+def _rake_oracle() -> str:
+    from automic_etl_spark.operators.rake import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH split AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(coalesce(text, '')),
+                               '[^a-z0-9]+') AS arr
+  FROM documents WHERE doc_id < {_RAKE_N}
+),
+toks AS (
+  -- positions count ALL split elements (matching Spark's posexplode),
+  -- including the empties/stopwords filtered below: the gaps they
+  -- leave are what breaks phrase runs apart
+  SELECT doc_id, CAST(g.i AS BIGINT) AS pos, arr[CAST(g.i AS BIGINT) + 1] AS word
+  FROM split, UNNEST(range(array_length(arr))) AS g(i)
+  WHERE arr[CAST(g.i AS BIGINT) + 1] <> ''
+    AND arr[CAST(g.i AS BIGINT) + 1] NOT IN ({stop})
+),
+runs AS (
+  SELECT doc_id, pos, word,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM toks
+),
+lens AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS plen
+  FROM runs GROUP BY doc_id, grp
+),
+occ AS (SELECT r.*, l.plen FROM runs r JOIN lens l USING (doc_id, grp)),
+stats AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS degree
+  FROM occ GROUP BY doc_id, word
+),
+phrases AS (
+  SELECT o.doc_id, o.grp,
+         string_agg(o.word, ' ' ORDER BY o.pos) AS phrase,
+         CAST(count(*) AS INTEGER) AS n_tokens,
+         CAST(sum((s.degree * 1000000) // s.freq) AS BIGINT) AS score_e6
+  FROM occ o JOIN stats s ON s.doc_id = o.doc_id AND s.word = o.word
+  GROUP BY o.doc_id, o.grp
+),
+dedup AS (
+  SELECT DISTINCT doc_id, phrase, n_tokens, score_e6 FROM phrases
+),
+ranked AS (
+  SELECT doc_id, phrase, n_tokens, score_e6,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_e6 DESC, phrase) AS INTEGER)
+           AS rank
+  FROM dedup
+)
+SELECT doc_id, phrase, n_tokens, score_e6, rank
+FROM ranked WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
+ORACLE_RAKE = _rake_oracle()
+
+QUERIES_TAIL["rake_keywords"] = q_rake_keywords_gate
+ORACLE_TAIL["rake_keywords"] = ORACLE_RAKE

@@ -99,6 +99,7 @@ def test_registry_driver_window_prefix():
         "g711_meta",  # r10: ITU-T G.711 expansion, full SQL replay
         "mp3_meta",  # r10: MPEG frame-walk arithmetic, full SQL replay
         "bm25_search",  # r10: ranked retrieval, full SQL replay
+        "rake_keywords",  # r10: RAKE keyphrases, full SQL replay
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and

@@ -1,0 +1,42 @@
+"""RAKE keyword extraction (operators/rake)."""
+
+from automic_etl_spark.operators.rake import rake_keywords
+
+
+def test_rake_prefers_multiword_technical_phrases(spark):
+    text = (
+        "adaptive query execution and the cost model of adaptive query "
+        "execution in a distributed engine"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = rake_keywords(df, top_n=3).collect()
+    assert out[0].phrase == "adaptive query execution"
+    assert out[0].n_tokens == 3
+    # the repeated candidate is ONE phrase row
+    assert [r.phrase for r in out].count("adaptive query execution") == 1
+
+
+def test_rake_hand_scored(spark):
+    # doc: "red fox and red dog" -> phrases: ["red fox", "red dog"]
+    # freq: red 2, fox 1, dog 1; degree: red 4, fox 2, dog 2
+    # score(red fox) = 4/2 + 2/1 = 4.0 == score(red dog) -> tie on text
+    df = spark.createDataFrame(
+        [(7, "red fox and red dog")], "doc_id long, text string"
+    )
+    out = rake_keywords(df, top_n=5).collect()
+    assert [(r.phrase, r.score, r.rank) for r in out] == [
+        ("red dog", 4.0, 1),
+        ("red fox", 4.0, 2),
+    ]
+    q = rake_keywords(df, top_n=5, quantize_e6=True).collect()
+    assert [(r.phrase, r.score_e6) for r in q] == [
+        ("red dog", 4_000_000),
+        ("red fox", 4_000_000),
+    ]
+
+
+def test_rake_edge_cases(spark):
+    rows = [(0, None), (1, ""), (2, "the and of to"), (3, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rake_keywords(df).collect()
+    assert [(r.doc_id, r.phrase, r.rank) for r in out] == [(3, "solo", 1)]
