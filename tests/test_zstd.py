@@ -130,6 +130,22 @@ def test_roundtrip_property(data):
     assert zstd_decompress(zstd_compress(data)) == data
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([b"abc", b"the quick ", b"\x00\x01", b"Z", b"join "]),
+        min_size=0,
+        max_size=400,
+    )
+)
+def test_roundtrip_property_compressible(parts):
+    """Pattern-built inputs actually exercise the match finder, the
+    predefined-FSE sequence path and Huffman literals (pure-random
+    binaries almost never do)."""
+    data = b"".join(parts)
+    assert zstd_decompress(zstd_compress(data)) == data
+
+
 @settings(max_examples=120, deadline=None)
 @given(st.binary(min_size=1, max_size=512))
 def test_decoder_totality_on_garbage(data):
