@@ -1340,3 +1340,50 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("doc_id").alias("n_blobs"),
     ).crossJoin(losers.agg(F.count(F.lit(1)).alias("n_removed")))
+
+
+def q_zstd_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zstandard codec throughput (r10): per-doc ~64 kB text payloads
+    (repetitive enough that matching + Huffman literals both engage),
+    compressed AND decompressed by the first-party RFC 8878 codec in
+    one kernel (synth bytes never cross Arrow), reduced to corpus
+    totals — prices the write_avro('zstandard') / .zst-inflate lanes
+    the way flac_decode/g711_decode price theirs."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.dedup import ensure_parallelism
+    from automic_etl_spark.operators.zstdcodec import (
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                payload = (
+                    b"doc %d: the quick brown fox %d jumps; " % (d, d * d % 977)
+                ) * (1600 + d % 200)
+                frame = zstd_compress(payload)
+                back = zstd_decompress(frame)
+                rows.append(
+                    (d, len(payload), len(frame), back == payload)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "raw", "packed", "ok"]
+            )
+
+    out = docs.mapInPandas(
+        kernel, "doc_id long, raw long, packed long, ok boolean"
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum("raw").alias("raw_bytes"),
+        F.sum("packed").alias("packed_bytes"),
+    )

@@ -66,6 +66,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_g711_decode,
     q_mp3_walk,
     q_cdc_dedup,
+    q_zstd_codec,
     q_image_phash,
     q_image_phash_dedup,
     q_audio_fingerprint,
@@ -120,6 +121,7 @@ HEADLINE = {
     "image_webp_dedup": q_image_webp_dedup,
     "mp3_walk": q_mp3_walk,
     "cdc_dedup": q_cdc_dedup,
+    "zstd_codec": q_zstd_codec,
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,

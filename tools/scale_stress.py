@@ -68,6 +68,7 @@ def _workloads():
         q_image_webp_dedup,
         q_mp3_walk,
         q_cdc_dedup,
+        q_zstd_codec,
         q_image_phash,
         q_image_phash_dedup,
         q_ivf_build_search,
@@ -108,6 +109,7 @@ def _workloads():
         "image_webp_dedup": q_image_webp_dedup,
         "mp3_walk": q_mp3_walk,
         "cdc_dedup": q_cdc_dedup,
+        "zstd_codec": q_zstd_codec,
         "g711_decode": q_g711_decode,
         "audio_fingerprint": q_audio_fingerprint,
         "ann_join": q_ann_join,
