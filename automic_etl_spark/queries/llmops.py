@@ -2714,3 +2714,69 @@ ORACLE_RAKE = _rake_oracle()
 
 QUERIES_TAIL["rake_keywords"] = q_rake_keywords_gate
 ORACLE_TAIL["rake_keywords"] = ORACLE_RAKE
+
+
+# --------------------------------------------------------------------------
+# CDC dedup gate (operators/cdc, r10) — rows-only: the gear rolling hash
+# is per-byte modular recurrence, not SQL-expressible, so this entry has
+# no ORACLE_TAIL and the driver records its weaker rows-only check (the
+# pq/ivf precedent); the strong oracles live in tests/test_cdc.py
+# (vectorized==naive hash differential, edit-resynchronization property,
+# planted-twin keep-set) and the cdc_dedup bench row.
+# --------------------------------------------------------------------------
+
+_CDC_N = 150
+
+
+def q_cdc_dedup_gate(spark, sf_dir):
+    """Chunk + collapse 150 deterministic blobs (every 4th an
+    insertion-edited twin of the 3rd): per-doc chunk count, total chunk
+    bytes and survival flag, ordered by doc_id."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.cdc import cdc_chunk_blobs, cdc_near_dup_pairs
+    from automic_etl_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < _CDC_N
+    )
+
+    def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            blobs = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                base_seed = d - (d % 4 == 3)
+                rng = np.random.RandomState(base_seed % (2**31))
+                data = rng.bytes(30_000)
+                if d % 4 == 3:
+                    cut = 3_000 + (d % 20_000)
+                    data = data[:cut] + b"EDIT%d" % d + data[cut:]
+                blobs.append(data)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+
+    blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
+    chunks = cdc_chunk_blobs(blobs, min_size=512, avg_bits=9, max_size=4096)
+    pairs = cdc_near_dup_pairs(chunks, min_shared_frac=0.5)
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(False).alias("kept")
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("chunk_size").cast("long").alias("chunk_bytes"),
+    )
+    return (
+        per_doc.join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "chunk_bytes",
+            F.coalesce(F.col("kept"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES_TAIL["cdc_dedup"] = q_cdc_dedup_gate
