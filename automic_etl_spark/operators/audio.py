@@ -273,6 +273,11 @@ def mp3_frames(data: bytes, max_frames: int = 200_000) -> dict | None:
         version, layer, kbps, rate, pad, channels, crc = h
         if ref is None:
             ref = (version, layer, rate)
+            # channels/crc are reported from the FIRST frame — the
+            # coherence check below only pins (version, layer, rate),
+            # so a mid-stream channel-mode change must not make the
+            # report depend on where the walk stops
+            first_channels, first_crc = channels, crc
             # Xing/Info (after the Layer III side info) or VBRI (fixed
             # +32) in the first frame — frame-exact VBR duration
             if layer == 1:
@@ -316,7 +321,7 @@ def mp3_frames(data: bytes, max_frames: int = 200_000) -> dict | None:
         "n_frames": n_frames,
         "n_samples": n_samples,
         "sample_rate": rate,
-        "channels": channels,
+        "channels": first_channels,
         "layer": {3: 1, 2: 2, 1: 3}[layer],
         "mpeg_version": {3: 1, 2: 2, 0: 25}[version],
         "duration_ms": n_samples * 1000 // rate,
@@ -326,7 +331,7 @@ def mp3_frames(data: bytes, max_frames: int = 200_000) -> dict | None:
         "is_cbr": kbps_min == kbps_max,
         "vbr_header": vbr_kind,
         "vbr_header_frames": vbr_frames,
-        "has_crc": crc,
+        "has_crc": first_crc,
     }
 
 

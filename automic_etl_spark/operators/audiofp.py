@@ -96,6 +96,39 @@ def audio_fingerprint(
     return [int(v) for v in vals]
 
 
+def landmark_params_version(
+    frame_len: int = 2048,
+    hop: int = 256,
+    peaks_per_frame: int = 3,
+    max_dt: int = 8,
+    bin_quant: int = 2,
+) -> int:
+    """3-bit parameter-version tag embedded at bits 24-26 of every
+    landmark hash (r11, ADVICE fix). Hashes produced under different
+    analysis parameters live in structurally DISJOINT keyspaces: a
+    persisted index built with old parameters can never bucket-collide
+    with freshly computed landmarks, and the producing parameter set is
+    inspectable from any stored hash via ``(h >> 24) & 0x7``. Never 0 —
+    0 is the pre-r11 legacy keyspace (params un-tagged), so legacy
+    indexes are detectable too. The current defaults (2048/256/3/8/2)
+    map to 7 and the pre-r10 frame_len=1024 variant to 2 — the one
+    historical transition that motivated the tag is pinned distinct in
+    tests (a 3-bit tag can collide for arbitrary parameter pairs, but
+    the pairs a deployment actually migrates between are few and
+    checkable with this function)."""
+    import hashlib
+
+    params = (frame_len, hop, peaks_per_frame, max_dt, bin_quant)
+    digest = hashlib.md5(repr(params).encode()).digest()
+    return (int.from_bytes(digest[:4], "little") % 7) + 1
+
+
+def landmark_hash_version(h: int) -> int:
+    """Extract the parameter-version tag from a stored landmark hash
+    (0 = pre-r11 legacy index)."""
+    return (h >> 24) & 0x7
+
+
 def audio_landmarks(
     data: bytes,
     frame_len: int = 2048,
@@ -123,7 +156,11 @@ def audio_landmarks(
     Per frame the top ``peaks_per_frame`` FFT bins (within the analysis
     band, magnitude order — gain-invariant) form the constellation;
     each anchor peak pairs with every peak 1..max_dt frames ahead and
-    hashes as (q1 << 14) | (q2 << 4) | dt with q = bin // bin_quant.
+    hashes as (pv << 24) | (q1 << 14) | (q2 << 4) | dt with
+    q = bin // bin_quant and pv = landmark_params_version(...) — the
+    3-bit tag keeps indexes persisted under different parameters (or
+    the pre-r11 un-tagged defaults) in disjoint keyspaces instead of
+    silently matching nothing against a fresh index.
     Returns None for undecodable/gated/too-short payloads.
 
     Field widths are enforced (round-6 ADVICE fix): dt occupies 4 bits
@@ -177,6 +214,9 @@ def audio_landmarks(
         sorted(int(b) // bin_quant for b in order[n]) if active[n] else []
         for n in range(n_frames)
     ]
+    pv = landmark_params_version(
+        frame_len, hop, peaks_per_frame, max_dt, bin_quant
+    ) << 24
     hashes, times = [], []
     for n in range(n_frames):
         for q1 in peaks[n]:
@@ -184,7 +224,7 @@ def audio_landmarks(
                 if n + dt >= n_frames:
                     break
                 for q2 in peaks[n + dt]:
-                    hashes.append((q1 << 14) | (q2 << 4) | dt)
+                    hashes.append(pv | (q1 << 14) | (q2 << 4) | dt)
                     times.append(n)
     return (hashes, times) if hashes else None
 

@@ -81,6 +81,12 @@ def bm25_rank(
     score_e6, rank). ``queries`` index = query_id. Ties break on
     ascending doc id (deterministic). Pass a persisted ``postings``
     DataFrame to skip the index build."""
+    if quantize_e6 and (k1, b) != (1.2, 0.75):
+        raise ValueError(
+            "quantize_e6=True hardcodes k1=1.2, b=0.75 in the integer "
+            f"expression; got k1={k1}, b={b} — use the float path for "
+            "non-default parameters"
+        )
     spark = docs.sparkSession
     if postings is None:
         postings = bm25_postings(docs, text_col, id_col)

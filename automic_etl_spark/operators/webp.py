@@ -304,18 +304,21 @@ def _prefix_value(br: _BitReader, code: int) -> int:
 def _distance_map() -> list[tuple[int, int]]:
     """The 120 short-distance (dx, dy) offsets. The spec lists them as
     a literal table; the list is exactly the near neighborhood
-    {(dx, dy): dy 0..7, dx -8..8, (dy > 0) or (dx > 0)} ordered by
+    {(dx, dy): dy 0..7, dx -7..8, (dy > 0) or (dx > 0)} ordered by
     squared distance — larger dy first, then positive dx before
-    negative — truncated to 120. The first 40 generated entries are
-    pinned against the spec's published table in tests."""
+    negative. The neighborhood is libwebp's plane_to_code_lut domain:
+    ``xoffset = 8 - (dist_code & 0xf)`` gives dx in [-7, 8] (NOT
+    [-8, 8] — dx = -8 never occurs), which yields exactly 120
+    candidates with no truncation. All 120 generated entries are
+    pinned as a literal table in tests."""
     cands = []
     for dy in range(8):
-        for dx in range(-8, 9):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
             cands.append((dx, dy))
     cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -(p[0] > 0)))
-    return cands[:120]
+    return cands
 
 
 _DIST_MAP = _distance_map()

@@ -202,6 +202,15 @@ def test_mp3_frame_walk_stats_and_vbr_header():
     ) + b"\x00" * 204
     assert mp3_frames(mixed)["n_frames"] == 3
 
+    # channels/has_crc report the FIRST frame (r11 ADVICE fix): the
+    # coherence check pins only (version, layer, rate), so a stereo
+    # stream whose tail flips to mono mid-walk must still report the
+    # first frame's mode, not the last parsed frame's
+    stereo = make_mp3(with_id3=False, n_frames=2)
+    mono_frame = bytes([0xFF, 0xFB, 0x90, 0xC0]) + b"\x00" * 413
+    w = mp3_frames(stereo + mono_frame * 2)
+    assert w["n_frames"] == 4 and w["channels"] == 2 and not w["has_crc"]
+
 
 REAL_MP3 = "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
 

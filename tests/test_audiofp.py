@@ -95,6 +95,32 @@ def test_landmarks_gain_invariant_and_discriminative():
     assert max(other_votes.values(), default=0) < 20
 
 
+def test_landmark_keyspace_is_parameter_versioned():
+    """r11 ADVICE fix: every landmark hash carries a 3-bit parameter-
+    version tag at bits 24-26, so indexes persisted under different
+    analysis parameters occupy disjoint keyspaces (no silent zero-match
+    against a stale index) and the producing params are inspectable
+    from any stored hash. The r10 frame_len 1024->2048 migration —
+    the transition that motivated the tag — is pinned distinct, and
+    tag 0 is reserved for pre-r11 legacy (un-tagged) indexes."""
+    from automic_etl_spark.operators.audiofp import (
+        landmark_hash_version,
+        landmark_params_version,
+    )
+
+    assert landmark_params_version() == 7
+    assert landmark_params_version(frame_len=1024) == 2
+    assert landmark_params_version() != landmark_params_version(1024)
+    assert 1 <= landmark_params_version(hop=512) <= 7  # never legacy-0
+
+    new = audio_landmarks(synth_clip(seed=10))
+    old = audio_landmarks(synth_clip(seed=10), frame_len=1024)
+    vs_new = {landmark_hash_version(h) for h in new[0]}
+    vs_old = {landmark_hash_version(h) for h in old[0]}
+    assert vs_new == {7} and vs_old == {2}
+    assert not (set(new[0]) & set(old[0]))  # disjoint keyspaces
+
+
 def test_landmarks_offset_alignment():
     base = audio_landmarks(synth_clip(seed=10))
     # 256 ms lead at 8 kHz / hop 256 = 8 frames

@@ -53,6 +53,18 @@ def test_quantized_mode_is_integer_and_agrees_on_ranking(corpus):
         assert isinstance(q[k][1], int)
 
 
+def test_quantized_mode_rejects_non_default_params(corpus):
+    """quantize_e6's integer expression hardcodes k1=1.2, b=0.75 —
+    caller-supplied values must fail loudly, not be silently ignored
+    (r11 ADVICE fix)."""
+    with pytest.raises(ValueError, match="quantize_e6"):
+        bm25_rank(corpus, ["join"], quantize_e6=True, k1=2.0)
+    with pytest.raises(ValueError, match="quantize_e6"):
+        bm25_rank(corpus, ["join"], quantize_e6=True, b=0.5)
+    # explicit defaults stay accepted
+    bm25_rank(corpus, ["join"], quantize_e6=True, k1=1.2, b=0.75)
+
+
 def test_postings_reuse_and_query_edgecases(corpus):
     postings = bm25_postings(corpus).cache()
     out = bm25_rank(corpus, ["JOIN!!", "nosuchterm"], postings=postings)

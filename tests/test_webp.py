@@ -79,20 +79,40 @@ def test_real_alpha_stream_decodes():
 # -- distance map -----------------------------------------------------------
 
 def test_distance_map_matches_spec_prefix():
-    """The 120-entry map is GENERATED from its ordering rule; the spec
-    publishes it as a literal table — its first 36 entries, transcribed
-    here, pin the generation rule (distance-squared order, larger dy
-    first, +dx before -dx)."""
-    spec_prefix = [
-        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
-        (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
-        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
-        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
-        (4, 2), (-4, 2), (0, 5), (3, 4),
+    """The 120-entry map is GENERATED from its ordering rule
+    (neighborhood dy 0..7 / dx -7..8, distance-squared order, larger dy
+    first, +dx before -dx); all 120 entries are pinned here as the
+    literal table. The table is the inverse of libwebp's published
+    plane_to_code_lut (dist_code -> dy = code >> 4, dx = 8 - (code &
+    0xf), so dx = -8 NEVER occurs); spot anchors: code 102 = (8, 1),
+    103 = (8, 2), 93 = (5, 6) vs 95 = (6, 5) (the d^2 = 61 tie breaks
+    larger-dy-first), 117 = (7, 7), 120 = (8, 7)."""
+    spec_table = [
+        (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+        (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+        (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+        (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+        (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+        (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+        (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3),
+        (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+        (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5),
+        (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+        (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+        (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+        (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+        (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+        (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+        (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
     ]
-    assert _DIST_MAP[: len(spec_prefix)] == spec_prefix
+    assert _DIST_MAP == spec_table
     assert len(_DIST_MAP) == 120
     assert len(set(_DIST_MAP)) == 120
+    assert all(dx != -8 for dx, _ in _DIST_MAP)
 
 
 # -- hand-assembled vectors -------------------------------------------------
