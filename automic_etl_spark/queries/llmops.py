@@ -2717,22 +2717,46 @@ ORACLE_TAIL["rake_keywords"] = ORACLE_RAKE
 
 
 # --------------------------------------------------------------------------
-# CDC dedup gate (operators/cdc, r10) — rows-only: the gear rolling hash
-# is per-byte modular recurrence, not SQL-expressible, so this entry has
-# no ORACLE_TAIL and the driver records its weaker rows-only check (the
-# pq/ivf precedent); the strong oracles live in tests/test_cdc.py
-# (vectorized==naive hash differential, edit-resynchronization property,
-# planted-twin keep-set) and the cdc_dedup bench row.
+# CDC dedup gate (operators/cdc, r10; r11 upgraded rows-only -> full
+# value-hash oracle). The r10 blobs were numpy-RNG bytes, which DuckDB
+# cannot reproduce, so the gate was rows-only. r11 switches the blobs to
+# an md5-chain (concatenated md5 hex segments — pure ASCII, derivable
+# identically in SQL), which makes EVERY stage replayable: the gear
+# low-9 hash has a 9-term closed form over the trailing window
+# (operators/cdc.py:64-78 — contribution G[b] << k touches bit < 9 only
+# for k < 9), boundary selection is a recursive CTE over the masked-hash
+# hit positions, chunk digests are substr(md5(...)), and the pair join /
+# min-shared-frac / min-id components reuse the corpus_curate replay
+# pattern. The gear table itself derives in SQL: T[b] = (first 8 md5
+# bytes of chr(b), big-endian) & 511 — exact for the ASCII-only blob
+# alphabet (DuckDB chr(b) is the raw byte for b < 128).
 # --------------------------------------------------------------------------
 
 _CDC_N = 150
+_CDC_SEGS = 375  # 375 * 32 hex chars = 12000-byte blobs
+_CDC_LEN = 12_000
+
+
+def _cdc_blob(d: int) -> bytes:
+    """Deterministic ASCII blob for doc ``d``: md5-hex chain seeded by
+    base_seed (every 4th doc an insertion-edited twin of the 3rd)."""
+    import hashlib  # local: the function ships to executors
+
+    base_seed = d - (d % 4 == 3)
+    s = "".join(
+        hashlib.md5(f"blob{base_seed}:{j}".encode()).hexdigest()
+        for j in range(_CDC_SEGS)
+    )[:_CDC_LEN]
+    if d % 4 == 3:
+        cut = 3_000 + (d % 20_000)
+        s = s[:cut] + f"EDIT{d}" + s[cut:]
+    return s.encode()
 
 
 def q_cdc_dedup_gate(spark, sf_dir):
     """Chunk + collapse 150 deterministic blobs (every 4th an
     insertion-edited twin of the 3rd): per-doc chunk count, total chunk
     bytes and survival flag, ordered by doc_id."""
-    import numpy as np
     import pandas as pd
 
     from automic_etl_spark.operators.cdc import cdc_chunk_blobs, cdc_near_dup_pairs
@@ -2744,17 +2768,12 @@ def q_cdc_dedup_gate(spark, sf_dir):
 
     def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            blobs = []
-            for rid in pdf["doc_id"]:
-                d = int(rid)
-                base_seed = d - (d % 4 == 3)
-                rng = np.random.RandomState(base_seed % (2**31))
-                data = rng.bytes(30_000)
-                if d % 4 == 3:
-                    cut = 3_000 + (d % 20_000)
-                    data = data[:cut] + b"EDIT%d" % d + data[cut:]
-                blobs.append(data)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "_content_bytes": [_cdc_blob(int(d)) for d in pdf["doc_id"]],
+                }
+            )
 
     blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
     chunks = cdc_chunk_blobs(blobs, min_size=512, avg_bits=9, max_size=4096)
@@ -2779,4 +2798,107 @@ def q_cdc_dedup_gate(spark, sf_dir):
     )
 
 
+# The oracle replays the ENTIRE pipeline: blob synthesis, gear low-9
+# rolling hash (9-term closed form), min/avg/max boundary recursion,
+# chunk md5 digests, frequency-capped pair join, min-shared-frac (exact
+# integer form: 2*shared >= least(na, nb), equivalent to the operator's
+# double `frac >= 0.5` for these magnitudes), and min-id connected
+# components. MATERIALIZED hints keep DuckDB from re-evaluating the hit
+# table on every recursion step (measured 50 s -> 2 s).
+ORACLE_CDC_DEDUP = f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id FROM documents WHERE doc_id < {_CDC_N}),
+seg AS MATERIALIZED (
+  SELECT i.doc_id, u.j,
+         md5('blob' || CAST(i.doc_id - CASE WHEN i.doc_id % 4 = 3 THEN 1 ELSE 0 END AS VARCHAR)
+             || ':' || CAST(u.j AS VARCHAR)) AS h
+  FROM ids i CROSS JOIN UNNEST(generate_series(0, {_CDC_SEGS - 1})) AS u(j)
+),
+contents AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 3
+              THEN substr(s, 1, 3000 + doc_id % 20000)
+                   || 'EDIT' || CAST(doc_id AS VARCHAR)
+                   || substr(s, 3000 + doc_id % 20000 + 1)
+              ELSE s END AS s
+  FROM (SELECT doc_id, substr(string_agg(h, '' ORDER BY j), 1, {_CDC_LEN}) AS s
+        FROM seg GROUP BY doc_id)
+),
+lens AS MATERIALIZED (SELECT doc_id, length(s) AS n FROM contents),
+gear AS (
+  SELECT u.code,
+         CAST(('0x' || substr(md5(chr(CAST(u.code AS INTEGER))), 14, 3)) AS INTEGER) & 511 AS t
+  FROM UNNEST(generate_series(32, 126)) AS u(code)
+),
+pos AS (
+  SELECT c.doc_id, u.i, ascii(substr(c.s, u.i + 1, 1)) AS code
+  FROM contents c CROSS JOIN UNNEST(generate_series(0, length(c.s) - 1)) AS u(i)
+),
+hits AS MATERIALIZED (
+  SELECT doc_id, tgt + 1 AS cut_pos
+  FROM (SELECT p.doc_id, p.i + u.k AS tgt, g.t * (1 << u.k) AS c
+        FROM pos p
+        JOIN gear g ON g.code = p.code
+        CROSS JOIN UNNEST(generate_series(0, 8)) AS u(k))
+  JOIN lens USING (doc_id)
+  WHERE tgt < n
+  GROUP BY doc_id, tgt, n
+  HAVING CAST(sum(c) % 512 AS INTEGER) = 0
+),
+bounds AS (
+  SELECT l.doc_id, 0 AS start,
+         coalesce((SELECT min(h.cut_pos) FROM hits h
+                   WHERE h.doc_id = l.doc_id
+                     AND h.cut_pos >= 512
+                     AND h.cut_pos <= least(4096, l.n)),
+                  least(4096, l.n)) AS cut,
+         l.n AS n
+  FROM lens l
+  UNION ALL
+  SELECT b.doc_id, b.cut,
+         coalesce((SELECT min(h.cut_pos) FROM hits h
+                   WHERE h.doc_id = b.doc_id
+                     AND h.cut_pos >= b.cut + 512
+                     AND h.cut_pos <= least(b.cut + 4096, b.n)),
+                  least(b.cut + 4096, b.n)) AS cut,
+         b.n
+  FROM bounds b WHERE b.cut < b.n
+),
+chunks AS MATERIALIZED (
+  SELECT b.doc_id, b.cut - b.start AS chunk_size,
+         substr(md5(substr(c.s, b.start + 1, b.cut - b.start)), 1, 16) AS chunk_hash
+  FROM bounds b JOIN contents c USING (doc_id)
+),
+per_doc AS MATERIALIZED (SELECT DISTINCT doc_id, chunk_hash FROM chunks),
+sizes AS (SELECT doc_id, count(*) AS nk FROM per_doc GROUP BY doc_id),
+freq AS (SELECT chunk_hash FROM per_doc GROUP BY chunk_hash HAVING count(*) <= 256),
+kept_ch AS (SELECT p.doc_id, p.chunk_hash FROM per_doc p JOIN freq USING (chunk_hash)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM kept_ch a JOIN kept_ch b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sel AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN sizes sa ON sa.doc_id = p.id_a
+  JOIN sizes sb ON sb.doc_id = p.id_b
+  WHERE 2 * p.shared >= least(sa.nk, sb.nk)
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM sel UNION SELECT id_b, id_a FROM sel),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+losers AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(CAST(sum(g.chunk_size) AS BIGINT) AS BIGINT) AS chunk_bytes,
+       (max(l.doc_id) IS NULL) AS kept
+FROM chunks g LEFT JOIN losers l USING (doc_id)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
 QUERIES_TAIL["cdc_dedup"] = q_cdc_dedup_gate
+ORACLE_TAIL["cdc_dedup"] = ORACLE_CDC_DEDUP

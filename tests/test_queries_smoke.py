@@ -40,12 +40,13 @@ def test_query_runs(spark, name):
 
 def test_every_query_has_oracle():
     # every declared query carries an oracle (round 2: sample_split_seed
-    # gained a closed-form split-size oracle), with ONE deliberate
-    # exception class: ops with no SQL form at all declare rows-only
-    # entries (the driver's documented weaker check). r10: cdc_dedup —
-    # the per-byte gear recurrence is not SQL-expressible; its strong
-    # oracles are the pytest differentials in test_cdc.py.
-    ROWS_ONLY = {"cdc_dedup"}
+    # gained a closed-form split-size oracle). The ROWS_ONLY exception
+    # class (ops with no SQL form — the driver's documented weaker
+    # check) is EMPTY as of r11: cdc_dedup, its only member, gained a
+    # full value-hash oracle by switching the gate blobs to an md5-chain
+    # DuckDB can synthesize and replaying the gear hash's 9-term closed
+    # form + boundary recursion in SQL.
+    ROWS_ONLY = set()
     missing = [n for n in QUERIES if n not in ORACLES and n not in ROWS_ONLY]
     assert not missing, f"queries without oracle: {missing}"
     assert ROWS_ONLY <= set(QUERIES) and not (ROWS_ONLY & set(ORACLES))
