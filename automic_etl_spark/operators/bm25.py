@@ -21,9 +21,11 @@ falls out of the same postings (sum tf), so the corpus is scanned
 once. Query terms are a broadcast table, so scoring touches only the
 postings of queried terms (a semi-join prune before the df join).
 Corpus totals ride a single-row cross join. For a build-once /
-search-many deployment persist the postings DataFrame partitioned by
-term — the same artifact pattern as the IVF/PQ index
-(operators/similarity.py).
+search-many deployment, ``build_bm25_index`` persists the postings
+partitioned by term hash-bucket with df denormalized on (plus a
+doc-length table and corpus totals), and ``bm25_index_search``
+partition-prunes the scan to the query terms' buckets — the same
+artifact pattern as the IVF/PQ index (operators/similarity.py).
 
 ``quantize_e6=True`` switches to the integer-exact fixed-point form
 used by the driver gate (``bm25_search`` in queries/llmops.py): idf is
@@ -95,18 +97,37 @@ def bm25_rank(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
     docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    qrows = [
-        (qid, t)
-        for qid, q in enumerate(queries)
-        for t in sorted({w for w in _split_query(q) if w})
-    ]
-    qterms = spark.createDataFrame(qrows, "query_id int, term string")
+    qterms = _query_terms(spark, queries)
     hits = (
         postings.join(F.broadcast(qterms), "term")
         .join(F.broadcast(docfreq.join(F.broadcast(qterms.select("term").distinct()), "term")), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(corpus))
     )
+    return _score_hits(hits, id_col, k1, b, top_n, quantize_e6)
+
+
+def _query_terms(spark: SparkSession, queries: list[str]) -> DataFrame:
+    qrows = [
+        (qid, t)
+        for qid, q in enumerate(queries)
+        for t in sorted({w for w in _split_query(q) if w})
+    ]
+    return spark.createDataFrame(qrows, "query_id int, term string")
+
+
+def _score_hits(
+    hits: DataFrame,
+    id_col: str,
+    k1: float,
+    b: float,
+    top_n: int,
+    quantize_e6: bool,
+) -> DataFrame:
+    """Shared scoring tail over (query_id, id, tf, df, dl, n_docs,
+    total_len) hit rows — used by BOTH the transient path and the
+    persisted-index path, so their scores are identical by
+    construction."""
     if quantize_e6:
         idf_e6 = F.round(
             F.log(2.0 * (F.col("n_docs") + 1) / (2 * F.col("df") + 1)) * 1e6
@@ -144,3 +165,124 @@ def _split_query(q: str) -> list[str]:
     import re
 
     return re.split("[^a-z0-9]+", q.lower())
+
+
+# -- persisted index (build-once / search-many) -----------------------------
+#
+# The IVF/PQ artifact pattern (similarity.py build_ann_index /
+# load_ann_index): postings land in parquet partitioned by a stable term
+# hash-bucket, so a Q-term query scans at most Q of n_buckets partition
+# directories. Bucketing — not partitionBy("term") — because a 100 TB
+# corpus has hundreds of millions of distinct terms and one directory
+# per term would melt the file listing; n_buckets bounds the partition
+# count while keeping the prune exact (every query term maps to exactly
+# one bucket on both the Python and the Spark side via the same md5
+# prefix). df is denormalized onto the postings rows at build time and
+# n_docs/total_len live in meta.json, so a search never rescans the
+# corpus: it is partition-pruned-postings JOIN broadcast(query terms)
+# JOIN doc-length table, then the shared scoring tail.
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(term, n_buckets: int):
+    """Spark twin of ``_term_bucket_py`` — first 8 md5 hex chars as an
+    integer, mod n_buckets (32-bit value: no sign issues in the long)."""
+    col = term if not isinstance(term, str) else F.col(term)
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        % F.lit(n_buckets)
+    ).cast("int")
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> dict:
+    """Persist a reusable BM25 index under ``index_dir``:
+    ``postings.parquet`` (id, term, tf, df — partitioned by
+    term_bucket), ``doclens.parquet`` (id, dl) and ``meta.json``
+    (corpus totals + config). Returns the meta dict."""
+    import json
+    import os
+
+    postings = bm25_postings(docs, text_col, id_col)
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    os.makedirs(index_dir, exist_ok=True)
+    (
+        postings.join(docfreq, "term")
+        .withColumn("term_bucket", _term_bucket_col("term", n_buckets))
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(index_dir, "postings.parquet"))
+    )
+    dl.write.mode("overwrite").parquet(os.path.join(index_dir, "doclens.parquet"))
+    n_docs, total_len = dl.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    meta = {
+        "n_docs": int(n_docs),
+        "total_len": int(total_len or 0),
+        "n_buckets": n_buckets,
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def bm25_index_search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    quantize_e6: bool = False,
+) -> DataFrame:
+    """Search a ``build_bm25_index`` artifact: identical output to
+    ``bm25_rank`` on the same corpus (same scoring tail, stored df/dl/
+    corpus totals), but the postings scan is partition-pruned to the
+    buckets of the query terms."""
+    import json
+    import os
+
+    if quantize_e6 and (k1, b) != (1.2, 0.75):
+        raise ValueError(
+            "quantize_e6=True hardcodes k1=1.2, b=0.75 in the integer "
+            f"expression; got k1={k1}, b={b} — use the float path for "
+            "non-default parameters"
+        )
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    qterms = _query_terms(spark, queries)
+    buckets = sorted(
+        {
+            _term_bucket_py(t, meta["n_buckets"])
+            for q in queries
+            for t in _split_query(q)
+            if t
+        }
+    )
+    postings = spark.read.parquet(
+        os.path.join(index_dir, "postings.parquet")
+    ).filter(F.col("term_bucket").isin(buckets))
+    dl = spark.read.parquet(os.path.join(index_dir, "doclens.parquet"))
+    hits = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .withColumn("n_docs", F.lit(meta["n_docs"]).cast("long"))
+        .withColumn("total_len", F.lit(meta["total_len"]).cast("long"))
+    )
+    return _score_hits(hits, id_col, k1, b, top_n, quantize_e6)
