@@ -13,13 +13,13 @@ a per-row function applied inside an Arrow-batched ``mapInPandas`` — the
 same plumbing that scales the PDF extractor to a 100 TB corpus.
 
 WAV (RIFF PCM) is decoded for real with the stdlib ``wave`` module +
-numpy — no codec library needed. Compressed formats (mp3/flac/ogg) get
-real HEADER-probed metadata (sample rate / channels / duration where the
-container carries it: FLAC STREAMINFO, MPEG frame header + CBR estimate,
-Ogg ident header + last-page granule) — but PCM decode of them requires
-soundfile or pydub, neither of which is in this image, so the segment
-kernels raise a clear gated error for those formats, mirroring the
-reference's behaviour when its codec libraries are absent.
+numpy — no codec library needed. FLAC decodes first-party (RFC 9639,
+operators/flac.py) and so does Ogg Vorbis (operators/vorbis.py, r11).
+mp3/m4a get real HEADER-probed metadata (exact MPEG frame walk, ISO-BMFF
+boxes) but PCM decode of them requires soundfile or pydub, neither of
+which is in this image, so the segment kernels raise a clear gated error
+for those formats, mirroring the reference's behaviour when its codec
+libraries are absent.
 """
 
 from __future__ import annotations
@@ -37,9 +37,12 @@ from pyspark.sql import DataFrame
 #: Formats the in-image kernels can decode without external codecs.
 #: FLAC is lossless and fully specified (RFC 9639), so operators/flac.py
 #: decodes it first-party; WAV covers PCM plus the telephony codecs
-#: G.711 mu-law/A-law and IMA ADPCM (operators/g711.py, r9); mp3/ogg/m4a
-#: stay codec-gated (lossy synthesis needing unverifiable spec tables).
-NATIVE_FORMATS = ("audio/wav", "audio/flac")
+#: G.711 mu-law/A-law and IMA ADPCM (operators/g711.py, r9); Ogg Vorbis
+#: decodes first-party (operators/vorbis.py, r11 — its codebooks ride in
+#: the stream setup header, the in-stream-tables criterion mp3 fails);
+#: mp3/m4a stay codec-gated (normative spec tables not derivable
+#: in-stream, audio.py:231-242).
+NATIVE_FORMATS = ("audio/wav", "audio/flac", "audio/ogg")
 
 _MAGIC = (
     (b"RIFF", "audio/wav"),
@@ -631,6 +634,15 @@ def _decode_pcm(data: bytes) -> tuple[np.ndarray, int, int]:
         from automic_etl_spark.operators.aiffau import decode_au
 
         return decode_au(bytes(data))
+    if fmt == "audio/ogg":
+        # Vorbis decodes first-party (r11); Opus and other Ogg payloads
+        # fall through decode_vorbis with a header ValueError -> gate
+        from automic_etl_spark.operators.vorbis import decode_vorbis
+
+        try:
+            return decode_vorbis(bytes(data))
+        except (ValueError, EOFError, IndexError):
+            _codec_gate(fmt)
     if fmt != "audio/wav":
         _codec_gate(fmt)
     try:

@@ -1,0 +1,1226 @@
+"""First-party Ogg Vorbis (Vorbis I) decoder + encoder twin.
+
+Vorbis qualifies for in-image validation where mp3 does not
+(operators/audio.py:231-242 documents that blocker): Layer III's
+normative Huffman tables exist only as literal spec tables, but Vorbis
+carries ALL of its entropy codebooks and floor/residue configurations
+IN the stream's setup header — the same in-stream-tables criterion that
+qualified the VP8L codec (operators/webp.py:4-12). Validation follows
+the proven VP8L pattern: an encoder twin emitting spec-valid streams
+with simple complete codebooks, exact structural pins (the spec's
+worked Huffman-assignment example, float32_unpack vectors, window/TDAC
+perfect-reconstruction identity), SNR against the source signal for the
+full chain (non-circular: windows, MDCT scale, floor dB curve, residue
+signs all must be right for the number to come out), and hypothesis
+totality over mutated bytes.
+
+Decoder scope: the full Vorbis I decode path used by real encoders —
+Ogg page/packet framing (incl. continued packets and lacing), setup
+codebooks (ordered/sparse lengths, canonical first-fit codeword
+assignment, VQ lookup types 1 and 2), floor type 1 (the only floor
+libvorbis emits; floor 0 LSP is gated with NotImplementedError),
+residue types 0/1/2 with 8-pass cascades, mapping type 0 with square
+polar channel coupling, long/short windows with hybrid lap slopes, and
+the unscaled spec IMDCT (the 2/n2 normalization belongs to the
+ENCODER's analysis side — real streams carry pre-scaled coefficients).
+
+Spark shape (the 100 TB story): decode is a map-only Pandas-UDF lane
+behind ``audio.decode_pcm`` — one Arrow hop per blob, no shuffle; the
+IMDCT is a cached cos-matrix matmul batched over all frames of a
+blocksize (two sizes per stream by spec). Python is the priced
+bottleneck (~real-time-ish per core at 8 kHz fixtures); a C decoder
+drops in behind ``decode_vorbis`` without plan changes.
+
+Reference parity note: the reference's audio layer is metadata +
+external-library delegation only (automic-etl connectors/media/
+audio.py:133-198); sample decode of compressed audio is a
+beyond-reference mandate item (training-data pipelines need PCM for
+acoustic dedup and log-mel prep).
+"""
+
+from __future__ import annotations
+
+import struct
+from bisect import insort
+
+import numpy as np
+
+__all__ = [
+    "decode_vorbis",
+    "vorbis_stream_info",
+    "synth_vorbis",
+    "ogg_packets",
+]
+
+
+# =========================================================================
+# bit I/O — Vorbis packs LSb first within each byte (spec 2.1)
+# =========================================================================
+
+
+class _BitReader:
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        """Read ``n`` bits LSb-first; raises EOFError past the end (the
+        spec makes premature packet end a packet-level error)."""
+        if self.pos + n > self.nbits:
+            raise EOFError("vorbis packet truncated")
+        out = 0
+        got = 0
+        data, pos = self.data, self.pos
+        while got < n:
+            byte = data[pos >> 3]
+            bit_off = pos & 7
+            take = min(8 - bit_off, n - got)
+            out |= ((byte >> bit_off) & ((1 << take) - 1)) << got
+            got += take
+            pos += take
+        self.pos = pos
+        return out
+
+    def read1(self) -> int:
+        if self.pos >= self.nbits:
+            raise EOFError("vorbis packet truncated")
+        b = (self.data[self.pos >> 3] >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+class _BitWriter:
+    __slots__ = ("bytes_", "bit", "cur")
+
+    def __init__(self):
+        self.bytes_ = bytearray()
+        self.bit = 0
+        self.cur = 0
+
+    def write(self, value: int, n: int):
+        for i in range(n):
+            if (value >> i) & 1:
+                self.cur |= 1 << self.bit
+            self.bit += 1
+            if self.bit == 8:
+                self.bytes_.append(self.cur)
+                self.cur = 0
+                self.bit = 0
+
+    def write_codeword(self, code: int, length: int):
+        """Huffman codewords transmit tree-walk order: the codeword's
+        top bit is read first (spec 3.2.1) — reverse of scalar packing."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def getvalue(self) -> bytes:
+        out = bytes(self.bytes_)
+        if self.bit:
+            out += bytes([self.cur])
+        return out
+
+
+def _ilog(x: int) -> int:
+    """Bits needed for x (spec 9.2.1): ilog(0)=0, ilog(7)=3."""
+    n = 0
+    while x > 0:
+        n += 1
+        x >>= 1
+    return n
+
+
+def _float32_unpack(x: int) -> float:
+    """Vorbis' own float format (spec 9.2.2): 21-bit mantissa,
+    10-bit exponent biased 788, sign in bit 31."""
+    mantissa = x & 0x1FFFFF
+    exponent = (x & 0x7FE00000) >> 21
+    if x & 0x80000000:
+        mantissa = -mantissa
+    return float(mantissa) * 2.0 ** (exponent - 788)
+
+
+def _float32_pack(v: float) -> int:
+    """Inverse of ``_float32_unpack`` for the encoder twin (round to
+    nearest representable; exact for the twin's constants)."""
+    sign = 0x80000000 if v < 0 else 0
+    v = abs(v)
+    if v == 0:
+        return 768 << 21
+    exponent = 788
+    while v < (1 << 20) and exponent > 0:
+        v *= 2
+        exponent -= 1
+    while v >= (1 << 21):
+        v /= 2
+        exponent += 1
+    return sign | (exponent << 21) | int(round(v)) & 0x1FFFFF
+
+
+def _lookup1_values(entries: int, dims: int) -> int:
+    """Largest v with v**dims <= entries (spec 9.2.3)."""
+    v = int(entries ** (1.0 / dims))
+    while (v + 1) ** dims <= entries:
+        v += 1
+    while v**dims > entries:
+        v -= 1
+    return v
+
+
+# =========================================================================
+# Ogg layer (RFC 3533): pages <-> logical packets, both directions
+# =========================================================================
+
+
+def _ogg_crc_table():
+    table = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 else (r << 1) & 0xFFFFFFFF
+        table.append(r)
+    return table
+
+
+_CRC_TABLE = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg's CRC-32: poly 0x04C11DB7, not reflected, init 0, no final
+    xor (RFC 3533 appendix A)."""
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ _CRC_TABLE[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def ogg_pages(data: bytes):
+    """Yield (header_type, granule, serial, seq, lacing, payload) per
+    page; stops at the first malformed capture."""
+    off = 0
+    n = len(data)
+    while off + 27 <= n:
+        if data[off : off + 4] != b"OggS" or data[off + 4] != 0:
+            break
+        htype = data[off + 5]
+        granule = int.from_bytes(data[off + 6 : off + 14], "little", signed=True)
+        serial = int.from_bytes(data[off + 14 : off + 18], "little")
+        seq = int.from_bytes(data[off + 18 : off + 22], "little")
+        nsegs = data[off + 26]
+        if off + 27 + nsegs > n:
+            break
+        lacing = list(data[off + 27 : off + 27 + nsegs])
+        body_off = off + 27 + nsegs
+        body_len = sum(lacing)
+        if body_off + body_len > n:
+            break
+        yield htype, granule, serial, seq, lacing, data[body_off : body_off + body_len]
+        off = body_off + body_len
+
+
+def ogg_packets(data: bytes) -> tuple[list[bytes], int]:
+    """Reassemble logical packets from pages (lacing runs of 255
+    continue; the 0x01 header flag continues across pages). Returns
+    (packets, last_granule) where last_granule is the final page granule
+    naming a completed packet (-1 granules skipped)."""
+    packets: list[bytes] = []
+    partial = bytearray()
+    last_granule = 0
+    for htype, granule, _serial, _seq, lacing, body in ogg_pages(data):
+        if not (htype & 0x01):
+            partial = bytearray()
+        pos = 0
+        completed = False
+        for lace in lacing:
+            partial += body[pos : pos + lace]
+            pos += lace
+            if lace < 255:
+                packets.append(bytes(partial))
+                partial = bytearray()
+                completed = True
+        if completed and granule >= 0:
+            last_granule = granule
+    return packets, last_granule
+
+
+def _ogg_page(
+    serial: int, seq: int, htype: int, granule: int, packets: list[bytes]
+) -> bytes:
+    lacing = bytearray()
+    body = bytearray()
+    for p in packets:
+        body += p
+        q, r = divmod(len(p), 255)
+        lacing += b"\xff" * q + bytes([r])
+    if len(lacing) > 255:
+        raise ValueError("too many segments for one page")
+    head = (
+        b"OggS\x00"
+        + bytes([htype])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little")
+        + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + bytes([len(lacing)])
+        + bytes(lacing)
+    )
+    page = bytearray(head + bytes(body))
+    crc = _ogg_crc(bytes(page))
+    page[22:26] = crc.to_bytes(4, "little")
+    return bytes(page)
+
+
+# =========================================================================
+# codebooks (spec 3): parse, canonical codeword assignment, decode
+# =========================================================================
+
+
+def _assign_codewords(lengths: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Vorbis Huffman assignment (spec 3.2.1): entries in
+    ascending order each take the LOWEST available codeword of their
+    stated length. Free subtrees tracked as (value-as-fraction, code,
+    len) kept sorted, so the first fitting subtree is the lowest
+    codeword. Underspecified trees are permitted (VQ context); decoding
+    into a hole raises."""
+    free: list[tuple[float, int, int]] = [(0.0, 0, 0)]
+    codes: dict[tuple[int, int], int] = {}
+    for entry, l in enumerate(lengths):
+        if l <= 0:
+            continue
+        for idx, (_frac, code, clen) in enumerate(free):
+            if clen <= l:
+                break
+        else:
+            raise ValueError("huffman tree overspecified")
+        del free[idx]
+        # descend left to depth l, freeing right siblings on the way
+        while clen < l:
+            code <<= 1
+            clen += 1
+            sib = code | 1
+            insort(free, (sib / (1 << clen), sib, clen))
+        codes[(l, code)] = entry
+    return codes
+
+
+class _Codebook:
+    __slots__ = ("dims", "entries", "codes", "vq_vectors")
+
+    def __init__(self, br: _BitReader):
+        if br.read(24) != 0x564342:  # 'BCV'
+            raise ValueError("bad codebook sync")
+        self.dims = br.read(16)
+        self.entries = br.read(24)
+        # allocation guards: a malformed header must fail cleanly, not
+        # allocate gigabytes (entries is a raw 24-bit field)
+        if self.dims == 0 or self.entries > (1 << 22):
+            raise ValueError("codebook dims/entries out of sane range")
+        if self.entries * self.dims > (1 << 24):
+            raise ValueError("codebook VQ table too large")
+        lengths = [0] * self.entries
+        if br.read1():  # ordered
+            cur_len = br.read(5) + 1
+            cur_entry = 0
+            while cur_entry < self.entries:
+                num = br.read(_ilog(self.entries - cur_entry))
+                if cur_entry + num > self.entries:
+                    raise ValueError("ordered codebook overflow")
+                for i in range(num):
+                    lengths[cur_entry + i] = cur_len
+                cur_entry += num
+                cur_len += 1
+                if cur_len > 32:
+                    break
+        else:
+            sparse = br.read1()
+            for i in range(self.entries):
+                if sparse and not br.read1():
+                    continue
+                lengths[i] = br.read(5) + 1
+        self.codes = _assign_codewords(lengths)
+        lookup = br.read(4)
+        self.vq_vectors = None
+        if lookup in (1, 2):
+            minimum = _float32_unpack(br.read(32))
+            delta = _float32_unpack(br.read(32))
+            value_bits = br.read(4) + 1
+            sequence_p = br.read1()
+            if lookup == 1:
+                count = _lookup1_values(self.entries, self.dims)
+            else:
+                count = self.entries * self.dims
+            mults = [br.read(value_bits) for _ in range(count)]
+            # precompute the per-entry VQ vector table (spec 3.3)
+            vecs = np.zeros((self.entries, self.dims), dtype=np.float64)
+            if lookup == 1:
+                for entry in range(self.entries):
+                    last = 0.0
+                    idiv = 1
+                    for d in range(self.dims):
+                        off = (entry // idiv) % count
+                        v = mults[off] * delta + minimum + last
+                        vecs[entry, d] = v
+                        if sequence_p:
+                            last = v
+                        idiv *= count
+            else:
+                for entry in range(self.entries):
+                    last = 0.0
+                    off = entry * self.dims
+                    for d in range(self.dims):
+                        v = mults[off + d] * delta + minimum + last
+                        vecs[entry, d] = v
+                        if sequence_p:
+                            last = v
+            self.vq_vectors = vecs
+        elif lookup != 0:
+            raise ValueError(f"reserved codebook lookup type {lookup}")
+
+    def scalar(self, br: _BitReader) -> int:
+        code = 0
+        length = 0
+        codes = self.codes
+        while length < 33:
+            code = (code << 1) | br.read1()
+            length += 1
+            entry = codes.get((length, code))
+            if entry is not None:
+                return entry
+        raise ValueError("undecodable huffman codeword")
+
+    def vq(self, br: _BitReader) -> np.ndarray:
+        if self.vq_vectors is None:
+            raise ValueError("scalar codebook used in VQ context")
+        return self.vq_vectors[self.scalar(br)]
+
+
+# =========================================================================
+# setup-header components (spec 6-8)
+# =========================================================================
+
+
+_FLOOR1_RANGES = [256, 128, 86, 64]
+
+
+def _inverse_db_table() -> np.ndarray:
+    """floor1_inverse_dB_table (spec 10.1): 256 log-spaced gains from
+    1.0649863e-07 up to 1.0. The spec prints float literals; the closed
+    form 10**(7*(i-255)/256) reproduces them to float32 precision
+    (endpoints exact), which is all the lossy path can observe."""
+    i = np.arange(256)
+    return (10.0 ** (7.0 * (i - 255) / 256.0)).astype(np.float64)
+
+
+_INV_DB = _inverse_db_table()
+
+
+class _Floor1:
+    __slots__ = ("partition_classes", "class_dims", "class_subs",
+                 "class_masterbooks", "subclass_books", "multiplier",
+                 "rangebits", "xs", "sorted_order")
+
+    def __init__(self, br: _BitReader):
+        partitions = br.read(5)
+        self.partition_classes = [br.read(4) for _ in range(partitions)]
+        maxclass = max(self.partition_classes, default=-1)
+        self.class_dims = []
+        self.class_subs = []
+        self.class_masterbooks = []
+        self.subclass_books = []
+        for _ in range(maxclass + 1):
+            dims = br.read(3) + 1
+            subs = br.read(2)
+            master = br.read(8) if subs else -1
+            books = [br.read(8) - 1 for _ in range(1 << subs)]
+            self.class_dims.append(dims)
+            self.class_subs.append(subs)
+            self.class_masterbooks.append(master)
+            self.subclass_books.append(books)
+        self.multiplier = br.read(2) + 1
+        self.rangebits = br.read(4)
+        xs = [0, 1 << self.rangebits]
+        for p in self.partition_classes:
+            for _ in range(self.class_dims[p]):
+                xs.append(br.read(self.rangebits))
+        if len(set(xs)) != len(xs):
+            raise ValueError("floor1 X values not unique")
+        self.xs = xs
+        self.sorted_order = sorted(range(len(xs)), key=lambda i: xs[i])
+
+    def decode(self, br: _BitReader, books: list[_Codebook], n2: int):
+        """Floor curve (length n2 linear-amplitude gains) or None if
+        this channel's floor is unused this frame (spec 7.2.3-7.2.4)."""
+        if not br.read1():
+            return None
+        rng = _FLOOR1_RANGES[self.multiplier - 1]
+        ybits = _ilog(rng - 1)
+        ys = [br.read(ybits), br.read(ybits)]
+        for p in self.partition_classes:
+            cdim = self.class_dims[p]
+            cbits = self.class_subs[p]
+            csub = (1 << cbits) - 1
+            cval = 0
+            if cbits:
+                cval = books[self.class_masterbooks[p]].scalar(br)
+            for _ in range(cdim):
+                book = self.subclass_books[p][cval & csub]
+                cval >>= cbits
+                ys.append(books[book].scalar(br) if book >= 0 else 0)
+        # amplitude synthesis (spec 7.2.4 step 1)
+        xs = self.xs
+        values = len(xs)
+        step2 = [False] * values
+        finaly = [0] * values
+        step2[0] = step2[1] = True
+        finaly[0] = ys[0]
+        finaly[1] = ys[1]
+        for i in range(2, values):
+            lo = _low_neighbor(xs, i)
+            hi = _high_neighbor(xs, i)
+            pred = _render_point(xs[lo], finaly[lo], xs[hi], finaly[hi], xs[i])
+            val = ys[i]
+            highroom = rng - pred
+            lowroom = pred
+            room = 2 * min(highroom, lowroom)
+            if val:
+                step2[lo] = step2[hi] = step2[i] = True
+                if val >= room:
+                    finaly[i] = (
+                        val - lowroom + pred
+                        if highroom > lowroom
+                        else pred - (val - highroom) - 1
+                    )
+                else:
+                    finaly[i] = (
+                        pred - ((val + 1) >> 1) if val & 1 else pred + (val >> 1)
+                    )
+            else:
+                step2[i] = False
+                finaly[i] = pred
+            finaly[i] = max(0, min(rng - 1, finaly[i]))
+        # curve synthesis (step 2)
+        curve = np.zeros(n2, dtype=np.int64)
+        order = self.sorted_order
+        lx = 0
+        ly = finaly[order[0]] * self.multiplier
+        hx = 0
+        hy = ly
+        for oi in order[1:]:
+            if not step2[oi]:
+                continue
+            hx = xs[oi]
+            hy = finaly[oi] * self.multiplier
+            _render_line(lx, ly, hx, hy, curve)
+            lx, ly = hx, hy
+        if hx < n2:
+            _render_line(hx, hy, n2, hy, curve)
+        np.clip(curve, 0, 255, out=curve)
+        return _INV_DB[curve]
+
+
+def _low_neighbor(v, x):
+    best = -1
+    for j in range(x):
+        if v[j] < v[x] and (best < 0 or v[j] > v[best]):
+            best = j
+    return best
+
+
+def _high_neighbor(v, x):
+    best = -1
+    for j in range(x):
+        if v[j] > v[x] and (best < 0 or v[j] < v[best]):
+            best = j
+    return best
+
+
+def _render_point(x0, y0, x1, y1, x):
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    err = ady * (x - x0)
+    off = err // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _render_line(x0, y0, x1, y1, v):
+    """Spec 9.2.6-9.2.7 integer line (truncating division, as in the
+    spec's C-semantics pseudocode)."""
+    dy = y1 - y0
+    adx = x1 - x0
+    ady = abs(dy)
+    base = abs(dy) // adx
+    if dy < 0:
+        base = -base
+    sy = base - 1 if dy < 0 else base + 1
+    ady -= abs(base) * adx
+    n = len(v)
+    if 0 <= x0 < n:
+        v[x0] = y0
+    err = 0
+    y = y0
+    for x in range(x0 + 1, min(x1, n)):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        v[x] = y
+
+
+class _Residue:
+    __slots__ = ("rtype", "begin", "end", "partition_size",
+                 "classifications", "classbook", "books")
+
+    def __init__(self, rtype: int, br: _BitReader):
+        if rtype not in (0, 1, 2):
+            raise ValueError(f"reserved residue type {rtype}")
+        self.rtype = rtype
+        self.begin = br.read(24)
+        self.end = br.read(24)
+        self.partition_size = br.read(24) + 1
+        self.classifications = br.read(6) + 1
+        self.classbook = br.read(8)
+        cascades = []
+        for _ in range(self.classifications):
+            low = br.read(3)
+            high = br.read(5) if br.read1() else 0
+            cascades.append((high << 3) | low)
+        self.books = []
+        for cascade in cascades:
+            row = [br.read(8) if cascade & (1 << p) else -1 for p in range(8)]
+            self.books.append(row)
+
+    def decode(
+        self,
+        br: _BitReader,
+        books: list[_Codebook],
+        n2: int,
+        do_not_decode: list[bool],
+    ) -> np.ndarray:
+        """Residue vectors [n_ch, n2] (spec 8.6.2). Type 2 decodes one
+        interleaved vector iff any channel participates."""
+        ch = len(do_not_decode)
+        out = np.zeros((ch, n2), dtype=np.float64)
+        if self.rtype == 2:
+            if all(do_not_decode):
+                return out
+            flat = np.zeros(n2 * ch, dtype=np.float64)
+            self._decode_vectors(br, books, [flat], [False], n2 * ch)
+            for c in range(ch):
+                out[c] = flat[c::ch]
+        else:
+            vecs = [out[c] for c in range(ch)]
+            self._decode_vectors(br, books, vecs, do_not_decode, n2)
+        return out
+
+    def _decode_vectors(self, br, books, vecs, do_not_decode, actual_size):
+        limit_begin = min(self.begin, actual_size)
+        limit_end = min(self.end, actual_size)
+        psize = self.partition_size
+        to_read = (limit_end - limit_begin) // psize
+        if to_read <= 0:
+            return
+        classbook = books[self.classbook]
+        classwords = classbook.dims
+        n_vec = len(vecs)
+        classifs = [[0] * (to_read + classwords) for _ in range(n_vec)]
+        interleave = self.rtype == 0
+        for p in range(8):
+            pcount = 0
+            while pcount < to_read:
+                if p == 0:
+                    for j in range(n_vec):
+                        if do_not_decode[j]:
+                            continue
+                        temp = classbook.scalar(br)
+                        for i in range(classwords - 1, -1, -1):
+                            classifs[j][pcount + i] = temp % self.classifications
+                            temp //= self.classifications
+                for _ in range(classwords):
+                    if pcount >= to_read:
+                        break
+                    for j in range(n_vec):
+                        if do_not_decode[j]:
+                            continue
+                        vq = classifs[j][pcount]
+                        book_i = self.books[vq][p]
+                        if book_i >= 0:
+                            self._decode_partition(
+                                br,
+                                books[book_i],
+                                vecs[j],
+                                limit_begin + pcount * psize,
+                                interleave,
+                            )
+                    pcount += 1
+
+    def _decode_partition(self, br, book, vec, offset, interleave):
+        psize = self.partition_size
+        dims = book.dims
+        if interleave:  # residue type 0
+            step = psize // dims
+            for i in range(step):
+                ev = book.vq(br)
+                for k in range(dims):
+                    vec[offset + i + k * step] += ev[k]
+        else:  # types 1 and 2
+            i = 0
+            while i < psize:
+                ev = book.vq(br)
+                vec[offset + i : offset + i + dims] += ev
+                i += dims
+
+
+class _Mapping:
+    __slots__ = ("submaps", "coupling", "mux", "submap_floor", "submap_residue")
+
+    def __init__(self, br: _BitReader, channels: int):
+        self.submaps = (br.read(4) + 1) if br.read1() else 1
+        self.coupling = []
+        if br.read1():
+            steps = br.read(8) + 1
+            bits = _ilog(channels - 1)
+            for _ in range(steps):
+                m = br.read(bits)
+                a = br.read(bits)
+                if m == a or m >= channels or a >= channels:
+                    raise ValueError("bad coupling step")
+                self.coupling.append((m, a))
+        if br.read(2):
+            raise ValueError("mapping reserved bits set")
+        if self.submaps > 1:
+            self.mux = [br.read(4) for _ in range(channels)]
+        else:
+            self.mux = [0] * channels
+        self.submap_floor = []
+        self.submap_residue = []
+        for _ in range(self.submaps):
+            br.read(8)  # unused time configuration
+            self.submap_floor.append(br.read(8))
+            self.submap_residue.append(br.read(8))
+
+
+# =========================================================================
+# stream state: header parse + packet decode
+# =========================================================================
+
+
+class _VorbisStream:
+    def __init__(self, packets: list[bytes]):
+        if len(packets) < 3:
+            raise ValueError("vorbis stream needs 3 header packets")
+        self._parse_ident(packets[0])
+        if not packets[1].startswith(b"\x03vorbis"):
+            raise ValueError("bad comment header")
+        self._parse_setup(packets[2])
+        self._win_cache: dict[tuple, np.ndarray] = {}
+        self._imdct_cache: dict[int, np.ndarray] = {}
+
+    def _parse_ident(self, p: bytes):
+        if not p.startswith(b"\x01vorbis") or len(p) < 30:
+            raise ValueError("bad identification header")
+        version, channels = struct.unpack_from("<IB", p, 7)
+        rate = struct.unpack_from("<I", p, 12)[0]
+        if version != 0 or channels == 0 or rate == 0:
+            raise ValueError("bad identification header fields")
+        bs = p[28]
+        self.bs0 = 1 << (bs & 0x0F)
+        self.bs1 = 1 << (bs >> 4)
+        if not (64 <= self.bs0 <= self.bs1 <= 8192 and p[29] & 1):
+            raise ValueError("bad blocksizes/framing")
+        self.channels = channels
+        self.rate = rate
+
+    def _parse_setup(self, p: bytes):
+        if not p.startswith(b"\x05vorbis"):
+            raise ValueError("bad setup header")
+        br = _BitReader(p[7:])
+        self.codebooks = [_Codebook(br) for _ in range(br.read(8) + 1)]
+        for _ in range(br.read(6) + 1):  # time transforms (placeholders)
+            if br.read(16) != 0:
+                raise ValueError("bad time transform")
+        self.floors = []
+        for _ in range(br.read(6) + 1):
+            ftype = br.read(16)
+            if ftype == 1:
+                self.floors.append(_Floor1(br))
+            elif ftype == 0:
+                # floor 0 (LSP) is not emitted by any maintained encoder;
+                # honestly gated rather than shipped unvalidatable
+                raise NotImplementedError(
+                    "vorbis floor type 0 (LSP) not supported"
+                )
+            else:
+                raise ValueError(f"reserved floor type {ftype}")
+        self.residues = [
+            _Residue(br.read(16), br) for _ in range(br.read(6) + 1)
+        ]
+        self.mappings = []
+        for _ in range(br.read(6) + 1):
+            if br.read(16) != 0:
+                raise ValueError("reserved mapping type")
+            self.mappings.append(_Mapping(br, self.channels))
+        self.modes = []
+        for _ in range(br.read(6) + 1):
+            blockflag = br.read1()
+            if br.read(16) != 0 or br.read(16) != 0:
+                raise ValueError("reserved window/transform type")
+            mapping = br.read(8)
+            if mapping >= len(self.mappings):
+                raise ValueError("mode references missing mapping")
+            self.modes.append((blockflag, mapping))
+        if not br.read1():
+            raise ValueError("setup framing bit unset")
+        # cross-reference validation so packet decode can index freely
+        nb = len(self.codebooks)
+        for f in self.floors:
+            for m in f.class_masterbooks:
+                if m >= nb:
+                    raise ValueError("floor masterbook out of range")
+            for row in f.subclass_books:
+                if any(b >= nb for b in row):
+                    raise ValueError("floor subclass book out of range")
+        for r in self.residues:
+            if r.classbook >= nb:
+                raise ValueError("residue classbook out of range")
+            if r.partition_size > (1 << 16):
+                raise ValueError("residue partition size out of sane range")
+            for row in r.books:
+                if any(b >= nb for b in row):
+                    raise ValueError("residue book out of range")
+        for m in self.mappings:
+            if any(f >= len(self.floors) for f in m.submap_floor) or any(
+                r >= len(self.residues) for r in m.submap_residue
+            ):
+                raise ValueError("mapping references missing floor/residue")
+
+    # -- windows / transform ------------------------------------------
+
+    def _window(self, n: int, prev_long: bool, next_long: bool) -> np.ndarray:
+        key = (n, prev_long, next_long)
+        w = self._win_cache.get(key)
+        if w is None:
+            n0 = self.bs0
+            w = np.zeros(n)
+            ls, le = (0, n // 2) if prev_long else (n // 4 - n0 // 4, n // 4 + n0 // 4)
+            rs, re = (n // 2, n) if next_long else (3 * n // 4 - n0 // 4, 3 * n // 4 + n0 // 4)
+            w[ls:le] = _vorbis_slope(le - ls)
+            w[le:rs] = 1.0
+            w[rs:re] = _vorbis_slope(re - rs)[::-1]
+            self._win_cache[key] = w
+        return w
+
+    def _imdct_matrix(self, n: int) -> np.ndarray:
+        M = self._imdct_cache.get(n)
+        if M is None:
+            # unscaled spec IMDCT (spec 4.3.6): real streams carry the
+            # normalization in their coefficients. float32 keeps the
+            # largest legal cache (bs1=8192) at 128 MB; a stream has at
+            # most two sizes.
+            k = np.arange(n // 2, dtype=np.float64)
+            j = np.arange(n, dtype=np.float64)
+            M = np.cos(
+                2 * np.pi / n * np.outer(k + 0.5, j + 0.5 + n / 4)
+            ).astype(np.float32)
+            self._imdct_cache[n] = M
+        return M
+
+    # -- audio packet -------------------------------------------------
+
+    def decode_packet(self, packet: bytes):
+        """(windowed_pcm [n, ch], n, prev_long, next_long) for one audio
+        packet, or None for non-audio/undecodable-mode packets."""
+        br = _BitReader(packet)
+        if br.read1() != 0:
+            return None
+        blockflag, mapping_i = self.modes[br.read(_ilog(len(self.modes) - 1))]
+        n = self.bs1 if blockflag else self.bs0
+        prev_long = next_long = True
+        if blockflag:
+            prev_long = bool(br.read1())
+            next_long = bool(br.read1())
+        mapping = self.mappings[mapping_i]
+        n2 = n // 2
+        ch = self.channels
+        floors = []
+        no_residue = []
+        for c in range(ch):
+            submap = mapping.mux[c]
+            floor = self.floors[mapping.submap_floor[submap]]
+            try:
+                curve = floor.decode(br, self.codebooks, n2)
+            except EOFError:
+                curve = None  # end-of-packet = zeroed channel (spec 4.3.2)
+            floors.append(curve)
+            no_residue.append(curve is None)
+        for m, a in mapping.coupling:
+            if not (no_residue[m] and no_residue[a]):
+                no_residue[m] = no_residue[a] = False
+        residue_vec = np.zeros((ch, n2), dtype=np.float64)
+        for submap in range(mapping.submaps):
+            sub_ch = [c for c in range(ch) if mapping.mux[c] == submap]
+            dnd = [no_residue[c] for c in sub_ch]
+            res = self.residues[mapping.submap_residue[submap]]
+            try:
+                decoded = res.decode(br, self.codebooks, n2, dnd)
+            except EOFError:
+                decoded = np.zeros((len(sub_ch), n2))
+            for i, c in enumerate(sub_ch):
+                residue_vec[c] = decoded[i]
+        # inverse square-polar coupling (spec 4.3.5), reverse order:
+        #   M>0, A>0: new_M = M,     new_A = M - A
+        #   M>0, A<=0: new_M = M + A, new_A = M
+        #   M<=0, A>0: new_M = M,     new_A = M + A
+        #   M<=0, A<=0: new_M = M - A, new_A = M
+        for m, a in reversed(mapping.coupling):
+            M = residue_vec[m].copy()
+            A = residue_vec[a].copy()
+            new_m = np.where(M > 0, np.where(A > 0, M, M + A),
+                             np.where(A > 0, M, M - A))
+            new_a = np.where(M > 0, np.where(A > 0, M - A, M),
+                             np.where(A > 0, M + A, M))
+            residue_vec[m] = new_m
+            residue_vec[a] = new_a
+        spectra = np.zeros((ch, n2), dtype=np.float64)
+        for c in range(ch):
+            if floors[c] is not None:
+                spectra[c] = floors[c] * residue_vec[c]
+        w = self._window(n, prev_long, next_long)
+        M = self._imdct_matrix(n)
+        pcm = (spectra.astype(np.float32) @ M).astype(np.float64) * w
+        return pcm, n, prev_long, next_long
+
+
+def _vorbis_slope(n: int) -> np.ndarray:
+    i = np.arange(n)
+    return np.sin(0.5 * np.pi * np.sin(np.pi * (i + 0.5) / (2 * n)) ** 2)
+
+
+def decode_vorbis(data: bytes, max_samples: int = 200_000_000):
+    """Decode an Ogg Vorbis payload to an int16-scale PCM workspace:
+    (samples int64 [frames, channels], rate, 2) — the
+    ``audio._decode_pcm`` convention. Overlap-add follows the TDAC
+    geometry: frame centers advance (n_prev + n_cur)/4 and emission per
+    packet is exactly that many samples, so the sample count is the
+    granule arithmetic the ``vorbis_meta`` gate replays in SQL. The
+    stream-final granule truncates the tail (and caps a lying granule at
+    what was actually decoded). Raises ValueError/NotImplementedError/
+    EOFError on malformed or gated payloads."""
+    packets, last_granule = ogg_packets(data)
+    try:
+        stream = _VorbisStream(packets)
+    except (IndexError, KeyError, struct.error, OverflowError) as e:
+        raise ValueError(f"malformed vorbis headers: {e}") from e
+    ch = stream.channels
+    chunks: list[np.ndarray] = []
+    emitted = 0
+    prev = None  # (pcm, n) of previous frame
+    for packet in packets[3:]:
+        if emitted > max_samples:
+            raise ValueError("vorbis payload exceeds max_samples bound")
+        try:
+            got = stream.decode_packet(packet)
+        except (EOFError, ValueError, IndexError, KeyError, OverflowError):
+            continue  # undecodable audio packet: skip (no concealment)
+        if got is None:
+            continue
+        pcm, n, prev_long, _next_long = got
+        if prev is not None:
+            prev_pcm, prev_n = prev
+            out_len = (prev_n + n) // 4
+            # previous frame's tail from its center; current frame's
+            # head up to its center, aligned at the emission boundary
+            chunk = prev_pcm[:, prev_n // 2 : prev_n // 2 + out_len].copy()
+            pad = out_len - chunk.shape[1]
+            if pad > 0:
+                chunk = np.pad(chunk, ((0, 0), (0, pad)))
+            head = pcm[:, max(0, n // 2 - out_len) : n // 2]
+            chunk[:, out_len - head.shape[1] :] += head
+            chunks.append(chunk)
+            emitted += out_len
+        prev = (pcm, n)
+    if not chunks:
+        return np.zeros((0, ch), dtype=np.int64), stream.rate, 2
+    pcm = np.concatenate(chunks, axis=1)
+    total = min(emitted, last_granule) if last_granule > 0 else emitted
+    pcm = pcm[:, :total]
+    out = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int64)
+    return out.T.copy(), stream.rate, 2
+
+
+def vorbis_stream_info(data: bytes) -> dict | None:
+    """Structural stats for the ``vorbis_meta`` gate: page/packet walk +
+    identification fields + granule arithmetic — no transform math, so
+    every field is SQL-replayable from the synthesis parameters."""
+    if data[:4] != b"OggS":
+        return None
+    try:
+        packets, last_granule = ogg_packets(data)
+        stream = _VorbisStream(packets)
+    except (ValueError, NotImplementedError, EOFError, IndexError,
+            KeyError, OverflowError, struct.error):
+        return None
+    n_pages = sum(1 for _ in ogg_pages(data))
+    return {
+        "sample_rate": stream.rate,
+        "channels": stream.channels,
+        "blocksize_0": stream.bs0,
+        "blocksize_1": stream.bs1,
+        "n_pages": n_pages,
+        "n_packets": len(packets),
+        "n_audio_packets": len(packets) - 3,
+        "granule": last_granule,
+        "duration_ms": last_granule * 1000 // stream.rate,
+    }
+
+
+# =========================================================================
+# encoder twin (validation + fixtures; the VP8L pattern)
+# =========================================================================
+
+# grid codebook geometry shared by synth/validation. dims=1 keeps the
+# lookup-1 lattice trivially complete (entries == grid) and the 4096
+# levels put the flat-floor grid noise ~34 dB under a full-scale tone
+# (validated pipeline SNR == pure-quantization simulation SNR).
+_GRID = 4096             # multiplicand count (lookup type 1 lattice)
+_VQ_DIMS = 1
+_VQ_ENTRIES = _GRID**_VQ_DIMS          # complete tree at length 12
+_VQ_LEN = 12
+_CLASS_DIMS = 4
+_CLASS_ENTRIES = 16                    # 2 classifications ** 4 classwords
+_PART_SIZE = 32
+_MIN_PACKED = _float32_pack(-1.0)
+_DELTA_PACKED = _float32_pack(2.0 / (_GRID - 1))
+_Q_MIN = _float32_unpack(_MIN_PACKED)
+_Q_DELTA = _float32_unpack(_DELTA_PACKED)
+
+
+def _write_codebook_scalar(bw: _BitWriter, dims: int, entries: int, length: int):
+    bw.write(0x564342, 24)
+    bw.write(dims, 16)
+    bw.write(entries, 24)
+    bw.write(0, 1)  # not ordered
+    bw.write(0, 1)  # not sparse
+    for _ in range(entries):
+        bw.write(length - 1, 5)
+    bw.write(0, 4)  # lookup type 0
+
+
+def _write_codebook_grid(bw: _BitWriter):
+    """The residue VQ book: lookup type 1 lattice of _GRID uniform
+    multiplicands spanning [-1, 1], complete uniform-length tree (so the
+    canonical codeword of entry e is just e in _VQ_LEN bits)."""
+    bw.write(0x564342, 24)
+    bw.write(_VQ_DIMS, 16)
+    bw.write(_VQ_ENTRIES, 24)
+    bw.write(0, 1)
+    bw.write(0, 1)
+    for _ in range(_VQ_ENTRIES):
+        bw.write(_VQ_LEN - 1, 5)
+    bw.write(1, 4)  # lookup type 1
+    bw.write(_MIN_PACKED, 32)
+    bw.write(_DELTA_PACKED, 32)
+    bw.write(12 - 1, 4)  # value_bits = 12 (mults 0.._GRID-1)
+    bw.write(0, 1)  # sequence_p
+    for m in range(_GRID):
+        bw.write(m, 12)
+
+
+def _twin_headers(rate: int, channels: int, bs0: int, bs1: int) -> list[bytes]:
+    ident = (
+        b"\x01vorbis"
+        + struct.pack("<IB I i i i", 0, channels, rate, 0, 0, 0)
+        + bytes([(bs1.bit_length() - 1) << 4 | (bs0.bit_length() - 1)])
+        + b"\x01"
+    )
+    comment = (
+        b"\x03vorbis"
+        + struct.pack("<I", 10) + b"automic/11"
+        + struct.pack("<I", 0)
+        + b"\x01"
+    )
+    bw = _BitWriter()
+    bw.write(2, 8)  # 3 codebooks
+    _write_codebook_scalar(bw, _CLASS_DIMS, _CLASS_ENTRIES, 4)   # 0: classbook
+    _write_codebook_grid(bw)                                     # 1: residue VQ
+    _write_codebook_scalar(bw, 1, 64, 6)                         # 2: floor subbook
+    bw.write(0, 6)        # 1 time transform
+    bw.write(0, 16)
+    bw.write(0, 6)        # 1 floor
+    bw.write(1, 16)       # type 1
+    bw.write(1, 5)        # 1 partition
+    bw.write(0, 4)        # class 0
+    bw.write(0, 3)        # class dims = 1
+    bw.write(0, 2)        # subs = 0
+    bw.write(3, 8)        # subclass book = codebook 2 (stored +1; 0 = unused)
+    bw.write(0, 2)        # multiplier - 1 -> 1 (range 256)
+    bw.write(10, 4)       # rangebits
+    bw.write(512, 10)     # the one partition X value
+    bw.write(0, 6)        # 1 residue
+    bw.write(2, 16)       # type 2
+    bw.write(0, 24)       # begin
+    bw.write((bs1 // 2) * channels, 24)  # end (short frames clamp)
+    bw.write(_PART_SIZE - 1, 24)
+    bw.write(1, 6)        # 2 classifications
+    bw.write(0, 8)        # classbook 0
+    for _ in range(2):    # cascade: pass 0 only, both classes
+        bw.write(1, 3)
+        bw.write(0, 1)
+    for _ in range(2):
+        bw.write(1, 8)    # pass-0 book = codebook 1
+    bw.write(0, 6)        # 1 mapping
+    bw.write(0, 16)       # type 0
+    bw.write(0, 1)        # 1 submap
+    bw.write(0, 1)        # no coupling
+    bw.write(0, 2)        # reserved
+    bw.write(0, 8)        # time
+    bw.write(0, 8)        # floor 0
+    bw.write(0, 8)        # residue 0
+    bw.write(1, 6)        # 2 modes
+    bw.write(0, 1)        # mode 0: short
+    bw.write(0, 16)
+    bw.write(0, 16)
+    bw.write(0, 8)
+    bw.write(1, 1)        # mode 1: long
+    bw.write(0, 16)
+    bw.write(0, 16)
+    bw.write(0, 8)
+    bw.write(1, 1)        # framing
+    return [ident, comment, b"\x05vorbis" + bw.getvalue()]
+
+
+def synth_vorbis(
+    signal: np.ndarray,
+    rate: int = 8000,
+    bs0: int = 256,
+    bs1: int = 2048,
+    short_every: int = 0,
+    packets_per_page: int = 10,
+) -> bytes:
+    """Encoder twin: a spec-valid Ogg Vorbis stream coding ``signal``
+    (float [-1, 1], shape [n] or [n, ch]) with flat floor1 + a uniform
+    [-1, 1] residue grid (lookup-1 lattice, 64 levels -> ~36 dB
+    setpoint). ``short_every=k`` makes every k-th frame a short block
+    (exercising hybrid window laps); 0 = all long. The analysis MDCT
+    carries the 2/n2 TDAC normalization so the decode side is the
+    spec's unscaled IMDCT. Framing is closed-form for the gate:
+    n_audio_packets = ceil(samples/(bs/2)) + 1 primer (all-long), one
+    page per ``packets_per_page`` audio packets."""
+    if signal.ndim == 1:
+        signal = signal[:, None]
+    n_samples, ch = signal.shape
+    flags = []  # blockflag per frame
+    sizes = []
+    total = 0
+    i = 0
+    while total < n_samples:
+        short = short_every > 0 and i > 0 and i % short_every == 0
+        flags.append(0 if short else 1)
+        n = bs0 if short else bs1
+        sizes.append(n)
+        if i > 0:
+            total += (sizes[i - 1] + n) // 4
+        i += 1
+    # centers/starts in padded coordinates (front pad aligns signal
+    # sample 0 with the first emission boundary C0)
+    C = [sizes[0] // 2]
+    for a, b in zip(sizes, sizes[1:]):
+        C.append(C[-1] + (a + b) // 4)
+    pad_front = sizes[0] // 2
+    # a long frame ending after a following short frame reaches past
+    # C[-1] + sizes[-1]/2, so size by the largest block
+    padded = np.zeros((C[-1] + max(sizes), ch))
+    padded[pad_front : pad_front + n_samples] = signal
+    win_cache: dict[tuple, np.ndarray] = {}
+    mdct_cache: dict[int, np.ndarray] = {}
+    packets = []
+    for k, (n, flag) in enumerate(zip(sizes, flags)):
+        prev_long = flags[k - 1] == 1 if k > 0 else True
+        next_long = flags[k + 1] == 1 if k + 1 < len(flags) else True
+        wkey = (n, flag and prev_long, flag and next_long)
+        w = win_cache.get(wkey)
+        if w is None:
+            ls, le = (0, n // 2) if (not flag or prev_long) else (n // 4 - bs0 // 4, n // 4 + bs0 // 4)
+            rs, re = (n // 2, n) if (not flag or next_long) else (3 * n // 4 - bs0 // 4, 3 * n // 4 + bs0 // 4)
+            w = np.zeros(n)
+            w[ls:le] = _vorbis_slope(le - ls)
+            w[le:rs] = 1.0
+            w[rs:re] = _vorbis_slope(re - rs)[::-1]
+            win_cache[wkey] = w
+        M = mdct_cache.get(n)
+        if M is None:
+            kk = np.arange(n // 2, dtype=np.float64)
+            jj = np.arange(n, dtype=np.float64)
+            M = np.cos(2 * np.pi / n * np.outer(jj + 0.5 + n / 4, kk + 0.5))
+            mdct_cache[n] = M
+        start = C[k] - n // 2
+        frame = padded[start : start + n] * w[:, None]
+        X = frame.T @ M * (2.0 / (n // 2))  # [ch, n2], TDAC-normalized
+        packets.append(
+            _encode_frame(X, flag, prev_long, next_long, ch, n, bs1)
+        )
+    # Ogg encapsulation
+    serial = 0x11AD
+    hdrs = _twin_headers(rate, ch, bs0, bs1)
+    pages = [_ogg_page(serial, 0, 0x02, 0, [hdrs[0]])]
+    pages.append(_ogg_page(serial, 1, 0x00, 0, hdrs[1:]))
+    seq = 2
+    emitted = 0
+    for pstart in range(0, len(packets), packets_per_page):
+        group = packets[pstart : pstart + packets_per_page]
+        for gi in range(len(group)):
+            k = pstart + gi
+            if k > 0:
+                emitted += (sizes[k - 1] + sizes[k]) // 4
+        last = pstart + len(group) >= len(packets)
+        granule = min(emitted, n_samples) if last else emitted
+        pages.append(
+            _ogg_page(serial, seq, 0x04 if last else 0x00, granule, group)
+        )
+        seq += 1
+    return b"".join(pages)
+
+
+def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1):
+    """One audio packet: flat floor at the smallest dB level covering
+    max|X| per channel, residue = X/floor snapped to the decoder's own
+    reconstructed grid values."""
+    bw = _BitWriter()
+    bw.write(0, 1)           # audio packet
+    bw.write(1 if blockflag else 0, 1)   # mode number (ilog(1) = 1 bit)
+    if blockflag:
+        bw.write(1 if prev_long else 0, 1)
+        bw.write(1 if next_long else 0, 1)
+    n2 = n // 2
+    floors = np.empty(ch)
+    for c in range(ch):
+        peak = np.abs(X[c]).max()
+        level = int(np.searchsorted(_INV_DB, min(peak, 1.0)))
+        level = min(level, 255)
+        floors[c] = _INV_DB[level]
+        bw.write(1, 1)       # floor nonzero
+        bw.write(level, 8)   # y0
+        bw.write(level, 8)   # y1
+        bw.write_codeword(0, 6)  # partition point -> subbook entry 0
+    # residue type 2: one interleaved vector over all channels
+    flat = np.empty(n2 * ch)
+    for c in range(ch):
+        flat[c::ch] = X[c] / floors[c]
+    limit_end = min((bs1 // 2) * ch, n2 * ch)
+    to_read = limit_end // _PART_SIZE
+    idx = np.clip(np.round((flat - _Q_MIN) / _Q_DELTA), 0, _GRID - 1).astype(int)
+    pcount = 0
+    while pcount < to_read:
+        bw.write_codeword(0, 4)  # classword: all classes 0
+        for _ in range(_CLASS_DIMS):
+            if pcount >= to_read:
+                break
+            off = pcount * _PART_SIZE
+            for j in range(_PART_SIZE):
+                bw.write_codeword(int(idx[off + j]), _VQ_LEN)
+            pcount += 1
+    return bw.getvalue()
