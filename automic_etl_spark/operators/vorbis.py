@@ -93,33 +93,35 @@ class _BitReader:
 
 
 class _BitWriter:
-    __slots__ = ("bytes_", "bit", "cur")
+    __slots__ = ("bytes_", "acc", "nacc")
 
     def __init__(self):
         self.bytes_ = bytearray()
-        self.bit = 0
-        self.cur = 0
+        self.acc = 0
+        self.nacc = 0
 
     def write(self, value: int, n: int):
-        for i in range(n):
-            if (value >> i) & 1:
-                self.cur |= 1 << self.bit
-            self.bit += 1
-            if self.bit == 8:
-                self.bytes_.append(self.cur)
-                self.cur = 0
-                self.bit = 0
+        self.acc |= (value & ((1 << n) - 1)) << self.nacc
+        self.nacc += n
+        while self.nacc >= 8:
+            self.bytes_.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nacc -= 8
 
     def write_codeword(self, code: int, length: int):
         """Huffman codewords transmit tree-walk order: the codeword's
-        top bit is read first (spec 3.2.1) — reverse of scalar packing."""
-        for i in range(length - 1, -1, -1):
-            self.write((code >> i) & 1, 1)
+        top bit is read first (spec 3.2.1) — reverse of scalar packing,
+        so the code is bit-reversed before the LSb-first write."""
+        rev = 0
+        for _ in range(length):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.write(rev, length)
 
     def getvalue(self) -> bytes:
         out = bytes(self.bytes_)
-        if self.bit:
-            out += bytes([self.cur])
+        if self.nacc:
+            out += bytes([self.acc & 0xFF])
         return out
 
 
@@ -997,6 +999,11 @@ _MIN_PACKED = _float32_pack(-1.0)
 _DELTA_PACKED = _float32_pack(2.0 / (_GRID - 1))
 _Q_MIN = _float32_unpack(_MIN_PACKED)
 _Q_DELTA = _float32_unpack(_DELTA_PACKED)
+# bit-reversed grid codewords (complete uniform tree: codeword == entry)
+_VQ_REV = np.array(
+    [int(f"{m:0{_VQ_LEN}b}"[::-1], 2) for m in range(_VQ_ENTRIES)],
+    dtype=np.int64,
+)
 
 
 def _write_codebook_scalar(bw: _BitWriter, dims: int, entries: int, length: int):
@@ -1213,14 +1220,16 @@ def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1):
     limit_end = min((bs1 // 2) * ch, n2 * ch)
     to_read = limit_end // _PART_SIZE
     idx = np.clip(np.round((flat - _Q_MIN) / _Q_DELTA), 0, _GRID - 1).astype(int)
+    rev = _VQ_REV[idx].tolist()  # python ints: keeps the writer's
+    write = bw.write             # accumulator out of numpy fixed-width
     pcount = 0
     while pcount < to_read:
-        bw.write_codeword(0, 4)  # classword: all classes 0
+        write(0, 4)  # classword: all classes 0 (codeword 0 either order)
         for _ in range(_CLASS_DIMS):
             if pcount >= to_read:
                 break
             off = pcount * _PART_SIZE
             for j in range(_PART_SIZE):
-                bw.write_codeword(int(idx[off + j]), _VQ_LEN)
+                write(rev[off + j], _VQ_LEN)
             pcount += 1
     return bw.getvalue()

@@ -1387,3 +1387,70 @@ def q_zstd_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("raw").alias("raw_bytes"),
         F.sum("packed").alias("packed_bytes"),
     )
+
+
+def q_vorbis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis decode throughput (r11): ~1/41 of the corpus gets a
+    twin-encoded multi-tone clip (rate/length/channels cycling by
+    doc_id) decoded back to PCM in the SAME kernel (synth+decode fused —
+    blob bytes never cross Arrow twice, the mp3_walk lesson), reduced to
+    corpus totals. Prices the first-party compressed-audio decode lane
+    that acoustic-fingerprint dedup and log-mel training prep now take
+    on real .ogg crawls (before r11 those operators no-op'd on
+    compressed audio). The subset filter mirrors the real mix: decode
+    is ~0.1 s/clip of priced Python (PERFORMANCE.md), so the row
+    measures the lane without making the board about one codec."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.dedup import ensure_parallelism
+    from automic_etl_spark.operators.vorbis import decode_vorbis, synth_vorbis
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 41 == 0)
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                rate = (8000, 16000, 22050)[d % 3]
+                n = 3000 + (d % 5) * 1000
+                t = np.arange(n) / rate
+                sig = 0.35 * np.sin(2 * np.pi * (150 + 13 * (d % 29)) * t)
+                if d % 4 == 0:
+                    sig = np.stack(
+                        [sig, 0.25 * np.cos(2 * np.pi * 420 * t)], 1
+                    )
+                blob = synth_vorbis(
+                    sig, rate=rate, short_every=0 if d % 5 else 6
+                )
+                pcm, out_rate, _w = decode_vorbis(blob)
+                rows.append(
+                    (
+                        d,
+                        out_rate == rate and pcm.shape[0] == n,
+                        pcm.shape[0],
+                        len(blob),
+                        int(np.abs(pcm).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "ok", "n_samples", "ogg_bytes", "peak"],
+            )
+
+    out = docs.mapInPandas(
+        kernel,
+        "doc_id long, ok boolean, n_samples long, ogg_bytes long, peak long",
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_streams"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum("n_samples").alias("total_samples"),
+        F.sum("ogg_bytes").alias("total_ogg_bytes"),
+        F.max("peak").alias("max_peak"),
+    )

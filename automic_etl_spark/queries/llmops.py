@@ -2534,6 +2534,122 @@ ORACLE_TAIL["mp3_meta"] = ORACLE_MP3_META
 
 
 # --------------------------------------------------------------------------
+# Ogg Vorbis gate (operators/vorbis, r11) — streams are twin-encoded
+# executor-side from doc_id-derived parameters, then BOTH the structural
+# walk (vorbis_stream_info: Ogg paging, identification header, granule)
+# AND the full sample decode (decode_vorbis) run; the oracle replays the
+# framing/granule arithmetic in SQL, and the decoded_samples column
+# makes the gate prove the ENTIRE decode pipeline (codebooks, floor,
+# residue, IMDCT, overlap-add, granule truncation) lands the exact
+# SQL-predicted sample count. PCM values themselves are validated by
+# the SNR/structural battery in tests/test_vorbis.py (transform math
+# has no SQL form; the mp3_meta precedent).
+# --------------------------------------------------------------------------
+
+_VORBIS_N = 120
+
+
+def q_vorbis_meta_gate(spark, sf_dir):
+    """Structure + decode stats for 120 twin-encoded Vorbis streams
+    sweeping rate x channels x length (all-long 2048 frames, 10 audio
+    packets per page). Fused synth+walk+decode in ONE mapInPandas
+    kernel (map-only; the blob bytes never cross Arrow twice — the
+    mp3_walk lesson, PERFORMANCE.md r10)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _VORBIS_N)
+        .repartition(16)  # ~0.3 s/doc of Python codec work: spread it
+    )
+
+    schema = (
+        "doc_id long, sample_rate int, channels int, n_pages int, "
+        "n_packets int, n_audio_packets int, granule long, "
+        "duration_ms long, decoded_samples long, decoded_channels int"
+    )
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from automic_etl_spark.operators.vorbis import (
+            decode_vorbis,
+            synth_vorbis,
+            vorbis_stream_info,
+        )
+
+        for pdf in it:
+            rows = []
+            for rid in pdf["doc_id"]:
+                d = int(rid)
+                rate = (8000, 16000, 22050)[d % 3]
+                n_samples = 2000 + (d % 9) * 777
+                ch = 1 + (d // 4) % 2
+                t = np.arange(n_samples) / rate
+                sig = 0.4 * np.sin(2 * np.pi * (200 + 37 * (d % 11)) * t)
+                if ch == 2:
+                    sig = np.stack([sig, 0.3 * np.cos(2 * np.pi * 300 * t)], 1)
+                blob = synth_vorbis(sig, rate=rate)
+                info = vorbis_stream_info(blob)
+                pcm, _r, _w = decode_vorbis(blob)
+                rows.append(
+                    (
+                        d,
+                        info["sample_rate"],
+                        info["channels"],
+                        info["n_pages"],
+                        info["n_packets"],
+                        info["n_audio_packets"],
+                        info["granule"],
+                        info["duration_ms"],
+                        pcm.shape[0],
+                        pcm.shape[1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_pages",
+                    "n_packets", "n_audio_packets", "granule",
+                    "duration_ms", "decoded_samples", "decoded_channels",
+                ],
+            )
+
+    return docs.mapInPandas(kernel, schema).orderBy("doc_id")
+
+
+ORACLE_VORBIS_META = f"""
+WITH params AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS rate,
+         2000 + (doc_id % 9) * 777 AS n_samples,
+         1 + (doc_id // 4) % 2 AS ch
+  FROM documents WHERE doc_id < {_VORBIS_N}
+),
+framed AS (
+  -- all-long 2048 framing: one primer packet plus ceil(n/(2048/2))
+  -- emission packets; one Ogg page per 10 audio packets after the two
+  -- header pages; granule = exact sample count (tail-truncating)
+  SELECT p.*, (n_samples + 1023) // 1024 + 1 AS n_audio FROM params p
+)
+SELECT doc_id,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(2 + (n_audio + 9) // 10 AS INTEGER) AS n_pages,
+       CAST(n_audio + 3 AS INTEGER) AS n_packets,
+       CAST(n_audio AS INTEGER) AS n_audio_packets,
+       CAST(n_samples AS BIGINT) AS granule,
+       CAST(n_samples * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(n_samples AS BIGINT) AS decoded_samples,
+       CAST(ch AS INTEGER) AS decoded_channels
+FROM framed ORDER BY doc_id
+"""
+
+QUERIES_TAIL["vorbis_meta"] = q_vorbis_meta_gate
+ORACLE_TAIL["vorbis_meta"] = ORACLE_VORBIS_META
+
+
+# --------------------------------------------------------------------------
 # BM25 ranked-retrieval gate (operators/bm25, r10) — the whole retrieval
 # pipeline replays in DuckDB SQL: tokenize -> postings -> document
 # lengths -> corpus totals -> e6-quantized idf -> exact-integer tf

@@ -67,6 +67,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_mp3_walk,
     q_cdc_dedup,
     q_zstd_codec,
+    q_vorbis_decode,
     q_image_phash,
     q_image_phash_dedup,
     q_audio_fingerprint,
@@ -122,6 +123,7 @@ HEADLINE = {
     "mp3_walk": q_mp3_walk,
     "cdc_dedup": q_cdc_dedup,
     "zstd_codec": q_zstd_codec,
+    "vorbis_decode": q_vorbis_decode,
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,

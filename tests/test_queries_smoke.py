@@ -107,7 +107,10 @@ def test_registry_driver_window_prefix():
         "mp3_meta",  # r10: MPEG frame-walk arithmetic, full SQL replay
         "bm25_search",  # r10: ranked retrieval, full SQL replay
         "rake_keywords",  # r10: RAKE keyphrases, full SQL replay
-        "cdc_dedup",  # r10: gear-hash chunk dedup, rows-only (no SQL form)
+        "cdc_dedup",  # r10: gear-hash chunk dedup; r11: full SQL replay
+        # (md5-chain blobs + gear closed form + boundary recursion)
+        "vorbis_meta",  # r11: Ogg Vorbis framing/granule arithmetic +
+        # decoded-sample-count proof, full SQL replay
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (paging keeps sort/limit coverage via the window and

@@ -69,6 +69,7 @@ def _workloads():
         q_mp3_walk,
         q_cdc_dedup,
         q_zstd_codec,
+        q_vorbis_decode,
         q_image_phash,
         q_image_phash_dedup,
         q_ivf_build_search,
@@ -110,6 +111,7 @@ def _workloads():
         "mp3_walk": q_mp3_walk,
         "cdc_dedup": q_cdc_dedup,
         "zstd_codec": q_zstd_codec,
+        "vorbis_decode": q_vorbis_decode,
         "g711_decode": q_g711_decode,
         "audio_fingerprint": q_audio_fingerprint,
         "ann_join": q_ann_join,
