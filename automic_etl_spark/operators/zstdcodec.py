@@ -28,11 +28,15 @@ directly:
   `_huf_build` the decoder uses, direct 4-bit weight serialization,
   single- and four-stream sections, Huffman-only nbseq=0 blocks for
   matchless content), RLE blocks for constant runs, and raw fallbacks
-  everywhere a packed form would not be smaller. One documented
-  encoder limitation: direct weight lists cap at 128 entries, so
-  literal alphabets whose last present byte is > 127 (non-ASCII text,
-  binary) fall back to raw literals — FSE-compressed weights are a
-  decoder-only path here. XXH64 checksum emitted.
+  everywhere a packed form would not be smaller. r11 closed the r10
+  limitation: the encoder now serializes FSE-COMPRESSED weight streams
+  (normalized-count description + the two-state interleaved backward
+  bitstream, states chosen through the module's own decode tables and
+  terminated by the spec's bit-exhaustion rule), so literal alphabets
+  whose last present byte is > 127 (non-ASCII text, binary) entropy-
+  code instead of falling back to raw — direct 4-bit weights are still
+  emitted whenever they are the shorter description. XXH64 checksum
+  emitted.
 
 Reference parity is pinned against the REAL ``zstd`` CLI binary present
 in the image (tests/test_zstd.py, skip-if-absent): the decoder must
@@ -893,10 +897,134 @@ def _huf_lengths(hist: list[int], max_len: int = 11) -> list[int] | None:
     return lengths
 
 
+def _fse_normalize(hist: list[int], acc_log: int) -> list[int] | None:
+    """Largest-remainder normalization of a histogram to 2^acc_log with
+    every present symbol >= 1 (no 'less than 1' slots — simpler, always
+    legal). None when fewer than two symbols or the table can't fit."""
+    total = sum(hist)
+    size = 1 << acc_log
+    present = [s for s, c in enumerate(hist) if c]
+    if len(present) < 2 or size < len(present):
+        return None
+    probs = [0] * (present[-1] + 1)
+    for s in present:
+        probs[s] = max(1, (hist[s] * size) // total)
+    acc = sum(probs)
+    while acc > size:
+        s = max(
+            (s for s in present if probs[s] > 1),
+            key=lambda s: probs[s] / hist[s],
+        )
+        probs[s] -= 1
+        acc -= 1
+    while acc < size:
+        s = max(present, key=lambda s: hist[s] / probs[s])
+        probs[s] += 1
+        acc += 1
+    return probs
+
+
+def _fse_write_ncount(probs: list[int], acc_log: int) -> bytes:
+    """Serialize a normalized-count table description — the exact
+    inverse of ``_fse_read_ncount`` (forward LSB-first, variable-width
+    counts with the shrinking threshold, 2-bit zero-repeat flags,
+    byte-aligned end)."""
+    w = _FwdWriter()
+    w.write(acc_log - 5, 4)
+    remaining = (1 << acc_log) + 1
+    threshold = 1 << acc_log
+    nb = acc_log + 1
+    i = 0
+    while i < len(probs) and remaining > 1:
+        p = probs[i]
+        i += 1
+        c = p + 1  # stored value 0 means probability -1 (unused here)
+        maxv = (2 * threshold - 1) - remaining
+        if c < maxv:
+            w.write(c, nb - 1)
+        else:
+            w.write(c + maxv if c >= threshold else c, nb)
+        remaining -= p
+        if p == 0:
+            run = 0
+            while i < len(probs) and probs[i] == 0:
+                run += 1
+                i += 1
+            while run >= 3:
+                w.write(3, 2)
+                run -= 3
+            w.write(run, 2)
+        while remaining > 1 and remaining < threshold:
+            nb -= 1
+            threshold >>= 1
+    if remaining != 1:
+        raise ZstdError("ncount serialization did not close")
+    if w.nbits:
+        w.out.append(w.acc & 0xFF)
+        w.acc = 0
+        w.nbits = 0
+    return bytes(w.out)
+
+
+_WEIGHT_AL = 6  # §4.2.1.1: weight FSE accuracy_log bound
+
+
+def _fse_encode_weights(emit: list[int]) -> bytes | None:
+    """FSE-compressed Huffman weight stream (§4.2.1.1): headerByte < 128
+    = compressed size, then ncount + the two-state interleaved backward
+    bitstream. States are chosen backward through the module's OWN
+    decode table (the sequences-encoder pattern — the two directions
+    cannot drift). The decoder's terminator is bit exhaustion: it emits
+    weights until a state update over-reads, so the stream carries init
+    states + updates u1..u_{n-2} exactly, and the state emitting
+    W[n-2] must have nbits > 0 so the unwritten u_{n-1} over-reads.
+    None when the alphabet/size can't be expressed profitably."""
+    n = len(emit)
+    if n < 2:
+        return None
+    max_w = max(emit)
+    hist = [0] * (max_w + 1)
+    for v in emit:
+        hist[v] += 1
+    probs = _fse_normalize(hist, _WEIGHT_AL)
+    if probs is None:
+        return None
+    ncount = _fse_write_ncount(probs, _WEIGHT_AL)
+    table = _fse_build_dtable(probs, _WEIGHT_AL)
+    enc = _build_enc(table, 1 << _WEIGHT_AL)
+    states = [0] * n
+    states[n - 1] = next(
+        st for st, (s, _nb, _b) in enumerate(table) if s == emit[n - 1]
+    )
+    try:
+        states[n - 2] = next(
+            st
+            for st, (s, nb_, _b) in enumerate(table)
+            if s == emit[n - 2] and nb_ > 0
+        )
+    except StopIteration:
+        return None  # single-state symbol: exhaustion couldn't trigger
+    upd: list[tuple[int, int]] = [(0, 0)] * (n - 2)
+    for k in range(n - 3, -1, -1):
+        st, nbits = enc[emit[k]][states[k + 2]]
+        states[k] = st
+        upd[k] = (states[k + 2] - table[st][2], nbits)
+    reads = [(states[0], _WEIGHT_AL), (states[1], _WEIGHT_AL)] + upd
+    w = _FwdWriter()
+    for v, nb_ in reversed(reads):
+        w.write(v, nb_)
+    payload = ncount + w.finish_backward()
+    if len(payload) >= 128:
+        return None
+    return bytes([len(payload)]) + payload
+
+
 def _huf_encode_literals(lit: bytes) -> bytes | None:
     """A complete Huffman-compressed literals section, or None when raw
-    is at least as small (or the format can't express the alphabet with
-    direct 4-bit weights — last present symbol > 127)."""
+    is at least as small. The tree description is direct 4-bit weights
+    or (r11) an FSE-compressed weight stream — whichever is shorter;
+    FSE lifts the 128-entry direct cap, so binary / non-ASCII literal
+    alphabets entropy-code instead of falling back to raw."""
     rs = len(lit)
     if rs < 32:
         return None
@@ -908,19 +1036,26 @@ def _huf_encode_literals(lit: bytes) -> bytes | None:
         return None
     present = [s for s, ln in enumerate(lengths) if ln]
     last = present[-1]
-    if last > 127:
-        return None  # direct weight list caps at 128 entries
     max_bits = max(lengths[s] for s in present)
     weights = [0] * (last + 1)
     for s in present:
         weights[s] = max_bits + 1 - lengths[s]
     # the LAST present symbol's weight is implied; emit the rest
     emit = weights[:last]
-    tree = bytearray([127 + len(emit)])
-    for i in range(0, len(emit), 2):
-        hi = emit[i] << 4
-        lo = emit[i + 1] if i + 1 < len(emit) else 0
-        tree.append(hi | lo)
+    direct = None
+    if last <= 127:
+        direct = bytearray([127 + len(emit)])
+        for i in range(0, len(emit), 2):
+            hi = emit[i] << 4
+            lo = emit[i + 1] if i + 1 < len(emit) else 0
+            direct.append(hi | lo)
+    fse_tree = _fse_encode_weights(emit)
+    if direct is not None and (fse_tree is None or len(direct) <= len(fse_tree)):
+        tree = direct
+    elif fse_tree is not None:
+        tree = bytearray(fse_tree)
+    else:
+        return None
     # canonical code assignment must mirror _huf_build exactly
     max_len_t, lut = _huf_build(emit)
     codes: dict[int, tuple[int, int]] = {}

@@ -960,8 +960,12 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             n_rows, n_bytes, checksum = 0, 0, 0
             for i in range(0, len(recs), 200):
+                # alternate the two everyday first-party block codecs so
+                # BOTH carry a measured cost on this row (r11 verdict
+                # item 5; zstandard has its own zstd_codec row)
+                codec = "deflate" if (i // 200) % 2 == 0 else "snappy"
                 blob = write_ocf(
-                    recs[i : i + 200], schema, codec="deflate", block_rows=64
+                    recs[i : i + 200], schema, codec=codec, block_rows=64
                 )
                 n_bytes += len(blob)
                 _, back = decode_ocf_bytes(blob)
@@ -1362,30 +1366,44 @@ def q_zstd_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
         for pdf in it:
             rows = []
             for rid in pdf["doc_id"]:
                 d = int(rid)
-                payload = (
-                    b"doc %d: the quick brown fox %d jumps; " % (d, d * d % 977)
-                ) * (1600 + d % 200)
+                if d % 3 == 2:
+                    # binary arm (r11): high-byte skewed payload with
+                    # repeated runs — prices the FSE-compressed-weight
+                    # literal path the r10 board never measured (it was
+                    # a raw-literal fallback then)
+                    rng = np.random.RandomState(d % 65536)
+                    payload = bytes(
+                        rng.randint(96, 256, 16384).astype(np.uint8)
+                    ) * (3 + d % 3)
+                else:
+                    payload = (
+                        b"doc %d: the quick brown fox %d jumps; "
+                        % (d, d * d % 977)
+                    ) * (1600 + d % 200)
                 frame = zstd_compress(payload)
                 back = zstd_decompress(frame)
                 rows.append(
-                    (d, len(payload), len(frame), back == payload)
+                    (d, d % 3 == 2, len(payload), len(frame), back == payload)
                 )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "raw", "packed", "ok"]
+                rows, columns=["doc_id", "binary", "raw", "packed", "ok"]
             )
 
     out = docs.mapInPandas(
-        kernel, "doc_id long, raw long, packed long, ok boolean"
+        kernel, "doc_id long, binary boolean, raw long, packed long, ok boolean"
     )
     return out.agg(
         F.count(F.lit(1)).alias("n_blobs"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_ok"),
         F.sum("raw").alias("raw_bytes"),
         F.sum("packed").alias("packed_bytes"),
+        F.sum(F.when(F.col("binary"), F.col("packed"))).alias("binary_packed"),
     )
 
 
