@@ -17,9 +17,11 @@ directly:
   weights, the sequences section in all four symbol-compression modes
   (predefined / RLE / FSE / repeat), the three-slot repeat-offset
   history with the literals_length==0 shift, backward bitstreams, and
-  XXH64 content-checksum verification. Dictionaries are the one
-  honest gate (``dictionary_id != 0`` raises — dict-trained frames
-  can't be decoded without the dictionary by definition).
+  XXH64 content-checksum verification. Caller-supplied-dictionary
+  decode (r11): ``zstd --train`` dictionaries parse fully (id, Huffman
+  + OF/ML/LL FSE seed tables, rep offsets, window-prefix content) and
+  raw blobs work as content dictionaries; a dict frame WITHOUT the
+  dictionary still raises the honest gate (undecodable by definition).
 - ENCODER: real LZ77 compression — greedy 4-byte hash matching,
   sequences encoded with the spec's PREDEFINED FSE distributions
   (encode transitions are derived from this module's own decode
@@ -580,21 +582,84 @@ def _decode_block(block: bytes, out: bytearray, frame_state: dict) -> None:
     out += literals[lpos:]
 
 
-def zstd_decompress(data: bytes, max_output: int | None = None) -> bytes:
+_DICT_MAGIC = 0xEC30A437
+
+
+class ZstdDictionary:
+    """A parsed zstd dictionary (RFC 8878 §5) usable for decode.
+
+    Structured dictionaries (``zstd --train`` output, magic
+    0xEC30A437) carry a dictionary id, seed entropy tables (Huffman
+    literals + OF/ML/LL FSE, entering frames as repeat-mode state),
+    the three initial repeat offsets, and content that prefixes the
+    match window. Any other blob is treated as a RAW CONTENT
+    dictionary: window prefix only, id 0, default entropy state."""
+
+    __slots__ = ("dict_id", "content", "huf", "tables", "reps")
+
+    def __init__(self, raw: bytes):
+        raw = bytes(raw)
+        self.dict_id = 0
+        self.huf = None
+        self.tables: dict = {}
+        self.reps = [1, 4, 8]
+        if len(raw) < 8 or int.from_bytes(raw[:4], "little") != _DICT_MAGIC:
+            self.content = raw
+            return
+        self.dict_id = int.from_bytes(raw[4:8], "little")
+        weights, pos = _huf_read_weights(raw, 8)
+        self.huf = _huf_build(weights)
+        # FSE seed tables in the spec's order: Offsets, Match Lengths,
+        # Literals Lengths (pinned empirically against `zstd --train`
+        # output in tests — frames compressed with the dict decode
+        # byte-exactly, which fails loudly under any other order)
+        for which in ("of", "ml", "ll"):
+            acc_log, probs, pos = _fse_read_ncount(raw, pos, _MAX_SYM[which])
+            limit = {"ll": 9, "ml": 9, "of": 8}[which]
+            if acc_log > limit:
+                raise ZstdError(
+                    f"dictionary {which} accuracy_log {acc_log} over bound"
+                )
+            self.tables[which] = (_fse_build_dtable(probs, acc_log), acc_log)
+        reps = [
+            int.from_bytes(raw[pos + 4 * i : pos + 4 * i + 4], "little")
+            for i in range(3)
+        ]
+        if len(raw) < pos + 12 or any(r == 0 for r in reps):
+            raise ZstdError("dictionary repeat offsets invalid")
+        self.reps = reps
+        self.content = raw[pos + 12 :]
+
+
+def zstd_decompress(
+    data: bytes,
+    max_output: int | None = None,
+    dictionary: bytes | ZstdDictionary | None = None,
+) -> bytes:
     """Decode one or more concatenated zstd frames (RFC 8878).
     Total on arbitrary bytes: malformed input raises ZstdError (or
-    NotImplementedError for dictionary frames), never an internal
-    IndexError/struct.error. ``max_output`` bounds the decompressed
-    size as blocks accrete (decompression-bomb guard for hostile
-    archive members — a few-hundred-byte frame of RLE blocks can
-    otherwise expand without limit)."""
+    NotImplementedError for dictionary frames when no ``dictionary``
+    is supplied — they are undecodable without it by definition),
+    never an internal IndexError/struct.error. ``max_output`` bounds
+    the decompressed size as blocks accrete (decompression-bomb guard
+    for hostile archive members). ``dictionary`` accepts the raw bytes
+    of a ``zstd --train`` dictionary (or any blob as a raw content
+    dictionary) — pass a pre-parsed ``ZstdDictionary`` to amortize the
+    parse across many frames (.zst archive collections ship one dict
+    for thousands of members)."""
     try:
-        return _decompress(data, max_output)
+        if dictionary is not None and not isinstance(dictionary, ZstdDictionary):
+            dictionary = ZstdDictionary(dictionary)
+        return _decompress(data, max_output, dictionary)
     except (IndexError, struct.error) as e:
         raise ZstdError(f"truncated or malformed frame: {e}") from e
 
 
-def _decompress(data: bytes, max_output: int | None = None) -> bytes:
+def _decompress(
+    data: bytes,
+    max_output: int | None = None,
+    dictionary: ZstdDictionary | None = None,
+) -> bytes:
     out = bytearray()
     pos = 0
     n = len(data)
@@ -624,11 +689,19 @@ def _decompress(data: bytes, max_output: int | None = None) -> bytes:
         if not single:
             pos += 1  # window descriptor (whole frame is held in memory)
         if did_size:
-            if int.from_bytes(data[pos : pos + did_size], "little") != 0:
-                raise NotImplementedError(
-                    "dictionary-trained zstd frame: dictionaries are not "
-                    "supported (the frame is undecodable without the dict)"
-                )
+            did = int.from_bytes(data[pos : pos + did_size], "little")
+            if did != 0:
+                if dictionary is None:
+                    raise NotImplementedError(
+                        "dictionary-trained zstd frame: pass the trained "
+                        "dictionary bytes via the `dictionary` argument "
+                        "(the frame is undecodable without it)"
+                    )
+                if dictionary.dict_id not in (0, did):
+                    raise ZstdError(
+                        f"frame wants dictionary id {did}, supplied "
+                        f"dictionary has id {dictionary.dict_id}"
+                    )
             pos += did_size
         fcs = None
         fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
@@ -637,8 +710,20 @@ def _decompress(data: bytes, max_output: int | None = None) -> bytes:
             if fcs_bytes == 2:
                 fcs += 256
             pos += fcs_bytes
-        frame_state = {"reps": [1, 4, 8], "huf": None}
-        frame_start = len(out)
+        # a supplied dictionary applies to every frame (frames written
+        # with --no-dictID carry did 0 but still need the dict)
+        if dictionary is not None:
+            frame_state = {
+                "reps": list(dictionary.reps),
+                "huf": dictionary.huf,
+                **dictionary.tables,
+            }
+            fout = bytearray(dictionary.content)
+        else:
+            frame_state = {"reps": [1, 4, 8], "huf": None}
+            fout = out
+        prefix_len = len(fout) if fout is not out else None
+        frame_start = len(fout)
         while True:
             if n - pos < 3:
                 raise ZstdError("truncated block header")
@@ -646,31 +731,34 @@ def _decompress(data: bytes, max_output: int | None = None) -> bytes:
             pos += 3
             last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
             if btype == 0:
-                out += data[pos : pos + bsize]
+                fout += data[pos : pos + bsize]
                 pos += bsize
             elif btype == 1:
-                out += data[pos : pos + 1] * bsize
+                fout += data[pos : pos + 1] * bsize
                 pos += 1
             elif btype == 2:
                 block = data[pos : pos + bsize]
                 if len(block) < bsize:
                     raise ZstdError("truncated compressed block")
-                _decode_block(block, out, frame_state)
+                _decode_block(block, fout, frame_state)
                 pos += bsize
             else:
                 raise ZstdError("reserved block type")
-            if max_output is not None and len(out) > max_output:
+            produced = len(out) if fout is out else len(out) + len(fout) - prefix_len
+            if max_output is not None and produced > max_output:
                 raise ZstdError("decompressed size exceeds max_output")
             if last:
                 break
-        if fcs is not None and len(out) - frame_start != fcs:
+        if fcs is not None and len(fout) - frame_start != fcs:
             raise ZstdError("frame content size mismatch")
         if checksum:
             want = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4
-            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            got = xxh64(bytes(fout[frame_start:])) & 0xFFFFFFFF
             if got != want:
                 raise ZstdError("content checksum mismatch")
+        if fout is not out:
+            out += fout[frame_start:]
     if not saw_frame:
         raise ZstdError("no zstd frame present")
     return bytes(out)

@@ -310,3 +310,67 @@ def test_max_block_bound_respected():
     data = os.urandom(MAX_BLOCK * 2 + 17)  # incompressible -> raw blocks
     frame = zstd_compress(data)
     assert zstd_decompress(frame) == data
+
+
+@needs_cli
+def test_trained_dictionary_decode_matches_cli(tmp_path):
+    """r11 (verdict item 6): caller-supplied-dictionary decode. A real
+    `zstd --train` dictionary is parsed (magic, id, Huffman + OF/ML/LL
+    FSE seed tables — order pinned empirically here: any other order
+    fails these byte-exact decodes — rep offsets, window content) and
+    frames the CLI compressed WITH the dict decode byte-exactly.
+    Raw-content dictionaries (no magic) work as window prefixes."""
+    import random
+
+    from automic_etl_spark.operators.zstdcodec import ZstdDictionary
+
+    random.seed(23)
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    paths = []
+    for i in range(120):
+        txt = "".join(
+            "SELECT col_a, col_b FROM table_%d WHERE id = %d AND s = '%s';\n"
+            % (i % 7, i * j, f"user{j % 40}")
+            for j in range(40)
+        )
+        p = samples / f"s{i}.txt"
+        p.write_text(txt)
+        paths.append(str(p))
+    dict_path = tmp_path / "dict.bin"
+    r = subprocess.run(
+        [ZSTD_BIN, "--train", *paths, "-o", str(dict_path),
+         "--maxdict=8192", "-f"],
+        capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr.decode()[-300:]
+    dic = dict_path.read_bytes()
+    zd = ZstdDictionary(dic)
+    assert zd.dict_id != 0 and len(zd.content) > 0
+    assert set(zd.tables) == {"of", "ml", "ll"} and zd.huf is not None
+
+    payload = (samples / "s3.txt").read_bytes()
+    for lvl in ("-1", "-19"):
+        frame = subprocess.run(
+            [ZSTD_BIN, "-c", lvl, "-D", str(dict_path)],
+            input=payload, capture_output=True,
+        ).stdout
+        # raw bytes and pre-parsed dictionary both accepted
+        assert zstd_decompress(frame, dictionary=dic) == payload
+        assert zstd_decompress(frame, dictionary=zd) == payload
+        # no dict -> honest gate; wrong dict id -> loud error
+        with pytest.raises(NotImplementedError, match="dictionary"):
+            zstd_decompress(frame)
+        bad = bytearray(dic)
+        bad[4] ^= 0xFF
+        with pytest.raises(ZstdError, match="dictionary id"):
+            zstd_decompress(frame, dictionary=bytes(bad))
+
+    # raw content dictionary: window-prefix-only semantics
+    raw_dict = payload[:4000]
+    rd_path = tmp_path / "raw.bin"
+    rd_path.write_bytes(raw_dict)
+    frame = subprocess.run(
+        [ZSTD_BIN, "-c", "-D", str(rd_path)], input=payload, capture_output=True
+    ).stdout
+    assert zstd_decompress(frame, dictionary=raw_dict) == payload
