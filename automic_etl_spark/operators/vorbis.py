@@ -988,6 +988,10 @@ def vorbis_stream_info(data: bytes) -> dict | None:
 # lookup-1 lattice trivially complete (entries == grid) and the 4096
 # levels put the flat-floor grid noise ~34 dB under a full-scale tone
 # (validated pipeline SNR == pure-quantization simulation SNR).
+# delta = 1/2048 (not 2/(grid-1)): base-grid values i*d - 1 and their
+# pairwise DIFFERENCES (i-j)*d then both land exactly on the wide
+# coupled lattice m*d - 2, which is what makes square-polar coupling
+# exactly invertible through quantization (see _encode_frame).
 _GRID = 4096             # multiplicand count (lookup type 1 lattice)
 _VQ_DIMS = 1
 _VQ_ENTRIES = _GRID**_VQ_DIMS          # complete tree at length 12
@@ -996,12 +1000,23 @@ _CLASS_DIMS = 4
 _CLASS_ENTRIES = 16                    # 2 classifications ** 4 classwords
 _PART_SIZE = 32
 _MIN_PACKED = _float32_pack(-1.0)
-_DELTA_PACKED = _float32_pack(2.0 / (_GRID - 1))
+_DELTA_PACKED = _float32_pack(1.0 / 2048)
 _Q_MIN = _float32_unpack(_MIN_PACKED)
 _Q_DELTA = _float32_unpack(_DELTA_PACKED)
-# bit-reversed grid codewords (complete uniform tree: codeword == entry)
+# wide lattice for the coupled (magnitude, angle) domain: same step,
+# range [-2, 2] — every base value (m = i + 2048) and every difference
+# (m = i - j + 4096) is an exact entry
+_WGRID = 8192
+_WLEN = 13
+_WMIN_PACKED = _float32_pack(-2.0)
+_W_MIN = _float32_unpack(_WMIN_PACKED)
+# bit-reversed grid codewords (complete uniform trees: codeword == entry)
 _VQ_REV = np.array(
     [int(f"{m:0{_VQ_LEN}b}"[::-1], 2) for m in range(_VQ_ENTRIES)],
+    dtype=np.int64,
+)
+_WVQ_REV = np.array(
+    [int(f"{m:0{_WLEN}b}"[::-1], 2) for m in range(_WGRID)],
     dtype=np.int64,
 )
 
@@ -1017,27 +1032,36 @@ def _write_codebook_scalar(bw: _BitWriter, dims: int, entries: int, length: int)
     bw.write(0, 4)  # lookup type 0
 
 
-def _write_codebook_grid(bw: _BitWriter):
-    """The residue VQ book: lookup type 1 lattice of _GRID uniform
-    multiplicands spanning [-1, 1], complete uniform-length tree (so the
-    canonical codeword of entry e is just e in _VQ_LEN bits)."""
+def _write_codebook_grid(
+    bw: _BitWriter,
+    entries: int = _VQ_ENTRIES,
+    length: int = _VQ_LEN,
+    min_packed: int = _MIN_PACKED,
+):
+    """A residue VQ book: lookup type 1 lattice of ``entries`` uniform
+    multiplicands stepping _Q_DELTA from the packed minimum, complete
+    uniform-length tree (so the canonical codeword of entry e is just e
+    in ``length`` bits). Base book spans [-1, ~1]; the wide coupled
+    book spans [-2, ~2] on the same step."""
     bw.write(0x564342, 24)
     bw.write(_VQ_DIMS, 16)
-    bw.write(_VQ_ENTRIES, 24)
+    bw.write(entries, 24)
     bw.write(0, 1)
     bw.write(0, 1)
-    for _ in range(_VQ_ENTRIES):
-        bw.write(_VQ_LEN - 1, 5)
+    for _ in range(entries):
+        bw.write(length - 1, 5)
     bw.write(1, 4)  # lookup type 1
-    bw.write(_MIN_PACKED, 32)
+    bw.write(min_packed, 32)
     bw.write(_DELTA_PACKED, 32)
-    bw.write(12 - 1, 4)  # value_bits = 12 (mults 0.._GRID-1)
+    bw.write(length - 1, 4)  # value_bits covers 0..entries-1
     bw.write(0, 1)  # sequence_p
-    for m in range(_GRID):
-        bw.write(m, 12)
+    for m in range(entries):
+        bw.write(m, length)
 
 
-def _twin_headers(rate: int, channels: int, bs0: int, bs1: int) -> list[bytes]:
+def _twin_headers(
+    rate: int, channels: int, bs0: int, bs1: int, coupling: bool = False
+) -> list[bytes]:
     ident = (
         b"\x01vorbis"
         + struct.pack("<IB I i i i", 0, channels, rate, 0, 0, 0)
@@ -1051,10 +1075,12 @@ def _twin_headers(rate: int, channels: int, bs0: int, bs1: int) -> list[bytes]:
         + b"\x01"
     )
     bw = _BitWriter()
-    bw.write(2, 8)  # 3 codebooks
+    bw.write(3 if coupling else 2, 8)  # 3 (+ wide coupled) codebooks
     _write_codebook_scalar(bw, _CLASS_DIMS, _CLASS_ENTRIES, 4)   # 0: classbook
     _write_codebook_grid(bw)                                     # 1: residue VQ
     _write_codebook_scalar(bw, 1, 64, 6)                         # 2: floor subbook
+    if coupling:
+        _write_codebook_grid(bw, _WGRID, _WLEN, _WMIN_PACKED)    # 3: wide
     bw.write(0, 6)        # 1 time transform
     bw.write(0, 16)
     bw.write(0, 6)        # 1 floor
@@ -1077,12 +1103,18 @@ def _twin_headers(rate: int, channels: int, bs0: int, bs1: int) -> list[bytes]:
     for _ in range(2):    # cascade: pass 0 only, both classes
         bw.write(1, 3)
         bw.write(0, 1)
-    for _ in range(2):
-        bw.write(1, 8)    # pass-0 book = codebook 1
+    for _ in range(2):    # pass-0 book: wide lattice when coupling
+        bw.write(3 if coupling else 1, 8)
     bw.write(0, 6)        # 1 mapping
     bw.write(0, 16)       # type 0
     bw.write(0, 1)        # 1 submap
-    bw.write(0, 1)        # no coupling
+    if coupling:
+        bw.write(1, 1)    # square-polar coupling
+        bw.write(0, 8)    # 1 step
+        bw.write(0, 1)    # magnitude = channel 0 (ilog(ch-1) = 1 bit)
+        bw.write(1, 1)    # angle = channel 1
+    else:
+        bw.write(0, 1)    # no coupling
     bw.write(0, 2)        # reserved
     bw.write(0, 8)        # time
     bw.write(0, 8)        # floor 0
@@ -1107,6 +1139,7 @@ def synth_vorbis(
     bs1: int = 2048,
     short_every: int = 0,
     packets_per_page: int = 10,
+    coupling: bool = False,
 ) -> bytes:
     """Encoder twin: a spec-valid Ogg Vorbis stream coding ``signal``
     (float [-1, 1], shape [n] or [n, ch]) with flat floor1 + a uniform
@@ -1120,6 +1153,8 @@ def synth_vorbis(
     if signal.ndim == 1:
         signal = signal[:, None]
     n_samples, ch = signal.shape
+    if coupling and ch != 2:
+        raise ValueError("square-polar coupling needs exactly 2 channels")
     flags = []  # blockflag per frame
     sizes = []
     total = 0
@@ -1168,11 +1203,11 @@ def synth_vorbis(
         frame = padded[start : start + n] * w[:, None]
         X = frame.T @ M * (2.0 / (n // 2))  # [ch, n2], TDAC-normalized
         packets.append(
-            _encode_frame(X, flag, prev_long, next_long, ch, n, bs1)
+            _encode_frame(X, flag, prev_long, next_long, ch, n, bs1, coupling)
         )
     # Ogg encapsulation
     serial = 0x11AD
-    hdrs = _twin_headers(rate, ch, bs0, bs1)
+    hdrs = _twin_headers(rate, ch, bs0, bs1, coupling)
     pages = [_ogg_page(serial, 0, 0x02, 0, [hdrs[0]])]
     pages.append(_ogg_page(serial, 1, 0x00, 0, hdrs[1:]))
     seq = 2
@@ -1192,10 +1227,15 @@ def synth_vorbis(
     return b"".join(pages)
 
 
-def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1):
+def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1, coupling=False):
     """One audio packet: flat floor at the smallest dB level covering
     max|X| per channel, residue = X/floor snapped to the decoder's own
-    reconstructed grid values."""
+    reconstructed grid values. With ``coupling``, the quantized
+    per-channel residues are square-polar FORWARD-transformed — the
+    exact inverse of the decoder's branch table, applied AFTER
+    quantization so every (magnitude, angle) value is an exact wide-
+    lattice point and the decode side reconstructs the base-grid
+    residues bit-for-bit."""
     bw = _BitWriter()
     bw.write(0, 1)           # audio packet
     bw.write(1 if blockflag else 0, 1)   # mode number (ilog(1) = 1 bit)
@@ -1214,14 +1254,36 @@ def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1):
         bw.write(level, 8)   # y1
         bw.write_codeword(0, 6)  # partition point -> subbook entry 0
     # residue type 2: one interleaved vector over all channels
-    flat = np.empty(n2 * ch)
-    for c in range(ch):
-        flat[c::ch] = X[c] / floors[c]
+    qidx = [
+        np.clip(
+            np.round((X[c] / floors[c] - _Q_MIN) / _Q_DELTA), 0, _GRID - 1
+        ).astype(np.int64)
+        for c in range(ch)
+    ]
+    if coupling:
+        xq = qidx[0] * _Q_DELTA + _Q_MIN
+        yq = qidx[1] * _Q_DELTA + _Q_MIN
+        c1 = (xq > 0) & (yq < xq)
+        c2 = (xq > 0) & (yq >= xq)
+        c3 = (xq <= 0) & (yq > xq)
+        mag = np.where(c1, xq, np.where(c2, yq, np.where(c3, xq, yq)))
+        ang = np.where(xq > 0, xq - yq, yq - xq)
+        mi = np.round((mag - _W_MIN) / _Q_DELTA).astype(np.int64)
+        ai = np.round((ang - _W_MIN) / _Q_DELTA).astype(np.int64)
+        flat_idx = np.empty(n2 * ch, dtype=np.int64)
+        flat_idx[0::2] = np.clip(mi, 0, _WGRID - 1)
+        flat_idx[1::2] = np.clip(ai, 0, _WGRID - 1)
+        rev = _WVQ_REV[flat_idx].tolist()
+        vq_len = _WLEN
+    else:
+        flat_idx = np.empty(n2 * ch, dtype=np.int64)
+        for c in range(ch):
+            flat_idx[c::ch] = qidx[c]
+        rev = _VQ_REV[flat_idx].tolist()  # python ints: keeps the writer's
+        vq_len = _VQ_LEN                  # accumulator out of numpy widths
     limit_end = min((bs1 // 2) * ch, n2 * ch)
     to_read = limit_end // _PART_SIZE
-    idx = np.clip(np.round((flat - _Q_MIN) / _Q_DELTA), 0, _GRID - 1).astype(int)
-    rev = _VQ_REV[idx].tolist()  # python ints: keeps the writer's
-    write = bw.write             # accumulator out of numpy fixed-width
+    write = bw.write
     pcount = 0
     while pcount < to_read:
         write(0, 4)  # classword: all classes 0 (codeword 0 either order)
@@ -1230,6 +1292,6 @@ def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1):
                 break
             off = pcount * _PART_SIZE
             for j in range(_PART_SIZE):
-                write(rev[off + j], _VQ_LEN)
+                write(rev[off + j], vq_len)
             pcount += 1
     return bw.getvalue()

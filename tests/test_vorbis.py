@@ -139,6 +139,31 @@ def test_roundtrip_stereo_and_small_blocks():
     assert snr_db(np.round(small * 32767), pcm[:, 0]) > 35
 
 
+def test_square_polar_coupling_roundtrip_is_exact():
+    """Coupled stereo (the path EVERY real stereo Vorbis file takes):
+    the twin square-polar forward transform is applied AFTER
+    quantization on a shared lattice, so the decoder's inverse branch
+    table must reconstruct the base-grid residues bit-for-bit — the
+    coupled decode equals the uncoupled decode of the same signal
+    EXACTLY, and any error in the four (M, A) branches or their
+    reverse-order application would break both assertions loudly."""
+    t = np.arange(RATE * 2) / RATE
+    st = np.stack(
+        [
+            0.5 * np.sin(2 * np.pi * 440 * t) + 0.1 * np.sin(2 * np.pi * 950 * t),
+            -0.45 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.cos(2 * np.pi * 620 * t),
+        ],
+        1,
+    )
+    plain, _, _ = decode_vorbis(synth_vorbis(st, rate=RATE, coupling=False))
+    coupled, _, _ = decode_vorbis(synth_vorbis(st, rate=RATE, coupling=True))
+    assert np.array_equal(plain, coupled)
+    for c in range(2):
+        assert snr_db(np.round(st[:, c] * 32767), coupled[:, c]) > 35
+    with pytest.raises(ValueError, match="coupling"):
+        synth_vorbis(st[:, 0], rate=RATE, coupling=True)
+
+
 def test_roundtrip_noise_is_transparent_enough():
     rng = np.random.RandomState(7)
     sig = np.clip(0.3 * rng.randn(RATE), -1, 1)
