@@ -1140,6 +1140,7 @@ def synth_vorbis(
     short_every: int = 0,
     packets_per_page: int = 10,
     coupling: bool = False,
+    floor_slope: int = 0,
 ) -> bytes:
     """Encoder twin: a spec-valid Ogg Vorbis stream coding ``signal``
     (float [-1, 1], shape [n] or [n, ch]) with flat floor1 + a uniform
@@ -1203,7 +1204,10 @@ def synth_vorbis(
         frame = padded[start : start + n] * w[:, None]
         X = frame.T @ M * (2.0 / (n // 2))  # [ch, n2], TDAC-normalized
         packets.append(
-            _encode_frame(X, flag, prev_long, next_long, ch, n, bs1, coupling)
+            _encode_frame(
+                X, flag, prev_long, next_long, ch, n, bs1, coupling,
+                floor_slope,
+            )
         )
     # Ogg encapsulation
     serial = 0x11AD
@@ -1227,15 +1231,23 @@ def synth_vorbis(
     return b"".join(pages)
 
 
-def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1, coupling=False):
-    """One audio packet: flat floor at the smallest dB level covering
-    max|X| per channel, residue = X/floor snapped to the decoder's own
-    reconstructed grid values. With ``coupling``, the quantized
-    per-channel residues are square-polar FORWARD-transformed — the
-    exact inverse of the decoder's branch table, applied AFTER
-    quantization so every (magnitude, angle) value is an exact wide-
-    lattice point and the decode side reconstructs the base-grid
-    residues bit-for-bit."""
+def _encode_frame(
+    X, blockflag, prev_long, next_long, ch, n, bs1, coupling=False,
+    floor_slope=0,
+):
+    """One audio packet: floor1 line from level+floor_slope down to the
+    smallest dB level covering max|X| per channel (slope 0 = the flat
+    default), residue = X/floor snapped to the decoder's own
+    reconstructed grid values. The per-bin curve is replayed through
+    the module's OWN _render_line + dB table, so a sloped floor
+    exercises the decoder's integer line algorithm end-to-end (the SNR
+    check against the source is the non-circular judge: a curve
+    mismatch mis-scales residues and craters it). With ``coupling``,
+    the quantized per-channel residues are square-polar
+    FORWARD-transformed — the exact inverse of the decoder's branch
+    table, applied AFTER quantization so every (magnitude, angle)
+    value is an exact wide-lattice point and the decode side
+    reconstructs the base-grid residues bit-for-bit."""
     bw = _BitWriter()
     bw.write(0, 1)           # audio packet
     bw.write(1 if blockflag else 0, 1)   # mode number (ilog(1) = 1 bit)
@@ -1243,20 +1255,25 @@ def _encode_frame(X, blockflag, prev_long, next_long, ch, n, bs1, coupling=False
         bw.write(1 if prev_long else 0, 1)
         bw.write(1 if next_long else 0, 1)
     n2 = n // 2
-    floors = np.empty(ch)
+    floor_vecs = []
     for c in range(ch):
         peak = np.abs(X[c]).max()
-        level = int(np.searchsorted(_INV_DB, min(peak, 1.0)))
-        level = min(level, 255)
-        floors[c] = _INV_DB[level]
+        level = min(int(np.searchsorted(_INV_DB, min(peak, 1.0))), 255)
+        y0 = min(level + floor_slope, 255)
         bw.write(1, 1)       # floor nonzero
-        bw.write(level, 8)   # y0
+        bw.write(y0, 8)      # y0
         bw.write(level, 8)   # y1
         bw.write_codeword(0, 6)  # partition point -> subbook entry 0
+        # replay the decoder's curve: line (0, y0) -> (1024, level),
+        # midpoint suppressed (val 0 -> step2 False), multiplier 1
+        curve = np.zeros(n2, dtype=np.int64)
+        _render_line(0, y0, 1 << 10, level, curve)
+        floor_vecs.append(_INV_DB[np.clip(curve, 0, 255)])
     # residue type 2: one interleaved vector over all channels
     qidx = [
         np.clip(
-            np.round((X[c] / floors[c] - _Q_MIN) / _Q_DELTA), 0, _GRID - 1
+            np.round((X[c] / floor_vecs[c] - _Q_MIN) / _Q_DELTA),
+            0, _GRID - 1,
         ).astype(np.int64)
         for c in range(ch)
     ]
