@@ -51,9 +51,12 @@ def sniff_compression(data: bytes) -> str | None:
     return None
 
 
-def _inflate(data: bytes, max_bytes: int) -> bytes | None:
+def _inflate(data: bytes, max_bytes: int, zstd_dictionary=None) -> bytes | None:
     """Decompress one gzip/bz2/xz/zstd payload with a size cap; None
-    when not compressed, corrupt, or over the cap."""
+    when not compressed, corrupt, or over the cap. ``zstd_dictionary``
+    (raw ``zstd --train`` bytes or a pre-parsed ZstdDictionary) unlocks
+    dictionary-trained .zst members — archive collections ship one dict
+    for thousands of members (r11)."""
     kind = sniff_compression(data)
     if kind is None:
         return None
@@ -64,7 +67,9 @@ def _inflate(data: bytes, max_bytes: int) -> bytes | None:
         )
 
         try:
-            out = zstd_decompress(bytes(data), max_output=max_bytes)
+            out = zstd_decompress(
+                bytes(data), max_output=max_bytes, dictionary=zstd_dictionary
+            )
         except (ZstdError, NotImplementedError):
             return None
         return out
@@ -90,14 +95,22 @@ def inflate_blobs(
     id_col: str = "doc_id",
     content_col: str = "_content_bytes",
     max_bytes: int = MAX_MEMBER_BYTES,
+    zstd_dictionary: bytes | None = None,
 ) -> DataFrame:
-    """Transparently decompress gzip/bz2/xz blobs (pass anything else
-    through untouched, ok=true, compression=NULL). Corrupt or capped
-    payloads keep their ORIGINAL bytes with ok=false — the
-    undecodable-survivors-are-kept policy."""
+    """Transparently decompress gzip/bz2/xz/zstd blobs (pass anything
+    else through untouched, ok=true, compression=NULL). Corrupt or
+    capped payloads keep their ORIGINAL bytes with ok=false — the
+    undecodable-survivors-are-kept policy. ``zstd_dictionary`` ships in
+    the task closure (a trained dict is tens of KB — broadcast-scale)
+    and is parsed ONCE per task, unlocking dict-trained .zst members."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        zdict = None
+        if zstd_dictionary is not None:
+            from automic_etl_spark.operators.zstdcodec import ZstdDictionary
+
+            zdict = ZstdDictionary(zstd_dictionary)
         for pdf in it:
             out_bytes, kinds, sizes, oks = [], [], [], []
             for blob in pdf[content_col]:
@@ -109,7 +122,7 @@ def inflate_blobs(
                     sizes.append(len(data))
                     oks.append(True)
                     continue
-                dec = _inflate(data, max_bytes)
+                dec = _inflate(data, max_bytes, zdict)
                 if dec is None:
                     out_bytes.append(data)
                     kinds.append(kind)

@@ -84,6 +84,61 @@ class TestInflate(object):
         row = inflate_blobs(df, max_bytes=10_000).collect()[0]
         assert not row.ok and bytes(row._content_bytes) == bomb
 
+    def test_zstd_dictionary_members(self, spark, tmp_path):
+        """r11: archive collections shipping one trained dict for many
+        .zst members — inflate_blobs(zstd_dictionary=...) decodes them;
+        without the dict they keep original bytes, flagged (the honest
+        gate, not a crash)."""
+        import shutil
+        import subprocess
+
+        zstd_bin = shutil.which("zstd")
+        if zstd_bin is None:
+            import pytest
+
+            pytest.skip("zstd CLI absent")
+        samples = []
+        for i in range(90):
+            samples.append(
+                "".join(
+                    f"row {j}: customer_{j % 9} ordered part_{i % 5}\n"
+                    for j in range(50)
+                ).encode()
+            )
+        paths = []
+        for i, s in enumerate(samples):
+            p = tmp_path / f"s{i}.txt"
+            p.write_bytes(s)
+            paths.append(str(p))
+        dict_path = tmp_path / "dict.bin"
+        r = subprocess.run(
+            [zstd_bin, "--train", *paths, "-o", str(dict_path),
+             "--maxdict=4096", "-f"],
+            capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr.decode()[-200:]
+        dic = dict_path.read_bytes()
+        members = [
+            subprocess.run(
+                [zstd_bin, "-c", "-D", str(dict_path)],
+                input=s, capture_output=True,
+            ).stdout
+            for s in samples[:4]
+        ]
+        df = spark.createDataFrame(
+            [(i, bytearray(m)) for i, m in enumerate(members)],
+            "doc_id long, _content_bytes binary",
+        )
+        got = {r.doc_id: r for r in inflate_blobs(df, zstd_dictionary=dic).collect()}
+        for i in range(4):
+            assert got[i].ok and bytes(got[i]._content_bytes) == samples[i]
+            assert got[i].compression == "zstd"
+        # without the dict: original bytes kept, flagged
+        bare = {r.doc_id: r for r in inflate_blobs(df).collect()}
+        for i in range(4):
+            assert not bare[i].ok
+            assert bytes(bare[i]._content_bytes) == members[i]
+
 
 class TestExpand:
     def test_zip_and_tar_members(self, spark):
