@@ -1060,7 +1060,12 @@ def _write_codebook_grid(
 
 
 def _twin_headers(
-    rate: int, channels: int, bs0: int, bs1: int, coupling: bool = False
+    rate: int,
+    channels: int,
+    bs0: int,
+    bs1: int,
+    coupling: bool = False,
+    tags: dict | None = None,
 ) -> list[bytes]:
     ident = (
         b"\x01vorbis"
@@ -1068,10 +1073,14 @@ def _twin_headers(
         + bytes([(bs1.bit_length() - 1) << 4 | (bs0.bit_length() - 1)])
         + b"\x01"
     )
+    user = [
+        f"{k.upper()}={v}".encode() for k, v in (tags or {}).items()
+    ]
     comment = (
         b"\x03vorbis"
         + struct.pack("<I", 10) + b"automic/11"
-        + struct.pack("<I", 0)
+        + struct.pack("<I", len(user))
+        + b"".join(struct.pack("<I", len(u)) + u for u in user)
         + b"\x01"
     )
     bw = _BitWriter()
@@ -1141,6 +1150,7 @@ def synth_vorbis(
     packets_per_page: int = 10,
     coupling: bool = False,
     floor_slope: int = 0,
+    tags: dict | None = None,
 ) -> bytes:
     """Encoder twin: a spec-valid Ogg Vorbis stream coding ``signal``
     (float [-1, 1], shape [n] or [n, ch]) with flat floor1 + a uniform
@@ -1211,7 +1221,7 @@ def synth_vorbis(
         )
     # Ogg encapsulation
     serial = 0x11AD
-    hdrs = _twin_headers(rate, ch, bs0, bs1, coupling)
+    hdrs = _twin_headers(rate, ch, bs0, bs1, coupling, tags)
     pages = [_ogg_page(serial, 0, 0x02, 0, [hdrs[0]])]
     pages.append(_ogg_page(serial, 1, 0x00, 0, hdrs[1:]))
     seq = 2

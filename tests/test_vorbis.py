@@ -271,6 +271,24 @@ def test_log_mel_flows():
     assert np.isfinite(feats).all()
 
 
+def test_vorbis_comment_tags_roundtrip():
+    """The twin writes real length-prefixed Vorbis user comments, so
+    audio_tags is exercised on a structurally complete stream (not a
+    hand-spliced fixture) — and decode ignores the comment content."""
+    from automic_etl_spark.operators.audio import audio_tags
+
+    sig = tone(seconds=0.5)
+    blob = synth_vorbis(
+        sig, rate=RATE,
+        tags={"title": "Twin Tone", "artist": "Synthesizer", "date": "2026"},
+    )
+    got = audio_tags(blob)
+    assert got["title"] == "Twin Tone" and got["artist"] == "Synthesizer"
+    assert got["date"] == "2026" and got["album"] is None
+    pcm, _, _ = decode_vorbis(blob)
+    assert pcm.shape == (len(sig), 1)
+
+
 # -- totality ----------------------------------------------------------------
 
 
