@@ -152,6 +152,39 @@ def test_curate_audio_near_dup_stage(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
 
 
+def test_curate_audio_near_dup_links_across_codecs(spark):
+    """r11: a Vorbis encode of a clip collapses against the WAV of the
+    SAME clip through the first-party decode dispatch — compressed
+    audio no longer no-ops in acoustic dedup; an independent Vorbis
+    clip survives."""
+    import numpy as np
+
+    from automic_etl_spark.operators.audio import _decode_pcm
+    from automic_etl_spark.operators.audiofp import synth_clip
+    from automic_etl_spark.operators.vorbis import synth_vorbis
+
+    def to_ogg(wav: bytes) -> bytes:
+        pcm, rate, _w = _decode_pcm(wav)
+        return synth_vorbis(pcm[:, 0] / 32768.0, rate=rate)
+
+    wav = synth_clip(seed=11, duration_ms=1500)
+    other = synth_clip(seed=77, duration_ms=1500)
+    rows = [
+        (1, wav),
+        (2, to_ogg(wav)),     # cross-codec twin of 1
+        (3, to_ogg(other)),   # independent vorbis clip
+    ]
+    blobs = spark.createDataFrame(rows, "doc_id long, _content_bytes binary")
+    # min_hits 60: the cross-codec twin shares 884/884 landmark hashes
+    # (the Vorbis round trip is landmark-transparent), while independent
+    # clips of this synth family share ~28 even as WAVs
+    kept, report = MultimodalCurator(
+        min_audio_ms=200, audio_near_dup=True, audio_near_dup_min_hits=60
+    ).curate_audio(blobs)
+    assert report["near_dups_removed"] == 1 and report["final_blobs"] == 2
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
 def test_curate_video_stages(spark):
     from tests.test_videometa import make_mp4
 
