@@ -26,6 +26,7 @@ import bz2
 import gzip
 import io
 import lzma
+import struct
 import tarfile
 import zipfile
 from collections.abc import Iterator
@@ -104,6 +105,17 @@ def inflate_blobs(
     the task closure (a trained dict is tens of KB — broadcast-scale)
     and is parsed ONCE per task, unlocking dict-trained .zst members."""
     import pandas as pd
+
+    if zstd_dictionary is not None:
+        # validate ONCE on the driver: a truncated/corrupt structured
+        # dictionary must fail at job setup as a clean ZstdError, not
+        # crash every task with a raw IndexError mid-parse
+        from automic_etl_spark.operators.zstdcodec import ZstdDictionary, ZstdError
+
+        try:
+            ZstdDictionary(zstd_dictionary)
+        except (IndexError, struct.error, ValueError) as e:
+            raise ZstdError(f"invalid zstd dictionary: {e}") from e
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         zdict = None

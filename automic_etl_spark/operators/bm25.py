@@ -199,6 +199,37 @@ def _term_bucket_col(term, n_buckets: int):
     ).cast("int")
 
 
+def _hadoop_path(spark: SparkSession, path: str):
+    """(jvm Path, FileSystem) for ``path`` under the session's Hadoop
+    conf — resolves the scheme (file://, hdfs://, s3a://, ...) so index
+    side-files land next to the parquet parts on ANY filesystem, not
+    just POSIX (the IVF/PQ/BM25 artifacts are pitched for cluster
+    deployments where ``open()`` would mis-place or fail)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return p, fs
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    p, fs = _hadoop_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    p, fs = _hadoop_path(spark, path)
+    stream = fs.open(p)
+    baos = spark._jvm.java.io.ByteArrayOutputStream()
+    spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+        stream, baos, spark._jsc.hadoopConfiguration(), True
+    )
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
 def build_bm25_index(
     docs: DataFrame,
     index_dir: str,
@@ -209,14 +240,16 @@ def build_bm25_index(
     """Persist a reusable BM25 index under ``index_dir``:
     ``postings.parquet`` (id, term, tf, df — partitioned by
     term_bucket), ``doclens.parquet`` (id, dl) and ``meta.json``
-    (corpus totals + config). Returns the meta dict."""
+    (corpus totals + config). Returns the meta dict. Every artifact —
+    parquet parts AND meta.json — goes through the session's Hadoop
+    filesystem, so ``index_dir`` may be any supported URI scheme."""
     import json
     import os
 
+    spark = docs.sparkSession
     postings = bm25_postings(docs, text_col, id_col)
     docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    os.makedirs(index_dir, exist_ok=True)
     (
         postings.join(docfreq, "term")
         .withColumn("term_bucket", _term_bucket_col("term", n_buckets))
@@ -235,8 +268,7 @@ def build_bm25_index(
         "id_col": id_col,
         "text_col": text_col,
     }
-    with open(os.path.join(index_dir, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _fs_write_text(spark, os.path.join(index_dir, "meta.json"), json.dumps(meta))
     return meta
 
 
@@ -263,8 +295,7 @@ def bm25_index_search(
             f"expression; got k1={k1}, b={b} — use the float path for "
             "non-default parameters"
         )
-    with open(os.path.join(index_dir, "meta.json")) as f:
-        meta = json.load(f)
+    meta = json.loads(_fs_read_text(spark, os.path.join(index_dir, "meta.json")))
     id_col = meta["id_col"]
     qterms = _query_terms(spark, queries)
     buckets = sorted(

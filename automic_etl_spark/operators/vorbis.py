@@ -158,7 +158,13 @@ def _float32_pack(v: float) -> int:
     while v >= (1 << 21):
         v /= 2
         exponent += 1
-    return sign | (exponent << 21) | int(round(v)) & 0x1FFFFF
+    mantissa = int(round(v))
+    if mantissa == 1 << 21:
+        # v in (2^21 - 0.5, 2^21) rounds up past the mantissa width —
+        # renormalize instead of letting the mask wrap the value to 0
+        mantissa = 1 << 20
+        exponent += 1
+    return sign | (exponent << 21) | mantissa & 0x1FFFFF
 
 
 def _lookup1_values(entries: int, dims: int) -> int:
@@ -902,7 +908,7 @@ def _vorbis_slope(n: int) -> np.ndarray:
     return np.sin(0.5 * np.pi * np.sin(np.pi * (i + 0.5) / (2 * n)) ** 2)
 
 
-def decode_vorbis(data: bytes, max_samples: int = 200_000_000):
+def decode_vorbis(data: bytes, max_samples: int = 64_000_000):
     """Decode an Ogg Vorbis payload to an int16-scale PCM workspace:
     (samples int64 [frames, channels], rate, 2) — the
     ``audio._decode_pcm`` convention. Overlap-add follows the TDAC
@@ -911,7 +917,16 @@ def decode_vorbis(data: bytes, max_samples: int = 200_000_000):
     granule arithmetic the ``vorbis_meta`` gate replays in SQL. The
     stream-final granule truncates the tail (and caps a lying granule at
     what was actually decoded). Raises ValueError/NotImplementedError/
-    EOFError on malformed or gated payloads."""
+    EOFError on malformed or gated payloads.
+
+    ``max_samples`` bounds TOTAL CELLS (emitted samples x channels),
+    not rows: channels is a raw ident-header byte (1-255) on untrusted
+    blobs, so a row-only bound would let a hostile high-channel stream
+    accrete hundreds of GB of float64 workspace before tripping. The
+    64M-cell default keeps the buffered workspace ~512 MB (x2 at the
+    final concatenate) — the same order as the archives/zstd
+    MAX_MEMBER_BYTES=256 MiB inflation guards — while still admitting
+    >11 min of 48 kHz stereo."""
     packets, last_granule = ogg_packets(data)
     try:
         stream = _VorbisStream(packets)
@@ -922,8 +937,6 @@ def decode_vorbis(data: bytes, max_samples: int = 200_000_000):
     emitted = 0
     prev = None  # (pcm, n) of previous frame
     for packet in packets[3:]:
-        if emitted > max_samples:
-            raise ValueError("vorbis payload exceeds max_samples bound")
         try:
             got = stream.decode_packet(packet)
         except (EOFError, ValueError, IndexError, KeyError, OverflowError):
@@ -934,6 +947,8 @@ def decode_vorbis(data: bytes, max_samples: int = 200_000_000):
         if prev is not None:
             prev_pcm, prev_n = prev
             out_len = (prev_n + n) // 4
+            if (emitted + out_len) * ch > max_samples:
+                raise ValueError("vorbis payload exceeds max_samples bound")
             # previous frame's tail from its center; current frame's
             # head up to its center, aligned at the emission boundary
             chunk = prev_pcm[:, prev_n // 2 : prev_n // 2 + out_len].copy()

@@ -204,3 +204,24 @@ class TestExpand:
             ),
         ).collect()
         assert len(texts) == 1 and "bundled text" in texts[0].text
+
+
+def test_corrupt_zstd_dictionary_fails_at_driver(spark):
+    """r12 ADVICE fix: a structured dictionary with the magic present
+    but the body truncated must raise a clean ZstdError at job setup
+    (driver-side), not a raw IndexError inside every Spark task."""
+    import struct
+
+    import pytest
+
+    from automic_etl_spark.operators.archives import inflate_blobs
+    from automic_etl_spark.operators.zstdcodec import ZstdError
+
+    blobs = spark.createDataFrame(
+        [("d1", bytearray(b"plain bytes"))], "doc_id string, _content_bytes binary"
+    )
+    # magic + dict id, then a Huffman-weights header promising 16 bytes
+    # of FSE-compressed weights that are not there (cut mid-parse)
+    corrupt = struct.pack("<II", 0xEC30A437, 1) + b"\x10"
+    with pytest.raises(ZstdError, match="invalid zstd dictionary"):
+        inflate_blobs(blobs, zstd_dictionary=corrupt)

@@ -328,3 +328,35 @@ def test_floor0_is_gated_and_opus_falls_to_codec_gate():
     page = b"OggS\x00\x02" + b"\x00" * 16 + b"\x00" * 4 + bytes([1, len(ident)]) + ident
     with pytest.raises(NotImplementedError):
         _decode_pcm(page)
+
+
+def test_float32_pack_renormalizes_mantissa_overflow():
+    # r12 ADVICE fix: a value whose normalized 21-bit mantissa rounds up
+    # to exactly 2^21 must renormalize (mantissa 2^20, exponent+1) —
+    # the old mask silently wrapped it to 0.0
+    for sign in (1.0, -1.0):
+        v = sign * (2**21 - 0.25) * 2.0**-5
+        got = _float32_unpack(_float32_pack(v))
+        assert got != 0.0
+        assert abs(got - v) <= abs(v) * 1e-6
+
+
+def test_max_samples_bounds_cells_not_rows():
+    """r12 ADVICE fix: the decode bomb guard counts emitted*channels
+    (channels is an untrusted header byte), so a stereo clip trips a
+    budget sized between rows and 2*rows — a rows-only bound would not."""
+    sig = tone(seconds=0.5)
+    st = np.stack([sig, sig], axis=1)
+    blob = synth_vorbis(st, rate=RATE)
+    pcm, _, _ = decode_vorbis(blob)
+    rows, ch = pcm.shape
+    assert ch == 2
+    # 1.5x rows of CELL budget: enough for a mono stream of this length,
+    # not for the stereo one
+    with pytest.raises(ValueError, match="max_samples"):
+        decode_vorbis(blob, max_samples=rows * 3 // 2)
+    # and a cell budget covering the full frame set decodes fine (frames
+    # buffered before the final-granule truncation can exceed rows*ch
+    # slightly, so leave primer/lap headroom of one long block per side)
+    pcm2, _, _ = decode_vorbis(blob, max_samples=(rows + 4096) * 2)
+    assert pcm2.shape == pcm.shape
