@@ -54,13 +54,14 @@ def test_every_query_has_oracle():
 
 def test_registry_driver_window_prefix():
     """The driver's correctness gate scores the first 50 declared
-    entries. Round 6 rotated the r5 LLM-pipeline families INTO that
-    window; round 7 rotated in bpe_tokenize / audio_fingerprint /
-    web_extract and displaced simhash_clusters, sliding_window and
-    agg_global_distinct (each family keeps another scored row) —
-    declared order is therefore load-bearing and pinned here. Overflow
-    entries still run in this suite (the parametrized
-    test_query_runs/test_oracle_gate iterate all 61)."""
+    entries. Round 12 made the window an EXPLICIT list
+    (queries/__init__._DRIVER_SCORED) and rotated the r9-r11 flagships
+    IN (cdc_dedup, bm25_search, rake_keywords, vorbis_meta,
+    image_phash_webp — the headline operators the driver could never
+    red while they sat in overflow), displacing five micro-gates whose
+    operator families each keep >=2 other scored rows. Overflow entries
+    still run in this suite (the parametrized test_query_runs /
+    test_oracle_gate iterate all 79)."""
     names = list(QUERIES)
     scored, overflow = names[:50], names[50:]
     for n in (
@@ -71,6 +72,11 @@ def test_registry_driver_window_prefix():
         "corpus_curate",  # r7: the flagship curate() composition itself
         "image_phash_jpeg",  # r9: the baseline JPEG codec end-to-end
         "image_phash_gif",  # r9: the lossless GIF path (LZW+interlace)
+        "image_phash_webp",  # r12 rotation: VP8L decode gate
+        "vorbis_meta",  # r12 rotation: Ogg Vorbis framing + sample proof
+        "bm25_search",  # r12 rotation: ranked retrieval, full SQL replay
+        "rake_keywords",  # r12 rotation: RAKE keyphrases
+        "cdc_dedup",  # r12 rotation: gear-hash CDC dedup, full SQL replay
     ):
         assert n in scored, f"LLM-pipeline family {n} fell out of the scored window"
     assert set(overflow) == {
@@ -101,21 +107,27 @@ def test_registry_driver_window_prefix():
         "dsir_select",  # r9: DSIR importance-resampling gate
         "image_tensorize",  # r9: decode->resize->scale training stage
         "script_profile",  # r9: Unicode-script routing signals
-        "image_phash_webp",  # r10: VP8L decode + SUBTRACT_GREEN gate
         "image_phash_tiff",  # r10: TIFF LZW+predictor decode gate
         "g711_meta",  # r10: ITU-T G.711 expansion, full SQL replay
         "mp3_meta",  # r10: MPEG frame-walk arithmetic, full SQL replay
-        "bm25_search",  # r10: ranked retrieval, full SQL replay
-        "rake_keywords",  # r10: RAKE keyphrases, full SQL replay
-        "cdc_dedup",  # r10: gear-hash chunk dedup; r11: full SQL replay
-        # (md5-chain blobs + gear closed form + boundary recursion)
-        "vorbis_meta",  # r11: Ogg Vorbis framing/granule arithmetic +
-        # decoded-sample-count proof, full SQL replay
+        # -- r12 rotation: displaced for the five flagships above; each
+        # family keeps >=2 other scored rows and every oracle stays
+        # in-suite (check_oracle + test_oracle_gate cover all 79)
+        "bigram_topk",  # top-K stays scored via embedding_search /
+        # window_rank_running / value-count paths in text_doc_profile
+        "source_quality_rollup",  # rollup stays scored via pivot_rollup
+        "string_conditional",  # string fns + when/otherwise stay scored
+        # via text_doc_profile, redaction, scan_derived_filter
+        "date_time_bucket",  # time-bucketing stays scored via
+        # compute_metrics + streaming_window + sessionize
+        "top_orders_page",  # sort/limit/paging stays scored via
+        # window_rank_running + pricing_summary orderings
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
-    # candidate (paging keeps sort/limit coverage via the window and
-    # relational families if a future rotation displaces it)
-    assert scored[-1] == "top_orders_page"
+    # candidate (equi-join coverage stays via feature_table /
+    # denormalized_view / medallion_gold if a future rotation displaces
+    # it)
+    assert scored[-1] == "join_revenue_by_nation"
 
 
 def test_entry_contract(spark):
