@@ -1,4 +1,5 @@
-"""First-party Zstandard codec (RFC 8878, pure Python, numpy-free).
+"""First-party Zstandard codec (RFC 8878, pure Python + numpy-batched
+hot loops).
 
 zstd is the modern default block compression across the data-eng stack
 (Kafka topics, Avro OCF ``zstandard`` containers, .zst web-archive
@@ -56,10 +57,14 @@ from __future__ import annotations
 
 import struct
 
+import numpy as np
+
 ZSTD_MAGIC = 0xFD2FB528
 _SKIPPABLE_LO = 0x184D2A50
 
 MAX_BLOCK = 128 * 1024
+
+_MASKS = [(1 << i) - 1 for i in range(64)]
 
 
 class ZstdError(ValueError):
@@ -90,13 +95,48 @@ def xxh64(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _P2) & _M64
         v3 = seed
         v4 = (seed - _P1) & _M64
-        while i + 32 <= n:
-            lane = struct.unpack_from("<4Q", data, i)
-            v1 = (_rotl((v1 + lane[0] * _P2) & _M64, 31) * _P1) & _M64
-            v2 = (_rotl((v2 + lane[1] * _P2) & _M64, 31) * _P1) & _M64
-            v3 = (_rotl((v3 + lane[2] * _P2) & _M64, 31) * _P1) & _M64
-            v4 = (_rotl((v4 + lane[3] * _P2) & _M64, 31) * _P1) & _M64
-            i += 32
+        # Hot loop, batched two ways (r12 — this checksum was half the
+        # decode wall time on compressible corpora). (1) numpy does the
+        # word extraction and the w*PRIME2 multiply (uint64 wrap-around
+        # IS the spec's mod 2^64). (2) The four independent lanes pack
+        # into ONE big int at 192-bit strides, so each 32-byte stripe
+        # is 5 arbitrary-precision ops instead of 4x7 scalar ops. The
+        # packing is sound because every op distributes over the lanes:
+        #   - lane state is kept UNMASKED after *PRIME1 (< 2^159 per
+        #     lane, and 2^159 + 2^64 < 2^192 means carries never cross
+        #     a lane boundary on the add);
+        #   - maskA re-extracts each lane's low 64 bits (the deferred
+        #     mod: + and * distribute over mod 2^64);
+        #   - (x<<31)|(x>>33) realizes rotl31 per lane: the shifted
+        #     halves are bit-disjoint, and maskB clears the 33 bits a
+        #     lane's >>33 spills below its boundary (for lane 0 plain
+        #     integer truncation does it);
+        #   - after *PRIME1 a lane occupies < 2^159 of its 192-bit
+        #     slot, so products never pollute the lane above.
+        nwords = (n >> 5) << 2
+        nstripes = nwords >> 2
+        wp = np.frombuffer(data, dtype="<u8", count=nwords) * np.uint64(_P2)
+        arr = np.zeros((nstripes, 12), dtype="<u8")
+        arr[:, 0] = wp[0::4]
+        arr[:, 3] = wp[1::4]
+        arr[:, 6] = wp[2::4]
+        arr[:, 9] = wp[3::4]
+        buf = arr.tobytes()
+        v = v1 | (v2 << 192) | (v3 << 384) | (v4 << 576)
+        mask_a = _M64 | (_M64 << 192) | (_M64 << 384) | (_M64 << 576)
+        spill = (1 << 33) - 1
+        mask_b = ~(
+            (spill << 159) | (spill << 351) | (spill << 543)
+        )
+        from_bytes = int.from_bytes
+        for off in range(0, nstripes * 96, 96):
+            x = (v + from_bytes(buf[off : off + 96], "little")) & mask_a
+            v = (((x << 31) | (x >> 33)) & mask_b) * _P1
+        v1 = v & _M64
+        v2 = (v >> 192) & _M64
+        v3 = (v >> 384) & _M64
+        v4 = (v >> 576) & _M64
+        i = nwords << 3
         h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
         for v in (v1, v2, v3, v4):
             h = ((h ^ (_rotl((v * _P2) & _M64, 31) * _P1) & _M64) * _P1 + _P4) & _M64
@@ -313,9 +353,26 @@ def _huf_read_weights(data: bytes, pos: int) -> tuple[list[int], int]:
     return weights, pos + hb
 
 
+def _le_windows(data: bytes, width: int) -> list[int]:
+    """``W[j]`` = little-endian integer of ``data[j : j+width]``
+    (zero-padded past the end) for EVERY byte offset ``j`` — the VP8L
+    peek-LUT pattern: all bit-window loads precomputed in ``width``
+    vectorized numpy shifts, so the backward-bitstream decode loops
+    are two list indexes + shift/mask per read instead of a method
+    call + byte assembly per symbol."""
+    n = len(data)
+    b = np.frombuffer(data + b"\x00" * width, dtype=np.uint8)
+    w = np.zeros(n, dtype=np.uint64)
+    for k in range(width):
+        w |= b[k : k + n].astype(np.uint64) << np.uint64(8 * k)
+    return w.tolist()
+
+
 def _huf_build(weights: list[int]):
     """Canonical Huffman decode LUT from explicit weights + the implied
-    last one: (max_bits, lut) where lut[peek] = (symbol, length)."""
+    last one: (max_bits, lut, packed) where lut[peek] = (symbol,
+    length) and packed[peek] = (symbol << 4) | length (0 = invalid) —
+    the flat form the hot decode loop indexes."""
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ZstdError("Huffman weights are all zero")
@@ -329,9 +386,14 @@ def _huf_build(weights: list[int]):
     nsyms = len(weights)
     if nsyms > 256:
         raise ZstdError("too many Huffman symbols")
+    if max_bits > 11:
+        # RFC 8878 §4.2.1: literal Huffman codes cap at 11 bits (this
+        # also keeps every decode peek inside a 3-byte window)
+        raise ZstdError("Huffman code length exceeds the 11-bit cap")
     max_w = max(weights)
     max_len = max_bits
     lut = [None] * (1 << max_len)
+    packed = [0] * (1 << max_len)
     code = 0
     for w in range(1, max_w + 1):
         length = max_bits + 1 - w
@@ -340,24 +402,38 @@ def _huf_build(weights: list[int]):
                 continue
             pad = max_len - length
             base = code << pad
-            for x in range(1 << pad):
-                lut[base | x] = (s, length)
+            span = 1 << pad
+            lut[base : base + span] = [(s, length)] * span
+            packed[base : base + span] = [(s << 4) | length] * span
             code += 1
         code >>= 1
-    return max_len, lut
+    return max_len, lut, packed
 
 
-def _huf_decode_stream(stream: bytes, rs: int, max_len: int, lut) -> bytearray:
+def _huf_decode_stream(stream: bytes, rs: int, max_len: int, packed) -> bytearray:
+    """Huffman max code length is 11 (weights cap), so every peek fits
+    a 3-byte window; two zero bytes are PREPENDED so the tail's
+    zero-padded-low peek convention falls out of plain indexing
+    (positions below the stream start read as 0 — exactly what
+    ``_BackBits.peek_pad`` produced)."""
+    if not stream or stream[-1] == 0:
+        raise ZstdError("backward bitstream missing its sentinel bit")
+    data = b"\x00\x00" + stream
+    W = _le_windows(data, 3)
+    bitpos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+    end = 16  # the two pad bytes; a fully-consumed stream lands here
+    mask = (1 << max_len) - 1
     out = bytearray(rs)
-    bb = _BackBits(stream)
     for i in range(rs):
-        hit = lut[bb.peek_pad(max_len)]
-        if hit is None:
+        if bitpos < end:
+            raise ZstdError("Huffman literal stream not fully consumed")
+        p = bitpos - max_len
+        t = packed[(W[p >> 3] >> (p & 7)) & mask]
+        if t == 0:
             raise ZstdError("invalid Huffman code in literal stream")
-        s, ln = hit
-        bb.consume_pad(ln)
-        out[i] = s
-    if bb.bitpos != 0:
+        bitpos -= t & 15
+        out[i] = t >> 4
+    if bitpos != end:
         raise ZstdError("Huffman literal stream not fully consumed")
     return out
 
@@ -455,9 +531,9 @@ def _decode_literals(block: bytes, pos: int, frame_state: dict) -> tuple[bytes, 
         frame_state["huf"] = _huf_build(weights)
     elif frame_state.get("huf") is None:
         raise ZstdError("treeless literals with no previous Huffman table")
-    max_len, lut = frame_state["huf"]
+    max_len, _lut, packed = frame_state["huf"]
     if streams == 1:
-        lit = _huf_decode_stream(body[bpos:], rs, max_len, lut)
+        lit = _huf_decode_stream(body[bpos:], rs, max_len, packed)
     else:
         if cs - bpos < 6:
             raise ZstdError("four-stream literals missing the jump table")
@@ -473,7 +549,7 @@ def _decode_literals(block: bytes, pos: int, frame_state: dict) -> tuple[bytes, 
             want = part if k < 3 else rs - 3 * part
             if want < 0:
                 raise ZstdError("four-stream regenerated size underflow")
-            lit += _huf_decode_stream(rest[offs[k] : offs[k + 1]], want, max_len, lut)
+            lit += _huf_decode_stream(rest[offs[k] : offs[k + 1]], want, max_len, packed)
     return bytes(lit), pos + cs
 
 
@@ -525,59 +601,140 @@ def _decode_block(block: bytes, out: bytearray, frame_state: dict) -> None:
     ll_t, ll_al, pos = _read_seq_table(block, pos, (modes >> 6) & 3, "ll", frame_state)
     of_t, of_al, pos = _read_seq_table(block, pos, (modes >> 4) & 3, "of", frame_state)
     ml_t, ml_al, pos = _read_seq_table(block, pos, (modes >> 2) & 3, "ml", frame_state)
-    bb = _BackBits(block[pos:])
-    ll_s = bb.read(ll_al)
-    of_s = bb.read(of_al)
-    ml_s = bb.read(ml_al)
+    # Inlined backward bitstream over precomputed byte-offset windows
+    # (_le_windows): every read below is two list indexes + shift/mask.
+    # Width 5 covers the worst case (31 offset extra bits at phase 7 =
+    # 38 bits). FSE decode tables flatten to parallel lists once per
+    # block (C-level zip) so the hot loop never builds tuples.
+    stream = block[pos:]
+    if not stream or stream[-1] == 0:
+        raise ZstdError("backward bitstream missing its sentinel bit")
+    W = _le_windows(stream, 5)
+    bitpos = (len(stream) - 1) * 8 + stream[-1].bit_length() - 1
+    M = _MASKS
+    llb, lle, mlb, mle = LL_BASE, LL_EXTRA, ML_BASE, ML_EXTRA
+    ll_sym, ll_nb, ll_bs = (list(t) for t in zip(*ll_t))
+    of_sym, of_nb, of_bs = (list(t) for t in zip(*of_t))
+    ml_sym, ml_nb, ml_bs = (list(t) for t in zip(*ml_t))
+    p = bitpos - ll_al
+    if p < 0:
+        raise ZstdError("backward bitstream over-read")
+    ll_s = (W[p >> 3] >> (p & 7)) & M[ll_al]
+    p -= of_al
+    if p < 0:
+        raise ZstdError("backward bitstream over-read")
+    of_s = (W[p >> 3] >> (p & 7)) & M[of_al]
+    p -= ml_al
+    if p < 0:
+        raise ZstdError("backward bitstream over-read")
+    ml_s = (W[p >> 3] >> (p & 7)) & M[ml_al]
+    bitpos = p
     reps = frame_state["reps"]
+    r0, r1, r2 = reps  # scalars: no per-sequence list allocation
     lpos = 0
+    lenlit = len(literals)
+    outlen = len(out)
     for i in range(nbseq):
-        of_code = of_t[of_s][0]
-        if of_code > 31:
-            raise ZstdError("offset code out of range")
-        ofv = (1 << of_code) + bb.read(of_code)
-        ml_code = ml_t[ml_s][0]
-        ml = ML_BASE[ml_code] + bb.read(ML_EXTRA[ml_code])
-        ll_code = ll_t[ll_s][0]
-        ll = LL_BASE[ll_code] + bb.read(LL_EXTRA[ll_code])
+        of_code = of_sym[of_s]
+        if of_code:
+            if of_code > 31:
+                raise ZstdError("offset code out of range")
+            p = bitpos - of_code
+            if p < 0:
+                raise ZstdError("backward bitstream over-read")
+            ofv = (1 << of_code) + ((W[p >> 3] >> (p & 7)) & M[of_code])
+        else:
+            p = bitpos
+            ofv = 1
+        ml_code = ml_sym[ml_s]
+        n = mle[ml_code]
+        if n:
+            p -= n
+            if p < 0:
+                raise ZstdError("backward bitstream over-read")
+            ml = mlb[ml_code] + ((W[p >> 3] >> (p & 7)) & M[n])
+        else:
+            ml = mlb[ml_code]
+        ll_code = ll_sym[ll_s]
+        n = lle[ll_code]
+        if n:
+            p -= n
+            if p < 0:
+                raise ZstdError("backward bitstream over-read")
+            ll = llb[ll_code] + ((W[p >> 3] >> (p & 7)) & M[n])
+        else:
+            ll = llb[ll_code]
+        bitpos = p
         if ofv > 3:
             offset = ofv - 3
-            reps[:] = [offset, reps[0], reps[1]]
+            r2 = r1
+            r1 = r0
+            r0 = offset
         else:
-            idx = ofv - 1 + (1 if ll == 0 else 0)
+            idx = ofv - 1 if ll else ofv
             if idx == 0:
-                offset = reps[0]
-            elif idx < 3:
-                offset = reps[idx]
-                if idx == 1:
-                    reps[:] = [offset, reps[0], reps[2]]
-                else:
-                    reps[:] = [offset, reps[0], reps[1]]
+                offset = r0
+            elif idx == 1:
+                offset = r1
+                r1 = r0
+                r0 = offset
+            elif idx == 2:
+                offset = r2
+                r2 = r1
+                r1 = r0
+                r0 = offset
             else:
-                offset = reps[0] - 1
+                offset = r0 - 1
                 if offset == 0:
                     raise ZstdError("repeat offset underflow")
-                reps[:] = [offset, reps[0], reps[1]]
+                r2 = r1
+                r1 = r0
+                r0 = offset
         if i + 1 < nbseq:
-            ll_s = ll_t[ll_s][2] + bb.read(ll_t[ll_s][1])
-            ml_s = ml_t[ml_s][2] + bb.read(ml_t[ml_s][1])
-            of_s = of_t[of_s][2] + bb.read(of_t[of_s][1])
+            n = ll_nb[ll_s]
+            if n:
+                p = bitpos - n
+                if p < 0:
+                    raise ZstdError("backward bitstream over-read")
+                ll_s = ll_bs[ll_s] + ((W[p >> 3] >> (p & 7)) & M[n])
+            else:
+                ll_s = ll_bs[ll_s]
+            n = ml_nb[ml_s]
+            if n:
+                p -= n
+                if p < 0:
+                    raise ZstdError("backward bitstream over-read")
+                ml_s = ml_bs[ml_s] + ((W[p >> 3] >> (p & 7)) & M[n])
+            else:
+                ml_s = ml_bs[ml_s]
+            n = of_nb[of_s]
+            if n:
+                p -= n
+                if p < 0:
+                    raise ZstdError("backward bitstream over-read")
+                of_s = of_bs[of_s] + ((W[p >> 3] >> (p & 7)) & M[n])
+            else:
+                of_s = of_bs[of_s]
+            bitpos = p
         # execute
-        if lpos + ll > len(literals):
-            raise ZstdError("sequence literal run exceeds the literals section")
-        out += literals[lpos : lpos + ll]
-        lpos += ll
-        if offset > len(out):
+        if ll:
+            if lpos + ll > lenlit:
+                raise ZstdError("sequence literal run exceeds the literals section")
+            out += literals[lpos : lpos + ll]
+            lpos += ll
+            outlen += ll
+        if offset > outlen:
             raise ZstdError("match offset reaches before the frame start")
+        start = outlen - offset
         if offset >= ml:
-            start = len(out) - offset
             out += out[start : start + ml]
         else:
-            start = len(out) - offset
             pattern = out[start:]
             reps_n, tail = divmod(ml, offset)
             out += pattern * reps_n + pattern[:tail]
-    if bb.bitpos != 0:
+        outlen += ml
+    reps[:] = [r0, r1, r2]
+    if bitpos != 0:
         raise ZstdError("sequence bitstream not fully consumed")
     out += literals[lpos:]
 
@@ -784,6 +941,19 @@ _ENC = {
     "of": _build_enc(_PREDEF["of"][0], 1 << _OF_AL),
 }
 
+# r12 encode hot-loop tables: value -> code LUTs (replace the per-field
+# binary search; exact searchsorted, values past the last baseline take
+# the last code) and flat per-state baselines of the predefined tables.
+_LL_CODE = (
+    np.searchsorted(np.array(LL_BASE), np.arange(LL_BASE[-1]), side="right") - 1
+).tolist()
+_ML_CODE = (
+    np.searchsorted(np.array(ML_BASE), np.arange(ML_BASE[-1]), side="right") - 1
+).tolist()
+_LL_SBASE = [t[2] for t in _PREDEF["ll"][0]]
+_ML_SBASE = [t[2] for t in _PREDEF["ml"][0]]
+_OF_SBASE = [t[2] for t in _PREDEF["of"][0]]
+
 
 def _any_state(which: str, sym: int) -> int:
     table = _PREDEF[which][0]
@@ -806,20 +976,38 @@ def _code_of(value: int, base: list[int]) -> int:
 
 
 def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
-    """Greedy 4-byte-hash LZ77 within the block: [(ll, ml, offset)]."""
+    """Greedy 4-byte-hash LZ77 within the block: [(ll, ml, offset)].
+    r12: the hash keys are numpy-precomputed 4-byte windows (exact
+    values, so no collisions — int dict keys, no per-position bytes
+    slicing) and matches extend in 8-byte strides over the 8-byte
+    window array, with the final partial stride recovered from the
+    XOR's lowest set bit."""
     n = len(block)
+    if n < 4:
+        return []
+    k4 = _le_windows(block, 4)
+    k8 = _le_windows(block, 8)
     seqs = []
-    table: dict[bytes, int] = {}
+    table: dict[int, int] = {}
     anchor = 0
     i = 0
-    while i + 4 <= n:
-        key = block[i : i + 4]
+    limit = n - 4
+    while i <= limit:
+        key = k4[i]
         j = table.get(key)
         table[key] = i
         if j is not None:
             ml = 4
-            while i + ml < n and block[j + ml] == block[i + ml]:
-                ml += 1
+            max_ml = n - i
+            while ml + 8 <= max_ml and k8[j + ml] == k8[i + ml]:
+                ml += 8
+            if ml + 8 <= max_ml:
+                x = k8[j + ml] ^ k8[i + ml]
+                # loop exit guarantees x != 0; whole matching low bytes
+                ml += ((x & -x).bit_length() - 1) >> 3
+            else:
+                while i + ml < n and block[j + ml] == block[i + ml]:
+                    ml += 1
             seqs.append((i - anchor, ml, i - j))
             i += ml
             anchor = i
@@ -867,60 +1055,96 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
         hdr.append(255)
         hdr += (nbseq - 0x7F00).to_bytes(2, "little")
     hdr.append(0)  # all three fields: predefined mode
-    # per-sequence codes and extra values
-    codes = []
+    # per-sequence codes and extra values — flat lists via the LUTs
+    # (r12: no per-field binary search, no tuple-of-tuples)
+    ll_lut, ml_lut = _LL_CODE, _ML_CODE
+    ll_top, ml_top = len(ll_lut), len(ml_lut)
+    llcs = [0] * nbseq
+    llvs = [0] * nbseq
+    mlcs = [0] * nbseq
+    mlvs = [0] * nbseq
+    ofcs = [0] * nbseq
+    ofvs = [0] * nbseq
+    k = 0
     for ll, ml, offset in seqs:
-        llc = _code_of(ll, LL_BASE)
-        mlc = _code_of(ml, ML_BASE)
+        c = ll_lut[ll] if ll < ll_top else 35
+        llcs[k] = c
+        llvs[k] = ll - LL_BASE[c]
+        c = ml_lut[ml] if ml < ml_top else 52
+        mlcs[k] = c
+        mlvs[k] = ml - ML_BASE[c]
         ofv = offset + 3
-        ofc = ofv.bit_length() - 1
-        codes.append(
-            (
-                (llc, ll - LL_BASE[llc], LL_EXTRA[llc]),
-                (mlc, ml - ML_BASE[mlc], ML_EXTRA[mlc]),
-                (ofc, ofv - (1 << ofc), ofc),
-            )
-        )
-    # states, chosen backward from a free final state
-    ll_states = [0] * nbseq
-    ml_states = [0] * nbseq
-    of_states = [0] * nbseq
-    upd = [None] * (nbseq - 1) if nbseq > 1 else []
-    ll_states[-1] = _any_state("ll", codes[-1][0][0])
-    ml_states[-1] = _any_state("ml", codes[-1][1][0])
-    of_states[-1] = _any_state("of", codes[-1][2][0])
+        c = ofv.bit_length() - 1
+        ofcs[k] = c
+        ofvs[k] = ofv - (1 << c)
+        k += 1
+    # One merged backward pass: states are chosen back-to-front from a
+    # free final state, and since the writer emits the decoder-read
+    # order REVERSED, the write order IS this pass's visit order — the
+    # bit accumulator is inlined and flushed once per sequence.
+    enc_ll, enc_ml, enc_of = _ENC["ll"], _ENC["ml"], _ENC["of"]
+    sb_ll, sb_ml, sb_of = _LL_SBASE, _ML_SBASE, _OF_SBASE
+    lle, mle = LL_EXTRA, ML_EXTRA
+    out = bytearray()
+    out_append = out.append
+    acc = 0
+    nb = 0
+    i = nbseq - 1
+    ll_nxt = _any_state("ll", llcs[i])
+    ml_nxt = _any_state("ml", mlcs[i])
+    of_nxt = _any_state("of", ofcs[i])
+    # last sequence's extras (reversed read order: ll, ml, of)
+    acc |= llvs[i] << nb
+    nb += lle[llcs[i]]
+    acc |= mlvs[i] << nb
+    nb += mle[mlcs[i]]
+    acc |= ofvs[i] << nb
+    nb += ofcs[i]
+    while nb >= 8:
+        out_append(acc & 0xFF)
+        acc >>= 8
+        nb -= 8
     for i in range(nbseq - 2, -1, -1):
-        nxt = (ll_states[i + 1], ml_states[i + 1], of_states[i + 1])
-        a = _ENC["ll"][codes[i][0][0]][nxt[0]]
-        b = _ENC["ml"][codes[i][1][0]][nxt[1]]
-        c = _ENC["of"][codes[i][2][0]][nxt[2]]
-        ll_states[i], ml_states[i], of_states[i] = a[0], b[0], c[0]
-        ll_base = _PREDEF["ll"][0][a[0]][2]
-        ml_base = _PREDEF["ml"][0][b[0]][2]
-        of_base = _PREDEF["of"][0][c[0]][2]
-        upd[i] = (
-            (nxt[0] - ll_base, a[1]),
-            (nxt[1] - ml_base, b[1]),
-            (nxt[2] - of_base, c[1]),
-        )
-    reads: list[tuple[int, int]] = [
-        (ll_states[0], _LL_AL),
-        (of_states[0], _OF_AL),
-        (ml_states[0], _ML_AL),
-    ]
-    for i in range(nbseq):
-        (llc, llv, llb), (mlc, mlv, mlb), (ofc, ofv_, ofb) = codes[i]
-        reads.append((ofv_, ofb))
-        reads.append((mlv, mlb))
-        reads.append((llv, llb))
-        if i + 1 < nbseq:
-            reads.append(upd[i][0])
-            reads.append(upd[i][1])
-            reads.append(upd[i][2])
-    w = _FwdWriter()
-    for v, nb in reversed(reads):
-        w.write(v, nb)
-    return bytes(hdr) + w.finish_backward()
+        a = enc_ll[llcs[i]][ll_nxt]
+        b = enc_ml[mlcs[i]][ml_nxt]
+        c = enc_of[ofcs[i]][of_nxt]
+        # state-update reads, reversed: of, ml, ll
+        acc |= (of_nxt - sb_of[c[0]]) << nb
+        nb += c[1]
+        acc |= (ml_nxt - sb_ml[b[0]]) << nb
+        nb += b[1]
+        acc |= (ll_nxt - sb_ll[a[0]]) << nb
+        nb += a[1]
+        # this sequence's extras, reversed: ll, ml, of
+        acc |= llvs[i] << nb
+        nb += lle[llcs[i]]
+        acc |= mlvs[i] << nb
+        nb += mle[mlcs[i]]
+        acc |= ofvs[i] << nb
+        nb += ofcs[i]
+        ll_nxt = a[0]
+        ml_nxt = b[0]
+        of_nxt = c[0]
+        while nb >= 8:
+            out_append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    # initial states (reversed read order: ml, of, ll) + sentinel
+    acc |= ml_nxt << nb
+    nb += _ML_AL
+    acc |= of_nxt << nb
+    nb += _OF_AL
+    acc |= ll_nxt << nb
+    nb += _LL_AL
+    acc |= 1 << nb  # backward-entry sentinel bit
+    nb += 1
+    while nb >= 8:
+        out_append(acc & 0xFF)
+        acc >>= 8
+        nb -= 8
+    if nb:
+        out_append(acc & 0xFF)
+    return bytes(hdr) + bytes(out)
 
 
 def _huf_lengths(hist: list[int], max_len: int = 11) -> list[int] | None:
@@ -1145,7 +1369,7 @@ def _huf_encode_literals(lit: bytes) -> bytes | None:
     else:
         return None
     # canonical code assignment must mirror _huf_build exactly
-    max_len_t, lut = _huf_build(emit)
+    max_len_t, lut, _packed = _huf_build(emit)
     codes: dict[int, tuple[int, int]] = {}
     seen = set()
     for peek in range(1 << max_len_t):
