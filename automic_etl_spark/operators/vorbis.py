@@ -17,9 +17,12 @@ totality over mutated bytes.
 Decoder scope: the full Vorbis I decode path used by real encoders —
 Ogg page/packet framing (incl. continued packets and lacing), setup
 codebooks (ordered/sparse lengths, canonical first-fit codeword
-assignment, VQ lookup types 1 and 2), floor type 1 (the only floor
-libvorbis emits; floor 0 LSP is gated with NotImplementedError),
-residue types 0/1/2 with 8-pass cascades, mapping type 0 with square
+assignment, VQ lookup types 1 and 2), BOTH floor types — type 1 (the
+only floor libvorbis emits) and, since r12, type 0 (LSP/LPC, which
+ancient encoders emitted; its coefficient codebooks ride the setup
+header like everything else, so it passes the same in-stream
+validation criterion and round-trips against a floor0 encoder-twin
+mode) — residue types 0/1/2 with 8-pass cascades, mapping type 0 with square
 polar channel coupling, long/short windows with hybrid lap slopes, and
 the unscaled spec IMDCT (the 2/n2 normalization belongs to the
 ENCODER's analysis side — real streams carry pre-scaled coefficients).
@@ -36,6 +39,19 @@ external-library delegation only (automic-etl connectors/media/
 audio.py:133-198); sample decode of compressed audio is a
 beyond-reference mandate item (training-data pipelines need PCM for
 acoustic dedup and log-mel prep).
+
+Real-encoder interop fixture (r12, documented absence — the same
+protocol as audio.py's mp3 blocker note): a libvorbis/oggenc-produced
+stream would pin this decoder against the ecosystem's bit patterns
+(8-pass residue cascades, floor1 class configs the twin doesn't emit).
+The image was searched and has NONE of: oggenc/oggdec/vorbiscomment,
+ffmpeg/sox, libvorbis/libogg shared objects (ldconfig), a python
+soundfile/pyogg binding, or any *.ogg fixture file on disk. Until a
+real stream is available, ecosystem parity rests on the spec pins +
+twin SNR + the cross-codec landmark-overlap test against the WAV twin
+(tests/test_vorbis.py); the twin deliberately exercises both floor
+types, coupled stereo, sloped floors, and hybrid-lap short blocks to
+cover the bit paths a real encoder uses.
 """
 
 from __future__ import annotations
@@ -412,6 +428,122 @@ class _Codebook:
 _FLOOR1_RANGES = [256, 128, 86, 64]
 
 
+def _bark(x):
+    """Bark scale map (spec 6.2.3): 13.1 atan(.00074x) +
+    2.24 atan(.0000000185x^2) + .0001x."""
+    return (
+        13.1 * np.arctan(0.00074 * x)
+        + 2.24 * np.arctan(1.85e-8 * x * x)
+        + 1e-4 * x
+    )
+
+
+_BARK_MAPS: dict[tuple, np.ndarray] = {}
+
+
+def _floor0_bark_map(rate: int, bark_map_size: int, n2: int) -> np.ndarray:
+    """Linear-bin -> bark-bin map (spec 6.2.3 decode setup), cached per
+    (rate, size, blocksize)."""
+    key = (rate, bark_map_size, n2)
+    m = _BARK_MAPS.get(key)
+    if m is None:
+        f = (rate / 2.0 / n2) * np.arange(n2)
+        m = np.minimum(
+            bark_map_size - 1,
+            np.floor(
+                _bark(f) * bark_map_size / _bark(0.5 * rate)
+            ).astype(np.int64),
+        )
+        _BARK_MAPS[key] = m
+    return m
+
+
+def _floor0_curve(
+    coefficients: np.ndarray,
+    amplitude: int,
+    amplitude_bits: int,
+    amplitude_offset: int,
+    bark_map_size: int,
+    rate: int,
+    n2: int,
+) -> np.ndarray:
+    """LSP -> linear floor curve (spec 6.2.3 curve computation),
+    SHARED by ``_Floor0.decode`` and the encoder twin — the
+    snapped-to-the-decoder's-own-machinery pattern the floor1 twin
+    uses with ``_render_line``. p/q are the interlaced LSP products;
+    each DISTINCT bark-map value is computed once and gathered back
+    (the spec's map[i]==map[i+1] reuse), all vectorized."""
+    m = _floor0_bark_map(rate, bark_map_size, n2)
+    uniq, inverse = np.unique(m, return_inverse=True)
+    cos_w = np.cos(np.pi * uniq / bark_map_size)
+    cos_c = np.cos(coefficients)
+    d2 = 4.0 * (cos_c[None, :] - cos_w[:, None]) ** 2
+    order = len(coefficients)
+    if order & 1:
+        p = (1.0 - cos_w * cos_w) * np.prod(d2[:, 1::2], axis=1)
+        q = 0.25 * np.prod(d2[:, 0::2], axis=1)
+    else:
+        p = 0.5 * (1.0 - cos_w) * np.prod(d2[:, 1::2], axis=1)
+        q = 0.5 * (1.0 + cos_w) * np.prod(d2[:, 0::2], axis=1)
+    scale = (1 << amplitude_bits) - 1
+    linear = np.exp(
+        0.11512925
+        * (
+            amplitude * amplitude_offset / (scale * np.sqrt(p + q))
+            - amplitude_offset
+        )
+    )
+    return linear[inverse]
+
+
+class _Floor0:
+    """Floor type 0 (LSP/LPC, spec 6). r12: closes the r11 gate — like
+    everything else in Vorbis the coefficient codebooks ride in the
+    setup header, so floor0 IS in-stream-validatable (unlike mp3's
+    spec-literal tables); libvorbis never emits it but ancient
+    encoders did."""
+
+    __slots__ = ("order", "rate", "bark_map_size", "amplitude_bits",
+                 "amplitude_offset", "book_list")
+
+    def __init__(self, br: _BitReader):
+        self.order = br.read(8)
+        self.rate = br.read(16)
+        self.bark_map_size = br.read(16)
+        self.amplitude_bits = br.read(6)
+        self.amplitude_offset = br.read(8)
+        n_books = br.read(4) + 1
+        self.book_list = [br.read(8) for _ in range(n_books)]
+        if self.order == 0 or self.rate == 0 or self.bark_map_size == 0:
+            raise ValueError("floor0 zero order/rate/bark_map_size")
+
+    def decode(self, br: _BitReader, books: list[_Codebook], n2: int):
+        """Linear floor curve (length n2) or None when this channel's
+        floor is unused this frame (spec 6.2.3: amplitude == 0)."""
+        amplitude = br.read(self.amplitude_bits)
+        if amplitude == 0:
+            return None
+        booknumber = br.read(_ilog(len(self.book_list)))
+        if booknumber >= len(self.book_list):
+            raise ValueError("floor0 book number out of range")
+        book = books[self.book_list[booknumber]]
+        coeffs: list[float] = []
+        last = 0.0
+        while len(coeffs) < self.order:
+            vec = book.vq(br)
+            coeffs.extend(float(v) + last for v in vec)
+            last = coeffs[-1]
+        return _floor0_curve(
+            np.array(coeffs[: self.order]),
+            amplitude,
+            self.amplitude_bits,
+            self.amplitude_offset,
+            self.bark_map_size,
+            self.rate,
+            n2,
+        )
+
+
 def _inverse_db_table() -> np.ndarray:
     """floor1_inverse_dB_table (spec 10.1): 256 log-spaced gains from
     1.0649863e-07 up to 1.0. The spec prints float literals; the closed
@@ -757,11 +889,7 @@ class _VorbisStream:
             if ftype == 1:
                 self.floors.append(_Floor1(br))
             elif ftype == 0:
-                # floor 0 (LSP) is not emitted by any maintained encoder;
-                # honestly gated rather than shipped unvalidatable
-                raise NotImplementedError(
-                    "vorbis floor type 0 (LSP) not supported"
-                )
+                self.floors.append(_Floor0(br))  # LSP floor (r12)
             else:
                 raise ValueError(f"reserved floor type {ftype}")
         self.residues = [
@@ -786,6 +914,14 @@ class _VorbisStream:
         # cross-reference validation so packet decode can index freely
         nb = len(self.codebooks)
         for f in self.floors:
+            if isinstance(f, _Floor0):
+                if any(b >= nb for b in f.book_list):
+                    raise ValueError("floor0 book out of range")
+                if any(
+                    self.codebooks[b].vq_vectors is None for b in f.book_list
+                ):
+                    raise ValueError("floor0 book has no VQ lookup")
+                continue
             for m in f.class_masterbooks:
                 if m >= nb:
                     raise ValueError("floor masterbook out of range")
@@ -1047,11 +1183,36 @@ def _write_codebook_scalar(bw: _BitWriter, dims: int, entries: int, length: int)
     bw.write(0, 4)  # lookup type 0
 
 
+# floor0 twin geometry (r12): an order-4 LSP whose coefficients are
+# cumulative sums of entries from a dims=1 lookup-1 book on a 1/64
+# lattice (the spec's floor0 coefficient loop adds `last` across
+# reads, so book entries are LSP root DELTAS — increasing roots come
+# free). With roots cumsum([32,45,45,45])/64, sqrt(p+q) stays in
+# [0.65, 1.2], so amplitude_offset 20 puts the curve in [0.46, 1.66]
+# at amplitude 50; the twin picks the smallest amplitude whose curve
+# clears the channel's spectral peak so residues stay on the [-1,1]
+# grid.
+_F0_ORDER = 4
+_F0_BARK = 64
+_F0_AMP_BITS = 6
+_F0_AMP_OFFSET = 20
+_F0_DELTA_MULTS = (32, 45, 45, 45)
+_F0_BOOK_LEVELS = 64
+_F0_BOOK_LEN = 6
+_F0_MIN_PACKED = _float32_pack(0.0)
+_F0_DELTA_PACKED = _float32_pack(1.0 / 64)
+_F0_COEFFS = np.cumsum(
+    np.array(_F0_DELTA_MULTS, dtype=np.float64)
+    * _float32_unpack(_F0_DELTA_PACKED)
+)
+
+
 def _write_codebook_grid(
     bw: _BitWriter,
     entries: int = _VQ_ENTRIES,
     length: int = _VQ_LEN,
     min_packed: int = _MIN_PACKED,
+    delta_packed: int = _DELTA_PACKED,
 ):
     """A residue VQ book: lookup type 1 lattice of ``entries`` uniform
     multiplicands stepping _Q_DELTA from the packed minimum, complete
@@ -1067,7 +1228,7 @@ def _write_codebook_grid(
         bw.write(length - 1, 5)
     bw.write(1, 4)  # lookup type 1
     bw.write(min_packed, 32)
-    bw.write(_DELTA_PACKED, 32)
+    bw.write(delta_packed, 32)
     bw.write(length - 1, 4)  # value_bits covers 0..entries-1
     bw.write(0, 1)  # sequence_p
     for m in range(entries):
@@ -1081,6 +1242,7 @@ def _twin_headers(
     bs1: int,
     coupling: bool = False,
     tags: dict | None = None,
+    floor0: bool = False,
 ) -> list[bytes]:
     ident = (
         b"\x01vorbis"
@@ -1102,21 +1264,37 @@ def _twin_headers(
     bw.write(3 if coupling else 2, 8)  # 3 (+ wide coupled) codebooks
     _write_codebook_scalar(bw, _CLASS_DIMS, _CLASS_ENTRIES, 4)   # 0: classbook
     _write_codebook_grid(bw)                                     # 1: residue VQ
-    _write_codebook_scalar(bw, 1, 64, 6)                         # 2: floor subbook
+    if floor0:
+        _write_codebook_grid(                                    # 2: LSP deltas
+            bw, _F0_BOOK_LEVELS, _F0_BOOK_LEN, _F0_MIN_PACKED,
+            _F0_DELTA_PACKED,
+        )
+    else:
+        _write_codebook_scalar(bw, 1, 64, 6)                     # 2: floor subbook
     if coupling:
         _write_codebook_grid(bw, _WGRID, _WLEN, _WMIN_PACKED)    # 3: wide
     bw.write(0, 6)        # 1 time transform
     bw.write(0, 16)
     bw.write(0, 6)        # 1 floor
-    bw.write(1, 16)       # type 1
-    bw.write(1, 5)        # 1 partition
-    bw.write(0, 4)        # class 0
-    bw.write(0, 3)        # class dims = 1
-    bw.write(0, 2)        # subs = 0
-    bw.write(3, 8)        # subclass book = codebook 2 (stored +1; 0 = unused)
-    bw.write(0, 2)        # multiplier - 1 -> 1 (range 256)
-    bw.write(10, 4)       # rangebits
-    bw.write(512, 10)     # the one partition X value
+    if floor0:
+        bw.write(0, 16)   # type 0 (LSP)
+        bw.write(_F0_ORDER, 8)
+        bw.write(rate, 16)
+        bw.write(_F0_BARK, 16)
+        bw.write(_F0_AMP_BITS, 6)
+        bw.write(_F0_AMP_OFFSET, 8)
+        bw.write(0, 4)    # number_of_books - 1
+        bw.write(2, 8)    # the LSP delta book
+    else:
+        bw.write(1, 16)       # type 1
+        bw.write(1, 5)        # 1 partition
+        bw.write(0, 4)        # class 0
+        bw.write(0, 3)        # class dims = 1
+        bw.write(0, 2)        # subs = 0
+        bw.write(3, 8)        # subclass book = codebook 2 (stored +1; 0 = unused)
+        bw.write(0, 2)        # multiplier - 1 -> 1 (range 256)
+        bw.write(10, 4)       # rangebits
+        bw.write(512, 10)     # the one partition X value
     bw.write(0, 6)        # 1 residue
     bw.write(2, 16)       # type 2
     bw.write(0, 24)       # begin
@@ -1166,6 +1344,7 @@ def synth_vorbis(
     coupling: bool = False,
     floor_slope: int = 0,
     tags: dict | None = None,
+    floor0: bool = False,
 ) -> bytes:
     """Encoder twin: a spec-valid Ogg Vorbis stream coding ``signal``
     (float [-1, 1], shape [n] or [n, ch]) with flat floor1 + a uniform
@@ -1181,6 +1360,10 @@ def synth_vorbis(
     n_samples, ch = signal.shape
     if coupling and ch != 2:
         raise ValueError("square-polar coupling needs exactly 2 channels")
+    if floor0 and (coupling or floor_slope):
+        raise ValueError("the floor0 twin mode excludes coupling/floor_slope")
+    if floor0 and rate > 0xFFFF:
+        raise ValueError("floor0 header rate field is 16-bit")
     flags = []  # blockflag per frame
     sizes = []
     total = 0
@@ -1231,12 +1414,12 @@ def synth_vorbis(
         packets.append(
             _encode_frame(
                 X, flag, prev_long, next_long, ch, n, bs1, coupling,
-                floor_slope,
+                floor_slope, rate if floor0 else None,
             )
         )
     # Ogg encapsulation
     serial = 0x11AD
-    hdrs = _twin_headers(rate, ch, bs0, bs1, coupling, tags)
+    hdrs = _twin_headers(rate, ch, bs0, bs1, coupling, tags, floor0)
     pages = [_ogg_page(serial, 0, 0x02, 0, [hdrs[0]])]
     pages.append(_ogg_page(serial, 1, 0x00, 0, hdrs[1:]))
     seq = 2
@@ -1258,7 +1441,7 @@ def synth_vorbis(
 
 def _encode_frame(
     X, blockflag, prev_long, next_long, ch, n, bs1, coupling=False,
-    floor_slope=0,
+    floor_slope=0, floor0_rate=None,
 ):
     """One audio packet: floor1 line from level+floor_slope down to the
     smallest dB level covering max|X| per channel (slope 0 = the flat
@@ -1281,19 +1464,49 @@ def _encode_frame(
         bw.write(1 if next_long else 0, 1)
     n2 = n // 2
     floor_vecs = []
-    for c in range(ch):
-        peak = np.abs(X[c]).max()
-        level = min(int(np.searchsorted(_INV_DB, min(peak, 1.0))), 255)
-        y0 = min(level + floor_slope, 255)
-        bw.write(1, 1)       # floor nonzero
-        bw.write(y0, 8)      # y0
-        bw.write(level, 8)   # y1
-        bw.write_codeword(0, 6)  # partition point -> subbook entry 0
-        # replay the decoder's curve: line (0, y0) -> (1024, level),
-        # midpoint suppressed (val 0 -> step2 False), multiplier 1
-        curve = np.zeros(n2, dtype=np.int64)
-        _render_line(0, y0, 1 << 10, level, curve)
-        floor_vecs.append(_INV_DB[np.clip(curve, 0, 255)])
+    if floor0_rate is not None:
+        # floor0 mode: fixed LSP roots; per channel pick the smallest
+        # amplitude whose decoder-replayed curve clears the spectral
+        # peak (curve_A = exp(alpha(w) A - beta) is monotone in A), so
+        # residues stay within the [-1, 1] grid
+        beta = 0.11512925 * _F0_AMP_OFFSET
+        curve1 = _floor0_curve(
+            _F0_COEFFS, 1, _F0_AMP_BITS, _F0_AMP_OFFSET, _F0_BARK,
+            floor0_rate, n2,
+        )
+        alpha_min = float(np.log(curve1).min()) + beta
+        amp_max = (1 << _F0_AMP_BITS) - 1
+        for c in range(ch):
+            peak = float(np.abs(X[c]).max())
+            need = (np.log(max(peak, 1e-9)) + beta) / alpha_min
+            amp = max(1, min(amp_max, int(np.ceil(need))))
+            curve = _floor0_curve(
+                _F0_COEFFS, amp, _F0_AMP_BITS, _F0_AMP_OFFSET, _F0_BARK,
+                floor0_rate, n2,
+            )
+            if float(curve.min()) < peak:
+                raise ValueError(
+                    "floor0 twin: signal exceeds the amplitude range"
+                )
+            bw.write(amp, _F0_AMP_BITS)
+            bw.write(0, 1)   # book number (ilog(1) = 1 bit)
+            for mult in _F0_DELTA_MULTS:
+                bw.write_codeword(mult, _F0_BOOK_LEN)
+            floor_vecs.append(curve)
+    else:
+        for c in range(ch):
+            peak = np.abs(X[c]).max()
+            level = min(int(np.searchsorted(_INV_DB, min(peak, 1.0))), 255)
+            y0 = min(level + floor_slope, 255)
+            bw.write(1, 1)       # floor nonzero
+            bw.write(y0, 8)      # y0
+            bw.write(level, 8)   # y1
+            bw.write_codeword(0, 6)  # partition point -> subbook entry 0
+            # replay the decoder's curve: line (0, y0) -> (1024, level),
+            # midpoint suppressed (val 0 -> step2 False), multiplier 1
+            curve = np.zeros(n2, dtype=np.int64)
+            _render_line(0, y0, 1 << 10, level, curve)
+            floor_vecs.append(_INV_DB[np.clip(curve, 0, 255)])
     # residue type 2: one interleaved vector over all channels
     qidx = [
         np.clip(

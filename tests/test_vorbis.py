@@ -317,7 +317,7 @@ def test_totality_on_mutated_streams():
     run()
 
 
-def test_floor0_is_gated_and_opus_falls_to_codec_gate():
+def test_opus_falls_to_codec_gate():
     from automic_etl_spark.operators.audio import _decode_pcm
 
     # an Ogg page that is not a Vorbis stream (Opus) gates, not crashes
@@ -328,6 +328,69 @@ def test_floor0_is_gated_and_opus_falls_to_codec_gate():
     page = b"OggS\x00\x02" + b"\x00" * 16 + b"\x00" * 4 + bytes([1, len(ident)]) + ident
     with pytest.raises(NotImplementedError):
         _decode_pcm(page)
+
+
+# -- floor type 0 (LSP), r12 --------------------------------------------------
+
+
+def test_floor0_roundtrip_mono_snr_and_exact_length():
+    """r12: floor0 decode validated non-circularly — the twin's floor0
+    mode encodes through the decoder's OWN _floor0_curve (bark map, LSP
+    p/q products, amplitude dB law), so a mismatch anywhere mis-scales
+    residues and craters the SNR against the SOURCE signal."""
+    sig = tone(amps=(0.2, 0.08))
+    blob = synth_vorbis(sig, rate=RATE, floor0=True)
+    pcm, rate, width = decode_vorbis(blob)
+    assert (rate, width) == (RATE, 2)
+    assert pcm.shape == (len(sig), 1)
+    assert snr_db(sig, pcm[:, 0] / 32767.0) > 40
+
+
+def test_floor0_roundtrip_stereo_short_blocks():
+    a = tone(amps=(0.2, 0.08))
+    b = tone(freqs=(700,), amps=(0.25,))
+    st = np.stack([a, b], axis=1)
+    blob = synth_vorbis(st, rate=RATE, floor0=True, short_every=6)
+    pcm, _, _ = decode_vorbis(blob)
+    assert pcm.shape == (len(a), 2)
+    for c in range(2):
+        assert snr_db(st[:, c], pcm[:, c] / 32767.0) > 40
+
+
+def test_floor0_amplitude_adapts_to_level():
+    """Quieter channels pick smaller floor0 amplitudes (the twin's
+    smallest-clearing-amplitude rule), and the decoded level follows the
+    source level — pins that the amplitude field actually modulates the
+    curve through the dB law rather than being a constant."""
+    loud = tone(amps=(0.4,), freqs=(500,))
+    quiet = tone(amps=(0.01,), freqs=(500,))
+    p_loud, _, _ = decode_vorbis(synth_vorbis(loud, rate=RATE, floor0=True))
+    p_quiet, _, _ = decode_vorbis(synth_vorbis(quiet, rate=RATE, floor0=True))
+    r = np.abs(p_loud).max() / max(np.abs(p_quiet).max(), 1)
+    assert 20 < r < 80  # ~40x level ratio survives the round trip
+    assert snr_db(quiet, p_quiet[:, 0] / 32767.0) > 30
+
+
+def test_floor0_mode_guards():
+    sig = tone()
+    with pytest.raises(ValueError, match="floor0"):
+        synth_vorbis(np.stack([sig, sig], axis=1), rate=RATE,
+                     floor0=True, coupling=True)
+    with pytest.raises(ValueError, match="floor0"):
+        synth_vorbis(sig, rate=RATE, floor0=True, floor_slope=10)
+    with pytest.raises(ValueError, match="16-bit"):
+        synth_vorbis(sig, rate=96000, floor0=True)
+
+
+def test_floor0_stream_info_and_dispatch():
+    from automic_etl_spark.operators.audio import _decode_pcm
+
+    sig = tone(seconds=1.0)
+    blob = synth_vorbis(sig, rate=RATE, floor0=True)
+    info = vorbis_stream_info(blob)
+    assert info["sample_rate"] == RATE and info["granule"] == len(sig)
+    pcm, rate, _ = _decode_pcm(blob)
+    assert rate == RATE and pcm.shape[0] == len(sig)
 
 
 def test_float32_pack_renormalizes_mantissa_overflow():
