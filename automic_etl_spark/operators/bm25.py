@@ -31,12 +31,15 @@ artifact pattern as the IVF/PQ index (operators/similarity.py).
 used by the driver gate (``bm25_search`` in queries/llmops.py): idf is
 e6-quantized BEFORE summation (the ngramlm/dsir pattern — no
 float fold-order sensitivity) and the tf factor is evaluated as exact
-integer arithmetic with k1=1.2, b=0.75 multiplied through:
+integer arithmetic for ANY k1/b exact in thousandths (r12; K=1000 k1,
+B=1000 b, coefficients gcd-reduced):
 
     tf * (k1+1) / (tf + k1(1-b) + k1 b dl N / L)
-      = 22 tf L  DIV  (10 tf L + 3 L + 9 dl N)        (x10, integers)
+      = (K+1000) 1000 tf L  DIV  (10^6 tf L + K(1000-B) L + K B dl N)
 
-so every engine lands the identical BIGINT score.
+which at the (1.2, 0.75) defaults reduces to exactly
+22 tf L DIV (10 tf L + 3 L + 9 dl N), so every engine lands the
+identical BIGINT score.
 """
 
 from __future__ import annotations
@@ -83,12 +86,6 @@ def bm25_rank(
     score_e6, rank). ``queries`` index = query_id. Ties break on
     ascending doc id (deterministic). Pass a persisted ``postings``
     DataFrame to skip the index build."""
-    if quantize_e6 and (k1, b) != (1.2, 0.75):
-        raise ValueError(
-            "quantize_e6=True hardcodes k1=1.2, b=0.75 in the integer "
-            f"expression; got k1={k1}, b={b} — use the float path for "
-            "non-default parameters"
-        )
     spark = docs.sparkSession
     if postings is None:
         postings = bm25_postings(docs, text_col, id_col)
@@ -127,14 +124,41 @@ def _score_hits(
     """Shared scoring tail over (query_id, id, tf, df, dl, n_docs,
     total_len) hit rows — used by BOTH the transient path and the
     persisted-index path, so their scores are identical by
-    construction."""
+    construction.
+
+    ``quantize_e6`` (the SQL-replayable gate form) works for ANY k1/b
+    exact in thousandths (r12 — the r11 restriction to the defaults is
+    gone): with K = 1000 k1 and B = 1000 b, clearing denominators gives
+
+        tf (k1+1) / (tf + k1(1-b) + k1 b dl N / L)
+          = (K+1000) 1000 tf L  /  (10^6 tf L + K(1000-B) L + K B dl N)
+
+    and the four integer coefficients are reduced by their gcd, so the
+    default (1.2, 0.75) collapses to exactly the r10 expression
+    22 tf L / (10 tf L + 3 L + 9 dl N) — bit-identical gate scores."""
     if quantize_e6:
+        from math import gcd
+
+        kk = round(k1 * 1000)
+        bb = round(b * 1000)
+        if abs(kk - k1 * 1000) > 1e-6 or abs(bb - b * 1000) > 1e-6:
+            raise ValueError(
+                "quantize_e6=True needs k1 and b exact in thousandths "
+                f"(integer-exact scoring); got k1={k1}, b={b}"
+            )
+        a = (kk + 1000) * 1000
+        c_tf = 1_000_000
+        c_l = kk * (1000 - bb)
+        c_dl = kk * bb
+        g = gcd(a, c_tf, c_l, c_dl)
+        a, c_tf, c_l, c_dl = a // g, c_tf // g, c_l // g, c_dl // g
         idf_e6 = F.round(
             F.log(2.0 * (F.col("n_docs") + 1) / (2 * F.col("df") + 1)) * 1e6
         ).cast("long")
         term_score = F.expr(
-            "(idf_e6 * 22 * tf * total_len) DIV "
-            "(10 * tf * total_len + 3 * total_len + 9 * dl * n_docs)"
+            f"(idf_e6 * {a} * tf * total_len) DIV "
+            f"({c_tf} * tf * total_len + {c_l} * total_len + "
+            f"{c_dl} * dl * n_docs)"
         )
         scored = (
             hits.withColumn("idf_e6", idf_e6)
@@ -289,12 +313,6 @@ def bm25_index_search(
     import json
     import os
 
-    if quantize_e6 and (k1, b) != (1.2, 0.75):
-        raise ValueError(
-            "quantize_e6=True hardcodes k1=1.2, b=0.75 in the integer "
-            f"expression; got k1={k1}, b={b} — use the float path for "
-            "non-default parameters"
-        )
     meta = json.loads(_fs_read_text(spark, os.path.join(index_dir, "meta.json")))
     id_col = meta["id_col"]
     qterms = _query_terms(spark, queries)

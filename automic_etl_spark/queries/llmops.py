@@ -2653,10 +2653,13 @@ ORACLE_TAIL["vorbis_meta"] = ORACLE_VORBIS_META
 # BM25 ranked-retrieval gate (operators/bm25, r10) — the whole retrieval
 # pipeline replays in DuckDB SQL: tokenize -> postings -> document
 # lengths -> corpus totals -> e6-quantized idf -> exact-integer tf
-# factor (k1=1.2, b=0.75 multiplied through: 22 tf L DIV (10 tf L + 3 L
-# + 9 dl N)) -> per-query top-10 with deterministic doc_id tie-breaks.
-# idf quantizes BEFORE summation (the proven ngramlm/dsir pattern), so
-# scores are BIGINT-identical across engines.
+# factor (gcd-reduced rational coefficients; at the k1=1.2, b=0.75
+# defaults: 22 tf L DIV (10 tf L + 3 L + 9 dl N)) -> per-query top-10
+# with deterministic doc_id tie-breaks. idf quantizes BEFORE summation
+# (the proven ngramlm/dsir pattern), so scores are BIGINT-identical
+# across engines. r12: the gate runs TWO arms — the defaults and the
+# common web-corpus tuning k1=0.9, b=0.4 — exercising the generalized
+# integer expression (verdict item 5); `arm` tags the rows.
 # --------------------------------------------------------------------------
 
 _BM25_QUERIES = [
@@ -2669,27 +2672,79 @@ _BM25_QUERIES = [
 ]
 
 
+_BM25_ARMS = [("k12_b75", 1.2, 0.75), ("k09_b40", 0.9, 0.4)]
+
+
 def q_bm25_search_gate(spark, sf_dir):
-    """Integer-exact BM25 top-10 per query over the documents table."""
+    """Integer-exact BM25 top-10 per query over the documents table,
+    at BOTH the default and a tuned (k1, b) setting (r12)."""
+    from functools import reduce
+
     from automic_etl_spark.operators.bm25 import bm25_rank
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return bm25_rank(docs, _BM25_QUERIES, top_n=10, quantize_e6=True).select(
-        F.col("query_id").cast("int"),
-        F.col("doc_id").cast("long"),
-        F.col("score_e6").cast("long"),
-        F.col("rank").cast("int"),
-    )
+    arms = [
+        bm25_rank(
+            docs, _BM25_QUERIES, top_n=10, quantize_e6=True, k1=k1, b=b
+        ).select(
+            F.lit(arm).alias("arm"),
+            F.col("query_id").cast("int"),
+            F.col("doc_id").cast("long"),
+            F.col("score_e6").cast("long"),
+            F.col("rank").cast("int"),
+        )
+        for arm, k1, b in _BM25_ARMS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), arms)
 
 
 def _bm25_oracle() -> str:
     import re
+    from math import gcd
 
     qrows = ", ".join(
         f"({qid}, '{t}')"
         for qid, q in enumerate(_BM25_QUERIES)
         for t in sorted({w for w in re.split("[^a-z0-9]+", q.lower()) if w})
     )
+    arm_ctes = []
+    arm_selects = []
+    for i, (arm, k1, b) in enumerate(_BM25_ARMS):
+        # the same gcd-reduced rational coefficients bm25._score_hits
+        # derives (K=1000 k1, B=1000 b) — the defaults reduce to the
+        # r10 literals 22/10/3/9
+        kk, bb = round(k1 * 1000), round(b * 1000)
+        a = (kk + 1000) * 1000
+        c_tf, c_l, c_dl = 1_000_000, kk * (1000 - bb), kk * bb
+        g = gcd(a, c_tf, c_l, c_dl)
+        a, c_tf, c_l, c_dl = a // g, c_tf // g, c_l // g, c_dl // g
+        arm_ctes.append(f"""
+scored_{i} AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(sum(
+           (CAST(round(ln(2.0 * (c.n_docs + 1) / (2 * f.df + 1)) * 1000000)
+                 AS BIGINT) * {a} * p.tf * c.total_len)
+           // ({c_tf} * p.tf * c.total_len + {c_l} * c.total_len
+               + {c_dl} * d.dl * c.n_docs)
+         ) AS BIGINT) AS score_e6
+  FROM qterms q
+  JOIN postings p USING (term)
+  JOIN docfreq f USING (term)
+  JOIN dl d ON d.doc_id = p.doc_id
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id
+),
+ranked_{i} AS (
+  SELECT query_id, doc_id, score_e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_e6 DESC, doc_id) AS INTEGER)
+           AS rank
+  FROM scored_{i}
+)""")
+        arm_selects.append(
+            f"SELECT '{arm}' AS arm, CAST(query_id AS INTEGER) AS query_id,"
+            f" doc_id, score_e6, rank FROM ranked_{i} WHERE rank <= 10"
+        )
     return f"""
 WITH toks AS (
   SELECT doc_id, t.tok AS term
@@ -2712,30 +2767,9 @@ docfreq AS (
   SELECT term, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY term
 ),
 qterms(query_id, term) AS (VALUES {qrows}),
-scored AS (
-  SELECT q.query_id, p.doc_id,
-         CAST(sum(
-           (CAST(round(ln(2.0 * (c.n_docs + 1) / (2 * f.df + 1)) * 1000000)
-                 AS BIGINT) * 22 * p.tf * c.total_len)
-           // (10 * p.tf * c.total_len + 3 * c.total_len + 9 * d.dl * c.n_docs)
-         ) AS BIGINT) AS score_e6
-  FROM qterms q
-  JOIN postings p USING (term)
-  JOIN docfreq f USING (term)
-  JOIN dl d ON d.doc_id = p.doc_id
-  CROSS JOIN corpus c
-  GROUP BY q.query_id, p.doc_id
-),
-ranked AS (
-  SELECT query_id, doc_id, score_e6,
-         CAST(row_number() OVER (PARTITION BY query_id
-                                 ORDER BY score_e6 DESC, doc_id) AS INTEGER)
-           AS rank
-  FROM scored
-)
-SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score_e6, rank
-FROM ranked WHERE rank <= 10
-ORDER BY query_id, rank
+{",".join(arm_ctes)}
+{" UNION ALL ".join(arm_selects)}
+ORDER BY arm, query_id, rank
 """
 
 

@@ -53,16 +53,56 @@ def test_quantized_mode_is_integer_and_agrees_on_ranking(corpus):
         assert isinstance(q[k][1], int)
 
 
-def test_quantized_mode_rejects_non_default_params(corpus):
-    """quantize_e6's integer expression hardcodes k1=1.2, b=0.75 —
-    caller-supplied values must fail loudly, not be silently ignored
-    (r11 ADVICE fix)."""
-    with pytest.raises(ValueError, match="quantize_e6"):
-        bm25_rank(corpus, ["join"], quantize_e6=True, k1=2.0)
-    with pytest.raises(ValueError, match="quantize_e6"):
-        bm25_rank(corpus, ["join"], quantize_e6=True, b=0.5)
-    # explicit defaults stay accepted
+def test_quantized_mode_accepts_any_e3_params_and_rejects_others(corpus):
+    """r12 (verdict item 5): quantize_e6 generalizes to ANY k1/b exact
+    in thousandths via gcd-reduced integer coefficients; only values
+    that would lose precision in the integer expression fail loudly
+    (the r11 behavior of rejecting all non-defaults is gone)."""
+    # k1=2.0, b=0.5 are e3-exact now — they run
+    rows = bm25_rank(corpus, ["join"], quantize_e6=True, k1=2.0, b=0.5).collect()
+    assert rows and all(isinstance(r.score_e6, int) for r in rows)
+    # non-e3 values still raise
+    with pytest.raises(ValueError, match="thousandths"):
+        bm25_rank(corpus, ["join"], quantize_e6=True, k1=1.2345)
+    with pytest.raises(ValueError, match="thousandths"):
+        bm25_rank(corpus, ["join"], quantize_e6=True, b=0.123456)
     bm25_rank(corpus, ["join"], quantize_e6=True, k1=1.2, b=0.75)
+
+
+def test_quantized_agrees_with_float_at_tuned_params(corpus):
+    """Rank agreement between the float path and the generalized
+    integer path at the common web-corpus setting k1=0.9, b=0.4 — the
+    exact pairing the r11 restriction forced onto the float path."""
+    qs = ["join order", "spark window", "customer"]
+    f = {
+        (r.query_id, r.rank): r.doc_id
+        for r in bm25_rank(corpus, qs, k1=0.9, b=0.4).collect()
+    }
+    q = {
+        (r.query_id, r.rank): (r.doc_id, r.score_e6)
+        for r in bm25_rank(corpus, qs, k1=0.9, b=0.4, quantize_e6=True).collect()
+    }
+    assert set(f) == set(q)
+    for k, doc in f.items():
+        assert q[k][0] == doc
+        assert isinstance(q[k][1], int)
+
+
+def test_quantized_tuned_scores_match_reference_formula(corpus):
+    """Value-level pin at non-default params: the integer score is the
+    e6-quantized idf times the exact rational tf factor, floored."""
+    (row,) = bm25_rank(
+        corpus, ["customer"], top_n=3, k1=0.9, b=0.4, quantize_e6=True
+    ).collect()
+    n, df, tf, dl, total_len = 5, 1, 1, 3, 28
+    idf_e6 = round(math.log(2 * (n + 1) / (2 * df + 1)) * 1e6)
+    # (K+1000)*1000 tf L // (1e6 tf L + K(1000-B) L + K B dl N), K=900 B=400
+    den = 1_000_000 * tf * total_len + 900 * 600 * total_len + 900 * 400 * dl * n
+    from math import gcd
+
+    g = gcd((900 + 1000) * 1000, 1_000_000, 900 * 600, 900 * 400)
+    assert row.doc_id == 2
+    assert row.score_e6 == (idf_e6 * ((900 + 1000) * 1000 // g) * tf * total_len) // (den // g)
 
 
 def test_persisted_index_matches_transient_and_prunes(spark, corpus, tmp_path):
