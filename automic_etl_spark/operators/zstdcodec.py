@@ -162,6 +162,90 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     return h
 
 
+class _XXH64:
+    """Incremental XXH64 — identical results to ``xxh64()`` for every
+    length/split (differential-pinned in tests). Needed by the
+    streaming decoder, which cannot hold a frame's whole content to
+    checksum it; uses the same packed-4-lane stripe loop."""
+
+    __slots__ = ("seed", "v", "buf", "total")
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+        self.v = None  # packed lanes, engaged at the first full stripe
+        self.buf = bytearray()
+        self.total = 0
+
+    def update(self, data) -> None:
+        self.total += len(data)
+        self.buf += data
+        nstripes = len(self.buf) >> 5
+        if not nstripes:
+            return
+        take = nstripes << 5
+        chunk = bytes(self.buf[:take])
+        del self.buf[:take]
+        if self.v is None:
+            seed = self.seed
+            self.v = (
+                ((seed + _P1 + _P2) & _M64)
+                | (((seed + _P2) & _M64) << 192)
+                | (seed << 384)
+                | (((seed - _P1) & _M64) << 576)
+            )
+        v = self.v
+        wp = np.frombuffer(chunk, dtype="<u8") * np.uint64(_P2)
+        arr = np.zeros((nstripes, 12), dtype="<u8")
+        arr[:, 0] = wp[0::4]
+        arr[:, 3] = wp[1::4]
+        arr[:, 6] = wp[2::4]
+        arr[:, 9] = wp[3::4]
+        buf = arr.tobytes()
+        mask_a = _M64 | (_M64 << 192) | (_M64 << 384) | (_M64 << 576)
+        spill = (1 << 33) - 1
+        mask_b = ~((spill << 159) | (spill << 351) | (spill << 543))
+        from_bytes = int.from_bytes
+        for off in range(0, nstripes * 96, 96):
+            x = (v + from_bytes(buf[off : off + 96], "little")) & mask_a
+            v = (((x << 31) | (x >> 33)) & mask_b) * _P1
+        self.v = v
+
+    def intdigest(self) -> int:
+        n = self.total
+        if self.v is not None:
+            v1 = self.v & _M64
+            v2 = (self.v >> 192) & _M64
+            v3 = (self.v >> 384) & _M64
+            v4 = (self.v >> 576) & _M64
+            h = (
+                _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+            ) & _M64
+            for v in (v1, v2, v3, v4):
+                h = ((h ^ (_rotl((v * _P2) & _M64, 31) * _P1) & _M64) * _P1 + _P4) & _M64
+        else:
+            h = (self.seed + _P5) & _M64
+        h = (h + n) & _M64
+        data = bytes(self.buf)
+        i = 0
+        while i + 8 <= len(data):
+            (k,) = struct.unpack_from("<Q", data, i)
+            h = ((_rotl(h ^ (_rotl((k * _P2) & _M64, 31) * _P1) & _M64, 27) * _P1) + _P4) & _M64
+            i += 8
+        if i + 4 <= len(data):
+            (k,) = struct.unpack_from("<I", data, i)
+            h = ((_rotl(h ^ (k * _P1) & _M64, 23) * _P2) + _P3) & _M64
+            i += 4
+        while i < len(data):
+            h = ((_rotl(h ^ (data[i] * _P5) & _M64, 11)) * _P1) & _M64
+            i += 1
+        h ^= h >> 33
+        h = (h * _P2) & _M64
+        h ^= h >> 29
+        h = (h * _P3) & _M64
+        h ^= h >> 32
+        return h
+
+
 # ---------------------------------------------------------------------------
 # Bit readers. FSE *table descriptions* read forward (LSB-first);
 # Huffman/FSE *data* streams read BACKWARD from a 1-bit sentinel in the
@@ -810,6 +894,160 @@ def zstd_decompress(
         return _decompress(data, max_output, dictionary)
     except (IndexError, struct.error) as e:
         raise ZstdError(f"truncated or malformed frame: {e}") from e
+
+
+def zstd_decompress_stream(
+    data: bytes,
+    max_output: int | None = None,
+    dictionary: bytes | ZstdDictionary | None = None,
+    max_window: int = 1 << 27,
+    _stats: dict | None = None,
+):
+    """Streaming decode: an iterator of output chunks holding only the
+    back-reference WINDOW in memory instead of the whole frame — the
+    lane a 100 TB ingest of multi-GB ``.zst`` dumps needs (the
+    whole-frame ``zstd_decompress`` was the r11 limitation list's
+    'streaming zstd window' item). The window comes from the frame
+    header (window descriptor, or frame content size for
+    single-segment frames) and is bounded by ``max_window`` (decoders
+    may refuse large windows per RFC 8878 §3.1.1.1.2; frames beyond it
+    raise rather than silently buffer gigabytes). History is trimmed
+    to the window after every block, so peak memory is
+    O(window + block). Content checksums verify incrementally
+    (``_XXH64``). Yields ``bytes`` chunks (one per block-batch, not a
+    fixed size); errors raise ``ZstdError`` exactly like the one-shot
+    path, though possibly after some chunks were already yielded.
+    ``_stats`` (tests) records the peak retained-history length."""
+    try:
+        if dictionary is not None and not isinstance(dictionary, ZstdDictionary):
+            dictionary = ZstdDictionary(dictionary)
+        yield from _decompress_stream(data, max_output, dictionary, max_window, _stats)
+    except (IndexError, struct.error) as e:
+        raise ZstdError(f"truncated or malformed frame: {e}") from e
+
+
+def _decompress_stream(data, max_output, dictionary, max_window, _stats):
+    pos = 0
+    n = len(data)
+    saw_frame = False
+    produced_all = 0
+    while pos < n:
+        if n - pos < 4:
+            raise ZstdError("truncated frame magic")
+        magic = int.from_bytes(data[pos : pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+            if n - pos < 4:
+                raise ZstdError("truncated skippable frame size")
+            sz = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4 + sz
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ZstdError(f"bad zstd magic 0x{magic:08x}")
+        saw_frame = True
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single = (fhd >> 5) & 1
+        if fhd & 0x08:
+            raise ZstdError("reserved frame-header bit set")
+        checksum = (fhd >> 2) & 1
+        did_size = (0, 1, 2, 4)[fhd & 3]
+        window = None
+        if not single:
+            wd = data[pos]
+            pos += 1
+            base = 1 << (10 + (wd >> 3))
+            window = base + (base >> 3) * (wd & 7)
+        if did_size:
+            did = int.from_bytes(data[pos : pos + did_size], "little")
+            if did != 0:
+                if dictionary is None:
+                    raise NotImplementedError(
+                        "dictionary-trained zstd frame: pass the trained "
+                        "dictionary bytes via the `dictionary` argument "
+                        "(the frame is undecodable without it)"
+                    )
+                if dictionary.dict_id not in (0, did):
+                    raise ZstdError(
+                        f"frame wants dictionary id {did}, supplied "
+                        f"dictionary has id {dictionary.dict_id}"
+                    )
+            pos += did_size
+        fcs = None
+        fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        if fcs_bytes:
+            fcs = int.from_bytes(data[pos : pos + fcs_bytes], "little")
+            if fcs_bytes == 2:
+                fcs += 256
+            pos += fcs_bytes
+        if window is None:
+            window = fcs or 0  # single-segment: the content IS the window
+        if window > max_window:
+            raise ZstdError(
+                f"frame window {window} exceeds max_window {max_window} "
+                "(raise it, or use zstd_decompress to buffer the frame)"
+            )
+        if dictionary is not None:
+            frame_state = {
+                "reps": list(dictionary.reps),
+                "huf": dictionary.huf,
+                **dictionary.tables,
+            }
+            hist = bytearray(dictionary.content)
+        else:
+            frame_state = {"reps": [1, 4, 8], "huf": None}
+            hist = bytearray()
+        mark = len(hist)  # bytes below mark are already emitted / prefix
+        hasher = _XXH64() if checksum else None
+        produced = 0
+        while True:
+            if n - pos < 3:
+                raise ZstdError("truncated block header")
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+            if btype == 0:
+                hist += data[pos : pos + bsize]
+                pos += bsize
+            elif btype == 1:
+                hist += data[pos : pos + 1] * bsize
+                pos += 1
+            elif btype == 2:
+                block = data[pos : pos + bsize]
+                if len(block) < bsize:
+                    raise ZstdError("truncated compressed block")
+                _decode_block(block, hist, frame_state)
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            if _stats is not None:
+                _stats["peak_hist"] = max(_stats.get("peak_hist", 0), len(hist))
+            new = bytes(hist[mark:])
+            if new:
+                produced += len(new)
+                produced_all += len(new)
+                if max_output is not None and produced_all > max_output:
+                    raise ZstdError("decompressed size exceeds max_output")
+                if hasher is not None:
+                    hasher.update(new)
+                yield new
+            mark = len(hist)
+            if len(hist) > window:
+                drop = len(hist) - window
+                del hist[:drop]
+                mark -= drop
+            if last:
+                break
+        if fcs is not None and produced != fcs:
+            raise ZstdError("frame content size mismatch")
+        if checksum:
+            want = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            if hasher.intdigest() & 0xFFFFFFFF != want:
+                raise ZstdError("content checksum mismatch")
+    if not saw_frame:
+        raise ZstdError("no zstd frame present")
 
 
 def _decompress(

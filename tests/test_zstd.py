@@ -374,3 +374,101 @@ def test_trained_dictionary_decode_matches_cli(tmp_path):
         [ZSTD_BIN, "-c", "-D", str(rd_path)], input=payload, capture_output=True
     ).stdout
     assert zstd_decompress(frame, dictionary=raw_dict) == payload
+
+
+# -- streaming decode (r12) ---------------------------------------------------
+
+
+def test_incremental_xxh64_matches_oneshot_across_splits():
+    import random
+
+    from automic_etl_spark.operators.zstdcodec import _XXH64
+
+    rng = random.Random(11)
+    for total in (0, 1, 31, 32, 33, 63, 64, 65, 1000, 100_000):
+        data = rng.randbytes(total)
+        for _ in range(3):
+            h = _XXH64()
+            i = 0
+            while i < total:
+                step = rng.randrange(1, 97)
+                h.update(data[i : i + step])
+                i += step
+            assert h.intdigest() == xxh64(data), total
+
+
+@needs_cli
+def test_stream_decode_matches_oneshot_and_bounds_memory():
+    """A 4 MB repetitive payload forced to a 128 KiB window (wlog=17)
+    must stream byte-identically to the one-shot path while retaining
+    at most window + one block of history."""
+    from automic_etl_spark.operators.zstdcodec import zstd_decompress_stream
+
+    payload = (b"streaming window line %d | " * 400 + b"\n") * 700
+    payload = (payload * (4_000_000 // len(payload) + 1))[:4_000_000]
+    frame = cli_compress(payload, "-3", "--zstd=wlog=17")
+    stats: dict = {}
+    chunks = list(zstd_decompress_stream(frame, _stats=stats))
+    assert b"".join(chunks) == zstd_decompress(frame) == payload
+    assert len(chunks) > 1
+    assert stats["peak_hist"] <= (1 << 17) + MAX_BLOCK
+
+
+@needs_cli
+def test_stream_decode_levels_multiframe_and_window_refusal():
+    from automic_etl_spark.operators.zstdcodec import zstd_decompress_stream
+
+    payload = bytes(range(256)) * 3000
+    for args in (["-1"], ["-19"], ["--no-check"]):
+        frame = cli_compress(payload, *args)
+        assert b"".join(zstd_decompress_stream(frame)) == payload
+    two = cli_compress(payload, "-3") + cli_compress(payload[::-1], "-3")
+    assert b"".join(zstd_decompress_stream(two)) == payload + payload[::-1]
+    # our own encoder's frames stream too
+    own = zstd_compress(payload)
+    assert b"".join(zstd_decompress_stream(own)) == payload
+    # a frame whose window exceeds max_window is refused, not buffered
+    frame = cli_compress(payload, "-3")
+    with pytest.raises(ZstdError, match="max_window"):
+        list(zstd_decompress_stream(frame, max_window=1024))
+
+
+@needs_cli
+def test_stream_decode_dictionary_prefix_not_emitted(tmp_path):
+    import random
+
+    from automic_etl_spark.operators.zstdcodec import zstd_decompress_stream
+
+    rng = random.Random(5)
+    samples = [
+        (b"alpha beta gamma %d " % i) * rng.randrange(20, 60) for i in range(80)
+    ]
+    for i, s in enumerate(samples):
+        (tmp_path / f"s{i}").write_bytes(s)
+    dict_path = tmp_path / "d.zdict"
+    p = subprocess.run(
+        [ZSTD_BIN, "--train", *(str(tmp_path / f"s{i}") for i in range(80)),
+         "-o", str(dict_path), "--maxdict=4096"],
+        capture_output=True,
+    )
+    if p.returncode != 0:
+        pytest.skip("zstd --train unavailable: " + p.stderr.decode()[:120])
+    zdict = dict_path.read_bytes()
+    payload = samples[3] + samples[9]
+    frame = subprocess.run(
+        [ZSTD_BIN, "-c", "-D", str(dict_path)], input=payload, capture_output=True
+    ).stdout
+    got = b"".join(zstd_decompress_stream(frame, dictionary=zdict))
+    assert got == payload == zstd_decompress(frame, dictionary=zdict)
+
+
+def test_stream_decode_checksum_and_fcs_failures():
+    from automic_etl_spark.operators.zstdcodec import zstd_decompress_stream
+
+    payload = b"check me " * 5000
+    frame = bytearray(zstd_compress(payload, checksum=True))
+    frame[-1] ^= 0xFF  # corrupt the checksum
+    with pytest.raises(ZstdError, match="checksum"):
+        list(zstd_decompress_stream(bytes(frame)))
+    with pytest.raises(ZstdError, match="max_output"):
+        list(zstd_decompress_stream(zstd_compress(payload), max_output=100))
