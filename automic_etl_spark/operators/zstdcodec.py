@@ -55,6 +55,7 @@ Used by: Avro OCF ``zstandard`` codec (sources/avrofile.py).
 
 from __future__ import annotations
 
+import io
 import struct
 
 import numpy as np
@@ -1048,6 +1049,129 @@ def _decompress_stream(data, max_output, dictionary, max_window, _stats):
                 raise ZstdError("content checksum mismatch")
     if not saw_frame:
         raise ZstdError("no zstd frame present")
+
+
+def zstd_frame_length(buf, pos: int = 0) -> int | None:
+    """Byte length of the zstd frame (normal or skippable) starting at
+    ``pos``, or None when ``buf`` does not yet hold enough bytes to
+    tell — found by walking block headers WITHOUT decoding, so a
+    segmented reader can split concatenated per-record frames (the
+    Common Crawl .warc.zst layout) out of a non-seekable stream while
+    buffering only one compressed frame at a time."""
+    n = len(buf)
+    if n < pos + 4:
+        return None
+    magic = int.from_bytes(buf[pos : pos + 4], "little")
+    if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+        if n < pos + 8:
+            return None
+        total = 8 + int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        return total if n >= pos + total else None
+    if magic != ZSTD_MAGIC:
+        raise ZstdError(f"bad zstd magic 0x{magic:08x}")
+    p = pos + 5
+    if n < p:
+        return None
+    fhd = buf[pos + 4]
+    if fhd & 0x08:
+        raise ZstdError("reserved frame-header bit set")
+    single = (fhd >> 5) & 1
+    p += (0 if single else 1) + (0, 1, 2, 4)[fhd & 3]
+    p += (1 if single else 0, 2, 4, 8)[fhd >> 6]
+    while True:
+        if n < p + 3:
+            return None
+        bh = int.from_bytes(buf[p : p + 3], "little")
+        p += 3
+        btype = (bh >> 1) & 3
+        if btype == 3:
+            raise ZstdError("reserved block type")
+        p += 1 if btype == 1 else bh >> 3
+        if bh & 1:
+            break
+    if (fhd >> 2) & 1:
+        p += 4
+    return (p - pos) if n >= p else None
+
+
+class ZstdFrameStreamReader(io.RawIOBase):
+    """Readable binary stream over CONCATENATED zstd frames arriving
+    from a non-seekable underlying stream (the gzip-members analogue
+    for ``.warc.zst`` / ``.wet.zst`` segments): buffers one compressed
+    frame at a time (extent via ``zstd_frame_length``), decodes it,
+    serves the bytes. Task memory is O(one frame), matching the gzip
+    path's streaming contract.
+
+    ``dict_magic`` (e.g. the IIPC warc-zstd 0x184D2A5D) names a
+    skippable-frame magic whose content is the segment's shared
+    dictionary — raw, ``zstd --train`` structured, or itself
+    zstd-compressed (sniffed); once seen it applies to every following
+    frame. Other skippable frames are skipped. Closing closes the
+    underlying stream."""
+
+    def __init__(self, under, dict_magic: int | None = None):
+        self._under = under
+        self._dict_magic = dict_magic
+        self._dict: ZstdDictionary | None = None
+        self._comp = bytearray()
+        self._eof = False
+        self._out = b""
+        self._opos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def _next_decoded(self) -> bytes | None:
+        while True:
+            ln = zstd_frame_length(self._comp) if self._comp else None
+            if ln is None:
+                if self._eof:
+                    if not self._comp:
+                        return None
+                    raise ZstdError("truncated zstd frame at stream end")
+                chunk = self._under.read(1 << 20)
+                if not chunk:
+                    self._eof = True
+                else:
+                    self._comp += chunk
+                continue
+            frame = bytes(self._comp[:ln])
+            del self._comp[:ln]
+            magic = int.from_bytes(frame[:4], "little")
+            if (magic & 0xFFFFFFF0) == _SKIPPABLE_LO:
+                if magic == self._dict_magic and self._dict is None:
+                    raw = frame[8:]
+                    if (
+                        len(raw) >= 4
+                        and int.from_bytes(raw[:4], "little") == ZSTD_MAGIC
+                    ):
+                        raw = zstd_decompress(raw)
+                    self._dict = ZstdDictionary(raw)
+                continue
+            return zstd_decompress(frame, dictionary=self._dict)
+
+    def readinto(self, b) -> int:
+        want = len(b)
+        got = 0
+        while got < want:
+            if self._opos >= len(self._out):
+                nxt = self._next_decoded()
+                if nxt is None:
+                    break
+                self._out = nxt
+                self._opos = 0
+                continue
+            take = min(want - got, len(self._out) - self._opos)
+            b[got : got + take] = self._out[self._opos : self._opos + take]
+            self._opos += take
+            got += take
+        return got
+
+    def close(self) -> None:
+        try:
+            super().close()
+        finally:
+            self._under.close()
 
 
 def _decompress(

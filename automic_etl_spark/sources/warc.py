@@ -166,21 +166,42 @@ class _GzipThenRaw(io.BufferedReader):
             self._under.close()
 
 
+# IIPC warc-zstd convention: a segment may open with a skippable zstd
+# frame of this magic whose content is the shared compression
+# dictionary (raw, trained, or itself zstd-compressed); record frames
+# follow concatenated — the zstd analogue of gzip member-per-record.
+WARC_ZSTD_DICT_MAGIC = 0x184D2A5D
+
+
 def open_warc(path: str, opener: Callable[[str], BinaryIO] | None = None):
-    """Open a WARC file for streaming, transparently ungzipping (gzip
-    magic sniffed via a buffered peek, not extension-guessed — and not a
-    seek, so non-seekable remote streams work). Python's gzip reader
-    walks multi-member files — the Common Crawl layout of one member per
-    record — as one continuous stream.
+    """Open a WARC file for streaming, transparently decompressing —
+    gzip OR zstd (r12), magic-sniffed via a buffered peek, not
+    extension-guessed, and not a seek, so non-seekable remote streams
+    work. Python's gzip reader walks multi-member files — the Common
+    Crawl layout of one member per record — as one continuous stream;
+    ``.warc.zst`` segments stream through the first-party codec's
+    ``ZstdFrameStreamReader`` (one compressed frame buffered at a
+    time, IIPC warc-zstd dictionary skippable frames honored).
 
     ``opener`` maps a path to a binary stream (default: local ``open``);
     pass an S3/HTTPS/HDFS client's open to read remote archives. Closing
-    the returned reader closes the opener's stream, gzip'd or not."""
+    the returned reader closes the opener's stream, compressed or not."""
     raw = opener(path) if opener is not None else open(path, "rb")
     buf = io.BufferedReader(raw, 1 << 20)
-    magic = buf.peek(2)[:2]
-    if magic == b"\x1f\x8b":
+    magic = buf.peek(4)[:4]
+    if magic[:2] == b"\x1f\x8b":
         return _GzipThenRaw(gzip.GzipFile(fileobj=buf), buf)
+    if len(magic) == 4:
+        word = int.from_bytes(magic, "little")
+        if word == 0xFD2FB528 or (word & 0xFFFFFFF0) == 0x184D2A50:
+            from automic_etl_spark.operators.zstdcodec import (
+                ZstdFrameStreamReader,
+            )
+
+            return io.BufferedReader(
+                ZstdFrameStreamReader(buf, dict_magic=WARC_ZSTD_DICT_MAGIC),
+                1 << 20,
+            )
     return buf
 
 
@@ -313,7 +334,8 @@ def _list_warc_files(path_or_paths) -> list[str]:
         out = [
             os.path.join(p, f)
             for f in sorted(os.listdir(p))
-            if f.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".arc.gz"))
+            if f.endswith((".warc", ".warc.gz", ".wet", ".wet.gz", ".arc.gz",
+                           ".warc.zst", ".wet.zst"))
         ]
         if not out:
             raise FileNotFoundError(f"no WARC/WET files under {p}")
@@ -466,10 +488,21 @@ def write_warc_record(
 def write_warc_file(path: str, records, member_per_record: bool = True) -> None:
     """Write records ((warc_type, payload, target_uri) tuples) as a WARC
     file. `.gz` paths gzip — one member per record when
-    `member_per_record` (the Common Crawl layout), else one stream."""
+    `member_per_record` (the Common Crawl layout), else one stream.
+    `.zst` paths (r12) emit one first-party zstd frame per record (the
+    warc-zstd layout; always member-per-record — a .zst segment's
+    point is frame-aligned records)."""
     is_gz = path.endswith(".gz")
+    is_zst = path.endswith(".zst")
     with open(path, "wb") as raw:
-        if is_gz and member_per_record:
+        if is_zst:
+            from automic_etl_spark.operators.zstdcodec import zstd_compress
+
+            for rec in records:
+                buf = io.BytesIO()
+                write_warc_record(buf, rec[0], rec[1], *(rec[2:]))
+                raw.write(zstd_compress(buf.getvalue()))
+        elif is_gz and member_per_record:
             for rec in records:
                 buf = io.BytesIO()
                 write_warc_record(buf, rec[0], rec[1], *(rec[2:]))
