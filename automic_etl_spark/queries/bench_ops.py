@@ -656,9 +656,13 @@ _WARC_DIR_CACHE: dict[str, str] = {}
 
 
 def _warc_corpus(spark: SparkSession, sf_dir: str) -> str:
-    """Write the documents corpus as gzip'd WARC segments (one per input
-    partition, executor-side) wrapping each doc's text in an HTML page
-    with nav/footer chrome around per-paragraph <p> body blocks."""
+    """Write the documents corpus as compressed WARC segments (one per
+    input partition, executor-side) wrapping each doc's text in an HTML
+    page with nav/footer chrome around per-paragraph <p> body blocks.
+    r12: odd segments are `.warc.zst` (first-party frame-per-record,
+    read back through ZstdFrameStreamReader) and even ones `.warc.gz`,
+    so the bench prices BOTH compression lanes — the avro_scan
+    deflate/snappy alternation pattern."""
     import pandas as pd
 
     path = _WARC_DIR_CACHE.get(sf_dir)
@@ -707,7 +711,8 @@ def _warc_corpus(spark: SparkSession, sf_dir: str) -> str:
                     b"charset=utf-8\r\n\r\n" + html
                 )
                 recs.append(("response", payload, f"http://bench.example/{rid}"))
-        fname = os.path.join(out_dir, f"seg-{pid:05d}.warc.gz")
+        ext = "warc.zst" if pid % 2 else "warc.gz"
+        fname = os.path.join(out_dir, f"seg-{pid:05d}.{ext}")
         if recs:
             write_warc_file(fname, recs)
         yield pd.DataFrame({"n": [len(recs)]})
