@@ -1348,7 +1348,6 @@ def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
     if n < 4:
         return []
     k4 = _le_windows(block, 4)
-    k8 = _le_windows(block, 8)
     seqs = []
     table: dict[int, int] = {}
     anchor = 0
@@ -1359,17 +1358,16 @@ def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
         j = table.get(key)
         table[key] = i
         if j is not None:
+            # extend in 16-byte slice compares (C memcmp), byte-settle
             ml = 4
             max_ml = n - i
-            while ml + 8 <= max_ml and k8[j + ml] == k8[i + ml]:
-                ml += 8
-            if ml + 8 <= max_ml:
-                x = k8[j + ml] ^ k8[i + ml]
-                # loop exit guarantees x != 0; whole matching low bytes
-                ml += ((x & -x).bit_length() - 1) >> 3
-            else:
-                while i + ml < n and block[j + ml] == block[i + ml]:
-                    ml += 1
+            while (
+                ml + 16 <= max_ml
+                and block[j + ml : j + ml + 16] == block[i + ml : i + ml + 16]
+            ):
+                ml += 16
+            while i + ml < n and block[j + ml] == block[i + ml]:
+                ml += 1
             seqs.append((i - anchor, ml, i - j))
             i += ml
             anchor = i
@@ -1702,9 +1700,9 @@ def _huf_encode_literals(lit: bytes) -> bytes | None:
     rs = len(lit)
     if rs < 32:
         return None
-    hist = [0] * 256
-    for b in lit:
-        hist[b] += 1
+    hist = np.bincount(
+        np.frombuffer(bytes(lit), dtype=np.uint8), minlength=256
+    ).tolist()
     lengths = _huf_lengths(hist)
     if lengths is None:
         return None
@@ -1741,13 +1739,41 @@ def _huf_encode_literals(lit: bytes) -> bytes | None:
         seen.add(hit[0])
         codes[hit[0]] = (peek >> (max_len_t - hit[1]), hit[1])
     # encode; split into 4 streams when the single-stream 10-bit size
-    # fields cannot express RS/CS
+    # fields cannot express RS/CS. r12: the per-byte writer loop is a
+    # numpy scatter — codeword bit offsets via cumsum, each (<=11-bit
+    # code << phase) lands on 3 bytes via bincount sums (contributions
+    # to one byte set disjoint bits, so + == |); byte-identical to the
+    # old _FwdWriter loop (differential-pinned).
+    code_lut = np.zeros(256, dtype=np.int64)
+    len_lut = np.zeros(256, dtype=np.int64)
+    for sym, (c, ln) in codes.items():
+        code_lut[sym] = c
+        len_lut[sym] = ln
+
     def enc(chunk: bytes) -> bytes:
-        w = _FwdWriter()
-        for b in reversed(chunk):
-            c, ln = codes[b]
-            w.write(c, ln)
-        return w.finish_backward()
+        arr = np.frombuffer(bytes(chunk), dtype=np.uint8)[::-1]
+        lens = len_lut[arr]
+        ends = np.cumsum(lens)
+        total = int(ends[-1]) if len(ends) else 0
+        offs = ends - lens
+        contrib = code_lut[arr] << (offs & 7)
+        byte_idx = offs >> 3
+        nbytes = (total + 1 + 7) >> 3  # + the backward-entry sentinel
+        out = np.bincount(
+            byte_idx, weights=(contrib & 0xFF).astype(np.float64),
+            minlength=nbytes + 3,
+        )
+        out += np.bincount(
+            byte_idx + 1, weights=((contrib >> 8) & 0xFF).astype(np.float64),
+            minlength=nbytes + 3,
+        )
+        out += np.bincount(
+            byte_idx + 2, weights=(contrib >> 16).astype(np.float64),
+            minlength=nbytes + 3,
+        )
+        out = out.astype(np.uint8)
+        out[total >> 3] |= 1 << (total & 7)  # sentinel bit
+        return out[:nbytes].tobytes()
 
     part = (rs + 3) // 4
     single = enc(lit)
