@@ -1325,18 +1325,6 @@ def _any_state(which: str, sym: int) -> int:
     raise ZstdError(f"symbol {sym} absent from the predefined {which} table")
 
 
-def _code_of(value: int, base: list[int]) -> int:
-    """Largest code whose baseline <= value (binary search)."""
-    lo, hi = 0, len(base) - 1
-    while lo < hi:
-        mid = (lo + hi + 1) // 2
-        if base[mid] <= value:
-            lo = mid
-        else:
-            hi = mid - 1
-    return lo
-
-
 def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
     """Greedy 4-byte-hash LZ77 within the block: [(ll, ml, offset)].
     r12: the hash keys are numpy-precomputed 4-byte windows (exact

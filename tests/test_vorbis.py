@@ -297,15 +297,18 @@ def test_totality_on_mutated_streams():
     from hypothesis import strategies as st
 
     base = synth_vorbis(tone(seconds=0.5), rate=RATE)
+    base_f0 = synth_vorbis(tone(seconds=0.5), rate=RATE, floor0=True)
 
     @settings(max_examples=60, deadline=None)
     @given(
-        st.integers(0, len(base) - 1),
+        st.booleans(),
+        st.integers(0, min(len(base), len(base_f0)) - 1),
         st.integers(0, 255),
-        st.integers(0, len(base) - 1),
+        st.integers(0, min(len(base), len(base_f0)) - 1),
     )
-    def run(pos, val, cut):
-        mutated = base[:pos] + bytes([val]) + base[pos + 1 :]
+    def run(use_f0, pos, val, cut):
+        src = base_f0 if use_f0 else base  # r12: floor0 path included
+        mutated = src[:pos] + bytes([val]) + src[pos + 1 :]
         for payload in (mutated, mutated[:cut]):
             try:
                 decode_vorbis(payload)
