@@ -75,12 +75,28 @@ __all__ = [
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "nbits")
+    __slots__ = ("data", "pos", "nbits", "_w24")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.nbits = 8 * len(data)
+        self._w24 = None  # lazy per-byte 3-byte LE windows (peek-LUT path)
+
+    def w24(self) -> list[int]:
+        """W[j] = little-endian int of data[j:j+3] (zero-padded past the
+        end) for every byte offset — precomputed vectorized so the
+        codebook fast path is two list indexes + shift/mask per
+        codeword (the r12 zstd peek-window pattern)."""
+        w = self._w24
+        if w is None:
+            n = len(self.data)
+            b = np.frombuffer(bytes(self.data) + b"\x00\x00\x00", dtype=np.uint8)
+            acc = b[:n].astype(np.uint32)
+            acc |= b[1 : n + 1].astype(np.uint32) << np.uint32(8)
+            acc |= b[2 : n + 2].astype(np.uint32) << np.uint32(16)
+            w = self._w24 = acc.tolist()
+        return w
 
     def read(self, n: int) -> int:
         """Read ``n`` bits LSb-first; raises EOFError past the end (the
@@ -330,7 +346,7 @@ def _assign_codewords(lengths: list[int]) -> dict[tuple[int, int], int]:
 
 
 class _Codebook:
-    __slots__ = ("dims", "entries", "codes", "vq_vectors")
+    __slots__ = ("dims", "entries", "codes", "vq_vectors", "_lut", "_lut_len")
 
     def __init__(self, br: _BitReader):
         if br.read(24) != 0x564342:  # 'BCV'
@@ -402,7 +418,51 @@ class _Codebook:
         elif lookup != 0:
             raise ValueError(f"reserved codebook lookup type {lookup}")
 
+    def _build_lut(self) -> bool:
+        """Peek LUT for the hot decode path (r12 — the zstd pattern):
+        lut[v] over the next L stream bits (LSb-first window) packs
+        (entry << 6) | length; 0 = no codeword. Built lazily on first
+        scalar use (header-only books never pay) and only when the
+        longest code fits 16 bits (every practical book; spec allows
+        32, which falls back to the bit walk)."""
+        if not self.codes:
+            self._lut = None
+            return False
+        lut_len = max(ln for (ln, _c) in self.codes)
+        if lut_len > 16:
+            self._lut = None
+            return False
+        lut = [0] * (1 << lut_len)
+        for (ln, c), entry in self.codes.items():
+            # codewords transmit MSB-first through the LSb-first byte
+            # packing, so the LUT key's low ln bits are the reversed code
+            rev = int(f"{c:0{ln}b}"[::-1], 2) if ln else 0
+            packed = (entry << 6) | ln
+            for x in range(rev, 1 << lut_len, 1 << ln):
+                lut[x] = packed
+        self._lut = lut
+        self._lut_len = lut_len
+        return True
+
     def scalar(self, br: _BitReader) -> int:
+        try:
+            lut = self._lut
+        except AttributeError:
+            self._build_lut()
+            lut = self._lut
+        if lut is not None:
+            p = br.pos
+            if p >= br.nbits:
+                raise EOFError("vorbis packet truncated")
+            w = br.w24()
+            t = lut[(w[p >> 3] >> (p & 7)) & ((1 << self._lut_len) - 1)]
+            if t:
+                ln = t & 63
+                if p + ln <= br.nbits:
+                    br.pos = p + ln
+                    return t >> 6
+                raise EOFError("vorbis packet truncated")
+            raise ValueError("undecodable huffman codeword")
         code = 0
         length = 0
         codes = self.codes
@@ -807,12 +867,44 @@ class _Residue:
                 ev = book.vq(br)
                 for k in range(dims):
                     vec[offset + i + k * step] += ev[k]
-        else:  # types 1 and 2
+            return
+        # types 1 and 2 — the hot lane. r12: inline the peek-LUT
+        # codeword walk (no per-codeword method calls) and batch the
+        # whole partition's VQ rows into ONE gather + ONE slice add.
+        try:
+            lut = book._lut
+        except AttributeError:
+            book._build_lut()
+            lut = book._lut
+        vqv = book.vq_vectors
+        if lut is not None and vqv is not None:
+            mask = (1 << book._lut_len) - 1
+            w = br.w24()
+            p = br.pos
+            nbits = br.nbits
+            entries = []
+            append = entries.append
             i = 0
             while i < psize:
-                ev = book.vq(br)
-                vec[offset + i : offset + i + dims] += ev
+                if p >= nbits:
+                    raise EOFError("vorbis packet truncated")
+                t = lut[(w[p >> 3] >> (p & 7)) & mask]
+                if not t:
+                    raise ValueError("undecodable huffman codeword")
+                p += t & 63
+                append(t >> 6)
                 i += dims
+            if p > nbits:
+                raise EOFError("vorbis packet truncated")
+            br.pos = p
+            ev = vqv[entries].reshape(-1)
+            vec[offset : offset + len(ev)] += ev
+            return
+        i = 0
+        while i < psize:
+            ev = book.vq(br)
+            vec[offset + i : offset + i + dims] += ev
+            i += dims
 
 
 class _Mapping:
