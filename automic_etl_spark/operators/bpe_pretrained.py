@@ -1,0 +1,286 @@
+"""Pretrained BYTE-LEVEL BPE: load a released tokenizer in the
+community-standard ``vocab.json`` + ``merges.txt`` format (the GPT-2
+lineage every byte-level BPE release follows) and apply it distributed.
+
+Why this exists next to operators/bpe.py: that module FITS a Sennrich
+word-level tokenizer on a corpus sample — the right tool when no target
+tokenizer exists. Production training-data pipelines usually must
+count, pack and budget with the TARGET MODEL'S fixed tokenizer, which
+ships as exactly these two files. Byte-level BPE is lossless: the text
+is UTF-8 bytes mapped through a 256-symbol printable alphabet, so every
+unicode string round-trips exactly (no <unk>).
+
+Format knowledge used (all public):
+- the bytes<->unicode table, defined by its published properties — a
+  bijection over 256 byte values that is the identity on the three
+  printable ranges '!'..'~', '¡'..'¬', '®'..'ÿ' and maps the remaining
+  bytes to 256+k in ascending order (pinned by those properties in
+  tests, not recalled literals);
+- the pre-tokenizer pattern
+  ``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+``
+  re-implemented as an explicit scanner (the stdlib ``re`` lacks
+  ``\\p{..}``), including the alternation's known edge behaviors: a
+  single leading space attaches to the following word, a longer
+  whitespace run emits length-1 less so its last space can attach, and
+  trailing whitespace emits whole;
+- ``merges.txt``: one merge per line ("A B"), optional ``#version``
+  header; rank = line order. ``vocab.json``: token string -> id.
+
+Validation (documented constraint: the image carries NO reference
+tokenizer and NO real vocab files): the table-property pins above,
+hand-derived pre-tokenizer fixtures, and the strong structural oracle
+that byte-level BPE decode(encode(text)) == text for ARBITRARY unicode
+under ANY merge table over a complete byte vocabulary — hypothesis
+drives that end-to-end (tests/test_bpe_pretrained.py).
+
+Scale shape: identical to operators/bpe.py — the tokenizer (a 50k-entry
+vocab + merge ranks, ~2 MB) rides the task closure; application is one
+Arrow-batched map-only pass with a per-batch word cache; no shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import unicodedata
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The byte -> printable-unicode bijection (see module docstring)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def _cat0(ch: str) -> str:
+    return unicodedata.category(ch)[0]
+
+
+def pretokenize(text: str) -> list[str]:
+    """GPT-2 pattern scanner (alternation order is load-bearing; see
+    the module docstring for the whitespace edge semantics)."""
+    out: list[str] = []
+    n = len(text)
+    i = 0
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            # the contraction arms win ONLY at the match start (regex
+            # alternation order); an apostrophe inside an [^...]+ run
+            # is consumed by that run like any other symbol char
+            matched = False
+            for suf in _CONTRACTIONS:
+                if text.startswith(suf, i):
+                    out.append(suf)
+                    i += len(suf)
+                    matched = True
+                    break
+            if matched:
+                continue
+        start = i
+        probe = i
+        if ch == " " and i + 1 < n and not text[i + 1].isspace():
+            probe = i + 1  # the ' ?' prefix of the word/number/other arms
+        c = text[probe]
+        if not c.isspace():
+            k = _cat0(c)
+            j = probe
+            if k == "L":
+                while j < n and _cat0(text[j]) == "L":
+                    j += 1
+            elif k == "N":
+                while j < n and _cat0(text[j]) == "N":
+                    j += 1
+            else:
+                while (
+                    j < n
+                    and not text[j].isspace()
+                    and _cat0(text[j]) not in ("L", "N")
+                ):
+                    j += 1
+            out.append(text[start:j])
+            i = j
+            continue
+        # whitespace run (ch is whitespace, and if ch == ' ' the next
+        # char is whitespace too or end-of-text)
+        j = i
+        while j < n and text[j].isspace():
+            j += 1
+        if j == n or j - i == 1:
+            out.append(text[i:j])  # \s+(?!\S) at end, or the 1-char \s+
+            i = j
+        else:
+            out.append(text[i : j - 1])  # leave one space for the next arm
+            i = j - 1
+    return out
+
+
+def load_pretrained_bpe(
+    vocab_json: str, merges_txt: str
+) -> tuple[dict[str, int], dict[tuple[str, str], int]]:
+    """(vocab, merge ranks) from the two released files' text."""
+    vocab = json.loads(vocab_json)
+    if not isinstance(vocab, dict) or not vocab:
+        raise ValueError("vocab.json must be a non-empty token->id object")
+    ranks: dict[tuple[str, str], int] = {}
+    for line in merges_txt.splitlines():
+        line = line.rstrip("\n")
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merges.txt line: {line!r}")
+        ranks[(parts[0], parts[1])] = len(ranks)
+    return vocab, ranks
+
+
+def _merge_units(units: list[str], ranks) -> list[str]:
+    """Greedy lowest-rank merging (the standard apply loop, no EOW —
+    byte-level tokens carry their own space marker)."""
+    symbols = units
+    while len(symbols) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        a, b = symbols[best_i], symbols[best_i + 1]
+        merged = a + b
+        out = []
+        i = 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        symbols = out
+    return symbols
+
+
+def encode_pretrained(
+    text: str,
+    vocab: dict[str, int],
+    ranks: dict[tuple[str, str], int],
+    cache: dict[str, list[int]] | None = None,
+) -> list[int]:
+    """Token ids for ``text``. Raises ValueError when a merged token is
+    absent from the vocab (an inconsistent vocab/merges pair — with a
+    complete released pair this cannot happen: byte-level has no OOV)."""
+    if cache is None:
+        cache = {}
+    ids: list[int] = []
+    for piece in pretokenize(text):
+        hit = cache.get(piece)
+        if hit is None:
+            units = [_B2U[b] for b in piece.encode("utf-8")]
+            toks = _merge_units(units, ranks)
+            try:
+                hit = [vocab[t] for t in toks]
+            except KeyError as e:
+                raise ValueError(
+                    f"merged token {e.args[0]!r} absent from vocab.json "
+                    "(inconsistent vocab/merges pair)"
+                ) from e
+            cache[piece] = hit
+        ids.extend(hit)
+    return ids
+
+
+def decode_pretrained(ids, vocab: dict[str, int]) -> str:
+    """Exact inverse of ``encode_pretrained`` (byte-level is lossless;
+    invalid UTF-8 from corrupt ids decodes with replacement chars)."""
+    inv = getattr(decode_pretrained, "_inv_cache", None)
+    if inv is None or inv[0] is not vocab:
+        inv = (vocab, {i: t for t, i in vocab.items()})
+        decode_pretrained._inv_cache = inv
+    toks = inv[1]
+    s = "".join(toks[int(i)] for i in ids)
+    return bytes(_U2B[ch] for ch in s).decode("utf-8", errors="replace")
+
+
+PRETRAINED_STATS_SCHEMA = "doc_id long, n_tokens long, n_unique long"
+
+
+def pretrained_token_stats(
+    docs: DataFrame,
+    vocab_json: str,
+    merges_txt: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_unique) under the RELEASED tokenizer — one
+    Arrow-batched map-only pass; feed ``n_tokens`` to
+    pack_sequences(count_col=...) so sequence budgets line up with the
+    target model's real token counts."""
+    import pandas as pd
+
+    vocab, ranks = load_pretrained_bpe(vocab_json, merges_txt)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[int]] = {}
+        for pdf in it:
+            n_tok, n_uniq = [], []
+            for t in pdf[text_col]:
+                t = t if isinstance(t, str) else ("" if t is None else str(t))
+                ids = encode_pretrained(t, vocab, ranks, cache)
+                n_tok.append(len(ids))
+                n_uniq.append(len(set(ids)))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "n_tokens": n_tok, "n_unique": n_uniq}
+            )
+
+    return docs.mapInPandas(batches, PRETRAINED_STATS_SCHEMA)
+
+
+def pretrained_encode_ids(
+    docs: DataFrame,
+    vocab_json: str,
+    merges_txt: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, input_ids array<long>, n_tokens) — the emit stage for
+    packing with a released tokenizer."""
+    import pandas as pd
+
+    vocab, ranks = load_pretrained_bpe(vocab_json, merges_txt)
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[int]] = {}
+        for pdf in it:
+            out_ids, n_tok = [], []
+            for t in pdf[text_col]:
+                t = t if isinstance(t, str) else ("" if t is None else str(t))
+                ids = encode_pretrained(t, vocab, ranks, cache)
+                out_ids.append(ids)
+                n_tok.append(len(ids))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "input_ids": out_ids, "n_tokens": n_tok}
+            )
+
+    return docs.mapInPandas(
+        batches, "doc_id long, input_ids array<long>, n_tokens long"
+    )

@@ -1,0 +1,140 @@
+"""Pretrained byte-level BPE (operators/bpe_pretrained): table-property
+pins, hand-derived pre-tokenizer fixtures, the lossless
+decode(encode(x)) == x structural oracle under synthetic merge tables,
+and the Spark apply lanes. The image has no reference tokenizer and no
+real vocab files (documented in the module docstring), so every oracle
+here is derivable from the published format, not recalled constants."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from automic_etl_spark.operators.bpe_pretrained import (
+    bytes_to_unicode,
+    decode_pretrained,
+    encode_pretrained,
+    load_pretrained_bpe,
+    pretokenize,
+    pretrained_encode_ids,
+    pretrained_token_stats,
+)
+
+
+def test_bytes_to_unicode_defining_properties():
+    m = bytes_to_unicode()
+    # total bijection over all 256 byte values
+    assert sorted(m) == list(range(256))
+    assert len(set(m.values())) == 256
+    # identity on the three printable ranges
+    for lo, hi in ((0x21, 0x7E), (0xA1, 0xAC), (0xAE, 0xFF)):
+        for b in range(lo, hi + 1):
+            assert m[b] == chr(b)
+    # every other byte maps to 256+k in ascending byte order
+    others = [b for b in range(256) if not (
+        0x21 <= b <= 0x7E or 0xA1 <= b <= 0xAC or 0xAE <= b <= 0xFF)]
+    assert [ord(m[b]) for b in others] == list(range(256, 256 + len(others)))
+    # the space byte is NOT the identity (it gets a printable stand-in)
+    assert m[0x20] != " "
+
+
+def test_pretokenize_fixtures():
+    # hand-derived against the published GPT-2 pattern semantics
+    assert pretokenize("Hello world") == ["Hello", " world"]
+    assert pretokenize("it's don't we'll I'm you've he'd") == [
+        "it", "'s", " don", "'t", " we", "'ll", " I", "'m",
+        " you", "'ve", " he", "'d",
+    ]
+    assert pretokenize("abc123 x9") == ["abc", "123", " x", "9"]
+    assert pretokenize("a  b") == ["a", " ", " b"]      # run leaves 1 space
+    assert pretokenize("a   b") == ["a", "  ", " b"]
+    assert pretokenize("a \n b") == ["a", " \n", " b"]
+    assert pretokenize("tail   ") == ["tail", "   "]     # \s+(?!\S) at end
+    assert pretokenize("\na") == ["\n", "a"]             # lone \s+ then word
+    assert pretokenize("!!?") == ["!!?"]
+    assert pretokenize(" !!") == [" !!"]                 # ' ?' + symbol run
+    assert pretokenize("!!!'s") == ["!!!'", "s"]         # ' inside a run
+    assert pretokenize("''s") == ["''", "s"]             # contraction only at start
+    assert pretokenize("héllo") == ["héllo"]             # unicode letters
+    assert pretokenize("") == []
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.text(max_size=80))
+def test_pretokenize_partitions_the_text(text):
+    assert "".join(pretokenize(text)) == text
+
+
+def _synthetic_tokenizer(merge_pairs):
+    """A complete byte-level tokenizer: all 256 byte units + the given
+    merges (each merge token appended to the vocab)."""
+    units = sorted(bytes_to_unicode().values())
+    vocab = {u: i for i, u in enumerate(units)}
+    lines = ["#version: test"]
+    for a, b in merge_pairs:
+        lines.append(f"{a} {b}")
+        vocab.setdefault(a + b, len(vocab))
+    return json.dumps(vocab), "\n".join(lines)
+
+
+B2U = bytes_to_unicode()
+
+
+def test_encode_applies_merges_in_rank_order():
+    # merge 'h'+'e' first, then 'he'+'l': "hello" -> hel | l | o
+    vj, mt = _synthetic_tokenizer([("h", "e"), ("he", "l")])
+    vocab, ranks = load_pretrained_bpe(vj, mt)
+    ids = encode_pretrained("hello", vocab, ranks)
+    inv = {i: t for t, i in vocab.items()}
+    assert [inv[i] for i in ids] == ["hel", "l", "o"]
+    # space marker: " hello" goes through the space stand-in unit
+    ids2 = encode_pretrained(" hello", vocab, ranks)
+    assert [inv[i] for i in ids2][0] == B2U[0x20]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=60), st.integers(0, 3))
+def test_roundtrip_is_lossless_under_any_merge_table(text, variant):
+    tables = {
+        0: [],
+        1: [("h", "e"), ("he", "l"), ("l", "o")],
+        2: [(B2U[0x20], "t"), (B2U[0x20] + "t", "h")],
+        3: [("1", "2"), ("a", "b"), ("ab", "c")],
+    }
+    vj, mt = _synthetic_tokenizer(tables[variant])
+    vocab, ranks = load_pretrained_bpe(vj, mt)
+    ids = encode_pretrained(text, vocab, ranks)
+    assert decode_pretrained(ids, vocab) == text
+
+
+def test_load_rejects_malformed_inputs():
+    with pytest.raises(ValueError, match="vocab.json"):
+        load_pretrained_bpe("[]", "")
+    with pytest.raises(ValueError, match="merges.txt"):
+        load_pretrained_bpe('{"a": 0}', "a b c")
+    # inconsistent pair: merge produces a token missing from the vocab
+    units = sorted(bytes_to_unicode().values())
+    vocab = json.dumps({u: i for i, u in enumerate(units)})
+    v, r = load_pretrained_bpe(vocab, "h e")
+    with pytest.raises(ValueError, match="absent from vocab"):
+        encode_pretrained("he", v, r)
+
+
+def test_spark_stats_and_ids_lanes(spark):
+    vj, mt = _synthetic_tokenizer([("h", "e"), ("he", "l")])
+    docs = spark.createDataFrame(
+        [(1, "hello hello"), (2, "it's x"), (3, None)],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in pretrained_token_stats(docs, vj, mt).collect()}
+    # "hello" -> hel,l,o (3 tokens); " hello" -> _hel? no: space is its
+    # own unit, then hel,l,o -> 4; total 7, unique {hel,l,o,space}=4
+    assert (stats[1].n_tokens, stats[1].n_unique) == (7, 4)
+    assert stats[3].n_tokens == 0
+    ids = {r.doc_id: r for r in pretrained_encode_ids(docs, vj, mt).collect()}
+    vocab, ranks = load_pretrained_bpe(vj, mt)
+    assert list(ids[2].input_ids) == encode_pretrained("it's x", vocab, ranks)
+    assert ids[1].n_tokens == 7

@@ -472,3 +472,38 @@ def test_stream_decode_checksum_and_fcs_failures():
         list(zstd_decompress_stream(bytes(frame)))
     with pytest.raises(ZstdError, match="max_output"):
         list(zstd_decompress_stream(zstd_compress(payload), max_output=100))
+
+
+def test_frame_stream_reader_totality_on_mutations():
+    """Mutated/truncated concatenated frames must surface ZstdError (or
+    clean EOF via short reads), never an internal IndexError/struct
+    error — the reader feeds WARC tasks on untrusted crawl segments."""
+    import io as _io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from automic_etl_spark.operators.zstdcodec import ZstdFrameStreamReader
+
+    base = zstd_compress(b"totality probe " * 400) + zstd_compress(
+        bytes(range(256)) * 20
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(0, len(base) - 1),
+        st.integers(0, 255),
+        st.integers(0, len(base)),
+    )
+    def run(pos, val, cut):
+        mutated = (base[:pos] + bytes([val]) + base[pos + 1 :])[:cut]
+        r = ZstdFrameStreamReader(_io.BytesIO(mutated), dict_magic=0x184D2A5D)
+        try:
+            while r.read(8192):
+                pass
+        except (ZstdError, NotImplementedError):
+            pass
+        finally:
+            r.close()
+
+    run()
