@@ -3052,3 +3052,69 @@ ORDER BY g.doc_id
 
 QUERIES_TAIL["cdc_dedup"] = q_cdc_dedup_gate
 ORACLE_TAIL["cdc_dedup"] = ORACLE_CDC_DEDUP
+
+
+# --------------------------------------------------------------------------
+# Pretrained byte-level BPE gate (operators/bpe_pretrained, r12): the
+# released-tokenizer apply lane end-to-end over the documents table —
+# pretokenize (the GPT-2 pattern scanner: first word bare, every other
+# word carries its leading space), UTF-8 -> byte-unit mapping, and the
+# greedy rank-order merge sweep with a two-rank table (t+h, th+e).
+# DuckDB replay rests on two exact identities for this corpus (pure
+# single-spaced lowercase ASCII words, pinned by the oracle itself):
+#   tokens = chars - merges, and each sweep's application count equals
+#   the non-overlapping left-to-right substring count, i.e.
+#   (len - len(replace(s, pat, ''))) / len(pat) — a 'th' merge is never
+#   stolen by overlap (t can only be a pair's FIRST element), and a
+#   (th,e) adjacency exists iff a literal 'the' survives the th sweep.
+# The oracle also guards its own precondition (any non-[a-z ] byte or
+# double space would break the identity, so it asserts none exist).
+# --------------------------------------------------------------------------
+
+_PRETRAINED_MERGES = "#version: gate\nt h\nth e"
+
+
+def q_pretrained_tokenize_gate(spark, sf_dir):
+    """n_tokens under a released-format byte-level tokenizer, per doc."""
+    import json as _json
+
+    from automic_etl_spark.operators.bpe_pretrained import (
+        bytes_to_unicode,
+        pretrained_token_stats,
+    )
+
+    units = sorted(bytes_to_unicode().values())
+    vocab = {u: i for i, u in enumerate(units)}
+    for tok in ("th", "the"):
+        vocab[tok] = len(vocab)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = pretrained_token_stats(
+        docs, _json.dumps(vocab), _PRETRAINED_MERGES
+    )
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("n_tokens").cast("long"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PRETRAINED_TOKENIZE = """
+WITH guarded AS (
+  SELECT doc_id, text,
+         CASE WHEN regexp_matches(text, '[^a-z ]')
+                   OR text LIKE '%  %' OR text LIKE ' %' OR text LIKE '% '
+              THEN error('pretrained_tokenize oracle precondition broken')
+              ELSE length(text) END AS chars
+  FROM documents
+)
+SELECT doc_id,
+       CAST(
+         chars
+         - (chars - length(replace(text, 'th', ''))) // 2
+         - (chars - length(replace(text, 'the', ''))) // 3
+       AS BIGINT) AS n_tokens
+FROM guarded
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["pretrained_tokenize"] = q_pretrained_tokenize_gate
+ORACLE_TAIL["pretrained_tokenize"] = ORACLE_PRETRAINED_TOKENIZE

@@ -61,7 +61,7 @@ def test_registry_driver_window_prefix():
     red while they sat in overflow), displacing five micro-gates whose
     operator families each keep >=2 other scored rows. Overflow entries
     still run in this suite (the parametrized test_query_runs /
-    test_oracle_gate iterate all 79)."""
+    test_oracle_gate iterate all 80)."""
     names = list(QUERIES)
     scored, overflow = names[:50], names[50:]
     for n in (
@@ -122,6 +122,8 @@ def test_registry_driver_window_prefix():
         # compute_metrics + streaming_window + sessionize
         "top_orders_page",  # sort/limit/paging stays scored via
         # window_rank_running + pricing_summary orderings
+        "pretrained_tokenize",  # r12: released-tokenizer apply lane,
+        # full SQL replay (declared in the overflow tail)
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (equi-join coverage stays via feature_table /
