@@ -90,13 +90,18 @@ def test_index_side_never_broadcast(spark, tmp_path):
         near = incremental_near_dup(
             minhash_signatures(batch), d._index().drop("content_md5")
         )
+        # needle: the tmp BASENAME, not the full .../index path — Spark's
+        # InMemoryFileIndex rendering elides long paths at ~100 chars, so
+        # a full-path needle goes vacuously missing whenever the pytest
+        # tmp counter grows a digit (flaked once at pytest-102). The
+        # index scan is the only file source in these plans.
         for df in (exact, near):
-            assert_never_broadcast(df, str(tmp_path / "index"))
+            assert_never_broadcast(df, tmp_path.name)
         # the index DOES stream through a broadcast join (build side =
         # batch), so the guard is exercising a real broadcast plan, not
         # passing vacuously on a broadcast-free plan
         assert "join" in first_broadcast_ancestor(
-            physical_plan(exact), str(tmp_path / "index")
+            physical_plan(exact), tmp_path.name
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -197,14 +202,14 @@ def test_embedding_index_side_never_broadcasts(spark, tmp_path):
         flagged = incremental_embedding_near_dup(
             batch, d._index(), id_col="doc_id"
         )
-        # the plan renderer truncates long paths, so match on the tmp dir
-        # (the index scan is the only file source in this plan)
-        assert_never_broadcast(flagged, str(tmp_path))
+        # the plan renderer truncates long paths, so match on the tmp
+        # BASENAME (the index scan is the only file source in this plan)
+        assert_never_broadcast(flagged, tmp_path.name)
         # non-vacuous: the BATCH side is broadcast somewhere in this plan
         plan = physical_plan(flagged)
         assert "BroadcastExchange" in plan
         # and the index participates from the streamed side of that join
-        assert "join" in first_broadcast_ancestor(plan, str(tmp_path))
+        assert "join" in first_broadcast_ancestor(plan, tmp_path.name)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
