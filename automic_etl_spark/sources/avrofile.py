@@ -31,10 +31,16 @@ record fields match by name (writer-only fields are decoded and
 discarded, reader-only fields take their declared default), enum
 symbols fall back to the reader's declared default when unknown, and
 the numeric/string promotions (int→long/float/double, long→float/
-double, float→double, string↔bytes) apply. Recursive schemas are
-rejected (they have no DataFrame shape); non-nullable multi-branch
-unions are rejected rather than silently stringified — each is a
-documented ValueError, not a wrong answer.
+double, float→double, string↔bytes) apply. Recursive record schemas
+(r12) read through ``read_avro(..., recursive_max_depth=K)`` — the
+spark-avro ``recursiveFieldMaxDepth`` semantics: a record name appears
+at most K times on any path of the DataFrame shape, deeper recursive
+fields are dropped from the columns while the bytes still decode at
+any data depth (Avro recursion terminates through null unions / empty
+arrays). Without the knob they stay a loud ValueError pointing at it;
+resolution of a reader schema AGAINST a recursive writer is not
+supported. Non-nullable multi-branch unions are rejected rather than
+silently stringified — a documented ValueError, not a wrong answer.
 
 Scale: ``read_avro`` parallelizes BOTH across files and WITHIN a
 file — ``split_size`` byte-range splits are realigned to block
@@ -97,14 +103,35 @@ def _fullname(name: str, namespace: str | None) -> str:
     return f"{namespace}.{name}"
 
 
-def parse_schema(schema, _names: dict | None = None, _namespace: str | None = None):
+def parse_schema(
+    schema,
+    _names: dict | None = None,
+    _namespace: str | None = None,
+    allow_recursive: bool = False,
+    _visiting: dict | None = None,
+):
     """Normalize an Avro schema (JSON string or loaded object) into a
     plain dict tree: every node is ``{"type": ...}`` with named types
     registered so later references resolve. Raises ValueError on
-    unknown types or malformed named-type definitions."""
+    unknown types or malformed named-type definitions.
+
+    ``allow_recursive=True`` (r12) admits self-referential records —
+    the returned tree is then CYCLIC (a reference resolves to the
+    registered node object), which the data codecs walk fine (Avro
+    data terminates recursion through null-union branches or empty
+    arrays/maps) but the Spark-shape converters must unroll with a
+    depth bound (``recursive_max_depth`` on read_avro /
+    avro_to_spark_ddl — Spark's own avro reader exposes the same knob
+    as ``recursiveFieldMaxDepth``)."""
     if isinstance(schema, str) and (schema.lstrip()[:1] in "{[\""):
         schema = json.loads(schema)
     names = _names if _names is not None else {}
+    visiting = _visiting if _visiting is not None else {}
+    if isinstance(schema, dict) and id(schema) in visiting:
+        # re-normalizing an already-parsed CYCLIC tree (idempotence):
+        # a raw JSON tree is acyclic, so this only fires on the node
+        # object a recursive reference resolved to
+        return visiting[id(schema)]
 
     if isinstance(schema, str):
         if schema in _PRIMITIVES:
@@ -119,7 +146,10 @@ def parse_schema(schema, _names: dict | None = None, _namespace: str | None = No
     if isinstance(schema, list):  # union
         return {
             "type": "union",
-            "branches": [parse_schema(b, names, _namespace) for b in schema],
+            "branches": [
+                parse_schema(b, names, _namespace, allow_recursive, visiting)
+                for b in schema
+            ],
         }
 
     if not isinstance(schema, dict):
@@ -129,7 +159,10 @@ def parse_schema(schema, _names: dict | None = None, _namespace: str | None = No
     if t == "union" and "branches" in schema:  # already normalized — idempotent
         return {
             "type": "union",
-            "branches": [parse_schema(b, names, _namespace) for b in schema["branches"]],
+            "branches": [
+                parse_schema(b, names, _namespace, allow_recursive, visiting)
+                for b in schema["branches"]
+            ],
         }
     if t in _PRIMITIVES:
         node = {"type": t}
@@ -149,12 +182,14 @@ def parse_schema(schema, _names: dict | None = None, _namespace: str | None = No
         full = _fullname(name, ns)
         node = {"type": "record", "name": full, "fields": []}
         names[full] = node  # register BEFORE fields: recursion detection
+        visiting[id(schema)] = node
         for f in schema.get("fields", []):
-            ftype = parse_schema(f["type"], names, ns)
-            if _contains(ftype, full):
+            ftype = parse_schema(f["type"], names, ns, allow_recursive, visiting)
+            if not allow_recursive and _contains(ftype, full):
                 raise ValueError(
                     f"recursive schema via record {full!r} — recursive "
-                    "Avro types have no DataFrame shape"
+                    "Avro types have no static DataFrame shape; pass "
+                    "recursive_max_depth to read_avro to unroll"
                 )
             field = {"name": f["name"], "type": ftype}
             if "default" in f:  # kept for reader-schema resolution
@@ -185,30 +220,41 @@ def parse_schema(schema, _names: dict | None = None, _namespace: str | None = No
         return node
 
     if t == "array":
-        return {"type": "array", "items": parse_schema(schema["items"], names, _namespace)}
+        return {
+            "type": "array",
+            "items": parse_schema(schema["items"], names, _namespace, allow_recursive, visiting),
+        }
 
     if t == "map":
-        return {"type": "map", "values": parse_schema(schema["values"], names, _namespace)}
+        return {
+            "type": "map",
+            "values": parse_schema(schema["values"], names, _namespace, allow_recursive, visiting),
+        }
 
     if t == "union" or isinstance(t, list):
-        return parse_schema(t, names, _namespace)
+        return parse_schema(t, names, _namespace, allow_recursive, visiting)
 
     if isinstance(t, dict):  # {"type": {"type": "array", ...}} nesting
-        return parse_schema(t, names, _namespace)
+        return parse_schema(t, names, _namespace, allow_recursive, visiting)
 
     raise ValueError(f"unknown Avro type {t!r}")
 
 
-def _contains(node, fullname: str) -> bool:
+def _contains(node, fullname: str, _seen: set | None = None) -> bool:
+    if _seen is None:
+        _seen = set()
+    if id(node) in _seen:  # cycle-safe (allow_recursive trees)
+        return False
+    _seen.add(id(node))
     if node.get("name") == fullname:
         return True
     for f in node.get("fields", []):
-        if _contains(f["type"], fullname):
+        if _contains(f["type"], fullname, _seen):
             return True
     for k in ("items", "values"):
-        if k in node and _contains(node[k], fullname):
+        if k in node and _contains(node[k], fullname, _seen):
             return True
-    return any(_contains(b, fullname) for b in node.get("branches", []))
+    return any(_contains(b, fullname, _seen) for b in node.get("branches", []))
 
 
 # --------------------------------------------------------------------------
@@ -709,15 +755,18 @@ def write_ocf(
     schema,
     codec: str = "deflate",
     block_rows: int = 1000,
+    allow_recursive: bool = False,
 ) -> bytes:
-    """Serialize records into one Avro Object Container File (bytes)."""
+    """Serialize records into one Avro Object Container File (bytes).
+    ``allow_recursive`` admits self-referential record schemas (the
+    encoder walks the DATA, which terminates the recursion)."""
     if codec not in _CODECS:
         raise ValueError(
             f"unknown avro codec {codec!r}; supported: {sorted(_CODECS)}"
         )
     comp = _CODECS[codec][0]
     schema_json = schema if isinstance(schema, str) else json.dumps(schema)
-    parsed = parse_schema(schema_json)
+    parsed = parse_schema(schema_json, allow_recursive=allow_recursive)
     sync = _sync_marker(schema_json)
 
     out = bytearray(_MAGIC)
@@ -823,7 +872,7 @@ def _parse_ocf_header(r: _StreamReader) -> tuple[dict[str, bytes], bytes]:
 
 
 def read_ocf(
-    stream: BinaryIO, reader_schema=None
+    stream: BinaryIO, reader_schema=None, allow_recursive: bool = False
 ) -> tuple[dict, str, Iterator[dict]]:
     """Parse an OCF stream → (parsed_schema, schema_json, record iter).
     Sequential, one block in memory at a time; validates the sync
@@ -833,7 +882,7 @@ def read_ocf(
     meta, sync = _parse_ocf_header(r)
 
     schema_json = meta["avro.schema"].decode()
-    parsed = parse_schema(schema_json)
+    parsed = parse_schema(schema_json, allow_recursive=allow_recursive)
     decode_plan = parsed
     if reader_schema is not None:
         # parse_schema is idempotent on already-normalized trees
@@ -871,19 +920,31 @@ def decode_ocf_bytes(data: bytes) -> tuple[str, list[dict]]:
 # Avro schema <-> Spark types
 # --------------------------------------------------------------------------
 
-def avro_to_spark_ddl(schema) -> str:
+def avro_to_spark_ddl(schema, recursive_max_depth: int | None = None) -> str:
     """Spark DDL string for a parsed (or JSON) Avro schema. Top level
-    must be a record — its fields become columns."""
-    s = parse_schema(schema)
+    must be a record — its fields become columns. With
+    ``recursive_max_depth`` = K, a record name may appear at most K
+    times on any path; a field whose type would be the K+1-th
+    appearance is DROPPED from the shape (Spark's own
+    ``recursiveFieldMaxDepth`` semantics — the data is still decoded
+    correctly at any depth, the deeper values just are not
+    materialized)."""
+    s = parse_schema(schema, allow_recursive=recursive_max_depth is not None)
     if s["type"] != "record":
         raise ValueError("top-level Avro schema must be a record")
-    cols = ", ".join(
-        f"`{f['name']}` {_spark_type(f['type'])}" for f in s["fields"]
-    )
-    return cols
+    cols = []
+    for f in s["fields"]:
+        ty = _spark_type(f["type"], recursive_max_depth, {s["name"]: 1})
+        if ty is None:
+            continue
+        cols.append(f"`{f['name']}` {ty}")
+    if not cols:
+        raise ValueError("recursive_max_depth unrolled every column away")
+    return ", ".join(cols)
 
 
-def _spark_type(s) -> str:
+def _spark_type(s, depth: int | None = None, seen: dict | None = None) -> str | None:
+    """None = this field unrolls past ``depth`` and must be dropped."""
     t = s.get("promote", s["type"])
     lt = s.get("logicalType")
     if t == "union":
@@ -893,7 +954,7 @@ def _spark_type(s) -> str:
                 "only nullable unions map to a DataFrame column — "
                 f"got {len(non_null)} non-null branches"
             )
-        return _spark_type(non_null[0])
+        return _spark_type(non_null[0], depth, seen)
     if lt == "decimal":
         return f"decimal({s['precision']},{s['scale']})"
     if lt == "date":
@@ -914,14 +975,28 @@ def _spark_type(s) -> str:
     if t == "enum":
         return "string"
     if t == "array":
-        return f"array<{_spark_type(s['items'])}>"
+        inner = _spark_type(s["items"], depth, seen)
+        return None if inner is None else f"array<{inner}>"
     if t == "map":
-        return f"map<string,{_spark_type(s['values'])}>"
+        inner = _spark_type(s["values"], depth, seen)
+        return None if inner is None else f"map<string,{inner}>"
     if t == "record":
-        inner = ", ".join(
-            f"`{f['name']}`: {_spark_type(f['type'])}" for f in s["fields"]
-        )
-        return f"struct<{inner}>"
+        seen2 = seen
+        if depth is not None:
+            n = (seen or {}).get(s["name"], 0) + 1
+            if n > depth:
+                return None
+            seen2 = dict(seen or {})
+            seen2[s["name"]] = n
+        fields = []
+        for f in s["fields"]:
+            ty = _spark_type(f["type"], depth, seen2)
+            if ty is None:
+                continue
+            fields.append(f"`{f['name']}`: {ty}")
+        if not fields:
+            return None
+        return f"struct<{', '.join(fields)}>"
     raise ValueError(f"no Spark mapping for {t!r}")
 
 
@@ -1044,7 +1119,7 @@ def _validate_block(f: BinaryIO, sync: bytes, pos: int, file_size: int) -> bool:
 
 def _iter_blocks_range(
     path: str, start: int, end: int, reader_schema=None,
-    expect_fields: list[str] | None = None,
+    expect_fields: list[str] | None = None, allow_recursive: bool = False,
 ) -> Iterator[dict]:
     """Decode the blocks that START in [max(start, first_block), end)
     of a local container file — each split owns the blocks beginning
@@ -1058,7 +1133,7 @@ def _iter_blocks_range(
         meta, sync = _parse_ocf_header(r)
         first_block = r.consumed
         schema_json = meta["avro.schema"].decode()
-        parsed = parse_schema(schema_json)
+        parsed = parse_schema(schema_json, allow_recursive=allow_recursive)
         if expect_fields is not None and [
             f["name"] for f in parsed["fields"]
         ] != expect_fields:
@@ -1110,6 +1185,7 @@ def read_avro(
     batch_rows: int = 2048,
     reader_schema=None,
     split_size: int = 128 << 20,
+    recursive_max_depth: int | None = None,
 ):
     """Avro container file(s) → DataFrame. One task per file (an OCF is
     a sequential block stream); ``opener`` is the same remote-storage
@@ -1122,9 +1198,27 @@ def read_avro(
     RESOLVED against it (spec schema-resolution: defaults, skipped
     fields, promotions), so a directory spanning schema versions reads
     as one uniform DataFrame — the evolution story a long-lived topic
-    archive needs."""
+    archive needs.
+
+    ``recursive_max_depth`` = K (r12; Spark-avro's recursiveFieldMaxDepth
+    semantics) admits RECURSIVE record schemas: a record name may appear
+    at most K times on any path of the DataFrame shape, fields that
+    would recurse deeper are dropped from the columns (the bytes still
+    decode correctly at any data depth — Avro recursion terminates
+    through null unions / empty arrays — the deeper values just are not
+    materialized). Mutually exclusive with ``reader_schema`` (schema
+    resolution over cyclic trees is not supported)."""
     import pandas as pd
 
+    if recursive_max_depth is not None:
+        if recursive_max_depth < 1:
+            raise ValueError("recursive_max_depth must be >= 1")
+        if reader_schema is not None:
+            raise NotImplementedError(
+                "reader_schema resolution over recursive schemas is not "
+                "supported — read with the writer schema"
+            )
+    allow_rec = recursive_max_depth is not None
     files = _list_avro_files(path)
     if not files:
         raise ValueError(f"no .avro files under {path!r}")
@@ -1134,10 +1228,17 @@ def read_avro(
         )
     else:
         with (opener(files[0]) if opener else open(files[0], "rb")) as f0:
-            parsed, schema_json, _ = read_ocf(f0)
-    ddl = avro_to_spark_ddl(parsed)
-    cols = [f["name"] for f in parsed["fields"]]
-    converters = [_to_pandas_cell(f["type"]) for f in parsed["fields"]]
+            parsed, schema_json, _ = read_ocf(f0, allow_recursive=allow_rec)
+    ddl = avro_to_spark_ddl(parsed, recursive_max_depth)
+    all_field_names = [f["name"] for f in parsed["fields"]]
+    top_seen = {parsed["name"]: 1} if allow_rec else None
+    cols, converters = [], []
+    for f in parsed["fields"]:
+        cv = _to_pandas_cell(f["type"], recursive_max_depth, top_seen)
+        if cv is None:
+            continue
+        cols.append(f["name"])
+        converters.append(cv)
 
     # splits: byte ranges realigned to block boundaries executor-side.
     # opener-mediated (remote) streams are not assumed seekable — one
@@ -1161,15 +1262,20 @@ def read_avro(
             yield from _iter_blocks_range(
                 fpath, start, end,
                 reader_schema=parsed if reader_schema is not None else None,
-                expect_fields=cols if reader_schema is None else None,
+                expect_fields=all_field_names if reader_schema is None else None,
+                allow_recursive=allow_rec,
             )
             return
         stream = opener(fpath) if opener else open(fpath, "rb")
         try:
             fparsed, fjson, records = read_ocf(
-                stream, reader_schema=parsed if reader_schema is not None else None
+                stream,
+                reader_schema=parsed if reader_schema is not None else None,
+                allow_recursive=allow_rec,
             )
-            if reader_schema is None and [f["name"] for f in fparsed["fields"]] != cols:
+            if reader_schema is None and [
+                f["name"] for f in fparsed["fields"]
+            ] != all_field_names:
                 raise ValueError(f"{fpath}: field names differ from {files[0]}")
             yield from records
         finally:
@@ -1194,22 +1300,44 @@ def read_avro(
     return paths_df.mapInPandas(gen, schema=ddl)
 
 
-def _to_pandas_cell(s) -> Callable:
-    """Arrow-friendly cell conversion for one decoded Avro value."""
+def _to_pandas_cell(s, depth: int | None = None, seen: dict | None = None) -> Callable | None:
+    """Arrow-friendly cell conversion for one decoded Avro value.
+    Mirrors ``_spark_type``'s depth unrolling exactly: None = the field
+    was dropped from the shape, so no converter exists for it."""
     t = s["type"]
     if t == "union":
         non_null = [b for b in s["branches"] if b["type"] != "null"]
-        inner = _to_pandas_cell(non_null[0])
+        inner = _to_pandas_cell(non_null[0], depth, seen)
+        if inner is None:
+            return None
         return lambda v: None if v is None else inner(v)
     if t == "map":
         # pyspark's Arrow map conversion calls .items() — hand it a dict
-        inner = _to_pandas_cell(s["values"])
+        inner = _to_pandas_cell(s["values"], depth, seen)
+        if inner is None:
+            return None
         return lambda v: None if v is None else {k: inner(x) for k, x in v.items()}
     if t == "array":
-        inner = _to_pandas_cell(s["items"])
+        inner = _to_pandas_cell(s["items"], depth, seen)
+        if inner is None:
+            return None
         return lambda v: None if v is None else [inner(x) for x in v]
     if t == "record":
-        convs = {f["name"]: _to_pandas_cell(f["type"]) for f in s["fields"]}
+        seen2 = seen
+        if depth is not None:
+            n = (seen or {}).get(s["name"], 0) + 1
+            if n > depth:
+                return None
+            seen2 = dict(seen or {})
+            seen2[s["name"]] = n
+        convs = {}
+        for f in s["fields"]:
+            cv = _to_pandas_cell(f["type"], depth, seen2)
+            if cv is None:
+                continue
+            convs[f["name"]] = cv
+        if not convs:
+            return None
         return lambda v: None if v is None else {k: cv(v.get(k)) for k, cv in convs.items()}
     return lambda v: v
 

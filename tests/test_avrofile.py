@@ -652,3 +652,111 @@ def test_avro_archive_feeds_curate_end_to_end(spark, tmp_path):
     assert report["exact_dups_removed"] == 3
     assert report["final_docs"] == 8
     assert {r.doc_id for r in curated.collect()} == set(range(8))
+
+
+# --- recursive schemas (r12: bounded unroll, spark-avro's
+# recursiveFieldMaxDepth semantics) ------------------------------------------
+
+
+NODE_SCHEMA = {
+    "type": "record",
+    "name": "Node",
+    "fields": [
+        {"name": "v", "type": "long"},
+        {"name": "next", "type": ["null", "Node"]},
+    ],
+}
+
+
+def _chain(*vals):
+    node = None
+    for v in reversed(vals):
+        node = {"v": v, "next": node}
+    return node
+
+
+class TestRecursiveSchemas:
+    def test_default_still_rejects_with_pointer_to_the_knob(self):
+        import json
+
+        import pytest
+
+        from automic_etl_spark.sources.avrofile import parse_schema
+
+        with pytest.raises(ValueError, match="recursive_max_depth"):
+            parse_schema(json.dumps(NODE_SCHEMA))
+
+    def test_ddl_unrolls_and_drops_past_depth(self):
+        import json
+
+        from automic_etl_spark.sources.avrofile import avro_to_spark_ddl
+
+        assert avro_to_spark_ddl(json.dumps(NODE_SCHEMA), 1) == "`v` long"
+        assert (
+            avro_to_spark_ddl(json.dumps(NODE_SCHEMA), 2)
+            == "`v` long, `next` struct<`v`: long>"
+        )
+        assert (
+            avro_to_spark_ddl(json.dumps(NODE_SCHEMA), 3)
+            == "`v` long, `next` struct<`v`: long, `next`: struct<`v`: long>>"
+        )
+
+    def test_container_roundtrip_truncates_below_depth(self, spark, tmp_path):
+        import json
+
+        from automic_etl_spark.sources.avrofile import read_avro, write_ocf
+
+        recs = [
+            _chain(1),
+            _chain(10, 11),
+            _chain(20, 21, 22, 23),  # deeper than the unroll depth
+        ]
+        blob = write_ocf(
+            recs, json.dumps(NODE_SCHEMA), codec="deflate",
+            allow_recursive=True,
+        )
+        p = tmp_path / "nodes.avro"
+        p.write_bytes(blob)
+        df = read_avro(spark, str(p), recursive_max_depth=2)
+        rows = {r.v: r for r in df.collect()}
+        assert rows[1].next is None
+        assert rows[10].next.v == 11
+        # data deeper than the depth decodes but is not materialized
+        assert rows[20].next.v == 21
+        assert not hasattr(rows[20].next, "next")
+
+    def test_depth_one_drops_the_recursive_column(self, spark, tmp_path):
+        import json
+
+        from automic_etl_spark.sources.avrofile import read_avro, write_ocf
+
+        blob = write_ocf(
+            [_chain(5, 6)], json.dumps(NODE_SCHEMA), allow_recursive=True
+        )
+        p = tmp_path / "one.avro"
+        p.write_bytes(blob)
+        df = read_avro(spark, str(p), recursive_max_depth=1)
+        assert df.columns == ["v"]
+        assert [r.v for r in df.collect()] == [5]
+
+    def test_recursion_guards(self, spark, tmp_path):
+        import json
+
+        import pytest
+
+        from automic_etl_spark.sources.avrofile import read_avro, write_ocf
+
+        blob = write_ocf(
+            [_chain(1)], json.dumps(NODE_SCHEMA), allow_recursive=True
+        )
+        p = tmp_path / "g.avro"
+        p.write_bytes(blob)
+        with pytest.raises(ValueError, match="recursive"):
+            read_avro(spark, str(p))  # no depth -> still the loud default
+        with pytest.raises(ValueError, match=">= 1"):
+            read_avro(spark, str(p), recursive_max_depth=0)
+        with pytest.raises(NotImplementedError, match="reader_schema"):
+            read_avro(
+                spark, str(p), recursive_max_depth=2,
+                reader_schema=json.dumps(NODE_SCHEMA),
+            )
