@@ -140,6 +140,41 @@ class _BitWriter:
             self.acc >>= 8
             self.nacc -= 8
 
+    def write_array(self, vals: np.ndarray, nbits: np.ndarray) -> None:
+        """Bulk LSb-first writes (r12, the zstd literal-scatter
+        pattern): per-value bit offsets via cumsum, each (value <<
+        phase) summed onto 3 bytes with bincount — contributions to
+        one byte set disjoint bits, so + == | — then merged with the
+        pending partial byte. Byte-identical to the equivalent write()
+        loop; values must fit 17 bits (codewords here are <= 13)."""
+        ends = np.cumsum(nbits)
+        total = int(ends[-1]) if len(ends) else 0
+        if total == 0:
+            return
+        offs = (ends - nbits) + self.nacc
+        contrib = vals << (offs & 7)
+        byte_idx = offs >> 3
+        nbytes = (self.nacc + total + 7) >> 3
+        out = np.bincount(
+            byte_idx, weights=(contrib & 0xFF).astype(np.float64),
+            minlength=nbytes + 3,
+        )
+        out += np.bincount(
+            byte_idx + 1, weights=((contrib >> 8) & 0xFF).astype(np.float64),
+            minlength=nbytes + 3,
+        )
+        out += np.bincount(
+            byte_idx + 2, weights=(contrib >> 16).astype(np.float64),
+            minlength=nbytes + 3,
+        )
+        out = out.astype(np.int64)
+        out[0] |= self.acc  # pending bits live below every new offset
+        newbits = self.nacc + total
+        nfull = newbits >> 3
+        self.bytes_ += out[:nfull].astype(np.uint8).tobytes()
+        self.acc = int(out[nfull]) if newbits & 7 else 0
+        self.nacc = newbits & 7
+
     def write_codeword(self, code: int, length: int):
         """Huffman codewords transmit tree-walk order: the codeword's
         top bit is read first (spec 3.2.1) — reverse of scalar packing,
@@ -1479,8 +1514,11 @@ def synth_vorbis(
     padded = np.zeros((C[-1] + max(sizes), ch))
     padded[pad_front : pad_front + n_samples] = signal
     win_cache: dict[tuple, np.ndarray] = {}
-    mdct_cache: dict[int, np.ndarray] = {}
-    packets = []
+    # r12: group frames by blocksize and run ONE BLAS matmul per size
+    # (the per-frame [ch,n]@[n,n2] products were the encoder's wall) —
+    # window application and packet encode stay per-frame
+    frames_by_n: dict[int, list] = {}
+    metas = []
     for k, (n, flag) in enumerate(zip(sizes, flags)):
         prev_long = flags[k - 1] == 1 if k > 0 else True
         next_long = flags[k + 1] == 1 if k + 1 < len(flags) else True
@@ -1494,19 +1532,28 @@ def synth_vorbis(
             w[le:rs] = 1.0
             w[rs:re] = _vorbis_slope(re - rs)[::-1]
             win_cache[wkey] = w
-        M = mdct_cache.get(n)
-        if M is None:
-            kk = np.arange(n // 2, dtype=np.float64)
-            jj = np.arange(n, dtype=np.float64)
-            M = np.cos(2 * np.pi / n * np.outer(jj + 0.5 + n / 4, kk + 0.5))
-            mdct_cache[n] = M
         start = C[k] - n // 2
-        frame = padded[start : start + n] * w[:, None]
-        X = frame.T @ M * (2.0 / (n // 2))  # [ch, n2], TDAC-normalized
+        frames_by_n.setdefault(n, []).append(
+            (k, padded[start : start + n] * w[:, None])
+        )
+        metas.append((flag, prev_long, next_long))
+    spectra: dict[int, np.ndarray] = {}
+    for n, items in frames_by_n.items():
+        kk = np.arange(n // 2, dtype=np.float64)
+        jj = np.arange(n, dtype=np.float64)
+        M = np.cos(2 * np.pi / n * np.outer(jj + 0.5 + n / 4, kk + 0.5))
+        stacked = np.stack([f for _, f in items])  # [m, n, ch]
+        prod = stacked.transpose(0, 2, 1).reshape(-1, n) @ M
+        prod *= 2.0 / (n // 2)  # TDAC normalization (encoder side)
+        prod = prod.reshape(len(items), ch, n // 2)
+        for (k, _), X in zip(items, prod):
+            spectra[k] = X
+    packets = []
+    for k, (n, (flag, prev_long, next_long)) in enumerate(zip(sizes, metas)):
         packets.append(
             _encode_frame(
-                X, flag, prev_long, next_long, ch, n, bs1, coupling,
-                floor_slope, rate if floor0 else None,
+                spectra[k], flag, prev_long, next_long, ch, n, bs1,
+                coupling, floor_slope, rate if floor0 else None,
             )
         )
     # Ogg encapsulation
@@ -1620,25 +1667,31 @@ def _encode_frame(
         flat_idx = np.empty(n2 * ch, dtype=np.int64)
         flat_idx[0::2] = np.clip(mi, 0, _WGRID - 1)
         flat_idx[1::2] = np.clip(ai, 0, _WGRID - 1)
-        rev = _WVQ_REV[flat_idx].tolist()
+        rev = _WVQ_REV[flat_idx]
         vq_len = _WLEN
     else:
         flat_idx = np.empty(n2 * ch, dtype=np.int64)
         for c in range(ch):
             flat_idx[c::ch] = qidx[c]
-        rev = _VQ_REV[flat_idx].tolist()  # python ints: keeps the writer's
-        vq_len = _VQ_LEN                  # accumulator out of numpy widths
+        rev = _VQ_REV[flat_idx]
+        vq_len = _VQ_LEN
     limit_end = min((bs1 // 2) * ch, n2 * ch)
     to_read = limit_end // _PART_SIZE
-    write = bw.write
-    pcount = 0
-    while pcount < to_read:
-        write(0, 4)  # classword: all classes 0 (codeword 0 either order)
-        for _ in range(_CLASS_DIMS):
-            if pcount >= to_read:
-                break
-            off = pcount * _PART_SIZE
-            for j in range(_PART_SIZE):
-                write(rev[off + j], vq_len)
-            pcount += 1
+    # r12: one bulk scatter write — per 4-partition group a 4-bit
+    # classword (0: all classes 0) then the group's codewords; the
+    # value/width arrays reproduce the old per-codeword loop's layout
+    # byte-identically
+    vals_chunks = []
+    bits_chunks = []
+    for g in range(0, to_read, 4):
+        cnt = min(_CLASS_DIMS, to_read - g)
+        take = rev[g * _PART_SIZE : (g + cnt) * _PART_SIZE]
+        vals_chunks.append(np.concatenate(([0], take)))
+        bits_chunks.append(
+            np.concatenate(([4], np.full(len(take), vq_len, dtype=np.int64)))
+        )
+    if vals_chunks:
+        bw.write_array(
+            np.concatenate(vals_chunks), np.concatenate(bits_chunks)
+        )
     return bw.getvalue()
