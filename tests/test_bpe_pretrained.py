@@ -138,3 +138,37 @@ def test_spark_stats_and_ids_lanes(spark):
     vocab, ranks = load_pretrained_bpe(vj, mt)
     assert list(ids[2].input_ids) == encode_pretrained("it's x", vocab, ranks)
     assert ids[1].n_tokens == 7
+
+
+def test_counts_feed_pack_sequences(spark):
+    """The advertised integration: budget training sequences with the
+    TARGET model's token counts (pretrained_token_stats -> count_col)."""
+    from automic_etl_spark.operators.packing import pack_sequences
+
+    vj, mt = _synthetic_tokenizer([("h", "e"), ("he", "l")])
+    docs = spark.createDataFrame(
+        [(i, "hello " * (i + 1)) for i in range(6)],
+        "doc_id long, text string",
+    )
+    stats = pretrained_token_stats(docs, vj, mt)
+    packed = pack_sequences(
+        docs.join(stats, "doc_id"),
+        seq_tokens=32,
+        num_shards=2,
+        count_col="n_tokens",
+    )
+    rows = {r.doc_id: r for r in packed.collect()}
+    # "hello" -> 3 tokens; " hello" -> 4; doc i has 3 + 4*i + 1 (the
+    # trailing space piece) tokens under this table
+    assert rows[0].n_tokens == 4 and rows[2].n_tokens == 12
+    # the packer laid out by the PRETRAINED counts: per shard, each
+    # doc's offset is the running token total mod the budget (docs may
+    # straddle bins — the conventional streaming layout)
+    by_shard: dict = {}
+    for r in sorted(rows.values(), key=lambda r: r.doc_id):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard_rows in by_shard.values():
+        cum = 0
+        for r in shard_rows:
+            assert r.seq_offset == cum % 32
+            cum += r.n_tokens
