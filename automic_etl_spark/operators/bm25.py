@@ -40,6 +40,18 @@ B=1000 b, coefficients gcd-reduced):
 which at the (1.2, 0.75) defaults reduces to exactly
 22 tf L DIV (10 tf L + 3 L + 9 dl N), so every engine lands the
 identical BIGINT score.
+
+Quantized-path RANGE (know before using it at scale): the per-term
+numerator is idf_e6 * a * tf * L with idf_e6 <= ~ln(2(N+1))*1e6 and
+``a`` the gcd-reduced (K+1000)*1000 coefficient (22 at the defaults,
+up to ~2.2e6 for gcd-unfriendly parameters), so staying inside int64
+needs roughly a * tf * L < 2.8e11. That holds comfortably at
+gate/audit scale (the intended use — exact cross-engine comparison);
+a 10B-token corpus at the defaults is near the edge and gcd-unfriendly
+tunings far past it. Production ranking at corpus scale should use the
+float path (quantize_e6=False), which has no such bound and the same
+ranking behavior (rank agreement is pinned in tests at default and
+tuned parameters).
 """
 
 from __future__ import annotations
