@@ -1,0 +1,93 @@
+"""Optional compiled kernels (r12) — the "C drop-in behind the codec
+functions, no plan changes" lever PERFORMANCE.md has named since the
+first codec rounds, made real:
+
+- ``kernels.c`` is first-party C written from the same public specs as
+  the Python it accelerates (XXH64; the RFC 8878 Huffman literal walk).
+- ``load()`` compiles it ONCE per machine with the system C compiler
+  into a content-hash-named shared object under the user cache dir
+  (atomic rename, so concurrent Spark python workers race safely) and
+  loads it via ctypes.
+- EVERY caller keeps the pure-Python implementation as the behavioral
+  definition: any failure here — no compiler, sandboxed tempdir, odd
+  arch, kill switch ``AUTOMIC_ETL_NO_NATIVE=1`` — returns None and the
+  Python path runs. Tests pin the two implementations against each
+  other whenever the native one is loadable, and the whole suite also
+  passes with the kill switch set.
+
+Scale note: in local mode the .so compiles once; on a real cluster each
+executor node compiles once on first use (gcc is a standard base-image
+tool) — or ship the prebuilt .so via ``spark.archives`` and point
+``AUTOMIC_ETL_NATIVE_SO`` at it.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import shutil
+import subprocess
+import tempfile
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "kernels.c")
+_LIB = None
+_TRIED = False
+
+
+def _cache_path(src_bytes: bytes, cc: str) -> str:
+    tag = hashlib.md5(src_bytes + cc.encode()).hexdigest()[:16]
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "automic_etl_spark", f"kernels-{tag}.so")
+
+
+def load():
+    """The loaded CDLL with typed signatures, or None (pure-Python
+    fallback). Idempotent; never raises."""
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        if os.environ.get("AUTOMIC_ETL_NO_NATIVE"):
+            return None
+        so = os.environ.get("AUTOMIC_ETL_NATIVE_SO")
+        if not so:
+            cc = shutil.which("cc") or shutil.which("gcc")
+            if cc is None:
+                return None
+            with open(_SRC, "rb") as f:
+                src = f.read()
+            so = _cache_path(src, cc)
+            if not os.path.exists(so):
+                os.makedirs(os.path.dirname(so), exist_ok=True)
+                fd, tmp = tempfile.mkstemp(
+                    suffix=".so", dir=os.path.dirname(so)
+                )
+                os.close(fd)
+                proc = subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    capture_output=True,
+                    timeout=120,
+                )
+                if proc.returncode != 0:
+                    os.unlink(tmp)
+                    return None
+                os.replace(tmp, so)  # atomic: concurrent workers race safely
+        lib = ctypes.CDLL(so)
+        lib.automic_xxh64.restype = ctypes.c_uint64
+        lib.automic_xxh64.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+        ]
+        lib.automic_huf_decode.restype = ctypes.c_int
+        lib.automic_huf_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
+        _LIB = lib
+    except Exception:
+        _LIB = None
+    return _LIB

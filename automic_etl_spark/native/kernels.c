@@ -1,0 +1,129 @@
+/* Optional compiled kernels behind the pure-Python codecs.
+ *
+ * First-party implementations written from the public specs — the
+ * same sources as the Python they accelerate:
+ *   - XXH64 (the xxHash spec / RFC-style description; verified against
+ *     the published test vectors and differentially against the
+ *     module's Python implementation)
+ *   - the zstd Huffman literal-stream walk (RFC 8878 §4.2.2; a
+ *     backward bitstream over a peek LUT — the exact loop
+ *     operators/zstdcodec._huf_decode_stream runs in Python)
+ *
+ * Loaded via ctypes when a C compiler is present (build.py); every
+ * caller keeps the pure-Python path as the behavioral definition and
+ * falls back to it on any load failure.
+ */
+#include <stdint.h>
+#include <stddef.h>
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+#define P1 11400714785074694791ULL
+#define P2 14029467366897019727ULL
+#define P3 1609587929392839161ULL
+#define P4 9650029242287828579ULL
+#define P5 2870177450012600261ULL
+
+static inline uint64_t rd64(const uint8_t *p) {
+    uint64_t v;
+    __builtin_memcpy(&v, p, 8);
+    return v; /* little-endian hosts only (x86-64/aarch64) */
+}
+
+static inline uint32_t rd32(const uint8_t *p) {
+    uint32_t v;
+    __builtin_memcpy(&v, p, 4);
+    return v;
+}
+
+uint64_t automic_xxh64(const uint8_t *p, size_t len, uint64_t seed) {
+    const uint8_t *end = p + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed,
+                 v4 = seed - P1;
+        const uint8_t *limit = end - 32;
+        do {
+            v1 = rotl64(v1 + rd64(p) * P2, 31) * P1; p += 8;
+            v2 = rotl64(v2 + rd64(p) * P2, 31) * P1; p += 8;
+            v3 = rotl64(v3 + rd64(p) * P2, 31) * P1; p += 8;
+            v4 = rotl64(v4 + rd64(p) * P2, 31) * P1; p += 8;
+        } while (p <= limit);
+        h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+        h = (h ^ (rotl64(v1 * P2, 31) * P1)) * P1 + P4;
+        h = (h ^ (rotl64(v2 * P2, 31) * P1)) * P1 + P4;
+        h = (h ^ (rotl64(v3 * P2, 31) * P1)) * P1 + P4;
+        h = (h ^ (rotl64(v4 * P2, 31) * P1)) * P1 + P4;
+    } else {
+        h = seed + P5;
+    }
+    h += (uint64_t)len;
+    while (p + 8 <= end) {
+        h = rotl64(h ^ (rotl64(rd64(p) * P2, 31) * P1), 27) * P1 + P4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h = rotl64(h ^ ((uint64_t)rd32(p) * P1), 23) * P2 + P3;
+        p += 4;
+    }
+    while (p < end) {
+        h = rotl64(h ^ ((uint64_t)(*p) * P5), 11) * P1;
+        p += 1;
+    }
+    h ^= h >> 33;
+    h *= P2;
+    h ^= h >> 29;
+    h *= P3;
+    h ^= h >> 32;
+    return h;
+}
+
+/* Backward-bitstream Huffman literal walk (RFC 8878 §4.2.2).
+ * stream: the sub-stream bytes (sentinel bit in the last byte).
+ * packed: LUT of 1<<max_len entries, (symbol << 4) | length, 0=invalid
+ *         (exactly operators/zstdcodec._huf_build's packed form).
+ * out: rs bytes.
+ * Returns 0 on success, 1 on invalid code / over-read / bad sentinel.
+ */
+int automic_huf_decode(const uint8_t *stream, long slen, uint8_t *out,
+                       long rs, int max_len, const int32_t *packed) {
+    if (slen <= 0 || stream[slen - 1] == 0)
+        return 1;
+    long bitpos = (slen - 1) * 8 + 31 - __builtin_clz(stream[slen - 1]);
+    const uint32_t mask = (1u << max_len) - 1;
+    for (long i = 0; i < rs; i++) {
+        if (bitpos < 0)
+            return 1;
+        long p = bitpos - max_len;
+        uint32_t window;
+        if (p >= 0) {
+            long byte = p >> 3;
+            uint32_t w = stream[byte];
+            if (byte + 1 < slen) w |= (uint32_t)stream[byte + 1] << 8;
+            if (byte + 2 < slen) w |= (uint32_t)stream[byte + 2] << 16;
+            window = (w >> (p & 7)) & mask;
+        } else {
+            /* tail: fewer than max_len bits remain — zero-pad LOW
+             * (the spec's implicit-zeros convention, matching the
+             * Python peek_pad) */
+            if (bitpos == 0)
+                window = 0;
+            else {
+                uint32_t w = 0;
+                long nbytes = (bitpos + 7) >> 3;
+                for (long b = nbytes - 1; b >= 0; b--)
+                    w = (w << 8) | stream[b];
+                w &= (1u << bitpos) - 1;
+                window = (w << (max_len - bitpos)) & mask;
+            }
+        }
+        int32_t t = packed[window];
+        if (t == 0)
+            return 1;
+        bitpos -= t & 15;
+        out[i] = (uint8_t)(t >> 4);
+    }
+    return bitpos == 0 ? 0 : 1;
+}

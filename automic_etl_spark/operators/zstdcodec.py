@@ -1,5 +1,10 @@
 """First-party Zstandard codec (RFC 8878, pure Python + numpy-batched
-hot loops).
+hot loops, plus OPTIONAL first-party compiled kernels — see
+automic_etl_spark/native: when a C compiler is present, XXH64 and the
+Huffman literal walk route through a ctypes-loaded .so built from
+checked-in spec-derived C, differentially pinned against the Python
+definitions, with automatic fallback and an AUTOMIC_ETL_NO_NATIVE kill
+switch).
 
 zstd is the modern default block compression across the data-eng stack
 (Kafka topics, Avro OCF ``zstandard`` containers, .zst web-archive
@@ -88,7 +93,19 @@ def _rotl(x: int, r: int) -> int:
     return ((x << r) | (x >> (64 - r))) & _M64
 
 
+def _native():
+    """The optional compiled kernels (automic_etl_spark/native), or
+    None — every caller keeps the Python path as the definition."""
+    from automic_etl_spark.native import load
+
+    return load()
+
+
 def xxh64(data: bytes, seed: int = 0) -> int:
+    lib = _native()
+    if lib is not None:
+        data = bytes(data)
+        return lib.automic_xxh64(data, len(data), seed)
     n = len(data)
     i = 0
     if n >= 32:
@@ -503,6 +520,20 @@ def _huf_decode_stream(stream: bytes, rs: int, max_len: int, packed) -> bytearra
     ``_BackBits.peek_pad`` produced)."""
     if not stream or stream[-1] == 0:
         raise ZstdError("backward bitstream missing its sentinel bit")
+    lib = _native()
+    if lib is not None and rs > 0:
+        import ctypes
+
+        ba = bytearray(rs)
+        arr = np.asarray(packed, dtype=np.int32)
+        rc = lib.automic_huf_decode(
+            bytes(stream), len(stream),
+            (ctypes.c_char * rs).from_buffer(ba), rs,
+            max_len, arr.ctypes.data,
+        )
+        if rc == 0:
+            return ba
+        raise ZstdError("invalid Huffman literal stream")
     data = b"\x00\x00" + stream
     W = _le_windows(data, 3)
     bitpos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
