@@ -87,6 +87,18 @@ def load():
             ctypes.c_char_p, ctypes.c_long,
             ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.automic_seq_decode.restype = ctypes.c_long
+        lib.automic_seq_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _LIB = lib
     except Exception:
         _LIB = None

@@ -127,3 +127,129 @@ int automic_huf_decode(const uint8_t *stream, long slen, uint8_t *out,
     }
     return bitpos == 0 ? 0 : 1;
 }
+
+/* zstd sequences section: FSE-interleaved backward bitstream decode +
+ * sequence execution (RFC 8878 §3.1.1.3.2) — the exact loop
+ * operators/zstdcodec._decode_block runs in Python, over the same
+ * flattened decode tables.
+ *
+ * hist = frame output so far (incl. any dictionary content prefix);
+ * new bytes land in out (caller caps at the 128 KiB block bound +
+ * slack). reps[3] is the in-out repeat-offset history. ll/ml value
+ * baselines+extra-bit widths ride in as arrays so the spec tables
+ * live in ONE place (the Python module). Returns the new-byte count,
+ * or -1 on any malformed-stream condition.
+ */
+static inline uint64_t peek_bits(const uint8_t *s, long slen, long p, int n) {
+    if (n == 0)
+        return 0;
+    uint64_t w = 0;
+    long byte = p >> 3;
+    int take = (int)((n + (p & 7) + 7) >> 3);
+    for (int i = take - 1; i >= 0; i--) {
+        uint64_t b = (byte + i < slen) ? s[byte + i] : 0;
+        w = (w << 8) | b;
+    }
+    return (w >> (p & 7)) & ((1ULL << n) - 1);
+}
+
+long automic_seq_decode(
+    const uint8_t *stream, long slen, long nbseq,
+    const int32_t *ll_sym, const int32_t *ll_nb, const int32_t *ll_bs, int ll_al,
+    const int32_t *of_sym, const int32_t *of_nb, const int32_t *of_bs, int of_al,
+    const int32_t *ml_sym, const int32_t *ml_nb, const int32_t *ml_bs, int ml_al,
+    const int32_t *llb, const int32_t *lle,
+    const int32_t *mlb, const int32_t *mle,
+    const uint8_t *lits, long nlits,
+    const uint8_t *hist, long histlen,
+    uint8_t *out, long out_cap,
+    int64_t *reps) {
+    if (slen <= 0 || stream[slen - 1] == 0)
+        return -1;
+    long bitpos = (slen - 1) * 8 + 31 - __builtin_clz(stream[slen - 1]);
+    long p = bitpos - ll_al;
+    if (p < 0) return -1;
+    long ll_s = (long)peek_bits(stream, slen, p, ll_al);
+    p -= of_al;
+    if (p < 0) return -1;
+    long of_s = (long)peek_bits(stream, slen, p, of_al);
+    p -= ml_al;
+    if (p < 0) return -1;
+    long ml_s = (long)peek_bits(stream, slen, p, ml_al);
+    bitpos = p;
+    int64_t r0 = reps[0], r1 = reps[1], r2 = reps[2];
+    long lpos = 0, opos = 0;
+    for (long i = 0; i < nbseq; i++) {
+        int of_code = of_sym[of_s];
+        if (of_code > 31) return -1;
+        p = bitpos - of_code;
+        if (p < 0) return -1;
+        uint64_t ofv = (1ULL << of_code) + peek_bits(stream, slen, p, of_code);
+        int ml_code = ml_sym[ml_s];
+        int n = mle[ml_code];
+        p -= n;
+        if (p < 0) return -1;
+        long ml = mlb[ml_code] + (long)peek_bits(stream, slen, p, n);
+        int ll_code = ll_sym[ll_s];
+        n = lle[ll_code];
+        p -= n;
+        if (p < 0) return -1;
+        long ll = llb[ll_code] + (long)peek_bits(stream, slen, p, n);
+        bitpos = p;
+        int64_t offset;
+        if (ofv > 3) {
+            offset = (int64_t)(ofv - 3);
+            r2 = r1; r1 = r0; r0 = offset;
+        } else {
+            long idx = ll ? (long)ofv - 1 : (long)ofv;
+            if (idx == 0) {
+                offset = r0;
+            } else if (idx == 1) {
+                offset = r1; r1 = r0; r0 = offset;
+            } else if (idx == 2) {
+                offset = r2; r2 = r1; r1 = r0; r0 = offset;
+            } else {
+                offset = r0 - 1;
+                if (offset == 0) return -1;
+                r2 = r1; r1 = r0; r0 = offset;
+            }
+        }
+        if (i + 1 < nbseq) {
+            n = ll_nb[ll_s];
+            p = bitpos - n;
+            if (p < 0) return -1;
+            ll_s = ll_bs[ll_s] + (long)peek_bits(stream, slen, p, n);
+            n = ml_nb[ml_s];
+            p -= n;
+            if (p < 0) return -1;
+            ml_s = ml_bs[ml_s] + (long)peek_bits(stream, slen, p, n);
+            n = of_nb[of_s];
+            p -= n;
+            if (p < 0) return -1;
+            of_s = of_bs[of_s] + (long)peek_bits(stream, slen, p, n);
+            bitpos = p;
+        }
+        /* execute */
+        if (ll) {
+            if (lpos + ll > nlits || opos + ll > out_cap) return -1;
+            __builtin_memcpy(out + opos, lits + lpos, (size_t)ll);
+            lpos += ll;
+            opos += ll;
+        }
+        long total = histlen + opos;
+        if (offset > total || offset <= 0) return -1;
+        if (opos + ml > out_cap) return -1;
+        long src = total - offset; /* absolute index into hist+out */
+        for (long k = 0; k < ml; k++) {
+            uint8_t b = (src < histlen) ? hist[src] : out[src - histlen];
+            out[opos++] = b;
+            src++;
+        }
+    }
+    if (bitpos != 0) return -1;
+    if (lpos > nlits || opos + (nlits - lpos) > out_cap) return -1;
+    __builtin_memcpy(out + opos, lits + lpos, (size_t)(nlits - lpos));
+    opos += nlits - lpos;
+    reps[0] = r0; reps[1] = r1; reps[2] = r2;
+    return opos;
+}

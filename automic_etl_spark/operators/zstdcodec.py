@@ -725,6 +725,13 @@ def _decode_block(block: bytes, out: bytearray, frame_state: dict) -> None:
     stream = block[pos:]
     if not stream or stream[-1] == 0:
         raise ZstdError("backward bitstream missing its sentinel bit")
+    lib = _native()
+    if lib is not None:
+        _seq_decode_native(
+            lib, stream, nbseq, ll_t, ll_al, of_t, of_al, ml_t, ml_al,
+            literals, out, frame_state,
+        )
+        return
     W = _le_windows(stream, 5)
     bitpos = (len(stream) - 1) * 8 + stream[-1].bit_length() - 1
     M = _MASKS
@@ -853,6 +860,57 @@ def _decode_block(block: bytes, out: bytearray, frame_state: dict) -> None:
     if bitpos != 0:
         raise ZstdError("sequence bitstream not fully consumed")
     out += literals[lpos:]
+
+
+def _seq_decode_native(
+    lib, stream, nbseq, ll_t, ll_al, of_t, of_al, ml_t, ml_al,
+    literals, out, frame_state,
+) -> None:
+    """Run the compiled sequences kernel (automic_etl_spark/native) —
+    the same walk as the Python loop below over the same flattened
+    tables; appends the block's new bytes to ``out`` and updates the
+    repeat-offset history. The kernel enforces the spec's 128 KiB
+    regenerated-block bound (Python's loop is laxer there — the bound
+    only rejects malformed frames)."""
+    import ctypes
+
+    def flat(t):
+        a, b, c = zip(*t)
+        return (
+            np.asarray(a, dtype=np.int32),
+            np.asarray(b, dtype=np.int32),
+            np.asarray(c, dtype=np.int32),
+        )
+
+    ll = flat(ll_t)
+    of = flat(of_t)
+    ml = flat(ml_t)
+    reps = (ctypes.c_int64 * 3)(*frame_state["reps"])
+    cap = MAX_BLOCK + 64
+    scratch = bytearray(cap)
+    histlen = len(out)
+    hist = (ctypes.c_char * histlen).from_buffer(out) if histlen else None
+    try:
+        rc = lib.automic_seq_decode(
+            bytes(stream), len(stream), nbseq,
+            ll[0].ctypes.data, ll[1].ctypes.data, ll[2].ctypes.data, ll_al,
+            of[0].ctypes.data, of[1].ctypes.data, of[2].ctypes.data, of_al,
+            ml[0].ctypes.data, ml[1].ctypes.data, ml[2].ctypes.data, ml_al,
+            _LL_BASE_NP.ctypes.data, _LL_EXTRA_NP.ctypes.data,
+            _ML_BASE_NP.ctypes.data, _ML_EXTRA_NP.ctypes.data,
+            bytes(literals), len(literals),
+            hist, histlen,
+            (ctypes.c_char * cap).from_buffer(scratch), cap,
+            reps,
+        )
+    finally:
+        # release the buffer export BEFORE extending out (a bytearray
+        # with a live export refuses to resize)
+        del hist
+    if rc < 0:
+        raise ZstdError("malformed sequences section")
+    frame_state["reps"][:] = list(reps)
+    out += scratch[:rc]
 
 
 _DICT_MAGIC = 0xEC30A437
@@ -1346,6 +1404,12 @@ _ML_CODE = (
 _LL_SBASE = [t[2] for t in _PREDEF["ll"][0]]
 _ML_SBASE = [t[2] for t in _PREDEF["ml"][0]]
 _OF_SBASE = [t[2] for t in _PREDEF["of"][0]]
+
+# int32 views of the spec value tables for the native sequence kernel
+_LL_BASE_NP = np.asarray(LL_BASE, dtype=np.int32)
+_LL_EXTRA_NP = np.asarray(LL_EXTRA, dtype=np.int32)
+_ML_BASE_NP = np.asarray(ML_BASE, dtype=np.int32)
+_ML_EXTRA_NP = np.asarray(ML_EXTRA, dtype=np.int32)
 
 
 def _any_state(which: str, sym: int) -> int:

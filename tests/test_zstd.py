@@ -548,12 +548,16 @@ def test_native_and_python_decode_identically_on_cli_frames():
         pytest.skip("no C compiler in this environment")
     payload = (b"native kernel differential %d " * 300) % tuple(range(300))
     payload += bytes(range(128, 256)) * 500  # engage compressed literals
-    frame = cli_compress(payload, "-9")
-    a = zstd_decompress(frame)
-    old = nat._LIB
-    try:
-        nat._LIB = None
-        b = zstd_decompress(frame)
-    finally:
-        nat._LIB = old
-    assert a == b == payload
+    frames = [cli_compress(payload, lvl) for lvl in ("-1", "-9", "-19")]
+    frames.append(cli_compress(payload * 40, "-3", "--long=20"))
+    frames.append(zstd_compress(payload))
+    for frame in frames:
+        a = zstd_decompress(frame)
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            b = zstd_decompress(frame)
+        finally:
+            nat._LIB = old
+        assert a == b
+        assert a.startswith(payload[:100])
