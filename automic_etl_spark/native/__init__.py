@@ -99,6 +99,12 @@ def load():
             ctypes.c_char_p, ctypes.c_long,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.automic_find_sequences.restype = ctypes.c_long
+        lib.automic_find_sequences.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None

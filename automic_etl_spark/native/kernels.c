@@ -253,3 +253,62 @@ long automic_seq_decode(
     reps[0] = r0; reps[1] = r1; reps[2] = r2;
     return opos;
 }
+
+/* Greedy LZ77 sequence finder — the exact policy of
+ * operators/zstdcodec._find_sequences (EXACT 4-byte keys, last
+ * occurrence wins, greedy extension, i += ml skip), so the compressed
+ * output downstream is byte-identical to the Python matcher's.
+ *
+ * table_keys/table_pos: caller-zeroed open-addressing scratch of
+ * 1 << table_log slots (pos stored +1; 0 = empty). Exact-key probing:
+ * on hash collision with a DIFFERENT key, linear-probe — semantics
+ * match Python's dict exactly (one entry per exact key).
+ * out receives (ll, ml, offset) triples; returns the triple count.
+ */
+long automic_find_sequences(const uint8_t *block, long n,
+                            uint32_t *table_keys, int32_t *table_pos,
+                            int table_log, int64_t *out) {
+    if (n < 4)
+        return 0;
+    const uint32_t mask = (1u << table_log) - 1;
+    long nseq = 0;
+    long anchor = 0;
+    long i = 0;
+    const long limit = n - 4;
+    while (i <= limit) {
+        uint32_t key = rd32(block + i);
+        /* exact-key open addressing (Fibonacci hash, linear probe) */
+        uint32_t slot = (key * 2654435761u) & mask;
+        long j = -1;
+        for (;;) {
+            int32_t stored = table_pos[slot];
+            if (stored == 0) {
+                table_keys[slot] = key;
+                table_pos[slot] = (int32_t)(i + 1);
+                break;
+            }
+            if (table_keys[slot] == key) {
+                j = stored - 1;
+                table_pos[slot] = (int32_t)(i + 1);
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+        if (j >= 0) {
+            long ml = 4;
+            while (i + ml + 8 <= n && rd64(block + j + ml) == rd64(block + i + ml))
+                ml += 8;
+            while (i + ml < n && block[j + ml] == block[i + ml])
+                ml += 1;
+            out[nseq * 3] = i - anchor;
+            out[nseq * 3 + 1] = ml;
+            out[nseq * 3 + 2] = i - j;
+            nseq++;
+            i += ml;
+            anchor = i;
+            continue;
+        }
+        i += 1;
+    }
+    return nseq;
+}

@@ -1430,6 +1430,18 @@ def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
     n = len(block)
     if n < 4:
         return []
+    lib = _native()
+    if lib is not None:
+        # native matcher: identical policy, byte-identical frames
+        table_log = max(10, (n - 1).bit_length() + 1)
+        keys = np.zeros(1 << table_log, dtype=np.uint32)
+        pos_ = np.zeros(1 << table_log, dtype=np.int32)
+        tri = np.empty(3 * (n // 4 + 2), dtype=np.int64)
+        cnt = lib.automic_find_sequences(
+            bytes(block), n, keys.ctypes.data, pos_.ctypes.data,
+            table_log, tri.ctypes.data,
+        )
+        return [tuple(t) for t in tri[: 3 * cnt].reshape(-1, 3).tolist()]
     k4 = _le_windows(block, 4)
     seqs = []
     table: dict[int, int] = {}
