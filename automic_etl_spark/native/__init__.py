@@ -105,6 +105,11 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.automic_gif_lzw.restype = ctypes.c_long
+        lib.automic_gif_lzw.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None

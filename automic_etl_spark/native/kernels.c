@@ -312,3 +312,96 @@ long automic_find_sequences(const uint8_t *block, long n,
     }
     return nseq;
 }
+
+/* GIF-variant LZW decode — the exact policy of operators/gif.py
+ * _lzw_decode (LSB-first packing, dynamic width to 12 bits, Clear
+ * resets, truncated streams keep the decoded prefix, output may
+ * overshoot `expected` by one entry — the caller trims). Table
+ * entries reference the output buffer; roots store -1-byte. Caller
+ * provides out with `expected + 4097` bytes of capacity. Returns the
+ * decoded index count, or -1 for a malformed stream (the Python
+ * path's None).
+ */
+long automic_gif_lzw(int min_code_size, const uint8_t *payload,
+                     long n_payload, uint8_t *out, long expected) {
+    if (min_code_size < 2 || min_code_size > 8)
+        return -1;
+    const int clear = 1 << min_code_size;
+    const int end = clear + 1;
+    int32_t toff[4096];
+    int32_t tlen[4096];
+    for (int i = 0; i < clear; i++) {
+        toff[i] = -1 - i;
+        tlen[i] = 1;
+    }
+    toff[clear] = 0; tlen[clear] = 0;
+    toff[end] = 0; tlen[end] = 0;
+    int n = clear + 2;
+    int width = min_code_size + 1;
+    long prev_pos = -1, prev_len = 0;
+    uint32_t acc = 0;
+    int nbits = 0;
+    long pos = 0, olen = 0;
+    while (olen < expected) {
+        while (nbits < width) {
+            if (pos >= n_payload)
+                return olen; /* truncated: keep what decoded */
+            acc |= (uint32_t)payload[pos++] << nbits;
+            nbits += 8;
+        }
+        int code = (int)(acc & ((1u << width) - 1));
+        acc >>= width;
+        nbits -= width;
+        if (code == clear) {
+            n = clear + 2;
+            width = min_code_size + 1;
+            prev_pos = -1;
+            continue;
+        }
+        if (code == end)
+            break;
+        long pe = olen;
+        long ln;
+        if (prev_pos < 0) {
+            if (code >= n)
+                return -1;
+            ln = tlen[code];
+            out[olen++] = (uint8_t)(-1 - toff[code]);
+        } else if (code < n) {
+            int32_t off = toff[code];
+            ln = tlen[code];
+            if (off < 0) {
+                out[olen++] = (uint8_t)(-1 - off);
+            } else {
+                for (long k = 0; k < ln; k++)
+                    out[olen + k] = out[off + k];
+                olen += ln;
+            }
+            if (n < 4096) {
+                toff[n] = (int32_t)prev_pos;
+                tlen[n] = (int32_t)(prev_len + 1);
+                n++;
+                if (n == (1 << width) && width < 12)
+                    width++;
+            }
+        } else if (code == n) { /* KwKwK: prev + prev[0] */
+            ln = prev_len + 1;
+            for (long k = 0; k < prev_len; k++)
+                out[olen + k] = out[prev_pos + k];
+            olen += prev_len;
+            out[olen++] = out[prev_pos];
+            if (n < 4096) {
+                toff[n] = (int32_t)pe;
+                tlen[n] = (int32_t)ln;
+                n++;
+                if (n == (1 << width) && width < 12)
+                    width++;
+            }
+        } else {
+            return -1;
+        }
+        prev_pos = pe;
+        prev_len = ln;
+    }
+    return olen;
+}

@@ -98,6 +98,23 @@ def _lzw_decode(min_code_size: int, payload: bytes, expected: int) -> bytearray 
     on smooth content."""
     if not 2 <= min_code_size <= 8:  # indices are palette bytes
         return None
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None:
+        # compiled kernel, identical policy (automic_etl_spark/native);
+        # output may overshoot `expected` by one entry — callers trim
+        import ctypes
+
+        buf = bytearray(expected + 4097)
+        rc = lib.automic_gif_lzw(
+            min_code_size, bytes(payload), len(payload),
+            (ctypes.c_char * len(buf)).from_buffer(buf), expected,
+        )
+        if rc < 0:
+            return None
+        del buf[rc:]
+        return buf
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()
