@@ -110,6 +110,18 @@ def load():
             ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
             ctypes.c_char_p, ctypes.c_long,
         ]
+        lib.automic_jpeg_mcus.restype = ctypes.c_int
+        lib.automic_jpeg_mcus.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
         _LIB = lib
     except Exception:
         _LIB = None

@@ -405,3 +405,119 @@ long automic_gif_lzw(int min_code_size, const uint8_t *payload,
     }
     return olen;
 }
+
+/* Baseline JPEG entropy decode for `count` MCUs of one restart
+ * interval — the exact walk of jpeg.py _decode_scan's hot loop: 16-bit
+ * peek Huffman tables (per-component DC+AC, concatenated), EOB/ZRL,
+ * EXTEND sign rule, zero bits past the segment end, dequantized
+ * doubles written to each component's (rows, cols, 64) block plane in
+ * natural (zigzag-mapped) order. preds is the in-out per-component DC
+ * predictor (caller resets it per restart interval). Returns 0, or -1
+ * for an invalid code / coefficient overrun (the Python path's None).
+ */
+int automic_jpeg_mcus(
+    const uint8_t *buf, long blen,
+    long mcu_start, long count, long mcus_x,
+    int ncomp,
+    const int32_t *comp_ch, const int32_t *comp_cv,
+    const int16_t *dsym_all, const uint8_t *dln_all,
+    const int16_t *asym_all, const uint8_t *aln_all,
+    const double *q_all,
+    const int32_t *zigzag,
+    const int64_t *coefs_ptrs,
+    const int64_t *row_blocks,
+    int64_t *preds) {
+    uint32_t acc = 0;
+    int nb = 0;
+    long bi = 0;
+    for (long mi = 0; mi < count; mi++) {
+        long m = mcu_start + mi;
+        long my = m / mcus_x;
+        long mx = m % mcus_x;
+        for (int ci = 0; ci < ncomp; ci++) {
+            int ch = comp_ch[ci], cv = comp_cv[ci];
+            const int16_t *dsym = dsym_all + (size_t)ci * 65536;
+            const uint8_t *dln = dln_all + (size_t)ci * 65536;
+            const int16_t *asym = asym_all + (size_t)ci * 65536;
+            const uint8_t *aln = aln_all + (size_t)ci * 65536;
+            const double *q = q_all + (size_t)ci * 64;
+            double *plane = (double *)(intptr_t)coefs_ptrs[ci];
+            long rb = row_blocks[ci];
+            int64_t pred = preds[ci];
+            for (int by = 0; by < cv; by++) {
+                for (int bx = 0; bx < ch; bx++) {
+                    double *blk =
+                        plane + (((my * cv + by) * rb) + (mx * ch + bx)) * 64;
+                    for (int z = 0; z < 64; z++)
+                        blk[z] = 0.0;
+                    while (nb < 16) {
+                        acc = (acc << 8) | (bi < blen ? buf[bi] : 0);
+                        bi++;
+                        nb += 8;
+                    }
+                    uint32_t p = (acc >> (nb - 16)) & 0xFFFF;
+                    int s = dsym[p];
+                    int length = dln[p];
+                    if (length == 0 || s > 15)
+                        return -1; /* >15: corrupt DC category (spec) */
+                    nb -= length;
+                    acc &= (1u << nb) - 1;
+                    if (s) {
+                        while (nb < s) {
+                            acc = (acc << 8) | (bi < blen ? buf[bi] : 0);
+                            bi++;
+                            nb += 8;
+                        }
+                        nb -= s;
+                        uint32_t v = (acc >> nb) & ((1u << s) - 1);
+                        acc &= (1u << nb) - 1;
+                        pred += (v >= (1u << (s - 1)))
+                                    ? (int64_t)v
+                                    : (int64_t)v - (1 << s) + 1;
+                    }
+                    blk[0] = (double)pred * q[0];
+                    int k = 1;
+                    while (k < 64) {
+                        while (nb < 16) {
+                            acc = (acc << 8) | (bi < blen ? buf[bi] : 0);
+                            bi++;
+                            nb += 8;
+                        }
+                        p = (acc >> (nb - 16)) & 0xFFFF;
+                        int rs = asym[p];
+                        length = aln[p];
+                        if (length == 0)
+                            return -1;
+                        nb -= length;
+                        acc &= (1u << nb) - 1;
+                        if (rs == 0)
+                            break; /* EOB */
+                        if (rs == 0xF0) {
+                            k += 16;
+                            continue; /* ZRL */
+                        }
+                        k += rs >> 4;
+                        int sa = rs & 0xF;
+                        if (k > 63)
+                            return -1;
+                        while (nb < sa) {
+                            acc = (acc << 8) | (bi < blen ? buf[bi] : 0);
+                            bi++;
+                            nb += 8;
+                        }
+                        nb -= sa;
+                        uint32_t v = (acc >> nb) & ((1u << sa) - 1);
+                        acc &= (1u << nb) - 1;
+                        int64_t ext = (v >= (1u << (sa - 1)))
+                                          ? (int64_t)v
+                                          : (int64_t)v - (1 << sa) + 1;
+                        blk[zigzag[k]] = (double)ext * q[k];
+                        k++;
+                    }
+                }
+            }
+            preds[ci] = pred;
+        }
+    }
+    return 0;
+}

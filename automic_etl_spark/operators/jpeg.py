@@ -181,7 +181,9 @@ def _build_decode_table(counts, symbols):
     """Canonical Huffman -> flat 16-bit lookup: peek 16 bits, one array
     read gives (symbol, code length). Built with numpy slice fills,
     returned as plain lists (list indexing is the decode hot path).
-    Raises on over-subscribed or malformed tables."""
+    Raises on over-subscribed or malformed tables. Returns
+    (sym_list, ln_list, sym_np, ln_np) — the numpy forms feed the
+    optional native kernel (r12)."""
     import numpy as np
 
     sym = np.zeros(1 << 16, dtype=np.int16)
@@ -199,7 +201,7 @@ def _build_decode_table(counts, symbols):
             k += 1
             code += 1
         code <<= 1
-    return sym.tolist(), ln.tolist()
+    return sym.tolist(), ln.tolist(), sym, ln
 
 
 #: decode-table cache keyed by raw DHT table bytes — real corpora
@@ -265,28 +267,38 @@ def _extend(v: int, s: int) -> int:
 
 def _split_entropy(data: bytes, pos: int):
     """Split the entropy-coded stream at ``pos`` into restart segments
-    with byte stuffing removed. Returns (segments, end_pos)."""
-    segs, cur, i, n = [], bytearray(), pos, len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
+    with byte stuffing removed. Returns (segments, end_pos).
+
+    r12: only the 0xFF positions are walked in Python (numpy finds
+    them); the clean runs between them bulk-copy — entropy data is
+    overwhelmingly FF-free, so this replaced a per-byte append loop."""
+    import numpy as np
+
+    n = len(data)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ffs = (np.flatnonzero(arr[pos:] == 0xFF) + pos).tolist()
+    segs, cur = [], bytearray()
+    i = pos
+    for f in ffs:
+        if f < i:  # consumed by a previous two-byte event
             continue
-        nxt = data[i + 1] if i + 1 < n else 0xD9
+        cur += data[i:f]
+        nxt = data[f + 1] if f + 1 < n else 0xD9
         if nxt == 0x00:
             cur.append(0xFF)
-            i += 2
+            i = f + 2
         elif 0xD0 <= nxt <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
-        elif nxt == 0xFF:  # fill byte
-            i += 1
+            i = f + 2
+        elif nxt == 0xFF:  # fill byte; the next list entry is f+1
+            i = f + 1
         else:
-            break
+            segs.append(bytes(cur))
+            return segs, f
+    cur += data[i:n]
     segs.append(bytes(cur))
-    return segs, i
+    return segs, n
 
 
 def decode_jpeg(data: bytes):
@@ -387,6 +399,47 @@ def decode_jpeg(data: bytes):
         return None
 
 
+def _decode_scan_native(lib, segs, plan, mcus_x, n_mcus, ri, np):
+    """Drive the compiled baseline-MCU kernel across the scan's restart
+    intervals; returns True, or None on malformed entropy data (same
+    verdicts as the Python loop)."""
+    ncomp = len(plan)
+    comp_ch = np.array([p[0] for p in plan], dtype=np.int32)
+    comp_cv = np.array([p[1] for p in plan], dtype=np.int32)
+    # per-component 16-bit peek tables, concatenated (numpy forms ride
+    # the DHT cache — no per-image rebuild)
+    dsym_all = np.concatenate([p[3][2] for p in plan])
+    dln_all = np.concatenate([p[3][3] for p in plan])
+    asym_all = np.concatenate([p[4][2] for p in plan])
+    aln_all = np.concatenate([p[4][3] for p in plan])
+    q_all = np.concatenate([np.ascontiguousarray(p[2]) for p in plan])
+    zz = np.array(ZIGZAG, dtype=np.int32)
+    coefs_ptrs = np.array([p[5].ctypes.data for p in plan], dtype=np.int64)
+    row_blocks = np.array([mcus_x * p[0] for p in plan], dtype=np.int64)
+    preds = np.zeros(ncomp, dtype=np.int64)
+    step = ri if ri else n_mcus
+    needed = -(-n_mcus // step) if n_mcus else 0
+    if needed > len(segs):
+        return None
+    for k in range(needed):
+        start = k * step
+        count = min(step, n_mcus - start)
+        preds[:] = 0
+        seg = bytes(segs[k])
+        rc = lib.automic_jpeg_mcus(
+            seg, len(seg), start, count, mcus_x, ncomp,
+            comp_ch.ctypes.data, comp_cv.ctypes.data,
+            dsym_all.ctypes.data, dln_all.ctypes.data,
+            asym_all.ctypes.data, aln_all.ctypes.data,
+            q_all.ctypes.data, zz.ctypes.data,
+            coefs_ptrs.ctypes.data, row_blocks.ctypes.data,
+            preds.ctypes.data,
+        )
+        if rc != 0:
+            return None
+    return True
+
+
 def _decode_scan(data, scan_pos, sos_body, frame, qt, huff, ri):
     import numpy as np
 
@@ -422,13 +475,29 @@ def _decode_scan(data, scan_pos, sos_body, frame, qt, huff, ri):
     seg_idx = 0
     preds = [0] * len(plan)
     n_mcus = mcus_x * mcus_y
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None:
+        # compiled MCU walk (automic_etl_spark/native), identical
+        # policy — one call per restart interval, preds reset like the
+        # Python loop below
+        ok = _decode_scan_native(
+            lib, segs, plan, mcus_x, n_mcus, ri, np
+        )
+        if ok is None:
+            return None
+        return _idct_assemble(
+            [(ch, cv, coefs) for ch, cv, _q, _d, _a, coefs in plan],
+            hmax, vmax, h_img, w_img,
+        )
     # Hot path: the Huffman bit-walk keeps its state (accumulator, bit
     # count, byte index) in LOCALS and decode tables as plain Python
     # lists — measured ~2.3x over the method-per-operation _Bits form
     # (PERFORMANCE.md r9); _Bits remains for the simple paths.
     fast_plan = [
         (ch, cv, q.tolist(), dsym, dln, asym, aln, coefs)
-        for ch, cv, q, (dsym, dln), (asym, aln), coefs in plan
+        for ch, cv, q, (dsym, dln, *_), (asym, aln, *_), coefs in plan
     ]
     buf = segs[0]
     blen = len(buf)
@@ -455,7 +524,7 @@ def _decode_scan(data, scan_pos, sos_body, frame, qt, huff, ri):
                     p = (acc >> (nb - 16)) & 0xFFFF
                     s = dsym[p]
                     length = dln[p]
-                    if length == 0:
+                    if length == 0 or s > 15:
                         return None
                     nb -= length
                     acc &= (1 << nb) - 1
@@ -752,7 +821,7 @@ def _prog_scan(data, scan_pos, sos_body, frame, geom, coefs, huff, ri):
                 for by, bx in targets:
                     blk = coefs[ci][by, bx]
                     if ah == 0:  # DC first
-                        sym, ln = tables[si]
+                        sym, ln = tables[si][:2]
                         s = _decode_sym(bits, sym, ln)
                         if s:
                             preds[si] += _extend(bits.get(s), s)
@@ -768,7 +837,7 @@ def _prog_scan(data, scan_pos, sos_body, frame, geom, coefs, huff, ri):
     ci, _td, ta = scan_comps[0]
     if (1, ta) not in huff:
         return None
-    sym, ln = huff[(1, ta)]
+    sym, ln = huff[(1, ta)][:2]
     _cid, ch, cv, _tq = comps[ci]
     units_x = (-(-w_img * ch // hmax) + 7) // 8
     units_y = (-(-h_img * cv // vmax) + 7) // 8
