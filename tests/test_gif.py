@@ -255,3 +255,89 @@ class TestDedupIntegration:
         pairs = phash_near_dup(hashed.filter("ok"), max_hamming=0)
         linked = {(r[0], r[1]) for r in pairs.select("id_a", "id_b").collect()}
         assert (0, 99) in linked
+
+
+class TestNativeDifferential:
+    """r13: committed native-vs-Python pins for the LZW kernel (the
+    ``nat._LIB`` re-entry pattern of tests/test_zstd.py) — the r12
+    commit messages cited session-only trials; these make the
+    adversarial corpus (mutations, truncations, KwKwK edges, table
+    resets) a repo invariant that re-checks on every kernel edit."""
+
+    @staticmethod
+    def _python_lzw(mcs, payload, expected):
+        import automic_etl_spark.native as nat
+
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            return _lzw_decode(mcs, payload, expected)
+        finally:
+            nat._LIB = old
+
+    @staticmethod
+    def _need_lib():
+        from automic_etl_spark.native import load
+
+        if load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+
+    def _agree(self, mcs, payload, expected):
+        a = _lzw_decode(mcs, payload, expected)  # native when loadable
+        b = self._python_lzw(mcs, payload, expected)
+        assert (a is None) == (b is None), (mcs, expected, payload[:40].hex())
+        if a is not None:
+            assert bytes(a) == bytes(b), (mcs, expected, payload[:40].hex())
+
+    def test_lzw_native_matches_python_encode_mutate_truncate(self):
+        """200 randomized trials over three content shapes (smooth runs
+        that exercise long table entries and resets, small-alphabet
+        KwKwK-heavy, full-random) x clean/mutated/truncated payloads:
+        verdicts (None vs bytes) and every decoded byte must agree."""
+        import random
+
+        self._need_lib()
+        rng = random.Random(1302)
+        for trial in range(200):
+            mcs = rng.randint(2, 8)
+            n = rng.randint(0, 4000)
+            alpha = 1 << mcs
+            kind = trial % 3
+            if kind == 0:  # smooth runs: long dictionary chains + resets
+                idx = bytearray()
+                while len(idx) < n:
+                    idx += bytes([rng.randrange(alpha)]) * rng.randint(1, 60)
+                idx = idx[:n]
+            elif kind == 1:  # tiny alphabet: KwKwK-dense
+                idx = bytes(rng.randrange(min(2, alpha)) for _ in range(n))
+            else:
+                idx = bytes(rng.randrange(alpha) for _ in range(n))
+            payload = bytearray(_lzw_encode(mcs, bytes(idx)))
+            mode = rng.random()
+            if mode < 0.4 and payload:  # single-byte mutation
+                payload[rng.randrange(len(payload))] = rng.randrange(256)
+            elif mode < 0.7:  # truncation (possibly to empty)
+                del payload[rng.randint(0, len(payload)) :]
+            self._agree(mcs, bytes(payload), n)
+
+    def test_lzw_native_matches_python_on_hand_fixtures(self):
+        """The spec-fixture streams (width bump, KwKwK at the exact
+        table edge) byte-agree between the two implementations."""
+        self._need_lib()
+        self._agree(2, bytes([0x0C, 0x20, 0x05]), 4)
+        self._agree(2, bytes([0x0C, 0x1E, 0x05]), 5)
+        # invalid code straight after clear: both must return None
+        self._agree(2, bytes([0b111_100 | 0b10_000_000, 0x1]), 4)
+
+    def test_lzw_native_matches_python_full_table_reset(self):
+        """A stream long and diverse enough to hit the 4096-entry table
+        reset — the width ladder all the way to 12 bits, then Clear."""
+        import random
+
+        self._need_lib()
+        rng = random.Random(7)
+        idx = bytes(rng.randrange(256) for _ in range(30000))
+        payload = _lzw_encode(8, idx)
+        a = _lzw_decode(8, payload, len(idx))
+        b = self._python_lzw(8, payload, len(idx))
+        assert a is not None and bytes(a) == bytes(b) == idx

@@ -301,3 +301,90 @@ class TestPerceptualIntegration:
         assert all(got[i].ok and got[i].format == "jpeg" for i in (1, 2, 3))
         kept = dedup_by_phash(blobs, hashes, max_hamming=6)
         assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+class TestNativeDifferential:
+    """r13: committed native-vs-Python pins for the baseline-MCU kernel
+    (the ``nat._LIB`` re-entry pattern of tests/test_zstd.py). The r12
+    commit cited a 120-trial mutation-verdict run that was session-only;
+    this makes quality/subsampling/restart coverage plus mutation
+    verdicts a repo invariant re-checked on every kernel edit."""
+
+    @staticmethod
+    def _python_decode(blob):
+        import automic_etl_spark.native as nat
+
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            return decode_jpeg(blob)
+        finally:
+            nat._LIB = old
+
+    @staticmethod
+    def _need_lib():
+        from automic_etl_spark.native import load
+
+        if load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+
+    def _agree(self, blob, ctx=""):
+        a = decode_jpeg(blob)  # native MCU walk when loadable
+        b = self._python_decode(blob)
+        assert (a is None) == (b is None), ctx
+        if a is not None:
+            # both paths fill the same float64 coefficient planes and
+            # share the Python IDCT/assembly — pixels must be identical
+            assert a.shape == b.shape and np.array_equal(a, b), ctx
+        return a
+
+    def test_mcu_kernel_matches_python_across_encoder_space(self):
+        """Every (quality, subsampling, restart, content) cell decodes
+        pixel-identically native vs Python."""
+        self._need_lib()
+        rng = np.random.default_rng(1303)
+        imgs = {
+            "smooth": _smooth_rgb(33, 41),
+            "noise": rng.integers(0, 256, size=(24, 31, 3)).astype(np.uint8),
+            "gray": rng.integers(0, 256, size=(17, 22, 1)).astype(np.uint8),
+        }
+        for name, img in imgs.items():
+            for quality in (25, 50, 75, 95):
+                for sub in ("444", "420"):
+                    if img.shape[2] == 1 and sub == "420":
+                        continue
+                    for ri in (0, 2):
+                        blob = synth_jpeg(
+                            img, quality=quality, subsampling=sub,
+                            restart_interval=ri,
+                        )
+                        out = self._agree(blob, (name, quality, sub, ri))
+                        assert out is not None, (name, quality, sub, ri)
+
+    def test_mcu_kernel_mutation_verdicts_agree(self):
+        """150 single-byte mutations inside the entropy-coded scan:
+        verdict (None vs array) AND pixels when decodable must agree —
+        spec-invalid DC categories, marker forgeries, padding edge hits
+        all land here."""
+        import random
+
+        self._need_lib()
+        rng = random.Random(1304)
+        base = bytearray(
+            synth_jpeg(_smooth_rgb(32, 40), quality=70, subsampling="420",
+                       restart_interval=2)
+        )
+        sos = bytes(base).find(b"\xff\xda")
+        scan_start = sos + 2 + struct.unpack(">H", base[sos + 2 : sos + 4])[0]
+        for _ in range(150):
+            mutated = bytearray(base)
+            pos = rng.randrange(scan_start, len(base) - 2)
+            mutated[pos] = rng.randrange(256)
+            self._agree(bytes(mutated), f"mutation at {pos}")
+
+    def test_mcu_kernel_truncation_verdicts_agree(self):
+        """Truncations through the scan body: same verdict both paths."""
+        self._need_lib()
+        base = synth_jpeg(_smooth_rgb(16, 24), quality=60)
+        for cut in range(len(base) - 40, len(base)):
+            self._agree(base[:cut], f"cut at {cut}")

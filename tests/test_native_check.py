@@ -1,0 +1,39 @@
+"""The both-modes enforcement tool (tools/native_check.py) stays honest:
+its caller->suite map must cover every module importing the kernel
+loader, and the suites it names must exist. (The expensive double run
+itself is the tool's job — invoked by the round loop, not per-test.)"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+def test_caller_map_covers_all_kernel_callers():
+    import native_check
+
+    assert native_check.check_mapping() == []
+    # and each caller discovered really is mapped to >=1 existing suite
+    for caller in native_check.discover_callers():
+        suites = native_check.CALLER_SUITES[caller]
+        assert suites, caller
+        for s in suites:
+            assert os.path.exists(os.path.join(native_check.REPO, s)), s
+
+
+def test_native_loader_kill_switch(monkeypatch):
+    """AUTOMIC_ETL_NO_NATIVE=1 forces the pure-Python path even when a
+    compiler exists — the invariant the NO_NATIVE arm relies on."""
+    import importlib
+
+    import automic_etl_spark.native as nat
+
+    monkeypatch.setenv("AUTOMIC_ETL_NO_NATIVE", "1")
+    old_lib, old_tried = nat._LIB, nat._TRIED
+    try:
+        nat._LIB, nat._TRIED = None, False
+        assert nat.load() is None
+    finally:
+        nat._LIB, nat._TRIED = old_lib, old_tried

@@ -561,3 +561,44 @@ def test_native_and_python_decode_identically_on_cli_frames():
             nat._LIB = old
         assert a == b
         assert a.startswith(payload[:100])
+
+
+def test_native_encode_byte_identity_with_python():
+    """r13: the LZ77 matcher kernel (automic_find_sequences) was only
+    CLI-roundtrip-guarded; this pins ENCODE byte-identity — whole
+    frames AND the raw (ll, ml, offset) sequence lists — native vs
+    pure-Python across text/binary/random/repetitive payloads, so any
+    kernel edit that changes match policy fails here, not just in a
+    live session."""
+    import random
+
+    import automic_etl_spark.native as nat
+    from automic_etl_spark.operators.zstdcodec import _find_sequences
+
+    if nat.load() is None:
+        pytest.skip("no C compiler in this environment — Python path only")
+    rng = random.Random(1305)
+    payloads = {
+        "text": _texty(120_000),
+        "binary": bytes(
+            (i * 7 + (i >> 3)) & 0xFF for i in range(90_000)
+        ),
+        "random": rng.randbytes(60_000),
+        "repetitive": (b"abcd" * 1000 + b"X" + b"abcd" * 1000) * 8,
+        "short": b"ab",
+        "empty": b"",
+        "run": b"\x00" * 50_000,
+    }
+    for name, data in payloads.items():
+        frame_native = zstd_compress(data)
+        seqs_native = _find_sequences(data[:MAX_BLOCK])
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            frame_py = zstd_compress(data)
+            seqs_py = _find_sequences(data[:MAX_BLOCK])
+        finally:
+            nat._LIB = old
+        assert seqs_native == seqs_py, name
+        assert frame_native == frame_py, name
+        assert zstd_decompress(frame_native) == data, name

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Both-modes enforcement for the optional C kernels (r13, VERDICT item 1).
+
+"Suite green in both native modes" was a commit-message claim until this
+tool: it discovers every module that calls the kernel loader, maps each
+to the pytest suites that exercise it, and runs that union TWICE —
+once with the kernels ACTIVE (asserting they actually loaded, so the
+native arm isn't silently skipped) and once under
+``AUTOMIC_ETL_NO_NATIVE=1`` (pure-Python definitions). A kernel-caller
+module with no mapped suite is a hard error, so adding a kernel without
+wiring its tests here fails the check rather than passing vacuously.
+
+Usage:  python tools/native_check.py [--no-native-only]
+Exit 0 = both modes green; 1 = a pytest run failed; 2 = mapping gap.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = os.path.join(REPO, "automic_etl_spark")
+
+# Every module that imports the native loader -> the suites that pin its
+# kernel against the pure-Python definition. Keys are paths relative to
+# automic_etl_spark/. The discovery scan below keeps this honest.
+CALLER_SUITES: dict[str, list[str]] = {
+    "operators/zstdcodec.py": ["tests/test_zstd.py"],
+    "operators/gif.py": ["tests/test_gif.py", "tests/test_imagehash.py"],
+    "operators/jpeg.py": ["tests/test_jpeg.py", "tests/test_imagehash.py"],
+    "operators/vorbis.py": ["tests/test_vorbis.py"],
+    "operators/audiofp.py": ["tests/test_audiofp.py"],
+}
+
+
+def discover_callers() -> list[str]:
+    """Modules under automic_etl_spark/ that import the kernel loader."""
+    hits = []
+    for root, _dirs, files in os.walk(PKG):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, PKG)
+            if rel.startswith("native"):
+                continue  # the loader itself
+            with open(path, "r", encoding="utf-8") as f:
+                src = f.read()
+            if "automic_etl_spark.native import load" in src:
+                hits.append(rel)
+    return sorted(hits)
+
+
+def check_mapping() -> list[str]:
+    """Return unmapped caller modules (must be empty)."""
+    return [c for c in discover_callers() if c not in CALLER_SUITES]
+
+
+def _run(suites: list[str], env_extra: dict[str, str], label: str) -> bool:
+    env = dict(os.environ)
+    env.update(env_extra)
+    print(f"== native_check: {label}: pytest {' '.join(suites)}", flush=True)
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", *suites],
+        cwd=REPO,
+        env=env,
+    )
+    ok = proc.returncode == 0
+    print(f"== native_check: {label}: {'PASS' if ok else 'FAIL'}", flush=True)
+    return ok
+
+
+def main(argv: list[str]) -> int:
+    unmapped = check_mapping()
+    if unmapped:
+        print(
+            "native_check: kernel-caller modules with no mapped suite "
+            f"(add them to CALLER_SUITES): {unmapped}",
+            file=sys.stderr,
+        )
+        return 2
+    callers = discover_callers()
+    suites = sorted({s for c in callers for s in CALLER_SUITES[c]})
+    print(f"kernel callers: {callers}")
+
+    # native mode must actually engage, or the differential arms are
+    # vacuous — refuse to report green on a silent fallback.
+    probe = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "from automic_etl_spark.native import load; "
+            "import sys; sys.exit(0 if load() is not None else 3)",
+        ],
+        cwd=REPO,
+        env={k: v for k, v in os.environ.items() if k != "AUTOMIC_ETL_NO_NATIVE"},
+    )
+    native_loadable = probe.returncode == 0
+
+    ok = True
+    if "--no-native-only" not in argv:
+        if native_loadable:
+            env = {}
+            if "AUTOMIC_ETL_NO_NATIVE" in os.environ:
+                # ensure the active arm really runs native
+                env = {"AUTOMIC_ETL_NO_NATIVE": ""}
+            ok &= _run(suites, env, "kernels ACTIVE")
+        else:
+            print(
+                "native_check: kernels not loadable here (no compiler?) — "
+                "active arm skipped, Python arm still enforced",
+                file=sys.stderr,
+            )
+    ok &= _run(suites, {"AUTOMIC_ETL_NO_NATIVE": "1"}, "NO_NATIVE=1")
+    print(f"native_check: {'BOTH MODES GREEN' if ok else 'FAILED'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
