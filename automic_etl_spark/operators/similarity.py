@@ -984,9 +984,15 @@ def build_ann_index(
     (id, centroid_id, codes — the compact scan table, partitioned by
     IVF cell so a probe reads nprobe/n_centroids of the files).
     Returns the manifest dict. The raw vector table is NOT copied —
-    re-ranking joins back to wherever it lives."""
+    re-ranking joins back to wherever it lives. Every artifact —
+    parquet parts AND ``model.json`` — goes through the session's
+    Hadoop filesystem (r13, the bm25 meta.json fix propagated), so
+    ``index_dir`` may be any supported URI scheme (s3a://, hdfs://,
+    file:)."""
     import json as _json
     import os
+
+    from automic_etl_spark.operators.bm25 import _fs_write_text
 
     books = pq_train(
         emb, m=m, k_sub=k_sub, iterations=iterations, sample=sample,
@@ -997,7 +1003,6 @@ def build_ann_index(
         id_col=id_col, vec_col=vec_col,
     )
     codes = pq_encode(emb, books, id_col=id_col, vec_col=vec_col)
-    os.makedirs(index_dir, exist_ok=True)
     (
         codes.join(assignments, id_col)
         .write.mode("overwrite")
@@ -1015,8 +1020,10 @@ def build_ann_index(
             "id_col": id_col, "vec_col": vec_col,
         },
     }
-    with open(os.path.join(index_dir, "model.json"), "w") as f:
-        _json.dump(model, f)
+    _fs_write_text(
+        emb.sparkSession, os.path.join(index_dir, "model.json"),
+        _json.dumps(model),
+    )
     return model["config"]
 
 
@@ -1026,8 +1033,11 @@ def load_ann_index(spark, index_dir: str) -> tuple:
     import json as _json
     import os
 
-    with open(os.path.join(index_dir, "model.json")) as f:
-        model = _json.load(f)
+    from automic_etl_spark.operators.bm25 import _fs_read_text
+
+    model = _json.loads(
+        _fs_read_text(spark, os.path.join(index_dir, "model.json"))
+    )
     codes = spark.read.parquet(os.path.join(index_dir, "codes.parquet"))
     centroids = spark.createDataFrame(
         [(c["centroid_id"], c["centroid"]) for c in model["centroids"]],
