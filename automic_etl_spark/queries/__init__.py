@@ -90,11 +90,15 @@ _DRIVER_SCORED = (
     "cdc_dedup",          # r12: gear-hash CDC dedup (r10-r11 flagship)
     "image_phash", "ann_join", "token_mixture", "ngram_perplexity",
     "line_dedup", "bpe_tokenize",
+    "pretrained_tokenize",  # r13: released-tokenizer apply lane — the
+    # 80th gate, rotated in at the first displacement after landing
     "bm25_search",        # r12: ranked retrieval, full SQL replay
     "rake_keywords",      # r12: RAKE keyphrases, full SQL replay
     "audio_fingerprint",
     "vorbis_meta",        # r12: the r11 Vorbis flagship's gate
     "web_extract", "corpus_curate",
+    "avro_roundtrip",     # r13: first-party Avro OCF codec (6 codecs +
+    # r12 recursive schemas) — scored now rather than aging in overflow
     "image_phash_jpeg", "image_phash_gif",
     "image_phash_webp",   # r12: VP8L decode gate (r10 flagship)
     # ETL macro-operators
@@ -106,14 +110,18 @@ _DRIVER_SCORED = (
     "text_doc_profile", "window_rank_running", "dedup_keep_last",
     "pivot_rollup", "profile_stats", "null_quality_metrics",
     "sessionize", "asof_join",
-    # relational
-    "extract_json_regex", "subqueries", "funnel_conversion",
+    # relational (r13 rotation: `subqueries` demoted — scalar/EXISTS
+    # subquery plans stay oracle-checked in-suite, and the relational
+    # family keeps 6 scored rows; `join_revenue_by_nation` demoted as
+    # the r12-designated drop-out — equi-join coverage stays scored via
+    # feature_table / denormalized_view / medallion_gold)
+    "extract_json_regex", "funnel_conversion",
     "scan_derived_filter", "pricing_summary", "agg_having",
+    # last scored = next designated drop-out candidate (semi/anti
+    # coverage would stay via validation_report's broadcast anti-join
+    # and scd2_history's merge anti-arm if a future rotation displaces
+    # it; its oracle stays in-suite)
     "join_semi_anti",
-    # last scored = next designated drop-out candidate (equi-join
-    # coverage stays scored via feature_table / denormalized_view /
-    # medallion_gold if a future rotation displaces it)
-    "join_revenue_by_nation",
 )
 
 

@@ -77,6 +77,9 @@ def test_registry_driver_window_prefix():
         "bm25_search",  # r12 rotation: ranked retrieval, full SQL replay
         "rake_keywords",  # r12 rotation: RAKE keyphrases
         "cdc_dedup",  # r12 rotation: gear-hash CDC dedup, full SQL replay
+        "pretrained_tokenize",  # r13 rotation: the 80th gate, scored at
+        # the first displacement after landing (not aging in overflow)
+        "avro_roundtrip",  # r13 rotation: first-party Avro OCF codec
     ):
         assert n in scored, f"LLM-pipeline family {n} fell out of the scored window"
     assert set(overflow) == {
@@ -101,7 +104,6 @@ def test_registry_driver_window_prefix():
         # directly in the overflow tail (the scored window's §2.6 rows
         # keep their driver coverage); oracle in-suite
         "archive_extract",  # r9: zip-member expansion gate, same tail
-        "avro_roundtrip",  # r9: first-party Avro OCF codec gate
         "exif_meta",  # r9: EXIF extraction + PII-scrub gate
         "xml_extract",  # r9: XML row-tag extraction gate
         "dsir_select",  # r9: DSIR importance-resampling gate
@@ -122,14 +124,18 @@ def test_registry_driver_window_prefix():
         # compute_metrics + streaming_window + sessionize
         "top_orders_page",  # sort/limit/paging stays scored via
         # window_rank_running + pricing_summary orderings
-        "pretrained_tokenize",  # r12: released-tokenizer apply lane,
-        # full SQL replay (declared in the overflow tail)
+        # -- r13 rotation: displaced for pretrained_tokenize +
+        # avro_roundtrip; both keep their oracles in-suite
+        "subqueries",  # scalar/EXISTS subquery plans stay oracle-checked
+        # here; the relational family keeps 6 scored rows
+        "join_revenue_by_nation",  # the r12-designated drop-out:
+        # equi-join coverage stays scored via feature_table /
+        # denormalized_view / medallion_gold
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
-    # candidate (equi-join coverage stays via feature_table /
-    # denormalized_view / medallion_gold if a future rotation displaces
-    # it)
-    assert scored[-1] == "join_revenue_by_nation"
+    # candidate (semi/anti coverage would stay via validation_report's
+    # broadcast anti-join and scd2_history's merge anti-arm)
+    assert scored[-1] == "join_semi_anti"
 
 
 def test_entry_contract(spark):
