@@ -26,3 +26,38 @@ def test_gif_pricing_prose_corrected():
     # prose defers to the board table
     doc = open("/root/repo/PERFORMANCE.md").read()
     assert "= **6.3 s** at sf0.1" not in doc
+
+
+def test_tagged_citation_checker():
+    """r13 (verdict item 7): the (BENCH_rNN) prose-citation rule —
+    correct tagged figures pass, wrong ones and unknown boards fail,
+    row resolution is paragraph-scoped, and untagged/(session) figures
+    are ignored."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import board_check
+
+    r12 = json.load(open("/root/repo/BENCH_r12.json"))["parsed"]
+    row, sec = "zstd_codec", r12["queries"]["zstd_codec"]
+    total = r12["value"]
+
+    good = (
+        f"The `{row}` kernel landed the row at {sec:.2f} s (BENCH_r12)\n"
+        f"while in-session it drew 2.21 s (session), untagged 9.99 s.\n\n"
+        f"Whole board: {total:.2f} s (BENCH_r12)."
+    )
+    assert board_check.verify_tagged_citations(good) == []
+
+    bad_value = f"`{row}` now runs at {sec + 1:.2f} s (BENCH_r12)."
+    assert len(board_check.verify_tagged_citations(bad_value)) == 1
+
+    bad_board = f"`{row}` ran at 1.00 s (BENCH_r77)."
+    assert len(board_check.verify_tagged_citations(bad_board)) == 1
+
+    # paragraph scope: a row named in an EARLIER paragraph doesn't leak
+    cross_para = f"`{row}` context.\n\nLater: {sec:.2f} s (BENCH_r12)."
+    fails = board_check.verify_tagged_citations(cross_para)
+    assert fails and "total" in fails[0]
