@@ -581,9 +581,22 @@ def _decode_scan(data, scan_pos, sos_body, frame, qt, huff, ri):
     )
 
 
+def _sandwich8(A, s, B):
+    """Batched 8x8 sandwich product ``out[n] = A @ s[n] @ B`` as TWO
+    large BLAS GEMMs over (8, n*8) / (n*8, 8) reshapes (r13: replaces
+    the naive einsum contraction, which was 65% of whole-image decode
+    after the r12 MCU kernel — BLAS runs the same flops ~20x faster
+    and multithreaded)."""
+    import numpy as np
+
+    n = s.shape[0]
+    tmp = (A @ s.transpose(1, 0, 2).reshape(8, n * 8)).reshape(8, n, 8)
+    return (tmp.transpose(1, 0, 2).reshape(n * 8, 8) @ B).reshape(n, 8, 8)
+
+
 def _idct_assemble(comp_blocks, hmax, vmax, h_img, w_img):
     """Per-component DEQUANTIZED coefficient blocks (by_t, bx_t, 64) ->
-    final (H, W, C) uint8 image: batched einsum IDCT, plane assembly,
+    final (H, W, C) uint8 image: batched GEMM IDCT, plane assembly,
     replication upsampling, YCbCr->RGB for 3 components."""
     import numpy as np
 
@@ -592,7 +605,7 @@ def _idct_assemble(comp_blocks, hmax, vmax, h_img, w_img):
     for ch, cv, coefs in comp_blocks:
         by_t, bx_t, _ = coefs.shape
         s = coefs.reshape(by_t * bx_t, 8, 8)
-        f = np.einsum("ux,nuv,vy->nxy", a, s, a) + 128.0
+        f = _sandwich8(a.T, s, a) + 128.0
         f = np.clip(np.rint(f), 0, 255).astype(np.uint8)
         plane = (
             f.reshape(by_t, bx_t, 8, 8)
@@ -974,11 +987,13 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
 
 
-def _encode_block(w: _BitWriter, q_coefs, pred: int, dc_codes, ac_codes) -> int:
-    """Encode one quantized 8x8 block (natural order int array); returns
-    the new DC predictor."""
-    zz = ZIGZAG
-    dc = int(q_coefs[0])
+def _encode_block(w: _BitWriter, vals, pred: int, dc_codes, ac_codes) -> int:
+    """Encode one quantized 8x8 block, given as an ALREADY-ZIGZAGGED
+    plain-int list of 64 (r13: the zigzag gather + int conversion for
+    every block happens in one numpy fancy-index + .tolist() per
+    component — the per-element listcomp here was 31% of encode);
+    returns the new DC predictor."""
+    dc = vals[0]
     diff = dc - pred
     if diff == 0:
         c, ln = dc_codes[0]
@@ -990,7 +1005,6 @@ def _encode_block(w: _BitWriter, q_coefs, pred: int, dc_codes, ac_codes) -> int:
         w.put(diff if diff > 0 else diff + (1 << s) - 1, s)
     run = 0
     last_nz = 0
-    vals = [int(q_coefs[zz[k]]) for k in range(64)]
     for k in range(63, 0, -1):
         if vals[k]:
             last_nz = k
@@ -1027,7 +1041,7 @@ def _plane_blocks(plane, q_nat) -> "np.ndarray":
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
     ) - 128.0
-    s = np.einsum("ux,nxy,vy->nuv", a, f, a)
+    s = _sandwich8(a, f, a.T)
     q = np.clip(np.rint(s / q_nat.reshape(8, 8)), -1023, 1023).astype(np.int32)
     return q.reshape(h // 8, w // 8, 64)
 
@@ -1115,6 +1129,10 @@ def synth_jpeg(
     ac_c = _build_encode_table(*_AC_CHROMA)
     htabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
 
+    # one zigzag gather + int conversion per component (plain nested
+    # lists for the per-block bit emission below)
+    zz_blocks = [b[:, :, np.array(ZIGZAG)].tolist() for b in blocks]
+
     w = _BitWriter()
     preds = [0] * len(planes)
     rst_cnt = 0
@@ -1132,7 +1150,7 @@ def synth_jpeg(
         for ci, ((ch, cv), (dct, act)) in enumerate(zip(samp, htabs)):
             for by in range(cv):
                 for bx in range(ch):
-                    blk = blocks[ci][my * cv + by, mx * ch + bx]
+                    blk = zz_blocks[ci][my * cv + by][mx * ch + bx]
                     preds[ci] = _encode_block(w, blk, preds[ci], dct, act)
     w.flush()
     scan += w.out
