@@ -336,7 +336,27 @@ def fingerprint_match_join(
                     "__h": np.concatenate(list(pdf["lm_hashes"])) if lens.sum() else [],
                 }
             )
-            occ = flat.groupby(["__id", "__h"], sort=False).cumcount()
+            # occurrence number within each (doc, hash) run in emission
+            # (= time) order: stable lexsort + run-length position,
+            # scattered back (r13: mask-identical to the pandas
+            # groupby.cumcount it replaces, measured 5.6x faster on the
+            # 2M-row batch shape; lexsort over the two raw columns so no
+            # key-packing width assumption on 64-bit doc ids)
+            n = len(flat)
+            if not n:
+                continue
+            ids_np = flat["__id"].to_numpy()
+            h_np = flat["__h"].to_numpy()
+            srt = np.lexsort((h_np, ids_np))
+            ids_s, h_s = ids_np[srt], h_np[srt]
+            newrun = np.r_[
+                True, (ids_s[1:] != ids_s[:-1]) | (h_s[1:] != h_s[:-1])
+            ]
+            runstart = np.maximum.accumulate(
+                np.where(newrun, np.arange(n), 0)
+            )
+            occ = np.empty(n, dtype=np.int64)
+            occ[srt] = np.arange(n) - runstart
             yield flat[occ < per_value_cap]
 
     fp_rows = fps.filter(F.col("lm_hashes").isNotNull()).select(
@@ -388,6 +408,16 @@ def fingerprint_match_join(
             .select("__h")
         )
         ex = ex.join(hot, "__h", "left_anti")
+    # The capped landmark table is the diamond of this plan: the hot-hash
+    # tally above and BOTH self-join arms plus the exact-edge hit counts
+    # below all consume it, and without a cache each consumer recomputes
+    # the Arrow explode + cumcount kernel and the rep-collapse joins
+    # upstream (~4 full passes — measured 10.8 s vs 6 s cached at sf0.1,
+    # the bench's heaviest non-curate row). Same internal-cache precedent
+    # as fuzzy_join/dsir; ~12 bytes/landmark so MEMORY_AND_DISK never
+    # spills at sane corpus sizes, and at 100 TB scale this table is the
+    # already-capped inverted index, linear in corpus size.
+    ex = ex.persist()
     if exact_edges is not None:
         # an identical pair's offset-0 evidence is the rep's CAPPED
         # occurrence count (every capped occurrence matches itself) —
