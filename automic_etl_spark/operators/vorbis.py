@@ -426,30 +426,46 @@ class _Codebook:
                 count = _lookup1_values(self.entries, self.dims)
             else:
                 count = self.entries * self.dims
-            mults = [br.read(value_bits) for _ in range(count)]
-            # precompute the per-entry VQ vector table (spec 3.3)
-            vecs = np.zeros((self.entries, self.dims), dtype=np.float64)
+            # r13: the mult reads are `count` consecutive fixed-width
+            # fields — extract them in one vectorized pass over 3-byte
+            # LE windows (value_bits <= 16, so 16+7 bits fit 3 bytes),
+            # value-identical to the read() loop it replaces
+            if br.pos + count * value_bits > br.nbits:
+                raise EOFError("vorbis packet truncated")
+            bpos = br.pos + value_bits * np.arange(count, dtype=np.int64)
+            byt = np.frombuffer(
+                bytes(br.data) + b"\x00\x00\x00", dtype=np.uint8
+            ).astype(np.uint32)
+            bi = bpos >> 3
+            w3 = byt[bi] | (byt[bi + 1] << np.uint32(8)) | (
+                byt[bi + 2] << np.uint32(16)
+            )
+            mults = (w3 >> (bpos & 7).astype(np.uint32)) & np.uint32(
+                (1 << value_bits) - 1
+            )
+            br.pos += count * value_bits
+            # precompute the per-entry VQ vector table (spec 3.3) —
+            # vectorized (r13): per-entry value = mult*delta + minimum,
+            # with sequence_p accumulating left-to-right across dims ==
+            # cumsum along dims (identical float addition order)
             if lookup == 1:
-                for entry in range(self.entries):
-                    last = 0.0
-                    idiv = 1
-                    for d in range(self.dims):
-                        off = (entry // idiv) % count
-                        v = mults[off] * delta + minimum + last
-                        vecs[entry, d] = v
-                        if sequence_p:
-                            last = v
-                        idiv *= count
+                idiv = count ** np.arange(self.dims, dtype=np.int64)
+                off = (
+                    np.arange(self.entries, dtype=np.int64)[:, None]
+                    // idiv[None, :]
+                ) % count
+                vecs = mults[off].astype(np.float64) * delta + minimum
             else:
-                for entry in range(self.entries):
-                    last = 0.0
-                    off = entry * self.dims
-                    for d in range(self.dims):
-                        v = mults[off + d] * delta + minimum + last
-                        vecs[entry, d] = v
-                        if sequence_p:
-                            last = v
-            self.vq_vectors = vecs
+                vecs = (
+                    mults[: self.entries * self.dims]
+                    .astype(np.float64)
+                    .reshape(self.entries, self.dims)
+                    * delta
+                    + minimum
+                )
+            if sequence_p:
+                vecs = np.cumsum(vecs, axis=1)
+            self.vq_vectors = np.ascontiguousarray(vecs)
         elif lookup != 0:
             raise ValueError(f"reserved codebook lookup type {lookup}")
 
@@ -975,6 +991,17 @@ class _Mapping:
 # stream state: header parse + packet decode
 # =========================================================================
 
+# Window/IMDCT tables are pure functions of the block sizes — MODULE-
+# LEVEL caches (r13): a corpus decode creates one _VorbisStream PER
+# CLIP, and rebuilding the IMDCT cosine matrix per clip was 45% of
+# small-clip decode. Legal sizes are the ten powers of two 64..8192, so
+# the caches stay small (float32 worst case ~170 MB if one worker
+# really sees every size; typical corpora hold 1-2).
+_WIN_CACHE: dict[tuple, np.ndarray] = {}
+_IMDCT_CACHE: dict[int, np.ndarray] = {}
+_MDCT_CACHE: dict[int, np.ndarray] = {}
+_TWIN_HDR_CACHE: dict[tuple, list] = {}
+
 
 class _VorbisStream:
     def __init__(self, packets: list[bytes]):
@@ -984,8 +1011,6 @@ class _VorbisStream:
         if not packets[1].startswith(b"\x03vorbis"):
             raise ValueError("bad comment header")
         self._parse_setup(packets[2])
-        self._win_cache: dict[tuple, np.ndarray] = {}
-        self._imdct_cache: dict[int, np.ndarray] = {}
 
     def _parse_ident(self, p: bytes):
         if not p.startswith(b"\x01vorbis") or len(p) < 30:
@@ -1072,8 +1097,8 @@ class _VorbisStream:
     # -- windows / transform ------------------------------------------
 
     def _window(self, n: int, prev_long: bool, next_long: bool) -> np.ndarray:
-        key = (n, prev_long, next_long)
-        w = self._win_cache.get(key)
+        key = (n, self.bs0, prev_long, next_long)
+        w = _WIN_CACHE.get(key)
         if w is None:
             n0 = self.bs0
             w = np.zeros(n)
@@ -1082,11 +1107,11 @@ class _VorbisStream:
             w[ls:le] = _vorbis_slope(le - ls)
             w[le:rs] = 1.0
             w[rs:re] = _vorbis_slope(re - rs)[::-1]
-            self._win_cache[key] = w
+            _WIN_CACHE[key] = w
         return w
 
     def _imdct_matrix(self, n: int) -> np.ndarray:
-        M = self._imdct_cache.get(n)
+        M = _IMDCT_CACHE.get(n)
         if M is None:
             # unscaled spec IMDCT (spec 4.3.6): real streams carry the
             # normalization in their coefficients. float32 keeps the
@@ -1097,7 +1122,7 @@ class _VorbisStream:
             M = np.cos(
                 2 * np.pi / n * np.outer(k + 0.5, j + 0.5 + n / 4)
             ).astype(np.float32)
-            self._imdct_cache[n] = M
+            _IMDCT_CACHE[n] = M
         return M
 
     # -- audio packet -------------------------------------------------
@@ -1539,9 +1564,15 @@ def synth_vorbis(
         metas.append((flag, prev_long, next_long))
     spectra: dict[int, np.ndarray] = {}
     for n, items in frames_by_n.items():
-        kk = np.arange(n // 2, dtype=np.float64)
-        jj = np.arange(n, dtype=np.float64)
-        M = np.cos(2 * np.pi / n * np.outer(jj + 0.5 + n / 4, kk + 0.5))
+        M = _MDCT_CACHE.get(n)
+        if M is None:
+            # pure function of n — module-level cache (r13): the twin
+            # encodes one clip per call and the cosine outer product was
+            # ~13% of small-clip synth
+            kk = np.arange(n // 2, dtype=np.float64)
+            jj = np.arange(n, dtype=np.float64)
+            M = np.cos(2 * np.pi / n * np.outer(jj + 0.5 + n / 4, kk + 0.5))
+            _MDCT_CACHE[n] = M
         stacked = np.stack([f for _, f in items])  # [m, n, ch]
         prod = stacked.transpose(0, 2, 1).reshape(-1, n) @ M
         prod *= 2.0 / (n // 2)  # TDAC normalization (encoder side)
@@ -1558,7 +1589,18 @@ def synth_vorbis(
         )
     # Ogg encapsulation
     serial = 0x11AD
-    hdrs = _twin_headers(rate, ch, bs0, bs1, coupling, tags, floor0)
+    # header packets are a pure function of these scalars; memoize when
+    # tags is None (r13: header codebook-grid bit emission was ~half of
+    # small-clip synth, paid identically for every clip of a corpus)
+    if tags is None:
+        hkey = (rate, ch, bs0, bs1, coupling, floor0)
+        hdrs = _TWIN_HDR_CACHE.get(hkey)
+        if hdrs is None:
+            hdrs = _TWIN_HDR_CACHE[hkey] = _twin_headers(
+                rate, ch, bs0, bs1, coupling, None, floor0
+            )
+    else:
+        hdrs = _twin_headers(rate, ch, bs0, bs1, coupling, tags, floor0)
     pages = [_ogg_page(serial, 0, 0x02, 0, [hdrs[0]])]
     pages.append(_ogg_page(serial, 1, 0x00, 0, hdrs[1:]))
     seq = 2
