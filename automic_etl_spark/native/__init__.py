@@ -110,6 +110,19 @@ def load():
             ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
             ctypes.c_char_p, ctypes.c_long,
         ]
+        lib.automic_vorbis_residue.restype = ctypes.c_long
+        lib.automic_vorbis_residue.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
         lib.automic_jpeg_mcus.restype = ctypes.c_int
         lib.automic_jpeg_mcus.argtypes = [
             ctypes.c_char_p, ctypes.c_long,

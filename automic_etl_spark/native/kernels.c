@@ -521,3 +521,120 @@ int automic_jpeg_mcus(
     }
     return 0;
 }
+
+/* Vorbis I residue decode (Vorbis I spec section 8.6.2) — the
+ * per-codeword Huffman walk + VQ accumulation that dominates long-clip
+ * decode in Python (operators/vorbis._Residue._decode_vectors is the
+ * behavioral definition this mirrors, including its exact error and
+ * bit-position semantics):
+ *   - codewords transmit MSB-first through LSb-first byte packing; the
+ *     peek LUTs passed in are the Python _Codebook._build_lut tables
+ *     ((entry << 6) | length, 0 = no codeword)
+ *   - classbook scalars commit the bit position per codeword; a
+ *     type-1/2 partition commits only after the whole partition (the
+ *     Python inline path's semantics), while the type-0 (interleave)
+ *     path commits per codeword like Python's book.vq()
+ *   - returns 0 and writes the final position to *pos_io on success;
+ *     -1 = EOF (vorbis packet truncated), -2 = undecodable codeword —
+ *     both with *pos_io at the exact position the Python path leaves
+ *     br.pos (so a caller that catches and keeps reading stays
+ *     bit-identical) — and -3 = a write would overshoot the vector
+ *     (dims does not divide psize at the tail; caller re-runs Python
+ *     on zeroed vectors for the identical ValueError surface).
+ */
+long automic_vorbis_residue(
+    const uint8_t *data, long dlen, long nbits, int64_t *pos_io,
+    const int32_t *class_lut, int cl_len, int classwords,
+    int classifications,
+    const int32_t *stage_books,      /* [classifications][8] compact idx or -1 */
+    const int64_t *book_luts,        /* compact-book int32* addresses */
+    const int32_t *book_lut_lens,
+    const int32_t *book_dims,
+    const int64_t *book_vqs,         /* compact-book double* addresses */
+    const int64_t *vec_ptrs,         /* n_vec double* addresses */
+    long vec_len,
+    const int32_t *dnd, int n_vec,
+    long limit_begin, long to_read, long psize, int interleave,
+    int32_t *classifs                /* scratch [n_vec][to_read+classwords] */
+) {
+    long pos = *pos_io;
+    long crow = to_read + classwords;
+    for (int p8 = 0; p8 < 8; p8++) {
+        long pcount = 0;
+        while (pcount < to_read) {
+            if (p8 == 0) {
+                for (int j = 0; j < n_vec; j++) {
+                    if (dnd[j]) continue;
+                    if (pos >= nbits) { *pos_io = pos; return -1; }
+                    int32_t t = class_lut[
+                        peek_bits(data, dlen, pos, cl_len)];
+                    if (!t) { *pos_io = pos; return -2; }
+                    int ln = t & 63;
+                    if (pos + ln > nbits) { *pos_io = pos; return -1; }
+                    pos += ln;
+                    long temp = t >> 6;
+                    for (int i = classwords - 1; i >= 0; i--) {
+                        classifs[j * crow + pcount + i] =
+                            (int32_t)(temp % classifications);
+                        temp /= classifications;
+                    }
+                }
+            }
+            for (int w = 0; w < classwords && pcount < to_read; w++) {
+                for (int j = 0; j < n_vec; j++) {
+                    if (dnd[j]) continue;
+                    int vq = classifs[j * crow + pcount];
+                    int bi = stage_books[vq * 8 + p8];
+                    if (bi < 0) continue;
+                    const int32_t *bl =
+                        (const int32_t *)(intptr_t)book_luts[bi];
+                    int blen = book_lut_lens[bi];
+                    long dims = book_dims[bi];
+                    const double *vq_tab =
+                        (const double *)(intptr_t)book_vqs[bi];
+                    double *vec = (double *)(intptr_t)vec_ptrs[j];
+                    long offset = limit_begin + pcount * psize;
+                    if (interleave) {  /* residue type 0 */
+                        long step = psize / dims;
+                        for (long i = 0; i < step; i++) {
+                            if (pos >= nbits) { *pos_io = pos; return -1; }
+                            int32_t t = bl[peek_bits(data, dlen, pos, blen)];
+                            if (!t) { *pos_io = pos; return -2; }
+                            int ln = t & 63;
+                            if (pos + ln > nbits) { *pos_io = pos; return -1; }
+                            pos += ln;
+                            const double *ev = vq_tab + (long)(t >> 6) * dims;
+                            for (long k = 0; k < dims; k++)
+                                vec[offset + i + k * step] += ev[k];
+                        }
+                    } else {           /* types 1 and 2 */
+                        long n_entries = (psize + dims - 1) / dims;
+                        if (offset + n_entries * dims > vec_len) {
+                            *pos_io = pos; return -3;
+                        }
+                        long part_start = pos;
+                        for (long i = 0; i < psize; i += dims) {
+                            if (pos >= nbits) {
+                                *pos_io = part_start; return -1;
+                            }
+                            int32_t t = bl[peek_bits(data, dlen, pos, blen)];
+                            if (!t) { *pos_io = part_start; return -2; }
+                            int ln = t & 63;
+                            if (pos + ln > nbits) {
+                                *pos_io = part_start; return -1;
+                            }
+                            pos += ln;
+                            const double *ev = vq_tab + (long)(t >> 6) * dims;
+                            double *dst = vec + offset + i;
+                            for (long k = 0; k < dims; k++)
+                                dst[k] += ev[k];
+                        }
+                    }
+                }
+                pcount++;
+            }
+        }
+    }
+    *pos_io = pos;
+    return 0;
+}

@@ -58,6 +58,7 @@ from __future__ import annotations
 
 import struct
 from bisect import insort
+from collections import OrderedDict
 
 import numpy as np
 
@@ -72,6 +73,15 @@ __all__ = [
 # =========================================================================
 # bit I/O — Vorbis packs LSb first within each byte (spec 2.1)
 # =========================================================================
+
+
+def _native():
+    """The optional compiled kernels (automic_etl_spark/native), or
+    None — the pure-Python residue walk stays the behavioral
+    definition (differential-pinned in tests/test_vorbis.py)."""
+    from automic_etl_spark.native import load
+
+    return load()
 
 
 class _BitReader:
@@ -381,7 +391,26 @@ def _assign_codewords(lengths: list[int]) -> dict[tuple[int, int], int]:
 
 
 class _Codebook:
-    __slots__ = ("dims", "entries", "codes", "vq_vectors", "_lut", "_lut_len")
+    __slots__ = (
+        "dims", "entries", "codes", "vq_vectors", "_lut", "_lut_len",
+        "_lut_arr",
+    )
+
+    def _ensure_lut(self) -> bool:
+        """Build the peek LUT if not yet tried; True when usable."""
+        try:
+            return self._lut is not None
+        except AttributeError:
+            return self._build_lut()
+
+    def _lut_np(self) -> "np.ndarray":
+        """The peek LUT as an int32 array (for the native kernel);
+        entries are (entry << 6) | length < 2^30, so int32 is safe."""
+        try:
+            return self._lut_arr
+        except AttributeError:
+            self._lut_arr = np.asarray(self._lut, dtype=np.int32)
+            return self._lut_arr
 
     def __init__(self, br: _BitReader):
         if br.read(24) != 0x564342:  # 'BCV'
@@ -824,7 +853,7 @@ def _render_line(x0, y0, x1, y1, v):
 
 class _Residue:
     __slots__ = ("rtype", "begin", "end", "partition_size",
-                 "classifications", "classbook", "books")
+                 "classifications", "classbook", "books", "_nplan")
 
     def __init__(self, rtype: int, br: _BitReader):
         if rtype not in (0, 1, 2):
@@ -868,12 +897,119 @@ class _Residue:
             self._decode_vectors(br, books, vecs, do_not_decode, n2)
         return out
 
+    def _native_plan(self, books):
+        """Prepared ctypes arrays for the compiled residue kernel, or
+        None when any involved codebook is ineligible (no <=16-bit peek
+        LUT, or a stage book without VQ vectors — the Python path then
+        defines behavior, including its mid-decode errors). Cached per
+        residue; the numpy arrays ride in the tuple so every pointer
+        passed to C stays alive."""
+        try:
+            return self._nplan or None
+        except AttributeError:
+            pass
+        plan = None
+        classbook = books[self.classbook]
+        ok = classbook._ensure_lut()
+        used = sorted({b for row in self.books for b in row if b >= 0})
+        if ok and all(
+            b < len(books)
+            and books[b].vq_vectors is not None
+            and books[b]._ensure_lut()
+            for b in used
+        ):
+            compact = {b: k for k, b in enumerate(used)}
+            stage = np.full((self.classifications, 8), -1, dtype=np.int32)
+            for c, row in enumerate(self.books):
+                for p, b in enumerate(row):
+                    if b >= 0:
+                        stage[c, p] = compact[b]
+            luts = [books[b]._lut_np() for b in used]
+            vqs = [np.ascontiguousarray(books[b].vq_vectors) for b in used]
+            plan = (
+                classbook._lut_np(),
+                stage,
+                np.array([a.ctypes.data for a in luts], dtype=np.int64),
+                np.array(
+                    [books[b]._lut_len for b in used], dtype=np.int32
+                ),
+                np.array([books[b].dims for b in used], dtype=np.int32),
+                np.array([a.ctypes.data for a in vqs], dtype=np.int64),
+                luts,
+                vqs,
+            )
+        self._nplan = plan or False
+        return plan
+
+    def _decode_vectors_native(
+        self, lib, br, books, vecs, do_not_decode, to_read, limit_begin,
+        actual_size,
+    ) -> bool:
+        """Run the compiled residue walk; True when it completed (or
+        raised the Python path's exact EOF/ValueError at the exact bit
+        position), False to fall back to pure Python (vectors zeroed and
+        br.pos untouched)."""
+        import ctypes
+
+        plan = self._native_plan(books)
+        if plan is None:
+            return False
+        if not all(
+            v.dtype == np.float64 and v.flags["C_CONTIGUOUS"] for v in vecs
+        ):
+            return False
+        (class_lut, stage, lut_addr, lut_lens, dims_arr, vq_addr,
+         _keep_luts, _keep_vqs) = plan
+        classbook = books[self.classbook]
+        n_vec = len(vecs)
+        vec_ptrs = np.array([v.ctypes.data for v in vecs], dtype=np.int64)
+        dnd = np.array(
+            [1 if d else 0 for d in do_not_decode], dtype=np.int32
+        )
+        classifs = np.zeros(
+            n_vec * (to_read + classbook.dims), dtype=np.int32
+        )
+        pos_io = ctypes.c_int64(br.pos)
+        rc = lib.automic_vorbis_residue(
+            bytes(br.data), len(br.data), br.nbits, ctypes.byref(pos_io),
+            class_lut.ctypes.data, classbook._lut_len, classbook.dims,
+            self.classifications,
+            stage.ctypes.data,
+            lut_addr.ctypes.data, lut_lens.ctypes.data,
+            dims_arr.ctypes.data, vq_addr.ctypes.data,
+            vec_ptrs.ctypes.data, actual_size,
+            dnd.ctypes.data, n_vec,
+            limit_begin, to_read, self.partition_size,
+            1 if self.rtype == 0 else 0,
+            classifs.ctypes.data,
+        )
+        if rc == 0:
+            br.pos = pos_io.value
+            return True
+        if rc == -1:
+            br.pos = pos_io.value
+            raise EOFError("vorbis packet truncated")
+        if rc == -2:
+            br.pos = pos_io.value
+            raise ValueError("undecodable huffman codeword")
+        # -3: a tail partition would overshoot the vector — rerun the
+        # pure path on zeroed vectors for its identical error surface
+        for v in vecs:
+            v[:] = 0.0
+        return False
+
     def _decode_vectors(self, br, books, vecs, do_not_decode, actual_size):
         limit_begin = min(self.begin, actual_size)
         limit_end = min(self.end, actual_size)
         psize = self.partition_size
         to_read = (limit_end - limit_begin) // psize
         if to_read <= 0:
+            return
+        lib = _native()
+        if lib is not None and self._decode_vectors_native(
+            lib, br, books, vecs, do_not_decode, to_read, limit_begin,
+            actual_size,
+        ):
             return
         classbook = books[self.classbook]
         classwords = classbook.dims
@@ -1001,6 +1137,7 @@ _WIN_CACHE: dict[tuple, np.ndarray] = {}
 _IMDCT_CACHE: dict[int, np.ndarray] = {}
 _MDCT_CACHE: dict[int, np.ndarray] = {}
 _TWIN_HDR_CACHE: dict[tuple, list] = {}
+_SETUP_CACHE: OrderedDict = OrderedDict()
 
 
 class _VorbisStream:
@@ -1010,7 +1147,28 @@ class _VorbisStream:
         self._parse_ident(packets[0])
         if not packets[1].startswith(b"\x03vorbis"):
             raise ValueError("bad comment header")
-        self._parse_setup(packets[2])
+        # parsed-setup cache keyed by the EXACT header bytes (r13):
+        # corpora repeat encoder configurations, and codebook parsing +
+        # canonical codeword assignment was the dominant per-clip decode
+        # cost after the transform-table caches. The parsed objects are
+        # read-only during decode (the codebook LUT / residue kernel
+        # plan lazies are idempotent), so sharing across streams in one
+        # worker is safe; the ident packet rides in the key because the
+        # mapping parse depends on the channel count. LRU-bounded.
+        key = (packets[0], packets[2])
+        cached = _SETUP_CACHE.get(key)
+        if cached is not None:
+            _SETUP_CACHE.move_to_end(key)
+            (self.codebooks, self.floors, self.residues, self.mappings,
+             self.modes) = cached
+        else:
+            self._parse_setup(packets[2])
+            _SETUP_CACHE[key] = (
+                self.codebooks, self.floors, self.residues, self.mappings,
+                self.modes,
+            )
+            while len(_SETUP_CACHE) > 32:
+                _SETUP_CACHE.popitem(last=False)
 
     def _parse_ident(self, p: bytes):
         if not p.startswith(b"\x01vorbis") or len(p) < 30:

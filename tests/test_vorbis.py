@@ -458,3 +458,99 @@ def test_bitwriter_write_array_matches_scalar_writes():
         assert a.getvalue() == b.getvalue()
 
     run()
+
+
+class TestNativeDifferential:
+    """r13: committed native-vs-Python pins for the residue-walk kernel
+    (automic_vorbis_residue) — the nat._LIB re-entry pattern of
+    tests/test_zstd.py. Decoded PCM must be SAMPLE-IDENTICAL on valid
+    streams across floor1/floor0, mono/stereo, coupled stereo, short
+    blocks, and all-long streams; on mutated/truncated streams the two
+    paths must return the same verdict and, when both decode, the same
+    samples (the kernel mirrors the Python path's bit-position commit
+    semantics on mid-packet EOF, so post-EOF reads stay aligned)."""
+
+    @staticmethod
+    def _need_lib():
+        from automic_etl_spark.native import load
+
+        if load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+
+    @staticmethod
+    def _both(blob):
+        import automic_etl_spark.native as nat
+
+        from automic_etl_spark.operators.vorbis import decode_vorbis
+
+        try:
+            a = decode_vorbis(blob)
+        except (ValueError, EOFError) as e:
+            a = type(e).__name__
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            try:
+                b = decode_vorbis(blob)
+            except (ValueError, EOFError) as e:
+                b = type(e).__name__
+        finally:
+            nat._LIB = old
+        return a, b
+
+    def _agree(self, blob, ctx=""):
+        a, b = self._both(blob)
+        if isinstance(a, str) or isinstance(b, str):
+            assert a == b, (ctx, a, b)
+            return
+        pa, ra, wa = a
+        pb, rb, wb = b
+        assert (ra, wa) == (rb, wb), ctx
+        assert pa.shape == pb.shape and np.array_equal(pa, pb), ctx
+
+    def _corpus(self):
+        from automic_etl_spark.operators.vorbis import synth_vorbis
+
+        rate = 16000
+        t = np.arange(9000) / rate
+        mono = 0.35 * np.sin(2 * np.pi * 263 * t) + 0.1 * np.sin(
+            2 * np.pi * 1250 * t
+        )
+        stereo = np.stack([mono, 0.25 * np.cos(2 * np.pi * 420 * t)], 1)
+        return [
+            ("mono-long", synth_vorbis(mono, rate=rate)),
+            ("stereo-short", synth_vorbis(stereo, rate=rate, short_every=5)),
+            ("coupled", synth_vorbis(stereo, rate=rate, coupling=True)),
+            ("floor0", synth_vorbis(mono[:6000], rate=rate, floor0=True)),
+            ("sloped", synth_vorbis(stereo, rate=rate, floor_slope=2,
+                                    short_every=7)),
+        ]
+
+    def test_residue_kernel_sample_identity_on_valid_streams(self):
+        self._need_lib()
+        for name, blob in self._corpus():
+            a, b = self._both(blob)
+            assert not isinstance(a, str) and not isinstance(b, str), name
+            assert np.array_equal(a[0], b[0]), name
+
+    def test_residue_kernel_mutation_and_truncation_verdicts(self):
+        """120 single-byte mutations + 40 truncations inside the audio
+        pages: identical verdict (samples / ValueError / EOFError) and
+        identical samples when both decode."""
+        import random
+
+        self._need_lib()
+        rng = random.Random(1306)
+        for name, blob in self._corpus()[:3]:
+            base = bytearray(blob)
+            # audio pages start after the two header pages: find the
+            # third 'OggS' capture
+            third = blob.find(b"OggS", blob.find(b"OggS", 4) + 4)
+            for _ in range(40):
+                mutated = bytearray(base)
+                pos = rng.randrange(third, len(base))
+                mutated[pos] = rng.randrange(256)
+                self._agree(bytes(mutated), f"{name} mutation at {pos}")
+            for _ in range(13):
+                cut = rng.randrange(third, len(base))
+                self._agree(bytes(base[:cut]), f"{name} cut at {cut}")
