@@ -110,6 +110,11 @@ def load():
             ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
             ctypes.c_char_p, ctypes.c_long,
         ]
+        lib.automic_gif_lzw_encode.restype = ctypes.c_long
+        lib.automic_gif_lzw_encode.argtypes = [
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
+        ]
         lib.automic_vorbis_residue.restype = ctypes.c_long
         lib.automic_vorbis_residue.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long,

@@ -638,3 +638,77 @@ long automic_vorbis_residue(
     *pos_io = pos;
     return 0;
 }
+
+/* GIF-variant LZW ENCODE (the twin of automic_gif_lzw above) — the
+ * exact policy of operators/gif._lzw_encode, which stays the
+ * behavioral definition: initial Clear, dictionary keyed by
+ * (prefix entry, next byte), width bump when the code just assigned
+ * equals 1<<width (the decoder's one-entry-behind convention), table
+ * reset via Clear at 4096 entries, trailing End, LSb-first packing.
+ * `scratch` is a caller-provided int32[2 << 13] (8192 keys + 8192
+ * values, linear probing; keys are ((prefix << 8) | byte) + 1 so 0 is
+ * empty — cleared per reset). Returns the byte length written, or -1
+ * if out_cap is too small (callers size it 2n + 64, which the 12-bit
+ * worst case cannot reach).
+ */
+long automic_gif_lzw_encode(int min_code_size, const uint8_t *idx, long n,
+                            uint8_t *out, long out_cap, int32_t *scratch) {
+    if (min_code_size < 2 || min_code_size > 8)
+        return -1;
+    const int HT_BITS = 13, HT_SIZE = 1 << 13;
+    int32_t *keys = scratch, *vals = scratch + HT_SIZE;
+    int clear = 1 << min_code_size;
+    int end = clear + 1;
+    long op = 0;
+    uint32_t acc = 0;
+    int nb = 0;
+#define GIF_PUT(code, w) do { \
+        acc |= ((uint32_t)(code)) << nb; nb += (w); \
+        while (nb >= 8) { \
+            if (op >= out_cap) return -1; \
+            out[op++] = (uint8_t)(acc & 0xFF); acc >>= 8; nb -= 8; \
+        } \
+    } while (0)
+    for (int i = 0; i < HT_SIZE; i++) keys[i] = 0;
+    int next_code = end + 1;
+    int width = min_code_size + 1;
+    GIF_PUT(clear, width);
+    long pos = 0;
+    if (n > 0) {
+        int run = idx[pos++];  /* roots are their own codes */
+        while (pos < n) {
+            int b = idx[pos++];
+            int32_t key = ((int32_t)run << 8 | b) + 1;
+            uint32_t h = ((uint32_t)key * 2654435761u) >> (32 - HT_BITS);
+            int found = -1;
+            while (keys[h]) {
+                if (keys[h] == key) { found = vals[h]; break; }
+                h = (h + 1) & (HT_SIZE - 1);
+            }
+            if (found >= 0) { run = found; continue; }
+            GIF_PUT(run, width);
+            if (next_code < 4096) {
+                keys[h] = key;
+                vals[h] = next_code;
+                if (next_code == (1 << width) && width < 12)
+                    width++;
+                next_code++;
+            } else {
+                GIF_PUT(clear, width);
+                for (int i = 0; i < HT_SIZE; i++) keys[i] = 0;
+                next_code = end + 1;
+                width = min_code_size + 1;
+            }
+            run = b;
+        }
+        GIF_PUT(run, width);
+    }
+    GIF_PUT(end, width);
+    if (nb) {
+        if (op >= out_cap)
+            return -1;
+        out[op++] = (uint8_t)(acc & 0xFF);
+    }
+    return op;
+}
+#undef GIF_PUT

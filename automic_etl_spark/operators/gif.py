@@ -383,6 +383,27 @@ def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
     """GIF-variant LZW compressor: starts with a Clear, resets the table
     at 4096 entries, ends with End — the exact stream shape the decoder
     and every real GIF reader expect."""
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None and 2 <= min_code_size <= 8:
+        # compiled twin, byte-identical policy (r13 — differential-
+        # pinned in tests/test_gif.py); 12-bit worst case is 1.5
+        # bytes/code + periodic Clears, so 2n + 64 can't overflow
+        import ctypes
+
+        import numpy as np
+
+        out = bytearray(2 * len(indices) + 64)
+        scratch = np.empty(2 << 13, dtype=np.int32)
+        rc = lib.automic_gif_lzw_encode(
+            min_code_size, bytes(indices), len(indices),
+            (ctypes.c_char * len(out)).from_buffer(out), len(out),
+            scratch.ctypes.data,
+        )
+        if rc >= 0:
+            del out[rc:]
+            return bytes(out)
     clear = 1 << min_code_size
     end = clear + 1
     out = bytearray()

@@ -341,3 +341,59 @@ class TestNativeDifferential:
         a = _lzw_decode(8, payload, len(idx))
         b = self._python_lzw(8, payload, len(idx))
         assert a is not None and bytes(a) == bytes(b) == idx
+
+    def test_lzw_encode_kernel_byte_identity(self):
+        """r13: the encode kernel (automic_gif_lzw_encode) must emit
+        byte-identical streams to the Python compressor across the
+        three content shapes, all min-code-sizes, and the 4096-entry
+        table-reset/width-ladder case — committed alongside the decode
+        differential so any policy edit on either side fails here."""
+        import random
+
+        self._need_lib()
+        import automic_etl_spark.native as nat
+
+        rng = random.Random(1307)
+        for trial in range(120):
+            mcs = rng.randint(2, 8)
+            n = rng.randint(0, 6000)
+            alpha = 1 << mcs
+            kind = trial % 3
+            if kind == 0:
+                idx = bytearray()
+                while len(idx) < n:
+                    idx += bytes([rng.randrange(alpha)]) * rng.randint(1, 60)
+                idx = bytes(idx[:n])
+            elif kind == 1:
+                idx = bytes(rng.randrange(min(2, alpha)) for _ in range(n))
+            else:
+                idx = bytes(rng.randrange(alpha) for _ in range(n))
+            a = _lzw_encode(mcs, idx)
+            old = nat._LIB
+            try:
+                nat._LIB = None
+                b = _lzw_encode(mcs, idx)
+            finally:
+                nat._LIB = old
+            assert a == b, (trial, mcs, n, kind)
+            dec = _lzw_decode(mcs, a, len(idx))
+            assert dec is not None and bytes(dec[: len(idx)]) == idx
+
+    def test_lzw_encode_kernel_reset_byte_identity(self):
+        """Past 4096 entries: Clear emission, table reset and the full
+        width ladder agree byte-for-byte."""
+        import random
+
+        self._need_lib()
+        import automic_etl_spark.native as nat
+
+        rng = random.Random(9)
+        idx = bytes(rng.randrange(256) for _ in range(40000))
+        a = _lzw_encode(8, idx)
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            b = _lzw_encode(8, idx)
+        finally:
+            nat._LIB = old
+        assert a == b
