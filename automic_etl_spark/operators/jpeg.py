@@ -29,8 +29,8 @@ policy shared with mp3/ogg in operators/audio):
 Decode plan shape: marker parse and Huffman bit-walk are per-image
 Python (flat 16-bit lookup tables, ~2 int ops per symbol), while the
 heavy math — dequantize, batched 8x8 IDCT over all blocks at once via
-two einsum matrix products, upsampling, YCbCr->RGB — is vectorized
-numpy. The codec runs inside the same Arrow-batched mapInPandas
+two large BLAS GEMMs (r13; the einsum form walked the contraction in
+naive loops), upsampling, YCbCr->RGB — is vectorized numpy. The codec runs inside the same Arrow-batched mapInPandas
 kernels as the other decoders (operators/imagehash.image_blobs_phash),
 so at 100 TB it is embarrassingly parallel per partition with
 batch-bounded memory.
