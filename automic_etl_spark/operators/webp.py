@@ -68,9 +68,10 @@ class WebpError(ValueError):
 
 
 class _BitReader:
-    __slots__ = ("data", "pos", "nbits")
+    __slots__ = ("data", "pos", "nbits", "_w24")
 
     def __init__(self, data: bytes):
+        self._w24 = None
         self.data = data
         self.pos = 0  # bit position
         self.nbits = 8 * len(data)
@@ -106,6 +107,29 @@ class _BitReader:
                 v |= (d[p >> 3] >> (p & 7)) & 1
             p += 1
         return v
+
+    def w24(self) -> list[int]:
+        """W[j] = little-endian int of data[j:j+3] (zero-padded past the
+        end) for every byte offset, built lazily — the peek-LUT decode
+        path reads the next <=18 stream bits as two list indexes + one
+        shift/mask per symbol (r13; the per-bit peek_msb loop was 65%
+        of VP8L decode). Zero-padding matches peek_msb's end-of-stream
+        behavior."""
+        w = self._w24
+        if w is None:
+            import numpy as np
+
+            n = len(self.data)
+            b = np.frombuffer(
+                bytes(self.data) + b"\x00\x00\x00", dtype=np.uint8
+            )
+            acc = b[:n].astype(np.uint32)
+            acc |= b[1 : n + 1].astype(np.uint32) << np.uint32(8)
+            acc |= b[2 : n + 2].astype(np.uint32) << np.uint32(16)
+            self._w24 = w = acc.tolist()
+            if not w:
+                self._w24 = w = [0]
+        return w
 
 
 class _BitWriter:
@@ -178,13 +202,18 @@ class _PrefixCode:
         self.max_len = nz[-1][0]
         self.lut = None
         if self.max_len <= self._LUT_BITS:
+            # LUT keyed by the next ml STREAM bits read LSb-first (r13;
+            # was keyed MSB-first and fed by a per-bit peek loop):
+            # code bits transmit MSB-first through the LSb-first byte
+            # packing, so the key's low l bits are the reversed code
+            # and every higher filler combination maps to the same
+            # (symbol, length) — one w24 window read per symbol.
             ml = self.max_len
             lut = [None] * (1 << ml)
             for (l, c), sym in table.items():
-                pad = ml - l
-                base = c << pad
-                for s in range(1 << pad):
-                    lut[base | s] = (sym, l)
+                rev = int(f"{c:0{l}b}"[::-1], 2) if l else 0
+                for s in range(rev, 1 << ml, 1 << l):
+                    lut[s] = (sym, l)
             self.lut = lut
 
     @classmethod
@@ -206,13 +235,17 @@ class _PrefixCode:
         if self.single is not None:
             return self.single
         if self.lut is not None:
-            hit = self.lut[br.peek_msb(self.max_len)]
+            # max_len <= 11 and (p & 7) <= 7, so the needed 18 bits fit
+            # one 3-byte window: two list indexes + shift/mask per symbol
+            p = br.pos
+            w = br._w24 or br.w24()
+            hit = self.lut[(w[p >> 3] >> (p & 7)) & ((1 << self.max_len) - 1)]
             if hit is None:
                 raise WebpError("invalid prefix-coded symbol")
             sym, ln = hit
-            if br.pos + ln > br.nbits:
+            if p + ln > br.nbits:
                 raise WebpError("truncated VP8L stream")
-            br.pos += ln
+            br.pos = p + ln
             return sym
         acc = 0
         ln = 0
@@ -370,20 +403,91 @@ def _decode_entropy_coded_image(
         groups.append((green, red, blue, alpha, dist))
 
     n = w * h
-    out = np.zeros(n, dtype=np.uint64)
+    # a plain int list: per-pixel scalar stores and LZ77 back-copies are
+    # faster than numpy scalar setitem, and list slice assignment
+    # materializes its source first so the dist>=length vectorized copy
+    # stays safe (r13)
+    out = [0] * n
     pos = 0
     mw = _div_round_up(w, 1 << meta_bits) if meta_img is not None else 0
     group = groups[0]
+    # inlined peek-LUT walks for the four literal channels (r13: the
+    # per-symbol method dispatch was the remaining half of decode after
+    # the LSb-keyed LUT; (lut, mask, single) per code, same fallback to
+    # .decode() for >11-bit codes)
+    fasts = [
+        tuple(
+            (pc.lut, (1 << pc.max_len) - 1, pc.single) for pc in grp
+        )
+        for grp in groups
+    ]
+    fg = fasts[0]
+    w24 = br.w24()
+    nbits = br.nbits
     while pos < n:
         if meta_img is not None:
             x, y = pos % w, pos // w
             midx = int(meta_img[(y >> meta_bits) * mw + (x >> meta_bits)])
-            group = groups[(midx >> 8) & 0xFFFF]
-        g_sym = group[0].decode(br)
+            gi = (midx >> 8) & 0xFFFF
+            group = groups[gi]
+            fg = fasts[gi]
+        lut, mask, sng = fg[0]
+        if sng is not None:
+            g_sym = sng
+        elif lut is not None:
+            p = br.pos
+            hit = lut[(w24[p >> 3] >> (p & 7)) & mask]
+            if hit is None:
+                raise WebpError("invalid prefix-coded symbol")
+            g_sym, ln = hit
+            if p + ln > nbits:
+                raise WebpError("truncated VP8L stream")
+            br.pos = p + ln
+        else:
+            g_sym = group[0].decode(br)
         if g_sym < 256:
-            r = group[1].decode(br)
-            b = group[2].decode(br)
-            a = group[3].decode(br)
+            lut, mask, sng = fg[1]
+            if sng is not None:
+                r = sng
+            elif lut is not None:
+                p = br.pos
+                hit = lut[(w24[p >> 3] >> (p & 7)) & mask]
+                if hit is None:
+                    raise WebpError("invalid prefix-coded symbol")
+                r, ln = hit
+                if p + ln > nbits:
+                    raise WebpError("truncated VP8L stream")
+                br.pos = p + ln
+            else:
+                r = group[1].decode(br)
+            lut, mask, sng = fg[2]
+            if sng is not None:
+                b = sng
+            elif lut is not None:
+                p = br.pos
+                hit = lut[(w24[p >> 3] >> (p & 7)) & mask]
+                if hit is None:
+                    raise WebpError("invalid prefix-coded symbol")
+                b, ln = hit
+                if p + ln > nbits:
+                    raise WebpError("truncated VP8L stream")
+                br.pos = p + ln
+            else:
+                b = group[2].decode(br)
+            lut, mask, sng = fg[3]
+            if sng is not None:
+                a = sng
+            elif lut is not None:
+                p = br.pos
+                hit = lut[(w24[p >> 3] >> (p & 7)) & mask]
+                if hit is None:
+                    raise WebpError("invalid prefix-coded symbol")
+                a, ln = hit
+                if p + ln > nbits:
+                    raise WebpError("truncated VP8L stream")
+                br.pos = p + ln
+            else:
+                a = group[3].decode(br)
             px = (a << 24) | (r << 16) | (g_sym << 8) | b
             out[pos] = px
             if cache is not None:
@@ -412,7 +516,7 @@ def _decode_entropy_coded_image(
                         pos += 1
             else:
                 for _ in range(length):
-                    px = int(out[pos - dist_])
+                    px = out[pos - dist_]
                     out[pos] = px
                     cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
                     pos += 1
@@ -421,7 +525,7 @@ def _decode_entropy_coded_image(
                 raise WebpError("cache symbol without color cache")
             out[pos] = cache[g_sym - _GREEN_BASE]
             pos += 1
-    return out.astype(np.uint32)
+    return np.array(out, dtype=np.uint64).astype(np.uint32)
 
 
 # --------------------------------------------------------------------------
