@@ -128,6 +128,12 @@ def load():
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
             ctypes.c_void_p,
         ]
+        lib.automic_cdc_boundaries.restype = ctypes.c_long
+        lib.automic_cdc_boundaries.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_int, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.automic_jpeg_mcus.restype = ctypes.c_int
         lib.automic_jpeg_mcus.argtypes = [
             ctypes.c_char_p, ctypes.c_long,
@@ -139,6 +145,15 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p,
+        ]
+        lib.automic_jpeg_encode_mcus.restype = ctypes.c_long
+        lib.automic_jpeg_encode_mcus.argtypes = [
+            ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
         ]
         _LIB = lib
     except Exception:

@@ -712,3 +712,173 @@ long automic_gif_lzw_encode(int min_code_size, const uint8_t *idx, long n,
     return op;
 }
 #undef GIF_PUT
+
+/* Content-defined chunking boundary scan — the exact policy of
+ * operators/cdc.cdc_boundaries, which stays the behavioral
+ * definition: gear rolling hash h = (h << 1) + G[b] tested on its low
+ * `avg_bits` bits (only the last `avg_bits` bytes can influence those
+ * bits, so each chunk's scan warms up from at most avg_bits-1 bytes
+ * back); cut AFTER the first hit byte at offset >= start+min_size,
+ * else at min(start+max_size, n). `gear16` is the caller-provided low
+ * 16 bits of the module's GEAR table (uint32[256]). Writes chunk END
+ * offsets (exclusive) to `out` (caller sizes it n/min_size + 2) and
+ * returns the count, or -1 on invalid parameters.
+ */
+long automic_cdc_boundaries(const uint8_t *data, long n,
+                            long min_size, int avg_bits, long max_size,
+                            const uint32_t *gear16, long *out) {
+    if (n < 0 || min_size < 1 || max_size < 1 || avg_bits < 1 ||
+        avg_bits > 16)
+        return -1;
+    uint32_t mask = (uint32_t)((1u << avg_bits) - 1);
+    long start = 0, k = 0;
+    while (start < n) {
+        long lo_lim = start + min_size;
+        long hi_lim = start + max_size;
+        if (hi_lim > n)
+            hi_lim = n;
+        long cut = hi_lim;
+        long i0 = lo_lim - 1; /* first byte index whose cut (i+1) >= lo_lim */
+        if (i0 < hi_lim) {
+            long warm = i0 - (avg_bits - 1);
+            if (warm < 0)
+                warm = 0;
+            uint32_t h = 0;
+            for (long j = warm; j < i0; j++)
+                h = (h << 1) + gear16[data[j]];
+            for (long i = i0; i < hi_lim; i++) {
+                h = (h << 1) + gear16[data[i]];
+                if ((h & mask) == 0) {
+                    cut = i + 1;
+                    break;
+                }
+            }
+        }
+        out[k++] = cut;
+        start = cut;
+    }
+    return k;
+}
+
+/* Baseline-JPEG entropy ENCODE (the twin of automic_jpeg_mcus above) —
+ * the exact policy of operators/jpeg.synth_jpeg's MCU loop +
+ * _encode_block + _BitWriter, which stay the behavioral definition:
+ * interleaved MCU order, per-component DC prediction, F.1.2.2 run/size
+ * AC coding with ZRL and EOB, byte stuffing (0xFF -> 0xFF 0x00),
+ * 1-padded flush and RSTn emission + predictor reset every
+ * `restart_interval` MCUs. `blocks[ci]` is that component's quantized
+ * coefficients in ZIGZAG order, C-contiguous (BY, BX, 64) int16 with
+ * BX = bxs[ci]; Huffman code/length tables are [ncomp*16] (DC, symbol
+ * = category) and [ncomp*256] (AC, symbol = run<<4|size). Returns the
+ * scan byte length, -1 if out_cap is too small, -2 on an absent
+ * Huffman symbol or out-of-category coefficient (callers clip to
+ * +/-1023, category 10).
+ */
+long automic_jpeg_encode_mcus(
+    int ncomp, long mcus_x, long mcus_y, long restart_interval,
+    const int16_t *const *blocks, const long *bxs,
+    const int *chs, const int *cvs,
+    const uint16_t *dc_code, const uint8_t *dc_len,
+    const uint16_t *ac_code, const uint8_t *ac_len,
+    uint8_t *out, long out_cap) {
+    if (ncomp < 1 || ncomp > 4)
+        return -2;
+    uint64_t acc = 0;
+    int nb = 0;
+    long op = 0;
+    int32_t preds[4] = {0, 0, 0, 0};
+    long rst_cnt = 0;
+#define JPUT(code, len) do { \
+        acc = (acc << (len)) | (uint64_t)(code); nb += (len); \
+        while (nb >= 8) { \
+            nb -= 8; \
+            uint8_t byte = (uint8_t)((acc >> nb) & 0xFF); \
+            if (op + 2 > out_cap) return -1; \
+            out[op++] = byte; \
+            if (byte == 0xFF) out[op++] = 0x00; \
+        } \
+        acc &= (1ULL << nb) - 1; \
+    } while (0)
+    long n_mcus = mcus_x * mcus_y;
+    for (long m = 0; m < n_mcus; m++) {
+        if (restart_interval && m && m % restart_interval == 0) {
+            if (nb) { /* flush: pad with 1 bits to the byte edge */
+                int pad = 8 - nb;
+                JPUT((1u << pad) - 1, pad);
+            }
+            if (op + 2 > out_cap)
+                return -1;
+            out[op++] = 0xFF;
+            out[op++] = (uint8_t)(0xD0 + (rst_cnt % 8));
+            rst_cnt++;
+            for (int c = 0; c < 4; c++)
+                preds[c] = 0;
+        }
+        long my = m / mcus_x, mx = m % mcus_x;
+        for (int ci = 0; ci < ncomp; ci++) {
+            int ch = chs[ci], cv = cvs[ci];
+            long bx_stride = bxs[ci];
+            const uint16_t *dcc = dc_code + (long)ci * 16;
+            const uint8_t *dcl = dc_len + (long)ci * 16;
+            const uint16_t *acc_tab = ac_code + (long)ci * 256;
+            const uint8_t *acl = ac_len + (long)ci * 256;
+            for (int by = 0; by < cv; by++) {
+                for (int bxi = 0; bxi < ch; bxi++) {
+                    const int16_t *v = blocks[ci] +
+                        ((my * cv + by) * bx_stride + (mx * ch + bxi)) * 64;
+                    int32_t dc = v[0];
+                    int32_t diff = dc - preds[ci];
+                    preds[ci] = dc;
+                    if (diff == 0) {
+                        if (!dcl[0]) return -2;
+                        JPUT(dcc[0], dcl[0]);
+                    } else {
+                        uint32_t a = diff < 0 ? (uint32_t)(-diff)
+                                              : (uint32_t)diff;
+                        int s = 32 - __builtin_clz(a);
+                        if (s > 15 || !dcl[s]) return -2;
+                        JPUT(dcc[s], dcl[s]);
+                        uint32_t bits = diff > 0
+                            ? (uint32_t)diff
+                            : (uint32_t)diff + (1u << s) - 1;
+                        JPUT(bits & ((1u << s) - 1), s);
+                    }
+                    int last_nz = 0;
+                    for (int k = 63; k > 0; k--)
+                        if (v[k]) { last_nz = k; break; }
+                    int run = 0;
+                    for (int k = 1; k <= last_nz; k++) {
+                        int32_t val = v[k];
+                        if (val == 0) { run++; continue; }
+                        while (run > 15) {
+                            if (!acl[0xF0]) return -2;
+                            JPUT(acc_tab[0xF0], acl[0xF0]); /* ZRL */
+                            run -= 16;
+                        }
+                        uint32_t a = val < 0 ? (uint32_t)(-val)
+                                             : (uint32_t)val;
+                        int s = 32 - __builtin_clz(a);
+                        int sym = (run << 4) | s;
+                        if (s > 15 || !acl[sym]) return -2;
+                        JPUT(acc_tab[sym], acl[sym]);
+                        uint32_t bits = val > 0
+                            ? (uint32_t)val
+                            : (uint32_t)val + (1u << s) - 1;
+                        JPUT(bits & ((1u << s) - 1), s);
+                        run = 0;
+                    }
+                    if (last_nz < 63) {
+                        if (!acl[0x00]) return -2;
+                        JPUT(acc_tab[0x00], acl[0x00]); /* EOB */
+                    }
+                }
+            }
+        }
+    }
+    if (nb) {
+        int pad = 8 - nb;
+        JPUT((1u << pad) - 1, pad);
+    }
+    return op;
+#undef JPUT
+}

@@ -48,6 +48,20 @@ GEAR = np.array(
 )
 
 
+_GEAR16 = None
+
+
+def _gear16_table() -> np.ndarray:
+    """Low 16 bits of GEAR as a contiguous uint32[256] (the native
+    kernel's table argument)."""
+    global _GEAR16
+    if _GEAR16 is None:
+        _GEAR16 = np.ascontiguousarray(
+            (GEAR & np.uint64(0xFFFF)).astype(np.uint32)
+        )
+    return _GEAR16
+
+
 def gear_hashes(data: bytes) -> np.ndarray:
     """uint64 gear hash at every byte position (vectorized: 64 shifted
     adds — the closed form of h = (h << 1) + G[b])."""
@@ -99,6 +113,22 @@ def cdc_boundaries(
     n = len(data)
     if n == 0:
         return []
+    if min_size >= 1 and max_size >= 1 and 1 <= avg_bits <= 16:
+        from automic_etl_spark.native import load as _load_native
+
+        lib = _load_native()
+        if lib is not None:
+            # compiled kernel, identical policy (automic_etl_spark/
+            # native): per-chunk warm-up of avg_bits-1 bytes then a
+            # sequential scan — skips the min_size prefix of every
+            # chunk entirely, vs hashing every byte here
+            out = np.empty(n // min_size + 2, dtype=np.int64)
+            rc = lib.automic_cdc_boundaries(
+                data, n, min_size, avg_bits, max_size,
+                _gear16_table().ctypes.data, out.ctypes.data,
+            )
+            if rc >= 0:
+                return [int(c) for c in out[:rc]]
     hits = np.flatnonzero(_gear_low(data, avg_bits) == 0) + 1  # cut AFTER the hit byte
     out = []
     start = 0

@@ -962,6 +962,113 @@ def _build_encode_table(counts, symbols):
     return codes
 
 
+_PACKED_ENC_TABLES: dict = {}
+
+
+def _packed_encode_tables(ncomp: int):
+    """The Annex-K encode tables packed for the native kernel:
+    (dc_code u16[ncomp*16], dc_len u8[ncomp*16], ac_code u16[ncomp*256],
+    ac_len u8[ncomp*256]); component 0 luma, the rest chroma. Cached —
+    baseline synth always uses these fixed tables."""
+    import numpy as np
+
+    got = _PACKED_ENC_TABLES.get(ncomp)
+    if got is not None:
+        return got
+    dc_code = np.zeros(ncomp * 16, dtype=np.uint16)
+    dc_len = np.zeros(ncomp * 16, dtype=np.uint8)
+    ac_code = np.zeros(ncomp * 256, dtype=np.uint16)
+    ac_len = np.zeros(ncomp * 256, dtype=np.uint8)
+    for ci in range(ncomp):
+        dct = _build_encode_table(*(_DC_LUMA if ci == 0 else _DC_CHROMA))
+        act = _build_encode_table(*(_AC_LUMA if ci == 0 else _AC_CHROMA))
+        for sym, (code, ln) in dct.items():
+            dc_code[ci * 16 + sym] = code
+            dc_len[ci * 16 + sym] = ln
+        for sym, (code, ln) in act.items():
+            ac_code[ci * 256 + sym] = code
+            ac_len[ci * 256 + sym] = ln
+    _PACKED_ENC_TABLES[ncomp] = (dc_code, dc_len, ac_code, ac_len)
+    return _PACKED_ENC_TABLES[ncomp]
+
+
+def _encode_scan_python(blocks, samp, mcus_x, mcus_y, restart_interval):
+    """The baseline entropy scan in pure Python — the behavioral
+    definition the native kernel (automic_jpeg_encode_mcus) mirrors
+    byte-for-byte."""
+    import numpy as np
+
+    ncomp = len(blocks)
+    dc_l = _build_encode_table(*_DC_LUMA)
+    ac_l = _build_encode_table(*_AC_LUMA)
+    dc_c = _build_encode_table(*_DC_CHROMA)
+    ac_c = _build_encode_table(*_AC_CHROMA)
+    htabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (ncomp - 1)
+
+    # one zigzag gather + int conversion per component (plain nested
+    # lists for the per-block bit emission below)
+    zz_blocks = [b[:, :, np.array(ZIGZAG)].tolist() for b in blocks]
+
+    w = _BitWriter()
+    preds = [0] * ncomp
+    rst_cnt = 0
+    scan = bytearray()
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            w.flush()
+            scan += w.out
+            scan += bytes((0xFF, 0xD0 + (rst_cnt % 8)))
+            rst_cnt += 1
+            w = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(m, mcus_x)
+        for ci, ((ch, cv), (dct, act)) in enumerate(zip(samp, htabs)):
+            for by in range(cv):
+                for bx in range(ch):
+                    blk = zz_blocks[ci][my * cv + by][mx * ch + bx]
+                    preds[ci] = _encode_block(w, blk, preds[ci], dct, act)
+    w.flush()
+    scan += w.out
+    return bytes(scan)
+
+
+def _encode_scan_native(lib, blocks, samp, mcus_x, mcus_y, ri):
+    """Full entropy-coded scan (incl. RSTn markers) via the compiled
+    kernel — byte-identical to the Python MCU loop below, which stays
+    the behavioral definition. Returns None to fall back."""
+    import ctypes
+
+    import numpy as np
+
+    ncomp = len(blocks)
+    zz_idx = np.array(ZIGZAG)
+    zz = [
+        np.ascontiguousarray(b[:, :, zz_idx], dtype=np.int16) for b in blocks
+    ]
+    ptrs = (ctypes.c_void_p * 4)(
+        *([z.ctypes.data for z in zz] + [0] * (4 - ncomp))
+    )
+    bxs = (ctypes.c_long * 4)(*([z.shape[1] for z in zz] + [0] * (4 - ncomp)))
+    chs = (ctypes.c_int * 4)(*([s[0] for s in samp] + [0] * (4 - ncomp)))
+    cvs = (ctypes.c_int * 4)(*([s[1] for s in samp] + [0] * (4 - ncomp)))
+    dc_code, dc_len, ac_code, ac_len = _packed_encode_tables(ncomp)
+    n_mcus = mcus_x * mcus_y
+    n_blocks = sum(z.shape[0] * z.shape[1] for z in zz)
+    cap = n_blocks * 512 + (n_mcus // ri * 2 if ri else 0) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.automic_jpeg_encode_mcus(
+        ncomp, mcus_x, mcus_y, ri,
+        ptrs, bxs, chs, cvs,
+        dc_code.ctypes.data, dc_len.ctypes.data,
+        ac_code.ctypes.data, ac_len.ctypes.data,
+        out.ctypes.data, cap,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
+
+
 class _BitWriter:
     __slots__ = ("out", "acc", "n")
 
@@ -1123,37 +1230,17 @@ def synth_jpeg(
         )
         blocks.append(_plane_blocks(padded, q_nats[qi].astype(np.float64)))
 
-    dc_l = _build_encode_table(*_DC_LUMA)
-    ac_l = _build_encode_table(*_AC_LUMA)
-    dc_c = _build_encode_table(*_DC_CHROMA)
-    ac_c = _build_encode_table(*_AC_CHROMA)
-    htabs = [(dc_l, ac_l)] + [(dc_c, ac_c)] * (len(planes) - 1)
+    from automic_etl_spark.native import load as _load_native
 
-    # one zigzag gather + int conversion per component (plain nested
-    # lists for the per-block bit emission below)
-    zz_blocks = [b[:, :, np.array(ZIGZAG)].tolist() for b in blocks]
-
-    w = _BitWriter()
-    preds = [0] * len(planes)
-    rst_cnt = 0
-    scan = bytearray()
-    n_mcus = mcus_x * mcus_y
-    for m in range(n_mcus):
-        if restart_interval and m and m % restart_interval == 0:
-            w.flush()
-            scan += w.out
-            scan += bytes((0xFF, 0xD0 + (rst_cnt % 8)))
-            rst_cnt += 1
-            w = _BitWriter()
-            preds = [0] * len(planes)
-        my, mx = divmod(m, mcus_x)
-        for ci, ((ch, cv), (dct, act)) in enumerate(zip(samp, htabs)):
-            for by in range(cv):
-                for bx in range(ch):
-                    blk = zz_blocks[ci][my * cv + by][mx * ch + bx]
-                    preds[ci] = _encode_block(w, blk, preds[ci], dct, act)
-    w.flush()
-    scan += w.out
+    lib = _load_native()
+    scan = None
+    if lib is not None:
+        scan = _encode_scan_native(
+            lib, blocks, samp, mcus_x, mcus_y, restart_interval
+        )
+    if scan is None:
+        scan = _encode_scan_python(blocks, samp, mcus_x, mcus_y,
+                                   restart_interval)
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body

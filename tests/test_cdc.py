@@ -102,3 +102,41 @@ def test_frequency_cap_drops_ubiquitous_chunks(spark):
     chunks.cache()
     capped = cdc_near_dup_pairs(chunks, min_shared_frac=0.3, max_bucket_docs=4)
     assert capped.count() == 0
+
+
+def test_native_boundaries_match_python_policy():
+    """Committed native-vs-Python differential (the tests/test_zstd.py
+    nat._LIB pattern): the C scan must reproduce cdc_boundaries'
+    cut-after-first-hit-past-min / max-clamp policy exactly, including
+    the sub-avg_bits warm-up at offset 0 and degenerate size params."""
+    import random
+
+    import automic_etl_spark.native as nat
+
+    lib = nat.load()
+    if lib is None:
+        pytest.skip("no C compiler in this environment — Python path only")
+    rng = np.random.RandomState(23)
+    pyrand = random.Random(23)
+    for _ in range(120):
+        n = pyrand.choice([0, 1, 5, 100, 2047, 2048, 2049, 40_000])
+        kind = pyrand.choice(["rand", "zeros", "text", "rep"])
+        if kind == "rand":
+            data = rng.bytes(n)
+        elif kind == "zeros":
+            data = bytes(n)
+        elif kind == "text":
+            data = (b"the quick brown fox 123 " * (n // 24 + 1))[:n]
+        else:
+            data = (rng.bytes(97) * (n // 97 + 1))[:n]
+        ms = pyrand.choice([1, 16, 256, 2048])
+        mx = pyrand.choice([ms, ms * 2, ms * 32, 65536])
+        bits = pyrand.choice([1, 5, 10, 13, 16])
+        want = cdc_boundaries(data, ms, bits, mx)  # routes through native
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            got = cdc_boundaries(data, ms, bits, mx)
+        finally:
+            nat._LIB = old
+        assert got == want, (n, kind, ms, mx, bits)

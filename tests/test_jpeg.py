@@ -388,3 +388,42 @@ class TestNativeDifferential:
         base = synth_jpeg(_smooth_rgb(16, 24), quality=60)
         for cut in range(len(base) - 40, len(base)):
             self._agree(base[:cut], f"cut at {cut}")
+
+
+class TestNativeEncodeDifferential:
+    """r13: the encode twin (automic_jpeg_encode_mcus) must emit a scan
+    BYTE-IDENTICAL to _encode_scan_python across the encoder parameter
+    space — same committed-pin discipline as the decode kernel above."""
+
+    def test_encode_kernel_byte_identical_across_encoder_space(self):
+        TestNativeDifferential._need_lib()
+        import automic_etl_spark.native as nat
+
+        rng = np.random.default_rng(1304)
+        imgs = {
+            "smooth": _smooth_rgb(33, 41),
+            "noise": rng.integers(0, 256, size=(24, 31, 3)).astype(np.uint8),
+            "gray": rng.integers(0, 256, size=(17, 22, 1)).astype(np.uint8),
+            "flat": np.full((16, 16, 3), 128, dtype=np.uint8),
+            "one_px": rng.integers(0, 256, size=(1, 1, 3)).astype(np.uint8),
+        }
+        for name, img in imgs.items():
+            for quality in (10, 50, 90, 95):
+                for sub in ("444", "420"):
+                    if img.shape[2] == 1 and sub == "420":
+                        continue
+                    for ri in (0, 1, 3):
+                        native = synth_jpeg(
+                            img, quality=quality, subsampling=sub,
+                            restart_interval=ri,
+                        )
+                        old = nat._LIB
+                        try:
+                            nat._LIB = None
+                            pure = synth_jpeg(
+                                img, quality=quality, subsampling=sub,
+                                restart_interval=ri,
+                            )
+                        finally:
+                            nat._LIB = old
+                        assert native == pure, (name, quality, sub, ri)

@@ -32,6 +32,7 @@ CALLER_SUITES: dict[str, list[str]] = {
     "operators/jpeg.py": ["tests/test_jpeg.py", "tests/test_imagehash.py"],
     "operators/vorbis.py": ["tests/test_vorbis.py"],
     "operators/audiofp.py": ["tests/test_audiofp.py"],
+    "operators/cdc.py": ["tests/test_cdc.py"],
 }
 
 
