@@ -155,6 +155,18 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.automic_vp8l_pixels.restype = ctypes.c_long
+        lib.automic_vp8l_pixels.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _LIB = lib
     except Exception:
         _LIB = None

@@ -882,3 +882,141 @@ long automic_jpeg_encode_mcus(
     return op;
 #undef JPUT
 }
+
+/* VP8L entropy-coded pixel walk — the exact policy of
+ * operators/webp._decode_entropy_coded_image's per-pixel loop, which
+ * stays the behavioral definition: LSb-first peek-LUT prefix decode
+ * for the five channels (green carries literals + LZ77 lengths +
+ * color-cache hits), spec base+extra length/distance values, the 120
+ * short-distance codes (passed pre-mapped to row offsets), overlapping
+ * LZ77 copies, optional color cache (hash 0x1E35A7BD) and optional
+ * meta-prefix group switching. Channel tables are full peek LUTs:
+ * luts[lut_off[g*5+c] + peek] = (symbol << 8) | code_len, or -1 for an
+ * unassigned prefix; max_lens[g*5+c] == 0 marks a single-symbol code
+ * whose symbol is singles[g*5+c] (zero bits consumed). `buf` must be
+ * padded with >= 8 zero bytes past nbits (peeks read a 64-bit window;
+ * zero padding matches the Python reader's zero-padded peek).
+ * On success writes the final bit position to *end_pos and returns 0;
+ * -1 invalid prefix symbol, -2 truncated stream, -3 LZ77 reference
+ * outside the window, -4 cache symbol without a color cache.
+ */
+#define VP8L_GREEN_BASE 280
+long automic_vp8l_pixels(
+    const uint8_t *buf, long nbits, long pos0,
+    uint32_t *out, long n, long w,
+    int n_groups,
+    const int32_t *luts, const long *lut_off,
+    const int *max_lens, const int *singles,
+    const uint32_t *meta, long mw, int meta_bits,
+    const int32_t *dist_off,
+    int cache_bits, uint32_t *cache,
+    long *end_pos) {
+    long pos = pos0;
+    long p_out = 0;
+    const int32_t *g_lut[5];
+    uint64_t g_mask[5];
+    int g_sng[5];
+    for (int c = 0; c < 5; c++) {
+        int ml = max_lens[c];
+        g_lut[c] = luts + lut_off[c];
+        g_mask[c] = (1ULL << ml) - 1;
+        g_sng[c] = ml == 0 ? singles[c] : -1;
+    }
+    int cur_group = 0;
+#define VPEEK(v, c) do { \
+        if (g_sng[c] >= 0) { v = g_sng[c]; break; } \
+        uint64_t win; \
+        __builtin_memcpy(&win, buf + (pos >> 3), 8); \
+        int32_t hit = g_lut[c][(win >> (pos & 7)) & g_mask[c]]; \
+        if (hit < 0) return -1; \
+        int ln = hit & 0xFF; \
+        if (pos + ln > nbits) return -2; \
+        pos += ln; \
+        v = hit >> 8; \
+    } while (0)
+#define VREAD(v, nb) do { \
+        if (pos + (nb) > nbits) return -2; \
+        uint64_t win; \
+        __builtin_memcpy(&win, buf + (pos >> 3), 8); \
+        v = (uint32_t)((win >> (pos & 7)) & ((1ULL << (nb)) - 1)); \
+        pos += (nb); \
+    } while (0)
+    while (p_out < n) {
+        if (meta) {
+            long x = p_out % w, y = p_out / w;
+            int gi = (int)((meta[(y >> meta_bits) * mw + (x >> meta_bits)]
+                            >> 8) & 0xFFFF);
+            if (gi != cur_group) {
+                cur_group = gi;
+                for (int c = 0; c < 5; c++) {
+                    int ml = max_lens[gi * 5 + c];
+                    g_lut[c] = luts + lut_off[gi * 5 + c];
+                    g_mask[c] = (1ULL << ml) - 1;
+                    g_sng[c] = ml == 0 ? singles[gi * 5 + c] : -1;
+                }
+            }
+        }
+        int32_t g;
+        VPEEK(g, 0);
+        if (g < 256) {
+            int32_t r, b, a;
+            VPEEK(r, 1);
+            VPEEK(b, 2);
+            VPEEK(a, 3);
+            uint32_t px = ((uint32_t)a << 24) | ((uint32_t)r << 16) |
+                          ((uint32_t)g << 8) | (uint32_t)b;
+            out[p_out++] = px;
+            if (cache)
+                cache[(uint32_t)(0x1E35A7BDu * px) >> (32 - cache_bits)] = px;
+        } else if (g < VP8L_GREEN_BASE) {
+            int32_t code = g - 256;
+            long length;
+            if (code < 4) {
+                length = code + 1;
+            } else {
+                int extra = (code - 2) >> 1;
+                long offset = (long)(2 + (code & 1)) << extra;
+                uint32_t eb;
+                VREAD(eb, extra);
+                length = offset + eb + 1;
+            }
+            int32_t d_sym;
+            VPEEK(d_sym, 4);
+            long dist;
+            if (d_sym < 4) {
+                dist = d_sym + 1;
+            } else {
+                int extra = (d_sym - 2) >> 1;
+                long offset = (long)(2 + (d_sym & 1)) << extra;
+                uint32_t eb;
+                VREAD(eb, extra);
+                dist = offset + eb + 1;
+            }
+            if (dist > 120)
+                dist -= 120;
+            else
+                dist = dist_off[dist - 1];
+            if (dist > p_out || p_out + length > n)
+                return -3;
+            if (cache) {
+                for (long i = 0; i < length; i++) {
+                    uint32_t px = out[p_out - dist];
+                    out[p_out++] = px;
+                    cache[(uint32_t)(0x1E35A7BDu * px) >> (32 - cache_bits)]
+                        = px;
+                }
+            } else {
+                for (long i = 0; i < length; i++) {
+                    out[p_out] = out[p_out - dist];
+                    p_out++;
+                }
+            }
+        } else {
+            if (!cache)
+                return -4;
+            out[p_out++] = cache[g - VP8L_GREEN_BASE];
+        }
+    }
+    *end_pos = pos;
+    return 0;
+}

@@ -368,6 +368,99 @@ def _div_round_up(a: int, b: int) -> int:
     return (a + b - 1) // b
 
 
+def _lut_i32(pc: _PrefixCode) -> "np.ndarray | None":
+    """Full peek LUT for the native kernel: int32[1 << max_len] with
+    (symbol << 8) | code_len per entry, -1 for unassigned prefixes —
+    the same LSb-keyed fill as _PrefixCode's Python LUT but built for
+    ANY max_len (the Python LUT caps at 11 bits and falls back to the
+    table walk; the kernel always peeks). None marks a single-symbol
+    code (zero bits consumed)."""
+    import numpy as np
+
+    if pc.single is not None:
+        return None
+    ml = pc.max_len
+    arr = np.full(1 << ml, -1, dtype=np.int32)
+    for (l, c), sym in pc.table.items():
+        rev = int(f"{c:0{l}b}"[::-1], 2) if l else 0
+        arr[rev :: 1 << l] = (sym << 8) | l
+    return arr
+
+
+def _pixels_native(br, w, h, groups, cache_bits, meta_img, meta_bits):
+    """The per-pixel walk via the compiled kernel
+    (automic_vp8l_pixels) — output- and verdict-identical to the
+    Python loop below, which stays the behavioral definition. Returns
+    None to fall back; advances ``br`` past the pixel data on
+    success."""
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    import numpy as np
+
+    n = w * h
+    n_groups = len(groups)
+    luts = []
+    offs = np.zeros(n_groups * 5, dtype=np.int64)
+    mls = np.zeros(n_groups * 5, dtype=np.int32)
+    sngs = np.full(n_groups * 5, -1, dtype=np.int32)
+    total = 0
+    for gi, grp in enumerate(groups):
+        for ci, pc in enumerate(grp):
+            arr = _lut_i32(pc)
+            if arr is None:
+                sngs[gi * 5 + ci] = pc.single
+            else:
+                offs[gi * 5 + ci] = total
+                mls[gi * 5 + ci] = pc.max_len
+                luts.append(arr)
+                total += len(arr)
+    lut_buf = (
+        np.concatenate(luts) if luts else np.zeros(1, dtype=np.int32)
+    )
+    dist_off = np.array(
+        [max(1, dy * w + dx) for dx, dy in _DIST_MAP], dtype=np.int32
+    )
+    out = np.empty(n, dtype=np.uint32)
+    cache = (
+        np.zeros(1 << cache_bits, dtype=np.uint32) if cache_bits else None
+    )
+    if meta_img is not None:
+        meta = np.ascontiguousarray(meta_img, dtype=np.uint32)
+        mw = _div_round_up(w, 1 << meta_bits)
+    else:
+        meta, mw = None, 0
+    padded = bytes(br.data) + b"\x00" * 8
+    end_pos = ctypes.c_long(0)
+    rc = lib.automic_vp8l_pixels(
+        padded, br.nbits, br.pos,
+        out.ctypes.data, n, w,
+        n_groups,
+        lut_buf.ctypes.data, offs.ctypes.data,
+        mls.ctypes.data, sngs.ctypes.data,
+        None if meta is None else meta.ctypes.data, mw, meta_bits,
+        dist_off.ctypes.data,
+        cache_bits, None if cache is None else cache.ctypes.data,
+        ctypes.byref(end_pos),
+    )
+    if rc == -1:
+        raise WebpError("invalid prefix-coded symbol")
+    if rc == -2:
+        raise WebpError("truncated VP8L stream")
+    if rc == -3:
+        raise WebpError("LZ77 reference outside window")
+    if rc == -4:
+        raise WebpError("cache symbol without color cache")
+    if rc != 0:
+        return None
+    br.pos = int(end_pos.value)
+    return out
+
+
 def _decode_entropy_coded_image(
     br: _BitReader, w: int, h: int, level0: bool
 ) -> "np.ndarray":
@@ -403,6 +496,9 @@ def _decode_entropy_coded_image(
         groups.append((green, red, blue, alpha, dist))
 
     n = w * h
+    native = _pixels_native(br, w, h, groups, cache_bits, meta_img, meta_bits)
+    if native is not None:
+        return native
     # a plain int list: per-pixel scalar stores and LZ77 back-copies are
     # faster than numpy scalar setitem, and list slice assignment
     # materializes its source first so the dist>=length vectorized copy

@@ -281,3 +281,104 @@ def test_decode_image_dispatch_webp():
     if os.path.exists(REAL_WEBP):
         fmt, out = decode_image(open(REAL_WEBP, "rb").read())
         assert fmt == "webp" and out is None  # lossy VP8: honest gate
+
+
+class TestNativeDifferential:
+    """r13: committed native-vs-Python pins for the VP8L pixel-walk
+    kernel (automic_vp8l_pixels) — the tests/test_zstd.py nat._LIB
+    re-entry pattern. Valid streams must decode pixel-identically,
+    and corrupt/truncated streams must produce the same
+    accept/reject verdict on both paths."""
+
+    @staticmethod
+    def _need_lib():
+        import automic_etl_spark.native as nat
+
+        if nat.load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+
+    @staticmethod
+    def _python(fn, *args):
+        import automic_etl_spark.native as nat
+
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            return fn(*args)
+        finally:
+            nat._LIB = old
+
+    def test_pixel_walk_matches_python_across_encoder_space(self):
+        self._need_lib()
+        rng = np.random.RandomState(1305)
+        for trial in range(30):
+            h, w = int(rng.randint(1, 70)), int(rng.randint(1, 70))
+            kind = trial % 3
+            if kind == 0:  # gray (LZ77 + literals)
+                g = rng.randint(0, 256, size=(h, w), dtype=np.uint8)
+                img = np.stack([g, g, g, np.full((h, w), 255, np.uint8)], 2)
+            elif kind == 1:  # full-random RGBA
+                img = rng.randint(0, 256, size=(h, w, 4), dtype=np.uint8)
+            else:  # smooth (cache + back-references engage)
+                yy, xx = np.mgrid[0:h, 0:w]
+                v = ((np.sin(yy / 7) + np.cos(xx / 9)) * 50 + 128).astype(
+                    np.uint8
+                )
+                img = np.stack(
+                    [v, v // 2, v // 3, np.full((h, w), 255, np.uint8)], 2
+                )
+            blob = encode_vp8l(img, subtract_green=bool(trial % 2))
+            a = decode_webp(blob)
+            b = self._python(decode_webp, blob)
+            assert np.array_equal(a, b), (h, w, kind)
+
+    def test_mutation_and_truncation_verdicts_agree(self):
+        self._need_lib()
+        rng = np.random.RandomState(1306)
+        base = encode_vp8l(
+            rng.randint(0, 256, size=(40, 40, 4), dtype=np.uint8)
+        )
+
+        def verdict(blob):
+            try:
+                return ("ok", decode_webp(blob).tobytes())
+            except Exception as e:
+                return ("err", type(e).__name__)
+
+        for _ in range(120):
+            mb = bytearray(base)
+            i = int(rng.randint(20, len(mb)))
+            mb[i] ^= 1 << int(rng.randint(8))
+            mb = bytes(mb)
+            assert verdict(mb) == self._python(verdict, mb), i
+        for cut in range(len(base) - 25, len(base)):
+            blob = base[:cut]
+            assert verdict(blob) == self._python(verdict, blob), cut
+
+    def test_lut_builder_matches_python_lut(self):
+        """_lut_i32's full-width LUT must agree entry-for-entry with
+        _PrefixCode's own <=11-bit Python LUT where both exist."""
+        from automic_etl_spark.operators.webp import _PrefixCode, _lut_i32
+
+        rng = np.random.RandomState(1307)
+        for _ in range(20):
+            # random Kraft-complete length set over a small alphabet
+            lengths = [0] * 40
+            # build by splitting: start with one 1-bit code, repeatedly
+            # split the shortest splittable symbol
+            lens = [1, 1]
+            for _ in range(int(rng.randint(0, 30))):
+                i = int(rng.randint(len(lens)))
+                if lens[i] >= 11:
+                    continue
+                lens.append(lens[i] + 1)
+                lens[i] += 1
+            syms = rng.choice(len(lengths), size=len(lens), replace=False)
+            for s, l in zip(syms, lens):
+                lengths[int(s)] = int(l)
+            pc = _PrefixCode(lengths)
+            arr = _lut_i32(pc)
+            assert arr is not None and pc.lut is not None
+            for key, hit in enumerate(pc.lut):
+                want = -1 if hit is None else (hit[0] << 8) | hit[1]
+                assert int(arr[key]) == want, key

@@ -33,6 +33,7 @@ CALLER_SUITES: dict[str, list[str]] = {
     "operators/vorbis.py": ["tests/test_vorbis.py"],
     "operators/audiofp.py": ["tests/test_audiofp.py"],
     "operators/cdc.py": ["tests/test_cdc.py"],
+    "operators/webp.py": ["tests/test_webp.py", "tests/test_imagehash.py"],
 }
 
 
