@@ -1020,3 +1020,75 @@ long automic_vp8l_pixels(
     *end_pos = pos;
     return 0;
 }
+
+/* Dictionary-prefix variant of automic_find_sequences — the exact
+ * policy of operators/zstdcodec._find_sequences(block, prefix): the
+ * first `start` bytes of `full` are dictionary window prefix whose
+ * every 4-byte key is pre-inserted (later positions win, matching the
+ * scan loop's last-occurrence-wins), then the greedy scan runs from
+ * `start`; emitted ll counts data-region bytes only and offsets may
+ * reach into the prefix. Same scratch contract as the plain matcher.
+ */
+long automic_find_sequences_d(const uint8_t *full, long n, long start,
+                              uint32_t *table_keys, int32_t *table_pos,
+                              int table_log, int64_t *out) {
+    if (n < 4 || start >= n)
+        return 0;
+    const uint32_t mask = (1u << table_log) - 1;
+    for (long j = 0; j < start && j <= n - 4; j++) {
+        uint32_t key = rd32(full + j);
+        uint32_t slot = (key * 2654435761u) & mask;
+        for (;;) {
+            int32_t stored = table_pos[slot];
+            if (stored == 0) {
+                table_keys[slot] = key;
+                table_pos[slot] = (int32_t)(j + 1);
+                break;
+            }
+            if (table_keys[slot] == key) {
+                table_pos[slot] = (int32_t)(j + 1);
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+    }
+    long nseq = 0;
+    long anchor = start;
+    long i = start;
+    const long limit = n - 4;
+    while (i <= limit) {
+        uint32_t key = rd32(full + i);
+        uint32_t slot = (key * 2654435761u) & mask;
+        long j = -1;
+        for (;;) {
+            int32_t stored = table_pos[slot];
+            if (stored == 0) {
+                table_keys[slot] = key;
+                table_pos[slot] = (int32_t)(i + 1);
+                break;
+            }
+            if (table_keys[slot] == key) {
+                j = stored - 1;
+                table_pos[slot] = (int32_t)(i + 1);
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+        if (j >= 0) {
+            long ml = 4;
+            while (i + ml + 8 <= n && rd64(full + j + ml) == rd64(full + i + ml))
+                ml += 8;
+            while (i + ml < n && full[j + ml] == full[i + ml])
+                ml += 1;
+            out[nseq * 3] = i - anchor;
+            out[nseq * 3 + 1] = ml;
+            out[nseq * 3 + 2] = i - j;
+            nseq++;
+            i += ml;
+            anchor = i;
+            continue;
+        }
+        i += 1;
+    }
+    return nseq;
+}

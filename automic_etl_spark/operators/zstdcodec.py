@@ -1420,13 +1420,24 @@ def _any_state(which: str, sym: int) -> int:
     raise ZstdError(f"symbol {sym} absent from the predefined {which} table")
 
 
-def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
+def _find_sequences(
+    block: bytes, prefix: bytes = b""
+) -> list[tuple[int, int, int]]:
     """Greedy 4-byte-hash LZ77 within the block: [(ll, ml, offset)].
     r12: the hash keys are numpy-precomputed 4-byte windows (exact
     values, so no collisions — int dict keys, no per-position bytes
     slicing) and matches extend in 8-byte strides over the 8-byte
     window array, with the final partial stride recovered from the
-    XOR's lowest set bit."""
+    XOR's lowest set bit.
+
+    ``prefix`` (r13, dictionary compression): window content preceding
+    the block — every prefix position is pre-inserted into the hash
+    table (later wins) before the scan, so matches may start inside
+    the prefix and offsets may exceed the in-block distance. ll counts
+    block bytes only; an empty prefix is the historical path,
+    byte-identical frames pinned by the r12 differentials."""
+    if prefix:
+        return _find_sequences_prefixed(block, prefix)
     n = len(block)
     if n < 4:
         return []
@@ -1462,6 +1473,60 @@ def _find_sequences(block: bytes) -> list[tuple[int, int, int]]:
             ):
                 ml += 16
             while i + ml < n and block[j + ml] == block[i + ml]:
+                ml += 1
+            seqs.append((i - anchor, ml, i - j))
+            i += ml
+            anchor = i
+            continue
+        i += 1
+    return seqs
+
+
+def _find_sequences_prefixed(
+    block: bytes, prefix: bytes
+) -> list[tuple[int, int, int]]:
+    """Dictionary-prefix matcher (the _find_sequences(prefix=...) arm):
+    scan ``prefix + block`` from the block start with every prefix
+    4-byte key pre-inserted (later positions win). The native kernel
+    (automic_find_sequences_d) mirrors this exactly; differential
+    pinned in tests/test_zstd.py."""
+    full = prefix + block
+    n = len(full)
+    start = len(prefix)
+    if n < 4 or start >= n:
+        return []
+    lib = _native()
+    if lib is not None:
+        table_log = max(10, (n - 1).bit_length() + 1)
+        keys = np.zeros(1 << table_log, dtype=np.uint32)
+        pos_ = np.zeros(1 << table_log, dtype=np.int32)
+        tri = np.empty(3 * ((n - start) // 4 + 2), dtype=np.int64)
+        cnt = lib.automic_find_sequences_d(
+            full, n, start, keys.ctypes.data, pos_.ctypes.data,
+            table_log, tri.ctypes.data,
+        )
+        return [tuple(t) for t in tri[: 3 * cnt].reshape(-1, 3).tolist()]
+    k4 = _le_windows(full, 4)
+    seqs = []
+    table: dict[int, int] = {}
+    for j in range(min(start, n - 3)):
+        table[k4[j]] = j
+    anchor = start
+    i = start
+    limit = n - 4
+    while i <= limit:
+        key = k4[i]
+        j = table.get(key)
+        table[key] = i
+        if j is not None:
+            ml = 4
+            max_ml = n - i
+            while (
+                ml + 16 <= max_ml
+                and full[j + ml : j + ml + 16] == full[i + ml : i + ml + 16]
+            ):
+                ml += 16
+            while i + ml < n and full[j + ml] == full[i + ml]:
                 ml += 1
             seqs.append((i - anchor, ml, i - j))
             i += ml
@@ -1911,12 +1976,14 @@ def _raw_literals_section(lit: bytes) -> bytes:
     return ((3 << 2) | (rs << 4)).to_bytes(3, "little") + lit
 
 
-def _compress_block(block: bytes) -> tuple[int, bytes]:
-    """(block_type, payload) choosing compressed < RLE < raw."""
+def _compress_block(block: bytes, prefix: bytes = b"") -> tuple[int, bytes]:
+    """(block_type, payload) choosing compressed < RLE < raw.
+    ``prefix`` is dictionary/history window content the matcher may
+    reference (offsets reach past the block start)."""
     n = len(block)
     if n and block.count(block[0]) == n:
         return 1, block[:1]
-    seqs = _find_sequences(block)
+    seqs = _find_sequences(block, prefix)
     if seqs:
         lit = bytearray()
         pos = 0
@@ -1936,9 +2003,37 @@ def _compress_block(block: bytes) -> tuple[int, bytes]:
     return 0, block
 
 
-def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
+def zstd_compress(
+    data: bytes,
+    checksum: bool = True,
+    dictionary: "bytes | ZstdDictionary | None" = None,
+) -> bytes:
     """One single-segment frame: greedy-matched compressed blocks with
-    predefined-FSE sequences, RLE/raw fallbacks, optional XXH64."""
+    predefined-FSE sequences, RLE/raw fallbacks, optional XXH64.
+
+    ``dictionary`` (r13): a RAW CONTENT dictionary (RFC 8878 §5 — any
+    blob; id 0, no entropy tables) whose bytes become window prefix for
+    the matcher, so small inputs sharing structure with the dictionary
+    compress far better. The frame carries no Dictionary_ID (raw dicts
+    have none), exactly like ``zstd -D <rawfile>``'s output for such
+    dicts — decoding REQUIRES passing the same dictionary (here or
+    ``zstd -D``); without it, offsets reaching into the prefix fail
+    the window check. Structured (``zstd --train``-style) dictionaries
+    are decode-only: encoding against one would also need its entropy
+    tables and repeat-offset seeds honored, which this encoder does
+    not do — a ValueError keeps the gap honest rather than emitting
+    frames the reference CLI would misread."""
+    dict_content = b""
+    if dictionary is not None:
+        if not isinstance(dictionary, ZstdDictionary):
+            dictionary = ZstdDictionary(bytes(dictionary))
+        if dictionary.dict_id:
+            raise ValueError(
+                "zstd_compress supports raw content dictionaries only "
+                "(structured dictionaries carry entropy tables this "
+                "encoder does not seed; they remain decode-only)"
+            )
+        dict_content = dictionary.content
     n = len(data)
     out = bytearray()
     if n < 256:
@@ -1958,8 +2053,12 @@ def zstd_compress(data: bytes, checksum: bool = True) -> bytes:
     pos = 0
     while pos < n:
         chunk = data[pos : pos + MAX_BLOCK]
+        # window prefix = dictionary content + already-emitted data
+        # (matches may reach into both; without a dictionary the
+        # historical per-block-independent path runs byte-identically)
+        prefix = (dict_content + data[:pos]) if dict_content else b""
         pos += len(chunk)
-        btype, payload = _compress_block(chunk)
+        btype, payload = _compress_block(chunk, prefix)
         # RLE blocks carry the REGENERATED size in the header; raw and
         # compressed blocks carry the payload size
         bsize = len(chunk) if btype == 1 else len(payload)

@@ -1,0 +1,242 @@
+"""Zstandard dictionary TRAINING + corpus application (r13).
+
+Completes the dictionary triangle the earlier rounds built two sides
+of: operators/zstdcodec decodes dictionary frames (r11: structured
+``zstd --train`` dicts and raw content dicts) and, as of r13,
+compresses against raw content dictionaries; this module TRAINS those
+dictionaries from a corpus sample, so a pipeline can shrink millions
+of small, same-shaped documents (log lines, JSON events, API payloads
+— the case where per-doc zstd frames barely compress because every
+frame restarts with an empty window).
+
+Algorithm: the cover/fastcover family (the public algorithm behind
+``zstd --train``), simplified:
+
+1. count k-mer (k=8, exact 64-bit windows) frequencies over a bounded
+   corpus sample;
+2. split the sample's candidate segments (``seg_len`` bytes, stride
+   ``seg_len/2``) into as many epochs as the dictionary needs
+   segments;
+3. per epoch, score that epoch's segments by the sum of LIVE k-mer
+   counts they cover and keep the best one, then zero its k-mers'
+   counts so later epochs favor content not yet covered;
+4. concatenate the kept segments, highest-scoring LAST (zstd
+   convention: the hottest content sits at the dictionary tail, where
+   back-reference offsets are smallest).
+
+The output is a RAW CONTENT dictionary (RFC 8878 §5: any byte blob;
+id 0, no entropy tables) — exactly what ``zstd -D <file>`` accepts,
+and what ``zstd_compress(dictionary=...)`` / ``zstd_decompress(
+dictionary=...)`` consume. Interop with the reference CLI is pinned in
+tests/test_zstd.py (our dict + CLI compress -> our decode, and our
+dict + our compress -> CLI decode).
+
+Scale: training is sample-fit (the pq_train / BPE precedent — a
+dictionary is a ~16-100 kB artifact; fitting it on a bounded ordered
+sample is how ``zstd --train`` itself is used operationally), and
+application is map-only: the trained bytes ride each task's closure.
+
+The reference has no dictionary training (its media/compression layer
+delegates to external libraries); this is a beyond-reference
+capability, like the codecs themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "train_zstd_dict_local",
+    "train_zstd_dict",
+    "zstd_dict_pack",
+]
+
+
+def _kmer_windows(data: bytes, k: int) -> np.ndarray:
+    """Exact k-byte windows as uint64 big-endian values (k <= 8), one
+    per position — no hashing, so counting has no collisions."""
+    a = np.frombuffer(data, dtype=np.uint8)
+    n = len(a) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        out = (out << np.uint64(8)) | a[i : n + i].astype(np.uint64)
+    return out
+
+
+def train_zstd_dict_local(
+    samples,
+    dict_size: int = 16384,
+    k: int = 8,
+    seg_len: int = 64,
+    max_sample_bytes: int = 4 << 20,
+) -> bytes:
+    """Fastcover-style raw content dictionary from an iterable of
+    byte/str samples (first ``max_sample_bytes`` kept, in order —
+    callers pass a deterministic sample). Returns at most
+    ``dict_size`` bytes; degenerate inputs (tiny/empty) return what
+    content exists."""
+    if not 1 <= k <= 8:
+        raise ValueError("k must be 1..8 (exact uint64 windows)")
+    if seg_len < k:
+        raise ValueError("seg_len must be >= k")
+    bufs: list[bytes] = []
+    total = 0
+    for s in samples:
+        if s is None:
+            continue
+        b = s.encode("utf-8") if isinstance(s, str) else bytes(s)
+        if not b:
+            continue
+        bufs.append(b)
+        total += len(b)
+        if total >= max_sample_bytes:
+            break
+    if not bufs:
+        return b""
+    wins = [_kmer_windows(b, k) for b in bufs]
+    nonempty = [w for w in wins if len(w)]
+    if not nonempty:
+        return b"".join(bufs)[:dict_size]
+    uniq, counts = np.unique(np.concatenate(nonempty), return_counts=True)
+    counts = counts.astype(np.int64)
+
+    # candidate segments, grouped per sample in order; epochs take
+    # contiguous equal-count chunks so every window is gathered once
+    step = max(1, seg_len // 2)
+    cands: list[tuple[int, int]] = []
+    for si, b in enumerate(bufs):
+        for st in range(0, max(1, len(b) - seg_len + 1), step):
+            cands.append((si, st))
+    n_epochs = max(1, -(-dict_size // seg_len))
+    per_epoch = max(1, -(-len(cands) // n_epochs))
+
+    chosen: list[tuple[int, bytes]] = []
+    idx_cache: dict[int, np.ndarray] = {}
+    for e in range(n_epochs):
+        epoch = cands[e * per_epoch : (e + 1) * per_epoch]
+        if not epoch:
+            break
+        best_score = -1
+        best = None
+        si_groups: dict[int, list[int]] = {}
+        for si, st in epoch:
+            si_groups.setdefault(si, []).append(st)
+        for si, starts in si_groups.items():
+            w = wins[si]
+            if not len(w):
+                continue
+            ix = idx_cache.get(si)
+            if ix is None:
+                ix = np.searchsorted(uniq, w)
+                idx_cache[si] = ix
+            pc = counts[ix]  # LIVE counts — earlier epochs zeroed theirs
+            cum = np.concatenate(([0], np.cumsum(pc)))
+            for st in starts:
+                hi = min(st + seg_len - k + 1, len(w))
+                lo = min(st, len(w))
+                score = int(cum[hi] - cum[lo])
+                if score > best_score:
+                    best_score = score
+                    best = (si, st)
+        if best is None or best_score <= 0:
+            continue
+        si, st = best
+        seg = bufs[si][st : st + seg_len]
+        chosen.append((best_score, seg))
+        # epoch zeroing: this segment's k-mers stop attracting later
+        # epochs (the cover "already represented" rule)
+        seg_w = _kmer_windows(seg, k)
+        if len(seg_w):
+            counts[np.searchsorted(uniq, seg_w)] = 0
+    if not chosen:
+        return b"".join(bufs)[:dict_size]
+    # hottest content at the TAIL (smallest offsets); trim from the
+    # head so trimming drops the lowest-scoring content
+    chosen.sort(key=lambda t: t[0])
+    out = b"".join(seg for _, seg in chosen)
+    return out[-dict_size:] if len(out) > dict_size else out
+
+
+def train_zstd_dict(
+    docs: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    dict_size: int = 16384,
+    k: int = 8,
+    seg_len: int = 64,
+    sample_rows: int = 512,
+    max_sample_bytes: int = 4 << 20,
+) -> bytes:
+    """Train a raw content dictionary from the first ``sample_rows``
+    documents ordered by ``id_col`` (deterministic sample — the
+    sample-fit scale pattern of pq_train/BPE: the artifact is tiny and
+    the fit is bounded regardless of corpus size)."""
+    rows = (
+        docs.select(id_col, content_col)
+        .orderBy(id_col)
+        .limit(sample_rows)
+        .collect()
+    )
+    return train_zstd_dict_local(
+        (r[content_col] for r in rows),
+        dict_size=dict_size,
+        k=k,
+        seg_len=seg_len,
+        max_sample_bytes=max_sample_bytes,
+    )
+
+
+def zstd_dict_pack(
+    docs: DataFrame,
+    dictionary: bytes,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Compress every document against ``dictionary`` and prove the
+    round trip: (id, raw_len, comp_len, roundtrip_ok). Map-only — the
+    dictionary bytes ride the task closure (a dictionary is ~16-100 kB
+    by construction); at 100 TB this is one Arrow-batched pass with no
+    shuffle."""
+    import pandas as pd
+
+    from automic_etl_spark.operators.zstdcodec import (
+        ZstdDictionary,
+        zstd_compress,
+        zstd_decompress,
+    )
+
+    dict_bytes = bytes(dictionary)
+
+    def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        zd = ZstdDictionary(dict_bytes) if dict_bytes else None
+        for pdf in it:
+            ids, raw_l, comp_l, ok = [], [], [], []
+            for rid, t in zip(pdf[id_col], pdf[content_col]):
+                b = (
+                    t.encode("utf-8")
+                    if isinstance(t, str)
+                    else (bytes(t) if t is not None else b"")
+                )
+                c = zstd_compress(b, dictionary=zd)
+                ids.append(int(rid))
+                raw_l.append(len(b))
+                comp_l.append(len(c))
+                ok.append(zstd_decompress(c, dictionary=zd) == b)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "raw_len": raw_l,
+                    "comp_len": comp_l,
+                    "roundtrip_ok": ok,
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, raw_len long, comp_len long, roundtrip_ok boolean"
+    )

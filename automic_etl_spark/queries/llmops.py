@@ -3118,3 +3118,47 @@ ORDER BY doc_id
 
 QUERIES_TAIL["pretrained_tokenize"] = q_pretrained_tokenize_gate
 ORACLE_TAIL["pretrained_tokenize"] = ORACLE_PRETRAINED_TOKENIZE
+
+
+# --------------------------------------------------------------------------
+# Zstandard dictionary gate (operators/zstddict + zstdcodec, r13): train
+# a raw content dictionary (RFC 8878 §5) on the first 64 documents
+# (fastcover-style epoch cover), then compress EVERY document against
+# it and prove each round trip by actually decompressing. The engine
+# does the real codec work (matcher with dictionary window prefix,
+# predefined-FSE sequence coding, XXH64); DuckDB replays the
+# deterministic half — doc ids and raw byte lengths — and pins
+# roundtrip_ok to literal TRUE, which only hash-matches if every
+# engine-side decompress(compress(x, dict), dict) == x held. The
+# corpus is single-byte-per-char by the same precondition the
+# pretrained_tokenize oracle guards; strlen() is the byte length.
+# --------------------------------------------------------------------------
+
+
+def q_zstd_dict_gate(spark, sf_dir):
+    """Dictionary-compressed corpus pack: (doc_id, raw_len, roundtrip_ok)."""
+    from automic_etl_spark.operators.zstddict import (
+        train_zstd_dict,
+        zstd_dict_pack,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dic = train_zstd_dict(docs, dict_size=8192, sample_rows=64)
+    out = zstd_dict_pack(docs, dic)
+    return out.select(
+        F.col("doc_id").cast("long"),
+        F.col("raw_len").cast("long"),
+        F.col("roundtrip_ok"),
+    ).orderBy("doc_id")
+
+
+ORACLE_ZSTD_DICT = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS raw_len,
+       TRUE AS roundtrip_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+QUERIES_TAIL["zstd_dict"] = q_zstd_dict_gate
+ORACLE_TAIL["zstd_dict"] = ORACLE_ZSTD_DICT

@@ -131,6 +131,11 @@ def test_registry_driver_window_prefix():
         "join_revenue_by_nation",  # the r12-designated drop-out:
         # equi-join coverage stays scored via feature_table /
         # denormalized_view / medallion_gold
+        # -- late-r13 addition, declared directly in the overflow tail
+        "zstd_dict",  # dictionary training + dict-compressed corpus
+        # pack; oracle in-suite (ids + byte lengths + engine-proved
+        # round trips) — a scored-window promotion is a future
+        # rotation's call
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry is the next designated drop-out
     # candidate (semi/anti coverage would stay via validation_report's

@@ -602,3 +602,151 @@ def test_native_encode_byte_identity_with_python():
         assert seqs_native == seqs_py, name
         assert frame_native == frame_py, name
         assert zstd_decompress(frame_native) == data, name
+
+
+# -- r13: raw-content-dictionary compression + training ---------------------
+
+
+class TestDictionary:
+    """zstd_compress(dictionary=...) + operators/zstddict training.
+    The CLI is the external oracle in both directions: frames we emit
+    against a raw dict must decode under ``zstd -d -D``, and frames the
+    CLI emits under ``-D`` with OUR trained dictionary must decode in
+    our decoder."""
+
+    DOCS = [
+        (
+            '{"user_id": %06d, "event": "page_view", "properties": '
+            '{"source": "organic", "campaign": null, "device": "mobile", '
+            '"locale": "en-US"}, "ts": %d}' % (i, 1_700_000_000 + i)
+        ).encode()
+        for i in range(128)
+    ]
+
+    def _dict(self, size=4096):
+        from automic_etl_spark.operators.zstddict import train_zstd_dict_local
+
+        return train_zstd_dict_local(self.DOCS[:64], dict_size=size)
+
+    def test_train_deterministic_and_bounded(self):
+        from automic_etl_spark.operators.zstddict import train_zstd_dict_local
+
+        a = self._dict()
+        b = self._dict()
+        assert a == b and 0 < len(a) <= 4096
+        # degenerate inputs stay total
+        assert train_zstd_dict_local([]) == b""
+        assert train_zstd_dict_local([b"", None]) == b""
+        assert train_zstd_dict_local([b"ab"]) == b"ab"
+        assert len(train_zstd_dict_local([b"x" * 100_000], dict_size=1000)) <= 1000
+
+    def test_dict_roundtrip_and_requires_dict(self):
+        dic = self._dict()
+        for d in self.DOCS[64:80]:
+            frame = zstd_compress(d, dictionary=dic)
+            assert zstd_decompress(frame, dictionary=dic) == d
+            with pytest.raises(ZstdError):
+                zstd_decompress(frame)  # offsets reach into the prefix
+
+    def test_dict_improves_templated_corpus(self):
+        dic = self._dict()
+        no_d = sum(len(zstd_compress(d)) for d in self.DOCS[64:])
+        with_d = sum(
+            len(zstd_compress(d, dictionary=dic)) for d in self.DOCS[64:]
+        )
+        assert with_d < no_d * 0.6, (no_d, with_d)
+
+    def test_structured_dict_encode_rejected(self):
+        # structured dicts carry entropy tables the encoder does not
+        # seed — encoding against one must fail loudly, not emit frames
+        # the CLI would misread
+        raw = b"\x37\xa4\x30\xec" + b"\x01\x00\x00\x00" + b"x" * 64
+        with pytest.raises(ValueError):
+            zstd_compress(b"payload", dictionary=raw)
+
+    def test_empty_and_incompressible_with_dict(self):
+        import numpy as np
+
+        dic = self._dict()
+        assert zstd_decompress(
+            zstd_compress(b"", dictionary=dic), dictionary=dic
+        ) == b""
+        rnd = np.random.RandomState(3).bytes(10_000)
+        frame = zstd_compress(rnd, dictionary=dic)
+        assert zstd_decompress(frame, dictionary=dic) == rnd
+
+    def test_prefix_matcher_native_matches_python(self):
+        """automic_find_sequences_d vs the Python prefixed matcher —
+        the committed nat._LIB differential for the new kernel arm."""
+        import numpy as np
+
+        import automic_etl_spark.native as nat
+        from automic_etl_spark.operators.zstdcodec import _find_sequences
+
+        if nat.load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+        rng = np.random.RandomState(29)
+        corpora = [
+            (b"", b"abcdabcdabcd"),
+            (b"abcdabcd", b"abcdabcdabcd"),
+            (self.DOCS[0], self.DOCS[1]),
+            (rng.bytes(500), rng.bytes(300)),
+            (b"x" * 200, b"x" * 100 + b"y" * 50 + b"x" * 100),
+            (_texty(40), _texty(60)),
+            (rng.bytes(3), rng.bytes(2)),  # sub-window sizes
+        ]
+        for prefix, block in corpora:
+            want = _find_sequences(block, prefix)
+            old = nat._LIB
+            try:
+                nat._LIB = None
+                got = _find_sequences(block, prefix)
+            finally:
+                nat._LIB = old
+            assert got == want, (len(prefix), len(block))
+            # frames produced with the dict are identical in both modes
+            f1 = zstd_compress(block, dictionary=prefix or b"\x00")
+            try:
+                nat._LIB = None
+                f2 = zstd_compress(block, dictionary=prefix or b"\x00")
+            finally:
+                nat._LIB = old
+            assert f1 == f2
+
+    @needs_cli
+    def test_cli_decodes_our_dict_frames(self):
+        import tempfile
+
+        dic = self._dict()
+        with tempfile.TemporaryDirectory() as td:
+            dp = os.path.join(td, "dict")
+            with open(dp, "wb") as f:
+                f.write(dic)
+            for d in self.DOCS[64:72]:
+                frame = zstd_compress(d, dictionary=dic)
+                p = subprocess.run(
+                    [ZSTD_BIN, "-d", "-D", dp, "-c"],
+                    input=frame,
+                    capture_output=True,
+                )
+                assert p.returncode == 0, p.stderr.decode()[:300]
+                assert p.stdout == d
+
+    @needs_cli
+    def test_our_decoder_reads_cli_dict_frames(self):
+        import tempfile
+
+        dic = self._dict()
+        with tempfile.TemporaryDirectory() as td:
+            dp = os.path.join(td, "dict")
+            with open(dp, "wb") as f:
+                f.write(dic)
+            for lvl in ("-1", "-3", "-19"):
+                for d in self.DOCS[64:68]:
+                    p = subprocess.run(
+                        [ZSTD_BIN, lvl, "-D", dp, "-c"],
+                        input=d,
+                        capture_output=True,
+                    )
+                    assert p.returncode == 0, p.stderr.decode()[:300]
+                    assert zstd_decompress(p.stdout, dictionary=dic) == d
