@@ -1,0 +1,107 @@
+"""Python Data Source registration (sources/pyds) —
+``spark.read.format("warc")`` must be row-identical to read_warc."""
+
+from __future__ import annotations
+
+import pytest
+
+from automic_etl_spark.sources.pyds import register
+from automic_etl_spark.sources.warc import read_warc, write_warc_file
+
+HTTP_PAYLOAD = (
+    b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+    b"\r\n<html><body>hello</body></html>"
+)
+
+
+def _sample_records():
+    return [
+        ("warcinfo", b"software: test\r\n", None),
+        ("request", b"GET / HTTP/1.1\r\n", "http://a.example/"),
+        ("response", HTTP_PAYLOAD, "http://a.example/"),
+        ("response", b"HTTP/1.1 404 Not Found\r\n\r\nmissing", "http://b.example/x"),
+        ("resource", b"\x89PNG\r\n\x1a\n", "http://a.example/logo.png"),
+    ]
+
+
+@pytest.fixture()
+def warc_dir(tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # mixed compression: the data source wraps the same open_warc, so
+    # member-per-record gzip, whole-file gzip, plain, and zstd segments
+    # all read through format("warc")
+    write_warc_file(str(d / "seg-0.warc.gz"), _sample_records())
+    write_warc_file(
+        str(d / "seg-1.warc.gz"), _sample_records(), member_per_record=False
+    )
+    write_warc_file(str(d / "seg-2.warc"), _sample_records())
+    write_warc_file(str(d / "seg-3.warc.zst"), _sample_records())
+    return str(d)
+
+
+class TestWarcDataSource:
+    def test_identical_to_read_warc(self, spark, warc_dir):
+        register(spark)
+        a = (
+            spark.read.format("warc")
+            .load(warc_dir)
+            .orderBy("warc_file", "record_index")
+            .collect()
+        )
+        b = (
+            read_warc(spark, warc_dir)
+            .orderBy("warc_file", "record_index")
+            .collect()
+        )
+        assert len(a) == 4 * 3  # 4 segments x (2 responses + 1 resource)
+        assert a == b
+
+    def test_partition_per_segment(self, spark, warc_dir):
+        register(spark)
+        df = spark.read.format("warc").load(warc_dir)
+        assert df.rdd.getNumPartitions() == 4
+
+    def test_options_keep_all_and_raw_payload(self, spark, warc_dir):
+        register(spark)
+        df = (
+            spark.read.format("warc")
+            .option("record_types", "*")
+            .option("parse_http", "false")
+            .load(warc_dir)
+        )
+        rows = df.collect()
+        assert len(rows) == 4 * 5  # warcinfo/request kept
+        assert all(r.http_status is None for r in rows)
+        got = {bytes(r.payload) for r in rows if r.warc_type == "response"}
+        assert HTTP_PAYLOAD in got  # raw envelope, not the split body
+
+    def test_option_record_types_subset(self, spark, warc_dir):
+        register(spark)
+        df = (
+            spark.read.format("warc")
+            .option("record_types", "resource")
+            .load(warc_dir)
+        )
+        rows = df.collect()
+        assert len(rows) == 4 and all(r.warc_type == "resource" for r in rows)
+
+    def test_max_payload_truncates(self, spark, tmp_path):
+        register(spark)
+        p = str(tmp_path / "big.warc.gz")
+        write_warc_file(p, [("resource", b"A" * 5000, "http://a/big")])
+        df = (
+            spark.read.format("warc")
+            .option("max_payload", "100")
+            .load(p)
+        )
+        r = df.collect()[0]
+        assert r.truncated and len(bytes(r.payload)) == 100
+        assert r.content_length == 5000  # the ORIGINAL length
+
+    def test_missing_path_raises(self, spark):
+        register(spark)
+        with pytest.raises(Exception, match="needs a path"):
+            # reader construction is lazy — the error surfaces at plan
+            # execution, wrapped in Spark's Python data source error
+            spark.read.format("warc").load().collect()
