@@ -485,23 +485,49 @@ def write_warc_record(
     out.write(b"\r\n\r\n")
 
 
-def write_warc_file(path: str, records, member_per_record: bool = True) -> None:
+def write_warc_file(
+    path: str,
+    records,
+    member_per_record: bool = True,
+    dictionary: bytes | None = None,
+) -> None:
     """Write records ((warc_type, payload, target_uri) tuples) as a WARC
     file. `.gz` paths gzip — one member per record when
     `member_per_record` (the Common Crawl layout), else one stream.
     `.zst` paths (r12) emit one first-party zstd frame per record (the
     warc-zstd layout; always member-per-record — a .zst segment's
-    point is frame-aligned records)."""
+    point is frame-aligned records).
+
+    ``dictionary`` (r13, `.zst` only): a RAW CONTENT zstd dictionary
+    (e.g. operators/zstddict's trained output) — written as the IIPC
+    warc-zstd skippable dictionary frame (magic 0x184D2A5D) at the
+    segment head, with every record frame compressed against it.
+    ``open_warc`` / ``read_warc`` already honor the layout on read, so
+    the round trip is transparent; WARC records share enormous header
+    boilerplate, which is exactly the small-frame case dictionaries
+    exist for."""
     is_gz = path.endswith(".gz")
     is_zst = path.endswith(".zst")
+    if dictionary is not None and not is_zst:
+        raise ValueError("dictionary= is the warc-zstd layout: .zst paths only")
     with open(path, "wb") as raw:
         if is_zst:
-            from automic_etl_spark.operators.zstdcodec import zstd_compress
+            from automic_etl_spark.operators.zstdcodec import (
+                ZstdDictionary,
+                zstd_compress,
+            )
 
+            zd = None
+            if dictionary:
+                dict_bytes = bytes(dictionary)
+                raw.write(WARC_ZSTD_DICT_MAGIC.to_bytes(4, "little"))
+                raw.write(len(dict_bytes).to_bytes(4, "little"))
+                raw.write(dict_bytes)
+                zd = ZstdDictionary(dict_bytes)
             for rec in records:
                 buf = io.BytesIO()
                 write_warc_record(buf, rec[0], rec[1], *(rec[2:]))
-                raw.write(zstd_compress(buf.getvalue()))
+                raw.write(zstd_compress(buf.getvalue(), dictionary=zd))
         elif is_gz and member_per_record:
             for rec in records:
                 buf = io.BytesIO()

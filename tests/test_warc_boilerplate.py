@@ -633,3 +633,49 @@ class TestWarcZstd:
         assert len(recs) == 10
         assert all(h["warc-type"] == "response" for h, _, _ in recs)
         assert b"shared dictionary text 3" in recs[3][1]
+
+
+class TestWarcZstdDictionary:
+    """r13: writing .warc.zst with an embedded trained dictionary (the
+    IIPC skippable dict frame) and reading it back transparently."""
+
+    def _records(self, n=24):
+        return [
+            (
+                "response",
+                (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    b"<html><head><title>page %d</title></head>"
+                    b"<body class=\"article\">shared boilerplate %d</body></html>"
+                    % (i, i)
+                ),
+                f"http://a.example/{i}",
+            )
+            for i in range(n)
+        ]
+
+    def test_dict_segment_roundtrip_and_smaller(self, spark, tmp_path):
+        import os
+
+        from automic_etl_spark.operators.zstddict import train_zstd_dict_local
+
+        recs = self._records()
+        dic = train_zstd_dict_local([r[1] for r in recs[:8]], dict_size=2048)
+        plain = str(tmp_path / "plain.warc.zst")
+        dicted = str(tmp_path / "dicted.warc.zst")
+        write_warc_file(plain, recs)
+        write_warc_file(dicted, recs, dictionary=dic)
+        a = read_warc(spark, plain).orderBy("record_index").collect()
+        b = read_warc(spark, dicted).orderBy("record_index").collect()
+        assert [r.payload for r in a] == [r.payload for r in b]
+        assert len(b) == len(recs)
+        # the segment body (past the embedded dict frame) must be
+        # smaller than the no-dict segment
+        dict_overhead = 8 + len(dic)
+        assert os.path.getsize(dicted) - dict_overhead < os.path.getsize(plain)
+
+    def test_dictionary_requires_zst(self, tmp_path):
+        with pytest.raises(ValueError):
+            write_warc_file(
+                str(tmp_path / "x.warc.gz"), self._records(2), dictionary=b"d"
+            )
