@@ -155,7 +155,55 @@ def _arrow_batch(rows):
     return pa.RecordBatch.from_arrays(arrays, _COLUMNS)
 
 
+class WetDataSource(DataSource):
+    """``spark.read.format("wet")`` — WET extracted-text segments as
+    (warc_file, record_index, record_id, url, warc_date, text); the
+    read_wet projection over conversion records. Options: ``path``,
+    ``max_payload``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "wet"
+
+    def schema(self) -> str:
+        return (
+            "warc_file string, record_index long, record_id string, "
+            "url string, warc_date string, text string"
+        )
+
+    def reader(self, schema) -> "WetReader":
+        return WetReader(self.options)
+
+
+class WetReader(WarcReader):
+    def __init__(self, options):
+        opts = dict(options)
+        opts["record_types"] = "conversion"
+        opts["parse_http"] = "false"
+        super().__init__(opts)
+
+    def read(self, partition):
+        import pyarrow as pa
+
+        for batch in super().read(partition):
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    batch.column(1),
+                    batch.column(3),
+                    batch.column(4),
+                    batch.column(5),
+                    # UTF-8 text from the payload bytes (WET conversion
+                    # records carry plain text by definition)
+                    batch.column(11).cast(pa.string()),
+                ],
+                ["warc_file", "record_index", "record_id", "url",
+                 "warc_date", "text"],
+            )
+
+
 def register(spark) -> None:
     """Register the first-party Python data sources on a session
     (idempotent — re-registration under the same name just replaces)."""
     spark.dataSource.register(WarcDataSource)
+    spark.dataSource.register(WetDataSource)

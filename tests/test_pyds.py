@@ -105,3 +105,27 @@ class TestWarcDataSource:
             # reader construction is lazy — the error surfaces at plan
             # execution, wrapped in Spark's Python data source error
             spark.read.format("warc").load().collect()
+
+
+class TestWetDataSource:
+    def test_matches_read_wet(self, spark, tmp_path):
+        from automic_etl_spark.sources.warc import read_wet
+
+        register(spark)
+        p = str(tmp_path / "seg.wet.gz")
+        recs = [
+            ("warcinfo", b"software: test\r\n", None),
+            ("conversion", "hello extracted text é".encode(), "http://a/1"),
+            ("conversion", b"second doc body", "http://a/2"),
+        ]
+        write_warc_file(p, recs)
+        a = (
+            spark.read.format("wet")
+            .load(p)
+            .orderBy("record_index")
+            .collect()
+        )
+        b = read_wet(spark, p).orderBy("record_index").collect()
+        assert len(a) == 2
+        assert [(r.url, r.text) for r in a] == [(r.url, r.text) for r in b]
+        assert a[0].text == "hello extracted text é"
