@@ -202,8 +202,93 @@ class WetReader(WarcReader):
             )
 
 
+class AvroDataSource(DataSource):
+    """``spark.read.format("avrofile")`` — the first-party Avro OCF
+    reader (sources/avrofile) through the standard reader surface.
+    The schema comes from the FIRST file's header (one driver-side
+    read); every file must carry the same field names, enforced
+    executor-side like read_avro. Options:
+
+    - ``path`` (or ``.load(path)``): file / directory / glob.
+    - ``split_size``: intra-file split bytes (default 128 MiB; splits
+      realign to OCF block boundaries executor-side via the sync-marker
+      scan, so a big container parallelizes like parquet row groups).
+
+    Named ``avrofile`` (not ``avro``) so an actual spark-avro jar, if
+    ever present, keeps its name."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avrofile"
+
+    def schema(self) -> str:
+        from automic_etl_spark.sources.avrofile import (
+            _list_avro_files,
+            avro_to_spark_ddl,
+            read_ocf,
+        )
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("format('avrofile') needs a path — .load(path)")
+        files = _list_avro_files(path)
+        if not files:
+            raise ValueError(f"no .avro files under {path!r}")
+        with open(files[0], "rb") as f0:
+            parsed, _json, _records = read_ocf(f0)
+        return avro_to_spark_ddl(parsed)
+
+    def reader(self, schema) -> "AvroReader":
+        return AvroReader(self.options)
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("format('avrofile') needs a path — .load(path)")
+        self._path = path
+        self._split = int(options.get("split_size", 128 << 20))
+
+    def partitions(self):
+        import os
+
+        from automic_etl_spark.sources.avrofile import _list_avro_files
+
+        parts = []
+        for f in _list_avro_files(self._path):
+            size = os.path.getsize(f)
+            n = max(1, (size + self._split - 1) // self._split)
+            parts += [
+                InputPartition((f, k * self._split,
+                                min((k + 1) * self._split, size)))
+                for k in range(n)
+            ]
+        return parts
+
+    def read(self, partition):
+        from automic_etl_spark.sources.avrofile import (
+            _iter_blocks_range,
+            _list_avro_files,
+            _to_pandas_cell,
+            read_ocf,
+        )
+
+        files = _list_avro_files(self._path)
+        with open(files[0], "rb") as f0:
+            parsed, _json, _records = read_ocf(f0)
+        names = [f["name"] for f in parsed["fields"]]
+        convs = [_to_pandas_cell(f["type"]) for f in parsed["fields"]]
+        fpath, start, end = partition.value
+        for rec in _iter_blocks_range(
+            fpath, start, end, expect_fields=names
+        ):
+            yield tuple(cv(rec.get(c)) for c, cv in zip(names, convs))
+
+
 def register(spark) -> None:
     """Register the first-party Python data sources on a session
     (idempotent — re-registration under the same name just replaces)."""
     spark.dataSource.register(WarcDataSource)
     spark.dataSource.register(WetDataSource)
+    spark.dataSource.register(AvroDataSource)

@@ -129,3 +129,67 @@ class TestWetDataSource:
         assert len(a) == 2
         assert [(r.url, r.text) for r in a] == [(r.url, r.text) for r in b]
         assert a[0].text == "hello extracted text é"
+
+
+class TestAvroDataSource:
+    SCHEMA = {
+        "type": "record", "name": "Ev", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": ["null", "string"], "default": None},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "props", "type": {"type": "map", "values": "long"}},
+            {"name": "nested", "type": {"type": "record", "name": "N",
+             "fields": [{"name": "x", "type": "double"},
+                        {"name": "y", "type": "string"}]}},
+        ],
+    }
+
+    def _recs(self, lo, hi):
+        return [
+            {
+                "id": i,
+                "name": None if i % 3 == 0 else f"n{i}",
+                "tags": [f"t{i}", f"u{i}"],
+                "props": {"a": i, "b": i * 2},
+                "nested": {"x": i * 1.5, "y": f"y{i}"},
+            }
+            for i in range(lo, hi)
+        ]
+
+    def test_identical_to_read_avro_nested_multifile(self, spark, tmp_path):
+        from automic_etl_spark.sources.avrofile import read_avro, write_ocf
+
+        register(spark)
+        d = tmp_path / "events"
+        d.mkdir()
+        # two files, two different first-party block codecs
+        (d / "a.avro").write_bytes(
+            write_ocf(self._recs(0, 40), self.SCHEMA, codec="deflate")
+        )
+        (d / "b.avro").write_bytes(
+            write_ocf(self._recs(40, 70), self.SCHEMA, codec="snappy")
+        )
+        a = spark.read.format("avrofile").load(str(d)).orderBy("id").collect()
+        b = read_avro(spark, str(d)).orderBy("id").collect()
+        assert len(a) == 70 and a == b
+        assert a[1].nested.y == "y1" and a[1].props == {"a": 1, "b": 2}
+
+    def test_intra_file_splits(self, spark, tmp_path):
+        from automic_etl_spark.sources.avrofile import write_ocf
+
+        register(spark)
+        p = tmp_path / "big.avro"
+        # many small blocks so a tiny split_size produces several
+        # partitions that must realign to block boundaries
+        p.write_bytes(
+            write_ocf(self._recs(0, 400), self.SCHEMA, codec="null",
+                      block_rows=20)
+        )
+        df = (
+            spark.read.format("avrofile")
+            .option("split_size", "2048")
+            .load(str(p))
+        )
+        assert df.rdd.getNumPartitions() > 1
+        rows = df.orderBy("id").collect()
+        assert [r.id for r in rows] == list(range(400))  # no dup/loss
