@@ -41,6 +41,7 @@ Arrow-batched map-only pass with a per-batch word cache; no shuffle.
 from __future__ import annotations
 
 import json
+import re
 import unicodedata
 from collections.abc import Iterator
 
@@ -74,9 +75,36 @@ def _cat0(ch: str) -> str:
     return unicodedata.category(ch)[0]
 
 
+# ASCII fast path (r13): for ASCII text — most web corpora — the
+# scanner below is EXACTLY the classic pattern with \p{L} = [A-Za-z],
+# \p{N} = [0-9], and \s spelled out as the ASCII chars str.isspace()
+# accepts (which include the \x1c-\x1f separators that re's \s does
+# NOT match — hence the explicit class). findall() runs the same
+# leftmost alternation the scanner walks, ~20x faster; the scanner
+# stays the behavioral definition (differential-pinned in
+# tests/test_bpe_pretrained.py, including the \x1c-\x1f edge).
+_ASCII_WS = "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "
+_ASCII_PRETOK = re.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d"
+    "| ?[A-Za-z]+| ?[0-9]+"
+    "| ?[^" + _ASCII_WS + "A-Za-z0-9]+"
+    "|[" + _ASCII_WS + "]+(?![^" + _ASCII_WS + "])"
+    "|[" + _ASCII_WS + "]+"
+)
+
+
 def pretokenize(text: str) -> list[str]:
-    """GPT-2 pattern scanner (alternation order is load-bearing; see
-    the module docstring for the whitespace edge semantics)."""
+    """GPT-2 pattern pre-tokenizer: the ASCII regex fast path when the
+    text is pure ASCII, else the unicode-category scanner (the
+    behavioral definition — alternation order is load-bearing; see the
+    module docstring for the whitespace edge semantics)."""
+    if text.isascii():
+        return _ASCII_PRETOK.findall(text)
+    return _pretokenize_scan(text)
+
+
+def _pretokenize_scan(text: str) -> list[str]:
+    """The explicit unicode-category scanner (definition path)."""
     out: list[str] = []
     n = len(text)
     i = 0

@@ -172,3 +172,29 @@ def test_counts_feed_pack_sequences(spark):
         for r in shard_rows:
             assert r.seq_offset == cum % 32
             cum += r.n_tokens
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(
+        alphabet=st.sampled_from(
+            "abXZ '0159!.,-\t\n\x1c\x1f " + "".join(chr(c) for c in range(0, 9))
+        ),
+        max_size=60,
+    )
+)
+def test_ascii_fast_path_matches_scanner(text):
+    """r13: pretokenize's ASCII regex fast path must partition exactly
+    like the unicode-category scanner (the definition), including the
+    \\x1c-\\x1f isspace-but-not-regex-\\s separators, control chars,
+    contraction edges and trailing-whitespace arms."""
+    from automic_etl_spark.operators.bpe_pretrained import _pretokenize_scan
+
+    assert pretokenize(text) == _pretokenize_scan(text)
+
+
+def test_non_ascii_routes_to_scanner():
+    from automic_etl_spark.operators.bpe_pretrained import _pretokenize_scan
+
+    s = "héllo wörld 123 déjà-vu"
+    assert pretokenize(s) == _pretokenize_scan(s)
