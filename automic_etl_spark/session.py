@@ -35,6 +35,10 @@ _DEFAULTS = {
     "spark.sql.parquet.compression.codec": "zstd",
     # Partition sizing for the ~100TB target: 128MB input splits.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Python Data Source filter pushdown (4.1): lets sources/pyds
+    # narrow its scan on pushed predicates (reader selection is
+    # conf-aware, so foreign sessions without this conf still work).
+    "spark.sql.python.filterPushdown.enabled": "true",
     "spark.ui.enabled": "false",
 }
 

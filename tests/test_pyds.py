@@ -193,3 +193,52 @@ class TestAvroDataSource:
         assert df.rdd.getNumPartitions() > 1
         rows = df.orderBy("id").collect()
         assert [r.id for r in rows] == list(range(400))  # no dup/loss
+
+
+class TestWarcFilterPushdown:
+    def test_warc_type_equalto_pushdown_narrows_and_agrees(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        p = str(tmp_path / "seg.warc.gz")
+        recs = [
+            ("warcinfo", b"software: test\r\n", None),
+            ("request", b"GET / HTTP/1.1\r\n", "http://a/"),
+            ("response", HTTP_PAYLOAD, "http://a/"),
+            ("resource", b"\x89PNG", "http://a/logo.png"),
+        ]
+        write_warc_file(p, recs)
+        base = spark.read.format("warc").option("record_types", "*").load(p)
+        # = pushdown narrows the reader's type set; Spark re-applies the
+        # filter post-scan (partial pushdown), so results are exact
+        only = base.filter(F.col("warc_type") == "resource").collect()
+        assert len(only) == 1 and only[0].warc_type == "resource"
+        # IN-list
+        both = base.filter(
+            F.col("warc_type").isin("response", "request")
+        ).orderBy("record_index").collect()
+        assert [r.warc_type for r in both] == ["request", "response"]
+        # a filter the reader can't push still evaluates correctly
+        other = base.filter(F.col("record_index") >= 2).collect()
+        assert len(other) == 2
+
+    def test_pushdown_composes_with_record_types_option(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        register(spark)
+        p = str(tmp_path / "seg2.warc.gz")
+        write_warc_file(
+            p,
+            [
+                ("response", HTTP_PAYLOAD, "http://a/"),
+                ("resource", b"\x89PNG", "http://a/x"),
+            ],
+        )
+        df = (
+            spark.read.format("warc")
+            .option("record_types", "response")
+            .load(p)
+            .filter(F.col("warc_type") == "resource")
+        )
+        # intersection is empty: the option already excluded resource
+        assert df.collect() == []
