@@ -161,6 +161,13 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.automic_flac_subframe.restype = ctypes.c_long
+        lib.automic_flac_subframe.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
+        ]
         lib.automic_vp8l_pixels.restype = ctypes.c_long
         lib.automic_vp8l_pixels.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long,

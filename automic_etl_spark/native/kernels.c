@@ -1092,3 +1092,111 @@ long automic_find_sequences_d(const uint8_t *full, long n, long start,
     }
     return nseq;
 }
+
+/* FLAC subframe residual + prediction — the exact policy of
+ * operators/flac._read_residual + the FIXED/LPC prediction loops in
+ * _decode_subframe, which stay the behavioral definition: rice
+ * methods 0/1 with escape partitions (5-bit raw size, 0 = all-zero),
+ * zigzag sign fold, then per-sample pred = (sum coeffs[j] *
+ * samples[i-1-j]) >> shift (FIXED passes its integer coefficients
+ * with shift 0). `samples` arrives with the `order` warm-up values
+ * prefilled and receives all `blocksize` decoded samples. Returns 0
+ * and writes the final bit position; -1 malformed (the Python path's
+ * ValueError), -2 truncated (EOFError), -3 sample magnitude beyond
+ * 2^40 — not an error, a capability bound: the caller falls back to
+ * Python's big-int path so adversarial streams decode identically.
+ */
+long automic_flac_subframe(
+    const uint8_t *data, long nbits, long pos,
+    long blocksize, int order,
+    const int64_t *coeffs, int ncoeffs, int shift,
+    int64_t *samples, long *end_pos) {
+    if (order < 0 || ncoeffs < 0 || ncoeffs > 32 || shift < 0 ||
+        blocksize <= 0 || order > blocksize)
+        return -1;
+#define FREAD(v, n) do { \
+        if (pos + (n) > nbits) return -2; \
+        long first = pos >> 3; \
+        uint64_t chunk = 0; \
+        int nb = (int)(((pos + (n) + 7) >> 3) - first); \
+        for (int b = 0; b < nb; b++) \
+            chunk = (chunk << 8) | data[first + b]; \
+        v = (uint32_t)((chunk >> ((((long)first + nb) << 3) - (pos + (n)))) \
+                       & ((1ULL << (n)) - 1)); \
+        pos += (n); \
+    } while (0)
+    uint32_t method, part_order, param;
+    FREAD(method, 2);
+    if (method > 1)
+        return -1;
+    int param_bits = 4 + (int)method;
+    uint32_t escape = (1u << param_bits) - 1;
+    FREAD(part_order, 4);
+    long n_parts = 1L << part_order;
+    if (blocksize % n_parts)
+        return -1;
+    long idx = order;
+    for (long p = 0; p < n_parts; p++) {
+        long n = (blocksize >> part_order) - (p == 0 ? order : 0);
+        if (n < 0)
+            return -1;
+        FREAD(param, param_bits);
+        if (param == escape) {
+            uint32_t raw_bits;
+            FREAD(raw_bits, 5);
+            for (long k = 0; k < n; k++) {
+                int64_t r = 0;
+                if (raw_bits) {
+                    uint32_t v;
+                    FREAD(v, raw_bits);
+                    r = (int64_t)v;
+                    if (v >> (raw_bits - 1))
+                        r -= (int64_t)1 << raw_bits; /* sign extend */
+                }
+                int64_t acc = 0;
+                for (int j = 0; j < ncoeffs; j++)
+                    acc += coeffs[j] * samples[idx - 1 - j];
+                int64_t s = r + (acc >> shift);
+                if (s > (1LL << 40) || s < -(1LL << 40))
+                    return -3;
+                samples[idx++] = s;
+            }
+        } else {
+            for (long k = 0; k < n; k++) {
+                /* unary: zeros before the next 1 bit */
+                long q = 0;
+                for (;;) {
+                    if (pos >= nbits)
+                        return -2;
+                    long byte_i = pos >> 3;
+                    int bit_i = (int)(pos & 7);
+                    uint8_t cur = (uint8_t)(data[byte_i] & (0xFF >> bit_i));
+                    if (cur == 0) {
+                        q += 8 - bit_i;
+                        pos = (byte_i + 1) << 3;
+                        continue;
+                    }
+                    int top = 31 - __builtin_clz((uint32_t)cur); /* from LSB */
+                    q += (7 - top) - bit_i;
+                    pos = (byte_i << 3) + (7 - top) + 1;
+                    break;
+                }
+                uint32_t low = 0;
+                if (param)
+                    FREAD(low, param);
+                uint64_t v = ((uint64_t)q << param) | low;
+                int64_t r = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);
+                int64_t acc = 0;
+                for (int j = 0; j < ncoeffs; j++)
+                    acc += coeffs[j] * samples[idx - 1 - j];
+                int64_t s = r + (acc >> shift);
+                if (s > (1LL << 40) || s < -(1LL << 40))
+                    return -3;
+                samples[idx++] = s;
+            }
+        }
+    }
+    *end_pos = pos;
+    return 0;
+#undef FREAD
+}

@@ -218,6 +218,48 @@ def _write_utf8_coded_number(bw: BitWriter, val: int) -> None:
 # decoder
 
 
+def _subframe_native(
+    br: BitReader, blocksize: int, warmup: list[int], coeffs: list[int],
+    shift: int,
+) -> "list[int] | None":
+    """Rice residual decode + prediction via the compiled kernel
+    (automic_flac_subframe) — sample-identical to _read_residual + the
+    Python prediction loops below, which stay the behavioral
+    definition. Returns None to fall back (no kernel, or the stream
+    drives sample magnitudes past the kernel's 2^40 int64 safety bound
+    — Python's big ints then decode it exactly); raises the same error
+    classes the Python path raises for malformed/truncated streams."""
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    import ctypes
+
+    order = len(warmup)
+    samples = np.zeros(blocksize, dtype=np.int64)
+    if order:
+        if any(abs(int(w)) > (1 << 40) for w in warmup):
+            return None
+        samples[:order] = warmup
+    carr = np.array(coeffs, dtype=np.int64)
+    end_pos = ctypes.c_long(0)
+    rc = lib.automic_flac_subframe(
+        bytes(br.data), 8 * len(br.data), br.pos,
+        blocksize, order,
+        carr.ctypes.data, len(coeffs), shift,
+        samples.ctypes.data, ctypes.byref(end_pos),
+    )
+    if rc == -1:
+        raise ValueError("invalid FLAC residual structure")
+    if rc == -2:
+        raise EOFError("FLAC bitstream truncated")
+    if rc != 0:
+        return None
+    br.pos = int(end_pos.value)
+    return samples.tolist()
+
+
 def _read_residual(br: BitReader, blocksize: int, order: int) -> list[int]:
     method = br.read(2)
     if method > 1:
@@ -264,11 +306,15 @@ def _decode_subframe(br: BitReader, blocksize: int, bps: int) -> list[int]:
     elif 8 <= stype <= 12:  # FIXED, order 0-4
         order = stype & 0x7
         samples = [br.read_signed(bps) for _ in range(order)]
-        residual = _read_residual(br, blocksize, order)
         coeffs = _FIXED_COEFFS[order]
-        for r in residual:
-            pred = sum(c * samples[-j - 1] for j, c in enumerate(coeffs))
-            samples.append(r + pred)
+        native = _subframe_native(br, blocksize, samples, list(coeffs), 0)
+        if native is not None:
+            samples = native
+        else:
+            residual = _read_residual(br, blocksize, order)
+            for r in residual:
+                pred = sum(c * samples[-j - 1] for j, c in enumerate(coeffs))
+                samples.append(r + pred)
     elif stype >= 32:  # LPC, order 1-32
         order = (stype & 0x1F) + 1
         samples = [br.read_signed(bps) for _ in range(order)]
@@ -279,10 +325,14 @@ def _decode_subframe(br: BitReader, blocksize: int, bps: int) -> list[int]:
         if shift < 0:
             raise ValueError("negative FLAC LPC shift")
         coeffs = [br.read_signed(precision) for _ in range(order)]
-        residual = _read_residual(br, blocksize, order)
-        for r in residual:
-            acc = sum(c * samples[-j - 1] for j, c in enumerate(coeffs))
-            samples.append(r + (acc >> shift))
+        native = _subframe_native(br, blocksize, samples, coeffs, shift)
+        if native is not None:
+            samples = native
+        else:
+            residual = _read_residual(br, blocksize, order)
+            for r in residual:
+                acc = sum(c * samples[-j - 1] for j, c in enumerate(coeffs))
+                samples.append(r + (acc >> shift))
     else:
         raise ValueError(f"reserved FLAC subframe type {stype}")
 

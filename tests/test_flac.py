@@ -274,3 +274,77 @@ def test_redaction_preserves_non_byte_bit_depth():
     assert bits == 12 and rate == 8000
     assert not dec[800:1600].any()
     assert np.array_equal(dec[:800, 0], pcm[:800])
+
+
+class TestNativeDifferential:
+    """r13: committed native-vs-Python pins for the FLAC subframe
+    kernel (automic_flac_subframe) — the tests/test_zstd.py nat._LIB
+    re-entry pattern. Valid streams decode sample-identically;
+    corrupt/truncated streams produce the same accept/reject verdict;
+    the kernel's 2^40 magnitude bound falls back to Python's big-int
+    path rather than wrapping."""
+
+    @staticmethod
+    def _need_lib():
+        import automic_etl_spark.native as nat
+
+        if nat.load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+
+    @staticmethod
+    def _verdict(blob):
+        try:
+            pcm, rate, ch = decode_flac(blob)
+            return ("ok", pcm.tobytes(), rate, ch)
+        except Exception as e:
+            return ("err", type(e).__name__)
+
+    @classmethod
+    def _python(cls, blob):
+        import automic_etl_spark.native as nat
+
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            return cls._verdict(blob)
+        finally:
+            nat._LIB = old
+
+    def test_decode_matches_python_across_content(self):
+        self._need_lib()
+        rng = np.random.RandomState(1308)
+        for trial in range(18):
+            n = int(rng.randint(1, 30000))
+            ch = int(rng.choice([1, 2]))
+            kind = trial % 3
+            if kind == 0:  # tonal (LPC-friendly)
+                pcm = (np.sin(np.arange(n * ch) / 25) * 9000).astype(np.int16)
+            elif kind == 1:  # noise (escape/verbatim paths)
+                pcm = rng.randint(-32768, 32767, n * ch).astype(np.int16)
+            else:  # random walk (fixed predictors)
+                pcm = (
+                    np.cumsum(rng.randint(-60, 60, n * ch))
+                    .clip(-32000, 32000)
+                    .astype(np.int16)
+                )
+            if ch > 1:
+                pcm = pcm.reshape(-1, ch)
+            blob = encode_flac(pcm, rate=22050)
+            assert self._verdict(blob) == self._python(blob), (trial, n, ch)
+
+    def test_mutation_and_truncation_verdicts_agree(self):
+        self._need_lib()
+        rng = np.random.RandomState(1309)
+        base = encode_flac(
+            (np.sin(np.arange(8000) / 25) * 9000).astype(np.int16),
+            rate=16000,
+        )
+        for _ in range(100):
+            mb = bytearray(base)
+            i = int(rng.randint(50, len(mb)))
+            mb[i] ^= 1 << int(rng.randint(8))
+            mb = bytes(mb)
+            assert self._verdict(mb) == self._python(mb), i
+        for cut in range(len(base) - 20, len(base)):
+            blob = base[:cut]
+            assert self._verdict(blob) == self._python(blob), cut

@@ -34,6 +34,7 @@ CALLER_SUITES: dict[str, list[str]] = {
     "operators/audiofp.py": ["tests/test_audiofp.py"],
     "operators/cdc.py": ["tests/test_cdc.py"],
     "operators/webp.py": ["tests/test_webp.py", "tests/test_imagehash.py"],
+    "operators/flac.py": ["tests/test_flac.py", "tests/test_audiofp.py"],
 }
 
 
