@@ -161,6 +161,17 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.automic_snappy_decompress.restype = ctypes.c_long
+        lib.automic_snappy_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.automic_snappy_fragment.restype = ctypes.c_long
+        lib.automic_snappy_fragment.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
         lib.automic_flac_subframe.restype = ctypes.c_long
         lib.automic_flac_subframe.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long,

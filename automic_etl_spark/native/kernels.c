@@ -1200,3 +1200,211 @@ long automic_flac_subframe(
     return 0;
 #undef FREAD
 }
+
+/* Snappy raw-format DECODE — the exact policy of
+ * operators/snappy.snappy_decompress's tag walk (literals with 1-4
+ * extra length bytes, copy-1/2/4, overlap-safe back-copies, never
+ * over-reads), which stays the behavioral definition. `out` is the
+ * caller-sized `expected` buffer (the uvarint header is parsed in
+ * Python); any malformed condition — truncation, zero/huge offset, or
+ * output diverging from `expected` — returns -1 (the Python path's
+ * SnappyError). Returns the decoded byte count on success.
+ */
+long automic_snappy_decompress(const uint8_t *data, long n, long pos,
+                               uint8_t *out, long expected) {
+    long op = 0;
+    while (pos < n) {
+        uint8_t tag = data[pos++];
+        int kind = tag & 3;
+        if (kind == 0) { /* literal */
+            long ln = tag >> 2;
+            if (ln >= 60) {
+                int extra = (int)(ln - 59);
+                if (pos + extra > n)
+                    return -1;
+                ln = 0;
+                for (int b = extra - 1; b >= 0; b--)
+                    ln = (ln << 8) | data[pos + b];
+                pos += extra;
+            }
+            ln += 1;
+            if (pos + ln > n || op + ln > expected)
+                return -1;
+            __builtin_memcpy(out + op, data + pos, ln);
+            op += ln;
+            pos += ln;
+            continue;
+        }
+        long length, offset;
+        if (kind == 1) {
+            if (pos >= n)
+                return -1;
+            length = 4 + ((tag >> 2) & 0x7);
+            offset = ((long)(tag >> 5) << 8) | data[pos];
+            pos += 1;
+        } else if (kind == 2) {
+            if (pos + 2 > n)
+                return -1;
+            length = 1 + (tag >> 2);
+            offset = (long)data[pos] | ((long)data[pos + 1] << 8);
+            pos += 2;
+        } else {
+            if (pos + 4 > n)
+                return -1;
+            length = 1 + (tag >> 2);
+            offset = (long)data[pos] | ((long)data[pos + 1] << 8) |
+                     ((long)data[pos + 2] << 16) |
+                     ((long)data[pos + 3] << 24);
+            pos += 4;
+        }
+        if (offset == 0 || offset > op || op + length > expected)
+            return -1;
+        for (long k = 0; k < length; k++) { /* overlap-safe byte copy */
+            out[op] = out[op - offset];
+            op++;
+        }
+    }
+    return op;
+}
+
+/* Snappy raw-format ENCODE (fragment body) — the exact policy of
+ * operators/snappy._compress_fragment + _emit_literal/_emit_copy,
+ * which stay the behavioral definition: exact 4-byte keys (last
+ * occurrence wins), greedy extension, the reference's sparse
+ * table-seeding inside matches (step = 1 for <=16, else length/8),
+ * >=68 split into 64s with a 60-byte step keeping tails >= 4, copy-1
+ * only for len 4-11 and offset < 2048. Scratch is the find_sequences
+ * open-addressing pair (keys/pos, caller-zeroed, 1 << table_log
+ * slots; pos stored +1 RELATIVE TO `base`). Output is byte-identical
+ * to the Python fragment. Returns bytes written, or -1 if out_cap is
+ * too small (callers size it n + n/60 + 16).
+ */
+static inline long snappy_put_literal(uint8_t *out, long op, long out_cap,
+                                      const uint8_t *data, long start,
+                                      long end) {
+    long ln = end - start - 1;
+    if (op + 5 + (end - start) > out_cap)
+        return -1;
+    if (ln < 60) {
+        out[op++] = (uint8_t)(ln << 2);
+    } else if (ln < (1L << 8)) {
+        out[op++] = 60 << 2;
+        out[op++] = (uint8_t)ln;
+    } else if (ln < (1L << 16)) {
+        out[op++] = 61 << 2;
+        out[op++] = (uint8_t)(ln & 0xFF);
+        out[op++] = (uint8_t)(ln >> 8);
+    } else if (ln < (1L << 24)) {
+        out[op++] = 62 << 2;
+        out[op++] = (uint8_t)(ln & 0xFF);
+        out[op++] = (uint8_t)((ln >> 8) & 0xFF);
+        out[op++] = (uint8_t)(ln >> 16);
+    } else {
+        out[op++] = 63 << 2;
+        out[op++] = (uint8_t)(ln & 0xFF);
+        out[op++] = (uint8_t)((ln >> 8) & 0xFF);
+        out[op++] = (uint8_t)((ln >> 16) & 0xFF);
+        out[op++] = (uint8_t)((ln >> 24) & 0xFF);
+    }
+    __builtin_memcpy(out + op, data + start, end - start);
+    return op + (end - start);
+}
+
+static inline long snappy_put_one_copy(uint8_t *out, long op, long out_cap,
+                                       long offset, long length) {
+    if (op + 3 > out_cap)
+        return -1;
+    if (length >= 4 && length <= 11 && offset < 2048) {
+        out[op++] = (uint8_t)(1 | ((length - 4) << 2) | ((offset >> 8) << 5));
+        out[op++] = (uint8_t)(offset & 0xFF);
+    } else {
+        out[op++] = (uint8_t)(2 | ((length - 1) << 2));
+        out[op++] = (uint8_t)(offset & 0xFF);
+        out[op++] = (uint8_t)(offset >> 8);
+    }
+    return op;
+}
+
+long automic_snappy_fragment(const uint8_t *data, long base, long end,
+                             uint32_t *table_keys, int32_t *table_pos,
+                             int table_log, uint8_t *out, long out_cap) {
+    long op = 0;
+    long n = end - base;
+    if (n < 4) {
+        if (n) {
+            op = snappy_put_literal(out, op, out_cap, data, base, end);
+        }
+        return op;
+    }
+    const uint32_t mask = (1u << table_log) - 1;
+    long i = base, lit_start = base;
+    const long limit = end - 3;
+    while (i < limit) {
+        uint32_t key = rd32(data + i);
+        uint32_t slot = (key * 2654435761u) & mask;
+        long cand = -1;
+        for (;;) {
+            int32_t stored = table_pos[slot];
+            if (stored == 0) {
+                table_keys[slot] = key;
+                table_pos[slot] = (int32_t)(i - base + 1);
+                break;
+            }
+            if (table_keys[slot] == key) {
+                cand = base + stored - 1;
+                table_pos[slot] = (int32_t)(i - base + 1);
+                break;
+            }
+            slot = (slot + 1) & mask;
+        }
+        if (cand < 0) {
+            i += 1;
+            continue;
+        }
+        long length = 4;
+        while (i + length < end && data[cand + length] == data[i + length])
+            length++;
+        if (lit_start < i) {
+            op = snappy_put_literal(out, op, out_cap, data, lit_start, i);
+            if (op < 0)
+                return -1;
+        }
+        long offset = i - cand, rem = length;
+        while (rem >= 68) {
+            op = snappy_put_one_copy(out, op, out_cap, offset, 64);
+            if (op < 0)
+                return -1;
+            rem -= 64;
+        }
+        if (rem > 64) {
+            op = snappy_put_one_copy(out, op, out_cap, offset, 60);
+            if (op < 0)
+                return -1;
+            rem -= 60;
+        }
+        op = snappy_put_one_copy(out, op, out_cap, offset, rem);
+        if (op < 0)
+            return -1;
+        long j = i + 1;
+        long step = length <= 16 ? 1 : length / 8;
+        for (; j < i + length && j < limit; j += step) {
+            uint32_t k2 = rd32(data + j);
+            uint32_t s2 = (k2 * 2654435761u) & mask;
+            for (;;) {
+                int32_t stored = table_pos[s2];
+                if (stored == 0 || table_keys[s2] == k2) {
+                    table_keys[s2] = k2;
+                    table_pos[s2] = (int32_t)(j - base + 1);
+                    break;
+                }
+                s2 = (s2 + 1) & mask;
+            }
+        }
+        i += length;
+        lit_start = i;
+    }
+    if (lit_start < end) {
+        op = snappy_put_literal(out, op, out_cap, data, lit_start, end);
+    }
+    return op;
+}

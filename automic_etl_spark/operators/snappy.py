@@ -83,6 +83,27 @@ def snappy_decompress(data: bytes) -> bytes:
     malformed input (never over-reads, never returns a wrong-length
     result)."""
     expected, pos = _read_uvarint(data, 0)
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    # bomb guard for the kernel's eager output allocation: a copy tag
+    # (2 bytes min) emits at most 64 bytes, so a stream physically
+    # cannot expand past 64x its remaining input — a header declaring
+    # more is malformed by arithmetic, and the Python loop below
+    # rejects it with bounded memory (its output can never outrun the
+    # same 64x bound before the length check fires)
+    if lib is not None and expected <= (len(data) - pos) * 64 + 64:
+        # compiled kernel, identical policy (automic_etl_spark/native);
+        # every malformed condition maps to the same SnappyError class
+        import numpy as np
+
+        buf = np.empty(max(1, expected), dtype=np.uint8)
+        rc = lib.automic_snappy_decompress(
+            bytes(data), len(data), pos, buf.ctypes.data, expected
+        )
+        if rc < 0 or rc != expected:
+            raise SnappyError("malformed snappy stream")
+        return buf[:expected].tobytes()
     out = bytearray()
     n = len(data)
     while pos < n:
@@ -196,6 +217,35 @@ def snappy_compress(data: bytes) -> bytes:
     64 KiB fragments, reference-format compatible)."""
     out = bytearray()
     _write_uvarint(out, len(data))
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None and data:
+        # compiled fragment encoder, byte-identical policy
+        import numpy as np
+
+        data_b = bytes(data)
+        keys = np.zeros(1 << 17, dtype=np.uint32)
+        pos_ = np.zeros(1 << 17, dtype=np.int32)
+        cap = _FRAGMENT + _FRAGMENT // 60 + 16
+        frag = np.empty(cap, dtype=np.uint8)
+        ok = True
+        pieces = []
+        for frag_start in range(0, len(data_b), _FRAGMENT):
+            end = min(frag_start + _FRAGMENT, len(data_b))
+            keys[:] = 0
+            pos_[:] = 0
+            rc = lib.automic_snappy_fragment(
+                data_b, frag_start, end,
+                keys.ctypes.data, pos_.ctypes.data, 17,
+                frag.ctypes.data, cap,
+            )
+            if rc < 0:
+                ok = False
+                break
+            pieces.append(frag[:rc].tobytes())
+        if ok:
+            return bytes(out) + b"".join(pieces)
     for frag_start in range(0, len(data), _FRAGMENT):
         _compress_fragment(
             out, data, frag_start, min(frag_start + _FRAGMENT, len(data))

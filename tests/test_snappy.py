@@ -125,3 +125,77 @@ def test_decompress_totality(blob):
         snappy_decompress(blob)
     except SnappyError:
         pass
+
+
+class TestNativeDifferential:
+    """r13: committed native-vs-Python pins for the snappy kernels
+    (automic_snappy_decompress / automic_snappy_fragment) — the
+    tests/test_zstd.py nat._LIB re-entry pattern. Encode must be
+    byte-identical (same greedy policy, table seeding, copy splits);
+    decode must round-trip and agree on corrupt-stream verdicts."""
+
+    @staticmethod
+    def _need_lib():
+        import automic_etl_spark.native as nat
+
+        if nat.load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+
+    @staticmethod
+    def _python(fn, *args):
+        import automic_etl_spark.native as nat
+
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            return fn(*args)
+        finally:
+            nat._LIB = old
+
+    def test_encode_byte_identical_and_roundtrips(self):
+        import random
+
+        import numpy as np
+
+        self._need_lib()
+        rng = np.random.RandomState(1310)
+        pyrand = random.Random(1310)
+        for t in range(60):
+            kind = t % 4
+            n = pyrand.choice([0, 1, 3, 4, 100, 5000, 70_000, 200_000])
+            if kind == 0:
+                d = rng.bytes(n)
+            elif kind == 1:
+                d = bytes(n)
+            elif kind == 2:
+                d = (b"the quick brown fox 12345 " * (n // 26 + 1))[:n]
+            else:
+                d = (rng.bytes(37) * (n // 37 + 1))[:n]
+            native = snappy_compress(d)
+            pure = self._python(snappy_compress, d)
+            assert native == pure, (t, n, kind)
+            assert snappy_decompress(native) == d
+            assert self._python(snappy_decompress, native) == d
+
+    def test_decode_mutation_verdicts_agree(self):
+        import random
+
+        self._need_lib()
+        pyrand = random.Random(1311)
+        base = snappy_compress(b"the quick brown fox 12345 " * 3000)
+
+        def verdict(blob):
+            try:
+                return ("ok", snappy_decompress(blob))
+            except SnappyError:
+                return ("err",)
+
+        for _ in range(150):
+            mb = bytearray(base)
+            i = pyrand.randrange(1, len(mb))
+            mb[i] ^= 1 << pyrand.randrange(8)
+            mb = bytes(mb)
+            assert verdict(mb) == self._python(verdict, mb), i
+        for cut in range(max(1, len(base) - 20), len(base)):
+            blob = base[:cut]
+            assert verdict(blob) == self._python(verdict, blob), cut

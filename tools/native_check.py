@@ -35,6 +35,7 @@ CALLER_SUITES: dict[str, list[str]] = {
     "operators/cdc.py": ["tests/test_cdc.py"],
     "operators/webp.py": ["tests/test_webp.py", "tests/test_imagehash.py"],
     "operators/flac.py": ["tests/test_flac.py", "tests/test_audiofp.py"],
+    "operators/snappy.py": ["tests/test_snappy.py", "tests/test_avrofile.py"],
 }
 
 
