@@ -161,6 +161,16 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.automic_tiff_lzw.restype = ctypes.c_long
+        lib.automic_tiff_lzw.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long,
+        ]
+        lib.automic_tiff_lzw_encode.restype = ctypes.c_long
+        lib.automic_tiff_lzw_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p,
+        ]
         lib.automic_snappy_decompress.restype = ctypes.c_long
         lib.automic_snappy_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long,

@@ -1408,3 +1408,163 @@ long automic_snappy_fragment(const uint8_t *data, long base, long end,
     }
     return op;
 }
+
+/* TIFF/PDF-variant LZW DECODE — the exact policy of
+ * operators/tiff._lzw_decode_tiff, which stays the behavioral
+ * definition: MSB-first packing, Clear=256/EOI=257, 9->12-bit codes
+ * with EARLY change (width bumps when table entry 2^w - 1 is added),
+ * KwKwK, truncated streams keep the decoded prefix (empty -> error).
+ * Table entries reference the output buffer; roots store -1-byte.
+ * Caller provides out with `expected + 8192` bytes of capacity (one
+ * appended entry can overshoot `expected` — the caller trims).
+ * Returns the byte count written (callers cap at expected), or -1
+ * where the Python path returns None.
+ */
+long automic_tiff_lzw(const uint8_t *payload, long n_payload,
+                      uint8_t *out, long expected) {
+    enum { CLEAR = 256, EOI = 257 };
+    int32_t tbl_off[4096];
+    int32_t tbl_len[4096];
+    for (int i = 0; i < 256; i++) {
+        tbl_off[i] = -1 - i;
+        tbl_len[i] = 1;
+    }
+    tbl_off[256] = tbl_off[257] = 0;
+    tbl_len[256] = tbl_len[257] = 0;
+    long n = 258;
+    int width = 9;
+    long prev_pos = -1, prev_len = 0;
+    long op = 0;
+    uint32_t acc = 0;
+    int nbits = 0;
+    long pos = 0;
+    while (op < expected) {
+        while (nbits < width) {
+            if (pos >= n_payload)
+                return op > 0 ? op : -1; /* truncated: keep the prefix */
+            acc = (acc << 8) | payload[pos++];
+            nbits += 8;
+        }
+        long code = (acc >> (nbits - width)) & ((1 << width) - 1);
+        acc &= (1u << (nbits - width)) - 1;
+        nbits -= width;
+        if (code == CLEAR) {
+            n = 258;
+            width = 9;
+            prev_pos = -1;
+            continue;
+        }
+        if (code == EOI)
+            break;
+        long pos_entry = op;
+        long ln;
+        if (prev_pos < 0) {
+            if (code >= n)
+                return -1;
+            out[op++] = (uint8_t)(-1 - tbl_off[code]);
+            ln = 1;
+        } else if (code < n) {
+            int32_t off = tbl_off[code];
+            ln = tbl_len[code];
+            if (off < 0) {
+                out[op++] = (uint8_t)(-1 - off);
+            } else {
+                for (long k = 0; k < ln; k++)
+                    out[op + k] = out[off + k];
+                op += ln;
+            }
+            if (n < 4096) {
+                tbl_off[n] = (int32_t)prev_pos;
+                tbl_len[n] = (int32_t)(prev_len + 1);
+                n++;
+                if (n == (1L << width) - 1 && width < 12)
+                    width++;
+            }
+        } else if (code == n) { /* KwKwK */
+            ln = prev_len + 1;
+            for (long k = 0; k < prev_len; k++)
+                out[op + k] = out[prev_pos + k];
+            op += prev_len;
+            out[op++] = out[prev_pos];
+            if (n < 4096) {
+                tbl_off[n] = (int32_t)pos_entry;
+                tbl_len[n] = (int32_t)ln;
+                n++;
+                if (n == (1L << width) - 1 && width < 12)
+                    width++;
+            }
+        } else {
+            return -1;
+        }
+        prev_pos = pos_entry;
+        prev_len = ln;
+    }
+    return op;
+}
+
+/* TIFF-variant LZW ENCODE — the exact policy of
+ * operators/tiff._lzw_encode_tiff (early-change width bumps, libtiff's
+ * reset at entry 4094, MSB-first packing, trailing EOI, left-aligned
+ * final byte). `scratch` is the GIF encoder's int32[2 << 13] hash pair
+ * (keys are ((prefix_code << 8) | byte) + 1). Returns the byte length
+ * written, or -1 if out_cap is too small (callers size it 2n + 64).
+ */
+long automic_tiff_lzw_encode(const uint8_t *src, long n,
+                             uint8_t *out, long out_cap,
+                             int32_t *scratch) {
+    enum { CLEAR = 256, EOI = 257 };
+    const int HT_BITS = 13, HT_SIZE = 1 << 13;
+    int32_t *keys = scratch, *vals = scratch + HT_SIZE;
+    long op = 0;
+    uint32_t acc = 0;
+    int nb = 0;
+#define TIFF_PUT(code, w) do { \
+        acc = (acc << (w)) | (uint32_t)(code); nb += (w); \
+        while (nb >= 8) { \
+            if (op >= out_cap) return -1; \
+            out[op++] = (uint8_t)((acc >> (nb - 8)) & 0xFF); nb -= 8; \
+        } \
+        acc &= (1u << nb) - 1; \
+    } while (0)
+    for (int i = 0; i < HT_SIZE; i++) keys[i] = 0;
+    long next_code = 258;
+    int width = 9;
+    TIFF_PUT(CLEAR, width);
+    if (n > 0) {
+        long pos = 0;
+        int run = src[pos++]; /* roots are their own codes */
+        while (pos < n) {
+            int b = src[pos++];
+            int32_t key = ((int32_t)run << 8 | b) + 1;
+            uint32_t h = ((uint32_t)key * 2654435761u) >> (32 - HT_BITS);
+            int found = -1;
+            while (keys[h]) {
+                if (keys[h] == key) { found = vals[h]; break; }
+                h = (h + 1) & (HT_SIZE - 1);
+            }
+            if (found >= 0) { run = found; continue; }
+            TIFF_PUT(run, width);
+            keys[h] = key;
+            vals[h] = (int32_t)next_code;
+            if (next_code == (1L << width) - 1 && width < 12)
+                width++;
+            next_code++;
+            if (next_code >= 4094) {
+                TIFF_PUT(CLEAR, width);
+                for (int i = 0; i < HT_SIZE; i++) keys[i] = 0;
+                next_code = 258;
+                width = 9;
+            }
+            run = b;
+        }
+        TIFF_PUT(run, width);
+    }
+    TIFF_PUT(EOI, width);
+    if (nb) {
+        if (op >= out_cap)
+            return -1;
+        out[op++] = (uint8_t)((acc << (8 - nb)) & 0xFF);
+    }
+    return op;
+#undef TIFF_PUT
+}

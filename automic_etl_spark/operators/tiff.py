@@ -113,6 +113,23 @@ def _lzw_decode_tiff(payload: bytes, expected: int) -> bytes | None:
     effectively quadratic on scanned-page content — long white-run
     entries made each append an O(run) copy (measured 8.1 s for one
     1100x850 page; this form decodes it in tens of ms)."""
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None:
+        # compiled kernel, identical policy (automic_etl_spark/native);
+        # output may overshoot `expected` by one entry — trimmed here
+        import ctypes
+
+        buf = bytearray(expected + 8192)
+        rc = lib.automic_tiff_lzw(
+            bytes(payload), len(payload),
+            (ctypes.c_char * len(buf)).from_buffer(buf), expected,
+        )
+        if rc < 0:
+            return None
+        del buf[min(rc, expected):]
+        return bytes(buf)
     CLEAR, EOI = 256, 257
     roots = [(-1 - i, 1) for i in range(256)] + [(0, 0), (0, 0)]
     table = list(roots)
@@ -173,6 +190,26 @@ def _lzw_decode_tiff(payload: bytes, expected: int) -> bytes | None:
 def _lzw_encode_tiff(src: bytes) -> bytes:
     """The early-change encoder twin; resets at table entry 4094 the
     way libtiff does (leaving room so 12-bit codes never overflow)."""
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None:
+        # compiled kernel, byte-identical policy
+        import ctypes
+
+        import numpy as np
+
+        cap = 2 * len(src) + 64
+        buf = bytearray(cap)
+        scratch = np.zeros(2 << 13, dtype=np.int32)
+        rc = lib.automic_tiff_lzw_encode(
+            bytes(src), len(src),
+            (ctypes.c_char * cap).from_buffer(buf), cap,
+            scratch.ctypes.data,
+        )
+        if rc >= 0:
+            del buf[rc:]
+            return bytes(buf)
     CLEAR, EOI = 256, 257
     out = bytearray()
     acc = 0

@@ -252,3 +252,77 @@ class TestDeflate:
             if s.unpack("<H", blob[e : e + 2])[0] == 259:
                 blob[e + 8 : e + 10] = s.pack("<H", 32946 & 0xFFFF)
         assert np.array_equal(decode_tiff(bytes(blob)), img)
+
+
+class TestNativeDifferential:
+    """r13: committed native-vs-Python pins for the TIFF LZW kernels
+    (automic_tiff_lzw / automic_tiff_lzw_encode) — the
+    tests/test_zstd.py nat._LIB re-entry pattern: encode byte-identity
+    (early-change bumps, the 4094 reset), decode prefix/None verdicts
+    on mutated and truncated streams."""
+
+    @staticmethod
+    def _need_lib():
+        import automic_etl_spark.native as nat
+
+        if nat.load() is None:
+            pytest.skip("no C compiler in this environment — Python path only")
+
+    @staticmethod
+    def _python(fn, *args):
+        import automic_etl_spark.native as nat
+
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            return fn(*args)
+        finally:
+            nat._LIB = old
+
+    def test_encode_byte_identical_and_roundtrips(self):
+        import random
+
+        from automic_etl_spark.operators.tiff import (
+            _lzw_decode_tiff,
+            _lzw_encode_tiff,
+        )
+
+        self._need_lib()
+        rng = np.random.RandomState(1312)
+        pyrand = random.Random(1312)
+        for t in range(60):
+            n = pyrand.choice([0, 1, 5, 300, 5000, 60_000])
+            kind = t % 4
+            if kind == 0:
+                d = rng.bytes(n)
+            elif kind == 1:
+                d = bytes(n)  # long runs: table-reset + wide codes
+            elif kind == 2:
+                d = (b"scannedpage " * (n // 12 + 1))[:n]
+            else:
+                d = (rng.bytes(13) * (n // 13 + 1))[:n]
+            native = _lzw_encode_tiff(d)
+            assert native == self._python(_lzw_encode_tiff, d), (t, n, kind)
+            assert _lzw_decode_tiff(native, n) == d
+
+    def test_decode_mutation_truncation_verdicts_agree(self):
+        import random
+
+        from automic_etl_spark.operators.tiff import (
+            _lzw_decode_tiff,
+            _lzw_encode_tiff,
+        )
+
+        self._need_lib()
+        rng = np.random.RandomState(1313)
+        pyrand = random.Random(1313)
+        base = _lzw_encode_tiff((rng.bytes(29) * 300)[:8000])
+        for t in range(200):
+            mb = bytearray(base)
+            if pyrand.random() < 0.7:
+                mb[pyrand.randrange(len(mb))] ^= 1 << pyrand.randrange(8)
+            blob = bytes(mb[: pyrand.randrange(len(mb) + 1)])
+            exp = pyrand.choice([0, 8000, 8007, 7997])
+            a = _lzw_decode_tiff(blob, exp)
+            b = self._python(_lzw_decode_tiff, blob, exp)
+            assert a == b, (t, exp, len(blob))

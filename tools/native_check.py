@@ -36,6 +36,7 @@ CALLER_SUITES: dict[str, list[str]] = {
     "operators/webp.py": ["tests/test_webp.py", "tests/test_imagehash.py"],
     "operators/flac.py": ["tests/test_flac.py", "tests/test_audiofp.py"],
     "operators/snappy.py": ["tests/test_snappy.py", "tests/test_avrofile.py"],
+    "operators/tiff.py": ["tests/test_tiff.py", "tests/test_imagehash.py"],
 }
 
 
