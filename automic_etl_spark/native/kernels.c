@@ -727,7 +727,10 @@ long automic_gif_lzw_encode(int min_code_size, const uint8_t *idx, long n,
 long automic_cdc_boundaries(const uint8_t *data, long n,
                             long min_size, int avg_bits, long max_size,
                             const uint32_t *gear16, long *out) {
-    if (n < 0 || min_size < 1 || max_size < 1 || avg_bits < 1 ||
+    /* max_size < min_size cuts every chunk at max_size, producing up
+     * to n/max_size boundaries — more than the caller's n/min_size+2
+     * buffer holds. Refuse (the Python policy path handles it). */
+    if (n < 0 || min_size < 1 || max_size < min_size || avg_bits < 1 ||
         avg_bits > 16)
         return -1;
     uint32_t mask = (uint32_t)((1u << avg_bits) - 1);

@@ -113,7 +113,7 @@ def cdc_boundaries(
     n = len(data)
     if n == 0:
         return []
-    if min_size >= 1 and max_size >= 1 and 1 <= avg_bits <= 16:
+    if min_size >= 1 and max_size >= min_size and 1 <= avg_bits <= 16:
         from automic_etl_spark.native import load as _load_native
 
         lib = _load_native()
@@ -122,7 +122,10 @@ def cdc_boundaries(
             # native): per-chunk warm-up of avg_bits-1 bytes then a
             # sequential scan — skips the min_size prefix of every
             # chunk entirely, vs hashing every byte here
-            out = np.empty(n // min_size + 2, dtype=np.int64)
+            # sized by the SMALLER bound: if max_size ever undercut
+            # min_size (the kernel refuses it, this guards drift) every
+            # chunk is max_size long and the count is n // max_size
+            out = np.empty(n // min(min_size, max_size) + 2, dtype=np.int64)
             rc = lib.automic_cdc_boundaries(
                 data, n, min_size, avg_bits, max_size,
                 _gear16_table().ctypes.data, out.ctypes.data,

@@ -140,3 +140,31 @@ def test_native_boundaries_match_python_policy():
         finally:
             nat._LIB = old
         assert got == want, (n, kind, ms, mx, bits)
+
+
+def test_max_size_below_min_size_is_safe_and_covering():
+    """r14 advisory regression: max_size < min_size cuts EVERY chunk at
+    max_size, so up to n/max_size boundaries exist — far more than the
+    n/min_size+2 output buffer the wrapper sizes for the kernel. The
+    kernel must refuse the parameterization (-1 -> Python path) instead
+    of writing past the buffer, and the result must still cover the
+    blob exactly with max_size-long chunks."""
+    import automic_etl_spark.native as nat
+
+    data = np.random.RandomState(7).bytes(200_000)
+    cuts = cdc_boundaries(data, min_size=4096, avg_bits=13, max_size=64)
+    # covering invariant: max_size-long chunks, last one the remainder
+    assert cuts[-1] == len(data)
+    assert cuts == list(range(64, len(data) + 1, 64)) + (
+        [len(data)] if len(data) % 64 else []
+    )
+    lib = nat.load()
+    if lib is not None:
+        out = np.empty(len(data) // 64 + 2, dtype=np.int64)
+        from automic_etl_spark.operators.cdc import _gear16_table
+
+        rc = lib.automic_cdc_boundaries(
+            data, len(data), 4096, 13, 64, _gear16_table().ctypes.data,
+            out.ctypes.data,
+        )
+        assert rc == -1  # kernel refuses; Python policy path owns the case

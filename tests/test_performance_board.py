@@ -28,6 +28,49 @@ def test_gif_pricing_prose_corrected():
     assert "= **6.3 s** at sf0.1" not in doc
 
 
+def test_verify_is_not_retroactively_red_by_a_new_board(tmp_path, monkeypatch, capsys):
+    """r14 (verdict item 1 — de-race pin): the driver drops
+    BENCH_r{N}.json AFTER the session ends. verify() must check the
+    table against the boards NAMED in its own provenance header, so a
+    board landing post-session can never flip a green commit red."""
+    import json
+
+    sys.path.insert(0, "/root/repo/tools")
+    import board_check
+
+    def board(n, sec):
+        p = tmp_path / f"BENCH_r{n:02d}.json"
+        p.write_text(
+            json.dumps(
+                {"parsed": {"value": sec, "queries": {"rowq": sec}}}
+            )
+        )
+
+    for n, sec in [(1, 2.0), (2, 2.0), (3, 2.0)]:
+        board(n, sec)
+    doc = tmp_path / "PERFORMANCE.md"
+    doc.write_text("# perf\n\n## Bench board\n")
+    monkeypatch.setattr(board_check, "REPO", str(tmp_path))
+    monkeypatch.setattr(board_check, "DOC", str(doc))
+
+    board_check.update()  # table now names r01..r03, rowq = 2.00
+    assert board_check.verify() == 0
+
+    # a post-session board lands with a wildly different number: under
+    # the old newest-3-on-disk rule the median window would shift to
+    # r02..r04 (median 2.0 -> still 2.0; make it decisive with two)
+    board(4, 9.0)
+    board(5, 9.0)
+    assert board_check.verify() == 0, "post-session boards must not red the pin"
+
+    # but once --update regenerates at round start, the window moves
+    board_check.update()
+    assert board_check.verify() == 0
+    cited, named = board_check.parse_table(doc.read_text())
+    assert named == ["BENCH_r03.json", "BENCH_r04.json", "BENCH_r05.json"]
+    assert cited["rowq"] == 9.0  # median of 2, 9, 9
+
+
 def test_tagged_citation_checker():
     """r13 (verdict item 7): the (BENCH_rNN) prose-citation rule —
     correct tagged figures pass, wrong ones and unknown boards fail,
