@@ -117,11 +117,13 @@ _DRIVER_SCORED = (
     # feature_table / denormalized_view / medallion_gold)
     "extract_json_regex", "funnel_conversion",
     "scan_derived_filter", "pricing_summary", "agg_having",
-    # last scored = next designated drop-out candidate (semi/anti
-    # coverage would stay via validation_report's broadcast anti-join
-    # and scd2_history's merge anti-arm if a future rotation displaces
-    # it; its oracle stays in-suite)
-    "join_semi_anti",
+    # r14 rotation (the r13-designated displacement, executed): the new
+    # zstd-dictionary gate scores rather than aging in overflow;
+    # `join_semi_anti` demoted — semi/anti coverage stays scored via
+    # validation_report's broadcast anti-join and scd2_history's merge
+    # anti-arm, and its own oracle stays in-suite via check_oracle /
+    # test_oracle_gate.
+    "zstd_dict",          # r14: trained-dictionary round-trip gate
 )
 
 

@@ -131,16 +131,16 @@ def test_registry_driver_window_prefix():
         "join_revenue_by_nation",  # the r12-designated drop-out:
         # equi-join coverage stays scored via feature_table /
         # denormalized_view / medallion_gold
-        # -- late-r13 addition, declared directly in the overflow tail
-        "zstd_dict",  # dictionary training + dict-compressed corpus
-        # pack; oracle in-suite (ids + byte lengths + engine-proved
-        # round trips) — a scored-window promotion is a future
-        # rotation's call
+        # -- r14 rotation: the r13-designated displacement, executed —
+        # zstd_dict promoted into the scored window; join_semi_anti
+        # demoted with semi/anti coverage staying scored via
+        # validation_report's broadcast anti-join and scd2_history's
+        # merge anti-arm; its oracle stays in-suite here
+        "join_semi_anti",
     }, f"unexpected overflow block: {overflow}"
-    # the new last SCORED entry is the next designated drop-out
-    # candidate (semi/anti coverage would stay via validation_report's
-    # broadcast anti-join and scd2_history's merge anti-arm)
-    assert scored[-1] == "join_semi_anti"
+    # the new last SCORED entry (the r13 verdict's promotion ask):
+    # the trained-dictionary round-trip gate
+    assert scored[-1] == "zstd_dict"
 
 
 def test_entry_contract(spark):
