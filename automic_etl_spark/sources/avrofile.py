@@ -685,6 +685,66 @@ def _decode(buf: memoryview, pos: int, s) -> tuple[Any, int]:
     raise ValueError(f"cannot decode type {t!r}")
 
 
+def _skip(buf: memoryview, pos: int, s) -> int:
+    """Advance past one value WITHOUT materializing it (r14 column
+    pruning): no string decode, no Decimal/timestamp construction, no
+    dict/list building — the wire walk only. Avro is a sequential
+    format so pruned fields must still be walked, but skipping the
+    Python-object construction is where the decode cost lives; block
+    forms with a byte-size prefix (negative array/map counts) skip in
+    O(1). Mirrors ``_decode``'s wire shapes exactly (the differential
+    test pins pos-identity against it)."""
+    if "promote" in s:  # resolution plan: skip the WRITER's wire type
+        return _skip(buf, pos, {k: x for k, x in s.items() if k != "promote"})
+    t = s["type"]
+    if t == "null":
+        return pos
+    if t == "boolean":
+        return pos + 1
+    if t in ("int", "long", "enum"):
+        return _read_long(buf, pos)[1]
+    if t == "float":
+        return pos + 4
+    if t == "double":
+        return pos + 8
+    if t in ("bytes", "string"):
+        n, pos = _read_long(buf, pos)
+        if n < 0 or pos + n > len(buf):
+            raise ValueError("bytes/string length out of range")
+        return pos + n
+    if t == "fixed":
+        return pos + s["size"]
+    if t == "record":
+        if "wire" in s:  # resolved plan: the wire is the writer's order
+            for step in s["wire"]:
+                pos = _skip(buf, pos, step[1] if step[0] == "skip" else step[2])
+            return pos
+        for f in s["fields"]:
+            pos = _skip(buf, pos, f["type"])
+        return pos
+    if t in ("array", "map"):
+        item = s["items"] if t == "array" else s["values"]
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return pos
+            if count < 0:  # skippable block form: byte size given
+                size, pos = _read_long(buf, pos)
+                pos += size
+                continue
+            for _ in range(count):
+                if t == "map":
+                    n, pos = _read_long(buf, pos)
+                    pos += n
+                pos = _skip(buf, pos, item)
+    if t == "union":
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(s["branches"]):
+            raise ValueError(f"union branch {idx} out of range")
+        return _skip(buf, pos, s["branches"][idx])
+    raise ValueError(f"cannot skip type {t!r}")
+
+
 # --------------------------------------------------------------------------
 # Object Container Files — spec §"Object Container Files"
 # --------------------------------------------------------------------------
@@ -1120,11 +1180,21 @@ def _validate_block(f: BinaryIO, sync: bytes, pos: int, file_size: int) -> bool:
 def _iter_blocks_range(
     path: str, start: int, end: int, reader_schema=None,
     expect_fields: list[str] | None = None, allow_recursive: bool = False,
+    project: set[str] | None = None, prune_stats: dict | None = None,
 ) -> Iterator[dict]:
     """Decode the blocks that START in [max(start, first_block), end)
     of a local container file — each split owns the blocks beginning
     inside it (a block straddling ``end`` is decoded in full by this
-    split and skipped by the next, which realigns past it)."""
+    split and skipped by the next, which realigns past it).
+
+    ``project`` (r14 column pruning): top-level field names to decode;
+    every other field is wire-walked by ``_skip`` without building
+    Python objects (strings, Decimals, nested containers) — the
+    schema-driven decoder's skip mode. Ignored when ``reader_schema``
+    resolution is in play (the resolved plan owns the walk).
+    ``prune_stats``, when given, is incremented in place with
+    ``decoded_fields`` / ``skipped_fields`` counters so tests can pin
+    that pruning actually skips work."""
     import os
 
     file_size = os.path.getsize(path)
@@ -1159,9 +1229,32 @@ def _iter_blocks_range(
                 raise ValueError(f"{path}: corrupt block at {pos}")
             data = memoryview(decomp(body))
             dpos = 0
-            for _ in range(count):
-                rec, dpos = _decode(data, dpos, parsed)
-                yield rec
+            if project is not None and reader_schema is None:
+                # per-field plan: (name-or-None, field type); None = skip
+                plan = [
+                    (f["name"] if f["name"] in project else None, f["type"])
+                    for f in parsed["fields"]
+                ]
+                for _ in range(count):
+                    rec = {}
+                    for name, ftype in plan:
+                        if name is None:
+                            dpos = _skip(data, dpos, ftype)
+                            if prune_stats is not None:
+                                prune_stats["skipped_fields"] = (
+                                    prune_stats.get("skipped_fields", 0) + 1
+                                )
+                        else:
+                            rec[name], dpos = _decode(data, dpos, ftype)
+                            if prune_stats is not None:
+                                prune_stats["decoded_fields"] = (
+                                    prune_stats.get("decoded_fields", 0) + 1
+                                )
+                    yield rec
+            else:
+                for _ in range(count):
+                    rec, dpos = _decode(data, dpos, parsed)
+                    yield rec
             pos = pos + p2 + size + 16
 
 

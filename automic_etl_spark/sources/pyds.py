@@ -117,6 +117,8 @@ class WarcReader(DataSourceReader):
             "false", "0", "no",
         )
 
+        self._uris = None  # pushdown-narrowed target-URI set (None = all)
+
     def partitions(self):
         return [InputPartition(f) for f in _list_warc_files(self._path)]
 
@@ -133,6 +135,11 @@ class WarcReader(DataSourceReader):
                 idx += 1
                 wtype = headers.get("warc-type", "").lower()
                 if self._types is not None and wtype not in self._types:
+                    continue
+                if (
+                    self._uris is not None
+                    and headers.get("warc-target-uri") not in self._uris
+                ):
                     continue
                 status, http_ct, body = (
                     _split_http(payload)
@@ -178,34 +185,56 @@ def _arrow_batch(rows):
     return pa.RecordBatch.from_arrays(arrays, _COLUMNS)
 
 
-class _PushdownWarcReader(WarcReader):
-    """The pushdown arm (see WarcDataSource.reader): selected only when
-    spark.sql.python.filterPushdown.enabled is true, because Spark
-    hard-errors on a pushFilters-implementing reader otherwise."""
+def _string_set(f) -> set[str] | None:
+    """The filter's value(s) as a set of strings, or None if it isn't
+    an all-string EqualTo/In."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    if isinstance(f, EqualTo) and isinstance(f.value, str):
+        return {f.value}
+    if isinstance(f, In) and all(isinstance(v, str) for v in f.value):
+        return set(f.value)
+    return None
+
+
+class _WarcPushdownMixin:
+    """Shared pushFilters (Spark 4.1) for the warc/wet readers: selected
+    only when spark.sql.python.filterPushdown.enabled is true, because
+    Spark hard-errors on a pushFilters-implementing reader otherwise.
+
+    ``warc_type = x`` / ``IN (...)`` narrows the reader's type set, so
+    filtered-out records skip payload materialization at parse time — a
+    real IO/CPU saving on mixed segments (requests/metadata dwarf
+    responses by count in raw crawls). Target-URI equality/IN (column
+    ``target_uri`` on warc, ``url`` on wet — r14) narrows record
+    conversion the same way: non-matching records never build rows or
+    Arrow batches. Every filter is also RETURNED (partial-pushdown
+    contract), so Spark still applies it post-scan — the pushdown is
+    purely an optimization and can never change results."""
+
+    _URI_COLUMN = "target_uri"
 
     def pushFilters(self, filters):
-        """Pushdown (Spark 4.1): `warc_type = x` / `warc_type IN (...)`
-        narrow the reader's type set, so filtered-out records skip
-        payload materialization at parse time — a real IO/CPU saving on
-        mixed segments (requests/metadata dwarf responses by count in
-        raw crawls). Every filter is also RETURNED (partial-pushdown
-        contract), so Spark still applies it post-scan — the pushdown
-        is purely an optimization and can never change results."""
-        from pyspark.sql.datasource import EqualTo, In
-
         for f in filters:
-            wanted = None
-            if isinstance(f, EqualTo) and f.attribute == ("warc_type",):
-                if isinstance(f.value, str):
-                    wanted = {f.value.lower()}
-            elif isinstance(f, In) and f.attribute == ("warc_type",):
-                if all(isinstance(v, str) for v in f.value):
-                    wanted = {v.lower() for v in f.value}
-            if wanted is not None:
-                self._types = (
-                    wanted if self._types is None else self._types & wanted
-                )
+            attr = getattr(f, "attribute", None)
+            if attr == ("warc_type",):
+                wanted = _string_set(f)
+                if wanted is not None:
+                    wanted = {v.lower() for v in wanted}
+                    self._types = (
+                        wanted if self._types is None else self._types & wanted
+                    )
+            elif attr == (self._URI_COLUMN,):
+                wanted = _string_set(f)
+                if wanted is not None:
+                    self._uris = (
+                        wanted if self._uris is None else self._uris & wanted
+                    )
         return filters
+
+
+class _PushdownWarcReader(_WarcPushdownMixin, WarcReader):
+    pass
 
 
 class WetDataSource(DataSource):
@@ -225,7 +254,8 @@ class WetDataSource(DataSource):
         )
 
     def reader(self, schema) -> "WetReader":
-        return WetReader(self.options)
+        return (_PushdownWetReader if _filter_pushdown_enabled()
+                else WetReader)(self.options)
 
 
 class WetReader(WarcReader):
@@ -239,6 +269,20 @@ class WetReader(WarcReader):
         import pyarrow as pa
 
         for batch in super().read(partition):
+            # UTF-8 text from the payload bytes. Lenient decode (r14
+            # advisory): WET conversion records carry plain text by
+            # definition, but real Common Crawl segments DO contain
+            # invalid byte sequences — an Arrow binary->string cast
+            # raises ArrowInvalid and fails the whole task, so decode
+            # in Python with errors='replace' (total on any input;
+            # matches read_wet's lenient contract).
+            text = pa.array(
+                [
+                    None if v is None else v.decode("utf-8", "replace")
+                    for v in batch.column(11).to_pylist()
+                ],
+                pa.string(),
+            )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),
@@ -246,13 +290,15 @@ class WetReader(WarcReader):
                     batch.column(3),
                     batch.column(4),
                     batch.column(5),
-                    # UTF-8 text from the payload bytes (WET conversion
-                    # records carry plain text by definition)
-                    batch.column(11).cast(pa.string()),
+                    text,
                 ],
                 ["warc_file", "record_index", "record_id", "url",
                  "warc_date", "text"],
             )
+
+
+class _PushdownWetReader(_WarcPushdownMixin, WetReader):
+    _URI_COLUMN = "url"
 
 
 class AvroDataSource(DataSource):
@@ -266,6 +312,13 @@ class AvroDataSource(DataSource):
     - ``split_size``: intra-file split bytes (default 128 MiB; splits
       realign to OCF block boundaries executor-side via the sync-marker
       scan, so a big container parallelizes like parquet row groups).
+    - ``columns``: CSV of top-level fields to decode (r14 column
+      pruning — the Python Data Source API has no prune hook as of
+      Spark 4.1, so the projection rides an option). Pruned fields are
+      wire-walked in skip mode (no string/Decimal/container
+      materialization; block-form arrays/maps skip in O(1)), so a
+      narrow read of a wide container does a fraction of the decode
+      work. Field order in the result follows the FILE's schema.
 
     Named ``avrofile`` (not ``avro``) so an actual spark-avro jar, if
     ever present, keeps its name."""
@@ -289,6 +342,20 @@ class AvroDataSource(DataSource):
             raise ValueError(f"no .avro files under {path!r}")
         with open(files[0], "rb") as f0:
             parsed, _json, _records = read_ocf(f0)
+        cols = self.options.get("columns")
+        if cols:
+            keep = {c.strip() for c in cols.split(",") if c.strip()}
+            names = {f["name"] for f in parsed["fields"]}
+            missing = sorted(keep - names)
+            if missing:
+                raise ValueError(
+                    f"columns option names fields not in the file schema: "
+                    f"{missing}"
+                )
+            parsed = dict(
+                parsed,
+                fields=[f for f in parsed["fields"] if f["name"] in keep],
+            )
         return avro_to_spark_ddl(parsed)
 
     def reader(self, schema) -> "AvroReader":
@@ -302,6 +369,10 @@ class AvroReader(DataSourceReader):
             raise ValueError("format('avrofile') needs a path — .load(path)")
         self._path = path
         self._split = int(options.get("split_size", 128 << 20))
+        cols = options.get("columns")
+        self._project = (
+            {c.strip() for c in cols.split(",") if c.strip()} if cols else None
+        )
 
     def partitions(self):
         import os
@@ -331,12 +402,16 @@ class AvroReader(DataSourceReader):
         with open(files[0], "rb") as f0:
             parsed, _json, _records = read_ocf(f0)
         names = [f["name"] for f in parsed["fields"]]
-        convs = [_to_pandas_cell(f["type"]) for f in parsed["fields"]]
+        fields = parsed["fields"]
+        if self._project is not None:
+            fields = [f for f in fields if f["name"] in self._project]
+        out_names = [f["name"] for f in fields]
+        convs = [_to_pandas_cell(f["type"]) for f in fields]
         fpath, start, end = partition.value
         for rec in _iter_blocks_range(
-            fpath, start, end, expect_fields=names
+            fpath, start, end, expect_fields=names, project=self._project
         ):
-            yield tuple(cv(rec.get(c)) for c, cv in zip(names, convs))
+            yield tuple(cv(rec.get(c)) for c, cv in zip(out_names, convs))
 
 
 def register(spark) -> None:

@@ -441,7 +441,14 @@ def read_wet(
     """Read WET (extracted-text) segments into (warc_file, record_index,
     record_id, url, warc_date, text). WET 'conversion' records carry
     UTF-8 plain text — the standard entry point for text-pipeline
-    curation (feed straight into CorpusCurator)."""
+    curation (feed straight into CorpusCurator).
+
+    Decode is LENIENT (r14 advisory): real Common Crawl WET segments do
+    contain invalid UTF-8 byte sequences, and Spark 4's ``F.decode``
+    raises MALFORMED_CHARACTER_CODING on them, failing the whole task —
+    so the text column decodes with ``errors='replace'`` (U+FFFD per
+    bad sequence, total on any input) through an Arrow-batched pandas
+    UDF; the ``format("wet")`` data source applies the same contract."""
     from pyspark.sql import functions as F
 
     df = read_warc(
@@ -458,8 +465,21 @@ def read_wet(
         "record_id",
         F.col("target_uri").alias("url"),
         "warc_date",
-        F.decode(F.col("payload"), "UTF-8").alias("text"),
+        _utf8_lenient()(F.col("payload")).alias("text"),
     )
+
+
+def _utf8_lenient_series(b):
+    return b.map(
+        lambda v: None if v is None else bytes(v).decode("utf-8", "replace")
+    )
+
+
+def _utf8_lenient():
+    # built lazily: pandas_udf registration needs an active session
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf("string")(_utf8_lenient_series)
 
 
 # --- writer (sink + test fixture) -------------------------------------------

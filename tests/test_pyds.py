@@ -242,3 +242,167 @@ class TestWarcFilterPushdown:
         )
         # intersection is empty: the option already excluded resource
         assert df.collect() == []
+
+
+class TestWetLenientDecodeAndPushdown:
+    def test_invalid_utf8_decodes_with_replacement_both_paths(
+        self, spark, tmp_path
+    ):
+        """r14 advisory: real Common Crawl WET segments contain invalid
+        UTF-8; the old Arrow binary->string cast (and Spark 4 F.decode)
+        raised and failed the task. Both paths now decode with
+        errors='replace' and agree."""
+        from automic_etl_spark.sources.warc import read_wet
+
+        register(spark)
+        p = str(tmp_path / "bad.wet.gz")
+        write_warc_file(
+            p,
+            [
+                ("conversion", b"caf\xe9 latin-1 and \xff\xfe noise", "http://a/1"),
+                ("conversion", "clean é text".encode(), "http://a/2"),
+            ],
+        )
+        a = spark.read.format("wet").load(p).orderBy("record_index").collect()
+        b = read_wet(spark, p).orderBy("record_index").collect()
+        assert [(r.url, r.text) for r in a] == [(r.url, r.text) for r in b]
+        assert a[0].text == b"caf\xe9 latin-1 and \xff\xfe noise".decode(
+            "utf-8", "replace"
+        )
+        assert "�" in a[0].text and a[1].text == "clean é text"
+
+    def test_url_pushdown_skips_records_and_agrees(self, spark, tmp_path):
+        """r14 (verdict item 5): WET gains the warc pushdown arm — url
+        EqualTo/In narrows the reader so non-matching records never
+        build rows (kept-record counter pinned reader-side), and Spark
+        re-applies the filter so results are exact."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.datasource import EqualTo, InputPartition
+
+        from automic_etl_spark.sources.pyds import _PushdownWetReader
+
+        register(spark)
+        p = str(tmp_path / "many.wet.gz")
+        recs = [
+            ("conversion", f"doc {i}".encode(), f"http://site/{i}")
+            for i in range(10)
+        ]
+        write_warc_file(p, recs)
+
+        df = spark.read.format("wet").load(p).filter(F.col("url") == "http://site/7")
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0].text == "doc 7"
+
+        # kept-record counter: the narrowed reader yields ONLY matching
+        # records (skipped work, not post-filtering)
+        r = _PushdownWetReader({"path": p})
+        returned = r.pushFilters([EqualTo(("url",), "http://site/7")])
+        assert list(returned)  # partial-pushdown contract: filter returned
+        kept = sum(b.num_rows for b in r.read(InputPartition(p)))
+        assert kept == 1
+        full = _PushdownWetReader({"path": p})
+        assert sum(b.num_rows for b in full.read(InputPartition(p))) == 10
+
+    def test_warc_target_uri_pushdown(self, spark, tmp_path):
+        from pyspark.sql.datasource import In, InputPartition
+
+        from automic_etl_spark.sources.pyds import _PushdownWarcReader
+
+        p = str(tmp_path / "uri.warc.gz")
+        write_warc_file(
+            p,
+            [
+                ("response", HTTP_PAYLOAD, "http://a/"),
+                ("response", HTTP_PAYLOAD, "http://b/"),
+                ("response", HTTP_PAYLOAD, "http://c/"),
+            ],
+        )
+        r = _PushdownWarcReader({"path": p})
+        r.pushFilters([In(("target_uri",), ("http://a/", "http://c/"))])
+        kept = sum(b.num_rows for b in r.read(InputPartition(p)))
+        assert kept == 2
+
+
+class TestAvroColumnPruning:
+    SCHEMA = TestAvroDataSource.SCHEMA
+
+    def test_columns_option_prunes_schema_and_agrees(self, spark, tmp_path):
+        """r14 (verdict item 5): a narrow read decodes only the named
+        fields; result is identical to selecting them from a full read."""
+        from automic_etl_spark.sources.avrofile import write_ocf
+
+        register(spark)
+        p = tmp_path / "wide.avro"
+        p.write_bytes(
+            write_ocf(
+                TestAvroDataSource._recs(TestAvroDataSource(), 0, 60),
+                self.SCHEMA,
+                codec="deflate",
+            )
+        )
+        narrow = (
+            spark.read.format("avrofile")
+            .option("columns", "id,nested")
+            .load(str(p))
+        )
+        assert narrow.columns == ["id", "nested"]
+        a = narrow.orderBy("id").collect()
+        b = (
+            spark.read.format("avrofile")
+            .load(str(p))
+            .select("id", "nested")
+            .orderBy("id")
+            .collect()
+        )
+        assert a == b and a[1].nested.y == "y1"
+
+    def test_columns_option_unknown_field_raises(self, spark, tmp_path):
+        from automic_etl_spark.sources.avrofile import write_ocf
+
+        register(spark)
+        p = tmp_path / "w.avro"
+        p.write_bytes(
+            write_ocf(
+                TestAvroDataSource._recs(TestAvroDataSource(), 0, 3),
+                self.SCHEMA,
+            )
+        )
+        with pytest.raises(Exception, match="nope"):
+            (
+                spark.read.format("avrofile")
+                .option("columns", "id,nope")
+                .load(str(p))
+                .collect()
+            )
+
+    def test_prune_walk_skips_work_and_matches_full_decode(self, tmp_path):
+        """Skipped-work pin: pruned fields are wire-walked by _skip (no
+        materialization) — the counter proves the skip path ran, and the
+        projected records equal the full decode's subset (pos-identity
+        of _skip vs _decode on every field type in the schema:
+        long, nullable-union string, array, map, nested record)."""
+        from automic_etl_spark.sources.avrofile import (
+            _iter_blocks_range,
+            write_ocf,
+        )
+
+        p = tmp_path / "prune.avro"
+        n = 50
+        p.write_bytes(
+            write_ocf(
+                TestAvroDataSource._recs(TestAvroDataSource(), 0, n),
+                self.SCHEMA,
+                codec="null",
+                block_rows=7,
+            )
+        )
+        size = p.stat().st_size
+        stats: dict = {}
+        pruned = list(
+            _iter_blocks_range(
+                str(p), 0, size, project={"id", "props"}, prune_stats=stats
+            )
+        )
+        full = list(_iter_blocks_range(str(p), 0, size))
+        assert pruned == [{"id": r["id"], "props": r["props"]} for r in full]
+        assert stats == {"decoded_fields": 2 * n, "skipped_fields": 3 * n}
