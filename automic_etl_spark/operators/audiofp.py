@@ -270,6 +270,29 @@ def audio_blobs_fingerprint(
     return df.mapInPandas(kernel, FP_SCHEMA.replace("doc_id ", f"{id_col} ", 1))
 
 
+class LandmarkCacheHandle:
+    """Deterministic release for fingerprint_match_join's internal
+    persist (r14): batch callers can ignore it (the ContextCleaner
+    reclaims the table when the plan is garbage-collected), but a
+    long-lived service calling the join in a loop would otherwise
+    accumulate persisted tables until the cleaner catches up — call
+    ``release()`` (idempotent) once the result has been consumed."""
+
+    def __init__(self) -> None:
+        self._df: DataFrame | None = None
+
+    def release(self) -> None:
+        if self._df is not None:
+            self._df.unpersist()
+            self._df = None
+
+    def __enter__(self) -> "LandmarkCacheHandle":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
 def fingerprint_match_join(
     fps: DataFrame,
     id_col: str = "doc_id",
@@ -277,6 +300,7 @@ def fingerprint_match_join(
     per_value_cap: int = 4,
     link: str = "all",
     max_bucket_docs: int | None = None,
+    cache_handle: LandmarkCacheHandle | None = None,
 ) -> DataFrame:
     """(id_a < id_b, offset, hits) for clip pairs sharing >= min_hits
     landmark hashes at one frame offset (offset voting — chance
@@ -418,6 +442,8 @@ def fingerprint_match_join(
     # spills at sane corpus sizes, and at 100 TB scale this table is the
     # already-capped inverted index, linear in corpus size.
     ex = ex.persist()
+    if cache_handle is not None:
+        cache_handle._df = ex
     if exact_edges is not None:
         # an identical pair's offset-0 evidence is the rep's CAPPED
         # occurrence count (every capped occurrence matches itself) —

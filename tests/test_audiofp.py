@@ -323,3 +323,28 @@ def test_rep_collapses_identical_cluster_linearly(spark):
     }
     assert kept == {10, 16}
     fps6.unpersist()
+
+
+def test_cache_handle_releases_landmark_table(fps):
+    """r14 (verdict item 7): the internal landmark-table persist can be
+    released deterministically via the handle; results stay correct."""
+    from automic_etl_spark.operators.audiofp import LandmarkCacheHandle
+
+    with LandmarkCacheHandle() as h:
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in fingerprint_match_join(
+                fps, min_hits=50, cache_handle=h
+            ).collect()
+        }
+        assert (0, 1) in pairs and (2, 3) in pairs
+        assert h._df is not None and h._df.storageLevel.useMemory
+        cached = h._df
+        h.release()
+        assert h._df is None and not cached.storageLevel.useMemory
+        h.release()  # idempotent
+    # default path unaffected (no handle): same result set
+    assert pairs == {
+        (r["id_a"], r["id_b"])
+        for r in fingerprint_match_join(fps, min_hits=50).collect()
+    }
