@@ -340,6 +340,13 @@ def _list_warc_files(path_or_paths) -> list[str]:
         if not out:
             raise FileNotFoundError(f"no WARC/WET files under {p}")
         return out
+    if any(ch in p for ch in "*?["):  # glob (r14: was documented but
+        import glob as _glob  # unimplemented — a literal glob string
+
+        out = sorted(_glob.glob(p))  # reached open() on the executor)
+        if not out:
+            raise FileNotFoundError(f"no files match {p}")
+        return out
     return [p]
 
 
@@ -560,3 +567,93 @@ def write_warc_file(
         else:
             for rec in records:
                 write_warc_record(raw, rec[0], rec[1], *(rec[2:]))
+
+
+def write_warc_corpus(
+    df: DataFrame,
+    directory: str,
+    uri_col: str = "url",
+    text_col: str = "text",
+    record_type: str = "conversion",
+    dictionary: bytes | str | None = None,
+    dict_size: int = 16384,
+    sample_rows: int = 512,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Distributed WARC corpus sink (r14 — the train→write→read-back
+    composition the r13 pieces stopped short of): each partition writes
+    ``part-{pid:05d}.warc.zst`` (or ``.warc.gz`` without a dictionary)
+    under ``directory``, one record per row, shared-filesystem contract
+    like write_avro. Returns (path, n_records) per written segment; an
+    action triggers the write. Read-back via ``read_warc``/``read_wet``
+    is row-identical — ``open_warc`` already honors the layout.
+
+    ``dictionary``:
+    - ``None`` — gzip member-per-record segments (the Common Crawl
+      layout).
+    - ``"train"`` — ONE call does the whole dictionary lane: train a
+      raw content zstd dictionary on a bounded ordered sample of the
+      corpus (operators/zstddict, the sample-fit pattern), persist it
+      as ``directory/dictionary.zdict`` for reuse/CLI interop, and
+      write warc-zstd segments that each embed it as the IIPC
+      skippable dict frame (segments stay individually self-contained).
+    - raw dictionary ``bytes`` — use as-is (e.g. a previously trained
+      artifact), same embedded-frame layout.
+
+    Scale: training collects only ``sample_rows`` ordered rows (the
+    artifact is ~16-100 kB); the write is map-only — the dictionary
+    rides each task's closure, no shuffle beyond the caller's
+    partitioning. Small same-shaped documents (logs, JSON events, WET
+    text) are exactly the lane where per-frame zstd barely compresses
+    without a shared dictionary."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    dict_bytes: bytes | None
+    if dictionary == "train":
+        from automic_etl_spark.operators.zstddict import train_zstd_dict
+
+        dict_bytes = train_zstd_dict(
+            df,
+            content_col=text_col,
+            id_col=id_col or uri_col,
+            dict_size=dict_size,
+            sample_rows=sample_rows,
+        )
+    elif dictionary is not None:
+        dict_bytes = bytes(dictionary)
+    else:
+        dict_bytes = None
+    os.makedirs(directory, exist_ok=True)
+    if dict_bytes is not None:
+        with open(os.path.join(directory, "dictionary.zdict"), "wb") as f:
+            f.write(dict_bytes)
+    ext = "warc.gz" if dict_bytes is None else "warc.zst"
+
+    with_pid = df.select(
+        F.col(uri_col).cast("string").alias("__uri"),
+        F.col(text_col).alias("__content"),
+    ).withColumn("__pid", F.spark_partition_id())
+
+    def sink(iterator):
+        rows_by_pid: dict[int, list] = {}
+        for pdf in iterator:
+            for pid, uri, content in zip(
+                pdf["__pid"], pdf["__uri"], pdf["__content"]
+            ):
+                payload = (
+                    content.encode("utf-8")
+                    if isinstance(content, str)
+                    else (bytes(content) if content is not None else b"")
+                )
+                rows_by_pid.setdefault(int(pid), []).append(
+                    (record_type, payload, uri)
+                )
+        for pid, recs in rows_by_pid.items():
+            out = os.path.join(directory, f"part-{pid:05d}.{ext}")
+            write_warc_file(out, recs, dictionary=dict_bytes)
+            yield pd.DataFrame({"path": [out], "n_records": [len(recs)]})
+
+    return with_pid.mapInPandas(sink, "path string, n_records long")

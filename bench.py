@@ -73,6 +73,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_audio_fingerprint,
     q_line_dedup,
     q_warc_extract,
+    q_warc_dict_export,
     q_corpus_curate,
     q_avro_scan,
     q_exif_scrub,
@@ -127,6 +128,8 @@ HEADLINE = {
     # round-6 surface: web-corpus front end + corpus-wide line dedup
     "line_dedup": q_line_dedup,
     "warc_extract": q_warc_extract,
+    # round-14 surface: the one-call trained-dictionary corpus export
+    "warc_dict_export": q_warc_dict_export,
     "audio_fingerprint": q_audio_fingerprint,
     # round-9 session-3 surface: first-party Avro codec + EXIF PII scrub
     "avro_scan": q_avro_scan,

@@ -679,3 +679,76 @@ class TestWarcZstdDictionary:
             write_warc_file(
                 str(tmp_path / "x.warc.gz"), self._records(2), dictionary=b"d"
             )
+
+
+class TestWriteWarcCorpus:
+    """r14 (verdict item 6): the one-call train→write→read-back lane."""
+
+    def _docs(self, spark, n=40):
+        # small same-shaped docs: the dictionary case
+        rows = [
+            (
+                f"http://logs.example/{i}",
+                '{"service": "api-gateway", "level": "INFO", "message": '
+                f'"request completed", "status": 200, "latency_ms": {i}, '
+                f'"trace_id": "trace-{i:08d}"}}',
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "url string, text string")
+
+    def test_trained_dict_write_readback_row_identical(self, spark, tmp_path):
+        import os
+
+        from automic_etl_spark.sources.warc import (
+            WARC_ZSTD_DICT_MAGIC,
+            read_wet,
+            write_warc_corpus,
+        )
+
+        docs = self._docs(spark).repartition(3)
+        d = str(tmp_path / "corpus")
+        manifest = write_warc_corpus(docs, d, dictionary="train").collect()
+        assert sum(m.n_records for m in manifest) == 40
+        assert all(m.path.endswith(".warc.zst") for m in manifest)
+        # the trained artifact persists for reuse / CLI interop
+        zdict = os.path.join(d, "dictionary.zdict")
+        assert os.path.getsize(zdict) > 0
+        # every segment embeds the IIPC skippable dict frame at its head
+        for m in manifest:
+            with open(m.path, "rb") as f:
+                assert (
+                    int.from_bytes(f.read(4), "little") == WARC_ZSTD_DICT_MAGIC
+                )
+        back = read_wet(spark, os.path.join(d, "*.warc.zst"))
+        got = sorted((r.url, r.text) for r in back.collect())
+        want = sorted((r.url, r.text) for r in docs.collect())
+        assert got == want
+
+    def test_pretrained_bytes_and_gz_paths(self, spark, tmp_path):
+        import os
+
+        from automic_etl_spark.sources.warc import read_wet, write_warc_corpus
+
+        docs = self._docs(spark, 12)
+        # reuse a previously trained artifact verbatim
+        d1 = str(tmp_path / "c1")
+        write_warc_corpus(docs, d1, dictionary="train").collect()
+        trained = open(os.path.join(d1, "dictionary.zdict"), "rb").read()
+        d2 = str(tmp_path / "c2")
+        write_warc_corpus(docs, d2, dictionary=trained).collect()
+        assert open(os.path.join(d2, "dictionary.zdict"), "rb").read() == trained
+        a = sorted(
+            (r.url, r.text)
+            for r in read_wet(spark, os.path.join(d2, "*.warc.zst")).collect()
+        )
+        # no dictionary -> Common Crawl gzip layout, same rows
+        d3 = str(tmp_path / "c3")
+        m3 = write_warc_corpus(docs, d3, dictionary=None).collect()
+        assert all(m.path.endswith(".warc.gz") for m in m3)
+        b = sorted(
+            (r.url, r.text)
+            for r in read_wet(spark, os.path.join(d3, "*.warc.gz")).collect()
+        )
+        want = sorted((r.url, r.text) for r in docs.collect())
+        assert a == want and b == want
