@@ -108,6 +108,7 @@ def load():
         lib.automic_find_sequences_d.restype = ctypes.c_long
         lib.automic_find_sequences_d.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long,
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p,
         ]

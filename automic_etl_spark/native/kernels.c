@@ -1033,12 +1033,21 @@ long automic_vp8l_pixels(
  * reach into the prefix. Same scratch contract as the plain matcher.
  */
 long automic_find_sequences_d(const uint8_t *full, long n, long start,
+                              long end, long insert_from,
                               uint32_t *table_keys, int32_t *table_pos,
                               int table_log, int64_t *out) {
-    if (n < 4 || start >= n)
+    /* r14: `end` bounds the scan/extension to the current block and
+     * `insert_from` lets a caller CARRY table_keys/table_pos across
+     * blocks, inserting only the window bytes grown since the last
+     * call — the multi-block dictionary path was rebuilding the whole
+     * prefix per 128 KiB block, O(n^2). (end=n, insert_from=0) is the
+     * old single-shot behavior. Final table state after insert is
+     * position-identical to a fresh rebuild: "later wins" per key, and
+     * scan-phase entries sit inside ranges later insert passes cover. */
+    if (n < 4 || end > n || start >= end || insert_from < 0)
         return 0;
     const uint32_t mask = (1u << table_log) - 1;
-    for (long j = 0; j < start && j <= n - 4; j++) {
+    for (long j = insert_from; j < start && j <= n - 4; j++) {
         uint32_t key = rd32(full + j);
         uint32_t slot = (key * 2654435761u) & mask;
         for (;;) {
@@ -1058,7 +1067,7 @@ long automic_find_sequences_d(const uint8_t *full, long n, long start,
     long nseq = 0;
     long anchor = start;
     long i = start;
-    const long limit = n - 4;
+    const long limit = end - 4;
     while (i <= limit) {
         uint32_t key = rd32(full + i);
         uint32_t slot = (key * 2654435761u) & mask;
@@ -1079,9 +1088,9 @@ long automic_find_sequences_d(const uint8_t *full, long n, long start,
         }
         if (j >= 0) {
             long ml = 4;
-            while (i + ml + 8 <= n && rd64(full + j + ml) == rd64(full + i + ml))
+            while (i + ml + 8 <= end && rd64(full + j + ml) == rd64(full + i + ml))
                 ml += 8;
-            while (i + ml < n && full[j + ml] == full[i + ml])
+            while (i + ml < end && full[j + ml] == full[i + ml])
                 ml += 1;
             out[nseq * 3] = i - anchor;
             out[nseq * 3 + 1] = ml;

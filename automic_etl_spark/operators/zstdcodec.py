@@ -1502,7 +1502,7 @@ def _find_sequences_prefixed(
         pos_ = np.zeros(1 << table_log, dtype=np.int32)
         tri = np.empty(3 * ((n - start) // 4 + 2), dtype=np.int64)
         cnt = lib.automic_find_sequences_d(
-            full, n, start, keys.ctypes.data, pos_.ctypes.data,
+            full, n, start, n, 0, keys.ctypes.data, pos_.ctypes.data,
             table_log, tri.ctypes.data,
         )
         return [tuple(t) for t in tri[: 3 * cnt].reshape(-1, 3).tolist()]
@@ -1534,6 +1534,80 @@ def _find_sequences_prefixed(
             continue
         i += 1
     return seqs
+
+
+class _DictSequencer:
+    """Carried-window matcher for multi-block dictionary compression
+    (r14 advisory: the per-block path rebuilt ``dict + data[:pos]`` and
+    re-seeded a fresh hash table for EVERY 128 KiB block — O(n²) time
+    and allocation on multi-MB inputs). This keeps ONE buffer
+    (``dict + data``, built once) and ONE table across blocks,
+    inserting only the bytes the window grew since the previous block.
+
+    Sequences are BYTE-IDENTICAL to the per-block rebuild
+    (differential-pinned in tests/test_zstd.py): the insert pass covers
+    every position in increasing order with later-wins per key, so the
+    table state at each block's scan start equals a fresh rebuild's,
+    and the scan/extension bounds stop at the block end exactly like
+    the old per-block buffer did."""
+
+    def __init__(self, full: bytes):
+        self._full = full
+        self._n = len(full)
+        self._inserted = 0
+        self._lib = _native()
+        if self._lib is not None and self._n >= 4:
+            table_log = max(10, (self._n - 1).bit_length() + 1)
+            self._keys = np.zeros(1 << table_log, dtype=np.uint32)
+            self._pos = np.zeros(1 << table_log, dtype=np.int32)
+            self._log = table_log
+            self._k4 = None
+        else:
+            self._table: dict[int, int] = {}
+            self._k4 = _le_windows(full, 4) if self._n >= 4 else []
+
+    def sequences(self, start: int, end: int) -> list[tuple[int, int, int]]:
+        """[(ll, ml, offset)] for the block [start, end) of the full
+        buffer; the window is everything before ``start``."""
+        n = self._n
+        if n < 4 or start >= end:
+            return []
+        if self._lib is not None:
+            tri = np.empty(3 * ((end - start) // 4 + 2), dtype=np.int64)
+            cnt = self._lib.automic_find_sequences_d(
+                self._full, n, start, end, self._inserted,
+                self._keys.ctypes.data, self._pos.ctypes.data,
+                self._log, tri.ctypes.data,
+            )
+            self._inserted = start
+            return [tuple(t) for t in tri[: 3 * cnt].reshape(-1, 3).tolist()]
+        full, k4, table = self._full, self._k4, self._table
+        for j in range(self._inserted, min(start, n - 3)):
+            table[k4[j]] = j
+        self._inserted = start
+        seqs = []
+        anchor = start
+        i = start
+        limit = end - 4
+        while i <= limit:
+            key = k4[i]
+            j = table.get(key)
+            table[key] = i
+            if j is not None:
+                ml = 4
+                while (
+                    i + ml + 16 <= end
+                    and full[j + ml : j + ml + 16] == full[i + ml : i + ml + 16]
+                ):
+                    ml += 16
+                while i + ml < end and full[j + ml] == full[i + ml]:
+                    ml += 1
+                seqs.append((i - anchor, ml, i - j))
+                i += ml
+                anchor = i
+                continue
+            i += 1
+        return seqs
 
 
 class _FwdWriter:
@@ -1976,14 +2050,19 @@ def _raw_literals_section(lit: bytes) -> bytes:
     return ((3 << 2) | (rs << 4)).to_bytes(3, "little") + lit
 
 
-def _compress_block(block: bytes, prefix: bytes = b"") -> tuple[int, bytes]:
+def _compress_block(
+    block: bytes, prefix: bytes = b"", seqs: list | None = None
+) -> tuple[int, bytes]:
     """(block_type, payload) choosing compressed < RLE < raw.
     ``prefix`` is dictionary/history window content the matcher may
-    reference (offsets reach past the block start)."""
+    reference (offsets reach past the block start); ``seqs`` lets the
+    caller supply pre-computed sequences (the carried-window
+    _DictSequencer path) instead of matching here."""
     n = len(block)
     if n and block.count(block[0]) == n:
         return 1, block[:1]
-    seqs = _find_sequences(block, prefix)
+    if seqs is None:
+        seqs = _find_sequences(block, prefix)
     if seqs:
         lit = bytearray()
         pos = 0
@@ -2051,14 +2130,22 @@ def zstd_compress(
     if n == 0:
         out += (1 | (0 << 1) | (0 << 3)).to_bytes(3, "little")
     pos = 0
+    # dictionary path: matches may reach into dict content AND already-
+    # emitted data. One carried buffer + hash table across blocks (r14:
+    # the per-block `dict + data[:pos]` rebuild was O(n²) on multi-MB
+    # inputs); frames are byte-identical to the rebuild, and without a
+    # dictionary the historical per-block-independent path runs
+    # unchanged.
+    seqr = _DictSequencer(dict_content + data) if dict_content else None
+    d0 = len(dict_content)
     while pos < n:
         chunk = data[pos : pos + MAX_BLOCK]
-        # window prefix = dictionary content + already-emitted data
-        # (matches may reach into both; without a dictionary the
-        # historical per-block-independent path runs byte-identically)
-        prefix = (dict_content + data[:pos]) if dict_content else b""
+        if seqr is not None:
+            seqs = seqr.sequences(d0 + pos, d0 + pos + len(chunk))
+            btype, payload = _compress_block(chunk, seqs=seqs)
+        else:
+            btype, payload = _compress_block(chunk)
         pos += len(chunk)
-        btype, payload = _compress_block(chunk, prefix)
         # RLE blocks carry the REGENERATED size in the header; raw and
         # compressed blocks carry the payload size
         bsize = len(chunk) if btype == 1 else len(payload)

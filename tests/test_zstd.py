@@ -750,3 +750,65 @@ class TestDictionary:
                     )
                     assert p.returncode == 0, p.stderr.decode()[:300]
                     assert zstd_decompress(p.stdout, dictionary=dic) == d
+
+    def test_multiblock_carried_window_identical_to_rebuild(self):
+        """r14 advisory: multi-block dictionary compression carries ONE
+        buffer + hash table across blocks (the per-block
+        dict+data[:pos] rebuild was O(n²)). Sequences — and therefore
+        frames — must be identical to the rebuild, in native and
+        pure-Python modes, and the multi-block frame must round-trip."""
+        import numpy as np
+
+        import automic_etl_spark.native as nat
+        from automic_etl_spark.operators.zstdcodec import (
+            MAX_BLOCK,
+            _DictSequencer,
+            _find_sequences,
+        )
+
+        rng = np.random.RandomState(41)
+        # ~2.5 blocks of template-heavy data with noise slices so each
+        # block produces non-trivial cross-block and into-dict matches
+        template = _texty(5000)
+        parts = []
+        while sum(map(len, parts)) < 2 * MAX_BLOCK + 50_000:
+            parts.append(template)
+            parts.append(rng.bytes(600))
+        data = b"".join(parts)
+        dic = self._dict()
+
+        for force_python in (False, True):
+            old = nat._LIB
+            try:
+                if force_python:
+                    nat._LIB = None
+                elif nat.load() is None:
+                    continue  # no compiler: python arm still runs
+                seqr = _DictSequencer(dic + data)
+                pos = 0
+                nblocks = 0
+                while pos < len(data):
+                    chunk = data[pos : pos + MAX_BLOCK]
+                    want = _find_sequences(chunk, dic + data[:pos])
+                    got = seqr.sequences(
+                        len(dic) + pos, len(dic) + pos + len(chunk)
+                    )
+                    assert got == want, (force_python, nblocks)
+                    pos += len(chunk)
+                    nblocks += 1
+                assert nblocks >= 3
+                frame = zstd_compress(data, dictionary=dic)
+                assert zstd_decompress(frame, dictionary=dic) == data
+            finally:
+                nat._LIB = old
+
+        # both modes emit the identical multi-block frame
+        if nat.load() is not None:
+            f_native = zstd_compress(data, dictionary=dic)
+            old = nat._LIB
+            try:
+                nat._LIB = None
+                f_py = zstd_compress(data, dictionary=dic)
+            finally:
+                nat._LIB = old
+            assert f_native == f_py
