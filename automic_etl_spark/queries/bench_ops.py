@@ -1451,46 +1451,95 @@ def q_zstd_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_vorbis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ogg Vorbis decode throughput (r11): ~1/41 of the corpus gets a
-    twin-encoded multi-tone clip (rate/length/channels cycling by
-    doc_id) decoded back to PCM in the SAME kernel (synth+decode fused —
-    blob bytes never cross Arrow twice, the mp3_walk lesson), reduced to
-    corpus totals. Prices the first-party compressed-audio decode lane
-    that acoustic-fingerprint dedup and log-mel training prep now take
-    on real .ogg crawls (before r11 those operators no-op'd on
-    compressed audio). The subset filter mirrors the real mix: decode
-    is ~0.1 s/clip of priced Python (PERFORMANCE.md), so the row
-    measures the lane without making the board about one codec."""
+# Synthesize-once cache for the Vorbis clip corpus (r14, verdict item
+# 3 — the _audio_blob_corpus protocol applied here): the r11 row fused
+# synth+decode in one kernel, so the twin ENCODER was most of the
+# timed region once the decode kernels landed, and the steady row sat
+# ~0.84 s against the ≤0.7 s target. Materializing the .ogg blobs once
+# makes the row price what its name says — DECODE from stored bytes —
+# exactly the round-6 fix q_audio_fingerprint documents.
+_VORBIS_BLOB_CACHE: dict[str, str] = {}
+
+
+def _vorbis_blob_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from automic_etl_spark.operators.dedup import ensure_parallelism
-    from automic_etl_spark.operators.vorbis import decode_vorbis, synth_vorbis
+    path = _VORBIS_BLOB_CACHE.get(sf_dir)
+    if path is None:
+        import tempfile
 
-    docs = ensure_parallelism(
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .filter(F.col("doc_id") % 41 == 0)
-    )
+        from automic_etl_spark.operators.vorbis import synth_vorbis
+
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id")
+            .filter(F.col("doc_id") % 41 == 0)
+        )
+
+        def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for pdf in it:
+                rows = []
+                for rid in pdf["doc_id"]:
+                    d = int(rid)
+                    rate = (8000, 16000, 22050)[d % 3]
+                    n = 3000 + (d % 5) * 1000
+                    t = np.arange(n) / rate
+                    sig = 0.35 * np.sin(2 * np.pi * (150 + 13 * (d % 29)) * t)
+                    if d % 4 == 0:
+                        sig = np.stack(
+                            [sig, 0.25 * np.cos(2 * np.pi * 420 * t)], 1
+                        )
+                    blob = synth_vorbis(
+                        sig, rate=rate, short_every=0 if d % 5 else 6
+                    )
+                    rows.append((d, rate, n, blob))
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "rate", "n", "_content_bytes"]
+                )
+
+        # written pre-partitioned to the decode row's task shape (half
+        # the slots), so the read is one scan stage with no shuffle —
+        # the shape real corpora arrive in (many blob files per dir)
+        blobs = docs.repartition(
+            max(8, spark.sparkContext.defaultParallelism // 2)
+        ).mapInPandas(
+            to_blobs, "doc_id long, rate int, n int, _content_bytes binary"
+        )
+        path = tempfile.mkdtemp(prefix="bench_vorbis_blobs_") + "/blobs"
+        blobs.write.mode("overwrite").parquet(path)
+        _VORBIS_BLOB_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+def q_vorbis_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Vorbis decode throughput (r11; r14 re-shape): ~1/41 of the
+    corpus carries a twin-encoded multi-tone clip (rate/length/channels
+    cycling by doc_id; see _vorbis_blob_corpus for the synthesize-once
+    protocol) decoded back to PCM and reduced to corpus totals. Prices
+    the first-party compressed-audio decode lane that acoustic-
+    fingerprint dedup and log-mel training prep take on real .ogg
+    crawls — synthesis (the twin encoder) is excluded from the
+    steady-state timing, the q_audio_fingerprint precedent. Task shape:
+    half the slots ≈ 8 clips/task — a fresh-plan trivial kernel at the
+    old 64-task shape measured ~1.0 s of pure scheduling vs ~0.5 s at
+    16 (the r14 floor measurement); at real corpus scale the blob files
+    arrive pre-partitioned and the repartition is a no-op."""
+    import numpy as np
+    import pandas as pd
+
+    from automic_etl_spark.operators.vorbis import decode_vorbis
+
+    docs = _vorbis_blob_corpus(spark, sf_dir)  # pre-partitioned files
 
     def kernel(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
-            for rid in pdf["doc_id"]:
-                d = int(rid)
-                rate = (8000, 16000, 22050)[d % 3]
-                n = 3000 + (d % 5) * 1000
-                t = np.arange(n) / rate
-                sig = 0.35 * np.sin(2 * np.pi * (150 + 13 * (d % 29)) * t)
-                if d % 4 == 0:
-                    sig = np.stack(
-                        [sig, 0.25 * np.cos(2 * np.pi * 420 * t)], 1
-                    )
-                blob = synth_vorbis(
-                    sig, rate=rate, short_every=0 if d % 5 else 6
-                )
-                pcm, out_rate, _w = decode_vorbis(blob)
+            for rid, rate, n, blob in zip(
+                pdf["doc_id"], pdf["rate"], pdf["n"], pdf["_content_bytes"]
+            ):
+                d, rate, n = int(rid), int(rate), int(n)
+                pcm, out_rate, _w = decode_vorbis(bytes(blob))
                 rows.append(
                     (
                         d,
