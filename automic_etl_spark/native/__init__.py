@@ -162,6 +162,42 @@ def load():
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_long,
         ]
+        lib.automic_jpeg_prog_dc.restype = ctypes.c_long
+        lib.automic_jpeg_prog_dc.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.automic_jpeg_prog_ac.restype = ctypes.c_long
+        lib.automic_jpeg_prog_ac.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.automic_jpeg_prog_enc_dc.restype = ctypes.c_long
+        lib.automic_jpeg_prog_enc_dc.argtypes = [
+            ctypes.c_int, ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long,
+        ]
+        lib.automic_jpeg_prog_enc_ac.restype = ctypes.c_long
+        lib.automic_jpeg_prog_enc_ac.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p,
+        ]
         lib.automic_tiff_lzw.restype = ctypes.c_long
         lib.automic_tiff_lzw.argtypes = [
             ctypes.c_char_p, ctypes.c_long,

@@ -1580,3 +1580,406 @@ long automic_tiff_lzw_encode(const uint8_t *src, long n,
     return op;
 #undef TIFF_PUT
 }
+
+/* ---- Progressive JPEG (SOF2) scan kernels (r14) --------------------------
+ * The exact policies of operators/jpeg._prog_scan (decode) and the
+ * _enc_ac_first/_enc_ac_refine/_EobState/_BitWriter loops in
+ * synth_jpeg_progressive (encode), which stay the behavioral
+ * definitions. Bit reader mirrors jpeg._Bits: MSB-first over
+ * UNSTUFFED entropy bytes, reads past the end yield zero bits.
+ * Huffman decode mirrors _decode_sym's peek-16 flat LUT (sym int16 /
+ * len uint8, 65536 entries, len 0 = invalid code -> -1 malformed).
+ * Coefficient arrays are the caller's C-contiguous (BY, BX, 64)
+ * int64 planes in NATURAL order; `zz` is the module's 64-entry
+ * zigzag LUT so index policy can never drift between the twins. */
+
+typedef struct {
+    const uint8_t *b;
+    long n;
+    long i;
+    uint64_t acc;
+    int nbits;
+} jbits;
+
+static inline void jbits_fill(jbits *s, int need) {
+    while (s->nbits < need) {
+        s->acc = (s->acc << 8) | (s->i < s->n ? s->b[s->i] : 0);
+        s->i++;
+        s->nbits += 8;
+    }
+}
+
+static inline unsigned jbits_peek16(jbits *s) {
+    if (s->nbits < 16) jbits_fill(s, 16);
+    return (unsigned)((s->acc >> (s->nbits - 16)) & 0xFFFF);
+}
+
+static inline void jbits_skip(jbits *s, int k) {
+    s->nbits -= k;
+    s->acc &= (((uint64_t)1) << s->nbits) - 1;
+}
+
+static inline long jbits_get(jbits *s, int k) {
+    if (k == 0) return 0;
+    if (s->nbits < k) jbits_fill(s, k);
+    s->nbits -= k;
+    long v = (long)((s->acc >> s->nbits) & ((((uint64_t)1) << k) - 1));
+    s->acc &= (((uint64_t)1) << s->nbits) - 1;
+    return v;
+}
+
+/* T.81 F.2.2.1 EXTEND */
+static inline long jext(long v, int s) {
+    return v >= (1L << (s - 1)) ? v : v - (1L << s) + 1;
+}
+
+/* decode one symbol via the peek-16 LUT; -1 on invalid code */
+static inline int jdecode_sym(jbits *bits, const int16_t *sym,
+                              const uint8_t *ln) {
+    unsigned p = jbits_peek16(bits);
+    int length = ln[p];
+    if (length == 0) return -1;
+    jbits_skip(bits, length);
+    return sym[p];
+}
+
+/* DC scan (first or refinement) over units [m0, m1) of one restart
+ * segment. Interleaved (ns == frame component count): per MCU each
+ * scan component contributes cv*ch blocks; non-interleaved (ns == 1):
+ * one block per unit. preds[] carries the per-component DC predictors
+ * (caller resets them per restart segment, as _prog_scan does).
+ * Returns 0, or -1 on an invalid Huffman code. */
+long automic_jpeg_prog_dc(
+    const uint8_t *seg, long seg_len, int ns, int interleaved,
+    int ah, int al, long m0, long m1, long units_x,
+    int64_t *const *coef, const long *bxt,
+    const int *chs, const int *cvs,
+    const int16_t *const *sym, const uint8_t *const *ln,
+    long *preds, const int32_t *zz) {
+    (void)zz;
+    jbits bits = {seg, seg_len, 0, 0, 0};
+    for (long m = m0; m < m1; m++) {
+        long uy = m / units_x, ux = m % units_x;
+        for (int si = 0; si < ns; si++) {
+            int ch = interleaved ? chs[si] : 1;
+            int cv = interleaved ? cvs[si] : 1;
+            for (int by = 0; by < cv; by++) {
+                for (int bx = 0; bx < ch; bx++) {
+                    long byy = interleaved ? uy * cv + by : uy;
+                    long bxx = interleaved ? ux * ch + bx : ux;
+                    int64_t *blk = coef[si] + (byy * bxt[si] + bxx) * 64;
+                    if (ah == 0) {
+                        int s = jdecode_sym(&bits, sym[si], ln[si]);
+                        if (s < 0) return -1;
+                        if (s) preds[si] += jext(jbits_get(&bits, s), s);
+                        blk[0] = ((int64_t)preds[si]) << al;
+                    } else {
+                        if (jbits_get(&bits, 1))
+                            blk[0] = blk[0] | (((int64_t)1) << al);
+                    }
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+/* AC scan (first or refinement), single component, units [m0, m1) of
+ * one restart segment. eobrun_io carries the EOB run (caller zeroes
+ * it per restart segment). Returns 0, or -1 malformed (invalid code,
+ * k past se in a first scan, s not in {0,1} in a refinement). */
+long automic_jpeg_prog_ac(
+    const uint8_t *seg, long seg_len, int ss, int se, int ah, int al,
+    long m0, long m1, long units_x,
+    int64_t *coef, long bxt,
+    const int16_t *sym, const uint8_t *ln,
+    long *eobrun_io, const int32_t *zz) {
+    jbits bits = {seg, seg_len, 0, 0, 0};
+    long eobrun = *eobrun_io;
+    const long p1 = 1L << al;
+    const long m1v = (-1L) << al;
+    for (long m = m0; m < m1; m++) {
+        long uy = m / units_x, ux = m % units_x;
+        int64_t *blk = coef + (uy * bxt + ux) * 64;
+        if (ah == 0) { /* AC first scan (T.81 G.1.2.2) */
+            if (eobrun > 0) {
+                eobrun--;
+                continue;
+            }
+            int k = ss;
+            while (k <= se) {
+                int rs = jdecode_sym(&bits, sym, ln);
+                if (rs < 0) return -1;
+                int r = rs >> 4, s = rs & 15;
+                if (s == 0) {
+                    if (r != 15) {
+                        eobrun = (1L << r) - 1;
+                        if (r) eobrun += jbits_get(&bits, r);
+                        break;
+                    }
+                    k += 16;
+                    continue;
+                }
+                k += r;
+                if (k > se) return -1;
+                blk[zz[k]] = ((int64_t)jext(jbits_get(&bits, s), s)) << al;
+                k += 1;
+            }
+        } else { /* AC refinement (the jdphuff.c control flow) */
+            int k = ss;
+            if (eobrun == 0) {
+                while (k <= se) {
+                    int rs = jdecode_sym(&bits, sym, ln);
+                    if (rs < 0) return -1;
+                    int r = rs >> 4, s = rs & 15;
+                    long val = 0;
+                    if (s) {
+                        if (s != 1) return -1;
+                        val = jbits_get(&bits, 1) ? p1 : m1v;
+                    } else {
+                        if (r != 15) {
+                            eobrun = 1L << r;
+                            if (r) eobrun += jbits_get(&bits, r);
+                            break;
+                        }
+                    }
+                    while (k <= se) {
+                        int z = zz[k];
+                        long c = (long)blk[z];
+                        if (c != 0) {
+                            if (jbits_get(&bits, 1) && (c & p1) == 0)
+                                blk[z] = c + (c >= 0 ? p1 : m1v);
+                        } else {
+                            if (r == 0) break;
+                            r--;
+                        }
+                        k++;
+                    }
+                    if (val) {
+                        if (k > se) return -1;
+                        blk[zz[k]] = val;
+                    }
+                    k++;
+                }
+            }
+            if (eobrun > 0) { /* EOB-run correction bits over [k, se] */
+                while (k <= se) {
+                    int z = zz[k];
+                    long c = (long)blk[z];
+                    if (c != 0) {
+                        if (jbits_get(&bits, 1) && (c & p1) == 0)
+                            blk[z] = c + (c >= 0 ? p1 : m1v);
+                    }
+                    k++;
+                }
+                eobrun--;
+            }
+        }
+    }
+    *eobrun_io = eobrun;
+    return 0;
+}
+
+/* ---- Progressive JPEG scan ENCODE (r14) ----------------------------------
+ * Twin kernels of the _BitWriter/_EobState/_enc_ac_first/_enc_ac_refine
+ * loops in synth_jpeg_progressive — byte-identical scan payloads, with
+ * the same 0xFF stuffing and 1-padded flush. Code tables arrive as the
+ * (code uint32[256], length uint8[256]) flattening of the Python
+ * {symbol: (code, len)} dicts; length 0 = absent symbol -> -1. Blocks
+ * are the encoder's int32 (BY, BX, 64) natural-order planes. */
+
+typedef struct {
+    uint8_t *out;
+    long cap;
+    long op;
+    uint64_t acc;
+    int nbits;
+    int overflow;
+} jwr;
+
+static inline void jwr_put(jwr *w, unsigned long code, int length) {
+    w->acc = (w->acc << length) | (code & ((1UL << length) - 1));
+    w->nbits += length;
+    while (w->nbits >= 8) {
+        w->nbits -= 8;
+        uint8_t b = (uint8_t)((w->acc >> w->nbits) & 0xFF);
+        if (w->op + 2 > w->cap) { w->overflow = 1; return; }
+        w->out[w->op++] = b;
+        if (b == 0xFF) w->out[w->op++] = 0x00; /* byte stuffing */
+    }
+    w->acc &= (1UL << w->nbits) - 1;
+}
+
+static inline void jwr_flush(jwr *w) {
+    if (w->nbits) {
+        int pad = 8 - w->nbits;
+        jwr_put(w, (1UL << pad) - 1, pad);
+    }
+}
+
+/* _emit_mag: Huffman symbol (r<<4)|s + s magnitude bits (one's
+ * complement for negatives). Returns -1 on an absent symbol. */
+static inline int jwr_mag(jwr *w, const uint32_t *code, const uint8_t *len,
+                          int r, long mag, int negative) {
+    int s = 0;
+    long t = mag;
+    while (t) { s++; t >>= 1; }
+    int symb = (r << 4) | s;
+    if (len[symb] == 0) return -1;
+    jwr_put(w, code[symb], len[symb]);
+    jwr_put(w, (unsigned long)(negative ? (1L << s) - 1 - mag : mag), s);
+    return 0;
+}
+
+/* EOB-run + buffered-correction-bit state (jcphuff BE/BR) */
+typedef struct {
+    long eobrun;
+    uint8_t *bits; /* caller scratch */
+    long nbits;
+} jeob;
+
+static inline int jeob_flush(jeob *st, jwr *w, const uint32_t *code,
+                             const uint8_t *len) {
+    if (st->eobrun > 0) {
+        int r = 0;
+        long t = st->eobrun;
+        while (t > 1) { r++; t >>= 1; }
+        if (len[r << 4] == 0) return -1;
+        jwr_put(w, code[r << 4], len[r << 4]);
+        if (r) jwr_put(w, (unsigned long)(st->eobrun - (1L << r)), r);
+        st->eobrun = 0;
+    }
+    for (long i = 0; i < st->nbits; i++) jwr_put(w, st->bits[i], 1);
+    st->nbits = 0;
+    return 0;
+}
+
+/* DC scans, interleaved over all components (the twin's only DC
+ * shape; no restart intervals — the twin never emits DRI). Returns
+ * scan byte length, -1 on overflow/absent symbol. */
+long automic_jpeg_prog_enc_dc(
+    int ncomp, long mcus_x, long mcus_y, int first, int al,
+    const int32_t *const *blocks, const long *bxt,
+    const int *chs, const int *cvs,
+    const uint32_t *const *dc_code, const uint8_t *const *dc_len,
+    uint8_t *out, long cap) {
+    jwr w = {out, cap, 0, 0, 0, 0};
+    long preds[8] = {0};
+    if (ncomp > 8) return -1;
+    for (long m = 0; m < mcus_x * mcus_y; m++) {
+        long my = m / mcus_x, mx = m % mcus_x;
+        for (int ci = 0; ci < ncomp; ci++) {
+            for (int by = 0; by < cvs[ci]; by++) {
+                for (int bx = 0; bx < chs[ci]; bx++) {
+                    long dc = blocks[ci][((my * cvs[ci] + by) * bxt[ci] +
+                                          (mx * chs[ci] + bx)) * 64];
+                    if (first) {
+                        long v = dc >> al;
+                        long diff = v - preds[ci];
+                        preds[ci] = v;
+                        if (diff == 0) {
+                            if (dc_len[ci][0] == 0) return -1;
+                            jwr_put(&w, dc_code[ci][0], dc_len[ci][0]);
+                        } else if (jwr_mag(&w, dc_code[ci], dc_len[ci], 0,
+                                           diff < 0 ? -diff : diff,
+                                           diff < 0) < 0) {
+                            return -1;
+                        }
+                    } else {
+                        jwr_put(&w, (unsigned long)((dc >> al) & 1), 1);
+                    }
+                    if (w.overflow) return -1;
+                }
+            }
+        }
+    }
+    jwr_flush(&w);
+    return w.overflow ? -1 : w.op;
+}
+
+/* One AC scan (first or refinement) over a single component's units.
+ * `scratch` holds buffered correction bits (caller sizes it
+ * units*(se-ss+1)). Returns scan byte length, -1 on overflow/absent
+ * symbol. */
+long automic_jpeg_prog_enc_ac(
+    const int32_t *blocks, long bxt, long units_x, long units_y,
+    int ss, int se, int first, int al,
+    const uint32_t *code, const uint8_t *len,
+    uint8_t *scratch, uint8_t *out, long cap, const int32_t *zz) {
+    jwr w = {out, cap, 0, 0, 0, 0};
+    jeob st = {0, scratch, 0};
+    for (long m = 0; m < units_x * units_y; m++) {
+        long uy = m / units_x, ux = m % units_x;
+        const int32_t *blk = blocks + (uy * bxt + ux) * 64;
+        if (first) { /* _enc_ac_first */
+            int r = 0;
+            for (int k = ss; k <= se; k++) {
+                long v = blk[zz[k]];
+                long t = (v < 0 ? -v : v) >> al;
+                if (t == 0) { r++; continue; }
+                if (jeob_flush(&st, &w, code, len) < 0) return -1;
+                while (r > 15) {
+                    if (len[0xF0] == 0) return -1;
+                    jwr_put(&w, code[0xF0], len[0xF0]);
+                    r -= 16;
+                }
+                if (jwr_mag(&w, code, len, r, t, v < 0) < 0) return -1;
+                r = 0;
+                if (w.overflow) return -1;
+            }
+            if (r > 0) {
+                st.eobrun++;
+                if (st.eobrun == 0x7FFF &&
+                    jeob_flush(&st, &w, code, len) < 0)
+                    return -1;
+            }
+        } else { /* _enc_ac_refine (jcphuff encode_mcu_AC_refine) */
+            long absv[64];
+            int eob = ss - 1;
+            for (int k = ss; k <= se; k++) {
+                long t = blk[zz[k]];
+                t = (t < 0 ? -t : t) >> al;
+                absv[k] = t;
+                if (t == 1) eob = k;
+            }
+            int r = 0;
+            uint8_t br[64];
+            int nbr = 0;
+            for (int k = ss; k <= se; k++) {
+                long t = absv[k];
+                if (t == 0) { r++; continue; }
+                while (r > 15 && k <= eob) {
+                    if (jeob_flush(&st, &w, code, len) < 0) return -1;
+                    if (len[0xF0] == 0) return -1;
+                    jwr_put(&w, code[0xF0], len[0xF0]);
+                    r -= 16;
+                    for (int i = 0; i < nbr; i++) jwr_put(&w, br[i], 1);
+                    nbr = 0;
+                }
+                if (t > 1) {
+                    br[nbr++] = (uint8_t)(t & 1);
+                    continue;
+                }
+                if (jeob_flush(&st, &w, code, len) < 0) return -1;
+                if (len[(r << 4) | 1] == 0) return -1;
+                jwr_put(&w, code[(r << 4) | 1], len[(r << 4) | 1]);
+                jwr_put(&w, blk[zz[k]] < 0 ? 0UL : 1UL, 1);
+                for (int i = 0; i < nbr; i++) jwr_put(&w, br[i], 1);
+                nbr = 0;
+                r = 0;
+                if (w.overflow) return -1;
+            }
+            if (r > 0 || nbr) {
+                st.eobrun++;
+                for (int i = 0; i < nbr; i++) st.bits[st.nbits++] = br[i];
+                if (st.eobrun == 0x7FFF &&
+                    jeob_flush(&st, &w, code, len) < 0)
+                    return -1;
+            }
+        }
+        if (w.overflow) return -1;
+    }
+    if (jeob_flush(&st, &w, code, len) < 0) return -1;
+    jwr_flush(&w);
+    return w.overflow ? -1 : w.op;
+}

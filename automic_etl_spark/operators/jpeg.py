@@ -773,6 +773,107 @@ def _decode_progressive(data: bytes):
         return None
 
 
+def _zz_i32():
+    """Module zigzag LUT as int32 for the native kernels (cached)."""
+    global _ZZ_I32
+    try:
+        return _ZZ_I32
+    except NameError:
+        import numpy as np
+
+        _ZZ_I32 = np.array(ZIGZAG, dtype=np.int32)
+        return _ZZ_I32
+
+
+def _prog_dc_native(lib, segs, scan_comps, comps, huff, coefs,
+                    ns, ah, al, units_x, n_units, ri):
+    """Native arm of the DC-scan walk (automic_jpeg_prog_dc) — the
+    Python loop below stays the behavioral definition (committed
+    differentials in tests/test_jpeg.py). Returns True (decoded),
+    False (malformed — the whole image is None, matching the Python
+    outcome on the same stream), or None to fall back."""
+    import ctypes
+
+    import numpy as np
+
+    if ns > 8:
+        return None
+    interleaved = 1 if ns == len(comps) else 0
+    zz = _zz_i32()
+    sym_ptrs, ln_ptrs = [], []
+    for _ci, td, _ta in scan_comps:
+        if ah == 0:
+            t = huff.get((0, td))
+            if t is None:
+                return False
+            sym_ptrs.append(t[2].ctypes.data)
+            ln_ptrs.append(t[3].ctypes.data)
+        else:  # refinement reads raw bits only; pointers never touched
+            sym_ptrs.append(zz.ctypes.data)
+            ln_ptrs.append(zz.ctypes.data)
+    coef_ptrs = (ctypes.c_void_p * ns)(
+        *[coefs[ci].ctypes.data for ci, _td, _ta in scan_comps]
+    )
+    bxt = (ctypes.c_long * ns)(
+        *[coefs[ci].shape[1] for ci, _td, _ta in scan_comps]
+    )
+    chs = (ctypes.c_int * ns)(*[comps[ci][1] for ci, _td, _ta in scan_comps])
+    cvs = (ctypes.c_int * ns)(*[comps[ci][2] for ci, _td, _ta in scan_comps])
+    syms = (ctypes.c_void_p * ns)(*sym_ptrs)
+    lns = (ctypes.c_void_p * ns)(*ln_ptrs)
+    preds = np.zeros(ns, dtype=np.int64)
+    step = ri if ri else n_units
+    m0 = 0
+    seg_idx = 0
+    while m0 < n_units:
+        if seg_idx >= len(segs):
+            return False
+        m1 = min(m0 + step, n_units)
+        preds[:] = 0
+        rc = lib.automic_jpeg_prog_dc(
+            segs[seg_idx], len(segs[seg_idx]), ns, interleaved, ah, al,
+            m0, m1, units_x, coef_ptrs, bxt, chs, cvs, syms, lns,
+            preds.ctypes.data, zz.ctypes.data,
+        )
+        if rc < 0:
+            return False
+        m0 = m1
+        seg_idx += 1
+    return True
+
+
+def _prog_ac_native(lib, segs, huff, ta, coef, ss, se, ah, al,
+                    units_x, n_units, ri):
+    """Native arm of the AC-scan walk (automic_jpeg_prog_ac); contract
+    as _prog_dc_native."""
+    import numpy as np
+
+    t = huff.get((1, ta))
+    if t is None:
+        return False
+    zz = _zz_i32()
+    eob = np.zeros(1, dtype=np.int64)
+    step = ri if ri else n_units
+    m0 = 0
+    seg_idx = 0
+    while m0 < n_units:
+        if seg_idx >= len(segs):
+            return False
+        m1 = min(m0 + step, n_units)
+        eob[0] = 0
+        rc = lib.automic_jpeg_prog_ac(
+            segs[seg_idx], len(segs[seg_idx]), ss, se, ah, al,
+            m0, m1, units_x, coef.ctypes.data, coef.shape[1],
+            t[2].ctypes.data, t[3].ctypes.data,
+            eob.ctypes.data, zz.ctypes.data,
+        )
+        if rc < 0:
+            return False
+        m0 = m1
+        seg_idx += 1
+    return True
+
+
 def _prog_scan(data, scan_pos, sos_body, frame, geom, coefs, huff, ri):
     """Decode ONE progressive scan into the coefficient arrays; returns
     the stream position after the entropy data (at the next marker) or
@@ -809,6 +910,16 @@ def _prog_scan(data, scan_pos, sos_body, frame, geom, coefs, huff, ri):
             units_y = (-(-h_img * cv // vmax) + 7) // 8
         else:
             return None
+        from automic_etl_spark.native import load as _load_native
+
+        lib = _load_native()
+        if lib is not None:
+            ok = _prog_dc_native(
+                lib, segs, scan_comps, comps, huff, coefs,
+                ns, ah, al, units_x, units_x * units_y, ri,
+            )
+            if ok is not None:
+                return end if ok else None
         seg_idx = 0
         bits = _Bits(segs[0])
         preds = [0] * ns
@@ -854,6 +965,16 @@ def _prog_scan(data, scan_pos, sos_body, frame, geom, coefs, huff, ri):
     _cid, ch, cv, _tq = comps[ci]
     units_x = (-(-w_img * ch // hmax) + 7) // 8
     units_y = (-(-h_img * cv // vmax) + 7) // 8
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
+    if lib is not None:
+        ok = _prog_ac_native(
+            lib, segs, huff, ta, coefs[ci], ss, se, ah, al,
+            units_x, units_x * units_y, ri,
+        )
+        if ok is not None:
+            return end if ok else None
     seg_idx = 0
     bits = _Bits(segs[0])
     eobrun = 0
@@ -1401,6 +1522,73 @@ def _enc_ac_refine(w, codes, st: _EobState, blk, ss, se, al) -> None:
             st.flush(w, codes)
 
 
+def _pack_code_dict(codes):
+    """{symbol: (code, len)} -> (uint32[256], uint8[256]) for the
+    native progressive-encode kernels; len 0 = absent symbol."""
+    import numpy as np
+
+    code = np.zeros(256, dtype=np.uint32)
+    ln = np.zeros(256, dtype=np.uint8)
+    for s, (c, l) in codes.items():
+        code[s] = c
+        ln[s] = l
+    return code, ln
+
+
+def _prog_enc_dc_native(lib, blocks, samp, dc_codes, mcus_x, mcus_y,
+                        first, al):
+    """One DC scan's entropy payload via automic_jpeg_prog_enc_dc —
+    byte-identical to the Python loop below (the definition). None to
+    fall back."""
+    import ctypes
+
+    import numpy as np
+
+    ncomp = len(blocks)
+    if ncomp > 8:
+        return None
+    packed = [_pack_code_dict(dc_codes[ci]) for ci in range(ncomp)]
+    ptrs = (ctypes.c_void_p * ncomp)(*[b.ctypes.data for b in blocks])
+    bxt = (ctypes.c_long * ncomp)(*[b.shape[1] for b in blocks])
+    chs = (ctypes.c_int * ncomp)(*[s[0] for s in samp])
+    cvs = (ctypes.c_int * ncomp)(*[s[1] for s in samp])
+    codep = (ctypes.c_void_p * ncomp)(*[p[0].ctypes.data for p in packed])
+    lenp = (ctypes.c_void_p * ncomp)(*[p[1].ctypes.data for p in packed])
+    nblocks = sum(b.shape[0] * b.shape[1] for b in blocks)
+    cap = nblocks * 8 + 128
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.automic_jpeg_prog_enc_dc(
+        ncomp, mcus_x, mcus_y, 1 if first else 0, al,
+        ptrs, bxt, chs, cvs, codep, lenp, out.ctypes.data, cap,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
+
+
+def _prog_enc_ac_native(lib, block_plane, codes, units_x, units_y,
+                        ss, se, first, al):
+    """One AC scan's entropy payload via automic_jpeg_prog_enc_ac;
+    contract as _prog_enc_dc_native."""
+    import numpy as np
+
+    code, ln = _pack_code_dict(codes)
+    units = units_x * units_y
+    band = se - ss + 1
+    scratch = np.empty(units * band + 64, dtype=np.uint8)
+    cap = units * band * 8 + 256
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.automic_jpeg_prog_enc_ac(
+        block_plane.ctypes.data, block_plane.shape[1], units_x, units_y,
+        ss, se, 1 if first else 0, al,
+        code.ctypes.data, ln.ctypes.data,
+        scratch.ctypes.data, out.ctypes.data, cap, _zz_i32().ctypes.data,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()
+
+
 def synth_jpeg_progressive(
     img,
     quality: int = 90,
@@ -1486,38 +1674,53 @@ def synth_jpeg_progressive(
         return seg(0xDA, body)
 
     scans = bytearray()
+    from automic_etl_spark.native import load as _load_native
+
+    lib = _load_native()
 
     # DC scans: first at Al=dc_al (interleaved), then refinements to 0
     for al in range(dc_al, -1, -1):
         first = al == dc_al
-        w = _BitWriter()
-        preds = [0] * len(planes)
-        for m in range(mcus_x * mcus_y):
-            my, mx = divmod(m, mcus_x)
-            for ci, (ch, cv) in enumerate(samp):
-                for by in range(cv):
-                    for bx in range(ch):
-                        dc = int(blocks[ci][my * cv + by, mx * ch + bx][0])
-                        if first:
-                            v = dc >> al
-                            diff = v - preds[ci]
-                            preds[ci] = v
-                            if diff == 0:
-                                c, ln = dc_codes[ci][0]
-                                w.put(c, ln)
+        payload = (
+            _prog_enc_dc_native(
+                lib, blocks, samp, dc_codes, mcus_x, mcus_y, first, al
+            )
+            if lib is not None
+            else None
+        )
+        if payload is None:  # Python loop = the behavioral definition
+            w = _BitWriter()
+            preds = [0] * len(planes)
+            for m in range(mcus_x * mcus_y):
+                my, mx = divmod(m, mcus_x)
+                for ci, (ch, cv) in enumerate(samp):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc = int(
+                                blocks[ci][my * cv + by, mx * ch + bx][0]
+                            )
+                            if first:
+                                v = dc >> al
+                                diff = v - preds[ci]
+                                preds[ci] = v
+                                if diff == 0:
+                                    c, ln = dc_codes[ci][0]
+                                    w.put(c, ln)
+                                else:
+                                    _emit_mag(
+                                        w, dc_codes[ci], 0,
+                                        -diff if diff < 0 else diff,
+                                        diff < 0,
+                                    )
                             else:
-                                _emit_mag(
-                                    w, dc_codes[ci], 0,
-                                    -diff if diff < 0 else diff, diff < 0,
-                                )
-                        else:
-                            w.put((dc >> al) & 1, 1)
-        w.flush()
+                                w.put((dc >> al) & 1, 1)
+            w.flush()
+            payload = bytes(w.out)
         scans += sos_header(
             [(ci, 0 if ci == 0 else 1, 0) for ci in range(len(planes))],
             0, 0, 0 if first else al + 1, al,
         )
-        scans += w.out
+        scans += payload
 
     # AC scans: per component, per band — first at Al=ac_al, refine to 0
     for ci, (ch, cv) in enumerate(samp):
@@ -1526,23 +1729,33 @@ def synth_jpeg_progressive(
         for ss, se in ac_bands:
             for al in range(ac_al, -1, -1):
                 first = al == ac_al
-                w = _BitWriter()
-                st = _EobState()
                 codes = ac_codes[ci]
-                for m in range(units_x * units_y):
-                    uy, ux = divmod(m, units_x)
-                    blk = blocks[ci][uy, ux]
-                    if first:
-                        _enc_ac_first(w, codes, st, blk, ss, se, al)
-                    else:
-                        _enc_ac_refine(w, codes, st, blk, ss, se, al)
-                st.flush(w, codes)
-                w.flush()
+                payload = (
+                    _prog_enc_ac_native(
+                        lib, blocks[ci], codes, units_x, units_y,
+                        ss, se, first, al,
+                    )
+                    if lib is not None
+                    else None
+                )
+                if payload is None:  # Python loop = the definition
+                    w = _BitWriter()
+                    st = _EobState()
+                    for m in range(units_x * units_y):
+                        uy, ux = divmod(m, units_x)
+                        blk = blocks[ci][uy, ux]
+                        if first:
+                            _enc_ac_first(w, codes, st, blk, ss, se, al)
+                        else:
+                            _enc_ac_refine(w, codes, st, blk, ss, se, al)
+                    st.flush(w, codes)
+                    w.flush()
+                    payload = bytes(w.out)
                 scans += sos_header(
                     [(ci, 0, 0)],  # shared progressive AC table id 0
                     ss, se, 0 if first else al + 1, al,
                 )
-                scans += w.out
+                scans += payload
 
     zz = ZIGZAG
     out = bytearray(b"\xff\xd8")

@@ -17,6 +17,7 @@ from automic_etl_spark.operators.jpeg import (
     _build_decode_table,
     decode_jpeg,
     synth_jpeg,
+    synth_jpeg_progressive,
 )
 
 
@@ -427,3 +428,105 @@ class TestNativeEncodeDifferential:
                         finally:
                             nat._LIB = old
                         assert native == pure, (name, quality, sub, ri)
+
+
+class TestProgressiveNativeDifferential:
+    """r14: committed native-vs-Python pins for the four progressive
+    scan kernels (automic_jpeg_prog_dc/_ac decode, _enc_dc/_enc_ac
+    encode) — the nat._LIB re-entry pattern. The Python scan loops in
+    _prog_scan / synth_jpeg_progressive stay the behavioral
+    definitions."""
+
+    @staticmethod
+    def _python(fn, *a, **kw):
+        import automic_etl_spark.native as nat
+
+        old = nat._LIB
+        try:
+            nat._LIB = None
+            return fn(*a, **kw)
+        finally:
+            nat._LIB = old
+
+    def _agree(self, blob, ctx=""):
+        a = decode_jpeg(blob)
+        b = self._python(decode_jpeg, blob)
+        assert (a is None) == (b is None), ctx
+        if a is not None:
+            assert a.shape == b.shape and np.array_equal(a, b), ctx
+        return a
+
+    def test_decode_identical_across_encoder_space(self):
+        TestNativeDifferential._need_lib()
+        for seed in (0, 7):
+            img = np.random.RandomState(seed).randint(
+                0, 256, size=(40, 56, 3), dtype=np.uint8
+            )
+            for q in (45, 75, 95):
+                for sub in ("444", "420"):
+                    for kw in (
+                        {},
+                        {"dc_al": 0, "ac_al": 0},
+                        {"dc_al": 2, "ac_al": 2},
+                        {"ac_bands": ((1, 2), (3, 20), (21, 63))},
+                    ):
+                        blob = synth_jpeg_progressive(
+                            img, quality=q, subsampling=sub, **kw
+                        )
+                        self._agree(blob, f"{seed}/{q}/{sub}/{kw}")
+        gray = np.random.RandomState(3).randint(
+            0, 256, size=(33, 41, 1), dtype=np.uint8
+        )
+        self._agree(synth_jpeg_progressive(gray, quality=70))
+
+    def test_encode_byte_identical_across_encoder_space(self):
+        TestNativeDifferential._need_lib()
+        img = np.random.RandomState(11).randint(
+            0, 256, size=(48, 40, 3), dtype=np.uint8
+        )
+        for q in (30, 75, 95):
+            for sub in ("444", "420"):
+                for kw in (
+                    {},
+                    {"dc_al": 2, "ac_al": 2},
+                    {"ac_bands": ((1, 63),)},
+                ):
+                    a = synth_jpeg_progressive(
+                        img, quality=q, subsampling=sub, **kw
+                    )
+                    b = self._python(
+                        synth_jpeg_progressive, img,
+                        quality=q, subsampling=sub, **kw,
+                    )
+                    assert a == b, f"{q}/{sub}/{kw}"
+
+    def test_mutation_verdicts_agree(self):
+        """150 single-byte mutations inside the progressive scan data:
+        verdict (None vs array) AND pixels when decodable agree — this
+        exercises the kernels' -1 malformed arms (invalid codes, k past
+        se, bad refinement sizes) against the Python ValueErrors."""
+        import random
+        import struct as _struct
+
+        TestNativeDifferential._need_lib()
+        rng = random.Random(1404)
+        base = bytearray(
+            synth_jpeg_progressive(
+                _smooth_rgb(32, 40), quality=70, subsampling="420"
+            )
+        )
+        sos = bytes(base).find(b"\xff\xda")
+        scan_start = (
+            sos + 2 + _struct.unpack(">H", base[sos + 2 : sos + 4])[0]
+        )
+        for _ in range(150):
+            mutated = bytearray(base)
+            pos = rng.randrange(scan_start, len(base) - 2)
+            mutated[pos] = rng.randrange(256)
+            self._agree(bytes(mutated), f"mutation at {pos}")
+
+    def test_truncation_verdicts_agree(self):
+        TestNativeDifferential._need_lib()
+        base = synth_jpeg_progressive(_smooth_rgb(16, 24), quality=60)
+        for cut in range(len(base) - 60, len(base)):
+            self._agree(base[:cut], f"cut at {cut}")
