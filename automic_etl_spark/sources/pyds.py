@@ -273,16 +273,20 @@ class WetReader(WarcReader):
             # advisory): WET conversion records carry plain text by
             # definition, but real Common Crawl segments DO contain
             # invalid byte sequences — an Arrow binary->string cast
-            # raises ArrowInvalid and fails the whole task, so decode
-            # in Python with errors='replace' (total on any input;
-            # matches read_wet's lenient contract).
-            text = pa.array(
-                [
-                    None if v is None else v.decode("utf-8", "replace")
-                    for v in batch.column(11).to_pylist()
-                ],
-                pa.string(),
-            )
+            # raises ArrowInvalid and fails the whole task. The cast
+            # stays the zero-copy fast path; a batch with any invalid
+            # sequence falls back to a Python errors='replace' decode
+            # (total on any input; matches read_wet's contract).
+            try:
+                text = batch.column(11).cast(pa.string())
+            except pa.lib.ArrowInvalid:
+                text = pa.array(
+                    [
+                        None if v is None else v.decode("utf-8", "replace")
+                        for v in batch.column(11).to_pylist()
+                    ],
+                    pa.string(),
+                )
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column(0),
