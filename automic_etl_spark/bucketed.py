@@ -12,11 +12,26 @@ session catalog (saveAsTable) rather than the versioned parquet
 TableManager — bucketing metadata only exists for catalog tables; use
 them for the stable, join-heavy core tables and the TableManager for
 versioned mutable state.
+
+r14 — cross-session durability: the engine runs the IN-MEMORY session
+catalog, which forgets bucket metadata when the session ends (the
+parquet files persist; the CLUSTERED BY fact does not, so a new
+session would re-shuffle every join). ``write_bucketed`` therefore
+persists a ``bucket_spec.json`` beside the data, and
+``register_bucketed`` re-creates the catalog entry from it
+(``CREATE TABLE ... USING parquet CLUSTERED BY ... INTO n BUCKETS
+LOCATION ...``) — pay the shuffle once, keep the no-shuffle property
+across sessions and clusters.
 """
 
 from __future__ import annotations
 
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+_SPEC = "_bucket_spec.json"
 
 
 def write_bucketed(
@@ -26,16 +41,77 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_by: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Persist as a bucketed (and bucket-sorted) catalog table. Sorting
-    within buckets makes the subsequent sort-merge join skip its sort."""
+    within buckets makes the subsequent sort-merge join skip its sort.
+
+    ``path`` (r14): external table location; with or without it, the
+    bucket spec is persisted beside the data so ``register_bucketed``
+    can rebuild the catalog entry in a later session."""
     writer = (
         df.write.mode(mode)
         .format("parquet")
         .bucketBy(num_buckets, *bucket_by)
     )
     writer = writer.sortBy(*(sort_by or bucket_by))
+    if path is not None:
+        writer = writer.option("path", os.path.abspath(path))
     writer.saveAsTable(table)
+    spec = {
+        "table": table,
+        "bucket_by": list(bucket_by),
+        "sort_by": list(sort_by or bucket_by),
+        "num_buckets": num_buckets,
+        "schema_ddl": ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        ),
+    }
+    loc = path or _table_location(df.sparkSession, table)
+    if loc is not None:
+        with open(os.path.join(loc, _SPEC), "w") as f:
+            json.dump(spec, f, indent=2)
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Local-filesystem location of a catalog table, or None when it is
+    not a local path (object-store locations keep their spec only if
+    the caller passed ``path=`` and writes it through their own FS)."""
+    for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if row.col_name == "Location":
+            loc = row.data_type
+            if loc.startswith("file:"):
+                return loc[len("file:"):]
+            if loc.startswith("/"):
+                return loc
+            return None
+    return None
+
+
+def register_bucketed(
+    spark: SparkSession, path: str, table: str | None = None
+) -> str:
+    """Re-create the catalog entry for a bucketed table from the spec
+    persisted beside its data — the cross-session path. Idempotent;
+    returns the table name."""
+    with open(os.path.join(path, _SPEC)) as f:
+        spec = json.load(f)
+    name = table or spec["table"]
+    if spark.catalog.tableExists(name):
+        return name
+    clustered = ", ".join(f"`{c}`" for c in spec["bucket_by"])
+    sorted_by = (
+        " SORTED BY (" + ", ".join(f"`{c}`" for c in spec["sort_by"]) + ")"
+        if spec["sort_by"]
+        else ""
+    )
+    spark.sql(
+        f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
+        f"CLUSTERED BY ({clustered}){sorted_by} "
+        f"INTO {spec['num_buckets']} BUCKETS "
+        f"LOCATION '{os.path.abspath(path)}'"
+    )
+    return name
 
 
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:

@@ -1,0 +1,102 @@
+"""Bucketed-table cross-session durability (r14 additions to
+automic_etl_spark/bucketed; the original write/read/diagnostic API is
+pinned by tests/test_core_services.py::test_bucketed_join_no_shuffle).
+
+The engine runs the in-memory session catalog, which forgets bucket
+metadata at session end — so write_bucketed persists a bucket_spec.json
+beside the data and register_bucketed rebuilds the catalog entry from
+it. The scale claim is structural: the tests pin the PHYSICAL PLAN
+(no shuffle exchange after re-registration) alongside correctness."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from automic_etl_spark.bucketed import (
+    bucketed_join_plan_is_shuffle_free,
+    register_bucketed,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Pin the big-big join shape: with broadcast on, the planner may
+    (correctly) prefer BroadcastHashJoin at test sizes and the bucket
+    property never gets exercised."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def _frames(spark, n=20_000):
+    a = spark.range(0, n).selectExpr("id as k", "id * 2 as va")
+    b = spark.range(0, n, 2).selectExpr("id as k", "id * 3 as vb")
+    return a, b
+
+
+class TestBucketSpecDurability:
+    def test_spec_persisted_next_to_data(self, spark, tmp_path):
+        a, _ = _frames(spark, 100)
+        write_bucketed(a, "bs_spec", ["k"], num_buckets=4,
+                       path=str(tmp_path / "ta"))
+        spec = json.load(open(tmp_path / "ta" / "_bucket_spec.json"))
+        assert spec == {
+            "table": "bs_spec",
+            "bucket_by": ["k"],
+            "sort_by": ["k"],
+            "num_buckets": 4,
+            "schema_ddl": "`k` bigint, `va` bigint",
+        }
+        # managed (no path=) tables persist the spec in the warehouse dir
+        import shutil
+
+        from automic_etl_spark.bucketed import _table_location
+
+        spark.sql("DROP TABLE IF EXISTS bs_managed")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(os.path.join(wh, "bs_managed"), ignore_errors=True)
+        write_bucketed(a, "bs_managed", ["k"], num_buckets=4)
+        loc = _table_location(spark, "bs_managed")
+        assert loc and os.path.exists(os.path.join(loc, "_bucket_spec.json"))
+
+    def test_reregistration_recovers_no_shuffle(
+        self, spark, tmp_path, no_broadcast
+    ):
+        """The cross-session story: drop the catalog entries (as a new
+        session would start without them), re-create from the persisted
+        spec files, and the join is STILL exchange-free + correct."""
+        a, b = _frames(spark, 5_000)
+        write_bucketed(a, "bs_ra", ["k"], num_buckets=4,
+                       path=str(tmp_path / "ta"))
+        write_bucketed(b, "bs_rb", ["k"], num_buckets=4,
+                       path=str(tmp_path / "tb"))
+        spark.sql("DROP TABLE bs_ra")
+        spark.sql("DROP TABLE bs_rb")
+        assert register_bucketed(spark, str(tmp_path / "ta")) == "bs_ra"
+        assert register_bucketed(spark, str(tmp_path / "tb")) == "bs_rb"
+        register_bucketed(spark, str(tmp_path / "ta"))  # idempotent
+        assert bucketed_join_plan_is_shuffle_free(spark, "bs_ra", "bs_rb", "k")
+        j = spark.table("bs_ra").join(spark.table("bs_rb"), "k")
+        assert j.count() == 2_500
+        row = j.filter(F.col("k") == 424).collect()[0]
+        assert (row.va, row.vb) == (848, 1272)
+
+    def test_aggregation_reuses_bucketing(self, spark, tmp_path, no_broadcast):
+        """groupBy on the bucket key also skips its exchange after
+        re-registration — the clustering is a reusable output
+        partitioning, not a join-only trick."""
+        a, _ = _frames(spark, 8_000)
+        write_bucketed(a, "bs_ga", ["k"], num_buckets=4,
+                       path=str(tmp_path / "ta"))
+        spark.sql("DROP TABLE bs_ga")
+        register_bucketed(spark, str(tmp_path / "ta"))
+        agg = spark.table("bs_ga").groupBy("k").agg(F.sum("va").alias("s"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert agg.count() == 8_000
