@@ -220,6 +220,46 @@ def _dedup_ingest_direction(spark) -> list[str]:
     return failures
 
 
+def _bucketed_join_no_exchange(spark) -> list[str]:
+    """Co-bucketed tables must join as a SortMergeJoin with NO shuffle
+    exchange on either side — the pay-the-shuffle-once property
+    (automic_etl_spark/bucketed, r14 durable across sessions via
+    register_bucketed). Broadcast is disabled for the check because a
+    BroadcastHashJoin would (correctly) hide the question at audit
+    sizes."""
+    import shutil
+    import tempfile
+
+    from automic_etl_spark.bucketed import register_bucketed, write_bucketed
+
+    tmp = tempfile.mkdtemp(prefix="bucket_plan_audit_")
+    failures: list[str] = []
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        a = spark.range(0, 10_000).selectExpr("id as k", "id * 2 as va")
+        b = spark.range(0, 10_000, 2).selectExpr("id as k", "id * 3 as vb")
+        write_bucketed(a, "pa_bucket_a", ["k"], num_buckets=4, path=tmp + "/a")
+        write_bucketed(b, "pa_bucket_b", ["k"], num_buckets=4, path=tmp + "/b")
+        # the cross-session arm: drop + rebuild from the persisted spec
+        spark.sql("DROP TABLE pa_bucket_a")
+        register_bucketed(spark, tmp + "/a")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("pa_bucket_a").join(spark.table("pa_bucket_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan:
+            failures.append("bucketed_join: expected SortMergeJoin")
+        if "Exchange hashpartitioning" in plan:
+            failures.append("bucketed_join: shuffle exchange present")
+        if j.count() != 5_000:
+            failures.append("bucketed_join: wrong row count")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("pa_bucket_a", "pa_bucket_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return failures
+
+
 def _curate_action_count(spark) -> list[str]:
     """CorpusCurator.curate()'s driver-action count must be O(1) in the
     number of enabled stages (round 7; VERDICT r6 What's-wrong #1): the
@@ -348,6 +388,9 @@ def main() -> None:
     action_failures = _curate_action_count(spark)
     failures += action_failures
     print(f"{'FAIL' if action_failures else 'PASS'} curate_action_count")
+    bucket_failures = _bucketed_join_no_exchange(spark)
+    failures += bucket_failures
+    print(f"{'FAIL' if bucket_failures else 'PASS'} bucketed_join_no_exchange")
     spark.stop()
     if failures:
         print("\n".join(failures))
