@@ -163,7 +163,12 @@ def test_coverage_doc_cites_live_gates():
     doc = open("/root/repo/COVERAGE.md").read()
     tokens = set(re.findall(r"`([a-z][a-z0-9_]*)`", doc))
     # plain backticked identifiers that are deliberately not gate names
-    non_gates = {"notifications", "queries", "create_app", "read_nested", "transformation", "metastore"}
+    non_gates = {
+        "notifications", "queries", "create_app", "read_nested",
+        "transformation", "metastore",
+        # r14 bucketed-table API/audit names cited in their COVERAGE row
+        "write_bucketed", "register_bucketed", "bucketed_join_no_exchange",
+    }
     cited = {
         t
         for t in tokens
