@@ -377,6 +377,21 @@ class AvroReader(DataSourceReader):
         self._project = (
             {c.strip() for c in cols.split(",") if c.strip()} if cols else None
         )
+        # parse the first file's schema ONCE, driver-side; the parsed
+        # plan (plain dicts) rides the task closure. Before r14 every
+        # task re-opened files[0] just to re-parse it — a per-task
+        # extra open of one shared file, a real hotspot on object
+        # stores at many-partition scale.
+        from automic_etl_spark.sources.avrofile import (
+            _list_avro_files,
+            read_ocf,
+        )
+
+        files = _list_avro_files(path)
+        if not files:
+            raise ValueError(f"no .avro files under {path!r}")
+        with open(files[0], "rb") as f0:
+            self._parsed, _json, _records = read_ocf(f0)
 
     def partitions(self):
         import os
@@ -397,14 +412,10 @@ class AvroReader(DataSourceReader):
     def read(self, partition):
         from automic_etl_spark.sources.avrofile import (
             _iter_blocks_range,
-            _list_avro_files,
             _to_pandas_cell,
-            read_ocf,
         )
 
-        files = _list_avro_files(self._path)
-        with open(files[0], "rb") as f0:
-            parsed, _json, _records = read_ocf(f0)
+        parsed = self._parsed
         names = [f["name"] for f in parsed["fields"]]
         fields = parsed["fields"]
         if self._project is not None:
