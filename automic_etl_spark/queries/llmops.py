@@ -3162,3 +3162,55 @@ ORDER BY doc_id
 
 QUERIES_TAIL["zstd_dict"] = q_zstd_dict_gate
 ORACLE_TAIL["zstd_dict"] = ORACLE_ZSTD_DICT
+
+
+# --------------------------------------------------------------------------
+# warc_corpus_roundtrip (r14): the one-call dict-compressed corpus
+# export proven end-to-end by VALUE equality — write_warc_corpus
+# (train -> per-partition .warc.zst segments, each embedding the
+# trained dictionary as the IIPC skippable frame) then read_wet back,
+# emitting (url, text_len). The oracle never sees the compressed
+# bytes: it recomputes the same (url, strlen) directly from the
+# documents table, so the gate only hash-matches if every document
+# survived compress -> segment write -> segment read -> dictionary
+# decode -> lenient UTF-8 decode byte-for-byte in LENGTH and url in
+# VALUE. Text is single-byte-per-char by the same precondition the
+# pretrained_tokenize/zstd_dict oracles guard (strlen = byte length =
+# char length). Scale: training is sample-fit; write and read are
+# map-only per-partition lanes (see sources/warc.write_warc_corpus).
+# --------------------------------------------------------------------------
+
+
+def q_warc_corpus_roundtrip_gate(spark, sf_dir):
+    """(url, text_len) read back from a trained-dict .warc.zst corpus."""
+    import tempfile
+
+    from automic_etl_spark.sources.warc import read_wet, write_warc_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://corpus.example/"), F.col("doc_id")).alias(
+            "url"
+        ),
+        "text",
+        F.col("doc_id"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="gate_warc_corpus_")
+    write_warc_corpus(
+        docs, out_dir, dictionary="train", id_col="doc_id"
+    ).collect()
+    back = read_wet(spark, out_dir)
+    return back.select(
+        F.col("url"),
+        F.length("text").cast("long").alias("text_len"),
+    ).orderBy("url")
+
+
+ORACLE_WARC_CORPUS_ROUNDTRIP = """
+SELECT 'http://corpus.example/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(strlen(text) AS BIGINT) AS text_len
+FROM documents
+ORDER BY url
+"""
+
+QUERIES_TAIL["warc_corpus_roundtrip"] = q_warc_corpus_roundtrip_gate
+ORACLE_TAIL["warc_corpus_roundtrip"] = ORACLE_WARC_CORPUS_ROUNDTRIP

@@ -137,6 +137,12 @@ def test_registry_driver_window_prefix():
         # validation_report's broadcast anti-join and scd2_history's
         # merge anti-arm; its oracle stays in-suite here
         "join_semi_anti",
+        # -- r14 addition, declared directly in the overflow tail:
+        # write_warc_corpus(dictionary='train') -> read_wet round trip
+        # proven by value equality (url + text length) against a DuckDB
+        # replay that never sees the compressed bytes; a scored-window
+        # promotion is a future rotation's call
+        "warc_corpus_roundtrip",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r13 verdict's promotion ask):
     # the trained-dictionary round-trip gate
