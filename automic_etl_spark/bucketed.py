@@ -43,8 +43,14 @@ def write_bucketed(
     mode: str = "overwrite",
     path: str | None = None,
 ) -> None:
-    """Persist as a bucketed (and bucket-sorted) catalog table. Sorting
-    within buckets makes the subsequent sort-merge join skip its sort.
+    """Persist as a bucketed (and bucket-sorted) catalog table.
+
+    What the clustering buys is the SHUFFLE: co-bucketed joins and
+    bucket-key aggregations plan with no Exchange. A per-side Sort
+    remains in the SMJ plan — Spark does not trust ``sortBy`` file
+    metadata at read time (the long-open SPARK-19256; measured here:
+    one file per bucket still plans the Sort), so the in-bucket sort
+    only cheapens that Sort (pre-sorted runs), never removes it.
 
     ``path`` (r14): external table location; with or without it, the
     bucket spec is persisted beside the data so ``register_bucketed``
