@@ -760,3 +760,22 @@ class TestRecursiveSchemas:
                 spark, str(p), recursive_max_depth=2,
                 reader_schema=json.dumps(NODE_SCHEMA),
             )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_prop_rows)
+def test_skip_walker_pos_identity_property(row):
+    """r14 column pruning: for EVERY wire shape the property schema
+    covers (int/long varints, string/bytes lengths, nullable union,
+    array, map), _skip must land on exactly the byte position _decode
+    lands on — pruning can never desynchronize the record walk."""
+    from automic_etl_spark.sources.avrofile import _decode, _skip
+
+    buf = memoryview(encode_value(row, _PROP_SCHEMA))
+    pos_d = 0
+    pos_s = 0
+    for f in _PROP_SCHEMA["fields"]:
+        _v, pos_d = _decode(buf, pos_d, f["type"])
+        pos_s = _skip(buf, pos_s, f["type"])
+        assert pos_s == pos_d, f["name"]
+    assert pos_d == len(buf)

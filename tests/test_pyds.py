@@ -406,3 +406,34 @@ class TestAvroColumnPruning:
         full = list(_iter_blocks_range(str(p), 0, size))
         assert pruned == [{"id": r["id"], "props": r["props"]} for r in full]
         assert stats == {"decoded_fields": 2 * n, "skipped_fields": 3 * n}
+
+
+class TestWetOverDictSegments:
+    def test_format_wet_reads_trained_dict_corpus(self, spark, tmp_path):
+        """Glue coverage (r14): the wet data source must read the
+        dictionary-compressed warc-zstd layout write_warc_corpus emits —
+        the IIPC skippable dict frame rides open_warc underneath both
+        the mapInPandas reader AND the Python Data Source."""
+        import os
+
+        from automic_etl_spark.sources.warc import write_warc_corpus
+
+        register(spark)
+        docs = spark.createDataFrame(
+            [
+                (f"http://log/{i}",
+                 '{"svc": "gw", "msg": "done", "seq": %d}' % i)
+                for i in range(24)
+            ],
+            "url string, text string",
+        ).repartition(2)
+        d = str(tmp_path / "dictcorpus")
+        write_warc_corpus(docs, d, dictionary="train").collect()
+        back = (
+            spark.read.format("wet")
+            .load(os.path.join(d, "*.warc.zst"))
+            .collect()
+        )
+        got = sorted((r.url, r.text) for r in back)
+        want = sorted((r.url, r.text) for r in docs.collect())
+        assert got == want
