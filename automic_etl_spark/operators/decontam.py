@@ -123,3 +123,174 @@ def sample_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination arm (r14) — the fixed-memory scale path.
+#
+# The exact join above broadcasts the benchmark's distinct n-gram
+# hashes; that is right while benchmarks are small, but a combined
+# eval-suite sweep can reach 10^8-10^9 distinct n-grams, where the
+# broadcast hash relation (and its build time) stops fitting. A Bloom
+# filter holds ANY benchmark size in m = -n*ln(p)/ln(2)^2 bits
+# (10^8 n-grams at 1% FPR ≈ 114 MiB) with NO false negatives: the
+# bloom arm flags a SUPERSET of the exact arm's documents (pinned by
+# test), and the over-flagging rate is bounded by the configured FPR
+# per n-gram — an acceptable trade for decontamination, where a false
+# positive merely drops one clean document.
+#
+# Spark shapes: the build is one pass over benchmark n-grams — each
+# partition sets bits into a local bitmap, OR-merged up a tree
+# (treeReduce: the one RDD use in this module, justified because the
+# reduction value is a 100 MiB numpy bitmap, not rows). The check is
+# map-only: the bitmap broadcasts once, membership is a vectorized
+# numpy bit test inside an Arrow-batched kernel, and the per-doc hit
+# count aggregates map-side. No join anywhere.
+# --------------------------------------------------------------------------
+
+
+class NgramBloom:
+    """Immutable Bloom filter over 64-bit n-gram hashes.
+
+    Bit positions use Kirsch-Mitzenmacher double hashing:
+    pos_i = (h1 + i*h2) mod m with h2 = splitmix64(h1) | 1, so the k
+    probes derive deterministically from the one portable md5-based
+    hash the exact arm already uses (textops.token_hash)."""
+
+    __slots__ = ("bits", "m", "k", "n")
+
+    def __init__(self, bits, m: int, k: int, n: int):
+        self.bits = bits  # numpy uint64 array, ceil(m/64) words
+        self.m = m
+        self.k = k
+        self.n = n
+
+    @staticmethod
+    def params(expected: int, fpp: float) -> tuple[int, int]:
+        import math
+
+        expected = max(1, int(expected))
+        if not 0 < fpp < 1:
+            raise ValueError("fpp must be in (0, 1)")
+        # m floors at 1024 bits (128 B — free) and k caps at 16: at a
+        # tiny m the optimal-k formula saturates the filter, and with
+        # few bits in play probe sequences of different keys correlate
+        # (measured: a 64-bit m=2-entry filter false-positived a
+        # 9e-7-naive-probability query) — the floor+cap keep the
+        # small-benchmark corner boring.
+        m = max(
+            1024, int(math.ceil(-expected * math.log(fpp) / (math.log(2) ** 2)))
+        )
+        k = min(16, max(1, round(m / expected * math.log(2))))
+        return m, k
+
+    @staticmethod
+    def _positions(h, m: int, k: int):
+        """(len(h), k) int64 bit positions for int64/uint64 hashes h:
+        splitmix64-finalized double hashing — the finalizer runs on
+        h1 + i*h2 so probe i's position carries full-width mixing
+        (plain Kirsch-Mitzenmacher keeps keys' probe sequences as
+        arithmetic progressions, which correlate at small m)."""
+        import numpy as np
+
+        def mix(z):
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        h1 = h.astype(np.uint64)
+        h2 = mix(h1 + np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)[None, :]
+        probe = mix(h1[:, None] + i * h2[:, None])
+        return (probe % np.uint64(m)).astype(np.int64)
+
+    def add(self, h) -> None:
+        import numpy as np
+
+        pos = self._positions(np.asarray(h), self.m, self.k).ravel()
+        np.bitwise_or.at(
+            self.bits, pos >> 6, np.uint64(1) << (pos & 63).astype(np.uint64)
+        )
+
+    def might_contain(self, h):
+        """Vectorized membership: bool array for int64/uint64 hashes."""
+        import numpy as np
+
+        pos = self._positions(np.asarray(h), self.m, self.k)
+        probe = (
+            self.bits[pos >> 6] >> (pos & 63).astype(np.uint64)
+        ) & np.uint64(1)
+        return probe.all(axis=1)
+
+
+def build_ngram_bloom(
+    benchmark: DataFrame,
+    n: int = 8,
+    bench_text_col: str = "text",
+    fpp: float = 0.01,
+    expected: int | None = None,
+) -> NgramBloom:
+    """One distributed pass over the benchmark's distinct n-gram hashes
+    -> an NgramBloom sized for ``expected`` entries (counted exactly
+    with one agg job when not given) at ``fpp``."""
+    import numpy as np
+
+    ng = _ngram_hashes(benchmark, [], bench_text_col, n).distinct()
+    if expected is None:
+        expected = ng.count()
+    m, k = NgramBloom.params(expected, fpp)
+    words = (m + 63) // 64
+
+    def partition_bitmap(rows):
+        bits = np.zeros(words, dtype=np.uint64)
+        bloom = NgramBloom(bits, m, k, n)
+        batch = [r[0] for r in rows]  # single __ng column (Row blocks
+        # dunder attribute access)
+        if batch:
+            bloom.add(np.array(batch, dtype=np.int64))
+        yield bits
+
+    merged = ng.rdd.mapPartitions(partition_bitmap).treeReduce(np.bitwise_or)
+    return NgramBloom(merged, m, k, n)
+
+
+def contamination_report_bloom(
+    corpus: DataFrame,
+    bloom: NgramBloom,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, ngram_hits, contaminated)`` via the Bloom membership
+    test — flags a SUPERSET of contamination_report's documents (no
+    false negatives by Bloom construction; over-flagging bounded by the
+    filter's FPR per n-gram). Map-only: the bitmap rides a broadcast,
+    no join."""
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((bloom.bits, bloom.m, bloom.k, bloom.n))
+
+    def kernel(it):
+        import numpy as np
+
+        bits, m, k, n_ = bc.value
+        b = NgramBloom(bits, m, k, n_)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            hits = b.might_contain(pdf["__ng"].to_numpy())
+            yield pd.DataFrame({id_col: pdf[id_col], "__hit": hits})
+
+    ngrams = _ngram_hashes(corpus, [id_col], text_col, bloom.n)
+    per_doc = (
+        ngrams.mapInPandas(kernel, f"{id_col} long, __hit boolean")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__hit").cast("long")).alias("ngram_hits"))
+        .filter(F.col("ngram_hits") > 0)
+    )
+    return per_doc.select(
+        id_col,
+        "ngram_hits",
+        (F.col("ngram_hits") >= F.lit(min_hits)).alias("contaminated"),
+    )

@@ -302,3 +302,86 @@ def test_chunk_documents_overlap_windows(spark):
 
     with _pytest.raises(ValueError, match="overlap"):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+# --- r14: the Bloom-filter decontamination arm -------------------------------
+
+
+def test_bloom_superset_of_exact_and_agrees_on_planted(spark):
+    """The no-false-negatives invariant: every document the exact join
+    flags, the bloom arm flags with AT LEAST the same hit count; on the
+    tiny fixture (FPR negligible) the two reports are identical."""
+    from automic_etl_spark.operators.decontam import (
+        build_ngram_bloom,
+        contamination_report_bloom,
+    )
+
+    bloom = build_ngram_bloom(_benchmark(spark), n=8, fpp=0.001)
+    exact = {
+        r["doc_id"]: r["ngram_hits"]
+        for r in contamination_report(
+            _corpus(spark), _benchmark(spark), n=8
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["ngram_hits"]
+        for r in contamination_report_bloom(_corpus(spark), bloom).collect()
+    }
+    assert set(exact) <= set(got)
+    for d, hits in exact.items():
+        assert got[d] >= hits
+    assert got == exact  # tiny fixture: no false positives at 0.1% FPR
+
+
+def test_bloom_fpr_bounded_on_clean_corpus(spark):
+    """Measured per-n-gram false-positive rate on a corpus sharing NO
+    n-gram with the benchmark stays within ~3x of the configured FPR
+    (binomial slack on ~9k trials)."""
+    import random
+
+    from automic_etl_spark.operators.decontam import (
+        build_ngram_bloom,
+        contamination_report_bloom,
+    )
+
+    rng = random.Random(14)
+    bench = spark.createDataFrame(
+        [
+            (i, " ".join(f"bench{rng.randrange(500)}" for _ in range(30)))
+            for i in range(200)
+        ],
+        "qid long, text string",
+    )
+    clean = spark.createDataFrame(
+        [
+            (i, " ".join(f"clean{rng.randrange(500)}" for _ in range(40)))
+            for i in range(300)
+        ],
+        "doc_id long, text string",
+    )
+    fpp = 0.01
+    bloom = build_ngram_bloom(bench, n=8, fpp=fpp)
+    flagged = contamination_report_bloom(clean, bloom).collect()
+    false_hits = sum(r["ngram_hits"] for r in flagged)
+    trials = 300 * (40 - 8 + 1)  # n-grams tested (pre-distinct upper bound)
+    assert false_hits <= 3 * fpp * trials, (false_hits, trials)
+
+
+def test_bloom_params_and_membership_unit():
+    import numpy as np
+
+    from automic_etl_spark.operators.decontam import NgramBloom
+
+    m, k = NgramBloom.params(100_000, 0.01)
+    assert m >= 900_000 and 5 <= k <= 9  # textbook sizing
+    bloom = NgramBloom(np.zeros((m + 63) // 64, dtype=np.uint64), m, k, 8)
+    h = np.arange(1000, dtype=np.int64) * 7919
+    bloom.add(h)
+    assert bloom.might_contain(h).all()  # no false negatives, ever
+    other = np.arange(1000, dtype=np.int64) * 104729 + 13
+    fp = bloom.might_contain(other).sum()
+    assert fp <= 30  # ~1% of 1000 with slack
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        NgramBloom.params(10, 1.5)
