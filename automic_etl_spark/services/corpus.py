@@ -83,6 +83,15 @@ class CorpusCurator:
     ratios: dict = field(default_factory=lambda: {"train": 0.8, "val": 0.1, "test": 0.1})
     decontam_ngram: int = 8
     decontam_min_hits: int = 1
+    # decontamination strategy: "exact" broadcasts the benchmark's
+    # distinct n-gram hashes into ONE equi-join (right while
+    # benchmarks are small); "bloom" (r14) builds a fixed-memory Bloom
+    # filter instead and checks membership map-side with no join — the
+    # 1e8+-n-gram eval-suite lane. Bloom flags a SUPERSET of exact
+    # (no false negatives; over-drop bounded by decontam_bloom_fpp per
+    # n-gram), which for decontamination errs on the safe side.
+    decontam_mode: str = "exact"
+    decontam_bloom_fpp: float = 0.01
     group_cap: int | None = None
     group_cols: tuple = ("source",)
     # Gopher-style repetition cap: drop docs whose duplicate-bigram
@@ -551,16 +560,43 @@ class CorpusCurator:
 
         # 4. optional benchmark decontamination (pre-training hygiene)
         if benchmark is not None:
-            from automic_etl_spark.operators.decontam import decontaminate
+            if self.decontam_mode == "bloom":
+                from automic_etl_spark.operators.decontam import (
+                    build_ngram_bloom,
+                    contamination_report_bloom,
+                )
 
-            kept = stage(
-                "decontam",
-                decontaminate(
-                    kept, benchmark, n=self.decontam_ngram,
-                    min_hits=self.decontam_min_hits, id_col=id_col,
-                    text_col=text_col,
-                ),
-            )
+                bloom = build_ngram_bloom(
+                    benchmark, n=self.decontam_ngram,
+                    fpp=self.decontam_bloom_fpp,
+                )
+                flagged = contamination_report_bloom(
+                    kept, bloom, min_hits=self.decontam_min_hits,
+                    id_col=id_col, text_col=text_col,
+                ).filter(F.col("contaminated"))
+                kept = stage(
+                    "decontam",
+                    kept.join(
+                        F.broadcast(flagged.select(id_col)), id_col,
+                        "left_anti",
+                    ),
+                )
+            elif self.decontam_mode == "exact":
+                from automic_etl_spark.operators.decontam import decontaminate
+
+                kept = stage(
+                    "decontam",
+                    decontaminate(
+                        kept, benchmark, n=self.decontam_ngram,
+                        min_hits=self.decontam_min_hits, id_col=id_col,
+                        text_col=text_col,
+                    ),
+                )
+            else:
+                raise ValueError(
+                    f"decontam_mode must be 'exact' or 'bloom', got "
+                    f"{self.decontam_mode!r}"
+                )
 
         # 5. optional per-group quota caps (source/language balancing)
         if self.group_cap is not None:

@@ -703,3 +703,36 @@ def test_corpus_curator_dsir_stage(spark):
     out2, _ = cur2.curate(docs, dsir_target=target)
     w = {r.doc_id: r.weight_e6 for r in out2.collect()}
     assert len(w) == 6 and all(v is not None for v in w.values())
+
+
+def test_corpus_curator_decontam_bloom_mode(spark):
+    """r14: decontam_mode='bloom' routes the stage through the
+    fixed-memory Bloom arm — same planted contamination removed, same
+    report key, and an unknown mode fails loudly."""
+    import pytest as _pytest
+
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    filler = ("document number {i} with plenty of ordinary natural language "
+              "words describing data pipelines and machine learning corpora "
+              "in sentence {i} of the synthetic training set")
+    rows = [(i, filler.format(i=i), "web") for i in range(1, 11)]
+    rows.append((99, "the secret benchmark question about fox jumping "
+                     "over dogs appears verbatim in this training document "
+                     "which should be removed by decontamination", "web"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark question about fox jumping over dogs")],
+        "qid long, text string",
+    )
+    cur = CorpusCurator(min_quality=0.0, decontam_ngram=6,
+                        decontam_mode="bloom", decontam_bloom_fpp=0.001)
+    out, report = cur.curate(docs, benchmark=bench)
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 99 not in kept
+    assert report["contaminated_removed"] == 1
+    assert kept == set(range(1, 11))  # tiny fixture: no FPs at 0.1%
+
+    bad = CorpusCurator(min_quality=0.0, decontam_mode="nope")
+    with _pytest.raises(ValueError, match="decontam_mode"):
+        bad.curate(docs, benchmark=bench)
