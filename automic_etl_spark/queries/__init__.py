@@ -123,6 +123,12 @@ _DRIVER_SCORED = (
     # validation_report's broadcast anti-join and scd2_history's merge
     # anti-arm, and its own oracle stays in-suite via check_oracle /
     # test_oracle_gate.
+    # Designated NEXT rotation (r15): promote `warc_corpus_roundtrip`
+    # (the r14 dict-corpus export round-trip gate, declared in the
+    # overflow tail) by displacing `extract_json_regex` — JSON path +
+    # regex extraction stays scored via text_doc_profile's extraction
+    # arms and redaction's regex strategies, and its oracle stays
+    # in-suite.
     "zstd_dict",          # r14: trained-dictionary round-trip gate
 )
 
