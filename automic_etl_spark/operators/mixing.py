@@ -89,3 +89,100 @@ def token_budget_sample(
     )
     sampled = keyed.filter(F.col("__keep")).drop("__n_tok", "__p_ppm", "__keep")
     return sampled, report
+
+
+def temperature_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.7,
+    group_col: str = "source",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> dict[str, int]:
+    """Per-source token budgets from TEMPERATURE weighting — the
+    standard multi-source pretraining mix (multilingual-BERT /
+    mT5-style sampling, Devlin et al. 2019 / Xue et al. 2021): source
+    i's mixture weight is p_i^alpha / sum_j p_j^alpha where p_i is its
+    natural token share. alpha=1 keeps natural proportions, alpha=0
+    gives uniform weights, the conventional 0.3-0.7 range upsamples
+    the tail without letting one giant source dominate.
+
+    Returns {source: token budget} summing ~total_budget, each budget
+    additionally CAPPED at the source's actual tokens (a mixture
+    weight cannot conjure data the source doesn't have; the remainder
+    re-normalizes over uncapped sources, water-filling style, so the
+    total stays tight instead of silently undershooting). Feed the
+    result straight into token_budget_sample — the deterministic
+    hash-threshold mixer (one agg + broadcast join + map-side filter;
+    this helper's own cost is ONE per-group aggregation)."""
+    if not 0 <= alpha:
+        raise ValueError("alpha must be >= 0")
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    n_tok = (
+        F.col(count_col) if count_col is not None else token_count(F.col(text_col))
+    ).cast("long")
+    totals = {
+        r["__g"]: int(r["__t"])
+        for r in docs.withColumn("__n_tok", n_tok)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum("__n_tok").alias("__t"))
+        .collect()
+        if r["__t"] and r["__t"] > 0
+    }
+    if not totals:
+        return {}
+    grand = sum(totals.values())
+    weights = {g: (t / grand) ** alpha for g, t in totals.items()}
+    budgets: dict[str, int] = {}
+    remaining_budget = int(total_budget)
+    live = dict(weights)
+    # water-filling: sources whose weighted share exceeds their actual
+    # tokens are capped at those tokens; their unused share re-spreads
+    # over the rest until no source overflows.
+    while live:
+        wsum = sum(live.values())
+        overflow = {
+            g
+            for g in live
+            if remaining_budget * live[g] / wsum > totals[g]
+        }
+        if not overflow:
+            for g in live:
+                budgets[g] = int(remaining_budget * live[g] / wsum)
+            break
+        for g in overflow:
+            budgets[g] = totals[g]
+            remaining_budget -= totals[g]
+            del live[g]
+        if remaining_budget <= 0:
+            for g in live:
+                budgets[g] = 0
+            break
+    return budgets
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    total_budget: int,
+    alpha: float = 0.7,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call temperature mix: compute p^alpha budgets, then sample
+    deterministically via token_budget_sample. Returns (sampled docs,
+    per-group report) — same contract as token_budget_sample."""
+    budgets = temperature_budgets(
+        docs, total_budget, alpha, group_col, text_col, count_col
+    )
+    return token_budget_sample(
+        docs,
+        budgets,
+        group_col=group_col,
+        id_col=id_col,
+        text_col=text_col,
+        count_col=count_col,
+        default_budget=0,
+    )

@@ -90,3 +90,67 @@ def test_differential_vs_duckdb_replay(spark):
     assert got_ids == [w[0] for w in want]
     # the budgets actually bite (non-vacuous downsampling)
     assert any(p < 1_000_000 for p in p_ppm.values())
+
+
+# --- r14: temperature-weighted mixture ---------------------------------------
+
+
+def _skewed_corpus(spark):
+    # giant web source, mid books, tiny code — the shape temperature
+    # sampling exists for
+    rows = []
+    for i in range(400):
+        rows.append((i, "w " * 100, "web"))
+    for i in range(400, 480):
+        rows.append((i, "b " * 100, "books"))
+    for i in range(480, 500):
+        rows.append((i, "c " * 100, "code"))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_temperature_budgets_shapes(spark):
+    from automic_etl_spark.operators.mixing import temperature_budgets
+
+    docs = _skewed_corpus(spark)
+    # alpha=1: natural proportions (400:80:20 of the total budget)
+    b1 = temperature_budgets(docs, 10_000, alpha=1.0)
+    assert set(b1) == {"web", "books", "code"}
+    assert abs(b1["web"] - 8_000) <= 1
+    assert abs(b1["books"] - 1_600) <= 1 and abs(b1["code"] - 400) <= 1
+    # alpha=0: uniform weights — but code only HAS 2000 tokens, so it
+    # caps there and the remainder water-fills over web/books
+    b0 = temperature_budgets(docs, 10_000, alpha=0.0)
+    assert b0["code"] == 2_000  # capped at actual tokens
+    assert b0["web"] == b0["books"] == 4_000
+    # alpha between: code's share strictly grows as alpha drops
+    b7 = temperature_budgets(docs, 10_000, alpha=0.7)
+    assert b1["code"] < b7["code"] <= b0["code"]
+    # totals stay tight (integer floor slack only)
+    for b in (b1, b0, b7):
+        assert 0 <= 10_000 - sum(b.values()) <= len(b)
+
+
+def test_temperature_mixture_end_to_end(spark):
+    from automic_etl_spark.operators.mixing import temperature_mixture
+
+    docs = _skewed_corpus(spark)
+    sampled, report = temperature_mixture(docs, 10_000, alpha=0.5)
+    rep = {r["source"]: r for r in report.collect()}
+    # every source present; tail sources kept proportionally MORE than
+    # their natural share, head less
+    assert rep["web"]["p_ppm"] < 1_000_000
+    assert rep["code"]["p_ppm"] > rep["web"]["p_ppm"]
+    # determinism: the kept id set is a pure function of the inputs
+    again, _ = temperature_mixture(docs, 10_000, alpha=0.5)
+    assert sorted(r.doc_id for r in sampled.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # validation
+    import pytest as _pytest
+
+    from automic_etl_spark.operators.mixing import temperature_budgets
+
+    with _pytest.raises(ValueError):
+        temperature_budgets(docs, 0)
+    with _pytest.raises(ValueError):
+        temperature_budgets(docs, 10, alpha=-1)
