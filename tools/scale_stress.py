@@ -58,6 +58,7 @@ def _workloads():
         q_avro_scan,
         q_bpe_tokenize,
         q_corpus_curate,
+        q_warc_dict_export,
         q_decontaminate,
         q_dedup_ingest,
         q_doctext_extract,
@@ -122,6 +123,7 @@ def _workloads():
         "line_dedup": q_line_dedup,
         "warc_extract": q_warc_extract,
         "corpus_curate": q_corpus_curate,
+        "warc_dict_export": q_warc_dict_export,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
