@@ -57,6 +57,12 @@ _BLOCK_TAGS = frozenset(
 
 GOOD, NEAR_GOOD, SHORT, BAD = "good", "near_good", "short", "bad"
 
+# precompiled hot-path patterns (r14: re's per-call cache lookup plus
+# pattern-object indirection was ~15% of extract_main_text on
+# text-heavy pages; behavior identical)
+_WS_RUN = re.compile(r"\s+")
+_WORDS = re.compile(r"[a-zA-Z']+")
+
 
 class _BlockParser(HTMLParser):
     def __init__(self):
@@ -73,7 +79,11 @@ class _BlockParser(HTMLParser):
         self._cur_tag = ""
 
     def _flush(self):
-        text = re.sub(r"\s+", " ", "".join(self._parts)).strip()
+        if not self._parts:
+            # nothing buffered (common: consecutive structural tags) —
+            # skip the regex; link_chars can only be nonzero with parts
+            return
+        text = _WS_RUN.sub(" ", "".join(self._parts)).strip()
         if text:
             self.blocks.append(
                 (
@@ -142,9 +152,9 @@ def _classify(
     link_density = link_chars / n if n else 1.0
     if chrome or link_density > max_link_density:
         return BAD
-    words = re.findall(r"[a-zA-Z']+", text.lower())
+    words = _WORDS.findall(text.lower())
     stop_density = (
-        sum(1 for w in words if w in stopwords) / len(words) if words else 0.0
+        sum(map(stopwords.__contains__, words)) / len(words) if words else 0.0
     )
     if n < length_low:
         return SHORT
