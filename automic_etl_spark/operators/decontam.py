@@ -88,14 +88,18 @@ def decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
 ) -> DataFrame:
-    """The corpus minus contaminated documents (broadcast anti-join on
-    the flagged id set — the flagged side is small, the corpus streams)."""
+    """The corpus minus contaminated documents.
+
+    The BENCHMARK n-gram relation broadcasts (bounded input — see
+    contamination_report), but the flagged id set does NOT carry a
+    broadcast hint: it is corpus-DERIVED output, and on a
+    boilerplate-heavy corpus with min_hits=1 it can be O(corpus) — the
+    repo's never-broadcast-the-corpus-side invariant. AQE still
+    broadcasts it at runtime whenever it measures small."""
     flagged = contamination_report(
         corpus, benchmark, n, min_hits, id_col, text_col, bench_text_col
     ).filter(F.col("contaminated"))
-    return corpus.join(
-        F.broadcast(flagged.select(id_col)), id_col, "left_anti"
-    )
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")
 
 
 def sample_per_group(
@@ -282,9 +286,13 @@ def contamination_report_bloom(
             hits = b.might_contain(pdf["__ng"].to_numpy())
             yield pd.DataFrame({id_col: pdf[id_col], "__hit": hits})
 
+    # The id column keeps its INPUT type (string/UUID ids work in both
+    # decontam arms — the exact arm is generic, so this one must be too;
+    # a hard-coded `long` Arrow-crashed non-integer ids at runtime).
+    id_type = corpus.schema[id_col].dataType.simpleString()
     ngrams = _ngram_hashes(corpus, [id_col], text_col, bloom.n)
     per_doc = (
-        ngrams.mapInPandas(kernel, f"{id_col} long, __hit boolean")
+        ngrams.mapInPandas(kernel, f"{id_col} {id_type}, __hit boolean")
         .groupBy(id_col)
         .agg(F.sum(F.col("__hit").cast("long")).alias("ngram_hits"))
         .filter(F.col("ngram_hits") > 0)
@@ -294,3 +302,27 @@ def contamination_report_bloom(
         "ngram_hits",
         (F.col("ngram_hits") >= F.lit(min_hits)).alias("contaminated"),
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    bloom: NgramBloom,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus minus bloom-flagged documents — the fixed-memory
+    counterpart of ``decontaminate`` (same drop-in signature shape,
+    shared by CorpusCurator's decontam_mode='bloom' stage).
+
+    NO broadcast hint on the flagged id set: it is corpus-DERIVED — at
+    100 TB with min_hits=1 the FPR over-flagging alone can make it
+    billions of rows, and a forced broadcast would OOM the arm at
+    exactly the scale it exists for. Let AQE size the anti-join (one
+    shuffle of an ID set is the honest cost); the plan property is
+    pinned by tests/test_decontam.py::
+    test_bloom_anti_join_never_broadcasts_flagged_side."""
+    flagged = contamination_report_bloom(
+        corpus, bloom, min_hits=min_hits, id_col=id_col, text_col=text_col
+    ).filter(F.col("contaminated"))
+    return corpus.join(flagged.select(id_col), id_col, "left_anti")

@@ -563,22 +563,22 @@ class CorpusCurator:
             if self.decontam_mode == "bloom":
                 from automic_etl_spark.operators.decontam import (
                     build_ngram_bloom,
-                    contamination_report_bloom,
+                    decontaminate_bloom,
                 )
 
                 bloom = build_ngram_bloom(
                     benchmark, n=self.decontam_ngram,
                     fpp=self.decontam_bloom_fpp,
                 )
-                flagged = contamination_report_bloom(
-                    kept, bloom, min_hits=self.decontam_min_hits,
-                    id_col=id_col, text_col=text_col,
-                ).filter(F.col("contaminated"))
+                # decontaminate_bloom carries the repo's never-broadcast-
+                # the-corpus-side invariant (the flagged id set is
+                # corpus-derived; AQE sizes the anti-join) — plan-pinned
+                # in tests/test_decontam.py.
                 kept = stage(
                     "decontam",
-                    kept.join(
-                        F.broadcast(flagged.select(id_col)), id_col,
-                        "left_anti",
+                    decontaminate_bloom(
+                        kept, bloom, min_hits=self.decontam_min_hits,
+                        id_col=id_col, text_col=text_col,
                     ),
                 )
             elif self.decontam_mode == "exact":
