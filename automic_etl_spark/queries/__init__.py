@@ -115,7 +115,7 @@ _DRIVER_SCORED = (
     # family keeps 6 scored rows; `join_revenue_by_nation` demoted as
     # the r12-designated drop-out — equi-join coverage stays scored via
     # feature_table / denormalized_view / medallion_gold)
-    "extract_json_regex", "funnel_conversion",
+    "funnel_conversion",
     "scan_derived_filter", "pricing_summary", "agg_having",
     # r14 rotation (the r13-designated displacement, executed): the new
     # zstd-dictionary gate scores rather than aging in overflow;
@@ -123,13 +123,21 @@ _DRIVER_SCORED = (
     # validation_report's broadcast anti-join and scd2_history's merge
     # anti-arm, and its own oracle stays in-suite via check_oracle /
     # test_oracle_gate.
-    # Designated NEXT rotation (r15): promote `warc_corpus_roundtrip`
-    # (the r14 dict-corpus export round-trip gate, declared in the
-    # overflow tail) by displacing `extract_json_regex` — JSON path +
-    # regex extraction stays scored via text_doc_profile's extraction
-    # arms and redaction's regex strategies, and its oracle stays
-    # in-suite.
     "zstd_dict",          # r14: trained-dictionary round-trip gate
+    # r15 rotation (the r14-designated displacement, executed):
+    # `warc_corpus_roundtrip` — the one-call dict-compressed corpus
+    # export proven by VALUE equality against a DuckDB replay that never
+    # sees the compressed bytes — promoted from the overflow tail;
+    # `extract_json_regex` demoted — JSON path + regex extraction stays
+    # scored via text_doc_profile's extraction arms and redaction's
+    # regex strategies, and its oracle stays in-suite.
+    # Designated NEXT rotation (r16): promote `bloom_decontam` (the r15
+    # Bloom-membership bit-replay gate, declared in the overflow tail)
+    # by displacing `scan_derived_filter` — projection / derived-column
+    # / row-filter coverage stays scored via csv_sql_roundtrip,
+    # medallion_gold's derived features, and agg_having's pre-agg
+    # filters, and its oracle stays in-suite.
+    "warc_corpus_roundtrip",
 )
 
 

@@ -137,16 +137,21 @@ def test_registry_driver_window_prefix():
         # validation_report's broadcast anti-join and scd2_history's
         # merge anti-arm; its oracle stays in-suite here
         "join_semi_anti",
-        # -- r14 addition, declared directly in the overflow tail:
-        # write_warc_corpus(dictionary='train') -> read_wet round trip
-        # proven by value equality (url + text length) against a DuckDB
-        # replay that never sees the compressed bytes; a scored-window
-        # promotion is a future rotation's call
-        "warc_corpus_roundtrip",
+        # -- r15 rotation: the r14-designated displacement, executed —
+        # warc_corpus_roundtrip promoted into the scored window;
+        # extract_json_regex demoted with JSON-path + regex coverage
+        # staying scored via text_doc_profile's extraction arms and
+        # redaction's regex strategies; its oracle stays in-suite here
+        "extract_json_regex",
+        # -- r15 addition, declared directly in the overflow tail: the
+        # Bloom decontamination arm's bit-for-bit membership replay
+        # (splitmix64 double hashing + bitmap synthesis in pure SQL);
+        # designated for the r16 promotion
+        "bloom_decontam",
     }, f"unexpected overflow block: {overflow}"
-    # the new last SCORED entry (the r13 verdict's promotion ask):
-    # the trained-dictionary round-trip gate
-    assert scored[-1] == "zstd_dict"
+    # the new last SCORED entry (the r14 verdict's designated rotation):
+    # the dict-compressed corpus export round-trip gate
+    assert scored[-1] == "warc_corpus_roundtrip"
 
 
 def test_entry_contract(spark):
