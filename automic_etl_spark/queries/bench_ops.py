@@ -763,22 +763,42 @@ def q_warc_dict_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
     )
     out_dir = tempfile.mkdtemp(prefix="bench_warc_dict_")
-    manifest = write_warc_corpus(
-        docs.repartition(max(4, spark.sparkContext.defaultParallelism // 2)),
-        out_dir,
-        dictionary="train",
-        id_col="doc_id",
-    )
-    written = manifest.agg(
-        F.count(F.lit(1)).alias("n_segments"),
-        F.sum("n_records").alias("n_written"),
-    ).collect()[0]
-    back = read_wet(spark, out_dir)
-    return back.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.lit(int(written.n_written)).alias("n_written"),
-        F.lit(int(written.n_segments)).alias("n_segments"),
-        F.sum(F.length("text")).alias("chars"),
+    try:
+        manifest = write_warc_corpus(
+            docs.repartition(max(4, spark.sparkContext.defaultParallelism // 2)),
+            out_dir,
+            dictionary="train",
+            id_col="doc_id",
+        )
+        written = manifest.agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("n_records").alias("n_written"),
+        ).collect()[0]
+        back = read_wet(spark, out_dir)
+        # Aggregate EAGERLY so the export dir can be removed before
+        # returning (ADVICE r14: bench runs each row twice and
+        # scale_stress at 10x — leaked corpus copies accumulate). The
+        # bench still prices the full train->write->read-back lane: the
+        # collect happens inside this call; the returned frame is the
+        # already-computed row (the corpus_curate precedent).
+        got = back.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("chars"),
+        ).collect()[0]
+    finally:
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                int(got["n_docs"]),
+                int(written.n_written),
+                int(written.n_segments),
+                int(got["chars"]),
+            )
+        ],
+        "n_docs long, n_written long, n_segments long, chars long",
     )
 
 

@@ -569,6 +569,69 @@ def write_warc_file(
                 write_warc_record(raw, rec[0], rec[1], *(rec[2:]))
 
 
+class _WarcSegmentWriter:
+    """Incremental single-segment writer for the distributed corpus sink:
+    records stream to an open temp file as Arrow batches arrive (peak
+    executor memory = one batch, never the whole partition), then the
+    segment publishes atomically via ``os.replace`` — a retried or
+    speculative task can never leave a partial ``part-NNNNN`` visible to
+    concurrent readers (ADVICE r14). Member-per-record layout only (the
+    corpus sink's contract); ``write_warc_file`` remains the one-shot
+    API for callers with in-memory record lists."""
+
+    def __init__(self, final_path: str, dictionary: bytes | None = None):
+        import tempfile
+
+        self.final_path = final_path
+        self.is_zst = final_path.endswith(".zst")
+        self.is_gz = final_path.endswith(".gz")
+        if dictionary is not None and not self.is_zst:
+            raise ValueError(
+                "dictionary= is the warc-zstd layout: .zst paths only"
+            )
+        fd, self.tmp_path = tempfile.mkstemp(
+            dir=os.path.dirname(final_path) or ".",
+            prefix="." + os.path.basename(final_path) + ".",
+            suffix=".inprogress",
+        )
+        self.raw = os.fdopen(fd, "wb")
+        self.n = 0
+        self.zd = None
+        if self.is_zst and dictionary:
+            from automic_etl_spark.operators.zstdcodec import ZstdDictionary
+
+            dict_bytes = bytes(dictionary)
+            self.raw.write(WARC_ZSTD_DICT_MAGIC.to_bytes(4, "little"))
+            self.raw.write(len(dict_bytes).to_bytes(4, "little"))
+            self.raw.write(dict_bytes)
+            self.zd = ZstdDictionary(dict_bytes)
+
+    def write(self, warc_type: str, payload: bytes, target_uri: str) -> None:
+        buf = io.BytesIO()
+        write_warc_record(buf, warc_type, payload, target_uri)
+        if self.is_zst:
+            from automic_etl_spark.operators.zstdcodec import zstd_compress
+
+            self.raw.write(zstd_compress(buf.getvalue(), dictionary=self.zd))
+        elif self.is_gz:
+            self.raw.write(gzip.compress(buf.getvalue()))
+        else:
+            self.raw.write(buf.getvalue())
+        self.n += 1
+
+    def publish(self) -> tuple[str, int]:
+        self.raw.close()
+        os.replace(self.tmp_path, self.final_path)  # atomic same-dir move
+        return self.final_path, self.n
+
+    def abort(self) -> None:
+        try:
+            self.raw.close()
+        finally:
+            if os.path.exists(self.tmp_path):
+                os.unlink(self.tmp_path)
+
+
 def write_warc_corpus(
     df: DataFrame,
     directory: str,
@@ -638,22 +701,37 @@ def write_warc_corpus(
     ).withColumn("__pid", F.spark_partition_id())
 
     def sink(iterator):
-        rows_by_pid: dict[int, list] = {}
-        for pdf in iterator:
-            for pid, uri, content in zip(
-                pdf["__pid"], pdf["__uri"], pdf["__content"]
-            ):
-                payload = (
-                    content.encode("utf-8")
-                    if isinstance(content, str)
-                    else (bytes(content) if content is not None else b"")
-                )
-                rows_by_pid.setdefault(int(pid), []).append(
-                    (record_type, payload, uri)
-                )
-        for pid, recs in rows_by_pid.items():
-            out = os.path.join(directory, f"part-{pid:05d}.{ext}")
-            write_warc_file(out, recs, dictionary=dict_bytes)
-            yield pd.DataFrame({"path": [out], "n_records": [len(recs)]})
+        # Streaming + atomic (ADVICE r14): records flow straight to the
+        # open segment as batches arrive — peak memory is one Arrow
+        # batch, not the uncompressed partition — and each segment
+        # publishes via temp-name + os.replace, so retries/speculation
+        # never expose partial files. One task sees one partition id,
+        # but keep the dict: spark_partition_id is input-partition
+        # scoped and coalesced plans can merge several.
+        writers: dict[int, _WarcSegmentWriter] = {}
+        try:
+            for pdf in iterator:
+                for pid, uri, content in zip(
+                    pdf["__pid"], pdf["__uri"], pdf["__content"]
+                ):
+                    payload = (
+                        content.encode("utf-8")
+                        if isinstance(content, str)
+                        else (bytes(content) if content is not None else b"")
+                    )
+                    w = writers.get(int(pid))
+                    if w is None:
+                        w = writers[int(pid)] = _WarcSegmentWriter(
+                            os.path.join(directory, f"part-{int(pid):05d}.{ext}"),
+                            dictionary=dict_bytes,
+                        )
+                    w.write(record_type, payload, uri)
+        except BaseException:
+            for w in writers.values():
+                w.abort()
+            raise
+        for w in writers.values():
+            path, n = w.publish()
+            yield pd.DataFrame({"path": [path], "n_records": [n]})
 
     return with_pid.mapInPandas(sink, "path string, n_records long")
