@@ -34,6 +34,39 @@ from pyspark.sql import DataFrame, SparkSession
 _SPEC = "_bucket_spec.json"
 
 
+def _is_uri(loc: str) -> bool:
+    return "://" in loc or loc.startswith("file:")
+
+
+def _spec_path(loc: str) -> str:
+    return loc.rstrip("/") + "/" + _SPEC
+
+
+def _write_spec(spark: SparkSession, loc: str, spec: dict) -> None:
+    """Persist the bucket spec beside the data. URI locations (object
+    stores, HDFS, explicit file:) go through the session's Hadoop
+    filesystem — the PQ/bm25 ``model.json`` precedent (r15; the old
+    local-only writer silently SKIPPED non-local managed tables, which
+    surfaced later as a FileNotFound in ``register_bucketed`` far from
+    the cause)."""
+    if _is_uri(loc):
+        from automic_etl_spark.operators.bm25 import _fs_write_text
+
+        _fs_write_text(spark, _spec_path(loc), json.dumps(spec, indent=2))
+    else:
+        with open(os.path.join(loc, _SPEC), "w") as f:
+            json.dump(spec, f, indent=2)
+
+
+def _read_spec(spark: SparkSession, loc: str) -> dict:
+    if _is_uri(loc):
+        from automic_etl_spark.operators.bm25 import _fs_read_text
+
+        return json.loads(_fs_read_text(spark, _spec_path(loc)))
+    with open(os.path.join(loc, _SPEC)) as f:
+        return json.load(f)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -62,7 +95,9 @@ def write_bucketed(
     )
     writer = writer.sortBy(*(sort_by or bucket_by))
     if path is not None:
-        writer = writer.option("path", os.path.abspath(path))
+        writer = writer.option(
+            "path", path if _is_uri(path) else os.path.abspath(path)
+        )
     writer.saveAsTable(table)
     spec = {
         "table": table,
@@ -73,25 +108,20 @@ def write_bucketed(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         ),
     }
-    loc = path or _table_location(df.sparkSession, table)
-    if loc is not None:
-        with open(os.path.join(loc, _SPEC), "w") as f:
-            json.dump(spec, f, indent=2)
+    _write_spec(df.sparkSession, path or _table_location(df.sparkSession, table), spec)
 
 
-def _table_location(spark: SparkSession, table: str) -> str | None:
-    """Local-filesystem location of a catalog table, or None when it is
-    not a local path (object-store locations keep their spec only if
-    the caller passed ``path=`` and writes it through their own FS)."""
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Location of a catalog table — local path when it is one, else the
+    raw location URI (object stores included; the spec writer handles
+    any scheme through the Hadoop FS)."""
     for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
         if row.col_name == "Location":
             loc = row.data_type
             if loc.startswith("file:"):
                 return loc[len("file:"):]
-            if loc.startswith("/"):
-                return loc
-            return None
-    return None
+            return loc
+    raise ValueError(f"catalog reports no location for table {table!r}")
 
 
 def register_bucketed(
@@ -99,9 +129,9 @@ def register_bucketed(
 ) -> str:
     """Re-create the catalog entry for a bucketed table from the spec
     persisted beside its data — the cross-session path. Idempotent;
-    returns the table name."""
-    with open(os.path.join(path, _SPEC)) as f:
-        spec = json.load(f)
+    returns the table name. ``path`` may be a local directory or any
+    URI scheme the session's Hadoop FS supports."""
+    spec = _read_spec(spark, path)
     name = table or spec["table"]
     if spark.catalog.tableExists(name):
         return name
@@ -111,11 +141,12 @@ def register_bucketed(
         if spec["sort_by"]
         else ""
     )
+    loc = path if _is_uri(path) else os.path.abspath(path)
     spark.sql(
         f"CREATE TABLE {name} ({spec['schema_ddl']}) USING parquet "
         f"CLUSTERED BY ({clustered}){sorted_by} "
         f"INTO {spec['num_buckets']} BUCKETS "
-        f"LOCATION '{os.path.abspath(path)}'"
+        f"LOCATION '{loc}'"
     )
     return name
 

@@ -65,6 +65,29 @@ class TestBucketSpecDurability:
         loc = _table_location(spark, "bs_managed")
         assert loc and os.path.exists(os.path.join(loc, "_bucket_spec.json"))
 
+    def test_spec_lands_on_uri_locations(self, spark, tmp_path, no_broadcast):
+        """r15 (VERDICT r14 #7): a NON-local-path location (any URI the
+        session's Hadoop FS supports — object stores in production,
+        `file:` here) must still get its spec persisted, through the FS
+        (the PQ/bm25 model.json precedent) — the old writer silently
+        skipped it and register_bucketed later failed with FileNotFound
+        far from the cause. Round trip: write with a file: URI path,
+        drop, re-register from the URI, join still exchange-free."""
+        a, b = _frames(spark, 4_000)
+        ua, ub = "file:" + str(tmp_path / "ua"), "file:" + str(tmp_path / "ub")
+        write_bucketed(a, "bs_ua", ["k"], num_buckets=4, path=ua)
+        write_bucketed(b, "bs_ub", ["k"], num_buckets=4, path=ub)
+        # the spec landed THROUGH the Hadoop FS at the URI location
+        assert os.path.exists(tmp_path / "ua" / "_bucket_spec.json")
+        spec = json.load(open(tmp_path / "ua" / "_bucket_spec.json"))
+        assert spec["table"] == "bs_ua" and spec["num_buckets"] == 4
+        spark.sql("DROP TABLE bs_ua")
+        spark.sql("DROP TABLE bs_ub")
+        assert register_bucketed(spark, ua) == "bs_ua"
+        assert register_bucketed(spark, ub) == "bs_ub"
+        assert bucketed_join_plan_is_shuffle_free(spark, "bs_ua", "bs_ub", "k")
+        assert spark.table("bs_ua").join(spark.table("bs_ub"), "k").count() == 2_000
+
     def test_reregistration_recovers_no_shuffle(
         self, spark, tmp_path, no_broadcast
     ):
