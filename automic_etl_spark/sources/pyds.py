@@ -39,7 +39,7 @@ from automic_etl_spark.sources.warc import (
     WARC_SCHEMA,
     _list_warc_files,
     _split_http,
-    iter_warc_records,
+    iter_warc_records_pruned,
     open_warc,
 )
 
@@ -48,6 +48,28 @@ _COLUMNS = [
     "target_uri", "warc_date", "content_type", "content_length",
     "truncated", "http_status", "http_content_type", "payload",
 ]
+
+# per-column Spark DDL, aligned with WARC_SCHEMA — projection rebuilds
+# the schema string from the requested subset
+_COLUMN_DDL = dict(
+    part.strip().split(" ", 1) for part in WARC_SCHEMA.split(",")
+)
+
+
+def _parse_columns(options, valid: list[str]) -> list[str] | None:
+    """The ``columns`` option as an ordered (schema-order) subset of
+    ``valid``, or None when absent. Unknown names fail loudly at plan
+    time (the avrofile contract)."""
+    cols = options.get("columns")
+    if not cols:
+        return None
+    keep = {c.strip() for c in cols.split(",") if c.strip()}
+    missing = sorted(keep - set(valid))
+    if missing:
+        raise ValueError(
+            f"columns option names fields not in the schema: {missing}"
+        )
+    return [c for c in valid if c in keep]
 
 
 class WarcDataSource(DataSource):
@@ -63,6 +85,12 @@ class WarcDataSource(DataSource):
       larger payloads are truncated and flagged).
     - ``parse_http``: ``true``/``false`` — split HTTP response
       envelopes into status/content-type/body (default true).
+    - ``columns``: CSV of columns to read (r15 column pruning — the
+      avrofile precedent; the Python Data Source API has no prune hook
+      as of Spark 4.1, so the projection rides an option). When the
+      projection needs no payload-derived column, content bytes are
+      chunk-DISCARDED at parse time instead of materialized — a
+      metadata-only scan of a crawl reads headers, not bodies.
     """
 
     @classmethod
@@ -70,7 +98,10 @@ class WarcDataSource(DataSource):
         return "warc"
 
     def schema(self) -> str:
-        return WARC_SCHEMA
+        cols = _parse_columns(self.options, _COLUMNS)
+        if cols is None:
+            return WARC_SCHEMA
+        return ", ".join(f"{c} {_COLUMN_DDL[c]}" for c in cols)
 
     def reader(self, schema) -> "WarcReader":
         # Spark REFUSES a reader that implements pushFilters when
@@ -116,73 +147,106 @@ class WarcReader(DataSourceReader):
         self._parse_http = str(options.get("parse_http", "true")).lower() not in (
             "false", "0", "no",
         )
+        self._out_cols = _parse_columns(options, _COLUMNS) or _COLUMNS
 
         self._uris = None  # pushdown-narrowed target-URI set (None = all)
+        self._prune_stats = None  # tests inject a dict to pin skipped bytes
 
     def partitions(self):
         return [InputPartition(f) for f in _list_warc_files(self._path)]
 
     def read(self, partition):
-        import pyarrow as pa
-
         fpath = partition.value
-        rows: list[tuple] = []
-        idx = -1
-        with open_warc(fpath) as stream:
-            for headers, payload, truncated in iter_warc_records(
-                stream, self._max_payload
+        out_cols = self._out_cols
+        need = set(out_cols)
+        types, uris = self._types, self._uris
+
+        def keep(headers) -> bool:
+            # pushdown narrowing at PARSE time: rejected records'
+            # content bytes are chunk-discarded inside the iterator,
+            # never materialized (r15 — before, the filter ran after
+            # _read_payload had already built the bytes)
+            if (
+                types is not None
+                and headers.get("warc-type", "").lower() not in types
             ):
-                idx += 1
+                return False
+            if (
+                uris is not None
+                and headers.get("warc-target-uri") not in uris
+            ):
+                return False
+            return True
+
+        # column pruning: payload bytes are only materialized when some
+        # projected column derives from them — `payload` itself, or the
+        # HTTP split fields on response records
+        http_needed = bool(need & {"http_status", "http_content_type"})
+        if "payload" in need:
+            want_payload = None  # always materialize
+        elif http_needed and self._parse_http:
+            want_payload = (
+                lambda h: h.get("warc-type", "").lower() == "response"
+            )
+        else:
+            want_payload = lambda h: False
+
+        rows: list[tuple] = []
+        with open_warc(fpath) as stream:
+            for idx, headers, payload, truncated in iter_warc_records_pruned(
+                stream,
+                self._max_payload,
+                keep=keep,
+                want_payload=want_payload,
+                prune_stats=self._prune_stats,
+            ):
                 wtype = headers.get("warc-type", "").lower()
-                if self._types is not None and wtype not in self._types:
-                    continue
-                if (
-                    self._uris is not None
-                    and headers.get("warc-target-uri") not in self._uris
-                ):
-                    continue
                 status, http_ct, body = (
                     _split_http(payload)
-                    if self._parse_http and wtype == "response"
+                    if payload is not None
+                    and self._parse_http
+                    and wtype == "response"
                     else (None, None, payload)
                 )
-                rows.append(
-                    (
-                        fpath, idx, wtype,
-                        headers.get("warc-record-id"),
-                        headers.get("warc-target-uri"),
-                        headers.get("warc-date"),
-                        headers.get("content-type"),
-                        int(headers.get("content-length", "0")),
-                        truncated, status, http_ct, body,
-                    )
-                )
+                vals = {
+                    "warc_file": fpath,
+                    "record_index": idx,
+                    "warc_type": wtype,
+                    "record_id": headers.get("warc-record-id"),
+                    "target_uri": headers.get("warc-target-uri"),
+                    "warc_date": headers.get("warc-date"),
+                    "content_type": headers.get("content-type"),
+                    "content_length": int(headers.get("content-length", "0")),
+                    "truncated": truncated,
+                    "http_status": status,
+                    "http_content_type": http_ct,
+                    "payload": body,
+                }
+                rows.append(tuple(vals[c] for c in out_cols))
                 if len(rows) >= 256:
-                    yield _arrow_batch(rows)
+                    yield _arrow_batch(rows, out_cols)
                     rows = []
         if rows:
-            yield _arrow_batch(rows)
+            yield _arrow_batch(rows, out_cols)
 
 
-def _arrow_batch(rows):
+def _arrow_batch(rows, out_cols=None):
     import pyarrow as pa
 
+    pa_types = {
+        "warc_file": pa.string(), "record_index": pa.int64(),
+        "warc_type": pa.string(), "record_id": pa.string(),
+        "target_uri": pa.string(), "warc_date": pa.string(),
+        "content_type": pa.string(), "content_length": pa.int64(),
+        "truncated": pa.bool_(), "http_status": pa.int32(),
+        "http_content_type": pa.string(), "payload": pa.binary(),
+    }
+    out_cols = out_cols or _COLUMNS
     cols = list(zip(*rows))
     arrays = [
-        pa.array(cols[0], pa.string()),
-        pa.array(cols[1], pa.int64()),
-        pa.array(cols[2], pa.string()),
-        pa.array(cols[3], pa.string()),
-        pa.array(cols[4], pa.string()),
-        pa.array(cols[5], pa.string()),
-        pa.array(cols[6], pa.string()),
-        pa.array(cols[7], pa.int64()),
-        pa.array(cols[8], pa.bool_()),
-        pa.array(cols[9], pa.int32()),
-        pa.array(cols[10], pa.string()),
-        pa.array(cols[11], pa.binary()),
+        pa.array(vals, pa_types[name]) for name, vals in zip(out_cols, cols)
     ]
-    return pa.RecordBatch.from_arrays(arrays, _COLUMNS)
+    return pa.RecordBatch.from_arrays(arrays, list(out_cols))
 
 
 def _string_set(f) -> set[str] | None:
@@ -237,21 +301,35 @@ class _PushdownWarcReader(_WarcPushdownMixin, WarcReader):
     pass
 
 
+_WET_COLUMNS = [
+    "warc_file", "record_index", "record_id", "url", "warc_date", "text",
+]
+_WET_TO_WARC = {
+    "warc_file": "warc_file", "record_index": "record_index",
+    "record_id": "record_id", "url": "target_uri",
+    "warc_date": "warc_date", "text": "payload",
+}
+_WET_DDL = {
+    "warc_file": "string", "record_index": "long", "record_id": "string",
+    "url": "string", "warc_date": "string", "text": "string",
+}
+
+
 class WetDataSource(DataSource):
     """``spark.read.format("wet")`` — WET extracted-text segments as
     (warc_file, record_index, record_id, url, warc_date, text); the
     read_wet projection over conversion records. Options: ``path``,
-    ``max_payload``."""
+    ``max_payload``, ``columns`` (r15 pruning — a projection without
+    ``text`` chunk-discards payload bytes at parse time, so a
+    URL/metadata sweep over a crawl never materializes bodies)."""
 
     @classmethod
     def name(cls) -> str:
         return "wet"
 
     def schema(self) -> str:
-        return (
-            "warc_file string, record_index long, record_id string, "
-            "url string, warc_date string, text string"
-        )
+        cols = _parse_columns(self.options, _WET_COLUMNS) or _WET_COLUMNS
+        return ", ".join(f"{c} {_WET_DDL[c]}" for c in cols)
 
     def reader(self, schema) -> "WetReader":
         return (_PushdownWetReader if _filter_pushdown_enabled()
@@ -260,45 +338,46 @@ class WetDataSource(DataSource):
 
 class WetReader(WarcReader):
     def __init__(self, options):
+        self._wet_cols = _parse_columns(options, _WET_COLUMNS) or _WET_COLUMNS
         opts = dict(options)
         opts["record_types"] = "conversion"
         opts["parse_http"] = "false"
+        # translate the wet projection into the parent's warc-column
+        # projection, so the payload-skip lane engages when `text` is
+        # not requested
+        opts["columns"] = ",".join(_WET_TO_WARC[c] for c in self._wet_cols)
         super().__init__(opts)
 
     def read(self, partition):
         import pyarrow as pa
 
+        col_idx = {c: i for i, c in enumerate(self._out_cols)}
         for batch in super().read(partition):
-            # UTF-8 text from the payload bytes. Lenient decode (r14
-            # advisory): WET conversion records carry plain text by
-            # definition, but real Common Crawl segments DO contain
-            # invalid byte sequences — an Arrow binary->string cast
-            # raises ArrowInvalid and fails the whole task. The cast
-            # stays the zero-copy fast path; a batch with any invalid
-            # sequence falls back to a Python errors='replace' decode
-            # (total on any input; matches read_wet's contract).
-            try:
-                text = batch.column(11).cast(pa.string())
-            except pa.lib.ArrowInvalid:
-                text = pa.array(
-                    [
-                        None if v is None else v.decode("utf-8", "replace")
-                        for v in batch.column(11).to_pylist()
-                    ],
-                    pa.string(),
-                )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column(0),
-                    batch.column(1),
-                    batch.column(3),
-                    batch.column(4),
-                    batch.column(5),
-                    text,
-                ],
-                ["warc_file", "record_index", "record_id", "url",
-                 "warc_date", "text"],
-            )
+            arrays = []
+            for wc in self._wet_cols:
+                src = batch.column(col_idx[_WET_TO_WARC[wc]])
+                if wc == "text":
+                    # UTF-8 text from the payload bytes. Lenient decode
+                    # (r14 advisory): WET conversion records carry plain
+                    # text by definition, but real Common Crawl segments
+                    # DO contain invalid byte sequences — an Arrow
+                    # binary->string cast raises ArrowInvalid and fails
+                    # the whole task. The cast stays the zero-copy fast
+                    # path; a batch with any invalid sequence falls back
+                    # to a Python errors='replace' decode (total on any
+                    # input; matches read_wet's contract).
+                    try:
+                        src = src.cast(pa.string())
+                    except pa.lib.ArrowInvalid:
+                        src = pa.array(
+                            [
+                                None if v is None else v.decode("utf-8", "replace")
+                                for v in src.to_pylist()
+                            ],
+                            pa.string(),
+                        )
+                arrays.append(src)
+            yield pa.RecordBatch.from_arrays(arrays, list(self._wet_cols))
 
 
 class _PushdownWetReader(_WarcPushdownMixin, WetReader):

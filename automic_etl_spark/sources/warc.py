@@ -139,13 +139,76 @@ def iter_warc_records(
 ) -> Iterator[tuple[dict[str, str], bytes, bool]]:
     """Yield (headers, payload, truncated) from a decompressed WARC
     stream. Sequential, constant-memory."""
+    for _idx, headers, payload, truncated in iter_warc_records_pruned(
+        stream, max_payload
+    ):
+        yield headers, payload, truncated
+
+
+def _discard_payload(stream, length: int) -> None:
+    """Consume exactly ``length`` content bytes without keeping any —
+    the parse-time skip lane for records (or payload columns) the
+    caller has pruned away."""
+    remaining = length
+    while remaining > 0:
+        chunk = stream.read(min(remaining, 1 << 20))
+        if not chunk:
+            raise WarcFormatError("EOF inside WARC content block")
+        remaining -= len(chunk)
+
+
+def iter_warc_records_pruned(
+    stream,
+    max_payload: int = 8 << 20,
+    keep=None,
+    want_payload=None,
+    prune_stats: dict | None = None,
+) -> Iterator[tuple[int, dict[str, str], bytes | None, bool]]:
+    """Yield (record_index, headers, payload, truncated) with parse-time
+    narrowing (r15 — the avrofile ``_skip`` twin for WARC streams):
+
+    - ``keep(headers) -> bool``: records rejected here are DROPPED at
+      parse time — their content bytes are chunk-discarded, never
+      accumulated (the filter-pushdown lane; the index still counts
+      them, so record_index stays a stable file position).
+    - ``want_payload(headers) -> bool``: records kept but whose payload
+      the projection pruned yield ``payload=None`` after a chunk
+      discard (the column-pruning lane; ``truncated`` stays exact —
+      it is a pure function of the length header).
+    - ``prune_stats``: incremented in place with
+      ``payload_bytes_skipped`` / ``payloads_skipped`` /
+      ``records_dropped`` so tests pin that pruning skips real bytes.
+    """
+    idx = -1
     while True:
         headers = _read_headers(stream)
         if headers is None:
             return
+        idx += 1
         length = int(headers.get("content-length", "0"))
+        if keep is not None and not keep(headers):
+            _discard_payload(stream, length)
+            if prune_stats is not None:
+                prune_stats["records_dropped"] = (
+                    prune_stats.get("records_dropped", 0) + 1
+                )
+                prune_stats["payload_bytes_skipped"] = (
+                    prune_stats.get("payload_bytes_skipped", 0) + length
+                )
+            continue
+        if want_payload is not None and not want_payload(headers):
+            _discard_payload(stream, length)
+            if prune_stats is not None:
+                prune_stats["payloads_skipped"] = (
+                    prune_stats.get("payloads_skipped", 0) + 1
+                )
+                prune_stats["payload_bytes_skipped"] = (
+                    prune_stats.get("payload_bytes_skipped", 0) + length
+                )
+            yield idx, headers, None, length > max_payload
+            continue
         payload, truncated = _read_payload(stream, length, max_payload)
-        yield headers, payload, truncated
+        yield idx, headers, payload, truncated
 
 
 class _GzipThenRaw(io.BufferedReader):

@@ -408,6 +408,185 @@ class TestAvroColumnPruning:
         assert stats == {"decoded_fields": 2 * n, "skipped_fields": 3 * n}
 
 
+class TestWarcWetColumnPruning:
+    """r15 (VERDICT r14 #8): the `columns` option on warc/wet — the
+    avrofile precedent. A projection with no payload-derived column
+    chunk-DISCARDS content bytes at parse time (skipped-bytes counter
+    pinned reader-side, mirroring avro's skipped-field pin)."""
+
+    def test_warc_columns_prune_schema_and_agree(self, spark, warc_dir):
+        register(spark)
+        pruned = (
+            spark.read.format("warc")
+            .option("columns", "warc_type,target_uri,content_length")
+            .load(warc_dir)
+            .orderBy("target_uri", "content_length")
+            .collect()
+        )
+        full = (
+            read_warc(spark, warc_dir)
+            .select("warc_type", "target_uri", "content_length")
+            .orderBy("target_uri", "content_length")
+            .collect()
+        )
+        assert pruned == full
+        # schema order follows the source schema, not the option order
+        df = (
+            spark.read.format("warc")
+            .option("columns", "target_uri,warc_type")
+            .load(warc_dir)
+        )
+        assert df.columns == ["warc_type", "target_uri"]
+
+    def test_payload_skip_counter_pinned_reader_side(self, tmp_path):
+        from pyspark.sql.datasource import InputPartition
+
+        from automic_etl_spark.sources.pyds import WarcReader
+
+        p = str(tmp_path / "prune.warc.gz")
+        recs = [
+            ("response", HTTP_PAYLOAD, "http://a/"),
+            ("response", b"HTTP/1.1 404 Not Found\r\n\r\nmissing", "http://b/"),
+            ("resource", b"\x89PNG\r\n\x1a\n" * 100, "http://a/logo.png"),
+        ]
+        write_warc_file(p, recs)
+        r = WarcReader({"path": p, "columns": "target_uri,content_length"})
+        r._prune_stats = stats = {}
+        batches = list(r.read(InputPartition(p)))
+        got = [
+            tuple(row)
+            for b in batches
+            for row in zip(*[b.column(i).to_pylist() for i in range(b.num_columns)])
+        ]
+        expected_bytes = sum(len(payload) for _, payload, _ in recs)
+        assert got == [(uri, len(pl)) for _, pl, uri in recs]
+        # every record's content bytes were chunk-discarded, none built
+        assert stats == {
+            "payloads_skipped": 3,
+            "payload_bytes_skipped": expected_bytes,
+        }
+
+    def test_http_projection_reads_only_response_payloads(self, tmp_path):
+        """http_status derives from the payload, but only on response
+        records — a (warc_type, http_status) projection must read
+        response bodies and skip everything else."""
+        from pyspark.sql.datasource import InputPartition
+
+        from automic_etl_spark.sources.pyds import WarcReader
+
+        p = str(tmp_path / "mix.warc.gz")
+        blob = b"x" * 1000
+        write_warc_file(
+            p,
+            [
+                ("response", HTTP_PAYLOAD, "http://a/"),
+                ("resource", blob, "http://a/big.bin"),
+                ("resource", blob, "http://b/big.bin"),
+            ],
+        )
+        r = WarcReader({"path": p, "columns": "warc_type,http_status"})
+        r._prune_stats = stats = {}
+        rows = [
+            row
+            for b in r.read(InputPartition(p))
+            for row in zip(b.column(0).to_pylist(), b.column(1).to_pylist())
+        ]
+        assert rows == [("response", 200), ("resource", None), ("resource", None)]
+        assert stats == {
+            "payloads_skipped": 2,
+            "payload_bytes_skipped": 2 * len(blob),
+        }
+
+    def test_pushdown_discards_dropped_records_bytes(self, tmp_path):
+        """r15: the filter-pushdown lane now ALSO skips payload
+        materialization for rejected records (before, _read_payload
+        built the bytes and the type check ran after)."""
+        from pyspark.sql.datasource import EqualTo, InputPartition
+
+        from automic_etl_spark.sources.pyds import _PushdownWarcReader
+
+        p = str(tmp_path / "drop.warc.gz")
+        blob = b"y" * 4096
+        write_warc_file(
+            p,
+            [
+                ("response", HTTP_PAYLOAD, "http://keep/"),
+                ("resource", blob, "http://drop/1"),
+                ("resource", blob, "http://drop/2"),
+            ],
+        )
+        r = _PushdownWarcReader({"path": p})
+        r.pushFilters([EqualTo(("warc_type",), "response")])
+        r._prune_stats = stats = {}
+        kept = sum(b.num_rows for b in r.read(InputPartition(p)))
+        assert kept == 1
+        assert stats == {
+            "records_dropped": 2,
+            "payload_bytes_skipped": 2 * len(blob),
+        }
+
+    def test_wet_columns_prune_text_skips_payload(self, spark, tmp_path):
+        from pyspark.sql.datasource import InputPartition
+
+        from automic_etl_spark.sources.pyds import WetReader
+        from automic_etl_spark.sources.warc import read_wet
+
+        register(spark)
+        p = str(tmp_path / "wet.warc.gz")
+        write_warc_file(
+            p,
+            [
+                ("conversion", f"doc number {i} text".encode(), f"http://s/{i}")
+                for i in range(6)
+            ],
+        )
+        pruned = (
+            spark.read.format("wet")
+            .option("columns", "url,record_index")
+            .load(p)
+            .orderBy("record_index")
+            .collect()
+        )
+        full = (  # projection follows SCHEMA order: record_index first
+            read_wet(spark, p)
+            .select("record_index", "url")
+            .orderBy("record_index")
+            .collect()
+        )
+        assert pruned == full and len(pruned) == 6
+
+        r = WetReader({"path": p, "columns": "url"})
+        r._prune_stats = stats = {}
+        urls = [
+            u
+            for b in r.read(InputPartition(p))
+            for u in b.column(0).to_pylist()
+        ]
+        assert urls == [f"http://s/{i}" for i in range(6)]
+        assert stats["payloads_skipped"] == 6
+        assert stats["payload_bytes_skipped"] == sum(
+            len(f"doc number {i} text") for i in range(6)
+        )
+
+    def test_columns_unknown_name_raises(self, spark, warc_dir):
+        register(spark)
+        with pytest.raises(Exception, match="nope"):
+            (
+                spark.read.format("warc")
+                .option("columns", "target_uri,nope")
+                .load(warc_dir)
+                .collect()
+            )
+        with pytest.raises(Exception, match="payload"):
+            # wet exposes `text`, not the warc-level `payload`
+            (
+                spark.read.format("wet")
+                .option("columns", "payload")
+                .load(warc_dir)
+                .collect()
+            )
+
+
 class TestWetOverDictSegments:
     def test_format_wet_reads_trained_dict_corpus(self, spark, tmp_path):
         """Glue coverage (r14): the wet data source must read the
