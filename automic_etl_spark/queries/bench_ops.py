@@ -802,6 +802,92 @@ def q_warc_dict_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Write-once cache for the bucketed fact tables: sf_dir -> (li, od)
+# data dirs. The first attempt pays the one-time bucketing shuffle;
+# min-of-2 then prices the steady state the lane exists for (N reads
+# amortize one write).
+_BUCKETED_BENCH_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prices the pay-the-shuffle-once claim (r15, VERDICT r14 item 6):
+    the same fact-fact join + bucket-key aggregation through (a)
+    re-registered co-bucketed tables — SortMergeJoin with NO Exchange,
+    the plan property tools/plan_audit.py pins structurally — and (b)
+    the IDENTICAL parquet files read without bucket metadata, where
+    both join sides and the aggregation all shuffle. Two method-tagged
+    arms (the bm25 two-arm precedent) whose tallies must agree; the
+    bucketed arm self-checks its no-Exchange plan so the row can never
+    silently price a fallback. Broadcast is disabled inside the row:
+    at bench scale the planner would (correctly) broadcast orders and
+    hide exactly the Exchange this row exists to measure; at 100 TB
+    neither fact side broadcasts."""
+    import tempfile
+
+    from automic_etl_spark.bucketed import (
+        bucketed_join_plan_is_shuffle_free,
+        register_bucketed,
+        write_bucketed,
+    )
+
+    paths = _BUCKETED_BENCH_CACHE.get(sf_dir)
+    if paths is None:
+        base = tempfile.mkdtemp(prefix="bench_bucketed_")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        )
+        od = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+        )
+        for name, df, sub in (("bench_bkt_li", li, "li"), ("bench_bkt_od", od, "od")):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            write_bucketed(
+                df, name, ["l_orderkey"], num_buckets=16, path=f"{base}/{sub}"
+            )
+            # drop the catalog entry: the arm below must rebuild it from
+            # the persisted spec, pricing the cross-session lane
+            spark.sql(f"DROP TABLE {name}")
+        paths = (f"{base}/li", f"{base}/od")
+        _BUCKETED_BENCH_CACHE[sf_dir] = paths
+    li_path, od_path = paths
+    register_bucketed(spark, li_path)  # idempotent after attempt 1
+    register_bucketed(spark, od_path)
+
+    def tally(a: DataFrame, b: DataFrame) -> tuple:
+        per_key = (
+            a.join(b, "l_orderkey")
+            .groupBy("l_orderkey")  # bucket key: the bucketed arm's agg
+            .agg(F.sum("price_c").alias("s"))  # reuses the clustering too
+        )
+        row = per_key.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("s").alias("checksum"),
+        ).collect()[0]
+        return int(row["n_groups"]), int(row["checksum"])
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        if not bucketed_join_plan_is_shuffle_free(
+            spark, "bench_bkt_li", "bench_bkt_od", "l_orderkey"
+        ):
+            raise AssertionError(
+                "bucketed arm planned an Exchange — the row would price "
+                "a fallback, not the bucketed lane"
+            )
+        bkt = tally(spark.table("bench_bkt_li"), spark.table("bench_bkt_od"))
+        raw = tally(spark.read.parquet(li_path), spark.read.parquet(od_path))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    if bkt != raw:
+        raise AssertionError(f"arm tallies differ: bucketed={bkt} shuffle={raw}")
+    return spark.createDataFrame(
+        [("bucketed", *bkt), ("shuffle", *raw)],
+        "method string, n_groups long, checksum long",
+    )
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE flagship funnel end-to-end (round 7; VERDICT r6 What's-missing
     #1): CorpusCurator.curate() over the documents corpus with realistic

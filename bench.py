@@ -74,6 +74,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_line_dedup,
     q_warc_extract,
     q_warc_dict_export,
+    q_bucketed_join,
     q_corpus_curate,
     q_avro_scan,
     q_exif_scrub,
@@ -130,6 +131,11 @@ HEADLINE = {
     "warc_extract": q_warc_extract,
     # round-14 surface: the one-call trained-dictionary corpus export
     "warc_dict_export": q_warc_dict_export,
+    # round-15 surface: pay-the-shuffle-once priced — co-bucketed
+    # fact-fact join vs the identical files unbucketed, two arms in one
+    # row (min-of-2 reflects the steady state; attempt 1 pays the
+    # one-time bucketing write)
+    "bucketed_join": q_bucketed_join,
     "audio_fingerprint": q_audio_fingerprint,
     # round-9 session-3 surface: first-party Avro codec + EXIF PII scrub
     "avro_scan": q_avro_scan,

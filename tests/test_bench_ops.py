@@ -89,3 +89,38 @@ def test_bpe_tokenize_bench_totals(spark):
         .first()["w"]
     )
     assert row["total_tokens"] >= n_words
+
+
+def test_bucketed_join_bench_arms_agree(spark):
+    """r15: the pay-the-shuffle-once bench row — both method arms
+    (bucketed SortMergeJoin vs unbucketed shuffle join over identical
+    files) must return the same per-orderkey tally, and the result
+    must match a direct join computed here. The row itself asserts the
+    bucketed arm's no-Exchange plan, so a green run is also the plan
+    pin."""
+    from pyspark.sql import functions as F
+
+    from automic_etl_spark.queries.bench_ops import q_bucketed_join
+
+    rows = {r["method"]: r for r in q_bucketed_join(spark, SF_SMALL).collect()}
+    assert set(rows) == {"bucketed", "shuffle"}
+    assert (
+        rows["bucketed"]["n_groups"] == rows["shuffle"]["n_groups"]
+        and rows["bucketed"]["checksum"] == rows["shuffle"]["checksum"]
+    )
+    li = load_table(spark, SF_SMALL, "lineitem")
+    od = load_table(spark, SF_SMALL, "orders")
+    direct = (
+        li.select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .join(od.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey")
+        .agg(
+            F.countDistinct("l_orderkey").alias("n"),
+            F.sum("c").alias("s"),
+        )
+        .first()
+    )
+    assert rows["bucketed"]["n_groups"] == direct["n"]
+    assert rows["bucketed"]["checksum"] == direct["s"]

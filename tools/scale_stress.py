@@ -57,6 +57,7 @@ def _workloads():
         q_audio_meta,
         q_avro_scan,
         q_bpe_tokenize,
+        q_bucketed_join,
         q_corpus_curate,
         q_warc_dict_export,
         q_decontaminate,
@@ -124,6 +125,7 @@ def _workloads():
         "warc_extract": q_warc_extract,
         "corpus_curate": q_corpus_curate,
         "warc_dict_export": q_warc_dict_export,
+        "bucketed_join": q_bucketed_join,
         "pricing_summary": q_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "window_topk_per_group": q_window_topk_per_group,
