@@ -304,6 +304,76 @@ def contamination_report_bloom(
     )
 
 
+def save_ngram_bloom(spark, bloom: NgramBloom, path: str) -> None:
+    """Persist a trained filter as a reusable artifact (r15 — the
+    PQ/bm25 persisted-index precedent): one distributed build over a
+    10^8-10^9-n-gram eval suite, then every later curation run loads
+    the bitmap instead of re-scanning the benchmarks. Layout under
+    ``path``: ``bloom.json`` (params) + ``bloom.bits`` (raw
+    little-endian uint64 words). Local paths write directly; URI
+    locations go through the session's Hadoop filesystem, so object
+    stores work."""
+    import json
+    import os
+
+    meta = json.dumps(
+        {"m": bloom.m, "k": bloom.k, "n": bloom.n, "format": 1}
+    )
+    bits = bloom.bits.astype("<u8").tobytes()
+    if "://" in path or path.startswith("file:"):
+        from automic_etl_spark.operators.bm25 import _fs_write_text, _hadoop_path
+
+        _fs_write_text(spark, path.rstrip("/") + "/bloom.json", meta)
+        p, fs = _hadoop_path(spark, path.rstrip("/") + "/bloom.bits")
+        out = fs.create(p, True)
+        try:
+            out.write(bytearray(bits))
+        finally:
+            out.close()
+    else:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "bloom.json"), "w") as f:
+            f.write(meta)
+        with open(os.path.join(path, "bloom.bits"), "wb") as f:
+            f.write(bits)
+
+
+def load_ngram_bloom(spark, path: str) -> NgramBloom:
+    """Load a filter persisted by ``save_ngram_bloom``. The bitmap is
+    read once on the driver and rides one broadcast into the map-only
+    probe, exactly like a freshly built filter."""
+    import json
+    import os
+
+    import numpy as np
+
+    if "://" in path or path.startswith("file:"):
+        from automic_etl_spark.operators.bm25 import _fs_read_text, _hadoop_path
+
+        meta = json.loads(_fs_read_text(spark, path.rstrip("/") + "/bloom.json"))
+        p, fs = _hadoop_path(spark, path.rstrip("/") + "/bloom.bits")
+        stream = fs.open(p)
+        baos = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, baos, spark._jsc.hadoopConfiguration(), True
+        )
+        raw = bytes(baos.toByteArray())
+    else:
+        with open(os.path.join(path, "bloom.json")) as f:
+            meta = json.load(f)
+        with open(os.path.join(path, "bloom.bits"), "rb") as f:
+            raw = f.read()
+    if meta.get("format") != 1:
+        raise ValueError(f"unknown bloom artifact format: {meta!r}")
+    bits = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
+    expected_words = (meta["m"] + 63) // 64
+    if len(bits) != expected_words:
+        raise ValueError(
+            f"bloom.bits has {len(bits)} words, header says {expected_words}"
+        )
+    return NgramBloom(bits, meta["m"], meta["k"], meta["n"])
+
+
 def decontaminate_bloom(
     corpus: DataFrame,
     bloom: NgramBloom,

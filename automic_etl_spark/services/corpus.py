@@ -92,6 +92,14 @@ class CorpusCurator:
     # n-gram), which for decontamination errs on the safe side.
     decontam_mode: str = "exact"
     decontam_bloom_fpp: float = 0.01
+    # persisted-filter lane (r15, the PQ/bm25 persisted-index
+    # precedent): a directory written by operators.decontam
+    # .save_ngram_bloom. With decontam_mode="bloom" the stage loads the
+    # bitmap instead of re-scanning a benchmark frame — build the
+    # eval-suite filter ONCE, reuse it in every curation run (a
+    # benchmark= frame is then unnecessary; passing neither skips the
+    # stage as before).
+    decontam_bloom_path: str | None = None
     group_cap: int | None = None
     group_cols: tuple = ("source",)
     # Gopher-style repetition cap: drop docs whose duplicate-bigram
@@ -559,17 +567,40 @@ class CorpusCurator:
             )
 
         # 4. optional benchmark decontamination (pre-training hygiene)
-        if benchmark is not None:
+        if (
+            self.decontam_bloom_path is not None
+            and self.decontam_mode != "bloom"
+        ):
+            raise ValueError(
+                "decontam_bloom_path requires decontam_mode='bloom' "
+                f"(got {self.decontam_mode!r})"
+            )
+        if benchmark is not None or (
+            self.decontam_mode == "bloom"
+            and self.decontam_bloom_path is not None
+        ):
             if self.decontam_mode == "bloom":
                 from automic_etl_spark.operators.decontam import (
                     build_ngram_bloom,
                     decontaminate_bloom,
+                    load_ngram_bloom,
                 )
 
-                bloom = build_ngram_bloom(
-                    benchmark, n=self.decontam_ngram,
-                    fpp=self.decontam_bloom_fpp,
-                )
+                if self.decontam_bloom_path is not None:
+                    if benchmark is not None:
+                        raise ValueError(
+                            "pass benchmark= OR decontam_bloom_path, not "
+                            "both (the persisted filter already encodes "
+                            "the benchmark n-grams)"
+                        )
+                    bloom = load_ngram_bloom(
+                        kept.sparkSession, self.decontam_bloom_path
+                    )
+                else:
+                    bloom = build_ngram_bloom(
+                        benchmark, n=self.decontam_ngram,
+                        fpp=self.decontam_bloom_fpp,
+                    )
                 # decontaminate_bloom carries the repo's never-broadcast-
                 # the-corpus-side invariant (the flagged id set is
                 # corpus-derived; AQE sizes the anti-join) — plan-pinned

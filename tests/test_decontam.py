@@ -419,6 +419,61 @@ def test_bloom_arm_generic_over_id_type(spark):
     assert got == exact == {"a-1": 2}
 
 
+def test_bloom_save_load_roundtrip_and_curator_path(spark, tmp_path):
+    """r15: the persisted-filter lane (PQ/bm25 precedent) — a saved
+    filter loads bit-identical (same report on the same corpus, local
+    path AND file: URI through the Hadoop FS), and CorpusCurator can
+    run the bloom stage from the artifact with no benchmark frame."""
+    import numpy as np
+    import pytest as _pytest
+
+    from automic_etl_spark.operators.decontam import (
+        build_ngram_bloom,
+        contamination_report_bloom,
+        load_ngram_bloom,
+        save_ngram_bloom,
+    )
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    bloom = build_ngram_bloom(_benchmark(spark), n=8, fpp=0.001)
+    for loc in (str(tmp_path / "art"), "file:" + str(tmp_path / "art_uri")):
+        save_ngram_bloom(spark, bloom, loc)
+        back = load_ngram_bloom(spark, loc)
+        assert (back.m, back.k, back.n) == (bloom.m, bloom.k, bloom.n)
+        assert np.array_equal(back.bits, bloom.bits)
+    got = {
+        r["doc_id"]: r["ngram_hits"]
+        for r in contamination_report_bloom(
+            _corpus(spark), load_ngram_bloom(spark, str(tmp_path / "art"))
+        ).collect()
+    }
+    assert got == {1: 2, 3: 2}
+
+    # curator lane: artifact only, no benchmark frame
+    docs = _corpus(spark).withColumn("source", F_lit_web())
+    cur = CorpusCurator(
+        min_quality=0.0, decontam_ngram=8, decontam_mode="bloom",
+        decontam_bloom_path=str(tmp_path / "art"),
+    )
+    out, report = cur.curate(docs)
+    assert {r["doc_id"] for r in out.collect()} == {2, 4}
+    assert report["contaminated_removed"] == 2
+    with _pytest.raises(ValueError, match="not.*both|not both"):
+        cur.curate(docs, benchmark=_benchmark(spark))
+    bad = CorpusCurator(
+        min_quality=0.0, decontam_mode="exact",
+        decontam_bloom_path=str(tmp_path / "art"),
+    )
+    with _pytest.raises(ValueError, match="decontam_mode='bloom'"):
+        bad.curate(docs)
+
+
+def F_lit_web():
+    from pyspark.sql import functions as F
+
+    return F.lit("web")
+
+
 def test_bloom_params_and_membership_unit():
     import numpy as np
 
