@@ -91,6 +91,114 @@ def token_budget_sample(
     return sampled, report
 
 
+def epoch_mixture(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    default_budget: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (expanded docs with an ``epoch`` column, per-group
+    report) — the UPSAMPLING complement of token_budget_sample (r15).
+
+    Pretraining mixes repeat small high-quality sources for multiple
+    epochs while web-scale text runs sub-epoch (the Pile's per-set
+    epochs, Gao et al. 2020; LLaMA's sampling proportions, Touvron et
+    al. 2023). Given a token budget per group: documents repeat
+    ``k = budget // group_tokens`` full epochs (``epoch`` 0..k-1) and
+    a fractional final epoch ``k`` keeps documents by the same
+    deterministic hash threshold the downsampler uses —
+    ``budget <= group_tokens`` therefore degenerates to exactly
+    token_budget_sample's keep set (one partial epoch 0). Groups
+    absent from ``budgets`` get ``default_budget``; None = exactly one
+    full epoch (repeat nothing, drop nothing).
+
+    Plan shape: ONE per-group aggregation (collected — one row per
+    group, never per document), a broadcast of the tiny
+    (group, epochs, frac_ppm) plan, a map-side sequence-explode whose
+    fan-out IS the repeat factor (no shuffle anywhere), and a map-side
+    hash filter on the fractional epoch. Deterministic, RNG-free,
+    append-stable; integer md5 arithmetic DuckDB replays bit for bit.
+
+    Report columns per group: n_docs_in, tokens_in, epochs (full
+    repeats), frac_ppm, n_rows_out, tokens_out — tokens_out converges
+    to the budget as group size grows."""
+    n_tok = (
+        F.col(count_col) if count_col is not None else token_count(F.col(text_col))
+    ).cast("long")
+    base = docs.withColumn("__n_tok", n_tok)
+
+    totals = {
+        r["__g"]: int(r["__t"])
+        for r in base.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum("__n_tok").alias("__t"))
+        .collect()
+    }
+    rows = []
+    for g, total in totals.items():
+        budget = budgets.get(g, default_budget)
+        if budget is None:
+            k, frac_ppm = 1, 0  # one full epoch, untouched
+        elif total <= 0:
+            k, frac_ppm = 0, 0
+        else:
+            k = int(budget) // total
+            frac_ppm = ((int(budget) - k * total) * 1_000_000) // total
+        rows.append((g, k, frac_ppm))
+    spark = docs.sparkSession
+    plan = spark.createDataFrame(
+        rows, f"{group_col} string, __epochs int, __frac_ppm int"
+    )
+
+    keyed = (
+        base.join(F.broadcast(plan), group_col, "left")
+        .withColumn("__epochs", F.coalesce(F.col("__epochs"), F.lit(1)))
+        .withColumn("__frac_ppm", F.coalesce(F.col("__frac_ppm"), F.lit(0)))
+        .withColumn(
+            "__frac_keep",
+            F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(1_000_000))
+            < F.col("__frac_ppm"),
+        )
+    )
+    report = (
+        keyed.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_in"),
+            F.sum("__n_tok").alias("tokens_in"),
+            F.max("__epochs").alias("epochs"),
+            F.max("__frac_ppm").alias("frac_ppm"),
+            F.sum(F.when(F.col("__frac_keep"), 1).otherwise(0)).alias("__n_frac"),
+            F.sum(
+                F.when(F.col("__frac_keep"), F.col("__n_tok")).otherwise(0)
+            ).alias("__t_frac"),
+        )
+        .select(
+            group_col,
+            "n_docs_in",
+            "tokens_in",
+            "epochs",
+            "frac_ppm",
+            (F.col("n_docs_in") * F.col("epochs") + F.col("__n_frac")).alias(
+                "n_rows_out"
+            ),
+            (F.col("tokens_in") * F.col("epochs") + F.col("__t_frac")).alias(
+                "tokens_out"
+            ),
+        )
+        .orderBy(group_col)
+    )
+    expanded = (
+        keyed.withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__epochs")))
+        )
+        .filter((F.col("epoch") < F.col("__epochs")) | F.col("__frac_keep"))
+        .drop("__n_tok", "__epochs", "__frac_ppm", "__frac_keep")
+    )
+    return expanded, report
+
+
 def temperature_budgets(
     docs: DataFrame,
     total_budget: int,

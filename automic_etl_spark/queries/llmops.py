@@ -3352,3 +3352,74 @@ ORACLE_BLOOM_DECONTAM = _bloom_oracle()
 
 QUERIES_TAIL["bloom_decontam"] = q_bloom_decontam_gate
 ORACLE_TAIL["bloom_decontam"] = ORACLE_BLOOM_DECONTAM
+
+
+# --------------------------------------------------------------------------
+# epoch_mixture (r15): the UPSAMPLING complement of token_mixture —
+# multi-epoch data plans (small high-quality sources repeat, web text
+# runs sub-epoch). The whole construction is integer arithmetic both
+# engines replay exactly: per-group token totals -> k = budget//total
+# full epochs + a ppm threshold for the fractional epoch -> a
+# sequence-explode whose fan-out IS the repeat factor, filtered by the
+# same portable md5 hash threshold the downsampler uses. The oracle
+# re-derives k/frac_ppm from the data and expands via range() — a
+# drift in tokenization, integer division, or the hash replay fails
+# the value hash. Scale: one group agg + broadcast plan + map-side
+# explode; no shuffle.
+# --------------------------------------------------------------------------
+
+_EPOCH_BUDGETS = {"src0": 5000, "src1": 700, "src2": 0}
+_EPOCH_DEFAULT = 2000
+
+
+def q_epoch_mixture_gate(spark, sf_dir):
+    """(doc_id, source, epoch) after multi-epoch expansion: src0
+    upsamples ~3.5 epochs, src1 downsamples sub-epoch, src2 drops,
+    everything else gets the default budget (~1.3-1.8 epochs)."""
+    from automic_etl_spark.operators.mixing import epoch_mixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out, _report = epoch_mixture(
+        docs, _EPOCH_BUDGETS, default_budget=_EPOCH_DEFAULT
+    )
+    return out.select("doc_id", "source", "epoch").orderBy("doc_id", "epoch")
+
+
+ORACLE_EPOCH_MIXTURE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), plan AS (
+  SELECT source,
+         CAST(CASE source
+              WHEN 'src0' THEN {_EPOCH_BUDGETS["src0"]}
+              WHEN 'src1' THEN {_EPOCH_BUDGETS["src1"]}
+              WHEN 'src2' THEN {_EPOCH_BUDGETS["src2"]}
+              ELSE {_EPOCH_DEFAULT} END AS BIGINT) AS budget,
+         CAST(sum(n_tok) AS BIGINT) AS total
+  FROM toks GROUP BY source
+), kf AS (
+  SELECT source, budget // total AS epochs,
+         ((budget - (budget // total) * total) * 1000000) // total AS frac_ppm
+  FROM plan WHERE total > 0
+), seq AS (  -- correlated unnest(range(epochs+1)) trips a DuckDB binder
+             -- internal error; a capped series + <= filter is equivalent
+  SELECT unnest(range(0, (SELECT max(epochs) + 1 FROM kf))) AS epoch
+), expanded AS (
+  SELECT t.doc_id, t.source, s.epoch, k.epochs, k.frac_ppm,
+         CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+           % 1000000 AS h
+  FROM toks t JOIN kf k USING (source) CROSS JOIN seq s
+  WHERE s.epoch <= k.epochs
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+FROM expanded
+WHERE epoch < epochs OR h < frac_ppm
+ORDER BY doc_id, epoch
+"""
+
+QUERIES_TAIL["epoch_mixture"] = q_epoch_mixture_gate
+ORACLE_TAIL["epoch_mixture"] = ORACLE_EPOCH_MIXTURE

@@ -154,3 +154,71 @@ def test_temperature_mixture_end_to_end(spark):
         temperature_budgets(docs, 0)
     with _pytest.raises(ValueError):
         temperature_budgets(docs, 10, alpha=-1)
+
+
+def test_epoch_mixture_expansion_semantics(spark):
+    """r15: the upsampling complement — full repeats carry epoch 0..k-1,
+    the fractional epoch k keeps docs by the downsampler's exact hash
+    threshold, absent groups keep one untouched epoch, budget 0 drops."""
+    from automic_etl_spark.operators.mixing import epoch_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10,
+          "triple" if i < 10 else
+          "halve" if i < 110 else
+          "dropall" if i < 120 else "untouched")
+         for i in range(130)],
+        "doc_id long, text string, source string",
+    )
+    # triple: 10 docs x 10 tokens = 100; budget 300 -> exactly 3 epochs
+    # halve: 1000 tokens; budget 500 -> 0 full epochs + 0.5 fraction
+    budgets = {"triple": 300, "halve": 500, "dropall": 0}
+    out, report = epoch_mixture(docs, budgets)
+    rep = {r["source"]: r for r in report.collect()}
+
+    assert (rep["triple"]["epochs"], rep["triple"]["frac_ppm"]) == (3, 0)
+    assert rep["triple"]["n_rows_out"] == 30 and rep["triple"]["tokens_out"] == 300
+    assert (rep["halve"]["epochs"], rep["halve"]["frac_ppm"]) == (0, 500_000)
+    assert rep["dropall"]["n_rows_out"] == 0
+    assert (rep["untouched"]["epochs"], rep["untouched"]["n_rows_out"]) == (1, 10)
+
+    rows = out.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every triple doc appears exactly at epochs 0,1,2
+    for i in range(10):
+        assert sorted(by_doc[i]) == [0, 1, 2]
+    # untouched docs appear exactly once at epoch 0
+    for i in range(120, 130):
+        assert by_doc[i] == [0]
+    assert all(i not in by_doc for i in range(110, 120))  # dropped
+
+    # the fractional epoch's keep set IS token_budget_sample's keep set
+    halve_docs = docs.filter("source = 'halve'")
+    sampled, _ = token_budget_sample(halve_docs, {"halve": 500})
+    expect = sorted(r["doc_id"] for r in sampled.collect())
+    got = sorted(d for d, eps in by_doc.items() if 10 <= d < 110)
+    assert got == expect
+    assert all(by_doc[d] == [0] for d in got)  # k=0: the partial IS epoch 0
+
+    # deterministic across invocations
+    again = sorted((r["doc_id"], r["epoch"]) for r in epoch_mixture(docs, budgets)[0].collect())
+    assert again == sorted((r["doc_id"], r["epoch"]) for r in rows)
+
+
+def test_epoch_mixture_default_budget_and_report_totals(spark):
+    from automic_etl_spark.operators.mixing import epoch_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "t " * 5, "a" if i % 2 else "b") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    # default 175 tokens over 100-token groups -> 1 full epoch + 75%
+    out, report = epoch_mixture(docs, {}, default_budget=175)
+    rep = {r["source"]: r for r in report.collect()}
+    for g in ("a", "b"):
+        assert (rep[g]["epochs"], rep[g]["frac_ppm"]) == (1, 750_000)
+        # n_rows_out arithmetic matches the materialized expansion
+        n = out.filter(f"source = '{g}'").count()
+        assert n == rep[g]["n_rows_out"] >= rep[g]["n_docs_in"]

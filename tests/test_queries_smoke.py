@@ -148,6 +148,11 @@ def test_registry_driver_window_prefix():
         # (splitmix64 double hashing + bitmap synthesis in pure SQL);
         # designated for the r16 promotion
         "bloom_decontam",
+        # -- r15 addition: multi-epoch upsampling mixture (the
+        # token_mixture family's second scored-adjacent gate; the
+        # sequence-explode expansion + hash-threshold fractional epoch
+        # replayed integer-exactly in SQL)
+        "epoch_mixture",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r14 verdict's designated rotation):
     # the dict-compressed corpus export round-trip gate
