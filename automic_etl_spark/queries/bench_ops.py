@@ -159,6 +159,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.agg(F.count(F.lit(1)).alias("n_clean"))
 
 
+def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom decontamination lane priced end-to-end (r15): SAME
+    corpus/benchmark slices as q_decontaminate, but through the
+    fixed-memory arm — one distributed pass builds the bitmap
+    (per-partition numpy bitmaps OR-merged via treeReduce), then every
+    document probes it map-side inside an Arrow kernel with NO join,
+    and the flagged-id anti-join streams (never broadcast). What this
+    times that the exact row cannot: the build+probe shape whose cost
+    is independent of benchmark-relation size — the lane that exists
+    for 10^8+-n-gram eval suites where the exact arm's broadcast stops
+    fitting."""
+    from automic_etl_spark.operators.decontam import (
+        build_ngram_bloom,
+        decontaminate_bloom,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter("doc_id % 97 = 0 AND doc_id < 1000000").select("text")
+    # production-shaped settings: at fpp=0.01 / min_hits=1 a ~300-gram
+    # doc accumulates enough per-gram FPs to over-drop ~1/3 of the
+    # clean corpus; 0.001 + min_hits=2 keeps the over-drop negligible
+    # while the bitmap stays O(m) (1.4x more bits than 1%)
+    bloom = build_ngram_bloom(bench, n=8, fpp=0.001)
+    clean = decontaminate_bloom(
+        docs.filter("doc_id % 97 != 0"), bloom, min_hits=2
+    )
+    return clean.agg(F.count(F.lit(1)).alias("n_clean"))
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over an executor-side inflated embedding corpus: each
     harness vector plus 4 deterministically-jittered replicas (genuine

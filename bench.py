@@ -48,6 +48,7 @@ from automic_etl_spark.queries.dedup_sim import (  # noqa: E402
 from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_audio_meta,
     q_decontaminate,
+    q_decontam_bloom,
     q_dedup_ingest,
     q_doctext_extract,
     q_ivf_build_search,
@@ -104,6 +105,9 @@ HEADLINE = {
     # plus the streaming dedup-on-ingest kernel (previously unmeasured)
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
+    # round-15 surface: the fixed-memory Bloom arm over the same
+    # slices (build bitmap once, map-only probe, no join)
+    "decontam_bloom": q_decontam_bloom,
     "dedup_ingest": q_dedup_ingest,
     "semantic_dedup": q_semantic_dedup,
     "quality_classifier": q_quality_classifier,

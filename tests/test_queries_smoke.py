@@ -184,6 +184,9 @@ def test_coverage_doc_cites_live_gates():
         "transformation", "metastore",
         # r14 bucketed-table API/audit names cited in their COVERAGE row
         "write_bucketed", "register_bucketed", "bucketed_join_no_exchange",
+        # r15: the bucketed bench ROW (not a gate) + the warc/wet/avro
+        # pruning option name
+        "bucketed_join", "columns",
     }
     cited = {
         t

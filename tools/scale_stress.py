@@ -61,6 +61,7 @@ def _workloads():
         q_corpus_curate,
         q_warc_dict_export,
         q_decontaminate,
+        q_decontam_bloom,
         q_dedup_ingest,
         q_doctext_extract,
         q_flac_decode,
@@ -101,6 +102,7 @@ def _workloads():
         "ivf_build_search": q_ivf_build_search,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
+        "decontam_bloom": q_decontam_bloom,
         "dedup_ingest": q_dedup_ingest,
         "semantic_dedup": q_semantic_dedup,
         "quality_classifier": q_quality_classifier,
