@@ -446,18 +446,25 @@ def read_warc(
     files = _list_warc_files(path)
     wanted = {t.lower() for t in record_types} if record_types is not None else None
 
+    # parse-time narrowing (r15 — the docstring's skip claim made real:
+    # before, _read_payload materialized the bytes and the type filter
+    # ran after): rejected records chunk-discard their content inside
+    # the iterator.
+    keep = (
+        None
+        if wanted is None
+        else (lambda h: h.get("warc-type", "").lower() in wanted)
+    )
+
     def gen(iterator):
         for pdf in iterator:
             for fpath in pdf["path"]:
-                rows, idx = [], -1
+                rows = []
                 with open_warc(fpath, opener) as stream:
-                    for headers, payload, truncated in iter_warc_records(
-                        stream, max_payload
+                    for idx, headers, payload, truncated in iter_warc_records_pruned(
+                        stream, max_payload, keep=keep
                     ):
-                        idx += 1
                         wtype = headers.get("warc-type", "").lower()
-                        if wanted is not None and wtype not in wanted:
-                            continue
                         status, http_ct, body = (
                             _split_http(payload)
                             if parse_http and wtype == "response"
