@@ -31,11 +31,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from automic_etl_spark.fsutil import is_uri as _is_uri
+
 _SPEC = "_bucket_spec.json"
-
-
-def _is_uri(loc: str) -> bool:
-    return "://" in loc or loc.startswith("file:")
 
 
 def _spec_path(loc: str) -> str:
@@ -50,9 +48,9 @@ def _write_spec(spark: SparkSession, loc: str, spec: dict) -> None:
     surfaced later as a FileNotFound in ``register_bucketed`` far from
     the cause)."""
     if _is_uri(loc):
-        from automic_etl_spark.operators.bm25 import _fs_write_text
+        from automic_etl_spark.fsutil import fs_write_text
 
-        _fs_write_text(spark, _spec_path(loc), json.dumps(spec, indent=2))
+        fs_write_text(spark, _spec_path(loc), json.dumps(spec, indent=2))
     else:
         with open(os.path.join(loc, _SPEC), "w") as f:
             json.dump(spec, f, indent=2)
@@ -60,9 +58,9 @@ def _write_spec(spark: SparkSession, loc: str, spec: dict) -> None:
 
 def _read_spec(spark: SparkSession, loc: str) -> dict:
     if _is_uri(loc):
-        from automic_etl_spark.operators.bm25 import _fs_read_text
+        from automic_etl_spark.fsutil import fs_read_text
 
-        return json.loads(_fs_read_text(spark, _spec_path(loc)))
+        return json.loads(fs_read_text(spark, _spec_path(loc)))
     with open(os.path.join(loc, _SPEC)) as f:
         return json.load(f)
 

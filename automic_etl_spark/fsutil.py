@@ -1,0 +1,73 @@
+"""Session-filesystem helpers shared by the persisted-artifact lanes
+(BM25/PQ index metadata, bucketed-table specs, Bloom filter bitmaps).
+
+One canonical home for two things the r15 review found triplicated:
+
+- ``is_uri``: whether a location must go through the session's Hadoop
+  filesystem (object stores, HDFS, explicit ``file:``) rather than
+  plain ``open()``.
+- text/bytes reads and writes through that filesystem. Text payloads
+  are small (JSON headers) and go through the JVM stream directly;
+  BYTE payloads spill through a local temp file via
+  ``FileSystem.copy{To,From}LocalFile`` because a py4j ``bytearray``
+  transfer / ``ByteArrayOutputStream`` caps at Java's 2^31-1 array
+  limit — a Bloom bitmap for 10^9 n-grams at fpp=0.001 is ~3.7 GB,
+  exactly the scale the artifact lane exists for.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def is_uri(loc: str) -> bool:
+    return "://" in loc or loc.startswith("file:")
+
+
+def hadoop_path(spark: SparkSession, path: str):
+    """(jvm Path, FileSystem) for ``path`` under the session's Hadoop
+    conf — resolves the scheme (file://, hdfs://, s3a://, ...)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return p, fs
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    p, fs = hadoop_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    p, fs = hadoop_path(spark, path)
+    stream = fs.open(p)
+    baos = spark._jvm.java.io.ByteArrayOutputStream()
+    spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+        stream, baos, spark._jsc.hadoopConfiguration(), True
+    )
+    return bytes(baos.toByteArray()).decode("utf-8")
+
+
+def fs_write_file(spark: SparkSession, local_path: str, dest: str) -> None:
+    """Copy a LOCAL file to ``dest`` through the session's Hadoop FS.
+    The copy streams inside the JVM (no 2 GB byte-array ceiling)."""
+    jvm = spark._jvm
+    src = jvm.org.apache.hadoop.fs.Path("file:" + os.path.abspath(local_path))
+    dst, fs = hadoop_path(spark, dest)
+    # delSrc=False, overwrite=True
+    fs.copyFromLocalFile(False, True, src, dst)
+
+
+def fs_read_file(spark: SparkSession, src: str, local_path: str) -> None:
+    """Copy ``src`` from the session's Hadoop FS to a LOCAL file,
+    streaming inside the JVM."""
+    jvm = spark._jvm
+    p, fs = hadoop_path(spark, src)
+    dst = jvm.org.apache.hadoop.fs.Path("file:" + os.path.abspath(local_path))
+    fs.copyToLocalFile(False, p, dst, True)  # useRawLocalFileSystem: no .crc

@@ -235,35 +235,15 @@ def _term_bucket_col(term, n_buckets: int):
     ).cast("int")
 
 
-def _hadoop_path(spark: SparkSession, path: str):
-    """(jvm Path, FileSystem) for ``path`` under the session's Hadoop
-    conf — resolves the scheme (file://, hdfs://, s3a://, ...) so index
-    side-files land next to the parquet parts on ANY filesystem, not
-    just POSIX (the IVF/PQ/BM25 artifacts are pitched for cluster
-    deployments where ``open()`` would mis-place or fail)."""
-    jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    return p, fs
-
-
-def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
-    p, fs = _hadoop_path(spark, path)
-    out = fs.create(p, True)
-    try:
-        out.write(bytearray(text.encode("utf-8")))
-    finally:
-        out.close()
-
-
-def _fs_read_text(spark: SparkSession, path: str) -> str:
-    p, fs = _hadoop_path(spark, path)
-    stream = fs.open(p)
-    baos = spark._jvm.java.io.ByteArrayOutputStream()
-    spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
-        stream, baos, spark._jsc.hadoopConfiguration(), True
-    )
-    return bytes(baos.toByteArray()).decode("utf-8")
+# Canonical implementations live in automic_etl_spark.fsutil (r15
+# consolidation — the bucketed/bloom artifact lanes share them); the
+# underscored names are kept because similarity.py/bucketed callers and
+# the index code below predate the move.
+from automic_etl_spark.fsutil import (  # noqa: E402
+    fs_read_text as _fs_read_text,
+    fs_write_text as _fs_write_text,
+    hadoop_path as _hadoop_path,
+)
 
 
 def build_bm25_index(

@@ -316,26 +316,26 @@ def save_ngram_bloom(spark, bloom: NgramBloom, path: str) -> None:
     import json
     import os
 
+    from automic_etl_spark.fsutil import fs_write_file, fs_write_text, is_uri
+
     meta = json.dumps(
         {"m": bloom.m, "k": bloom.k, "n": bloom.n, "format": 1}
     )
-    bits = bloom.bits.astype("<u8").tobytes()
-    if "://" in path or path.startswith("file:"):
-        from automic_etl_spark.operators.bm25 import _fs_write_text, _hadoop_path
+    if is_uri(path):
+        import tempfile
 
-        _fs_write_text(spark, path.rstrip("/") + "/bloom.json", meta)
-        p, fs = _hadoop_path(spark, path.rstrip("/") + "/bloom.bits")
-        out = fs.create(p, True)
-        try:
-            out.write(bytearray(bits))
-        finally:
-            out.close()
+        fs_write_text(spark, path.rstrip("/") + "/bloom.json", meta)
+        # spill through a local temp file: the copy streams inside the
+        # JVM, so a multi-GB bitmap (10^9 n-grams at 0.1% ≈ 3.7 GB)
+        # clears the 2^31-1 ceiling a py4j bytearray transfer hits
+        with tempfile.NamedTemporaryFile(suffix=".bits") as tmp:
+            bloom.bits.astype("<u8").tofile(tmp.name)
+            fs_write_file(spark, tmp.name, path.rstrip("/") + "/bloom.bits")
     else:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "bloom.json"), "w") as f:
             f.write(meta)
-        with open(os.path.join(path, "bloom.bits"), "wb") as f:
-            f.write(bits)
+        bloom.bits.astype("<u8").tofile(os.path.join(path, "bloom.bits"))
 
 
 def load_ngram_bloom(spark, path: str) -> NgramBloom:
@@ -347,25 +347,24 @@ def load_ngram_bloom(spark, path: str) -> NgramBloom:
 
     import numpy as np
 
-    if "://" in path or path.startswith("file:"):
-        from automic_etl_spark.operators.bm25 import _fs_read_text, _hadoop_path
+    from automic_etl_spark.fsutil import fs_read_file, fs_read_text, is_uri
 
-        meta = json.loads(_fs_read_text(spark, path.rstrip("/") + "/bloom.json"))
-        p, fs = _hadoop_path(spark, path.rstrip("/") + "/bloom.bits")
-        stream = fs.open(p)
-        baos = spark._jvm.java.io.ByteArrayOutputStream()
-        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
-            stream, baos, spark._jsc.hadoopConfiguration(), True
-        )
-        raw = bytes(baos.toByteArray())
+    if is_uri(path):
+        import tempfile
+
+        meta = json.loads(fs_read_text(spark, path.rstrip("/") + "/bloom.json"))
+        # JVM-streamed copy to a local temp file — no 2 GB array ceiling
+        with tempfile.NamedTemporaryFile(suffix=".bits") as tmp:
+            fs_read_file(spark, path.rstrip("/") + "/bloom.bits", tmp.name)
+            bits = np.fromfile(tmp.name, dtype="<u8").astype(np.uint64)
     else:
         with open(os.path.join(path, "bloom.json")) as f:
             meta = json.load(f)
-        with open(os.path.join(path, "bloom.bits"), "rb") as f:
-            raw = f.read()
+        bits = np.fromfile(
+            os.path.join(path, "bloom.bits"), dtype="<u8"
+        ).astype(np.uint64)
     if meta.get("format") != 1:
         raise ValueError(f"unknown bloom artifact format: {meta!r}")
-    bits = np.frombuffer(raw, dtype="<u8").astype(np.uint64)
     expected_words = (meta["m"] + 63) // 64
     if len(bits) != expected_words:
         raise ValueError(

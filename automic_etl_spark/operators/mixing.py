@@ -67,12 +67,23 @@ def token_budget_sample(
             p_ppm = min(1_000_000, (int(budget) * 1_000_000) // total)
         rows.append((g, p_ppm))
     spark = docs.sparkSession
-    thresholds = spark.createDataFrame(rows, f"{group_col} string, __p_ppm int")
+    thresholds = spark.createDataFrame(rows, "__g string, __p_ppm int")
 
-    keyed = base.join(F.broadcast(thresholds), group_col, "left").withColumn(
-        "__keep",
-        F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(1_000_000))
-        < F.coalesce(F.col("__p_ppm"), F.lit(1_000_000)),
+    # eqNullSafe (r15 review): a NULL group key has a plan row too —
+    # a plain equi-join never matches NULL and the coalesce fallback
+    # silently ignored that group's budget
+    keyed = (
+        base.join(
+            F.broadcast(thresholds),
+            base[group_col].eqNullSafe(thresholds["__g"]),
+            "left",
+        )
+        .drop("__g")
+        .withColumn(
+            "__keep",
+            F.pmod(token_hash(F.col(id_col).cast("string")), F.lit(1_000_000))
+            < F.coalesce(F.col("__p_ppm"), F.lit(1_000_000)),
+        )
     )
     report = (
         keyed.groupBy(group_col)
@@ -148,12 +159,17 @@ def epoch_mixture(
             frac_ppm = ((int(budget) - k * total) * 1_000_000) // total
         rows.append((g, k, frac_ppm))
     spark = docs.sparkSession
-    plan = spark.createDataFrame(
-        rows, f"{group_col} string, __epochs int, __frac_ppm int"
-    )
+    plan = spark.createDataFrame(rows, "__g string, __epochs int, __frac_ppm int")
 
+    # eqNullSafe: NULL-keyed groups carry their budget too (see
+    # token_budget_sample)
     keyed = (
-        base.join(F.broadcast(plan), group_col, "left")
+        base.join(
+            F.broadcast(plan),
+            base[group_col].eqNullSafe(plan["__g"]),
+            "left",
+        )
+        .drop("__g")
         .withColumn("__epochs", F.coalesce(F.col("__epochs"), F.lit(1)))
         .withColumn("__frac_ppm", F.coalesce(F.col("__frac_ppm"), F.lit(0)))
         .withColumn(

@@ -992,7 +992,7 @@ def build_ann_index(
     import json as _json
     import os
 
-    from automic_etl_spark.operators.bm25 import _fs_write_text
+    from automic_etl_spark.fsutil import fs_write_text as _fs_write_text
 
     books = pq_train(
         emb, m=m, k_sub=k_sub, iterations=iterations, sample=sample,
@@ -1033,7 +1033,7 @@ def load_ann_index(spark, index_dir: str) -> tuple:
     import json as _json
     import os
 
-    from automic_etl_spark.operators.bm25 import _fs_read_text
+    from automic_etl_spark.fsutil import fs_read_text as _fs_read_text
 
     model = _json.loads(
         _fs_read_text(spark, os.path.join(index_dir, "model.json"))

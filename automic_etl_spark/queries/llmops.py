@@ -3267,7 +3267,14 @@ def q_bloom_decontam_gate(spark, sf_dir):
     )
     corpus = docs.filter(F.col("doc_id") % 17 != 0).orderBy("doc_id").limit(400)
     bloom = build_ngram_bloom(bench, n=3, fpp=0.02, expected=4096)
-    assert (bloom.m, bloom.k) == (_BLOOM_M, _BLOOM_K)
+    if (bloom.m, bloom.k) != (_BLOOM_M, _BLOOM_K):
+        # explicit raise (not assert — python -O would skip it): a
+        # params drift must fail HERE, not as a far-away hash mismatch
+        # against the oracle's hardcoded m/k literals
+        raise AssertionError(
+            f"NgramBloom.params drifted: {(bloom.m, bloom.k)} != "
+            f"{(_BLOOM_M, _BLOOM_K)} — regenerate the oracle literals"
+        )
     return contamination_report_bloom(corpus, bloom, min_hits=2).orderBy(
         "doc_id"
     )

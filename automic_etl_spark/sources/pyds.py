@@ -64,6 +64,13 @@ def _parse_columns(options, valid: list[str]) -> list[str] | None:
     if not cols:
         return None
     keep = {c.strip() for c in cols.split(",") if c.strip()}
+    if not keep:
+        # ' ' or ',' would otherwise produce an empty DDL string and an
+        # opaque Spark ParseException far from the cause
+        raise ValueError(
+            "columns option is present but names no columns — omit it "
+            "to read everything"
+        )
     missing = sorted(keep - set(valid))
     if missing:
         raise ValueError(
@@ -230,17 +237,31 @@ class WarcReader(DataSourceReader):
             yield _arrow_batch(rows, out_cols)
 
 
+_PA_TYPES: dict | None = None
+
+
+def _pa_types() -> dict:
+    """Arrow type per warc column, built once per worker process (the
+    scan hot path batches every 256 rows — no per-batch dict builds)."""
+    global _PA_TYPES
+    if _PA_TYPES is None:
+        import pyarrow as pa
+
+        _PA_TYPES = {
+            "warc_file": pa.string(), "record_index": pa.int64(),
+            "warc_type": pa.string(), "record_id": pa.string(),
+            "target_uri": pa.string(), "warc_date": pa.string(),
+            "content_type": pa.string(), "content_length": pa.int64(),
+            "truncated": pa.bool_(), "http_status": pa.int32(),
+            "http_content_type": pa.string(), "payload": pa.binary(),
+        }
+    return _PA_TYPES
+
+
 def _arrow_batch(rows, out_cols=None):
     import pyarrow as pa
 
-    pa_types = {
-        "warc_file": pa.string(), "record_index": pa.int64(),
-        "warc_type": pa.string(), "record_id": pa.string(),
-        "target_uri": pa.string(), "warc_date": pa.string(),
-        "content_type": pa.string(), "content_length": pa.int64(),
-        "truncated": pa.bool_(), "http_status": pa.int32(),
-        "http_content_type": pa.string(), "payload": pa.binary(),
-    }
+    pa_types = _pa_types()
     out_cols = out_cols or _COLUMNS
     cols = list(zip(*rows))
     arrays = [

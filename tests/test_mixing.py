@@ -222,3 +222,27 @@ def test_epoch_mixture_default_budget_and_report_totals(spark):
         # n_rows_out arithmetic matches the materialized expansion
         n = out.filter(f"source = '{g}'").count()
         assert n == rep[g]["n_rows_out"] >= rep[g]["n_docs_in"]
+
+
+def test_null_group_budget_honored(spark):
+    """r15 review: a NULL group key has a plan row too — the equi-join
+    never matched NULL, so null-keyed docs silently kept everything.
+    Both samplers now join null-safely."""
+    from automic_etl_spark.operators.mixing import epoch_mixture
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, None if i < 100 else "named") for i in range(120)],
+        "doc_id long, text string, source string",
+    )
+    # null group: 1000 tokens, budget 0 -> dropped entirely
+    sampled, report = token_budget_sample(docs, {}, default_budget=0)
+    assert sampled.count() == 0
+    rep = {r["source"]: r for r in report.collect()}
+    assert rep[None]["p_ppm"] == 0 and rep[None]["n_docs_kept"] == 0
+
+    # epoch side: null group budget 3000 -> exactly 3 epochs
+    out, erep = epoch_mixture(docs, {"named": 200}, default_budget=3000)
+    er = {r["source"]: r for r in erep.collect()}
+    assert (er[None]["epochs"], er[None]["frac_ppm"]) == (3, 0)
+    assert er[None]["n_rows_out"] == 300
+    assert out.filter("source IS NULL").count() == 300

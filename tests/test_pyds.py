@@ -568,6 +568,20 @@ class TestWarcWetColumnPruning:
             len(f"doc number {i} text") for i in range(6)
         )
 
+    def test_columns_empty_option_raises(self, spark, warc_dir):
+        """' ' or ',' must fail loudly, not produce an empty DDL schema
+        (r15 review: the source and reader disagreed about the
+        degenerate option)."""
+        register(spark)
+        for bad in (" ", ","):
+            with pytest.raises(Exception, match="names no columns"):
+                (
+                    spark.read.format("warc")
+                    .option("columns", bad)
+                    .load(warc_dir)
+                    .collect()
+                )
+
     def test_columns_unknown_name_raises(self, spark, warc_dir):
         register(spark)
         with pytest.raises(Exception, match="nope"):
