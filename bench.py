@@ -22,7 +22,8 @@ from automic_etl_spark.session import get_spark
 from automic_etl_spark.io import load_table, TABLE_NAMES
 
 # Headline set: the heavy relational core + the scale-critical
-# beyond-reference operators. Keep to ~12 so the bench signal is readable.
+# beyond-reference operators (grown with the operator surface — one row
+# per priced lane; per-row attempt arrays keep the signal readable).
 # Bound DIRECTLY to the workload functions (not registry names) so the
 # benchmarked work stays identical round over round even when the
 # correctness-gate registry reshapes queries (round 2 composed several
