@@ -54,6 +54,26 @@ def build_parser() -> argparse.ArgumentParser:
         help="reliable checkpoint dir for stage boundaries (spot fleets); "
         "default keeps executor-local checkpoints",
     )
+    cw.add_argument(
+        "--decontam-bloom", default=None, metavar="ARTIFACT_DIR",
+        help="decontaminate against a persisted n-gram Bloom filter "
+        "(built once by `bloom-build`; the fixed-memory lane — the "
+        "bitmap broadcasts, no benchmark re-scan per run)",
+    )
+
+    bb = sub.add_parser(
+        "bloom-build",
+        help="build + persist an n-gram Bloom decontamination filter "
+        "from benchmark text (one distributed pass; the reusable "
+        "artifact `curate-web --decontam-bloom` loads)",
+    )
+    bb.add_argument("paths", nargs="+", help="benchmark files, dirs or globs")
+    bb.add_argument("--out", required=True, help="artifact directory")
+    bb.add_argument("--format", choices=["parquet", "json", "csv", "text"],
+                    default="parquet")
+    bb.add_argument("--text-col", default="text")
+    bb.add_argument("--ngram", type=int, default=8)
+    bb.add_argument("--fpp", type=float, default=0.001)
 
     cv = sub.add_parser(
         "convert",
@@ -95,6 +115,14 @@ def main(argv: list[str] | None = None) -> int:
             line_dedup_min_df=args.line_dedup_min_df,
             pack_tokens=args.pack_tokens,
             checkpoint_dir=args.checkpoint_dir,
+            **(
+                {
+                    "decontam_mode": "bloom",
+                    "decontam_bloom_path": args.decontam_bloom,
+                }
+                if args.decontam_bloom
+                else {}
+            ),
         )
         paths = args.paths[0] if len(args.paths) == 1 else args.paths
         _seq, report = web_corpus_to_training_set(
@@ -102,6 +130,33 @@ def main(argv: list[str] | None = None) -> int:
             extractor=extractor, curator=curator,
         )
         print(json.dumps(report, default=str))
+        return 0
+
+    if args.command == "bloom-build":
+        from automic_etl_spark.operators.decontam import (
+            build_ngram_bloom,
+            save_ngram_bloom,
+        )
+
+        path = args.paths[0] if len(args.paths) == 1 else args.paths
+        if args.format == "parquet":
+            bench = spark.read.parquet(path)
+        elif args.format == "json":
+            bench = spark.read.json(path)
+        elif args.format == "csv":
+            bench = spark.read.option("header", True).csv(path)
+        else:  # text: one document per line
+            bench = spark.read.text(path).withColumnRenamed(
+                "value", args.text_col
+            )
+        bloom = build_ngram_bloom(
+            bench, n=args.ngram, bench_text_col=args.text_col, fpp=args.fpp
+        )
+        save_ngram_bloom(spark, bloom, args.out)
+        print(json.dumps({
+            "out": args.out, "m_bits": bloom.m, "k": bloom.k,
+            "ngram": bloom.n, "bitmap_mib": round(bloom.m / 8 / 2**20, 2),
+        }))
         return 0
 
     if args.command == "convert":

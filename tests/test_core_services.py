@@ -168,6 +168,57 @@ def test_cli_curate_web(spark, tmp_path, capsys, monkeypatch):
     assert os.path.isdir(out_dir)
 
 
+def test_cli_bloom_build_and_curate_web_decontam(spark, tmp_path, capsys, monkeypatch):
+    """r15: `bloom-build` persists the decontamination artifact from
+    benchmark text, and `curate-web --decontam-bloom` loads it — the
+    build-once/reuse-per-run lifecycle from the command line. The
+    planted contaminated page is removed; clean pages survive."""
+    import json as _json
+
+    from automic_etl_spark import cli
+    from automic_etl_spark.sources.warc import write_warc_file
+
+    monkeypatch.setattr(
+        "automic_etl_spark.session.get_spark", lambda *a, **k: spark
+    )
+    bench_file = tmp_path / "bench.txt"
+    secret = "the held out benchmark question about spark shuffles and exchanges"
+    bench_file.write_text(secret + "\n")
+    art_dir = str(tmp_path / "bloom_art")
+    rc = cli.main([
+        "bloom-build", str(bench_file), "--out", art_dir,
+        "--format", "text", "--ngram", "6", "--fpp", "0.001",
+    ])
+    assert rc == 0
+    built = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert built["out"] == art_dir and built["k"] >= 1
+
+    filler = ("an ordinary web document with plenty of plain words about "
+              "data pipelines and corpora in sentence number {i} here")
+    recs = [
+        ("conversion", filler.format(i=i).encode(), f"http://c.example/{i}")
+        for i in range(4)
+    ]
+    recs.append((
+        "conversion",
+        (f"leaked page quoting verbatim {secret} inside its body").encode(),
+        "http://c.example/leak",
+    ))
+    seg = str(tmp_path / "seg-b.wet.gz")
+    write_warc_file(seg, recs)
+    out_dir = str(tmp_path / "out_bloom")
+    rc = cli.main([
+        "curate-web", seg, "--out", out_dir,
+        "--min-quality", "0.0", "--pack-tokens", "8",
+        "--line-dedup-min-df", "99", "--min-text-chars", "10",
+        "--decontam-bloom", art_dir,
+    ])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["input_docs"] == 5
+    assert report["contaminated_removed"] == 1
+
+
 def test_asof_union_merge_equals_join_baseline(spark):
     from automic_etl_spark.operators.asof import asof_join, asof_join_by_join
 
