@@ -558,3 +558,78 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             cond = cond & (c > F.col(f"script_{other}"))
         best = F.when(cond, F.lit(name)) if best is None else best.when(cond, F.lit(name))
     return out.withColumn("script", F.coalesce(best, F.lit("und")))
+
+
+# Keyword tokens that mark code rather than prose — deliberately
+# excludes common English words (if/for/while/in/this) so natural text
+# scores ~0; the set is a routing heuristic, not a language detector.
+CODE_KEYWORDS = (
+    "def", "elif", "lambda", "import", "return", "function", "const",
+    "var", "void", "struct", "static", "namespace", "printf", "typedef",
+    "endif", "println", "nullptr", "async", "await", "fn",
+)
+
+
+def code_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    min_score_ppm: int = 120_000,
+) -> DataFrame:
+    """Code-vs-prose routing signals (r15 — the StarCoder/RedPajama-style
+    corpus split: route code-looking documents to a code pipeline, prose
+    to the text one, BEFORE any expensive per-modality work). Pure
+    Catalyst expressions — no UDF, integer-ppm outputs (the repo-wide
+    no-rounded-division contract), so a 100 TB scan stays in codegen
+    and the whole construction replays in SQL.
+
+    Appended columns:
+    - ``symbol_ppm``     — structural characters ``{}()[];=<>`` per char
+    - ``indent_line_ppm``   — lines starting with a tab or >=4 spaces
+    - ``semicolon_line_ppm``— lines ending with ``;``/``{``/``}``
+    - ``keyword_ppm``    — CODE_KEYWORDS tokens per word
+    - ``code_score_ppm`` — 30/25/25/20 weighted composite (keyword arm
+      saturates at 10 hits per 100 words)
+    - ``is_codeish``     — ``code_score_ppm >= min_score_ppm``
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(txt)
+    toks = tokenize(txt)
+    n_words = F.size(toks)
+    lines = F.split(txt, r"\n")
+    n_lines = F.size(lines)
+
+    def ppm(num, denom):
+        return F.when(
+            denom > 0, (num * F.lit(1_000_000) / denom).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    symbols = F.length(F.regexp_replace(txt, r"[^{}()\[\];=<>]", ""))
+    indent = F.size(F.filter(lines, lambda ln: ln.rlike(r"^(\t|    )")))
+    semi = F.size(
+        F.filter(lines, lambda ln: F.rtrim(ln).rlike(r"[;{}]$"))
+    )
+    kw_arr = F.array(*[F.lit(k) for k in CODE_KEYWORDS])
+    kw = F.size(F.filter(toks, lambda t: F.array_contains(kw_arr, t)))
+
+    symbol_ppm = ppm(symbols, n_chars)
+    indent_ppm = ppm(indent, n_lines)
+    semi_ppm = ppm(semi, n_lines)
+    kw_ppm = ppm(kw, n_words)
+    score = (
+        (
+            F.lit(30) * symbol_ppm
+            + F.lit(25) * indent_ppm
+            + F.lit(25) * semi_ppm
+            + F.lit(20) * F.least(F.lit(10) * kw_ppm, F.lit(1_000_000))
+        )
+        / F.lit(100)
+    ).cast("long")
+    return df.select(
+        "*",
+        symbol_ppm.alias("symbol_ppm"),
+        indent_ppm.alias("indent_line_ppm"),
+        semi_ppm.alias("semicolon_line_ppm"),
+        kw_ppm.alias("keyword_ppm"),
+        score.alias("code_score_ppm"),
+        (score >= F.lit(min_score_ppm)).alias("is_codeish"),
+    )

@@ -3430,3 +3430,105 @@ ORDER BY doc_id, epoch
 
 QUERIES_TAIL["epoch_mixture"] = q_epoch_mixture_gate
 ORACLE_TAIL["epoch_mixture"] = ORACLE_EPOCH_MIXTURE
+
+
+# --------------------------------------------------------------------------
+# code_signals (r15): code-vs-prose routing (the StarCoder/RedPajama
+# corpus split) — structural-character density, indented/terminated
+# line fractions, code-keyword rate, weighted composite + boolean
+# verdict; every doc_id % 3 == 0 document gains a planted 3-line code
+# header IN-PLAN so both engines derive identical inputs. All integer
+# ppm Catalyst arithmetic; the oracle recomputes every signal with
+# DuckDB string/list functions and the same truncating division.
+# --------------------------------------------------------------------------
+
+_CODE_HDR = (
+    "def compute(items):",
+    "    return items[0];",
+    "    const x = {a: 1};",
+)
+
+
+def q_code_signals_gate(spark, sf_dir):
+    """(doc_id, 4 signal ppms, composite, verdict) over 300 docs, a
+    third of them with a planted code header."""
+    from automic_etl_spark.operators.textops import code_signals
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(
+                "\n", *[F.lit(h) for h in _CODE_HDR], F.col("text")
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return (
+        code_signals(planted)
+        .select(
+            "doc_id", "symbol_ppm", "indent_line_ppm",
+            "semicolon_line_ppm", "keyword_ppm", "code_score_ppm",
+            "is_codeish",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _code_signals_oracle() -> str:
+    from automic_etl_spark.operators.textops import CODE_KEYWORDS
+
+    hdr_sql = " || chr(10) || ".join(
+        "'" + h.replace("'", "''") + "'" for h in _CODE_HDR
+    )
+    kw_list = ", ".join(f"'{k}'" for k in CODE_KEYWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300
+), planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN {hdr_sql} || chr(10) || text
+              ELSE text END AS t
+  FROM base
+), parts AS (
+  SELECT doc_id, t,
+         strlen(t) AS n_chars,
+         string_split_regex(trim(t), '\\s+') AS toks,
+         string_split(t, chr(10)) AS lines
+  FROM planted
+), counts AS (
+  SELECT doc_id, n_chars, len(toks) AS n_words, len(lines) AS n_lines,
+         strlen(regexp_replace(t, '[^{{}}()\\[\\];=<>]', '', 'g')) AS symbols,
+         len(list_filter(lines, l -> regexp_matches(l, '^(\\t|    )'))) AS indent,
+         len(list_filter(lines, l -> regexp_matches(rtrim(l), '[;{{}}]$'))) AS n_semi,
+         len(list_filter(toks, x -> list_contains([{kw_list}], x))) AS kw
+  FROM parts
+), ppms AS (
+  SELECT doc_id,
+    CAST(CASE WHEN n_chars > 0 THEN symbols * 1000000 // n_chars ELSE 0 END AS BIGINT) AS symbol_ppm,
+    CAST(CASE WHEN n_lines > 0 THEN indent * 1000000 // n_lines ELSE 0 END AS BIGINT) AS indent_line_ppm,
+    CAST(CASE WHEN n_lines > 0 THEN n_semi * 1000000 // n_lines ELSE 0 END AS BIGINT) AS semicolon_line_ppm,
+    CAST(CASE WHEN n_words > 0 THEN kw * 1000000 // n_words ELSE 0 END AS BIGINT) AS keyword_ppm
+  FROM counts
+)
+SELECT doc_id, symbol_ppm, indent_line_ppm, semicolon_line_ppm, keyword_ppm,
+       CAST((30 * symbol_ppm + 25 * indent_line_ppm + 25 * semicolon_line_ppm
+             + 20 * least(10 * keyword_ppm, 1000000)) // 100 AS BIGINT)
+         AS code_score_ppm,
+       (30 * symbol_ppm + 25 * indent_line_ppm + 25 * semicolon_line_ppm
+        + 20 * least(10 * keyword_ppm, 1000000)) // 100 >= 120000
+         AS is_codeish
+FROM ppms ORDER BY doc_id
+"""
+
+
+ORACLE_CODE_SIGNALS = _code_signals_oracle()
+
+QUERIES_TAIL["code_signals"] = q_code_signals_gate
+ORACLE_TAIL["code_signals"] = ORACLE_CODE_SIGNALS

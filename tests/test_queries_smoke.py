@@ -153,6 +153,10 @@ def test_registry_driver_window_prefix():
         # sequence-explode expansion + hash-threshold fractional epoch
         # replayed integer-exactly in SQL)
         "epoch_mixture",
+        # -- r15 addition: code-vs-prose routing signals (structural
+        # ppm densities + keyword rate, planted code headers in-plan,
+        # full integer replay)
+        "code_signals",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r14 verdict's designated rotation):
     # the dict-compressed corpus export round-trip gate

@@ -81,3 +81,52 @@ def test_curator_script_gate(spark):
     ).curate(docs)
     labels = {r.doc_id: r.script for r in out2.collect()}
     assert labels[0] == "latin" and labels[100] == "cyrillic"
+
+
+class TestCodeSignals:
+    def test_code_vs_prose_routing(self, spark):
+        """r15: structural signals separate code from prose — the
+        planted snippets score codeish, plain English does not, and
+        every ppm is exact integer arithmetic."""
+        from automic_etl_spark.operators.textops import code_signals
+
+        code = (
+            "def compute(items):\n"
+            "    return items[0];\n"
+            "    const x = {a: 1};\n"
+            "    static void run() {\n"
+            "    }"
+        )
+        prose = ("this is a plain english paragraph about nothing in "
+                 "particular and it keeps going with ordinary words")
+        docs = spark.createDataFrame(
+            [(1, code), (2, prose), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in code_signals(docs).collect()}
+        assert got[1]["is_codeish"] is True
+        assert got[2]["is_codeish"] is False
+        # code doc: 4 of 5 lines are indented (tab/4-space) -> 800000
+        assert got[1]["indent_line_ppm"] == 800_000
+        # lines ending ;/{/}: 4 of 5 -> 800000
+        assert got[1]["semicolon_line_ppm"] == 800_000
+        # keywords: def, return, const, static, void = 5 of 14 words
+        assert got[1]["keyword_ppm"] == (5 * 1_000_000) // 14
+        assert got[2]["symbol_ppm"] == 0 and got[2]["keyword_ppm"] == 0
+        # empty + NULL text: all zeros, not errors
+        for d in (3, 4):
+            assert got[d]["code_score_ppm"] == 0
+            assert got[d]["is_codeish"] is False
+
+    def test_prose_with_if_for_while_not_codeish(self, spark):
+        """The keyword set deliberately excludes common English words —
+        prose using if/for/while/in must not route to code."""
+        from automic_etl_spark.operators.textops import code_signals
+
+        docs = spark.createDataFrame(
+            [(1, "if you wait for the bus while it rains, then in the "
+                 "end this is still prose for all of us")],
+            "doc_id long, text string",
+        )
+        r = code_signals(docs).collect()[0]
+        assert r["keyword_ppm"] == 0 and r["is_codeish"] is False
