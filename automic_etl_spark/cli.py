@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     cw.add_argument("--line-dedup-min-df", type=int, default=2)
     cw.add_argument("--min-quality", type=float, default=0.3)
     cw.add_argument(
+        "--route-code", choices=["code", "prose"], default=None,
+        help="code-vs-prose corpus split (StarCoder/RedPajama routing): "
+        "keep only the named side, judged by structural code signals "
+        "BEFORE the prose quality gates",
+    )
+    cw.add_argument(
         "--checkpoint-dir", default=None,
         help="reliable checkpoint dir for stage boundaries (spot fleets); "
         "default keeps executor-local checkpoints",
@@ -115,6 +121,7 @@ def main(argv: list[str] | None = None) -> int:
             line_dedup_min_df=args.line_dedup_min_df,
             pack_tokens=args.pack_tokens,
             checkpoint_dir=args.checkpoint_dir,
+            route_code=args.route_code,
             **(
                 {
                     "decontam_mode": "bloom",

@@ -233,10 +233,26 @@ def build_ngram_bloom(
     bench_text_col: str = "text",
     fpp: float = 0.01,
     expected: int | None = None,
+    shard_bytes: int = 64 << 20,
 ) -> NgramBloom:
     """One distributed pass over the benchmark's distinct n-gram hashes
     -> an NgramBloom sized for ``expected`` entries (counted exactly
-    with one agg job when not given) at ``fpp``."""
+    with one agg job when not given) at ``fpp``.
+
+    The bitmap is built SHARDED (r16; VERDICT r15 #2): each partition
+    emits ``(shard_idx, shard_bits)`` pairs — one ≤``shard_bytes``
+    slice per shard it actually sets bits in — and shards OR-merge per
+    key before the driver assembles them. The previous shape (each
+    partition yields its ENTIRE bitmap as one record, treeReduce merges
+    whole bitmaps) had two ceilings the artifact lane it feeds had
+    already cleared: a single Python→JVM record is a framed
+    Array[Byte] capped at 2^31-1 (a 10^9-n-gram filter at fpp=0.001 is
+    ~3.7 GB — unbuildable), and every concurrent task allocated the
+    full bitmap (32 tasks x multi-GB = transient OOM). Sharding bounds
+    the record at ``shard_bytes`` and the per-task accumulator at ONE
+    shard (slices are built and yielded shard-at-a-time); the reduce
+    is per-key so no merge task ever holds more than one shard
+    either."""
     import numpy as np
 
     ng = _ngram_hashes(benchmark, [], bench_text_col, n).distinct()
@@ -244,18 +260,49 @@ def build_ngram_bloom(
         expected = ng.count()
     m, k = NgramBloom.params(expected, fpp)
     words = (m + 63) // 64
+    shard_words = max(1, shard_bytes // 8)
+    n_shards = (words + shard_words - 1) // shard_words
 
-    def partition_bitmap(rows):
-        bits = np.zeros(words, dtype=np.uint64)
-        bloom = NgramBloom(bits, m, k, n)
+    def partition_shards(rows):
         batch = [r[0] for r in rows]  # single __ng column (Row blocks
         # dunder attribute access)
-        if batch:
-            bloom.add(np.array(batch, dtype=np.int64))
-        yield bits
+        if not batch:
+            return
+        pos = NgramBloom._positions(
+            np.array(batch, dtype=np.int64), m, k
+        ).ravel()
+        w = pos >> 6
+        bit = np.uint64(1) << (pos & 63).astype(np.uint64)
+        shard = w // shard_words
+        order = np.argsort(shard, kind="stable")
+        w, bit, shard = w[order], bit[order], shard[order]
+        uniq, starts = np.unique(shard, return_index=True)
+        bounds = np.append(starts, len(shard))
+        for si, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+            base = int(si) * shard_words
+            arr = np.zeros(min(shard_words, words - base), dtype=np.uint64)
+            np.bitwise_or.at(arr, w[s0:s1] - base, bit[s0:s1])
+            # little-endian bytes: the merge and the driver assembly
+            # are byte-order-portable, matching save_ngram_bloom
+            yield int(si), arr.astype("<u8").tobytes()
 
-    merged = ng.rdd.mapPartitions(partition_bitmap).treeReduce(np.bitwise_or)
-    return NgramBloom(merged, m, k, n)
+    def or_bytes(a: bytes, b: bytes) -> bytes:
+        return np.bitwise_or(
+            np.frombuffer(a, dtype="<u8"), np.frombuffer(b, dtype="<u8")
+        ).tobytes()
+
+    shards = (
+        ng.rdd.mapPartitions(partition_shards)
+        .reduceByKey(or_bytes, numPartitions=min(n_shards, 64))
+        .collect()
+    )
+    bits = np.zeros(words, dtype=np.uint64)
+    for si, payload in shards:
+        base = si * shard_words
+        bits[base : base + len(payload) // 8] = np.frombuffer(
+            payload, dtype="<u8"
+        )
+    return NgramBloom(bits, m, k, n)
 
 
 def contamination_report_bloom(
@@ -333,9 +380,33 @@ def save_ngram_bloom(spark, bloom: NgramBloom, path: str) -> None:
             fs_write_file(spark, tmp.name, path.rstrip("/") + "/bloom.bits")
     else:
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, "bloom.json"), "w") as f:
-            f.write(meta)
-        bloom.bits.astype("<u8").tofile(os.path.join(path, "bloom.bits"))
+        # atomic publish (ADVICE r15): write both files to temp names
+        # in the target dir and os.replace — a crash mid-write or a
+        # concurrent load never observes a header without bits or a
+        # truncated bitmap (the discipline the WARC sink adopted r15)
+        pid = os.getpid()
+        tmp_json = os.path.join(path, f".bloom.json.{pid}.inprogress")
+        tmp_bits = os.path.join(path, f".bloom.bits.{pid}.inprogress")
+        try:
+            with open(tmp_json, "w") as f:
+                f.write(meta)
+                f.flush()
+                os.fsync(f.fileno())
+            with open(tmp_bits, "wb") as f:
+                bloom.bits.astype("<u8").tofile(f)
+                f.flush()
+                os.fsync(f.fileno())
+            # bits FIRST: a reader that sees the new header must also
+            # see a complete bitmap of the matching length
+            os.replace(tmp_bits, os.path.join(path, "bloom.bits"))
+            os.replace(tmp_json, os.path.join(path, "bloom.json"))
+        except BaseException:
+            for leftover in (tmp_json, tmp_bits):
+                try:
+                    os.unlink(leftover)
+                except OSError:
+                    pass
+            raise
 
 
 def load_ngram_bloom(spark, path: str) -> NgramBloom:

@@ -67,7 +67,21 @@ def token_budget_sample(
             p_ppm = min(1_000_000, (int(budget) * 1_000_000) // total)
         rows.append((g, p_ppm))
     spark = docs.sparkSession
-    thresholds = spark.createDataFrame(rows, "__g string, __p_ppm int")
+    # the plan frame's key column carries the INPUT group column's type
+    # (ADVICE r15): a hard-coded `__g string` made createDataFrame raise
+    # on int/date partition keys, and eqNullSafe would otherwise compare
+    # across types
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    thresholds = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("__g", docs.schema[group_col].dataType, True),
+                StructField("__p_ppm", IntegerType(), True),
+            ]
+        ),
+    )
 
     # eqNullSafe (r15 review): a NULL group key has a plan row too —
     # a plain equi-join never matches NULL and the coalesce fallback
@@ -159,7 +173,19 @@ def epoch_mixture(
             frac_ppm = ((int(budget) - k * total) * 1_000_000) // total
         rows.append((g, k, frac_ppm))
     spark = docs.sparkSession
-    plan = spark.createDataFrame(rows, "__g string, __epochs int, __frac_ppm int")
+    # key column typed from the input (ADVICE r15; see token_budget_sample)
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    plan = spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("__g", docs.schema[group_col].dataType, True),
+                StructField("__epochs", IntegerType(), True),
+                StructField("__frac_ppm", IntegerType(), True),
+            ]
+        ),
+    )
 
     # eqNullSafe: NULL-keyed groups carry their budget too (see
     # token_budget_sample)

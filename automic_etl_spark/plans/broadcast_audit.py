@@ -82,3 +82,51 @@ def assert_never_broadcast(df: DataFrame, needle: str) -> None:
             f"subtree matching {needle!r} is broadcast (BroadcastExchange "
             f"ancestor) — O(corpus) side must stream:\n{plan}"
         )
+
+
+def broadcast_subtrees(plan: str) -> list[str]:
+    """The text of every BroadcastExchange node's subtree (the node
+    line plus all strictly-deeper following lines). Used to assert
+    that nothing corpus-derived sits under a broadcast: corpus-derived
+    frames in the curator funnel are always either a file scan of the
+    corpus path or a ``Scan ExistingRDD`` (a checkpointed stage
+    boundary), while the legitimately-broadcast frames — benchmark
+    n-grams, collected group thresholds, centroid packs — are
+    LocalTableScans or driver-built relations."""
+    lines = plan.splitlines()
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = _indent(line)
+        sub = [line]
+        for j in range(i + 1, len(lines)):
+            if not lines[j].strip():
+                break
+            if _indent(lines[j]) <= depth:
+                break
+            sub.append(lines[j])
+        out.append("\n".join(sub))
+    return out
+
+
+def assert_broadcasts_exclude(
+    df: DataFrame, forbidden: tuple[str, ...]
+) -> None:
+    """Raise AssertionError if ANY BroadcastExchange subtree in the
+    initial physical plan contains one of the ``forbidden`` leaf
+    markers (e.g. ``"Scan ExistingRDD"`` for checkpointed corpus
+    frames, or the corpus file path). Complements
+    ``assert_never_broadcast``: that guard tracks one known needle up
+    the tree; this one sweeps every broadcast down the tree, so a NEW
+    stage that hints a corpus-derived side fails without the test
+    knowing the stage exists."""
+    plan = physical_plan(df)
+    for sub in broadcast_subtrees(plan):
+        for marker in forbidden:
+            if marker in sub:
+                raise AssertionError(
+                    f"BroadcastExchange subtree contains forbidden marker "
+                    f"{marker!r} — a corpus-derived side is hinted for "
+                    f"broadcast:\n{sub}\n\nfull plan:\n{plan}"
+                )

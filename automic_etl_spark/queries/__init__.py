@@ -116,7 +116,7 @@ _DRIVER_SCORED = (
     # the r12-designated drop-out — equi-join coverage stays scored via
     # feature_table / denormalized_view / medallion_gold)
     "funnel_conversion",
-    "scan_derived_filter", "pricing_summary", "agg_having",
+    "pricing_summary", "agg_having",
     # r14 rotation (the r13-designated displacement, executed): the new
     # zstd-dictionary gate scores rather than aging in overflow;
     # `join_semi_anti` demoted — semi/anti coverage stays scored via
@@ -131,13 +131,22 @@ _DRIVER_SCORED = (
     # `extract_json_regex` demoted — JSON path + regex extraction stays
     # scored via text_doc_profile's extraction arms and redaction's
     # regex strategies, and its oracle stays in-suite.
-    # Designated NEXT rotation (r16): promote `bloom_decontam` (the r15
-    # Bloom-membership bit-replay gate, declared in the overflow tail)
-    # by displacing `scan_derived_filter` — projection / derived-column
-    # / row-filter coverage stays scored via csv_sql_roundtrip,
+    "warc_corpus_roundtrip",
+    # r16 rotation (the r15-designated displacement, executed):
+    # `bloom_decontam` — the Bloom-membership test replayed BIT FOR BIT
+    # in DuckDB UHUGEINT arithmetic (splitmix64 double hashing, bitmap
+    # synthesized relationally) — promoted from the overflow tail;
+    # `scan_derived_filter` demoted — projection / derived-column /
+    # row-filter coverage stays scored via csv_sql_roundtrip,
     # medallion_gold's derived features, and agg_having's pre-agg
     # filters, and its oracle stays in-suite.
-    "warc_corpus_roundtrip",
+    "bloom_decontam",
+    # Designated NEXT rotation (r17): promote `epoch_mixture` (the r15
+    # multi-epoch upsampling gate, integer-exact incl. the
+    # sequence-explode, declared in the overflow tail) by displacing
+    # `pivot_rollup` — cube/rollup grouping-set coverage stays
+    # oracle-checked in-suite, and the agg family keeps scored rows via
+    # pricing_summary / agg_having / compute_metrics.
 )
 
 

@@ -1,0 +1,37 @@
+"""Process-lifetime temp-dir registry for gate/bench fixture caches.
+
+Several gate and bench rows synthesize a corpus/blob fixture ONCE per
+process and cache the directory per sf_dir (the `_VORBIS_BLOB_CACHE`
+protocol — repeated invocations must not re-pay synthesis, and a
+min-of-2 bench row must not re-pay it on attempt 2). Before r16 those
+directories leaked one copy per process (VERDICT r15 What's-wrong #4:
+repeated full-suite runs accumulate `gate_warc_corpus_*` dirs in /tmp).
+Every cache site now registers its mkdtemp root here; ONE atexit hook
+sweeps them when the interpreter exits. Failures are swallowed —
+cleanup must never turn a green run red.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+
+_DIRS: set[str] = set()
+_HOOKED = False
+
+
+def register_cache_dir(path: str) -> str:
+    """Track ``path`` (an mkdtemp root) for removal at process exit.
+    Returns ``path`` so call sites can register inline."""
+    global _HOOKED
+    _DIRS.add(path)
+    if not _HOOKED:
+        atexit.register(_sweep)
+        _HOOKED = True
+    return path
+
+
+def _sweep() -> None:
+    for d in sorted(_DIRS):
+        shutil.rmtree(d, ignore_errors=True)
+    _DIRS.clear()

@@ -159,20 +159,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.agg(F.count(F.lit(1)).alias("n_clean"))
 
 
+# Write-once cache for the persisted-Bloom artifact: sf_dir -> dir.
+# Attempt 1 of the load arm pays the one-time save; min-of-2 then
+# prices the steady state the `bloom-build` -> `curate-web
+# --decontam-bloom` lifecycle sells (build once, reuse per run).
+_BLOOM_ARTIFACT_CACHE: dict[str, str] = {}
+
+
 def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Bloom decontamination lane priced end-to-end (r15): SAME
-    corpus/benchmark slices as q_decontaminate, but through the
-    fixed-memory arm — one distributed pass builds the bitmap
-    (per-partition numpy bitmaps OR-merged via treeReduce), then every
-    document probes it map-side inside an Arrow kernel with NO join,
-    and the flagged-id anti-join streams (never broadcast). What this
-    times that the exact row cannot: the build+probe shape whose cost
-    is independent of benchmark-relation size — the lane that exists
-    for 10^8+-n-gram eval suites where the exact arm's broadcast stops
-    fitting."""
+    """The Bloom decontamination lane priced end-to-end, TWO
+    method-tagged arms (r15 row; r16 adds the load arm — VERDICT r15
+    item 8, the ann_join/bm25 precedent): SAME corpus/benchmark slices
+    as q_decontaminate through (a) "build" — one distributed pass
+    builds the bitmap (sharded (shard_idx, bits) records OR-merged per
+    key, r16) and every document probes it map-side in an Arrow kernel
+    with NO join, the flagged-id anti-join streaming (never
+    broadcast); (b) "load" — the same probe fed from a PERSISTED
+    artifact directory (save once per process, load per invocation),
+    pricing the CLI lifecycle claim that later runs skip the benchmark
+    scan entirely. Arm tallies must agree. What this row times that
+    the exact row cannot: shapes whose cost is independent of
+    benchmark-relation size — the 10^8+-n-gram eval-suite lane where
+    the exact arm's broadcast stops fitting."""
     from automic_etl_spark.operators.decontam import (
         build_ngram_bloom,
         decontaminate_bloom,
+        load_ngram_bloom,
+        save_ngram_bloom,
     )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -182,10 +195,33 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # clean corpus; 0.001 + min_hits=2 keeps the over-drop negligible
     # while the bitmap stays O(m) (1.4x more bits than 1%)
     bloom = build_ngram_bloom(bench, n=8, fpp=0.001)
-    clean = decontaminate_bloom(
-        docs.filter("doc_id % 97 != 0"), bloom, min_hits=2
+    corpus = docs.filter("doc_id % 97 != 0")
+    built = decontaminate_bloom(corpus, bloom, min_hits=2)
+    n_built = int(built.agg(F.count(F.lit(1))).collect()[0][0])
+
+    art_dir = _BLOOM_ARTIFACT_CACHE.get(sf_dir)
+    if art_dir is None:
+        import tempfile
+
+        from automic_etl_spark.queries._tmpcache import register_cache_dir
+
+        art_dir = register_cache_dir(
+            tempfile.mkdtemp(prefix="bench_bloom_artifact_")
+        )
+        save_ngram_bloom(spark, bloom, art_dir)
+        _BLOOM_ARTIFACT_CACHE[sf_dir] = art_dir
+    loaded = decontaminate_bloom(
+        corpus, load_ngram_bloom(spark, art_dir), min_hits=2
     )
-    return clean.agg(F.count(F.lit(1)).alias("n_clean"))
+    n_loaded = int(loaded.agg(F.count(F.lit(1))).collect()[0][0])
+    if n_built != n_loaded:
+        raise AssertionError(
+            f"arm tallies differ: build={n_built} load={n_loaded} — the "
+            "persisted bitmap must probe identically to the fresh one"
+        )
+    return spark.createDataFrame(
+        [("build", n_built), ("load", n_loaded)], "method string, n_clean long"
+    )
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -615,7 +651,9 @@ def _audio_blob_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
 
         blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
-        path = tempfile.mkdtemp(prefix="bench_audio_blobs_") + "/blobs"
+        from automic_etl_spark.queries._tmpcache import register_cache_dir
+
+        path = register_cache_dir(tempfile.mkdtemp(prefix="bench_audio_blobs_")) + "/blobs"
         blobs.write.mode("overwrite").parquet(path)
         _AUDIO_BLOB_CACHE[sf_dir] = path
     return spark.read.parquet(path)
@@ -699,7 +737,9 @@ def _warc_corpus(spark: SparkSession, sf_dir: str) -> str:
         return path
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="bench_warc_")
+    from automic_etl_spark.queries._tmpcache import register_cache_dir
+
+    out_dir = register_cache_dir(tempfile.mkdtemp(prefix="bench_warc_"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     n_segments = max(4, spark.sparkContext.defaultParallelism // 2)
 
@@ -859,9 +899,20 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
+    # catalog table names carry a per-sf_dir suffix (ADVICE r15):
+    # register_bucketed early-returns when the table already exists, so
+    # global names let two interleaved sf_dirs (A miss, B miss, A hit)
+    # read B's data against A's raw paths — the arm-tally assertion
+    # would fail loudly, but per-dir names remove the trap entirely
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    li_name, od_name = f"bench_bkt_li_{tag}", f"bench_bkt_od_{tag}"
     paths = _BUCKETED_BENCH_CACHE.get(sf_dir)
     if paths is None:
-        base = tempfile.mkdtemp(prefix="bench_bucketed_")
+        from automic_etl_spark.queries._tmpcache import register_cache_dir
+
+        base = register_cache_dir(tempfile.mkdtemp(prefix="bench_bucketed_"))
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey",
             F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
@@ -869,7 +920,7 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         od = load_table(spark, sf_dir, "orders").select(
             F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
         )
-        for name, df, sub in (("bench_bkt_li", li, "li"), ("bench_bkt_od", od, "od")):
+        for name, df, sub in ((li_name, li, "li"), (od_name, od, "od")):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             write_bucketed(
                 df, name, ["l_orderkey"], num_buckets=16, path=f"{base}/{sub}"
@@ -899,13 +950,13 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         if not bucketed_join_plan_is_shuffle_free(
-            spark, "bench_bkt_li", "bench_bkt_od", "l_orderkey"
+            spark, li_name, od_name, "l_orderkey"
         ):
             raise AssertionError(
                 "bucketed arm planned an Exchange — the row would price "
                 "a fallback, not the bucketed lane"
             )
-        bkt = tally(spark.table("bench_bkt_li"), spark.table("bench_bkt_od"))
+        bkt = tally(spark.table(li_name), spark.table(od_name))
         raw = tally(spark.read.parquet(li_path), spark.read.parquet(od_path))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -1641,7 +1692,9 @@ def _vorbis_blob_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).mapInPandas(
             to_blobs, "doc_id long, rate int, n int, _content_bytes binary"
         )
-        path = tempfile.mkdtemp(prefix="bench_vorbis_blobs_") + "/blobs"
+        from automic_etl_spark.queries._tmpcache import register_cache_dir
+
+        path = register_cache_dir(tempfile.mkdtemp(prefix="bench_vorbis_blobs_")) + "/blobs"
         blobs.write.mode("overwrite").parquet(path)
         _VORBIS_BLOB_CACHE[sf_dir] = path
     return spark.read.parquet(path)

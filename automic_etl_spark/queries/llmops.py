@@ -3203,7 +3203,11 @@ def q_warc_corpus_roundtrip_gate(spark, sf_dir):
             "text",
             F.col("doc_id"),
         )
-        out_dir = tempfile.mkdtemp(prefix="gate_warc_corpus_")
+        from automic_etl_spark.queries._tmpcache import register_cache_dir
+
+        out_dir = register_cache_dir(
+            tempfile.mkdtemp(prefix="gate_warc_corpus_")
+        )
         write_warc_corpus(
             docs, out_dir, dictionary="train", id_col="doc_id"
         ).collect()
@@ -3419,7 +3423,12 @@ WITH toks AS (
   SELECT t.doc_id, t.source, s.epoch, k.epochs, k.frac_ppm,
          CAST(('0x' || substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
            % 1000000 AS h
-  FROM toks t JOIN kf k USING (source) CROSS JOIN seq s
+  -- null-safe join (ADVICE r15): the Spark side joins its broadcast
+  -- plan with eqNullSafe, so a NULL-keyed group's budget applies; a
+  -- plain USING(source) join silently dropped NULL groups and only
+  -- agreed because the fixture has no NULL source
+  FROM toks t JOIN kf k ON t.source IS NOT DISTINCT FROM k.source
+  CROSS JOIN seq s
   WHERE s.epoch <= k.epochs
 )
 SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
@@ -3493,7 +3502,11 @@ WITH base AS (
 ), planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0
-              THEN {hdr_sql} || chr(10) || text
+              -- null-safe plant (ADVICE r15): Spark's concat_ws SKIPS
+              -- NULLs (header alone, no trailing newline); plain ||
+              -- NULL-propagates and only agreed on a no-NULL fixture
+              THEN CASE WHEN text IS NULL THEN {hdr_sql}
+                        ELSE {hdr_sql} || chr(10) || text END
               ELSE text END AS t
   FROM base
 ), parts AS (

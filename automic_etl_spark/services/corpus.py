@@ -13,6 +13,10 @@ dataset actually runs, composed from the engine's operators.
       → semantic dedup     (optional: SemDeDup over doc embeddings —
                             linear sign-LSH by default; k-means is the
                             explicit quality opt-in — operators/similarity)
+      → code routing       (optional: code-vs-prose corpus split on
+                            structural signals, BEFORE the gates that
+                            misjudge code — operators/textops
+                            .code_signals)
       → language gate      (optional: marker-stopword language ID,
                             CCNet's dedup-then-language order —
                             operators/textops.language_id)
@@ -29,7 +33,9 @@ dataset actually runs, composed from the engine's operators.
       → DSIR selection     (optional: importance resampling toward a
                             target corpus — operators/dsir)
       → mixture sampling   (optional: per-group token budgets,
-                            Pile/DoReMi — operators/mixing)
+                            Pile/DoReMi — operators/mixing; "sample"
+                            downsamples, "epoch" upsamples via
+                            multi-epoch repeats)
       → PII scrubbing      (optional: regex entity redaction, text
                             rewritten before token budgets are
                             measured — services/redaction)
@@ -178,6 +184,17 @@ class CorpusCurator:
     # Cyrillic doc can never pass keep_langs=('en',) anyway, and
     # script-routed pipelines split here). None disables.
     keep_scripts: tuple | None = None
+    # code-vs-prose routing (r16; VERDICT r15 item 5 — the
+    # StarCoder/RedPajama corpus split): run operators.textops
+    # .code_signals EARLY (right after the script router, BEFORE the
+    # language gate — code reads as low-English to the n-gram language
+    # ID and as low-quality to the prose scorer, so a code pipeline
+    # must branch off before those gates can eat it). "code" keeps
+    # is_codeish docs, "prose" keeps the complement, None disables.
+    # With emit_signals=True the code_score_ppm/is_codeish columns
+    # survive into the output for downstream routing.
+    route_code: str | None = None
+    code_min_score_ppm: int = 120_000
     # token-budget mixture stage (r7, Pile/DoReMi): per-group token
     # budgets applied AFTER quality/decontam/caps and BEFORE the split —
     # operators/mixing.token_budget_sample semantics (deterministic
@@ -187,6 +204,16 @@ class CorpusCurator:
     # group), the same class of exception as the perplexity quantile.
     token_budgets: dict | None = None
     mixing_group_col: str = "source"
+    # budget application mode (r16; VERDICT r15 item 6): "sample"
+    # (default) downsamples over-budget groups via
+    # operators/mixing.token_budget_sample and never repeats a
+    # document; "epoch" runs operators/mixing.epoch_mixture — the
+    # UPSAMPLING complement: groups whose budget exceeds their corpus
+    # repeat for k full epochs (the output gains an ``epoch`` column)
+    # with the fractional final epoch kept by the same hash threshold,
+    # so budget <= corpus degenerates to the downsampler's exact keep
+    # set. Both keep the one-agg + broadcast-plan shape.
+    budget_mode: str = "sample"
     # DSIR importance resampling (r9, Xie et al. 2023): keep the
     # dsir_keep_n documents whose hashed-n-gram distribution best
     # matches the ``dsir_target`` corpus passed to curate() — applied
@@ -359,7 +386,11 @@ class CorpusCurator:
         sig = D.minhash_signatures(
             exact_keep, id_col=id_col, text_col=text_col, num_hashes=self.num_hashes
         )
-        cand = D.lsh_candidate_pairs(sig, num_hashes=self.num_hashes, bands=self.bands)
+        # id_col must flow through: lsh_candidate_pairs defaults to
+        # "doc_id" and a caller-named id crashed here before r16
+        cand = D.lsh_candidate_pairs(
+            sig, id_col=id_col, num_hashes=self.num_hashes, bands=self.bands
+        )
         verified = D.jaccard_on_candidates(
             exact_keep, cand, id_col=id_col, text_col=text_col
         ).filter(F.col("jaccard") >= self.jaccard_threshold)
@@ -434,6 +465,28 @@ class CorpusCurator:
                 drop_cols.append("script")
             near_keep = stage("script", gated.drop(*drop_cols))
 
+        # 2c3. optional code-vs-prose router (r16): branch the corpus
+        # BEFORE the language/quality gates that would misjudge code
+        if self.route_code is not None:
+            if self.route_code not in ("code", "prose"):
+                raise ValueError(
+                    f"route_code must be 'code' or 'prose', got "
+                    f"{self.route_code!r} — a typo would silently keep "
+                    "the wrong half of the corpus"
+                )
+            from automic_etl_spark.operators.textops import code_signals
+
+            labeled = code_signals(
+                near_keep, text_col, min_score_ppm=self.code_min_score_ppm
+            )
+            want_code = self.route_code == "code"
+            gated = labeled.filter(F.col("is_codeish") == F.lit(want_code))
+            drop_cols = ["symbol_ppm", "indent_line_ppm",
+                         "semicolon_line_ppm", "keyword_ppm"]
+            if not self.emit_signals:
+                drop_cols += ["code_score_ppm", "is_codeish"]
+            near_keep = stage("code_route", gated.drop(*drop_cols))
+
         # 2d. optional language gate (CCNet order: dedup, THEN language)
         if self.keep_langs is not None:
             from automic_etl_spark.operators.textops import (
@@ -497,9 +550,13 @@ class CorpusCurator:
                 kept.select(id_col, text_col), text_col=text_col, id_col=id_col,
                 ngram_sizes=(2,), top_fraction_ns=(),
             ).filter(F.col("dup_2gram_ppm") > self.max_dup_2gram_ppm)
+            # NO broadcast hint: on a boilerplate-heavy corpus (the exact
+            # scenario the substring stage's comment below names) the
+            # flagged set is O(corpus) — let AQE size it (the repo's
+            # never-broadcast-the-corpus-side invariant, VERDICT r15 #1)
             kept = stage(
                 "repetition",
-                kept.join(F.broadcast(rep.select(id_col)), id_col, "left_anti"),
+                kept.join(rep.select(id_col), id_col, "left_anti"),
             )
 
         # 3c. optional model-based quality gate (classifier probability)
@@ -680,15 +737,31 @@ class CorpusCurator:
         # 5b. optional token-budget mixture sampling (Pile/DoReMi): the
         # per-group thresholds cost one inherent collect of group totals
         if self.token_budgets is not None:
-            from automic_etl_spark.operators.mixing import token_budget_sample
+            if self.budget_mode == "epoch":
+                from automic_etl_spark.operators.mixing import epoch_mixture
 
-            sampled, _mix = token_budget_sample(
-                kept,
-                dict(self.token_budgets),
-                group_col=self.mixing_group_col,
-                id_col=id_col,
-                text_col=text_col,
-            )
+                sampled, _mix = epoch_mixture(
+                    kept,
+                    dict(self.token_budgets),
+                    group_col=self.mixing_group_col,
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+            elif self.budget_mode == "sample":
+                from automic_etl_spark.operators.mixing import token_budget_sample
+
+                sampled, _mix = token_budget_sample(
+                    kept,
+                    dict(self.token_budgets),
+                    group_col=self.mixing_group_col,
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+            else:
+                raise ValueError(
+                    f"budget_mode must be 'sample' or 'epoch', got "
+                    f"{self.budget_mode!r}"
+                )
             kept = stage("mixture", sampled)
 
         # 5c. optional PII scrubbing (row-preserving text rewrite)
@@ -781,10 +854,17 @@ class CorpusCurator:
         report["group_cap_removed"] = removed("cap")
         if "script" in chain:
             report["script_removed"] = removed("script")
+        if "code_route" in chain:
+            report["code_routed_removed"] = removed("code_route")
         if "dsir" in chain:
             report["dsir_removed"] = removed("dsir")
         if "mixture" in chain:
-            report["mixture_removed"] = removed("mixture")
+            # epoch mode EXPANDS (negative removal = upsampled rows);
+            # report the signed delta under the honest name
+            if self.budget_mode == "epoch":
+                report["mixture_rows_delta"] = -removed("mixture")
+            else:
+                report["mixture_removed"] = removed("mixture")
         if self.redact_pii:
             report["pii_redacted_docs"] = t.get("pii_docs", 0)
         report["final_docs"] = n[chain[-1]]

@@ -690,6 +690,15 @@ class _WarcSegmentWriter:
         self.n += 1
 
     def publish(self) -> tuple[str, int]:
+        # fsync before the rename (ADVICE r15): os.replace gives
+        # VISIBILITY atomicity, but without the fsync a power loss
+        # after the rename could surface a published segment with
+        # unflushed tail pages. Crash-cleanup caveat: a hard kill
+        # (SIGKILL/OOM) that abort() can't catch leaves a hidden
+        # .<name>.*.inprogress temp in the output directory — sweep
+        # those manually (they are never visible to readers).
+        self.raw.flush()
+        os.fsync(self.raw.fileno())
         self.raw.close()
         os.replace(self.tmp_path, self.final_path)  # atomic same-dir move
         return self.final_path, self.n

@@ -600,6 +600,96 @@ def test_corpus_curator_repetition_cap(spark):
     assert report["final_docs"] == 1
 
 
+def test_curator_never_broadcasts_corpus_derived_sides(spark, tmp_path, monkeypatch):
+    """r16 (VERDICT r15 #1): sweep EVERY curator stage boundary for the
+    never-broadcast-the-corpus-side invariant, so a future stage can't
+    reintroduce the hint the r15/r16 rounds removed one-by-one
+    (decontam, substring, repetition). Mechanism: every stage frame
+    passes through a lazy localCheckpoint — capture each pre-checkpoint
+    frame at that seam, disable size-based auto-broadcast (so the ONLY
+    BroadcastExchange nodes left are hint-driven), and assert no
+    broadcast subtree contains a corpus-derived leaf. The marker for
+    "corpus-derived" is the corpus ID COLUMN: the corpus gets a
+    uniquely-named id (``sweepid``), so every stage checkpoint AND every
+    flagged ``.select(id_col)`` set the anti-joins consume carries it,
+    while the legitimately-broadcast sides — benchmark n-grams,
+    collected group thresholds, centroid packs — never do ("subtree
+    mentions sweepid" is exactly "a corpus-derived side is hinted";
+    plain ``Scan ExistingRDD`` can't distinguish them because Python
+    createDataFrame frames are RDD scans too)."""
+    # patch the CONCRETE class (pyspark 4 routes pyspark.sql.DataFrame
+    # through the classic implementation; the base never sees the call)
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from automic_etl_spark.plans.broadcast_audit import assert_broadcasts_exclude
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    filler = ("document number {i} with plenty of ordinary natural language "
+              "words describing data pipelines and machine learning corpora "
+              "in sentence {i} of the synthetic training set")
+    rows = [(i, filler.format(i=i), "web" if i % 2 else "books")
+            for i in range(1, 13)]
+    path = str(tmp_path / "sweep_corpus")
+    spark.createDataFrame(
+        rows, "sweepid long, text string, source string"
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 5)]) for i in range(1, 13)],
+        "sweepid long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the secret benchmark question about fox jumping over dogs")],
+        "qid long, text string",
+    )
+
+    captured: list[DataFrame] = []
+    orig = DataFrame.localCheckpoint
+
+    def capture(self, eager=True):
+        captured.append(self)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", capture)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cur = CorpusCurator(
+            min_quality=0.0,
+            max_dup_2gram_ppm=900_000,      # repetition anti-join
+            max_dup_token_ppm=900_000,      # substring anti-join
+            substr_window=8,
+            semantic_clusters=4,            # semantic anti-join (lsh)
+            decontam_ngram=6,               # decontam anti-join (exact)
+            group_cap=8,                    # quota stage
+            token_budgets={"web": 10_000},  # mixture broadcast-plan join
+        )
+        out, report = cur.curate(
+            docs, id_col="sweepid", benchmark=bench, embeddings=emb
+        )
+        # every enabled stage boundary passed through the seam
+        assert len(captured) >= 10, len(captured)
+        # assert while auto-broadcast is still off: plans compile lazily
+        # at assert time, and the pin is about HINTS, not size estimates
+        forbidden = ("sweepid", "sweep_corpus")
+        for frame in captured:
+            assert_broadcasts_exclude(frame, forbidden)
+        assert_broadcasts_exclude(out, forbidden)
+        # negative control: the guard must actually catch a hinted
+        # corpus-derived side (the exact shape the r15/r16 fixes removed)
+        from pyspark.sql import functions as F
+        import pytest as _pytest
+
+        flagged = out.select("sweepid").limit(1)
+        bad = out.join(F.broadcast(flagged), "sweepid", "left_anti")
+        with _pytest.raises(AssertionError):
+            assert_broadcasts_exclude(bad, forbidden)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert report["final_docs"] > 0
+
+
 def test_corpus_curator_gopher_gate(spark):
     from automic_etl_spark.services.corpus import CorpusCurator
 
@@ -787,3 +877,108 @@ def test_corpus_curator_decontam_bloom_mode(spark):
     bad = CorpusCurator(min_quality=0.0, decontam_mode="nope")
     with _pytest.raises(ValueError, match="decontam_mode"):
         bad.curate(docs, benchmark=bench)
+
+
+def test_corpus_curator_code_routing(spark):
+    """r16 (VERDICT r15 item 5): the code-vs-prose router as a curator
+    stage — the StarCoder/RedPajama corpus split. Code-looking docs
+    route to route_code='code', prose to 'prose', the two sides
+    partition the survivors, the report counts the routed-away half,
+    and emit_signals carries the score columns forward."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    # four STRUCTURALLY DISTINCT snippets (near-identical code bodies
+    # would be collapsed by the curator's own near-dup stage first)
+    code_bodies = [
+        "def parse_rows(lines):\n"
+        "    out = [];\n"
+        "    for ln in lines:\n"
+        "        out.append(ln.strip());\n"
+        "    return out;\n",
+        "class Config:\n"
+        "    def __init__(self, path):\n"
+        "        self.path = path;\n"
+        "        self.flags = {\"debug\": False};\n",
+        "import json\n"
+        "while not queue.empty():\n"
+        "    task = queue.get();\n"
+        "    result = json.dumps({\"id\": task});\n",
+        "const render = (items) => {\n"
+        "    if (items.length == 0) { return null; }\n"
+        "    return items[0].value;\n"
+        "};\n",
+    ]
+    # prose docs also mutually distinct (near-dup would collapse a
+    # shared template down to one survivor)
+    prose_bodies = {
+        10: "the morning rain settled over the valley and the farmers "
+            "watched the river rise beyond the old stone bridge",
+        11: "a quiet library smells of paper and dust while readers "
+            "turn pages slowly under the tall arched windows",
+        12: "the harvest came early this year and the orchard gave "
+            "more apples than the village could store or sell",
+        13: "sailors speak of the northern lights as a curtain of "
+            "green fire drawn slowly across the winter sky",
+        14: "every market day the square fills with carts of bread "
+            "and cheese while children chase pigeons between stalls",
+        15: "the letter arrived a month late but carried good news "
+            "about the wedding planned for the first week of spring",
+    }
+    rows = [(i, code_bodies[i - 1], "gh") for i in range(1, 5)]
+    rows += [(i, prose_bodies[i], "web") for i in range(10, 16)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    code_out, code_rep = CorpusCurator(
+        min_quality=0.0, route_code="code"
+    ).curate(docs)
+    prose_out, prose_rep = CorpusCurator(
+        min_quality=0.0, route_code="prose"
+    ).curate(docs)
+    code_ids = {r["doc_id"] for r in code_out.collect()}
+    prose_ids = {r["doc_id"] for r in prose_out.collect()}
+    assert code_ids == {1, 2, 3, 4}
+    assert prose_ids == {10, 11, 12, 13, 14, 15}
+    assert code_rep["code_routed_removed"] == 6
+    assert prose_rep["code_routed_removed"] == 4
+    # routing columns dropped by default...
+    assert "is_codeish" not in code_out.columns
+    # ...and carried with emit_signals
+    sig_out, _ = CorpusCurator(
+        min_quality=0.0, route_code="code", emit_signals=True
+    ).curate(docs)
+    assert {"code_score_ppm", "is_codeish"} <= set(sig_out.columns)
+    assert all(r["is_codeish"] for r in sig_out.collect())
+    with pytest.raises(ValueError, match="route_code"):
+        CorpusCurator(route_code="cod").curate(docs)
+
+
+def test_corpus_curator_epoch_budget_mode(spark):
+    """r16 (VERDICT r15 item 6): budget_mode='epoch' runs the
+    multi-epoch UPSAMPLER in the curator's budget stage — a group
+    whose budget exceeds its corpus repeats for k epochs (the output
+    gains an ``epoch`` column), and the report carries the signed
+    row delta instead of a 'removed' count."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    filler = ("document number {i} with plenty of ordinary natural language "
+              "words describing pipelines in sentence {i} of the corpus")
+    docs = spark.createDataFrame(
+        [(i, filler.format(i=i), "books" if i % 2 else "web")
+         for i in range(1, 11)],
+        "doc_id long, text string, source string",
+    )
+    # books: 5 docs x 18 tokens = 90 tokens; budget 270 -> 3 full epochs
+    out, report = CorpusCurator(
+        min_quality=0.0, token_budgets={"books": 270}, budget_mode="epoch"
+    ).curate(docs)
+    assert "epoch" in out.columns
+    books = out.filter("source = 'books'").collect()
+    assert len(books) == 15 and {r["epoch"] for r in books} == {0, 1, 2}
+    web = out.filter("source = 'web'").collect()
+    assert len(web) == 5 and all(r["epoch"] == 0 for r in web)
+    assert report["mixture_rows_delta"] == 10  # 5 books docs x 2 extra epochs
+    assert report["final_docs"] == 20
+    with pytest.raises(ValueError, match="budget_mode"):
+        CorpusCurator(
+            token_budgets={"books": 1}, budget_mode="epochs"
+        ).curate(docs)

@@ -246,3 +246,33 @@ def test_null_group_budget_honored(spark):
     assert (er[None]["epochs"], er[None]["frac_ppm"]) == (3, 0)
     assert er[None]["n_rows_out"] == 300
     assert out.filter("source IS NULL").count() == 300
+
+
+def test_non_string_group_col_both_mixers(spark):
+    """ADVICE r15: the broadcast plan frame's key column derives from
+    the INPUT group column's type — a hard-coded `__g string` schema
+    made createDataFrame raise on an int partition key. Both mixers
+    must budget an integer-keyed group end-to-end (and NULL int keys
+    still ride the null-safe join)."""
+    from automic_etl_spark.operators.mixing import epoch_mixture, token_budget_sample
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10, (i % 2) if i < 100 else None) for i in range(120)],
+        "doc_id long, text string, part int",
+    )
+    sampled, report = token_budget_sample(
+        docs, {0: 0, 1: 500}, group_col="part", default_budget=None
+    )
+    rep = {r["part"]: r for r in report.collect()}
+    assert rep[0]["n_docs_kept"] == 0          # budget 0 drops the group
+    assert rep[1]["p_ppm"] == 1_000_000         # 500 tokens on 500 total
+    assert rep[None]["n_docs_kept"] == 20       # no budget -> keep all
+    assert sampled.filter("part = 0").count() == 0
+
+    out, erep = epoch_mixture(
+        docs, {0: 1500}, group_col="part", default_budget=None
+    )
+    er = {r["part"]: r for r in erep.collect()}
+    assert (er[0]["epochs"], er[0]["frac_ppm"]) == (3, 0)
+    assert er[0]["n_rows_out"] == 150
+    assert er[1]["epochs"] == 1 and er[None]["epochs"] == 1

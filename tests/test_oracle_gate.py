@@ -45,3 +45,42 @@ def test_oracle_gate(spark, oracle_con, name):
         spark, oracle_con, SF_DIR, name, _QUERIES[name], _ORACLES.get(name)
     )
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_null_fixture_gates_agree(spark, tmp_path):
+    """ADVICE r15: the epoch_mixture and code_signals oracles only
+    agreed with Spark because the documents fixture has no NULL
+    source/text — the USING(source) join dropped NULL groups where
+    Spark's eqNullSafe keeps them, and `hdr || chr(10) || text`
+    NULL-propagated where concat_ws skips NULLs. Both oracles are now
+    null-safe; prove it by running the full driver-replica comparison
+    over a synthetic documents table that plants NULLs in both columns."""
+    import duckdb
+    import pandas as pd
+
+    rows = []
+    for i in range(60):
+        text = None if i % 7 == 0 else (
+            f"document {i} with some plain words repeated " * 3
+        )
+        source = None if i % 5 == 0 else f"src{i % 3}"
+        rows.append(
+            {"doc_id": i, "text": text, "lang": "en", "source": source,
+             "n_chars": len(text) if text else 0}
+        )
+    sf_dir = str(tmp_path)
+    pd.DataFrame(rows).to_parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    try:
+        for name in ("epoch_mixture", "code_signals"):
+            problems = compare_one(
+                spark, con, sf_dir, name, _QUERIES[name], _ORACLES[name]
+            )
+            assert not problems, f"{name} on NULL fixture: " + "; ".join(problems)
+    finally:
+        con.close()

@@ -143,11 +143,13 @@ def test_registry_driver_window_prefix():
         # staying scored via text_doc_profile's extraction arms and
         # redaction's regex strategies; its oracle stays in-suite here
         "extract_json_regex",
-        # -- r15 addition, declared directly in the overflow tail: the
-        # Bloom decontamination arm's bit-for-bit membership replay
-        # (splitmix64 double hashing + bitmap synthesis in pure SQL);
-        # designated for the r16 promotion
-        "bloom_decontam",
+        # -- r16 rotation: the r15-designated displacement, executed —
+        # bloom_decontam promoted into the scored window;
+        # scan_derived_filter demoted with projection / derived-column /
+        # row-filter coverage staying scored via csv_sql_roundtrip,
+        # medallion_gold's derived features, and agg_having's pre-agg
+        # filters; its oracle stays in-suite here
+        "scan_derived_filter",
         # -- r15 addition: multi-epoch upsampling mixture (the
         # token_mixture family's second scored-adjacent gate; the
         # sequence-explode expansion + hash-threshold fractional epoch
@@ -158,9 +160,9 @@ def test_registry_driver_window_prefix():
         # full integer replay)
         "code_signals",
     }, f"unexpected overflow block: {overflow}"
-    # the new last SCORED entry (the r14 verdict's designated rotation):
-    # the dict-compressed corpus export round-trip gate
-    assert scored[-1] == "warc_corpus_roundtrip"
+    # the new last SCORED entry (the r15 verdict's designated rotation):
+    # the Bloom-membership bit-replay gate
+    assert scored[-1] == "bloom_decontam"
 
 
 def test_entry_contract(spark):

@@ -390,6 +390,80 @@ def _curate_action_count(spark) -> list[str]:
     return failures
 
 
+def _curator_never_broadcast_corpus(spark) -> list[str]:
+    """r16 (VERDICT r15 #1): sweep EVERY CorpusCurator stage boundary —
+    not one named stage — for the never-broadcast-the-corpus-side
+    invariant. Each stage frame passes through a lazy localCheckpoint;
+    capture each pre-checkpoint frame at that seam, turn off size-based
+    auto-broadcast (leaving only HINT-driven BroadcastExchanges), and
+    assert no broadcast subtree mentions the corpus id column
+    (``sweepid`` — corpus-derived flagged sets always carry it; the
+    legitimate broadcast sides — benchmark n-grams, collected group
+    thresholds, centroid packs — never do). A new stage that hints a
+    corpus-derived side fails this without the check naming the stage."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from automic_etl_spark.plans.broadcast_audit import assert_broadcasts_exclude
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    docs = spark.createDataFrame(
+        [
+            (i,
+             f"document number {i} with plenty of ordinary natural language "
+             f"words describing data pipelines in sentence {i}",
+             "web" if i % 2 else "books")
+            for i in range(1, 13)
+        ],
+        "sweepid long, text string, source string",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, float(i % 5)]) for i in range(1, 13)],
+        "sweepid long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(1, "the held out benchmark question about fox jumping over dogs")],
+        "qid long, text string",
+    )
+
+    captured: list[DataFrame] = []
+    orig = DataFrame.localCheckpoint
+
+    def capture(self, eager=True):
+        captured.append(self)
+        return orig(self, eager=eager)
+
+    DataFrame.localCheckpoint = capture
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    failures: list[str] = []
+    try:
+        CorpusCurator(
+            min_quality=0.0,
+            max_dup_2gram_ppm=900_000,
+            max_dup_token_ppm=900_000,
+            substr_window=8,
+            semantic_clusters=4,
+            decontam_ngram=6,
+            group_cap=8,
+            token_budgets={"web": 10_000},
+        ).curate(docs, id_col="sweepid", benchmark=bench, embeddings=emb)
+        if len(captured) < 10:
+            failures.append(
+                f"curator_never_broadcast_corpus: only {len(captured)} stage "
+                "frames captured — the localCheckpoint seam moved?"
+            )
+        for frame in captured:
+            try:
+                assert_broadcasts_exclude(frame, ("sweepid",))
+            except AssertionError as exc:
+                failures.append(f"curator_never_broadcast_corpus: {exc}")
+                break
+    finally:
+        DataFrame.localCheckpoint = orig
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return failures
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -425,6 +499,11 @@ def main() -> None:
     bloom_failures = _bloom_flagged_never_broadcast(spark)
     failures += bloom_failures
     print(f"{'FAIL' if bloom_failures else 'PASS'} bloom_flagged_never_broadcast")
+    curator_bc_failures = _curator_never_broadcast_corpus(spark)
+    failures += curator_bc_failures
+    print(
+        f"{'FAIL' if curator_bc_failures else 'PASS'} curator_never_broadcast_corpus"
+    )
     spark.stop()
     if failures:
         print("\n".join(failures))
