@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     cw.add_argument("--line-dedup-min-df", type=int, default=2)
     cw.add_argument("--min-quality", type=float, default=0.3)
     cw.add_argument(
+        "--redact", choices=["pii", "secrets", "both"], default=None,
+        help="scrub the named pattern set from document text before "
+        "packing (secrets = AWS/GitHub/Slack tokens, PEM blocks, JWTs "
+        "— the code-lane credential scrub)",
+    )
+    cw.add_argument(
         "--route-code", choices=["code", "prose"], default=None,
         help="code-vs-prose corpus split (StarCoder/RedPajama routing): "
         "keep only the named side, judged by structural code signals "
@@ -122,6 +128,8 @@ def main(argv: list[str] | None = None) -> int:
             pack_tokens=args.pack_tokens,
             checkpoint_dir=args.checkpoint_dir,
             route_code=args.route_code,
+            redact_pii=args.redact is not None,
+            redaction_patterns=args.redact or "pii",
             **(
                 {
                     "decontam_mode": "bloom",

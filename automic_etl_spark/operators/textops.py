@@ -633,3 +633,78 @@ def code_signals(
         score.alias("code_score_ppm"),
         (score >= F.lit(min_score_ppm)).alias("is_codeish"),
     )
+
+
+# License-marker phrases, checked against lowercased text (StarCoder/
+# RedPajama-style permissive-license filtering for code corpora). Each
+# marker is a distinctive phrase from the license's canonical text —
+# substring containment, no regex, so the construction replays exactly
+# in SQL (position(marker IN lower(text))). Order = priority: the first
+# matching marker wins when a file carries several license texts.
+LICENSE_MARKERS = (
+    ("apache-2.0", "licensed under the apache license, version 2.0"),
+    ("mit", "permission is hereby granted, free of charge"),
+    ("bsd-3-clause", "redistribution and use in source and binary forms"),
+    ("lgpl", "gnu lesser general public license"),
+    ("agpl-3.0", "gnu affero general public license"),
+    ("gpl", "gnu general public license"),
+    ("mpl-2.0", "mozilla public license"),
+    ("unlicense", "this is free and unencumbered software"),
+    ("isc", "permission to use, copy, modify, and/or distribute"),
+)
+
+# SPDX ids / marker keys treated as permissive for training-data
+# policy routing (GPL-family and unknown default to NOT permissive —
+# the conservative side for corpus filtering).
+PERMISSIVE_LICENSES = (
+    "mit", "apache-2.0", "bsd-2-clause", "bsd-3-clause", "isc",
+    "mpl-2.0", "unlicense", "zlib", "0bsd", "cc0-1.0",
+)
+
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def license_signals(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """License-detection signals for code-corpus curation (r16 — the
+    permissive-license filter of the StarCoder/The-Stack pipeline,
+    applied after `code_signals` routes code out of the prose lane).
+    Pure Catalyst — one projection, no UDF, no shuffle; at 100 TB this
+    runs inside whole-stage codegen next to the scan.
+
+    Appended columns:
+    - ``spdx_id``        — lowercased SPDX-License-Identifier tag value
+                           (NULL when the header is absent)
+    - ``license_guess``  — spdx_id when present, else the first
+                           LICENSE_MARKERS phrase found in the
+                           lowercased text, else NULL
+    - ``is_permissive``  — license_guess ∈ PERMISSIVE_LICENSES (false
+                           for GPL-family, unknown and unlicensed —
+                           the conservative routing default)
+
+    The reference has no license handling (its connectors stop at
+    ingestion); this is the beyond-reference code-curation lane the
+    build brief mandates.
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    spdx_raw = F.regexp_extract(txt, _SPDX_RE, 1)
+    spdx = F.when(spdx_raw != "", F.lower(spdx_raw))
+    marker = None
+    for name, phrase in reversed(LICENSE_MARKERS):
+        hit = F.instr(low, F.lit(phrase)) > 0
+        marker = F.when(hit, F.lit(name)).otherwise(
+            marker if marker is not None else F.lit(None).cast("string")
+        )
+    guess = F.coalesce(spdx, marker)
+    permissive = F.coalesce(
+        guess.isin(*PERMISSIVE_LICENSES), F.lit(False)
+    )
+    return df.select(
+        "*",
+        spdx.alias("spdx_id"),
+        guess.alias("license_guess"),
+        permissive.alias("is_permissive"),
+    )

@@ -3545,3 +3545,115 @@ ORACLE_CODE_SIGNALS = _code_signals_oracle()
 
 QUERIES_TAIL["code_signals"] = q_code_signals_gate
 ORACLE_TAIL["code_signals"] = ORACLE_CODE_SIGNALS
+
+
+# --------------------------------------------------------------------------
+# license_signals (r16): permissive-license filtering for code corpora
+# (the StarCoder/The-Stack step after code routing) — SPDX tag
+# extraction + canonical-phrase markers + permissive verdict, pure
+# Catalyst substring/regex work; headers planted IN-PLAN so both
+# engines derive identical inputs, including a doc that carries BOTH
+# an SPDX tag and a conflicting body phrase (SPDX must win).
+# --------------------------------------------------------------------------
+
+_LIC_PLANTS = (
+    # doc_id % 5 -> planted header line(s)
+    "SPDX-License-Identifier: Apache-2.0",
+    "Permission is hereby granted, free of charge, to any person "
+    "obtaining a copy of this software",
+    "This program is distributed under the GNU General Public License "
+    "as published by the Free Software Foundation",
+    "SPDX-License-Identifier: MIT\n"
+    "This program is distributed under the GNU General Public License",
+    None,  # unlicensed control group
+)
+
+
+def q_license_signals_gate(spark, sf_dir):
+    """(doc_id, spdx_id, license_guess, is_permissive) over 300 docs
+    with four planted license-header classes + an unlicensed control."""
+    from automic_etl_spark.operators.textops import license_signals
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(300)
+    )
+    header = None
+    for r in range(4, -1, -1):
+        plant = _LIC_PLANTS[r]
+        branch = (
+            F.concat_ws("\n", F.lit(plant), F.col("text"))
+            if plant is not None
+            else F.col("text")
+        )
+        header = (
+            branch
+            if header is None
+            else F.when(F.col("doc_id") % 5 == r, branch).otherwise(header)
+        )
+    planted = docs.withColumn("text", header)
+    return (
+        license_signals(planted)
+        .select("doc_id", "spdx_id", "license_guess", "is_permissive")
+        .orderBy("doc_id")
+    )
+
+
+def _license_signals_oracle() -> str:
+    from automic_etl_spark.operators.textops import (
+        LICENSE_MARKERS,
+        PERMISSIVE_LICENSES,
+    )
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    plants = []
+    for r, plant in enumerate(_LIC_PLANTS):
+        if plant is None:
+            plants.append(f"WHEN doc_id % 5 = {r} THEN text")
+        else:
+            # concat_ws skips NULLs: header alone when text is NULL
+            plants.append(
+                f"WHEN doc_id % 5 = {r} THEN CASE WHEN text IS NULL "
+                f"THEN {lit(plant)} ELSE {lit(plant)} || chr(10) || text END"
+            )
+    plant_sql = "\n              ".join(plants)
+    marker_chain = "\n      ".join(
+        f"WHEN position({lit(phrase)} IN low) > 0 THEN '{name}'"
+        for name, phrase in LICENSE_MARKERS
+    )
+    permissive = ", ".join(f"'{p}'" for p in PERMISSIVE_LICENSES)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 300
+), planted AS (
+  SELECT doc_id,
+         CASE {plant_sql}
+              ELSE text END AS t
+  FROM base
+), sig AS (
+  SELECT doc_id, t, lower(coalesce(t, '')) AS low,
+         lower(nullif(regexp_extract(coalesce(t, ''),
+               'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), ''))
+           AS spdx_id
+  FROM planted
+), guessed AS (
+  SELECT doc_id, spdx_id,
+    coalesce(spdx_id, CASE
+      {marker_chain}
+      ELSE NULL END) AS license_guess
+  FROM sig
+)
+SELECT doc_id, spdx_id, license_guess,
+       coalesce(license_guess IN ({permissive}), FALSE) AS is_permissive
+FROM guessed ORDER BY doc_id
+"""
+
+
+ORACLE_LICENSE_SIGNALS = _license_signals_oracle()
+
+QUERIES_TAIL["license_signals"] = q_license_signals_gate
+ORACLE_TAIL["license_signals"] = ORACLE_LICENSE_SIGNALS

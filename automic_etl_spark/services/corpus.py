@@ -234,6 +234,11 @@ class CorpusCurator:
     # (tag/mask/hash/remove).
     redact_pii: bool = False
     redaction_strategy: str = "tag"
+    # which pattern set the scrub applies (r16): "pii" (default),
+    # "secrets" (code-corpus credential scrubbing — AWS/GitHub/Slack
+    # tokens, PEM blocks, JWTs, api-key assignments; the StarCoder
+    # secrets step for the route_code="code" lane), or "both"
+    redaction_patterns: str = "pii"
     # stage-boundary checkpoint mode (r9). None (default) = lazy
     # localCheckpoint: blocks live on executors, fastest, but NOT
     # recomputable after executor loss — fine on a stable cluster or
@@ -766,9 +771,15 @@ class CorpusCurator:
 
         # 5c. optional PII scrubbing (row-preserving text rewrite)
         if self.redact_pii:
-            from automic_etl_spark.services.redaction import RedactionService
+            from automic_etl_spark.services.redaction import (
+                RedactionService,
+                patterns_for,
+            )
 
-            svc = RedactionService(strategy=self.redaction_strategy)
+            svc = RedactionService(
+                patterns=patterns_for(self.redaction_patterns),
+                strategy=self.redaction_strategy,
+            )
             red = hold(
                 kept.withColumn("__red", svc.redact_column(F.col(text_col)))
             )

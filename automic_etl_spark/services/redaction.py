@@ -37,6 +37,51 @@ DEFAULT_PATTERNS = [
     EntityPattern("DATE", r"\b\d{4}-\d{2}-\d{2}\b", 50),
 ]
 
+# Credential/secret patterns for CODE corpora (r16 — the StarCoder/
+# The-Stack secrets-scrubbing step, paired with the curator's
+# route_code lane): provider-prefixed tokens and key blocks whose
+# formats are published by their issuers, so detection is pure
+# pattern work — no entropy scoring, no UDF. PRIVATE_KEY runs first
+# (priority 5): a PEM block may contain substrings other patterns
+# would mangle before the whole block is tagged. Java-regex syntax
+# ((?s) dotall for the PEM body) — these run Spark-side only.
+SECRET_PATTERNS = [
+    EntityPattern(
+        "PRIVATE_KEY",
+        r"-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"
+        r"(?s:.{0,8192}?)-----END [A-Z ]{0,20}PRIVATE KEY-----",
+        5,
+    ),
+    EntityPattern("AWS_KEY", r"\b(?:AKIA|ASIA)[0-9A-Z]{16}\b", 10),
+    EntityPattern("GITHUB_TOKEN", r"\bgh[pousr]_[A-Za-z0-9]{36,}\b", 20),
+    EntityPattern("SLACK_TOKEN", r"\bxox[baprs]-[A-Za-z0-9-]{10,}\b", 30),
+    EntityPattern(
+        "JWT",
+        r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b",
+        40,
+    ),
+    EntityPattern(
+        "API_KEY_ASSIGNMENT",
+        r"(?i)\b(?:api[_-]?key|secret[_-]?key|access[_-]?token|auth[_-]?token)"
+        r"\s*[:=]\s*[\'\"][A-Za-z0-9_\-/+]{16,}[\'\"]",
+        50,
+    ),
+]
+
+
+def patterns_for(kinds: str) -> list[EntityPattern]:
+    """Pattern-set selector: "pii" (default), "secrets" (code-corpus
+    credential scrubbing), or "both"."""
+    if kinds == "pii":
+        return list(DEFAULT_PATTERNS)
+    if kinds == "secrets":
+        return list(SECRET_PATTERNS)
+    if kinds == "both":
+        return list(DEFAULT_PATTERNS) + list(SECRET_PATTERNS)
+    raise ValueError(
+        f"unknown pattern set {kinds!r} (expected pii/secrets/both)"
+    )
+
 
 class RedactionService:
     def __init__(self, patterns: list[EntityPattern] | None = None, strategy: str = "tag"):

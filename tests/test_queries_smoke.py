@@ -159,6 +159,11 @@ def test_registry_driver_window_prefix():
         # ppm densities + keyword rate, planted code headers in-plan,
         # full integer replay)
         "code_signals",
+        # -- r16 addition, declared directly in the overflow tail: the
+        # permissive-license filter for code corpora (SPDX extraction +
+        # canonical-phrase markers + verdict, four planted header
+        # classes incl. an SPDX-vs-body conflict, full SQL replay)
+        "license_signals",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate

@@ -130,3 +130,51 @@ class TestCodeSignals:
         )
         r = code_signals(docs).collect()[0]
         assert r["keyword_ppm"] == 0 and r["is_codeish"] is False
+
+
+class TestLicenseSignals:
+    def _sig(self, spark, texts):
+        from automic_etl_spark.operators.textops import license_signals
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return {r["doc_id"]: r for r in license_signals(df).collect()}
+
+    def test_spdx_markers_priority_and_verdict(self, spark):
+        rows = self._sig(spark, [
+            "# SPDX-License-Identifier: Apache-2.0\ndef f(): pass",
+            "Permission is hereby granted, free of charge, to any person",
+            "This program is free software under the GNU General Public "
+            "License as published by the FSF",
+            # SPDX beats a conflicting body phrase
+            "// SPDX-License-Identifier: MIT\n"
+            "covered by the GNU General Public License",
+            "plain prose with no license text at all",
+            None,
+            # marker priority: apache phrase before the generic GPL one
+            "Licensed under the Apache License, Version 2.0; see also "
+            "the GNU General Public License for components",
+        ])
+        assert (rows[0]["spdx_id"], rows[0]["license_guess"],
+                rows[0]["is_permissive"]) == ("apache-2.0", "apache-2.0", True)
+        assert rows[1]["spdx_id"] is None
+        assert (rows[1]["license_guess"], rows[1]["is_permissive"]) == ("mit", True)
+        assert (rows[2]["license_guess"], rows[2]["is_permissive"]) == ("gpl", False)
+        assert (rows[3]["spdx_id"], rows[3]["license_guess"],
+                rows[3]["is_permissive"]) == ("mit", "mit", True)
+        assert rows[4]["license_guess"] is None and not rows[4]["is_permissive"]
+        assert rows[5]["license_guess"] is None and not rows[5]["is_permissive"]
+        assert rows[6]["license_guess"] == "apache-2.0"
+
+    def test_permissive_set_is_conservative(self):
+        from automic_etl_spark.operators.textops import (
+            LICENSE_MARKERS,
+            PERMISSIVE_LICENSES,
+        )
+
+        assert "gpl" not in PERMISSIVE_LICENSES
+        assert "agpl-3.0" not in PERMISSIVE_LICENSES
+        assert "lgpl" not in PERMISSIVE_LICENSES
+        # every marker key is lowercase (matched against lower(text))
+        assert all(name == name.lower() for name, _ in LICENSE_MARKERS)
