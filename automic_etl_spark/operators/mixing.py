@@ -336,3 +336,91 @@ def temperature_mixture(
         count_col=count_col,
         default_budget=0,
     )
+
+
+def unimax_budgets(
+    docs: DataFrame,
+    total_budget: int,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> dict[str, int]:
+    """Per-source token budgets from UNIMAX allocation (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): distribute ``total_budget``
+    as UNIFORMLY as possible across sources, except that no source may
+    repeat for more than ``max_epochs`` epochs — the budget a small
+    source cannot absorb under its epoch cap water-fills over the
+    remaining sources. Temperature sampling over-repeats the smallest
+    tails (unbounded epochs) or under-uses head data; UniMax bounds
+    per-source repetition explicitly, which is the published fairness
+    fix.
+
+    Exact integer construction (greedy water-filling, provably the
+    UniMax allocation): visit sources in ascending capacity
+    ``cap_i = floor(max_epochs * tokens_i)`` and give each
+    ``min(cap_i, remaining_budget // sources_left)`` — a source either
+    hits its epoch cap (it was below the fair share) or takes the fair
+    share of what remains. Ties broken by group value for determinism.
+
+    Returns {source: token budget}; feed straight into
+    ``epoch_mixture`` (budgets above a source's tokens mean multi-epoch
+    repeats — the point of the cap) or ``token_budget_sample`` when
+    downsample-only behavior is wanted. Cost: ONE per-group
+    aggregation (the same collect class as the other planners)."""
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    if total_budget <= 0:
+        raise ValueError("total_budget must be positive")
+    n_tok = (
+        F.col(count_col) if count_col is not None else token_count(F.col(text_col))
+    ).cast("long")
+    totals = {
+        r["__g"]: int(r["__t"])
+        for r in docs.withColumn("__n_tok", n_tok)
+        .groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sum("__n_tok").alias("__t"))
+        .collect()
+        if r["__t"] and r["__t"] > 0
+    }
+    if not totals:
+        return {}
+    caps = {g: int(max_epochs * t) for g, t in totals.items()}
+    order = sorted(caps, key=lambda g: (caps[g], str(g)))
+    budgets: dict[str, int] = {}
+    remaining = int(total_budget)
+    left = len(order)
+    for g in order:
+        alloc = min(caps[g], remaining // left)
+        budgets[g] = alloc
+        remaining -= alloc
+        left -= 1
+    return budgets
+
+
+def unimax_mixture(
+    docs: DataFrame,
+    total_budget: int,
+    max_epochs: float = 4.0,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """One-call UniMax mix: compute the epoch-capped uniform budgets,
+    then expand/sample via epoch_mixture (multi-epoch repeats are the
+    mechanism UniMax allocates FOR). Returns (expanded docs with an
+    ``epoch`` column, per-group report) — epoch_mixture's contract."""
+    budgets = unimax_budgets(
+        docs, total_budget, max_epochs, group_col, text_col, count_col
+    )
+    return epoch_mixture(
+        docs,
+        budgets,
+        group_col=group_col,
+        id_col=id_col,
+        text_col=text_col,
+        count_col=count_col,
+        default_budget=None,
+    )

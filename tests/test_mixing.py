@@ -276,3 +276,65 @@ def test_non_string_group_col_both_mixers(spark):
     assert (er[0]["epochs"], er[0]["frac_ppm"]) == (3, 0)
     assert er[0]["n_rows_out"] == 150
     assert er[1]["epochs"] == 1 and er[None]["epochs"] == 1
+
+
+def test_unimax_budgets_water_filling(spark):
+    """r16: UniMax allocation (Chung et al. 2023) — as uniform as the
+    per-source epoch cap allows; capped sources' unused share
+    water-fills over the rest. Hand-verified greedy: A=100/B=1000/
+    C=10000 tokens, budget 6000, max 4 epochs -> caps 400/4000/40000;
+    A takes its cap (below fair share 2000), B and C split the rest."""
+    from automic_etl_spark.operators.mixing import unimax_budgets
+
+    rows = []
+    did = 0
+    for src, toks in (("a", 100), ("b", 1000), ("c", 10000)):
+        for _ in range(toks // 50):
+            rows.append((did, "w " * 50, src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    budgets = unimax_budgets(docs, 6000, max_epochs=4.0)
+    assert budgets == {"a": 400, "b": 2800, "c": 2800}
+    assert sum(budgets.values()) == 6000
+
+    # unconstrained epochs -> pure uniform split
+    assert unimax_budgets(docs, 6000, max_epochs=1000.0) == {
+        "a": 2000, "b": 2000, "c": 2000
+    }
+    # budget above every cap -> everything capped, remainder undistributable
+    capped = unimax_budgets(docs, 10**9, max_epochs=2.0)
+    assert capped == {"a": 200, "b": 2000, "c": 20000}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_epochs"):
+        unimax_budgets(docs, 100, max_epochs=0)
+    with _pytest.raises(ValueError, match="total_budget"):
+        unimax_budgets(docs, 0)
+
+
+def test_unimax_mixture_end_to_end(spark):
+    """The one-call lane: capped source repeats for exactly its epoch
+    cap, big sources run sub-epoch — multi-epoch rows carry the epoch
+    column with epoch_mixture's exact hash-threshold semantics."""
+    from automic_etl_spark.operators.mixing import unimax_budgets, unimax_mixture
+
+    rows = []
+    did = 0
+    for src, n_docs in (("small", 2), ("big", 20)):
+        for _ in range(n_docs):
+            rows.append((did, "w " * 50, src))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # small: 100 tokens, big: 1000; budget 800, cap 3 epochs ->
+    # caps 300/3000; small takes 300 (3 epochs), big takes 500 (sub-epoch)
+    assert unimax_budgets(docs, 800, max_epochs=3.0) == {
+        "small": 300, "big": 500
+    }
+    out, report = unimax_mixture(docs, 800, max_epochs=3.0)
+    rep = {r["source"]: r for r in report.collect()}
+    assert (rep["small"]["epochs"], rep["small"]["frac_ppm"]) == (3, 0)
+    assert rep["small"]["n_rows_out"] == 6
+    assert rep["big"]["epochs"] == 0 and rep["big"]["frac_ppm"] == 500_000
+    small_rows = out.filter("source = 'small'").collect()
+    assert len(small_rows) == 6 and {r["epoch"] for r in small_rows} == {0, 1, 2}

@@ -198,6 +198,9 @@ def test_coverage_doc_cites_live_gates():
         # r15: the bucketed bench ROW (not a gate) + the warc/wet/avro
         # pruning option name
         "bucketed_join", "columns",
+        # r16: curator/operator API names cited in their COVERAGE rows
+        "route_code", "is_permissive", "unimax_budgets", "unimax_mixture",
+        "patterns_for",
     }
     cited = {
         t
