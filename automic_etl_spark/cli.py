@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     cw.add_argument("--line-dedup-min-df", type=int, default=2)
     cw.add_argument("--min-quality", type=float, default=0.3)
     cw.add_argument(
+        "--require-permissive", action="store_true",
+        help="keep only documents whose detected license (SPDX tag or "
+        "canonical license phrase) is permissive — the code-lane "
+        "policy gate; GPL-family/unknown/unlicensed drop",
+    )
+    cw.add_argument(
         "--redact", choices=["pii", "secrets", "both"], default=None,
         help="scrub the named pattern set from document text before "
         "packing (secrets = AWS/GitHub/Slack tokens, PEM blocks, JWTs "
@@ -128,6 +134,7 @@ def main(argv: list[str] | None = None) -> int:
             pack_tokens=args.pack_tokens,
             checkpoint_dir=args.checkpoint_dir,
             route_code=args.route_code,
+            require_permissive=args.require_permissive,
             redact_pii=args.redact is not None,
             redaction_patterns=args.redact or "pii",
             **(

@@ -17,6 +17,9 @@ dataset actually runs, composed from the engine's operators.
                             structural signals, BEFORE the gates that
                             misjudge code — operators/textops
                             .code_signals)
+      → license gate       (optional: keep permissively-licensed docs
+                            only — SPDX tag / canonical phrases,
+                            operators/textops.license_signals)
       → language gate      (optional: marker-stopword language ID,
                             CCNet's dedup-then-language order —
                             operators/textops.language_id)
@@ -195,6 +198,13 @@ class CorpusCurator:
     # survive into the output for downstream routing.
     route_code: str | None = None
     code_min_score_ppm: int = 120_000
+    # permissive-license gate (r16, the StarCoder/The-Stack step after
+    # code routing): keep only documents whose detected license is
+    # permissive (operators/textops.license_signals — SPDX tag first,
+    # canonical-phrase markers second; GPL-family/unknown/unlicensed
+    # drop). Normally combined with route_code="code"; with
+    # emit_signals the license columns survive into the output.
+    require_permissive: bool = False
     # token-budget mixture stage (r7, Pile/DoReMi): per-group token
     # budgets applied AFTER quality/decontam/caps and BEFORE the split —
     # operators/mixing.token_budget_sample semantics (deterministic
@@ -491,6 +501,17 @@ class CorpusCurator:
             if not self.emit_signals:
                 drop_cols += ["code_score_ppm", "is_codeish"]
             near_keep = stage("code_route", gated.drop(*drop_cols))
+
+        # 2c4. optional permissive-license gate (code-lane policy)
+        if self.require_permissive:
+            from automic_etl_spark.operators.textops import license_signals
+
+            labeled = license_signals(near_keep, text_col)
+            gated = labeled.filter(F.col("is_permissive"))
+            drop_cols = ["is_permissive"]
+            if not self.emit_signals:
+                drop_cols += ["spdx_id", "license_guess"]
+            near_keep = stage("license", gated.drop(*drop_cols))
 
         # 2d. optional language gate (CCNet order: dedup, THEN language)
         if self.keep_langs is not None:
@@ -867,6 +888,8 @@ class CorpusCurator:
             report["script_removed"] = removed("script")
         if "code_route" in chain:
             report["code_routed_removed"] = removed("code_route")
+        if "license" in chain:
+            report["license_removed"] = removed("license")
         if "dsir" in chain:
             report["dsir_removed"] = removed("dsir")
         if "mixture" in chain:

@@ -1029,3 +1029,31 @@ def test_cli_curate_web_code_lane(spark, tmp_path, capsys, monkeypatch):
     assert report["input_docs"] == 2
     assert report["code_routed_removed"] == 1
     assert report["pii_redacted_docs"] == 1
+
+
+def test_corpus_curator_permissive_license_gate(spark):
+    """r16: require_permissive keeps only permissively-licensed docs
+    (SPDX first, body phrases second; GPL/unknown/unlicensed drop) —
+    the StarCoder policy gate composed with the code router."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    rows = [
+        (1, "# SPDX-License-Identifier: MIT\ndef a(x):\n    return [x];", "gh"),
+        (2, "Licensed under the Apache License, Version 2.0\n"
+            "class B:\n    flag = {\"on\": True};", "gh"),
+        (3, "covered by the GNU General Public License version 3\n"
+            "const c = (v) => { return v[0]; };", "gh"),
+        (4, "import os\nwhile os.path.exists(p):\n    p = p + \".bak\";", "gh"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out, report = CorpusCurator(
+        min_quality=0.0, require_permissive=True
+    ).curate(docs)
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    assert report["license_removed"] == 2  # GPL + unlicensed
+    # emit_signals carries the license columns forward
+    sig, _ = CorpusCurator(
+        min_quality=0.0, require_permissive=True, emit_signals=True
+    ).curate(docs)
+    got = {r["doc_id"]: r["license_guess"] for r in sig.collect()}
+    assert got == {1: "mit", 2: "apache-2.0"}
