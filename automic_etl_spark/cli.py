@@ -87,11 +87,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     bb.add_argument("paths", nargs="+", help="benchmark files, dirs or globs")
     bb.add_argument("--out", required=True, help="artifact directory")
+    bb.add_argument(
+        "--expected", type=int, default=None,
+        help="size the filter for this many distinct n-grams instead of "
+        "counting (pass the SAME value to every per-suite build so the "
+        "artifacts stay bloom-merge compatible)",
+    )
     bb.add_argument("--format", choices=["parquet", "json", "csv", "text"],
                     default="parquet")
     bb.add_argument("--text-col", default="text")
     bb.add_argument("--ngram", type=int, default=8)
     bb.add_argument("--fpp", type=float, default=0.001)
+
+    bm = sub.add_parser(
+        "bloom-merge",
+        help="OR-merge per-suite Bloom artifacts (built with a shared "
+        "--expected) into one union decontamination filter",
+    )
+    bm.add_argument("artifacts", nargs="+", help="artifact directories")
+    bm.add_argument("--out", required=True, help="merged artifact directory")
 
     cv = sub.add_parser(
         "convert",
@@ -172,12 +186,30 @@ def main(argv: list[str] | None = None) -> int:
                 "value", args.text_col
             )
         bloom = build_ngram_bloom(
-            bench, n=args.ngram, bench_text_col=args.text_col, fpp=args.fpp
+            bench, n=args.ngram, bench_text_col=args.text_col,
+            fpp=args.fpp, expected=args.expected,
         )
         save_ngram_bloom(spark, bloom, args.out)
         print(json.dumps({
             "out": args.out, "m_bits": bloom.m, "k": bloom.k,
             "ngram": bloom.n, "bitmap_mib": round(bloom.m / 8 / 2**20, 2),
+        }))
+        return 0
+
+    if args.command == "bloom-merge":
+        from automic_etl_spark.operators.decontam import (
+            load_ngram_bloom,
+            merge_ngram_blooms,
+            save_ngram_bloom,
+        )
+
+        merged = merge_ngram_blooms(
+            [load_ngram_bloom(spark, a) for a in args.artifacts]
+        )
+        save_ngram_bloom(spark, merged, args.out)
+        print(json.dumps({
+            "out": args.out, "merged": len(args.artifacts),
+            "m_bits": merged.m, "k": merged.k, "ngram": merged.n,
         }))
         return 0
 

@@ -144,9 +144,11 @@ def sample_per_group(
 # positive merely drops one clean document.
 #
 # Spark shapes: the build is one pass over benchmark n-grams — each
-# partition sets bits into a local bitmap, OR-merged up a tree
-# (treeReduce: the one RDD use in this module, justified because the
-# reduction value is a 100 MiB numpy bitmap, not rows). The check is
+# partition emits (shard_idx, shard_bits) slices OR-merged per key
+# (r16; the one RDD use in this module, justified because the values
+# are numpy bitmap slices, not rows — sharding keeps every record
+# under the 2^31-1 Python->JVM frame cap and per-task memory at one
+# shard even for multi-GB filters). The check is
 # map-only: the bitmap broadcasts once, membership is a vectorized
 # numpy bit test inside an Arrow-batched kernel, and the per-doc hit
 # count aggregates map-side. No join anywhere.
@@ -466,3 +468,37 @@ def decontaminate_bloom(
         corpus, bloom, min_hits=min_hits, id_col=id_col, text_col=text_col
     ).filter(F.col("contaminated"))
     return corpus.join(flagged.select(id_col), id_col, "left_anti")
+
+
+def merge_ngram_blooms(blooms: "list[NgramBloom]") -> NgramBloom:
+    """OR-merge filters trained on DIFFERENT benchmark suites into one
+    decontamination filter (r16 — the artifact-lifecycle complement of
+    save/load: build per-suite filters independently, e.g. one per eval
+    release, then probe the union in one map-only pass). Sound by Bloom
+    algebra: the union filter's might_contain is exactly "any member
+    filter would say yes" PROVIDED the params match — same m (probe
+    positions are mod m), same k (probe count), same n (the n-gram
+    length the hashes encode). Mismatched params would silently answer
+    garbage, so they raise. The union's FPR is bounded by the sum of
+    the members' FPRs (bits only turn on).
+
+    Build per-suite filters with an EXPLICIT shared ``expected=`` so
+    sizing matches: params derive from the expected count, and two
+    suites of different sizes would otherwise get different m/k."""
+    import numpy as np
+
+    if not blooms:
+        raise ValueError("merge_ngram_blooms needs at least one filter")
+    first = blooms[0]
+    for b in blooms[1:]:
+        if (b.m, b.k, b.n) != (first.m, first.k, first.n):
+            raise ValueError(
+                f"cannot merge filters with different params: "
+                f"(m={first.m}, k={first.k}, n={first.n}) vs "
+                f"(m={b.m}, k={b.k}, n={b.n}) — rebuild with a shared "
+                "explicit expected= so sizing matches"
+            )
+    bits = blooms[0].bits.copy()
+    for b in blooms[1:]:
+        np.bitwise_or(bits, b.bits, out=bits)
+    return NgramBloom(bits, first.m, first.k, first.n)

@@ -1057,3 +1057,51 @@ def test_corpus_curator_permissive_license_gate(spark):
     ).curate(docs)
     got = {r["doc_id"]: r["license_guess"] for r in sig.collect()}
     assert got == {1: "mit", 2: "apache-2.0"}
+
+
+def test_cli_bloom_merge(spark, tmp_path, capsys, monkeypatch):
+    """r16: `bloom-merge` unions per-suite artifacts built with a
+    shared --expected; the merged filter catches leaks from BOTH."""
+    import json as _json
+
+    from automic_etl_spark import cli
+
+    monkeypatch.setattr(
+        "automic_etl_spark.session.get_spark", lambda *a, **k: spark
+    )
+    suites = {
+        "a": "the first benchmark asks about spark shuffle exchanges today",
+        "b": "the second benchmark asks about parquet footer statistics instead",
+    }
+    art_dirs = []
+    for name, text in suites.items():
+        f = tmp_path / f"bench_{name}.txt"
+        f.write_text(text + "\n")
+        out = str(tmp_path / f"art_{name}")
+        assert cli.main([
+            "bloom-build", str(f), "--format", "text", "--out", out,
+            "--ngram", "6", "--expected", "4096",
+        ]) == 0
+        capsys.readouterr()
+        art_dirs.append(out)
+    merged_dir = str(tmp_path / "merged")
+    assert cli.main(["bloom-merge", *art_dirs, "--out", merged_dir]) == 0
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["merged"] == 2 and rep["ngram"] == 6
+
+    from automic_etl_spark.operators.decontam import (
+        contamination_report_bloom,
+        load_ngram_bloom,
+    )
+
+    bloom = load_ngram_bloom(spark, merged_dir)
+    corpus = spark.createDataFrame(
+        [(1, suites["a"] + " with a tail"),
+         (2, "prefix " + suites["b"]),
+         (3, "a clean document about entirely unrelated gardening topics")],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"] for r in
+               contamination_report_bloom(corpus, bloom, min_hits=1).collect()
+               if r["contaminated"]}
+    assert {1, 2} <= flagged and 3 not in flagged

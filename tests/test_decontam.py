@@ -543,3 +543,62 @@ def test_bloom_build_sharded_bit_identical_and_record_bounded(spark):
     ref = NgramBloom(np.zeros(words, dtype=np.uint64), one.m, one.k, one.n)
     ref.add(hashes)
     assert np.array_equal(ref.bits, many.bits)
+
+
+def test_merge_ngram_blooms_union_semantics(spark):
+    """r16: per-suite filters built with a shared explicit expected=
+    OR-merge into one union filter — might_contain(union) == any
+    member says yes (no false negatives on either suite's n-grams);
+    mismatched params raise instead of silently probing garbage."""
+    import numpy as np
+
+    from automic_etl_spark.operators.decontam import (
+        _ngram_hashes,
+        build_ngram_bloom,
+        contamination_report_bloom,
+        merge_ngram_blooms,
+    )
+
+    suite_a = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "qid long, text string",
+    )
+    suite_b = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten")],
+        "qid long, text string",
+    )
+    a = build_ngram_bloom(suite_a, n=8, expected=4096, fpp=0.01)
+    b = build_ngram_bloom(suite_b, n=8, expected=4096, fpp=0.01)
+    merged = merge_ngram_blooms([a, b])
+    assert (merged.m, merged.k, merged.n) == (a.m, a.k, a.n)
+    # the union bitmap is exactly the OR
+    assert np.array_equal(merged.bits, np.bitwise_or(a.bits, b.bits))
+    # no false negatives across BOTH suites
+    for suite in (suite_a, suite_b):
+        hs = np.array(
+            [r["__ng"] for r in
+             _ngram_hashes(suite, [], "text", 8).distinct().collect()],
+            dtype=np.int64,
+        )
+        assert merged.might_contain(hs).all()
+    # end-to-end: a corpus doc leaking from either suite flags
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa tail"),
+            (2, "prefix one two three four five six seven eight nine ten"),
+            (3, "a perfectly clean document with entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    flagged = {r["doc_id"] for r in
+               contamination_report_bloom(corpus, merged).collect()
+               if r["contaminated"]}
+    assert {1, 2} <= flagged and 3 not in flagged
+
+    import pytest as _pytest
+
+    c = build_ngram_bloom(suite_b, n=8, expected=9999, fpp=0.01)
+    with _pytest.raises(ValueError, match="different params"):
+        merge_ngram_blooms([a, c])
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_ngram_blooms([])

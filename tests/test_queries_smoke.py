@@ -200,7 +200,7 @@ def test_coverage_doc_cites_live_gates():
         "bucketed_join", "columns",
         # r16: curator/operator API names cited in their COVERAGE rows
         "route_code", "is_permissive", "unimax_budgets", "unimax_mixture",
-        "patterns_for",
+        "patterns_for", "merge_ngram_blooms",
     }
     cited = {
         t
