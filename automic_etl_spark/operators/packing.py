@@ -40,6 +40,7 @@ def pack_sequences(
     text_col: str = "text",
     count_col: str | None = None,
     group_cols: tuple = (),
+    order_cols: tuple = (),
 ) -> DataFrame:
     """Returns the input plus:
 
@@ -59,6 +60,12 @@ def pack_sequences(
     sequence never mixes documents across groups — e.g. pass
     ``("split",)`` so no training sequence straddles train/val, or
     ``("language",)`` for language-pure sequences.
+
+    ``order_cols`` break ordering ties when ``id_col`` is not unique —
+    multi-epoch corpora (operators/mixing.epoch_mixture) repeat each
+    document k times, and without a tiebreak which epoch copy lands at
+    which sequence offset is tie-order dependent; pass ``("epoch",)``
+    for a fully deterministic layout (the curator does).
     """
     n_tok = (
         F.col(count_col)
@@ -71,7 +78,7 @@ def pack_sequences(
     groups = [F.col(g) for g in group_cols]
     w = (
         W.partitionBy(*groups, "shard")
-        .orderBy(F.col(id_col).asc())
+        .orderBy(F.col(id_col).asc(), *[F.col(c).asc() for c in order_cols])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = F.sum("n_tokens").over(w)

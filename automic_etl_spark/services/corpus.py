@@ -826,6 +826,9 @@ class CorpusCurator:
                 pack_sequences(
                     out, seq_tokens=self.pack_tokens, num_shards=self.pack_shards,
                     id_col=id_col, text_col=text_col, group_cols=("split",),
+                    # epoch mode repeats ids; the epoch column breaks the
+                    # window tie so the packed layout is deterministic
+                    order_cols=("epoch",) if "epoch" in out.columns else (),
                 )
             )
             members.append(

@@ -102,3 +102,50 @@ def test_pack_invariants_property(spark):
             assert r["seq_id"] == f"{shard}-{cum // budget}"
             assert r["seq_offset"] == cum - (cum // budget) * budget
             cum += r["n_tokens"]
+
+
+def test_pack_sequences_epoch_tiebreak_deterministic(spark):
+    """r16: duplicate ids (multi-epoch corpora) tie in the packing
+    window; order_cols=("epoch",) pins which copy lands at which
+    offset, so two runs produce identical (id, epoch, seq_id, offset)
+    layouts, and the curator's epoch+packing composition flows."""
+    from automic_etl_spark.operators.packing import pack_sequences
+
+    rows = [(d, "w " * 10, e) for d in range(6) for e in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, epoch int")
+
+    def layout():
+        out = pack_sequences(
+            docs, seq_tokens=16, num_shards=4, order_cols=("epoch",)
+        )
+        return sorted(
+            (r["doc_id"], r["epoch"], r["seq_id"], r["seq_offset"])
+            for r in out.collect()
+        )
+
+    first = layout()
+    assert first == layout()
+    # within a (shard, doc) run the epoch copies appear in epoch order:
+    # ascending epoch -> non-decreasing cumulative offset position
+    by_doc = {}
+    for doc, epoch, seq, off in first:
+        by_doc.setdefault(doc, []).append((epoch, seq, off))
+    for doc, copies in by_doc.items():
+        assert [e for e, _, _ in copies] == sorted(e for e, _, _ in copies)
+
+
+def test_curator_epoch_mode_packs(spark):
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    filler = ("document number {i} with plenty of ordinary natural language "
+              "words describing pipelines in sentence {i} of the corpus")
+    docs = spark.createDataFrame(
+        [(i, filler.format(i=i), "books") for i in range(1, 6)],
+        "doc_id long, text string, source string",
+    )
+    out, report = CorpusCurator(
+        min_quality=0.0, token_budgets={"books": 270}, budget_mode="epoch",
+        pack_tokens=32,
+    ).curate(docs)
+    assert {"epoch", "seq_id", "seq_offset"} <= set(out.columns)
+    assert report["final_docs"] == 15 and report["packed_sequences"] >= 1
