@@ -24,6 +24,10 @@ from automic_etl_spark.operators.dedup import (
     jaccard_on_candidates,
     simhash,
 )
+from automic_etl_spark.operators.winnow import (
+    winnow_fingerprints,
+    winnow_near_dups,
+)
 from automic_etl_spark.operators.pdftext import extract_pdf_text, pdf_blobs_to_text
 from automic_etl_spark.operators.sketches import (
     approx_distinct,
@@ -54,6 +58,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_on_candidates",
     "simhash",
+    "winnow_fingerprints",
+    "winnow_near_dups",
     "extract_pdf_text",
     "pdf_blobs_to_text",
     "approx_distinct",

@@ -1,0 +1,150 @@
+"""Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+"Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003)
+— the MOSS code-plagiarism fingerprint, here as the code-lane near-dup
+detector: any shared substring of at least ``t = w + k - 1`` normalized
+characters between two documents is GUARANTEED to share at least one
+selected fingerprint, so fingerprint overlap is a recall-guaranteed
+candidate signal (unlike MinHash, whose guarantee is probabilistic).
+
+Construction (all built-in Catalyst expressions, zero UDF):
+
+1. Normalize: lowercase + strip ``[ \\t\\r\\n]+`` (MOSS normalizes
+   whitespace/case so reformatting doesn't dodge the fingerprint).
+2. Hash every k-gram (character shingle) to a 40-bit integer via the
+   portable ``conv(substr(md5(...),1,10),16,10)`` idiom the other
+   oracle-replayed operators use (dedup.py, dsir.py).
+3. Pack ``(hash, position)`` into ONE 60-bit key:
+   ``key = hash * 2^20 + (2^20 - 1 - pos)`` — minimizing the key picks
+   the minimum hash and, among ties, the RIGHTMOST position, which is
+   exactly the paper's basic-winnowing tie rule, as a single ``min``.
+4. Slide a ``w``-window over the k-gram sequence (``min(key) OVER
+   (PARTITION BY doc ORDER BY pos ROWS w-1 PRECEDING)``) and keep one
+   row per selection RUN (``lag`` inequality) — the selected positions
+   are the fingerprints. Both window expressions share one partition
+   spec, so the whole selection costs ONE shuffle on the doc id.
+
+Scale shape: one map-side explode (chars x 1 row per k-gram), one
+window shuffle keyed by doc id, then (for the pair stage) one shuffle
+on the fingerprint value whose self-join is frequency-capped by
+``max_df`` — boilerplate fingerprints shared by more than ``max_df``
+docs are excluded from pair generation, so the join never goes
+quadratic in cluster multiplicity (the cdc.py chunk-pair discipline).
+No pairwise document comparison anywhere.
+
+No reference counterpart (beyond-reference training-data mandate; the
+reference has no dedup of any kind).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+_P_BITS = 20
+_P_SPAN = 1 << _P_BITS  # 1048576
+_P_MASK = _P_SPAN - 1  # 1048575
+# 40-bit hash * 2^20 + 20-bit position = 60 bits < 2^63: the packed
+# key is exact in BIGINT arithmetic on both engines (gate-replayable).
+
+_WS = "[ \\t\\r\\n]+"  # explicit class: Java \s and RE2 \s disagree on \x0B
+
+
+def _normalized(text_col: str, normalize: bool) -> F.Column:
+    c = F.col(text_col)
+    return F.lower(F.regexp_replace(c, _WS, "")) if normalize else c
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Selected fingerprints per document: (id_col, pos, fp).
+
+    ``pos`` is the 0-based k-gram start in the NORMALIZED text, ``fp``
+    the 40-bit k-gram hash. Documents shorter than ``t = w + k - 1``
+    normalized chars have no full window and yield no fingerprints
+    (below the guarantee threshold, by construction).
+    """
+    base = docs.select(
+        F.col(id_col), _normalized(text_col, normalize).alias("__s")
+    ).filter(F.length("__s") >= k + w - 1)
+    kg = base.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.length("__s") - k)).alias("__p"),
+        "__s",
+    )
+    key = (
+        F.conv(
+            F.substring(F.md5(F.col("__s").substr(F.col("__p") + 1, F.lit(k))), 1, 10),
+            16,
+            10,
+        ).cast("long")
+        * _P_SPAN
+        + (F.lit(_P_MASK) - F.col("__p"))
+    )
+    hashed = kg.select(id_col, F.col("__p"), key.alias("__key"))
+    frame = W.partitionBy(id_col).orderBy("__p").rowsBetween(-(w - 1), 0)
+    order = W.partitionBy(id_col).orderBy("__p")
+    selected = (
+        hashed.withColumn("__kmin", F.min("__key").over(frame))
+        .filter(F.col("__p") >= w - 1)  # full windows only
+        .withColumn("__prev", F.lag("__kmin").over(order))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("__kmin")))
+    )
+    return selected.select(
+        F.col(id_col),
+        (F.lit(_P_MASK) - F.col("__kmin").bitwiseAND(F.lit(_P_MASK))).alias("pos"),
+        F.shiftright("__kmin", _P_BITS).alias("fp"),
+    )
+
+
+def winnow_near_dups(
+    docs: DataFrame,
+    k: int = 20,
+    w: int = 8,
+    min_overlap_ppm: int = 200_000,
+    max_df: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by winnowing-fingerprint set overlap:
+    (id_a, id_b, shared_fp, fp_a, fp_b, overlap_ppm) with
+    ``overlap_ppm = |A∩B| * 1e6 // |A∪B|`` (integer Jaccard over the
+    DISTINCT fingerprint-value sets) and id_a < id_b.
+
+    ``max_df`` drops fingerprint values present in more than that many
+    documents from PAIR GENERATION only (set sizes still count them):
+    boilerplate shared corpus-wide would otherwise fan the self-join
+    out quadratically. Capped values are by definition weak evidence
+    of a specific pair.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, id_col=id_col, text_col=text_col, normalize=normalize)
+    docfp = fps.select(id_col, "fp").distinct()
+    sizes = docfp.groupBy(id_col).agg(F.count(F.lit(1)).alias("__nfp"))
+    rare = docfp.withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("fp"))).filter(
+        F.col("__df") <= max_df
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "fp")
+    b = rare.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__nfp").alias("fp_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__nfp").alias("fp_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "overlap_ppm",
+            F.expr("shared_fp * 1000000L DIV (fp_a + fp_b - shared_fp)"),
+        )
+        .filter(F.col("overlap_ppm") >= min_overlap_ppm)
+        .select("id_a", "id_b", "shared_fp", "fp_a", "fp_b", "overlap_ppm")
+    )

@@ -3657,3 +3657,105 @@ ORACLE_LICENSE_SIGNALS = _license_signals_oracle()
 
 QUERIES_TAIL["license_signals"] = q_license_signals_gate
 ORACLE_TAIL["license_signals"] = ORACLE_LICENSE_SIGNALS
+
+
+# --------------------------------------------------------------------------
+# winnow_near_dup (r16): MOSS winnowing fingerprints (Schleimer et al.
+# SIGMOD 2003) — the recall-guaranteed code near-dup detector
+# (operators/winnow). The whole construction replays in DuckDB: the
+# packed (40-bit md5 hash) * 2^20 + (2^20-1-pos) key, the w-window min
+# with rightmost tie-break, the lag-based selection runs, the
+# frequency-capped pair join and the integer-Jaccard ppm. Corpus is a
+# triple ingest so exact copies (ppm = 1000000), suffix copies
+# (partial overlap) and organic fixture near-dups all appear.
+# ASCII-fixture precondition: lower()/regexp parity between engines is
+# guaranteed for single-byte text only (the strlen-guard class).
+# --------------------------------------------------------------------------
+
+_WN_K, _WN_W, _WN_DF, _WN_PPM = 20, 8, 16, 200_000
+
+
+def q_winnow_near_dup_gate(spark, sf_dir):
+    """Winnowing near-dup pairs over originals (doc_id<150), suffix
+    copies (100..200 shifted +100000, first 40 chars dropped) and
+    exact copies (150..250 shifted +200000)."""
+    from automic_etl_spark.operators.winnow import winnow_near_dups
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (
+        docs.filter("doc_id < 150")
+        .unionByName(
+            docs.filter("doc_id >= 100 AND doc_id < 200").selectExpr(
+                "doc_id + 100000 AS doc_id", "substr(text, 41) AS text"
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id >= 150 AND doc_id < 250").selectExpr(
+                "doc_id + 200000 AS doc_id", "text"
+            )
+        )
+    )
+    return winnow_near_dups(
+        corpus, k=_WN_K, w=_WN_W, min_overlap_ppm=_WN_PPM, max_df=_WN_DF
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_WINNOW = f"""
+WITH ing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 150
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 41) FROM documents
+  WHERE doc_id >= 100 AND doc_id < 200
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents
+  WHERE doc_id >= 150 AND doc_id < 250
+),
+nrm AS (
+  SELECT doc_id, lower(regexp_replace(text, '[ \\t\\r\\n]+', '', 'g')) AS s
+  FROM ing
+),
+kg AS (
+  SELECT doc_id, t.p AS p,
+         CAST(('0x' || substr(md5(substr(s, t.p + 1, {_WN_K})), 1, 10)) AS BIGINT)
+           * 1048576 + (1048575 - t.p) AS key
+  FROM nrm CROSS JOIN UNNEST(generate_series(0, len(s) - {_WN_K})) AS t(p)
+  WHERE len(s) >= {_WN_K + _WN_W - 1}
+),
+wm AS (
+  SELECT doc_id, p,
+         min(key) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN {_WN_W - 1} PRECEDING AND CURRENT ROW) AS kmin
+  FROM kg
+),
+wmf AS (SELECT doc_id, p, kmin FROM wm WHERE p >= {_WN_W - 1}),
+ev AS (
+  SELECT doc_id, kmin FROM (
+    SELECT doc_id, kmin,
+           lag(kmin) OVER (PARTITION BY doc_id ORDER BY p) AS pk
+    FROM wmf
+  ) WHERE pk IS NULL OR pk <> kmin
+),
+fp AS (SELECT DISTINCT doc_id, kmin // 1048576 AS fp FROM ev),
+sz AS (SELECT doc_id, count(*) AS nfp FROM fp GROUP BY doc_id),
+rare AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= {_WN_DF}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared_fp
+  FROM fp a JOIN rare USING (fp) JOIN fp b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.id_a, p.id_b, p.shared_fp,
+         sa.nfp AS fp_a, sb.nfp AS fp_b,
+         p.shared_fp * 1000000 // (sa.nfp + sb.nfp - p.shared_fp) AS overlap_ppm
+  FROM pairs p
+  JOIN sz sa ON sa.doc_id = p.id_a
+  JOIN sz sb ON sb.doc_id = p.id_b
+)
+SELECT id_a, id_b, shared_fp, fp_a, fp_b, overlap_ppm
+FROM scored WHERE overlap_ppm >= {_WN_PPM}
+ORDER BY id_a, id_b
+"""
+
+QUERIES_TAIL["winnow_near_dup"] = q_winnow_near_dup_gate
+ORACLE_TAIL["winnow_near_dup"] = ORACLE_WINNOW

@@ -164,6 +164,11 @@ def test_registry_driver_window_prefix():
         # canonical-phrase markers + verdict, four planted header
         # classes incl. an SPDX-vs-body conflict, full SQL replay)
         "license_signals",
+        # -- r16 addition, overflow tail: MOSS winnowing fingerprints
+        # (Schleimer et al. 2003) — recall-guaranteed code near-dup
+        # pairs; packed window-min with rightmost tie-break,
+        # frequency-capped pair join and integer Jaccard all replayed
+        "winnow_near_dup",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate

@@ -1,0 +1,119 @@
+"""Winnowing fingerprints (operators/winnow): the SIGMOD-2003 guarantee
+(shared substrings of length >= t = w + k - 1 share a fingerprint),
+threshold edges, rightmost tie-break determinism, normalization
+robustness, and the max_df frequency cap on pair generation."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from automic_etl_spark.operators.winnow import winnow_fingerprints, winnow_near_dups
+
+K, W = 6, 4
+T = K + W - 1  # guarantee threshold in normalized chars
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _py_winnow(text: str, k: int = K, w: int = W) -> set[tuple[int, int]]:
+    """Driver-side reference model: basic winnowing, rightmost-min tie
+    rule, over the already-normalized text."""
+    n = len(text)
+    if n < k + w - 1:
+        return set()
+    hashes = [
+        int(hashlib.md5(text[p : p + k].encode()).hexdigest()[:10], 16)
+        for p in range(n - k + 1)
+    ]
+    out = set()
+    for end in range(w - 1, len(hashes)):
+        lo = end - w + 1
+        m = min(hashes[lo : end + 1])
+        # rightmost occurrence of the minimum
+        pos = max(p for p in range(lo, end + 1) if hashes[p] == m)
+        out.add((pos, m))
+    return out
+
+
+def test_matches_python_reference_model(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "abcabcabcabcabcabc",  # heavy hash ties exercise the tie rule
+        "aaaaaaaaaaaaaaaa",  # all k-grams tie: rightmost rule selects
+        # every window's newest element (the pathology robust
+        # winnowing's prefer-previous rule exists to avoid)
+        "xy",  # below k
+        "abcdefgh",  # >= k but below t: no full window
+        "",
+    ]
+    df = _docs(spark, list(enumerate(texts)))
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in winnow_fingerprints(df, k=K, w=W, normalize=False).collect()
+    }
+    want = {
+        (i, pos, fp)
+        for i, t in enumerate(texts)
+        for pos, fp in _py_winnow(t)
+    }
+    assert got == want
+
+
+def test_shared_substring_guarantee(spark):
+    """Any two docs sharing a substring of >= t chars share >= 1
+    fingerprint VALUE — the paper's correctness property, checked over
+    every pair of 40 random-ish word docs with planted overlaps."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "kappa"]
+    base = [" ".join(rng.choice(vocab) for _ in range(30)) for _ in range(20)]
+    # planted: doc i+20 embeds a long slice of doc i inside fresh noise
+    rows = list(enumerate(base))
+    for i, t in enumerate(base):
+        noise = " ".join(rng.choice(vocab) for _ in range(8))
+        rows.append((i + 20, noise + " " + t[10:90] + " " + noise))
+    df = _docs(spark, rows)
+    fps = winnow_fingerprints(df, k=K, w=W).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i in range(20):
+        assert by_doc[i] & by_doc[i + 20], f"planted overlap {i} missed"
+
+
+def test_near_dup_pairs_and_max_df(spark):
+    boiler = "common header shared by every single document in the set"
+    rows = [(i, boiler + f" unique tail number {i} " + "filler " * 5) for i in range(30)]
+    # twins share NO 6-char normalized substring with the boilerplate
+    # (a shared word would push one common fingerprint over max_df and
+    # legitimately dent the twins' overlap below 1e6)
+    rows += [(100, "zebra quokka xylem vortex jigsaw plasma gizmo"),
+             (101, "zebra quokka xylem vortex jigsaw plasma gizmo")]
+    df = _docs(spark, rows)
+    # exact twins always reach ppm 1e6; the boilerplate-only pairs are
+    # suppressed when max_df excludes the corpus-wide fingerprints
+    pairs = winnow_near_dups(df, k=K, w=W, min_overlap_ppm=900_000, max_df=4)
+    got = {(r["id_a"], r["id_b"]): r["overlap_ppm"] for r in pairs.collect()}
+    assert got.get((100, 101)) == 1_000_000
+    assert all(a == 100 for a, _ in got), f"boilerplate pairs leaked: {got}"
+    # with the cap lifted the boilerplate cluster pairs appear
+    loose = winnow_near_dups(df, k=K, w=W, min_overlap_ppm=100_000, max_df=1_000)
+    assert loose.filter((F.col("id_a") < 100) & (F.col("id_b") < 100)).count() > 0
+
+
+def test_normalization_defeats_reformatting(spark):
+    a = "def  Main(x):\n    return X + 1"
+    b = "DEF MAIN(X): RETURN x+1"  # same chars modulo case/whitespace
+    df = _docs(spark, [(0, a), (1, b)])
+    pairs = winnow_near_dups(df, k=K, w=W, min_overlap_ppm=900_000).collect()
+    assert [(p["id_a"], p["id_b"], p["overlap_ppm"]) for p in pairs] == [(0, 1, 1_000_000)]
+
+
+def test_short_docs_yield_nothing(spark):
+    df = _docs(spark, [(0, "x" * (T - 1)), (1, None), (2, "")])
+    assert winnow_fingerprints(df, k=K, w=W).count() == 0
