@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
         "BEFORE the prose quality gates",
     )
     cw.add_argument(
+        "--winnow-ppm", type=int, default=None,
+        help="collapse winnowing near-dups at >= this integer-Jaccard "
+        "ppm (MOSS fingerprints — the reformat-resistant code-lane "
+        "near-dup complement of the MinHash stage); omit to disable",
+    )
+    cw.add_argument(
         "--checkpoint-dir", default=None,
         help="reliable checkpoint dir for stage boundaries (spot fleets); "
         "default keeps executor-local checkpoints",
@@ -149,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint_dir,
             route_code=args.route_code,
             require_permissive=args.require_permissive,
+            winnow_min_overlap_ppm=args.winnow_ppm,
             redact_pii=args.redact is not None,
             redaction_patterns=args.redact or "pii",
             **(

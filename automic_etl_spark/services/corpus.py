@@ -205,6 +205,22 @@ class CorpusCurator:
     # drop). Normally combined with route_code="code"; with
     # emit_signals the license columns survive into the output.
     require_permissive: bool = False
+    # winnowing near-dup collapse (r16, the code-lane complement of the
+    # MinHash stage): MOSS fingerprints (operators/winnow) are
+    # reformat-resistant (case/whitespace-normalized) and carry the
+    # SIGMOD-2003 recall GUARANTEE — any shared normalized substring of
+    # >= winnow_w + winnow_k - 1 chars shares a fingerprint — where
+    # MinHash's word-shingle bound is probabilistic and reformat-
+    # sensitive. Pairs at >= winnow_min_overlap_ppm integer Jaccard
+    # collapse to the min-id representative via the same
+    # connected-components step as stage 2. None disables. Normally
+    # combined with route_code="code" (runs right after the code-lane
+    # gates); winnow_max_df caps boilerplate fingerprints out of pair
+    # generation so the join never goes quadratic.
+    winnow_min_overlap_ppm: int | None = None
+    winnow_k: int = 20
+    winnow_w: int = 8
+    winnow_max_df: int = 128
     # token-budget mixture stage (r7, Pile/DoReMi): per-group token
     # budgets applied AFTER quality/decontam/caps and BEFORE the split —
     # operators/mixing.token_budget_sample semantics (deterministic
@@ -512,6 +528,30 @@ class CorpusCurator:
             if not self.emit_signals:
                 drop_cols += ["spdx_id", "license_guess"]
             near_keep = stage("license", gated.drop(*drop_cols))
+
+        # 2c5. optional winnowing near-dup collapse (code-lane near-dup:
+        # reformat-resistant fingerprints with the recall guarantee; the
+        # pair join is frequency-capped, the flagged side is CORPUS-
+        # DERIVED so — like every other stage — it must never be
+        # broadcast-hinted (the parametrized curator plan pin sweeps
+        # this stage too)
+        if self.winnow_min_overlap_ppm is not None:
+            from automic_etl_spark.operators.winnow import winnow_near_dups
+
+            wpairs = winnow_near_dups(
+                near_keep,
+                k=self.winnow_k,
+                w=self.winnow_w,
+                min_overlap_ppm=self.winnow_min_overlap_ppm,
+                max_df=self.winnow_max_df,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            wclusters = D.connected_components(wpairs)
+            wlosers = wclusters.filter(
+                F.col("doc_id") != F.col("cluster_id")
+            ).select(F.col("doc_id").alias(id_col))
+            near_keep = stage("winnow", near_keep.join(wlosers, id_col, "left_anti"))
 
         # 2d. optional language gate (CCNet order: dedup, THEN language)
         if self.keep_langs is not None:
@@ -893,6 +933,8 @@ class CorpusCurator:
             report["code_routed_removed"] = removed("code_route")
         if "license" in chain:
             report["license_removed"] = removed("license")
+        if "winnow" in chain:
+            report["winnow_dups_removed"] = removed("winnow")
         if "dsir" in chain:
             report["dsir_removed"] = removed("dsir")
         if "mixture" in chain:

@@ -660,7 +660,8 @@ def test_curator_never_broadcasts_corpus_derived_sides(spark, tmp_path, monkeypa
             max_dup_2gram_ppm=900_000,      # repetition anti-join
             max_dup_token_ppm=900_000,      # substring anti-join
             substr_window=8,
-            semantic_clusters=4,            # semantic anti-join (lsh)
+            semantic_clusters=4,
+            winnow_min_overlap_ppm=300_000,  # winnow anti-join (r16)            # semantic anti-join (lsh)
             decontam_ngram=6,               # decontam anti-join (exact)
             group_cap=8,                    # quota stage
             token_budgets={"web": 10_000},  # mixture broadcast-plan join
@@ -1057,6 +1058,42 @@ def test_corpus_curator_permissive_license_gate(spark):
     ).curate(docs)
     got = {r["doc_id"]: r["license_guess"] for r in sig.collect()}
     assert got == {1: "mit", 2: "apache-2.0"}
+
+
+def test_corpus_curator_winnow_stage(spark):
+    """r16: the winnowing near-dup stage catches the REFORMATTED twin
+    the MinHash stage misses (word shingles are case/whitespace
+    sensitive; winnowing fingerprints normalize both), collapses to
+    the min-id representative, and reports winnow_dups_removed."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    body = (
+        "def scan_table(rows, limit):\n"
+        "    acc = [];\n"
+        "    for r in rows[:limit]:\n"
+        "        acc.append(r.key);\n"
+        "    return acc;\n"
+    )
+    # doc 2 = doc 1 reformatted: uppercased + whitespace rearranged —
+    # identical after winnow normalization, token-disjoint for MinHash
+    rows = [
+        (1, body, "gh"),
+        (2, body.upper().replace("\n", "  \n\n").replace("    ", "\t"), "gh"),
+        (3, "class Router:\n    def dispatch(self, path):\n"
+            "        return self.table.get(path, None);\n", "gh"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # without the stage, both twins survive the funnel
+    base, base_rep = CorpusCurator(min_quality=0.0).curate(docs)
+    assert {r["doc_id"] for r in base.collect()} == {1, 2, 3}
+    assert "winnow_dups_removed" not in base_rep
+
+    out, report = CorpusCurator(
+        min_quality=0.0, winnow_min_overlap_ppm=900_000
+    ).curate(docs)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+    assert report["winnow_dups_removed"] == 1
 
 
 def test_cli_bloom_merge(spark, tmp_path, capsys, monkeypatch):

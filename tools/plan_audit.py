@@ -443,6 +443,7 @@ def _curator_never_broadcast_corpus(spark) -> list[str]:
             max_dup_token_ppm=900_000,
             substr_window=8,
             semantic_clusters=4,
+            winnow_min_overlap_ppm=300_000,  # winnow anti-join (r16)
             decontam_ngram=6,
             group_cap=8,
             token_budgets={"web": 10_000},
