@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
         "BEFORE the prose quality gates",
     )
     cw.add_argument(
+        "--clean-unicode", action="store_true",
+        help="run the Unicode hygiene pass first (strip invisible "
+        "chars, repair UTF-8-as-Latin-1 mojibake, NFC) so encoding "
+        "variants of the same content collapse at the dedup stages",
+    )
+    cw.add_argument(
         "--winnow-ppm", type=int, default=None,
         help="collapse winnowing near-dups at >= this integer-Jaccard "
         "ppm (MOSS fingerprints — the reformat-resistant code-lane "
@@ -156,6 +162,7 @@ def main(argv: list[str] | None = None) -> int:
             route_code=args.route_code,
             require_permissive=args.require_permissive,
             winnow_min_overlap_ppm=args.winnow_ppm,
+            clean_unicode=args.clean_unicode,
             redact_pii=args.redact is not None,
             redaction_patterns=args.redact or "pii",
             **(

@@ -28,6 +28,10 @@ from automic_etl_spark.operators.winnow import (
     winnow_fingerprints,
     winnow_near_dups,
 )
+from automic_etl_spark.operators.textclean import (
+    clean_signals,
+    clean_text,
+)
 from automic_etl_spark.operators.pdftext import extract_pdf_text, pdf_blobs_to_text
 from automic_etl_spark.operators.sketches import (
     approx_distinct,
@@ -60,6 +64,8 @@ __all__ = [
     "simhash",
     "winnow_fingerprints",
     "winnow_near_dups",
+    "clean_signals",
+    "clean_text",
     "extract_pdf_text",
     "pdf_blobs_to_text",
     "approx_distinct",

@@ -1,0 +1,134 @@
+"""Unicode text cleaning for web corpora — the ftfy/CCNet hygiene pass
+that runs before any content gate: strip invisible/control characters,
+canonicalize to Unicode NFC, and detect/repair UTF-8-read-as-Latin-1
+mojibake ("Ã©" for "é" — the single most common encoding damage in
+crawled text).
+
+Two tiers, by engine surface:
+
+- ``clean_signals`` / the strip step are PURE CATALYST (regexp over
+  explicit codepoint classes — zero UDF, whole-stage codegen, and every
+  expression replays in DuckDB for the gate).
+- NFC normalization and the mojibake repair need a real Unicode
+  library, which Spark SQL does not expose: ONE Arrow-vectorized
+  pandas UDF (`pandas.Series.str.normalize` + a round-trip-guarded
+  latin-1→utf-8 re-decode). NFC is gate-replayable against DuckDB's
+  ``nfc_normalize`` (both implement UAX #15); the repair is guarded by
+  a pure-Python differential in pytest (DuckDB 1.0 has no error-safe
+  decode to replay it relationally).
+
+Scale shape: everything is map-only — no shuffle, no collect; the
+pandas UDF is Arrow-batched and row-independent, so the operator scales
+with cores like the other codec lanes.
+
+No reference counterpart (beyond-reference training-data mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+# Codepoint classes, shared verbatim with the gate oracle.
+# Control chars EXCEPT \t \n \r (those are layout, not damage).
+CONTROL_CLASS = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+# Zero-width / invisible formatting chars (ZWSP ZWNJ ZWJ WJ BOM).
+ZERO_WIDTH_CLASS = "[\\u200B\\u200C\\u200D\\u2060\\uFEFF]"
+# Bidirectional override/isolate controls (also a spoofing vector).
+BIDI_CLASS = "[\\u202A-\\u202E\\u2066-\\u2069]"
+# UTF-8-as-Latin-1 mojibake marker: a 2-byte UTF-8 lead byte read as
+# Latin-1 (Â/Ã = 0xC2/0xC3) followed by a continuation byte read as
+# Latin-1 (U+0080-U+00BF). Catches every damaged 2-byte sequence —
+# all Latin-script accents — and never fires on clean text (Â/Ã
+# followed by a continuation-range char is not natural language).
+MOJIBAKE_CLASS = "[\\u00C2-\\u00C3][\\u0080-\\u00BF]"
+
+
+def _ppm(num, denom):
+    return F.when(denom > 0, (num * F.lit(1_000_000) / denom).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+
+
+def clean_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append integer-ppm damage signals (zero UDF, one projection):
+
+    - ``control_ppm``    control chars (minus tab/newline/CR) per char
+    - ``zero_width_ppm`` zero-width/invisible chars per char
+    - ``bidi_ppm``       bidi override/isolate controls per char
+    - ``mojibake_ppm``   UTF-8-as-Latin-1 two-byte markers per char
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(txt)
+
+    def count_of(cls: str) -> F.Column:
+        return n - F.length(F.regexp_replace(txt, cls, ""))
+
+    moji = (n - F.length(F.regexp_replace(txt, MOJIBAKE_CLASS, ""))) / F.lit(2)
+    return df.select(
+        "*",
+        _ppm(count_of(CONTROL_CLASS), n).alias("control_ppm"),
+        _ppm(count_of(ZERO_WIDTH_CLASS), n).alias("zero_width_ppm"),
+        _ppm(count_of(BIDI_CLASS), n).alias("bidi_ppm"),
+        _ppm(moji.cast("long"), n).alias("mojibake_ppm"),
+    )
+
+
+def strip_invisible(col: F.Column) -> F.Column:
+    """Remove control/zero-width/bidi chars — pure Catalyst, replayable."""
+    c = F.regexp_replace(col, CONTROL_CLASS, "")
+    c = F.regexp_replace(c, ZERO_WIDTH_CLASS, "")
+    return F.regexp_replace(c, BIDI_CLASS, "")
+
+
+def _fix_mojibake_py(s: str) -> str:
+    """Repair UTF-8-read-as-Latin-1 ONLY when the whole string survives
+    the round trip (every char <= U+00FF and the byte string is valid
+    UTF-8) — a partial repair would corrupt mixed-damage text."""
+    try:
+        repaired = s.encode("latin-1").decode("utf-8")
+    except (UnicodeEncodeError, UnicodeDecodeError):
+        return s
+    return repaired
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    normalize: bool = True,
+    fix_mojibake: bool = True,
+    strip: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rewrite ``text_col`` (or emit ``out_col``): strip invisible chars
+    (Catalyst), repair round-trip-safe mojibake and apply Unicode NFC
+    (one Arrow-vectorized pandas UDF). Column-preserving; NULL stays
+    NULL."""
+    out = out_col or text_col
+    col = F.col(text_col)
+    if strip:
+        col = F.when(F.col(text_col).isNull(), None).otherwise(strip_invisible(col))
+
+    if normalize or fix_mojibake:
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        do_fix, do_nfc = fix_mojibake, normalize
+
+        @pandas_udf(StringType())
+        def _kernel(s):  # type: ignore[no-untyped-def]
+            def one(v):
+                if v is None:
+                    return None
+                if do_fix and ("Â" in v or "Ã" in v):
+                    v = _fix_mojibake_py(v)
+                return v
+
+            s = s.map(one)
+            if do_nfc:
+                s = s.str.normalize("NFC")
+            return s
+
+        col = _kernel(col)
+
+    return df.withColumn(out, col)

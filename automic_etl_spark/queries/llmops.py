@@ -3759,3 +3759,149 @@ ORDER BY id_a, id_b
 
 QUERIES_TAIL["winnow_near_dup"] = q_winnow_near_dup_gate
 ORACLE_TAIL["winnow_near_dup"] = ORACLE_WINNOW
+
+
+# --------------------------------------------------------------------------
+# text_clean (r16): Unicode hygiene (operators/textclean) — the
+# ftfy/CCNet cleaning pass. Damage planted IN-PLAN by doc_id class
+# (NFD sequences + zero-width, mojibake markers, control + bidi),
+# then: the four integer-ppm damage signals, the Catalyst strip, and
+# Unicode NFC (pandas UDF vs DuckDB nfc_normalize — both UAX #15)
+# all replay; value equality is proven by md5 over the cleaned text
+# (UTF-8 bytes on both engines). The mojibake REPAIR arm runs with
+# fix_mojibake=False here (DuckDB 1.0 has no error-safe decode to
+# replay the round-trip guard relationally) and is pinned instead by
+# the pytest differential in tests/test_textclean.py.
+# --------------------------------------------------------------------------
+
+# plants, built with chr() so this source stays pure ASCII:
+# NFD "resume" with combining acutes + ZWSP; the 2-byte mojibake pair
+# (U+00C3 U+00A9 = "cafe-acute" read as Latin-1); BEL control + RLO
+_TC_NFD = "re" + chr(0x301) + "sume" + chr(0x301) + chr(0x200B) + " "
+_TC_MOJI = "caf" + chr(0xC3) + chr(0xA9) + " "
+_TC_CTRL = "x" + chr(0x07) + "y" + chr(0x202E) + " "
+
+
+def q_text_clean_gate(spark, sf_dir):
+    """(doc_id, control_ppm, zero_width_ppm, bidi_ppm, mojibake_ppm,
+    raw_len, clean_len, clean_md5) over 400 docs with planted damage."""
+    from automic_etl_spark.operators.textclean import clean_signals, clean_text
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(400)
+    )
+    planted = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(_TC_NFD), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit(_TC_MOJI), F.col("text")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit(_TC_CTRL), F.col("text")))
+        .otherwise(F.col("text")),
+    )
+    sig = clean_signals(planted)
+    cleaned = clean_text(
+        sig, normalize=True, fix_mojibake=False, strip=True, out_col="__clean"
+    )
+    return cleaned.select(
+        "doc_id",
+        "control_ppm",
+        "zero_width_ppm",
+        "bidi_ppm",
+        "mojibake_ppm",
+        F.length("text").alias("raw_len"),
+        F.length("__clean").alias("clean_len"),
+        F.md5("__clean").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def _text_clean_oracle() -> str:
+    from automic_etl_spark.operators.textclean import (
+        BIDI_CLASS,
+        CONTROL_CLASS,
+        MOJIBAKE_CLASS,
+        ZERO_WIDTH_CLASS,
+    )
+
+    # the operator's classes use Java \\uXXXX escapes, which RE2 does
+    # not understand — re-emit every escaped codepoint in RE2's
+    # \\x{XXXX} syntax (also avoids embedding real control characters,
+    # NUL included, in the SQL text)
+    def rx(cls: str) -> str:
+        decoded = cls.encode().decode("unicode_escape")
+        out = []
+        for ch in decoded:
+            if ch in "[]-":
+                out.append(ch)
+            else:
+                out.append("\\x{%04X}" % ord(ch))
+        return "".join(out)
+
+    ctl, zw = rx(CONTROL_CLASS), rx(ZERO_WIDTH_CLASS)
+    bidi, moji = rx(BIDI_CLASS), rx(MOJIBAKE_CLASS)
+
+    def plant_sql(s: str) -> str:
+        out, run = [], ""
+        for ch in s:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    out.append(f"'{run}'")
+                    run = ""
+                out.append(f"chr({ord(ch)})")
+        if run:
+            out.append(f"'{run}'")
+        return " || ".join(out)
+
+    nfd, mo, ct = plant_sql(_TC_NFD), plant_sql(_TC_MOJI), plant_sql(_TC_CTRL)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 400
+), planted AS (
+  SELECT doc_id,
+         CASE
+           WHEN doc_id % 4 = 0 THEN {nfd} || text
+           WHEN doc_id % 4 = 1 THEN {mo} || text
+           WHEN doc_id % 4 = 2 THEN {ct} || text
+           ELSE text
+         END AS t
+  FROM base
+), sig AS (
+  SELECT doc_id, t,
+         coalesce(len(t), 0) AS n,
+         coalesce(len(t) - len(regexp_replace(t, '{ctl}', '', 'g')), 0) AS n_ctl,
+         coalesce(len(t) - len(regexp_replace(t, '{zw}', '', 'g')), 0) AS n_zw,
+         coalesce(len(t) - len(regexp_replace(t, '{bidi}', '', 'g')), 0) AS n_bidi,
+         coalesce((len(t) - len(regexp_replace(t, '{moji}', '', 'g'))) // 2, 0)
+           AS n_moji
+  FROM planted
+), cleaned AS (
+  SELECT doc_id, t, n, n_ctl, n_zw, n_bidi, n_moji,
+         nfc_normalize(
+           regexp_replace(regexp_replace(regexp_replace(
+             t, '{ctl}', '', 'g'), '{zw}', '', 'g'), '{bidi}', '', 'g')
+         ) AS clean
+  FROM sig
+)
+SELECT doc_id,
+       CASE WHEN n > 0 THEN CAST(n_ctl * 1000000 // n AS BIGINT) ELSE 0 END
+         AS control_ppm,
+       CASE WHEN n > 0 THEN CAST(n_zw * 1000000 // n AS BIGINT) ELSE 0 END
+         AS zero_width_ppm,
+       CASE WHEN n > 0 THEN CAST(n_bidi * 1000000 // n AS BIGINT) ELSE 0 END
+         AS bidi_ppm,
+       CASE WHEN n > 0 THEN CAST(n_moji * 1000000 // n AS BIGINT) ELSE 0 END
+         AS mojibake_ppm,
+       CAST(n AS INTEGER) AS raw_len,
+       CAST(len(clean) AS INTEGER) AS clean_len,
+       md5(clean) AS clean_md5
+FROM cleaned ORDER BY doc_id
+"""
+
+
+ORACLE_TEXT_CLEAN = _text_clean_oracle()
+
+QUERIES_TAIL["text_clean"] = q_text_clean_gate
+ORACLE_TAIL["text_clean"] = ORACLE_TEXT_CLEAN

@@ -221,6 +221,14 @@ class CorpusCurator:
     winnow_k: int = 20
     winnow_w: int = 8
     winnow_max_df: int = 128
+    # Unicode hygiene (r16, the ftfy/CCNet cleaning pass,
+    # operators/textclean): strip control/zero-width/bidi chars,
+    # repair round-trip-safe UTF-8-as-Latin-1 mojibake, canonicalize
+    # to NFC — BEFORE any hashing stage, so encoding-damaged
+    # duplicates collapse at exact/near dedup instead of surviving as
+    # distinct byte strings. Row-preserving; the report gains
+    # unicode_cleaned_docs.
+    clean_unicode: bool = False
     # token-budget mixture stage (r7, Pile/DoReMi): per-group token
     # budgets applied AFTER quality/decontam/caps and BEFORE the split —
     # operators/mixing.token_budget_sample semantics (deterministic
@@ -374,6 +382,23 @@ class CorpusCurator:
             count_member(key, df)
             chain.append(key)
             return df
+
+        # -1. optional Unicode hygiene (row-preserving rewrite, FIRST:
+        # every downstream stage hashes text, and NFC/mojibake variants
+        # of the same content must collapse there, not survive)
+        if self.clean_unicode:
+            from automic_etl_spark.operators.textclean import clean_text
+
+            washed = hold(clean_text(docs, text_col=text_col, out_col="__clean"))
+            members.append(
+                washed.select(
+                    F.lit("unicode_cleaned").alias("__k"),
+                    (
+                        ~F.col(text_col).eqNullSafe(F.col("__clean"))
+                    ).cast("long").alias("__v"),
+                )
+            )
+            docs = washed.withColumn(text_col, F.col("__clean")).drop("__clean")
 
         # 0. optional corpus-wide line dedup (C4/CCNet): strip lines
         # repeated across >= line_dedup_min_df distinct docs BEFORE any
@@ -946,6 +971,8 @@ class CorpusCurator:
                 report["mixture_removed"] = removed("mixture")
         if self.redact_pii:
             report["pii_redacted_docs"] = t.get("pii_docs", 0)
+        if self.clean_unicode:
+            report["unicode_cleaned_docs"] = t.get("unicode_cleaned", 0)
         report["final_docs"] = n[chain[-1]]
         report["splits"] = {
             k[len("split:"):]: v for k, v in t.items() if k.startswith("split:")

@@ -78,6 +78,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_warc_dict_export,
     q_bucketed_join,
     q_corpus_curate,
+    q_code_curate,
     q_avro_scan,
     q_exif_scrub,
     q_dsir_select,
@@ -151,6 +152,9 @@ HEADLINE = {
     # round-7 surface: the flagship curate() funnel end-to-end (the
     # orchestration cost no per-stage bench can see)
     "corpus_curate": q_corpus_curate,
+    # round-16 surface: the code lane end-to-end (route -> license ->
+    # secret scrub -> winnowing near-dup collapse)
+    "code_curate": q_code_curate,
 }
 
 

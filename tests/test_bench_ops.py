@@ -159,3 +159,29 @@ def test_tmpcache_registry_sweeps_at_exit(tmp_path):
         assert f'mkdtemp(prefix="{fn_src}")' in inspect.getsource(bench_ops)
         src = inspect.getsource(bench_ops)
         assert f'register_cache_dir(tempfile.mkdtemp(prefix="{fn_src}"))' in src
+
+
+def test_code_curate_bench_counts(spark):
+    """The code-lane bench row's report must reflect its construction:
+    half the corpus routes away as prose, the GPL half of the code side
+    drops at the license gate, every surviving code doc carries the
+    planted AWS key (the scrub counts them all), and the winnow stage
+    removes uppercased twins the MinHash stage can't see."""
+    from automic_etl_spark.queries.bench_ops import q_code_curate
+
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    row = q_code_curate(spark, SF_SMALL).first()
+    n_code = len([i for i in range(n_docs) if i % 2 == 0])
+    n_prose = len([i for i in range(n_docs) if i % 20 == 1])
+    n_twins = len([i for i in range(n_docs) if i % 4 == 0 and i % 10 == 0])
+    assert row["input_docs"] == n_code + n_prose + n_twins
+    # the prose slice routes away (a few prose docs may read code-ish,
+    # so routed <= the prose count; code docs always route through)
+    assert 0 < row["code_routed_removed"] <= n_prose
+    assert row["license_removed"] > 0
+    # twins collapse at the winnow stage (a twin whose original fell at
+    # an earlier stage has no partner left — allow a small number)
+    assert row["winnow_dups_removed"] >= n_twins - 3
+    # every surviving doc is a code doc carrying the planted secret
+    assert row["pii_redacted_docs"] == row["final_docs"]
+    assert row["final_docs"] > 0

@@ -1096,6 +1096,39 @@ def test_corpus_curator_winnow_stage(spark):
     assert report["winnow_dups_removed"] == 1
 
 
+def test_corpus_curator_clean_unicode_stage(spark):
+    """r16: clean_unicode runs the hygiene pass BEFORE the hashing
+    stages — an NFD + zero-width + mojibake variant of a document is a
+    distinct byte string without it (survives exact dedup) and
+    collapses to one doc with it; the report counts rewritten docs."""
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    base = "caf" + chr(0xE9) + " menu with plenty of ordinary words on it"
+    damaged = (
+        "caf" + chr(0x65) + chr(0x301)  # NFD e + combining acute
+        + " menu with plenty" + chr(0x200B)  # zero-width space
+        + " of ordinary words on it"
+    )
+    rows = [
+        (1, base, "web"),
+        (2, damaged, "web"),
+        (3, "a different document about rivers and bridges entirely", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    plain, plain_rep = CorpusCurator(min_quality=0.0).curate(docs)
+    assert {r["doc_id"] for r in plain.collect()} == {1, 2, 3}
+    assert "unicode_cleaned_docs" not in plain_rep
+
+    out, report = CorpusCurator(min_quality=0.0, clean_unicode=True).curate(docs)
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+    assert report["unicode_cleaned_docs"] == 1  # only doc 2 rewritten
+    assert report["exact_dups_removed"] == 1
+    # the surviving text is the canonical NFC form
+    kept = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert kept[1] == base
+
+
 def test_cli_bloom_merge(spark, tmp_path, capsys, monkeypatch):
     """r16: `bloom-merge` unions per-suite artifacts built with a
     shared --expected; the merged filter catches leaks from BOTH."""

@@ -169,6 +169,10 @@ def test_registry_driver_window_prefix():
         # pairs; packed window-min with rightmost tie-break,
         # frequency-capped pair join and integer Jaccard all replayed
         "winnow_near_dup",
+        # -- r16 addition, overflow tail: Unicode hygiene (ftfy/CCNet
+        # class) — damage ppms, invisible strip and NFC replayed vs
+        # nfc_normalize; the mojibake repair is pytest-differential
+        "text_clean",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate
@@ -206,6 +210,10 @@ def test_coverage_doc_cites_live_gates():
         # r16: curator/operator API names cited in their COVERAGE rows
         "route_code", "is_permissive", "unimax_budgets", "unimax_mixture",
         "patterns_for", "merge_ngram_blooms",
+        # r16: winnowing/textclean API + param names in COVERAGE rows
+        "max_df", "min", "winnow_min_overlap_ppm", "clean_unicode",
+        "clean_signals", "clean_text", "nfc_normalize", "text",
+        "code_curate",
     }
     cited = {
         t

@@ -1,0 +1,88 @@
+"""Unicode text cleaning (operators/textclean): damage-signal counting,
+invisible-char stripping, NFC canonicalization, and the round-trip-
+guarded mojibake repair vs a pure-Python differential model.
+
+Every non-ASCII char in fixtures is an explicit \\u escape — literal
+invisible characters in source would be unreadable and fragile."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from automic_etl_spark.operators.textclean import (
+    clean_signals,
+    clean_text,
+    _fix_mojibake_py,
+)
+
+CAFE_NFC = "caf\u00e9"
+CAFE_NFD = "cafe\u0301"  # e + combining acute — NFC folds it
+MOJI = "caf\u00c3\u00a9"  # the NFC form's UTF-8 bytes read as Latin-1
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_signals_counts(spark):
+    rows = [
+        (0, "plain ascii text"),
+        (1, "a\u200bb\u200cc"),  # two zero-width chars / 5
+        (2, "x\x07y\x00z"),       # two control chars / 5
+        (3, "l\u202ear\u2066tl"),  # two bidi controls / 7 chars
+        (4, MOJI),                # one 2-byte mojibake pair / 5
+        (5, None),
+        (6, ""),
+    ]
+    got = {r["doc_id"]: r for r in clean_signals(_docs(spark, rows)).collect()}
+    assert got[0]["control_ppm"] == got[0]["zero_width_ppm"] == 0
+    assert got[1]["zero_width_ppm"] == 2 * 1_000_000 // 5
+    assert got[2]["control_ppm"] == 2 * 1_000_000 // 5
+    assert got[3]["bidi_ppm"] == 2 * 1_000_000 // 7
+    assert got[4]["mojibake_ppm"] == 1_000_000 // 5
+    assert got[5]["mojibake_ppm"] == 0 and got[6]["control_ppm"] == 0
+
+
+def test_clean_text_strip_nfc_and_repair(spark):
+    rows = [
+        (0, "a\u200b b\x07c\u202e"),  # invisible junk around "a bc"
+        (1, CAFE_NFD),                # NFD -> NFC
+        (2, MOJI),                    # repairable mojibake
+        (3, "price \u00c3 10"),  # lead byte NOT followed by a continuation
+        # char: encode('latin-1') ok but b'\xc3 ' is invalid UTF-8 ->
+        # round-trip guard leaves it unchanged
+        (4, None),
+    ]
+    got = {r["doc_id"]: r["text"] for r in clean_text(_docs(spark, rows)).collect()}
+    assert got[0] == "a bc"
+    assert got[1] == CAFE_NFC and len(got[1]) == 4
+    assert got[2] == CAFE_NFC
+    assert got[3] == "price Ã 10"
+    assert got[4] is None
+
+
+def test_mojibake_model_differential():
+    """The repair matches the obvious Python model over a damage sweep:
+    for any Latin-1-expressible text, damage(s) = s.encode('utf-8')
+    .decode('latin-1') must repair back to s exactly; text that never
+    round-trips (emoji > U+00FF) must pass through unchanged."""
+    samples = [
+        "café au lait",
+        "naïve — déjà vu (résumé)",
+        "Größenänderung über Nacht",
+        "emoji \U0001f600 stays",
+        "plain ascii",
+    ]
+    for s in samples:
+        damaged = s.encode("utf-8").decode("latin-1")
+        assert _fix_mojibake_py(damaged) == s
+    assert _fix_mojibake_py("emoji \U0001f600 stays") == "emoji \U0001f600 stays"
+
+
+def test_clean_text_out_col_and_flags(spark):
+    df = _docs(spark, [(0, CAFE_NFD)])
+    out = clean_text(df, out_col="clean", normalize=True).collect()[0]
+    assert out["text"] == CAFE_NFD and out["clean"] == CAFE_NFC
+    raw = clean_text(df, normalize=False, fix_mojibake=False).collect()[0]
+    assert raw["text"] == CAFE_NFD  # strip-only arm touches nothing here
+    assert unicodedata.normalize("NFC", raw["text"]) == CAFE_NFC

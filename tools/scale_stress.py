@@ -58,6 +58,7 @@ def _workloads():
         q_avro_scan,
         q_bpe_tokenize,
         q_bucketed_join,
+        q_code_curate,
         q_corpus_curate,
         q_warc_dict_export,
         q_decontaminate,
@@ -126,6 +127,7 @@ def _workloads():
         "line_dedup": q_line_dedup,
         "warc_extract": q_warc_extract,
         "corpus_curate": q_corpus_curate,
+        "code_curate": q_code_curate,
         "warc_dict_export": q_warc_dict_export,
         "bucketed_join": q_bucketed_join,
         "pricing_summary": q_pricing_summary,
