@@ -465,6 +465,35 @@ def _curator_never_broadcast_corpus(spark) -> list[str]:
     return failures
 
 
+def _winnow_one_shuffle(spark) -> list[str]:
+    """r16: the winnowing fingerprint selection — two Window
+    expressions (frame min + lag) over the SAME (doc, pos) partition
+    spec — must cost exactly ONE Exchange and ONE Sort: Catalyst reuses
+    the first Window's distribution/ordering for the second, so the
+    whole selection is one shuffle on the doc id. A second
+    Exchange/Sort appearing here means someone changed one window's
+    partition spec and doubled the operator's shuffle bill."""
+    from automic_etl_spark.operators.winnow import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with enough characters to fingerprint")
+         for i in range(8)],
+        "doc_id long, text string",
+    )
+    plan = winnow_fingerprints(df, k=6, w=4)._jdf.queryExecution().executedPlan().toString()
+    failures = []
+    n_ex = plan.count("Exchange ")
+    n_sort = plan.count("Sort [")
+    n_win = plan.count("Window [")
+    if n_ex != 1:
+        failures.append(f"winnow_one_shuffle: expected 1 Exchange, plan has {n_ex}")
+    if n_sort != 1:
+        failures.append(f"winnow_one_shuffle: expected 1 Sort, plan has {n_sort}")
+    if n_win != 2:
+        failures.append(f"winnow_one_shuffle: expected 2 Window nodes, plan has {n_win}")
+    return failures
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 
@@ -500,6 +529,9 @@ def main() -> None:
     bloom_failures = _bloom_flagged_never_broadcast(spark)
     failures += bloom_failures
     print(f"{'FAIL' if bloom_failures else 'PASS'} bloom_flagged_never_broadcast")
+    winnow_failures = _winnow_one_shuffle(spark)
+    failures += winnow_failures
+    print(f"{'FAIL' if winnow_failures else 'PASS'} winnow_one_shuffle")
     curator_bc_failures = _curator_never_broadcast_corpus(spark)
     failures += curator_bc_failures
     print(
