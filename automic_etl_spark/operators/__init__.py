@@ -32,6 +32,7 @@ from automic_etl_spark.operators.textclean import (
     clean_signals,
     clean_text,
 )
+from automic_etl_spark.operators.graph import pagerank
 from automic_etl_spark.operators.pdftext import extract_pdf_text, pdf_blobs_to_text
 from automic_etl_spark.operators.sketches import (
     approx_distinct,
@@ -66,6 +67,7 @@ __all__ = [
     "winnow_near_dups",
     "clean_signals",
     "clean_text",
+    "pagerank",
     "extract_pdf_text",
     "pdf_blobs_to_text",
     "approx_distinct",

@@ -1,0 +1,94 @@
+"""Link-graph centrality for web-corpus curation — integer-exact
+PageRank over a (src, dst) edge frame.
+
+Why it's here: host- and page-level link centrality is a standard
+crawl-curation quality signal (Common Crawl publishes host-level
+harmonic/PageRank centrality; RefinedWeb/CCNet-class pipelines filter
+and weight by URL/host quality). This operator turns an edge list
+(e.g. ``operators/urls.domain_of`` pairs extracted from WARC link
+fields) into a per-node rank usable as a curator quality column.
+
+Semantics — deterministic INTEGER arithmetic, so the whole iteration
+replays bit for bit in SQL (the repo-wide no-float-fold-order
+contract):
+
+- ranks are e6-scaled mass shares; every node starts at
+  ``1_000_000 // N``;
+- one iteration: ``share(u) = r(u) // outdeg(u)`` (floor), then
+  ``r'(v) = (1_000_000 - damping_ppm) // N
+  + damping_ppm * sum(share(u) for u->v) // 1_000_000`` (floor);
+- dangling nodes (no out-edges) LEAK their damped mass — the classic
+  simplification; total mass therefore drifts slightly below 1e6 by
+  floor-division + dangling loss. Callers ranking hosts care about
+  ORDER and magnitude, not stochastic-matrix purity; the loss is the
+  price of exact cross-engine replay.
+
+Scale shape: per iteration ONE equi-join (ranks x edges, shuffles on
+the node id) + one groupBy(dst) with map-side partial aggregation +
+one left join back to the node list — identical to the classic Pregel
+PageRank step. Lineage is truncated per round (localCheckpoint, the
+connected_components discipline) so plans stay flat. Iterations are
+a fixed count, not convergence-tested: crawl curation wants a stable,
+reproducible signal, and fixed-k is what the SQL replay can express.
+
+No reference counterpart (beyond-reference training-data mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_ppm: int = 850_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank_e6) after ``iterations`` exact-integer PageRank
+    steps over the DISTINCT self-loop-free edge set. Node universe =
+    every id appearing as src or dst."""
+    if not 0 <= damping_ppm <= 1_000_000:
+        raise ValueError(f"damping_ppm must be in [0, 1e6], got {damping_ppm}")
+    uniq = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        uniq.select(F.col("src").alias("node"))
+        .unionByName(uniq.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_e6", F.lit(0).cast("long"))
+    outdeg = uniq.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    base = (1_000_000 - damping_ppm) // n
+    ranks = nodes.withColumn("rank_e6", F.lit(1_000_000 // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(uniq, ranks["node"] == uniq["src"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_e6 DIV __d").alias("__share"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__share").alias("__s"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"{damping_ppm}L * coalesce(__s, 0L) DIV 1000000L")
+                ).cast("long").alias("rank_e6"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

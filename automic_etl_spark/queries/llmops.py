@@ -3905,3 +3905,82 @@ ORACLE_TEXT_CLEAN = _text_clean_oracle()
 
 QUERIES_TAIL["text_clean"] = q_text_clean_gate
 ORACLE_TAIL["text_clean"] = ORACLE_TEXT_CLEAN
+
+
+# --------------------------------------------------------------------------
+# host_pagerank (r16): integer-exact link-graph centrality
+# (operators/graph) — the crawl-curation quality signal (Common Crawl
+# publishes host-level centrality; RefinedWeb-class pipelines weight
+# by URL/host quality). The gate's graph is planted in-plan (three
+# affine maps over the doc-id universe, outdeg 3 everywhere, no
+# dangling nodes) and the ENTIRE fixed-k iteration — e6-scaled floor
+# shares, damped floor sums — replays bit for bit in a DuckDB
+# recursive CTE.
+# --------------------------------------------------------------------------
+
+_PRK_N, _PRK_K, _PRK_DAMP = 200, 8, 850_000
+
+
+def q_host_pagerank_gate(spark, sf_dir):
+    """(node, rank_e6) after 8 exact-integer PageRank steps over a
+    200-node planted graph."""
+    from automic_etl_spark.operators.graph import pagerank
+
+    ids = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") < _PRK_N)
+    )
+    edges = None
+    for k, c in ((2, 1), (3, 7), (5, 11)):
+        e = ids.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * k + c) % _PRK_N).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    return (
+        pagerank(edges, iterations=_PRK_K, damping_ppm=_PRK_DAMP)
+        .orderBy("node")
+    )
+
+
+ORACLE_HOST_PAGERANK = f"""
+WITH RECURSIVE ids AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_PRK_N}
+),
+edges AS (
+  SELECT doc_id AS src, (doc_id*2+1) % {_PRK_N} AS dst FROM ids
+  UNION ALL SELECT doc_id, (doc_id*3+7) % {_PRK_N} FROM ids
+  UNION ALL SELECT doc_id, (doc_id*5+11) % {_PRK_N} FROM ids
+),
+uniq_edges AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM uniq_edges
+    UNION ALL SELECT dst FROM uniq_edges
+  )
+),
+outdeg AS (SELECT src, count(*) AS d FROM uniq_edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr AS (
+  SELECT 0 AS it, node, CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM nodes
+  UNION ALL
+  SELECT p.it + 1, p.node,
+         CAST((1000000 - {_PRK_DAMP}) // (SELECT n FROM nn)
+              + {_PRK_DAMP} * coalesce(c.s, 0) // 1000000 AS BIGINT)
+  FROM pr p
+  LEFT JOIN (
+    SELECT p2.it AS it, e.dst, sum(p2.r // o.d) AS s
+    FROM pr p2
+    JOIN uniq_edges e ON e.src = p2.node
+    JOIN outdeg o ON o.src = p2.node
+    GROUP BY p2.it, e.dst
+  ) c ON c.dst = p.node AND c.it = p.it
+  WHERE p.it < {_PRK_K}
+)
+SELECT node, r AS rank_e6 FROM pr WHERE it = {_PRK_K} ORDER BY node
+"""
+
+QUERIES_TAIL["host_pagerank"] = q_host_pagerank_gate
+ORACLE_TAIL["host_pagerank"] = ORACLE_HOST_PAGERANK

@@ -1,0 +1,65 @@
+"""Integer-exact PageRank (operators/graph): python reference-model
+differential, structural properties, and edge semantics."""
+
+from __future__ import annotations
+
+from automic_etl_spark.operators.graph import pagerank
+
+
+def _py_pagerank(edges, iterations=8, damping_ppm=850_000):
+    uniq = {(a, b) for a, b in edges if a != b}
+    nodes = sorted({a for a, _ in uniq} | {b for _, b in uniq})
+    n = len(nodes)
+    outdeg = {}
+    for a, _ in uniq:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = (1_000_000 - damping_ppm) // n
+    r = {v: 1_000_000 // n for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0 for v in nodes}
+        for a, b in uniq:
+            s[b] += r[a] // outdeg[a]
+        r = {v: base + damping_ppm * s[v] // 1_000_000 for v in nodes}
+    return r
+
+
+def test_matches_python_model(spark):
+    n = 40
+    edges = []
+    for u in range(n):
+        for k, c in ((2, 1), (3, 7), (5, 11)):
+            edges.append((u, (u * k + c) % n))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_e6"] for r in pagerank(df, iterations=6).collect()}
+    assert got == _py_pagerank(edges, iterations=6)
+    # mass conserved up to floor-division loss (no dangling nodes here)
+    assert 0.98 * 1_000_000 <= sum(got.values()) <= 1_000_000
+
+
+def test_hub_outranks_leaves(spark):
+    # star graph with return edges (a one-way star oscillates at small
+    # fixed k): every leaf points at the hub, the hub points back at
+    # every leaf — the hub aggregates nine full shares, each leaf gets
+    # one ninth of the hub's
+    edges = [(i, 0) for i in range(1, 10)] + [(0, i) for i in range(1, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_e6"] for r in pagerank(df).collect()}
+    assert got[0] == max(got.values())
+    assert all(got[0] > 3 * got[i] for i in range(1, 10))
+
+
+def test_self_loops_and_duplicates_ignored(spark):
+    edges = [(1, 2), (1, 2), (1, 1), (2, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank_e6"] for r in pagerank(df, iterations=4).collect()}
+    assert got == _py_pagerank([(1, 2), (2, 1)], iterations=4)
+    # symmetric 2-cycle: equal ranks
+    assert got[1] == got[2]
+
+
+def test_dangling_mass_leaks_documented(spark):
+    # 1 -> 2, 2 has no out-edges: 2's damped mass leaves the system
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_e6"] for r in pagerank(df, iterations=3).collect()}
+    assert got == _py_pagerank([(1, 2)], iterations=3)
+    assert sum(got.values()) < 1_000_000

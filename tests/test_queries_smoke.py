@@ -173,6 +173,10 @@ def test_registry_driver_window_prefix():
         # class) — damage ppms, invisible strip and NFC replayed vs
         # nfc_normalize; the mojibake repair is pytest-differential
         "text_clean",
+        # -- r16 addition, overflow tail: integer-exact PageRank (the
+        # Common Crawl host-centrality signal class), full recursive-
+        # CTE replay
+        "host_pagerank",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate
