@@ -1851,3 +1851,36 @@ def q_code_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "input_docs long, code_routed_removed long, license_removed long, "
         "winnow_dups_removed long, pii_redacted_docs long, final_docs long",
     )
+
+
+def q_host_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over a planted link graph on the full
+    doc-id universe (6 affine maps -> outdeg 6 per node): times the
+    ITERATIVE-JOIN loop shape — 8 rounds of ranks-x-edges equi-join +
+    map-side-combined groupBy(dst) + left join to the node list, with
+    per-round lineage truncation — that no other bench row exercises
+    outside the curate funnels' connected components. Reduced to
+    corpus-level rank stats so the collect is one row."""
+    from automic_etl_spark.operators.graph import pagerank
+
+    # dense 0..n-1 universe sized by the documents table (so the graph
+    # scales with sf_dir and the 10x stress inflation); affine maps mod
+    # n give an expander where every node has out- and in-edges —
+    # modding by a constant larger than the universe made nearly every
+    # dst a dangling sink and 85% of the mass leaked by step 8
+    n = load_table(spark, sf_dir, "documents").count()
+    ids = spark.range(n)
+    edges = None
+    for k, c in ((2, 1), (3, 7), (5, 11), (7, 13), (11, 17), (13, 19)):
+        e = ids.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * k + c) % n).alias("dst"),
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    ranks = pagerank(edges, iterations=8)
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("rank_e6").alias("total_mass_e6"),
+        F.max("rank_e6").alias("max_rank_e6"),
+        F.min("rank_e6").alias("min_rank_e6"),
+    )

@@ -79,6 +79,7 @@ from automic_etl_spark.queries.bench_ops import (  # noqa: E402
     q_bucketed_join,
     q_corpus_curate,
     q_code_curate,
+    q_host_rank,
     q_avro_scan,
     q_exif_scrub,
     q_dsir_select,
@@ -155,6 +156,8 @@ HEADLINE = {
     # round-16 surface: the code lane end-to-end (route -> license ->
     # secret scrub -> winnowing near-dup collapse)
     "code_curate": q_code_curate,
+    # round-16 surface: the iterative-join (Pregel-step) loop shape
+    "host_rank": q_host_rank,
 }
 
 

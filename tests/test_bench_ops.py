@@ -185,3 +185,17 @@ def test_code_curate_bench_counts(spark):
     # every surviving doc is a code doc carrying the planted secret
     assert row["pii_redacted_docs"] == row["final_docs"]
     assert row["final_docs"] > 0
+
+
+def test_host_rank_bench_counts(spark):
+    """The PageRank bench row's graph must be healthy: a dense
+    universe sized by the documents table, near-conserved mass (floor
+    loss only — a degenerate dangling-heavy graph leaks most of it),
+    and differentiated ranks."""
+    from automic_etl_spark.queries.bench_ops import q_host_rank
+
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    row = q_host_rank(spark, SF_SMALL).first()
+    assert row["n_nodes"] == n_docs
+    assert 0.9 * 1_000_000 <= row["total_mass_e6"] <= 1_000_000
+    assert row["max_rank_e6"] > row["min_rank_e6"] > 0

@@ -59,6 +59,7 @@ def _workloads():
         q_bpe_tokenize,
         q_bucketed_join,
         q_code_curate,
+        q_host_rank,
         q_corpus_curate,
         q_warc_dict_export,
         q_decontaminate,
@@ -128,6 +129,7 @@ def _workloads():
         "warc_extract": q_warc_extract,
         "corpus_curate": q_corpus_curate,
         "code_curate": q_code_curate,
+        "host_rank": q_host_rank,
         "warc_dict_export": q_warc_dict_export,
         "bucketed_join": q_bucketed_join,
         "pricing_summary": q_pricing_summary,
