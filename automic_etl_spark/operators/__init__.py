@@ -33,6 +33,11 @@ from automic_etl_spark.operators.textclean import (
     clean_text,
 )
 from automic_etl_spark.operators.graph import pagerank
+from automic_etl_spark.operators.weblinks import (
+    extract_links,
+    host_centrality,
+    host_edges,
+)
 from automic_etl_spark.operators.pdftext import extract_pdf_text, pdf_blobs_to_text
 from automic_etl_spark.operators.sketches import (
     approx_distinct,
@@ -68,6 +73,9 @@ __all__ = [
     "clean_signals",
     "clean_text",
     "pagerank",
+    "extract_links",
+    "host_edges",
+    "host_centrality",
     "extract_pdf_text",
     "pdf_blobs_to_text",
     "approx_distinct",

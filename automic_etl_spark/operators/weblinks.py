@@ -1,0 +1,90 @@
+"""Hyperlink extraction + host-graph construction — the lane that turns
+crawled HTML into the link graph ``operators/graph.pagerank`` ranks
+(WARC pages → href targets → (src_host, dst_host) edges → centrality,
+the Common Crawl host-graph pipeline).
+
+Zero UDF: link extraction is ``regexp_extract_all`` over the raw HTML
+(double- and single-quoted href attributes, case-insensitive), host
+extraction reuses ``operators/urls.url_host``. Only ABSOLUTE http(s)
+targets become edges — relative-URL resolution needs a full RFC 3986
+reference-resolution algorithm whose corner cases (dot-segments,
+scheme-relative ``//host`` forms are handled, path-relative are not)
+don't change host-level graphs materially: a page's relative links
+point at its OWN host, which the self-loop filter drops anyway.
+
+Scale shape: extraction is map-only (explode of a per-page array);
+the edge set is one distinct (shuffle on the edge pair); pagerank's
+per-iteration cost is documented in operators/graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from automic_etl_spark.operators.urls import url_host
+
+# href="..." / href='...' — [^"'<>] keeps markup breakage from eating
+# the rest of the document into one "link"
+_HREF_DQ = "(?i)href\\s*=\\s*\"([^\"<>]+)\""
+_HREF_SQ = "(?i)href\\s*=\\s*'([^'<>]+)'"
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    out_col: str = "link",
+) -> DataFrame:
+    """One row per href target per page (original columns preserved).
+    Scheme-relative ``//host/path`` targets are resolved against the
+    page URL's scheme; other relative targets are dropped (host-graph
+    rationale in the module doc)."""
+    html = F.coalesce(F.col(html_col), F.lit(""))
+    targets = F.array_union(
+        F.regexp_extract_all(html, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(html, F.lit(_HREF_SQ), F.lit(1)),
+    )
+    exploded = df.withColumn(out_col, F.explode(targets))
+    scheme = F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    link = F.col(out_col)
+    resolved = F.when(
+        link.startswith("//") & (scheme != ""), F.concat(scheme, F.lit(":"), link)
+    ).otherwise(link)
+    return exploded.withColumn(out_col, resolved).filter(
+        F.col(out_col).rlike("^(?i)https?://")
+    )
+
+
+def host_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """DISTINCT self-loop-free (src, dst) host pairs from every page's
+    absolute links — the input shape ``pagerank`` expects."""
+    links = extract_links(df, html_col=html_col, url_col=url_col)
+    pairs = links.select(
+        url_host(F.col(url_col)).alias("src"),
+        url_host(F.col("link")).alias("dst"),
+    )
+    return (
+        pairs.filter((F.col("src") != "") & (F.col("dst") != ""))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def host_centrality(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    iterations: int = 8,
+    damping_ppm: int = 850_000,
+) -> DataFrame:
+    """(host, rank_e6): the one-call page-frame → host-centrality
+    composition (extract → edges → integer-exact pagerank)."""
+    from automic_etl_spark.operators.graph import pagerank
+
+    edges = host_edges(pages, html_col=html_col, url_col=url_col)
+    ranks = pagerank(edges, iterations=iterations, damping_ppm=damping_ppm)
+    return ranks.select(F.col("node").alias("host"), "rank_e6")

@@ -3984,3 +3984,118 @@ SELECT node, r AS rank_e6 FROM pr WHERE it = {_PRK_K} ORDER BY node
 
 QUERIES_TAIL["host_pagerank"] = q_host_pagerank_gate
 ORACLE_TAIL["host_pagerank"] = ORACLE_HOST_PAGERANK
+
+
+# --------------------------------------------------------------------------
+# link_host_rank (r16): the full link-graph lane — HTML pages planted
+# in-plan -> href extraction (dq/sq/scheme-relative/relative/self
+# cases) -> host edges -> integer-exact pagerank — replayed end to end
+# in DuckDB (regexp_extract_all + host regex + the recursive-CTE
+# iteration from host_pagerank, here over VARCHAR host nodes).
+# --------------------------------------------------------------------------
+
+_LHR_H, _LHR_K = 25, 6  # hosts, iterations
+
+
+def q_link_host_rank_gate(spark, sf_dir):
+    """(host, rank_e6) over a 25-host planted web: every page carries a
+    double-quoted, a single-quoted, a scheme-relative, a relative
+    (dropped) and a same-host (self-loop-dropped) link."""
+    from automic_etl_spark.operators.weblinks import host_centrality
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    )
+    h = F.col("doc_id") % _LHR_H
+    d1 = (F.col("doc_id") * 2 + 1) % _LHR_H
+    d2 = (F.col("doc_id") * 3 + 7) % _LHR_H
+    d3 = (F.col("doc_id") * 5 + 11) % _LHR_H
+    pages = docs.select(
+        F.concat(F.lit("https://h"), h, F.lit(".example.org/p"), F.col("doc_id")).alias("url"),
+        F.concat(
+            F.lit('<p>body</p><a href="https://h'), d1,
+            F.lit('.example.org/x">a</a>'),
+            F.lit("<a href='https://h"), d2,
+            F.lit(".example.org/y'>b</a>"),
+            F.lit('<a href="//h'), d3,
+            F.lit('.example.org/z">c</a>'),
+            F.lit('<a href="/local/page">rel</a>'),
+            F.lit('<a href="https://h'), h,
+            F.lit('.example.org/self">self</a>'),
+        ).alias("html"),
+    )
+    return host_centrality(pages, iterations=_LHR_K).orderBy("host")
+
+
+ORACLE_LINK_HOST_RANK = f"""
+WITH RECURSIVE pages AS (
+  SELECT 'https://h' || (doc_id % {_LHR_H}) || '.example.org/p' || doc_id AS url,
+         '<p>body</p><a href="https://h' || ((doc_id*2+1) % {_LHR_H})
+           || '.example.org/x">a</a>'
+         || '<a href=''https://h' || ((doc_id*3+7) % {_LHR_H})
+           || '.example.org/y''>b</a>'
+         || '<a href="//h' || ((doc_id*5+11) % {_LHR_H})
+           || '.example.org/z">c</a>'
+         || '<a href="/local/page">rel</a>'
+         || '<a href="https://h' || (doc_id % {_LHR_H})
+           || '.example.org/self">self</a>' AS html
+  FROM documents WHERE doc_id < 300
+),
+raw_links AS (
+  SELECT url,
+         unnest(list_concat(
+           regexp_extract_all(html, '(?i)href\\s*=\\s*"([^"<>]+)"', 1),
+           regexp_extract_all(html, '(?i)href\\s*=\\s*''([^''<>]+)''', 1)
+         )) AS link
+  FROM pages
+),
+resolved AS (
+  SELECT url,
+         CASE WHEN link LIKE '//%' THEN
+           regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1) || ':' || link
+         ELSE link END AS link
+  FROM raw_links
+),
+abs_links AS (
+  SELECT url, link FROM resolved WHERE regexp_matches(link, '^(?i)https?://')
+),
+pairs AS (
+  SELECT lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS src,
+         lower(regexp_extract(link,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS dst
+  FROM abs_links
+),
+uniq_edges AS (
+  SELECT DISTINCT src, dst FROM pairs
+  WHERE src <> '' AND dst <> '' AND src <> dst
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM uniq_edges UNION ALL SELECT dst FROM uniq_edges
+  )
+),
+outdeg AS (SELECT src, count(*) AS d FROM uniq_edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr AS (
+  SELECT 0 AS it, node, CAST(1000000 // (SELECT n FROM nn) AS BIGINT) AS r
+  FROM nodes
+  UNION ALL
+  SELECT p.it + 1, p.node,
+         CAST((1000000 - 850000) // (SELECT n FROM nn)
+              + 850000 * coalesce(c.s, 0) // 1000000 AS BIGINT)
+  FROM pr p
+  LEFT JOIN (
+    SELECT p2.it AS it, e.dst, sum(p2.r // o.d) AS s
+    FROM pr p2
+    JOIN uniq_edges e ON e.src = p2.node
+    JOIN outdeg o ON o.src = p2.node
+    GROUP BY p2.it, e.dst
+  ) c ON c.dst = p.node AND c.it = p.it
+  WHERE p.it < {_LHR_K}
+)
+SELECT node AS host, r AS rank_e6 FROM pr WHERE it = {_LHR_K} ORDER BY host
+"""
+
+QUERIES_TAIL["link_host_rank"] = q_link_host_rank_gate
+ORACLE_TAIL["link_host_rank"] = ORACLE_LINK_HOST_RANK

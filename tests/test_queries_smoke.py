@@ -177,6 +177,9 @@ def test_registry_driver_window_prefix():
         # Common Crawl host-centrality signal class), full recursive-
         # CTE replay
         "host_pagerank",
+        # -- r16 addition, overflow tail: the HTML->links->host-graph->
+        # centrality lane, replayed end to end
+        "link_host_rank",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate
@@ -217,7 +220,8 @@ def test_coverage_doc_cites_live_gates():
         # r16: winnowing/textclean API + param names in COVERAGE rows
         "max_df", "min", "winnow_min_overlap_ppm", "clean_unicode",
         "clean_signals", "clean_text", "nfc_normalize", "text",
-        "code_curate",
+        "code_curate", "host_centrality", "regexp_extract_all",
+        "host_rank",
     }
     cited = {
         t

@@ -1,0 +1,70 @@
+"""Hyperlink extraction + host graph (operators/weblinks)."""
+
+from __future__ import annotations
+
+from automic_etl_spark.operators.weblinks import (
+    extract_links,
+    host_edges,
+    host_centrality,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+def test_extract_links_quoting_and_resolution(spark):
+    html = (
+        '<a href="https://a.example.com/x">dq</a> '
+        "<a href='HTTP://B.example.com/y'>sq case</a> "
+        '<a href="//c.example.com/z">scheme-relative</a> '
+        '<a href="/local/page">relative dropped</a> '
+        '<a href="mailto:x@example.com">non-http dropped</a> '
+        '<a href = "https://d.example.com/spaced">spaced attr</a>'
+    )
+    df = _pages(spark, [("https://src.example.com/page", html)])
+    links = sorted(r["link"] for r in extract_links(df).collect())
+    assert links == [
+        "HTTP://B.example.com/y",
+        "https://a.example.com/x",
+        "https://c.example.com/z",  # resolved against the page scheme
+        "https://d.example.com/spaced",
+    ]
+
+
+def test_host_edges_dedup_and_self_loop(spark):
+    html = (
+        '<a href="https://other.example.com/1">x</a>'
+        '<a href="https://other.example.com/2">same host twice</a>'
+        '<a href="https://me.example.com/self">self loop</a>'
+    )
+    df = _pages(spark, [("https://me.example.com/p", html)])
+    edges = [(r["src"], r["dst"]) for r in host_edges(df).collect()]
+    assert edges == [("me.example.com", "other.example.com")]
+
+
+def test_host_centrality_end_to_end(spark):
+    # every satellite links to the hub; the hub links to satellite 1
+    # and each satellite back (return edges damp oscillation)
+    rows = []
+    for i in range(1, 6):
+        rows.append(
+            (f"https://s{i}.net/p", '<a href="https://hub.net/"></a>')
+        )
+    rows.append(
+        ("https://hub.net/",
+         "".join(f'<a href="https://s{i}.net/p"></a>' for i in range(1, 6)))
+    )
+    got = {
+        r["host"]: r["rank_e6"]
+        for r in host_centrality(_pages(spark, rows), iterations=6).collect()
+    }
+    assert set(got) == {"hub.net"} | {f"s{i}.net" for i in range(1, 6)}
+    assert got["hub.net"] == max(got.values())
+    assert all(got["hub.net"] > 2 * got[f"s{i}.net"] for i in range(1, 6))
+
+
+def test_null_and_empty_html(spark):
+    df = _pages(spark, [("https://x.net/", None), ("https://y.net/", "")])
+    assert extract_links(df).count() == 0
+    assert host_edges(df).count() == 0
