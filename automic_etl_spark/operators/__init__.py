@@ -38,6 +38,10 @@ from automic_etl_spark.operators.weblinks import (
     host_centrality,
     host_edges,
 )
+from automic_etl_spark.operators.robots import (
+    parse_robots,
+    robots_allowed,
+)
 from automic_etl_spark.operators.pdftext import extract_pdf_text, pdf_blobs_to_text
 from automic_etl_spark.operators.sketches import (
     approx_distinct,
@@ -76,6 +80,8 @@ __all__ = [
     "extract_links",
     "host_edges",
     "host_centrality",
+    "parse_robots",
+    "robots_allowed",
     "extract_pdf_text",
     "pdf_blobs_to_text",
     "approx_distinct",

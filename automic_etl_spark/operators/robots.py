@@ -1,0 +1,171 @@
+"""robots.txt parsing + URL permission matching (RFC 9309) — the crawl
+politeness/compliance gate every web-corpus pipeline applies before
+fetch or retention (C4/CCNet-class corpora advertise robots-respecting
+crawls; Common Crawl honors robots at fetch time).
+
+Everything is relational (zero UDF, gate-replayable):
+
+- ``parse_robots``: line explode → comment strip → field/value regex →
+  GROUP construction (a group = a maximal run of consecutive
+  user-agent lines plus the rules that follow, per RFC 9309 §2.1) via
+  one lag + running-sum window; rules join to their group's agents.
+- ``robots_allowed``: RFC matching — the most specific agent's groups
+  are selected (exact product-token match, else ``*``; all groups for
+  the same agent merge), each rule's path pattern compiles to a regex
+  (``*`` → ``.*``, trailing ``$`` anchors, every other metacharacter
+  escaped — both special characters are RFC 9309 §2.2.3), and the
+  LONGEST matching rule wins with allow winning length ties
+  (§2.2.2). No matching group or no matching rule ⇒ allowed.
+
+Documented simplifications: agent matching is case-insensitive exact
+equality on the product token (the RFC's "substring of the user-agent
+string" lenience is a client nicety, not a corpus-curation need), and
+paths are compared as-is (no %-encoding normalization).
+
+Scale shape: parsing is one explode + one host-keyed window; matching
+is one host-keyed equi-join (urls × rules — rules frames are tiny
+relative to URL frames but corpus-derived, so no broadcast hint; AQE
+sizes it) + one groupBy(url) max. No all-pairs anywhere.
+
+No reference counterpart (beyond-reference training-data mandate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from automic_etl_spark.operators.urls import url_host
+
+_FIELD_RE = "^([A-Za-z-]+)\\s*:"
+_VALUE_RE = "^[A-Za-z-]+\\s*:(.*)$"
+# regex metacharacters escaped in rule paths — '*' excluded (wildcard,
+# expanded after) and '$' handled positionally (trailing = anchor)
+_META_RE = "([.+?^$(){}\\[\\]|\\\\])"
+
+
+def parse_robots(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, agent, is_allow, path, rule_len): one row per
+    (rule, group agent) pair. Rules before any user-agent line are
+    ignored (RFC: rules outside a group); empty-path rules are dropped
+    (an empty Disallow/Allow constrains nothing)."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "idx", "__line"
+        ),
+    )
+    clean = lines.select(
+        "host",
+        "idx",
+        F.trim(F.regexp_replace("__line", "#.*$", "")).alias("__line"),
+    )
+    fielded = clean.select(
+        "host",
+        "idx",
+        F.lower(F.regexp_extract("__line", _FIELD_RE, 1)).alias("__field"),
+        F.trim(F.regexp_extract("__line", _VALUE_RE, 1)).alias("__value"),
+    ).filter(F.col("__field").isin("user-agent", "allow", "disallow"))
+    order = W.partitionBy("host").orderBy("idx")
+    run = (
+        W.partitionBy("host")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    grouped = (
+        fielded.withColumn("__is_ua", F.col("__field") == "user-agent")
+        .withColumn("__prev_ua", F.lag("__is_ua").over(order))
+        .withColumn(
+            "__new_grp",
+            (
+                F.col("__is_ua")
+                & (F.col("__prev_ua").isNull() | ~F.col("__prev_ua"))
+            ).cast("int"),
+        )
+        .withColumn("__grp", F.sum("__new_grp").over(run))
+    )
+    agents = (
+        grouped.filter(F.col("__is_ua"))
+        .select("host", "__grp", F.lower(F.col("__value")).alias("agent"))
+        .distinct()
+    )
+    rules = grouped.filter(~F.col("__is_ua") & (F.col("__value") != "")).select(
+        "host",
+        "__grp",
+        (F.col("__field") == "allow").alias("is_allow"),
+        F.col("__value").alias("path"),
+        F.length("__value").alias("rule_len"),
+    )
+    return rules.join(agents, ["host", "__grp"]).select(
+        "host", "agent", "is_allow", "path", "rule_len"
+    )
+
+
+def _rule_regex(path: F.Column) -> F.Column:
+    """RFC 9309 §2.2.3 pattern → anchored regex: trailing ``$`` becomes
+    the end anchor, ``*`` becomes ``.*``, everything else literal."""
+    ends = path.endswith("$")
+    core = F.when(ends, F.expr("substring(path, 1, length(path) - 1)")).otherwise(path)
+    esc = F.regexp_replace(core, _META_RE, "\\\\$1")
+    wild = F.regexp_replace(esc, "\\*", ".*")
+    return F.concat(F.lit("^"), wild, F.when(ends, F.lit("$")).otherwise(F.lit("")))
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Append ``allowed`` to ``urls``: RFC 9309 longest-match verdict
+    for ``agent`` against ``rules`` (the parse_robots output). URLs
+    whose host has no robots rules, no group for the agent (or ``*``),
+    or no matching rule are allowed."""
+    agent_lc = agent.lower()
+    # most-specific group selection: exact agent if any group names it
+    # on that host, else the '*' groups
+    cand = rules.filter(
+        (F.col("agent") == agent_lc) | (F.col("agent") == "*")
+    ).withColumn("__exact", (F.col("agent") == agent_lc).cast("int"))
+    host_best = cand.groupBy("host").agg(F.max("__exact").alias("__best"))
+    selected = cand.join(host_best, "host").filter(
+        F.col("__exact") == F.col("__best")
+    )
+    matchable = selected.withColumn("__rx", _rule_regex(F.col("path")))
+
+    pages = urls.withColumn("__host", url_host(F.col(url_col))).withColumn(
+        "__path",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    F.col(url_col),
+                    "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?#].*)?$",
+                    1,
+                ),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ),
+    )
+    hits = (
+        pages.join(matchable, pages["__host"] == matchable["host"])
+        .filter(F.expr("__path rlike __rx"))
+        .groupBy(url_col)
+        .agg(
+            F.max(
+                F.struct(F.col("rule_len"), F.col("is_allow").cast("int").alias("__a"))
+            ).alias("__win")
+        )
+        .select(
+            F.col(url_col),
+            (F.col("__win.__a") == 1).alias("__verdict"),
+        )
+    )
+    return (
+        pages.join(hits, url_col, "left")
+        .withColumn("allowed", F.coalesce(F.col("__verdict"), F.lit(True)))
+        .drop("__verdict", "__host", "__path")
+    )

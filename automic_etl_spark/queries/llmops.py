@@ -4099,3 +4099,172 @@ SELECT node AS host, r AS rank_e6 FROM pr WHERE it = {_LHR_K} ORDER BY host
 
 QUERIES_TAIL["link_host_rank"] = q_link_host_rank_gate
 ORACLE_TAIL["link_host_rank"] = ORACLE_LINK_HOST_RANK
+
+
+# --------------------------------------------------------------------------
+# robots_match (r16): RFC 9309 robots.txt parsing + longest-match URL
+# permissions (operators/robots) — the crawl-compliance gate. Robots
+# policies are module-level constants planted identically in both
+# engines; URLs derive from the documents table. The ENTIRE pipeline —
+# line explode, comment strip, group construction (lag + running sum),
+# most-specific agent selection, pattern->regex compilation ('*'
+# wildcard, trailing '$' anchor, metacharacter escaping) and the
+# longest-match/allow-ties verdict — replays in DuckDB, including
+# per-row regexp_matches with COLUMN patterns.
+# --------------------------------------------------------------------------
+
+_RB_POLICIES = (
+    ("h0.example",
+     "# policy\n"
+     "User-agent: crawler\n"
+     "Disallow: /p1\n"
+     "Allow: /p1/ok\n"
+     "Disallow: /p2*\n"
+     "Disallow: /p3/ok$\n"
+     "\n"
+     "User-agent: *\n"
+     "Disallow: /\n"),
+    ("h1.example",
+     "User-agent: *\n"
+     "Disallow: /p4\n"
+     "Allow: /p4/doc\n"
+     "Disallow:\n"),
+)
+_RB_AGENT = "crawler"
+
+
+def q_robots_match_gate(spark, sf_dir):
+    """(url, allowed) for 300 planted URLs across three hosts (one with
+    no robots at all) under agent 'crawler'."""
+    from automic_etl_spark.operators.robots import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        list(_RB_POLICIES), "host string, robots_txt string"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") < 300
+    )
+    # independent moduli (doc_id, DIV 3, DIV 18) so host/segment/tail
+    # vary independently: 3*6*3 = 54 distinct URLs covering every
+    # (policy, rule) combination; output is DISTINCT (the 300 input
+    # rows alias onto the 54)
+    seg = F.expr("(doc_id DIV 3) % 6")
+    tail = F.when(F.expr("(doc_id DIV 18) % 3") == 0, F.lit("ok")).otherwise(
+        F.concat(F.lit("doc"), F.expr("(doc_id DIV 18) % 3"))
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 3, F.lit(".example/p"),
+            seg, F.lit("/"), tail,
+        ).alias("url")
+    ).distinct()
+    rules = parse_robots(robots)
+    return (
+        robots_allowed(pages, rules, agent=_RB_AGENT)
+        .select("url", "allowed")
+        .orderBy("url")
+    )
+
+
+def _robots_oracle() -> str:
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+    policies = ", ".join(f"({lit(h)}, {lit(t)})" for h, t in _RB_POLICIES)
+    return f"""
+WITH robots(host, txt) AS (VALUES {policies}),
+split AS (
+  SELECT host, string_split(txt, chr(10)) AS ls FROM robots
+),
+lines AS (
+  SELECT host, t.i AS idx,
+         trim(regexp_replace(ls[t.i], '#.*$', '')) AS line
+  FROM split CROSS JOIN UNNEST(generate_series(1, len(ls))) AS t(i)
+),
+fielded AS (
+  SELECT host, idx,
+         lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1)) AS f,
+         trim(regexp_extract(line, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS v
+  FROM lines
+  WHERE lower(regexp_extract(line, '^([A-Za-z-]+)\\s*:', 1))
+        IN ('user-agent', 'allow', 'disallow')
+),
+lagged AS (
+  SELECT host, idx, f, v,
+         (f = 'user-agent') AS is_ua,
+         coalesce(lag(f = 'user-agent')
+                  OVER (PARTITION BY host ORDER BY idx), FALSE) AS prev_ua
+  FROM fielded
+),
+grouped AS (
+  SELECT host, idx, f, v, is_ua,
+         sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+           OVER (PARTITION BY host ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM lagged
+),
+agents AS (
+  SELECT DISTINCT host, grp, lower(v) AS agent FROM grouped WHERE is_ua
+),
+rules AS (
+  SELECT host, grp, (f = 'allow') AS is_allow, v AS path,
+         CAST(len(v) AS INTEGER) AS rule_len
+  FROM grouped WHERE NOT is_ua AND v <> ''
+),
+joined AS (
+  SELECT r.host, a.agent, r.is_allow, r.path, r.rule_len
+  FROM rules r JOIN agents a USING (host, grp)
+),
+cand AS (
+  SELECT *, CASE WHEN agent = '{_RB_AGENT}' THEN 1 ELSE 0 END AS exact
+  FROM joined WHERE agent IN ('{_RB_AGENT}', '*')
+),
+best AS (SELECT host, max(exact) AS b FROM cand GROUP BY host),
+selected AS (
+  SELECT c.*,
+         '^' || replace(
+                  regexp_replace(
+                    CASE WHEN c.path LIKE '%$'
+                         THEN substring(c.path, 1, len(c.path) - 1)
+                         ELSE c.path END,
+                    '([.+?^$(){{}}\\[\\]|\\\\])', '\\\\\\1', 'g'),
+                  '*', '.*')
+             || CASE WHEN c.path LIKE '%$' THEN '$' ELSE '' END AS rx
+  FROM cand c JOIN best USING (host) WHERE c.exact = best.b
+),
+pages AS (
+  SELECT DISTINCT 'https://h' || (doc_id % 3) || '.example/p'
+         || ((doc_id // 3) % 6) || '/'
+         || CASE WHEN (doc_id // 18) % 3 = 0 THEN 'ok'
+                 ELSE 'doc' || ((doc_id // 18) % 3) END
+         AS url
+  FROM documents WHERE doc_id < 300
+),
+parsed AS (
+  SELECT url,
+         lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS phost,
+         coalesce(nullif(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?#].*)?$', 1), ''), '/')
+           AS ppath
+  FROM pages
+),
+hits AS (
+  SELECT url, is_allow, rule_len,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY rule_len DESC, is_allow DESC) AS rn
+  FROM parsed p JOIN selected s ON s.host = p.phost
+  WHERE regexp_matches(p.ppath, s.rx)
+),
+verdicts AS (SELECT url, is_allow FROM hits WHERE rn = 1)
+SELECT p.url, coalesce(any_value(v.is_allow), TRUE) AS allowed
+FROM parsed p LEFT JOIN verdicts v ON v.url = p.url
+GROUP BY p.url
+ORDER BY p.url
+"""
+
+
+ORACLE_ROBOTS_MATCH = _robots_oracle()
+
+QUERIES_TAIL["robots_match"] = q_robots_match_gate
+ORACLE_TAIL["robots_match"] = ORACLE_ROBOTS_MATCH

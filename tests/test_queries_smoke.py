@@ -180,6 +180,9 @@ def test_registry_driver_window_prefix():
         # -- r16 addition, overflow tail: the HTML->links->host-graph->
         # centrality lane, replayed end to end
         "link_host_rank",
+        # -- r16 addition, overflow tail: RFC 9309 robots.txt parsing +
+        # longest-match URL permissions, full relational replay
+        "robots_match",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate

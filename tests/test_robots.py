@@ -1,0 +1,107 @@
+"""robots.txt parsing + RFC 9309 matching (operators/robots)."""
+
+from __future__ import annotations
+
+from automic_etl_spark.operators.robots import parse_robots, robots_allowed
+
+ROBOTS = "\n".join(
+    [
+        "# crawler policy",
+        "User-agent: FooBot",
+        "Disallow: /private/",
+        "Allow: /private/ok/",
+        "Disallow: /tmp*",
+        "Disallow: /exact$",
+        "",
+        "User-agent: BarBot",
+        "User-agent: BazBot",  # two agents share one group
+        "Disallow: /",
+        "",
+        "User-agent: *",
+        "Disallow: /star-blocked/",
+        "Disallow:",  # empty value: constrains nothing, dropped
+    ]
+)
+
+
+def _setup(spark, urls):
+    robots = spark.createDataFrame(
+        [("site.example", ROBOTS)], "host string, robots_txt string"
+    )
+    pages = spark.createDataFrame([(u,) for u in urls], "url string")
+    return pages, parse_robots(robots)
+
+
+def test_parse_groups_and_rules(spark):
+    robots = spark.createDataFrame(
+        [("site.example", ROBOTS)], "host string, robots_txt string"
+    )
+    rules = parse_robots(robots).collect()
+    by_agent = {}
+    for r in rules:
+        by_agent.setdefault(r["agent"], set()).add((r["is_allow"], r["path"]))
+    assert by_agent["foobot"] == {
+        (False, "/private/"),
+        (True, "/private/ok/"),
+        (False, "/tmp*"),
+        (False, "/exact$"),
+    }
+    # shared group: both agents carry the group's rule
+    assert by_agent["barbot"] == {(False, "/")} == by_agent["bazbot"]
+    # empty Disallow dropped
+    assert by_agent["*"] == {(False, "/star-blocked/")}
+
+
+def test_matching_longest_wins_allow_ties(spark):
+    urls = [
+        "https://site.example/private/secret",      # disallow /private/
+        "https://site.example/private/ok/page",     # allow (longer match)
+        "https://site.example/tmp/file",            # wildcard disallow
+        "https://site.example/tmpx",                # /tmp* matches
+        "https://site.example/exact",               # anchored disallow
+        "https://site.example/exactly",             # $ anchor: NOT matched
+        "https://site.example/public/page",         # no rule -> allowed
+        "https://site.example",                     # bare host -> path "/"
+        "https://other.example/anything",           # no robots -> allowed
+    ]
+    pages, rules = _setup(spark, urls)
+    got = {r["url"]: r["allowed"] for r in robots_allowed(pages, rules, "FooBot").collect()}
+    assert got["https://site.example/private/secret"] is False
+    assert got["https://site.example/private/ok/page"] is True
+    assert got["https://site.example/tmp/file"] is False
+    assert got["https://site.example/tmpx"] is False
+    assert got["https://site.example/exact"] is False
+    assert got["https://site.example/exactly"] is True
+    assert got["https://site.example/public/page"] is True
+    assert got["https://site.example"] is True
+    assert got["https://other.example/anything"] is True
+
+
+def test_group_selection_exact_beats_star(spark):
+    urls = [
+        "https://site.example/star-blocked/x",
+        "https://site.example/private/x",
+    ]
+    pages, rules = _setup(spark, urls)
+    # FooBot has its own group: the '*' group's /star-blocked/ does NOT
+    # apply to it
+    foo = {r["url"]: r["allowed"] for r in robots_allowed(pages, rules, "FooBot").collect()}
+    assert foo["https://site.example/star-blocked/x"] is True
+    assert foo["https://site.example/private/x"] is False
+    # an unknown agent falls back to the '*' group
+    anon = {r["url"]: r["allowed"] for r in robots_allowed(pages, rules, "QuxBot").collect()}
+    assert anon["https://site.example/star-blocked/x"] is False
+    assert anon["https://site.example/private/x"] is True
+    # BarBot/BazBot: everything blocked via the shared group
+    bar = {r["url"]: r["allowed"] for r in robots_allowed(pages, rules, "BARBOT").collect()}
+    assert bar["https://site.example/private/x"] is False
+
+
+def test_rules_before_any_group_ignored(spark):
+    robots = spark.createDataFrame(
+        [("h.example", "Disallow: /orphan/\nUser-agent: *\nDisallow: /real/")],
+        "host string, robots_txt string",
+    )
+    rules = parse_robots(robots)
+    paths = {r["path"] for r in rules.collect()}
+    assert paths == {"/real/"}
