@@ -68,6 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
         "BEFORE the prose quality gates",
     )
     cw.add_argument(
+        "--robots", default=None,
+        help="parquet of fetched robots.txt files (host, robots_txt): "
+        "RFC 9309 longest-match compliance gates every page URL before "
+        "decode/boilerplate",
+    )
+    cw.add_argument(
+        "--robots-agent", default="*",
+        help="User-agent product token matched against robots groups "
+        "(exact match beats the * fallback)",
+    )
+    cw.add_argument(
         "--clean-unicode", action="store_true",
         help="run the Unicode hygiene pass first (strip invisible "
         "chars, repair UTF-8-as-Latin-1 mojibake, NFC) so encoding "
@@ -153,7 +164,16 @@ def main(argv: list[str] | None = None) -> int:
             web_corpus_to_training_set,
         )
 
-        extractor = WebCorpusExtractor(min_text_chars=args.min_text_chars)
+        robots_df = None
+        if args.robots:
+            from automic_etl_spark.session import get_spark as _gs
+
+            robots_df = _gs("curate-web").read.parquet(args.robots)
+        extractor = WebCorpusExtractor(
+            min_text_chars=args.min_text_chars,
+            robots_rules=robots_df,
+            robots_agent=args.robots_agent,
+        )
         curator = CorpusCurator(
             min_quality=args.min_quality,
             line_dedup_min_df=args.line_dedup_min_df,

@@ -53,6 +53,28 @@ class WebCorpusExtractor:
     # subdomains (operators/urls.filter_domains semantics); None/empty
     # disables
     block_domains: tuple | None = None
+    # robots.txt compliance (r16, RFC 9309): a (host, robots_txt) frame
+    # — e.g. a parquet of fetched robots files — parsed once and
+    # longest-match-applied to every page URL BEFORE decode/boilerplate
+    # (the same pay-nothing-for-blocked-pages order as the domain
+    # gate). None disables. robots_agent is the product token matched
+    # against User-agent groups ('*' falls back per the RFC).
+    robots_rules: DataFrame | None = None
+    robots_agent: str = "*"
+
+    def _robots_gate(self, df: DataFrame, url_col: str) -> DataFrame:
+        if self.robots_rules is None:
+            return df
+        from automic_etl_spark.operators.robots import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        rules = parse_robots(self.robots_rules)
+        verdicts = robots_allowed(
+            df, rules, agent=self.robots_agent, url_col=url_col
+        )
+        return verdicts.filter(F.col("allowed")).drop("allowed")
 
     def _domain_gate(self, df: DataFrame, url_col: str) -> DataFrame:
         if not self.block_domains:
@@ -93,7 +115,10 @@ class WebCorpusExtractor:
         """WARC → (doc_id, url, source, title, text, boilerplate_ratio).
         The domain blocklist gates BEFORE boilerplate extraction — the
         expensive per-page stage never runs for blocked hosts."""
-        gated = self._domain_gate(self.html_pages(spark, path), "target_uri")
+        gated = self._robots_gate(
+            self._domain_gate(self.html_pages(spark, path), "target_uri"),
+            "target_uri",
+        )
         pages = extract_main_content(gated, "html")
         return (
             pages.filter(
@@ -118,10 +143,13 @@ class WebCorpusExtractor:
         """WET → same shape (text pre-extracted by the crawler; no
         boilerplate stage, ratio null)."""
         return (
-            self._domain_gate(
-                read_wet(
-                    spark, path, max_payload=self.max_payload,
-                    opener=self.opener,
+            self._robots_gate(
+                self._domain_gate(
+                    read_wet(
+                        spark, path, max_payload=self.max_payload,
+                        opener=self.opener,
+                    ),
+                    "url",
                 ),
                 "url",
             )

@@ -752,3 +752,38 @@ class TestWriteWarcCorpus:
         )
         want = sorted((r.url, r.text) for r in docs.collect())
         assert a == want and b == want
+
+
+def test_extractor_robots_gate(spark, tmp_path):
+    """r16: a (host, robots_txt) frame on the extractor RFC-9309-gates
+    page URLs before extraction — the disallowed path drops, the
+    allowed override and the robots-less host survive."""
+    from automic_etl_spark.services.webcorpus import WebCorpusExtractor
+    from automic_etl_spark.sources.warc import write_warc_file
+
+    f = str(tmp_path / "seg.wet.gz")
+    body = b"plenty of ordinary words " * 10
+    write_warc_file(
+        f,
+        [
+            ("conversion", body, "http://a.example/private/doc"),
+            ("conversion", body, "http://a.example/private/ok/doc"),
+            ("conversion", body, "http://a.example/public/doc"),
+            ("conversion", body, "http://b.example/anything"),
+        ],
+    )
+    robots = spark.createDataFrame(
+        [("a.example",
+          "User-agent: *\nDisallow: /private/\nAllow: /private/ok/")],
+        "host string, robots_txt string",
+    )
+    ext = WebCorpusExtractor(min_text_chars=50, robots_rules=robots)
+    urls = {r["url"] for r in ext.documents_from_wet(spark, f).collect()}
+    assert urls == {
+        "http://a.example/private/ok/doc",
+        "http://a.example/public/doc",
+        "http://b.example/anything",
+    }
+    # and without the gate all four survive
+    plain = WebCorpusExtractor(min_text_chars=50).documents_from_wet(spark, f)
+    assert plain.count() == 4
