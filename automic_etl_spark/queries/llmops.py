@@ -4268,3 +4268,42 @@ ORACLE_ROBOTS_MATCH = _robots_oracle()
 
 QUERIES_TAIL["robots_match"] = q_robots_match_gate
 ORACLE_TAIL["robots_match"] = ORACLE_ROBOTS_MATCH
+
+
+# --------------------------------------------------------------------------
+# stratified_sample (r16): deterministic exact-k per-group sampling
+# (services/curator.DatasetCurator.stratified_sample) — rank by the
+# portable md5(seed|id) hash inside each group, keep the first k, id
+# tiebreak. The whole construction replays in DuckDB row_number.
+# --------------------------------------------------------------------------
+
+_SS_K, _SS_SEED = 40, 7
+
+
+def q_stratified_sample_gate(spark, sf_dir):
+    """(doc_id, source) for exactly min(40, |group|) docs per source."""
+    from automic_etl_spark.services.curator import DatasetCurator
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    out = DatasetCurator().stratified_sample(
+        docs, group_col="source", k=_SS_K, id_col="doc_id", seed=_SS_SEED
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('{_SS_SEED}' || '|'
+                     || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM ranked WHERE rn <= {_SS_K} ORDER BY doc_id
+"""
+
+QUERIES_TAIL["stratified_sample"] = q_stratified_sample_gate
+ORACLE_TAIL["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE

@@ -86,6 +86,38 @@ class DatasetCurator:
             expr = F.when(cond, name) if expr is None else expr.when(cond, name)
         return ranked.withColumn("split", expr).drop("__rn")
 
+    def stratified_sample(
+        self,
+        df: DataFrame,
+        group_col: str,
+        k: int,
+        id_col: str,
+        seed: int = 0,
+    ) -> DataFrame:
+        """Exactly min(k, group size) rows per group, deterministically:
+        rank by the portable md5 hash of (seed, id) inside each group
+        (id as the total-order tiebreak) and keep the first k. The
+        balanced eval-slice / per-source inspection sample every corpus
+        pipeline needs — append-stable only in distribution (a new row
+        can displace rank k, by design: the sample stays UNIFORM per
+        group as the group grows, unlike a first-k-by-id snapshot).
+
+        One shuffle (the group window); no global sort, no collect —
+        the per-group window ranks in parallel across groups, so skewed
+        group sizes cost their own partitions only."""
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long")
+        w = W.partitionBy(group_col).orderBy(h, F.col(id_col))
+        return (
+            df.withColumn("__rank", F.row_number().over(w))
+            .filter(F.col("__rank") <= k)
+            .drop("__rank")
+        )
+
     def write_splits(
         self, df: DataFrame, out_dir: str, id_col: str, fmt: str = "parquet"
     ) -> dict:

@@ -1175,3 +1175,30 @@ def test_cli_bloom_merge(spark, tmp_path, capsys, monkeypatch):
                contamination_report_bloom(corpus, bloom, min_hits=1).collect()
                if r["contaminated"]}
     assert {1, 2} <= flagged and 3 not in flagged
+
+
+def test_stratified_sample(spark):
+    """r16: exact-k per group, deterministic across calls, id-complete
+    groups smaller than k, and a fresh row can displace rank k without
+    perturbing the rest of the sample's determinism."""
+    from automic_etl_spark.services.curator import DatasetCurator
+
+    rows = [(i, "big" if i < 100 else "small") for i in range(112)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    cur = DatasetCurator()
+    out = cur.stratified_sample(df, "source", k=10, id_col="doc_id", seed=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(got["big"]) == 10
+    assert got["small"] <= set(range(100, 112)) and len(got["small"]) == 10
+    # deterministic
+    again = cur.stratified_sample(df, "source", k=10, id_col="doc_id", seed=3)
+    assert {r["doc_id"] for r in again.collect()} == got["big"] | got["small"]
+    # a different seed draws a different big-group sample
+    other = cur.stratified_sample(df, "source", k=10, id_col="doc_id", seed=4)
+    big_other = {r["doc_id"] for r in other.collect() if r["doc_id"] < 100}
+    assert big_other != got["big"]
+    # k above the group size keeps the whole group
+    full = cur.stratified_sample(df, "source", k=500, id_col="doc_id", seed=3)
+    assert full.count() == 112

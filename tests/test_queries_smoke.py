@@ -183,6 +183,9 @@ def test_registry_driver_window_prefix():
         # -- r16 addition, overflow tail: RFC 9309 robots.txt parsing +
         # longest-match URL permissions, full relational replay
         "robots_match",
+        # -- r16 addition, overflow tail: deterministic exact-k
+        # per-group sampling by portable hash rank
+        "stratified_sample",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate
