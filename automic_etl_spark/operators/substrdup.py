@@ -147,3 +147,136 @@ def repeated_window_signals(
         )
     )
     return out
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """The SURGICAL-REMOVAL half of Lee et al. 2021 (the signals
+    operator above locates repeated spans; this one cuts them):
+    every token covered by a corpus-repeated ``window``-token span is
+    removed and the survivors rejoin single-spaced. Returns the input
+    columns with ``text_col`` rewritten plus ``n_tokens`` (original)
+    and ``n_removed_tokens``.
+
+    Whitespace caveat (cross-engine deterministic, by design): only
+    REWRITTEN documents are retokenized/rejoined — untouched documents
+    (nothing flagged, or shorter than ``window``) keep their original
+    byte-exact text.
+
+    Scale shape: the signals operator's explode + window-key shuffle +
+    per-doc interval window, plus one merged-interval explode (output
+    rows = covered tokens, bounded by corpus token count), one
+    anti-join on (doc, position) and one per-doc sorted rebuild — all
+    keyed by the doc id; still no pairwise document comparison."""
+    toks = F.split(F.trim(F.col(text_col)), "\\s+")
+    n_tok = F.when(
+        F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    others = [c for c in docs.columns if c not in (id_col, text_col)]
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        *others,
+        toks.alias("__toks"),
+        n_tok.alias("n_tokens"),
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - window, F.lit(0))),
+        lambda i: (i % stride == 0) & (i + window <= F.col("n_tokens")),
+    )
+    exploded = (
+        base.filter(F.col("n_tokens") >= window)
+        .select(
+            F.col(id_col),
+            F.explode(starts).alias("__start"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__start"),
+            F.md5(
+                F.array_join(
+                    F.slice(F.col("__toks"), F.col("__start") + 1, window), " "
+                )
+            ).alias("__wkey"),
+        )
+    )
+    dup_keys = (
+        exploded.groupBy("__wkey")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") >= min_occurrences)
+        .select("__wkey")
+    )
+    flagged = exploded.join(dup_keys, "__wkey", "left_semi")
+
+    # merged covered intervals per doc (contiguous/overlapping spans
+    # collapse, so the coverage explode emits each position once)
+    w_prev = (
+        W.partitionBy(id_col)
+        .orderBy("__start")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = (
+        W.partitionBy(id_col)
+        .orderBy("__start")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    grouped = (
+        flagged.withColumn(
+            "__prev_end",
+            F.coalesce(F.max(F.col("__start") + window).over(w_prev), F.lit(-1)),
+        )
+        .withColumn(
+            "__new", F.when(F.col("__start") > F.col("__prev_end"), 1).otherwise(0)
+        )
+        .withColumn("__grp", F.sum("__new").over(w_run))
+    )
+    intervals = grouped.groupBy(id_col, "__grp").agg(
+        F.min("__start").alias("__lo"),
+        F.max(F.col("__start") + window).alias("__hi"),
+    )
+    covered = intervals.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi") - 1)).alias("__pos"),
+    )
+    tokens = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("__pos", "__tok")
+    )
+    kept = tokens.join(covered, [id_col, "__pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda x: x["__tok"],
+            ),
+            " ",
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    touched = covered.select(id_col).distinct()
+    out = (
+        base.join(rebuilt, id_col, "left")
+        .join(touched.withColumn("__touched", F.lit(True)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__touched").isNotNull(), F.coalesce("__clean", F.lit("")))
+            .otherwise(F.col(text_col))
+            .alias(text_col),
+            *others,
+            F.col("n_tokens"),
+            F.when(
+                F.col("__touched").isNotNull(),
+                F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
+    return out

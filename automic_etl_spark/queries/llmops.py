@@ -4307,3 +4307,109 @@ SELECT doc_id, source FROM ranked WHERE rn <= {_SS_K} ORDER BY doc_id
 
 QUERIES_TAIL["stratified_sample"] = q_stratified_sample_gate
 ORACLE_TAIL["stratified_sample"] = ORACLE_STRATIFIED_SAMPLE
+
+
+# --------------------------------------------------------------------------
+# substring_scrub (r16): the surgical-removal half of Lee et al. 2021
+# (operators/substrdup.remove_repeated_spans) — corpus-repeated spans
+# are CUT from the text, not just measured. Same double-ingest corpus
+# as the substring_dedup gate; the merged-interval union, the
+# (doc, position) anti-join and the ordered rebuild all replay in
+# DuckDB, and the rewritten TEXT ITSELF is value-compared.
+# --------------------------------------------------------------------------
+
+
+def q_substring_scrub_gate(spark, sf_dir):
+    """(doc_id, text, n_tokens, n_removed_tokens) after cutting every
+    corpus-repeated 12-token span from the double-ingested slice."""
+    from automic_etl_spark.operators.substrdup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    both = docs.filter("doc_id < 200").unionByName(
+        docs.filter("doc_id >= 150 AND doc_id < 250").selectExpr(
+            "doc_id + 100000 AS doc_id", "text"
+        )
+    )
+    return remove_repeated_spans(both, window=_SUB_W).orderBy("doc_id")
+
+
+ORACLE_SUBSTRING_SCRUB = f"""
+WITH ingested AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id >= 150 AND doc_id < 250
+),
+tk AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS w,
+         CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM ingested
+),
+win AS (
+  SELECT doc_id, t.s AS s,
+         md5(array_to_string(w[t.s + 1 : t.s + {_SUB_W}], ' ')) AS wkey
+  FROM tk CROSS JOIN UNNEST(generate_series(0, n_tokens - {_SUB_W})) AS t(s)
+  WHERE n_tokens >= {_SUB_W}
+),
+dupkeys AS (
+  SELECT wkey FROM win GROUP BY wkey HAVING count(*) >= 2
+),
+flagged AS (
+  SELECT doc_id, s FROM win WHERE wkey IN (SELECT wkey FROM dupkeys)
+),
+prev AS (
+  SELECT doc_id, s,
+         coalesce(max(s + {_SUB_W}) OVER (
+           PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_end
+  FROM flagged
+),
+marked AS (
+  SELECT doc_id, s, CASE WHEN s > prev_end THEN 1 ELSE 0 END AS newgrp
+  FROM prev
+),
+grouped AS (
+  SELECT doc_id, s,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked
+),
+intervals AS (
+  SELECT doc_id, g, min(s) AS lo, max(s + {_SUB_W}) AS hi
+  FROM grouped GROUP BY doc_id, g
+),
+covered AS (
+  SELECT doc_id, t.p AS pos
+  FROM intervals CROSS JOIN UNNEST(generate_series(lo, hi - 1)) AS t(p)
+),
+toks AS (
+  SELECT doc_id, t.i - 1 AS pos, w[t.i] AS tok
+  FROM tk CROSS JOIN UNNEST(generate_series(1, n_tokens)) AS t(i)
+  WHERE n_tokens > 0
+),
+kept AS (
+  SELECT k.doc_id, k.pos, k.tok FROM toks k
+  ANTI JOIN covered c ON c.doc_id = k.doc_id AND c.pos = k.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+touched AS (SELECT DISTINCT doc_id FROM covered)
+SELECT tk.doc_id,
+       CASE WHEN t.doc_id IS NOT NULL THEN coalesce(r.clean, '')
+            ELSE tk.text END AS text,
+       tk.n_tokens,
+       CAST(CASE WHEN t.doc_id IS NOT NULL
+                 THEN tk.n_tokens - coalesce(r.n_kept, 0)
+                 ELSE 0 END AS BIGINT) AS n_removed_tokens
+FROM tk
+LEFT JOIN rebuilt r ON r.doc_id = tk.doc_id
+LEFT JOIN touched t ON t.doc_id = tk.doc_id
+ORDER BY tk.doc_id
+"""
+
+QUERIES_TAIL["substring_scrub"] = q_substring_scrub_gate
+ORACLE_TAIL["substring_scrub"] = ORACLE_SUBSTRING_SCRUB

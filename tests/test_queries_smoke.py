@@ -186,6 +186,9 @@ def test_registry_driver_window_prefix():
         # -- r16 addition, overflow tail: deterministic exact-k
         # per-group sampling by portable hash rank
         "stratified_sample",
+        # -- r16 addition, overflow tail: surgical repeated-span
+        # removal with the rewritten text value-compared
+        "substring_scrub",
     }, f"unexpected overflow block: {overflow}"
     # the new last SCORED entry (the r15 verdict's designated rotation):
     # the Bloom-membership bit-replay gate

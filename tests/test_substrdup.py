@@ -157,3 +157,36 @@ def test_empty_and_null_text_report_zero_tokens(spark):
     assert got[2] == (0, 0, 0, 0)
     assert got[3] == (0, 0, 0, 0)
     assert got[4][0] == 3
+
+
+def test_remove_repeated_spans(spark):
+    """r16: the surgical-removal half — the shared span is cut from
+    BOTH carriers, survivors rejoin single-spaced, untouched/short/NULL
+    docs keep byte-exact text, and extra columns pass through."""
+    from automic_etl_spark.operators.substrdup import remove_repeated_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta", "a"),
+        (2, "one two three " + shared + " four", "b"),
+        (3, "unrelated " + " ".join(f"u{i}" for i in range(12)), "c"),
+        (4, "short  doc", "d"),  # double space must survive untouched
+        (5, None, "e"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in remove_repeated_spans(df, window=12).collect()}
+    assert got[1]["text"] == "alpha beta gamma delta"
+    assert got[1]["n_removed_tokens"] == 12 and got[1]["n_tokens"] == 16
+    assert got[2]["text"] == "one two three four"
+    assert got[3]["text"] == rows[2][1] and got[3]["n_removed_tokens"] == 0
+    assert got[4]["text"] == "short  doc"  # untouched = byte-exact
+    assert got[5]["text"] is None and got[5]["n_removed_tokens"] == 0
+    assert all(got[i]["source"] == s for i, s in
+               [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")])
+    # a doc that is ENTIRELY a repeated span empties out
+    twin = spark.createDataFrame(
+        [(10, shared, "x"), (11, shared, "x")],
+        "doc_id long, text string, source string",
+    )
+    emptied = {r["doc_id"]: r for r in remove_repeated_spans(twin, window=12).collect()}
+    assert emptied[10]["text"] == "" and emptied[10]["n_removed_tokens"] == 12
