@@ -178,20 +178,26 @@ def remove_repeated_spans(
     n_tok = F.when(
         F.coalesce(F.length(F.trim(F.col(text_col))), F.lit(0)) == 0, F.lit(0)
     ).otherwise(F.size(toks))
-    others = [c for c in docs.columns if c not in (id_col, text_col)]
+    # input columns named like our outputs (e.g. text_quality's own
+    # n_tokens) are replaced by ours — internal aliases avoid mid-plan
+    # ambiguity
+    others = [
+        c for c in docs.columns
+        if c not in (id_col, text_col, "n_tokens", "n_removed_tokens")
+    ]
     base = docs.select(
         F.col(id_col),
         F.col(text_col),
         *others,
         toks.alias("__toks"),
-        n_tok.alias("n_tokens"),
+        n_tok.alias("__rs_ntok"),
     )
     starts = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.col("n_tokens") - window, F.lit(0))),
-        lambda i: (i % stride == 0) & (i + window <= F.col("n_tokens")),
+        F.sequence(F.lit(0), F.greatest(F.col("__rs_ntok") - window, F.lit(0))),
+        lambda i: (i % stride == 0) & (i + window <= F.col("__rs_ntok")),
     )
     exploded = (
-        base.filter(F.col("n_tokens") >= window)
+        base.filter(F.col("__rs_ntok") >= window)
         .select(
             F.col(id_col),
             F.explode(starts).alias("__start"),
@@ -269,10 +275,10 @@ def remove_repeated_spans(
             .otherwise(F.col(text_col))
             .alias(text_col),
             *others,
-            F.col("n_tokens"),
+            F.col("__rs_ntok").alias("n_tokens"),
             F.when(
                 F.col("__touched").isNotNull(),
-                F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0)),
+                F.col("__rs_ntok") - F.coalesce("__n_kept", F.lit(0)),
             )
             .otherwise(F.lit(0))
             .cast("long")

@@ -119,6 +119,12 @@ class CorpusCurator:
     # None disables the stage
     max_dup_token_ppm: int | None = None
     substr_window: int = 50
+    # what to do with docs over the cap (r16): "drop" removes them
+    # (the original stage); "scrub" CUTS the repeated spans and keeps
+    # the rewritten doc (RefinedWeb-style surgical removal via
+    # operators/substrdup.remove_repeated_spans) — the report then
+    # carries substring_scrubbed_tokens instead of a removed count
+    substring_mode: str = "drop"
     # require the composite Gopher document-shape pass (textops)
     require_gopher: bool = False
     # fuzzy dedup: collapse near-identical values of this column (e.g. a
@@ -696,7 +702,7 @@ class CorpusCurator:
             kept = stage("perplexity", gated)
 
         # 3d. optional exact-substring duplication cap (cross-doc spans)
-        if self.max_dup_token_ppm is not None:
+        if self.max_dup_token_ppm is not None and self.substring_mode == "drop":
             from automic_etl_spark.operators.substrdup import (
                 repeated_window_signals,
             )
@@ -712,6 +718,60 @@ class CorpusCurator:
             # never-broadcast-the-corpus-side invariant)
             kept = stage(
                 "substring", kept.join(heavy.select(id_col), id_col, "left_anti")
+            )
+        elif self.max_dup_token_ppm is not None and self.substring_mode == "scrub":
+            # RefinedWeb-style: CUT the repeated spans instead of
+            # dropping their carriers — row-preserving rewrite (the
+            # report counts scrubbed tokens, not removed docs); docs
+            # UNDER the ppm cap keep byte-exact text, so light
+            # incidental repetition never triggers a rewrite
+            from automic_etl_spark.operators.substrdup import (
+                remove_repeated_spans,
+                repeated_window_signals,
+            )
+
+            heavy = repeated_window_signals(
+                kept.select(id_col, text_col),
+                window=self.substr_window,
+                id_col=id_col,
+                text_col=text_col,
+            ).filter(F.col("dup_token_ppm") > self.max_dup_token_ppm)
+            scrubbed = remove_repeated_spans(
+                kept,
+                window=self.substr_window,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            rewritten = (
+                scrubbed.join(heavy.select(id_col), id_col, "left_semi")
+                .select(id_col, text_col, "n_removed_tokens")
+            )
+            kept = hold(
+                kept.join(
+                    rewritten.withColumnRenamed(text_col, "__scrubbed"),
+                    id_col,
+                    "left",
+                ).select(
+                    *[
+                        F.coalesce("__scrubbed", F.col(text_col)).alias(text_col)
+                        if c == text_col
+                        else c
+                        for c in kept.columns
+                    ],
+                    F.coalesce("n_removed_tokens", F.lit(0)).alias("__scrub_n"),
+                )
+            )
+            members.append(
+                kept.select(
+                    F.lit("substring_scrubbed_tokens").alias("__k"),
+                    F.col("__scrub_n").cast("long").alias("__v"),
+                )
+            )
+            kept = stage("substring", kept.drop("__scrub_n"))
+        elif self.max_dup_token_ppm is not None:
+            raise ValueError(
+                f"substring_mode must be 'drop' or 'scrub', got "
+                f"{self.substring_mode!r}"
             )
 
         # 4. optional benchmark decontamination (pre-training hygiene)
@@ -971,6 +1031,10 @@ class CorpusCurator:
                 report["mixture_removed"] = removed("mixture")
         if self.redact_pii:
             report["pii_redacted_docs"] = t.get("pii_docs", 0)
+        if self.max_dup_token_ppm is not None and self.substring_mode == "scrub":
+            report["substring_scrubbed_tokens"] = t.get(
+                "substring_scrubbed_tokens", 0
+            )
         if self.clean_unicode:
             report["unicode_cleaned_docs"] = t.get("unicode_cleaned", 0)
         report["final_docs"] = n[chain[-1]]

@@ -1202,3 +1202,44 @@ def test_stratified_sample(spark):
     # k above the group size keeps the whole group
     full = cur.stratified_sample(df, "source", k=500, id_col="doc_id", seed=3)
     assert full.count() == 112
+
+
+def test_corpus_curator_substring_scrub_mode(spark):
+    """r16: substring_mode='scrub' CUTS corpus-repeated spans from
+    over-cap docs instead of dropping them — row-preserving, the
+    report counts scrubbed tokens, and under-cap docs keep byte-exact
+    text."""
+    import pytest as _pytest
+
+    from automic_etl_spark.services.corpus import CorpusCurator
+
+    shared = " ".join(f"boiler{i}" for i in range(10))
+    rows = [
+        (1, shared + " plus a tiny unique tail", "web"),
+        (2, shared + " and a different small suffix", "web"),
+        (3, "an entirely unrelated document with its own words only", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    drop_out, drop_rep = CorpusCurator(
+        min_quality=0.0, max_dup_token_ppm=300_000, substr_window=10
+    ).curate(docs)
+    assert {r["doc_id"] for r in drop_out.collect()} == {3}
+    assert drop_rep["substring_dup_removed"] == 2
+
+    out, rep = CorpusCurator(
+        min_quality=0.0, max_dup_token_ppm=300_000, substr_window=10,
+        substring_mode="scrub",
+    ).curate(docs)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == "plus a tiny unique tail"
+    assert got[2] == "and a different small suffix"
+    assert got[3] == rows[2][1]  # untouched, byte-exact
+    assert rep["substring_dup_removed"] == 0
+    assert rep["substring_scrubbed_tokens"] == 20  # 10 tokens x 2 docs
+
+    with _pytest.raises(ValueError, match="substring_mode"):
+        CorpusCurator(
+            min_quality=0.0, max_dup_token_ppm=1, substring_mode="cut"
+        ).curate(docs)
