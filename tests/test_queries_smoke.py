@@ -230,7 +230,7 @@ def test_coverage_doc_cites_live_gates():
         "max_df", "min", "winnow_min_overlap_ppm", "clean_unicode",
         "clean_signals", "clean_text", "nfc_normalize", "text",
         "code_curate", "host_centrality", "regexp_extract_all",
-        "host_rank",
+        "host_rank", "substring_mode", "substring_scrubbed_tokens",
     }
     cited = {
         t
