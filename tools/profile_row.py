@@ -1,0 +1,153 @@
+"""Per-row bench profiler (r16 optimization round).
+
+Runs one bench.py HEADLINE row exactly the way bench.py does (same
+session factory, same warmup, min-of-2 collect) but with the Spark
+event log enabled, then parses the log into a per-job / per-stage
+timing table so the time inside a row can be attributed to specific
+operators (guide §1: measure first; §7.1's UI is disabled in the
+harness, so the event log is the equivalent evidence).
+
+Usage:
+    python tools/profile_row.py <row> [sf_dir]
+
+Prints, per attempt: total wall, then each Spark job with its
+description (setJobDescription label when present, else the callsite),
+duration, and the top stages by duration with shuffle read/write bytes.
+Nothing here is used by bench.py — measurement tooling only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from automic_etl_spark.session import get_spark  # noqa: E402
+from automic_etl_spark.io import TABLE_NAMES, load_table  # noqa: E402
+
+
+def _parse_eventlog(log_dir: str) -> list[dict]:
+    events = []
+    for root, _dirs, files in os.walk(log_dir):
+        for f in files:
+            if f.startswith("."):
+                continue
+            with open(os.path.join(root, f), encoding="utf-8") as fh:
+                for line in fh:
+                    try:
+                        events.append(json.loads(line))
+                    except json.JSONDecodeError:
+                        pass
+    return events
+
+
+def summarize(events: list[dict], t_mark: float) -> None:
+    jobs: dict[int, dict] = {}
+    stages: dict[int, dict] = {}
+    for e in events:
+        k = e.get("Event")
+        if k == "SparkListenerJobStart":
+            if e["Submission Time"] / 1000.0 < t_mark:
+                continue
+            jobs[e["Job ID"]] = {
+                "start": e["Submission Time"],
+                "desc": (e.get("Properties") or {}).get(
+                    "spark.job.description", ""
+                )[:100],
+                "stages": [s["Stage ID"] for s in e.get("Stage Infos", [])],
+            }
+        elif k == "SparkListenerJobEnd":
+            if e["Job ID"] in jobs:
+                jobs[e["Job ID"]]["end"] = e["Completion Time"]
+        elif k == "SparkListenerStageCompleted":
+            si = e["Stage Info"]
+            if si.get("Submission Time", 0) / 1000.0 < t_mark:
+                continue
+            acc = {
+                a.get("Name"): a.get("Value")
+                for a in si.get("Accumulables", [])
+            }
+            stages[si["Stage ID"]] = {
+                "name": si.get("Name", "")[:80],
+                "dur": (si.get("Completion Time", 0) - si.get("Submission Time", 0))
+                / 1000.0,
+                "tasks": si.get("Number of Tasks"),
+                "shuf_r": acc.get("internal.metrics.shuffle.read.remoteBytesRead", 0)
+                or 0,
+                "shuf_w": acc.get("internal.metrics.shuffle.write.bytesWritten", 0)
+                or 0,
+                "input": acc.get("internal.metrics.input.bytesRead", 0) or 0,
+            }
+    for jid in sorted(jobs):
+        j = jobs[jid]
+        dur = (j.get("end", j["start"]) - j["start"]) / 1000.0
+        own = [s for s in j["stages"] if s in stages]
+        print(f"  job {jid:>4}  {dur:7.3f}s  {j['desc']}")
+        for sid in sorted(own, key=lambda s: -stages[s]["dur"])[:4]:
+            st = stages[sid]
+            if st["dur"] < 0.05:
+                continue
+            print(
+                f"        stage {sid:>4} {st['dur']:7.3f}s tasks={st['tasks']:<4}"
+                f" in={st['input'] or 0:>11} sw={st['shuf_w'] or 0:>10}"
+                f"  {st['name']}"
+            )
+
+
+def main() -> None:
+    row = sys.argv[1]
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    log_dir = tempfile.mkdtemp(prefix="profile_eventlog_")
+    spark = get_spark(
+        "profile",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{log_dir}",
+        },
+    )
+    import bench
+
+    fn = bench.HEADLINE[row]
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
+    walls = []
+    marks = []
+    for attempt in range(2):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        marks.append(t0)
+        df = fn(spark, sf_dir)
+        _ = len(df.collect())
+        walls.append(time.time() - t0)
+    spark.stop()
+    events = _parse_eventlog(log_dir)
+    for attempt in range(2):
+        t_mark = marks[attempt]
+        t_next = marks[attempt + 1] if attempt + 1 < len(marks) else 1e18
+        window = [
+            e
+            for e in events
+            if not (
+                e.get("Event") == "SparkListenerJobStart"
+                and e["Submission Time"] / 1000.0 >= t_next
+            )
+        ]
+        print(f"== attempt {attempt + 1}: wall {walls[attempt]:.3f}s ==")
+        summarize(window, t_mark)
+    print(f"row={row} walls={[round(w, 3) for w in walls]}")
+    import shutil
+
+    shutil.rmtree(log_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
