@@ -19,6 +19,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from automic_etl_spark.io import load_table
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Populate a ``.cache()``'d frame with ONE action before its plan
+    fans out (r16 optimization round, measured on the event log): AQE
+    submits every independent shuffle subtree of a downstream join/
+    connected-components plan as its own CONCURRENT stage job, and
+    concurrent jobs racing an *unmaterialized* cache each recompute the
+    full kernel lineage — the image-dedup rows ran the synthesize+
+    decode mapInPandas kernel up to 8x in parallel (8 concurrent
+    single-task 11 s jobs on the attempt-1 event log) before this.
+    One count() is an opaque-kernel action (mapInPandas defeats
+    count-pruning, so the kernel genuinely runs) that fills the cache
+    at full scan parallelism; every AQE stage job then reads blocks.
+    Returns ``df`` for call-site chaining."""
+    df.count()
+    return df
+
+
 def q_doctext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text → synthesized .docx blobs → distributed zip+XML
     extraction back to text → corpus profile. Exercises the full Arrow
@@ -148,8 +165,13 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the documents table (every 97th
     doc plays the benchmark set) → surviving-corpus count."""
     from automic_etl_spark.operators.decontam import decontaminate
+    from automic_etl_spark.operators.dedup import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan out the one-split scan before the per-doc n-gram explode
+    # (r16 — the dsir_select finding; no-op on a many-file corpus)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # the doc_id cap keeps the benchmark side FIXED when the corpus is
     # inflated (scale-stress shifts copies by 10M): real eval benchmarks
     # don't grow with the training corpus, and without the cap the 10x
@@ -187,8 +209,13 @@ def q_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_ngram_bloom,
         save_ngram_bloom,
     )
+    from automic_etl_spark.operators.dedup import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan out the one-split scan before the probe kernel / n-gram
+    # explode (r16 — the dsir_select finding; no-op at scale)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     bench = docs.filter("doc_id % 97 = 0 AND doc_id < 1000000").select("text")
     # production-shaped settings: at fpp=0.01 / min_hits=1 a ~300-gram
     # doc accumulates enough per-gram FPs to over-drop ~1/3 of the
@@ -372,9 +399,14 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the documents table (so repeated spans genuinely exist): one
     explode + one window-key shuffle + per-doc interval union, reduced
     to corpus totals."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.operators.substrdup import repeated_window_signals
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan out the one-split scan before the window-hash explode (r16 —
+    # the dsir_select finding; no-op on a many-file corpus)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     both = docs.unionByName(
         docs.filter("doc_id % 3 = 0").selectExpr("doc_id + 10000000 AS doc_id", "text")
     )
@@ -431,13 +463,18 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit+score chain cold. Collect-then-release keeps the caches warm
     for exactly the work that needs them and still frees them before
     returning (PERFORMANCE.md, round 7 head-to-head)."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.operators.ngramlm import (
         fit_ngram_lm,
         perplexity_buckets,
         score_documents,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # fan out the one-split scan before the fit/score explodes (r16 —
+    # the dsir_select finding; no-op on a many-file corpus)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     lm = fit_ngram_lm(docs, min_count=2)
     # cache the per-doc scores across the two passes that need them —
     # the quantile probe materializes the cache, the bucket tally reads
@@ -470,9 +507,16 @@ def _image_blob_frame(spark: SparkSession, sf_dir: str):
     import numpy as np
     import pandas as pd
 
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.operators.imagehash import synth_png
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # the one-split parquet scan must fan out before the synthesize/
+    # decode kernels (r16: the PNG rows were missing the fan-out the
+    # JPEG/GIF/WebP rows already had — the whole 5000-image synthesis
+    # ran on ONE core, an 11 s single-task stage on the event log)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def to_blobs(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
@@ -504,8 +548,10 @@ def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = _image_blob_frame(spark, sf_dir)
     # cache: the hash table feeds both the tally and the pair join —
-    # without it the decode kernel runs twice (tiny table: 7 cols/doc)
-    hashes = image_blobs_phash(blobs).cache()
+    # without it the decode kernel runs twice (tiny table: 7 cols/doc).
+    # _materialize: fill the cache in ONE job before AQE's concurrent
+    # stage jobs can race it (see _materialize docstring).
+    hashes = _materialize(image_blobs_phash(blobs).cache())
     pairs = phash_near_dup(hashes, max_hamming=10)
     return hashes.agg(
         F.count(F.lit(1)).alias("n_images"),
@@ -584,8 +630,13 @@ def q_image_jpeg_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blobs = _jpeg_blob_frame(spark, sf_dir)
-    hashes = image_blobs_phash(blobs).cache()
-    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    # one-job cache fill, then dedup DECIDES AND COUNTS on the cached
+    # hash table (guide §8: every pass but the payload's own decode
+    # operates on the lightweight proxy) — the blob frame previously on
+    # the anti-join side re-ran the whole synthesis kernel just to be
+    # counted (r16; n_kept is identical either way)
+    hashes = _materialize(image_blobs_phash(blobs).cache())
+    kept = dedup_by_phash(hashes, hashes, max_hamming=10)
     return hashes.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
@@ -605,8 +656,9 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blobs = _image_blob_frame(spark, sf_dir)
-    hashes = image_blobs_phash(blobs).cache()
-    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    # one-job cache fill + proxy-side anti-join (see q_image_jpeg_dedup)
+    hashes = _materialize(image_blobs_phash(blobs).cache())
+    kept = dedup_by_phash(hashes, hashes, max_hamming=10)
     return hashes.agg(F.count(F.lit(1)).alias("n_images")).crossJoin(
         kept.agg(F.count(F.lit(1)).alias("n_kept"))
     )
@@ -674,8 +726,9 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     blobs = _audio_blob_corpus(spark, sf_dir)
-    # cache: the fingerprint table feeds both the tally and the match join
-    fps = audio_blobs_fingerprint(blobs).cache()
+    # cache: the fingerprint table feeds both the tally and the match
+    # join; _materialize fills it in ONE job before AQE fan-out
+    fps = _materialize(audio_blobs_fingerprint(blobs).cache())
     # rep = the dedup scale path since r9: identical fingerprints
     # collapse to a min-id representative (linear in duplicate
     # multiplicity — the replication shape that made link="all" 50× at
@@ -987,10 +1040,16 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components iterations, not O(stages) recomputes of the
     funnel. The returned frame is built from the report driver-side, so
     the bench collect doesn't re-run the lineage a second time."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.services.corpus import CorpusCurator
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
+    # fan out the one-split scan before the funnel's first text stages
+    # (md5 exact-dedup hash, line explode — they run inside the scan
+    # stage; r16, the dsir_select finding; no-op at scale)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
     )
     banner = F.concat(F.lit("shared banner line "), (F.col("doc_id") % 7))
     footer = F.concat(F.lit("shared footer line "), (F.col("doc_id") % 5))
@@ -1084,8 +1143,9 @@ def q_image_gif_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
 
     blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
-    hashes = image_blobs_phash(blobs).cache()
-    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    # one-job cache fill + proxy-side anti-join (see q_image_jpeg_dedup)
+    hashes = _materialize(image_blobs_phash(blobs).cache())
+    kept = dedup_by_phash(hashes, hashes, max_hamming=10)
     return hashes.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
@@ -1285,6 +1345,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     importance weights, Gumbel-select half the raw pool, reduce to a
     checksum. Exercises the two B-bounded fits + the broadcast ratio
     join + TakeOrderedAndProject end-to-end."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.operators.dsir import (
         bucket_log_ratios,
         dsir_select,
@@ -1292,8 +1353,15 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         fit_bucket_counts,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    # fan out the one-split scan (r16): the fit/weight stages are pure
+    # Catalyst (tokenize + md5 per n-gram) whose heavy work runs INSIDE
+    # the scan stage — on the single split Spark gives a small parquet
+    # file, all three passes ran as single-task 0.8-3.7 s stages on the
+    # event log; a no-op on a real many-file corpus
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        )
     )
     target = docs.filter(F.col("doc_id") % 7 == 0)
     raw = docs.filter(F.col("doc_id") % 7 != 0)
@@ -1445,8 +1513,9 @@ def q_image_webp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "_content_bytes": blobs})
 
     blobs = docs.mapInPandas(to_blobs, "doc_id long, _content_bytes binary")
-    hashes = image_blobs_phash(blobs).cache()
-    kept = dedup_by_phash(blobs, hashes, max_hamming=10)
+    # one-job cache fill + proxy-side anti-join (see q_image_jpeg_dedup)
+    hashes = _materialize(image_blobs_phash(blobs).cache())
+    kept = dedup_by_phash(hashes, hashes, max_hamming=10)
     return hashes.agg(
         F.count(F.lit(1)).alias("n_images"),
         F.sum(F.when(F.col("ok"), 1).otherwise(0)).alias("n_decoded"),
@@ -1567,6 +1636,7 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id long, chunk_index int, chunk_size int, chunk_hash string",
     ).cache()
+    chunks = _materialize(chunks)  # one-job cache fill before AQE fan-out
     pairs = cdc_near_dup_pairs(chunks, min_shared_frac=0.5)
     comps = connected_components(pairs)
     losers = comps.filter(F.col("doc_id") != F.col("cluster_id"))
@@ -1780,9 +1850,13 @@ def q_code_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~25% of the corpus that survives routing. The returned frame is
     built driver-side from the report, so collect doesn't re-run the
     funnel."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.services.corpus import CorpusCurator
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # fan out the one-split scan (r16 — the dsir_select finding)
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     hdr = F.when(
         F.col("doc_id") % 4 == 0, F.lit("// SPDX-License-Identifier: MIT")
     ).otherwise(

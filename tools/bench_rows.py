@@ -1,0 +1,90 @@
+"""Run a subset of bench.py HEADLINE rows with the identical protocol
+(same session factory, warmup, clearCache between rows, min-of-2) —
+for idle re-probes of individual rows without paying the full board.
+
+    python tools/bench_rows.py row [row ...]
+
+Prints one JSON line per row: {"row": ..., "attempts": [a1, a2],
+"best": ..., "steal_pct": ...} where steal_pct is the CPU steal share
+measured across the row's attempts (this box shows transient
+hypervisor pressure; a spiked reading with high steal is a
+contaminated draw, not a workload property).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from automic_etl_spark.session import get_spark  # noqa: E402
+from automic_etl_spark.io import TABLE_NAMES, load_table  # noqa: E402
+
+
+def _cpu_times() -> tuple[int, int]:
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    total = sum(vals)
+    steal = vals[7] if len(vals) > 7 else 0
+    return total, steal
+
+
+def main() -> None:
+    rows = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench_rows")
+    import bench
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
+    max_attempts = int(os.environ.get("BENCH_ROWS_MAX_ATTEMPTS", "6"))
+    steal_ok = float(os.environ.get("BENCH_ROWS_STEAL_OK", "1.0"))
+    for row in rows:
+        fn = bench.HEADLINE[row]
+        spark.catalog.clearCache()
+        attempts: list[list] = []  # [wall, steal_pct] per attempt
+        clean = 0
+        for i in range(max_attempts):
+            t0 = time.time()
+            c_tot0, c_st0 = _cpu_times()
+            df = fn(spark, sf_dir)
+            _ = len(df.collect())
+            wall = round(time.time() - t0, 3)
+            c_tot1, c_st1 = _cpu_times()
+            steal = round(
+                100.0 * (c_st1 - c_st0) / max(1, c_tot1 - c_tot0), 1
+            )
+            attempts.append([wall, steal])
+            # protocol: attempt 1 is always the cold draw; stop once two
+            # WARM attempts landed under the steal threshold (this box
+            # takes multi-minute hypervisor-pressure bursts — a reading
+            # taken during one is contamination, not a workload price)
+            if i > 0 and steal <= steal_ok:
+                clean += 1
+                if clean >= 2:
+                    break
+        warm_clean = [a[0] for a in attempts[1:] if a[1] <= steal_ok]
+        best = min(warm_clean) if warm_clean else min(a[0] for a in attempts)
+        print(
+            json.dumps(
+                {
+                    "row": row,
+                    "attempts": attempts,
+                    "best": best,
+                    "clean": bool(warm_clean),
+                }
+            ),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -36,7 +36,9 @@ def _parse_eventlog(log_dir: str) -> list[dict]:
         for f in files:
             if f.startswith("."):
                 continue
-            with open(os.path.join(root, f), encoding="utf-8") as fh:
+            with open(
+                os.path.join(root, f), encoding="utf-8", errors="ignore"
+            ) as fh:
                 for line in fh:
                     try:
                         events.append(json.loads(line))
@@ -108,6 +110,7 @@ def main() -> None:
         "profile",
         extra_conf={
             "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
             "spark.eventLog.dir": f"file://{log_dir}",
         },
     )
