@@ -99,9 +99,12 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_build_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index build (3 Lloyd iterations, broadcast-centroid argmin)
     plus a probed top-10 search — the ANN scale path end to end."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.operators.similarity import ivf_build, ivf_search
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan out the one-split scan: every Lloyd iteration's argmin fold
+    # ran as a single-task stage off the one-file parquet (r16)
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     assignments, centroids = ivf_build(emb, n_centroids=16, iterations=3)
     query = emb.orderBy("vec_id").limit(1)
     return ivf_search(emb, assignments, centroids, query, k=10, nprobe=2)
@@ -284,10 +287,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     for rep in replicas:
         corpus = corpus.unionByName(rep)
+    # NOT fanned out (r16, measured): the 5-branch union runs its LSH
+    # assignment on 5 tasks, but an ensure_parallelism round-robin here
+    # re-probed WORSE (5.9 -> 9.1 s idle) — the repartition ships every
+    # jittered vector through sort+shuffle and the assignment is cheap
+    # enough that 5-way parallelism already overlaps the bucket join
     # n_planes scales with the corpus so the expected bucket size stays
     # ~constant: bucket count 2^planes ∝ rows keeps the in-bucket
-    # pairwise verify linear, and LSH assignment is O(rows × planes)
-    n_vectors = corpus.count()
+    # pairwise verify linear, and LSH assignment is O(rows × planes).
+    # The count derives from the base table (each replica is one row
+    # per base row, so |corpus| = 5 x |emb| exactly): a count() on the
+    # union itself would force the jitter transforms + the fan-out
+    # shuffle through a full extra action (measured +2.9 s; r16)
+    n_vectors = 5 * emb.count()
     planes = max(5, math.ceil(math.log2(max(2, n_vectors // 300))))
     flagged = semantic_dedup_lsh(
         corpus, n_planes=planes, min_cosine_ppm=990_000
@@ -1383,6 +1395,7 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus to m=16 codes, ADC-scan with exact re-rank for 3 probes —
     the memory-bound ANN recipe (codes are 16x smaller than the raw
     vectors; only ~rerank*k raw rows are touched per query)."""
+    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.operators.similarity import (
         ivf_build,
         ivf_pq_search,
@@ -1390,7 +1403,13 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan out the one-split scan (r16): the Lloyd folds, pq_encode and
+    # the per-query ADC scans all ran as 0.4-0.8 s single-task stages
+    # off the one-file parquet (event log); deterministic — the pq
+    # sample and IVF seeds are md5-ordered, means integer-quantized
+    emb = ensure_parallelism(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     books = pq_train(emb, m=16, k_sub=64, iterations=6, sample=2000)
     assignments, centroids = ivf_build(emb, n_centroids=16, iterations=3)
     # lazy checkpoint (r10): the single final agg job materializes the
