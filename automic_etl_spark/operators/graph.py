@@ -23,13 +23,23 @@ contract):
   ORDER and magnitude, not stochastic-matrix purity; the loss is the
   price of exact cross-engine replay.
 
-Scale shape: per iteration ONE equi-join (ranks x edges, shuffles on
-the node id) + one groupBy(dst) with map-side partial aggregation +
-one left join back to the node list — identical to the classic Pregel
-PageRank step. Lineage is truncated per round (localCheckpoint, the
-connected_components discipline) so plans stay flat. Iterations are
-a fixed count, not convergence-tested: crawl curation wants a stable,
-reproducible signal, and fixed-k is what the SQL replay can express.
+Scale shape (r16 optimization round — guide §2.4, remove shuffles):
+per iteration ONE equi-join (ranks x degree-annotated edges, shuffles
+on the node id) + ONE groupBy with map-side partial aggregation.
+The out-degree is joined onto the edge list ONCE before the loop
+(it was previously re-joined inside every iteration — k redundant
+shuffles of an O(edges) relation for a value that never changes),
+and the per-round left join back to the node list is FOLDED into the
+contribution aggregate: union one zero-share row per node into the
+groupBy, so nodes with no in-edges surface from the same shuffle
+(sum + 0 = coalesce(sum, 0) — bit-identical ranks). Per-iteration
+exchanges: 3 -> 2; per-iteration joins: 3 -> 1. Lineage is truncated
+per round (localCheckpoint, the connected_components discipline) so
+plans stay flat; the setup checkpoints are LAZY (round 1's action
+materializes them — the node count is the only setup action).
+Iterations are a fixed count, not convergence-tested: crawl curation
+wants a stable, reproducible signal, and fixed-k is what the SQL
+replay can express.
 
 No reference counterpart (beyond-reference training-data mandate).
 """
@@ -55,38 +65,59 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         uniq.select(F.col("src").alias("node"))
         .unionByName(uniq.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    n = nodes.count()
-    if n == 0:
+    n = nodes.count()  # the one setup action; materializes both lazy
+    if n == 0:  # checkpoints above
         return nodes.withColumn("rank_e6", F.lit(0).cast("long"))
-    outdeg = uniq.groupBy("src").agg(F.count(F.lit(1)).alias("__d"))
+    # out-degree annotated ONCE outside the loop (one window pass over
+    # the src partitioning — no join); every iteration previously
+    # re-joined the O(edges) degree table for a value that never changes
+    from pyspark.sql import Window as W
+
+    edges_deg = (
+        uniq.withColumn(
+            "__d", F.count(F.lit(1)).over(W.partitionBy("src"))
+        )
+        .localCheckpoint(eager=False)  # materialized by round 1's action
+    )
+    # one zero-share row per node, unioned into each round's aggregate:
+    # nodes with no in-edges get sum(0) = 0 from the SAME shuffle the
+    # contributions use — replaces the per-round left join (coalesce
+    # semantics preserved exactly)
+    zero_shares = nodes.select(
+        "node", F.lit(0).cast("long").alias("__share")
+    ).localCheckpoint(eager=False)
     base = (1_000_000 - damping_ppm) // n
     ranks = nodes.withColumn("rank_e6", F.lit(1_000_000 // n).cast("long"))
     for _ in range(iterations):
-        contrib = (
-            ranks.join(uniq, ranks["node"] == uniq["src"])
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("rank_e6 DIV __d").alias("__share"),
-            )
+        contrib = ranks.join(
+            edges_deg, ranks["node"] == edges_deg["src"]
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("rank_e6 DIV __d").alias("__share"),
+        )
+        # zero_shares is the FIRST union branch: Union constraint
+        # rewriting in Spark 4.1 resolves against the first child's
+        # attributes, and the contrib side's join-derived exprIds trip
+        # a "key not found" there when a checkpointed frame is reused
+        # across iterations (probed; order is semantically irrelevant
+        # under the commutative sum)
+        ranks = (
+            zero_shares.unionByName(contrib)
             .groupBy("node")
             .agg(F.sum("__share").alias("__s"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (
                     F.lit(base)
-                    + F.expr(f"{damping_ppm}L * coalesce(__s, 0L) DIV 1000000L")
+                    + F.expr(f"{damping_ppm}L * __s DIV 1000000L")
                 ).cast("long").alias("rank_e6"),
             )
             .localCheckpoint(eager=False)

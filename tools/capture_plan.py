@@ -1,0 +1,60 @@
+"""Capture `.explain("formatted")` for bench rows / declared queries.
+
+    python tools/capture_plan.py <tag> <name> [name ...]
+
+Writes plans/r16/<name>_<tag>.txt for each name. Names resolve against
+bench.HEADLINE first, then the declared-query registry. The frame whose
+plan is captured is the DataFrame the workload RETURNS; rows that
+reduce driver-side (corpus_curate/code_curate/ngram_perplexity/
+dedup_ingest/...) return a locally-built frame, so for those this tool
+is not the right instrument — capture the operator frame directly
+instead (see plans/r16/README.md). Runs at $SPARK_GRAFT_SF_DIR
+(default sf0.01 — plan SHAPE is scale-independent; only AQE's runtime
+rewrites differ, and explain-before-execution shows the static plan
+either way).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from automic_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    out_dir = os.environ.get(
+        "PLAN_OUT_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "plans", "r16"),
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture_plan")
+    import bench
+
+    for name in names:
+        fn = bench.HEADLINE.get(name)
+        if fn is None:
+            from automic_etl_spark.queries import all_queries
+
+            fn = all_queries()[name]
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{tag}.txt")
+        with open(path, "w") as fh:
+            fh.write(buf.getvalue())
+        print(f"wrote {path}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
