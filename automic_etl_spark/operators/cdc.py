@@ -215,8 +215,14 @@ def cdc_near_dup_pairs(
     per_doc = chunks.select("doc_id", "chunk_hash").distinct()
     sizes = per_doc.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     freq = per_doc.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("__docs"))
+    # NO broadcast hint (r16): the frequency table is CORPUS-DERIVED —
+    # O(distinct chunk hashes), i.e. O(corpus bytes / avg chunk) at
+    # 100 TB — and the cap filter keeps almost all of it. Let AQE pick
+    # the strategy (the repo's never-broadcast-the-corpus-side
+    # invariant); both sides already shuffle on chunk_hash for the
+    # pair join, so the exchange is shared.
     kept = per_doc.join(
-        F.broadcast(freq.filter(F.col("__docs") <= max_bucket_docs)),
+        freq.filter(F.col("__docs") <= max_bucket_docs),
         "chunk_hash",
     )
     a = kept.select(F.col("chunk_hash"), F.col("doc_id").alias("id_a"))

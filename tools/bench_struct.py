@@ -1,0 +1,119 @@
+"""Structural (load-independent) bench-row measurement: run HEADLINE
+rows with the event log on and report per-row job/stage/task counts,
+summed stage time, shuffle-write bytes and input bytes — the evidence
+that survives this box's hypervisor-pressure bursts (wall times do
+not; see OPTIMIZATION_r16.md "Measurement conditions").
+
+    python tools/bench_struct.py row [row ...]
+
+One JSON line per row (attempt 2 of the bench's min-of-2 protocol, so
+steady-state caches are priced the way bench.py prices them; attempt 1
+counts are reported alongside).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from automic_etl_spark.session import get_spark  # noqa: E402
+from automic_etl_spark.io import TABLE_NAMES, load_table  # noqa: E402
+
+
+def _stats(log_dir: str, t0: float, t1: float) -> dict:
+    njobs = nstages = ntasks = 0
+    sum_dur = 0.0
+    sum_sw = sum_in = 0
+    for root, _d, files in os.walk(log_dir):
+        for f in files:
+            if f.startswith("."):
+                continue
+            for line in open(os.path.join(root, f), errors="ignore"):
+                try:
+                    e = json.loads(line)
+                except Exception:
+                    continue
+                k = e.get("Event")
+                if k == "SparkListenerJobStart":
+                    if t0 <= e["Submission Time"] / 1000.0 < t1:
+                        njobs += 1
+                elif k == "SparkListenerStageCompleted":
+                    si = e["Stage Info"]
+                    sub = si.get("Submission Time", 0) / 1000.0
+                    if not (t0 <= sub < t1):
+                        continue
+                    nstages += 1
+                    ntasks += si.get("Number of Tasks", 0)
+                    sum_dur += (
+                        si.get("Completion Time", 0) - si.get("Submission Time", 0)
+                    ) / 1000.0
+                    acc = {
+                        a.get("Name"): a.get("Value")
+                        for a in si.get("Accumulables", [])
+                    }
+                    sum_sw += acc.get(
+                        "internal.metrics.shuffle.write.bytesWritten", 0
+                    ) or 0
+                    sum_in += acc.get("internal.metrics.input.bytesRead", 0) or 0
+    return {
+        "jobs": njobs,
+        "stages": nstages,
+        "tasks": ntasks,
+        "stage_dur_sum": round(sum_dur, 1),
+        "shuffle_w": sum_sw,
+        "input": sum_in,
+    }
+
+
+def main() -> None:
+    rows = sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    log_dir = tempfile.mkdtemp(prefix="bench_struct_ev_")
+    spark = get_spark(
+        "bench_struct",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.dir": f"file://{log_dir}",
+        },
+    )
+    import bench
+
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).limit(1).count()
+        except Exception:
+            pass
+    marks: dict[str, list[float]] = {}
+    walls: dict[str, list[float]] = {}
+    for row in rows:
+        fn = bench.HEADLINE[row]
+        spark.catalog.clearCache()
+        marks[row] = []
+        walls[row] = []
+        for _attempt in range(2):
+            t0 = time.time()
+            marks[row].append(t0)
+            df = fn(spark, sf_dir)
+            _ = len(df.collect())
+            walls[row].append(round(time.time() - t0, 3))
+        marks[row].append(time.time())
+    spark.stop()
+    time.sleep(1)
+    for row in rows:
+        m = marks[row]
+        out = {"row": row, "walls": walls[row]}
+        out["attempt1"] = _stats(log_dir, m[0], m[1])
+        out["attempt2"] = _stats(log_dir, m[1], m[2])
+        print(json.dumps(out), flush=True)
+    shutil.rmtree(log_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
