@@ -180,19 +180,28 @@ def jaccard_on_candidates(
     after LSH): |A∩B| via an equi-join of exploded distinct shingles
     restricted to candidate ids, |A|,|B| from a per-doc aggregate.
     Only candidate documents are exploded — the LSH prefilter is what
-    keeps this linear-ish at corpus scale."""
-    doc_sh = df.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
-    ).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles_of_tokens(F.col("__toks"), k))).alias("sh"),
-    )
+    keeps this linear-ish at corpus scale. The candidate-id semi-join
+    runs BELOW the tokenize+explode (r16 optimization round): Catalyst
+    cannot push a join under a generator, so the old
+    explode-then-semi-join shape paid tokenize+shingle+explode for
+    every NON-candidate document too — the whole corpus's shingle rows
+    materialized just to be filtered. Same rows out."""
     ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    doc_sh = doc_sh.join(ids, id_col, "left_semi")
+    doc_sh = (
+        df.select(F.col(id_col), F.col(text_col))
+        .join(ids, id_col, "left_semi")
+        .select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(shingles_of_tokens(F.col("__toks"), k))
+            ).alias("sh"),
+        )
+    )
     sizes = doc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         candidates.alias("c")

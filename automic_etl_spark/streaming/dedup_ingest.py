@@ -87,9 +87,6 @@ class StreamingDeduper:
         and their signatures; return counts (the only driver-side
         values — everything else stays distributed)."""
         batch = batch.select(self.id_col, self.text_col).cache()
-        if batch.isEmpty():
-            return {"in": 0, "kept": 0, "exact_dups": 0, "near_dups": 0}
-
         index = self._index()
 
         # 1. exact dups: content-hash check against the index (and
@@ -126,8 +123,11 @@ class StreamingDeduper:
         # reads in these lineages list parquet files at EXECUTION time, so
         # a plan executed after the appends below would see this batch's
         # own rows and anti-join them away (checkpoint() cuts lineage;
-        # cache() alone does not guarantee no recompute).
-        survivors = survivors.localCheckpoint(eager=True)
+        # cache() alone does not guarantee no recompute). The checkpoint
+        # is LAZY (r16 optimization round): the tallies collect below
+        # unions the survivors frame, so the SAME pre-append action
+        # materializes it — one driver job per batch instead of two.
+        survivors = survivors.localCheckpoint(eager=False)
         quarantined = None
         if self.quarantine_path is not None:
             # no checkpoint needed here: this lineage reads only the
@@ -137,21 +137,15 @@ class StreamingDeduper:
             quarantined = batch.join(
                 F.broadcast(survivors.select(self.id_col)), self.id_col, "left_anti"
             )
-        index_rows = (
-            sigs.join(F.broadcast(flagged.select(self.id_col)), self.id_col, "left_anti")
-            .join(
-                survivors.select(
-                    self.id_col, F.md5(F.col(self.text_col)).alias("content_md5")
-                ),
-                self.id_col,
-            )
-            .localCheckpoint(eager=True)
-        )
 
         # One driver-side counts action for the whole batch (instead of a
         # count() per stage): tag each set with a literal and aggregate.
         # Runs BEFORE the appends so any recompute of the cached
-        # exact-survivor lineage still reads the PRE-append index.
+        # exact-survivor lineage still reads the PRE-append index. This
+        # action also materializes the survivors checkpoint and warms
+        # the batch/exact/sigs/flagged caches, and it doubles as the
+        # empty-batch probe (r16: the old shape paid a separate
+        # isEmpty() job per batch before any of this).
         tallies = {
             r["__k"]: r["c"]
             for r in (
@@ -166,6 +160,21 @@ class StreamingDeduper:
         n_in = int(tallies.get("in", 0))
         n_exact = int(tallies.get("exact_kept", 0))
         n_kept = int(tallies.get("kept", 0))
+        if n_in == 0:  # empty batch: nothing to append anywhere
+            return {"in": 0, "kept": 0, "exact_dups": 0, "near_dups": 0}
+        # eager: must hold its (pre-append) result across the docs-path
+        # append below — its lineage reads the index through caches only,
+        # and caches alone don't survive eviction
+        index_rows = (
+            sigs.join(F.broadcast(flagged.select(self.id_col)), self.id_col, "left_anti")
+            .join(
+                survivors.select(
+                    self.id_col, F.md5(F.col(self.text_col)).alias("content_md5")
+                ),
+                self.id_col,
+            )
+            .localCheckpoint(eager=True)
+        )
 
         # 3. append survivors + their (signature, content-hash) index rows
         survivors.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
@@ -242,9 +251,6 @@ class EmbeddingDeduper:
         )
 
         batch = batch.select(self.id_col, self.vec_col).cache()
-        if batch.isEmpty():
-            return {"in": 0, "kept": 0, "near_dups": 0}
-
         flagged = incremental_embedding_near_dup(
             batch,
             self._index(),
@@ -258,10 +264,17 @@ class EmbeddingDeduper:
         )
         # materialize BEFORE the append: the index read in this lineage
         # lists parquet files at execution time (same read-after-append
-        # hazard as StreamingDeduper; checkpoint cuts the lineage)
-        survivors = survivors.localCheckpoint(eager=True)
+        # hazard as StreamingDeduper; checkpoint cuts the lineage). Lazy
+        # (r16): the tallies collect below materializes it pre-append —
+        # one driver job per batch instead of two, and the tally doubles
+        # as the empty-batch probe (the old isEmpty() job is gone).
+        survivors = survivors.localCheckpoint(eager=False)
         quarantined = None
         if self.quarantine_path is not None:
+            # eager: this lineage reads the index parquet (through the
+            # flagged cache only, which eviction can drop) and its append
+            # runs AFTER the index append below — it must hold its
+            # pre-append result
             quarantined = flagged.localCheckpoint(eager=True)
 
         tallies = {
@@ -275,6 +288,8 @@ class EmbeddingDeduper:
             )
         }
         n_in, n_kept = int(tallies.get("in", 0)), int(tallies.get("kept", 0))
+        if n_in == 0:
+            return {"in": 0, "kept": 0, "near_dups": 0}
 
         survivors.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
             "append"
