@@ -1395,7 +1395,6 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus to m=16 codes, ADC-scan with exact re-rank for 3 probes —
     the memory-bound ANN recipe (codes are 16x smaller than the raw
     vectors; only ~rerank*k raw rows are touched per query)."""
-    from automic_etl_spark.operators.dedup import ensure_parallelism
     from automic_etl_spark.operators.similarity import (
         ivf_build,
         ivf_pq_search,
@@ -1403,13 +1402,14 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_train,
     )
 
-    # fan out the one-split scan (r16): the Lloyd folds, pq_encode and
-    # the per-query ADC scans all ran as 0.4-0.8 s single-task stages
-    # off the one-file parquet (event log); deterministic — the pq
-    # sample and IVF seeds are md5-ordered, means integer-quantized
-    emb = ensure_parallelism(
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    )
+    # NOT fanned out (r16, measured structurally): the round-robin
+    # repartition ships every vector through a sort+shuffle (0.15 ->
+    # 7.8 MB shuffled) and multiplies scheduled tasks 29 -> 866 for
+    # per-row work (pq_encode, ADC) that was never the bottleneck —
+    # summed stage time 6.1 -> 15.2 s, walls +4 s. The ivf row keeps
+    # its fan-out (its Lloyd folds are the heavy part and measured
+    # faster fanned out).
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     books = pq_train(emb, m=16, k_sub=64, iterations=6, sample=2000)
     assignments, centroids = ivf_build(emb, n_centroids=16, iterations=3)
     # lazy checkpoint (r10): the single final agg job materializes the
