@@ -1,0 +1,25 @@
+"""Value-for-value equivalence pin for the CorpusCurator funnel.
+
+tests/data/funnel_snapshot.json freezes the funnel's exact outputs
+(report dict + every output row + schema) over six configs that enable
+every optional stage between them. The r17 optimization round
+restructures curate() internals (decide gates on an (id, signals)
+proxy, attach text once — guide §8); this test proves the restructure
+changed nothing the caller can observe. Regenerate the snapshot ONLY
+for a deliberate semantic change: python tools/funnel_snapshot.py write
+"""
+
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"),
+)
+
+
+def test_funnel_snapshot_equivalence(spark):
+    from funnel_snapshot import check
+
+    failures = check(spark)
+    assert not failures, "\n".join(failures)
